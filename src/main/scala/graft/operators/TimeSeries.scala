@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Time-series query operators over the canonical point schema
+ * (`metric, ts (epoch ms), value, tags, viz`) — the Spark re-expression of the
+ * reference's scan-time iterator stack: rate -> downsample -> cross-series
+ * aggregation (server/src/main/java/timely/server/store/DataStore.java:711-745).
+ *
+ * All operators are declarative DataFrame transformations: partial/final
+ * aggregation, spilling, and parallelism come from Catalyst/Tungsten rather
+ * than hand-rolled iterators (SURVEY.md §4).
+ */
+object TimeSeries {
+
+  /** Canonical string form of the tag map — series identity key
+    * (reference keys series by full tag set:
+    * server/src/main/java/timely/server/sample/iterators/TimeSeriesGroupingIterator.java:93-98).
+    * Sorted so logically-equal maps compare equal. */
+  def seriesKey(tags: Column): Column =
+    array_join(
+      sort_array(transform(map_entries(tags), e => concat(e.getField("key"), lit("="), e.getField("value")))),
+      ",")
+
+  /**
+   * Epoch-aligned downsample bucket in ms:
+   * `ts - ((ts - start) % period)` with `start` pre-aligned to the period
+   * (reference: server/src/main/java/timely/server/sample/Downsample.java:31-43,
+   * alignment DataStore.java:693-695). With an aligned start this reduces to
+   * `ts - ts % period` for any ts >= 0.
+   */
+  def bucket(ts: Column, periodMs: Long): Column =
+    (ts - (ts % lit(periodMs))).as("bucket_ms")
+
+  /**
+   * The `dev` aggregator quirk (root-mean-square, NOT stddev): the reference
+   * accumulates sum(x^2) and finishes with sqrt(sum/(n-1)), seeding n==1 with
+   * sqrt(sum) (server/src/main/java/timely/server/sample/aggregators/Dev.java:5-19).
+   * Replicated exactly for oracle parity — do not substitute stddev_samp.
+   */
+  def devAgg(value: Column): Column = {
+    val ss = sum(value * value)
+    val n = count(value)
+    when(n === 1, sqrt(ss)).otherwise(sqrt(ss / (n - 1)))
+  }
+
+  /** Resolve a reference aggregator name to a Spark aggregate Column
+    * (server/src/main/java/timely/server/sample/aggregators/: Avg, Sum, Min,
+    * Max, Count, Dev). */
+  def aggregator(name: String, value: Column): Column = name match {
+    case "avg"   => avg(value)
+    case "sum"   => sum(value)
+    case "min"   => min(value)
+    case "max"   => max(value)
+    case "count" => count(value).cast("double")
+    case "dev"   => devAgg(value)
+    case other   => throw new IllegalArgumentException(s"unknown aggregator: $other")
+  }
+
+  /**
+   * Downsample: per series (metric + full tag set), aggregate values into
+   * epoch-aligned time buckets (reference DownsampleIterator.java:96-105).
+   * Map-side partial aggregation + spill are Catalyst built-ins — the
+   * reference's DownsampleMemoryEstimator re-batching has no Spark analog to
+   * build (SURVEY.md A9).
+   */
+  def downsample(points: DataFrame, periodMs: Long, agg: String): DataFrame =
+    points
+      .groupBy(col("metric"), seriesKey(col("tags")).as("series"), bucket(col("ts"), periodMs))
+      .agg(aggregator(agg, col("value")).as("value"))
+
+  /**
+   * Cross-series aggregation: collapse all series that survived filtering into
+   * one series per (metric, bucket, queried-tag subset) — the reference's
+   * AggregationIterator (server/src/main/java/timely/server/sample/iterators/AggregationIterator.java:27-128)
+   * + queried-tag grouping (DataStore.java:752-762).
+   */
+  def crossSeries(downsampled: DataFrame, agg: String, groupCols: Seq[String] = Seq("metric")): DataFrame =
+    downsampled
+      .groupBy((groupCols :+ "bucket_ms").map(col): _*)
+      .agg(aggregator(agg, col("value")).as("value"))
+
+  // value as deterministic tie-break for equal-ms timestamps (oracle parity)
+  private def seriesWindow =
+    Window.partitionBy(col("metric"), col("series")).orderBy(col("ts"), col("value"))
+
+  /**
+   * Rate (first difference): per series, `(cur - prev) / (tsCur - tsPrev) * interval`,
+   * with counter semantics (reference
+   * server/src/main/java/timely/server/sample/iterators/RateIterator.java:64-106):
+   *   - counter && cur < prev  => cur += (counterMax > 0 ? counterMax : prev)
+   *   - resetValue > 0 && rate > resetValue => 0
+   *   - identical timestamps => 0
+   * The first point of each series produces no output (needs a predecessor).
+   * `intervalMs` defaults to the downsample period (DataStore.java:716-719).
+   */
+  def rate(
+      points: DataFrame,
+      intervalMs: Long,
+      counter: Boolean = false,
+      counterMax: Long = 0L,
+      resetValue: Long = 0L): DataFrame = {
+    val w = seriesWindow
+    val withPrev = points
+      .withColumn("series", seriesKey(col("tags")))
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .where(col("prev_ts").isNotNull)
+    val cur =
+      if (!counter) col("value")
+      else when(
+        col("value") < col("prev_value"),
+        col("value") + (if (counterMax > 0) lit(counterMax.toDouble) else col("prev_value"))
+      ).otherwise(col("value"))
+    val dt = (col("ts") - col("prev_ts")).cast("double")
+    val raw = when(dt === 0d, lit(0d))
+      .otherwise((cur - col("prev_value")) / dt * lit(intervalMs.toDouble))
+    val rated =
+      if (resetValue > 0) when(raw > lit(resetValue.toDouble), lit(0d)).otherwise(raw)
+      else raw
+    withPrev
+      .withColumn("rate", rated)
+      .drop("prev_value", "prev_ts")
+  }
+
+  /**
+   * FIR filter / moving average: per series, dot-product of the last F values
+   * with a weight vector; the first F-1 points of each series are consumed,
+   * not emitted (reference TimeSeriesGroupingIterator.java:29-46,138-148; a
+   * 5-point moving average uses weights [.2,.2,.2,.2,.2], RateIterator
+   * subclasses with [-1, 1]).
+   */
+  def firFilter(points: DataFrame, weights: Seq[Double]): DataFrame = {
+    val f = weights.length
+    val w = seriesWindow
+    val frame = w.rowsBetween(-(f - 1), 0)
+    // weighted sum: zip the collected frame (oldest..newest) with weights
+    val vals = collect_list(col("value")).over(frame)
+    val weighted = aggregate(
+      zip_with(vals, typedlit(weights), (v, wt) => v * wt),
+      lit(0.0d),
+      (acc, x) => acc + x)
+    points
+      .withColumn("series", seriesKey(col("tags")))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("filtered", weighted)
+      .where(col("rn") >= f)
+      .drop("rn")
+  }
+}

@@ -1,0 +1,151 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Points, TimeSeries}
+
+/**
+ * Timely-parity operator queries over the synthetic `events` table
+ * (event_type -> metric, user_id -> `user` tag), each paired with an ANSI-SQL
+ * DuckDB oracle. These exercise SURVEY.md §2.3/§2.4/§2.5: downsample
+ * aggregators (A2-A6, A8), series grouping (A13), cross-series aggregation
+ * (A10), rate/counter (W1/W2), FIR moving average (W3), and meta queries
+ * (M1/M2).
+ */
+object TimelyQueries {
+
+  private val Hour = 3600000L
+
+  /** events -> canonical points frame. */
+  private def points(s: SparkSession, dir: String): DataFrame =
+    Points.fromEvents(Points.table(s, dir, "events"))
+
+  /** Downsample with a given aggregator; output (metric, series, bucket_ms, value). */
+  private def ds(s: SparkSession, dir: String, agg: String): DataFrame =
+    TimeSeries.downsample(points(s, dir), Hour, agg)
+      .withColumn("value", round(col("value"), 4))
+
+  /** DuckDB oracle for the same downsample. The series key for a single
+    * `user` tag is `user=<id>`. */
+  private def dsSql(aggSql: String): String =
+    s"""SELECT event_type AS metric,
+       |       'user=' || CAST(user_id AS VARCHAR) AS series,
+       |       epoch_ms(ts) // 3600000 * 3600000 AS bucket_ms,
+       |       ROUND($aggSql, 4) AS value
+       |FROM events
+       |GROUP BY 1, 2, 3""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_downsample_avg" -> ((s, dir) => ds(s, dir, "avg")),
+    "ts_downsample_sum" -> ((s, dir) => ds(s, dir, "sum")),
+    "ts_downsample_min" -> ((s, dir) => ds(s, dir, "min")),
+    "ts_downsample_max" -> ((s, dir) => ds(s, dir, "max")),
+    "ts_downsample_count" -> ((s, dir) => ds(s, dir, "count")),
+    "ts_downsample_dev" -> ((s, dir) => ds(s, dir, "dev")),
+    "ts_cross_series_sum" -> ((s, dir) => {
+      // downsample 1h-avg per series, then cross-series sum per metric+bucket
+      // (reference AggregationIterator: all surviving series collapse into one)
+      val d = TimeSeries.downsample(points(s, dir), Hour, "avg")
+      TimeSeries.crossSeries(d, "sum")
+        .withColumn("value", round(col("value"), 4))
+    }),
+    "ts_rate" -> ((s, dir) => {
+      TimeSeries.rate(points(s, dir), intervalMs = 1000L)
+        .select(col("metric"), col("series"), col("ts"), round(col("rate"), 6).as("rate"))
+    }),
+    "ts_rate_counter" -> ((s, dir) => {
+      TimeSeries.rate(points(s, dir), intervalMs = 1000L, counter = true, resetValue = 100L)
+        .select(col("metric"), col("series"), col("ts"), round(col("rate"), 6).as("rate"))
+    }),
+    "ts_moving_avg" -> ((s, dir) => {
+      TimeSeries.firFilter(points(s, dir), Seq.fill(5)(0.2))
+        .select(col("metric"), col("series"), col("ts"), round(col("filtered"), 4).as("filtered"))
+    }),
+    "meta_suggest" -> ((s, dir) => {
+      // /api/suggest type=metrics: substring match + ordered limit
+      // (reference DataStore.suggest, DataStore.java:528-580)
+      Points.meta(points(s, dir))
+        .select("metric").distinct()
+        .where(col("metric").contains("e"))
+        .orderBy("metric").limit(25)
+    }),
+    "meta_lookup" -> ((s, dir) => {
+      // /api/search/lookup: tag regex lookup for one metric
+      // (reference DataStore.lookup, DataStore.java:582-633)
+      Points.meta(points(s, dir))
+        .where(col("metric") === "purchase" && col("tagv").rlike("^1.*"))
+        .orderBy("metric", "tagk", "tagv")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "ts_downsample_avg" -> dsSql("AVG(value)"),
+    "ts_downsample_sum" -> dsSql("SUM(value)"),
+    "ts_downsample_min" -> dsSql("MIN(value)"),
+    "ts_downsample_max" -> dsSql("MAX(value)"),
+    "ts_downsample_count" -> dsSql("CAST(COUNT(value) AS DOUBLE)"),
+    "ts_downsample_dev" ->
+      // RMS quirk (Dev.java:5-19): sqrt(sum(x^2)/(n-1)), n==1 -> sqrt(sum(x^2))
+      dsSql("CASE WHEN COUNT(*) = 1 THEN SQRT(SUM(value*value)) ELSE SQRT(SUM(value*value)/(COUNT(*)-1)) END"),
+    "ts_cross_series_sum" ->
+      """WITH d AS (
+        |  SELECT event_type AS metric,
+        |         'user=' || CAST(user_id AS VARCHAR) AS series,
+        |         epoch_ms(ts) // 3600000 * 3600000 AS bucket_ms,
+        |         AVG(value) AS value
+        |  FROM events GROUP BY 1, 2, 3)
+        |SELECT metric, bucket_ms, ROUND(SUM(value), 4) AS value
+        |FROM d GROUP BY 1, 2""".stripMargin,
+    "ts_rate" ->
+      """WITH p AS (
+        |  SELECT event_type AS metric,
+        |         'user=' || CAST(user_id AS VARCHAR) AS series,
+        |         epoch_ms(ts) AS ts, value,
+        |         LAG(value) OVER w AS pv, LAG(epoch_ms(ts)) OVER w AS pts
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type, user_id ORDER BY epoch_ms(ts), value))
+        |SELECT metric, series, ts,
+        |       ROUND(CASE WHEN ts = pts THEN 0
+        |                  ELSE (value - pv) / (ts - pts) * 1000 END, 6) AS rate
+        |FROM p WHERE pts IS NOT NULL""".stripMargin,
+    "ts_rate_counter" ->
+      """WITH p AS (
+        |  SELECT event_type AS metric,
+        |         'user=' || CAST(user_id AS VARCHAR) AS series,
+        |         epoch_ms(ts) AS ts, value,
+        |         LAG(value) OVER w AS pv, LAG(epoch_ms(ts)) OVER w AS pts
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type, user_id ORDER BY epoch_ms(ts), value)),
+        |r AS (
+        |  SELECT metric, series, ts,
+        |         CASE WHEN ts = pts THEN 0
+        |              ELSE ((CASE WHEN value < pv THEN value + pv ELSE value END) - pv)
+        |                   / (ts - pts) * 1000 END AS raw
+        |  FROM p WHERE pts IS NOT NULL)
+        |SELECT metric, series, ts,
+        |       ROUND(CASE WHEN raw > 100 THEN 0 ELSE raw END, 6) AS rate
+        |FROM r""".stripMargin,
+    "ts_moving_avg" ->
+      """WITH p AS (
+        |  SELECT event_type AS metric,
+        |         'user=' || CAST(user_id AS VARCHAR) AS series,
+        |         epoch_ms(ts) AS ts, value,
+        |         ROW_NUMBER() OVER w AS rn,
+        |         0.2*value
+        |         + 0.2*LAG(value, 1) OVER w + 0.2*LAG(value, 2) OVER w
+        |         + 0.2*LAG(value, 3) OVER w + 0.2*LAG(value, 4) OVER w AS filtered
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type, user_id ORDER BY epoch_ms(ts), value))
+        |SELECT metric, series, ts, ROUND(filtered, 4) AS filtered
+        |FROM p WHERE rn >= 5""".stripMargin,
+    "meta_suggest" ->
+      """SELECT DISTINCT event_type AS metric FROM events
+        |WHERE event_type LIKE '%e%' ORDER BY 1 LIMIT 25""".stripMargin,
+    "meta_lookup" ->
+      """SELECT DISTINCT event_type AS metric, 'user' AS tagk, CAST(user_id AS VARCHAR) AS tagv
+        |FROM events
+        |WHERE event_type = 'purchase' AND regexp_matches(CAST(user_id AS VARCHAR), '^1.*')
+        |ORDER BY 1, 2, 3""".stripMargin
+  )
+}
