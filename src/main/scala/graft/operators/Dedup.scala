@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators for training-data pipelines, in increasing fuzziness:
+ * exact (hash), MinHash+LSH (candidate generation without O(n^2)), n-gram
+ * Jaccard (exact verify), SimHash (bit-signature near-dup).
+ *
+ * Scale design: nothing here compares all pairs. Exact dedup is a hash
+ * group-by; MinHash/SimHash block by band keys so the self-join only touches
+ * co-bucketed rows; n-gram Jaccard joins on shared shingles (a pair appears
+ * only if it shares at least one shingle, and the join key distributes across
+ * the cluster). At 100 TB each stage is shuffle-partitioned on its key —
+ * no broadcast of the corpus, no driver collection.
+ *
+ * Hashing is md5-based so an independent SQL engine reproduces every signature
+ * bit-for-bit (oracle parity): a "permutation" h_k of MinHash is the
+ * lexicographic min of md5("k:" || shingle).
+ */
+object Dedup {
+
+  /** Exact dedup: group by content hash, keep min doc_id as representative. */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("content_hash"))
+      .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("dup_count"))
+
+  /** Distinct word-3-gram shingles, lowercased: (doc_id, s). */
+  def shingles(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+      .where(size(col("ws")) >= 3)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', slice(ws, i, 3)))")).as("s"))
+      .distinct()
+
+  /**
+   * MinHash signatures: `numHashes` lexicographic-min-md5 "permutations" per
+   * doc. One shuffle (group by doc) regardless of numHashes.
+   */
+  def minhashSignatures(docs: DataFrame, numHashes: Int = 8): DataFrame = {
+    val mins = (0 until numHashes).map(k => min(md5(concat(lit(s"$k:"), col("s")))).as(s"mh$k"))
+    shingles(docs).groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /**
+   * MinHash LSH near-dup candidates: band the signature (`bandSize` hashes per
+   * band), self-join per band key, estimate Jaccard as the fraction of equal
+   * signature components. Only co-bucketed pairs are ever compared.
+   */
+  def minhashLsh(docs: DataFrame, numHashes: Int = 8, bandSize: Int = 2): DataFrame = {
+    require(numHashes % bandSize == 0, "numHashes must be divisible by bandSize")
+    val mh = minhashSignatures(docs, numHashes).cache()
+    val nBands = numHashes / bandSize
+    val bandKey = (b: Int) => concat((b * bandSize until (b + 1) * bandSize).map(k => col(s"mh$k")): _*)
+    val bands = mh.select(
+      col("doc_id"),
+      explode(array((0 until nBands).map(b => struct(lit(b).as("b"), bandKey(b).as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.b").as("b"), col("bk.key").as("key"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.b") === col("y.b") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+    val eq = (0 until numHashes)
+      .map(k => when(col(s"x.mh$k") === col(s"y.mh$k"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand.join(mh.as("x"), col("a") === col("x.doc_id"))
+      .join(mh.as("y"), col("b") === col("y.doc_id"))
+      .select(col("a"), col("b"), round(eq.cast("double") / numHashes, 4).as("est_jaccard"))
+  }
+
+  /**
+   * Exact n-gram Jaccard near-dup pairs: join on shared shingles (the shingle
+   * IS the blocking key — disjoint docs never meet), count intersection, then
+   * |A∩B| / (|A| + |B| - |A∩B|) >= threshold.
+   */
+  def ngramJaccard(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val sh = shingles(docs).cache()
+    val inter = sh.as("x").join(sh.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val jac = col("inter").cast("double") /
+      (col("sa.n") + col("sb.n") - col("inter")).cast("double")
+    inter
+      .join(sizes.as("sa"), col("a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("b") === col("sb.doc_id"))
+      .where(jac >= threshold)
+      .select(col("a"), col("b"), round(jac, 4).as("jaccard"))
+  }
+
+  /**
+   * SimHash: 32-bit signature from the distinct-word md5s. Bit i comes from
+   * hex digit i/4 of the word hash (bit i%4 of the digit's value); the doc bit
+   * is the sign of the +1/-1 balance over its words. Near-dup pairs block on
+   * the 16-bit prefix and pass a Hamming-distance threshold.
+   */
+  def simhashSignatures(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+      .distinct()
+      .select(col("doc_id"), md5(col("w")).as("h"))
+      .groupBy("doc_id")
+      .agg(collect_list("h").as("hs"))
+      .select(col("doc_id"), expr(
+        """array_join(transform(sequence(0, 31), i ->
+          |  CASE WHEN aggregate(hs, 0, (acc, h) ->
+          |    acc + (CASE WHEN CAST((instr('0123456789abcdef', substr(h, 1 + CAST(i / 4 AS INT), 1)) - 1)
+          |                      / CAST(pow(2, i % 4) AS INT) AS INT) % 2 = 1 THEN 1 ELSE -1 END)) > 0
+          |  THEN '1' ELSE '0' END), '')""".stripMargin).as("simhash"))
+
+  /** SimHash near-dup pairs within the same 16-bit-prefix block. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
+    val sh = simhashSignatures(docs).cache()
+    val hamming = expr(
+      """size(filter(sequence(1, 32), j ->
+        |  substr(x.simhash, j, 1) != substr(y.simhash, j, 1)))""".stripMargin)
+    sh.as("x").join(sh.as("y"),
+        expr("substr(x.simhash, 1, 16) = substr(y.simhash, 1, 16)") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"), hamming.cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+}

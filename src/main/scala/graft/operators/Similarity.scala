@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over an embedding column (`vec_id, embedding ARRAY<FLOAT>`).
+ *
+ * - [[bruteForceKnn]]: exact cosine top-k — the correctness baseline. The query
+ *   set is broadcast (it is small by construction); the corpus streams through
+ *   executors, so the plan is a single scan + per-row top-k: no corpus shuffle.
+ * - [[lshBucketedPairs]]: the scale path — random-hyperplane LSH signatures
+ *   block the corpus into buckets; only co-bucketed pairs get exact cosine.
+ *   Hyperplane weights are derived from md5 parity (deterministic, so a SQL
+ *   oracle reproduces the same buckets; at 100 TB you'd seed the same way).
+ *
+ * All arithmetic is double-precision left-fold (`aggregate`) over
+ * double-cast elements, matching an element-order sequential dot product in
+ * the oracle engine bit-for-bit.
+ */
+object Similarity {
+
+  /** `transform(v, x -> CAST(x AS DOUBLE))` — promote before multiplying so
+    * products are computed in double (float*float would round differently). */
+  private def dcast(c: String) = s"transform($c, x -> CAST(x AS DOUBLE))"
+
+  /** Sequential double dot product of two float-array columns. */
+  def dot(a: String, b: String): Column =
+    expr(s"aggregate(zip_with(${dcast(a)}, ${dcast(b)}, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+
+  def norm(a: String): Column = sqrt(dot(a, a))
+
+  def cosine(a: String, b: String): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /**
+   * Exact cosine top-k: for each query vector, the k nearest corpus vectors.
+   * Ranking uses the 4-dp-rounded similarity with vec_id tie-break so results
+   * are stable across engines and runs.
+   */
+  def bruteForceKnn(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("qe")))
+    val scored = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("de"))
+      .join(q, col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), round(cosine("qe", "de"), 4).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long")).where(col("rank") <= k)
+  }
+
+  /**
+   * Random-hyperplane signature: bit j = sign of <v, w_j> where w_j[d] = +-1
+   * from the parity of hex digit (d % 32) of md5("j:d"). Deterministic and
+   * reproducible in any engine with md5.
+   */
+  def hyperplaneSignature(emb: String, bits: Int): Column = {
+    val bitExprs = (0 until bits).map { j =>
+      // w_j as a precomputable double array literal is not used on purpose:
+      // the oracle derives the same +-1s from md5, proving determinism.
+      s"""CASE WHEN aggregate(zip_with(${dcast(emb)}, transform(sequence(0, size($emb) - 1), d ->
+         |  CASE WHEN (instr('0123456789abcdef', substr(md5('$j:' || CAST(d AS STRING)), 1 + d % 32, 1)) - 1) % 2 = 1
+         |  THEN 1.0D ELSE -1.0D END), (x, w) -> x * w), 0D, (acc, v) -> acc + v) > 0 THEN '1' ELSE '0' END""".stripMargin
+    }
+    expr(s"concat(${bitExprs.mkString(", ")})")
+  }
+
+  /** LSH-bucketed near-dup pairs: exact cosine only within equal-signature
+    * buckets. `bits` controls bucket granularity (recall/cost trade). */
+  def lshBucketedPairs(corpus: DataFrame, bits: Int = 8, minCosine: Double = 0.3): DataFrame = {
+    val signed = corpus.select(col("vec_id"), col("embedding"),
+      hyperplaneSignature("embedding", bits).as("sig"))
+    signed.as("x").join(signed.as("y"),
+        col("x.sig") === col("y.sig") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        round(cosine("x.embedding", "y.embedding"), 4).as("cos_sim"))
+      .where(col("cos_sim") >= minCosine)
+  }
+}

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for training-data pipelines over a `documents`-style
+ * table (`doc_id, text, ...`). All are single-pass, codegen-friendly column
+ * expressions — no UDFs, no shuffles except where grouping is inherent — so
+ * they scale linearly to 100 TB document sets.
+ *
+ * Cross-engine determinism note: every expression here is written so a SQL
+ * engine (the DuckDB oracle) can reproduce it bit-for-bit — md5 for hashing,
+ * left-fold aggregates for sums, explicit tie-breaks.
+ */
+object TextAnalysis {
+
+  /** Whitespace word split (lowercased variant for lexicon ops). */
+  def words(text: Column): Column = split(text, " ")
+  def wordsLower(text: Column): Column = split(lower(text), " ")
+
+  /** Stopword lexicons used by language-ID and quality scoring. Tiny on
+    * purpose: language-ID at 100 TB must stay a cheap per-row expression. */
+  val Stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "mit", "ein"),
+    "es" -> Seq("el", "la", "de", "los", "que", "y", "en", "un"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "que", "une", "dans"))
+
+  private def inList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString(", ")
+
+  /** # words of `text` present in the lexicon (multiset count). */
+  def lexiconHits(lang: String): Column =
+    expr(s"size(filter(split(lower(text), ' '), w -> w IN (${inList(Stopwords(lang))})))")
+
+  /** Token counting: whitespace words + a regex tokenizer (alnum runs — the
+    * deterministic stand-in for a BPE pre-tokenizer). */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_words"),
+      expr("size(regexp_extract_all(text, '[A-Za-z0-9]+', 0))").cast("long").as("n_alnum_tokens"),
+      round(length(col("text")).cast("double") /
+        expr("size(regexp_extract_all(text, '[A-Za-z0-9]+', 0))"), 4).as("chars_per_token"))
+
+  /**
+   * Heuristic language ID: stopword-lexicon hit counts per candidate language,
+   * winner = max hits with a fixed alphabetical tie-break (deterministic).
+   */
+  def languageId(docs: DataFrame): DataFrame = {
+    val withHits = docs.select(
+      col("doc_id"),
+      lexiconHits("de").cast("long").as("h_de"), lexiconHits("en").cast("long").as("h_en"),
+      lexiconHits("es").cast("long").as("h_es"), lexiconHits("fr").cast("long").as("h_fr"))
+    withHits.withColumn("lang_guess",
+      when(col("h_de") >= greatest(col("h_en"), col("h_es"), col("h_fr")), "de")
+        .when(col("h_en") >= greatest(col("h_es"), col("h_fr")), "en")
+        .when(col("h_es") >= col("h_fr"), "es")
+        .otherwise("fr"))
+  }
+
+  /**
+   * Quality scoring: length / punctuation / stopword-ratio features combined
+   * into a [0,1] score (the usual pre-training heuristic filter shape).
+   */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val nWords = size(split(col("text"), " ")).cast("double")
+    val punct = expr("size(regexp_extract_all(text, '[^A-Za-z0-9 ]', 0))").cast("double")
+    val punctRatio = punct / length(col("text"))
+    val stopRatio = lexiconHits("en").cast("double") / nWords
+    docs.select(
+      col("doc_id"),
+      nWords.cast("long").as("n_words"),
+      round(punctRatio, 4).as("punct_ratio"),
+      round(stopRatio, 4).as("stopword_ratio"),
+      round(length(col("text")).cast("double") / nWords, 4).as("avg_word_len"),
+      round(
+        least(lit(1.0), nWords / 100.0) * (lit(1.0) - punctRatio) *
+          least(lit(1.0), lit(4.0) * stopRatio + 0.5), 4).as("quality"))
+  }
+
+  /**
+   * Document fingerprint: minimum md5 over all 12-char grams — a winnowing-
+   * style content fingerprint robust to local edits. Null for texts < 12 chars.
+   */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      when(length(col("text")) < 12, lit(null).cast("string"))
+        .otherwise(expr(
+          "array_min(transform(sequence(1, char_length(text) - 11), i -> md5(substr(text, i, 12))))"))
+        .as("fingerprint"))
+}

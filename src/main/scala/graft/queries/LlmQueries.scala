@@ -1,0 +1,172 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Multimodal, Points, Similarity, TextAnalysis}
+
+/**
+ * Training-data-pipeline queries (dedup, similarity search, text analysis,
+ * multimodal plumbing) over the `documents` / `embeddings` tables, each with a
+ * DuckDB oracle that reproduces the md5-derived signatures bit-for-bit.
+ */
+object LlmQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Points.table(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame = Points.table(s, dir, "embeddings")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tokens" -> ((s, dir) => TextAnalysis.tokenCounts(docs(s, dir))),
+    "text_langid" -> ((s, dir) => TextAnalysis.languageId(docs(s, dir))),
+    "text_quality" -> ((s, dir) => TextAnalysis.qualityScore(docs(s, dir))),
+    "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(docs(s, dir))),
+    "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
+    "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(docs(s, dir), threshold = 0.8)),
+    "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(docs(s, dir))),
+    "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir), maxHamming = 6)),
+    "embed_knn" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.bruteForceKnn(e, e.where(col("vec_id") < 5), k = 5)
+    }),
+    "embed_lsh_pairs" -> ((s, dir) => Similarity.lshBucketedPairs(emb(s, dir), bits = 8, minCosine = 0.3)),
+    "multimodal_decode" -> ((s, dir) => Multimodal.stubDecode(Multimodal.asMediaTable(docs(s, dir))))
+  )
+
+  // ---------------------------------------------------------------------------
+  // DuckDB oracles. Shared fragments keep the two engines' expressions aligned.
+  // ---------------------------------------------------------------------------
+
+  private val Shingles =
+    """SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s
+      |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+      |       UNNEST(range(1, len(ws) - 1)) AS t(i)""".stripMargin
+
+  private def hitsSql(lang: String): String = {
+    val lst = TextAnalysis.Stopwords(lang).map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(string_split(lower(text), ' '), w -> w IN ($lst)))"
+  }
+
+  private val MinhashSql = {
+    val mins = (0 until 8).map(k => s"MIN(md5('$k:' || s)) AS mh$k").mkString(", ")
+    s"SELECT doc_id, $mins FROM ($Shingles) GROUP BY doc_id"
+  }
+
+  private val CosineSql =
+    """list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(d.embedding AS DOUBLE[]))
+      | / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+      |  * sqrt(list_dot_product(CAST(d.embedding AS DOUBLE[]), CAST(d.embedding AS DOUBLE[]))))""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "text_tokens" ->
+      """SELECT doc_id,
+        |       len(string_split(text, ' ')) AS n_words,
+        |       len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_alnum_tokens,
+        |       ROUND(length(text) * 1.0 / len(regexp_extract_all(text, '[A-Za-z0-9]+')), 4) AS chars_per_token
+        |FROM documents""".stripMargin,
+    "text_langid" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, ${hitsSql("de")} AS h_de, ${hitsSql("en")} AS h_en,
+         |         ${hitsSql("es")} AS h_es, ${hitsSql("fr")} AS h_fr
+         |  FROM documents)
+         |SELECT doc_id, h_de, h_en, h_es, h_fr,
+         |       CASE WHEN h_de >= GREATEST(h_en, h_es, h_fr) THEN 'de'
+         |            WHEN h_en >= GREATEST(h_es, h_fr) THEN 'en'
+         |            WHEN h_es >= h_fr THEN 'es'
+         |            ELSE 'fr' END AS lang_guess
+         |FROM h""".stripMargin,
+    "text_quality" ->
+      s"""SELECT doc_id,
+         |       len(string_split(text, ' ')) AS n_words,
+         |       ROUND(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) * 1.0 / length(text), 4) AS punct_ratio,
+         |       ROUND(${hitsSql("en")} * 1.0 / len(string_split(lower(text), ' ')), 4) AS stopword_ratio,
+         |       ROUND(length(text) * 1.0 / len(string_split(text, ' ')), 4) AS avg_word_len,
+         |       ROUND(LEAST(1.0, len(string_split(text, ' ')) / 100.0)
+         |             * (1.0 - len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) * 1.0 / length(text))
+         |             * LEAST(1.0, 4.0 * ${hitsSql("en")} / len(string_split(lower(text), ' ')) + 0.5), 4) AS quality
+         |FROM documents""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |       (SELECT MIN(md5(substr(text, i, 12))) FROM UNNEST(range(1, length(text) - 10)) AS t(i)) AS fingerprint
+        |FROM documents""".stripMargin,
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS dup_count
+        |FROM documents GROUP BY 1""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH sh AS ($Shingles),
+         |p AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS inter
+         |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1)
+         |SELECT p.a, p.b, ROUND(inter * 1.0 / (sa.n + sb.n - inter), 4) AS jaccard
+         |FROM p JOIN sz sa ON p.a = sa.doc_id JOIN sz sb ON p.b = sb.doc_id
+         |WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8""".stripMargin,
+    "dedup_minhash_lsh" ->
+      s"""WITH mh AS ($MinhashSql),
+         |bands AS (
+         |  SELECT doc_id, b, key FROM mh, LATERAL (VALUES
+         |    (0, mh0 || mh1), (1, mh2 || mh3), (2, mh4 || mh5), (3, mh6 || mh7)) AS v(b, key)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         |  FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id)
+         |SELECT cand.a, cand.b,
+         |       ROUND(((x.mh0 = y.mh0)::INT + (x.mh1 = y.mh1)::INT + (x.mh2 = y.mh2)::INT
+         |            + (x.mh3 = y.mh3)::INT + (x.mh4 = y.mh4)::INT + (x.mh5 = y.mh5)::INT
+         |            + (x.mh6 = y.mh6)::INT + (x.mh7 = y.mh7)::INT) / 8.0, 4) AS est_jaccard
+         |FROM cand JOIN mh x ON cand.a = x.doc_id JOIN mh y ON cand.b = y.doc_id""".stripMargin,
+    "dedup_simhash" ->
+      """WITH words AS (
+        |  SELECT DISTINCT doc_id, md5(w) AS h
+        |  FROM (SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS w FROM documents)),
+        |bits AS (
+        |  SELECT doc_id, i,
+        |         SUM(CASE WHEN ((strpos('0123456789abcdef', substr(h, 1 + i // 4, 1)) - 1) // POWER(2, i % 4)::INT) % 2 = 1
+        |                  THEN 1 ELSE -1 END) AS bal
+        |  FROM words, UNNEST(range(32)) AS t(i)
+        |  GROUP BY 1, 2),
+        |sh AS (
+        |  SELECT doc_id, string_agg(CASE WHEN bal > 0 THEN '1' ELSE '0' END, '' ORDER BY i) AS simhash
+        |  FROM bits GROUP BY doc_id)
+        |SELECT a, b, hamming FROM (
+        |  SELECT a.doc_id AS a, b.doc_id AS b,
+        |         (SELECT COUNT(*) FROM UNNEST(range(1, 33)) AS u(j)
+        |          WHERE substr(a.simhash, j, 1) != substr(b.simhash, j, 1)) AS hamming
+        |  FROM sh a JOIN sh b ON substr(a.simhash, 1, 16) = substr(b.simhash, 1, 16) AND a.doc_id < b.doc_id)
+        |WHERE hamming <= 6""".stripMargin,
+    "embed_knn" ->
+      s"""WITH c AS (
+         |  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+         |         ROUND($CosineSql, 4) AS sim
+         |  FROM embeddings q JOIN embeddings d ON q.vec_id < 5 AND d.vec_id != q.vec_id),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM c)
+         |SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= 5""".stripMargin,
+    "embed_lsh_pairs" ->
+      """WITH elems AS (
+        |  SELECT vec_id, UNNEST(embedding) AS v, generate_subscripts(embedding, 1) AS d FROM embeddings),
+        |bits AS (
+        |  SELECT vec_id, j,
+        |         SUM(CAST(v AS DOUBLE) * (CASE WHEN (strpos('0123456789abcdef',
+        |             substr(md5(CAST(j AS VARCHAR) || ':' || CAST(d - 1 AS VARCHAR)), 1 + (d - 1) % 32, 1)) - 1) % 2 = 1
+        |           THEN 1.0 ELSE -1.0 END)) AS acc
+        |  FROM elems, UNNEST(range(8)) AS t(j)
+        |  GROUP BY 1, 2),
+        |sig AS (
+        |  SELECT vec_id, string_agg(CASE WHEN acc > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS sig
+        |  FROM bits GROUP BY vec_id),
+        |pairs AS (
+        |  SELECT x.vec_id AS a, y.vec_id AS b,
+        |         ROUND(list_dot_product(CAST(ex.embedding AS DOUBLE[]), CAST(ey.embedding AS DOUBLE[]))
+        |           / (sqrt(list_dot_product(CAST(ex.embedding AS DOUBLE[]), CAST(ex.embedding AS DOUBLE[])))
+        |            * sqrt(list_dot_product(CAST(ey.embedding AS DOUBLE[]), CAST(ey.embedding AS DOUBLE[])))), 4) AS cos_sim
+        |  FROM sig x JOIN sig y ON x.sig = y.sig AND x.vec_id < y.vec_id
+        |  JOIN embeddings ex ON x.vec_id = ex.vec_id
+        |  JOIN embeddings ey ON y.vec_id = ey.vec_id)
+        |SELECT a, b, cos_sim FROM pairs WHERE cos_sim >= 0.3""".stripMargin,
+    "multimodal_decode" ->
+      """SELECT doc_id AS media_id,
+        |       ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+        |       octet_length(encode(text)) AS byte_len,
+        |       64 + 16 * (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) AS width,
+        |       64 + 16 * (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1) AS height,
+        |       1 + (strpos('0123456789abcdef', substr(md5(text), 3, 1)) - 1) % 3 AS channels
+        |FROM documents""".stripMargin
+  )
+}
