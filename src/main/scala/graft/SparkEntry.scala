@@ -13,10 +13,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    TimelyQueries.queries ++ TpchQueries.queries ++ LlmQueries.queries
+    TimelyQueries.queries ++ TpchQueries.queries ++ LlmQueries.queries ++ ApiQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    TimelyQueries.oracles ++ TpchQueries.oracles ++ LlmQueries.oracles
+    TimelyQueries.oracles ++ TpchQueries.oracles ++ LlmQueries.oracles ++ ApiQueries.oracles
 }

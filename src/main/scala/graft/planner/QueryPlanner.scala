@@ -1,0 +1,149 @@
+package graft.planner
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VizFunctions
+import graft.operators.TimeSeries
+
+/**
+ * OpenTSDB-style query model and planner — the Spark re-expression of the
+ * reference's `/api/query` lifecycle (SURVEY.md §3.1):
+ *
+ * reference: QueryRequest JSON (common/src/main/java/timely/api/request/
+ * timeseries/QueryRequest.java:219-380) -> per-SubQuery Accumulo scan with an
+ * iterator stack rate(499) -> downsample(500) -> aggregation(501)
+ * (server/src/main/java/timely/server/store/DataStore.java:645-771).
+ *
+ * here: one declarative DataFrame per SubQuery —
+ * `filter(metric ∧ ts-range ∧ viz ∧ tag-predicates) [-> rate] ->
+ * groupBy(series, bucket).agg(dsAgg) [-> groupBy(queriedTags, bucket).agg(agg)]`.
+ * Catalyst provides partition pruning on the metric/time predicates, partial
+ * aggregation, and spilling; the iterator ORDER (rate before downsample) is
+ * preserved structurally.
+ */
+object QueryPlanner {
+
+  /** Rate options (QueryRequest.java:30-136). */
+  case class RateOptions(
+      counter: Boolean = false,
+      counterMax: Long = 0L,
+      resetValue: Long = 0L,
+      interval: Option[String] = None)
+
+  /** One subquery of a query request. `tags` values may be "*" (wildcard),
+    * `a|b` alternation, or a regex — detection mirrors DataStore.java:860-862. */
+  case class SubQuery(
+      aggregator: String,
+      metric: String,
+      rate: Boolean = false,
+      rateOptions: RateOptions = RateOptions(),
+      downsample: Option[String] = None,
+      tags: Map[String, String] = Map.empty)
+
+  case class TsQueryRequest(
+      start: Long,
+      end: Long,
+      msResolution: Boolean = false,
+      queries: Seq[SubQuery] = Seq.empty)
+
+  /** Parse `"1m"`, `"30s"`, `"500ms"`, `"2h"`, `"1d"` to millis. */
+  def durationMs(s: String): Long = {
+    val m = "^(\\d+)(ms|s|m|h|d)$".r
+    s.trim match {
+      case m(n, unit) =>
+        n.toLong * (unit match {
+          case "ms" => 1L; case "s" => 1000L; case "m" => 60000L
+          case "h" => 3600000L; case "d" => 86400000L
+        })
+      case other => throw new IllegalArgumentException(s"bad duration: $other")
+    }
+  }
+
+  /** Split a downsample spec `"<dur>-<agg>"` (DownsampleIterator.java:161-185);
+    * aggregator `none` disables downsampling (period 1 ms, agg avg). */
+  def parseDownsample(spec: Option[String]): (Long, String) = spec match {
+    case None => (1L, "avg")
+    case Some(s) =>
+      val idx = s.indexOf('-')
+      require(idx > 0, s"bad downsample: $s")
+      val agg = s.substring(idx + 1)
+      if (agg == "none") (1L, "avg") else (durationMs(s.substring(0, idx)), agg)
+  }
+
+  /** A tag value is a regex iff it does not match `^\w+$`; `|` alternation and
+    * `*` wildcards are regexes (reference DataStore.java:107,860-862). */
+  def isRegexTagValue(v: String): Boolean = !v.matches("^\\w+$")
+
+  /** Tag predicate, matching TagFilter semantics: tag must exist and its value
+    * must full-match (TagFilter.java:79-116; `Matcher.matches` = full match). */
+  def tagPredicate(key: String, value: String): Column = {
+    val tagVal = col("tags").getItem(key)
+    if (value == "*") tagVal.isNotNull
+    else if (isRegexTagValue(value)) tagVal.isNotNull && tagVal.rlike(s"^(?:$value)$$")
+    else tagVal === value
+  }
+
+  /**
+   * Plan one subquery over the canonical points table.
+   *
+   * @param auths session authorizations (comma-joined) — the visibility filter
+   *              is injected unconditionally, like the reference's scan-time
+   *              VisibilityFilter (security non-bypassable).
+   * @return DataFrame (metric, group_tags MAP, bucket_ms LONG, value DOUBLE)
+   */
+  def planSubQuery(points: DataFrame, req: TsQueryRequest, q: SubQuery, auths: Seq[String]): DataFrame = {
+    val (periodMs, dsAgg) = parseDownsample(q.downsample)
+    // bucket alignment: start of first period (DataStore.java:693-695)
+    val alignedStart = req.start - (req.start % periodMs)
+
+    var df = points
+      .where(col("metric") === q.metric && col("ts") >= req.start && col("ts") <= req.end)
+      .where(VizFunctions.vizVisible(col("viz"), lit(auths.mkString(","))))
+    q.tags.foreach { case (k, v) => df = df.where(tagPredicate(k, v)) }
+
+    // rate BEFORE downsample (iterator priorities 499 < 500)
+    if (q.rate) {
+      val interval = q.rateOptions.interval.map(durationMs).getOrElse(periodMs)
+      df = TimeSeries.rate(df, interval, q.rateOptions.counter,
+          q.rateOptions.counterMax, q.rateOptions.resetValue)
+        .drop("value").withColumnRenamed("rate", "value").drop("series")
+    }
+
+    val bucket = (col("ts") - ((col("ts") - lit(alignedStart)) % lit(periodMs))).as("bucket_ms")
+    val perSeries = df
+      .groupBy(col("metric"), col("tags"), bucket)
+      .agg(TimeSeries.aggregator(dsAgg, col("value")).as("value"))
+
+    // cross-series aggregation, grouped by the QUERIED tag subset only
+    // (DataStore.java:752-762): series collapse onto the tags the user asked for.
+    if (q.aggregator == "none") {
+      perSeries.select(col("metric"), col("tags").as("group_tags"), col("bucket_ms"),
+        typedlit(Seq.empty[String]).as("aggregated_tags"), col("value"))
+    } else {
+      val queriedKeys = q.tags.keys.toSeq.sorted
+      val groupTags =
+        if (queriedKeys.isEmpty) typedlit(Map.empty[String, String])
+        else map_from_arrays(
+          typedlit(queriedKeys),
+          array(queriedKeys.map(k => col("tags").getItem(k)): _*))
+      perSeries
+        .withColumn("group_tags", groupTags)
+        .groupBy(col("metric"), col("group_tags"), col("bucket_ms"))
+        .agg(
+          TimeSeries.aggregator(q.aggregator, col("value")).as("value"),
+          // tag keys aggregated away -> QueryResponse.aggregatedTags
+          array_sort(array_distinct(flatten(collect_list(
+            array_except(map_keys(col("tags")), typedlit(queriedKeys)))))).as("aggregated_tags"))
+    }
+  }
+
+  /** Response timestamps are seconds unless msResolution (DataStore.java:774). */
+  def withResponseTs(planned: DataFrame, msResolution: Boolean): DataFrame =
+    if (msResolution) planned.withColumn("ts_out", col("bucket_ms"))
+    else planned.withColumn("ts_out", expr("bucket_ms div 1000"))
+
+  /** Plan all subqueries; result frames share the output schema. */
+  def plan(points: DataFrame, req: TsQueryRequest, auths: Seq[String]): Seq[DataFrame] =
+    req.queries.map(q => withResponseTs(planSubQuery(points, req, q, auths), req.msResolution))
+}

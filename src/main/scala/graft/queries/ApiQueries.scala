@@ -1,0 +1,131 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VizFunctions
+import graft.model.{MetricParser, MetricPoint}
+import graft.operators.{Points, Summarization}
+import graft.planner.QueryPlanner
+import graft.planner.QueryPlanner.{RateOptions, SubQuery, TsQueryRequest}
+
+/**
+ * API-level queries: the OpenTSDB-style planner end-to-end, visibility
+ * enforcement, Flink-parity summarization, and a put-line wire-format
+ * round-trip — each against a DuckDB oracle.
+ */
+object ApiQueries {
+
+  /** 2024-01-01T00:00Z .. 2024-02-03T00:00Z — covers the whole events range. */
+  private val Start = 1704067200000L
+  private val End = 1706918400000L
+
+  private def points(s: SparkSession, dir: String): DataFrame =
+    Points.fromEvents(Points.table(s, dir, "events"))
+
+  /** Deterministic viz derivation for visibility tests: A / A&B / C|D by id. */
+  private def withViz(events: DataFrame): DataFrame =
+    events.withColumn("viz",
+      element_at(array(lit("A"), lit("A&B"), lit("C|D")), (col("event_id") % 3).cast("int") + 1))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Full /api/query stack: tag-less subquery -> all series collapse per
+    // bucket (rate off, downsample 1h-avg, cross-series sum).
+    "api_query_sum" -> ((s, dir) => {
+      val req = TsQueryRequest(Start, End, msResolution = false, queries = Seq(
+        SubQuery(aggregator = "sum", metric = "purchase", downsample = Some("1h-avg"))))
+      QueryPlanner.plan(points(s, dir), req, auths = Seq.empty).head
+        .select(col("metric"), col("ts_out"), round(col("value"), 4).as("value"))
+    }),
+    // Regex tag filter + rate-before-downsample + max aggregator.
+    "api_query_rate_max" -> ((s, dir) => {
+      val req = TsQueryRequest(Start, End, msResolution = true, queries = Seq(
+        SubQuery(aggregator = "max", metric = "view", rate = true,
+          rateOptions = RateOptions(interval = Some("1h")),
+          downsample = Some("1h-max"), tags = Map("user" -> "1.*"))))
+      QueryPlanner.plan(points(s, dir), req, auths = Seq.empty).head
+        .select(col("metric"), col("group_tags").getItem("user").as("tag_user"),
+          col("ts_out"), round(col("value"), 4).as("value"))
+    }),
+    // Visibility enforcement through the native Catalyst expression.
+    "api_viz_filter" -> ((s, dir) => {
+      withViz(Points.table(s, dir, "events"))
+        .where(VizFunctions.vizVisible(col("viz"), lit("A,C")))
+        .select(col("event_id"), col("viz"), col("value"))
+    }),
+    // Flink-parity daily histogram summarization (count/min/max/sum/avg +
+    // nearest-rank percentiles).
+    "api_summarize_1d" -> ((s, dir) => Summarization.summarize(points(s, dir), 86400000L)),
+    // Wire-format round trip: points -> put lines -> MetricParser -> points.
+    // Exercises the ingest parser inside the correctness gate.
+    "api_putline_roundtrip" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      points(s, dir).as[MetricPoint]
+        .map(p => MetricParser.format(p))
+        .map(l => MetricParser.parse(l).getOrElse(sys.error(s"unparseable: $l")))
+        .toDF()
+        .select(col("metric"), col("ts"), col("value"),
+          col("tags").getItem("user").as("tag_user"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "api_query_sum" ->
+      """WITH d AS (
+        |  SELECT user_id,
+        |         epoch_ms(ts) // 3600000 * 3600000 AS bucket_ms,
+        |         AVG(value) AS value
+        |  FROM events
+        |  WHERE event_type = 'purchase'
+        |    AND epoch_ms(ts) BETWEEN 1704067200000 AND 1706918400000
+        |  GROUP BY 1, 2)
+        |SELECT 'purchase' AS metric, bucket_ms // 1000 AS ts_out,
+        |       ROUND(SUM(value), 4) AS value
+        |FROM d GROUP BY 2""".stripMargin,
+    "api_query_rate_max" ->
+      """WITH p AS (
+        |  SELECT user_id, epoch_ms(ts) AS ts, value,
+        |         LAG(value) OVER w AS pv, LAG(epoch_ms(ts)) OVER w AS pts
+        |  FROM events
+        |  WHERE event_type = 'view'
+        |    AND epoch_ms(ts) BETWEEN 1704067200000 AND 1706918400000
+        |    AND regexp_matches(CAST(user_id AS VARCHAR), '^(?:1.*)$')
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), value)),
+        |r AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN ts = pts THEN 0
+        |              ELSE (value - pv) / (ts - pts) * 3600000 END AS value
+        |  FROM p WHERE pts IS NOT NULL),
+        |d AS (
+        |  SELECT user_id, ts // 3600000 * 3600000 AS ts_out, MAX(value) AS value
+        |  FROM r GROUP BY 1, 2)
+        |SELECT 'view' AS metric, CAST(user_id AS VARCHAR) AS tag_user, ts_out,
+        |       ROUND(MAX(value), 4) AS value
+        |FROM d GROUP BY 1, 2, 3""".stripMargin,
+    "api_viz_filter" ->
+      """SELECT event_id,
+        |       ['A', 'A&B', 'C|D'][CAST(event_id % 3 AS INT) + 1] AS viz,
+        |       value
+        |FROM events
+        |WHERE event_id % 3 IN (0, 2)""".stripMargin,
+    "api_summarize_1d" ->
+      """SELECT event_type || '_summarized' AS metric,
+        |       epoch_ms(ts) // 86400000 * 86400000 AS window_ms,
+        |       COUNT(value) AS cnt,
+        |       MIN(value) AS vmin,
+        |       MAX(value) AS vmax,
+        |       ROUND(SUM(value), 4) AS vsum,
+        |       ROUND(AVG(value), 4) AS vavg,
+        |       list_sort(list(value))[CAST(ceil(0.50 * COUNT(value)) AS INT)] AS p50,
+        |       list_sort(list(value))[CAST(ceil(0.75 * COUNT(value)) AS INT)] AS p75,
+        |       list_sort(list(value))[CAST(ceil(0.90 * COUNT(value)) AS INT)] AS p90,
+        |       list_sort(list(value))[CAST(ceil(0.99 * COUNT(value)) AS INT)] AS p99
+        |FROM events
+        |GROUP BY 1, 2""".stripMargin,
+    "api_putline_roundtrip" ->
+      """SELECT event_type AS metric, epoch_ms(ts) AS ts, value,
+        |       CAST(user_id AS VARCHAR) AS tag_user
+        |FROM events""".stripMargin
+  )
+}
