@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+
+import graft.planner.{QueryJson, QueryPlanner}
+import graft.sources.PointStore
+import graft.streaming.PutLineIngest
+
+/**
+ * End-to-end quickstart: wire-format put lines -> parse -> partitioned store
+ * -> OpenTSDB-style JSON query -> response JSON. Run with
+ * `sbt "runMain graft.Quickstart"`.
+ */
+object Quickstart {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", 2)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val dir = args.headOption.getOrElse("/tmp/graft-quickstart")
+    val T = 1704067200000L
+    val lines = Seq(
+      s"put sys.cpu.user $T 1.0 host=a viz=A",
+      s"put sys.cpu.user ${T + 1000} 3.0 host=a viz=A",
+      s"put sys.cpu.user ${T + 1500} 5.0 host=b viz=A&B",
+      "garbage line (dropped)").toDS()
+
+    val pts = PutLineIngest.parse(lines)
+    PointStore.write(pts.toDF(), s"$dir/store", SaveMode.Overwrite)
+    val stored = PointStore.read(spark, s"$dir/store")
+    println(s"STORED_ROWS=${stored.count()}")
+
+    val req = QueryJson.parseRequest(
+      s"""{"start": $T, "end": ${T + 60000}, "queries": [
+         |  {"aggregator": "sum", "metric": "sys.cpu.user",
+         |   "downsample": "1s-avg", "tags": {}}]}""".stripMargin)
+    // session with auth A only: the host=b point (viz A&B) must stay invisible
+    val planned = QueryPlanner.plan(stored, req, auths = Seq("A")).head
+    println("RESPONSE=" + QueryJson.toResponses(planned))
+    spark.stop()
+  }
+}

@@ -1,0 +1,71 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.streaming.PutLineIngest
+
+/**
+ * Partitioned-parquet point store — the storage layer replacing the
+ * reference's Accumulo metrics/meta tables (SURVEY.md §1.2).
+ *
+ * Layout: `PARTITIONED BY (metric, dt, hr)` mirrors the reference's
+ * (metric, hour-rounded timestamp) row keys (reference
+ * common/src/main/java/timely/accumulo/MetricAdapter.java:36,47-53,189-196 —
+ * hour rounding is explicitly for scan efficiency and compression). Catalyst
+ * partition pruning then plays the role of `DataStore.getQueryRanges`
+ * (server/src/main/java/timely/server/store/DataStore.java:997-1039): a query
+ * `metric = m AND ts BETWEEN a AND b` touches only the matching directories.
+ */
+object PointStore {
+
+  /** Batch-write canonical points, partitioned for pruning. */
+  def write(points: DataFrame, dataDir: String, mode: SaveMode = SaveMode.Append): Unit =
+    PutLineIngest.withPartitionColumns(points)
+      .write.mode(mode).partitionBy("metric", "dt", "hr").parquet(dataDir)
+
+  /** Read the store back as the canonical schema (partition cols retained for
+    * pruning; `ts` stays the epoch-ms source of truth). */
+  def read(spark: SparkSession, dataDir: String): DataFrame =
+    spark.read.parquet(dataDir)
+
+  /** Derive/refresh the meta catalog (reference meta table, Meta.java:55-67). */
+  def writeMeta(points: DataFrame, metaDir: String): Unit =
+    points
+      .select(col("metric"), explode(col("tags")).as(Seq("tagk", "tagv")))
+      .distinct()
+      .write.mode(SaveMode.Overwrite).parquet(metaDir)
+
+  /**
+   * Retention / age-off — the reference's MetricAgeOffIterator + tablet-drop
+   * compaction (server/src/main/java/timely/server/store/MetricAgeOffIterator.java:26-110,
+   * compaction/MetricCompactionStrategy.java) as a partition-drop maintenance
+   * job: per-metric-prefix TTLs with a required "default", longest prefix
+   * wins; whole (dt) partitions older than the horizon are dropped by
+   * rewriting the retained set. On a table format with deletes (Delta/Iceberg)
+   * this would be a metadata-only `DELETE WHERE`.
+   */
+  def ageOff(
+      spark: SparkSession,
+      dataDir: String,
+      outDir: String,
+      ttlMsByPrefix: Map[String, Long],
+      nowMs: Long): Unit = {
+    require(ttlMsByPrefix.contains("default"), "age-off config requires a 'default' TTL")
+    val horizon = udf((metric: String) => {
+      val ttl = ttlMsByPrefix
+        .filter { case (p, _) => p != "default" && metric.startsWith(p) }
+        .toSeq.sortBy(-_._1.length).headOption.map(_._2)
+        .getOrElse(ttlMsByPrefix("default"))
+      nowMs - ttl
+    })
+    read(spark, dataDir)
+      .where(col("ts") >= horizon(col("metric")))
+      .write.mode(SaveMode.Overwrite).partitionBy("metric", "dt", "hr").parquet(outDir)
+  }
+
+  /** Query-time age-off clamp: like the reference's cache iterator clamping
+    * the scan start to the retention horizon (cache/DataStoreCache.java:748-752). */
+  def clampStart(requestedStartMs: Long, nowMs: Long, ttlMs: Long): Long =
+    math.max(requestedStartMs, nowMs - ttlMs)
+}

@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.{MetricParser, MetricPoint}
+
+/**
+ * Streaming ingest of the put line protocol — the Spark re-expression of the
+ * reference's TCP/UDP/HTTP/WS ingest pipes (reference
+ * server/src/main/java/timely/server/netty/tcp/TcpPutHandler.java:16-43,
+ * common/src/main/java/timely/model/parse/MetricParser.java:17-30).
+ *
+ * Any line source works (socket for dev, Kafka value column, file drop):
+ * the contract is a streaming Dataset[String] of put lines in, a canonical
+ * points stream out. Malformed lines are dropped like the reference drops
+ * unparseable messages — route them to a rejects sink by filtering on
+ * `parsed IS NULL` before the flatMap if auditing is needed.
+ */
+object PutLineIngest {
+
+  /** Parse a (streaming or batch) line dataset into canonical points.
+    * Exclusion filters (reference Exclusions.java) are predicate pushups:
+    * apply `excludeMetricRegex` before anything else so excluded series
+    * never enter the stream. */
+  def parse(
+      lines: Dataset[String],
+      excludeMetricRegex: Option[String] = None,
+      defaultViz: Option[String] = None): Dataset[MetricPoint] = {
+    val spark = lines.sparkSession
+    import spark.implicits._
+    var points = lines.flatMap(MetricParser.parse(_))
+    excludeMetricRegex.foreach { re => points = points.filter(!_.metric.matches(re)) }
+    defaultViz.foreach { dv =>
+      // default-visibility injection at ingest (DataStore.java:402-407)
+      points = points.map(p => if (p.viz.isEmpty) p.copy(viz = Some(dv)) else p)
+    }
+    points
+  }
+
+  /** Canonical points frame with derived partition columns. At cluster scale
+    * `(metric, dt, hr)` partitioning is the analog of the reference's
+    * (metric, hour-bucket) row keys — time+metric predicates become partition
+    * pruning (MetricAdapter.java:47-53,189-196). */
+  def withPartitionColumns(points: DataFrame): DataFrame =
+    points
+      .withColumn("dt", date_format(timestamp_millis(col("ts")), "yyyy-MM-dd"))
+      .withColumn("hr", hour(timestamp_millis(col("ts"))))
+
+  /** Start a streaming write of parsed points to partitioned parquet, with the
+    * meta catalog maintained per micro-batch (the reference writes meta keys
+    * on every store — DataStore.java:415-433). */
+  def startStorageSink(
+      points: Dataset[MetricPoint],
+      dataDir: String,
+      metaDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    withPartitionColumns(points.toDF())
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").partitionBy("metric", "dt", "hr").parquet(dataDir)
+        batch
+          .select(col("metric"), explode(col("tags")).as(Seq("tagk", "tagv")))
+          .distinct()
+          .write.mode("append").parquet(metaDir)
+        ()
+      }
+      .start()
+}

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/**
+ * Operator math pinned to reference test vectors:
+ * - moving average: TimeSeriesGroupingIteratorTest.java:50-63 (5-point 0.2
+ *   filter over 1..10 -> first emission after 5 points, mean of the window);
+ * - rate: RateIterator is the FIR filter [-1,1] divided by dt * interval
+ *   (RateIterator.java:60,64-106) with counter/reset branches;
+ * - dev: RMS quirk (Dev.java:5-19);
+ * - downsample buckets epoch-aligned (Downsample.java:31-43).
+ */
+class TimeSeriesSpec extends AnyFunSuite with SparkSpec {
+
+  import spark.implicits._
+
+  private def points(rows: (String, Long, Double, Map[String, String])*): DataFrame =
+    rows.toDF("metric", "ts", "value", "tags")
+      .withColumn("viz", org.apache.spark.sql.functions.lit(null).cast("string"))
+
+  private val host = Map("host" -> "h1")
+
+  test("5-point moving average emits from the 5th point, time-ordered") {
+    // one point per second, values 1..10
+    val df = points((1 to 10).map(i => ("m", 1000L * i, i.toDouble, host)): _*)
+    val out = TimeSeries.firFilter(df, Seq.fill(5)(0.2))
+      .select("ts", "filtered").sort("ts").as[(Long, Double)].collect()
+    // first emission at t=5 with avg(1..5)=3.0, then 4.0 ... 8.0
+    assert(out.map(_._1).toSeq == (5 to 10).map(_ * 1000L))
+    out.map(_._2).zip(Seq(3.0, 4.0, 5.0, 6.0, 7.0, 8.0)).foreach {
+      case (got, want) => assert(math.abs(got - want) < 1e-9)
+    }
+  }
+
+  test("moving average keeps interleaved series independent") {
+    val a = (1 to 6).map(i => ("m", 1000L * i, i.toDouble, Map("host" -> "a")))
+    val b = (1 to 6).map(i => ("m", 1000L * i + 1, 10.0 * i, Map("host" -> "b")))
+    val out = TimeSeries.firFilter(points((a ++ b): _*), Seq.fill(5)(0.2))
+      .select("series", "ts", "filtered").sort("series", "ts")
+      .as[(String, Long, Double)].collect()
+    val bySeries = out.groupBy(_._1)
+    assert(math.abs(bySeries("host=a").head._3 - 3.0) < 1e-9)
+    assert(math.abs(bySeries("host=b").head._3 - 30.0) < 1e-9)
+  }
+
+  test("rate: first difference scaled by interval; same-ts pair -> 0") {
+    // values 10, 30, 30 at 1s spacing; interval 1000ms -> rates 20, 0
+    val df = points(
+      ("m", 1000L, 10.0, host), ("m", 2000L, 30.0, host), ("m", 3000L, 30.0, host))
+    val out = TimeSeries.rate(df, 1000L).select("ts", "rate").sort("ts")
+      .as[(Long, Double)].collect()
+    assert(out.toSeq == Seq((2000L, 20.0), (3000L, 0.0)))
+  }
+
+  test("rate counter semantics: wrap adds counterMax (or prev); reset clamps") {
+    // counter drops 100 -> 10: with counterMax=120, cur becomes 130 -> rate (130-100)/1s = 30
+    val df = points(("m", 1000L, 100.0, host), ("m", 2000L, 10.0, host))
+    val wrapped = TimeSeries.rate(df, 1000L, counter = true, counterMax = 120L)
+      .select("rate").as[Double].collect()
+    assert(wrapped.toSeq == Seq(30.0))
+    // counterMax unset: cur += prev -> (110-100)/1s = 10
+    val prevAdd = TimeSeries.rate(df, 1000L, counter = true)
+      .select("rate").as[Double].collect()
+    assert(prevAdd.toSeq == Seq(10.0))
+    // resetValue: rates above it emit 0
+    val reset = TimeSeries.rate(df, 1000L, counter = true, counterMax = 120L, resetValue = 20L)
+      .select("rate").as[Double].collect()
+    assert(reset.toSeq == Seq(0.0))
+  }
+
+  test("dev is RMS, not stddev: sqrt(sum(x^2)/(n-1)), n==1 -> sqrt(sum(x^2))") {
+    val df = points(("m", 0L, 3.0, host), ("m", 1L, 4.0, host))
+    val Row(v: Double) = TimeSeries.downsample(df, 3600000L, "dev").select("value").head
+    assert(math.abs(v - math.sqrt((9.0 + 16.0) / 1)) < 1e-9) // n=2 -> /(2-1)
+    val single = points(("m", 0L, 3.0, host))
+    val Row(s: Double) = TimeSeries.downsample(single, 3600000L, "dev").select("value").head
+    assert(math.abs(s - 3.0) < 1e-9)
+  }
+
+  test("downsample buckets are epoch-aligned and per-series") {
+    val df = points(
+      ("m", 0L, 1.0, host), ("m", 59999L, 3.0, host),   // bucket 0
+      ("m", 60000L, 5.0, host),                          // bucket 60000
+      ("m", 61000L, 7.0, Map("host" -> "h2")))           // other series
+    val out = TimeSeries.downsample(df, 60000L, "avg")
+      .select("series", "bucket_ms", "value").sort("series", "bucket_ms")
+      .as[(String, Long, Double)].collect()
+    assert(out.toSeq == Seq(
+      ("host=h1", 0L, 2.0), ("host=h1", 60000L, 5.0), ("host=h2", 60000L, 7.0)))
+  }
+
+  test("cross-series aggregation collapses all series per bucket") {
+    val df = points(
+      ("m", 0L, 1.0, Map("host" -> "a")), ("m", 1L, 3.0, Map("host" -> "b")))
+    val out = TimeSeries.crossSeries(TimeSeries.downsample(df, 60000L, "avg"), "sum")
+      .select("bucket_ms", "value").as[(Long, Double)].collect()
+    assert(out.toSeq == Seq((0L, 4.0)))
+  }
+}

@@ -1,0 +1,102 @@
+package graft.planner
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.model.MetricParser
+import graft.planner.QueryPlanner._
+
+/**
+ * End-to-end planner behavior on the reference's standard 4-line fixture
+ * (HttpApiIT.java:231-236): put -> plan -> response JSON, pinning downsample
+ * `1s-max`, second-vs-ms resolution, tag filtering, and response shape.
+ */
+class QueryPlannerSpec extends AnyFunSuite with SparkSpec {
+
+  import spark.implicits._
+
+  private val T = 1704067200000L // aligned to 1s
+
+  private def fixture: DataFrame = {
+    val lines = Seq(
+      s"put sys.cpu.user $T 1.0 tag1=value1 tag2=value2",
+      s"put sys.cpu.user ${T + 1} 1.0 tag3=value3",
+      s"put sys.cpu.idle ${T + 2} 1.0 tag3=value3 tag4=value4",
+      s"put sys.cpu.idle ${T + 1000} 3.0 tag3=value3 tag4=value4")
+    lines.flatMap(MetricParser.parse).toDF()
+  }
+
+  test("downsample 1s-max with tag filter, second-resolution keys") {
+    val req = TsQueryRequest(T, T + 6000, msResolution = false, Seq(
+      SubQuery(aggregator = "sum", metric = "sys.cpu.idle",
+        downsample = Some("1s-max"), tags = Map("tag3" -> "value3"))))
+    val out = QueryPlanner.plan(fixture, req, auths = Seq.empty).head
+      .select("ts_out", "value").sort("ts_out").as[(Long, Double)].collect()
+    // two 1s buckets: [T, T+1s) max 1.0 and [T+1s, T+2s) max 3.0, keys in SECONDS
+    assert(out.toSeq == Seq((T / 1000, 1.0), (T / 1000 + 1, 3.0)))
+  }
+
+  test("msResolution keeps millisecond keys") {
+    val req = TsQueryRequest(T, T + 6000, msResolution = true, Seq(
+      SubQuery(aggregator = "sum", metric = "sys.cpu.idle",
+        downsample = Some("1s-max"), tags = Map("tag3" -> "value3"))))
+    val out = QueryPlanner.plan(fixture, req, auths = Seq.empty).head
+      .select("ts_out").sort("ts_out").as[Long].collect()
+    assert(out.toSeq == Seq(T, T + 1000))
+  }
+
+  test("wildcard and regex tag values") {
+    val req = TsQueryRequest(T, T + 6000, msResolution = false, Seq(
+      SubQuery(aggregator = "sum", metric = "sys.cpu.user",
+        downsample = Some("1s-max"), tags = Map("tag3" -> "*")),
+      SubQuery(aggregator = "sum", metric = "sys.cpu.user",
+        downsample = Some("1s-max"), tags = Map("tag3" -> "val.*3"))))
+    val Seq(wild, regex) = QueryPlanner.plan(fixture, req, auths = Seq.empty)
+    assert(wild.count() == 1)  // only the point carrying tag3
+    assert(regex.count() == 1)
+  }
+
+  test("queried-tag grouping and aggregatedTags in the response JSON") {
+    val req = TsQueryRequest(T, T + 6000, msResolution = false, Seq(
+      SubQuery(aggregator = "sum", metric = "sys.cpu.idle",
+        downsample = Some("1s-max"), tags = Map("tag3" -> "value3"))))
+    val json = QueryJson.toResponses(QueryPlanner.plan(fixture, req, Seq.empty).head)
+    assert(json.contains(""""metric":"sys.cpu.idle""""))
+    assert(json.contains(""""tags":{"tag3":"value3"}"""))
+    assert(json.contains(""""aggregateTags":["tag4"]"""))
+    assert(json.contains(s""""${T / 1000}":1.0"""))
+  }
+
+  test("request JSON parsing (POST body shape)") {
+    val req = QueryJson.parseRequest(
+      s"""{"start": $T, "end": ${T + 6000}, "msResolution": false,
+         |  "queries": [{"aggregator": "sum", "metric": "sys.cpu.idle",
+         |    "rate": true,
+         |    "rateOptions": {"counter": false, "counterMax": 0, "resetValue": 0, "interval": "1m"},
+         |    "downsample": "1s-max", "tags": {"tag3": "value3"}}]}""".stripMargin)
+    assert(req.start == T && req.end == T + 6000 && !req.msResolution)
+    val q = req.queries.head
+    assert(q.aggregator == "sum" && q.metric == "sys.cpu.idle" && q.rate)
+    assert(q.rateOptions.interval.contains("1m"))
+    assert(q.downsample.contains("1s-max") && q.tags == Map("tag3" -> "value3"))
+  }
+
+  test("visibility is enforced in the plan") {
+    val withViz = fixture.withColumn("viz",
+      org.apache.spark.sql.functions.lit("SECRET"))
+    val req = TsQueryRequest(T, T + 6000, msResolution = false, Seq(
+      SubQuery(aggregator = "sum", metric = "sys.cpu.idle", downsample = Some("1s-max"))))
+    assert(QueryPlanner.plan(withViz, req, auths = Seq.empty).head.count() == 0)
+    assert(QueryPlanner.plan(withViz, req, auths = Seq("SECRET")).head.count() == 2)
+  }
+
+  test("duration parsing") {
+    assert(durationMs("500ms") == 500L)
+    assert(durationMs("30s") == 30000L)
+    assert(durationMs("1m") == 60000L)
+    assert(durationMs("2h") == 7200000L)
+    assert(durationMs("1d") == 86400000L)
+    intercept[IllegalArgumentException](durationMs("7w"))
+  }
+}

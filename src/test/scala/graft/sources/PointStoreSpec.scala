@@ -1,0 +1,51 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.model.MetricPoint
+
+/** Partitioned store round trip, pruning layout, and age-off maintenance. */
+class PointStoreSpec extends AnyFunSuite with SparkSpec {
+
+  import spark.implicits._
+
+  private val Day = 86400000L
+  private val T = 1704067200000L
+
+  test("write/read round trip with partition pruning layout") {
+    val dir = Files.createTempDirectory("graft-ps").toString + "/data"
+    val pts = Seq(
+      MetricPoint("sys.cpu.user", T, 1.0, Map("host" -> "a"), None),
+      MetricPoint("sys.cpu.idle", T + 3600000L, 2.0, Map("host" -> "b"), None))
+    PointStore.write(pts.toDF(), dir)
+    val back = PointStore.read(spark, dir)
+    assert(back.count() == 2)
+    // metric partition dirs exist -> `metric = x` prunes at the source
+    val dirs = new java.io.File(dir).listFiles().map(_.getName).filter(_.startsWith("metric="))
+    assert(dirs.toSet == Set("metric=sys.cpu.user", "metric=sys.cpu.idle"))
+  }
+
+  test("age-off drops per-metric-prefix expired data, longest prefix wins") {
+    val base = Files.createTempDirectory("graft-ageoff").toString
+    val now = T + 10 * Day
+    val pts = Seq(
+      MetricPoint("keep.long", now - 5 * Day, 1.0, Map("h" -> "a"), None),   // ttl 7d -> kept
+      MetricPoint("keep.long", now - 9 * Day, 1.0, Map("h" -> "a"), None),   // ttl 7d -> dropped
+      MetricPoint("other.m", now - 2 * Day, 1.0, Map("h" -> "a"), None),     // default 3d -> kept
+      MetricPoint("other.m", now - 4 * Day, 1.0, Map("h" -> "a"), None))     // default 3d -> dropped
+    PointStore.write(pts.toDF(), s"$base/data")
+    PointStore.ageOff(spark, s"$base/data", s"$base/out",
+      Map("default" -> 3 * Day, "keep." -> 7 * Day), now)
+    val kept = PointStore.read(spark, s"$base/out")
+      .select("metric", "ts").as[(String, Long)].collect().toSet
+    assert(kept == Set(("keep.long", now - 5 * Day), ("other.m", now - 2 * Day)))
+  }
+
+  test("query-time retention clamp") {
+    assert(PointStore.clampStart(0L, 1000000L, 10000L) == 990000L)
+    assert(PointStore.clampStart(995000L, 1000000L, 10000L) == 995000L)
+  }
+}

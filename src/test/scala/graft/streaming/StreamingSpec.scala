@@ -1,0 +1,107 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.model.MetricPoint
+import graft.operators.Summarization
+
+/**
+ * Structured Streaming behavior: put-line ingest parsing, the partitioned
+ * storage sink with meta upsert, and stream==batch equivalence of the
+ * summarization job (the Flink-parity A12 operator).
+ */
+class StreamingSpec extends AnyFunSuite with SparkSpec {
+
+  import spark.implicits._
+  private implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private val T = 1704067200000L
+
+  test("streaming put-line ingest parses, excludes, injects default viz") {
+    val input = MemoryStream[String]
+    val parsed = PutLineIngest.parse(input.toDS(),
+      excludeMetricRegex = Some("^drop\\..*"), defaultViz = Some("DEFAULT"))
+    val q = parsed.writeStream.format("memory").queryName("ingest_test").start()
+    input.addData(
+      s"put sys.cpu.user $T 1.0 host=a",
+      s"put drop.me $T 2.0 host=a",            // excluded metric
+      "this is not a put line",                 // malformed -> dropped
+      s"put sys.cpu.user ${T + 1} 2.0 host=b viz=X")
+    q.processAllAvailable()
+    val rows = spark.table("ingest_test").as[MetricPoint].collect().sortBy(_.ts)
+    q.stop()
+    assert(rows.length == 2)
+    assert(rows(0).viz.contains("DEFAULT")) // injected
+    assert(rows(1).viz.contains("X"))       // preserved
+    assert(rows.forall(_.metric == "sys.cpu.user"))
+  }
+
+  test("storage sink writes (metric, dt, hr)-partitioned data + meta") {
+    val dir = Files.createTempDirectory("graft-store").toString
+    val input = MemoryStream[String]
+    val q = PutLineIngest.startStorageSink(PutLineIngest.parse(input.toDS()),
+      s"$dir/data", s"$dir/meta", s"$dir/ckpt")
+    input.addData(
+      s"put sys.cpu.user $T 1.0 host=a rack=r1",
+      s"put sys.cpu.idle ${T + 3600000} 2.0 host=b")
+    q.processAllAvailable()
+    q.stop()
+    val data = spark.read.parquet(s"$dir/data")
+    assert(data.count() == 2)
+    // partition columns materialized -> pruning-capable layout
+    assert(data.columns.toSet.intersect(Set("metric", "dt", "hr")).size == 3)
+    val meta = spark.read.parquet(s"$dir/meta")
+      .as[(String, String, String)].collect().toSet
+    assert(meta == Set(
+      ("sys.cpu.user", "host", "a"), ("sys.cpu.user", "rack", "r1"),
+      ("sys.cpu.idle", "host", "b")))
+  }
+
+  test("streaming summarization equals the batch operator") {
+    val pts = (0 until 20).map { i =>
+      MetricPoint("m", T + i * 60000L, (i * 7 % 13).toDouble, Map("host" -> "a"), None)
+    }
+    val input = MemoryStream[MetricPoint]
+    val stream = SummarizationJob.summarizeStream(input.toDS().toDF(), 3600000L, "0 seconds")
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("summ_test").start()
+    input.addData(pts: _*)
+    q.processAllAvailable()
+    // append mode finalizes only windows below the watermark: add a late probe
+    // far in the future to flush, then compare finalized windows to batch
+    input.addData(MetricPoint("m", T + 10L * 3600000L, 0.0, Map("host" -> "a"), None))
+    q.processAllAvailable()
+    val streamed = spark.table("summ_test")
+      .select("metric", "window_ms", "cnt", "vmin", "vmax", "vsum", "vavg", "p50", "p75", "p90", "p99")
+      .collect().toSet
+    q.stop()
+    val batch = Summarization.summarize(pts.toDF(), 3600000L)
+      .select("metric", "window_ms", "cnt", "vmin", "vmax", "vsum", "vavg", "p50", "p75", "p90", "p99")
+      .collect().toSet
+    assert(batch.subsetOf(streamed))
+    assert(batch.nonEmpty)
+  }
+
+  test("subscriptions start, deliver, and tear down per (session, metric)") {
+    val received = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val subs = new Subscriptions(row => { received.add(row.getAs[String]("metric")); () })
+    val input = MemoryStream[MetricPoint]
+    val q = subs.addMetric("session1", input.toDS().toDF(), metric = "sys.cpu.user",
+      tags = Map("host" -> "a"), delayMs = 50L)
+    input.addData(
+      MetricPoint("sys.cpu.user", T, 1.0, Map("host" -> "a"), None),
+      MetricPoint("sys.cpu.user", T + 1, 1.0, Map("host" -> "b"), None), // tag mismatch
+      MetricPoint("sys.cpu.idle", T + 2, 1.0, Map("host" -> "a"), None)) // other metric
+    q.processAllAvailable()
+    assert(subs.activeQueries == Seq("session1/sys.cpu.user"))
+    assert(received.size() == 1)
+    subs.close("session1")
+    assert(subs.activeQueries.isEmpty)
+    assert(!q.isActive)
+  }
+}
