@@ -65,8 +65,8 @@ object Dedup {
     val eq = (0 until numHashes)
       .map(k => when(col(s"x.mh$k") === col(s"y.mh$k"), 1).otherwise(0))
       .reduce(_ + _)
-    cand.join(mh.as("x"), col("a") === col("x.doc_id"))
-      .join(mh.as("y"), col("b") === col("y.doc_id"))
+    cand.join(broadcast(mh.as("x")), col("a") === col("x.doc_id"))
+      .join(broadcast(mh.as("y")), col("b") === col("y.doc_id"))
       .select(col("a"), col("b"), round(eq.cast("double") / numHashes, 4).as("est_jaccard"))
   }
 
@@ -85,8 +85,8 @@ object Dedup {
     val jac = col("inter").cast("double") /
       (col("sa.n") + col("sb.n") - col("inter")).cast("double")
     inter
-      .join(sizes.as("sa"), col("a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("b") === col("sb.doc_id"))
+      .join(broadcast(sizes.as("sa")), col("a") === col("sa.doc_id"))
+      .join(broadcast(sizes.as("sb")), col("b") === col("sb.doc_id"))
       .where(jac >= threshold)
       .select(col("a"), col("b"), round(jac, 4).as("jaccard"))
   }
@@ -117,7 +117,7 @@ object Dedup {
     val hamming = expr(
       """size(filter(sequence(1, 32), j ->
         |  substr(x.simhash, j, 1) != substr(y.simhash, j, 1)))""".stripMargin)
-    sh.as("x").join(sh.as("y"),
+    sh.as("x").join(broadcast(sh.as("y")),
         expr("substr(x.simhash, 1, 16) = substr(y.simhash, 1, 16)") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"), hamming.cast("long").as("hamming"))

@@ -39,10 +39,16 @@ object Similarity {
    * are stable across engines and runs.
    */
   def bruteForceKnn(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("qe")))
-    val scored = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("de"))
-      .join(q, col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"), round(cosine("qe", "de"), 4).as("sim"))
+    // Precompute each side's norm ONCE per row (not per pair): the per-pair
+    // work drops from three 64-dim dot products to one. sqrt(dot(v,v)) is the
+    // same double either way, so oracle parity is unaffected.
+    val q = broadcast(queries.select(
+      col("vec_id").as("query_id"), col("embedding").as("qe"), norm("embedding").as("qn")))
+    val d = corpus.select(
+      col("vec_id").as("neighbor_id"), col("embedding").as("de"), norm("embedding").as("dn"))
+    val scored = d.join(q, col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot("qe", "de") / (col("qn") * col("dn")), 4).as("sim"))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long")).where(col("rank") <= k)
   }
@@ -52,26 +58,36 @@ object Similarity {
    * from the parity of hex digit (d % 32) of md5("j:d"). Deterministic and
    * reproducible in any engine with md5.
    */
-  def hyperplaneSignature(emb: String, bits: Int): Column = {
-    val bitExprs = (0 until bits).map { j =>
-      // w_j as a precomputable double array literal is not used on purpose:
-      // the oracle derives the same +-1s from md5, proving determinism.
-      s"""CASE WHEN aggregate(zip_with(${dcast(emb)}, transform(sequence(0, size($emb) - 1), d ->
-         |  CASE WHEN (instr('0123456789abcdef', substr(md5('$j:' || CAST(d AS STRING)), 1 + d % 32, 1)) - 1) % 2 = 1
-         |  THEN 1.0D ELSE -1.0D END), (x, w) -> x * w), 0D, (acc, v) -> acc + v) > 0 THEN '1' ELSE '0' END""".stripMargin
+  /** +-1 weight for hyperplane j, dimension d: parity of hex digit (d % 32)
+    * of md5("j:d"). Evaluated ONCE at plan time (same md5 the oracle computes
+    * per-row) and inlined as array literals — per-row cost is just the dot. */
+  private def hyperplaneWeight(j: Int, d: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$j:$d".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val digit = Integer.parseInt(hex.charAt(d % 32).toString, 16)
+    if (digit % 2 == 1) 1.0 else -1.0
+  }
+
+  def hyperplaneSignature(emb: String, bits: Int, dim: Int = 64): Column = {
+    val bitCols = (0 until bits).map { j =>
+      val w = (0 until dim).map(hyperplaneWeight(j, _))
+      val wLit = w.mkString("array(", "D, ", "D)")
+      expr(s"""CASE WHEN aggregate(zip_with(${dcast(emb)}, $wLit,
+              |  (x, w) -> x * w), 0D, (acc, v) -> acc + v) > 0 THEN '1' ELSE '0' END""".stripMargin)
     }
-    expr(s"concat(${bitExprs.mkString(", ")})")
+    concat(bitCols: _*)
   }
 
   /** LSH-bucketed near-dup pairs: exact cosine only within equal-signature
     * buckets. `bits` controls bucket granularity (recall/cost trade). */
   def lshBucketedPairs(corpus: DataFrame, bits: Int = 8, minCosine: Double = 0.3): DataFrame = {
     val signed = corpus.select(col("vec_id"), col("embedding"),
+      norm("embedding").as("n"),
       hyperplaneSignature("embedding", bits).as("sig"))
     signed.as("x").join(signed.as("y"),
         col("x.sig") === col("y.sig") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
-        round(cosine("x.embedding", "y.embedding"), 4).as("cos_sim"))
+        round(dot("x.embedding", "y.embedding") / (col("x.n") * col("y.n")), 4).as("cos_sim"))
       .where(col("cos_sim") >= minCosine)
   }
 }

@@ -76,6 +76,21 @@ object TimelyQueries {
       Points.meta(points(s, dir))
         .where(col("metric") === "purchase" && col("tagv").rlike("^1.*"))
         .orderBy("metric", "tagk", "tagv")
+    }),
+    "meta_cardinality" -> ((s, dir) => {
+      // tag-cardinality stats used for predicate ordering
+      // (reference DataStore.updateMetricCounts, DataStore.java:514-526)
+      Points.meta(points(s, dir))
+        .groupBy("metric", "tagk")
+        .agg(countDistinct("tagv").as("cardinality"))
+    }),
+    "meta_report" -> ((s, dir) => {
+      // /api/metrics catalog report (reference MetricsResponse / MetaCache)
+      points(s, dir)
+        .groupBy("metric")
+        .agg(
+          count(lit(1)).as("points"),
+          countDistinct(col("tags").getItem("user")).as("user_values"))
     })
   )
 
@@ -146,6 +161,13 @@ object TimelyQueries {
       """SELECT DISTINCT event_type AS metric, 'user' AS tagk, CAST(user_id AS VARCHAR) AS tagv
         |FROM events
         |WHERE event_type = 'purchase' AND regexp_matches(CAST(user_id AS VARCHAR), '^1.*')
-        |ORDER BY 1, 2, 3""".stripMargin
+        |ORDER BY 1, 2, 3""".stripMargin,
+    "meta_cardinality" ->
+      """SELECT event_type AS metric, 'user' AS tagk, COUNT(DISTINCT user_id) AS cardinality
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "meta_report" ->
+      """SELECT event_type AS metric, COUNT(*) AS points,
+        |       COUNT(DISTINCT user_id) AS user_values
+        |FROM events GROUP BY 1""".stripMargin
   )
 }
