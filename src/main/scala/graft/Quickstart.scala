@@ -15,6 +15,7 @@ object Quickstart {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master("local[2]")
+      .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", 2)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -42,6 +43,14 @@ object Quickstart {
     // session with auth A only: the host=b point (viz A&B) must stay invisible
     val planned = QueryPlanner.plan(stored, req, auths = Seq("A")).head
     println("RESPONSE=" + QueryJson.toResponses(planned))
+
+    // session-level enforcement: with GraftExtensions registered, even a RAW
+    // read of a viz-bearing table is filtered by the session's auths — user
+    // code cannot bypass it.
+    spark.conf.set(graft.plans.VizEnforcement.EnforceConf, "true")
+    spark.conf.set(graft.plans.VizEnforcement.AuthsConf, "A")
+    println(s"ENFORCED_RAW_READ_ROWS=${PointStore.read(spark, s"$dir/store").count()}")
+    spark.conf.set(graft.plans.VizEnforcement.EnforceConf, "false")
     spark.stop()
   }
 }

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** Dedup / text-analysis / similarity operators on planted fixtures. */
+class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
+
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*): DataFrame = rows.toDF("doc_id", "text")
+
+  private val base = "the quick brown fox jumps over the lazy dog again and again today"
+
+  test("exact dedup groups identical texts under min doc_id") {
+    val d = Dedup.exact(docs(1L -> "same text here", 2L -> "same text here", 3L -> "other text entirely"))
+      .orderBy("keep_doc_id").collect()
+    assert(d.map(r => (r.getLong(1), r.getLong(2))).toSeq == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("minhash LSH surfaces a planted near-duplicate pair") {
+    val nearDup = base.replace("dog", "cat") // one word changed
+    val out = Dedup.minhashLsh(docs(1L -> base, 2L -> nearDup, 3L -> "completely unrelated words about spark engines"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.exists { case (a, b, est) => a == 1L && b == 2L && est >= 0.5 })
+    assert(!out.exists { case (a, b, _) => b == 3L || a == 3L })
+  }
+
+  test("ngram jaccard: identical docs score 1.0, near-dups high, others absent") {
+    val nearDup = base.replace("dog", "cat")
+    val out = Dedup.ngramJaccard(
+      docs(1L -> base, 2L -> base, 3L -> nearDup, 4L -> "completely unrelated words"), threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(out.exists { case (1L, 2L, j) => j == 1.0; case _ => false })
+    assert(out.exists { case (a, b, j) => Set(a, b).subsetOf(Set(1L, 2L, 3L)) && j >= 0.5 && j < 1.0 })
+    assert(!out.exists { case (a, b, _) => a == 4L || b == 4L })
+  }
+
+  test("simhash: identical docs have hamming 0") {
+    val out = Dedup.simhashPairs(docs(1L -> base, 2L -> base), maxHamming = 0).collect()
+    assert(out.length == 1 && out.head.getLong(2) == 0L)
+  }
+
+  test("language ID picks the lexicon with most hits") {
+    val d = Seq(
+      (1L, "the cat and the dog of a house"),        // en stopwords
+      (2L, "der hund und die katze ist nicht da"),   // de stopwords
+      (3L, "el perro y la casa de los gatos")        // es stopwords
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.languageId(d).select("doc_id", "lang_guess")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "en", 2L -> "de", 3L -> "es"))
+  }
+
+  test("token counts and quality are sane") {
+    val q = TextAnalysis.qualityScore(docs(1L -> base)).head()
+    assert(q.getAs[Double]("quality") > 0.0 && q.getAs[Double]("quality") <= 1.0)
+    val t = TextAnalysis.tokenCounts(docs(1L -> base)).head()
+    assert(t.getAs[Long]("n_words") == 13L)
+  }
+
+  test("fingerprint is stable and shifts under edits") {
+    val f1 = TextAnalysis.fingerprint(docs(1L -> base)).head().getString(1)
+    val f2 = TextAnalysis.fingerprint(docs(1L -> base)).head().getString(1)
+    assert(f1 == f2 && f1.length == 32)
+  }
+
+  test("brute-force kNN: a vector's nearest neighbor is its duplicate") {
+    val vs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),   // duplicate of 0
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.7f, 0.7f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceKnn(vs, vs.where(col("vec_id") === 0L), k = 2)
+      .orderBy("rank").collect()
+    assert(out(0).getAs[Long]("neighbor_id") == 1L && out(0).getAs[Double]("sim") == 1.0)
+    assert(out(1).getAs[Long]("neighbor_id") == 3L)
+  }
+
+  test("LSH buckets co-locate duplicate vectors") {
+    val vs = Seq(
+      (0L, Array.fill(8)(0.5f)), (1L, Array.fill(8)(0.5f)),
+      (2L, Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Similarity.lshBucketedPairs(vs, bits = 4, minCosine = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((0L, 1L)))
+  }
+
+  test("multimodal stub decode is deterministic with plausible metadata") {
+    val m = Multimodal.stubDecode(Multimodal.asMediaTable(docs(1L -> base).withColumn("doc_id", col("doc_id"))))
+      .head()
+    assert(m.getAs[Long]("byte_len") == base.getBytes("UTF-8").length)
+    val w = m.getAs[Long]("width")
+    assert(w >= 64 && w <= 64 + 15 * 16)
+    val c = m.getAs[Long]("channels")
+    assert(c >= 1 && c <= 3)
+  }
+}
