@@ -26,22 +26,26 @@ object Dedup {
     docs.groupBy(md5(col("text")).as("content_hash"))
       .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("dup_count"))
 
-  /** Distinct word-3-gram shingles, lowercased: (doc_id, s). */
-  def shingles(docs: DataFrame): DataFrame =
-    docs
+  /** Word-3-gram shingles, lowercased: (doc_id, s). `distinct` de-duplicates
+    * per doc (set semantics — needed for Jaccard); skip it for operators that
+    * are duplicate-insensitive (min-aggregation) to save the shuffle. */
+  def shingles(docs: DataFrame, distinct: Boolean = true): DataFrame = {
+    val exploded = docs
       .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
       .where(size(col("ws")) >= 3)
       .select(col("doc_id"),
         explode(expr("transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', slice(ws, i, 3)))")).as("s"))
-      .distinct()
+    if (distinct) exploded.distinct() else exploded
+  }
 
   /**
    * MinHash signatures: `numHashes` lexicographic-min-md5 "permutations" per
-   * doc. One shuffle (group by doc) regardless of numHashes.
+   * doc. One shuffle (group by doc) regardless of numHashes; duplicate
+   * shingles don't change a min, so the distinct shuffle is skipped.
    */
   def minhashSignatures(docs: DataFrame, numHashes: Int = 8): DataFrame = {
     val mins = (0 until numHashes).map(k => min(md5(concat(lit(s"$k:"), col("s")))).as(s"mh$k"))
-    shingles(docs).groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    shingles(docs, distinct = false).groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
   /**
@@ -75,13 +79,23 @@ object Dedup {
    * IS the blocking key — disjoint docs never meet), count intersection, then
    * |A∩B| / (|A| + |B| - |A∩B|) >= threshold.
    */
-  def ngramJaccard(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
-    val sh = shingles(docs).cache()
+  def ngramJaccard(docs: DataFrame, threshold: Double = 0.8, maxDocFreq: Long = Long.MaxValue): DataFrame = {
+    // Optional skew guard for corpus scale: a shingle shared by k docs emits
+    // k^2 candidate pairs, so at 100 TB ultra-common shingles (boilerplate)
+    // are dropped from CANDIDATE GENERATION above `maxDocFreq`. Default off —
+    // the oracle-pinned configuration keeps exact semantics.
+    val allSh = shingles(docs).cache()
+    val sh = if (maxDocFreq == Long.MaxValue) allSh else {
+      val freq = allSh.groupBy("s").agg(count(lit(1)).as("df")).where(col("df") <= maxDocFreq)
+      allSh.join(broadcast(freq.select("s")), "s")
+    }
     val inter = sh.as("x").join(sh.as("y"),
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .agg(count(lit(1)).as("inter"))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // true set sizes always come from the UNCAPPED shingles (capping only
+    // narrows candidate generation; scores stay comparable)
+    val sizes = allSh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val jac = col("inter").cast("double") /
       (col("sa.n") + col("sb.n") - col("inter")).cast("double")
     inter

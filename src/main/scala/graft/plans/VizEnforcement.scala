@@ -66,6 +66,16 @@ class VizEnforcementRule extends Rule[LogicalPlan] {
 
 /** Extension entry point: `.withExtensions(new GraftExtensions)`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectResolutionRule(_ => new VizEnforcementRule)
+    // SQL-callable visibility check: SELECT ... WHERE viz_visible(viz, 'A,B')
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("viz_visible"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[VizVisible].getName, "viz_visible"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "viz_visible(viz, auths_csv)")
+        VizVisible(children.head, children(1))
+      }))
+  }
 }

@@ -29,6 +29,13 @@ object LlmQueries {
       Similarity.bruteForceKnn(e, e.where(col("vec_id") < 5), k = 5)
     }),
     "embed_lsh_pairs" -> ((s, dir) => Similarity.lshBucketedPairs(emb(s, dir), bits = 8, minCosine = 0.3)),
+    // IVF coarse-quantizer ANN (scale path). No SQL oracle: centroid pick +
+    // iterative-style assignment aren't reasonably expressible in ANSI SQL,
+    // so the driver records the weaker rows-only check for this entry.
+    "embed_ivf_knn" -> ((s, dir) => {
+      val e = emb(s, dir)
+      graft.operators.SimilarityIvf.ivfKnn(e, e.where(col("vec_id") < 5), k = 5)
+    }),
     "multimodal_decode" -> ((s, dir) => Multimodal.stubDecode(Multimodal.asMediaTable(docs(s, dir))))
   )
 

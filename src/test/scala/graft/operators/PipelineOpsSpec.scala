@@ -81,6 +81,19 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(out(1).getAs[Long]("neighbor_id") == 3L)
   }
 
+  test("IVF kNN finds an exact duplicate through its probed list") {
+    // 40 corpus vectors in two obvious clusters + a duplicate of the query
+    val vs = ((0L until 20L).map(i => (i, Array.tabulate(8)(d => (1.0 + 0.01 * i * d).toFloat))) ++
+      (20L until 40L).map(i => (i, Array.tabulate(8)(d => (-1.0 - 0.01 * i * d).toFloat))))
+      .toDF("vec_id", "embedding")
+    val out = SimilarityIvf.ivfKnn(vs, vs.where(col("vec_id") === 0L), k = 3, nLists = 4, nProbe = 2)
+      .orderBy("rank").collect()
+    assert(out.nonEmpty)
+    // top neighbors must come from the same (positive) cluster
+    assert(out.forall(_.getAs[Long]("neighbor_id") < 20L))
+    assert(out.head.getAs[Double]("sim") > 0.99)
+  }
+
   test("LSH buckets co-locate duplicate vectors") {
     val vs = Seq(
       (0L, Array.fill(8)(0.5f)), (1L, Array.fill(8)(0.5f)),
