@@ -44,6 +44,12 @@ object Quickstart {
     val planned = QueryPlanner.plan(stored, req, auths = Seq("A")).head
     println("RESPONSE=" + QueryJson.toResponses(planned))
 
+    // GET-form query string (OpenTSDB m= syntax) through the same planner
+    val mReq = QueryPlanner.TsQueryRequest(T, T + 60000, msResolution = false,
+      queries = Seq(QueryJson.parseMQuery("sum:1s-avg:sys.cpu.user{host=a}")))
+    println("M_RESPONSE=" + QueryJson.toResponses(
+      QueryPlanner.plan(stored, mReq, auths = Seq("A")).head))
+
     // session-level enforcement: with GraftExtensions registered, even a RAW
     // read of a viz-bearing table is filtered by the session's auths — user
     // code cannot bypass it.

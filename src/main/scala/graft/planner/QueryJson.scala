@@ -60,6 +60,51 @@ object QueryJson {
   }
 
   /**
+   * GET-form subquery: `m=<agg>:[rate[{counter[,max[,reset]]}]:][<dur>-<agg>:]<metric>[{k=v,...}]`
+   * (reference QueryRequest.java:515-627 parses the same shape; tags use the
+   * OpenTSDB `{k=v,k=v}` suffix).
+   */
+  def parseMQuery(m: String): SubQuery = {
+    // the tag block is the trailing {k=v,...} of the FINAL segment — a brace
+    // inside an earlier segment (rate{counter,...}) is not a tag block
+    val braceAt = m.lastIndexOf('{')
+    val isTagBlock = braceAt >= 0 && m.endsWith("}") && braceAt > m.lastIndexOf(':')
+    val (head, tags) = (if (isTagBlock) braceAt else -1) match {
+      case -1 => (m, Map.empty[String, String])
+      case i =>
+        val tagStr = m.substring(i + 1, m.length - 1)
+        val pairs = tagStr.split(",").iterator.filter(_.nonEmpty).map { t =>
+          val j = t.indexOf('=')
+          require(j > 0, s"bad tag '$t' in: $m")
+          t.substring(0, j) -> t.substring(j + 1)
+        }.toMap
+        (m.substring(0, i), pairs)
+    }
+    val parts = head.split(":").toSeq
+    require(parts.length >= 2, s"bad m= query: $m")
+    val aggregator = parts.head
+    var rate = false
+    var rateOptions = RateOptions()
+    var downsample: Option[String] = None
+    val RatePat = "^rate(\\{([^}]*)\\})?$".r
+    val DsPat = "^\\d+(ms|s|m|h|d)-\\w+$".r
+    parts.slice(1, parts.length - 1).foreach {
+      case RatePat(_, opts) =>
+        rate = true
+        if (opts != null && opts.nonEmpty) {
+          val fields = opts.split(",", -1)
+          rateOptions = RateOptions(
+            counter = fields.headOption.contains("counter"),
+            counterMax = fields.lift(1).flatMap(_.toLongOption).getOrElse(0L),
+            resetValue = fields.lift(2).flatMap(_.toLongOption).getOrElse(0L))
+        }
+      case ds if DsPat.findFirstIn(ds).isDefined => downsample = Some(ds)
+      case other => throw new IllegalArgumentException(s"bad m= segment '$other' in: $m")
+    }
+    SubQuery(aggregator, parts.last, rate, rateOptions, downsample, tags)
+  }
+
+  /**
    * Collect one planned subquery frame into QueryResponse JSON objects:
    * one per (metric, group_tags), dps ordered by timestamp (the reference
    * emits TreeMap order — Aggregation.java:58).

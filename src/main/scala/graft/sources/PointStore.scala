@@ -29,6 +29,21 @@ object PointStore {
   def read(spark: SparkSession, dataDir: String): DataFrame =
     spark.read.parquet(dataDir)
 
+  /**
+   * Bucketed variant for co-located joins: bucketBy(seriesKey-ish column) so
+   * repeated joins/aggregations on the same key skip their shuffle entirely —
+   * the Spark analog of the reference balancer's metric->host affinity
+   * (balancer/src/main/java/timely/balancer/MetricResolver.java:70-160), done
+   * with storage layout instead of an L7 proxy. Requires a catalog table
+   * (saveAsTable), so callers pass a table name, not a path.
+   */
+  def writeBucketed(points: DataFrame, table: String, buckets: Int = 32): Unit =
+    PutLineIngest.withPartitionColumns(points)
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, "metric")
+      .sortBy("metric", "ts")
+      .saveAsTable(table)
+
   /** Derive/refresh the meta catalog (reference meta table, Meta.java:55-67). */
   def writeMeta(points: DataFrame, metaDir: String): Unit =
     points

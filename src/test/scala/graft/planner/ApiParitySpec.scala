@@ -1,0 +1,59 @@
+package graft.planner
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.model.MetricParser
+import graft.planner.QueryPlanner._
+
+/** GET-form `m=` parsing and planner edge semantics pinned to the reference. */
+class ApiParitySpec extends AnyFunSuite with SparkSpec {
+
+  import spark.implicits._
+
+  test("m= query parsing: agg:rate{...}:downsample:metric{tags}") {
+    val q = QueryJson.parseMQuery("sum:rate{counter,100,10}:1m-avg:sys.cpu.user{host=web.*,rack=r1}")
+    assert(q.aggregator == "sum" && q.metric == "sys.cpu.user")
+    assert(q.rate && q.rateOptions == RateOptions(counter = true, counterMax = 100L, resetValue = 10L))
+    assert(q.downsample.contains("1m-avg"))
+    assert(q.tags == Map("host" -> "web.*", "rack" -> "r1"))
+  }
+
+  test("m= query parsing: minimal and partial forms") {
+    assert(QueryJson.parseMQuery("avg:sys.cpu.idle") ==
+      SubQuery("avg", "sys.cpu.idle"))
+    val r = QueryJson.parseMQuery("max:rate:proc.net.bytes")
+    assert(r.rate && r.rateOptions == RateOptions() && r.downsample.isEmpty)
+    val d = QueryJson.parseMQuery("none:10s-max:sys.load{host=a}")
+    assert(d.aggregator == "none" && d.downsample.contains("10s-max"))
+    intercept[IllegalArgumentException](QueryJson.parseMQuery("sum:bogus-seg-ment:m1"))
+  }
+
+  private val T = 1704067200000L
+
+  private def fixture = Seq(
+    s"put m $T 10.0 host=a",
+    s"put m ${T + 1000} 40.0 host=a",
+    s"put m ${T + 2000} 40.0 host=a")
+    .flatMap(MetricParser.parse).toDF()
+
+  test("rate default interval equals the downsample period (DataStore.java:716-719)") {
+    // downsample 1m-avg => rate interval defaults to 60000 ms:
+    // (40-10)/1000ms * 60000 = 1800
+    val req = TsQueryRequest(T, T + 60000, msResolution = true, Seq(
+      SubQuery("sum", "m", rate = true, downsample = Some("1m-avg"))))
+    val out = QueryPlanner.plan(fixture, req, Seq.empty).head
+      .select("value").as[Double].collect()
+    // two rate points: 1800 and 0; downsampled 1m-avg -> 900; cross-series sum -> 900
+    assert(out.toSeq == Seq(900.0))
+  }
+
+  test("aggregator none keeps per-series rows with full tag sets") {
+    val req = TsQueryRequest(T, T + 60000, msResolution = true, Seq(
+      SubQuery("none", "m", downsample = Some("1s-avg"))))
+    val out = QueryPlanner.plan(fixture, req, Seq.empty).head
+    assert(out.count() == 3) // no cross-series collapse, 1s buckets
+    val tags = out.select("group_tags").collect().map(_.getMap[String, String](0).toMap).distinct
+    assert(tags.toSeq == Seq(Map("host" -> "a"))) // full tag set retained
+  }
+}
