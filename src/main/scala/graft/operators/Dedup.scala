@@ -31,6 +31,7 @@ object Dedup {
     * are duplicate-insensitive (min-aggregation) to save the shuffle. */
   def shingles(docs: DataFrame, distinct: Boolean = true): DataFrame = {
     val exploded = docs
+      .repartition(col("doc_id")) // spread the md5-heavy explode across cores/executors
       .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
       .where(size(col("ws")) >= 3)
       .select(col("doc_id"),
@@ -113,6 +114,7 @@ object Dedup {
    */
   def simhashSignatures(docs: DataFrame): DataFrame =
     docs
+      .repartition(col("doc_id"))
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
       .distinct()
       .select(col("doc_id"), md5(col("w")).as("h"))
