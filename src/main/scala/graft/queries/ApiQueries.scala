@@ -56,6 +56,18 @@ object ApiQueries {
     // Flink-parity daily histogram summarization (count/min/max/sum/avg +
     // nearest-rank percentiles).
     "api_summarize_1d" -> ((s, dir) => Summarization.summarize(points(s, dir), 86400000L)),
+    // Semi-structured extraction: pull the numeric `k` out of the JSON-ish
+    // props string with a regex (portable to the oracle without a JSON
+    // extension) and aggregate per decade bucket.
+    "api_props_extract" -> ((s, dir) => {
+      Points.table(s, dir, "events")
+        .select(col("event_type"),
+          expr("CAST(regexp_extract(props, '\"k\": (\\\\d+)', 1) AS BIGINT)").as("k"),
+          col("value"))
+        .where(col("k").isNotNull)
+        .groupBy(col("event_type"), expr("k div 10 * 10").as("k_decade"))
+        .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_value"))
+    }),
     // Wire-format round trip: points -> put lines -> MetricParser -> points.
     // Exercises the ingest parser inside the correctness gate.
     "api_putline_roundtrip" -> ((s, dir) => {
@@ -126,6 +138,13 @@ object ApiQueries {
     "api_putline_roundtrip" ->
       """SELECT event_type AS metric, epoch_ms(ts) AS ts, value,
         |       CAST(user_id AS VARCHAR) AS tag_user
-        |FROM events""".stripMargin
+        |FROM events""".stripMargin,
+    "api_props_extract" ->
+      """SELECT event_type,
+        |       TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) // 10 * 10 AS k_decade,
+        |       COUNT(*) AS n, ROUND(AVG(value), 4) AS avg_value
+        |FROM events
+        |WHERE TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin
   )
 }

@@ -44,6 +44,22 @@ class PointStoreSpec extends AnyFunSuite with SparkSpec {
     assert(kept == Set(("keep.long", now - 5 * Day), ("other.m", now - 2 * Day)))
   }
 
+  test("metric equality prunes partitions at the scan") {
+    val dir = Files.createTempDirectory("graft-prune").toString + "/data"
+    val pts = Seq(
+      MetricPoint("sys.cpu.user", T, 1.0, Map("h" -> "a"), None),
+      MetricPoint("sys.cpu.idle", T, 2.0, Map("h" -> "a"), None))
+    PointStore.write(pts.toDF(), dir)
+    val q = PointStore.read(spark, dir).where($"metric" === "sys.cpu.user")
+    val scan = q.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    // the metric predicate must land in PartitionFilters (directory pruning),
+    // not in the data filters
+    assert(scan.partitionFilters.exists(_.toString.contains("metric")))
+    assert(q.count() == 1)
+  }
+
   test("query-time retention clamp") {
     assert(PointStore.clampStart(0L, 1000000L, 10000L) == 990000L)
     assert(PointStore.clampStart(995000L, 1000000L, 10000L) == 995000L)
