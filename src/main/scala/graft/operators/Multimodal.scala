@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /**
@@ -51,4 +51,76 @@ object Multimodal {
       s"""transform(sequence(1, $dim), i ->
          |  (instr('0123456789abcdef', substr(md5(payload), i, 1)) - 1) / 15.0D)""".stripMargin)
       .as("features"))
+
+  /** Decoded-media row contract for the per-partition decode path. */
+  case class DecodedMedia(
+      media_id: Long,
+      media_type: String,
+      byte_len: Long,
+      width: Long,
+      height: Long,
+      channels: Long)
+
+  /**
+   * Per-partition decode — the batch shape a REAL codec needs: one codec
+   * instance initialized per partition (amortized over its rows), rows decoded
+   * executor-side. The codec here is the STUB (md5-derived metadata identical
+   * to [[stubDecode]]); swapping in libjpeg/ffmpeg means replacing
+   * `StubCodec.decode` only. Input is repartitioned by media_id so decode
+   * parallelism doesn't depend on the source file layout.
+   */
+  def decodePartitioned(media: DataFrame): Dataset[DecodedMedia] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .repartition(col("media_id"))
+      .select(col("media_id").cast("long"), col("media_type"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        val codec = StubCodec.init() // once per partition, like a real codec ctx
+        rows.map { case (id, mt, payload) =>
+          val (w, h, c) = codec.decode(payload)
+          DecodedMedia(id, mt, payload.length.toLong, w.toLong, h.toLong, c.toLong)
+        }
+      }
+  }
+
+  /** Metadata-level resize preserving aspect ratio (integer math — the real
+    * pixel op would run in the same per-partition decode pass). */
+  def resizeMeta(decoded: DataFrame, maxDim: Int): DataFrame =
+    decoded
+      .withColumn("scale_num", lit(maxDim))
+      .withColumn("scale_den", greatest(col("width"), col("height"), lit(maxDim)))
+      .withColumn("out_width", (col("width") * col("scale_num") / col("scale_den")).cast("int"))
+      .withColumn("out_height", (col("height") * col("scale_num") / col("scale_den")).cast("int"))
+      .drop("scale_num", "scale_den")
+
+  /** Frame sampling for video rows: one output row per sampled frame index
+    * (frame count derived from payload size in the stub; a real demuxer would
+    * read the container). Explode happens executor-side — no driver loop. */
+  def frameSample(decoded: DataFrame, everyN: Int, fakeBytesPerFrame: Int = 64): DataFrame =
+    decoded
+      .where(col("media_type") === "video")
+      .withColumn("n_frames", greatest(lit(1), (col("byte_len") / fakeBytesPerFrame).cast("int")))
+      .select(col("media_id"),
+        explode(expr(s"sequence(0, n_frames - 1, $everyN)")).as("frame_idx"))
+}
+
+/** STUB codec: deterministic md5-derived metadata (same math as stubDecode). */
+private[operators] object StubCodec {
+  def init(): StubCodec = new StubCodec
+}
+
+private[operators] class StubCodec {
+  private val md = java.security.MessageDigest.getInstance("MD5")
+  private def hexDigit(h: Array[Byte], i: Int): Int = {
+    val b = h(i / 2) & 0xff
+    if (i % 2 == 0) b >> 4 else b & 0xf
+  }
+  /** (width, height, channels) from payload md5 — matches stubDecode exactly. */
+  def decode(payload: Array[Byte]): (Int, Int, Int) = {
+    md.reset()
+    val h = md.digest(payload)
+    (64 + 16 * hexDigit(h, 0), 64 + 16 * hexDigit(h, 1), 1 + hexDigit(h, 2) % 3)
+  }
 }

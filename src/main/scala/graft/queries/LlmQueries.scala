@@ -36,7 +36,10 @@ object LlmQueries {
       val e = emb(s, dir)
       graft.operators.SimilarityIvf.ivfKnn(e, e.where(col("vec_id") < 5), k = 5)
     }),
-    "multimodal_decode" -> ((s, dir) => Multimodal.stubDecode(Multimodal.asMediaTable(docs(s, dir))))
+    "multimodal_decode" -> ((s, dir) => Multimodal.stubDecode(Multimodal.asMediaTable(docs(s, dir)))),
+    // same metadata through the per-partition (real-codec-shaped) decode path
+    "multimodal_decode_partitioned" -> ((s, dir) =>
+      Multimodal.decodePartitioned(Multimodal.asMediaTable(docs(s, dir))).toDF())
   )
 
   // ---------------------------------------------------------------------------
@@ -167,6 +170,14 @@ object LlmQueries {
         |  JOIN embeddings ex ON x.vec_id = ex.vec_id
         |  JOIN embeddings ey ON y.vec_id = ey.vec_id)
         |SELECT a, b, cos_sim FROM pairs WHERE cos_sim >= 0.3""".stripMargin,
+    "multimodal_decode_partitioned" ->
+      """SELECT doc_id AS media_id,
+        |       ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+        |       octet_length(encode(text)) AS byte_len,
+        |       64 + 16 * (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) AS width,
+        |       64 + 16 * (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1) AS height,
+        |       1 + (strpos('0123456789abcdef', substr(md5(text), 3, 1)) - 1) % 3 AS channels
+        |FROM documents""".stripMargin,
     "multimodal_decode" ->
       """SELECT doc_id AS media_id,
         |       ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,

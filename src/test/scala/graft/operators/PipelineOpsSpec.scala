@@ -104,6 +104,27 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(pairs.toSeq == Seq((0L, 1L)))
   }
 
+  test("per-partition decode equals the expression decode; resize and frame-sample behave") {
+    val media = Multimodal.asMediaTable(docs(1L -> base, 2L -> (base * 3), 3L -> (base * 5)))
+    val viaExpr = Multimodal.stubDecode(media)
+      .select("media_id", "byte_len", "width", "height", "channels")
+      .collect().map(_.toSeq).toSet
+    val viaPartitions = Multimodal.decodePartitioned(media).toDF()
+      .select("media_id", "byte_len", "width", "height", "channels")
+      .collect().map(_.toSeq).toSet
+    assert(viaExpr == viaPartitions) // stub codec == stub expression, any path
+    val resized = Multimodal.resizeMeta(Multimodal.decodePartitioned(media).toDF(), maxDim = 128)
+    resized.select("out_width", "out_height").collect().foreach { r =>
+      assert(r.getInt(0) <= 128 && r.getInt(1) <= 128)
+    }
+    // doc 2 -> media_type video (doc_id % 3 == 2 -> index 3); frames = bytes/64
+    val frames = Multimodal.frameSample(Multimodal.decodePartitioned(media).toDF(), everyN = 2)
+    val byId = frames.groupBy("media_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId.keySet == Set(2L))
+    assert(byId(2L) == (math.max(1, (base.length * 3) / 64) + 1) / 2)
+  }
+
   test("multimodal stub decode is deterministic with plausible metadata") {
     val m = Multimodal.stubDecode(Multimodal.asMediaTable(docs(1L -> base).withColumn("doc_id", col("doc_id"))))
       .head()
