@@ -41,8 +41,14 @@ object Quickstart {
          |  {"aggregator": "sum", "metric": "sys.cpu.user",
          |   "downsample": "1s-avg", "tags": {}}]}""".stripMargin)
     // session with auth A only: the host=b point (viz A&B) must stay invisible
-    val planned = QueryPlanner.plan(stored, req, auths = Seq("A")).head
-    println("RESPONSE=" + QueryJson.toResponses(planned))
+    println("RESPONSE=" + QueryPlanner.runQuery(stored, req, auths = Seq("A")))
+
+    // hot/cold tiering: recent window cached in memory, reads split at the
+    // boundary (reference cache-probe semantics) — same answer either way
+    val hot = graft.sources.HotColdPoints.hotWindow(stored, T + 1000)
+    val tiered = graft.sources.HotColdPoints.union(stored, hot, T + 1000)
+    println("TIERED_RESPONSE_EQUAL=" +
+      (QueryPlanner.runQuery(tiered, req, Seq("A")) == QueryPlanner.runQuery(stored, req, Seq("A"))))
 
     // GET-form query string (OpenTSDB m= syntax) through the same planner
     val mReq = QueryPlanner.TsQueryRequest(T, T + 60000, msResolution = false,

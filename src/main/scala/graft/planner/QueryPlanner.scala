@@ -146,4 +146,13 @@ object QueryPlanner {
   /** Plan all subqueries; result frames share the output schema. */
   def plan(points: DataFrame, req: TsQueryRequest, auths: Seq[String]): Seq[DataFrame] =
     req.queries.map(q => withResponseTs(planSubQuery(points, req, q, auths), req.msResolution))
+
+  /** One-call API: plan every subquery and concatenate their response objects
+    * into a single JSON array (the reference returns one array for the whole
+    * request — QueryResponse.java). */
+  def runQuery(points: DataFrame, req: TsQueryRequest, auths: Seq[String]): String = {
+    val parts = plan(points, req, auths).map(QueryJson.toResponses)
+    // each part is a JSON array — splice their elements together
+    parts.map(_.stripPrefix("[").stripSuffix("]")).filter(_.nonEmpty).mkString("[", ",", "]")
+  }
 }
