@@ -72,7 +72,7 @@ object Dedup {
       .reduce(_ + _)
     cand.join(broadcast(mh.as("x")), col("a") === col("x.doc_id"))
       .join(broadcast(mh.as("y")), col("b") === col("y.doc_id"))
-      .select(col("a"), col("b"), round(eq.cast("double") / numHashes, 4).as("est_jaccard"))
+      .select(col("a"), col("b"), (eq.cast("double") / numHashes).as("est_jaccard"))
   }
 
   /**
@@ -103,7 +103,7 @@ object Dedup {
       .join(broadcast(sizes.as("sa")), col("a") === col("sa.doc_id"))
       .join(broadcast(sizes.as("sb")), col("b") === col("sb.doc_id"))
       .where(jac >= threshold)
-      .select(col("a"), col("b"), round(jac, 4).as("jaccard"))
+      .select(col("a"), col("b"), jac.as("jaccard"))
   }
 
   /**

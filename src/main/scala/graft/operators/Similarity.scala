@@ -35,8 +35,8 @@ object Similarity {
 
   /**
    * Exact cosine top-k: for each query vector, the k nearest corpus vectors.
-   * Ranking uses the 4-dp-rounded similarity with vec_id tie-break so results
-   * are stable across engines and runs.
+   * Similarities are raw doubles: the sequential fold makes them bit-identical
+   * across engines, and vec_id breaks ranking ties.
    */
   def bruteForceKnn(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     // Precompute each side's norm ONCE per row (not per pair): the per-pair
@@ -48,7 +48,7 @@ object Similarity {
       col("vec_id").as("neighbor_id"), col("embedding").as("de"), norm("embedding").as("dn"))
     val scored = d.join(q, col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(dot("qe", "de") / (col("qn") * col("dn")), 4).as("sim"))
+        (dot("qe", "de") / (col("qn") * col("dn"))).as("sim"))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long")).where(col("rank") <= k)
   }
@@ -87,7 +87,7 @@ object Similarity {
     signed.as("x").join(signed.as("y"),
         col("x.sig") === col("y.sig") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
-        round(dot("x.embedding", "y.embedding") / (col("x.n") * col("y.n")), 4).as("cos_sim"))
+        (dot("x.embedding", "y.embedding") / (col("x.n") * col("y.n"))).as("cos_sim"))
       .where(col("cos_sim") >= minCosine)
   }
 }

@@ -68,7 +68,7 @@ object SimilarityIvf {
     indexed.join(broadcast(probes), Seq("list_id"))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(dot("embedding", "qe") / (col("vnorm") * col("qnorm")), 4).as("sim"))
+        (dot("embedding", "qe") / (col("vnorm") * col("qnorm"))).as("sim"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
   }

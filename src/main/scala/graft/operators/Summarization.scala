@@ -34,8 +34,11 @@ object Summarization {
         count(col("value")).as("cnt"),
         min(col("value")).as("vmin"),
         max(col("value")).as("vmax"),
-        round(sum(col("value")), 4).as("vsum"),
-        round(avg(col("value")), 4).as("vavg"),
+        // exact decimal sums: partition-order independent (see
+        // TimeSeries.exactAggregator) — plain double sums can flip a
+        // round(.,4) boundary between runs/engines
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("vsum"),
+        (sum(col("value").cast("decimal(18,6)")).cast("double") / count(col("value"))).as("vavg"),
         nearestRank(0.50).as("p50"),
         nearestRank(0.75).as("p75"),
         nearestRank(0.90).as("p90"),

@@ -40,8 +40,8 @@ object TextAnalysis {
       col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("n_words"),
       expr("size(regexp_extract_all(text, '[A-Za-z0-9]+', 0))").cast("long").as("n_alnum_tokens"),
-      round(length(col("text")).cast("double") /
-        expr("size(regexp_extract_all(text, '[A-Za-z0-9]+', 0))"), 4).as("chars_per_token"))
+      (length(col("text")).cast("double") /
+        expr("size(regexp_extract_all(text, '[A-Za-z0-9]+', 0))")).as("chars_per_token"))
 
   /**
    * Heuristic language ID: stopword-lexicon hit counts per candidate language,
@@ -71,12 +71,11 @@ object TextAnalysis {
     docs.select(
       col("doc_id"),
       nWords.cast("long").as("n_words"),
-      round(punctRatio, 4).as("punct_ratio"),
-      round(stopRatio, 4).as("stopword_ratio"),
-      round(length(col("text")).cast("double") / nWords, 4).as("avg_word_len"),
-      round(
-        least(lit(1.0), nWords / 100.0) * (lit(1.0) - punctRatio) *
-          least(lit(1.0), lit(4.0) * stopRatio + 0.5), 4).as("quality"))
+      punctRatio.as("punct_ratio"),
+      stopRatio.as("stopword_ratio"),
+      (length(col("text")).cast("double") / nWords).as("avg_word_len"),
+      (least(lit(1.0), nWords / 100.0) * (lit(1.0) - punctRatio) *
+        least(lit(1.0), lit(4.0) * stopRatio + 0.5)).as("quality"))
   }
 
   /**

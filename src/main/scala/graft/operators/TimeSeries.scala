@@ -61,27 +61,74 @@ object TimeSeries {
   }
 
   /**
+   * Order-independent variant for FIRST-LEVEL aggregation over low-scale
+   * source measures: floating-point summation depends on partition/merge
+   * order (a hazard both across runs with different parallelism and across
+   * engines), so sums run in exact DECIMAL(18,6) — associative, exact for
+   * values with <= 6 decimal digits — and convert to double once at the end.
+   * Do NOT use on derived doubles (e.g. rate outputs): the decimal cast
+   * would truncate their full precision.
+   */
+  def exactAggregator(name: String, value: Column): Column = {
+    val dec = value.cast("decimal(18,6)")
+    name match {
+      case "avg" => sum(dec).cast("double") / count(value)
+      case "sum" => sum(dec).cast("double")
+      case "dev" =>
+        // square of a <=2dp value is <=4dp: cast keeps the scaled integer
+        // below 2^53 so the decimal->double conversion is exact either way
+        val ss = sum((dec * dec).cast("decimal(18,4)")).cast("double")
+        val n = count(value)
+        when(n === 1, sqrt(ss)).otherwise(sqrt(ss / (n - 1)))
+      case _ => aggregator(name, value)
+    }
+  }
+
+  /**
    * Downsample: per series (metric + full tag set), aggregate values into
    * epoch-aligned time buckets (reference DownsampleIterator.java:96-105).
    * Map-side partial aggregation + spill are Catalyst built-ins — the
    * reference's DownsampleMemoryEstimator re-batching has no Spark analog to
    * build (SURVEY.md A9).
    */
-  def downsample(points: DataFrame, periodMs: Long, agg: String): DataFrame =
+  def downsample(points: DataFrame, periodMs: Long, agg: String, exact: Boolean = false): DataFrame =
     points
       .groupBy(col("metric"), seriesKey(col("tags")).as("series"), bucket(col("ts"), periodMs))
-      .agg(aggregator(agg, col("value")).as("value"))
+      .agg((if (exact) exactAggregator(agg, col("value")) else aggregator(agg, col("value"))).as("value"))
+
+  /**
+   * Deterministic aggregation over DERIVED double values (per-series
+   * downsample results, rates): a left fold over the sorted collected values.
+   * Plain sum/avg results depend on partition merge order; sorting first makes
+   * the result run- and engine-independent. Groups here are bounded by the
+   * number of collapsing series (or points per series-bucket), so the
+   * collect_list stays small even at corpus scale.
+   */
+  def foldAggregator(name: String, valueCol: String = "value"): Column = {
+    val sortedFold = expr(s"aggregate(sort_array(collect_list($valueCol)), 0D, (acc, v) -> acc + v)")
+    name match {
+      case "sum" => sortedFold
+      case "avg" => sortedFold / count(col(valueCol))
+      case "dev" =>
+        val ss = expr(
+          s"aggregate(transform(sort_array(collect_list($valueCol)), v -> v * v), 0D, (acc, v) -> acc + v)")
+        val n = count(col(valueCol))
+        when(n === 1, sqrt(ss)).otherwise(sqrt(ss / (n - 1)))
+      case _ => aggregator(name, col(valueCol))
+    }
+  }
 
   /**
    * Cross-series aggregation: collapse all series that survived filtering into
    * one series per (metric, bucket, queried-tag subset) — the reference's
    * AggregationIterator (server/src/main/java/timely/server/sample/iterators/AggregationIterator.java:27-128)
-   * + queried-tag grouping (DataStore.java:752-762).
+   * + queried-tag grouping (DataStore.java:752-762). Uses the deterministic
+   * fold: inputs are derived doubles.
    */
   def crossSeries(downsampled: DataFrame, agg: String, groupCols: Seq[String] = Seq("metric")): DataFrame =
     downsampled
       .groupBy((groupCols :+ "bucket_ms").map(col): _*)
-      .agg(aggregator(agg, col("value")).as("value"))
+      .agg(foldAggregator(agg).as("value"))
 
   // value as deterministic tie-break for equal-ms timestamps (oracle parity)
   private def seriesWindow =

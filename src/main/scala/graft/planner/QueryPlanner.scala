@@ -111,9 +111,14 @@ object QueryPlanner {
     }
 
     val bucket = (col("ts") - ((col("ts") - lit(alignedStart)) % lit(periodMs))).as("bucket_ms")
+    // source measures aggregate via exact decimal sums (partition-order
+    // independent); rate outputs are derived doubles and stay plain
+    val dsAggregator =
+      if (q.rate) TimeSeries.foldAggregator(dsAgg) // derived doubles: sorted fold
+      else TimeSeries.exactAggregator(dsAgg, col("value"))
     val perSeries = df
       .groupBy(col("metric"), col("tags"), bucket)
-      .agg(TimeSeries.aggregator(dsAgg, col("value")).as("value"))
+      .agg(dsAggregator.as("value"))
 
     // cross-series aggregation, grouped by the QUERIED tag subset only
     // (DataStore.java:752-762): series collapse onto the tags the user asked for.
@@ -131,7 +136,7 @@ object QueryPlanner {
         .withColumn("group_tags", groupTags)
         .groupBy(col("metric"), col("group_tags"), col("bucket_ms"))
         .agg(
-          TimeSeries.aggregator(q.aggregator, col("value")).as("value"),
+          TimeSeries.foldAggregator(q.aggregator).as("value"),
           // tag keys aggregated away -> QueryResponse.aggregatedTags
           array_sort(array_distinct(flatten(collect_list(
             array_except(map_keys(col("tags")), typedlit(queriedKeys)))))).as("aggregated_tags"))

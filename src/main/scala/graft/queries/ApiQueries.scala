@@ -35,7 +35,7 @@ object ApiQueries {
       val req = TsQueryRequest(Start, End, msResolution = false, queries = Seq(
         SubQuery(aggregator = "sum", metric = "purchase", downsample = Some("1h-avg"))))
       QueryPlanner.plan(points(s, dir), req, auths = Seq.empty).head
-        .select(col("metric"), col("ts_out"), round(col("value"), 4).as("value"))
+        .select(col("metric"), col("ts_out"), col("value"))
     }),
     // Regex tag filter + rate-before-downsample + max aggregator.
     "api_query_rate_max" -> ((s, dir) => {
@@ -45,7 +45,7 @@ object ApiQueries {
           downsample = Some("1h-max"), tags = Map("user" -> "1.*"))))
       QueryPlanner.plan(points(s, dir), req, auths = Seq.empty).head
         .select(col("metric"), col("group_tags").getItem("user").as("tag_user"),
-          col("ts_out"), round(col("value"), 4).as("value"))
+          col("ts_out"), col("value"))
     }),
     // Visibility enforcement through the native Catalyst expression.
     "api_viz_filter" -> ((s, dir) => {
@@ -66,7 +66,7 @@ object ApiQueries {
           col("value"))
         .where(col("k").isNotNull)
         .groupBy(col("event_type"), expr("k div 10 * 10").as("k_decade"))
-        .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_value"))
+        .agg(count(lit(1)).as("n"), (sum(col("value").cast("decimal(18,6)")).cast("double") / count(lit(1))).as("avg_value"))
     }),
     // Wire-format round trip: points -> put lines -> MetricParser -> points.
     // Exercises the ingest parser inside the correctness gate.
@@ -87,13 +87,13 @@ object ApiQueries {
       """WITH d AS (
         |  SELECT user_id,
         |         epoch_ms(ts) // 3600000 * 3600000 AS bucket_ms,
-        |         AVG(value) AS value
+        |         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value) AS value
         |  FROM events
         |  WHERE event_type = 'purchase'
         |    AND epoch_ms(ts) BETWEEN 1704067200000 AND 1706918400000
         |  GROUP BY 1, 2)
         |SELECT 'purchase' AS metric, bucket_ms // 1000 AS ts_out,
-        |       ROUND(SUM(value), 4) AS value
+        |       list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_sort(list(value))), (acc, v) -> acc + v) AS value
         |FROM d GROUP BY 2""".stripMargin,
     "api_query_rate_max" ->
       """WITH p AS (
@@ -113,7 +113,7 @@ object ApiQueries {
         |  SELECT user_id, ts // 3600000 * 3600000 AS ts_out, MAX(value) AS value
         |  FROM r GROUP BY 1, 2)
         |SELECT 'view' AS metric, CAST(user_id AS VARCHAR) AS tag_user, ts_out,
-        |       ROUND(MAX(value), 4) AS value
+        |       MAX(value) AS value
         |FROM d GROUP BY 1, 2, 3""".stripMargin,
     "api_viz_filter" ->
       """SELECT event_id,
@@ -127,8 +127,8 @@ object ApiQueries {
         |       COUNT(value) AS cnt,
         |       MIN(value) AS vmin,
         |       MAX(value) AS vmax,
-        |       ROUND(SUM(value), 4) AS vsum,
-        |       ROUND(AVG(value), 4) AS vavg,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS vsum,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value) AS vavg,
         |       list_sort(list(value))[CAST(ceil(0.50 * COUNT(value)) AS INT)] AS p50,
         |       list_sort(list(value))[CAST(ceil(0.75 * COUNT(value)) AS INT)] AS p75,
         |       list_sort(list(value))[CAST(ceil(0.90 * COUNT(value)) AS INT)] AS p90,
@@ -142,7 +142,7 @@ object ApiQueries {
     "api_props_extract" ->
       """SELECT event_type,
         |       TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) // 10 * 10 AS k_decade,
-        |       COUNT(*) AS n, ROUND(AVG(value), 4) AS avg_value
+        |       COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_value
         |FROM events
         |WHERE TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) IS NOT NULL
         |GROUP BY 1, 2""".stripMargin

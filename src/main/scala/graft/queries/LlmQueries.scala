@@ -71,7 +71,7 @@ object LlmQueries {
       """SELECT doc_id,
         |       len(string_split(text, ' ')) AS n_words,
         |       len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_alnum_tokens,
-        |       ROUND(length(text) * 1.0 / len(regexp_extract_all(text, '[A-Za-z0-9]+')), 4) AS chars_per_token
+        |       length(text) * 1.0 / len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS chars_per_token
         |FROM documents""".stripMargin,
     "text_langid" ->
       s"""WITH h AS (
@@ -87,12 +87,12 @@ object LlmQueries {
     "text_quality" ->
       s"""SELECT doc_id,
          |       len(string_split(text, ' ')) AS n_words,
-         |       ROUND(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) * 1.0 / length(text), 4) AS punct_ratio,
-         |       ROUND(${hitsSql("en")} * 1.0 / len(string_split(lower(text), ' ')), 4) AS stopword_ratio,
-         |       ROUND(length(text) * 1.0 / len(string_split(text, ' ')), 4) AS avg_word_len,
-         |       ROUND(LEAST(1.0, len(string_split(text, ' ')) / 100.0)
+         |       len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) * 1.0 / length(text) AS punct_ratio,
+         |       ${hitsSql("en")} * 1.0 / len(string_split(lower(text), ' ')) AS stopword_ratio,
+         |       length(text) * 1.0 / len(string_split(text, ' ')) AS avg_word_len,
+         |       LEAST(1.0, len(string_split(text, ' ')) / 100.0)
          |             * (1.0 - len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) * 1.0 / length(text))
-         |             * LEAST(1.0, 4.0 * ${hitsSql("en")} / len(string_split(lower(text), ' ')) + 0.5), 4) AS quality
+         |             * LEAST(1.0, 4.0 * ${hitsSql("en")} / len(string_split(lower(text), ' ')) + 0.5) AS quality
          |FROM documents""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id,
@@ -106,7 +106,7 @@ object LlmQueries {
          |p AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS inter
          |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
          |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1)
-         |SELECT p.a, p.b, ROUND(inter * 1.0 / (sa.n + sb.n - inter), 4) AS jaccard
+         |SELECT p.a, p.b, inter * 1.0 / (sa.n + sb.n - inter) AS jaccard
          |FROM p JOIN sz sa ON p.a = sa.doc_id JOIN sz sb ON p.b = sb.doc_id
          |WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8""".stripMargin,
     "dedup_minhash_lsh" ->
@@ -118,9 +118,9 @@ object LlmQueries {
          |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
          |  FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id)
          |SELECT cand.a, cand.b,
-         |       ROUND(((x.mh0 = y.mh0)::INT + (x.mh1 = y.mh1)::INT + (x.mh2 = y.mh2)::INT
+         |       ((x.mh0 = y.mh0)::INT + (x.mh1 = y.mh1)::INT + (x.mh2 = y.mh2)::INT
          |            + (x.mh3 = y.mh3)::INT + (x.mh4 = y.mh4)::INT + (x.mh5 = y.mh5)::INT
-         |            + (x.mh6 = y.mh6)::INT + (x.mh7 = y.mh7)::INT) / 8.0, 4) AS est_jaccard
+         |            + (x.mh6 = y.mh6)::INT + (x.mh7 = y.mh7)::INT) / 8.0 AS est_jaccard
          |FROM cand JOIN mh x ON cand.a = x.doc_id JOIN mh y ON cand.b = y.doc_id""".stripMargin,
     "dedup_simhash" ->
       """WITH words AS (
@@ -144,7 +144,7 @@ object LlmQueries {
     "embed_knn" ->
       s"""WITH c AS (
          |  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
-         |         ROUND($CosineSql, 4) AS sim
+         |         $CosineSql AS sim
          |  FROM embeddings q JOIN embeddings d ON q.vec_id < 5 AND d.vec_id != q.vec_id),
          |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM c)
          |SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= 5""".stripMargin,
@@ -163,9 +163,9 @@ object LlmQueries {
         |  FROM bits GROUP BY vec_id),
         |pairs AS (
         |  SELECT x.vec_id AS a, y.vec_id AS b,
-        |         ROUND(list_dot_product(CAST(ex.embedding AS DOUBLE[]), CAST(ey.embedding AS DOUBLE[]))
+        |         list_dot_product(CAST(ex.embedding AS DOUBLE[]), CAST(ey.embedding AS DOUBLE[]))
         |           / (sqrt(list_dot_product(CAST(ex.embedding AS DOUBLE[]), CAST(ex.embedding AS DOUBLE[])))
-        |            * sqrt(list_dot_product(CAST(ey.embedding AS DOUBLE[]), CAST(ey.embedding AS DOUBLE[])))), 4) AS cos_sim
+        |            * sqrt(list_dot_product(CAST(ey.embedding AS DOUBLE[]), CAST(ey.embedding AS DOUBLE[])))) AS cos_sim
         |  FROM sig x JOIN sig y ON x.sig = y.sig AND x.vec_id < y.vec_id
         |  JOIN embeddings ex ON x.vec_id = ex.vec_id
         |  JOIN embeddings ey ON y.vec_id = ey.vec_id)

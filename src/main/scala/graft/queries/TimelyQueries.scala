@@ -23,8 +23,7 @@ object TimelyQueries {
 
   /** Downsample with a given aggregator; output (metric, series, bucket_ms, value). */
   private def ds(s: SparkSession, dir: String, agg: String): DataFrame =
-    TimeSeries.downsample(points(s, dir), Hour, agg)
-      .withColumn("value", round(col("value"), 4))
+    TimeSeries.downsample(points(s, dir), Hour, agg, exact = true)
 
   /** DuckDB oracle for the same downsample. The series key for a single
     * `user` tag is `user=<id>`. */
@@ -32,7 +31,7 @@ object TimelyQueries {
     s"""SELECT event_type AS metric,
        |       'user=' || CAST(user_id AS VARCHAR) AS series,
        |       epoch_ms(ts) // 3600000 * 3600000 AS bucket_ms,
-       |       ROUND($aggSql, 4) AS value
+       |       $aggSql AS value
        |FROM events
        |GROUP BY 1, 2, 3""".stripMargin
 
@@ -46,21 +45,20 @@ object TimelyQueries {
     "ts_cross_series_sum" -> ((s, dir) => {
       // downsample 1h-avg per series, then cross-series sum per metric+bucket
       // (reference AggregationIterator: all surviving series collapse into one)
-      val d = TimeSeries.downsample(points(s, dir), Hour, "avg")
+      val d = TimeSeries.downsample(points(s, dir), Hour, "avg", exact = true)
       TimeSeries.crossSeries(d, "sum")
-        .withColumn("value", round(col("value"), 4))
     }),
     "ts_rate" -> ((s, dir) => {
       TimeSeries.rate(points(s, dir), intervalMs = 1000L)
-        .select(col("metric"), col("series"), col("ts"), round(col("rate"), 6).as("rate"))
+        .select(col("metric"), col("series"), col("ts"), col("rate"))
     }),
     "ts_rate_counter" -> ((s, dir) => {
       TimeSeries.rate(points(s, dir), intervalMs = 1000L, counter = true, resetValue = 100L)
-        .select(col("metric"), col("series"), col("ts"), round(col("rate"), 6).as("rate"))
+        .select(col("metric"), col("series"), col("ts"), col("rate"))
     }),
     "ts_moving_avg" -> ((s, dir) => {
       TimeSeries.firFilter(points(s, dir), Seq.fill(5)(0.2))
-        .select(col("metric"), col("series"), col("ts"), round(col("filtered"), 4).as("filtered"))
+        .select(col("metric"), col("series"), col("ts"), col("filtered"))
     }),
     "meta_suggest" -> ((s, dir) => {
       // /api/suggest type=metrics: substring match + ordered limit
@@ -95,22 +93,23 @@ object TimelyQueries {
   )
 
   val oracles: Map[String, String] = Map(
-    "ts_downsample_avg" -> dsSql("AVG(value)"),
-    "ts_downsample_sum" -> dsSql("SUM(value)"),
+    "ts_downsample_avg" -> dsSql("CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value)"),
+    "ts_downsample_sum" -> dsSql("CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)"),
     "ts_downsample_min" -> dsSql("MIN(value)"),
     "ts_downsample_max" -> dsSql("MAX(value)"),
     "ts_downsample_count" -> dsSql("CAST(COUNT(value) AS DOUBLE)"),
     "ts_downsample_dev" ->
       // RMS quirk (Dev.java:5-19): sqrt(sum(x^2)/(n-1)), n==1 -> sqrt(sum(x^2))
-      dsSql("CASE WHEN COUNT(*) = 1 THEN SQRT(SUM(value*value)) ELSE SQRT(SUM(value*value)/(COUNT(*)-1)) END"),
+      dsSql("CASE WHEN COUNT(*) = 1 THEN SQRT(CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)) AS DECIMAL(18,4))) AS DOUBLE)) ELSE SQRT(CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)) AS DECIMAL(18,4))) AS DOUBLE)/(COUNT(*)-1)) END"),
     "ts_cross_series_sum" ->
       """WITH d AS (
         |  SELECT event_type AS metric,
         |         'user=' || CAST(user_id AS VARCHAR) AS series,
         |         epoch_ms(ts) // 3600000 * 3600000 AS bucket_ms,
-        |         AVG(value) AS value
+        |         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value) AS value
         |  FROM events GROUP BY 1, 2, 3)
-        |SELECT metric, bucket_ms, ROUND(SUM(value), 4) AS value
+        |SELECT metric, bucket_ms,
+        |       list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_sort(list(value))), (acc, v) -> acc + v) AS value
         |FROM d GROUP BY 1, 2""".stripMargin,
     "ts_rate" ->
       """WITH p AS (
@@ -121,8 +120,8 @@ object TimelyQueries {
         |  FROM events
         |  WINDOW w AS (PARTITION BY event_type, user_id ORDER BY epoch_ms(ts), value))
         |SELECT metric, series, ts,
-        |       ROUND(CASE WHEN ts = pts THEN 0
-        |                  ELSE (value - pv) / (ts - pts) * 1000 END, 6) AS rate
+        |       CASE WHEN ts = pts THEN 0
+        |            ELSE (value - pv) / (ts - pts) * 1000 END AS rate
         |FROM p WHERE pts IS NOT NULL""".stripMargin,
     "ts_rate_counter" ->
       """WITH p AS (
@@ -139,7 +138,7 @@ object TimelyQueries {
         |                   / (ts - pts) * 1000 END AS raw
         |  FROM p WHERE pts IS NOT NULL)
         |SELECT metric, series, ts,
-        |       ROUND(CASE WHEN raw > 100 THEN 0 ELSE raw END, 6) AS rate
+        |       CASE WHEN raw > 100 THEN 0 ELSE raw END AS rate
         |FROM r""".stripMargin,
     "ts_moving_avg" ->
       """WITH p AS (
@@ -147,12 +146,12 @@ object TimelyQueries {
         |         'user=' || CAST(user_id AS VARCHAR) AS series,
         |         epoch_ms(ts) AS ts, value,
         |         ROW_NUMBER() OVER w AS rn,
-        |         0.2*value
-        |         + 0.2*LAG(value, 1) OVER w + 0.2*LAG(value, 2) OVER w
-        |         + 0.2*LAG(value, 3) OVER w + 0.2*LAG(value, 4) OVER w AS filtered
+        |         0.2*LAG(value, 4) OVER w + 0.2*LAG(value, 3) OVER w
+        |         + 0.2*LAG(value, 2) OVER w + 0.2*LAG(value, 1) OVER w
+        |         + 0.2*value AS filtered
         |  FROM events
         |  WINDOW w AS (PARTITION BY event_type, user_id ORDER BY epoch_ms(ts), value))
-        |SELECT metric, series, ts, ROUND(filtered, 4) AS filtered
+        |SELECT metric, series, ts, filtered
         |FROM p WHERE rn >= 5""".stripMargin,
     "meta_suggest" ->
       """SELECT DISTINCT event_type AS metric FROM events

@@ -21,11 +21,12 @@ object TpchQueries {
       table(s, dir, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          round(sum("l_quantity"), 2).as("sum_qty"),
-          round(sum("l_extendedprice"), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-          round(avg("l_quantity"), 4).as("avg_qty"),
-          round(avg("l_discount"), 6).as("avg_disc"),
+          sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double").as("sum_base_price"),
+          sum((col("l_extendedprice").cast("decimal(18,4)") *
+            (lit(1) - col("l_discount").cast("decimal(18,4)"))).cast("decimal(18,4)")).cast("double").as("sum_disc_price"),
+          (sum(col("l_quantity").cast("decimal(18,4)")).cast("double") / count(lit(1))).as("avg_qty"),
+          (sum(col("l_discount").cast("decimal(18,4)")).cast("double") / count(lit(1))).as("avg_disc"),
           count(lit(1)).as("count_order"))
     }),
     // Join path: customer ⋈ orders ⋈ lineitem, revenue per market segment.
@@ -40,14 +41,16 @@ object TpchQueries {
         .join(customer, col("o_custkey") === col("c_custkey"))
         .groupBy("c_mktsegment")
         .agg(
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          sum((col("l_extendedprice").cast("decimal(18,4)") *
+            (lit(1) - col("l_discount").cast("decimal(18,4)"))).cast("decimal(18,4)")).cast("double").as("revenue"),
           countDistinct("o_orderkey").as("order_cnt"))
     }),
     // Top-k: highest-revenue orders (deterministic tie-break on key).
     "q_topk_orders" -> ((s, dir) => {
       table(s, dir, "lineitem")
         .groupBy("l_orderkey")
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .agg(sum((col("l_extendedprice").cast("decimal(18,4)") *
+          (lit(1) - col("l_discount").cast("decimal(18,4)"))).cast("decimal(18,4)")).cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
     }),
@@ -59,24 +62,25 @@ object TpchQueries {
         .join(nation, col("c_nationkey") === col("n_nationkey"))
         .join(region, col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name")
-        .agg(count(lit(1)).as("customers"), round(sum("c_acctbal"), 2).as("total_acctbal"))
+        .agg(count(lit(1)).as("customers"),
+          sum(col("c_acctbal").cast("decimal(18,4)")).cast("double").as("total_acctbal"))
     })
   )
 
   val oracles: Map[String, String] = Map(
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
-        |       ROUND(SUM(l_quantity), 2) AS sum_qty,
-        |       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-        |       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        |       ROUND(AVG(l_quantity), 4) AS avg_qty,
-        |       ROUND(AVG(l_discount), 6) AS avg_disc,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        |       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |       CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
         |       COUNT(*) AS count_order
         |FROM lineitem
         |GROUP BY 1, 2""".stripMargin,
     "q3_segment_revenue" ->
       """SELECT c_mktsegment,
-        |       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
         |       COUNT(DISTINCT o_orderkey) AS order_cnt
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -84,13 +88,13 @@ object TpchQueries {
         |GROUP BY 1""".stripMargin,
     "q_topk_orders" ->
       """SELECT l_orderkey,
-        |       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
         |FROM lineitem
         |GROUP BY 1
         |ORDER BY revenue DESC, l_orderkey
         |LIMIT 10""".stripMargin,
     "q_region_customers" ->
-      """SELECT r_name, COUNT(*) AS customers, ROUND(SUM(c_acctbal), 2) AS total_acctbal
+      """SELECT r_name, COUNT(*) AS customers, CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_acctbal
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey

@@ -32,8 +32,8 @@ object SummarizationJob {
         count(col("value")).as("cnt"),
         min(col("value")).as("vmin"),
         max(col("value")).as("vmax"),
-        round(sum(col("value")), 4).as("vsum"),
-        round(avg(col("value")), 4).as("vavg"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("vsum"),
+        (sum(col("value").cast("decimal(18,6)")).cast("double") / count(col("value"))).as("vavg"),
         element_at(sort_array(collect_list(col("value"))),
           ceil(lit(0.50) * count(col("value"))).cast("int")).as("p50"),
         element_at(sort_array(collect_list(col("value"))),

@@ -17,7 +17,7 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
         if df[c].dtype.kind in "iu":
             df[c] = df[c].astype("int64")
         elif df[c].dtype.kind == "f":
-            df[c] = df[c].astype("float64").round(9)
+            df[c] = df[c].astype("float64")
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
@@ -45,7 +45,7 @@ def main(sf_dir, out_dir):
         if len(s) != len(d):
             print(f"ROWS     {name}: spark={len(s)} duck={len(d)}"); fail += 1; continue
         try:
-            pd.testing.assert_frame_equal(s, d, check_dtype=False, check_exact=False, rtol=1e-9, atol=1e-9)
+            pd.testing.assert_frame_equal(s, d, check_dtype=False, check_exact=True)
             print(f"OK       {name} ({len(s)} rows)"); ok += 1
         except AssertionError as e:
             print(f"VALUES   {name}: {str(e).splitlines()[-1]}"); fail += 1
