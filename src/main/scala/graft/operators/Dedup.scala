@@ -53,26 +53,34 @@ object Dedup {
    * MinHash LSH near-dup candidates: band the signature (`bandSize` hashes per
    * band), self-join per band key, estimate Jaccard as the fraction of equal
    * signature components. Only co-bucketed pairs are ever compared.
+   *
+   * Scale: the full signature rides along through the band explode, so the
+   * estimate is computed inside the banded self-join itself — no re-join
+   * against the per-doc signature table (which would be corpus-sized and must
+   * never be broadcast). The only shuffles are the band-key join and the
+   * final pair distinct, both on well-distributed keys.
    */
   def minhashLsh(docs: DataFrame, numHashes: Int = 8, bandSize: Int = 2): DataFrame = {
     require(numHashes % bandSize == 0, "numHashes must be divisible by bandSize")
+    // cached (memory+disk, partition-local) because the banded self-join reads
+    // it once per side; this is a per-executor materialization, not a broadcast
     val mh = minhashSignatures(docs, numHashes).cache()
     val nBands = numHashes / bandSize
     val bandKey = (b: Int) => concat((b * bandSize until (b + 1) * bandSize).map(k => col(s"mh$k")): _*)
+    val sigCols = (0 until numHashes).map(c => col(s"mh$c"))
     val bands = mh.select(
-      col("doc_id"),
-      explode(array((0 until nBands).map(b => struct(lit(b).as("b"), bandKey(b).as("key"))): _*)).as("bk"))
-      .select(col("doc_id"), col("bk.b").as("b"), col("bk.key").as("key"))
-    val cand = bands.as("x").join(bands.as("y"),
-        col("x.b") === col("y.b") && col("x.key") === col("y.key") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+      col("doc_id") +: sigCols :+
+        explode(array((0 until nBands).map(b => struct(lit(b).as("b"), bandKey(b).as("key"))): _*)).as("bk"): _*)
+      .select(col("doc_id") +: sigCols :+ col("bk.b").as("b") :+ col("bk.key").as("key"): _*)
     val eq = (0 until numHashes)
       .map(k => when(col(s"x.mh$k") === col(s"y.mh$k"), 1).otherwise(0))
       .reduce(_ + _)
-    cand.join(broadcast(mh.as("x")), col("a") === col("x.doc_id"))
-      .join(broadcast(mh.as("y")), col("b") === col("y.doc_id"))
-      .select(col("a"), col("b"), (eq.cast("double") / numHashes).as("est_jaccard"))
+    bands.as("x").join(bands.as("y"),
+        col("x.b") === col("y.b") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        (eq.cast("double") / numHashes).as("est_jaccard"))
+      .distinct() // est_jaccard is a function of (a,b), so this == distinct pairs
   }
 
   /**
@@ -87,21 +95,25 @@ object Dedup {
     // the oracle-pinned configuration keeps exact semantics.
     val allSh = shingles(docs).cache()
     val sh = if (maxDocFreq == Long.MaxValue) allSh else {
+      // shingle cardinality >> doc cardinality, so the frequency filter must
+      // shuffle-join on the shingle itself (never broadcast); AQE may still
+      // choose a broadcast when the surviving set is genuinely small
       val freq = allSh.groupBy("s").agg(count(lit(1)).as("df")).where(col("df") <= maxDocFreq)
-      allSh.join(broadcast(freq.select("s")), "s")
+      allSh.join(freq.select("s"), "s")
     }
     val inter = sh.as("x").join(sh.as("y"),
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .agg(count(lit(1)).as("inter"))
     // true set sizes always come from the UNCAPPED shingles (capping only
-    // narrows candidate generation; scores stay comparable)
+    // narrows candidate generation; scores stay comparable). One row per doc —
+    // corpus-sized, so the scoring joins shuffle on doc_id (no broadcast).
     val sizes = allSh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val jac = col("inter").cast("double") /
       (col("sa.n") + col("sb.n") - col("inter")).cast("double")
     inter
-      .join(broadcast(sizes.as("sa")), col("a") === col("sa.doc_id"))
-      .join(broadcast(sizes.as("sb")), col("b") === col("sb.doc_id"))
+      .join(sizes.as("sa"), col("a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("b") === col("sb.doc_id"))
       .where(jac >= threshold)
       .select(col("a"), col("b"), jac.as("jaccard"))
   }
@@ -127,13 +139,15 @@ object Dedup {
           |                      / CAST(pow(2, i % 4) AS INT) AS INT) % 2 = 1 THEN 1 ELSE -1 END)) > 0
           |  THEN '1' ELSE '0' END), '')""".stripMargin).as("simhash"))
 
-  /** SimHash near-dup pairs within the same 16-bit-prefix block. */
+  /** SimHash near-dup pairs within the same 16-bit-prefix block. The prefix is
+    * the join key, so this is a shuffle self-join on a well-distributed key —
+    * the signature table is corpus-sized and must never be broadcast. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
     val sh = simhashSignatures(docs).cache()
     val hamming = expr(
       """size(filter(sequence(1, 32), j ->
         |  substr(x.simhash, j, 1) != substr(y.simhash, j, 1)))""".stripMargin)
-    sh.as("x").join(broadcast(sh.as("y")),
+    sh.as("x").join(sh.as("y"),
         expr("substr(x.simhash, 1, 16) = substr(y.simhash, 1, 16)") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"), hamming.cast("long").as("hamming"))

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/**
+ * Scale-safety of the fuzzy-dedup plans: no stage may broadcast a
+ * corpus-sized (per-doc or per-shingle) table. With the auto-broadcast
+ * threshold disabled, a BroadcastExchange can only appear if the operator
+ * itself planted a broadcast hint — so its absence proves the plan
+ * shuffle-joins on distributed keys and would survive a 100 TB corpus
+ * (AQE may still elect a broadcast at runtime when a side is genuinely
+ * small, which is the desired behavior and not hint-forced).
+ */
+class DedupPlanSpec extends AnyFunSuite with SparkSpec {
+
+  import spark.implicits._
+
+  private def docs: DataFrame =
+    (0L until 32L).map(i => (i, s"some document number $i with shared words and unique token t$i"))
+      .toDF("doc_id", "text")
+
+  private def broadcasts(df: DataFrame): Seq[BroadcastExchangeExec] = {
+    val plan = df.queryExecution.executedPlan
+    val unwrapped = plan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    unwrapped.collect { case b: BroadcastExchangeExec => b }
+  }
+
+  private def withNoAutoBroadcast[T](body: => T): T = {
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try body
+    finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
+  test("minhashLsh plans without any broadcast exchange") {
+    withNoAutoBroadcast {
+      val b = broadcasts(Dedup.minhashLsh(docs))
+      assert(b.isEmpty, s"corpus-sized broadcast in minhashLsh plan: $b")
+    }
+  }
+
+  test("ngramJaccard (capped and uncapped) plans without any broadcast exchange") {
+    withNoAutoBroadcast {
+      val plain = broadcasts(Dedup.ngramJaccard(docs, threshold = 0.1))
+      assert(plain.isEmpty, s"corpus-sized broadcast in ngramJaccard plan: $plain")
+      val capped = broadcasts(Dedup.ngramJaccard(docs, threshold = 0.1, maxDocFreq = 16))
+      assert(capped.isEmpty, s"corpus-sized broadcast in capped ngramJaccard plan: $capped")
+    }
+  }
+
+  test("simhashPairs plans without any broadcast exchange") {
+    withNoAutoBroadcast {
+      val b = broadcasts(Dedup.simhashPairs(docs))
+      assert(b.isEmpty, s"corpus-sized broadcast in simhashPairs plan: $b")
+    }
+  }
+
+  test("minhashLsh still surfaces a planted near-duplicate (post de-broadcast)") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val out = Dedup.minhashLsh(
+      Seq(1L -> base, 2L -> base.replace("dog", "cat"), 3L -> "completely unrelated words about engines")
+        .toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.exists { case (a, b, est) => a == 1L && b == 2L && est >= 0.5 })
+    assert(out.count { case (a, b, _) => a == 1L && b == 2L } == 1, "pair emitted once")
+  }
+}
