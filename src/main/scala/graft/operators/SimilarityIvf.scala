@@ -1,39 +1,77 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /**
  * IVF-style (inverted-file) approximate nearest neighbor — the coarse-quantizer
  * scale path complementing [[Similarity.lshBucketedPairs]]:
  *
- * 1. pick `nLists` deterministic centroids (the corpus vectors whose vec_id
- *    hashes lowest — a seeded sample; on a real corpus you'd run a few k-means
- *    sweeps, which is just this assignment step iterated);
- * 2. assign every corpus vector to its nearest centroid (broadcast of the
- *    centroid table, one scan — no corpus shuffle);
- * 3. at query time, probe only the `nProbe` nearest lists per query, computing
+ * 1. pick `nLists` deterministic seed centroids (the corpus vectors whose
+ *    vec_id hashes lowest — a seeded sample, reproducible in any engine);
+ * 2. optionally refine them with a few k-means sweeps ([[kmeansCentroids]] —
+ *    the assignment step iterated, recall-gated in spec);
+ * 3. assign every corpus vector to its nearest centroid (broadcast of the
+ *    tiny centroid table, one scan — no corpus shuffle);
+ * 4. at query time, probe only the `nProbe` nearest lists per query, computing
  *    exact cosine inside them.
  *
  * Search cost drops from O(N) to O(N * nProbe / nLists) per query; the join
  * key (list id) distributes across the cluster, so the index build and the
- * probe are both shuffle-partitioned operations — no driver loops beyond the
- * tiny centroid table.
+ * probe are both shuffle-partitioned operations. The only driver-side step is
+ * indexing the <= nLists seed rows (explicitly tiny — this replaces an
+ * unpartitioned global window, which would funnel the frame through a single
+ * task).
  */
 object SimilarityIvf {
 
   import Similarity.{dot, norm}
 
+  private val centroidSchema = StructType(Seq(
+    StructField("list_id", IntegerType, nullable = false),
+    StructField("centroid", ArrayType(FloatType), nullable = false)))
+
   /** Deterministic centroid pick: the `nLists` corpus rows with the smallest
-    * md5(vec_id) — a uniform seeded sample, reproducible across runs. */
-  def centroids(corpus: DataFrame, nLists: Int): DataFrame =
-    corpus
+    * md5(vec_id) — a uniform seeded sample, reproducible across runs and
+    * engines. The <= nLists survivors are indexed on the driver (tiny by
+    * construction) instead of through a global window. */
+  def centroids(corpus: DataFrame, nLists: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    val seeds: Array[Row] = corpus
       .withColumn("h", md5(col("vec_id").cast("string")))
       .orderBy("h")
       .limit(nLists)
-      .select(row_number().over(Window.orderBy("h")).as("list_id"),
-        col("embedding").as("centroid"), norm("embedding").as("cnorm"))
+      .select(col("embedding"))
+      .collect()
+    val rows = seeds.zipWithIndex.map { case (r, i) => Row(i + 1, r.getSeq[Float](0)) }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toIndexedSeq, 1), centroidSchema)
+      .select(col("list_id"), col("centroid"), norm("centroid").as("cnorm"))
+  }
+
+  /**
+   * K-means refinement: seed with [[centroids]], then `iters` sweeps of
+   * (assign to nearest, recompute per-list mean). Each sweep is one corpus
+   * scan + a partial-aggregatable per-(list, dim) average — no collect of
+   * member vectors, so it scales to any list size. Lists that lose all
+   * members drop out (their id is skipped), like any IVF trainer.
+   */
+  def kmeansCentroids(corpus: DataFrame, nLists: Int, iters: Int = 2): DataFrame = {
+    var cents = centroids(corpus, nLists)
+    for (_ <- 0 until iters) {
+      val assigned = assign(corpus, cents)
+      val perDim = assigned
+        .select(col("list_id"), posexplode(expr("transform(embedding, x -> CAST(x AS DOUBLE))")).as(Seq("d", "v")))
+        .groupBy("list_id", "d")
+        .agg(avg("v").as("m"))
+      cents = perDim
+        .groupBy("list_id")
+        .agg(expr("transform(array_sort(collect_list(struct(d, m))), s -> CAST(s.m AS FLOAT))").as("centroid"))
+        .select(col("list_id"), col("centroid"), norm("centroid").as("cnorm"))
+    }
+    cents
+  }
 
   /** Assign each corpus vector to its nearest centroid (max cosine). */
   def assign(corpus: DataFrame, cents: DataFrame): DataFrame = {
@@ -73,10 +111,19 @@ object SimilarityIvf {
       .where(col("rank") <= k)
   }
 
-  /** Convenience: build + search in one call. */
+  /** Convenience: build + search in one call (seeded centroids — the
+    * deterministic, oracle-gated configuration). */
   def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int,
       nLists: Int = 16, nProbe: Int = 4): DataFrame = {
     val cents = centroids(corpus, nLists).cache()
+    search(assign(corpus, cents), cents, queries, k, nProbe)
+  }
+
+  /** Build + search with k-means-refined centroids (higher recall; gated by
+    * a recall-vs-brute-force spec rather than a SQL oracle). */
+  def ivfKnnKmeans(corpus: DataFrame, queries: DataFrame, k: Int,
+      nLists: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame = {
+    val cents = kmeansCentroids(corpus, nLists, iters).cache()
     search(assign(corpus, cents), cents, queries, k, nProbe)
   }
 }

@@ -29,9 +29,10 @@ object LlmQueries {
       Similarity.bruteForceKnn(e, e.where(col("vec_id") < 5), k = 5)
     }),
     "embed_lsh_pairs" -> ((s, dir) => Similarity.lshBucketedPairs(emb(s, dir), bits = 8, minCosine = 0.3)),
-    // IVF coarse-quantizer ANN (scale path). No SQL oracle: centroid pick +
-    // iterative-style assignment aren't reasonably expressible in ANSI SQL,
-    // so the driver records the weaker rows-only check for this entry.
+    // IVF coarse-quantizer ANN (scale path), seeded-centroid configuration —
+    // fully deterministic, so the whole pipeline (seed pick, assignment,
+    // probing, in-list exact cosine) has a SQL oracle below. The k-means
+    // refined variant is recall-gated in SimilarityIvfSpec instead.
     "embed_ivf_knn" -> ((s, dir) => {
       val e = emb(s, dir)
       graft.operators.SimilarityIvf.ivfKnn(e, e.where(col("vec_id") < 5), k = 5)
@@ -148,6 +149,43 @@ object LlmQueries {
          |  FROM embeddings q JOIN embeddings d ON q.vec_id < 5 AND d.vec_id != q.vec_id),
          |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM c)
          |SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= 5""".stripMargin,
+    // mirrors SimilarityIvf.ivfKnn(nLists=16, nProbe=4, k=5) step for step:
+    // same md5 seed order, same sequential-fold dot products, same tie-breaks
+    "embed_ivf_knn" ->
+      """WITH cents AS (
+        |  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS list_id,
+        |         embedding AS centroid,
+        |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS cnorm
+        |  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
+        |corpus AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS vnorm
+        |  FROM embeddings),
+        |assigned AS (
+        |  SELECT vec_id, embedding, vnorm, list_id FROM (
+        |    SELECT c.vec_id, c.embedding, c.vnorm, t.list_id,
+        |           ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+        |             list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(t.centroid AS DOUBLE[]))
+        |               / (c.vnorm * t.cnorm) DESC, t.list_id) AS rn
+        |    FROM corpus c CROSS JOIN cents t)
+        |  WHERE rn = 1),
+        |probes AS (
+        |  SELECT query_id, qe, qnorm, list_id FROM (
+        |    SELECT q.vec_id AS query_id, q.embedding AS qe, q.vnorm AS qnorm, t.list_id,
+        |           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |             list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(t.centroid AS DOUBLE[]))
+        |               / (q.vnorm * t.cnorm) DESC, t.list_id) AS rn
+        |    FROM corpus q CROSS JOIN cents t WHERE q.vec_id < 5)
+        |  WHERE rn <= 4),
+        |scored AS (
+        |  SELECT p.query_id, a.vec_id AS neighbor_id,
+        |         list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(p.qe AS DOUBLE[]))
+        |           / (a.vnorm * p.qnorm) AS sim
+        |  FROM assigned a JOIN probes p ON a.list_id = p.list_id AND a.vec_id != p.query_id)
+        |SELECT query_id, neighbor_id, sim, rank FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5""".stripMargin,
     "embed_lsh_pairs" ->
       """WITH elems AS (
         |  SELECT vec_id, UNNEST(embedding) AS v, generate_subscripts(embedding, 1) AS d FROM embeddings),

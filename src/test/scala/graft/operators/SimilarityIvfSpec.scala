@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/**
+ * IVF ANN: determinism of the seeded configuration (the oracle-gated path)
+ * and recall of the k-means-refined configuration vs brute-force truth.
+ */
+class SimilarityIvfSpec extends AnyFunSuite with SparkSpec {
+
+  import spark.implicits._
+
+  /** 4 well-separated clusters of 30 vectors each in 8-d. */
+  private def clustered: DataFrame = {
+    val centers = Seq(
+      Array(10.0, 0, 0, 0, 0, 0, 0, 0), Array(0, 10.0, 0, 0, 0, 0, 0, 0),
+      Array(0, 0, 10.0, 0, 0, 0, 0, 0), Array(0, 0, 0, 10.0, 0, 0, 0, 0))
+    (0L until 120L).map { i =>
+      val c = centers((i % 4).toInt)
+      // deterministic per-(vector, dim) jitter in [-0.5, 0.5)
+      val v = c.zipWithIndex.map { case (x, d) => (x + ((i * 31 + d * 7) % 100) / 100.0 - 0.5).toFloat }
+      (i, v)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("seeded centroids are deterministic and indexed without a global window") {
+    val c1 = SimilarityIvf.centroids(clustered, 8).collect().map(r => (r.getInt(0), r.getSeq[Float](1)))
+    val c2 = SimilarityIvf.centroids(clustered, 8).collect().map(r => (r.getInt(0), r.getSeq[Float](1)))
+    assert(c1.toSeq == c2.toSeq)
+    assert(c1.length == 8 && c1.map(_._1).toSeq == (1 to 8))
+  }
+
+  test("kmeans centroids converge toward cluster means and stay deterministic") {
+    val k1 = SimilarityIvf.kmeansCentroids(clustered, 4, iters = 2).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1)
+    val k2 = SimilarityIvf.kmeansCentroids(clustered, 4, iters = 2).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1)
+    assert(k1.toSeq == k2.toSeq, "k-means refinement must be deterministic")
+    assert(k1.nonEmpty && k1.forall(_._2.length == 8))
+    // every refined centroid should point dominantly at one cluster axis
+    k1.foreach { case (_, c) =>
+      val mags = c.map(math.abs)
+      assert(mags.max > 2 * (mags.sum - mags.max) / 7, s"centroid not cluster-aligned: ${c.mkString(",")}")
+    }
+  }
+
+  test("kmeans-refined IVF reaches recall >= 0.8 vs brute force") {
+    val data = clustered.cache()
+    val queries = data.where(col("vec_id") % 17 === 0)
+    val truth = Similarity.bruteForceKnn(data, queries, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = SimilarityIvf.ivfKnnKmeans(data, queries, k = 5, nLists = 4, nProbe = 1, iters = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (truth intersect approx).size.toDouble / truth.size
+    assert(recall >= 0.8, s"recall $recall below 0.8 (truth=${truth.size}, approx=${approx.size})")
+  }
+}
