@@ -89,6 +89,21 @@ object TimelyQueries {
         .agg(
           count(lit(1)).as("points"),
           countDistinct(col("tags").getItem("user")).as("user_values"))
+    }),
+    "meta_ageoff" -> ((s, dir) => {
+      // L2 meta age-off (MetaAgeOffIterator.java:77-97): a meta row survives
+      // iff its metric has points newer than the prefix-TTL horizon. nowMs is
+      // anchored to max(ts) so the gate is deterministic at any scale factor;
+      // prefix set exercises longest-prefix-wins ('si' over 's').
+      val pts = points(s, dir)
+      val now = pts.agg(max("ts")).first().getLong(0)
+      val ttl = Map(
+        "default" -> 30L * 24 * 3600000,
+        "error" -> 3600000L,
+        "si" -> 48L * 3600000,
+        "s" -> 12L * 3600000)
+      val live = pts.where(col("ts") >= graft.sources.PointStore.horizonExpr(ttl, now))
+      graft.sources.PointStore.metaAgeOff(graft.operators.Points.meta(pts), live)
     })
   )
 
@@ -167,6 +182,19 @@ object TimelyQueries {
     "meta_report" ->
       """SELECT event_type AS metric, COUNT(*) AS points,
         |       COUNT(DISTINCT user_id) AS user_values
-        |FROM events GROUP BY 1""".stripMargin
+        |FROM events GROUP BY 1""".stripMargin,
+    "meta_ageoff" ->
+      """WITH pts AS (
+        |  SELECT event_type AS metric, epoch_ms(ts) AS ts, user_id FROM events),
+        |mx AS (SELECT MAX(ts) AS now FROM pts),
+        |live AS (
+        |  SELECT DISTINCT metric FROM pts, mx
+        |  WHERE ts >= CASE WHEN metric LIKE 'error%' THEN now - 3600000
+        |                   WHEN metric LIKE 'si%' THEN now - 172800000
+        |                   WHEN metric LIKE 's%' THEN now - 43200000
+        |                   ELSE now - 2592000000 END),
+        |meta AS (
+        |  SELECT DISTINCT metric, 'user' AS tagk, CAST(user_id AS VARCHAR) AS tagv FROM pts)
+        |SELECT m.metric, m.tagk, m.tagv FROM meta m JOIN live l ON m.metric = l.metric""".stripMargin
   )
 }

@@ -60,24 +60,46 @@ object PointStore {
    * rewriting the retained set. On a table format with deletes (Delta/Iceberg)
    * this would be a metadata-only `DELETE WHERE`.
    */
+  /** Retention horizon for a metric as a codegen'd when-chain (longest prefix
+    * wins, 'default' fallback) — no UDF, so the resulting `ts >= horizon`
+    * predicate stays inside whole-stage codegen and, for a constant-per-metric
+    * store, prunes at the scan. */
+  def horizonExpr(ttlMsByPrefix: Map[String, Long], nowMs: Long): org.apache.spark.sql.Column = {
+    require(ttlMsByPrefix.contains("default"), "age-off config requires a 'default' TTL")
+    val byLen = ttlMsByPrefix.filter(_._1 != "default").toSeq
+      .sortBy { case (p, _) => (-p.length, p) } // longest prefix first
+    byLen.reverse.foldLeft(lit(nowMs - ttlMsByPrefix("default"))) {
+      case (els, (prefix, ttl)) =>
+        when(col("metric").startsWith(prefix), lit(nowMs - ttl)).otherwise(els)
+    }
+  }
+
   def ageOff(
       spark: SparkSession,
       dataDir: String,
       outDir: String,
       ttlMsByPrefix: Map[String, Long],
-      nowMs: Long): Unit = {
-    require(ttlMsByPrefix.contains("default"), "age-off config requires a 'default' TTL")
-    val horizon = udf((metric: String) => {
-      val ttl = ttlMsByPrefix
-        .filter { case (p, _) => p != "default" && metric.startsWith(p) }
-        .toSeq.sortBy(-_._1.length).headOption.map(_._2)
-        .getOrElse(ttlMsByPrefix("default"))
-      nowMs - ttl
-    })
+      nowMs: Long): Unit =
     read(spark, dataDir)
-      .where(col("ts") >= horizon(col("metric")))
+      .where(col("ts") >= horizonExpr(ttlMsByPrefix, nowMs))
       .write.mode(SaveMode.Overwrite).partitionBy("metric", "dt", "hr").parquet(outDir)
-  }
+
+  /**
+   * Meta age-off (L2) — the reference ages catalog entries alongside the data
+   * (server/src/main/java/timely/server/store/MetaAgeOffIterator.java:77-97);
+   * here the catalog invariant is "a meta row survives iff its metric still
+   * has live points". The live-metric set is metric-cardinality-sized (tiny
+   * next to the corpus), so the semi-join broadcasts under AQE while the meta
+   * side streams — no full rebuild of meta from data.
+   */
+  def metaAgeOff(meta: DataFrame, livePoints: DataFrame): DataFrame =
+    meta.join(livePoints.select("metric").distinct(), Seq("metric"), "left_semi")
+
+  /** File-level meta maintenance paired with [[ageOff]]: rewrite the meta dir
+    * keeping only metrics that survive in the aged data dir. */
+  def metaAgeOff(spark: SparkSession, metaDir: String, agedDataDir: String, outMetaDir: String): Unit =
+    metaAgeOff(spark.read.parquet(metaDir), read(spark, agedDataDir))
+      .write.mode(SaveMode.Overwrite).parquet(outMetaDir)
 
   /** Query-time age-off clamp: like the reference's cache iterator clamping
     * the scan start to the retention horizon (cache/DataStoreCache.java:748-752). */

@@ -60,6 +60,38 @@ class PointStoreSpec extends AnyFunSuite with SparkSpec {
     assert(q.count() == 1)
   }
 
+  test("meta age-off removes catalog rows for fully-aged metrics") {
+    val base = Files.createTempDirectory("graft-metaageoff").toString
+    val now = T + 10 * Day
+    val pts = Seq(
+      MetricPoint("live.m", now - 1 * Day, 1.0, Map("host" -> "a"), None),
+      MetricPoint("dead.m", now - 9 * Day, 1.0, Map("host" -> "b", "rack" -> "r1"), None))
+    PointStore.write(pts.toDF(), s"$base/data")
+    PointStore.writeMeta(pts.toDF(), s"$base/meta")
+    PointStore.ageOff(spark, s"$base/data", s"$base/aged",
+      Map("default" -> 3 * Day), now)
+    PointStore.metaAgeOff(spark, s"$base/meta", s"$base/aged", s"$base/metaOut")
+    // dead.m has no surviving points -> all of its meta rows (both tags) drop;
+    // suggest over the aged catalog no longer offers it
+    val before = spark.read.parquet(s"$base/meta").select("metric").distinct()
+      .as[String].collect().toSet
+    assert(before == Set("live.m", "dead.m"))
+    val after = spark.read.parquet(s"$base/metaOut")
+      .select("metric", "tagk", "tagv").as[(String, String, String)].collect().toSet
+    assert(after == Set(("live.m", "host", "a")))
+  }
+
+  test("age-off horizon is a codegen'd when-chain, longest prefix first") {
+    val h = PointStore.horizonExpr(
+      Map("default" -> 100L, "a" -> 200L, "ab" -> 300L), nowMs = 1000L)
+    val got = Seq("abc", "ax", "zzz").toDF("metric").select(h.as("hz"))
+      .as[Long].collect().toSeq
+    assert(got == Seq(700L, 800L, 900L)) // ab beats a; default for zzz
+    // no ScalaUDF anywhere in the expression tree
+    val e = org.apache.spark.sql.GraftSqlBridge.expression(h)
+    assert(e.find(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.ScalaUDF]).isEmpty)
+  }
+
   test("query-time retention clamp") {
     assert(PointStore.clampStart(0L, 1000000L, 10000L) == 990000L)
     assert(PointStore.clampStart(995000L, 1000000L, 10000L) == 995000L)
