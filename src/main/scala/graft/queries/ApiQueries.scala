@@ -79,6 +79,20 @@ object ApiQueries {
         .toDF()
         .select(col("metric"), col("ts"), col("value"),
           col("tags").getItem("user").as("tag_user"))
+    }),
+    // S5 FlatBuffers batch ingest round trip: points -> per-partition Metrics
+    // buffers (100-point batches) -> auto-detecting frame decode -> points.
+    // Same oracle shape as the put-line round trip: the wire format must be
+    // lossless.
+    "api_fb_roundtrip" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      points(s, dir).as[MetricPoint]
+        .mapPartitions(_.grouped(100).map(g => graft.model.MetricsFlatBuffer.encode(g)))
+        .flatMap(bytes => graft.streaming.PutLineIngest.decodeFrame(bytes))
+        .toDF()
+        .select(col("metric"), col("ts"), col("value"),
+          col("tags").getItem("user").as("tag_user"))
     })
   )
 
@@ -136,6 +150,10 @@ object ApiQueries {
         |FROM events
         |GROUP BY 1, 2""".stripMargin,
     "api_putline_roundtrip" ->
+      """SELECT event_type AS metric, epoch_ms(ts) AS ts, value,
+        |       CAST(user_id AS VARCHAR) AS tag_user
+        |FROM events""".stripMargin,
+    "api_fb_roundtrip" ->
       """SELECT event_type AS metric, epoch_ms(ts) AS ts, value,
         |       CAST(user_id AS VARCHAR) AS tag_user
         |FROM events""".stripMargin,

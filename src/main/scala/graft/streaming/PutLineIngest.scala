@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.model.{MetricParser, MetricPoint}
+import graft.model.{MetricParser, MetricPoint, MetricsFlatBuffer}
 
 /**
  * Streaming ingest of the put line protocol — the Spark re-expression of the
@@ -33,6 +33,33 @@ object PutLineIngest {
     excludeMetricRegex.foreach { re => points = points.filter(!_.metric.matches(re)) }
     defaultViz.foreach { dv =>
       // default-visibility injection at ingest (DataStore.java:402-407)
+      points = points.map(p => if (p.viz.isEmpty) p.copy(viz = Some(dv)) else p)
+    }
+    points
+  }
+
+  /** Decode one binary ingest frame, auto-detecting FlatBuffers batches vs
+    * put-line text exactly like the reference's TCP pipeline
+    * (common/src/main/java/timely/netty/tcp/MetricsBufferDecoder.java:28-52):
+    * a frame carrying the "TMFB" identifier unpacks as a Metrics batch, any
+    * other frame is treated as UTF-8 put lines. */
+  def decodeFrame(bytes: Array[Byte]): Seq[MetricPoint] =
+    if (MetricsFlatBuffer.hasIdentifier(bytes)) MetricsFlatBuffer.decode(bytes)
+    else new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+      .linesIterator.flatMap(MetricParser.parse(_)).toSeq
+
+  /** Parse a (streaming or batch) dataset of binary frames — the S5 batch
+    * ingest source. Works for any framed byte source (Kafka value column,
+    * socket with length framing, file drop). */
+  def parseFrames(
+      frames: Dataset[Array[Byte]],
+      excludeMetricRegex: Option[String] = None,
+      defaultViz: Option[String] = None): Dataset[MetricPoint] = {
+    val spark = frames.sparkSession
+    import spark.implicits._
+    var points = frames.flatMap(decodeFrame(_))
+    excludeMetricRegex.foreach { re => points = points.filter(!_.metric.matches(re)) }
+    defaultViz.foreach { dv =>
       points = points.map(p => if (p.viz.isEmpty) p.copy(viz = Some(dv)) else p)
     }
     points
