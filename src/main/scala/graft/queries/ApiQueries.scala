@@ -80,6 +80,51 @@ object ApiQueries {
         .select(col("metric"), col("ts"), col("value"),
           col("tags").getItem("user").as("tag_user"))
     }),
+    // aggregator=none end-to-end: no downsample (1 ms passthrough), no
+    // cross-series collapse — one output row per (series, ts), group_tags =
+    // the full tag set (reference DataStore.java:741-751: "none" skips the
+    // AggregationIterator entirely).
+    "api_query_none" -> ((s, dir) => {
+      val req = TsQueryRequest(Start, End, msResolution = true, queries = Seq(
+        SubQuery(aggregator = "none", metric = "signup")))
+      QueryPlanner.plan(points(s, dir), req, auths = Seq.empty).head
+        .select(col("metric"), col("group_tags").getItem("user").as("tag_user"),
+          col("ts_out"), col("value"))
+    }),
+    // Rate with counterMax > 0 (RateIterator.java:78-89: on decrease the new
+    // value is bumped by counterMax, not the previous value).
+    "api_rate_countermax" -> ((s, dir) => {
+      val req = TsQueryRequest(Start, End, msResolution = true, queries = Seq(
+        SubQuery(aggregator = "max", metric = "click", rate = true,
+          rateOptions = RateOptions(counter = true, counterMax = 100000L, interval = Some("1h")),
+          downsample = Some("1h-max"), tags = Map("user" -> "1.*"))))
+      QueryPlanner.plan(points(s, dir), req, auths = Seq.empty).head
+        .select(col("metric"), col("group_tags").getItem("user").as("tag_user"),
+          col("ts_out"), col("value"))
+    }),
+    // Multi-subquery request: both subqueries planned from ONE TsQueryRequest
+    // (the reference splices all SubQuery responses into a single array —
+    // QueryRequest.java:219-234, DataStore.java:645-662).
+    "api_query_multi" -> ((s, dir) => {
+      val req = TsQueryRequest(Start, End, msResolution = false, queries = Seq(
+        SubQuery(aggregator = "sum", metric = "purchase", downsample = Some("1d-avg")),
+        SubQuery(aggregator = "max", metric = "view", downsample = Some("1d-max"))))
+      QueryPlanner.plan(points(s, dir), req, auths = Seq.empty).zipWithIndex
+        .map { case (df, i) =>
+          df.select(lit(i.toLong).as("q_idx"), col("metric"), col("ts_out"), col("value"))
+        }
+        .reduce(_.unionAll(_))
+    }),
+    // GET-form m= subquery string through the full grammar
+    // (QueryRequest.java:515-627): agg : rate{counter,max,reset} : dur-agg :
+    // metric {k=v} — parsed by QueryJson.parseMQuery, then planned.
+    "api_query_getform" -> ((s, dir) => {
+      val sub = graft.planner.QueryJson.parseMQuery("avg:rate{counter,50000,1000}:2h-avg:view{user=3.*}")
+      val req = TsQueryRequest(Start, End, msResolution = false, queries = Seq(sub))
+      QueryPlanner.plan(points(s, dir), req, auths = Seq.empty).head
+        .select(col("metric"), col("group_tags").getItem("user").as("tag_user"),
+          col("ts_out"), col("value"))
+    }),
     // S5 FlatBuffers batch ingest round trip: points -> per-partition Metrics
     // buffers (100-point batches) -> auto-detecting frame decode -> points.
     // Same oracle shape as the put-line round trip: the wire format must be
@@ -149,6 +194,80 @@ object ApiQueries {
         |       list_sort(list(value))[CAST(ceil(0.99 * COUNT(value)) AS INT)] AS p99
         |FROM events
         |GROUP BY 1, 2""".stripMargin,
+    "api_query_none" ->
+      """SELECT event_type AS metric, CAST(user_id AS VARCHAR) AS tag_user,
+        |       epoch_ms(ts) AS ts_out,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value) AS value
+        |FROM events
+        |WHERE event_type = 'signup'
+        |  AND epoch_ms(ts) BETWEEN 1704067200000 AND 1706918400000
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "api_rate_countermax" ->
+      """WITH p AS (
+        |  SELECT user_id, epoch_ms(ts) AS ts, value,
+        |         LAG(value) OVER w AS pv, LAG(epoch_ms(ts)) OVER w AS pts
+        |  FROM events
+        |  WHERE event_type = 'click'
+        |    AND epoch_ms(ts) BETWEEN 1704067200000 AND 1706918400000
+        |    AND regexp_matches(CAST(user_id AS VARCHAR), '^(?:1.*)$')
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), value)),
+        |r AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN ts = pts THEN 0
+        |              ELSE ((CASE WHEN value < pv THEN value + 100000 ELSE value END) - pv)
+        |                   / (ts - pts) * 3600000 END AS value
+        |  FROM p WHERE pts IS NOT NULL),
+        |d AS (
+        |  SELECT user_id, ts // 3600000 * 3600000 AS ts_out, MAX(value) AS value
+        |  FROM r GROUP BY 1, 2)
+        |SELECT 'click' AS metric, CAST(user_id AS VARCHAR) AS tag_user, ts_out,
+        |       MAX(value) AS value
+        |FROM d GROUP BY 1, 2, 3""".stripMargin,
+    "api_query_multi" ->
+      """WITH d0 AS (
+        |  SELECT user_id,
+        |         epoch_ms(ts) // 86400000 * 86400000 AS bucket_ms,
+        |         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value) AS value
+        |  FROM events
+        |  WHERE event_type = 'purchase'
+        |    AND epoch_ms(ts) BETWEEN 1704067200000 AND 1706918400000
+        |  GROUP BY 1, 2)
+        |SELECT CAST(0 AS BIGINT) AS q_idx, 'purchase' AS metric,
+        |       bucket_ms // 1000 AS ts_out,
+        |       list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_sort(list(value))), (acc, v) -> acc + v) AS value
+        |FROM d0 GROUP BY 3
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), 'view',
+        |       epoch_ms(ts) // 86400000 * 86400000 // 1000, MAX(value)
+        |FROM events
+        |WHERE event_type = 'view'
+        |  AND epoch_ms(ts) BETWEEN 1704067200000 AND 1706918400000
+        |GROUP BY 3""".stripMargin,
+    "api_query_getform" ->
+      """WITH p AS (
+        |  SELECT user_id, epoch_ms(ts) AS ts, value,
+        |         LAG(value) OVER w AS pv, LAG(epoch_ms(ts)) OVER w AS pts
+        |  FROM events
+        |  WHERE event_type = 'view'
+        |    AND epoch_ms(ts) BETWEEN 1704067200000 AND 1706918400000
+        |    AND regexp_matches(CAST(user_id AS VARCHAR), '^(?:3.*)$')
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), value)),
+        |r AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN ts = pts THEN 0
+        |              WHEN ((CASE WHEN value < pv THEN value + 50000 ELSE value END) - pv)
+        |                   / (ts - pts) * 7200000 > 1000 THEN 0
+        |              ELSE ((CASE WHEN value < pv THEN value + 50000 ELSE value END) - pv)
+        |                   / (ts - pts) * 7200000 END AS value
+        |  FROM p WHERE pts IS NOT NULL),
+        |d AS (
+        |  SELECT user_id, ts // 7200000 * 7200000 AS bucket_ms,
+        |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_sort(list(value))), (acc, v) -> acc + v)
+        |           / COUNT(value) AS value
+        |  FROM r GROUP BY 1, 2)
+        |SELECT 'view' AS metric, CAST(user_id AS VARCHAR) AS tag_user,
+        |       bucket_ms // 1000 AS ts_out, value
+        |FROM d""".stripMargin,
     "api_putline_roundtrip" ->
       """SELECT event_type AS metric, epoch_ms(ts) AS ts, value,
         |       CAST(user_id AS VARCHAR) AS tag_user
