@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.model.{MetricParser, MetricPoint, MetricsFlatBuffer}
+import graft.model.{Exclusions, MetricParser, MetricPoint, MetricsFlatBuffer}
 
 /**
  * Streaming ingest of the put line protocol — the Spark re-expression of the
@@ -19,23 +19,39 @@ import graft.model.{MetricParser, MetricPoint, MetricsFlatBuffer}
  */
 object PutLineIngest {
 
+  /** Apply the ingest-time policy shared by every source: metric exclusion
+    * (matched against the full metric line, reference Exclusions.java:96-105),
+    * then per-metric tag stripping (Exclusions.java:147-155), then default
+    * visibility injection (DataStore.java:402-407). All executor-side. */
+  private def applyPolicy(
+      points: Dataset[MetricPoint],
+      excludeMetricRegex: Option[String],
+      excludedTags: Map[String, Set[String]],
+      defaultViz: Option[String]): Dataset[MetricPoint] = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    var out = points
+    excludeMetricRegex.foreach { re => out = out.filter(p => !Exclusions.isExcluded(Seq(re), p)) }
+    if (excludedTags.nonEmpty) out = out.map(Exclusions.stripTags(excludedTags, _))
+    defaultViz.foreach { dv =>
+      out = out.map(p => if (p.viz.isEmpty) p.copy(viz = Some(dv)) else p)
+    }
+    out
+  }
+
   /** Parse a (streaming or batch) line dataset into canonical points.
     * Exclusion filters (reference Exclusions.java) are predicate pushups:
     * apply `excludeMetricRegex` before anything else so excluded series
-    * never enter the stream. */
+    * never enter the stream, and strip `excludedTags` before storage so
+    * neither the data nor the meta catalog ever sees them. */
   def parse(
       lines: Dataset[String],
       excludeMetricRegex: Option[String] = None,
-      defaultViz: Option[String] = None): Dataset[MetricPoint] = {
+      defaultViz: Option[String] = None,
+      excludedTags: Map[String, Set[String]] = Map.empty): Dataset[MetricPoint] = {
     val spark = lines.sparkSession
     import spark.implicits._
-    var points = lines.flatMap(MetricParser.parse(_))
-    excludeMetricRegex.foreach { re => points = points.filter(!_.metric.matches(re)) }
-    defaultViz.foreach { dv =>
-      // default-visibility injection at ingest (DataStore.java:402-407)
-      points = points.map(p => if (p.viz.isEmpty) p.copy(viz = Some(dv)) else p)
-    }
-    points
+    applyPolicy(lines.flatMap(MetricParser.parse(_)), excludeMetricRegex, excludedTags, defaultViz)
   }
 
   /** Decode one binary ingest frame, auto-detecting FlatBuffers batches vs
@@ -54,15 +70,11 @@ object PutLineIngest {
   def parseFrames(
       frames: Dataset[Array[Byte]],
       excludeMetricRegex: Option[String] = None,
-      defaultViz: Option[String] = None): Dataset[MetricPoint] = {
+      defaultViz: Option[String] = None,
+      excludedTags: Map[String, Set[String]] = Map.empty): Dataset[MetricPoint] = {
     val spark = frames.sparkSession
     import spark.implicits._
-    var points = frames.flatMap(decodeFrame(_))
-    excludeMetricRegex.foreach { re => points = points.filter(!_.metric.matches(re)) }
-    defaultViz.foreach { dv =>
-      points = points.map(p => if (p.viz.isEmpty) p.copy(viz = Some(dv)) else p)
-    }
-    points
+    applyPolicy(frames.flatMap(decodeFrame(_)), excludeMetricRegex, excludedTags, defaultViz)
   }
 
   /** Canonical points frame with derived partition columns. At cluster scale

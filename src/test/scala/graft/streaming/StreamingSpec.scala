@@ -41,6 +41,42 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(rows.forall(_.metric == "sys.cpu.user"))
   }
 
+  test("excluded tags are stripped before storage: absent from data AND meta") {
+    val dir = Files.createTempDirectory("graft-excl").toString
+    val input = MemoryStream[String]
+    // reference Exclusions.java:147-155: per-metric tag-KEY stripping at ingest
+    val parsed = PutLineIngest.parse(input.toDS(),
+      excludedTags = Map("sys.cpu.user" -> Set("instance", "pid")))
+    val q = PutLineIngest.startStorageSink(parsed, s"$dir/data", s"$dir/meta", s"$dir/ckpt")
+    input.addData(
+      s"put sys.cpu.user $T 1.0 host=a instance=i-123 pid=42",
+      s"put sys.cpu.idle $T 2.0 host=b instance=i-999") // unconfigured metric: untouched
+    q.processAllAvailable()
+    q.stop()
+    val data = spark.read.parquet(s"$dir/data")
+    val userTags = data.where(col("metric") === "sys.cpu.user")
+      .select(explode(col("tags"))).as[(String, String)].collect().toMap
+    assert(userTags == Map("host" -> "a")) // instance/pid stripped
+    val idleTags = data.where(col("metric") === "sys.cpu.idle")
+      .select(explode(col("tags"))).as[(String, String)].collect().toMap
+    assert(idleTags == Map("host" -> "b", "instance" -> "i-999"))
+    val metaKeys = spark.read.parquet(s"$dir/meta")
+      .as[(String, String, String)].collect().toSet
+    assert(metaKeys == Set(
+      ("sys.cpu.user", "host", "a"),
+      ("sys.cpu.idle", "host", "b"), ("sys.cpu.idle", "instance", "i-999")))
+  }
+
+  test("metric exclusion matches the full metric line with .* auto-append") {
+    import graft.model.Exclusions
+    val p = MetricPoint("sys.cpu.user", T, 1.0, Map("rack" -> "r1", "host" -> "a"), None)
+    assert(Exclusions.metricLine(p) == "sys.cpu.user host=a rack=r1") // sorted tags
+    assert(Exclusions.isExcluded(Seq("sys\\.cpu"), p))            // prefix + auto .*
+    assert(Exclusions.isExcluded(Seq("sys\\.cpu\\.user host=a"), p)) // tag-aware match
+    assert(!Exclusions.isExcluded(Seq("sys\\.cpu\\.user host=z"), p))
+    assert(Exclusions.stripTags(Map("other" -> Set("host")), p) == p) // unconfigured
+  }
+
   test("storage sink writes (metric, dt, hr)-partitioned data + meta") {
     val dir = Files.createTempDirectory("graft-store").toString
     val input = MemoryStream[String]
