@@ -2,6 +2,8 @@ package graft.planner
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
 
 /**
  * The small constant/catalog API endpoints of the reference, as library calls:
@@ -36,5 +38,57 @@ object TimelyApi {
   def lookup(meta: DataFrame, metric: String, tagvPattern: String, limit: Int = 25): (DataFrame, Long) = {
     val matches = meta.where(col("metric") === metric && col("tagv").rlike(tagvPattern))
     (matches.orderBy("metric", "tagk", "tagv").limit(limit), matches.count())
+  }
+
+  /** /api/suggest wire shape: a bare JSON array of the suggestion strings
+    * (reference SuggestResponse.SuggestSerializer,
+    * server/src/main/java/timely/api/response/timeseries/SuggestResponse.java:28-37). */
+  def suggestJson(meta: DataFrame, kind: String, q: String, max: Int = 25): String = {
+    val vals = suggest(meta, kind, q, max).collect().map(_.getString(0))
+    JsonMethods.compact(JsonMethods.render(JArray(vals.map(JString(_)).toList)))
+  }
+
+  /**
+   * /api/search/lookup wire shape — the exact SearchLookupResponse envelope
+   * (server/src/main/java/timely/api/response/timeseries/SearchLookupResponse.java:13,
+   * field order from @JsonPropertyOrder; assembly DataStore.java:582-633):
+   * `{"type":"LOOKUP","metric":…,"tags":{…},"limit":N,"time":T,
+   *   "totalResults":N,"results":[{"tags":{k:v},"metric":null,"tsuid":null},…]}`.
+   *
+   * `tags` maps tag key -> value regex; a meta row matches when some entry has
+   * an equal key and a FULL-matching value pattern (DataStore.matches,
+   * `Matcher.matches` semantics — hence the `^(?:…)$` anchoring). Results are
+   * (tagk, tagv)-ordered like the reference's meta-table scan order.
+   *
+   * @param timeMs elapsed-time field value; injectable so responses are
+   *               deterministic under test (the reference stamps wall time)
+   */
+  def lookupJson(
+      meta: DataFrame,
+      metric: String,
+      tags: Map[String, String],
+      limit: Int = 25,
+      timeMs: Int = 0): String = {
+    val cond = tags
+      .map { case (k, re) => col("tagk") === k && col("tagv").rlike(s"^(?:$re)$$") }
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val matches = meta.where(col("metric") === metric && cond)
+    val total = matches.count()
+    val rows = matches.orderBy("tagk", "tagv").limit(limit).select("tagk", "tagv").collect()
+    val results = JArray(rows.toList.map { r =>
+      JObject(
+        "tags" -> JObject(r.getString(0) -> JString(r.getString(1))),
+        "metric" -> JNull,
+        "tsuid" -> JNull)
+    })
+    val envelope = JObject(
+      "type" -> JString("LOOKUP"),
+      "metric" -> JString(metric),
+      "tags" -> JObject(tags.toList.sorted.map { case (k, v) => JField(k, JString(v)) }),
+      "limit" -> JInt(limit),
+      "time" -> JInt(timeMs),
+      "totalResults" -> JInt(total),
+      "results" -> results)
+    JsonMethods.compact(JsonMethods.render(envelope))
   }
 }

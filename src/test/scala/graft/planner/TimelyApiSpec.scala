@@ -31,6 +31,32 @@ class TimelyApiSpec extends AnyFunSuite with SparkSpec {
     assert(total == 2 && rows.count() == 1)
   }
 
+  test("suggest JSON is a bare array (SuggestResponse serializer shape)") {
+    assert(TimelyApi.suggestJson(meta, "metrics", "cpu") ==
+      """["sys.cpu.idle","sys.cpu.user"]""")
+    assert(TimelyApi.suggestJson(meta, "tagv", "host", max = 1) == """["web01"]""")
+    assert(TimelyApi.suggestJson(meta, "metrics", "nosuch") == "[]")
+  }
+
+  test("lookup JSON matches the SearchLookupResponse envelope exactly") {
+    // field order per @JsonPropertyOrder(SearchLookupResponse.java:13); result
+    // rows carry null metric/tsuid like the reference's default serializer
+    assert(TimelyApi.lookupJson(meta, "sys.cpu.user", Map("host" -> "web.*")) ==
+      """{"type":"LOOKUP","metric":"sys.cpu.user","tags":{"host":"web.*"},""" +
+      """"limit":25,"time":0,"totalResults":2,"results":[""" +
+      """{"tags":{"host":"web01"},"metric":null,"tsuid":null},""" +
+      """{"tags":{"host":"web02"},"metric":null,"tsuid":null}]}""")
+    // limit caps results but totalResults counts all matches
+    assert(TimelyApi.lookupJson(meta, "sys.cpu.user", Map("host" -> "web.*", "rack" -> "r\\d"), limit = 1) ==
+      """{"type":"LOOKUP","metric":"sys.cpu.user","tags":{"host":"web.*","rack":"r\\d"},""" +
+      """"limit":1,"time":0,"totalResults":3,"results":[""" +
+      """{"tags":{"host":"web01"},"metric":null,"tsuid":null}]}""")
+    // full-match semantics: "web" alone must NOT match web01 (Matcher.matches)
+    assert(TimelyApi.lookupJson(meta, "sys.cpu.user", Map("host" -> "web")) ==
+      """{"type":"LOOKUP","metric":"sys.cpu.user","tags":{"host":"web"},""" +
+      """"limit":25,"time":0,"totalResults":0,"results":[]}""")
+  }
+
   test("aggregators list matches the reference set") {
     assert(TimelyApi.Aggregators == Seq("avg", "dev", "max", "min", "sum", "count", "none"))
     assert(TimelyApi.aggregatorsJson == """["avg","dev","max","min","sum","count","none"]""")
