@@ -22,6 +22,11 @@ object LlmQueries {
     "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(docs(s, dir))),
     "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
     "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(docs(s, dir), threshold = 0.8)),
+    // the 100 TB configuration: ultra-common shingles (boilerplate) capped out
+    // of candidate generation (maxDocFreq), scores still from uncapped sizes —
+    // the skew guard itself is correctness-pinned by the oracle
+    "dedup_ngram_jaccard_capped" -> ((s, dir) =>
+      Dedup.ngramJaccard(docs(s, dir), threshold = 0.7, maxDocFreq = 5L)),
     "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(docs(s, dir))),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir), maxHamming = 6)),
     "embed_knn" -> ((s, dir) => {
@@ -110,6 +115,16 @@ object LlmQueries {
          |SELECT p.a, p.b, inter * 1.0 / (sa.n + sb.n - inter) AS jaccard
          |FROM p JOIN sz sa ON p.a = sa.doc_id JOIN sz sb ON p.b = sb.doc_id
          |WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8""".stripMargin,
+    "dedup_ngram_jaccard_capped" ->
+      s"""WITH sh0 AS ($Shingles),
+         |freq AS (SELECT s FROM (SELECT s, COUNT(*) AS df FROM sh0 GROUP BY 1) WHERE df <= 5),
+         |sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN freq USING (s)),
+         |p AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS inter
+         |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh0 GROUP BY 1)
+         |SELECT p.a, p.b, inter * 1.0 / (sa.n + sb.n - inter) AS jaccard
+         |FROM p JOIN sz sa ON p.a = sa.doc_id JOIN sz sb ON p.b = sb.doc_id
+         |WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.7""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""WITH mh AS ($MinhashSql),
          |bands AS (
