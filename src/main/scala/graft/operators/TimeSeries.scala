@@ -119,16 +119,85 @@ object TimeSeries {
   }
 
   /**
+   * Deterministic shard of a series identity: value of the two leading md5 hex
+   * digits, mod `nShards`. Engine-independent (md5 + hex-digit arithmetic), so
+   * a SQL oracle reproduces the same shard assignment:
+   * `((strpos('0123456789abcdef', substr(md5(s),1,1)) - 1) * 16
+   *   + strpos('0123456789abcdef', substr(md5(s),2,1)) - 1) % N`.
+   */
+  def seriesShard(series: Column, nShards: Int): Column =
+    pmod(conv(substring(md5(series), 1, 2), 16, 10).cast("long"), lit(nShards.toLong))
+
+  /** Default shard count for two-level folds: bounds any single aggregation
+    * buffer to ~seriesCount/64 values while adding only one extra (cheap,
+    * 64-row-per-group) aggregation stage. */
+  val CrossSeriesShards = 64
+
+  /**
    * Cross-series aggregation: collapse all series that survived filtering into
    * one series per (metric, bucket, queried-tag subset) — the reference's
    * AggregationIterator (server/src/main/java/timely/server/sample/iterators/AggregationIterator.java:27-128)
-   * + queried-tag grouping (DataStore.java:752-762). Uses the deterministic
-   * fold: inputs are derived doubles.
+   * + queried-tag grouping (DataStore.java:752-762).
+   *
+   * Scale design: the deterministic fold needs its group's values sorted, so a
+   * single-level fold would buffer every collapsing series in one aggregation
+   * buffer (the reference plans 50k tag sets per metric — CacheProperties
+   * .java:17; a hot metric at 100x would put millions of doubles in one
+   * buffer). sum/avg/dev therefore run a TWO-LEVEL deterministic fold: fold
+   * within an md5-derived series shard (buffer <= ~series/nShards), then fold
+   * the <= nShards partial results sorted. Both levels are engine-independent,
+   * so the result is still bit-exact across runs AND engines — just a
+   * different (documented, oracle-pinned) summation order than the one-level
+   * fold. min/max/count are associative and keep Catalyst's ordinary bounded
+   * partial aggregation.
    */
-  def crossSeries(downsampled: DataFrame, agg: String, groupCols: Seq[String] = Seq("metric")): DataFrame =
-    downsampled
-      .groupBy((groupCols :+ "bucket_ms").map(col): _*)
-      .agg(foldAggregator(agg).as("value"))
+  def crossSeries(
+      downsampled: DataFrame,
+      agg: String,
+      groupCols: Seq[String] = Seq("metric"),
+      seriesCol: String = "series",
+      nShards: Int = CrossSeriesShards): DataFrame = {
+    val gb = (groupCols :+ "bucket_ms").map(col)
+    agg match {
+      case "sum" | "avg" | "dev" =>
+        val partials = shardPartials(agg)
+        val lvl1 = downsampled
+          .groupBy(gb :+ seriesShard(col(seriesCol), nShards).as("shard"): _*)
+          .agg(partials.head, partials.tail: _*)
+        lvl1.groupBy(gb: _*).agg(shardFinal(agg).as("value"))
+      case _ =>
+        downsampled
+          .groupBy(gb: _*)
+          .agg(foldAggregator(agg).as("value"))
+    }
+  }
+
+  /** Level-1 (per-shard) aggregates of the two-level fold. */
+  def shardPartials(agg: String, valueCol: String = "value"): Seq[Column] = {
+    val psum = expr(s"aggregate(sort_array(collect_list($valueCol)), 0D, (acc, v) -> acc + v)").as("psum")
+    val pss = expr(
+      s"aggregate(transform(sort_array(collect_list($valueCol)), v -> v * v), 0D, (acc, v) -> acc + v)").as("pss")
+    val pn = count(col(valueCol)).as("pn")
+    agg match {
+      case "sum" => Seq(psum)
+      case "avg" => Seq(psum, pn)
+      case "dev" => Seq(pss, pn)
+      case other => throw new IllegalArgumentException(s"not a two-level aggregator: $other")
+    }
+  }
+
+  /** Level-2 (cross-shard) combiner of the two-level fold. */
+  def shardFinal(agg: String): Column = {
+    def fold(c: String) = expr(s"aggregate(sort_array(collect_list($c)), 0D, (acc, v) -> acc + v)")
+    agg match {
+      case "sum" => fold("psum")
+      case "avg" => fold("psum") / sum(col("pn"))
+      case "dev" =>
+        val n = sum(col("pn"))
+        when(n === 1, sqrt(fold("pss"))).otherwise(sqrt(fold("pss") / (n - 1)))
+      case other => throw new IllegalArgumentException(s"not a two-level aggregator: $other")
+    }
+  }
 
   // value as deterministic tie-break for equal-ms timestamps (oracle parity)
   private def seriesWindow =

@@ -132,14 +132,31 @@ object QueryPlanner {
         else map_from_arrays(
           typedlit(queriedKeys),
           array(queriedKeys.map(k => col("tags").getItem(k)): _*))
-      perSeries
-        .withColumn("group_tags", groupTags)
-        .groupBy(col("metric"), col("group_tags"), col("bucket_ms"))
-        .agg(
-          TimeSeries.foldAggregator(q.aggregator).as("value"),
-          // tag keys aggregated away -> QueryResponse.aggregatedTags
-          array_sort(array_distinct(flatten(collect_list(
-            array_except(map_keys(col("tags")), typedlit(queriedKeys)))))).as("aggregated_tags"))
+      // tag keys aggregated away -> QueryResponse.aggregatedTags
+      val aggTags = (c: Column) =>
+        array_sort(array_distinct(flatten(collect_list(c))))
+      val strippedKeys = array_except(map_keys(col("tags")), typedlit(queriedKeys))
+      val grouped = perSeries.withColumn("group_tags", groupTags)
+      val gb = Seq(col("metric"), col("group_tags"), col("bucket_ms"))
+      q.aggregator match {
+        case "sum" | "avg" | "dev" =>
+          // two-level deterministic fold: bounded buffers at any series
+          // cardinality (see TimeSeries.crossSeries scaladoc)
+          grouped
+            .groupBy(gb :+ TimeSeries.seriesShard(
+              TimeSeries.seriesKey(col("tags")), TimeSeries.CrossSeriesShards).as("shard"): _*)
+            .agg(TimeSeries.shardPartials(q.aggregator).head,
+              TimeSeries.shardPartials(q.aggregator).tail :+ aggTags(strippedKeys).as("ptags"): _*)
+            .groupBy(gb: _*)
+            .agg(TimeSeries.shardFinal(q.aggregator).as("value"),
+              aggTags(col("ptags")).as("aggregated_tags"))
+        case _ =>
+          grouped
+            .groupBy(gb: _*)
+            .agg(
+              TimeSeries.foldAggregator(q.aggregator).as("value"),
+              aggTags(strippedKeys).as("aggregated_tags"))
+      }
     }
   }
 

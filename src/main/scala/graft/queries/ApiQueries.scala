@@ -144,16 +144,22 @@ object ApiQueries {
   val oracles: Map[String, String] = Map(
     "api_query_sum" ->
       """WITH d AS (
-        |  SELECT user_id,
+        |  SELECT 'user=' || CAST(user_id AS VARCHAR) AS series,
         |         epoch_ms(ts) // 3600000 * 3600000 AS bucket_ms,
         |         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value) AS value
         |  FROM events
         |  WHERE event_type = 'purchase'
         |    AND epoch_ms(ts) BETWEEN 1704067200000 AND 1706918400000
-        |  GROUP BY 1, 2)
+        |  GROUP BY 1, 2),
+        |l1 AS (
+        |  SELECT bucket_ms,
+        |         ((strpos('0123456789abcdef', substr(md5(series), 1, 1)) - 1) * 16
+        |          + strpos('0123456789abcdef', substr(md5(series), 2, 1)) - 1) % 64 AS shard,
+        |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_sort(list(value))), (acc, v) -> acc + v) AS psum
+        |  FROM d GROUP BY 1, 2)
         |SELECT 'purchase' AS metric, bucket_ms // 1000 AS ts_out,
-        |       list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_sort(list(value))), (acc, v) -> acc + v) AS value
-        |FROM d GROUP BY 2""".stripMargin,
+        |       list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_sort(list(psum))), (acc, v) -> acc + v) AS value
+        |FROM l1 GROUP BY 2""".stripMargin,
     "api_query_rate_max" ->
       """WITH p AS (
         |  SELECT user_id, epoch_ms(ts) AS ts, value,
@@ -225,17 +231,23 @@ object ApiQueries {
         |FROM d GROUP BY 1, 2, 3""".stripMargin,
     "api_query_multi" ->
       """WITH d0 AS (
-        |  SELECT user_id,
+        |  SELECT 'user=' || CAST(user_id AS VARCHAR) AS series,
         |         epoch_ms(ts) // 86400000 * 86400000 AS bucket_ms,
         |         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value) AS value
         |  FROM events
         |  WHERE event_type = 'purchase'
         |    AND epoch_ms(ts) BETWEEN 1704067200000 AND 1706918400000
-        |  GROUP BY 1, 2)
+        |  GROUP BY 1, 2),
+        |l0 AS (
+        |  SELECT bucket_ms,
+        |         ((strpos('0123456789abcdef', substr(md5(series), 1, 1)) - 1) * 16
+        |          + strpos('0123456789abcdef', substr(md5(series), 2, 1)) - 1) % 64 AS shard,
+        |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_sort(list(value))), (acc, v) -> acc + v) AS psum
+        |  FROM d0 GROUP BY 1, 2)
         |SELECT CAST(0 AS BIGINT) AS q_idx, 'purchase' AS metric,
         |       bucket_ms // 1000 AS ts_out,
-        |       list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_sort(list(value))), (acc, v) -> acc + v) AS value
-        |FROM d0 GROUP BY 3
+        |       list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_sort(list(psum))), (acc, v) -> acc + v) AS value
+        |FROM l0 GROUP BY 3
         |UNION ALL
         |SELECT CAST(1 AS BIGINT), 'view',
         |       epoch_ms(ts) // 86400000 * 86400000 // 1000, MAX(value)

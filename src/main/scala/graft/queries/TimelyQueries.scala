@@ -117,15 +117,23 @@ object TimelyQueries {
       // RMS quirk (Dev.java:5-19): sqrt(sum(x^2)/(n-1)), n==1 -> sqrt(sum(x^2))
       dsSql("CASE WHEN COUNT(*) = 1 THEN SQRT(CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)) AS DECIMAL(18,4))) AS DOUBLE)) ELSE SQRT(CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)) AS DECIMAL(18,4))) AS DOUBLE)/(COUNT(*)-1)) END"),
     "ts_cross_series_sum" ->
+      // two-level deterministic fold (TimeSeries.crossSeries): fold within an
+      // md5-derived series shard, then fold the sorted partial sums
       """WITH d AS (
         |  SELECT event_type AS metric,
         |         'user=' || CAST(user_id AS VARCHAR) AS series,
         |         epoch_ms(ts) // 3600000 * 3600000 AS bucket_ms,
         |         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value) AS value
-        |  FROM events GROUP BY 1, 2, 3)
+        |  FROM events GROUP BY 1, 2, 3),
+        |l1 AS (
+        |  SELECT metric, bucket_ms,
+        |         ((strpos('0123456789abcdef', substr(md5(series), 1, 1)) - 1) * 16
+        |          + strpos('0123456789abcdef', substr(md5(series), 2, 1)) - 1) % 64 AS shard,
+        |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_sort(list(value))), (acc, v) -> acc + v) AS psum
+        |  FROM d GROUP BY 1, 2, 3)
         |SELECT metric, bucket_ms,
-        |       list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_sort(list(value))), (acc, v) -> acc + v) AS value
-        |FROM d GROUP BY 1, 2""".stripMargin,
+        |       list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_sort(list(psum))), (acc, v) -> acc + v) AS value
+        |FROM l1 GROUP BY 1, 2""".stripMargin,
     "ts_rate" ->
       """WITH p AS (
         |  SELECT event_type AS metric,

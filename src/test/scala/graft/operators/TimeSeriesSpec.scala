@@ -100,4 +100,51 @@ class TimeSeriesSpec extends AnyFunSuite with SparkSpec {
       .select("bucket_ms", "value").as[(Long, Double)].collect()
     assert(out.toSeq == Seq((0L, 4.0)))
   }
+
+  test("two-level fold: 100k series per bucket, bounded shards, bit-exact") {
+    import org.apache.spark.sql.functions._
+    val n = 100000
+    // a hot metric with 100k collapsing series in ONE bucket — the case where
+    // a single-level sorted fold would put all 100k doubles in one buffer
+    val df = spark.range(n.toLong).select(
+      lit("m").as("metric"),
+      concat(lit("user=u"), col("id")).as("series"),
+      lit(0L).as("bucket_ms"),
+      ((col("id") % 997).cast("double") / lit(7.0)).as("value"))
+    val out = TimeSeries.crossSeries(df, "sum")
+      .select("bucket_ms", "value").as[(Long, Double)].collect()
+
+    // independent JVM-side reference of the same two-level deterministic fold
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val byShard = (0 until n)
+      .map(i => (Integer.parseInt(md5hex(s"user=u$i").substring(0, 2), 16) % 64,
+        (i % 997).toDouble / 7.0))
+      .groupBy(_._1).values
+    val psums = byShard.map(_.map(_._2).sorted.foldLeft(0.0)(_ + _)).toSeq
+    val expected = psums.sorted.foldLeft(0.0)(_ + _)
+    assert(out.length == 1 && out.head._1 == 0L)
+    assert(out.head._2 == expected) // bit-exact, not approximate
+
+    // the shard really bounds the level-1 buffers: every shard holds a small
+    // fraction of the series, so no aggregation buffer sees the full 100k
+    val shardSizes = byShard.map(_.size)
+    assert(shardSizes.size == 64 && shardSizes.max < 2 * n / 64)
+  }
+
+  test("two-level avg and dev match their single-group definitions") {
+    import org.apache.spark.sql.functions._
+    // all series land in distinct shards rarely; with 200 series the two-level
+    // result must still equal the closed-form checks on simple values
+    val df = spark.range(200L).select(
+      lit("m").as("metric"),
+      concat(lit("s"), col("id")).as("series"),
+      lit(0L).as("bucket_ms"),
+      lit(2.0).as("value")) // constant values: any summation order is exact
+    val avg = TimeSeries.crossSeries(df, "avg").select("value").as[Double].head()
+    assert(avg == 2.0)
+    val dev = TimeSeries.crossSeries(df, "dev").select("value").as[Double].head()
+    assert(math.abs(dev - math.sqrt(200 * 4.0 / 199)) < 1e-12)
+  }
 }
