@@ -171,9 +171,25 @@ object QueryPlanner {
 
   /** One-call API: plan every subquery and concatenate their response objects
     * into a single JSON array (the reference returns one array for the whole
-    * request — QueryResponse.java). */
-  def runQuery(points: DataFrame, req: TsQueryRequest, auths: Seq[String]): String = {
+    * request — QueryResponse.java). With `internal` set, the query is counted
+    * into the S10 internal-metrics loopback like the reference's
+    * DataStore.query does (response count + elapsed ms). */
+  def runQuery(
+      points: DataFrame,
+      req: TsQueryRequest,
+      auths: Seq[String],
+      internal: Option[graft.streaming.InternalMetrics] = None): String = {
+    val t0 = System.currentTimeMillis()
     val parts = plan(points, req, auths).map(QueryJson.toResponses)
+    internal.foreach { im =>
+      val numResponses = parts.map { p =>
+        org.json4s.jackson.JsonMethods.parse(p) match {
+          case org.json4s.JArray(xs) => xs.length.toLong
+          case _ => 0L
+        }
+      }.sum
+      im.addQueryResponse(numResponses, System.currentTimeMillis() - t0)
+    }
     // each part is a JSON array — splice their elements together
     parts.map(_.stripPrefix("[").stripSuffix("]")).filter(_.nonEmpty).mkString("[", ",", "]")
   }

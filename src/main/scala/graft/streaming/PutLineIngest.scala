@@ -88,21 +88,37 @@ object PutLineIngest {
 
   /** Start a streaming write of parsed points to partitioned parquet, with the
     * meta catalog maintained per micro-batch (the reference writes meta keys
-    * on every store — DataStore.java:415-433). */
+    * on every store — DataStore.java:415-433). With `internal` set, per-batch
+    * point/key counts feed the S10 loopback (reference DataStore.java:436-441
+    * increments the same counters on every store call). */
   def startStorageSink(
       points: Dataset[MetricPoint],
       dataDir: String,
       metaDir: String,
-      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpointDir: String,
+      internal: Option[InternalMetrics] = None): org.apache.spark.sql.streaming.StreamingQuery =
     withPartitionColumns(points.toDF())
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").partitionBy("metric", "dt", "hr").parquet(dataDir)
-        batch
+        val b = if (internal.isDefined) batch.persist() else batch
+        b.write.mode("append").partitionBy("metric", "dt", "hr").parquet(dataDir)
+        val meta = b
           .select(col("metric"), explode(col("tags")).as(Seq("tagk", "tagv")))
           .distinct()
-          .write.mode("append").parquet(metaDir)
+        internal match {
+          case Some(im) =>
+            val metaCached = meta.persist()
+            metaCached.write.mode("append").parquet(metaDir)
+            val n = b.count()
+            im.incrementMetricsReceived(n)
+            im.incrementMetricKeysInserted(n)
+            im.incrementMetaKeysInserted(metaCached.count())
+            metaCached.unpersist()
+            b.unpersist()
+          case None =>
+            meta.write.mode("append").parquet(metaDir)
+        }
         ()
       }
       .start()
