@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -11,25 +12,32 @@ import org.apache.spark.sql.functions._
  * MetricHistogram.java:55-104 — percentile = sorted[ceil(p*n)], 1-indexed,
  * i.e. the nearest-rank method, MetricHistogram.java:85-92).
  *
- * Batch and Structured Streaming share this aggregation: the streaming job in
+ * Batch and Structured Streaming share the same math: the streaming job in
  * [[graft.streaming.SummarizationJob]] applies it to a watermarked stream.
  *
- * Scale note: `collect_list` per (metric, window) is the exact-percentile cost;
- * at 100 TB you would swap `percentile_approx` (t-digest) for the exact sort —
- * the reference computes exact ranks, so oracle parity keeps the exact form.
+ * Scale design: the batch path computes EXACT nearest-rank percentiles without
+ * ever buffering a window's values in one aggregation buffer — values are
+ * rank-numbered by a partitioned window sort (Spark's external, spillable
+ * sort), and the rows sitting at the 4 target ranks are picked by a filter.
+ * A (metric, window) group of any size costs a disk-backed sort, not memory.
+ * The streaming job keeps the collect_list form: its state is already bounded
+ * by the watermark horizon, and window functions aren't available in streaming
+ * aggregations.
  */
 object Summarization {
 
-  /** Nearest-rank percentile over a collected window: sorted[ceil(p*n)],
-    * 1-indexed (`element_at` is 1-based, matching the reference's indexing). */
-  private def nearestRank(p: Double): Column =
-    element_at(sort_array(collect_list(col("value"))),
-      ceil(lit(p) * count(col("value"))).cast("int"))
+  private val Percentiles = Seq(0.50, 0.75, 0.90, 0.99)
 
-  /** Tumbling-window histogram per metric: one row per (metric, window start). */
-  def summarize(points: DataFrame, windowMs: Long): DataFrame =
-    points
-      .groupBy(col("metric"), (col("ts") - (col("ts") % lit(windowMs))).as("window_ms"))
+  /** Tumbling-window histogram per metric: one row per (metric, window start).
+    * Nearest-rank percentile = value at 1-indexed rank ceil(p*n) of the sorted
+    * window (the reference's MetricHistogram indexing). */
+  def summarize(points: DataFrame, windowMs: Long): DataFrame = {
+    val keyed = points.select(
+      col("metric"),
+      (col("ts") - (col("ts") % lit(windowMs))).as("window_ms"),
+      col("value"))
+    val stats = keyed
+      .groupBy(col("metric"), col("window_ms"))
       .agg(
         count(col("value")).as("cnt"),
         min(col("value")).as("vmin"),
@@ -38,10 +46,31 @@ object Summarization {
         // TimeSeries.exactAggregator) — plain double sums can flip a
         // round(.,4) boundary between runs/engines
         sum(col("value").cast("decimal(18,6)")).cast("double").as("vsum"),
-        (sum(col("value").cast("decimal(18,6)")).cast("double") / count(col("value"))).as("vavg"),
-        nearestRank(0.50).as("p50"),
-        nearestRank(0.75).as("p75"),
-        nearestRank(0.90).as("p90"),
-        nearestRank(0.99).as("p99"))
-      .withColumn("metric", concat(col("metric"), lit("_summarized")))
+        (sum(col("value").cast("decimal(18,6)")).cast("double") / count(col("value"))).as("vavg"))
+
+    // distributed nearest-rank: external sort per group, then pick the rows at
+    // the 4 target ranks (ties order arbitrarily but the value AT a rank
+    // inside a tie run is unique, so the output is deterministic)
+    val ranked = keyed
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("metric"), col("window_ms")).orderBy(col("value"))))
+      .join(stats.select(col("metric"), col("window_ms"), col("cnt")), Seq("metric", "window_ms"))
+    def rank(p: Double): Column = ceil(lit(p) * col("cnt")).cast("long")
+    val atTargetRank = Percentiles.map(p => col("rn") === rank(p)).reduce(_ || _)
+    val pct = ranked
+      .where(atTargetRank)
+      .groupBy(col("metric"), col("window_ms"))
+      .agg(
+        max(when(col("rn") === rank(0.50), col("value"))).as("p50"),
+        max(when(col("rn") === rank(0.75), col("value"))).as("p75"),
+        max(when(col("rn") === rank(0.90), col("value"))).as("p90"),
+        max(when(col("rn") === rank(0.99), col("value"))).as("p99"))
+
+    stats
+      .join(pct, Seq("metric", "window_ms"))
+      .select(
+        concat(col("metric"), lit("_summarized")).as("metric"),
+        col("window_ms"), col("cnt"), col("vmin"), col("vmax"),
+        col("vsum"), col("vavg"), col("p50"), col("p75"), col("p90"), col("p99"))
+  }
 }
