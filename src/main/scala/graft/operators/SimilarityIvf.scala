@@ -73,17 +73,24 @@ object SimilarityIvf {
     cents
   }
 
-  /** Assign each corpus vector to its nearest centroid (max cosine). */
+  /** Assign each corpus vector to its nearest centroid (max cosine, ties to
+    * the lowest list_id — the same selection a `ROW_NUMBER ... ORDER BY csim
+    * DESC, list_id` makes, but as a partial-aggregatable `max_by` hash
+    * aggregate instead of a window: no corpus-sized shuffle-sort, map-side
+    * combine does most of the work. */
   def assign(corpus: DataFrame, cents: DataFrame): DataFrame = {
     val scored = corpus
       .select(col("vec_id"), col("embedding"), norm("embedding").as("vnorm"))
       .crossJoin(broadcast(cents))
       .withColumn("csim", dot("embedding", "centroid") / (col("vnorm") * col("cnorm")))
-    val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("list_id"))
     scored
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("vnorm"), col("list_id"))
+      .groupBy(col("vec_id"))
+      .agg(
+        // embedding/vnorm are constant within the group (one corpus row
+        // fanned out over centroids) — any representative is exact
+        first(col("embedding")).as("embedding"),
+        first(col("vnorm")).as("vnorm"),
+        expr("max_by(list_id, struct(csim, -list_id))").as("list_id"))
   }
 
   /**
