@@ -56,6 +56,29 @@ object Quickstart {
     println("M_RESPONSE=" + QueryJson.toResponses(
       QueryPlanner.plan(stored, mReq, auths = Seq("A")).head))
 
+    // S5: a FlatBuffers Metrics batch goes through the same ingest path —
+    // decodeFrame auto-detects the "TMFB" identifier vs put-line text
+    val fbFrame = graft.model.MetricsFlatBuffer.encode(pts.collect().toIndexedSeq)
+    println(s"FB_DECODED=${PutLineIngest.decodeFrame(fbFrame).size}")
+
+    // P6: ingest-time exclusions — tag stripping configured per metric
+    val stripped = PutLineIngest.parse(
+      Seq(s"put sys.mem $T 1.0 host=a secret=x").toDS(),
+      excludedTags = Map("sys.mem" -> Set("secret"))).collect()
+    println(s"EXCLUSIONS_TAGS=${stripped.head.tags.keySet.mkString(",")}")
+
+    // M1/M2 wire shapes
+    val meta = graft.operators.Points.meta(stored)
+    println("SUGGEST=" + graft.planner.TimelyApi.suggestJson(meta, "metrics", "cpu"))
+    println("LOOKUP=" + graft.planner.TimelyApi.lookupJson(meta, "sys.cpu.user", Map("host" -> "a")))
+
+    // S10: the engine reports its own counters back into the store
+    val im = new graft.streaming.InternalMetrics("quickstart", 1)
+    im.incrementMetricsReceived(lines.count())
+    im.loopback(spark, s"$dir/store", T + 2000)
+    println("LOOPBACK_ROWS=" + PointStore.read(spark, s"$dir/store")
+      .where($"metric".startsWith("timely.")).count())
+
     // session-level enforcement: with GraftExtensions registered, even a RAW
     // read of a viz-bearing table is filtered by the session's auths — user
     // code cannot bypass it.
