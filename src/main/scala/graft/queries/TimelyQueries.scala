@@ -90,6 +90,28 @@ object TimelyQueries {
           count(lit(1)).as("points"),
           countDistinct(col("tags").getItem("user")).as("user_values"))
     }),
+    "points_ageoff" -> ((s, dir) => {
+      // L1 metric age-off (MetricAgeOffIterator.java:26-110): the surviving
+      // point set under per-prefix TTLs, longest prefix wins ('si' over 's'),
+      // required 'default' fallback; nowMs anchored to max(ts) so the gate is
+      // deterministic at any scale factor.
+      val pts = points(s, dir)
+      val now = pts.agg(max("ts")).first().getLong(0)
+      val ttl = Map(
+        "default" -> 30L * 24 * 3600000,
+        "error" -> 3600000L,
+        "si" -> 48L * 3600000,
+        "s" -> 12L * 3600000)
+      pts.where(col("ts") >= graft.sources.PointStore.horizonExpr(ttl, now))
+        .select(col("metric"), col("ts"), col("value"), col("tags").getItem("user").as("tag_user"))
+    }),
+    "meta_cache_status" -> ((s, dir) => {
+      // M6 /api/cache status: oldest hot (cached-window) timestamp per metric
+      // (reference DataStoreCache.getCacheStatus, cache/DataStoreCache.java:911)
+      val boundary = 1705276800000L // 2024-01-15T00:00Z — mid-range hot window
+      graft.sources.HotColdPoints.hotWindow(points(s, dir), boundary)
+        .groupBy("metric").agg(min("ts").as("oldest_hot_ts"))
+    }),
     "meta_ageoff" -> ((s, dir) => {
       // L2 meta age-off (MetaAgeOffIterator.java:77-97): a meta row survives
       // iff its metric has points newer than the prefix-TTL horizon. nowMs is
@@ -191,6 +213,21 @@ object TimelyQueries {
       """SELECT event_type AS metric, COUNT(*) AS points,
         |       COUNT(DISTINCT user_id) AS user_values
         |FROM events GROUP BY 1""".stripMargin,
+    "points_ageoff" ->
+      """WITH pts AS (
+        |  SELECT event_type AS metric, epoch_ms(ts) AS ts, value,
+        |         CAST(user_id AS VARCHAR) AS tag_user
+        |  FROM events),
+        |mx AS (SELECT MAX(ts) AS now FROM pts)
+        |SELECT metric, ts, value, tag_user FROM pts, mx
+        |WHERE ts >= CASE WHEN metric LIKE 'error%' THEN now - 3600000
+        |                 WHEN metric LIKE 'si%' THEN now - 172800000
+        |                 WHEN metric LIKE 's%' THEN now - 43200000
+        |                 ELSE now - 2592000000 END""".stripMargin,
+    "meta_cache_status" ->
+      """SELECT event_type AS metric, MIN(epoch_ms(ts)) AS oldest_hot_ts
+        |FROM events WHERE epoch_ms(ts) >= 1705276800000
+        |GROUP BY 1""".stripMargin,
     "meta_ageoff" ->
       """WITH pts AS (
         |  SELECT event_type AS metric, epoch_ms(ts) AS ts, user_id FROM events),
