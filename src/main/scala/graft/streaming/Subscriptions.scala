@@ -21,11 +21,21 @@ import graft.planner.QueryPlanner
  * replay-from-beginTime maps onto the stream starting position; `delay`
  * becomes the processing trigger interval.
  */
-class Subscriptions(sink: Row => Unit) {
+class Subscriptions(
+    sink: Row => Unit,
+    onComplete: (String, String) => Unit = (_, _) => ()) {
 
   private val active = new ConcurrentHashMap[String, StreamingQuery]()
 
   private def key(sessionId: String, metric: String) = s"$sessionId/$metric"
+
+  /** The reference sends a `complete:true` MetricResponse sentinel when a
+    * scanner finishes or its subscription is torn down
+    * (MetricScanner.java:270-280) — surfaced here as the onComplete callback
+    * with (sessionId, metric); pair it with
+    * [[MetricResponseJson.completed]] for the wire shape. */
+  private def signalComplete(sessionId: String, metric: String): Unit =
+    onComplete(sessionId, metric)
 
   /** `add` operation: start a tailing query for one metric. `pointsStream`
     * is a streaming DataFrame of the canonical point schema. */
@@ -59,15 +69,18 @@ class Subscriptions(sink: Row => Unit) {
     q
   }
 
-  /** `remove` operation: stop one metric's tail. */
+  /** `remove` operation: stop one metric's tail (+ completion sentinel). */
   def removeMetric(sessionId: String, metric: String): Unit = {
     val k = key(sessionId, metric)
     val q = active.remove(k)
     Subscriptions.sinks.remove(k)
-    if (q != null) q.stop()
+    if (q != null) {
+      q.stop()
+      signalComplete(sessionId, metric)
+    }
   }
 
-  /** `close` operation: tear down every query of the session. */
+  /** `close` operation: tear down every query of the session (+ sentinels). */
   def close(sessionId: String): Unit = {
     val it = active.keySet().iterator()
     while (it.hasNext) {
@@ -76,6 +89,7 @@ class Subscriptions(sink: Row => Unit) {
         active.get(k).stop()
         Subscriptions.sinks.remove(k)
         it.remove()
+        signalComplete(sessionId, k.substring(sessionId.length + 1))
       }
     }
   }

@@ -125,7 +125,12 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
 
   test("subscriptions start, deliver, and tear down per (session, metric)") {
     val received = new java.util.concurrent.ConcurrentLinkedQueue[String]()
-    val subs = new Subscriptions(row => { received.add(row.getAs[String]("metric")); () })
+    val completed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val subs = new Subscriptions(
+      row => { received.add(MetricResponseJson.envelope(
+        Seq(MetricResponseJson.response(row, "session1")))); () },
+      (sid, m) => { completed.add(MetricResponseJson.envelope(
+        Seq(MetricResponseJson.completed(m, sid)))); () })
     val input = MemoryStream[MetricPoint]
     val q = subs.addMetric("session1", input.toDS().toDF(), metric = "sys.cpu.user",
       tags = Map("host" -> "a"), delayMs = 50L)
@@ -136,8 +141,16 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     q.processAllAvailable()
     assert(subs.activeQueries == Seq("session1/sys.cpu.user"))
     assert(received.size() == 1)
+    // delivery wire shape: MetricResponse field order + single-entry tag objects
+    assert(received.peek() ==
+      s"""{"responses":[{"metric":"sys.cpu.user","timestamp":$T,"value":1.0,""" +
+      """"tags":[{"host":"a"}],"subscriptionId":"session1","complete":false}]}""")
     subs.close("session1")
     assert(subs.activeQueries.isEmpty)
     assert(!q.isActive)
+    // teardown sends the reference's complete:true sentinel (MetricScanner.java:270-280)
+    assert(completed.peek() ==
+      """{"responses":[{"metric":"sys.cpu.user","timestamp":0,"value":0.0,""" +
+      """"tags":null,"subscriptionId":"session1","complete":true}]}""")
   }
 }
