@@ -1,0 +1,88 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/**
+ * Native Catalyst expression for the embedding-similarity hot path: a
+ * sequential double-precision dot product of two `ARRAY<FLOAT>` columns.
+ *
+ * Semantically identical to the declarative form it replaces —
+ * `aggregate(zip_with(castD(a), castD(b), (x,y) -> x*y), 0D, (acc,v) -> acc+v)`
+ * — including the fold ORDER (index 0 upward, accumulator seeded 0.0), so
+ * every similarity result stays bit-exact vs the SQL oracle. Unlike the
+ * higher-order-function form (interpreted lambda per element), this compiles
+ * to a tight scalar loop inside whole-stage codegen: no per-element closure
+ * dispatch, no intermediate zipped array allocation. At ANN scale the dot
+ * product runs once per candidate pair — this is the single hottest scalar in
+ * the similarity suite.
+ *
+ * Null semantics mirror zip_with: mismatched lengths or a null element yield
+ * null (zip_with pads the shorter side with null, nulling the sum).
+ */
+case class FloatVectorDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def isFloatArray(dt: DataType) = dt match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (isFloatArray(left.dataType) && isFloatArray(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"FloatVectorDot requires ARRAY<FLOAT> inputs, got ${left.dataType} and ${right.dataType}")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  // can yield null (length mismatch / null element) even for non-null inputs
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
+         |  ${ev.value} = acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): FloatVectorDot =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorFunctions {
+  /** Column API: sequential double dot product of two float-array columns. */
+  def floatDot(a: Column, b: Column): Column =
+    GraftSqlBridge.column(FloatVectorDot(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+}

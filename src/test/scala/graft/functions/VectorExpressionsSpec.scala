@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** FloatVectorDot must be a drop-in for the declarative fold: bit-exact on
+  * the same inputs, zip_with-compatible null semantics, codegen-executable. */
+class VectorExpressionsSpec extends AnyFunSuite with SparkSpec {
+
+  import spark.implicits._
+
+  private val hof =
+    expr("""aggregate(zip_with(transform(a, x -> CAST(x AS DOUBLE)),
+           |                   transform(b, x -> CAST(x AS DOUBLE)),
+           |                   (x, y) -> x * y), 0D, (acc, v) -> acc + v)""".stripMargin)
+
+  test("bit-exact vs the aggregate(zip_with(...)) fold on awkward floats") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 64).map { i =>
+      (Array.fill(64)(rnd.nextFloat() * (if (rnd.nextBoolean()) 1 else -1)),
+        Array.fill(64)((rnd.nextFloat() - 0.5f) * 1e3f))
+    }
+    val df = rows.toDF("a", "b")
+      .select(hof.as("want"), VectorFunctions.floatDot(col("a"), col("b")).as("got"))
+    val collected = df.collect()
+    assert(collected.length == 64)
+    collected.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)), s"mismatch: $r")
+    }
+  }
+
+  test("null semantics match zip_with: length mismatch or null side -> null") {
+    val df = Seq(
+      (Array(1f, 2f), Array(3f, 4f)),       // 11.0
+      (Array(1f, 2f, 3f), Array(1f, 1f))    // length mismatch -> null
+    ).toDF("a", "b")
+    val out = df.select(VectorFunctions.floatDot(col("a"), col("b"))).collect()
+    assert(out(0).getDouble(0) == 11.0)
+    assert(out(1).isNullAt(0))
+    val nullSide = Seq((Array(1f), null.asInstanceOf[Array[Float]])).toDF("a", "b")
+    assert(nullSide.select(VectorFunctions.floatDot(col("a"), col("b"))).head().isNullAt(0))
+  }
+
+  test("participates in whole-stage codegen") {
+    // spark.range keeps the projection in the physical plan (a local Seq
+    // constant-folds into a LocalTableScan and skips codegen entirely)
+    val df = spark.range(4)
+      .select(
+        array((0 until 4).map(i => (col("id") + lit(i)).cast("float")): _*).as("a"),
+        array((0 until 4).map(i => lit(2f * i)): _*).as("b"))
+      .select(VectorFunctions.floatDot(col("a"), col("b")).as("d"))
+    // the dot must sit INSIDE a WholeStageCodegen span (shown as `*(n) Project`)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), s"dot not in a codegen span:\n$plan")
+    // id=0 row: sum over i of i * 2i = 2 * (0 + 1 + 4 + 9) = 28
+    assert(df.orderBy("d").head().getDouble(0) == 28.0)
+  }
+}
