@@ -38,7 +38,10 @@ class Subscriptions(
     onComplete(sessionId, metric)
 
   /** `add` operation: start a tailing query for one metric. `pointsStream`
-    * is a streaming DataFrame of the canonical point schema. */
+    * is a streaming DataFrame of the canonical point schema. A zero
+    * `beginTimeMs` clamps to the retention horizon when `ageOffTtlMs` is
+    * configured — the reference starts zero-start subscriptions at the
+    * age-off horizon, not the epoch (MetricScanner.java:45-120). */
   def addMetric(
       sessionId: String,
       pointsStream: DataFrame,
@@ -47,9 +50,14 @@ class Subscriptions(
       auths: Seq[String] = Seq.empty,
       beginTimeMs: Long = 0L,
       lagSeconds: Long = 0L,
-      delayMs: Long = 1000L): StreamingQuery = {
+      delayMs: Long = 1000L,
+      ageOffTtlMs: Option[Long] = None,
+      nowMs: () => Long = () => System.currentTimeMillis()): StreamingQuery = {
+    val begin =
+      if (beginTimeMs == 0L) ageOffTtlMs.map(ttl => nowMs() - ttl).getOrElse(0L)
+      else beginTimeMs
     var df = pointsStream
-      .where(col("metric") === metric && col("ts") >= beginTimeMs)
+      .where(col("metric") === metric && col("ts") >= begin)
       .where(graft.functions.VizFunctions.vizVisible(col("viz"), lit(auths.mkString(","))))
     tags.foreach { case (k, v) => df = df.where(QueryPlanner.tagPredicate(k, v)) }
     if (lagSeconds > 0) {
