@@ -81,8 +81,67 @@ case class FloatVectorDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/**
+ * Dot product of a float-array column against a PLAN-TIME literal weight
+ * vector (the LSH hyperplane case): same sequential double fold as
+ * [[FloatVectorDot]], with the weights held as a codegen reference object —
+ * no per-row literal-array construction, no lambda dispatch.
+ */
+case class FloatDotWeights(child: Expression, weights: Seq[Double])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"FloatDotWeights requires ARRAY<FLOAT>, got $other")
+  }
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  private lazy val w: Array[Double] = weights.toArray
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    if (x.numElements() != w.length) return null
+    var acc = 0.0
+    var i = 0
+    while (i < w.length) {
+      if (x.isNullAt(i)) return null
+      acc += x.getFloat(i).toDouble * w(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("weights", w, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      s"""
+         |if ($a.numElements() != $wRef.length) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double acc = 0.0;
+         |  for (int $i = 0; $i < $wRef.length; $i++) {
+         |    if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    acc += (double) $a.getFloat($i) * $wRef[$i];
+         |  }
+         |  ${ev.value} = acc;
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): FloatDotWeights =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Column API: sequential double dot product of two float-array columns. */
   def floatDot(a: Column, b: Column): Column =
     GraftSqlBridge.column(FloatVectorDot(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** Column API: dot of a float-array column against literal weights. */
+  def floatDotWeights(a: Column, weights: Seq[Double]): Column =
+    GraftSqlBridge.column(FloatDotWeights(GraftSqlBridge.expression(a), weights))
 }

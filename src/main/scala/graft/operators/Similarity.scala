@@ -21,10 +21,6 @@ import org.apache.spark.sql.functions._
  */
 object Similarity {
 
-  /** `transform(v, x -> CAST(x AS DOUBLE))` — promote before multiplying so
-    * products are computed in double (float*float would round differently). */
-  private def dcast(c: String) = s"transform($c, x -> CAST(x AS DOUBLE))"
-
   /** Sequential double dot product of two float-array columns — a native
     * codegen'd expression ([[graft.functions.FloatVectorDot]]) with the same
     * fold order as the declarative
@@ -75,9 +71,9 @@ object Similarity {
   def hyperplaneSignature(emb: String, bits: Int, dim: Int = 64): Column = {
     val bitCols = (0 until bits).map { j =>
       val w = (0 until dim).map(hyperplaneWeight(j, _))
-      val wLit = w.mkString("array(", "D, ", "D)")
-      expr(s"""CASE WHEN aggregate(zip_with(${dcast(emb)}, $wLit,
-              |  (x, w) -> x * w), 0D, (acc, v) -> acc + v) > 0 THEN '1' ELSE '0' END""".stripMargin)
+      // native literal-weight dot (same sequential fold the declarative
+      // zip_with form computed — bit-exact, codegen'd)
+      when(graft.functions.VectorFunctions.floatDotWeights(col(emb), w) > 0, "1").otherwise("0")
     }
     concat(bitCols: _*)
   }

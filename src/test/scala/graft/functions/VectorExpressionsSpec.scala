@@ -44,6 +44,26 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkSpec {
     assert(nullSide.select(VectorFunctions.floatDot(col("a"), col("b"))).head().isNullAt(0))
   }
 
+  test("literal-weight dot matches the zip_with fold bit-exactly") {
+    val rnd = new scala.util.Random(11)
+    val weights = Seq.fill(64)(if (rnd.nextBoolean()) 1.0 else -1.0)
+    val wLit = weights.mkString("array(", "D, ", "D)")
+    val hofW = expr(
+      s"""aggregate(zip_with(transform(a, x -> CAST(x AS DOUBLE)), $wLit,
+         |  (x, w) -> x * w), 0D, (acc, v) -> acc + v)""".stripMargin)
+    val rows = (0 until 32).map(_ => Tuple1(Array.fill(64)(rnd.nextFloat() - 0.5f)))
+    val out = rows.toDF("a")
+      .select(hofW.as("want"), VectorFunctions.floatDotWeights(col("a"), weights).as("got"))
+      .collect()
+    out.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+    // length mismatch -> null (zip_with pad semantics)
+    val short = Seq(Tuple1(Array(1f, 2f))).toDF("a")
+    assert(short.select(VectorFunctions.floatDotWeights(col("a"), weights)).head().isNullAt(0))
+  }
+
   test("participates in whole-stage codegen") {
     // spark.range keeps the projection in the physical plan (a local Seq
     // constant-folds into a LocalTableScan and skips codegen entirely)
