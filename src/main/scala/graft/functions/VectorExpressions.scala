@@ -136,6 +136,70 @@ case class FloatDotWeights(child: Expression, weights: Seq[Double])
     copy(child = newChild)
 }
 
+/**
+ * SimHash signature from a collected array of md5 hex strings (one per
+ * distinct word): bit i of the 32-bit signature is the sign of the +1/-1
+ * balance over words, where a word votes +1 iff bit (i%4) of hex digit (i/4)
+ * of its hash is set — the exact arithmetic of the declarative form in
+ * [[graft.operators.Dedup.simhashSignatures]] and its SQL oracle, all
+ * integer ops (no rounding concerns), one pass over the hashes instead of a
+ * 32-way interpreted fold.
+ */
+case class SimHashBits(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"SimHashBits requires ARRAY<STRING>, got $other")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+
+  override def nullSafeEval(a: Any): Any = {
+    val hashes = a.asInstanceOf[ArrayData]
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      SimHashBits.signature(hashes))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = "graft.functions.SimHashBits$.MODULE$"
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString($helper.signature($a));")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashBits =
+    copy(child = newChild)
+}
+
+object SimHashBits {
+  /** One pass: per word-hash, hex digit p (of the first 8) contributes its 4
+    * bits to balances [4p, 4p+3]; output bit = balance > 0. */
+  def signature(hashes: ArrayData): String = {
+    val bal = new Array[Int](32)
+    val n = hashes.numElements()
+    var k = 0
+    while (k < n) {
+      val h = hashes.getUTF8String(k)
+      var p = 0
+      while (p < 8) {
+        val c = h.getByte(p).toChar
+        val d = if (c >= '0' && c <= '9') c - '0' else c - 'a' + 10
+        var b = 0
+        while (b < 4) {
+          bal(p * 4 + b) += (if (((d >> b) & 1) == 1) 1 else -1)
+          b += 1
+        }
+        p += 1
+      }
+      k += 1
+    }
+    val sb = new java.lang.StringBuilder(32)
+    var i = 0
+    while (i < 32) { sb.append(if (bal(i) > 0) '1' else '0'); i += 1 }
+    sb.toString
+  }
+}
+
 object VectorFunctions {
   /** Column API: sequential double dot product of two float-array columns. */
   def floatDot(a: Column, b: Column): Column =
@@ -144,4 +208,8 @@ object VectorFunctions {
   /** Column API: dot of a float-array column against literal weights. */
   def floatDotWeights(a: Column, weights: Seq[Double]): Column =
     GraftSqlBridge.column(FloatDotWeights(GraftSqlBridge.expression(a), weights))
+
+  /** Column API: 32-bit SimHash signature from an array of md5 hex strings. */
+  def simhashBits(hashes: Column): Column =
+    GraftSqlBridge.column(SimHashBits(GraftSqlBridge.expression(hashes)))
 }

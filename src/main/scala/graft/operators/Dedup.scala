@@ -132,12 +132,10 @@ object Dedup {
       .select(col("doc_id"), md5(col("w")).as("h"))
       .groupBy("doc_id")
       .agg(collect_list("h").as("hs"))
-      .select(col("doc_id"), expr(
-        """array_join(transform(sequence(0, 31), i ->
-          |  CASE WHEN aggregate(hs, 0, (acc, h) ->
-          |    acc + (CASE WHEN CAST((instr('0123456789abcdef', substr(h, 1 + CAST(i / 4 AS INT), 1)) - 1)
-          |                      / CAST(pow(2, i % 4) AS INT) AS INT) % 2 = 1 THEN 1 ELSE -1 END)) > 0
-          |  THEN '1' ELSE '0' END), '')""".stripMargin).as("simhash"))
+      // native one-pass signature (graft.functions.SimHashBits): identical
+      // integer arithmetic to the 32-way declarative fold it replaces (and to
+      // the SQL oracle), without the interpreted per-bit lambda re-scan
+      .select(col("doc_id"), graft.functions.VectorFunctions.simhashBits(col("hs")).as("simhash"))
 
   /** SimHash near-dup pairs within the same 16-bit-prefix block. The prefix is
     * the join key, so this is a shuffle self-join on a well-distributed key —
