@@ -119,6 +119,49 @@ object Dedup {
   }
 
   /**
+   * Near-dup clustering: connected components over a candidate-pair frame
+   * `(a, b)` — the step a real dedup pipeline runs after pair generation, so
+   * each group of transitively-linked near-duplicates keeps ONE
+   * representative (the min doc_id). Min-label propagation: every node starts
+   * as its own label and repeatedly takes the min over its neighborhood until
+   * a fixpoint — each sweep is one shuffle join on doc_id (no collected edge
+   * list, no driver graph), so it scales like any distributed
+   * connected-components; sweeps needed = component diameter, which for
+   * near-dup clusters is tiny. The loop stops on a converged sweep (count of
+   * changed labels = 0) and is capped by `maxIters` as a safety bound.
+   *
+   * @return (doc_id, cluster_id) for every doc appearing in `pairs`, where
+   *         cluster_id = min doc_id of its component.
+   */
+  def clusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).cache()
+    var iters = 0
+    var converged = false
+    while (!converged && iters < maxIters) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min("label").as("nlabel"))
+      val updated = labels
+        .join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .cache()
+      converged = updated.join(labels.withColumnRenamed("label", "old"), "id")
+        .where(col("label") =!= col("old")).isEmpty
+      labels.unpersist()
+      labels = updated
+      iters += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /**
    * SimHash: 32-bit signature from the distinct-word md5s. Bit i comes from
    * hex digit i/4 of the word hash (bit i%4 of the digit's value); the doc bit
    * is the sign of the +1/-1 balance over its words. Near-dup pairs block on

@@ -28,6 +28,10 @@ object LlmQueries {
     "dedup_ngram_jaccard_capped" -> ((s, dir) =>
       Dedup.ngramJaccard(docs(s, dir), threshold = 0.7, maxDocFreq = 5L)),
     "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(docs(s, dir))),
+    // near-dup CLUSTERING: connected components over the jaccard pairs, each
+    // component keyed by its min doc_id (the kept representative)
+    "dedup_clusters" -> ((s, dir) =>
+      Dedup.clusters(Dedup.ngramJaccard(docs(s, dir), threshold = 0.7).select("a", "b"))),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir), maxHamming = 6)),
     "embed_knn" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -125,6 +129,21 @@ object LlmQueries {
          |SELECT p.a, p.b, inter * 1.0 / (sa.n + sb.n - inter) AS jaccard
          |FROM p JOIN sz sa ON p.a = sa.doc_id JOIN sz sb ON p.b = sb.doc_id
          |WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.7""".stripMargin,
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE sh AS ($Shingles),
+         |p AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS inter
+         |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |pairs AS (
+         |  SELECT p.a, p.b FROM p
+         |  JOIN sz sa ON p.a = sa.doc_id JOIN sz sb ON p.b = sb.doc_id
+         |  WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.7),
+         |edges AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+         |SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY 1""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""WITH mh AS ($MinhashSql),
          |bands AS (

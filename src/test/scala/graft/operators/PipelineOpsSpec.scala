@@ -29,6 +29,18 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(!out.exists { case (a, b, _) => b == 3L || a == 3L })
   }
 
+  test("near-dup clusters: transitive pairs collapse to min-id components") {
+    // 1-2-3 is a chain (transitive), 10-11 a pair, 20-21-22-23 a star on 20;
+    // docs with no pairs don't appear
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (20L, 23L))
+      .toDF("a", "b")
+    val out = Dedup.clusters(pairs).as[(Long, Long)].collect().toMap
+    assert(out == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
+  }
+
   test("ngram jaccard: identical docs score 1.0, near-dups high, others absent") {
     val nearDup = base.replace("dog", "cat")
     val out = Dedup.ngramJaccard(
