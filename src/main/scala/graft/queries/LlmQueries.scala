@@ -21,6 +21,12 @@ object LlmQueries {
     "text_quality" -> ((s, dir) => TextAnalysis.qualityScore(docs(s, dir))),
     "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(docs(s, dir))),
     "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
+    // curation: deterministic md5 sample (keep 4/16), per-language quality
+    // top-k, and the greedy per-language token-budget cut
+    "curate_hash_sample" -> ((s, dir) =>
+      docs(s, dir).where(graft.operators.Curation.hashSample(docs(s, dir), 4)).select("doc_id")),
+    "curate_topk_quality" -> ((s, dir) => graft.operators.Curation.topKByLanguage(docs(s, dir), 50)),
+    "curate_token_budget" -> ((s, dir) => graft.operators.Curation.tokenBudget(docs(s, dir), 20000L)),
     "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(docs(s, dir), threshold = 0.8)),
     // the 100 TB configuration: ultra-common shingles (boilerplate) capped out
     // of candidate generation (maxDocFreq), scores still from uncapped sizes —
@@ -65,6 +71,27 @@ object LlmQueries {
     val lst = TextAnalysis.Stopwords(lang).map(w => s"'$w'").mkString(", ")
     s"len(list_filter(string_split(lower(text), ' '), w -> w IN ($lst)))"
   }
+
+  /** Per-doc (n_words, quality, lang_guess) — the exact text_quality /
+    * text_langid expressions, joined; feeds the curation oracles. */
+  private def scoredSql: String =
+    s"""q AS (
+       |  SELECT doc_id,
+       |         len(string_split(text, ' ')) AS n_words,
+       |         LEAST(1.0, len(string_split(text, ' ')) / 100.0)
+       |               * (1.0 - len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) * 1.0 / length(text))
+       |               * LEAST(1.0, 4.0 * ${hitsSql("en")} / len(string_split(lower(text), ' ')) + 0.5) AS quality
+       |  FROM documents),
+       |l AS (
+       |  SELECT doc_id,
+       |         CASE WHEN h_de >= GREATEST(h_en, h_es, h_fr) THEN 'de'
+       |              WHEN h_en >= GREATEST(h_es, h_fr) THEN 'en'
+       |              WHEN h_es >= h_fr THEN 'es'
+       |              ELSE 'fr' END AS lang_guess
+       |  FROM (SELECT doc_id, ${hitsSql("de")} AS h_de, ${hitsSql("en")} AS h_en,
+       |               ${hitsSql("es")} AS h_es, ${hitsSql("fr")} AS h_fr FROM documents)),
+       |s AS (SELECT q.doc_id, q.n_words, q.quality, l.lang_guess
+       |      FROM q JOIN l ON q.doc_id = l.doc_id)""".stripMargin
 
   private val MinhashSql = {
     val mins = (0 until 8).map(k => s"MIN(md5('$k:' || s)) AS mh$k").mkString(", ")
@@ -129,6 +156,22 @@ object LlmQueries {
          |SELECT p.a, p.b, inter * 1.0 / (sa.n + sb.n - inter) AS jaccard
          |FROM p JOIN sz sa ON p.a = sa.doc_id JOIN sz sb ON p.b = sb.doc_id
          |WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.7""".stripMargin,
+    "curate_hash_sample" ->
+      """SELECT doc_id FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4'""".stripMargin,
+    "curate_topk_quality" ->
+      s"""WITH $scoredSql
+         |SELECT lang_guess, rank, doc_id, quality FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang_guess ORDER BY quality DESC, doc_id) AS rank
+         |  FROM s)
+         |WHERE rank <= 50""".stripMargin,
+    "curate_token_budget" ->
+      s"""WITH $scoredSql
+         |SELECT lang_guess, doc_id, quality, n_words, cum_words FROM (
+         |  SELECT *, CAST(SUM(n_words) OVER (PARTITION BY lang_guess ORDER BY quality DESC, doc_id
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_words
+         |  FROM s)
+         |WHERE cum_words <= 20000""".stripMargin,
     "dedup_clusters" ->
       s"""WITH RECURSIVE sh AS ($Shingles),
          |p AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS inter

@@ -29,6 +29,26 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(!out.exists { case (a, b, _) => b == 3L || a == 3L })
   }
 
+  test("curation: budget cut is a per-language quality prefix; sample is stable") {
+    val d = docs(
+      1L -> "the and is of to in it you that was good words here now then",   // en, long
+      2L -> "the and is of to good",                                          // en, short
+      3L -> "der die und ist das ein nicht mit sich auf")                     // de
+    val budget = Curation.tokenBudget(d, 16)
+      .select("lang_guess", "doc_id", "cum_words").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // en: best-quality doc first; second en doc would exceed 16 words -> cut
+    assert(budget.exists { case (l, id, _) => l == "en" && id == 1L })
+    assert(!budget.exists { case (_, id, _) => id == 2L })
+    assert(budget.exists { case (l, id, _) => l == "de" && id == 3L })
+    // deterministic hash sample: same predicate -> same rows, and a 4/16
+    // threshold keeps a strict, stable subset
+    val kept1 = d.where(Curation.hashSample(d, 4)).select("doc_id").collect().toSeq
+    val kept2 = d.where(Curation.hashSample(d, 4)).select("doc_id").collect().toSeq
+    assert(kept1 == kept2)
+    assert(d.where(Curation.hashSample(d, 16)).count() == 3) // 16/16 keeps all
+  }
+
   test("near-dup clusters: transitive pairs collapse to min-id components") {
     // 1-2-3 is a chain (transitive), 10-11 a pair, 20-21-22-23 a star on 20;
     // docs with no pairs don't appear
