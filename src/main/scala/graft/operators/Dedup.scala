@@ -133,31 +133,54 @@ object Dedup {
    * @return (doc_id, cluster_id) for every doc appearing in `pairs`, where
    *         cluster_id = min doc_id of its component.
    */
-  def clusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
-      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
-      .distinct().cache()
+  def clusters(pairs: DataFrame, maxIters: Int = 8): DataFrame = {
+    // the pair frame is referenced four times below (direction flip +
+    // self-loops): cache AND materialize it first — a lazy cache would still
+    // compute the expensive upstream pair generator once per union branch
+    // inside the first job, since sibling branches can't read a cache that is
+    // being populated by the same stage
+    val p = pairs.cache()
+    p.count()
+    // undirected edges PLUS self-loops: a propagation sweep is then a single
+    // `join + min` with ONE reference to the label frame — sweeps compose
+    // lazily into a linear DAG (no branch duplication), so one Spark action
+    // executes several sweeps
+    // no distinct: duplicate edges can't change a min-aggregate, and the
+    // dedup shuffle would cost more than the duplicates do
+    val edges = p.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(p.select(col("b").as("src"), col("a").as("dst")))
+      .unionByName(p.select(col("a").as("src"), col("a").as("dst")))
+      .unionByName(p.select(col("b").as("src"), col("b").as("dst")))
+      .cache()
+    def sweep(l: DataFrame): DataFrame =
+      edges
+        .join(l.select(col("id").as("dst"), col("label")), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min("label").as("label"))
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).cache()
+    // labels only ever DECREASE, so equal label sums across consecutive
+    // states certify the fixpoint. Run 2 sweeps + 1 more, compare both sums
+    // in a SINGLE action: tiny-diameter components (the near-dup case —
+    // mostly cliques) converge in one pass, larger ones loop — maxIters * 3
+    // sweeps bounds the reachable diameter.
     var iters = 0
     var converged = false
     while (!converged && iters < maxIters) {
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("id", "dst"), "dst")
-        .groupBy(col("src").as("id"))
-        .agg(min("label").as("nlabel"))
-      val updated = labels
-        .join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .cache()
-      converged = updated.join(labels.withColumnRenamed("label", "old"), "id")
-        .where(col("label") =!= col("old")).isEmpty
+      val s2 = sweep(sweep(labels)).cache()
+      val s3 = sweep(s2).cache()
+      val sums = s2.select(lit(2).as("k"), col("label"))
+        .unionByName(s3.select(lit(3).as("k"), col("label")))
+        .groupBy("k").agg(sum("label").as("s"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      converged = sums(2) == sums(3)
       labels.unpersist()
-      labels = updated
+      s2.unpersist()
+      labels = s3
       iters += 1
     }
     edges.unpersist()
+    p.unpersist()
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
