@@ -89,4 +89,32 @@ object TextAnalysis {
         .otherwise(expr(
           "array_min(transform(sequence(1, char_length(text) - 11), i -> md5(substr(text, i, 12))))"))
         .as("fingerprint"))
+
+  /** PII redaction patterns — RE2/Java-portable (no lookarounds), so the SQL
+    * oracle applies literally the same regexes. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  val PhonePattern = "\\+[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,8}"
+
+  /**
+   * PII scrubbing: replace emails / IPv4s / phone-like sequences with typed
+   * placeholder tags, and count what was redacted (audit trail). A pure
+   * per-row regexp pipeline — codegen'd, no shuffle, linear at 100 TB.
+   */
+  def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    // Column-API literals throughout: a pattern embedded in an expr() SQL
+    // string would have its backslashes re-processed by the SQL parser
+    def count(pat: String) = size(regexp_extract_all(t, lit(pat), lit(0))).cast("long")
+    docs
+      .withColumn("n_emails", count(EmailPattern))
+      .withColumn("n_ips", count(Ipv4Pattern))
+      .withColumn("n_phones", count(PhonePattern))
+      .withColumn("redacted",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(t, EmailPattern, "<EMAIL>"),
+            Ipv4Pattern, "<IP>"),
+          PhonePattern, "<PHONE>"))
+  }
 }

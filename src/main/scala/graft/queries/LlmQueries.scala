@@ -20,6 +20,17 @@ object LlmQueries {
     "text_langid" -> ((s, dir) => TextAnalysis.languageId(docs(s, dir))),
     "text_quality" -> ((s, dir) => TextAnalysis.qualityScore(docs(s, dir))),
     "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(docs(s, dir))),
+    // PII scrubbing with deterministic planted PII (the synthetic corpus has
+    // none) — the redaction REPLACEMENT path itself is oracle-pinned
+    "text_redact" -> ((s, dir) => {
+      val planted = docs(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"),
+          lit(" from 10.0."), (col("doc_id") % 256).cast("string"), lit(".7"),
+          lit(" tel +1 555 01"), (col("doc_id") % 90 + 10).cast("string")).as("text"))
+      TextAnalysis.redactPii(planted)
+        .select("doc_id", "n_emails", "n_ips", "n_phones", "redacted")
+    }),
     "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
     // curation: deterministic md5 sample (keep 4/16), per-language quality
     // top-k, and the greedy per-language token-budget cut
@@ -138,6 +149,22 @@ object LlmQueries {
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS dup_count
         |FROM documents GROUP BY 1""".stripMargin,
+    "text_redact" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+        |              || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+        |              || ' tel +1 555 01' || CAST(doc_id % 90 + 10 AS VARCHAR) AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |       len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |       len(regexp_extract_all(text, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS n_ips,
+        |       len(regexp_extract_all(text, '\+[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,8}')) AS n_phones,
+        |       regexp_replace(regexp_replace(regexp_replace(text,
+        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |         '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+        |         '\+[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,8}', '<PHONE>', 'g') AS redacted
+        |FROM d""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH sh AS ($Shingles),
          |p AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS inter

@@ -29,6 +29,17 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(!out.exists { case (a, b, _) => b == 3L || a == 3L })
   }
 
+  test("PII redaction replaces emails/IPs/phones and counts them; clean text untouched") {
+    val out = TextAnalysis.redactPii(docs(
+      1L -> "mail a.b+c@corp.example.org now from 192.168.1.10 or call +49 123 45678",
+      2L -> "no pii in this perfectly ordinary sentence"))
+      .select("doc_id", "n_emails", "n_ips", "n_phones", "redacted")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) == 1 && out(1L).getLong(2) == 1 && out(1L).getLong(3) == 1)
+    assert(out(1L).getString(4) == "mail <EMAIL> now from <IP> or call <PHONE>")
+    assert(out(2L).getLong(1) == 0 && out(2L).getString(4) == "no pii in this perfectly ordinary sentence")
+  }
+
   test("curation: budget cut is a per-language quality prefix; sample is stable") {
     val d = docs(
       1L -> "the and is of to in it you that was good words here now then",   // en, long
