@@ -90,6 +90,36 @@ object TextAnalysis {
           "array_min(transform(sequence(1, char_length(text) - 11), i -> md5(substr(text, i, 12))))"))
         .as("fingerprint"))
 
+  /** Distinct word n-grams `(doc_id, g)` — the blocking unit for
+    * contamination screening (same shape as [[Dedup.shingles]], length n). */
+  def wordGrams(docs: DataFrame, n: Int): DataFrame =
+    docs
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), wordsLower(col("text")).as("ws"))
+      .where(size(col("ws")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(ws) - ${n - 1}), i -> concat_ws(' ', slice(ws, i, $n)))")).as("g"))
+      .distinct()
+
+  /**
+   * Benchmark-contamination screen: flag corpus docs sharing at least
+   * `minShared` word n-grams with any probe (benchmark/eval) document.
+   * The probe side is a benchmark set — small by contract (KBs-MBs even for
+   * large eval suites) — so its gram table is explicitly BROADCAST while the
+   * corpus streams: one scan of the corpus grams, no corpus shuffle for the
+   * join, then a partial-aggregated count per (doc, probe).
+   */
+  def contamination(docs: DataFrame, probes: DataFrame, n: Int = 8, minShared: Long = 3): DataFrame = {
+    val dg = wordGrams(docs, n)
+    val pg = broadcast(
+      wordGrams(probes, n).select(col("doc_id").as("probe_id"), col("g")))
+    dg.join(pg, Seq("g"))
+      .where(col("doc_id") =!= col("probe_id"))
+      .groupBy("doc_id", "probe_id")
+      .agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
+  }
+
   /** PII redaction patterns — RE2/Java-portable (no lookarounds), so the SQL
     * oracle applies literally the same regexes. */
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -20,6 +20,12 @@ object LlmQueries {
     "text_langid" -> ((s, dir) => TextAnalysis.languageId(docs(s, dir))),
     "text_quality" -> ((s, dir) => TextAnalysis.qualityScore(docs(s, dir))),
     "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(docs(s, dir))),
+    // benchmark-contamination screen: probe set = every 10th doc; corpus docs
+    // sharing >= 3 distinct 8-grams with a probe are flagged
+    "text_contamination" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextAnalysis.contamination(d, d.where(col("doc_id") % 10 === 0))
+    }),
     // PII scrubbing with deterministic planted PII (the synthetic corpus has
     // none) — the redaction REPLACEMENT path itself is oracle-pinned
     "text_redact" -> ((s, dir) => {
@@ -149,6 +155,16 @@ object LlmQueries {
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS dup_count
         |FROM documents GROUP BY 1""".stripMargin,
+    "text_contamination" ->
+      """WITH g AS (
+        |  SELECT DISTINCT doc_id, array_to_string(ws[i:i+7], ' ') AS g
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        |       UNNEST(range(1, len(ws) - 6)) AS t(i)),
+        |probes AS (SELECT doc_id AS probe_id, g FROM g WHERE doc_id % 10 = 0)
+        |SELECT d.doc_id, p.probe_id, COUNT(*) AS shared
+        |FROM g d JOIN probes p ON d.g = p.g AND d.doc_id != p.probe_id
+        |GROUP BY 1, 2
+        |HAVING COUNT(*) >= 3""".stripMargin,
     "text_redact" ->
       """WITH d AS (
         |  SELECT doc_id,
