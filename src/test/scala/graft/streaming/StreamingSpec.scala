@@ -154,6 +154,26 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       """"tags":null,"subscriptionId":"session1","complete":true}]}""")
   }
 
+  test("streaming binary-frame ingest: FB batches and put-line text interleave") {
+    import graft.model.{MetricsFlatBuffer, MetricPoint => MP}
+    val input = MemoryStream[Array[Byte]]
+    val parsed = PutLineIngest.parseFrames(input.toDS(),
+      excludeMetricRegex = Some("^drop\\..*"),
+      excludedTags = Map("sys.fb" -> Set("secret")))
+    val q = parsed.writeStream.format("memory").queryName("frames_test").start()
+    input.addData(
+      MetricsFlatBuffer.encode(Seq(
+        MP("sys.fb", T, 1.0, Map("host" -> "a", "secret" -> "x"), None),
+        MP("drop.fb", T, 2.0, Map("host" -> "a"), None))),      // excluded metric
+      s"put sys.text $T 3.0 host=b".getBytes("UTF-8"))          // plain text frame
+    q.processAllAvailable()
+    val rows = spark.table("frames_test").as[MetricPoint].collect().sortBy(_.metric)
+    q.stop()
+    assert(rows.map(_.metric).toSeq == Seq("sys.fb", "sys.text"))
+    assert(rows(0).tags == Map("host" -> "a")) // secret stripped
+    assert(rows(1).value == 3.0)
+  }
+
   test("zero beginTime clamps to the age-off horizon (MetricScanner semantics)") {
     val received = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
     val subs = new Subscriptions(row => { received.add(row.getAs[Long]("ts")); () })
