@@ -173,7 +173,8 @@ object Dedup {
         .unionByName(s3.select(lit(3).as("k"), col("label")))
         .groupBy("k").agg(sum("label").as("s"))
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-      converged = sums(2) == sums(3)
+      // empty pair set -> no groups at all -> trivially converged (empty out)
+      converged = sums.getOrElse(2, 0L) == sums.getOrElse(3, 0L)
       labels.unpersist()
       s2.unpersist()
       labels = s3

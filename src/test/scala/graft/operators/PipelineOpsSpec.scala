@@ -70,6 +70,8 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
       1L -> 1L, 2L -> 1L, 3L -> 1L,
       10L -> 10L, 11L -> 10L,
       20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
+    // an empty pair set yields an empty (not crashing) cluster frame
+    assert(Dedup.clusters(Seq.empty[(Long, Long)].toDF("a", "b")).isEmpty)
   }
 
   test("ngram jaccard: identical docs score 1.0, near-dups high, others absent") {
