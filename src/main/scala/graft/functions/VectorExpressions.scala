@@ -62,17 +62,21 @@ case class FloatVectorDot(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
+      // acc must be freshName'd too: with non-nullable children the snippet is
+      // emitted unbraced, and two dots fused into one codegen stage would
+      // collide on a fixed local
+      val acc = ctx.freshName("acc")
       s"""
          |int $n = $a.numElements();
          |if ($n != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  double acc = 0.0;
+         |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
          |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |    acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |    $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
          |  }
-         |  ${ev.value} = acc;
+         |  ${ev.value} = $acc;
          |}
        """.stripMargin
     })
@@ -117,16 +121,17 @@ case class FloatDotWeights(child: Expression, weights: Seq[Double])
     val wRef = ctx.addReferenceObj("weights", w, "double[]")
     nullSafeCodeGen(ctx, ev, a => {
       val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc") // see FloatVectorDot: avoid fused-stage collisions
       s"""
          |if ($a.numElements() != $wRef.length) {
          |  ${ev.isNull} = true;
          |} else {
-         |  double acc = 0.0;
+         |  double $acc = 0.0;
          |  for (int $i = 0; $i < $wRef.length; $i++) {
          |    if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |    acc += (double) $a.getFloat($i) * $wRef[$i];
+         |    $acc += (double) $a.getFloat($i) * $wRef[$i];
          |  }
-         |  ${ev.value} = acc;
+         |  ${ev.value} = $acc;
          |}
        """.stripMargin
     })

@@ -21,10 +21,11 @@ import org.apache.spark.sql.functions._
  */
 object Curation {
 
-  /** Deterministic hash sample: keep a doc iff the first hex digit of
-    * md5(doc_id) is below `sixteenths`/16 — reproducible in any engine,
-    * stable across runs, uniform in expectation. */
-  def hashSample(docs: DataFrame, sixteenths: Int): Column = {
+  /** Deterministic hash sample predicate: keep a doc iff the first hex digit
+    * of md5(doc_id) is below `sixteenths`/16 — reproducible in any engine,
+    * stable across runs, uniform in expectation. A free-standing Column (it
+    * binds to whatever frame it filters), so it pushes to the scan. */
+  def hashSample(sixteenths: Int): Column = {
     require(sixteenths >= 1 && sixteenths <= 16, "sixteenths in 1..16")
     substring(md5(col("doc_id").cast("string")), 1, 1) < lit("0123456789abcdefg".charAt(sixteenths).toString)
   }

@@ -159,22 +159,21 @@ object Dedup {
         .agg(min("label").as("label"))
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).cache()
-    // labels only ever DECREASE, so equal label sums across consecutive
-    // states certify the fixpoint. Run 2 sweeps + 1 more, compare both sums
-    // in a SINGLE action: tiny-diameter components (the near-dup case —
-    // mostly cliques) converge in one pass, larger ones loop — maxIters * 3
-    // sweeps bounds the reachable diameter.
+    // Fixpoint iff a sweep changes no label. Run 2 sweeps + 1 more and
+    // compare the two states in a SINGLE (short-circuiting) action —
+    // type-agnostic over the id column and overflow-free, unlike a label-sum
+    // certificate. Tiny-diameter components (the near-dup case — mostly
+    // cliques) converge in one pass, larger ones loop — maxIters * 3 sweeps
+    // bounds the reachable diameter.
     var iters = 0
     var converged = false
     while (!converged && iters < maxIters) {
       val s2 = sweep(sweep(labels)).cache()
       val s3 = sweep(s2).cache()
-      val sums = s2.select(lit(2).as("k"), col("label"))
-        .unionByName(s3.select(lit(3).as("k"), col("label")))
-        .groupBy("k").agg(sum("label").as("s"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-      // empty pair set -> no groups at all -> trivially converged (empty out)
-      converged = sums.getOrElse(2, 0L) == sums.getOrElse(3, 0L)
+      converged = s3
+        .join(s2.withColumnRenamed("label", "prev"), "id")
+        .where(col("label") =!= col("prev"))
+        .isEmpty
       labels.unpersist()
       s2.unpersist()
       labels = s3

@@ -61,10 +61,22 @@ object SimilarityIvf {
     var cents = centroids(corpus, nLists)
     for (_ <- 0 until iters) {
       val assigned = assign(corpus, cents)
+      // per-(list, dim) mean via the two-level deterministic fold (same
+      // pattern as TimeSeries.crossSeries): a plain avg() sums doubles in
+      // partition order and the refined centroids would differ across
+      // parallelism — here the result is identical on 4 threads or 1000
+      // executors, with bounded buffers
+      val shard = TimeSeries.seriesShard(col("vec_id").cast("string"), TimeSeries.CrossSeriesShards)
       val perDim = assigned
-        .select(col("list_id"), posexplode(expr("transform(embedding, x -> CAST(x AS DOUBLE))")).as(Seq("d", "v")))
+        .select(col("list_id"), shard.as("shard"),
+          posexplode(expr("transform(embedding, x -> CAST(x AS DOUBLE))")).as(Seq("d", "v")))
+        .groupBy("list_id", "d", "shard")
+        .agg(
+          expr("aggregate(sort_array(collect_list(v)), 0D, (acc, x) -> acc + x)").as("psum"),
+          count(col("v")).as("pn"))
         .groupBy("list_id", "d")
-        .agg(avg("v").as("m"))
+        .agg((expr("aggregate(sort_array(collect_list(psum)), 0D, (acc, x) -> acc + x)") /
+          sum(col("pn"))).as("m"))
       cents = perDim
         .groupBy("list_id")
         .agg(expr("transform(array_sort(collect_list(struct(d, m))), s -> CAST(s.m AS FLOAT))").as("centroid"))

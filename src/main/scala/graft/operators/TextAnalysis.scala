@@ -132,19 +132,21 @@ object TextAnalysis {
    * per-row regexp pipeline — codegen'd, no shuffle, linear at 100 TB.
    */
   def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val t = col(textCol)
     // Column-API literals throughout: a pattern embedded in an expr() SQL
-    // string would have its backslashes re-processed by the SQL parser
-    def count(pat: String) = size(regexp_extract_all(t, lit(pat), lit(0))).cast("long")
+    // string would have its backslashes re-processed by the SQL parser.
+    // Each audit count runs against the text AFTER the prior replacements
+    // (same chaining as the redaction itself), so count == emitted
+    // placeholders even when patterns overlap (an email whose local part
+    // looks like a phone number must not count as a redacted phone).
+    def count(t: Column, pat: String) = size(regexp_extract_all(t, lit(pat), lit(0))).cast("long")
+    val t0 = col(textCol)
+    val t1 = regexp_replace(t0, EmailPattern, "<EMAIL>")
+    val t2 = regexp_replace(t1, Ipv4Pattern, "<IP>")
+    val t3 = regexp_replace(t2, PhonePattern, "<PHONE>")
     docs
-      .withColumn("n_emails", count(EmailPattern))
-      .withColumn("n_ips", count(Ipv4Pattern))
-      .withColumn("n_phones", count(PhonePattern))
-      .withColumn("redacted",
-        regexp_replace(
-          regexp_replace(
-            regexp_replace(t, EmailPattern, "<EMAIL>"),
-            Ipv4Pattern, "<IP>"),
-          PhonePattern, "<PHONE>"))
+      .withColumn("n_emails", count(t0, EmailPattern))
+      .withColumn("n_ips", count(t1, Ipv4Pattern))
+      .withColumn("n_phones", count(t2, PhonePattern))
+      .withColumn("redacted", t3)
   }
 }

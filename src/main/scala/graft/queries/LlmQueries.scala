@@ -41,7 +41,7 @@ object LlmQueries {
     // curation: deterministic md5 sample (keep 4/16), per-language quality
     // top-k, and the greedy per-language token-budget cut
     "curate_hash_sample" -> ((s, dir) =>
-      docs(s, dir).where(graft.operators.Curation.hashSample(docs(s, dir), 4)).select("doc_id")),
+      docs(s, dir).where(graft.operators.Curation.hashSample(4)).select("doc_id")),
     "curate_topk_quality" -> ((s, dir) => graft.operators.Curation.topKByLanguage(docs(s, dir), 50)),
     "curate_token_budget" -> ((s, dir) => graft.operators.Curation.tokenBudget(docs(s, dir), 20000L)),
     "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(docs(s, dir), threshold = 0.8)),
@@ -172,15 +172,20 @@ object LlmQueries {
         |              || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
         |              || ' tel +1 555 01' || CAST(doc_id % 90 + 10 AS VARCHAR) AS text
         |  FROM documents)
+        |, r AS (
+        |  SELECT doc_id, text AS t0,
+        |         regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+        |  FROM d),
+        |r2 AS (
+        |  SELECT doc_id, t0, t1,
+        |         regexp_replace(t1, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS t2
+        |  FROM r)
         |SELECT doc_id,
-        |       len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
-        |       len(regexp_extract_all(text, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS n_ips,
-        |       len(regexp_extract_all(text, '\+[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,8}')) AS n_phones,
-        |       regexp_replace(regexp_replace(regexp_replace(text,
-        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |         '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
-        |         '\+[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,8}', '<PHONE>', 'g') AS redacted
-        |FROM d""".stripMargin,
+        |       len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |       len(regexp_extract_all(t1, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS n_ips,
+        |       len(regexp_extract_all(t2, '\+[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,8}')) AS n_phones,
+        |       regexp_replace(t2, '\+[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,8}', '<PHONE>', 'g') AS redacted
+        |FROM r2""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH sh AS ($Shingles),
          |p AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS inter

@@ -58,10 +58,15 @@ object PutLineIngest {
     * put-line text exactly like the reference's TCP pipeline
     * (common/src/main/java/timely/netty/tcp/MetricsBufferDecoder.java:28-52):
     * a frame carrying the "TMFB" identifier unpacks as a Metrics batch, any
-    * other frame is treated as UTF-8 put lines. */
+    * other frame is treated as UTF-8 put lines. A corrupt binary frame is
+    * DROPPED (empty result) like the text path drops malformed lines —
+    * otherwise one bad frame would fail the micro-batch and checkpoint
+    * replay would crash-loop the whole streaming ingest. */
   def decodeFrame(bytes: Array[Byte]): Seq[MetricPoint] =
-    if (MetricsFlatBuffer.hasIdentifier(bytes)) MetricsFlatBuffer.decode(bytes)
-    else new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+    if (MetricsFlatBuffer.hasIdentifier(bytes)) {
+      try MetricsFlatBuffer.decode(bytes)
+      catch { case _: RuntimeException | _: IndexOutOfBoundsException | _: NegativeArraySizeException => Seq.empty }
+    } else new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
       .linesIterator.flatMap(MetricParser.parse(_)).toSeq
 
   /** Parse a (streaming or batch) dataset of binary frames — the S5 batch

@@ -88,16 +88,20 @@ class Subscriptions(
     }
   }
 
-  /** `close` operation: tear down every query of the session (+ sentinels). */
+  /** `close` operation: tear down every query of the session (+ sentinels).
+    * Removal goes through `active.remove` so a concurrent removeMetric racing
+    * this loop can't null the entry between iteration and stop(). */
   def close(sessionId: String): Unit = {
     val it = active.keySet().iterator()
     while (it.hasNext) {
       val k = it.next()
       if (k.startsWith(s"$sessionId/")) {
-        active.get(k).stop()
+        val q = active.remove(k)
         Subscriptions.sinks.remove(k)
-        it.remove()
-        signalComplete(sessionId, k.substring(sessionId.length + 1))
+        if (q != null) {
+          q.stop()
+          signalComplete(sessionId, k.substring(sessionId.length + 1))
+        }
       }
     }
   }

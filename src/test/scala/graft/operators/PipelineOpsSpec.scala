@@ -54,10 +54,10 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(budget.exists { case (l, id, _) => l == "de" && id == 3L })
     // deterministic hash sample: same predicate -> same rows, and a 4/16
     // threshold keeps a strict, stable subset
-    val kept1 = d.where(Curation.hashSample(d, 4)).select("doc_id").collect().toSeq
-    val kept2 = d.where(Curation.hashSample(d, 4)).select("doc_id").collect().toSeq
+    val kept1 = d.where(Curation.hashSample(4)).select("doc_id").collect().toSeq
+    val kept2 = d.where(Curation.hashSample(4)).select("doc_id").collect().toSeq
     assert(kept1 == kept2)
-    assert(d.where(Curation.hashSample(d, 16)).count() == 3) // 16/16 keeps all
+    assert(d.where(Curation.hashSample(16)).count() == 3) // 16/16 keeps all
   }
 
   test("near-dup clusters: transitive pairs collapse to min-id components") {
