@@ -40,6 +40,31 @@ object TimelyApi {
     (matches.orderBy("metric", "tagk", "tagv").limit(limit), matches.count())
   }
 
+  /**
+   * /api/metrics wire shape — the exact MetricsResponse JSON
+   * (server/src/main/java/timely/api/response/timeseries/MetricsResponse.java:190-224):
+   * `{"metrics":[{"metric":m,"tags":[{"key":k,"value":v},…]},…]}`, with
+   * configured ignored tag keys (plus the visibility tag, always) excluded
+   * from the tag lists while their metrics still appear. The reference emits
+   * HashMap order; here metrics and tags are sorted for determinism. The
+   * collect is catalog-sized (metric cardinality), the same data the
+   * reference holds in its MetaCache.
+   */
+  def metricsJson(meta: DataFrame, ignoredTags: Set[String] = Set.empty): String = {
+    val ignored = ignoredTags + graft.model.MetricPoint.VisibilityTag
+    val rows = meta.select("metric", "tagk", "tagv").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val byMetric = rows.groupBy(_._1)
+    val metrics = JArray(byMetric.keys.toList.sorted.map { m =>
+      val tags = byMetric(m).toList
+        .filterNot { case (_, k, _) => ignored.contains(k) }
+        .map { case (_, k, v) => (k, v) }.sorted
+        .map { case (k, v) => JObject("key" -> JString(k), "value" -> JString(v)) }
+      JObject("metric" -> JString(m), "tags" -> JArray(tags))
+    })
+    JsonMethods.compact(JsonMethods.render(JObject("metrics" -> metrics)))
+  }
+
   /** /api/suggest wire shape: a bare JSON array of the suggestion strings
     * (reference SuggestResponse.SuggestSerializer,
     * server/src/main/java/timely/api/response/timeseries/SuggestResponse.java:28-37). */

@@ -57,6 +57,15 @@ class TimelyApiSpec extends AnyFunSuite with SparkSpec {
       """"limit":25,"time":0,"totalResults":0,"results":[]}""")
   }
 
+  test("metrics report JSON matches the MetricsResponse shape, ignoring configured tags") {
+    assert(TimelyApi.metricsJson(meta, ignoredTags = Set("rack")) ==
+      """{"metrics":[""" +
+      """{"metric":"net.bytes","tags":[{"key":"iface","value":"eth0"}]},""" +
+      """{"metric":"sys.cpu.idle","tags":[{"key":"host","value":"web01"}]},""" +
+      """{"metric":"sys.cpu.user","tags":[""" +
+      """{"key":"host","value":"web01"},{"key":"host","value":"web02"}]}]}""")
+  }
+
   test("aggregators list matches the reference set") {
     assert(TimelyApi.Aggregators == Seq("avg", "dev", "max", "min", "sum", "count", "none"))
     assert(TimelyApi.aggregatorsJson == """["avg","dev","max","min","sum","count","none"]""")
