@@ -111,11 +111,16 @@ object Dedup {
     val sizes = allSh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val jac = col("inter").cast("double") /
       (col("sa.n") + col("sb.n") - col("inter")).cast("double")
-    inter
+    // scored pairs are threshold-INDEPENDENT and near-dup-rate-sized (tiny
+    // next to the corpus): cache them pre-filter so runs at different
+    // thresholds over the same docs (scoring, then clustering) share one
+    // shingle-join computation via the plan cache
+    val scored = inter
       .join(sizes.as("sa"), col("a") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("b") === col("sb.doc_id"))
-      .where(jac >= threshold)
       .select(col("a"), col("b"), jac.as("jaccard"))
+      .cache()
+    scored.where(col("jaccard") >= threshold)
   }
 
   /**
