@@ -84,6 +84,59 @@ object PointStore {
       .where(col("ts") >= horizonExpr(ttlMsByPrefix, nowMs))
       .write.mode(SaveMode.Overwrite).partitionBy("metric", "dt", "hr").parquet(outDir)
 
+  /** Scala-side retention horizon (same longest-prefix-wins resolution as
+    * [[horizonExpr]]) for partition-level maintenance. */
+  def horizonMs(metric: String, ttlMsByPrefix: Map[String, Long], nowMs: Long): Long = {
+    require(ttlMsByPrefix.contains("default"), "age-off config requires a 'default' TTL")
+    val ttl = ttlMsByPrefix.view.filterKeys(_ != "default").toSeq
+      .filter { case (p, _) => metric.startsWith(p) }
+      .sortBy { case (p, _) => (-p.length, p) }
+      .headOption.map(_._2)
+      .getOrElse(ttlMsByPrefix("default"))
+    nowMs - ttl
+  }
+
+  /**
+   * In-place age-off as a partition DROP: delete whole `metric=/dt=` day
+   * directories strictly older than the metric's horizon day — a
+   * metadata/file-level operation touching no surviving data, exactly the
+   * reference's tablet-drop compaction (server/src/main/java/timely/server/
+   * store/compaction/MetricCompactionStrategy.java:1-60 drops only tablets
+   * whose whole key range is expired; the scan-time iterator handles the
+   * partial boundary). Rows on the horizon day itself are retained (bounded
+   * slack < 1 day) — the query-time [[clampStart]] keeps them invisible,
+   * like the reference's scan-time age-off iterator.
+   */
+  def ageOffDropPartitions(
+      spark: SparkSession,
+      dataDir: String,
+      ttlMsByPrefix: Map[String, Long],
+      nowMs: Long): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(dataDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd")
+      .withZone(java.time.ZoneOffset.UTC)
+    val dropped = Seq.newBuilder[String]
+    if (fs.exists(root)) {
+      for (metricDir <- fs.listStatus(root) if metricDir.getPath.getName.startsWith("metric=")) {
+        val metric = java.net.URLDecoder.decode(
+          metricDir.getPath.getName.stripPrefix("metric="), "UTF-8")
+        // ISO dates compare correctly as strings
+        val horizonDay = fmt.format(java.time.Instant.ofEpochMilli(
+          horizonMs(metric, ttlMsByPrefix, nowMs)))
+        for (dtDir <- fs.listStatus(metricDir.getPath)
+             if dtDir.getPath.getName.startsWith("dt=")) {
+          val day = dtDir.getPath.getName.stripPrefix("dt=")
+          if (day < horizonDay) {
+            fs.delete(dtDir.getPath, true)
+            dropped += s"$metric/$day"
+          }
+        }
+      }
+    }
+    dropped.result().sorted
+  }
+
   /**
    * Meta age-off (L2) — the reference ages catalog entries alongside the data
    * (server/src/main/java/timely/server/store/MetaAgeOffIterator.java:77-97);
