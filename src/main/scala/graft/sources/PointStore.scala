@@ -54,11 +54,12 @@ object PointStore {
   /**
    * Retention / age-off — the reference's MetricAgeOffIterator + tablet-drop
    * compaction (server/src/main/java/timely/server/store/MetricAgeOffIterator.java:26-110,
-   * compaction/MetricCompactionStrategy.java) as a partition-drop maintenance
-   * job: per-metric-prefix TTLs with a required "default", longest prefix
-   * wins; whole (dt) partitions older than the horizon are dropped by
-   * rewriting the retained set. On a table format with deletes (Delta/Iceberg)
-   * this would be a metadata-only `DELETE WHERE`.
+   * compaction/MetricCompactionStrategy.java): per-metric-prefix TTLs with a
+   * required "default", longest prefix wins. Two forms: [[ageOff]] rewrites
+   * the exactly-retained set (row-accurate), [[ageOffDropPartitions]] deletes
+   * fully-expired day directories in place (metadata/file-level, no data
+   * movement — the daily maintenance form; pair with [[clampStart]] for the
+   * boundary day).
    */
   /** Retention horizon for a metric as a codegen'd when-chain (longest prefix
     * wins, 'default' fallback) — no UDF, so the resulting `ts >= horizon`
