@@ -45,9 +45,18 @@ object MetricsFlatBuffer {
 
   private def indirect(bb: ByteBuffer, pos: Int): Int = pos + bb.getInt(pos)
 
+  /** Wire-supplied lengths/counts must be bounded by the frame size BEFORE
+    * any allocation — a corrupt length word must fail the frame (cheap
+    * exception, caught by the ingest path), never OOM the executor. */
+  private def checkedLen(len: Int, limit: Int): Int = {
+    if (len < 0 || len > limit)
+      throw new IllegalArgumentException(s"corrupt frame: length $len exceeds $limit")
+    len
+  }
+
   private def string(bb: ByteBuffer, pos: Int): String = {
     val p = indirect(bb, pos)
-    val len = bb.getInt(p)
+    val len = checkedLen(bb.getInt(p), bb.capacity() - p - 4)
     val out = new Array[Byte](len)
     val dup = bb.duplicate().order(ByteOrder.LITTLE_ENDIAN)
     dup.position(p + 4)
@@ -62,7 +71,8 @@ object MetricsFlatBuffer {
     val vecOff = vtableField(bb, root, 0)
     if (vecOff == 0) return Seq.empty
     val vec = indirect(bb, root + vecOff)
-    val n = bb.getInt(vec)
+    // each element needs at least a 4-byte offset slot in the frame
+    val n = checkedLen(bb.getInt(vec), (bytes.length - vec - 4) / 4)
     (0 until n).map { j =>
       val mPos = indirect(bb, vec + 4 + j * 4)
       val name = {
@@ -82,7 +92,7 @@ object MetricsFlatBuffer {
       val to = vtableField(bb, mPos, 3)
       if (to != 0) {
         val tvec = indirect(bb, mPos + to)
-        val tn = bb.getInt(tvec)
+        val tn = checkedLen(bb.getInt(tvec), (bytes.length - tvec - 4) / 4)
         var i = 0
         while (i < tn) {
           val tPos = indirect(bb, tvec + 4 + i * 4)

@@ -114,7 +114,9 @@ object Dedup {
     // scored pairs are threshold-INDEPENDENT and near-dup-rate-sized (tiny
     // next to the corpus): cache them pre-filter so runs at different
     // thresholds over the same docs (scoring, then clustering) share one
-    // shingle-join computation via the plan cache
+    // shingle-join computation via the plan cache. Entries are MEMORY_AND_DISK
+    // and LRU-evicted under pressure; a long-lived session cycling many
+    // corpora can release them explicitly (spark.catalog.clearCache())
     val scored = inter
       .join(sizes.as("sa"), col("a") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("b") === col("sb.doc_id"))

@@ -67,16 +67,14 @@ object SimilarityIvf {
       // parallelism — here the result is identical on 4 threads or 1000
       // executors, with bounded buffers
       val shard = TimeSeries.seriesShard(col("vec_id").cast("string"), TimeSeries.CrossSeriesShards)
+      val partials = TimeSeries.shardPartials("avg", valueCol = "v")
       val perDim = assigned
         .select(col("list_id"), shard.as("shard"),
           posexplode(expr("transform(embedding, x -> CAST(x AS DOUBLE))")).as(Seq("d", "v")))
         .groupBy("list_id", "d", "shard")
-        .agg(
-          expr("aggregate(sort_array(collect_list(v)), 0D, (acc, x) -> acc + x)").as("psum"),
-          count(col("v")).as("pn"))
+        .agg(partials.head, partials.tail: _*)
         .groupBy("list_id", "d")
-        .agg((expr("aggregate(sort_array(collect_list(psum)), 0D, (acc, x) -> acc + x)") /
-          sum(col("pn"))).as("m"))
+        .agg(TimeSeries.shardFinal("avg").as("m"))
       cents = perDim
         .groupBy("list_id")
         .agg(expr("transform(array_sort(collect_list(struct(d, m))), s -> CAST(s.m AS FLOAT))").as("centroid"))

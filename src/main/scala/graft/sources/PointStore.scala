@@ -120,8 +120,11 @@ object PointStore {
     val dropped = Seq.newBuilder[String]
     if (fs.exists(root)) {
       for (metricDir <- fs.listStatus(root) if metricDir.getPath.getName.startsWith("metric=")) {
-        val metric = java.net.URLDecoder.decode(
-          metricDir.getPath.getName.stripPrefix("metric="), "UTF-8")
+        // the true inverse of Spark's partition-path escaping (URLDecoder is
+        // NOT: it would turn '+' in a metric name into a space and resolve
+        // the wrong TTL)
+        val metric = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(
+          metricDir.getPath.getName.stripPrefix("metric="))
         // ISO dates compare correctly as strings
         val horizonDay = fmt.format(java.time.Instant.ofEpochMilli(
           horizonMs(metric, ttlMsByPrefix, nowMs)))

@@ -64,8 +64,11 @@ object PutLineIngest {
     * replay would crash-loop the whole streaming ingest. */
   def decodeFrame(bytes: Array[Byte]): Seq[MetricPoint] =
     if (MetricsFlatBuffer.hasIdentifier(bytes)) {
+      // decode bounds every wire length before allocating, so corrupt frames
+      // surface as cheap (non-fatal) exceptions — dropped here like the text
+      // path drops malformed lines
       try MetricsFlatBuffer.decode(bytes)
-      catch { case _: RuntimeException | _: IndexOutOfBoundsException | _: NegativeArraySizeException => Seq.empty }
+      catch { case scala.util.control.NonFatal(_) => Seq.empty }
     } else new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
       .linesIterator.flatMap(MetricParser.parse(_)).toSeq
 
@@ -85,11 +88,16 @@ object PutLineIngest {
   /** Canonical points frame with derived partition columns. At cluster scale
     * `(metric, dt, hr)` partitioning is the analog of the reference's
     * (metric, hour-bucket) row keys — time+metric predicates become partition
-    * pruning (MetricAdapter.java:47-53,189-196). */
+    * pruning (MetricAdapter.java:47-53,189-196).
+    *
+    * dt/hr derive from pure epoch arithmetic (UTC by construction), NOT from
+    * date_format/hour — those follow the session timezone, and a non-UTC
+    * writer would shift rows across day directories, corrupting
+    * partition-level maintenance (age-off drops compare UTC horizon days). */
   def withPartitionColumns(points: DataFrame): DataFrame =
     points
-      .withColumn("dt", date_format(timestamp_millis(col("ts")), "yyyy-MM-dd"))
-      .withColumn("hr", hour(timestamp_millis(col("ts"))))
+      .withColumn("dt", date_add(to_date(lit("1970-01-01")), expr("ts div 86400000").cast("int")).cast("string"))
+      .withColumn("hr", expr("(ts div 3600000) % 24").cast("int"))
 
   /** Start a streaming write of parsed points to partitioned parquet, with the
     * meta catalog maintained per micro-batch (the reference writes meta keys

@@ -88,21 +88,15 @@ class Subscriptions(
     }
   }
 
-  /** `close` operation: tear down every query of the session (+ sentinels).
-    * Removal goes through `active.remove` so a concurrent removeMetric racing
-    * this loop can't null the entry between iteration and stop(). */
+  /** `close` operation: tear down every query of the session (+ sentinels) —
+    * one teardown implementation, shared with [[removeMetric]], so the
+    * race-sensitive remove/stop/signal sequence exists exactly once. */
   def close(sessionId: String): Unit = {
     val it = active.keySet().iterator()
     while (it.hasNext) {
       val k = it.next()
-      if (k.startsWith(s"$sessionId/")) {
-        val q = active.remove(k)
-        Subscriptions.sinks.remove(k)
-        if (q != null) {
-          q.stop()
-          signalComplete(sessionId, k.substring(sessionId.length + 1))
-        }
-      }
+      if (k.startsWith(s"$sessionId/"))
+        removeMetric(sessionId, k.substring(sessionId.length + 1))
     }
   }
 

@@ -32,6 +32,21 @@ class MetricsFlatBufferSpec extends AnyFunSuite {
     assert(back.head.ts == 1704067200000L)
   }
 
+  test("corrupt TMFB frames are dropped, never fatal (no unbounded allocation)") {
+    val good = MetricsFlatBuffer.encode(pts)
+    // identifier present but body is garbage with a huge offset/length word
+    val garbage = Array[Byte](12, 0, 0, 0, 'T', 'M', 'F', 'B',
+      0x7f.toByte, 0x7f.toByte, 0x7f.toByte, 0x7f.toByte)
+    assert(PutLineIngest.decodeFrame(garbage).isEmpty)
+    // truncated mid-table
+    assert(PutLineIngest.decodeFrame(good.take(20)).isEmpty)
+    // a length word patched to a huge positive value must throw cheaply (and
+    // be swallowed by decodeFrame), not allocate gigabytes
+    val patched = good.clone()
+    patched(patched.length - 6) = 0x7f.toByte
+    assert(PutLineIngest.decodeFrame(patched).size <= pts.size)
+  }
+
   test("frame decode auto-detects: FB batch vs put-line text") {
     val fb = PutLineIngest.decodeFrame(MetricsFlatBuffer.encode(pts.take(2)))
     assert(fb == pts.take(2))
