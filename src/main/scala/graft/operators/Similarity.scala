@@ -15,9 +15,10 @@ import org.apache.spark.sql.functions._
  *   Hyperplane weights are derived from md5 parity (deterministic, so a SQL
  *   oracle reproduces the same buckets; at 100 TB you'd seed the same way).
  *
- * All arithmetic is double-precision left-fold (`aggregate`) over
- * double-cast elements, matching an element-order sequential dot product in
- * the oracle engine bit-for-bit.
+ * All arithmetic is a sequential double-precision dot product (the native
+ * [[graft.functions.FloatVectorDot]] / [[graft.functions.FloatDotWeights]]
+ * expressions — index order, accumulator seeded 0.0), matching an
+ * element-order sequential dot product in the oracle engine bit-for-bit.
  */
 object Similarity {
 
