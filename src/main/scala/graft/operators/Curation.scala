@@ -30,9 +30,18 @@ object Curation {
     substring(md5(col("doc_id").cast("string")), 1, 1) < lit("0123456789abcdefg".charAt(sixteenths).toString)
   }
 
+  /** Per-doc (n_words, quality, lang_guess) in ONE pass — every feature is a
+    * row-wise expression over the same scan, so no self-join of the corpus
+    * (the naive qualityScore-join-languageId plan shuffles the corpus twice
+    * for values that are functions of the row). */
   private def scored(docs: DataFrame): DataFrame =
-    TextAnalysis.qualityScore(docs).select("doc_id", "n_words", "quality")
-      .join(TextAnalysis.languageId(docs).select("doc_id", "lang_guess"), "doc_id")
+    docs.select(
+      col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_words"),
+      TextAnalysis.qualityCol.as("quality"),
+      TextAnalysis.langGuessCol(
+        TextAnalysis.lexiconHits("de"), TextAnalysis.lexiconHits("en"),
+        TextAnalysis.lexiconHits("es"), TextAnalysis.lexiconHits("fr")).as("lang_guess"))
 
   /** Top-k docs per language by quality (ties broken by doc_id — fully
     * deterministic ranking). */

@@ -43,6 +43,25 @@ object TextAnalysis {
       (length(col("text")).cast("double") /
         expr("size(regexp_extract_all(text, '[A-Za-z0-9]+', 0))")).as("chars_per_token"))
 
+  /** Language winner from the four hit-count columns — max hits, fixed
+    * alphabetical tie-break (deterministic). Exposed as a column builder so
+    * single-pass consumers (curation) compose it without a join. */
+  def langGuessCol(hDe: Column, hEn: Column, hEs: Column, hFr: Column): Column =
+    when(hDe >= greatest(hEn, hEs, hFr), "de")
+      .when(hEn >= greatest(hEs, hFr), "en")
+      .when(hEs >= hFr, "es")
+      .otherwise("fr")
+
+  /** The [0,1] quality formula (shared by qualityScore and curation). */
+  def qualityCol: Column = {
+    val nWords = size(split(col("text"), " ")).cast("double")
+    val punct = expr("size(regexp_extract_all(text, '[^A-Za-z0-9 ]', 0))").cast("double")
+    val punctRatio = punct / length(col("text"))
+    val stopRatio = lexiconHits("en").cast("double") / nWords
+    least(lit(1.0), nWords / 100.0) * (lit(1.0) - punctRatio) *
+      least(lit(1.0), lit(4.0) * stopRatio + 0.5)
+  }
+
   /**
    * Heuristic language ID: stopword-lexicon hit counts per candidate language,
    * winner = max hits with a fixed alphabetical tie-break (deterministic).
@@ -53,10 +72,7 @@ object TextAnalysis {
       lexiconHits("de").cast("long").as("h_de"), lexiconHits("en").cast("long").as("h_en"),
       lexiconHits("es").cast("long").as("h_es"), lexiconHits("fr").cast("long").as("h_fr"))
     withHits.withColumn("lang_guess",
-      when(col("h_de") >= greatest(col("h_en"), col("h_es"), col("h_fr")), "de")
-        .when(col("h_en") >= greatest(col("h_es"), col("h_fr")), "en")
-        .when(col("h_es") >= col("h_fr"), "es")
-        .otherwise("fr"))
+      langGuessCol(col("h_de"), col("h_en"), col("h_es"), col("h_fr")))
   }
 
   /**
@@ -74,8 +90,7 @@ object TextAnalysis {
       punctRatio.as("punct_ratio"),
       stopRatio.as("stopword_ratio"),
       (length(col("text")).cast("double") / nWords).as("avg_word_len"),
-      (least(lit(1.0), nWords / 100.0) * (lit(1.0) - punctRatio) *
-        least(lit(1.0), lit(4.0) * stopRatio + 0.5)).as("quality"))
+      qualityCol.as("quality"))
   }
 
   /**
