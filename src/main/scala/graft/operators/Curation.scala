@@ -11,15 +11,30 @@ import org.apache.spark.sql.functions._
  * training mix is actually cut).
  *
  * Scale notes: the hash sample is a pure filter (no shuffle, prunes at the
- * scan); ranking/budgeting sort WITHIN a language partition via Spark's
- * external sort — spillable, one shuffle on the language key. With very few
- * distinct languages the sort per partition is large; at 100 TB you shard the
- * rank window by a quality-bucket prefix first (same two-level idea as
- * [[TimeSeries.crossSeries]]) — the greedy budget cut, being a prefix
- * property, cannot shard without changing semantics and is documented as the
- * per-language sequential step.
+ * scan). Ranking and budgeting would naively be a single window partitioned
+ * by the language key — with a handful of distinct languages that funnels the
+ * whole corpus through a handful of tasks, so both are TWO-LEVEL instead
+ * (same idea as [[TimeSeries.crossSeries]]'s md5-sharded fold):
+ *  - top-k shards each language by an md5 prefix of doc_id, takes a local
+ *    top-k per shard, and re-ranks only the ≤ k×shards survivors;
+ *  - the token budget buckets each language by quality range, computes tiny
+ *    per-bucket word partials, drops every bucket whose preceding buckets
+ *    already exhaust the budget, and runs the sequential running sum only
+ *    within surviving (language, bucket) partitions.
+ * Every window that touches the corpus is therefore partitioned by a
+ * well-distributed composite key; the only language-only windows operate on
+ * bounded inputs (shard survivors / bucket partials).
  */
 object Curation {
+
+  /** Shards per language for the two-level top-k — every corpus-sized window
+    * partition is ~1/TopKShards of a language. */
+  val TopKShards = 32
+
+  /** Quality-range buckets per language for the budget cut. Quality is in
+    * [0, 1] by construction (each factor is clamped), so `floor(q * buckets)`
+    * gives contiguous, order-preserving ranges. */
+  val BudgetBuckets = 32
 
   /** Deterministic hash sample predicate: keep a doc iff the first hex digit
     * of md5(doc_id) is below `sixteenths`/16 — reproducible in any engine,
@@ -44,23 +59,59 @@ object Curation {
         TextAnalysis.lexiconHits("es"), TextAnalysis.lexiconHits("fr")).as("lang_guess"))
 
   /** Top-k docs per language by quality (ties broken by doc_id — fully
-    * deterministic ranking). */
+    * deterministic ranking).
+    *
+    * Two-level: a local top-k inside each (language, md5-shard) partition
+    * first — any doc in the language's GLOBAL top-k is necessarily in its own
+    * shard's top-k, so re-ranking the ≤ k×[[TopKShards]] survivors is exact.
+    * The corpus-sized sort distributes over shards; the language-only window
+    * only ever sees the bounded survivor set. */
   def topKByLanguage(docs: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy("lang_guess").orderBy(col("quality").desc, col("doc_id"))
+    val shard = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10).cast("long"),
+      lit(TopKShards.toLong))
+    val local = Window.partitionBy(col("lang_guess"), col("shard"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    val global = Window.partitionBy("lang_guess").orderBy(col("quality").desc, col("doc_id"))
     scored(docs)
-      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("shard", shard)
+      .withColumn("lrank", row_number().over(local))
+      .where(col("lrank") <= k)
+      .withColumn("rank", row_number().over(global).cast("long"))
       .where(col("rank") <= k)
       .select("lang_guess", "rank", "doc_id", "quality")
   }
 
   /** Greedy token budget per language: walk docs best-quality-first and keep
     * them while the running token (word) total stays within `budget` — the
-    * standard way a per-language quota of a training mix is filled. */
+    * standard way a per-language quota of a training mix is filled.
+    *
+    * The running sum is a prefix property of the (quality desc, doc_id)
+    * order, so it shards by ORDERED quality buckets rather than a hash:
+    * per-(language, bucket) word partials (a tiny aggregate) locate the
+    * boundary bucket, buckets wholly past the budget are dropped before any
+    * per-doc work, and the sequential running sum runs only inside the
+    * surviving (language, bucket) partitions — each ~1/[[BudgetBuckets]] of a
+    * language. `cum_words` = bucket-prefix partial + in-bucket running sum,
+    * bit-identical to the single-window form (integer sums reassociate). */
   def tokenBudget(docs: DataFrame, budget: Long): DataFrame = {
-    val w = Window.partitionBy("lang_guess").orderBy(col("quality").desc, col("doc_id"))
+    val sc = scored(docs).withColumn("qbucket",
+      least(lit(BudgetBuckets - 1L), floor(col("quality") * BudgetBuckets)))
+    // ≤ languages × BudgetBuckets rows: the language-only window is bounded
+    val partials = sc.groupBy("lang_guess", "qbucket").agg(sum("n_words").as("bucket_words"))
+    val bw = Window.partitionBy("lang_guess").orderBy(col("qbucket").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefixes = partials
+      .withColumn("prefix_words", coalesce(sum(col("bucket_words")).over(bw), lit(0L)))
+      // a doc's cum_words is ≥ prefix_words + 1, so buckets whose prefix
+      // already reaches the budget can never contribute a kept doc
+      .where(col("prefix_words") < budget)
+      .select("lang_guess", "qbucket", "prefix_words")
+    val within = Window.partitionBy("lang_guess", "qbucket")
+      .orderBy(col("quality").desc, col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    scored(docs)
-      .withColumn("cum_words", sum(col("n_words")).over(w))
+    // prefixes is tiny — AQE broadcasts it on its own, no hint needed
+    sc.join(prefixes, Seq("lang_guess", "qbucket"))
+      .withColumn("cum_words", col("prefix_words") + sum(col("n_words")).over(within))
       .where(col("cum_words") <= budget)
       .select("lang_guess", "doc_id", "quality", "n_words", "cum_words")
   }

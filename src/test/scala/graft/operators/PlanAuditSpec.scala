@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+import org.apache.spark.sql.catalyst.expressions.AttributeReference
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Window => LWindow}
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.window.WindowExec
 import org.scalatest.funsuite.AnyFunSuite
@@ -8,11 +9,13 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.SparkSpec
 
 /**
- * Plan-shape guards for the round-2 scale paths: the distributed percentile
+ * Plan-shape guards for the round-2/3 scale paths: the distributed percentile
  * sort must be a PARTITIONED window (an unpartitioned WindowExec funnels the
  * whole dataset through one task — the anti-pattern the IVF centroid pick
- * had in round 1), and the cross-series fold must really be two aggregation
- * levels with the shard key in the inner one.
+ * had in round 1), the cross-series fold must really be two aggregation
+ * levels with the shard key in the inner one, and the curation rank/budget
+ * windows must never put a corpus-sized input through a window partitioned
+ * solely by the (few-valued) language key.
  */
 class PlanAuditSpec extends AnyFunSuite with SparkSpec {
 
@@ -37,6 +40,63 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(ws.nonEmpty, "expected a WindowExec for the percentile rank")
     assert(ws.forall(_.partitionSpec.nonEmpty),
       "unpartitioned window in summarize: whole dataset on one task")
+  }
+
+  private def langOnlyWindows(df: org.apache.spark.sql.DataFrame): Seq[LWindow] =
+    df.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.collect { case a: AttributeReference => a.name } == Seq("lang_guess") => w
+    }
+
+  private def curationDocs = (0L until 96L)
+    .map(i => (i, s"the a of and document $i los la el de le " * (1 + (i % 5)).toInt))
+    .toDF("doc_id", "text")
+
+  test("curation topK: corpus window is sharded; lang-only window sees bounded survivors") {
+    val df = Curation.topKByLanguage(curationDocs, 3)
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.exists(_.partitionSpec.size >= 2),
+      "expected a (lang_guess, shard)-partitioned window over the corpus")
+    // any window partitioned solely by lang_guess must sit above the local
+    // top-k filter (i.e. bounded input), never directly over the corpus
+    for (w <- langOnlyWindows(df))
+      assert(w.child.collectFirst { case f: Filter => f }.isDefined,
+        s"lang_guess-only window with unbounded (corpus-sized) input:\n$w")
+    assert(langOnlyWindows(df).nonEmpty, "sanity: the bounded re-rank window exists")
+  }
+
+  test("curation tokenBudget: running sum is per (lang, qbucket); lang-only window is the bucket-partial prefix") {
+    val df = Curation.tokenBudget(curationDocs, 500L)
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.exists(_.partitionSpec.size >= 2),
+      "expected a (lang_guess, qbucket)-partitioned running-sum window")
+    for (w <- langOnlyWindows(df))
+      assert(w.child.collectFirst { case a: Aggregate => a }.isDefined,
+        s"lang_guess-only window not over the bucket-partial aggregate:\n$w")
+    assert(langOnlyWindows(df).nonEmpty, "sanity: the bucket-prefix window exists")
+  }
+
+  test("curation two-level results equal the single-window reference form") {
+    val docs = curationDocs
+    val sc = docs.select(
+      col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_words"),
+      TextAnalysis.qualityCol.as("quality"),
+      TextAnalysis.langGuessCol(
+        TextAnalysis.lexiconHits("de"), TextAnalysis.lexiconHits("en"),
+        TextAnalysis.lexiconHits("es"), TextAnalysis.lexiconHits("fr")).as("lang_guess"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang_guess").orderBy(col("quality").desc, col("doc_id"))
+    val refTopk = sc.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 3).select("lang_guess", "rank", "doc_id", "quality")
+    assert(Curation.topKByLanguage(docs, 3).exceptAll(refTopk).isEmpty
+      && refTopk.exceptAll(Curation.topKByLanguage(docs, 3)).isEmpty)
+    val wb = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    val refBudget = sc.withColumn("cum_words", sum(col("n_words")).over(wb))
+      .where(col("cum_words") <= 500L)
+      .select("lang_guess", "doc_id", "quality", "n_words", "cum_words")
+    assert(Curation.tokenBudget(docs, 500L).exceptAll(refBudget).isEmpty
+      && refBudget.exceptAll(Curation.tokenBudget(docs, 500L)).isEmpty)
   }
 
   test("crossSeries sum/avg/dev plan two aggregation levels, sharded inner") {
