@@ -143,12 +143,15 @@ case class FloatDotWeights(child: Expression, weights: Seq[Double])
 
 /**
  * SimHash signature from a collected array of md5 hex strings (one per
- * distinct word): bit i of the 32-bit signature is the sign of the +1/-1
+ * distinct word): bit i of the 64-bit signature is the sign of the +1/-1
  * balance over words, where a word votes +1 iff bit (i%4) of hex digit (i/4)
- * of its hash is set — the exact arithmetic of the declarative form in
- * [[graft.operators.Dedup.simhashSignatures]] and its SQL oracle, all
- * integer ops (no rounding concerns), one pass over the hashes instead of a
- * 32-way interpreted fold.
+ * of its hash is set — the exact arithmetic of the SQL oracle of
+ * [[graft.operators.Dedup.simhashSignatures]], all integer ops (no rounding
+ * concerns), one pass over the hashes instead of a 64-way interpreted fold.
+ * 64 bits (the width of Manku et al.'s web-scale near-dup fingerprints, and
+ * of the reference's own hash granularity) gives the 8×8-bit banded blocking
+ * in [[graft.operators.Dedup.simhashPairs]] a true Hamming ≤ 7 recall
+ * guarantee while keeping false band-collisions rare.
  */
 case class SimHashBits(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
@@ -177,16 +180,19 @@ case class SimHashBits(child: Expression)
 }
 
 object SimHashBits {
-  /** One pass: per word-hash, hex digit p (of the first 8) contributes its 4
-    * bits to balances [4p, 4p+3]; output bit = balance > 0. */
+  /** Signature width in bits (16 of md5's 32 hex digits). */
+  val Bits = 64
+
+  /** One pass: per word-hash, hex digit p (of the first Bits/4) contributes
+    * its 4 bits to balances [4p, 4p+3]; output bit = balance > 0. */
   def signature(hashes: ArrayData): String = {
-    val bal = new Array[Int](32)
+    val bal = new Array[Int](Bits)
     val n = hashes.numElements()
     var k = 0
     while (k < n) {
       val h = hashes.getUTF8String(k)
       var p = 0
-      while (p < 8) {
+      while (p < Bits / 4) {
         val c = h.getByte(p).toChar
         val d = if (c >= '0' && c <= '9') c - '0' else c - 'a' + 10
         var b = 0
@@ -198,9 +204,9 @@ object SimHashBits {
       }
       k += 1
     }
-    val sb = new java.lang.StringBuilder(32)
+    val sb = new java.lang.StringBuilder(Bits)
     var i = 0
-    while (i < 32) { sb.append(if (bal(i) > 0) '1' else '0'); i += 1 }
+    while (i < Bits) { sb.append(if (bal(i) > 0) '1' else '0'); i += 1 }
     sb.toString
   }
 }
@@ -214,7 +220,7 @@ object VectorFunctions {
   def floatDotWeights(a: Column, weights: Seq[Double]): Column =
     GraftSqlBridge.column(FloatDotWeights(GraftSqlBridge.expression(a), weights))
 
-  /** Column API: 32-bit SimHash signature from an array of md5 hex strings. */
+  /** Column API: 64-bit SimHash signature from an array of md5 hex strings. */
   def simhashBits(hashes: Column): Column =
     GraftSqlBridge.column(SimHashBits(GraftSqlBridge.expression(hashes)))
 }

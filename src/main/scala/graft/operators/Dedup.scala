@@ -192,10 +192,10 @@ object Dedup {
   }
 
   /**
-   * SimHash: 32-bit signature from the distinct-word md5s. Bit i comes from
+   * SimHash: 64-bit signature from the distinct-word md5s. Bit i comes from
    * hex digit i/4 of the word hash (bit i%4 of the digit's value); the doc bit
    * is the sign of the +1/-1 balance over its words. Near-dup pairs block on
-   * the 16-bit prefix and pass a Hamming-distance threshold.
+   * 8-bit bands and pass a Hamming-distance threshold (see [[simhashPairs]]).
    */
   def simhashSignatures(docs: DataFrame): DataFrame =
     docs
@@ -210,18 +210,39 @@ object Dedup {
       // the SQL oracle), without the interpreted per-bit lambda re-scan
       .select(col("doc_id"), graft.functions.VectorFunctions.simhashBits(col("hs")).as("simhash"))
 
-  /** SimHash near-dup pairs within the same 16-bit-prefix block. The prefix is
-    * the join key, so this is a shuffle self-join on a well-distributed key —
-    * the signature table is corpus-sized and must never be broadcast. */
+  /** Bands in the SimHash blocking; with [[graft.functions.SimHashBits.Bits]]
+    * = 64-bit signatures each band is 8 bits. */
+  val SimHashBands = 8
+
+  /** SimHash near-dup pairs, blocked on [[SimHashBands]] signature bands: two
+    * docs are candidates iff they agree on at least one full band. By
+    * pigeonhole, d differing bits can touch at most d bands, so every pair at
+    * Hamming distance < [[SimHashBands]] (i.e. ≤ 7 ≥ the default threshold)
+    * shares an identical band — a real recall GUARANTEE, where a single
+    * prefix block misses any pair whose diffs happen to fall inside the
+    * prefix. Each (band, key) is the join key of a shuffle self-join on a
+    * well-distributed key — the signature table is corpus-sized and must
+    * never be broadcast; pairs colliding in several bands are deduped by the
+    * final distinct (hamming is a function of the pair, as in [[minhashLsh]]).
+    */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
+    val bits = graft.functions.SimHashBits.Bits
+    require(maxHamming < SimHashBands,
+      s"banded blocking guarantees recall only below $SimHashBands differing bits")
+    val width = bits / SimHashBands
     val sh = simhashSignatures(docs).cache()
+    val banded = sh.select(col("doc_id"), col("simhash"),
+      explode(array((0 until SimHashBands).map(b =>
+        struct(lit(b).as("band"), substring(col("simhash"), b * width + 1, width).as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk.band").as("band"), col("bk.key").as("key"))
     val hamming = expr(
-      """size(filter(sequence(1, 32), j ->
-        |  substr(x.simhash, j, 1) != substr(y.simhash, j, 1)))""".stripMargin)
-    sh.as("x").join(sh.as("y"),
-        expr("substr(x.simhash, 1, 16) = substr(y.simhash, 1, 16)") &&
+      s"""size(filter(sequence(1, $bits), j ->
+         |  substr(x.simhash, j, 1) != substr(y.simhash, j, 1)))""".stripMargin)
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"), hamming.cast("long").as("hamming"))
       .where(col("hamming") <= maxHamming)
+      .distinct()
   }
 }

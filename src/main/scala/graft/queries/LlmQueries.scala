@@ -256,16 +256,19 @@ object LlmQueries {
         |  SELECT doc_id, i,
         |         SUM(CASE WHEN ((strpos('0123456789abcdef', substr(h, 1 + i // 4, 1)) - 1) // POWER(2, i % 4)::INT) % 2 = 1
         |                  THEN 1 ELSE -1 END) AS bal
-        |  FROM words, UNNEST(range(32)) AS t(i)
+        |  FROM words, UNNEST(range(64)) AS t(i)
         |  GROUP BY 1, 2),
         |sh AS (
         |  SELECT doc_id, string_agg(CASE WHEN bal > 0 THEN '1' ELSE '0' END, '' ORDER BY i) AS simhash
-        |  FROM bits GROUP BY doc_id)
-        |SELECT a, b, hamming FROM (
-        |  SELECT a.doc_id AS a, b.doc_id AS b,
-        |         (SELECT COUNT(*) FROM UNNEST(range(1, 33)) AS u(j)
-        |          WHERE substr(a.simhash, j, 1) != substr(b.simhash, j, 1)) AS hamming
-        |  FROM sh a JOIN sh b ON substr(a.simhash, 1, 16) = substr(b.simhash, 1, 16) AND a.doc_id < b.doc_id)
+        |  FROM bits GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, simhash, bd, substr(simhash, CAST(bd * 8 + 1 AS INT), 8) AS key
+        |  FROM sh, UNNEST(range(8)) AS t(bd))
+        |SELECT DISTINCT a, b, hamming FROM (
+        |  SELECT x.doc_id AS a, y.doc_id AS b,
+        |         (SELECT COUNT(*) FROM UNNEST(range(1, 65)) AS u(j)
+        |          WHERE substr(x.simhash, j, 1) != substr(y.simhash, j, 1)) AS hamming
+        |  FROM bands x JOIN bands y ON x.bd = y.bd AND x.key = y.key AND x.doc_id < y.doc_id)
         |WHERE hamming <= 6""".stripMargin,
     "embed_knn" ->
       s"""WITH c AS (

@@ -89,6 +89,27 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(out.length == 1 && out.head.getLong(2) == 0L)
   }
 
+  test("simhash banding finds EVERY pair within the Hamming threshold (recall guarantee)") {
+    // one doc of ~100 distinct words plus one-word variants: signature pairs
+    // land at small Hamming distances with the differing bits ANYWHERE in the
+    // 64 bits — equality with the brute-force cross-join proves banding never
+    // drops an in-threshold pair (a single prefix block does, whenever the
+    // diffs fall inside the prefix)
+    val ws = (0 until 100).map(i => s"w$i")
+    val d = ((0L, ws.mkString(" ")) +:
+      (1 until 20).map(i => (i.toLong, ws.updated(5 * i, s"changed$i").mkString(" "))))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.simhashSignatures(d).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val brute = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      ham = sigs(a).zip(sigs(b)).count { case (x, y) => x != y } if ham <= 6
+    } yield (a, b, ham.toLong)).toSet
+    assert(brute.nonEmpty, "fixture must plant in-threshold signature pairs")
+    val got = Dedup.simhashPairs(d, maxHamming = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == brute)
+  }
+
   test("language ID picks the lexicon with most hits") {
     val d = Seq(
       (1L, "the cat and the dog of a house"),        // en stopwords
