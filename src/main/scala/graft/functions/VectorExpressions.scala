@@ -143,15 +143,18 @@ case class FloatDotWeights(child: Expression, weights: Seq[Double])
 
 /**
  * SimHash signature from a collected array of md5 hex strings (one per
- * distinct word): bit i of the 64-bit signature is the sign of the +1/-1
- * balance over words, where a word votes +1 iff bit (i%4) of hex digit (i/4)
- * of its hash is set — the exact arithmetic of the SQL oracle of
+ * distinct word), packed into one LONG: logical bit i (i = 0 is the most
+ * significant, stored at long bit 63-i) is the sign of the +1/-1 balance over
+ * words, where a word votes +1 iff bit (i%4) of hex digit (i/4) of its hash
+ * is set — the exact arithmetic of the SQL oracle of
  * [[graft.operators.Dedup.simhashSignatures]], all integer ops (no rounding
  * concerns), one pass over the hashes instead of a 64-way interpreted fold.
+ * The LONG packing (vs a '0'/'1' string) makes downstream Hamming distance a
+ * single codegen'd `bit_count(x ^ y)` and band extraction a shift+mask —
+ * the per-candidate-pair hot path of [[graft.operators.Dedup.simhashPairs]].
  * 64 bits (the width of Manku et al.'s web-scale near-dup fingerprints, and
- * of the reference's own hash granularity) gives the 8×8-bit banded blocking
- * in [[graft.operators.Dedup.simhashPairs]] a true Hamming ≤ 7 recall
- * guarantee while keeping false band-collisions rare.
+ * of the reference's own hash granularity) gives the banded blocking a true
+ * Hamming recall guarantee while keeping false band-collisions rare.
  */
 case class SimHashBits(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
@@ -161,18 +164,16 @@ case class SimHashBits(child: Expression)
     case other => TypeCheckResult.TypeCheckFailure(s"SimHashBits requires ARRAY<STRING>, got $other")
   }
 
-  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
 
   override def nullSafeEval(a: Any): Any = {
     val hashes = a.asInstanceOf[ArrayData]
-    org.apache.spark.unsafe.types.UTF8String.fromString(
-      SimHashBits.signature(hashes))
+    SimHashBits.signature(hashes)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val helper = "graft.functions.SimHashBits$.MODULE$"
-    nullSafeCodeGen(ctx, ev, a =>
-      s"${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString($helper.signature($a));")
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $helper.signature($a);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): SimHashBits =
@@ -184,8 +185,10 @@ object SimHashBits {
   val Bits = 64
 
   /** One pass: per word-hash, hex digit p (of the first Bits/4) contributes
-    * its 4 bits to balances [4p, 4p+3]; output bit = balance > 0. */
-  def signature(hashes: ArrayData): String = {
+    * its 4 bits to balances [4p, 4p+3]; logical bit i = (balance(i) > 0),
+    * stored at long bit position Bits-1-i (logical bit 0 most significant,
+    * so the long reads like the former bit STRING in binary). */
+  def signature(hashes: ArrayData): Long = {
     val bal = new Array[Int](Bits)
     val n = hashes.numElements()
     var k = 0
@@ -204,10 +207,13 @@ object SimHashBits {
       }
       k += 1
     }
-    val sb = new java.lang.StringBuilder(Bits)
+    var sig = 0L
     var i = 0
-    while (i < Bits) { sb.append(if (bal(i) > 0) '1' else '0'); i += 1 }
-    sb.toString
+    while (i < Bits) {
+      if (bal(i) > 0) sig |= 1L << (Bits - 1 - i)
+      i += 1
+    }
+    sig
   }
 }
 
@@ -220,7 +226,8 @@ object VectorFunctions {
   def floatDotWeights(a: Column, weights: Seq[Double]): Column =
     GraftSqlBridge.column(FloatDotWeights(GraftSqlBridge.expression(a), weights))
 
-  /** Column API: 64-bit SimHash signature from an array of md5 hex strings. */
+  /** Column API: 64-bit SimHash signature (packed LONG) from an array of md5
+    * hex strings. */
   def simhashBits(hashes: Column): Column =
     GraftSqlBridge.column(SimHashBits(GraftSqlBridge.expression(hashes)))
 }

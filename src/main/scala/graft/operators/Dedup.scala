@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -192,10 +192,16 @@ object Dedup {
   }
 
   /**
-   * SimHash: 64-bit signature from the distinct-word md5s. Bit i comes from
-   * hex digit i/4 of the word hash (bit i%4 of the digit's value); the doc bit
-   * is the sign of the +1/-1 balance over its words. Near-dup pairs block on
-   * 8-bit bands and pass a Hamming-distance threshold (see [[simhashPairs]]).
+   * SimHash: 64-bit signature from the distinct-word md5s, packed in one
+   * LONG. Logical bit i comes from hex digit i/4 of the word hash (bit i%4 of
+   * the digit's value); the doc bit is the sign of the +1/-1 balance over its
+   * words. Near-dup pairs block on band PAIRS of the signature and pass a
+   * Hamming-distance threshold (see [[simhashPairs]]).
+   *
+   * The signature frame is cache()d by [[simhashPairs]] for the duration of
+   * its self-join; a long-lived session cycling many corpora should release
+   * entries via `spark.catalog.clearCache()` (entries are MEMORY_AND_DISK and
+   * LRU-evicted under pressure, so this is hygiene, not a correctness need).
    */
   def simhashSignatures(docs: DataFrame): DataFrame =
     docs
@@ -214,34 +220,63 @@ object Dedup {
     * = 64-bit signatures each band is 8 bits. */
   val SimHashBands = 8
 
-  /** SimHash near-dup pairs, blocked on [[SimHashBands]] signature bands: two
-    * docs are candidates iff they agree on at least one full band. By
-    * pigeonhole, d differing bits can touch at most d bands, so every pair at
-    * Hamming distance < [[SimHashBands]] (i.e. ≤ 7 ≥ the default threshold)
-    * shares an identical band — a real recall GUARANTEE, where a single
-    * prefix block misses any pair whose diffs happen to fall inside the
-    * prefix. Each (band, key) is the join key of a shuffle self-join on a
+  /** SimHash near-dup pairs, blocked on PAIRS of the [[SimHashBands]]
+    * signature bands: two docs are candidates iff they agree on at least one
+    * of the C(8,2)=28 band pairs (both bands of the pair identical). By
+    * pigeonhole, d differing bits touch at most d bands, so a pair at Hamming
+    * distance ≤ [[SimHashBands]]−2 (= 6, the default threshold) agrees on ≥ 2
+    * whole bands — i.e. on the band pair formed by any two of them — a real
+    * recall GUARANTEE. Versus blocking on single bands, the pair key doubles
+    * the key width: 2^16 = 65 536 possible values instead of 2^8 = 256, so a
+    * bucket holds ~corpus/65536 docs and the in-bucket self-join stays linear
+    * in the corpus instead of quadratic in corpus/256 — the difference
+    * between a plan that survives 100× and one that explodes (the lesson of
+    * the round-3 single-band version: 18× slower from hot 256-value buckets).
+    *
+    * Each (band-pair, key) is the join key of a shuffle self-join on a
     * well-distributed key — the signature table is corpus-sized and must
-    * never be broadcast; pairs colliding in several bands are deduped by the
-    * final distinct (hamming is a function of the pair, as in [[minhashLsh]]).
+    * never be broadcast. Hamming distance is a single codegen'd
+    * `bit_count(x.sig ^ y.sig)` on the packed LONG signatures (no interpreted
+    * per-bit lambda); pairs colliding in several band pairs are deduped by
+    * the final distinct over the (already threshold-filtered, near-dup-rate-
+    * sized) result, as in [[minhashLsh]].
+    *
+    * @param maxBucket skew guard for corpus scale, off by default: a
+    *        (band-pair, key) bucket of k docs emits k^2/2 candidate pairs, so
+    *        at 100 TB degenerate keys (e.g. the all-zeros signature of empty
+    *        docs, boilerplate-heavy corpora) are dropped from CANDIDATE
+    *        GENERATION above this bucket size — trading bounded recall loss
+    *        on ultra-hot buckets for a hard quadratic-blowup cap, exactly
+    *        like [[ngramJaccard]]'s `maxDocFreq`.
     */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 6, maxBucket: Long = Long.MaxValue): DataFrame = {
     val bits = graft.functions.SimHashBits.Bits
-    require(maxHamming < SimHashBands,
-      s"banded blocking guarantees recall only below $SimHashBands differing bits")
+    require(maxHamming <= SimHashBands - 2,
+      s"band-pair blocking guarantees recall only at Hamming <= ${SimHashBands - 2}")
     val width = bits / SimHashBands
     val sh = simhashSignatures(docs).cache()
-    val banded = sh.select(col("doc_id"), col("simhash"),
-      explode(array((0 until SimHashBands).map(b =>
-        struct(lit(b).as("band"), substring(col("simhash"), b * width + 1, width).as("key"))): _*)).as("bk"))
-      .select(col("doc_id"), col("simhash"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val hamming = expr(
-      s"""size(filter(sequence(1, $bits), j ->
-         |  substr(x.simhash, j, 1) != substr(y.simhash, j, 1)))""".stripMargin)
-    banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+    // band b = logical bits [b*width, (b+1)*width) = long bits (63-b*width)
+    // down — a shift+mask on the packed signature
+    def band(b: Int): Column =
+      shiftright(col("simhash"), (SimHashBands - 1 - b) * width).bitwiseAND(lit((1L << width) - 1))
+    val bandPairs = for { i <- 0 until SimHashBands; j <- (i + 1) until SimHashBands } yield (i, j)
+    val keyed = sh.select(col("doc_id"), col("simhash"),
+      explode(array(bandPairs.zipWithIndex.map { case ((i, j), p) =>
+        struct(lit(p).as("bp"), (shiftleft(band(i), width) + band(j)).as("key"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk.bp").as("bp"), col("bk.key").as("key"))
+    val blocked = if (maxBucket == Long.MaxValue) keyed else {
+      // bucket sizes aggregate to ≤ 28×65536 rows per corpus — tiny, AQE may
+      // broadcast it; the join itself shuffles on the distributed (bp, key)
+      val ok = keyed.groupBy("bp", "key").agg(count(lit(1)).as("bucket_n"))
+        .where(col("bucket_n") <= maxBucket)
+      keyed.join(ok.select("bp", "key"), Seq("bp", "key"))
+    }
+    val hamming = bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long")
+    blocked.as("x").join(blocked.as("y"),
+        col("x.bp") === col("y.bp") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"), hamming.cast("long").as("hamming"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"), hamming.as("hamming"))
       .where(col("hamming") <= maxHamming)
       .distinct()
   }

@@ -68,6 +68,30 @@ class DedupPlanSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("simhashPairs pair path is codegen arithmetic — no higher-order functions") {
+    // the round-3 regression: an interpreted 64-element filter(sequence(...))
+    // lambda per candidate pair. The packed-LONG rewrite must keep Hamming as
+    // bit_count(xor) — no HigherOrderFunction anywhere in the plan.
+    val df = Dedup.simhashPairs(docs)
+    val hofs = df.queryExecution.optimizedPlan.collect {
+      case p => p.expressions.flatMap(_.collect {
+        case h: org.apache.spark.sql.catalyst.expressions.HigherOrderFunction => h
+      })
+    }.flatten
+    assert(hofs.isEmpty, s"interpreted higher-order function in simhash pair path: $hofs")
+  }
+
+  test("simhashPairs bucket cap drops hot-key buckets from candidate generation") {
+    // 8 identical docs collide on every band-pair key (bucket size 8); a cap
+    // below that kills all their candidates, while distinct docs sharing no
+    // near-dup structure are unaffected by construction
+    val same = (0L until 8L).map(i => (i, "alpha beta gamma delta epsilon zeta"))
+    val capped = Dedup.simhashPairs(same.toDF("doc_id", "text"), maxBucket = 7L)
+    assert(capped.collect().isEmpty, "cap must drop the hot bucket's candidates")
+    val uncapped = Dedup.simhashPairs(same.toDF("doc_id", "text"))
+    assert(uncapped.count() == 8L * 7L / 2L, "uncapped finds every identical pair once")
+  }
+
   test("minhashLsh still surfaces a planted near-duplicate (post de-broadcast)") {
     val base = "the quick brown fox jumps over the lazy dog again and again today"
     val out = Dedup.minhashLsh(

@@ -99,10 +99,10 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     val d = ((0L, ws.mkString(" ")) +:
       (1 until 20).map(i => (i.toLong, ws.updated(5 * i, s"changed$i").mkString(" "))))
       .toDF("doc_id", "text")
-    val sigs = Dedup.simhashSignatures(d).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val sigs = Dedup.simhashSignatures(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val brute = (for {
       a <- sigs.keys; b <- sigs.keys if a < b
-      ham = sigs(a).zip(sigs(b)).count { case (x, y) => x != y } if ham <= 6
+      ham = java.lang.Long.bitCount(sigs(a) ^ sigs(b)) if ham <= 6
     } yield (a, b, ham.toLong)).toSet
     assert(brute.nonEmpty, "fixture must plant in-threshold signature pairs")
     val got = Dedup.simhashPairs(d, maxHamming = 6).collect()
