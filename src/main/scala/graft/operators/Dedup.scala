@@ -28,14 +28,22 @@ object Dedup {
 
   /** Word-3-gram shingles, lowercased: (doc_id, s). `distinct` de-duplicates
     * per doc (set semantics — needed for Jaccard); skip it for operators that
-    * are duplicate-insensitive (min-aggregation) to save the shuffle. */
+    * are duplicate-insensitive (min-aggregation) to save the shuffle.
+    *
+    * The n-gram windows come from zipping three shifted slices of the word
+    * array rather than a `transform(sequence(...), i -> slice(...))` lambda:
+    * higher-order-function lambdas evaluate interpreted (one closure dispatch
+    * per window), while slice/arrays_zip/concat_ws are plain codegen'd
+    * expressions — same output strings, fraction of the per-row cost. */
   def shingles(docs: DataFrame, distinct: Boolean = true): DataFrame = {
+    val n = size(col("ws")) - 2
     val exploded = docs
-      .repartition(col("doc_id")) // spread the md5-heavy explode across cores/executors
+      .repartition(col("doc_id")) // spread the explode-heavy scan across cores/executors
       .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
       .where(size(col("ws")) >= 3)
-      .select(col("doc_id"),
-        explode(expr("transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', slice(ws, i, 3)))")).as("s"))
+      .select(col("doc_id"), explode(arrays_zip(
+        slice(col("ws"), lit(1), n), slice(col("ws"), lit(2), n), slice(col("ws"), lit(3), n))).as("z"))
+      .select(col("doc_id"), concat_ws(" ", col("z.0"), col("z.1"), col("z.2")).as("s"))
     if (distinct) exploded.distinct() else exploded
   }
 
@@ -147,7 +155,18 @@ object Dedup {
     // inside the first job, since sibling branches can't read a cache that is
     // being populated by the same stage
     val p = pairs.cache()
-    p.count()
+    val nPairs = p.count()
+    // Sweep frames are O(pairs) — at near-dup rates orders of magnitude
+    // smaller than the corpus — so the session-wide shuffle width (sized for
+    // corpus scans) spends ~all its sweep time on task scheduling. Size the
+    // sweep shuffles to the data (~100k edges per partition, clamped to the
+    // session setting, so a 100 TB pair frame still gets the full width) and
+    // restore the conf after the loop. AQE cannot do this coalescing itself:
+    // cached-plan output partitioning is pinned (canChangeCachedPlanOutput-
+    // Partitioning=false), and every sweep state below is cached.
+    val sess = p.sparkSession
+    val prevParts = sess.conf.get("spark.sql.shuffle.partitions")
+    val nParts = math.max(1L, math.min(prevParts.toLong, nPairs / 100000L + 1L)).toInt
     // undirected edges PLUS self-loops: a propagation sweep is then a single
     // `join + min` with ONE reference to the label frame — sweeps compose
     // lazily into a linear DAG (no branch duplication), so one Spark action
@@ -174,18 +193,21 @@ object Dedup {
     // bounds the reachable diameter.
     var iters = 0
     var converged = false
-    while (!converged && iters < maxIters) {
-      val s2 = sweep(sweep(labels)).cache()
-      val s3 = sweep(s2).cache()
-      converged = s3
-        .join(s2.withColumnRenamed("label", "prev"), "id")
-        .where(col("label") =!= col("prev"))
-        .isEmpty
-      labels.unpersist()
-      s2.unpersist()
-      labels = s3
-      iters += 1
-    }
+    sess.conf.set("spark.sql.shuffle.partitions", nParts)
+    try {
+      while (!converged && iters < maxIters) {
+        val s2 = sweep(sweep(labels)).cache()
+        val s3 = sweep(s2).cache()
+        converged = s3
+          .join(s2.withColumnRenamed("label", "prev"), "id")
+          .where(col("label") =!= col("prev"))
+          .isEmpty
+        labels.unpersist()
+        s2.unpersist()
+        labels = s3
+        iters += 1
+      }
+    } finally sess.conf.set("spark.sql.shuffle.partitions", prevParts)
     edges.unpersist()
     p.unpersist()
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
