@@ -174,6 +174,62 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(rows(1).value == 3.0)
   }
 
+  test("bounded subscription (endTime) delivers its range then completes WITHOUT remove") {
+    val received = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val completed = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+    val subs = new Subscriptions(
+      row => { received.add(row.getAs[Long]("ts")); () },
+      (sid, m) => { completed.add((sid, m)); () })
+    val input = MemoryStream[MetricPoint]
+    // reference AddSubscription.endTime + MetricScanner.java:110,270-280: a
+    // bounded scan serves [begin, end] and sends complete:true on its own
+    subs.addMetric("s", input.toDS().toDF(), metric = "m", delayMs = 50L,
+      beginTimeMs = T, endTimeMs = T + 1000L)
+    input.addData(
+      MetricPoint("m", T, 1.0, Map("host" -> "a"), None),          // in range
+      MetricPoint("m", T + 500L, 2.0, Map("host" -> "a"), None),   // in range
+      MetricPoint("m", T + 2000L, 3.0, Map("host" -> "a"), None))  // past end -> sentinel
+    val q = subs.activeQueries // registered before the batch runs
+    assert(q == Seq("s/m"))
+    spark.streams.active.find(_.name == "s/m").foreach(_.processAllAvailable())
+    assert(received.toArray(Array.empty[java.lang.Long]).toSet == Set(T, T + 500L),
+      "only the bounded range is delivered")
+    assert(completed.peek() == ("s", "m"), "sentinel fired automatically")
+    assert(subs.activeQueries.isEmpty, "subscription tore itself down")
+  }
+
+  test("external-channel subscription delivers envelopes + sentinel end-to-end") {
+    val dir = Files.createTempDirectory("graft-sub-ext").toString
+    val subs = new Subscriptions(_ => ())
+    val input = MemoryStream[MetricPoint]
+    // cluster-mode path: executors serialize envelopes into the channel dir
+    // through the streaming file sink — no in-JVM callback anywhere
+    val q = subs.addMetricExternal("sx", input.toDS().toDF(), metric = "m",
+      channelDir = s"$dir/chan", checkpointDir = s"$dir/ckpt",
+      tags = Map("host" -> "a"), delayMs = 50L)
+    input.addData(
+      MetricPoint("m", T, 1.0, Map("host" -> "a"), None),
+      MetricPoint("m", T + 1, 2.0, Map("host" -> "b"), None), // tag mismatch
+      MetricPoint("x", T + 2, 9.0, Map("host" -> "a"), None)) // other metric
+    q.processAllAvailable()
+    subs.removeMetric("sx", "m")
+    assert(!q.isActive && subs.activeQueries.isEmpty)
+    // a gateway tails the RAW directory (data part files + sentinel files)
+    import scala.jdk.CollectionConverters._
+    val lines = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$dir/chan"))
+      .iterator().asScala
+      .filter(p => p.toString.endsWith(".txt") && !p.toString.contains("_spark_metadata"))
+      .flatMap(p => java.nio.file.Files.readAllLines(p).asScala)
+      .toSeq
+    assert(lines.contains(
+      s"""{"responses":[{"metric":"m","timestamp":$T,"value":1.0,""" +
+      """"tags":[{"host":"a"}],"subscriptionId":"sx","complete":false}]}"""))
+    assert(lines.contains(
+      """{"responses":[{"metric":"m","timestamp":0,"value":0.0,""" +
+      """"tags":null,"subscriptionId":"sx","complete":true}]}"""))
+    assert(lines.size == 2, s"exactly one data envelope + one sentinel: $lines")
+  }
+
   test("zero beginTime clamps to the age-off horizon (MetricScanner semantics)") {
     val received = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
     val subs = new Subscriptions(row => { received.add(row.getAs[Long]("ts")); () })
