@@ -48,6 +48,24 @@ object QueryJson {
           tags = (q \ "tags") match {
             case JObject(fields) => fields.collect { case (k, JString(v)) => k -> v }.toMap
             case _ => Map.empty[String, String]
+          },
+          // wire parity with QueryRequest.SubQuery.filters/tsuids
+          // (QueryRequest.java:227-228,282-283): parsed faithfully, consumed
+          // by nothing — the reference's DataStore reads only tags, so a
+          // request using them gets the same (unfiltered) answer there too
+          filters = (q \ "filters") match {
+            case JArray(fs) => fs.map { f =>
+              FilterClause(
+                filterType = str(f \ "type").getOrElse(""),
+                tagk = str(f \ "tagk").getOrElse(""),
+                filter = str(f \ "filter").getOrElse(""),
+                groupBy = bool(f \ "groupBy"))
+            }
+            case _ => Nil
+          },
+          tsuids = (q \ "tsuids") match {
+            case JArray(ts) => ts.flatMap(str)
+            case _ => Nil
           })
       }
       case _ => Nil

@@ -31,15 +31,26 @@ object QueryPlanner {
       resetValue: Long = 0L,
       interval: Option[String] = None)
 
+  /** OpenTSDB filter clause (QueryRequest.java:138-210): parsed for wire
+    * compatibility and surfaced on the SubQuery, but — exactly like the
+    * reference, whose DataStore never calls getFilters/getTsuids (their only
+    * call sites are the HTTP-decoder tests) — planning consumes `tags` alone
+    * and ACCEPTS-AND-IGNORES filters/tsuids. Pinned by QueryPlannerSpec. */
+  case class FilterClause(
+      filterType: String, tagk: String, filter: String, groupBy: Boolean = false)
+
   /** One subquery of a query request. `tags` values may be "*" (wildcard),
-    * `a|b` alternation, or a regex — detection mirrors DataStore.java:860-862. */
+    * `a|b` alternation, or a regex — detection mirrors DataStore.java:860-862.
+    * `filters`/`tsuids` are wire-parity passengers (see [[FilterClause]]). */
   case class SubQuery(
       aggregator: String,
       metric: String,
       rate: Boolean = false,
       rateOptions: RateOptions = RateOptions(),
       downsample: Option[String] = None,
-      tags: Map[String, String] = Map.empty)
+      tags: Map[String, String] = Map.empty,
+      filters: Seq[FilterClause] = Seq.empty,
+      tsuids: Seq[String] = Seq.empty)
 
   case class TsQueryRequest(
       start: Long,
@@ -160,14 +171,32 @@ object QueryPlanner {
     }
   }
 
-  /** Response timestamps are seconds unless msResolution (DataStore.java:774). */
-  def withResponseTs(planned: DataFrame, msResolution: Boolean): DataFrame =
+  /** Response timestamps are seconds unless msResolution (DataStore.java:774).
+    *
+    * Sub-second buckets COLLIDE after the divide-by-1000: the reference's dps
+    * is a LinkedHashMap populated in timestamp order
+    * (QueryResponse.java:18,60; DataStore.java:852-854), so a colliding
+    * second keeps the value of its LAST (highest bucket_ms) sample. The
+    * collapse re-aggregation only runs when a collision is possible —
+    * second-aligned periods map buckets 1:1 onto response keys and skip the
+    * extra shuffle entirely (the common path stays one-level). */
+  def withResponseTs(planned: DataFrame, msResolution: Boolean, periodMs: Long = 1000L): DataFrame =
     if (msResolution) planned.withColumn("ts_out", col("bucket_ms"))
-    else planned.withColumn("ts_out", expr("bucket_ms div 1000"))
+    else if (periodMs % 1000L == 0L) planned.withColumn("ts_out", expr("bucket_ms div 1000"))
+    else planned
+      .withColumn("ts_out", expr("bucket_ms div 1000"))
+      .groupBy(col("metric"), col("group_tags"), col("ts_out"))
+      .agg(
+        max_by(col("value"), col("bucket_ms")).as("value"),
+        max_by(col("aggregated_tags"), col("bucket_ms")).as("aggregated_tags"),
+        max(col("bucket_ms")).as("bucket_ms"))
 
   /** Plan all subqueries; result frames share the output schema. */
   def plan(points: DataFrame, req: TsQueryRequest, auths: Seq[String]): Seq[DataFrame] =
-    req.queries.map(q => withResponseTs(planSubQuery(points, req, q, auths), req.msResolution))
+    req.queries.map { q =>
+      val (periodMs, _) = parseDownsample(q.downsample)
+      withResponseTs(planSubQuery(points, req, q, auths), req.msResolution, periodMs)
+    }
 
   /** One-call API: plan every subquery and concatenate their response objects
     * into a single JSON array (the reference returns one array for the whole

@@ -91,6 +91,19 @@ object ApiQueries {
         .select(col("metric"), col("group_tags").getItem("user").as("tag_user"),
           col("ts_out"), col("value"))
     }),
+    // Sub-second dps keys at SECOND resolution: aggregator=none (1 ms
+    // passthrough buckets) + msResolution=false divides bucket_ms by 1000, so
+    // several samples collide on one response key. The reference's dps
+    // LinkedHashMap keeps the LAST sample of a colliding second
+    // (QueryResponse.java:18,60; DataStore.java:852-854) — pinned here via
+    // the collapse re-aggregation in QueryPlanner.withResponseTs.
+    "api_query_subsec" -> ((s, dir) => {
+      val req = TsQueryRequest(Start, End, msResolution = false, queries = Seq(
+        SubQuery(aggregator = "none", metric = "signup")))
+      QueryPlanner.plan(points(s, dir), req, auths = Seq.empty).head
+        .select(col("metric"), col("group_tags").getItem("user").as("tag_user"),
+          col("ts_out"), col("value"))
+    }),
     // Rate with counterMax > 0 (RateIterator.java:78-89: on decrease the new
     // value is bumped by counterMax, not the previous value).
     "api_rate_countermax" -> ((s, dir) => {
@@ -208,6 +221,18 @@ object ApiQueries {
         |WHERE event_type = 'signup'
         |  AND epoch_ms(ts) BETWEEN 1704067200000 AND 1706918400000
         |GROUP BY 1, 2, 3""".stripMargin,
+    "api_query_subsec" ->
+      """WITH d AS (
+        |  SELECT event_type AS metric, CAST(user_id AS VARCHAR) AS tag_user,
+        |         epoch_ms(ts) AS bucket_ms,
+        |         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value) AS value
+        |  FROM events
+        |  WHERE event_type = 'signup'
+        |    AND epoch_ms(ts) BETWEEN 1704067200000 AND 1706918400000
+        |  GROUP BY 1, 2, 3)
+        |SELECT metric, tag_user, bucket_ms // 1000 AS ts_out,
+        |       max_by(value, bucket_ms) AS value
+        |FROM d GROUP BY 1, 2, 3""".stripMargin,
     "api_rate_countermax" ->
       """WITH p AS (
         |  SELECT user_id, epoch_ms(ts) AS ts, value,

@@ -37,6 +37,29 @@ class QueryPlannerSpec extends AnyFunSuite with SparkSpec {
     assert(out.toSeq == Seq((T / 1000, 1.0), (T / 1000 + 1, 3.0)))
   }
 
+  test("sub-second buckets at second resolution collapse to the LAST sample") {
+    // reference dps is a LinkedHashMap filled in ts order (QueryResponse.java:
+    // 18,60; DataStore.java:852-854): samples colliding on one second key
+    // keep the last (highest bucket_ms) one. Collisions happen WITHIN a
+    // series — this fixture plants two sub-second points in the same second.
+    val pts = Seq(
+      s"put m ${T + 100} 1.0 h=a",
+      s"put m ${T + 600} 5.0 h=a",
+      s"put m ${T + 1000} 3.0 h=a").flatMap(MetricParser.parse).toDF()
+    val none = TsQueryRequest(T, T + 6000, msResolution = false, Seq(
+      SubQuery(aggregator = "none", metric = "m")))
+    val outNone = QueryPlanner.plan(pts, none, auths = Seq.empty).head
+      .select("ts_out", "value").sort("ts_out").as[(Long, Double)].collect()
+    assert(outNone.toSeq == Seq((T / 1000, 5.0), (T / 1000 + 1, 3.0)),
+      "raw ms points collapse per second, last value wins")
+    val ds = TsQueryRequest(T, T + 6000, msResolution = false, Seq(
+      SubQuery(aggregator = "sum", metric = "m", downsample = Some("500ms-max"))))
+    val outDs = QueryPlanner.plan(pts, ds, auths = Seq.empty).head
+      .select("ts_out", "value").sort("ts_out").as[(Long, Double)].collect()
+    assert(outDs.toSeq == Seq((T / 1000, 5.0), (T / 1000 + 1, 3.0)),
+      "two 500ms buckets collapse onto one second key, later bucket wins")
+  }
+
   test("msResolution keeps millisecond keys") {
     val req = TsQueryRequest(T, T + 6000, msResolution = true, Seq(
       SubQuery(aggregator = "sum", metric = "sys.cpu.idle",
@@ -80,6 +103,26 @@ class QueryPlannerSpec extends AnyFunSuite with SparkSpec {
     assert(q.aggregator == "sum" && q.metric == "sys.cpu.idle" && q.rate)
     assert(q.rateOptions.interval.contains("1m"))
     assert(q.downsample.contains("1s-max") && q.tags == Map("tag3" -> "value3"))
+  }
+
+  test("filters/tsuids parse faithfully and are accepted-and-ignored in planning") {
+    // reference behavior: QueryRequest parses both (QueryRequest.java:227-228,
+    // 282-283) but DataStore never reads them — tags alone drive the scan
+    val req = QueryJson.parseRequest(
+      s"""{"start": $T, "end": ${T + 6000}, "queries": [
+         |  {"aggregator": "sum", "metric": "sys.cpu.idle",
+         |   "tags": {"tag3": "value3"},
+         |   "filters": [{"type": "literal_or", "tagk": "tag4", "filter": "value4", "groupBy": true}],
+         |   "tsuids": ["000001000001000001", "000001000001000002"]}]}""".stripMargin)
+    val q = req.queries.head
+    assert(q.filters == Seq(FilterClause("literal_or", "tag4", "value4", groupBy = true)))
+    assert(q.tsuids == Seq("000001000001000001", "000001000001000002"))
+    val planned = QueryPlanner.plan(fixture, req, auths = Seq.empty).head
+      .select("ts_out", "value").sort("ts_out").as[(Long, Double)].collect()
+    val bare = QueryPlanner.plan(fixture,
+      req.copy(queries = Seq(q.copy(filters = Nil, tsuids = Nil))), auths = Seq.empty).head
+      .select("ts_out", "value").sort("ts_out").as[(Long, Double)].collect()
+    assert(planned.toSeq == bare.toSeq, "filters/tsuids must not change the plan's answer")
   }
 
   test("visibility is enforced in the plan") {
