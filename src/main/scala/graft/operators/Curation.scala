@@ -94,8 +94,13 @@ object Curation {
     * language. `cum_words` = bucket-prefix partial + in-bucket running sum,
     * bit-identical to the single-window form (integer sums reassociate). */
   def tokenBudget(docs: DataFrame, budget: Long): DataFrame = {
+    // null quality (empty/degenerate text: 0/0 punctuation ratio) must follow
+    // the single-window form's NULLS LAST ordering — a sentinel bucket BELOW
+    // every real one. Without the explicit branch, Spark's null-skipping
+    // least() would put null-quality docs in the TOP bucket instead.
     val sc = scored(docs).withColumn("qbucket",
-      least(lit(BudgetBuckets - 1L), floor(col("quality") * BudgetBuckets)))
+      when(col("quality").isNull, lit(-1L))
+        .otherwise(least(lit(BudgetBuckets - 1L), floor(col("quality") * BudgetBuckets))))
     // ≤ languages × BudgetBuckets rows: the language-only window is bounded
     val partials = sc.groupBy("lang_guess", "qbucket").agg(sum("n_words").as("bucket_words"))
     val bw = Window.partitionBy("lang_guess").orderBy(col("qbucket").desc)

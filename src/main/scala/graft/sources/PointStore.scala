@@ -104,9 +104,12 @@ object PointStore {
    * reference's tablet-drop compaction (server/src/main/java/timely/server/
    * store/compaction/MetricCompactionStrategy.java:1-60 drops only tablets
    * whose whole key range is expired; the scan-time iterator handles the
-   * partial boundary). Rows on the horizon day itself are retained (bounded
-   * slack < 1 day) — the query-time [[clampStart]] keeps them invisible,
-   * like the reference's scan-time age-off iterator.
+   * partial boundary). On the horizon day itself, fully-expired `hr=`
+   * subdirectories are dropped the same way — the layout's hour granularity
+   * mirrors the reference row key's hour rounding (MetricAdapter.java:47-53),
+   * so only the horizon HOUR retains expired rows (bounded slack < 1 hour) —
+   * the query-time [[clampStart]] keeps those invisible, like the
+   * reference's scan-time age-off iterator.
    */
   def ageOffDropPartitions(
       spark: SparkSession,
@@ -126,14 +129,26 @@ object PointStore {
         val metric = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(
           metricDir.getPath.getName.stripPrefix("metric="))
         // ISO dates compare correctly as strings
-        val horizonDay = fmt.format(java.time.Instant.ofEpochMilli(
-          horizonMs(metric, ttlMsByPrefix, nowMs)))
+        val horizon = horizonMs(metric, ttlMsByPrefix, nowMs)
+        val horizonDay = fmt.format(java.time.Instant.ofEpochMilli(horizon))
+        val horizonHour = Math.floorDiv(horizon, 3600000L) % 24L
         for (dtDir <- fs.listStatus(metricDir.getPath)
              if dtDir.getPath.getName.startsWith("dt=")) {
           val day = dtDir.getPath.getName.stripPrefix("dt=")
           if (day < horizonDay) {
             fs.delete(dtDir.getPath, true)
             dropped += s"$metric/$day"
+          } else if (day == horizonDay) {
+            // boundary day: hr= dirs wholly below the horizon hour hold only
+            // ts < hourStart(horizon) <= horizon — droppable in full
+            for (hrDir <- fs.listStatus(dtDir.getPath)
+                 if hrDir.getPath.getName.startsWith("hr=")) {
+              val hr = hrDir.getPath.getName.stripPrefix("hr=").toLong
+              if (hr < horizonHour) {
+                fs.delete(hrDir.getPath, true)
+                dropped += s"$metric/$day/hr=$hr"
+              }
+            }
           }
         }
       }

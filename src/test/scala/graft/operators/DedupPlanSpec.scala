@@ -68,6 +68,17 @@ class DedupPlanSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("contamination plans without a FORCED broadcast of the probe grams") {
+    // probes here are corpus-sized; with auto-broadcast off, any
+    // BroadcastExchange in the plan could only come from a planted hint —
+    // the round-3 OOM hazard. (With AQE on, genuinely small probe sets still
+    // get a runtime broadcast, which is the wanted behavior.)
+    withNoAutoBroadcast {
+      val b = broadcasts(TextAnalysis.contamination(docs, docs, n = 3, minShared = 1))
+      assert(b.isEmpty, s"forced broadcast in contamination plan: $b")
+    }
+  }
+
   test("simhashPairs pair path is codegen arithmetic — no higher-order functions") {
     // the round-3 regression: an interpreted 64-element filter(sequence(...))
     // lambda per candidate pair. The packed-LONG rewrite must keep Hamming as

@@ -47,8 +47,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       case w: LWindow if w.partitionSpec.collect { case a: AttributeReference => a.name } == Seq("lang_guess") => w
     }
 
-  private def curationDocs = (0L until 96L)
+  private def curationDocs = ((0L until 96L)
     .map(i => (i, s"the a of and document $i los la el de le " * (1 + (i % 5)).toInt))
+    // degenerate docs: empty text gives 0/0 punctuation ratio -> NULL quality;
+    // both forms must order them last (NULLS LAST), not drop or promote them
+    ++ Seq((96L, ""), (97L, "")))
     .toDF("doc_id", "text")
 
   test("curation topK: corpus window is sharded; lang-only window sees bounded survivors") {

@@ -28,26 +28,29 @@ class PointStoreSpec extends AnyFunSuite with SparkSpec {
     assert(dirs.toSet == Set("metric=sys.cpu.user", "metric=sys.cpu.idle"))
   }
 
-  test("partition-drop age-off deletes whole expired day dirs, keeps the boundary day") {
+  test("partition-drop age-off deletes expired day dirs AND boundary-day hr dirs") {
     val dir = Files.createTempDirectory("graft-dropage").toString + "/data"
-    val now = T + 10 * Day + 3600000L // an hour into day 10
+    val now = T + 10 * Day + 90 * 60000L // 1.5h into day 10
     val pts = Seq(
       MetricPoint("sys.a", T, 1.0, Map("h" -> "a"), None),             // day 0: whole day expired -> dir dropped
-      MetricPoint("sys.a", T + 7 * Day, 2.0, Map("h" -> "a"), None),   // horizon DAY, 1h pre-horizon: kept (bounded slack)
+      MetricPoint("sys.a", T + 7 * Day, 2.0, Map("h" -> "a"), None),   // horizon day, hr=0 wholly expired -> hr dir dropped
+      MetricPoint("sys.a", T + 7 * Day + 3600000L, 2.5, Map("h" -> "a"), None), // horizon HOUR: kept (slack < 1h)
       MetricPoint("sys.a", now - Day, 3.0, Map("h" -> "a"), None),     // live
       MetricPoint("other", T, 4.0, Map("h" -> "a"), None))             // 30d default: live
     PointStore.write(pts.toDF(), dir)
     val dropped = PointStore.ageOffDropPartitions(spark, dir,
       Map("default" -> 30 * Day, "sys" -> 3 * Day), now)
-    // sys.a horizon = now - 3d -> day 7 (2024-01-08): only STRICTLY older
-    // day dirs are deleted, the horizon day survives for the clamp to hide
-    assert(dropped == Seq("sys.a/2024-01-01"))
+    // sys.a horizon = now - 3d = day 7 (2024-01-08) at 01:30: strictly older
+    // day dirs AND the boundary day's wholly-expired hr=0 are deleted; only
+    // the horizon hour itself retains expired rows for the clamp to hide
+    assert(dropped == Seq("sys.a/2024-01-01", "sys.a/2024-01-08/hr=0"))
     val left = PointStore.read(spark, dir).select("metric", "value")
       .as[(String, Double)].collect().toSet
-    assert(left == Set(("sys.a", 2.0), ("sys.a", 3.0), ("other", 4.0)))
+    assert(left == Set(("sys.a", 2.5), ("sys.a", 3.0), ("other", 4.0)))
     // pairing with the query-time clamp: rows past the horizon stay invisible
     val clamped = PointStore.clampStart(T, now, 3 * Day)
     assert(clamped == now - 3 * Day)
+    assert(clamped > T + 7 * Day + 3600000L, "the surviving expired row is clamp-hidden")
   }
 
   test("age-off drops per-metric-prefix expired data, longest prefix wins") {
