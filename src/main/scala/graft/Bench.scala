@@ -2,10 +2,23 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
+/**
+ * Benchmark main: times every SparkEntry query at SPARK_GRAFT_SF_DIR and
+ * prints ONE JSON line `{"metric":"total","value":...,"queries":{...}}`.
+ *
+ * Each query is measured over SPARK_GRAFT_BENCH_RUNS (default 3) whole-suite
+ * passes and reported as its per-query MEDIAN — single runs carried ±3 s of
+ * noise (BASELINE.md), making sub-1.3x deltas unattributable. The cache is
+ * cleared between passes so every pass pays the same (cache-cold) work and
+ * the median estimates a steady cold run; pass 1 additionally absorbs JIT /
+ * codegen warm-up, which is exactly what the median discards. Per-pass totals
+ * are emitted alongside for transparency.
+ */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -15,14 +28,26 @@ object Bench {
     // JVM/codegen warm-up so the first measured query doesn't absorb JIT cost
     spark.range(1 << 20).selectExpr("sum(id)", "count(distinct id % 1000)").collect()
     SparkEntry.entry(spark).count()
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
     // a failed query must be visible as a failure, not a fast timing:
     // record per-query errors and exit nonzero if any query broke
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err =
-        try { fn(spark, sfDir).count(); None }
-        catch { case e: Throwable => Some(e.toString.takeWhile(_ != '\n').take(200)) }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+    val passes: Seq[Seq[(String, Double, Option[String])]] = (1 to runs).map { _ =>
+      spark.catalog.clearCache() // every pass pays the same cache-cold work
+      names.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val err =
+          try { fn(spark, sfDir).count(); None }
+          catch { case e: Throwable => Some(e.toString.takeWhile(_ != '\n').take(200)) }
+        (name, (System.nanoTime() - t0) / 1e9, err)
+      }
+    }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2) else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
+    val results = names.map { case (name, _) =>
+      val samples = passes.map(_.find(_._1 == name).get)
+      (name, median(samples.map(_._2)), samples.flatMap(_._3).headOption)
     }
     def jstr(s: String) = "\"" + s.flatMap {
       case '\\' => "\\\\"
@@ -34,8 +59,10 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => jstr(k) + ":" + jstr(e) }
     val errField = if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errField,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    val passTotals = passes.map(_.map(_._2).sum).mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,""" +
+      s""""pass_totals":$passTotals,"queries":$qs$errField,"sf":"$sfDir"}""")
     spark.stop()
     if (errs.nonEmpty) {
       System.err.println(s"bench: ${errs.size} quer${if (errs.size == 1) "y" else "ies"} failed")
