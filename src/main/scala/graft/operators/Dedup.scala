@@ -173,11 +173,13 @@ object Dedup {
     // executes several sweeps
     // no distinct: duplicate edges can't change a min-aggregate, and the
     // dedup shuffle would cost more than the duplicates do
+    // no cache either: the union is a NARROW projection of the cached pair
+    // frame, so each sweep re-derives it for free, while caching it would pin
+    // 4x the pair frame in executor storage and add a materialization barrier
     val edges = p.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(p.select(col("b").as("src"), col("a").as("dst")))
       .unionByName(p.select(col("a").as("src"), col("a").as("dst")))
       .unionByName(p.select(col("b").as("src"), col("b").as("dst")))
-      .cache()
     def sweep(l: DataFrame): DataFrame =
       edges
         .join(l.select(col("id").as("dst"), col("label")), "dst")
@@ -208,7 +210,6 @@ object Dedup {
         iters += 1
       }
     } finally sess.conf.set("spark.sql.shuffle.partitions", prevParts)
-    edges.unpersist()
     p.unpersist()
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }

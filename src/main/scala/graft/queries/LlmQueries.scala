@@ -56,6 +56,11 @@ object LlmQueries {
     "dedup_clusters" -> ((s, dir) =>
       Dedup.clusters(Dedup.ngramJaccard(docs(s, dir), threshold = 0.7).select("a", "b"))),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir), maxHamming = 6)),
+    // the 100 TB configuration: hot (band-pair, key) buckets capped out of
+    // candidate generation (the quadratic-blowup guard) — the cap path itself
+    // is correctness-pinned by the oracle, like dedup_ngram_jaccard_capped
+    "dedup_simhash_capped" -> ((s, dir) =>
+      Dedup.simhashPairs(docs(s, dir), maxHamming = 6, maxBucket = 3L)),
     "embed_knn" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.bruteForceKnn(e, e.where(col("vec_id") < 5), k = 5)
@@ -269,6 +274,39 @@ object LlmQueries {
         |         (SELECT COUNT(*) FROM UNNEST(range(1, 65)) AS u(j)
         |          WHERE substr(x.simhash, j, 1) != substr(y.simhash, j, 1)) AS hamming
         |  FROM bands x JOIN bands y ON x.bd = y.bd AND x.key = y.key AND x.doc_id < y.doc_id)
+        |WHERE hamming <= 6""".stripMargin,
+    // mirrors simhashPairs(maxBucket=3) exactly: the same 2-of-8 band-pair
+    // blocking (string-form keys biject with the packed-LONG ones) and the
+    // same per-(band-pair, key) frequency cap before the candidate self-join
+    "dedup_simhash_capped" ->
+      """WITH words AS (
+        |  SELECT DISTINCT doc_id, md5(w) AS h
+        |  FROM (SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS w FROM documents)),
+        |bits AS (
+        |  SELECT doc_id, i,
+        |         SUM(CASE WHEN ((strpos('0123456789abcdef', substr(h, 1 + i // 4, 1)) - 1) // POWER(2, i % 4)::INT) % 2 = 1
+        |                  THEN 1 ELSE -1 END) AS bal
+        |  FROM words, UNNEST(range(64)) AS t(i)
+        |  GROUP BY 1, 2),
+        |sh AS (
+        |  SELECT doc_id, string_agg(CASE WHEN bal > 0 THEN '1' ELSE '0' END, '' ORDER BY i) AS simhash
+        |  FROM bits GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, simhash, i, j,
+        |         substr(simhash, CAST(i * 8 + 1 AS INT), 8)
+        |           || substr(simhash, CAST(j * 8 + 1 AS INT), 8) AS key
+        |  FROM sh, UNNEST(range(8)) AS t1(i), UNNEST(range(8)) AS t2(j)
+        |  WHERE i < j),
+        |ok AS (
+        |  SELECT i, j, key FROM (SELECT i, j, key, COUNT(*) AS n FROM bands GROUP BY 1, 2, 3)
+        |  WHERE n <= 3),
+        |cand AS (SELECT b.* FROM bands b JOIN ok USING (i, j, key))
+        |SELECT DISTINCT a, b, hamming FROM (
+        |  SELECT x.doc_id AS a, y.doc_id AS b,
+        |         (SELECT COUNT(*) FROM UNNEST(range(1, 65)) AS u(jj)
+        |          WHERE substr(x.simhash, jj, 1) != substr(y.simhash, jj, 1)) AS hamming
+        |  FROM cand x JOIN cand y
+        |    ON x.i = y.i AND x.j = y.j AND x.key = y.key AND x.doc_id < y.doc_id)
         |WHERE hamming <= 6""".stripMargin,
     "embed_knn" ->
       s"""WITH c AS (
