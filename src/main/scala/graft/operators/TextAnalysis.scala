@@ -27,11 +27,12 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "de", "los", "que", "y", "en", "un"),
     "fr" -> Seq("le", "la", "les", "et", "des", "que", "une", "dans"))
 
-  private def inList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString(", ")
-
-  /** # words of `text` present in the lexicon (multiset count). */
+  /** # words of `text` present in the lexicon (multiset count) — the native
+    * codegen form of `size(filter(split(lower(text), ' '), w -> w IN (...)))`
+    * (see [[graft.functions.LexiconHits]]; HOF lambdas evaluate interpreted,
+    * and curation runs five of these per row). */
   def lexiconHits(lang: String): Column =
-    expr(s"size(filter(split(lower(text), ' '), w -> w IN (${inList(Stopwords(lang))})))")
+    graft.functions.TextFunctions.lexiconHits(col("text"), Stopwords(lang))
 
   /** x / y with NULL on a zero denominator — degenerate (empty/punct-only)
     * docs must score NULL like the DuckDB oracle's division-by-zero, not
