@@ -67,8 +67,103 @@ object LexiconHits {
   }
 }
 
+/**
+ * Native winnowing-style fingerprint: the minimum md5 hex over every
+ * `gramLen`-character sliding window of the text — semantically identical to
+ * `array_min(transform(sequence(1, char_length(text) - gramLen + 1),
+ * i -> md5(substr(text, i, gramLen))))`, which materializes an O(len) array
+ * of hex strings through an interpreted lambda. Here the windows are
+ * byte-ranges over the text's UTF-8 encoding (character boundaries computed
+ * once, exactly substr's code-point indexing), each hashed in place with one
+ * reused digest, tracking the minimum digest as raw bytes (unsigned byte
+ * order == hex string order). NULL when the text is shorter than one window,
+ * like the declarative form's empty-array array_min.
+ */
+case class MinGramMd5(child: Expression, gramLen: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"MinGramMd5 requires STRING, got $other")
+  }
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true // short text -> null
+
+  override def nullSafeEval(t: Any): Any =
+    MinGramMd5.minGram(t.asInstanceOf[UTF8String], gramLen)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = "graft.functions.MinGramMd5$.MODULE$"
+    nullSafeCodeGen(ctx, ev, t =>
+      s"""
+         |${ev.value} = (org.apache.spark.unsafe.types.UTF8String) $helper.minGram($t, $gramLen);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinGramMd5 =
+    copy(child = newChild)
+}
+
+object MinGramMd5 {
+
+  private val HexDigits = "0123456789abcdef".toCharArray
+
+  /** null when numChars < gramLen (array_min over an empty array). */
+  def minGram(text: UTF8String, gramLen: Int): UTF8String = {
+    val bytes = text.getBytes
+    val n = text.numChars()
+    if (n < gramLen) return null
+    // code-point start offsets: substr() indexes characters, not bytes
+    val offs = new Array[Int](n + 1)
+    var i = 0
+    var c = 0
+    while (i < bytes.length) {
+      if ((bytes(i) & 0xc0) != 0x80) { offs(c) = i; c += 1 }
+      i += 1
+    }
+    offs(n) = bytes.length
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var best: Array[Byte] = null
+    var k = 0
+    while (k + gramLen <= n) {
+      md.reset()
+      md.update(bytes, offs(k), offs(k + gramLen) - offs(k))
+      val d = md.digest()
+      if (best == null || unsignedLess(d, best)) best = d
+      k += 1
+    }
+    val hex = new Array[Char](best.length * 2)
+    var j = 0
+    while (j < best.length) {
+      hex(j * 2) = HexDigits((best(j) >> 4) & 0xf)
+      hex(j * 2 + 1) = HexDigits(best(j) & 0xf)
+      j += 1
+    }
+    UTF8String.fromString(new String(hex))
+  }
+
+  /** Unsigned lexicographic compare of equal-length digests — identical to
+    * comparing their lowercase-hex encodings as strings. */
+  private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length) {
+      val x = a(i) & 0xff
+      val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    false
+  }
+}
+
 object TextFunctions {
   /** Column API: # whitespace words of lower(text) present in `lexicon`. */
   def lexiconHits(text: Column, lexicon: Seq[String]): Column =
     GraftSqlBridge.column(LexiconHits(GraftSqlBridge.expression(text), lexicon))
+
+  /** Column API: min md5 hex over `gramLen`-char sliding windows of text. */
+  def minGramMd5(text: Column, gramLen: Int): Column =
+    GraftSqlBridge.column(MinGramMd5(GraftSqlBridge.expression(text), gramLen))
 }

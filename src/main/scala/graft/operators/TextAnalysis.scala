@@ -108,21 +108,27 @@ object TextAnalysis {
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
-      when(length(col("text")) < 12, lit(null).cast("string"))
-        .otherwise(expr(
-          "array_min(transform(sequence(1, char_length(text) - 11), i -> md5(substr(text, i, 12))))"))
-        .as("fingerprint"))
+      // native one-pass window-min (graft.functions.MinGramMd5): identical to
+      // array_min(transform(sequence(1, char_length(text) - 11),
+      //   i -> md5(substr(text, i, 12)))) without materializing the O(len)
+      // hex array through an interpreted lambda; null for texts < 12 chars
+      graft.functions.TextFunctions.minGramMd5(col("text"), 12).as("fingerprint"))
 
   /** Distinct word n-grams `(doc_id, g)` — the blocking unit for
-    * contamination screening (same shape as [[Dedup.shingles]], length n). */
-  def wordGrams(docs: DataFrame, n: Int): DataFrame =
+    * contamination screening (same shape as [[Dedup.shingles]], length n).
+    * Windows come from zipping n shifted slices (all codegen'd) instead of a
+    * per-window interpreted transform lambda — see [[Dedup.shingles]]. */
+  def wordGrams(docs: DataFrame, n: Int): DataFrame = {
+    val cnt = size(col("ws")) - (n - 1)
     docs
       .repartition(col("doc_id"))
       .select(col("doc_id"), wordsLower(col("text")).as("ws"))
       .where(size(col("ws")) >= n)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, size(ws) - ${n - 1}), i -> concat_ws(' ', slice(ws, i, $n)))")).as("g"))
+      .select(col("doc_id"),
+        explode(arrays_zip((1 to n).map(i => slice(col("ws"), lit(i), cnt)): _*)).as("z"))
+      .select(col("doc_id"), concat_ws(" ", (0 until n).map(i => col(s"z.$i")): _*).as("g"))
       .distinct()
+  }
 
   /**
    * Benchmark-contamination screen: flag corpus docs sharing at least

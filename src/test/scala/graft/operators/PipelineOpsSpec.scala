@@ -134,6 +134,25 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(f1 == f2 && f1.length == 32)
   }
 
+  test("native fingerprint equals the declarative window-min, incl. multibyte and short text") {
+    import org.apache.spark.sql.functions.{col, expr, length, lit, when}
+    val d = docs(
+      1L -> base,
+      2L -> "größenwahn über alles — ünïcödé windows must index by code point",
+      3L -> "short",                 // < 12 chars -> null
+      4L -> ("exactly12ch!"))        // exactly one window
+    val declarative = d.select(col("doc_id"),
+      when(length(col("text")) < 12, lit(null).cast("string"))
+        .otherwise(expr(
+          "array_min(transform(sequence(1, char_length(text) - 11), i -> md5(substr(text, i, 12))))"))
+        .as("fingerprint"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    val native = TextAnalysis.fingerprint(d)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(native == declarative)
+    assert(native(3L).isEmpty && native(2L).nonEmpty)
+  }
+
   test("brute-force kNN: a vector's nearest neighbor is its duplicate") {
     val vs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
