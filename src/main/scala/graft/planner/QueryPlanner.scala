@@ -202,13 +202,19 @@ object QueryPlanner {
     * into a single JSON array (the reference returns one array for the whole
     * request — QueryResponse.java). With `internal` set, the query is counted
     * into the S10 internal-metrics loopback like the reference's
-    * DataStore.query does (response count + elapsed ms). */
+    * DataStore.query does (response count + elapsed ms). With `meta` set, the
+    * reference's pre-scan catalog validation runs first: a subquery whose
+    * first tag matches no catalog entry throws
+    * [[TimelyApi.NoMatchingTagsException]] (HTTP 400, DataStore.java:936-941)
+    * instead of returning an empty array. */
   def runQuery(
       points: DataFrame,
       req: TsQueryRequest,
       auths: Seq[String],
-      internal: Option[graft.streaming.InternalMetrics] = None): String = {
+      internal: Option[graft.streaming.InternalMetrics] = None,
+      meta: Option[DataFrame] = None): String = {
     val t0 = System.currentTimeMillis()
+    meta.foreach(m => req.queries.foreach(q => TimelyApi.requireMatchingTags(m, q)))
     val parts = plan(points, req, auths).map(QueryJson.toResponses)
     internal.foreach { im =>
       val numResponses = parts.map { p =>

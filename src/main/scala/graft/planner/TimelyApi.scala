@@ -34,6 +34,40 @@ object TimelyApi {
     case other => throw new IllegalArgumentException(s"unknown suggest type: $other")
   }
 
+  /** The reference's 400 for a query whose tags match nothing
+    * (DataStore.java:936-941 via getColumnFamilies, surfaced as HTTP 400
+    * "No matching tags" by HttpQueryRequestHandler.java:36). */
+  class NoMatchingTagsException extends IllegalArgumentException(
+    "No matching tags: no tags were found that matched the submitted tags") {
+    val status = 400
+  }
+
+  /**
+   * Pre-query meta validation, exactly the reference's getColumnFamilies +
+   * setQueryColumns contract (DataStore.java:864-941): the FIRST queried tag
+   * of a subquery must match at least one (tagk, tagv) catalog entry of its
+   * metric — value compared as full-match regex iff it is not `^\w+$`, like
+   * TagFilter — and a tag-less subquery requires the metric to have catalog
+   * entries at all (the reference scans the metric's first tag family; empty
+   * only when the metric has no meta). Throws [[NoMatchingTagsException]]
+   * (HTTP 400) otherwise. The check reads the catalog-sized meta frame, never
+   * the points table.
+   */
+  def requireMatchingTags(meta: DataFrame, q: QueryPlanner.SubQuery): Unit = {
+    val scoped = meta.where(col("metric") === q.metric)
+    val matched = q.tags.headOption match {
+      case None => scoped
+      case Some((k, v)) =>
+        val tagv = col("tagv")
+        val valueMatch =
+          if (v == "*") tagv.isNotNull
+          else if (QueryPlanner.isRegexTagValue(v)) tagv.rlike(s"^(?:$v)$$")
+          else tagv === v
+        scoped.where(col("tagk") === k && valueMatch)
+    }
+    if (matched.isEmpty) throw new NoMatchingTagsException
+  }
+
   /** /api/search/lookup: tag-value regex lookup for one metric, with total. */
   def lookup(meta: DataFrame, metric: String, tagvPattern: String, limit: Int = 25): (DataFrame, Long) = {
     val matches = meta.where(col("metric") === metric && col("tagv").rlike(tagvPattern))

@@ -48,6 +48,34 @@ class ApiParitySpec extends AnyFunSuite with SparkSpec {
     assert(out.toSeq == Seq(900.0))
   }
 
+  test("query with no matching tags is a 400, not an empty result (HttpApiIT.testQueryWithNoMatchingTags)") {
+    // reference fixture (HttpApiIT.java:385-404): sys.cpu.idle exists but no
+    // rack=r3 value does -> DataStore.getColumnFamilies finds no columns ->
+    // TimelyException 400 "No matching tags"
+    val pts = Seq(
+      s"put sys.cpu.user $T 1.0 tag1=value1 tag2=value2 rack=r1",
+      s"put sys.cpu.user ${T + 1} 1.0 tag3=value3 rack=r2",
+      s"put sys.cpu.idle ${T + 2} 1.0 tag3=value3 tag4=value4 rack=r1",
+      s"put sys.cpu.idle ${T + 1000} 3.0 tag3=value3 tag4=value4 rack=r2")
+      .flatMap(MetricParser.parse).toDF()
+    val meta = pts.select(org.apache.spark.sql.functions.col("metric"),
+      org.apache.spark.sql.functions.explode(org.apache.spark.sql.functions.col("tags"))
+        .as(Seq("tagk", "tagv"))).distinct()
+    def req(tags: Map[String, String], metric: String = "sys.cpu.idle") =
+      TsQueryRequest(T, T + 6000, msResolution = false,
+        Seq(SubQuery("sum", metric, downsample = Some("1s-max"), tags = tags)))
+    val e = intercept[TimelyApi.NoMatchingTagsException](
+      QueryPlanner.runQuery(pts, req(Map("rack" -> "r3")), Seq.empty, meta = Some(meta)))
+    assert(e.status == 400)
+    // matching tags (incl. regex) and tag-less queries still answer normally
+    assert(QueryPlanner.runQuery(pts, req(Map("rack" -> "r1")), Seq.empty, meta = Some(meta)).nonEmpty)
+    assert(QueryPlanner.runQuery(pts, req(Map("rack" -> "r.*")), Seq.empty, meta = Some(meta)).nonEmpty)
+    assert(QueryPlanner.runQuery(pts, req(Map.empty), Seq.empty, meta = Some(meta)).nonEmpty)
+    // unknown metric with no tags: no catalog entries at all -> 400 too
+    intercept[TimelyApi.NoMatchingTagsException](
+      QueryPlanner.runQuery(pts, req(Map.empty, metric = "nope"), Seq.empty, meta = Some(meta)))
+  }
+
   test("aggregator none keeps per-series rows with full tag sets") {
     val req = TsQueryRequest(T, T + 60000, msResolution = true, Seq(
       SubQuery("none", "m", downsample = Some("1s-avg"))))
