@@ -123,6 +123,33 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("streaming rate (flatMapGroupsWithState) equals the batch rate operator") {
+    // two series interleaved, fed across TWO micro-batches: the predecessor of
+    // batch-2's first point lives in the group state, not the batch
+    val mk = (ts: Long, v: Double, host: String) =>
+      MetricPoint("m", ts, v, Map("host" -> host), None)
+    val batch1 = Seq(mk(T, 10.0, "a"), mk(T + 1000, 40.0, "a"), mk(T, 5.0, "b"))
+    val batch2 = Seq(mk(T + 2000, 40.0, "a"), mk(T + 3000, 20.0, "b"))
+    val input = MemoryStream[MetricPoint]
+    val q = RateJob.rateStream(input.toDS().toDF(), intervalMs = 1000L,
+        counter = true, counterMax = 100L)
+      .writeStream.outputMode("append").format("memory").queryName("rate_test").start()
+    input.addData(batch1: _*)
+    q.processAllAvailable()
+    input.addData(batch2: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("rate_test")
+      .select("metric", "series", "ts", "rate").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    q.stop()
+    val batch = graft.operators.TimeSeries.rate(
+        (batch1 ++ batch2).toDF(), intervalMs = 1000L, counter = true, counterMax = 100L)
+      .select("metric", "series", "ts", "rate").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty && batch.size == 3) // 2 rates for series a, 1 (counter-bumped) for b
+  }
+
   test("subscriptions start, deliver, and tear down per (session, metric)") {
     val received = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val completed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
