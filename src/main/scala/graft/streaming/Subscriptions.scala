@@ -72,6 +72,7 @@ class Subscriptions(
     val df = planFiltered(pointsStream, metric, tags, auths, beginTimeMs, endTimeMs,
       lagSeconds, ageOffTtlMs, nowMs)
     val k = key(sessionId, metric)
+    external.remove(k) // replacing an external subscription under the same key
     val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
     Subscriptions.sinks.put(k,
       Subscriptions.SubSink(sink, endTimeMs, () => completeBounded(sessionId, metric, fired)))
@@ -159,6 +160,7 @@ class Subscriptions(
       }
     }(org.apache.spark.sql.Encoders.STRING)
     val k = key(sessionId, metric)
+    Subscriptions.sinks.remove(k) // replacing a relay subscription under the same key
     val q = envelopes.toDF("value").writeStream
       .queryName(k)
       .trigger(Trigger.ProcessingTime(delayMs))
