@@ -105,16 +105,21 @@ object QueryJson {
     var rateOptions = RateOptions()
     var downsample: Option[String] = None
     val RatePat = "^rate(\\{([^}]*)\\})?$".r
-    val DsPat = "^\\d+(ms|s|m|h|d)-\\w+$".r
+    val DsPat = "^\\d+(ms|s|m|h|d)?-\\w+$".r
     parts.slice(1, parts.length - 1).foreach {
       case RatePat(_, opts) =>
         rate = true
         if (opts != null && opts.nonEmpty) {
+          // GET-form option ORDER is the reference's, not OpenTSDB's POST
+          // RateOption: {counter, interval, counterMax, resetValue} with
+          // endsWith("counter") detection (QueryRequest.java:540-561) — the
+          // interval sits at position 1, durations allow bare ms numbers
           val fields = opts.split(",", -1)
           rateOptions = RateOptions(
-            counter = fields.headOption.contains("counter"),
-            counterMax = fields.lift(1).flatMap(_.toLongOption).getOrElse(0L),
-            resetValue = fields.lift(2).flatMap(_.toLongOption).getOrElse(0L))
+            counter = fields.headOption.exists(_.endsWith("counter")),
+            interval = fields.lift(1).filter(_.nonEmpty),
+            counterMax = fields.lift(2).flatMap(_.toLongOption).getOrElse(0L),
+            resetValue = fields.lift(3).flatMap(_.toLongOption).getOrElse(0L))
         }
       case ds if DsPat.findFirstIn(ds).isDefined => downsample = Some(ds)
       case other => throw new IllegalArgumentException(s"bad m= segment '$other' in: $m")

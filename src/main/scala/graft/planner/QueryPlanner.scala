@@ -58,13 +58,15 @@ object QueryPlanner {
       msResolution: Boolean = false,
       queries: Seq[SubQuery] = Seq.empty)
 
-  /** Parse `"1m"`, `"30s"`, `"500ms"`, `"2h"`, `"1d"` to millis. */
+  /** Parse `"1m"`, `"30s"`, `"500ms"`, `"2h"`, `"1d"` — or a bare number,
+    * which is milliseconds, like the Accumulo `getTimeInMillis` the reference
+    * feeds its rate/downsample durations through (RateIterator.java:42). */
   def durationMs(s: String): Long = {
-    val m = "^(\\d+)(ms|s|m|h|d)$".r
+    val m = "^(\\d+)(ms|s|m|h|d)?$".r
     s.trim match {
       case m(n, unit) =>
         n.toLong * (unit match {
-          case "ms" => 1L; case "s" => 1000L; case "m" => 60000L
+          case null | "ms" => 1L; case "s" => 1000L; case "m" => 60000L
           case "h" => 3600000L; case "d" => 86400000L
         })
       case other => throw new IllegalArgumentException(s"bad duration: $other")

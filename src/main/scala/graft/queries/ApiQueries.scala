@@ -129,8 +129,10 @@ object ApiQueries {
         .reduce(_.unionAll(_))
     }),
     // GET-form m= subquery string through the full grammar
-    // (QueryRequest.java:515-627): agg : rate{counter,max,reset} : dur-agg :
-    // metric {k=v} — parsed by QueryJson.parseMQuery, then planned.
+    // (QueryRequest.java:515-627): agg : rate{counter,interval,max,reset} :
+    // dur-agg : metric {k=v} — the reference's GET option order (interval at
+    // position 1, bare numbers are ms) — parsed by QueryJson.parseMQuery,
+    // then planned. Here: counter, interval 50000 ms, counterMax 1000.
     "api_query_getform" -> ((s, dir) => {
       val sub = graft.planner.QueryJson.parseMQuery("avg:rate{counter,50000,1000}:2h-avg:view{user=3.*}")
       val req = TsQueryRequest(Start, End, msResolution = false, queries = Seq(sub))
@@ -292,10 +294,8 @@ object ApiQueries {
         |r AS (
         |  SELECT user_id, ts,
         |         CASE WHEN ts = pts THEN 0
-        |              WHEN ((CASE WHEN value < pv THEN value + 50000 ELSE value END) - pv)
-        |                   / (ts - pts) * 7200000 > 1000 THEN 0
-        |              ELSE ((CASE WHEN value < pv THEN value + 50000 ELSE value END) - pv)
-        |                   / (ts - pts) * 7200000 END AS value
+        |              ELSE ((CASE WHEN value < pv THEN value + 1000 ELSE value END) - pv)
+        |                   / (ts - pts) * 50000 END AS value
         |  FROM p WHERE pts IS NOT NULL),
         |d AS (
         |  SELECT user_id, ts // 7200000 * 7200000 AS bucket_ms,

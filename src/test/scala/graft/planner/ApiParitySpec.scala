@@ -12,11 +12,19 @@ class ApiParitySpec extends AnyFunSuite with SparkSpec {
   import spark.implicits._
 
   test("m= query parsing: agg:rate{...}:downsample:metric{tags}") {
+    // GET-form rate option ORDER is the reference's (QueryRequest.java:
+    // 540-561): {counter, interval, counterMax, resetValue}, counter detected
+    // via endsWith("counter") — NOT the POST RateOption field order
     val q = QueryJson.parseMQuery("sum:rate{counter,100,10}:1m-avg:sys.cpu.user{host=web.*,rack=r1}")
     assert(q.aggregator == "sum" && q.metric == "sys.cpu.user")
-    assert(q.rate && q.rateOptions == RateOptions(counter = true, counterMax = 100L, resetValue = 10L))
+    assert(q.rate && q.rateOptions ==
+      RateOptions(counter = true, counterMax = 10L, interval = Some("100")))
     assert(q.downsample.contains("1m-avg"))
     assert(q.tags == Map("host" -> "web.*", "rack" -> "r1"))
+    val full = QueryJson.parseMQuery("sum:rate{counter,1s,100,10}:1m-avg:m")
+    assert(full.rateOptions ==
+      RateOptions(counter = true, counterMax = 100L, resetValue = 10L, interval = Some("1s")))
+    assert(QueryPlanner.durationMs("1s") == 1000L && QueryPlanner.durationMs("100") == 100L)
   }
 
   test("m= query parsing: minimal and partial forms") {
