@@ -78,26 +78,37 @@ object QueryJson {
   }
 
   /**
-   * GET-form subquery: `m=<agg>:[rate[{counter[,max[,reset]]}]:][<dur>-<agg>:]<metric>[{k=v,...}]`
-   * (reference QueryRequest.java:515-627 parses the same shape; tags use the
-   * OpenTSDB `{k=v,k=v}` suffix).
+   * GET-form subquery: `m=<agg>:[rate[{counter[,interval[,max[,reset]]]}]:]
+   * [<dur>-<agg>:]<metric>[{k=v,...}[{k=v,...}]]`
+   * (reference QueryRequest.parseQueryParameters, QueryRequest.java:515-627).
+   *
+   * Faithfully-reproduced reference quirk: the FIRST `{}` block of the metric
+   * segment becomes groupBy FILTER clauses (QueryRequest.java:583-595) — and
+   * the engine never reads filters (DataStore consumes only tags), so a
+   * single-block GET query runs UNFILTERED on the reference server. Only a
+   * SECOND block populates `tags` (QueryRequest.java:596-606) and actually
+   * filters/groups. Pinned by ApiParitySpec.
    */
   def parseMQuery(m: String): SubQuery = {
-    // the tag block is the trailing {k=v,...} of the FINAL segment — a brace
-    // inside an earlier segment (rate{counter,...}) is not a tag block
-    val braceAt = m.lastIndexOf('{')
-    val isTagBlock = braceAt >= 0 && m.endsWith("}") && braceAt > m.lastIndexOf(':')
-    val (head, tags) = (if (isTagBlock) braceAt else -1) match {
-      case -1 => (m, Map.empty[String, String])
-      case i =>
-        val tagStr = m.substring(i + 1, m.length - 1)
-        val pairs = tagStr.split(",").iterator.filter(_.nonEmpty).map { t =>
-          val j = t.indexOf('=')
-          require(j > 0, s"bad tag '$t' in: $m")
-          t.substring(0, j) -> t.substring(j + 1)
-        }.toMap
-        (m.substring(0, i), pairs)
-    }
+    // the tag blocks live in the FINAL segment — a brace inside an earlier
+    // segment (rate{counter,...}) precedes the last ':' and is not matched
+    val braceAt = m.indexOf('{', m.lastIndexOf(':') + 1)
+    def kvs(block: String): Seq[(String, String)] =
+      block.stripPrefix("{").split(",").iterator.filter(_.nonEmpty).map { t =>
+        val j = t.indexOf('=')
+        require(j > 0, s"bad tag '$t' in: $m")
+        t.substring(0, j) -> t.substring(j + 1)
+      }.toSeq
+    val (head, filters, tags) =
+      if (braceAt < 0) (m, Seq.empty[FilterClause], Map.empty[String, String])
+      else {
+        require(m.endsWith("}"), s"Tag section does not end with '}' in: $m")
+        val blocks = m.substring(braceAt).split("\\}").toSeq
+        val groupByFilters = kvs(blocks.head)
+          .map { case (k, v) => FilterClause("", k, v, groupBy = true) }
+        val tagMap = if (blocks.length > 1) kvs(blocks(1)).toMap else Map.empty[String, String]
+        (m.substring(0, braceAt), groupByFilters, tagMap)
+      }
     val parts = head.split(":").toSeq
     require(parts.length >= 2, s"bad m= query: $m")
     val aggregator = parts.head
@@ -124,7 +135,7 @@ object QueryJson {
       case ds if DsPat.findFirstIn(ds).isDefined => downsample = Some(ds)
       case other => throw new IllegalArgumentException(s"bad m= segment '$other' in: $m")
     }
-    SubQuery(aggregator, parts.last, rate, rateOptions, downsample, tags)
+    SubQuery(aggregator, parts.last, rate, rateOptions, downsample, tags, filters)
   }
 
   /**

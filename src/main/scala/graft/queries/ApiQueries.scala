@@ -130,11 +130,14 @@ object ApiQueries {
     }),
     // GET-form m= subquery string through the full grammar
     // (QueryRequest.java:515-627): agg : rate{counter,interval,max,reset} :
-    // dur-agg : metric {k=v} — the reference's GET option order (interval at
-    // position 1, bare numbers are ms) — parsed by QueryJson.parseMQuery,
-    // then planned. Here: counter, interval 50000 ms, counterMax 1000.
+    // dur-agg : metric {groupBy}{tags} — the reference's GET option order
+    // (interval at position 1, bare numbers are ms) and its two-block tag
+    // grammar, where only the SECOND block filters (the first becomes
+    // ignored groupBy filter clauses). Here: counter, interval 50000 ms,
+    // counterMax 1000, tags user=3.*.
     "api_query_getform" -> ((s, dir) => {
-      val sub = graft.planner.QueryJson.parseMQuery("avg:rate{counter,50000,1000}:2h-avg:view{user=3.*}")
+      val sub = graft.planner.QueryJson.parseMQuery(
+        "avg:rate{counter,50000,1000}:2h-avg:view{user=3.*}{user=3.*}")
       val req = TsQueryRequest(Start, End, msResolution = false, queries = Seq(sub))
       QueryPlanner.plan(points(s, dir), req, auths = Seq.empty).head
         .select(col("metric"), col("group_tags").getItem("user").as("tag_user"),

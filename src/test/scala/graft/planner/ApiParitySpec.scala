@@ -11,7 +11,7 @@ class ApiParitySpec extends AnyFunSuite with SparkSpec {
 
   import spark.implicits._
 
-  test("m= query parsing: agg:rate{...}:downsample:metric{tags}") {
+  test("m= query parsing: agg:rate{...}:downsample:metric{groupBy}{tags}") {
     // GET-form rate option ORDER is the reference's (QueryRequest.java:
     // 540-561): {counter, interval, counterMax, resetValue}, counter detected
     // via endsWith("counter") — NOT the POST RateOption field order
@@ -20,7 +20,16 @@ class ApiParitySpec extends AnyFunSuite with SparkSpec {
     assert(q.rate && q.rateOptions ==
       RateOptions(counter = true, counterMax = 10L, interval = Some("100")))
     assert(q.downsample.contains("1m-avg"))
-    assert(q.tags == Map("host" -> "web.*", "rack" -> "r1"))
+    // the reference's GET tag grammar: the FIRST {} block becomes groupBy
+    // FILTER clauses — which the engine ignores — so a single-block query
+    // carries NO tags and runs unfiltered (QueryRequest.java:583-606)
+    assert(q.tags.isEmpty)
+    assert(q.filters == Seq(
+      FilterClause("", "host", "web.*", groupBy = true),
+      FilterClause("", "rack", "r1", groupBy = true)))
+    val two = QueryJson.parseMQuery("avg:m{host=a}{rack=r2}")
+    assert(two.filters == Seq(FilterClause("", "host", "a", groupBy = true)))
+    assert(two.tags == Map("rack" -> "r2")) // only the SECOND block filters
     val full = QueryJson.parseMQuery("sum:rate{counter,1s,100,10}:1m-avg:m")
     assert(full.rateOptions ==
       RateOptions(counter = true, counterMax = 100L, resetValue = 10L, interval = Some("1s")))
