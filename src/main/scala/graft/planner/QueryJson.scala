@@ -139,6 +139,32 @@ object QueryJson {
   }
 
   /**
+   * Full GET query string -> request, mirroring the reference's
+   * `parseQueryParameters` (QueryRequest.java:515-627): `start` required,
+   * `end` optional (defaults to now), each `m` value through [[parseMQuery]],
+   * and each `tsuid` value (`[agg:]tsuid1,tsuid2,...`) becoming a
+   * metric-less SubQuery carrying only tsuids — which the engine, like the
+   * reference's, cannot answer (DataStore reads `metric`; a tsuid-only GET
+   * subquery fails there too). GET has no msResolution parameter.
+   */
+  def parseGetQuery(
+      params: Map[String, Seq[String]],
+      nowMs: () => Long = () => System.currentTimeMillis()): TsQueryRequest = {
+    val start = params.get("start").flatMap(_.headOption).map(_.toLong)
+      .getOrElse(throw new IllegalArgumentException("start required"))
+    val end = params.get("end").flatMap(_.headOption).map(_.toLong).getOrElse(nowMs())
+    val mQueries = params.getOrElse("m", Nil).map(parseMQuery)
+    val tsuidQueries = params.getOrElse("tsuid", Nil).map { ts =>
+      val colon = ts.indexOf(':')
+      SubQuery(
+        aggregator = if (colon >= 0) ts.substring(0, colon) else "",
+        metric = "",
+        tsuids = ts.substring(colon + 1).split(",").toSeq.filter(_.nonEmpty))
+    }
+    TsQueryRequest(start, end, msResolution = false, queries = mQueries ++ tsuidQueries)
+  }
+
+  /**
    * Collect one planned subquery frame into QueryResponse JSON objects:
    * one per (metric, group_tags), dps ordered by timestamp (the reference
    * emits TreeMap order — Aggregation.java:58).

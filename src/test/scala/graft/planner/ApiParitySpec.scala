@@ -65,6 +65,22 @@ class ApiParitySpec extends AnyFunSuite with SparkSpec {
     assert(out.toSeq == Seq(900.0))
   }
 
+  test("GET query-string parsing: start/end/m/tsuid (QueryRequest.parseQueryParameters)") {
+    val req = QueryJson.parseGetQuery(Map(
+      "start" -> Seq(s"$T"), "end" -> Seq(s"${T + 6000}"),
+      "m" -> Seq("sum:1m-avg:m1{h=a}{h=a}", "max:m2"),
+      "tsuid" -> Seq("sum:000001000001000001,000001000001000002")))
+    assert(req.start == T && req.end == T + 6000 && !req.msResolution)
+    assert(req.queries.length == 3)
+    assert(req.queries(0).metric == "m1" && req.queries(0).tags == Map("h" -> "a"))
+    assert(req.queries(1) == SubQuery("max", "m2"))
+    assert(req.queries(2).aggregator == "sum" && req.queries(2).metric.isEmpty &&
+      req.queries(2).tsuids == Seq("000001000001000001", "000001000001000002"))
+    // end defaults to "now"; start is required
+    assert(QueryJson.parseGetQuery(Map("start" -> Seq("5")), nowMs = () => 42L).end == 42L)
+    intercept[IllegalArgumentException](QueryJson.parseGetQuery(Map.empty))
+  }
+
   test("query with no matching tags is a 400, not an empty result (HttpApiIT.testQueryWithNoMatchingTags)") {
     // reference fixture (HttpApiIT.java:385-404): sys.cpu.idle exists but no
     // rack=r3 value does -> DataStore.getColumnFamilies finds no columns ->
