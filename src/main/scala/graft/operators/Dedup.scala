@@ -163,7 +163,11 @@ object Dedup {
     // session setting, so a 100 TB pair frame still gets the full width) and
     // restore the conf after the loop. AQE cannot do this coalescing itself:
     // cached-plan output partitioning is pinned (canChangeCachedPlanOutput-
-    // Partitioning=false), and every sweep state below is cached.
+    // Partitioning=false), and every sweep state below is cached. The swap is
+    // session-wide while the loop runs: a concurrent query planned in the
+    // same session during that window would inherit the narrow width — run
+    // clusters() on its own session (newSession/cloneSession) in multi-tenant
+    // drivers.
     val sess = p.sparkSession
     val prevParts = sess.conf.get("spark.sql.shuffle.partitions")
     val nParts = math.max(1L, math.min(prevParts.toLong, nPairs / 100000L + 1L)).toInt
