@@ -22,15 +22,26 @@ object TimelyApi {
 
   def aggregatorsJson: String = Aggregators.mkString("[\"", "\",\"", "\"]")
 
-  /** /api/suggest: type in {metrics, tagk, tagv}; substring match for metrics,
-    * equality scoping otherwise; limited (default 25 like the reference). */
-  def suggest(meta: DataFrame, kind: String, q: String, max: Int = 25): DataFrame = kind match {
+  /** /api/suggest (DataStore.java:528-580): `metrics` = substring match on
+    * the metric name; `tagk` = the tag keys of ONE metric; `tagv` = the tag
+    * values of one (metric, tag key) PAIR — the reference requires both and
+    * answers an empty suggestion list (not an error) when the scope params
+    * are missing (DataStore.java:558-573). Limited (default 25). */
+  def suggest(
+      meta: DataFrame, kind: String, q: String,
+      tagKey: Option[String] = None, max: Int = 25): DataFrame = kind match {
     case "metrics" =>
       meta.select("metric").distinct().where(col("metric").contains(q)).orderBy("metric").limit(max)
     case "tagk" =>
       meta.where(col("metric") === q).select("tagk").distinct().orderBy("tagk").limit(max)
     case "tagv" =>
-      meta.where(col("tagk") === q).select("tagv").distinct().orderBy("tagv").limit(max)
+      tagKey match {
+        case Some(k) =>
+          meta.where(col("metric") === q && col("tagk") === k)
+            .select("tagv").distinct().orderBy("tagv").limit(max)
+        case None => // reference: missing scope -> empty suggestions
+          meta.select("tagv").where(lit(false)).limit(max)
+      }
     case other => throw new IllegalArgumentException(s"unknown suggest type: $other")
   }
 
@@ -102,8 +113,10 @@ object TimelyApi {
   /** /api/suggest wire shape: a bare JSON array of the suggestion strings
     * (reference SuggestResponse.SuggestSerializer,
     * server/src/main/java/timely/api/response/timeseries/SuggestResponse.java:28-37). */
-  def suggestJson(meta: DataFrame, kind: String, q: String, max: Int = 25): String = {
-    val vals = suggest(meta, kind, q, max).collect().map(_.getString(0))
+  def suggestJson(
+      meta: DataFrame, kind: String, q: String,
+      tagKey: Option[String] = None, max: Int = 25): String = {
+    val vals = suggest(meta, kind, q, tagKey, max).collect().map(_.getString(0))
     JsonMethods.compact(JsonMethods.render(JArray(vals.map(JString(_)).toList)))
   }
 

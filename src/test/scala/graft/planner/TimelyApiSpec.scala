@@ -21,8 +21,13 @@ class TimelyApiSpec extends AnyFunSuite with SparkSpec {
       Seq("sys.cpu.idle"))
     assert(TimelyApi.suggest(meta, "tagk", "sys.cpu.user").as[String].collect().toSeq ==
       Seq("host", "rack"))
-    assert(TimelyApi.suggest(meta, "tagv", "host").as[String].collect().toSeq ==
+    // tagv scopes by BOTH metric and tag key (DataStore.java:558-573) — and
+    // a missing scope answers empty suggestions, not an error
+    assert(TimelyApi.suggest(meta, "tagv", "sys.cpu.user", Some("host")).as[String].collect().toSeq ==
       Seq("web01", "web02"))
+    assert(TimelyApi.suggest(meta, "tagv", "sys.cpu.idle", Some("host")).as[String].collect().toSeq ==
+      Seq("web01"))
+    assert(TimelyApi.suggest(meta, "tagv", "sys.cpu.user").as[String].collect().isEmpty)
     intercept[IllegalArgumentException](TimelyApi.suggest(meta, "bogus", "x"))
   }
 
@@ -34,7 +39,7 @@ class TimelyApiSpec extends AnyFunSuite with SparkSpec {
   test("suggest JSON is a bare array (SuggestResponse serializer shape)") {
     assert(TimelyApi.suggestJson(meta, "metrics", "cpu") ==
       """["sys.cpu.idle","sys.cpu.user"]""")
-    assert(TimelyApi.suggestJson(meta, "tagv", "host", max = 1) == """["web01"]""")
+    assert(TimelyApi.suggestJson(meta, "tagv", "sys.cpu.user", Some("host"), max = 1) == """["web01"]""")
     assert(TimelyApi.suggestJson(meta, "metrics", "nosuch") == "[]")
   }
 
