@@ -135,7 +135,11 @@ object QueryPlanner {
 
     // cross-series aggregation, grouped by the QUERIED tag subset only
     // (DataStore.java:752-762): series collapse onto the tags the user asked for.
-    if (q.aggregator == "none") {
+    // An UNKNOWN aggregator name resolves to null in the reference
+    // (Aggregator.getAggregator's default, Aggregator.java:55-56) and no
+    // AggregationIterator is added (DataStore.java:738-746) — the query then
+    // behaves exactly like aggregator=none rather than erroring.
+    if (q.aggregator == "none" || !TimelyApi.Aggregators.contains(q.aggregator)) {
       perSeries.select(col("metric"), col("tags").as("group_tags"), col("bucket_ms"),
         typedlit(Seq.empty[String]).as("aggregated_tags"), col("value"))
     } else {

@@ -117,4 +117,16 @@ class ApiParitySpec extends AnyFunSuite with SparkSpec {
     val tags = out.select("group_tags").collect().map(_.getMap[String, String](0).toMap).distinct
     assert(tags.toSeq == Seq(Map("host" -> "a"))) // full tag set retained
   }
+
+  test("unknown aggregator behaves like none (Aggregator.getAggregator null default)") {
+    // reference: no AggregationIterator is added for an unresolvable name
+    // (DataStore.java:738-746) — same per-series rows as aggregator=none
+    def rows(agg: String) = {
+      val req = TsQueryRequest(T, T + 60000, msResolution = true, Seq(
+        SubQuery(agg, "m", downsample = Some("1s-avg"))))
+      QueryPlanner.plan(fixture, req, Seq.empty).head
+        .select("ts_out", "value").sort("ts_out").as[(Long, Double)].collect().toSeq
+    }
+    assert(rows("zimsum") == rows("none") && rows("none").nonEmpty)
+  }
 }
