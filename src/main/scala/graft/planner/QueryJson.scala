@@ -10,7 +10,7 @@ import graft.planner.QueryPlanner._
  * JSON codec for the OpenTSDB-compatible API: request parsing mirroring
  * `QueryRequest` (reference common/src/main/java/timely/api/request/
  * timeseries/QueryRequest.java:219-380) and response assembly mirroring
- * `QueryResponse{metric, tags, aggregateTags, dps}` (server/src/main/java/
+ * `QueryResponse{metric, tags, aggregatedTags, dps}` (server/src/main/java/
  * timely/api/response/timeseries/QueryResponse.java:1-40).
  *
  * Uses the json4s shipped with Spark — no extra dependency.
@@ -185,7 +185,9 @@ object QueryJson {
         JObject(
           "metric" -> JString(metric),
           "tags" -> JObject(tags.toList.sorted.map { case (k, v) => JField(k, JString(v)) }),
-          "aggregateTags" -> JArray(aggTags.map(JString(_))),
+          // "aggregatedTags" WITH the d — the reference's Jackson field name
+          // (QueryResponse.java:12,17), not OpenTSDB's "aggregateTags"
+          "aggregatedTags" -> JArray(aggTags.map(JString(_))),
           "dps" -> JObject(dps))
       }
     JsonMethods.compact(JsonMethods.render(JArray(objs)))

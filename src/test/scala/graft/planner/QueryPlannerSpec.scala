@@ -87,7 +87,10 @@ class QueryPlannerSpec extends AnyFunSuite with SparkSpec {
     val json = QueryJson.toResponses(QueryPlanner.plan(fixture, req, Seq.empty).head)
     assert(json.contains(""""metric":"sys.cpu.idle""""))
     assert(json.contains(""""tags":{"tag3":"value3"}"""))
-    assert(json.contains(""""aggregateTags":["tag4"]"""))
+    // the reference serializes the FIELD name aggregatedTags (with the d,
+    // QueryResponse.java:12,17) — a deliberate divergence from OpenTSDB's
+    // aggregateTags that wire parity must reproduce
+    assert(json.contains(""""aggregatedTags":["tag4"]"""))
     assert(json.contains(s""""${T / 1000}":1.0"""))
   }
 
