@@ -21,6 +21,17 @@ import org.apache.spark.sql.functions._
  */
 object Dedup {
 
+  /** Idempotent cache: several operators here share sub-frames (signatures,
+    * scored pairs) across calls in one session, so the same logical plan can
+    * reach a cache() site twice (e.g. `simhashPairs` at two thresholds, or
+    * `ngramJaccard` feeding both the pair gate and `clusters`). Caching an
+    * already-cached plan is a no-op that still logs a CacheManager warning
+    * per call — check first. Entries are MEMORY_AND_DISK and LRU-evicted
+    * under pressure; a long-lived session cycling corpora releases them with
+    * `spark.catalog.clearCache()`. */
+  private def cached(df: DataFrame): DataFrame =
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.cache() else df
+
   /** Exact dedup: group by content hash, keep min doc_id as representative. */
   def exact(docs: DataFrame): DataFrame =
     docs.groupBy(md5(col("text")).as("content_hash"))
@@ -72,7 +83,7 @@ object Dedup {
     require(numHashes % bandSize == 0, "numHashes must be divisible by bandSize")
     // cached (memory+disk, partition-local) because the banded self-join reads
     // it once per side; this is a per-executor materialization, not a broadcast
-    val mh = minhashSignatures(docs, numHashes).cache()
+    val mh = cached(minhashSignatures(docs, numHashes))
     val nBands = numHashes / bandSize
     val bandKey = (b: Int) => concat((b * bandSize until (b + 1) * bandSize).map(k => col(s"mh$k")): _*)
     val sigCols = (0 until numHashes).map(c => col(s"mh$c"))
@@ -101,7 +112,7 @@ object Dedup {
     // k^2 candidate pairs, so at 100 TB ultra-common shingles (boilerplate)
     // are dropped from CANDIDATE GENERATION above `maxDocFreq`. Default off —
     // the oracle-pinned configuration keeps exact semantics.
-    val allSh = shingles(docs).cache()
+    val allSh = cached(shingles(docs))
     val sh = if (maxDocFreq == Long.MaxValue) allSh else {
       // shingle cardinality >> doc cardinality, so the frequency filter must
       // shuffle-join on the shingle itself (never broadcast); AQE may still
@@ -129,8 +140,9 @@ object Dedup {
       .join(sizes.as("sa"), col("a") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("b") === col("sb.doc_id"))
       .select(col("a"), col("b"), jac.as("jaccard"))
-      .cache()
-    scored.where(col("jaccard") >= threshold)
+      
+    val scoredC = cached(scored)
+    scoredC.where(col("jaccard") >= threshold)
   }
 
   /**
@@ -154,7 +166,7 @@ object Dedup {
     // compute the expensive upstream pair generator once per union branch
     // inside the first job, since sibling branches can't read a cache that is
     // being populated by the same stage
-    val p = pairs.cache()
+    val p = cached(pairs)
     val nPairs = p.count()
     // Sweep frames are O(pairs) — at near-dup rates orders of magnitude
     // smaller than the corpus — so the session-wide shuffle width (sized for
@@ -177,13 +189,20 @@ object Dedup {
     // executes several sweeps
     // no distinct: duplicate edges can't change a min-aggregate, and the
     // dedup shuffle would cost more than the duplicates do
-    // no cache either: the union is a NARROW projection of the cached pair
-    // frame, so each sweep re-derives it for free, while caching it would pin
-    // 4x the pair frame in executor storage and add a materialization barrier
-    val edges = p.select(col("a").as("src"), col("b").as("dst"))
-      .unionByName(p.select(col("b").as("src"), col("a").as("dst")))
-      .unionByName(p.select(col("a").as("src"), col("a").as("dst")))
-      .unionByName(p.select(col("b").as("src"), col("b").as("dst")))
+    // materialized ONCE at the sweep width: the raw union is 4 branches x the
+    // pair frame's (corpus-scan-sized) partitioning, so reading it lazily
+    // re-schedules ~4x pairs-partitions near-empty tasks per sweep — at
+    // near-dup pair volumes that scheduling dwarfs the data. One repartition
+    // to nParts (hash on the join key) makes every subsequent sweep read
+    // nParts data-sized partitions instead.
+    val edges = cached(
+      p.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(p.select(col("b").as("src"), col("a").as("dst")))
+        .unionByName(p.select(col("a").as("src"), col("a").as("dst")))
+        .unionByName(p.select(col("b").as("src"), col("b").as("dst")))
+        .repartition(nParts, col("dst")))
+    edges.count() // one materialization; every sweep reads this nParts-wide cache
+    p.unpersist() // the pair frame's content now lives (4x, still tiny) in edges
     def sweep(l: DataFrame): DataFrame =
       edges
         .join(l.select(col("id").as("dst"), col("label")), "dst")
@@ -214,8 +233,33 @@ object Dedup {
         iters += 1
       }
     } finally sess.conf.set("spark.sql.shuffle.partitions", prevParts)
-    p.unpersist()
+    // the returned label frame is itself cached; edges only backs its
+    // (lineage-valid) recompute path, so release the executor storage now
+    edges.unpersist()
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /**
+   * Embedding-cosine near-dup dedup: the keep/drop decision for EVERY vector
+   * of an embedding table. Candidate pairs come from
+   * [[Similarity.lshBucketedPairs]] (random-hyperplane LSH buckets — exact
+   * cosine is only computed inside a bucket, never all-pairs), transitively
+   * linked near-dups collapse through [[clusters]], and each vector keeps its
+   * component's min vec_id — itself when it has no near-dup.
+   *
+   * Scale: the corpus never self-joins outside LSH buckets; the component
+   * frame is near-dup-rate-sized (tiny next to the corpus), so the final
+   * left join shuffles the corpus once on vec_id and AQE broadcasts the
+   * representative side when it is genuinely small.
+   *
+   * @return (vec_id, keep_id) for every row of `emb`; a vector is a drop
+   *         candidate iff keep_id != vec_id.
+   */
+  def embedCosine(emb: DataFrame, minCosine: Double = 0.9, bits: Int = 8): DataFrame = {
+    val pairs = Similarity.lshBucketedPairs(emb, bits, minCosine).select(col("a"), col("b"))
+    val reps = clusters(pairs).select(col("doc_id").as("vec_id"), col("cluster_id"))
+    emb.select("vec_id").join(reps, Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("cluster_id"), col("vec_id")).as("keep_id"))
   }
 
   /**
@@ -281,7 +325,7 @@ object Dedup {
     require(maxHamming <= SimHashBands - 2,
       s"band-pair blocking guarantees recall only at Hamming <= ${SimHashBands - 2}")
     val width = bits / SimHashBands
-    val sh = simhashSignatures(docs).cache()
+    val sh = cached(simhashSignatures(docs))
     // band b = logical bits [b*width, (b+1)*width) = long bits (63-b*width)
     // down — a shift+mask on the packed signature
     def band(b: Int): Column =

@@ -66,6 +66,10 @@ object LlmQueries {
       Similarity.bruteForceKnn(e, e.where(col("vec_id") < 5), k = 5)
     }),
     "embed_lsh_pairs" -> ((s, dir) => Similarity.lshBucketedPairs(emb(s, dir), bits = 8, minCosine = 0.3)),
+    // embedding-cosine near-dup DEDUP: a keep/drop decision for every vector
+    // (LSH-bucketed pairs -> connected components -> min-id representative).
+    // 0.3 matches embed_lsh_pairs so both gates pin the same bucket semantics.
+    "dedup_embed_cosine" -> ((s, dir) => Dedup.embedCosine(emb(s, dir), minCosine = 0.3)),
     // IVF coarse-quantizer ANN (scale path), seeded-centroid configuration —
     // fully deterministic, so the whole pipeline (seed pick, assignment,
     // probing, in-list exact cosine) has a SQL oracle below. The k-means
@@ -119,6 +123,32 @@ object LlmQueries {
     val mins = (0 until 8).map(k => s"MIN(md5('$k:' || s)) AS mh$k").mkString(", ")
     s"SELECT doc_id, $mins FROM ($Shingles) GROUP BY doc_id"
   }
+
+  /** Hyperplane-LSH bucket + in-bucket exact-cosine pairs over `embeddings` —
+    * the CTE stack shared by the embed_lsh_pairs and dedup_embed_cosine
+    * oracles (one definition keeps the two gates pinned to identical bucket
+    * semantics). */
+  private val LshPairsCte =
+    """elems AS (
+      |  SELECT vec_id, UNNEST(embedding) AS v, generate_subscripts(embedding, 1) AS d FROM embeddings),
+      |bits AS (
+      |  SELECT vec_id, j,
+      |         SUM(CAST(v AS DOUBLE) * (CASE WHEN (strpos('0123456789abcdef',
+      |             substr(md5(CAST(j AS VARCHAR) || ':' || CAST(d - 1 AS VARCHAR)), 1 + (d - 1) % 32, 1)) - 1) % 2 = 1
+      |           THEN 1.0 ELSE -1.0 END)) AS acc
+      |  FROM elems, UNNEST(range(8)) AS t(j)
+      |  GROUP BY 1, 2),
+      |sig AS (
+      |  SELECT vec_id, string_agg(CASE WHEN acc > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS sig
+      |  FROM bits GROUP BY vec_id),
+      |pairs AS (
+      |  SELECT x.vec_id AS a, y.vec_id AS b,
+      |         list_dot_product(CAST(ex.embedding AS DOUBLE[]), CAST(ey.embedding AS DOUBLE[]))
+      |           / (sqrt(list_dot_product(CAST(ex.embedding AS DOUBLE[]), CAST(ex.embedding AS DOUBLE[])))
+      |            * sqrt(list_dot_product(CAST(ey.embedding AS DOUBLE[]), CAST(ey.embedding AS DOUBLE[])))) AS cos_sim
+      |  FROM sig x JOIN sig y ON x.sig = y.sig AND x.vec_id < y.vec_id
+      |  JOIN embeddings ex ON x.vec_id = ex.vec_id
+      |  JOIN embeddings ey ON y.vec_id = ey.vec_id)""".stripMargin
 
   private val CosineSql =
     """list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(d.embedding AS DOUBLE[]))
@@ -353,27 +383,22 @@ object LlmQueries {
         |  FROM scored)
         |WHERE rank <= 5""".stripMargin,
     "embed_lsh_pairs" ->
-      """WITH elems AS (
-        |  SELECT vec_id, UNNEST(embedding) AS v, generate_subscripts(embedding, 1) AS d FROM embeddings),
-        |bits AS (
-        |  SELECT vec_id, j,
-        |         SUM(CAST(v AS DOUBLE) * (CASE WHEN (strpos('0123456789abcdef',
-        |             substr(md5(CAST(j AS VARCHAR) || ':' || CAST(d - 1 AS VARCHAR)), 1 + (d - 1) % 32, 1)) - 1) % 2 = 1
-        |           THEN 1.0 ELSE -1.0 END)) AS acc
-        |  FROM elems, UNNEST(range(8)) AS t(j)
-        |  GROUP BY 1, 2),
-        |sig AS (
-        |  SELECT vec_id, string_agg(CASE WHEN acc > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS sig
-        |  FROM bits GROUP BY vec_id),
-        |pairs AS (
-        |  SELECT x.vec_id AS a, y.vec_id AS b,
-        |         list_dot_product(CAST(ex.embedding AS DOUBLE[]), CAST(ey.embedding AS DOUBLE[]))
-        |           / (sqrt(list_dot_product(CAST(ex.embedding AS DOUBLE[]), CAST(ex.embedding AS DOUBLE[])))
-        |            * sqrt(list_dot_product(CAST(ey.embedding AS DOUBLE[]), CAST(ey.embedding AS DOUBLE[])))) AS cos_sim
-        |  FROM sig x JOIN sig y ON x.sig = y.sig AND x.vec_id < y.vec_id
-        |  JOIN embeddings ex ON x.vec_id = ex.vec_id
-        |  JOIN embeddings ey ON y.vec_id = ey.vec_id)
-        |SELECT a, b, cos_sim FROM pairs WHERE cos_sim >= 0.3""".stripMargin,
+      s"""WITH $LshPairsCte
+         |SELECT a, b, cos_sim FROM pairs WHERE cos_sim >= 0.3""".stripMargin,
+    // same LSH buckets + pair filter as embed_lsh_pairs, then the same
+    // recursive connected components as dedup_clusters, left-joined back so
+    // every vector gets a keep decision (itself when it has no near-dup)
+    "dedup_embed_cosine" ->
+      s"""WITH RECURSIVE $LshPairsCte,
+         |np AS (SELECT a, b FROM pairs WHERE cos_sim >= 0.3),
+         |edges AS (SELECT a AS src, b AS dst FROM np UNION SELECT b, a FROM np),
+         |reach(src, dst) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |reps AS (SELECT src AS vec_id, MIN(dst) AS keep0 FROM reach GROUP BY 1)
+         |SELECT e.vec_id, COALESCE(r.keep0, e.vec_id) AS keep_id
+         |FROM embeddings e LEFT JOIN reps r ON e.vec_id = r.vec_id""".stripMargin,
     "multimodal_decode_partitioned" ->
       """SELECT doc_id AS media_id,
         |       ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,

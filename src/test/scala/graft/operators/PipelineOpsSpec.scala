@@ -189,6 +189,18 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(pairs.toSeq == Seq((0L, 1L)))
   }
 
+  test("embedding-cosine dedup: near-dup vectors collapse to min id, others keep themselves") {
+    // 0/1/2 are an identical triple; 3 is a scaled copy of 0 (cosine 1);
+    // 4 points elsewhere and must keep itself
+    val vs = Seq(
+      (0L, Array.fill(8)(0.5f)), (1L, Array.fill(8)(0.5f)), (2L, Array.fill(8)(0.5f)),
+      (3L, Array.fill(8)(0.25f)),
+      (4L, Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.embedCosine(vs, minCosine = 0.95, bits = 4).as[(Long, Long)].collect().toMap
+    assert(out == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 4L))
+  }
+
   test("per-partition decode equals the expression decode; resize and frame-sample behave") {
     val media = Multimodal.asMediaTable(docs(1L -> base, 2L -> (base * 3), 3L -> (base * 5)))
     val viaExpr = Multimodal.stubDecode(media)
