@@ -64,18 +64,60 @@ class VizEnforcementRule extends Rule[LogicalPlan] {
   }
 }
 
-/** Extension entry point: `.withExtensions(new GraftExtensions)`. */
+/** Extension entry point: `.withExtensions(new GraftExtensions)` (or
+  * `spark.sql.extensions=graft.plans.GraftExtensions` on a cluster submit —
+  * the class is config-instantiable). Besides the enforcement rule it
+  * registers every graft custom expression as a named SQL function, so a
+  * pure-SQL user gets the same codegen'd primitives the Column API uses:
+  *
+  *  - `viz_visible(viz, 'A,B')`        — visibility-label check
+  *  - `float_dot(a, b)`                — sequential double dot of float arrays
+  *  - `simhash_bits(md5_array)`        — packed 64-bit SimHash signature
+  *  - `lexicon_hits(text, 'w1,w2')`    — lowercased whitespace-token set hits
+  *  - `min_gram_md5(text, 12)`         — min md5 over character n-grams
+  *
+  * Lexicon/gram-length arguments configure codegen, so they must be literals
+  * (same restriction Spark's own `format_string` places on its format). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+  private def strLit(e: Expression, usage: String): String = e match {
+    case Literal(s: UTF8String, org.apache.spark.sql.types.StringType) => s.toString
+    case _ => throw new IllegalArgumentException(s"$usage requires a string literal here, got $e")
+  }
+
+  private def intLit(e: Expression, usage: String): Int = e match {
+    case Literal(i: Int, org.apache.spark.sql.types.IntegerType) => i
+    case Literal(l: Long, org.apache.spark.sql.types.LongType) => l.toInt
+    case _ => throw new IllegalArgumentException(s"$usage requires an integer literal here, got $e")
+  }
+
+  private def fn(name: String, clazz: Class[_], arity: Int, usage: String)(
+      builder: Seq[Expression] => Expression) = (
+    new FunctionIdentifier(name),
+    new ExpressionInfo(clazz.getName, name),
+    (children: Seq[Expression]) => {
+      require(children.length == arity, usage)
+      builder(children)
+    })
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectResolutionRule(_ => new VizEnforcementRule)
-    // SQL-callable visibility check: SELECT ... WHERE viz_visible(viz, 'A,B')
-    ext.injectFunction((
-      new org.apache.spark.sql.catalyst.FunctionIdentifier("viz_visible"),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        classOf[VizVisible].getName, "viz_visible"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-        require(children.length == 2, "viz_visible(viz, auths_csv)")
-        VizVisible(children.head, children(1))
-      }))
+    ext.injectFunction(fn("viz_visible", classOf[VizVisible], 2,
+      "viz_visible(viz, auths_csv)")(c => VizVisible(c.head, c(1))))
+    ext.injectFunction(fn("float_dot", classOf[graft.functions.FloatVectorDot], 2,
+      "float_dot(a ARRAY<FLOAT>, b ARRAY<FLOAT>)")(c =>
+      graft.functions.FloatVectorDot(c.head, c(1))))
+    ext.injectFunction(fn("simhash_bits", classOf[graft.functions.SimHashBits], 1,
+      "simhash_bits(md5s ARRAY<STRING>)")(c => graft.functions.SimHashBits(c.head)))
+    ext.injectFunction(fn("lexicon_hits", classOf[graft.functions.LexiconHits], 2,
+      "lexicon_hits(text, 'w1,w2,...')")(c =>
+      graft.functions.LexiconHits(c.head,
+        strLit(c(1), "lexicon_hits(text, 'w1,w2,...')").split(",").toSeq)))
+    ext.injectFunction(fn("min_gram_md5", classOf[graft.functions.MinGramMd5], 2,
+      "min_gram_md5(text, gram_len)")(c =>
+      graft.functions.MinGramMd5(c.head, intLit(c(1), "min_gram_md5(text, gram_len)"))))
   }
 }
