@@ -343,12 +343,46 @@ object Dedup {
         .where(col("bucket_n") <= maxBucket)
       keyed.join(ok.select("bp", "key"), Seq("bp", "key"))
     }
-    val hamming = bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long")
-    blocked.as("x").join(blocked.as("y"),
-        col("x.bp") === col("y.bp") && col("x.key") === col("y.key") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"), hamming.as("hamming"))
-      .where(col("hamming") <= maxHamming)
-      .distinct()
+    val xor = col("x.simhash").bitwiseXOR(col("y.simhash"))
+    val hamming = bit_count(xor).cast("long")
+    if (maxBucket == Long.MaxValue) {
+      // Near-dups agree on MANY band pairs (>= 2 guaranteed, often most of
+      // the 28), so the banded join emits each pair once per agreeing pair —
+      // up to 28 duplicate rows each paying a Hamming eval and a dedup
+      // shuffle. Emit from the LOWEST agreeing band pair only: a when-chain
+      // over the 28 (bands-i-and-j-clean-in-xor) masks — first match wins —
+      // must equal the row's own bp. Bitwise compares in codegen, no
+      // distinct() stage, identical result set (the distinct form keeps one
+      // row per (a,b) too, and hamming is a function of the pair).
+      val firstAgreeing = bandPairs.zipWithIndex.tail.foldLeft(
+        when(agreesOn(xor, bandPairs.head, width), lit(0))) { case (acc, ((i, j), p)) =>
+          acc.when(agreesOn(xor, (i, j), width), lit(p))
+        }
+      blocked.as("x").join(blocked.as("y"),
+          col("x.bp") === col("y.bp") && col("x.key") === col("y.key") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .where(firstAgreeing === col("x.bp"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"), hamming.as("hamming"))
+        .where(col("hamming") <= maxHamming)
+    } else {
+      // capped path: a pair's lowest agreeing bucket may have been dropped by
+      // the skew cap while a later one survived, so emission must stay
+      // bucket-local and dedup at the end (the capped pair volume is bounded
+      // by construction, so this distinct is cheap)
+      blocked.as("x").join(blocked.as("y"),
+          col("x.bp") === col("y.bp") && col("x.key") === col("y.key") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"), hamming.as("hamming"))
+        .where(col("hamming") <= maxHamming)
+        .distinct()
+    }
+  }
+
+  /** Bands i and j of the signature XOR are both all-zero — the two
+    * signatures agree on band pair (i, j). */
+  private def agreesOn(xor: Column, ij: (Int, Int), width: Int): Column = {
+    val (i, j) = ij
+    def mask(b: Int): Long = ((1L << width) - 1) << ((SimHashBands - 1 - b) * width)
+    xor.bitwiseAND(lit(mask(i) | mask(j))) === lit(0L)
   }
 }

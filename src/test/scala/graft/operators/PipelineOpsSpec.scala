@@ -105,9 +105,17 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
       ham = java.lang.Long.bitCount(sigs(a) ^ sigs(b)) if ham <= 6
     } yield (a, b, ham.toLong)).toSet
     assert(brute.nonEmpty, "fixture must plant in-threshold signature pairs")
-    val got = Dedup.simhashPairs(d, maxHamming = 6).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    assert(got == brute)
+    val rows = Dedup.simhashPairs(d, maxHamming = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSet == brute)
+    // lowest-band-pair emission: each pair appears exactly once WITHOUT a
+    // distinct() stage, even though near-dups agree on many band pairs
+    assert(rows.length == rows.toSet.size, "duplicate pair emission")
+    // the capped branch (bucket-local emission + distinct) returns the same
+    // set when the cap doesn't bind
+    val viaCapped = Dedup.simhashPairs(d, maxHamming = 6, maxBucket = Long.MaxValue - 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaCapped == brute)
   }
 
   test("language ID picks the lexicon with most hits") {
