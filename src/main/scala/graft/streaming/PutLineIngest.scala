@@ -85,6 +85,30 @@ object PutLineIngest {
     applyPolicy(frames.flatMap(decodeFrame(_)), excludeMetricRegex, excludedTags, defaultViz)
   }
 
+  /** Exact-dedup a streaming points frame within an event-time watermark.
+    * At-least-once transports re-deliver frames (Kafka redelivery, client
+    * retry after a dropped ack), and the reference's store is naturally
+    * idempotent — re-putting a point overwrites the same Accumulo key
+    * (common/src/main/java/timely/accumulo/MetricAdapter.java:87-110). An
+    * append-only parquet sink is NOT idempotent, so ingest gets an explicit
+    * dedup stage: `dropDuplicatesWithinWatermark` keyed on the full point
+    * identity, with state bounded by the watermark window (a fixed-size
+    * recent-window state store per key at any corpus scale, never
+    * corpus-sized). Tags ride as the canonical sorted `k=v,..` string —
+    * map columns can't key a dedup, and the canonical form makes
+    * logically-equal maps collide as intended. */
+  def dedupPoints(points: Dataset[MetricPoint], delay: String = "10 minutes"): Dataset[MetricPoint] = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    points.toDF()
+      .withColumn("event_ts", timestamp_millis(col("ts")))
+      .withColumn("series_key", graft.operators.TimeSeries.seriesKey(col("tags")))
+      .withWatermark("event_ts", delay)
+      .dropDuplicatesWithinWatermark("metric", "ts", "value", "series_key", "viz")
+      .drop("event_ts", "series_key")
+      .as[MetricPoint]
+  }
+
   /** Canonical points frame with derived partition columns. At cluster scale
     * `(metric, dt, hr)` partitioning is the analog of the reference's
     * (metric, hour-bucket) row keys — time+metric predicates become partition

@@ -41,6 +41,26 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(rows.forall(_.metric == "sys.cpu.user"))
   }
 
+  test("streaming ingest dedup drops redelivered points, keeps distinct ones") {
+    val input = MemoryStream[String]
+    val deduped = PutLineIngest.dedupPoints(PutLineIngest.parse(input.toDS()))
+    val q = deduped.writeStream.format("memory").queryName("dedup_test").start()
+    input.addData(
+      s"put sys.cpu.user $T 1.0 host=a",
+      s"put sys.cpu.user $T 1.0 host=a",        // exact redelivery -> dropped
+      s"put sys.cpu.user $T 1.0 host=b",        // different series -> kept
+      s"put sys.cpu.user $T 2.0 host=a",        // different value -> kept
+      s"put sys.cpu.user ${T + 1} 1.0 host=a")  // different ts -> kept
+    q.processAllAvailable()
+    // redelivery in a LATER micro-batch is the common at-least-once case
+    input.addData(s"put sys.cpu.user $T 1.0 host=a")
+    q.processAllAvailable()
+    val rows = spark.table("dedup_test").as[MetricPoint].collect()
+    q.stop()
+    assert(rows.length == 4)
+    assert(rows.count(p => p.ts == T && p.value == 1.0 && p.tags == Map("host" -> "a")) == 1)
+  }
+
   test("excluded tags are stripped before storage: absent from data AND meta") {
     val dir = Files.createTempDirectory("graft-excl").toString
     val input = MemoryStream[String]
