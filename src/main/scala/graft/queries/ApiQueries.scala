@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.VizFunctions
 import graft.model.{MetricParser, MetricPoint}
-import graft.operators.{Points, Summarization}
+import graft.operators.{AsOf, Points, Summarization}
 import graft.planner.QueryPlanner
 import graft.planner.QueryPlanner.{RateOptions, SubQuery, TsQueryRequest}
 
@@ -56,6 +56,20 @@ object ApiQueries {
     // Flink-parity daily histogram summarization (count/min/max/sum/avg +
     // nearest-rank percentiles).
     "api_summarize_1d" -> ((s, dir) => Summarization.summarize(points(s, dir), 86400000L)),
+    // Point-in-time attribution: each purchase joined as-of to the user's
+    // latest view at or before it (inclusive; view_* null when none) — the
+    // union-and-sweep as-of join, one shuffle on user_id.
+    "events_asof_attrib" -> ((s, dir) => {
+      // ms timestamps on both engines: DuckDB truncates parquet NANOS to its
+      // native microsecond timestamp, so raw-ns values can never hash-match
+      val ev = Points.table(s, dir, "events").withColumn("ts_ms", expr("ts div 1000000"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_ms").as("ts"), col("value"))
+      val views = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_event_id"),
+          col("ts_ms").as("view_ts"), col("value").as("view_value"))
+      AsOf.asofJoin(purchases, views, Seq("user_id"), "ts", "view_ts", "view_event_id")
+    }),
     // Semi-structured extraction: pull the numeric `k` out of the JSON-ish
     // props string with a regex (portable to the oracle without a JSON
     // extension) and aggregate per decade bucket.
@@ -316,6 +330,17 @@ object ApiQueries {
       """SELECT event_type AS metric, epoch_ms(ts) AS ts, value,
         |       CAST(user_id AS VARCHAR) AS tag_user
         |FROM events""".stripMargin,
+    "events_asof_attrib" ->
+      """WITH purchases AS (
+        |  SELECT event_id, user_id, epoch_ms(ts) AS ts, value FROM events WHERE event_type = 'purchase'),
+        |views AS (
+        |  SELECT user_id, event_id AS view_event_id, epoch_ms(ts) AS view_ts, value AS view_value
+        |  FROM events WHERE event_type = 'view')
+        |SELECT p.event_id, p.user_id, p.ts, p.value, v.view_event_id, v.view_ts, v.view_value
+        |FROM purchases p LEFT JOIN LATERAL (
+        |  SELECT view_event_id, view_ts, view_value FROM views v
+        |  WHERE v.user_id = p.user_id AND v.view_ts <= p.ts
+        |  ORDER BY v.view_ts DESC, v.view_event_id DESC LIMIT 1) v ON true""".stripMargin,
     "api_props_extract" ->
       """SELECT event_type,
         |       TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) // 10 * 10 AS k_decade,

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** Backward as-of join semantics on planted fixtures. */
+class AsOfSpec extends AnyFunSuite with SparkSpec {
+
+  import spark.implicits._
+
+  private val right = Seq(
+    // (key, rts, rid, state)
+    (1L, 10L, 100L, "a"),
+    (1L, 20L, 101L, "b"),
+    (1L, 20L, 102L, "c"), // same time as 101: larger rid must win
+    (2L, 50L, 200L, "z")
+  ).toDF("k", "rts", "rid", "state")
+
+  private val left = Seq(
+    // (key, lts, id)
+    (1L, 5L, 1L),   // before any right row -> nulls
+    (1L, 10L, 2L),  // exactly at a right row -> inclusive match (100)
+    (1L, 25L, 3L),  // between/after 20 -> latest at 20, tie-broken to 102
+    (2L, 60L, 4L),  // normal match on another key
+    (3L, 99L, 5L)   // key with no right rows at all -> nulls
+  ).toDF("k", "lts", "id")
+
+  test("as-of join: inclusive, latest-wins, deterministic ties, left semantics") {
+    val out = AsOf.asofJoin(left, right, Seq("k"), "lts", "rts", "rid")
+      .collect().map(r => r.getLong(2) ->
+        (if (r.isNullAt(4)) None else Some((r.getLong(4), r.getString(5))))).toMap
+    assert(out(1L).isEmpty)
+    assert(out(2L).contains((100L, "a")))
+    assert(out(3L).contains((102L, "c")))
+    assert(out(4L).contains((200L, "z")))
+    assert(out(5L).isEmpty)
+  }
+
+  test("as-of join output carries every left column unchanged") {
+    val out = AsOf.asofJoin(left, right, Seq("k"), "lts", "rts", "rid")
+    assert(out.columns.toSeq == Seq("k", "lts", "id", "rts", "rid", "state"))
+    val keys = out.select("k", "lts", "id").as[(Long, Long, Long)].collect().toSet
+    assert(keys == left.as[(Long, Long, Long)].collect().toSet)
+  }
+
+  test("overlapping column names are rejected") {
+    val bad = right.withColumnRenamed("state", "id")
+    val e = intercept[IllegalArgumentException](
+      AsOf.asofJoin(left, bad, Seq("k"), "lts", "rts", "rid"))
+    assert(e.getMessage.contains("id"))
+  }
+
+  test("plan is a single shuffle on the key — no join amplification") {
+    // the executed plan must contain zero Join nodes (union-and-sweep, not a
+    // range join) and exactly one exchange feeding the window sort
+    val out = AsOf.asofJoin(left, right, Seq("k"), "lts", "rts", "rid")
+    val plan = out.queryExecution.executedPlan
+    val unwrapped = plan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val joins = unwrapped.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.isEmpty, s"as-of join must not plan a join: $joins")
+    val exchanges = unwrapped.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.length == 1, s"expected one shuffle, got ${exchanges.length}")
+  }
+}
