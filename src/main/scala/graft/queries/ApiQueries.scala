@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.VizFunctions
 import graft.model.{MetricParser, MetricPoint}
-import graft.operators.{AsOf, Points, Summarization}
+import graft.operators.{AsOf, Points, Sessionize, Summarization}
 import graft.planner.QueryPlanner
 import graft.planner.QueryPlanner.{RateOptions, SubQuery, TsQueryRequest}
 
@@ -69,6 +69,14 @@ object ApiQueries {
         .select(col("user_id"), col("event_id").as("view_event_id"),
           col("ts_ms").as("view_ts"), col("value").as("view_value"))
       AsOf.asofJoin(purchases, views, Seq("user_id"), "ts", "view_ts", "view_event_id")
+    }),
+    // Gap-based sessionization rollup: 6h-gap sessions per user (one
+    // sessionization shuffle + one rollup exchange; session identity is the
+    // deterministic per-user sequence number, no global counter).
+    "events_sessions" -> ((s, dir) => {
+      val ev = Points.table(s, dir, "events").withColumn("ts_ms", expr("ts div 1000000"))
+      Sessionize.sessionStats(ev, "user_id", "ts_ms", "event_id",
+        gapMs = 21600000L, valueCol = "value")
     }),
     // Semi-structured extraction: pull the numeric `k` out of the JSON-ish
     // props string with a regex (portable to the oracle without a JSON
@@ -341,6 +349,21 @@ object ApiQueries {
         |  SELECT view_event_id, view_ts, view_value FROM views v
         |  WHERE v.user_id = p.user_id AND v.view_ts <= p.ts
         |  ORDER BY v.view_ts DESC, v.view_event_id DESC LIMIT 1) v ON true""".stripMargin,
+    "events_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value FROM events),
+        |m AS (
+        |  SELECT *, CASE WHEN lag(ts_ms) OVER w IS NULL OR ts_ms - lag(ts_ms) OVER w > 21600000
+        |                 THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+        |sess AS (
+        |  SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |  FROM m)
+        |SELECT user_id, session_seq, MIN(ts_ms) AS session_start, MAX(ts_ms) AS session_end,
+        |       COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM sess GROUP BY 1, 2""".stripMargin,
     "api_props_extract" ->
       """SELECT event_type,
         |       TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) // 10 * 10 AS k_decade,

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** Gap-based sessionization on planted fixtures, pinned against Spark's own
+  * `session_window` semantics. */
+class SessionizeSpec extends AnyFunSuite with SparkSpec {
+
+  import spark.implicits._
+
+  // user 1: two sessions (gap 100 at ts 300); user 2: one session; gap == gapMs
+  // must NOT split (strictly-greater starts a session)
+  private val events = Seq(
+    (1L, 0L, 10L, 1.0), (1L, 50L, 11L, 2.0), (1L, 150L, 12L, 3.0), // gap 100 == gapMs: same session
+    (1L, 300L, 13L, 4.0),                                          // gap 150 > gapMs: new session
+    (2L, 1000L, 20L, 5.0)
+  ).toDF("user_id", "ts_ms", "event_id", "value")
+
+  test("sessions split on gap > gapMs, never on gap == gapMs") {
+    val out = Sessionize.sessions(events, "user_id", "ts_ms", "event_id", gapMs = 100L)
+      .select("user_id", "event_id", "session_seq")
+      .as[(Long, Long, Long)].collect().map(r => r._2 -> (r._1, r._3)).toMap
+    assert(out(10L) == (1L, 1L) && out(11L) == (1L, 1L) && out(12L) == (1L, 1L))
+    assert(out(13L) == (1L, 2L))
+    assert(out(20L) == (2L, 1L))
+  }
+
+  test("sessionStats rolls up bounds, counts and totals") {
+    val out = Sessionize.sessionStats(events, "user_id", "ts_ms", "event_id",
+        gapMs = 100L, valueCol = "value")
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5, r._6)).toMap
+    assert(out((1L, 1L)) == (0L, 150L, 3L, 6.0))
+    assert(out((1L, 2L)) == (300L, 300L, 1L, 4.0))
+    assert(out((2L, 1L)) == (1000L, 1000L, 1L, 5.0))
+  }
+
+  test("session membership agrees with Spark's built-in session_window") {
+    // session_window(gap) merges events whose windows overlap: strictly less
+    // than gap apart. Use gap+1 on the built-in to express our inclusive
+    // (<= gap stays together) semantics on integer-ms data.
+    val viaBuiltin = events
+      .withColumn("event_ts", timestamp_millis(col("ts_ms")))
+      .groupBy(col("user_id"), session_window(col("event_ts"), "101 milliseconds"))
+      .agg(sort_array(collect_list(col("event_id"))).as("members"))
+      .select("user_id", "members")
+      .as[(Long, Seq[Long])].collect().toSet
+    val viaOp = Sessionize.sessions(events, "user_id", "ts_ms", "event_id", gapMs = 100L)
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(sort_array(collect_list(col("event_id"))).as("members"))
+      .select("user_id", "members")
+      .as[(Long, Seq[Long])].collect().toSet
+    assert(viaOp == viaBuiltin)
+  }
+
+  test("one shuffle for sessionization, one more for the rollup") {
+    val stats = Sessionize.sessionStats(events, "user_id", "ts_ms", "event_id",
+      gapMs = 100L, valueCol = "value")
+    val plan = stats.queryExecution.executedPlan
+    val unwrapped = plan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val exchanges = unwrapped.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.length <= 2, s"expected <= 2 shuffles, got ${exchanges.length}")
+  }
+}
