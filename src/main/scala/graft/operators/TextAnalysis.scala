@@ -50,6 +50,23 @@ object TextAnalysis {
       safeDiv(length(col("text")).cast("double"),
         expr("size(regexp_extract_all(text, '[A-Za-z0-9]+', 0))")).as("chars_per_token"))
 
+  /** GPT-2-style pre-tokenizer pattern: contraction suffixes, optionally
+    * space-prefixed letter runs / digit runs / punctuation runs, then bare
+    * whitespace. Alternation ORDER is semantic (leftmost-first in both Java
+    * regex and RE2), so the oracle must use the identical pattern string. */
+  val BpePattern = "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
+
+  /** Token counting under the BPE-ish pre-tokenizer — the number a training
+    *-mix token budget actually bills (whitespace words undercount ~15-30%).
+    * Pure row-wise regexp over the scan, no shuffle. */
+  def tokenCountsBpe(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      expr(s"size(regexp_extract_all(text, \"$BpePattern\", 0))").cast("long").as("n_bpe_tokens"),
+      size(split(col("text"), " ")).cast("long").as("n_words"),
+      safeDiv(expr(s"size(regexp_extract_all(text, \"$BpePattern\", 0))").cast("double"),
+        size(split(col("text"), " "))).as("tokens_per_word"))
+
   /** Language winner from the four hit-count columns — max hits, fixed
     * alphabetical tie-break (deterministic). Exposed as a column builder so
     * single-pass consumers (curation) compose it without a join. */

@@ -17,6 +17,9 @@ object LlmQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tokens" -> ((s, dir) => TextAnalysis.tokenCounts(docs(s, dir))),
+    // token counting under the BPE-ish (GPT-2-style) pre-tokenizer — the
+    // count a training-mix token budget actually bills
+    "text_tokens_bpe" -> ((s, dir) => TextAnalysis.tokenCountsBpe(docs(s, dir))),
     "text_langid" -> ((s, dir) => TextAnalysis.languageId(docs(s, dir))),
     "text_quality" -> ((s, dir) => TextAnalysis.qualityScore(docs(s, dir))),
     "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(docs(s, dir))),
@@ -161,6 +164,15 @@ object LlmQueries {
         |       len(string_split(text, ' ')) AS n_words,
         |       len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_alnum_tokens,
         |       length(text) * 1.0 / len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS chars_per_token
+        |FROM documents""".stripMargin,
+    // same BpePattern string, alternation order preserved (leftmost-first in
+    // both engines); the SQL-literal form doubles the leading apostrophe
+    "text_tokens_bpe" ->
+      """SELECT doc_id,
+        |       len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +')) AS n_bpe_tokens,
+        |       len(string_split(text, ' ')) AS n_words,
+        |       len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +')) * 1.0
+        |         / len(string_split(text, ' ')) AS tokens_per_word
         |FROM documents""".stripMargin,
     "text_langid" ->
       s"""WITH h AS (

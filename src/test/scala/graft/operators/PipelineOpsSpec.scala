@@ -136,6 +136,14 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(t.getAs[Long]("n_words") == 13L)
   }
 
+  test("BPE-ish token counting splits contractions, digit runs and punctuation") {
+    // "it's over 9000, really!" -> [it]['s][ over][ 9000][,][ really][!] = 7
+    val t = TextAnalysis.tokenCountsBpe(docs(1L -> "it's over 9000, really!")).head()
+    assert(t.getAs[Long]("n_bpe_tokens") == 7L)
+    assert(t.getAs[Long]("n_words") == 4L)
+    assert(t.getAs[Double]("tokens_per_word") == 7.0 / 4.0)
+  }
+
   test("fingerprint is stable and shifts under edits") {
     val f1 = TextAnalysis.fingerprint(docs(1L -> base)).head().getString(1)
     val f2 = TextAnalysis.fingerprint(docs(1L -> base)).head().getString(1)
