@@ -1,0 +1,61 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/**
+ * Dev-only scale smoke: replicate the sf0.1 corpus ~20x (100k docs, each with
+ * 19 near-identical siblings — a deliberately near-dup-RICH corpus) and run
+ * every fuzzy-dedup / similarity operator end-to-end. Verifies the plans'
+ * scaling behavior one step up from the bench SF: runtimes should grow
+ * near-linearly for the banded/blocked operators, and nothing may OOM,
+ * broadcast the corpus, or explode quadratically. Not part of the driver
+ * contract.
+ */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SMOKE_REPS", "20").toInt
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"SCALE $name ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    val base = graft.operators.Points.table(spark, sfDir, "documents")
+    val n = base.count()
+    // replica r of a doc: same text plus a distinguishing tail token -> a
+    // genuine near-dup (high jaccard, tiny hamming), unique doc_id
+    val docs = base
+      .crossJoin(spark.range(reps).select(col("id").as("r")))
+      .select((col("doc_id") * reps + col("r")).as("doc_id"),
+        concat(col("text"), lit(" rep"), col("r")).as("text"))
+      .repartition(32)
+      .cache()
+    println(s"SCALE corpus: ${docs.count()} docs (${n} x $reps)")
+    t("minhashLsh") { graft.operators.Dedup.minhashLsh(docs).count() }
+    t("simhashPairs (capped, the 100TB config)") {
+      graft.operators.Dedup.simhashPairs(docs, maxHamming = 6, maxBucket = 200L).count()
+    }
+    t("ngramJaccard capped (the 100TB config)") {
+      graft.operators.Dedup.ngramJaccard(docs, threshold = 0.7, maxDocFreq = 50L).count()
+    }
+    t("exact dedup") { graft.operators.Dedup.exact(docs).count() }
+    spark.catalog.clearCache()
+    val embBase = graft.operators.Points.table(spark, sfDir, "embeddings")
+    val emb = embBase
+      .crossJoin(spark.range(10).select(col("id").as("r")))
+      .select((col("vec_id") * 10 + col("r")).as("vec_id"), col("embedding"))
+      .repartition(32)
+      .cache()
+    println(s"SCALE vectors: ${emb.count()}")
+    t("embedCosine dedup (identical replicas cluster)") {
+      graft.operators.Dedup.embedCosine(emb, minCosine = 0.999).count()
+    }
+    spark.stop()
+  }
+}
