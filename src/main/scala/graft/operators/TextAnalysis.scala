@@ -67,6 +67,29 @@ object TextAnalysis {
       safeDiv(expr(s"size(regexp_extract_all(text, \"$BpePattern\", 0))").cast("double"),
         size(split(col("text"), " "))).as("tokens_per_word"))
 
+  /** Within-document repetition (the Gopher-style quality rule): the
+    * fraction of word-3-gram INSTANCES whose gram also occurs earlier in the
+    * doc — `1 - distinct/total`. Boilerplate, chorus-like spam and
+    * degenerate generations score high; normal prose near 0. Pure row-wise
+    * array arithmetic over the scan (the same codegen'd zip-of-slices gram
+    * construction as [[Dedup.shingles]]), no shuffle, NULL for docs shorter
+    * than one gram (0/0 division parity with the oracle). */
+  def repetition(docs: DataFrame): DataFrame = {
+    val ws = split(lower(col("text")), " ")
+    val n = size(ws) - 2
+    // grams stay STRUCTS (no per-gram string build): array_distinct compares
+    // structs fieldwise, and words are space-free post-split, so distinct
+    // triples biject with distinct joined grams — zero lambdas in the row path
+    val grams = arrays_zip(slice(ws, lit(1), n), slice(ws, lit(2), n), slice(ws, lit(3), n))
+    docs.select(
+      col("doc_id"),
+      when(size(ws) >= 3, size(grams)).otherwise(lit(0)).cast("long").as("n_grams"),
+      when(size(ws) >= 3, size(array_distinct(grams))).otherwise(lit(0)).cast("long").as("n_distinct_grams"),
+      safeDiv(
+        when(size(ws) >= 3, size(grams) - size(array_distinct(grams))).otherwise(lit(0)).cast("double"),
+        when(size(ws) >= 3, size(grams)).otherwise(lit(0))).as("dup_gram_ratio"))
+  }
+
   /** Language winner from the four hit-count columns — max hits, fixed
     * alphabetical tie-break (deterministic). Exposed as a column builder so
     * single-pass consumers (curation) compose it without a join. */

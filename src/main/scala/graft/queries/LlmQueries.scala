@@ -23,6 +23,8 @@ object LlmQueries {
     "text_langid" -> ((s, dir) => TextAnalysis.languageId(docs(s, dir))),
     "text_quality" -> ((s, dir) => TextAnalysis.qualityScore(docs(s, dir))),
     "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(docs(s, dir))),
+    // Gopher-style within-doc repetition: duplicate word-3-gram ratio
+    "text_repetition" -> ((s, dir) => TextAnalysis.repetition(docs(s, dir))),
     // benchmark-contamination screen: probe set = every 10th doc; corpus docs
     // sharing >= 3 distinct 8-grams with a probe are flagged
     "text_contamination" -> ((s, dir) => {
@@ -199,6 +201,17 @@ object LlmQueries {
       """SELECT doc_id,
         |       (SELECT MIN(md5(substr(text, i, 12))) FROM UNNEST(range(1, length(text) - 10)) AS t(i)) AS fingerprint
         |FROM documents""".stripMargin,
+    "text_repetition" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(ws) >= 3 THEN [array_to_string(ws[i:i+2], ' ') FOR i IN range(1, len(ws) - 1)]
+        |              ELSE [] END AS grams
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents))
+        |SELECT doc_id,
+        |       len(grams) AS n_grams,
+        |       len(list_distinct(grams)) AS n_distinct_grams,
+        |       (len(grams) - len(list_distinct(grams))) * 1.0 / nullif(len(grams), 0) AS dup_gram_ratio
+        |FROM g""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS dup_count
         |FROM documents GROUP BY 1""".stripMargin,

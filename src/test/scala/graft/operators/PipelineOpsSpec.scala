@@ -144,6 +144,17 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(t.getAs[Double]("tokens_per_word") == 7.0 / 4.0)
   }
 
+  test("repetition: repeated grams score high, unique prose 0, short text null") {
+    val out = TextAnalysis.repetition(docs(
+      1L -> "spam spam spam spam spam spam",  // 4 gram instances, 1 distinct -> 0.75
+      2L -> "every word here is fully unique today",
+      3L -> "too short"))                      // < 3 words -> 0 grams, null ratio
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) == 4L && out(1L).getLong(2) == 1L && out(1L).getDouble(3) == 0.75)
+    assert(out(2L).getDouble(3) == 0.0)
+    assert(out(3L).getLong(1) == 0L && out(3L).isNullAt(3))
+  }
+
   test("fingerprint is stable and shifts under edits") {
     val f1 = TextAnalysis.fingerprint(docs(1L -> base)).head().getString(1)
     val f2 = TextAnalysis.fingerprint(docs(1L -> base)).head().getString(1)
