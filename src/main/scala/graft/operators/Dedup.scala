@@ -157,10 +157,19 @@ object Dedup {
    * near-dup clusters is tiny. The loop stops on a converged sweep (count of
    * changed labels = 0) and is capped by `maxIters` as a safety bound.
    *
+   * Below `driverCutoff` pairs the components are solved with a driver-side
+   * union-find instead: the pair frame at near-dup rates is usually MUCH
+   * smaller than the sweep loop's fixed cost (each distributed sweep is
+   * several scheduler round-trips; a million-pair union-find is
+   * milliseconds). The cutoff bounds driver memory explicitly (~dozens of MB
+   * at the default), so this stays a deliberately-bounded driver round-trip
+   * — the same pattern as the IVF seed collect — while a 100 TB pair frame
+   * takes the distributed loop. Both paths produce identical labels.
+   *
    * @return (doc_id, cluster_id) for every doc appearing in `pairs`, where
    *         cluster_id = min doc_id of its component.
    */
-  def clusters(pairs: DataFrame, maxIters: Int = 8): DataFrame = {
+  def clusters(pairs: DataFrame, maxIters: Int = 8, driverCutoff: Long = 1000000L): DataFrame = {
     // the pair frame is referenced four times below (direction flip +
     // self-loops): cache AND materialize it first — a lazy cache would still
     // compute the expensive upstream pair generator once per union branch
@@ -168,6 +177,11 @@ object Dedup {
     // being populated by the same stage
     val p = cached(pairs)
     val nPairs = p.count()
+    if (nPairs <= driverCutoff) {
+      val out = clustersDriver(p)
+      p.unpersist()
+      return out
+    }
     // Sweep frames are O(pairs) — at near-dup rates orders of magnitude
     // smaller than the corpus — so the session-wide shuffle width (sized for
     // corpus scans) spends ~all its sweep time on task scheduling. Size the
@@ -237,6 +251,53 @@ object Dedup {
     // (lineage-valid) recompute path, so release the executor storage now
     edges.unpersist()
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Union-find over a collected (bounded, see [[clusters]]) pair list.
+    * Id-type-agnostic: ids come back as whatever the `a`/`b` columns hold
+    * (long, int, string, ...) and the min label uses their natural ordering
+    * — identical to the distributed loop's `min` aggregate. */
+  private def clustersDriver(p: DataFrame): DataFrame = {
+    val spark = p.sparkSession
+    val idType = p.schema("a").dataType
+    val parent = new java.util.HashMap[Any, Any]()
+    @annotation.tailrec
+    def find(x: Any): Any = {
+      val px = parent.getOrDefault(x, x)
+      if (px == x) x
+      else {
+        parent.put(x, parent.getOrDefault(px, px)) // path halving
+        find(parent.get(x))
+      }
+    }
+    p.select(col("a"), col("b")).collect().foreach { r =>
+      val (ra, rb) = (find(r.get(0)), find(r.get(1)))
+      if (ra != rb) parent.put(ra, rb)
+    }
+    def lt(x: Any, y: Any): Boolean =
+      x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+    val minOfRoot = new java.util.HashMap[Any, Any]()
+    val ids = parent.keySet().toArray ++ {
+      // roots that never appear as a child key still label their components
+      val all = new java.util.HashSet[Any]()
+      parent.values().forEach(v => { all.add(v); () })
+      parent.keySet().forEach(k => { all.remove(k); () })
+      all.toArray
+    }
+    ids.foreach { id =>
+      val root = find(id)
+      val cur = minOfRoot.get(root)
+      if (cur == null || lt(id, cur)) minOfRoot.put(root, id)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", idType),
+      org.apache.spark.sql.types.StructField("cluster_id", idType)))
+    val rows: java.util.List[org.apache.spark.sql.Row] = {
+      val l = new java.util.ArrayList[org.apache.spark.sql.Row](ids.length)
+      ids.foreach(id => l.add(org.apache.spark.sql.Row(id, minOfRoot.get(find(id)))))
+      l
+    }
+    spark.createDataFrame(rows, schema)
   }
 
   /**

@@ -65,13 +65,17 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     // docs with no pairs don't appear
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (20L, 23L))
       .toDF("a", "b")
-    val out = Dedup.clusters(pairs).as[(Long, Long)].collect().toMap
-    assert(out == Map(
+    val expected = Map(
       1L -> 1L, 2L -> 1L, 3L -> 1L,
       10L -> 10L, 11L -> 10L,
-      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L)
+    // driver union-find path (pairs below the cutoff)
+    assert(Dedup.clusters(pairs).as[(Long, Long)].collect().toMap == expected)
+    // distributed sweep path (cutoff forced below any size) must label identically
+    assert(Dedup.clusters(pairs, driverCutoff = -1L).as[(Long, Long)].collect().toMap == expected)
     // an empty pair set yields an empty (not crashing) cluster frame
     assert(Dedup.clusters(Seq.empty[(Long, Long)].toDF("a", "b")).isEmpty)
+    assert(Dedup.clusters(Seq.empty[(Long, Long)].toDF("a", "b"), driverCutoff = -1L).isEmpty)
   }
 
   test("ngram jaccard: identical docs score 1.0, near-dups high, others absent") {
