@@ -39,6 +39,25 @@ object Sessionize {
       .drop("_prev", "_new")
   }
 
+  /** Streaming session rollup over Spark's `session_window`: works on a
+    * streaming frame with an event-time TIMESTAMP column. State is bounded
+    * by the watermark — a session closes (and emits, in append mode) once
+    * the watermark passes its end, so a key that goes quiet costs nothing.
+    * Semantics match [[sessionStats]] membership for gap-1ms (built-in
+    * windows merge on STRICTLY-closer-than-gap events; see spec): per
+    * (key, session) the same events aggregate, with the session reported as
+    * its `session_window` struct instead of a sequence number (a global
+    * per-key sequence is not computable incrementally without keeping every
+    * closed session in state). */
+  def sessionStatsStream(events: DataFrame, key: String, eventTsCol: String,
+                         gap: String, watermarkDelay: String, valueCol: String): DataFrame =
+    events
+      .withWatermark(eventTsCol, watermarkDelay)
+      .groupBy(col(key), session_window(col(eventTsCol), gap).as("session"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col(valueCol).cast("decimal(18,6)")).cast("double").as("sum_value"))
+
   /** Per-session rollup: bounds, size, and a value total — the frame a
     * funnel/engagement query starts from. Adds one aggregation exchange on
     * (key, session_seq) after the sessionization shuffle. */

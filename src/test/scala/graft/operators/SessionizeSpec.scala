@@ -56,6 +56,43 @@ class SessionizeSpec extends AnyFunSuite with SparkSpec {
     assert(viaOp == viaBuiltin)
   }
 
+  test("streaming session rollup closes sessions past the watermark, matches batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Long, Double)]
+    val stream = Sessionize.sessionStatsStream(
+      input.toDS().toDF("user_id", "ts_ms", "event_id", "value")
+        .withColumn("event_ts", timestamp_millis(col("ts_ms"))),
+      "user_id", "event_ts", gap = "101 milliseconds", watermarkDelay = "0 seconds",
+      valueCol = "value")
+    val q = stream.writeStream.format("memory").queryName("sess_stream")
+      .outputMode("append").start()
+    input.addData((1L, 0L, 10L, 1.0), (1L, 50L, 11L, 2.0), (1L, 150L, 12L, 3.0))
+    q.processAllAvailable()
+    // watermark still at 150+gap boundary: nothing closed yet; a much later
+    // event advances it past the first session's end
+    input.addData((1L, 10000L, 13L, 4.0))
+    q.processAllAvailable()
+    input.addData((1L, 99999999L, 14L, 5.0))
+    q.processAllAvailable()
+    q.stop()
+    val emitted = spark.table("sess_stream")
+      .select(col("user_id"), unix_millis(col("session.start")).as("session_start"),
+        col("n_events"), col("sum_value"))
+      .as[(Long, Long, Long, Double)].collect().toSet
+    // first session: events at 0/50/150 (gaps <= 100); second: the lone 10000
+    assert(emitted.contains((1L, 0L, 3L, 6.0)))
+    assert(emitted.contains((1L, 10000L, 1L, 4.0)))
+    // batch membership agrees: same (start, n, sum) from the batch operator
+    val batch = Sessionize.sessionStats(
+      Seq((1L, 0L, 10L, 1.0), (1L, 50L, 11L, 2.0), (1L, 150L, 12L, 3.0), (1L, 10000L, 13L, 4.0))
+        .toDF("user_id", "ts_ms", "event_id", "value"),
+      "user_id", "ts_ms", "event_id", gapMs = 100L, valueCol = "value")
+      .select(col("user_id"), col("session_start"), col("n_events"), col("sum_value"))
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(batch.subsetOf(emitted + ((1L, 99999999L, 1L, 5.0))))
+  }
+
   test("one shuffle for sessionization, one more for the rollup") {
     val stats = Sessionize.sessionStats(events, "user_id", "ts_ms", "event_id",
       gapMs = 100L, valueCol = "value")
