@@ -51,6 +51,22 @@ class AsOfSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("id"))
   }
 
+  test("randomized equivalence with a brute-force as-of (deterministic seed)") {
+    val rnd = new scala.util.Random(42)
+    val rRows = Seq.tabulate(300)(i => (rnd.nextInt(10).toLong, rnd.nextInt(100).toLong, i.toLong, s"s$i"))
+    val lRows = Seq.tabulate(300)(i => (rnd.nextInt(12).toLong, rnd.nextInt(100).toLong, (1000 + i).toLong))
+    val r = rRows.toDF("k", "rts", "rid", "state")
+    val l = lRows.toDF("k", "lts", "id")
+    val expected = lRows.map { case (k, lts, id) =>
+      val cands = rRows.filter(rr => rr._1 == k && rr._2 <= lts)
+      id -> (if (cands.isEmpty) None else Some(cands.maxBy(rr => (rr._2, rr._3))._3))
+    }.toMap
+    val got = AsOf.asofJoin(l, r, Seq("k"), "lts", "rts", "rid")
+      .collect().map(row => row.getLong(2) ->
+        (if (row.isNullAt(4)) None else Some(row.getLong(4)))).toMap
+    assert(got == expected)
+  }
+
   test("plan is a single shuffle on the key — no join amplification") {
     // the executed plan must contain zero Join nodes (union-and-sweep, not a
     // range join) and exactly one exchange feeding the window sort
