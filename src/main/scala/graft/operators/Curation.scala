@@ -45,6 +45,28 @@ object Curation {
     substring(md5(col("doc_id").cast("string")), 1, 1) < lit("0123456789abcdefg".charAt(sixteenths).toString)
   }
 
+  /** Stratified (per-language) deterministic sample: each language keeps
+    * `rates(lang)`/16 of its docs (default `defaultSixteenths`/16), decided
+    * by the same md5-prefix rule as [[hashSample]] — reproducible in any
+    * engine, stable across runs, and a pure row predicate over one scan
+    * (language and hash are both row-wise; no shuffle, no per-language
+    * pass). This is how a training mix rebalances language proportions
+    * without materializing per-language partitions. */
+  def stratifiedSample(docs: DataFrame, rates: Map[String, Int],
+                       defaultSixteenths: Int = 16): DataFrame = {
+    require((rates.values ++ Seq(defaultSixteenths)).forall(r => r >= 0 && r <= 16),
+      "rates in 0..16 sixteenths")
+    val lang = TextAnalysis.langGuessCol(
+      TextAnalysis.lexiconHits("de"), TextAnalysis.lexiconHits("en"),
+      TextAnalysis.lexiconHits("es"), TextAnalysis.lexiconHits("fr"))
+    val sixteenths = rates.foldLeft(lit(defaultSixteenths)) { case (acc, (l, r)) =>
+      when(col("lang_guess") === l, lit(r)).otherwise(acc)
+    }
+    docs.select(col("doc_id"), lang.as("lang_guess"))
+      .where(substring(md5(col("doc_id").cast("string")), 1, 1) <
+        lit("0123456789abcdefg").substr(sixteenths + 1, lit(1)))
+  }
+
   /** Per-doc (n_words, quality, lang_guess) in ONE pass — every feature is a
     * row-wise expression over the same scan, so no self-join of the corpus
     * (the naive qualityScore-join-languageId plan shuffles the corpus twice

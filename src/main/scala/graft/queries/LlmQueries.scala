@@ -47,6 +47,9 @@ object LlmQueries {
     // top-k, and the greedy per-language token-budget cut
     "curate_hash_sample" -> ((s, dir) =>
       docs(s, dir).where(graft.operators.Curation.hashSample(4)).select("doc_id")),
+    // stratified language rebalance: en keeps 4/16, es 8/16, others all
+    "curate_stratified" -> ((s, dir) =>
+      graft.operators.Curation.stratifiedSample(docs(s, dir), Map("en" -> 4, "es" -> 8))),
     "curate_topk_quality" -> ((s, dir) => graft.operators.Curation.topKByLanguage(docs(s, dir), 50)),
     "curate_token_budget" -> ((s, dir) => graft.operators.Curation.tokenBudget(docs(s, dir), 20000L)),
     "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(docs(s, dir), threshold = 0.8)),
@@ -267,6 +270,19 @@ object LlmQueries {
     "curate_hash_sample" ->
       """SELECT doc_id FROM documents
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4'""".stripMargin,
+    "curate_stratified" ->
+      s"""WITH l AS (
+         |  SELECT doc_id,
+         |         CASE WHEN h_de >= GREATEST(h_en, h_es, h_fr) THEN 'de'
+         |              WHEN h_en >= GREATEST(h_es, h_fr) THEN 'en'
+         |              WHEN h_es >= h_fr THEN 'es'
+         |              ELSE 'fr' END AS lang_guess
+         |  FROM (SELECT doc_id, ${hitsSql("de")} AS h_de, ${hitsSql("en")} AS h_en,
+         |               ${hitsSql("es")} AS h_es, ${hitsSql("fr")} AS h_fr FROM documents))
+         |SELECT doc_id, lang_guess FROM l
+         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <
+         |      substr('0123456789abcdefg',
+         |             (CASE lang_guess WHEN 'en' THEN 4 WHEN 'es' THEN 8 ELSE 16 END) + 1, 1)""".stripMargin,
     "curate_topk_quality" ->
       s"""WITH $scoredSql
          |SELECT lang_guess, rank, doc_id, quality FROM (

@@ -60,6 +60,21 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(d.where(Curation.hashSample(16)).count() == 3) // 16/16 keeps all
   }
 
+  test("stratified sample keeps per-language fractions deterministically") {
+    val d = docs(
+      1L -> "the cat and the dog of a house",       // en
+      2L -> "the dog and the cat of a house",       // en
+      3L -> "der hund und die katze ist nicht da")  // de
+    // en rate 0/16 -> no en docs survive; others (de) keep 16/16
+    val none = Curation.stratifiedSample(d, Map("en" -> 0))
+      .select("doc_id").as[Long].collect().toSet
+    assert(none == Set(3L))
+    // full rates keep everything, and repeat runs are identical
+    val all1 = Curation.stratifiedSample(d, Map.empty).select("doc_id").as[Long].collect().toSet
+    val all2 = Curation.stratifiedSample(d, Map.empty).select("doc_id").as[Long].collect().toSet
+    assert(all1 == Set(1L, 2L, 3L) && all1 == all2)
+  }
+
   test("near-dup clusters: transitive pairs collapse to min-id components") {
     // 1-2-3 is a chain (transitive), 10-11 a pair, 20-21-22-23 a star on 20;
     // docs with no pairs don't appear
