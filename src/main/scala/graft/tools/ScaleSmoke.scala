@@ -56,6 +56,31 @@ object ScaleSmoke {
     t("embedCosine dedup (identical replicas cluster)") {
       graft.operators.Dedup.embedCosine(emb, minCosine = 0.999).count()
     }
+    spark.catalog.clearCache()
+    // temporal operators at 20x events (2M rows): both are single-shuffle
+    // window sweeps and must scale linearly
+    val evBase = graft.operators.Points.table(spark, sfDir, "events")
+    val ev = evBase
+      .crossJoin(spark.range(reps).select(col("id").as("r")))
+      .select((col("event_id") * reps + col("r")).as("event_id"),
+        (col("user_id") * reps + col("r")).as("user_id"), // reps x the key space
+        expr("ts div 1000000").as("ts_ms"), col("event_type"), col("value"))
+      .repartition(32)
+      .cache()
+    println(s"SCALE events: ${ev.count()}")
+    t("sessionStats (6h gap)") {
+      graft.operators.Sessionize.sessionStats(ev, "user_id", "ts_ms", "event_id",
+        gapMs = 21600000L, valueCol = "value").count()
+    }
+    t("asofJoin purchases->views") {
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_ms").as("ts"), col("value"))
+      val views = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_event_id"),
+          col("ts_ms").as("view_ts"), col("value").as("view_value"))
+      graft.operators.AsOf.asofJoin(purchases, views, Seq("user_id"), "ts", "view_ts",
+        "view_event_id").count()
+    }
     spark.stop()
   }
 }
