@@ -61,6 +61,16 @@ class DedupPlanSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("embedding LSH pair path plans without any broadcast exchange") {
+    withNoAutoBroadcast {
+      val emb = (0L until 64L)
+        .map(i => (i, Array.tabulate(8)(d => (0.1 * ((i + d) % 7)).toFloat)))
+        .toDF("vec_id", "embedding")
+      val b = broadcasts(Similarity.lshBucketedPairs(emb))
+      assert(b.isEmpty, s"corpus-sized broadcast in lshBucketedPairs plan: $b")
+    }
+  }
+
   test("simhashPairs plans without any broadcast exchange") {
     withNoAutoBroadcast {
       val b = broadcasts(Dedup.simhashPairs(docs))
