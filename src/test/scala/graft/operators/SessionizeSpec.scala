@@ -93,6 +93,27 @@ class SessionizeSpec extends AnyFunSuite with SparkSpec {
     assert(batch.subsetOf(emitted + ((1L, 99999999L, 1L, 5.0))))
   }
 
+  test("randomized equivalence with a brute-force sessionizer (deterministic seed)") {
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.tabulate(400)(i =>
+      (rnd.nextInt(8).toLong, rnd.nextInt(2000).toLong, i.toLong, 1.0))
+    val expected: Set[(Long, Long, Long)] = rows.groupBy(_._1).flatMap { case (k, es) =>
+      val sorted = es.sortBy(e => (e._2, e._3))
+      var seq = 0L
+      var prev = Long.MinValue
+      sorted.map { e =>
+        if (prev == Long.MinValue || e._2 - prev > 50L) seq += 1
+        prev = e._2
+        (k, e._3, seq)
+      }
+    }.toSet
+    val got = Sessionize.sessions(rows.toDF("user_id", "ts_ms", "event_id", "value"),
+        "user_id", "ts_ms", "event_id", gapMs = 50L)
+      .select("user_id", "event_id", "session_seq")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == expected)
+  }
+
   test("one shuffle for sessionization, one more for the rollup") {
     val stats = Sessionize.sessionStats(events, "user_id", "ts_ms", "event_id",
       gapMs = 100L, valueCol = "value")
