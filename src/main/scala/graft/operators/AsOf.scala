@@ -44,6 +44,9 @@ object AsOf {
     val lCols = left.columns
     val overlap = lCols.toSet.intersect(rPay.toSet)
     require(overlap.isEmpty, s"rename overlapping right columns before the join: $overlap")
+    val reserved = Set("_t", "_side", "_tb", "_l", "_r", "_m")
+    val clash = (lCols ++ rPay ++ key).filter(reserved.contains).distinct
+    require(clash.isEmpty, s"column names collide with asofJoin internals: ${clash.mkString(", ")}")
     val lType = StructType(left.schema.fields)
     val rType = StructType(right.schema.fields.filter(f => rPay.contains(f.name)))
     val tbType = right.schema(tieBreak).dataType

@@ -62,7 +62,9 @@ object Curation {
     val sixteenths = rates.foldLeft(lit(defaultSixteenths)) { case (acc, (l, r)) =>
       when(col("lang_guess") === l, lit(r)).otherwise(acc)
     }
-    docs.select(col("doc_id"), lang.as("lang_guess"))
+    // keep EVERY input column (a rebalance that drops the text would force a
+    // corpus-sized re-join); lang_guess rides along for free
+    docs.withColumn("lang_guess", lang)
       .where(substring(md5(col("doc_id").cast("string")), 1, 1) <
         lit("0123456789abcdefg").substr(sixteenths + 1, lit(1)))
   }

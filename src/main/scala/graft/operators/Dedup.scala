@@ -160,16 +160,19 @@ object Dedup {
    * Below `driverCutoff` pairs the components are solved with a driver-side
    * union-find instead: the pair frame at near-dup rates is usually MUCH
    * smaller than the sweep loop's fixed cost (each distributed sweep is
-   * several scheduler round-trips; a million-pair union-find is
-   * milliseconds). The cutoff bounds driver memory explicitly (~dozens of MB
-   * at the default), so this stays a deliberately-bounded driver round-trip
-   * — the same pattern as the IVF seed collect — while a 100 TB pair frame
-   * takes the distributed loop. Both paths produce identical labels.
+   * several scheduler round-trips; a half-million-pair union-find is
+   * milliseconds). The cutoff bounds driver memory explicitly — collected
+   * rows plus the union-find maps peak around ~100 MB at the 500k default
+   * (more with long string ids; size the cutoff to the driver heap) — so
+   * this stays a deliberately-bounded driver round-trip, the same pattern
+   * as the IVF seed collect, while a 100 TB pair frame takes the
+   * distributed loop. Both paths produce identical labels (equality-pinned
+   * by spec, including UTF8String ordering for string ids).
    *
    * @return (doc_id, cluster_id) for every doc appearing in `pairs`, where
    *         cluster_id = min doc_id of its component.
    */
-  def clusters(pairs: DataFrame, maxIters: Int = 8, driverCutoff: Long = 1000000L): DataFrame = {
+  def clusters(pairs: DataFrame, maxIters: Int = 8, driverCutoff: Long = 500000L): DataFrame = {
     // the pair frame is referenced four times below (direction flip +
     // self-loops): cache AND materialize it first — a lazy cache would still
     // compute the expensive upstream pair generator once per union branch
@@ -261,6 +264,10 @@ object Dedup {
     val spark = p.sparkSession
     val idType = p.schema("a").dataType
     val parent = new java.util.HashMap[Any, Any]()
+    // every id ever seen — self-pairs (a == b) never create a parent entry
+    // but must still label themselves, exactly like the distributed loop's
+    // self-loop edges
+    val seen = new java.util.LinkedHashSet[Any]()
     @annotation.tailrec
     def find(x: Any): Any = {
       val px = parent.getOrDefault(x, x)
@@ -271,19 +278,21 @@ object Dedup {
       }
     }
     p.select(col("a"), col("b")).collect().foreach { r =>
+      seen.add(r.get(0)); seen.add(r.get(1))
       val (ra, rb) = (find(r.get(0)), find(r.get(1)))
       if (ra != rb) parent.put(ra, rb)
     }
-    def lt(x: Any, y: Any): Boolean =
-      x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
-    val minOfRoot = new java.util.HashMap[Any, Any]()
-    val ids = parent.keySet().toArray ++ {
-      // roots that never appear as a child key still label their components
-      val all = new java.util.HashSet[Any]()
-      parent.values().forEach(v => { all.add(v); () })
-      parent.keySet().forEach(k => { all.remove(k); () })
-      all.toArray
+    // min must order like Spark's min aggregate: strings compare as UTF-8
+    // bytes (UTF8String), not UTF-16 code units (String.compareTo) — they
+    // differ for supplementary characters
+    def lt(x: Any, y: Any): Boolean = (x, y) match {
+      case (a: String, b: String) =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(a)
+          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0
+      case _ => x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
     }
+    val minOfRoot = new java.util.HashMap[Any, Any]()
+    val ids = seen.toArray
     ids.foreach { id =>
       val root = find(id)
       val cur = minOfRoot.get(root)

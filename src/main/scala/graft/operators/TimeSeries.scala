@@ -19,7 +19,15 @@ object TimeSeries {
   /** Canonical string form of the tag map — series identity key
     * (reference keys series by full tag set:
     * server/src/main/java/timely/server/sample/iterators/TimeSeriesGroupingIterator.java:93-98).
-    * Sorted so logically-equal maps compare equal. */
+    * Sorted so logically-equal maps compare equal.
+    *
+    * Deliberately UNESCAPED `k=v,..` — reference parity: the reference's
+    * `escapeDelimiters` (common/src/main/java/timely/accumulo/MetricAdapter.java:55-69)
+    * is a no-op (`replaceAll("=", "\\=")`'s replacement string unescapes back
+    * to `=`), so tag values containing `=`/`,` collide in its storage keys
+    * exactly as they collide here. Where collisions would LOSE data rather
+    * than merely co-group (the ingest dedup), use an injective key instead —
+    * see [[graft.streaming.PutLineIngest.dedupPoints]]'s JSON form. */
   def seriesKey(tags: Column): Column =
     array_join(
       sort_array(transform(map_entries(tags), e => concat(e.getField("key"), lit("="), e.getField("value")))),

@@ -49,7 +49,8 @@ object LlmQueries {
       docs(s, dir).where(graft.operators.Curation.hashSample(4)).select("doc_id")),
     // stratified language rebalance: en keeps 4/16, es 8/16, others all
     "curate_stratified" -> ((s, dir) =>
-      graft.operators.Curation.stratifiedSample(docs(s, dir), Map("en" -> 4, "es" -> 8))),
+      graft.operators.Curation.stratifiedSample(docs(s, dir), Map("en" -> 4, "es" -> 8))
+        .select("doc_id", "lang_guess")),
     "curate_topk_quality" -> ((s, dir) => graft.operators.Curation.topKByLanguage(docs(s, dir), 50)),
     "curate_token_budget" -> ((s, dir) => graft.operators.Curation.tokenBudget(docs(s, dir), 20000L)),
     "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(docs(s, dir), threshold = 0.8)),

@@ -94,15 +94,19 @@ object PutLineIngest {
     * dedup stage: `dropDuplicatesWithinWatermark` keyed on the full point
     * identity, with state bounded by the watermark window (a fixed-size
     * recent-window state store per key at any corpus scale, never
-    * corpus-sized). Tags ride as the canonical sorted `k=v,..` string —
-    * map columns can't key a dedup, and the canonical form makes
-    * logically-equal maps collide as intended. */
+    * corpus-sized). Tags ride as sorted-entry JSON rather than the display
+    * `k=v,..` form ([[graft.operators.TimeSeries.seriesKey]]): map columns
+    * can't key a dedup, sorting makes logically-equal maps collide as
+    * intended, and JSON string escaping makes the key INJECTIVE — a tag
+    * value containing `=`/`,` must not make two distinct points dedup into
+    * one (that would be silent data loss, not mere idempotency). */
   def dedupPoints(points: Dataset[MetricPoint], delay: String = "10 minutes"): Dataset[MetricPoint] = {
     val spark = points.sparkSession
     import spark.implicits._
     points.toDF()
       .withColumn("event_ts", timestamp_millis(col("ts")))
-      .withColumn("series_key", graft.operators.TimeSeries.seriesKey(col("tags")))
+      .withColumn("series_key",
+        to_json(map_from_entries(sort_array(map_entries(col("tags"))))))
       .withWatermark("event_ts", delay)
       .dropDuplicatesWithinWatermark("metric", "ts", "value", "series_key", "viz")
       .drop("event_ts", "series_key")

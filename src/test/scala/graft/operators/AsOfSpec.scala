@@ -49,6 +49,11 @@ class AsOfSpec extends AnyFunSuite with SparkSpec {
     val e = intercept[IllegalArgumentException](
       AsOf.asofJoin(left, bad, Seq("k"), "lts", "rts", "rid"))
     assert(e.getMessage.contains("id"))
+    // columns named like the join's internals are rejected, not silently broken
+    val clash = right.withColumnRenamed("state", "_m")
+    val e2 = intercept[IllegalArgumentException](
+      AsOf.asofJoin(left, clash, Seq("k"), "lts", "rts", "rid"))
+    assert(e2.getMessage.contains("_m"))
   }
 
   test("randomized equivalence with a brute-force as-of (deterministic seed)") {

@@ -78,12 +78,14 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
   test("near-dup clusters: transitive pairs collapse to min-id components") {
     // 1-2-3 is a chain (transitive), 10-11 a pair, 20-21-22-23 a star on 20;
     // docs with no pairs don't appear
-    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (20L, 23L))
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (20L, 23L),
+        (30L, 30L)) // a self-pair must still label itself on BOTH paths
       .toDF("a", "b")
     val expected = Map(
       1L -> 1L, 2L -> 1L, 3L -> 1L,
       10L -> 10L, 11L -> 10L,
-      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L)
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L,
+      30L -> 30L)
     // driver union-find path (pairs below the cutoff)
     assert(Dedup.clusters(pairs).as[(Long, Long)].collect().toMap == expected)
     // distributed sweep path (cutoff forced below any size) must label identically

@@ -61,6 +61,20 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(rows.count(p => p.ts == T && p.value == 1.0 && p.tags == Map("host" -> "a")) == 1)
   }
 
+  test("ingest dedup key is injective: delimiter-bearing tags don't collide") {
+    val input = MemoryStream[String]
+    val deduped = PutLineIngest.dedupPoints(PutLineIngest.parse(input.toDS()))
+    val q = deduped.writeStream.format("memory").queryName("dedup_inj_test").start()
+    input.addData(
+      s"""put m $T 1.0 h=a\\,x\\=b""", // ONE tag: h -> "a,x=b"
+      s"""put m $T 1.0 h=a x=b""")     // TWO tags — same display form, distinct point
+    q.processAllAvailable()
+    val rows = spark.table("dedup_inj_test").as[MetricPoint].collect()
+    q.stop()
+    assert(rows.length == 2, s"distinct tag maps must both survive: ${rows.toSeq}")
+    assert(rows.map(_.tags).toSet == Set(Map("h" -> "a,x=b"), Map("h" -> "a", "x" -> "b")))
+  }
+
   test("excluded tags are stripped before storage: absent from data AND meta") {
     val dir = Files.createTempDirectory("graft-excl").toString
     val input = MemoryStream[String]
