@@ -146,6 +146,42 @@ object Dedup {
   }
 
   /**
+   * Cross-corpus n-gram Jaccard: near-dup pairs BETWEEN two corpora — the
+   * incremental-dedup step a growing training set runs on every incoming
+   * crawl batch (drop an incoming doc if it near-duplicates anything already
+   * kept), where a self-join over the union would waste the whole
+   * existing×existing quadrant. Same shingle-blocking shape as
+   * [[ngramJaccard]]: a pair meets only on a shared shingle, both shingle
+   * frames shuffle on the shingle key, nothing broadcasts the corpora.
+   *
+   * @param maxDocFreq skew cap applied to the EXISTING side's document
+   *        frequency (at scale the existing set is the big one and carries
+   *        the boilerplate); incoming shingles are never dropped.
+   * @return (incoming_id, existing_id, jaccard) with jaccard >= threshold.
+   */
+  def crossNgramJaccard(incoming: DataFrame, existing: DataFrame, threshold: Double = 0.8,
+                        maxDocFreq: Long = Long.MaxValue): DataFrame = {
+    val shIn = cached(shingles(incoming))
+    val allShEx = cached(shingles(existing))
+    val shEx = if (maxDocFreq == Long.MaxValue) allShEx else {
+      val freq = allShEx.groupBy("s").agg(count(lit(1)).as("df")).where(col("df") <= maxDocFreq)
+      allShEx.join(freq.select("s"), "s")
+    }
+    val inter = shIn.as("x").join(shEx.as("y"), col("x.s") === col("y.s"))
+      .groupBy(col("x.doc_id").as("incoming_id"), col("y.doc_id").as("existing_id"))
+      .agg(count(lit(1)).as("inter"))
+    val sizesIn = shIn.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val sizesEx = allShEx.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val jac = col("inter").cast("double") /
+      (col("sa.n") + col("sb.n") - col("inter")).cast("double")
+    inter
+      .join(sizesIn.as("sa"), col("incoming_id") === col("sa.doc_id"))
+      .join(sizesEx.as("sb"), col("existing_id") === col("sb.doc_id"))
+      .select(col("incoming_id"), col("existing_id"), jac.as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /**
    * Near-dup clustering: connected components over a candidate-pair frame
    * `(a, b)` — the step a real dedup pipeline runs after pair generation, so
    * each group of transitively-linked near-duplicates keeps ONE

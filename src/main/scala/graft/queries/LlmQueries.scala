@@ -59,6 +59,14 @@ object LlmQueries {
     // the skew guard itself is correctness-pinned by the oracle
     "dedup_ngram_jaccard_capped" -> ((s, dir) =>
       Dedup.ngramJaccard(docs(s, dir), threshold = 0.7, maxDocFreq = 5L)),
+    // incremental dedup: incoming batch (every 10th doc) screened against
+    // the existing set — pairs only BETWEEN corpora, no self-join quadrant
+    "dedup_cross_corpus" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.crossNgramJaccard(
+        d.where(col("doc_id") % 10 === 0), d.where(col("doc_id") % 10 =!= 0),
+        threshold = 0.5)
+    }),
     "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(docs(s, dir))),
     // near-dup CLUSTERING: connected components over the jaccard pairs, each
     // component keyed by its min doc_id (the kept representative)
@@ -312,6 +320,17 @@ object LlmQueries {
          |  UNION
          |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
          |SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY 1""".stripMargin,
+    "dedup_cross_corpus" ->
+      s"""WITH shin AS (SELECT * FROM ($Shingles) WHERE doc_id % 10 = 0),
+         |shex AS (SELECT * FROM ($Shingles) WHERE doc_id % 10 != 0),
+         |p AS (SELECT a.doc_id AS incoming_id, b.doc_id AS existing_id, COUNT(*) AS inter
+         |      FROM shin a JOIN shex b ON a.s = b.s GROUP BY 1, 2),
+         |szin AS (SELECT doc_id, COUNT(*) AS n FROM shin GROUP BY 1),
+         |szex AS (SELECT doc_id, COUNT(*) AS n FROM shex GROUP BY 1)
+         |SELECT incoming_id, existing_id, inter * 1.0 / (sa.n + sb.n - inter) AS jaccard
+         |FROM p JOIN szin sa ON p.incoming_id = sa.doc_id
+         |       JOIN szex sb ON p.existing_id = sb.doc_id
+         |WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""WITH mh AS ($MinhashSql),
          |bands AS (

@@ -95,6 +95,19 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(Dedup.clusters(Seq.empty[(Long, Long)].toDF("a", "b"), driverCutoff = -1L).isEmpty)
   }
 
+  test("cross-corpus jaccard screens incoming docs against the existing set only") {
+    val incoming = docs(100L -> base, 101L -> "entirely new material nothing shares")
+    val existing = docs(1L -> base.replace("dog", "cat"), 2L -> base, 3L -> "other stuff here entirely")
+    val out = Dedup.crossNgramJaccard(incoming, existing, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // incoming 100 hits both existing near-dups; 101 hits nothing; and no
+    // existing-existing pair (1,2) appears even though they are near-dups
+    assert(out.exists { case (a, b, j) => a == 100L && b == 2L && j == 1.0 })
+    assert(out.exists { case (a, b, _) => a == 100L && b == 1L })
+    assert(!out.exists { case (a, _, _) => a == 101L })
+    assert(out.forall { case (a, b, _) => a >= 100L && b < 100L })
+  }
+
   test("ngram jaccard: identical docs score 1.0, near-dups high, others absent") {
     val nearDup = base.replace("dog", "cat")
     val out = Dedup.ngramJaccard(
