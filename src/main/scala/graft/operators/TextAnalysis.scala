@@ -197,6 +197,32 @@ object TextAnalysis {
   val Ipv4Pattern = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
   val PhonePattern = "\\+[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,8}"
 
+  /** http(s) URL with a captured host — shared with the oracle verbatim
+    * (matching runs over lowercased text, so the pattern is lowercase). */
+  val UrlPattern = "https?://([a-z0-9.-]+)[^ ]*"
+
+  /** Last two host labels — the registrable-ish domain. Shared verbatim. */
+  val DomainPattern = "([a-z0-9-]+\\.[a-z0-9-]+)$"
+
+  /**
+   * URL/domain extraction — the web-curation signal (link spam, domain
+   * allow/block lists, per-domain mixing weights). Per doc: the URL count,
+   * the distinct hosts sorted into one comma-joined string (deterministic,
+   * scalar output), and the registrable-ish domain of the first URL. Pure
+   * row-wise regexp + array ops over a lowercased scan, no shuffle, no
+   * lambdas.
+   */
+  def urls(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val lt = s"lower($textCol)"
+    docs.select(
+      col("doc_id"),
+      expr(s"size(regexp_extract_all($lt, '$UrlPattern', 0))").cast("long").as("n_urls"),
+      expr(s"array_join(array_sort(array_distinct(regexp_extract_all($lt, '$UrlPattern', 1))), ',')")
+        .as("hosts"),
+      expr(s"nullif(regexp_extract(regexp_extract($lt, '$UrlPattern', 1), '$DomainPattern', 1), '')")
+        .as("first_domain"))
+  }
+
   /**
    * PII scrubbing: replace emails / IPv4s / phone-like sequences with typed
    * placeholder tags, and count what was redacted (audit trail). A pure

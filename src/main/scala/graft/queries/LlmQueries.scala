@@ -25,6 +25,15 @@ object LlmQueries {
     "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(docs(s, dir))),
     // Gopher-style within-doc repetition: duplicate word-3-gram ratio
     "text_repetition" -> ((s, dir) => TextAnalysis.repetition(docs(s, dir))),
+    // URL/domain extraction over deterministically planted links (the
+    // synthetic corpus has none) — web-curation signals, oracle-pinned
+    "text_urls" -> ((s, dir) => {
+      val planted = docs(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          lit(" see https://www.site"), (col("doc_id") % 7).cast("string"), lit(".example.org/p/"), col("doc_id").cast("string"),
+          lit(" and http://cdn"), (col("doc_id") % 3).cast("string"), lit(".example.net/x?q=1")).as("text"))
+      TextAnalysis.urls(planted)
+    }),
     // benchmark-contamination screen: probe set = every 10th doc; corpus docs
     // sharing >= 3 distinct 8-grams with a probe are flagged
     "text_contamination" -> ((s, dir) => {
@@ -213,6 +222,17 @@ object LlmQueries {
       """SELECT doc_id,
         |       (SELECT MIN(md5(substr(text, i, 12))) FROM UNNEST(range(1, length(text) - 10)) AS t(i)) AS fingerprint
         |FROM documents""".stripMargin,
+    "text_urls" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         lower(text || ' see https://www.site' || CAST(doc_id % 7 AS VARCHAR) || '.example.org/p/' || CAST(doc_id AS VARCHAR)
+        |              || ' and http://cdn' || CAST(doc_id % 3 AS VARCHAR) || '.example.net/x?q=1') AS lt
+        |  FROM documents)
+        |SELECT doc_id,
+        |       len(regexp_extract_all(lt, 'https?://([a-z0-9.-]+)[^ ]*')) AS n_urls,
+        |       array_to_string(list_sort(list_distinct(regexp_extract_all(lt, 'https?://([a-z0-9.-]+)[^ ]*', 1))), ',') AS hosts,
+        |       nullif(regexp_extract(regexp_extract(lt, 'https?://([a-z0-9.-]+)[^ ]*', 1), '([a-z0-9-]+\.[a-z0-9-]+)$', 1), '') AS first_domain
+        |FROM d""".stripMargin,
     "text_repetition" ->
       """WITH g AS (
         |  SELECT doc_id,

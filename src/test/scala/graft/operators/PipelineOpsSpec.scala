@@ -178,6 +178,16 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(t.getAs[Double]("tokens_per_word") == 7.0 / 4.0)
   }
 
+  test("url extraction: counts, sorted distinct hosts, first registrable domain") {
+    val out = TextAnalysis.urls(docs(
+      1L -> "go to HTTPS://B.Example.COM/x and https://a.example.com/y plus https://b.example.com/z",
+      2L -> "no links at all")).collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) == 3L)
+    assert(out(1L).getString(2) == "a.example.com,b.example.com") // distinct + sorted
+    assert(out(1L).getString(3) == "example.com")                 // from the FIRST url
+    assert(out(2L).getLong(1) == 0L && out(2L).getString(2) == "" && out(2L).isNullAt(3))
+  }
+
   test("repetition: repeated grams score high, unique prose 0, short text null") {
     val out = TextAnalysis.repetition(docs(
       1L -> "spam spam spam spam spam spam",  // 4 gram instances, 1 distinct -> 0.75
