@@ -24,10 +24,11 @@ object PipelineQuickstart {
     val docs = graft.operators.Points.table(spark, sfDir, "documents").cache()
     println(s"corpus: ${docs.count()} docs")
 
-    // 1. score: quality + language + repetition, one pass each (row-wise)
-    val quality = TextAnalysis.qualityScore(docs).select("doc_id", "quality")
-    val rep = TextAnalysis.repetition(docs).select("doc_id", "dup_gram_ratio")
-    val scored = docs.join(quality, "doc_id").join(rep, "doc_id")
+    // 1. score: quality + repetition as row-wise columns on the SAME scan —
+    //    no corpus self-join for values that are functions of the row
+    val scored = docs
+      .withColumn("quality", TextAnalysis.qualityCol)
+      .withColumn("dup_gram_ratio", TextAnalysis.dupGramRatioCol())
 
     // 2. filter: drop degenerate docs (low quality or heavy repetition)
     val kept = scored.where(col("quality") > 0.2 && coalesce(col("dup_gram_ratio"), lit(0.0)) < 0.5)

@@ -56,6 +56,10 @@ object Curation {
                        defaultSixteenths: Int = 16): DataFrame = {
     require((rates.values ++ Seq(defaultSixteenths)).forall(r => r >= 0 && r <= 16),
       "rates in 0..16 sixteenths")
+    // a typo'd key would silently leave that language at the default rate
+    val unknown = rates.keySet.diff(TextAnalysis.Stopwords.keySet)
+    require(unknown.isEmpty,
+      s"unknown language keys $unknown — langGuessCol emits ${TextAnalysis.Stopwords.keySet}")
     val lang = TextAnalysis.langGuessCol(
       TextAnalysis.lexiconHits("de"), TextAnalysis.lexiconHits("en"),
       TextAnalysis.lexiconHits("es"), TextAnalysis.lexiconHits("fr"))

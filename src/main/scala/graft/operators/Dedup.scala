@@ -58,6 +58,32 @@ object Dedup {
     if (distinct) exploded.distinct() else exploded
   }
 
+  /** Doc-frequency skew cap shared by the Jaccard variants: drop shingles
+    * appearing in more than `maxDocFreq` docs of `sh` from CANDIDATE
+    * GENERATION (a shingle in k docs emits O(k^2) pairs). Identity when the
+    * cap is off. The frequency frame shuffles on the shingle itself (never a
+    * broadcast of a corpus-sized side; AQE may still broadcast a genuinely
+    * small survivor set). */
+  private def capByDocFreq(sh: DataFrame, maxDocFreq: Long): DataFrame =
+    if (maxDocFreq == Long.MaxValue) sh else {
+      val freq = sh.groupBy("s").agg(count(lit(1)).as("df")).where(col("df") <= maxDocFreq)
+      sh.join(freq.select("s"), "s")
+    }
+
+  /** Score co-shingle counts into Jaccard: |A∩B| / (|A|+|B|-|A∩B|), sizes
+    * always from the UNCAPPED shingle frames (capping only narrows candidate
+    * generation; scores stay comparable). Shared by the self-join and
+    * cross-corpus variants so the scoring rule can never diverge. */
+  private def jaccardScored(inter: DataFrame, aCol: String, bCol: String,
+                            sizesA: DataFrame, sizesB: DataFrame): DataFrame = {
+    val jac = col("inter").cast("double") /
+      (col("sa.n") + col("sb.n") - col("inter")).cast("double")
+    inter
+      .join(sizesA.as("sa"), col(aCol) === col("sa.doc_id"))
+      .join(sizesB.as("sb"), col(bCol) === col("sb.doc_id"))
+      .select(col(aCol), col(bCol), jac.as("jaccard"))
+  }
+
   /**
    * MinHash signatures: `numHashes` lexicographic-min-md5 "permutations" per
    * doc. One shuffle (group by doc) regardless of numHashes; duplicate
@@ -113,35 +139,20 @@ object Dedup {
     // are dropped from CANDIDATE GENERATION above `maxDocFreq`. Default off —
     // the oracle-pinned configuration keeps exact semantics.
     val allSh = cached(shingles(docs))
-    val sh = if (maxDocFreq == Long.MaxValue) allSh else {
-      // shingle cardinality >> doc cardinality, so the frequency filter must
-      // shuffle-join on the shingle itself (never broadcast); AQE may still
-      // choose a broadcast when the surviving set is genuinely small
-      val freq = allSh.groupBy("s").agg(count(lit(1)).as("df")).where(col("df") <= maxDocFreq)
-      allSh.join(freq.select("s"), "s")
-    }
+    val sh = capByDocFreq(allSh, maxDocFreq)
     val inter = sh.as("x").join(sh.as("y"),
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .agg(count(lit(1)).as("inter"))
-    // true set sizes always come from the UNCAPPED shingles (capping only
-    // narrows candidate generation; scores stay comparable). One row per doc —
-    // corpus-sized, so the scoring joins shuffle on doc_id (no broadcast).
+    // one row per doc — corpus-sized, so the scoring joins shuffle on doc_id
     val sizes = allSh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val jac = col("inter").cast("double") /
-      (col("sa.n") + col("sb.n") - col("inter")).cast("double")
     // scored pairs are threshold-INDEPENDENT and near-dup-rate-sized (tiny
     // next to the corpus): cache them pre-filter so runs at different
     // thresholds over the same docs (scoring, then clustering) share one
     // shingle-join computation via the plan cache. Entries are MEMORY_AND_DISK
     // and LRU-evicted under pressure; a long-lived session cycling many
     // corpora can release them explicitly (spark.catalog.clearCache())
-    val scored = inter
-      .join(sizes.as("sa"), col("a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("b") === col("sb.doc_id"))
-      .select(col("a"), col("b"), jac.as("jaccard"))
-      
-    val scoredC = cached(scored)
+    val scoredC = cached(jaccardScored(inter, "a", "b", sizes, sizes))
     scoredC.where(col("jaccard") >= threshold)
   }
 
@@ -163,21 +174,13 @@ object Dedup {
                         maxDocFreq: Long = Long.MaxValue): DataFrame = {
     val shIn = cached(shingles(incoming))
     val allShEx = cached(shingles(existing))
-    val shEx = if (maxDocFreq == Long.MaxValue) allShEx else {
-      val freq = allShEx.groupBy("s").agg(count(lit(1)).as("df")).where(col("df") <= maxDocFreq)
-      allShEx.join(freq.select("s"), "s")
-    }
+    val shEx = capByDocFreq(allShEx, maxDocFreq)
     val inter = shIn.as("x").join(shEx.as("y"), col("x.s") === col("y.s"))
       .groupBy(col("x.doc_id").as("incoming_id"), col("y.doc_id").as("existing_id"))
       .agg(count(lit(1)).as("inter"))
     val sizesIn = shIn.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val sizesEx = allShEx.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val jac = col("inter").cast("double") /
-      (col("sa.n") + col("sb.n") - col("inter")).cast("double")
-    inter
-      .join(sizesIn.as("sa"), col("incoming_id") === col("sa.doc_id"))
-      .join(sizesEx.as("sb"), col("existing_id") === col("sb.doc_id"))
-      .select(col("incoming_id"), col("existing_id"), jac.as("jaccard"))
+    jaccardScored(inter, "incoming_id", "existing_id", sizesIn, sizesEx)
       .where(col("jaccard") >= threshold)
   }
 

@@ -74,20 +74,41 @@ object TextAnalysis {
     * array arithmetic over the scan (the same codegen'd zip-of-slices gram
     * construction as [[Dedup.shingles]]), no shuffle, NULL for docs shorter
     * than one gram (0/0 division parity with the oracle). */
-  def repetition(docs: DataFrame): DataFrame = {
-    val ws = split(lower(col("text")), " ")
-    val n = size(ws) - 2
-    // grams stay STRUCTS (no per-gram string build): array_distinct compares
-    // structs fieldwise, and words are space-free post-split, so distinct
-    // triples biject with distinct joined grams — zero lambdas in the row path
-    val grams = arrays_zip(slice(ws, lit(1), n), slice(ws, lit(2), n), slice(ws, lit(3), n))
+  def repetition(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
-      when(size(ws) >= 3, size(grams)).otherwise(lit(0)).cast("long").as("n_grams"),
-      when(size(ws) >= 3, size(array_distinct(grams))).otherwise(lit(0)).cast("long").as("n_distinct_grams"),
-      safeDiv(
-        when(size(ws) >= 3, size(grams) - size(array_distinct(grams))).otherwise(lit(0)).cast("double"),
-        when(size(ws) >= 3, size(grams)).otherwise(lit(0))).as("dup_gram_ratio"))
+      nGramsCol().as("n_grams"),
+      nDistinctGramsCol().as("n_distinct_grams"),
+      dupGramRatioCol().as("dup_gram_ratio"))
+
+  // grams stay STRUCTS (no per-gram string build): array_distinct compares
+  // structs fieldwise, and words are space-free post-split, so distinct
+  // triples biject with distinct joined grams — zero lambdas in the row path
+  private def grams(textCol: String) = {
+    val ws = split(lower(col(textCol)), " ")
+    val n = size(ws) - 2
+    (ws, arrays_zip(slice(ws, lit(1), n), slice(ws, lit(2), n), slice(ws, lit(3), n)))
+  }
+
+  /** Word-3-gram instance count — row-wise (composable on any scan). */
+  def nGramsCol(textCol: String = "text"): Column = {
+    val (ws, g) = grams(textCol)
+    when(size(ws) >= 3, size(g)).otherwise(lit(0)).cast("long")
+  }
+
+  /** Distinct word-3-gram count — row-wise. */
+  def nDistinctGramsCol(textCol: String = "text"): Column = {
+    val (ws, g) = grams(textCol)
+    when(size(ws) >= 3, size(array_distinct(g))).otherwise(lit(0)).cast("long")
+  }
+
+  /** Duplicate-gram ratio (see [[repetition]]) — row-wise, NULL below one
+    * gram, so it composes into single-pass scoring selects. */
+  def dupGramRatioCol(textCol: String = "text"): Column = {
+    val (ws, g) = grams(textCol)
+    safeDiv(
+      when(size(ws) >= 3, size(g) - size(array_distinct(g))).otherwise(lit(0)).cast("double"),
+      when(size(ws) >= 3, size(g)).otherwise(lit(0)))
   }
 
   /** Language winner from the four hit-count columns — max hits, fixed
@@ -213,14 +234,17 @@ object TextAnalysis {
    * lambdas.
    */
   def urls(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val lt = s"lower($textCol)"
+    // Column-API regex calls ONLY: a pattern embedded in an expr() SQL string
+    // has its backslashes re-processed by the SQL parser (DomainPattern's
+    // \. would silently become a match-anything dot — see the redactPii note)
+    val lt = lower(col(textCol))
+    val firstHost = regexp_extract(lt, UrlPattern, 1)
     docs.select(
       col("doc_id"),
-      expr(s"size(regexp_extract_all($lt, '$UrlPattern', 0))").cast("long").as("n_urls"),
-      expr(s"array_join(array_sort(array_distinct(regexp_extract_all($lt, '$UrlPattern', 1))), ',')")
+      size(regexp_extract_all(lt, lit(UrlPattern), lit(0))).cast("long").as("n_urls"),
+      array_join(array_sort(array_distinct(regexp_extract_all(lt, lit(UrlPattern), lit(1)))), ",")
         .as("hosts"),
-      expr(s"nullif(regexp_extract(regexp_extract($lt, '$UrlPattern', 1), '$DomainPattern', 1), '')")
-        .as("first_domain"))
+      nullif(regexp_extract(firstHost, DomainPattern, 1), lit("")).as("first_domain"))
   }
 
   /**

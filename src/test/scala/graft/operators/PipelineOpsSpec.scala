@@ -108,6 +108,29 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(out.forall { case (a, b, _) => a >= 100L && b < 100L })
   }
 
+  test("cross-corpus cap drops boilerplate shingles from the EXISTING side only") {
+    // every existing doc shares the same boilerplate prefix (df = 3 on the
+    // existing side); the planted near-dup also shares a rare tail
+    val boiler = "standard legal header text here"
+    val incoming = docs(100L -> s"$boiler unique payload alpha beta gamma")
+    val existing = docs(
+      1L -> s"$boiler unique payload alpha beta delta",
+      2L -> s"$boiler other content entirely different one",
+      3L -> s"$boiler more filler words again entirely")
+    val uncapped = Dedup.crossNgramJaccard(incoming, existing, threshold = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // capping at df <= 2 removes the boilerplate shingles (df=3) from
+    // candidate generation: docs 2/3 (boilerplate-only overlap) drop out;
+    // the rare-tail pair (100,1) survives with a SMALLER score — its
+    // intersection loses the boilerplate shingles while sizes stay uncapped
+    val capped = Dedup.crossNgramJaccard(incoming, existing, threshold = 0.1, maxDocFreq = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(uncapped.keySet == Set((100L, 1L), (100L, 2L), (100L, 3L)))
+    assert(capped.keySet == Set((100L, 1L)))
+    assert(capped((100L, 1L)) < uncapped((100L, 1L)),
+      "capped intersection shrinks but sizes stay uncapped -> strictly smaller score")
+  }
+
   test("ngram jaccard: identical docs score 1.0, near-dups high, others absent") {
     val nearDup = base.replace("dog", "cat")
     val out = Dedup.ngramJaccard(
