@@ -102,6 +102,31 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       && refBudget.exceptAll(Curation.tokenBudget(docs, 500L)).isEmpty)
   }
 
+  test("row-wise text/curation ops plan ZERO shuffles (pure scan-level work)") {
+    val docs = (0L until 32L)
+      .map(i => (i, s"the quick doc $i with some words and https://example.org/x repeated words"))
+      .toDF("doc_id", "text")
+    def exchanges(df: org.apache.spark.sql.DataFrame) = {
+      val plan = df.queryExecution.executedPlan
+      val unwrapped = plan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      unwrapped.collect { case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+    }
+    val rowWise = Seq(
+      "tokenCounts" -> TextAnalysis.tokenCounts(docs),
+      "tokenCountsBpe" -> TextAnalysis.tokenCountsBpe(docs),
+      "repetition" -> TextAnalysis.repetition(docs),
+      "urls" -> TextAnalysis.urls(docs),
+      "languageId" -> TextAnalysis.languageId(docs),
+      "qualityScore" -> TextAnalysis.qualityScore(docs),
+      "stratifiedSample" -> Curation.stratifiedSample(docs, Map("en" -> 4)),
+      "hashSample" -> docs.where(Curation.hashSample(4)))
+    for ((name, df) <- rowWise)
+      assert(exchanges(df).isEmpty, s"$name must not shuffle: ${exchanges(df)}")
+  }
+
   test("crossSeries sum/avg/dev plan two aggregation levels, sharded inner") {
     for (agg <- Seq("sum", "avg", "dev")) {
       val df = TimeSeries.crossSeries(
