@@ -45,6 +45,11 @@ object ScaleSmoke {
       graft.operators.Dedup.ngramJaccard(docs, threshold = 0.7, maxDocFreq = 50L).count()
     }
     t("exact dedup") { graft.operators.Dedup.exact(docs).count() }
+    t("crossNgramJaccard capped (incoming 5% vs existing 95%)") {
+      graft.operators.Dedup.crossNgramJaccard(
+        docs.where(col("doc_id") % 20 === 0), docs.where(col("doc_id") % 20 =!= 0),
+        threshold = 0.5, maxDocFreq = 50L).count()
+    }
     spark.catalog.clearCache()
     val embBase = graft.operators.Points.table(spark, sfDir, "embeddings")
     val emb = embBase
