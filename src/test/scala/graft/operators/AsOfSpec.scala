@@ -72,6 +72,33 @@ class AsOfSpec extends AnyFunSuite with SparkSpec {
     assert(got == expected)
   }
 
+  test("streaming enrichment: as-of join against a static state table per micro-batch") {
+    // the feature-store composition: a live event stream enriched with the
+    // point-in-time state inside foreachBatch (each micro-batch is a bounded
+    // frame, so the batch operator applies unchanged)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val state = right // (k, rts, rid, state)
+    val input = MemoryStream[(Long, Long, Long)]
+    val collected = scala.collection.mutable.ArrayBuffer[(Long, Option[String])]()
+    val q = input.toDS().toDF("k", "lts", "id").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val enriched = AsOf.asofJoin(batch, state, Seq("k"), "lts", "rts", "rid").collect()
+        collected.synchronized {
+          collected ++= enriched.map(r =>
+            r.getLong(2) -> (if (r.isNullAt(5)) None else Some(r.getString(5))))
+        }
+        ()
+      }
+      .start()
+    input.addData((1L, 25L, 1L), (1L, 5L, 2L))
+    q.processAllAvailable()
+    input.addData((2L, 60L, 3L))
+    q.processAllAvailable()
+    q.stop()
+    assert(collected.toMap == Map(1L -> Some("c"), 2L -> None, 3L -> Some("z")))
+  }
+
   test("plan is a single shuffle on the key — no join amplification") {
     // the executed plan must contain zero Join nodes (union-and-sweep, not a
     // range join) and exactly one exchange feeding the window sort
