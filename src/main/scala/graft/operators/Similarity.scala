@@ -82,13 +82,29 @@ object Similarity {
   /** LSH-bucketed near-dup pairs: exact cosine only within equal-signature
     * buckets. `bits` controls bucket granularity (recall/cost trade). */
   def lshBucketedPairs(corpus: DataFrame, bits: Int = 8, minCosine: Double = 0.3): DataFrame = {
-    val signed = corpus.select(col("vec_id"), col("embedding"),
-      norm("embedding").as("n"),
-      hyperplaneSignature("embedding", bits).as("sig"))
+    val signed = signedFrame(corpus, bits)
     signed.as("x").join(signed.as("y"),
         col("x.sig") === col("y.sig") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
         (dot("x.embedding", "y.embedding") / (col("x.n") * col("y.n"))).as("cos_sim"))
       .where(col("cos_sim") >= minCosine)
   }
+
+  /** Cross-corpus LSH pairs: incoming vectors against an existing set, exact
+    * cosine only where the hyperplane signatures collide — the embedding
+    * analog of [[Dedup.crossNgramJaccard]] (screen a new batch against the
+    * training set without the existing-x-existing quadrant). Both sides
+    * shuffle on the signature; neither corpus broadcasts. */
+  def crossLshPairs(incoming: DataFrame, existing: DataFrame,
+                    bits: Int = 8, minCosine: Double = 0.3): DataFrame =
+    signedFrame(incoming, bits).as("x")
+      .join(signedFrame(existing, bits).as("y"), col("x.sig") === col("y.sig"))
+      .select(col("x.vec_id").as("incoming_id"), col("y.vec_id").as("existing_id"),
+        (dot("x.embedding", "y.embedding") / (col("x.n") * col("y.n"))).as("cos_sim"))
+      .where(col("cos_sim") >= minCosine)
+
+  private def signedFrame(corpus: DataFrame, bits: Int): DataFrame =
+    corpus.select(col("vec_id"), col("embedding"),
+      norm("embedding").as("n"),
+      hyperplaneSignature("embedding", bits).as("sig"))
 }

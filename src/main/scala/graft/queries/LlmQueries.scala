@@ -96,6 +96,15 @@ object LlmQueries {
     // (LSH-bucketed pairs -> connected components -> min-id representative).
     // 0.3 matches embed_lsh_pairs so both gates pin the same bucket semantics.
     "dedup_embed_cosine" -> ((s, dir) => Dedup.embedCosine(emb(s, dir), minCosine = 0.3)),
+    // cross-corpus embedding screen: incoming vectors (every 5th) against
+    // the existing set via shared LSH buckets — embedding analog of
+    // dedup_cross_corpus
+    "dedup_embed_cross" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.crossLshPairs(
+        e.where(col("vec_id") % 5 === 0), e.where(col("vec_id") % 5 =!= 0),
+        bits = 8, minCosine = 0.3)
+    }),
     // IVF coarse-quantizer ANN (scale path), seeded-centroid configuration —
     // fully deterministic, so the whole pipeline (seed pick, assignment,
     // probing, in-list exact cosine) has a SQL oracle below. The k-means
@@ -150,11 +159,9 @@ object LlmQueries {
     s"SELECT doc_id, $mins FROM ($Shingles) GROUP BY doc_id"
   }
 
-  /** Hyperplane-LSH bucket + in-bucket exact-cosine pairs over `embeddings` —
-    * the CTE stack shared by the embed_lsh_pairs and dedup_embed_cosine
-    * oracles (one definition keeps the two gates pinned to identical bucket
-    * semantics). */
-  private val LshPairsCte =
+  /** Hyperplane-LSH signature CTE over `embeddings` — shared by every
+    * LSH-bucketed oracle so all gates pin identical bucket semantics. */
+  private val LshSigCte =
     """elems AS (
       |  SELECT vec_id, UNNEST(embedding) AS v, generate_subscripts(embedding, 1) AS d FROM embeddings),
       |bits AS (
@@ -166,7 +173,10 @@ object LlmQueries {
       |  GROUP BY 1, 2),
       |sig AS (
       |  SELECT vec_id, string_agg(CASE WHEN acc > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS sig
-      |  FROM bits GROUP BY vec_id),
+      |  FROM bits GROUP BY vec_id)""".stripMargin
+
+  /** In-bucket exact-cosine SELF-join pairs on top of [[LshSigCte]]. */
+  private val LshPairsCte = LshSigCte + """,
       |pairs AS (
       |  SELECT x.vec_id AS a, y.vec_id AS b,
       |         list_dot_product(CAST(ex.embedding AS DOUBLE[]), CAST(ey.embedding AS DOUBLE[]))
@@ -466,6 +476,18 @@ object LlmQueries {
     "embed_lsh_pairs" ->
       s"""WITH $LshPairsCte
          |SELECT a, b, cos_sim FROM pairs WHERE cos_sim >= 0.3""".stripMargin,
+    "dedup_embed_cross" ->
+      s"""WITH $LshSigCte
+         |SELECT x.vec_id AS incoming_id, y.vec_id AS existing_id,
+         |       list_dot_product(CAST(ex.embedding AS DOUBLE[]), CAST(ey.embedding AS DOUBLE[]))
+         |         / (sqrt(list_dot_product(CAST(ex.embedding AS DOUBLE[]), CAST(ex.embedding AS DOUBLE[])))
+         |          * sqrt(list_dot_product(CAST(ey.embedding AS DOUBLE[]), CAST(ey.embedding AS DOUBLE[])))) AS cos_sim
+         |FROM sig x JOIN sig y ON x.sig = y.sig AND x.vec_id % 5 = 0 AND y.vec_id % 5 != 0
+         |JOIN embeddings ex ON x.vec_id = ex.vec_id
+         |JOIN embeddings ey ON y.vec_id = ey.vec_id
+         |WHERE list_dot_product(CAST(ex.embedding AS DOUBLE[]), CAST(ey.embedding AS DOUBLE[]))
+         |         / (sqrt(list_dot_product(CAST(ex.embedding AS DOUBLE[]), CAST(ex.embedding AS DOUBLE[])))
+         |          * sqrt(list_dot_product(CAST(ey.embedding AS DOUBLE[]), CAST(ey.embedding AS DOUBLE[])))) >= 0.3""".stripMargin,
     // same LSH buckets + pair filter as embed_lsh_pairs, then the same
     // recursive connected components as dedup_clusters, left-joined back so
     // every vector gets a keep decision (itself when it has no near-dup)

@@ -283,6 +283,20 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(pairs.toSeq == Seq((0L, 1L)))
   }
 
+  test("cross-corpus embedding screen pairs only across the corpora") {
+    val incoming = Seq(
+      (100L, Array.fill(8)(0.5f)),
+      (101L, Array.tabulate(8)(i => if (i < 4) 1.0f else -1.0f))).toDF("vec_id", "embedding")
+    val existing = Seq(
+      (1L, Array.fill(8)(0.5f)), (2L, Array.fill(8)(0.25f)),
+      (3L, Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.crossLshPairs(incoming, existing, bits = 4, minCosine = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // 100 collides with its two scaled copies; 101 matches nothing; never an
+    // existing-existing pair (1,2) even though they are identical directions
+    assert(out.toSet == Set((100L, 1L), (100L, 2L)))
+  }
+
   test("embedding-cosine dedup: near-dup vectors collapse to min id, others keep themselves") {
     // 0/1/2 are an identical triple; 3 is a scaled copy of 0 (cosine 1);
     // 4 points elsewhere and must keep itself
