@@ -81,6 +81,14 @@ object LlmQueries {
     // component keyed by its min doc_id (the kept representative)
     "dedup_clusters" -> ((s, dir) =>
       Dedup.clusters(Dedup.ngramJaccard(docs(s, dir), threshold = 0.7).select("a", "b"))),
+    // the end product of near-dup dedup: the KEPT corpus — every doc minus
+    // non-representative members of jaccard components
+    "dedup_keep_list" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val comps = Dedup.clusters(Dedup.ngramJaccard(d, threshold = 0.7).select("a", "b"))
+      d.join(comps.where(col("doc_id") =!= col("cluster_id")), Seq("doc_id"), "left_anti")
+        .select("doc_id")
+    }),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir), maxHamming = 6)),
     // the 100 TB configuration: hot (band-pair, key) buckets capped out of
     // candidate generation (the quadratic-blowup guard) — the cap path itself
@@ -335,6 +343,23 @@ object LlmQueries {
          |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_words
          |  FROM s)
          |WHERE cum_words <= 20000""".stripMargin,
+    "dedup_keep_list" ->
+      s"""WITH RECURSIVE sh AS ($Shingles),
+         |p AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS inter
+         |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |pairs AS (
+         |  SELECT p.a, p.b FROM p
+         |  JOIN sz sa ON p.a = sa.doc_id JOIN sz sb ON p.b = sb.doc_id
+         |  WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.7),
+         |edges AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |reps AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY 1)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM reps WHERE doc_id != cluster_id)""".stripMargin,
     "dedup_clusters" ->
       s"""WITH RECURSIVE sh AS ($Shingles),
          |p AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS inter
