@@ -40,8 +40,8 @@ object AsOf {
 
   def asofJoin(left: DataFrame, right: DataFrame, key: Seq[String],
                leftTs: String, rightTs: String, tieBreak: String): DataFrame = {
-    val rPay = right.columns.filterNot(key.contains)
-    val lCols = left.columns
+    val rPay = right.columns.filterNot(key.contains).toSeq
+    val lCols = left.columns.toSeq
     val overlap = lCols.toSet.intersect(rPay.toSet)
     require(overlap.isEmpty, s"rename overlapping right columns before the join: $overlap")
     val reserved = Set("_t", "_side", "_tb", "_l", "_r", "_m")
