@@ -54,10 +54,15 @@ object AsOf {
       key.map(col) ++ Seq(
         col(leftTs).as("_t"), lit(1).as("_side"), lit(null).cast(tbType).as("_tb"),
         struct(lCols.map(col): _*).as("_l"), lit(null).cast(rType).as("_r")): _*)
-    val rU = right.select(
-      key.map(col) ++ Seq(
-        col(rightTs).as("_t"), lit(0).as("_side"), col(tieBreak).as("_tb"),
-        lit(null).cast(lType).as("_l"), struct(rPay.map(col): _*).as("_r")): _*)
+    // SQL equi-join parity: a NULL key never matches (the window would
+    // otherwise co-partition NULL keys and "match" them) — right rows with
+    // any NULL key carry no state; left rows with NULL keys get nulls
+    val rU = right
+      .where(key.map(col(_).isNotNull).reduce(_ && _))
+      .select(
+        key.map(col) ++ Seq(
+          col(rightTs).as("_t"), lit(0).as("_side"), col(tieBreak).as("_tb"),
+          lit(null).cast(lType).as("_l"), struct(rPay.map(col): _*).as("_r")): _*)
     val w = Window.partitionBy(key.map(col): _*)
       .orderBy(col("_t"), col("_side"), col("_tb"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -212,16 +212,23 @@ object Dedup {
    *         cluster_id = min doc_id of its component.
    */
   def clusters(pairs: DataFrame, maxIters: Int = 8, driverCutoff: Long = 500000L): DataFrame = {
+    // NULL ids have no component semantics (SQL joins drop them, the driver
+    // path would NPE ordering them): exclude them identically on both paths
+    val cleanPairs = pairs.where(col("a").isNotNull && col("b").isNotNull)
+    // never destroy a cache the CALLER owns — only unpersist what we cached
+    val callerCached =
+      pairs.storageLevel != org.apache.spark.storage.StorageLevel.NONE
     // the pair frame is referenced four times below (direction flip +
     // self-loops): cache AND materialize it first — a lazy cache would still
     // compute the expensive upstream pair generator once per union branch
     // inside the first job, since sibling branches can't read a cache that is
     // being populated by the same stage
-    val p = cached(pairs)
-    val nPairs = p.count()
+    val p = cached(if (callerCached) pairs else cleanPairs)
+    val pClean = if (callerCached) cleanPairs else p
+    val nPairs = pClean.count()
     if (nPairs <= driverCutoff) {
-      val out = clustersDriver(p)
-      p.unpersist()
+      val out = clustersDriver(pClean)
+      if (!callerCached) p.unpersist()
       return out
     }
     // Sweep frames are O(pairs) — at near-dup rates orders of magnitude
@@ -252,13 +259,13 @@ object Dedup {
     // to nParts (hash on the join key) makes every subsequent sweep read
     // nParts data-sized partitions instead.
     val edges = cached(
-      p.select(col("a").as("src"), col("b").as("dst"))
-        .unionByName(p.select(col("b").as("src"), col("a").as("dst")))
-        .unionByName(p.select(col("a").as("src"), col("a").as("dst")))
-        .unionByName(p.select(col("b").as("src"), col("b").as("dst")))
+      pClean.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(pClean.select(col("b").as("src"), col("a").as("dst")))
+        .unionByName(pClean.select(col("a").as("src"), col("a").as("dst")))
+        .unionByName(pClean.select(col("b").as("src"), col("b").as("dst")))
         .repartition(nParts, col("dst")))
     edges.count() // one materialization; every sweep reads this nParts-wide cache
-    p.unpersist() // the pair frame's content now lives (4x, still tiny) in edges
+    if (!callerCached) p.unpersist() // pair content now lives (4x, still tiny) in edges
     def sweep(l: DataFrame): DataFrame =
       edges
         .join(l.select(col("id").as("dst"), col("label")), "dst")

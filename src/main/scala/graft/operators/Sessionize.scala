@@ -29,6 +29,9 @@ object Sessionize {
     * time order) rides alongside every input column. */
   def sessions(events: DataFrame, key: String, tsCol: String, tieBreak: String,
                gapMs: Long): DataFrame = {
+    val clash = events.columns.filter(Set("_prev", "_new", "session_seq").contains)
+    require(clash.isEmpty,
+      s"column names collide with sessionization internals: ${clash.mkString(", ")}")
     val order = Window.partitionBy(key).orderBy(col(tsCol), col(tieBreak))
     val running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     events

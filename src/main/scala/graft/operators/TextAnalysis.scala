@@ -59,13 +59,16 @@ object TextAnalysis {
   /** Token counting under the BPE-ish pre-tokenizer — the number a training
     *-mix token budget actually bills (whitespace words undercount ~15-30%).
     * Pure row-wise regexp over the scan, no shuffle. */
-  def tokenCountsBpe(docs: DataFrame): DataFrame =
+  def tokenCountsBpe(docs: DataFrame): DataFrame = {
+    // Column-API regex (no expr() SQL string): the pattern must reach the
+    // engine verbatim — see the backslash-reprocessing note on [[urls]]
+    val nBpe = size(regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
     docs.select(
       col("doc_id"),
-      expr(s"size(regexp_extract_all(text, \"$BpePattern\", 0))").cast("long").as("n_bpe_tokens"),
+      nBpe.cast("long").as("n_bpe_tokens"),
       size(split(col("text"), " ")).cast("long").as("n_words"),
-      safeDiv(expr(s"size(regexp_extract_all(text, \"$BpePattern\", 0))").cast("double"),
-        size(split(col("text"), " "))).as("tokens_per_word"))
+      safeDiv(nBpe.cast("double"), size(split(col("text"), " "))).as("tokens_per_word"))
+  }
 
   /** Within-document repetition (the Gopher-style quality rule): the
     * fraction of word-3-gram INSTANCES whose gram also occurs earlier in the

@@ -56,6 +56,18 @@ class AsOfSpec extends AnyFunSuite with SparkSpec {
     assert(e2.getMessage.contains("_m"))
   }
 
+  test("NULL keys never match (SQL equi-join parity)") {
+    val l = Seq((Option.empty[Long], 10L, 1L), (Option(1L), 10L, 2L))
+      .toDF("k", "lts", "id")
+    val r = Seq((Option.empty[Long], 5L, 100L, "nullkey"), (Option(1L), 5L, 101L, "real"))
+      .toDF("k", "rts", "rid", "state")
+    val out = AsOf.asofJoin(l, r, Seq("k"), "lts", "rts", "rid")
+      .collect().map(row => row.getLong(2) ->
+        (if (row.isNullAt(5)) None else Some(row.getString(5)))).toMap
+    assert(out(1L).isEmpty, "a NULL-key left row must not receive NULL-key right state")
+    assert(out(2L).contains("real"))
+  }
+
   test("randomized equivalence with a brute-force as-of (deterministic seed)") {
     val rnd = new scala.util.Random(42)
     val rRows = Seq.tabulate(300)(i => (rnd.nextInt(10).toLong, rnd.nextInt(100).toLong, i.toLong, s"s$i"))

@@ -93,6 +93,19 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     // an empty pair set yields an empty (not crashing) cluster frame
     assert(Dedup.clusters(Seq.empty[(Long, Long)].toDF("a", "b")).isEmpty)
     assert(Dedup.clusters(Seq.empty[(Long, Long)].toDF("a", "b"), driverCutoff = -1L).isEmpty)
+    // NULL ids are excluded identically on both paths (no NPE, no divergence)
+    val withNulls = Seq((Option(1L), Option(2L)), (Option.empty[Long], Option(5L)),
+      (Option(6L), Option.empty[Long])).toDF("a", "b")
+    val viaDriver = Dedup.clusters(withNulls).as[(Long, Long)].collect().toMap
+    val viaSweep = Dedup.clusters(withNulls, driverCutoff = -1L).as[(Long, Long)].collect().toMap
+    assert(viaDriver == Map(1L -> 1L, 2L -> 1L) && viaDriver == viaSweep)
+    // clusters() must not destroy a cache the caller owns
+    val mine = Seq((1L, 2L)).toDF("a", "b").cache()
+    mine.count()
+    Dedup.clusters(mine).count()
+    assert(mine.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+      "caller-owned cache was unpersisted")
+    mine.unpersist()
   }
 
   test("cross-corpus jaccard screens incoming docs against the existing set only") {

@@ -93,6 +93,13 @@ class SessionizeSpec extends AnyFunSuite with SparkSpec {
     assert(batch.subsetOf(emitted + ((1L, 99999999L, 1L, 5.0))))
   }
 
+  test("columns colliding with sessionization internals are rejected") {
+    val bad = events.withColumn("_prev", lit(0L))
+    val e = intercept[IllegalArgumentException](
+      Sessionize.sessions(bad, "user_id", "ts_ms", "event_id", gapMs = 100L))
+    assert(e.getMessage.contains("_prev"))
+  }
+
   test("randomized equivalence with a brute-force sessionizer (deterministic seed)") {
     val rnd = new scala.util.Random(7)
     val rows = Seq.tabulate(400)(i =>
