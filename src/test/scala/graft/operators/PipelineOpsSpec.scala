@@ -108,6 +108,19 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     mine.unpersist()
   }
 
+  test("string-id clusters: driver min-label ordering matches Spark's (UTF-8 bytes)") {
+    // "￿" sorts BELOW U+10000 in UTF-8 byte order (Spark's min) but
+    // ABOVE it in UTF-16 code-unit order (Java compareTo) — the component's
+    // label depends on getting this right
+    val hi = new String(Character.toChars(0x10000)) // UTF-16: D800 DC00; UTF-8: F0 90 80 80
+    val pairs = Seq(("￿", hi)).toDF("a", "b")       // U+FFFF: UTF-16 FFFF; UTF-8 EF BF BF
+    assert("￿".compareTo(hi) > 0, "fixture: Java UTF-16 order must DISAGREE with UTF-8")
+    val viaDriver = Dedup.clusters(pairs).as[(String, String)].collect().toMap
+    val viaSweep = Dedup.clusters(pairs, driverCutoff = -1L).as[(String, String)].collect().toMap
+    assert(viaDriver == viaSweep, s"driver $viaDriver != sweep $viaSweep")
+    assert(viaDriver.values.toSet == Set("￿"), "min label must be the UTF-8-smallest id")
+  }
+
   test("cross-corpus jaccard screens incoming docs against the existing set only") {
     val incoming = docs(100L -> base, 101L -> "entirely new material nothing shares")
     val existing = docs(1L -> base.replace("dog", "cat"), 2L -> base, 3L -> "other stuff here entirely")
