@@ -56,9 +56,12 @@ object AsOf {
         struct(lCols.map(col): _*).as("_l"), lit(null).cast(rType).as("_r")): _*)
     // SQL equi-join parity: a NULL key never matches (the window would
     // otherwise co-partition NULL keys and "match" them) — right rows with
-    // any NULL key carry no state; left rows with NULL keys get nulls
+    // any NULL key carry no state; left rows with NULL keys get nulls.
+    // A NULL rightTs never matches either (rightTs <= leftTs is never true
+    // on NULL), but nulls-first ordering would sort it before every real
+    // row and carry its payload — so it is filtered with the NULL keys.
     val rU = right
-      .where(key.map(col(_).isNotNull).reduce(_ && _))
+      .where((key.map(col(_).isNotNull) :+ col(rightTs).isNotNull).reduce(_ && _))
       .select(
         key.map(col) ++ Seq(
           col(rightTs).as("_t"), lit(0).as("_side"), col(tieBreak).as("_tb"),

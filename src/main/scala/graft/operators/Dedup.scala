@@ -197,7 +197,9 @@ object Dedup {
    * changed labels = 0) and is capped by `maxIters` as a safety bound.
    *
    * Below `driverCutoff` pairs the components are solved with a driver-side
-   * union-find instead: the pair frame at near-dup rates is usually MUCH
+   * union-find instead (driver-orderable id types only — binary/array/struct
+   * ids always take the distributed loop, whose `min` aggregate orders them
+   * natively): the pair frame at near-dup rates is usually MUCH
    * smaller than the sweep loop's fixed cost (each distributed sweep is
    * several scheduler round-trips; a half-million-pair union-find is
    * milliseconds). The cutoff bounds driver memory explicitly — collected
@@ -226,7 +228,7 @@ object Dedup {
     val p = cached(if (callerCached) pairs else cleanPairs)
     val pClean = if (callerCached) cleanPairs else p
     val nPairs = pClean.count()
-    if (nPairs <= driverCutoff) {
+    if (nPairs <= driverCutoff && driverOrderable(pClean.schema("a").dataType)) {
       val out = clustersDriver(pClean)
       if (!callerCached) p.unpersist()
       return out
@@ -302,10 +304,26 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** Id types whose collected JVM values order identically to Spark's `min`
+    * aggregate on the driver (strings get the UTF8String comparator below).
+    * Anything else — binary (Array[Byte] is not Comparable), arrays, structs
+    * — takes the distributed sweep regardless of pair count, so both paths
+    * stay equivalent for every id type `clusters` accepts. */
+  private def driverOrderable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.StringType | org.apache.spark.sql.types.BooleanType |
+         org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+         org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
+         org.apache.spark.sql.types.FloatType | org.apache.spark.sql.types.DoubleType |
+         org.apache.spark.sql.types.DateType | org.apache.spark.sql.types.TimestampType => true
+    case _: org.apache.spark.sql.types.DecimalType => true
+    case _ => false
+  }
+
   /** Union-find over a collected (bounded, see [[clusters]]) pair list.
-    * Id-type-agnostic: ids come back as whatever the `a`/`b` columns hold
-    * (long, int, string, ...) and the min label uses their natural ordering
-    * — identical to the distributed loop's `min` aggregate. */
+    * Id-type-agnostic within [[driverOrderable]] types: ids come back as
+    * whatever the `a`/`b` columns hold (long, int, string, ...) and the min
+    * label uses their natural ordering — identical to the distributed loop's
+    * `min` aggregate. */
   private def clustersDriver(p: DataFrame): DataFrame = {
     val spark = p.sparkSession
     val idType = p.schema("a").dataType

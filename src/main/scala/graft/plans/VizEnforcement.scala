@@ -90,8 +90,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def intLit(e: Expression, usage: String): Int = e match {
     case Literal(i: Int, org.apache.spark.sql.types.IntegerType) => i
-    case Literal(l: Long, org.apache.spark.sql.types.LongType) => l.toInt
-    case _ => throw new IllegalArgumentException(s"$usage requires an integer literal here, got $e")
+    // SQL integer literals past Int range parse as Long — reject rather than
+    // silently truncate (4294967299L.toInt would be gram length 3)
+    case Literal(l: Long, org.apache.spark.sql.types.LongType)
+        if l >= Int.MinValue && l <= Int.MaxValue => l.toInt
+    case _ => throw new IllegalArgumentException(s"$usage requires an Int-range integer literal here, got $e")
   }
 
   private def fn(name: String, clazz: Class[_], arity: Int, usage: String)(

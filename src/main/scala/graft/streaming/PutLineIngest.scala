@@ -99,7 +99,19 @@ object PutLineIngest {
     * can't key a dedup, sorting makes logically-equal maps collide as
     * intended, and JSON string escaping makes the key INJECTIVE — a tag
     * value containing `=`/`,` must not make two distinct points dedup into
-    * one (that would be silent data loss, not mere idempotency). */
+    * one (that would be silent data loss, not mere idempotency).
+    *
+    * DOCUMENTED DIVERGENCE — corrected re-puts: `value` is part of the dedup
+    * key, so a re-put of the same (metric, ts, tags, viz) with a CHANGED
+    * value lands as a second row, where the reference's Accumulo store
+    * (value in the Value, not the key) overwrites and keeps the last write.
+    * Keying without value here would keep the FIRST arrival
+    * (dropDuplicatesWithinWatermark semantics) — the opposite of the
+    * reference's last-write-wins, i.e. corrections silently ignored. Exact
+    * redelivery idempotency plus visible corrections is the safer append-sink
+    * trade; pipelines needing last-write-wins compaction run a batch
+    * `row_number() over (partition by identity order by ingest desc) = 1`
+    * maintenance pass (cf. SURVEY.md §2.1 S7 note). */
   def dedupPoints(points: Dataset[MetricPoint], delay: String = "10 minutes"): Dataset[MetricPoint] = {
     val spark = points.sparkSession
     import spark.implicits._

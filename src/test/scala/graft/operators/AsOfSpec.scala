@@ -68,6 +68,19 @@ class AsOfSpec extends AnyFunSuite with SparkSpec {
     assert(out(2L).contains("real"))
   }
 
+  test("NULL right timestamps never match (rts <= lts is never true on NULL)") {
+    // nulls-first window order would sort a NULL-rts right row before every
+    // real row and carry its payload forward — it must be filtered instead
+    val r = Seq((Option(1L), Option.empty[Long], 100L, "nullts"),
+      (Option(1L), Option(20L), 101L, "real")).toDF("k", "rts", "rid", "state")
+    val out = AsOf.asofJoin(left, r, Seq("k"), "lts", "rts", "rid")
+      .collect().map(row => row.getLong(2) ->
+        (if (row.isNullAt(5)) None else Some(row.getString(5)))).toMap
+    assert(out(1L).isEmpty, "lts=5 precedes every real right row -> must stay null")
+    assert(out(2L).isEmpty, "lts=10 precedes rts=20 -> must stay null")
+    assert(out(3L).contains("real"))
+  }
+
   test("randomized equivalence with a brute-force as-of (deterministic seed)") {
     val rnd = new scala.util.Random(42)
     val rRows = Seq.tabulate(300)(i => (rnd.nextInt(10).toLong, rnd.nextInt(100).toLong, i.toLong, s"s$i"))

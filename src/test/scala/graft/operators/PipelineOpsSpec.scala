@@ -121,6 +121,22 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(viaDriver.values.toSet == Set("￿"), "min label must be the UTF-8-smallest id")
   }
 
+  test("binary-id clusters route to the distributed sweep below the cutoff") {
+    // Array[Byte] is not Comparable — the driver union-find would CCE ordering
+    // it, so binary ids must take the distributed path regardless of pair count
+    val pairs = Seq(
+      (Array[Byte](2, 1), Array[Byte](1, 9)),
+      (Array[Byte](1, 9), Array[Byte](3, 3))).toDF("a", "b")
+    val out = Dedup.clusters(pairs) // default cutoff: would pick driver path if allowed
+      .collect()
+      .map(r => (r.getAs[Array[Byte]](0).toSeq, r.getAs[Array[Byte]](1).toSeq))
+      .toMap
+    assert(out == Map(
+      Seq[Byte](1, 9) -> Seq[Byte](1, 9),
+      Seq[Byte](2, 1) -> Seq[Byte](1, 9),
+      Seq[Byte](3, 3) -> Seq[Byte](1, 9)))
+  }
+
   test("cross-corpus jaccard screens incoming docs against the existing set only") {
     val incoming = docs(100L -> base, 101L -> "entirely new material nothing shares")
     val existing = docs(1L -> base.replace("dog", "cat"), 2L -> base, 3L -> "other stuff here entirely")

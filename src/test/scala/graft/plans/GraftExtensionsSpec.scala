@@ -73,6 +73,11 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
     val r = ext.sql("SELECT min_gram_md5('abcdef', 3) AS f, min_gram_md5('ab', 3) AS short").head()
     assert(r.getString(0) == expected)
     assert(r.isNullAt(1)) // shorter than the gram -> null, like array_min([])
+    // a Long SQL literal in Int range is accepted; past Int range it is
+    // rejected, not silently truncated (4294967299 would otherwise become 3)
+    assert(ext.sql("SELECT min_gram_md5('abcdef', 3L) AS f").head().getString(0) == expected)
+    val e = intercept[Exception](ext.sql("SELECT min_gram_md5('abcdef', 4294967299)").collect())
+    assert(e.getMessage.contains("Int-range"))
   }
 
   test("the enforcement rule rides the extension session") {
