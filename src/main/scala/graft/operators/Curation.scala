@@ -148,4 +148,64 @@ object Curation {
       .where(col("cum_words") <= budget)
       .select("lang_guess", "doc_id", "quality", "n_words", "cum_words")
   }
+
+  /** 256ths cut point as a 2-hex-digit md5-prefix bound; ">= everything"
+    * degenerates to "g" (sorts above every hex digit), the same sentinel
+    * trick as [[hashSample]]'s 17-char ruler. */
+  private[operators] def hexCut(n256: Int): String =
+    if (n256 >= 256) "g" else f"$n256%02x"
+
+  /** Deterministic train/val/test assignment: the first two hex digits of
+    * md5(doc_id) (256 uniform buckets) cut at `train256` and
+    * `train256 + val256`. Hash-based, so membership is stable under corpus
+    * growth — a doc never migrates between splits when other docs are added
+    * or removed (a row_number-based split would reshuffle everything), which
+    * is what keeps held-out data held out across pipeline re-runs. A pure
+    * row-wise predicate: no shuffle, prunes nothing but adds one column.
+    *
+    * Comparisons are lexicographic on the 2-char hex prefix — identical to
+    * numeric order on the first md5 byte, reproducible in any SQL engine. */
+  def splitAssign(docs: DataFrame, train256: Int = 205, val256: Int = 26): DataFrame = {
+    require(train256 >= 0 && val256 >= 0 && train256 + val256 <= 256,
+      "train256/val256 nonnegative with sum <= 256")
+    val h2 = substring(md5(col("doc_id").cast("string")), 1, 2)
+    docs.withColumn("split",
+      when(h2 < lit(hexCut(train256)), "train")
+        .when(h2 < lit(hexCut(train256 + val256)), "val")
+        .otherwise("test"))
+  }
+
+  /** Sequence packing (concat-and-chunk): lay every document's tokens end to
+    * end in a deterministic pseudo-random order and cut the stream into
+    * fixed `ctxLen`-token training sequences. Emits, per doc, which pack its
+    * first token lands in (`pack_id`) and at what offset (`pack_offset`) —
+    * the writer-side map a packed-pretraining export needs.
+    *
+    * The global concatenation order is (shard, md5(doc_id), doc_id): md5
+    * ordering IS the training-shuffle (deterministic, engine-reproducible,
+    * uniform), doc_id breaks ties. A single global running sum would
+    * serialize the corpus through one task, so the stream is sharded first
+    * and each shard packs independently — one shuffle onto `nShards`
+    * partitions, one in-partition sort, integer arithmetic after that.
+    * Parallelism (and output file granularity) = `nShards`: size it to the
+    * cluster (hundreds+) at real scale, not to the default. Shards are
+    * assigned by doc_id mod — balanced for the dense synthetic ids; corpora
+    * with clustered ids should shard on a hash instead (same contract).
+    *
+    * Docs longer than `ctxLen` simply span packs (the standard concat-and-
+    * chunk regime: no padding, documents cross pack boundaries). */
+  def packSequences(docs: DataFrame, ctxLen: Long = 2048L, nShards: Int = 8): DataFrame = {
+    require(ctxLen >= 1L && nShards >= 1, "ctxLen and nShards must be positive")
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col("doc_id"),
+        (col("doc_id") % nShards).cast("int").as("shard"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("start", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        expr(s"CAST(start div $ctxLen AS BIGINT)").as("pack_id"),
+        expr(s"CAST(start % $ctxLen AS BIGINT)").as("pack_offset"))
+  }
 }

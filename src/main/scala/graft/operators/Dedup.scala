@@ -519,4 +519,47 @@ object Dedup {
     def mask(b: Int): Long = ((1L << width) - 1) << ((SimHashBands - 1 - b) * width)
     xor.bitwiseAND(lit(mask(i) | mask(j))) === lit(0L)
   }
+
+  /**
+   * Passage-level exact dedup — the C4/RefinedWeb boilerplate-removal step:
+   * documents are cut into consecutive `wordsPerChunk`-word passages, every
+   * passage whose corpus-wide DOCUMENT frequency reaches `maxDocFreq` is
+   * dropped (navigation chrome, license footers, repeated headers), and each
+   * document is reassembled from its surviving passages in original order.
+   * Unlike [[exact]] (whole-doc) and [[ngramJaccard]] (whole-doc similarity),
+   * this edits INSIDE documents — the two stages remove different duplication.
+   *
+   * Scale: three shuffles, all on well-distributed keys — passage-frequency
+   * group-by (passage text), frequency join back (same key; AQE broadcasts
+   * the frequency side when the duplicated-passage set is small, the common
+   * case), reassembly group-by (doc_id). No self-join, no window over the
+   * corpus, no driver state. The per-row chunking lambda is a higher-order
+   * `transform`, interpreted per CHUNK (one closure call per `wordsPerChunk`
+   * words) — unlike the per-WINDOW shingle path ([[shingles]]) this is off
+   * the hot path by a factor of the chunk width.
+   *
+   * @return (doc_id, text, removed_chunks) for every input doc; `text` is ""
+   *         when every passage was boilerplate.
+   */
+  def passageDedup(docs: DataFrame, wordsPerChunk: Int = 10, maxDocFreq: Long = 2L): DataFrame = {
+    require(wordsPerChunk >= 1, "wordsPerChunk >= 1")
+    val k = wordsPerChunk
+    val chunks = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0L), floor((size(col("ws")) - 1) / k).cast("long")),
+          i => array_join(slice(col("ws"), (i * k + 1).cast("int"), lit(k)), " "))))
+      .select(col("doc_id"), col("pos").as("ci"), col("col").as("chunk"))
+    val freq = chunks.groupBy("chunk").agg(countDistinct("doc_id").as("df"))
+    chunks.join(freq, "chunk")
+      .groupBy("doc_id")
+      .agg(
+        // collect_list skips the nulls `when` leaves for dropped passages;
+        // sorting the (ci, chunk) structs restores original passage order
+        array_join(transform(
+          array_sort(collect_list(when(col("df") < maxDocFreq, struct(col("ci"), col("chunk"))))),
+          s => s.getField("chunk")), " ").as("text"),
+        count(when(col("df") >= maxDocFreq, 1)).as("removed_chunks"))
+  }
 }

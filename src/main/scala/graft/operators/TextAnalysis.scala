@@ -273,4 +273,22 @@ object TextAnalysis {
       .withColumn("n_phones", count(t2, PhonePattern))
       .withColumn("redacted", t3)
   }
+
+  /** Corpus vocabulary statistics: the `k` most frequent whitespace tokens
+    * with occurrence and document-frequency counts — the first look any
+    * corpus audit takes (tokenizer-vocab sizing, stopword discovery,
+    * boilerplate smell).
+    *
+    * Scale: explode + hash group-by with map-side partial aggregation (the
+    * per-partition combine absorbs the token explosion before the shuffle —
+    * the shuffle carries at most distinct-tokens-per-partition rows, not
+    * corpus-token rows), then orderBy+limit plans as TakeOrderedAndProject:
+    * per-partition top-k heaps, no global sort. Ordering is total
+    * (count desc, then token) so the cut at `k` is deterministic. */
+  def vocab(docs: DataFrame, k: Int = 100): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("n_occurrences"), countDistinct("doc_id").as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("word"))
+      .limit(k)
 }

@@ -124,7 +124,19 @@ object LlmQueries {
     "multimodal_decode" -> ((s, dir) => Multimodal.stubDecode(Multimodal.asMediaTable(docs(s, dir)))),
     // same metadata through the per-partition (real-codec-shaped) decode path
     "multimodal_decode_partitioned" -> ((s, dir) =>
-      Multimodal.decodePartitioned(Multimodal.asMediaTable(docs(s, dir))).toDF())
+      Multimodal.decodePartitioned(Multimodal.asMediaTable(docs(s, dir))).toDF()),
+    // C4-style passage dedup: 10-word passages appearing in >= 2 docs are
+    // boilerplate — dropped from every doc, docs reassembled in order
+    "dedup_passages" -> ((s, dir) =>
+      Dedup.passageDedup(docs(s, dir), wordsPerChunk = 10, maxDocFreq = 2L)),
+    // deterministic hash train/val/test split (205/26/25 of 256)
+    "curate_split" -> ((s, dir) =>
+      graft.operators.Curation.splitAssign(docs(s, dir)).select("doc_id", "split")),
+    // concat-and-chunk sequence packing: 256-token packs over 8 shards
+    "curate_pack" -> ((s, dir) =>
+      graft.operators.Curation.packSequences(docs(s, dir), ctxLen = 256L, nShards = 8)),
+    // corpus vocabulary: top-100 tokens by occurrence (deterministic cut)
+    "text_vocab" -> ((s, dir) => TextAnalysis.vocab(docs(s, dir), 100))
   )
 
   // ---------------------------------------------------------------------------
@@ -542,6 +554,45 @@ object LlmQueries {
         |       64 + 16 * (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) AS width,
         |       64 + 16 * (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1) AS height,
         |       1 + (strpos('0123456789abcdef', substr(md5(text), 3, 1)) - 1) % 3 AS channels
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    "dedup_passages" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |chunks AS (
+        |  SELECT doc_id, i AS ci, array_to_string(ws[i*10+1:i*10+10], ' ') AS chunk
+        |  FROM words, LATERAL (SELECT UNNEST(range(0, (len(ws)-1)//10 + 1)) AS i) t),
+        |freq AS (SELECT chunk, COUNT(DISTINCT doc_id) AS df FROM chunks GROUP BY 1)
+        |SELECT c.doc_id,
+        |       COALESCE(string_agg(c.chunk, ' ' ORDER BY c.ci) FILTER (WHERE f.df < 2), '') AS text,
+        |       COUNT(*) FILTER (WHERE f.df >= 2) AS removed_chunks
+        |FROM chunks c JOIN freq f USING (chunk)
+        |GROUP BY c.doc_id""".stripMargin,
+    // cut points are hexCut(205)='cd' and hexCut(205+26)='e7'
+    "curate_split" ->
+      """SELECT doc_id,
+        |       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+        |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e7' THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
+    "curate_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |         md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |         CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY h, doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+        |  FROM t)
+        |SELECT doc_id, shard, n_tokens,
+        |       CAST(start // 256 AS BIGINT) AS pack_id,
+        |       CAST(start % 256 AS BIGINT) AS pack_offset
+        |FROM s""".stripMargin,
+    "text_vocab" ->
+      """SELECT word, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+        |FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents)
+        |GROUP BY word
+        |ORDER BY n_occurrences DESC, word
+        |LIMIT 100""".stripMargin
   )
 }

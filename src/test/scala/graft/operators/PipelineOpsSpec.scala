@@ -121,6 +121,73 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(viaDriver.values.toSet == Set("￿"), "min label must be the UTF-8-smallest id")
   }
 
+  test("passage dedup drops corpus-frequent chunks and reassembles in order") {
+    val boiler = "one two three four five six seven eight nine ten" // exactly 10 words
+    val d = docs(
+      1L -> s"$boiler alpha beta gamma",      // chunk0 = boiler (df 3), chunk1 = "alpha beta gamma"
+      2L -> s"$boiler delta epsilon",          // chunk0 = boiler
+      3L -> boiler,                            // all passages boilerplate -> empty text
+      4L -> "completely fresh words with no shared passages at all here")
+    val out = Dedup.passageDedup(d, wordsPerChunk = 10, maxDocFreq = 2L)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) == ("alpha beta gamma", 1L))
+    assert(out(2L) == ("delta epsilon", 1L))
+    assert(out(3L) == ("", 1L), "a doc that is ALL boilerplate keeps an empty text")
+    assert(out(4L)._2 == 0L && out(4L)._1 == "completely fresh words with no shared passages at all here")
+    // multi-chunk docs reassemble in original passage order
+    val long = docs(
+      5L -> (s"$boiler " + (1 to 10).map(i => s"w$i").mkString(" ") + s" $boiler tail words"),
+      6L -> boiler, 7L -> boiler)
+    val kept = Dedup.passageDedup(long, 10, 2L).where(col("doc_id") === 5L).head()
+    // doc 5 chunks: [boiler][w1..w10][boiler][tail words] — BOTH boiler
+    // occurrences drop (same passage string), the rest keep original order
+    assert(kept.getString(1) == (1 to 10).map(i => s"w$i").mkString(" ") + " tail words",
+      s"got ${kept.getString(1)}")
+  }
+
+  test("split assignment is deterministic, exhaustive, and stable under growth") {
+    val d = docs((1L to 200L).map(i => i -> s"doc $i"): _*)
+    val s1 = Curation.splitAssign(d).select("doc_id", "split")
+      .as[(Long, String)].collect().toMap
+    assert(s1.values.toSet == Set("train", "val", "test")) // all three present at n=200
+    // hash membership never migrates when the corpus grows
+    val s2 = Curation.splitAssign(docs((1L to 400L).map(i => i -> s"doc $i"): _*))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert((1L to 200L).forall(i => s1(i) == s2(i)))
+    // degenerate cuts: 256/0 -> all train; 0/0 -> all test
+    assert(Curation.splitAssign(d, 256, 0).select("split").distinct().as[String].collect().toSeq == Seq("train"))
+    assert(Curation.splitAssign(d, 0, 0).select("split").distinct().as[String].collect().toSeq == Seq("test"))
+  }
+
+  test("sequence packing: offsets are the cumulative token stream per shard") {
+    val d = docs((0L until 40L).map(i => i -> ("w " * (i % 7 + 1).toInt).trim): _*)
+    val out = Curation.packSequences(d, ctxLen = 5L, nShards = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.length == 40)
+    // brute-force reference: per shard, order by (md5(doc_id), doc_id),
+    // running token sum, pack arithmetic
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = (0L until 40L).map { i => (i, (i % 4).toInt, i % 7 + 1) }
+      .groupBy(_._2).flatMap { case (shard, ds) =>
+        var acc = 0L
+        ds.sortBy { case (id, _, _) => (md5hex(id.toString), id) }.map { case (id, _, n) =>
+          val start = acc; acc += n
+          (id, shard, n, start / 5L, start % 5L)
+        }
+      }.toSet
+    assert(out.toSet == expected)
+  }
+
+  test("vocab: top-k tokens with occurrence and doc counts, deterministic ties") {
+    val d = docs(1L -> "a a b c", 2L -> "a b b z", 3L -> "q")
+    val out = TextAnalysis.vocab(d, 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // a and b tie at 3 occurrences -> word order breaks the tie; c/q/z tie at
+    // 1 -> 'c' wins the k=3 cut alphabetically
+    assert(out == Seq(("a", 3L, 2L), ("b", 3L, 2L), ("c", 1L, 1L)))
+  }
+
   test("binary-id clusters route to the distributed sweep below the cutoff") {
     // Array[Byte] is not Comparable — the driver union-find would CCE ordering
     // it, so binary ids must take the distributed path regardless of pair count
