@@ -217,6 +217,88 @@ object SimHashBits {
   }
 }
 
+/**
+ * Per-vector int8 max-abs scalar quantization, as ONE codegen'd pass: the
+ * compression step an embedding store applies before ANN at scale (4× smaller
+ * vectors, integer dot products). Emits the quantization summary a pipeline
+ * audits and an int8 scorer needs:
+ * `struct(scale, q_sum, q_l1, q_max, q_sq)` where `q_i = floor(x_i/max|x| *
+ * 127 + 0.5)` (round-half-up, reproducible as `FLOOR(CAST(v AS DOUBLE)/mx*127
+ * + 0.5)` in any engine), `scale = max|x|/127` dequantizes, and `q_sq` is the
+ * quantized self-dot an int8 ANN actually computes. All accumulators are
+ * LONG — order-independent, so results are bit-exact at any parallelism with
+ * no sorted-fold machinery. A zero vector quantizes to all-zero q with
+ * scale 0; an empty array or null element yields null.
+ */
+case class FloatQuantStats(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"FloatQuantStats requires ARRAY<FLOAT>, got $other")
+  }
+
+  override def dataType: DataType = FloatQuantStats.schema
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any): Any =
+    FloatQuantStats.stats(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = "graft.functions.FloatQuantStats$.MODULE$"
+    nullSafeCodeGen(ctx, ev, a => s"""
+       |${ev.value} = $helper.stats($a);
+       |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): FloatQuantStats =
+    copy(child = newChild)
+}
+
+object FloatQuantStats {
+  import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+  val schema: StructType = StructType(Seq(
+    StructField("scale", DoubleType, nullable = false),
+    StructField("q_sum", LongType, nullable = false),
+    StructField("q_l1", LongType, nullable = false),
+    StructField("q_max", LongType, nullable = false),
+    StructField("q_sq", LongType, nullable = false)))
+
+  /** Two tight passes over the floats (max-abs, then quantize-accumulate);
+    * returns null for an empty array or a null element. */
+  def stats(x: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = x.numElements()
+    if (n == 0) return null
+    var mx = 0f
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i)) return null
+      val a = math.abs(x.getFloat(i))
+      if (a > mx) mx = a
+      i += 1
+    }
+    val mxd = mx.toDouble
+    var qSum = 0L; var l1 = 0L; var qMax = 0L; var sq = 0L
+    i = 0
+    while (i < n) {
+      val q = if (mxd > 0.0)
+        math.floor(x.getFloat(i).toDouble / mxd * 127.0 + 0.5).toLong
+      else 0L
+      qSum += q
+      val aq = math.abs(q)
+      l1 += aq
+      if (aq > qMax) qMax = aq
+      sq += q * q
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](mxd / 127.0, qSum, l1, qMax, sq))
+  }
+}
+
 object VectorFunctions {
   /** Column API: sequential double dot product of two float-array columns. */
   def floatDot(a: Column, b: Column): Column =
@@ -230,4 +312,9 @@ object VectorFunctions {
     * hex strings. */
   def simhashBits(hashes: Column): Column =
     GraftSqlBridge.column(SimHashBits(GraftSqlBridge.expression(hashes)))
+
+  /** Column API: int8 max-abs quantization stats struct for a float-array
+    * column — `(scale, q_sum, q_l1, q_max, q_sq)`. */
+  def quantInt8(a: Column): Column =
+    GraftSqlBridge.column(FloatQuantStats(GraftSqlBridge.expression(a)))
 }

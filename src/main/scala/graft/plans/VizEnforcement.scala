@@ -73,6 +73,7 @@ class VizEnforcementRule extends Rule[LogicalPlan] {
   *  - `viz_visible(viz, 'A,B')`        — visibility-label check
   *  - `float_dot(a, b)`                — sequential double dot of float arrays
   *  - `simhash_bits(md5_array)`        — packed 64-bit SimHash signature
+  *  - `quant_int8(float_array)`        — int8 max-abs quantization stats struct
   *  - `lexicon_hits(text, 'w1,w2')`    — lowercased whitespace-token set hits
   *  - `min_gram_md5(text, 12)`         — min md5 over character n-grams
   *
@@ -115,6 +116,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.functions.FloatVectorDot(c.head, c(1))))
     ext.injectFunction(fn("simhash_bits", classOf[graft.functions.SimHashBits], 1,
       "simhash_bits(md5s ARRAY<STRING>)")(c => graft.functions.SimHashBits(c.head)))
+    ext.injectFunction(fn("quant_int8", classOf[graft.functions.FloatQuantStats], 1,
+      "quant_int8(v ARRAY<FLOAT>)")(c => graft.functions.FloatQuantStats(c.head)))
     ext.injectFunction(fn("lexicon_hits", classOf[graft.functions.LexiconHits], 2,
       "lexicon_hits(text, 'w1,w2,...')")(c =>
       graft.functions.LexiconHits(c.head,

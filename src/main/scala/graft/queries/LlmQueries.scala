@@ -136,7 +136,9 @@ object LlmQueries {
     "curate_pack" -> ((s, dir) =>
       graft.operators.Curation.packSequences(docs(s, dir), ctxLen = 256L, nShards = 8)),
     // corpus vocabulary: top-100 tokens by occurrence (deterministic cut)
-    "text_vocab" -> ((s, dir) => TextAnalysis.vocab(docs(s, dir), 100))
+    "text_vocab" -> ((s, dir) => TextAnalysis.vocab(docs(s, dir), 100)),
+    // int8 max-abs quantization stats per embedding (native one-pass expr)
+    "embed_quantize" -> ((s, dir) => Similarity.quantizeInt8(emb(s, dir)))
   )
 
   // ---------------------------------------------------------------------------
@@ -593,6 +595,20 @@ object LlmQueries {
         |FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents)
         |GROUP BY word
         |ORDER BY n_occurrences DESC, word
-        |LIMIT 100""".stripMargin
+        |LIMIT 100""".stripMargin,
+    "embed_quantize" ->
+      """SELECT vec_id,
+        |       CAST(mx AS DOUBLE) / 127 AS scale,
+        |       CAST(list_aggregate(qs, 'sum') AS BIGINT) AS q_sum,
+        |       CAST(list_aggregate(list_transform(qs, q -> abs(q)), 'sum') AS BIGINT) AS q_l1,
+        |       CAST(list_aggregate(list_transform(qs, q -> abs(q)), 'max') AS BIGINT) AS q_max,
+        |       CAST(list_aggregate(list_transform(qs, q -> q*q), 'sum') AS BIGINT) AS q_sq
+        |FROM (
+        |  SELECT vec_id, mx,
+        |         CASE WHEN mx > 0 THEN list_transform(embedding, v -> FLOOR(CAST(v AS DOUBLE)/mx*127 + 0.5))
+        |              ELSE list_transform(embedding, v -> 0.0) END AS qs
+        |  FROM (SELECT vec_id, embedding,
+        |               list_aggregate(list_transform(embedding, v -> abs(v)), 'max') AS mx
+        |        FROM embeddings))""".stripMargin
   )
 }

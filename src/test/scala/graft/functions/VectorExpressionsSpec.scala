@@ -64,6 +64,27 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkSpec {
     assert(short.select(VectorFunctions.floatDotWeights(col("a"), weights)).head().isNullAt(0))
   }
 
+  test("quant_int8 stats match a per-element reference; edges behave") {
+    val rnd = new scala.util.Random(13)
+    val vecs = (0 until 32).map(_ => Array.fill(64)((rnd.nextFloat() - 0.5f) * 2e-3f))
+    val out = vecs.map(Tuple1(_)).toDF("a")
+      .select(VectorFunctions.quantInt8(col("a")).as("s")).select("s.*").collect()
+    vecs.zip(out).foreach { case (v, r) =>
+      val mx = v.map(math.abs).max.toDouble
+      val q = v.map(x => math.floor(x.toDouble / mx * 127.0 + 0.5).toLong)
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(mx / 127.0))
+      assert(r.getLong(1) == q.sum && r.getLong(2) == q.map(math.abs).sum)
+      assert(r.getLong(3) == 127L, "max-abs quantization pins q_max to 127")
+      assert(r.getLong(4) == q.map(x => x * x).sum)
+    }
+    // zero vector -> scale 0, all-zero stats; empty array -> null struct
+    val edges = Seq(Array(0f, 0f), Array.empty[Float]).map(Tuple1(_)).toDF("a")
+      .select(VectorFunctions.quantInt8(col("a")).as("s")).collect()
+    assert(edges(0).getStruct(0).toSeq == Seq(0.0, 0L, 0L, 0L, 0L))
+    assert(edges(1).isNullAt(0))
+  }
+
   test("participates in whole-stage codegen") {
     // spark.range keeps the projection in the physical plan (a local Seq
     // constant-folds into a LocalTableScan and skips codegen entirely)
