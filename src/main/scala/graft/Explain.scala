@@ -18,7 +18,8 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q1_pricing", "q3_segment_revenue", "ts_downsample_avg", "ts_rate", "embed_knn",
-        "events_asof_attrib", "events_sessions", "dedup_embed_cross", "curate_stratified")
+        "events_asof_attrib", "events_sessions", "dedup_embed_cross", "curate_stratified",
+        "dedup_passages", "curate_pack", "text_vocab", "embed_quantize")
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

@@ -175,6 +175,34 @@ object Curation {
         .otherwise("test"))
   }
 
+  /** Temperature-style source rebalancing (the UnifiedQA / multilingual-mix
+    * trick at T=2): group `groupCol`'s keep rate is `sqrt(n_min / n_group)`,
+    * so over-represented groups are damped toward the smallest group instead
+    * of being cut to it (the smallest group keeps everything). sqrt and
+    * division are IEEE-exact, so the rates — and therefore the md5-threshold
+    * cut — reproduce bit-for-bit in any engine, unlike a general `pow(n, 1/T)`
+    * whose libm rounding differs across platforms.
+    *
+    * Membership hashes are SALTED (`md5("temp:" || doc_id)`): [[hashSample]] /
+    * [[splitAssign]] compare unsalted-prefix bits, and reusing the same bits
+    * here would correlate the sample with split assignment (a doc kept by a
+    * low temperature cut would also always land in `train`).
+    *
+    * Scale: one tiny group-count aggregate (group-cardinality rows; the
+    * global min runs on THAT frame, not the corpus), an AQE-broadcast join
+    * back, and a row-wise threshold filter — the corpus itself never
+    * shuffles. */
+  def temperatureSample(docs: DataFrame, groupCol: String = "lang"): DataFrame = {
+    val counts = docs.groupBy(groupCol).agg(count(lit(1)).as("n"))
+    val rates = counts
+      .withColumn("rate", sqrt(min(col("n")).over(Window.partitionBy()).cast("double") / col("n")))
+      .drop("n")
+    val cut = when(col("rate") >= 1.0, lit("g"))
+      .otherwise(format_string("%04x", floor(col("rate") * 65536).cast("int")))
+    docs.join(rates, groupCol)
+      .where(substring(md5(concat(lit("temp:"), col("doc_id").cast("string"))), 1, 4) < cut)
+  }
+
   /** Sequence packing (concat-and-chunk): lay every document's tokens end to
     * end in a deterministic pseudo-random order and cut the stream into
     * fixed `ctxLen`-token training sequences. Emits, per doc, which pack its

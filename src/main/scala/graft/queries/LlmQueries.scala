@@ -138,7 +138,11 @@ object LlmQueries {
     // corpus vocabulary: top-100 tokens by occurrence (deterministic cut)
     "text_vocab" -> ((s, dir) => TextAnalysis.vocab(docs(s, dir), 100)),
     // int8 max-abs quantization stats per embedding (native one-pass expr)
-    "embed_quantize" -> ((s, dir) => Similarity.quantizeInt8(emb(s, dir)))
+    "embed_quantize" -> ((s, dir) => Similarity.quantizeInt8(emb(s, dir))),
+    // temperature (T=2) language rebalance: keep rate sqrt(n_min/n) per lang
+    "curate_temperature" -> ((s, dir) =>
+      graft.operators.Curation.temperatureSample(docs(s, dir), "lang")
+        .select("doc_id", "lang", "rate"))
   )
 
   // ---------------------------------------------------------------------------
@@ -609,6 +613,15 @@ object LlmQueries {
         |              ELSE list_transform(embedding, v -> 0.0) END AS qs
         |  FROM (SELECT vec_id, embedding,
         |               list_aggregate(list_transform(embedding, v -> abs(v)), 'max') AS mx
-        |        FROM embeddings))""".stripMargin
+        |        FROM embeddings))""".stripMargin,
+    "curate_temperature" ->
+      """WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+        |r AS (SELECT lang, sqrt(CAST((SELECT MIN(n) FROM counts) AS DOUBLE) / n) AS rate
+        |      FROM counts)
+        |SELECT d.doc_id, d.lang, r.rate
+        |FROM documents d JOIN r USING (lang)
+        |WHERE substr(md5('temp:' || CAST(d.doc_id AS VARCHAR)), 1, 4) <
+        |      CASE WHEN r.rate >= 1 THEN 'g'
+        |           ELSE printf('%04x', CAST(floor(r.rate * 65536) AS INT)) END""".stripMargin
   )
 }

@@ -89,6 +89,16 @@ class DedupPlanSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("passageDedup plans without any broadcast exchange under forced-off AQE") {
+    // with auto-broadcast disabled, a BroadcastExchange could only come from
+    // a planted hint; the frequency side must be left to AQE's runtime call
+    // (probe-gram pattern), never forced — the corpus side must never ship
+    withNoAutoBroadcast {
+      val b = broadcasts(Dedup.passageDedup(docs))
+      assert(b.isEmpty, s"forced broadcast in passageDedup plan: $b")
+    }
+  }
+
   test("simhashPairs pair path is codegen arithmetic — no higher-order functions") {
     // the round-3 regression: an interpreted 64-element filter(sequence(...))
     // lambda per candidate pair. The packed-LONG rewrite must keep Hamming as

@@ -159,6 +159,23 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(Curation.splitAssign(d, 0, 0).select("split").distinct().as[String].collect().toSeq == Seq("test"))
   }
 
+  test("temperature sample damps the majority group and keeps the smallest whole") {
+    val d = (1L to 160L).map(i => (i, s"doc $i", if (i <= 144) "en" else "fr"))
+      .toDF("doc_id", "text", "lang")
+    val out = Curation.temperatureSample(d, "lang")
+      .select("doc_id", "lang", "rate").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val (en, fr) = out.partition(_._2 == "en")
+    // fr (smallest): rate exactly 1.0, every doc kept
+    assert(fr.forall(_._3 == 1.0) && fr.length == 16)
+    // en: rate sqrt(16/144) = 1/3; kept count near 144/3, strictly damped
+    assert(en.forall(_._3 == math.sqrt(16.0 / 144.0)))
+    assert(en.length < 144 && en.length > 20)
+    // deterministic: second run identical
+    val again = Curation.temperatureSample(d, "lang").select("doc_id").as[Long].collect().toSet
+    assert(again == out.map(_._1).toSet)
+  }
+
   test("sequence packing: offsets are the cumulative token stream per shard") {
     val d = docs((0L until 40L).map(i => i -> ("w " * (i % 7 + 1).toInt).trim): _*)
     val out = Curation.packSequences(d, ctxLen = 5L, nShards = 4)

@@ -122,9 +122,20 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       "languageId" -> TextAnalysis.languageId(docs),
       "qualityScore" -> TextAnalysis.qualityScore(docs),
       "stratifiedSample" -> Curation.stratifiedSample(docs, Map("en" -> 4)),
-      "hashSample" -> docs.where(Curation.hashSample(4)))
+      "hashSample" -> docs.where(Curation.hashSample(4)),
+      "splitAssign" -> Curation.splitAssign(docs))
     for ((name, df) <- rowWise)
       assert(exchanges(df).isEmpty, s"$name must not shuffle: ${exchanges(df)}")
+    val emb = (0L until 8L).map(i => (i, Array.fill(8)(i.toFloat + 1))).toDF("vec_id", "embedding")
+    assert(exchanges(Similarity.quantizeInt8(emb)).isEmpty, "quantizeInt8 must not shuffle")
+    // packing: exactly ONE exchange (onto shards) and an in-partition sort —
+    // no second shuffle for the window or the final projection
+    assert(exchanges(Curation.packSequences(docs, 16L, 4)).length == 1,
+      "packSequences must shuffle exactly once (onto shards)")
+    // vocab: the top-k cut must plan as TakeOrderedAndProject (per-partition
+    // heaps), never a global Sort
+    val vocabPlan = TextAnalysis.vocab(docs, 5).queryExecution.executedPlan.toString
+    assert(vocabPlan.contains("TakeOrderedAndProject"), s"vocab top-k not heap-based:\n$vocabPlan")
   }
 
   test("crossSeries sum/avg/dev plan two aggregation levels, sharded inner") {
