@@ -45,6 +45,19 @@ object ScaleSmoke {
       graft.operators.Dedup.ngramJaccard(docs, threshold = 0.7, maxDocFreq = 50L).count()
     }
     t("exact dedup") { graft.operators.Dedup.exact(docs).count() }
+    t("passageDedup (10-word passages, df >= 2 drop)") {
+      // the replica tails make most aligned passages corpus-frequent — the
+      // frequency join and reassembly run at full fan-out
+      graft.operators.Dedup.passageDedup(docs).count()
+    }
+    t("packSequences (2048-token packs, 64 shards)") {
+      graft.operators.Curation.packSequences(docs, ctxLen = 2048L, nShards = 64).count()
+    }
+    t("temperatureSample on derived parity group") {
+      graft.operators.Curation.temperatureSample(
+        docs.withColumn("lang", (col("doc_id") % 3).cast("string")), "lang").count()
+    }
+    t("vocab top-1000") { graft.operators.TextAnalysis.vocab(docs, 1000).count() }
     t("crossNgramJaccard capped (incoming 5% vs existing 95%)") {
       graft.operators.Dedup.crossNgramJaccard(
         docs.where(col("doc_id") % 20 === 0), docs.where(col("doc_id") % 20 =!= 0),
@@ -60,6 +73,9 @@ object ScaleSmoke {
     println(s"SCALE vectors: ${emb.count()}")
     t("embedCosine dedup (identical replicas cluster)") {
       graft.operators.Dedup.embedCosine(emb, minCosine = 0.999).count()
+    }
+    t("quantizeInt8 (native one-pass)") {
+      graft.operators.Similarity.quantizeInt8(emb).count()
     }
     spark.catalog.clearCache()
     // temporal operators at 20x events (2M rows): both are single-shuffle
