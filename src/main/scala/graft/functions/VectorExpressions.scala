@@ -299,6 +299,138 @@ object FloatQuantStats {
   }
 }
 
+/**
+ * Int8 max-abs quantization of a float vector, returning what the int8 ANN
+ * scorer stores: `struct(scale DOUBLE, q ARRAY<TINYINT>)` with the SAME
+ * rounding as [[FloatQuantStats]] (`floor(x/max|x| * 127 + 0.5)`, so q_i in
+ * [-127, 127] always fits a signed byte). The 4×-smaller byte vectors are the
+ * 100 TB embedding-store representation; [[Int8DotProduct]] scores them with
+ * pure integer arithmetic. A zero vector yields scale 0 and all-zero q; an
+ * empty array or null element yields null.
+ */
+case class QuantizeInt8Vec(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"QuantizeInt8Vec requires ARRAY<FLOAT>, got $other")
+  }
+
+  override def dataType: DataType = QuantizeInt8Vec.schema
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any): Any =
+    QuantizeInt8Vec.quantize(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = "graft.functions.QuantizeInt8Vec$.MODULE$"
+    nullSafeCodeGen(ctx, ev, a => s"""
+       |${ev.value} = $helper.quantize($a);
+       |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): QuantizeInt8Vec =
+    copy(child = newChild)
+}
+
+object QuantizeInt8Vec {
+  import org.apache.spark.sql.types.{ByteType, StructField, StructType}
+
+  val schema: StructType = StructType(Seq(
+    StructField("scale", DoubleType, nullable = false),
+    StructField("q", ArrayType(ByteType, containsNull = false), nullable = false)))
+
+  def quantize(x: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = x.numElements()
+    if (n == 0) return null
+    var mx = 0f
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i)) return null
+      val a = math.abs(x.getFloat(i))
+      if (a > mx) mx = a
+      i += 1
+    }
+    val mxd = mx.toDouble
+    val q = new Array[Byte](n)
+    i = 0
+    while (i < n) {
+      if (mxd > 0.0)
+        q(i) = math.floor(x.getFloat(i).toDouble / mxd * 127.0 + 0.5).toByte
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      mxd / 127.0,
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(q)))
+  }
+}
+
+/**
+ * Integer dot product of two `ARRAY<TINYINT>` quantized vectors — the int8
+ * ANN scoring kernel: one multiply-accumulate per byte pair in a codegen'd
+ * loop, LONG accumulator (no overflow below 2^48 elements at |q| <= 127), no
+ * floating point until the caller applies the two dequantization scales.
+ * Null semantics mirror [[FloatVectorDot]]: length mismatch or null element
+ * yields null.
+ */
+case class Int8DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def isByteArray(dt: DataType) = dt match {
+      case ArrayType(org.apache.spark.sql.types.ByteType, _) => true
+      case _ => false
+    }
+    if (isByteArray(left.dataType) && isByteArray(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"Int8DotProduct requires ARRAY<TINYINT> inputs, got ${left.dataType} and ${right.dataType}")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getByte(i).toLong * y.getByte(i).toLong
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += (long) $a.getByte($i) * (long) $b.getByte($i);
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Int8DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** Column API: sequential double dot product of two float-array columns. */
   def floatDot(a: Column, b: Column): Column =
@@ -317,4 +449,12 @@ object VectorFunctions {
     * column — `(scale, q_sum, q_l1, q_max, q_sq)`. */
   def quantInt8(a: Column): Column =
     GraftSqlBridge.column(FloatQuantStats(GraftSqlBridge.expression(a)))
+
+  /** Column API: int8 quantized vector struct `(scale, q ARRAY<TINYINT>)`. */
+  def quantizeInt8Vec(a: Column): Column =
+    GraftSqlBridge.column(QuantizeInt8Vec(GraftSqlBridge.expression(a)))
+
+  /** Column API: integer dot product of two quantized byte vectors. */
+  def int8Dot(a: Column, b: Column): Column =
+    GraftSqlBridge.column(Int8DotProduct(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 }

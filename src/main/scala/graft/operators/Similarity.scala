@@ -123,4 +123,34 @@ object Similarity {
         graft.functions.VectorFunctions.quantInt8(col("embedding")).as("s"))
       .select(col("vec_id"), col("s.scale").as("scale"), col("s.q_sum").as("q_sum"),
         col("s.q_l1").as("q_l1"), col("s.q_max").as("q_max"), col("s.q_sq").as("q_sq"))
+
+  /**
+   * Int8 dot-product top-k — [[bruteForceKnn]]'s scoring loop on QUANTIZED
+   * vectors: both sides compress to `(scale, q ARRAY<TINYINT>)`
+   * ([[graft.functions.QuantizeInt8Vec]]), each candidate pair costs one
+   * integer multiply-accumulate kernel ([[graft.functions.Int8DotProduct]]),
+   * and the dequantized score is `int_dot * (scale_q * scale_d)` — floats
+   * touched once per pair, not once per element. Same plan shape as the
+   * float path (broadcast queries, corpus streams, per-query top-k window);
+   * at 100 TB the corpus side reads 4× fewer bytes and the kernel runs in
+   * integer registers. The integer dot is EXACT, so ranking (and the oracle)
+   * is bit-deterministic; only the final score carries float rounding.
+   * Zero vectors (scale 0) are excluded from both sides — they have no
+   * direction to score.
+   */
+  def bruteForceKnnInt8(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    def quant(df: DataFrame, idAs: String, pre: String) =
+      df.select(col("vec_id").as(idAs),
+          graft.functions.VectorFunctions.quantizeInt8Vec(col("embedding")).as("s"))
+        .select(col(idAs), col("s.scale").as(s"${pre}scale"), col("s.q").as(s"${pre}q"))
+        .where(col(s"${pre}scale") > 0.0)
+    val q = broadcast(quant(queries, "query_id", "q_"))
+    val d = quant(corpus, "neighbor_id", "d_")
+    val scored = d.join(q, col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (graft.functions.VectorFunctions.int8Dot(col("q_q"), col("d_q")).cast("double") *
+          (col("q_scale") * col("d_scale"))).as("score"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long")).where(col("rank") <= k)
+  }
 }

@@ -118,6 +118,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "simhash_bits(md5s ARRAY<STRING>)")(c => graft.functions.SimHashBits(c.head)))
     ext.injectFunction(fn("quant_int8", classOf[graft.functions.FloatQuantStats], 1,
       "quant_int8(v ARRAY<FLOAT>)")(c => graft.functions.FloatQuantStats(c.head)))
+    ext.injectFunction(fn("quant_int8_vec", classOf[graft.functions.QuantizeInt8Vec], 1,
+      "quant_int8_vec(v ARRAY<FLOAT>)")(c => graft.functions.QuantizeInt8Vec(c.head)))
+    ext.injectFunction(fn("int8_dot", classOf[graft.functions.Int8DotProduct], 2,
+      "int8_dot(a ARRAY<TINYINT>, b ARRAY<TINYINT>)")(c =>
+      graft.functions.Int8DotProduct(c.head, c(1))))
     ext.injectFunction(fn("lexicon_hits", classOf[graft.functions.LexiconHits], 2,
       "lexicon_hits(text, 'w1,w2,...')")(c =>
       graft.functions.LexiconHits(c.head,

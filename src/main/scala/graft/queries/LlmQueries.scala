@@ -142,7 +142,12 @@ object LlmQueries {
     // temperature (T=2) language rebalance: keep rate sqrt(n_min/n) per lang
     "curate_temperature" -> ((s, dir) =>
       graft.operators.Curation.temperatureSample(docs(s, dir), "lang")
-        .select("doc_id", "lang", "rate"))
+        .select("doc_id", "lang", "rate")),
+    // int8 quantized top-k: integer dot kernel, dequantized scores
+    "embed_knn_int8" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.bruteForceKnnInt8(e, e.where(col("vec_id") < 5), k = 5)
+    })
   )
 
   // ---------------------------------------------------------------------------
@@ -614,6 +619,25 @@ object LlmQueries {
         |  FROM (SELECT vec_id, embedding,
         |               list_aggregate(list_transform(embedding, v -> abs(v)), 'max') AS mx
         |        FROM embeddings))""".stripMargin,
+    "embed_knn_int8" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |         list_aggregate(list_transform(embedding, v -> abs(v)), 'max') AS mx
+        |  FROM embeddings),
+        |qv AS (
+        |  SELECT vec_id, CAST(mx AS DOUBLE) / 127 AS scale,
+        |         list_transform(embedding, v -> FLOOR(CAST(v AS DOUBLE)/mx*127 + 0.5)) AS q
+        |  FROM e WHERE mx > 0),
+        |p AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |         list_inner_product(a.q, b.q) * (a.scale * b.scale) AS score
+        |  FROM qv a JOIN qv b ON b.vec_id != a.vec_id
+        |  WHERE a.vec_id < 5)
+        |SELECT query_id, neighbor_id, score, rank FROM (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |                 ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank
+        |  FROM p)
+        |WHERE rank <= 5""".stripMargin,
     "curate_temperature" ->
       """WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
         |r AS (SELECT lang, sqrt(CAST((SELECT MIN(n) FROM counts) AS DOUBLE) / n) AS rate

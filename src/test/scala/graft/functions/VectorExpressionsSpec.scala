@@ -85,6 +85,45 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkSpec {
     assert(edges(1).isNullAt(0))
   }
 
+  test("quantized vector + int8 dot: exact integer kernel, score near float") {
+    val rnd = new scala.util.Random(17)
+    val rows = (0 until 16).map(_ =>
+      (Array.fill(64)((rnd.nextFloat() - 0.5f) * 4f), Array.fill(64)((rnd.nextFloat() - 0.5f) * 4f)))
+    val out = rows.toDF("a", "b").select(
+      col("a"), col("b"),
+      VectorFunctions.quantizeInt8Vec(col("a")).as("qa"),
+      VectorFunctions.quantizeInt8Vec(col("b")).as("qb"))
+      .select(col("qa.scale").as("sa"), col("qb.scale").as("sb"),
+        VectorFunctions.int8Dot(col("qa.q"), col("qb.q")).as("d"),
+        VectorFunctions.floatDot(col("a"), col("b")).as("fd"))
+      .collect()
+    rows.zip(out).foreach { case ((a, b), r) =>
+      // reference quantization per element
+      def quant(v: Array[Float]): (Double, Array[Long]) = {
+        val mx = v.map(math.abs).max.toDouble
+        (mx / 127.0, v.map(x => math.floor(x.toDouble / mx * 127.0 + 0.5).toLong))
+      }
+      val (sa, qa) = quant(a); val (sb, qb) = quant(b)
+      assert(r.getDouble(0) == sa && r.getDouble(1) == sb)
+      assert(r.getLong(2) == qa.zip(qb).map { case (x, y) => x * y }.sum, "integer dot must be exact")
+      // dequantized score approximates the float dot (both near-unit scale)
+      val approx = r.getLong(2).toDouble * sa * sb
+      assert(math.abs(approx - r.getDouble(3)) <= 0.05 * (1.0 + math.abs(r.getDouble(3))),
+        s"int8 score $approx too far from float ${r.getDouble(3)}")
+    }
+    // edge semantics: empty vector -> null struct (and the null propagates
+    // through the dot); genuine length mismatch -> null dot
+    val e = Seq((Array.empty[Float], Array(1f, 2f))).toDF("a", "b")
+      .select(VectorFunctions.quantizeInt8Vec(col("a")).as("qa"),
+        VectorFunctions.quantizeInt8Vec(col("b")).as("qb"))
+    assert(e.head().isNullAt(0))
+    assert(e.select(VectorFunctions.int8Dot(col("qa.q"), col("qb.q"))).head().isNullAt(0))
+    val mismatch = Seq((Array(1f, 2f), Array(1f, 2f, 3f))).toDF("a", "b")
+      .select(VectorFunctions.int8Dot(
+        col("a").cast("array<byte>"), col("b").cast("array<byte>")))
+    assert(mismatch.head().isNullAt(0))
+  }
+
   test("participates in whole-stage codegen") {
     // spark.range keeps the projection in the physical plan (a local Seq
     // constant-folds into a LocalTableScan and skips codegen entirely)
