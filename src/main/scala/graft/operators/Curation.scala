@@ -203,6 +203,48 @@ object Curation {
       .where(substring(md5(concat(lit("temp:"), col("doc_id").cast("string"))), 1, 4) < cut)
   }
 
+  /** Per-source document cap (the RefinedWeb/C4 trick against template farms
+    * and crawler loops): keep at most `cap` docs per `groupCol` value, best
+    * quality first (ties broken by doc_id). Unlike [[topKByLanguage]]'s
+    * 4-value language key, a source/domain key is high-cardinality at scale —
+    * but single hot domains still funnel millions of docs through one window
+    * partition, so the same two-level scheme applies: a local top-cap inside
+    * each (source, md5-shard) first (any doc in its source's global top-cap
+    * is in its own shard's), then the exact re-rank over the bounded
+    * ≤ cap×[[TopKShards]] survivors per source. */
+  def capPerGroup(docs: DataFrame, groupCol: String, cap: Int): DataFrame = {
+    require(cap >= 1, "cap must be positive")
+    val shard = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10).cast("long"),
+      lit(TopKShards.toLong))
+    val local = Window.partitionBy(col(groupCol), col("shard"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    val global = Window.partitionBy(groupCol).orderBy(col("quality").desc, col("doc_id"))
+    docs
+      .select(col("doc_id"), col(groupCol), TextAnalysis.qualityCol.as("quality"))
+      .withColumn("shard", shard)
+      .withColumn("lrank", row_number().over(local))
+      .where(col("lrank") <= cap)
+      .withColumn("rank", row_number().over(global).cast("long"))
+      .where(col("rank") <= cap)
+      .select(col(groupCol), col("rank"), col("doc_id"), col("quality"))
+  }
+
+  /** Training-mix report: per (lang, source) cell, document and token counts
+    * plus each cell's share of the corpus — the accounting a mix design is
+    * checked against before training. One map-side-combined aggregate over
+    * the corpus (cells = langs × sources, tiny); the share windows run on
+    * THAT frame, never the corpus. Shares are exact-long divisions, so they
+    * reproduce bit-for-bit in any engine. */
+  def mixReport(docs: DataFrame): DataFrame = {
+    val cells = docs.groupBy("lang", "source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(split(col("text"), " ")).cast("long")).as("n_words"))
+    val all = Window.partitionBy()
+    cells
+      .withColumn("docs_share", col("n_docs") / sum(col("n_docs")).over(all))
+      .withColumn("words_share", col("n_words") / sum(col("n_words")).over(all))
+  }
+
   /** Sequence packing (concat-and-chunk): lay every document's tokens end to
     * end in a deterministic pseudo-random order and cut the stream into
     * fixed `ctxLen`-token training sequences. Emits, per doc, which pack its

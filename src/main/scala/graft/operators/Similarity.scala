@@ -153,4 +153,36 @@ object Similarity {
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long")).where(col("rank") <= k)
   }
+
+  /** Fixed-point grid for [[centroids]]: 2^20 steps per unit. */
+  val CentroidScaleBits = 20
+
+  /**
+   * Per-group embedding centroids: the mean vector of each `groupCol` value,
+   * emitted one row per (group, dimension) — class prototypes, k-means
+   * seeding, per-source embedding profiles.
+   *
+   * A plain `avg(v)` over distributed partials is order-DEPENDENT in floating
+   * point (partial sums merge in task-completion order), so the mean here is
+   * computed on a fixed-point grid: each element snaps to
+   * `floor(v * 2^20 + 0.5)` (a LONG — the same round-half-up family as
+   * [[graft.functions.FloatQuantStats]]), the per-(group, dim) sum is exact
+   * integer arithmetic (order-independent), and the mean is one final
+   * long/long division — bit-reproducible in any engine, at 2^-20 ≈ 1e-6
+   * resolution (below float32's own noise floor for unit-scale embeddings).
+   *
+   * Scale: `posexplode` multiplies rows by `dim` but partial aggregation
+   * collapses them to (groups × dim) partials per task before the only
+   * shuffle, so the exchange carries kilobytes regardless of corpus size.
+   */
+  def centroids(emb: DataFrame, groupCol: String = "label"): DataFrame = {
+    val grid = math.pow(2, CentroidScaleBits).toLong
+    emb
+      .select(col(groupCol), posexplode(col("embedding")).as(Seq("d", "v")))
+      .groupBy(col(groupCol), (col("d") + 1).as("dim"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(floor(col("v").cast("double") * grid + 0.5)).as("fp_sum"))
+      .select(col(groupCol), col("dim").cast("long").as("dim"), col("n_vecs"),
+        (col("fp_sum") / (col("n_vecs") * grid)).as("mean"))
+  }
 }

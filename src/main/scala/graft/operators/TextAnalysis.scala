@@ -291,4 +291,39 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_occurrences"), countDistinct("doc_id").as("n_docs"))
       .orderBy(col("n_occurrences").desc, col("word"))
       .limit(k)
+
+  /**
+   * Unigram-LM familiarity scoring — the cheap stand-in for KenLM perplexity
+   * filtering: score each document by how much of its word mass the corpus'
+   * own top-`vocabSize` vocabulary explains. Per doc: `n_oov` (words outside
+   * the vocabulary), `oov_ratio`, and `familiarity` = Σ count(w) / (n_words ×
+   * total_words) — the arithmetic mean of the words' unigram probabilities.
+   * Gibberish, wrong-language and template-noise docs score near 0; plain
+   * prose scores near the head-word mass. All accumulators are LONGs
+   * (order-independent, engine-reproducible); the only doubles are the two
+   * final exact-integer divisions — no logs, whose libm rounding differs
+   * across engines.
+   *
+   * Scale: the vocabulary is a `TakeOrderedAndProject` top-k (per-partition
+   * heaps) and joins back BROADCAST (`vocabSize` rows); the corpus-sized
+   * explode re-aggregates on well-distributed doc_id. Nothing corpus-sized is
+   * ever broadcast or funneled.
+   */
+  def lmScore(docs: DataFrame, vocabSize: Int = 256): DataFrame = {
+    val words = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val top = words.groupBy("word").agg(count(lit(1)).as("w_count"))
+      .orderBy(col("w_count").desc, col("word")).limit(vocabSize)
+    // scalar total over the same split — a column-pruned scan + one partial
+    // agg, cheaper than re-shuffling the exploded words
+    val total = docs.agg(sum(size(split(col("text"), " ")).cast("long")).as("total_words"))
+    words.join(broadcast(top), Seq("word"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(when(col("w_count").isNull, 1L).otherwise(0L)).as("n_oov"),
+        sum(coalesce(col("w_count"), lit(0L))).as("w_sum"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("n_words"), col("n_oov"),
+        (col("n_oov") / col("n_words")).as("oov_ratio"),
+        (col("w_sum") / (col("n_words") * col("total_words"))).as("familiarity"))
+  }
 }

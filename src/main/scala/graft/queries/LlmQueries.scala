@@ -147,7 +147,16 @@ object LlmQueries {
     "embed_knn_int8" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.bruteForceKnnInt8(e, e.where(col("vec_id") < 5), k = 5)
-    })
+    }),
+    // per-label centroid on the 2^-20 fixed-point grid (order-independent)
+    "embed_centroid" -> ((s, dir) => Similarity.centroids(emb(s, dir))),
+    // per-source document cap (anti-template-farm): top-10 by quality
+    "curate_source_cap" -> ((s, dir) =>
+      graft.operators.Curation.capPerGroup(docs(s, dir), "source", 10)),
+    // training-mix accounting: per (lang, source) doc/token counts + shares
+    "curate_mix_report" -> ((s, dir) => graft.operators.Curation.mixReport(docs(s, dir))),
+    // unigram-LM familiarity scoring against the corpus' own top-256 vocab
+    "text_lm_score" -> ((s, dir) => TextAnalysis.lmScore(docs(s, dir)))
   )
 
   // ---------------------------------------------------------------------------
@@ -638,6 +647,53 @@ object LlmQueries {
         |                 ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank
         |  FROM p)
         |WHERE rank <= 5""".stripMargin,
+    // mirrors Similarity.centroids: the same floor(v*2^20 + 0.5) fixed-point
+    // snap, exact BIGINT sums, one final long/long division per (label, dim)
+    "embed_centroid" ->
+      """WITH e AS (
+        |  SELECT label, UNNEST(embedding) AS v, generate_subscripts(embedding, 1) AS d
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT label, d, COUNT(*) AS n_vecs,
+        |         CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1048576 + 0.5) AS BIGINT)) AS BIGINT) AS fp_sum
+        |  FROM e GROUP BY 1, 2)
+        |SELECT label, CAST(d AS BIGINT) AS dim, n_vecs,
+        |       fp_sum / (n_vecs * 1048576) AS mean
+        |FROM s""".stripMargin,
+    "curate_source_cap" ->
+      s"""WITH j AS (
+         |  SELECT source, doc_id,
+         |         LEAST(1.0, len(string_split(text, ' ')) / 100.0)
+         |               * (1.0 - len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) * 1.0 / length(text))
+         |               * LEAST(1.0, 4.0 * ${hitsSql("en")} / len(string_split(lower(text), ' ')) + 0.5) AS quality
+         |  FROM documents)
+         |SELECT source, rank, doc_id, quality FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rank
+         |  FROM j)
+         |WHERE rank <= 10""".stripMargin,
+    "curate_mix_report" ->
+      """WITH g AS (
+        |  SELECT lang, source, COUNT(*) AS n_docs,
+        |         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_words
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT lang, source, n_docs, n_words,
+        |       n_docs / CAST((SELECT SUM(n_docs) FROM g) AS BIGINT) AS docs_share,
+        |       n_words / CAST((SELECT SUM(n_words) FROM g) AS BIGINT) AS words_share
+        |FROM g""".stripMargin,
+    "text_lm_score" ->
+      """WITH w AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents),
+        |v AS (SELECT word, COUNT(*) AS w_count FROM w GROUP BY 1
+        |      ORDER BY w_count DESC, word LIMIT 256),
+        |t AS (SELECT CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_words FROM documents),
+        |d AS (SELECT w.doc_id,
+        |             COUNT(*) AS n_words,
+        |             CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |             CAST(SUM(COALESCE(v.w_count, 0)) AS BIGINT) AS w_sum
+        |      FROM w LEFT JOIN v ON w.word = v.word GROUP BY 1)
+        |SELECT doc_id, n_words, n_oov,
+        |       n_oov / n_words AS oov_ratio,
+        |       w_sum / (n_words * total_words) AS familiarity
+        |FROM d, t""".stripMargin,
     "curate_temperature" ->
       """WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
         |r AS (SELECT lang, sqrt(CAST((SELECT MIN(n) FROM counts) AS DOUBLE) / n) AS rate

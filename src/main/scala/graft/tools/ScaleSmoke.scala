@@ -58,6 +58,11 @@ object ScaleSmoke {
         docs.withColumn("lang", (col("doc_id") % 3).cast("string")), "lang").count()
     }
     t("vocab top-1000") { graft.operators.TextAnalysis.vocab(docs, 1000).count() }
+    t("lmScore (top-4096 vocab)") { graft.operators.TextAnalysis.lmScore(docs, 4096).count() }
+    t("capPerGroup (500 per derived source)") {
+      graft.operators.Curation.capPerGroup(
+        docs.withColumn("source", (col("doc_id") % 40).cast("string")), "source", 500).count()
+    }
     t("crossNgramJaccard capped (incoming 5% vs existing 95%)") {
       graft.operators.Dedup.crossNgramJaccard(
         docs.where(col("doc_id") % 20 === 0), docs.where(col("doc_id") % 20 =!= 0),
@@ -76,6 +81,10 @@ object ScaleSmoke {
     }
     t("quantizeInt8 (native one-pass)") {
       graft.operators.Similarity.quantizeInt8(emb).count()
+    }
+    t("centroids per derived label") {
+      graft.operators.Similarity.centroids(
+        emb.withColumn("label", (col("vec_id") % 10).cast("int")), "label").count()
     }
     spark.catalog.clearCache()
     // temporal operators at 20x events (2M rows): both are single-shuffle

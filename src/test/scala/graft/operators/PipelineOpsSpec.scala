@@ -465,4 +465,53 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     val c = m.getAs[Long]("channels")
     assert(c >= 1 && c <= 3)
   }
+
+  test("centroids: per-label fixed-point means are exact on dyadic fixtures") {
+    val emb = Seq(
+      (1L, 0, Array(0.5f, -1.25f)),
+      (2L, 0, Array(1.5f, 0.25f)),
+      (3L, 1, Array(-2.0f, 4.0f))).toDF("vec_id", "label", "embedding")
+    val out = Similarity.centroids(emb, "label").collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    // dyadic inputs snap to the 2^-20 grid exactly, so means are exact
+    assert(out((0, 1L)) == ((2L, 1.0)) && out((0, 2L)) == ((2L, -0.5)))
+    assert(out((1, 1L)) == ((1L, -2.0)) && out((1, 2L)) == ((1L, 4.0)))
+  }
+
+  test("capPerGroup equals the single-window per-source cap") {
+    val d = (0L until 40L)
+      .map(i => (i, s"src${i % 4}", s"the a of and doc $i words " * (1 + (i % 3)).toInt))
+      .toDF("doc_id", "source", "text")
+    val scored = d.select(col("source"), col("doc_id"), TextAnalysis.qualityCol.as("quality"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("quality").desc, col("doc_id"))
+    val ref = scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 3).select("source", "rank", "doc_id", "quality")
+    val got = Curation.capPerGroup(d, "source", 3)
+    assert(got.exceptAll(ref).isEmpty && ref.exceptAll(got).isEmpty)
+  }
+
+  test("lmScore: exact integer accumulators and unigram probabilities") {
+    // vocab(top-2) = {the: 3, cat: 1}; corpus total = 8 words
+    val d = docs(1L -> "the the the cat", 2L -> "zzz qqq xxx vvv")
+    val out = TextAnalysis.lmScore(d, vocabSize = 2).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) == 4 && out(1L).getLong(2) == 0)
+    assert(out(1L).getDouble(4) == 10.0 / 32.0) // (3+3+3+1) / (4 * 8)
+    assert(out(2L).getLong(2) == 4 && out(2L).getDouble(3) == 1.0
+      && out(2L).getDouble(4) == 0.0)
+  }
+
+  test("mixReport cells carry exact counts and corpus shares") {
+    val d = Seq(
+      (1L, "a b", "en", "s1"),
+      (2L, "c", "en", "s2"),
+      (3L, "d e f", "de", "s1")).toDF("doc_id", "text", "lang", "source")
+    val out = Curation.mixReport(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(out(("en", "s1")) == ((1L, 2L, 1.0 / 3.0, 2.0 / 6.0)))
+    assert(out(("en", "s2")) == ((1L, 1L, 1.0 / 3.0, 1.0 / 6.0)))
+    assert(out(("de", "s1")) == ((1L, 3L, 1.0 / 3.0, 3.0 / 6.0)))
+  }
 }

@@ -138,6 +138,60 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(vocabPlan.contains("TakeOrderedAndProject"), s"vocab top-k not heap-based:\n$vocabPlan")
   }
 
+  test("centroids: one shuffle, partial aggregation below it") {
+    val emb = (0L until 16L).map(i => (i, (i % 3).toInt, Array.fill(8)(i.toFloat)))
+      .toDF("vec_id", "label", "embedding")
+    val df = Similarity.centroids(emb, "label")
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val shuffles = plan.collect { case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+    assert(shuffles.length == 1, s"centroids must shuffle exactly once:\n$plan")
+    // partial (map-side) aggregation must collapse the posexplode'd rows to
+    // (groups x dim) partials BEFORE the exchange
+    val aggs = plan.collect { case h: org.apache.spark.sql.execution.aggregate.HashAggregateExec => h }
+    assert(aggs.length >= 2, s"expected partial+final hash aggregation:\n$plan")
+  }
+
+  test("capPerGroup: corpus window is (source, shard)-sharded; source-only window sees survivors") {
+    val d = (0L until 64L).map(i => (i, s"src${i % 4}", s"doc $i words here"))
+      .toDF("doc_id", "source", "text")
+    val df = Curation.capPerGroup(d, "source", 3)
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.exists(_.partitionSpec.size >= 2),
+      "expected a (source, shard)-partitioned window over the corpus")
+    val srcOnly = df.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.collect { case a: AttributeReference => a.name } == Seq("source") => w
+    }
+    assert(srcOnly.nonEmpty, "sanity: the bounded re-rank window exists")
+    for (w <- srcOnly)
+      assert(w.child.collectFirst { case f: Filter => f }.isDefined,
+        s"source-only window with unbounded (corpus-sized) input:\n$w")
+  }
+
+  test("lmScore: vocab + total broadcast; the corpus side never broadcasts") {
+    val d = (0L until 64L).map(i => (i, s"the quick doc $i with words")).toDF("doc_id", "text")
+    val df = TextAnalysis.lmScore(d, vocabSize = 4)
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val bcasts = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => e
+    }
+    // exactly the two bounded frames broadcast: the top-k vocab and the
+    // 1-row total; each must sit under an aggregation (never a raw scan of
+    // the corpus)
+    assert(bcasts.length == 2, s"expected vocab + total broadcasts only:\n$plan")
+    for (b <- bcasts)
+      assert(b.collectFirst {
+        case h: org.apache.spark.sql.execution.aggregate.HashAggregateExec => h
+        case s: org.apache.spark.sql.execution.SortExec => s
+        case t if t.getClass.getSimpleName.contains("TakeOrdered") => t
+      }.isDefined, s"broadcast side is not an aggregated/bounded frame:\n$b")
+  }
+
   test("crossSeries sum/avg/dev plan two aggregation levels, sharded inner") {
     for (agg <- Seq("sum", "avg", "dev")) {
       val df = TimeSeries.crossSeries(
