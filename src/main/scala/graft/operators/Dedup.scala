@@ -562,4 +562,48 @@ object Dedup {
           s => s.getField("chunk")), " ").as("text"),
         count(when(col("df") >= maxDocFreq, 1)).as("removed_chunks"))
   }
+
+  /** Bloom position i of content hash `h`: the first `hexDigits` hex digits
+    * of md5("i:" || h) as an integer — k independent deterministic hashes any
+    * md5-capable engine reproduces. */
+  private def bloomPos(i: Int, h: Column, hexDigits: Int): Column =
+    conv(substring(md5(concat(lit(s"$i:"), h)), 1, hexDigits), 16, 10).cast("long")
+
+  /**
+   * Bloom-filter cross-corpus screen: flag incoming docs whose content hash
+   * is PROBABLY in the existing corpus — the scale path for "have we trained
+   * on this before?" against a historical corpus too large to join. The
+   * existing side folds each hash's `k` bit positions (md5-derived,
+   * [[bloomPos]]) into a `16^hexDigits`-bit bitset via [[graft.functions.BitsetOrAgg]]
+   * (partial per task, OR-merged); incoming docs then probe the broadcast
+   * bitset with `k` codegen'd bit tests — a FIXED-size broadcast (128 KiB at
+   * the default 2^20 bits) regardless of corpus size, where the exact
+   * semi-join ([[crossNgramJaccard]]'s exact-hash analog) would shuffle both
+   * corpora.
+   *
+   * Standard Bloom semantics: no false negatives (an exact re-occurrence is
+   * always flagged); false positives at the classic `(1-e^{-kn/m})^k` rate —
+   * size `hexDigits` so `m >= ~1.44 k n` for the target corpus (2^20 bits
+   * suits ~180k hashes at k=4 for ~2% FP; at 100 TB you'd raise `hexDigits`
+   * to 7-8 — 256 MiB — and build per-shard filters). The decision is fully
+   * deterministic (bitset membership bijects with the md5 position set), so
+   * the screen has an exact SQL oracle despite being "approximate".
+   */
+  def bloomScreen(incoming: DataFrame, existing: DataFrame,
+                  hexDigits: Int = 5, k: Int = 4): DataFrame = {
+    require(hexDigits >= 2 && hexDigits <= 14, "hexDigits in 2..14 (16 bits .. 56 bits)")
+    require(k >= 1 && k <= 16, "k in 1..16")
+    val numWords = (1L << (4 * hexDigits - 6)).toInt
+    val exPos = existing.select(md5(col("text")).as("h"))
+      .select(explode(array((0 until k).map(i => bloomPos(i, col("h"), hexDigits)): _*)).as("pos"))
+    val bits = exPos.agg(graft.functions.BitsetFunctions.bitsetOr(col("pos"), numWords).as("bits"))
+    val probes = incoming.select(col("doc_id"), md5(col("text")).as("h"))
+      .crossJoin(broadcast(bits))
+    val allSet = (0 until k).map { i =>
+      val p = bloomPos(i, col("h"), hexDigits)
+      element_at(col("bits"), call_function("shiftrightunsigned", p, lit(6)).cast("int") + 1)
+        .bitwiseAND(call_function("shiftleft", lit(1L), p.bitwiseAND(lit(63L)).cast("int"))) =!= 0L
+    }.reduce(_ && _)
+    probes.where(allSet).select("doc_id", "h")
+  }
 }

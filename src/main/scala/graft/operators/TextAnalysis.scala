@@ -293,6 +293,33 @@ object TextAnalysis {
       .limit(k)
 
   /**
+   * Overlapping word-window chunking — the retrieval/embedding prep step: cut
+   * each document into `chunkWords`-word windows every `strideWords` words
+   * (overlap = `chunkWords - strideWords`), emitting one row per chunk with
+   * provenance (`chunk_id`, `chunk_start`) so chunks map back to their doc.
+   * Starts run 0, stride, 2x stride, ... while they fall inside the doc; the
+   * final window may be shorter (`n_chunk_words` carries the actual length —
+   * no padding). Pure row-wise generate over the scan (the same
+   * `posexplode(transform(sequence))` shape as [[Dedup.passageDedup]]'s
+   * chunker): no shuffle, scales linearly, and downstream embedding batches
+   * inherit the scan's partitioning.
+   */
+  def chunk(docs: DataFrame, chunkWords: Int = 64, strideWords: Int = 48): DataFrame = {
+    require(chunkWords >= 1 && strideWords >= 1, "chunkWords and strideWords must be positive")
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), size(col("ws")).cast("long").as("nw"),
+        posexplode(transform(
+          sequence(lit(0L), floor((size(col("ws")) - 1) / strideWords).cast("long")),
+          i => array_join(slice(col("ws"), (i * strideWords + 1).cast("int"), lit(chunkWords)), " "))))
+      .select(col("doc_id"),
+        col("pos").cast("long").as("chunk_id"),
+        (col("pos") * strideWords).cast("long").as("chunk_start"),
+        least(lit(chunkWords.toLong), col("nw") - col("pos") * strideWords).as("n_chunk_words"),
+        col("col").as("chunk_text"))
+  }
+
+  /**
    * Unigram-LM familiarity scoring — the cheap stand-in for KenLM perplexity
    * filtering: score each document by how much of its word mass the corpus'
    * own top-`vocabSize` vocabulary explains. Per doc: `n_oov` (words outside

@@ -156,7 +156,19 @@ object LlmQueries {
     // training-mix accounting: per (lang, source) doc/token counts + shares
     "curate_mix_report" -> ((s, dir) => graft.operators.Curation.mixReport(docs(s, dir))),
     // unigram-LM familiarity scoring against the corpus' own top-256 vocab
-    "text_lm_score" -> ((s, dir) => TextAnalysis.lmScore(docs(s, dir)))
+    "text_lm_score" -> ((s, dir) => TextAnalysis.lmScore(docs(s, dir))),
+    // RAG-style chunking: 64-word windows every 48 words, with provenance
+    "text_chunks" -> ((s, dir) => TextAnalysis.chunk(docs(s, dir))),
+    // Bloom screen: every-10th docs probe the rest; every-20th docs carry a
+    // PLANTED re-occurrence (the next doc's text) and must be flagged
+    "dedup_bloom_screen" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val planted = d.where(col("doc_id") % 10 === 0)
+        .join(d.select((col("doc_id") - 1).as("doc_id"), col("text").as("btext")), "doc_id")
+        .select(col("doc_id"),
+          when(col("doc_id") % 20 === 0, col("btext")).otherwise(col("text")).as("text"))
+      Dedup.bloomScreen(planted, d.where(col("doc_id") % 10 =!= 0))
+    })
   )
 
   // ---------------------------------------------------------------------------
@@ -225,6 +237,15 @@ object LlmQueries {
       |  FROM sig x JOIN sig y ON x.sig = y.sig AND x.vec_id < y.vec_id
       |  JOIN embeddings ex ON x.vec_id = ex.vec_id
       |  JOIN embeddings ey ON y.vec_id = ey.vec_id)""".stripMargin
+
+  /** First-5-hex-digits-of-md5 value (0..2^20-1) over a hex-string column
+    * `m` — the [[graft.operators.Dedup.bloomPos]] arithmetic in portable SQL
+    * (DuckDB has no conv()). */
+  private def hex5Sql(m: String): String =
+    (1 to 5).map { j =>
+      val w = Seq(65536L, 4096L, 256L, 16L, 1L)(j - 1)
+      s"(strpos('0123456789abcdef', substr($m, $j, 1)) - 1) * $w"
+    }.mkString(" + ")
 
   private val CosineSql =
     """list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(d.embedding AS DOUBLE[]))
@@ -694,6 +715,34 @@ object LlmQueries {
         |       n_oov / n_words AS oov_ratio,
         |       w_sum / (n_words * total_words) AS familiarity
         |FROM d, t""".stripMargin,
+    "text_chunks" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        |SELECT doc_id, i AS chunk_id, i * 48 AS chunk_start,
+        |       LEAST(64, len(ws) - i * 48) AS n_chunk_words,
+        |       array_to_string(ws[i*48+1:i*48+64], ' ') AS chunk_text
+        |FROM w, LATERAL (SELECT UNNEST(range(0, (len(ws)-1)//48 + 1)) AS i) t""".stripMargin,
+    // mirrors Dedup.bloomScreen exactly: bitset membership bijects with the
+    // md5 position set, so the Bloom decision (incl. any false positive) is
+    // the "all k positions present" predicate below
+    "dedup_bloom_screen" ->
+      s"""WITH inraw AS (
+         |  SELECT a.doc_id,
+         |         md5(CASE WHEN a.doc_id % 20 = 0 THEN b.text ELSE a.text END) AS h
+         |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+         |  WHERE a.doc_id % 10 = 0),
+         |exraw AS (SELECT md5(text) AS h FROM documents WHERE doc_id % 10 != 0),
+         |inpos AS (
+         |  SELECT doc_id, h, ${hex5Sql("m")} AS pos
+         |  FROM (SELECT doc_id, h, md5(CAST(i AS VARCHAR) || ':' || h) AS m
+         |        FROM inraw, UNNEST(range(4)) AS t(i))),
+         |expos AS (
+         |  SELECT DISTINCT ${hex5Sql("m")} AS pos
+         |  FROM (SELECT md5(CAST(i AS VARCHAR) || ':' || h) AS m
+         |        FROM exraw, UNNEST(range(4)) AS t(i)))
+         |SELECT p.doc_id, p.h
+         |FROM inpos p LEFT JOIN expos e ON p.pos = e.pos
+         |GROUP BY p.doc_id, p.h
+         |HAVING COUNT(e.pos) = 4""".stripMargin,
     "curate_temperature" ->
       """WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
         |r AS (SELECT lang, sqrt(CAST((SELECT MIN(n) FROM counts) AS DOUBLE) / n) AS rate

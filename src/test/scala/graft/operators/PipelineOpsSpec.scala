@@ -502,6 +502,43 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
       && out(2L).getDouble(4) == 0.0)
   }
 
+  test("chunk: stride/overlap windows with provenance; short docs yield one chunk") {
+    val text = (1 to 10).map(i => s"w$i").mkString(" ")
+    val out = TextAnalysis.chunk(docs(1L -> text, 2L -> "solo"), chunkWords = 4, strideWords = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    // doc 1: starts 0,3,6,9 — the last is a 1-word tail
+    assert(out((1L, 0L)) == ((0L, 4L, "w1 w2 w3 w4")))
+    assert(out((1L, 1L)) == ((3L, 4L, "w4 w5 w6 w7")))
+    assert(out((1L, 2L)) == ((6L, 4L, "w7 w8 w9 w10")))
+    assert(out((1L, 3L)) == ((9L, 1L, "w10")))
+    assert(out((2L, 0L)) == ((0L, 1L, "solo")))
+    assert(out.size == 5)
+  }
+
+  test("bloomScreen: no false negatives; decision equals the exact position-set reference") {
+    val existing = docs((0L until 40L).map(i => i -> s"existing document number $i with words"): _*)
+    val incoming = docs(
+      100L -> "existing document number 7 with words",  // exact re-occurrence
+      101L -> "existing document number 23 with words", // exact re-occurrence
+      102L -> "a brand new document nothing has seen",
+      103L -> "another unseen document entirely")
+    val flagged = Dedup.bloomScreen(incoming, existing).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(Set(100L, 101L).subsetOf(flagged), "re-occurrences must always be flagged")
+    // reference decision: all k md5 positions present in the existing set —
+    // the Bloom bitset bijects with this set, so outputs must match EXACTLY
+    // (false positives included, were any to occur)
+    def positions(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .select(col("doc_id"), explode(array((0 until 4).map(i =>
+        conv(substring(md5(concat(lit(s"$i:"), col("h"))), 1, 5), 16, 10).cast("long")): _*)).as("pos"))
+    val exSet = positions(existing).select("pos").distinct()
+    val ref = positions(incoming).join(exSet, "pos")
+      .groupBy("doc_id").count().where(col("count") === 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(flagged == ref)
+  }
+
   test("mixReport cells carry exact counts and corpus shares") {
     val d = Seq(
       (1L, "a b", "en", "s1"),

@@ -123,7 +123,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       "qualityScore" -> TextAnalysis.qualityScore(docs),
       "stratifiedSample" -> Curation.stratifiedSample(docs, Map("en" -> 4)),
       "hashSample" -> docs.where(Curation.hashSample(4)),
-      "splitAssign" -> Curation.splitAssign(docs))
+      "splitAssign" -> Curation.splitAssign(docs),
+      "chunk" -> TextAnalysis.chunk(docs, 8, 6))
     for ((name, df) <- rowWise)
       assert(exchanges(df).isEmpty, s"$name must not shuffle: ${exchanges(df)}")
     val emb = (0L until 8L).map(i => (i, Array.fill(8)(i.toFloat + 1))).toDF("vec_id", "embedding")
@@ -190,6 +191,26 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
         case s: org.apache.spark.sql.execution.SortExec => s
         case t if t.getClass.getSimpleName.contains("TakeOrdered") => t
       }.isDefined, s"broadcast side is not an aggregated/bounded frame:\n$b")
+  }
+
+  test("bloomScreen: fixed-size bitset broadcast; the probe side never shuffles") {
+    val ex = (0L until 64L).map(i => (i, s"existing doc $i words")).toDF("doc_id", "text")
+    val in = (100L until 110L).map(i => (i, s"incoming doc $i words")).toDF("doc_id", "text")
+    val df = Dedup.bloomScreen(in, ex)
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val bcasts = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => e
+    }
+    assert(bcasts.length == 1, s"expected exactly the 1-row bitset broadcast:\n$plan")
+    // the only ShuffleExchange permitted is the bitset build's partial->final
+    // merge (SinglePartition over per-task buffers) — never a probe-side or
+    // corpus-keyed exchange
+    val shuffles = plan.collect { case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+    assert(shuffles.forall(_.outputPartitioning.numPartitions == 1),
+      s"probe/corpus-side shuffle in bloomScreen:\n$plan")
   }
 
   test("crossSeries sum/avg/dev plan two aggregation levels, sharded inner") {
