@@ -105,18 +105,33 @@ object Dedup {
    * never be broadcast). The only shuffles are the band-key join and the
    * final pair distinct, both on well-distributed keys.
    */
-  def minhashLsh(docs: DataFrame, numHashes: Int = 8, bandSize: Int = 2): DataFrame = {
+  def minhashLsh(docs: DataFrame, numHashes: Int = 8, bandSize: Int = 2,
+                 maxBucket: Long = Long.MaxValue): DataFrame = {
     require(numHashes % bandSize == 0, "numHashes must be divisible by bandSize")
+    require(maxBucket >= 1L, "maxBucket must be positive")
     // cached (memory+disk, partition-local) because the banded self-join reads
     // it once per side; this is a per-executor materialization, not a broadcast
     val mh = cached(minhashSignatures(docs, numHashes))
     val nBands = numHashes / bandSize
     val bandKey = (b: Int) => concat((b * bandSize until (b + 1) * bandSize).map(k => col(s"mh$k")): _*)
     val sigCols = (0 until numHashes).map(c => col(s"mh$c"))
-    val bands = mh.select(
+    val allBands = mh.select(
       col("doc_id") +: sigCols :+
         explode(array((0 until nBands).map(b => struct(lit(b).as("b"), bandKey(b).as("key"))): _*)).as("bk"): _*)
       .select(col("doc_id") +: sigCols :+ col("bk.b").as("b") :+ col("bk.key").as("key"): _*)
+    // Optional skew guard (the 100 TB configuration, same contract as
+    // ngramJaccard's maxDocFreq / simhashPairs' maxBucket): a (band, key)
+    // bucket of k docs emits k^2/2 candidate pairs, so hot buckets —
+    // boilerplate-dominated signatures — are capped out of CANDIDATE
+    // GENERATION. Default off: the oracle-pinned configuration keeps exact
+    // LSH semantics (every banded collision surfaces).
+    val bands =
+      if (maxBucket == Long.MaxValue) allBands
+      else {
+        val ok = allBands.groupBy("b", "key").agg(count(lit(1)).as("bn"))
+          .where(col("bn") <= maxBucket).select("b", "key")
+        allBands.join(ok, Seq("b", "key"))
+      }
     val eq = (0 until numHashes)
       .map(k => when(col(s"x.mh$k") === col(s"y.mh$k"), 1).otherwise(0))
       .reduce(_ + _)

@@ -77,6 +77,10 @@ object LlmQueries {
         threshold = 0.5)
     }),
     "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(docs(s, dir))),
+    // the 100 TB configuration: hot (band, key) buckets capped out of
+    // candidate generation — same skew-guard contract as the ngram/simhash
+    // caps, pinned by its own oracle
+    "dedup_minhash_lsh_capped" -> ((s, dir) => Dedup.minhashLsh(docs(s, dir), maxBucket = 3L)),
     // near-dup CLUSTERING: connected components over the jaccard pairs, each
     // component keyed by its min doc_id (the kept representative)
     "dedup_clusters" -> ((s, dir) =>
@@ -447,6 +451,23 @@ object LlmQueries {
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
          |  FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id)
+         |SELECT cand.a, cand.b,
+         |       ((x.mh0 = y.mh0)::INT + (x.mh1 = y.mh1)::INT + (x.mh2 = y.mh2)::INT
+         |            + (x.mh3 = y.mh3)::INT + (x.mh4 = y.mh4)::INT + (x.mh5 = y.mh5)::INT
+         |            + (x.mh6 = y.mh6)::INT + (x.mh7 = y.mh7)::INT) / 8.0 AS est_jaccard
+         |FROM cand JOIN mh x ON cand.a = x.doc_id JOIN mh y ON cand.b = y.doc_id""".stripMargin,
+    // mirrors minhashLsh(maxBucket=3): identical band construction, with
+    // over-populated (band, key) buckets removed before the candidate join
+    "dedup_minhash_lsh_capped" ->
+      s"""WITH mh AS ($MinhashSql),
+         |bands AS (
+         |  SELECT doc_id, b, key FROM mh, LATERAL (VALUES
+         |    (0, mh0 || mh1), (1, mh2 || mh3), (2, mh4 || mh5), (3, mh6 || mh7)) AS v(b, key)),
+         |ok AS (SELECT b, key FROM (SELECT b, key, COUNT(*) AS n FROM bands GROUP BY 1, 2) WHERE n <= 3),
+         |cb AS (SELECT bands.* FROM bands JOIN ok USING (b, key)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         |  FROM cb a JOIN cb b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id)
          |SELECT cand.a, cand.b,
          |       ((x.mh0 = y.mh0)::INT + (x.mh1 = y.mh1)::INT + (x.mh2 = y.mh2)::INT
          |            + (x.mh3 = y.mh3)::INT + (x.mh4 = y.mh4)::INT + (x.mh5 = y.mh5)::INT

@@ -38,6 +38,9 @@ object ScaleSmoke {
       .cache()
     println(s"SCALE corpus: ${docs.count()} docs (${n} x $reps)")
     t("minhashLsh") { graft.operators.Dedup.minhashLsh(docs).count() }
+    t("minhashLsh capped (the 100TB config)") {
+      graft.operators.Dedup.minhashLsh(docs, maxBucket = 200L).count()
+    }
     t("simhashPairs (capped, the 100TB config)") {
       graft.operators.Dedup.simhashPairs(docs, maxHamming = 6, maxBucket = 200L).count()
     }
@@ -59,6 +62,21 @@ object ScaleSmoke {
     }
     t("vocab top-1000") { graft.operators.TextAnalysis.vocab(docs, 1000).count() }
     t("lmScore (top-4096 vocab)") { graft.operators.TextAnalysis.lmScore(docs, 4096).count() }
+    t("chunk (64-word windows, stride 48)") {
+      graft.operators.TextAnalysis.chunk(docs).count()
+    }
+    t("bloomScreen (5% incoming vs 95% existing, 2^24 bits)") {
+      // hexDigits=6 -> 16M bits / 2 MiB broadcast: sized for the 1.9M-hash
+      // existing side at k=4 (~fill 37%, FP ~2%)
+      graft.operators.Dedup.bloomScreen(
+        docs.where(col("doc_id") % 20 === 0), docs.where(col("doc_id") % 20 =!= 0),
+        hexDigits = 6).count()
+    }
+    t("mixReport on derived groups") {
+      graft.operators.Curation.mixReport(
+        docs.withColumn("lang", (col("doc_id") % 5).cast("string"))
+          .withColumn("source", (col("doc_id") % 40).cast("string"))).count()
+    }
     t("capPerGroup (500 per derived source)") {
       graft.operators.Curation.capPerGroup(
         docs.withColumn("source", (col("doc_id") % 40).cast("string")), "source", 500).count()

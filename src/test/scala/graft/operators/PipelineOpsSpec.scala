@@ -29,6 +29,19 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(!out.exists { case (a, b, _) => b == 3L || a == 3L })
   }
 
+  test("minhash LSH bucket cap drops hot-bucket pairs, keeps small-bucket pairs") {
+    val spam = (0L until 5L).map(i => i -> "identical boilerplate spam block repeated everywhere verbatim")
+    val pair = Seq(10L -> base, 11L -> base.replace("dog", "cat"))
+    val d = docs(spam ++ pair: _*)
+    val uncapped = Dedup.minhashLsh(d).select("a", "b").as[(Long, Long)].collect().toSet
+    val capped = Dedup.minhashLsh(d, maxBucket = 3L).select("a", "b").as[(Long, Long)].collect().toSet
+    assert(uncapped.contains((10L, 11L)) && uncapped.exists(_._1 < 5L))
+    // the 5-identical-doc buckets exceed the cap -> their pairs vanish; the
+    // 2-doc near-dup bucket survives untouched
+    assert(capped.contains((10L, 11L)))
+    assert(!capped.exists { case (a, b) => a < 5L || b < 5L })
+  }
+
   test("PII redaction replaces emails/IPs/phones and counts them; clean text untouched") {
     val out = TextAnalysis.redactPii(docs(
       1L -> "mail a.b+c@corp.example.org now from 192.168.1.10 or call +49 123 45678",
