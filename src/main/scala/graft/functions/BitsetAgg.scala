@@ -4,6 +4,7 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.{Column, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
@@ -33,7 +34,18 @@ case class BitsetOrAgg(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
 
-  require(numWords >= 1, "numWords must be positive")
+  // ceiling: serialize() allocates numWords * 8 bytes in one ByteBuffer, so
+  // the word count must keep that product inside Int range (~2 GiB buffer
+  // bound — far beyond any sane broadcastable bitset already)
+  require(numWords >= 1 && numWords <= Int.MaxValue / 8,
+    s"numWords must be in [1, ${Int.MaxValue / 8}]")
+
+  // analysis-time type pin: update()'s unboxing would otherwise surface a
+  // non-LONG position as a per-row executor ClassCastException
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bitset_or_agg requires a LONG position, got ${child.dataType.catalogString}")
 
   override def createAggregationBuffer(): Array[Long] = new Array[Long](numWords)
 

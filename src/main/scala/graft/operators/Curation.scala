@@ -86,28 +86,33 @@ object Curation {
         TextAnalysis.lexiconHits("de"), TextAnalysis.lexiconHits("en"),
         TextAnalysis.lexiconHits("es"), TextAnalysis.lexiconHits("fr")).as("lang_guess"))
 
-  /** Top-k docs per language by quality (ties broken by doc_id — fully
-    * deterministic ranking).
-    *
-    * Two-level: a local top-k inside each (language, md5-shard) partition
-    * first — any doc in the language's GLOBAL top-k is necessarily in its own
-    * shard's top-k, so re-ranking the ≤ k×[[TopKShards]] survivors is exact.
-    * The corpus-sized sort distributes over shards; the language-only window
-    * only ever sees the bounded survivor set. */
-  def topKByLanguage(docs: DataFrame, k: Int): DataFrame = {
+  /** Two-level sharded top-k over a pre-scored frame `(doc_id, keyCol,
+    * quality)`: a local top-k inside each (key, md5-shard) partition first —
+    * any doc in its key's GLOBAL top-k is necessarily in its own shard's
+    * top-k, so re-ranking the ≤ k×[[TopKShards]] survivors per key is exact.
+    * The corpus-sized sort distributes over shards; the key-only window only
+    * ever sees the bounded survivor set. Shared by [[topKByLanguage]] (few
+    * hot keys) and [[capPerGroup]] (many keys, some hot) — the scheme covers
+    * both skew shapes. */
+  private def topKPerKey(scoredDocs: DataFrame, keyCol: String, k: Int): DataFrame = {
     val shard = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10).cast("long"),
       lit(TopKShards.toLong))
-    val local = Window.partitionBy(col("lang_guess"), col("shard"))
+    val local = Window.partitionBy(col(keyCol), col("shard"))
       .orderBy(col("quality").desc, col("doc_id"))
-    val global = Window.partitionBy("lang_guess").orderBy(col("quality").desc, col("doc_id"))
-    scored(docs)
+    val global = Window.partitionBy(keyCol).orderBy(col("quality").desc, col("doc_id"))
+    scoredDocs
       .withColumn("shard", shard)
       .withColumn("lrank", row_number().over(local))
       .where(col("lrank") <= k)
       .withColumn("rank", row_number().over(global).cast("long"))
       .where(col("rank") <= k)
-      .select("lang_guess", "rank", "doc_id", "quality")
+      .select(col(keyCol), col("rank"), col("doc_id"), col("quality"))
   }
+
+  /** Top-k docs per language by quality (ties broken by doc_id — fully
+    * deterministic ranking); see [[topKPerKey]] for the two-level scheme. */
+  def topKByLanguage(docs: DataFrame, k: Int): DataFrame =
+    topKPerKey(scored(docs).select("doc_id", "lang_guess", "quality"), "lang_guess", k)
 
   /** Greedy token budget per language: walk docs best-quality-first and keep
     * them while the running token (word) total stays within `budget` — the
@@ -208,25 +213,12 @@ object Curation {
     * quality first (ties broken by doc_id). Unlike [[topKByLanguage]]'s
     * 4-value language key, a source/domain key is high-cardinality at scale —
     * but single hot domains still funnel millions of docs through one window
-    * partition, so the same two-level scheme applies: a local top-cap inside
-    * each (source, md5-shard) first (any doc in its source's global top-cap
-    * is in its own shard's), then the exact re-rank over the bounded
-    * ≤ cap×[[TopKShards]] survivors per source. */
+    * partition, so the same [[topKPerKey]] two-level scheme applies. */
   def capPerGroup(docs: DataFrame, groupCol: String, cap: Int): DataFrame = {
     require(cap >= 1, "cap must be positive")
-    val shard = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10).cast("long"),
-      lit(TopKShards.toLong))
-    val local = Window.partitionBy(col(groupCol), col("shard"))
-      .orderBy(col("quality").desc, col("doc_id"))
-    val global = Window.partitionBy(groupCol).orderBy(col("quality").desc, col("doc_id"))
-    docs
-      .select(col("doc_id"), col(groupCol), TextAnalysis.qualityCol.as("quality"))
-      .withColumn("shard", shard)
-      .withColumn("lrank", row_number().over(local))
-      .where(col("lrank") <= cap)
-      .withColumn("rank", row_number().over(global).cast("long"))
-      .where(col("rank") <= cap)
-      .select(col(groupCol), col("rank"), col("doc_id"), col("quality"))
+    topKPerKey(
+      docs.select(col("doc_id"), col(groupCol), TextAnalysis.qualityCol.as("quality")),
+      groupCol, cap)
   }
 
   /** Training-mix report: per (lang, source) cell, document and token counts

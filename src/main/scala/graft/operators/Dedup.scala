@@ -598,27 +598,35 @@ object Dedup {
    *
    * Standard Bloom semantics: no false negatives (an exact re-occurrence is
    * always flagged); false positives at the classic `(1-e^{-kn/m})^k` rate —
-   * size `hexDigits` so `m >= ~1.44 k n` for the target corpus (2^20 bits
-   * suits ~180k hashes at k=4 for ~2% FP; at 100 TB you'd raise `hexDigits`
-   * to 7-8 — 256 MiB — and build per-shard filters). The decision is fully
+   * size `hexDigits` so `m >= ~1.44 k n log2(1/fp)`-ish for the target
+   * corpus (the default 2^20 bits holds ~90k hashes at k=4 under ~2% FP; at
+   * 100 TB you'd raise `hexDigits` to 7 — 2^28 bits, 32 MiB, ~25M hashes at
+   * ~2% — and build per-shard filters beyond that). The decision is fully
    * deterministic (bitset membership bijects with the md5 position set), so
    * the screen has an exact SQL oracle despite being "approximate".
    */
   def bloomScreen(incoming: DataFrame, existing: DataFrame,
                   hexDigits: Int = 5, k: Int = 4): DataFrame = {
-    require(hexDigits >= 2 && hexDigits <= 14, "hexDigits in 2..14 (16 bits .. 56 bits)")
+    // 8 hex digits = 2^32 bits = 2^26 words is BitsetOrAgg's serialization
+    // ceiling (numWords * 8 must stay an Int) — enforced here too so the
+    // error names the user-facing knob
+    require(hexDigits >= 2 && hexDigits <= 8, "hexDigits in 2..8 (16 bits .. 4G bits)")
     require(k >= 1 && k <= 16, "k in 1..16")
     val numWords = (1L << (4 * hexDigits - 6)).toInt
     val exPos = existing.select(md5(col("text")).as("h"))
       .select(explode(array((0 until k).map(i => bloomPos(i, col("h"), hexDigits)): _*)).as("pos"))
     val bits = exPos.agg(graft.functions.BitsetFunctions.bitsetOr(col("pos"), numWords).as("bits"))
+    // positions ride as ONE array so each md5 evaluates once per probe row —
+    // k conjuncts referencing bloomPos directly would re-inline the hash
+    // into every use site (filter predicates get no subexpression
+    // elimination: 2k md5s per row instead of k)
     val probes = incoming.select(col("doc_id"), md5(col("text")).as("h"))
+      .withColumn("ps", array((0 until k).map(i => bloomPos(i, col("h"), hexDigits)): _*))
       .crossJoin(broadcast(bits))
-    val allSet = (0 until k).map { i =>
-      val p = bloomPos(i, col("h"), hexDigits)
-      element_at(col("bits"), call_function("shiftrightunsigned", p, lit(6)).cast("int") + 1)
-        .bitwiseAND(call_function("shiftleft", lit(1L), p.bitwiseAND(lit(63L)).cast("int"))) =!= 0L
-    }.reduce(_ && _)
-    probes.where(allSet).select("doc_id", "h")
+    probes
+      .where(forall(col("ps"), p =>
+        element_at(col("bits"), call_function("shiftrightunsigned", p, lit(6)).cast("int") + 1)
+          .bitwiseAND(call_function("shiftleft", lit(1L), p.bitwiseAND(lit(63L)).cast("int"))) =!= 0L))
+      .select("doc_id", "h")
   }
 }

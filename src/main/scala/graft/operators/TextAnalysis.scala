@@ -297,20 +297,26 @@ object TextAnalysis {
    * each document into `chunkWords`-word windows every `strideWords` words
    * (overlap = `chunkWords - strideWords`), emitting one row per chunk with
    * provenance (`chunk_id`, `chunk_start`) so chunks map back to their doc.
-   * Starts run 0, stride, 2x stride, ... while they fall inside the doc; the
-   * final window may be shorter (`n_chunk_words` carries the actual length —
-   * no padding). Pure row-wise generate over the scan (the same
-   * `posexplode(transform(sequence))` shape as [[Dedup.passageDedup]]'s
+   * Starts run 0, stride, 2x stride, ... and STOP once a window reaches the
+   * end of the doc — a start past that point would emit a pure subset of the
+   * previous chunk (duplicate retrieval content the index then pays for
+   * twice). The final window may be shorter (`n_chunk_words` carries the
+   * actual length — no padding). Pure row-wise generate over the scan (the
+   * same `posexplode(transform(sequence))` shape as [[Dedup.passageDedup]]'s
    * chunker): no shuffle, scales linearly, and downstream embedding batches
    * inherit the scan's partitioning.
    */
   def chunk(docs: DataFrame, chunkWords: Int = 64, strideWords: Int = 48): DataFrame = {
     require(chunkWords >= 1 && strideWords >= 1, "chunkWords and strideWords must be positive")
+    // last start index: 0 for docs a single window covers, else enough
+    // strides that the final window reaches the last word (ceil division)
+    val lastIdx = when(size(col("ws")) <= chunkWords, lit(0L))
+      .otherwise(floor((size(col("ws")) - chunkWords + strideWords - 1) / strideWords).cast("long"))
     docs
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), size(col("ws")).cast("long").as("nw"),
         posexplode(transform(
-          sequence(lit(0L), floor((size(col("ws")) - 1) / strideWords).cast("long")),
+          sequence(lit(0L), lastIdx),
           i => array_join(slice(col("ws"), (i * strideWords + 1).cast("int"), lit(chunkWords)), " "))))
       .select(col("doc_id"),
         col("pos").cast("long").as("chunk_id"),
@@ -338,11 +344,15 @@ object TextAnalysis {
    */
   def lmScore(docs: DataFrame, vocabSize: Int = 256): DataFrame = {
     val words = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-    val top = words.groupBy("word").agg(count(lit(1)).as("w_count"))
-      .orderBy(col("w_count").desc, col("word")).limit(vocabSize)
-    // scalar total over the same split — a column-pruned scan + one partial
-    // agg, cheaper than re-shuffling the exploded words
-    val total = docs.agg(sum(size(split(col("text"), " ")).cast("long")).as("total_words"))
+    // ONE corpus explode builds both the vocabulary and the total: the
+    // word-count frame is vocabulary-sized (distinct words, not corpus
+    // rows), so caching it is cheap and keeps the top-k cut and the total
+    // sum from each re-exploding the corpus. The probe join below is the
+    // second (and last) corpus pass — the minimum for corpus-derived vocab.
+    val wordCounts = words.groupBy("word").agg(count(lit(1)).as("w_count"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val top = wordCounts.orderBy(col("w_count").desc, col("word")).limit(vocabSize)
+    val total = wordCounts.agg(sum("w_count").as("total_words"))
     words.join(broadcast(top), Seq("word"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"),

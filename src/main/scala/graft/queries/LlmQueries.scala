@@ -741,7 +741,8 @@ object LlmQueries {
         |SELECT doc_id, i AS chunk_id, i * 48 AS chunk_start,
         |       LEAST(64, len(ws) - i * 48) AS n_chunk_words,
         |       array_to_string(ws[i*48+1:i*48+64], ' ') AS chunk_text
-        |FROM w, LATERAL (SELECT UNNEST(range(0, (len(ws)-1)//48 + 1)) AS i) t""".stripMargin,
+        |FROM w, LATERAL (SELECT UNNEST(range(0,
+        |  CASE WHEN len(ws) <= 64 THEN 0 ELSE (len(ws) - 64 + 47) // 48 END + 1)) AS i) t""".stripMargin,
     // mirrors Dedup.bloomScreen exactly: bitset membership bijects with the
     // md5 position set, so the Bloom decision (incl. any false positive) is
     // the "all k positions present" predicate below

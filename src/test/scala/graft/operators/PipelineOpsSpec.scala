@@ -515,17 +515,20 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
       && out(2L).getDouble(4) == 0.0)
   }
 
-  test("chunk: stride/overlap windows with provenance; short docs yield one chunk") {
+  test("chunk: stride/overlap windows with provenance; no pure-subset tail chunks") {
     val text = (1 to 10).map(i => s"w$i").mkString(" ")
-    val out = TextAnalysis.chunk(docs(1L -> text, 2L -> "solo"), chunkWords = 4, strideWords = 3)
+    val out = TextAnalysis.chunk(docs(1L -> text, 2L -> "solo", 3L -> ((1 to 11).map(i => s"v$i").mkString(" "))),
+        chunkWords = 4, strideWords = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
-    // doc 1: starts 0,3,6,9 — the last is a 1-word tail
+    // doc 1 (10 words): starts 0,3,6 — chunk 2 already reaches w10, so no
+    // start-9 tail (it would be a pure subset of chunk 2)
     assert(out((1L, 0L)) == ((0L, 4L, "w1 w2 w3 w4")))
     assert(out((1L, 1L)) == ((3L, 4L, "w4 w5 w6 w7")))
     assert(out((1L, 2L)) == ((6L, 4L, "w7 w8 w9 w10")))
-    assert(out((1L, 3L)) == ((9L, 1L, "w10")))
     assert(out((2L, 0L)) == ((0L, 1L, "solo")))
-    assert(out.size == 5)
+    // doc 3 (11 words): start 9 DOES add a new word (v11) -> short tail kept
+    assert(out((3L, 3L)) == ((9L, 2L, "v10 v11")))
+    assert(out.size == 3 + 1 + 4)
   }
 
   test("bloomScreen: no false negatives; decision equals the exact position-set reference") {
