@@ -166,6 +166,42 @@ object TextAnalysis {
   }
 
   /**
+   * Gopher-style heuristic keep/drop rules (Rae et al. 2021 §A1.1 family)
+   * over the same single-pass row features as [[qualityScore]]: word count
+   * in `[minWords, maxWords]`, mean word length in `[minAvgLen, maxAvgLen]`,
+   * punctuation ratio at most `maxPunct`, and at least `minStopHits` hits in
+   * the doc's BEST stopword lexicon (the "has real function words" rule,
+   * made multilingual by taking the max across lexicons instead of
+   * hard-coding English). Each rule lands as its own 0/1 flag plus the
+   * conjunction, so a curation job can audit WHY a doc dropped — the flags
+   * are LONGs, not booleans, purely for cross-engine hash stability. Zero
+   * shuffle; composes into the same scan as the other scorers.
+   */
+  def gopherFilter(docs: DataFrame,
+                   minWords: Long = 50L, maxWords: Long = 100000L,
+                   minAvgLen: Double = 3.0, maxAvgLen: Double = 10.0,
+                   maxPunct: Double = 0.2, minStopHits: Long = 2L): DataFrame = {
+    val nWords = size(split(col("text"), " ")).cast("long")
+    val punctRatio = safeDiv(
+      expr("size(regexp_extract_all(text, '[^A-Za-z0-9 ]', 0))").cast("double"),
+      length(col("text")))
+    val avgLen = safeDiv(length(col("text")).cast("double"), nWords)
+    val stopHits = greatest(lexiconHits("de"), lexiconHits("en"),
+      lexiconHits("es"), lexiconHits("fr")).cast("long")
+    def flag(c: Column): Column = when(c, 1L).otherwise(0L)
+    val okWords = flag(nWords >= minWords && nWords <= maxWords)
+    val okLen = flag(avgLen >= minAvgLen && avgLen <= maxAvgLen)
+    val okPunct = flag(punctRatio <= maxPunct)
+    val okStop = flag(stopHits >= minStopHits)
+    docs.select(
+      col("doc_id"), nWords.as("n_words"), avgLen.as("avg_word_len"),
+      punctRatio.as("punct_ratio"), stopHits.as("stop_hits"),
+      okWords.as("ok_words"), okLen.as("ok_word_len"),
+      okPunct.as("ok_punct"), okStop.as("ok_stop"),
+      (okWords * okLen * okPunct * okStop).as("keep"))
+  }
+
+  /**
    * Document fingerprint: minimum md5 over all 12-char grams — a winnowing-
    * style content fingerprint robust to local edits. Null for texts < 12 chars.
    */

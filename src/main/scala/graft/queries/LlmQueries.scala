@@ -163,6 +163,8 @@ object LlmQueries {
     "text_lm_score" -> ((s, dir) => TextAnalysis.lmScore(docs(s, dir))),
     // RAG-style chunking: 64-word windows every 48 words, with provenance
     "text_chunks" -> ((s, dir) => TextAnalysis.chunk(docs(s, dir))),
+    // Gopher-style heuristic rule flags + keep decision (auditable filter)
+    "text_gopher" -> ((s, dir) => TextAnalysis.gopherFilter(docs(s, dir))),
     // Bloom screen: every-10th docs probe the rest; every-20th docs carry a
     // PLANTED re-occurrence (the next doc's text) and must be flagged
     "dedup_bloom_screen" -> ((s, dir) => {
@@ -743,6 +745,25 @@ object LlmQueries {
         |       array_to_string(ws[i*48+1:i*48+64], ' ') AS chunk_text
         |FROM w, LATERAL (SELECT UNNEST(range(0,
         |  CASE WHEN len(ws) <= 64 THEN 0 ELSE (len(ws) - 64 + 47) // 48 END + 1)) AS i) t""".stripMargin,
+    "text_gopher" ->
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         |         length(text) * 1.0 / nullif(len(string_split(text, ' ')), 0) AS avg_word_len,
+         |         len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) * 1.0 / nullif(length(text), 0) AS punct_ratio,
+         |         CAST(GREATEST(${hitsSql("de")}, ${hitsSql("en")}, ${hitsSql("es")}, ${hitsSql("fr")}) AS BIGINT) AS stop_hits
+         |  FROM documents),
+         |g AS (
+         |  SELECT *,
+         |         CAST(CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1 ELSE 0 END AS BIGINT) AS ok_words,
+         |         CAST(CASE WHEN avg_word_len >= 3.0 AND avg_word_len <= 10.0 THEN 1 ELSE 0 END AS BIGINT) AS ok_word_len,
+         |         CAST(CASE WHEN punct_ratio <= 0.2 THEN 1 ELSE 0 END AS BIGINT) AS ok_punct,
+         |         CAST(CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END AS BIGINT) AS ok_stop
+         |  FROM f)
+         |SELECT doc_id, n_words, avg_word_len, punct_ratio, stop_hits,
+         |       ok_words, ok_word_len, ok_punct, ok_stop,
+         |       ok_words * ok_word_len * ok_punct * ok_stop AS keep
+         |FROM g""".stripMargin,
     // mirrors Dedup.bloomScreen exactly: bitset membership bijects with the
     // md5 position set, so the Bloom decision (incl. any false positive) is
     // the "all k positions present" predicate below

@@ -555,6 +555,21 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(flagged == ref)
   }
 
+  test("gopherFilter: each rule flags independently; keep is the conjunction") {
+    val good = (("the and is of to in it you that was " * 6).trim + " words here")  // 62 words, stopword-rich
+    val short = "the and is of to"                                                  // fails min word count
+    val longWords = (1 to 60).map(_ => "supercalifragilistic").mkString(" ")        // mean word length > 10
+    val punct = ("the and is of to in it you that was " * 6).trim + " " + ("!" * 80)
+    val out = TextAnalysis.gopherFilter(docs(1L -> good, 2L -> short, 3L -> longWords, 4L -> punct))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def flags(id: Long) = (out(id).getLong(5), out(id).getLong(6), out(id).getLong(7),
+      out(id).getLong(8), out(id).getLong(9))
+    assert(flags(1L) == ((1L, 1L, 1L, 1L, 1L)))
+    assert(flags(2L)._1 == 0L && flags(2L)._5 == 0L)       // too short -> dropped
+    assert(flags(3L)._2 == 0L && flags(3L)._4 == 0L && flags(3L)._5 == 0L) // long words, no stopwords
+    assert(flags(4L)._3 == 0L && flags(4L)._5 == 0L)       // punctuation wall -> dropped
+  }
+
   test("mixReport cells carry exact counts and corpus shares") {
     val d = Seq(
       (1L, "a b", "en", "s1"),

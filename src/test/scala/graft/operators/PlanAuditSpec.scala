@@ -124,7 +124,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       "stratifiedSample" -> Curation.stratifiedSample(docs, Map("en" -> 4)),
       "hashSample" -> docs.where(Curation.hashSample(4)),
       "splitAssign" -> Curation.splitAssign(docs),
-      "chunk" -> TextAnalysis.chunk(docs, 8, 6))
+      "chunk" -> TextAnalysis.chunk(docs, 8, 6),
+      "gopherFilter" -> TextAnalysis.gopherFilter(docs))
     for ((name, df) <- rowWise)
       assert(exchanges(df).isEmpty, s"$name must not shuffle: ${exchanges(df)}")
     val emb = (0L until 8L).map(i => (i, Array.fill(8)(i.toFloat + 1))).toDF("vec_id", "embedding")
