@@ -607,10 +607,10 @@ object Dedup {
    */
   def bloomScreen(incoming: DataFrame, existing: DataFrame,
                   hexDigits: Int = 5, k: Int = 4): DataFrame = {
-    // 8 hex digits = 2^32 bits = 2^26 words is BitsetOrAgg's serialization
-    // ceiling (numWords * 8 must stay an Int) — enforced here too so the
-    // error names the user-facing knob
-    require(hexDigits >= 2 && hexDigits <= 8, "hexDigits in 2..8 (16 bits .. 4G bits)")
+    // 7 hex digits = 2^28 bits = 32 MiB per aggregation buffer; 8 would mean
+    // 512 MiB PER PARTIAL-AGG TASK (plus a serialize copy) — an executor-OOM
+    // foot-gun, and exactly where the docstring says to shard instead
+    require(hexDigits >= 2 && hexDigits <= 7, "hexDigits in 2..7 (256 bits .. 2^28 bits)")
     require(k >= 1 && k <= 16, "k in 1..16")
     val numWords = (1L << (4 * hexDigits - 6)).toInt
     val exPos = existing.select(md5(col("text")).as("h"))

@@ -123,14 +123,21 @@ object TextAnalysis {
       .when(hEs >= hFr, "es")
       .otherwise("fr")
 
+  /** Whitespace word count, double form (shared ratio-feature input). */
+  private def nWordsD: Column = size(split(col("text"), " ")).cast("double")
+
+  /** ASCII punctuation ratio — the en-centric quality feature (shared by
+    * [[qualityCol]] and [[qualityScore]], both oracle-pinned to this exact
+    * regex). [[gopherFilter]] uses the Unicode-aware variant instead. */
+  private def asciiPunctRatio: Column = safeDiv(
+    expr("size(regexp_extract_all(text, '[^A-Za-z0-9 ]', 0))").cast("double"),
+    length(col("text")))
+
   /** The [0,1] quality formula (shared by qualityScore and curation); NULL
     * for zero-length text (see [[safeDiv]] — oracle division-by-zero parity). */
   def qualityCol: Column = {
-    val nWords = size(split(col("text"), " ")).cast("double")
-    val punct = expr("size(regexp_extract_all(text, '[^A-Za-z0-9 ]', 0))").cast("double")
-    val punctRatio = safeDiv(punct, length(col("text")))
-    val stopRatio = safeDiv(lexiconHits("en").cast("double"), nWords)
-    least(lit(1.0), nWords / 100.0) * (lit(1.0) - punctRatio) *
+    val stopRatio = safeDiv(lexiconHits("en").cast("double"), nWordsD)
+    least(lit(1.0), nWordsD / 100.0) * (lit(1.0) - asciiPunctRatio) *
       least(lit(1.0), lit(4.0) * stopRatio + 0.5)
   }
 
@@ -151,41 +158,42 @@ object TextAnalysis {
    * Quality scoring: length / punctuation / stopword-ratio features combined
    * into a [0,1] score (the usual pre-training heuristic filter shape).
    */
-  def qualityScore(docs: DataFrame): DataFrame = {
-    val nWords = size(split(col("text"), " ")).cast("double")
-    val punct = expr("size(regexp_extract_all(text, '[^A-Za-z0-9 ]', 0))").cast("double")
-    val punctRatio = safeDiv(punct, length(col("text")))
-    val stopRatio = safeDiv(lexiconHits("en").cast("double"), nWords)
+  def qualityScore(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
-      nWords.cast("long").as("n_words"),
-      punctRatio.as("punct_ratio"),
-      stopRatio.as("stopword_ratio"),
-      safeDiv(length(col("text")).cast("double"), nWords).as("avg_word_len"),
+      nWordsD.cast("long").as("n_words"),
+      asciiPunctRatio.as("punct_ratio"),
+      safeDiv(lexiconHits("en").cast("double"), nWordsD).as("stopword_ratio"),
+      safeDiv(length(col("text")).cast("double"), nWordsD).as("avg_word_len"),
       qualityCol.as("quality"))
-  }
 
   /**
-   * Gopher-style heuristic keep/drop rules (Rae et al. 2021 §A1.1 family)
-   * over the same single-pass row features as [[qualityScore]]: word count
-   * in `[minWords, maxWords]`, mean word length in `[minAvgLen, maxAvgLen]`,
-   * punctuation ratio at most `maxPunct`, and at least `minStopHits` hits in
-   * the doc's BEST stopword lexicon (the "has real function words" rule,
-   * made multilingual by taking the max across lexicons instead of
-   * hard-coding English). Each rule lands as its own 0/1 flag plus the
-   * conjunction, so a curation job can audit WHY a doc dropped — the flags
-   * are LONGs, not booleans, purely for cross-engine hash stability. Zero
-   * shuffle; composes into the same scan as the other scorers.
+   * Gopher-style heuristic keep/drop rules (Rae et al. 2021 §A1.1 family),
+   * single-pass and row-wise: word count in `[minWords, maxWords]`, TRUE
+   * mean word length (separator spaces excluded — `length/n_words` would
+   * inflate the metric by ~+1 and shift the documented [3, 10] band) in
+   * `[minAvgLen, maxAvgLen]`, punctuation ratio at most `maxPunct`
+   * (Unicode-aware: `[^\p{L}\p{N} ]`, so accented letters in de/es/fr text
+   * don't count as punctuation the way [[qualityScore]]'s en-centric ASCII
+   * class does), and at least `minStopHits` hits in the doc's BEST stopword
+   * lexicon (the "has real function words" rule, made multilingual by
+   * taking the max across lexicons instead of hard-coding English). Each
+   * rule lands as its own 0/1 flag plus the conjunction, so a curation job
+   * can audit WHY a doc dropped — the flags are LONGs, not booleans, purely
+   * for cross-engine hash stability. Zero shuffle; composes into the same
+   * scan as the other scorers.
    */
   def gopherFilter(docs: DataFrame,
                    minWords: Long = 50L, maxWords: Long = 100000L,
                    minAvgLen: Double = 3.0, maxAvgLen: Double = 10.0,
                    maxPunct: Double = 0.2, minStopHits: Long = 2L): DataFrame = {
     val nWords = size(split(col("text"), " ")).cast("long")
+    // Column-API regex (not expr() SQL) so the \p classes reach the engine
+    // verbatim — see the backslash-reprocessing note on [[tokenCountsBpe]]
     val punctRatio = safeDiv(
-      expr("size(regexp_extract_all(text, '[^A-Za-z0-9 ]', 0))").cast("double"),
+      size(regexp_extract_all(col("text"), lit("[^\\p{L}\\p{N} ]"), lit(0))).cast("double"),
       length(col("text")))
-    val avgLen = safeDiv(length(col("text")).cast("double"), nWords)
+    val avgLen = safeDiv(length(translate(col("text"), " ", "")).cast("double"), nWords)
     val stopHits = greatest(lexiconHits("de"), lexiconHits("en"),
       lexiconHits("es"), lexiconHits("fr")).cast("long")
     def flag(c: Column): Column = when(c, 1L).otherwise(0L)
@@ -344,6 +352,10 @@ object TextAnalysis {
    */
   def chunk(docs: DataFrame, chunkWords: Int = 64, strideWords: Int = 48): DataFrame = {
     require(chunkWords >= 1 && strideWords >= 1, "chunkWords and strideWords must be positive")
+    // gapped sampling (stride > chunk) is NOT this operator's contract: the
+    // lastIdx ceil formula would generate starts past the end of the doc
+    // (empty chunk_text, negative n_chunk_words)
+    require(strideWords <= chunkWords, "strideWords must not exceed chunkWords (windows must tile the doc)")
     // last start index: 0 for docs a single window covers, else enough
     // strides that the final window reaches the last word (ceil division)
     val lastIdx = when(size(col("ws")) <= chunkWords, lit(0L))
@@ -381,12 +393,16 @@ object TextAnalysis {
   def lmScore(docs: DataFrame, vocabSize: Int = 256): DataFrame = {
     val words = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
     // ONE corpus explode builds both the vocabulary and the total: the
-    // word-count frame is vocabulary-sized (distinct words, not corpus
-    // rows), so caching it is cheap and keeps the top-k cut and the total
-    // sum from each re-exploding the corpus. The probe join below is the
-    // second (and last) corpus pass — the minimum for corpus-derived vocab.
-    val wordCounts = words.groupBy("word").agg(count(lit(1)).as("w_count"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // word-count frame is distinct-words-sized (far below corpus rows,
+    // though not tiny at extreme scale), so caching it keeps the top-k cut
+    // and the total sum from each re-exploding the corpus. Same convention
+    // as Dedup's shared-frame caches: idempotent (re-calls reuse the entry),
+    // MEMORY_AND_DISK, LRU-evicted under pressure. The probe join below is
+    // the second (and last) corpus pass — the minimum for corpus-derived
+    // vocab.
+    val wc = words.groupBy("word").agg(count(lit(1)).as("w_count"))
+    val wordCounts =
+      if (wc.storageLevel == org.apache.spark.storage.StorageLevel.NONE) wc.cache() else wc
     val top = wordCounts.orderBy(col("w_count").desc, col("word")).limit(vocabSize)
     val total = wordCounts.agg(sum("w_count").as("total_words"))
     words.join(broadcast(top), Seq("word"), "left")

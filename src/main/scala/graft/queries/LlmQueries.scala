@@ -749,8 +749,8 @@ object LlmQueries {
       s"""WITH f AS (
          |  SELECT doc_id,
          |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
-         |         length(text) * 1.0 / nullif(len(string_split(text, ' ')), 0) AS avg_word_len,
-         |         len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) * 1.0 / nullif(length(text), 0) AS punct_ratio,
+         |         length(replace(text, ' ', '')) * 1.0 / nullif(len(string_split(text, ' ')), 0) AS avg_word_len,
+         |         len(regexp_extract_all(text, '[^\\p{L}\\p{N} ]')) * 1.0 / nullif(length(text), 0) AS punct_ratio,
          |         CAST(GREATEST(${hitsSql("de")}, ${hitsSql("en")}, ${hitsSql("es")}, ${hitsSql("fr")}) AS BIGINT) AS stop_hits
          |  FROM documents),
          |g AS (

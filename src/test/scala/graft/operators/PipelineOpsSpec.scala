@@ -556,11 +556,14 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("gopherFilter: each rule flags independently; keep is the conjunction") {
-    val good = (("the and is of to in it you that was " * 6).trim + " words here")  // 62 words, stopword-rich
-    val short = "the and is of to"                                                  // fails min word count
-    val longWords = (1 to 60).map(_ => "supercalifragilistic").mkString(" ")        // mean word length > 10
-    val punct = ("the and is of to in it you that was " * 6).trim + " " + ("!" * 80)
-    val out = TextAnalysis.gopherFilter(docs(1L -> good, 2L -> short, 3L -> longWords, 4L -> punct))
+    val prose = "the quick brown jumping foxes wander through these autumn meadows " // true mean word len 5.6
+    val good = (prose * 6).trim                                                      // 60 words, stopword-rich
+    val short = "the and is of to"                                                   // fails min word count
+    val longWords = (1 to 60).map(_ => "supercalifragilistic").mkString(" ")         // mean word length > 10
+    val punct = (prose * 6).trim + " " + ("!" * 120)
+    val accented = ("der müßige König zögert über die schöne Straße immer wieder " * 6).trim
+    val out = TextAnalysis.gopherFilter(
+      docs(1L -> good, 2L -> short, 3L -> longWords, 4L -> punct, 5L -> accented))
       .collect().map(r => r.getLong(0) -> r).toMap
     def flags(id: Long) = (out(id).getLong(5), out(id).getLong(6), out(id).getLong(7),
       out(id).getLong(8), out(id).getLong(9))
@@ -568,6 +571,8 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(flags(2L)._1 == 0L && flags(2L)._5 == 0L)       // too short -> dropped
     assert(flags(3L)._2 == 0L && flags(3L)._4 == 0L && flags(3L)._5 == 0L) // long words, no stopwords
     assert(flags(4L)._3 == 0L && flags(4L)._5 == 0L)       // punctuation wall -> dropped
+    // Unicode-aware punct class: umlauts/eszett are LETTERS, not punctuation
+    assert(out(5L).getDouble(3) == 0.0 && flags(5L) == ((1L, 1L, 1L, 1L, 1L)))
   }
 
   test("mixReport cells carry exact counts and corpus shares") {
