@@ -30,14 +30,26 @@ object PipelineQuickstart {
       .withColumn("quality", TextAnalysis.qualityCol)
       .withColumn("dup_gram_ratio", TextAnalysis.dupGramRatioCol())
 
-    // 2. filter: drop degenerate docs (low quality or heavy repetition)
-    val kept = scored.where(col("quality") > 0.2 && coalesce(col("dup_gram_ratio"), lit(0.0)) < 0.5)
-    println(s"after quality/repetition filter: ${kept.count()}")
+    // 2. filter: Gopher rule flags (auditable drop reasons), then the
+    //    score-threshold cut on what survives
+    val rules = TextAnalysis.gopherFilter(docs, minWords = 10L)
+    println("gopher rule drops by reason:")
+    rules.agg(sum(lit(1) - col("ok_words")).as("short"), sum(lit(1) - col("ok_word_len")).as("word_len"),
+      sum(lit(1) - col("ok_punct")).as("punct"), sum(lit(1) - col("ok_stop")).as("no_stopwords")).show()
+    val kept = scored
+      .join(rules.where(col("keep") === 1L).select("doc_id"), "doc_id")
+      .where(col("quality") > 0.2 && coalesce(col("dup_gram_ratio"), lit(0.0)) < 0.5)
+    println(s"after gopher + quality/repetition filter: ${kept.count()}")
 
-    // 3. dedup: exact first (cheap), then near-dup clustering keeps one
-    //    representative per connected component of jaccard pairs
-    val exactReps = Dedup.exact(kept).select(col("keep_doc_id").as("doc_id"))
-    val exactKept = kept.join(exactReps, "doc_id")
+    // 3. dedup: a Bloom screen against the "previously trained" corpus first
+    //    (fixed-size broadcast bitset, no join), then exact, then near-dup
+    //    clustering keeps one representative per jaccard component
+    val history = docs.where(col("doc_id") % 7 === 0) // stand-in historical corpus
+    val seen = Dedup.bloomScreen(kept, history).select("doc_id")
+    val fresh = kept.join(seen, Seq("doc_id"), "left_anti")
+    println(s"after bloom screen vs history: ${fresh.count()}")
+    val exactReps = Dedup.exact(fresh).select(col("keep_doc_id").as("doc_id"))
+    val exactKept = fresh.join(exactReps, "doc_id")
     val pairs = Dedup.ngramJaccard(exactKept, threshold = 0.7).select("a", "b")
     val comps = Dedup.clusters(pairs)
     val dropped = comps.where(col("doc_id") =!= col("cluster_id")).select("doc_id")
@@ -54,7 +66,14 @@ object PipelineQuickstart {
       .agg(count(lit(1)).as("docs"), max("cum_words").as("words_used"))
       .orderBy("lang_guess").show()
 
-    // 5. the same engine serves the behavioral side: sessionized events
+    // 5. export prep: train/val/test split, mix accounting, RAG chunks
+    val split = Curation.splitAssign(deduped)
+    split.groupBy("split").count().orderBy("split").show()
+    println("training-mix report (per lang x source):")
+    Curation.mixReport(deduped).orderBy(col("words_share").desc).show(5)
+    println(s"retrieval chunks: ${TextAnalysis.chunk(deduped).count()} from ${deduped.count()} docs")
+
+    // 6. the same engine serves the behavioral side: sessionized events
     val ev = graft.operators.Points.table(spark, sfDir, "events")
       .withColumn("ts_ms", expr("ts div 1000000"))
     val sessions = Sessionize.sessionStats(ev, "user_id", "ts_ms", "event_id",
