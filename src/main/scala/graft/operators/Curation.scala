@@ -221,6 +221,61 @@ object Curation {
       groupCol, cap)
   }
 
+  /** Per-language quality distribution summary: count, min, max, and exact
+    * NEAREST-RANK percentiles (rank `ceil(p * n)` in (quality, doc_id)
+    * order) — the distribution check a mix design runs before cutting
+    * thresholds. Null-quality (degenerate) docs are excluded; percentile
+    * ranks use the literal `p * n` double product so any engine picks the
+    * identical rank.
+    *
+    * Exact WITHOUT a language-only sort of the corpus (the [[tokenBudget]]
+    * decomposition, applied to rank selection): quality buckets are
+    * order-aligned with quality, so per-(language, bucket) counts — a tiny
+    * aggregate — locate each percentile's boundary bucket and its in-bucket
+    * offset (`target - prefix`); only boundary-bucket rows are ranked, in a
+    * window partitioned by (language, bucket). Every corpus-sized window is
+    * composite-keyed; the language-only windows run on the bucket-count
+    * frame. */
+  def qualitySummary(docs: DataFrame,
+                     percentiles: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    require(percentiles.nonEmpty && percentiles.forall(p => p > 0.0 && p <= 1.0),
+      "percentiles in (0, 1]")
+    val pName = (p: Double) => s"p${math.round(p * 100)}"
+    require(percentiles.map(pName).distinct.size == percentiles.size,
+      "percentiles collide after rounding to whole percents")
+    val sc = scored(docs).where(col("quality").isNotNull)
+      .withColumn("qbucket", least(lit(BudgetBuckets - 1L), floor(col("quality") * BudgetBuckets)))
+    val counts = sc.groupBy("lang_guess", "qbucket").agg(count(lit(1)).as("bn"))
+    // ≤ languages × BudgetBuckets rows from here to `bounds` — tiny frames
+    val wPrefix = Window.partitionBy("lang_guess").orderBy("qbucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pref = counts
+      .withColumn("prefix", coalesce(sum(col("bn")).over(wPrefix), lit(0L)))
+      .withColumn("n", sum(col("bn")).over(Window.partitionBy("lang_guess")))
+    val targets = pref.select(col("lang_guess"), col("n")).distinct()
+      .select(col("lang_guess"), explode(array(percentiles.map(p =>
+        struct(lit(pName(p)).as("pname"), ceil(lit(p) * col("n")).cast("long").as("target"))): _*)).as("t"))
+      .select(col("lang_guess"), col("t.pname"), col("t.target"))
+    val bounds = targets.join(pref, "lang_guess")
+      .where(col("prefix") < col("target") && col("target") <= col("prefix") + col("bn"))
+      .select(col("lang_guess"), col("qbucket"), col("pname"),
+        (col("target") - col("prefix")).as("in_bucket_rank"))
+    // only boundary-bucket rows get ranked; the window key is composite
+    val wBucket = Window.partitionBy("lang_guess", "qbucket").orderBy(col("quality"), col("doc_id"))
+    val picks = sc.join(broadcast(bounds.select("lang_guess", "qbucket").distinct()),
+        Seq("lang_guess", "qbucket"))
+      .withColumn("rk", row_number().over(wBucket).cast("long"))
+      .join(broadcast(bounds), Seq("lang_guess", "qbucket"))
+      .where(col("rk") === col("in_bucket_rank"))
+      .select(col("lang_guess"), col("pname"), col("quality"))
+    val stats = sc.groupBy("lang_guess").agg(
+      count(lit(1)).as("n_docs"), min("quality").as("min_q"), max("quality").as("max_q"))
+    val pCols = percentiles.map(p =>
+      max(when(col("pname") === pName(p), col("quality"))).as(pName(p)))
+    val pivoted = picks.groupBy("lang_guess").agg(pCols.head, pCols.tail: _*)
+    stats.join(pivoted, "lang_guess")
+  }
+
   /** Training-mix report: per (lang, source) cell, document and token counts
     * plus each cell's share of the corpus — the accounting a mix design is
     * checked against before training. One map-side-combined aggregate over

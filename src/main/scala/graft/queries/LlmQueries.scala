@@ -159,6 +159,9 @@ object LlmQueries {
       graft.operators.Curation.capPerGroup(docs(s, dir), "source", 10)),
     // training-mix accounting: per (lang, source) doc/token counts + shares
     "curate_mix_report" -> ((s, dir) => graft.operators.Curation.mixReport(docs(s, dir))),
+    // per-language quality distribution: exact nearest-rank percentiles via
+    // bucket-decomposed rank selection (no corpus-wide language sort)
+    "curate_quality_summary" -> ((s, dir) => graft.operators.Curation.qualitySummary(docs(s, dir))),
     // unigram-LM familiarity scoring against the corpus' own top-256 vocab
     "text_lm_score" -> ((s, dir) => TextAnalysis.lmScore(docs(s, dir))),
     // RAG-style chunking: 64-word windows every 48 words, with provenance
@@ -389,6 +392,22 @@ object LlmQueries {
          |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <
          |      substr('0123456789abcdefg',
          |             (CASE lang_guess WHEN 'en' THEN 4 WHEN 'es' THEN 8 ELSE 16 END) + 1, 1)""".stripMargin,
+    // single-window reference form of Curation.qualitySummary — the bucket
+    // decomposition is exact because buckets are order-aligned with quality
+    "curate_quality_summary" ->
+      s"""WITH $scoredSql,
+         |r AS (SELECT lang_guess, quality, doc_id,
+         |             ROW_NUMBER() OVER (PARTITION BY lang_guess ORDER BY quality, doc_id) AS rk,
+         |             COUNT(*) OVER (PARTITION BY lang_guess) AS n
+         |      FROM s WHERE quality IS NOT NULL)
+         |SELECT lang_guess,
+         |       CAST(MAX(n) AS BIGINT) AS n_docs,
+         |       MIN(quality) AS min_q,
+         |       MAX(quality) AS max_q,
+         |       MAX(CASE WHEN rk = CAST(ceil(0.5 * n) AS BIGINT) THEN quality END) AS p50,
+         |       MAX(CASE WHEN rk = CAST(ceil(0.9 * n) AS BIGINT) THEN quality END) AS p90,
+         |       MAX(CASE WHEN rk = CAST(ceil(0.99 * n) AS BIGINT) THEN quality END) AS p99
+         |FROM r GROUP BY lang_guess""".stripMargin,
     "curate_topk_quality" ->
       s"""WITH $scoredSql
          |SELECT lang_guess, rank, doc_id, quality FROM (

@@ -78,6 +78,33 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(langOnlyWindows(df).nonEmpty, "sanity: the bucket-prefix window exists")
   }
 
+  test("qualitySummary equals the single-window nearest-rank reference; lang-only windows bounded") {
+    val docs = curationDocs
+    val sc = docs.select(
+      col("doc_id"),
+      TextAnalysis.qualityCol.as("quality"),
+      TextAnalysis.langGuessCol(
+        TextAnalysis.lexiconHits("de"), TextAnalysis.lexiconHits("en"),
+        TextAnalysis.lexiconHits("es"), TextAnalysis.lexiconHits("fr")).as("lang_guess"))
+      .where(col("quality").isNotNull)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang_guess").orderBy(col("quality"), col("doc_id"))
+    val r = sc.withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("lang_guess")))
+    val ref = r.groupBy("lang_guess").agg(
+      max("n").as("n_docs"), min("quality").as("min_q"), max("quality").as("max_q"),
+      max(when(col("rk") === ceil(lit(0.5) * col("n")).cast("long"), col("quality"))).as("p50"),
+      max(when(col("rk") === ceil(lit(0.9) * col("n")).cast("long"), col("quality"))).as("p90"),
+      max(when(col("rk") === ceil(lit(0.99) * col("n")).cast("long"), col("quality"))).as("p99"))
+    val got = Curation.qualitySummary(docs)
+    assert(got.exceptAll(ref).isEmpty && ref.exceptAll(got).isEmpty)
+    // plan: corpus-ranking windows are composite-keyed; lang-only windows
+    // run over the bucket-count aggregate, never raw docs
+    for (w <- langOnlyWindows(got))
+      assert(w.child.collectFirst { case a: Aggregate => a }.isDefined,
+        s"lang_guess-only window not over the bucket-count aggregate:\n$w")
+  }
+
   test("curation two-level results equal the single-window reference form") {
     val docs = curationDocs
     val sc = docs.select(
