@@ -36,8 +36,10 @@ object PipelineQuickstart {
     println("gopher rule drops by reason:")
     rules.agg(sum(lit(1) - col("ok_words")).as("short"), sum(lit(1) - col("ok_word_len")).as("word_len"),
       sum(lit(1) - col("ok_punct")).as("punct"), sum(lit(1) - col("ok_stop")).as("no_stopwords")).show()
+    // the keep decision composes ROW-WISE into the scored scan (no
+    // corpus-vs-corpus join against the audit frame above)
     val kept = scored
-      .join(rules.where(col("keep") === 1L).select("doc_id"), "doc_id")
+      .where(TextAnalysis.gopherKeepCol(minWords = 10L))
       .where(col("quality") > 0.2 && coalesce(col("dup_gram_ratio"), lit(0.0)) < 0.5)
     println(s"after gopher + quality/repetition filter: ${kept.count()}")
 
@@ -53,8 +55,10 @@ object PipelineQuickstart {
     val pairs = Dedup.ngramJaccard(exactKept, threshold = 0.7).select("a", "b")
     val comps = Dedup.clusters(pairs)
     val dropped = comps.where(col("doc_id") =!= col("cluster_id")).select("doc_id")
-    val deduped = exactKept.join(dropped, Seq("doc_id"), "left_anti")
-    println(s"after exact + near-dup dedup: ${deduped.count()}")
+    // cached: steps 4-5 fan out several actions over this frame
+    val deduped = exactKept.join(dropped, Seq("doc_id"), "left_anti").cache()
+    val nDeduped = deduped.count()
+    println(s"after exact + near-dup dedup: $nDeduped")
 
     // 4. curate: per-language quality top-k, then a token budget per language
     val top = Curation.topKByLanguage(deduped, k = 100)
@@ -71,7 +75,7 @@ object PipelineQuickstart {
     split.groupBy("split").count().orderBy("split").show()
     println("training-mix report (per lang x source):")
     Curation.mixReport(deduped).orderBy(col("words_share").desc).show(5)
-    println(s"retrieval chunks: ${TextAnalysis.chunk(deduped).count()} from ${deduped.count()} docs")
+    println(s"retrieval chunks: ${TextAnalysis.chunk(deduped).count()} from $nDeduped docs")
 
     // 6. the same engine serves the behavioral side: sessionized events
     val ev = graft.operators.Points.table(spark, sfDir, "events")

@@ -240,12 +240,19 @@ object Curation {
                      percentiles: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
     require(percentiles.nonEmpty && percentiles.forall(p => p > 0.0 && p <= 1.0),
       "percentiles in (0, 1]")
+    // the pNN naming scheme only expresses whole percents — 0.995 would
+    // otherwise silently land in a column named p100
+    require(percentiles.forall(p => math.abs(p * 100 - math.round(p * 100)) < 1e-9),
+      "percentiles must be whole percents (the pNN column naming scheme)")
     val pName = (p: Double) => s"p${math.round(p * 100)}"
-    require(percentiles.map(pName).distinct.size == percentiles.size,
-      "percentiles collide after rounding to whole percents")
+    require(percentiles.map(pName).distinct.size == percentiles.size, "duplicate percentiles")
     val sc = scored(docs).where(col("quality").isNotNull)
       .withColumn("qbucket", least(lit(BudgetBuckets - 1L), floor(col("quality") * BudgetBuckets)))
-    val counts = sc.groupBy("lang_guess", "qbucket").agg(count(lit(1)).as("bn"))
+    // min/max ride the bucket aggregate so the per-language stats derive
+    // from this tiny frame — keeping the operator at TWO corpus passes
+    // (bucket counts, boundary ranking), the minimum for rank selection
+    val counts = sc.groupBy("lang_guess", "qbucket").agg(count(lit(1)).as("bn"),
+      min("quality").as("bmin"), max("quality").as("bmax"))
     // ≤ languages × BudgetBuckets rows from here to `bounds` — tiny frames
     val wPrefix = Window.partitionBy("lang_guess").orderBy("qbucket")
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -268,8 +275,8 @@ object Curation {
       .join(broadcast(bounds), Seq("lang_guess", "qbucket"))
       .where(col("rk") === col("in_bucket_rank"))
       .select(col("lang_guess"), col("pname"), col("quality"))
-    val stats = sc.groupBy("lang_guess").agg(
-      count(lit(1)).as("n_docs"), min("quality").as("min_q"), max("quality").as("max_q"))
+    val stats = counts.groupBy("lang_guess").agg(
+      sum("bn").as("n_docs"), min("bmin").as("min_q"), max("bmax").as("max_q"))
     val pCols = percentiles.map(p =>
       max(when(col("pname") === pName(p), col("quality"))).as(pName(p)))
     val pivoted = picks.groupBy("lang_guess").agg(pCols.head, pCols.tail: _*)

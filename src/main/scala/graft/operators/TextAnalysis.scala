@@ -183,13 +183,45 @@ object TextAnalysis {
    * for cross-engine hash stability. Zero shuffle; composes into the same
    * scan as the other scorers.
    */
+  /** The four Gopher rule conditions as row-wise boolean Columns
+    * (words-in-range, word-length band, punctuation cap, stopword minimum) —
+    * shared by [[gopherFilter]] (audit flags) and [[gopherKeepCol]]
+    * (composable predicate). */
+  private def gopherRules(minWords: Long, maxWords: Long,
+                          minAvgLen: Double, maxAvgLen: Double,
+                          maxPunct: Double, minStopHits: Long): (Column, Column, Column, Column) = {
+    val nWords = size(split(col("text"), " ")).cast("long")
+    val avgLen = safeDiv(length(translate(col("text"), " ", "")).cast("double"), nWords)
+    // Column-API regex (not expr() SQL) so the \p classes reach the engine
+    // verbatim — see the backslash-reprocessing note on [[tokenCountsBpe]]
+    val punctRatio = safeDiv(
+      size(regexp_extract_all(col("text"), lit("[^\\p{L}\\p{N} ]"), lit(0))).cast("double"),
+      length(col("text")))
+    val stopHits = greatest(lexiconHits("de"), lexiconHits("en"),
+      lexiconHits("es"), lexiconHits("fr")).cast("long")
+    (nWords >= minWords && nWords <= maxWords,
+      avgLen >= minAvgLen && avgLen <= maxAvgLen,
+      punctRatio <= maxPunct,
+      stopHits >= minStopHits)
+  }
+
+  /** Row-wise [[gopherFilter]] keep decision (the conjunction only) — for
+    * composing into an existing scan (`docs.where(gopherKeepCol())`) without
+    * a corpus-vs-corpus join against the audit frame. NULL-feature docs
+    * (empty text) evaluate false, matching the flags' `when` semantics. */
+  def gopherKeepCol(minWords: Long = 50L, maxWords: Long = 100000L,
+                    minAvgLen: Double = 3.0, maxAvgLen: Double = 10.0,
+                    maxPunct: Double = 0.2, minStopHits: Long = 2L): Column = {
+    val (okWords, okLen, okPunct, okStop) =
+      gopherRules(minWords, maxWords, minAvgLen, maxAvgLen, maxPunct, minStopHits)
+    coalesce(okWords && okLen && okPunct && okStop, lit(false))
+  }
+
   def gopherFilter(docs: DataFrame,
                    minWords: Long = 50L, maxWords: Long = 100000L,
                    minAvgLen: Double = 3.0, maxAvgLen: Double = 10.0,
                    maxPunct: Double = 0.2, minStopHits: Long = 2L): DataFrame = {
     val nWords = size(split(col("text"), " ")).cast("long")
-    // Column-API regex (not expr() SQL) so the \p classes reach the engine
-    // verbatim — see the backslash-reprocessing note on [[tokenCountsBpe]]
     val punctRatio = safeDiv(
       size(regexp_extract_all(col("text"), lit("[^\\p{L}\\p{N} ]"), lit(0))).cast("double"),
       length(col("text")))
@@ -197,10 +229,9 @@ object TextAnalysis {
     val stopHits = greatest(lexiconHits("de"), lexiconHits("en"),
       lexiconHits("es"), lexiconHits("fr")).cast("long")
     def flag(c: Column): Column = when(c, 1L).otherwise(0L)
-    val okWords = flag(nWords >= minWords && nWords <= maxWords)
-    val okLen = flag(avgLen >= minAvgLen && avgLen <= maxAvgLen)
-    val okPunct = flag(punctRatio <= maxPunct)
-    val okStop = flag(stopHits >= minStopHits)
+    val (cWords, cLen, cPunct, cStop) =
+      gopherRules(minWords, maxWords, minAvgLen, maxAvgLen, maxPunct, minStopHits)
+    val (okWords, okLen, okPunct, okStop) = (flag(cWords), flag(cLen), flag(cPunct), flag(cStop))
     docs.select(
       col("doc_id"), nWords.as("n_words"), avgLen.as("avg_word_len"),
       punctRatio.as("punct_ratio"), stopHits.as("stop_hits"),

@@ -404,9 +404,9 @@ object LlmQueries {
          |       CAST(MAX(n) AS BIGINT) AS n_docs,
          |       MIN(quality) AS min_q,
          |       MAX(quality) AS max_q,
-         |       MAX(CASE WHEN rk = CAST(ceil(0.5 * n) AS BIGINT) THEN quality END) AS p50,
-         |       MAX(CASE WHEN rk = CAST(ceil(0.9 * n) AS BIGINT) THEN quality END) AS p90,
-         |       MAX(CASE WHEN rk = CAST(ceil(0.99 * n) AS BIGINT) THEN quality END) AS p99
+         |       MAX(CASE WHEN rk = CAST(ceil(CAST(0.5 AS DOUBLE) * n) AS BIGINT) THEN quality END) AS p50,
+         |       MAX(CASE WHEN rk = CAST(ceil(CAST(0.9 AS DOUBLE) * n) AS BIGINT) THEN quality END) AS p90,
+         |       MAX(CASE WHEN rk = CAST(ceil(CAST(0.99 AS DOUBLE) * n) AS BIGINT) THEN quality END) AS p99
          |FROM r GROUP BY lang_guess""".stripMargin,
     "curate_topk_quality" ->
       s"""WITH $scoredSql

@@ -103,6 +103,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     for (w <- langOnlyWindows(got))
       assert(w.child.collectFirst { case a: Aggregate => a }.isDefined,
         s"lang_guess-only window not over the bucket-count aggregate:\n$w")
+    assert(langOnlyWindows(got).nonEmpty, "sanity: the bucket prefix/total windows exist")
   }
 
   test("curation two-level results equal the single-window reference form") {
