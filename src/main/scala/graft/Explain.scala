@@ -20,7 +20,8 @@ object Explain {
       else Seq("q1_pricing", "q3_segment_revenue", "ts_downsample_avg", "ts_rate", "embed_knn",
         "events_asof_attrib", "events_sessions", "dedup_embed_cross", "curate_stratified",
         "dedup_passages", "curate_pack", "text_vocab", "embed_quantize",
-        "embed_centroid", "curate_source_cap", "text_lm_score")
+        "embed_centroid", "curate_source_cap", "text_lm_score",
+        "dedup_bloom_screen", "text_chunks", "text_gopher", "curate_quality_summary")
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

@@ -250,9 +250,16 @@ object Curation {
       .withColumn("qbucket", least(lit(BudgetBuckets - 1L), floor(col("quality") * BudgetBuckets)))
     // min/max ride the bucket aggregate so the per-language stats derive
     // from this tiny frame — keeping the operator at TWO corpus passes
-    // (bucket counts, boundary ranking), the minimum for rank selection
-    val counts = sc.groupBy("lang_guess", "qbucket").agg(count(lit(1)).as("bn"),
+    // (bucket counts, boundary ranking), the minimum for rank selection.
+    // CACHED (≤ languages × BudgetBuckets rows): targets/bounds/picks/stats
+    // all reference it, and without the cache each reference replays the
+    // corpus-scoring subtree — measured 8 corpus passes (~35 s at 100k docs)
+    // vs 2 (~8 s) with it. Same idempotence guard as Dedup's shared frames.
+    val counts0 = sc.groupBy("lang_guess", "qbucket").agg(count(lit(1)).as("bn"),
       min("quality").as("bmin"), max("quality").as("bmax"))
+    val counts =
+      if (counts0.storageLevel == org.apache.spark.storage.StorageLevel.NONE) counts0.cache()
+      else counts0
     // ≤ languages × BudgetBuckets rows from here to `bounds` — tiny frames
     val wPrefix = Window.partitionBy("lang_guess").orderBy("qbucket")
       .rowsBetween(Window.unboundedPreceding, -1)

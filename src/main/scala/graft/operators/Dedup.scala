@@ -606,24 +606,40 @@ object Dedup {
    * the screen has an exact SQL oracle despite being "approximate".
    */
   def bloomScreen(incoming: DataFrame, existing: DataFrame,
-                  hexDigits: Int = 5, k: Int = 4): DataFrame = {
+                  hexDigits: Int = 5, k: Int = 4): DataFrame =
+    bloomProbe(incoming, bloomBits(existing, hexDigits, k), hexDigits, k)
+
+  /** The existing-corpus side of [[bloomScreen]] as a standalone 1-row
+    * bitset frame — build it ONCE (and cache the materialized row) when
+    * screening many batches, e.g. a streaming ingest probing every
+    * micro-batch against the same history; inlining the build in the probe
+    * would re-aggregate the historical corpus per batch. */
+  def bloomBits(existing: DataFrame, hexDigits: Int = 5, k: Int = 4): DataFrame = {
     // 7 hex digits = 2^28 bits = 32 MiB per aggregation buffer; 8 would mean
     // 512 MiB PER PARTIAL-AGG TASK (plus a serialize copy) — an executor-OOM
     // foot-gun, and exactly where the docstring says to shard instead
     require(hexDigits >= 2 && hexDigits <= 7, "hexDigits in 2..7 (256 bits .. 2^28 bits)")
     require(k >= 1 && k <= 16, "k in 1..16")
     val numWords = (1L << (4 * hexDigits - 6)).toInt
-    val exPos = existing.select(md5(col("text")).as("h"))
+    existing.select(md5(col("text")).as("h"))
       .select(explode(array((0 until k).map(i => bloomPos(i, col("h"), hexDigits)): _*)).as("pos"))
-    val bits = exPos.agg(graft.functions.BitsetFunctions.bitsetOr(col("pos"), numWords).as("bits"))
+      .agg(graft.functions.BitsetFunctions.bitsetOr(col("pos"), numWords).as("bits"))
+  }
+
+  /** Probe side of [[bloomScreen]] against a prebuilt [[bloomBits]] frame —
+    * `hexDigits` and `k` MUST match the build (different values probe the
+    * wrong bits and silently break the no-false-negative guarantee). */
+  def bloomProbe(incoming: DataFrame, bits: DataFrame,
+                 hexDigits: Int = 5, k: Int = 4): DataFrame = {
+    require(hexDigits >= 2 && hexDigits <= 7, "hexDigits in 2..7 (256 bits .. 2^28 bits)")
+    require(k >= 1 && k <= 16, "k in 1..16")
     // positions ride as ONE array so each md5 evaluates once per probe row —
     // k conjuncts referencing bloomPos directly would re-inline the hash
     // into every use site (filter predicates get no subexpression
     // elimination: 2k md5s per row instead of k)
-    val probes = incoming.select(col("doc_id"), md5(col("text")).as("h"))
+    incoming.select(col("doc_id"), md5(col("text")).as("h"))
       .withColumn("ps", array((0 until k).map(i => bloomPos(i, col("h"), hexDigits)): _*))
       .crossJoin(broadcast(bits))
-    probes
       .where(forall(col("ps"), p =>
         element_at(col("bits"), call_function("shiftrightunsigned", p, lit(6)).cast("int") + 1)
           .bitwiseAND(call_function("shiftleft", lit(1L), p.bitwiseAND(lit(63L)).cast("int"))) =!= 0L))

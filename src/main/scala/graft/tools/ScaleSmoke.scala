@@ -81,6 +81,14 @@ object ScaleSmoke {
       graft.operators.Curation.capPerGroup(
         docs.withColumn("source", (col("doc_id") % 40).cast("string")), "source", 500).count()
     }
+    t("qualitySummary (nearest-rank p50/p90/p99)") {
+      graft.operators.Curation.qualitySummary(docs).count()
+    }
+    // filter on the computed flag: a bare count() over a Project would let
+    // Spark prune the scoring columns and measure only the scan
+    t("gopherFilter") {
+      graft.operators.TextAnalysis.gopherFilter(docs).where(col("keep") === 1L).count()
+    }
     t("crossNgramJaccard capped (incoming 5% vs existing 95%)") {
       graft.operators.Dedup.crossNgramJaccard(
         docs.where(col("doc_id") % 20 === 0), docs.where(col("doc_id") % 20 =!= 0),
@@ -98,7 +106,8 @@ object ScaleSmoke {
       graft.operators.Dedup.embedCosine(emb, minCosine = 0.999).count()
     }
     t("quantizeInt8 (native one-pass)") {
-      graft.operators.Similarity.quantizeInt8(emb).count()
+      // aggregate over the stats so the expression actually evaluates
+      graft.operators.Similarity.quantizeInt8(emb).agg(sum("q_sq")).collect()
     }
     t("centroids per derived label") {
       graft.operators.Similarity.centroids(

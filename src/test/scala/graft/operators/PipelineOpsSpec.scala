@@ -575,6 +575,31 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(out(5L).getDouble(3) == 0.0 && flags(5L) == ((1L, 1L, 1L, 1L, 1L)))
   }
 
+  test("streaming bloom screen: micro-batches probe one prebuilt history bitset") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val history = docs((0L until 30L).map(i => i -> s"historic doc number $i"): _*)
+    // built ONCE outside the query; each micro-batch only pays the probe
+    val bits = Dedup.bloomBits(history).cache()
+    val input = MemoryStream[(Long, String)]
+    val flagged = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = input.toDS().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val f = Dedup.bloomProbe(batch, bits).select("doc_id").collect().map(_.getLong(0))
+        flagged.synchronized { flagged ++= f }
+        ()
+      }
+      .start()
+    input.addData(100L -> "historic doc number 7", 101L -> "fresh unseen content")
+    q.processAllAvailable()
+    input.addData(102L -> "historic doc number 21", 103L -> "more novel text")
+    q.processAllAvailable()
+    q.stop()
+    // re-occurrences flagged in their own batches; FP odds at 2^20 bits with
+    // 120 set positions are ~1e-16, so exact equality is safe to assert
+    assert(flagged.toSet == Set(100L, 102L))
+  }
+
   test("mixReport cells carry exact counts and corpus shares") {
     val d = Seq(
       (1L, "a b", "en", "s1"),

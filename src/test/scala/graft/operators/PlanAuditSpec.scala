@@ -99,9 +99,16 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     val got = Curation.qualitySummary(docs)
     assert(got.exceptAll(ref).isEmpty && ref.exceptAll(got).isEmpty)
     // plan: corpus-ranking windows are composite-keyed; lang-only windows
-    // run over the bucket-count aggregate, never raw docs
+    // run over the bucket-count aggregate (surfacing as the CACHED
+    // InMemoryRelation of that aggregate), never raw docs
     for (w <- langOnlyWindows(got))
-      assert(w.child.collectFirst { case a: Aggregate => a }.isDefined,
+      assert(w.child.collectFirst {
+        case a: Aggregate => a
+        // the bn column is the cached bucket-count aggregate's signature — a
+        // cached RAW corpus would not satisfy this
+        case m: org.apache.spark.sql.execution.columnar.InMemoryRelation
+          if m.output.exists(_.name == "bn") => m
+      }.isDefined,
         s"lang_guess-only window not over the bucket-count aggregate:\n$w")
     assert(langOnlyWindows(got).nonEmpty, "sanity: the bucket prefix/total windows exist")
   }
