@@ -600,6 +600,66 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(flagged.toSet == Set(100L, 102L))
   }
 
+  test("randomized: chunk, bloomScreen and qualitySummary equal brute-force references") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("the", "and", "of", "data", "model", "ein", "der", "los", "que", "une", "les", "zz")
+    val texts = Seq.tabulate(120)(i => (i.toLong,
+      Seq.fill(1 + rnd.nextInt(40))(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+    val d = docs(texts: _*)
+
+    // chunk vs a driver-side brute force (short docs, exact-tiling tails, ties)
+    val gotChunks = TextAnalysis.chunk(d, chunkWords = 7, strideWords = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toSet
+    val expChunks = texts.flatMap { case (id, t) =>
+      val ws = t.split(" ", -1)
+      val last = if (ws.length <= 7) 0 else math.ceil((ws.length - 7) / 5.0).toInt
+      (0 to last).map { i =>
+        val start = i * 5
+        (id, i.toLong, start.toLong, math.min(7, ws.length - start).toLong,
+          ws.slice(start, start + 7).mkString(" "))
+      }
+    }.toSet
+    assert(gotChunks == expChunks)
+
+    // bloomScreen vs the exact md5-position-set decision — the 12-word vocab
+    // makes chance text collisions across the split likely (real overlap)
+    val existing = docs(texts.take(80): _*)
+    val incoming = docs(texts.drop(80).map { case (id, t) => (id + 1000L, t) }: _*)
+    val flagged = Dedup.bloomScreen(incoming, existing).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val exTexts = texts.take(80).map(_._2).toSet
+    val rereads = texts.drop(80).collect { case (id, t) if exTexts(t) => id + 1000L }.toSet
+    assert(rereads.subsetOf(flagged), "no false negatives on genuine re-occurrences")
+    def positions(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .select(col("doc_id"), explode(array((0 until 4).map(i =>
+        conv(substring(md5(concat(lit(s"$i:"), col("h"))), 1, 5), 16, 10).cast("long")): _*)).as("pos"))
+    val ref = positions(incoming).join(positions(existing).select("pos").distinct(), "pos")
+      .groupBy("doc_id").count().where(col("count") === 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(flagged == ref)
+
+    // qualitySummary vs the single-window nearest-rank form (quality TIES
+    // from repeated random texts exercise the doc_id tie-break)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang_guess").orderBy(col("quality"), col("doc_id"))
+    val sc = d.select(col("doc_id"), TextAnalysis.qualityCol.as("quality"),
+        TextAnalysis.langGuessCol(
+          TextAnalysis.lexiconHits("de"), TextAnalysis.lexiconHits("en"),
+          TextAnalysis.lexiconHits("es"), TextAnalysis.lexiconHits("fr")).as("lang_guess"))
+      .where(col("quality").isNotNull)
+    val r = sc.withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("lang_guess")))
+    val refSummary = r.groupBy("lang_guess").agg(
+      max("n").as("n_docs"), min("quality").as("min_q"), max("quality").as("max_q"),
+      max(when(col("rk") === ceil(lit(0.5) * col("n")).cast("long"), col("quality"))).as("p50"),
+      max(when(col("rk") === ceil(lit(0.9) * col("n")).cast("long"), col("quality"))).as("p90"),
+      max(when(col("rk") === ceil(lit(0.99) * col("n")).cast("long"), col("quality"))).as("p99"))
+    val gotSummary = Curation.qualitySummary(d)
+    assert(gotSummary.exceptAll(refSummary).isEmpty && refSummary.exceptAll(gotSummary).isEmpty)
+  }
+
   test("mixReport cells carry exact counts and corpus shares") {
     val d = Seq(
       (1L, "a b", "en", "s1"),
