@@ -76,6 +76,7 @@ class VizEnforcementRule extends Rule[LogicalPlan] {
   *  - `quant_int8(float_array)`        — int8 max-abs quantization stats struct
   *  - `lexicon_hits(text, 'w1,w2')`    — lowercased whitespace-token set hits
   *  - `min_gram_md5(text, 12)`         — min md5 over character n-grams
+  *  - `bitset_or_agg(pos, 16384)`      — Bloom/bitset OR-fold aggregate
   *
   * Lexicon/gram-length arguments configure codegen, so they must be literals
   * (same restriction Spark's own `format_string` places on its format). */
@@ -130,5 +131,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("min_gram_md5", classOf[graft.functions.MinGramMd5], 2,
       "min_gram_md5(text, gram_len)")(c =>
       graft.functions.MinGramMd5(c.head, intLit(c(1), "min_gram_md5(text, gram_len)"))))
+    ext.injectFunction(fn("bitset_or_agg", classOf[graft.functions.BitsetOrAgg], 2,
+      "bitset_or_agg(pos BIGINT, num_words)")(c =>
+      graft.functions.BitsetOrAgg(c.head,
+        intLit(c(1), "bitset_or_agg(pos, num_words)")).toAggregateExpression()))
   }
 }

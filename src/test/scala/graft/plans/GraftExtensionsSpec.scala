@@ -80,6 +80,18 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("Int-range"))
   }
 
+  test("bitset_or_agg is SQL-callable and matches the Column API build") {
+    // positions 0, 1, 64, 127 -> word0 bits 0+1 = 3, word1 bits 0+63
+    val r = ext.sql(
+      "SELECT bitset_or_agg(pos, 2) AS bits FROM VALUES (0L), (1L), (64L), (127L) AS t(pos)")
+      .head().getSeq[Long](0)
+    assert(r == Seq(3L, 1L | (1L << 63)))
+    // num_words must be a literal (it sizes the aggregation buffer)
+    val e = intercept[Exception](
+      ext.sql("SELECT bitset_or_agg(pos, pos) FROM VALUES (0L) AS t(pos)").collect())
+    assert(e.getMessage.contains("integer literal"))
+  }
+
   test("the enforcement rule rides the extension session") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-ext-viz").toString
