@@ -273,14 +273,21 @@ object FloatQuantStats {
     val n = x.numElements()
     if (n == 0) return null
     var mx = 0f
+    var finite = true
     var i = 0
     while (i < n) {
       if (x.isNullAt(i)) return null
-      val a = math.abs(x.getFloat(i))
+      val v = x.getFloat(i)
+      if (!java.lang.Float.isFinite(v)) finite = false
+      val a = math.abs(v)
       if (a > mx) mx = a
       i += 1
     }
-    val mxd = mx.toDouble
+    // a NaN/Inf element has no quantizable direction: collapse to the
+    // scale-0 degenerate form (downstream scale > 0 guards then exclude the
+    // vector) instead of emitting scale=Inf with zero q, which would
+    // NaN-score rank-1 against every query in the int8 ANN path
+    val mxd = if (finite) mx.toDouble else 0.0
     var qSum = 0L; var l1 = 0L; var qMax = 0L; var sq = 0L
     i = 0
     while (i < n) {
@@ -346,14 +353,18 @@ object QuantizeInt8Vec {
     val n = x.numElements()
     if (n == 0) return null
     var mx = 0f
+    var finite = true
     var i = 0
     while (i < n) {
       if (x.isNullAt(i)) return null
-      val a = math.abs(x.getFloat(i))
+      val v = x.getFloat(i)
+      if (!java.lang.Float.isFinite(v)) finite = false
+      val a = math.abs(v)
       if (a > mx) mx = a
       i += 1
     }
-    val mxd = mx.toDouble
+    // non-finite element -> scale-0 degenerate form (see FloatQuantStats)
+    val mxd = if (finite) mx.toDouble else 0.0
     val q = new Array[Byte](n)
     i = 0
     while (i < n) {

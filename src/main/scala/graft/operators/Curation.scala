@@ -161,19 +161,27 @@ object Curation {
     if (n256 >= 256) "g" else f"$n256%02x"
 
   /** Deterministic train/val/test assignment: the first two hex digits of
-    * md5(doc_id) (256 uniform buckets) cut at `train256` and
+    * md5("split:" || doc_id) (256 uniform buckets) cut at `train256` and
     * `train256 + val256`. Hash-based, so membership is stable under corpus
     * growth — a doc never migrates between splits when other docs are added
     * or removed (a row_number-based split would reshuffle everything), which
     * is what keeps held-out data held out across pipeline re-runs. A pure
     * row-wise predicate: no shuffle, prunes nothing but adds one column.
     *
+    * The hash is SALTED ("split:"), like [[temperatureSample]]'s, and for
+    * the same reason: [[hashSample]]/[[stratifiedSample]] compare UNSALTED
+    * md5(doc_id) prefix bits, and reusing those bits here correlates
+    * sampling with split assignment — e.g. `hashSample(4)` keeps only
+    * first-digit 0-3 docs, whose unsalted 2-digit prefix is always below
+    * any realistic train cut, so val/test would come back EMPTY from the
+    * library's own sampler composed with its own splitter.
+    *
     * Comparisons are lexicographic on the 2-char hex prefix — identical to
     * numeric order on the first md5 byte, reproducible in any SQL engine. */
   def splitAssign(docs: DataFrame, train256: Int = 205, val256: Int = 26): DataFrame = {
     require(train256 >= 0 && val256 >= 0 && train256 + val256 <= 256,
       "train256/val256 nonnegative with sum <= 256")
-    val h2 = substring(md5(col("doc_id").cast("string")), 1, 2)
+    val h2 = substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 2)
     docs.withColumn("split",
       when(h2 < lit(hexCut(train256)), "train")
         .when(h2 < lit(hexCut(train256 + val256)), "val")
@@ -188,17 +196,24 @@ object Curation {
     * cut — reproduce bit-for-bit in any engine, unlike a general `pow(n, 1/T)`
     * whose libm rounding differs across platforms.
     *
-    * Membership hashes are SALTED (`md5("temp:" || doc_id)`): [[hashSample]] /
-    * [[splitAssign]] compare unsalted-prefix bits, and reusing the same bits
-    * here would correlate the sample with split assignment (a doc kept by a
-    * low temperature cut would also always land in `train`).
+    * Membership hashes are SALTED (`md5("temp:" || doc_id)`):
+    * [[hashSample]] / [[stratifiedSample]] compare unsalted-prefix bits
+    * (and [[splitAssign]] its own "split:" salt), and reusing any of those
+    * bits here would correlate the sample with sampling or split
+    * assignment.
+    *
+    * Rows with a NULL `groupCol` are excluded from BOTH the group counts
+    * and the output: a NULL pseudo-group would poison the global `n_min`
+    * (one stray unlabeled row and every real group's keep rate collapses
+    * toward zero), and the join below never matches NULL keys anyway —
+    * exclusion is made explicit rather than left to join semantics.
     *
     * Scale: one tiny group-count aggregate (group-cardinality rows; the
     * global min runs on THAT frame, not the corpus), an AQE-broadcast join
     * back, and a row-wise threshold filter — the corpus itself never
     * shuffles. */
   def temperatureSample(docs: DataFrame, groupCol: String = "lang"): DataFrame = {
-    val counts = docs.groupBy(groupCol).agg(count(lit(1)).as("n"))
+    val counts = docs.where(col(groupCol).isNotNull).groupBy(groupCol).agg(count(lit(1)).as("n"))
     val rates = counts
       .withColumn("rate", sqrt(min(col("n")).over(Window.partitionBy()).cast("double") / col("n")))
       .drop("n")

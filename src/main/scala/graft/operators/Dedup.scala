@@ -554,13 +554,16 @@ object Dedup {
    * the hot path by a factor of the chunk width.
    *
    * @return (doc_id, text, removed_chunks) for every input doc; `text` is ""
-   *         when every passage was boilerplate.
+   *         when every passage was boilerplate. NULL input text is treated
+   *         as "" (a NULL would otherwise explode to zero chunk rows and
+   *         silently drop the doc from the returned corpus, breaking the
+   *         every-input-doc contract).
    */
   def passageDedup(docs: DataFrame, wordsPerChunk: Int = 10, maxDocFreq: Long = 2L): DataFrame = {
     require(wordsPerChunk >= 1, "wordsPerChunk >= 1")
     val k = wordsPerChunk
     val chunks = docs
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), split(coalesce(col("text"), lit("")), " ").as("ws"))
       .select(col("doc_id"),
         posexplode(transform(
           sequence(lit(0L), floor((size(col("ws")) - 1) / k).cast("long")),

@@ -183,13 +183,18 @@ object TextAnalysis {
    * for cross-engine hash stability. Zero shuffle; composes into the same
    * scan as the other scorers.
    */
-  /** The four Gopher rule conditions as row-wise boolean Columns
+  /** The four Gopher metrics and their rule conditions as row-wise Columns
     * (words-in-range, word-length band, punctuation cap, stopword minimum) —
-    * shared by [[gopherFilter]] (audit flags) and [[gopherKeepCol]]
-    * (composable predicate). */
+    * the SINGLE definition behind [[gopherFilter]] (audit flags) and
+    * [[gopherKeepCol]] (composable predicate), so the reported metrics can
+    * never drift from the conditions that test them. */
+  private case class GopherRules(nWords: Column, avgLen: Column, punctRatio: Column,
+                                 stopHits: Column, okWords: Column, okLen: Column,
+                                 okPunct: Column, okStop: Column)
+
   private def gopherRules(minWords: Long, maxWords: Long,
                           minAvgLen: Double, maxAvgLen: Double,
-                          maxPunct: Double, minStopHits: Long): (Column, Column, Column, Column) = {
+                          maxPunct: Double, minStopHits: Long): GopherRules = {
     val nWords = size(split(col("text"), " ")).cast("long")
     val avgLen = safeDiv(length(translate(col("text"), " ", "")).cast("double"), nWords)
     // Column-API regex (not expr() SQL) so the \p classes reach the engine
@@ -199,7 +204,8 @@ object TextAnalysis {
       length(col("text")))
     val stopHits = greatest(lexiconHits("de"), lexiconHits("en"),
       lexiconHits("es"), lexiconHits("fr")).cast("long")
-    (nWords >= minWords && nWords <= maxWords,
+    GopherRules(nWords, avgLen, punctRatio, stopHits,
+      nWords >= minWords && nWords <= maxWords,
       avgLen >= minAvgLen && avgLen <= maxAvgLen,
       punctRatio <= maxPunct,
       stopHits >= minStopHits)
@@ -212,29 +218,21 @@ object TextAnalysis {
   def gopherKeepCol(minWords: Long = 50L, maxWords: Long = 100000L,
                     minAvgLen: Double = 3.0, maxAvgLen: Double = 10.0,
                     maxPunct: Double = 0.2, minStopHits: Long = 2L): Column = {
-    val (okWords, okLen, okPunct, okStop) =
-      gopherRules(minWords, maxWords, minAvgLen, maxAvgLen, maxPunct, minStopHits)
-    coalesce(okWords && okLen && okPunct && okStop, lit(false))
+    val r = gopherRules(minWords, maxWords, minAvgLen, maxAvgLen, maxPunct, minStopHits)
+    coalesce(r.okWords && r.okLen && r.okPunct && r.okStop, lit(false))
   }
 
   def gopherFilter(docs: DataFrame,
                    minWords: Long = 50L, maxWords: Long = 100000L,
                    minAvgLen: Double = 3.0, maxAvgLen: Double = 10.0,
                    maxPunct: Double = 0.2, minStopHits: Long = 2L): DataFrame = {
-    val nWords = size(split(col("text"), " ")).cast("long")
-    val punctRatio = safeDiv(
-      size(regexp_extract_all(col("text"), lit("[^\\p{L}\\p{N} ]"), lit(0))).cast("double"),
-      length(col("text")))
-    val avgLen = safeDiv(length(translate(col("text"), " ", "")).cast("double"), nWords)
-    val stopHits = greatest(lexiconHits("de"), lexiconHits("en"),
-      lexiconHits("es"), lexiconHits("fr")).cast("long")
     def flag(c: Column): Column = when(c, 1L).otherwise(0L)
-    val (cWords, cLen, cPunct, cStop) =
-      gopherRules(minWords, maxWords, minAvgLen, maxAvgLen, maxPunct, minStopHits)
-    val (okWords, okLen, okPunct, okStop) = (flag(cWords), flag(cLen), flag(cPunct), flag(cStop))
+    val r = gopherRules(minWords, maxWords, minAvgLen, maxAvgLen, maxPunct, minStopHits)
+    val (okWords, okLen, okPunct, okStop) =
+      (flag(r.okWords), flag(r.okLen), flag(r.okPunct), flag(r.okStop))
     docs.select(
-      col("doc_id"), nWords.as("n_words"), avgLen.as("avg_word_len"),
-      punctRatio.as("punct_ratio"), stopHits.as("stop_hits"),
+      col("doc_id"), r.nWords.as("n_words"), r.avgLen.as("avg_word_len"),
+      r.punctRatio.as("punct_ratio"), r.stopHits.as("stop_hits"),
       okWords.as("ok_words"), okLen.as("ok_word_len"),
       okPunct.as("ok_punct"), okStop.as("ok_stop"),
       (okWords * okLen * okPunct * okStop).as("keep"))
@@ -444,6 +442,12 @@ object TextAnalysis {
       .crossJoin(broadcast(total))
       .select(col("doc_id"), col("n_words"), col("n_oov"),
         (col("n_oov") / col("n_words")).as("oov_ratio"),
-        (col("w_sum") / (col("n_words") * col("total_words"))).as("familiarity"))
+        // the denominator multiplies AS DOUBLES: a LONG product overflows
+        // once total corpus words x doc words passes 2^63 (a book-length doc
+        // in a ~100 TB corpus), which ANSI mode turns into a job-killing
+        // ArithmeticException. Exact whenever the long product is (< 2^53),
+        // so oracle parity at gate scale is unchanged.
+        (col("w_sum") / (col("n_words").cast("double") * col("total_words").cast("double")))
+          .as("familiarity"))
   }
 }

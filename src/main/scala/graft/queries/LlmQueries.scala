@@ -649,11 +649,12 @@ object LlmQueries {
         |       COUNT(*) FILTER (WHERE f.df >= 2) AS removed_chunks
         |FROM chunks c JOIN freq f USING (chunk)
         |GROUP BY c.doc_id""".stripMargin,
-    // cut points are hexCut(205)='cd' and hexCut(205+26)='e7'
+    // cut points are hexCut(205)='cd' and hexCut(205+26)='e7'; the hash is
+    // salted ("split:") so membership is independent of hashSample's bits
     "curate_split" ->
       """SELECT doc_id,
-        |       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
-        |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e7' THEN 'val'
+        |       CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+        |            WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e7' THEN 'val'
         |            ELSE 'test' END AS split
         |FROM documents""".stripMargin,
     "curate_pack" ->
@@ -755,7 +756,7 @@ object LlmQueries {
         |      FROM w LEFT JOIN v ON w.word = v.word GROUP BY 1)
         |SELECT doc_id, n_words, n_oov,
         |       n_oov / n_words AS oov_ratio,
-        |       w_sum / (n_words * total_words) AS familiarity
+        |       w_sum / (CAST(n_words AS DOUBLE) * CAST(total_words AS DOUBLE)) AS familiarity
         |FROM d, t""".stripMargin,
     "text_chunks" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)

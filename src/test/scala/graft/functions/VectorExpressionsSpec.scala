@@ -83,6 +83,17 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkSpec {
       .select(VectorFunctions.quantInt8(col("a")).as("s")).collect()
     assert(edges(0).getStruct(0).toSeq == Seq(0.0, 0L, 0L, 0L, 0L))
     assert(edges(1).isNullAt(0))
+    // non-finite elements collapse to the scale-0 degenerate form: a
+    // scale=Inf/zero-q quantization would otherwise NaN-score rank-1
+    // against every query in the int8 ANN path
+    val bad = Seq(Array(1f, Float.PositiveInfinity), Array(Float.NaN, 2f))
+      .map(Tuple1(_)).toDF("a")
+    bad.select(VectorFunctions.quantInt8(col("a")).as("s")).collect().foreach(r =>
+      assert(r.getStruct(0).toSeq == Seq(0.0, 0L, 0L, 0L, 0L)))
+    bad.select(VectorFunctions.quantizeInt8Vec(col("a")).as("s")).collect().foreach { r =>
+      assert(r.getStruct(0).getDouble(0) == 0.0)
+      assert(r.getStruct(0).getSeq[Byte](1).forall(_ == 0))
+    }
   }
 
   test("quantized vector + int8 dot: exact integer kernel, score near float") {

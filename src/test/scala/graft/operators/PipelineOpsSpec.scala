@@ -170,6 +170,26 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     // degenerate cuts: 256/0 -> all train; 0/0 -> all test
     assert(Curation.splitAssign(d, 256, 0).select("split").distinct().as[String].collect().toSeq == Seq("train"))
     assert(Curation.splitAssign(d, 0, 0).select("split").distinct().as[String].collect().toSeq == Seq("test"))
+    // the salted split hash is INDEPENDENT of hashSample's unsalted bits:
+    // the library's own sampler composed with its own splitter must still
+    // yield all three splits (unsalted, every sampled doc would be 'train')
+    val sampled = Curation.splitAssign(d.where(Curation.hashSample(4)))
+      .select("split").distinct().as[String].collect().toSet
+    assert(sampled == Set("train", "val", "test"))
+  }
+
+  test("temperature sample: NULL-group rows neither poison n_min nor appear in output") {
+    val d = ((1L to 144L).map(i => (i, s"doc $i", "en"))
+      ++ (145L to 160L).map(i => (i, s"doc $i", "fr"))
+      ++ Seq((161L, "stray unlabeled doc", null.asInstanceOf[String])))
+      .toDF("doc_id", "text", "lang")
+    val out = Curation.temperatureSample(d, "lang")
+      .select("doc_id", "lang", "rate").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    // n_min comes from fr (16), NOT the 1-row NULL pseudo-group: en's rate
+    // stays sqrt(16/144) and the NULL row is absent from the output
+    assert(out.filter(_._2 == "en").forall(_._3 == math.sqrt(16.0 / 144.0)))
+    assert(!out.exists(_._1 == 161L))
   }
 
   test("temperature sample damps the majority group and keeps the smallest whole") {
