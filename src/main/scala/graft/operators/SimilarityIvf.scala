@@ -143,4 +143,60 @@ object SimilarityIvf {
     val cents = kmeansCentroids(corpus, nLists, iters).cache()
     search(assign(corpus, cents), cents, queries, k, nProbe)
   }
+
+  /**
+   * [[search]] with INT8-QUANTIZED inverted lists — the representation a
+   * 100 TB ANN store actually holds: list membership decided on the float
+   * vectors (same [[assign]]), but the stored list entries compress to
+   * `(scale, q ARRAY<TINYINT>)` ([[graft.functions.QuantizeInt8Vec]] — 4×
+   * smaller reads) and in-list scoring runs the integer kernel
+   * ([[graft.functions.Int8DotProduct]]), dequantized once per pair like
+   * [[Similarity.bruteForceKnnInt8]]. Probing stays float against the tiny
+   * centroid table (it is nLists rows — compressing it buys nothing).
+   * Zero/non-finite vectors (scale 0) are excluded from lists and queries —
+   * they have no direction to score. The integer dot is exact, so ranking
+   * is bit-deterministic and the whole pipeline keeps a SQL oracle.
+   *
+   * Scores are dequantized INNER PRODUCTS (maximum-inner-product search,
+   * like [[Similarity.bruteForceKnnInt8]]), NOT cosine: the orders coincide
+   * exactly on unit-normalized stores — normalize upstream when cosine
+   * semantics are required.
+   */
+  def searchInt8(indexed: DataFrame, cents: DataFrame, queries: DataFrame,
+      k: Int, nProbe: Int): DataFrame = {
+    val vf = graft.functions.VectorFunctions
+    val q = queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("qe"), norm("embedding").as("qnorm"),
+        vf.quantizeInt8Vec(col("embedding")).as("qs"))
+      .select(col("query_id"), col("qe"), col("qnorm"),
+        col("qs.scale").as("q_scale"), col("qs.q").as("q_q"))
+      .where(col("q_scale") > 0.0)
+    val probeW = Window.partitionBy("query_id").orderBy(col("csim").desc, col("list_id"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("csim", dot("qe", "centroid") / (col("qnorm") * col("cnorm")))
+      .withColumn("rn", row_number().over(probeW))
+      .where(col("rn") <= nProbe)
+      .select(col("query_id"), col("q_scale"), col("q_q"), col("list_id"))
+    val inv = indexed.select(col("vec_id").as("neighbor_id"), col("list_id"),
+        vf.quantizeInt8Vec(col("embedding")).as("ds"))
+      .select(col("neighbor_id"), col("list_id"),
+        col("ds.scale").as("d_scale"), col("ds.q").as("d_q"))
+      .where(col("d_scale") > 0.0)
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+    inv.join(broadcast(probes), Seq("list_id"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (vf.int8Dot(col("q_q"), col("d_q")).cast("double") *
+          (col("q_scale") * col("d_scale"))).as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
+  /** Convenience: seeded-centroid build + int8-list search in one call (the
+    * deterministic, oracle-gated configuration of [[searchInt8]]). */
+  def ivfKnnInt8(corpus: DataFrame, queries: DataFrame, k: Int,
+      nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+    val cents = centroids(corpus, nLists).cache()
+    searchInt8(assign(corpus, cents), cents, queries, k, nProbe)
+  }
 }

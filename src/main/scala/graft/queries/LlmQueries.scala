@@ -125,6 +125,12 @@ object LlmQueries {
       val e = emb(s, dir)
       graft.operators.SimilarityIvf.ivfKnn(e, e.where(col("vec_id") < 5), k = 5)
     }),
+    // IVF with int8-quantized inverted lists: float assignment/probing,
+    // integer in-list scoring — the compressed 100 TB ANN store shape
+    "embed_ivf_knn_int8" -> ((s, dir) => {
+      val e = emb(s, dir)
+      graft.operators.SimilarityIvf.ivfKnnInt8(e, e.where(col("vec_id") < 5), k = 5)
+    }),
     "multimodal_decode" -> ((s, dir) => Multimodal.stubDecode(Multimodal.asMediaTable(docs(s, dir)))),
     // same metadata through the per-partition (real-codec-shaped) decode path
     "multimodal_decode_partitioned" -> ((s, dir) =>
@@ -591,6 +597,52 @@ object LlmQueries {
         |  FROM assigned a JOIN probes p ON a.list_id = p.list_id AND a.vec_id != p.query_id)
         |SELECT query_id, neighbor_id, sim, rank FROM (
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5""".stripMargin,
+    // same cents/assigned/probes construction as embed_ivf_knn, with the
+    // embed_knn_int8 quantization CTE scoring inside the probed lists
+    "embed_ivf_knn_int8" ->
+      """WITH cents AS (
+        |  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS list_id,
+        |         embedding AS centroid,
+        |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS cnorm
+        |  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
+        |corpus AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS vnorm
+        |  FROM embeddings),
+        |qv AS (
+        |  SELECT vec_id, CAST(mx AS DOUBLE) / 127 AS scale,
+        |         list_transform(embedding, v -> FLOOR(CAST(v AS DOUBLE)/mx*127 + 0.5)) AS q
+        |  FROM (SELECT vec_id, embedding,
+        |               list_aggregate(list_transform(embedding, v -> abs(v)), 'max') AS mx
+        |        FROM embeddings)
+        |  WHERE mx > 0),
+        |assigned AS (
+        |  SELECT vec_id, list_id FROM (
+        |    SELECT c.vec_id, t.list_id,
+        |           ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+        |             list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(t.centroid AS DOUBLE[]))
+        |               / (c.vnorm * t.cnorm) DESC, t.list_id) AS rn
+        |    FROM corpus c CROSS JOIN cents t)
+        |  WHERE rn = 1),
+        |probes AS (
+        |  SELECT query_id, list_id FROM (
+        |    SELECT q.vec_id AS query_id, t.list_id,
+        |           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |             list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(t.centroid AS DOUBLE[]))
+        |               / (q.vnorm * t.cnorm) DESC, t.list_id) AS rn
+        |    FROM corpus q CROSS JOIN cents t WHERE q.vec_id < 5)
+        |  WHERE rn <= 4),
+        |scored AS (
+        |  SELECT p.query_id, a.vec_id AS neighbor_id,
+        |         list_inner_product(qb.q, qa.q) * (qb.scale * qa.scale) AS score
+        |  FROM assigned a JOIN probes p ON a.list_id = p.list_id AND a.vec_id != p.query_id
+        |  JOIN qv qa ON a.vec_id = qa.vec_id
+        |  JOIN qv qb ON p.query_id = qb.vec_id)
+        |SELECT query_id, neighbor_id, score, rank FROM (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |                 ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank
         |  FROM scored)
         |WHERE rank <= 5""".stripMargin,
     "embed_lsh_pairs" ->

@@ -432,6 +432,32 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(out.head.getAs[Double]("sim") > 0.99)
   }
 
+  test("int8-list IVF ranks like the float path on clustered vectors") {
+    // UNIT-NORMALIZED fixture: the int8 path scores dequantized DOT products
+    // (inner-product search), the float path cosine — on the unit sphere the
+    // two orders coincide, which is exactly how an embedding store uses it
+    def unit(v: Array[Double]) = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val vs = ((0L until 20L).map(i => (i, unit(Array.tabulate(8)(d => 1.0 + 0.01 * i * d)))) ++
+      (20L until 40L).map(i => (i, unit(Array.tabulate(8)(d => -1.0 - 0.01 * i * d)))))
+      .toDF("vec_id", "embedding")
+    val q = vs.where(col("vec_id") === 0L)
+    val int8 = SimilarityIvf.ivfKnnInt8(vs, q, k = 5, nLists = 4, nProbe = 2)
+      .orderBy("rank").collect()
+    assert(int8.nonEmpty)
+    // same probed-cluster property as the float path, scores dequantized
+    assert(int8.forall(_.getAs[Long]("neighbor_id") < 20L))
+    assert(int8.head.getAs[Double]("score") > 0.0)
+    // high agreement with float-list IVF (integer dot approximates cosine
+    // rank on near-unit vectors; the top sets should largely coincide)
+    val fl = SimilarityIvf.ivfKnn(vs, q, k = 5, nLists = 4, nProbe = 2)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    val overlap = int8.map(_.getAs[Long]("neighbor_id")).count(fl.contains)
+    assert(overlap >= 3, s"int8 IVF diverged from float IVF: $overlap/5 overlap")
+  }
+
   test("LSH buckets co-locate duplicate vectors") {
     val vs = Seq(
       (0L, Array.fill(8)(0.5f)), (1L, Array.fill(8)(0.5f)),
