@@ -138,12 +138,21 @@ object Similarity {
    * Zero vectors (scale 0) are excluded from both sides — they have no
    * direction to score.
    */
+  /** Append int8 quantization columns `{pre}scale`/`{pre}q` (all input
+    * columns retained) and drop zero/non-finite (scale-0) vectors — the ONE
+    * definition of the int8 store representation shared by every int8
+    * scorer ([[bruteForceKnnInt8]], [[SimilarityIvf.searchInt8]]), so the
+    * exclusion rule cannot drift between them. */
+  private[operators] def withInt8(df: DataFrame, pre: String): DataFrame =
+    df.withColumn("_qs", graft.functions.VectorFunctions.quantizeInt8Vec(col("embedding")))
+      .withColumn(s"${pre}scale", col("_qs.scale"))
+      .withColumn(s"${pre}q", col("_qs.q"))
+      .drop("_qs")
+      .where(col(s"${pre}scale") > 0.0)
+
   def bruteForceKnnInt8(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     def quant(df: DataFrame, idAs: String, pre: String) =
-      df.select(col("vec_id").as(idAs),
-          graft.functions.VectorFunctions.quantizeInt8Vec(col("embedding")).as("s"))
-        .select(col(idAs), col("s.scale").as(s"${pre}scale"), col("s.q").as(s"${pre}q"))
-        .where(col(s"${pre}scale") > 0.0)
+      withInt8(df.select(col("vec_id").as(idAs), col("embedding")), pre).drop("embedding")
     val q = broadcast(quant(queries, "query_id", "q_"))
     val d = quant(corpus, "neighbor_id", "d_")
     val scored = d.join(q, col("neighbor_id") =!= col("query_id"))

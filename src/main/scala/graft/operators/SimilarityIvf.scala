@@ -108,16 +108,26 @@ object SimilarityIvf {
    * (query_id, neighbor_id, sim, rank) like [[Similarity.bruteForceKnn]] —
    * approximate: recall depends on nProbe/nLists.
    */
-  def search(indexed: DataFrame, cents: DataFrame, queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
-    val q = queries.select(col("vec_id").as("query_id"),
-      col("embedding").as("qe"), norm("embedding").as("qnorm"))
-    // nearest lists per query (tiny: |queries| x nLists)
+  /** The `nProbe` nearest lists per query by float cosine against the
+    * broadcast centroid table (tiny: |queries| × nLists before the cut);
+    * emits `payload` columns + `list_id`. The ONE probe-selection
+    * definition shared by [[search]] and [[searchInt8]] — tie-breaks
+    * (csim desc, list_id) cannot drift between the two paths. Requires
+    * `query_id`/`qe`/`qnorm` on the input. */
+  private def probeLists(q: DataFrame, cents: DataFrame, nProbe: Int,
+      payload: Seq[String]): DataFrame = {
     val probeW = Window.partitionBy("query_id").orderBy(col("csim").desc, col("list_id"))
-    val probes = q.crossJoin(broadcast(cents))
+    q.crossJoin(broadcast(cents))
       .withColumn("csim", dot("qe", "centroid") / (col("qnorm") * col("cnorm")))
       .withColumn("rn", row_number().over(probeW))
       .where(col("rn") <= nProbe)
-      .select(col("query_id"), col("qe"), col("qnorm"), col("list_id"))
+      .select(payload.map(col) :+ col("list_id"): _*)
+  }
+
+  def search(indexed: DataFrame, cents: DataFrame, queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qe"), norm("embedding").as("qnorm"))
+    val probes = probeLists(q, cents, nProbe, Seq("query_id", "qe", "qnorm"))
     // exact cosine only inside probed lists
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     indexed.join(broadcast(probes), Seq("list_id"))
@@ -165,23 +175,14 @@ object SimilarityIvf {
   def searchInt8(indexed: DataFrame, cents: DataFrame, queries: DataFrame,
       k: Int, nProbe: Int): DataFrame = {
     val vf = graft.functions.VectorFunctions
-    val q = queries.select(col("vec_id").as("query_id"),
-        col("embedding").as("qe"), norm("embedding").as("qnorm"),
-        vf.quantizeInt8Vec(col("embedding")).as("qs"))
-      .select(col("query_id"), col("qe"), col("qnorm"),
-        col("qs.scale").as("q_scale"), col("qs.q").as("q_q"))
-      .where(col("q_scale") > 0.0)
-    val probeW = Window.partitionBy("query_id").orderBy(col("csim").desc, col("list_id"))
-    val probes = q.crossJoin(broadcast(cents))
-      .withColumn("csim", dot("qe", "centroid") / (col("qnorm") * col("cnorm")))
-      .withColumn("rn", row_number().over(probeW))
-      .where(col("rn") <= nProbe)
-      .select(col("query_id"), col("q_scale"), col("q_q"), col("list_id"))
-    val inv = indexed.select(col("vec_id").as("neighbor_id"), col("list_id"),
-        vf.quantizeInt8Vec(col("embedding")).as("ds"))
-      .select(col("neighbor_id"), col("list_id"),
-        col("ds.scale").as("d_scale"), col("ds.q").as("d_q"))
-      .where(col("d_scale") > 0.0)
+    val q = Similarity.withInt8(
+        queries.select(col("vec_id").as("query_id"), col("embedding")), "q_")
+      .select(col("query_id"), col("embedding").as("qe"), norm("embedding").as("qnorm"),
+        col("q_scale"), col("q_q"))
+    val probes = probeLists(q, cents, nProbe, Seq("query_id", "q_scale", "q_q"))
+    val inv = Similarity.withInt8(
+        indexed.select(col("vec_id").as("neighbor_id"), col("list_id"), col("embedding")), "d_")
+      .select(col("neighbor_id"), col("list_id"), col("d_scale"), col("d_q"))
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
     inv.join(broadcast(probes), Seq("list_id"))
       .where(col("neighbor_id") =!= col("query_id"))

@@ -617,7 +617,7 @@ object LlmQueries {
         |  FROM (SELECT vec_id, embedding,
         |               list_aggregate(list_transform(embedding, v -> abs(v)), 'max') AS mx
         |        FROM embeddings)
-        |  WHERE mx > 0),
+        |  WHERE mx > 0 AND isfinite(mx)),
         |assigned AS (
         |  SELECT vec_id, list_id FROM (
         |    SELECT c.vec_id, t.list_id,
@@ -752,7 +752,7 @@ object LlmQueries {
         |qv AS (
         |  SELECT vec_id, CAST(mx AS DOUBLE) / 127 AS scale,
         |         list_transform(embedding, v -> FLOOR(CAST(v AS DOUBLE)/mx*127 + 0.5)) AS q
-        |  FROM e WHERE mx > 0),
+        |  FROM e WHERE mx > 0 AND isfinite(mx)),
         |p AS (
         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
         |         list_inner_product(a.q, b.q) * (a.scale * b.scale) AS score
