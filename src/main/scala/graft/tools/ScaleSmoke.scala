@@ -113,6 +113,10 @@ object ScaleSmoke {
       graft.operators.Similarity.centroids(
         emb.withColumn("label", (col("vec_id") % 10).cast("int")), "label").count()
     }
+    t("ivfKnnInt8 (20 queries, int8 lists)") {
+      graft.operators.SimilarityIvf.ivfKnnInt8(
+        emb, emb.where(col("vec_id") < 20), k = 10, nLists = 64, nProbe = 8).count()
+    }
     spark.catalog.clearCache()
     // temporal operators at 20x events (2M rows): both are single-shuffle
     // window sweeps and must scale linearly
