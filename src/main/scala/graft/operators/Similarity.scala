@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -35,6 +34,26 @@ object Similarity {
   def cosine(a: String, b: String): Column = dot(a, b) / (norm(a) * norm(b))
 
   /**
+   * Rank a scored frame `(query_id, neighbor_id, <scoreCol>)` to per-query
+   * top-k via the k-bounded [[graft.functions.TopKScoreIdAgg]] — the map-side
+   * replacement for `ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score
+   * DESC, neighbor_id)`: each task folds its scored rows into a local k-entry
+   * buffer, so the one exchange carries at most `tasks x k` rows per query
+   * (vs. ALL |corpus| x |queries| scored rows funneling into |queries|
+   * window partitions), and no corpus-sized sort runs anywhere. Ordering is
+   * identical (score desc on Spark's DOUBLE total order, ties to the lower
+   * neighbor_id), so results are bit-identical to the window form. Shared by
+   * every kNN scorer — float/int8, brute-force/IVF — so rank semantics
+   * cannot drift between them.
+   */
+  private[operators] def rankTopK(scored: DataFrame, scoreCol: String, k: Int): DataFrame =
+    scored.groupBy("query_id")
+      .agg(graft.functions.TopKScoreIdAgg.topKScoreId(col(scoreCol), col("neighbor_id"), k).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("query_id"), col("e.id").as("neighbor_id"), col("e.score").as(scoreCol),
+        (col("pos") + 1).cast("long").as("rank"))
+
+  /**
    * Exact cosine top-k: for each query vector, the k nearest corpus vectors.
    * Similarities are raw doubles: the sequential fold makes them bit-identical
    * across engines, and vec_id breaks ranking ties.
@@ -50,8 +69,7 @@ object Similarity {
     val scored = d.join(q, col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         (dot("qe", "de") / (col("qn") * col("dn"))).as("sim"))
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long")).where(col("rank") <= k)
+    rankTopK(scored, "sim", k)
   }
 
   /**
@@ -159,8 +177,7 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         (graft.functions.VectorFunctions.int8Dot(col("q_q"), col("d_q")).cast("double") *
           (col("q_scale") * col("d_scale"))).as("score"))
-    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long")).where(col("rank") <= k)
+    rankTopK(scored, "score", k)
   }
 
   /** Fixed-point grid for [[centroids]]: 2^20 steps per unit. */

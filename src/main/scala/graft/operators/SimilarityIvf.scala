@@ -128,14 +128,13 @@ object SimilarityIvf {
     val q = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("qe"), norm("embedding").as("qnorm"))
     val probes = probeLists(q, cents, nProbe, Seq("query_id", "qe", "qnorm"))
-    // exact cosine only inside probed lists
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-    indexed.join(broadcast(probes), Seq("list_id"))
+    // exact cosine only inside probed lists; per-query rank via the k-bounded
+    // map-side top-k (Similarity.rankTopK) instead of a corpus-sized window
+    val scored = indexed.join(broadcast(probes), Seq("list_id"))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         (dot("embedding", "qe") / (col("vnorm") * col("qnorm"))).as("sim"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
+    Similarity.rankTopK(scored, "sim", k)
   }
 
   /** Convenience: build + search in one call (seeded centroids — the
@@ -183,14 +182,12 @@ object SimilarityIvf {
     val inv = Similarity.withInt8(
         indexed.select(col("vec_id").as("neighbor_id"), col("list_id"), col("embedding")), "d_")
       .select(col("neighbor_id"), col("list_id"), col("d_scale"), col("d_q"))
-    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
-    inv.join(broadcast(probes), Seq("list_id"))
+    val scored = inv.join(broadcast(probes), Seq("list_id"))
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         (vf.int8Dot(col("q_q"), col("d_q")).cast("double") *
           (col("q_scale") * col("d_scale"))).as("score"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
+    Similarity.rankTopK(scored, "score", k)
   }
 
   /** Convenience: seeded-centroid build + int8-list search in one call (the

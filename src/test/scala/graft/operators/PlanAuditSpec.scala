@@ -249,6 +249,33 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       s"probe/corpus-side shuffle in bloomScreen:\n$plan")
   }
 
+  test("kNN rank: k-bounded aggregate, no corpus-sized rank window") {
+    val emb = (0L until 32L).map(i => (i, Array.fill(8)(((i * 7 + 3) % 11).toFloat + 1)))
+      .toDF("vec_id", "embedding")
+    val q = emb.where($"vec_id" < 3)
+    // brute-force scorers: the per-query rank is the topk_score_id partial
+    // aggregate — NO WindowExec anywhere (the |corpus|x|queries| exchange
+    // into |queries| window partitions is gone)
+    for ((name, df) <- Seq(
+        "bruteForceKnn" -> Similarity.bruteForceKnn(emb, q, 5),
+        "bruteForceKnnInt8" -> Similarity.bruteForceKnnInt8(emb, q, 5))) {
+      assert(windows(df).isEmpty, s"$name still plans a rank window")
+      assert(df.queryExecution.executedPlan.toString.contains("topk_score_id"),
+        s"$name does not rank via the bounded top-k aggregate")
+    }
+    // IVF scorers: the ONLY window left is the probe selection, whose input
+    // is the bounded |queries| x nLists centroid cross join — the in-list
+    // scoring ranks through the same bounded aggregate
+    for ((name, df) <- Seq(
+        "ivfKnn" -> SimilarityIvf.ivfKnn(emb, q, k = 5, nLists = 4, nProbe = 2),
+        "ivfKnnInt8" -> SimilarityIvf.ivfKnnInt8(emb, q, k = 5, nLists = 4, nProbe = 2))) {
+      val ws = windows(df)
+      assert(ws.length == 1, s"$name: expected only the probe-selection window, got ${ws.length}")
+      assert(df.queryExecution.executedPlan.toString.contains("topk_score_id"),
+        s"$name does not rank via the bounded top-k aggregate")
+    }
+  }
+
   test("crossSeries sum/avg/dev plan two aggregation levels, sharded inner") {
     for (agg <- Seq("sum", "avg", "dev")) {
       val df = TimeSeries.crossSeries(
