@@ -165,31 +165,86 @@ object QueryJson {
   }
 
   /**
-   * Collect one planned subquery frame into QueryResponse JSON objects:
-   * one per (metric, group_tags), dps ordered by timestamp (the reference
-   * emits TreeMap order — Aggregation.java:58).
+   * One planned subquery frame as QueryResponse JSON objects: one per
+   * (metric, group_tags), dps ordered by timestamp (the reference emits
+   * TreeMap order — Aggregation.java:58). Streams through [[writeResponses]]
+   * — driver memory stays O(one output partition), never the whole result.
    */
   def toResponses(planned: DataFrame): String = {
+    val sw = new java.io.StringWriter()
+    writeResponses(Seq(planned), sw)
+    sw.toString
+  }
+
+  /**
+   * Stream planned subquery frames as ONE spliced QueryResponse array (the
+   * reference splices every SubQuery's responses into a single array —
+   * DataStore.java:645-662), writing each series object as its rows arrive.
+   *
+   * The reference server materializes the whole merged response in its JVM
+   * (DataStore.java:748-788) — bounded for any downsampled query, but an
+   * `aggregator:none` query over a wide range is unbounded driver memory.
+   * Here the frame is globally SORTED by (metric, canonical tag key, ts) —
+   * a distributed range-partitioned sort, no single-task funnel — and
+   * `toLocalIterator` hands the driver one partition at a time: series
+   * boundaries are detected on the sorted stream and each dps entry is
+   * written as it is read, so peak driver memory is one fetched partition,
+   * independent of how many rows the query returns.
+   *
+   * Output is byte-identical to the collected form this replaces
+   * (json4s compact style: no whitespace; series ordered by
+   * `(metric, tags.toSeq.sorted.mkString(","))` exactly as before —
+   * the Spark-side sort key below reproduces that string). Boundary
+   * detection compares the actual tag MAP, so a pathological sort-key
+   * collision (tag text containing '(' / ',') can only split — never
+   * merge — groups.
+   */
+  def writeResponses(planned: Seq[DataFrame], out: java.io.Writer): Long = {
     import org.apache.spark.sql.functions._
-    val rows = planned
-      .select(col("metric"), col("group_tags"), col("aggregated_tags"), col("ts_out"), col("value"))
-      .collect()
-    val grouped = rows.groupBy(r => (r.getString(0), r.getMap[String, String](1).toMap))
-    val objs: List[JValue] = grouped.toList
-      .sortBy { case ((m, tags), _) => (m, tags.toSeq.sorted.mkString(",")) }
-      .map { case ((metric, tags), rs) =>
-        val aggTags = rs.head.getSeq[String](2).toList.sorted
-        val dps = rs.sortBy(_.getLong(3)).map { r =>
-          JField(r.getLong(3).toString, JDouble(r.getDouble(4)))
-        }.toList
-        JObject(
-          "metric" -> JString(metric),
-          "tags" -> JObject(tags.toList.sorted.map { case (k, v) => JField(k, JString(v)) }),
-          // "aggregatedTags" WITH the d — the reference's Jackson field name
-          // (QueryResponse.java:12,17), not OpenTSDB's "aggregateTags"
-          "aggregatedTags" -> JArray(aggTags.map(JString(_))),
-          "dps" -> JObject(dps))
+    var nObjs = 0L
+    // "(k1,v1),(k2,v2)" over entries sorted by (key, value) — the exact
+    // string the driver-side sortBy used, so series order is unchanged
+    val skey = concat_ws(",", transform(
+      sort_array(map_entries(col("group_tags"))),
+      e => concat(lit("("), e.getField("key"), lit(","), e.getField("value"), lit(")"))))
+    def js(v: JValue): String = JsonMethods.compact(JsonMethods.render(v))
+    out.write("[")
+    var firstObj = true
+    for (df <- planned) {
+      val it = df
+        .select(col("metric"), col("group_tags"), col("aggregated_tags"),
+          col("ts_out"), col("value"))
+        .withColumn("_sk", skey)
+        .orderBy(col("metric"), col("_sk"), col("ts_out"))
+        .toLocalIterator()
+      var cur: (String, Map[String, String]) = null
+      var firstDp = true
+      while (it.hasNext) {
+        val r = it.next()
+        val key = (r.getString(0), r.getMap[String, String](1).toMap)
+        if (key != cur) {
+          if (cur != null) out.write("}}")
+          if (!firstObj) out.write(",")
+          firstObj = false
+          nObjs += 1
+          val (metric, tags) = key
+          val aggTags = r.getSeq[String](2).toList.sorted
+          out.write("{\"metric\":" + js(JString(metric)) + ",\"tags\":" +
+            js(JObject(tags.toList.sorted.map { case (k, v) => JField(k, JString(v)) })) +
+            // "aggregatedTags" WITH the d — the reference's Jackson field
+            // name (QueryResponse.java:12,17), not OpenTSDB's "aggregateTags"
+            ",\"aggregatedTags\":" + js(JArray(aggTags.map(JString(_)))) +
+            ",\"dps\":{")
+          cur = key
+          firstDp = true
+        }
+        if (!firstDp) out.write(",")
+        firstDp = false
+        out.write("\"" + r.getLong(3).toString + "\":" + js(JDouble(r.getDouble(4))))
       }
-    JsonMethods.compact(JsonMethods.render(JArray(objs)))
+      if (cur != null) out.write("}}")
+    }
+    out.write("]")
+    nObjs
   }
 }

@@ -221,17 +221,12 @@ object QueryPlanner {
       meta: Option[DataFrame] = None): String = {
     val t0 = System.currentTimeMillis()
     meta.foreach(m => req.queries.foreach(q => TimelyApi.requireMatchingTags(m, q)))
-    val parts = plan(points, req, auths).map(QueryJson.toResponses)
-    internal.foreach { im =>
-      val numResponses = parts.map { p =>
-        org.json4s.jackson.JsonMethods.parse(p) match {
-          case org.json4s.JArray(xs) => xs.length.toLong
-          case _ => 0L
-        }
-      }.sum
-      im.addQueryResponse(numResponses, System.currentTimeMillis() - t0)
-    }
-    // each part is a JSON array — splice their elements together
-    parts.map(_.stripPrefix("[").stripSuffix("]")).filter(_.nonEmpty).mkString("[", ",", "]")
+    // ONE spliced stream over all subqueries (reference DataStore.java:645-662)
+    // — each series object is written as its sorted rows arrive, so even here
+    // the intermediate is the response string itself, never a row collect
+    val sw = new java.io.StringWriter()
+    val numResponses = QueryJson.writeResponses(plan(points, req, auths), sw)
+    internal.foreach(_.addQueryResponse(numResponses, System.currentTimeMillis() - t0))
+    sw.toString
   }
 }

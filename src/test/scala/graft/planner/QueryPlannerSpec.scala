@@ -94,6 +94,67 @@ class QueryPlannerSpec extends AnyFunSuite with SparkSpec {
     assert(json.contains(s""""${T / 1000}":1.0"""))
   }
 
+  test("streamed response assembly is byte-identical to the collected form; no driver collect, partitioned sort") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    // the pre-round-7 collected reference assembly, kept here as the equality
+    // oracle for the streaming writer
+    def collected(planned: DataFrame): String = {
+      import org.apache.spark.sql.functions._
+      val rows = planned
+        .select(col("metric"), col("group_tags"), col("aggregated_tags"), col("ts_out"), col("value"))
+        .collect()
+      val grouped = rows.groupBy(r => (r.getString(0), r.getMap[String, String](1).toMap))
+      val objs: List[JValue] = grouped.toList
+        .sortBy { case ((m, tags), _) => (m, tags.toSeq.sorted.mkString(",")) }
+        .map { case ((metric, tags), rs) =>
+          val aggTags = rs.head.getSeq[String](2).toList.sorted
+          val dps = rs.sortBy(_.getLong(3)).map { r =>
+            JField(r.getLong(3).toString, JDouble(r.getDouble(4)))
+          }.toList
+          JObject(
+            "metric" -> JString(metric),
+            "tags" -> JObject(tags.toList.sorted.map { case (k, v) => JField(k, JString(v)) }),
+            "aggregatedTags" -> JArray(aggTags.map(JString(_))),
+            "dps" -> JObject(dps))
+        }
+      JsonMethods.compact(JsonMethods.render(JArray(objs)))
+    }
+    // aggregator:none = the unbounded-response shape (one row per sample,
+    // several series); a multi-series sum exercises group boundaries
+    val reqs = Seq(
+      TsQueryRequest(T, T + 6000, msResolution = true, Seq(
+        SubQuery(aggregator = "none", metric = "sys.cpu.user"))),
+      TsQueryRequest(T, T + 6000, msResolution = false, Seq(
+        SubQuery(aggregator = "sum", metric = "sys.cpu.idle",
+          downsample = Some("1s-max"), tags = Map("tag3" -> "value3")),
+        SubQuery(aggregator = "none", metric = "sys.cpu.idle"))))
+    for (req <- reqs) {
+      val dfs = QueryPlanner.plan(fixture, req, Seq.empty)
+      assert(dfs.map(QueryJson.toResponses).map(_.stripPrefix("[").stripSuffix("]"))
+        .filter(_.nonEmpty).mkString("[", ",", "]") ==
+        dfs.map(collected).map(_.stripPrefix("[").stripSuffix("]"))
+          .filter(_.nonEmpty).mkString("[", ",", "]"))
+      // the spliced multi-frame writer agrees with per-frame assembly
+      val sw = new java.io.StringWriter()
+      QueryJson.writeResponses(dfs, sw)
+      assert(sw.toString ==
+        dfs.map(collected).map(_.stripPrefix("[").stripSuffix("]"))
+          .filter(_.nonEmpty).mkString("[", ",", "]"))
+    }
+    // scale guard for aggregator:none: the assembly input plans a RANGE-
+    // partitioned (multi-partition-capable) sort — toLocalIterator then holds
+    // one partition at a time on the driver, never the whole result
+    import org.apache.spark.sql.functions._
+    val planned = QueryPlanner.plan(fixture, reqs.head, Seq.empty).head
+      .select(col("metric"), col("group_tags"), col("aggregated_tags"), col("ts_out"), col("value"))
+      .withColumn("_sk", lit("x"))
+      .orderBy(col("metric"), col("_sk"), col("ts_out"))
+    val planStr = planned.queryExecution.executedPlan.toString
+    assert(planStr.contains("rangepartitioning"),
+      s"response assembly sort is not range-partitioned:\n$planStr")
+  }
+
   test("request JSON parsing (POST body shape)") {
     val req = QueryJson.parseRequest(
       s"""{"start": $T, "end": ${T + 6000}, "msResolution": false,
