@@ -1,0 +1,255 @@
+package graft.server
+
+import java.io.OutputStreamWriter
+import java.net.{InetSocketAddress, URLDecoder}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.Executors
+
+import scala.util.control.NonFatal
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.model.{MetricParser, MetricPoint}
+import graft.planner.{QueryJson, QueryPlanner, TimelyApi}
+import graft.sources.PointStore
+
+/**
+ * Thin HTTP facade over the engine's planner — the serving analog of the
+ * reference's Netty HTTP pipeline (Server.java:520-527: aggregators, metrics,
+ * query, search/lookup, suggest, version, put). The route handlers' LOGIC and
+ * wire JSON all live in oracle-gated library code ([[QueryPlanner.runQuery]],
+ * [[TimelyApi]], [[QueryJson]]); this class only binds them to a port, so an
+ * OpenTSDB/Grafana-style client can speak to the engine directly.
+ *
+ * Storage: puts append to a [[PointStore]] parquet directory (+ meta catalog),
+ * queries re-read it — the facade is stateless between requests. Bulk ingest
+ * at scale should use [[graft.streaming.PutLineIngest]] / [[PointStore]]
+ * directly; `/api/put` exists for wire parity and integration tests, accepting
+ * both the reference's flattened Metric JSON
+ * (`{"name":"m1","timestamp":1,"measure":1.0,"tags":[{"k1":"v1"}]}` —
+ * Metric.java:19, HTTP body shape MetricRequest.java:56-60) and newline-
+ * separated `put <metric> <ts> <value> k=v...` lines (the TCP wire format,
+ * which the reference's own ITs use for seeding — ITBase.java:183-198).
+ *
+ * Query responses stream through [[QueryJson.writeResponses]] straight onto
+ * the response body, so an `aggregator:none` query over a wide range never
+ * materializes on the driver (unlike the reference server, which merges the
+ * whole response in its JVM — DataStore.java:748-788).
+ *
+ * HTTP error mapping mirrors the reference: unparseable request → 400
+ * (TimelyExceptionHandler), no matching tags → 400 "No matching tags"
+ * (HttpQueryRequestHandler.java:36), unknown path → 404, internal error → 500.
+ */
+class HttpApi(
+    spark: SparkSession,
+    dataDir: String,
+    metaDir: String,
+    auths: Seq[String] = Seq.empty,
+    internal: Option[graft.streaming.InternalMetrics] = None,
+    nowMs: () => Long = () => System.currentTimeMillis()) {
+
+  private var server: HttpServer = _
+
+  /** Bind and start; `port` 0 picks an ephemeral port. Returns the bound port. */
+  def start(port: Int = 0): Int = synchronized {
+    require(server == null, "already started")
+    server = HttpServer.create(new InetSocketAddress(port), 0)
+    server.setExecutor(Executors.newFixedThreadPool(4))
+    server.createContext("/", (ex: HttpExchange) => route(ex))
+    server.start()
+    server.getAddress.getPort
+  }
+
+  def stop(): Unit = synchronized {
+    if (server != null) { server.stop(0); server = null }
+  }
+
+  // ---- storage ----------------------------------------------------------
+
+  private val pointSchema = org.apache.spark.sql.Encoders.product[MetricPoint].schema
+
+  private def points: DataFrame =
+    if (new java.io.File(dataDir).list() == null ||
+        new java.io.File(dataDir).list().isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], pointSchema)
+    else PointStore.read(spark, dataDir)
+
+  private val metaSchema = StructType(Seq(
+    StructField("metric", StringType), StructField("tagk", StringType),
+    StructField("tagv", StringType)))
+
+  private def meta: DataFrame =
+    if (new java.io.File(metaDir).list() == null ||
+        new java.io.File(metaDir).list().isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], metaSchema)
+    else spark.read.parquet(metaDir)
+
+  /** Append a put batch: points partitioned for pruning + meta catalog rows
+    * (the reference writes meta keys alongside every metric mutation —
+    * Meta.java:55-67). */
+  private def ingest(batch: Seq[MetricPoint]): Unit = if (batch.nonEmpty) {
+    import spark.implicits._
+    val df = batch.toDF()
+    PointStore.write(df, dataDir)
+    df.select(col("metric"), explode(col("tags")).as(Seq("tagk", "tagv")))
+      .distinct()
+      .write.mode("append").parquet(metaDir)
+    internal.foreach { im =>
+      im.incrementMetricsReceived(batch.size.toLong)
+    }
+  }
+
+  // ---- request parsing --------------------------------------------------
+
+  private def params(ex: HttpExchange): Map[String, Seq[String]] = {
+    val raw = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+    raw.split("&").toSeq.filter(_.nonEmpty)
+      .map { kv =>
+        val i = kv.indexOf('=')
+        if (i < 0) URLDecoder.decode(kv, UTF_8) -> ""
+        else URLDecoder.decode(kv.substring(0, i), UTF_8) ->
+          URLDecoder.decode(kv.substring(i + 1), UTF_8)
+      }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+  }
+
+  private def body(ex: HttpExchange): String =
+    new String(ex.getRequestBody.readAllBytes(), UTF_8)
+
+  /** The reference's flattened Metric JSON (Metric.java:19) -> MetricPoint;
+    * the `viz` tag moves to the visibility slot like every other ingest path
+    * (MetricAdapter.java:44). */
+  private def parseMetricJson(json: String): MetricPoint = {
+    val jv = JsonMethods.parse(json)
+    val name = jv \ "name" match {
+      case JString(s) => s
+      case _ => throw new IllegalArgumentException("metric name required")
+    }
+    val ts = jv \ "timestamp" match {
+      case JInt(i) => i.toLong; case JLong(l) => l
+      case _ => throw new IllegalArgumentException("timestamp required")
+    }
+    val measure = jv \ "measure" match {
+      case JDouble(d) => d; case JInt(i) => i.toDouble; case JLong(l) => l.toDouble
+      case _ => throw new IllegalArgumentException("measure required")
+    }
+    val tags = jv \ "tags" match {
+      case JArray(ts) => ts.flatMap {
+        case JObject(fields) => fields.collect { case (k, JString(v)) => k -> v }
+        case _ => Nil
+      }.toMap
+      case _ => Map.empty[String, String]
+    }
+    MetricPoint(name, ts, measure,
+      tags - MetricPoint.VisibilityTag, tags.get(MetricPoint.VisibilityTag))
+  }
+
+  /** `metric{tagk=regex,...}` (the reference's SearchLookupRequest query
+    * grammar, DataStore.java:582-600). */
+  private def parseLookupQuery(q: String): (String, Map[String, String]) = {
+    val brace = q.indexOf('{')
+    if (brace < 0) (q, Map.empty)
+    else {
+      require(q.endsWith("}"), s"bad lookup query: $q")
+      val tags = q.substring(brace + 1, q.length - 1).split(",").toSeq
+        .filter(_.nonEmpty)
+        .map { t =>
+          val i = t.indexOf('=')
+          require(i > 0, s"bad lookup tag '$t'")
+          t.substring(0, i) -> t.substring(i + 1)
+        }.toMap
+      (q.substring(0, brace), tags)
+    }
+  }
+
+  // ---- routing ----------------------------------------------------------
+
+  private def route(ex: HttpExchange): Unit = {
+    try {
+      (ex.getRequestMethod, ex.getRequestURI.getPath) match {
+        case (_, "/version") =>
+          respond(ex, 200, TimelyApi.Version + "\n", "text/plain")
+        case (_, "/api/aggregators") =>
+          respond(ex, 200, TimelyApi.aggregatorsJson)
+        case (_, "/api/metrics") =>
+          respond(ex, 200, TimelyApi.metricsJson(meta))
+        case (_, "/api/suggest") =>
+          val p = params(ex)
+          def one(k: String) = p.get(k).flatMap(_.headOption)
+          val kind = one("type").getOrElse("metrics")
+          respond(ex, 200, TimelyApi.suggestJson(
+            meta, kind, one("q").orElse(one("m")).getOrElse(""),
+            tagKey = one("tagk"),
+            max = one("max").flatMap(_.toIntOption).getOrElse(25)))
+        case (_, "/api/search/lookup") =>
+          val (q, limit) =
+            if (ex.getRequestMethod == "POST") {
+              val jv = JsonMethods.parse(body(ex))
+              val qs = jv \ "query" match {
+                case JString(s) => s
+                case _ => throw new IllegalArgumentException("query required")
+              }
+              val lim = jv \ "limit" match {
+                case JInt(i) => i.toInt; case JLong(l) => l.toInt; case _ => 25
+              }
+              (qs, lim)
+            } else {
+              val p = params(ex)
+              (p.get("q").orElse(p.get("query")).flatMap(_.headOption)
+                 .getOrElse(throw new IllegalArgumentException("q required")),
+               p.get("limit").flatMap(_.headOption).flatMap(_.toIntOption).getOrElse(25))
+            }
+          val (metric, tags) = parseLookupQuery(q)
+          respond(ex, 200, TimelyApi.lookupJson(meta, metric, tags, limit))
+        case ("POST", "/api/put") =>
+          val content = body(ex).trim
+          val batch =
+            if (content.startsWith("put ") || content.startsWith("put\t"))
+              content.linesIterator.filter(_.trim.nonEmpty).map { l =>
+                MetricParser.parse(l)
+                  .getOrElse(throw new IllegalArgumentException(s"unparseable put line: $l"))
+              }.toSeq
+            else Seq(parseMetricJson(content))
+          ingest(batch)
+          respond(ex, 200, "", "text/plain")
+        case (m, "/api/query") =>
+          val req =
+            if (m == "POST") QueryJson.parseRequest(body(ex))
+            else QueryJson.parseGetQuery(params(ex), nowMs)
+          // stream the spliced response straight to the socket: bounded
+          // driver memory even for aggregator:none over a wide range
+          val pts = points
+          req.queries.foreach(q => TimelyApi.requireMatchingTags(meta, q))
+          val t0 = System.currentTimeMillis()
+          ex.getResponseHeaders.set("Content-Type", "application/json")
+          ex.sendResponseHeaders(200, 0) // chunked
+          val w = new OutputStreamWriter(ex.getResponseBody, UTF_8)
+          val n = QueryJson.writeResponses(QueryPlanner.plan(pts, req, auths), w)
+          w.flush(); w.close()
+          internal.foreach(_.addQueryResponse(n, System.currentTimeMillis() - t0))
+        case _ =>
+          respond(ex, 404, "not found\n", "text/plain")
+      }
+    } catch {
+      case e: TimelyApi.NoMatchingTagsException =>
+        respond(ex, 400, e.getMessage + "\n", "text/plain")
+      case e: IllegalArgumentException =>
+        respond(ex, 400, Option(e.getMessage).getOrElse("bad request") + "\n", "text/plain")
+      case NonFatal(e) =>
+        respond(ex, 500, e.toString + "\n", "text/plain")
+    } finally ex.close()
+  }
+
+  private def respond(ex: HttpExchange, status: Int, content: String,
+      contentType: String = "application/json"): Unit = {
+    val bytes = content.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", contentType)
+    ex.sendResponseHeaders(status, if (bytes.isEmpty) -1 else bytes.length)
+    if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+  }
+}
