@@ -581,6 +581,67 @@ object Dedup {
         count(when(col("df") >= maxDocFreq, 1)).as("removed_chunks"))
   }
 
+  /**
+   * Exact-substring duplicate spans (the Lee et al. "Deduplicating Training
+   * Data" step): every maximal token span of length >= `k` whose text appears
+   * `minCount`+ times in the corpus at ANY offset — repeated license
+   * paragraphs, syndicated passages, templated intros — reported per document
+   * as (span_start, span_end) token offsets. [[passageDedup]] only sees
+   * duplication aligned to its fixed chunk grid; a shared 50-token passage
+   * entering two documents at different offsets straddles both documents'
+   * chunk boundaries and survives chunk dedup entirely — this operator
+   * catches it (pinned by spec).
+   *
+   * Method: every k-token window (stride 1) hashes to md5; window-hash counts
+   * mark duplicated windows (a span of j>=k repeated tokens is exactly a run
+   * of j-k+1 consecutive duplicated windows); per-document runs merge to
+   * maximal spans with a classic gaps-and-islands pass. A true suffix-array
+   * build (the paper's single-node method) orders the whole corpus globally;
+   * window-hash counting reaches the same >=k-token spans with corpus-sized
+   * SHUFFLES instead of a global sort — the Spark-native trade.
+   *
+   * Scale: no self-join, no candidate pairs — ONE aggregate on the window
+   * hash (partial map-side, so a boilerplate window repeated 10M times costs
+   * its count, not a 10M-row group), one shuffle join of the window frame
+   * against the (small) duplicated-hash set on the same key (AQE skew-splits
+   * a pathologically hot hash), and a per-document window whose input is
+   * only the DUPLICATED windows (duplicated fraction of the corpus, and
+   * bounded per partition key by document length). The md5 window hash caps
+   * shuffle width at 32 bytes regardless of k.
+   *
+   * Output: (doc_id, span_start, span_end, span_tokens, n_windows), token
+   * offsets 0-based, end exclusive. Documents shorter than k tokens have no
+   * windows; NULL text reads as "".
+   */
+  def substringSpans(docs: DataFrame, k: Int = 10, minCount: Long = 2L): DataFrame = {
+    require(k >= 2, "k >= 2 (a 1-token window flags every repeated word)")
+    require(minCount >= 2, "minCount >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs
+      .select(col("doc_id"), split(coalesce(col("text"), lit("")), " ").as("ws"))
+      .where(size(col("ws")) >= k)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(1), size(col("ws")) - (k - 1)),
+          i => md5(array_join(slice(col("ws"), i, lit(k)), " ")))))
+      .select(col("doc_id"), col("pos").cast("long").as("s"), col("col").as("gh"))
+    val dup = grams.groupBy("gh").agg(count(lit(1)).as("c"))
+      .where(col("c") >= minCount).select("gh")
+    val hits = grams.join(dup, "gh")
+      .select(col("doc_id"), col("s"), (col("s") + k).as("e"))
+    val w = Window.partitionBy("doc_id").orderBy("s")
+    val prevMaxEnd = max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    hits
+      .withColumn("new_island",
+        when(prevMaxEnd.isNull || col("s") > prevMaxEnd, 1L).otherwise(0L))
+      .withColumn("island", sum(col("new_island")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min("s").as("span_start"), max("e").as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("span_tokens"), col("n_windows"))
+  }
+
   /** Bloom position i of content hash `h`: the first `hexDigits` hex digits
     * of md5("i:" || h) as an integer — k independent deterministic hashes any
     * md5-capable engine reproduces. */

@@ -139,6 +139,11 @@ object LlmQueries {
     // boilerplate — dropped from every doc, docs reassembled in order
     "dedup_passages" -> ((s, dir) =>
       Dedup.passageDedup(docs(s, dir), wordsPerChunk = 10, maxDocFreq = 2L)),
+    // exact-substring dedup (Lee et al.): maximal >= 10-token spans repeated
+    // anywhere in the corpus at ANY offset — catches the cross-boundary
+    // duplication the chunk-aligned passage pass misses
+    "dedup_substring" -> ((s, dir) =>
+      Dedup.substringSpans(docs(s, dir), k = 10, minCount = 2L)),
     // deterministic hash train/val/test split (205/26/25 of 256)
     "curate_split" -> ((s, dir) =>
       graft.operators.Curation.splitAssign(docs(s, dir)).select("doc_id", "split")),
@@ -701,6 +706,27 @@ object LlmQueries {
         |       COUNT(*) FILTER (WHERE f.df >= 2) AS removed_chunks
         |FROM chunks c JOIN freq f USING (chunk)
         |GROUP BY c.doc_id""".stripMargin,
+    "dedup_substring" ->
+      """WITH w AS (SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS ws FROM documents),
+        |g AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS s,
+        |         md5(array_to_string(ws[i+1:i+10], ' ')) AS gh
+        |  FROM w, LATERAL (SELECT UNNEST(range(0, GREATEST(len(ws) - 9, 0))) AS i) t),
+        |dup AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(*) >= 2),
+        |h AS (SELECT doc_id, s, s + 10 AS e FROM g WHERE gh IN (SELECT gh FROM dup)),
+        |m AS (
+        |  SELECT doc_id, s, e,
+        |         MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        |  FROM h),
+        |i AS (
+        |  SELECT doc_id, s, e,
+        |         SUM(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY doc_id ORDER BY s ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM m)
+        |SELECT doc_id, MIN(s) AS span_start, MAX(e) AS span_end,
+        |       MAX(e) - MIN(s) AS span_tokens, CAST(COUNT(*) AS BIGINT) AS n_windows
+        |FROM i GROUP BY doc_id, island""".stripMargin,
     // cut points are hexCut(205)='cd' and hexCut(205+26)='e7'; the hash is
     // salted ("split:") so membership is independent of hashSample's bits
     "curate_split" ->

@@ -134,6 +134,36 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(viaDriver.values.toSet == Set("￿"), "min label must be the UTF-8-smallest id")
   }
 
+  test("substringSpans finds arbitrary-offset repeats that chunk-aligned passage dedup misses") {
+    // a 15-token span shared by two docs at DIFFERENT offsets (3 vs 7):
+    // every 10-word chunk of either doc mixes shared and unshared tokens, so
+    // passageDedup sees no duplicated chunk — the exact-substring pass must
+    val shared = (1 to 15).map(i => s"s$i").mkString(" ")
+    val d = docs(
+      1L -> s"a1 a2 a3 $shared x1 x2 x3 x4 x5 x6 x7",
+      2L -> s"b1 b2 b3 b4 b5 b6 b7 $shared y1 y2 y3")
+    val chunked = Dedup.passageDedup(d, wordsPerChunk = 10, maxDocFreq = 2L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(chunked == Map(1L -> 0L, 2L -> 0L),
+      "fixture must straddle the chunk grid: passage dedup removes nothing")
+    val spans = Dedup.substringSpans(d, k = 10, minCount = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // doc 1: shared tokens occupy [3, 18); windows at starts 3..8 duplicate
+    // (6 of them) and merge to ONE maximal span; doc 2 likewise at [7, 22)
+    assert(spans.toSet == Set((1L, 3L, 18L, 15L, 6L), (2L, 7L, 22L, 15L, 6L)), s"got ${spans.toSeq}")
+
+    // within-doc repetition counts toward minCount too (total occurrences)
+    val selfRep = (1 to 10).map(i => s"r$i").mkString(" ")
+    val spans2 = Dedup.substringSpans(
+      docs(3L -> s"$selfRep mid1 mid2 $selfRep"), k = 10, minCount = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(spans2.toSet == Set((3L, 0L, 10L), (3L, 12L, 22L)), s"got ${spans2.toSeq}")
+
+    // adjacent overlapping duplicated windows merge across docs of a 3-way
+    // repeat; docs shorter than k yield nothing; null-safe
+    assert(Dedup.substringSpans(docs(4L -> "too short"), k = 10).count() == 0)
+  }
+
   test("passage dedup drops corpus-frequent chunks and reassembles in order") {
     val boiler = "one two three four five six seven eight nine ten" // exactly 10 words
     val d = docs(
