@@ -690,6 +690,14 @@ object Dedup {
       .agg(graft.functions.BitsetFunctions.bitsetOr(col("pos"), numWords).as("bits"))
   }
 
+  /** "every position in `ps` has its bit set in `bits`" — the ONE probe
+    * predicate shared by the broadcast and sharded screens so bit indexing
+    * cannot drift between them. */
+  private def bloomHit(ps: Column, bits: Column): Column =
+    forall(ps, p =>
+      element_at(bits, call_function("shiftrightunsigned", p, lit(6)).cast("int") + 1)
+        .bitwiseAND(call_function("shiftleft", lit(1L), p.bitwiseAND(lit(63L)).cast("int"))) =!= 0L)
+
   /** Probe side of [[bloomScreen]] against a prebuilt [[bloomBits]] frame —
     * `hexDigits` and `k` MUST match the build (different values probe the
     * wrong bits and silently break the no-false-negative guarantee). */
@@ -704,9 +712,74 @@ object Dedup {
     incoming.select(col("doc_id"), md5(col("text")).as("h"))
       .withColumn("ps", array((0 until k).map(i => bloomPos(i, col("h"), hexDigits)): _*))
       .crossJoin(broadcast(bits))
-      .where(forall(col("ps"), p =>
-        element_at(col("bits"), call_function("shiftrightunsigned", p, lit(6)).cast("int") + 1)
-          .bitwiseAND(call_function("shiftleft", lit(1L), p.bitwiseAND(lit(63L)).cast("int"))) =!= 0L))
+      .where(bloomHit(col("ps"), col("bits")))
+      .select("doc_id", "h")
+  }
+
+  /** Shard key of content hash `h`: the first `shardHexDigits` hex digits of
+    * md5("shard:" || h) — salted so shard routing is independent of the
+    * position bits (unsalted, shard and position would share md5(i:h) prefix
+    * structure and correlate). 16^shardHexDigits shards. */
+  private def bloomShard(h: Column, shardHexDigits: Int): Column =
+    substring(md5(concat(lit("shard:"), h)), 1, shardHexDigits)
+
+  /**
+   * SHARDED Bloom screen — the capacity path past [[bloomScreen]]'s single-
+   * bitset ceiling (2^28 bits / ~25M hashes): the content-hash space routes
+   * to `16^shardHexDigits` shards (salted md5 prefix, [[bloomShard]]), each
+   * shard builds its own `16^hexDigits`-bit filter in ONE grouped pass over
+   * the existing corpus (partial [[graft.functions.BitsetOrAgg]] buffers per
+   * task, OR-merged per shard), and incoming docs JOIN their shard's row on
+   * the shard key instead of probing one broadcast — each reducer holds only
+   * the <= 32 MiB filters of the shards routed to it, never the whole
+   * filter bank. At shardHexDigits=2, hexDigits=7: 256 x 2^28 bits = 8 GiB
+   * of filter capacity (~6.4B hashes at ~2% FP) with no single buffer,
+   * broadcast, or task above 32 MiB; one more shard digit scales 16x again.
+   *
+   * Semantics vs the unsharded screen: identical no-false-negative guarantee
+   * (a hash probes exactly the bits its own shard's build set); false
+   * positives can only DECREASE (other shards' hashes no longer pollute the
+   * probed bitset) — flagged(sharded) is a superset of the true duplicates
+   * and a subset of flagged(unsharded at equal per-shard size); pinned by
+   * spec, and the whole decision keeps an exact SQL oracle (membership
+   * bijects with the (shard, position) set).
+   */
+  def bloomScreenSharded(incoming: DataFrame, existing: DataFrame,
+                         shardHexDigits: Int = 2, hexDigits: Int = 5, k: Int = 4): DataFrame =
+    bloomProbeSharded(incoming,
+      bloomBitsSharded(existing, shardHexDigits, hexDigits, k), shardHexDigits, hexDigits, k)
+
+  /** Build side of [[bloomScreenSharded]]: one (shard, bits) row per
+    * OCCUPIED shard — build once and cache when screening many batches. */
+  def bloomBitsSharded(existing: DataFrame,
+                       shardHexDigits: Int = 2, hexDigits: Int = 5, k: Int = 4): DataFrame = {
+    require(shardHexDigits >= 1 && shardHexDigits <= 4,
+      "shardHexDigits in 1..4 (16 .. 65536 shards)")
+    require(hexDigits >= 2 && hexDigits <= 7, "hexDigits in 2..7 (256 bits .. 2^28 bits)")
+    require(k >= 1 && k <= 16, "k in 1..16")
+    val numWords = (1L << (4 * hexDigits - 6)).toInt
+    existing.select(md5(col("text")).as("h"))
+      .select(bloomShard(col("h"), shardHexDigits).as("shard"),
+        explode(array((0 until k).map(i => bloomPos(i, col("h"), hexDigits)): _*)).as("pos"))
+      .groupBy("shard")
+      .agg(graft.functions.BitsetFunctions.bitsetOr(col("pos"), numWords).as("bits"))
+  }
+
+  /** Probe side of [[bloomScreenSharded]] — parameters MUST match the build.
+    * A shard-key join (not a broadcast): an incoming doc whose shard has no
+    * existing row cannot be a duplicate (its shard's filter is empty) and
+    * drops out with the inner join. */
+  def bloomProbeSharded(incoming: DataFrame, bits: DataFrame,
+                        shardHexDigits: Int = 2, hexDigits: Int = 5, k: Int = 4): DataFrame = {
+    require(shardHexDigits >= 1 && shardHexDigits <= 4,
+      "shardHexDigits in 1..4 (16 .. 65536 shards)")
+    require(hexDigits >= 2 && hexDigits <= 7, "hexDigits in 2..7 (256 bits .. 2^28 bits)")
+    require(k >= 1 && k <= 16, "k in 1..16")
+    incoming.select(col("doc_id"), md5(col("text")).as("h"))
+      .withColumn("shard", bloomShard(col("h"), shardHexDigits))
+      .withColumn("ps", array((0 until k).map(i => bloomPos(i, col("h"), hexDigits)): _*))
+      .join(bits, Seq("shard"))
+      .where(bloomHit(col("ps"), col("bits")))
       .select("doc_id", "h")
   }
 }

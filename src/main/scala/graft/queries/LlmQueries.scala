@@ -183,13 +183,27 @@ object LlmQueries {
     // PLANTED re-occurrence (the next doc's text) and must be flagged
     "dedup_bloom_screen" -> ((s, dir) => {
       val d = docs(s, dir)
-      val planted = d.where(col("doc_id") % 10 === 0)
-        .join(d.select((col("doc_id") - 1).as("doc_id"), col("text").as("btext")), "doc_id")
-        .select(col("doc_id"),
-          when(col("doc_id") % 20 === 0, col("btext")).otherwise(col("text")).as("text"))
-      Dedup.bloomScreen(planted, d.where(col("doc_id") % 10 =!= 0))
+      Dedup.bloomScreen(bloomIncoming(d), d.where(col("doc_id") % 10 =!= 0))
+    }),
+    // capacity path: 16 hash-space shards, each its own bitset, probed via a
+    // shard-key join instead of one broadcast filter (same fixture, so the
+    // two gates pin the sharding semantics against each other)
+    "dedup_bloom_screen_sharded" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.bloomScreenSharded(bloomIncoming(d), d.where(col("doc_id") % 10 =!= 0),
+        shardHexDigits = 1)
     })
   )
+
+  /** Incoming side of the bloom gates: every 10th doc, half of them (every
+    * 20th) carrying a NEIGHBOR's text — planted true duplicates against the
+    * existing (non-10th) corpus. Shared by both bloom gates so their
+    * fixtures cannot drift. */
+  private def bloomIncoming(d: DataFrame): DataFrame =
+    d.where(col("doc_id") % 10 === 0)
+      .join(d.select((col("doc_id") - 1).as("doc_id"), col("text").as("btext")), "doc_id")
+      .select(col("doc_id"),
+        when(col("doc_id") % 20 === 0, col("btext")).otherwise(col("text")).as("text"))
 
   // ---------------------------------------------------------------------------
   // DuckDB oracles. Shared fragments keep the two engines' expressions aligned.
@@ -882,6 +896,25 @@ object LlmQueries {
          |        FROM exraw, UNNEST(range(4)) AS t(i)))
          |SELECT p.doc_id, p.h
          |FROM inpos p LEFT JOIN expos e ON p.pos = e.pos
+         |GROUP BY p.doc_id, p.h
+         |HAVING COUNT(e.pos) = 4""".stripMargin,
+    "dedup_bloom_screen_sharded" ->
+      s"""WITH inraw AS (
+         |  SELECT a.doc_id,
+         |         md5(CASE WHEN a.doc_id % 20 = 0 THEN b.text ELSE a.text END) AS h
+         |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+         |  WHERE a.doc_id % 10 = 0),
+         |exraw AS (SELECT md5(text) AS h FROM documents WHERE doc_id % 10 != 0),
+         |inpos AS (
+         |  SELECT doc_id, h, substr(md5('shard:' || h), 1, 1) AS shard, ${hex5Sql("m")} AS pos
+         |  FROM (SELECT doc_id, h, md5(CAST(i AS VARCHAR) || ':' || h) AS m
+         |        FROM inraw, UNNEST(range(4)) AS t(i))),
+         |expos AS (
+         |  SELECT DISTINCT substr(md5('shard:' || h), 1, 1) AS shard, ${hex5Sql("m")} AS pos
+         |  FROM (SELECT h, md5(CAST(i AS VARCHAR) || ':' || h) AS m
+         |        FROM exraw, UNNEST(range(4)) AS t(i)))
+         |SELECT p.doc_id, p.h
+         |FROM inpos p LEFT JOIN expos e ON p.shard = e.shard AND p.pos = e.pos
          |GROUP BY p.doc_id, p.h
          |HAVING COUNT(e.pos) = 4""".stripMargin,
     "curate_temperature" ->

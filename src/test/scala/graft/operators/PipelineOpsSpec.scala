@@ -651,6 +651,39 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(out(5L).getDouble(3) == 0.0 && flags(5L) == ((1L, 1L, 1L, 1L, 1L)))
   }
 
+  test("sharded bloomScreen: no false negatives; flags within the unsharded screen's; tiny per-shard filters") {
+    val existing = docs((0L until 60L).map(i => i -> s"existing sharded doc $i some words"): _*)
+    val incoming = docs(
+      (Seq(200L -> "existing sharded doc 5 some words",   // exact re-occurrence
+           201L -> "existing sharded doc 41 some words",  // exact re-occurrence
+           202L -> "fresh never before seen content one",
+           203L -> "fresh never before seen content two") ++
+        (300L until 340L).map(i => i -> s"probe-only doc $i unseen")): _*)
+    // deliberately TINY per-shard filters (2^8 bits) so saturation/FP paths
+    // are exercised, across 16 shards
+    val sharded = Dedup.bloomScreenSharded(incoming, existing, shardHexDigits = 1, hexDigits = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val unsharded = Dedup.bloomScreen(incoming, existing, hexDigits = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(Set(200L, 201L).subsetOf(sharded), "re-occurrences must always be flagged")
+    // per-shard bitsets are subsets of the union bitset, so sharding can only
+    // REMOVE false positives relative to one shared filter of the same size
+    assert(sharded.subsetOf(unsharded), s"sharded $sharded not within unsharded $unsharded")
+    // exact (shard, position)-set reference: the sharded decision bijects
+    // with membership in the per-shard position set
+    def positions(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .select(col("doc_id"),
+        substring(md5(concat(lit("shard:"), col("h"))), 1, 1).as("shard"),
+        explode(array((0 until 4).map(i =>
+          conv(substring(md5(concat(lit(s"$i:"), col("h"))), 1, 2), 16, 10).cast("long")): _*)).as("pos"))
+    val exSet = positions(existing).select("shard", "pos").distinct()
+    val ref = positions(incoming).join(exSet, Seq("shard", "pos"))
+      .groupBy("doc_id").count().where(col("count") === 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sharded == ref, s"sharded screen $sharded != exact per-shard reference $ref")
+  }
+
   test("streaming bloom screen: micro-batches probe one prebuilt history bitset") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
