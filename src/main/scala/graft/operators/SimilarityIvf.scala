@@ -57,8 +57,14 @@ object SimilarityIvf {
    * member vectors, so it scales to any list size. Lists that lose all
    * members drop out (their id is skipped), like any IVF trainer.
    */
-  def kmeansCentroids(corpus: DataFrame, nLists: Int, iters: Int = 2): DataFrame = {
-    var cents = centroids(corpus, nLists)
+  def kmeansCentroids(corpus: DataFrame, nLists: Int, iters: Int = 2): DataFrame =
+    lloydSweeps(corpus, centroids(corpus, nLists), iters)
+
+  /** `iters` distributed Lloyd sweeps from an arbitrary seed frame — the
+    * shared refinement loop of [[kmeansCentroids]] and
+    * [[kmeansParCentroids]]. */
+  private def lloydSweeps(corpus: DataFrame, seed: DataFrame, iters: Int): DataFrame = {
+    var cents = seed
     for (_ <- 0 until iters) {
       val assigned = assign(corpus, cents)
       // per-(list, dim) mean via the two-level deterministic fold (same
@@ -81,6 +87,115 @@ object SimilarityIvf {
         .select(col("list_id"), col("centroid"), norm("centroid").as("cnorm"))
     }
     cents
+  }
+
+  /**
+   * k-means‖-style trainer (Bahmani et al., "Scalable k-means++"), fully
+   * deterministic: where [[kmeansCentroids]] refines `nLists` seeds picked
+   * blindly, this OVERSAMPLES `oversample x nLists` deterministic candidates
+   * (salted md5 order — independent of the plain seed pick), weights each
+   * candidate by how much of the corpus it attracts (one distributed
+   * [[assign]] pass + count), re-clusters the tiny weighted candidate set to
+   * `nLists` centers on the driver (weighted farthest-first init + weighted
+   * Lloyd — sequential, so bit-deterministic; the paper's random D²-sampling
+   * replaced by its deterministic argmax analog), and finishes with the same
+   * distributed [[lloydSweeps]]. High-mass regions get centers
+   * proportional to their weight instead of their sample luck, which is what
+   * raises recall at high nLists.
+   *
+   * Driver-bounded by construction: the ONLY driver state is the
+   * `oversample x nLists` candidate rows and their weights (e.g. 8 x 256
+   * candidates at 64 dims ≈ 0.5 MiB) — the corpus itself only ever streams
+   * through distributed assign/average passes.
+   */
+  def kmeansParCentroids(corpus: DataFrame, nLists: Int,
+      oversample: Int = 8, iters: Int = 2): DataFrame = {
+    require(nLists >= 1 && oversample >= 1, "nLists, oversample >= 1")
+    val spark = corpus.sparkSession
+    // 1. deterministic oversampled candidates (bounded collect)
+    val cands: Array[(String, Array[Double])] = corpus
+      .withColumn("h", md5(concat(lit("kmpp:"), col("vec_id").cast("string"))))
+      .orderBy("h")
+      .limit(oversample * nLists)
+      .select(col("h"), col("embedding"))
+      .collect()
+      .map(r => (r.getString(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+    require(cands.nonEmpty, "empty corpus")
+    // 2. weight candidates by attracted corpus mass (distributed pass)
+    val candRows = cands.zipWithIndex.map { case ((_, v), i) => Row(i + 1, v.toIndexedSeq.map(_.toFloat)) }
+    val candDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(candRows.toIndexedSeq, 1), centroidSchema)
+      .select(col("list_id"), col("centroid"), norm("centroid").as("cnorm"))
+    val weightByIdx: Map[Int, Double] = assign(corpus, candDf)
+      .groupBy("list_id").count()
+      .collect().map(r => (r.getInt(0) - 1) -> r.getLong(1).toDouble).toMap
+    val w = cands.indices.map(i => weightByIdx.getOrElse(i, 0.0)).toArray
+    // driver-side cosine on the candidate set
+    val norms = cands.map { case (_, v) => math.sqrt(v.map(x => x * x).sum) }
+    def cos(v: Array[Double], c: Array[Double], vn: Double): Double = {
+      var s = 0.0; var d = 0; val cn = math.sqrt(c.map(x => x * x).sum)
+      while (d < v.length) { s += v(d) * c(d); d += 1 }
+      if (vn == 0.0 || cn == 0.0) 0.0 else s / (vn * cn)
+    }
+    // 3a. weighted farthest-first init (deterministic D²-argmax): first the
+    // heaviest candidate, then repeatedly the candidate maximizing
+    // weight x (1 - cos to nearest chosen), ties to the smaller salt hash
+    val k = math.min(nLists, cands.length)
+    val chosen = scala.collection.mutable.ArrayBuffer[Int]()
+    def pickNext(): Int = {
+      var best = -1
+      var bestKey: (Double, Double, String) = null
+      for (i <- cands.indices if !chosen.contains(i)) {
+        val d2 =
+          if (chosen.isEmpty) 1.0
+          else 1.0 - chosen.map(j => cos(cands(i)._2, cands(j)._2, norms(i))).max
+        // primary: weighted distance mass; then raw distance (so zero-weight
+        // candidates still order); then the salt hash for total order
+        val key = (w(i) * d2, d2, cands(i)._1)
+        val better = best < 0 ||
+          key._1 > bestKey._1 ||
+          (key._1 == bestKey._1 && (key._2 > bestKey._2 ||
+            (key._2 == bestKey._2 && key._3 < bestKey._3)))
+        if (better) { best = i; bestKey = key }
+      }
+      best
+    }
+    for (_ <- 0 until k) chosen += pickNext()
+    // 3b. weighted Lloyd on the candidate set (sequential -> deterministic)
+    var centers: Array[Array[Double]] = chosen.map(i => cands(i)._2.clone()).toArray
+    for (_ <- 0 until 5) {
+      val sums = Array.fill(k)(new Array[Double](centers(0).length))
+      val mass = new Array[Double](k)
+      for (i <- cands.indices) {
+        var bestJ = 0; var bestC = Double.NegativeInfinity
+        for (j <- 0 until k) {
+          val c = cos(cands(i)._2, centers(j), norms(i))
+          if (c > bestC) { bestC = c; bestJ = j }
+        }
+        var d = 0
+        while (d < sums(bestJ).length) { sums(bestJ)(d) += w(i) * cands(i)._2(d); d += 1 }
+        mass(bestJ) += w(i)
+      }
+      centers = (0 until k).map { j =>
+        if (mass(j) == 0.0) centers(j) else sums(j).map(_ / mass(j))
+      }.toArray
+    }
+    // 4. distributed refinement from the driver-trained seed
+    val seedRows = centers.zipWithIndex.map { case (c, j) =>
+      Row(j + 1, c.toIndexedSeq.map(_.toFloat))
+    }
+    val seed = spark.createDataFrame(
+        spark.sparkContext.parallelize(seedRows.toIndexedSeq, 1), centroidSchema)
+      .select(col("list_id"), col("centroid"), norm("centroid").as("cnorm"))
+    lloydSweeps(corpus, seed, iters)
+  }
+
+  /** Build + search with k-means‖-trained centroids ([[kmeansParCentroids]]);
+    * recall-gated by spec like [[ivfKnnKmeans]]. */
+  def ivfKnnKmeansPar(corpus: DataFrame, queries: DataFrame, k: Int,
+      nLists: Int = 16, nProbe: Int = 4, oversample: Int = 8, iters: Int = 2): DataFrame = {
+    val cents = kmeansParCentroids(corpus, nLists, oversample, iters).cache()
+    search(assign(corpus, cents), cents, queries, k, nProbe)
   }
 
   /** Assign each corpus vector to its nearest centroid (max cosine, ties to

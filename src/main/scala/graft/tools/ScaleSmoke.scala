@@ -16,6 +16,12 @@ object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val reps = sys.env.getOrElse("SPARK_GRAFT_SMOKE_REPS", "20").toInt
+    // embeddings replicate separately (vector ops cost per-dimension, not
+    // per-token): 200 reps x 5k = 1M vectors for the 100x tier
+    val embReps = sys.env.getOrElse("SPARK_GRAFT_SMOKE_EMB_REPS", "10").toInt
+    // bloom filter size: 6 (2^24 bits) fits the 20x corpus; the 100x tier
+    // runs 7 (2^28 bits, the single-filter ceiling) + the sharded screen
+    val bloomHex = sys.env.getOrElse("SPARK_GRAFT_SMOKE_BLOOM_HEX", "6").toInt
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -65,12 +71,22 @@ object ScaleSmoke {
     t("chunk (64-word windows, stride 48)") {
       graft.operators.TextAnalysis.chunk(docs).count()
     }
-    t("bloomScreen (5% incoming vs 95% existing, 2^24 bits)") {
+    t(s"bloomScreen (5% incoming vs 95% existing, 2^${4 * bloomHex} bits)") {
       // hexDigits=6 -> 16M bits / 2 MiB broadcast: sized for the 1.9M-hash
-      // existing side at k=4 (~fill 37%, FP ~2%)
+      // existing side at k=4 (~fill 37%, FP ~2%); 7 = the 32 MiB ceiling
       graft.operators.Dedup.bloomScreen(
         docs.where(col("doc_id") % 20 === 0), docs.where(col("doc_id") % 20 =!= 0),
-        hexDigits = 6).count()
+        hexDigits = bloomHex).count()
+    }
+    t(s"bloomScreenSharded (16 shards x 2^${4 * bloomHex} bits)") {
+      graft.operators.Dedup.bloomScreenSharded(
+        docs.where(col("doc_id") % 20 === 0), docs.where(col("doc_id") % 20 =!= 0),
+        shardHexDigits = 1, hexDigits = bloomHex).count()
+    }
+    t("substringSpans (k=10 exact-substring dedup)") {
+      // the replica corpus is pathologically duplicated (every window of the
+      // shared prefix repeats reps times) — worst-case island merging
+      graft.operators.Dedup.substringSpans(docs).count()
     }
     t("mixReport on derived groups") {
       graft.operators.Curation.mixReport(
@@ -97,8 +113,8 @@ object ScaleSmoke {
     spark.catalog.clearCache()
     val embBase = graft.operators.Points.table(spark, sfDir, "embeddings")
     val emb = embBase
-      .crossJoin(spark.range(10).select(col("id").as("r")))
-      .select((col("vec_id") * 10 + col("r")).as("vec_id"), col("embedding"))
+      .crossJoin(spark.range(embReps).select(col("id").as("r")))
+      .select((col("vec_id") * embReps + col("r")).as("vec_id"), col("embedding"))
       .repartition(32)
       .cache()
     println(s"SCALE vectors: ${emb.count()}")

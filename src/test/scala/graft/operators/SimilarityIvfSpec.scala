@@ -58,4 +58,27 @@ class SimilarityIvfSpec extends AnyFunSuite with SparkSpec {
     val recall = (truth intersect approx).size.toDouble / truth.size
     assert(recall >= 0.8, s"recall $recall below 0.8 (truth=${truth.size}, approx=${approx.size})")
   }
+
+  test("kmeans-par trainer: deterministic, recall >= the plain-seeded trainer at equal config") {
+    val data = clustered.cache()
+    val queries = data.where(col("vec_id") % 17 === 0)
+    val p1 = SimilarityIvf.kmeansParCentroids(data, 4, oversample = 8, iters = 2).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1)
+    val p2 = SimilarityIvf.kmeansParCentroids(data, 4, oversample = 8, iters = 2).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1)
+    assert(p1.toSeq == p2.toSeq, "k-means-par training must be deterministic")
+    def recall(approx: Set[(Long, Long)], truth: Set[(Long, Long)]): Double =
+      (truth intersect approx).size.toDouble / truth.size
+    val truth = Similarity.bruteForceKnn(data, queries, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val plain = recall(SimilarityIvf.ivfKnnKmeans(data, queries, k = 5, nLists = 4, nProbe = 1, iters = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet, truth)
+    val par = recall(SimilarityIvf.ivfKnnKmeansPar(data, queries, k = 5, nLists = 4, nProbe = 1,
+        oversample = 8, iters = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet, truth)
+    // both trainers are deterministic on this fixture, so >= is an exact,
+    // repeatable comparison — the oversampled trainer must never be worse
+    assert(par >= plain, s"k-means-par recall $par below plain-seeded $plain")
+    assert(par >= 0.8, s"k-means-par recall $par below 0.8")
+  }
 }
