@@ -642,6 +642,41 @@ object Dedup {
         (col("span_end") - col("span_start")).as("span_tokens"), col("n_windows"))
   }
 
+  /**
+   * Cleaned corpus from [[substringSpans]]: every token covered by a
+   * duplicated >=k-token span is removed and the document reassembled from
+   * the survivors in order — the whole-corpus "strip repeated passages" step
+   * (the harsher drop-ALL-occurrences variant, like [[passageDedup]]'s
+   * df-threshold drop; Lee et al. keep one occurrence per cluster, which
+   * needs a cross-document election per duplicate cluster — documented
+   * trade: drop-all is one corpus pass and monotone under corpus growth).
+   *
+   * Plan: the span frame groups to a per-doc span ARRAY (bounded by spans
+   * per document, not corpus size), left-joins the corpus on doc_id, and a
+   * codegen'd `filter(ws, (w, i) -> no span covers i)` rebuilds each text —
+   * no token explode, no range join.
+   *
+   * @return (doc_id, text, removed_tokens) for every input doc.
+   */
+  def stripSubstringSpans(docs: DataFrame, k: Int = 10, minCount: Long = 2L): DataFrame = {
+    val spans = substringSpans(docs, k, minCount)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
+    docs
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        split(coalesce(col("text"), lit("")), " ").as("ws"),
+        coalesce(col("spans"),
+          array().cast("array<struct<span_start:bigint,span_end:bigint>>")).as("spans"))
+      .select(col("doc_id"),
+        array_join(filter(col("ws"), (w, i) =>
+          !exists(col("spans"), s =>
+            i >= s.getField("span_start") && i < s.getField("span_end"))), " ").as("text"),
+        aggregate(col("spans"),
+          lit(0L), (acc, s) => acc + (s.getField("span_end") - s.getField("span_start")))
+          .as("removed_tokens"))
+  }
+
   /** Bloom position i of content hash `h`: the first `hexDigits` hex digits
     * of md5("i:" || h) as an integer — k independent deterministic hashes any
     * md5-capable engine reproduces. */

@@ -144,6 +144,10 @@ object LlmQueries {
     // duplication the chunk-aligned passage pass misses
     "dedup_substring" -> ((s, dir) =>
       Dedup.substringSpans(docs(s, dir), k = 10, minCount = 2L)),
+    // the cleaned corpus from those spans: covered tokens stripped, docs
+    // reassembled (drop-all-occurrences variant, like dedup_passages)
+    "dedup_substring_strip" -> ((s, dir) =>
+      Dedup.stripSubstringSpans(docs(s, dir), k = 10, minCount = 2L)),
     // deterministic hash train/val/test split (205/26/25 of 256)
     "curate_split" -> ((s, dir) =>
       graft.operators.Curation.splitAssign(docs(s, dir)).select("doc_id", "split")),
@@ -741,6 +745,36 @@ object LlmQueries {
         |SELECT doc_id, MIN(s) AS span_start, MAX(e) AS span_end,
         |       MAX(e) - MIN(s) AS span_tokens, CAST(COUNT(*) AS BIGINT) AS n_windows
         |FROM i GROUP BY doc_id, island""".stripMargin,
+    "dedup_substring_strip" ->
+      """WITH w AS (SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS ws FROM documents),
+        |g AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS s,
+        |         md5(array_to_string(ws[i+1:i+10], ' ')) AS gh
+        |  FROM w, LATERAL (SELECT UNNEST(range(0, GREATEST(len(ws) - 9, 0))) AS i) t),
+        |dup AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(*) >= 2),
+        |h AS (SELECT doc_id, s, s + 10 AS e FROM g WHERE gh IN (SELECT gh FROM dup)),
+        |m AS (
+        |  SELECT doc_id, s, e,
+        |         MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        |  FROM h),
+        |i AS (
+        |  SELECT doc_id, s, e,
+        |         SUM(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY doc_id ORDER BY s ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM m),
+        |sp AS (SELECT doc_id, MIN(s) AS ss, MAX(e) AS se FROM i GROUP BY doc_id, island),
+        |tok AS (
+        |  SELECT doc_id, CAST(gs - 1 AS BIGINT) AS idx, ws[gs] AS tok
+        |  FROM w, LATERAL (SELECT UNNEST(range(1, len(ws) + 1)) AS gs) t)
+        |SELECT d.doc_id,
+        |       COALESCE((SELECT string_agg(k.tok, ' ' ORDER BY k.idx) FROM tok k
+        |                 WHERE k.doc_id = d.doc_id AND NOT EXISTS
+        |                   (SELECT 1 FROM sp WHERE sp.doc_id = k.doc_id
+        |                    AND k.idx >= sp.ss AND k.idx < sp.se)), '') AS text,
+        |       CAST(COALESCE((SELECT SUM(se - ss) FROM sp WHERE sp.doc_id = d.doc_id), 0) AS BIGINT)
+        |         AS removed_tokens
+        |FROM documents d""".stripMargin,
     // cut points are hexCut(205)='cd' and hexCut(205+26)='e7'; the hash is
     // salted ("split:") so membership is independent of hashSample's bits
     "curate_split" ->

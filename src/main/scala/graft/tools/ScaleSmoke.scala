@@ -43,7 +43,14 @@ object ScaleSmoke {
       .repartition(32)
       .cache()
     println(s"SCALE corpus: ${docs.count()} docs (${n} x $reps)")
-    t("minhashLsh") { graft.operators.Dedup.minhashLsh(docs).count() }
+    // the replica corpus is a worst case for UNCAPPED candidate generation
+    // (every LSH bucket is a reps-clique: in-bucket pairs grow with reps^2 BY
+    // DESIGN — that quadratic is exactly what maxBucket exists to cap), so
+    // the uncapped op only runs at the 20x tier; the capped 100TB config is
+    // the scaling claim and runs at every tier
+    if (reps <= 20)
+      t("minhashLsh (uncapped; 20x tier only)") { graft.operators.Dedup.minhashLsh(docs).count() }
+    else println("SCALE minhashLsh uncapped SKIPPED at reps>20 (reps^2-clique corpus; capped is the scale config)")
     t("minhashLsh capped (the 100TB config)") {
       graft.operators.Dedup.minhashLsh(docs, maxBucket = 200L).count()
     }
@@ -118,9 +125,13 @@ object ScaleSmoke {
       .repartition(32)
       .cache()
     println(s"SCALE vectors: ${emb.count()}")
-    t("embedCosine dedup (identical replicas cluster)") {
-      graft.operators.Dedup.embedCosine(emb, minCosine = 0.999).count()
-    }
+    // same clique caveat as minhashLsh: identical replicas make every LSH
+    // bucket an embReps-clique, so pair output grows embReps^2 by design
+    if (embReps <= 20)
+      t("embedCosine dedup (identical replicas cluster; 20x tier only)") {
+        graft.operators.Dedup.embedCosine(emb, minCosine = 0.999).count()
+      }
+    else println("SCALE embedCosine SKIPPED at embReps>20 (embReps^2-clique corpus)")
     t("quantizeInt8 (native one-pass)") {
       // aggregate over the stats so the expression actually evaluates
       graft.operators.Similarity.quantizeInt8(emb).agg(sum("q_sq")).collect()

@@ -162,6 +162,14 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     // adjacent overlapping duplicated windows merge across docs of a 3-way
     // repeat; docs shorter than k yield nothing; null-safe
     assert(Dedup.substringSpans(docs(4L -> "too short"), k = 10).count() == 0)
+
+    // the strip variant removes exactly the covered tokens and keeps the rest
+    // in order — every input doc present, span-less docs pass through intact
+    val stripped = Dedup.stripSubstringSpans(d.union(docs(9L -> "short untouched doc")), k = 10)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(stripped(1L) == ("a1 a2 a3 x1 x2 x3 x4 x5 x6 x7", 15L))
+    assert(stripped(2L) == ("b1 b2 b3 b4 b5 b6 b7 y1 y2 y3", 15L))
+    assert(stripped(9L) == ("short untouched doc", 0L))
   }
 
   test("passage dedup drops corpus-frequent chunks and reassembles in order") {
