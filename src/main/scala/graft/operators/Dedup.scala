@@ -817,4 +817,64 @@ object Dedup {
       .where(bloomHit(col("ps"), col("bits")))
       .select("doc_id", "h")
   }
+
+  /**
+   * SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup:
+   * Data-efficient learning at web-scale through semantic deduplication"):
+   * cluster the embedding space with the IVF coarse quantizer
+   * ([[SimilarityIvf.centroids]] seeded pick + [[SimilarityIvf.assign]]),
+   * then compare pairs ONLY inside a cluster — a vector is a semantic
+   * duplicate when its cosine to ANY lower-id member of its cluster reaches
+   * `minCosine`. The keep set is the dedup survivors. (The paper drops all
+   * but the member farthest from the centroid; lowest-id-wins is the
+   * deterministic, engine-reproducible variant — which member of a dup group
+   * survives is retention policy, not dedup semantics.)
+   *
+   * This is the embedding-space complement of [[embedCosine]]: LSH buckets
+   * group by random-hyperplane SIGN pattern (good for high thresholds),
+   * while k-means cells group by region of the actual data distribution —
+   * the SemDeDup observation is that web-scale semantic dups concentrate
+   * inside such cells, so cell-blocked comparison sees them at a tiny
+   * fraction of all-pairs cost.
+   *
+   * Scale: the corpus never self-joins outside a cluster. Assignment is a
+   * broadcast-centroids `max_by` aggregate (no corpus shuffle beyond the
+   * group-by); the in-cluster pair join shuffles on `list_id` — `nLists`
+   * must scale with the corpus (the paper uses ~|corpus|/10k clusters, e.g.
+   * 2^16 lists for 1B docs) so a cell holds thousands of rows, keeping the
+   * per-cell self-join linear in the corpus. `maxList` is the skew guard:
+   * cells past the cap are excluded from CANDIDATE GENERATION (their
+   * members all keep), trading bounded recall loss on degenerate cells
+   * (e.g. a zero-vector pile-up) for a hard quadratic-blowup cap, exactly
+   * like [[ngramJaccard]]'s `maxDocFreq`.
+   *
+   * @return one row per input vector: (vec_id, list_id, n_sem_dups, keep)
+   *         where `n_sem_dups` counts lower-id in-cell neighbors at
+   *         cosine >= `minCosine` and `keep` = 1 iff that count is 0.
+   */
+  def semanticDedup(emb: DataFrame, minCosine: Double = 0.3, nLists: Int = 16,
+                    maxList: Long = Long.MaxValue): DataFrame = {
+    val cents = SimilarityIvf.centroids(emb, nLists)
+    val assigned = cached(SimilarityIvf.assign(emb, cents))
+    val members =
+      if (maxList == Long.MaxValue) assigned
+      else assigned.join(
+        assigned.groupBy("list_id").agg(count(lit(1)).as("n"))
+          .where(col("n") <= maxList).select("list_id"),
+        Seq("list_id"), "left_semi")
+    val l = members.select(col("list_id"), col("vec_id").as("a"),
+      col("embedding").as("ea"), col("vnorm").as("na"))
+    val r = members.select(col("list_id"), col("vec_id").as("b"),
+      col("embedding").as("eb"), col("vnorm").as("nb"))
+    val dupCounts = l.join(r, Seq("list_id"))
+      .where(col("a") < col("b"))
+      .where(graft.functions.VectorFunctions.floatDot(col("ea"), col("eb"))
+        / (col("na") * col("nb")) >= minCosine)
+      .groupBy(col("b").as("vec_id"))
+      .agg(count(lit(1)).as("n_dup_lower"))
+    assigned.select("vec_id", "list_id").join(dupCounts, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("list_id"),
+        coalesce(col("n_dup_lower"), lit(0L)).as("n_sem_dups"),
+        when(col("n_dup_lower").isNull, 1L).otherwise(0L).as("keep"))
+  }
 }

@@ -131,6 +131,11 @@ object LlmQueries {
       val e = emb(s, dir)
       graft.operators.SimilarityIvf.ivfKnnInt8(e, e.where(col("vec_id") < 5), k = 5)
     }),
+    // SemDeDup-style semantic dedup: IVF-cell blocking (same seeded
+    // centroids as embed_ivf_knn), in-cell cosine >= 0.3 against any
+    // lower-id member -> drop; keep=1 rows are the dedup survivors
+    "dedup_semantic" -> ((s, dir) =>
+      Dedup.semanticDedup(emb(s, dir), minCosine = 0.3, nLists = 16)),
     "multimodal_decode" -> ((s, dir) => Multimodal.stubDecode(Multimodal.asMediaTable(docs(s, dir)))),
     // same metadata through the per-partition (real-codec-shaped) decode path
     "multimodal_decode_partitioned" -> ((s, dir) =>
@@ -668,6 +673,38 @@ object LlmQueries {
         |                 ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank
         |  FROM scored)
         |WHERE rank <= 5""".stripMargin,
+    // mirrors Dedup.semanticDedup(minCosine=0.3, nLists=16): same seeded
+    // centroid pick and max-cosine assignment as the embed_ivf_knn oracle,
+    // then in-cell lower-id cosine counting
+    "dedup_semantic" ->
+      """WITH cents AS (
+        |  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS list_id,
+        |         embedding AS centroid,
+        |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS cnorm
+        |  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
+        |corpus AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS vnorm
+        |  FROM embeddings),
+        |assigned AS (
+        |  SELECT vec_id, embedding, vnorm, list_id FROM (
+        |    SELECT c.vec_id, c.embedding, c.vnorm, t.list_id,
+        |           ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+        |             list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(t.centroid AS DOUBLE[]))
+        |               / (c.vnorm * t.cnorm) DESC, t.list_id) AS rn
+        |    FROM corpus c CROSS JOIN cents t)
+        |  WHERE rn = 1),
+        |dups AS (
+        |  SELECT y.vec_id, COUNT(*) AS n_dup_lower
+        |  FROM assigned x JOIN assigned y
+        |    ON x.list_id = y.list_id AND x.vec_id < y.vec_id
+        |  WHERE list_dot_product(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[]))
+        |          / (x.vnorm * y.vnorm) >= 0.3
+        |  GROUP BY 1)
+        |SELECT a.vec_id, a.list_id,
+        |       COALESCE(d.n_dup_lower, 0) AS n_sem_dups,
+        |       CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS keep
+        |FROM assigned a LEFT JOIN dups d ON a.vec_id = d.vec_id""".stripMargin,
     "embed_lsh_pairs" ->
       s"""WITH $LshPairsCte
          |SELECT a, b, cos_sim FROM pairs WHERE cos_sim >= 0.3""".stripMargin,

@@ -532,6 +532,27 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(out == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 4L))
   }
 
+  test("semantic dedup: in-cell near-dups drop to the lowest id, distinct vectors keep") {
+    // 0/1 identical, 3 a scaled copy of 0 (cosine 1 -> same cell, dup);
+    // 4 orthogonal-ish (keeps). nLists=2 so cells genuinely partition.
+    val vs = Seq(
+      (0L, Array.fill(8)(0.5f)), (1L, Array.fill(8)(0.5f)),
+      (3L, Array.fill(8)(0.25f)),
+      (4L, Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(vs, minCosine = 0.95, nLists = 2)
+      .select("vec_id", "n_sem_dups", "keep")
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(out(0L) == ((0L, 1L)))          // lowest id of its dup group keeps
+    assert(out(1L) == ((1L, 0L)))          // one lower-id near-dup (0)
+    assert(out(3L) == ((2L, 0L)))          // near-dup of both 0 and 1
+    assert(out(4L) == ((0L, 1L)))          // no near-dup anywhere
+    // the maxList cap excludes the hot cell from candidate generation
+    val capped = Dedup.semanticDedup(vs, minCosine = 0.95, nLists = 2, maxList = 2L)
+      .select("vec_id", "keep").as[(Long, Long)].collect().toMap
+    assert(capped.values.forall(_ == 1L))  // the dup cell is over cap -> all keep
+  }
+
   test("per-partition decode equals the expression decode; resize and frame-sample behave") {
     val media = Multimodal.asMediaTable(docs(1L -> base, 2L -> (base * 3), 3L -> (base * 5)))
     val viaExpr = Multimodal.stubDecode(media)
