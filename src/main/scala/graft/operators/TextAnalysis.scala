@@ -450,4 +450,61 @@ object TextAnalysis {
         (col("w_sum") / (col("n_words").cast("double") * col("total_words").cast("double")))
           .as("familiarity"))
   }
+
+  /**
+   * Bigram-LM familiarity scoring — one modeling step past [[lmScore]]: the
+   * corpus' own top-`vocabSize` BIGRAMS form the vocabulary, and each doc is
+   * scored on (a) how much of its adjacent-pair mass those bigrams explain
+   * (`familiarity`, the bigram analog of [[lmScore]]'s unigram measure) and
+   * (b) the aggregate conditional probability `cond_familiarity` =
+   * Σ count(w1 w2) / Σ count(w1) over the doc's in-vocabulary pairs — the
+   * order-independent stand-in for per-pair P(w2|w1) products: both sides of
+   * the division are exact LONG sums, so no order-dependent double
+   * accumulation and no logs (whose libm rounding differs across engines).
+   * Docs under two words have no pairs and drop out (same contract as the
+   * shingle operators).
+   *
+   * Scale: the bigram-count frame is distinct-pairs-sized and cached (the
+   * top-k cut and the corpus total both read it); the vocabulary is a
+   * `TakeOrderedAndProject` top-k whose ≤ `vocabSize` rows pick up their
+   * first-word unigram counts through a vocab-sized join BEFORE broadcast —
+   * the corpus-sized pair stream never joins on the (head-word-skewed)
+   * unigram key, only on its well-distributed doc_id and the broadcast
+   * bigram lookup. Two corpus passes total (count, probe), the minimum for
+   * corpus-derived vocab.
+   */
+  def lmScoreBigram(docs: DataFrame, vocabSize: Int = 256): DataFrame = {
+    val n = size(col("ws"))
+    val pairs = docs
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .where(n >= 2)
+      .select(col("doc_id"),
+        explode(arrays_zip(slice(col("ws"), lit(1), n - 1), slice(col("ws"), lit(2), n - 1))).as("z"))
+      .select(col("doc_id"), concat_ws(" ", col("z.0"), col("z.1")).as("g"))
+    val uni = docs.select(explode(words(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("c1"))
+    val bc = pairs.groupBy("g").agg(count(lit(1)).as("c12"))
+    val bcnt =
+      if (bc.storageLevel == org.apache.spark.storage.StorageLevel.NONE) bc.cache() else bc
+    val top = bcnt.orderBy(col("c12").desc, col("g")).limit(vocabSize)
+      .withColumn("w1", split(col("g"), " ").getItem(0))
+      .join(uni.withColumnRenamed("word", "w1"), Seq("w1"))
+      .select(col("g"), col("c12").as("v_c12"), col("c1"))
+    val total = bcnt.agg(sum("c12").as("total_pairs"))
+    pairs.join(broadcast(top), Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("v_c12").isNull, 1L).otherwise(0L)).as("n_oov"),
+        sum(coalesce(col("v_c12"), lit(0L))).as("big_sum"),
+        sum(when(col("v_c12").isNull, 0L).otherwise(col("c1"))).as("first_sum"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("n_pairs"), col("n_oov"),
+        (col("n_oov") / col("n_pairs")).as("oov_ratio"),
+        // doubles only in the final exact-integer divisions, as in lmScore
+        (col("big_sum") / (col("n_pairs").cast("double") * col("total_pairs").cast("double")))
+          .as("familiarity"),
+        (col("big_sum") / nullif(col("first_sum"), lit(0L)).cast("double"))
+          .as("cond_familiarity"))
+  }
 }

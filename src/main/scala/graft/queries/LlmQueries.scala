@@ -184,6 +184,9 @@ object LlmQueries {
     "curate_quality_summary" -> ((s, dir) => graft.operators.Curation.qualitySummary(docs(s, dir))),
     // unigram-LM familiarity scoring against the corpus' own top-256 vocab
     "text_lm_score" -> ((s, dir) => TextAnalysis.lmScore(docs(s, dir))),
+    // bigram-LM scoring: corpus top-256 bigram vocab; per doc the explained
+    // pair mass + the aggregate conditional Σc(w1w2)/Σc(w1) over vocab pairs
+    "text_lm_score_bigram" -> ((s, dir) => TextAnalysis.lmScoreBigram(docs(s, dir))),
     // RAG-style chunking: 64-word windows every 48 words, with provenance
     "text_chunks" -> ((s, dir) => TextAnalysis.chunk(docs(s, dir))),
     // Gopher-style heuristic rule flags + keep decision (auditable filter)
@@ -920,6 +923,30 @@ object LlmQueries {
         |SELECT doc_id, n_words, n_oov,
         |       n_oov / n_words AS oov_ratio,
         |       w_sum / (CAST(n_words AS DOUBLE) * CAST(total_words AS DOUBLE)) AS familiarity
+        |FROM d, t""".stripMargin,
+    // mirrors TextAnalysis.lmScoreBigram(vocabSize=256): adjacent pairs via
+    // 1-indexed range(1, len) (i, i+1) windows, vocab joined to its head
+    // word's unigram count before probing
+    "text_lm_score_bigram" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |p AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g
+        |      FROM ws, LATERAL (SELECT UNNEST(range(1, len(ws))) AS i) t),
+        |u AS (SELECT word, COUNT(*) AS c1
+        |      FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents) GROUP BY 1),
+        |bc AS (SELECT g, COUNT(*) AS c12 FROM p GROUP BY 1),
+        |v AS (SELECT b.g, b.c12, u.c1
+        |      FROM (SELECT g, c12 FROM bc ORDER BY c12 DESC, g LIMIT 256) b
+        |      JOIN u ON string_split(b.g, ' ')[1] = u.word),
+        |t AS (SELECT CAST(SUM(c12) AS BIGINT) AS total_pairs FROM bc),
+        |d AS (SELECT p.doc_id, COUNT(*) AS n_pairs,
+        |             CAST(SUM(CASE WHEN v.g IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |             CAST(SUM(COALESCE(v.c12, 0)) AS BIGINT) AS big_sum,
+        |             CAST(SUM(CASE WHEN v.g IS NULL THEN 0 ELSE v.c1 END) AS BIGINT) AS first_sum
+        |      FROM p LEFT JOIN v ON p.g = v.g GROUP BY 1)
+        |SELECT doc_id, n_pairs, n_oov,
+        |       n_oov / n_pairs AS oov_ratio,
+        |       big_sum / (CAST(n_pairs AS DOUBLE) * CAST(total_pairs AS DOUBLE)) AS familiarity,
+        |       big_sum / CAST(nullif(first_sum, 0) AS DOUBLE) AS cond_familiarity
         |FROM d, t""".stripMargin,
     "text_chunks" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)

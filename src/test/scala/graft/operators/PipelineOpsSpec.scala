@@ -620,6 +620,23 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
       && out(2L).getDouble(4) == 0.0)
   }
 
+  test("lmScoreBigram: bigram vocab, exact integer accumulators, conditional mass") {
+    // bigram counts: "a b":2, "b a":1, "b c":1, "x y":1 (total 5); top-2
+    // vocab = {"a b", "b a"} (count desc, then lexicographic); unigrams a:2 b:2
+    val d = docs(1L -> "a b a b c", 2L -> "x y", 3L -> "solo")
+    val out = TextAnalysis.lmScoreBigram(d, vocabSize = 2).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(1L, 2L)) // one-word docs have no pairs
+    val r1 = out(1L)
+    assert(r1.getLong(1) == 4 && r1.getLong(2) == 1) // pairs; "b c" is OOV
+    assert(r1.getDouble(3) == 0.25)
+    assert(r1.getDouble(4) == 5.0 / 20.0) // (2+1+2) / (4 pairs x 5 corpus pairs)
+    assert(r1.getDouble(5) == 5.0 / 6.0)  // sum c12 / sum c1(head) over vocab pairs
+    val r2 = out(2L)
+    assert(r2.getLong(2) == 1 && r2.getDouble(3) == 1.0 && r2.getDouble(4) == 0.0)
+    assert(r2.isNullAt(5)) // no in-vocab pair -> null conditional
+  }
+
   test("chunk: stride/overlap windows with provenance; no pure-subset tail chunks") {
     val text = (1 to 10).map(i => s"w$i").mkString(" ")
     val out = TextAnalysis.chunk(docs(1L -> text, 2L -> "solo", 3L -> ((1 to 11).map(i => s"v$i").mkString(" "))),
