@@ -16,7 +16,7 @@ import org.json4s.jackson.JsonMethods
 
 import graft.model.{MetricParser, MetricPoint}
 import graft.planner.{QueryJson, QueryPlanner, TimelyApi}
-import graft.sources.PointStore
+import graft.sources.{MetaSnapshot, PointStore}
 
 /**
  * Thin HTTP facade over the engine's planner — the serving analog of the
@@ -51,7 +51,8 @@ class HttpApi(
     metaDir: String,
     auths: Seq[String] = Seq.empty,
     internal: Option[graft.streaming.InternalMetrics] = None,
-    nowMs: () => Long = () => System.currentTimeMillis()) {
+    nowMs: () => Long = () => System.currentTimeMillis(),
+    metaRefreshMs: Long = 0L) {
 
   private var server: HttpServer = _
 
@@ -67,6 +68,7 @@ class HttpApi(
 
   def stop(): Unit = synchronized {
     if (server != null) { server.stop(0); server = null }
+    metaSnap.close()
   }
 
   // ---- storage ----------------------------------------------------------
@@ -83,11 +85,21 @@ class HttpApi(
     StructField("metric", StringType), StructField("tagk", StringType),
     StructField("tagv", StringType)))
 
-  private def meta: DataFrame =
+  private def metaLoad(): DataFrame =
     if (new java.io.File(metaDir).list() == null ||
         new java.io.File(metaDir).list().isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], metaSchema)
     else spark.read.parquet(metaDir)
+
+  /** Meta-cache analog ([[graft.sources.MetaSnapshot]]): with
+    * `metaRefreshMs > 0` the suggest/lookup/metrics routes serve a persisted
+    * catalog snapshot instead of rescanning parquet per request; puts mark it
+    * dirty so they stay immediately visible (the reference's ingest-side
+    * cache add, DataStore.java:483). */
+  private val metaSnap = new MetaSnapshot(() => metaLoad(), metaRefreshMs, nowMs)
+
+  private def meta: DataFrame =
+    if (metaRefreshMs > 0) metaSnap.frame() else metaLoad()
 
   /** Append a put batch: points partitioned for pruning + meta catalog rows
     * (the reference writes meta keys alongside every metric mutation —
@@ -99,6 +111,7 @@ class HttpApi(
     df.select(col("metric"), explode(col("tags")).as(Seq("tagk", "tagv")))
       .distinct()
       .write.mode("append").parquet(metaDir)
+    metaSnap.markDirty()
     internal.foreach { im =>
       im.incrementMetricsReceived(batch.size.toLong)
     }
