@@ -751,6 +751,24 @@ object Dedup {
       .select("doc_id", "h")
   }
 
+  /** [[bloomProbe]]'s decision as a FLAG instead of a filter: every incoming
+    * row survives with a `dup_hit` column (same [[bloomHit]] predicate, so
+    * flag and filter cannot drift). This is the STREAMING screen shape: a
+    * `readStream` of docs stream-static-joins the prebuilt (cached)
+    * [[bloomBits]] row per micro-batch and routes on the flag — survivors to
+    * the corpus sink, hits to an audit sink — without the non-equi filter
+    * join a streaming plan can't express. Parameters MUST match the build. */
+  def bloomFlag(incoming: DataFrame, bits: DataFrame,
+                hexDigits: Int = 5, k: Int = 4): DataFrame = {
+    require(hexDigits >= 2 && hexDigits <= 7, "hexDigits in 2..7 (256 bits .. 2^28 bits)")
+    require(k >= 1 && k <= 16, "k in 1..16")
+    incoming.select(col("doc_id"), col("text"), md5(col("text")).as("h"))
+      .withColumn("ps", array((0 until k).map(i => bloomPos(i, col("h"), hexDigits)): _*))
+      .crossJoin(broadcast(bits))
+      .select(col("doc_id"), col("text"), col("h"),
+        bloomHit(col("ps"), col("bits")).as("dup_hit"))
+  }
+
   /** Shard key of content hash `h`: the first `shardHexDigits` hex digits of
     * md5("shard:" || h) — salted so shard routing is independent of the
     * position bits (unsalted, shard and position would share md5(i:h) prefix
@@ -816,6 +834,42 @@ object Dedup {
       .join(bits, Seq("shard"))
       .where(bloomHit(col("ps"), col("bits")))
       .select("doc_id", "h")
+  }
+
+  /**
+   * URL-canonicalization dedup — the first pass of every web-crawl curation
+   * pipeline (one page fetched through many URL variants should survive
+   * once): docs sharing a canonical first-URL collapse to the lowest doc_id.
+   * Canonical form = the doc's first extracted URL
+   * ([[TextAnalysis.UrlPattern]] over the lowercased text) with the scheme,
+   * query string, fragment, and trailing slashes stripped — so
+   * `https://example.org/a?utm=x`, `http://example.org/a/` and
+   * `HTTP://EXAMPLE.ORG/a#frag` all key to `example.org/a`. Docs without a
+   * URL key to NULL and keep themselves (dup_count 1).
+   *
+   * Scale: the canonicalization is pure row-wise regexp (codegen, no
+   * shuffle); the group table aggregates on the url_key (naturally
+   * well-distributed — a single hot key means a genuinely hot URL, which the
+   * min/count agg absorbs map-side) and joins back key-to-key. Two shuffles
+   * total, both on url_key; nothing corpus-sized is broadcast.
+   *
+   * @return one row per doc: (doc_id, url_key, keep_doc_id, dup_count)
+   */
+  def urlDedup(docs: DataFrame): DataFrame = {
+    val first = regexp_extract(lower(col("text")), TextAnalysis.UrlPattern, 0)
+    val key = nullif(
+      regexp_replace(
+        regexp_extract(regexp_replace(first, "^https?://", ""), "^[^?#]*", 0),
+        "/+$", ""),
+      lit(""))
+    val keyed = cached(docs.select(col("doc_id"), key.as("url_key")))
+    val groups = keyed.where(col("url_key").isNotNull)
+      .groupBy("url_key")
+      .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("dup_count"))
+    keyed.join(groups, Seq("url_key"), "left")
+      .select(col("doc_id"), col("url_key"),
+        coalesce(col("keep_doc_id"), col("doc_id")).as("keep_doc_id"),
+        coalesce(col("dup_count"), lit(1L)).as("dup_count"))
   }
 
   /**

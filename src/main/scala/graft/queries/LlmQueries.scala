@@ -131,6 +131,9 @@ object LlmQueries {
       val e = emb(s, dir)
       graft.operators.SimilarityIvf.ivfKnnInt8(e, e.where(col("vec_id") < 5), k = 5)
     }),
+    // URL-canonicalization dedup: same canonical first-URL (scheme/query/
+    // fragment/trailing-slash stripped) -> keep the lowest doc_id
+    "dedup_url" -> ((s, dir) => Dedup.urlDedup(docs(s, dir))),
     // SemDeDup-style semantic dedup: IVF-cell blocking (same seeded
     // centroids as embed_ivf_knn), in-cell cosine >= 0.3 against any
     // lower-id member -> drop; keep=1 rows are the dedup survivors
@@ -676,6 +679,20 @@ object LlmQueries {
         |                 ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank
         |  FROM scored)
         |WHERE rank <= 5""".stripMargin,
+    // mirrors Dedup.urlDedup: identical regexp chain (RE2-portable patterns)
+    "dedup_url" ->
+      """WITH k AS (
+        |  SELECT doc_id,
+        |         nullif(regexp_replace(regexp_extract(regexp_replace(
+        |           regexp_extract(lower(text), 'https?://([a-z0-9.-]+)[^ ]*', 0),
+        |           '^https?://', ''), '^[^?#]*', 0), '/+$', ''), '') AS url_key
+        |  FROM documents),
+        |g AS (SELECT url_key, MIN(doc_id) AS keep_doc_id, COUNT(*) AS dup_count
+        |      FROM k WHERE url_key IS NOT NULL GROUP BY 1)
+        |SELECT k.doc_id, k.url_key,
+        |       COALESCE(g.keep_doc_id, k.doc_id) AS keep_doc_id,
+        |       COALESCE(g.dup_count, 1) AS dup_count
+        |FROM k LEFT JOIN g USING (url_key)""".stripMargin,
     // mirrors Dedup.semanticDedup(minCosine=0.3, nLists=16): same seeded
     // centroid pick and max-cosine assignment as the embed_ivf_knn oracle,
     // then in-cell lower-id cosine counting

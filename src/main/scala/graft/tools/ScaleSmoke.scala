@@ -75,6 +75,9 @@ object ScaleSmoke {
     }
     t("vocab top-1000") { graft.operators.TextAnalysis.vocab(docs, 1000).count() }
     t("lmScore (top-4096 vocab)") { graft.operators.TextAnalysis.lmScore(docs, 4096).count() }
+    t("lmScoreBigram (top-4096 bigram vocab)") {
+      graft.operators.TextAnalysis.lmScoreBigram(docs, 4096).count()
+    }
     t("chunk (64-word windows, stride 48)") {
       graft.operators.TextAnalysis.chunk(docs).count()
     }
@@ -143,6 +146,18 @@ object ScaleSmoke {
     t("ivfKnnInt8 (20 queries, int8 lists)") {
       graft.operators.SimilarityIvf.ivfKnnInt8(
         emb, emb.where(col("vec_id") < 20), k = 10, nLists = 64, nProbe = 8).count()
+    }
+    // same clique caveat as embedCosine: identical replicas put an
+    // embReps-clique in one cell, so in-cell pairs grow embReps^2 BY DESIGN —
+    // maxList is the production cap and runs at every tier
+    if (embReps <= 20)
+      t("semanticDedup (64 cells, uncapped; 20x tier only)") {
+        graft.operators.Dedup.semanticDedup(emb, minCosine = 0.999, nLists = 64).count()
+      }
+    else println("SCALE semanticDedup uncapped SKIPPED at embReps>20 (embReps^2-clique cells)")
+    t("semanticDedup capped (64 cells, maxList=2000)") {
+      graft.operators.Dedup.semanticDedup(
+        emb, minCosine = 0.999, nLists = 64, maxList = 2000L).count()
     }
     spark.catalog.clearCache()
     // temporal operators at 20x events (2M rows): both are single-shuffle

@@ -532,6 +532,22 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(out == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 4L))
   }
 
+  test("urlDedup: scheme/query/fragment/trailing-slash variants collapse; no-URL docs keep") {
+    val d = docs(
+      1L -> "see https://example.org/a?utm=x for details",
+      2L -> "also http://example.org/a/ covers it",
+      3L -> "and HTTP://EXAMPLE.ORG/a#frag too",
+      4L -> "different https://example.org/b page",
+      5L -> "no link here at all")
+    val out = Dedup.urlDedup(d).collect()
+      .map(r => r.getLong(0) -> ((Option(r.getString(1)), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((Some("example.org/a"), 1L, 3L)))
+    assert(out(2L) == ((Some("example.org/a"), 1L, 3L)))
+    assert(out(3L) == ((Some("example.org/a"), 1L, 3L)))
+    assert(out(4L) == ((Some("example.org/b"), 4L, 1L)))
+    assert(out(5L) == ((None, 5L, 1L)))
+  }
+
   test("semantic dedup: in-cell near-dups drop to the lowest id, distinct vectors keep") {
     // 0/1 identical, 3 a scaled copy of 0 (cosine 1 -> same cell, dup);
     // 4 orthogonal-ish (keeps). nLists=2 so cells genuinely partition.

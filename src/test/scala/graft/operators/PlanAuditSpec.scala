@@ -229,6 +229,50 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       }.isDefined, s"broadcast side is not an aggregated/bounded frame:\n$b")
   }
 
+  test("lmScoreBigram: only bounded frames broadcast; the pair stream never does") {
+    val d = (0L until 64L).map(i => (i, s"the quick doc $i with words")).toDF("doc_id", "text")
+    val df = TextAnalysis.lmScoreBigram(d, vocabSize = 4)
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val bcasts = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => e
+    }
+    assert(bcasts.nonEmpty)
+    // every broadcast side must bottom out in an aggregation or a top-k cut
+    // (the vocab+unigram join and the 1-row total) — never the raw corpus
+    // pair stream
+    for (b <- bcasts)
+      assert(b.collectFirst {
+        case h: org.apache.spark.sql.execution.aggregate.HashAggregateExec => h
+        case s: org.apache.spark.sql.execution.SortExec => s
+        case t if t.getClass.getSimpleName.contains("TakeOrdered") => t
+      }.isDefined, s"broadcast side is not an aggregated/bounded frame:\n$b")
+  }
+
+  test("semanticDedup: only the driver-built centroids and aggregates broadcast") {
+    val emb = (0L until 32L).map(i => (i, Array.fill(8)(((i * 7 + 3) % 11).toFloat + 1)))
+      .toDF("vec_id", "embedding")
+    val df = Dedup.semanticDedup(emb, minCosine = 0.9, nLists = 4)
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val bcasts = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => e
+    }
+    // legitimate broadcast sides: the <=nLists-row driver-built centroid
+    // frame (an RDD scan by construction) or an aggregated frame (the
+    // near-dup-rate-sized count table under AQE) — never a raw corpus scan
+    for (b <- bcasts)
+      assert(b.collectFirst {
+        case h: org.apache.spark.sql.execution.aggregate.HashAggregateExec => h
+        case h: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => h
+        case r: org.apache.spark.sql.execution.RDDScanExec => r
+      }.isDefined, s"broadcast side is a raw corpus frame:\n$b")
+  }
+
   test("bloomScreen: fixed-size bitset broadcast; the probe side never shuffles") {
     val ex = (0L until 64L).map(i => (i, s"existing doc $i words")).toDF("doc_id", "text")
     val in = (100L until 110L).map(i => (i, s"incoming doc $i words")).toDF("doc_id", "text")

@@ -330,4 +330,34 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     subs.close("s")
     assert(received.size() == 1 && received.peek() == T + 50000)
   }
+
+  test("streaming bloom screen: micro-batches probe one prebuilt history bitset") {
+    import graft.operators.Dedup
+    // history built ONCE (the bloomBits build/probe split's whole point) and
+    // reused by every micro-batch through the stream-static broadcast join
+    val history = Seq((0L, "seen doc alpha"), (1L, "seen doc beta"))
+      .toDF("doc_id", "text")
+    val bits = Dedup.bloomBits(history).cache()
+    val input = MemoryStream[(Long, String)]
+    val screened = Dedup.bloomFlag(
+      input.toDS().toDF("doc_id", "text"), bits)
+    val q = screened.writeStream.format("memory").queryName("bloom_stream").start()
+    input.addData((10L, "seen doc alpha"), (11L, "fresh doc gamma"))
+    q.processAllAvailable()
+    input.addData((12L, "seen doc beta"), (13L, "fresh doc delta"))
+    q.processAllAvailable()
+    val rows = spark.table("bloom_stream")
+      .select("doc_id", "dup_hit").as[(Long, Boolean)].collect().toMap
+    q.stop()
+    // no false negatives across batches; the fresh docs pass (this fixture
+    // has no FP collision — pinned by the equality spec in PipelineOpsSpec)
+    assert(rows == Map(10L -> true, 11L -> false, 12L -> true, 13L -> false))
+    // flag and filter share one predicate: hits == bloomProbe's row set
+    val hits = Dedup.bloomProbe(
+      Seq((10L, "seen doc alpha"), (11L, "fresh doc gamma"),
+        (12L, "seen doc beta"), (13L, "fresh doc delta")).toDF("doc_id", "text"),
+      bits).select("doc_id").as[Long].collect().toSet
+    assert(hits == rows.filter(_._2).keySet)
+    bits.unpersist()
+  }
 }
