@@ -507,4 +507,63 @@ object TextAnalysis {
         (col("big_sum") / nullif(col("first_sum"), lit(0L)).cast("double"))
           .as("cond_familiarity"))
   }
+
+  /**
+   * Distributed BPE-merge training (Sennrich et al. 2016, "Neural machine
+   * translation of rare words with subword units") — learn the first `iters`
+   * merge rules of a byte-pair-encoding tokenizer from the corpus itself:
+   * words become code-point symbol sequences ending in `</w>`; each round
+   * counts adjacent symbol pairs weighted by word frequency, merges the most
+   * frequent pair (ties to the lexicographically smallest — deterministic),
+   * and rewrites the vocabulary. Returns the merge table
+   * (iter, pair, cnt) — the trained artifact a tokenizer applies.
+   *
+   * Merge application is pure string algebra (no per-word loop): symbols are
+   * space-joined, gaps doubled, and `replace(" a  b ", " ab ")` rewrites all
+   * non-overlapping occurrences LEFTMOST-FIRST — exactly BPE's merge order —
+   * because doubling gives adjacent occurrences their own flanking spaces
+   * (" a  b  a  b " contains the pattern twice; single-spaced it would not).
+   * Both engines' `replace` is plain leftmost non-overlapping substring
+   * replacement, so the SQL oracle replays training bit-for-bit.
+   *
+   * Scale: ONE corpus pass builds the word-frequency table; all `iters`
+   * rounds run at distinct-word scale (exactly how production BPE trainers
+   * decompose the problem). Each round is a pair-count aggregate on
+   * well-distributed keys, a `limit(1)` top cut (`TakeOrderedAndProject`,
+   * per-partition heaps), and a 1-row broadcast rewrite; each round's
+   * vocabulary is cached so round i+1 never replays rounds 1..i.
+   */
+  def bpeTrain(docs: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 8, "iters in 1..8 (each round is a vocab pass)")
+    def rep(c: Column, find: Column, to: Column): Column =
+      call_function("replace", c, find, to)
+    // (?s). = one code POINT per match (a split on "" would shear surrogate
+    // pairs into halves and diverge from the oracle's code-point split)
+    var cur = docs.select(explode(words(col("text"))).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(concat(concat_ws(" ", regexp_extract_all(col("w"), lit("(?s)."), lit(0))),
+        lit(" </w>")).as("sym"), col("freq"))
+      .cache()
+    val merges = Seq.newBuilder[DataFrame]
+    for (i <- 1 to iters) {
+      val sy = split(col("sym"), " ")
+      val n = size(sy)
+      val pairs = cur.where(n >= 2)
+        .select(col("freq"),
+          explode(arrays_zip(slice(sy, lit(1), n - 1), slice(sy, lit(2), n - 1))).as("z"))
+        .groupBy(concat_ws(" ", col("z.0"), col("z.1")).as("p"))
+        .agg(sum("freq").as("cnt"))
+      val top = pairs.orderBy(col("cnt").desc, col("p")).limit(1)
+      merges += top.select(lit(i).cast("long").as("iter"), col("p").as("pair"), col("cnt"))
+      cur = cur.crossJoin(broadcast(top.select("p")))
+        .select(trim(rep(
+          rep(concat(lit(" "), rep(col("sym"), lit(" "), lit("  ")), lit(" ")),
+            concat(lit(" "), rep(col("p"), lit(" "), lit("  ")), lit(" ")),
+            concat(lit(" "), rep(col("p"), lit(" "), lit("")), lit(" "))),
+          lit("  "), lit(" "))).as("sym"), col("freq"))
+        .cache()
+    }
+    merges.result().reduce(_.union(_))
+  }
 }

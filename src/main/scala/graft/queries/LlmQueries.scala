@@ -190,6 +190,9 @@ object LlmQueries {
     // bigram-LM scoring: corpus top-256 bigram vocab; per doc the explained
     // pair mass + the aggregate conditional Σc(w1w2)/Σc(w1) over vocab pairs
     "text_lm_score_bigram" -> ((s, dir) => TextAnalysis.lmScoreBigram(docs(s, dir))),
+    // BPE tokenizer training: the corpus' first 3 merge rules (frequency-
+    // weighted pair counts at distinct-word scale, deterministic ties)
+    "text_bpe_train" -> ((s, dir) => TextAnalysis.bpeTrain(docs(s, dir), iters = 3)),
     // RAG-style chunking: 64-word windows every 48 words, with provenance
     "text_chunks" -> ((s, dir) => TextAnalysis.chunk(docs(s, dir))),
     // Gopher-style heuristic rule flags + keep decision (auditable filter)
@@ -223,6 +226,32 @@ object LlmQueries {
   // ---------------------------------------------------------------------------
   // DuckDB oracles. Shared fragments keep the two engines' expressions aligned.
   // ---------------------------------------------------------------------------
+
+  /** Unrolled DuckDB replay of [[TextAnalysis.bpeTrain]]: one (pair-count,
+    * top-1, rewrite) CTE triple per round over the word-frequency table. */
+  private def bpeOracleSql(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      val prev = s"w${i - 1}"
+      s"""p$i AS (SELECT ws[j] || ' ' || ws[j+1] AS p, CAST(SUM(freq) AS BIGINT) AS cnt
+         |      FROM (SELECT string_split(sym, ' ') AS ws, freq FROM $prev),
+         |           LATERAL (SELECT UNNEST(range(1, len(ws))) AS j) t
+         |      GROUP BY 1),
+         |t$i AS (SELECT p, cnt FROM p$i ORDER BY cnt DESC, p LIMIT 1),
+         |w$i AS (SELECT trim(replace(replace(' ' || replace($prev.sym, ' ', '  ') || ' ',
+         |        ' ' || replace(t$i.p, ' ', '  ') || ' ',
+         |        ' ' || replace(t$i.p, ' ', '') || ' '), '  ', ' ')) AS sym, freq
+         |      FROM $prev, t$i)""".stripMargin
+    }
+    val selects = (1 to iters)
+      .map(i => s"SELECT CAST($i AS BIGINT) AS iter, p AS pair, cnt FROM t$i")
+    s"""WITH w0 AS (
+       |  SELECT array_to_string(string_split(word, ''), ' ') || ' </w>' AS sym,
+       |         CAST(COUNT(*) AS BIGINT) AS freq
+       |  FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE length(word) > 0 GROUP BY 1),
+       |${rounds.mkString(",\n")}
+       |${selects.mkString("\nUNION ALL ")}""".stripMargin
+  }
 
   private val Shingles =
     """SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s
@@ -679,6 +708,10 @@ object LlmQueries {
         |                 ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank
         |  FROM scored)
         |WHERE rank <= 5""".stripMargin,
+    // mirrors TextAnalysis.bpeTrain(iters=3) round for round: same
+    // code-point symbolization, frequency-weighted pair counts, (cnt desc, p)
+    // tie-break, and the doubled-gap leftmost replace rewrite
+    "text_bpe_train" -> bpeOracleSql(3),
     // mirrors Dedup.urlDedup: identical regexp chain (RE2-portable patterns)
     "dedup_url" ->
       """WITH k AS (

@@ -653,6 +653,22 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(r2.isNullAt(5)) // no in-vocab pair -> null conditional
   }
 
+  test("bpeTrain: frequency-weighted merges, deterministic ties, leftmost rewrite") {
+    // word freqs: low:3 lower:2 newest:1. Round 1: "l o" and "o w" tie at 5,
+    // lexicographic -> "l o". Round 2: "lo w" 5. Round 3: "low </w>" 3.
+    val d = docs(1L -> "low low low", 2L -> "lower lower", 3L -> "newest")
+    val out = TextAnalysis.bpeTrain(d, iters = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(out.toSeq == Seq((1L, "l o", 5L), (2L, "lo w", 5L), (3L, "low </w>", 3L)))
+    // consecutive-occurrence rewrite: pair (a,a) over "a a a a </w>" must
+    // merge leftmost-first into "aa aa </w>" (the doubled-gap replace
+    // contract) — proven by round 2 seeing pairs {"aa aa", "aa </w>"}, tie
+    // at 2, '<' sorting before 'a'
+    val rep = TextAnalysis.bpeTrain(docs(1L -> "aaaa aaaa"), iters = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(rep.toSeq == Seq((1L, "a a", 6L), (2L, "aa </w>", 2L)))
+  }
+
   test("chunk: stride/overlap windows with provenance; no pure-subset tail chunks") {
     val text = (1 to 10).map(i => s"w$i").mkString(" ")
     val out = TextAnalysis.chunk(docs(1L -> text, 2L -> "solo", 3L -> ((1 to 11).map(i => s"v$i").mkString(" "))),
