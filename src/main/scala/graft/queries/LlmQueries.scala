@@ -140,6 +140,14 @@ object LlmQueries {
     "dedup_semantic" -> ((s, dir) =>
       Dedup.semanticDedup(emb(s, dir), minCosine = 0.3, nLists = 16)),
     "multimodal_decode" -> ((s, dir) => Multimodal.stubDecode(Multimodal.asMediaTable(docs(s, dir)))),
+    // aspect-preserving metadata resize over the decoded table (the real
+    // pixel op rides the same per-partition decode pass)
+    "multimodal_resize" -> ((s, dir) =>
+      Multimodal.resizeMeta(Multimodal.stubDecode(Multimodal.asMediaTable(docs(s, dir))), maxDim = 128)),
+    // frame sampling for the video rows: every 5th frame index, frame count
+    // stub-derived from payload size
+    "multimodal_framesample" -> ((s, dir) =>
+      Multimodal.frameSample(Multimodal.stubDecode(Multimodal.asMediaTable(docs(s, dir))), everyN = 5)),
     // same metadata through the per-partition (real-codec-shaped) decode path
     "multimodal_decode_partitioned" -> ((s, dir) =>
       Multimodal.decodePartitioned(Multimodal.asMediaTable(docs(s, dir))).toDF()),
@@ -803,6 +811,33 @@ object LlmQueries {
         |       64 + 16 * (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1) AS height,
         |       1 + (strpos('0123456789abcdef', substr(md5(text), 3, 1)) - 1) % 3 AS channels
         |FROM documents""".stripMargin,
+    // decode CTE + integer-math resize; FLOOR matches Spark's toward-zero
+    // int cast (dimensions are non-negative)
+    "multimodal_resize" ->
+      """WITH d AS (
+        |  SELECT doc_id AS media_id,
+        |         ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+        |         octet_length(encode(text)) AS byte_len,
+        |         64 + 16 * (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) AS width,
+        |         64 + 16 * (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1) AS height,
+        |         1 + (strpos('0123456789abcdef', substr(md5(text), 3, 1)) - 1) % 3 AS channels
+        |  FROM documents)
+        |SELECT media_id, media_type, byte_len, width, height, channels,
+        |       CAST(FLOOR(width * 128.0 / GREATEST(width, height, 128)) AS INT) AS out_width,
+        |       CAST(FLOOR(height * 128.0 / GREATEST(width, height, 128)) AS INT) AS out_height
+        |FROM d""".stripMargin,
+    // video rows only; frame count = max(1, floor(byte_len/64)); every 5th
+    "multimodal_framesample" ->
+      """WITH d AS (
+        |  SELECT doc_id AS media_id,
+        |         ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+        |         octet_length(encode(text)) AS byte_len
+        |  FROM documents),
+        |v AS (SELECT media_id,
+        |             GREATEST(1, CAST(FLOOR(byte_len / 64.0) AS INT)) AS n_frames
+        |      FROM d WHERE media_type = 'video')
+        |SELECT media_id, CAST(UNNEST(range(0, n_frames, 5)) AS INT) AS frame_idx
+        |FROM v""".stripMargin,
     "dedup_passages" ->
       """WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |chunks AS (
