@@ -340,6 +340,59 @@ object Curation {
     *
     * Docs longer than `ctxLen` simply span packs (the standard concat-and-
     * chunk regime: no padding, documents cross pack boundaries). */
+  /**
+   * DSIR-style importance weighting (Xie et al. 2023, "Data selection for
+   * language models via importance resampling"): score each RAW doc by how
+   * much more the TARGET distribution explains its word mass than the raw
+   * distribution does, restricted to the target's top-`vocabSize` words (the
+   * analog of DSIR's hashed feature space — a bounded feature set so the
+   * model tables broadcast). Per doc, with exact LONG masses
+   * `t_mass` = Σ c_target(w) and `r_mass` = Σ c_raw(w) over in-vocab words:
+   *
+   *   importance = (t_mass / (n × total_t)) / (r_mass / (n × total_r))
+   *              = (t_mass × total_r) / (r_mass × total_t)
+   *
+   * — the ratio of the two models' average explained probability, one double
+   * division of exact integer products (no order-dependent double folds, no
+   * logs; same determinism scheme as [[TextAnalysis.lmScore]]). Docs whose
+   * in-vocab raw mass is zero get NULL (no evidence under either model).
+   * Resampling = rank or threshold on `importance` downstream.
+   *
+   * Scale: both count tables aggregate distinct-word-sized; the vocab joins
+   * its raw counts at vocabSize rows BEFORE broadcasting, so the corpus word
+   * stream only ever joins the broadcast feature table — never a shuffle on
+   * the (head-word-skewed) word key. Two corpus passes (count, probe).
+   */
+  def importanceWeights(raw: DataFrame, target: DataFrame, vocabSize: Int = 256): DataFrame = {
+    def explodeWords(df: DataFrame) =
+      df.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val tWords = explodeWords(target)
+    val rWords = explodeWords(raw)
+    val tCounts = tWords.groupBy("word").agg(count(lit(1)).as("t_count"))
+    val tc =
+      if (tCounts.storageLevel == org.apache.spark.storage.StorageLevel.NONE) tCounts.cache()
+      else tCounts
+    val rCounts = rWords.groupBy("word").agg(count(lit(1)).as("r_count"))
+    val top = tc.orderBy(col("t_count").desc, col("word")).limit(vocabSize)
+      .join(rCounts, Seq("word"), "left")
+      .select(col("word"), col("t_count"), coalesce(col("r_count"), lit(0L)).as("r_count"))
+    val totals = tc.agg(sum("t_count").as("total_t"))
+      .crossJoin(rWords.agg(count(lit(1)).as("total_r")))
+    rWords.join(broadcast(top), Seq("word"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(coalesce(col("t_count"), lit(0L))).as("t_mass"),
+        sum(coalesce(col("r_count"), lit(0L))).as("r_mass"))
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("n_words"), col("t_mass"), col("r_mass"),
+        // doubles only in the final division of exact-integer products (the
+        // products stay < 2^53 at gate scale; at 100 TB the double rounding
+        // is the documented lmScore trade)
+        ((col("t_mass").cast("double") * col("total_r").cast("double"))
+          / (nullif(col("r_mass"), lit(0L)).cast("double") * col("total_t").cast("double")))
+          .as("importance"))
+  }
+
   def packSequences(docs: DataFrame, ctxLen: Long = 2048L, nShards: Int = 8): DataFrame = {
     require(ctxLen >= 1L && nShards >= 1, "ctxLen and nShards must be positive")
     val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))

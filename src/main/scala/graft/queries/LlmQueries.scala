@@ -164,6 +164,13 @@ object LlmQueries {
     // reassembled (drop-all-occurrences variant, like dedup_passages)
     "dedup_substring_strip" -> ((s, dir) =>
       Dedup.stripSubstringSpans(docs(s, dir), k = 10, minCount = 2L)),
+    // DSIR-style importance weights: every-10th docs are the target
+    // distribution, the rest are raw; top-256 target-word feature space
+    "curate_importance" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.operators.Curation.importanceWeights(
+        d.where(col("doc_id") % 10 =!= 0), d.where(col("doc_id") % 10 === 0))
+    }),
     // deterministic hash train/val/test split (205/26/25 of 256)
     "curate_split" -> ((s, dir) =>
       graft.operators.Curation.splitAssign(docs(s, dir)).select("doc_id", "split")),
@@ -716,6 +723,28 @@ object LlmQueries {
         |                 ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank
         |  FROM scored)
         |WHERE rank <= 5""".stripMargin,
+    // mirrors Curation.importanceWeights: target = every-10th docs, raw =
+    // rest; same top-256 feature cut, LONG masses, final exact division
+    "curate_importance" ->
+      """WITH tw AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS word
+        |           FROM documents WHERE doc_id % 10 = 0),
+        |rw AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS word
+        |       FROM documents WHERE doc_id % 10 != 0),
+        |tc AS (SELECT word, COUNT(*) AS t_count FROM tw GROUP BY 1),
+        |rc AS (SELECT word, COUNT(*) AS r_count FROM rw GROUP BY 1),
+        |v AS (SELECT b.word, b.t_count, COALESCE(rc.r_count, 0) AS r_count
+        |      FROM (SELECT word, t_count FROM tc ORDER BY t_count DESC, word LIMIT 256) b
+        |      LEFT JOIN rc USING (word)),
+        |tot AS (SELECT CAST((SELECT SUM(t_count) FROM tc) AS BIGINT) AS total_t,
+        |               CAST((SELECT COUNT(*) FROM rw) AS BIGINT) AS total_r),
+        |d AS (SELECT rw.doc_id, COUNT(*) AS n_words,
+        |             CAST(SUM(COALESCE(v.t_count, 0)) AS BIGINT) AS t_mass,
+        |             CAST(SUM(COALESCE(v.r_count, 0)) AS BIGINT) AS r_mass
+        |      FROM rw LEFT JOIN v USING (word) GROUP BY 1)
+        |SELECT doc_id, n_words, t_mass, r_mass,
+        |       (CAST(t_mass AS DOUBLE) * total_r)
+        |         / (CAST(nullif(r_mass, 0) AS DOUBLE) * total_t) AS importance
+        |FROM d, tot""".stripMargin,
     // mirrors TextAnalysis.bpeTrain(iters=3) round for round: same
     // code-point symbolization, frequency-weighted pair counts, (cnt desc, p)
     // tie-break, and the doubled-gap leftmost replace rewrite

@@ -653,6 +653,24 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(r2.isNullAt(5)) // no in-vocab pair -> null conditional
   }
 
+  test("importanceWeights: exact masses, target/raw ratio, null on zero raw evidence") {
+    // target: {cat:2, dog:1} total_t=3; raw words: {cat:3, dog:1, zz:1, qq:1}
+    // total_r=6. Vocab(top-2 by target count) = {cat, dog}.
+    val target = docs(100L -> "cat cat dog")
+    val raw = docs(1L -> "cat cat cat", 2L -> "dog zz qq")
+    val out = Curation.importanceWeights(raw, target, vocabSize = 2).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L) // t_mass 2*3=6, r_mass 3*3=9 -> (6*6)/(9*3) = 4/3
+    assert(r1.getLong(1) == 3 && r1.getLong(2) == 6 && r1.getLong(3) == 9)
+    assert(r1.getDouble(4) == 36.0 / 27.0)
+    val r2 = out(2L) // dog in vocab (t=1, r=1); zz/qq OOV -> (1*6)/(1*3) = 2
+    assert(r2.getLong(2) == 1 && r2.getLong(3) == 1 && r2.getDouble(4) == 2.0)
+    // a raw doc with zero in-vocab mass has no evidence under either model
+    val r3 = Curation.importanceWeights(docs(3L -> "xx yy"), target, vocabSize = 2)
+      .collect().head
+    assert(r3.getLong(2) == 0 && r3.getLong(3) == 0 && r3.isNullAt(4))
+  }
+
   test("bpeTrain: frequency-weighted merges, deterministic ties, leftmost rewrite") {
     // word freqs: low:3 lower:2 newest:1. Round 1: "l o" and "o w" tie at 5,
     // lexicographic -> "l o". Round 2: "lo w" 5. Round 3: "low </w>" 3.
