@@ -368,16 +368,15 @@ object Curation {
       df.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
     val tWords = explodeWords(target)
     val rWords = explodeWords(raw)
-    val tCounts = tWords.groupBy("word").agg(count(lit(1)).as("t_count"))
-    val tc =
-      if (tCounts.storageLevel == org.apache.spark.storage.StorageLevel.NONE) tCounts.cache()
-      else tCounts
-    val rCounts = rWords.groupBy("word").agg(count(lit(1)).as("r_count"))
+    val tc = Frames.cached(tWords.groupBy("word").agg(count(lit(1)).as("t_count")))
+    val rCounts = Frames.cached(rWords.groupBy("word").agg(count(lit(1)).as("r_count")))
     val top = tc.orderBy(col("t_count").desc, col("word")).limit(vocabSize)
       .join(rCounts, Seq("word"), "left")
       .select(col("word"), col("t_count"), coalesce(col("r_count"), lit(0L)).as("r_count"))
+    // total_r from the distinct-word count table, NOT a second corpus
+    // explode — keeps the raw side at exactly two passes (count, probe)
     val totals = tc.agg(sum("t_count").as("total_t"))
-      .crossJoin(rWords.agg(count(lit(1)).as("total_r")))
+      .crossJoin(rCounts.agg(sum("r_count").as("total_r")))
     rWords.join(broadcast(top), Seq("word"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"),

@@ -21,16 +21,11 @@ import org.apache.spark.sql.functions._
  */
 object Dedup {
 
-  /** Idempotent cache: several operators here share sub-frames (signatures,
-    * scored pairs) across calls in one session, so the same logical plan can
-    * reach a cache() site twice (e.g. `simhashPairs` at two thresholds, or
-    * `ngramJaccard` feeding both the pair gate and `clusters`). Caching an
-    * already-cached plan is a no-op that still logs a CacheManager warning
-    * per call — check first. Entries are MEMORY_AND_DISK and LRU-evicted
-    * under pressure; a long-lived session cycling corpora releases them with
-    * `spark.catalog.clearCache()`. */
-  private def cached(df: DataFrame): DataFrame =
-    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.cache() else df
+  /** Idempotent cache (see [[Frames.cached]]): sub-frames here (signatures,
+    * scored pairs) are shared across calls in one session — e.g.
+    * `simhashPairs` at two thresholds, or `ngramJaccard` feeding both the
+    * pair gate and `clusters`. */
+  private def cached(df: DataFrame): DataFrame = Frames.cached(df)
 
   /** Exact dedup: group by content hash, keep min doc_id as representative. */
   def exact(docs: DataFrame): DataFrame =

@@ -429,9 +429,7 @@ object TextAnalysis {
     // MEMORY_AND_DISK, LRU-evicted under pressure. The probe join below is
     // the second (and last) corpus pass — the minimum for corpus-derived
     // vocab.
-    val wc = words.groupBy("word").agg(count(lit(1)).as("w_count"))
-    val wordCounts =
-      if (wc.storageLevel == org.apache.spark.storage.StorageLevel.NONE) wc.cache() else wc
+    val wordCounts = Frames.cached(words.groupBy("word").agg(count(lit(1)).as("w_count")))
     val top = wordCounts.orderBy(col("w_count").desc, col("word")).limit(vocabSize)
     val total = wordCounts.agg(sum("w_count").as("total_words"))
     words.join(broadcast(top), Seq("word"), "left")
@@ -484,9 +482,7 @@ object TextAnalysis {
       .select(col("doc_id"), concat_ws(" ", col("z.0"), col("z.1")).as("g"))
     val uni = docs.select(explode(words(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("c1"))
-    val bc = pairs.groupBy("g").agg(count(lit(1)).as("c12"))
-    val bcnt =
-      if (bc.storageLevel == org.apache.spark.storage.StorageLevel.NONE) bc.cache() else bc
+    val bcnt = Frames.cached(pairs.groupBy("g").agg(count(lit(1)).as("c12")))
     val top = bcnt.orderBy(col("c12").desc, col("g")).limit(vocabSize)
       .withColumn("w1", split(col("g"), " ").getItem(0))
       .join(uni.withColumnRenamed("word", "w1"), Seq("w1"))

@@ -195,9 +195,12 @@ object QueryJson {
    * (json4s compact style: no whitespace; series ordered by
    * `(metric, tags.toSeq.sorted.mkString(","))` exactly as before —
    * the Spark-side sort key below reproduces that string). Boundary
-   * detection compares the actual tag MAP, so a pathological sort-key
-   * collision (tag text containing '(' / ',') can only split — never
-   * merge — groups.
+   * detection compares the actual tag MAP, and the sorted entries array
+   * rides as a SECONDARY sort key: two distinct maps whose rendered keys
+   * collide (tag text containing '(' / ',') still sort contiguously per
+   * map instead of interleaving by timestamp — without it, an A,B,A
+   * alternation would emit the same series object twice with its dps
+   * split, and a client keying responses by tags would drop datapoints.
    */
   def writeResponses(planned: Seq[DataFrame], out: java.io.Writer): Long = {
     import org.apache.spark.sql.functions._
@@ -215,7 +218,8 @@ object QueryJson {
         .select(col("metric"), col("group_tags"), col("aggregated_tags"),
           col("ts_out"), col("value"))
         .withColumn("_sk", skey)
-        .orderBy(col("metric"), col("_sk"), col("ts_out"))
+        .orderBy(col("metric"), col("_sk"),
+          sort_array(map_entries(col("group_tags"))), col("ts_out"))
         .toLocalIterator()
       var cur: (String, Map[String, String]) = null
       var firstDp = true

@@ -55,12 +55,14 @@ class HttpApi(
     metaRefreshMs: Long = 0L) {
 
   private var server: HttpServer = _
+  private var pool: java.util.concurrent.ExecutorService = _
 
   /** Bind and start; `port` 0 picks an ephemeral port. Returns the bound port. */
   def start(port: Int = 0): Int = synchronized {
     require(server == null, "already started")
     server = HttpServer.create(new InetSocketAddress(port), 0)
-    server.setExecutor(Executors.newFixedThreadPool(4))
+    pool = Executors.newFixedThreadPool(4)
+    server.setExecutor(pool)
     server.createContext("/", (ex: HttpExchange) => route(ex))
     server.start()
     server.getAddress.getPort
@@ -68,6 +70,9 @@ class HttpApi(
 
   def stop(): Unit = synchronized {
     if (server != null) { server.stop(0); server = null }
+    // HttpServer.stop does NOT shut down a user-supplied executor — without
+    // this the 4 non-daemon pool threads outlive every server lifecycle
+    if (pool != null) { pool.shutdown(); pool = null }
     metaSnap.close()
   }
 
@@ -108,9 +113,7 @@ class HttpApi(
     import spark.implicits._
     val df = batch.toDF()
     PointStore.write(df, dataDir)
-    df.select(col("metric"), explode(col("tags")).as(Seq("tagk", "tagv")))
-      .distinct()
-      .write.mode("append").parquet(metaDir)
+    PointStore.metaProjection(df).write.mode("append").parquet(metaDir)
     metaSnap.markDirty()
     internal.foreach { im =>
       im.incrementMetricsReceived(batch.size.toLong)
@@ -158,6 +161,11 @@ class HttpApi(
       }.toMap
       case _ => Map.empty[String, String]
     }
+    // line-protocol parity: MetricParser requires >= 1 tag, and a tag-less
+    // point would write no meta rows — permanently unqueryable data (every
+    // query 400s on "No matching tags"). Reject at the door instead.
+    if ((tags - MetricPoint.VisibilityTag).isEmpty)
+      throw new IllegalArgumentException("at least one tag required")
     MetricPoint(name, ts, measure,
       tags - MetricPoint.VisibilityTag, tags.get(MetricPoint.VisibilityTag))
   }
@@ -239,10 +247,15 @@ class HttpApi(
           val pts = points
           req.queries.foreach(q => TimelyApi.requireMatchingTags(meta, q))
           val t0 = System.currentTimeMillis()
+          // plan BEFORE the 200 goes out: plan-time validation (bad
+          // downsample/aggregator/tag regex) must still 400, and headers
+          // cannot be unsent — only execution errors after this line fall
+          // through to a truncated chunked body
+          val frames = QueryPlanner.plan(pts, req, auths)
           ex.getResponseHeaders.set("Content-Type", "application/json")
           ex.sendResponseHeaders(200, 0) // chunked
           val w = new OutputStreamWriter(ex.getResponseBody, UTF_8)
-          val n = QueryJson.writeResponses(QueryPlanner.plan(pts, req, auths), w)
+          val n = QueryJson.writeResponses(frames, w)
           w.flush(); w.close()
           internal.foreach(_.addQueryResponse(n, System.currentTimeMillis() - t0))
         case _ =>
@@ -261,8 +274,15 @@ class HttpApi(
   private def respond(ex: HttpExchange, status: Int, content: String,
       contentType: String = "application/json"): Unit = {
     val bytes = content.getBytes(UTF_8)
-    ex.getResponseHeaders.set("Content-Type", contentType)
-    ex.sendResponseHeaders(status, if (bytes.isEmpty) -1 else bytes.length)
-    if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+    try {
+      ex.getResponseHeaders.set("Content-Type", contentType)
+      ex.sendResponseHeaders(status, if (bytes.isEmpty) -1 else bytes.length)
+      if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+    } catch {
+      // headers already sent (an error mid-chunked-stream): nothing more can
+      // be signalled in-band — closing the exchange truncates the chunked
+      // body, which IS the client-visible error
+      case _: IllegalStateException | _: java.io.IOException => ()
+    }
   }
 }

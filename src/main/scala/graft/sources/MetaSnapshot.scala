@@ -10,12 +10,20 @@ import org.apache.spark.storage.StorageLevel
  * added straight from the ingest path, `DataStore.java:483`). A suggest /
  * lookup / metrics-report load at serving QPS must not rescan the catalog per
  * request: [[frame]] serves one persisted, pre-materialized DataFrame and
- * reloads only when `refreshMs` has elapsed since the last load (lazy,
- * clock-injectable — no scheduler thread to leak, unlike the reference's
- * `ScheduledExecutorService`) or after [[markDirty]] (the ingest-side `addAll`
- * analog, so a put is visible to the next suggest immediately). Expiration of
- * stale entries is [[PointStore.metaAgeOff]]'s job — the catalog invariant
- * lives in storage, not in this cache.
+ * reloads it lazily (clock-injectable — no scheduler thread to leak, unlike
+ * the reference's `ScheduledExecutorService`).
+ *
+ * Refresh semantics, two-tier:
+ *  - [[markDirty]] (the ingest-side `addAll` analog): the next [[frame]]
+ *    BLOCKS for fresh data, so a put is visible to the very next suggest —
+ *    the visibility guarantee the HTTP spec pins.
+ *  - age (`refreshMs` elapsed): the triggering request reloads while every
+ *    CONCURRENT request keeps serving the old snapshot (stale-while-
+ *    revalidate) — the catalog rescan never stalls the serving pool the way
+ *    a single coarse lock would.
+ * A dirty mark that lands DURING a reload survives it (generation counter),
+ * so a put can never be masked by an in-flight refresh that started before
+ * its meta rows were written.
  *
  * `refreshMs = 0` degenerates to reload-per-access (caching off); the
  * reference's `cacheRefreshMinutes = -1` default likewise ships with the
@@ -31,33 +39,55 @@ final class MetaSnapshot(
     refreshMs: Long,
     clock: () => Long = () => System.currentTimeMillis()) {
 
+  private val lock = new Object
   private var snap: DataFrame = _
   private var loadedAt = 0L
   private var dirty = true
+  private var loading = false
+  private var gen = 0L
 
-  /** Ingest-path invalidation: the next [[frame]] reloads regardless of age
-    * (the reference adds ingested meta to the live cache, DataStore.java:483;
-    * re-reading the just-appended catalog is the storage-backed equivalent). */
-  def markDirty(): Unit = synchronized { dirty = true }
+  /** Ingest-path invalidation: the next [[frame]] blocks for a reload
+    * regardless of age (the reference adds ingested meta to the live cache,
+    * DataStore.java:483; re-reading the just-appended catalog is the
+    * storage-backed equivalent). */
+  def markDirty(): Unit = lock.synchronized { gen += 1; dirty = true }
 
-  /** The current snapshot, reloading first if dirty or older than
-    * `refreshMs`. Thread-safe; the returned frame is immutable (a reload
-    * swaps in a NEW frame, it never mutates a served one). */
-  def frame(): DataFrame = synchronized {
-    val now = clock()
-    if (snap == null || dirty || now - loadedAt >= refreshMs) {
-      val fresh = load().persist(StorageLevel.MEMORY_AND_DISK)
-      fresh.count() // materialize: request threads never pay the scan
-      if (snap != null) snap.unpersist(blocking = false)
-      snap = fresh
-      loadedAt = now
-      dirty = false
+  /** The current snapshot. Fresh-enough → served as-is; dirty/missing → the
+    * caller blocks for a reload; merely aged → one caller reloads while the
+    * rest keep the old frame. Served frames are immutable (a reload swaps in
+    * a NEW frame, it never mutates one being read). */
+  def frame(): DataFrame = {
+    var result: DataFrame = null
+    while (result == null) {
+      val claimed: Option[Long] = lock.synchronized {
+        val now = clock()
+        if (snap != null && !dirty && now - loadedAt < refreshMs) {
+          result = snap; None
+        } else if (loading) {
+          if (snap != null && !dirty) { result = snap; None } // aged: serve stale
+          else { lock.wait(); None } // dirty/empty: wait for the loader, re-check
+        } else { loading = true; Some(gen) }
+      }
+      claimed.foreach(g => result = reload(g))
     }
-    snap
+    result
   }
 
+  private def reload(startGen: Long): DataFrame =
+    try {
+      val fresh = load().persist(StorageLevel.MEMORY_AND_DISK)
+      fresh.count() // materialize: request threads never pay the scan
+      lock.synchronized {
+        if (snap != null) snap.unpersist(blocking = false)
+        snap = fresh
+        loadedAt = clock()
+        dirty = gen != startGen // a markDirty during the load stays dirty
+      }
+      fresh
+    } finally lock.synchronized { loading = false; lock.notifyAll() }
+
   /** Release the cached snapshot (server shutdown). */
-  def close(): Unit = synchronized {
+  def close(): Unit = lock.synchronized {
     if (snap != null) { snap.unpersist(blocking = false); snap = null; dirty = true }
   }
 }

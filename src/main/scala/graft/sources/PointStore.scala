@@ -44,12 +44,17 @@ object PointStore {
       .sortBy("metric", "ts")
       .saveAsTable(table)
 
-  /** Derive/refresh the meta catalog (reference meta table, Meta.java:55-67). */
-  def writeMeta(points: DataFrame, metaDir: String): Unit =
+  /** The ONE points -> (metric, tagk, tagv) catalog projection (reference
+    * meta table, Meta.java:55-67) — shared by the batch rebuild and the HTTP
+    * ingest append so the two paths cannot drift. */
+  def metaProjection(points: DataFrame): DataFrame =
     points
       .select(col("metric"), explode(col("tags")).as(Seq("tagk", "tagv")))
       .distinct()
-      .write.mode(SaveMode.Overwrite).parquet(metaDir)
+
+  /** Derive/refresh the meta catalog. */
+  def writeMeta(points: DataFrame, metaDir: String): Unit =
+    metaProjection(points).write.mode(SaveMode.Overwrite).parquet(metaDir)
 
   /**
    * Retention / age-off — the reference's MetricAgeOffIterator + tablet-drop

@@ -155,6 +155,25 @@ class QueryPlannerSpec extends AnyFunSuite with SparkSpec {
       s"response assembly sort is not range-partitioned:\n$planStr")
   }
 
+  test("sort-key collision between distinct tag maps still yields one object per series") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    // {a: "b,c"} and {"a,b": "c"} both render the sort key "(a,b,c)";
+    // interleaved timestamps must NOT split series objects (the entries
+    // array is the secondary sort key)
+    val rows = Seq(
+      ("m", Map("a" -> "b,c"), Seq.empty[String], T, 1.0),
+      ("m", Map("a,b" -> "c"), Seq.empty[String], T + 1, 2.0),
+      ("m", Map("a" -> "b,c"), Seq.empty[String], T + 2, 3.0))
+      .toDF("metric", "group_tags", "aggregated_tags", "ts_out", "value")
+    val sw = new java.io.StringWriter()
+    val n = QueryJson.writeResponses(Seq(rows), sw)
+    assert(n == 2, s"expected one object per distinct map:\n${sw.toString}")
+    val arr = JsonMethods.parse(sw.toString).asInstanceOf[JArray].arr
+    assert(arr.length == 2)
+    assert(arr.map(o => (o \ "dps").asInstanceOf[JObject].obj.length).sorted == List(1, 2))
+  }
+
   test("request JSON parsing (POST body shape)") {
     val req = QueryJson.parseRequest(
       s"""{"start": $T, "end": ${T + 6000}, "msResolution": false,

@@ -128,6 +128,24 @@ class HttpApiSpec extends AnyFunSuite with SparkSpec with BeforeAndAfterAll {
     assert(get("/nope").statusCode() == 404)
   }
 
+  test("plan-time validation errors still 400 (headers not sent before planning)") {
+    val r = post("/api/query",
+      s"""{"start":$T,"end":${T + 6000},
+         |"queries":[{"aggregator":"sum","metric":"sys.cpu.idle",
+         |"downsample":"garbage","tags":{"tag3":"value3"}}]}""".stripMargin)
+    assert(r.statusCode() == 400, s"got ${r.statusCode()}: ${r.body()}")
+  }
+
+  test("JSON put without tags is rejected (line-protocol parity, no orphan points)") {
+    val r = post("/api/put", """{"name":"orphan.metric","timestamp":1,"measure":1.0,"tags":[]}""")
+    assert(r.statusCode() == 400, s"got ${r.statusCode()}: ${r.body()}")
+    // viz alone doesn't count: it's stripped into the visibility slot
+    val r2 = post("/api/put",
+      """{"name":"orphan.metric","timestamp":1,"measure":1.0,"tags":[{"viz":"A"}]}""")
+    assert(r2.statusCode() == 400)
+    assert(get("/api/suggest?type=metrics&q=orphan&max=10").body() == "[]")
+  }
+
   test("meta-cache mode: suggest serves the snapshot and puts stay visible") {
     // a second server on the same storage with the snapshot ON; a put must
     // show up in the very next suggest (markDirty = the reference's
