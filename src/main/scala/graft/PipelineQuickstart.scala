@@ -50,8 +50,12 @@ object PipelineQuickstart {
     val seen = Dedup.bloomScreen(kept, history).select("doc_id")
     val fresh = kept.join(seen, Seq("doc_id"), "left_anti")
     println(s"after bloom screen vs history: ${fresh.count()}")
-    val exactReps = Dedup.exact(fresh).select(col("keep_doc_id").as("doc_id"))
-    val exactKept = fresh.join(exactReps, "doc_id")
+    val urlKept = fresh.join(
+      Dedup.urlDedup(fresh).where(col("doc_id") === col("keep_doc_id")).select("doc_id"),
+      "doc_id")
+    println(s"after URL-canonical dedup: ${urlKept.count()}")
+    val exactReps = Dedup.exact(urlKept).select(col("keep_doc_id").as("doc_id"))
+    val exactKept = urlKept.join(exactReps, "doc_id")
     val pairs = Dedup.ngramJaccard(exactKept, threshold = 0.7).select("a", "b")
     val comps = Dedup.clusters(pairs)
     val dropped = comps.where(col("doc_id") =!= col("cluster_id")).select("doc_id")
@@ -69,6 +73,14 @@ object PipelineQuickstart {
     budget.groupBy("lang_guess")
       .agg(count(lit(1)).as("docs"), max("cum_words").as("words_used"))
       .orderBy("lang_guess").show()
+
+    // 4b. distribution-level selection: DSIR importance vs the historical
+    //     corpus as the target distribution, and the tokenizer's first merges
+    println("DSIR importance weights vs the history target (top 5):")
+    Curation.importanceWeights(deduped, history, vocabSize = 64)
+      .orderBy(col("importance").desc_nulls_last, col("doc_id")).show(5)
+    println("first BPE merge rules learned from the kept corpus:")
+    TextAnalysis.bpeTrain(deduped, iters = 3).orderBy("iter").show(truncate = false)
 
     // 5. export prep: train/val/test split, mix accounting, RAG chunks
     val split = Curation.splitAssign(deduped)

@@ -78,6 +78,17 @@ object ScaleSmoke {
     t("lmScoreBigram (top-4096 bigram vocab)") {
       graft.operators.TextAnalysis.lmScoreBigram(docs, 4096).count()
     }
+    t("bpeTrain (4 merge rounds at distinct-word scale)") {
+      graft.operators.TextAnalysis.bpeTrain(docs, iters = 4).count()
+    }
+    t("importanceWeights (5% target vs 95% raw, top-4096 features)") {
+      graft.operators.Curation.importanceWeights(
+        docs.where(col("doc_id") % 20 =!= 0), docs.where(col("doc_id") % 20 === 0),
+        vocabSize = 4096).count()
+    }
+    t("urlDedup (canonical first-URL keys)") {
+      graft.operators.Dedup.urlDedup(docs).count()
+    }
     t("chunk (64-word windows, stride 48)") {
       graft.operators.TextAnalysis.chunk(docs).count()
     }
