@@ -158,6 +158,64 @@ object MinGramMd5 {
   }
 }
 
+/**
+ * Unicode NFC normalization (canonical decomposition + canonical
+ * composition) as a codegen'd expression — Spark has no built-in for it,
+ * and every serious text-curation pipeline normalizes before hashing /
+ * dedup so that `café` and `café` collapse to one key. Verified
+ * byte-identical to DuckDB's `nfc_normalize()` on composition, the
+ * Angstrom-sign singleton, and NFC-stable ligatures/edge codepoints (both
+ * implement Unicode normalization; the oracle gate pins the parity).
+ *
+ * 100-TB hot path: an ASCII-only scan of the raw UTF-8 bytes (one branch
+ * per byte, no decode) short-circuits to the input — NFC is the identity
+ * on ASCII, which is the overwhelming majority of web-corpus bytes — and
+ * non-ASCII rows take `Normalizer.isNormalized` (no allocation when
+ * already composed) before paying for the rewrite.
+ */
+case class NfcNormalize(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"NfcNormalize requires STRING, got $other")
+  }
+
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(t: Any): Any =
+    NfcNormalize.normalize(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = "graft.functions.NfcNormalize$.MODULE$"
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = (org.apache.spark.unsafe.types.UTF8String) $helper.normalize($t);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
+object NfcNormalize {
+
+  /** NFC-normalize; returns the input reference unchanged on the ASCII /
+    * already-normalized fast paths (safe: consumed before the next row,
+    * same contract as Spark's own pass-through string expressions). */
+  def normalize(text: UTF8String): UTF8String = {
+    val bytes = text.getBytes
+    var i = 0
+    while (i < bytes.length) {
+      if (bytes(i) < 0) {
+        val s = text.toString
+        return if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) text
+        else UTF8String.fromString(java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+      }
+      i += 1
+    }
+    text
+  }
+}
+
 object TextFunctions {
   /** Column API: # whitespace words of lower(text) present in `lexicon`. */
   def lexiconHits(text: Column, lexicon: Seq[String]): Column =
@@ -166,4 +224,8 @@ object TextFunctions {
   /** Column API: min md5 hex over `gramLen`-char sliding windows of text. */
   def minGramMd5(text: Column, gramLen: Int): Column =
     GraftSqlBridge.column(MinGramMd5(GraftSqlBridge.expression(text), gramLen))
+
+  /** Column API: Unicode NFC normalization (identity fast path on ASCII). */
+  def nfcNormalize(text: Column): Column =
+    GraftSqlBridge.column(NfcNormalize(GraftSqlBridge.expression(text)))
 }

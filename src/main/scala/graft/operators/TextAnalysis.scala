@@ -562,4 +562,29 @@ object TextAnalysis {
     }
     merges.result().reduce(_.union(_))
   }
+
+  /**
+   * Text normalization — the cleanup pass a curation pipeline runs BEFORE any
+   * hashing/dedup/tokenization so that visually-identical strings share one
+   * byte representation:
+   *
+   *   1. Unicode NFC (native [[graft.functions.NfcNormalize]]; ASCII rows
+   *      short-circuit with zero allocation),
+   *   2. strip C0 control characters except TAB/LF/CR, plus DEL,
+   *   3. collapse runs of spaces to one, trim outer whitespace.
+   *
+   * Pure row-wise codegen (one Project, no shuffle) — linear to 100 TB.
+   * Counts are code points (Spark `length` == DuckDB `length`).
+   */
+  def normalizeText(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val nfc = graft.functions.TextFunctions.nfcNormalize(col(textCol))
+    val stripped = regexp_replace(nfc, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+    val cleaned = trim(regexp_replace(stripped, "  +", " "))
+    docs.select(
+      col("doc_id"),
+      cleaned.as("text_norm"),
+      length(col(textCol)).cast("long").as("n_cp_src"),
+      length(cleaned).cast("long").as("n_cp_norm"),
+      (cleaned =!= col(textCol)).as("changed"))
+  }
 }

@@ -131,6 +131,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("min_gram_md5", classOf[graft.functions.MinGramMd5], 2,
       "min_gram_md5(text, gram_len)")(c =>
       graft.functions.MinGramMd5(c.head, intLit(c(1), "min_gram_md5(text, gram_len)"))))
+    ext.injectFunction(fn("nfc_normalize", classOf[graft.functions.NfcNormalize], 1,
+      "nfc_normalize(text)")(c => graft.functions.NfcNormalize(c.head)))
     ext.injectFunction(fn("bitset_or_agg", classOf[graft.functions.BitsetOrAgg], 2,
       "bitset_or_agg(pos BIGINT, num_words)")(c =>
       graft.functions.BitsetOrAgg(c.head,

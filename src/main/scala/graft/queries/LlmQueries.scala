@@ -51,6 +51,22 @@ object LlmQueries {
       TextAnalysis.redactPii(planted)
         .select("doc_id", "n_emails", "n_ips", "n_phones", "redacted")
     }),
+    // NFC normalization + control-strip + space-collapse with deterministic
+    // planted non-ASCII (decomposed sequences, the Angstrom singleton, C0
+    // controls, space runs — the synthetic corpus is pure ASCII); parity of
+    // the native NfcNormalize expression vs DuckDB nfc_normalize is the gate
+    "text_normalize" -> ((s, dir) => {
+      val planted = docs(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          lit(" caf"), lit("e\u0301"), // decomposed -> U+00E9
+          lit("  A\u030A"), // space run + decomposed -> U+00C5
+          when(col("doc_id") % 2 === 0, lit(" \u212B")) // ANGSTROM singleton -> U+00C5
+            .otherwise(lit(" \u00C5")), // already composed (isNormalized fast path)
+          lit(" n\u0303o"), // decomposed -> U+00F1
+          lit("\u0007beep\u0001"), // C0 controls, stripped
+          lit("   tail   ")).as("text")) // trim + collapse
+      TextAnalysis.normalizeText(planted)
+    }),
     "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
     // curation: deterministic md5 sample (keep 4/16), per-language quality
     // top-k, and the greedy per-language token-budget cut
@@ -442,6 +458,24 @@ object LlmQueries {
         |       len(regexp_extract_all(t2, '\+[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,8}')) AS n_phones,
         |       regexp_replace(t2, '\+[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,8}', '<PHONE>', 'g') AS redacted
         |FROM r2""".stripMargin,
+    "text_normalize" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         text || ' caf' || 'e' || chr(769)
+        |              || '  A' || chr(778)
+        |              || CASE WHEN doc_id % 2 = 0 THEN ' ' || chr(8491) ELSE ' ' || chr(197) END
+        |              || ' n' || chr(771) || 'o'
+        |              || chr(7) || 'beep' || chr(1)
+        |              || '   tail   ' AS text
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, text,
+        |         trim(regexp_replace(regexp_replace(nfc_normalize(text),
+        |           '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'), '  +', ' ', 'g')) AS text_norm
+        |  FROM d)
+        |SELECT doc_id, text_norm, length(text) AS n_cp_src, length(text_norm) AS n_cp_norm,
+        |       text_norm <> text AS changed
+        |FROM n""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH sh AS ($Shingles),
          |p AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS inter
