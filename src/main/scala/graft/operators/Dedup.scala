@@ -577,6 +577,48 @@ object Dedup {
   }
 
   /**
+   * Line-level boilerplate removal (the C4/CCNet cleanup step): drop every
+   * LINE that occurs in >= `minDocs` distinct documents — navigation menus,
+   * cookie banners, copyright footers, share-bar text — and reassemble each
+   * document from its surviving lines in original order. Distinct from
+   * [[passageDedup]] (fixed-width word chunks, frequency on chunk text):
+   * here the unit is the newline-delimited line, the granularity real web
+   * boilerplate arrives at, and the threshold is a distinct-DOCUMENT count,
+   * so a line repeated many times inside one document is not boilerplate.
+   *
+   * Scale: the same three corpus-sized shuffles as passage dedup, all on
+   * well-distributed keys — (line, doc_id) distinct + line-frequency
+   * group-by (partial map-side), frequency join back on the line key (AQE
+   * broadcasts the frequency side when the over-threshold set is small — the
+   * common case — and skew-splits a pathologically hot line), reassembly
+   * group-by (doc_id). No self-join, no window over the corpus, no driver
+   * state; line keys cap at the longest line, and the threshold only ever
+   * REMOVES hot keys from the output.
+   *
+   * @return (doc_id, text_clean, n_lines_kept, n_lines_dropped) for every
+   *         input doc; `text_clean` is "" when every line was boilerplate.
+   *         NULL text reads as "" (one empty line), keeping the
+   *         every-input-doc contract.
+   */
+  def boilerplateStrip(docs: DataFrame, minDocs: Long = 50L): DataFrame = {
+    require(minDocs >= 2, "minDocs >= 2 (1 would drop every line)")
+    val lines = docs
+      .select(col("doc_id"), posexplode(split(coalesce(col("text"), lit("")), "\n")))
+      .select(col("doc_id"), col("pos").as("li"), col("col").as("line"))
+    val freq = lines.groupBy("line").agg(countDistinct("doc_id").as("df"))
+    lines.join(freq, "line")
+      .groupBy("doc_id")
+      .agg(
+        // collect_list skips the nulls `when` leaves for dropped lines;
+        // sorting the (li, line) structs restores original line order
+        array_join(transform(
+          array_sort(collect_list(when(col("df") < minDocs, struct(col("li"), col("line"))))),
+          s => s.getField("line")), "\n").as("text_clean"),
+        count(when(col("df") < minDocs, 1)).as("n_lines_kept"),
+        count(when(col("df") >= minDocs, 1)).as("n_lines_dropped"))
+  }
+
+  /**
    * Exact-substring duplicate spans (the Lee et al. "Deduplicating Training
    * Data" step): every maximal token span of length >= `k` whose text appears
    * `minCount`+ times in the corpus at ANY offset — repeated license

@@ -171,6 +171,22 @@ object LlmQueries {
     // boilerplate — dropped from every doc, docs reassembled in order
     "dedup_passages" -> ((s, dir) =>
       Dedup.passageDedup(docs(s, dir), wordsPerChunk = 10, maxDocFreq = 2L)),
+    // C4/CCNet line-level boilerplate strip: lines in >= 50 distinct docs
+    // removed, docs reassembled in order. Planted lines pin both sides of
+    // the threshold (source headers 25 docs, sig 50 = exactly at, tag 38/39
+    // just under, a global footer) — the corpus itself has no newlines
+    "dedup_boilerplate" -> ((s, dir) => {
+      val planted = docs(s, dir).select(col("doc_id"),
+        concat_ws("\n",
+          concat(lit("hdr "), col("source")),
+          col("text"),
+          concat(lit("sig "), (col("doc_id") % 10).cast("string")),
+          concat(lit("tag "), (col("doc_id") % 13).cast("string")),
+          lit("copyright example corp"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit("promo "), (col("doc_id") % 7).cast("string")))).as("text"))
+      Dedup.boilerplateStrip(planted, minDocs = 50L)
+    }),
     // exact-substring dedup (Lee et al.): maximal >= 10-token spans repeated
     // anywhere in the corpus at ANY offset — catches the cross-boundary
     // duplication the chunk-aligned passage pass misses
@@ -912,6 +928,27 @@ object LlmQueries {
         |       COUNT(*) FILTER (WHERE f.df >= 2) AS removed_chunks
         |FROM chunks c JOIN freq f USING (chunk)
         |GROUP BY c.doc_id""".stripMargin,
+    "dedup_boilerplate" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         concat_ws(chr(10),
+        |           'hdr ' || source,
+        |           text,
+        |           'sig ' || CAST(doc_id % 10 AS VARCHAR),
+        |           'tag ' || CAST(doc_id % 13 AS VARCHAR),
+        |           'copyright example corp',
+        |           CASE WHEN doc_id % 3 = 0 THEN 'promo ' || CAST(doc_id % 7 AS VARCHAR) END) AS text
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id, generate_subscripts(ls, 1) AS li, unnest(ls) AS line
+        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d)),
+        |f AS (SELECT line, COUNT(DISTINCT doc_id) AS df FROM l GROUP BY 1)
+        |SELECT l.doc_id,
+        |       COALESCE(string_agg(CASE WHEN f.df < 50 THEN l.line END, chr(10) ORDER BY l.li), '') AS text_clean,
+        |       COUNT(CASE WHEN f.df < 50 THEN 1 END) AS n_lines_kept,
+        |       COUNT(CASE WHEN f.df >= 50 THEN 1 END) AS n_lines_dropped
+        |FROM l JOIN f USING (line)
+        |GROUP BY 1""".stripMargin,
     "dedup_substring" ->
       """WITH w AS (SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS ws FROM documents),
         |g AS (

@@ -196,6 +196,32 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
       s"got ${kept.getString(1)}")
   }
 
+  test("boilerplate strip: distinct-DOC threshold, within-doc repeats survive, order kept") {
+    val d = docs(
+      1L -> "menu home\nreal text one\nfooter (c)",
+      2L -> "menu home\nreal text two\nfooter (c)",
+      3L -> "menu home\nreal text three\nfooter (c)",
+      // a line repeated WITHIN one doc counts once toward its doc frequency
+      4L -> "echo line\necho line\necho line\nunique tail",
+      5L -> null.asInstanceOf[String])
+    val out = Dedup.boilerplateStrip(d, minDocs = 3L)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // menu+footer hit 3 docs (== threshold) -> dropped; real text kept
+    assert(out(1L) == (("real text one", 1L, 2L)))
+    assert(out(2L) == (("real text two", 1L, 2L)))
+    assert(out(3L) == (("real text three", 1L, 2L)))
+    // echo line: df = 1 doc -> kept, all three copies, original order
+    assert(out(4L) == (("echo line\necho line\necho line\nunique tail", 4L, 0L)))
+    // NULL text reads as one empty line; df(empty)=1 -> kept as ""
+    assert(out(5L) == (("", 1L, 0L)))
+    assert(out.size == 5, "every input doc appears in the output")
+    // all-boilerplate doc -> empty text_clean
+    val all = docs(6L -> "menu\nfooter", 7L -> "menu\nfooter", 8L -> "menu\nfooter")
+    val got = Dedup.boilerplateStrip(all, minDocs = 2L)
+      .where(col("doc_id") === 6L).head()
+    assert(got.getString(1) == "" && got.getLong(3) == 2L)
+  }
+
   test("split assignment is deterministic, exhaustive, and stable under growth") {
     val d = docs((1L to 200L).map(i => i -> s"doc $i"): _*)
     val s1 = Curation.splitAssign(d).select("doc_id", "split")
