@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/**
+ * Lexical (keyword) retrieval over a `documents` corpus — the BM25
+ * counterpart to the embedding-space searchers in [[Similarity]] /
+ * [[SimilarityIvf]]. A training-data pipeline uses this for
+ * quality-by-retrieval audits ("which corpus docs answer this probe?"),
+ * targeted decontamination, and hard-negative mining where no embedding
+ * column exists.
+ *
+ * Scoring is Okapi BM25 (Robertson et al.; the Lucene-style
+ * `ln(1 + (N - df + 0.5)/(df + 0.5))` non-negative idf):
+ *
+ *   score(q, d) = Σ_{t ∈ q∩d} idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+ *
+ * Scale design (the query batch is small — that is the operator's contract;
+ * corpus-sized "queries" belong to the pairwise dedup family instead):
+ *  - the corpus term-frequency table never shuffles on the term key: query
+ *    terms BROADCAST to it, so the corpus-side cost is one scan + partial
+ *    aggregates, and only matched rows (Σ_t df(t)) move at all;
+ *  - df comes from the matched rows themselves (every doc containing a
+ *    query term is matched, so the distinct-doc count per term IS the
+ *    corpus df) — no second corpus pass;
+ *  - corpus stats (N, Σdl) are a one-row aggregate, broadcast;
+ *  - ranking is the two-level md5-sharded top-k ([[Curation]] scheme): a
+ *    per-(query, shard) row_number prunes to 32·k rows per query BEFORE the
+ *    per-query global window, so a common term cannot funnel the corpus
+ *    into one partition.
+ *
+ * Cross-engine determinism: `ln` is the one non-IEEE-pinned step (DuckDB's
+ * libm and Java's Math.log disagree by 1 ulp on ~0.2% of inputs — measured),
+ * so each per-term contribution is cast to DECIMAL(28,9) — absorbing ulp
+ * noise — and the per-doc score is an EXACT decimal sum (order-independent,
+ * no sorted fold needed). Ranking orders by (decimal score DESC, doc_id),
+ * fully tie-broken. All other arithmetic mirrors the oracle's expression
+ * tree node for node.
+ *
+ * @param docs    (doc_id, text, ...)
+ * @param queries (query_id, qtext) — a SMALL batch (broadcast)
+ * @return (query_id, rank, doc_id, score, n_terms): top `k` docs per query
+ *         by BM25; queries whose terms miss the corpus entirely are absent.
+ */
+object Search {
+
+  private val TopKShards = 32L
+
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int = 10,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, "k >= 1")
+    val words = split(col("text"), " ")
+    // (doc_id, term, tf, dl): dl rides the group-by key (functionally
+    // dependent on doc_id) so document length needs no second join
+    val docTerms = docs
+      .select(col("doc_id"), size(words).cast("long").as("dl"), explode(words).as("term"))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(words).cast("long")).as("sum_dl"))
+    val qTerms = queries
+      .select(col("query_id"), explode(split(col("qtext"), " ")).as("term"))
+      .distinct()
+    // corpus side stays unshuffled: the query-term list broadcasts
+    val matched = docTerms.join(broadcast(qTerms), "term")
+    // df(t) = distinct docs containing t — matched already holds every such
+    // doc for every query term, so this aggregate is matched-sized, not
+    // corpus-sized (and its result is tiny: one row per query term)
+    val dfTab = matched.select("term", "doc_id").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val idf = log(lit(1) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfNorm = (col("tf") * lit(k1 + 1)) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / avgdl))
+    val contrib = matched
+      .join(broadcast(dfTab), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"),
+        (idf * tfNorm).cast(DecimalType(28, 9)).as("c"))
+    val scored = contrib.groupBy("query_id", "doc_id")
+      .agg(sum("c").as("score"), count(lit(1)).as("n_terms"))
+    // two-level deterministic top-k: shard-local prune, then global rank
+    val shard = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10).cast("long"),
+      lit(TopKShards))
+    val local = Window.partitionBy(col("query_id"), col("shard"))
+      .orderBy(col("score").desc, col("doc_id"))
+    val global = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id"))
+    scored
+      .withColumn("shard", shard)
+      .withColumn("lrank", row_number().over(local))
+      .where(col("lrank") <= k)
+      .withColumn("rank", row_number().over(global).cast("long"))
+      .where(col("rank") <= k)
+      // rank/sum on the exact decimal; EXPORT as double (both engines
+      // nearest-round the same 9-dp decimal to the same double)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("score").cast("double").as("score"), col("n_terms"))
+  }
+}

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** BM25 ranking semantics, tie-breaks, and the broadcast-only plan shape. */
+class SearchSpec extends AnyFunSuite with SparkSpec {
+
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*): DataFrame = rows.toDF("doc_id", "text")
+  private def queries(rows: (Long, String)*): DataFrame = rows.toDF("query_id", "qtext")
+
+  test("higher tf of a query term ranks higher at equal length") {
+    val d = docs(
+      1L -> "zebra cat dog fox bat owl",
+      2L -> "zebra zebra dog fox bat owl",
+      3L -> "zebra zebra zebra fox bat owl",
+      4L -> "cat dog fox bat owl hen")
+    val out = Search.bm25TopK(d, queries(10L -> "zebra"), k = 10)
+      .orderBy("rank").collect()
+    assert(out.map(_.getLong(2)).toSeq == Seq(3L, 2L, 1L), "tf monotone ranking")
+    assert(out.forall(_.getLong(0) == 10L))
+    // doc 4 has no query term: absent
+    assert(!out.exists(_.getLong(2) == 4L))
+  }
+
+  test("rare terms outweigh common terms (idf) and ties break by doc_id") {
+    val common = (1L to 8L).map(i => i -> s"shared words everywhere doc$i")
+    val d = docs((common :+ (9L -> "rareword unique thing here")): _*)
+    // query hits 'shared' (df 8) for docs 1-8 and 'rareword' (df 1) for doc 9
+    val out = Search.bm25TopK(d, queries(1L -> "shared rareword"), k = 3)
+      .orderBy("rank").collect()
+    assert(out.head.getLong(2) == 9L, "rare-term doc outranks common-term docs")
+    // docs 1..8 all tie on score -> doc_id ascending fills the remaining ranks
+    assert(out.map(_.getLong(2)).toSeq == Seq(9L, 1L, 2L))
+  }
+
+  test("two-level sharded top-k equals the single-window reference ranking") {
+    val rnd = new scala.util.Random(41)
+    val vocabAll = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta")
+    val d = docs((0L until 200L).map(i =>
+      i -> Seq.fill(6 + rnd.nextInt(10))(vocabAll(rnd.nextInt(vocabAll.length))).mkString(" ")): _*)
+    val q = queries(1L -> "alpha delta", 2L -> "theta beta gamma")
+    val got = Search.bm25TopK(d, q, k = 7)
+    // reference: same scoring pipeline, single global window per query
+    val full = Search.bm25TopK(d, q, k = Int.MaxValue)
+      .withColumn("rr", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))))
+      .where(col("rr") <= 7)
+    val g = got.select("query_id", "rank", "doc_id").orderBy("query_id", "rank").collect().toSeq
+    val w = full.select("query_id", "rr", "doc_id").orderBy("query_id", "rr").collect().toSeq
+    assert(g.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) ==
+      w.map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2))))
+  }
+
+  test("plan: corpus term table never exchanges on the term key; query side broadcasts") {
+    val d = docs((0L until 64L).map(i => i -> s"w$i common words here"): _*)
+    val df = Search.bm25TopK(d, queries(1L -> "common w3"), k = 5)
+    // inspect the INITIAL physical plan: post-execution AQE wraps exchanges
+    // in query stages that tree-collect does not descend into
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val bcasts = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => e
+    }
+    assert(bcasts.nonEmpty, s"expected broadcast joins in:\n$plan")
+    // no shuffle exchange may partition on the raw term key: the only
+    // hash exchanges allowed are the (doc_id, ...) aggregates and the
+    // per-query rank windows
+    val termShuffles = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        if e.outputPartitioning.toString.contains("term#") &&
+           !e.child.toString.contains("HashAggregate") => e
+    }
+    assert(termShuffles.isEmpty,
+      s"corpus shuffled on the raw term key:\n${termShuffles.mkString("\n")}")
+  }
+}
