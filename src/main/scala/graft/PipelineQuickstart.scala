@@ -21,8 +21,17 @@ object PipelineQuickstart {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val docs = graft.operators.Points.table(spark, sfDir, "documents").cache()
-    println(s"corpus: ${docs.count()} docs")
+    val raw = graft.operators.Points.table(spark, sfDir, "documents")
+    // 0. normalize BEFORE anything hashes or tokenizes: NFC + control strip
+    //    + space collapse, so visually-identical strings share one byte form
+    //    (the synthetic corpus is pure ASCII — every row takes the zero-copy
+    //    fast path; on real web data this is the stage that makes dedup keys
+    //    meaningful)
+    val norm = TextAnalysis.normalizeText(raw)
+    val docs = raw.drop("text")
+      .join(norm.select(col("doc_id"), col("text_norm").as("text")), "doc_id")
+      .cache()
+    println(s"corpus: ${docs.count()} docs (${norm.where(col("changed")).count()} changed by normalization)")
 
     // 1. score: quality + repetition as row-wise columns on the SAME scan —
     //    no corpus self-join for values that are functions of the row
@@ -88,6 +97,15 @@ object PipelineQuickstart {
     println("training-mix report (per lang x source):")
     Curation.mixReport(deduped).orderBy(col("words_share").desc).show(5)
     println(s"retrieval chunks: ${TextAnalysis.chunk(deduped).count()} from $nDeduped docs")
+    // retrieval audit: BM25 probes over the kept corpus — "which documents
+    // answer this?" without needing an embedding column
+    val probes = deduped.where(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(org.apache.spark.sql.functions.split(col("text"), " "), 1, 4), " ")
+          .as("qtext"))
+    println("BM25 top-3 per probe (first 2 probes):")
+    graft.operators.Search.bm25TopK(deduped, probes, k = 3)
+      .where(col("query_id").isin(0L, 100L)).orderBy("query_id", "rank").show(6)
 
     // 6. the same engine serves the behavioral side: sessionized events
     val ev = graft.operators.Points.table(spark, sfDir, "events")

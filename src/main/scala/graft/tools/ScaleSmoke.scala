@@ -92,6 +92,26 @@ object ScaleSmoke {
     t("chunk (64-word windows, stride 48)") {
       graft.operators.TextAnalysis.chunk(docs).count()
     }
+    t("normalizeText (NFC + cleanup; forced evaluation)") {
+      // aggregate over the normalized length so the row-wise expressions
+      // actually evaluate (a bare count would prune the Project)
+      graft.operators.TextAnalysis.normalizeText(docs).agg(sum("n_cp_norm")).collect()
+    }
+    t("boilerplateStrip (hot shared lines across the replica corpus)") {
+      // hdr: corpus/40 docs per line (dropped); footer: EVERY doc (the
+      // hot-key worst case for the frequency join); body text kept
+      val lined = docs.select(col("doc_id"), concat_ws("\n",
+        concat(lit("hdr "), (col("doc_id") % 40).cast("string")),
+        col("text"),
+        lit("footer shared")).as("text"))
+      graft.operators.Dedup.boilerplateStrip(lined, minDocs = 1000L).count()
+    }
+    t("bm25TopK (20 queries, k=10)") {
+      val q = docs.where(col("doc_id") < 20)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(split(col("text"), " "), 1, 4), " ").as("qtext"))
+      graft.operators.Search.bm25TopK(docs, q, k = 10).count()
+    }
     t(s"bloomScreen (5% incoming vs 95% existing, 2^${4 * bloomHex} bits)") {
       // hexDigits=6 -> 16M bits / 2 MiB broadcast: sized for the 1.9M-hash
       // existing side at k=4 (~fill 37%, FP ~2%); 7 = the 32 MiB ceiling

@@ -80,6 +80,14 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("Int-range"))
   }
 
+  test("nfc_normalize is SQL-callable: composes the decomposed form") {
+    // 'e' + U+0301 (combining acute) must compose to U+00E9 (Spark's chr()
+    // is ASCII-mod-256, so the combining char goes in as a string literal)
+    val r = ext.sql("SELECT nfc_normalize('é') AS n, nfc_normalize('plain') AS p").head()
+    assert(r.getString(0) == "é")
+    assert(r.getString(1) == "plain")
+  }
+
   test("bitset_or_agg is SQL-callable and matches the Column API build") {
     // positions 0, 1, 64, 127 -> word0 bits 0+1 = 3, word1 bits 0+63
     val r = ext.sql(
