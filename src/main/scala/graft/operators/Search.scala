@@ -53,18 +53,22 @@ object Search {
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k >= 1, "k >= 1")
     val words = split(col("text"), " ")
-    // (doc_id, term, tf, dl): dl rides the group-by key (functionally
-    // dependent on doc_id) so document length needs no second join
-    val docTerms = docs
-      .select(col("doc_id"), size(words).cast("long").as("dl"), explode(words).as("term"))
-      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
     val stats = docs.agg(
       count(lit(1)).as("n_docs"),
       sum(size(words).cast("long")).as("sum_dl"))
     val qTerms = queries
       .select(col("query_id"), explode(split(col("qtext"), " ")).as("term"))
       .distinct()
-    // corpus side stays unshuffled: the query-term list broadcasts
+    // the broadcast term-set filter sits BELOW the tf aggregate, so the one
+    // corpus-sized shuffle carries only query-matched term occurrences, not
+    // the whole exploded corpus; tf per retained (doc, term) is unchanged
+    // because every occurrence of a retained term survives the filter.
+    // (doc_id, term, tf, dl): dl rides the group-by key (functionally
+    // dependent on doc_id) so document length needs no second join
+    val docTerms = docs
+      .select(col("doc_id"), size(words).cast("long").as("dl"), explode(words).as("term"))
+      .join(broadcast(qTerms.select("term").distinct()), "term")
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
     val matched = docTerms.join(broadcast(qTerms), "term")
     // df(t) = distinct docs containing t — matched already holds every such
     // doc for every query term, so this aggregate is matched-sized, not

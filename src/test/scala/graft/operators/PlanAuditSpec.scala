@@ -320,6 +320,24 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("bm25: query-term filter joins below the corpus tf aggregate") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val docs = (0L until 50L).map(i => (i, s"alpha beta w$i gamma")).toDF("doc_id", "text")
+    val q = Seq((1L, "alpha zebra")).toDF("query_id", "qtext")
+    val df = Search.bm25TopK(docs, q, k = 5)
+    val tfAggs = df.queryExecution.optimizedPlan.collect {
+      case a: Aggregate if a.groupingExpressions
+        .collect { case r: AttributeReference => r.name }.toSet == Set("doc_id", "dl", "term") => a
+    }
+    assert(tfAggs.nonEmpty, "expected the (doc_id, dl, term) tf aggregate")
+    // the broadcast term-set join must sit BELOW the tf aggregate, so the
+    // shuffle feeding it carries only query-matched term occurrences — never
+    // the whole exploded corpus vocabulary
+    for (a <- tfAggs)
+      assert(a.child.collectFirst { case j: Join => j }.isDefined,
+        "tf aggregate shuffles the whole exploded corpus (term filter not pushed below it)")
+  }
+
   test("crossSeries sum/avg/dev plan two aggregation levels, sharded inner") {
     for (agg <- Seq("sum", "avg", "dev")) {
       val df = TimeSeries.crossSeries(
