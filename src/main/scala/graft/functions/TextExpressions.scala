@@ -216,10 +216,122 @@ object NfcNormalize {
   }
 }
 
+/**
+ * All-lexicons-at-once variant of [[LexiconHits]]: one lowercase + split of
+ * the text, probed against EVERY lexicon, returning the hit counts as an
+ * array in lexicon order. The scoring scans (language ID, curation's scored
+ * frame, the Gopher stopword rule) need four language counts plus the
+ * English quality ratio from the same text — as separate [[LexiconHits]]
+ * expressions each redoes the lowercase+split allocation, which dominates
+ * the scan. Consumers take `element_at(_, i)`; codegen subexpression
+ * elimination computes the shared array once per row.
+ */
+case class LexiconHitsAll(child: Expression, lexicons: Seq[Seq[String]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"LexiconHitsAll requires STRING, got $other")
+  }
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(IntegerType, containsNull = false)
+
+  @transient private lazy val sets: Array[java.util.HashSet[String]] =
+    lexicons.map(LexiconHits.toSet).toArray
+
+  override def nullSafeEval(t: Any): Any =
+    LexiconHitsAll.count(t.asInstanceOf[UTF8String], sets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setsRef = ctx.addReferenceObj("lexicons", sets, "java.util.HashSet[]")
+    val helper = "graft.functions.LexiconHitsAll$.MODULE$"
+    nullSafeCodeGen(ctx, ev, t => s"${ev.value} = $helper.count($t, $setsRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LexiconHitsAll =
+    copy(child = newChild)
+}
+
+object LexiconHitsAll {
+  /** Same tokenization as [[LexiconHits.count]] (split on single spaces,
+    * empty tokens kept — never lexicon members), one pass over the words
+    * probing every set. */
+  def count(text: UTF8String,
+            sets: Array[java.util.HashSet[String]]): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val words = text.toLowerCase.toString.split(" ", -1)
+    val hits = new Array[Int](sets.length)
+    var i = 0
+    while (i < words.length) {
+      val w = words(i)
+      var j = 0
+      while (j < sets.length) {
+        if (sets(j).contains(w)) hits(j) += 1
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(hits)
+  }
+}
+
+/**
+ * Native non-overlapping regex match counter — semantically identical to
+ * `size(regexp_extract_all(text, pattern, 0))` (same java.util.regex.Pattern
+ * compile, same find() walk), but counts matches in place instead of
+ * materializing every match as a UTF8String element of an array that only
+ * ever feeds `size()`. The scoring scans (quality, gopher, token counts,
+ * urls, redact) run up to three of these per row over full document texts,
+ * so the per-match allocation is the scan's dominant garbage.
+ */
+case class RegexCount(child: Expression, pattern: String)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"RegexCount requires STRING, got $other")
+  }
+
+  override def dataType: DataType = IntegerType // size() parity
+
+  @transient private lazy val compiled: java.util.regex.Pattern =
+    java.util.regex.Pattern.compile(pattern)
+
+  override def nullSafeEval(t: Any): Any =
+    RegexCount.count(t.asInstanceOf[UTF8String], compiled)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val patRef = ctx.addReferenceObj("pattern", compiled, "java.util.regex.Pattern")
+    val helper = "graft.functions.RegexCount$.MODULE$"
+    nullSafeCodeGen(ctx, ev, t => s"${ev.value} = $helper.count($t, $patRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RegexCount =
+    copy(child = newChild)
+}
+
+object RegexCount {
+  def count(text: UTF8String, p: java.util.regex.Pattern): Int = {
+    val m = p.matcher(text.toString)
+    var n = 0
+    while (m.find()) n += 1
+    n
+  }
+}
+
 object TextFunctions {
   /** Column API: # whitespace words of lower(text) present in `lexicon`. */
   def lexiconHits(text: Column, lexicon: Seq[String]): Column =
     GraftSqlBridge.column(LexiconHits(GraftSqlBridge.expression(text), lexicon))
+
+  /** Column API: hit counts for ALL lexicons (in order) from one split pass. */
+  def lexiconHitsAll(text: Column, lexicons: Seq[Seq[String]]): Column =
+    GraftSqlBridge.column(LexiconHitsAll(GraftSqlBridge.expression(text), lexicons))
+
+  /** Column API: # non-overlapping matches of `pattern` in text
+    * (`size(regexp_extract_all(text, pattern, 0))` without the array). */
+  def regexCount(text: Column, pattern: String): Column =
+    GraftSqlBridge.column(RegexCount(GraftSqlBridge.expression(text), pattern))
 
   /** Column API: min md5 hex over `gramLen`-char sliding windows of text. */
   def minGramMd5(text: Column, gramLen: Int): Column =

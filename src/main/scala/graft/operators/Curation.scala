@@ -60,31 +60,41 @@ object Curation {
     val unknown = rates.keySet.diff(TextAnalysis.Stopwords.keySet)
     require(unknown.isEmpty,
       s"unknown language keys $unknown — langGuessCol emits ${TextAnalysis.Stopwords.keySet}")
-    val lang = TextAnalysis.langGuessCol(
-      TextAnalysis.lexiconHits("de"), TextAnalysis.lexiconHits("en"),
-      TextAnalysis.lexiconHits("es"), TextAnalysis.lexiconHits("fr"))
+    val h = (l: String) => TextAnalysis.lexiconHitsFrom(col("_lexhits"), l)
+    val lang = TextAnalysis.langGuessCol(h("de"), h("en"), h("es"), h("fr"))
     val sixteenths = rates.foldLeft(lit(defaultSixteenths)) { case (acc, (l, r)) =>
       when(col("lang_guess") === l, lit(r)).otherwise(acc)
     }
     // keep EVERY input column (a rebalance that drops the text would force a
-    // corpus-sized re-join); lang_guess rides along for free
-    docs.withColumn("lang_guess", lang)
+    // corpus-sized re-join); lang_guess rides along for free. The hit array
+    // materializes in a lower projection (see [[TextAnalysis.lexiconHitsArray]])
+    // so the langGuess when-chain probes one shared array per row.
+    docs.withColumn("_lexhits", TextAnalysis.lexiconHitsArray)
+      .withColumn("lang_guess", lang)
       .where(substring(md5(col("doc_id").cast("string")), 1, 1) <
         lit("0123456789abcdefg").substr(sixteenths + 1, lit(1)))
+      .drop("_lexhits")
   }
 
   /** Per-doc (n_words, quality, lang_guess) in ONE pass — every feature is a
     * row-wise expression over the same scan, so no self-join of the corpus
     * (the naive qualityScore-join-languageId plan shuffles the corpus twice
-    * for values that are functions of the row). */
+    * for values that are functions of the row). The 4-language hit array
+    * materializes in a lower projection ([[TextAnalysis.lexiconHitsArray]]):
+    * the langGuess when-chain hides its hit refs from codegen subexpression
+    * elimination, so inline per-language columns would each redo the
+    * lowercase+split. */
   private def scored(docs: DataFrame): DataFrame =
-    docs.select(
+    docs.withColumn("_lexhits", TextAnalysis.lexiconHitsArray).select(
       col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("n_words"),
-      TextAnalysis.qualityCol.as("quality"),
+      TextAnalysis.qualityColFrom(
+        TextAnalysis.lexiconHitsFrom(col("_lexhits"), "en")).as("quality"),
       TextAnalysis.langGuessCol(
-        TextAnalysis.lexiconHits("de"), TextAnalysis.lexiconHits("en"),
-        TextAnalysis.lexiconHits("es"), TextAnalysis.lexiconHits("fr")).as("lang_guess"))
+        TextAnalysis.lexiconHitsFrom(col("_lexhits"), "de"),
+        TextAnalysis.lexiconHitsFrom(col("_lexhits"), "en"),
+        TextAnalysis.lexiconHitsFrom(col("_lexhits"), "es"),
+        TextAnalysis.lexiconHitsFrom(col("_lexhits"), "fr")).as("lang_guess"))
 
   /** Two-level sharded top-k over a pre-scored frame `(doc_id, keyCol,
     * quality)`: a local top-k inside each (key, md5-shard) partition first —
@@ -261,15 +271,24 @@ object Curation {
       "percentiles must be whole percents (the pNN column naming scheme)")
     val pName = (p: Double) => s"p${math.round(p * 100)}"
     require(percentiles.map(pName).distinct.size == percentiles.size, "duplicate percentiles")
-    val sc = scored(docs).where(col("quality").isNotNull)
+    // CACHED: the scored frame drops the text column, so its rows are ~100x
+    // smaller than the corpus — caching it scores the corpus ONCE and lets
+    // the two consumers (bucket counts, boundary ranking) read the compact
+    // frame. Without it each consumer rescores the text, and the pushed-down
+    // isNotNull / join-key constraint filters inline the quality expression a
+    // second time per pass (measured 2x the scan cost). At 100 TB the cached
+    // frame is ~1/100th of the input and spills to disk if memory-tight.
+    // Same idempotence guard as Dedup's shared frames.
+    val sc0 = scored(docs).where(col("quality").isNotNull)
       .withColumn("qbucket", least(lit(BudgetBuckets - 1L), floor(col("quality") * BudgetBuckets)))
+    val sc =
+      if (sc0.storageLevel == org.apache.spark.storage.StorageLevel.NONE) sc0.cache()
+      else sc0
     // min/max ride the bucket aggregate so the per-language stats derive
-    // from this tiny frame — keeping the operator at TWO corpus passes
-    // (bucket counts, boundary ranking), the minimum for rank selection.
-    // CACHED (≤ languages × BudgetBuckets rows): targets/bounds/picks/stats
-    // all reference it, and without the cache each reference replays the
-    // corpus-scoring subtree — measured 8 corpus passes (~35 s at 100k docs)
-    // vs 2 (~8 s) with it. Same idempotence guard as Dedup's shared frames.
+    // from this tiny frame. CACHED (≤ languages × BudgetBuckets rows):
+    // targets/bounds/picks/stats all reference it, and without the cache each
+    // reference replays the corpus subtree — measured 8 corpus passes (~35 s
+    // at 100k docs) vs 2 (~8 s) with it.
     val counts0 = sc.groupBy("lang_guess", "qbucket").agg(count(lit(1)).as("bn"),
       min("quality").as("bmin"), max("quality").as("bmax"))
     val counts =

@@ -27,12 +27,24 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "de", "los", "que", "y", "en", "un"),
     "fr" -> Seq("le", "la", "les", "et", "des", "que", "une", "dans"))
 
+  /** Stopword languages in the fixed order the shared all-lexicons array
+    * uses (alphabetical — also the langGuess tie-break order). */
+  private val LangOrder: Seq[String] = Seq("de", "en", "es", "fr")
+
   /** # words of `text` present in the lexicon (multiset count) — the native
     * codegen form of `size(filter(split(lower(text), ' '), w -> w IN (...)))`
     * (see [[graft.functions.LexiconHits]]; HOF lambdas evaluate interpreted,
-    * and curation runs five of these per row). */
-  def lexiconHits(lang: String): Column =
-    graft.functions.TextFunctions.lexiconHits(col("text"), Stopwords(lang))
+    * and curation runs five of these per row). Every language's count is an
+    * `element_at` into ONE [[graft.functions.LexiconHitsAll]] expression, so
+    * codegen subexpression elimination does the lowercase+split once per row
+    * no matter how many languages a scan scores. */
+  def lexiconHits(lang: String): Column = {
+    val i = LangOrder.indexOf(lang)
+    require(i >= 0, s"unknown lexicon language $lang")
+    element_at(
+      graft.functions.TextFunctions.lexiconHitsAll(col("text"), LangOrder.map(Stopwords)),
+      i + 1)
+  }
 
   /** x / y with NULL on a zero denominator — degenerate (empty/punct-only)
     * docs must score NULL like the DuckDB oracle's division-by-zero, not
@@ -46,9 +58,9 @@ object TextAnalysis {
     docs.select(
       col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("n_words"),
-      expr("size(regexp_extract_all(text, '[A-Za-z0-9]+', 0))").cast("long").as("n_alnum_tokens"),
+      graft.functions.TextFunctions.regexCount(col("text"), "[A-Za-z0-9]+").cast("long").as("n_alnum_tokens"),
       safeDiv(length(col("text")).cast("double"),
-        expr("size(regexp_extract_all(text, '[A-Za-z0-9]+', 0))")).as("chars_per_token"))
+        graft.functions.TextFunctions.regexCount(col("text"), "[A-Za-z0-9]+")).as("chars_per_token"))
 
   /** GPT-2-style pre-tokenizer pattern: contraction suffixes, optionally
     * space-prefixed letter runs / digit runs / punctuation runs, then bare
@@ -62,7 +74,7 @@ object TextAnalysis {
   def tokenCountsBpe(docs: DataFrame): DataFrame = {
     // Column-API regex (no expr() SQL string): the pattern must reach the
     // engine verbatim — see the backslash-reprocessing note on [[urls]]
-    val nBpe = size(regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
+    val nBpe = graft.functions.TextFunctions.regexCount(col("text"), BpePattern)
     docs.select(
       col("doc_id"),
       nBpe.cast("long").as("n_bpe_tokens"),
@@ -130,26 +142,50 @@ object TextAnalysis {
     * [[qualityCol]] and [[qualityScore]], both oracle-pinned to this exact
     * regex). [[gopherFilter]] uses the Unicode-aware variant instead. */
   private def asciiPunctRatio: Column = safeDiv(
-    expr("size(regexp_extract_all(text, '[^A-Za-z0-9 ]', 0))").cast("double"),
+    graft.functions.TextFunctions.regexCount(col("text"), "[^A-Za-z0-9 ]").cast("double"),
     length(col("text")))
 
-  /** The [0,1] quality formula (shared by qualityScore and curation); NULL
-    * for zero-length text (see [[safeDiv]] — oracle division-by-zero parity). */
-  def qualityCol: Column = {
-    val stopRatio = safeDiv(lexiconHits("en").cast("double"), nWordsD)
+  /** The shared 4-language hit-count array as one column (ONE lowercase +
+    * split pass — see [[graft.functions.LexiconHitsAll]]). Scans that score
+    * several languages should materialize this in a lower projection (it is
+    * a non-cheap expression, so `CollapseProject` keeps the projection when
+    * it's referenced more than once) and derive each count with
+    * [[lexiconHitsFrom]] — codegen subexpression elimination does NOT reach
+    * into `when`-branches, so per-language [[lexiconHits]] columns inside
+    * [[langGuessCol]] would each redo the split. */
+  def lexiconHitsArray: Column =
+    graft.functions.TextFunctions.lexiconHitsAll(col("text"), LangOrder.map(Stopwords))
+
+  /** `lang`'s count out of a materialized [[lexiconHitsArray]] column. */
+  def lexiconHitsFrom(hits: Column, lang: String): Column = {
+    val i = LangOrder.indexOf(lang)
+    require(i >= 0, s"unknown lexicon language $lang")
+    element_at(hits, i + 1)
+  }
+
+  /** The [0,1] quality formula over a supplied English hit count — the
+    * single definition [[qualityCol]] and the hits-array consumers share. */
+  def qualityColFrom(enHits: Column): Column = {
+    val stopRatio = safeDiv(enHits.cast("double"), nWordsD)
     least(lit(1.0), nWordsD / 100.0) * (lit(1.0) - asciiPunctRatio) *
       least(lit(1.0), lit(4.0) * stopRatio + 0.5)
   }
+
+  /** The [0,1] quality formula (shared by qualityScore and curation); NULL
+    * for zero-length text (see [[safeDiv]] — oracle division-by-zero parity). */
+  def qualityCol: Column = qualityColFrom(lexiconHits("en"))
 
   /**
    * Heuristic language ID: stopword-lexicon hit counts per candidate language,
    * winner = max hits with a fixed alphabetical tie-break (deterministic).
    */
   def languageId(docs: DataFrame): DataFrame = {
-    val withHits = docs.select(
+    val withHits = docs.withColumn("_lexhits", lexiconHitsArray).select(
       col("doc_id"),
-      lexiconHits("de").cast("long").as("h_de"), lexiconHits("en").cast("long").as("h_en"),
-      lexiconHits("es").cast("long").as("h_es"), lexiconHits("fr").cast("long").as("h_fr"))
+      lexiconHitsFrom(col("_lexhits"), "de").cast("long").as("h_de"),
+      lexiconHitsFrom(col("_lexhits"), "en").cast("long").as("h_en"),
+      lexiconHitsFrom(col("_lexhits"), "es").cast("long").as("h_es"),
+      lexiconHitsFrom(col("_lexhits"), "fr").cast("long").as("h_fr"))
     withHits.withColumn("lang_guess",
       langGuessCol(col("h_de"), col("h_en"), col("h_es"), col("h_fr")))
   }
@@ -200,7 +236,7 @@ object TextAnalysis {
     // Column-API regex (not expr() SQL) so the \p classes reach the engine
     // verbatim — see the backslash-reprocessing note on [[tokenCountsBpe]]
     val punctRatio = safeDiv(
-      size(regexp_extract_all(col("text"), lit("[^\\p{L}\\p{N} ]"), lit(0))).cast("double"),
+      graft.functions.TextFunctions.regexCount(col("text"), "[^\\p{L}\\p{N} ]").cast("double"),
       length(col("text")))
     val stopHits = greatest(lexiconHits("de"), lexiconHits("en"),
       lexiconHits("es"), lexiconHits("fr")).cast("long")
@@ -317,7 +353,7 @@ object TextAnalysis {
     val firstHost = regexp_extract(lt, UrlPattern, 1)
     docs.select(
       col("doc_id"),
-      size(regexp_extract_all(lt, lit(UrlPattern), lit(0))).cast("long").as("n_urls"),
+      graft.functions.TextFunctions.regexCount(lt, UrlPattern).cast("long").as("n_urls"),
       array_join(array_sort(array_distinct(regexp_extract_all(lt, lit(UrlPattern), lit(1)))), ",")
         .as("hosts"),
       nullif(regexp_extract(firstHost, DomainPattern, 1), lit("")).as("first_domain"))
@@ -335,7 +371,7 @@ object TextAnalysis {
     // (same chaining as the redaction itself), so count == emitted
     // placeholders even when patterns overlap (an email whose local part
     // looks like a phone number must not count as a redacted phone).
-    def count(t: Column, pat: String) = size(regexp_extract_all(t, lit(pat), lit(0))).cast("long")
+    def count(t: Column, pat: String) = graft.functions.TextFunctions.regexCount(t, pat).cast("long")
     val t0 = col(textCol)
     val t1 = regexp_replace(t0, EmailPattern, "<EMAIL>")
     val t2 = regexp_replace(t1, Ipv4Pattern, "<IP>")
