@@ -45,6 +45,11 @@ object PipelineQuickstart {
     println("gopher rule drops by reason:")
     rules.agg(sum(lit(1) - col("ok_words")).as("short"), sum(lit(1) - col("ok_word_len")).as("word_len"),
       sum(lit(1) - col("ok_punct")).as("punct"), sum(lit(1) - col("ok_stop")).as("no_stopwords")).show()
+    // word-blocklist + domain-denylist screens (C4-style); the synthetic
+    // corpus has no links, so the domain screen is a no-op here by design
+    println(s"blocklist screen would drop " +
+      s"${TextAnalysis.blocklistFilter(docs, Seq("slow")).where(col("keep") === 0L).count()} docs; " +
+      s"domain denylist ${TextAnalysis.domainFilter(docs, Seq("bad.example")).where(col("keep") === 0L).count()}")
     // the keep decision composes ROW-WISE into the scored scan (no
     // corpus-vs-corpus join against the audit frame above)
     val kept = scored

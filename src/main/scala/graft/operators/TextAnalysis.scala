@@ -360,6 +360,51 @@ object TextAnalysis {
   }
 
   /**
+   * Word-blocklist document filter (the C4-style "bad words" screen, Raffel
+   * et al. 2020 §2.2 family): count whitespace words of `lower(text)` that
+   * appear in `blocklist`, keep docs with zero hits. The match is whole-word
+   * (a blocklisted word inside another word does not hit — the substring
+   * false-positive the word-boundary rule exists to avoid). Same native
+   * single-pass counter as language ID ([[graft.functions.LexiconHits]]):
+   * row-wise, codegen'd, zero shuffle, linear at 100 TB.
+   */
+  def blocklistFilter(docs: DataFrame, blocklist: Seq[String],
+                      textCol: String = "text"): DataFrame = {
+    require(blocklist.nonEmpty, "empty blocklist")
+    val hits = graft.functions.TextFunctions.lexiconHits(
+      col(textCol), blocklist.map(_.toLowerCase))
+    docs.select(
+      col("doc_id"),
+      hits.cast("long").as("n_blocked"),
+      // NULL text scores NULL hits -> drop (0), like the gopher flags
+      when(hits === 0, 1L).otherwise(0L).as("keep"))
+  }
+
+  /**
+   * Domain denylist filter — the web-curation screen over extracted link
+   * hosts: a doc is dropped when ANY of its URLs' registrable-ish domains
+   * (last two host labels, [[DomainPattern]]) is in `denied`. Counts ride
+   * along for auditability ([[gopherFilter]]'s flag convention). Row-wise
+   * over one lowercased scan; the per-host `transform` lambda is interpreted
+   * but bounded by the per-doc distinct host count (the [[chunk]] caveat),
+   * and the denylist is a literal array, never a join side.
+   */
+  def domainFilter(docs: DataFrame, denied: Seq[String],
+                   textCol: String = "text"): DataFrame = {
+    require(denied.nonEmpty, "empty denylist")
+    val lt = lower(col(textCol))
+    val hostArr = array_distinct(regexp_extract_all(lt, lit(UrlPattern), lit(1)))
+    val doms = array_distinct(transform(hostArr, h => regexp_extract(h, DomainPattern, 1)))
+    val deniedArr = array(denied.map(d => lit(d.toLowerCase)): _*)
+    val nDenied = size(array_intersect(doms, deniedArr))
+    docs.select(
+      col("doc_id"),
+      size(hostArr).cast("long").as("n_hosts"),
+      nDenied.cast("long").as("n_denied_domains"),
+      when(nDenied === 0, 1L).otherwise(0L).as("keep"))
+  }
+
+  /**
    * PII scrubbing: replace emails / IPv4s / phone-like sequences with typed
    * placeholder tags, and count what was redacted (audit trail). A pure
    * per-row regexp pipeline — codegen'd, no shuffle, linear at 100 TB.

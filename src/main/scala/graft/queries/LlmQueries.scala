@@ -34,6 +34,21 @@ object LlmQueries {
           lit(" and http://cdn"), (col("doc_id") % 3).cast("string"), lit(".example.net/x?q=1")).as("text"))
       TextAnalysis.urls(planted)
     }),
+    // C4-style word-blocklist screen: whole-word hits against a blocklist
+    // ("slow" splits the synthetic corpus ~80/20; "skew" never occurs, so the
+    // no-hit path is exercised too)
+    "text_blocklist" -> ((s, dir) =>
+      TextAnalysis.blocklistFilter(docs(s, dir), Seq("slow", "skew"))),
+    // domain-denylist screen over deterministically planted links (the
+    // synthetic corpus has none): each doc links its own source's domain, so
+    // denying two sources drops exactly those sources' docs
+    "text_domain_filter" -> ((s, dir) => {
+      val planted = docs(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          lit(" see http://"), col("source"), lit(".example/item?id="), col("doc_id").cast("string"),
+          lit(" and https://mirror."), col("source"), lit(".example/item")).as("text"))
+      TextAnalysis.domainFilter(planted, Seq("src3.example", "src7.example"))
+    }),
     // benchmark-contamination screen: probe set = every 10th doc; corpus docs
     // sharing >= 3 distinct 8-grams with a probe are flagged
     "text_contamination" -> ((s, dir) => {
@@ -439,6 +454,27 @@ object LlmQueries {
         |       array_to_string(list_sort(list_distinct(regexp_extract_all(lt, 'https?://([a-z0-9.-]+)[^ ]*', 1))), ',') AS hosts,
         |       nullif(regexp_extract(regexp_extract(lt, 'https?://([a-z0-9.-]+)[^ ]*', 1), '([a-z0-9-]+\.[a-z0-9-]+)$', 1), '') AS first_domain
         |FROM d""".stripMargin,
+    "text_blocklist" ->
+      """SELECT doc_id,
+        |       CAST(len(list_filter(string_split(lower(text), ' '), x -> list_contains(['slow', 'skew'], x))) AS BIGINT) AS n_blocked,
+        |       CAST(CASE WHEN len(list_filter(string_split(lower(text), ' '), x -> list_contains(['slow', 'skew'], x))) = 0
+        |            THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM documents""".stripMargin,
+    "text_domain_filter" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         text || ' see http://' || source || '.example/item?id=' || CAST(doc_id AS VARCHAR)
+        |              || ' and https://mirror.' || source || '.example/item' AS text
+        |  FROM documents),
+        |h AS (SELECT doc_id, list_distinct(regexp_extract_all(lower(text), 'https?://([a-z0-9.-]+)[^ ]*', 1)) AS hosts FROM d),
+        |m AS (SELECT doc_id, len(hosts) AS n_hosts,
+        |        len(list_intersect(
+        |          list_distinct(list_transform(hosts, x -> regexp_extract(x, '([a-z0-9-]+\.[a-z0-9-]+)$', 1))),
+        |          ['src3.example', 'src7.example'])) AS nd
+        |      FROM h)
+        |SELECT doc_id, CAST(n_hosts AS BIGINT) AS n_hosts, CAST(nd AS BIGINT) AS n_denied_domains,
+        |       CAST(CASE WHEN nd = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM m""".stripMargin,
     "text_repetition" ->
       """WITH g AS (
         |  SELECT doc_id,

@@ -146,6 +146,12 @@ object ScaleSmoke {
     t("gopherFilter") {
       graft.operators.TextAnalysis.gopherFilter(docs).where(col("keep") === 1L).count()
     }
+    t("blocklist + domain screens (row-wise)") {
+      graft.operators.TextAnalysis.blocklistFilter(docs, Seq("slow", "spill"))
+        .where(col("keep") === 1L).count()
+      graft.operators.TextAnalysis.domainFilter(docs, Seq("bad.example"))
+        .where(col("keep") === 1L).count()
+    }
     t("crossNgramJaccard capped (incoming 5% vs existing 95%)") {
       graft.operators.Dedup.crossNgramJaccard(
         docs.where(col("doc_id") % 20 === 0), docs.where(col("doc_id") % 20 =!= 0),

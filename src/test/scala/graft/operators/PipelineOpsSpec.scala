@@ -434,6 +434,26 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(out(2L).getLong(1) == 0L && out(2L).getString(2) == "" && out(2L).isNullAt(3))
   }
 
+  test("blocklist filter: whole-word hits only, zero-hit docs keep") {
+    val out = TextAnalysis.blocklistFilter(docs(
+      1L -> "a SPAM word and more spam here",  // 2 hits, case-insensitive
+      2L -> "spammy antispam spams"),          // substrings only: no whole-word hit
+      Seq("spam")).collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) == 2L && out(1L).getLong(2) == 0L)
+    assert(out(2L).getLong(1) == 0L && out(2L).getLong(2) == 1L)
+  }
+
+  test("domain filter: any denied registrable domain drops; subdomains resolve to it") {
+    val out = TextAnalysis.domainFilter(docs(
+      1L -> "see http://a.bad.example/x and https://ok.example/y",  // bad.example denied
+      2L -> "see https://mirror.ok.example/z only",
+      3L -> "no links at all"),
+      Seq("bad.example")).collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) == 2L && out(1L).getLong(2) == 1L && out(1L).getLong(3) == 0L)
+    assert(out(2L).getLong(1) == 1L && out(2L).getLong(2) == 0L && out(2L).getLong(3) == 1L)
+    assert(out(3L).getLong(1) == 0L && out(3L).getLong(3) == 1L)
+  }
+
   test("repetition: repeated grams score high, unique prose 0, short text null") {
     val out = TextAnalysis.repetition(docs(
       1L -> "spam spam spam spam spam spam",  // 4 gram instances, 1 distinct -> 0.75
