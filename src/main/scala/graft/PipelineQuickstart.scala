@@ -45,6 +45,10 @@ object PipelineQuickstart {
     println("gopher rule drops by reason:")
     rules.agg(sum(lit(1) - col("ok_words")).as("short"), sum(lit(1) - col("ok_word_len")).as("word_len"),
       sum(lit(1) - col("ok_punct")).as("punct"), sum(lit(1) - col("ok_stop")).as("no_stopwords")).show()
+    // repetition screen (Gopher dup-line/top-n-gram rules; the single-line
+    // synthetic docs only exercise the n-gram side here)
+    println(s"gopher repetition screen keeps " +
+      s"${TextAnalysis.gopherRepetition(docs).where(col("keep") === 1L).count()} docs")
     // word-blocklist + domain-denylist screens (C4-style); the synthetic
     // corpus has no links, so the domain screen is a no-op here by design
     println(s"blocklist screen would drop " +

@@ -319,6 +319,116 @@ object RegexCount {
   }
 }
 
+/**
+ * One-pass repetition statistics for the Gopher-family document filters
+ * (Rae et al. 2021 §A1.1): duplicate-line occurrence/character counts and
+ * the most-frequent word-n-gram (count + its character length) for
+ * n = 2, 3, 4 — everything the dup-line and top-n-gram fraction rules need,
+ * computed with per-doc hash maps instead of the O(L²)/O(G²) declarative
+ * list-lambda forms (which also evaluate interpreted).
+ *
+ * Pinned semantics (the oracle mirrors them):
+ *  - lines = '\n'-split, EMPTY LINES EXCLUDED (paragraph breaks are not
+ *    boilerplate); a line is duplicate when its exact value occurs >= 2
+ *    times in the doc; dup counts include every occurrence.
+ *  - words = runs split on [ \t\n\r]+ (the explicit class keeps Java and
+ *    RE2 whitespace semantics identical), empties excluded; n-grams join
+ *    with a single space.
+ *  - top n-gram = max occurrences, ties to the UTF-8-binary-smallest gram.
+ *  - all character counts are code points (DuckDB `length()` parity).
+ */
+case class GopherRepStats(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"GopherRepStats requires STRING, got $other")
+  }
+
+  override def dataType: DataType = GopherRepStats.schema
+
+  override def nullSafeEval(t: Any): Any =
+    GopherRepStats.stats(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = "graft.functions.GopherRepStats$.MODULE$"
+    nullSafeCodeGen(ctx, ev, t => s"${ev.value} = $helper.stats($t);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GopherRepStats =
+    copy(child = newChild)
+}
+
+object GopherRepStats {
+  import org.apache.spark.sql.types.{StructField, StructType}
+
+  val schema: StructType = StructType(Seq(
+    StructField("n_lines", IntegerType, nullable = false),
+    StructField("dup_line_occ", IntegerType, nullable = false),
+    StructField("dup_line_chars", IntegerType, nullable = false),
+    StructField("line_chars", IntegerType, nullable = false),
+    StructField("top2_count", IntegerType, nullable = false),
+    StructField("top2_chars", IntegerType, nullable = false),
+    StructField("top3_count", IntegerType, nullable = false),
+    StructField("top3_chars", IntegerType, nullable = false),
+    StructField("top4_count", IntegerType, nullable = false),
+    StructField("top4_chars", IntegerType, nullable = false)))
+
+  private def chars(s: String): Int = s.codePointCount(0, s.length)
+
+  private def utf8Less(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  def stats(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = text.toString
+    val lines = s.split("\n", -1).filter(_.nonEmpty)
+    val lineCounts = new java.util.HashMap[String, Integer](lines.length * 2)
+    lines.foreach(l => lineCounts.merge(l, 1, (a, b) => a + b))
+    var dupOcc = 0; var dupChars = 0; var lineChars = 0
+    lines.foreach { l =>
+      val c = chars(l)
+      lineChars += c
+      if (lineCounts.get(l) >= 2) { dupOcc += 1; dupChars += c }
+    }
+    val words = s.split("[ \t\n\r]+", -1).filter(_.nonEmpty)
+    def top(n: Int): (Int, Int) = {
+      if (words.length < n) return (0, 0)
+      val counts = new java.util.HashMap[String, Integer]()
+      var i = 0
+      while (i + n <= words.length) {
+        val sb = new java.lang.StringBuilder(words(i))
+        var j = 1
+        while (j < n) { sb.append(' ').append(words(i + j)); j += 1 }
+        counts.merge(sb.toString, 1, (a, b) => a + b)
+        i += 1
+      }
+      var bestG: String = null; var bestC = 0
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val c: Int = e.getValue
+        if (c > bestC || (c == bestC && utf8Less(e.getKey, bestG))) {
+          bestG = e.getKey; bestC = c
+        }
+      }
+      (bestC, chars(bestG))
+    }
+    val (c2, h2) = top(2); val (c3, h3) = top(3); val (c4, h4) = top(4)
+    org.apache.spark.sql.catalyst.InternalRow(
+      lines.length, dupOcc, dupChars, lineChars, c2, h2, c3, h3, c4, h4)
+  }
+}
+
 object TextFunctions {
   /** Column API: # whitespace words of lower(text) present in `lexicon`. */
   def lexiconHits(text: Column, lexicon: Seq[String]): Column =
@@ -332,6 +442,10 @@ object TextFunctions {
     * (`size(regexp_extract_all(text, pattern, 0))` without the array). */
   def regexCount(text: Column, pattern: String): Column =
     GraftSqlBridge.column(RegexCount(GraftSqlBridge.expression(text), pattern))
+
+  /** Column API: Gopher repetition stats struct (dup lines, top n-grams). */
+  def gopherRepStats(text: Column): Column =
+    GraftSqlBridge.column(GopherRepStats(GraftSqlBridge.expression(text)))
 
   /** Column API: min md5 hex over `gramLen`-char sliding windows of text. */
   def minGramMd5(text: Column, gramLen: Int): Column =

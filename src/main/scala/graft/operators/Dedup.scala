@@ -851,6 +851,13 @@ object Dedup {
     existing.select(md5(col("text")).as("h"))
       .select(bloomShard(col("h"), shardHexDigits).as("shard"),
         explode(array((0 until k).map(i => bloomPos(i, col("h"), hexDigits)): _*)).as("pos"))
+      // repartition on the shard key BEFORE the aggregate: the exchange then
+      // carries raw (shard, pos) longs and each shard's bitset is built once
+      // on its reducer. Without this, partial aggregation ships one
+      // SERIALIZED bitset per (shard x map-partition) through the shuffle —
+      // shards x partitions x bitset-size bytes (tens of GiB at 2^28 bits),
+      // measured 49 s vs 4 s at 16 shards x 2^28 over 475k docs.
+      .repartition(col("shard"))
       .groupBy("shard")
       .agg(graft.functions.BitsetFunctions.bitsetOr(col("pos"), numWords).as("bits"))
   }

@@ -360,6 +360,54 @@ object TextAnalysis {
   }
 
   /**
+   * Gopher repetition rules (Rae et al. 2021 §A1.1, the within-doc
+   * boilerplate signals the basic [[gopherFilter]] bands don't see):
+   * duplicate-line fractions (by occurrence and by character mass) and the
+   * character fraction claimed by the single most-frequent word-n-gram for
+   * n = 2, 3, 4, each with its keep rule and the conjunction. All stats come
+   * from ONE native pass ([[graft.functions.GopherRepStats]], materialized
+   * in a lower projection like the lexicon array); thresholds default to the
+   * paper's. Fractions divide exact ints, so they reproduce bit-for-bit in
+   * any engine; degenerate docs (no lines / too few words) score NULL or 0
+   * per [[safeDiv]] and keep.
+   */
+  def gopherRepetition(docs: DataFrame,
+                       maxDupLineFrac: Double = 0.30,
+                       maxDupLineCharFrac: Double = 0.20,
+                       maxTop2Frac: Double = 0.20,
+                       maxTop3Frac: Double = 0.18,
+                       maxTop4Frac: Double = 0.16): DataFrame = {
+    def flag(c: Column): Column = when(c, 1L).otherwise(0L)
+    val st = col("_rep")
+    val dupLineFrac = safeDiv(st.getField("dup_line_occ").cast("double"), st.getField("n_lines"))
+    val dupCharFrac = safeDiv(st.getField("dup_line_chars").cast("double"), st.getField("line_chars"))
+    // a gram seen once is not repetition: the fraction only counts the top
+    // gram when it actually repeats (otherwise one long gram in a short doc
+    // trips the cap)
+    def topFrac(n: Int): Column = when(st.getField(s"top${n}_count") >= 2, safeDiv(
+      (st.getField(s"top${n}_count") * st.getField(s"top${n}_chars")).cast("double"),
+      length(col("text")))).otherwise(lit(0.0))
+    // a NULL fraction (no lines / empty text) cannot exceed a cap -> keep,
+    // mirroring the oracle's NULL <= x = NULL -> COALESCE(..., keep)
+    def okLe(f: Column, cap: Double) = flag(coalesce(f <= cap, lit(true)))
+    val (okDl, okDc) = (okLe(dupLineFrac, maxDupLineFrac), okLe(dupCharFrac, maxDupLineCharFrac))
+    val (ok2, ok3, ok4) =
+      (okLe(topFrac(2), maxTop2Frac), okLe(topFrac(3), maxTop3Frac), okLe(topFrac(4), maxTop4Frac))
+    docs.withColumn("_rep", graft.functions.TextFunctions.gopherRepStats(col("text")))
+      .select(
+        col("doc_id"),
+        st.getField("n_lines").cast("long").as("n_lines"),
+        dupLineFrac.as("dup_line_frac"),
+        dupCharFrac.as("dup_line_char_frac"),
+        topFrac(2).as("top2_char_frac"),
+        topFrac(3).as("top3_char_frac"),
+        topFrac(4).as("top4_char_frac"),
+        okDl.as("ok_dup_line"), okDc.as("ok_dup_line_chars"),
+        ok2.as("ok_top2"), ok3.as("ok_top3"), ok4.as("ok_top4"),
+        (okDl * okDc * ok2 * ok3 * ok4).as("keep"))
+  }
+
+  /**
    * Word-blocklist document filter (the C4-style "bad words" screen, Raffel
    * et al. 2020 §2.2 family): count whitespace words of `lower(text)` that
    * appear in `blocklist`, keep docs with zero hits. The match is whole-word

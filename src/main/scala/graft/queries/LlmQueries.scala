@@ -34,6 +34,20 @@ object LlmQueries {
           lit(" and http://cdn"), (col("doc_id") % 3).cast("string"), lit(".example.net/x?q=1")).as("text"))
       TextAnalysis.urls(planted)
     }),
+    // Gopher repetition rules over planted line structure: every doc gets a
+    // footer block ("subscribe now" duplicated on even ids, a hot 2-gram run
+    // on ids % 4 == 0), so dup-line and top-n-gram flags split the corpus
+    "text_gopher_rep" -> ((s, dir) => {
+      val planted = docs(s, dir).select(col("doc_id"),
+        concat_ws("\n",
+          col("text"),
+          lit("subscribe now"),
+          concat(lit("item "), (col("doc_id") % 5).cast("string")),
+          when(col("doc_id") % 2 === 0, lit("subscribe now"))
+            .otherwise(concat(lit("uniq "), col("doc_id").cast("string"))),
+          when(col("doc_id") % 4 === 0, lit("buy now buy now buy now"))).as("text"))
+      TextAnalysis.gopherRepetition(planted)
+    }),
     // C4-style word-blocklist screen: whole-word hits against a blocklist
     // ("slow" splits the synthetic corpus ~80/20; "skew" never occurs, so the
     // no-hit path is exercised too)
@@ -454,6 +468,55 @@ object LlmQueries {
         |       array_to_string(list_sort(list_distinct(regexp_extract_all(lt, 'https?://([a-z0-9.-]+)[^ ]*', 1))), ',') AS hosts,
         |       nullif(regexp_extract(regexp_extract(lt, 'https?://([a-z0-9.-]+)[^ ]*', 1), '([a-z0-9-]+\.[a-z0-9-]+)$', 1), '') AS first_domain
         |FROM d""".stripMargin,
+    "text_gopher_rep" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         text || chr(10) || 'subscribe now'
+        |              || chr(10) || 'item ' || CAST(doc_id % 5 AS VARCHAR)
+        |              || chr(10) || CASE WHEN doc_id % 2 = 0 THEN 'subscribe now' ELSE 'uniq ' || CAST(doc_id AS VARCHAR) END
+        |              || CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'buy now buy now buy now' ELSE '' END AS text
+        |  FROM documents),
+        |l AS (SELECT doc_id, text, list_filter(string_split(text, chr(10)), x -> x != '') AS lines FROM d),
+        |lm AS (SELECT doc_id, text, len(lines) AS n_lines,
+        |         len(list_filter(lines, x -> len(list_filter(lines, y -> y = x)) >= 2)) AS dup_occ,
+        |         COALESCE(list_sum(list_transform(lines, x -> length(x))), 0) AS line_chars,
+        |         COALESCE(list_sum(list_transform(list_filter(lines, x -> len(list_filter(lines, y -> y = x)) >= 2), x -> length(x))), 0) AS dup_chars
+        |       FROM l),
+        |w AS (SELECT doc_id, text, n_lines, dup_occ, line_chars, dup_chars,
+        |        list_filter(regexp_split_to_array(text, '[ \t\n\r]+'), x -> x != '') AS ws FROM lm),
+        |u2 AS (SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS gram FROM w, UNNEST(range(1, len(ws))) AS t(i) WHERE len(ws) >= 2),
+        |u3 AS (SELECT doc_id, array_to_string(ws[i:i+2], ' ') AS gram FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i) WHERE len(ws) >= 3),
+        |u4 AS (SELECT doc_id, array_to_string(ws[i:i+3], ' ') AS gram FROM w, UNNEST(range(1, len(ws) - 2)) AS t(i) WHERE len(ws) >= 4),
+        |t2 AS (SELECT doc_id, c AS c2, length(gram) AS h2 FROM (
+        |         SELECT doc_id, gram, COUNT(*) AS c, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY COUNT(*) DESC, gram) AS rn
+        |         FROM u2 GROUP BY 1, 2) WHERE rn = 1),
+        |t3 AS (SELECT doc_id, c AS c3, length(gram) AS h3 FROM (
+        |         SELECT doc_id, gram, COUNT(*) AS c, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY COUNT(*) DESC, gram) AS rn
+        |         FROM u3 GROUP BY 1, 2) WHERE rn = 1),
+        |t4 AS (SELECT doc_id, c AS c4, length(gram) AS h4 FROM (
+        |         SELECT doc_id, gram, COUNT(*) AS c, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY COUNT(*) DESC, gram) AS rn
+        |         FROM u4 GROUP BY 1, 2) WHERE rn = 1),
+        |f AS (
+        |  SELECT w.doc_id, w.n_lines,
+        |         CAST(dup_occ AS DOUBLE) / nullif(n_lines, 0) AS dup_line_frac,
+        |         CAST(dup_chars AS DOUBLE) / nullif(line_chars, 0) AS dup_line_char_frac,
+        |         CASE WHEN COALESCE(c2, 0) >= 2 THEN CAST(COALESCE(c2, 0) * COALESCE(h2, 0) AS DOUBLE) / nullif(length(w.text), 0) ELSE 0.0 END AS top2_char_frac,
+        |         CASE WHEN COALESCE(c3, 0) >= 2 THEN CAST(COALESCE(c3, 0) * COALESCE(h3, 0) AS DOUBLE) / nullif(length(w.text), 0) ELSE 0.0 END AS top3_char_frac,
+        |         CASE WHEN COALESCE(c4, 0) >= 2 THEN CAST(COALESCE(c4, 0) * COALESCE(h4, 0) AS DOUBLE) / nullif(length(w.text), 0) ELSE 0.0 END AS top4_char_frac
+        |  FROM w LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id) LEFT JOIN t4 USING (doc_id))
+        |SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+        |       dup_line_frac, dup_line_char_frac, top2_char_frac, top3_char_frac, top4_char_frac,
+        |       CAST(CASE WHEN COALESCE(dup_line_frac <= 0.30, TRUE) THEN 1 ELSE 0 END AS BIGINT) AS ok_dup_line,
+        |       CAST(CASE WHEN COALESCE(dup_line_char_frac <= 0.20, TRUE) THEN 1 ELSE 0 END AS BIGINT) AS ok_dup_line_chars,
+        |       CAST(CASE WHEN COALESCE(top2_char_frac <= 0.20, TRUE) THEN 1 ELSE 0 END AS BIGINT) AS ok_top2,
+        |       CAST(CASE WHEN COALESCE(top3_char_frac <= 0.18, TRUE) THEN 1 ELSE 0 END AS BIGINT) AS ok_top3,
+        |       CAST(CASE WHEN COALESCE(top4_char_frac <= 0.16, TRUE) THEN 1 ELSE 0 END AS BIGINT) AS ok_top4,
+        |       CAST(CASE WHEN COALESCE(dup_line_frac <= 0.30, TRUE) THEN 1 ELSE 0 END
+        |          * CASE WHEN COALESCE(dup_line_char_frac <= 0.20, TRUE) THEN 1 ELSE 0 END
+        |          * CASE WHEN COALESCE(top2_char_frac <= 0.20, TRUE) THEN 1 ELSE 0 END
+        |          * CASE WHEN COALESCE(top3_char_frac <= 0.18, TRUE) THEN 1 ELSE 0 END
+        |          * CASE WHEN COALESCE(top4_char_frac <= 0.16, TRUE) THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM f""".stripMargin,
     "text_blocklist" ->
       """SELECT doc_id,
         |       CAST(len(list_filter(string_split(lower(text), ' '), x -> list_contains(['slow', 'skew'], x))) AS BIGINT) AS n_blocked,

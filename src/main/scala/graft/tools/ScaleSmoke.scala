@@ -146,6 +146,9 @@ object ScaleSmoke {
     t("gopherFilter") {
       graft.operators.TextAnalysis.gopherFilter(docs).where(col("keep") === 1L).count()
     }
+    t("gopherRepetition (dup lines + top n-grams, native one-pass)") {
+      graft.operators.TextAnalysis.gopherRepetition(docs).where(col("keep") === 1L).count()
+    }
     t("blocklist + domain screens (row-wise)") {
       graft.operators.TextAnalysis.blocklistFilter(docs, Seq("slow", "spill"))
         .where(col("keep") === 1L).count()

@@ -434,6 +434,24 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(out(2L).getLong(1) == 0L && out(2L).getString(2) == "" && out(2L).isNullAt(3))
   }
 
+  test("gopher repetition: dup-line and top-n-gram fractions, hand-computed") {
+    val out = TextAnalysis.gopherRepetition(docs(
+      // 4 non-empty lines, "ad" twice -> dup_line_frac 0.5 (> 0.30 cap)
+      1L -> "one two three four five six seven eight\nad\nmiddle line here\nad",
+      // no repeated lines or grams
+      2L -> "all words unique in this line",
+      // "spam spam" occurs 3x, 9 chars, text 19 chars -> top2 frac 27/19 > 0.20
+      3L -> "spam spam spam spam")).collect().map(r => r.getLong(0) -> r).toMap
+    val d1 = out(1L)
+    assert(d1.getLong(1) == 4L)                                  // n_lines
+    assert(d1.getDouble(2) == 0.5 && d1.getLong(7) == 0L)        // dup_line_frac, ok_dup_line
+    assert(d1.getDouble(3) == 4.0 / 59.0)                        // dup chars 2+2 over 59 line chars
+    assert(out(2L).getDouble(2) == 0.0 && out(2L).getLong(12) == 1L) // keep
+    val d3 = out(3L)
+    assert(d3.getDouble(4) == 27.0 / 19.0 && d3.getLong(9) == 0L)    // top2 frac, ok_top2
+    assert(d3.getLong(12) == 0L)
+  }
+
   test("blocklist filter: whole-word hits only, zero-hit docs keep") {
     val out = TextAnalysis.blocklistFilter(docs(
       1L -> "a SPAM word and more spam here",  // 2 hits, case-insensitive
