@@ -75,6 +75,9 @@ class VizEnforcementRule extends Rule[LogicalPlan] {
   *  - `simhash_bits(md5_array)`        — packed 64-bit SimHash signature
   *  - `quant_int8(float_array)`        — int8 max-abs quantization stats struct
   *  - `lexicon_hits(text, 'w1,w2')`    — lowercased whitespace-token set hits
+  *  - `lexicon_hits_all(text, 'a,b|c')`— all lexicons' hits (|-separated) in one pass
+  *  - `regex_count(text, 'pat')`       — non-overlapping match count, no array
+  *  - `gopher_rep_stats(text)`         — dup-line/top-n-gram repetition struct
   *  - `min_gram_md5(text, 12)`         — min md5 over character n-grams
   *  - `bitset_or_agg(pos, 16384)`      — Bloom/bitset OR-fold aggregate
   *
@@ -133,6 +136,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.functions.MinGramMd5(c.head, intLit(c(1), "min_gram_md5(text, gram_len)"))))
     ext.injectFunction(fn("nfc_normalize", classOf[graft.functions.NfcNormalize], 1,
       "nfc_normalize(text)")(c => graft.functions.NfcNormalize(c.head)))
+    ext.injectFunction(fn("regex_count", classOf[graft.functions.RegexCount], 2,
+      "regex_count(text, 'pattern')")(c =>
+      graft.functions.RegexCount(c.head, strLit(c(1), "regex_count(text, 'pattern')"))))
+    ext.injectFunction(fn("lexicon_hits_all", classOf[graft.functions.LexiconHitsAll], 2,
+      "lexicon_hits_all(text, 'w1,w2|w3,w4|...')")(c =>
+      graft.functions.LexiconHitsAll(c.head,
+        strLit(c(1), "lexicon_hits_all(text, 'w1,w2|w3,w4|...')")
+          .split("\\|", -1).toSeq.map(_.split(",").toSeq))))
+    ext.injectFunction(fn("gopher_rep_stats", classOf[graft.functions.GopherRepStats], 1,
+      "gopher_rep_stats(text)")(c => graft.functions.GopherRepStats(c.head)))
     ext.injectFunction(fn("bitset_or_agg", classOf[graft.functions.BitsetOrAgg], 2,
       "bitset_or_agg(pos BIGINT, num_words)")(c =>
       graft.functions.BitsetOrAgg(c.head,

@@ -51,11 +51,16 @@ object ScaleSmoke {
     if (reps <= 20)
       t("minhashLsh (uncapped; 20x tier only)") { graft.operators.Dedup.minhashLsh(docs).count() }
     else println("SCALE minhashLsh uncapped SKIPPED at reps>20 (reps^2-clique corpus; capped is the scale config)")
-    t("minhashLsh capped (the 100TB config)") {
-      graft.operators.Dedup.minhashLsh(docs, maxBucket = 200L).count()
+    // the cap contract: maxBucket must sit BELOW the expected duplication
+    // factor, or a clique of near-identical docs passes under it and pair
+    // generation goes reps^2 (measured 100 s at reps=100 under a 200 cap).
+    // 200 covers the 20x tier (20-cliques); above that, cap at reps/2.
+    val mhCap = if (reps <= 20) 200L else (reps / 2).toLong
+    t(s"minhashLsh capped (the 100TB config, maxBucket=$mhCap)") {
+      graft.operators.Dedup.minhashLsh(docs, maxBucket = mhCap).count()
     }
-    t("simhashPairs (capped, the 100TB config)") {
-      graft.operators.Dedup.simhashPairs(docs, maxHamming = 6, maxBucket = 200L).count()
+    t(s"simhashPairs (capped, the 100TB config, maxBucket=$mhCap)") {
+      graft.operators.Dedup.simhashPairs(docs, maxHamming = 6, maxBucket = mhCap).count()
     }
     t("ngramJaccard capped (the 100TB config)") {
       graft.operators.Dedup.ngramJaccard(docs, threshold = 0.7, maxDocFreq = 50L).count()

@@ -65,6 +65,19 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("literal"))
   }
 
+  test("regex_count, lexicon_hits_all, gopher_rep_stats are SQL-callable") {
+    val r = ext.sql(
+      "SELECT regex_count('a!b?c', '[^A-Za-z0-9 ]') AS c, " +
+      "lexicon_hits_all('the cat und der hund', 'the,a|und,der') AS h").head()
+    assert(r.getInt(0) == 2)
+    assert(r.getSeq[Int](1) == Seq(1, 2))
+    val e = intercept[Exception](ext.sql("SELECT regex_count('x', upper('a'))").collect())
+    assert(e.getMessage.contains("literal"))
+    val g = ext.sql("SELECT gopher_rep_stats('x y\nz\nz').n_lines AS nl, " +
+      "gopher_rep_stats('x y\nz\nz').dup_line_occ AS d").head()
+    assert(g.getInt(0) == 3 && g.getInt(1) == 2)
+  }
+
   test("min_gram_md5 equals the min md5 over character n-grams") {
     val expected = "abcdef".sliding(3).map { g =>
       java.security.MessageDigest.getInstance("MD5")
