@@ -314,6 +314,36 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /**
+   * Near-dup representative selection by QUALITY: one survivor per jaccard
+   * component like the keep-list, but the survivor is the highest-quality
+   * member — the production rule (min-id keeps an arbitrary doc; a curation
+   * pipeline keeps the best one). Singletons keep themselves. Total order:
+   * quality desc (NULL — degenerate text — below every real score), then
+   * doc_id asc; quality is bit-exact cross-engine (the text_quality gate),
+   * so the winner can never differ between engines.
+   *
+   * Scale: pair generation and clustering are [[ngramJaccard]]/[[clusters]];
+   * quality is a row-wise column on one corpus scan; the winner per cluster
+   * is a `max_by` hash aggregate (map-side combined) over the member frame
+   * and joins back on the well-distributed cluster key. Nothing
+   * corpus-sized is broadcast or windowed.
+   *
+   * @return one row per doc: (doc_id, cluster_id, quality, keep_doc_id)
+   */
+  def keepBest(docs: DataFrame, threshold: Double = 0.7): DataFrame = {
+    val comps = clusters(ngramJaccard(docs, threshold).select("a", "b"))
+    val member = docs
+      .select(col("doc_id"), graft.operators.TextAnalysis.qualityCol.as("quality"))
+      .join(comps, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"), col("quality"))
+    val winners = member.groupBy("cluster_id").agg(
+      expr("max_by(doc_id, struct(coalesce(quality, -1.0D), -doc_id))").as("keep_doc_id"))
+    member.join(winners, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("quality"), col("keep_doc_id"))
+  }
+
   /** Id types whose collected JVM values order identically to Spark's `min`
     * aggregate on the driver (strings get the UTF8String comparator below).
     * Anything else — binary (Array[Byte] is not Comparable), arrays, structs

@@ -148,6 +148,9 @@ object LlmQueries {
       d.join(comps.where(col("doc_id") =!= col("cluster_id")), Seq("doc_id"), "left_anti")
         .select("doc_id")
     }),
+    // representative selection by quality: same components as the keep-list,
+    // but the survivor is the best-quality member (prod rule), not min-id
+    "dedup_keep_best" -> ((s, dir) => Dedup.keepBest(docs(s, dir), threshold = 0.7)),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir), maxHamming = 6)),
     // the 100 TB configuration: hot (band-pair, key) buckets capped out of
     // candidate generation (the quadratic-blowup guard) — the cap path itself
@@ -702,6 +705,34 @@ object LlmQueries {
          |reps AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY 1)
          |SELECT doc_id FROM documents
          |WHERE doc_id NOT IN (SELECT doc_id FROM reps WHERE doc_id != cluster_id)""".stripMargin,
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE sh AS ($Shingles),
+         |p AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS inter
+         |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |pairs AS (
+         |  SELECT p.a, p.b FROM p
+         |  JOIN sz sa ON p.a = sa.doc_id JOIN sz sb ON p.b = sb.doc_id
+         |  WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.7),
+         |edges AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |comp AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY 1),
+         |q AS (SELECT doc_id,
+         |        LEAST(1.0, len(string_split(text, ' ')) / 100.0)
+         |              * (1.0 - len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) * 1.0 / length(text))
+         |              * LEAST(1.0, 4.0 * ${hitsSql("en")} / len(string_split(lower(text), ' ')) + 0.5) AS quality
+         |      FROM documents),
+         |m AS (SELECT q.doc_id, COALESCE(c.cluster_id, q.doc_id) AS cluster_id, q.quality
+         |      FROM q LEFT JOIN comp c ON q.doc_id = c.doc_id),
+         |w AS (SELECT cluster_id, doc_id AS keep_doc_id FROM (
+         |        SELECT cluster_id, doc_id,
+         |               ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY COALESCE(quality, -1.0) DESC, doc_id) AS rn
+         |        FROM m) WHERE rn = 1)
+         |SELECT m.doc_id, m.cluster_id, m.quality, w.keep_doc_id
+         |FROM m JOIN w USING (cluster_id)""".stripMargin,
     "dedup_clusters" ->
       s"""WITH RECURSIVE sh AS ($Shingles),
          |p AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS inter

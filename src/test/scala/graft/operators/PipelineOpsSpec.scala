@@ -434,6 +434,22 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(out(2L).getLong(1) == 0L && out(2L).getString(2) == "" && out(2L).isNullAt(3))
   }
 
+  test("keepBest keeps the highest-quality member, not min-id; singletons keep themselves") {
+    // base: 100 words (length factor saturates at 1.0 for both near-dups);
+    // doc 1 = base + punctuation junk -> lower punct factor and stopword
+    // ratio than doc 2, so the component's min-id (1) is NOT its best member
+    val base = (1 to 25).flatMap(i => Seq(s"w$i", "the", "and", "of")).mkString(" ")
+    val out = Dedup.keepBest(docs(
+      1L -> (base + " !!! ??? ;;; :::"),
+      2L -> base,
+      3L -> "an unrelated singleton document entirely its own"), threshold = 0.7)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) == 1L && out(2L).getLong(1) == 1L) // same component, min-id label
+    assert(out(1L).getLong(3) == 2L && out(2L).getLong(3) == 2L) // best quality wins
+    assert(out(1L).getDouble(2) < out(2L).getDouble(2))
+    assert(out(3L).getLong(1) == 3L && out(3L).getLong(3) == 3L) // singleton keeps itself
+  }
+
   test("gopher repetition: dup-line and top-n-gram fractions, hand-computed") {
     val out = TextAnalysis.gopherRepetition(docs(
       // 4 non-empty lines, "ad" twice -> dup_line_frac 0.5 (> 0.30 cap)
