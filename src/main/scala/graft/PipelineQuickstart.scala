@@ -99,6 +99,8 @@ object PipelineQuickstart {
       .orderBy(col("importance").desc_nulls_last, col("doc_id")).show(5)
     println("first BPE merge rules learned from the kept corpus:")
     TextAnalysis.bpeTrain(deduped, iters = 3).orderBy("iter").show(truncate = false)
+    println("token counts under that trained tokenizer (first 3 docs):")
+    TextAnalysis.bpeEncodeCounts(deduped, iters = 3).orderBy("doc_id").show(3)
 
     // 5. export prep: train/val/test split, mix accounting, RAG chunks
     val split = Curation.splitAssign(deduped)

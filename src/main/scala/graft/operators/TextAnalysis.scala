@@ -658,7 +658,13 @@ object TextAnalysis {
    * per-partition heaps), and a 1-row broadcast rewrite; each round's
    * vocabulary is cached so round i+1 never replays rounds 1..i.
    */
-  def bpeTrain(docs: DataFrame, iters: Int = 3): DataFrame = {
+  def bpeTrain(docs: DataFrame, iters: Int = 3): DataFrame =
+    bpeRounds(docs, iters)._2.reduce(_.union(_))
+
+  /** The training loop shared by [[bpeTrain]] (returns the merge table) and
+    * [[bpeEncodeCounts]] (returns the final vocabulary state): word-frequency
+    * table -> `iters` (pair-count, top-1, rewrite) rounds. */
+  private def bpeRounds(docs: DataFrame, iters: Int): (DataFrame, Seq[DataFrame]) = {
     require(iters >= 1 && iters <= 8, "iters in 1..8 (each round is a vocab pass)")
     def rep(c: Column, find: Column, to: Column): Column =
       call_function("replace", c, find, to)
@@ -689,7 +695,36 @@ object TextAnalysis {
           lit("  "), lit(" "))).as("sym"), col("freq"))
         .cache()
     }
-    merges.result().reduce(_.union(_))
+    (cur, merges.result())
+  }
+
+  /**
+   * BPE ENCODE under the corpus-trained merges — the apply side of
+   * [[bpeTrain]]: per doc, the token count its own `iters`-merge tokenizer
+   * produces (plus the word count for the compression ratio). The final
+   * vocabulary state already maps every corpus word to its merged symbol
+   * sequence, and the symbol string is a bijection of the word (spaces out,
+   * trailing `</w>` off), so encoding is a word->vocab join — NO per-doc
+   * merge application, and the join key (the word) is recovered from the
+   * symbols rather than threaded through the rewrite rounds.
+   *
+   * Scale: training cost as [[bpeTrain]] (distinct-word-scale rounds); the
+   * encode itself is one explode + join on the well-distributed word key +
+   * one aggregate. Docs with no non-empty words have no tokens and drop out
+   * (inner-join semantics, mirrored by the oracle).
+   */
+  def bpeEncodeCounts(docs: DataFrame, iters: Int = 3): DataFrame = {
+    val (vocab, _) = bpeRounds(docs, iters)
+    val nospace = call_function("replace", col("sym"), lit(" "), lit(""))
+    val v = vocab.select(
+      nospace.substr(lit(1), length(nospace) - lit(4)).as("w"),
+      size(split(col("sym"), " ")).cast("long").as("n_sym"))
+    docs.select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .where(length(col("w")) > 0)
+      .join(v, "w")
+      .groupBy("doc_id")
+      .agg(sum("n_sym").as("n_tokens_bpe_trained"),
+        count(lit(1)).cast("long").as("n_words"))
   }
 
   /**

@@ -282,6 +282,9 @@ object LlmQueries {
     // BPE tokenizer training: the corpus' first 3 merge rules (frequency-
     // weighted pair counts at distinct-word scale, deterministic ties)
     "text_bpe_train" -> ((s, dir) => TextAnalysis.bpeTrain(docs(s, dir), iters = 3)),
+    // the apply side: per-doc token counts under the corpus-trained 3-merge
+    // tokenizer (word -> final-vocab join, no per-doc merge application)
+    "text_bpe_encode" -> ((s, dir) => TextAnalysis.bpeEncodeCounts(docs(s, dir), iters = 3)),
     // RAG-style chunking: 64-word windows every 48 words, with provenance
     "text_chunks" -> ((s, dir) => TextAnalysis.chunk(docs(s, dir))),
     // Gopher-style heuristic rule flags + keep decision (auditable filter)
@@ -318,28 +321,50 @@ object LlmQueries {
 
   /** Unrolled DuckDB replay of [[TextAnalysis.bpeTrain]]: one (pair-count,
     * top-1, rewrite) CTE triple per round over the word-frequency table. */
+  /** One (pair-count, top-1, rewrite) CTE triple per training round. */
+  private def bpeRoundsSql(iters: Int): Seq[String] = (1 to iters).map { i =>
+    val prev = s"w${i - 1}"
+    s"""p$i AS (SELECT ws[j] || ' ' || ws[j+1] AS p, CAST(SUM(freq) AS BIGINT) AS cnt
+       |      FROM (SELECT string_split(sym, ' ') AS ws, freq FROM $prev),
+       |           LATERAL (SELECT UNNEST(range(1, len(ws))) AS j) t
+       |      GROUP BY 1),
+       |t$i AS (SELECT p, cnt FROM p$i ORDER BY cnt DESC, p LIMIT 1),
+       |w$i AS (SELECT trim(replace(replace(' ' || replace($prev.sym, ' ', '  ') || ' ',
+       |        ' ' || replace(t$i.p, ' ', '  ') || ' ',
+       |        ' ' || replace(t$i.p, ' ', '') || ' '), '  ', ' ')) AS sym, freq
+       |      FROM $prev, t$i)""".stripMargin
+  }
+
   private def bpeOracleSql(iters: Int): String = {
-    val rounds = (1 to iters).map { i =>
-      val prev = s"w${i - 1}"
-      s"""p$i AS (SELECT ws[j] || ' ' || ws[j+1] AS p, CAST(SUM(freq) AS BIGINT) AS cnt
-         |      FROM (SELECT string_split(sym, ' ') AS ws, freq FROM $prev),
-         |           LATERAL (SELECT UNNEST(range(1, len(ws))) AS j) t
-         |      GROUP BY 1),
-         |t$i AS (SELECT p, cnt FROM p$i ORDER BY cnt DESC, p LIMIT 1),
-         |w$i AS (SELECT trim(replace(replace(' ' || replace($prev.sym, ' ', '  ') || ' ',
-         |        ' ' || replace(t$i.p, ' ', '  ') || ' ',
-         |        ' ' || replace(t$i.p, ' ', '') || ' '), '  ', ' ')) AS sym, freq
-         |      FROM $prev, t$i)""".stripMargin
-    }
     val selects = (1 to iters)
       .map(i => s"SELECT CAST($i AS BIGINT) AS iter, p AS pair, cnt FROM t$i")
-    s"""WITH w0 AS (
+    s"""WITH ${bpeCtes(bpeRoundsSql(iters))}
+       |${selects.mkString("\nUNION ALL ")}""".stripMargin
+  }
+
+  /** Shared CTE prefix of the BPE oracles: the word-frequency table plus the
+    * unrolled training rounds. */
+  private def bpeCtes(rounds: Seq[String]): String =
+    s"""w0 AS (
        |  SELECT array_to_string(string_split(word, ''), ' ') || ' </w>' AS sym,
        |         CAST(COUNT(*) AS BIGINT) AS freq
        |  FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
        |  WHERE length(word) > 0 GROUP BY 1),
-       |${rounds.mkString(",\n")}
-       |${selects.mkString("\nUNION ALL ")}""".stripMargin
+       |${rounds.mkString(",\n")}""".stripMargin
+
+  /** Encode replay: re-derive the trained vocabulary, recover each word from
+    * its symbol string (spaces out, trailing `</w>` off — a bijection), and
+    * join the documents' words to their symbol counts. */
+  private def bpeEncodeOracleSql(iters: Int): String = {
+    val rounds = bpeRoundsSql(iters)
+    s"""WITH ${bpeCtes(rounds)},
+       |v AS (SELECT substring(replace(sym, ' ', ''), 1, length(replace(sym, ' ', '')) - 4) AS word,
+       |             CAST(len(string_split(sym, ' ')) AS BIGINT) AS n_sym FROM w$iters),
+       |u AS (SELECT doc_id, word FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents)
+       |      WHERE length(word) > 0)
+       |SELECT doc_id, CAST(SUM(n_sym) AS BIGINT) AS n_tokens_bpe_trained,
+       |       CAST(COUNT(*) AS BIGINT) AS n_words
+       |FROM u JOIN v USING (word) GROUP BY 1""".stripMargin
   }
 
   private val Shingles =
@@ -960,6 +985,7 @@ object LlmQueries {
     // code-point symbolization, frequency-weighted pair counts, (cnt desc, p)
     // tie-break, and the doubled-gap leftmost replace rewrite
     "text_bpe_train" -> bpeOracleSql(3),
+    "text_bpe_encode" -> bpeEncodeOracleSql(3),
     // mirrors Dedup.urlDedup: identical regexp chain (RE2-portable patterns)
     "dedup_url" ->
       """WITH k AS (

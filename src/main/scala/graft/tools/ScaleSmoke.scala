@@ -83,6 +83,10 @@ object ScaleSmoke {
     t("lmScoreBigram (top-4096 bigram vocab)") {
       graft.operators.TextAnalysis.lmScoreBigram(docs, 4096).count()
     }
+    t("bpeEncode (3 trained merges applied via vocab join)") {
+      graft.operators.TextAnalysis.bpeEncodeCounts(docs, iters = 3)
+        .agg(sum("n_tokens_bpe_trained")).collect()
+    }
     t("bpeTrain (4 merge rounds at distinct-word scale)") {
       graft.operators.TextAnalysis.bpeTrain(docs, iters = 4).count()
     }

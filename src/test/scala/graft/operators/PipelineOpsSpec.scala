@@ -434,6 +434,19 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(out(2L).getLong(1) == 0L && out(2L).getString(2) == "" && out(2L).isNullAt(3))
   }
 
+  test("bpeEncodeCounts applies the trained merges: hand-derived token counts") {
+    // words: xx (freq 2, sym "x x </w>"), yy (freq 1, sym "y y </w>").
+    // Round-1 pairs: "x x"=2, "x </w>"=2, "y y"=1, "y </w>"=1; the count tie
+    // breaks to the lexicographically smaller pair "x </w>" (< "x x"), so
+    // xx -> "x x</w>" (2 symbols) and yy stays "y y </w>" (3 symbols).
+    val out = TextAnalysis.bpeEncodeCounts(docs(1L -> "xx xx yy"), iters = 1).head()
+    assert(out.getAs[Long]("n_tokens_bpe_trained") == 2L + 2L + 3L)
+    assert(out.getAs[Long]("n_words") == 3L)
+    // and the merge the encode applied is the merge training reports
+    val m = TextAnalysis.bpeTrain(docs(1L -> "xx xx yy"), iters = 1).head()
+    assert(m.getString(1) == "x </w>" && m.getLong(2) == 2L)
+  }
+
   test("keepBest keeps the highest-quality member, not min-id; singletons keep themselves") {
     // base: 100 words (length factor saturates at 1.0 for both near-dups);
     // doc 1 = base + punctuation junk -> lower punct factor and stopword
