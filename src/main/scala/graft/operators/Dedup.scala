@@ -323,16 +323,19 @@ object Dedup {
    * doc_id asc; quality is bit-exact cross-engine (the text_quality gate),
    * so the winner can never differ between engines.
    *
-   * Scale: pair generation and clustering are [[ngramJaccard]]/[[clusters]];
-   * quality is a row-wise column on one corpus scan; the winner per cluster
-   * is a `max_by` hash aggregate (map-side combined) over the member frame
-   * and joins back on the well-distributed cluster key. Nothing
-   * corpus-sized is broadcast or windowed.
+   * Scale: pair generation and clustering are [[ngramJaccard]]/[[clusters]]
+   * (pass `maxDocFreq` to cap boilerplate shingles out of candidate
+   * generation — the 100 TB configuration, same contract as the capped
+   * jaccard gate); quality is a row-wise column on one corpus scan; the
+   * winner per cluster is a `max_by` hash aggregate (map-side combined) over
+   * the member frame and joins back on the well-distributed cluster key.
+   * Nothing corpus-sized is broadcast or windowed.
    *
    * @return one row per doc: (doc_id, cluster_id, quality, keep_doc_id)
    */
-  def keepBest(docs: DataFrame, threshold: Double = 0.7): DataFrame = {
-    val comps = clusters(ngramJaccard(docs, threshold).select("a", "b"))
+  def keepBest(docs: DataFrame, threshold: Double = 0.7,
+               maxDocFreq: Long = Long.MaxValue): DataFrame = {
+    val comps = clusters(ngramJaccard(docs, threshold, maxDocFreq).select("a", "b"))
     val member = docs
       .select(col("doc_id"), graft.operators.TextAnalysis.qualityCol.as("quality"))
       .join(comps, Seq("doc_id"), "left")

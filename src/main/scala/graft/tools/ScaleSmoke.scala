@@ -66,6 +66,10 @@ object ScaleSmoke {
       graft.operators.Dedup.ngramJaccard(docs, threshold = 0.7, maxDocFreq = 50L).count()
     }
     t("exact dedup") { graft.operators.Dedup.exact(docs).count() }
+    t("keepBest (capped pairs, quality representative per component)") {
+      graft.operators.Dedup.keepBest(docs, threshold = 0.7, maxDocFreq = 50L)
+        .where(col("doc_id") === col("keep_doc_id")).count()
+    }
     t("passageDedup (10-word passages, df >= 2 drop)") {
       // the replica tails make most aligned passages corpus-frequent — the
       // frequency join and reassembly run at full fan-out
