@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/**
+ * Robustness sweep: every document operator must survive a pathological
+ * corpus — empty text, whitespace-only, single char, punctuation-only,
+ * multibyte + surrogate-pair unicode, a 10k-char single word, embedded
+ * newlines/tabs, and NULL text — without throwing, and with the documented
+ * degenerate semantics (NULL scores via safeDiv, zero counts, drops) rather
+ * than ANSI division errors or NPEs. One empty doc must never be able to
+ * kill a 100 TB curation job.
+ */
+class DegenerateCorpusSpec extends AnyFunSuite with SparkSpec {
+
+  import spark.implicits._
+
+  private def nasty: DataFrame = Seq[(Long, Option[String])](
+    (1L, Some("")),
+    (2L, Some("   ")),
+    (3L, Some("x")),
+    (4L, Some("!!! ??? ***")),
+    (5L, Some("ä 中文 🎉 é words")),
+    (6L, Some("w" * 10000)),
+    (7L, Some("line one\nline two\nline one\n\n\tend")),
+    (8L, None),
+    (9L, Some("a normal english sentence with the and of words here"))
+  ).toDF("doc_id", "text")
+
+  // lang/source columns for the curation ops that group by them
+  private def nastyFull: DataFrame = nasty
+    .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+
+  test("row-wise text operators survive the degenerate corpus") {
+    val d = nasty
+    assert(TextAnalysis.tokenCounts(d).count() == 9)
+    assert(TextAnalysis.tokenCountsBpe(d).count() == 9)
+    assert(TextAnalysis.languageId(d).count() == 9)
+    assert(TextAnalysis.qualityScore(d).count() == 9)
+    assert(TextAnalysis.gopherFilter(d).count() == 9)
+    assert(TextAnalysis.gopherRepetition(d).count() == 9)
+    assert(TextAnalysis.blocklistFilter(d, Seq("x")).count() == 9)
+    assert(TextAnalysis.domainFilter(d, Seq("bad.example")).count() == 9)
+    assert(TextAnalysis.repetition(d).count() == 9)
+    assert(TextAnalysis.fingerprint(d).count() == 9)
+    assert(TextAnalysis.urls(d).count() == 9)
+    assert(TextAnalysis.redactPii(d).count() == 9)
+    assert(TextAnalysis.normalizeText(d).count() == 9)
+    // empty/null text chunks to nothing; the rest emit >= 1 window each
+    assert(TextAnalysis.chunk(d).count() >= 5)
+    assert(TextAnalysis.vocab(d, 10).count() <= 10)
+  }
+
+  test("degenerate rows score NULL or zero, never throw ANSI division errors") {
+    val q = TextAnalysis.qualityScore(nasty).collect().map(r => r.getLong(0) -> r).toMap
+    assert(q(1L).isNullAt(q(1L).fieldIndex("quality")))   // empty: 0-length division -> NULL
+    assert(!q(9L).isNullAt(q(9L).fieldIndex("quality")))  // normal text scores
+    val g = TextAnalysis.gopherFilter(nasty).collect().map(r => r.getLong(0) -> r).toMap
+    assert(g(1L).getLong(g(1L).fieldIndex("keep")) == 0L) // degenerate -> drop, not crash
+    val rep = TextAnalysis.gopherRepetition(nasty).collect().map(r => r.getLong(0) -> r).toMap
+    assert(rep(1L).isNullAt(rep(1L).fieldIndex("dup_line_frac"))) // no lines -> NULL
+    assert(rep(1L).getLong(rep(1L).fieldIndex("keep")) == 1L)     // NULL can't exceed a cap
+    assert(rep(7L).getDouble(rep(7L).fieldIndex("dup_line_frac")) > 0.0) // real dup lines
+  }
+
+  test("dedup family survives the degenerate corpus") {
+    val d = nasty
+    assert(Dedup.exact(d).count() >= 1)
+    // shingle ops: only docs with >= 3 words participate; none may throw
+    assert(Dedup.ngramJaccard(d, threshold = 0.5).count() >= 0)
+    assert(Dedup.minhashLsh(d).count() >= 0)
+    assert(Dedup.simhashPairs(d, maxHamming = 6).count() >= 0)
+    assert(Dedup.passageDedup(d).count() == 9)
+    assert(Dedup.boilerplateStrip(d, minDocs = 2L).count() == 9)
+    assert(Dedup.urlDedup(d).count() == 9)
+    assert(Dedup.keepBest(d, threshold = 0.5).count() == 9)
+    assert(Dedup.substringSpans(d, k = 3).count() >= 0)
+    val inc = d.where(col("doc_id") % 2 === 0)
+    val exi = d.where(col("doc_id") % 2 =!= 0)
+    assert(Dedup.bloomScreen(inc, exi).count() >= 0)
+    assert(Dedup.bloomScreenSharded(inc, exi, shardHexDigits = 1).count() >= 0)
+  }
+
+  test("curation and tokenizer training survive the degenerate corpus") {
+    val d = nastyFull
+    assert(d.where(Curation.hashSample(8)).count() >= 0)
+    assert(Curation.stratifiedSample(d, Map("en" -> 8)).count() >= 0)
+    assert(Curation.topKByLanguage(nasty, 3).count() >= 1)
+    assert(Curation.tokenBudget(nasty, 100L).count() >= 1)
+    assert(Curation.splitAssign(nasty).count() == 9)
+    assert(Curation.mixReport(d).count() >= 1)
+    assert(Curation.qualitySummary(nasty).count() >= 1)
+    assert(TextAnalysis.bpeTrain(nasty, iters = 2).count() == 2)
+    assert(TextAnalysis.bpeEncodeCounts(nasty, iters = 2).count() >= 1)
+    // an ALL-degenerate corpus (no trainable words at all) must yield empty
+    // results, not a crash
+    val empty = Seq[(Long, Option[String])]((1L, Some("")), (2L, None)).toDF("doc_id", "text")
+    assert(TextAnalysis.bpeTrain(empty, iters = 2).count() == 0)
+    assert(TextAnalysis.bpeEncodeCounts(empty, iters = 2).count() == 0)
+  }
+}
