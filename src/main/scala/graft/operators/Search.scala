@@ -103,4 +103,34 @@ object Search {
       .select(col("query_id"), col("rank"), col("doc_id"),
         col("score").cast("double").as("score"), col("n_terms"))
   }
+
+  /**
+   * Hard-negative mining for retrieval training: the top `k` BM25 docs per
+   * query EXCLUDING the known positives — the negatives a dual-encoder or
+   * reranker trains against (highly-ranked lexical matches that are NOT
+   * relevant). Fetches `k + fetchExtra` candidates first so excluding up to
+   * `fetchExtra` positives per query still leaves a dense top-k, then
+   * re-ranks the survivors (score desc, doc_id — fully tie-broken, on the
+   * exported double in both engines).
+   *
+   * Scale: the candidate fetch is [[bm25TopK]] (corpus never shuffles on the
+   * term key); the positives anti-join and the re-rank window run on the
+   * k+fetchExtra-bounded candidate rows per query, never anything
+   * corpus-sized.
+   *
+   * @param positives (query_id, doc_id) known-relevant pairs to exclude
+   */
+  def bm25HardNegatives(docs: DataFrame, queries: DataFrame, positives: DataFrame,
+                        k: Int = 10, fetchExtra: Int = 5,
+                        k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(fetchExtra >= 0, "fetchExtra >= 0")
+    val hits = bm25TopK(docs, queries, k + fetchExtra, k1, b)
+    val neg = hits.join(positives.select("query_id", "doc_id"),
+      Seq("query_id", "doc_id"), "left_anti")
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
+    neg
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score"), col("n_terms"))
+  }
 }

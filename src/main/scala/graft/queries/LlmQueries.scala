@@ -117,6 +117,16 @@ object LlmQueries {
           array_join(slice(split(col("text"), " "), 1, 4), " ").as("qtext"))
       graft.operators.Search.bm25TopK(d, q, k = 10)
     }),
+    // hard-negative mining: the query's own source doc is the known positive;
+    // negatives = top-10 of the remaining BM25 candidates (fetch 15, re-rank)
+    "search_hard_negatives" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val q = d.where(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(split(col("text"), " "), 1, 4), " ").as("qtext"))
+      val pos = q.select(col("query_id"), col("query_id").as("doc_id"))
+      graft.operators.Search.bm25HardNegatives(d, q, pos, k = 10, fetchExtra = 5)
+    }),
     "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(docs(s, dir), threshold = 0.8)),
     // the 100 TB configuration: ultra-common shingles (boilerplate) capped out
     // of candidate generation (maxDocFreq), scores still from uncapped sizes —
@@ -692,6 +702,32 @@ object LlmQueries {
          |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_words
          |  FROM s)
          |WHERE cum_words <= 20000""".stripMargin,
+    "search_hard_negatives" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |q AS (SELECT doc_id AS query_id, array_to_string((string_split(text, ' '))[1:4], ' ') AS qtext
+        |      FROM documents WHERE doc_id % 97 = 0),
+        |qt AS (SELECT DISTINCT query_id, term
+        |       FROM (SELECT query_id, unnest(string_split(qtext, ' ')) AS term FROM q)),
+        |dt AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM w),
+        |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM dt GROUP BY 1, 2, 3),
+        |m AS (SELECT qt.query_id, tf.doc_id, tf.dl, tf.term, tf.tf FROM tf JOIN qt USING (term)),
+        |dfq AS (SELECT term, COUNT(*) AS df FROM (SELECT DISTINCT term, doc_id FROM m) GROUP BY 1),
+        |st AS (SELECT COUNT(*) AS n_docs, SUM(len(ws)) AS sum_dl FROM w),
+        |c AS (SELECT m.query_id, m.doc_id,
+        |        CAST((ln(1 + ((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)))
+        |              * ((m.tf * (1.2 + 1)) / (m.tf + (1.2 * ((1.0 - 0.75) + ((0.75 * m.dl)
+        |                / (CAST(st.sum_dl AS DOUBLE) / st.n_docs))))))) AS DECIMAL(28,9)) AS c
+        |      FROM m JOIN dfq USING (term) CROSS JOIN st),
+        |sc AS (SELECT query_id, doc_id, SUM(c) AS score, COUNT(*) AS n_terms FROM c GROUP BY 1, 2),
+        |f AS (SELECT query_id, doc_id, CAST(score AS DOUBLE) AS score, n_terms FROM (
+        |        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS r0
+        |        FROM sc)
+        |      WHERE r0 <= 15),
+        |n AS (SELECT query_id, doc_id, score, n_terms FROM f WHERE doc_id != query_id)
+        |SELECT query_id, rank, doc_id, score, n_terms FROM (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+        |  FROM n)
+        |WHERE rank <= 10""".stripMargin,
     "search_bm25" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |q AS (SELECT doc_id AS query_id, array_to_string((string_split(text, ' '))[1:4], ' ') AS qtext

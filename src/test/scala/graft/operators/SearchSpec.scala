@@ -16,6 +16,24 @@ class SearchSpec extends AnyFunSuite with SparkSpec {
   private def docs(rows: (Long, String)*): DataFrame = rows.toDF("doc_id", "text")
   private def queries(rows: (Long, String)*): DataFrame = rows.toDF("query_id", "qtext")
 
+  test("hard negatives: positives excluded, dense top-k refilled from the fetch margin") {
+    val d = docs(
+      1L -> "zebra zebra zebra owl bat",  // best lexical match = the positive
+      2L -> "zebra zebra cat dog fox",
+      3L -> "zebra cat dog fox hen",
+      4L -> "zebra owl dog fox hen",
+      5L -> "cat dog fox hen owl")
+    val q = queries(1L -> "zebra")
+    val pos = Seq((1L, 1L)).toDF("query_id", "doc_id")
+    val out = Search.bm25HardNegatives(d, q, pos, k = 3, fetchExtra = 2)
+      .orderBy("rank").collect()
+    assert(!out.exists(_.getLong(2) == 1L), "positive excluded")
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 2L, 3L), "dense re-ranked top-k")
+    assert(out.length == 3, "refilled to k from the fetch margin")
+    // and rank 1 is the best remaining match (highest zebra tf)
+    assert(out.head.getLong(2) == 2L)
+  }
+
   test("higher tf of a query term ranks higher at equal length") {
     val d = docs(
       1L -> "zebra cat dog fox bat owl",
