@@ -338,6 +338,25 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
         "tf aggregate shuffles the whole exploded corpus (term filter not pushed below it)")
   }
 
+  test("keepBest: winner is a max_by aggregate; no window anywhere in the plan") {
+    val d = (0L until 40L).map(i => (i, s"alpha beta gamma delta w$i x y z")).toDF("doc_id", "text")
+    val df = Dedup.keepBest(d, threshold = 0.5)
+    assert(windows(df).isEmpty, "keepBest must rank via max_by, not a window")
+    assert(df.queryExecution.optimizedPlan.toString.contains("max_by"),
+      "expected the max_by winner aggregate")
+  }
+
+  test("hard negatives: every window is query-partitioned (bounded fetch input)") {
+    val d = (0L until 40L).map(i => (i, s"alpha beta w$i gamma")).toDF("doc_id", "text")
+    val q = Seq((1L, "alpha beta")).toDF("query_id", "qtext")
+    val pos = Seq((1L, 1L)).toDF("query_id", "doc_id")
+    val df = Search.bm25HardNegatives(d, q, pos, k = 5, fetchExtra = 2)
+    val ws = windows(df)
+    assert(ws.nonEmpty, "expected the bounded re-rank window")
+    assert(ws.forall(_.partitionSpec.nonEmpty),
+      "unpartitioned window in hard negatives: whole fetch on one task")
+  }
+
   test("crossSeries sum/avg/dev plan two aggregation levels, sharded inner") {
     for (agg <- Seq("sum", "avg", "dev")) {
       val df = TimeSeries.crossSeries(
