@@ -120,6 +120,34 @@ object Search {
    *
    * @param positives (query_id, doc_id) known-relevant pairs to exclude
    */
+  /**
+   * Reciprocal-rank fusion (Cormack et al. 2009) of two ranked candidate
+   * lists — the standard hybrid-retrieval combiner (lexical BM25 + embedding
+   * kNN): `score(d) = Σ_systems 1/(k0 + rank_s(d))`; a doc missing from one
+   * system contributes nothing from it. Both inputs are `(query_id, doc_id,
+   * rank)` frames. Deterministic: ranks are exact integers, the two IEEE
+   * contributions combine in one fixed expression order, ties break to the
+   * lower doc_id — bit-identical in any engine.
+   *
+   * Scale: both inputs are top-k-bounded per query, so the full-outer join
+   * and the re-rank window see <= 2k rows per query — nothing corpus-sized.
+   * The source ranks ride along as audit columns.
+   */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int = 10, k0: Int = 60): DataFrame = {
+    require(k >= 1 && k0 >= 0, "k >= 1, k0 >= 0")
+    val fa = a.select(col("query_id"), col("doc_id"), col("rank").as("rank_a"))
+    val fb = b.select(col("query_id"), col("doc_id"), col("rank").as("rank_b"))
+    val score = coalesce(lit(1.0) / (lit(k0) + col("rank_a")), lit(0.0)) +
+      coalesce(lit(1.0) / (lit(k0) + col("rank_b")), lit(0.0))
+    val w = Window.partitionBy("query_id").orderBy(col("rrf").desc, col("doc_id"))
+    fa.join(fb, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf", score)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("rrf"),
+        col("rank_a"), col("rank_b"))
+  }
+
   def bm25HardNegatives(docs: DataFrame, queries: DataFrame, positives: DataFrame,
                         k: Int = 10, fetchExtra: Int = 5,
                         k1: Double = 1.2, b: Double = 0.75): DataFrame = {

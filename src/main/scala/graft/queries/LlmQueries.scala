@@ -117,6 +117,20 @@ object LlmQueries {
           array_join(slice(split(col("text"), " "), 1, 4), " ").as("qtext"))
       graft.operators.Search.bm25TopK(d, q, k = 10)
     }),
+    // hybrid retrieval: BM25 top-10 fused with embedding-kNN top-10 by
+    // reciprocal-rank fusion (doc and vec ids align in the synthetic corpus)
+    "search_hybrid_rrf" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val q = d.where(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(split(col("text"), " "), 1, 4), " ").as("qtext"))
+      val lex = graft.operators.Search.bm25TopK(d, q, k = 10)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val e = emb(s, dir)
+      val sem = Similarity.bruteForceKnn(e, e.where(col("vec_id") % 97 === 0), k = 10)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+      graft.operators.Search.rrfFuse(lex, sem, k = 10)
+    }),
     // hard-negative mining: the query's own source doc is the known positive;
     // negatives = top-10 of the remaining BM25 candidates (fetch 15, re-rank)
     "search_hard_negatives" -> ((s, dir) => {
@@ -702,6 +716,44 @@ object LlmQueries {
          |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_words
          |  FROM s)
          |WHERE cum_words <= 20000""".stripMargin,
+    "search_hybrid_rrf" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |q AS (SELECT doc_id AS query_id, array_to_string((string_split(text, ' '))[1:4], ' ') AS qtext
+        |      FROM documents WHERE doc_id % 97 = 0),
+        |qt AS (SELECT DISTINCT query_id, term
+        |       FROM (SELECT query_id, unnest(string_split(qtext, ' ')) AS term FROM q)),
+        |dt AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM w),
+        |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM dt GROUP BY 1, 2, 3),
+        |m AS (SELECT qt.query_id, tf.doc_id, tf.dl, tf.term, tf.tf FROM tf JOIN qt USING (term)),
+        |dfq AS (SELECT term, COUNT(*) AS df FROM (SELECT DISTINCT term, doc_id FROM m) GROUP BY 1),
+        |st AS (SELECT COUNT(*) AS n_docs, SUM(len(ws)) AS sum_dl FROM w),
+        |cc AS (SELECT m.query_id, m.doc_id,
+        |        CAST((ln(1 + ((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)))
+        |              * ((m.tf * (1.2 + 1)) / (m.tf + (1.2 * ((1.0 - 0.75) + ((0.75 * m.dl)
+        |                / (CAST(st.sum_dl AS DOUBLE) / st.n_docs))))))) AS DECIMAL(28,9)) AS c
+        |      FROM m JOIN dfq USING (term) CROSS JOIN st),
+        |sc AS (SELECT query_id, doc_id, SUM(c) AS score, COUNT(*) AS n_terms FROM cc GROUP BY 1, 2),
+        |lex AS (SELECT query_id, doc_id, rank FROM (
+        |          SELECT query_id, doc_id,
+        |                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+        |          FROM sc) WHERE rank <= 10),
+        |kc AS (SELECT qv.vec_id AS query_id, d.vec_id AS doc_id,
+        |         ${CosineSql.replace("q.embedding", "qv.embedding")} AS sim
+        |       FROM embeddings qv JOIN embeddings d ON qv.vec_id % 97 = 0 AND d.vec_id != qv.vec_id),
+        |sem AS (SELECT query_id, doc_id, rank FROM (
+        |          SELECT query_id, doc_id,
+        |                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, doc_id) AS BIGINT) AS rank
+        |          FROM kc) WHERE rank <= 10),
+        |j AS (SELECT COALESCE(l.query_id, s.query_id) AS query_id,
+        |             COALESCE(l.doc_id, s.doc_id) AS doc_id,
+        |             l.rank AS rank_a, s.rank AS rank_b
+        |      FROM lex l FULL OUTER JOIN sem s ON l.query_id = s.query_id AND l.doc_id = s.doc_id),
+        |f AS (SELECT *, COALESCE(1.0 / (60 + rank_a), 0.0) + COALESCE(1.0 / (60 + rank_b), 0.0) AS rrf FROM j)
+        |SELECT query_id, rank, doc_id, rrf, rank_a, rank_b FROM (
+        |  SELECT query_id, doc_id, rrf, rank_a, rank_b,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank
+        |  FROM f)
+        |WHERE rank <= 10""".stripMargin,
     "search_hard_negatives" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |q AS (SELECT doc_id AS query_id, array_to_string((string_split(text, ' '))[1:4], ' ') AS qtext

@@ -16,6 +16,19 @@ class SearchSpec extends AnyFunSuite with SparkSpec {
   private def docs(rows: (Long, String)*): DataFrame = rows.toDF("doc_id", "text")
   private def queries(rows: (Long, String)*): DataFrame = rows.toDF("query_id", "qtext")
 
+  test("rrf fusion: both-systems docs outrank single-system docs; audit ranks ride along") {
+    val lex = Seq((1L, 10L, 1L), (1L, 11L, 2L)).toDF("query_id", "doc_id", "rank")
+    val sem = Seq((1L, 11L, 1L), (1L, 12L, 2L)).toDF("query_id", "doc_id", "rank")
+    val out = Search.rrfFuse(lex, sem, k = 10).orderBy("rank").collect()
+    // doc 11: 1/62 + 1/61 beats doc 10 (1/61) and doc 12 (1/62)
+    assert(out.map(_.getLong(2)).toSeq == Seq(11L, 10L, 12L))
+    assert(out.head.getDouble(3) == 1.0 / 62 + 1.0 / 61)
+    val d11 = out.head
+    assert(d11.getLong(4) == 2L && d11.getLong(5) == 1L) // rank_a, rank_b audit
+    val d10 = out(1)
+    assert(d10.getLong(4) == 1L && d10.isNullAt(5))      // lex-only: no sem rank
+  }
+
   test("hard negatives: positives excluded, dense top-k refilled from the fetch margin") {
     val d = docs(
       1L -> "zebra zebra zebra owl bat",  // best lexical match = the positive
