@@ -117,6 +117,10 @@ object PipelineQuickstart {
     println("BM25 top-3 per probe (first 2 probes):")
     graft.operators.Search.bm25TopK(deduped, probes, k = 3)
       .where(col("query_id").isin(0L, 100L)).orderBy("query_id", "rank").show(6)
+    println("hard negatives for those probes (self excluded, dense top-3):")
+    graft.operators.Search.bm25HardNegatives(deduped, probes,
+        probes.select(col("query_id"), col("query_id").as("doc_id")), k = 3)
+      .where(col("query_id").isin(0L, 100L)).orderBy("query_id", "rank").show(6)
 
     // 6. the same engine serves the behavioral side: sessionized events
     val ev = graft.operators.Points.table(spark, sfDir, "events")

@@ -125,6 +125,13 @@ object ScaleSmoke {
           array_join(slice(split(col("text"), " "), 1, 4), " ").as("qtext"))
       graft.operators.Search.bm25TopK(docs, q, k = 10).count()
     }
+    t("bm25 hard negatives (self-positive excluded, fetch margin 5)") {
+      val q = docs.where(col("doc_id") < 20)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(split(col("text"), " "), 1, 4), " ").as("qtext"))
+      val pos = q.select(col("query_id"), col("query_id").as("doc_id"))
+      graft.operators.Search.bm25HardNegatives(docs, q, pos, k = 10).count()
+    }
     t(s"bloomScreen (5% incoming vs 95% existing, 2^${4 * bloomHex} bits)") {
       // hexDigits=6 -> 16M bits / 2 MiB broadcast: sized for the 1.9M-hash
       // existing side at k=4 (~fill 37%, FP ~2%); 7 = the 32 MiB ceiling
