@@ -128,6 +128,10 @@ object PipelineQuickstart {
     val sessions = Sessionize.sessionStats(ev, "user_id", "ts_ms", "event_id",
       gapMs = 21600000L, valueCol = "value")
     println(s"6h-gap sessions: ${sessions.count()} across ${ev.select("user_id").distinct().count()} users")
+    val fun = graft.operators.Funnel.funnel(ev, "user_id", "ts_ms", "event_type",
+      Seq("signup", "view", "purchase"), horizonMs = 86400000L)
+    println("signup -> view -> purchase funnel (24h gaps):")
+    fun.groupBy("steps_reached").count().orderBy("steps_reached").show()
 
     spark.stop()
   }

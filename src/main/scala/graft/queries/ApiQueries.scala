@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.VizFunctions
 import graft.model.{MetricParser, MetricPoint}
-import graft.operators.{AsOf, Points, Sessionize, Summarization}
+import graft.operators.{AsOf, Funnel, Points, Sessionize, Summarization}
 import graft.planner.QueryPlanner
 import graft.planner.QueryPlanner.{RateOptions, SubQuery, TsQueryRequest}
 
@@ -69,6 +69,13 @@ object ApiQueries {
         .select(col("user_id"), col("event_id").as("view_event_id"),
           col("ts_ms").as("view_ts"), col("value").as("view_value"))
       AsOf.asofJoin(purchases, views, Seq("user_id"), "ts", "view_ts", "view_event_id")
+    }),
+    // Strict-order conversion funnel: first signup, first view within 24h
+    // after it, first purchase within 24h after that — per user
+    "events_funnel" -> ((s, dir) => {
+      val ev = Points.table(s, dir, "events").withColumn("ts_ms", expr("ts div 1000000"))
+      Funnel.funnel(ev, "user_id", "ts_ms", "event_type",
+        Seq("signup", "view", "purchase"), horizonMs = 86400000L)
     }),
     // Gap-based sessionization rollup: 6h-gap sessions per user (one
     // sessionization shuffle + one rollup exchange; session identity is the
@@ -349,6 +356,17 @@ object ApiQueries {
         |  SELECT view_event_id, view_ts, view_value FROM views v
         |  WHERE v.user_id = p.user_id AND v.view_ts <= p.ts
         |  ORDER BY v.view_ts DESC, v.view_event_id DESC LIMIT 1) v ON true""".stripMargin,
+    "events_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+        |s1 AS (SELECT user_id, MIN(ts_ms) AS t1 FROM e WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT s1.user_id, MIN(e.ts_ms) AS t2 FROM s1 JOIN e ON e.user_id = s1.user_id
+        |       AND e.event_type = 'view' AND e.ts_ms > s1.t1 AND e.ts_ms <= s1.t1 + 86400000 GROUP BY 1),
+        |s3 AS (SELECT s2.user_id, MIN(e.ts_ms) AS t3 FROM s2 JOIN e ON e.user_id = s2.user_id
+        |       AND e.event_type = 'purchase' AND e.ts_ms > s2.t2 AND e.ts_ms <= s2.t2 + 86400000 GROUP BY 1)
+        |SELECT s1.user_id, t1, t2, t3,
+        |       CAST(1 + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END
+        |              + CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS steps_reached
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""".stripMargin,
     "events_sessions" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value FROM events),

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** Strict-order funnel semantics: first occurrences, strictly-after
+  * ordering, per-gap horizon, stall propagation. */
+class FunnelSpec extends AnyFunSuite with SparkSpec {
+
+  import spark.implicits._
+
+  private def ev(rows: (Long, Long, String)*) =
+    rows.toDF("user_id", "ts", "event_type")
+
+  private def run(rows: (Long, Long, String)*) =
+    Funnel.funnel(ev(rows: _*), "user_id", "ts", "event_type",
+        Seq("a", "b", "c"), horizonMs = 100L)
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+  test("complete funnel uses FIRST qualifying event of each step") {
+    val out = run(
+      (1L, 10L, "a"), (1L, 50L, "a"),          // first a = 10
+      (1L, 30L, "b"), (1L, 40L, "b"),          // first b after 10 = 30
+      (1L, 35L, "c"), (1L, 90L, "c"))          // first c after 30 = 35
+    val r = out(1L)
+    assert(r.getLong(1) == 10L && r.getLong(2) == 30L && r.getLong(3) == 35L)
+    assert(r.getLong(4) == 3L)
+  }
+
+  test("events before the previous step never count; stall nulls all later steps") {
+    val out = run(
+      (1L, 10L, "a"),
+      (1L, 5L, "b"),                            // b BEFORE a: not a conversion
+      (1L, 20L, "c"),                           // c without b: cannot count
+      (2L, 10L, "a"), (2L, 10L, "b"))           // equal ts: not strictly after
+    assert(out(1L).isNullAt(2) && out(1L).isNullAt(3) && out(1L).getLong(4) == 1L)
+    assert(out(2L).isNullAt(2) && out(2L).getLong(4) == 1L)
+  }
+
+  test("each gap is horizon-bounded independently") {
+    val out = run(
+      (1L, 0L, "a"), (1L, 101L, "b"),           // b past the 100ms horizon
+      (2L, 0L, "a"), (2L, 100L, "b"), (2L, 199L, "c"), // both gaps <= 100
+      (3L, 0L, "a"), (3L, 100L, "b"), (3L, 201L, "c")) // c 101ms after b
+    assert(out(1L).isNullAt(2) && out(1L).getLong(4) == 1L)
+    assert(out(2L).getLong(3) == 199L && out(2L).getLong(4) == 3L)
+    assert(out(3L).getLong(2) == 100L && out(3L).isNullAt(3) && out(3L).getLong(4) == 2L)
+  }
+
+  test("users without step 1 are absent") {
+    val out = run((1L, 10L, "b"), (1L, 20L, "c"), (2L, 1L, "a"))
+    assert(!out.contains(1L) && out.contains(2L))
+  }
+}
