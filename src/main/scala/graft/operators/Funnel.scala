@@ -50,4 +50,25 @@ object Funnel {
       .foldLeft(lit(1L))(_ + _)
     cur.withColumn("steps_reached", reached)
   }
+
+  /**
+   * Cohort retention: users grouped by their first-activity day, counted on
+   * each later day they return — the (cohort_day, day_offset, n_users) grid
+   * a retention curve plots. Days are epoch-day buckets of the ms timestamp
+   * (integer division, engine-portable). Offset 0 is the cohort's own size.
+   *
+   * Scale: one per-user min (cohort assignment), one distinct over
+   * (user, day) activity, one count aggregate — three user/day-keyed
+   * shuffles, nothing quadratic, no window.
+   */
+  def retention(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    // integer `div`, not `/`: Column `/` is DOUBLE division, and the oracle's
+    // `//` is integer floor division — they'd diverge in type if not value
+    val day = expr(s"$tsCol div 86400000")
+    val activity = events.select(col(userCol), day.as("day")).distinct()
+    val cohorts = activity.groupBy(col(userCol)).agg(min("day").as("cohort_day"))
+    activity.join(cohorts, userCol)
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
 }

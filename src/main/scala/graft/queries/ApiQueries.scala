@@ -77,6 +77,11 @@ object ApiQueries {
       Funnel.funnel(ev, "user_id", "ts_ms", "event_type",
         Seq("signup", "view", "purchase"), horizonMs = 86400000L)
     }),
+    // Cohort retention grid: users by first-activity day x return-day offset
+    "events_retention" -> ((s, dir) => {
+      val ev = Points.table(s, dir, "events").withColumn("ts_ms", expr("ts div 1000000"))
+      Funnel.retention(ev, "user_id", "ts_ms")
+    }),
     // Gap-based sessionization rollup: 6h-gap sessions per user (one
     // sessionization shuffle + one rollup exchange; session identity is the
     // deterministic per-user sequence number, no global counter).
@@ -367,6 +372,12 @@ object ApiQueries {
         |       CAST(1 + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END
         |              + CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS steps_reached
         |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""".stripMargin,
+    "events_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
+        |c AS (SELECT user_id, MIN(day) AS cohort_day FROM a GROUP BY 1)
+        |SELECT c.cohort_day, a.day - c.cohort_day AS day_offset, COUNT(*) AS n_users
+        |FROM a JOIN c USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
     "events_sessions" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value FROM events),

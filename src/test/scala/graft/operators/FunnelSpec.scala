@@ -49,6 +49,23 @@ class FunnelSpec extends AnyFunSuite with SparkSpec {
     assert(out(3L).getLong(2) == 100L && out(3L).isNullAt(3) && out(3L).getLong(4) == 2L)
   }
 
+  test("retention: cohort by first day, distinct users per offset") {
+    val d = 86400000L
+    val events = Seq(
+      (1L, 0L), (1L, 100L),       // user 1: cohort day 0, two events same day
+      (1L, d + 1L),               // returns day 1
+      (2L, 0L), (2L, 2 * d),      // user 2: cohort day 0, returns day 2
+      (3L, d)                     // user 3: cohort day 1 only
+    ).toDF("user_id", "ts")
+    val got = Funnel.retention(events, "user_id", "ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      (0L, 0L) -> 2L,  // users 1 and 2 on their cohort day (dup events collapse)
+      (0L, 1L) -> 1L,  // user 1 returns
+      (0L, 2L) -> 1L,  // user 2 returns
+      (1L, 0L) -> 1L)) // user 3's cohort
+  }
+
   test("users without step 1 are absent") {
     val out = run((1L, 10L, "b"), (1L, 20L, "c"), (2L, 1L, "a"))
     assert(!out.contains(1L) && out.contains(2L))
