@@ -244,6 +244,13 @@ object ScaleSmoke {
       graft.operators.AsOf.asofJoin(purchases, views, Seq("user_id"), "ts", "view_ts",
         "view_event_id").count()
     }
+    t("funnel signup->view->purchase (24h gaps)") {
+      graft.operators.Funnel.funnel(ev, "user_id", "ts_ms", "event_type",
+        Seq("signup", "view", "purchase"), horizonMs = 86400000L).count()
+    }
+    t("retention cohorts (first-activity day x offset)") {
+      graft.operators.Funnel.retention(ev, "user_id", "ts_ms").count()
+    }
     spark.stop()
   }
 }
