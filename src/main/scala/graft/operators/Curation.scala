@@ -340,6 +340,20 @@ object Curation {
       .withColumn("words_share", col("n_words") / sum(col("n_words")).over(all))
   }
 
+  /** Per-source duplication report — the audit a curation run does before
+    * deciding where dedup effort goes: per source, document count, distinct
+    * content-hash count, the duplicate surplus, and the exact dup rate.
+    * One aggregate over the corpus (count-distinct on md5(text) expands to
+    * the usual two-level plan, both keyed on source — map-side combinable,
+    * no window, no join). Degenerate single-doc sources report rate 0. */
+  def dupReport(docs: DataFrame): DataFrame =
+    docs.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_distinct"))
+      .select(col("source"), col("n_docs"), col("n_distinct"),
+        (col("n_docs") - col("n_distinct")).as("n_dup_docs"),
+        ((col("n_docs") - col("n_distinct")).cast("double") / col("n_docs")).as("dup_rate"))
+
   /** Sequence packing (concat-and-chunk): lay every document's tokens end to
     * end in a deterministic pseudo-random order and cut the stream into
     * fixed `ctxLen`-token training sequences. Emits, per doc, which pack its

@@ -106,6 +106,14 @@ object LlmQueries {
       graft.operators.Curation.stratifiedSample(docs(s, dir), Map("en" -> 4, "es" -> 8))
         .select("doc_id", "lang_guess")),
     "curate_topk_quality" -> ((s, dir) => graft.operators.Curation.topKByLanguage(docs(s, dir), 50)),
+    // per-source dup-rate audit over a corpus with planted exact dups (every
+    // 5th doc re-appears under a new id; the synthetic corpus itself has none)
+    "curate_dup_report" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val planted = d.unionByName(
+        d.where(col("doc_id") % 5 === 0).withColumn("doc_id", col("doc_id") + 100000))
+      graft.operators.Curation.dupReport(planted)
+    }),
     "curate_token_budget" -> ((s, dir) => graft.operators.Curation.tokenBudget(docs(s, dir), 20000L)),
     // BM25 lexical top-10 per probe query (every 97th doc's first 4 words):
     // broadcast query terms, corpus never shuffles on the term key; per-term
@@ -703,6 +711,15 @@ object LlmQueries {
          |       MAX(CASE WHEN rk = CAST(ceil(CAST(0.9 AS DOUBLE) * n) AS BIGINT) THEN quality END) AS p90,
          |       MAX(CASE WHEN rk = CAST(ceil(CAST(0.99 AS DOUBLE) * n) AS BIGINT) THEN quality END) AS p99
          |FROM r GROUP BY lang_guess""".stripMargin,
+    "curate_dup_report" ->
+      """WITH d AS (
+        |  SELECT source, text FROM documents
+        |  UNION ALL
+        |  SELECT source, text FROM documents WHERE doc_id % 5 = 0)
+        |SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_distinct,
+        |       COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dup_docs,
+        |       CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*) AS dup_rate
+        |FROM d GROUP BY 1""".stripMargin,
     "curate_topk_quality" ->
       s"""WITH $scoredSql
          |SELECT lang_guess, rank, doc_id, quality FROM (

@@ -434,6 +434,17 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(out(2L).getLong(1) == 0L && out(2L).getString(2) == "" && out(2L).isNullAt(3))
   }
 
+  test("dupReport: per-source doc/distinct counts and exact dup rate") {
+    val d = Seq(
+      (1L, "same text", "s1"), (2L, "same text", "s1"), (3L, "other", "s1"),
+      (4L, "unique", "s2"))
+      .toDF("doc_id", "text", "source")
+    val got = Curation.dupReport(d).collect().map(r => r.getString(0) -> r).toMap
+    assert(got("s1").getLong(1) == 3L && got("s1").getLong(2) == 2L)
+    assert(got("s1").getLong(3) == 1L && got("s1").getDouble(4) == 1.0 / 3.0)
+    assert(got("s2").getLong(3) == 0L && got("s2").getDouble(4) == 0.0)
+  }
+
   test("bpeEncodeCounts applies the trained merges: hand-derived token counts") {
     // words: xx (freq 2, sym "x x </w>"), yy (freq 1, sym "y y </w>").
     // Round-1 pairs: "x x"=2, "x </w>"=2, "y y"=1, "y </w>"=1; the count tie
