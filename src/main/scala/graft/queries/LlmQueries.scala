@@ -241,6 +241,13 @@ object LlmQueries {
     // same metadata through the per-partition (real-codec-shaped) decode path
     "multimodal_decode_partitioned" -> ((s, dir) =>
       Multimodal.decodePartitioned(Multimodal.asMediaTable(docs(s, dir))).toDF()),
+    // stub feature extraction: the embedding SHAPE contract (array<double>
+    // per media row, executor-side) with md5-derived deterministic values;
+    // the gate explodes to rows because the compare sorts scalar columns
+    "multimodal_features" -> ((s, dir) =>
+      Multimodal.stubFeatures(Multimodal.asMediaTable(docs(s, dir)))
+        .select(col("media_id"), posexplode(col("features")).as(Seq("dim", "feature")))
+        .select(col("media_id"), (col("dim") + 1).cast("long").as("dim"), col("feature"))),
     // C4-style passage dedup: 10-word passages appearing in >= 2 docs are
     // boilerplate — dropped from every doc, docs reassembled in order
     "dedup_passages" -> ((s, dir) =>
@@ -1174,6 +1181,10 @@ object LlmQueries {
         |       64 + 16 * (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1) AS height,
         |       1 + (strpos('0123456789abcdef', substr(md5(text), 3, 1)) - 1) % 3 AS channels
         |FROM documents""".stripMargin,
+    "multimodal_features" ->
+      """SELECT doc_id AS media_id, CAST(i AS BIGINT) AS dim,
+        |       (strpos('0123456789abcdef', substr(md5(text), CAST(i AS INT), 1)) - 1) / 15.0 AS feature
+        |FROM documents, UNNEST(range(1, 9)) AS t(i)""".stripMargin,
     "multimodal_decode" ->
       """SELECT doc_id AS media_id,
         |       ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,

@@ -704,6 +704,16 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(c >= 1 && c <= 3)
   }
 
+  test("multimodal stub features: fixed dim, [0,1] range, deterministic") {
+    val media = Multimodal.asMediaTable(docs(1L -> base, 2L -> "other payload"))
+    val f = Multimodal.stubFeatures(media).collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(f(1L).length == 8 && f(2L).length == 8)
+    assert(f.values.flatten.forall(v => v >= 0.0 && v <= 1.0))
+    assert(f(1L) != f(2L)) // payload-dependent
+    val again = Multimodal.stubFeatures(media).collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(again == f)
+  }
+
   test("centroids: per-label fixed-point means are exact on dyadic fixtures") {
     val emb = Seq(
       (1L, 0, Array(0.5f, -1.25f)),
