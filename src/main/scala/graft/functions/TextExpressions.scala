@@ -19,7 +19,8 @@ import org.apache.spark.unsafe.types.UTF8String
  * inside whole-stage codegen. Lowercasing uses UTF8String.toLowerCase — the
  * exact `lower()` the declarative form applied.
  */
-case class LexiconHits(child: Expression, lexicon: Seq[String])
+case class LexiconHits(child: Expression, lexicon: Seq[String],
+                       punctBoundary: Boolean = false)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -32,12 +33,14 @@ case class LexiconHits(child: Expression, lexicon: Seq[String])
   @transient private lazy val set: java.util.HashSet[String] = LexiconHits.toSet(lexicon)
 
   override def nullSafeEval(t: Any): Any =
-    LexiconHits.count(t.asInstanceOf[UTF8String], set)
+    if (punctBoundary) LexiconHits.countPunct(t.asInstanceOf[UTF8String], set)
+    else LexiconHits.count(t.asInstanceOf[UTF8String], set)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val setRef = ctx.addReferenceObj("lexicon", set, "java.util.HashSet")
     val helper = "graft.functions.LexiconHits$.MODULE$"
-    nullSafeCodeGen(ctx, ev, t => s"${ev.value} = $helper.count($t, $setRef);")
+    val fn = if (punctBoundary) "countPunct" else "count"
+    nullSafeCodeGen(ctx, ev, t => s"${ev.value} = $helper.$fn($t, $setRef);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): LexiconHits =
@@ -57,6 +60,25 @@ object LexiconHits {
     * be lexicon members) and count set membership. */
   def count(text: UTF8String, set: java.util.HashSet[String]): Int = {
     val words = text.toLowerCase.toString.split(" ", -1)
+    var hits = 0
+    var i = 0
+    while (i < words.length) {
+      if (set.contains(words(i))) hits += 1
+      i += 1
+    }
+    hits
+  }
+
+  /** ASCII word-class tokenization for the blocklist screen: boundaries are
+    * any run of characters outside [a-z0-9'], so "bad.", "bad\n" and
+    * "(bad)" all surface the token "bad" — unlike [[count]]'s single-space
+    * split, whose boundaries are pinned by the langid/quality oracles and
+    * must stay put. Apostrophes stay inside tokens ("don't"). The class is
+    * RE2/Java-identical, so a DuckDB oracle reproduces it exactly. */
+  private val PunctSplit = java.util.regex.Pattern.compile("[^a-z0-9']+")
+
+  def countPunct(text: UTF8String, set: java.util.HashSet[String]): Int = {
+    val words = PunctSplit.split(text.toLowerCase.toString, -1)
     var hits = 0
     var i = 0
     while (i < words.length) {
@@ -433,6 +455,12 @@ object TextFunctions {
   /** Column API: # whitespace words of lower(text) present in `lexicon`. */
   def lexiconHits(text: Column, lexicon: Seq[String]): Column =
     GraftSqlBridge.column(LexiconHits(GraftSqlBridge.expression(text), lexicon))
+
+  /** Column API: like [[lexiconHits]] but word boundaries are punctuation /
+    * whitespace runs (`[^a-z0-9']+`), the C4-style blocklist tokenization. */
+  def lexiconHitsPunct(text: Column, lexicon: Seq[String]): Column =
+    GraftSqlBridge.column(
+      LexiconHits(GraftSqlBridge.expression(text), lexicon, punctBoundary = true))
 
   /** Column API: hit counts for ALL lexicons (in order) from one split pass. */
   def lexiconHitsAll(text: Column, lexicons: Seq[Seq[String]]): Column =

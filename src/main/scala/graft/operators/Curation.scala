@@ -347,9 +347,13 @@ object Curation {
     * the usual two-level plan, both keyed on source — map-side combinable,
     * no window, no join). Degenerate single-doc sources report rate 0. */
   def dupReport(docs: DataFrame): DataFrame =
+    // md5 of a NULL is NULL and countDistinct skips NULLs, which would count
+    // every NULL-text doc as a duplicate (an all-NULL source would report
+    // n_distinct=0, dup_rate=1.0) — coalesce to '' so NULL contributes one
+    // distinct value like any other text
     docs.groupBy("source").agg(
         count(lit(1)).as("n_docs"),
-        countDistinct(md5(col("text"))).as("n_distinct"))
+        countDistinct(md5(coalesce(col("text"), lit("")))).as("n_distinct"))
       .select(col("source"), col("n_docs"), col("n_distinct"),
         (col("n_docs") - col("n_distinct")).as("n_dup_docs"),
         ((col("n_docs") - col("n_distinct")).cast("double") / col("n_docs")).as("dup_rate"))

@@ -341,8 +341,17 @@ object Dedup {
       .join(comps, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"), col("quality"))
-    val winners = member.groupBy("cluster_id").agg(
-      expr("max_by(doc_id, struct(coalesce(quality, -1.0D), -doc_id))").as("keep_doc_id"))
+    // Two-stage, id-type-agnostic selection (works for string doc_ids and any
+    // quality range, unlike a `-doc_id` tiebreak): (1) per-cluster max of
+    // (has_quality, quality) — the leading boolean puts NULL quality below
+    // every real score without a sentinel; (2) min doc_id among the rows tied
+    // at that max (Spark `min` orders strings as UTF8, same as the engine's
+    // sort). Both aggregates map-side combine on the cluster key.
+    val best = member.groupBy("cluster_id").agg(
+      max(struct(col("quality").isNotNull.as("has"), col("quality").as("q"))).as("mq"))
+    val winners = member.join(best, "cluster_id")
+      .where(col("quality") <=> col("mq").getField("q"))
+      .groupBy("cluster_id").agg(min(col("doc_id")).as("keep_doc_id"))
     member.join(winners, "cluster_id")
       .select(col("doc_id"), col("cluster_id"), col("quality"), col("keep_doc_id"))
   }
@@ -639,16 +648,21 @@ object Dedup {
       .select(col("doc_id"), posexplode(split(coalesce(col("text"), lit("")), "\n")))
       .select(col("doc_id"), col("pos").as("li"), col("col").as("line"))
     val freq = lines.groupBy("line").agg(countDistinct("doc_id").as("df"))
+    // Empty lines are paragraph breaks, not boilerplate: any multi-paragraph
+    // corpus has "" in >= minDocs docs, and frequency-dropping it would
+    // collapse paragraph structure corpus-wide (GopherRepStats pins the
+    // opposite rule) — so "" is kept unconditionally.
+    val keep = col("line") === "" || col("df") < minDocs
     lines.join(freq, "line")
       .groupBy("doc_id")
       .agg(
         // collect_list skips the nulls `when` leaves for dropped lines;
         // sorting the (li, line) structs restores original line order
         array_join(transform(
-          array_sort(collect_list(when(col("df") < minDocs, struct(col("li"), col("line"))))),
+          array_sort(collect_list(when(keep, struct(col("li"), col("line"))))),
           s => s.getField("line")), "\n").as("text_clean"),
-        count(when(col("df") < minDocs, 1)).as("n_lines_kept"),
-        count(when(col("df") >= minDocs, 1)).as("n_lines_dropped"))
+        count(when(keep, 1)).as("n_lines_kept"),
+        count(when(!keep, 1)).as("n_lines_dropped"))
   }
 
   /**

@@ -62,9 +62,11 @@ object Funnel {
    * shuffles, nothing quadratic, no window.
    */
   def retention(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
-    // integer `div`, not `/`: Column `/` is DOUBLE division, and the oracle's
-    // `//` is integer floor division — they'd diverge in type if not value
-    val day = expr(s"$tsCol div 86400000")
+    // exact integer FLOOR division, matching the oracle's `//`: Spark's `div`
+    // truncates toward zero, which disagrees with floor on negative
+    // (pre-1970) timestamps, so correct the truncation by the remainder sign
+    val day = expr(
+      s"$tsCol div 86400000 - (CASE WHEN $tsCol % 86400000 < 0 THEN 1 ELSE 0 END)")
     val activity = events.select(col(userCol), day.as("day")).distinct()
     val cohorts = activity.groupBy(col(userCol)).agg(min("day").as("cohort_day"))
     activity.join(cohorts, userCol)

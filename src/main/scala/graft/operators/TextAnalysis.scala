@@ -409,17 +409,21 @@ object TextAnalysis {
 
   /**
    * Word-blocklist document filter (the C4-style "bad words" screen, Raffel
-   * et al. 2020 §2.2 family): count whitespace words of `lower(text)` that
-   * appear in `blocklist`, keep docs with zero hits. The match is whole-word
-   * (a blocklisted word inside another word does not hit — the substring
-   * false-positive the word-boundary rule exists to avoid). Same native
-   * single-pass counter as language ID ([[graft.functions.LexiconHits]]):
-   * row-wise, codegen'd, zero shuffle, linear at 100 TB.
+   * et al. 2020 §2.2 family): count words of `lower(text)` that appear in
+   * `blocklist`, keep docs with zero hits. The match is whole-word (a
+   * blocklisted word inside another word does not hit — the substring
+   * false-positive the word-boundary rule exists to avoid), and word
+   * boundaries are punctuation/whitespace runs (`[^a-z0-9']+`), so "bad.",
+   * "bad\n" and "(bad)" all hit — a space-only split would miss every
+   * punctuation-adjacent occurrence on real web text. Same native
+   * single-pass counter family as language ID
+   * ([[graft.functions.LexiconHits]]): row-wise, codegen'd, zero shuffle,
+   * linear at 100 TB.
    */
   def blocklistFilter(docs: DataFrame, blocklist: Seq[String],
                       textCol: String = "text"): DataFrame = {
     require(blocklist.nonEmpty, "empty blocklist")
-    val hits = graft.functions.TextFunctions.lexiconHits(
+    val hits = graft.functions.TextFunctions.lexiconHitsPunct(
       col(textCol), blocklist.map(_.toLowerCase))
     docs.select(
       col("doc_id"),

@@ -586,8 +586,8 @@ object LlmQueries {
         |FROM f""".stripMargin,
     "text_blocklist" ->
       """SELECT doc_id,
-        |       CAST(len(list_filter(string_split(lower(text), ' '), x -> list_contains(['slow', 'skew'], x))) AS BIGINT) AS n_blocked,
-        |       CAST(CASE WHEN len(list_filter(string_split(lower(text), ' '), x -> list_contains(['slow', 'skew'], x))) = 0
+        |       CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'), x -> list_contains(['slow', 'skew'], x))) AS BIGINT) AS n_blocked,
+        |       CAST(CASE WHEN len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'), x -> list_contains(['slow', 'skew'], x))) = 0
         |            THEN 1 ELSE 0 END AS BIGINT) AS keep
         |FROM documents""".stripMargin,
     "text_domain_filter" ->
@@ -723,9 +723,9 @@ object LlmQueries {
         |  SELECT source, text FROM documents
         |  UNION ALL
         |  SELECT source, text FROM documents WHERE doc_id % 5 = 0)
-        |SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_distinct,
-        |       COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dup_docs,
-        |       CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*) AS dup_rate
+        |SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT md5(COALESCE(text, ''))) AS n_distinct,
+        |       COUNT(*) - COUNT(DISTINCT md5(COALESCE(text, ''))) AS n_dup_docs,
+        |       CAST(COUNT(*) - COUNT(DISTINCT md5(COALESCE(text, ''))) AS DOUBLE) / COUNT(*) AS dup_rate
         |FROM d GROUP BY 1""".stripMargin,
     "curate_topk_quality" ->
       s"""WITH $scoredSql
@@ -1247,9 +1247,9 @@ object LlmQueries {
         |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d)),
         |f AS (SELECT line, COUNT(DISTINCT doc_id) AS df FROM l GROUP BY 1)
         |SELECT l.doc_id,
-        |       COALESCE(string_agg(CASE WHEN f.df < 50 THEN l.line END, chr(10) ORDER BY l.li), '') AS text_clean,
-        |       COUNT(CASE WHEN f.df < 50 THEN 1 END) AS n_lines_kept,
-        |       COUNT(CASE WHEN f.df >= 50 THEN 1 END) AS n_lines_dropped
+        |       COALESCE(string_agg(CASE WHEN l.line = '' OR f.df < 50 THEN l.line END, chr(10) ORDER BY l.li), '') AS text_clean,
+        |       COUNT(CASE WHEN l.line = '' OR f.df < 50 THEN 1 END) AS n_lines_kept,
+        |       COUNT(CASE WHEN l.line <> '' AND f.df >= 50 THEN 1 END) AS n_lines_dropped
         |FROM l JOIN f USING (line)
         |GROUP BY 1""".stripMargin,
     "dedup_substring" ->

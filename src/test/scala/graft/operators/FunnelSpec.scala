@@ -66,6 +66,16 @@ class FunnelSpec extends AnyFunSuite with SparkSpec {
       (1L, 0L) -> 1L)) // user 3's cohort
   }
 
+  test("retention: pre-1970 timestamps bucket by FLOOR division (oracle's //)") {
+    val d = 86400000L
+    // ts = -1 is the last ms of day -1 (floor(-1/d) = -1), NOT day 0 as a
+    // truncating `div` would compute; -d exactly is day -1 too
+    val events = Seq((1L, -1L), (1L, -d), (1L, 0L)).toDF("user_id", "ts")
+    val got = Funnel.retention(events, "user_id", "ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((-1L, 0L) -> 1L, (-1L, 1L) -> 1L))
+  }
+
   test("users without step 1 are absent") {
     val out = run((1L, 10L, "b"), (1L, 20L, "c"), (2L, 1L, "a"))
     assert(!out.contains(1L) && out.contains(2L))

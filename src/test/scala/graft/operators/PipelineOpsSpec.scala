@@ -222,6 +222,20 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(got.getString(1) == "" && got.getLong(3) == 2L)
   }
 
+  test("boilerplate strip: blank lines are paragraph breaks — never dropped by frequency") {
+    // the blank line occurs in all 3 docs (>= minDocs) but survives
+    // unconditionally; the equally-frequent menu line is dropped
+    val d = docs(
+      1L -> "menu\npara one a\n\npara one b",
+      2L -> "menu\npara two a\n\npara two b",
+      3L -> "menu\npara three a\n\npara three b")
+    val out = Dedup.boilerplateStrip(d, minDocs = 3L)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("para one a\n\npara one b", 3L, 1L)))
+    assert(out(2L) == (("para two a\n\npara two b", 3L, 1L)))
+    assert(out(3L) == (("para three a\n\npara three b", 3L, 1L)))
+  }
+
   test("split assignment is deterministic, exhaustive, and stable under growth") {
     val d = docs((1L to 200L).map(i => i -> s"doc $i"): _*)
     val s1 = Curation.splitAssign(d).select("doc_id", "split")
@@ -474,6 +488,30 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(out(3L).getLong(1) == 3L && out(3L).getLong(3) == 3L) // singleton keeps itself
   }
 
+  test("dupReport: NULL texts are one distinct value, not silent duplicates") {
+    val d = Seq(
+      (1L, null.asInstanceOf[String], "s1"), (2L, null.asInstanceOf[String], "s1"),
+      (3L, "real", "s1"),
+      (4L, null.asInstanceOf[String], "s2")) // all-NULL source: 1 distinct, rate 0
+      .toDF("doc_id", "text", "source")
+    val got = Curation.dupReport(d).collect().map(r => r.getString(0) -> r).toMap
+    assert(got("s1").getLong(2) == 2L && got("s1").getLong(3) == 1L)
+    assert(got("s2").getLong(2) == 1L && got("s2").getDouble(4) == 0.0)
+  }
+
+  test("keepBest works with STRING doc_ids: quality desc, UTF8-min id tiebreak") {
+    val base = (1 to 25).flatMap(i => Seq(s"w$i", "the", "and", "of")).mkString(" ")
+    val d = Seq(
+      ("zz-1", base + " !!! ??? ;;; :::"), // near-dup, lower quality
+      ("aa-2", base),                      // near-dup, best quality
+      ("solo", "an unrelated singleton document entirely its own"))
+      .toDF("doc_id", "text")
+    val out = Dedup.keepBest(d, threshold = 0.7)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("zz-1").getString(3) == "aa-2" && out("aa-2").getString(3) == "aa-2")
+    assert(out("solo").getString(3) == "solo")
+  }
+
   test("gopher repetition: dup-line and top-n-gram fractions, hand-computed") {
     val out = TextAnalysis.gopherRepetition(docs(
       // 4 non-empty lines, "ad" twice -> dup_line_frac 0.5 (> 0.30 cap)
@@ -499,6 +537,17 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
       Seq("spam")).collect().map(r => r.getLong(0) -> r).toMap
     assert(out(1L).getLong(1) == 2L && out(1L).getLong(2) == 0L)
     assert(out(2L).getLong(1) == 0L && out(2L).getLong(2) == 1L)
+  }
+
+  test("blocklist filter: punctuation-adjacent words still hit (word-class boundaries)") {
+    val out = TextAnalysis.blocklistFilter(docs(
+      1L -> "spam. (spam) spam\nend",       // 3 hits across ., (), \n boundaries
+      2L -> "don't spam-like spammy"),      // "spam" inside hyphenation: "spam" token from split
+      Seq("spam")).collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) == 3L && out(1L).getLong(2) == 0L)
+    // "spam-like" splits at '-' into ["spam","like"] -> 1 hit; "don't" stays
+    // one token (apostrophe inside the word class); "spammy" never hits
+    assert(out(2L).getLong(1) == 1L && out(2L).getLong(2) == 0L)
   }
 
   test("domain filter: any denied registrable domain drops; subdomains resolve to it") {

@@ -338,12 +338,15 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
         "tf aggregate shuffles the whole exploded corpus (term filter not pushed below it)")
   }
 
-  test("keepBest: winner is a max_by aggregate; no window anywhere in the plan") {
+  test("keepBest: winner selected by aggregates; no window anywhere in the plan") {
     val d = (0L until 40L).map(i => (i, s"alpha beta gamma delta w$i x y z")).toDF("doc_id", "text")
     val df = Dedup.keepBest(d, threshold = 0.5)
-    assert(windows(df).isEmpty, "keepBest must rank via max_by, not a window")
-    assert(df.queryExecution.optimizedPlan.toString.contains("max_by"),
-      "expected the max_by winner aggregate")
+    assert(windows(df).isEmpty, "keepBest must rank via aggregates, not a window")
+    // two-stage selection: a per-cluster max(struct(has, q)) then a min(doc_id)
+    // among the tied rows — both map-side-combinable aggregates
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("max(") && plan.contains("min("),
+      "expected the max-quality + min-doc_id winner aggregates")
   }
 
   test("hard negatives: every window is query-partitioned (bounded fetch input)") {
