@@ -76,10 +76,25 @@ class Subscriptions(
     val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
     Subscriptions.sinks.put(k,
       Subscriptions.SubSink(sink, endTimeMs, () => completeBounded(sessionId, metric, fired)))
+    // foreachBatch, not a row-wise ForeachWriter: one micro-batch's rows land
+    // unordered across partitions, so a past-end row could tear the sink down
+    // BEFORE other partitions delivered their in-range rows. Batch-granular
+    // delivery sorts by ts (the reference scanner's key order), serves every
+    // in-range row, and only then fires the bounded-completion signal.
     val q = df.writeStream
       .queryName(k)
       .trigger(Trigger.ProcessingTime(delayMs))
-      .foreach(new Subscriptions.SinkRelay(k))
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        val s = Subscriptions.sinks.get(k)
+        if (s != null) {
+          var pastEnd = false
+          batch.sort("ts").collect().foreach { r =>
+            if (s.endTimeMs == 0L || r.getAs[Long]("ts") <= s.endTimeMs) s.deliver(r)
+            else pastEnd = true
+          }
+          if (pastEnd) s.onPastEnd()
+        }
+      }
       .start()
     val old = active.put(key(sessionId, metric), q)
     if (old != null) old.stop()
@@ -255,24 +270,14 @@ object Subscriptions {
       deliver: Row => Unit, endTimeMs: Long, onPastEnd: () => Unit)
 
   /**
-   * Driver-side sink registry. The ForeachWriter serializes only the
-   * subscription key and resolves the sink at `process` time — avoiding
-   * closure-capture of the manager. In local mode (and tests) executor and
-   * driver share the JVM, so the lookup hits the live sink; on a real cluster
-   * a subscription sink would be an external push channel (Kafka topic,
-   * WebSocket gateway), not an in-JVM callback.
+   * Driver-side sink registry, resolved per micro-batch inside foreachBatch —
+   * keyed lookup instead of closure capture so a replaced subscription under
+   * the same key stops delivering immediately. foreachBatch runs on the
+   * driver, so this in-JVM push channel works in any deploy mode (the
+   * micro-batch is collected to the driver — the right shape for a
+   * subscription feed, which funnels to one consumer connection anyway; the
+   * reference scanner likewise single-threads each subscription's delivery).
+   * Cluster-scale fan-out without a driver hop is [[Subscriptions.addMetricExternal]].
    */
   private[streaming] val sinks = new ConcurrentHashMap[String, SubSink]()
-
-  private[streaming] class SinkRelay(k: String) extends ForeachWriter[Row] {
-    override def open(partitionId: Long, epochId: Long): Boolean = true
-    override def process(row: Row): Unit = {
-      val s = sinks.get(k)
-      if (s != null) {
-        if (s.endTimeMs == 0L || row.getAs[Long]("ts") <= s.endTimeMs) s.deliver(row)
-        else s.onPastEnd() // first past-end point: bounded range fully served
-      }
-    }
-    override def close(errorOrNull: Throwable): Unit = ()
-  }
 }
