@@ -44,6 +44,17 @@ import graft.sources.{MetaSnapshot, PointStore}
  * HTTP error mapping mirrors the reference: unparseable request → 400
  * (TimelyExceptionHandler), no matching tags → 400 "No matching tags"
  * (HttpQueryRequestHandler.java:36), unknown path → 404, internal error → 500.
+ *
+ * Auth: with a [[AuthSessions]] store configured, `POST /login` authenticates
+ * and sets the `TSESSIONID` cookie (the reference's login handler mints the
+ * session UUID and Set-Cookie the same way —
+ * TimelyLoginRequestHandler.java:44-58), and every data route resolves the
+ * request's cookie to the caller's authorizations, threading them into
+ * [[QueryPlanner.plan]] — per-caller visibility enforcement. An absent or
+ * expired session falls back to the anonymous principal or is refused with
+ * 401 per the store's `allowAnonymous` policy
+ * (SecurityProperties.allowAnonymousHttpAccess). Without a store, the
+ * constructor `auths` apply process-wide (embedded mode).
  */
 class HttpApi(
     spark: SparkSession,
@@ -52,7 +63,9 @@ class HttpApi(
     auths: Seq[String] = Seq.empty,
     internal: Option[graft.streaming.InternalMetrics] = None,
     nowMs: () => Long = () => System.currentTimeMillis(),
-    metaRefreshMs: Long = 0L) {
+    metaRefreshMs: Long = 0L,
+    sessions: Option[AuthSessions] = None,
+    cacheBoundaryMs: Option[Long] = None) {
 
   private var server: HttpServer = _
   private var pool: java.util.concurrent.ExecutorService = _
@@ -190,11 +203,52 @@ class HttpApi(
 
   // ---- routing ----------------------------------------------------------
 
+  /** Resolve the caller's authorizations: cookie -> session -> auths, with
+    * the embedded-mode constructor `auths` when no session store is
+    * configured. None = refuse with 401. */
+  private def requestAuths(ex: HttpExchange): Option[Seq[String]] = sessions match {
+    case None => Some(auths)
+    case Some(store) => store.resolve(
+      AuthSessions.sessionFromCookie(Option(ex.getRequestHeaders.getFirst("Cookie"))))
+  }
+
   private def route(ex: HttpExchange): Unit = {
     try {
       (ex.getRequestMethod, ex.getRequestURI.getPath) match {
         case (_, "/version") =>
           respond(ex, 200, TimelyApi.Version + "\n", "text/plain")
+        case ("POST", "/login") if sessions.isDefined =>
+          val jv = JsonMethods.parse(body(ex))
+          val cred = for {
+            u <- (jv \ "username") match { case JString(s) => Some(s); case _ => None }
+            p <- (jv \ "password") match { case JString(s) => Some(s); case _ => None }
+          } yield (u, p)
+          cred.flatMap { case (u, p) => sessions.get.login(u, p) } match {
+            case Some(sid) =>
+              // the reference's session cookie (TimelyLoginRequestHandler.java:52-58;
+              // no Secure flag — this facade is plain HTTP)
+              ex.getResponseHeaders.add("Set-Cookie",
+                s"${AuthSessions.CookieName}=$sid; Path=/; HttpOnly")
+              respond(ex, 200, "{}")
+            case None => respond(ex, 401, "login failure\n", "text/plain")
+          }
+        case _ => requestAuths(ex) match {
+          case None => respond(ex, 401, "unauthorized\n", "text/plain")
+          case Some(callerAuths) => routeAuthed(ex, callerAuths)
+        }
+      }
+    } catch {
+      case e: TimelyApi.NoMatchingTagsException =>
+        respond(ex, 400, e.getMessage + "\n", "text/plain")
+      case e: IllegalArgumentException =>
+        respond(ex, 400, Option(e.getMessage).getOrElse("bad request") + "\n", "text/plain")
+      case NonFatal(e) =>
+        respond(ex, 500, e.toString + "\n", "text/plain")
+    } finally ex.close()
+  }
+
+  private def routeAuthed(ex: HttpExchange, callerAuths: Seq[String]): Unit = {
+      (ex.getRequestMethod, ex.getRequestURI.getPath) match {
         case (_, "/api/aggregators") =>
           respond(ex, 200, TimelyApi.aggregatorsJson)
         case (_, "/api/metrics") =>
@@ -251,24 +305,36 @@ class HttpApi(
           // downsample/aggregator/tag regex) must still 400, and headers
           // cannot be unsent — only execution errors after this line fall
           // through to a truncated chunked body
-          val frames = QueryPlanner.plan(pts, req, auths)
+          val frames = QueryPlanner.plan(pts, req, callerAuths)
           ex.getResponseHeaders.set("Content-Type", "application/json")
           ex.sendResponseHeaders(200, 0) // chunked
           val w = new OutputStreamWriter(ex.getResponseBody, UTF_8)
           val n = QueryJson.writeResponses(frames, w)
           w.flush(); w.close()
           internal.foreach(_.addQueryResponse(n, System.currentTimeMillis() - t0))
+        case (_, "/api/cache") =>
+          // M6: the reference's CacheResponse shape (CacheResponse.java:7-36,
+          // served by HttpCacheRequestHandler) — oldest/newest timestamp and
+          // the metric list of the hot (cached) window; the whole store when
+          // no hot/cold boundary is configured. Viz-filtered like any read.
+          // same range split as HotColdPoints.hotWindow, minus its .cache():
+          // a per-request cache() would pin a new block-store entry per call
+          val hot = points
+            .where(col("ts") >= cacheBoundaryMs.getOrElse(0L))
+            .where(graft.functions.VizFunctions.vizVisible(
+              col("viz"), lit(callerAuths.mkString(","))))
+          val agg = hot.agg(min("ts"), max("ts"),
+            sort_array(collect_set(col("metric")))).collect().head
+          val (oldest, newest, metrics) =
+            if (agg.isNullAt(0)) (JNull, JNull, JArray(Nil))
+            else (JLong(agg.getLong(0)), JLong(agg.getLong(1)),
+              JArray(agg.getSeq[String](2).map(JString(_)).toList))
+          respond(ex, 200, JsonMethods.compact(JsonMethods.render(JObject(
+            "oldestTimestamp" -> oldest, "newestTimestamp" -> newest,
+            "metrics" -> metrics))))
         case _ =>
           respond(ex, 404, "not found\n", "text/plain")
       }
-    } catch {
-      case e: TimelyApi.NoMatchingTagsException =>
-        respond(ex, 400, e.getMessage + "\n", "text/plain")
-      case e: IllegalArgumentException =>
-        respond(ex, 400, Option(e.getMessage).getOrElse("bad request") + "\n", "text/plain")
-      case NonFatal(e) =>
-        respond(ex, 500, e.toString + "\n", "text/plain")
-    } finally ex.close()
   }
 
   private def respond(ex: HttpExchange, status: Int, content: String,
