@@ -152,7 +152,17 @@ object Search {
                         k: Int = 10, fetchExtra: Int = 5,
                         k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(fetchExtra >= 0, "fetchExtra >= 0")
-    val hits = bm25TopK(docs, queries, k + fetchExtra, k1, b)
+    bm25HardNegativesFrom(bm25TopK(docs, queries, k + fetchExtra, k1, b), positives, k)
+  }
+
+  /** Hard-negative selection from an ALREADY-FETCHED candidate frame (a
+    * [[bm25TopK]] result with at least `k` + expected-positives rows per
+    * query) — the pass-through shape that lets one candidate fetch feed the
+    * whole retrieval family (plain top-k, hard negatives, hybrid fusion)
+    * instead of each re-planning the corpus-side BM25 core. Candidate-
+    * bounded: the anti-join and re-rank window see only the fetched rows. */
+  def bm25HardNegativesFrom(hits: DataFrame, positives: DataFrame, k: Int = 10): DataFrame = {
+    require(k >= 1, "k >= 1")
     val neg = hits.join(positives.select("query_id", "doc_id"),
       Seq("query_id", "doc_id"), "left_anti")
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
