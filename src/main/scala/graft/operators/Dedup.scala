@@ -100,20 +100,27 @@ object Dedup {
    * never be broadcast). The only shuffles are the band-key join and the
    * final pair distinct, both on well-distributed keys.
    */
-  def minhashLsh(docs: DataFrame, numHashes: Int = 8, bandSize: Int = 2,
-                 maxBucket: Long = Long.MaxValue): DataFrame = {
+  /** The banded signature frame both [[minhashLsh]] and the auto-cap
+    * pre-aggregate read: (doc_id, mh0..mhN, b, key). Built on the cached
+    * signature frame, so the two consumers share one signature computation. */
+  private def minhashAllBands(docs: DataFrame, numHashes: Int, bandSize: Int): DataFrame = {
     require(numHashes % bandSize == 0, "numHashes must be divisible by bandSize")
-    require(maxBucket >= 1L, "maxBucket must be positive")
     // cached (memory+disk, partition-local) because the banded self-join reads
     // it once per side; this is a per-executor materialization, not a broadcast
     val mh = cached(minhashSignatures(docs, numHashes))
     val nBands = numHashes / bandSize
     val bandKey = (b: Int) => concat((b * bandSize until (b + 1) * bandSize).map(k => col(s"mh$k")): _*)
     val sigCols = (0 until numHashes).map(c => col(s"mh$c"))
-    val allBands = mh.select(
+    mh.select(
       col("doc_id") +: sigCols :+
         explode(array((0 until nBands).map(b => struct(lit(b).as("b"), bandKey(b).as("key"))): _*)).as("bk"): _*)
       .select(col("doc_id") +: sigCols :+ col("bk.b").as("b") :+ col("bk.key").as("key"): _*)
+  }
+
+  def minhashLsh(docs: DataFrame, numHashes: Int = 8, bandSize: Int = 2,
+                 maxBucket: Long = Long.MaxValue): DataFrame = {
+    require(maxBucket >= 1L, "maxBucket must be positive")
+    val allBands = minhashAllBands(docs, numHashes, bandSize)
     // Optional skew guard (the 100 TB configuration, same contract as
     // ngramJaccard's maxDocFreq / simhashPairs' maxBucket): a (band, key)
     // bucket of k docs emits k^2/2 candidate pairs, so hot buckets —
@@ -137,6 +144,74 @@ object Dedup {
         (eq.cast("double") / numHashes).as("est_jaccard"))
       .distinct() // est_jaccard is a function of (a,b), so this == distinct pairs
   }
+
+  /**
+   * Derive a skew cap from the OBSERVED bucket-size distribution instead of a
+   * hand-tuned constant — the sizing rule the hand-tuned caps followed
+   * ("below the duplication factor": ScaleSmoke's 100x row showed cap=50
+   * finishing in 16 s where cap=200 took 100 s on a 100-replica corpus)
+   * becomes a property of the data: cap = `factor` x the `quantile`th bucket
+   * size, floored at `floor`.
+   *
+   *  - Replica-heavy corpus (every bucket a k-clique): the quantile IS k, so
+   *    the cap lands at factor*k — below the duplication factor by
+   *    construction, and it cannot be silently violated by a corpus change.
+   *  - Ordinary corpus (bucket sizes ~1, boilerplate tail): the quantile
+   *    stays small, the floor keeps genuine small near-dup clusters, and the
+   *    far tail above it — the k^2 pair bombs — is dropped from candidate
+   *    generation.
+   *
+   * Cost: one `approx_percentile` over the bucket-counts frame — bucket-
+   * count-sized (docs x bands rows pre-aggregate), a rounding error next to
+   * the pair join it protects. The cap is a runtime tuning parameter, not a
+   * semantic one: capped configurations are corpus-dependent by design, and
+   * the oracle-pinned gates keep their explicit caps.
+   */
+  def autoBucketCap(bucketSizes: DataFrame, sizeCol: String,
+                    quantile: Double = 0.99, factor: Double = 0.5,
+                    floor: Long = 8L): Long = {
+    require(quantile > 0 && quantile < 1, "quantile in (0,1)")
+    require(factor > 0 && floor >= 1L, "factor > 0, floor >= 1")
+    val q = bucketSizes
+      .agg(expr(s"approx_percentile($sizeCol, $quantile, 10000)").cast("long"))
+      .first().getLong(0)
+    math.max(floor, (q * factor).toLong)
+  }
+
+  /** The auto-cap value [[minhashLshAuto]] would use (exposed so callers can
+    * log/record the derived cap). */
+  def minhashAutoCap(docs: DataFrame, numHashes: Int = 8, bandSize: Int = 2,
+                     quantile: Double = 0.99, factor: Double = 0.5,
+                     floor: Long = 8L): Long =
+    autoBucketCap(
+      minhashAllBands(docs, numHashes, bandSize)
+        .groupBy("b", "key").agg(count(lit(1)).as("bn")),
+      "bn", quantile, factor, floor)
+
+  /** [[minhashLsh]] with the skew cap derived from the observed band-bucket
+    * distribution ([[autoBucketCap]]). The signature frame is cached, so the
+    * cap pre-aggregate and the pair join share one signature computation. */
+  def minhashLshAuto(docs: DataFrame, numHashes: Int = 8, bandSize: Int = 2,
+                     quantile: Double = 0.99, factor: Double = 0.5,
+                     floor: Long = 8L): DataFrame =
+    minhashLsh(docs, numHashes, bandSize,
+      minhashAutoCap(docs, numHashes, bandSize, quantile, factor, floor))
+
+  /** The auto-cap value [[ngramJaccardAuto]] would use: derived from the
+    * observed shingle document-frequency distribution. */
+  def ngramAutoDocFreqCap(docs: DataFrame, quantile: Double = 0.99,
+                          factor: Double = 0.5, floor: Long = 8L): Long =
+    autoBucketCap(
+      cached(shingles(docs)).groupBy("s").agg(count(lit(1)).as("df")),
+      "df", quantile, factor, floor)
+
+  /** [[ngramJaccard]] with `maxDocFreq` derived from the observed shingle
+    * document-frequency distribution ([[autoBucketCap]]). */
+  def ngramJaccardAuto(docs: DataFrame, threshold: Double = 0.8,
+                       quantile: Double = 0.99, factor: Double = 0.5,
+                       floor: Long = 8L): DataFrame =
+    ngramJaccard(docs, threshold,
+      maxDocFreq = ngramAutoDocFreqCap(docs, quantile, factor, floor))
 
   /**
    * Exact n-gram Jaccard near-dup pairs: join on shared shingles (the shingle

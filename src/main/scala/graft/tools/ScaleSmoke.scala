@@ -59,6 +59,20 @@ object ScaleSmoke {
     t(s"minhashLsh capped (the 100TB config, maxBucket=$mhCap)") {
       graft.operators.Dedup.minhashLsh(docs, maxBucket = mhCap).count()
     }
+    // auto-cap: the replica corpus makes every bucket a reps-clique, so the
+    // derived cap must land at factor*reps — below the duplication factor by
+    // construction, within ~2x of the hand-tuned row above
+    val autoCap = t("minhashAutoCap (quantile pre-aggregate)") {
+      graft.operators.Dedup.minhashAutoCap(docs)
+    }
+    println(s"SCALE minhash auto-derived cap = $autoCap (hand-tuned $mhCap)")
+    t(s"minhashLsh auto-capped (maxBucket=$autoCap)") {
+      graft.operators.Dedup.minhashLsh(docs, maxBucket = autoCap).count()
+    }
+    val ngCap = t("ngramAutoDocFreqCap (quantile pre-aggregate)") {
+      graft.operators.Dedup.ngramAutoDocFreqCap(docs)
+    }
+    println(s"SCALE ngram auto-derived docFreq cap = $ngCap (hand-tuned 50)")
     t(s"simhashPairs (capped, the 100TB config, maxBucket=$mhCap)") {
       graft.operators.Dedup.simhashPairs(docs, maxHamming = 6, maxBucket = mhCap).count()
     }
