@@ -93,11 +93,16 @@ object TimelyApi {
    * from the tag lists while their metrics still appear. The reference emits
    * HashMap order; here metrics and tags are sorted for determinism. The
    * collect is catalog-sized (metric cardinality), the same data the
-   * reference holds in its MetaCache.
+   * reference holds in its MetaCache — but hard-capped at `maxRows` sorted
+   * catalog rows so a pathological tag cardinality cannot flood the driver:
+   * past the cap the report is a deterministic (sorted) prefix of the
+   * catalog, the same bound lookup applies via its `limit`.
    */
-  def metricsJson(meta: DataFrame, ignoredTags: Set[String] = Set.empty): String = {
+  def metricsJson(meta: DataFrame, ignoredTags: Set[String] = Set.empty,
+                  maxRows: Int = 100000): String = {
     val ignored = ignoredTags + graft.model.MetricPoint.VisibilityTag
-    val rows = meta.select("metric", "tagk", "tagv").collect()
+    val rows = meta.select("metric", "tagk", "tagv")
+      .orderBy("metric", "tagk", "tagv").limit(maxRows).collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2)))
     val byMetric = rows.groupBy(_._1)
     val metrics = JArray(byMetric.keys.toList.sorted.map { m =>

@@ -120,7 +120,8 @@ object PointStore {
       spark: SparkSession,
       dataDir: String,
       ttlMsByPrefix: Map[String, Long],
-      nowMs: Long): Seq[String] = {
+      nowMs: Long,
+      dryRun: Boolean = false): Seq[String] = {
     val root = new org.apache.hadoop.fs.Path(dataDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd")
@@ -141,7 +142,7 @@ object PointStore {
              if dtDir.getPath.getName.startsWith("dt=")) {
           val day = dtDir.getPath.getName.stripPrefix("dt=")
           if (day < horizonDay) {
-            fs.delete(dtDir.getPath, true)
+            if (!dryRun) fs.delete(dtDir.getPath, true)
             dropped += s"$metric/$day"
           } else if (day == horizonDay) {
             // boundary day: hr= dirs wholly below the horizon hour hold only
@@ -150,7 +151,7 @@ object PointStore {
                  if hrDir.getPath.getName.startsWith("hr=")) {
               val hr = hrDir.getPath.getName.stripPrefix("hr=").toLong
               if (hr < horizonHour) {
-                fs.delete(hrDir.getPath, true)
+                if (!dryRun) fs.delete(hrDir.getPath, true)
                 dropped += s"$metric/$day/hr=$hr"
               }
             }

@@ -1,0 +1,143 @@
+package graft.tools
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{SaveMode, SparkSession}
+
+import graft.sources.PointStore
+
+/**
+ * Retention maintenance driver — the single-pass operational entry point for
+ * the engine's age-off surface (SURVEY L1-L3), the analog of the reference's
+ * scheduled age-off/compaction: the data side drops whole expired
+ * `metric=/dt=` day directories plus fully-expired boundary-day `hr=`
+ * directories (the tablet-drop compaction shape,
+ * server/src/main/java/timely/server/store/compaction/
+ * MetricCompactionStrategy.java — file metadata only, no surviving row is
+ * rewritten), then the meta catalog is aged to the survivors' metric set
+ * (MetaAgeOffIterator.java:77-97: a catalog row lives iff its metric still
+ * has live points). Query-time [[PointStore.clampStart]] keeps the
+ * sub-hour boundary slack invisible, like the reference's scan-time
+ * age-off iterator.
+ *
+ * Dry-run mode reports everything the pass WOULD do — partition paths and
+ * meta row delta — touching nothing, so an operator can review a TTL change
+ * before running it for real.
+ */
+object Maintenance {
+
+  /** What one maintenance pass did (or, dry run, would do). */
+  case class Report(
+      dryRun: Boolean,
+      droppedPartitions: Seq[String],
+      metaRowsBefore: Long,
+      metaRowsAfter: Long) {
+    def render: String = {
+      val verb = if (dryRun) "would drop" else "dropped"
+      (s"maintenance${if (dryRun) " (DRY RUN)" else ""}: " +
+        s"$verb ${droppedPartitions.size} partition dir(s); " +
+        s"meta $metaRowsBefore -> $metaRowsAfter rows") +
+        droppedPartitions.map(p => s"\n  $verb $p").mkString
+    }
+  }
+
+  /**
+   * One maintenance pass over a store: partition-level data age-off, then
+   * meta age-off against the surviving data. The meta rewrite stages into
+   * `<metaDir>.tmp` and swaps via rename — readers never observe a
+   * half-written catalog dir. No-op (with an accurate report) when nothing
+   * is expired.
+   */
+  def run(
+      spark: SparkSession,
+      dataDir: String,
+      metaDir: String,
+      ttlMsByPrefix: Map[String, Long],
+      nowMs: Long = System.currentTimeMillis(),
+      dryRun: Boolean = false): Report = {
+    val dropped = PointStore.ageOffDropPartitions(spark, dataDir, ttlMsByPrefix, nowMs, dryRun)
+    val fs = new Path(metaDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(metaDir)))
+      return Report(dryRun, dropped, 0L, 0L)
+    val metaBefore = spark.read.parquet(metaDir)
+    val before = metaBefore.count()
+    // the surviving-data metric set. In dry-run the data dirs are untouched,
+    // so survivors are computed from the partition list MINUS the would-drop
+    // set (metric-level: a metric survives iff it keeps any partition)
+    val after =
+      if (dryRun) {
+        val dropSet = dropped.map(_.takeWhile(_ != '/')).toSet
+        val allMetrics = partitionMetrics(spark, dataDir)
+        val liveMetrics = allMetrics.filterNot { m =>
+          // a metric dies iff EVERY one of its day dirs is in the drop set
+          val kept = partitionDays(spark, dataDir, m)
+            .exists(d => !dropped.contains(s"$m/$d"))
+          !kept
+        }
+        import spark.implicits._
+        metaBefore.join(liveMetrics.toDF("metric"), Seq("metric"), "left_semi").count()
+      } else {
+        // a fully-expired store leaves no readable parquet: every catalog row dies
+        val live =
+          try PointStore.read(spark, dataDir)
+          catch { case _: org.apache.spark.sql.AnalysisException => metaBefore.limit(0) }
+        val aged = PointStore.metaAgeOff(metaBefore, live)
+        val tmp = new Path(metaDir + ".tmp")
+        aged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        val n = spark.read.parquet(tmp.toString).count()
+        val target = new Path(metaDir)
+        fs.delete(target, true)
+        fs.rename(tmp, target)
+        n
+      }
+    Report(dryRun, dropped, before, after)
+  }
+
+  private def partitionMetrics(spark: SparkSession, dataDir: String): Seq[String] = {
+    val root = new Path(dataDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("metric="))
+      .map(n => org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(n.stripPrefix("metric=")))
+  }
+
+  private def partitionDays(spark: SparkSession, dataDir: String, metric: String): Seq[String] = {
+    val root = new Path(dataDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(root).toSeq
+      .filter { s =>
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(s.getPath.getName.stripPrefix("metric=")) == metric
+      }
+      .flatMap(m => fs.listStatus(m.getPath).toSeq.map(_.getPath.getName))
+      .filter(_.startsWith("dt="))
+      .map(_.stripPrefix("dt="))
+  }
+
+  /** CLI: `Maintenance <dataDir> <metaDir> <ttlSpec> [nowMs] [--dry-run]`
+    * where ttlSpec is `prefix=ttlMs,...` and must include `default`
+    * (e.g. `default=2592000000,sys.err=3600000`). */
+  def main(args: Array[String]): Unit = {
+    val dryRun = args.contains("--dry-run")
+    val rest = args.filterNot(_ == "--dry-run")
+    require(rest.length >= 3, "usage: Maintenance <dataDir> <metaDir> <ttlSpec> [nowMs] [--dry-run]")
+    val Array(dataDir, metaDir, ttlSpec) = rest.take(3)
+    val nowMs = rest.lift(3).map(_.toLong).getOrElse(System.currentTimeMillis())
+    val ttl = ttlSpec.split(",").map { kv =>
+      val i = kv.lastIndexOf('=')
+      require(i > 0, s"bad ttl entry: $kv")
+      kv.substring(0, i) -> kv.substring(i + 1).toLong
+    }.toMap
+    require(ttl.contains("default"), "ttlSpec must include default=<ms>")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try println(run(spark, dataDir, metaDir, ttl, nowMs, dryRun).render)
+    finally spark.stop()
+  }
+}

@@ -71,6 +71,15 @@ class TimelyApiSpec extends AnyFunSuite with SparkSpec {
       """{"key":"host","value":"web01"},{"key":"host","value":"web02"}]}]}""")
   }
 
+  test("metrics report collect is hard-capped (pathological tag cardinality)") {
+    // cap 2: the report becomes the sorted 2-row catalog prefix — the
+    // driver-side collect is bounded no matter the tag cardinality
+    assert(TimelyApi.metricsJson(meta, maxRows = 2) ==
+      """{"metrics":[""" +
+      """{"metric":"net.bytes","tags":[{"key":"iface","value":"eth0"}]},""" +
+      """{"metric":"sys.cpu.idle","tags":[{"key":"host","value":"web01"}]}]}""")
+  }
+
   test("aggregators list matches the reference set") {
     assert(TimelyApi.Aggregators == Seq("avg", "dev", "max", "min", "sum", "count", "none"))
     assert(TimelyApi.aggregatorsJson == """["avg","dev","max","min","sum","count","none"]""")

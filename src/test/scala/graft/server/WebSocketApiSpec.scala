@@ -65,8 +65,9 @@ class WebSocketApiSpec extends AnyFunSuite with SparkSpec with BeforeAndAfterAll
 
   /** Minimal WS client over a raw socket (the test plays the reference's
     * WebSocketSubscriptionClient). */
-  private final class Client(cookie: Option[String] = None) {
-    private val socket = new Socket("127.0.0.1", port)
+  private final class Client(cookie: Option[String] = None,
+      portOverride: Option[Int] = None) {
+    private val socket = new Socket("127.0.0.1", portOverride.getOrElse(port))
     socket.setSoTimeout(200)
     private val in = new BufferedInputStream(socket.getInputStream)
     private val out = new BufferedOutputStream(socket.getOutputStream)
@@ -192,6 +193,46 @@ class WebSocketApiSpec extends AnyFunSuite with SparkSpec with BeforeAndAfterAll
     assert(frames.exists(_.contains(graft.planner.TimelyApi.Version)))
     assert(frames.exists(_.contains("\"avg\"")))
     assert(frames.exists(f => f.contains("sys.cpu.user") && f.contains("sys.cpu.idle")))
+  }
+
+  test("MetricScanner batch semantics: size-bounded envelopes, sentinel flush, slow consumer") {
+    // dedicated gateway: batch size 2 with the periodic flusher effectively
+    // off, so envelope shapes are forced by the batch bound + sentinel flush
+    // alone (MetricScanner.java:212-214 size flush, 270-280 completion flush)
+    val dir2 = Files.createTempDirectory("graft-ws-batch").toFile
+    val dataDir2 = new java.io.File(dir2, "data").getAbsolutePath
+    val metaDir2 = new java.io.File(dir2, "meta").getAbsolutePath
+    import spark.implicits._
+    val pts = (0 until 5).map(i =>
+      MetricPoint("m.batch", T + i * 100L, i.toDouble, Map("rack" -> "r1"), None)) :+
+      MetricPoint("m.batch", T + 2000, 9.0, Map("rack" -> "r1"), None) // past-end trigger
+    PointStore.write(pts.toDF(), dataDir2)
+    PointStore.writeMeta(pts.toDF(), metaDir2)
+    val api2 = new WebSocketApi(spark, dataDir2, metaDir2,
+      subscriptionBatchSize = 2, flushIntervalMs = 600000L)
+    val port2 = api2.start()
+    try {
+      val c = new Client(portOverride = Some(port2))
+      assert(c.handshake() == 101)
+      c.send("""{"operation":"create","subscriptionId":"b1"}""")
+      c.send(s"""{"operation":"add","subscriptionId":"b1","metric":"m.batch",""" +
+        s""""startTime":$T,"endTime":${T + 1000},"delayTime":100}""")
+      // slow consumer: don't read anything until the subscription has long
+      // completed server-side — frames must buffer, none lost, batches intact
+      Thread.sleep(8000)
+      val (frames, _) = c.collectFrames(untilComplete = true)
+      c.close()
+      val perEnvelope = frames.map(f => responsesOf(Seq(f)))
+      val all = perEnvelope.flatten
+      val data = all.filter(r => r \ "complete" == JBool(false))
+      assert(data.map(tsOf) == (0 until 5).map(T + _ * 100L),
+        s"all in-range rows, ts-ordered: ${data.map(tsOf)}")
+      assert(all.exists(r => r \ "complete" == JBool(true)), "sentinel must flush the tail")
+      // every envelope before the sentinel-bearing one is exactly batch-sized
+      val beforeSentinel = perEnvelope.takeWhile(!_.exists(r => r \ "complete" == JBool(true)))
+      assert(beforeSentinel.forall(_.size == 2),
+        s"size-bounded envelopes, got ${perEnvelope.map(_.size)}")
+    } finally api2.stop()
   }
 
   test("remove sends the completion sentinel for an unbounded subscription") {

@@ -1,0 +1,72 @@
+package graft.tools
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.model.MetricPoint
+import graft.sources.PointStore
+
+/**
+ * Single-pass retention maintenance ([[Maintenance.run]]): partition-level
+ * data age-off + meta age-off with a dry-run report — L1-L3 as one
+ * operational entry point.
+ */
+class MaintenanceSpec extends AnyFunSuite with SparkSpec {
+
+  import spark.implicits._
+
+  private val Day = 86400000L
+  private val T = 1704067200000L // 2024-01-01T00:00Z
+
+  /** sys.a: 7d TTL with one expired day + one live; dead.metric: all expired. */
+  private def seed(): (String, String, Long) = {
+    val base = Files.createTempDirectory("graft-maint").toString
+    val now = T + 10 * Day
+    val pts = Seq(
+      MetricPoint("sys.a", T, 1.0, Map("h" -> "a"), None),            // day 0: expired under 7d
+      MetricPoint("sys.a", now - Day, 2.0, Map("h" -> "a"), None),    // live
+      MetricPoint("dead.metric", T, 3.0, Map("h" -> "b"), None))      // expired under 7d -> metric dies
+    PointStore.write(pts.toDF(), s"$base/data")
+    PointStore.writeMeta(pts.toDF(), s"$base/meta")
+    (s"$base/data", s"$base/meta", now)
+  }
+
+  private val ttl = Map("default" -> 7 * Day)
+
+  test("dry run reports drops and the meta delta, touching nothing") {
+    val (data, meta, now) = seed()
+    val r = Maintenance.run(spark, data, meta, ttl, now, dryRun = true)
+    assert(r.dryRun)
+    assert(r.droppedPartitions == Seq("dead.metric/2024-01-01", "sys.a/2024-01-01"))
+    assert(r.metaRowsBefore == 2 && r.metaRowsAfter == 1) // dead.metric's row would die
+    // nothing touched: both expired partitions still exist, meta unchanged
+    assert(PointStore.read(spark, data).count() == 3)
+    assert(spark.read.parquet(meta).count() == 2)
+    assert(r.render.contains("DRY RUN") && r.render.contains("would drop"))
+  }
+
+  test("real pass drops expired partitions and ages the meta catalog in place") {
+    val (data, meta, now) = seed()
+    val r = Maintenance.run(spark, data, meta, ttl, now)
+    assert(!r.dryRun)
+    assert(r.droppedPartitions == Seq("dead.metric/2024-01-01", "sys.a/2024-01-01"))
+    assert(r.metaRowsBefore == 2 && r.metaRowsAfter == 1)
+    // surviving data: only sys.a's live day; meta: only sys.a's row
+    val kept = PointStore.read(spark, data).select("metric").distinct()
+      .as[String].collect().toSet
+    assert(kept == Set("sys.a"))
+    assert(spark.read.parquet(meta).select("metric").as[String].collect().toSeq == Seq("sys.a"))
+    // no stale tmp dir left behind
+    assert(!new java.io.File(meta + ".tmp").exists())
+  }
+
+  test("a second pass is a no-op with an accurate report") {
+    val (data, meta, now) = seed()
+    Maintenance.run(spark, data, meta, ttl, now)
+    val r2 = Maintenance.run(spark, data, meta, ttl, now)
+    assert(r2.droppedPartitions.isEmpty)
+    assert(r2.metaRowsBefore == 1 && r2.metaRowsAfter == 1)
+  }
+}
