@@ -304,6 +304,28 @@ class WebSocketApi(
             QueryJson.writeResponses(frames, w)
             sendText(w.toString)
             true
+          case "cache" =>
+            // the reference serves CacheRequest over WS too (CacheRequest.java
+            // @WebSocket(operation="cache")) — same CacheResponse shape as the
+            // HTTP route, viz-filtered for this session
+            val hot = pointsBatch()
+              .where(graft.functions.VizFunctions.vizVisible(
+                org.apache.spark.sql.functions.col("viz"),
+                org.apache.spark.sql.functions.lit(auths.mkString(","))))
+            val agg = hot.agg(
+              org.apache.spark.sql.functions.min("ts"),
+              org.apache.spark.sql.functions.max("ts"),
+              org.apache.spark.sql.functions.sort_array(
+                org.apache.spark.sql.functions.collect_set(
+                  org.apache.spark.sql.functions.col("metric")))).collect().head
+            val (oldest, newest, metrics) =
+              if (agg.isNullAt(0)) (JNull: JValue, JNull: JValue, JArray(Nil))
+              else (JLong(agg.getLong(0)): JValue, JLong(agg.getLong(1)): JValue,
+                JArray(agg.getSeq[String](2).map(JString(_)).toList))
+            sendText(JsonMethods.compact(JsonMethods.render(JObject(
+              "oldestTimestamp" -> oldest, "newestTimestamp" -> newest,
+              "metrics" -> metrics))))
+            true
           case other =>
             writeLock.synchronized(
               WebSocketCodec.writeClose(out, 1008, s"unknown operation: $other"))

@@ -186,13 +186,18 @@ class WebSocketApiSpec extends AnyFunSuite with SparkSpec with BeforeAndAfterAll
     c.send("""{"operation":"version"}""")
     c.send("""{"operation":"aggregators"}""")
     c.send("""{"operation":"suggest","type":"metrics","q":"sys.cpu","max":10}""")
-    // version/aggregators are static strings; suggest runs a Spark job over
-    // the meta table — poll until all three frames land
-    val (frames, _) = c.collectFrames(untilComplete = false, deadlineMs = 30000L, minFrames = 3)
+    c.send("""{"operation":"cache"}""")
+    // version/aggregators are static strings; suggest/cache run Spark jobs —
+    // poll until all four frames land
+    val (frames, _) = c.collectFrames(untilComplete = false, deadlineMs = 60000L, minFrames = 4)
     c.close()
     assert(frames.exists(_.contains(graft.planner.TimelyApi.Version)))
     assert(frames.exists(_.contains("\"avg\"")))
     assert(frames.exists(f => f.contains("sys.cpu.user") && f.contains("sys.cpu.idle")))
+    // cache (CacheResponse shape): anonymous session sees only unlabeled
+    // points, so newest is the T+2000 unlabeled one, not the viz-labeled rows
+    assert(frames.exists(f => f.contains(s""""oldestTimestamp":$T""") &&
+      f.contains(s""""newestTimestamp":${T + 2000}""")), frames.mkString("\n"))
   }
 
   test("MetricScanner batch semantics: size-bounded envelopes, sentinel flush, slow consumer") {
