@@ -150,38 +150,10 @@ class HttpApi(
   private def body(ex: HttpExchange): String =
     new String(ex.getRequestBody.readAllBytes(), UTF_8)
 
-  /** The reference's flattened Metric JSON (Metric.java:19) -> MetricPoint;
-    * the `viz` tag moves to the visibility slot like every other ingest path
-    * (MetricAdapter.java:44). */
-  private def parseMetricJson(json: String): MetricPoint = {
-    val jv = JsonMethods.parse(json)
-    val name = jv \ "name" match {
-      case JString(s) => s
-      case _ => throw new IllegalArgumentException("metric name required")
-    }
-    val ts = jv \ "timestamp" match {
-      case JInt(i) => i.toLong; case JLong(l) => l
-      case _ => throw new IllegalArgumentException("timestamp required")
-    }
-    val measure = jv \ "measure" match {
-      case JDouble(d) => d; case JInt(i) => i.toDouble; case JLong(l) => l.toDouble
-      case _ => throw new IllegalArgumentException("measure required")
-    }
-    val tags = jv \ "tags" match {
-      case JArray(ts) => ts.flatMap {
-        case JObject(fields) => fields.collect { case (k, JString(v)) => k -> v }
-        case _ => Nil
-      }.toMap
-      case _ => Map.empty[String, String]
-    }
-    // line-protocol parity: MetricParser requires >= 1 tag, and a tag-less
-    // point would write no meta rows — permanently unqueryable data (every
-    // query 400s on "No matching tags"). Reject at the door instead.
-    if ((tags - MetricPoint.VisibilityTag).isEmpty)
-      throw new IllegalArgumentException("at least one tag required")
-    MetricPoint(name, ts, measure,
-      tags - MetricPoint.VisibilityTag, tags.get(MetricPoint.VisibilityTag))
-  }
+  /** The reference's flattened Metric JSON (Metric.java:19) -> MetricPoint
+    * ([[MetricJson.parse]], shared with the WS `put` operation). */
+  private def parseMetricJson(json: String): MetricPoint =
+    MetricJson.parse(JsonMethods.parse(json))
 
   /** `metric{tagk=regex,...}` (the reference's SearchLookupRequest query
     * grammar, DataStore.java:582-600). */

@@ -104,9 +104,18 @@ object PutListeners {
             if (line.size > 0) { batch += new String(line.toByteArray, UTF_8); line.reset() }
             open = false
           } else if (b == '\n') {
-            batch += new String(line.toByteArray, UTF_8)
+            val l = new String(line.toByteArray, UTF_8)
             line.reset()
-            if (batch.size >= batchSize) flush()
+            if (l.trim.equalsIgnoreCase("version")) {
+              // the TCP `version` operation (@Tcp(operation="version"),
+              // TcpVersionHandler.java:13-17 writes the version string back)
+              val out = socket.getOutputStream
+              out.write((graft.planner.TimelyApi.Version + "\n").getBytes(UTF_8))
+              out.flush()
+            } else {
+              batch += l
+              if (batch.size >= batchSize) flush()
+            }
           } else if (b != '\r') line.write(b)
         } catch {
           case _: SocketTimeoutException => flush() // connection paused: linger flush

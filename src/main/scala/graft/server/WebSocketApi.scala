@@ -124,6 +124,19 @@ class WebSocketApi(
         org.apache.spark.sql.Encoders.product[graft.model.MetricPoint].schema)
     else PointStore.read(spark, dataDir)
 
+  /** S4 WS put ingest: same storage append as the HTTP facade — points
+    * partitioned for pruning + meta catalog rows; a live subscription's
+    * streaming tail picks the new file up on its next trigger (the put ->
+    * subscribe round trip WSMetricPutHandler + MetricScanner serve in the
+    * reference). */
+  private def ingest(batch: Seq[graft.model.MetricPoint]): Unit = if (batch.nonEmpty) {
+    val s = spark
+    import s.implicits._
+    val df = batch.toDF()
+    PointStore.write(df, dataDir)
+    PointStore.metaProjection(df).write.mode("append").parquet(metaDir)
+  }
+
   private def meta(): DataFrame =
     if (new java.io.File(metaDir).list() == null ||
         new java.io.File(metaDir).list().isEmpty)
@@ -268,6 +281,11 @@ class WebSocketApi(
             true
           case "close" =>
             subId.flatMap(id => Option(created.remove(id))).foreach(s => s.close(subId.get))
+            true
+          // ---- put ingest over WS (@WebSocket(operation="put"),
+          // MetricRequest.java:26; WSMetricPutHandler.java:17-19) ----------
+          case "put" =>
+            ingest(Seq(MetricJson.parse(jv \ "metric")))
             true
           // ---- timeseries operations (netty/websocket/timeseries/) -------
           case "version" =>

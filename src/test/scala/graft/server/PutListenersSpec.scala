@@ -73,6 +73,22 @@ class PutListenersSpec extends AnyFunSuite with SparkSpec with BeforeAndAfterAll
     } finally tcp.stop()
   }
 
+  test("TCP version operation answers the version string (TcpVersionHandler)") {
+    val cap = new Capture
+    val tcp = new PutListeners.Tcp(cap.sink)
+    val port = tcp.start()
+    try {
+      val s = new Socket("127.0.0.1", port)
+      s.getOutputStream.write(s"version\nput sys.cpu.user $T 1.0 tag1=value1\n".getBytes(UTF_8))
+      s.getOutputStream.flush()
+      val r = new java.io.BufferedReader(new java.io.InputStreamReader(s.getInputStream, UTF_8))
+      assert(r.readLine() == graft.planner.TimelyApi.Version)
+      s.close()
+      // the put line on the same connection still ingests
+      assert(cap.await(1).map(_.metric) == Seq("sys.cpu.user"))
+    } finally tcp.stop()
+  }
+
   test("TCP FlatBuffers batch (TimelyTcpIT.testPutMultipleBinary)") {
     val pts = Seq(
       MetricPoint("sys.cpu.user", T, 1.0, Map("tag1" -> "value1"), None),

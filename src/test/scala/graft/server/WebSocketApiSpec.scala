@@ -240,6 +240,28 @@ class WebSocketApiSpec extends AnyFunSuite with SparkSpec with BeforeAndAfterAll
     } finally api2.stop()
   }
 
+  test("WS put -> live subscription delivers the new point (WSMetricPutHandler flow)") {
+    val c = new Client()
+    assert(c.handshake() == 101)
+    c.send("""{"operation":"create","subscriptionId":"sub-put"}""")
+    c.send(s"""{"operation":"add","subscriptionId":"sub-put","metric":"ws.put.metric",""" +
+      s""""delayTime":200}""")
+    Thread.sleep(2000) // let the tail start before the put lands
+    c.send(s"""{"operation":"put","metric":{"name":"ws.put.metric",""" +
+      s""""timestamp":${T + 50},"measure":42.5,"tags":[{"rack":"r9"}]}}""")
+    // the streaming tail must pick the new parquet file up and push it
+    val t0 = System.currentTimeMillis()
+    var got = Seq.empty[JValue]
+    while (got.isEmpty && System.currentTimeMillis() - t0 < 60000L) {
+      val (frames, _) = c.collectFrames(untilComplete = false, deadlineMs = 2000L, minFrames = 1)
+      got = responsesOf(frames).filter(r => r \ "metric" == JString("ws.put.metric"))
+    }
+    c.send("""{"operation":"close","subscriptionId":"sub-put"}""")
+    c.close()
+    assert(got.nonEmpty, "the subscription must deliver the point put over the same WS connection")
+    assert(got.exists(r => tsOf(r) == T + 50))
+  }
+
   test("remove sends the completion sentinel for an unbounded subscription") {
     val c = new Client()
     assert(c.handshake() == 101)
