@@ -240,6 +240,32 @@ class WebSocketApiSpec extends AnyFunSuite with SparkSpec with BeforeAndAfterAll
     } finally api2.stop()
   }
 
+  test("concurrent connections: independent subscriptions, one closing leaves the other live") {
+    val c1 = new Client()
+    val c2 = new Client()
+    assert(c1.handshake() == 101)
+    assert(c2.handshake() == 101)
+    // same subscriptionId on both connections is fine — each connection owns
+    // its own Subscriptions engine (the reference keys subscriptions per WS
+    // session the same way)
+    c1.send("""{"operation":"create","subscriptionId":"shared"}""")
+    c2.send("""{"operation":"create","subscriptionId":"shared"}""")
+    c1.send(s"""{"operation":"add","subscriptionId":"shared","metric":"sys.cpu.user",""" +
+      s""""startTime":$T,"endTime":${T + 1000},"delayTime":100}""")
+    c2.send(s"""{"operation":"add","subscriptionId":"shared","metric":"sys.cpu.idle",""" +
+      s""""startTime":$T,"endTime":${T + 1000},"delayTime":100}""")
+    // c1 completes its bounded range and closes; c2 must still deliver
+    val (f1, _) = c1.collectFrames(untilComplete = true)
+    c1.send("""{"operation":"close","subscriptionId":"shared"}""")
+    c1.close()
+    val (f2, _) = c2.collectFrames(untilComplete = false, deadlineMs = 30000L, minFrames = 1)
+    c2.close()
+    val m1 = responsesOf(f1).filter(r => r \ "complete" == JBool(false)).map(_ \ "metric").toSet
+    val m2 = responsesOf(f2).filter(r => r \ "complete" == JBool(false)).map(_ \ "metric").toSet
+    assert(m1 == Set(JString("sys.cpu.user")), s"c1 sees only its metric: $m1")
+    assert(m2 == Set(JString("sys.cpu.idle")), s"c2 sees only its metric: $m2")
+  }
+
   test("WS put -> live subscription delivers the new point (WSMetricPutHandler flow)") {
     val c = new Client()
     assert(c.handshake() == 101)
