@@ -198,8 +198,19 @@ object Dedup {
       minhashAutoCap(docs, numHashes, bandSize, quantile, factor, floor))
 
   /** The auto-cap value [[ngramJaccardAuto]] would use: derived from the
-    * observed shingle document-frequency distribution. */
-  def ngramAutoDocFreqCap(docs: DataFrame, quantile: Double = 0.99,
+    * observed shingle document-frequency distribution.
+    *
+    * The statistic differs from the minhash cap's ON PURPOSE: band-bucket
+    * sizes cluster at the duplication factor (a bucket IS a near-dup clique,
+    * so the 0.99 quantile reads it off), but shingle document frequency
+    * conflates duplication with corpus-wide PHRASE frequency — its upper
+    * tail is exactly the boilerplate the cap exists to exclude, so sizing
+    * from p99 admits it (measured at the 100x smoke tier: p99-derived
+    * cap=750 -> 845 s of mid-frequency k^2 pair bombs vs 13.6 s hand-tuned).
+    * The MEDIAN df tracks the duplication factor instead (most shingles are
+    * doc-unique modulo duplication), putting factor*median right where the
+    * hand-tuned cap sat. */
+  def ngramAutoDocFreqCap(docs: DataFrame, quantile: Double = 0.5,
                           factor: Double = 0.5, floor: Long = 8L): Long =
     autoBucketCap(
       cached(shingles(docs)).groupBy("s").agg(count(lit(1)).as("df")),

@@ -73,6 +73,9 @@ object ScaleSmoke {
       graft.operators.Dedup.ngramAutoDocFreqCap(docs)
     }
     println(s"SCALE ngram auto-derived docFreq cap = $ngCap (hand-tuned 50)")
+    t(s"ngramJaccard auto-capped (maxDocFreq=$ngCap)") {
+      graft.operators.Dedup.ngramJaccard(docs, threshold = 0.7, maxDocFreq = ngCap).count()
+    }
     t(s"simhashPairs (capped, the 100TB config, maxBucket=$mhCap)") {
       graft.operators.Dedup.simhashPairs(docs, maxHamming = 6, maxBucket = mhCap).count()
     }
