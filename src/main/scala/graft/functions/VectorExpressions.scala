@@ -442,6 +442,199 @@ case class Int8DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/**
+ * Product-quantization subspace encoder: argmin over `ksub` codeword
+ * distances for ONE subspace slice, as a single native expression holding the
+ * codebook as a reference object. This is what keeps PQ encode a PURE
+ * PROJECTION at any `ksub`: inlining `ksub` per-codeword distance expressions
+ * blows Janino's 64 KB method limit past ksub≈32 (measured: interpreted
+ * fallback, ~10× slower), while this compiles to two tight nested loops of
+ * constant code size.
+ *
+ * Distance semantics are the expanded squared L2 the SQL oracle writes —
+ * `(s·s + w·w) - 2·(s·w)` with every dot a sequential index-order double
+ * fold and `w·w` a train-time constant — and ties go to the LOWER codeword
+ * id (strict `<` keeps the earlier candidate), matching
+ * `ROW_NUMBER() OVER (ORDER BY d, c)`. Returns the 1-based codeword id.
+ * Null element or a slice/codebook length mismatch yields null.
+ */
+case class PqSubspaceCode(child: Expression, weights: Seq[Seq[Double]], selfDots: Seq[Double])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"PqSubspaceCode requires ARRAY<FLOAT>, got $other")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullable: Boolean = true
+
+  private lazy val w: Array[Array[Double]] = weights.map(_.toArray).toArray
+  private lazy val sd: Array[Double] = selfDots.toArray
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != w(0).length) return null
+    var ss = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i)) return null
+      val v = x.getFloat(i).toDouble
+      ss += v * v
+      i += 1
+    }
+    var best = 0
+    var bestD = 0.0
+    var c = 0
+    while (c < w.length) {
+      val wc = w(c)
+      var acc = 0.0
+      i = 0
+      while (i < n) { acc += x.getFloat(i).toDouble * wc(i); i += 1 }
+      val d = (ss + sd(c)) - 2.0 * acc
+      if (c == 0 || d < bestD) { best = c; bestD = d }
+      c += 1
+    }
+    best + 1
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("pqW", w, "double[][]")
+    val sdRef = ctx.addReferenceObj("pqSd", sd, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val bad = ctx.freshName("bad")
+      val ss = ctx.freshName("ss")
+      val i = ctx.freshName("i")
+      val c = ctx.freshName("c")
+      val acc = ctx.freshName("acc")
+      val wc = ctx.freshName("wc")
+      val d = ctx.freshName("d")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      val v = ctx.freshName("v")
+      s"""
+         |int $n = $a.numElements();
+         |boolean $bad = ($n != $wRef[0].length);
+         |double $ss = 0.0;
+         |for (int $i = 0; $i < $n && !$bad; $i++) {
+         |  if ($a.isNullAt($i)) { $bad = true; }
+         |  else { double $v = (double) $a.getFloat($i); $ss += $v * $v; }
+         |}
+         |if ($bad) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $best = 0;
+         |  double $bestD = 0.0;
+         |  for (int $c = 0; $c < $wRef.length; $c++) {
+         |    double[] $wc = $wRef[$c];
+         |    double $acc = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $acc += (double) $a.getFloat($i) * $wc[$i];
+         |    }
+         |    double $d = ($ss + $sdRef[$c]) - 2.0 * $acc;
+         |    if ($c == 0 || $d < $bestD) { $best = $c; $bestD = $d; }
+         |  }
+         |  ${ev.value} = $best + 1;
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqSubspaceCode =
+    copy(child = newChild)
+}
+
+/**
+ * Product-quantization ADC table for ONE subspace: the full `ksub`-entry
+ * array of exact query-slice-to-codeword distances (indexed by 1-based
+ * codeword id via `element_at`). Same distance arithmetic, fold order, and
+ * null semantics as [[PqSubspaceCode]] — one expression per subspace turns a
+ * query row into its asymmetric-distance lookup table.
+ */
+case class PqSubspaceDists(child: Expression, weights: Seq[Seq[Double]], selfDots: Seq[Double])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"PqSubspaceDists requires ARRAY<FLOAT>, got $other")
+  }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+
+  private lazy val w: Array[Array[Double]] = weights.map(_.toArray).toArray
+  private lazy val sd: Array[Double] = selfDots.toArray
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != w(0).length) return null
+    var ss = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i)) return null
+      val v = x.getFloat(i).toDouble
+      ss += v * v
+      i += 1
+    }
+    val out = new Array[Double](w.length)
+    var c = 0
+    while (c < w.length) {
+      val wc = w(c)
+      var acc = 0.0
+      i = 0
+      while (i < n) { acc += x.getFloat(i).toDouble * wc(i); i += 1 }
+      out(c) = (ss + sd(c)) - 2.0 * acc
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("pqW", w, "double[][]")
+    val sdRef = ctx.addReferenceObj("pqSd", sd, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val bad = ctx.freshName("bad")
+      val ss = ctx.freshName("ss")
+      val i = ctx.freshName("i")
+      val c = ctx.freshName("c")
+      val acc = ctx.freshName("acc")
+      val wc = ctx.freshName("wc")
+      val out = ctx.freshName("out")
+      val v = ctx.freshName("v")
+      s"""
+         |int $n = $a.numElements();
+         |boolean $bad = ($n != $wRef[0].length);
+         |double $ss = 0.0;
+         |for (int $i = 0; $i < $n && !$bad; $i++) {
+         |  if ($a.isNullAt($i)) { $bad = true; }
+         |  else { double $v = (double) $a.getFloat($i); $ss += $v * $v; }
+         |}
+         |if ($bad) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double[] $out = new double[$wRef.length];
+         |  for (int $c = 0; $c < $wRef.length; $c++) {
+         |    double[] $wc = $wRef[$c];
+         |    double $acc = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $acc += (double) $a.getFloat($i) * $wc[$i];
+         |    }
+         |    $out[$c] = ($ss + $sdRef[$c]) - 2.0 * $acc;
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqSubspaceDists =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Column API: sequential double dot product of two float-array columns. */
   def floatDot(a: Column, b: Column): Column =
@@ -468,4 +661,12 @@ object VectorFunctions {
   /** Column API: integer dot product of two quantized byte vectors. */
   def int8Dot(a: Column, b: Column): Column =
     GraftSqlBridge.column(Int8DotProduct(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** Column API: 1-based argmin PQ codeword id for one subspace slice. */
+  def pqCode(slice: Column, weights: Seq[Seq[Double]], selfDots: Seq[Double]): Column =
+    GraftSqlBridge.column(PqSubspaceCode(GraftSqlBridge.expression(slice), weights, selfDots))
+
+  /** Column API: full per-codeword ADC distance table for one subspace. */
+  def pqDists(slice: Column, weights: Seq[Seq[Double]], selfDots: Seq[Double]): Column =
+    GraftSqlBridge.column(PqSubspaceDists(GraftSqlBridge.expression(slice), weights, selfDots))
 }

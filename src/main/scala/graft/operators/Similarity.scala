@@ -211,4 +211,26 @@ object Similarity {
       .select(col(groupCol), col("dim").cast("long").as("dim"), col("n_vecs"),
         (col("fp_sum") / (col("n_vecs") * grid)).as("mean"))
   }
+
+  /**
+   * Recall@k audit of an approximate kNN result against exact ground truth —
+   * the index-quality report every production ANN deployment ships with
+   * (tune nLists/nProbe/PQ budgets against it). Both inputs are
+   * `(query_id, neighbor_id, …)` top-k frames (e.g. [[SimilarityIvf.ivfKnn]]
+   * vs [[bruteForceKnn]]); output is one row per ground-truth query:
+   * `(query_id, k_eff, hits, recall)` with `recall = hits / k_eff` as one
+   * IEEE division (bit-deterministic). Cost: two k-bounded frames joined on
+   * their keys — negligible next to either kNN.
+   */
+  def recallReport(ann: DataFrame, exact: DataFrame): DataFrame = {
+    val a = ann.select(col("query_id"), col("neighbor_id"))
+    val g = exact.select(col("query_id"), col("neighbor_id"))
+    val base = g.groupBy("query_id").agg(count(lit(1)).as("k_eff"))
+    val hits = g.join(a, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    base.join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("k_eff"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        (coalesce(col("hits"), lit(0L)).cast("double") / col("k_eff").cast("double")).as("recall"))
+  }
 }

@@ -240,6 +240,30 @@ object LlmQueries {
       val e = emb(s, dir)
       graft.operators.SimilarityIvf.ivfKnnInt8(e, e.where(col("vec_id") < 5), k = 5)
     }),
+    // ANN index-quality audit: recall@5 of the seeded IVF configuration vs
+    // brute-force ground truth, per query — the report an ANN deployment
+    // tunes nLists/nProbe against
+    "embed_recall_report" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.where(col("vec_id") < 5)
+      Similarity.recallReport(
+        graft.operators.SimilarityIvf.ivfKnn(e, q, k = 5),
+        Similarity.bruteForceKnn(e, q, k = 5))
+    }),
+    // Product-quantization codes: the compressed 100 TB ANN store format —
+    // seeded per-subspace codebooks (m=4 x ksub=16), encode is a pure
+    // projection (argmin over inlined codeword distances, no shuffle)
+    "embed_pq_codes" -> ((s, dir) => {
+      val e = emb(s, dir)
+      graft.operators.SimilarityPq.encode(e, graft.operators.SimilarityPq.codebook(e))
+    }),
+    // Asymmetric-distance (ADC) PQ kNN: per-query m x ksub distance tables
+    // broadcast against the code scan, m table lookups per corpus row,
+    // k-bounded map-side rank — the corpus is never decompressed
+    "embed_pq_knn" -> ((s, dir) => {
+      val e = emb(s, dir)
+      graft.operators.SimilarityPq.adcKnn(e, e.where(col("vec_id") < 5), k = 5)
+    }),
     // URL-canonicalization dedup: same canonical first-URL (scheme/query/
     // fragment/trailing-slash stripped) -> keep the lowest doc_id
     "dedup_url" -> ((s, dir) => Dedup.urlDedup(docs(s, dir))),
@@ -501,6 +525,81 @@ object LlmQueries {
     """list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(d.embedding AS DOUBLE[]))
       | / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
       |  * sqrt(list_dot_product(CAST(d.embedding AS DOUBLE[]), CAST(d.embedding AS DOUBLE[]))))""".stripMargin
+
+  /** The embed_ivf_knn oracle as a reusable CTE block (ends with `ivf_top`,
+    * the ranked k=5 result) so the recall audit can reference the same IVF
+    * result the gate pins. */
+  private val IvfTopCte =
+    """WITH cents AS (
+      |  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS list_id,
+      |         embedding AS centroid,
+      |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS cnorm
+      |  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
+      |corpus AS (
+      |  SELECT vec_id, embedding,
+      |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS vnorm
+      |  FROM embeddings),
+      |assigned AS (
+      |  SELECT vec_id, embedding, vnorm, list_id FROM (
+      |    SELECT c.vec_id, c.embedding, c.vnorm, t.list_id,
+      |           ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+      |             list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(t.centroid AS DOUBLE[]))
+      |               / (c.vnorm * t.cnorm) DESC, t.list_id) AS rn
+      |    FROM corpus c CROSS JOIN cents t)
+      |  WHERE rn = 1),
+      |probes AS (
+      |  SELECT query_id, qe, qnorm, list_id FROM (
+      |    SELECT q.vec_id AS query_id, q.embedding AS qe, q.vnorm AS qnorm, t.list_id,
+      |           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+      |             list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(t.centroid AS DOUBLE[]))
+      |               / (q.vnorm * t.cnorm) DESC, t.list_id) AS rn
+      |    FROM corpus q CROSS JOIN cents t WHERE q.vec_id < 5)
+      |  WHERE rn <= 4),
+      |ivf_scored AS (
+      |  SELECT p.query_id, a.vec_id AS neighbor_id,
+      |         list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(p.qe AS DOUBLE[]))
+      |           / (a.vnorm * p.qnorm) AS sim
+      |  FROM assigned a JOIN probes p ON a.list_id = p.list_id AND a.vec_id != p.query_id),
+      |ivf_top AS (
+      |  SELECT query_id, neighbor_id, sim, rank FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+      |    FROM ivf_scored)
+      |  WHERE rank <= 5)""".stripMargin
+
+  /** Mirrors SimilarityPq (m=4 subspaces x 16 dims, ksub=16): seeded codebook
+    * in salted-md5 order, expanded-L2 subspace distances with the SAME fold
+    * and operation order, argmin codes with (distance, codeword) tie-break.
+    * Ends with a `codes` CTE of (vec_id, code_1..code_4). */
+  private val PqCte =
+    """WITH seeds AS (
+      |  SELECT ROW_NUMBER() OVER (ORDER BY md5('pq:' || CAST(vec_id AS VARCHAR))) AS c,
+      |         embedding
+      |  FROM embeddings ORDER BY md5('pq:' || CAST(vec_id AS VARCHAR)) LIMIT 16),
+      |bookd AS (
+      |  SELECT j, c, w, list_dot_product(w, w) AS wss FROM (
+      |    SELECT t.j, s.c,
+      |           CAST(list_slice(s.embedding, (t.j-1)*16+1, t.j*16) AS DOUBLE[]) AS w
+      |    FROM seeds s CROSS JOIN range(1, 5) t(j))),
+      |corpd AS (
+      |  SELECT vec_id, j, s, list_dot_product(s, s) AS ss FROM (
+      |    SELECT e.vec_id, t.j,
+      |           CAST(list_slice(e.embedding, (t.j-1)*16+1, t.j*16) AS DOUBLE[]) AS s
+      |    FROM embeddings e CROSS JOIN range(1, 5) t(j))),
+      |dists AS (
+      |  SELECT x.vec_id, x.j, b.c,
+      |         (x.ss + b.wss) - 2 * list_dot_product(x.s, b.w) AS d
+      |  FROM corpd x JOIN bookd b ON x.j = b.j),
+      |codes AS (
+      |  SELECT vec_id,
+      |         CAST(MAX(CASE WHEN j = 1 THEN c END) AS INTEGER) AS code_1,
+      |         CAST(MAX(CASE WHEN j = 2 THEN c END) AS INTEGER) AS code_2,
+      |         CAST(MAX(CASE WHEN j = 3 THEN c END) AS INTEGER) AS code_3,
+      |         CAST(MAX(CASE WHEN j = 4 THEN c END) AS INTEGER) AS code_4
+      |  FROM (SELECT vec_id, j, c,
+      |               ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+      |        FROM dists)
+      |  WHERE rn = 1
+      |  GROUP BY vec_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "text_tokens" ->
@@ -1010,40 +1109,29 @@ object LlmQueries {
     // mirrors SimilarityIvf.ivfKnn(nLists=16, nProbe=4, k=5) step for step:
     // same md5 seed order, same sequential-fold dot products, same tie-breaks
     "embed_ivf_knn" ->
-      """WITH cents AS (
-        |  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS list_id,
-        |         embedding AS centroid,
-        |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS cnorm
-        |  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
-        |corpus AS (
-        |  SELECT vec_id, embedding,
-        |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS vnorm
-        |  FROM embeddings),
-        |assigned AS (
-        |  SELECT vec_id, embedding, vnorm, list_id FROM (
-        |    SELECT c.vec_id, c.embedding, c.vnorm, t.list_id,
-        |           ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
-        |             list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(t.centroid AS DOUBLE[]))
-        |               / (c.vnorm * t.cnorm) DESC, t.list_id) AS rn
-        |    FROM corpus c CROSS JOIN cents t)
-        |  WHERE rn = 1),
-        |probes AS (
-        |  SELECT query_id, qe, qnorm, list_id FROM (
-        |    SELECT q.vec_id AS query_id, q.embedding AS qe, q.vnorm AS qnorm, t.list_id,
-        |           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
-        |             list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(t.centroid AS DOUBLE[]))
-        |               / (q.vnorm * t.cnorm) DESC, t.list_id) AS rn
-        |    FROM corpus q CROSS JOIN cents t WHERE q.vec_id < 5)
-        |  WHERE rn <= 4),
-        |scored AS (
-        |  SELECT p.query_id, a.vec_id AS neighbor_id,
-        |         list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(p.qe AS DOUBLE[]))
-        |           / (a.vnorm * p.qnorm) AS sim
-        |  FROM assigned a JOIN probes p ON a.list_id = p.list_id AND a.vec_id != p.query_id)
-        |SELECT query_id, neighbor_id, sim, rank FROM (
-        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
-        |  FROM scored)
-        |WHERE rank <= 5""".stripMargin,
+      (IvfTopCte + "\nSELECT query_id, neighbor_id, sim, rank FROM ivf_top"),
+    // mirrors Similarity.recallReport(ivfKnn, bruteForceKnn): the IVF top-k
+    // above vs the exact top-k of embed_knn, per-query hits and one IEEE
+    // hits/k_eff division
+    "embed_recall_report" ->
+      (IvfTopCte + s""",
+        |bf_scored AS (
+        |  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+        |         $CosineSql AS sim
+        |  FROM embeddings q JOIN embeddings d ON q.vec_id < 5 AND d.vec_id != q.vec_id),
+        |bf_top AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        |    FROM bf_scored)
+        |  WHERE rank <= 5),
+        |base AS (SELECT query_id, COUNT(*) AS k_eff FROM bf_top GROUP BY 1),
+        |h AS (SELECT g.query_id, COUNT(*) AS hits
+        |      FROM bf_top g JOIN ivf_top a
+        |        ON a.query_id = g.query_id AND a.neighbor_id = g.neighbor_id
+        |      GROUP BY 1)
+        |SELECT b.query_id, b.k_eff, COALESCE(h.hits, 0) AS hits,
+        |       CAST(COALESCE(h.hits, 0) AS DOUBLE) / CAST(b.k_eff AS DOUBLE) AS recall
+        |FROM base b LEFT JOIN h ON b.query_id = h.query_id""".stripMargin),
     // same cents/assigned/probes construction as embed_ivf_knn, with the
     // embed_knn_int8 quantization CTE scoring inside the probed lists
     "embed_ivf_knn_int8" ->
@@ -1090,6 +1178,31 @@ object LlmQueries {
         |                 ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank
         |  FROM scored)
         |WHERE rank <= 5""".stripMargin,
+    // mirrors SimilarityPq.encode over the seeded codebook — the PQ store
+    "embed_pq_codes" ->
+      (PqCte + "\nSELECT vec_id, code_1, code_2, code_3, code_4 FROM codes"),
+    // mirrors SimilarityPq.adcKnn(k=5): per-query subspace distance tables,
+    // fixed-parenthesization 4-term ADC sum, (adist, neighbor_id) rank
+    "embed_pq_knn" ->
+      (PqCte + """,
+        |dt AS (
+        |  SELECT q.vec_id AS query_id, q.j, b.c,
+        |         (q.ss + b.wss) - 2 * list_dot_product(q.s, b.w) AS d
+        |  FROM corpd q JOIN bookd b ON q.j = b.j
+        |  WHERE q.vec_id < 5),
+        |scored AS (
+        |  SELECT t1.query_id, x.vec_id AS neighbor_id,
+        |         (((t1.d + t2.d) + t3.d) + t4.d) AS adist
+        |  FROM codes x
+        |  JOIN dt t1 ON t1.j = 1 AND t1.c = x.code_1
+        |  JOIN dt t2 ON t2.j = 2 AND t2.c = x.code_2 AND t2.query_id = t1.query_id
+        |  JOIN dt t3 ON t3.j = 3 AND t3.c = x.code_3 AND t3.query_id = t1.query_id
+        |  JOIN dt t4 ON t4.j = 4 AND t4.c = x.code_4 AND t4.query_id = t1.query_id
+        |  WHERE x.vec_id != t1.query_id)
+        |SELECT query_id, neighbor_id, adist, rank FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5""".stripMargin),
     // mirrors Curation.importanceWeights: target = every-10th docs, raw =
     // rest; same top-256 feature cut, LONG masses, final exact division
     "curate_importance" ->

@@ -224,6 +224,17 @@ object ScaleSmoke {
       graft.operators.SimilarityIvf.ivfKnnInt8(
         emb, emb.where(col("vec_id") < 20), k = 10, nLists = 64, nProbe = 8).count()
     }
+    // PQ: encode is a pure projection (no shuffle), ADC is codes x broadcast
+    // tables — both must grow linearly with the corpus at any tier
+    t("pqEncode (m=4 x ksub=256 codebook, projection-only)") {
+      val cb = graft.operators.SimilarityPq.codebook(emb, m = 4, ksub = 256)
+      graft.operators.SimilarityPq.encode(emb, cb)
+        .agg(sum("code_1"), sum("code_4")).collect()
+    }
+    t("pqAdcKnn (20 queries, m=4 x ksub=256)") {
+      graft.operators.SimilarityPq.adcKnn(
+        emb, emb.where(col("vec_id") < 20), k = 10, m = 4, ksub = 256).count()
+    }
     // same clique caveat as embedCosine: identical replicas put an
     // embReps-clique in one cell, so in-cell pairs grow embReps^2 BY DESIGN —
     // maxList is the production cap and runs at every tier
