@@ -324,6 +324,50 @@ object Curation {
     stats.join(pivoted, "lang_guess")
   }
 
+  /**
+   * Epoch-mix schedule: given target mixture weights (basis points summing
+   * to 10 000) and a total token budget, how many EPOCHS of each source the
+   * training run must take — the repeat-factor plan a data mixture compiles
+   * to (cf. the epoch counts published for LLaMA/Gopher-style mixes). Per
+   * source: available tokens, the budget share (`budget × weight ÷ 10000`),
+   * the epoch factor in basis points (`ceil(target / available)`, capped at
+   * `maxEpochBp` — repeating a small source indefinitely degrades quality),
+   * the tokens the capped plan actually delivers, and the deficit. ALL
+   * integer arithmetic (floor/ceil divisions on LONGs) — no decimal drift,
+   * same answers in any engine at any parallelism.
+   *
+   * Weighted sources are the report's spine (a weighted source absent from
+   * the corpus reports available=0, full deficit); unweighted sources are
+   * excluded by construction. One source-keyed aggregate over the corpus +
+   * a broadcast join against the tiny weight table.
+   */
+  def epochMix(docs: DataFrame, weightsBp: Map[String, Long], budgetTokens: Long,
+               maxEpochBp: Long = 40000L): DataFrame = {
+    require(weightsBp.nonEmpty && weightsBp.values.sum == 10000L,
+      "weights must be non-empty and sum to 10000 bp")
+    require(budgetTokens > 0 && maxEpochBp > 0, "budget and epoch cap must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = weightsBp.toSeq.sortBy(_._1).toDF("source", "weight_bp")
+    val avail = docs.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(split(col("text"), " ")).cast("long")).as("available_tokens"))
+    broadcast(w).join(avail, Seq("source"), "left")
+      .select(col("source"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("available_tokens"), lit(0L)).as("available_tokens"),
+        col("weight_bp"))
+      .withColumn("target_tokens", expr(s"$budgetTokens * weight_bp div 10000"))
+      .withColumn("epochs_bp", expr(
+        s"""CASE WHEN available_tokens = 0 THEN 0
+           |     ELSE LEAST($maxEpochBp,
+           |                (target_tokens * 10000 + available_tokens - 1) div available_tokens)
+           |END""".stripMargin))
+      .withColumn("planned_tokens",
+        expr("LEAST(target_tokens, available_tokens * epochs_bp div 10000)"))
+      .withColumn("deficit_tokens", expr("target_tokens - planned_tokens"))
+  }
+
   /** Training-mix report: per (lang, source) cell, document and token counts
     * plus each cell's share of the corpus — the accounting a mix design is
     * checked against before training. One map-side-combined aggregate over

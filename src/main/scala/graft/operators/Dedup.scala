@@ -197,6 +197,39 @@ object Dedup {
     minhashLsh(docs, numHashes, bandSize,
       minhashAutoCap(docs, numHashes, bandSize, quantile, factor, floor))
 
+  /**
+   * MinHash LSH candidate-quality audit: every LSH candidate pair scored with
+   * its EXACT shingle Jaccard — the precision report that tells you whether
+   * numHashes/bandSize are tuned for the corpus (banding theory gives the
+   * recall curve; this measures the false-positive side on real data).
+   * Output per candidate pair: `(a, b, est_jaccard, exact_jaccard,
+   * true_pos)` with `true_pos = 1` iff the exact Jaccard clears `threshold`
+   * (pairs sharing no shingle at all — pure banding collisions — score 0).
+   *
+   * Scale: the exact side is CANDIDATE-BOUNDED — shingles are semi-joined to
+   * the docs that appear in any candidate pair before the intersection join,
+   * so the expensive all-co-shingle-pairs frame of [[ngramJaccard]] is never
+   * built; cost is proportional to the near-dup rate, not the corpus.
+   */
+  def minhashAudit(docs: DataFrame, numHashes: Int = 8, bandSize: Int = 2,
+                   threshold: Double = 0.8, maxBucket: Long = Long.MaxValue): DataFrame = {
+    val cand = minhashLsh(docs, numHashes, bandSize, maxBucket)
+    val allSh = cached(shingles(docs))
+    val candDocs = cand.select(col("a").as("doc_id"))
+      .union(cand.select(col("b").as("doc_id"))).distinct()
+    val shC = allSh.join(candDocs, Seq("doc_id"), "left_semi")
+    val inter = shC.as("x").join(shC.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    val sizes = shC.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val exact = jaccardScored(inter, "a", "b", sizes, sizes)
+    cand.join(exact, Seq("a", "b"), "left")
+      .select(col("a"), col("b"), col("est_jaccard"),
+        coalesce(col("jaccard"), lit(0.0)).as("exact_jaccard"),
+        (coalesce(col("jaccard"), lit(0.0)) >= threshold).cast("long").as("true_pos"))
+  }
+
   /** The auto-cap value [[ngramJaccardAuto]] would use: derived from the
     * observed shingle document-frequency distribution.
     *

@@ -61,6 +61,54 @@ object Funnel {
    * (user, day) activity, one count aggregate — three user/day-keyed
    * shuffles, nothing quadratic, no window.
    */
+  /**
+   * Position-based (U-shaped) multi-touch attribution: every conversion
+   * credits the touchpoints that preceded it inside `lookbackMs` — 40% to
+   * the first touch, 40% to the last, 20% split across the middles (the
+   * standard marketing-attribution weighting; 100%/50-50 for one/two
+   * touches). Credit is INTEGER BASIS POINTS: the middle share is
+   * `2000 div (n-2)` with the remainder granted to the EARLIEST middles,
+   * so every conversion's credits sum to exactly 10 000 and the report is
+   * bit-deterministic in any engine — no decimal-division drift.
+   *
+   * Scale: one user-keyed join (conversion × its own user's touches, bounded
+   * by per-user activity in the lookback), then rank/count windows
+   * partitioned by CONVERSION id — each partition is one conversion's touch
+   * list, never corpus-sized.
+   *
+   * @return one row per (conversion, touch): ids, types, rank, n_touches,
+   *         credit_bp
+   */
+  def attributionMulti(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String, convType: String, touchTypes: Seq[String],
+      lookbackMs: Long): DataFrame = {
+    require(touchTypes.nonEmpty && lookbackMs > 0, "touch types and a positive lookback required")
+    val conv = events.where(col(typeCol) === convType)
+      .select(col(idCol).as("conv_event_id"), col(userCol).as("user_id"),
+        col(tsCol).as("conv_ts"))
+    val touch = events.where(col(typeCol).isin(touchTypes: _*))
+      .select(col(idCol).as("touch_event_id"), col(userCol).as("_u"),
+        col(typeCol).as("touch_type"), col(tsCol).as("touch_ts"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("conv_event_id").orderBy(col("touch_ts"), col("touch_event_id"))
+    val wn = org.apache.spark.sql.expressions.Window.partitionBy("conv_event_id")
+    conv.join(touch,
+        col("user_id") === col("_u") && col("touch_ts") < col("conv_ts") &&
+          col("touch_ts") >= col("conv_ts") - lookbackMs)
+      .select(col("conv_event_id"), col("user_id"), col("conv_ts"),
+        col("touch_event_id"), col("touch_type"), col("touch_ts"))
+      .withColumn("touch_rank", row_number().over(w).cast("long"))
+      .withColumn("n_touches", count(lit(1)).over(wn))
+      .withColumn("credit_bp", expr(
+        """CAST(CASE WHEN n_touches = 1 THEN 10000
+          |          WHEN n_touches = 2 THEN 5000
+          |          WHEN touch_rank = 1 OR touch_rank = n_touches THEN 4000
+          |          ELSE 2000 div (n_touches - 2)
+          |               + (CASE WHEN touch_rank - 1 <= 2000 % (n_touches - 2)
+          |                       THEN 1 ELSE 0 END)
+          |     END AS BIGINT)""".stripMargin))
+  }
+
   def retention(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
     // exact integer FLOOR division, matching the oracle's `//`: Spark's `div`
     // truncates toward zero, which disagrees with floor on negative

@@ -229,7 +229,7 @@ object SimilarityIvf {
     * definition shared by [[search]] and [[searchInt8]] — tie-breaks
     * (csim desc, list_id) cannot drift between the two paths. Requires
     * `query_id`/`qe`/`qnorm` on the input. */
-  private def probeLists(q: DataFrame, cents: DataFrame, nProbe: Int,
+  private[operators] def probeLists(q: DataFrame, cents: DataFrame, nProbe: Int,
       payload: Seq[String]): DataFrame = {
     val probeW = Window.partitionBy("query_id").orderBy(col("csim").desc, col("list_id"))
     q.crossJoin(broadcast(cents))

@@ -86,8 +86,8 @@ object SimilarityPq {
 
   /** The 1-based subspace slice of the embedding column for subspace `j`
     * (1-based), as the oracle's `list_slice(embedding, (j-1)*dsub+1, j*dsub)`. */
-  private def subSlice(cb: Codebook, j: Int): Column =
-    slice(col("embedding"), (j - 1) * cb.dsub + 1, cb.dsub)
+  private def subSlice(cb: Codebook, j: Int, embCol: String = "embedding"): Column =
+    slice(col(embCol), (j - 1) * cb.dsub + 1, cb.dsub)
 
   /** Codeword matrix of subspace `j` as double weights (exact float→double
     * widening — the same values the oracle's `CAST(_ AS DOUBLE[])` yields). */
@@ -145,6 +145,52 @@ object SimilarityPq {
       .map(j => element_at(col(s"dt_$j"), col(s"code_$j")))
       .reduceLeft(_ + _)
     val scored = codes.join(dts, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), (-approx).as("nscore"))
+    Similarity.rankTopK(scored, "nscore", k)
+      .select(col("query_id"), col("neighbor_id"), (-col("nscore")).as("adist"), col("rank"))
+  }
+
+  /**
+   * Combined IVF + PQ — the production ANN layout (FAISS "IVFx,PQy" without
+   * residual/OPQ rotation, kept rotation-free so the whole pipeline stays
+   * SQL-replayable): the seeded IVF coarse quantizer
+   * ([[SimilarityIvf.centroids]]/[[SimilarityIvf.assign]]) prunes WHICH
+   * vectors are scored (nProbe of nLists inverted lists), and the PQ codes
+   * shrink WHAT each list stores to `m` small integers scored by ADC table
+   * lookup. At 100 TB this is the only layout where the scan side fits
+   * storage budgets AND per-query work is sublinear: cost ≈
+   * |corpus| × nProbe/nLists table lookups over m-byte rows.
+   *
+   * Plan shape: codes = one projection over the assigned corpus (both the
+   * assignment's broadcast-centroid max_by and the native PQ argmin are
+   * shuffle-free); queries carry their ADC tables through the probe
+   * selection; the scan joins codes × broadcast probes on `list_id` and
+   * ranks via the k-bounded map-side aggregate. Distances are the same
+   * expanded-L2 ADC sums as [[adcKnn]] — bit-deterministic, oracle-gated
+   * (`embed_ivfpq_knn`).
+   */
+  def ivfAdcKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+      nLists: Int = 16, nProbe: Int = 4,
+      m: Int = 4, ksub: Int = 16, dim: Int = 64): DataFrame = {
+    val cents = SimilarityIvf.centroids(corpus, nLists).cache()
+    val cb = codebook(corpus, m, ksub, dim)
+    val codeCols = (1 to m).map { j =>
+      vf.pqCode(subSlice(cb, j), bookW(cb, j), bookSd(cb, j)).as(s"code_$j")
+    }
+    val codes = SimilarityIvf.assign(corpus, cents)
+      .select(col("vec_id") +: col("list_id") +: codeCols: _*)
+    val qdt = queries.select(
+      Seq(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        Similarity.norm("embedding").as("qnorm")) ++
+        (1 to m).map(j =>
+          vf.pqDists(subSlice(cb, j, "embedding"), bookW(cb, j), bookSd(cb, j)).as(s"dt_$j")): _*)
+    val probes = SimilarityIvf.probeLists(qdt, cents, nProbe,
+      "query_id" +: (1 to m).map(j => s"dt_$j"))
+    val approx = (1 to m)
+      .map(j => element_at(col(s"dt_$j"), col(s"code_$j")))
+      .reduceLeft(_ + _)
+    val scored = codes.join(broadcast(probes), Seq("list_id"))
+      .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), (-approx).as("nscore"))
     Similarity.rankTopK(scored, "nscore", k)
       .select(col("query_id"), col("neighbor_id"), (-col("nscore")).as("adist"), col("rank"))

@@ -732,6 +732,34 @@ object TextAnalysis {
   }
 
   /**
+   * Tokenizer fertility report: per detected language, tokens-per-word and
+   * chars-per-token of the trained BPE ([[bpeEncodeCounts]]) — the standard
+   * audit of how evenly a tokenizer spends its budget across languages
+   * (high-fertility languages pay more compute per word and truncate
+   * earlier at fixed sequence length). All sums are exact LONGs (order
+   * independent); each ratio is one IEEE division over the final sums, so
+   * the report is bit-deterministic at any parallelism. Docs whose text
+   * yields no encodable words (empty after splitting) drop out, mirroring
+   * the encode gate itself.
+   */
+  def bpeFertility(docs: DataFrame, iters: Int = 3): DataFrame = {
+    val enc = bpeEncodeCounts(docs, iters)
+      .select(col("doc_id"), col("n_tokens_bpe_trained").as("t"), col("n_words").as("w"))
+    val lang = languageId(docs).select(col("doc_id"), col("lang_guess"))
+    val chars = docs.select(col("doc_id"), length(col("text")).cast("long").as("c"))
+    enc.join(lang, "doc_id").join(chars, "doc_id")
+      .groupBy(col("lang_guess").as("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("w").as("n_words"),
+        sum("t").as("n_tokens"),
+        sum("c").as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_tokens"), col("n_chars"),
+        (col("n_tokens").cast("double") / col("n_words").cast("double")).as("fertility"),
+        (col("n_chars").cast("double") / col("n_tokens").cast("double")).as("chars_per_token"))
+  }
+
+  /**
    * Text normalization — the cleanup pass a curation pipeline runs BEFORE any
    * hashing/dedup/tokenization so that visually-identical strings share one
    * byte representation:

@@ -77,6 +77,16 @@ object ApiQueries {
       Funnel.funnel(ev, "user_id", "ts_ms", "event_type",
         Seq("signup", "view", "purchase"), horizonMs = 86400000L)
     }),
+    // Position-based multi-touch attribution: each purchase credits its
+    // prior-7-day click/view touches 4000/2000/4000 basis points
+    // (first/middles/last), integer remainder to the earliest middles —
+    // credits per conversion sum to exactly 10000
+    "events_attribution_multi" -> ((s, dir) => {
+      val ev = Points.table(s, dir, "events").withColumn("ts_ms", expr("ts div 1000000"))
+      Funnel.attributionMulti(ev, "user_id", "ts_ms", "event_id", "event_type",
+        convType = "purchase", touchTypes = Seq("click", "view"),
+        lookbackMs = 604800000L)
+    }),
     // Cohort retention grid: users by first-activity day x return-day offset
     "events_retention" -> ((s, dir) => {
       val ev = Points.table(s, dir, "events").withColumn("ts_ms", expr("ts div 1000000"))
@@ -372,6 +382,29 @@ object ApiQueries {
         |       CAST(1 + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END
         |              + CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS steps_reached
         |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""".stripMargin,
+    "events_attribution_multi" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+        |conv AS (SELECT event_id AS conv_event_id, user_id, ts_ms AS conv_ts
+        |         FROM e WHERE event_type = 'purchase'),
+        |t AS (SELECT event_id AS touch_event_id, user_id, event_type AS touch_type, ts_ms AS touch_ts
+        |      FROM e WHERE event_type IN ('click', 'view')),
+        |j AS (SELECT c.conv_event_id, c.user_id, c.conv_ts, t.touch_event_id, t.touch_type, t.touch_ts
+        |      FROM conv c JOIN t ON t.user_id = c.user_id
+        |        AND t.touch_ts < c.conv_ts AND t.touch_ts >= c.conv_ts - 604800000),
+        |r AS (SELECT *,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY conv_event_id ORDER BY touch_ts, touch_event_id) AS BIGINT) AS touch_rank,
+        |        COUNT(*) OVER (PARTITION BY conv_event_id) AS n_touches
+        |      FROM j)
+        |SELECT conv_event_id, user_id, conv_ts, touch_event_id, touch_type, touch_ts,
+        |       touch_rank, n_touches,
+        |       CAST(CASE WHEN n_touches = 1 THEN 10000
+        |                 WHEN n_touches = 2 THEN 5000
+        |                 WHEN touch_rank = 1 OR touch_rank = n_touches THEN 4000
+        |                 ELSE 2000 // (n_touches - 2)
+        |                      + (CASE WHEN touch_rank - 1 <= 2000 % (n_touches - 2)
+        |                              THEN 1 ELSE 0 END)
+        |            END AS BIGINT) AS credit_bp
+        |FROM r""".stripMargin,
     "events_retention" ->
       """WITH a AS (SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
         |c AS (SELECT user_id, MIN(day) AS cohort_day FROM a GROUP BY 1)

@@ -187,6 +187,10 @@ object LlmQueries {
     // candidate generation — same skew-guard contract as the ngram/simhash
     // caps, pinned by its own oracle
     "dedup_minhash_lsh_capped" -> ((s, dir) => Dedup.minhashLsh(docs(s, dir), maxBucket = 3L)),
+    // candidate-quality audit: every LSH candidate pair scored with its
+    // EXACT shingle jaccard (candidate-bounded — no all-pairs frame), the
+    // precision report numHashes/bandSize get tuned against
+    "dedup_minhash_audit" -> ((s, dir) => Dedup.minhashAudit(docs(s, dir), threshold = 0.8)),
     // near-dup CLUSTERING: connected components over the jaccard pairs, each
     // component keyed by its min doc_id (the kept representative)
     "dedup_clusters" -> ((s, dir) =>
@@ -263,6 +267,13 @@ object LlmQueries {
     "embed_pq_knn" -> ((s, dir) => {
       val e = emb(s, dir)
       graft.operators.SimilarityPq.adcKnn(e, e.where(col("vec_id") < 5), k = 5)
+    }),
+    // Combined IVF+PQ (FAISS IVFx,PQy shape, rotation-free): coarse lists
+    // prune WHICH vectors are scored, PQ codes shrink WHAT a list stores —
+    // the layout a 100 TB ANN store actually deploys
+    "embed_ivfpq_knn" -> ((s, dir) => {
+      val e = emb(s, dir)
+      graft.operators.SimilarityPq.ivfAdcKnn(e, e.where(col("vec_id") < 5), k = 5)
     }),
     // URL-canonicalization dedup: same canonical first-URL (scheme/query/
     // fragment/trailing-slash stripped) -> keep the lowest doc_id
@@ -353,6 +364,11 @@ object LlmQueries {
       graft.operators.Curation.capPerGroup(docs(s, dir), "source", 10)),
     // training-mix accounting: per (lang, source) doc/token counts + shares
     "curate_mix_report" -> ((s, dir) => graft.operators.Curation.mixReport(docs(s, dir))),
+    // epoch-repeat schedule compiling a weighted mix + token budget into
+    // per-source epoch factors (integer basis points, capped at 3 epochs)
+    "curate_epoch_mix" -> ((s, dir) =>
+      graft.operators.Curation.epochMix(docs(s, dir), EpochMixWeights,
+        budgetTokens = 200000L, maxEpochBp = 30000L)),
     // per-language quality distribution: exact nearest-rank percentiles via
     // bucket-decomposed rank selection (no corpus-wide language sort)
     "curate_quality_summary" -> ((s, dir) => graft.operators.Curation.qualitySummary(docs(s, dir))),
@@ -367,6 +383,9 @@ object LlmQueries {
     // the apply side: per-doc token counts under the corpus-trained 3-merge
     // tokenizer (word -> final-vocab join, no per-doc merge application)
     "text_bpe_encode" -> ((s, dir) => TextAnalysis.bpeEncodeCounts(docs(s, dir), iters = 3)),
+    // per-language tokenizer fertility (tokens/word, chars/token) of the
+    // trained BPE — the budget-equity audit across languages
+    "text_bpe_fertility" -> ((s, dir) => TextAnalysis.bpeFertility(docs(s, dir), iters = 3)),
     // RAG-style chunking: 64-word windows every 48 words, with provenance
     "text_chunks" -> ((s, dir) => TextAnalysis.chunk(docs(s, dir))),
     // Gopher-style heuristic rule flags + keep decision (auditable filter)
@@ -480,6 +499,11 @@ object LlmQueries {
        |s AS (SELECT q.doc_id, q.n_words, q.quality, l.lang_guess
        |      FROM q JOIN l ON q.doc_id = l.doc_id)""".stripMargin
 
+  /** Gate weight table for curate_epoch_mix: src0..src19 with relative
+    * shares cycling 1..4 (x200 bp each), summing to exactly 10000. */
+  private val EpochMixWeights: Map[String, Long] =
+    (0 until 20).map(n => s"src$n" -> ((n % 4 + 1) * 200L)).toMap
+
   private val MinhashSql = {
     val mins = (0 until 8).map(k => s"MIN(md5('$k:' || s)) AS mh$k").mkString(", ")
     s"SELECT doc_id, $mins FROM ($Shingles) GROUP BY doc_id"
@@ -529,8 +553,8 @@ object LlmQueries {
   /** The embed_ivf_knn oracle as a reusable CTE block (ends with `ivf_top`,
     * the ranked k=5 result) so the recall audit can reference the same IVF
     * result the gate pins. */
-  private val IvfTopCte =
-    """WITH cents AS (
+  private val IvfCoreCtes =
+    """cents AS (
       |  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS list_id,
       |         embedding AS centroid,
       |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS cnorm
@@ -566,12 +590,14 @@ object LlmQueries {
       |    FROM ivf_scored)
       |  WHERE rank <= 5)""".stripMargin
 
+  private val IvfTopCte = "WITH " + IvfCoreCtes
+
   /** Mirrors SimilarityPq (m=4 subspaces x 16 dims, ksub=16): seeded codebook
     * in salted-md5 order, expanded-L2 subspace distances with the SAME fold
     * and operation order, argmin codes with (distance, codeword) tie-break.
     * Ends with a `codes` CTE of (vec_id, code_1..code_4). */
-  private val PqCte =
-    """WITH seeds AS (
+  private val PqCoreCtes =
+    """seeds AS (
       |  SELECT ROW_NUMBER() OVER (ORDER BY md5('pq:' || CAST(vec_id AS VARCHAR))) AS c,
       |         embedding
       |  FROM embeddings ORDER BY md5('pq:' || CAST(vec_id AS VARCHAR)) LIMIT 16),
@@ -600,6 +626,8 @@ object LlmQueries {
       |        FROM dists)
       |  WHERE rn = 1
       |  GROUP BY vec_id)""".stripMargin
+
+  private val PqCte = "WITH " + PqCoreCtes
 
   val oracles: Map[String, String] = Map(
     "text_tokens" ->
@@ -1044,6 +1072,34 @@ object LlmQueries {
          |            + (x.mh3 = y.mh3)::INT + (x.mh4 = y.mh4)::INT + (x.mh5 = y.mh5)::INT
          |            + (x.mh6 = y.mh6)::INT + (x.mh7 = y.mh7)::INT) / 8.0 AS est_jaccard
          |FROM cand JOIN mh x ON cand.a = x.doc_id JOIN mh y ON cand.b = y.doc_id""".stripMargin,
+    // mirrors Dedup.minhashAudit(threshold=0.8): the dedup_minhash_lsh
+    // candidates left-joined to candidate-bounded exact shingle jaccard
+    "dedup_minhash_audit" ->
+      s"""WITH mh AS ($MinhashSql),
+         |bands AS (
+         |  SELECT doc_id, b, key FROM mh, LATERAL (VALUES
+         |    (0, mh0 || mh1), (1, mh2 || mh3), (2, mh4 || mh5), (3, mh6 || mh7)) AS v(b, key)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         |  FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id),
+         |est AS (
+         |  SELECT cand.a, cand.b,
+         |         ((x.mh0 = y.mh0)::INT + (x.mh1 = y.mh1)::INT + (x.mh2 = y.mh2)::INT
+         |              + (x.mh3 = y.mh3)::INT + (x.mh4 = y.mh4)::INT + (x.mh5 = y.mh5)::INT
+         |              + (x.mh6 = y.mh6)::INT + (x.mh7 = y.mh7)::INT) / 8.0 AS est_jaccard
+         |  FROM cand JOIN mh x ON cand.a = x.doc_id JOIN mh y ON cand.b = y.doc_id),
+         |sh AS ($Shingles),
+         |cd AS (SELECT a AS doc_id FROM cand UNION SELECT b FROM cand),
+         |shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN cd ON sh.doc_id = cd.doc_id),
+         |p AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS inter
+         |      FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY 1),
+         |ex AS (SELECT p.a, p.b, inter * 1.0 / (sa.n + sb.n - inter) AS jaccard
+         |       FROM p JOIN sz sa ON p.a = sa.doc_id JOIN sz sb ON p.b = sb.doc_id)
+         |SELECT est.a, est.b, est.est_jaccard,
+         |       COALESCE(ex.jaccard, 0.0) AS exact_jaccard,
+         |       CAST(COALESCE(ex.jaccard, 0.0) >= 0.8 AS BIGINT) AS true_pos
+         |FROM est LEFT JOIN ex ON est.a = ex.a AND est.b = ex.b""".stripMargin,
     "dedup_simhash" ->
       """WITH words AS (
         |  SELECT DISTINCT doc_id, md5(w) AS h
@@ -1203,6 +1259,30 @@ object LlmQueries {
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank
         |  FROM scored)
         |WHERE rank <= 5""".stripMargin),
+    // mirrors SimilarityPq.ivfAdcKnn(k=5): the IVF assignment/probes CTEs
+    // joined to the PQ codes/tables CTEs — ADC scoring inside probed lists
+    "embed_ivfpq_knn" ->
+      ("WITH " + IvfCoreCtes + ",\n" + PqCoreCtes + """,
+        |dt AS (
+        |  SELECT q.vec_id AS query_id, q.j, b.c,
+        |         (q.ss + b.wss) - 2 * list_dot_product(q.s, b.w) AS d
+        |  FROM corpd q JOIN bookd b ON q.j = b.j
+        |  WHERE q.vec_id < 5),
+        |ivfpq_scored AS (
+        |  SELECT t1.query_id, x.vec_id AS neighbor_id,
+        |         (((t1.d + t2.d) + t3.d) + t4.d) AS adist
+        |  FROM codes x
+        |  JOIN assigned aa ON aa.vec_id = x.vec_id
+        |  JOIN probes pp ON pp.list_id = aa.list_id
+        |  JOIN dt t1 ON t1.query_id = pp.query_id AND t1.j = 1 AND t1.c = x.code_1
+        |  JOIN dt t2 ON t2.query_id = pp.query_id AND t2.j = 2 AND t2.c = x.code_2
+        |  JOIN dt t3 ON t3.query_id = pp.query_id AND t3.j = 3 AND t3.c = x.code_3
+        |  JOIN dt t4 ON t4.query_id = pp.query_id AND t4.j = 4 AND t4.c = x.code_4
+        |  WHERE x.vec_id != pp.query_id)
+        |SELECT query_id, neighbor_id, adist, rank FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank
+        |  FROM ivfpq_scored)
+        |WHERE rank <= 5""".stripMargin),
     // mirrors Curation.importanceWeights: target = every-10th docs, raw =
     // rest; same top-256 feature cut, LONG masses, final exact division
     "curate_importance" ->
@@ -1230,6 +1310,34 @@ object LlmQueries {
     // tie-break, and the doubled-gap leftmost replace rewrite
     "text_bpe_train" -> bpeOracleSql(3),
     "text_bpe_encode" -> bpeEncodeOracleSql(3),
+    // mirrors TextAnalysis.bpeFertility(iters=3): the encode replay joined
+    // to the langid guess; LONG sums, one IEEE division per ratio
+    "text_bpe_fertility" -> {
+      val rounds = bpeRoundsSql(3)
+      s"""WITH ${bpeCtes(rounds)},
+         |v AS (SELECT substring(replace(sym, ' ', ''), 1, length(replace(sym, ' ', '')) - 4) AS word,
+         |             CAST(len(string_split(sym, ' ')) AS BIGINT) AS n_sym FROM w3),
+         |u AS (SELECT doc_id, word FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents)
+         |      WHERE length(word) > 0),
+         |enc AS (SELECT doc_id, CAST(SUM(n_sym) AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS w
+         |        FROM u JOIN v USING (word) GROUP BY 1),
+         |l AS (
+         |  SELECT doc_id,
+         |         CASE WHEN h_de >= GREATEST(h_en, h_es, h_fr) THEN 'de'
+         |              WHEN h_en >= GREATEST(h_es, h_fr) THEN 'en'
+         |              WHEN h_es >= h_fr THEN 'es'
+         |              ELSE 'fr' END AS lang_guess
+         |  FROM (SELECT doc_id, ${hitsSql("de")} AS h_de, ${hitsSql("en")} AS h_en,
+         |               ${hitsSql("es")} AS h_es, ${hitsSql("fr")} AS h_fr FROM documents)),
+         |c AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS nc FROM documents)
+         |SELECT l.lang_guess AS lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(e.w) AS BIGINT) AS n_words, CAST(SUM(e.t) AS BIGINT) AS n_tokens,
+         |       CAST(SUM(c.nc) AS BIGINT) AS n_chars,
+         |       CAST(SUM(e.t) AS DOUBLE) / CAST(SUM(e.w) AS DOUBLE) AS fertility,
+         |       CAST(SUM(c.nc) AS DOUBLE) / CAST(SUM(e.t) AS DOUBLE) AS chars_per_token
+         |FROM enc e JOIN l ON e.doc_id = l.doc_id JOIN c ON e.doc_id = c.doc_id
+         |GROUP BY 1""".stripMargin
+    },
     // mirrors Dedup.urlDedup: identical regexp chain (RE2-portable patterns)
     "dedup_url" ->
       """WITH k AS (
@@ -1530,6 +1638,28 @@ object LlmQueries {
         |       n_docs / CAST((SELECT SUM(n_docs) FROM g) AS BIGINT) AS docs_share,
         |       n_words / CAST((SELECT SUM(n_words) FROM g) AS BIGINT) AS words_share
         |FROM g""".stripMargin,
+    // mirrors Curation.epochMix(budget=200000, maxEpochBp=30000): same
+    // weight table, ceil/floor integer divisions round for round
+    "curate_epoch_mix" -> {
+      val wvals = EpochMixWeights.toSeq.sortBy(_._1)
+        .map { case (s, bp) => s"('$s', $bp)" }.mkString(", ")
+      s"""WITH wts(source, wbp) AS (VALUES $wvals),
+         |av AS (SELECT source, COUNT(*) AS n_docs,
+         |              CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS available_tokens
+         |       FROM documents GROUP BY 1),
+         |j AS (SELECT w.source, CAST(w.wbp AS BIGINT) AS weight_bp,
+         |             CAST(COALESCE(av.n_docs, 0) AS BIGINT) AS n_docs,
+         |             COALESCE(av.available_tokens, 0) AS available_tokens
+         |      FROM wts w LEFT JOIN av ON w.source = av.source),
+         |t AS (SELECT *, 200000 * weight_bp // 10000 AS target_tokens FROM j),
+         |e AS (SELECT *, CASE WHEN available_tokens = 0 THEN 0
+         |                    ELSE LEAST(30000, (target_tokens * 10000 + available_tokens - 1) // available_tokens)
+         |               END AS epochs_bp FROM t),
+         |p AS (SELECT *, LEAST(target_tokens, available_tokens * epochs_bp // 10000) AS planned_tokens FROM e)
+         |SELECT source, n_docs, available_tokens, weight_bp, target_tokens, epochs_bp,
+         |       planned_tokens, target_tokens - planned_tokens AS deficit_tokens
+         |FROM p""".stripMargin
+    },
     "text_lm_score" ->
       """WITH w AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents),
         |v AS (SELECT word, COUNT(*) AS w_count FROM w GROUP BY 1

@@ -69,6 +69,12 @@ object ScaleSmoke {
     t(s"minhashLsh auto-capped (maxBucket=$autoCap)") {
       graft.operators.Dedup.minhashLsh(docs, maxBucket = autoCap).count()
     }
+    // candidate precision audit under the same cap: exact jaccard is
+    // candidate-bounded (shingles semi-joined to candidate docs first), so
+    // this must track the capped minhash cost, not ngramJaccard's
+    t(s"minhashAudit capped (maxBucket=$mhCap, candidate-bounded exact side)") {
+      graft.operators.Dedup.minhashAudit(docs, maxBucket = mhCap).count()
+    }
     val ngCap = t("ngramAutoDocFreqCap (quantile pre-aggregate)") {
       graft.operators.Dedup.ngramAutoDocFreqCap(docs)
     }
@@ -235,6 +241,11 @@ object ScaleSmoke {
       graft.operators.SimilarityPq.adcKnn(
         emb, emb.where(col("vec_id") < 20), k = 10, m = 4, ksub = 256).count()
     }
+    t("ivfPqKnn (20 queries, 64 lists x 8 probes, m=4 x ksub=256)") {
+      graft.operators.SimilarityPq.ivfAdcKnn(
+        emb, emb.where(col("vec_id") < 20), k = 10,
+        nLists = 64, nProbe = 8, m = 4, ksub = 256).count()
+    }
     // same clique caveat as embedCosine: identical replicas put an
     // embReps-clique in one cell, so in-cell pairs grow embReps^2 BY DESIGN —
     // maxList is the production cap and runs at every tier
@@ -278,6 +289,11 @@ object ScaleSmoke {
     }
     t("retention cohorts (first-activity day x offset)") {
       graft.operators.Funnel.retention(ev, "user_id", "ts_ms").count()
+    }
+    t("attributionMulti (7d lookback, U-shaped credit)") {
+      graft.operators.Funnel.attributionMulti(ev, "user_id", "ts_ms", "event_id",
+        "event_type", convType = "purchase", touchTypes = Seq("click", "view"),
+        lookbackMs = 604800000L).count()
     }
     spark.stop()
   }

@@ -88,6 +88,25 @@ class SimilarityPqSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("IVF+PQ agrees with plain ADC on separable data and stays deterministic") {
+    val queries = clustered.where(col("vec_id") < 4)
+    // nProbe = nLists: every list probed, so IVF+PQ must equal plain ADC
+    val full = SimilarityPq.ivfAdcKnn(clustered, queries, k = 5,
+        nLists = 4, nProbe = 4, m = 4, ksub = 8, dim = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).sortBy(t => (t._1, t._4))
+    val adc = SimilarityPq.adcKnn(clustered, queries, k = 5, m = 4, ksub = 8, dim = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).sortBy(t => (t._1, t._4))
+    assert(full.toSeq == adc.toSeq, "all-probes IVF+PQ must equal the full ADC scan")
+    // pruned probing still finds same-cluster neighbors on separable data
+    val pruned = SimilarityPq.ivfAdcKnn(clustered, queries, k = 5,
+        nLists = 8, nProbe = 2, m = 4, ksub = 16, dim = 16).collect()
+    assert(pruned.groupBy(_.getLong(0)).forall(_._2.nonEmpty))
+    val again = SimilarityPq.ivfAdcKnn(clustered.repartition(9), queries, k = 5,
+        nLists = 8, nProbe = 2, m = 4, ksub = 16, dim = 16).collect()
+    assert(pruned.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).sortBy(t => (t._1, t._4)).toSeq ==
+      again.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).sortBy(t => (t._1, t._4)).toSeq)
+  }
+
   test("ADC kNN is deterministic across parallelism") {
     val queries = clustered.where(col("vec_id") < 4)
     def run(df: DataFrame) =
