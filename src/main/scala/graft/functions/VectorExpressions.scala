@@ -635,6 +635,91 @@ case class PqSubspaceDists(child: Expression, weights: Seq[Seq[Double]], selfDot
     copy(child = newChild)
 }
 
+/**
+ * Binary (1-bit) quantization signature: `nbits` hyperplane sign bits packed
+ * into one LONG — logical bit j (j = 0 first hyperplane) stored at long bit
+ * `63 - j`, so Hamming distance between two vectors is a single codegen'd
+ * `bit_count(a ^ b)`. The most aggressive point of the quantization ladder
+ * (float → int8 → PQ → binary): 64 dims × 4 bytes become 8 bytes, and
+ * candidate scoring needs one XOR+popcount per pair.
+ *
+ * Hyperplane weights arrive as a reference object (same constant-code-size
+ * rationale as [[PqSubspaceCode]]); each bit's projection is a sequential
+ * index-order double fold, sign strictly `> 0` — the same decision an
+ * `acc > 0` SQL replay makes. Null element or length mismatch yields null.
+ */
+case class SignBits(child: Expression, weights: Seq[Seq[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(weights.nonEmpty && weights.size <= 64, "1..64 hyperplanes")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"SignBits requires ARRAY<FLOAT>, got $other")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+
+  private lazy val w: Array[Array[Double]] = weights.map(_.toArray).toArray
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != w(0).length) return null
+    var i = 0
+    while (i < n) { if (x.isNullAt(i)) return null; i += 1 }
+    var sig = 0L
+    var j = 0
+    while (j < w.length) {
+      val wj = w(j)
+      var acc = 0.0
+      i = 0
+      while (i < n) { acc += x.getFloat(i).toDouble * wj(i); i += 1 }
+      if (acc > 0) sig |= (1L << (63 - j))
+      j += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("sbW", w, "double[][]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val bad = ctx.freshName("bad")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val acc = ctx.freshName("acc")
+      val wj = ctx.freshName("wj")
+      val sig = ctx.freshName("sig")
+      s"""
+         |int $n = $a.numElements();
+         |boolean $bad = ($n != $wRef[0].length);
+         |for (int $i = 0; $i < $n && !$bad; $i++) {
+         |  if ($a.isNullAt($i)) { $bad = true; }
+         |}
+         |if ($bad) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $sig = 0L;
+         |  for (int $j = 0; $j < $wRef.length; $j++) {
+         |    double[] $wj = $wRef[$j];
+         |    double $acc = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $acc += (double) $a.getFloat($i) * $wj[$i];
+         |    }
+         |    if ($acc > 0) $sig |= (1L << (63 - $j));
+         |  }
+         |  ${ev.value} = $sig;
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SignBits =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Column API: sequential double dot product of two float-array columns. */
   def floatDot(a: Column, b: Column): Column =
@@ -669,4 +754,8 @@ object VectorFunctions {
   /** Column API: full per-codeword ADC distance table for one subspace. */
   def pqDists(slice: Column, weights: Seq[Seq[Double]], selfDots: Seq[Double]): Column =
     GraftSqlBridge.column(PqSubspaceDists(GraftSqlBridge.expression(slice), weights, selfDots))
+
+  /** Column API: packed hyperplane sign-bit signature (binary quantization). */
+  def signBits(a: Column, weights: Seq[Seq[Double]]): Column =
+    GraftSqlBridge.column(SignBits(GraftSqlBridge.expression(a), weights))
 }

@@ -213,6 +213,74 @@ object Similarity {
   }
 
   /**
+   * Binary-quantization kNN — the far end of the quantization ladder
+   * (float → int8 → PQ → binary): each vector becomes `bits` hyperplane
+   * SIGN BITS packed into one LONG (the native [[graft.functions.SignBits]]
+   * expression; same deterministic ±1 md5-parity hyperplanes as
+   * [[hyperplaneSignature]]), and candidates rank by Hamming distance —
+   * one codegen'd `bit_count(sig XOR qsig)` per pair. At 100 TB the store
+   * shrinks 32× vs float and the scan is pure integer ops; the standard
+   * deployment re-ranks binary candidates with exact scores
+   * ([[prefixKnn]]-style two-stage shape applies directly).
+   *
+   * Ties (equal Hamming) break to the lower neighbor id; output carries the
+   * exact integer distance, so the gate is bit-deterministic.
+   */
+  def bqKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+            bits: Int = 64, dim: Int = 64): DataFrame = {
+    require(bits >= 1 && bits <= 64, "1..64 sign bits per signature")
+    val w = (0 until bits).map(j => (0 until dim).map(d => hyperplaneWeight(j, d)))
+    def sig = graft.functions.VectorFunctions.signBits(col("embedding"), w)
+    val d = corpus.select(col("vec_id").as("neighbor_id"), sig.as("sig"))
+    val q = broadcast(queries.select(col("vec_id").as("query_id"), sig.as("qsig")))
+    val scored = d.join(q, col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (-bit_count(col("sig").bitwiseXOR(col("qsig"))).cast("double")).as("nscore"))
+    rankTopK(scored, "nscore", k)
+      .select(col("query_id"), col("neighbor_id"),
+        (-col("nscore")).cast("long").as("hamming"), col("rank"))
+  }
+
+  /**
+   * Two-stage prefix-dimension kNN (Matryoshka-style adaptive retrieval,
+   * Kusupati et al. 2022): stage 1 ranks the corpus by cosine over only the
+   * FIRST `prefixDim` dimensions (a cheap scan — at 100 TB the prefix can
+   * live in fast storage while full vectors stay cold), keeping
+   * `k × overfetch` candidates per query via the k-bounded map-side
+   * aggregate; stage 2 re-scores ONLY those candidates with full-dimension
+   * exact cosine and re-ranks to `k`. Candidate-bounded by construction:
+   * full vectors are fetched for `k × overfetch` rows per query, never the
+   * corpus. Both stages share the sequential-fold dot, so the whole
+   * pipeline is bit-deterministic and SQL-replayable.
+   */
+  def prefixKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+                prefixDim: Int = 16, overfetch: Int = 4): DataFrame = {
+    require(prefixDim >= 1 && overfetch >= 1, "prefixDim, overfetch >= 1")
+    val pre = (c: Column) => slice(c, 1, prefixDim)
+    val q = broadcast(queries.select(
+      col("vec_id").as("query_id"), col("embedding").as("qe"), norm("embedding").as("qn"),
+      pre(col("embedding")).as("qp"),
+      sqrt(graft.functions.VectorFunctions.floatDot(pre(col("embedding")), pre(col("embedding")))).as("qpn")))
+    val d = corpus.select(
+      col("vec_id").as("neighbor_id"), pre(col("embedding")).as("dp"),
+      sqrt(graft.functions.VectorFunctions.floatDot(pre(col("embedding")), pre(col("embedding")))).as("dpn"))
+    val stage1 = d.join(q.select("query_id", "qp", "qpn"), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (graft.functions.VectorFunctions.floatDot(col("dp"), col("qp")) / (col("dpn") * col("qpn"))).as("psim"))
+    val cands = rankTopK(stage1, "psim", k * overfetch)
+      .select(col("query_id"), col("neighbor_id"))
+    // stage 2: fetch full vectors for the candidate rows only
+    val full = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("de"), norm("embedding").as("dn"))
+    val rescored = cands
+      .join(full, Seq("neighbor_id"))
+      .join(q.select("query_id", "qe", "qn"), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot("de", "qe") / (col("dn") * col("qn"))).as("sim"))
+    rankTopK(rescored, "sim", k)
+  }
+
+  /**
    * Recall@k audit of an approximate kNN result against exact ground truth —
    * the index-quality report every production ANN deployment ships with
    * (tune nLists/nProbe/PQ budgets against it). Both inputs are

@@ -268,6 +268,18 @@ object LlmQueries {
       val e = emb(s, dir)
       graft.operators.SimilarityPq.adcKnn(e, e.where(col("vec_id") < 5), k = 5)
     }),
+    // Binary quantization: 64 hyperplane sign bits in one LONG, Hamming
+    // ranking via codegen'd bit_count(xor) — the 32x-compressed scan tier
+    "embed_bq_knn" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.bqKnn(e, e.where(col("vec_id") < 5), k = 5)
+    }),
+    // Matryoshka-style two-stage retrieval: rank on the first 16 dims, exact
+    // re-rank of the k x 4 candidates only — full vectors stay cold
+    "embed_prefix_knn" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.prefixKnn(e, e.where(col("vec_id") < 5), k = 5)
+    }),
     // Combined IVF+PQ (FAISS IVFx,PQy shape, rotation-free): coarse lists
     // prune WHICH vectors are scored, PQ codes shrink WHAT a list stores —
     // the layout a 100 TB ANN store actually deploys
@@ -1259,6 +1271,56 @@ object LlmQueries {
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank
         |  FROM scored)
         |WHERE rank <= 5""".stripMargin),
+    // mirrors Similarity.bqKnn(bits=64): same md5-parity hyperplanes as the
+    // 8-bit LSH CTE, sign bits as a string, per-position Hamming count
+    "embed_bq_knn" ->
+      """WITH elems64 AS (
+        |  SELECT vec_id, UNNEST(embedding) AS v, generate_subscripts(embedding, 1) AS d FROM embeddings),
+        |bits64 AS (
+        |  SELECT vec_id, j,
+        |         SUM(CAST(v AS DOUBLE) * (CASE WHEN (strpos('0123456789abcdef',
+        |             substr(md5(CAST(j AS VARCHAR) || ':' || CAST(d - 1 AS VARCHAR)), 1 + (d - 1) % 32, 1)) - 1) % 2 = 1
+        |           THEN 1.0 ELSE -1.0 END)) AS acc
+        |  FROM elems64, UNNEST(range(64)) AS t(j)
+        |  GROUP BY 1, 2),
+        |sig64 AS (
+        |  SELECT vec_id, string_agg(CASE WHEN acc > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS sig
+        |  FROM bits64 GROUP BY vec_id),
+        |q64 AS (SELECT vec_id AS query_id, sig AS qs FROM sig64 WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.query_id, s.vec_id AS neighbor_id,
+        |         CAST((SELECT COUNT(*) FROM range(1, 65) t(j)
+        |               WHERE substr(s.sig, CAST(j AS INTEGER), 1) != substr(q.qs, CAST(j AS INTEGER), 1)) AS BIGINT) AS hamming
+        |  FROM sig64 s CROSS JOIN q64 q WHERE s.vec_id != q.query_id)
+        |SELECT query_id, neighbor_id, hamming, rank FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY hamming, neighbor_id) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5""".stripMargin,
+    // mirrors Similarity.prefixKnn(prefixDim=16, overfetch=4): prefix-cosine
+    // stage keeps 20 candidates, exact full-dim cosine re-ranks to 5
+    "embed_prefix_knn" ->
+      """WITH pn AS (
+        |  SELECT vec_id, embedding, p, sqrt(list_dot_product(p, p)) AS pnm,
+        |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS fn
+        |  FROM (SELECT vec_id, embedding,
+        |               CAST(list_slice(embedding, 1, 16) AS DOUBLE[]) AS p
+        |        FROM embeddings)),
+        |q AS (SELECT vec_id AS query_id, embedding AS qe, p AS qp, pnm AS qpn, fn AS qn
+        |      FROM pn WHERE vec_id < 5),
+        |s1 AS (SELECT q.query_id, d.vec_id AS neighbor_id, d.embedding AS de, d.fn AS dn,
+        |              q.qe, q.qn,
+        |              list_dot_product(d.p, q.qp) / (d.pnm * q.qpn) AS psim
+        |       FROM pn d CROSS JOIN q WHERE d.vec_id != q.query_id),
+        |cand AS (SELECT query_id, neighbor_id, de, dn, qe, qn FROM (
+        |           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY psim DESC, neighbor_id) AS rn
+        |           FROM s1) WHERE rn <= 20),
+        |scored AS (SELECT query_id, neighbor_id,
+        |                  list_dot_product(CAST(de AS DOUBLE[]), CAST(qe AS DOUBLE[])) / (dn * qn) AS sim
+        |           FROM cand)
+        |SELECT query_id, neighbor_id, sim, rank FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5""".stripMargin,
     // mirrors SimilarityPq.ivfAdcKnn(k=5): the IVF assignment/probes CTEs
     // joined to the PQ codes/tables CTEs — ADC scoring inside probed lists
     "embed_ivfpq_knn" ->

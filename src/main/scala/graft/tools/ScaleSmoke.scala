@@ -246,6 +246,13 @@ object ScaleSmoke {
         emb, emb.where(col("vec_id") < 20), k = 10,
         nLists = 64, nProbe = 8, m = 4, ksub = 256).count()
     }
+    t("bqKnn (20 queries, 64 sign bits, bit_count scan)") {
+      graft.operators.Similarity.bqKnn(emb, emb.where(col("vec_id") < 20), k = 10).count()
+    }
+    t("prefixKnn (20 queries, 16-dim stage + exact re-rank of 40)") {
+      graft.operators.Similarity.prefixKnn(
+        emb, emb.where(col("vec_id") < 20), k = 10, prefixDim = 16, overfetch = 4).count()
+    }
     // same clique caveat as embedCosine: identical replicas put an
     // embReps-clique in one cell, so in-cell pairs grow embReps^2 BY DESIGN —
     // maxList is the production cap and runs at every tier
