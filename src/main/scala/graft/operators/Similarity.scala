@@ -269,10 +269,12 @@ object Similarity {
         (graft.functions.VectorFunctions.floatDot(col("dp"), col("qp")) / (col("dpn") * col("qpn"))).as("psim"))
     val cands = rankTopK(stage1, "psim", k * overfetch)
       .select(col("query_id"), col("neighbor_id"))
-    // stage 2: fetch full vectors for the candidate rows only
+    // stage 2: fetch full vectors for the candidate rows only. The candidate
+    // frame is k x overfetch rows per query — ALWAYS the broadcast side; an
+    // unhinted join could pick the corpus as build side instead
     val full = corpus.select(col("vec_id").as("neighbor_id"),
       col("embedding").as("de"), norm("embedding").as("dn"))
-    val rescored = cands
+    val rescored = broadcast(cands)
       .join(full, Seq("neighbor_id"))
       .join(q.select("query_id", "qe", "qn"), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),

@@ -320,6 +320,43 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("PQ/binary/prefix ANN: the corpus side never broadcasts") {
+    val emb = (0L until 48L).map(i => (i, Array.fill(16)(((i * 7 + 3) % 11).toFloat + 1)))
+      .toDF("vec_id", "embedding")
+    val q = emb.where($"vec_id" < 3)
+    val frames = Seq(
+      SimilarityPq.adcKnn(emb, q, k = 3, m = 4, ksub = 8, dim = 16),
+      SimilarityPq.ivfAdcKnn(emb, q, k = 3, nLists = 4, nProbe = 2, m = 4, ksub = 8, dim = 16),
+      Similarity.bqKnn(emb, q, k = 3, bits = 16, dim = 16),
+      Similarity.prefixKnn(emb, q, k = 3, prefixDim = 8, overfetch = 2))
+    for (df <- frames) {
+      val plan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val bcasts = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => e
+      }
+      assert(bcasts.nonEmpty, s"expected a query/probe-side broadcast:\n$plan")
+      // every broadcast side must be query-bounded (the vec_id cut), an
+      // aggregate (k-bounded candidates), or a driver-built RDD frame (the
+      // centroid table) — NEVER the raw corpus scan
+      for (b <- bcasts)
+        assert(b.collectFirst {
+          case f: org.apache.spark.sql.execution.FilterExec => f
+          case h: org.apache.spark.sql.execution.aggregate.HashAggregateExec => h
+          case h: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => h
+          case r: org.apache.spark.sql.execution.RDDScanExec => r
+          // the query cut constant-folds into a LocalTableScan for in-memory
+          // test frames — accept only the QUERY-sized one (3 rows), so a
+          // broadcast of the 48-row corpus still fails the audit
+          case l: org.apache.spark.sql.execution.LocalTableScanExec if l.rows.size <= 3 => l
+          // the cached <=nLists-row centroid table (driver-built, bounded)
+          case c: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => c
+        }.isDefined, s"broadcast side looks like a raw corpus frame:\n$b")
+    }
+  }
+
   test("bm25: query-term filter joins below the corpus tf aggregate") {
     import org.apache.spark.sql.catalyst.plans.logical.Join
     val docs = (0L until 50L).map(i => (i, s"alpha beta w$i gamma")).toDF("doc_id", "text")
