@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic z-score outlier detection over an event stream — the
+ * data-quality screen a pipeline runs before trusting a source's numeric
+ * field (a sensor gone wild, a price column suddenly in cents): per group,
+ * mean and standard deviation of the value, then every row more than
+ * `threshold` deviations out is flagged with its z-score.
+ *
+ * Determinism design (the reason this is NOT a plain `stddev_samp`): Spark's
+ * stddev aggregates doubles in partition order, so the flag set could differ
+ * between runs. Here the two first-level sums (Σx, Σx²) are EXACT DECIMALs —
+ * order-independent — cast to double once; everything after is fixed-order
+ * double arithmetic (`mean = s/n`, `dev = sqrt((ex2 - mean·mean)·n/(n-1))`,
+ * the textbook sample-variance identity), shared verbatim with the SQL
+ * oracle. Same flags at any parallelism, in any engine.
+ *
+ * Scale-of-the-scale: values quantize at DECIMAL(18,3) — squares carry
+ * scale 6 — so the UNSCALED Σx² stays below 2^53 for group sums up to ~9e9
+ * (the engine-parity bound: DuckDB's decimal→double cast goes through the
+ * unscaled integer and double-rounds past 2^53, measured as a 1-ulp `dev`
+ * drift at scale 12). Inputs are expected at millesimal-or-coarser
+ * granularity (telemetry/price-like fields); finer inputs quantize.
+ *
+ * Scale: one map-side-combined aggregate over the corpus (groups are few),
+ * then the tiny stats frame broadcast back against the scan — no window, no
+ * second corpus shuffle.
+ */
+object Anomaly {
+
+  def zscoreOutliers(events: DataFrame, keyCol: String = "event_type",
+      valueCol: String = "value", idCol: String = "event_id",
+      threshold: Double = 3.0): DataFrame = {
+    require(threshold > 0, "threshold must be positive")
+    val dec = col(valueCol).cast("decimal(18,3)")
+    val stats = events.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(dec).cast("double").as("s"),
+        sum(dec * dec).cast("double").as("ss"))
+      .where(col("n") >= 2)
+      .select(col(keyCol),
+        (col("s") / col("n")).as("mean"),
+        (col("ss") / col("n")).as("ex2"), col("n"))
+    val devd = stats.select(col(keyCol), col("mean"),
+      sqrt((col("ex2") - col("mean") * col("mean")) * col("n") / (col("n") - 1)).as("dev"))
+    events.join(broadcast(devd), Seq(keyCol))
+      .where(col("dev") > 0 &&
+        abs(col(valueCol) - col("mean")) > lit(threshold) * col("dev"))
+      .select(col(idCol), col(keyCol), col(valueCol), col("mean"), col("dev"),
+        ((col(valueCol) - col("mean")) / col("dev")).as("z"))
+  }
+}

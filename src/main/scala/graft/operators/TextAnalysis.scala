@@ -760,6 +760,44 @@ object TextAnalysis {
   }
 
   /**
+   * HTML-to-text extraction — the first pass over crawled web content before
+   * any quality/dedup stage (the C4/CCNet pipelines start exactly here):
+   *
+   *   1. drop `<script>`/`<style>` ELEMENTS with their contents (code and CSS
+   *      are not prose),
+   *   2. strip remaining tags to spaces (word boundaries survive
+   *      `</p><p>`-style adjacency),
+   *   3. decode the six ubiquitous entities — `&lt; &gt; &quot; &#39; &nbsp;`
+   *      first, `&amp;` LAST (the standard single-pass order: decoding `&amp;`
+   *      first would turn `&amp;lt;` into a second-round `&lt;`),
+   *   4. collapse space runs and trim.
+   *
+   * Pure row-wise regex/replace projection (RE2-compatible patterns — the
+   * oracle runs them verbatim), no shuffle: linear to 100 TB. Reports the
+   * tag/entity counts it removed so a crawl-quality dashboard can bucket
+   * markup-heavy sources.
+   */
+  def htmlStrip(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val tagPat = "<[^>]*>"
+    val entPat = "&(amp|lt|gt|quot|nbsp|#39);"
+    val noBlocks = regexp_replace(
+      regexp_replace(col(textCol), "(?s)<script[^>]*>.*?</script>", " "),
+      "(?s)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noBlocks, tagPat, " ")
+    def rep(c: Column, find: String, to: String): Column =
+      call_function("replace", c, lit(find), lit(to))
+    val decoded = rep(rep(rep(rep(rep(rep(noTags,
+      "&lt;", "<"), "&gt;", ">"), "&quot;", "\""), "&#39;", "'"), "&nbsp;", " "), "&amp;", "&")
+    val cleaned = trim(regexp_replace(decoded, "  +", " "))
+    docs.select(
+      col("doc_id"),
+      cleaned.as("text_clean"),
+      graft.functions.TextFunctions.regexCount(col(textCol), tagPat).cast("long").as("n_tags"),
+      graft.functions.TextFunctions.regexCount(col(textCol), entPat).cast("long").as("n_entities"),
+      length(cleaned).cast("long").as("n_cp_clean"))
+  }
+
+  /**
    * Text normalization — the cleanup pass a curation pipeline runs BEFORE any
    * hashing/dedup/tokenization so that visually-identical strings share one
    * byte representation:

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.VizFunctions
 import graft.model.{MetricParser, MetricPoint}
-import graft.operators.{AsOf, Funnel, Points, Sessionize, Summarization}
+import graft.operators.{Anomaly, AsOf, Funnel, Points, Sessionize, Summarization}
 import graft.planner.QueryPlanner
 import graft.planner.QueryPlanner.{RateOptions, SubQuery, TsQueryRequest}
 
@@ -100,6 +100,10 @@ object ApiQueries {
       Sessionize.sessionStats(ev, "user_id", "ts_ms", "event_id",
         gapMs = 21600000L, valueCol = "value")
     }),
+    // Deterministic z-score outliers per event_type: exact-decimal first
+    // moments, fixed-order double variance, broadcast stats vs the scan
+    "events_zscore_outliers" -> ((s, dir) =>
+      Anomaly.zscoreOutliers(Points.table(s, dir, "events"), threshold = 3.0)),
     // Semi-structured extraction: pull the numeric `k` out of the JSON-ish
     // props string with a regex (portable to the oracle without a JSON
     // extension) and aggregate per decade bucket.
@@ -426,6 +430,21 @@ object ApiQueries {
         |       COUNT(*) AS n_events,
         |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM sess GROUP BY 1, 2""".stripMargin,
+    // mirrors Anomaly.zscoreOutliers(threshold=3): same exact-decimal sums,
+    // same double expression order for mean/ex2/dev/z
+    "events_zscore_outliers" ->
+      """WITH st AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |         CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS s,
+        |         CAST(SUM(CAST(value AS DECIMAL(18,3)) * CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS ss
+        |  FROM events GROUP BY 1 HAVING COUNT(*) >= 2),
+        |m AS (SELECT event_type, n, s / n AS mean, ss / n AS ex2 FROM st),
+        |d AS (SELECT event_type, mean,
+        |             sqrt((ex2 - mean * mean) * n / (n - 1)) AS dev FROM m)
+        |SELECT e.event_id, e.event_type, e.value, d.mean, d.dev,
+        |       (e.value - d.mean) / d.dev AS z
+        |FROM events e JOIN d ON e.event_type = d.event_type
+        |WHERE d.dev > 0 AND abs(e.value - d.mean) > 3.0 * d.dev""".stripMargin,
     "api_props_extract" ->
       """SELECT event_type,
         |       TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) // 10 * 10 AS k_decade,

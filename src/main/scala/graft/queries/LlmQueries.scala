@@ -394,6 +394,19 @@ object LlmQueries {
     "text_bpe_train" -> ((s, dir) => TextAnalysis.bpeTrain(docs(s, dir), iters = 3)),
     // the apply side: per-doc token counts under the corpus-trained 3-merge
     // tokenizer (word -> final-vocab join, no per-doc merge application)
+    // HTML-to-text extraction over an html-wrapped corpus (script/style
+    // elements planted with contents, six entity forms, nested tags) — the
+    // first pass of a crawl pipeline; plain-regex projection, no shuffle
+    "text_html_strip" -> ((s, dir) => {
+      val wrapped = docs(s, dir).select(col("doc_id"),
+        concat(
+          lit("<html><head><style>body { color: red }</style></head>" +
+            "<body><h1>Doc &amp; more</h1><p>"),
+          col("text"),
+          lit("</p><script type=\"text/javascript\">var x = 1 &lt; 2;</script>" +
+            "<div class=\"f\">&quot;end&#39;&nbsp;</div></body></html>")).as("text"))
+      TextAnalysis.htmlStrip(wrapped)
+    }),
     "text_bpe_encode" -> ((s, dir) => TextAnalysis.bpeEncodeCounts(docs(s, dir), iters = 3)),
     // per-language tokenizer fertility (tokens/word, chars/token) of the
     // trained BPE — the budget-equity audit across languages
@@ -1371,6 +1384,31 @@ object LlmQueries {
     // code-point symbolization, frequency-weighted pair counts, (cnt desc, p)
     // tie-break, and the doubled-gap leftmost replace rewrite
     "text_bpe_train" -> bpeOracleSql(3),
+    // mirrors TextAnalysis.htmlStrip over the same html wrap: block strip ->
+    // tag strip -> entity decode (&amp; last) -> space collapse; RE2 'g'
+    "text_html_strip" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         '<html><head><style>body { color: red }</style></head><body><h1>Doc &amp; more</h1><p>'
+        |           || text ||
+        |         '</p><script type="text/javascript">var x = 1 &lt; 2;</script><div class="f">&quot;end&#39;&nbsp;</div></body></html>' AS text
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, text,
+        |              regexp_replace(regexp_replace(text,
+        |                '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+        |                '(?s)<style[^>]*>.*?</style>', ' ', 'g') AS nb
+        |       FROM w),
+        |s2 AS (SELECT doc_id, text, regexp_replace(nb, '<[^>]*>', ' ', 'g') AS nt FROM s1),
+        |s3 AS (SELECT doc_id, text,
+        |              replace(replace(replace(replace(replace(replace(nt,
+        |                '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS dec
+        |       FROM s2)
+        |SELECT doc_id,
+        |       trim(regexp_replace(dec, '  +', ' ', 'g')) AS text_clean,
+        |       CAST(len(regexp_extract_all(text, '<[^>]*>')) AS BIGINT) AS n_tags,
+        |       CAST(len(regexp_extract_all(text, '&(amp|lt|gt|quot|nbsp|#39);')) AS BIGINT) AS n_entities,
+        |       CAST(length(trim(regexp_replace(dec, '  +', ' ', 'g'))) AS BIGINT) AS n_cp_clean
+        |FROM s3""".stripMargin,
     "text_bpe_encode" -> bpeEncodeOracleSql(3),
     // mirrors TextAnalysis.bpeFertility(iters=3): the encode replay joined
     // to the langid guess; LONG sums, one IEEE division per ratio

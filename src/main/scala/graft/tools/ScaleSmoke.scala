@@ -133,6 +133,12 @@ object ScaleSmoke {
       // actually evaluate (a bare count would prune the Project)
       graft.operators.TextAnalysis.normalizeText(docs).agg(sum("n_cp_norm")).collect()
     }
+    t("htmlStrip (wrapped corpus: blocks + tags + entities; forced evaluation)") {
+      val wrapped = docs.select(col("doc_id"), concat(
+        lit("<html><head><style>b { c: d }</style></head><body><p>"), col("text"),
+        lit("</p><script>var x = 1 &lt; 2;</script>&amp;&nbsp;</body></html>")).as("text"))
+      graft.operators.TextAnalysis.htmlStrip(wrapped).agg(sum("n_cp_clean")).collect()
+    }
     t("boilerplateStrip (hot shared lines across the replica corpus)") {
       // hdr: corpus/40 docs per line (dropped); footer: EVERY doc (the
       // hot-key worst case for the frequency join); body text kept
@@ -301,6 +307,9 @@ object ScaleSmoke {
       graft.operators.Funnel.attributionMulti(ev, "user_id", "ts_ms", "event_id",
         "event_type", convType = "purchase", touchTypes = Seq("click", "view"),
         lookbackMs = 604800000L).count()
+    }
+    t("zscoreOutliers (exact-decimal moments, broadcast stats)") {
+      graft.operators.Anomaly.zscoreOutliers(ev).count()
     }
     spark.stop()
   }
