@@ -102,4 +102,36 @@ class DegenerateCorpusSpec extends AnyFunSuite with SparkSpec {
     assert(TextAnalysis.bpeTrain(empty, iters = 2).count() == 0)
     assert(TextAnalysis.bpeEncodeCounts(empty, iters = 2).count() == 0)
   }
+
+  test("round-8 operators survive the degenerate corpus") {
+    val d = nasty
+    // audit: candidates need >= 3-word docs; candidate-bounded exact side
+    assert(Dedup.minhashAudit(d, threshold = 0.5).count() >= 0)
+    // html strip: NULL text stays NULL, everything else sanitizes
+    assert(TextAnalysis.htmlStrip(d).count() == 9)
+    // fertility: only docs with encodable words contribute; no division error
+    assert(TextAnalysis.bpeFertility(d, iters = 2).count() >= 1)
+    val allEmpty = Seq[(Long, Option[String])]((1L, Some("")), (2L, None)).toDF("doc_id", "text")
+    assert(TextAnalysis.bpeFertility(allEmpty, iters = 2).count() == 0)
+    // epoch mix: zero-token sources and an empty corpus report full deficit
+    assert(Curation.epochMix(nastyFull, Map("s" -> 10000L), budgetTokens = 100L).count() == 1)
+    assert(Curation.epochMix(
+      allEmpty.withColumn("source", lit("gone")).where(lit(false)),
+      Map("gone" -> 10000L), budgetTokens = 100L).count() == 1)
+  }
+
+  test("round-8 event/embedding operators survive degenerate inputs") {
+    val noEvents = Seq.empty[(Long, Long, Long, String)].toDF("event_id", "user_id", "ts", "event_type")
+    assert(Funnel.attributionMulti(noEvents, "user_id", "ts", "event_id", "event_type",
+      "buy", Seq("click"), lookbackMs = 100L).count() == 0)
+    val noVals = Seq.empty[(Long, String, Double)].toDF("event_id", "event_type", "value")
+    assert(Anomaly.zscoreOutliers(noVals).count() == 0)
+    // single vector: PQ trains a 1-codeword book, kNN returns nothing
+    val one = Seq((1L, Array.fill(16)(1.0f))).toDF("vec_id", "embedding")
+    val cb = SimilarityPq.codebook(one, m = 4, ksub = 4, dim = 16)
+    assert(SimilarityPq.encode(one, cb).count() == 1)
+    assert(SimilarityPq.adcKnn(one, one, k = 3, m = 4, ksub = 4, dim = 16).count() == 0)
+    assert(Similarity.bqKnn(one, one, k = 3, bits = 8, dim = 16).count() == 0)
+    assert(Similarity.prefixKnn(one, one, k = 3, prefixDim = 8).count() == 0)
+  }
 }
