@@ -171,4 +171,58 @@ object Search {
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("doc_id"), col("score"), col("n_terms"))
   }
+
+  /** rank r → DCG weight 1/log2(r+1), FROZEN to 10 decimal places: both
+    * engines then sum identical exact decimals, so the only IEEE steps in
+    * the retrieval-eval report are the two final divisions (rr, ndcg). */
+  private[graft] val DcgWeights: IndexedSeq[java.math.BigDecimal] =
+    (1 to 64).map { r =>
+      new java.math.BigDecimal(1.0 / (math.log(r + 1.0) / math.log(2.0)))
+        .setScale(10, java.math.RoundingMode.HALF_UP)
+    }
+
+  /** Cumulative DCG weight sum — the ideal DCG when `i` relevant docs fill
+    * the top-`i` ranks (exact decimal fold of the frozen weights). */
+  private[graft] def dcgCum(i: Int): java.math.BigDecimal =
+    DcgWeights.take(i).foldLeft(java.math.BigDecimal.ZERO)(_.add(_))
+
+  /**
+   * Retrieval-quality report — the eval loop a pipeline runs after every
+   * index/scorer change: per query, how the ranked list `hits` covers the
+   * ground-truth `qrels`. Emits n_rel, hits-in-top-k, the first relevant
+   * rank, reciprocal rank, and nDCG@k.
+   *
+   * Determinism: DCG weights are decimal literals ([[DcgWeights]]) summed
+   * exactly (order-independent), ideal DCG is a literal CASE over n_rel —
+   * the only floating-point operations are the final `1/rank` and
+   * `dcg/idcg` divisions, one IEEE op each. Queries with no relevant doc
+   * retrieved report ndcg 0 and NULL rank/rr.
+   *
+   * Scale: `hits` is top-k-bounded per query; qrels joins on
+   * (query_id, doc_id) — the one corpus-sized frame (qrels can be large)
+   * only aggregates per query. No window over anything corpus-sized.
+   */
+  def evalReport(hits: DataFrame, qrels: DataFrame, k: Int = 10): DataFrame = {
+    require(k >= 1 && k <= DcgWeights.size, s"k must be in [1, ${DcgWeights.size}]")
+    val wCase = (1 to k)
+      .map(r => s"WHEN rank = $r THEN CAST(${DcgWeights(r - 1)} AS DECIMAL(12,10))")
+      .mkString("CASE ", " ", " END")
+    val idcgCase = (1 until k)
+      .map(r => s"WHEN n_rel = $r THEN CAST(${dcgCum(r)} AS DECIMAL(14,10))")
+      .mkString(s"CASE WHEN n_rel >= $k THEN CAST(${dcgCum(k)} AS DECIMAL(14,10)) ", " ", " END")
+    val rel = qrels.select(col("query_id"), col("doc_id"))
+    val relCounts = rel.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
+    val relHits = hits.where(col("rank") <= k).join(rel, Seq("query_id", "doc_id"))
+    val perQ = relHits.groupBy("query_id").agg(
+      count(lit(1)).as("n_rel_topk"),
+      min(col("rank")).as("first_rel_rank"),
+      sum(expr(wCase)).as("dcg"))
+    relCounts.join(perQ, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_rel"),
+        coalesce(col("n_rel_topk"), lit(0L)).as("n_rel_topk"),
+        col("first_rel_rank"),
+        (lit(1.0) / col("first_rel_rank")).as("rr"),
+        (coalesce(col("dcg").cast("double"), lit(0.0)) / expr(idcgCase).cast("double"))
+          .as("ndcg"))
+  }
 }

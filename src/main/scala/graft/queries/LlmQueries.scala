@@ -428,6 +428,36 @@ object LlmQueries {
       val d = docs(s, dir)
       Dedup.bloomScreenSharded(bloomIncoming(d), d.where(col("doc_id") % 10 =!= 0),
         shardHexDigits = 1)
+    }),
+    // Domain-level link-graph PageRank over a planted hyperlink structure
+    // (site{d%7} -> cdn{d%3}, cdn{d%3} -> site{d%5}, even docs add
+    // site{d%7} -> site{(d+3)%7}, every 11th doc links the dangling 'sink')
+    // — integer fixed point end to end, so the 5-iteration power method is
+    // bit-exact against the unrolled SQL replay
+    "graph_pagerank" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"))
+      def site(c: org.apache.spark.sql.Column) = concat(lit("site"), c.cast("string"))
+      def cdn(c: org.apache.spark.sql.Column) = concat(lit("cdn"), c.cast("string"))
+      val edges = d
+        .select(site(col("doc_id") % 7).as("src"), cdn(col("doc_id") % 3).as("dst"))
+        .union(d.select(cdn(col("doc_id") % 3).as("src"), site(col("doc_id") % 5).as("dst")))
+        .union(d.where(col("doc_id") % 2 === 0)
+          .select(site(col("doc_id") % 7).as("src"), site((col("doc_id") + 3) % 7).as("dst")))
+        .union(d.where(col("doc_id") % 11 === 0)
+          .select(site(col("doc_id") % 7).as("src"), lit("sink").as("dst")))
+      graft.operators.Graph.pageRank(edges, iters = 5)
+    }),
+    // Retrieval-quality eval of the BM25 ranker against prefix-share ground
+    // truth (docs opening with the query's exact four words are "relevant"):
+    // per-query MRR / nDCG@10 with frozen decimal DCG weights
+    "search_eval" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val prefix = array_join(slice(split(col("text"), " "), 1, 4), " ")
+      val qrels = d.select(col("doc_id"), prefix.as("p"))
+        .join(broadcast(probeQueries(d)), col("p") === col("qtext"))
+        .select(col("query_id"), col("doc_id"))
+      graft.operators.Search.evalReport(
+        bm25Hits15(s, dir).where(col("rank") <= 10), qrels, k = 10)
     })
   )
 
@@ -653,6 +683,84 @@ object LlmQueries {
       |  GROUP BY vec_id)""".stripMargin
 
   private val PqCte = "WITH " + PqCoreCtes
+
+  /** Unrolled replay of [[graft.operators.Graph.pageRank]] on the planted
+    * domain graph: every step a nonnegative integer floor division (`//`),
+    * the per-edge share in HUGEINT — bit-exact vs the Spark fixed-point
+    * loop at any iteration count. */
+  private def pageRankOracleSql(iters: Int = 5, dampBp: Int = 8500,
+      scale: Long = 1000000000000L): String = {
+    val tele = scale - scale * dampBp / 10000
+    val head =
+      s"""WITH e AS (
+         |  SELECT 'site' || CAST(doc_id % 7 AS VARCHAR) AS src, 'cdn' || CAST(doc_id % 3 AS VARCHAR) AS dst FROM documents
+         |  UNION ALL SELECT 'cdn' || CAST(doc_id % 3 AS VARCHAR), 'site' || CAST(doc_id % 5 AS VARCHAR) FROM documents
+         |  UNION ALL SELECT 'site' || CAST(doc_id % 7 AS VARCHAR), 'site' || CAST((doc_id + 3) % 7 AS VARCHAR) FROM documents WHERE doc_id % 2 = 0
+         |  UNION ALL SELECT 'site' || CAST(doc_id % 7 AS VARCHAR), 'sink' FROM documents WHERE doc_id % 11 = 0),
+         |w AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS wt FROM e GROUP BY 1, 2),
+         |ow AS (SELECT src, SUM(wt) AS outw FROM w GROUP BY 1),
+         |nodes AS (SELECT src AS domain FROM e UNION SELECT dst FROM e),
+         |nn AS (SELECT COUNT(*) AS n FROM nodes),
+         |r0 AS (SELECT domain, $scale // n AS rank_fp FROM nodes CROSS JOIN nn)""".stripMargin
+    val rounds = (1 to iters).map { k =>
+      s"""d$k AS (SELECT domain, rank_fp * $dampBp // 10000 AS rd FROM r${k - 1}),
+         |g$k AS (SELECT COALESCE(SUM(rd), 0) AS dang FROM d$k LEFT JOIN ow ON d$k.domain = ow.src WHERE ow.src IS NULL),
+         |c$k AS (SELECT w.dst AS domain, SUM(CAST(CAST(rd AS HUGEINT) * wt // outw AS BIGINT)) AS lnk
+         |      FROM d$k JOIN w ON d$k.domain = w.src JOIN ow ON w.src = ow.src GROUP BY 1),
+         |r$k AS (SELECT nodes.domain, $tele // n + dang // n + COALESCE(lnk, 0) AS rank_fp
+         |      FROM nodes CROSS JOIN nn CROSS JOIN g$k LEFT JOIN c$k ON nodes.domain = c$k.domain)""".stripMargin
+    }
+    s"""$head,
+       |${rounds.mkString(",\n")}
+       |SELECT domain, CAST(rank_fp AS BIGINT) AS rank_fp,
+       |       CAST(rank_fp AS DOUBLE) / $scale AS rank
+       |FROM r$iters""".stripMargin
+  }
+
+  /** Retrieval-eval oracle: the search_bm25 CTE core (kept textually in
+    * lockstep with that gate's oracle) + prefix-share qrels + the frozen
+    * decimal DCG weights shared with [[graft.operators.Search.evalReport]]. */
+  private def searchEvalOracleSql(k: Int = 10): String = {
+    import graft.operators.Search
+    val wCase = (1 to k)
+      .map(r => s"WHEN rank = $r THEN CAST(${Search.DcgWeights(r - 1)} AS DECIMAL(12,10))")
+      .mkString("CASE ", " ", " END")
+    val idcgCase = (1 until k)
+      .map(r => s"WHEN n_rel = $r THEN CAST(${Search.dcgCum(r)} AS DECIMAL(14,10))")
+      .mkString(s"CASE WHEN n_rel >= $k THEN CAST(${Search.dcgCum(k)} AS DECIMAL(14,10)) ", " ", " END")
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |q AS (SELECT doc_id AS query_id, array_to_string((string_split(text, ' '))[1:4], ' ') AS qtext
+       |      FROM documents WHERE doc_id % 97 = 0),
+       |qt AS (SELECT DISTINCT query_id, term
+       |       FROM (SELECT query_id, unnest(string_split(qtext, ' ')) AS term FROM q)),
+       |dt AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM w),
+       |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM dt GROUP BY 1, 2, 3),
+       |m AS (SELECT qt.query_id, tf.doc_id, tf.dl, tf.term, tf.tf FROM tf JOIN qt USING (term)),
+       |dfq AS (SELECT term, COUNT(*) AS df FROM (SELECT DISTINCT term, doc_id FROM m) GROUP BY 1),
+       |st AS (SELECT COUNT(*) AS n_docs, SUM(len(ws)) AS sum_dl FROM w),
+       |c AS (SELECT m.query_id, m.doc_id,
+       |        CAST((ln(1 + ((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)))
+       |              * ((m.tf * (1.2 + 1)) / (m.tf + (1.2 * ((1.0 - 0.75) + ((0.75 * m.dl)
+       |                / (CAST(st.sum_dl AS DOUBLE) / st.n_docs))))))) AS DECIMAL(28,9)) AS c
+       |      FROM m JOIN dfq USING (term) CROSS JOIN st),
+       |sc AS (SELECT query_id, doc_id, SUM(c) AS score FROM c GROUP BY 1, 2),
+       |hits AS (SELECT query_id, doc_id, rank FROM (
+       |    SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+       |    FROM sc) WHERE rank <= $k),
+       |rel AS (SELECT q.query_id, d.doc_id FROM q
+       |        JOIN documents d ON array_to_string((string_split(d.text, ' '))[1:4], ' ') = q.qtext),
+       |rc AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_rel FROM rel GROUP BY 1),
+       |rh AS (SELECT h.query_id, h.rank FROM hits h JOIN rel r ON h.query_id = r.query_id AND h.doc_id = r.doc_id),
+       |agg AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_rel_topk,
+       |               MIN(rank) AS first_rel_rank, SUM($wCase) AS dcg
+       |        FROM rh GROUP BY 1)
+       |SELECT rc.query_id, rc.n_rel,
+       |       COALESCE(a.n_rel_topk, 0) AS n_rel_topk,
+       |       a.first_rel_rank,
+       |       CAST(1.0 AS DOUBLE) / a.first_rel_rank AS rr,
+       |       COALESCE(CAST(a.dcg AS DOUBLE), 0.0) / CAST($idcgCase AS DOUBLE) AS ndcg
+       |FROM rc LEFT JOIN agg a USING (query_id)""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "text_tokens" ->
@@ -1873,6 +1981,8 @@ object LlmQueries {
         |FROM documents d JOIN r USING (lang)
         |WHERE substr(md5('temp:' || CAST(d.doc_id AS VARCHAR)), 1, 4) <
         |      CASE WHEN r.rate >= 1 THEN 'g'
-        |           ELSE printf('%04x', CAST(floor(r.rate * 65536) AS INT)) END""".stripMargin
+        |           ELSE printf('%04x', CAST(floor(r.rate * 65536) AS INT)) END""".stripMargin,
+    "graph_pagerank" -> pageRankOracleSql(),
+    "search_eval" -> searchEvalOracleSql()
   )
 }

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** Fixed-point PageRank: hand-computed ranks, mass conservation, weighting,
+  * and parallelism determinism. */
+class GraphSpec extends AnyFunSuite with SparkSpec {
+
+  import spark.implicits._
+
+  private def ranksOf(out: Array[org.apache.spark.sql.Row]): Map[String, Long] =
+    out.map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("one iteration matches the hand-computed fixed-point arithmetic") {
+    // A -> B, B dangling. scale=10000: r0 = 5000 each; rd = 4250 each;
+    // tele div 2 = 750; dangling 4250 div 2 = 2125; A->B carries 4250.
+    val edges = Seq(("A", "B")).toDF("src", "dst")
+    val r = ranksOf(Graph.pageRank(edges, iters = 1, scale = 10000L).collect())
+    assert(r == Map("A" -> (750L + 2125L), "B" -> (750L + 2125L + 4250L)))
+  }
+
+  test("zero iterations = uniform mass; floors conserve mass within leak bound") {
+    val edges = Seq(("A", "B"), ("B", "C"), ("C", "A"), ("C", "D")).toDF("src", "dst")
+    val r0 = ranksOf(Graph.pageRank(edges, iters = 0).collect())
+    assert(r0.values.toSet == Set(1000000000000L / 4))
+    val iters = 7
+    val r = ranksOf(Graph.pageRank(edges, iters = iters).collect())
+    val leakBound = iters.toLong * (4 /*edges*/ + 2 * 4 /*per-node floors*/ + 2)
+    assert(r.values.sum <= 1000000000000L)
+    assert(r.values.sum >= 1000000000000L - leakBound)
+  }
+
+  test("edge multiplicity weights the split; heavier target ranks higher") {
+    // A links B twice and C once; B and C both link back to A.
+    val edges = Seq(("A", "B"), ("A", "B"), ("A", "C"), ("B", "A"), ("C", "A"))
+      .toDF("src", "dst")
+    val r = ranksOf(Graph.pageRank(edges, iters = 10).collect())
+    assert(r("B") > r("C"))
+    assert(r("A") > r("B")) // everyone's sole out-target
+  }
+
+  test("ranks are bit-identical across parallelism (pure integer arithmetic)") {
+    val edges = (0L until 600L)
+      .map(i => (s"d${i % 23}", s"d${(i * 7 + 3) % 19}")).toDF("src", "dst")
+    def run(df: DataFrame) =
+      Graph.pageRank(df, iters = 5).collect()
+        .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(run(edges) == run(edges.repartition(13)))
+  }
+
+  test("dangling sink still receives teleport + in-link mass") {
+    val edges = Seq(("A", "sink"), ("B", "A"), ("A", "B")).toDF("src", "dst")
+    val r = ranksOf(Graph.pageRank(edges, iters = 5).collect())
+    assert(r("sink") > 0L)
+    assert(r.values.sum > 990000000000L) // dangling mass recycled, not lost
+  }
+}

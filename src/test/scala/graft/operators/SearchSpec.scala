@@ -114,4 +114,41 @@ class SearchSpec extends AnyFunSuite with SparkSpec {
     assert(termShuffles.isEmpty,
       s"corpus shuffled on the raw term key:\n${termShuffles.mkString("\n")}")
   }
+
+  private def hitsDf(rows: (Long, Long, Long)*): DataFrame =
+    rows.toDF("query_id", "doc_id", "rank")
+  private def qrelsDf(rows: (Long, Long)*): DataFrame =
+    rows.toDF("query_id", "doc_id")
+
+  test("evalReport: perfect ranking scores ndcg 1.0 and rr 1.0") {
+    val hits = hitsDf((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L))
+    val out = Search.evalReport(hits, qrelsDf(1L -> 10L, 1L -> 11L, 1L -> 12L), k = 10)
+      .collect().head
+    assert(out.getLong(1) == 3L && out.getLong(2) == 3L) // n_rel, n_rel_topk
+    assert(out.getLong(3) == 1L)                          // first_rel_rank
+    assert(out.getDouble(4) == 1.0 && out.getDouble(5) == 1.0)
+  }
+
+  test("evalReport: nothing relevant retrieved -> ndcg 0, NULL rank and rr") {
+    val out = Search.evalReport(hitsDf((1L, 10L, 1L)), qrelsDf(1L -> 99L))
+      .collect().head
+    assert(out.getLong(2) == 0L && out.isNullAt(3) && out.isNullAt(4))
+    assert(out.getDouble(5) == 0.0)
+  }
+
+  test("evalReport: hand-computed partial ndcg (rel at ranks 2 and 3 of 2 ideal)") {
+    // dcg = w2 + w3; idcg = w1 + w2 (n_rel = 2) with the frozen weights
+    val hits = hitsDf((7L, 1L, 1L), (7L, 2L, 2L), (7L, 3L, 3L))
+    val out = Search.evalReport(hits, qrelsDf(7L -> 2L, 7L -> 3L)).collect().head
+    val w = Search.DcgWeights.map(_.doubleValue)
+    val expected = (w(1) + w(2)) / (w(0) + w(1))
+    assert(out.getLong(3) == 2L && out.getDouble(4) == 0.5)
+    assert(math.abs(out.getDouble(5) - expected) < 1e-12)
+  }
+
+  test("evalReport: ranks beyond k are ignored even if present in hits") {
+    val hits = hitsDf((1L, 10L, 1L), (1L, 20L, 11L))
+    val out = Search.evalReport(hits, qrelsDf(1L -> 20L), k = 10).collect().head
+    assert(out.getLong(2) == 0L && out.isNullAt(3))
+  }
 }
