@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -51,5 +52,49 @@ object Anomaly {
         abs(col(valueCol) - col("mean")) > lit(threshold) * col("dev"))
       .select(col(idCol), col(keyCol), col(valueCol), col("mean"), col("dev"),
         ((col(valueCol) - col("mean")) / col("dev")).as("z"))
+  }
+
+  /**
+   * Robust (median/MAD) outlier detection — the screen to reach for when the
+   * contamination itself would poison the z-score's mean and deviation: per
+   * group, the nearest-rank median and the median absolute deviation, then
+   * every row with |x − med| > threshold·MAD flagged with its robust score.
+   *
+   * Determinism needs NO decimal quantization here (unlike [[zscoreOutliers]]):
+   * there is no accumulation at all. The median is the value AT integer rank
+   * `(n+1) div 2` of the group's external sort; MAD is the same rank over the
+   * per-row |x − med| (one IEEE subtract each); the flag and score are
+   * per-row double comparisons shared verbatim with the oracle. Any
+   * parallelism, any engine, same flags.
+   *
+   * Scale: two spillable window sorts partitioned by the group key, then the
+   * tiny per-group stats broadcast back against the scan — the
+   * [[Summarization]] percentile shape, applied twice.
+   */
+  def madOutliers(events: DataFrame, keyCol: String = "event_type",
+      valueCol: String = "value", idCol: String = "event_id",
+      threshold: Double = 3.0): DataFrame = {
+    require(threshold > 0, "threshold must be positive")
+    val n = events.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+      .where(col("n") >= 2)
+    val medRank = expr("(n + 1) div 2")
+    val med = events
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col(keyCol)).orderBy(col(valueCol))))
+      .join(n, Seq(keyCol))
+      .where(col("rn") === medRank)
+      .select(col(keyCol), col(valueCol).as("med"))
+    val withMed = events.join(broadcast(med), Seq(keyCol))
+      .withColumn("ad", abs(col(valueCol) - col("med")))
+    val mad = withMed
+      .withColumn("rd", row_number().over(
+        Window.partitionBy(col(keyCol)).orderBy(col("ad"))))
+      .join(n, Seq(keyCol))
+      .where(col("rd") === medRank)
+      .select(col(keyCol), col("ad").as("mad"))
+    withMed.join(broadcast(mad), Seq(keyCol))
+      .where(col("mad") > 0 && col("ad") > lit(threshold) * col("mad"))
+      .select(col(idCol), col(keyCol), col(valueCol), col("med"), col("mad"),
+        ((col(valueCol) - col("med")) / col("mad")).as("score"))
   }
 }

@@ -473,6 +473,39 @@ object Curation {
           .as("importance"))
   }
 
+  /**
+   * Per-source sequence-length report — the distribution audit a pipeline
+   * runs before packing/truncation decisions: how long are this source's
+   * docs in (whitespace) tokens? Emits per source: doc count, total tokens,
+   * mean, and EXACT nearest-rank p50/p90/p99.
+   *
+   * Determinism: counts and sums are LONGs; each percentile is the value AT
+   * integer rank `(p·n + 99) div 100` (ceil in integer arithmetic) of the
+   * per-source sort; the mean is one IEEE division. Same scale design as
+   * [[Summarization.summarize]]: a source of any size costs a spillable
+   * external sort, never an in-memory aggregation buffer.
+   */
+  def lengthReport(docs: DataFrame): DataFrame = {
+    val words = docs.select(col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_words"))
+    val stats = words.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_words")).as("total_words"))
+    val ranked = words.withColumn("rn", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("n_words"))))
+      .join(stats.select(col("source"), col("n_docs")), Seq("source"))
+    def rank(p: Int): Column = expr(s"($p * n_docs + 99) div 100")
+    val atTarget = Seq(50, 90, 99).map(p => col("rn") === rank(p)).reduce(_ || _)
+    val pct = ranked.where(atTarget).groupBy(col("source")).agg(
+      max(when(col("rn") === rank(50), col("n_words"))).as("p50_words"),
+      max(when(col("rn") === rank(90), col("n_words"))).as("p90_words"),
+      max(when(col("rn") === rank(99), col("n_words"))).as("p99_words"))
+    stats.join(pct, Seq("source"))
+      .select(col("source"), col("n_docs"), col("total_words"),
+        (col("total_words").cast("double") / col("n_docs")).as("mean_words"),
+        col("p50_words"), col("p90_words"), col("p99_words"))
+  }
+
   def packSequences(docs: DataFrame, ctxLen: Long = 2048L, nShards: Int = 8): DataFrame = {
     require(ctxLen >= 1L && nShards >= 1, "ctxLen and nShards must be positive")
     val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))

@@ -104,6 +104,10 @@ object ApiQueries {
     // moments, fixed-order double variance, broadcast stats vs the scan
     "events_zscore_outliers" -> ((s, dir) =>
       Anomaly.zscoreOutliers(Points.table(s, dir, "events"), threshold = 3.0)),
+    // robust variant: median/MAD flags survive contaminated moments — no
+    // accumulation anywhere, so no decimal quantization is even needed
+    "events_outliers_mad" -> ((s, dir) =>
+      Anomaly.madOutliers(Points.table(s, dir, "events"), threshold = 3.0)),
     // Semi-structured extraction: pull the numeric `k` out of the JSON-ish
     // props string with a regex (portable to the oracle without a JSON
     // extension) and aggregate per decade bucket.
@@ -445,6 +449,24 @@ object ApiQueries {
         |       (e.value - d.mean) / d.dev AS z
         |FROM events e JOIN d ON e.event_type = d.event_type
         |WHERE d.dev > 0 AND abs(e.value - d.mean) > 3.0 * d.dev""".stripMargin,
+    "events_outliers_mad" ->
+      """WITH n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |           FROM events GROUP BY 1 HAVING COUNT(*) >= 2),
+        |r AS (SELECT event_type, value,
+        |             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn FROM events),
+        |med AS (SELECT r.event_type, r.value AS med
+        |        FROM r JOIN n USING (event_type) WHERE rn = (n + 1) // 2),
+        |a AS (SELECT e.event_id, e.event_type, e.value, m.med,
+        |             abs(e.value - m.med) AS ad
+        |      FROM events e JOIN med m USING (event_type)),
+        |rr AS (SELECT event_type, ad,
+        |              ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ad) AS rd FROM a),
+        |mad AS (SELECT rr.event_type, rr.ad AS mad
+        |        FROM rr JOIN n USING (event_type) WHERE rd = (n + 1) // 2)
+        |SELECT a.event_id, a.event_type, a.value, a.med, m.mad,
+        |       (a.value - a.med) / m.mad AS score
+        |FROM a JOIN mad m USING (event_type)
+        |WHERE m.mad > 0 AND a.ad > CAST(3.0 AS DOUBLE) * m.mad""".stripMargin,
     "api_props_extract" ->
       """SELECT event_type,
         |       TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) // 10 * 10 AS k_decade,

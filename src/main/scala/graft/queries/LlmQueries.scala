@@ -458,7 +458,11 @@ object LlmQueries {
         .select(col("query_id"), col("doc_id"))
       graft.operators.Search.evalReport(
         bm25Hits15(s, dir).where(col("rank") <= 10), qrels, k = 10)
-    })
+    }),
+    // per-source token-length distribution (exact nearest-rank percentiles):
+    // the audit behind packing / truncation decisions
+    "curate_length_report" -> ((s, dir) =>
+      graft.operators.Curation.lengthReport(docs(s, dir)))
   )
 
   /** Incoming side of the bloom gates: every 10th doc, half of them (every
@@ -1983,6 +1987,20 @@ object LlmQueries {
         |      CASE WHEN r.rate >= 1 THEN 'g'
         |           ELSE printf('%04x', CAST(floor(r.rate * 65536) AS INT)) END""".stripMargin,
     "graph_pagerank" -> pageRankOracleSql(),
-    "search_eval" -> searchEvalOracleSql()
+    "search_eval" -> searchEvalOracleSql(),
+    "curate_length_report" ->
+      """WITH t AS (SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words FROM documents),
+        |s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_words) AS BIGINT) AS total_words
+        |      FROM t GROUP BY 1),
+        |r AS (SELECT source, n_words, ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_words) AS rn FROM t),
+        |p AS (SELECT r.source,
+        |        MAX(CASE WHEN rn = (50 * n_docs + 99) // 100 THEN n_words END) AS p50_words,
+        |        MAX(CASE WHEN rn = (90 * n_docs + 99) // 100 THEN n_words END) AS p90_words,
+        |        MAX(CASE WHEN rn = (99 * n_docs + 99) // 100 THEN n_words END) AS p99_words
+        |      FROM r JOIN s USING (source) GROUP BY 1)
+        |SELECT s.source, s.n_docs, s.total_words,
+        |       CAST(s.total_words AS DOUBLE) / s.n_docs AS mean_words,
+        |       p.p50_words, p.p90_words, p.p99_words
+        |FROM s JOIN p USING (source)""".stripMargin
   )
 }

@@ -38,6 +38,36 @@ class AnomalySpec extends AnyFunSuite with SparkSpec {
       .count() == 0L)
   }
 
+  test("madOutliers: contaminated group still flags only the spike (robustness)") {
+    // 9 values of 10.0 + one huge spike: the spike inflates mean/dev enough
+    // that a z-score at 3.0 can waver; median/MAD flags it unconditionally
+    // median 10.0, MAD 0.5 (both exactly representable): the +-0.5 cluster
+    // stays under 3*MAD = 1.5, the spike's deviation is 990
+    val rows = (1L to 4L).map(i => (i, "a", 10.0)) ++
+      Seq((5L, "a", 10.5), (6L, "a", 9.5), (7L, "a", 10.5), (8L, "a", 9.5),
+        (9L, "a", 10.5), (10L, "a", 1000.0))
+    val out = Anomaly.madOutliers(rows.toDF("event_id", "event_type", "value"))
+      .collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(10L))
+    val r = out.head
+    assert(r.getDouble(3) == 10.0 && r.getDouble(4) == 0.5)
+    assert(r.getDouble(5) == (1000.0 - 10.0) / 0.5)
+  }
+
+  test("madOutliers: constant groups (MAD 0) and single-row groups flag nothing") {
+    val rows = (0L until 20L).map(i => (i, "c", 4.2)) :+ ((100L, "solo", 9.9))
+    assert(Anomaly.madOutliers(rows.toDF("event_id", "event_type", "value"))
+      .count() == 0L)
+  }
+
+  test("madOutliers is identical across parallelism (rank-picked stats)") {
+    val rows = (0L until 300L).map(i => (i, s"t${i % 3}", ((i * 13) % 101).toDouble / 7.0))
+    def run(df: DataFrame) = Anomaly.madOutliers(df, threshold = 1.2)
+      .collect().map(r => (r.getLong(0), r.getDouble(5))).sortBy(_._1).toSeq
+    val df = rows.toDF("event_id", "event_type", "value")
+    assert(run(df) == run(df.repartition(11)))
+  }
+
   test("htmlStrip drops script/style contents, decodes entities, keeps prose") {
     val docs = Seq(
       (1L, "<html><body><p>Hello &amp; welcome</p><script>var x = 1;</script>" +

@@ -1040,4 +1040,27 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(out(("en", "s2")) == ((1L, 1L, 1.0 / 3.0, 1.0 / 6.0)))
     assert(out(("de", "s1")) == ((1L, 3L, 1.0 / 3.0, 3.0 / 6.0)))
   }
+
+  test("lengthReport: exact nearest-rank percentiles per source") {
+    // source 'a': 10 docs of 1..10 words -> p50 = 5, p90 = 9, p99 = 10
+    val rows = (1 to 10).map(i => (i.toLong, ("w " * i).trim, "a")) :+
+      ((99L, "one two three", "b"))
+    val out = Curation.lengthReport(rows.toDF("doc_id", "text", "source"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("a")
+    assert(a.getLong(1) == 10L && a.getLong(2) == 55L) // n_docs, total
+    assert(a.getDouble(3) == 5.5)
+    assert((a.getLong(4), a.getLong(5), a.getLong(6)) == ((5L, 9L, 10L)))
+    val b = out("b")
+    assert((b.getLong(4), b.getLong(5), b.getLong(6)) == ((3L, 3L, 3L)))
+  }
+
+  test("lengthReport is bit-identical across parallelism") {
+    val rows = (0L until 400L).map(i => (i, ("x " * ((i % 37) + 1).toInt).trim, s"s${i % 5}"))
+    def run(df: DataFrame) = Curation.lengthReport(df).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).sortBy(_._1).toSeq
+    val df = rows.toDF("doc_id", "text", "source")
+    assert(run(df) == run(df.repartition(17)))
+  }
 }
