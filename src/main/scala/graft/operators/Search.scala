@@ -186,6 +186,79 @@ object Search {
   private[graft] def dcgCum(i: Int): java.math.BigDecimal =
     DcgWeights.take(i).foldLeft(java.math.BigDecimal.ZERO)(_.add(_))
 
+  /** rank r → relevance weight 1/(60+r), frozen to 10 decimal places (the
+    * RRF-style monotone transform of the upstream rank) — both engines
+    * read the same exact decimal literals. */
+  private[graft] def relWeight(r: Int): java.math.BigDecimal =
+    new java.math.BigDecimal(1.0 / (60.0 + r)).setScale(10, java.math.RoundingMode.HALF_UP)
+
+  /**
+   * Maximal-marginal-relevance (MMR, Carbonell & Goldstein 1998) selection —
+   * the diversified re-rank a pipeline applies when the top-k would
+   * otherwise be k near-copies (dedup-aware retrieval, eval-set building,
+   * demonstration selection): greedily pick the candidate maximizing
+   * `λ·rel − (1−λ)·max_sim_to_selected`, where rel is a frozen decimal
+   * transform of the upstream rank ([[relWeight]]) and sim is the exact
+   * sequential-fold cosine between candidate embeddings
+   * ([[Similarity.dot]]'s contract).
+   *
+   * Determinism: rel weights are exact decimals cast once to double; the
+   * per-step score is one fixed-order double expression `λ·rel − (1−λ)·
+   * maxsim` (λ and 1−λ interpolated as identical double literals into the
+   * oracle); argmax ties break on doc_id. Bit-identical across engines and
+   * parallelism.
+   *
+   * Scale: everything after the candidate fetch is candidate-bounded — the
+   * per-step join touches ≤ |candidates|·step rows per query and the argmax
+   * window sees ≤ |candidates| rows per query. Lineage is cut per step
+   * (lazy local checkpoint) so the k-step loop keeps constant-size plans.
+   * Candidates missing an embedding are dropped by the inner join (both
+   * engines alike).
+   *
+   * @param candidates (query_id, doc_id, rank) — rank dense from 1 per query
+   * @param embeddings (vec_id, embedding ARRAY<FLOAT>) keyed by doc id
+   * @return (query_id, mmr_rank, doc_id, bm25_rank) — `k` diversified picks
+   */
+  def mmrSelect(candidates: DataFrame, embeddings: DataFrame, k: Int = 5,
+      lambdaBp: Int = 7000, maxRank: Int = 64): DataFrame = {
+    require(k >= 1, "k >= 1")
+    require(lambdaBp >= 0 && lambdaBp <= 10000, "lambdaBp must be basis points")
+    val lam = lambdaBp / 10000.0
+    val oneMinusLam = 1.0 - lam
+    val relCase = (1 to maxRank)
+      .map(r => s"WHEN rank = $r THEN CAST(${relWeight(r)} AS DECIMAL(12,10))")
+      .mkString("CASE ", " ", " END")
+    val cand = candidates.select(col("query_id"), col("doc_id"), col("rank"))
+      .join(embeddings.select(col("vec_id").as("doc_id"), col("embedding")), Seq("doc_id"))
+      .select(col("query_id"), col("doc_id"), col("rank"),
+        col("embedding"), Similarity.norm("embedding").as("nrm"),
+        expr(relCase).cast("double").as("rel"))
+      .localCheckpoint(false)
+    var all = cand.where(col("rank") === 1)
+      .select(col("query_id"), col("doc_id"), col("rank"),
+        col("embedding"), col("nrm"), lit(1L).as("mmr_rank"))
+    for (i <- 2 to k) {
+      val selectedSlim = all.select(col("query_id"),
+        col("embedding").as("se"), col("nrm").as("sn"))
+      val rem = cand.join(all.select("query_id", "doc_id"),
+        Seq("query_id", "doc_id"), "left_anti")
+      val maxsim = rem.join(selectedSlim, Seq("query_id"))
+        .select(col("query_id"), col("doc_id"),
+          (Similarity.dot("embedding", "se") / (col("nrm") * col("sn"))).as("sim"))
+        .groupBy(col("query_id"), col("doc_id")).agg(max(col("sim")).as("maxsim"))
+      val pick = rem.join(maxsim, Seq("query_id", "doc_id"))
+        .withColumn("score", lit(lam) * col("rel") - lit(oneMinusLam) * col("maxsim"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id"))))
+        .where(col("rn") === 1)
+        .select(col("query_id"), col("doc_id"), col("rank"),
+          col("embedding"), col("nrm"), lit(i.toLong).as("mmr_rank"))
+      all = all.unionByName(pick).localCheckpoint(false)
+    }
+    all.select(col("query_id"), col("mmr_rank"), col("doc_id"),
+      col("rank").as("bm25_rank"))
+  }
+
   /**
    * Retrieval-quality report — the eval loop a pipeline runs after every
    * index/scorer change: per query, how the ranked list `hits` covers the

@@ -462,7 +462,12 @@ object LlmQueries {
     // per-source token-length distribution (exact nearest-rank percentiles):
     // the audit behind packing / truncation decisions
     "curate_length_report" -> ((s, dir) =>
-      graft.operators.Curation.lengthReport(docs(s, dir)))
+      graft.operators.Curation.lengthReport(docs(s, dir))),
+    // MMR-diversified top-5 over the shared BM25 candidate fetch: greedy
+    // λ·rel − (1−λ)·max-cosine-to-selected against the corpus embeddings
+    // (vec_id aligns with doc_id in the synthetic corpus, as in hybrid RRF)
+    "search_mmr" -> ((s, dir) =>
+      graft.operators.Search.mmrSelect(bm25Hits15(s, dir), emb(s, dir), k = 5))
   )
 
   /** Incoming side of the bloom gates: every 10th doc, half of them (every
@@ -764,6 +769,62 @@ object LlmQueries {
        |       CAST(1.0 AS DOUBLE) / a.first_rel_rank AS rr,
        |       COALESCE(CAST(a.dcg AS DOUBLE), 0.0) / CAST($idcgCase AS DOUBLE) AS ndcg
        |FROM rc LEFT JOIN agg a USING (query_id)""".stripMargin
+  }
+
+  /** MMR oracle: the search_bm25 CTE core (k=15 candidates), embeddings
+    * joined, then the greedy selection unrolled step by step — max cosine to
+    * the selected set via NOT EXISTS + join, argmax with doc_id tie-break.
+    * λ literals are written so both engines compute the identical doubles. */
+  private def searchMmrOracleSql(k: Int = 5, lambdaBp: Int = 7000): String = {
+    import graft.operators.Search
+    val lam = lambdaBp / 10000.0
+    val relCase = (1 to 64)
+      .map(r => s"WHEN rank = $r THEN CAST(${Search.relWeight(r)} AS DECIMAL(12,10))")
+      .mkString("CASE ", " ", " END")
+    val scoreSql = s"(CAST($lam AS DOUBLE) * r.rel - " +
+      s"(CAST(1.0 AS DOUBLE) - CAST($lam AS DOUBLE)) * m.maxsim)"
+    val steps = (2 to k).map { i =>
+      val prev = s"a${i - 1}"
+      s"""m$i AS (SELECT r.query_id, r.doc_id,
+         |        MAX(list_dot_product(r.emb, s.emb) / (r.nrm * s.nrm)) AS maxsim
+         |      FROM ce r JOIN $prev s ON r.query_id = s.query_id
+         |      WHERE NOT EXISTS (SELECT 1 FROM $prev x WHERE x.query_id = r.query_id AND x.doc_id = r.doc_id)
+         |      GROUP BY 1, 2),
+         |p$i AS (SELECT query_id, doc_id, rank, emb, nrm, CAST($i AS BIGINT) AS mmr_rank FROM (
+         |        SELECT r.query_id, r.doc_id, r.rank, r.emb, r.nrm,
+         |               ROW_NUMBER() OVER (PARTITION BY r.query_id
+         |                 ORDER BY $scoreSql DESC, r.doc_id) AS rn
+         |        FROM ce r JOIN m$i m ON r.query_id = m.query_id AND r.doc_id = m.doc_id)
+         |      WHERE rn = 1),
+         |a$i AS (SELECT * FROM $prev UNION ALL SELECT * FROM p$i)""".stripMargin
+    }
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |q AS (SELECT doc_id AS query_id, array_to_string((string_split(text, ' '))[1:4], ' ') AS qtext
+       |      FROM documents WHERE doc_id % 97 = 0),
+       |qt AS (SELECT DISTINCT query_id, term
+       |       FROM (SELECT query_id, unnest(string_split(qtext, ' ')) AS term FROM q)),
+       |dt AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM w),
+       |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM dt GROUP BY 1, 2, 3),
+       |m AS (SELECT qt.query_id, tf.doc_id, tf.dl, tf.term, tf.tf FROM tf JOIN qt USING (term)),
+       |dfq AS (SELECT term, COUNT(*) AS df FROM (SELECT DISTINCT term, doc_id FROM m) GROUP BY 1),
+       |st AS (SELECT COUNT(*) AS n_docs, SUM(len(ws)) AS sum_dl FROM w),
+       |c AS (SELECT m.query_id, m.doc_id,
+       |        CAST((ln(1 + ((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)))
+       |              * ((m.tf * (1.2 + 1)) / (m.tf + (1.2 * ((1.0 - 0.75) + ((0.75 * m.dl)
+       |                / (CAST(st.sum_dl AS DOUBLE) / st.n_docs))))))) AS DECIMAL(28,9)) AS c
+       |      FROM m JOIN dfq USING (term) CROSS JOIN st),
+       |sc AS (SELECT query_id, doc_id, SUM(c) AS score FROM c GROUP BY 1, 2),
+       |hits AS (SELECT query_id, doc_id, rank FROM (
+       |    SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+       |    FROM sc) WHERE rank <= 15),
+       |ce AS (SELECT h.query_id, h.doc_id, h.rank,
+       |              CAST(e.embedding AS DOUBLE[]) AS emb,
+       |              sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) AS nrm,
+       |              CAST($relCase AS DOUBLE) AS rel
+       |       FROM hits h JOIN embeddings e ON h.doc_id = e.vec_id),
+       |a1 AS (SELECT query_id, doc_id, rank, emb, nrm, CAST(1 AS BIGINT) AS mmr_rank FROM ce WHERE rank = 1),
+       |${steps.mkString(",\n")}
+       |SELECT query_id, mmr_rank, doc_id, rank AS bm25_rank FROM a$k""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
@@ -2001,6 +2062,7 @@ object LlmQueries {
         |SELECT s.source, s.n_docs, s.total_words,
         |       CAST(s.total_words AS DOUBLE) / s.n_docs AS mean_words,
         |       p.p50_words, p.p90_words, p.p99_words
-        |FROM s JOIN p USING (source)""".stripMargin
+        |FROM s JOIN p USING (source)""".stripMargin,
+    "search_mmr" -> searchMmrOracleSql()
   )
 }

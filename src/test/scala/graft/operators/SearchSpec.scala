@@ -151,4 +151,45 @@ class SearchSpec extends AnyFunSuite with SparkSpec {
     val out = Search.evalReport(hits, qrelsDf(1L -> 20L), k = 10).collect().head
     assert(out.getLong(2) == 0L && out.isNullAt(3))
   }
+
+  private def embDf(rows: (Long, Seq[Float])*): DataFrame =
+    rows.toDF("vec_id", "embedding")
+
+  test("mmrSelect: a near-duplicate of the top pick is deferred behind a diverse doc") {
+    // doc 2 duplicates doc 1's embedding; doc 3 is orthogonal. Greedy MMR at
+    // λ=0.7 picks 1, then 3 (sim 0 beats the duplicate's sim 1), then 2.
+    val cands = hitsDf((1L, 1L, 1L), (1L, 2L, 2L), (1L, 3L, 3L))
+    val emb = embDf(1L -> Seq(1f, 0f), 2L -> Seq(1f, 0f), 3L -> Seq(0f, 1f))
+    val out = Search.mmrSelect(cands, emb, k = 3)
+      .orderBy("mmr_rank").collect().map(_.getLong(2)).toSeq
+    assert(out == Seq(1L, 3L, 2L))
+  }
+
+  test("mmrSelect: λ=1 (pure relevance) reproduces the upstream rank order") {
+    val cands = hitsDf((1L, 1L, 1L), (1L, 2L, 2L), (1L, 3L, 3L))
+    val emb = embDf(1L -> Seq(1f, 0f), 2L -> Seq(1f, 0f), 3L -> Seq(0.6f, 0.8f))
+    val out = Search.mmrSelect(cands, emb, k = 3, lambdaBp = 10000)
+      .orderBy("mmr_rank").collect().map(_.getLong(2)).toSeq
+    assert(out == Seq(1L, 2L, 3L))
+  }
+
+  test("mmrSelect: candidates without embeddings are dropped; short lists truncate") {
+    val cands = hitsDf((1L, 1L, 1L), (1L, 2L, 2L), (1L, 9L, 3L))
+    val emb = embDf(1L -> Seq(1f, 0f), 2L -> Seq(0f, 1f)) // no vec for doc 9
+    val out = Search.mmrSelect(cands, emb, k = 5)
+      .orderBy("mmr_rank").collect().map(_.getLong(2)).toSeq
+    assert(out == Seq(1L, 2L))
+  }
+
+  test("mmrSelect is bit-identical across parallelism") {
+    val cands = (1 to 12).map(r => (1L, r.toLong * 7 % 13, r.toLong)) ++
+      (1 to 12).map(r => (2L, r.toLong, r.toLong))
+    val emb = (0L until 100L).map(i =>
+      (i, Seq(((i * 13) % 7).toFloat + 0.5f, ((i * 29) % 11).toFloat - 3f, (i % 3).toFloat)))
+    def run(c: DataFrame, e: DataFrame) = Search.mmrSelect(c, e, k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(t => (t._1, t._2)).toSeq
+    val c = cands.toDF("query_id", "doc_id", "rank")
+    val e = embDf(emb: _*)
+    assert(run(c, e) == run(c.repartition(9), e.repartition(7)))
+  }
 }
