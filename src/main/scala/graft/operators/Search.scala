@@ -237,26 +237,34 @@ object Search {
     var all = cand.where(col("rank") === 1)
       .select(col("query_id"), col("doc_id"), col("rank"),
         col("embedding"), col("nrm"), lit(1L).as("mmr_rank"))
-    for (i <- 2 to k) {
-      val selectedSlim = all.select(col("query_id"),
-        col("embedding").as("se"), col("nrm").as("sn"))
-      val rem = cand.join(all.select("query_id", "doc_id"),
-        Seq("query_id", "doc_id"), "left_anti")
-      val maxsim = rem.join(selectedSlim, Seq("query_id"))
-        .select(col("query_id"), col("doc_id"),
-          (Similarity.dot("embedding", "se") / (col("nrm") * col("sn"))).as("sim"))
-        .groupBy(col("query_id"), col("doc_id")).agg(max(col("sim")).as("maxsim"))
-      val pick = rem.join(maxsim, Seq("query_id", "doc_id"))
-        .withColumn("score", lit(lam) * col("rel") - lit(oneMinusLam) * col("maxsim"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id"))))
-        .where(col("rn") === 1)
-        .select(col("query_id"), col("doc_id"), col("rank"),
-          col("embedding"), col("nrm"), lit(i.toLong).as("mmr_rank"))
-      all = all.unionByName(pick).localCheckpoint(false)
-    }
+    for (i <- 2 to k)
+      all = all.unionByName(mmrStep(cand, all, i, lam, oneMinusLam))
+        .localCheckpoint(false)
     all.select(col("query_id"), col("mmr_rank"), col("doc_id"),
       col("rank").as("bm25_rank"))
+  }
+
+  /** One greedy MMR step: among candidates not yet selected, pick the
+    * per-query argmax of `λ·rel − (1−λ)·max sim to selected` (ties to the
+    * lower doc_id). Exposed for the plan audit — the step's windows must all
+    * be query-partitioned. */
+  private[operators] def mmrStep(cand: DataFrame, all: DataFrame, i: Int,
+      lam: Double, oneMinusLam: Double): DataFrame = {
+    val selectedSlim = all.select(col("query_id"),
+      col("embedding").as("se"), col("nrm").as("sn"))
+    val rem = cand.join(all.select("query_id", "doc_id"),
+      Seq("query_id", "doc_id"), "left_anti")
+    val maxsim = rem.join(selectedSlim, Seq("query_id"))
+      .select(col("query_id"), col("doc_id"),
+        (Similarity.dot("embedding", "se") / (col("nrm") * col("sn"))).as("sim"))
+      .groupBy(col("query_id"), col("doc_id")).agg(max(col("sim")).as("maxsim"))
+    rem.join(maxsim, Seq("query_id", "doc_id"))
+      .withColumn("score", lit(lam) * col("rel") - lit(oneMinusLam) * col("maxsim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id"))))
+      .where(col("rn") === 1)
+      .select(col("query_id"), col("doc_id"), col("rank"),
+        col("embedding"), col("nrm"), lit(i.toLong).as("mmr_rank"))
   }
 
   /**

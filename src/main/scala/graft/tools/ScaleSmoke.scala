@@ -190,6 +190,37 @@ object ScaleSmoke {
     t("qualitySummary (nearest-rank p50/p90/p99)") {
       graft.operators.Curation.qualitySummary(docs).count()
     }
+    t("lengthReport (per-source nearest-rank p50/p90/p99)") {
+      graft.operators.Curation.lengthReport(
+        docs.withColumn("source", (col("doc_id") % 40).cast("string"))).count()
+    }
+    t("pageRank (5 iters over derived domain graph, ~500 domains)") {
+      // one edge per doc + a second for even ids: corpus-sized edge list,
+      // fixed node count — the shape of a real host graph (edges >> nodes)
+      val e1 = docs.select(
+        concat(lit("d"), col("doc_id") % 499).as("src"),
+        concat(lit("d"), (col("doc_id") * 13 + 7) % 499).as("dst"))
+      val e2 = docs.where(col("doc_id") % 2 === 0).select(
+        concat(lit("d"), col("doc_id") % 499).as("src"),
+        concat(lit("d"), (col("doc_id") * 31 + 11) % 499).as("dst"))
+      graft.operators.Graph.pageRank(e1.union(e2), iters = 5).count()
+    }
+    t("mmrSelect + evalReport (20 queries x 15 candidates, corpus-sized qrels)") {
+      // candidate-bounded by construction; qrels deliberately corpus-sized
+      // (2M rows at 20x) to exercise the per-query aggregate path
+      val embKeyed = graft.operators.Points.table(spark, sfDir, "embeddings")
+        .crossJoin(spark.range(embReps).select(col("id").as("r")))
+        .select((col("vec_id") * embReps + col("r")).as("vec_id"), col("embedding"))
+      val nv = embKeyed.count()
+      val cands = spark.range(20).select(col("id").as("query_id"))
+        .crossJoin(spark.range(1, 16).select(col("id").as("rank")))
+        .select(col("query_id"),
+          ((col("query_id") * 31 + col("rank") * 7) % nv).as("doc_id"),
+          col("rank"))
+      graft.operators.Search.mmrSelect(cands, embKeyed, k = 5).count()
+      val qrels = docs.select((col("doc_id") % 20).as("query_id"), col("doc_id"))
+      graft.operators.Search.evalReport(cands, qrels, k = 10).count()
+    }
     // filter on the computed flag: a bare count() over a Project would let
     // Spark prune the scoring columns and measure only the scan
     t("gopherFilter") {
@@ -310,6 +341,9 @@ object ScaleSmoke {
     }
     t("zscoreOutliers (exact-decimal moments, broadcast stats)") {
       graft.operators.Anomaly.zscoreOutliers(ev).count()
+    }
+    t("madOutliers (two rank-picked stats, broadcast back)") {
+      graft.operators.Anomaly.madOutliers(ev, threshold = 1.5).count()
     }
     spark.stop()
   }

@@ -412,4 +412,45 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       assert(windows(df).isEmpty, s"$agg: unexpected WindowExec in crossSeries plan")
     }
   }
+
+  test("madOutliers: both rank sorts are key-partitioned windows") {
+    val ev = (0L until 128L).map(i => (i, s"t${i % 3}", (i % 11).toDouble))
+      .toDF("event_id", "event_type", "value")
+    val ws = windows(Anomaly.madOutliers(ev))
+    assert(ws.size >= 2, "expected the median and MAD rank windows")
+    assert(ws.forall(_.partitionSpec.nonEmpty),
+      "unpartitioned window in madOutliers: whole corpus on one task")
+  }
+
+  test("lengthReport: the percentile sort is source-partitioned") {
+    val d = (0L until 64L).map(i => (i, "a b c", s"s${i % 4}"))
+      .toDF("doc_id", "text", "source")
+    val ws = windows(Curation.lengthReport(d))
+    assert(ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty),
+      "unpartitioned percentile window in lengthReport")
+  }
+
+  test("mmrSelect step: the argmax window is query-partitioned (candidate-bounded)") {
+    // the final mmrSelect plan hides the loop behind per-step checkpoints,
+    // so the audit targets one step's plan directly
+    val cand = (1 to 8).map(r => (1L, r.toLong, r.toLong, Seq(1f, r.toFloat), 1.0, 0.01))
+      .toDF("query_id", "doc_id", "rank", "embedding", "nrm", "rel")
+    val all = (1 to 1).map(r => (1L, 9L, 1L, Seq(1f, 2f), 1.0, 1L))
+      .toDF("query_id", "doc_id", "rank", "embedding", "nrm", "mmr_rank")
+    val ws = windows(Search.mmrStep(cand, all, 2, 0.7, 0.3))
+    assert(ws.nonEmpty, "expected the per-step argmax window")
+    assert(ws.forall(_.partitionSpec.nonEmpty),
+      "unpartitioned window in mmrSelect step")
+  }
+
+  test("pageRank: plan size stays constant per extra iteration (lineage cut)") {
+    // without the per-iteration checkpoint the logical tree grows ~3x per
+    // iteration (the round-8 regression this guards): compare node counts
+    val edges = Seq(("A", "B"), ("B", "C"), ("C", "A")).toDF("src", "dst")
+    def nodes(iters: Int): Int =
+      Graph.pageRank(edges, iters = iters).queryExecution.analyzed.collect { case p => p }.size
+    val n2 = nodes(2)
+    val n6 = nodes(6)
+    assert(n6 <= n2 + 5, s"pageRank plan grows with iterations: iters=2 -> $n2 nodes, iters=6 -> $n6")
+  }
 }
