@@ -55,6 +55,68 @@ object Anomaly {
   }
 
   /**
+   * Streaming z-score flags — [[zscoreOutliers]] for an unbounded stream:
+   * per key, running moments carried in `flatMapGroupsWithState`, each
+   * micro-batch's rows flagged against the totals INCLUDING the batch (so a
+   * one-batch stream reproduces the batch operator's flags exactly — the
+   * equivalence the spec pins).
+   *
+   * State is three LONGs per key: n, Σ(value quantized at decimal scale 3),
+   * Σ(square at scale 6) — the identical quantization the batch operator's
+   * DECIMAL(18,3) cast applies (BigDecimal.valueOf = the same
+   * Double.toString route Spark's cast uses, HALF_UP at scale 3), summed in
+   * order-independent integer arithmetic. The 2^53 engine-parity bound on
+   * the scaled sums is the batch operator's documented contract; past it the
+   * state update throws rather than silently drifting. Mean/dev re-derive
+   * from the totals with the batch expression order, so z-scores are
+   * bit-identical to the batch path.
+   *
+   * Scale: state is O(#keys) x 24 bytes; each micro-batch shuffles once on
+   * the key. Works in streaming (append mode) and on a batch frame (state
+   * starts empty — the spec's equivalence harness).
+   */
+  def zscoreStreamFlags(events: DataFrame, keyCol: String = "event_type",
+      valueCol: String = "value", idCol: String = "event_id",
+      threshold: Double = 3.0): DataFrame = {
+    require(threshold > 0, "threshold must be positive")
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ds = events
+      .select(col(idCol).cast("long"), col(keyCol).cast("string"),
+        col(valueCol).cast("double"))
+      .as[(Long, String, Double)]
+    ds.groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[(Long, String, Double)],
+         state: GroupState[(Long, Long, Long)]) =>
+          val batch = rows.toVector
+          var (n, s3, ss6) = state.getOption.getOrElse((0L, 0L, 0L))
+          batch.foreach { case (_, _, v) =>
+            val q = java.math.BigDecimal.valueOf(v)
+              .setScale(3, java.math.RoundingMode.HALF_UP)
+              .unscaledValue().longValueExact()
+            n += 1
+            s3 = math.addExact(s3, q)
+            ss6 = math.addExact(ss6, math.multiplyExact(q, q))
+          }
+          state.update((n, s3, ss6))
+          if (n < 2) Iterator.empty
+          else {
+            val s = s3.toDouble / 1000.0
+            val ex2 = (ss6.toDouble / 1000000.0) / n
+            val mean = s / n
+            val dev = math.sqrt((ex2 - mean * mean) * n / (n - 1))
+            if (!(dev > 0)) Iterator.empty
+            else batch.iterator
+              .filter { case (_, _, v) => math.abs(v - mean) > threshold * dev }
+              .map { case (id, k, v) => (id, k, v, mean, dev, (v - mean) / dev, n) }
+          }
+      }
+      .toDF(idCol, keyCol, valueCol, "mean", "dev", "z", "n_so_far")
+  }
+
+  /**
    * Robust (median/MAD) outlier detection — the screen to reach for when the
    * contamination itself would poison the z-score's mean and deviation: per
    * group, the nearest-rank median and the median absolute deviation, then

@@ -109,6 +109,34 @@ object Funnel {
           |     END AS BIGINT)""".stripMargin))
   }
 
+  /**
+   * Top-k heavy hitters per (group, UTC day) — the per-window contributor
+   * audit behind abuse/skew detection and hot-key discovery: which ids
+   * dominate each group's daily volume?
+   *
+   * Scale: counts aggregate map-side (partial combine) on the composite
+   * (group, day, id) key; ranking rides the k-bounded
+   * [[graft.functions.TopKScoreIdAgg]] — each task folds its counts into a
+   * k-entry buffer, so no corpus-sized rank window exists anywhere. Count
+   * ties break toward the LOWER id (score desc, id asc), fully deterministic.
+   */
+  def heavyHitters(events: DataFrame, keyCol: String, tsMsCol: String,
+      idCol: String, k: Int = 3): DataFrame = {
+    require(k >= 1, "k >= 1")
+    // exact integer FLOOR division (see retention's negative-ts note)
+    val day = expr(
+      s"$tsMsCol div 86400000 - (CASE WHEN $tsMsCol % 86400000 < 0 THEN 1 ELSE 0 END)")
+    val counts = events.select(col(keyCol), day.as("day"), col(idCol))
+      .groupBy(col(keyCol), col("day"), col(idCol))
+      .agg(count(lit(1)).as("n"))
+    counts.groupBy(col(keyCol), col("day"))
+      .agg(graft.functions.TopKScoreIdAgg
+        .topKScoreId(col("n").cast("double"), col(idCol), k).as("tk"))
+      .select(col(keyCol), col("day"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col(keyCol), col("day"), col("e.id").as(idCol),
+        col("e.score").cast("long").as("n"), (col("pos") + 1).cast("long").as("rank"))
+  }
+
   def retention(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
     // exact integer FLOOR division, matching the oracle's `//`: Spark's `div`
     // truncates toward zero, which disagrees with floor on negative

@@ -491,6 +491,29 @@ object TextAnalysis {
     * corpus-token rows), then orderBy+limit plans as TakeOrderedAndProject:
     * per-partition top-k heaps, no global sort. Ordering is total
     * (count desc, then token) so the cut at `k` is deterministic. */
+  /**
+   * Sentence segmentation stats — the structural signal quality filters key
+   * on (wall-of-text vs list vs prose): split on terminal punctuation runs
+   * (`[.!?]+` followed by a space or end-of-text), count sentences and their
+   * word lengths. Pure row-wise higher-order-function work over the scan —
+   * no shuffle, no explode; the per-doc arrays never leave the row. The
+   * split regex is RE2-compatible so the oracle segments identically; the
+   * mean is one IEEE division per row.
+   */
+  def sentenceStats(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        filter(split(col("text"), "[.!?]+( |$)"), s => length(s) > 0).as("sents"))
+      .select(col("doc_id"),
+        transform(col("sents"), s => size(split(s, " ")).cast("long")).as("wc"))
+      .select(col("doc_id"),
+        size(col("wc")).cast("long").as("n_sentences"),
+        aggregate(col("wc"), lit(0L), (acc, x) => acc + x).as("n_sentence_words"),
+        array_max(col("wc")).as("max_sentence_words"))
+      .withColumn("mean_sentence_words",
+        when(col("n_sentences") > 0,
+          col("n_sentence_words").cast("double") / col("n_sentences")))
+
   def vocab(docs: DataFrame, k: Int = 100): DataFrame =
     docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .groupBy("word")

@@ -108,6 +108,12 @@ object ApiQueries {
     // accumulation anywhere, so no decimal quantization is even needed
     "events_outliers_mad" -> ((s, dir) =>
       Anomaly.madOutliers(Points.table(s, dir, "events"), threshold = 3.0)),
+    // per-(type, day) top-3 contributors by event count: map-side-combined
+    // counts + the k-bounded topk aggregate — no corpus-sized rank window
+    "events_heavy_hitters" -> ((s, dir) => {
+      val ev = Points.table(s, dir, "events").withColumn("ts_ms", expr("ts div 1000000"))
+      Funnel.heavyHitters(ev, "event_type", "ts_ms", "user_id", k = 3)
+    }),
     // Semi-structured extraction: pull the numeric `k` out of the JSON-ish
     // props string with a regex (portable to the oracle without a JSON
     // extension) and aggregate per decade bucket.
@@ -467,6 +473,14 @@ object ApiQueries {
         |       (a.value - a.med) / m.mad AS score
         |FROM a JOIN mad m USING (event_type)
         |WHERE m.mad > 0 AND a.ad > CAST(3.0 AS DOUBLE) * m.mad""".stripMargin,
+    "events_heavy_hitters" ->
+      """WITH e AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day, user_id FROM events),
+        |c AS (SELECT event_type, day, user_id, CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM e GROUP BY 1, 2, 3)
+        |SELECT event_type, day, user_id, n, rank FROM (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY event_type, day ORDER BY n DESC, user_id) AS BIGINT) AS rank
+        |  FROM c)
+        |WHERE rank <= 3""".stripMargin,
     "api_props_extract" ->
       """SELECT event_type,
         |       TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) // 10 * 10 AS k_decade,

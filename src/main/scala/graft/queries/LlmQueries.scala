@@ -467,7 +467,15 @@ object LlmQueries {
     // λ·rel − (1−λ)·max-cosine-to-selected against the corpus embeddings
     // (vec_id aligns with doc_id in the synthetic corpus, as in hybrid RRF)
     "search_mmr" -> ((s, dir) =>
-      graft.operators.Search.mmrSelect(bm25Hits15(s, dir), emb(s, dir), k = 5))
+      graft.operators.Search.mmrSelect(bm25Hits15(s, dir), emb(s, dir), k = 5)),
+    // sentence segmentation stats over planted terminal punctuation (a
+    // period after every 5-word run): the prose-structure quality signal
+    "text_sentences" -> ((s, dir) => {
+      val planted = docs(s, dir).select(col("doc_id"),
+        regexp_replace(col("text"),
+          "([a-z0-9]+ [a-z0-9]+ [a-z0-9]+ [a-z0-9]+ [a-z0-9]+) ", "$1. ").as("text"))
+      TextAnalysis.sentenceStats(planted)
+    })
   )
 
   /** Incoming side of the bloom gates: every 10th doc, half of them (every
@@ -2063,6 +2071,20 @@ object LlmQueries {
         |       CAST(s.total_words AS DOUBLE) / s.n_docs AS mean_words,
         |       p.p50_words, p.p90_words, p.p99_words
         |FROM s JOIN p USING (source)""".stripMargin,
-    "search_mmr" -> searchMmrOracleSql()
+    "search_mmr" -> searchMmrOracleSql(),
+    "text_sentences" ->
+      """WITH d AS (SELECT doc_id,
+        |             regexp_replace(text, '([a-z0-9]+ [a-z0-9]+ [a-z0-9]+ [a-z0-9]+ [a-z0-9]+) ', '\1. ', 'g') AS text
+        |           FROM documents),
+        |l AS (SELECT doc_id, list_filter(string_split_regex(text, '[.!?]+( |$)'), s -> s != '') AS sents FROM d),
+        |w AS (SELECT doc_id,
+        |             list_transform(sents, s -> CAST(len(string_split(s, ' ')) AS BIGINT)) AS wc,
+        |             len(sents) AS n_sentences
+        |      FROM l)
+        |SELECT doc_id, CAST(n_sentences AS BIGINT) AS n_sentences,
+        |       CAST(COALESCE(list_sum(wc), 0) AS BIGINT) AS n_sentence_words,
+        |       list_max(wc) AS max_sentence_words,
+        |       CASE WHEN n_sentences > 0 THEN CAST(list_sum(wc) AS DOUBLE) / n_sentences END AS mean_sentence_words
+        |FROM w""".stripMargin
   )
 }

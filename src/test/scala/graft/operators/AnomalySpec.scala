@@ -68,6 +68,41 @@ class AnomalySpec extends AnyFunSuite with SparkSpec {
     assert(run(df) == run(df.repartition(11)))
   }
 
+  test("zscoreStreamFlags on one batch reproduces the batch operator exactly") {
+    val rows = (0L until 400L).map(i => (i, s"t${i % 3}", ((i * 17) % 89).toDouble / 4.0))
+    val df = rows.toDF("event_id", "event_type", "value")
+    val batch = Anomaly.zscoreOutliers(df, threshold = 1.5).collect()
+      .map(r => (r.getLong(0), r.getDouble(5))).sortBy(_._1).toSeq
+    val stream = Anomaly.zscoreStreamFlags(df, threshold = 1.5).collect()
+      .map(r => (r.getLong(0), r.getDouble(5))).sortBy(_._1).toSeq
+    assert(batch.nonEmpty && stream == batch) // exact doubles, same flags
+  }
+
+  test("zscoreStreamFlags carries running moments across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String, Double)]
+    val flagged = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val q = Anomaly.zscoreStreamFlags(
+        input.toDS().toDF("event_id", "event_type", "value"))
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val f = b.select("event_id", "n_so_far").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        flagged.synchronized { flagged ++= f }
+        ()
+      }.start()
+    // batch 1: a tight cluster — nothing flags
+    input.addData((1L to 50L).map(i => (i, "a", 10.0 + (i % 5) * 0.1)): _*)
+    q.processAllAvailable()
+    // batch 2: one spike; flagged against the 52-row running totals
+    input.addData((100L, "a", 500.0), (101L, "a", 10.2))
+    q.processAllAvailable()
+    q.stop()
+    assert(flagged.map(_._1).toSet == Set(100L))
+    assert(flagged.head._2 == 52L) // n_so_far includes BOTH batches
+  }
+
   test("htmlStrip drops script/style contents, decodes entities, keeps prose") {
     val docs = Seq(
       (1L, "<html><body><p>Hello &amp; welcome</p><script>var x = 1;</script>" +

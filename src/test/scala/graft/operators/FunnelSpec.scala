@@ -80,4 +80,37 @@ class FunnelSpec extends AnyFunSuite with SparkSpec {
     val out = run((1L, 10L, "b"), (1L, 20L, "c"), (2L, 1L, "a"))
     assert(!out.contains(1L) && out.contains(2L))
   }
+
+  test("heavyHitters: per-(key, day) top-k by count, ties to the lower id") {
+    val day = 86400000L
+    // day 0 type a: user 1 x3, user 2 x3 (tie -> 1 first), user 3 x1
+    val ev = Seq(
+      (1L, 0L, "a"), (1L, 1L, "a"), (1L, 2L, "a"),
+      (2L, 3L, "a"), (2L, 4L, "a"), (2L, 5L, "a"),
+      (3L, 6L, "a"),
+      (7L, day + 1L, "a"), // day 1
+      (9L, 10L, "b")
+    ).map { case (u, t, k) => (u, t, k) }
+      .toDF("user_id", "ts_ms", "event_type")
+    val out = Funnel.heavyHitters(ev, "event_type", "ts_ms", "user_id", k = 2)
+      .collect()
+      .map(r => ((r.getString(0), r.getLong(1), r.getLong(4)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(("a", 0L, 1L)) == ((1L, 3L))) // rank 1: user 1, count 3
+    assert(out(("a", 0L, 2L)) == ((2L, 3L))) // rank 2: tie broken to user 2
+    assert(out(("a", 1L, 1L)) == ((7L, 1L)))
+    assert(out(("b", 0L, 1L)) == ((9L, 1L)))
+    assert(!out.contains(("a", 0L, 3L))) // k=2 cuts user 3
+  }
+
+  test("heavyHitters is bit-identical across parallelism") {
+    val ev = (0L until 1000L)
+      .map(i => (i % 37, i * 3600000L, s"t${i % 4}"))
+      .toDF("user_id", "ts_ms", "event_type")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Funnel.heavyHitters(df, "event_type", "ts_ms", "user_id", k = 3).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .sortBy(t => (t._1, t._2, t._5)).toSeq
+    assert(run(ev) == run(ev.repartition(13)))
+  }
 }

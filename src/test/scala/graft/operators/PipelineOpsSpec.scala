@@ -1055,6 +1055,22 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert((b.getLong(4), b.getLong(5), b.getLong(6)) == ((3L, 3L, 3L)))
   }
 
+  test("sentenceStats: terminal-punctuation runs split; stats hand-checked") {
+    val d = docs(
+      1L -> "one two three. four five! six seven eight?? nine",
+      2L -> "no terminal punctuation at all",
+      3L -> "trailing end.")
+    val out = TextAnalysis.sentenceStats(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getLong(1) == 4L)      // sentences
+    assert(r1.getLong(2) == 9L)      // words across sentences
+    assert(r1.getLong(3) == 3L)      // max sentence words
+    assert(r1.getDouble(4) == 9.0 / 4)
+    assert(out(2L).getLong(1) == 1L && out(2L).getLong(2) == 5L)
+    assert(out(3L).getLong(1) == 1L && out(3L).getLong(2) == 2L)
+  }
+
   test("lengthReport is bit-identical across parallelism") {
     val rows = (0L until 400L).map(i => (i, ("x " * ((i % 37) + 1).toInt).trim, s"s${i % 5}"))
     def run(df: DataFrame) = Curation.lengthReport(df).collect()
