@@ -233,6 +233,9 @@ object Search {
       .select(col("query_id"), col("doc_id"), col("rank"),
         col("embedding"), Similarity.norm("embedding").as("nrm"),
         expr(relCase).cast("double").as("rel"))
+      // a zero-norm vector has no defined cosine: excluded by contract
+      // (it would be an ANSI divide-by-zero in the similarity term)
+      .where(col("nrm") > 0)
       .localCheckpoint(false)
     var all = cand.where(col("rank") === 1)
       .select(col("query_id"), col("doc_id"), col("rank"),

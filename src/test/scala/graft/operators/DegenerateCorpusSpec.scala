@@ -134,4 +134,50 @@ class DegenerateCorpusSpec extends AnyFunSuite with SparkSpec {
     assert(Similarity.bqKnn(one, one, k = 3, bits = 8, dim = 16).count() == 0)
     assert(Similarity.prefixKnn(one, one, k = 3, prefixDim = 8).count() == 0)
   }
+
+  test("session-2 operators survive degenerate inputs") {
+    // pageRank: empty edge list -> empty ranks; a single self-loop keeps all
+    // its mass (teleport + damped self-contribution, floors only)
+    val noEdges = Seq.empty[(String, String)].toDF("src", "dst")
+    assert(Graph.pageRank(noEdges, iters = 3).count() == 0)
+    val selfLoop = Seq(("a", "a")).toDF("src", "dst")
+    val sr = Graph.pageRank(selfLoop, iters = 3).collect()
+    assert(sr.length == 1 && sr.head.getLong(1) > 999999999990L)
+    // eval/MMR: empty hits and empty qrels degrade, never throw
+    val noHits = Seq.empty[(Long, Long, Long)].toDF("query_id", "doc_id", "rank")
+    val someRels = Seq((1L, 2L)).toDF("query_id", "doc_id")
+    val ev0 = Search.evalReport(noHits, someRels).collect()
+    assert(ev0.length == 1 && ev0.head.getDouble(5) == 0.0)
+    assert(Search.evalReport(noHits, someRels.where(lit(false))).count() == 0)
+    val emb = Seq((2L, Seq(1f, 0f))).toDF("vec_id", "embedding")
+    assert(Search.mmrSelect(noHits, emb, k = 3).count() == 0)
+    // zero-norm embedding: no defined cosine -> excluded by contract (would
+    // be an ANSI divide-by-zero in the similarity term otherwise)
+    val zcands = Seq((1L, 1L, 1L), (1L, 2L, 2L), (1L, 3L, 3L))
+      .toDF("query_id", "doc_id", "rank")
+    val zemb = Seq((1L, Seq(1f, 0f)), (2L, Seq(0f, 0f)), (3L, Seq(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val zout = Search.mmrSelect(zcands, zemb, k = 3).collect().map(_.getLong(2)).toSet
+    assert(zout == Set(1L, 3L))
+    // length report / sentence stats on the nasty corpus
+    assert(Curation.lengthReport(nastyFull).count() == 1)
+    assert(TextAnalysis.sentenceStats(nasty).count() == 9)
+    val s1 = TextAnalysis.sentenceStats(nasty).collect().map(r => r.getLong(0) -> r).toMap
+    assert(s1(1L).getLong(1) == 0L && s1(1L).isNullAt(4)) // empty text: no sentences, NULL mean
+    assert(s1(4L).getLong(1) == 1L) // "!!! ??? ***": the non-terminal "***" tail survives
+    // MAD / streaming z-score / heavy hitters on empty and tiny frames
+    val noVals2 = Seq.empty[(Long, String, Double)].toDF("event_id", "event_type", "value")
+    assert(Anomaly.madOutliers(noVals2).count() == 0)
+    assert(Anomaly.zscoreStreamFlags(noVals2).count() == 0)
+    val oneEvent = Seq((1L, "t", 5.0)).toDF("event_id", "event_type", "value")
+    assert(Anomaly.madOutliers(oneEvent).count() == 0)
+    assert(Anomaly.zscoreStreamFlags(oneEvent).count() == 0)
+    val noTs = Seq.empty[(Long, Long, String)].toDF("user_id", "ts_ms", "event_type")
+    assert(Funnel.heavyHitters(noTs, "event_type", "ts_ms", "user_id").count() == 0)
+    // negative (pre-1970) timestamps bucket by FLOOR division
+    val neg = Seq((1L, -1L, "t"), (2L, -86400001L, "t")).toDF("user_id", "ts_ms", "event_type")
+    val days = Funnel.heavyHitters(neg, "event_type", "ts_ms", "user_id")
+      .select("day").collect().map(_.getLong(0)).sorted.toSeq
+    assert(days == Seq(-2L, -1L))
+  }
 }
