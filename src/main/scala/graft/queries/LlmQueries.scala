@@ -468,6 +468,24 @@ object LlmQueries {
     // (vec_id aligns with doc_id in the synthetic corpus, as in hybrid RRF)
     "search_mmr" -> ((s, dir) =>
       graft.operators.Search.mmrSelect(bm25Hits15(s, dir), emb(s, dir), k = 5)),
+    // the composition the Graph family exists for: domain authority (a
+    // 3-iteration PageRank over the planted link structure) joined with the
+    // per-doc quality score into one curation prior, quality x domain_rank
+    "curate_domain_prior" -> ((s, dir) => {
+      val d = docs(s, dir)
+      def site(c: org.apache.spark.sql.Column) = concat(lit("site"), c.cast("string"))
+      def cdn(c: org.apache.spark.sql.Column) = concat(lit("cdn"), c.cast("string"))
+      val edges = d
+        .select(site(col("doc_id") % 7).as("src"), cdn(col("doc_id") % 3).as("dst"))
+        .union(d.select(cdn(col("doc_id") % 3).as("src"), site(col("doc_id") % 5).as("dst")))
+      val ranks = graft.operators.Graph.pageRank(edges, iters = 3)
+      val quality = TextAnalysis.qualityScore(d).select(col("doc_id"), col("quality"))
+      d.select(col("doc_id"), site(col("doc_id") % 7).as("domain"))
+        .join(broadcast(ranks), Seq("domain"))
+        .join(quality, Seq("doc_id"))
+        .select(col("doc_id"), col("domain"), col("rank_fp"), col("quality"),
+          (col("quality") * col("rank")).as("prior"))
+    }),
     // sentence segmentation stats over planted terminal punctuation (a
     // period after every 5-word run): the prose-structure quality signal
     "text_sentences" -> ((s, dir) => {
@@ -707,13 +725,26 @@ object LlmQueries {
     * loop at any iteration count. */
   private def pageRankOracleSql(iters: Int = 5, dampBp: Int = 8500,
       scale: Long = 1000000000000L): String = {
+    val edges =
+      """  SELECT 'site' || CAST(doc_id % 7 AS VARCHAR) AS src, 'cdn' || CAST(doc_id % 3 AS VARCHAR) AS dst FROM documents
+        |  UNION ALL SELECT 'cdn' || CAST(doc_id % 3 AS VARCHAR), 'site' || CAST(doc_id % 5 AS VARCHAR) FROM documents
+        |  UNION ALL SELECT 'site' || CAST(doc_id % 7 AS VARCHAR), 'site' || CAST((doc_id + 3) % 7 AS VARCHAR) FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL SELECT 'site' || CAST(doc_id % 7 AS VARCHAR), 'sink' FROM documents WHERE doc_id % 11 = 0""".stripMargin
+    s"""WITH ${pageRankCtes(edges, iters, dampBp, scale)}
+       |SELECT domain, CAST(rank_fp AS BIGINT) AS rank_fp,
+       |       CAST(rank_fp AS DOUBLE) / $scale AS rank
+       |FROM r$iters""".stripMargin
+  }
+
+  /** The PageRank replay as reusable CTEs (`e` .. `r<iters>`) over a caller-
+    * supplied edges SELECT — shared by the standalone gate and the
+    * domain-prior composition. */
+  private def pageRankCtes(edgesSql: String, iters: Int, dampBp: Int,
+      scale: Long): String = {
     val tele = scale - scale * dampBp / 10000
     val head =
-      s"""WITH e AS (
-         |  SELECT 'site' || CAST(doc_id % 7 AS VARCHAR) AS src, 'cdn' || CAST(doc_id % 3 AS VARCHAR) AS dst FROM documents
-         |  UNION ALL SELECT 'cdn' || CAST(doc_id % 3 AS VARCHAR), 'site' || CAST(doc_id % 5 AS VARCHAR) FROM documents
-         |  UNION ALL SELECT 'site' || CAST(doc_id % 7 AS VARCHAR), 'site' || CAST((doc_id + 3) % 7 AS VARCHAR) FROM documents WHERE doc_id % 2 = 0
-         |  UNION ALL SELECT 'site' || CAST(doc_id % 7 AS VARCHAR), 'sink' FROM documents WHERE doc_id % 11 = 0),
+      s"""e AS (
+         |$edgesSql),
          |w AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS wt FROM e GROUP BY 1, 2),
          |ow AS (SELECT src, SUM(wt) AS outw FROM w GROUP BY 1),
          |nodes AS (SELECT src AS domain FROM e UNION SELECT dst FROM e),
@@ -728,10 +759,25 @@ object LlmQueries {
          |      FROM nodes CROSS JOIN nn CROSS JOIN g$k LEFT JOIN c$k ON nodes.domain = c$k.domain)""".stripMargin
     }
     s"""$head,
-       |${rounds.mkString(",\n")}
-       |SELECT domain, CAST(rank_fp AS BIGINT) AS rank_fp,
-       |       CAST(rank_fp AS DOUBLE) / $scale AS rank
-       |FROM r$iters""".stripMargin
+       |${rounds.mkString(",\n")}""".stripMargin
+  }
+
+  /** Domain-prior composition oracle: a 3-iteration PageRank over the
+    * site→cdn→site link structure, joined with the quality score — the
+    * per-doc curation prior `quality · domain_rank`. */
+  private def domainPriorOracleSql(iters: Int = 3): String = {
+    val edges =
+      """  SELECT 'site' || CAST(doc_id % 7 AS VARCHAR) AS src, 'cdn' || CAST(doc_id % 3 AS VARCHAR) AS dst FROM documents
+        |  UNION ALL SELECT 'cdn' || CAST(doc_id % 3 AS VARCHAR), 'site' || CAST(doc_id % 5 AS VARCHAR) FROM documents""".stripMargin
+    s"""WITH ${pageRankCtes(edges, iters, 8500, 1000000000000L)},
+       |$scoredSql,
+       |dd AS (SELECT doc_id, 'site' || CAST(doc_id % 7 AS VARCHAR) AS domain FROM documents)
+       |SELECT dd.doc_id, dd.domain,
+       |       CAST(r.rank_fp AS BIGINT) AS rank_fp,
+       |       s.quality,
+       |       s.quality * (CAST(r.rank_fp AS DOUBLE) / 1000000000000) AS prior
+       |FROM dd JOIN r$iters r ON dd.domain = r.domain
+       |JOIN s ON dd.doc_id = s.doc_id""".stripMargin
   }
 
   /** Retrieval-eval oracle: the search_bm25 CTE core (kept textually in
@@ -2056,6 +2102,7 @@ object LlmQueries {
         |      CASE WHEN r.rate >= 1 THEN 'g'
         |           ELSE printf('%04x', CAST(floor(r.rate * 65536) AS INT)) END""".stripMargin,
     "graph_pagerank" -> pageRankOracleSql(),
+    "curate_domain_prior" -> domainPriorOracleSql(),
     "search_eval" -> searchEvalOracleSql(),
     "curate_length_report" ->
       """WITH t AS (SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words FROM documents),
