@@ -122,6 +122,27 @@ object PipelineQuickstart {
         probes.select(col("query_id"), col("query_id").as("doc_id")), k = 3)
       .where(col("query_id").isin(0L, 100L)).orderBy("query_id", "rank").show(6)
 
+    // 5b. domain authority as a curation prior: PageRank over the link
+    //     graph (planted here; real pipelines extract it with
+    //     TextAnalysis.urls), joined back onto each doc's quality
+    val siteOf = concat(lit("site"), (col("doc_id") % 7).cast("string"))
+    val cdnOf = concat(lit("cdn"), (col("doc_id") % 3).cast("string"))
+    val edges = deduped.select(siteOf.as("src"), cdnOf.as("dst"))
+      .union(deduped.select(cdnOf.as("src"),
+        concat(lit("site"), (col("doc_id") % 5).cast("string")).as("dst")))
+    val ranks = graft.operators.Graph.pageRank(edges, iters = 3)
+    println("domain authority (top 3 by fixed-point PageRank):")
+    ranks.orderBy(col("rank_fp").desc).show(3)
+    println("retrieval eval vs prefix-share ground truth (MRR / nDCG@10):")
+    val qrels = deduped
+      .select(col("doc_id"),
+        array_join(slice(org.apache.spark.sql.functions.split(col("text"), " "), 1, 4), " ").as("p"))
+      .join(broadcast(probes), col("p") === col("qtext"))
+      .select(col("query_id"), col("doc_id"))
+    graft.operators.Search.evalReport(
+        graft.operators.Search.bm25TopK(deduped, probes, k = 10), qrels)
+      .orderBy("query_id").show(3)
+
     // 6. the same engine serves the behavioral side: sessionized events
     val ev = graft.operators.Points.table(spark, sfDir, "events")
       .withColumn("ts_ms", expr("ts div 1000000"))
@@ -132,6 +153,9 @@ object PipelineQuickstart {
       Seq("signup", "view", "purchase"), horizonMs = 86400000L)
     println("signup -> view -> purchase funnel (24h gaps):")
     fun.groupBy("steps_reached").count().orderBy("steps_reached").show()
+    println("daily heavy hitters (top contributor per event type, first day):")
+    graft.operators.Funnel.heavyHitters(ev, "event_type", "ts_ms", "user_id", k = 1)
+      .orderBy("day", "event_type").show(5)
 
     spark.stop()
   }
