@@ -137,6 +137,32 @@ object Funnel {
         col("e.score").cast("long").as("n"), (col("pos") + 1).cast("long").as("rank"))
   }
 
+  /**
+   * Day-over-day volume trend per group — the monitoring view over an event
+   * stream: daily counts with the previous day's count, absolute delta, and
+   * percent change (NULL when there is no previous day).
+   *
+   * Scale: the corpus collapses to one (group, day) count row map-side; the
+   * lag window then runs over the tiny aggregated frame (distinct days per
+   * group), never the raw events. Deltas are LONG arithmetic; pct_change is
+   * one IEEE division per row.
+   */
+  def dailyTrend(events: DataFrame, keyCol: String, tsMsCol: String): DataFrame = {
+    val day = expr(
+      s"$tsMsCol div 86400000 - (CASE WHEN $tsMsCol % 86400000 < 0 THEN 1 ELSE 0 END)")
+    val counts = events.select(col(keyCol), day.as("day"))
+      .groupBy(col(keyCol), col("day")).agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("day"))
+    counts
+      .withColumn("prev_day", lag(col("day"), 1).over(w))
+      .withColumn("prev_n", lag(col("n"), 1).over(w))
+      .select(col(keyCol), col("day"), col("n"), col("prev_day"), col("prev_n"),
+        (col("n") - col("prev_n")).as("delta"),
+        when(col("prev_n") > 0,
+          (col("n") - col("prev_n")).cast("double") / col("prev_n")).as("pct_change"))
+  }
+
   def retention(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
     // exact integer FLOOR division, matching the oracle's `//`: Spark's `div`
     // truncates toward zero, which disagrees with floor on negative

@@ -108,6 +108,12 @@ object ApiQueries {
     // accumulation anywhere, so no decimal quantization is even needed
     "events_outliers_mad" -> ((s, dir) =>
       Anomaly.madOutliers(Points.table(s, dir, "events"), threshold = 3.0)),
+    // day-over-day volume trend: counts collapse map-side, the lag window
+    // runs over the tiny (type, day) frame — the monitoring view
+    "events_daily_trend" -> ((s, dir) => {
+      val ev = Points.table(s, dir, "events").withColumn("ts_ms", expr("ts div 1000000"))
+      Funnel.dailyTrend(ev, "event_type", "ts_ms")
+    }),
     // per-(type, day) top-3 contributors by event count: map-side-combined
     // counts + the k-bounded topk aggregate — no corpus-sized rank window
     "events_heavy_hitters" -> ((s, dir) => {
@@ -473,6 +479,18 @@ object ApiQueries {
         |       (a.value - a.med) / m.mad AS score
         |FROM a JOIN mad m USING (event_type)
         |WHERE m.mad > 0 AND a.ad > CAST(3.0 AS DOUBLE) * m.mad""".stripMargin,
+    "events_daily_trend" ->
+      """WITH c AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+        |                  CAST(COUNT(*) AS BIGINT) AS n
+        |           FROM events GROUP BY 1, 2)
+        |SELECT event_type, day, n,
+        |       LAG(day) OVER (PARTITION BY event_type ORDER BY day) AS prev_day,
+        |       LAG(n) OVER (PARTITION BY event_type ORDER BY day) AS prev_n,
+        |       n - LAG(n) OVER (PARTITION BY event_type ORDER BY day) AS delta,
+        |       CASE WHEN LAG(n) OVER (PARTITION BY event_type ORDER BY day) > 0
+        |            THEN CAST(n - LAG(n) OVER (PARTITION BY event_type ORDER BY day) AS DOUBLE)
+        |                 / LAG(n) OVER (PARTITION BY event_type ORDER BY day) END AS pct_change
+        |FROM c""".stripMargin,
     "events_heavy_hitters" ->
       """WITH e AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day, user_id FROM events),
         |c AS (SELECT event_type, day, user_id, CAST(COUNT(*) AS BIGINT) AS n

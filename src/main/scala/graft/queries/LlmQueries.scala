@@ -268,6 +268,15 @@ object LlmQueries {
       val e = emb(s, dir)
       graft.operators.SimilarityPq.adcKnn(e, e.where(col("vec_id") < 5), k = 5)
     }),
+    // PQ index-quality audit: ADC top-5 vs brute-force ground truth, the
+    // compression-loss counterpart of the IVF recall report
+    "embed_pq_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.where(col("vec_id") < 5)
+      Similarity.recallReport(
+        graft.operators.SimilarityPq.adcKnn(e, q, k = 5),
+        Similarity.bruteForceKnn(e, q, k = 5))
+    }),
     // Binary quantization: 64 hyperplane sign bits in one LONG, Hamming
     // ranking via codegen'd bit_count(xor) — the 32x-compressed scan tier
     "embed_bq_knn" -> ((s, dir) => {
@@ -718,6 +727,31 @@ object LlmQueries {
       |  GROUP BY vec_id)""".stripMargin
 
   private val PqCte = "WITH " + PqCoreCtes
+
+  /** ADC scoring + rank on top of [[PqCoreCtes]] (queries vec_id < 5, m=4):
+    * per-query subspace distance tables, fixed-parenthesization 4-term ADC
+    * sum, (adist, neighbor_id) rank in `pq_top` — shared by the kNN gate and
+    * the PQ recall audit. */
+  private val PqAdcTopCtes =
+    """,
+      |dt AS (
+      |  SELECT q.vec_id AS query_id, q.j, b.c,
+      |         (q.ss + b.wss) - 2 * list_dot_product(q.s, b.w) AS d
+      |  FROM corpd q JOIN bookd b ON q.j = b.j
+      |  WHERE q.vec_id < 5),
+      |scored AS (
+      |  SELECT t1.query_id, x.vec_id AS neighbor_id,
+      |         (((t1.d + t2.d) + t3.d) + t4.d) AS adist
+      |  FROM codes x
+      |  JOIN dt t1 ON t1.j = 1 AND t1.c = x.code_1
+      |  JOIN dt t2 ON t2.j = 2 AND t2.c = x.code_2 AND t2.query_id = t1.query_id
+      |  JOIN dt t3 ON t3.j = 3 AND t3.c = x.code_3 AND t3.query_id = t1.query_id
+      |  JOIN dt t4 ON t4.j = 4 AND t4.c = x.code_4 AND t4.query_id = t1.query_id
+      |  WHERE x.vec_id != t1.query_id),
+      |pq_top AS (
+      |  SELECT query_id, neighbor_id, adist,
+      |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank
+      |  FROM scored)""".stripMargin
 
   /** Unrolled replay of [[graft.operators.Graph.pageRank]] on the planted
     * domain graph: every step a nonnegative integer floor division (`//`),
@@ -1492,25 +1526,29 @@ object LlmQueries {
     // mirrors SimilarityPq.adcKnn(k=5): per-query subspace distance tables,
     // fixed-parenthesization 4-term ADC sum, (adist, neighbor_id) rank
     "embed_pq_knn" ->
-      (PqCte + """,
-        |dt AS (
-        |  SELECT q.vec_id AS query_id, q.j, b.c,
-        |         (q.ss + b.wss) - 2 * list_dot_product(q.s, b.w) AS d
-        |  FROM corpd q JOIN bookd b ON q.j = b.j
-        |  WHERE q.vec_id < 5),
-        |scored AS (
-        |  SELECT t1.query_id, x.vec_id AS neighbor_id,
-        |         (((t1.d + t2.d) + t3.d) + t4.d) AS adist
-        |  FROM codes x
-        |  JOIN dt t1 ON t1.j = 1 AND t1.c = x.code_1
-        |  JOIN dt t2 ON t2.j = 2 AND t2.c = x.code_2 AND t2.query_id = t1.query_id
-        |  JOIN dt t3 ON t3.j = 3 AND t3.c = x.code_3 AND t3.query_id = t1.query_id
-        |  JOIN dt t4 ON t4.j = 4 AND t4.c = x.code_4 AND t4.query_id = t1.query_id
-        |  WHERE x.vec_id != t1.query_id)
-        |SELECT query_id, neighbor_id, adist, rank FROM (
-        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank
-        |  FROM scored)
-        |WHERE rank <= 5""".stripMargin),
+      (PqCte + PqAdcTopCtes +
+        "\nSELECT query_id, neighbor_id, adist, rank FROM pq_top WHERE rank <= 5"),
+    // PQ index-quality audit: ADC top-5 vs brute-force ground truth — the
+    // compression-loss counterpart of embed_recall_report's IVF audit
+    "embed_pq_recall" ->
+      (PqCte + PqAdcTopCtes + s""",
+        |bf_scored AS (
+        |  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+        |         $CosineSql AS sim
+        |  FROM embeddings q JOIN embeddings d ON q.vec_id < 5 AND d.vec_id != q.vec_id),
+        |bf_top AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        |    FROM bf_scored)
+        |  WHERE rank <= 5),
+        |base AS (SELECT query_id, COUNT(*) AS k_eff FROM bf_top GROUP BY 1),
+        |h AS (SELECT g.query_id, COUNT(*) AS hits
+        |      FROM bf_top g JOIN (SELECT * FROM pq_top WHERE rank <= 5) a
+        |        ON a.query_id = g.query_id AND a.neighbor_id = g.neighbor_id
+        |      GROUP BY 1)
+        |SELECT b.query_id, b.k_eff, COALESCE(h.hits, 0) AS hits,
+        |       CAST(COALESCE(h.hits, 0) AS DOUBLE) / CAST(b.k_eff AS DOUBLE) AS recall
+        |FROM base b LEFT JOIN h ON b.query_id = h.query_id""".stripMargin),
     // mirrors Similarity.bqKnn(bits=64): same md5-parity hyperplanes as the
     // 8-bit LSH CTE, sign bits as a string, per-position Hamming count
     "embed_bq_knn" ->

@@ -103,6 +103,20 @@ class FunnelSpec extends AnyFunSuite with SparkSpec {
     assert(!out.contains(("a", 0L, 3L))) // k=2 cuts user 3
   }
 
+  test("dailyTrend: deltas vs the previous observed day; first day NULL") {
+    val day = 86400000L
+    val ev = (Seq.fill(3)(0L) ++ Seq.fill(5)(day) ++ Seq.fill(2)(3 * day))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t + 7L, "a") }
+      .toDF("user_id", "ts_ms", "event_type")
+    val out = Funnel.dailyTrend(ev, "event_type", "ts_ms").collect()
+      .map(r => r.getLong(1) -> r).toMap
+    assert(out(0L).isNullAt(4) && out(0L).isNullAt(5))       // no previous day
+    assert(out(1L).getLong(4) == 3L && out(1L).getLong(5) == 2L) // prev_n, delta
+    assert(out(1L).getDouble(6) == 2.0 / 3.0)
+    // gap: day 3 compares against day 1 (previous OBSERVED day)
+    assert(out(3L).getLong(3) == 1L && out(3L).getLong(5) == -3L)
+  }
+
   test("heavyHitters is bit-identical across parallelism") {
     val ev = (0L until 1000L)
       .map(i => (i % 37, i * 3600000L, s"t${i % 4}"))
