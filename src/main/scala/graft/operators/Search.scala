@@ -240,9 +240,13 @@ object Search {
     var all = cand.where(col("rank") === 1)
       .select(col("query_id"), col("doc_id"), col("rank"),
         col("embedding"), col("nrm"), lit(1L).as("mmr_rank"))
-    for (i <- 2 to k)
+    for (i <- 2 to k) {
       all = all.unionByName(mmrStep(cand, all, i, lam, oneMinusLam))
-        .localCheckpoint(false)
+      // lineage cut every second step (each step references the selected
+      // frame three times; the cut bounds the plan tree at ~9x one step
+      // while halving checkpoint jobs — the per-step constant)
+      if (i % 2 == 0 || i == k) all = all.localCheckpoint(false)
+    }
     all.select(col("query_id"), col("mmr_rank"), col("doc_id"),
       col("rank").as("bm25_rank"))
   }
