@@ -51,6 +51,30 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(run(edges) == run(edges.repartition(13)))
   }
 
+  test("randomized: mass conserved within the leak bound; row order irrelevant") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 3) {
+      val nNodes = 5 + rnd.nextInt(20)
+      val nEdges = 10 + rnd.nextInt(80)
+      val edges = Seq.fill(nEdges)((s"n${rnd.nextInt(nNodes)}", s"n${rnd.nextInt(nNodes)}"))
+      val iters = 4
+      val df = edges.toDF("src", "dst")
+      val r = Graph.pageRank(df, iters = iters).collect()
+        .map(x => x.getString(0) -> x.getLong(1)).toMap
+      // each iteration floors once per weighted edge, once per node for
+      // teleport + dangling shares, once for the damp multiply
+      val leakBound = iters.toLong * (nEdges + 3L * nNodes + 2)
+      assert(r.values.sum <= 1000000000000L, s"trial $trial: mass grew")
+      assert(r.values.sum >= 1000000000000L - leakBound,
+        s"trial $trial: leaked ${1000000000000L - r.values.sum} > bound $leakBound")
+      // permuting the edge-list rows must not change a single rank unit
+      val shuffled = scala.util.Random.shuffle(edges).toDF("src", "dst").repartition(7)
+      val r2 = Graph.pageRank(shuffled, iters = iters).collect()
+        .map(x => x.getString(0) -> x.getLong(1)).toMap
+      assert(r2 == r, s"trial $trial: edge order changed ranks")
+    }
+  }
+
   test("dangling sink still receives teleport + in-link mass") {
     val edges = Seq(("A", "sink"), ("B", "A"), ("A", "B")).toDF("src", "dst")
     val r = ranksOf(Graph.pageRank(edges, iters = 5).collect())

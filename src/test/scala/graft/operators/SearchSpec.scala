@@ -181,6 +181,29 @@ class SearchSpec extends AnyFunSuite with SparkSpec {
     assert(out == Seq(1L, 2L))
   }
 
+  test("randomized: mmr output size = min(k, embedded candidates); order-free") {
+    val rnd = new scala.util.Random(19)
+    for (trial <- 1 to 3) {
+      val nCand = 3 + rnd.nextInt(10)
+      val cands = (1 to nCand).map(r => (1L, 100L + rnd.nextInt(40), r.toLong))
+        .groupBy(_._2).map(_._2.head).toSeq // distinct doc_ids, ranks kept dense enough
+        .sortBy(_._3).zipWithIndex.map { case ((q, d, _), i) => (q, d, i + 1L) }
+      val embRows = (100L until 140L)
+        .map(i => (i, Seq.fill(4)(rnd.nextFloat() + 0.1f)))
+      val k = 1 + rnd.nextInt(6)
+      val out = Search.mmrSelect(cands.toDF("query_id", "doc_id", "rank"),
+        embRows.toDF("vec_id", "embedding"), k = k).collect()
+      assert(out.length == math.min(k, cands.length), s"trial $trial")
+      assert(out.map(_.getLong(1)).sorted.toSeq == (1L to out.length).toSeq)
+      // input row order must not matter
+      val out2 = Search.mmrSelect(
+        scala.util.Random.shuffle(cands).toDF("query_id", "doc_id", "rank").repartition(5),
+        embRows.toDF("vec_id", "embedding"), k = k).collect()
+      assert(out2.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq ==
+        out.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq, s"trial $trial order")
+    }
+  }
+
   test("mmrSelect is bit-identical across parallelism") {
     val cands = (1 to 12).map(r => (1L, r.toLong * 7 % 13, r.toLong)) ++
       (1 to 12).map(r => (2L, r.toLong, r.toLong))
