@@ -10,17 +10,22 @@ import org.apache.spark.sql.functions._
  * the rank of the domains linking to it, and the rank feeds curation as a
  * per-source quality prior alongside Gopher/C4 screens).
  *
- * [[pageRank]] is the damped power iteration, made ENGINE- AND
- * PARALLELISM-DETERMINISTIC by running entirely in integer fixed point:
- * the unit of mass is 1/`scale` of the graph's total rank. Every step is a
- * LONG (or exact DECIMAL) floor operation — `rank*damp div 10000`,
- * `share*w div outw`, `tele div n` — so there is no floating-point
- * accumulation anywhere, and any engine that floors nonnegative integer
- * division the same way (Spark `div`, DuckDB `//`) reproduces the ranks
- * bit-for-bit at any executor count. Floors leak O(|E| + iters·|V|) units of
- * mass per iteration (each unit 1e-12 of total rank at the default scale) —
- * ranks are ordinally exact and numerically reproducible, which is the
- * contract that matters for a curation prior.
+ * Two variants share one fixed-point power-iteration core:
+ *  - [[pageRank]] (Brin & Page 1998): uniform teleport — global authority;
+ *  - [[trustRank]] (Gyöngyi et al. 2004): teleport restricted to a SEED
+ *    whitelist — trust propagates outward from vetted domains, the
+ *    curation-native variant (score a crawl against a trusted core).
+ *
+ * Both are ENGINE- AND PARALLELISM-DETERMINISTIC by running entirely in
+ * integer fixed point: the unit of mass is 1/`scale` of the graph's total
+ * rank. Every step is a LONG (or exact DECIMAL) floor operation —
+ * `rank*damp div 10000`, `share*w div outw`, `tele div ns` — so there is no
+ * floating-point accumulation anywhere, and any engine that floors
+ * nonnegative integer division the same way (Spark `div`, DuckDB `//`)
+ * reproduces the ranks bit-for-bit at any executor count. Floors leak
+ * O(|E| + iters·|V|) units of mass per iteration (each unit 1e-12 of total
+ * rank at the default scale) — ranks are ordinally exact and numerically
+ * reproducible, which is the contract that matters for a curation prior.
  *
  * Scale design (the 100 TB shape): per iteration, ONE shuffle of the
  * weighted edge list keyed by dst (the rank-frame join broadcasts when |V|
@@ -29,14 +34,13 @@ import org.apache.spark.sql.functions._
  * attached via a 1-row broadcast crossJoin. The edge list is pre-aggregated
  * to (src, dst, w) once — raw multiplicity never re-shuffles — and
  * out-weights are computed once outside the loop. Iteration count is a
- * fixed small constant (the classic 5–20), so lineage stays bounded; a
- * production run at billions of edges would checkpoint every few
- * iterations, which changes nothing semantically.
+ * fixed small constant (the classic 5–20), so lineage stays bounded;
+ * lineage is cut every second iteration (see the loop note).
  */
 object Graph {
 
   /**
-   * Damped PageRank in integer fixed point.
+   * Damped PageRank in integer fixed point (uniform teleport).
    *
    * @param edges  (src STRING, dst STRING) directed edges; multiplicity = weight
    * @param iters  power iterations (fixed, small)
@@ -46,7 +50,21 @@ object Graph {
    *         IEEE division per output row
    */
   def pageRank(edges: DataFrame, iters: Int = 5, dampBp: Int = 8500,
-      scale: Long = 1000000000000L): DataFrame = {
+      scale: Long = 1000000000000L): DataFrame =
+    rankCore(edges, None, iters, dampBp, scale)
+
+  /**
+   * TrustRank: [[pageRank]] with teleport (and dangling recycle) restricted
+   * to `seeds` — a (domain) whitelist frame. Seeds outside the graph's node
+   * set are ignored; an empty effective seed set yields all-zero ranks
+   * (no teleport source). Ranks measure proximity to the trusted core.
+   */
+  def trustRank(edges: DataFrame, seeds: DataFrame, iters: Int = 5,
+      dampBp: Int = 8500, scale: Long = 1000000000000L): DataFrame =
+    rankCore(edges, Some(seeds), iters, dampBp, scale)
+
+  private def rankCore(edges: DataFrame, seedsOpt: Option[DataFrame],
+      iters: Int, dampBp: Int, scale: Long): DataFrame = {
     require(iters >= 0 && iters <= 50, "iters must be in [0, 50]")
     require(dampBp >= 0 && dampBp <= 10000, "dampBp must be basis points")
     require(scale > 0 && scale <= 1000000000000000L,
@@ -62,14 +80,26 @@ object Graph {
     // node set from the pre-aggregated edges (not the raw corpus-sized list)
     val nodes = w.select(col("src").as("domain"))
       .union(w.select(col("dst").as("domain"))).distinct()
+    // teleport target set: the whole graph (PageRank) or the seed whitelist
+    // restricted to known nodes (TrustRank); marked nodes are referenced
+    // every iteration, so materialize once
+    val seeds = seedsOpt match {
+      case Some(s) => s.select(col("domain")).distinct().join(nodes, Seq("domain"))
+      case None => nodes
+    }
+    val marked = nodes
+      .join(seeds.select(col("domain"), lit(1L).as("is_seed")), Seq("domain"), "left")
+      .select(col("domain"), coalesce(col("is_seed"), lit(0L)).as("is_seed"))
       .localCheckpoint(false)
-    // |V| as a 1-row broadcast scalar: the loop's divisions need it lazily
-    val nn = broadcast(nodes.agg(count(lit(1)).as("n")))
+    // |seeds| as a 1-row broadcast scalar: the loop's divisions need it lazily
+    val ns = broadcast(marked.agg(sum(col("is_seed")).as("ns")))
     // mass paid to teleport each iteration (exact, computed at plan time)
     val teleTotal = scale - scale * dampBp / 10000
 
-    var ranks = nodes.crossJoin(nn)
-      .select(col("domain"), expr(s"${scale}L div n").as("rank_fp"))
+    var ranks = marked.crossJoin(ns)
+      .select(col("domain"), col("is_seed"),
+        expr(s"CASE WHEN is_seed = 1 THEN ${scale}L div ns ELSE 0L END")
+          .as("rank_fp"))
     for (i <- 1 to iters) {
       // damped share of each node's rank; dangling nodes have no out-edges
       val damped = ranks.join(outw, col("domain") === col("src"), "left")
@@ -82,14 +112,14 @@ object Graph {
         .select(col("e.dst").as("domain"),
           expr("CAST(CAST(rd AS DECIMAL(38,0)) * e.w div outw AS BIGINT)").as("c"))
         .groupBy(col("domain")).agg(sum(col("c")).as("lnk"))
-      // dangling mass redistributes uniformly (1-row broadcast scalar)
+      // dangling mass recycles into the teleport set (1-row broadcast scalar)
       val dang = broadcast(damped.where(col("outw").isNull)
         .agg(coalesce(sum(col("rd")), lit(0L)).as("dang")))
-      ranks = nodes.join(contrib, Seq("domain"), "left")
-        .crossJoin(dang).crossJoin(nn)
-        .select(col("domain"),
-          expr(s"(${teleTotal}L div n) + (dang div n) + coalesce(lnk, 0L)")
-            .as("rank_fp"))
+      ranks = marked.join(contrib, Seq("domain"), "left")
+        .crossJoin(dang).crossJoin(ns)
+        .select(col("domain"), col("is_seed"),
+          expr(s"(CASE WHEN is_seed = 1 THEN (${teleTotal}L div ns) + (dang div ns) " +
+            "ELSE 0L END) + coalesce(lnk, 0L)").as("rank_fp"))
       // truncate lineage every SECOND iteration: each iteration references
       // the previous rank frame three times (contrib, dangling, rejoin), so
       // the plan TREE grows ~3^iters without cuts. Cutting every other

@@ -443,18 +443,18 @@ object LlmQueries {
     // site{d%7} -> site{(d+3)%7}, every 11th doc links the dangling 'sink')
     // — integer fixed point end to end, so the 5-iteration power method is
     // bit-exact against the unrolled SQL replay
-    "graph_pagerank" -> ((s, dir) => {
-      val d = docs(s, dir).select(col("doc_id"))
-      def site(c: org.apache.spark.sql.Column) = concat(lit("site"), c.cast("string"))
-      def cdn(c: org.apache.spark.sql.Column) = concat(lit("cdn"), c.cast("string"))
-      val edges = d
-        .select(site(col("doc_id") % 7).as("src"), cdn(col("doc_id") % 3).as("dst"))
-        .union(d.select(cdn(col("doc_id") % 3).as("src"), site(col("doc_id") % 5).as("dst")))
-        .union(d.where(col("doc_id") % 2 === 0)
-          .select(site(col("doc_id") % 7).as("src"), site((col("doc_id") + 3) % 7).as("dst")))
-        .union(d.where(col("doc_id") % 11 === 0)
-          .select(site(col("doc_id") % 7).as("src"), lit("sink").as("dst")))
-      graft.operators.Graph.pageRank(edges, iters = 5)
+    "graph_pagerank" -> ((s, dir) =>
+      graft.operators.Graph.pageRank(
+        plantedEdges(docs(s, dir), full = true), iters = 5)),
+    // TrustRank: the same graph with teleport restricted to a two-domain
+    // whitelist — trust propagates outward from the vetted core, the
+    // curation-native authority variant (Gyöngyi et al.)
+    "graph_trustrank" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      graft.operators.Graph.trustRank(
+        plantedEdges(docs(s, dir), full = true),
+        Seq("site0", "site1").toDF("domain"), iters = 5)
     }),
     // Retrieval-quality eval of the BM25 ranker against prefix-share ground
     // truth (docs opening with the query's exact four words are "relevant"):
@@ -482,14 +482,10 @@ object LlmQueries {
     // per-doc quality score into one curation prior, quality x domain_rank
     "curate_domain_prior" -> ((s, dir) => {
       val d = docs(s, dir)
-      def site(c: org.apache.spark.sql.Column) = concat(lit("site"), c.cast("string"))
-      def cdn(c: org.apache.spark.sql.Column) = concat(lit("cdn"), c.cast("string"))
-      val edges = d
-        .select(site(col("doc_id") % 7).as("src"), cdn(col("doc_id") % 3).as("dst"))
-        .union(d.select(cdn(col("doc_id") % 3).as("src"), site(col("doc_id") % 5).as("dst")))
-      val ranks = graft.operators.Graph.pageRank(edges, iters = 3)
+      val ranks = graft.operators.Graph.pageRank(plantedEdges(d, full = false), iters = 3)
       val quality = TextAnalysis.qualityScore(d).select(col("doc_id"), col("quality"))
-      d.select(col("doc_id"), site(col("doc_id") % 7).as("domain"))
+      d.select(col("doc_id"),
+          concat(lit("site"), (col("doc_id") % 7).cast("string")).as("domain"))
         .join(broadcast(ranks), Seq("domain"))
         .join(quality, Seq("doc_id"))
         .select(col("doc_id"), col("domain"), col("rank_fp"), col("quality"),
@@ -504,6 +500,23 @@ object LlmQueries {
       TextAnalysis.sentenceStats(planted)
     })
   )
+
+  /** The planted hyperlink structure shared by the Graph-family gates:
+    * site{d%7} -> cdn{d%3}, cdn{d%3} -> site{d%5}; the full variant adds
+    * site-to-site edges on even ids and a dangling 'sink' on every 11th. */
+  private def plantedEdges(d: DataFrame, full: Boolean): DataFrame = {
+    def site(c: org.apache.spark.sql.Column) = concat(lit("site"), c.cast("string"))
+    def cdn(c: org.apache.spark.sql.Column) = concat(lit("cdn"), c.cast("string"))
+    val base = d
+      .select(site(col("doc_id") % 7).as("src"), cdn(col("doc_id") % 3).as("dst"))
+      .union(d.select(cdn(col("doc_id") % 3).as("src"), site(col("doc_id") % 5).as("dst")))
+    if (!full) base
+    else base
+      .union(d.where(col("doc_id") % 2 === 0)
+        .select(site(col("doc_id") % 7).as("src"), site((col("doc_id") + 3) % 7).as("dst")))
+      .union(d.where(col("doc_id") % 11 === 0)
+        .select(site(col("doc_id") % 7).as("src"), lit("sink").as("dst")))
+  }
 
   /** Incoming side of the bloom gates: every 10th doc, half of them (every
     * 20th) carrying a NEIGHBOR's text — planted true duplicates against the
@@ -758,39 +771,52 @@ object LlmQueries {
     * the per-edge share in HUGEINT — bit-exact vs the Spark fixed-point
     * loop at any iteration count. */
   private def pageRankOracleSql(iters: Int = 5, dampBp: Int = 8500,
-      scale: Long = 1000000000000L): String = {
+      scale: Long = 1000000000000L, seedsSql: Option[String] = None): String = {
     val edges =
       """  SELECT 'site' || CAST(doc_id % 7 AS VARCHAR) AS src, 'cdn' || CAST(doc_id % 3 AS VARCHAR) AS dst FROM documents
         |  UNION ALL SELECT 'cdn' || CAST(doc_id % 3 AS VARCHAR), 'site' || CAST(doc_id % 5 AS VARCHAR) FROM documents
         |  UNION ALL SELECT 'site' || CAST(doc_id % 7 AS VARCHAR), 'site' || CAST((doc_id + 3) % 7 AS VARCHAR) FROM documents WHERE doc_id % 2 = 0
         |  UNION ALL SELECT 'site' || CAST(doc_id % 7 AS VARCHAR), 'sink' FROM documents WHERE doc_id % 11 = 0""".stripMargin
-    s"""WITH ${pageRankCtes(edges, iters, dampBp, scale)}
+    s"""WITH ${pageRankCtes(edges, iters, dampBp, scale, seedsSql)}
        |SELECT domain, CAST(rank_fp AS BIGINT) AS rank_fp,
        |       CAST(rank_fp AS DOUBLE) / $scale AS rank
        |FROM r$iters""".stripMargin
   }
 
-  /** The PageRank replay as reusable CTEs (`e` .. `r<iters>`) over a caller-
-    * supplied edges SELECT — shared by the standalone gate and the
-    * domain-prior composition. */
+  /** The PageRank/TrustRank replay as reusable CTEs (`e` .. `r<iters>`) over
+    * a caller-supplied edges SELECT — shared by the standalone gates and the
+    * domain-prior composition. `seedsSql` (a SELECT of `domain`) restricts
+    * the teleport/dangling target set (TrustRank); None = all nodes. */
   private def pageRankCtes(edgesSql: String, iters: Int, dampBp: Int,
-      scale: Long): String = {
+      scale: Long, seedsSql: Option[String] = None): String = {
     val tele = scale - scale * dampBp / 10000
+    val seedsCte = seedsSql match {
+      case Some(sql) =>
+        s"seeds AS (SELECT DISTINCT s.domain FROM ($sql) s JOIN nodes ON s.domain = nodes.domain)"
+      case None => "seeds AS (SELECT domain FROM nodes)"
+    }
     val head =
       s"""e AS (
          |$edgesSql),
          |w AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS wt FROM e GROUP BY 1, 2),
          |ow AS (SELECT src, SUM(wt) AS outw FROM w GROUP BY 1),
          |nodes AS (SELECT src AS domain FROM e UNION SELECT dst FROM e),
-         |nn AS (SELECT COUNT(*) AS n FROM nodes),
-         |r0 AS (SELECT domain, $scale // n AS rank_fp FROM nodes CROSS JOIN nn)""".stripMargin
+         |$seedsCte,
+         |mk AS (SELECT nodes.domain, CASE WHEN sd.domain IS NULL THEN 0 ELSE 1 END AS is_seed
+         |       FROM nodes LEFT JOIN seeds sd ON nodes.domain = sd.domain),
+         |nn AS (SELECT CAST(SUM(is_seed) AS BIGINT) AS ns FROM mk),
+         |r0 AS (SELECT domain, is_seed,
+         |              CASE WHEN is_seed = 1 THEN $scale // ns ELSE 0 END AS rank_fp
+         |       FROM mk CROSS JOIN nn)""".stripMargin
     val rounds = (1 to iters).map { k =>
       s"""d$k AS (SELECT domain, rank_fp * $dampBp // 10000 AS rd FROM r${k - 1}),
          |g$k AS (SELECT COALESCE(SUM(rd), 0) AS dang FROM d$k LEFT JOIN ow ON d$k.domain = ow.src WHERE ow.src IS NULL),
          |c$k AS (SELECT w.dst AS domain, SUM(CAST(CAST(rd AS HUGEINT) * wt // outw AS BIGINT)) AS lnk
          |      FROM d$k JOIN w ON d$k.domain = w.src JOIN ow ON w.src = ow.src GROUP BY 1),
-         |r$k AS (SELECT nodes.domain, $tele // n + dang // n + COALESCE(lnk, 0) AS rank_fp
-         |      FROM nodes CROSS JOIN nn CROSS JOIN g$k LEFT JOIN c$k ON nodes.domain = c$k.domain)""".stripMargin
+         |r$k AS (SELECT mk.domain, mk.is_seed,
+         |              (CASE WHEN mk.is_seed = 1 THEN $tele // ns + dang // ns ELSE 0 END)
+         |                + COALESCE(lnk, 0) AS rank_fp
+         |      FROM mk CROSS JOIN nn CROSS JOIN g$k LEFT JOIN c$k ON mk.domain = c$k.domain)""".stripMargin
     }
     s"""$head,
        |${rounds.mkString(",\n")}""".stripMargin
@@ -2140,6 +2166,8 @@ object LlmQueries {
         |      CASE WHEN r.rate >= 1 THEN 'g'
         |           ELSE printf('%04x', CAST(floor(r.rate * 65536) AS INT)) END""".stripMargin,
     "graph_pagerank" -> pageRankOracleSql(),
+    "graph_trustrank" -> pageRankOracleSql(seedsSql =
+      Some("SELECT 'site0' AS domain UNION ALL SELECT 'site1' AS domain")),
     "curate_domain_prior" -> domainPriorOracleSql(),
     "search_eval" -> searchEvalOracleSql(),
     "curate_length_report" ->

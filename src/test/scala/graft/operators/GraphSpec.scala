@@ -75,6 +75,36 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("trustRank: teleport only reaches seeds; unreachable nodes rank 0") {
+    // C -> A -> B with seeds {A}: C gets NO teleport and no in-links -> 0;
+    // B is downstream of the trusted core and accumulates damped mass
+    val edges = Seq(("C", "A"), ("A", "B")).toDF("src", "dst")
+    val seeds = Seq("A").toDF("domain")
+    val r = ranksOf(Graph.trustRank(edges, seeds, iters = 5).collect())
+    assert(r("C") == 0L)
+    assert(r("A") > 0L && r("B") > 0L)
+    assert(r("A") + r("B") > 999999999900L) // mass stays in the trusted cone
+  }
+
+  test("trustRank: unknown seeds are ignored; empty effective set -> all zero") {
+    val edges = Seq(("A", "B")).toDF("src", "dst")
+    val r = ranksOf(Graph.trustRank(edges,
+      Seq("A", "nope").toDF("domain"), iters = 2).collect())
+    // same as seeds = {A}: teleport denominator 1
+    val rA = ranksOf(Graph.trustRank(edges, Seq("A").toDF("domain"), iters = 2).collect())
+    assert(r == rA)
+    val rz = ranksOf(Graph.trustRank(edges,
+      Seq("ghost").toDF("domain"), iters = 2).collect())
+    assert(rz.values.forall(_ == 0L))
+  }
+
+  test("trustRank with seeds = all nodes equals pageRank exactly") {
+    val edges = Seq(("A", "B"), ("B", "C"), ("C", "A"), ("A", "C")).toDF("src", "dst")
+    val seeds = Seq("A", "B", "C").toDF("domain")
+    assert(ranksOf(Graph.trustRank(edges, seeds, iters = 4).collect()) ==
+      ranksOf(Graph.pageRank(edges, iters = 4).collect()))
+  }
+
   test("dangling sink still receives teleport + in-link mass") {
     val edges = Seq(("A", "sink"), ("B", "A"), ("A", "B")).toDF("src", "dst")
     val r = ranksOf(Graph.pageRank(edges, iters = 5).collect())
