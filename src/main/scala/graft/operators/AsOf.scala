@@ -75,4 +75,36 @@ object AsOf {
       .select(lCols.map(c => col("_l").getField(c).as(c)) ++
         rPay.map(c => col("_m").getField(c).as(c)): _*)
   }
+
+  /**
+   * Stream-stream interval join — the streaming attribution primitive: each
+   * left event joined (inner) to the right events of the same key whose
+   * event time falls in `[leftTs − lookback, leftTs]`. Built directly on
+   * Structured Streaming's watermarked stream-stream join: BOTH sides carry
+   * a watermark and the join condition is time-bounded in both directions,
+   * so Spark provably expires right-side state older than the lower bound
+   * and left-side state past the watermark — state is
+   * O(keys · lookback-window), not unbounded (the requirement the Spark
+   * docs place on append-mode stream-stream joins).
+   *
+   * Both inputs need TIMESTAMP event-time columns with DISTINCT names;
+   * non-key column names must be disjoint. Works identically on batch
+   * frames (the spec's equivalence harness).
+   *
+   * @param lookback SQL interval literal body, e.g. "10 minutes"
+   */
+  def intervalJoinStream(left: DataFrame, right: DataFrame, key: Seq[String],
+      leftTs: String, rightTs: String, lookback: String,
+      watermarkDelay: String): DataFrame = {
+    require(leftTs != rightTs, "event-time columns must have distinct names")
+    val l = left.withWatermark(leftTs, watermarkDelay).alias("l")
+    val r = right.withWatermark(rightTs, watermarkDelay).alias("r")
+    val cond = key.map(k => col(s"l.$k") === col(s"r.$k")).reduce(_ && _) &&
+      col(s"r.$rightTs") <= col(s"l.$leftTs") &&
+      col(s"r.$rightTs") >= col(s"l.$leftTs") - expr(s"INTERVAL $lookback")
+    val rPay = right.columns.filterNot(key.contains).toSeq
+    l.join(r, cond, "inner")
+      .select(left.columns.map(c => col(s"l.$c")) ++
+        rPay.map(c => col(s"r.$c")): _*)
+  }
 }

@@ -205,6 +205,16 @@ object ScaleSmoke {
         concat(lit("d"), (col("doc_id") * 31 + 11) % 499).as("dst"))
       graft.operators.Graph.pageRank(e1.union(e2), iters = 5).count()
     }
+    t("trustRank (5 iters, 16-domain seed whitelist)") {
+      val e1 = docs.select(
+        concat(lit("d"), col("doc_id") % 499).as("src"),
+        concat(lit("d"), (col("doc_id") * 13 + 7) % 499).as("dst"))
+      val seeds = spark.range(16).select(concat(lit("d"), col("id")).as("domain"))
+      graft.operators.Graph.trustRank(e1, seeds, iters = 5).count()
+    }
+    t("sentenceStats + dailyTrend-shape ops (row-wise / tiny-frame window)") {
+      graft.operators.TextAnalysis.sentenceStats(docs).agg(sum("n_sentence_words")).collect()
+    }
     t("mmrSelect + evalReport (20 queries x 15 candidates, corpus-sized qrels)") {
       // candidate-bounded by construction; qrels deliberately corpus-sized
       // (2M rows at 20x) to exercise the per-query aggregate path
@@ -344,6 +354,10 @@ object ScaleSmoke {
     }
     t("madOutliers (two rank-picked stats, broadcast back)") {
       graft.operators.Anomaly.madOutliers(ev, threshold = 1.5).count()
+    }
+    t("heavyHitters + dailyTrend (map-side counts, tiny downstream)") {
+      graft.operators.Funnel.heavyHitters(ev, "event_type", "ts_ms", "user_id", k = 3).count()
+      graft.operators.Funnel.dailyTrend(ev, "event_type", "ts_ms").count()
     }
     spark.stop()
   }

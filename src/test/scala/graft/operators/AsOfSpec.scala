@@ -142,4 +142,58 @@ class AsOfSpec extends AnyFunSuite with SparkSpec {
     }
     assert(exchanges.length == 1, s"expected one shuffle, got ${exchanges.length}")
   }
+
+  test("intervalJoinStream: watermarked stream-stream join honors the lookback") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{col, timestamp_millis}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val convs = MemoryStream[(Long, Long, Long)] // (conv_id, user_id, ms)
+    val clicks = MemoryStream[(Long, Long, Long)] // (click_id, user_id, ms)
+    val left = convs.toDS().toDF("conv_id", "user_id", "cms")
+      .withColumn("conv_ts", timestamp_millis(col("cms"))).drop("cms")
+    val right = clicks.toDS().toDF("click_id", "user_id", "kms")
+      .withColumn("click_ts", timestamp_millis(col("kms"))).drop("kms")
+    val joined = AsOf.intervalJoinStream(left, right, Seq("user_id"),
+      "conv_ts", "click_ts", "10 minutes", "1 minute")
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val q = joined.writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val f = b.select("conv_id", "click_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        got.synchronized { got ++= f }
+        ()
+      }.start()
+    val t0 = 1700000000000L
+    // clicks: in-window (t0-5m), boundary-exact (t0-10m), too old (t0-11m),
+    // after the conversion (t0+1m), other user
+    clicks.addData((1L, 7L, t0 - 300000L), (2L, 7L, t0 - 600000L),
+      (3L, 7L, t0 - 660000L), (4L, 7L, t0 + 60000L), (5L, 8L, t0 - 60000L))
+    q.processAllAvailable()
+    convs.addData((100L, 7L, t0))
+    q.processAllAvailable()
+    q.stop()
+    assert(got.toSet == Set((100L, 1L), (100L, 2L)))
+  }
+
+  test("intervalJoinStream on batch frames equals the brute-force window filter") {
+    import org.apache.spark.sql.functions.{col, timestamp_millis}
+    val left = Seq((1L, 7L, 1000000L), (2L, 7L, 2000000L), (3L, 9L, 1500000L))
+      .toDF("conv_id", "user_id", "cms")
+      .withColumn("conv_ts", timestamp_millis(col("cms")))
+    val right = (0L until 50L).map(i => (i, if (i % 2 == 0) 7L else 9L, i * 50000L))
+      .toDF("click_id", "user_id", "kms")
+      .withColumn("click_ts", timestamp_millis(col("kms")))
+    val out = AsOf.intervalJoinStream(left.drop("cms"), right.drop("kms"),
+        Seq("user_id"), "conv_ts", "click_ts", "10 minutes", "1 minute")
+      .select("conv_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = (for {
+      (c, u, ct) <- Seq((1L, 7L, 1000000L), (2L, 7L, 2000000L), (3L, 9L, 1500000L))
+      k <- 0L until 50L
+      ku = if (k % 2 == 0) 7L else 9L
+      kt = k * 50000L
+      if ku == u && kt <= ct && kt >= ct - 600000L
+    } yield (c, k)).toSet
+    assert(out == brute && brute.nonEmpty)
+  }
 }
