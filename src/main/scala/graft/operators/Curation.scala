@@ -506,6 +506,34 @@ object Curation {
         col("p50_words"), col("p90_words"), col("p99_words"))
   }
 
+  /**
+   * Deterministic training-order assignment — the reproducible "global
+   * shuffle" a training run needs: every doc gets a salted-md5 order key,
+   * a shard (from the key's first two hex digits, so shard and order are
+   * one hash), and its position within the shard. Re-running with the same
+   * salt reproduces the exact order; changing the salt is a fresh epoch
+   * permutation. Readers stream shard files in (shard, pos) order.
+   *
+   * Scale: the only corpus-sized work is one spillable sort per shard
+   * partition (the [[splitAssign]]/[[packSequences]] window shape) — size
+   * `nShards` so corpus/nShards fits a task's disk-backed sort comfortably.
+   */
+  def shuffleOrder(docs: DataFrame, nShards: Int = 8, salt: String = "order"): DataFrame = {
+    require(nShards >= 1 && nShards <= 256, "nShards must be in [1, 256]")
+    require(!salt.contains("'"), "salt must not contain quotes")
+    val keyed = docs.select(col("doc_id"),
+      md5(concat(lit(s"$salt:"), col("doc_id").cast("string"))).as("okey"))
+    // first two hex digits -> 0..255, engine-portable digit arithmetic
+    // (DuckDB has no conv(); instr/strpos agree on 1-based positions)
+    val shard = expr(
+      s"""((instr('0123456789abcdef', substr(okey, 1, 1)) - 1) * 16 +
+         | instr('0123456789abcdef', substr(okey, 2, 1)) - 1) % $nShards""".stripMargin)
+    keyed.withColumn("shard", shard.cast("long"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("okey"), col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
   def packSequences(docs: DataFrame, ctxLen: Long = 2048L, nShards: Int = 8): DataFrame = {
     require(ctxLen >= 1L && nShards >= 1, "ctxLen and nShards must be positive")
     val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))

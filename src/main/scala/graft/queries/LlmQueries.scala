@@ -472,6 +472,10 @@ object LlmQueries {
     // the audit behind packing / truncation decisions
     "curate_length_report" -> ((s, dir) =>
       graft.operators.Curation.lengthReport(docs(s, dir))),
+    // reproducible global training order: salted-md5 key -> shard + position
+    // (same salt = same order on any cluster; new salt = epoch permutation)
+    "curate_shuffle_order" -> ((s, dir) =>
+      graft.operators.Curation.shuffleOrder(docs(s, dir))),
     // MMR-diversified top-5 over the shared BM25 candidate fetch: greedy
     // λ·rel − (1−λ)·max-cosine-to-selected against the corpus embeddings
     // (vec_id aligns with doc_id in the synthetic corpus, as in hybrid RRF)
@@ -2185,6 +2189,15 @@ object LlmQueries {
         |       p.p50_words, p.p90_words, p.p99_words
         |FROM s JOIN p USING (source)""".stripMargin,
     "search_mmr" -> searchMmrOracleSql(),
+    "curate_shuffle_order" ->
+      """WITH k AS (SELECT doc_id, md5('order:' || CAST(doc_id AS VARCHAR)) AS okey FROM documents),
+        |s AS (SELECT doc_id, okey,
+        |             CAST(((strpos('0123456789abcdef', substr(okey, 1, 1)) - 1) * 16 +
+        |                   strpos('0123456789abcdef', substr(okey, 2, 1)) - 1) % 8 AS BIGINT) AS shard
+        |      FROM k)
+        |SELECT doc_id, shard,
+        |       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY okey, doc_id) AS BIGINT) AS pos
+        |FROM s""".stripMargin,
     "text_sentences" ->
       """WITH d AS (SELECT doc_id,
         |             regexp_replace(text, '([a-z0-9]+ [a-z0-9]+ [a-z0-9]+ [a-z0-9]+ [a-z0-9]+) ', '\1. ', 'g') AS text

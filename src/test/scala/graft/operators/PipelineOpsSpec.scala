@@ -1071,6 +1071,23 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(out(3L).getLong(1) == 1L && out(3L).getLong(2) == 2L)
   }
 
+  test("shuffleOrder: a permutation with dense per-shard positions; salt changes it") {
+    val d = (0L until 300L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val out = Curation.shuffleOrder(d, nShards = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._1).toSet == (0L until 300L).toSet) // every doc once
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq) // dense
+    }
+    val other = Curation.shuffleOrder(d, nShards = 4, salt = "epoch2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(other.toSet != out.toSet) // a different permutation
+    // determinism across partitioning
+    val out2 = Curation.shuffleOrder(d.repartition(13), nShards = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out2.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
+  }
+
   test("lengthReport is bit-identical across parallelism") {
     val rows = (0L until 400L).map(i => (i, ("x " * ((i % 37) + 1).toInt).trim, s"s${i % 5}"))
     def run(df: DataFrame) = Curation.lengthReport(df).collect()
