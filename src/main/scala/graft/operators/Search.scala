@@ -51,14 +51,23 @@ object Search {
 
   def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int = 10,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val qTerms = queries
+      .select(col("query_id"), explode(split(col("qtext"), " ")).as("term"))
+      .distinct()
+    bm25TopKFromTerms(docs, qTerms, k, k1, b)
+  }
+
+  /** [[bm25TopK]] from an explicit `(query_id, term)` frame — the entry
+    * point query-expansion composes on (the expanded term set replaces the
+    * qtext split; scoring, df, and ranking are identical). */
+  def bm25TopKFromTerms(docs: DataFrame, qTermsIn: DataFrame, k: Int = 10,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k >= 1, "k >= 1")
     val words = split(col("text"), " ")
     val stats = docs.agg(
       count(lit(1)).as("n_docs"),
       sum(size(words).cast("long")).as("sum_dl"))
-    val qTerms = queries
-      .select(col("query_id"), explode(split(col("qtext"), " ")).as("term"))
-      .distinct()
+    val qTerms = qTermsIn.select(col("query_id"), col("term")).distinct()
     // the broadcast term-set filter sits BELOW the tf aggregate, so the one
     // corpus-sized shuffle carries only query-matched term occurrences, not
     // the whole exploded corpus; tf per retained (doc, term) is unchanged
@@ -171,6 +180,56 @@ object Search {
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("doc_id"), col("score"), col("n_terms"))
   }
+
+  /**
+   * Pseudo-relevance-feedback query expansion (Rocchio-style PRF): take the
+   * top `r` BM25 docs per query as implicit relevance feedback, add their
+   * `m` strongest NEW terms (by summed term frequency across the feedback
+   * docs, ties to the lexicographically smaller term) to the query's term
+   * set, and re-rank the corpus with the expanded query — the classic
+   * recall-widening move when 4-word probes under-retrieve.
+   *
+   * Deterministic end to end: term selection is integer tf sums with a
+   * total-order tie-break; the second pass is the standard exact-decimal
+   * BM25 ([[bm25TopKFromTerms]]) with df recomputed on the expanded matched
+   * set — both engines replay it term for term.
+   *
+   * Scale: the feedback side explodes ONLY the `r × |queries|` feedback
+   * docs (semi-joined before the explode); the per-query term-pick window
+   * runs over those docs' terms, bounded by r document lengths. The second
+   * corpus pass has the same plan shape as the first (broadcast terms, no
+   * term-key shuffle).
+   *
+   * @param feedbackHits (query_id, doc_id, rank) with rank ≤ r — a
+   *                     [[bm25TopK]] prefix (the shared candidate fetch)
+   */
+  def prfExpandFrom(docs: DataFrame, queries: DataFrame, feedbackHits: DataFrame,
+      r: Int = 3, m: Int = 2, k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(r >= 1 && m >= 1, "r >= 1, m >= 1")
+    val qTerms = queries
+      .select(col("query_id"), explode(split(col("qtext"), " ")).as("term"))
+      .distinct()
+    val fb = feedbackHits.where(col("rank") <= r).select("query_id", "doc_id")
+    // explode only the feedback docs: semi-join BEFORE the token explode
+    val fbDocs = docs.join(broadcast(fb.select("doc_id").distinct()), "doc_id")
+    val fbTerms = fbDocs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .join(broadcast(fb), "doc_id")
+      .groupBy(col("query_id"), col("term")).agg(count(lit(1)).as("tfsum"))
+    val picked = fbTerms
+      .join(qTerms, Seq("query_id", "term"), "left_anti")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("tfsum").desc, col("term"))))
+      .where(col("rn") <= m)
+      .select(col("query_id"), col("term"))
+    bm25TopKFromTerms(docs, qTerms.unionByName(picked), k, k1, b)
+  }
+
+  /** Self-contained PRF: fetch the feedback prefix with a first BM25 pass. */
+  def prfExpand(docs: DataFrame, queries: DataFrame, r: Int = 3, m: Int = 2,
+      k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    prfExpandFrom(docs, queries, bm25TopK(docs, queries, r, k1, b), r, m, k, k1, b)
 
   /** rank r → DCG weight 1/log2(r+1), FROZEN to 10 decimal places: both
     * engines then sum identical exact decimals, so the only IEEE steps in

@@ -476,6 +476,14 @@ object LlmQueries {
     // (same salt = same order on any cluster; new salt = epoch permutation)
     "curate_shuffle_order" -> ((s, dir) =>
       graft.operators.Curation.shuffleOrder(docs(s, dir))),
+    // pseudo-relevance-feedback expansion: top-3 feedback docs contribute
+    // their 2 strongest new terms, then a full re-rank with the expanded
+    // queries — feedback comes from the family's shared candidate fetch
+    "search_prf" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.operators.Search.prfExpandFrom(d, probeQueries(d),
+        bm25Hits15(s, dir).where(col("rank") <= 3), r = 3, m = 2, k = 10)
+    }),
     // MMR-diversified top-5 over the shared BM25 candidate fetch: greedy
     // λ·rel − (1−λ)·max-cosine-to-selected against the corpus embeddings
     // (vec_id aligns with doc_id in the synthetic corpus, as in hybrid RRF)
@@ -843,6 +851,51 @@ object LlmQueries {
        |FROM dd JOIN r$iters r ON dd.domain = r.domain
        |JOIN s ON dd.doc_id = s.doc_id""".stripMargin
   }
+
+  /** PRF oracle: the BM25 core, top-`r` feedback hits, per-query top-`m` NEW
+    * terms by summed tf (term tie-break), then the full second scoring pass
+    * over the expanded term set — df recomputed on the expanded match. */
+  private def searchPrfOracleSql(r: Int = 3, m: Int = 2, k: Int = 10): String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |q AS (SELECT doc_id AS query_id, array_to_string((string_split(text, ' '))[1:4], ' ') AS qtext
+       |      FROM documents WHERE doc_id % 97 = 0),
+       |qt AS (SELECT DISTINCT query_id, term
+       |       FROM (SELECT query_id, unnest(string_split(qtext, ' ')) AS term FROM q)),
+       |dt AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM w),
+       |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM dt GROUP BY 1, 2, 3),
+       |m AS (SELECT qt.query_id, tf.doc_id, tf.dl, tf.term, tf.tf FROM tf JOIN qt USING (term)),
+       |dfq AS (SELECT term, COUNT(*) AS df FROM (SELECT DISTINCT term, doc_id FROM m) GROUP BY 1),
+       |st AS (SELECT COUNT(*) AS n_docs, SUM(len(ws)) AS sum_dl FROM w),
+       |c AS (SELECT m.query_id, m.doc_id,
+       |        CAST((ln(1 + ((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)))
+       |              * ((m.tf * (1.2 + 1)) / (m.tf + (1.2 * ((1.0 - 0.75) + ((0.75 * m.dl)
+       |                / (CAST(st.sum_dl AS DOUBLE) / st.n_docs))))))) AS DECIMAL(28,9)) AS c
+       |      FROM m JOIN dfq USING (term) CROSS JOIN st),
+       |sc AS (SELECT query_id, doc_id, SUM(c) AS score FROM c GROUP BY 1, 2),
+       |hits AS (SELECT query_id, doc_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+       |    FROM sc) WHERE rank <= $r),
+       |ft AS (SELECT h.query_id, t.term, CAST(COUNT(*) AS BIGINT) AS tfsum
+       |       FROM hits h JOIN (SELECT doc_id, unnest(ws) AS term FROM w) t ON t.doc_id = h.doc_id
+       |       GROUP BY 1, 2),
+       |nw AS (SELECT query_id, term FROM (
+       |       SELECT f.query_id, f.term,
+       |              ROW_NUMBER() OVER (PARTITION BY f.query_id ORDER BY f.tfsum DESC, f.term) AS rn
+       |       FROM ft f LEFT JOIN qt ON qt.query_id = f.query_id AND qt.term = f.term
+       |       WHERE qt.term IS NULL) WHERE rn <= $m),
+       |qt2 AS (SELECT query_id, term FROM qt UNION SELECT query_id, term FROM nw),
+       |m2 AS (SELECT qt2.query_id, tf.doc_id, tf.dl, tf.term, tf.tf FROM tf JOIN qt2 USING (term)),
+       |dfq2 AS (SELECT term, COUNT(*) AS df FROM (SELECT DISTINCT term, doc_id FROM m2) GROUP BY 1),
+       |c2 AS (SELECT m2.query_id, m2.doc_id,
+       |        CAST((ln(1 + ((st.n_docs - dfq2.df + 0.5) / (dfq2.df + 0.5)))
+       |              * ((m2.tf * (1.2 + 1)) / (m2.tf + (1.2 * ((1.0 - 0.75) + ((0.75 * m2.dl)
+       |                / (CAST(st.sum_dl AS DOUBLE) / st.n_docs))))))) AS DECIMAL(28,9)) AS c
+       |      FROM m2 JOIN dfq2 USING (term) CROSS JOIN st),
+       |sc2 AS (SELECT query_id, doc_id, SUM(c) AS score, COUNT(*) AS n_terms FROM c2 GROUP BY 1, 2)
+       |SELECT query_id, rank, doc_id, CAST(score AS DOUBLE) AS score, n_terms FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+       |  FROM sc2)
+       |WHERE rank <= $k""".stripMargin
 
   /** Retrieval-eval oracle: the search_bm25 CTE core (kept textually in
     * lockstep with that gate's oracle) + prefix-share qrels + the frozen
@@ -2174,6 +2227,7 @@ object LlmQueries {
       Some("SELECT 'site0' AS domain UNION ALL SELECT 'site1' AS domain")),
     "curate_domain_prior" -> domainPriorOracleSql(),
     "search_eval" -> searchEvalOracleSql(),
+    "search_prf" -> searchPrfOracleSql(),
     "curate_length_report" ->
       """WITH t AS (SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words FROM documents),
         |s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_words) AS BIGINT) AS total_words

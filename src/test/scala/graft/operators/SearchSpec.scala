@@ -155,6 +155,35 @@ class SearchSpec extends AnyFunSuite with SparkSpec {
   private def embDf(rows: (Long, Seq[Float])*): DataFrame =
     rows.toDF("vec_id", "embedding")
 
+  test("prfExpand recovers a doc that only matches the feedback-derived term") {
+    val d = docs(
+      1L -> "alpha beta gamma gamma filler",
+      2L -> "alpha beta gamma other words",
+      3L -> "gamma gamma gamma nothing else here",
+      4L -> "totally unrelated content words")
+    val q = queries(9L -> "alpha beta")
+    val base = Search.bm25TopK(d, q, k = 4).collect().map(_.getLong(2)).toSet
+    assert(!base.contains(3L)) // no query term in doc 3
+    val prf = Search.prfExpand(d, q, r = 2, m = 1, k = 4).collect()
+      .map(_.getLong(2)).toSet
+    assert(prf.contains(3L)) // 'gamma' (tfsum 3 in feedback) expands the query
+    assert(prf.contains(1L) && prf.contains(2L))
+  }
+
+  test("prfExpand: m caps expansion terms; original terms never re-added") {
+    val d = docs(
+      1L -> "alpha beta xx xx yy",
+      2L -> "alpha beta xx yy zz",
+      3L -> "yy yy yy",
+      4L -> "zz zz zz")
+    val q = queries(1L -> "alpha beta")
+    // feedback = docs 1,2; candidate new terms by tfsum: xx=3, yy=2, zz=1
+    // m=2 -> {xx, yy}: doc 3 (yy-only) retrieved, doc 4 (zz-only) not
+    val got = Search.prfExpand(d, q, r = 2, m = 2, k = 4).collect()
+      .map(_.getLong(2)).toSet
+    assert(got.contains(3L) && !got.contains(4L))
+  }
+
   test("mmrSelect: a near-duplicate of the top pick is deferred behind a diverse doc") {
     // doc 2 duplicates doc 1's embedding; doc 3 is orthogonal. Greedy MMR at
     // λ=0.7 picks 1, then 3 (sim 0 beats the duplicate's sim 1), then 2.
