@@ -159,4 +159,48 @@ object Anomaly {
       .select(col(idCol), col(keyCol), col(valueCol), col("med"), col("mad"),
         ((col(valueCol) - col("med")) / col("mad")).as("score"))
   }
+
+  /**
+   * Crawler/bot screen over a behavioral event stream — the traffic-quality
+   * filter a training pipeline runs before trusting interaction logs (bot
+   * sessions poison engagement-derived labels and inflate per-user stats):
+   * per entity, exact inter-arrival statistics in integer MICROSECONDS, and
+   * a thresholded flag. An entity is a bot when it has at least `minEvents`
+   * events AND fires either tell: a minimum gap at-or-under `minGapUs`
+   * (burst automation) or a mean gap at-or-under `meanGapUs` (sustained
+   * machine cadence).
+   *
+   * Determinism: everything is LONG arithmetic on the caller-supplied
+   * epoch-MICROSECONDS column (`tsUsCol`) — min/max/
+   * count are order-independent, the mean gap is `span div (n−1)` (the
+   * consecutive gaps telescope to the span, so no gap sum is even needed),
+   * and ties in the min-gap window order by `idCol`. Floor division stays on
+   * nonnegative operands, so Spark `div` == DuckDB `//`. The flag is a
+   * nested CASE so the division is never evaluated for single-event
+   * entities (ANSI-safe in both engines).
+   *
+   * Scale: ONE hash shuffle on the entity key shared by the lag window and
+   * the aggregate — the [[Sessionize]] shape; no global window, no second
+   * corpus pass.
+   */
+  def botFlag(events: DataFrame, keyCol: String = "user_id", tsUsCol: String = "ts_us",
+      idCol: String = "event_id", minEvents: Long = 20L,
+      minGapUs: Long = 600000000L, meanGapUs: Long = 40000000000L): DataFrame = {
+    require(minEvents >= 2, "minEvents >= 2 keeps the mean-gap division defined")
+    val order = Window.partitionBy(col(keyCol)).orderBy(col("tu"), col(idCol))
+    val gapped = events
+      .select(col(keyCol), col(idCol), col(tsUsCol).cast("long").as("tu"))
+      .withColumn("gap", col("tu") - lag(col("tu"), 1).over(order))
+    val meanGap = expr("span_us div (n_events - 1)")
+    gapped.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("tu")) - min(col("tu"))).as("span_us"),
+        min(col("gap")).as("min_gap_us"))
+      .select(col(keyCol), col("n_events"), col("span_us"), col("min_gap_us"),
+        when(col("n_events") > 1, meanGap).as("mean_gap_us"),
+        when(col("n_events") >= minEvents,
+          when(col("min_gap_us") <= minGapUs || meanGap <= meanGapUs, 1L)
+            .otherwise(0L))
+          .otherwise(0L).as("is_bot"))
+  }
 }

@@ -32,6 +32,23 @@ object Dedup {
     docs.groupBy(md5(col("text")).as("content_hash"))
       .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("dup_count"))
 
+  /** Fuzzy-exact dedup (the RefinedWeb/FineWeb normalization step between
+    * byte-exact and MinHash): hash the text after lowercasing, stripping
+    * non-alphanumerics, collapsing whitespace runs, and trimming — so case,
+    * punctuation, and spacing variants of one document collapse to a single
+    * group. Same scale shape as [[exact]]: a row-wise codegen'd key and one
+    * hash groupBy — no pair generation, linear at any corpus size. NULL text
+    * normalizes to "" (one group), so NULL-text docs count as mutual dups
+    * rather than vanishing (the [[graft.operators.Curation.dupReport]]
+    * convention). Non-alphanumeric RUNS map to one space (separators, not
+    * deletions — "end.Start" keeps its word break). */
+  def fuzzyExact(docs: DataFrame): DataFrame = {
+    val norm = trim(regexp_replace(lower(coalesce(col("text"), lit(""))),
+      "[^a-z0-9]+", " "))
+    docs.groupBy(md5(norm).as("norm_hash"))
+      .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("dup_count"))
+  }
+
   /** Word-3-gram shingles, lowercased: (doc_id, s). `distinct` de-duplicates
     * per doc (set semantics — needed for Jaccard); skip it for operators that
     * are duplicate-insensitive (min-aggregation) to save the shuffle.

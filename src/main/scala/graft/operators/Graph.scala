@@ -63,6 +63,81 @@ object Graph {
       dampBp: Int = 8500, scale: Long = 1000000000000L): DataFrame =
     rankCore(edges, Some(seeds), iters, dampBp, scale)
 
+  /**
+   * HITS hubs & authorities (Kleinberg 1999) in integer fixed point — the
+   * third classical centrality, complementing [[pageRank]]: a node is a good
+   * AUTHORITY when good hubs link to it, a good HUB when it links to good
+   * authorities. In a crawl-curation pipeline authorities rank content
+   * domains while hubs rank link-directory/aggregator domains — the pair
+   * separates "worth training on" from "worth crawling from", which a single
+   * PageRank conflates.
+   *
+   * Determinism contract (same as the PageRank core): every step is exact —
+   * LONG sums of fixed-point scores weighted by edge multiplicity, then an
+   * L1 renormalization `x · scale div Σx` floored in DECIMAL(38,0) — so any
+   * engine flooring nonnegative integer division identically (Spark `div`,
+   * DuckDB `//`) reproduces the scores bit-for-bit at any parallelism.
+   * (Classical HITS normalizes in L2; L1 has the same fixed point up to
+   * scaling of the principal eigenvector and stays in integer arithmetic.)
+   *
+   * Scale design: two dst/src-keyed shuffles of the pre-aggregated edge
+   * list per iteration plus two 1-row broadcast scalar totals; no windows,
+   * no driver collect; lineage cut each iteration. Overflow-safe by
+   * construction: scores ≤ scale after each renormalize, so the raw sums
+   * are ≤ scale·max-degree ≪ LONG and the renormalize multiply runs in
+   * DECIMAL(38,0).
+   *
+   * @return (domain, auth_fp LONG, hub_fp LONG, auth DOUBLE, hub DOUBLE)
+   */
+  def hits(edges: DataFrame, iters: Int = 5,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 0 && iters <= 50, "iters must be in [0, 50]")
+    require(scale > 0 && scale <= 1000000000000000L, "scale must fit renorms in DECIMAL(38,0)")
+    val w = edges.groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+      .localCheckpoint(false)
+    val nodes = w.select(col("src").as("domain"))
+      .union(w.select(col("dst").as("domain"))).distinct()
+      .localCheckpoint(false)
+    val n = broadcast(nodes.agg(count(lit(1)).as("n")))
+    // renormalize to the L1 fixed-point grid; total=0 (edgeless half-step)
+    // would divide by zero — every score is already 0 then, so emit 0
+    def renorm(raw: DataFrame, scoreCol: String): DataFrame = {
+      val tot = broadcast(raw.agg(coalesce(sum(col(scoreCol)), lit(0L)).as("tot")))
+      raw.crossJoin(tot).select(col("domain"),
+        expr(s"CASE WHEN tot = 0 THEN 0L ELSE " +
+          s"CAST(CAST($scoreCol AS DECIMAL(38,0)) * ${scale}L div tot AS BIGINT) END")
+          .as(scoreCol))
+    }
+    var hubs = nodes.crossJoin(n)
+      .select(col("domain"), expr(s"${scale}L div n").as("hub_fp"))
+    var auths = nodes.select(col("domain"), lit(0L).as("auth_fp"))
+    for (i <- 1 to iters) {
+      // auth(v) = Σ_{u→v} hub(u)·w, renormalized to Σ=scale
+      val authRaw = nodes.join(
+        hubs.as("h").join(w.as("e"), col("h.domain") === col("e.src"))
+          .groupBy(col("e.dst").as("domain"))
+          .agg(sum(col("h.hub_fp") * col("e.w")).as("auth_fp")),
+        Seq("domain"), "left")
+        .select(col("domain"), coalesce(col("auth_fp"), lit(0L)).as("auth_fp"))
+      auths = renorm(authRaw, "auth_fp")
+      // hub(u) = Σ_{u→v} auth(v)·w over the FRESH authorities
+      val hubRaw = nodes.join(
+        auths.as("a").join(w.as("e"), col("a.domain") === col("e.dst"))
+          .groupBy(col("e.src").as("domain"))
+          .agg(sum(col("a.auth_fp") * col("e.w")).as("hub_fp")),
+        Seq("domain"), "left")
+        .select(col("domain"), coalesce(col("hub_fp"), lit(0L)).as("hub_fp"))
+      hubs = renorm(hubRaw, "hub_fp")
+      // each iteration chains two joins + two renorm crossJoins onto the
+      // previous frames — cut both every iteration (cheap: |V|-sized)
+      if (i < iters) { auths = auths.localCheckpoint(false); hubs = hubs.localCheckpoint(false) }
+    }
+    auths.join(hubs, Seq("domain"))
+      .select(col("domain"), col("auth_fp"), col("hub_fp"),
+        (col("auth_fp").cast("double") / scale).as("auth"),
+        (col("hub_fp").cast("double") / scale).as("hub"))
+  }
+
   private def rankCore(edges: DataFrame, seedsOpt: Option[DataFrame],
       iters: Int, dampBp: Int, scale: Long): DataFrame = {
     require(iters >= 0 && iters <= 50, "iters must be in [0, 50]")

@@ -213,6 +213,41 @@ object Similarity {
   }
 
   /**
+   * Per-dimension embedding health audit: count, exact min/max, grid-exact
+   * mean and variance for every dimension of the corpus — the monitoring
+   * table behind ANN-index and encoder-drift checks (a dead dimension shows
+   * var≈0, a scale blowup shows |max| outliers, a biased encoder shows
+   * off-zero means). At 100 TB this is one scan: `posexplode` fans out by
+   * `dim` but partial aggregation collapses each task to `dim` partials
+   * before the only shuffle (same shape as [[centroids]]).
+   *
+   * Determinism: min/max are rank-picked (no accumulation, exact on the raw
+   * float values); mean/variance accumulate on the 2^-20 fixed-point grid in
+   * LONG (sum ≤ n·2^20, sum of squares ≤ n·2^40 — both far inside LONG),
+   * then ONE mirrored double expression per output row:
+   * `mean = fp_sum/(n·g)`, `variance = sumsq/(n·g²) − (fp_sum/(n·g))²`
+   * (the population variance of the grid-snapped values).
+   */
+  def dimStats(emb: DataFrame): DataFrame = {
+    val grid = math.pow(2, CentroidScaleBits).toLong
+    val fp = floor(col("v").cast("double") * grid + 0.5)
+    emb
+      .select(posexplode(col("embedding")).as(Seq("d", "v")))
+      .groupBy((col("d") + 1).as("dim"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("v").cast("double")).as("min_v"),
+        max(col("v").cast("double")).as("max_v"),
+        sum(fp).as("fp_sum"),
+        sum(fp * fp).as("fp_sumsq"))
+      .select(col("dim").cast("long").as("dim"), col("n_vecs"),
+        col("min_v"), col("max_v"),
+        (col("fp_sum") / (col("n_vecs") * grid)).as("mean"),
+        ((col("fp_sumsq") / (col("n_vecs") * grid * grid)) -
+          (col("fp_sum") / (col("n_vecs") * grid)) *
+            (col("fp_sum") / (col("n_vecs") * grid))).as("variance"))
+  }
+
+  /**
    * Binary-quantization kNN — the far end of the quantization ladder
    * (float → int8 → PQ → binary): each vector becomes `bits` hyperplane
    * SIGN BITS packed into one LONG (the native [[graft.functions.SignBits]]

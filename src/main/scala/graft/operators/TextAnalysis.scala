@@ -844,4 +844,30 @@ object TextAnalysis {
       length(cleaned).cast("long").as("n_cp_norm"),
       (cleaned =!= col(textCol)).as("changed"))
   }
+
+  /** The classic UTF-8-decoded-as-Latin-1 marker sequences (é→Ã©, ’→â€™,
+    * £→Â£, …) — literal alternation, identical in Java regex and RE2 so the
+    * oracle runs it verbatim. One Scala constant feeds BOTH engines. */
+  val MojibakePattern: String = "Ã©|Ã¨|Ã¼|Ã¶|Ã±|â€™|â€œ|Â£|Â°|Â§"
+
+  /**
+   * Encoding-artifact audit — the crawl-hygiene screen run before any
+   * tokenizer sees the text: double-encoded UTF-8 (mojibake) and U+FFFD
+   * replacement characters both mean an upstream charset bug, and training
+   * on them teaches the model garbage byte sequences. Counts each class per
+   * doc and keeps only clean docs.
+   *
+   * Pure row-wise native-expression projection (two [[graft.functions
+   * .TextFunctions.regexCount]] scans, no shuffle) — linear to 100 TB.
+   * NULL text reads as clean-empty (keep), matching [[normalizeText]]'s
+   * convention that absence is not corruption.
+   */
+  def mojibakeStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val moji = graft.functions.TextFunctions.regexCount(t, MojibakePattern).cast("long")
+    val repl = graft.functions.TextFunctions.regexCount(t, "�").cast("long")
+    docs.select(col("doc_id"),
+      moji.as("n_mojibake"), repl.as("n_replacement"),
+      when(moji === 0 && repl === 0, 1L).otherwise(0L).as("keep"))
+  }
 }

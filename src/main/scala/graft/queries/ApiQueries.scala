@@ -120,6 +120,11 @@ object ApiQueries {
       val ev = Points.table(s, dir, "events").withColumn("ts_ms", expr("ts div 1000000"))
       Funnel.heavyHitters(ev, "event_type", "ts_ms", "user_id", k = 3)
     }),
+    // Crawler/bot screen: per-user exact inter-arrival stats (integer
+    // microseconds) + burst/cadence thresholds — one user-keyed shuffle
+    "events_bot_flag" -> ((s, dir) =>
+      Anomaly.botFlag(Points.table(s, dir, "events")
+        .withColumn("ts_us", expr("ts div 1000")))),
     // Semi-structured extraction: pull the numeric `k` out of the JSON-ish
     // props string with a regex (portable to the oracle without a JSON
     // extension) and aggregate per decade bucket.
@@ -499,6 +504,23 @@ object ApiQueries {
         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY event_type, day ORDER BY n DESC, user_id) AS BIGINT) AS rank
         |  FROM c)
         |WHERE rank <= 3""".stripMargin,
+    "events_bot_flag" ->
+      """WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS tu FROM events),
+        |g AS (SELECT user_id, tu,
+        |             tu - LAG(tu) OVER (PARTITION BY user_id ORDER BY tu, event_id) AS gap
+        |      FROM o),
+        |a AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |             CAST(MAX(tu) - MIN(tu) AS BIGINT) AS span_us,
+        |             CAST(MIN(gap) AS BIGINT) AS min_gap_us
+        |      FROM g GROUP BY 1)
+        |SELECT user_id, n_events, span_us, min_gap_us,
+        |       CASE WHEN n_events > 1 THEN span_us // (n_events - 1) END AS mean_gap_us,
+        |       CAST(CASE WHEN n_events >= 20
+        |                 THEN CASE WHEN min_gap_us <= 600000000
+        |                             OR span_us // (n_events - 1) <= 40000000000
+        |                           THEN 1 ELSE 0 END
+        |                 ELSE 0 END AS BIGINT) AS is_bot
+        |FROM a""".stripMargin,
     "api_props_extract" ->
       """SELECT event_type,
         |       TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) // 10 * 10 AS k_decade,

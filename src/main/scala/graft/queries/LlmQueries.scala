@@ -380,6 +380,9 @@ object LlmQueries {
     }),
     // per-label centroid on the 2^-20 fixed-point grid (order-independent)
     "embed_centroid" -> ((s, dir) => Similarity.centroids(emb(s, dir))),
+    // per-dimension health audit: exact min/max + grid-exact mean/variance
+    // (dead dims, scale blowups, encoder bias — the ANN-index monitoring table)
+    "embed_dim_stats" -> ((s, dir) => Similarity.dimStats(emb(s, dir))),
     // per-source document cap (anti-template-farm): top-10 by quality
     "curate_source_cap" -> ((s, dir) =>
       graft.operators.Curation.capPerGroup(docs(s, dir), "source", 10)),
@@ -424,6 +427,19 @@ object LlmQueries {
     "text_chunks" -> ((s, dir) => TextAnalysis.chunk(docs(s, dir))),
     // Gopher-style heuristic rule flags + keep decision (auditable filter)
     "text_gopher" -> ((s, dir) => TextAnalysis.gopherFilter(docs(s, dir))),
+    // Fuzzy-exact dedup over a planted-variant corpus: every 10th doc is
+    // replaced by a SHOUTY variant of its neighbor (uppercased, doubled
+    // spaces, trailing "!!!") — byte-distinct, normalization-identical, so
+    // the gate pins that case/punct/spacing variants collapse to one group
+    "dedup_fuzzy_exact" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val nb = d.select((col("doc_id") + 1).as("doc_id"), col("text").as("ntext"))
+      val planted = d.join(nb, Seq("doc_id"), "left").select(col("doc_id"),
+        when(col("doc_id") % 10 === 0 && col("ntext").isNotNull,
+          concat(upper(regexp_replace(col("ntext"), " ", "  ")), lit(" !!!")))
+          .otherwise(col("text")).as("text"))
+      Dedup.fuzzyExact(planted)
+    }),
     // Bloom screen: every-10th docs probe the rest; every-20th docs carry a
     // PLANTED re-occurrence (the next doc's text) and must be flagged
     "dedup_bloom_screen" -> ((s, dir) => {
@@ -456,6 +472,12 @@ object LlmQueries {
         plantedEdges(docs(s, dir), full = true),
         Seq("site0", "site1").toDF("domain"), iters = 5)
     }),
+    // HITS hubs & authorities over the same planted link graph: authorities
+    // rank content domains, hubs rank aggregator/directory domains — the
+    // pair separates "worth training on" from "worth crawling from". L1
+    // integer fixed point, bit-exact vs the unrolled SQL replay
+    "graph_hits" -> ((s, dir) =>
+      graft.operators.Graph.hits(plantedEdges(docs(s, dir), full = true), iters = 5)),
     // Retrieval-quality eval of the BM25 ranker against prefix-share ground
     // truth (docs opening with the query's exact four words are "relevant"):
     // per-query MRR / nDCG@10 with frozen decimal DCG weights
@@ -502,6 +524,20 @@ object LlmQueries {
         .join(quality, Seq("doc_id"))
         .select(col("doc_id"), col("domain"), col("rank_fp"), col("quality"),
           (col("quality") * col("rank")).as("prior"))
+    }),
+    // encoding-artifact screen over planted corruption: every 7th doc gets
+    // a latin1-mojibake word, every 13th a â€™-style curly quote, every
+    // 17th a U+FFFD replacement char — the gate pins both detector classes
+    // and the keep flag
+    "text_mojibake" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val planted = d.select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          regexp_replace(col("text"), "^([a-z0-9]+) ", "$1 cafÃ© "))
+          .when(col("doc_id") % 13 === 0, concat(col("text"), lit(" donâ€™t")))
+          .when(col("doc_id") % 17 === 0, concat(col("text"), lit(" bad�byte")))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.mojibakeStats(planted)
     }),
     // sentence segmentation stats over planted terminal punctuation (a
     // period after every 5-word run): the prose-structure quality signal
@@ -793,6 +829,52 @@ object LlmQueries {
        |SELECT domain, CAST(rank_fp AS BIGINT) AS rank_fp,
        |       CAST(rank_fp AS DOUBLE) / $scale AS rank
        |FROM r$iters""".stripMargin
+  }
+
+  /** Unrolled DuckDB replay of [[graft.operators.Graph.hits]]: per iteration
+    * an auth half-step (dst-keyed sum of hub·w, L1-renormalized via HUGEINT
+    * floor division) then a hub half-step over the fresh authorities —
+    * mirroring the Spark DECIMAL(38,0) renorm bit-for-bit. */
+  private def hitsOracleSql(iters: Int = 5, scale: Long = 1000000000000L): String = {
+    val edges =
+      """  SELECT 'site' || CAST(doc_id % 7 AS VARCHAR) AS src, 'cdn' || CAST(doc_id % 3 AS VARCHAR) AS dst FROM documents
+        |  UNION ALL SELECT 'cdn' || CAST(doc_id % 3 AS VARCHAR), 'site' || CAST(doc_id % 5 AS VARCHAR) FROM documents
+        |  UNION ALL SELECT 'site' || CAST(doc_id % 7 AS VARCHAR), 'site' || CAST((doc_id + 3) % 7 AS VARCHAR) FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL SELECT 'site' || CAST(doc_id % 7 AS VARCHAR), 'sink' FROM documents WHERE doc_id % 11 = 0""".stripMargin
+    // AS MATERIALIZED: the iteration CTEs reference `nodes`/`w` ~2x per
+    // round; DuckDB would otherwise inline the 4-scan edges subtree into
+    // every reference and exhaust file handles on the parquet re-opens
+    val head =
+      s"""e AS MATERIALIZED (
+         |$edges),
+         |w AS MATERIALIZED (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS wt FROM e GROUP BY 1, 2),
+         |nodes AS MATERIALIZED (SELECT src AS domain FROM e UNION SELECT dst FROM e),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+         |h0 AS (SELECT domain, $scale // n AS hub_fp FROM nodes CROSS JOIN nn)""".stripMargin
+    val rounds = (1 to iters).map { k =>
+      s"""ar$k AS MATERIALIZED (SELECT nodes.domain, COALESCE(s.v, 0) AS raw
+         |      FROM nodes LEFT JOIN (SELECT w.dst AS domain, CAST(SUM(hub_fp * wt) AS BIGINT) AS v
+         |                            FROM h${k - 1} JOIN w ON h${k - 1}.domain = w.src GROUP BY 1) s
+         |        ON nodes.domain = s.domain),
+         |at$k AS MATERIALIZED (SELECT COALESCE(SUM(raw), 0) AS tot FROM ar$k),
+         |a$k AS MATERIALIZED (SELECT domain, CASE WHEN tot = 0 THEN 0
+         |               ELSE CAST(CAST(raw AS HUGEINT) * $scale // tot AS BIGINT) END AS auth_fp
+         |      FROM ar$k CROSS JOIN at$k),
+         |hr$k AS MATERIALIZED (SELECT nodes.domain, COALESCE(s.v, 0) AS raw
+         |      FROM nodes LEFT JOIN (SELECT w.src AS domain, CAST(SUM(auth_fp * wt) AS BIGINT) AS v
+         |                            FROM a$k JOIN w ON a$k.domain = w.dst GROUP BY 1) s
+         |        ON nodes.domain = s.domain),
+         |ht$k AS MATERIALIZED (SELECT COALESCE(SUM(raw), 0) AS tot FROM hr$k),
+         |h$k AS MATERIALIZED (SELECT domain, CASE WHEN tot = 0 THEN 0
+         |               ELSE CAST(CAST(raw AS HUGEINT) * $scale // tot AS BIGINT) END AS hub_fp
+         |      FROM hr$k CROSS JOIN ht$k)""".stripMargin
+    }
+    s"""WITH $head,
+       |${rounds.mkString(",\n")}
+       |SELECT a$iters.domain, auth_fp, hub_fp,
+       |       CAST(auth_fp AS DOUBLE) / $scale AS auth,
+       |       CAST(hub_fp AS DOUBLE) / $scale AS hub
+       |FROM a$iters JOIN h$iters ON a$iters.domain = h$iters.domain""".stripMargin
   }
 
   /** The PageRank/TrustRank replay as reusable CTEs (`e` .. `r<iters>`) over
@@ -1134,6 +1216,16 @@ object LlmQueries {
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS dup_count
         |FROM documents GROUP BY 1""".stripMargin,
+    "dedup_fuzzy_exact" ->
+      """WITH nb AS (SELECT doc_id + 1 AS doc_id, text AS ntext FROM documents),
+        |p AS (SELECT d.doc_id,
+        |        CASE WHEN d.doc_id % 10 = 0 AND nb.ntext IS NOT NULL
+        |             THEN upper(replace(nb.ntext, ' ', '  ')) || ' !!!'
+        |             ELSE d.text END AS text
+        |      FROM documents d LEFT JOIN nb ON d.doc_id = nb.doc_id)
+        |SELECT md5(trim(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9]+', ' ', 'g'))) AS norm_hash,
+        |       MIN(doc_id) AS keep_doc_id, COUNT(*) AS dup_count
+        |FROM p GROUP BY 1""".stripMargin,
     "text_contamination" ->
       """WITH g AS (
         |  SELECT DISTINCT doc_id, array_to_string(ws[i:i+7], ' ') AS g
@@ -2066,6 +2158,22 @@ object LlmQueries {
         |SELECT label, CAST(d AS BIGINT) AS dim, n_vecs,
         |       fp_sum / (n_vecs * 1048576) AS mean
         |FROM s""".stripMargin,
+    "embed_dim_stats" ->
+      """WITH e AS (
+        |  SELECT UNNEST(embedding) AS v, generate_subscripts(embedding, 1) AS d
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT d, COUNT(*) AS n_vecs,
+        |         MIN(CAST(v AS DOUBLE)) AS min_v, MAX(CAST(v AS DOUBLE)) AS max_v,
+        |         CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1048576 + 0.5) AS BIGINT)) AS BIGINT) AS fp_sum,
+        |         CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1048576 + 0.5) AS BIGINT) *
+        |                  CAST(FLOOR(CAST(v AS DOUBLE) * 1048576 + 0.5) AS BIGINT)) AS BIGINT) AS fp_sumsq
+        |  FROM e GROUP BY 1)
+        |SELECT CAST(d AS BIGINT) AS dim, n_vecs, min_v, max_v,
+        |       fp_sum / (n_vecs * 1048576) AS mean,
+        |       fp_sumsq / (n_vecs * 1048576 * 1048576) -
+        |         (fp_sum / (n_vecs * 1048576)) * (fp_sum / (n_vecs * 1048576)) AS variance
+        |FROM s""".stripMargin,
     "curate_source_cap" ->
       s"""WITH j AS (
          |  SELECT source, doc_id,
@@ -2225,6 +2333,21 @@ object LlmQueries {
     "graph_pagerank" -> pageRankOracleSql(),
     "graph_trustrank" -> pageRankOracleSql(seedsSql =
       Some("SELECT 'site0' AS domain UNION ALL SELECT 'site1' AS domain")),
+    "graph_hits" -> hitsOracleSql(),
+    "text_mojibake" ->
+      s"""WITH p AS (SELECT doc_id,
+         |        CASE WHEN doc_id % 7 = 0 THEN regexp_replace(text, '^([a-z0-9]+) ', '\\1 cafÃ© ')
+         |             WHEN doc_id % 13 = 0 THEN text || ' donâ€™t'
+         |             WHEN doc_id % 17 = 0 THEN text || ' bad�byte'
+         |             ELSE text END AS text
+         |      FROM documents)
+         |SELECT doc_id,
+         |       CAST(len(regexp_extract_all(coalesce(text, ''), '${graft.operators.TextAnalysis.MojibakePattern}')) AS BIGINT) AS n_mojibake,
+         |       CAST(len(regexp_extract_all(coalesce(text, ''), '�')) AS BIGINT) AS n_replacement,
+         |       CAST(CASE WHEN len(regexp_extract_all(coalesce(text, ''), '${graft.operators.TextAnalysis.MojibakePattern}')) = 0
+         |                  AND len(regexp_extract_all(coalesce(text, ''), '�')) = 0
+         |                 THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM p""".stripMargin,
     "curate_domain_prior" -> domainPriorOracleSql(),
     "search_eval" -> searchEvalOracleSql(),
     "search_prf" -> searchPrfOracleSql(),

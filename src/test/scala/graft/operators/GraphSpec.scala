@@ -111,4 +111,47 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(r("sink") > 0L)
     assert(r.values.sum > 990000000000L) // dangling mass recycled, not lost
   }
+
+  private def hitsOf(out: Array[org.apache.spark.sql.Row]): Map[String, (Long, Long)] =
+    out.map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  test("hits: one iteration matches the hand-computed L1 fixed point") {
+    // A->B, A->C, D->B. h0 = 3000 each (scale 12000). auth raw: B = 6000,
+    // C = 3000, tot 9000 -> B 8000, C 4000. hub raw: A = 12000, D = 8000,
+    // tot 20000 -> A 7200, D 4800.
+    val edges = Seq(("A", "B"), ("A", "C"), ("D", "B")).toDF("src", "dst")
+    val h = hitsOf(Graph.hits(edges, iters = 1, scale = 12000L).collect())
+    assert(h == Map(
+      "A" -> (0L, 7200L), "D" -> (0L, 4800L),
+      "B" -> (8000L, 0L), "C" -> (4000L, 0L)))
+  }
+
+  test("hits: hub/authority separation on a directory-vs-content graph") {
+    // hub1/hub2 each link all three content nodes; content links nothing.
+    val edges = (for (h <- Seq("hub1", "hub2"); c <- Seq("c1", "c2", "c3"))
+      yield (h, c)).toDF("src", "dst")
+    val h = hitsOf(Graph.hits(edges, iters = 3).collect())
+    Seq("hub1", "hub2").foreach { n => assert(h(n)._2 > 0L && h(n)._1 == 0L, n) }
+    Seq("c1", "c2", "c3").foreach { n => assert(h(n)._1 > 0L && h(n)._2 == 0L, n) }
+    // symmetric roles share the score exactly (no float drift to break ties)
+    assert(h("hub1") == h("hub2"))
+    assert(h("c1") == h("c2") && h("c2") == h("c3"))
+  }
+
+  test("hits: edge multiplicity weights the authority; L1 mass bounded by scale") {
+    val edges = Seq(("A", "B"), ("A", "B"), ("A", "C")).toDF("src", "dst")
+    val h = hitsOf(Graph.hits(edges, iters = 2).collect())
+    assert(h("B")._1 > h("C")._1)
+    assert(h.values.map(_._1).sum <= 1000000000000L)
+    assert(h.values.map(_._2).sum <= 1000000000000L)
+  }
+
+  test("hits: scores bit-identical under edge-order permutation and repartition") {
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(120)((s"n${rnd.nextInt(15)}", s"n${rnd.nextInt(15)}"))
+    def run(df: DataFrame) = Graph.hits(df, iters = 4).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(run(edges.toDF("src", "dst")) ==
+      run(scala.util.Random.shuffle(edges).toDF("src", "dst").repartition(13)))
+  }
 }

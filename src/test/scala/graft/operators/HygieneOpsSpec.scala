@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** Round-8 hygiene/audit operators: fuzzy-exact dedup, mojibake screen,
+  * bot flagging, and the per-dimension embedding health table. */
+class HygieneOpsSpec extends AnyFunSuite with SparkSpec {
+
+  import spark.implicits._
+
+  test("fuzzyExact: case/punct/spacing variants collapse to one group") {
+    val docs = Seq(
+      (1L, "hello world"),
+      (2L, "Hello,  WORLD!"),
+      (3L, "hello\nworld."),
+      (4L, "different text")).toDF("doc_id", "text")
+    val out = Dedup.fuzzyExact(docs).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(out == Map(1L -> 3L, 4L -> 1L))
+  }
+
+  test("fuzzyExact: NULL and empty text share the one empty group") {
+    val docs = Seq((1L, null.asInstanceOf[String]), (2L, ""), (3L, " .! "))
+      .toDF("doc_id", "text")
+    val out = Dedup.fuzzyExact(docs).collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(1) == 1L && out.head.getLong(2) == 3L)
+  }
+
+  test("fuzzyExact: punctuation runs separate words, never glue them") {
+    val docs = Seq((1L, "end.Start"), (2L, "endstart"), (3L, "end start"))
+      .toDF("doc_id", "text")
+    // "end.Start" normalizes to "end start" (group with 3), not "endstart"
+    val groups = Dedup.fuzzyExact(docs).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(groups == Map(1L -> 2L, 2L -> 1L))
+  }
+
+  test("mojibakeStats: counts both artifact classes; clean and NULL keep") {
+    val docs = Seq(
+      (1L, "plain clean text"),
+      (2L, "cafÃ© and donâ€™t and Â£5"),
+      (3L, "bad�byte here"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = TextAnalysis.mojibakeStats(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((0L, 0L, 1L)))
+    assert(out(2L) == ((3L, 0L, 0L)))
+    assert(out(3L) == ((0L, 1L, 0L)))
+    assert(out(4L) == ((0L, 0L, 1L)))
+  }
+
+  test("botFlag: burst and cadence tells flag; sparse and small users keep") {
+    val events =
+      (0 until 25).map(i => ("burst", i.toLong, i * 1000000L)) ++ // 1 s gaps
+        (0 until 25).map(i => ("slow", (100 + i).toLong, i * 50000000000L)) ++ // 50k s
+        (0 until 3).map(i => ("tiny", (200 + i).toLong, i * 1000L)) ++
+        Seq(("solo", 300L, 42L))
+    val df = events.toDF("user_id", "event_id", "ts_us")
+    val out = Anomaly.botFlag(df, "user_id", "ts_us", "event_id").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("burst").getLong(5) == 1L)
+    assert(out("burst").getLong(3) == 1000000L) // min gap exact
+    assert(out("burst").getLong(4) == 1000000L) // mean = span div (n-1)
+    assert(out("slow").getLong(5) == 0L)
+    assert(out("tiny").getLong(5) == 0L) // below minEvents despite 1 ms gaps
+    assert(out("solo").getLong(5) == 0L)
+    assert(out("solo").isNullAt(3) && out("solo").isNullAt(4)) // no gaps
+    assert(out("solo").getLong(2) == 0L) // span
+  }
+
+  test("botFlag: identical timestamps tie-break on event_id; gap 0 flags burst") {
+    val df = (0 until 21).map(i => ("u", i.toLong, 5000L))
+      .toDF("user_id", "event_id", "ts_us")
+    val r = Anomaly.botFlag(df, "user_id", "ts_us", "event_id").collect().head
+    assert(r.getLong(2) == 0L && r.getLong(3) == 0L && r.getLong(5) == 1L)
+  }
+
+  test("dimStats: hand-computed grid-exact stats; min/max rank-picked") {
+    val emb = Seq(
+      (1L, Seq(1.0f, -0.5f)),
+      (2L, Seq(0.0f, 0.5f))).toDF("vec_id", "embedding")
+    val out = Similarity.dimStats(emb).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) == 2L)
+    assert(out(1L).getDouble(2) == 0.0 && out(1L).getDouble(3) == 1.0)
+    assert(out(1L).getDouble(4) == 0.5) // (2^20 + 0) / (2 * 2^20)
+    assert(out(1L).getDouble(5) == 0.25)
+    assert(out(2L).getDouble(2) == -0.5 && out(2L).getDouble(3) == 0.5)
+    assert(out(2L).getDouble(4) == 0.0)
+    assert(out(2L).getDouble(5) == 0.25)
+  }
+
+  test("dimStats: a dead dimension reports zero variance exactly") {
+    val emb = (1L to 40L).map(i => (i, Seq(0.125f, i.toFloat / 64)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.dimStats(emb).collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getDouble(5) == 0.0)
+    assert(out(1L).getDouble(4) == 0.125)
+    assert(out(2L).getDouble(5) > 0.0)
+  }
+}
