@@ -156,6 +156,61 @@ case class FloatDotWeights(child: Expression, weights: Seq[Double])
  * of the reference's own hash granularity) gives the banded blocking a true
  * Hamming recall guarantee while keeping false band-collisions rare.
  */
+/**
+ * Per-vector squared L2 norm on the 2^-20 fixed-point grid, as one codegen'd
+ * LONG pass: each element snaps to `floor(v·2^20 + 0.5)` (the
+ * [[graft.operators.Similarity.centroids]] grid) and the squares accumulate
+ * in LONG — order-independent, engine-reproducible (`SUM(fp*fp)` over
+ * `UNNEST` replays it in SQL), and far inside LONG for unit-scale embeddings
+ * (dim·2^40). The embedding-health primitive behind norm-outlier screens.
+ * Null elements yield null (corrupt row, not a zero).
+ */
+case class FloatNormFp(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"FloatNormFp requires ARRAY<FLOAT>, got $other")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  // null on a null ELEMENT even for a non-null array
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any): Any =
+    FloatNormFp.normFp(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = "graft.functions.FloatNormFp$.MODULE$"
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""java.lang.Long ${ev.value}Box = $helper.normFp($a);
+         |if (${ev.value}Box == null) { ${ev.isNull} = true; } else { ${ev.value} = ${ev.value}Box.longValue(); }
+         |""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): FloatNormFp =
+    copy(child = newChild)
+}
+
+object FloatNormFp {
+  val Grid = 1L << graft.operators.Similarity.CentroidScaleBits
+
+  /** Σ floor(v·2^20 + 0.5)² as LONG; null if any element is null. */
+  def normFp(x: ArrayData): java.lang.Long = {
+    val n = x.numElements()
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i)) return null
+      val fp = math.floor(x.getFloat(i).toDouble * Grid + 0.5).toLong
+      s += fp * fp
+      i += 1
+    }
+    java.lang.Long.valueOf(s)
+  }
+}
+
 case class SimHashBits(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
@@ -733,6 +788,10 @@ object VectorFunctions {
     * hex strings. */
   def simhashBits(hashes: Column): Column =
     GraftSqlBridge.column(SimHashBits(GraftSqlBridge.expression(hashes)))
+
+  /** Column API: squared L2 norm on the 2^-20 grid as LONG. */
+  def normFp(a: Column): Column =
+    GraftSqlBridge.column(FloatNormFp(GraftSqlBridge.expression(a)))
 
   /** Column API: int8 max-abs quantization stats struct for a float-array
     * column — `(scale, q_sum, q_l1, q_max, q_sq)`. */

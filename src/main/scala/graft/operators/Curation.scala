@@ -548,4 +548,33 @@ object Curation {
         expr(s"CAST(start div $ctxLen AS BIGINT)").as("pack_id"),
         expr(s"CAST(start % $ctxLen AS BIGINT)").as("pack_offset"))
   }
+
+  /**
+   * Benchmark decontamination — the DROP side of [[TextAnalysis
+   * .contamination]]'s detection: any training doc sharing `minShared`+
+   * distinct word n-grams with ANY probe (eval/benchmark) doc is excluded
+   * from the kept corpus, and every doc gets its audit row (how many probes
+   * it hit, total and worst overlap). The step every serious pretraining
+   * pipeline runs between dedup and packing (GPT-3 appendix C, The Pile,
+   * FineWeb all document the n-gram variant).
+   *
+   * Scale shape: the detection join is n-gram-blocked (shared-gram join, no
+   * doc×probe product); the rollup aggregates the bounded hit frame on
+   * doc_id; the audit join back to the corpus is a left join on the key.
+   * Probes excluded from matching themselves (detection's own rule).
+   */
+  def decontamFilter(docs: DataFrame, probes: DataFrame, n: Int = 8,
+      minShared: Long = 3L): DataFrame = {
+    val hits = TextAnalysis.contamination(docs, probes, n, minShared)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_probes_hit"),
+        sum("shared").as("n_shared_grams"),
+        max("shared").as("max_shared"))
+    docs.select(col("doc_id")).join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_probes_hit"), lit(0L)).as("n_probes_hit"),
+        coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"),
+        coalesce(col("max_shared"), lit(0L)).as("max_shared"),
+        when(col("n_probes_hit").isNull, 1L).otherwise(0L).as("keep"))
+  }
 }

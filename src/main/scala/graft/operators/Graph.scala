@@ -64,6 +64,21 @@ object Graph {
     rankCore(edges, Some(seeds), iters, dampBp, scale)
 
   /**
+   * Weakly-connected components of a link graph — the partition a crawl
+   * pipeline uses to find isolated site clusters (link farms, walled
+   * mirrors) and to shard graph jobs. Edges are treated as undirected;
+   * each node gets the MINIMUM reachable node id as its component id.
+   *
+   * Pure reuse of the dedup component machinery ([[Dedup.clusters]]): the
+   * bounded driver union-find below its pair cutoff, the distributed
+   * min-label sweep above it — same determinism (exact min over the node-id
+   * ordering) and the same 100 TB posture (no transitive-closure join).
+   */
+  def components(edges: DataFrame): DataFrame =
+    Dedup.clusters(edges.select(col("src").as("a"), col("dst").as("b")))
+      .select(col("doc_id").as("domain"), col("cluster_id").as("component_id"))
+
+  /**
    * HITS hubs & authorities (Kleinberg 1999) in integer fixed point — the
    * third classical centrality, complementing [[pageRank]]: a node is a good
    * AUTHORITY when good hubs link to it, a good HUB when it links to good

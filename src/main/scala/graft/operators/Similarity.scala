@@ -248,6 +248,37 @@ object Similarity {
   }
 
   /**
+   * Norm-outlier screen — the row-level embedding health check ([[dimStats]]
+   * is the column-level one): a broken encoder shows up as zero/near-zero
+   * norms (dead input) or exploding norms (overflow, bad normalization), and
+   * both poison cosine ANN. Flags vectors whose squared grid norm falls
+   * outside `[loBp, hiBp]` basis points of the corpus mean squared norm.
+   *
+   * Determinism: the squared norm is the native [[graft.functions
+   * .FloatNormFp]] LONG (2^-20 grid, no accumulation drift); the corpus mean
+   * is one DECIMAL(38,0) sum floor-divided by the count; the flag is pure
+   * LONG compares (`n2·10⁴` vs `bp·mean`). `norm` is the single mirrored
+   * IEEE expression `sqrt(n2) / 2^20`, emitted for humans.
+   *
+   * Scale: one scan + a 1-row broadcast scalar crossJoin — no window, no
+   * second corpus shuffle.
+   */
+  def normOutliers(emb: DataFrame, loBp: Long = 2500L, hiBp: Long = 40000L): DataFrame = {
+    require(loBp >= 0 && hiBp > loBp, "need 0 <= loBp < hiBp")
+    val grid = math.pow(2, CentroidScaleBits).toLong
+    val scored = emb.select(col("vec_id"),
+      graft.functions.VectorFunctions.normFp(col("embedding")).as("n2_fp"))
+    val stats = broadcast(scored.agg(
+      expr("CAST(SUM(CAST(n2_fp AS DECIMAL(38,0))) div COUNT(*) AS BIGINT)").as("mean_n2")))
+    scored.crossJoin(stats).select(
+      col("vec_id"), col("n2_fp"), col("mean_n2"),
+      (sqrt(col("n2_fp").cast("double")) / grid).as("norm"),
+      when(col("n2_fp") * 10000L < col("mean_n2") * loBp, 1L)
+        .when(col("n2_fp") * 10000L > col("mean_n2") * hiBp, 1L)
+        .otherwise(0L).as("is_outlier"))
+  }
+
+  /**
    * Binary-quantization kNN — the far end of the quantization ladder
    * (float → int8 → PQ → binary): each vector becomes `bits` hyperplane
    * SIGN BITS packed into one LONG (the native [[graft.functions.SignBits]]

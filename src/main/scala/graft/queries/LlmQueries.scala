@@ -478,6 +478,41 @@ object LlmQueries {
     // integer fixed point, bit-exact vs the unrolled SQL replay
     "graph_hits" -> ((s, dir) =>
       graft.operators.Graph.hits(plantedEdges(docs(s, dir), full = true), iters = 5)),
+    // weakly-connected components over a DISCONNECTED planted graph: the
+    // even docs' site/cdn web plus a separate isle ring from odd docs — the
+    // dedup min-label machinery reused on the link graph, with sizes
+    "graph_components" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val web = d.where(col("doc_id") % 2 === 0).select(
+        concat(lit("site"), (col("doc_id") % 7).cast("string")).as("src"),
+        concat(lit("cdn"), (col("doc_id") % 3).cast("string")).as("dst"))
+      val isle = d.where(col("doc_id") % 2 === 1).select(
+        concat(lit("isle"), (col("doc_id") % 4).cast("string")).as("src"),
+        concat(lit("isle"), ((col("doc_id") + 1) % 4).cast("string")).as("dst"))
+      val comps = graft.operators.Graph.components(web.union(isle))
+      val sizes = comps.groupBy("component_id").agg(count(lit(1)).as("n_domains"))
+      comps.join(sizes, Seq("component_id"))
+        .select(col("domain"), col("component_id"), col("n_domains"))
+    }),
+    // row-level embedding health: norm outliers vs the corpus mean squared
+    // grid norm, over planted corruption (every 50th vector scaled 3x =
+    // exploding norm, every 97th zeroed = dead input)
+    "embed_norm_outliers" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val planted = e.select(col("vec_id"),
+        when(col("vec_id") % 97 === 0,
+          transform(col("embedding"), _ => lit(0.0f)))
+          .when(col("vec_id") % 50 === 0,
+            transform(col("embedding"), v => (v * lit(3.0f)).cast("float")))
+          .otherwise(col("embedding")).as("embedding"))
+      Similarity.normOutliers(planted)
+    }),
+    // the decontamination DROP step over the contamination gate's fixture
+    // (probes = every 10th doc): per-doc audit + keep flag
+    "curate_decontam" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.operators.Curation.decontamFilter(d, d.where(col("doc_id") % 10 === 0))
+    }),
     // Retrieval-quality eval of the BM25 ranker against prefix-share ground
     // truth (docs opening with the query's exact four words are "relevant"):
     // per-query MRR / nDCG@10 with frozen decimal DCG weights
@@ -2334,6 +2369,58 @@ object LlmQueries {
     "graph_trustrank" -> pageRankOracleSql(seedsSql =
       Some("SELECT 'site0' AS domain UNION ALL SELECT 'site1' AS domain")),
     "graph_hits" -> hitsOracleSql(),
+    "graph_components" ->
+      """WITH RECURSIVE e0 AS MATERIALIZED (
+        |  SELECT 'site' || CAST(doc_id % 7 AS VARCHAR) AS a, 'cdn' || CAST(doc_id % 3 AS VARCHAR) AS b
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT 'isle' || CAST(doc_id % 4 AS VARCHAR), 'isle' || CAST((doc_id + 1) % 4 AS VARCHAR)
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |edges AS MATERIALIZED (SELECT a AS src, b AS dst FROM e0 UNION SELECT b, a FROM e0),
+        |reach(src, dst) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |c AS (SELECT src AS domain, MIN(dst) AS component_id FROM reach GROUP BY 1),
+        |s AS (SELECT component_id, CAST(COUNT(*) AS BIGINT) AS n_domains FROM c GROUP BY 1)
+        |SELECT c.domain, c.component_id, s.n_domains FROM c JOIN s USING (component_id)""".stripMargin,
+    "embed_norm_outliers" ->
+      """WITH p AS (
+        |  SELECT vec_id,
+        |    CASE WHEN vec_id % 97 = 0 THEN list_transform(embedding, v -> CAST(0.0 AS FLOAT))
+        |         WHEN vec_id % 50 = 0 THEN list_transform(embedding, v -> CAST(v * CAST(3.0 AS FLOAT) AS FLOAT))
+        |         ELSE embedding END AS embedding
+        |  FROM embeddings),
+        |e AS (SELECT vec_id, UNNEST(embedding) AS v FROM p),
+        |n2 AS (SELECT vec_id,
+        |         CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1048576 + 0.5) AS BIGINT) *
+        |                  CAST(FLOOR(CAST(v AS DOUBLE) * 1048576 + 0.5) AS BIGINT)) AS BIGINT) AS n2_fp
+        |       FROM e GROUP BY 1),
+        |m AS (SELECT CAST(SUM(n2_fp) // COUNT(*) AS BIGINT) AS mean_n2 FROM n2)
+        |SELECT vec_id, n2_fp, mean_n2,
+        |       sqrt(CAST(n2_fp AS DOUBLE)) / 1048576 AS norm,
+        |       CAST(CASE WHEN n2_fp * 10000 < mean_n2 * 2500 THEN 1
+        |                 WHEN n2_fp * 10000 > mean_n2 * 40000 THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+        |FROM n2 CROSS JOIN m""".stripMargin,
+    "curate_decontam" ->
+      """WITH g AS (
+        |  SELECT DISTINCT doc_id, array_to_string(ws[i:i+7], ' ') AS g
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        |       UNNEST(range(1, len(ws) - 6)) AS t(i)),
+        |probes AS (SELECT doc_id AS probe_id, g FROM g WHERE doc_id % 10 = 0),
+        |hits AS (
+        |  SELECT d.doc_id, p.probe_id, COUNT(*) AS shared
+        |  FROM g d JOIN probes p ON d.g = p.g AND d.doc_id != p.probe_id
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+        |r AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_probes_hit,
+        |        CAST(SUM(shared) AS BIGINT) AS n_shared_grams,
+        |        CAST(MAX(shared) AS BIGINT) AS max_shared
+        |      FROM hits GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(r.n_probes_hit, 0) AS n_probes_hit,
+        |       COALESCE(r.n_shared_grams, 0) AS n_shared_grams,
+        |       COALESCE(r.max_shared, 0) AS max_shared,
+        |       CAST(CASE WHEN r.doc_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id""".stripMargin,
     "text_mojibake" ->
       s"""WITH p AS (SELECT doc_id,
          |        CASE WHEN doc_id % 7 = 0 THEN regexp_replace(text, '^([a-z0-9]+) ', '\\1 cafÃ© ')

@@ -212,6 +212,29 @@ object ScaleSmoke {
       val seeds = spark.range(16).select(concat(lit("d"), col("id")).as("domain"))
       graft.operators.Graph.trustRank(e1, seeds, iters = 5).count()
     }
+    t("components (corpus-sized edge list, ~500 domains)") {
+      val e1 = docs.select(
+        concat(lit("d"), col("doc_id") % 499).as("src"),
+        concat(lit("d"), (col("doc_id") * 13 + 7) % 499).as("dst"))
+      graft.operators.Graph.components(e1).count()
+    }
+    t("hits (5 iters, same corpus-sized edge list, ~500 domains)") {
+      val e1 = docs.select(
+        concat(lit("d"), col("doc_id") % 499).as("src"),
+        concat(lit("d"), (col("doc_id") * 13 + 7) % 499).as("dst"))
+      graft.operators.Graph.hits(e1, iters = 5).count()
+    }
+    t("fuzzyExact dedup (row-wise normalized key + hash groupBy)") {
+      graft.operators.Dedup.fuzzyExact(docs).count()
+    }
+    t("decontamFilter (0.1% probe set, n-gram-blocked join + rollup)") {
+      graft.operators.Curation.decontamFilter(
+        docs, docs.where(col("doc_id") % 1000 === 0)).agg(sum("keep")).collect()
+    }
+    t("mojibakeStats (two native regex scans, row-wise)") {
+      graft.operators.TextAnalysis.mojibakeStats(docs)
+        .agg(sum("n_mojibake"), sum("keep")).collect()
+    }
     t("sentenceStats + dailyTrend-shape ops (row-wise / tiny-frame window)") {
       graft.operators.TextAnalysis.sentenceStats(docs).agg(sum("n_sentence_words")).collect()
     }
@@ -268,6 +291,12 @@ object ScaleSmoke {
     t("quantizeInt8 (native one-pass)") {
       // aggregate over the stats so the expression actually evaluates
       graft.operators.Similarity.quantizeInt8(emb).agg(sum("q_sq")).collect()
+    }
+    t("dimStats (per-dimension health: exact min/max + grid mean/var)") {
+      graft.operators.Similarity.dimStats(emb).count()
+    }
+    t("normOutliers (native LONG grid norms + 1-row mean broadcast)") {
+      graft.operators.Similarity.normOutliers(emb).agg(sum("is_outlier")).collect()
     }
     t("centroids per derived label") {
       graft.operators.Similarity.centroids(
@@ -358,6 +387,11 @@ object ScaleSmoke {
     t("heavyHitters + dailyTrend (map-side counts, tiny downstream)") {
       graft.operators.Funnel.heavyHitters(ev, "event_type", "ts_ms", "user_id", k = 3).count()
       graft.operators.Funnel.dailyTrend(ev, "event_type", "ts_ms").count()
+    }
+    t("botFlag (per-user inter-arrival stats, one keyed shuffle)") {
+      graft.operators.Anomaly.botFlag(
+        ev.withColumn("ts_us", col("ts_ms") * 1000L),
+        "user_id", "ts_us", "event_id").count()
     }
     spark.stop()
   }

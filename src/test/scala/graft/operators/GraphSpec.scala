@@ -146,6 +146,21 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(h.values.map(_._2).sum <= 1000000000000L)
   }
 
+  test("components: disconnected subgraphs get distinct min-label ids; edges undirected") {
+    // triangle {a1,a2,a3} and a directed chain z1->z2->z3 (undirected closure
+    // must still unite the chain), plus a 2-cycle {m1,m2}
+    val edges = Seq(
+      ("a1", "a2"), ("a2", "a3"), ("a3", "a1"),
+      ("z1", "z2"), ("z2", "z3"),
+      ("m2", "m1")).toDF("src", "dst")
+    val c = Graph.components(edges).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(c("a1") == "a1" && c("a2") == "a1" && c("a3") == "a1")
+    assert(c("z1") == "z1" && c("z2") == "z1" && c("z3") == "z1")
+    assert(c("m1") == "m1" && c("m2") == "m1")
+    assert(c.values.toSet.size == 3)
+  }
+
   test("hits: scores bit-identical under edge-order permutation and repartition") {
     val rnd = new scala.util.Random(7)
     val edges = Seq.fill(120)((s"n${rnd.nextInt(15)}", s"n${rnd.nextInt(15)}"))

@@ -94,6 +94,36 @@ class HygieneOpsSpec extends AnyFunSuite with SparkSpec {
     assert(out(2L).getDouble(5) == 0.25)
   }
 
+  test("normOutliers: exploding and dead norms flag; unit norms keep") {
+    val emb = ((1L to 20L).map(i => (i, Seq(1.0f, 0.0f))) ++
+      Seq((21L, Seq(5.0f, 0.0f)), (22L, Seq(0.01f, 0.0f))))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.normOutliers(emb).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(4) == 0L)
+    assert(out(1L).getDouble(3) == 1.0) // sqrt(2^40)/2^20 exactly
+    assert(out(21L).getLong(4) == 1L) // 25x the unit norm2 >> hi bound
+    assert(out(22L).getLong(4) == 1L) // near-zero norm << lo bound
+    // mean is the exact floor of the LONG sum over 22
+    val n2s = out.values.map(_.getLong(1)).sum
+    assert(out(1L).getLong(2) == n2s / 22)
+  }
+
+  test("decontamFilter: probe-overlapping docs drop, probes and clean docs keep") {
+    val common = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10" // 10 words -> 3 shared 8-grams
+    val docs = Seq(
+      (10L, common), // the probe (doc_id % 1 fixture below passes it explicitly)
+      (2L, common + " tail"), // shares the 8-grams -> dropped
+      (3L, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10")).toDF("doc_id", "text")
+    val probes = docs.where(col("doc_id") === 10L)
+    val out = Curation.decontamFilter(docs, probes)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(2L).getLong(4) == 0L && out(2L).getLong(1) == 1L)
+    assert(out(2L).getLong(3) >= 3L) // max_shared counts the shared grams
+    assert(out(3L).getLong(4) == 1L && out(3L).getLong(2) == 0L)
+    assert(out(10L).getLong(4) == 1L) // a probe never matches itself
+  }
+
   test("dimStats: a dead dimension reports zero variance exactly") {
     val emb = (1L to 40L).map(i => (i, Seq(0.125f, i.toFloat / 64)))
       .toDF("vec_id", "embedding")
