@@ -550,6 +550,30 @@ object Curation {
   }
 
   /**
+   * Cross-source duplication overlap — the dump-overlap report a crawl
+   * pipeline publishes before mixing sources (successive CommonCrawl dumps
+   * overlap 30-60%; double-counting them silently re-weights the mix):
+   * for every unordered source pair, how many DISTINCT content hashes both
+   * sources contain. Upgrade of [[dupReport]] (per-source dup rate) to the
+   * pairwise view that drives dedup-order and mixing decisions.
+   *
+   * Scale shape: distinct (hash, source) — one corpus aggregate — then a
+   * hash-keyed self-join whose fan-out per hash is bounded by the SOURCE
+   * count (not the duplicate count: distinct collapses a 1M-copy dup to
+   * ≤ n_sources rows), then a tiny (source × source) aggregate. NULL text
+   * hashes as '' (the [[dupReport]] convention).
+   */
+  def sourceOverlap(docs: DataFrame): DataFrame = {
+    val h = docs
+      .select(md5(coalesce(col("text"), lit(""))).as("h"), col("source"))
+      .distinct()
+    h.as("a").join(h.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared_hashes"))
+  }
+
+  /**
    * Benchmark decontamination — the DROP side of [[TextAnalysis
    * .contamination]]'s detection: any training doc sharing `minShared`+
    * distinct word n-grams with ANY probe (eval/benchmark) doc is excluded

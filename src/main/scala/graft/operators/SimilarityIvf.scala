@@ -239,6 +239,38 @@ object SimilarityIvf {
       .select(payload.map(col) :+ col("list_id"): _*)
   }
 
+  /**
+   * Per-list label purity — the clustering-quality audit of an IVF index
+   * against a labeled column: a list whose members share a label says the
+   * coarse quantizer respects the data's semantic structure; low purity
+   * plus many labels per list predicts poor recall at small nProbe (the
+   * query's true neighbors are split across lists). Per list: member count,
+   * distinct labels, the majority label (ties to the LOWER label id), its
+   * count, and `purity = n_majority / n_vecs`.
+   *
+   * Scale shape: one [[assign]] pass (broadcast centroid argmax), a
+   * (list × label) aggregate that partial-aggregates map-side, then windows
+   * over the TINY counts frame (nLists × |labels| rows) — the corpus never
+   * sorts. One mirrored IEEE division per output row.
+   */
+  def cellPurity(emb: DataFrame, nLists: Int = 16,
+      labelCol: String = "label"): DataFrame = {
+    val cents = centroids(emb, nLists)
+    val counts = assign(emb, cents)
+      .select(col("vec_id"), col("list_id").cast("long").as("list_id"))
+      .join(emb.select(col("vec_id"), col(labelCol).as("label")), Seq("vec_id"))
+      .groupBy("list_id", "label").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("list_id").orderBy(col("n").desc, col("label"))
+    val maj = counts.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("list_id"), col("label").as("majority_label"), col("n").as("n_majority"))
+    counts.groupBy("list_id")
+      .agg(sum(col("n")).as("n_vecs"), countDistinct(col("label")).as("n_labels"))
+      .join(maj, Seq("list_id"))
+      .select(col("list_id"), col("n_vecs"), col("n_labels"),
+        col("majority_label"), col("n_majority"),
+        (col("n_majority").cast("double") / col("n_vecs")).as("purity"))
+  }
+
   def search(indexed: DataFrame, cents: DataFrame, queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("qe"), norm("embedding").as("qnorm"))

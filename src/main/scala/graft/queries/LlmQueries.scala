@@ -507,6 +507,22 @@ object LlmQueries {
           .otherwise(col("embedding")).as("embedding"))
       Similarity.normOutliers(planted)
     }),
+    // cross-source duplication overlap over a planted-neighbor corpus (every
+    // 10th doc carries its predecessor's text, which lives in the adjacent
+    // source): distinct shared content hashes per unordered source pair
+    "curate_source_overlap" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val nb = d.select((col("doc_id") + 1).as("doc_id"), col("text").as("ntext"))
+      val planted = d.join(nb, Seq("doc_id"), "left").select(col("doc_id"),
+        when(col("doc_id") % 10 === 0 && col("ntext").isNotNull, col("ntext"))
+          .otherwise(col("text")).as("text"),
+        col("source"))
+      graft.operators.Curation.sourceOverlap(planted)
+    }),
+    // IVF clustering-quality audit: per-list member count, distinct labels,
+    // majority label and purity — the structural predictor of ANN recall
+    "embed_label_purity" -> ((s, dir) =>
+      graft.operators.SimilarityIvf.cellPurity(emb(s, dir))),
     // the decontamination DROP step over the contamination gate's fixture
     // (probes = every 10th doc): per-doc audit + keep flag
     "curate_decontam" -> ((s, dir) => {
@@ -2402,6 +2418,31 @@ object LlmQueries {
         |       CAST(CASE WHEN n2_fp * 10000 < mean_n2 * 2500 THEN 1
         |                 WHEN n2_fp * 10000 > mean_n2 * 40000 THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
         |FROM n2 CROSS JOIN m""".stripMargin,
+    "curate_source_overlap" ->
+      """WITH nb AS (SELECT doc_id + 1 AS doc_id, text AS ntext FROM documents),
+        |p AS (SELECT d.doc_id,
+        |        CASE WHEN d.doc_id % 10 = 0 AND nb.ntext IS NOT NULL THEN nb.ntext
+        |             ELSE d.text END AS text,
+        |        d.source
+        |      FROM documents d LEFT JOIN nb ON d.doc_id = nb.doc_id),
+        |h AS (SELECT DISTINCT md5(coalesce(text, '')) AS h, source FROM p)
+        |SELECT a.source AS source_a, b.source AS source_b, CAST(COUNT(*) AS BIGINT) AS n_shared_hashes
+        |FROM h a JOIN h b ON a.h = b.h AND a.source < b.source
+        |GROUP BY 1, 2""".stripMargin,
+    "embed_label_purity" ->
+      s"""$IvfTopCte,
+         |lc AS (SELECT a.list_id, e.label, CAST(COUNT(*) AS BIGINT) AS n
+         |       FROM assigned a JOIN embeddings e ON a.vec_id = e.vec_id GROUP BY 1, 2),
+         |maj AS (SELECT list_id, label AS majority_label, n AS n_majority FROM (
+         |          SELECT *, ROW_NUMBER() OVER (PARTITION BY list_id ORDER BY n DESC, label) AS rn FROM lc)
+         |        WHERE rn = 1),
+         |tot AS (SELECT list_id, CAST(SUM(n) AS BIGINT) AS n_vecs,
+         |               CAST(COUNT(DISTINCT label) AS BIGINT) AS n_labels
+         |        FROM lc GROUP BY 1)
+         |SELECT CAST(t.list_id AS BIGINT) AS list_id, t.n_vecs, t.n_labels,
+         |       m.majority_label, m.n_majority,
+         |       CAST(m.n_majority AS DOUBLE) / t.n_vecs AS purity
+         |FROM tot t JOIN maj m USING (list_id)""".stripMargin,
     "curate_decontam" ->
       """WITH g AS (
         |  SELECT DISTINCT doc_id, array_to_string(ws[i:i+7], ' ') AS g

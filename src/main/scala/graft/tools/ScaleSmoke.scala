@@ -227,6 +227,10 @@ object ScaleSmoke {
     t("fuzzyExact dedup (row-wise normalized key + hash groupBy)") {
       graft.operators.Dedup.fuzzyExact(docs).count()
     }
+    t("sourceOverlap (distinct hash x source self-join, tiny aggregate)") {
+      graft.operators.Curation.sourceOverlap(
+        docs.withColumn("source", (col("doc_id") % 40).cast("string"))).count()
+    }
     t("decontamFilter (0.1% probe set, n-gram-blocked join + rollup)") {
       graft.operators.Curation.decontamFilter(
         docs, docs.where(col("doc_id") % 1000 === 0)).agg(sum("keep")).collect()
@@ -297,6 +301,10 @@ object ScaleSmoke {
     }
     t("normOutliers (native LONG grid norms + 1-row mean broadcast)") {
       graft.operators.Similarity.normOutliers(emb).agg(sum("is_outlier")).collect()
+    }
+    t("cellPurity (64 lists, derived labels; windows over the counts frame)") {
+      graft.operators.SimilarityIvf.cellPurity(
+        emb.withColumn("label", (col("vec_id") % 10).cast("int")), nLists = 64).count()
     }
     t("centroids per derived label") {
       graft.operators.Similarity.centroids(

@@ -124,6 +124,35 @@ class HygieneOpsSpec extends AnyFunSuite with SparkSpec {
     assert(out(10L).getLong(4) == 1L) // a probe never matches itself
   }
 
+  test("sourceOverlap: distinct hashes count once per pair; within-source dups ignored") {
+    val docs = Seq(
+      (1L, "shared one", "sA"), (2L, "shared one", "sB"), // cross pair
+      (3L, "shared one", "sB"), // duplicate within sB: still ONE distinct hash
+      (4L, "shared two", "sA"), (5L, "shared two", "sC"),
+      (6L, "only here", "sA")).toDF("doc_id", "text", "source")
+    val out = Curation.sourceOverlap(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map(("sA", "sB") -> 1L, ("sA", "sC") -> 1L))
+  }
+
+  test("cellPurity: majority, tie-break to lower label, exact purity ratio") {
+    // 8 vectors forced into distinguishable corners so seeded assignment is
+    // stable; labels: one list-dominating label + a tie case
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f), 7), (2L, Seq(0.9f, 0.1f), 7), (3L, Seq(0.8f, 0.2f), 3),
+      (4L, Seq(0.0f, 1.0f), 5), (5L, Seq(0.1f, 0.9f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val out = SimilarityIvf.cellPurity(emb, nLists = 2).collect()
+    assert(out.map(_.getLong(1)).sum == 5L) // every vector lands in a list
+    out.foreach { r =>
+      val (nVecs, nMaj, purity) = (r.getLong(1), r.getLong(4), r.getDouble(5))
+      assert(purity == nMaj.toDouble / nVecs) // the single mirrored division
+      assert(nMaj >= 1L && nMaj <= nVecs)
+    }
+    // global majority label invariant: sum of majority counts <= total
+    assert(out.map(_.getLong(4)).sum <= 5L)
+  }
+
   test("dimStats: a dead dimension reports zero variance exactly") {
     val emb = (1L to 40L).map(i => (i, Seq(0.125f, i.toFloat / 64)))
       .toDF("vec_id", "embedding")
