@@ -443,6 +443,61 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       "unpartitioned window in mmrSelect step")
   }
 
+  test("botFlag: the gap window is entity-partitioned; one shuffle serves window + aggregate") {
+    val ev = (0 until 64).map(i => (s"u${i % 4}", i.toLong, i * 1000L))
+      .toDF("user_id", "event_id", "ts_us")
+    val df = Anomaly.botFlag(ev, "user_id", "ts_us", "event_id")
+    val ws = windows(df)
+    assert(ws.nonEmpty, "expected the lag window")
+    assert(ws.forall(_.partitionSpec.nonEmpty), "unpartitioned window in botFlag")
+    // the aggregate reuses the window's hash partitioning on the entity key:
+    // exactly one data shuffle in the whole plan
+    val plan = df.queryExecution.executedPlan
+    val unwrapped = plan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val shuffles = unwrapped.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.size <= 1, s"botFlag should shuffle once, saw ${shuffles.size}")
+  }
+
+  test("normOutliers: the corpus-mean attach is a broadcast, never a shuffle join") {
+    val emb = (1L to 40L).map(i => (i, Seq(i.toFloat / 40, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val df = Similarity.normOutliers(emb)
+    val plan = df.queryExecution.executedPlan
+    val unwrapped = plan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val bcasts = unwrapped.collect {
+      case e: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => e
+    }
+    assert(bcasts.nonEmpty, "expected the 1-row mean as a BroadcastExchange")
+    val smj = unwrapped.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(smj.isEmpty, "normOutliers must not sort-merge the corpus against a scalar")
+  }
+
+  test("sourceOverlap: hash-keyed equi-join, no cartesian product") {
+    val docs = (1L to 60L).map(i => (i, s"text ${i % 7}", s"s${i % 5}"))
+      .toDF("doc_id", "text", "source")
+    val df = Curation.sourceOverlap(docs)
+    val plan = df.queryExecution.executedPlan
+    val unwrapped = plan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val cartesian = unwrapped.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }
+    assert(cartesian.isEmpty, "sourceOverlap self-join must stay key-equi (hash-partitionable)")
+  }
+
   test("pageRank: plan size stays constant per extra iteration (lineage cut)") {
     // without the per-iteration checkpoint the logical tree grows ~3x per
     // iteration (the round-8 regression this guards): compare node counts
