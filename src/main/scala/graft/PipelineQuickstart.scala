@@ -22,6 +22,11 @@ object PipelineQuickstart {
     spark.sparkContext.setLogLevel("ERROR")
 
     val raw = graft.operators.Points.table(spark, sfDir, "documents")
+    // -1. encoding hygiene BEFORE normalization: mojibake / replacement-char
+    //     rows mean an upstream charset bug — count them first (the clean
+    //     synthetic corpus keeps everything; real crawls drop here)
+    println(s"mojibake screen keeps ${TextAnalysis.mojibakeStats(raw)
+      .where(col("keep") === 1L).count()} of ${raw.count()} docs")
     // 0. normalize BEFORE anything hashes or tokenizes: NFC + control strip
     //    + space collapse, so visually-identical strings share one byte form
     //    (the synthetic corpus is pure ASCII — every row takes the zero-copy
@@ -73,12 +78,24 @@ object PipelineQuickstart {
       "doc_id")
     println(s"after URL-canonical dedup: ${urlKept.count()}")
     val exactReps = Dedup.exact(urlKept).select(col("keep_doc_id").as("doc_id"))
-    val exactKept = urlKept.join(exactReps, "doc_id")
-    val pairs = Dedup.ngramJaccard(exactKept, threshold = 0.7).select("a", "b")
+    val exactKept0 = urlKept.join(exactReps, "doc_id")
+    // fuzzy-exact pass between byte-exact and near-dup: case/punct/spacing
+    // variants collapse on the normalized hash before any pair generation
+    val fuzzyReps = Dedup.fuzzyExact(exactKept0).select(col("keep_doc_id").as("doc_id"))
+    val exactKept = exactKept0.join(fuzzyReps, "doc_id")
+    println(s"after fuzzy-exact normalization dedup: ${exactKept.count()}")
+    // benchmark decontamination: anything overlapping the "eval" probes by
+    // >= 3 distinct 8-grams is excluded from training
+    val decontam = Curation.decontamFilter(exactKept, history)
+    println(s"decontamination keeps ${decontam.where(col("keep") === 1L).count()} " +
+      s"(dropped ${decontam.where(col("keep") === 0L).count()} probe-overlapping docs)")
+    val cleanKept = exactKept.join(
+      decontam.where(col("keep") === 1L).select("doc_id"), "doc_id")
+    val pairs = Dedup.ngramJaccard(cleanKept, threshold = 0.7).select("a", "b")
     val comps = Dedup.clusters(pairs)
     val dropped = comps.where(col("doc_id") =!= col("cluster_id")).select("doc_id")
     // cached: steps 4-5 fan out several actions over this frame
-    val deduped = exactKept.join(dropped, Seq("doc_id"), "left_anti").cache()
+    val deduped = cleanKept.join(dropped, Seq("doc_id"), "left_anti").cache()
     val nDeduped = deduped.count()
     println(s"after exact + near-dup dedup: $nDeduped")
 
@@ -107,6 +124,8 @@ object PipelineQuickstart {
     split.groupBy("split").count().orderBy("split").show()
     println("training-mix report (per lang x source):")
     Curation.mixReport(deduped).orderBy(col("words_share").desc).show(5)
+    println("cross-source duplication overlap (shared distinct hashes per pair):")
+    Curation.sourceOverlap(docs).orderBy(col("n_shared_hashes").desc).show(3)
     println(s"retrieval chunks: ${TextAnalysis.chunk(deduped).count()} from $nDeduped docs")
     // retrieval audit: BM25 probes over the kept corpus — "which documents
     // answer this?" without needing an embedding column
@@ -133,6 +152,12 @@ object PipelineQuickstart {
     val ranks = graft.operators.Graph.pageRank(edges, iters = 3)
     println("domain authority (top 3 by fixed-point PageRank):")
     ranks.orderBy(col("rank_fp").desc).show(3)
+    println("hub vs authority separation (HITS, top 2 each):")
+    val hits = graft.operators.Graph.hits(edges, iters = 3).cache()
+    hits.orderBy(col("auth_fp").desc).show(2)
+    hits.orderBy(col("hub_fp").desc).show(2)
+    println(s"link-graph components: ${graft.operators.Graph.components(edges)
+      .select("component_id").distinct().count()}")
     println("retrieval eval vs prefix-share ground truth (MRR / nDCG@10):")
     val qrels = deduped
       .select(col("doc_id"),
@@ -156,6 +181,21 @@ object PipelineQuickstart {
     println("daily heavy hitters (top contributor per event type, first day):")
     graft.operators.Funnel.heavyHitters(ev, "event_type", "ts_ms", "user_id", k = 1)
       .orderBy("day", "event_type").show(5)
+    val bots = graft.operators.Anomaly.botFlag(
+      ev.withColumn("ts_us", col("ts_ms") * 1000L), "user_id", "ts_us", "event_id")
+    println(s"bot screen flags ${bots.where(col("is_bot") === 1L).count()} " +
+      s"of ${bots.count()} users (burst/cadence tells)")
+
+    // 7. embedding health before any ANN index ships: column-level dim
+    //    stats, row-level norm outliers, and IVF label purity
+    val emb = graft.operators.Points.table(spark, sfDir, "embeddings")
+    println("embedding dim stats (first 3 dims):")
+    graft.operators.Similarity.dimStats(emb).orderBy("dim").show(3)
+    println(s"norm outliers: ${graft.operators.Similarity.normOutliers(emb)
+      .where(col("is_outlier") === 1L).count()} of ${emb.count()} vectors")
+    println("IVF label purity (worst 3 lists):")
+    graft.operators.SimilarityIvf.cellPurity(emb)
+      .orderBy(col("purity"), col("list_id")).show(3)
 
     spark.stop()
   }
