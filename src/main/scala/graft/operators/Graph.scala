@@ -143,9 +143,14 @@ object Graph {
         Seq("domain"), "left")
         .select(col("domain"), coalesce(col("hub_fp"), lit(0L)).as("hub_fp"))
       hubs = renorm(hubRaw, "hub_fp")
-      // each iteration chains two joins + two renorm crossJoins onto the
-      // previous frames — cut both every iteration (cheap: |V|-sized)
-      if (i < iters) { auths = auths.localCheckpoint(false); hubs = hubs.localCheckpoint(false) }
+      // each iteration references the previous frames ~4x (renorm reads its
+      // raw twice per half-step), so the plan tree grows ~4^iters without
+      // cuts. Cutting every SECOND iteration bounds it at ~16x a single step
+      // while halving the materialization jobs — the dominant per-iteration
+      // constant on small graphs (same trade as the PageRank loop)
+      if (i % 2 == 0 && i < iters) {
+        auths = auths.localCheckpoint(false); hubs = hubs.localCheckpoint(false)
+      }
     }
     auths.join(hubs, Seq("domain"))
       .select(col("domain"), col("auth_fp"), col("hub_fp"),
