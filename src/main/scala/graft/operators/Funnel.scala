@@ -163,6 +163,33 @@ object Funnel {
           (col("n") - col("prev_n")).cast("double") / col("prev_n")).as("pct_change"))
   }
 
+  /**
+   * First-order path transitions — the Markov view of a behavioral stream
+   * ("after a view, 40% purchase, 35% bounce"): per entity, consecutive
+   * event-type pairs in time order; per (from, to) pair, the transition
+   * count and probability. Feeds journey analysis, bot fingerprinting
+   * (machine paths are low-entropy), and synthetic-session generation.
+   *
+   * Determinism: the ordering tie-breaks on `idCol`; counts are LONG; the
+   * probability is ONE mirrored IEEE division `n / n_from` per output row.
+   * Scale: one entity-keyed shuffle for the lag window, then two
+   * aggregates over the tiny (type × type) frame.
+   */
+  def pathTransitions(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String): DataFrame = {
+    val order = org.apache.spark.sql.expressions.Window
+      .partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    val steps = events.select(col(userCol), col(tsCol), col(idCol), col(typeCol))
+      .withColumn("from_type", lag(col(typeCol), 1).over(order))
+      .where(col("from_type").isNotNull)
+    val counts = steps.groupBy(col("from_type"), col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy("from_type").agg(sum("n").as("n_from"))
+    counts.join(totals, "from_type")
+      .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
+        (col("n").cast("double") / col("n_from")).as("p"))
+  }
+
   def retention(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
     // exact integer FLOOR division, matching the oracle's `//`: Spark's `div`
     // truncates toward zero, which disagrees with floor on negative

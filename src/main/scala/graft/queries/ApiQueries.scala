@@ -125,6 +125,12 @@ object ApiQueries {
     "events_bot_flag" -> ((s, dir) =>
       Anomaly.botFlag(Points.table(s, dir, "events")
         .withColumn("ts_us", expr("ts div 1000")))),
+    // first-order Markov transitions between event types: per-user lag
+    // window, then counts + probabilities over the tiny (type x type) frame
+    "events_path_transitions" -> ((s, dir) => {
+      val ev = Points.table(s, dir, "events").withColumn("ts_ms", expr("ts div 1000000"))
+      Funnel.pathTransitions(ev, "user_id", "ts_ms", "event_id", "event_type")
+    }),
     // Semi-structured extraction: pull the numeric `k` out of the JSON-ish
     // props string with a regex (portable to the oracle without a JSON
     // extension) and aggregate per decade bucket.
@@ -521,6 +527,17 @@ object ApiQueries {
         |                           THEN 1 ELSE 0 END
         |                 ELSE 0 END AS BIGINT) AS is_bot
         |FROM a""".stripMargin,
+    "events_path_transitions" ->
+      """WITH o AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type FROM events),
+        |s AS (SELECT event_type AS to_type,
+        |             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS from_type
+        |      FROM o),
+        |c AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM s WHERE from_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.n, t.n_from,
+        |       CAST(c.n AS DOUBLE) / t.n_from AS p
+        |FROM c JOIN t USING (from_type)""".stripMargin,
     "api_props_extract" ->
       """SELECT event_type,
         |       TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) // 10 * 10 AS k_decade,

@@ -576,6 +576,17 @@ object LlmQueries {
         .select(col("doc_id"), col("domain"), col("rank_fp"), col("quality"),
           (col("quality") * col("rank")).as("prior"))
     }),
+    // code-vs-prose routing over planted code blocks: every 9th doc gets a
+    // function body (symbols + two indented lines) appended — the flag must
+    // fire on both tells, prose stays prose
+    "text_code_detect" -> ((s, dir) => {
+      val planted = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 9 === 0,
+          concat(col("text"),
+            lit("\nfunction f(a) { return a[0]; }\n  indented(a, b);\n\tcall();")))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.codeDetect(planted)
+    }),
     // encoding-artifact screen over planted corruption: every 7th doc gets
     // a latin1-mojibake word, every 13th a â€™-style curly quote, every
     // 17th a U+FFFD replacement char — the gate pins both detector classes
@@ -2462,6 +2473,23 @@ object LlmQueries {
         |       COALESCE(r.max_shared, 0) AS max_shared,
         |       CAST(CASE WHEN r.doc_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
         |FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id""".stripMargin,
+    "text_code_detect" ->
+      s"""WITH p AS (SELECT doc_id,
+         |        CASE WHEN doc_id % 9 = 0
+         |             THEN text || chr(10) || 'function f(a) { return a[0]; }' || chr(10) || '  indented(a, b);' || chr(10) || chr(9) || 'call();'
+         |             ELSE text END AS text
+         |      FROM documents),
+         |m AS (SELECT doc_id,
+         |        CAST(len(regexp_extract_all(coalesce(text, ''), '${graft.operators.TextAnalysis.CodeSymbolPattern}')) AS BIGINT) AS n_symbols,
+         |        CAST(len(regexp_extract_all(coalesce(text, ''), '(?m)^(  |\t)')) AS BIGINT) AS n_indented,
+         |        CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars
+         |      FROM p)
+         |SELECT doc_id, n_symbols, n_indented, n_chars,
+         |       CASE WHEN n_chars > 0 THEN CAST(n_symbols AS DOUBLE) / n_chars END AS symbol_ratio,
+         |       CAST(CASE WHEN (n_chars > 0 AND CAST(n_symbols AS DOUBLE) / n_chars > 0.03)
+         |                   OR n_indented >= 2
+         |                 THEN 1 ELSE 0 END AS BIGINT) AS is_code
+         |FROM m""".stripMargin,
     "text_mojibake" ->
       s"""WITH p AS (SELECT doc_id,
          |        CASE WHEN doc_id % 7 = 0 THEN regexp_replace(text, '^([a-z0-9]+) ', '\\1 cafÃ© ')

@@ -239,6 +239,10 @@ object ScaleSmoke {
       graft.operators.TextAnalysis.mojibakeStats(docs)
         .agg(sum("n_mojibake"), sum("keep")).collect()
     }
+    t("codeDetect (two native regex scans + length, row-wise)") {
+      graft.operators.TextAnalysis.codeDetect(docs)
+        .agg(sum("n_symbols"), sum("is_code")).collect()
+    }
     t("sentenceStats + dailyTrend-shape ops (row-wise / tiny-frame window)") {
       graft.operators.TextAnalysis.sentenceStats(docs).agg(sum("n_sentence_words")).collect()
     }
@@ -395,6 +399,10 @@ object ScaleSmoke {
     t("heavyHitters + dailyTrend (map-side counts, tiny downstream)") {
       graft.operators.Funnel.heavyHitters(ev, "event_type", "ts_ms", "user_id", k = 3).count()
       graft.operators.Funnel.dailyTrend(ev, "event_type", "ts_ms").count()
+    }
+    t("pathTransitions (per-user lag window, tiny type x type aggregate)") {
+      graft.operators.Funnel.pathTransitions(ev, "user_id", "ts_ms", "event_id",
+        "event_type").count()
     }
     t("botFlag (per-user inter-arrival stats, one keyed shuffle)") {
       graft.operators.Anomaly.botFlag(

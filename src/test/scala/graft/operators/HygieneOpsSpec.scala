@@ -79,6 +79,41 @@ class HygieneOpsSpec extends AnyFunSuite with SparkSpec {
     assert(r.getLong(2) == 0L && r.getLong(3) == 0L && r.getLong(5) == 1L)
   }
 
+  test("pathTransitions: branch probabilities are exact count ratios") {
+    val ev = Seq(
+      ("u1", 1L, 10L, "A"), ("u1", 2L, 20L, "B"),
+      ("u2", 3L, 10L, "A"), ("u2", 4L, 20L, "C"),
+      ("u3", 5L, 10L, "A"), ("u3", 6L, 20L, "B"))
+      .toDF("user_id", "event_id", "ts_ms", "event_type")
+    val out = Funnel.pathTransitions(ev, "user_id", "ts_ms", "event_id", "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out == Map(
+      ("A", "B") -> ((2L, 3L, 2.0 / 3)),
+      ("A", "C") -> ((1L, 3L, 1.0 / 3))))
+  }
+
+  test("pathTransitions: ties order by event id; self-transitions count") {
+    val ev = Seq(("u", 1L, 10L, "A"), ("u", 2L, 10L, "A"), ("u", 3L, 10L, "B"))
+      .toDF("user_id", "event_id", "ts_ms", "event_type")
+    val out = Funnel.pathTransitions(ev, "user_id", "ts_ms", "event_id", "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map(("A", "A") -> 1L, ("A", "B") -> 1L))
+  }
+
+  test("codeDetect: symbol density and indentation both flag; prose and empty keep") {
+    val docs = Seq(
+      (1L, "plain prose words without any markup at all here"),
+      (2L, "x = f(a); y = g[0]; { return; }"), // dense symbols
+      (3L, "no symbols\n  but indented\n\tlines here"), // layout tell only
+      (4L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.codeDetect(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(5) == 0L)
+    assert(out(2L).getLong(5) == 1L && out(2L).getLong(2) == 0L) // symbols, no indent
+    assert(out(3L).getLong(5) == 1L && out(3L).getLong(2) == 2L) // indent tell
+    assert(out(4L).getLong(5) == 0L && out(4L).isNullAt(4)) // empty: NULL ratio, prose
+  }
+
   test("dimStats: hand-computed grid-exact stats; min/max rank-picked") {
     val emb = Seq(
       (1L, Seq(1.0f, -0.5f)),
