@@ -180,4 +180,44 @@ class DegenerateCorpusSpec extends AnyFunSuite with SparkSpec {
       .select("day").collect().map(_.getLong(0)).sorted.toSeq
     assert(days == Seq(-2L, -1L))
   }
+
+  test("session-3 operators survive degenerate inputs") {
+    // text screens: NULL/empty/unicode rows pass without ANSI errors
+    assert(TextAnalysis.mojibakeStats(nasty).count() == 9)
+    assert(TextAnalysis.codeDetect(nasty).count() == 9)
+    val cd = TextAnalysis.codeDetect(nasty).collect().map(r => r.getLong(0) -> r).toMap
+    assert(cd(1L).isNullAt(4) && cd(1L).getLong(5) == 0L) // empty: NULL ratio
+    assert(cd(8L).isNullAt(4) && cd(8L).getLong(5) == 0L) // NULL text same
+    assert(Dedup.fuzzyExact(nasty).count() >= 1) // "", "   ", "!!!", NULL share one group
+    val fz = Dedup.fuzzyExact(nasty).collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(fz(1L) == 4L) // the four normalize-to-empty rows collapse
+    // decontam: empty probe overlap -> everything keeps
+    val dec = Curation.decontamFilter(nasty, nasty.where(col("doc_id") === 999L))
+    assert(dec.where(col("keep") === 1L).count() == 9)
+    // sourceOverlap: single source -> no pairs; NULL text hashes as ''
+    assert(Curation.sourceOverlap(nastyFull).count() == 0)
+    // graphs: empty edge list -> empty outputs, no division errors
+    val noEdges = Seq.empty[(String, String)].toDF("src", "dst")
+    assert(Graph.hits(noEdges, iters = 3).count() == 0)
+    assert(Graph.components(noEdges).count() == 0)
+    // hits: a single self-loop keeps all mass on one node
+    val selfLoop = Seq(("A", "A")).toDF("src", "dst")
+    val h = Graph.hits(selfLoop, iters = 2).collect()
+    assert(h.length == 1 && h.head.getLong(1) == 1000000000000L)
+    // botFlag / pathTransitions: empty and single-event frames
+    val noEv = Seq.empty[(String, Long, Long)].toDF("user_id", "event_id", "ts_us")
+    assert(Anomaly.botFlag(noEv, "user_id", "ts_us", "event_id").count() == 0)
+    assert(Funnel.pathTransitions(
+      noEv.withColumnRenamed("ts_us", "ts_ms"), "user_id", "ts_ms", "event_id", "user_id").count() == 0)
+    // dimStats/normOutliers: a single vector is its own mean (not outlier)
+    val one = Seq((1L, Seq(0.5f, 0.5f))).toDF("vec_id", "embedding")
+    assert(Similarity.dimStats(one).count() == 2)
+    val no1 = Similarity.normOutliers(one).collect().head
+    assert(no1.getLong(4) == 0L)
+    // cellPurity: more lists than vectors -> every non-empty list is pure
+    val purity = SimilarityIvf.cellPurity(
+      Seq((1L, Seq(1f, 0f), 1), (2L, Seq(0f, 1f), 2)).toDF("vec_id", "embedding", "label"),
+      nLists = 8)
+    assert(purity.collect().forall(_.getDouble(5) == 1.0))
+  }
 }
