@@ -247,6 +247,91 @@ object Similarity {
             (col("fp_sum") / (col("n_vecs") * grid))).as("variance"))
   }
 
+  /** Fixed-point grid for the [[topPrincipalComponent]] vector: 1e6 steps
+    * per unit keeps the renorm multiply inside DECIMAL(38,0) even at the
+    * scatter matrix's n²-scaled magnitudes. */
+  val PcScale = 1000000L
+
+  /**
+   * Top principal component of the embedding COVARIANCE — the drift-
+   * direction audit ([[dimStats]] finds per-axis problems; this finds the
+   * dominant correlated direction, where encoder drift and dataset shift
+   * actually live; it is also the first split direction PQ/OPQ-style
+   * quantizers care about).
+   *
+   * Exact-arithmetic design, engine-replayable end to end:
+   *  1. grid moments: per dim-pair (i,j), `sij = Σ fp_i·fp_j` and per dim
+   *     `si = Σ fp_i` — LONG sums on the 2^-20 grid via two chained
+   *     posexplodes of the SAME row (no self-join, no corpus shuffle: the
+   *     n·d² explode partial-aggregates to d² partials per task before one
+   *     4096-row exchange);
+   *  2. scatter matrix: `S[i][j] = n·sij − si·sj` in DECIMAL(38,0) —
+   *     n²·Cov with NO division, so it is exact (eigenvectors are scale-
+   *     invariant);
+   *  3. power iteration from the dim-index-weighted start on the 1e-6 grid:
+   *     `raw_i = Σ_j S[i][j]·v_j`, renormalized L1 with EXPLICIT
+   *     round-toward-zero on the magnitude (`sign(raw)·(|raw|·scale div
+   *     Σ|raw|)` — Spark `div` and DuckDB `//` agree on nonnegative
+   *     operands, so signs are split out rather than trusting negative
+   *     floor semantics);
+   *  4. sign convention: the lowest dim with a nonzero component is made
+   *     positive (eigenvectors are defined up to sign).
+   *
+   * Iteration frames are d-sized; the scatter frame is d²-sized — the loop
+   * never touches the corpus again. Lineage cut per iteration.
+   */
+  def topPrincipalComponent(emb: DataFrame, iters: Int = 8): DataFrame = {
+    require(iters >= 1 && iters <= 30, "iters in [1, 30]")
+    val grid = math.pow(2, CentroidScaleBits).toLong
+    val fps = transform(col("embedding"),
+      v => floor(v.cast("double") * grid + 0.5).cast("long"))
+    val pairs = emb.select(fps.as("fps"))
+      .select(col("fps"), posexplode(col("fps")).as(Seq("i", "vi")))
+      .select(col("i"), col("vi"), posexplode(col("fps")).as(Seq("j", "vj")))
+    val moments = pairs
+      .groupBy((col("i") + 1).as("i"), (col("j") + 1).as("j"))
+      .agg(count(lit(1)).as("nn"), sum(col("vi") * col("vj")).as("sij"))
+    val sums = emb.select(posexplode(col("embedding")).as(Seq("d", "v")))
+      .groupBy((col("d") + 1).as("d"))
+      .agg(sum(floor(col("v").cast("double") * grid + 0.5).cast("long")).as("s"))
+    // nn is the vector count (constant over pairs); keep it per-row so the
+    // scatter stays one self-contained d²-frame
+    val scatter = moments
+      .join(sums.select(col("d").as("i"), col("s").as("si")), Seq("i"))
+      .join(sums.select(col("d").as("j"), col("s").as("sj")), Seq("j"))
+      .select(col("i"), col("j"),
+        expr("CAST(nn AS DECIMAL(38,0)) * sij - CAST(si AS DECIMAL(38,0)) * sj").as("sm"))
+      .localCheckpoint(false)
+    val dims = scatter.select(col("i").as("dim")).distinct().localCheckpoint(false)
+    // start from the dim-index-weighted vector, NOT uniform: the uniform
+    // start is exactly orthogonal to any zero-sum eigenvector (e.g. the
+    // (1,−1) direction of two anti-correlated axes) and power iteration
+    // would die at tot=0. Index weighting is deterministic and has no such
+    // generic orthogonality. (Any FIXED start can be defeated by an
+    // adversarial matrix — documented limitation of deterministic power
+    // iteration.)
+    val ss = broadcast(dims.agg(sum(col("dim")).as("ssum")))
+    var v = dims.crossJoin(ss)
+      .select(col("dim"), expr(s"dim * ${PcScale}L div ssum").as("v_fp"))
+    for (k <- 1 to iters) {
+      val raw = scatter.join(v, col("j") === col("dim"))
+        .groupBy(col("i").as("dim"))
+        .agg(sum(expr("sm * v_fp")).as("raw"))
+      val tot = broadcast(raw.agg(coalesce(sum(abs(col("raw"))), lit(0L).cast("decimal(38,0)")).as("tot")))
+      v = raw.crossJoin(tot).select(col("dim"),
+        expr(s"CASE WHEN tot = 0 THEN 0L ELSE " +
+          s"CAST(CASE WHEN raw < 0 THEN -(abs(raw) * ${PcScale}L div tot) " +
+          s"ELSE abs(raw) * ${PcScale}L div tot END AS BIGINT) END").as("v_fp"))
+        .localCheckpoint(false)
+    }
+    // sign convention: first (lowest-dim) nonzero component positive
+    val sgn = broadcast(v.where(col("v_fp") =!= 0L)
+      .agg(coalesce(expr("min_by(CASE WHEN v_fp < 0 THEN -1L ELSE 1L END, dim)"), lit(1L)).as("sgn")))
+    v.crossJoin(sgn).select(col("dim").cast("long").as("dim"),
+      (col("v_fp") * col("sgn")).as("pc_fp"),
+      ((col("v_fp") * col("sgn")).cast("double") / PcScale).as("pc"))
+  }
+
   /**
    * Norm-outlier screen — the row-level embedding health check ([[dimStats]]
    * is the column-level one): a broken encoder shows up as zero/near-zero

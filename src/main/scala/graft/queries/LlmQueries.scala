@@ -494,6 +494,12 @@ object LlmQueries {
       comps.join(sizes, Seq("component_id"))
         .select(col("domain"), col("component_id"), col("n_domains"))
     }),
+    // top principal component of the embedding covariance: exact grid
+    // moments -> n²-scaled scatter matrix (no division) -> 8 fixed-point
+    // power iterations with sign-split round-toward-zero renorms — the
+    // drift-direction audit, bit-exact vs the unrolled SQL replay
+    "embed_top_pc" -> ((s, dir) =>
+      Similarity.topPrincipalComponent(emb(s, dir))),
     // row-level embedding health: norm outliers vs the corpus mean squared
     // grid norm, over planted corruption (every 50th vector scaled 3x =
     // exploding norm, every 97th zeroed = dead input)
@@ -891,6 +897,46 @@ object LlmQueries {
        |SELECT domain, CAST(rank_fp AS BIGINT) AS rank_fp,
        |       CAST(rank_fp AS DOUBLE) / $scale AS rank
        |FROM r$iters""".stripMargin
+  }
+
+  /** Unrolled DuckDB replay of [[graft.operators.Similarity
+    * .topPrincipalComponent]]: exact grid moments, HUGEINT scatter
+    * `n·sij − si·sj`, then `iters` power rounds with the same sign-split
+    * round-toward-zero L1 renorm. Every multi-referenced CTE is
+    * MATERIALIZED (the iterated-oracle lesson from the HITS replay). */
+  private def topPcOracleSql(iters: Int = 8, scale: Long = 1000000L): String = {
+    val head =
+      s"""el AS MATERIALIZED (
+         |  SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+         |         CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE) * 1048576 + 0.5) AS BIGINT) AS fp
+         |  FROM embeddings),
+         |mo AS MATERIALIZED (
+         |  SELECT a.d AS i, b.d AS j, CAST(COUNT(*) AS BIGINT) AS nn,
+         |         CAST(SUM(a.fp * b.fp) AS BIGINT) AS sij
+         |  FROM el a JOIN el b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+         |su AS MATERIALIZED (SELECT d, CAST(SUM(fp) AS BIGINT) AS s FROM el GROUP BY 1),
+         |sc AS MATERIALIZED (
+         |  SELECT mo.i, mo.j, CAST(nn AS HUGEINT) * sij - CAST(si.s AS HUGEINT) * sj.s AS sm
+         |  FROM mo JOIN su si ON mo.i = si.d JOIN su sj ON mo.j = sj.d),
+         |dims AS MATERIALIZED (SELECT DISTINCT i AS dim FROM sc),
+         |ss AS (SELECT CAST(SUM(dim) AS BIGINT) AS ssum FROM dims),
+         |v0 AS MATERIALIZED (SELECT dim, dim * $scale // ssum AS v_fp FROM dims CROSS JOIN ss)""".stripMargin
+    val rounds = (1 to iters).map { k =>
+      s"""r$k AS MATERIALIZED (SELECT sc.i AS dim, SUM(sm * v_fp) AS raw
+         |      FROM sc JOIN v${k - 1} ON sc.j = v${k - 1}.dim GROUP BY 1),
+         |t$k AS (SELECT COALESCE(SUM(abs(raw)), 0) AS tot FROM r$k),
+         |v$k AS MATERIALIZED (SELECT dim, CASE WHEN tot = 0 THEN 0
+         |        ELSE CAST(CASE WHEN raw < 0 THEN -(abs(raw) * $scale // tot)
+         |                       ELSE abs(raw) * $scale // tot END AS BIGINT) END AS v_fp
+         |      FROM r$k CROSS JOIN t$k)""".stripMargin
+    }
+    s"""WITH $head,
+       |${rounds.mkString(",\n")},
+       |sg AS (SELECT COALESCE(MIN_BY(CASE WHEN v_fp < 0 THEN -1 ELSE 1 END, dim), 1) AS sgn
+       |       FROM v$iters WHERE v_fp != 0)
+       |SELECT CAST(dim AS BIGINT) AS dim, CAST(v_fp * sgn AS BIGINT) AS pc_fp,
+       |       CAST(v_fp * sgn AS DOUBLE) / $scale AS pc
+       |FROM v$iters CROSS JOIN sg""".stripMargin
   }
 
   /** Unrolled DuckDB replay of [[graft.operators.Graph.hits]]: per iteration
@@ -2411,6 +2457,7 @@ object LlmQueries {
         |c AS (SELECT src AS domain, MIN(dst) AS component_id FROM reach GROUP BY 1),
         |s AS (SELECT component_id, CAST(COUNT(*) AS BIGINT) AS n_domains FROM c GROUP BY 1)
         |SELECT c.domain, c.component_id, s.n_domains FROM c JOIN s USING (component_id)""".stripMargin,
+    "embed_top_pc" -> topPcOracleSql(),
     "embed_norm_outliers" ->
       """WITH p AS (
         |  SELECT vec_id,

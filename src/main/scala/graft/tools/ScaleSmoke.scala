@@ -306,6 +306,9 @@ object ScaleSmoke {
     t("normOutliers (native LONG grid norms + 1-row mean broadcast)") {
       graft.operators.Similarity.normOutliers(emb).agg(sum("is_outlier")).collect()
     }
+    t("topPrincipalComponent (grid scatter + 8 fixed-point power rounds)") {
+      graft.operators.Similarity.topPrincipalComponent(emb).count()
+    }
     t("cellPurity (64 lists, derived labels; windows over the counts frame)") {
       graft.operators.SimilarityIvf.cellPurity(
         emb.withColumn("label", (col("vec_id") % 10).cast("int")), nLists = 64).count()

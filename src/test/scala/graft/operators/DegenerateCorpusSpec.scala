@@ -214,6 +214,11 @@ class DegenerateCorpusSpec extends AnyFunSuite with SparkSpec {
     assert(Similarity.dimStats(one).count() == 2)
     val no1 = Similarity.normOutliers(one).collect().head
     assert(no1.getLong(4) == 0L)
+    // topPrincipalComponent: identical vectors -> zero covariance -> the
+    // zero vector (tot=0 guard), never a division error
+    val same = (1L to 5L).map(i => (i, Seq(0.25f, 0.75f))).toDF("vec_id", "embedding")
+    assert(Similarity.topPrincipalComponent(same, iters = 3).collect()
+      .forall(_.getLong(1) == 0L))
     // cellPurity: more lists than vectors -> every non-empty list is pure
     val purity = SimilarityIvf.cellPurity(
       Seq((1L, Seq(1f, 0f), 1), (2L, Seq(0f, 1f), 2)).toDF("vec_id", "embedding", "label"),

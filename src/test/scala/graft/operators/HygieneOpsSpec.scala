@@ -188,6 +188,40 @@ class HygieneOpsSpec extends AnyFunSuite with SparkSpec {
     assert(out.map(_.getLong(4)).sum <= 5L)
   }
 
+  test("topPrincipalComponent: recovers a known covariance direction") {
+    // points along (1, 2): covariance ∝ [[1,2],[2,4]], eigenvector (1,2) ->
+    // L1-normalized (1/3, 2/3), first component positive by convention
+    val emb = (-10 to 10).filter(_ != 0)
+      .map(t => (t.toLong + 100L, Seq(t.toFloat / 10, 2f * t / 10)))
+      .toDF("vec_id", "embedding")
+    val pc = Similarity.topPrincipalComponent(emb).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(math.abs(pc(1L) - 333333L) <= 3, s"dim1 = ${pc(1L)}")
+    assert(math.abs(pc(2L) - 666666L) <= 3, s"dim2 = ${pc(2L)}")
+  }
+
+  test("topPrincipalComponent: sign convention makes the first nonzero dim positive") {
+    // anti-correlated axes: direction (1, -1); the raw iterate could land on
+    // either sign, the convention must pin dim1 >= 0
+    val emb = (-8 to 8).filter(_ != 0)
+      .map(t => (t.toLong + 50L, Seq(t.toFloat / 8, -t.toFloat / 8)))
+      .toDF("vec_id", "embedding")
+    val pc = Similarity.topPrincipalComponent(emb).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pc(1L) > 0 && pc(2L) < 0)
+    assert(math.abs(pc(1L) + pc(2L)) <= 2) // symmetric magnitudes on the grid
+  }
+
+  test("topPrincipalComponent: bit-identical under repartition") {
+    val rnd = new scala.util.Random(3)
+    val emb = (1L to 60L).map(i =>
+      (i, Seq.fill(6)(rnd.nextFloat() - 0.5f))).toDF("vec_id", "embedding")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Similarity.topPrincipalComponent(df).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(run(emb) == run(emb.repartition(13)))
+  }
+
   test("dimStats: a dead dimension reports zero variance exactly") {
     val emb = (1L to 40L).map(i => (i, Seq(0.125f, i.toFloat / 64)))
       .toDF("vec_id", "embedding")
