@@ -333,6 +333,39 @@ object Similarity {
   }
 
   /**
+   * Per-vector projection onto [[topPrincipalComponent]] — the drift SCORE:
+   * once the dominant covariance direction is known, each vector's
+   * coordinate along it is the one number a monitoring job tracks over time
+   * (a shifting projection histogram = dataset shift along the drift axis).
+   *
+   * Exact path: grid elements (LONG) × the fixed-point component (LONG),
+   * summed in DECIMAL(38,0); the output `proj_fp` floor-divides by the grid
+   * with the SIGN-SPLIT round-toward-zero idiom (Spark `div` truncates,
+   * DuckDB `//` floors — splitting |·| makes them agree on negatives).
+   * `proj = proj_fp / 10⁶` is the one mirrored IEEE division.
+   *
+   * Scale: the component frame is d rows (broadcast); the corpus explode
+   * collapses back to one partial per vector before the single n-row
+   * exchange.
+   */
+  def pcProjection(emb: DataFrame, iters: Int = 8): DataFrame = {
+    val grid = math.pow(2, CentroidScaleBits).toLong
+    val pc = topPrincipalComponent(emb, iters)
+    val el = emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "v")))
+      .select(col("vec_id"), (col("d") + 1).as("dim"),
+        floor(col("v").cast("double") * grid + 0.5).cast("long").as("fp"))
+    el.join(broadcast(pc.select(col("dim"), col("pc_fp"))), Seq("dim"))
+      .groupBy("vec_id")
+      .agg(sum(expr("CAST(fp AS DECIMAL(38,0)) * pc_fp")).as("score"))
+      .select(col("vec_id"),
+        expr(s"CAST(CASE WHEN score < 0 THEN -(abs(score) div ${grid}L) " +
+          s"ELSE score div ${grid}L END AS BIGINT)").as("proj_fp"))
+      .select(col("vec_id"), col("proj_fp"),
+        (col("proj_fp").cast("double") / PcScale).as("proj"))
+  }
+
+  /**
    * Norm-outlier screen — the row-level embedding health check ([[dimStats]]
    * is the column-level one): a broken encoder shows up as zero/near-zero
    * norms (dead input) or exploding norms (overflow, bad normalization), and

@@ -500,6 +500,11 @@ object LlmQueries {
     // drift-direction audit, bit-exact vs the unrolled SQL replay
     "embed_top_pc" -> ((s, dir) =>
       Similarity.topPrincipalComponent(emb(s, dir))),
+    // per-vector coordinate along the top PC — the drift score a monitoring
+    // job histograms over time; exact DECIMAL dot with the fixed-point
+    // component, sign-split floor division mirrors the oracle
+    "embed_pc_project" -> ((s, dir) =>
+      Similarity.pcProjection(emb(s, dir))),
     // row-level embedding health: norm outliers vs the corpus mean squared
     // grid norm, over planted corruption (every 50th vector scaled 3x =
     // exploding norm, every 97th zeroed = dead input)
@@ -904,7 +909,15 @@ object LlmQueries {
     * `n·sij − si·sj`, then `iters` power rounds with the same sign-split
     * round-toward-zero L1 renorm. Every multi-referenced CTE is
     * MATERIALIZED (the iterated-oracle lesson from the HITS replay). */
-  private def topPcOracleSql(iters: Int = 8, scale: Long = 1000000L): String = {
+  private def topPcOracleSql(iters: Int = 8, scale: Long = 1000000L): String =
+    s"""WITH ${topPcCtes(iters, scale)}
+       |SELECT CAST(dim AS BIGINT) AS dim, CAST(v_fp * sgn AS BIGINT) AS pc_fp,
+       |       CAST(v_fp * sgn AS DOUBLE) / $scale AS pc
+       |FROM v$iters CROSS JOIN sg""".stripMargin
+
+  /** The topPrincipalComponent replay as reusable CTEs (`el` … `v<iters>`,
+    * `sg`) so the projection gate can extend the identical computation. */
+  private def topPcCtes(iters: Int, scale: Long): String = {
     val head =
       s"""el AS MATERIALIZED (
          |  SELECT vec_id, generate_subscripts(embedding, 1) AS d,
@@ -930,13 +943,10 @@ object LlmQueries {
          |                       ELSE abs(raw) * $scale // tot END AS BIGINT) END AS v_fp
          |      FROM r$k CROSS JOIN t$k)""".stripMargin
     }
-    s"""WITH $head,
+    s"""$head,
        |${rounds.mkString(",\n")},
        |sg AS (SELECT COALESCE(MIN_BY(CASE WHEN v_fp < 0 THEN -1 ELSE 1 END, dim), 1) AS sgn
-       |       FROM v$iters WHERE v_fp != 0)
-       |SELECT CAST(dim AS BIGINT) AS dim, CAST(v_fp * sgn AS BIGINT) AS pc_fp,
-       |       CAST(v_fp * sgn AS DOUBLE) / $scale AS pc
-       |FROM v$iters CROSS JOIN sg""".stripMargin
+       |       FROM v$iters WHERE v_fp != 0)""".stripMargin
   }
 
   /** Unrolled DuckDB replay of [[graft.operators.Graph.hits]]: per iteration
@@ -2458,6 +2468,19 @@ object LlmQueries {
         |s AS (SELECT component_id, CAST(COUNT(*) AS BIGINT) AS n_domains FROM c GROUP BY 1)
         |SELECT c.domain, c.component_id, s.n_domains FROM c JOIN s USING (component_id)""".stripMargin,
     "embed_top_pc" -> topPcOracleSql(),
+    "embed_pc_project" ->
+      s"""WITH ${topPcCtes(8, 1000000L)},
+         |proj AS (
+         |  SELECT el.vec_id,
+         |         SUM(CAST(el.fp AS HUGEINT) * (v.v_fp * sgn)) AS score
+         |  FROM el JOIN v8 v ON el.d = v.dim CROSS JOIN sg GROUP BY 1),
+         |pf AS (
+         |  SELECT vec_id,
+         |         CAST(CASE WHEN score < 0 THEN -(abs(score) // 1048576)
+         |                   ELSE score // 1048576 END AS BIGINT) AS proj_fp
+         |  FROM proj)
+         |SELECT vec_id, proj_fp, CAST(proj_fp AS DOUBLE) / 1000000 AS proj
+         |FROM pf""".stripMargin,
     "embed_norm_outliers" ->
       """WITH p AS (
         |  SELECT vec_id,

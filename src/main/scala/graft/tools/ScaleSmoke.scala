@@ -309,6 +309,9 @@ object ScaleSmoke {
     t("topPrincipalComponent (grid scatter + 8 fixed-point power rounds)") {
       graft.operators.Similarity.topPrincipalComponent(emb).count()
     }
+    t("pcProjection (corpus explode x broadcast component, one n-row exchange)") {
+      graft.operators.Similarity.pcProjection(emb).agg(sum("proj_fp")).collect()
+    }
     t("cellPurity (64 lists, derived labels; windows over the counts frame)") {
       graft.operators.SimilarityIvf.cellPurity(
         emb.withColumn("label", (col("vec_id") % 10).cast("int")), nLists = 64).count()

@@ -212,6 +212,18 @@ class HygieneOpsSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(pc(1L) + pc(2L)) <= 2) // symmetric magnitudes on the grid
   }
 
+  test("pcProjection: coordinates along the recovered direction; signs follow the data") {
+    // points (t/10, 2t/10) on the (1/3, 2/3)-L1 component: proj = t/6
+    val emb = (-10 to 10).filter(_ != 0)
+      .map(t => (t.toLong + 100L, Seq(t.toFloat / 10, 2f * t / 10)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.pcProjection(emb).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(math.abs(out(106L) - 1000000L) <= 10) // t=6 -> proj 1.0
+    assert(math.abs(out(94L) + 1000000L) <= 10) // t=-6 -> -1.0
+    assert(math.abs(out(103L) - 500000L) <= 10) // t=3 -> 0.5
+  }
+
   test("topPrincipalComponent: bit-identical under repartition") {
     val rnd = new scala.util.Random(3)
     val emb = (1L to 60L).map(i =>
