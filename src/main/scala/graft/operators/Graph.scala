@@ -145,12 +145,13 @@ object Graph {
       hubs = renorm(hubRaw, "hub_fp")
       // each iteration references the previous frames ~4x (renorm reads its
       // raw twice per half-step), so the plan tree grows ~4^iters without
-      // cuts. Cutting every SECOND iteration bounds it at ~16x a single step
-      // while halving the materialization jobs — the dominant per-iteration
-      // constant on small graphs (same trade as the PageRank loop)
-      if (i % 2 == 0 && i < iters) {
-        auths = auths.localCheckpoint(false); hubs = hubs.localCheckpoint(false)
-      }
+      // cuts. Cut BOTH frames EVERY iteration: an every-2nd cadence was
+      // tried (to halve materialization jobs, the PageRank trade) and
+      // measured 2x SLOWER at the 20x tier — the uncut chains re-execute
+      // their |V|-join SHUFFLE STAGES inside every renorm's broadcast job,
+      // and the extra stage scheduling dwarfs the saved jobs here because
+      // hits runs two renorm scalars per iteration where PageRank runs one
+      if (i < iters) { auths = auths.localCheckpoint(false); hubs = hubs.localCheckpoint(false) }
     }
     auths.join(hubs, Seq("domain"))
       .select(col("domain"), col("auth_fp"), col("hub_fp"),
