@@ -348,9 +348,14 @@ object Similarity {
    * collapses back to one partial per vector before the single n-row
    * exchange.
    */
-  def pcProjection(emb: DataFrame, iters: Int = 8): DataFrame = {
+  def pcProjection(emb: DataFrame, iters: Int = 8): DataFrame =
+    pcProjectionFrom(emb, topPrincipalComponent(emb, iters))
+
+  /** [[pcProjection]] against a PRECOMPUTED component frame — so a caller
+    * (or the gate registry) can share one power-iteration result between the
+    * component gate and the projection gate. */
+  def pcProjectionFrom(emb: DataFrame, pc: DataFrame): DataFrame = {
     val grid = math.pow(2, CentroidScaleBits).toLong
-    val pc = topPrincipalComponent(emb, iters)
     val el = emb
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "v")))
       .select(col("vec_id"), (col("d") + 1).as("dim"),

@@ -34,6 +34,19 @@ object LlmQueries {
    * the global rank window orders the same candidate set the same way.
    */
   private val bm25Memo = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** The top-PC component frame shared by `embed_top_pc` and
+    * `embed_pc_project` (the BM25-family memoization pattern): both gates
+    * need the identical 8-round power iteration, so it runs once per
+    * (session, dir) and the 64-row result persists across the pair. */
+  private val topPcMemo = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def topPcFrame(s: SparkSession, dir: String): DataFrame = {
+    val pc = topPcMemo.computeIfAbsent(s"${System.identityHashCode(s)}:$dir", _ =>
+      graft.operators.Similarity.topPrincipalComponent(emb(s, dir)))
+    if (pc.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      pc.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pc
+  }
   private def bm25Hits15(s: SparkSession, dir: String): DataFrame = {
     val hits = bm25Memo.computeIfAbsent(s"${System.identityHashCode(s)}:$dir", _ => {
       val d = docs(s, dir)
@@ -498,13 +511,12 @@ object LlmQueries {
     // moments -> n²-scaled scatter matrix (no division) -> 8 fixed-point
     // power iterations with sign-split round-toward-zero renorms — the
     // drift-direction audit, bit-exact vs the unrolled SQL replay
-    "embed_top_pc" -> ((s, dir) =>
-      Similarity.topPrincipalComponent(emb(s, dir))),
+    "embed_top_pc" -> ((s, dir) => topPcFrame(s, dir)),
     // per-vector coordinate along the top PC — the drift score a monitoring
     // job histograms over time; exact DECIMAL dot with the fixed-point
-    // component, sign-split floor division mirrors the oracle
+    // component (the SHARED memoized frame), sign-split floor division
     "embed_pc_project" -> ((s, dir) =>
-      Similarity.pcProjection(emb(s, dir))),
+      Similarity.pcProjectionFrom(emb(s, dir), topPcFrame(s, dir))),
     // row-level embedding health: norm outliers vs the corpus mean squared
     // grid norm, over planted corruption (every 50th vector scaled 3x =
     // exploding norm, every 97th zeroed = dead input)
