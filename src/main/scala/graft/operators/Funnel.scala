@@ -190,6 +190,44 @@ object Funnel {
         (col("n").cast("double") / col("n_from")).as("p"))
   }
 
+  /**
+   * Per-entity path diversity via GINI impurity — the second bot tell
+   * (complementing [[graft.operators.Anomaly.botFlag]]'s timing tells):
+   * machine traffic walks low-diversity paths (one transition repeated),
+   * humans wander. Per entity: transition total, distinct (from, to) pair
+   * count, `gini = 1 − Σnᵢ²/total²` over its transition distribution, and a
+   * low-diversity flag (`total ≥ minTransitions` and `gini ≤ maxGini`).
+   *
+   * Gini, not Shannon entropy, ON PURPOSE: entropy needs `log`, whose
+   * last-ulp rounding differs across engines/libms, while Gini is exact
+   * integer sums (Σn² in DECIMAL(38,0) — a 10⁹-event entity would overflow
+   * LONG) plus ONE mirrored double expression. Same discriminative use,
+   * bit-reproducible.
+   *
+   * Scale: the [[pathTransitions]] window shuffle, then entity-keyed
+   * aggregates only.
+   */
+  def userPathGini(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String, minTransitions: Long = 10L,
+      maxGini: Double = 0.2): DataFrame = {
+    val order = org.apache.spark.sql.expressions.Window
+      .partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    val steps = events.select(col(userCol), col(tsCol), col(idCol), col(typeCol))
+      .withColumn("from_type", lag(col(typeCol), 1).over(order))
+      .where(col("from_type").isNotNull)
+    val ut = steps.groupBy(col(userCol), col("from_type"), col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val gini = expr(
+      "CAST(1.0 AS DOUBLE) - CAST(sumsq AS DOUBLE) / (CAST(total AS DOUBLE) * CAST(total AS DOUBLE))")
+    ut.groupBy(col(userCol))
+      .agg(sum(col("n")).as("total"),
+        count(lit(1)).as("n_pairs"),
+        sum(expr("CAST(n AS DECIMAL(38,0)) * n")).as("sumsq"))
+      .select(col(userCol), col("total"), col("n_pairs"), gini.as("gini"),
+        when(col("total") >= minTransitions && gini <= maxGini, 1L)
+          .otherwise(0L).as("is_low_diversity"))
+  }
+
   def retention(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
     // exact integer FLOOR division, matching the oracle's `//`: Spark's `div`
     // truncates toward zero, which disagrees with floor on negative

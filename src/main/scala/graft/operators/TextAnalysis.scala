@@ -845,6 +845,35 @@ object TextAnalysis {
       (cleaned =!= col(textCol)).as("changed"))
   }
 
+  /**
+   * N-gram novelty — the template/boilerplate detector at the DOCUMENT
+   * level: the fraction of a doc's distinct word n-grams that occur in NO
+   * other document. Templated/spun content scores near 0 (its phrases are
+   * corpus-wide), original prose near 1 — the inverse signal of
+   * [[graft.operators.Dedup.passageDedup]]'s line frequency, at n-gram
+   * granularity, and a direct quality feature for mix weighting.
+   *
+   * Scale shape: the shared [[wordGrams]] inverted frame, a gram-keyed
+   * document-frequency aggregate (map-side combined), a join back on the
+   * gram key, and a doc-keyed rollup — all key-partitioned, no pair
+   * generation. Docs with fewer than n words emit (0, 0, NULL) — too short
+   * to claim novelty either way.
+   */
+  def ngramNovelty(docs: DataFrame, n: Int = 8): DataFrame = {
+    val grams = wordGrams(docs, n)
+    val df = grams.groupBy("g").agg(count(lit(1)).as("df"))
+    val rolled = grams.join(df, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1L, 1L).otherwise(0L)).as("n_novel"))
+    docs.select(col("doc_id")).join(rolled, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        when(col("n_grams") > 0,
+          col("n_novel").cast("double") / col("n_grams")).as("novelty"))
+  }
+
   /** Code-symbol class shared verbatim with the oracle (valid in Java regex
     * AND RE2): the punctuation that dominates source code but is rare in
     * prose. */

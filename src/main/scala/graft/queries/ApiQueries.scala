@@ -131,6 +131,16 @@ object ApiQueries {
       val ev = Points.table(s, dir, "events").withColumn("ts_ms", expr("ts div 1000000"))
       Funnel.pathTransitions(ev, "user_id", "ts_ms", "event_id", "event_type")
     }),
+    // path-diversity bot tell: per-user transition Gini (exact integer
+    // sums, no log) over a planted low-entropy cohort — every 10th user's
+    // events collapse to one type, gini 0, flagged
+    "events_user_gini" -> ((s, dir) => {
+      val ev = Points.table(s, dir, "events")
+        .withColumn("ts_ms", expr("ts div 1000000"))
+        .withColumn("event_type",
+          when(col("user_id") % 10 === 0, lit("ping")).otherwise(col("event_type")))
+      Funnel.userPathGini(ev, "user_id", "ts_ms", "event_id", "event_type")
+    }),
     // Semi-structured extraction: pull the numeric `k` out of the JSON-ish
     // props string with a regex (portable to the oracle without a JSON
     // extension) and aggregate per decade bucket.
@@ -538,6 +548,24 @@ object ApiQueries {
         |SELECT c.from_type, c.to_type, c.n, t.n_from,
         |       CAST(c.n AS DOUBLE) / t.n_from AS p
         |FROM c JOIN t USING (from_type)""".stripMargin,
+    "events_user_gini" ->
+      """WITH o AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+        |             CASE WHEN user_id % 10 = 0 THEN 'ping' ELSE event_type END AS event_type
+        |           FROM events),
+        |s AS (SELECT user_id, event_type AS to_type,
+        |             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS from_type
+        |      FROM o),
+        |c AS (SELECT user_id, from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM s WHERE from_type IS NOT NULL GROUP BY 1, 2, 3),
+        |p AS (SELECT user_id, CAST(SUM(n) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |             SUM(CAST(n AS HUGEINT) * n) AS sumsq
+        |      FROM c GROUP BY 1)
+        |SELECT user_id, total, n_pairs,
+        |       CAST(1.0 AS DOUBLE) - CAST(sumsq AS DOUBLE) / (CAST(total AS DOUBLE) * CAST(total AS DOUBLE)) AS gini,
+        |       CAST(CASE WHEN total >= 10
+        |                  AND CAST(1.0 AS DOUBLE) - CAST(sumsq AS DOUBLE) / (CAST(total AS DOUBLE) * CAST(total AS DOUBLE)) <= 0.2
+        |                 THEN 1 ELSE 0 END AS BIGINT) AS is_low_diversity
+        |FROM p""".stripMargin,
     "api_props_extract" ->
       """SELECT event_type,
         |       TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) // 10 * 10 AS k_decade,

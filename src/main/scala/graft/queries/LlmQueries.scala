@@ -599,6 +599,10 @@ object LlmQueries {
         .select(col("doc_id"), col("domain"), col("rank_fp"), col("quality"),
           (col("quality") * col("rank")).as("prior"))
     }),
+    // document-level template detector: fraction of a doc's distinct
+    // 8-grams occurring in NO other doc (the corpus' own dups pull shared
+    // grams' df above 1, so novelty discriminates without planting)
+    "text_ngram_novelty" -> ((s, dir) => TextAnalysis.ngramNovelty(docs(s, dir))),
     // code-vs-prose routing over planted code blocks: every 9th doc gets a
     // function body (symbols + two indented lines) appended — the flag must
     // fire on both tells, prose stays prose
@@ -2554,6 +2558,18 @@ object LlmQueries {
         |       COALESCE(r.n_shared_grams, 0) AS n_shared_grams,
         |       COALESCE(r.max_shared, 0) AS max_shared,
         |       CAST(CASE WHEN r.doc_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id""".stripMargin,
+    "text_ngram_novelty" ->
+      """WITH g AS (
+        |  SELECT DISTINCT doc_id, array_to_string(ws[i:i+7], ' ') AS g
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        |       UNNEST(range(1, len(ws) - 6)) AS t(i)),
+        |df AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS df FROM g GROUP BY 1),
+        |r AS (SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |        CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+        |      FROM g JOIN df USING (g) GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(r.n_grams, 0) AS n_grams, COALESCE(r.n_novel, 0) AS n_novel,
+        |       CASE WHEN r.n_grams > 0 THEN CAST(r.n_novel AS DOUBLE) / r.n_grams END AS novelty
         |FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id""".stripMargin,
     "text_code_detect" ->
       s"""WITH p AS (SELECT doc_id,

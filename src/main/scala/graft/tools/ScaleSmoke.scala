@@ -243,6 +243,9 @@ object ScaleSmoke {
       graft.operators.TextAnalysis.codeDetect(docs)
         .agg(sum("n_symbols"), sum("is_code")).collect()
     }
+    t("ngramNovelty (gram df aggregate + join back, no pairs)") {
+      graft.operators.TextAnalysis.ngramNovelty(docs).agg(sum("n_novel")).collect()
+    }
     t("sentenceStats + dailyTrend-shape ops (row-wise / tiny-frame window)") {
       graft.operators.TextAnalysis.sentenceStats(docs).agg(sum("n_sentence_words")).collect()
     }
@@ -408,6 +411,10 @@ object ScaleSmoke {
     }
     t("pathTransitions (per-user lag window, tiny type x type aggregate)") {
       graft.operators.Funnel.pathTransitions(ev, "user_id", "ts_ms", "event_id",
+        "event_type").count()
+    }
+    t("userPathGini (transition diversity, entity-keyed aggregates)") {
+      graft.operators.Funnel.userPathGini(ev, "user_id", "ts_ms", "event_id",
         "event_type").count()
     }
     t("botFlag (per-user inter-arrival stats, one keyed shuffle)") {

@@ -114,6 +114,33 @@ class HygieneOpsSpec extends AnyFunSuite with SparkSpec {
     assert(out(4L).getLong(5) == 0L && out(4L).isNullAt(4)) // empty: NULL ratio, prose
   }
 
+  test("ngramNovelty: unique docs score 1, duplicated docs 0, short docs NULL") {
+    val docs = Seq(
+      (1L, "u1 u2 u3 u4 u5 u6 u7 u8 u9"), // unique 8-grams
+      (2L, "d1 d2 d3 d4 d5 d6 d7 d8 d9"),
+      (3L, "d1 d2 d3 d4 d5 d6 d7 d8 d9"), // exact twin of 2
+      (4L, "too short")).toDF("doc_id", "text")
+    val out = TextAnalysis.ngramNovelty(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getDouble(3) == 1.0 && out(1L).getLong(1) == 2L)
+    assert(out(2L).getDouble(3) == 0.0 && out(3L).getDouble(3) == 0.0)
+    assert(out(4L).getLong(1) == 0L && out(4L).isNullAt(3))
+  }
+
+  test("userPathGini: single-path bots flag, diverse users and small users keep") {
+    val bot = (0 until 21).map(i => ("bot", i.toLong, i * 1000L, "ping"))
+    val human = (0 until 21).map(i =>
+      ("human", (100 + i).toLong, i * 1000L, Seq("a", "b", "c", "d")(i % 4)))
+    val tiny = (0 until 3).map(i => ("tiny", (200 + i).toLong, i * 1000L, "ping"))
+    val ev = (bot ++ human ++ tiny).toDF("user_id", "event_id", "ts_ms", "event_type")
+    val out = Funnel.userPathGini(ev, "user_id", "ts_ms", "event_id", "event_type")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("bot").getDouble(3) == 0.0 && out("bot").getLong(4) == 1L)
+    assert(out("human").getDouble(3) > 0.5 && out("human").getLong(4) == 0L)
+    assert(out("tiny").getLong(4) == 0L) // gini 0 but below minTransitions
+    assert(out("bot").getLong(1) == 20L && out("bot").getLong(2) == 1L)
+  }
+
   test("dimStats: hand-computed grid-exact stats; min/max rank-picked") {
     val emb = Seq(
       (1L, Seq(1.0f, -0.5f)),
