@@ -183,6 +183,58 @@ object Anomaly {
    * the aggregate — the [[Sessionize]] shape; no global window, no second
    * corpus pass.
    */
+  /**
+   * Streaming form of [[botFlag]] — the LIVE traffic screen: per-entity
+   * running (count, first/last timestamp, min gap) state via
+   * `flatMapGroupsWithState`, one updated audit row per entity per
+   * micro-batch. Within a batch rows process in (ts, id) order; across
+   * batches the min-gap bridges from the retained last timestamp, so a
+   * tailing (time-ordered) source reproduces the batch operator's gaps
+   * exactly — pinned by the one-batch-equality spec, the
+   * [[zscoreStreamFlags]] contract. Out-of-order arrivals fold into
+   * span/count correctly (min/max state) but their bridging gap reflects
+   * arrival order — the documented tailing assumption.
+   */
+  def botFlagStream(events: DataFrame, keyCol: String = "user_id",
+      tsUsCol: String = "ts_us", idCol: String = "event_id",
+      minEvents: Long = 20L, minGapUs: Long = 600000000L,
+      meanGapUs: Long = 40000000000L): DataFrame = {
+    require(minEvents >= 2, "minEvents >= 2 keeps the mean-gap division defined")
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ds = events
+      .select(col(keyCol).cast("long"), col(tsUsCol).cast("long"), col(idCol).cast("long"))
+      .as[(Long, Long, Long)]
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, Long)],
+         state: GroupState[(Long, Long, Long, Long)]) =>
+          val batch = rows.toVector.sortBy(t => (t._2, t._3))
+          var (n, tsMin, tsMax, minGap) =
+            state.getOption.getOrElse((0L, Long.MaxValue, Long.MinValue, Long.MaxValue))
+          var last = if (n == 0) Long.MinValue else tsMax
+          batch.foreach { case (_, ts, _) =>
+            if (last != Long.MinValue) minGap = math.min(minGap, ts - last)
+            last = ts
+            tsMin = math.min(tsMin, ts)
+            tsMax = math.max(tsMax, ts)
+            n += 1
+          }
+          state.update((n, tsMin, tsMax, minGap))
+          if (n == 0) Iterator.empty
+          else {
+            val span = tsMax - tsMin
+            val minG = if (n < 2) None else Some(minGap)
+            val meanG = if (n < 2) None else Some(span / (n - 1))
+            val bot = n >= minEvents &&
+              (minG.exists(_ <= minGapUs) || meanG.exists(_ <= meanGapUs))
+            Iterator.single((user, n, span, minG, meanG, if (bot) 1L else 0L))
+          }
+      }
+      .toDF(keyCol, "n_events", "span_us", "min_gap_us", "mean_gap_us", "is_bot")
+  }
+
   def botFlag(events: DataFrame, keyCol: String = "user_id", tsUsCol: String = "ts_us",
       idCol: String = "event_id", minEvents: Long = 20L,
       minGapUs: Long = 600000000L, meanGapUs: Long = 40000000000L): DataFrame = {

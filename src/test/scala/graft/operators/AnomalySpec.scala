@@ -103,6 +103,49 @@ class AnomalySpec extends AnyFunSuite with SparkSpec {
     assert(flagged.head._2 == 52L) // n_so_far includes BOTH batches
   }
 
+  test("botFlagStream on one batch reproduces the batch operator exactly") {
+    val rows =
+      (0 until 25).map(i => (1L, i.toLong, i * 1000000L)) ++ // burst user
+        (0 until 25).map(i => (2L, (100 + i).toLong, i * 50000000000L)) ++ // slow
+        Seq((3L, 300L, 42L)) // single event
+    val df = rows.toDF("user_id", "event_id", "ts_us")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4), r.getLong(5))
+    val batch = Anomaly.botFlag(df, "user_id", "ts_us", "event_id")
+      .collect().map(key).sortBy(_._1).toSeq
+    val stream = Anomaly.botFlagStream(df, "user_id", "ts_us", "event_id")
+      .collect().map(key).sortBy(_._1).toSeq
+    assert(batch.nonEmpty && stream == batch)
+  }
+
+  test("botFlagStream bridges gaps and counts across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Long)]
+    val seen = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+    val q = Anomaly.botFlagStream(
+        input.toDS().toDF("user_id", "event_id", "ts_us"), minEvents = 20L)
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val f = b.select("user_id", "n_events", "min_gap_us", "is_bot").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        seen.synchronized { seen ++= f }
+        ()
+      }.start()
+    // batch 1: 15 events, 1 s apart — below minEvents, not yet a bot
+    input.addData((0 until 15).map(i => (7L, i.toLong, i * 1000000L)): _*)
+    q.processAllAvailable()
+    // batch 2: 10 more; the bridging gap (batch1 end -> batch2 start) is
+    // also 1 s, and the 25-event count crosses the threshold
+    input.addData((0 until 10).map(i => (7L, (50 + i).toLong, (15 + i) * 1000000L)): _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(seen.map(t => (t._2, t._4)).toSeq == Seq((15L, 0L), (25L, 1L)))
+    assert(seen.last._3 == 1000000L) // the bridged min gap
+  }
+
   test("htmlStrip drops script/style contents, decodes entities, keeps prose") {
     val docs = Seq(
       (1L, "<html><body><p>Hello &amp; welcome</p><script>var x = 1;</script>" +
