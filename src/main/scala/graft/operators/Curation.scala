@@ -549,6 +549,61 @@ object Curation {
         expr(s"CAST(start % $ctxLen AS BIGINT)").as("pack_offset"))
   }
 
+  /** Bit positions of [[keepReasons]]'s failure mask — one per screen. */
+  val ReasonEncoding = 1L
+  val ReasonGopher = 2L
+  val ReasonCode = 4L
+  val ReasonDuplicate = 8L
+  val ReasonContaminated = 16L
+
+  /**
+   * The composed per-document KEEP DECISION TABLE — what a production
+   * curation pipeline actually ships: every screen's verdict as a column,
+   * one `keep` conjunction, and a bitmask of the FAILED screens so drop
+   * reasons are auditable at corpus scale (the mask aggregates into the
+   * drop-reason dashboard; docs dropped for exactly one reason are the
+   * screen-threshold tuning set). Screens composed: encoding hygiene
+   * ([[TextAnalysis.mojibakeStats]]), Gopher rules ([[TextAnalysis
+   * .gopherFilter]]), code routing ([[TextAnalysis.codeDetect]] — code is
+   * not DROPPED, it is routed out of the prose mix, but the mask records
+   * it), fuzzy-exact representativeness ([[graft.operators.Dedup
+   * .fuzzyExact]] — only the canonical copy keeps), and benchmark
+   * decontamination ([[decontamFilter]]).
+   *
+   * Scale: each screen is its own row-wise scan or keyed aggregate; the
+   * composition is doc-keyed joins only. No screen sees another's output
+   * (independent verdicts, one decision point — the auditable shape).
+   */
+  def keepReasons(docs: DataFrame, probes: DataFrame): DataFrame = {
+    val enc = TextAnalysis.mojibakeStats(docs)
+      .select(col("doc_id"), col("keep").as("r_encoding"))
+    val gop = TextAnalysis.gopherFilter(docs)
+      .select(col("doc_id"), col("keep").as("r_gopher"))
+    val code = TextAnalysis.codeDetect(docs)
+      .select(col("doc_id"), (lit(1L) - col("is_code")).as("r_prose"))
+    val reps = Dedup.fuzzyExact(docs)
+      .select(col("norm_hash"), col("keep_doc_id"))
+    val canon = docs
+      .select(col("doc_id"), Dedup.fuzzyKey(col("text")).as("norm_hash"))
+      .join(reps, "norm_hash")
+      .select(col("doc_id"),
+        when(col("doc_id") === col("keep_doc_id"), 1L).otherwise(0L).as("r_canonical"))
+    val dec = decontamFilter(docs, probes)
+      .select(col("doc_id"), col("keep").as("r_decontam"))
+    docs.select(col("doc_id"))
+      .join(enc, "doc_id").join(gop, "doc_id").join(code, "doc_id")
+      .join(canon, "doc_id").join(dec, "doc_id")
+      .select(col("doc_id"), col("r_encoding"), col("r_gopher"), col("r_prose"),
+        col("r_canonical"), col("r_decontam"),
+        (col("r_encoding") * col("r_gopher") * col("r_prose") *
+          col("r_canonical") * col("r_decontam")).as("keep"),
+        ((lit(1L) - col("r_encoding")) * ReasonEncoding +
+          (lit(1L) - col("r_gopher")) * ReasonGopher +
+          (lit(1L) - col("r_prose")) * ReasonCode +
+          (lit(1L) - col("r_canonical")) * ReasonDuplicate +
+          (lit(1L) - col("r_decontam")) * ReasonContaminated).as("fail_mask"))
+  }
+
   /**
    * Cross-source duplication overlap — the dump-overlap report a crawl
    * pipeline publishes before mixing sources (successive CommonCrawl dumps

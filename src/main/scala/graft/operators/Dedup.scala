@@ -42,12 +42,14 @@ object Dedup {
     * rather than vanishing (the [[graft.operators.Curation.dupReport]]
     * convention). Non-alphanumeric RUNS map to one space (separators, not
     * deletions — "end.Start" keeps its word break). */
-  def fuzzyExact(docs: DataFrame): DataFrame = {
-    val norm = trim(regexp_replace(lower(coalesce(col("text"), lit(""))),
-      "[^a-z0-9]+", " "))
-    docs.groupBy(md5(norm).as("norm_hash"))
+  /** The [[fuzzyExact]] group key as a column — exposed so composed
+    * decisions (keep-reason tables) can test representativeness per doc. */
+  def fuzzyKey(text: Column): Column =
+    md5(trim(regexp_replace(lower(coalesce(text, lit(""))), "[^a-z0-9]+", " ")))
+
+  def fuzzyExact(docs: DataFrame): DataFrame =
+    docs.groupBy(fuzzyKey(col("text")).as("norm_hash"))
       .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("dup_count"))
-  }
 
   /** Word-3-gram shingles, lowercased: (doc_id, s). `distinct` de-duplicates
     * per doc (set semantics — needed for Jaccard); skip it for operators that

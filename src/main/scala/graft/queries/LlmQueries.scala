@@ -546,6 +546,23 @@ object LlmQueries {
     // majority label and purity — the structural predictor of ANN recall
     "embed_label_purity" -> ((s, dir) =>
       graft.operators.SimilarityIvf.cellPurity(emb(s, dir))),
+    // the composed per-doc KEEP DECISION TABLE: every screen's verdict +
+    // one conjunction + the failed-screen bitmask (encoding=1, gopher=2,
+    // code=4, duplicate=8, contaminated=16) — the auditable drop-reason
+    // shape a production pipeline ships
+    "curate_keep_reasons" -> ((s, dir) => {
+      // the fuzzy-dedup plant (every 10th doc = shouty variant of its
+      // predecessor) so the duplicate bit actually fires alongside the
+      // gopher/contamination bits
+      val d = docs(s, dir)
+      val nb = d.select((col("doc_id") + 1).as("doc_id"), col("text").as("ntext"))
+      val planted = d.join(nb, Seq("doc_id"), "left").select(col("doc_id"),
+        when(col("doc_id") % 20 === 0 && col("ntext").isNotNull,
+          concat(upper(regexp_replace(col("ntext"), " ", "  ")), lit(" !!!")))
+          .otherwise(col("text")).as("text"))
+      graft.operators.Curation.keepReasons(planted,
+        planted.where(col("doc_id") % 10 === 0))
+    }),
     // the decontamination DROP step over the contamination gate's fixture
     // (probes = every 10th doc): per-doc audit + keep flag
     "curate_decontam" -> ((s, dir) => {
@@ -2540,6 +2557,68 @@ object LlmQueries {
          |       m.majority_label, m.n_majority,
          |       CAST(m.n_majority AS DOUBLE) / t.n_vecs AS purity
          |FROM tot t JOIN maj m USING (list_id)""".stripMargin,
+    "curate_keep_reasons" ->
+      s"""WITH nbkr AS (SELECT doc_id + 1 AS doc_id, text AS ntext FROM documents),
+         |p AS MATERIALIZED (
+         |  SELECT d.doc_id,
+         |         CASE WHEN d.doc_id % 20 = 0 AND nbkr.ntext IS NOT NULL
+         |              THEN upper(replace(nbkr.ntext, ' ', '  ')) || ' !!!'
+         |              ELSE d.text END AS text
+         |  FROM documents d LEFT JOIN nbkr ON d.doc_id = nbkr.doc_id),
+         |gf AS (
+         |  SELECT doc_id,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         |         length(replace(text, ' ', '')) * 1.0 / nullif(len(string_split(text, ' ')), 0) AS avg_word_len,
+         |         len(regexp_extract_all(text, '[^\\p{L}\\p{N} ]')) * 1.0 / nullif(length(text), 0) AS punct_ratio,
+         |         CAST(GREATEST(${hitsSql("de")}, ${hitsSql("en")}, ${hitsSql("es")}, ${hitsSql("fr")}) AS BIGINT) AS stop_hits
+         |  FROM p),
+         |gop AS (
+         |  SELECT doc_id,
+         |         CAST(CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1 ELSE 0 END
+         |            * CASE WHEN avg_word_len >= 3.0 AND avg_word_len <= 10.0 THEN 1 ELSE 0 END
+         |            * CASE WHEN punct_ratio <= 0.2 THEN 1 ELSE 0 END
+         |            * CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END AS BIGINT) AS r_gopher
+         |  FROM gf),
+         |enc AS (
+         |  SELECT doc_id,
+         |         CAST(CASE WHEN len(regexp_extract_all(coalesce(text, ''), '${graft.operators.TextAnalysis.MojibakePattern}')) = 0
+         |                    AND len(regexp_extract_all(coalesce(text, ''), '�')) = 0
+         |                   THEN 1 ELSE 0 END AS BIGINT) AS r_encoding
+         |  FROM p),
+         |cd AS (
+         |  SELECT doc_id,
+         |         CAST(CASE WHEN (length(coalesce(text, '')) > 0
+         |                         AND CAST(len(regexp_extract_all(coalesce(text, ''), '${graft.operators.TextAnalysis.CodeSymbolPattern}')) AS DOUBLE)
+         |                             / length(coalesce(text, '')) > 0.03)
+         |                     OR len(regexp_extract_all(coalesce(text, ''), '(?m)^(  |\t)')) >= 2
+         |                   THEN 0 ELSE 1 END AS BIGINT) AS r_prose
+         |  FROM p),
+         |ca AS (
+         |  SELECT doc_id,
+         |         CAST(CASE WHEN doc_id = MIN(doc_id) OVER (
+         |             PARTITION BY md5(trim(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9]+', ' ', 'g'))))
+         |              THEN 1 ELSE 0 END AS BIGINT) AS r_canonical
+         |  FROM p),
+         |ng AS (
+         |  SELECT DISTINCT doc_id, array_to_string(ws[i:i+7], ' ') AS g
+         |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM p),
+         |       UNNEST(range(1, len(ws) - 6)) AS t(i)),
+         |pr AS (SELECT doc_id AS probe_id, g FROM ng WHERE doc_id % 10 = 0),
+         |ht AS (
+         |  SELECT d.doc_id FROM ng d JOIN pr p ON d.g = p.g AND d.doc_id != p.probe_id
+         |  GROUP BY d.doc_id, p.probe_id HAVING COUNT(*) >= 3),
+         |dc AS (
+         |  SELECT d.doc_id,
+         |         CAST(CASE WHEN h.doc_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS r_decontam
+         |  FROM p d LEFT JOIN (SELECT DISTINCT doc_id FROM ht) h ON d.doc_id = h.doc_id)
+         |SELECT d.doc_id, enc.r_encoding, gop.r_gopher, cd.r_prose, ca.r_canonical, dc.r_decontam,
+         |       enc.r_encoding * gop.r_gopher * cd.r_prose * ca.r_canonical * dc.r_decontam AS keep,
+         |       (1 - enc.r_encoding) * 1 + (1 - gop.r_gopher) * 2 + (1 - cd.r_prose) * 4 +
+         |       (1 - ca.r_canonical) * 8 + (1 - dc.r_decontam) * 16 AS fail_mask
+         |FROM p d
+         |JOIN enc ON d.doc_id = enc.doc_id JOIN gop ON d.doc_id = gop.doc_id
+         |JOIN cd ON d.doc_id = cd.doc_id JOIN ca ON d.doc_id = ca.doc_id
+         |JOIN dc ON d.doc_id = dc.doc_id""".stripMargin,
     "curate_decontam" ->
       """WITH g AS (
         |  SELECT DISTINCT doc_id, array_to_string(ws[i:i+7], ' ') AS g

@@ -231,6 +231,10 @@ object ScaleSmoke {
       graft.operators.Curation.sourceOverlap(
         docs.withColumn("source", (col("doc_id") % 40).cast("string"))).count()
     }
+    t("keepReasons (five composed screens, doc-keyed joins only)") {
+      graft.operators.Curation.keepReasons(
+        docs, docs.where(col("doc_id") % 1000 === 0)).agg(sum("keep")).collect()
+    }
     t("decontamFilter (0.1% probe set, n-gram-blocked join + rollup)") {
       graft.operators.Curation.decontamFilter(
         docs, docs.where(col("doc_id") % 1000 === 0)).agg(sum("keep")).collect()

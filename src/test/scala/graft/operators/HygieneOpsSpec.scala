@@ -141,6 +141,28 @@ class HygieneOpsSpec extends AnyFunSuite with SparkSpec {
     assert(out("bot").getLong(1) == 20L && out("bot").getLong(2) == 1L)
   }
 
+  test("keepReasons: each screen sets its own mask bit; the conjunction keeps clean docs") {
+    // 60 words, avg len in [3,10], stopword-rich, punct-light: gopher-clean
+    val base = Seq.fill(5)("the quick brown foxes jumped over lazy dogs near riverbank and stayed")
+      .mkString(" ")
+    val probeText = "zeta omega kappa sigma delta gamma lambda theta epsilon upsilon"
+    val docs = Seq(
+      (1L, base), // keep
+      (2L, "short text"), // gopher fail
+      (3L, base + "\n  x = f(a);\n  y = g[b];"), // code routing
+      (4L, base), // fuzzy duplicate of 1
+      (5L, base + " " + probeText), // shares the probe's 3 8-grams
+      (10L, probeText)).toDF("doc_id", "text")
+    val out = Curation.keepReasons(docs, docs.where(col("doc_id") === 10L))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(6), r.getLong(7)))).toMap
+    assert(out(1L) == ((1L, 0L)))
+    assert(out(2L) == ((0L, Curation.ReasonGopher)))
+    assert(out(3L) == ((0L, Curation.ReasonCode)))
+    assert(out(4L) == ((0L, Curation.ReasonDuplicate)))
+    assert(out(5L) == ((0L, Curation.ReasonContaminated)))
+    assert(out(10L)._2 == Curation.ReasonGopher) // the probe is short, not contaminated
+  }
+
   test("dimStats: hand-computed grid-exact stats; min/max rank-picked") {
     val emb = Seq(
       (1L, Seq(1.0f, -0.5f)),
