@@ -91,6 +91,11 @@ object PipelineQuickstart {
       s"(dropped ${decontam.where(col("keep") === 0L).count()} probe-overlapping docs)")
     val cleanKept = exactKept.join(
       decontam.where(col("keep") === 1L).select("doc_id"), "doc_id")
+    // the same decisions as ONE auditable table: per-doc keep + failed-screen
+    // bitmask (encoding=1, gopher=2, code=4, duplicate=8, contaminated=16)
+    println("keep-decision table (drop reasons by mask):")
+    Curation.keepReasons(docs, history)
+      .groupBy("fail_mask").count().orderBy("fail_mask").show()
     val pairs = Dedup.ngramJaccard(cleanKept, threshold = 0.7).select("a", "b")
     val comps = Dedup.clusters(pairs)
     val dropped = comps.where(col("doc_id") =!= col("cluster_id")).select("doc_id")
@@ -185,6 +190,13 @@ object PipelineQuickstart {
       ev.withColumn("ts_us", col("ts_ms") * 1000L), "user_id", "ts_us", "event_id")
     println(s"bot screen flags ${bots.where(col("is_bot") === 1L).count()} " +
       s"of ${bots.count()} users (burst/cadence tells)")
+    println("top path transitions (Markov view of the stream):")
+    graft.operators.Funnel.pathTransitions(ev, "user_id", "ts_ms", "event_id", "event_type")
+      .orderBy(col("n").desc, col("from_type"), col("to_type")).show(3)
+    val lowDiv = graft.operators.Funnel.userPathGini(
+      ev, "user_id", "ts_ms", "event_id", "event_type")
+    println(s"path-diversity tell: ${lowDiv.where(col("is_low_diversity") === 1L).count()} " +
+      s"low-diversity users (gini)")
 
     // 7. embedding health before any ANN index ships: column-level dim
     //    stats, row-level norm outliers, and IVF label purity
@@ -196,6 +208,13 @@ object PipelineQuickstart {
     println("IVF label purity (worst 3 lists):")
     graft.operators.SimilarityIvf.cellPurity(emb)
       .orderBy(col("purity"), col("list_id")).show(3)
+    println("drift axis: top principal component (3 largest |loadings|):")
+    val pcFrame = graft.operators.Similarity.topPrincipalComponent(emb).cache()
+    pcFrame.orderBy(abs(col("pc")).desc, col("dim")).show(3)
+    println("projection spread along the drift axis (the monitored histogram):")
+    graft.operators.Similarity.pcProjectionFrom(emb, pcFrame)
+      .agg(min("proj").as("min"), expr("percentile_approx(proj, 0.5)").as("p50"),
+        max("proj").as("max")).show()
 
     spark.stop()
   }
