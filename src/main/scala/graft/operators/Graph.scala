@@ -75,7 +75,12 @@ object Graph {
    * ordering) and the same 100 TB posture (no transitive-closure join).
    */
   def components(edges: DataFrame): DataFrame =
-    Dedup.clusters(edges.select(col("src").as("a"), col("dst").as("b")))
+    // connectivity ignores multiplicity: distinct first, so a corpus-sized
+    // edge list (every doc emits its domain links) collapses to <= |V|^2
+    // rows BEFORE the component machinery sizes its driver-vs-distributed
+    // path — without this a 100 TB crawl's raw links would trip the
+    // distributed sweep for a graph whose distinct structure fits anywhere
+    Dedup.clusters(edges.select(col("src").as("a"), col("dst").as("b")).distinct())
       .select(col("doc_id").as("domain"), col("cluster_id").as("component_id"))
 
   /**
