@@ -451,6 +451,208 @@ object GopherRepStats {
   }
 }
 
+/**
+ * One-pass character-histogram statistics for the gibberish / char-spam
+ * screen: over the code points of `text`, the struct
+ * `(n_chars, n_distinct, top_count, sum_sq)` where `sum_sq = Σ c_i²` over
+ * per-character counts. Downstream a single IEEE division turns these exact
+ * LONGs into top-char fraction and the Simpson concentration index
+ * `Σ p_i²` — no log, no fold-order concern, so a SQL oracle that explodes
+ * characters and aggregates integers matches bit-for-bit.
+ *
+ * The declarative equivalent (explode positions → substr → two groupBys)
+ * shuffles one row per (doc, char) group; this computes the same LONGs
+ * row-wise inside whole-stage codegen — zero shuffle, linear scan.
+ */
+case class CharHistStats(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"CharHistStats requires STRING, got $other")
+  }
+
+  override def dataType: DataType = CharHistStats.schema
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(t: Any): Any =
+    CharHistStats.stats(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = "graft.functions.CharHistStats$.MODULE$"
+    nullSafeCodeGen(ctx, ev, t => s"""
+       |${ev.value} = $helper.stats($t);
+       |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CharHistStats =
+    copy(child = newChild)
+}
+
+object CharHistStats {
+  import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+  val schema: StructType = StructType(Seq(
+    StructField("n_chars", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("top_count", LongType, nullable = false),
+    StructField("sum_sq", LongType, nullable = false)))
+
+  /** Exact integer histogram stats over code points; null for empty text
+    * (no distribution to measure — callers filter or coalesce). */
+  def stats(text: UTF8String): org.apache.spark.sql.catalyst.expressions.GenericInternalRow = {
+    val s = text.toString
+    val n = s.codePointCount(0, s.length)
+    if (n == 0) return null
+    val counts = new java.util.HashMap[Integer, Array[Long]]()
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val slot = counts.computeIfAbsent(cp, _ => new Array[Long](1))
+      slot(0) += 1L
+      i += Character.charCount(cp)
+    }
+    var top = 0L
+    var sumSq = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next()(0)
+      if (c > top) top = c
+      sumSq += c * c
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n.toLong, counts.size.toLong, top, sumSq))
+  }
+}
+
+/**
+ * Winnowing fingerprints (Schleimer, Wilkerson, Aiken, SIGMOD 2003 — the
+ * MOSS algorithm): md5 over every `gramLen`-char sliding gram, then the
+ * minimum hash of each `window` consecutive grams; the distinct minima are
+ * the document's fingerprints. Guarantees every shared substring of length
+ * ≥ gramLen + window − 1 contributes at least one shared fingerprint, at
+ * ~2/(window+1) the density of full k-gram hashing.
+ *
+ * Returns the SORTED distinct minima as ARRAY<STRING> (lowercase hex) —
+ * order-canonical, so exploding it matches a SQL oracle's
+ * `DISTINCT doc_id, min-over-window` rows exactly. Documents with fewer
+ * than `window` grams yield their single overall minimum (every document
+ * of ≥ gramLen chars has at least one fingerprint); shorter text → null.
+ *
+ * One row-wise pass (monotonic-deque sliding min, O(n) digests) inside
+ * whole-stage codegen: no explode, no per-position shuffle rows.
+ */
+case class WinnowGramMd5(child: Expression, gramLen: Int, window: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(gramLen >= 1 && window >= 1, "gramLen, window >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"WinnowGramMd5 requires STRING, got $other")
+  }
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(t: Any): Any =
+    WinnowGramMd5.fingerprints(t.asInstanceOf[UTF8String], gramLen, window)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = "graft.functions.WinnowGramMd5$.MODULE$"
+    nullSafeCodeGen(ctx, ev, t => s"""
+       |${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)
+       |  $helper.fingerprints($t, $gramLen, $window);
+       |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowGramMd5 =
+    copy(child = newChild)
+}
+
+object WinnowGramMd5 {
+  private val HexDigits = "0123456789abcdef".toCharArray
+
+  private def hex(d: Array[Byte]): String = {
+    val out = new Array[Char](d.length * 2)
+    var j = 0
+    while (j < d.length) {
+      out(j * 2) = HexDigits((d(j) >> 4) & 0xf)
+      out(j * 2 + 1) = HexDigits(d(j) & 0xf)
+      j += 1
+    }
+    new String(out)
+  }
+
+  private def unsignedLeq(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length) {
+      val x = a(i) & 0xff
+      val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    true
+  }
+
+  /** null when numChars < gramLen; else sorted distinct window minima. */
+  def fingerprints(text: UTF8String, gramLen: Int, window: Int)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val bytes = text.getBytes
+    val n = text.numChars()
+    if (n < gramLen) return null
+    // code-point start offsets (substr indexes characters, not bytes)
+    val offs = new Array[Int](n + 1)
+    var i = 0
+    var c = 0
+    while (i < bytes.length) {
+      if ((bytes(i) & 0xc0) != 0x80) { offs(c) = i; c += 1 }
+      i += 1
+    }
+    offs(n) = bytes.length
+    val nGrams = n - gramLen + 1
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val digests = new Array[Array[Byte]](nGrams)
+    var k = 0
+    while (k < nGrams) {
+      md.reset()
+      md.update(bytes, offs(k), offs(k + gramLen) - offs(k))
+      digests(k) = md.digest()
+      k += 1
+    }
+    val out = new java.util.TreeSet[String]()
+    if (nGrams <= window) {
+      var best = digests(0)
+      k = 1
+      while (k < nGrams) {
+        if (!unsignedLeq(best, digests(k))) best = digests(k)
+        k += 1
+      }
+      out.add(hex(best))
+    } else {
+      // monotonic deque of indices with nondecreasing digests
+      val deque = new Array[Int](nGrams)
+      var head = 0
+      var tail = 0 // exclusive
+      k = 0
+      while (k < nGrams) {
+        while (tail > head && !unsignedLeq(digests(deque(tail - 1)), digests(k))) tail -= 1
+        deque(tail) = k; tail += 1
+        if (deque(head) <= k - window) head += 1
+        if (k >= window - 1) out.add(hex(digests(deque(head))))
+        k += 1
+      }
+    }
+    val arr = new Array[Any](out.size)
+    val it = out.iterator()
+    var j = 0
+    while (it.hasNext) { arr(j) = UTF8String.fromString(it.next()); j += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+}
+
 object TextFunctions {
   /** Column API: # whitespace words of lower(text) present in `lexicon`. */
   def lexiconHits(text: Column, lexicon: Seq[String]): Column =
@@ -482,4 +684,12 @@ object TextFunctions {
   /** Column API: Unicode NFC normalization (identity fast path on ASCII). */
   def nfcNormalize(text: Column): Column =
     GraftSqlBridge.column(NfcNormalize(GraftSqlBridge.expression(text)))
+
+  /** Column API: exact char-histogram stats struct (see [[CharHistStats]]). */
+  def charHistStats(text: Column): Column =
+    GraftSqlBridge.column(CharHistStats(GraftSqlBridge.expression(text)))
+
+  /** Column API: sorted distinct winnowing fingerprints (see [[WinnowGramMd5]]). */
+  def winnowGramMd5(text: Column, gramLen: Int, window: Int): Column =
+    GraftSqlBridge.column(WinnowGramMd5(GraftSqlBridge.expression(text), gramLen, window))
 }

@@ -930,4 +930,72 @@ object TextAnalysis {
       moji.as("n_mojibake"), repl.as("n_replacement"),
       when(moji === 0 && repl === 0, 1L).otherwise(0L).as("keep"))
   }
+
+  /**
+   * Character-distribution diversity screen — the gibberish / char-spam tell
+   * the word-level quality bands miss (one-character floods, base64 blobs,
+   * binary-pasted text all have extreme histograms). Per document:
+   * `n_chars`, `n_distinct_chars`, `top_char_frac` (modal-character mass)
+   * and `char_simpson` (Σ p_i², the no-log concentration index: 1/alphabet
+   * for uniform text, →1 for single-char spam).
+   *
+   * One native codegen pass per row ([[graft.functions.CharHistStats]]) —
+   * exact LONG histogram moments, zero shuffle — then each ratio is a single
+   * IEEE division of exact integers, so a character-exploding SQL oracle
+   * matches bit-for-bit. Empty/NULL text rows are dropped (no distribution
+   * to measure), mirroring the oracle's `length(text) > 0` guard.
+   */
+  def charDiversity(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val st = graft.functions.TextFunctions.charHistStats(col(textCol))
+    docs.select(col("doc_id"), st.as("st"))
+      .where(col("st").isNotNull)
+      .select(col("doc_id"),
+        col("st.n_chars").as("n_chars"),
+        col("st.n_distinct").as("n_distinct_chars"),
+        (col("st.top_count").cast("double") / col("st.n_chars").cast("double"))
+          .as("top_char_frac"),
+        (col("st.sum_sq").cast("double") /
+          (col("st.n_chars").cast("double") * col("st.n_chars").cast("double")))
+          .as("char_simpson"))
+  }
+
+  /**
+   * Corpus collocations by PMI lift: for every adjacent lowercased word pair
+   * with count ≥ `minCount`, the pointwise-mutual-information LIFT
+   * `P(w1w2) / (P(w1)·P(w2)) = c12·N / (c1·c2)` — the log is monotonic, so
+   * ranking by lift IS ranking by PMI, with no transcendental in the output
+   * (exact integer counts, two products and one division in a pinned order:
+   * bit-deterministic across engines). The top collocations are the
+   * tokenizer-curriculum / stop-phrase audit (which word pairs behave as
+   * single units).
+   *
+   * Plan shape: pair and unigram counts collapse map-side (hash partial
+   * aggregation); the `minCount` floor bounds the scored frame before the
+   * two unigram joins; the final top-k is a TakeOrdered (k-bounded, no
+   * global sort materialization). Linear in corpus size to 100 TB.
+   */
+  def pmiBigrams(docs: DataFrame, minCount: Long = 5L, topK: Int = 100): DataFrame = {
+    val ws = docs
+      .repartition(col("doc_id"))
+      .select(wordsLower(col("text")).as("ws"))
+      .where(size(col("ws")) >= 2)
+    val pairs = ws
+      .select(explode(arrays_zip(
+        slice(col("ws"), lit(1), size(col("ws")) - 1),
+        slice(col("ws"), lit(2), size(col("ws")) - 1))).as("z"))
+      .select(col("z.0").as("w1"), col("z.1").as("w2"))
+    val bc = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val uni = docs.select(explode(wordsLower(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val total = bc.agg(sum(col("c12")).cast("long").as("n_pairs"))
+    val scored = bc.where(col("c12") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(total)) // 1-row scalar attach
+      .select(concat(col("w1"), lit(" "), col("w2")).as("gram"),
+        col("c12"), col("c1"), col("c2"), col("n_pairs"),
+        ((col("c12").cast("double") * col("n_pairs").cast("double")) /
+          (col("c1").cast("double") * col("c2").cast("double"))).as("lift"))
+    scored.orderBy(col("lift").desc, col("gram")).limit(topK)
+  }
 }

@@ -652,7 +652,17 @@ object LlmQueries {
         regexp_replace(col("text"),
           "([a-z0-9]+ [a-z0-9]+ [a-z0-9]+ [a-z0-9]+ [a-z0-9]+) ", "$1. ").as("text"))
       TextAnalysis.sentenceStats(planted)
-    })
+    }),
+    // char-histogram diversity screen (gibberish / one-char spam / base64
+    // tells): exact LONG histogram moments from one native codegen pass,
+    // ratios as single IEEE divisions — a char-exploding oracle matches
+    "text_char_diversity" -> ((s, dir) =>
+      TextAnalysis.charDiversity(docs(s, dir))),
+    // corpus collocations ranked by PMI lift c12·N/(c1·c2) (log-free PMI
+    // order): exact integer counts, minCount floor before the joins,
+    // k-bounded TakeOrdered finish
+    "text_pmi_bigrams" -> ((s, dir) =>
+      TextAnalysis.pmiBigrams(docs(s, dir), minCount = 5L, topK = 100))
   )
 
   /** The planted hyperlink structure shared by the Graph-family gates:
@@ -2681,6 +2691,39 @@ object LlmQueries {
          |                  AND len(regexp_extract_all(coalesce(text, ''), '�')) = 0
          |                 THEN 1 ELSE 0 END AS BIGINT) AS keep
          |FROM p""".stripMargin,
+    // mirrors TextAnalysis.charDiversity: per-character counts over substr
+    // positions, exact integer moments, the same two final divisions
+    "text_char_diversity" ->
+      """WITH ch AS (
+        |  SELECT doc_id, substr(text, i, 1) AS ch
+        |  FROM documents, UNNEST(range(1, length(text) + 1)) AS t(i)
+        |  WHERE length(text) > 0),
+        |cc AS (SELECT doc_id, ch, COUNT(*) AS c FROM ch GROUP BY 1, 2),
+        |st AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS nd,
+        |              CAST(MAX(c) AS BIGINT) AS top, CAST(SUM(c * c) AS BIGINT) AS ss
+        |       FROM cc GROUP BY 1)
+        |SELECT doc_id, n AS n_chars, nd AS n_distinct_chars,
+        |       CAST(top AS DOUBLE) / CAST(n AS DOUBLE) AS top_char_frac,
+        |       CAST(ss AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS char_simpson
+        |FROM st""".stripMargin,
+    // mirrors TextAnalysis.pmiBigrams(minCount=5, topK=100): adjacent
+    // lowercased pairs, integer counts, lift = (c12·N)/(c1·c2) in the same
+    // expression order, ties broken on the gram string
+    "text_pmi_bigrams" ->
+      """WITH ws AS (SELECT string_split(lower(text), ' ') AS ws FROM documents),
+        |p AS (SELECT ws[i] AS w1, ws[i+1] AS w2
+        |      FROM ws, UNNEST(range(1, len(ws))) AS t(i) WHERE len(ws) >= 2),
+        |bc AS (SELECT w1, w2, COUNT(*) AS c12 FROM p GROUP BY 1, 2),
+        |u AS (SELECT w, COUNT(*) AS c
+        |      FROM (SELECT UNNEST(string_split(lower(text), ' ')) AS w FROM documents) GROUP BY 1),
+        |t AS (SELECT CAST(SUM(c12) AS BIGINT) AS n_pairs FROM bc),
+        |s AS (SELECT b.w1 || ' ' || b.w2 AS gram, CAST(b.c12 AS BIGINT) AS c12,
+        |             CAST(u1.c AS BIGINT) AS c1, CAST(u2.c AS BIGINT) AS c2, t.n_pairs,
+        |             (CAST(b.c12 AS DOUBLE) * CAST(t.n_pairs AS DOUBLE)) /
+        |               (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)) AS lift
+        |      FROM bc b JOIN u u1 ON b.w1 = u1.w JOIN u u2 ON b.w2 = u2.w CROSS JOIN t
+        |      WHERE b.c12 >= 5)
+        |SELECT * FROM s ORDER BY lift DESC, gram LIMIT 100""".stripMargin,
     "curate_domain_prior" -> domainPriorOracleSql(),
     "search_eval" -> searchEvalOracleSql(),
     "search_prf" -> searchPrfOracleSql(),

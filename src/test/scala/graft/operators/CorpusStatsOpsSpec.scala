@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** Round-8 session-4 operators: char-histogram diversity, PMI collocations,
+  * group-aware splits, winnowing fingerprints, triangle counting, sweep-line
+  * concurrency, and random-projection retrieval. */
+class CorpusStatsOpsSpec extends AnyFunSuite with SparkSpec {
+
+  import spark.implicits._
+
+  test("charDiversity: hand-computed histogram moments; empty and NULL drop") {
+    val docs = Seq(
+      (1L, "aaaa"),           // 1 distinct, top 4/4, simpson 1
+      (2L, "abab"),           // 2 distinct, top 2/4, simpson (4+4)/16
+      (3L, "abcd"),           // 4 distinct, top 1/4, simpson 4/16
+      (4L, ""),
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = TextAnalysis.charDiversity(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L) == ((4L, 1L, 1.0, 1.0)))
+    assert(out(2L) == ((4L, 2L, 0.5, 0.5)))
+    assert(out(3L) == ((4L, 4L, 0.25, 0.25)))
+  }
+
+  test("charDiversity: multi-byte code points count as single chars") {
+    val docs = Seq((1L, "ééé")).toDF("doc_id", "text")
+    val r = TextAnalysis.charDiversity(docs).collect().head
+    assert(r.getLong(1) == 3L && r.getLong(2) == 1L && r.getDouble(3) == 1.0)
+  }
+
+  test("pmiBigrams: exclusive pairs outrank promiscuous ones; counts exact") {
+    // "x y" always adjacent and exclusive -> lift N/(c1*c2) maximal;
+    // "the a" pairs are diluted by other "the"/"a" uses
+    val rows = (1 to 5).map(i => (i.toLong, "x y the a the b the a x y")).toDF("doc_id", "text")
+    val out = TextAnalysis.pmiBigrams(rows, minCount = 5L, topK = 10).collect()
+    val byGram = out.map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // per doc: 10 words -> 9 pairs, so N = 45; "x y" count 10, c1(x)=10, c2(y)=10
+    assert(byGram("x y") == ((10L, 10L, 10L, 45L, (10.0 * 45.0) / (10.0 * 10.0))))
+    // top gram is the exclusive collocation
+    assert(out.head.getString(0) == "x y")
+  }
+
+  test("pmiBigrams: minCount floors rare pairs out") {
+    val docs = Seq((1L, "p q p q p q p q"), (2L, "r s")).toDF("doc_id", "text")
+    val grams = TextAnalysis.pmiBigrams(docs, minCount = 4L, topK = 10)
+      .collect().map(_.getString(0)).toSet
+    assert(grams.contains("p q") && !grams.contains("r s"))
+  }
+}
