@@ -198,6 +198,40 @@ object Curation {
         .otherwise("test"))
   }
 
+  /**
+   * GROUP-aware train/val/test assignment — the leakage guard
+   * [[splitAssign]] cannot give: near-duplicate documents cluster by
+   * provenance (same site, same template, same crawl), so hashing
+   * `doc_id` scatters a page and its near-copy across train and test,
+   * inflating eval. Hashing the GROUP key puts every document of a
+   * provenance unit in the same split by construction — no pairwise
+   * dedup needed to keep held-out data held out.
+   *
+   * The group key is the first URL host in the text (the provenance unit of
+   * web data); documents with no URL fall back to a `source`-scoped shard
+   * (`source:doc_id%50`) so an unlinked doc still gets a stable group
+   * without gluing all no-URL docs into one mega-group. The split is the
+   * [[splitAssign]] 256-bucket hex cut over `md5("gsplit:" || group_key)` —
+   * its own salt, for the same cross-operator-correlation reason as
+   * "split:"/"temp:".
+   *
+   * A pure row-wise projection (regexp + md5 + compare): no shuffle, no
+   * group table — group cardinality never matters, which is what lets the
+   * same expression assign splits at 100 TB.
+   */
+  def groupSplit(docs: DataFrame, train256: Int = 205, val256: Int = 26): DataFrame = {
+    require(train256 >= 0 && val256 >= 0 && train256 + val256 <= 256,
+      "train256/val256 nonnegative with sum <= 256")
+    val host = regexp_extract(lower(col("text")), TextAnalysis.UrlPattern, 1)
+    val group = when(host.isNotNull && host =!= "", host)
+      .otherwise(concat(col("source"), lit(":"), (col("doc_id") % 50).cast("string")))
+    val h2 = substring(md5(concat(lit("gsplit:"), group)), 1, 2)
+    docs.select(col("doc_id"), group.as("group_key"),
+      when(h2 < lit(hexCut(train256)), "train")
+        .when(h2 < lit(hexCut(train256 + val256)), "val")
+        .otherwise("test").as("split"))
+  }
+
   /** Temperature-style source rebalancing (the UnifiedQA / multilingual-mix
     * trick at T=2): group `groupCol`'s keep rate is `sqrt(n_min / n_group)`,
     * so over-represented groups are damped toward the smallest group instead

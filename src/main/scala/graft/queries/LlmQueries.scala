@@ -375,6 +375,17 @@ object LlmQueries {
     // deterministic hash train/val/test split (205/26/25 of 256)
     "curate_split" -> ((s, dir) =>
       graft.operators.Curation.splitAssign(docs(s, dir)).select("doc_id", "split")),
+    // group-aware (leakage-safe) split: URL-host provenance groups over the
+    // planted-URL corpus (every 5th doc unplanted -> source-shard fallback);
+    // whole groups land in one split by construction
+    "curate_group_split" -> ((s, dir) => {
+      val planted = docs(s, dir).select(col("doc_id"), col("source"),
+        when(col("doc_id") % 5 =!= 0,
+          concat(col("text"), lit(" via https://www.site"), (col("doc_id") % 7).cast("string"),
+            lit(".example.org/p/"), col("doc_id").cast("string")))
+          .otherwise(col("text")).as("text"))
+      graft.operators.Curation.groupSplit(planted)
+    }),
     // concat-and-chunk sequence packing: 256-token packs over 8 shards
     "curate_pack" -> ((s, dir) =>
       graft.operators.Curation.packSequences(docs(s, dir), ctxLen = 256L, nShards = 8)),
@@ -2252,6 +2263,25 @@ object LlmQueries {
         |            WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e7' THEN 'val'
         |            ELSE 'test' END AS split
         |FROM documents""".stripMargin,
+    // mirrors Curation.groupSplit over the planted-URL corpus: host group
+    // key with source-shard fallback, gsplit-salted 256-bucket hex cut
+    "curate_group_split" ->
+      """WITH p AS (SELECT doc_id, source,
+        |        CASE WHEN doc_id % 5 != 0
+        |             THEN text || ' via https://www.site' || CAST(doc_id % 7 AS VARCHAR)
+        |                       || '.example.org/p/' || CAST(doc_id AS VARCHAR)
+        |             ELSE text END AS text
+        |      FROM documents),
+        |g AS (SELECT doc_id,
+        |        CASE WHEN NULLIF(regexp_extract(lower(text), 'https?://([a-z0-9.-]+)[^ ]*', 1), '') IS NOT NULL
+        |             THEN regexp_extract(lower(text), 'https?://([a-z0-9.-]+)[^ ]*', 1)
+        |             ELSE source || ':' || CAST(doc_id % 50 AS VARCHAR) END AS group_key
+        |      FROM p)
+        |SELECT doc_id, group_key,
+        |       CASE WHEN substr(md5('gsplit:' || group_key), 1, 2) < 'cd' THEN 'train'
+        |            WHEN substr(md5('gsplit:' || group_key), 1, 2) < 'e7' THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM g""".stripMargin,
     "curate_pack" ->
       """WITH t AS (
         |  SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,

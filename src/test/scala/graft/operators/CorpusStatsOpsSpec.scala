@@ -46,6 +46,27 @@ class CorpusStatsOpsSpec extends AnyFunSuite with SparkSpec {
     assert(out.head.getString(0) == "x y")
   }
 
+  test("groupSplit: every group lands in exactly one split; fallback is source-scoped") {
+    val docs = (1L to 200L).map { i =>
+      val text = if (i % 3 == 0) s"doc $i see https://host${i % 5}.example.com/p/$i end"
+                 else s"doc $i with no link"
+      (i, s"src${i % 4}", text)
+    }.toDF("doc_id", "source", "text")
+    val out = Curation.groupSplit(docs).cache()
+    // leakage guard: no group key spans two splits
+    val spanning = out.groupBy("group_key")
+      .agg(countDistinct(col("split")).as("n_splits"))
+      .where(col("n_splits") > 1).count()
+    assert(spanning == 0L)
+    // linked docs group by host; unlinked docs fall back to source-scoped shards
+    val keys = out.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(keys(3L) == "host3.example.com")
+    assert(keys(1L) == "src1:1")
+    // all three splits occur over enough groups
+    assert(out.select("split").distinct().count() == 3L)
+    out.unpersist()
+  }
+
   test("pmiBigrams: minCount floors rare pairs out") {
     val docs = Seq((1L, "p q p q p q p q"), (2L, "r s")).toDF("doc_id", "text")
     val grams = TextAnalysis.pmiBigrams(docs, minCount = 4L, topK = 10)
