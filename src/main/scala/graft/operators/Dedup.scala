@@ -1160,4 +1160,57 @@ object Dedup {
         coalesce(col("n_dup_lower"), lit(0L)).as("n_sem_dups"),
         when(col("n_dup_lower").isNull, 1L).otherwise(0L).as("keep"))
   }
+
+  // -------------------------------------------------------------------------
+  // Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003 — MOSS)
+  // -------------------------------------------------------------------------
+
+  /**
+   * Per-document winnowing fingerprints `(doc_id, fp)`: md5 over every
+   * `gramLen`-char gram, minimum per `window` consecutive grams, distinct
+   * minima. The guarantee the plain [[Dedup.exact]]/k-gram screens lack:
+   * any shared substring of ≥ `gramLen + window − 1` chars yields at least
+   * one SHARED fingerprint between the two documents, at ~2/(window+1) the
+   * stored density of hashing every gram — the character-level (layout-
+   * robust) complement of the word-shingle family.
+   *
+   * The selection runs in ONE native codegen pass per row
+   * ([[graft.functions.WinnowGramMd5]], monotonic-deque sliding min): no
+   * per-position explode ever hits the engine; only the selected minima
+   * (~2·len/window values) become rows. Documents shorter than `gramLen`
+   * chars have no fingerprint; shorter than `gramLen+window−1` yield their
+   * single overall minimum.
+   */
+  def winnow(docs: DataFrame, gramLen: Int = 12, window: Int = 16): DataFrame =
+    docs
+      .repartition(col("doc_id")) // spread the digest-heavy scan across cores
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.winnowGramMd5(col("text"), gramLen, window).as("fps"))
+      .where(col("fps").isNotNull)
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
+
+  /**
+   * Near-dup candidate pairs by shared winnowing fingerprints:
+   * `(a, b, n_shared)` with `n_shared ≥ minShared`. Same blocked-join shape
+   * as [[ngramJaccard]] — a pair meets only on a shared fingerprint, both
+   * sides shuffle on the fingerprint key, nothing broadcasts the corpus —
+   * with the same candidate-generation skew cap (`maxDocFreq` drops
+   * boilerplate fingerprints shared by more than that many docs; k docs on
+   * one fingerprint emit O(k²) pairs).
+   */
+  def winnowPairs(docs: DataFrame, gramLen: Int = 12, window: Int = 16,
+                  minShared: Long = 2L, maxDocFreq: Long = Long.MaxValue): DataFrame = {
+    val all = cached(winnow(docs, gramLen, window))
+    val fps =
+      if (maxDocFreq == Long.MaxValue) all
+      else {
+        val freq = all.groupBy("fp").agg(count(lit(1)).as("df")).where(col("df") <= maxDocFreq)
+        all.join(freq.select("fp"), "fp")
+      }
+    fps.as("x").join(fps.as("y"),
+        col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
 }

@@ -455,6 +455,21 @@ object LlmQueries {
     // replaced by a SHOUTY variant of its neighbor (uppercased, doubled
     // spaces, trailing "!!!") — byte-distinct, normalization-identical, so
     // the gate pins that case/punct/spacing variants collapse to one group
+    // winnowing fingerprints (MOSS): char-level layout-robust signatures,
+    // one native sliding-min pass per doc, ~2/(w+1) selection density
+    "dedup_winnow" -> ((s, dir) => Dedup.winnow(docs(s, dir))),
+    // winnow-pair candidates over planted copies (every 10th doc carries
+    // its neighbor's text under a new prefix — shared substrings survive
+    // the prefix shift, which is exactly what winnowing guarantees)
+    "dedup_winnow_pairs" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val nb = d.select((col("doc_id") + 1).as("doc_id"), col("text").as("ntext"))
+      val planted = d.join(nb, Seq("doc_id"), "left").select(col("doc_id"),
+        when(col("doc_id") % 10 === 0 && col("ntext").isNotNull,
+          concat(lit("copy prefix "), col("ntext")))
+          .otherwise(col("text")).as("text"))
+      Dedup.winnowPairs(planted, minShared = 2L)
+    }),
     "dedup_fuzzy_exact" -> ((s, dir) => {
       val d = docs(s, dir)
       val nb = d.select((col("doc_id") + 1).as("doc_id"), col("text").as("ntext"))
@@ -1388,6 +1403,47 @@ object LlmQueries {
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS dup_count
         |FROM documents GROUP BY 1""".stripMargin,
+    // mirrors Dedup.winnow(gramLen=12, window=16): per-position 12-gram md5,
+    // min over each 16-gram window (clipped windows only via the guard; short
+    // docs keep their single i=1 clipped min), DISTINCT minima
+    "dedup_winnow" ->
+      """WITH g AS (
+        |  SELECT doc_id, i, md5(substr(text, i, 12)) AS h, length(text) - 11 AS n_grams
+        |  FROM documents, UNNEST(range(1, length(text) - 10)) AS t(i)
+        |  WHERE length(text) >= 12),
+        |wm AS (
+        |  SELECT doc_id, n_grams, i,
+        |         MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+        |                      ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS fp
+        |  FROM g)
+        |SELECT DISTINCT doc_id, fp FROM wm
+        |WHERE i + 15 <= n_grams OR (n_grams < 16 AND i = 1)""".stripMargin,
+    // winnow-pair candidates over a planted-copy corpus (every 10th doc is
+    // its neighbor's text under a new prefix): shared-fingerprint join,
+    // n_shared >= 2
+    "dedup_winnow_pairs" ->
+      """WITH nb AS (SELECT doc_id + 1 AS doc_id, text AS ntext FROM documents),
+        |p AS (SELECT d.doc_id,
+        |        CASE WHEN d.doc_id % 10 = 0 AND nb.ntext IS NOT NULL
+        |             THEN 'copy prefix ' || nb.ntext
+        |             ELSE d.text END AS text
+        |      FROM documents d LEFT JOIN nb ON d.doc_id = nb.doc_id),
+        |g AS (
+        |  SELECT doc_id, i, md5(substr(text, i, 12)) AS h, length(text) - 11 AS n_grams
+        |  FROM p, UNNEST(range(1, length(text) - 10)) AS t(i)
+        |  WHERE length(text) >= 12),
+        |wm AS (
+        |  SELECT doc_id, n_grams, i,
+        |         MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+        |                      ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS fp
+        |  FROM g),
+        |fps AS (
+        |  SELECT DISTINCT doc_id, fp FROM wm
+        |  WHERE i + 15 <= n_grams OR (n_grams < 16 AND i = 1))
+        |SELECT x.doc_id AS a, y.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS n_shared
+        |FROM fps x JOIN fps y ON x.fp = y.fp AND x.doc_id < y.doc_id
+        |GROUP BY 1, 2
+        |HAVING COUNT(*) >= 2""".stripMargin,
     "dedup_fuzzy_exact" ->
       """WITH nb AS (SELECT doc_id + 1 AS doc_id, text AS ntext FROM documents),
         |p AS (SELECT d.doc_id,

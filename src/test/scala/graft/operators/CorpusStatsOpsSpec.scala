@@ -67,6 +67,44 @@ class CorpusStatsOpsSpec extends AnyFunSuite with SparkSpec {
     out.unpersist()
   }
 
+  test("winnow: shared substrings >= k+w-1 chars guarantee a shared fingerprint") {
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val docs = Seq(
+      (1L, s"AAAA $base BBBB"),
+      (2L, s"XXXXXXX $base YYY"), // same long substring, different offsets
+      (3L, "completely unrelated content with no overlap whatsoever in here")
+    ).toDF("doc_id", "text")
+    val fps = Dedup.winnow(docs, gramLen = 12, window = 16)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val f1 = fps.filter(_._1 == 1L).map(_._2).toSet
+    val f2 = fps.filter(_._1 == 2L).map(_._2).toSet
+    val f3 = fps.filter(_._1 == 3L).map(_._2).toSet
+    assert((f1 & f2).nonEmpty)   // winnowing guarantee
+    assert((f1 & f3).isEmpty && (f2 & f3).isEmpty)
+  }
+
+  test("winnow: short docs yield one fingerprint; sub-gram docs none") {
+    val docs = Seq(
+      (1L, "exactly12chr"),          // 12 chars -> 1 gram -> 1 fp
+      (2L, "elevenchars"),           // 11 chars -> none
+      (3L, "eighteen characters ok") // < k+w-1 -> single overall min
+    ).toDF("doc_id", "text")
+    val byDoc = Dedup.winnow(docs).collect().groupBy(_.getLong(0))
+    assert(byDoc(1L).length == 1 && !byDoc.contains(2L) && byDoc(3L).length == 1)
+  }
+
+  test("winnowPairs: planted copy pairs with its source; minShared filters noise") {
+    val base = (1 to 30).map(i => s"word$i token$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),
+      (2L, s"prefix shift $base"), // copy under an offset
+      (3L, "some other document entirely different from the rest of them all")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairs(docs, minShared = 2L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("pmiBigrams: minCount floors rare pairs out") {
     val docs = Seq((1L, "p q p q p q p q"), (2L, "r s")).toDF("doc_id", "text")
     val grams = TextAnalysis.pmiBigrams(docs, minCount = 4L, topK = 10)
