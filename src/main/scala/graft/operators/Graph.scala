@@ -109,6 +109,64 @@ object Graph {
    *
    * @return (domain, auth_fp LONG, hub_fp LONG, auth DOUBLE, hub DOUBLE)
    */
+  /**
+   * Per-node triangle counts and local clustering coefficient over the
+   * UNDIRECTED simple graph induced by `edges` (direction dropped, self
+   * loops and multi-edges collapsed) — the link-farm tell PageRank misses:
+   * organic neighborhoods interlink (high clustering), spam rings are
+   * near-bipartite stars (triangle-free).
+   *
+   * Algorithm: degree-ordered orientation (Ortmann/Brandes compact-forward
+   * family) — every edge points from its lower `(degree, node)` endpoint to
+   * the higher, making the oriented graph acyclic with out-degree bounded
+   * by O(√E); wedges are pairs of out-neighbors, closed by one oriented
+   * edge lookup. Total wedge count is O(E^1.5) REGARDLESS of skew (a
+   * hub's edges all point INTO it, so the hub spawns no wedges) — the
+   * property that lets the same plan run on a power-law web graph at
+   * 100 TB. All joins shuffle on node keys; nothing data-sized broadcasts.
+   *
+   * Output `(node, degree, n_triangles, lcc)` for every node, with
+   * `lcc = 2·t / (deg·(deg−1))` as one pinned-order double expression
+   * (NULL when degree < 2 — no pair of neighbors to close).
+   */
+  def triangles(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .distinct()
+    val deg = und.select(col("a").as("v")).union(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val withDeg = und
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+    val aFirst = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
+    val oriented = withDeg.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("lo"),
+      when(aFirst, col("b")).otherwise(col("a")).as("hi"),
+      when(aFirst, col("db")).otherwise(col("da")).as("dhi"))
+    // wedges at lo between order-ranked out-neighbors; closing edge v->w
+    // must exist in the SAME orientation (ord(v) < ord(w) by construction)
+    val vBeforeW = col("e1.dhi") < col("e2.dhi") ||
+      (col("e1.dhi") === col("e2.dhi") && col("e1.hi") < col("e2.hi"))
+    val tri = oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.lo") === col("e2.lo") && vBeforeW)
+      .select(col("e1.lo").as("u"), col("e1.hi").as("v"), col("e2.hi").as("w"))
+      .join(oriented.as("e3"), col("v") === col("e3.lo") && col("w") === col("e3.hi"))
+      .select("u", "v", "w")
+    val counts = tri.select(col("u").as("node"))
+      .union(tri.select(col("v").as("node")))
+      .union(tri.select(col("w").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+    deg.select(col("v").as("node"), col("deg").as("degree"))
+      .join(counts, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("degree") >= 2,
+          (lit(2.0) * coalesce(col("n_triangles"), lit(0L)).cast("double")) /
+            (col("degree").cast("double") * (col("degree") - 1).cast("double")))
+          .as("lcc"))
+  }
+
   def hits(edges: DataFrame, iters: Int = 5,
       scale: Long = 1000000000000L): DataFrame = {
     require(iters >= 0 && iters <= 50, "iters must be in [0, 50]")

@@ -520,6 +520,11 @@ object LlmQueries {
     // weakly-connected components over a DISCONNECTED planted graph: the
     // even docs' site/cdn web plus a separate isle ring from odd docs — the
     // dedup min-label machinery reused on the link graph, with sizes
+    // per-node triangle counts + local clustering coefficient via the
+    // degree-ordered orientation (O(E^1.5) wedges regardless of skew) —
+    // the link-farm tell PageRank misses
+    "graph_triangles" -> ((s, dir) =>
+      graft.operators.Graph.triangles(plantedEdges(docs(s, dir), full = true))),
     "graph_components" -> ((s, dir) => {
       val d = docs(s, dir)
       val web = d.where(col("doc_id") % 2 === 0).select(
@@ -2578,6 +2583,43 @@ object LlmQueries {
         |      CASE WHEN r.rate >= 1 THEN 'g'
         |           ELSE printf('%04x', CAST(floor(r.rate * 65536) AS INT)) END""".stripMargin,
     "graph_pagerank" -> pageRankOracleSql(),
+    // mirrors Graph.triangles over the planted link graph: undirected
+    // distinct edges, (degree, node) orientation, wedge join closed by one
+    // oriented-edge probe; lcc in the same pinned expression order
+    "graph_triangles" ->
+      """WITH raw AS (
+        |  SELECT 'site' || CAST(doc_id % 7 AS VARCHAR) AS src, 'cdn' || CAST(doc_id % 3 AS VARCHAR) AS dst FROM documents
+        |  UNION ALL SELECT 'cdn' || CAST(doc_id % 3 AS VARCHAR), 'site' || CAST(doc_id % 5 AS VARCHAR) FROM documents
+        |  UNION ALL SELECT 'site' || CAST(doc_id % 7 AS VARCHAR), 'site' || CAST((doc_id + 3) % 7 AS VARCHAR) FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL SELECT 'site' || CAST(doc_id % 7 AS VARCHAR), 'sink' FROM documents WHERE doc_id % 11 = 0),
+        |und AS (
+        |  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        |  FROM raw WHERE src != dst AND src IS NOT NULL AND dst IS NOT NULL),
+        |deg AS (
+        |  SELECT v, COUNT(*) AS deg FROM (
+        |    SELECT a AS v FROM und UNION ALL SELECT b FROM und) GROUP BY 1),
+        |o AS (
+        |  SELECT CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END AS lo,
+        |         CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END AS hi,
+        |         CASE WHEN da < db OR (da = db AND a < b) THEN db ELSE da END AS dhi
+        |  FROM und
+        |  JOIN (SELECT v AS a, deg AS da FROM deg) USING (a)
+        |  JOIN (SELECT v AS b, deg AS db FROM deg) USING (b)),
+        |tri AS (
+        |  SELECT e1.lo AS u, e1.hi AS v, e2.hi AS w
+        |  FROM o e1 JOIN o e2 ON e1.lo = e2.lo
+        |   AND (e1.dhi < e2.dhi OR (e1.dhi = e2.dhi AND e1.hi < e2.hi))
+        |  JOIN o e3 ON e3.lo = e1.hi AND e3.hi = e2.hi),
+        |cnt AS (
+        |  SELECT node, COUNT(*) AS t FROM (
+        |    SELECT u AS node FROM tri UNION ALL SELECT v FROM tri UNION ALL SELECT w FROM tri)
+        |  GROUP BY 1)
+        |SELECT deg.v AS node, CAST(deg.deg AS BIGINT) AS degree,
+        |       CAST(COALESCE(cnt.t, 0) AS BIGINT) AS n_triangles,
+        |       CASE WHEN deg.deg >= 2
+        |            THEN (2.0 * CAST(COALESCE(cnt.t, 0) AS DOUBLE)) /
+        |                 (CAST(deg.deg AS DOUBLE) * CAST(deg.deg - 1 AS DOUBLE)) END AS lcc
+        |FROM deg LEFT JOIN cnt ON deg.v = cnt.node""".stripMargin,
     "graph_trustrank" -> pageRankOracleSql(seedsSql =
       Some("SELECT 'site0' AS domain UNION ALL SELECT 'site1' AS domain")),
     "graph_hits" -> hitsOracleSql(),

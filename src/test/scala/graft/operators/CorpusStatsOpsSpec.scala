@@ -105,6 +105,32 @@ class CorpusStatsOpsSpec extends AnyFunSuite with SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("triangles: hand-counted K4-minus-an-edge; direction and multi-edges collapse") {
+    // undirected: a-b, a-c, a-d, b-c, b-d (K4 minus c-d) -> triangles abc, abd
+    val edges = Seq(
+      ("a", "b"), ("b", "a"), // multi-edge + reverse collapses
+      ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("e", "e") // self loop drops
+    ).toDF("src", "dst")
+    val out = Graph.triangles(edges).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out("a") == ((3L, 2L)) && out("b") == ((3L, 2L)))
+    assert(out("c") == ((2L, 1L)) && out("d") == ((2L, 1L)))
+    assert(!out.contains("e")) // isolated after the self-loop drop
+    val lcc = Graph.triangles(edges).collect()
+      .map(r => r.getString(0) -> Option(r.get(3)).map(_.asInstanceOf[Double])).toMap
+    assert(lcc("a").contains(2.0 * 2.0 / (3.0 * 2.0)))
+    assert(lcc("c").contains(1.0))
+  }
+
+  test("triangles: triangle-free star has zero triangles and zero lcc") {
+    val edges = Seq(("hub", "s1"), ("hub", "s2"), ("hub", "s3")).toDF("src", "dst")
+    val out = Graph.triangles(edges).collect()
+      .map(r => (r.getString(0), r.getLong(2), Option(r.get(3)))).toList
+    assert(out.forall(_._2 == 0L))
+    assert(out.find(_._1 == "hub").get._3.contains(0.0)) // degree 3, lcc 0
+    assert(out.find(_._1 == "s1").get._3.isEmpty)        // degree 1 -> NULL
+  }
+
   test("pmiBigrams: minCount floors rare pairs out") {
     val docs = Seq((1L, "p q p q p q p q"), (2L, "r s")).toDF("doc_id", "text")
     val grams = TextAnalysis.pmiBigrams(docs, minCount = 4L, topK = 10)
