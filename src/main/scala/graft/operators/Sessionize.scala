@@ -73,4 +73,74 @@ object Sessionize {
         max(col(tsCol)).as("session_end"),
         count(lit(1)).as("n_events"),
         sum(col(valueCol).cast("decimal(18,6)")).cast("double").as("sum_value"))
+
+  /**
+   * Peak concurrent sessions per day — the capacity/load view (how many
+   * sessions were simultaneously open) that per-day event counts can't
+   * answer. Classic sweep line: each session interval contributes +1 at its
+   * start and −1 just after its end; the running delta sum at any instant
+   * IS the concurrency, and its maximum the peak.
+   *
+   * Scale shape — the naive sweep is a single global ordered prefix sum
+   * (one partition, a scale-killer), so this runs it TWO-LEVEL:
+   * 1. intervals are split at day boundaries (each day's sweep is then
+   *    self-contained: concurrency at day start is 0 by construction, a
+   *    midnight-straddling session re-opens at 00:00 via its next segment);
+   * 2. within a day, deltas sort only WITHIN THEIR HOUR (24× the
+   *    parallelism, each partition 1/24th the data): per (day, hour) the
+   *    local prefix max `hour_max_rel` and total `hour_sum`;
+   * 3. per day, a ≤24-row window folds hour totals into carry-ins:
+   *    `peak = max(carry + hour_max_rel)` — exact, because the level at any
+   *    hour boundary is that hour's carry, and `hour_sum ≤ hour_max_rel`
+   *    means boundary levels never exceed some hour's candidate.
+   * A session ending on the last ms of a day emits no −1 (nothing after it
+   * that day to count); its closure is invisible to the day's maxima.
+   *
+   * All counts are exact LONGs; tie-groups at one (ts, delta) make the
+   * group-boundary prefix values — and therefore every max — independent of
+   * intra-group order, so the output is deterministic under any parallelism
+   * and reproduces in any engine with the same ORDER BY (ts, delta).
+   *
+   * Output: `(day, n_sessions, active_ms, peak_concurrency)` — segments
+   * touching the day, their total inclusive active milliseconds, the peak.
+   */
+  def concurrency(events: DataFrame, key: String, tsCol: String, tieBreak: String,
+                  gapMs: Long): DataFrame = {
+    val iv = sessions(events, key, tsCol, tieBreak, gapMs)
+      .groupBy(col(key), col("session_seq"))
+      .agg(min(col(tsCol)).as("start_ms"), max(col(tsCol)).as("end_ms"))
+    // exact integer FLOOR division (matches the oracle's `//` on negative ts)
+    val segs = iv.selectExpr(
+        "start_ms", "end_ms",
+        "start_ms div 86400000 - (CASE WHEN start_ms % 86400000 < 0 THEN 1 ELSE 0 END) AS day_a",
+        "end_ms div 86400000 - (CASE WHEN end_ms % 86400000 < 0 THEN 1 ELSE 0 END) AS day_b")
+      .select(col("start_ms"), col("end_ms"),
+        explode(sequence(col("day_a"), col("day_b"))).as("day"))
+      .select(col("day"),
+        greatest(col("start_ms"), col("day") * 86400000L).as("seg_start"),
+        least(col("end_ms"), (col("day") + 1) * 86400000L - 1).as("seg_end"))
+    val plus = segs.select(col("day"), col("seg_start").as("ts"), lit(1L).as("delta"))
+    val minus = segs
+      .where(col("seg_end") + 1 <= (col("day") + 1) * 86400000L - 1)
+      .select(col("day"), (col("seg_end") + 1).as("ts"), lit(-1L).as("delta"))
+    val deltas = plus.union(minus).selectExpr("day", "ts", "delta",
+      "ts div 3600000 - (CASE WHEN ts % 3600000 < 0 THEN 1 ELSE 0 END) AS hr")
+    val hw = Window.partitionBy("day", "hr").orderBy(col("ts"), col("delta"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hourly = deltas
+      .withColumn("run", sum(col("delta")).over(hw))
+      .groupBy("day", "hr")
+      .agg(max(col("run")).as("hour_max_rel"), sum(col("delta")).as("hour_sum"))
+    val carryW = Window.partitionBy("day").orderBy("hr")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val peaks = hourly
+      .withColumn("carry", coalesce(sum(col("hour_sum")).over(carryW), lit(0L)))
+      .groupBy("day")
+      .agg(max(col("carry") + col("hour_max_rel")).as("peak_concurrency"))
+    segs.groupBy("day")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("seg_end") - col("seg_start") + 1).as("active_ms"))
+      .join(peaks, "day")
+      .select(col("day"), col("n_sessions"), col("active_ms"), col("peak_concurrency"))
+  }
 }

@@ -100,6 +100,12 @@ object ApiQueries {
       Sessionize.sessionStats(ev, "user_id", "ts_ms", "event_id",
         gapMs = 21600000L, valueCol = "value")
     }),
+    // Peak concurrent 1h-gap sessions per day: two-level sweep line (hour-
+    // partial prefix maxima + a <=24-row day combine) — no global sort
+    "events_concurrency" -> ((s, dir) => {
+      val ev = Points.table(s, dir, "events").withColumn("ts_ms", expr("ts div 1000000"))
+      Sessionize.concurrency(ev, "user_id", "ts_ms", "event_id", gapMs = 3600000L)
+    }),
     // Deterministic z-score outliers per event_type: exact-decimal first
     // moments, fixed-order double variance, broadcast stats vs the scan
     "events_zscore_outliers" -> ((s, dir) =>
@@ -467,6 +473,47 @@ object ApiQueries {
         |       COUNT(*) AS n_events,
         |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM sess GROUP BY 1, 2""".stripMargin,
+    // mirrors Sessionize.concurrency(gap=1h): same session CTE as
+    // events_sessions, day-boundary interval split, hour-partial sweep,
+    // day-level carry combine
+    "events_concurrency" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events),
+        |m AS (
+        |  SELECT *, CASE WHEN lag(ts_ms) OVER w IS NULL OR ts_ms - lag(ts_ms) OVER w > 3600000
+        |                 THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+        |sess AS (
+        |  SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |  FROM m),
+        |iv AS (SELECT user_id, session_seq, MIN(ts_ms) AS start_ms, MAX(ts_ms) AS end_ms
+        |       FROM sess GROUP BY 1, 2),
+        |segs AS (
+        |  SELECT day, GREATEST(start_ms, day * 86400000) AS seg_start,
+        |         LEAST(end_ms, (day + 1) * 86400000 - 1) AS seg_end
+        |  FROM iv, UNNEST(range(start_ms // 86400000, end_ms // 86400000 + 1)) AS t(day)),
+        |d AS (
+        |  SELECT day, seg_start AS ts, 1 AS delta FROM segs
+        |  UNION ALL
+        |  SELECT day, seg_end + 1, -1 FROM segs WHERE seg_end + 1 <= (day + 1) * 86400000 - 1),
+        |r AS (
+        |  SELECT day, ts // 3600000 AS hr, ts, delta,
+        |         SUM(delta) OVER (PARTITION BY day, ts // 3600000 ORDER BY ts, delta
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |  FROM d),
+        |h AS (SELECT day, hr, MAX(run) AS hour_max_rel, SUM(delta) AS hour_sum FROM r GROUP BY 1, 2),
+        |c AS (SELECT day, hr, hour_max_rel,
+        |             COALESCE(SUM(hour_sum) OVER (PARTITION BY day ORDER BY hr
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS carry
+        |      FROM h),
+        |p AS (SELECT day, MAX(carry + hour_max_rel) AS peak FROM c GROUP BY 1),
+        |s AS (SELECT day, COUNT(*) AS n_sessions, SUM(seg_end - seg_start + 1) AS active_ms
+        |      FROM segs GROUP BY 1)
+        |SELECT s.day, CAST(s.n_sessions AS BIGINT) AS n_sessions,
+        |       CAST(s.active_ms AS BIGINT) AS active_ms,
+        |       CAST(p.peak AS BIGINT) AS peak_concurrency
+        |FROM s JOIN p USING (day)""".stripMargin,
     // mirrors Anomaly.zscoreOutliers(threshold=3): same exact-decimal sums,
     // same double expression order for mean/ex2/dev/z
     "events_zscore_outliers" ->

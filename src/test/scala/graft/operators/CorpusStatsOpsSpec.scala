@@ -131,6 +131,40 @@ class CorpusStatsOpsSpec extends AnyFunSuite with SparkSpec {
     assert(out.find(_._1 == "s1").get._3.isEmpty)        // degree 1 -> NULL
   }
 
+  test("concurrency: hand-built overlap, midnight straddle, and hour-boundary carry") {
+    val h = 3600000L
+    val day = 86400000L
+    // u1: one session 01:00-03:30 day0 (events 1h apart, gap 2h keeps them one)
+    // u2: one session 02:00-02:10 day0 (overlaps u1 -> peak 2)
+    // u3: session 23:30 day0 - 00:30 day1 (straddles midnight)
+    val ev = Seq(
+      (1L, 1L * h, "u1"), (2L, 2L * h, "u1"), (3L, 3L * h + 1800000L, "u1"),
+      (4L, 2L * h, "u2"), (5L, 2L * h + 600000L, "u2"),
+      (6L, day - 1800000L, "u3"), (7L, day + 1800000L, "u3")
+    ).toDF("event_id", "ts_ms", "user_id")
+    val out = Sessionize.concurrency(ev, "user_id", "ts_ms", "event_id", gapMs = 2L * h)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // day0: 3 segments (u1, u2, u3-part), peak 2 (u1+u2 overlap 02:00-02:10)
+    assert(out(0L)._1 == 3L && out(0L)._3 == 2L)
+    // day1: u3's continuation segment only, peak 1 from 00:00
+    assert(out(1L)._1 == 1L && out(1L)._3 == 1L)
+    // active ms: u1 2.5h, u2 10min, u3 30min on day0 (all inclusive +1)
+    assert(out(0L)._2 == (2L * h + 1800000L + 600000L + 1800000L - 1L + 3L))
+    // day1: 30min inclusive of ts 0
+    assert(out(1L)._2 == 1800000L + 1L)
+  }
+
+  test("concurrency: simultaneous end+start at one ms never double-counts") {
+    // u1 ends at t, u2's session starts at t+1: -1 orders before +1 at t+1
+    val ev = Seq(
+      (1L, 1000L, "u1"), (2L, 2000L, "u1"),
+      (3L, 2001L, "u2"), (4L, 3000L, "u2")
+    ).toDF("event_id", "ts_ms", "user_id")
+    val out = Sessionize.concurrency(ev, "user_id", "ts_ms", "event_id", gapMs = 5000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out(0L) == 1L)
+  }
+
   test("pmiBigrams: minCount floors rare pairs out") {
     val docs = Seq((1L, "p q p q p q p q"), (2L, "r s")).toDF("doc_id", "text")
     val grams = TextAnalysis.pmiBigrams(docs, minCount = 4L, topK = 10)
