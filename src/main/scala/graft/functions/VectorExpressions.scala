@@ -775,6 +775,61 @@ case class SignBits(child: Expression, weights: Seq[Seq[Double]])
     copy(child = newChild)
 }
 
+/**
+ * Signed fixed-point sum for random-projection sketches:
+ * `Σ_d signs[d] · floor(v_d · 2^scaleBits + 0.5)` as LONG. Grid-snapping each
+ * element FIRST makes the sum exact integer arithmetic — order-free, so the
+ * projection reproduces bit-for-bit in any engine that can snap to the same
+ * grid (no sorted-fold machinery), unlike a double accumulation whose value
+ * depends on element order. One codegen'd pass; null if the array length
+ * mismatches `signs` or any element is null.
+ */
+case class FloatFpSignedSum(child: Expression, signs: Seq[Int], scaleBits: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(signs.forall(s => s == 1 || s == -1), "signs must be +-1")
+  require(scaleBits >= 1 && scaleBits <= 30, "scaleBits in [1, 30]")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"FloatFpSignedSum requires ARRAY<FLOAT>, got $other")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+
+  private lazy val s: Array[Int] = signs.toArray
+
+  override def nullSafeEval(a: Any): Any =
+    FloatFpSignedSum.signedSum(a.asInstanceOf[ArrayData], s, 1L << scaleBits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = "graft.functions.FloatFpSignedSum$.MODULE$"
+    val sRef = ctx.addReferenceObj("signs", s, "int[]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""java.lang.Long ${ev.value}Box = $helper.signedSum($a, $sRef, ${1L << scaleBits}L);
+         |if (${ev.value}Box == null) { ${ev.isNull} = true; } else { ${ev.value} = ${ev.value}Box.longValue(); }
+         |""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): FloatFpSignedSum =
+    copy(child = newChild)
+}
+
+object FloatFpSignedSum {
+  def signedSum(x: ArrayData, signs: Array[Int], grid: Long): java.lang.Long = {
+    if (x.numElements() != signs.length) return null
+    var acc = 0L
+    var i = 0
+    while (i < signs.length) {
+      if (x.isNullAt(i)) return null
+      val fp = math.floor(x.getFloat(i).toDouble * grid + 0.5).toLong
+      acc += signs(i) * fp
+      i += 1
+    }
+    java.lang.Long.valueOf(acc)
+  }
+}
+
 object VectorFunctions {
   /** Column API: sequential double dot product of two float-array columns. */
   def floatDot(a: Column, b: Column): Column =
@@ -792,6 +847,10 @@ object VectorFunctions {
   /** Column API: squared L2 norm on the 2^-20 grid as LONG. */
   def normFp(a: Column): Column =
     GraftSqlBridge.column(FloatNormFp(GraftSqlBridge.expression(a)))
+
+  /** Column API: signed fixed-point sum `Σ signs_d · fp(v_d)` as LONG. */
+  def fpSignedSum(a: Column, signs: Seq[Int], scaleBits: Int): Column =
+    GraftSqlBridge.column(FloatFpSignedSum(GraftSqlBridge.expression(a), signs, scaleBits))
 
   /** Column API: int8 max-abs quantization stats struct for a float-array
     * column — `(scale, q_sum, q_l1, q_max, q_sq)`. */

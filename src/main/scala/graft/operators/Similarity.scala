@@ -442,6 +442,83 @@ object Similarity {
    * corpus. Both stages share the sequential-fold dot, so the whole
    * pipeline is bit-deterministic and SQL-replayable.
    */
+  /** ±1 sign for random-projection axis j, dimension d (0-based): parity of
+    * hex digit (d % 32) of md5("rp:j:d") — the [[hyperplaneWeight]] rule
+    * under its own salt (reusing the LSH bits would correlate the sketch
+    * with the bucketing). Evaluated at plan time, inlined as literals. */
+  private def rpSign(j: Int, d: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"rp:$j:$d".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val digit = Integer.parseInt(hex.charAt(d % 32).toString, 16)
+    if (digit % 2 == 1) 1 else -1
+  }
+
+  /**
+   * Sparse random projection (Achlioptas ±1 / Johnson–Lindenstrauss):
+   * project each embedding onto `outDim` deterministic ±1 sign axes —
+   * the dimensionality-reduction sketch that preserves pairwise distances
+   * within (1±ε) while shrinking the scan 4× (64→16 dims). Elements are
+   * grid-snapped FIRST (`floor(v·2^20 + 0.5)`), so each coordinate is an
+   * exact signed LONG sum — order-free, engine-reproducible — computed in
+   * one native codegen pass per axis ([[graft.functions.FloatFpSignedSum]]);
+   * `proj` is the one final IEEE division. Long-format output
+   * `(vec_id, rp_dim, proj_fp, proj)`; pure projection, zero shuffle.
+   */
+  def rpProject(emb: DataFrame, outDim: Int = 16, dim: Int = 64,
+                scaleBits: Int = CentroidScaleBits): DataFrame = {
+    val projCols = (0 until outDim).map { j =>
+      graft.functions.VectorFunctions.fpSignedSum(
+        col("embedding"), (0 until dim).map(rpSign(j, _)), scaleBits)
+    }
+    emb.select(col("vec_id"), posexplode(array(projCols: _*)).as(Seq("rp_dim", "proj_fp")))
+      .select(col("vec_id"), col("rp_dim").cast("long").as("rp_dim"), col("proj_fp"),
+        (col("proj_fp").cast("double") / lit((1L << scaleBits).toDouble)).as("proj"))
+  }
+
+  /**
+   * Two-stage kNN through the JL sketch: stage 1 ranks the corpus by exact
+   * integer L2 distance in the 16-dim ±1-projected space (4× less data than
+   * the full-vector scan, integer arithmetic only), stage 2 re-ranks the
+   * k×overfetch candidates by exact full-vector cosine — the
+   * [[prefixKnn]] shape with a Matryoshka prefix swapped for a random
+   * projection (works for embeddings with NO trained prefix structure).
+   *
+   * Stage-1 coordinates snap to the 2^-14 grid: per-dim |fp| ≤ 64·2^14·|v|,
+   * so the 16-term squared distance stays ≤ 2^46 — exactly representable in
+   * the DOUBLE the shared k-bounded [[rankTopK]] aggregate ranks on (ties
+   * to the lower neighbor_id, identical to `ORDER BY dist2, neighbor_id`).
+   */
+  def rpKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+            outDim: Int = 16, dim: Int = 64, overfetch: Int = 4): DataFrame = {
+    require(outDim >= 1 && overfetch >= 1, "outDim, overfetch >= 1")
+    val scaleBits = 14 // 16 dims of (2·64·2^14)² sums < 2^53: double-exact
+    def sketch(df: DataFrame, idAs: String): DataFrame =
+      df.select(col("vec_id").as(idAs),
+        array((0 until outDim).map { j =>
+          graft.functions.VectorFunctions.fpSignedSum(
+            col("embedding"), (0 until dim).map(rpSign(j, _)), scaleBits)
+        }: _*).as(s"${idAs}_rp"))
+    val q = broadcast(sketch(queries, "query_id"))
+    val s1 = sketch(corpus, "neighbor_id")
+      .join(q, col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (-aggregate(
+          zip_with(col("query_id_rp"), col("neighbor_id_rp"), (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, v) => acc + v).cast("double")).as("neg_dist2"))
+    val cands = rankTopK(s1, "neg_dist2", k * overfetch)
+      .select(col("query_id"), col("neighbor_id"))
+    val full = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("de"), norm("embedding").as("dn"))
+    val qFull = broadcast(queries.select(
+      col("vec_id").as("query_id"), col("embedding").as("qe"), norm("embedding").as("qn")))
+    val rescored = broadcast(cands)
+      .join(full, Seq("neighbor_id"))
+      .join(qFull, Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot("de", "qe") / (col("dn") * col("qn"))).as("sim"))
+    rankTopK(rescored, "sim", k)
+  }
+
   def prefixKnn(corpus: DataFrame, queries: DataFrame, k: Int,
                 prefixDim: Int = 16, overfetch: Int = 4): DataFrame = {
     require(prefixDim >= 1 && overfetch >= 1, "prefixDim, overfetch >= 1")

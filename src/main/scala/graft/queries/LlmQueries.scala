@@ -298,6 +298,16 @@ object LlmQueries {
     }),
     // Matryoshka-style two-stage retrieval: rank on the first 16 dims, exact
     // re-rank of the k x 4 candidates only — full vectors stay cold
+    // sparse ±1 random projection (JL sketch): exact grid-snapped signed
+    // LONG sums per axis, one final division — the 4x-compressed scan tier
+    // for embeddings with no trained prefix structure
+    "embed_rp_project" -> ((s, dir) => Similarity.rpProject(emb(s, dir))),
+    // two-stage kNN through the sketch: integer L2 coarse rank in 16 dims,
+    // exact full-vector cosine re-rank of k x 4 candidates
+    "embed_rp_knn" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.rpKnn(e, e.where(col("vec_id") < 5), k = 5)
+    }),
     "embed_prefix_knn" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.prefixKnn(e, e.where(col("vec_id") < 5), k = 5)
@@ -1984,6 +1994,56 @@ object LlmQueries {
         |WHERE rank <= 5""".stripMargin,
     // mirrors Similarity.prefixKnn(prefixDim=16, overfetch=4): prefix-cosine
     // stage keeps 20 candidates, exact full-dim cosine re-ranks to 5
+    // mirrors Similarity.rpProject(outDim=16, scaleBits=20): the LshSigCte
+    // sign rule under the 'rp:' salt, exact BIGINT sums, one division
+    "embed_rp_project" ->
+      """WITH elems AS (
+        |  SELECT vec_id, UNNEST(embedding) AS v, generate_subscripts(embedding, 1) AS d FROM embeddings),
+        |pr AS (
+        |  SELECT vec_id, j,
+        |         CAST(SUM((CASE WHEN (strpos('0123456789abcdef',
+        |             substr(md5('rp:' || CAST(j AS VARCHAR) || ':' || CAST(d - 1 AS VARCHAR)), 1 + (d - 1) % 32, 1)) - 1) % 2 = 1
+        |           THEN 1 ELSE -1 END) *
+        |           CAST(FLOOR(CAST(v AS DOUBLE) * 1048576 + 0.5) AS BIGINT)) AS BIGINT) AS proj_fp
+        |  FROM elems, UNNEST(range(16)) AS t(j)
+        |  GROUP BY 1, 2)
+        |SELECT vec_id, CAST(j AS BIGINT) AS rp_dim, proj_fp,
+        |       CAST(proj_fp AS DOUBLE) / 1048576 AS proj
+        |FROM pr""".stripMargin,
+    // mirrors Similarity.rpKnn(k=5, overfetch=4): 2^-14-grid sketch, exact
+    // integer L2 stage 1 (ties to the lower neighbor_id), full-cosine
+    // re-rank of the 20 candidates
+    "embed_rp_knn" ->
+      """WITH elems AS (
+        |  SELECT vec_id, UNNEST(embedding) AS v, generate_subscripts(embedding, 1) AS d FROM embeddings),
+        |pr AS (
+        |  SELECT vec_id, j,
+        |         CAST(SUM((CASE WHEN (strpos('0123456789abcdef',
+        |             substr(md5('rp:' || CAST(j AS VARCHAR) || ':' || CAST(d - 1 AS VARCHAR)), 1 + (d - 1) % 32, 1)) - 1) % 2 = 1
+        |           THEN 1 ELSE -1 END) *
+        |           CAST(FLOOR(CAST(v AS DOUBLE) * 16384 + 0.5) AS BIGINT)) AS BIGINT) AS proj_fp
+        |  FROM elems, UNNEST(range(16)) AS t(j)
+        |  GROUP BY 1, 2),
+        |s1 AS (
+        |  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+        |         SUM((q.proj_fp - d.proj_fp) * (q.proj_fp - d.proj_fp)) AS dist2
+        |  FROM pr q JOIN pr d ON q.j = d.j AND d.vec_id != q.vec_id
+        |  WHERE q.vec_id < 5
+        |  GROUP BY 1, 2),
+        |cand AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist2, neighbor_id) AS rn
+        |  FROM s1) WHERE rn <= 20),
+        |n AS (SELECT vec_id, embedding,
+        |             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nm
+        |      FROM embeddings),
+        |scored AS (
+        |  SELECT c.query_id, c.neighbor_id,
+        |         list_dot_product(CAST(dn.embedding AS DOUBLE[]), CAST(qn.embedding AS DOUBLE[])) / (dn.nm * qn.nm) AS sim
+        |  FROM cand c JOIN n dn ON dn.vec_id = c.neighbor_id JOIN n qn ON qn.vec_id = c.query_id)
+        |SELECT query_id, neighbor_id, sim, rank FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5""".stripMargin,
     "embed_prefix_knn" ->
       """WITH pn AS (
         |  SELECT vec_id, embedding, p, sqrt(list_dot_product(p, p)) AS pnm,

@@ -165,6 +165,34 @@ class CorpusStatsOpsSpec extends AnyFunSuite with SparkSpec {
     assert(out(0L) == 1L)
   }
 
+  test("rpProject: exact signed grid sums; proj is proj_fp / 2^20") {
+    val e = Seq((0L, Array.fill(64)(1.0f))).toDF("vec_id", "embedding")
+    val rows = Similarity.rpProject(e).collect()
+    assert(rows.length == 16)
+    rows.foreach { r =>
+      // all-ones vector: proj_fp = sum of signs * 2^20 -> multiple of 2^20,
+      // and |sum of 64 ±1 signs| <= 64
+      assert(r.getLong(2) % (1L << 20) == 0L)
+      assert(math.abs(r.getLong(2) / (1L << 20)) <= 64L)
+      assert(r.getDouble(3) == r.getLong(2).toDouble / (1L << 20).toDouble)
+    }
+  }
+
+  test("rpKnn: recovers cluster neighbors of a separated corpus (recall vs exact)") {
+    val vecs = (0 until 40).map { i =>
+      val c = i / 10
+      val v = Array.tabulate(64)(d => if (d / 16 == c) 1.0f else 0.02f * ((i * d) % 7))
+      (i.toLong, v)
+    }
+    val e = vecs.toDF("vec_id", "embedding")
+    val q = e.where(col("vec_id") % 10 === 0) // one query per cluster
+    val ann = Similarity.rpKnn(e, q, k = 5)
+    val exact = Similarity.bruteForceKnn(e, q, k = 5)
+    val recalls = Similarity.recallReport(ann, exact).collect()
+      .map(r => r.getDouble(3))
+    assert(recalls.forall(_ >= 0.8), s"recalls: ${recalls.mkString(",")}")
+  }
+
   test("pmiBigrams: minCount floors rare pairs out") {
     val docs = Seq((1L, "p q p q p q p q"), (2L, "r s")).toDF("doc_id", "text")
     val grams = TextAnalysis.pmiBigrams(docs, minCount = 4L, topK = 10)
