@@ -225,4 +225,38 @@ class DegenerateCorpusSpec extends AnyFunSuite with SparkSpec {
       nLists = 8)
     assert(purity.collect().forall(_.getDouble(5) == 1.0))
   }
+
+  test("session-4 operators survive degenerate inputs") {
+    // charDiversity: empty and NULL drop; single char / unicode / 10k-run fine
+    val cd = TextAnalysis.charDiversity(nasty).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(!cd.contains(1L) && !cd.contains(8L))
+    assert(cd(3L).getLong(1) == 1L && cd(3L).getDouble(4) == 1.0)
+    assert(cd(6L).getLong(1) == 10000L && cd(6L).getLong(2) == 1L)
+    assert(cd(5L).getLong(1) > 0L) // surrogate-pair emoji counts as one char
+    // pmiBigrams: degenerate corpus has no pair above the floor -> empty, no throw
+    assert(TextAnalysis.pmiBigrams(nasty, minCount = 5L, topK = 10).count() == 0)
+    // winnow: only the long-word and normal rows reach gramLen; no throw
+    val wn = Dedup.winnow(nasty)
+    assert(wn.where(col("doc_id") === 6L).count() == 1) // 10k same-char doc: one fp
+    assert(Dedup.winnowPairs(nasty).collect().forall(r => r.getLong(2) >= 2L))
+    // groupSplit: NULL text falls back to the source shard
+    val gs = Curation.groupSplit(nastyFull).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(gs(8L).startsWith("s:"))
+    // triangles: empty edges and a pure self-loop graph yield empty output
+    val noEdges = Seq.empty[(String, String)].toDF("src", "dst")
+    assert(Graph.triangles(noEdges).count() == 0)
+    assert(Graph.triangles(Seq(("A", "A")).toDF("src", "dst")).count() == 0)
+    // concurrency: empty events; single event = 1-session day of 1 ms
+    val noEv = Seq.empty[(Long, Long, String)].toDF("event_id", "ts_ms", "user_id")
+    assert(Sessionize.concurrency(noEv, "user_id", "ts_ms", "event_id", 1000L).count() == 0)
+    val one = Sessionize.concurrency(
+      Seq((1L, 5000L, "u")).toDF("event_id", "ts_ms", "user_id"),
+      "user_id", "ts_ms", "event_id", 1000L).collect().head
+    assert(one.getLong(1) == 1L && one.getLong(2) == 1L && one.getLong(3) == 1L)
+    // rpKnn: fewer corpus rows than k*overfetch still returns <= k rows/query
+    val tiny = (0L until 4L).map(i => (i, Array.fill(8)(i.toFloat + 1))).toDF("vec_id", "embedding")
+    val knn = Similarity.rpKnn(tiny, tiny.where(col("vec_id") === 0L), k = 5, outDim = 4, dim = 8)
+    assert(knn.count() == 3)
+  }
 }

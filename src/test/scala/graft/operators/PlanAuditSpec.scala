@@ -498,6 +498,58 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(cartesian.isEmpty, "sourceOverlap self-join must stay key-equi (hash-partitionable)")
   }
 
+  test("charDiversity and rpProject are row-wise: zero shuffles") {
+    val docs = (0L until 32L).map(i => (i, s"doc number $i text")).toDF("doc_id", "text")
+    val emb = (0L until 8L).map(i => (i, Array.fill(8)(i.toFloat + 1))).toDF("vec_id", "embedding")
+    def exchanges(df: org.apache.spark.sql.DataFrame) = {
+      val plan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      plan.collect { case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+    }
+    assert(exchanges(TextAnalysis.charDiversity(docs)).isEmpty, "charDiversity must not shuffle")
+    assert(exchanges(Similarity.rpProject(emb, outDim = 4, dim = 8)).isEmpty,
+      "rpProject must not shuffle")
+  }
+
+  test("concurrency: every window is partitioned (hour-sharded sweep, day combine)") {
+    val ev = (0L until 64L).map(i => (i, i * 60000L, s"u${i % 5}"))
+      .toDF("event_id", "ts_ms", "user_id")
+    val ws = windows(Sessionize.concurrency(ev, "user_id", "ts_ms", "event_id", 300000L))
+    assert(ws.nonEmpty)
+    assert(ws.forall(_.partitionSpec.nonEmpty),
+      "unpartitioned window in concurrency: the global-sort sweep is back")
+  }
+
+  test("winnowPairs and triangles: key-equi joins only, no cartesian product") {
+    val docs = (1L to 24L).map(i => (i, s"document $i with enough characters to fingerprint"))
+      .toDF("doc_id", "text")
+    val edges = (1L to 24L).map(i => (s"a${i % 5}", s"b${i % 3}")).toDF("src", "dst")
+    for ((name, df) <- Seq(
+        "winnowPairs" -> Dedup.winnowPairs(docs),
+        "triangles" -> Graph.triangles(edges))) {
+      val plan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val cartesian = plan.collect {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+        case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+      }
+      assert(cartesian.isEmpty, s"$name must stay key-equi (hash-partitionable)")
+    }
+  }
+
+  test("rpKnn: ranks via the bounded top-k aggregate, no rank window") {
+    val emb = (0L until 48L).map(i => (i, Array.fill(8)(((i * 7 + 3) % 11).toFloat + 1)))
+      .toDF("vec_id", "embedding")
+    val df = Similarity.rpKnn(emb, emb.where($"vec_id" < 3), k = 3, outDim = 4, dim = 8)
+    assert(windows(df).isEmpty, "rpKnn still plans a rank window")
+    assert(df.queryExecution.executedPlan.toString.contains("topk_score_id"),
+      "rpKnn does not rank via the bounded top-k aggregate")
+  }
+
   test("pageRank: plan size stays constant per extra iteration (lineage cut)") {
     // without the per-iteration checkpoint the logical tree grows ~3x per
     // iteration (the round-8 regression this guards): compare node counts
