@@ -426,6 +426,41 @@ object ScaleSmoke {
         ev.withColumn("ts_us", col("ts_ms") * 1000L),
         "user_id", "ts_us", "event_id").count()
     }
+    // ---- session-4 operators ------------------------------------------
+    t("charDiversity (native one-pass histogram, row-wise)") {
+      graft.operators.TextAnalysis.charDiversity(docs).count()
+    }
+    t("pmiBigrams (pair + unigram counts, minCount-bounded joins, top-100)") {
+      graft.operators.TextAnalysis.pmiBigrams(docs).count()
+    }
+    t("groupSplit (row-wise host hash, source fallback)") {
+      graft.operators.Curation.groupSplit(
+        docs.withColumn("source", (col("doc_id") % 40).cast("string"))).count()
+    }
+    t("winnow fingerprints (native sliding-min pass)") {
+      graft.operators.Dedup.winnow(docs).count()
+    }
+    // the replica corpus makes every fingerprint a reps-clique — the same
+    // deliberate worst case as minhash; the doc-freq cap is the 100TB config
+    t(s"winnowPairs capped (maxDocFreq=$mhCap)") {
+      graft.operators.Dedup.winnowPairs(docs, maxDocFreq = mhCap).count()
+    }
+    t("triangles (degree-oriented wedges over the corpus-sized edge list)") {
+      val edges = docs.select(
+        concat(lit("d"), col("doc_id") % 499).as("src"),
+        concat(lit("d"), (col("doc_id") * 13 + 7) % 499).as("dst"))
+      graft.operators.Graph.triangles(edges).count()
+    }
+    t("concurrency (two-level sweep: hour partials + day combine)") {
+      graft.operators.Sessionize.concurrency(ev, "user_id", "ts_ms", "event_id",
+        gapMs = 3600000L).count()
+    }
+    t("rpProject (16 sign axes, native fixed-point, row-wise)") {
+      graft.operators.Similarity.rpProject(emb).count()
+    }
+    t("rpKnn (20 queries, 16-dim integer stage + exact re-rank of 20)") {
+      graft.operators.Similarity.rpKnn(emb, emb.where(col("vec_id") % (n * embReps / 20) === 0), k = 5).count()
+    }
     spark.stop()
   }
 }

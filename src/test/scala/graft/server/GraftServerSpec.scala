@@ -57,16 +57,28 @@ class GraftServerSpec extends AnyFunSuite with SparkSpec with BeforeAndAfterAll 
     val s = new Socket("127.0.0.1", ports.tcp)
     s.getOutputStream.write(s"put xport.metric $T 1.0 src=tcp\n".getBytes(UTF_8))
     s.getOutputStream.flush(); s.close()
-    // UDP put
+    // UDP put — datagrams are fire-and-forget, and under a fully loaded CI
+    // host the kernel may drop one before the listener drains its socket:
+    // resend until the store shows it rather than flaking. Resends can land
+    // as duplicate stored points (append store), so the query below uses a
+    // duplicate-insensitive aggregator (max), not sum.
     val sock = new DatagramSocket()
     val b = s"put xport.metric ${T + 1000} 2.0 src=udp\n".getBytes(UTF_8)
-    sock.send(new DatagramPacket(b, b.length, InetAddress.getByName("127.0.0.1"), ports.udp))
+    def stored(): Long =
+      try graft.sources.PointStore.read(spark,
+        new java.io.File(dir, "data").getAbsolutePath).count()
+      catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+    val t0 = System.currentTimeMillis()
+    while (stored() < 2 && System.currentTimeMillis() - t0 < 30000L) {
+      sock.send(new DatagramPacket(b, b.length, InetAddress.getByName("127.0.0.1"), ports.udp))
+      Thread.sleep(500)
+    }
     sock.close()
     awaitStored(2)
     // HTTP query sees both transports' points
     val q = httpPost("/api/query",
       s"""{"start":$T,"end":${T + 6000},"msResolution":true,
-         |"queries":[{"aggregator":"sum","metric":"xport.metric","tags":{"src":"*"}}]}""".stripMargin)
+         |"queries":[{"aggregator":"max","metric":"xport.metric","tags":{"src":"*"}}]}""".stripMargin)
     assert(q.statusCode() == 200, q.body())
     assert(q.body().contains(s""""$T":1.0"""), q.body())
     assert(q.body().contains(s""""${T + 1000}":2.0"""), q.body())
