@@ -167,6 +167,109 @@ object Graph {
           .as("lcc"))
   }
 
+  /**
+   * k-core of the undirected simple graph induced by `edges`: the nodes
+   * surviving `rounds` synchronous peel steps (each step drops every node
+   * whose degree among current survivors is < `k`). The k-core is the
+   * crawl-graph "dense backbone" — mirror rings and mutually-interlinked
+   * spam nets concentrate in high-k cores while organic long-tail sites
+   * fall out early, so core membership complements [[pageRank]] (volume of
+   * endorsement) and [[triangles]] (local closure) as a third structural
+   * curation prior.
+   *
+   * Determinism: peeling is a monotone set computation — no arithmetic at
+   * all beyond integer degree counts — so the result is exact at any
+   * parallelism and engine. A FIXED round count (not a driver-side
+   * convergence loop) keeps the plan static and the oracle replayable; the
+   * peel sequence is monotone decreasing, so once it stabilizes extra
+   * rounds are no-ops, and `rounds` only needs to exceed the peel depth
+   * (typically tiny: each round must drop ≥1 node to matter, and web-graph
+   * peel depths are far below the default 8).
+   *
+   * Scale design: the bidirected edge list (2·|E| rows, pre-deduped,
+   * materialized once) is the only data-sized frame; each round is two
+   * node-keyed semi-joins + one count aggregate — no windows, no driver
+   * collect, lineage cut per round (the survivor frame is referenced twice
+   * in the next round).
+   *
+   * @return (node, core_deg) for surviving nodes; core_deg is the node's
+   *         degree within the final survivor set (≥ k whenever the peel has
+   *         stabilized by `rounds`).
+   */
+  def kcore(edges: DataFrame, k: Int, rounds: Int = 8): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(rounds >= 0 && rounds <= 50, "rounds must be in [0, 50]")
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .distinct()
+    // both orientations once: every round's degree count reuses this frame
+    val bi = und.select(col("a").as("u"), col("b").as("v"))
+      .union(und.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint(false)
+    var survivors = bi.select(col("u").as("node")).distinct().localCheckpoint(false)
+    def degAmong(s: DataFrame): DataFrame = bi
+      .join(s.select(col("node").as("u")), Seq("u"))
+      .join(s.select(col("node").as("v")), Seq("v"))
+      .groupBy("u").agg(count(lit(1)).as("deg"))
+    for (_ <- 1 to rounds) {
+      survivors = degAmong(survivors)
+        .where(col("deg") >= k).select(col("u").as("node"))
+        .localCheckpoint(false)
+    }
+    degAmong(survivors).select(col("u").as("node"), col("deg").as("core_deg"))
+  }
+
+  /**
+   * Degree assortativity (Newman 2002) of the undirected simple graph:
+   * the Pearson correlation of endpoint degrees over all edges, each edge
+   * contributing both orientations. Positive r = high-degree nodes link to
+   * each other (social/organic webs), negative r = hubs link to leaves
+   * (star-shaped link farms, SEO rings) — a one-number structural
+   * fingerprint a curation pipeline tracks per crawl snapshot.
+   *
+   * All five moment sums run EXACT (DECIMAL(38,0) — degrees are bounded by
+   * |V| so squares fit 38 digits at any realistic graph), and the final
+   * Pearson formula is one pinned-order double expression, so both engines
+   * agree bit-for-bit. Zero-variance graphs (every degree equal, e.g. a
+   * ring) have undefined r → NULL.
+   *
+   * Scale: degree frame + one edge-keyed join + a single global aggregate —
+   * map-side partial, 1-row result; no windows, no collect.
+   */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .distinct()
+    val deg = und.select(col("a").as("v")).union(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val joined = und
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+    val pairs = joined.select(col("da").as("x"), col("db").as("y"))
+      .union(joined.select(col("db").as("x"), col("da").as("y")))
+    val dec = "DECIMAL(38,0)"
+    val m = pairs.agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast(dec)).as("sx"),
+      sum(col("y").cast(dec)).as("sy"),
+      sum((col("x") * col("x")).cast(dec)).as("sxx"),
+      sum((col("y") * col("y")).cast(dec)).as("syy"),
+      sum((col("x") * col("y")).cast(dec)).as("sxy"))
+    val nNodes = broadcast(deg.agg(count(lit(1)).as("n_nodes")))
+    val nEdges = broadcast(und.agg(count(lit(1)).as("n_edges")))
+    // exact integer covariance/variance terms, ONE double expression at the end
+    m.crossJoin(nNodes).crossJoin(nEdges).select(
+      col("n_nodes"), col("n_edges"),
+      expr("""CASE WHEN n = 0 OR (n * sxx - sx * sx) = 0 OR (n * syy - sy * sy) = 0
+             |     THEN NULL
+             |     ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+             |          / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+             |             * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+             |END""".stripMargin).as("assortativity"))
+  }
+
   def hits(edges: DataFrame, iters: Int = 5,
       scale: Long = 1000000000000L): DataFrame = {
     require(iters >= 0 && iters <= 50, "iters must be in [0, 50]")

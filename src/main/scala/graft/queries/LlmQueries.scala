@@ -535,6 +535,17 @@ object LlmQueries {
     // the link-farm tell PageRank misses
     "graph_triangles" -> ((s, dir) =>
       graft.operators.Graph.triangles(plantedEdges(docs(s, dir), full = true))),
+    // k-core backbone of the planted link graph: 6 synchronous peel rounds
+    // at k=3 — pure integer set computation, bit-exact vs the unrolled
+    // per-round SQL replay; the dense-backbone tell that complements
+    // PageRank (endorsement volume) and triangles (local closure)
+    "graph_kcore" -> ((s, dir) =>
+      graft.operators.Graph.kcore(plantedEdges(docs(s, dir), full = true), k = 3, rounds = 6)),
+    // degree assortativity: Pearson over endpoint degrees, both
+    // orientations — exact DECIMAL moment sums, one pinned double formula;
+    // the one-number structural fingerprint per crawl snapshot
+    "graph_assortativity" -> ((s, dir) =>
+      graft.operators.Graph.assortativity(plantedEdges(docs(s, dir), full = true))),
     "graph_components" -> ((s, dir) => {
       val d = docs(s, dir)
       val web = d.where(col("doc_id") % 2 === 0).select(
@@ -1037,6 +1048,72 @@ object LlmQueries {
     * an auth half-step (dst-keyed sum of hub·w, L1-renormalized via HUGEINT
     * floor division) then a hub half-step over the fresh authorities —
     * mirroring the Spark DECIMAL(38,0) renorm bit-for-bit. */
+  /** The planted link graph (mirrors [[plantedEdges]] with full=true) as a
+    * SQL fragment — shared by the round-8 graph oracles. */
+  private val PlantedEdgesSql: String =
+    """  SELECT 'site' || CAST(doc_id % 7 AS VARCHAR) AS src, 'cdn' || CAST(doc_id % 3 AS VARCHAR) AS dst FROM documents
+      |  UNION ALL SELECT 'cdn' || CAST(doc_id % 3 AS VARCHAR), 'site' || CAST(doc_id % 5 AS VARCHAR) FROM documents
+      |  UNION ALL SELECT 'site' || CAST(doc_id % 7 AS VARCHAR), 'site' || CAST((doc_id + 3) % 7 AS VARCHAR) FROM documents WHERE doc_id % 2 = 0
+      |  UNION ALL SELECT 'site' || CAST(doc_id % 7 AS VARCHAR), 'sink' FROM documents WHERE doc_id % 11 = 0""".stripMargin
+
+  /** Unrolled DuckDB replay of [[graft.operators.Graph.kcore]] over the
+    * planted link graph: one MATERIALIZED survivor CTE per synchronous peel
+    * round (each is referenced twice by the next round's two endpoint
+    * semi-joins), then the final core-degree count over the last round. */
+  private def kcoreOracleSql(k: Int, rounds: Int): String = {
+    val chain = (1 to rounds).map { r =>
+      s"""s$r AS MATERIALIZED (
+         |  SELECT bi.u AS node FROM bi
+         |  JOIN s${r - 1} p1 ON bi.u = p1.node JOIN s${r - 1} p2 ON bi.v = p2.node
+         |  GROUP BY bi.u HAVING COUNT(*) >= $k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+       |$PlantedEdgesSql),
+       |und AS MATERIALIZED (
+       |  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+       |  FROM e WHERE src != dst AND src IS NOT NULL AND dst IS NOT NULL),
+       |bi AS MATERIALIZED (SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und),
+       |s0 AS MATERIALIZED (SELECT DISTINCT u AS node FROM bi),
+       |$chain
+       |SELECT bi.u AS node, CAST(COUNT(*) AS BIGINT) AS core_deg
+       |FROM bi JOIN s$rounds p1 ON bi.u = p1.node JOIN s$rounds p2 ON bi.v = p2.node
+       |GROUP BY bi.u""".stripMargin
+  }
+
+  /** DuckDB replay of [[graft.operators.Graph.assortativity]]: exact
+    * DECIMAL(38,0) moment sums over both edge orientations, then the same
+    * pinned-order double Pearson expression. */
+  private val AssortativityOracleSql: String =
+    s"""WITH e AS MATERIALIZED (
+       |$PlantedEdgesSql),
+       |und AS MATERIALIZED (
+       |  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+       |  FROM e WHERE src != dst AND src IS NOT NULL AND dst IS NOT NULL),
+       |deg AS MATERIALIZED (
+       |  SELECT v, COUNT(*) AS deg FROM (
+       |    SELECT a AS v FROM und UNION ALL SELECT b FROM und) GROUP BY 1),
+       |j AS MATERIALIZED (
+       |  SELECT da.deg AS x, db.deg AS y FROM und
+       |  JOIN deg da ON und.a = da.v JOIN deg db ON und.b = db.v),
+       |p AS (SELECT x, y FROM j UNION ALL SELECT y, x FROM j),
+       |m AS (SELECT COUNT(*) AS n,
+       |             SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+       |             SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+       |             SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+       |             SUM(CAST(y * y AS DECIMAL(38,0))) AS syy,
+       |             SUM(CAST(x * y AS DECIMAL(38,0))) AS sxy
+       |      FROM p),
+       |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg),
+       |ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM und)
+       |SELECT n_nodes, n_edges,
+       |       CASE WHEN n = 0 OR (n * sxx - sx * sx) = 0 OR (n * syy - sy * sy) = 0
+       |            THEN NULL
+       |            ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+       |                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+       |                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+       |       END AS assortativity
+       |FROM m CROSS JOIN nn CROSS JOIN ne""".stripMargin
+
   private def hitsOracleSql(iters: Int = 5, scale: Long = 1000000000000L): String = {
     val edges =
       """  SELECT 'site' || CAST(doc_id % 7 AS VARCHAR) AS src, 'cdn' || CAST(doc_id % 3 AS VARCHAR) AS dst FROM documents
@@ -2683,6 +2760,8 @@ object LlmQueries {
     "graph_trustrank" -> pageRankOracleSql(seedsSql =
       Some("SELECT 'site0' AS domain UNION ALL SELECT 'site1' AS domain")),
     "graph_hits" -> hitsOracleSql(),
+    "graph_kcore" -> kcoreOracleSql(k = 3, rounds = 6),
+    "graph_assortativity" -> AssortativityOracleSql,
     "graph_components" ->
       """WITH RECURSIVE e0 AS MATERIALIZED (
         |  SELECT 'site' || CAST(doc_id % 7 AS VARCHAR) AS a, 'cdn' || CAST(doc_id % 3 AS VARCHAR) AS b
