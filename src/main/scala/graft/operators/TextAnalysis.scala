@@ -514,6 +514,72 @@ object TextAnalysis {
         when(col("n_sentences") > 0,
           col("n_sentence_words").cast("double") / col("n_sentences")))
 
+  /**
+   * Flesch-style readability profile — the classic surface-form quality
+   * axis Gopher's length/stopword screens don't measure: long sentences and
+   * polysyllabic words mark dense/boilerplate legalese, ultra-short ones
+   * mark listicles/navigation spam; a corpus mix report tracks the
+   * distribution per source. Syllables are approximated by vowel-group
+   * runs (the standard dictionary-free proxy) and sentences by terminal
+   * punctuation runs — both via the native codegen [[graft.functions
+   * .TextFunctions.regexCount]], so the whole operator is one row-wise
+   * scan, no shuffle. The sentence count is floored at 1 (the classic
+   * formula's convention for fragments); wordless/NULL texts yield NULL
+   * score.
+   *
+   * flesch = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words),
+   * computed in one pinned-order double expression shared with the oracle.
+   */
+  def readability(docs: DataFrame): DataFrame = {
+    val nWords = graft.functions.TextFunctions.regexCount(col("text"), "[A-Za-z0-9]+")
+    val nSents = graft.functions.TextFunctions.regexCount(col("text"), "[.!?]+")
+    val nSyll = graft.functions.TextFunctions.regexCount(col("text"), "[aeiouyAEIOUY]+")
+    docs.select(
+      col("doc_id"),
+      nWords.cast("long").as("n_words"),
+      nSents.cast("long").as("n_sentences"),
+      nSyll.cast("long").as("n_syllables"),
+      when(nWords > 0,
+        lit(206.835)
+          - lit(1.015) * (nWords.cast("double") / greatest(nSents, lit(1)).cast("double"))
+          - lit(84.6) * (nSyll.cast("double") / nWords.cast("double")))
+        .as("flesch"))
+  }
+
+  /**
+   * TF-IDF keyword extraction: the top `k` most characteristic terms per
+   * document — the lightweight per-doc topic signal a curation pipeline
+   * uses for clustering audits, search-index boosts, and mix reports
+   * without running a model. Tokenization is the whitespace split shared
+   * with [[Search.bm25TopK]]; score = tf · ln(n_docs/df) quantized to
+   * DECIMAL(28,9) (the BM25 idiom) so ranking is engine-exact, ties broken
+   * by term.
+   *
+   * Scale shape: ONE exploded-corpus shuffle for the (doc, term) tf
+   * aggregate (the unavoidable term histogram); df is an aggregate OF that
+   * frame (vocabulary-sized, AQE broadcasts it when small); the top-k
+   * window partitions by doc_id — corpus-distributed, k-bounded output.
+   */
+  def tfidfKeywords(docs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val nDocs = broadcast(docs.agg(count(lit(1)).as("n_docs")))
+    val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .where(col("term") =!= "")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, "term").crossJoin(nDocs)
+      .select(col("doc_id"), col("term"), col("tf"),
+        (col("tf") * log(col("n_docs").cast("double") / col("df")))
+          .cast(DecimalType(28, 9)).as("score"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"),
+        col("score").cast("double").as("score"))
+  }
+
   def vocab(docs: DataFrame, k: Int = 100): DataFrame =
     docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .groupBy("word")

@@ -705,6 +705,20 @@ object LlmQueries {
           "([a-z0-9]+ [a-z0-9]+ [a-z0-9]+ [a-z0-9]+ [a-z0-9]+) ", "$1. ").as("text"))
       TextAnalysis.sentenceStats(planted)
     }),
+    // Flesch-style readability over the same planted-punctuation corpus:
+    // vowel-group syllable proxy + terminal-punctuation sentences, one
+    // pinned-order double formula — the surface-form quality axis
+    "text_readability" -> ((s, dir) => {
+      val planted = docs(s, dir).select(col("doc_id"),
+        regexp_replace(col("text"),
+          "([a-z0-9]+ [a-z0-9]+ [a-z0-9]+ [a-z0-9]+ [a-z0-9]+) ", "$1. ").as("text"))
+      TextAnalysis.readability(planted)
+    }),
+    // TF-IDF top-3 characteristic terms per document: the model-free
+    // per-doc topic signal; tf·ln(n_docs/df) quantized DECIMAL(28,9),
+    // term tie-break — the BM25 scoring idiom on the whitespace tokens
+    "text_keywords" -> ((s, dir) =>
+      TextAnalysis.tfidfKeywords(docs(s, dir), k = 3)),
     // char-histogram diversity screen (gibberish / one-char spam / base64
     // tells): exact LONG histogram moments from one native codegen pass,
     // ratios as single IEEE divisions — a char-exploding oracle matches
@@ -3031,6 +3045,34 @@ object LlmQueries {
         |       CAST(COALESCE(list_sum(wc), 0) AS BIGINT) AS n_sentence_words,
         |       list_max(wc) AS max_sentence_words,
         |       CASE WHEN n_sentences > 0 THEN CAST(list_sum(wc) AS DOUBLE) / n_sentences END AS mean_sentence_words
-        |FROM w""".stripMargin
+        |FROM w""".stripMargin,
+    "text_readability" ->
+      """WITH d AS (SELECT doc_id,
+        |             regexp_replace(text, '([a-z0-9]+ [a-z0-9]+ [a-z0-9]+ [a-z0-9]+ [a-z0-9]+) ', '\1. ', 'g') AS text
+        |           FROM documents),
+        |c AS (SELECT doc_id,
+        |             len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS nw,
+        |             len(regexp_extract_all(text, '[.!?]+')) AS ns,
+        |             len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS nsy
+        |      FROM d)
+        |SELECT doc_id, CAST(nw AS BIGINT) AS n_words, CAST(ns AS BIGINT) AS n_sentences,
+        |       CAST(nsy AS BIGINT) AS n_syllables,
+        |       CASE WHEN nw > 0 THEN
+        |         206.835 - 1.015 * (CAST(nw AS DOUBLE) / CAST(GREATEST(ns, 1) AS DOUBLE))
+        |                 - 84.6 * (CAST(nsy AS DOUBLE) / CAST(nw AS DOUBLE))
+        |       END AS flesch
+        |FROM c""".stripMargin,
+    "text_keywords" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w WHERE term != '' GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |st AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |sc AS (SELECT tf.doc_id, tf.term, tf.tf,
+        |              CAST(tf.tf * ln(CAST(st.n_docs AS DOUBLE) / df.df) AS DECIMAL(28,9)) AS score
+        |       FROM tf JOIN df USING (term) CROSS JOIN st)
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, CAST(score AS DOUBLE) AS score
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+        |      FROM sc)
+        |WHERE rank <= 3""".stripMargin
   )
 }

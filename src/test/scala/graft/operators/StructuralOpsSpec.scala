@@ -4,7 +4,8 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkSpec
 
-/** Round-8 session-5 operators: k-core peeling and degree assortativity. */
+/** Round-8 session-5 operators: k-core peeling, degree assortativity,
+  * Flesch-style readability, and TF-IDF keyword extraction. */
 class StructuralOpsSpec extends AnyFunSuite with SparkSpec {
 
   import spark.implicits._
@@ -58,5 +59,61 @@ class StructuralOpsSpec extends AnyFunSuite with SparkSpec {
     val edges = Seq.empty[(String, String)].toDF("src", "dst")
     val r = Graph.assortativity(edges).collect().head
     assert(r.getLong(0) == 0L && r.getLong(1) == 0L && r.isNullAt(2))
+  }
+
+  test("readability: hand-counted words/sentences/vowel groups; exact formula") {
+    val docs = Seq((1L, "the cat sat. it ran away.")).toDF("doc_id", "text")
+    val r = TextAnalysis.readability(docs).collect().head
+    assert(r.getLong(1) == 6L && r.getLong(2) == 2L && r.getLong(3) == 7L)
+    assert(r.getDouble(4) == 206.835 - 1.015 * (6.0 / 2.0) - 84.6 * (7.0 / 6.0))
+  }
+
+  test("readability: no sentence punctuation floors sentences at 1; empty/NULL") {
+    val docs = Seq(
+      (1L, "one two three"),
+      (2L, ""),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = TextAnalysis.readability(docs).collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(2) == 0L)
+    assert(out(1L).getDouble(4) ==
+      206.835 - 1.015 * (3.0 / 1.0) - 84.6 * (4.0 / 3.0))
+    assert(out(2L).getLong(1) == 0L && out(2L).isNullAt(4))
+    assert(out(3L).isNullAt(1) && out(3L).isNullAt(4))
+  }
+
+  test("tfidfKeywords: characteristic terms outrank shared ones; ties by term") {
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "cherry durian cherry")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfKeywords(docs, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getString(2), r.getLong(3))).toMap
+    // d1: apple tf=2 df=1 -> 2·ln3 beats banana tf=1 df=2 -> ln1.5
+    assert(out((1L, 1L)) == (("apple", 2L)))
+    assert(out((1L, 2L)) == (("banana", 1L)))
+    // d2: both terms df=2 tf=1 -> equal score ln1.5, tie broken by term asc
+    assert(out((2L, 1L)) == (("banana", 1L)))
+    assert(out((2L, 2L)) == (("cherry", 1L)))
+    // d3: durian (df=1) characteristic despite tf=1 < cherry's 2?
+    // cherry: 2·ln(3/2)=0.81, durian: ln3=1.10 -> durian first
+    assert(out((3L, 1L)) == (("durian", 1L)))
+    assert(out((3L, 2L)) == (("cherry", 2L)))
+  }
+
+  test("tfidfKeywords: ubiquitous terms score exactly zero") {
+    val docs = Seq((1L, "x"), (2L, "x y"), (3L, "x")).toDF("doc_id", "text")
+    val rows = TextAnalysis.tfidfKeywords(docs, k = 3).collect()
+    val x = rows.filter(_.getString(2) == "x")
+    assert(x.length == 3 && x.forall(_.getDouble(4) == 0.0))
+  }
+
+  test("tfidfKeywords: empty and NULL docs emit nothing but count in n_docs") {
+    val docs = Seq((1L, "x"), (2L, "x"), (3L, ""), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.tfidfKeywords(docs, k = 3).collect()
+    assert(rows.map(_.getLong(0)).toSet == Set(1L, 2L))
+    // df(x)=2 but n_docs=4: the empty docs still dilute — score ln(4/2) > 0
+    assert(rows.forall(r => r.getDouble(4) > 0.0))
+    assert(rows.map(_.getDouble(4)).distinct.length == 1)
   }
 }
