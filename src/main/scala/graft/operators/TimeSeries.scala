@@ -257,6 +257,25 @@ object TimeSeries {
    * 5-point moving average uses weights [.2,.2,.2,.2,.2], RateIterator
    * subclasses with [-1, 1]).
    */
+  /**
+   * Exponential taps for a truncated EWMA as a [[firFilter]]: the last
+   * `span` values weighted (1−α)^age, normalized to sum 1 — the "adjusted"
+   * finite-window EWMA every monitoring stack smooths with, expressed as a
+   * FIR so it inherits the filter's per-series window shape (partitioned by
+   * `(metric, series)`, no global sort) and its engine-exact LAG-chain
+   * oracle form. Truncation error vs the infinite EWMA is (1−α)^span of the
+   * older mass (≈0.4% at the α=0.5/span=8 default); weights are plan-time
+   * Scala constants, so the oracle embeds the IDENTICAL doubles via their
+   * shortest round-trip literals.
+   */
+  def ewmaWeights(alpha: Double, span: Int): Seq[Double] = {
+    require(alpha > 0.0 && alpha <= 1.0, "alpha in (0, 1]")
+    require(span >= 1, "span >= 1")
+    val raw = (0 until span).map(j => math.pow(1.0 - alpha, span - 1 - j))
+    val tot = raw.foldLeft(0.0)(_ + _)
+    raw.map(_ / tot)
+  }
+
   def firFilter(points: DataFrame, weights: Seq[Double]): DataFrame = {
     val f = weights.length
     val w = seriesWindow

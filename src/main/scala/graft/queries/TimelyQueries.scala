@@ -35,6 +35,28 @@ object TimelyQueries {
        |FROM events
        |GROUP BY 1, 2, 3""".stripMargin
 
+  /** DuckDB replay of the [[TimeSeries.ewmaWeights]] FIR: the identical
+    * Scala weight doubles embedded as shortest-round-trip literals in a
+    * LAG chain (oldest tap first — the firFilter fold order). */
+  private def ewmaOracleSql(alpha: Double, span: Int): String = {
+    val w = TimeSeries.ewmaWeights(alpha, span)
+    val taps = w.zipWithIndex.map { case (wt, j) =>
+      val lagN = span - 1 - j
+      val v = if (lagN == 0) "value" else s"LAG(value, $lagN) OVER w"
+      s"$wt * $v"
+    }.mkString("\n         + ")
+    s"""WITH p AS (
+       |  SELECT event_type AS metric,
+       |         'user=' || CAST(user_id AS VARCHAR) AS series,
+       |         epoch_ms(ts) AS ts, value,
+       |         ROW_NUMBER() OVER w AS rn,
+       |         $taps AS ewma
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY event_type, user_id ORDER BY epoch_ms(ts), value))
+       |SELECT metric, series, ts, ewma
+       |FROM p WHERE rn >= $span""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_downsample_avg" -> ((s, dir) => ds(s, dir, "avg")),
     "ts_downsample_sum" -> ((s, dir) => ds(s, dir, "sum")),
@@ -55,6 +77,13 @@ object TimelyQueries {
     "ts_rate_counter" -> ((s, dir) => {
       TimeSeries.rate(points(s, dir), intervalMs = 1000L, counter = true, resetValue = 100L)
         .select(col("metric"), col("series"), col("ts"), col("rate"))
+    }),
+    "ts_ewma" -> ((s, dir) => {
+      // truncated-EWMA smoothing as an exponential-tap FIR (α=0.5 over the
+      // last 8 points): plan-time Scala weight constants shared with the
+      // oracle's LAG chain via shortest-round-trip double literals
+      TimeSeries.firFilter(points(s, dir), TimeSeries.ewmaWeights(0.5, 8))
+        .select(col("metric"), col("series"), col("ts"), col("filtered").as("ewma"))
     }),
     "ts_moving_avg" -> ((s, dir) => {
       TimeSeries.firFilter(points(s, dir), Seq.fill(5)(0.2))
@@ -185,6 +214,7 @@ object TimelyQueries {
         |SELECT metric, series, ts,
         |       CASE WHEN raw > 100 THEN 0 ELSE raw END AS rate
         |FROM r""".stripMargin,
+    "ts_ewma" -> ewmaOracleSql(0.5, 8),
     "ts_moving_avg" ->
       """WITH p AS (
         |  SELECT event_type AS metric,

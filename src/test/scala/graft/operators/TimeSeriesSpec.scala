@@ -47,6 +47,28 @@ class TimeSeriesSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(bySeries("host=b").head._3 - 30.0) < 1e-9)
   }
 
+  test("ewmaWeights: normalized exponential taps, newest heaviest") {
+    val w = TimeSeries.ewmaWeights(0.5, 4)
+    // raw taps q^3..q^0 = 0.125, 0.25, 0.5, 1.0 over total 1.875
+    assert(w == Seq(0.125 / 1.875, 0.25 / 1.875, 0.5 / 1.875, 1.0 / 1.875))
+    assert(math.abs(w.sum - 1.0) < 1e-12)
+    // alpha = 1 degenerates to "latest value only"
+    assert(TimeSeries.ewmaWeights(1.0, 4) == Seq(0.0, 0.0, 0.0, 1.0))
+  }
+
+  test("ewma FIR smooths a step: converges toward the new level") {
+    // constant 0 then a step to 10 at t=6
+    val df = points(((1 to 5).map(i => ("m", 1000L * i, 0.0, host)) ++
+      (6 to 12).map(i => ("m", 1000L * i, 10.0, host))): _*)
+    val out = TimeSeries.firFilter(df, TimeSeries.ewmaWeights(0.5, 4))
+      .select("ts", "filtered").sort("ts").as[(Long, Double)].collect()
+    assert(out.head == ((4000L, 0.0)))
+    // monotone approach to 10 after the step, newest-weighted
+    val post = out.filter(_._1 >= 6000L).map(_._2)
+    assert(post.zip(post.tail).forall { case (a, b) => b >= a })
+    assert(post.head > 5.0 && math.abs(post.last - 10.0) < 0.2)
+  }
+
   test("rate: first difference scaled by interval; same-ts pair -> 0") {
     // values 10, 30, 30 at 1s spacing; interval 1000ms -> rates 20, 0
     val df = points(
