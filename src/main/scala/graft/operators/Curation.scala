@@ -45,6 +45,47 @@ object Curation {
     substring(md5(col("doc_id").cast("string")), 1, 1) < lit("0123456789abcdefg".charAt(sixteenths).toString)
   }
 
+  /**
+   * Weighted sampling without replacement (Efraimidis–Spirakis A-ES): keep
+   * the `k` docs with the largest key u^(1/w) — equivalently, rank by
+   * ln(u)/w descending — where u is an md5-derived uniform and w the doc's
+   * weight. Inclusion probability is proportional to weight (the
+   * length-weighted default approximates token-budget-aware sampling:
+   * sampling docs ∝ size samples TOKENS uniformly), yet the draw is fully
+   * deterministic and engine-reproducible: u comes from 32 md5 bits
+   * ((m + 0.5)/2^32 — exact power-of-two arithmetic in both engines), the
+   * key is quantized to DECIMAL(28,12) before ranking (the BM25 idiom for
+   * transcendental parity), and ties break by doc_id.
+   *
+   * Scale shape: a pure row-wise key computation over the scan, then the
+   * same two-level md5-sharded top-k as [[topKByLanguage]] — no global
+   * sort, no corpus-wide window partition.
+   *
+   * @param weightCol positive integer weight column (floored at 1)
+   */
+  def weightedSample(docs: DataFrame, k: Int, weightCol: String = "n_chars",
+                     salt: String = "ws"): DataFrame = {
+    require(k >= 1, "k >= 1")
+    val m = conv(substring(md5(concat(lit(salt + ":"), col("doc_id").cast("string"))), 1, 8),
+      16, 10).cast("long")
+    val u = (m.cast("double") + lit(0.5)) / lit(4294967296.0)
+    val w = greatest(col(weightCol), lit(1L))
+    val key = (log(u) / w.cast("double"))
+      .cast(org.apache.spark.sql.types.DecimalType(28, 12))
+    val shard = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10).cast("long"),
+      lit(TopKShards.toLong))
+    val local = Window.partitionBy(col("shard")).orderBy(col("skey").desc, col("doc_id"))
+    val global = Window.orderBy(col("skey").desc, col("doc_id"))
+    docs
+      .select(col("doc_id"), w.cast("long").as("weight"), key.as("skey"), shard.as("shard"))
+      .withColumn("lrank", row_number().over(local))
+      .where(col("lrank") <= k)
+      .withColumn("rank", row_number().over(global).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("rank"), col("doc_id"), col("weight"),
+        col("skey").cast("double").as("skey"))
+  }
+
   /** Stratified (per-language) deterministic sample: each language keeps
     * `rates(lang)`/16 of its docs (default `defaultSixteenths`/16), decided
     * by the same md5-prefix rule as [[hashSample]] — reproducible in any

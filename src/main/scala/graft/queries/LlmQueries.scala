@@ -145,6 +145,12 @@ object LlmQueries {
     // top-k, and the greedy per-language token-budget cut
     "curate_hash_sample" -> ((s, dir) =>
       docs(s, dir).where(graft.operators.Curation.hashSample(4)).select("doc_id")),
+    // A-ES weighted sampling: 200 docs drawn ∝ n_chars without replacement
+    // — md5-derived uniforms, ln(u)/w keys quantized DECIMAL(28,12), the
+    // deterministic token-budget-aware draw (sampling docs ∝ size samples
+    // tokens uniformly); two-level sharded top-k, no global sort
+    "curate_weighted_sample" -> ((s, dir) =>
+      graft.operators.Curation.weightedSample(docs(s, dir), k = 200)),
     // stratified language rebalance: en keeps 4/16, es 8/16, others all
     "curate_stratified" -> ((s, dir) =>
       graft.operators.Curation.stratifiedSample(docs(s, dir), Map("en" -> 4, "es" -> 8))
@@ -1062,6 +1068,31 @@ object LlmQueries {
     * an auth half-step (dst-keyed sum of hub·w, L1-renormalized via HUGEINT
     * floor division) then a hub half-step over the fresh authorities —
     * mirroring the Spark DECIMAL(38,0) renorm bit-for-bit. */
+  /** DuckDB replay of [[graft.operators.Curation.weightedSample]]: the
+    * 32-bit md5 fraction reconstructed by a strpos polynomial (no conv()
+    * in DuckDB), then the identical ln(u)/w DECIMAL(28,12) key and global
+    * rank — the two-level shard prune is rank-invariant, so the oracle
+    * ranks directly. */
+  private val WeightedSampleOracleSql: String = {
+    val poly = (1 to 8).map(i =>
+      s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * ${1L << (4 * (8 - i))}")
+      .mkString("\n               + ")
+    s"""WITH hh AS (SELECT doc_id, GREATEST(n_chars, 1) AS w,
+       |              substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 8) AS h
+       |            FROM documents),
+       |m AS (SELECT doc_id, w,
+       |             CAST($poly AS BIGINT) AS mm
+       |      FROM hh),
+       |kk AS (SELECT doc_id, w,
+       |              CAST(ln((CAST(mm AS DOUBLE) + 0.5) / 4294967296.0)
+       |                   / CAST(w AS DOUBLE) AS DECIMAL(28,12)) AS skey
+       |       FROM m)
+       |SELECT CAST(rank AS BIGINT) AS rank, doc_id, CAST(w AS BIGINT) AS weight,
+       |       CAST(skey AS DOUBLE) AS skey
+       |FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY skey DESC, doc_id) AS rank FROM kk)
+       |WHERE rank <= 200""".stripMargin
+  }
+
   /** The planted link graph (mirrors [[plantedEdges]] with full=true) as a
     * SQL fragment — shared by the round-8 graph oracles. */
   private val PlantedEdgesSql: String =
@@ -1630,6 +1661,7 @@ object LlmQueries {
     "curate_hash_sample" ->
       """SELECT doc_id FROM documents
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4'""".stripMargin,
+    "curate_weighted_sample" -> WeightedSampleOracleSql,
     "curate_stratified" ->
       s"""WITH l AS (
          |  SELECT doc_id,

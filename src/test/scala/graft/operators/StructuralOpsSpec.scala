@@ -107,6 +107,29 @@ class StructuralOpsSpec extends AnyFunSuite with SparkSpec {
     assert(x.length == 3 && x.forall(_.getDouble(4) == 0.0))
   }
 
+  test("weightedSample: heavy weights dominate; draw is deterministic") {
+    val docs = ((1 to 10).map(i => (i.toLong, 10000L)) ++
+      (11 to 100).map(i => (i.toLong, 1L))).toDF("doc_id", "wcol")
+    val sel = Curation.weightedSample(docs, k = 10, weightCol = "wcol")
+    val rows = sel.collect()
+    assert(rows.length == 10)
+    assert(rows.map(_.getLong(0)).sorted.toSeq == (1L to 10L))
+    // ∝-weight draw: the 10000x-heavier docs crowd out the light ones
+    assert(rows.count(_.getLong(1) <= 10L) >= 9)
+    // same seed, same draw
+    assert(Curation.weightedSample(docs, k = 10, weightCol = "wcol")
+      .collect().map(_.getLong(1)).toSeq == rows.map(_.getLong(1)).toSeq)
+  }
+
+  test("weightedSample: nonpositive weights floor at 1; k past n ranks all") {
+    val docs = Seq((1L, 0L), (2L, -5L), (3L, 2L)).toDF("doc_id", "wcol")
+    val rows = Curation.weightedSample(docs, k = 10, weightCol = "wcol").collect()
+    assert(rows.length == 3)
+    val w = rows.map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(w == Map(1L -> 1L, 2L -> 1L, 3L -> 2L))
+    assert(rows.map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("tfidfKeywords: empty and NULL docs emit nothing but count in n_docs") {
     val docs = Seq((1L, "x"), (2L, "x"), (3L, ""), (4L, null.asInstanceOf[String]))
       .toDF("doc_id", "text")
