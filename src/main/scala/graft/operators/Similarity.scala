@@ -213,6 +213,47 @@ object Similarity {
   }
 
   /**
+   * Pairwise cosine similarity between the per-group [[centroids]] — the
+   * source/label-confusion audit (two sources whose centroids cosine ≈ 1
+   * are near-duplicate distributions; a mix report flags them before both
+   * are paid for in the training budget). Cosine is SCALE-INVARIANT, so
+   * the per-vector `1/(n·grid)` factors cancel and the whole computation
+   * stays on the exact integer fixed-point sums: per-pair dot and per-group
+   * norm terms accumulate in DECIMAL(38,0) (|fp_sum| ≤ n·2^20 — squares
+   * fit 38 digits up to n ≈ 10^12 vectors per group), and ONE pinned-order
+   * double expression per output row converts at the end — bit-exact in
+   * any engine, like [[Graph.assortativity]].
+   *
+   * Scale: the centroid frame is (groups × dim) rows regardless of corpus
+   * size, so the pair join is tiny; all corpus-sized work is [[centroids]]'
+   * one map-side-collapsed shuffle.
+   */
+  def centroidSimilarity(emb: DataFrame, groupCol: String = "label"): DataFrame = {
+    val grid = math.pow(2, CentroidScaleBits).toLong
+    val dec = "DECIMAL(38,0)"
+    val fp = emb
+      .select(col(groupCol), posexplode(col("embedding")).as(Seq("d", "v")))
+      .groupBy(col(groupCol), col("d"))
+      .agg(sum(floor(col("v").cast("double") * grid + 0.5)).as("fp"))
+    // cast BEFORE multiplying: fp ≤ n·2^20, so a LONG×LONG product overflows
+    // past n ≈ 3000 vectors — the products must form in DECIMAL(38,0)
+    val norms = fp.groupBy(groupCol)
+      .agg(sum(col("fp").cast(dec) * col("fp").cast(dec)).as("nrm"))
+    val pairs = fp.as("x")
+      .join(fp.as("y"),
+        col("x.d") === col("y.d") && col(s"x.$groupCol") < col(s"y.$groupCol"))
+      .groupBy(col(s"x.$groupCol").as("ga"), col(s"y.$groupCol").as("gb"))
+      .agg(sum(col("x.fp").cast(dec) * col("y.fp").cast(dec)).as("num"))
+    pairs
+      .join(norms.select(col(groupCol).as("ga"), col("nrm").as("na")), "ga")
+      .join(norms.select(col(groupCol).as("gb"), col("nrm").as("nb")), "gb")
+      .select(col("ga").cast("long").as("label_a"), col("gb").cast("long").as("label_b"),
+        expr("""CASE WHEN na = 0 OR nb = 0 THEN NULL
+               |     ELSE CAST(num AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))
+               |END""".stripMargin).as("cosine"))
+  }
+
+  /**
    * Per-dimension embedding health audit: count, exact min/max, grid-exact
    * mean and variance for every dimension of the corpus — the monitoring
    * table behind ANN-index and encoder-drift checks (a dead dimension shows

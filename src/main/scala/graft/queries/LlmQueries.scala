@@ -420,6 +420,10 @@ object LlmQueries {
     }),
     // per-label centroid on the 2^-20 fixed-point grid (order-independent)
     "embed_centroid" -> ((s, dir) => Similarity.centroids(emb(s, dir))),
+    // pairwise cosine between label centroids — the source-confusion audit;
+    // scale-invariance keeps it on the exact integer fixed-point sums
+    // (DECIMAL(38,0) products), one pinned double conversion per pair
+    "embed_centroid_sim" -> ((s, dir) => Similarity.centroidSimilarity(emb(s, dir))),
     // per-dimension health audit: exact min/max + grid-exact mean/variance
     // (dead dims, scale blowups, encoder bias — the ANN-index monitoring table)
     "embed_dim_stats" -> ((s, dir) => Similarity.dimStats(emb(s, dir))),
@@ -2593,6 +2597,22 @@ object LlmQueries {
         |SELECT label, CAST(d AS BIGINT) AS dim, n_vecs,
         |       fp_sum / (n_vecs * 1048576) AS mean
         |FROM s""".stripMargin,
+    "embed_centroid_sim" ->
+      """WITH e AS (
+        |  SELECT label, UNNEST(embedding) AS v, generate_subscripts(embedding, 1) AS d
+        |  FROM embeddings),
+        |f AS (
+        |  SELECT label, d,
+        |         CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1048576 + 0.5) AS BIGINT)) AS BIGINT) AS fp
+        |  FROM e GROUP BY 1, 2),
+        |n AS (SELECT label, SUM(CAST(fp AS HUGEINT) * fp) AS nrm FROM f GROUP BY 1),
+        |p AS (SELECT x.label AS ga, y.label AS gb, SUM(CAST(x.fp AS HUGEINT) * y.fp) AS num
+        |      FROM f x JOIN f y ON x.d = y.d AND x.label < y.label GROUP BY 1, 2)
+        |SELECT CAST(ga AS BIGINT) AS label_a, CAST(gb AS BIGINT) AS label_b,
+        |       CASE WHEN na.nrm = 0 OR nb.nrm = 0 THEN NULL
+        |            ELSE CAST(num AS DOUBLE) / (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE)))
+        |       END AS cosine
+        |FROM p JOIN n na ON p.ga = na.label JOIN n nb ON p.gb = nb.label""".stripMargin,
     "embed_dim_stats" ->
       """WITH e AS (
         |  SELECT UNNEST(embedding) AS v, generate_subscripts(embedding, 1) AS d

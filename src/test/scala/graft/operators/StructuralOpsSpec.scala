@@ -107,6 +107,21 @@ class StructuralOpsSpec extends AnyFunSuite with SparkSpec {
     assert(x.length == 3 && x.forall(_.getDouble(4) == 0.0))
   }
 
+  test("centroidSimilarity: orthogonal, diagonal, and scaled-parallel centroids") {
+    val emb = Seq(
+      (1L, Array(1f, 0f), 0), (2L, Array(1f, 0f), 0), // centroid (1, 0)
+      (3L, Array(0f, 1f), 1),                         // centroid (0, 1)
+      (4L, Array(1f, 1f), 2),                         // centroid (1, 1)
+      (5L, Array(2f, 2f), 3)                          // parallel to label 2
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.centroidSimilarity(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out.keySet == Set((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(out((0L, 1L)) == 0.0)                      // orthogonal, exact
+    assert(math.abs(out((0L, 2L)) - 1.0 / math.sqrt(2.0)) < 1e-12)
+    assert(math.abs(out((2L, 3L)) - 1.0) < 1e-12)     // scale-invariant
+  }
+
   test("weightedSample: heavy weights dominate; draw is deterministic") {
     val docs = ((1 to 10).map(i => (i.toLong, 10000L)) ++
       (11 to 100).map(i => (i.toLong, 1L))).toDF("doc_id", "wcol")
