@@ -731,4 +731,63 @@ object Curation {
         coalesce(col("max_shared"), lit(0L)).as("max_shared"),
         when(col("n_probes_hit").isNull, 1L).otherwise(0L).as("keep"))
   }
+
+  /**
+   * Dedup SAVINGS report — the cost-benefit view that decides how much
+   * dedup effort a source deserves: per source, the corpus size in docs and
+   * whitespace tokens, and what survives under (a) global exact dedup
+   * (byte-identical text, min-doc_id representative) and (b) near-dup
+   * keep-list dedup ([[graft.operators.Dedup.clusters]] over n-gram Jaccard
+   * pairs, min-id representative) — measured INDEPENDENTLY, so the two
+   * columns answer "what does each technique buy on this source" rather
+   * than composing. Token counts use the corpus-standard whitespace split
+   * (the `text_quality` n_words definition); a duplicate shared across
+   * sources is kept in the min doc's source and counted saved in the
+   * others — the global-dedup accounting, documented rather than hidden.
+   *
+   * Scale: one exact-hash groupBy (map-side combined), the jaccard/cluster
+   * machinery (shingle-blocked, capped via `maxDocFreq`), and two
+   * source-keyed aggregates; survivors join back on doc_id. No window, no
+   * driver state.
+   *
+   * @return per source: (source, n_docs, n_tokens, n_docs_exact,
+   *         n_tokens_exact, n_docs_near, n_tokens_near, exact_savings,
+   *         near_savings) — savings are token fractions removed, one
+   *         exact-integer division each.
+   */
+  def dedupSavings(docs: DataFrame, threshold: Double = 0.7,
+                   maxDocFreq: Long = Long.MaxValue): DataFrame = {
+    val base = docs.select(col("doc_id"), col("source"),
+      size(split(coalesce(col("text"), lit("")), " ")).cast("long").as("n_tok"))
+    // exact survivors: min doc_id per content hash (NULL text hashes as '',
+    // the dupReport convention)
+    val exactKeep = docs
+      .groupBy(md5(coalesce(col("text"), lit(""))).as("h"))
+      .agg(min("doc_id").as("doc_id"))
+      .select(col("doc_id"), lit(1).as("keep_exact"))
+    // near-dup survivors: the keep-list rule — drop non-representative
+    // members of jaccard components
+    val comps = graft.operators.Dedup.clusters(
+      graft.operators.Dedup.ngramJaccard(docs, threshold, maxDocFreq).select("a", "b"))
+    val nearDrop = comps.where(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"), lit(1).as("dropped_near"))
+    base
+      .join(exactKeep, Seq("doc_id"), "left")
+      .join(nearDrop, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").as("n_tokens"),
+        count(col("keep_exact")).as("n_docs_exact"),
+        sum(when(col("keep_exact").isNotNull, col("n_tok")).otherwise(0L)).as("n_tokens_exact"),
+        count(when(col("dropped_near").isNull, 1)).as("n_docs_near"),
+        sum(when(col("dropped_near").isNull, col("n_tok")).otherwise(0L)).as("n_tokens_near"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("n_docs_exact"), col("n_tokens_exact"),
+        col("n_docs_near"), col("n_tokens_near"),
+        (lit(1.0) - col("n_tokens_exact").cast("double") / col("n_tokens").cast("double"))
+          .as("exact_savings"),
+        (lit(1.0) - col("n_tokens_near").cast("double") / col("n_tokens").cast("double"))
+          .as("near_savings"))
+  }
 }

@@ -1213,4 +1213,96 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
   }
+
+  /**
+   * Jaccard THRESHOLD TUNING sweep — the audit a pipeline runs BEFORE
+   * committing to a near-dup threshold: for each candidate threshold, how
+   * many co-shingle pairs would be called duplicates? The knee of this curve
+   * (pair count collapsing as the threshold rises past the boilerplate band)
+   * is where production thresholds get set; guessing it without this view is
+   * how corpora lose 30% of their non-duplicate long tail.
+   *
+   * Cost: the same cached threshold-INDEPENDENT scored-pair frame
+   * [[ngramJaccard]] builds (so a sweep followed by the production run at
+   * the chosen threshold shares one shingle self-join), plus a per-pair
+   * when-chain bucketing (NO per-threshold pass and no explode: each pair
+   * lands in the bucket of the highest threshold it clears) and a
+   * descending cumulative sum over the |thresholds|-row histogram — the
+   * only window runs over ≤ |thresholds| rows.
+   *
+   * @param thresholds distinct probe thresholds; default 0.50 … 0.95 step
+   *        0.05. Counts are cumulative: `n_pairs` at t counts every scored
+   *        pair with jaccard ≥ t (so rows are monotone non-increasing in t).
+   * @param maxDocFreq the [[ngramJaccard]] candidate-generation skew cap —
+   *        at 100 TB sweep the CAPPED frame, the one production will use.
+   * @return one row per threshold: (threshold, n_pairs), zero-count rows
+   *         included.
+   */
+  def thresholdSweep(docs: DataFrame,
+                     thresholds: Seq[Double] = (10 to 19).map(_ / 20.0),
+                     maxDocFreq: Long = Long.MaxValue): DataFrame = {
+    require(thresholds.nonEmpty && thresholds == thresholds.sorted && thresholds.distinct == thresholds,
+      "thresholds must be non-empty, ascending, distinct")
+    val spark = docs.sparkSession
+    // the full scored frame (inter >= 1), shared with ngramJaccard via the
+    // plan cache; sweep from the lowest probe up
+    val scored = ngramJaccard(docs, threshold = thresholds.head, maxDocFreq = maxDocFreq)
+    // highest threshold cleared per pair: a when-chain probing from the top
+    val topFirst = thresholds.reverse
+    val bucket = topFirst.tail.foldLeft(when(col("jaccard") >= topFirst.head, lit(topFirst.head))) {
+      (acc, t) => acc.when(col("jaccard") >= t, lit(t))
+    }
+    val hist = scored.select(bucket.as("threshold"))
+      .where(col("threshold").isNotNull)
+      .groupBy("threshold").agg(count(lit(1)).as("n_at"))
+    import spark.implicits._
+    val probe = thresholds.toDF("threshold")
+    // cumulative ≥-count: per probe threshold, sum of buckets at or above it
+    // — a |thresholds|-row frame, the range join is broadcast by size
+    probe.as("p")
+      .join(hist.as("h"), col("h.threshold") >= col("p.threshold"), "left")
+      .groupBy(col("p.threshold").as("threshold"))
+      .agg(coalesce(sum(col("h.n_at")), lit(0L)).as("n_pairs"))
+  }
+
+  /**
+   * Near-dup CLUSTER-SIZE distribution — the dedup post-mortem audit: how
+   * much of the corpus sits in pairs, how much in 100-doc boilerplate
+   * blobs? A healthy crawl shows a steep power law (mass in size 2–3); a
+   * heavy tail of large clusters means the shingle cap or threshold is
+   * letting template families through, and the keep-list is about to delete
+   * large swaths of near-identical SEO spam (good) or mirrored documentation
+   * (check first). Singleton docs (in no pair) count as size-1 clusters, so
+   * `sum(n_docs)` equals the corpus size and the fractions partition 1.
+   *
+   * Cost on top of [[clusters]]: one groupBy over the per-doc component
+   * frame (corpus-keyed, map-side combined), one groupBy over the
+   * cluster-count frame (cluster-sized), and a 1-row broadcast total for
+   * the fraction — no window, no driver state beyond the 1-row count.
+   *
+   * @return one row per observed size: (cluster_size, n_clusters, n_docs,
+   *         frac_docs) with frac_docs = n_docs / corpus size as one
+   *         exact-integer division.
+   */
+  def clusterSizes(docs: DataFrame, threshold: Double = 0.7,
+                   maxDocFreq: Long = Long.MaxValue): DataFrame = {
+    val comps = clusters(ngramJaccard(docs, threshold, maxDocFreq).select("a", "b"))
+    val perCluster = comps.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    val clustered = perCluster.groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"))
+    // one corpus count + one component count, attached as 1-row broadcasts
+    val totals = cached(docs.agg(count(lit(1)).as("n_total")).crossJoin(
+      comps.agg(count(lit(1)).as("n_clustered"))))
+    // singletons: corpus minus docs appearing in any component
+    val singles = totals.select(lit(1L).as("cluster_size"),
+      (col("n_total") - col("n_clustered")).as("n_clusters"))
+      .where(col("n_clusters") > 0)
+    clustered.unionByName(singles)
+      .groupBy("cluster_size").agg(sum("n_clusters").as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+      .crossJoin(broadcast(totals.select("n_total")))
+      .select(col("cluster_size"), col("n_clusters"), col("n_docs"),
+        (col("n_docs").cast("double") / col("n_total").cast("double")).as("frac_docs"))
+  }
 }

@@ -143,4 +143,44 @@ object Sessionize {
       .join(peaks, "day")
       .select(col("day"), col("n_sessions"), col("active_ms"), col("peak_concurrency"))
   }
+
+  /**
+   * SLIDING-window event counts — the overlapping-window monitoring view the
+   * tumbling family ([[graft.streaming.SummarizationJob]], dailyTrend) can't
+   * express: per `keyCol`, event and distinct-`userCol` counts over every
+   * `windowMs` interval that starts on a `slideMs` boundary and covers the
+   * event. A 1h window sliding by 15min smooths the hour-boundary artifacts
+   * a tumbling hourly count suffers (a burst at :59 vs :01 landing in
+   * different buckets) — the standard dashboards-and-alerting shape.
+   *
+   * Scale: each event explodes into exactly `windowMs/slideMs` (window,
+   * key) rows map-side (a SMALL integer by construction — enforced), then
+   * ONE aggregate keyed by (key, window_start): counts combine partially;
+   * the distinct-user count is Spark's standard two-level expand. No
+   * window function, no self-join, no driver state. Floor division is
+   * explicit (negative-epoch safe, the [[graft.operators.Funnel]] rule).
+   *
+   * @param windowMs window length; must be a positive multiple of slideMs
+   * @return (key, window_start, n_events, n_users) — window_start in ms;
+   *         only non-empty windows appear (counts are never 0).
+   */
+  def slidingCounts(events: DataFrame, keyCol: String, tsMsCol: String, userCol: String,
+                    windowMs: Long = 3600000L, slideMs: Long = 900000L): DataFrame = {
+    require(slideMs > 0 && windowMs > 0 && windowMs % slideMs == 0,
+      "windowMs must be a positive multiple of slideMs")
+    val k = windowMs / slideMs
+    require(k <= 64, s"explode factor $k too large (windowMs/slideMs <= 64)")
+    // last slide boundary at or before ts (floor-div, negative-safe), then
+    // the k windows [boundary - i*slide, +window) covering the event
+    val boundary = expr(
+      s"($tsMsCol div $slideMs - (CASE WHEN $tsMsCol % $slideMs < 0 THEN 1 ELSE 0 END)) * $slideMs")
+    events
+      .select(col(keyCol).as("key"), col(userCol).as("user"),
+        explode(sequence(lit(0L), lit(k - 1))).as("i"), boundary.as("b"))
+      .select(col("key"), col("user"), (col("b") - col("i") * slideMs).as("window_start"))
+      .groupBy("key", "window_start")
+      .agg(count(lit(1)).as("n_events"), countDistinct(col("user")).as("n_users"))
+      .select(col("key").as(keyCol), col("window_start"),
+        col("n_events"), col("n_users"))
+  }
 }

@@ -293,4 +293,34 @@ object TimeSeries {
       .where(col("rn") >= f)
       .drop("rn")
   }
+
+  /**
+   * Percentile downsample — the tail-latency aggregator the reference's
+   * avg/sum/min/max/count/dev set (§2.3) lacks but every latency metric
+   * needs: per (metric, series, epoch-aligned bucket), the NEAREST-RANK
+   * percentile — the smallest value whose rank ≥ ⌈p·n⌉ in the bucket's
+   * sorted sample. Rank-picked, never interpolated: the result is an actual
+   * observed sample (p=1 is the max, p→0 the min), and being a pick rather
+   * than arithmetic it is bit-exact at any parallelism and in any engine —
+   * same determinism class as min/max, unlike avg's fold order.
+   *
+   * Implementation: one hash aggregate collecting the bucket's values, then
+   * a row-wise sorted pick. The collected group is a single series' points
+   * within one bucket — bounded by sampling rate × period (the
+   * [[foldAggregator]] bound), NOT corpus-sized — so no corpus window sort
+   * appears anywhere and the aggregate shuffles on the fine-grained
+   * (metric, series, bucket) key exactly like [[downsample]].
+   *
+   * @param p percentile in (0, 1]; default 0.95
+   * @return (metric, series, bucket_ms, value)
+   */
+  def downsamplePercentile(points: DataFrame, periodMs: Long, p: Double = 0.95): DataFrame = {
+    require(p > 0.0 && p <= 1.0, "p must be in (0, 1]")
+    points
+      .groupBy(col("metric"), seriesKey(col("tags")).as("series"), bucket(col("ts"), periodMs))
+      .agg(sort_array(collect_list(col("value"))).as("vs"))
+      .select(col("metric"), col("series"), col("bucket_ms"),
+        element_at(col("vs"),
+          greatest(lit(1), ceil(lit(p) * size(col("vs"))).cast("int"))).as("value"))
+  }
 }

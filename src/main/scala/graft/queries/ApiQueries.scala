@@ -147,6 +147,14 @@ object ApiQueries {
           when(col("user_id") % 10 === 0, lit("ping")).otherwise(col("event_type")))
       Funnel.userPathGini(ev, "user_id", "ts_ms", "event_id", "event_type")
     }),
+    // SLIDING 1h windows every 15min (each event in exactly 4 windows):
+    // map-side explode factor 4 + ONE (type, window) aggregate — the
+    // overlapping-window view the tumbling family can't express
+    "events_sliding_window" -> ((s, dir) => {
+      val ev = Points.table(s, dir, "events").withColumn("ts_ms", expr("ts div 1000000"))
+      Sessionize.slidingCounts(ev, "event_type", "ts_ms", "user_id",
+        windowMs = 3600000L, slideMs = 900000L)
+    }),
     // Semi-structured extraction: pull the numeric `k` out of the JSON-ish
     // props string with a regex (portable to the oracle without a JSON
     // extension) and aggregate per decade bucket.
@@ -619,6 +627,20 @@ object ApiQueries {
         |       COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_value
         |FROM events
         |WHERE TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) IS NOT NULL
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+    // mirrors Sessionize.slidingCounts(1h window, 15min slide): each event
+    // lands in the 4 windows starting on the slide boundaries at or before
+    // it; floor-div boundary is negative-epoch safe like the funnel family
+    "events_sliding_window" ->
+      """WITH e AS (
+        |  SELECT event_type, user_id, epoch_ms(ts) AS ts_ms FROM events),
+        |w AS (
+        |  SELECT event_type, user_id,
+        |         (ts_ms // 900000) * 900000 - i * 900000 AS window_start
+        |  FROM e, UNNEST(range(0, 4)) AS t(i))
+        |SELECT event_type, window_start,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM w GROUP BY 1, 2""".stripMargin
   )
 }

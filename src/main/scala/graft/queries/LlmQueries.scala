@@ -165,6 +165,17 @@ object LlmQueries {
       graft.operators.Curation.dupReport(planted)
     }),
     "curate_token_budget" -> ((s, dir) => graft.operators.Curation.tokenBudget(docs(s, dir), 20000L)),
+    // dedup cost-benefit per source: docs/tokens surviving exact vs
+    // near-dup (keep-list) dedup measured INDEPENDENTLY, planted byte-dups
+    // (every 5th doc re-sourced) so the exact column has real signal
+    "curate_dedup_savings" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val planted = d.unionByName(
+        d.where(col("doc_id") % 5 === 0)
+          .withColumn("doc_id", col("doc_id") + 100000)
+          .withColumn("source", lit("mirror")))
+      graft.operators.Curation.dedupSavings(planted, threshold = 0.7)
+    }),
     // BM25 lexical top-10 per probe query (every 97th doc's first 4 words):
     // broadcast query terms, corpus never shuffles on the term key; per-term
     // contributions in DECIMAL(28,9) so the score sum is exact cross-engine
@@ -225,6 +236,14 @@ object LlmQueries {
     // representative selection by quality: same components as the keep-list,
     // but the survivor is the best-quality member (prod rule), not min-id
     "dedup_keep_best" -> ((s, dir) => Dedup.keepBest(docs(s, dir), threshold = 0.7)),
+    // cluster-size distribution audit: corpus mass per component size
+    // (singletons included — fractions partition 1); the post-mortem that
+    // tells template blobs from healthy pair-dominated duplication
+    "dedup_cluster_sizes" -> ((s, dir) => Dedup.clusterSizes(docs(s, dir), threshold = 0.7)),
+    // threshold-tuning sweep over the SAME cached scored-pair frame the
+    // production jaccard run uses: cumulative pair counts per probe
+    // threshold, bucketed row-wise (no per-threshold pass)
+    "dedup_threshold_sweep" -> ((s, dir) => Dedup.thresholdSweep(docs(s, dir))),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir), maxHamming = 6)),
     // the 100 TB configuration: hot (band-pair, key) buckets capped out of
     // candidate generation (the quadratic-blowup guard) — the cap path itself
@@ -551,6 +570,11 @@ object LlmQueries {
     // PageRank (endorsement volume) and triangles (local closure)
     "graph_kcore" -> ((s, dir) =>
       graft.operators.Graph.kcore(plantedEdges(docs(s, dir), full = true), k = 3, rounds = 6)),
+    // common-neighborhood link prediction: non-adjacent pairs meeting ONLY
+    // through a shared neighbor (wedge join, hub centers cappable), scored
+    // by exact-integer neighbor-set Jaccard — mirror-candidate surfacing
+    "graph_link_predict" -> ((s, dir) =>
+      graft.operators.Graph.linkPredict(plantedEdges(docs(s, dir), full = true))),
     // degree assortativity: Pearson over endpoint degrees, both
     // orientations — exact DECIMAL moment sums, one pinned double formula;
     // the one-number structural fingerprint per crawl snapshot
@@ -1704,6 +1728,49 @@ object LlmQueries {
         |       COUNT(*) - COUNT(DISTINCT md5(COALESCE(text, ''))) AS n_dup_docs,
         |       CAST(COUNT(*) - COUNT(DISTINCT md5(COALESCE(text, ''))) AS DOUBLE) / COUNT(*) AS dup_rate
         |FROM d GROUP BY 1""".stripMargin,
+    // mirrors Curation.dedupSavings over the mirror-planted corpus: exact
+    // survivors = min doc_id per md5; near survivors = jaccard keep-list
+    "curate_dedup_savings" ->
+      """WITH RECURSIVE d2 AS MATERIALIZED (
+        |  SELECT doc_id, text, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text, 'mirror' FROM documents WHERE doc_id % 5 = 0),
+        |base AS (SELECT doc_id, source,
+        |                CAST(len(string_split(COALESCE(text, ''), ' ')) AS BIGINT) AS n_tok
+        |         FROM d2),
+        |ek AS (SELECT MIN(doc_id) AS doc_id FROM d2 GROUP BY md5(COALESCE(text, ''))),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s
+        |       FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM d2),
+        |            UNNEST(range(1, len(ws) - 1)) AS t(i)),
+        |p AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS inter
+        |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (
+        |  SELECT p.a, p.b FROM p
+        |  JOIN sz sa ON p.a = sa.doc_id JOIN sz sb ON p.b = sb.doc_id
+        |  WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.7),
+        |edges AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |comp AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY 1),
+        |dr AS (SELECT doc_id FROM comp WHERE doc_id != cluster_id),
+        |agg AS (
+        |  SELECT base.source,
+        |         CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |         CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        |         CAST(COUNT(ek.doc_id) AS BIGINT) AS n_docs_exact,
+        |         CAST(SUM(CASE WHEN ek.doc_id IS NOT NULL THEN n_tok ELSE 0 END) AS BIGINT) AS n_tokens_exact,
+        |         CAST(SUM(CASE WHEN dr.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_near,
+        |         CAST(SUM(CASE WHEN dr.doc_id IS NULL THEN n_tok ELSE 0 END) AS BIGINT) AS n_tokens_near
+        |  FROM base LEFT JOIN ek ON base.doc_id = ek.doc_id
+        |            LEFT JOIN dr ON base.doc_id = dr.doc_id
+        |  GROUP BY 1)
+        |SELECT source, n_docs, n_tokens, n_docs_exact, n_tokens_exact, n_docs_near, n_tokens_near,
+        |       1.0 - CAST(n_tokens_exact AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS exact_savings,
+        |       1.0 - CAST(n_tokens_near AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS near_savings
+        |FROM agg""".stripMargin,
     "curate_topk_quality" ->
       s"""WITH $scoredSql
          |SELECT lang_guess, rank, doc_id, quality FROM (
@@ -1862,6 +1929,52 @@ object LlmQueries {
          |  UNION
          |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
          |SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY 1""".stripMargin,
+    // mirrors Dedup.clusterSizes(threshold=0.7): component-size histogram
+    // plus one size-1 row for the unclustered remainder
+    "dedup_cluster_sizes" ->
+      s"""WITH RECURSIVE sh AS ($Shingles),
+         |p AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS inter
+         |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |pairs AS (
+         |  SELECT p.a, p.b FROM p
+         |  JOIN sz sa ON p.a = sa.doc_id JOIN sz sb ON p.b = sb.doc_id
+         |  WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.7),
+         |edges AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |comp AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY 1),
+         |pc AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size FROM comp GROUP BY 1),
+         |hist AS (SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters FROM pc GROUP BY 1),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM documents),
+         |ncl AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_clustered FROM comp),
+         |sing AS (SELECT CAST(1 AS BIGINT) AS cluster_size,
+         |                n_total - n_clustered AS n_clusters
+         |         FROM tot, ncl WHERE n_total - n_clustered > 0),
+         |allh AS (SELECT cluster_size, CAST(SUM(n_clusters) AS BIGINT) AS n_clusters
+         |         FROM (SELECT * FROM hist UNION ALL SELECT * FROM sing) GROUP BY 1)
+         |SELECT cluster_size, n_clusters,
+         |       CAST(cluster_size * n_clusters AS BIGINT) AS n_docs,
+         |       CAST(cluster_size * n_clusters AS DOUBLE) / CAST(n_total AS DOUBLE) AS frac_docs
+         |FROM allh, tot""".stripMargin,
+    // mirrors Dedup.thresholdSweep (defaults 0.50..0.95 step 0.05): the
+    // threshold-independent scored-pair frame probed cumulatively
+    "dedup_threshold_sweep" ->
+      s"""WITH sh AS ($Shingles),
+         |p AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS inter
+         |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |scored AS (
+         |  SELECT inter * 1.0 / (sa.n + sb.n - inter) AS jaccard FROM p
+         |  JOIN sz sa ON p.a = sa.doc_id JOIN sz sb ON p.b = sb.doc_id
+         |  WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5),
+         |probe AS (SELECT CAST(t / 20.0 AS DOUBLE) AS threshold
+         |          FROM UNNEST(range(10, 20)) AS u(t))
+         |SELECT probe.threshold, CAST(COUNT(scored.jaccard) AS BIGINT) AS n_pairs
+         |FROM probe LEFT JOIN scored ON scored.jaccard >= probe.threshold
+         |GROUP BY 1""".stripMargin,
     "dedup_cross_corpus" ->
       s"""WITH shin AS (SELECT * FROM ($Shingles) WHERE doc_id % 10 = 0),
          |shex AS (SELECT * FROM ($Shingles) WHERE doc_id % 10 != 0),
@@ -2827,6 +2940,29 @@ object LlmQueries {
       Some("SELECT 'site0' AS domain UNION ALL SELECT 'site1' AS domain")),
     "graph_hits" -> hitsOracleSql(),
     "graph_kcore" -> kcoreOracleSql(k = 3, rounds = 6),
+    // mirrors Graph.linkPredict: wedge-join candidates on the shared
+    // neighbor, existing edges anti-joined out, exact-integer Jaccard
+    "graph_link_predict" ->
+      """WITH raw AS (
+        |  SELECT 'site' || CAST(doc_id % 7 AS VARCHAR) AS src, 'cdn' || CAST(doc_id % 3 AS VARCHAR) AS dst FROM documents
+        |  UNION ALL SELECT 'cdn' || CAST(doc_id % 3 AS VARCHAR), 'site' || CAST(doc_id % 5 AS VARCHAR) FROM documents
+        |  UNION ALL SELECT 'site' || CAST(doc_id % 7 AS VARCHAR), 'site' || CAST((doc_id + 3) % 7 AS VARCHAR) FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL SELECT 'site' || CAST(doc_id % 7 AS VARCHAR), 'sink' FROM documents WHERE doc_id % 11 = 0),
+        |und AS (
+        |  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        |  FROM raw WHERE src != dst AND src IS NOT NULL AND dst IS NOT NULL),
+        |bi AS (SELECT a AS v, b AS n FROM und UNION ALL SELECT b, a FROM und),
+        |deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM bi GROUP BY 1),
+        |cand AS (
+        |  SELECT e1.n AS a, e2.n AS b, CAST(COUNT(*) AS BIGINT) AS common_neighbors
+        |  FROM bi e1 JOIN bi e2 ON e1.v = e2.v AND e1.n < e2.n
+        |  GROUP BY 1, 2),
+        |nc AS (SELECT c.* FROM cand c LEFT JOIN und u ON c.a = u.a AND c.b = u.b
+        |       WHERE u.a IS NULL)
+        |SELECT nc.a, nc.b, nc.common_neighbors, da.deg AS deg_a, db.deg AS deg_b,
+        |       CAST(nc.common_neighbors AS DOUBLE) /
+        |         CAST(da.deg + db.deg - nc.common_neighbors AS DOUBLE) AS jaccard
+        |FROM nc JOIN deg da ON nc.a = da.v JOIN deg db ON nc.b = db.v""".stripMargin,
     "graph_assortativity" -> AssortativityOracleSql,
     "graph_components" ->
       """WITH RECURSIVE e0 AS MATERIALIZED (

@@ -89,6 +89,12 @@ object TimelyQueries {
       TimeSeries.firFilter(points(s, dir), Seq.fill(5)(0.2))
         .select(col("metric"), col("series"), col("ts"), col("filtered"))
     }),
+    // nearest-rank p95 downsample: the tail-latency aggregator beyond the
+    // reference's §2.3 set — rank-PICKED (an observed sample, min/max
+    // determinism class), never interpolated; per-bucket sorted pick over
+    // the bounded series-hour group, no corpus window
+    "ts_downsample_p95" -> ((s, dir) =>
+      TimeSeries.downsamplePercentile(points(s, dir), Hour, 0.95)),
     "meta_suggest" -> ((s, dir) => {
       // /api/suggest type=metrics: substring match + ordered limit
       // (reference DataStore.suggest, DataStore.java:528-580)
@@ -215,6 +221,18 @@ object TimelyQueries {
         |       CASE WHEN raw > 100 THEN 0 ELSE raw END AS rate
         |FROM r""".stripMargin,
     "ts_ewma" -> ewmaOracleSql(0.5, 8),
+    // mirrors downsamplePercentile(p=0.95): nearest-rank pick = smallest
+    // value with rank >= ceil(0.95 * n) in the sorted bucket sample
+    "ts_downsample_p95" ->
+      """WITH b AS (
+        |  SELECT event_type AS metric,
+        |         'user=' || CAST(user_id AS VARCHAR) AS series,
+        |         epoch_ms(ts) // 3600000 * 3600000 AS bucket_ms,
+        |         list_sort(list(value)) AS vs
+        |  FROM events GROUP BY 1, 2, 3)
+        |SELECT metric, series, bucket_ms,
+        |       vs[CAST(GREATEST(1, CEIL(0.95 * len(vs))) AS BIGINT)] AS value
+        |FROM b""".stripMargin,
     "ts_moving_avg" ->
       """WITH p AS (
         |  SELECT event_type AS metric,
