@@ -255,4 +255,49 @@ object Anomaly {
             .otherwise(0L))
           .otherwise(0L).as("is_bot"))
   }
+
+  /**
+   * CUSUM drift over daily volumes — the slow-drift detector the point
+   * z-score family misses: per `keyCol`, the cumulative deviation of each
+   * day's event count from the key's all-period mean. A stuck-at-zero
+   * pipeline, a slowly ramping bot farm, or a gradual logging regression
+   * never trips a per-day threshold, but its deviations SUM; the classic
+   * CUSUM chart (Page 1954, no-reset form) flags when |cumulative
+   * deviation| exceeds `threshold` × the mean (a proportional band, so the
+   * knob is scale-free across keys of different volumes).
+   *
+   * Determinism: the running sum is the exact INTEGER prefix sum of counts;
+   * the deviation is `cum_n − i·mean` — ONE pinned double expression per
+   * row (mean = total/n_days, an exact-integer division) rather than a
+   * float accumulation, so no fold-order sensitivity exists anywhere.
+   *
+   * Scale: one (key, day) count aggregate (map-side combined — the only
+   * corpus-sized pass), then a lag-free rank window over the TINY (key,
+   * day) frame, partitioned per key. Same shape as [[graft.operators
+   * .Funnel.dailyTrend]].
+   *
+   * @return (key, day, n, day_index, cum_n, mean_n, cum_dev, is_drift)
+   */
+  def cusumDrift(events: DataFrame, keyCol: String = "event_type",
+      tsMsCol: String = "ts_ms", threshold: Double = 3.0): DataFrame = {
+    val day = expr(
+      s"$tsMsCol div 86400000 - (CASE WHEN $tsMsCol % 86400000 < 0 THEN 1 ELSE 0 END)")
+    val daily = events.select(col(keyCol), day.as("day"))
+      .groupBy(col(keyCol), col("day")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("day"))
+    val stats = daily.groupBy(col(keyCol))
+      .agg(sum("n").as("n_total"), count(lit(1)).as("n_days"))
+    val cumDev = col("cum_n").cast("double") -
+      col("day_index").cast("double") * col("mean_n")
+    daily
+      .withColumn("day_index", row_number().over(w).cast("long"))
+      .withColumn("cum_n", sum(col("n")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(stats, Seq(keyCol))
+      .select(col(keyCol), col("day"), col("n"), col("day_index"), col("cum_n"),
+        (col("n_total").cast("double") / col("n_days").cast("double")).as("mean_n"))
+      .select(col(keyCol), col("day"), col("n"), col("day_index"), col("cum_n"),
+        col("mean_n"), cumDev.as("cum_dev"),
+        when(abs(cumDev) > lit(threshold) * col("mean_n"), 1L).otherwise(0L).as("is_drift"))
+  }
 }

@@ -240,4 +240,36 @@ object Funnel {
       .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /**
+   * User-activity histogram on LOG2 buckets — the whale-vs-long-tail
+   * distribution view ("how concentrated is our event volume?") without the
+   * global sort a Lorenz/Gini computation needs: per power-of-two band of
+   * per-user event count (bucket b covers [2^b, 2^(b+1))), the number of
+   * users, their total events, and both shares. Concentration reads off
+   * directly — a healthy product shows event mass spread over mid buckets;
+   * a bot-skewed one puts most mass in the top band.
+   *
+   * Determinism/scale: bucket = floor(log2 n) computed as binary-digit
+   * count − 1 (pure integer — no float log at power-of-two boundaries);
+   * one user-keyed count (map-side combined), one ≤64-row bucket aggregate,
+   * one 1-row broadcast total. No window anywhere — the reason this view
+   * scales where a ranked Lorenz curve needs shard tricks.
+   *
+   * @return (bucket, min_events, n_users, n_events, user_share, event_share)
+   */
+  def activityHistogram(events: DataFrame, userCol: String = "user_id"): DataFrame = {
+    val perUser = events.groupBy(col(userCol)).agg(count(lit(1)).as("n"))
+    val buckets = perUser
+      .groupBy((length(bin(col("n"))) - 1).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_users"), sum("n").as("n_events"))
+    val totals = broadcast(buckets.agg(
+      sum("n_users").as("t_users"), sum("n_events").as("t_events")))
+    buckets.crossJoin(totals)
+      .select(col("bucket"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT))").as("min_events"),
+        col("n_users"), col("n_events"),
+        (col("n_users").cast("double") / col("t_users").cast("double")).as("user_share"),
+        (col("n_events").cast("double") / col("t_events").cast("double")).as("event_share"))
+  }
 }

@@ -344,4 +344,35 @@ object SimilarityIvf {
     val cents = centroids(corpus, nLists).cache()
     searchInt8(assign(corpus, cents), cents, queries, k, nProbe)
   }
+
+  /**
+   * IVF list-size BALANCE report — the index-health audit that predicts
+   * query latency before any query runs: per list, the vector count and its
+   * load factor vs the uniform ideal (n_total / nLists). IVF probe cost is
+   * driven by the lists a query lands in, so a hot list (load factor ≫ 1 —
+   * duplicated embeddings, a dominant topic, a degenerate seed) makes every
+   * query probing it pay that list's full scan; the fix (re-seed, split, or
+   * raise nLists) needs exactly this view. Complements [[cellPurity]]
+   * (label mixing) with size skew.
+   *
+   * Scale: the [[assign]] argmax aggregate (centroid table broadcast, the
+   * corpus shuffles once on vec_id), one nLists-sized count aggregate, and
+   * a 1-row broadcast total. Empty lists do not appear (counts are never
+   * 0); `n_lists_used` on every row makes the gap visible.
+   *
+   * @return (list_id, n_vecs, n_lists_used, load_factor) with load_factor
+   *         = n_vecs * nLists / n_total as one pinned double expression.
+   */
+  def listBalance(emb: DataFrame, nLists: Int = 16): DataFrame = {
+    val cents = centroids(emb, nLists)
+    val sizes = assign(emb, cents)
+      .groupBy(col("list_id").cast("long").as("list_id"))
+      .agg(count(lit(1)).as("n_vecs"))
+    val totals = broadcast(sizes.agg(sum("n_vecs").as("n_total"),
+      count(lit(1)).as("n_lists_used")))
+    sizes.crossJoin(totals)
+      .select(col("list_id"), col("n_vecs"), col("n_lists_used"),
+        (col("n_vecs").cast("double") * nLists / col("n_total").cast("double"))
+          .as("load_factor"))
+  }
 }

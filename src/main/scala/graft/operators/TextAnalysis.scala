@@ -1064,4 +1064,57 @@ object TextAnalysis {
           (col("c1").cast("double") * col("c2").cast("double"))).as("lift"))
     scored.orderBy(col("lift").desc, col("gram")).limit(topK)
   }
+
+  /**
+   * Lexical diversity screen — type-token ratio and hapax-legomenon fraction
+   * per document: machine-generated and keyword-stuffed text shows extreme
+   * TTR (template spam repeats a tiny vocabulary → low; gibberish/ID dumps
+   * make every token unique → ~1.0 with zero hapax REUSE), while natural
+   * prose sits in a stable mid band with a heavy hapax tail (Zipf). The
+   * per-doc complement of the corpus-level [[vocab]]/[[ngramNovelty]] views.
+   *
+   * Scale: one (doc_id, word)-keyed count aggregate (map-side combined, the
+   * exploded frame never re-shuffles elsewhere) + one doc-keyed rollup —
+   * both on fine-grained keys, no window, no join. All ratios are single
+   * exact-integer divisions.
+   *
+   * @return (doc_id, n_words, n_types, n_hapax, ttr, hapax_frac) — NULL
+   *         ratios for empty/NULL text (0 words); hapax_frac is over TYPES.
+   */
+  def lexicalDiversity(docs: DataFrame): DataFrame = {
+    val words = docs.select(col("doc_id"),
+      explode(split(lower(coalesce(col("text"), lit(""))), " ")).as("w"))
+    words.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_words"),
+        count(lit(1)).as("n_types"),
+        count(when(col("c") === 1, 1)).as("n_hapax"))
+      .select(col("doc_id"), col("n_words"), col("n_types"), col("n_hapax"),
+        (col("n_types").cast("double") / nullif(col("n_words"), lit(0L)).cast("double")).as("ttr"),
+        (col("n_hapax").cast("double") / nullif(col("n_types"), lit(0L)).cast("double")).as("hapax_frac"))
+  }
+
+  /**
+   * Language-ID CONFUSION matrix — the audit of [[languageId]] against the
+   * corpus's labeled `lang` column: per (label, guess) cell, count and
+   * recall-style rate within the label. The view that tells whether the
+   * n-gram heuristic is good enough to route curation decisions per
+   * language, and which label pairs it confuses (es/fr share stopword mass;
+   * short docs fall to the tie-break order).
+   *
+   * Scale: the row-wise langid scan joined to the label on doc_id, one
+   * (label, guess) aggregate over the ≤|langs|² result, one tiny join for
+   * the per-label total. Rate is one exact-integer division.
+   *
+   * @return (lang, lang_guess, n, n_lang, rate)
+   */
+  def langConfusion(docs: DataFrame): DataFrame = {
+    val cells = languageId(docs)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy("lang", "lang_guess").agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy("lang").agg(sum("n").as("n_lang"))
+    cells.join(totals, "lang")
+      .select(col("lang"), col("lang_guess"), col("n"), col("n_lang"),
+        (col("n").cast("double") / col("n_lang").cast("double")).as("rate"))
+  }
 }

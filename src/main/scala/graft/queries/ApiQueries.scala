@@ -147,6 +147,16 @@ object ApiQueries {
           when(col("user_id") % 10 === 0, lit("ping")).otherwise(col("event_type")))
       Funnel.userPathGini(ev, "user_id", "ts_ms", "event_id", "event_type")
     }),
+    // CUSUM drift over daily per-type volumes: exact integer prefix sums,
+    // one pinned double deviation expression — the slow-ramp detector
+    "events_cusum" -> ((s, dir) => {
+      val ev = Points.table(s, dir, "events").withColumn("ts_ms", expr("ts div 1000000"))
+      Anomaly.cusumDrift(ev, "event_type", "ts_ms", threshold = 3.0)
+    }),
+    // log2-bucket user-activity histogram: integer digit-count bucketing,
+    // no window — the volume-concentration view without a Lorenz sort
+    "events_activity_hist" -> ((s, dir) =>
+      Funnel.activityHistogram(Points.table(s, dir, "events"))),
     // SLIDING 1h windows every 15min (each event in exactly 4 windows):
     // map-side explode factor 4 + ONE (type, window) aggregate — the
     // overlapping-window view the tumbling family can't express
@@ -628,6 +638,45 @@ object ApiQueries {
         |FROM events
         |WHERE TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) IS NOT NULL
         |GROUP BY 1, 2""".stripMargin,
+    // mirrors Anomaly.cusumDrift(threshold=3): integer prefix sums + the
+    // pinned cum_n - i*mean deviation expression
+    "events_cusum" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_total,
+        |              CAST(COUNT(*) AS BIGINT) AS n_days
+        |       FROM daily GROUP BY 1),
+        |r AS (
+        |  SELECT event_type, day, n,
+        |         CAST(ROW_NUMBER() OVER w AS BIGINT) AS day_index,
+        |         CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY day
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n
+        |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |j AS (
+        |  SELECT r.*, CAST(st.n_total AS DOUBLE) / CAST(st.n_days AS DOUBLE) AS mean_n
+        |  FROM r JOIN st USING (event_type))
+        |SELECT event_type, day, n, day_index, cum_n, mean_n,
+        |       CAST(cum_n AS DOUBLE) - CAST(day_index AS DOUBLE) * mean_n AS cum_dev,
+        |       CAST(CASE WHEN abs(CAST(cum_n AS DOUBLE) - CAST(day_index AS DOUBLE) * mean_n)
+        |                      > 3.0 * mean_n
+        |                 THEN 1 ELSE 0 END AS BIGINT) AS is_drift
+        |FROM j""".stripMargin,
+    // mirrors Funnel.activityHistogram: bucket = binary digit count - 1
+    // (pure integer floor-log2), shares over 1-row totals
+    "events_activity_hist" ->
+      """WITH pu AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1),
+        |b AS (SELECT CAST(length(bin(n)) - 1 AS BIGINT) AS bucket,
+        |             CAST(COUNT(*) AS BIGINT) AS n_users,
+        |             CAST(SUM(n) AS BIGINT) AS n_events
+        |      FROM pu GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_users) AS BIGINT) AS t_users,
+        |             CAST(SUM(n_events) AS BIGINT) AS t_events FROM b)
+        |SELECT bucket, CAST(2 ** bucket AS BIGINT) AS min_events, n_users, n_events,
+        |       CAST(n_users AS DOUBLE) / CAST(t_users AS DOUBLE) AS user_share,
+        |       CAST(n_events AS DOUBLE) / CAST(t_events AS DOUBLE) AS event_share
+        |FROM b, t""".stripMargin,
     // mirrors Sessionize.slidingCounts(1h window, 15min slide): each event
     // lands in the 4 windows starting on the slide boundaries at or before
     // it; floor-div boundary is negative-epoch safe like the funnel family

@@ -65,6 +65,12 @@ object LlmQueries {
     // count a training-mix token budget actually bills
     "text_tokens_bpe" -> ((s, dir) => TextAnalysis.tokenCountsBpe(docs(s, dir))),
     "text_langid" -> ((s, dir) => TextAnalysis.languageId(docs(s, dir))),
+    // langid audited against the labeled lang column: per-(label, guess)
+    // confusion cell with within-label rate — the router-trust view
+    "text_langid_confusion" -> ((s, dir) => TextAnalysis.langConfusion(docs(s, dir))),
+    // per-doc type-token ratio + hapax fraction: template spam (low TTR)
+    // vs gibberish (TTR ~1, no reuse) vs natural prose (mid + hapax tail)
+    "text_lexical_diversity" -> ((s, dir) => TextAnalysis.lexicalDiversity(docs(s, dir))),
     "text_quality" -> ((s, dir) => TextAnalysis.qualityScore(docs(s, dir))),
     "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(docs(s, dir))),
     // Gopher-style within-doc repetition: duplicate word-3-gram ratio
@@ -446,6 +452,10 @@ object LlmQueries {
     // per-dimension health audit: exact min/max + grid-exact mean/variance
     // (dead dims, scale blowups, encoder bias — the ANN-index monitoring table)
     "embed_dim_stats" -> ((s, dir) => Similarity.dimStats(emb(s, dir))),
+    // IVF list-size balance: per-list load factor vs uniform — the
+    // index-health audit that predicts probe latency skew
+    "embed_ivf_balance" -> ((s, dir) =>
+      graft.operators.SimilarityIvf.listBalance(emb(s, dir), nLists = 16)),
     // per-source document cap (anti-template-farm): top-10 by quality
     "curate_source_cap" -> ((s, dir) =>
       graft.operators.Curation.capPerGroup(docs(s, dir), "source", 10)),
@@ -575,6 +585,10 @@ object LlmQueries {
     // by exact-integer neighbor-set Jaccard — mirror-candidate surfacing
     "graph_link_predict" -> ((s, dir) =>
       graft.operators.Graph.linkPredict(plantedEdges(docs(s, dir), full = true))),
+    // per-node mutual-linking rates over the DIRECTED planted graph — the
+    // paid-link-ring tell the undirected family erases
+    "graph_reciprocity" -> ((s, dir) =>
+      graft.operators.Graph.reciprocity(plantedEdges(docs(s, dir), full = true))),
     // degree assortativity: Pearson over endpoint degrees, both
     // orientations — exact DECIMAL moment sums, one pinned double formula;
     // the one-number structural fingerprint per crawl snapshot
@@ -1459,6 +1473,40 @@ object LlmQueries {
          |            WHEN h_es >= h_fr THEN 'es'
          |            ELSE 'fr' END AS lang_guess
          |FROM h""".stripMargin,
+    // mirrors TextAnalysis.langConfusion: the langid CTE joined to the
+    // labeled lang column, per-(label, guess) cells + within-label rate
+    "text_langid_confusion" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, lang, ${hitsSql("de")} AS h_de, ${hitsSql("en")} AS h_en,
+         |         ${hitsSql("es")} AS h_es, ${hitsSql("fr")} AS h_fr
+         |  FROM documents),
+         |g AS (
+         |  SELECT lang,
+         |         CASE WHEN h_de >= GREATEST(h_en, h_es, h_fr) THEN 'de'
+         |              WHEN h_en >= GREATEST(h_es, h_fr) THEN 'en'
+         |              WHEN h_es >= h_fr THEN 'es'
+         |              ELSE 'fr' END AS lang_guess
+         |  FROM h),
+         |c AS (SELECT lang, lang_guess, CAST(COUNT(*) AS BIGINT) AS n FROM g GROUP BY 1, 2),
+         |t AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS n_lang FROM c GROUP BY 1)
+         |SELECT c.lang, c.lang_guess, c.n, t.n_lang,
+         |       CAST(c.n AS DOUBLE) / CAST(t.n_lang AS DOUBLE) AS rate
+         |FROM c JOIN t USING (lang)""".stripMargin,
+    // mirrors TextAnalysis.lexicalDiversity: per-doc word counts ->
+    // type/hapax rollup, exact-integer ratios
+    "text_lexical_diversity" ->
+      """WITH w AS (
+        |  SELECT doc_id, UNNEST(string_split(lower(COALESCE(text, '')), ' ')) AS w
+        |  FROM documents),
+        |c AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c FROM w GROUP BY 1, 2),
+        |a AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+        |             CAST(COUNT(*) AS BIGINT) AS n_types,
+        |             CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+        |      FROM c GROUP BY 1)
+        |SELECT doc_id, n_words, n_types, n_hapax,
+        |       CAST(n_types AS DOUBLE) / CAST(NULLIF(n_words, 0) AS DOUBLE) AS ttr,
+        |       CAST(n_hapax AS DOUBLE) / CAST(NULLIF(n_types, 0) AS DOUBLE) AS hapax_frac
+        |FROM a""".stripMargin,
     "text_quality" ->
       s"""SELECT doc_id,
          |       len(string_split(text, ' ')) AS n_words,
@@ -2936,6 +2984,27 @@ object LlmQueries {
         |            THEN (2.0 * CAST(COALESCE(cnt.t, 0) AS DOUBLE)) /
         |                 (CAST(deg.deg AS DOUBLE) * CAST(deg.deg - 1 AS DOUBLE)) END AS lcc
         |FROM deg LEFT JOIN cnt ON deg.v = cnt.node""".stripMargin,
+    // mirrors Graph.reciprocity over the directed planted graph: distinct
+    // simple edges, reversed-key self-join, full-outer degree stitch
+    "graph_reciprocity" ->
+      """WITH raw AS (
+        |  SELECT 'site' || CAST(doc_id % 7 AS VARCHAR) AS src, 'cdn' || CAST(doc_id % 3 AS VARCHAR) AS dst FROM documents
+        |  UNION ALL SELECT 'cdn' || CAST(doc_id % 3 AS VARCHAR), 'site' || CAST(doc_id % 5 AS VARCHAR) FROM documents
+        |  UNION ALL SELECT 'site' || CAST(doc_id % 7 AS VARCHAR), 'site' || CAST((doc_id + 3) % 7 AS VARCHAR) FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL SELECT 'site' || CAST(doc_id % 7 AS VARCHAR), 'sink' FROM documents WHERE doc_id % 11 = 0),
+        |e AS (SELECT DISTINCT src, dst FROM raw
+        |      WHERE src != dst AND src IS NOT NULL AND dst IS NOT NULL),
+        |recip AS (SELECT f.src AS node, CAST(COUNT(*) AS BIGINT) AS n_recip
+        |          FROM e f JOIN e r ON f.src = r.dst AND f.dst = r.src GROUP BY 1),
+        |od AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS out_deg FROM e GROUP BY 1),
+        |idg AS (SELECT dst AS node, CAST(COUNT(*) AS BIGINT) AS in_deg FROM e GROUP BY 1),
+        |n AS (SELECT COALESCE(od.node, idg.node) AS node,
+        |             COALESCE(out_deg, 0) AS out_deg, COALESCE(in_deg, 0) AS in_deg
+        |      FROM od FULL OUTER JOIN idg ON od.node = idg.node)
+        |SELECT n.node, n.out_deg, n.in_deg, COALESCE(r.n_recip, 0) AS n_recip,
+        |       CAST(COALESCE(r.n_recip, 0) AS DOUBLE) /
+        |         CAST(NULLIF(n.out_deg, 0) AS DOUBLE) AS recip_rate
+        |FROM n LEFT JOIN recip r ON n.node = r.node""".stripMargin,
     "graph_trustrank" -> pageRankOracleSql(seedsSql =
       Some("SELECT 'site0' AS domain UNION ALL SELECT 'site1' AS domain")),
     "graph_hits" -> hitsOracleSql(),
@@ -3022,6 +3091,18 @@ object LlmQueries {
         |SELECT a.source AS source_a, b.source AS source_b, CAST(COUNT(*) AS BIGINT) AS n_shared_hashes
         |FROM h a JOIN h b ON a.h = b.h AND a.source < b.source
         |GROUP BY 1, 2""".stripMargin,
+    // mirrors SimilarityIvf.listBalance(nLists=16): assignment counts +
+    // 1-row totals, load factor in the pinned n_vecs * 16 / n_total order
+    "embed_ivf_balance" ->
+      s"""$IvfTopCte,
+         |sizes AS (SELECT CAST(list_id AS BIGINT) AS list_id,
+         |                 CAST(COUNT(*) AS BIGINT) AS n_vecs
+         |          FROM assigned GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS n_total,
+         |               CAST(COUNT(*) AS BIGINT) AS n_lists_used FROM sizes)
+         |SELECT list_id, n_vecs, n_lists_used,
+         |       CAST(n_vecs AS DOUBLE) * 16 / CAST(n_total AS DOUBLE) AS load_factor
+         |FROM sizes, tot""".stripMargin,
     "embed_label_purity" ->
       s"""$IvfTopCte,
          |lc AS (SELECT a.list_id, e.label, CAST(COUNT(*) AS BIGINT) AS n

@@ -461,6 +461,34 @@ object ScaleSmoke {
     t("rpKnn (20 queries, 16-dim integer stage + exact re-rank of 20)") {
       graft.operators.Similarity.rpKnn(emb, emb.where(col("vec_id") % (n * embReps / 20) === 0), k = 5).count()
     }
+    // ---- session-5 operators ------------------------------------------
+    t("linkPredict (wedge join over the corpus-sized edge list, maxDeg=64)") {
+      val edges = docs.select(
+        concat(lit("d"), col("doc_id") % 499).as("src"),
+        concat(lit("d"), (col("doc_id") * 13 + 7) % 499).as("dst"))
+      graft.operators.Graph.linkPredict(edges, maxDeg = 64L).count()
+    }
+    t("slidingCounts (1h window / 15min slide: x4 map-side explode + one agg)") {
+      graft.operators.Sessionize.slidingCounts(ev, "event_type", "ts_ms",
+        "user_id").count()
+    }
+    t("downsamplePercentile p95 (bounded per-bucket sorted pick)") {
+      val pts = ev.select(col("event_type").as("metric"),
+        map(lit("user"), col("user_id").cast("string")).as("tags"),
+        col("ts_ms").as("ts"), col("value"))
+      graft.operators.TimeSeries.downsamplePercentile(pts, 3600000L, 0.95).count()
+    }
+    t("thresholdSweep (10 probes over the shared capped scored-pair frame)") {
+      graft.operators.Dedup.thresholdSweep(docs, maxDocFreq = 50L).count()
+    }
+    t("clusterSizes (capped pairs + clusters + histogram)") {
+      graft.operators.Dedup.clusterSizes(docs, maxDocFreq = 50L).count()
+    }
+    t("dedupSavings (exact + capped near keep-list, per derived source)") {
+      graft.operators.Curation.dedupSavings(
+        docs.withColumn("source", (col("doc_id") % 40).cast("string")),
+        maxDocFreq = 50L).count()
+    }
     spark.stop()
   }
 }

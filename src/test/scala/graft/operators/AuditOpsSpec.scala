@@ -191,4 +191,53 @@ class AuditOpsSpec extends AnyFunSuite with SparkSpec {
     // NULL -> "" -> one whitespace token each
     assert(r.getLong(2) == 2L && r.getDouble(7) == 0.5)
   }
+
+  // ---- plan-shape guards ----
+
+  private def executedString(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def windowExecs(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+
+  test("plan: linkPredict's wedge join is equi-keyed — no nested-loop product anywhere") {
+    val edges = (0L until 600L)
+      .map(i => (s"d${i % 23}", s"d${(i * 7 + 3) % 19}")).toDF("src", "dst")
+    val s = executedString(Graph.linkPredict(edges, maxDeg = 8L))
+    assert(!s.contains("CartesianProduct"), "corpus-sized cartesian in linkPredict")
+    assert(!s.contains("BroadcastNestedLoopJoin"), "non-equi join in linkPredict")
+  }
+
+  test("plan: slidingCounts and downsamplePercentile run without window functions") {
+    val ev = Seq((1L, 10L, "a")).toDF("user_id", "ts_ms", "event_type")
+    assert(windowExecs(Sessionize.slidingCounts(ev, "event_type", "ts_ms", "user_id")).isEmpty,
+      "slidingCounts must be explode + aggregate, not a window sweep")
+    val d = pts(Seq(1.0, 2.0))
+    assert(windowExecs(TimeSeries.downsamplePercentile(d, 3600000L, 0.5)).isEmpty,
+      "percentile downsample must be a bounded per-group pick, not a corpus window")
+  }
+
+  test("plan: thresholdSweep's non-equi probe join joins only AGGREGATED (bounded) inputs") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LocalRelation}
+    val plan = Dedup.thresholdSweep(dupDocs).queryExecution.optimizedPlan
+    val nonEqui = plan.collect {
+      case j: Join if j.condition.exists(c =>
+        c.find(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.GreaterThanOrEqual]).isDefined) => j
+    }
+    assert(nonEqui.nonEmpty, "sanity: the cumulative >= probe join exists")
+    for (j <- nonEqui; side <- Seq(j.left, j.right))
+      assert(side.collectFirst { case a: Aggregate => a }.isDefined ||
+        side.collectFirst { case l: LocalRelation => l }.isDefined,
+        s"non-equi join over a non-aggregated (corpus-sized) side:\n$j")
+  }
+
+  test("plan: clusterSizes/dedupSavings attach only 1-row aggregates via cross joins") {
+    for (df <- Seq(Dedup.clusterSizes(dupDocs),
+      Curation.dedupSavings(dupDocs.withColumn("source", lit("s"))))) {
+      val s = executedString(df)
+      assert(!s.contains("CartesianProduct"), "corpus-sized cartesian product")
+    }
+  }
 }

@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** Session-5 batch-2 audits: reciprocity, lexical diversity, langid
+  * confusion, IVF list balance, CUSUM drift, activity histogram. */
+class CorpusAuditSpec extends AnyFunSuite with SparkSpec {
+
+  import spark.implicits._
+
+  // ---- Graph.reciprocity ----
+
+  test("reciprocity: mutual, one-way, and in-only nodes; dups and self-loops dropped") {
+    val edges = Seq(("A", "B"), ("B", "A"), ("A", "C"), ("A", "A"), ("A", "B"))
+      .toDF("src", "dst")
+    val out = Graph.reciprocity(edges).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Double])))).toMap
+    assert(out("A") == ((2L, 1L, 1L, Some(0.5))))
+    assert(out("B") == ((1L, 1L, 1L, Some(1.0))))
+    assert(out("C") == ((0L, 1L, 0L, None))) // in-only: rate undefined
+  }
+
+  test("reciprocity: fully mutual ring rates 1.0 everywhere") {
+    val e = Seq(("A", "B"), ("B", "A"), ("B", "C"), ("C", "B")).toDF("src", "dst")
+    val rates = Graph.reciprocity(e).collect().map(_.getDouble(4))
+    assert(rates.forall(_ == 1.0))
+  }
+
+  // ---- TextAnalysis.lexicalDiversity / langConfusion ----
+
+  test("lexicalDiversity: counts, TTR, hapax fraction; NULL text is one empty token") {
+    val d = Seq((1L, "a a b"), (2L, null: String)).toDF("doc_id", "text")
+    val out = TextAnalysis.lexicalDiversity(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getLong(1) == 3L && r1.getLong(2) == 2L && r1.getLong(3) == 1L)
+    assert(r1.getDouble(4) == 2.0 / 3.0 && r1.getDouble(5) == 0.5)
+    val r2 = out(2L)
+    assert(r2.getLong(1) == 1L && r2.getLong(2) == 1L && r2.getLong(3) == 1L)
+    assert(r2.getDouble(4) == 1.0)
+  }
+
+  test("langConfusion: rates sum to 1 within each label; confident text routes right") {
+    val en = "the of and to in is was for on with" // pure en stopwords
+    val de = "der die und von zu den das nicht mit sich"
+    val d = Seq((1L, en, "en"), (2L, en, "en"), (3L, de, "de"), (4L, en, "de"))
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.langConfusion(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(4))).toMap
+    assert(out(("en", "en")) == ((2L, 1.0)))
+    assert(out(("de", "de"))._1 == 1L && out(("de", "en"))._1 == 1L)
+    assert(out(("de", "de"))._2 == 0.5 && out(("de", "en"))._2 == 0.5)
+  }
+
+  // ---- SimilarityIvf.listBalance ----
+
+  test("listBalance: sizes partition the corpus; load factors average to 1 weighted") {
+    val centers = Seq(
+      Array(10.0, 0, 0, 0), Array(0, 10.0, 0, 0), Array(0, 0, 10.0, 0))
+    val emb = (0L until 90L).map { i =>
+      val c = centers((i % 3).toInt)
+      (i, c.zipWithIndex.map { case (x, d) => (x + ((i * 31 + d * 7) % 100) / 1000.0).toFloat })
+    }.toDF("vec_id", "embedding")
+    val out = SimilarityIvf.listBalance(emb, nLists = 4).collect()
+    assert(out.map(_.getLong(1)).sum == 90L)
+    assert(out.forall(_.getLong(2) == out.length)) // n_lists_used on every row
+    // sum of n_vecs * load_factor / nLists == n_total  <=>  weighted mean 1
+    val weighted = out.map(r => r.getLong(1) * r.getDouble(3)).sum
+    assert(math.abs(weighted - out.map(r => r.getLong(1) * r.getLong(1)).sum * 4.0 / 90.0) < 1e-9)
+  }
+
+  // ---- Anomaly.cusumDrift ----
+
+  test("cusumDrift: integer prefix sums, pinned deviation, flag only past the band") {
+    val ev = (Seq.fill(9)(0L) ++ Seq(1L, 2L, 2L, 2L)).zipWithIndex.map { case (d, i) =>
+      (i.toLong, d * 86400000L, "a")
+    }.toDF("event_id", "ts_ms", "event_type")
+    // daily counts: day0 -> 9, day1 -> 1, day2 -> 3; mean = 13/3
+    val out = Anomaly.cusumDrift(ev, "event_type", "ts_ms", threshold = 0.5).collect()
+      .map(r => r.getLong(1) -> r).toMap
+    val mean = 13.0 / 3.0
+    assert(out(0L).getLong(4) == 9L && out(1L).getLong(4) == 10L && out(2L).getLong(4) == 13L)
+    assert(out(0L).getDouble(6) == 9.0 - 1.0 * mean)
+    assert(out(2L).getDouble(6) == 13.0 - 3.0 * mean) // exactly 0 at the end
+    // |9 - mean| = 4.67 > 0.5 * mean = 2.33 -> drift on day 0, none on day 2
+    assert(out(0L).getLong(7) == 1L && out(2L).getLong(7) == 0L)
+  }
+
+  test("cusumDrift: a flat series never drifts at any threshold") {
+    val ev = (0 until 30).map(i => (i.toLong, (i % 10) * 86400000L, "t"))
+      .toDF("event_id", "ts_ms", "event_type")
+    assert(Anomaly.cusumDrift(ev, "event_type", "ts_ms", 0.001)
+      .where(col("is_drift") === 1L).isEmpty)
+  }
+
+  // ---- Funnel.activityHistogram ----
+
+  test("activityHistogram: log2 buckets, min_events, and shares") {
+    // user event counts: u1 -> 1, u2 -> 2, u3 -> 3, u4 -> 8
+    val ev = (Seq.fill(1)(1L) ++ Seq.fill(2)(2L) ++ Seq.fill(3)(3L) ++ Seq.fill(8)(4L))
+      .zipWithIndex.map { case (u, i) => (i.toLong, u) }.toDF("event_id", "user_id")
+    val out = Funnel.activityHistogram(ev).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))).toMap
+    assert(out(0L) == ((1L, 1L, 1L, 0.25, 1.0 / 14)))
+    assert(out(1L) == ((2L, 2L, 5L, 0.5, 5.0 / 14)))
+    assert(out(3L) == ((8L, 1L, 8L, 0.25, 8.0 / 14)))
+    assert(out.values.map(_._2).sum == 4L && out.values.map(_._3).sum == 14L)
+  }
+}
