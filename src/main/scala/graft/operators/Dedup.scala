@@ -1215,6 +1215,44 @@ object Dedup {
   }
 
   /**
+   * Shingle DOCUMENT-FREQUENCY profile on log2 buckets — the view that sets
+   * the `maxDocFreq` candidate-generation cap from evidence instead of
+   * folklore: per power-of-two band of shingle df, how many distinct
+   * shingles live there, how many postings they carry, and their PAIR MASS
+   * Σ df·(df−1)/2 — the exact number of candidate pairs the blocked
+   * self-join would emit from that band. The cap trades the top bands'
+   * (boilerplate) pair mass for recall; this profile shows precisely how
+   * much quadratic cost each band contributes, which is what the
+   * [[ngramAutoDocFreqCap]] quantile heuristic approximates.
+   *
+   * Scale: the shingle df aggregate (map-side combined — the corpus-sized
+   * pass [[ngramJaccard]] pays anyway), a ≤64-row bucket rollup on a pure
+   * integer digit-count key (no float log at band boundaries), and a 1-row
+   * broadcast total. Pair mass accumulates in DECIMAL(38,0) (df² at web
+   * scale exceeds LONG) and reports as double.
+   *
+   * @return (bucket, min_df, n_shingles, n_postings, pair_mass,
+   *         pair_mass_share) — bucket b covers df in [2^b, 2^(b+1)).
+   */
+  def dfProfile(docs: DataFrame): DataFrame = {
+    val dfreq = shingles(docs).groupBy("s").agg(count(lit(1)).as("df"))
+    val pm = (col("df").cast("decimal(19,0)") * (col("df") - 1).cast("decimal(19,0)") / 2)
+      .cast("decimal(38,0)")
+    val b = dfreq
+      .groupBy((length(bin(col("df"))) - 1).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_shingles"), sum("df").as("n_postings"),
+        sum(pm).as("pm"))
+    val totals = broadcast(b.agg(sum(col("pm")).as("t_pm")))
+    b.crossJoin(totals)
+      .select(col("bucket"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT))").as("min_df"),
+        col("n_shingles"), col("n_postings"),
+        col("pm").cast("double").as("pair_mass"),
+        when(col("t_pm") > 0, col("pm").cast("double") / col("t_pm").cast("double"))
+          .as("pair_mass_share"))
+  }
+
+  /**
    * Jaccard THRESHOLD TUNING sweep — the audit a pipeline runs BEFORE
    * committing to a near-dup threshold: for each candidate threshold, how
    * many co-shingle pairs would be called duplicates? The knee of this curve

@@ -183,4 +183,34 @@ object Sessionize {
       .select(col("key").as(keyCol), col("window_start"),
         col("n_events"), col("n_users"))
   }
+
+  /**
+   * Streaming form of [[slidingCounts]] — Spark's native sliding
+   * `window(event_time, windowDuration, slideDuration)` + watermark, append
+   * mode: each window finalizes once the watermark passes its end, exactly
+   * the [[graft.streaming.SummarizationJob]] late-data contract. Same
+   * window grid as the batch explode form (both align to epoch slide
+   * boundaries), so stream output == batch output on the same data (pinned
+   * by spec).
+   *
+   * Exact distinct-user counts are deliberately absent: a streaming
+   * `countDistinct` would hold unbounded per-window user sets; the batch
+   * form reports them, and a streaming approximation belongs to
+   * `approx_count_distinct` with its own error contract, not silently
+   * different numbers under the same name.
+   */
+  def slidingCountsStream(events: DataFrame, keyCol: String, tsMsCol: String,
+                          windowMs: Long = 3600000L, slideMs: Long = 900000L,
+                          watermarkDelay: String = "1 hour"): DataFrame = {
+    require(slideMs > 0 && windowMs > 0 && windowMs % slideMs == 0,
+      "windowMs must be a positive multiple of slideMs")
+    events
+      .withColumn("event_time", timestamp_millis(col(tsMsCol)))
+      .withWatermark("event_time", watermarkDelay)
+      .groupBy(col(keyCol),
+        window(col("event_time"), s"$windowMs milliseconds", s"$slideMs milliseconds"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol), unix_millis(col("window.start")).as("window_start"),
+        col("n_events"))
+  }
 }

@@ -610,4 +610,31 @@ object Similarity {
         coalesce(col("hits"), lit(0L)).as("hits"),
         (coalesce(col("hits"), lit(0L)).cast("double") / col("k_eff").cast("double")).as("recall"))
   }
+
+  /**
+   * Nearest-neighbor MARGIN audit — retrieval-confidence per query: the gap
+   * between the best and second-best cosine. A small margin means the
+   * ranking is noise-level (ANN recall losses and quantization error flip
+   * the winner); routing decisions — "auto-accept the match above margin m"
+   * — and ANN parameter budgets (nProbe, PQ bits) are set against exactly
+   * this distribution. A top1 near 1.0 with a LARGE margin is the
+   * duplicate-pair signature ([[graft.operators.Dedup.embedCosine]]'s
+   * clientele); margins near 0 mark ambiguous neighborhoods.
+   *
+   * Scale: [[bruteForceKnn]] at k=2 (broadcast queries, map-side top-k
+   * aggregate — swap in the IVF path for corpus-sized query sets), then a
+   * per-query pivot of the ≤2 rows. Margin is one pinned double
+   * subtraction; NULL when the corpus has a single candidate.
+   *
+   * @return (query_id, top1_id, top1_sim, top2_sim, margin)
+   */
+  def knnMargin(corpus: DataFrame, queries: DataFrame): DataFrame =
+    bruteForceKnn(corpus, queries, k = 2)
+      .groupBy("query_id")
+      .agg(
+        max(when(col("rank") === 1, col("neighbor_id"))).as("top1_id"),
+        max(when(col("rank") === 1, col("sim"))).as("top1_sim"),
+        max(when(col("rank") === 2, col("sim"))).as("top2_sim"))
+      .select(col("query_id"), col("top1_id"), col("top1_sim"), col("top2_sim"),
+        (col("top1_sim") - col("top2_sim")).as("margin"))
 }

@@ -246,6 +246,9 @@ object LlmQueries {
     // (singletons included — fractions partition 1); the post-mortem that
     // tells template blobs from healthy pair-dominated duplication
     "dedup_cluster_sizes" -> ((s, dir) => Dedup.clusterSizes(docs(s, dir), threshold = 0.7)),
+    // shingle-df log2 profile with exact per-band PAIR MASS: the evidence
+    // view behind the maxDocFreq cap (and the auto-cap quantile heuristic)
+    "dedup_df_profile" -> ((s, dir) => Dedup.dfProfile(docs(s, dir))),
     // threshold-tuning sweep over the SAME cached scored-pair frame the
     // production jaccard run uses: cumulative pair counts per probe
     // threshold, bucketed row-wise (no per-threshold pass)
@@ -261,6 +264,12 @@ object LlmQueries {
       Similarity.bruteForceKnn(e, e.where(col("vec_id") < 5), k = 5)
     }),
     "embed_lsh_pairs" -> ((s, dir) => Similarity.lshBucketedPairs(emb(s, dir), bits = 8, minCosine = 0.3)),
+    // retrieval-confidence margins: top1 - top2 cosine per probe query —
+    // the distribution ANN budgets and auto-accept thresholds are set from
+    "embed_knn_margin" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.knnMargin(e, e.where(col("vec_id") < 5))
+    }),
     // embedding-cosine near-dup DEDUP: a keep/drop decision for every vector
     // (LSH-bucketed pairs -> connected components -> min-id representative).
     // 0.3 matches embed_lsh_pairs so both gates pin the same bucket semantics.
@@ -2007,6 +2016,21 @@ object LlmQueries {
          |       CAST(cluster_size * n_clusters AS BIGINT) AS n_docs,
          |       CAST(cluster_size * n_clusters AS DOUBLE) / CAST(n_total AS DOUBLE) AS frac_docs
          |FROM allh, tot""".stripMargin,
+    // mirrors Dedup.dfProfile: shingle df aggregate, binary-digit bucket,
+    // exact pair mass df*(df-1)/2 in HUGEINT
+    "dedup_df_profile" ->
+      s"""WITH sh AS ($Shingles),
+         |dfq AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY 1),
+         |b AS (SELECT CAST(length(bin(df)) - 1 AS BIGINT) AS bucket,
+         |             CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         |             CAST(SUM(df) AS BIGINT) AS n_postings,
+         |             SUM(CAST(df AS HUGEINT) * (df - 1) // 2) AS pm
+         |      FROM dfq GROUP BY 1),
+         |t AS (SELECT SUM(pm) AS t_pm FROM b)
+         |SELECT bucket, CAST(2 ** bucket AS BIGINT) AS min_df, n_shingles, n_postings,
+         |       CAST(pm AS DOUBLE) AS pair_mass,
+         |       CASE WHEN t_pm > 0 THEN CAST(pm AS DOUBLE) / CAST(t_pm AS DOUBLE) END AS pair_mass_share
+         |FROM b, t""".stripMargin,
     // mirrors Dedup.thresholdSweep (defaults 0.50..0.95 step 0.05): the
     // threshold-independent scored-pair frame probed cumulatively
     "dedup_threshold_sweep" ->
@@ -2154,6 +2178,20 @@ object LlmQueries {
          |  FROM embeddings q JOIN embeddings d ON q.vec_id < 5 AND d.vec_id != q.vec_id),
          |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM c)
          |SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= 5""".stripMargin,
+    // mirrors Similarity.knnMargin: the k=2 knn pivoted per query, margin
+    // as the one pinned double subtraction
+    "embed_knn_margin" ->
+      s"""WITH c AS (
+         |  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+         |         $CosineSql AS sim
+         |  FROM embeddings q JOIN embeddings d ON q.vec_id < 5 AND d.vec_id != q.vec_id),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM c)
+         |SELECT query_id,
+         |       MAX(CASE WHEN rank = 1 THEN neighbor_id END) AS top1_id,
+         |       MAX(CASE WHEN rank = 1 THEN sim END) AS top1_sim,
+         |       MAX(CASE WHEN rank = 2 THEN sim END) AS top2_sim,
+         |       MAX(CASE WHEN rank = 1 THEN sim END) - MAX(CASE WHEN rank = 2 THEN sim END) AS margin
+         |FROM r WHERE rank <= 2 GROUP BY 1""".stripMargin,
     // mirrors SimilarityIvf.ivfKnn(nLists=16, nProbe=4, k=5) step for step:
     // same md5 seed order, same sequential-fold dot products, same tie-breaks
     "embed_ivf_knn" ->

@@ -54,6 +54,61 @@ object TpchQueries {
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
     }),
+    // TPC-H Q5-style local-supplier volume: the join-heaviest plan in the
+    // suite — lineitem ⋈ orders ⋈ customer shuffle on their keys, supplier/
+    // nation/region broadcast, the customer-nation = supplier-nation
+    // colocation predicate applied as a post-join filter, and a timestamp
+    // range filter that must reach the orders scan (PushedFilters).
+    "q5_region_volume" -> ((s, dir) => {
+      val nation = broadcast(table(s, dir, "nation"))
+      val supplier = broadcast(table(s, dir, "supplier"))
+      val customer = table(s, dir, "customer")
+      val orders = table(s, dir, "orders")
+        .where(expr("o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' AND " +
+          "o_orderdate < TIMESTAMP '1998-01-01 00:00:00'"))
+      table(s, dir, "lineitem")
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(customer, col("o_custkey") === col("c_custkey"))
+        .join(supplier, col("l_suppkey") === col("s_suppkey"))
+        .where(col("c_nationkey") === col("s_nationkey"))
+        .join(nation, col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+          sum((col("l_extendedprice").cast("decimal(18,4)") *
+            (lit(1) - col("l_discount").cast("decimal(18,4)"))).cast("decimal(18,4)"))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+    // TPC-H Q12-style priority case aggregation: one fact-fact shuffle join
+    // + CASE counts — the urgent-shipments-by-returnflag monitoring shape.
+    "q12_priority" -> ((s, dir) => {
+      val orders = table(s, dir, "orders")
+      table(s, dir, "lineitem")
+        .where(expr("l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' AND " +
+          "l_shipdate < TIMESTAMP '1999-01-01 00:00:00'"))
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_count"),
+          count(lit(1)).as("n_lines"))
+    }),
+    // TPC-H Q9-flavor brand profit: lineitem ⋈ part — BOTH sides grow with
+    // SF (part is fact-sized at 100 TB), so this join is the suite's
+    // shuffle-join representative; no broadcast hint on purpose, AQE picks.
+    "q9_brand_profit" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .join(table(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+          sum((col("l_extendedprice").cast("decimal(18,4)") *
+            (lit(1) - col("l_discount").cast("decimal(18,4)"))).cast("decimal(18,4)"))
+            .cast("double").as("revenue"),
+          sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"),
+          countDistinct("l_partkey").as("n_parts"))
+    }),
     // Dimension chain broadcast join: nation -> region rollup of customers.
     "q_region_customers" -> ((s, dir) => {
       val region = broadcast(table(s, dir, "region"))
@@ -98,6 +153,37 @@ object TpchQueries {
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1""".stripMargin,
+    "q5_region_volume" ->
+      """SELECT n_name,
+        |       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |       COUNT(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE c_nationkey = s_nationkey
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1""".stripMargin,
+    "q12_priority" ->
+      """SELECT l_returnflag,
+        |       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count,
+        |       COUNT(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+        |GROUP BY 1""".stripMargin,
+    "q9_brand_profit" ->
+      """SELECT p_brand,
+        |       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |       COUNT(DISTINCT l_partkey) AS n_parts
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
         |GROUP BY 1""".stripMargin
   )
 }

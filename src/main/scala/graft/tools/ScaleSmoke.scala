@@ -489,6 +489,26 @@ object ScaleSmoke {
         docs.withColumn("source", (col("doc_id") % 40).cast("string")),
         maxDocFreq = 50L).count()
     }
+    t("reciprocity (reversed-key equi-join over the corpus-sized edge list)") {
+      val edges = docs.select(
+        concat(lit("d"), col("doc_id") % 499).as("src"),
+        concat(lit("d"), (col("doc_id") * 13 + 7) % 499).as("dst"))
+      graft.operators.Graph.reciprocity(edges).count()
+    }
+    t("lexicalDiversity (corpus-sized (doc, word) aggregate + doc rollup)") {
+      graft.operators.TextAnalysis.lexicalDiversity(docs).count()
+    }
+    t("langConfusion (row-wise langid + tiny cell aggregate)") {
+      graft.operators.TextAnalysis.langConfusion(
+        docs.withColumn("lang", (col("doc_id") % 4).cast("string"))).count()
+    }
+    t("listBalance (IVF assign + nLists-sized count)") {
+      graft.operators.SimilarityIvf.listBalance(emb, nLists = 64).count()
+    }
+    t("cusumDrift + activityHistogram (map-side counts, tiny downstream)") {
+      graft.operators.Anomaly.cusumDrift(ev, "event_type", "ts_ms").count()
+      graft.operators.Funnel.activityHistogram(ev).count()
+    }
     spark.stop()
   }
 }

@@ -97,6 +97,43 @@ class CorpusAuditSpec extends AnyFunSuite with SparkSpec {
       .where(col("is_drift") === 1L).isEmpty)
   }
 
+  // ---- Similarity.knnMargin ----
+
+  test("knnMargin: top1/top2 pivot, margin subtraction, single-candidate NULL") {
+    // query 0 against axis-aligned candidates: cos(0,1)=0 for orthogonal,
+    // 1.0 for parallel; candidate 3 is the near-parallel runner-up
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(2f, 0f, 0f, 0f)),   // parallel -> sim 1.0
+      (2L, Array(0f, 1f, 0f, 0f)),   // orthogonal -> 0.0
+      (3L, Array(1f, 1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val out = Similarity.knnMargin(vecs, vecs.where(col("vec_id") === 0)).collect()(0)
+    assert(out.getLong(1) == 1L && out.getDouble(2) == 1.0)
+    assert(math.abs(out.getDouble(4) - (1.0 - 1.0 / math.sqrt(2))) < 1e-12)
+    val two = vecs.where(col("vec_id") < 2)
+    val solo = Similarity.knnMargin(two, two.where(col("vec_id") === 0)).collect()(0)
+    assert(solo.getDouble(2) == 1.0 && solo.isNullAt(3) && solo.isNullAt(4))
+  }
+
+  // ---- Dedup.dfProfile ----
+
+  test("dfProfile: log2 bands, exact pair mass, shares partition 1") {
+    // 3 identical docs (every shingle df=3, bucket 1) + 1 unique doc
+    // (shingles df=1, bucket 0, pair mass 0)
+    val d = Seq(
+      (1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "alpha beta gamma delta"), (4L, "epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dfProfile(d).collect().map(r => r.getLong(0) -> r).toMap
+    // 2 distinct shingles per doc-text (4 words -> 2 word-3-grams)
+    assert(out(0L).getLong(2) == 2L && out(0L).getLong(3) == 2L
+      && out(0L).getDouble(4) == 0.0)
+    assert(out(1L).getLong(1) == 2L) // min_df = 2^1
+    assert(out(1L).getLong(2) == 2L && out(1L).getLong(3) == 6L)
+    assert(out(1L).getDouble(4) == 6.0) // 2 shingles x C(3,2)
+    assert(out(1L).getDouble(5) == 1.0) // all pair mass in band 1
+  }
+
   // ---- Funnel.activityHistogram ----
 
   test("activityHistogram: log2 buckets, min_events, and shares") {

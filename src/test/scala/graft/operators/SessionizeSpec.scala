@@ -134,4 +134,34 @@ class SessionizeSpec extends AnyFunSuite with SparkSpec {
     }
     assert(exchanges.length <= 2, s"expected <= 2 shuffles, got ${exchanges.length}")
   }
+
+  test("slidingCountsStream == batch slidingCounts on the same data (event counts)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val T = 1704067200000L // epoch-aligned hour
+    val fixture = Seq(
+      (1L, T, "a"), (2L, T + 1000L, "a"), (1L, T + 899999L, "a"), // same slide
+      (3L, T + 900000L, "a"),                                     // next slide
+      (1L, T + 3600000L, "b"), (1L, T + 5400000L, "b"))           // other key
+    val input = MemoryStream[(Long, Long, String)]
+    val streamDf = Sessionize.slidingCountsStream(
+      input.toDS().toDF("user_id", "ts_ms", "event_type"),
+      "event_type", "ts_ms")
+    val q = streamDf.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("sliding_test").start()
+    input.addData(fixture: _*)
+    q.processAllAvailable()
+    val stream = spark.table("sliding_test")
+      .select("event_type", "window_start", "n_events")
+      .as[(String, Long, Long)].collect().toSet
+    q.stop()
+    val batch = Sessionize.slidingCounts(
+      fixture.toDF("user_id", "ts_ms", "event_type"),
+      "event_type", "ts_ms", "user_id")
+      .select("event_type", "window_start", "n_events")
+      .as[(String, Long, Long)].collect().toSet
+    assert(stream == batch)
+    assert(batch.nonEmpty && batch.exists(_._3 > 1))
+  }
 }
