@@ -96,6 +96,13 @@ object PipelineQuickstart {
     println("keep-decision table (drop reasons by mask):")
     Curation.keepReasons(docs, history)
       .groupBy("fail_mask").count().orderBy("fail_mask").show()
+    // tune BEFORE committing: the shingle-df profile shows where the pair
+    // mass lives (the maxDocFreq cap evidence), the threshold sweep shows
+    // the dup-count knee — both ride frames the production run reuses
+    println("shingle-df profile (pair mass per log2 band):")
+    Dedup.dfProfile(cleanKept).orderBy("bucket").show()
+    println("jaccard threshold sweep (cumulative candidate pairs):")
+    Dedup.thresholdSweep(cleanKept).orderBy("threshold").show()
     val pairs = Dedup.ngramJaccard(cleanKept, threshold = 0.7).select("a", "b")
     val comps = Dedup.clusters(pairs)
     val dropped = comps.where(col("doc_id") =!= col("cluster_id")).select("doc_id")
@@ -103,6 +110,12 @@ object PipelineQuickstart {
     val deduped = cleanKept.join(dropped, Seq("doc_id"), "left_anti").cache()
     val nDeduped = deduped.count()
     println(s"after exact + near-dup dedup: $nDeduped")
+    // dedup post-mortem: where did the mass go, and what did each technique
+    // buy per source — the report that justifies the pipeline's dedup spend
+    println("near-dup cluster sizes (corpus mass per component size):")
+    Dedup.clusterSizes(docs).orderBy("cluster_size").show()
+    println("dedup savings per source (docs/tokens surviving exact vs near):")
+    Curation.dedupSavings(docs).orderBy("source").show(3)
 
     // 4. curate: per-language quality top-k, then a token budget per language
     val top = Curation.topKByLanguage(deduped, k = 100)
@@ -197,6 +210,18 @@ object PipelineQuickstart {
       ev, "user_id", "ts_ms", "event_id", "event_type")
     println(s"path-diversity tell: ${lowDiv.where(col("is_low_diversity") === 1L).count()} " +
       s"low-diversity users (gini)")
+    println("volume concentration (log2 activity bands):")
+    graft.operators.Funnel.activityHistogram(ev).orderBy("bucket").show()
+    println("RFM base (top 3 by monetary):")
+    graft.operators.Funnel.rfm(ev)
+      .orderBy(col("monetary").desc, col("user_id")).show(3)
+    println("A/B readout on the parity split (one-row report):")
+    graft.operators.Funnel.abReport(
+      ev.withColumn("variant",
+        when(col("user_id") % 2 === 0, "control").otherwise("treat")), "variant").show()
+    println("CUSUM drift days (slow-ramp detector; drift rows only):")
+    graft.operators.Anomaly.cusumDrift(ev, "event_type", "ts_ms")
+      .where(col("is_drift") === 1L).orderBy("event_type", "day").show(3)
 
     // 7. embedding health before any ANN index ships: column-level dim
     //    stats, row-level norm outliers, and IVF label purity
@@ -215,6 +240,12 @@ object PipelineQuickstart {
     graft.operators.Similarity.pcProjectionFrom(emb, pcFrame)
       .agg(min("proj").as("min"), expr("percentile_approx(proj, 0.5)").as("p50"),
         max("proj").as("max")).show()
+    println("IVF list balance (hottest 3 lists — probe-latency skew):")
+    graft.operators.SimilarityIvf.listBalance(emb)
+      .orderBy(col("load_factor").desc, col("list_id")).show(3)
+    println("kNN confidence margins (most ambiguous 3 probes):")
+    graft.operators.Similarity.knnMargin(emb, emb.where(col("vec_id") < 5))
+      .orderBy(col("margin"), col("query_id")).show(3)
 
     spark.stop()
   }

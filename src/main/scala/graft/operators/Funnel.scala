@@ -258,6 +258,81 @@ object Funnel {
    *
    * @return (bucket, min_events, n_users, n_events, user_share, event_share)
    */
+  /**
+   * RFM segmentation base — the classic commerce triple per user: Recency
+   * (days between the user's last conversion event and the corpus's last
+   * day — data-anchored, so the gate is deterministic at any scale factor),
+   * Frequency (conversion count), Monetary (exact-decimal value sum). The
+   * raw triple is the input every downstream segmentation (quintile grids,
+   * k-means tiers) starts from; quantile cuts are left to the caller
+   * because they need a corpus-wide rank pass this operator deliberately
+   * avoids.
+   *
+   * Scale: one filtered user-keyed aggregate (map-side combined) and a
+   * 1-row broadcast max-day anchor. No window, no join beyond the scalar.
+   *
+   * @return (user, last_day, recency_days, frequency, monetary)
+   */
+  def rfm(events: DataFrame, userCol: String = "user_id", tsMsCol: String = "ts_ms",
+          typeCol: String = "event_type", convType: String = "purchase",
+          valueCol: String = "value"): DataFrame = {
+    val day = expr(
+      s"$tsMsCol div 86400000 - (CASE WHEN $tsMsCol % 86400000 < 0 THEN 1 ELSE 0 END)")
+    val conv = events.where(col(typeCol) === convType)
+      .select(col(userCol), day.as("day"), col(valueCol))
+    val anchor = broadcast(conv.agg(max("day").as("anchor_day")))
+    conv.groupBy(col(userCol))
+      .agg(max("day").as("last_day"),
+        count(lit(1)).as("frequency"),
+        sum(col(valueCol).cast("decimal(18,6)")).cast("double").as("monetary"))
+      .crossJoin(anchor)
+      .select(col(userCol), col("last_day"),
+        (col("anchor_day") - col("last_day")).as("recency_days"),
+        col("frequency"), col("monetary"))
+  }
+
+  /**
+   * Two-variant experiment report — the A/B readout as ONE row: per-variant
+   * exposed-user and converted-user counts, conversion rates, absolute and
+   * relative lift, and the pooled two-proportion z statistic. The z formula
+   * is the standard pooled test, evaluated in ONE pinned double expression
+   * order (pooled rate from exact integers, then sqrt) so any engine
+   * reproduces it bit-for-bit; significance thresholds are the reader's
+   * call (1.96 ≈ 95%), not baked in.
+   *
+   * Scale: conversion is a per-user flag aggregate (user-keyed, map-side),
+   * variants collapse to a 2-row frame, and the report is a self-join of
+   * that tiny frame — nothing corpus-sized past the first aggregate.
+   *
+   * @param variantCol 2-valued column; rows with NULL variant are excluded
+   * @return one row: (n_a, conv_a, rate_a, n_b, conv_b, rate_b,
+   *         lift_abs, lift_rel, z_stat) where a/b = ascending variant order
+   */
+  def abReport(events: DataFrame, variantCol: String, userCol: String = "user_id",
+               typeCol: String = "event_type", convType: String = "purchase"): DataFrame = {
+    val perUser = events.where(col(variantCol).isNotNull)
+      .groupBy(col(variantCol).as("variant"), col(userCol))
+      .agg(max(when(col(typeCol) === convType, 1L).otherwise(0L)).as("converted"))
+    val perVariant = perUser.groupBy("variant")
+      .agg(count(lit(1)).as("n_users"), sum("converted").as("n_conv"))
+    val a = perVariant.orderBy("variant").limit(1)
+      .select(col("n_users").as("n_a"), col("n_conv").as("conv_a"))
+    val b = perVariant.orderBy(col("variant").desc).limit(1)
+      .select(col("n_users").as("n_b"), col("n_conv").as("conv_b"))
+    val rateA = col("conv_a").cast("double") / col("n_a").cast("double")
+    val rateB = col("conv_b").cast("double") / col("n_b").cast("double")
+    val pooled = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    val se = sqrt(pooled * (lit(1.0) - pooled) *
+      (lit(1.0) / col("n_a").cast("double") + lit(1.0) / col("n_b").cast("double")))
+    a.crossJoin(b)
+      .select(col("n_a"), col("conv_a"), rateA.as("rate_a"),
+        col("n_b"), col("conv_b"), rateB.as("rate_b"),
+        (rateB - rateA).as("lift_abs"),
+        when(rateA > 0, (rateB - rateA) / rateA).as("lift_rel"),
+        when(se > 0, (rateB - rateA) / se).as("z_stat"))
+  }
+
   def activityHistogram(events: DataFrame, userCol: String = "user_id"): DataFrame = {
     val perUser = events.groupBy(col(userCol)).agg(count(lit(1)).as("n"))
     val buckets = perUser

@@ -323,4 +323,53 @@ object TimeSeries {
         element_at(col("vs"),
           greatest(lit(1), ceil(lit(p) * size(col("vs"))).cast("int"))).as("value"))
   }
+
+  /**
+   * Seasonal-naive forecast error — the baseline every fancier forecaster
+   * must beat, turned into a per-series data-quality metric: each point is
+   * "predicted" by the point exactly `periodMs` earlier in the same series
+   * (the seasonal-naive model), and the series reports its matched-pair
+   * count, MAE, and MAPE. High seasonal error marks series that are NOT
+   * periodic at this period (alerting thresholds derived from daily
+   * seasonality will misfire on them); near-zero error marks strong
+   * periodicity worth exploiting in downsampling/retention choices.
+   *
+   * Exactness: absolute errors accumulate in DECIMAL(18,6) (the
+   * [[exactAggregator]] convention — low-scale source values), each
+   * division is a single double op. Only points with an exact-lag partner
+   * count; series with no partner rows are absent.
+   *
+   * Scale: ONE equi self-join on (metric, series, ts − period) — the lag
+   * lookup needs no window sort at all — then a series-keyed aggregate.
+   * Both sides shuffle on the same fine-grained key.
+   *
+   * @return (metric, series, n_pairs, mae, wmape) — wmape (weighted MAPE:
+   *         Σ|err| / Σ|actual|, the per-row-division-free industry form;
+   *         exact-decimal numerator AND denominator, one double division)
+   *         is NULL when the actuals sum to zero.
+   */
+  def seasonalError(points: DataFrame, periodMs: Long): DataFrame = {
+    require(periodMs > 0, "periodMs must be positive")
+    // accepts raw points (tags map -> series key) or an already-keyed frame
+    // (e.g. a downsample output with its `series` column and bucket grid —
+    // the usual input, since the exact-lag join wants a regular time grid)
+    val cur =
+      if (points.columns.contains("series"))
+        points.select(col("metric"), col("series"), col("ts"), col("value"))
+      else points.select(col("metric"), seriesKey(col("tags")).as("series"),
+        col("ts"), col("value"))
+    val prev = cur.select(col("metric"), col("series"),
+      (col("ts") + periodMs).as("ts"), col("value").as("prev_value"))
+    val err = (col("value").cast("decimal(18,6)") - col("prev_value").cast("decimal(18,6)"))
+    val absErr = abs(err).cast("decimal(18,6)")
+    cur.join(prev, Seq("metric", "series", "ts"))
+      .groupBy("metric", "series")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(absErr).cast("double").as("abs_err_sum"),
+        sum(abs(col("value").cast("decimal(18,6)"))).cast("double").as("abs_actual_sum"))
+      .select(col("metric"), col("series"), col("n_pairs"),
+        (col("abs_err_sum") / col("n_pairs").cast("double")).as("mae"),
+        when(col("abs_actual_sum") > 0, col("abs_err_sum") / col("abs_actual_sum"))
+          .as("wmape"))
+  }
 }

@@ -147,6 +147,19 @@ object ApiQueries {
           when(col("user_id") % 10 === 0, lit("ping")).otherwise(col("event_type")))
       Funnel.userPathGini(ev, "user_id", "ts_ms", "event_id", "event_type")
     }),
+    // RFM segmentation base per purchasing user, recency anchored to the
+    // data's own last conversion day (deterministic at any SF)
+    "events_rfm" -> ((s, dir) => {
+      val ev = Points.table(s, dir, "events").withColumn("ts_ms", expr("ts div 1000000"))
+      Funnel.rfm(ev)
+    }),
+    // one-row A/B readout on the planted parity split: exact counts, pinned
+    // pooled-z double expression
+    "events_ab_report" -> ((s, dir) => {
+      val ev = Points.table(s, dir, "events")
+        .withColumn("variant", when(col("user_id") % 2 === 0, "control").otherwise("treat"))
+      Funnel.abReport(ev, "variant")
+    }),
     // CUSUM drift over daily per-type volumes: exact integer prefix sums,
     // one pinned double deviation expression — the slow-ramp detector
     "events_cusum" -> ((s, dir) => {
@@ -638,6 +651,43 @@ object ApiQueries {
         |FROM events
         |WHERE TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) IS NOT NULL
         |GROUP BY 1, 2""".stripMargin,
+    // mirrors Funnel.rfm(convType=purchase)
+    "events_rfm" ->
+      """WITH conv AS (
+        |  SELECT user_id, epoch_ms(ts) // 86400000 AS day, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |anchor AS (SELECT MAX(day) AS anchor_day FROM conv),
+        |u AS (
+        |  SELECT user_id, MAX(day) AS last_day, CAST(COUNT(*) AS BIGINT) AS frequency,
+        |         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS monetary
+        |  FROM conv GROUP BY 1)
+        |SELECT user_id, last_day, anchor_day - last_day AS recency_days, frequency, monetary
+        |FROM u, anchor""".stripMargin,
+    // mirrors Funnel.abReport over the parity variant: per-user converted
+    // flags, 2-row variant rollup, one pinned pooled-z expression
+    "events_ab_report" ->
+      """WITH pu AS (
+        |  SELECT CASE WHEN user_id % 2 = 0 THEN 'control' ELSE 'treat' END AS variant,
+        |         user_id,
+        |         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+        |  FROM events GROUP BY 1, 2),
+        |v AS (SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |             CAST(SUM(converted) AS BIGINT) AS n_conv
+        |      FROM pu GROUP BY 1),
+        |a AS (SELECT n_users AS n_a, n_conv AS conv_a FROM v ORDER BY variant LIMIT 1),
+        |b AS (SELECT n_users AS n_b, n_conv AS conv_b FROM v ORDER BY variant DESC LIMIT 1),
+        |r AS (
+        |  SELECT *, CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
+        |            CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
+        |            CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS pooled
+        |  FROM a, b)
+        |SELECT n_a, conv_a, rate_a, n_b, conv_b, rate_b,
+        |       rate_b - rate_a AS lift_abs,
+        |       CASE WHEN rate_a > 0 THEN (rate_b - rate_a) / rate_a END AS lift_rel,
+        |       CASE WHEN sqrt(pooled * (1.0 - pooled) * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) > 0
+        |            THEN (rate_b - rate_a) / sqrt(pooled * (1.0 - pooled) * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+        |       END AS z_stat
+        |FROM r""".stripMargin,
     // mirrors Anomaly.cusumDrift(threshold=3): integer prefix sums + the
     // pinned cum_n - i*mean deviation expression
     "events_cusum" ->

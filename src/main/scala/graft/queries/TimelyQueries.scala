@@ -95,6 +95,11 @@ object TimelyQueries {
     // the bounded series-hour group, no corpus window
     "ts_downsample_p95" -> ((s, dir) =>
       TimeSeries.downsamplePercentile(points(s, dir), Hour, 0.95)),
+    // seasonal-naive error at a 24h period over the hourly-sum grid: one
+    // exact-lag equi join (no window), exact-decimal MAE/WMAPE numerators
+    "ts_seasonal_error" -> ((s, dir) =>
+      TimeSeries.seasonalError(
+        ds(s, dir, "sum").withColumnRenamed("bucket_ms", "ts"), 86400000L)),
     "meta_suggest" -> ((s, dir) => {
       // /api/suggest type=metrics: substring match + ordered limit
       // (reference DataStore.suggest, DataStore.java:528-580)
@@ -221,6 +226,29 @@ object TimelyQueries {
         |       CASE WHEN raw > 100 THEN 0 ELSE raw END AS rate
         |FROM r""".stripMargin,
     "ts_ewma" -> ewmaOracleSql(0.5, 8),
+    // mirrors seasonalError(24h) over the hourly exact-sum downsample: the
+    // sum values are <= 6dp decimals exactly representable as doubles, so
+    // the decimal re-cast in both engines is exact (no rounding ambiguity)
+    "ts_seasonal_error" ->
+      """WITH d AS (
+        |  SELECT event_type AS metric,
+        |         'user=' || CAST(user_id AS VARCHAR) AS series,
+        |         epoch_ms(ts) // 3600000 * 3600000 AS ts,
+        |         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value
+        |  FROM events GROUP BY 1, 2, 3),
+        |j AS (
+        |  SELECT c.metric, c.series, c.value, p.value AS prev_value
+        |  FROM d c JOIN d p ON c.metric = p.metric AND c.series = p.series
+        |                   AND c.ts = p.ts + 86400000),
+        |a AS (
+        |  SELECT metric, series, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |         CAST(SUM(abs(CAST(value AS DECIMAL(18,6)) - CAST(prev_value AS DECIMAL(18,6)))) AS DOUBLE) AS abs_err_sum,
+        |         CAST(SUM(abs(CAST(value AS DECIMAL(18,6)))) AS DOUBLE) AS abs_actual_sum
+        |  FROM j GROUP BY 1, 2)
+        |SELECT metric, series, n_pairs,
+        |       abs_err_sum / CAST(n_pairs AS DOUBLE) AS mae,
+        |       CASE WHEN abs_actual_sum > 0 THEN abs_err_sum / abs_actual_sum END AS wmape
+        |FROM a""".stripMargin,
     // mirrors downsamplePercentile(p=0.95): nearest-rank pick = smallest
     // value with rank >= ceil(0.95 * n) in the sorted bucket sample
     "ts_downsample_p95" ->

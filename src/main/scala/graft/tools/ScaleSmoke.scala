@@ -509,6 +509,20 @@ object ScaleSmoke {
       graft.operators.Anomaly.cusumDrift(ev, "event_type", "ts_ms").count()
       graft.operators.Funnel.activityHistogram(ev).count()
     }
+    t("rfm + abReport (user-keyed aggregates, scalar/2-row downstream)") {
+      graft.operators.Funnel.rfm(ev).count()
+      graft.operators.Funnel.abReport(
+        ev.withColumn("variant",
+          when(col("user_id") % 2 === 0, "control").otherwise("treat")),
+        "variant").count()
+    }
+    t("seasonalError (exact-lag self-join on the hourly downsample grid)") {
+      val pts = ev.groupBy(col("event_type").as("metric"),
+          concat(lit("user="), col("user_id") % 997).as("series"),
+          expr("ts_ms div 3600000 * 3600000").as("ts"))
+        .agg(sum(col("value").cast("decimal(18,6)")).cast("double").as("value"))
+      graft.operators.TimeSeries.seasonalError(pts, 86400000L).count()
+    }
     spark.stop()
   }
 }

@@ -134,6 +134,55 @@ class CorpusAuditSpec extends AnyFunSuite with SparkSpec {
     assert(out(1L).getDouble(5) == 1.0) // all pair mass in band 1
   }
 
+  // ---- Funnel.rfm / abReport ----
+
+  test("rfm: recency anchored to the data's last conversion day; non-converters absent") {
+    val day = 86400000L
+    val ev = Seq(
+      (1L, 0L, "purchase", 10.0), (1L, 5 * day, "purchase", 20.0),
+      (2L, 3 * day, "purchase", 7.5), (3L, 9 * day, "view", 1.0))
+      .toDF("user_id", "ts_ms", "event_type", "value")
+    val out = Funnel.rfm(ev).collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(1L, 2L)) // user 3 never purchased
+    assert(out(1L).getLong(2) == 0L && out(1L).getLong(3) == 2L && out(1L).getDouble(4) == 30.0)
+    assert(out(2L).getLong(2) == 2L && out(2L).getLong(3) == 1L && out(2L).getDouble(4) == 7.5)
+  }
+
+  test("abReport: hand-computed rates, lift, pooled z on a planted split") {
+    // control: users 0,2 (1 converts); treat: users 1,3 (2 convert)
+    val ev = Seq(
+      (0L, "purchase"), (2L, "view"), (1L, "purchase"), (3L, "purchase"),
+      (0L, "view"), (1L, "view"))
+      .map { case (u, t) => (u, t, 0L) }.toDF("user_id", "event_type", "ts_ms")
+      .withColumn("variant", when(col("user_id") % 2 === 0, "control").otherwise("treat"))
+    val r = Funnel.abReport(ev, "variant").collect()(0)
+    assert(r.getLong(0) == 2L && r.getLong(1) == 1L && r.getDouble(2) == 0.5)
+    assert(r.getLong(3) == 2L && r.getLong(4) == 2L && r.getDouble(5) == 1.0)
+    assert(r.getDouble(6) == 0.5)           // lift_abs
+    assert(r.getDouble(7) == 1.0)           // lift_rel
+    val pooled = 3.0 / 4.0
+    val se = math.sqrt(pooled * (1 - pooled) * (0.5 + 0.5))
+    assert(math.abs(r.getDouble(8) - 0.5 / se) < 1e-12)
+  }
+
+  // ---- TimeSeries.seasonalError ----
+
+  test("seasonalError: exact-lag pairs only, MAE/WMAPE, zero-actual NULL") {
+    val p = 1000L
+    val pts = Seq(
+      ("m", "s", 0L, 2.0), ("m", "s", p, 3.0), ("m", "s", 2 * p, 1.0),
+      ("m", "s", 3 * p + 1, 9.0), // off-grid: no partner either way
+      ("m", "z", 0L, 0.0), ("m", "z", p, 0.0))
+      .toDF("metric", "series", "ts", "value")
+    val out = TimeSeries.seasonalError(pts, p).collect()
+      .map(r => r.getString(1) -> r).toMap
+    val s = out("s") // pairs: (3,2), (1,3) -> abs errs 1, 2; actuals 3, 1
+    assert(s.getLong(2) == 2L && s.getDouble(3) == 1.5)
+    assert(s.getDouble(4) == 3.0 / 4.0)
+    val z = out("z") // one pair of zeros: mae 0, wmape NULL
+    assert(z.getLong(2) == 1L && z.getDouble(3) == 0.0 && z.isNullAt(4))
+  }
+
   // ---- Funnel.activityHistogram ----
 
   test("activityHistogram: log2 buckets, min_events, and shares") {
