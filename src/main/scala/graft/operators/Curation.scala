@@ -755,6 +755,37 @@ object Curation {
    *         near_savings) — savings are token fractions removed, one
    *         exact-integer division each.
    */
+  /**
+   * Packing-efficiency report over [[packSequences]]'s layout — the
+   * throughput audit a training run does before committing a context
+   * length: per shard, how many packs the token stream fills, the fill
+   * rate of the allocated pack space (the tail pack's padding is the only
+   * waste in concat-and-chunk), and how many documents straddle a pack
+   * boundary (the fraction whose attention span gets cut — the cost side
+   * of NOT padding per-document). Both numbers move with `ctxLen`; this
+   * report is how the trade gets chosen.
+   *
+   * Scale: rides [[packSequences]] (per-shard running sum), then ONE
+   * shard-keyed aggregate — exact integers, two double divisions.
+   *
+   * @return (shard, n_docs, n_tokens, n_packs, fill_rate, n_split_docs,
+   *         split_frac)
+   */
+  def packStats(docs: DataFrame, ctxLen: Long = 2048L, nShards: Int = 8): DataFrame =
+    packSequences(docs, ctxLen, nShards)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        count(when(col("pack_offset") + col("n_tokens") > ctxLen, 1)).as("n_split_docs"))
+      .select(col("shard"), col("n_docs"), col("n_tokens"),
+        expr(s"CAST((n_tokens + ${ctxLen - 1}) div $ctxLen AS BIGINT)").as("n_packs"),
+        col("n_split_docs"))
+      .select(col("shard"), col("n_docs"), col("n_tokens"), col("n_packs"),
+        (col("n_tokens").cast("double") / (col("n_packs") * ctxLen).cast("double"))
+          .as("fill_rate"),
+        col("n_split_docs"),
+        (col("n_split_docs").cast("double") / col("n_docs").cast("double")).as("split_frac"))
+
   def dedupSavings(docs: DataFrame, threshold: Double = 0.7,
                    maxDocFreq: Long = Long.MaxValue): DataFrame = {
     val base = docs.select(col("doc_id"), col("source"),

@@ -348,6 +348,48 @@ object TimeSeries {
    *         exact-decimal numerator AND denominator, one double division)
    *         is NULL when the actuals sum to zero.
    */
+  /**
+   * Series GAP report — the TSDB data-quality audit behind every "why did
+   * my alert not fire" incident: per series, the observed point count,
+   * span, largest inter-arrival gap, and grid coverage at `periodMs`
+   * (distinct occupied buckets over the buckets the span should contain).
+   * Low coverage or a large max gap marks series whose downsampled views
+   * silently interpolate over holes — exactly what retention policies and
+   * alert thresholds need to know before trusting a series.
+   *
+   * Scale: one per-series lag window (partitioned on the fine-grained
+   * (metric, series) key — the [[rate]] shape) feeding one aggregate;
+   * coverage is exact-integer counts with one double division. Single-point
+   * series report NULL max_gap and full coverage of their 1-bucket span.
+   *
+   * @return (metric, series, n_points, first_ts, last_ts, span_ms,
+   *         max_gap_ms, n_buckets, expected_buckets, coverage)
+   */
+  def gapReport(points: DataFrame, periodMs: Long): DataFrame = {
+    require(periodMs > 0, "periodMs must be positive")
+    val keyed =
+      if (points.columns.contains("series"))
+        points.select(col("metric"), col("series"), col("ts"))
+      else points.select(col("metric"), seriesKey(col("tags")).as("series"), col("ts"))
+    val w = Window.partitionBy("metric", "series").orderBy("ts")
+    keyed
+      .withColumn("gap", col("ts") - lag(col("ts"), 1).over(w))
+      .groupBy("metric", "series")
+      .agg(count(lit(1)).as("n_points"),
+        min("ts").as("first_ts"), max("ts").as("last_ts"),
+        max("gap").as("max_gap_ms"),
+        countDistinct(bucket(col("ts"), periodMs)).as("n_buckets"))
+      .select(col("metric"), col("series"), col("n_points"),
+        col("first_ts"), col("last_ts"),
+        (col("last_ts") - col("first_ts")).as("span_ms"),
+        col("max_gap_ms"), col("n_buckets"),
+        ((col("last_ts") - col("last_ts") % periodMs
+          - (col("first_ts") - col("first_ts") % periodMs)) / periodMs + 1)
+          .cast("long").as("expected_buckets"))
+      .withColumn("coverage",
+        col("n_buckets").cast("double") / col("expected_buckets").cast("double"))
+  }
+
   def seasonalError(points: DataFrame, periodMs: Long): DataFrame = {
     require(periodMs > 0, "periodMs must be positive")
     // accepts raw points (tags map -> series key) or an already-keyed frame

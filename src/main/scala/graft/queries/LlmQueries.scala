@@ -171,6 +171,10 @@ object LlmQueries {
       graft.operators.Curation.dupReport(planted)
     }),
     "curate_token_budget" -> ((s, dir) => graft.operators.Curation.tokenBudget(docs(s, dir), 20000L)),
+    // packing-efficiency readout over the curate_pack layout: per-shard
+    // fill rate + boundary-straddling doc fraction — the ctxLen trade view
+    "curate_pack_stats" -> ((s, dir) =>
+      graft.operators.Curation.packStats(docs(s, dir), ctxLen = 256L, nShards = 8)),
     // dedup cost-benefit per source: docs/tokens surviving exact vs
     // near-dup (keep-list) dedup measured INDEPENDENTLY, planted byte-dups
     // (every 5th doc re-sourced) so the exact column has real signal
@@ -1785,6 +1789,29 @@ object LlmQueries {
         |       COUNT(*) - COUNT(DISTINCT md5(COALESCE(text, ''))) AS n_dup_docs,
         |       CAST(COUNT(*) - COUNT(DISTINCT md5(COALESCE(text, ''))) AS DOUBLE) / COUNT(*) AS dup_rate
         |FROM d GROUP BY 1""".stripMargin,
+    // mirrors Curation.packStats over the curate_pack layout (ctxLen=256)
+    "curate_pack_stats" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |         md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |         CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY h, doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+        |  FROM t),
+        |a AS (
+        |  SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+        |         CAST(SUM(CASE WHEN start % 256 + n_tokens > 256 THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs
+        |  FROM s GROUP BY 1)
+        |SELECT shard, n_docs, n_tokens,
+        |       (n_tokens + 255) // 256 AS n_packs,
+        |       CAST(n_tokens AS DOUBLE) / CAST(((n_tokens + 255) // 256) * 256 AS DOUBLE) AS fill_rate,
+        |       n_split_docs,
+        |       CAST(n_split_docs AS DOUBLE) / CAST(n_docs AS DOUBLE) AS split_frac
+        |FROM a""".stripMargin,
     // mirrors Curation.dedupSavings over the mirror-planted corpus: exact
     // survivors = min doc_id per md5; near survivors = jaccard keep-list
     "curate_dedup_savings" ->

@@ -100,6 +100,10 @@ object TimelyQueries {
     "ts_seasonal_error" -> ((s, dir) =>
       TimeSeries.seasonalError(
         ds(s, dir, "sum").withColumnRenamed("bucket_ms", "ts"), 86400000L)),
+    // per-series sampling-gap audit: max inter-arrival gap + 1h-grid
+    // coverage — the "can this series be trusted by alerts" report
+    "ts_gap_report" -> ((s, dir) =>
+      TimeSeries.gapReport(points(s, dir), Hour)),
     "meta_suggest" -> ((s, dir) => {
       // /api/suggest type=metrics: substring match + ordered limit
       // (reference DataStore.suggest, DataStore.java:528-580)
@@ -248,6 +252,27 @@ object TimelyQueries {
         |SELECT metric, series, n_pairs,
         |       abs_err_sum / CAST(n_pairs AS DOUBLE) AS mae,
         |       CASE WHEN abs_actual_sum > 0 THEN abs_err_sum / abs_actual_sum END AS wmape
+        |FROM a""".stripMargin,
+    // mirrors gapReport(1h): per-series lag gaps + distinct-bucket coverage
+    "ts_gap_report" ->
+      """WITH p AS (
+        |  SELECT event_type AS metric,
+        |         'user=' || CAST(user_id AS VARCHAR) AS series,
+        |         epoch_ms(ts) AS ts,
+        |         epoch_ms(ts) - LAG(epoch_ms(ts)) OVER (PARTITION BY event_type, user_id
+        |             ORDER BY epoch_ms(ts)) AS gap
+        |  FROM events),
+        |a AS (
+        |  SELECT metric, series, CAST(COUNT(*) AS BIGINT) AS n_points,
+        |         MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+        |         MAX(gap) AS max_gap_ms,
+        |         CAST(COUNT(DISTINCT ts - ts % 3600000) AS BIGINT) AS n_buckets
+        |  FROM p GROUP BY 1, 2)
+        |SELECT metric, series, n_points, first_ts, last_ts,
+        |       last_ts - first_ts AS span_ms, max_gap_ms, n_buckets,
+        |       ((last_ts - last_ts % 3600000) - (first_ts - first_ts % 3600000)) // 3600000 + 1 AS expected_buckets,
+        |       CAST(n_buckets AS DOUBLE) /
+        |         CAST(((last_ts - last_ts % 3600000) - (first_ts - first_ts % 3600000)) // 3600000 + 1 AS DOUBLE) AS coverage
         |FROM a""".stripMargin,
     // mirrors downsamplePercentile(p=0.95): nearest-rank pick = smallest
     // value with rank >= ceil(0.95 * n) in the sorted bucket sample

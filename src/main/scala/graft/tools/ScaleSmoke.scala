@@ -516,6 +516,12 @@ object ScaleSmoke {
           when(col("user_id") % 2 === 0, "control").otherwise("treat")),
         "variant").count()
     }
+    t("gapReport + packStats (per-series lag window; per-shard pack rollup)") {
+      val pts = ev.select(col("event_type").as("metric"),
+        concat(lit("user="), col("user_id") % 997).as("series"), col("ts_ms").as("ts"))
+      graft.operators.TimeSeries.gapReport(pts, 3600000L).count()
+      graft.operators.Curation.packStats(docs, ctxLen = 2048L, nShards = 64).count()
+    }
     t("seasonalError (exact-lag self-join on the hourly downsample grid)") {
       val pts = ev.groupBy(col("event_type").as("metric"),
           concat(lit("user="), col("user_id") % 997).as("series"),

@@ -183,6 +183,36 @@ class CorpusAuditSpec extends AnyFunSuite with SparkSpec {
     assert(z.getLong(2) == 1L && z.getDouble(3) == 0.0 && z.isNullAt(4))
   }
 
+  // ---- TimeSeries.gapReport / Curation.packStats ----
+
+  test("gapReport: max gap, bucket coverage, single-point series") {
+    val p = 3600000L
+    val pts = Seq(
+      ("m", "s", 0L, 1.0), ("m", "s", 1000L, 1.0),      // same bucket
+      ("m", "s", 3 * p, 1.0),                            // skips buckets 1-2
+      ("m", "z", 42L, 1.0))                              // single point
+      .toDF("metric", "series", "ts", "value")
+    val out = TimeSeries.gapReport(pts, p).collect().map(r => r.getString(1) -> r).toMap
+    val s = out("s")
+    assert(s.getLong(2) == 3L && s.getLong(6) == 3 * p - 1000L) // max gap
+    assert(s.getLong(7) == 2L && s.getLong(8) == 4L)            // 2 of 4 buckets
+    assert(s.getDouble(9) == 0.5)
+    val z = out("z")
+    assert(z.getLong(2) == 1L && z.isNullAt(6) && z.getDouble(9) == 1.0)
+  }
+
+  test("packStats: fill rate and boundary-straddling fraction, hand grid") {
+    // one shard (nShards=1), ctxLen=10; docs of 4,4,4 tokens -> starts 0,4,8
+    // (md5-order dependent) — totals are order-free: 12 tokens, 2 packs,
+    // fill 0.6; exactly one doc straddles the 10-token boundary
+    val d = Seq((1L, "a b c d"), (2L, "e f g h"), (3L, "i j k l"))
+      .toDF("doc_id", "text")
+    val r = Curation.packStats(d, ctxLen = 10L, nShards = 1).collect()(0)
+    assert(r.getLong(1) == 3L && r.getLong(2) == 12L && r.getLong(3) == 2L)
+    assert(r.getDouble(4) == 0.6)
+    assert(r.getLong(5) == 1L && math.abs(r.getDouble(6) - 1.0 / 3) < 1e-15)
+  }
+
   // ---- Funnel.activityHistogram ----
 
   test("activityHistogram: log2 buckets, min_events, and shares") {

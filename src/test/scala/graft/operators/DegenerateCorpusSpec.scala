@@ -259,4 +259,48 @@ class DegenerateCorpusSpec extends AnyFunSuite with SparkSpec {
     val knn = Similarity.rpKnn(tiny, tiny.where(col("vec_id") === 0L), k = 5, outDim = 4, dim = 8)
     assert(knn.count() == 3)
   }
+
+  test("session-5 operators survive degenerate inputs") {
+    // lexicalDiversity: every doc gets a row; "" and NULL are one empty token
+    val ld = TextAnalysis.lexicalDiversity(nasty).collect().map(r => r.getLong(0) -> r).toMap
+    assert(ld.size == 9 && ld(1L).getLong(1) == 1L && ld(8L).getLong(1) == 1L)
+    assert(ld(6L).getDouble(4) == 1.0) // 10k-char single word: one type
+    // langConfusion: degenerate docs fall to the tie-break guess, rates defined
+    val lc = TextAnalysis.langConfusion(nastyFull).collect()
+    assert(lc.map(_.getLong(2)).sum == 9L && lc.forall(_.getDouble(4) > 0.0))
+    // dfProfile / thresholdSweep / clusterSizes / dedupSavings: no throw on a
+    // corpus where most docs have no shingle at all
+    assert(Dedup.dfProfile(nasty).collect().forall(_.getLong(2) > 0L))
+    assert(Dedup.thresholdSweep(nasty).count() == 10)
+    val cs = Dedup.clusterSizes(nasty).collect()
+    assert(cs.map(r => r.getLong(2)).sum == 9L) // every doc accounted
+    val sav = Curation.dedupSavings(nastyFull).collect()(0)
+    assert(sav.getLong(1) == 9L && sav.getLong(3) >= 1L)
+    // linkPredict/reciprocity: empty and self-loop-only graphs yield empty
+    val noEdges = Seq.empty[(String, String)].toDF("src", "dst")
+    assert(Graph.linkPredict(noEdges).count() == 0)
+    assert(Graph.reciprocity(Seq(("A", "A")).toDF("src", "dst")).count() == 0)
+    // slidingCounts / cusumDrift / activityHistogram / rfm / abReport on
+    // empty events: empty output, no throw
+    val noEv = Seq.empty[(Long, Long, String)].toDF("user_id", "ts_ms", "event_type")
+    assert(Sessionize.slidingCounts(noEv, "event_type", "ts_ms", "user_id").count() == 0)
+    assert(Anomaly.cusumDrift(noEv, "event_type", "ts_ms").count() == 0)
+    assert(Funnel.activityHistogram(noEv.withColumnRenamed("ts_ms", "x")).count() == 0)
+    assert(Funnel.rfm(noEv.withColumn("value", lit(1.0))).count() == 0)
+    // abReport with a single variant present: the a/b sides coincide, z NULL
+    val oneVar = Seq((1L, 0L, "purchase")).toDF("user_id", "ts_ms", "event_type")
+      .withColumn("variant", lit("only"))
+    val ab = Funnel.abReport(oneVar, "variant").collect()(0)
+    assert(ab.getLong(0) == 1L && ab.getLong(3) == 1L && ab.isNullAt(8))
+    // seasonalError: single-point series have no lag partner -> absent
+    val onePt = Seq(("m", "s", 0L, 1.0)).toDF("metric", "series", "ts", "value")
+    assert(TimeSeries.seasonalError(onePt, 1000L).count() == 0)
+    // downsamplePercentile: empty input; NULL-free single bucket
+    val noPts = Seq.empty[(String, Map[String, String], Long, Double)]
+      .toDF("metric", "tags", "ts", "value")
+    assert(TimeSeries.downsamplePercentile(noPts, 1000L, 0.5).count() == 0)
+    // knnMargin: empty corpus beyond the query itself -> no row for the query
+    val solo = Seq((0L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    assert(Similarity.knnMargin(solo, solo).count() == 0)
+  }
 }
