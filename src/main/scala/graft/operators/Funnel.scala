@@ -333,6 +333,42 @@ object Funnel {
         when(se > 0, (rateB - rateA) / se).as("z_stat"))
   }
 
+  /**
+   * DAU / rolling-MAU stickiness — the engagement ratio product teams watch
+   * daily: per day, distinct active users that day (DAU), distinct users
+   * active in the trailing `windowDays` window (MAU), and their ratio. The
+   * rolling distinct is computed EXACTLY by the [[graft.operators
+   * .Sessionize.slidingCounts]] trick: each (user, day) activity row
+   * explodes into the `windowDays` window-END days it counts toward, then
+   * one distinct aggregate per (end day, user) — no per-day window scan,
+   * no approximate sketch silently standing in for the metric. (At extreme
+   * scale the explode factor IS the cost — swap in
+   * `approx_count_distinct` consciously, with its error contract, not
+   * here by default.)
+   *
+   * Days with no activity of their own don't appear (DAU would be 0);
+   * window-end days before the first full window still report their
+   * partial window, as every dashboard does.
+   *
+   * @return (day, dau, mau, stickiness) — stickiness = dau/mau in (0, 1].
+   */
+  def stickiness(events: DataFrame, userCol: String = "user_id",
+                 tsMsCol: String = "ts_ms", windowDays: Int = 28): DataFrame = {
+    require(windowDays >= 1 && windowDays <= 92, "windowDays in [1, 92]")
+    val day = expr(
+      s"$tsMsCol div 86400000 - (CASE WHEN $tsMsCol % 86400000 < 0 THEN 1 ELSE 0 END)")
+    val activity = events.select(col(userCol).as("user"), day.as("day")).distinct()
+    val dau = activity.groupBy("day").agg(count(lit(1)).as("dau"))
+    val mau = activity
+      .select(col("user"), explode(sequence(lit(0), lit(windowDays - 1))).as("i"),
+        col("day"))
+      .select(col("user"), (col("day") + col("i")).as("day"))
+      .groupBy("day").agg(countDistinct("user").as("mau"))
+    dau.join(mau, "day")
+      .select(col("day"), col("dau"), col("mau"),
+        (col("dau").cast("double") / col("mau").cast("double")).as("stickiness"))
+  }
+
   def activityHistogram(events: DataFrame, userCol: String = "user_id"): DataFrame = {
     val perUser = events.groupBy(col(userCol)).agg(count(lit(1)).as("n"))
     val buckets = perUser

@@ -420,6 +420,43 @@ object Graph {
    *         as one exact-integer division; existing edges excluded.
    */
   /**
+   * k-hop BFS reachability histogram from a seed set — the crawl-frontier /
+   * influence-radius view the fixed-point family (PageRank's stationary
+   * mass, components' final partition) cannot give: per seed, how many
+   * nodes are FIRST reached at each hop distance ≤ `maxHops`, following
+   * out-edges. A mirror network shows its fanout collapsing by hop 2; a
+   * healthy crawl keeps discovering. Also the "blast radius" primitive for
+   * takedown/poisoning impact questions.
+   *
+   * Scale: classic synchronous frontier expansion — per hop, ONE join of
+   * the current reach frame against the (pre-deduped) edge list on the
+   * node key plus a min-hop aggregate; lineage cut per hop (the frame is
+   * referenced twice next round). The reach frame is bounded by
+   * |seeds|·|V|, the practical cap being maxHops (default 3) — this is
+   * the bounded-depth BFS, not transitive closure.
+   *
+   * @return (seed, hops, n_nodes) — hops 0 is the seed itself; only
+   *         non-empty levels appear.
+   */
+  def khopReach(edges: DataFrame, seeds: DataFrame, maxHops: Int = 3): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 8, "maxHops in [1, 8] (bounded-depth BFS)")
+    val e = edges.select(col("src"), col("dst"))
+      .where(col("src") =!= col("dst") && col("src").isNotNull && col("dst").isNotNull)
+      .distinct().localCheckpoint(false)
+    var reach = seeds.select(col("domain").as("seed"),
+      col("domain").as("node"), lit(0L).as("hops"))
+    for (h <- 1 to maxHops) {
+      val frontier = reach.where(col("hops") === (h - 1))
+        .join(e, col("node") === col("src"))
+        .select(col("seed"), col("dst").as("node"), lit(h.toLong).as("hops"))
+      reach = reach.unionByName(frontier)
+        .groupBy("seed", "node").agg(min("hops").as("hops"))
+        .localCheckpoint(false)
+    }
+    reach.groupBy("seed", "hops").agg(count(lit(1)).as("n_nodes"))
+  }
+
+  /**
    * Directed-graph reciprocity per node — the mutual-linking fingerprint the
    * undirected family (triangles, assortativity) erases: for each node, out-
    * and in-degree over the simple directed graph (self loops and duplicate

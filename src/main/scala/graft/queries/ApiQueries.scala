@@ -147,6 +147,12 @@ object ApiQueries {
           when(col("user_id") % 10 === 0, lit("ping")).otherwise(col("event_type")))
       Funnel.userPathGini(ev, "user_id", "ts_ms", "event_id", "event_type")
     }),
+    // DAU / rolling-28d-MAU stickiness: exact rolling distinct via the
+    // (user, day) explode onto window-end days — no sketch, no day scan
+    "events_stickiness" -> ((s, dir) => {
+      val ev = Points.table(s, dir, "events").withColumn("ts_ms", expr("ts div 1000000"))
+      Funnel.stickiness(ev)
+    }),
     // RFM segmentation base per purchasing user, recency anchored to the
     // data's own last conversion day (deterministic at any SF)
     "events_rfm" -> ((s, dir) => {
@@ -651,6 +657,16 @@ object ApiQueries {
         |FROM events
         |WHERE TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) IS NOT NULL
         |GROUP BY 1, 2""".stripMargin,
+    // mirrors Funnel.stickiness(28d): (user, day) activity exploded onto
+    // the window-end days, exact distinct per end day
+    "events_stickiness" ->
+      """WITH a AS (SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
+        |dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM a GROUP BY 1),
+        |m AS (SELECT user_id, day + i AS day FROM a, UNNEST(range(0, 28)) AS t(i)),
+        |mau AS (SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau FROM m GROUP BY 1)
+        |SELECT dau.day, dau.dau, mau.mau,
+        |       CAST(dau.dau AS DOUBLE) / CAST(mau.mau AS DOUBLE) AS stickiness
+        |FROM dau JOIN mau USING (day)""".stripMargin,
     // mirrors Funnel.rfm(convType=purchase)
     "events_rfm" ->
       """WITH conv AS (

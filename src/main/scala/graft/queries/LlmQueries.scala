@@ -602,6 +602,13 @@ object LlmQueries {
     // paid-link-ring tell the undirected family erases
     "graph_reciprocity" -> ((s, dir) =>
       graft.operators.Graph.reciprocity(plantedEdges(docs(s, dir), full = true))),
+    // 3-hop BFS reachability histogram from the trustrank seed pair:
+    // synchronous frontier expansion, min-hop levels — the blast-radius view
+    "graph_khop" -> ((s, dir) => {
+      val seeds = docs(s, dir).sparkSession.range(2)
+        .select(concat(lit("site"), col("id").cast("string")).as("domain"))
+      graft.operators.Graph.khopReach(plantedEdges(docs(s, dir), full = true), seeds)
+    }),
     // degree assortativity: Pearson over endpoint degrees, both
     // orientations — exact DECIMAL moment sums, one pinned double formula;
     // the one-number structural fingerprint per crawl snapshot
@@ -3070,6 +3077,25 @@ object LlmQueries {
         |       CAST(COALESCE(r.n_recip, 0) AS DOUBLE) /
         |         CAST(NULLIF(n.out_deg, 0) AS DOUBLE) AS recip_rate
         |FROM n LEFT JOIN recip r ON n.node = r.node""".stripMargin,
+    // mirrors Graph.khopReach(maxHops=3): distinct-triple recursion bounded
+    // at depth 3, min-hop levels
+    "graph_khop" ->
+      """WITH RECURSIVE raw AS (
+        |  SELECT 'site' || CAST(doc_id % 7 AS VARCHAR) AS src, 'cdn' || CAST(doc_id % 3 AS VARCHAR) AS dst FROM documents
+        |  UNION ALL SELECT 'cdn' || CAST(doc_id % 3 AS VARCHAR), 'site' || CAST(doc_id % 5 AS VARCHAR) FROM documents
+        |  UNION ALL SELECT 'site' || CAST(doc_id % 7 AS VARCHAR), 'site' || CAST((doc_id + 3) % 7 AS VARCHAR) FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL SELECT 'site' || CAST(doc_id % 7 AS VARCHAR), 'sink' FROM documents WHERE doc_id % 11 = 0),
+        |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw
+        |     WHERE src != dst AND src IS NOT NULL AND dst IS NOT NULL),
+        |seeds AS (SELECT 'site0' AS domain UNION ALL SELECT 'site1'),
+        |walk(seed, node, hops) AS (
+        |  SELECT domain, domain, CAST(0 AS BIGINT) FROM seeds
+        |  UNION
+        |  SELECT w.seed, e.dst, w.hops + 1 FROM walk w JOIN e ON w.node = e.src
+        |  WHERE w.hops < 3),
+        |d AS (SELECT seed, node, MIN(hops) AS hops FROM walk GROUP BY 1, 2)
+        |SELECT seed, hops, CAST(COUNT(*) AS BIGINT) AS n_nodes
+        |FROM d GROUP BY 1, 2""".stripMargin,
     "graph_trustrank" -> pageRankOracleSql(seedsSql =
       Some("SELECT 'site0' AS domain UNION ALL SELECT 'site1' AS domain")),
     "graph_hits" -> hitsOracleSql(),

@@ -516,6 +516,14 @@ object ScaleSmoke {
           when(col("user_id") % 2 === 0, "control").otherwise("treat")),
         "variant").count()
     }
+    t("khopReach + stickiness (frontier BFS; (user, day) window-end explode)") {
+      val edges = docs.select(
+        concat(lit("d"), col("doc_id") % 499).as("src"),
+        concat(lit("d"), (col("doc_id") * 13 + 7) % 499).as("dst"))
+      val seeds = spark.range(4).select(concat(lit("d"), col("id")).as("domain"))
+      graft.operators.Graph.khopReach(edges, seeds, maxHops = 3).count()
+      graft.operators.Funnel.stickiness(ev).count()
+    }
     t("gapReport + packStats (per-series lag window; per-shard pack rollup)") {
       val pts = ev.select(col("event_type").as("metric"),
         concat(lit("user="), col("user_id") % 997).as("series"), col("ts_ms").as("ts"))

@@ -97,6 +97,32 @@ class CorpusAuditSpec extends AnyFunSuite with SparkSpec {
       .where(col("is_drift") === 1L).isEmpty)
   }
 
+  // ---- Graph.khopReach / Funnel.stickiness ----
+
+  test("khopReach: BFS levels, min-hop on diamonds, cycles don't re-add") {
+    val edges = Seq(("A", "B"), ("A", "C"), ("B", "D"), ("C", "D"), ("D", "A"))
+      .toDF("src", "dst")
+    val seeds = Seq("A").toDF("domain")
+    val out = Graph.khopReach(edges, seeds, maxHops = 3).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    // level 0: A; level 1: B, C; level 2: D (once, min-hop); cycle back to A ignored
+    assert(out == Map(0L -> 1L, 1L -> 2L, 2L -> 1L))
+    val shallow = Graph.khopReach(edges, seeds, maxHops = 1).collect()
+      .map(r => r.getLong(1)).toSet
+    assert(shallow == Set(0L, 1L))
+  }
+
+  test("stickiness: exact rolling distinct over the window-end explode") {
+    val day = 86400000L
+    val ev = Seq((1L, 0L), (1L, day), (2L, 0L), (1L, 100L)) // u1 days 0,1; u2 day 0
+      .map { case (u, t) => (u, t, "x") }.toDF("user_id", "ts_ms", "event_type")
+    val out = Funnel.stickiness(ev, windowDays = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(0L) == ((2L, 2L, 1.0)))
+    assert(out(1L) == ((1L, 2L, 0.5))) // dau u1; mau {u1, u2} from day 0-1
+    assert(!out.contains(2L))          // no activity that day -> no row
+  }
+
   // ---- Similarity.knnMargin ----
 
   test("knnMargin: top1/top2 pivot, margin subtraction, single-candidate NULL") {
