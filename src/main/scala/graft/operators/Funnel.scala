@@ -334,6 +334,48 @@ object Funnel {
   }
 
   /**
+   * Time-to-convert distribution — how long between the last touch and the
+   * conversion it preceded, as a log2-banded histogram: the latency view
+   * [[attributionMulti]]'s credit split doesn't carry (credits say WHO,
+   * this says HOW FAST), and the input every attribution-window choice
+   * (the 7-day lookback) should be derived from rather than guessed.
+   *
+   * Per conversion event, delay = its timestamp minus the same user's most
+   * recent PRIOR touch (click/view), computed with a carry-forward max
+   * window per user — the [[graft.operators.Sessionize]] shape, one
+   * user-keyed sort, no events×events join. Conversions with no prior
+   * touch land in the `no_touch` bucket (-1). Log2 banding is the integer
+   * digit-count trick ([[activityHistogram]]) — no float log.
+   *
+   * @return (delay_bucket, min_delay_ms, n_conversions, n_users) — bucket
+   *         −1 = never-touched; bucket b covers [2^b, 2^(b+1)) ms, with
+   *         delay 0 in bucket 0.
+   */
+  def timeToConvert(events: DataFrame, userCol: String = "user_id",
+                    tsMsCol: String = "ts_ms", idCol: String = "event_id",
+                    typeCol: String = "event_type", convType: String = "purchase",
+                    touchTypes: Seq[String] = Seq("click", "view")): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsMsCol), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val lastTouch = max(when(col(typeCol).isin(touchTypes: _*), col(tsMsCol))).over(w)
+    val conv = events
+      .withColumn("last_touch_ms", lastTouch)
+      .where(col(typeCol) === convType)
+      .select(col(userCol).as("user"),
+        (col(tsMsCol) - col("last_touch_ms")).as("delay_ms"))
+    // delay 0 (same-ms touch) -> bin("0") has length 1 -> bucket 0, like 1 ms
+    val bucket = when(col("delay_ms").isNull, lit(-1L))
+      .otherwise((length(bin(greatest(col("delay_ms"), lit(1L)))) - 1).cast("long"))
+    conv.groupBy(bucket.as("delay_bucket"))
+      .agg(count(lit(1)).as("n_conversions"), countDistinct(col("user")).as("n_users"))
+      .select(col("delay_bucket"),
+        when(col("delay_bucket") >= 0,
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(delay_bucket AS INT))")).as("min_delay_ms"),
+        col("n_conversions"), col("n_users"))
+  }
+
+  /**
    * DAU / rolling-MAU stickiness — the engagement ratio product teams watch
    * daily: per day, distinct active users that day (DAU), distinct users
    * active in the trailing `windowDays` window (MAU), and their ratio. The

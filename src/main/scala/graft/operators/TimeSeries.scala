@@ -349,6 +349,37 @@ object TimeSeries {
    *         is NULL when the actuals sum to zero.
    */
   /**
+   * Top-N series per metric by an aggregate — the dashboard staple ("top 5
+   * hosts by cpu") that naively writes as a rank window over EVERY series
+   * of a metric: at 100 TB a hot metric holds millions of series and that
+   * window funnels them through few tasks. Two-level instead: a rank
+   * window per (metric, md5-shard) keeps only each shard's top k (bounded
+   * input per task at any cardinality), then the final rank runs over ≤
+   * nShards·k survivors — the [[graft.operators.Curation.topKByLanguage]]
+   * shape on the series key. The shard function is engine-reproducible
+   * ([[seriesShard]]), so the oracle replays the exact same two levels.
+   *
+   * @return (metric, rank, series, value) with rank 1..k per metric,
+   *         ties broken by series key — a total order.
+   */
+  def topSeries(points: DataFrame, agg: String, k: Int,
+                nShards: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = points
+      .groupBy(col("metric"), seriesKey(col("tags")).as("series"))
+      .agg(exactAggregator(agg, col("value")).as("value"))
+      .withColumn("shard", seriesShard(col("series"), nShards))
+    val wLocal = Window.partitionBy("metric", "shard")
+      .orderBy(col("value").desc, col("series"))
+    val wGlobal = Window.partitionBy("metric")
+      .orderBy(col("value").desc, col("series"))
+    per
+      .withColumn("rn", row_number().over(wLocal)).where(col("rn") <= k)
+      .withColumn("rank", row_number().over(wGlobal).cast("long")).where(col("rank") <= k)
+      .select(col("metric"), col("rank"), col("series"), col("value"))
+  }
+
+  /**
    * Series GAP report — the TSDB data-quality audit behind every "why did
    * my alert not fire" incident: per series, the observed point count,
    * span, largest inter-arrival gap, and grid coverage at `periodMs`

@@ -147,6 +147,12 @@ object ApiQueries {
           when(col("user_id") % 10 === 0, lit("ping")).otherwise(col("event_type")))
       Funnel.userPathGini(ev, "user_id", "ts_ms", "event_id", "event_type")
     }),
+    // log2 time-to-convert histogram: carry-forward last-touch window per
+    // user, integer digit-count banding — the attribution-window evidence
+    "events_time_to_convert" -> ((s, dir) => {
+      val ev = Points.table(s, dir, "events").withColumn("ts_ms", expr("ts div 1000000"))
+      Funnel.timeToConvert(ev)
+    }),
     // DAU / rolling-28d-MAU stickiness: exact rolling distinct via the
     // (user, day) explode onto window-end days — no sketch, no day scan
     "events_stickiness" -> ((s, dir) => {
@@ -657,6 +663,27 @@ object ApiQueries {
         |FROM events
         |WHERE TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) IS NOT NULL
         |GROUP BY 1, 2""".stripMargin,
+    // mirrors Funnel.timeToConvert: carry-forward MAX touch window, log2
+    // digit-count bands, never-touched bucket -1
+    "events_time_to_convert" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type, epoch_ms(ts) AS ts_ms,
+        |         MAX(CASE WHEN event_type IN ('click', 'view') THEN epoch_ms(ts) END)
+        |           OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch
+        |  FROM events),
+        |c AS (SELECT user_id, ts_ms - last_touch AS delay FROM o WHERE event_type = 'purchase'),
+        |b AS (SELECT CASE WHEN delay IS NULL THEN -1
+        |                  ELSE length(bin(GREATEST(delay, 1))) - 1 END AS delay_bucket, user_id
+        |      FROM c),
+        |g AS (SELECT CAST(delay_bucket AS BIGINT) AS delay_bucket,
+        |             CAST(COUNT(*) AS BIGINT) AS n_conversions,
+        |             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |      FROM b GROUP BY 1)
+        |SELECT delay_bucket,
+        |       CASE WHEN delay_bucket >= 0 THEN CAST(2 ** delay_bucket AS BIGINT) END AS min_delay_ms,
+        |       n_conversions, n_users
+        |FROM g""".stripMargin,
     // mirrors Funnel.stickiness(28d): (user, day) activity exploded onto
     // the window-end days, exact distinct per end day
     "events_stickiness" ->

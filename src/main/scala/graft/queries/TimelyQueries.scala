@@ -104,6 +104,10 @@ object TimelyQueries {
     // coverage — the "can this series be trusted by alerts" report
     "ts_gap_report" -> ((s, dir) =>
       TimeSeries.gapReport(points(s, dir), Hour)),
+    // top-5 series per metric by exact sum: shard-local top-k then a
+    // bounded final rank — never a rank window over the full series set
+    "ts_topn_series" -> ((s, dir) =>
+      TimeSeries.topSeries(points(s, dir), "sum", k = 5)),
     "meta_suggest" -> ((s, dir) => {
       // /api/suggest type=metrics: substring match + ordered limit
       // (reference DataStore.suggest, DataStore.java:528-580)
@@ -253,6 +257,18 @@ object TimelyQueries {
         |       abs_err_sum / CAST(n_pairs AS DOUBLE) AS mae,
         |       CASE WHEN abs_actual_sum > 0 THEN abs_err_sum / abs_actual_sum END AS wmape
         |FROM a""".stripMargin,
+    // mirrors topSeries(sum, k=5): the two-level shard prune keeps a
+    // superset of the global top-k, so the single-window rank is identical
+    "ts_topn_series" ->
+      """WITH per AS (
+        |  SELECT event_type AS metric,
+        |         'user=' || CAST(user_id AS VARCHAR) AS series,
+        |         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY metric ORDER BY value DESC, series) AS rank
+        |      FROM per)
+        |SELECT metric, CAST(rank AS BIGINT) AS rank, series, value
+        |FROM r WHERE rank <= 5""".stripMargin,
     // mirrors gapReport(1h): per-series lag gaps + distinct-bucket coverage
     "ts_gap_report" ->
       """WITH p AS (

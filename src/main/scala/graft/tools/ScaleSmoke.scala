@@ -516,6 +516,13 @@ object ScaleSmoke {
           when(col("user_id") % 2 === 0, "control").otherwise("treat")),
         "variant").count()
     }
+    t("topSeries + timeToConvert (sharded top-k; carry-forward touch window)") {
+      val pts = ev.select(col("event_type").as("metric"),
+        map(lit("user"), (col("user_id") % 99991).cast("string")).as("tags"),
+        col("ts_ms").as("ts"), col("value"))
+      graft.operators.TimeSeries.topSeries(pts, "sum", k = 5).count()
+      graft.operators.Funnel.timeToConvert(ev).count()
+    }
     t("khopReach + stickiness (frontier BFS; (user, day) window-end explode)") {
       val edges = docs.select(
         concat(lit("d"), col("doc_id") % 499).as("src"),

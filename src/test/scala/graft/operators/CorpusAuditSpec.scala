@@ -209,6 +209,41 @@ class CorpusAuditSpec extends AnyFunSuite with SparkSpec {
     assert(z.getLong(2) == 1L && z.getDouble(3) == 0.0 && z.isNullAt(4))
   }
 
+  // ---- TimeSeries.topSeries / Funnel.timeToConvert ----
+
+  test("topSeries: two-level prune equals the global top-k, ties on series") {
+    val pts = (0L until 60L).map { i =>
+      ("m", Map("h" -> s"h${i % 12}"), i, (i % 12).toDouble) // series h11 sums highest
+    }.toDF("metric", "tags", "ts", "value")
+    val out = TimeSeries.topSeries(pts, "sum", k = 3, nShards = 4).collect()
+      .map(r => (r.getLong(1), r.getString(2), r.getDouble(3)))
+    assert(out.length == 3)
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(out.head._2 == "h=h11" && out.head._3 == 55.0)
+    // sharding must not change the answer
+    val wide = TimeSeries.topSeries(pts, "sum", k = 3, nShards = 1).collect()
+      .map(r => (r.getLong(1), r.getString(2), r.getDouble(3)))
+    assert(wide.toSeq == out.toSeq)
+  }
+
+  test("timeToConvert: carry-forward last touch, log2 bands, no-touch bucket") {
+    val ev = Seq(
+      (1L, 0L, "click"), (1L, 5L, "purchase"),       // delay 5 -> bucket 2
+      (2L, 0L, "view"), (2L, 1024L, "purchase"),     // delay 1024 -> bucket 10
+      (3L, 0L, "purchase"),                          // no touch -> -1
+      (4L, 0L, "click"), (4L, 0L, "purchase"))       // same-ms: window excludes later rows?
+      .zipWithIndex.map { case ((u, t, ty), i) => (u, t, i.toLong, ty) }
+      .toDF("user_id", "ts_ms", "event_id", "event_type")
+    val out = Funnel.timeToConvert(ev).collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(1)).map(_.asInstanceOf[Long]), r.getLong(2)))).toMap
+    assert(out(2L) == ((Some(4L), 1L)))
+    assert(out(10L) == ((Some(1024L), 1L)))
+    assert(out(-1L)._1.isEmpty)
+    // user 4: click at same ms but EARLIER event_id -> prior row, delay 0 -> bucket 0
+    assert(out(0L) == ((Some(1L), 1L)))
+    assert(out(-1L)._2 == 1L) // only user 3 never touched
+  }
+
   // ---- TimeSeries.gapReport / Curation.packStats ----
 
   test("gapReport: max gap, bucket coverage, single-point series") {
