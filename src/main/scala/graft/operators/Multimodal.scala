@@ -104,6 +104,35 @@ object Multimodal {
       .withColumn("n_frames", greatest(lit(1), (col("byte_len") / fakeBytesPerFrame).cast("int")))
       .select(col("media_id"),
         explode(expr(s"sequence(0, n_frames - 1, $everyN)")).as("frame_idx"))
+
+  /**
+   * Exact media dedup by CONTENT BYTES — the first pass of any image/audio
+   * corpus pipeline (byte-identical re-crawls, mirror CDNs, re-encoded-but-
+   * byte-stable assets): per media_type, totals, distinct payload hashes,
+   * and the per-item keep decision (min media_id per hash keeps, like the
+   * text-side [[Dedup.exact]]). Real plumbing — the hash runs on the BINARY
+   * payload column, not a text proxy; perceptual (pHash/feature-cosine)
+   * near-dup layers on top via [[stubFeatures]] + [[Dedup.embedCosine]]
+   * once a real encoder replaces the stub (on the md5 stub, feature
+   * equality is exactly payload equality, so the near pass would add
+   * nothing but cost — deliberately not a gate until the encoder is real).
+   *
+   * Scale: one hash groupBy (map-side combined) + a media_id-keyed join
+   * back. @return per item: (media_id, media_type, content_hash,
+   * keep_media_id, dup_count, keep).
+   */
+  def exactDedup(media: DataFrame): DataFrame = {
+    // NULL payload hashes as the empty payload (one mutual-dup group) — a
+    // NULL hash would silently drop the row at the join (NULL != NULL)
+    val hashed = media.select(col("media_id"), col("media_type"),
+      md5(coalesce(col("payload"), lit(Array.emptyByteArray))).as("content_hash"))
+    val groups = hashed.groupBy("content_hash")
+      .agg(min("media_id").as("keep_media_id"), count(lit(1)).as("dup_count"))
+    hashed.join(groups, "content_hash")
+      .select(col("media_id"), col("media_type"), col("content_hash"),
+        col("keep_media_id"), col("dup_count"),
+        when(col("media_id") === col("keep_media_id"), 1L).otherwise(0L).as("keep"))
+  }
 }
 
 /** STUB codec: deterministic md5-derived metadata (same math as stubDecode). */

@@ -372,6 +372,14 @@ object LlmQueries {
     "dedup_semantic" -> ((s, dir) =>
       Dedup.semanticDedup(emb(s, dir), minCosine = 0.3, nLists = 16)),
     "multimodal_decode" -> ((s, dir) => Multimodal.stubDecode(Multimodal.asMediaTable(docs(s, dir)))),
+    // exact content-byte dedup over the media table with planted re-crawl
+    // dups (every 5th item re-ingested under a new id) — keep = min id
+    "multimodal_dedup" -> ((s, dir) => {
+      val m = Multimodal.asMediaTable(docs(s, dir))
+      val planted = m.unionByName(
+        m.where(col("media_id") % 5 === 0).withColumn("media_id", col("media_id") + 100000))
+      Multimodal.exactDedup(planted)
+    }),
     // aspect-preserving metadata resize over the decoded table (the real
     // pixel op rides the same per-partition decode pass)
     "multimodal_resize" -> ((s, dir) =>
@@ -2618,6 +2626,26 @@ object LlmQueries {
       """SELECT doc_id AS media_id, CAST(i AS BIGINT) AS dim,
         |       (strpos('0123456789abcdef', substr(md5(text), CAST(i AS INT), 1)) - 1) / 15.0 AS feature
         |FROM documents, UNNEST(range(1, 9)) AS t(i)""".stripMargin,
+    // mirrors Multimodal.exactDedup over the planted media table: md5 of
+    // the BINARY payload (= md5 of the utf8 text bytes in the synthetic
+    // corpus), min-id keeps
+    "multimodal_dedup" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |         ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+        |         md5(COALESCE(text, '')) AS content_hash
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000,
+        |         ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1],
+        |         md5(COALESCE(text, ''))
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |g AS (SELECT content_hash, MIN(media_id) AS keep_media_id,
+        |             CAST(COUNT(*) AS BIGINT) AS dup_count
+        |      FROM m GROUP BY 1)
+        |SELECT m.media_id, m.media_type, m.content_hash, g.keep_media_id, g.dup_count,
+        |       CAST(CASE WHEN m.media_id = g.keep_media_id THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM m JOIN g USING (content_hash)""".stripMargin,
     "multimodal_decode" ->
       """SELECT doc_id AS media_id,
         |       ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,

@@ -97,6 +97,24 @@ class CorpusAuditSpec extends AnyFunSuite with SparkSpec {
       .where(col("is_drift") === 1L).isEmpty)
   }
 
+  // ---- Multimodal.exactDedup ----
+
+  test("media exactDedup: byte-identical payloads collapse, min id keeps, NULL = empty") {
+    val m = Seq(
+      (1L, "same bytes", "image"), (2L, "same bytes", "image"),
+      (3L, "other", "audio"), (4L, null: String, "video"), (5L, "", "video"))
+      .toDF("media_id", "text", "media_type")
+      .select(col("media_id"), col("text").cast("binary").as("payload"), col("media_type"))
+    val out = Multimodal.exactDedup(m).collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.size == 5)
+    assert(out(1L).getLong(5) == 1L && out(2L).getLong(5) == 0L)
+    assert(out(2L).getLong(3) == 1L && out(2L).getLong(4) == 2L)
+    assert(out(3L).getLong(5) == 1L)
+    // NULL payload and empty payload share the empty-content group
+    assert(out(4L).getString(2) == out(5L).getString(2))
+    assert(out(4L).getLong(5) == 1L && out(5L).getLong(5) == 0L)
+  }
+
   // ---- Graph.khopReach / Funnel.stickiness ----
 
   test("khopReach: BFS levels, min-hop on diamonds, cycles don't re-add") {
