@@ -308,6 +308,32 @@ object Curation {
       .where(substring(md5(concat(lit("temp:"), col("doc_id").cast("string"))), 1, 4) < cut)
   }
 
+  /**
+   * HARD class-balanced sampling — keep rate `min_n / n` per group, so every
+   * group lands at (in expectation) the size of the SMALLEST one: the
+   * uniform-mixture endpoint of the rebalancing spectrum whose midpoint is
+   * [[temperatureSample]]'s sqrt scaling (eval sets, per-language probes,
+   * contrastive pair pools all want hard balance, not softened mass).
+   * Decisions are the same salted-md5 hash cut as temperature — per-doc
+   * deterministic, engine-reproducible, no RNG state — under a DIFFERENT
+   * salt, so composing both samplers never correlates their keeps.
+   *
+   * Scale: one group-count aggregate, a |groups|-row broadcast join, one
+   * row-wise hash test. @return kept docs as (doc_id, group, rate).
+   */
+  def balancedSample(docs: DataFrame, groupCol: String = "lang"): DataFrame = {
+    val counts = docs.where(col(groupCol).isNotNull).groupBy(groupCol).agg(count(lit(1)).as("n"))
+    val rates = counts
+      .withColumn("rate",
+        min(col("n")).over(Window.partitionBy()).cast("double") / col("n").cast("double"))
+      .drop("n")
+    val cut = when(col("rate") >= 1.0, lit("g"))
+      .otherwise(format_string("%04x", floor(col("rate") * 65536).cast("int")))
+    docs.join(rates, groupCol)
+      .where(substring(md5(concat(lit("bal:"), col("doc_id").cast("string"))), 1, 4) < cut)
+      .select(col("doc_id"), col(groupCol), col("rate"))
+  }
+
   /** Per-source document cap (the RefinedWeb/C4 trick against template farms
     * and crawler loops): keep at most `cap` docs per `groupCol` value, best
     * quality first (ties broken by doc_id). Unlike [[topKByLanguage]]'s

@@ -1215,6 +1215,33 @@ object Dedup {
   }
 
   /**
+   * LSH banding S-CURVE — the analytic companion to [[thresholdSweep]]'s
+   * empirical counts: for the (numHashes / bandSize) banding in use, the
+   * textbook candidate-detection probability 1 − (1 − t^r)^b at each probe
+   * similarity t. Reading both side by side is how (b, r) gets chosen: the
+   * curve says what the banding CAN catch, the sweep says what the corpus
+   * actually contains. Exactness: the powers unroll to left-associated
+   * multiplication chains (no `pow`, whose rounding is not pinned across
+   * engines), so any SQL engine replays the identical doubles.
+   *
+   * @return (threshold, n_bands, band_size, p_detect) — one row per probe.
+   */
+  def lshCurve(spark: org.apache.spark.sql.SparkSession,
+               thresholds: Seq[Double] = (10 to 19).map(_ / 20.0),
+               numHashes: Int = 8, bandSize: Int = 2): DataFrame = {
+    require(numHashes % bandSize == 0, "bandSize must divide numHashes")
+    val b = numHashes / bandSize
+    import spark.implicits._
+    val t = col("threshold")
+    val tr = (1 until bandSize).foldLeft(t) { (acc, _) => acc * t }       // t^r
+    val q = lit(1.0) - tr
+    val qb = (1 until b).foldLeft(q) { (acc, _) => acc * q }              // (1-t^r)^b
+    thresholds.toDF("threshold")
+      .select(t, lit(b.toLong).as("n_bands"), lit(bandSize.toLong).as("band_size"),
+        (lit(1.0) - qb).as("p_detect"))
+  }
+
+  /**
    * Shingle DOCUMENT-FREQUENCY profile on log2 buckets — the view that sets
    * the `maxDocFreq` candidate-generation cap from evidence instead of
    * folklore: per power-of-two band of shingle df, how many distinct

@@ -459,6 +459,13 @@ object LlmQueries {
     "curate_temperature" -> ((s, dir) =>
       graft.operators.Curation.temperatureSample(docs(s, dir), "lang")
         .select("doc_id", "lang", "rate")),
+    // HARD language balance: keep rate n_min/n (the uniform endpoint of the
+    // rebalance spectrum), salted-md5 decisions independent of temperature's
+    "curate_balanced_sample" -> ((s, dir) =>
+      graft.operators.Curation.balancedSample(docs(s, dir), "lang")),
+    // analytic LSH S-curve for the configured 4x2 banding — read next to
+    // dedup_threshold_sweep's empirical counts when tuning (b, r)
+    "dedup_lsh_curve" -> ((s, dir) => Dedup.lshCurve(s)),
     // int8 quantized top-k: integer dot kernel, dequantized scores
     "embed_knn_int8" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -3046,6 +3053,25 @@ object LlmQueries {
         |WHERE substr(md5('temp:' || CAST(d.doc_id AS VARCHAR)), 1, 4) <
         |      CASE WHEN r.rate >= 1 THEN 'g'
         |           ELSE printf('%04x', CAST(floor(r.rate * 65536) AS INT)) END""".stripMargin,
+    // mirrors Curation.balancedSample: min/n rate, 'bal:'-salted hash cut
+    "curate_balanced_sample" ->
+      """WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+        |r AS (SELECT lang, CAST((SELECT MIN(n) FROM counts) AS DOUBLE) / CAST(n AS DOUBLE) AS rate
+        |      FROM counts)
+        |SELECT d.doc_id, d.lang, r.rate
+        |FROM documents d JOIN r USING (lang)
+        |WHERE substr(md5('bal:' || CAST(d.doc_id AS VARCHAR)), 1, 4) <
+        |      CASE WHEN r.rate >= 1 THEN 'g'
+        |           ELSE printf('%04x', CAST(floor(r.rate * 65536) AS INT)) END""".stripMargin,
+    // mirrors Dedup.lshCurve(8 hashes / band size 2): powers unrolled to the
+    // identical left-associated multiplication chains
+    "dedup_lsh_curve" ->
+      """WITH probe AS (SELECT CAST(t / 20.0 AS DOUBLE) AS threshold
+        |               FROM UNNEST(range(10, 20)) AS u(t)),
+        |q AS (SELECT threshold, 1.0 - threshold * threshold AS q FROM probe)
+        |SELECT threshold, CAST(4 AS BIGINT) AS n_bands, CAST(2 AS BIGINT) AS band_size,
+        |       1.0 - ((q * q) * q) * q AS p_detect
+        |FROM q""".stripMargin,
     "graph_pagerank" -> pageRankOracleSql(),
     // mirrors Graph.triangles over the planted link graph: undirected
     // distinct edges, (degree, node) orientation, wedge join closed by one

@@ -97,6 +97,33 @@ class CorpusAuditSpec extends AnyFunSuite with SparkSpec {
       .where(col("is_drift") === 1L).isEmpty)
   }
 
+  // ---- Curation.balancedSample / Dedup.lshCurve ----
+
+  test("balancedSample: groups land near the min-group size; min group keeps all") {
+    val d = (0L until 400L).map(i =>
+      (i, "text", if (i < 40) "de" else if (i < 160) "es" else "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = Curation.balancedSample(d)
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("de") == 40L) // rate 1 keeps everything
+    assert(byLang("en") <= 80L && byLang("en") >= 15L) // ~40 expected
+    val rates = out.select("lang", "rate").distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rates("de") == 1.0 && rates("es") == 40.0 / 120 && rates("en") == 40.0 / 240)
+  }
+
+  test("lshCurve: textbook S-curve values for the 4x2 banding") {
+    val out = Dedup.lshCurve(spark).collect()
+      .map(r => r.getDouble(0) -> r.getDouble(3)).toMap
+    def expect(t: Double) = { val q = 1.0 - t * t; 1.0 - ((q * q) * q) * q }
+    assert(out.size == 10)
+    for ((t, p) <- out) assert(p == expect(t))
+    // monotone increasing in t
+    val sorted = out.toSeq.sortBy(_._1).map(_._2)
+    assert(sorted.zip(sorted.tail).forall { case (a, b) => a < b })
+  }
+
   // ---- Multimodal.exactDedup ----
 
   test("media exactDedup: byte-identical payloads collapse, min id keeps, NULL = empty") {
