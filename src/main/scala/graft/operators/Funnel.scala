@@ -259,6 +259,32 @@ object Funnel {
    * @return (bucket, min_events, n_users, n_events, user_share, event_share)
    */
   /**
+   * New-vs-returning daily split — the growth dashboard's first row: per
+   * day, users seen for the FIRST time that day vs returning users, and
+   * the new-user fraction. Derivative of the [[retention]] cohort
+   * machinery (first-activity day per user), rolled to the day level.
+   *
+   * Scale: one (user, day) distinct, one user-keyed min (both map-side
+   * combinable), one day-keyed count — no window, no explode.
+   *
+   * @return (day, n_new, n_returning, n_active, frac_new)
+   */
+  def newVsReturning(events: DataFrame, userCol: String = "user_id",
+                     tsMsCol: String = "ts_ms"): DataFrame = {
+    val day = expr(
+      s"$tsMsCol div 86400000 - (CASE WHEN $tsMsCol % 86400000 < 0 THEN 1 ELSE 0 END)")
+    val activity = events.select(col(userCol).as("user"), day.as("day")).distinct()
+    val first = activity.groupBy("user").agg(min("day").as("first_day"))
+    activity.join(first, "user")
+      .groupBy("day")
+      .agg(count(when(col("day") === col("first_day"), 1)).as("n_new"),
+        count(when(col("day") =!= col("first_day"), 1)).as("n_returning"),
+        count(lit(1)).as("n_active"))
+      .select(col("day"), col("n_new"), col("n_returning"), col("n_active"),
+        (col("n_new").cast("double") / col("n_active").cast("double")).as("frac_new"))
+  }
+
+  /**
    * RFM segmentation base — the classic commerce triple per user: Recency
    * (days between the user's last conversion event and the corpus's last
    * day — data-anchored, so the gate is deterministic at any scale factor),

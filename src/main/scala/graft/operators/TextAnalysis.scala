@@ -1095,6 +1095,49 @@ object TextAnalysis {
   }
 
   /**
+   * Unicode SCRIPT profile — the multilingual hygiene screen [[languageId]]
+   * (stopword-based, euro-centric) cannot provide: per doc, code-point
+   * counts per major script (Latin, Han, Cyrillic, Arabic) plus the
+   * non-script remainder, and the dominant-script fraction. Mixed-script
+   * spam (Cyrillic homoglyphs inside Latin text), mislabeled CJK content
+   * in a "en" corpus, and mojibake-adjacent junk all read directly off
+   * this view, which routes docs to script-appropriate tokenizers before
+   * any language model sees them.
+   *
+   * Counting is by REGEX MATCHES over script classes — never `length()`,
+   * whose UTF-16 code-unit semantics in the JVM disagree with code-point
+   * engines on surrogate pairs (the [[charDiversity]] lesson). Everything
+   * is row-wise codegen'd `regexp_count`; fractions are over the total of
+   * the five counted classes.
+   *
+   * @return (doc_id, n_latin, n_han, n_cyrillic, n_arabic, n_other_chars,
+   *         n_space, dominant_script, dominant_frac)
+   */
+  def scriptProfile(docs: DataFrame): DataFrame = {
+    def cnt(p: String) = regexp_count(coalesce(col("text"), lit("")), lit(p)).cast("long")
+    val base = docs.select(col("doc_id"),
+      cnt("\\p{IsLatin}").as("n_latin"),
+      cnt("\\p{IsHan}").as("n_han"),
+      cnt("\\p{IsCyrillic}").as("n_cyrillic"),
+      cnt("\\p{IsArabic}").as("n_arabic"),
+      cnt("[^\\p{IsLatin}\\p{IsHan}\\p{IsCyrillic}\\p{IsArabic}\\s]").as("n_other_chars"),
+      cnt("\\s").as("n_space"))
+    val total = col("n_latin") + col("n_han") + col("n_cyrillic") +
+      col("n_arabic") + col("n_other_chars")
+    val top = greatest(col("n_latin"), col("n_han"), col("n_cyrillic"), col("n_arabic"))
+    val dominant = when(total === 0, lit(null).cast("string"))
+      .when(col("n_latin") === top && top > 0, "latin")
+      .when(col("n_han") === top && top > 0, "han")
+      .when(col("n_cyrillic") === top && top > 0, "cyrillic")
+      .when(col("n_arabic") === top && top > 0, "arabic")
+      .otherwise("other")
+    base.select(col("doc_id"), col("n_latin"), col("n_han"), col("n_cyrillic"),
+      col("n_arabic"), col("n_other_chars"), col("n_space"),
+      dominant.as("dominant_script"),
+      when(total > 0, top.cast("double") / total.cast("double")).as("dominant_frac"))
+  }
+
+  /**
    * Language-ID CONFUSION matrix — the audit of [[languageId]] against the
    * corpus's labeled `lang` column: per (label, guess) cell, count and
    * recall-style rate within the label. The view that tells whether the

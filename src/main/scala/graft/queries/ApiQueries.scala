@@ -147,6 +147,12 @@ object ApiQueries {
           when(col("user_id") % 10 === 0, lit("ping")).otherwise(col("event_type")))
       Funnel.userPathGini(ev, "user_id", "ts_ms", "event_id", "event_type")
     }),
+    // new-vs-returning daily split off the retention cohort machinery:
+    // first-seen day per user, day-level rollup, no window
+    "events_new_users" -> ((s, dir) => {
+      val ev = Points.table(s, dir, "events").withColumn("ts_ms", expr("ts div 1000000"))
+      Funnel.newVsReturning(ev)
+    }),
     // log2 time-to-convert histogram: carry-forward last-touch window per
     // user, integer digit-count banding — the attribution-window evidence
     "events_time_to_convert" -> ((s, dir) => {
@@ -663,6 +669,19 @@ object ApiQueries {
         |FROM events
         |WHERE TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) IS NOT NULL
         |GROUP BY 1, 2""".stripMargin,
+    // mirrors Funnel.newVsReturning
+    "events_new_users" ->
+      """WITH a AS (SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
+        |f AS (SELECT user_id, MIN(day) AS first_day FROM a GROUP BY 1),
+        |g AS (
+        |  SELECT a.day,
+        |         CAST(SUM(CASE WHEN a.day = f.first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |         CAST(SUM(CASE WHEN a.day != f.first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_returning,
+        |         CAST(COUNT(*) AS BIGINT) AS n_active
+        |  FROM a JOIN f USING (user_id) GROUP BY 1)
+        |SELECT day, n_new, n_returning, n_active,
+        |       CAST(n_new AS DOUBLE) / CAST(n_active AS DOUBLE) AS frac_new
+        |FROM g""".stripMargin,
     // mirrors Funnel.timeToConvert: carry-forward MAX touch window, log2
     // digit-count bands, never-touched bucket -1
     "events_time_to_convert" ->

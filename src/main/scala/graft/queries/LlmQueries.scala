@@ -68,6 +68,9 @@ object LlmQueries {
     // langid audited against the labeled lang column: per-(label, guess)
     // confusion cell with within-label rate — the router-trust view
     "text_langid_confusion" -> ((s, dir) => TextAnalysis.langConfusion(docs(s, dir))),
+    // Unicode script mix per doc (regex-match counts, code-point safe):
+    // the homoglyph/mixed-script screen ahead of tokenizer routing
+    "text_script_profile" -> ((s, dir) => TextAnalysis.scriptProfile(docs(s, dir))),
     // per-doc type-token ratio + hapax fraction: template spam (low TTR)
     // vs gibberish (TTR ~1, no reuse) vs natural prose (mid + hapax tail)
     "text_lexical_diversity" -> ((s, dir) => TextAnalysis.lexicalDiversity(docs(s, dir))),
@@ -1527,6 +1530,30 @@ object LlmQueries {
          |SELECT c.lang, c.lang_guess, c.n, t.n_lang,
          |       CAST(c.n AS DOUBLE) / CAST(t.n_lang AS DOUBLE) AS rate
          |FROM c JOIN t USING (lang)""".stripMargin,
+    // mirrors TextAnalysis.scriptProfile (RE2 script classes = Java Is-
+    // classes for these four scripts; counts are match counts, not length)
+    "text_script_profile" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(COALESCE(text, ''), '\p{Latin}')) AS BIGINT) AS n_latin,
+        |    CAST(len(regexp_extract_all(COALESCE(text, ''), '\p{Han}')) AS BIGINT) AS n_han,
+        |    CAST(len(regexp_extract_all(COALESCE(text, ''), '\p{Cyrillic}')) AS BIGINT) AS n_cyrillic,
+        |    CAST(len(regexp_extract_all(COALESCE(text, ''), '\p{Arabic}')) AS BIGINT) AS n_arabic,
+        |    CAST(len(regexp_extract_all(COALESCE(text, ''), '[^\p{Latin}\p{Han}\p{Cyrillic}\p{Arabic}\s]')) AS BIGINT) AS n_other_chars,
+        |    CAST(len(regexp_extract_all(COALESCE(text, ''), '\s')) AS BIGINT) AS n_space
+        |  FROM documents),
+        |t AS (SELECT *, n_latin + n_han + n_cyrillic + n_arabic + n_other_chars AS total,
+        |             GREATEST(n_latin, n_han, n_cyrillic, n_arabic) AS top
+        |      FROM c)
+        |SELECT doc_id, n_latin, n_han, n_cyrillic, n_arabic, n_other_chars, n_space,
+        |       CASE WHEN total = 0 THEN NULL
+        |            WHEN n_latin = top AND top > 0 THEN 'latin'
+        |            WHEN n_han = top AND top > 0 THEN 'han'
+        |            WHEN n_cyrillic = top AND top > 0 THEN 'cyrillic'
+        |            WHEN n_arabic = top AND top > 0 THEN 'arabic'
+        |            ELSE 'other' END AS dominant_script,
+        |       CASE WHEN total > 0 THEN CAST(top AS DOUBLE) / CAST(total AS DOUBLE) END AS dominant_frac
+        |FROM t""".stripMargin,
     // mirrors TextAnalysis.lexicalDiversity: per-doc word counts ->
     // type/hapax rollup, exact-integer ratios
     "text_lexical_diversity" ->

@@ -109,6 +109,22 @@ object TpchQueries {
           sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"),
           countDistinct("l_partkey").as("n_parts"))
     }),
+    // TPC-H Q10-flavor: top-10 customers by RETURNED revenue — the
+    // problem-account report. Fact-fact shuffle join filtered at the scan
+    // (returnflag pushdown), then a deterministic top-k.
+    "q10_returned_topk" -> ((s, dir) => {
+      val customer = broadcast(table(s, dir, "customer"))
+      table(s, dir, "lineitem")
+        .where(col("l_returnflag") === "R")
+        .join(table(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(customer, col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(sum((col("l_extendedprice").cast("decimal(18,4)") *
+          (lit(1) - col("l_discount").cast("decimal(18,4)"))).cast("decimal(18,4)"))
+          .cast("double").as("returned_revenue"))
+        .orderBy(col("returned_revenue").desc, col("c_custkey"))
+        .limit(10)
+    }),
     // Dimension chain broadcast join: nation -> region rollup of customers.
     "q_region_customers" -> ((s, dir) => {
       val region = broadcast(table(s, dir, "region"))
@@ -177,6 +193,16 @@ object TpchQueries {
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
         |GROUP BY 1""".stripMargin,
+    "q10_returned_topk" ->
+      """SELECT c_custkey, c_mktsegment,
+        |       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) AS DOUBLE) AS returned_revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY 1, 2
+        |ORDER BY returned_revenue DESC, c_custkey
+        |LIMIT 10""".stripMargin,
     "q9_brand_profit" ->
       """SELECT p_brand,
         |       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,

@@ -97,6 +97,33 @@ class CorpusAuditSpec extends AnyFunSuite with SparkSpec {
       .where(col("is_drift") === 1L).isEmpty)
   }
 
+  // ---- TextAnalysis.scriptProfile / Funnel.newVsReturning ----
+
+  test("scriptProfile: per-script code-point counts, dominant pick, emoji to other") {
+    val d = Seq(
+      (1L, "hello мир 中文 سلام"),   // 5 latin, 3 cyr, 2 han, 4 arabic
+      (2L, "🎉🎉"),                  // surrogate pairs -> other, no crash
+      (3L, ""), (4L, null: String)).toDF("doc_id", "text")
+    val out = TextAnalysis.scriptProfile(d).collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getLong(1) == 5L && r1.getLong(2) == 2L && r1.getLong(3) == 3L && r1.getLong(4) == 4L)
+    assert(r1.getString(7) == "latin" && r1.getDouble(8) == 5.0 / 14.0)
+    val r2 = out(2L)
+    assert(r2.getLong(5) == 2L && r2.getString(7) == "other") // 2 code points, not 4 units
+    assert(out(3L).isNullAt(7) && out(4L).isNullAt(8))
+  }
+
+  test("newVsReturning: first-seen day splits new from returning") {
+    val day = 86400000L
+    val ev = Seq((1L, 0L), (2L, 0L), (1L, day), (3L, day), (1L, 2 * day))
+      .map { case (u, t) => (u, t, "x") }.toDF("user_id", "ts_ms", "event_type")
+    val out = Funnel.newVsReturning(ev).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(4)))).toMap
+    assert(out(0L) == ((2L, 0L, 1.0)))
+    assert(out(1L) == ((1L, 1L, 0.5)))
+    assert(out(2L) == ((0L, 1L, 0.0)))
+  }
+
   // ---- Curation.balancedSample / Dedup.lshCurve ----
 
   test("balancedSample: groups land near the min-group size; min group keeps all") {
