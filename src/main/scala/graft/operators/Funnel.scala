@@ -259,6 +259,61 @@ object Funnel {
    * @return (bucket, min_events, n_users, n_events, user_share, event_share)
    */
   /**
+   * Weekly CHURN — the retention grid's actionable inverse: per epoch week,
+   * how many active users return the NEXT week vs churn. One (user, week)
+   * distinct, one self-join on (user, week+1), one week rollup — the same
+   * machinery as [[retention]] pointed at the one number growth teams act
+   * on. The last observed week has no next-week data; its churn reads 1.0
+   * by construction and the `is_last_week` flag marks it unjudgeable.
+   *
+   * @return (week, n_active, n_retained, n_churned, churn_rate,
+   *         is_last_week)
+   */
+  def churn(events: DataFrame, userCol: String = "user_id",
+            tsMsCol: String = "ts_ms"): DataFrame = {
+    val week = expr(
+      s"($tsMsCol div 86400000 - (CASE WHEN $tsMsCol % 86400000 < 0 THEN 1 ELSE 0 END)) div 7" +
+        s" - (CASE WHEN ($tsMsCol div 86400000 - (CASE WHEN $tsMsCol % 86400000 < 0 THEN 1 ELSE 0 END)) % 7 < 0 THEN 1 ELSE 0 END)")
+    val activity = events.select(col(userCol).as("user"), week.as("week")).distinct()
+    val next = activity.select(col("user"), (col("week") - 1).as("week"), lit(1).as("ret"))
+      .groupBy("user", "week").agg(max("ret").as("ret"))
+    val maxWeek = broadcast(activity.agg(max("week").as("max_week")))
+    activity.join(next, Seq("user", "week"), "left")
+      .groupBy("week")
+      .agg(count(lit(1)).as("n_active"),
+        count(col("ret")).as("n_retained"))
+      .crossJoin(maxWeek)
+      .select(col("week"), col("n_active"), col("n_retained"),
+        (col("n_active") - col("n_retained")).as("n_churned"),
+        ((col("n_active") - col("n_retained")).cast("double") /
+          col("n_active").cast("double")).as("churn_rate"),
+        when(col("week") === col("max_week"), 1L).otherwise(0L).as("is_last_week"))
+  }
+
+  /**
+   * Hour-of-day × day-of-week SEASONALITY profile — the traffic heatmap
+   * alerting baselines come from: per (day-of-week, hour-of-day) cell,
+   * event count and share of total. Day-of-week is epoch-day mod 7 with
+   * day 0 = Thursday (1970-01-01) — a documented integer convention, not a
+   * locale call, so every engine agrees without timezone machinery.
+   *
+   * Scale: ONE map-side-combined aggregate over row-wise integer keys plus
+   * a 1-row broadcast total. @return (dow, hour, n_events, share).
+   */
+  def seasonality(events: DataFrame, tsMsCol: String = "ts_ms"): DataFrame = {
+    val day = expr(
+      s"$tsMsCol div 86400000 - (CASE WHEN $tsMsCol % 86400000 < 0 THEN 1 ELSE 0 END)")
+    val hour = expr(
+      s"($tsMsCol div 3600000 - (CASE WHEN $tsMsCol % 3600000 < 0 THEN 1 ELSE 0 END)) % 24")
+    val cells = events
+      .select(pmod(day, lit(7L)).as("dow"), pmod(hour, lit(24L)).as("hour"))
+      .groupBy("dow", "hour").agg(count(lit(1)).as("n_events"))
+    cells.crossJoin(broadcast(cells.agg(sum("n_events").as("total"))))
+      .select(col("dow"), col("hour"), col("n_events"),
+        (col("n_events").cast("double") / col("total").cast("double")).as("share"))
+  }
+
+  /**
    * New-vs-returning daily split — the growth dashboard's first row: per
    * day, users seen for the FIRST time that day vs returning users, and
    * the new-user fraction. Derivative of the [[retention]] cohort

@@ -147,6 +147,18 @@ object ApiQueries {
           when(col("user_id") % 10 === 0, lit("ping")).otherwise(col("event_type")))
       Funnel.userPathGini(ev, "user_id", "ts_ms", "event_id", "event_type")
     }),
+    // weekly churn off the same cohort machinery: (user, week) distinct +
+    // one (user, week+1) self-join; last week flagged unjudgeable
+    "events_churn" -> ((s, dir) => {
+      val ev = Points.table(s, dir, "events").withColumn("ts_ms", expr("ts div 1000000"))
+      Funnel.churn(ev)
+    }),
+    // hour-of-day x day-of-week traffic heatmap (epoch-day mod 7, day 0 =
+    // Thursday — an integer convention, no timezone machinery)
+    "events_seasonality" -> ((s, dir) => {
+      val ev = Points.table(s, dir, "events").withColumn("ts_ms", expr("ts div 1000000"))
+      Funnel.seasonality(ev)
+    }),
     // new-vs-returning daily split off the retention cohort machinery:
     // first-seen day per user, day-level rollup, no window
     "events_new_users" -> ((s, dir) => {
@@ -669,6 +681,32 @@ object ApiQueries {
         |FROM events
         |WHERE TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) IS NOT NULL
         |GROUP BY 1, 2""".stripMargin,
+    // mirrors Funnel.churn (epoch weeks)
+    "events_churn" ->
+      """WITH a AS (SELECT DISTINCT user_id, (epoch_ms(ts) // 86400000) // 7 AS week FROM events),
+        |n AS (SELECT user_id, week - 1 AS week, 1 AS ret FROM a),
+        |mw AS (SELECT MAX(week) AS max_week FROM a),
+        |g AS (
+        |  SELECT a.week, CAST(COUNT(*) AS BIGINT) AS n_active,
+        |         CAST(COUNT(n.ret) AS BIGINT) AS n_retained
+        |  FROM a LEFT JOIN n ON a.user_id = n.user_id AND a.week = n.week
+        |  GROUP BY 1)
+        |SELECT g.week, g.n_active, g.n_retained,
+        |       g.n_active - g.n_retained AS n_churned,
+        |       CAST(g.n_active - g.n_retained AS DOUBLE) / CAST(g.n_active AS DOUBLE) AS churn_rate,
+        |       CAST(CASE WHEN g.week = mw.max_week THEN 1 ELSE 0 END AS BIGINT) AS is_last_week
+        |FROM g, mw""".stripMargin,
+    // mirrors Funnel.seasonality (dow 0 = Thursday)
+    "events_seasonality" ->
+      """WITH c AS (
+        |  SELECT (epoch_ms(ts) // 86400000) % 7 AS dow,
+        |         (epoch_ms(ts) // 3600000) % 24 AS hour,
+        |         CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT CAST(SUM(n_events) AS BIGINT) AS total FROM c)
+        |SELECT CAST(dow AS BIGINT) AS dow, CAST(hour AS BIGINT) AS hour, n_events,
+        |       CAST(n_events AS DOUBLE) / CAST(total AS DOUBLE) AS share
+        |FROM c, t""".stripMargin,
     // mirrors Funnel.newVsReturning
     "events_new_users" ->
       """WITH a AS (SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events),

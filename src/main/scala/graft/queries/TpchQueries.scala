@@ -125,6 +125,23 @@ object TpchQueries {
         .orderBy(col("returned_revenue").desc, col("c_custkey"))
         .limit(10)
     }),
+    // TPC-H Q17-flavor small-quantity revenue: each lineitem compared to
+    // ITS part's average quantity — the aggregated-subquery join pattern
+    // (per-part averages computed once, joined back on the part key; never
+    // a correlated per-row subquery).
+    "q17_small_qty" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val partAvg = li.groupBy(col("l_partkey").as("pk"))
+        .agg((sum(col("l_quantity").cast("decimal(18,4)")).cast("double") /
+          count(lit(1))).as("avg_qty"))
+      li.join(partAvg, col("l_partkey") === col("pk"))
+        .where(col("l_quantity") < lit(0.5) * col("avg_qty"))
+        .join(broadcast(table(s, dir, "part").select("p_partkey", "p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_small_lines"),
+          sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double").as("small_revenue"))
+    }),
     // Dimension chain broadcast join: nation -> region rollup of customers.
     "q_region_customers" -> ((s, dir) => {
       val region = broadcast(table(s, dir, "region"))
@@ -192,6 +209,18 @@ object TpchQueries {
         |JOIN orders ON l_orderkey = o_orderkey
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+        |GROUP BY 1""".stripMargin,
+    "q17_small_qty" ->
+      """WITH pa AS (
+        |  SELECT l_partkey AS pk,
+        |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty
+        |  FROM lineitem GROUP BY 1)
+        |SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_small_lines,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS small_revenue
+        |FROM lineitem
+        |JOIN pa ON l_partkey = pa.pk
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE l_quantity < 0.5 * avg_qty
         |GROUP BY 1""".stripMargin,
     "q10_returned_topk" ->
       """SELECT c_custkey, c_mktsegment,

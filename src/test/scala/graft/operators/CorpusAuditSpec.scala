@@ -97,6 +97,29 @@ class CorpusAuditSpec extends AnyFunSuite with SparkSpec {
       .where(col("is_drift") === 1L).isEmpty)
   }
 
+  // ---- Funnel.churn / seasonality ----
+
+  test("churn: next-week presence retains, last week flagged unjudgeable") {
+    val wk = 7L * 86400000L
+    val ev = Seq((1L, 0L), (2L, 0L), (1L, wk), (3L, wk))
+      .map { case (u, t) => (u, t, "x") }.toDF("user_id", "ts_ms", "event_type")
+    val out = Funnel.churn(ev).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(4), r.getLong(5)))).toMap
+    assert(out(0L) == ((2L, 1L, 0.5, 0L))) // u1 returns, u2 churns
+    assert(out(1L) == ((2L, 0L, 1.0, 1L))) // last week: all "churn", flagged
+  }
+
+  test("seasonality: integer dow/hour cells, shares partition 1") {
+    // epoch day 0 is a Thursday; ts 0 -> dow 0, hour 0
+    val ev = Seq((1L, 0L), (2L, 3600000L), (3L, 4L * 86400000L))
+      .map { case (u, t) => (u, t, "x") }.toDF("user_id", "ts_ms", "event_type")
+    val out = Funnel.seasonality(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map((0L, 0L) -> 1L, (0L, 1L) -> 1L, (4L, 0L) -> 1L))
+    val shares = Funnel.seasonality(ev).collect().map(_.getDouble(3)).sum
+    assert(math.abs(shares - 1.0) < 1e-12)
+  }
+
   // ---- TextAnalysis.scriptProfile / Funnel.newVsReturning ----
 
   test("scriptProfile: per-script code-point counts, dominant pick, emoji to other") {
