@@ -628,6 +628,39 @@ object Similarity {
    *
    * @return (query_id, top1_id, top1_sim, top2_sim, margin)
    */
+  /**
+   * Cosine THRESHOLD sweep over the LSH-candidate pairs — the embedding
+   * twin of [[graft.operators.Dedup.thresholdSweep]]: per probe threshold,
+   * how many bucketed candidate pairs clear it. Where the semantic-dedup
+   * minCosine gets chosen from evidence (the knee where near-dup mass
+   * gives way to merely-related pairs) instead of the 0.95-ish folklore
+   * constant. Same cumulative mechanics: a per-pair highest-threshold
+   * when-chain bucket, then a descending sum over the ≤|thresholds|-row
+   * histogram — no per-threshold pass over the pair frame.
+   *
+   * @return (threshold, n_pairs) per probe, cumulative ≥-counts, zeros kept.
+   */
+  def cosineSweep(corpus: DataFrame,
+                  thresholds: Seq[Double] = (6 to 19).map(_ / 20.0),
+                  bits: Int = 8): DataFrame = {
+    require(thresholds.nonEmpty && thresholds == thresholds.sorted &&
+      thresholds.distinct == thresholds, "thresholds must be ascending, distinct")
+    val spark = corpus.sparkSession
+    val scored = lshBucketedPairs(corpus, bits, minCosine = thresholds.head)
+    val topFirst = thresholds.reverse
+    val bucket = topFirst.tail.foldLeft(when(col("cos_sim") >= topFirst.head, lit(topFirst.head))) {
+      (acc, t) => acc.when(col("cos_sim") >= t, lit(t))
+    }
+    val hist = scored.select(bucket.as("threshold"))
+      .where(col("threshold").isNotNull)
+      .groupBy("threshold").agg(count(lit(1)).as("n_at"))
+    import spark.implicits._
+    thresholds.toDF("threshold").as("p")
+      .join(hist.as("h"), col("h.threshold") >= col("p.threshold"), "left")
+      .groupBy(col("p.threshold").as("threshold"))
+      .agg(coalesce(sum(col("h.n_at")), lit(0L)).as("n_pairs"))
+  }
+
   def knnMargin(corpus: DataFrame, queries: DataFrame): DataFrame =
     bruteForceKnn(corpus, queries, k = 2)
       .groupBy("query_id")

@@ -271,6 +271,9 @@ object LlmQueries {
       Similarity.bruteForceKnn(e, e.where(col("vec_id") < 5), k = 5)
     }),
     "embed_lsh_pairs" -> ((s, dir) => Similarity.lshBucketedPairs(emb(s, dir), bits = 8, minCosine = 0.3)),
+    // cosine threshold sweep over the LSH candidates — the embedding twin
+    // of dedup_threshold_sweep; the minCosine evidence view
+    "embed_cos_sweep" -> ((s, dir) => Similarity.cosineSweep(emb(s, dir))),
     // retrieval-confidence margins: top1 - top2 cosine per probe query —
     // the distribution ANN budgets and auto-accept thresholds are set from
     "embed_knn_margin" -> ((s, dir) => {
@@ -2622,6 +2625,16 @@ object LlmQueries {
     "embed_lsh_pairs" ->
       s"""WITH $LshPairsCte
          |SELECT a, b, cos_sim FROM pairs WHERE cos_sim >= 0.3""".stripMargin,
+    // mirrors Similarity.cosineSweep (probes 0.30..0.95 step 0.05) over the
+    // same LSH candidate frame, cumulative >=-counts
+    "embed_cos_sweep" ->
+      s"""WITH $LshPairsCte,
+         |scored AS (SELECT cos_sim FROM pairs WHERE cos_sim >= 0.3),
+         |probe AS (SELECT CAST(t / 20.0 AS DOUBLE) AS threshold
+         |          FROM UNNEST(range(6, 20)) AS u(t))
+         |SELECT probe.threshold, CAST(COUNT(scored.cos_sim) AS BIGINT) AS n_pairs
+         |FROM probe LEFT JOIN scored ON scored.cos_sim >= probe.threshold
+         |GROUP BY 1""".stripMargin,
     "dedup_embed_cross" ->
       s"""WITH $LshSigCte
          |SELECT x.vec_id AS incoming_id, y.vec_id AS existing_id,

@@ -95,6 +95,10 @@ object TimelyQueries {
     // the bounded series-hour group, no corpus window
     "ts_downsample_p95" -> ((s, dir) =>
       TimeSeries.downsamplePercentile(points(s, dir), Hour, 0.95)),
+    // nearest-rank MEDIAN downsample — the robust center the avg aggregator
+    // loses to outliers; same rank-picked determinism class as p95
+    "ts_downsample_p50" -> ((s, dir) =>
+      TimeSeries.downsamplePercentile(points(s, dir), Hour, 0.50)),
     // seasonal-naive error at a 24h period over the hourly-sum grid: one
     // exact-lag equi join (no window), exact-decimal MAE/WMAPE numerators
     "ts_seasonal_error" -> ((s, dir) =>
@@ -290,6 +294,16 @@ object TimelyQueries {
         |       CAST(n_buckets AS DOUBLE) /
         |         CAST(((last_ts - last_ts % 3600000) - (first_ts - first_ts % 3600000)) // 3600000 + 1 AS DOUBLE) AS coverage
         |FROM a""".stripMargin,
+    "ts_downsample_p50" ->
+      """WITH b AS (
+        |  SELECT event_type AS metric,
+        |         'user=' || CAST(user_id AS VARCHAR) AS series,
+        |         epoch_ms(ts) // 3600000 * 3600000 AS bucket_ms,
+        |         list_sort(list(value)) AS vs
+        |  FROM events GROUP BY 1, 2, 3)
+        |SELECT metric, series, bucket_ms,
+        |       vs[CAST(GREATEST(1, CEIL(0.5 * len(vs))) AS BIGINT)] AS value
+        |FROM b""".stripMargin,
     // mirrors downsamplePercentile(p=0.95): nearest-rank pick = smallest
     // value with rank >= ceil(0.95 * n) in the sorted bucket sample
     "ts_downsample_p95" ->

@@ -531,6 +531,23 @@ object ScaleSmoke {
       graft.operators.Graph.khopReach(edges, seeds, maxHops = 3).count()
       graft.operators.Funnel.stickiness(ev).count()
     }
+    t("scriptProfile + balancedSample (row-wise regex counts; hash cut)") {
+      graft.operators.TextAnalysis.scriptProfile(docs).count()
+      graft.operators.Curation.balancedSample(
+        docs.withColumn("lang", (col("doc_id") % 4).cast("string"))).count()
+    }
+    t("mediaDedup + cosineSweep (binary hash groupBy; LSH-candidate probe)") {
+      graft.operators.Multimodal.exactDedup(
+        docs.select(col("doc_id").as("media_id"),
+          col("text").cast("binary").as("payload"),
+          lit("image").as("media_type"))).count()
+      graft.operators.Similarity.cosineSweep(emb).count()
+    }
+    t("churn + seasonality + newVsReturning + timeToConvert-family rollups") {
+      graft.operators.Funnel.churn(ev).count()
+      graft.operators.Funnel.seasonality(ev).count()
+      graft.operators.Funnel.newVsReturning(ev).count()
+    }
     t("gapReport + packStats (per-series lag window; per-shard pack rollup)") {
       val pts = ev.select(col("event_type").as("metric"),
         concat(lit("user="), col("user_id") % 997).as("series"), col("ts_ms").as("ts"))

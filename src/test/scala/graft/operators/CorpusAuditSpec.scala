@@ -97,6 +97,21 @@ class CorpusAuditSpec extends AnyFunSuite with SparkSpec {
       .where(col("is_drift") === 1L).isEmpty)
   }
 
+  // ---- Similarity.cosineSweep ----
+
+  test("cosineSweep: cumulative counts monotone, parallel pair survives to 0.95") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)), (1L, Array(2f, 0f, 0f, 0f)), // cos 1.0
+      (2L, Array(1f, 1f, 0f, 0f)),                              // cos ~0.707 with 0/1
+      (3L, Array(-1f, 0f, 0f, 0f))).toDF("vec_id", "embedding") // opposite bucket
+    val out = Similarity.cosineSweep(vecs).collect()
+      .map(r => r.getDouble(0) -> r.getLong(1)).sortBy(_._1)
+    assert(out.length == 14)
+    assert(out.zip(out.tail).forall { case ((_, a), (_, b)) => a >= b })
+    assert(out.last._2 >= 1L)       // the parallel pair clears 0.95
+    assert(out.head._2 > out.last._2) // the 0.707 pairs drop out
+  }
+
   // ---- Funnel.churn / seasonality ----
 
   test("churn: next-week presence retains, last week flagged unjudgeable") {
