@@ -98,11 +98,14 @@ object PipelineQuickstart {
       .groupBy("fail_mask").count().orderBy("fail_mask").show()
     // tune BEFORE committing: the shingle-df profile shows where the pair
     // mass lives (the maxDocFreq cap evidence), the threshold sweep shows
-    // the dup-count knee — both ride frames the production run reuses
+    // the dup-count knee — both ride frames the production run reuses —
+    // and the analytic S-curve says what the LSH banding CAN catch
     println("shingle-df profile (pair mass per log2 band):")
     Dedup.dfProfile(cleanKept).orderBy("bucket").show()
     println("jaccard threshold sweep (cumulative candidate pairs):")
     Dedup.thresholdSweep(cleanKept).orderBy("threshold").show()
+    println("LSH S-curve for the 4x2 banding (detection probability):")
+    Dedup.lshCurve(spark).orderBy("threshold").show()
     val pairs = Dedup.ngramJaccard(cleanKept, threshold = 0.7).select("a", "b")
     val comps = Dedup.clusters(pairs)
     val dropped = comps.where(col("doc_id") =!= col("cluster_id")).select("doc_id")
@@ -222,6 +225,12 @@ object PipelineQuickstart {
     println("CUSUM drift days (slow-ramp detector; drift rows only):")
     graft.operators.Anomaly.cusumDrift(ev, "event_type", "ts_ms")
       .where(col("is_drift") === 1L).orderBy("event_type", "day").show(3)
+    println("DAU/MAU stickiness (last 3 days) + weekly churn:")
+    graft.operators.Funnel.stickiness(ev).orderBy(col("day").desc).show(3)
+    graft.operators.Funnel.churn(ev).orderBy("week").show()
+    println("traffic seasonality (top 3 dow x hour cells):")
+    graft.operators.Funnel.seasonality(ev)
+      .orderBy(col("n_events").desc, col("dow"), col("hour")).show(3)
 
     // 7. embedding health before any ANN index ships: column-level dim
     //    stats, row-level norm outliers, and IVF label purity
@@ -246,6 +255,8 @@ object PipelineQuickstart {
     println("kNN confidence margins (most ambiguous 3 probes):")
     graft.operators.Similarity.knnMargin(emb, emb.where(col("vec_id") < 5))
       .orderBy(col("margin"), col("query_id")).show(3)
+    println("cosine threshold sweep over LSH candidates (the minCosine evidence):")
+    graft.operators.Similarity.cosineSweep(emb).orderBy("threshold").show(14)
 
     spark.stop()
   }
