@@ -719,6 +719,34 @@ object Curation {
    * ≤ n_sources rows), then a tiny (source × source) aggregate. NULL text
    * hashes as '' (the [[dupReport]] convention).
    */
+  /**
+   * Cross-source NEAR-dup matrix — [[sourceOverlap]]'s exact-hash view
+   * upgraded to candidate pairs from any near-dup scorer
+   * ([[Dedup.containment]], [[Dedup.ngramJaccard]], [[Dedup.minhashLsh]]):
+   * for every unordered source pair, how many near-dup doc pairs link them.
+   * Exact-hash overlap catches mirrored dumps; this catches the sources that
+   * REWRAP each other's content (syndication, scraped-with-boilerplate,
+   * template rewrites) — the overlap that silently re-weights a mix even
+   * after exact dedup. Diagonal rows (source_a = source_b) report
+   * within-source near-duplication.
+   *
+   * Scale shape: `pairs` is near-dup-rate-sized (tiny next to the corpus);
+   * the two doc→source joins shuffle on the doc key against the corpus-sized
+   * mapping; the final aggregate is (sources × sources)-bounded. The
+   * unordered pair is canonicalized by source NAME (doc pairs arrive a < b
+   * by id, which says nothing about source order).
+   */
+  def nearDupSourceMatrix(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs.select("a", "b")
+      .join(src.as("pa"), col("a") === col("pa.doc_id"))
+      .join(src.as("pb"), col("b") === col("pb.doc_id"))
+      .select(least(col("pa.source"), col("pb.source")).as("source_a"),
+        greatest(col("pa.source"), col("pb.source")).as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_near_dup_pairs"))
+  }
+
   def sourceOverlap(docs: DataFrame): DataFrame = {
     val h = docs
       .select(md5(coalesce(col("text"), lit(""))).as("h"), col("source"))

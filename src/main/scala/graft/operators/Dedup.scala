@@ -333,6 +333,45 @@ object Dedup {
   }
 
   /**
+   * Asymmetric shingle CONTAINMENT near-dup pairs — the doc-in-doc detector
+   * Jaccard structurally misses: a short doc quoted wholesale inside a long
+   * one has Jaccard ≈ |A|/|B| (arbitrarily small as B grows) but containment
+   * `|A∩B| / min(|A|, |B|) = 1`. This is the near-dup signal for partial
+   * copies — article + boilerplate wrapper, aggregator pages, quote farms —
+   * the curation case where a training corpus double-counts a passage even
+   * though no symmetric score fires (Broder's resemblance-vs-containment
+   * distinction, applied to word 3-gram shingle sets).
+   *
+   * Scale shape: identical to [[ngramJaccard]] — the shingle IS the blocking
+   * key (disjoint docs never meet), `maxDocFreq` caps k²-pair boilerplate
+   * shingles out of CANDIDATE generation, sizes always come from the uncapped
+   * shingle frames so scores stay comparable. The shingle frame is cache-
+   * shared with the Jaccard family: running both audits costs one shingle
+   * build.
+   *
+   * @return (a, b, n_a, n_b, containment) with a < b and containment
+   *         >= threshold; `n_a`/`n_b` are the distinct-shingle set sizes so
+   *         the consumer can see WHICH side is the contained one.
+   */
+  def containment(docs: DataFrame, threshold: Double = 0.5,
+                  maxDocFreq: Long = Long.MaxValue): DataFrame = {
+    val allSh = cached(shingles(docs))
+    val sh = capByDocFreq(allSh, maxDocFreq)
+    val inter = sh.as("x").join(sh.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    val sizes = allSh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    inter
+      .join(sizes.as("sa"), col("a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("b") === col("sb.doc_id"))
+      .select(col("a"), col("b"), col("sa.n").as("n_a"), col("sb.n").as("n_b"),
+        (col("inter").cast("double") /
+          least(col("sa.n"), col("sb.n")).cast("double")).as("containment"))
+      .where(col("containment") >= threshold)
+  }
+
+  /**
    * Near-dup clustering: connected components over a candidate-pair frame
    * `(a, b)` — the step a real dedup pipeline runs after pair generation, so
    * each group of transitively-linked near-duplicates keeps ONE

@@ -225,6 +225,16 @@ object LlmQueries {
         d.where(col("doc_id") % 10 === 0), d.where(col("doc_id") % 10 =!= 0),
         threshold = 0.5)
     }),
+    // asymmetric containment: doc-in-doc partial copies Jaccard misses
+    // (|A∩B| / min set size) — same shingle blocking, shared shingle cache
+    "dedup_containment" -> ((s, dir) => Dedup.containment(docs(s, dir), threshold = 0.5)),
+    // which sources rewrap each other's content: the containment pairs
+    // rolled up to an unordered source x source matrix (sourceOverlap's
+    // exact-hash view can't see rewrapped near-copies)
+    "curate_near_dup_matrix" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.operators.Curation.nearDupSourceMatrix(d, Dedup.containment(d, threshold = 0.5))
+    }),
     "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(docs(s, dir))),
     // the 100 TB configuration: hot (band, key) buckets capped out of
     // candidate generation — same skew-guard contract as the ngram/simhash
@@ -1789,6 +1799,29 @@ object LlmQueries {
          |SELECT p.a, p.b, inter * 1.0 / (sa.n + sb.n - inter) AS jaccard
          |FROM p JOIN sz sa ON p.a = sa.doc_id JOIN sz sb ON p.b = sb.doc_id
          |WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8""".stripMargin,
+    "dedup_containment" ->
+      s"""WITH sh AS ($Shingles),
+         |p AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS inter
+         |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1)
+         |SELECT p.a, p.b, sa.n AS n_a, sb.n AS n_b,
+         |       inter * 1.0 / LEAST(sa.n, sb.n) AS containment
+         |FROM p JOIN sz sa ON p.a = sa.doc_id JOIN sz sb ON p.b = sb.doc_id
+         |WHERE inter * 1.0 / LEAST(sa.n, sb.n) >= 0.5""".stripMargin,
+    "curate_near_dup_matrix" ->
+      s"""WITH sh AS ($Shingles),
+         |p AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS inter
+         |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |c AS (SELECT p.a, p.b
+         |      FROM p JOIN sz sa ON p.a = sa.doc_id JOIN sz sb ON p.b = sb.doc_id
+         |      WHERE inter * 1.0 / LEAST(sa.n, sb.n) >= 0.5)
+         |SELECT LEAST(da.source, db.source) AS source_a,
+         |       GREATEST(da.source, db.source) AS source_b,
+         |       COUNT(*) AS n_near_dup_pairs
+         |FROM c JOIN documents da ON c.a = da.doc_id
+         |       JOIN documents db ON c.b = db.doc_id
+         |GROUP BY 1, 2""".stripMargin,
     "dedup_ngram_jaccard_capped" ->
       s"""WITH sh0 AS ($Shingles),
          |freq AS (SELECT s FROM (SELECT s, COUNT(*) AS df FROM sh0 GROUP BY 1) WHERE df <= 5),

@@ -61,6 +61,13 @@ class DedupPlanSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("containment plans without any broadcast exchange") {
+    withNoAutoBroadcast {
+      val b = broadcasts(Dedup.containment(docs, threshold = 0.1))
+      assert(b.isEmpty, s"corpus-sized broadcast in containment plan: $b")
+    }
+  }
+
   test("embedding LSH pair path plans without any broadcast exchange") {
     withNoAutoBroadcast {
       val emb = (0L until 64L)

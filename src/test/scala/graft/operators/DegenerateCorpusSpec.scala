@@ -72,6 +72,7 @@ class DegenerateCorpusSpec extends AnyFunSuite with SparkSpec {
     assert(Dedup.exact(d).count() >= 1)
     // shingle ops: only docs with >= 3 words participate; none may throw
     assert(Dedup.ngramJaccard(d, threshold = 0.5).count() >= 0)
+    assert(Dedup.containment(d, threshold = 0.5).count() >= 0)
     assert(Dedup.minhashLsh(d).count() >= 0)
     assert(Dedup.simhashPairs(d, maxHamming = 6).count() >= 0)
     assert(Dedup.passageDedup(d).count() == 9)
@@ -196,6 +197,9 @@ class DegenerateCorpusSpec extends AnyFunSuite with SparkSpec {
     assert(dec.where(col("keep") === 1L).count() == 9)
     // sourceOverlap: single source -> no pairs; NULL text hashes as ''
     assert(Curation.sourceOverlap(nastyFull).count() == 0)
+    // near-dup matrix over an empty pair frame -> empty, not a crash
+    assert(Curation.nearDupSourceMatrix(nastyFull,
+      Dedup.containment(nastyFull, threshold = 0.99)).count() >= 0)
     // graphs: empty edge list -> empty outputs, no division errors
     val noEdges = Seq.empty[(String, String)].toDF("src", "dst")
     assert(Graph.hits(noEdges, iters = 3).count() == 0)
