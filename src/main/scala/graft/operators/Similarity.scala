@@ -288,6 +288,82 @@ object Similarity {
             (col("fp_sum") / (col("n_vecs") * grid))).as("variance"))
   }
 
+  /**
+   * Corpus-level ISOTROPY audit — the one-row report on whether the
+   * embedding space has collapsed toward a common direction (Ethayarajh's
+   * anisotropy finding: contextual encoders often emit vectors with mean
+   * pairwise cosine far above 0, which wrecks cosine-threshold dedup and
+   * flattens ANN recall curves). Two numbers:
+   *
+   *  - `mean_pair_cosine`: the average cosine over ALL ordered pairs of
+   *    normalized vectors — computed WITHOUT generating pairs, from the
+   *    identity Σ_{i≠j} q̂_i·q̂_j = ‖Σq̂‖² − Σ‖q̂_i‖². Isotropic ≈ 0;
+   *    collapsed → the cosine floor every threshold must sit above.
+   *  - `mean_vector_norm`: ‖mean normalized vector‖ — ≈ 1/√n when
+   *    isotropic, O(1) when collapsed.
+   *
+   * Determinism: normalized components are snapped to a fixed-point grid
+   * (`1 << gridBits` steps per unit, [[dimStats]]' trick), so every sum is
+   * an exact integer in any engine and only the FINAL arithmetic (two
+   * divisions, one sqrt — pinned order, mirrored in the oracle) is floating
+   * point. Zero-norm vectors are excluded (they have no direction).
+   *
+   * Scale shape: one explode + per-dim aggregate (map-side combine collapses
+   * each task to ≤ dim partials) + one dim-count-sized final fold — no pair
+   * frame, no corpus shuffle beyond the per-dim exchange. The exact-integer
+   * cross term Σ‖S_d‖² must stay below 2^53 for the double cast to be exact:
+   * (n·grid)² < 2^53, i.e. n < 9.2e8 at the default grid — raise gridBits
+   * down / shrink it for larger corpora (the audit is a sampled statistic at
+   * that scale anyway).
+   */
+  def isotropy(emb: DataFrame, gridBits: Int = 14): DataFrame = {
+    val grid = (1L << gridBits).toDouble
+    val base = emb
+      .select(col("vec_id"), col("embedding"), norm("embedding").as("nrm"))
+      .where(col("nrm") > 0)
+      .select(posexplode(col("embedding")).as(Seq("d", "v")), col("nrm"))
+      .select(col("d"),
+        floor(col("v").cast("double") / col("nrm") * lit(grid) + lit(0.5))
+          .cast("long").as("fp"))
+    val perDim = base.groupBy("d").agg(
+      count(lit(1)).as("cnt"),
+      sum(col("fp")).as("sd"),
+      sum(col("fp") * col("fp")).as("ssq"))
+    perDim.agg(
+        max(col("cnt")).as("n"),
+        sum(col("sd").cast("decimal(38,0)") * col("sd").cast("decimal(38,0)")).as("a"),
+        sum(col("ssq").cast("decimal(38,0)")).as("b"))
+      .select(col("n").as("n_vecs"),
+        ((col("a").cast("double") - col("b").cast("double")) / lit(grid * grid) /
+          (col("n") * (col("n") - 1)).cast("double")).as("mean_pair_cosine"),
+        (sqrt(col("a").cast("double")) / (col("n").cast("double") * lit(grid)))
+          .as("mean_vector_norm"))
+  }
+
+  /**
+   * kNN DENSITY audit — distance-based OOD/outlier scoring for embeddings:
+   * each probe's mean cosine to its k nearest corpus neighbors. Low scores
+   * are vectors in sparse regions — encoder failures, off-distribution
+   * content, mislabeled modality — exactly the rows a curation pass reviews
+   * before they poison contrastive training or ANN recall measurements
+   * (kNN distance is the classic non-parametric outlier score; LOF et al.
+   * are refinements of this statistic).
+   *
+   * Probes are a deterministic 1-in-`probeMod` id sample: density is a
+   * distributional audit, so a sample estimates it — the full-corpus variant
+   * routes every vector through its IVF cell ([[SimilarityIvf]]) instead of
+   * brute force. Scoring rides [[bruteForceKnn]] (broadcast probes, k-bounded
+   * map-side top-k, no corpus shuffle); the k sims fold in sorted order so
+   * the mean is engine-exact.
+   */
+  def selfKnnDensity(corpus: DataFrame, k: Int = 10, probeMod: Long = 20L): DataFrame = {
+    val knn = bruteForceKnn(corpus, corpus.where(col("vec_id") % probeMod === 0), k)
+    knn.groupBy("query_id").agg(
+      count(lit(1)).as("k_found"),
+      (expr("aggregate(sort_array(collect_list(sim)), 0D, (acc, v) -> acc + v)") /
+        count(lit(1))).as("mean_topk_sim"))
+  }
+
   /** Fixed-point grid for the [[topPrincipalComponent]] vector: 1e6 steps
     * per unit keeps the renorm multiply inside DECIMAL(38,0) even at the
     * scatter matrix's n²-scaled magnitudes. */

@@ -281,6 +281,12 @@ object LlmQueries {
       Similarity.bruteForceKnn(e, e.where(col("vec_id") < 5), k = 5)
     }),
     "embed_lsh_pairs" -> ((s, dir) => Similarity.lshBucketedPairs(emb(s, dir), bits = 8, minCosine = 0.3)),
+    // one-row isotropy/anisotropy report: mean pairwise cosine WITHOUT a
+    // pair frame (norm-of-sum identity over fixed-point normalized vectors)
+    "embed_isotropy" -> ((s, dir) => Similarity.isotropy(emb(s, dir))),
+    // kNN-distance OOD audit: mean top-k cosine per sampled probe — sparse-
+    // region vectors (encoder failures, off-distribution rows) score lowest
+    "embed_density" -> ((s, dir) => Similarity.selfKnnDensity(emb(s, dir))),
     // cosine threshold sweep over the LSH candidates — the embedding twin
     // of dedup_threshold_sweep; the minCosine evidence view
     "embed_cos_sweep" -> ((s, dir) => Similarity.cosineSweep(emb(s, dir))),
@@ -2658,6 +2664,35 @@ object LlmQueries {
     "embed_lsh_pairs" ->
       s"""WITH $LshPairsCte
          |SELECT a, b, cos_sim FROM pairs WHERE cos_sim >= 0.3""".stripMargin,
+    "embed_isotropy" ->
+      """WITH nv AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+        |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings),
+        |f AS (
+        |  SELECT vec_id, i AS d,
+        |         CAST(floor(e[i] / nrm * 16384.0 + 0.5) AS BIGINT) AS fp
+        |  FROM nv, UNNEST(range(1, len(e) + 1)) AS t(i)
+        |  WHERE nrm > 0),
+        |pd AS (SELECT d, COUNT(*) AS cnt, SUM(fp) AS sd, SUM(fp * fp) AS ssq
+        |       FROM f GROUP BY 1)
+        |SELECT CAST(MAX(cnt) AS BIGINT) AS n_vecs,
+        |       (CAST(SUM(CAST(sd AS HUGEINT) * CAST(sd AS HUGEINT)) AS DOUBLE)
+        |          - CAST(SUM(CAST(ssq AS HUGEINT)) AS DOUBLE)) / 268435456.0
+        |         / CAST(MAX(cnt) * (MAX(cnt) - 1) AS DOUBLE) AS mean_pair_cosine,
+        |       sqrt(CAST(SUM(CAST(sd AS HUGEINT) * CAST(sd AS HUGEINT)) AS DOUBLE))
+        |         / (CAST(MAX(cnt) AS DOUBLE) * 16384.0) AS mean_vector_norm
+        |FROM pd""".stripMargin,
+    "embed_density" ->
+      s"""WITH c AS (
+         |  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+         |         $CosineSql AS sim
+         |  FROM embeddings q JOIN embeddings d ON q.vec_id % 20 = 0 AND d.vec_id != q.vec_id),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM c)
+         |SELECT query_id, CAST(COUNT(*) AS BIGINT) AS k_found,
+         |       list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_sort(list(sim))), (acc, v) -> acc + v)
+         |         / COUNT(*) AS mean_topk_sim
+         |FROM r WHERE rank <= 10 GROUP BY 1""".stripMargin,
     // mirrors Similarity.cosineSweep (probes 0.30..0.95 step 0.05) over the
     // same LSH candidate frame, cumulative >=-counts
     "embed_cos_sweep" ->

@@ -213,6 +213,12 @@ class DegenerateCorpusSpec extends AnyFunSuite with SparkSpec {
     assert(Anomaly.botFlag(noEv, "user_id", "ts_us", "event_id").count() == 0)
     assert(Funnel.pathTransitions(
       noEv.withColumnRenamed("ts_us", "ts_ms"), "user_id", "ts_ms", "event_id", "user_id").count() == 0)
+    // isotropy over an all-zero-vector corpus: no directions -> empty agg
+    // survives (n_vecs NULL is fine, no division error); density over one
+    // vector: no neighbors -> empty, not a crash
+    val zeros = Seq((1L, Seq(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    assert(Similarity.isotropy(zeros).count() == 1)
+    assert(Similarity.selfKnnDensity(zeros, k = 2, probeMod = 1L).count() == 0)
     // dimStats/normOutliers: a single vector is its own mean (not outlier)
     val one = Seq((1L, Seq(0.5f, 0.5f))).toDF("vec_id", "embedding")
     assert(Similarity.dimStats(one).count() == 2)

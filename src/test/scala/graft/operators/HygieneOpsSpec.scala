@@ -178,6 +178,35 @@ class HygieneOpsSpec extends AnyFunSuite with SparkSpec {
     assert(out(2L).getDouble(5) == 0.25)
   }
 
+  test("isotropy: identical vectors read 1, orthogonal read 0, zero vectors excluded") {
+    // two copies of (1,0): fp = (16384,0); A = 32768^2, B = 2*16384^2
+    // -> mean_pair_cosine = 1.0 exactly, mean_vector_norm = 1.0 exactly
+    val same = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.0f)),
+      (3L, Seq(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val r1 = Similarity.isotropy(same).collect().head
+    assert(r1.getLong(0) == 2L) // the zero vector has no direction
+    assert(r1.getDouble(1) == 1.0)
+    assert(r1.getDouble(2) == 1.0)
+    // orthogonal pair: cross term vanishes -> 0; ||mean|| = sqrt(2)/2
+    val orth = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val r2 = Similarity.isotropy(orth).collect().head
+    assert(r2.getDouble(1) == 0.0)
+    assert(r2.getDouble(2) == math.sqrt(2.0) / 2.0)
+  }
+
+  test("selfKnnDensity: the off-cluster vector scores lowest") {
+    val emb = Seq((20L, Seq(1.0f, 0.0f)), (40L, Seq(1.0f, 0.0f)),
+      (60L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.selfKnnDensity(emb, k = 2, probeMod = 20L).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(20L, 40L, 60L))
+    assert(out.values.forall(_.getLong(1) == 2L)) // k_found
+    assert(out(20L).getDouble(2) == 0.5) // (1 + 0) / 2
+    assert(out(40L).getDouble(2) == 0.5)
+    assert(out(60L).getDouble(2) == 0.0) // the outlier
+  }
+
   test("normOutliers: exploding and dead norms flag; unit norms keep") {
     val emb = ((1L to 20L).map(i => (i, Seq(1.0f, 0.0f))) ++
       Seq((21L, Seq(5.0f, 0.0f)), (22L, Seq(0.01f, 0.0f))))
