@@ -506,4 +506,55 @@ object Funnel {
         (col("n_users").cast("double") / col("t_users").cast("double")).as("user_share"),
         (col("n_events").cast("double") / col("t_events").cast("double")).as("event_share"))
   }
+
+  /**
+   * Concentration (Lorenz/Pareto) report: what share of all events the most
+   * active `pct`% of entities generate — THE skew number for a traffic or
+   * training-data mix ("the top 1% of users are 40% of events" decides rate
+   * limits; "the top 1% of domains are half the corpus" decides source
+   * caps, and pairs with [[activityHistogram]]'s log2 view).
+   *
+   * Exactness & scale in one move: users with the SAME event count are
+   * interchangeable, so the Lorenz curve is fully determined by the
+   * per-count-VALUE rollup `(c, n_users, n_events)` — a frame bounded by
+   * the number of distinct activity levels (≪ users; ≤ max-activity many).
+   * The one unpartitioned window runs over THAT compact frame (never over
+   * users or events), and the boundary group contributes a partial
+   * `(top_n − cum_users) · c` — exact integers end to end; `share` is the
+   * single closing division.
+   *
+   * @return (pct_users, n_top_users, n_events_top, share) one row per
+   *         requested percentile, top_n floored at 1 user.
+   */
+  def paretoReport(events: DataFrame, userCol: String = "user_id",
+                   pcts: Seq[Int] = Seq(1, 5, 10, 25, 50, 100)): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100), "pcts in [1,100]")
+    val counts = events.groupBy(col(userCol).as("user")).agg(count(lit(1)).as("c"))
+    val g = counts.groupBy("c").agg(count(lit(1)).as("nu"))
+      .select(col("c"), col("nu"), (col("c") * col("nu")).as("ev"))
+    // distinct count values are unique -> the desc order needs no tie-break
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cum = g
+      .withColumn("cum_users", coalesce(sum(col("nu")).over(w), lit(0L)))
+      .withColumn("cum_ev", coalesce(sum(col("ev")).over(w), lit(0L)))
+    val totals = broadcast(g.agg(
+      sum(col("nu")).as("n_users"), sum(col("ev")).as("n_events")))
+    cum.crossJoin(totals)
+      .select(col("c"), col("nu"), col("ev"), col("cum_users"), col("cum_ev"),
+        col("n_users"), col("n_events"),
+        explode(array(pcts.map(p => lit(p.toLong)): _*)).as("pct_users"))
+      .withColumn("top_n",
+        greatest(lit(1L), expr("(pct_users * n_users) div 100")))
+      .where(col("cum_users") < col("top_n") &&
+        col("cum_users") + col("nu") >= col("top_n"))
+      .select(col("pct_users"), col("top_n").as("n_top_users"),
+        (col("cum_ev") + (col("top_n") - col("cum_users")) * col("c"))
+          .as("n_events_top"),
+        col("n_events"))
+      .select(col("pct_users"), col("n_top_users"), col("n_events_top"),
+        (col("n_events_top").cast("double") / col("n_events").cast("double"))
+          .as("share"))
+  }
 }

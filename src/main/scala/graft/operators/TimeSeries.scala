@@ -445,4 +445,71 @@ object TimeSeries {
         when(col("abs_actual_sum") > 0, col("abs_err_sum") / col("abs_actual_sum"))
           .as("wmape"))
   }
+
+  /**
+   * Sample AUTOCORRELATION of each metric's bucketed series at the given
+   * lags — the periodicity detector behind seasonality-aware alerting and
+   * the [[seasonalError]] baseline choice: r(24) ≈ 1 on an hourly grid says
+   * "daily cycle, use the seasonal-naive baseline"; r(k) ≈ 0 everywhere
+   * says the metric is noise and banding thresholds should come from
+   * [[graft.operators.Anomaly]]'s robust stats instead. Standard ACF:
+   * `r_k = Σ_{t≤n−k}(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)²` over the per-metric
+   * hourly cross-series average.
+   *
+   * Determinism: the bucket value is an exact-DECIMAL first-level average
+   * (bit-identical across engines); it is then snapped to a fixed-point
+   * grid (`scale` steps per unit) so every cross/marginal sum is an exact
+   * integer — only the FINAL pinned arithmetic (x̄, numerator, denominator,
+   * one ratio) is floating point, mirrored verbatim in the oracle. The
+   * integer sums must stay below 2^53 for the double casts to be exact:
+   * n·(scale·max|x|)² < 2^53 — at the default scale, thousands of buckets
+   * at |x| ≤ ~1e3 (shrink `scale` for wilder series).
+   *
+   * Scale shape: one bucket aggregate (partial+final), then ONE window sort
+   * per metric over the BUCKET series (periodMs-bounded: a year of hourly
+   * buckets is 8.8k rows per metric regardless of corpus size), then a
+   * lag-exploded aggregate back to (metric, lag). No corpus-sized window.
+   *
+   * @return (metric, lag, n_buckets, n_pairs, acf) — `acf` NULL for a
+   *         constant series (zero variance) or when no pair exists.
+   */
+  def autocorrelation(points: DataFrame, periodMs: Long = 3600000L,
+                      lags: Seq[Int] = Seq(1, 2, 24),
+                      scale: Long = 1000L): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ >= 1), "lags must be >= 1")
+    require(scale >= 1L, "scale must be positive")
+    val b = points
+      .groupBy(col("metric"), (col("ts") - col("ts") % periodMs).as("bucket_ms"))
+      .agg((sum(col("value").cast("decimal(18,6)")).cast("double") /
+        count(col("value"))).as("value"))
+      .select(col("metric"), col("bucket_ms"),
+        floor(col("value") * scale + lit(0.5)).cast("long").as("fp"))
+    val w = Window.partitionBy("metric").orderBy("bucket_ms")
+    val leads = lags.foldLeft(b)((df, k) =>
+      df.withColumn(s"l$k", lead(col("fp"), k).over(w)))
+    val exploded = leads.select(col("metric"), col("fp"),
+        explode(array(lags.map(k =>
+          struct(lit(k.toLong).as("lag"), col(s"l$k").as("lk"))): _*)).as("e"))
+      .select(col("metric"), col("fp"), col("e.lag").as("lag"), col("e.lk").as("lk"))
+    val perLag = exploded.groupBy("metric", "lag").agg(
+      sum(when(col("lk").isNotNull, col("fp") * col("lk"))).as("a"),
+      sum(when(col("lk").isNotNull, col("fp"))).as("h"),
+      sum(col("lk")).as("t"),
+      sum(when(col("lk").isNotNull, 1L)).as("n_pairs"))
+    val stats = b.groupBy("metric").agg(
+      count(lit(1)).as("n"), sum(col("fp")).as("m"),
+      sum(col("fp") * col("fp")).as("s2"))
+    val sd = scale.toDouble
+    val s2d = sd * sd
+    val xbar = col("m").cast("double") / col("n").cast("double") / lit(sd)
+    val num = col("a").cast("double") / lit(s2d) -
+      xbar * ((col("h") + col("t")).cast("double") / lit(sd)) +
+      col("n_pairs").cast("double") * xbar * xbar
+    val den = col("s2").cast("double") / lit(s2d) -
+      col("n").cast("double") * xbar * xbar
+    perLag.join(stats, "metric")
+      .select(col("metric"), col("lag"), col("n").as("n_buckets"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        when(col("n_pairs").isNotNull && den =!= 0.0, num / den).as("acf"))
+  }
 }

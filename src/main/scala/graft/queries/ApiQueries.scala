@@ -177,6 +177,11 @@ object ApiQueries {
       val ev = Points.table(s, dir, "events").withColumn("ts_ms", expr("ts div 1000000"))
       Funnel.stickiness(ev)
     }),
+    // concentration (Lorenz) report: event share of the top pct% users —
+    // the skew evidence behind rate limits and source caps; computed on the
+    // compact per-count-value rollup, exact integers until the one division
+    "events_pareto" -> ((s, dir) =>
+      Funnel.paretoReport(Points.table(s, dir, "events"))),
     // RFM segmentation base per purchasing user, recency anchored to the
     // data's own last conversion day (deterministic at any SF)
     "events_rfm" -> ((s, dir) => {
@@ -751,6 +756,28 @@ object ApiQueries {
         |SELECT dau.day, dau.dau, mau.mau,
         |       CAST(dau.dau AS DOUBLE) / CAST(mau.mau AS DOUBLE) AS stickiness
         |FROM dau JOIN mau USING (day)""".stripMargin,
+    // mirrors Funnel.paretoReport: per-count-value rollup, exclusive cum
+    // sums desc by count, boundary-group interpolation in exact integers
+    "events_pareto" ->
+      """WITH cnts AS (SELECT user_id, COUNT(*) AS c FROM events GROUP BY 1),
+        |g AS (SELECT c, COUNT(*) AS nu, c * COUNT(*) AS ev FROM cnts GROUP BY 1),
+        |cum AS (SELECT c, nu, ev,
+        |               CAST(COALESCE(SUM(nu) OVER w, 0) AS BIGINT) AS cum_users,
+        |               CAST(COALESCE(SUM(ev) OVER w, 0) AS BIGINT) AS cum_ev
+        |        FROM g WINDOW w AS (ORDER BY c DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |tot AS (SELECT CAST(SUM(nu) AS BIGINT) AS n_users, CAST(SUM(ev) AS BIGINT) AS n_events FROM g),
+        |p AS (SELECT CAST(UNNEST([1, 5, 10, 25, 50, 100]) AS BIGINT) AS pct_users),
+        |sel AS (
+        |  SELECT pct_users,
+        |         CAST(GREATEST(1, pct_users * n_users // 100) AS BIGINT) AS n_top_users,
+        |         CAST(cum_ev + (GREATEST(1, pct_users * n_users // 100) - cum_users) * c AS BIGINT) AS n_events_top,
+        |         n_events
+        |  FROM cum, tot, p
+        |  WHERE cum_users < GREATEST(1, pct_users * n_users // 100)
+        |    AND cum_users + nu >= GREATEST(1, pct_users * n_users // 100))
+        |SELECT pct_users, n_top_users, n_events_top,
+        |       CAST(n_events_top AS DOUBLE) / CAST(n_events AS DOUBLE) AS share
+        |FROM sel""".stripMargin,
     // mirrors Funnel.rfm(convType=purchase)
     "events_rfm" ->
       """WITH conv AS (

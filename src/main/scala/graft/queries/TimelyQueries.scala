@@ -108,6 +108,11 @@ object TimelyQueries {
     // coverage — the "can this series be trusted by alerts" report
     "ts_gap_report" -> ((s, dir) =>
       TimeSeries.gapReport(points(s, dir), Hour)),
+    // lag-{1,2,24} sample ACF over the per-metric hourly cross-series
+    // average: the periodicity evidence behind the seasonal-naive baseline
+    // (fixed-point integer sums, one pinned closing ratio)
+    "ts_autocorr" -> ((s, dir) =>
+      TimeSeries.autocorrelation(points(s, dir))),
     // top-5 series per metric by exact sum: shard-local top-k then a
     // bounded final rank — never a rank window over the full series set
     "ts_topn_series" -> ((s, dir) =>
@@ -261,6 +266,48 @@ object TimelyQueries {
         |       abs_err_sum / CAST(n_pairs AS DOUBLE) AS mae,
         |       CASE WHEN abs_actual_sum > 0 THEN abs_err_sum / abs_actual_sum END AS wmape
         |FROM a""".stripMargin,
+    // mirrors autocorrelation(1h, lags 1/2/24, scale 1000): exact-decimal
+    // bucket avg -> fixed-point -> integer cross/marginal sums -> the pinned
+    // xbar/num/den arithmetic, term for term
+    "ts_autocorr" ->
+      """WITH b AS (
+        |  SELECT event_type AS metric,
+        |         epoch_ms(ts) // 3600000 * 3600000 AS bucket_ms,
+        |         CAST(floor((CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value)) * 1000 + 0.5) AS BIGINT) AS fp
+        |  FROM events GROUP BY 1, 2),
+        |l AS (
+        |  SELECT metric, fp,
+        |         LEAD(fp, 1) OVER w AS l1, LEAD(fp, 2) OVER w AS l2,
+        |         LEAD(fp, 24) OVER w AS l24
+        |  FROM b WINDOW w AS (PARTITION BY metric ORDER BY bucket_ms)),
+        |e AS (
+        |  SELECT metric, fp, lg.lag_k,
+        |         CASE lg.lag_k WHEN 1 THEN l1 WHEN 2 THEN l2 ELSE l24 END AS lk
+        |  FROM l, (SELECT CAST(UNNEST([1, 2, 24]) AS BIGINT) AS lag_k) lg),
+        |pl AS (
+        |  SELECT metric, lag_k,
+        |         CAST(SUM(CASE WHEN lk IS NOT NULL THEN fp * lk END) AS BIGINT) AS a,
+        |         CAST(SUM(CASE WHEN lk IS NOT NULL THEN fp END) AS BIGINT) AS h,
+        |         CAST(SUM(lk) AS BIGINT) AS t,
+        |         CAST(SUM(CASE WHEN lk IS NOT NULL THEN 1 END) AS BIGINT) AS n_pairs
+        |  FROM e GROUP BY 1, 2),
+        |st AS (
+        |  SELECT metric, COUNT(*) AS n, CAST(SUM(fp) AS BIGINT) AS m,
+        |         CAST(SUM(fp * fp) AS BIGINT) AS s2
+        |  FROM b GROUP BY 1),
+        |x AS (SELECT pl.metric, pl.lag_k, pl.a, pl.h, pl.t, pl.n_pairs,
+        |             st.n, st.s2,
+        |             CAST(st.m AS DOUBLE) / CAST(st.n AS DOUBLE) / 1000.0 AS xbar
+        |      FROM pl JOIN st ON pl.metric = st.metric)
+        |SELECT metric, lag_k AS lag, n AS n_buckets,
+        |       COALESCE(n_pairs, 0) AS n_pairs,
+        |       CASE WHEN n_pairs IS NOT NULL
+        |                 AND (CAST(s2 AS DOUBLE) / 1000000.0 - CAST(n AS DOUBLE) * xbar * xbar) != 0.0
+        |            THEN (CAST(a AS DOUBLE) / 1000000.0 - xbar * (CAST(h + t AS DOUBLE) / 1000.0)
+        |                    + CAST(n_pairs AS DOUBLE) * xbar * xbar)
+        |                 / (CAST(s2 AS DOUBLE) / 1000000.0 - CAST(n AS DOUBLE) * xbar * xbar)
+        |       END AS acf
+        |FROM x""".stripMargin,
     // mirrors topSeries(sum, k=5): the two-level shard prune keeps a
     // superset of the global top-k, so the single-window rank is identical
     "ts_topn_series" ->

@@ -313,4 +313,18 @@ class DegenerateCorpusSpec extends AnyFunSuite with SparkSpec {
     val solo = Seq((0L, Array(1f, 0f))).toDF("vec_id", "embedding")
     assert(Similarity.knnMargin(solo, solo).count() == 0)
   }
+
+  test("session-6 operators survive degenerate inputs") {
+    // autocorrelation: single-bucket series -> 0 pairs, NULL acf, no throw
+    val onePt = Seq(("m", 0L, 1.0)).toDF("metric", "ts", "value")
+    val ac = TimeSeries.autocorrelation(onePt).collect()
+    assert(ac.length == 3 && ac.forall(r => r.getLong(3) == 0L && r.isNullAt(4)))
+    // paretoReport: empty events -> empty (no boundary row can match);
+    // single user -> every pct row is that user at share 1.0
+    val noEv = Seq.empty[(Long, Long)].toDF("user_id", "event_id")
+    assert(Funnel.paretoReport(noEv).count() == 0)
+    val oneU = Seq((1L, 0L), (1L, 1L)).toDF("user_id", "event_id")
+    val pr = Funnel.paretoReport(oneU).collect()
+    assert(pr.length == 6 && pr.forall(r => r.getDouble(3) == 1.0))
+  }
 }

@@ -127,4 +127,29 @@ class FunnelSpec extends AnyFunSuite with SparkSpec {
         .sortBy(t => (t._1, t._2, t._5)).toSeq
     assert(run(ev) == run(ev.repartition(13)))
   }
+
+  test("paretoReport: boundary groups split exactly; floor at one user") {
+    // counts: u1=10, u2=5, u3=3, u4=1, u5=1 -> 5 users, 20 events
+    val rows = Seq.fill(10)(1L) ++ Seq.fill(5)(2L) ++ Seq.fill(3)(3L) ++
+      Seq(4L, 5L)
+    val df = rows.zipWithIndex.map { case (u, i) => (u, i.toLong) }
+      .toDF("user_id", "event_id")
+    val out = Funnel.paretoReport(df, pcts = Seq(1, 20, 40, 60, 100))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((1L, 10L, 0.5)))   // floor: at least one user
+    assert(out(20L) == ((1L, 10L, 0.5)))  // top user alone is half the events
+    assert(out(40L) == ((2L, 15L, 0.75)))
+    assert(out(60L) == ((3L, 18L, 0.9)))
+    assert(out(100L) == ((5L, 20L, 1.0)))
+  }
+
+  test("paretoReport: ties inside a count group split by interchangeability") {
+    // four users all with 2 events: top 25% = 1 user = exactly 1/4 of events
+    val df = (1L to 4L).flatMap(u => Seq(u, u)).zipWithIndex
+      .map { case (u, i) => (u, i.toLong) }.toDF("user_id", "event_id")
+    val out = Funnel.paretoReport(df, pcts = Seq(25, 50))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(25L) == ((1L, 2L, 0.25)))
+    assert(out(50L) == ((2L, 4L, 0.5)))
+  }
 }

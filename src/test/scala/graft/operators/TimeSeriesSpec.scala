@@ -169,4 +169,26 @@ class TimeSeriesSpec extends AnyFunSuite with SparkSpec {
     val dev = TimeSeries.crossSeries(df, "dev").select("value").as[Double].head()
     assert(math.abs(dev - math.sqrt(200 * 4.0 / 199)) < 1e-12)
   }
+
+  test("autocorrelation: alternating series reads -5/6 at lag 1, 2/3 at lag 2") {
+    // one point per hourly bucket, values 1,2,1,2,1,2 (n=6, mean 1.5):
+    // lag1: 5 pairs, each deviation product -0.25 -> num -1.25, den 1.5
+    // lag2: 4 pairs, each +0.25 -> num 1.0
+    val df = points((0 until 6).map(i =>
+      ("m", 3600000L * i, if (i % 2 == 0) 1.0 else 2.0, host)): _*)
+    val out = TimeSeries.autocorrelation(df).collect()
+      .map(r => r.getLong(1) -> r).toMap
+    assert(out.keySet == Set(1L, 2L, 24L))
+    assert(out(1L).getLong(2) == 6L) // n_buckets
+    assert(out(1L).getLong(3) == 5L) // n_pairs
+    assert(math.abs(out(1L).getDouble(4) - (-5.0 / 6.0)) < 1e-9)
+    assert(out(2L).getLong(3) == 4L)
+    assert(math.abs(out(2L).getDouble(4) - (2.0 / 3.0)) < 1e-9)
+    // lag 24 has no pair on a 6-bucket series; constant series -> NULL acf
+    assert(out(24L).getLong(3) == 0L && out(24L).isNullAt(4))
+    val const = points((0 until 4).map(i => ("c", 3600000L * i, 7.0, host)): _*)
+    val cs = TimeSeries.autocorrelation(const).collect()
+      .map(r => r.getLong(1) -> r).toMap
+    assert(cs(1L).getLong(3) == 3L && cs(1L).isNullAt(4)) // zero variance
+  }
 }
