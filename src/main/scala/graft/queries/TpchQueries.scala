@@ -142,6 +142,71 @@ object TpchQueries {
         .agg(count(lit(1)).as("n_small_lines"),
           sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double").as("small_revenue"))
     }),
+    // TPC-H Q4-flavor late-order priority check: orders with ANY line shipped
+    // more than 60 days after the order date — the LEFT SEMI join pattern
+    // (exists, never a fan-out: an order with 7 late lines counts once). The
+    // date window prunes the orders scan; the semi join shuffles both fact
+    // tables on the order key with the non-equi lateness predicate evaluated
+    // inside the join.
+    "q4_late_orders" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+        .where(expr("o_orderdate >= TIMESTAMP '1996-06-01 00:00:00' AND " +
+          "o_orderdate < TIMESTAMP '1997-01-01 00:00:00'"))
+      o.join(table(s, dir, "lineitem"),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > expr("o_orderdate + INTERVAL 60 DAYS"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+    }),
+    // TPC-H Q6-style forecast revenue: the pure scan-aggregate — every
+    // predicate (date range, discount band, quantity cap) must reach the
+    // parquet scan as PushedFilters; no join, no shuffle beyond the 1-row
+    // final aggregate.
+    "q6_forecast_revenue" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .where(expr("l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' AND " +
+          "l_shipdate < TIMESTAMP '1998-01-01 00:00:00'") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(sum((col("l_extendedprice").cast("decimal(18,4)") *
+          col("l_discount").cast("decimal(18,4)")).cast("decimal(18,4)"))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+    // TPC-H Q14-flavor promo share: one month of shipments joined to part,
+    // conditional revenue split into a single-row ratio. Month filter at the
+    // lineitem scan; the lineitem-part join is the fact-fact shuffle (part
+    // grows with SF), AQE free to pick the strategy.
+    "q14_promo_share" -> ((s, dir) => {
+      val rev = (col("l_extendedprice").cast("decimal(18,4)") *
+        (lit(1) - col("l_discount").cast("decimal(18,4)"))).cast("decimal(18,4)")
+      table(s, dir, "lineitem")
+        .where(expr("l_shipdate >= TIMESTAMP '1996-09-01 00:00:00' AND " +
+          "l_shipdate < TIMESTAMP '1996-10-01 00:00:00'"))
+        .join(table(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", rev)
+            .otherwise(lit(0).cast("decimal(18,4)"))).cast("double").as("promo_revenue"),
+          sum(rev).cast("double").as("total_revenue"))
+        .select(col("promo_revenue"), col("total_revenue"),
+          (col("promo_revenue") / col("total_revenue") * lit(100.0)).as("promo_pct"))
+    }),
+    // TPC-H Q18-flavor large-volume orders: per-order quantity rollup with a
+    // selective HAVING, joined back to orders and the broadcast customer dim,
+    // deterministic top-20. The quantity aggregate runs BEFORE any join, so
+    // the join input is already HAVING-pruned (never join-then-aggregate).
+    "q18_big_orders" -> ((s, dir) => {
+      val big = table(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sum(col("l_quantity").cast("decimal(18,4)")).as("total_qty"))
+        .where(col("total_qty") > 200)
+      big.join(table(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(table(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice"), col("total_qty").cast("double").as("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+    }),
     // Dimension chain broadcast join: nation -> region rollup of customers.
     "q_region_customers" -> ((s, dir) => {
       val region = broadcast(table(s, dir, "region"))
@@ -232,6 +297,48 @@ object TpchQueries {
         |GROUP BY 1, 2
         |ORDER BY returned_revenue DESC, c_custkey
         |LIMIT 10""".stripMargin,
+    "q4_late_orders" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-06-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4)) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |       COUNT(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q14_promo_share" ->
+      """WITH a AS (
+        |  SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |                       THEN CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))
+        |                       ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo_revenue,
+        |         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00')
+        |SELECT promo_revenue, total_revenue,
+        |       promo_revenue / total_revenue * 100 AS promo_pct
+        |FROM a""".stripMargin,
+    "q18_big_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,4))) AS total_qty
+        |  FROM lineitem GROUP BY 1
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 200)
+        |SELECT c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |       CAST(total_qty AS DOUBLE) AS total_qty
+        |FROM big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 20""".stripMargin,
     "q9_brand_profit" ->
       """SELECT p_brand,
         |       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,

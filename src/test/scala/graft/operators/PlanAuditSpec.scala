@@ -560,4 +560,38 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     val n6 = nodes(6)
     assert(n6 <= n2 + 5, s"pageRank plan grows with iterations: iters=2 -> $n2 nodes, iters=6 -> $n6")
   }
+
+  test("q6 predicates reach the parquet scan; q4 plans a LEFT SEMI; q18 aggregates below its join") {
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    // a tiny on-disk star layout so the real gate queries run against a
+    // genuine parquet scan (pushdown is a scan property, not a plan rewrite)
+    val dir = java.nio.file.Files.createTempDirectory("tpch-plan").toString
+    val ts0 = java.sql.Timestamp.valueOf("1997-02-01 00:00:00")
+    Seq((1L, 1L, ts0, 10.0, 0.05, 100.0))
+      .toDF("l_orderkey", "l_partkey", "l_shipdate", "l_quantity", "l_discount", "l_extendedprice")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq((1L, 1L, ts0, "1-URGENT", 100.0))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((1L, "seg")).toDF("c_custkey", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+
+    val q6 = graft.queries.TpchQueries.queries("q6_forecast_revenue")(spark, dir)
+    val scan = q6.queryExecution.executedPlan.toString
+    for (c <- Seq("l_shipdate", "l_discount", "l_quantity"))
+      assert(scan.matches(s"(?s).*PushedFilters: \\[[^\\]]*$c.*"),
+        s"q6 filter on $c not pushed to the parquet scan")
+
+    val q4 = graft.queries.TpchQueries.queries("q4_late_orders")(spark, dir)
+    val semis = q4.queryExecution.optimizedPlan.collect {
+      case j: Join if j.joinType == LeftSemi => j
+    }
+    assert(semis.nonEmpty, "q4 late-order existence check is not a LEFT SEMI join")
+
+    val q18 = graft.queries.TpchQueries.queries("q18_big_orders")(spark, dir)
+    val joins = q18.queryExecution.optimizedPlan.collect { case j: Join => j }
+    assert(joins.forall(_.collect { case a: Aggregate => a }.nonEmpty),
+      "q18 quantity aggregate does not sit below the joins (join input unpruned)")
+  }
 }
