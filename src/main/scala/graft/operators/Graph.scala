@@ -493,6 +493,35 @@ object Graph {
           nullif(coalesce(col("out_deg"), lit(0L)), lit(0L)).cast("double")).as("recip_rate"))
   }
 
+  /**
+   * Log2 in/out-degree histogram of the simple directed graph — the
+   * one-glance shape audit every crawl snapshot gets before the rank family
+   * runs on it: a power-law out tail says "hub sites" (cap candidates for
+   * [[linkPredict]]'s `maxDeg` and the dedup buckets), a spiked in-degree
+   * bucket says link farm ([[trustRank]] seed evidence). Same log2-banding
+   * idiom as [[graft.operators.Funnel.activityHistogram]], per direction.
+   *
+   * Scale shape: distinct collapses multi-edges (≤ |V|² rows), then two
+   * node-keyed count aggregates and two ≤64-bucket rollups — the degree
+   * aggregate is the only data-sized shuffle. Self-loops excluded like the
+   * rest of the family.
+   *
+   * @return (direction 'in'|'out', bucket, min_degree = 2^bucket, n_nodes)
+   */
+  def degreeHistogram(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .where(col("src") =!= col("dst") && col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+    def hist(keyCol: String, direction: String) =
+      e.groupBy(col(keyCol).as("node")).agg(count(lit(1)).as("deg"))
+        .groupBy((length(bin(col("deg"))) - 1).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .select(lit(direction).as("direction"), col("bucket"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT))").as("min_degree"),
+          col("n_nodes"))
+    hist("src", "out").unionByName(hist("dst", "in"))
+  }
+
   def linkPredict(edges: DataFrame, maxDeg: Long = Long.MaxValue): DataFrame = {
     val und = edges
       .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))

@@ -473,17 +473,25 @@ object TimeSeries {
    * @return (metric, lag, n_buckets, n_pairs, acf) — `acf` NULL for a
    *         constant series (zero variance) or when no pair exists.
    */
-  def autocorrelation(points: DataFrame, periodMs: Long = 3600000L,
-                      lags: Seq[Int] = Seq(1, 2, 24),
-                      scale: Long = 1000L): DataFrame = {
-    require(lags.nonEmpty && lags.forall(_ >= 1), "lags must be >= 1")
-    require(scale >= 1L, "scale must be positive")
-    val b = points
+  /** The fixed-point bucket series [[autocorrelation]] and
+    * [[crossCorrelation]] share: per-metric `periodMs` cross-series average
+    * (exact-DECIMAL first level), snapped to `scale` steps per unit so every
+    * downstream sum is an exact integer. */
+  private def fpBucketSeries(points: DataFrame, periodMs: Long,
+                             scale: Long): DataFrame =
+    points
       .groupBy(col("metric"), (col("ts") - col("ts") % periodMs).as("bucket_ms"))
       .agg((sum(col("value").cast("decimal(18,6)")).cast("double") /
         count(col("value"))).as("value"))
       .select(col("metric"), col("bucket_ms"),
         floor(col("value") * scale + lit(0.5)).cast("long").as("fp"))
+
+  def autocorrelation(points: DataFrame, periodMs: Long = 3600000L,
+                      lags: Seq[Int] = Seq(1, 2, 24),
+                      scale: Long = 1000L): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ >= 1), "lags must be >= 1")
+    require(scale >= 1L, "scale must be positive")
+    val b = fpBucketSeries(points, periodMs, scale)
     val w = Window.partitionBy("metric").orderBy("bucket_ms")
     val leads = lags.foldLeft(b)((df, k) =>
       df.withColumn(s"l$k", lead(col("fp"), k).over(w)))
@@ -511,5 +519,64 @@ object TimeSeries {
       .select(col("metric"), col("lag"), col("n").as("n_buckets"),
         coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
         when(col("n_pairs").isNotNull && den =!= 0.0, num / den).as("acf"))
+  }
+
+  /**
+   * Lagged CROSS-correlation between every ordered metric pair — the
+   * leading-indicator detector ([[autocorrelation]]'s two-series sibling):
+   * `xcorr(a, b, k)` is the Pearson correlation of a's bucket value at `t`
+   * with b's at `t + k·period`, so a high `(errors, traffic, k=1)` row reads
+   * "traffic leads errors by one bucket" — what an alerting pipeline wires
+   * into cause ordering, and a mix pipeline uses to spot redundant signals.
+   * Lag 0 is plain correlation; the matrix is emitted for ordered pairs
+   * (a ≠ b) because lead/lag is directional.
+   *
+   * Exactness: both series come from [[fpBucketSeries]], so Σx, Σy, Σxy,
+   * Σx², Σy² over the MATCHED buckets are exact integers; means/cov/var are
+   * the pinned closing arithmetic mirrored in the oracle (same 2^53 bound
+   * as [[autocorrelation]]). Pearson over the matched subset — both moments
+   * from the same rows — keeps |r| ≤ 1 by construction.
+   *
+   * Scale shape: the join runs on the BUCKET-series frames (metrics ×
+   * buckets rows — KB-sized at any corpus scale), keyed by bucket; the
+   * final aggregate is (metrics² × lags)-bounded. Nothing corpus-sized
+   * moves after the first bucket aggregate.
+   */
+  def crossCorrelation(points: DataFrame, periodMs: Long = 3600000L,
+                       lags: Seq[Int] = Seq(0, 1, 2),
+                       scale: Long = 1000L): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ >= 0), "lags must be >= 0")
+    require(scale >= 1L, "scale must be positive")
+    val b = fpBucketSeries(points, periodMs, scale)
+    val lagged = b.select(col("metric"), col("bucket_ms"), col("fp"),
+        explode(array(lags.map(k => lit(k.toLong)): _*)).as("lag"))
+      .select(col("metric").as("metric_b"),
+        (col("bucket_ms") - col("lag") * periodMs).as("bucket_ms"),
+        col("fp").as("fpy"), col("lag"))
+    val joined = b.select(col("metric").as("metric_a"), col("bucket_ms"),
+        col("fp").as("fpx"))
+      .join(lagged, Seq("bucket_ms"))
+      .where(col("metric_a") =!= col("metric_b"))
+    val agg = joined.groupBy("metric_a", "metric_b", "lag").agg(
+      count(lit(1)).as("n"),
+      sum(col("fpx")).as("sx"), sum(col("fpy")).as("sy"),
+      sum(col("fpx") * col("fpy")).as("sxy"),
+      sum(col("fpx") * col("fpx")).as("sxx"),
+      sum(col("fpy") * col("fpy")).as("syy"))
+    val sd = scale.toDouble
+    val s2d = sd * sd
+    val xm = col("sx").cast("double") / col("n").cast("double") / lit(sd)
+    val ym = col("sy").cast("double") / col("n").cast("double") / lit(sd)
+    val cov = col("sxy").cast("double") / lit(s2d) -
+      xm * (col("sy").cast("double") / lit(sd)) -
+      ym * (col("sx").cast("double") / lit(sd)) +
+      col("n").cast("double") * xm * ym
+    val varx = col("sxx").cast("double") / lit(s2d) -
+      col("n").cast("double") * xm * xm
+    val vary = col("syy").cast("double") / lit(s2d) -
+      col("n").cast("double") * ym * ym
+    agg.select(col("metric_a"), col("metric_b"), col("lag"),
+      col("n").as("n_pairs"),
+      when(varx * vary > 0.0, cov / sqrt(varx * vary)).as("xcorr"))
   }
 }

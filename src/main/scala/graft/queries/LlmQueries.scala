@@ -639,6 +639,10 @@ object LlmQueries {
     // paid-link-ring tell the undirected family erases
     "graph_reciprocity" -> ((s, dir) =>
       graft.operators.Graph.reciprocity(plantedEdges(docs(s, dir), full = true))),
+    // log2 in/out-degree histogram of the simple graph: the shape audit
+    // (hub tail, link-farm spike) that sizes the family's degree caps
+    "graph_degree_hist" -> ((s, dir) =>
+      graft.operators.Graph.degreeHistogram(plantedEdges(docs(s, dir), full = true))),
     // 3-hop BFS reachability histogram from the trustrank seed pair:
     // synchronous frontier expansion, min-hop levels — the blast-radius view
     "graph_khop" -> ((s, dir) => {
@@ -3239,6 +3243,25 @@ object LlmQueries {
         |       CAST(COALESCE(r.n_recip, 0) AS DOUBLE) /
         |         CAST(NULLIF(n.out_deg, 0) AS DOUBLE) AS recip_rate
         |FROM n LEFT JOIN recip r ON n.node = r.node""".stripMargin,
+    // mirrors Graph.degreeHistogram over the full planted graph: distinct
+    // simple edges, per-direction degree counts, log2 banding
+    "graph_degree_hist" ->
+      """WITH raw AS (
+        |  SELECT 'site' || CAST(doc_id % 7 AS VARCHAR) AS src, 'cdn' || CAST(doc_id % 3 AS VARCHAR) AS dst FROM documents
+        |  UNION ALL SELECT 'cdn' || CAST(doc_id % 3 AS VARCHAR), 'site' || CAST(doc_id % 5 AS VARCHAR) FROM documents
+        |  UNION ALL SELECT 'site' || CAST(doc_id % 7 AS VARCHAR), 'site' || CAST((doc_id + 3) % 7 AS VARCHAR) FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL SELECT 'site' || CAST(doc_id % 7 AS VARCHAR), 'sink' FROM documents WHERE doc_id % 11 = 0),
+        |e AS (SELECT DISTINCT src, dst FROM raw
+        |      WHERE src != dst AND src IS NOT NULL AND dst IS NOT NULL),
+        |od AS (SELECT src AS node, COUNT(*) AS deg FROM e GROUP BY 1),
+        |idg AS (SELECT dst AS node, COUNT(*) AS deg FROM e GROUP BY 1),
+        |ho AS (SELECT 'out' AS direction, CAST(length(bin(deg)) - 1 AS BIGINT) AS bucket,
+        |              CAST(COUNT(*) AS BIGINT) AS n_nodes FROM od GROUP BY 2),
+        |hi AS (SELECT 'in' AS direction, CAST(length(bin(deg)) - 1 AS BIGINT) AS bucket,
+        |              CAST(COUNT(*) AS BIGINT) AS n_nodes FROM idg GROUP BY 2)
+        |SELECT direction, bucket, CAST(2 ** bucket AS BIGINT) AS min_degree, n_nodes FROM ho
+        |UNION ALL
+        |SELECT direction, bucket, CAST(2 ** bucket AS BIGINT) AS min_degree, n_nodes FROM hi""".stripMargin,
     // mirrors Graph.khopReach(maxHops=3): distinct-triple recursion bounded
     // at depth 3, min-hop levels
     "graph_khop" ->

@@ -113,6 +113,11 @@ object TimelyQueries {
     // (fixed-point integer sums, one pinned closing ratio)
     "ts_autocorr" -> ((s, dir) =>
       TimeSeries.autocorrelation(points(s, dir))),
+    // lagged cross-correlation between every ordered metric pair over the
+    // same bucket grid — the leading-indicator matrix ("traffic leads
+    // errors by one bucket"); bucket-series-sized joins only
+    "ts_cross_corr" -> ((s, dir) =>
+      TimeSeries.crossCorrelation(points(s, dir))),
     // top-5 series per metric by exact sum: shard-local top-k then a
     // bounded final rank — never a rank window over the full series set
     "ts_topn_series" -> ((s, dir) =>
@@ -308,6 +313,41 @@ object TimelyQueries {
         |                 / (CAST(s2 AS DOUBLE) / 1000000.0 - CAST(n AS DOUBLE) * xbar * xbar)
         |       END AS acf
         |FROM x""".stripMargin,
+    // mirrors crossCorrelation(1h, lags 0/1/2, scale 1000): the same
+    // fixed-point bucket series, bucket-offset join, exact moment sums over
+    // the matched subset, pinned Pearson closing arithmetic
+    "ts_cross_corr" ->
+      """WITH b AS (
+        |  SELECT event_type AS metric,
+        |         epoch_ms(ts) // 3600000 * 3600000 AS bucket_ms,
+        |         CAST(floor((CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value)) * 1000 + 0.5) AS BIGINT) AS fp
+        |  FROM events GROUP BY 1, 2),
+        |lg AS (SELECT CAST(UNNEST([0, 1, 2]) AS BIGINT) AS lag_k),
+        |y AS (SELECT metric AS metric_b, bucket_ms - lag_k * 3600000 AS bucket_ms,
+        |             fp AS fpy, lag_k
+        |      FROM b, lg),
+        |j AS (SELECT x.metric AS metric_a, y.metric_b, y.lag_k, x.fp AS fpx, y.fpy
+        |      FROM b x JOIN y ON x.bucket_ms = y.bucket_ms
+        |      WHERE x.metric != y.metric_b),
+        |a AS (SELECT metric_a, metric_b, lag_k, COUNT(*) AS n,
+        |             CAST(SUM(fpx) AS BIGINT) AS sx, CAST(SUM(fpy) AS BIGINT) AS sy,
+        |             CAST(SUM(fpx * fpy) AS BIGINT) AS sxy,
+        |             CAST(SUM(fpx * fpx) AS BIGINT) AS sxx,
+        |             CAST(SUM(fpy * fpy) AS BIGINT) AS syy
+        |      FROM j GROUP BY 1, 2, 3),
+        |m AS (SELECT a.*,
+        |             CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 1000.0 AS xm,
+        |             CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) / 1000.0 AS ym
+        |      FROM a),
+        |v AS (SELECT m.*,
+        |             CAST(sxy AS DOUBLE) / 1000000.0 - xm * (CAST(sy AS DOUBLE) / 1000.0)
+        |               - ym * (CAST(sx AS DOUBLE) / 1000.0) + CAST(n AS DOUBLE) * xm * ym AS cov,
+        |             CAST(sxx AS DOUBLE) / 1000000.0 - CAST(n AS DOUBLE) * xm * xm AS varx,
+        |             CAST(syy AS DOUBLE) / 1000000.0 - CAST(n AS DOUBLE) * ym * ym AS vary
+        |      FROM m)
+        |SELECT metric_a, metric_b, lag_k AS lag, n AS n_pairs,
+        |       CASE WHEN varx * vary > 0.0 THEN cov / sqrt(varx * vary) END AS xcorr
+        |FROM v""".stripMargin,
     // mirrors topSeries(sum, k=5): the two-level shard prune keeps a
     // superset of the global top-k, so the single-window rank is identical
     "ts_topn_series" ->

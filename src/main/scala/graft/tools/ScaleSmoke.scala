@@ -561,6 +561,43 @@ object ScaleSmoke {
         .agg(sum(col("value").cast("decimal(18,6)")).cast("double").as("value"))
       graft.operators.TimeSeries.seasonalError(pts, 86400000L).count()
     }
+    // ---- session-6 operators ------------------------------------------
+    // the replica corpus makes every shingle a reps-clique (same deliberate
+    // worst case as jaccard); the doc-freq cap is the 100TB config
+    t("containment capped (maxDocFreq=50; doc-in-doc pairs, shingle-blocked)") {
+      graft.operators.Dedup.containment(docs, threshold = 0.5, maxDocFreq = 50L).count()
+    }
+    t("nearDupSourceMatrix (pair-sized joins to doc->source + tiny matrix agg)") {
+      val pairs = graft.operators.Dedup.containment(docs, threshold = 0.5, maxDocFreq = 50L)
+      graft.operators.Curation.nearDupSourceMatrix(
+        docs.withColumn("source", (col("doc_id") % 40).cast("string")), pairs).count()
+    }
+    t("isotropy (pair-free: one explode + per-dim aggregate + 64-row fold)") {
+      graft.operators.Similarity.isotropy(emb).count()
+    }
+    t("selfKnnDensity (sampled probes vs full corpus via the k-bounded top-k)") {
+      graft.operators.Similarity.selfKnnDensity(emb,
+        k = 10, probeMod = math.max(1L, n * embReps / 20)).count()
+    }
+    t("autocorrelation (per-metric bucket series window, lag-exploded agg)") {
+      val pts = ev.select(col("event_type").as("metric"),
+        col("ts_ms").as("ts"), col("value"))
+      graft.operators.TimeSeries.autocorrelation(pts).count()
+    }
+    t("paretoReport (per-count-value rollup; window over distinct counts only)") {
+      graft.operators.Funnel.paretoReport(ev).count()
+    }
+    t("crossCorrelation (bucket-series join; metrics^2 x lags aggregate)") {
+      val pts = ev.select(col("event_type").as("metric"),
+        col("ts_ms").as("ts"), col("value"))
+      graft.operators.TimeSeries.crossCorrelation(pts).count()
+    }
+    t("degreeHistogram (edge distinct + two degree aggregates + 64-bucket rollup)") {
+      val edges = docs.select(
+        concat(lit("d"), col("doc_id") % 499).as("src"),
+        concat(lit("d"), (col("doc_id") * 13 + 7) % 499).as("dst"))
+      graft.operators.Graph.degreeHistogram(edges).count()
+    }
     spark.stop()
   }
 }

@@ -169,4 +169,18 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(run(edges.toDF("src", "dst")) ==
       run(scala.util.Random.shuffle(edges).toDF("src", "dst").repartition(13)))
   }
+
+  test("degreeHistogram: log2 bands over the simple graph; loops and dups collapse") {
+    // simple graph after cleanup: A->B, A->C, B->C (dup A->B and loop C->C drop)
+    val edges = Seq(("A", "B"), ("A", "B"), ("A", "C"), ("B", "C"), ("C", "C"))
+      .toDF("src", "dst")
+    val out = Graph.degreeHistogram(edges).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    // out: A deg 2 (bucket 1), B deg 1 (bucket 0); in: B deg 1, C deg 2
+    assert(out == Map(
+      ("out", 0L) -> ((1L, 1L)), ("out", 1L) -> ((2L, 1L)),
+      ("in", 0L) -> ((1L, 1L)), ("in", 1L) -> ((2L, 1L))))
+    assert(Graph.degreeHistogram(Seq.empty[(String, String)].toDF("src", "dst"))
+      .count() == 0)
+  }
 }

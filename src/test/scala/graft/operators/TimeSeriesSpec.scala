@@ -191,4 +191,26 @@ class TimeSeriesSpec extends AnyFunSuite with SparkSpec {
       .map(r => r.getLong(1) -> r).toMap
     assert(cs(1L).getLong(3) == 3L && cs(1L).isNullAt(4)) // zero variance
   }
+
+  test("crossCorrelation: a shifted copy correlates 1.0 at its lead lag") {
+    // n is m delayed one bucket (n_t = m_{t-1}); p = 9 - m (anticorrelated)
+    val m = Seq(1.0, 5.0, 2.0, 8.0)
+    val df = points(
+      (m.zipWithIndex.map { case (v, i) => ("m", 3600000L * i, v, host) } ++
+        Seq(("n", 0L, 3.0, host)) ++
+        m.take(3).zipWithIndex.map { case (v, i) => ("n", 3600000L * (i + 1), v, host) } ++
+        m.zipWithIndex.map { case (v, i) => ("p", 3600000L * i, 9.0 - v, host) }): _*)
+    val out = TimeSeries.crossCorrelation(df).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)) -> r).toMap
+    // lag 1 m->n: matched pairs (1,1),(5,5),(2,2) -> exactly linear
+    assert(math.abs(out(("m", "n", 1L)).getDouble(4) - 1.0) < 1e-12)
+    assert(out(("m", "n", 1L)).getLong(3) == 3L)
+    // lag 0 m->n includes the unrelated n_0 -> NOT a perfect fit
+    assert(math.abs(out(("m", "n", 0L)).getDouble(4)) < 0.999)
+    // anticorrelated pair reads -1 at lag 0
+    assert(math.abs(out(("m", "p", 0L)).getDouble(4) - (-1.0)) < 1e-12)
+    // a single metric alone yields no pair rows
+    val solo = points((0 until 4).map(i => ("x", 3600000L * i, i.toDouble, host)): _*)
+    assert(TimeSeries.crossCorrelation(solo).count() == 0)
+  }
 }
