@@ -300,4 +300,49 @@ object Anomaly {
         col("mean_n"), cumDev.as("cum_dev"),
         when(abs(cumDev) > lit(threshold) * col("mean_n"), 1L).otherwise(0L).as("is_drift"))
   }
+
+  /**
+   * Per-entity inter-event GAP profile — the distributional view behind
+   * [[botFlag]]'s binary tells: bots sit at a machine-regular median with a
+   * collapsed p95/median spread, humans at a wide spread; a p95 orders of
+   * magnitude above the median is a session-gapped account, not a bot. Min,
+   * nearest-rank median and p95, and max of the per-entity gap sequence —
+   * ALL exact integers (microsecond diffs; nearest-rank picks, never
+   * interpolation), so the report is engine- and parallelism-exact with no
+   * floating point at all.
+   *
+   * Scale shape: both windows partition by the entity key (the lag window
+   * for gaps, the rank window for the picks) — per-user sequences, never a
+   * corpus-wide sort. Entities with < `minEvents` events (< minEvents-1
+   * gaps) are dropped: their percentiles are noise.
+   *
+   * @return (user_id, n_gaps, min_gap_us, med_gap_us, p95_gap_us, max_gap_us)
+   */
+  def interarrival(events: DataFrame, keyCol: String = "user_id",
+                   tsUsCol: String = "ts_us", idCol: String = "event_id",
+                   minEvents: Long = 3L): DataFrame = {
+    require(minEvents >= 2, "minEvents >= 2: below that no gap exists")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCol).orderBy(col(tsUsCol), col(idCol))
+    val gaps = events
+      .select(col(keyCol), col(tsUsCol), col(idCol))
+      .withColumn("gap", col(tsUsCol) - lag(col(tsUsCol), 1).over(w))
+      .where(col("gap").isNotNull)
+    val wg = Window.partitionBy(keyCol).orderBy(col("gap"), col(idCol))
+    val ranked = gaps
+      .withColumn("rk", row_number().over(wg).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(keyCol)))
+      .where(col("n") >= minEvents - 1)
+    // nearest-rank: median at ceil(n/2) = (n+1) div 2; p95 at ceil(19n/20)
+    val med = ranked.where(col("rk") === expr("(n + 1) div 2"))
+      .select(col(keyCol), col("gap").as("med_gap_us"))
+    val p95 = ranked.where(col("rk") === expr("(19 * n + 19) div 20"))
+      .select(col(keyCol), col("gap").as("p95_gap_us"))
+    ranked.groupBy(keyCol)
+      .agg(count(lit(1)).as("n_gaps"),
+        min(col("gap")).as("min_gap_us"), max(col("gap")).as("max_gap_us"))
+      .join(med, keyCol).join(p95, keyCol)
+      .select(col(keyCol), col("n_gaps"), col("min_gap_us"),
+        col("med_gap_us"), col("p95_gap_us"), col("max_gap_us"))
+  }
 }

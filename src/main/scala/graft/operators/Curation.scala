@@ -747,6 +747,52 @@ object Curation {
       .agg(count(lit(1)).as("n_near_dup_pairs"))
   }
 
+  /**
+   * Quality-score CALIBRATION report — does the heuristic quality score
+   * actually separate good from bad? Decile buckets of
+   * [[TextAnalysis.qualityScore]] crossed with the independent signals a
+   * curation pass can check it against: document length and exact-dup rate
+   * (a well-calibrated score should show dup rate falling as quality
+   * rises — if it doesn't, the threshold a [[topKByLanguage]] /
+   * [[tokenBudget]] cut uses is ranking noise). NULL-quality docs (empty
+   * text) land in the `-1` sentinel bucket so nothing silently vanishes.
+   *
+   * Exactness: bucket = floor(quality·10) (clamped; identical double in
+   * both engines since the quality formula is oracle-pinned), mean quality
+   * via fixed-point integer sums (1e-6 grid — no sorted fold, so buckets
+   * can hold billions of docs), dup flags and word counts exact integers;
+   * the two closing divisions are the only floating point.
+   *
+   * Scale shape: one row-wise scoring scan, one hash-keyed dup aggregate +
+   * key join, one ≤12-bucket rollup. Nothing corpus-sized after the join.
+   */
+  def qualityCalibration(docs: DataFrame): DataFrame = {
+    val scored = TextAnalysis.qualityScore(docs)
+      .select(col("doc_id"), col("n_words"), col("quality"))
+    val hashed = docs.select(col("doc_id"),
+      md5(coalesce(col("text"), lit(""))).as("h"))
+    val dupCounts = hashed.groupBy("h").agg(count(lit(1)).as("c"))
+    val flags = hashed.join(dupCounts, "h")
+      .select(col("doc_id"), (col("c") > 1).cast("long").as("is_dup"))
+    scored.join(flags, "doc_id")
+      .select(
+        when(col("quality").isNull, lit(-1L))
+          .otherwise(least(floor(col("quality") * 10).cast("long"), lit(9L)))
+          .as("q_bucket"),
+        col("n_words"), col("is_dup"),
+        floor(col("quality") * 1000000 + lit(0.5)).cast("long").as("qfp"))
+      .groupBy("q_bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("is_dup")).as("n_dup_docs"),
+        sum(col("qfp")).as("qfp_sum"))
+      .select(col("q_bucket"), col("n_docs"), col("n_words"), col("n_dup_docs"),
+        (col("qfp_sum").cast("double") / col("n_docs").cast("double") /
+          lit(1000000.0)).as("mean_quality"),
+        (col("n_dup_docs").cast("double") / col("n_docs").cast("double"))
+          .as("dup_rate"))
+  }
+
   def sourceOverlap(docs: DataFrame): DataFrame = {
     val h = docs
       .select(md5(coalesce(col("text"), lit(""))).as("h"), col("source"))

@@ -131,6 +131,12 @@ object ApiQueries {
     "events_bot_flag" -> ((s, dir) =>
       Anomaly.botFlag(Points.table(s, dir, "events")
         .withColumn("ts_us", expr("ts div 1000")))),
+    // per-user inter-event gap profile: exact-integer nearest-rank
+    // median/p95 over per-user windows — the distribution the binary bot
+    // tells are thresholds of
+    "events_interarrival" -> ((s, dir) =>
+      Anomaly.interarrival(Points.table(s, dir, "events")
+        .withColumn("ts_us", expr("ts div 1000")))),
     // first-order Markov transitions between event types: per-user lag
     // window, then counts + probabilities over the tiny (type x type) frame
     "events_path_transitions" -> ((s, dir) => {
@@ -650,6 +656,30 @@ object ApiQueries {
         |                           THEN 1 ELSE 0 END
         |                 ELSE 0 END AS BIGINT) AS is_bot
         |FROM a""".stripMargin,
+    // mirrors Anomaly.interarrival(minEvents=3): per-user gap lag window,
+    // rank window with the event-id tie-break, nearest-rank integer picks
+    "events_interarrival" ->
+      """WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS tu FROM events),
+        |g AS (SELECT user_id, event_id,
+        |             tu - LAG(tu) OVER (PARTITION BY user_id ORDER BY tu, event_id) AS gap
+        |      FROM o),
+        |r AS (SELECT user_id, gap,
+        |             CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY gap, event_id) AS BIGINT) AS rk,
+        |             CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+        |      FROM g WHERE gap IS NOT NULL),
+        |k AS (SELECT * FROM r WHERE n >= 2),
+        |a AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+        |             CAST(MIN(gap) AS BIGINT) AS min_gap_us,
+        |             CAST(MAX(gap) AS BIGINT) AS max_gap_us
+        |      FROM k GROUP BY 1),
+        |med AS (SELECT user_id, CAST(gap AS BIGINT) AS med_gap_us FROM k
+        |        WHERE rk = (n + 1) // 2),
+        |p95 AS (SELECT user_id, CAST(gap AS BIGINT) AS p95_gap_us FROM k
+        |        WHERE rk = (19 * n + 19) // 20)
+        |SELECT a.user_id, a.n_gaps, a.min_gap_us, med.med_gap_us,
+        |       p95.p95_gap_us, a.max_gap_us
+        |FROM a JOIN med ON a.user_id = med.user_id
+        |       JOIN p95 ON a.user_id = p95.user_id""".stripMargin,
     "events_path_transitions" ->
       """WITH o AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type FROM events),
         |s AS (SELECT event_type AS to_type,

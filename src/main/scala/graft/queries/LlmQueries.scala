@@ -228,6 +228,11 @@ object LlmQueries {
     // asymmetric containment: doc-in-doc partial copies Jaccard misses
     // (|A∩B| / min set size) — same shingle blocking, shared shingle cache
     "dedup_containment" -> ((s, dir) => Dedup.containment(docs(s, dir), threshold = 0.5)),
+    // quality-score calibration: decile buckets crossed with length and
+    // exact-dup rate — the "is the score ranking signal or noise" audit
+    // every threshold cut should read first
+    "curate_quality_calibration" -> ((s, dir) =>
+      graft.operators.Curation.qualityCalibration(docs(s, dir))),
     // which sources rewrap each other's content: the containment pairs
     // rolled up to an unordered source x source matrix (sourceOverlap's
     // exact-hash view can't see rewrapped near-copies)
@@ -1818,6 +1823,30 @@ object LlmQueries {
          |       inter * 1.0 / LEAST(sa.n, sb.n) AS containment
          |FROM p JOIN sz sa ON p.a = sa.doc_id JOIN sz sb ON p.b = sb.doc_id
          |WHERE inter * 1.0 / LEAST(sa.n, sb.n) >= 0.5""".stripMargin,
+    // mirrors Curation.qualityCalibration: the oracle-pinned quality CTE,
+    // floor-decile buckets (NULL -> -1), fixed-point mean, exact dup flags
+    "curate_quality_calibration" ->
+      s"""WITH $scoredSql,
+         |hsh AS (SELECT doc_id, md5(COALESCE(text, '')) AS h FROM documents),
+         |dc AS (SELECT h, COUNT(*) AS c FROM hsh GROUP BY 1),
+         |f AS (SELECT hsh.doc_id,
+         |             CAST(CASE WHEN c > 1 THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+         |      FROM hsh JOIN dc USING (h)),
+         |b AS (SELECT CAST(CASE WHEN quality IS NULL THEN -1
+         |                       ELSE LEAST(CAST(floor(quality * 10) AS BIGINT), 9)
+         |                  END AS BIGINT) AS q_bucket,
+         |             s.n_words, f.is_dup,
+         |             CAST(floor(quality * 1000000 + 0.5) AS BIGINT) AS qfp
+         |      FROM s JOIN f ON s.doc_id = f.doc_id),
+         |g AS (SELECT q_bucket, COUNT(*) AS n_docs,
+         |             CAST(SUM(n_words) AS BIGINT) AS n_words,
+         |             CAST(SUM(is_dup) AS BIGINT) AS n_dup_docs,
+         |             CAST(SUM(qfp) AS BIGINT) AS qfp_sum
+         |      FROM b GROUP BY 1)
+         |SELECT q_bucket, n_docs, n_words, n_dup_docs,
+         |       CAST(qfp_sum AS DOUBLE) / CAST(n_docs AS DOUBLE) / 1000000.0 AS mean_quality,
+         |       CAST(n_dup_docs AS DOUBLE) / CAST(n_docs AS DOUBLE) AS dup_rate
+         |FROM g""".stripMargin,
     "curate_near_dup_matrix" ->
       s"""WITH sh AS ($Shingles),
          |p AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS inter

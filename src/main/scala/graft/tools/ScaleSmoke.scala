@@ -592,6 +592,13 @@ object ScaleSmoke {
         col("ts_ms").as("ts"), col("value"))
       graft.operators.TimeSeries.crossCorrelation(pts).count()
     }
+    t("interarrival (per-user gap lag + rank windows, nearest-rank integer picks)") {
+      graft.operators.Anomaly.interarrival(
+        ev.withColumn("ts_us", col("ts_ms") * 1000L)).count()
+    }
+    t("qualityCalibration (row-wise scoring + hash-dup join + 12-bucket rollup)") {
+      graft.operators.Curation.qualityCalibration(docs).count()
+    }
     t("degreeHistogram (edge distinct + two degree aggregates + 64-bucket rollup)") {
       val edges = docs.select(
         concat(lit("d"), col("doc_id") % 499).as("src"),

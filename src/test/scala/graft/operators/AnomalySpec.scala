@@ -166,4 +166,23 @@ class AnomalySpec extends AnyFunSuite with SparkSpec {
     val clean = TextAnalysis.htmlStrip(docs).collect().head.getString(1)
     assert(clean == "&lt; stays literal", s"got: $clean")
   }
+
+  test("interarrival: nearest-rank picks over hand-built gaps; small users drop") {
+    // user 1: ts 0,10,30,70,150 -> gaps 10,20,40,80; median rank (4+1)div2=2
+    // -> 20; p95 rank ceil(3.8)=4 -> 80. user 2: one gap only -> dropped
+    val ev = (Seq(0L, 10L, 30L, 70L, 150L).zipWithIndex.map {
+      case (t, i) => (1L, t, i.toLong)
+    } ++ Seq((2L, 0L, 90L), (2L, 5L, 91L))).toDF("user_id", "ts_us", "event_id")
+    val out = Anomaly.interarrival(ev).collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(1L))
+    val r = out(1L)
+    assert(r.getLong(1) == 4L)  // n_gaps
+    assert(r.getLong(2) == 10L && r.getLong(3) == 20L &&
+      r.getLong(4) == 80L && r.getLong(5) == 80L)
+    // identical timestamps: the event-id tie-break makes gap 0 deterministic
+    val ties = Seq((3L, 7L, 1L), (3L, 7L, 2L), (3L, 9L, 3L))
+      .toDF("user_id", "ts_us", "event_id")
+    val t3 = Anomaly.interarrival(ties).collect().head
+    assert(t3.getLong(2) == 0L && t3.getLong(5) == 2L)
+  }
 }

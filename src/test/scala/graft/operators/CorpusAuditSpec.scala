@@ -398,4 +398,27 @@ class CorpusAuditSpec extends AnyFunSuite with SparkSpec {
     assert(out(3L) == ((8L, 1L, 8L, 0.25, 8.0 / 14)))
     assert(out.values.map(_._2).sum == 4L && out.values.map(_._3).sum == 14L)
   }
+
+  test("qualityCalibration: dup pair shares a bucket; NULL text lands in -1") {
+    val good = "the quick brown fox jumps over the lazy dog and then the " +
+      "fox runs away into the quiet woods before the dog can even see it"
+    val docs = Seq[(Long, Option[String])](
+      (1L, Some(good)), (2L, Some(good)),          // exact dups, same bucket
+      (3L, Some("zz qq xx ww vv")),                // no stopwords, low score
+      (4L, None)                                   // NULL -> sentinel bucket
+    ).toDF("doc_id", "text")
+    val out = Curation.qualityCalibration(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.values.map(_.getLong(1)).sum == 4L)      // every doc accounted
+    assert(out.contains(-1L) && out(-1L).getLong(1) == 1L)
+    assert(out(-1L).isNullAt(4))                         // no quality to mean
+    val dupBucket = out.values.find(_.getLong(3) > 0L).get
+    assert(dupBucket.getLong(3) == 2L)                   // both copies flagged
+    assert(dupBucket.getDouble(5) == 2.0 / dupBucket.getLong(1))
+    // non-sentinel means sit inside their decile
+    out.filter(_._1 >= 0L).foreach { case (b, r) =>
+      val m = r.getDouble(4)
+      assert(m >= b / 10.0 - 1e-6 && m <= (b + 1) / 10.0 + 1e-6, s"bucket $b mean $m")
+    }
+  }
 }

@@ -326,5 +326,15 @@ class DegenerateCorpusSpec extends AnyFunSuite with SparkSpec {
     val oneU = Seq((1L, 0L), (1L, 1L)).toDF("user_id", "event_id")
     val pr = Funnel.paretoReport(oneU).collect()
     assert(pr.length == 6 && pr.forall(r => r.getDouble(3) == 1.0))
+    // interarrival: two events = one gap < minEvents-1 -> dropped, no throw
+    val twoEv = Seq((1L, 0L, 10L), (1L, 5L, 11L)).toDF("user_id", "ts_us", "event_id")
+    assert(Anomaly.interarrival(twoEv).count() == 0)
+    // qualityCalibration over the nasty corpus: every doc lands in a bucket
+    val qc = Curation.qualityCalibration(nasty).collect()
+    assert(qc.map(_.getLong(1)).sum == 9L)
+    // crossCorrelation/degreeHistogram reuse frames already swept above
+    assert(TimeSeries.crossCorrelation(
+      Seq(("m", 0L, 1.0)).toDF("metric", "ts", "value")).count() == 0)
+    assert(Graph.degreeHistogram(Seq(("A", "A")).toDF("src", "dst")).count() == 0)
   }
 }
