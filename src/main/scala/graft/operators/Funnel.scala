@@ -508,6 +508,45 @@ object Funnel {
   }
 
   /**
+   * Hour-of-day ENTROPY per event type — the temporal-concentration audit
+   * [[seasonality]]'s raw heatmap rolls up to one number: organic human
+   * traffic spreads over waking hours (entropy near ln 24 ≈ 3.18 nats),
+   * cron jobs and bot bursts concentrate in one or two cells (entropy → 0,
+   * max_share → 1). The number a monitoring rule can threshold where the
+   * heatmap needs an eyeball.
+   *
+   * Determinism: hour shares are exact integer ratios; each `p·ln p` term
+   * is quantized to DECIMAL(28,12) (the BM25-family ln idiom) so the ≤24
+   * per-type terms sum exactly in any order and any engine. Assumes
+   * non-negative epoch timestamps (the hour-of-day modulus).
+   *
+   * Scale shape: one (type × 24)-bounded count aggregate with map-side
+   * combine; everything after it is tiny.
+   *
+   * @return (event_type, n_events, n_hours, max_share, entropy_nats)
+   */
+  def hourEntropy(events: DataFrame, typeCol: String = "event_type",
+                  tsMsCol: String = "ts_ms"): DataFrame = {
+    val c = events
+      .groupBy(col(typeCol).as("event_type"),
+        expr(s"($tsMsCol div 3600000) % 24").as("hour"))
+      .agg(count(lit(1)).as("c"))
+    val t = c.groupBy("event_type").agg(
+      sum(col("c")).as("n_events"),
+      count(lit(1)).as("n_hours"),
+      max(col("c")).as("max_c"))
+    val p = col("c").cast("double") / col("n_events").cast("double")
+    c.join(t, "event_type")
+      .groupBy(col("event_type"), col("n_events"), col("n_hours"), col("max_c"))
+      .agg((-sum((p * log(p)).cast("decimal(28,12)"))).cast("double")
+        .as("entropy_nats"))
+      .select(col("event_type"), col("n_events"), col("n_hours"),
+        (col("max_c").cast("double") / col("n_events").cast("double"))
+          .as("max_share"),
+        col("entropy_nats"))
+  }
+
+  /**
    * Concentration (Lorenz/Pareto) report: what share of all events the most
    * active `pct`% of entities generate — THE skew number for a traffic or
    * training-data mix ("the top 1% of users are 40% of events" decides rate

@@ -488,6 +488,57 @@ object Similarity {
   }
 
   /**
+   * Variance EXPLAINED by the top principal component — the one-number
+   * verdict on [[topPrincipalComponent]]'s finding: `var_explained` near
+   * 1/dim says the space is healthy (no single direction dominates);
+   * a large ratio says encoder drift / dataset shift has collapsed the
+   * corpus onto one axis (and says how much a rank-1 whitening or the
+   * first PQ/OPQ split would capture). Companions: [[isotropy]] measures
+   * the MEAN direction; this measures the dominant CENTERED direction.
+   *
+   * Determinism: the projection coordinates are [[pcProjectionFrom]]'s
+   * exact fixed-point LONGs, so Σproj and Σproj² are exact integers;
+   * `total_var` is the sorted fold over [[dimStats]]' (dim-count-bounded)
+   * per-axis variances — the same oracle-pinned arithmetic, then two
+   * pinned closing expressions. Σproj² must stay under 2^53 for the double
+   * cast (n·(PcScale·max|proj|)² — holds to ~10M unit-norm vectors; the
+   * audit samples above that).
+   *
+   * Scale shape: rides the shared power-iteration component frame (one
+   * per session via the gate memo); one projection aggregate + one
+   * dim-bounded fold, crossJoined as 1-row frames.
+   */
+  def pcVarianceExplained(emb: DataFrame, pc: DataFrame): DataFrame = {
+    val proj = pcProjectionFrom(emb, pc)
+    val pa = proj.agg(
+      count(lit(1)).as("n_vecs"),
+      sum(col("proj_fp")).as("sp"),
+      sum(expr("CAST(proj_fp AS DECIMAL(38,0)) * proj_fp")).as("spp"))
+    val tv = broadcast(dimStats(emb).agg(
+      expr("aggregate(sort_array(collect_list(variance)), 0D, (acc, v) -> acc + v)")
+        .as("total_var")))
+    // the component vector is L1-normalized (the power iteration's renorm),
+    // so raw projection coordinates are scaled by ‖u‖₂ — divide the raw
+    // variance by ‖u‖₂² (exact integer Σ pc_fp²) to get the variance along
+    // the UNIT direction. (Caught by the symmetric-cross fixture: without
+    // this, a 64-dim-spread component under-reads by ~64×.)
+    val u2 = broadcast(pc.agg(
+      sum(expr("CAST(pc_fp AS DECIMAL(38,0)) * pc_fp")).as("u2")))
+    val meanP = col("sp").cast("double") / col("n_vecs").cast("double") /
+      lit(PcScale.toDouble)
+    val pcVarRaw = col("spp").cast("double") / lit(PcScale.toDouble * PcScale) /
+      col("n_vecs").cast("double") - meanP * meanP
+    // u2 = 0 only for a degenerate (constant/empty) corpus whose component
+    // is the zero vector — there is no direction, so pc_var is NULL (and
+    // ANSI division must never see the zero)
+    val pcVar = when(col("u2") > 0, pcVarRaw /
+      (col("u2").cast("double") / lit(PcScale.toDouble * PcScale)))
+    pa.crossJoin(tv).crossJoin(u2)
+      .select(col("n_vecs"), pcVar.as("pc_var"), col("total_var"),
+        when(col("total_var") > 0.0, pcVar / col("total_var")).as("var_explained"))
+  }
+
+  /**
    * Norm-outlier screen — the row-level embedding health check ([[dimStats]]
    * is the column-level one): a broken encoder shows up as zero/near-zero
    * norms (dead input) or exploding norms (overflow, bad normalization), and

@@ -131,6 +131,12 @@ object ApiQueries {
     "events_bot_flag" -> ((s, dir) =>
       Anomaly.botFlag(Points.table(s, dir, "events")
         .withColumn("ts_us", expr("ts div 1000")))),
+    // hour-of-day entropy per type: the one-number temporal-concentration
+    // audit (cron/bot traffic reads near 0, organic near ln 24); ln terms
+    // DECIMAL(28,12)-quantized so the 24-cell sum is engine-exact
+    "events_hour_entropy" -> ((s, dir) =>
+      Funnel.hourEntropy(Points.table(s, dir, "events")
+        .withColumn("ts_ms", expr("ts div 1000000")))),
     // per-user inter-event gap profile: exact-integer nearest-rank
     // median/p95 over per-user windows — the distribution the binary bot
     // tells are thresholds of
@@ -656,6 +662,25 @@ object ApiQueries {
         |                           THEN 1 ELSE 0 END
         |                 ELSE 0 END AS BIGINT) AS is_bot
         |FROM a""".stripMargin,
+    // mirrors Funnel.hourEntropy: exact hour shares, p*ln(p) quantized
+    // DECIMAL(28,12), exact decimal sum, pinned closing casts
+    "events_hour_entropy" ->
+      """WITH c AS (SELECT event_type, (epoch_ms(ts) // 3600000) % 24 AS hour,
+        |                  COUNT(*) AS c
+        |           FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n_events,
+        |             CAST(COUNT(*) AS BIGINT) AS n_hours,
+        |             CAST(MAX(c) AS BIGINT) AS max_c
+        |      FROM c GROUP BY 1),
+        |e AS (SELECT c.event_type, t.n_events, t.n_hours, t.max_c,
+        |             CAST((CAST(c.c AS DOUBLE) / CAST(t.n_events AS DOUBLE)) *
+        |                  ln(CAST(c.c AS DOUBLE) / CAST(t.n_events AS DOUBLE))
+        |                  AS DECIMAL(28,12)) AS term
+        |      FROM c JOIN t USING (event_type))
+        |SELECT event_type, n_events, n_hours,
+        |       CAST(max_c AS DOUBLE) / CAST(n_events AS DOUBLE) AS max_share,
+        |       CAST(-SUM(term) AS DOUBLE) AS entropy_nats
+        |FROM e GROUP BY 1, 2, 3, max_c""".stripMargin,
     // mirrors Anomaly.interarrival(minEvents=3): per-user gap lag window,
     // rank window with the event-id tie-break, nearest-rank integer picks
     "events_interarrival" ->

@@ -678,6 +678,11 @@ object LlmQueries {
     // power iterations with sign-split round-toward-zero renorms — the
     // drift-direction audit, bit-exact vs the unrolled SQL replay
     "embed_top_pc" -> ((s, dir) => topPcFrame(s, dir)),
+    // variance explained by the top PC: exact fixed-point projection
+    // moments over the SHARED memoized component frame + the dimStats
+    // total-variance fold — the one-number collapse verdict
+    "embed_pc_var" -> ((s, dir) =>
+      Similarity.pcVarianceExplained(emb(s, dir), topPcFrame(s, dir))),
     // per-vector coordinate along the top PC — the drift score a monitoring
     // job histograms over time; exact DECIMAL dot with the fixed-point
     // component (the SHARED memoized frame), sign-split floor division
@@ -3354,6 +3359,43 @@ object LlmQueries {
         |s AS (SELECT component_id, CAST(COUNT(*) AS BIGINT) AS n_domains FROM c GROUP BY 1)
         |SELECT c.domain, c.component_id, s.n_domains FROM c JOIN s USING (component_id)""".stripMargin,
     "embed_top_pc" -> topPcOracleSql(),
+    // mirrors pcVarianceExplained: the pc_project CTEs, exact projection
+    // moments, the dim_stats variance fold, two pinned closing expressions
+    "embed_pc_var" ->
+      s"""WITH ${topPcCtes(8, 1000000L)},
+         |proj AS (
+         |  SELECT el.vec_id,
+         |         SUM(CAST(el.fp AS HUGEINT) * (v.v_fp * sgn)) AS score
+         |  FROM el JOIN v8 v ON el.d = v.dim CROSS JOIN sg GROUP BY 1),
+         |pf AS (
+         |  SELECT vec_id,
+         |         CAST(CASE WHEN score < 0 THEN -(abs(score) // 1048576)
+         |                   ELSE score // 1048576 END AS BIGINT) AS proj_fp
+         |  FROM proj),
+         |pa AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         |              CAST(SUM(proj_fp) AS BIGINT) AS sp,
+         |              SUM(CAST(proj_fp AS HUGEINT) * proj_fp) AS spp
+         |       FROM pf),
+         |ds AS (SELECT d, COUNT(*) AS nv, CAST(SUM(fp) AS BIGINT) AS fs,
+         |              CAST(SUM(fp * fp) AS BIGINT) AS fss
+         |       FROM el GROUP BY 1),
+         |dvar AS (SELECT fss / (nv * 1048576 * 1048576) -
+         |                (fs / (nv * 1048576)) * (fs / (nv * 1048576)) AS variance
+         |         FROM ds),
+         |tv AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_sort(list(variance))), (acc, v) -> acc + v) AS total_var FROM dvar),
+         |u2 AS (SELECT SUM(CAST(v_fp * sgn AS HUGEINT) * (v_fp * sgn)) AS u2
+         |       FROM v8 CROSS JOIN sg),
+         |pv AS (SELECT n_vecs,
+         |              CASE WHEN u2 > 0 THEN
+         |                (CAST(spp AS DOUBLE) / 1000000000000.0 / CAST(n_vecs AS DOUBLE)
+         |                  - (CAST(sp AS DOUBLE) / CAST(n_vecs AS DOUBLE) / 1000000.0)
+         |                    * (CAST(sp AS DOUBLE) / CAST(n_vecs AS DOUBLE) / 1000000.0))
+         |                  / (CAST(u2 AS DOUBLE) / 1000000000000.0)
+         |              END AS pc_var
+         |       FROM pa CROSS JOIN u2)
+         |SELECT pv.n_vecs, pv.pc_var, tv.total_var,
+         |       CASE WHEN tv.total_var > 0.0 THEN pv.pc_var / tv.total_var END AS var_explained
+         |FROM pv CROSS JOIN tv""".stripMargin,
     "embed_pc_project" ->
       s"""WITH ${topPcCtes(8, 1000000L)},
          |proj AS (

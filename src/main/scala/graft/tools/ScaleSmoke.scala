@@ -605,6 +605,13 @@ object ScaleSmoke {
         concat(lit("d"), (col("doc_id") * 13 + 7) % 499).as("dst"))
       graft.operators.Graph.degreeHistogram(edges).count()
     }
+    t("hourEntropy (type x 24 count aggregate; decimal-quantized ln terms)") {
+      graft.operators.Funnel.hourEntropy(ev).count()
+    }
+    t("pcVarianceExplained (shared PC frame + projection aggregate + dim fold)") {
+      graft.operators.Similarity.pcVarianceExplained(emb,
+        graft.operators.Similarity.topPrincipalComponent(emb)).count()
+    }
     spark.stop()
   }
 }

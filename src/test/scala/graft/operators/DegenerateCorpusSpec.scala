@@ -336,5 +336,15 @@ class DegenerateCorpusSpec extends AnyFunSuite with SparkSpec {
     assert(TimeSeries.crossCorrelation(
       Seq(("m", 0L, 1.0)).toDF("metric", "ts", "value")).count() == 0)
     assert(Graph.degreeHistogram(Seq(("A", "A")).toDF("src", "dst")).count() == 0)
+    // hourEntropy: one event -> entropy exactly 0, not a log-of-zero error
+    val oneHit = Seq((1L, 0L, "t")).toDF("user_id", "ts_ms", "event_type")
+    val he = Funnel.hourEntropy(oneHit).collect().head
+    assert(he.getDouble(4) == 0.0 && he.getDouble(3) == 1.0)
+    // pcVarianceExplained: constant corpus (zero variance) -> NULL ratio
+    val const = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val pcv = Similarity.pcVarianceExplained(const,
+      Similarity.topPrincipalComponent(const)).collect().head
+    assert(pcv.isNullAt(3))
   }
 }

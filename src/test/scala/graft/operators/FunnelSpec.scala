@@ -143,6 +143,21 @@ class FunnelSpec extends AnyFunSuite with SparkSpec {
     assert(out(100L) == ((5L, 20L, 1.0)))
   }
 
+  test("hourEntropy: one-hour burst reads 0, even split reads ln 2") {
+    val h = 3600000L
+    val burst = (1L to 5L).map(i => (1L, 2 * h + i)).toDF("user_id", "ts_ms")
+      .withColumn("event_type", lit("cron"))
+    val b = Funnel.hourEntropy(burst).collect().head
+    assert(b.getLong(1) == 5L && b.getLong(2) == 1L)
+    assert(b.getDouble(3) == 1.0 && b.getDouble(4) == 0.0)
+    // two hours, two events each: H = -2 * 0.5 ln 0.5 = ln 2
+    val even = Seq((1L, 0L), (2L, 1L), (3L, h), (4L, h + 1))
+      .toDF("user_id", "ts_ms").withColumn("event_type", lit("organic"))
+    val e = Funnel.hourEntropy(even).collect().head
+    assert(e.getLong(2) == 2L && e.getDouble(3) == 0.5)
+    assert(math.abs(e.getDouble(4) - math.log(2.0)) < 1e-9)
+  }
+
   test("paretoReport: ties inside a count group split by interchangeability") {
     // four users all with 2 events: top 25% = 1 user = exactly 1/4 of events
     val df = (1L to 4L).flatMap(u => Seq(u, u)).zipWithIndex

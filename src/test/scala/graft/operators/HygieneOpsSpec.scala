@@ -207,6 +207,22 @@ class HygieneOpsSpec extends AnyFunSuite with SparkSpec {
     assert(out(60L).getDouble(2) == 0.0) // the outlier
   }
 
+  test("pcVarianceExplained: one-axis corpus reads 1, symmetric cross reads 1/2") {
+    // all variance on axis 1 -> the top PC explains everything
+    val oneAxis = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(-1.0f, 0.0f)),
+      (3L, Seq(3.0f, 0.0f))).toDF("vec_id", "embedding")
+    val r1 = Similarity.pcVarianceExplained(oneAxis,
+      Similarity.topPrincipalComponent(oneAxis)).collect().head
+    assert(r1.getLong(0) == 3L)
+    assert(math.abs(r1.getDouble(3) - 1.0) < 1e-6)
+    // symmetric cross: each axis holds half the variance
+    val cross = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(-1.0f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f)), (4L, Seq(0.0f, -1.0f))).toDF("vec_id", "embedding")
+    val r2 = Similarity.pcVarianceExplained(cross,
+      Similarity.topPrincipalComponent(cross)).collect().head
+    assert(math.abs(r2.getDouble(3) - 0.5) < 1e-6)
+  }
+
   test("normOutliers: exploding and dead norms flag; unit norms keep") {
     val emb = ((1L to 20L).map(i => (i, Seq(1.0f, 0.0f))) ++
       Seq((21L, Seq(5.0f, 0.0f)), (22L, Seq(0.01f, 0.0f))))
