@@ -522,6 +522,53 @@ object Graph {
     hist("src", "out").unionByName(hist("dst", "in"))
   }
 
+  /**
+   * Bipartite CO-VISITATION projection — the item-item affinity graph a
+   * recommender / related-content system builds from (user, item)
+   * engagement pairs: two items are linked with the count of users who
+   * touched both, scored with the exact-integer Jaccard affinity
+   * `n_both / (deg_a + deg_b − n_both)`. This is also the co-citation /
+   * co-click "related domains" builder for crawl curation.
+   *
+   * Scale shape: the SAME skew-cap contract as the dedup pair generators —
+   * a user who touched k items emits k²/2 pairs, so hub users (crawlers,
+   * shared accounts) above `maxUserDeg` distinct items are dropped from
+   * PAIR GENERATION only; item degrees always come from the UNCAPPED
+   * distinct frame so affinities stay comparable. The pair join shuffles
+   * on the user key; the affinity joins shuffle on the item key; output is
+   * ≤ items² rows. No corpus-sized broadcast.
+   *
+   * @return (item_a, item_b, n_both, deg_a, deg_b, affinity) with
+   *         item_a < item_b and n_both counting DISTINCT co-visiting users.
+   */
+  def covisitation(pairs: DataFrame, userCol: String = "user",
+                   itemCol: String = "item",
+                   maxUserDeg: Long = Long.MaxValue): DataFrame = {
+    require(maxUserDeg >= 2, "maxUserDeg >= 2: below that no pair exists")
+    val e = pairs.select(col(userCol).as("u"), col(itemCol).as("item"))
+      .where(col("u").isNotNull && col("item").isNotNull)
+      .distinct()
+    val deg = e.groupBy("item").agg(count(lit(1)).as("deg"))
+    val capped =
+      if (maxUserDeg == Long.MaxValue) e
+      else {
+        val ok = e.groupBy("u").agg(count(lit(1)).as("ud"))
+          .where(col("ud") <= maxUserDeg).select("u")
+        e.join(ok, "u")
+      }
+    val co = capped.as("a").join(capped.as("b"),
+        col("a.u") === col("b.u") && col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
+      .agg(count(lit(1)).as("n_both"))
+    co.join(deg.select(col("item").as("item_a"), col("deg").as("deg_a")), "item_a")
+      .join(deg.select(col("item").as("item_b"), col("deg").as("deg_b")), "item_b")
+      .select(col("item_a"), col("item_b"), col("n_both"),
+        col("deg_a"), col("deg_b"),
+        (col("n_both").cast("double") /
+          (col("deg_a") + col("deg_b") - col("n_both")).cast("double"))
+          .as("affinity"))
+  }
+
   def linkPredict(edges: DataFrame, maxDeg: Long = Long.MaxValue): DataFrame = {
     val und = edges
       .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))

@@ -488,6 +488,55 @@ object Similarity {
   }
 
   /**
+   * Hard TRIPLET mining for contrastive training — for each sampled anchor,
+   * the HARDEST positive (same label, LOWEST cosine: the in-class pair the
+   * encoder currently separates worst) and the HARDEST negative (different
+   * label, HIGHEST cosine: the impostor it confuses most), plus the margin
+   * `pos_sim − neg_sim`. Anchors with negative margin are active triplet-
+   * loss violations — the rows a metric-learning curriculum feeds first,
+   * and the count a training pipeline tracks as "how collapsed are my
+   * classes" (the FaceNet/contrastive mining step, batch-ified).
+   *
+   * Determinism: both picks are single aggregates over a lexicographic
+   * struct — (sim, −id) max for the negative, (sim, id) min for the
+   * positive — so ties break on the vector id with no rank window anywhere.
+   *
+   * Scale shape: anchors are a deterministic 1-in-`anchorMod` sample
+   * (broadcast); the corpus streams through the scoring scan once; two
+   * anchor-keyed aggregates. The full-corpus variant routes anchors through
+   * IVF cells per label instead of brute force.
+   *
+   * @return (anchor_id, label, pos_id, pos_sim, neg_id, neg_sim, margin) —
+   *         anchors lacking any same-label or any other-label partner drop.
+   */
+  def hardTriplets(corpus: DataFrame, anchorMod: Long = 40L): DataFrame = {
+    val anchors = broadcast(corpus.where(col("vec_id") % anchorMod === 0)
+      .select(col("vec_id").as("anchor_id"), col("label").as("a_label"),
+        col("embedding").as("ae"), norm("embedding").as("an")))
+    val d = corpus.select(col("vec_id").as("neighbor_id"),
+      col("label").as("n_label"), col("embedding").as("de"),
+      norm("embedding").as("dn"))
+    val scored = d.join(anchors, col("neighbor_id") =!= col("anchor_id"))
+      .select(col("anchor_id"), col("a_label"), col("neighbor_id"),
+        col("n_label"), (dot("ae", "de") / (col("an") * col("dn"))).as("sim"))
+    val pos = scored.where(col("n_label") === col("a_label"))
+      .groupBy("anchor_id")
+      .agg(min(struct(col("sim"), col("neighbor_id"))).as("p"))
+      .select(col("anchor_id"), col("p.neighbor_id").as("pos_id"),
+        col("p.sim").as("pos_sim"))
+    val neg = scored.where(col("n_label") =!= col("a_label"))
+      .groupBy("anchor_id")
+      .agg(max(struct(col("sim"), (-col("neighbor_id")).as("nid"))).as("n"))
+      .select(col("anchor_id"), (-col("n.nid")).as("neg_id"),
+        col("n.sim").as("neg_sim"))
+    anchors.select(col("anchor_id"), col("a_label").cast("long").as("label"))
+      .join(pos, "anchor_id").join(neg, "anchor_id")
+      .select(col("anchor_id"), col("label"), col("pos_id"), col("pos_sim"),
+        col("neg_id"), col("neg_sim"),
+        (col("pos_sim") - col("neg_sim")).as("margin"))
+  }
+
+  /**
    * Variance EXPLAINED by the top principal component — the one-number
    * verdict on [[topPrincipalComponent]]'s finding: `var_explained` near
    * 1/dim says the space is healthy (no single direction dominates);

@@ -648,6 +648,18 @@ object LlmQueries {
     // (hub tail, link-farm spike) that sizes the family's degree caps
     "graph_degree_hist" -> ((s, dir) =>
       graft.operators.Graph.degreeHistogram(plantedEdges(docs(s, dir), full = true))),
+    // bipartite (user, item-k) co-visitation projection: the related-items
+    // graph + exact-integer Jaccard affinity. Uncapped here — the item
+    // space bounds the output; the hub-user skew cap is the 100 TB contract
+    // (spec- and smoke-exercised, same shape as the dedup caps)
+    "graph_covisit" -> ((s, dir) => {
+      val ev = Points.table(s, dir, "events").select(col("user_id").as("user"),
+        expr("CAST(regexp_extract(props, '\"k\": (\\\\d+)', 1) AS BIGINT)").as("item"))
+      graft.operators.Graph.covisitation(ev)
+    }),
+    // hard triplet mining: per sampled anchor the worst-separated positive
+    // and most-confused negative, margin < 0 = active violation
+    "embed_triplets" -> ((s, dir) => Similarity.hardTriplets(emb(s, dir))),
     // 3-hop BFS reachability histogram from the trustrank seed pair:
     // synchronous frontier expansion, min-hop levels — the blast-radius view
     "graph_khop" -> ((s, dir) => {
@@ -3277,6 +3289,42 @@ object LlmQueries {
         |       CAST(COALESCE(r.n_recip, 0) AS DOUBLE) /
         |         CAST(NULLIF(n.out_deg, 0) AS DOUBLE) AS recip_rate
         |FROM n LEFT JOIN recip r ON n.node = r.node""".stripMargin,
+    // mirrors Graph.covisitation (uncapped gate config) over the
+    // (user, props.k) bipartite pairs: distinct engagement, degrees from
+    // the full frame, exact-integer Jaccard
+    "graph_covisit" ->
+      """WITH e AS (
+        |  SELECT DISTINCT user_id AS u,
+        |         TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS item
+        |  FROM events
+        |  WHERE TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) IS NOT NULL),
+        |deg AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+        |co AS (SELECT a.item AS item_a, b.item AS item_b, CAST(COUNT(*) AS BIGINT) AS n_both
+        |       FROM e a JOIN e b ON a.u = b.u AND a.item < b.item GROUP BY 1, 2)
+        |SELECT co.item_a, co.item_b, co.n_both, da.deg AS deg_a, db.deg AS deg_b,
+        |       CAST(co.n_both AS DOUBLE) / CAST(da.deg + db.deg - co.n_both AS DOUBLE) AS affinity
+        |FROM co JOIN deg da ON co.item_a = da.item
+        |        JOIN deg db ON co.item_b = db.item""".stripMargin,
+    // mirrors Similarity.hardTriplets(anchorMod=40): min-(sim,id) positive,
+    // max-(sim,-id) negative via explicit-tie-break rank windows
+    "embed_triplets" ->
+      s"""WITH c AS (
+         |  SELECT q.vec_id AS anchor_id, CAST(q.label AS BIGINT) AS a_label,
+         |         d.vec_id AS neighbor_id, d.label AS n_label,
+         |         $CosineSql AS sim
+         |  FROM embeddings q JOIN embeddings d
+         |    ON q.vec_id % 40 = 0 AND d.vec_id != q.vec_id),
+         |p AS (SELECT anchor_id, neighbor_id AS pos_id, sim AS pos_sim,
+         |             ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY sim ASC, neighbor_id ASC) AS rk
+         |      FROM c WHERE n_label = a_label),
+         |n AS (SELECT anchor_id, neighbor_id AS neg_id, sim AS neg_sim,
+         |             ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY sim DESC, neighbor_id ASC) AS rk
+         |      FROM c WHERE n_label != a_label),
+         |a AS (SELECT DISTINCT anchor_id, a_label AS label FROM c)
+         |SELECT a.anchor_id, a.label, p.pos_id, p.pos_sim, n.neg_id, n.neg_sim,
+         |       p.pos_sim - n.neg_sim AS margin
+         |FROM a JOIN p ON a.anchor_id = p.anchor_id AND p.rk = 1
+         |       JOIN n ON a.anchor_id = n.anchor_id AND n.rk = 1""".stripMargin,
     // mirrors Graph.degreeHistogram over the full planted graph: distinct
     // simple edges, per-direction degree counts, log2 banding
     "graph_degree_hist" ->

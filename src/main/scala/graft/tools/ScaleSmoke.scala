@@ -612,6 +612,19 @@ object ScaleSmoke {
       graft.operators.Similarity.pcVarianceExplained(emb,
         graft.operators.Similarity.topPrincipalComponent(emb)).count()
     }
+    // hub cap = the covisit skew contract: a user with k items is k^2/2
+    // pairs; derived (user % 9973, doc_id % 499) engagement has bounded
+    // degrees, the cap demonstrates the guard
+    t("covisitation capped (user-keyed pair join; maxUserDeg=64)") {
+      val eng = docs.select((col("doc_id") % 9973).as("user"),
+        (col("doc_id") % 499).as("item"))
+      graft.operators.Graph.covisitation(eng, maxUserDeg = 64L).count()
+    }
+    t("hardTriplets (broadcast anchors, one corpus scan, two keyed aggregates)") {
+      graft.operators.Similarity.hardTriplets(
+        emb.withColumn("label", (col("vec_id") % 7).cast("int")),
+        anchorMod = math.max(1L, n * embReps / 20)).count()
+    }
     spark.stop()
   }
 }

@@ -346,5 +346,13 @@ class DegenerateCorpusSpec extends AnyFunSuite with SparkSpec {
     val pcv = Similarity.pcVarianceExplained(const,
       Similarity.topPrincipalComponent(const)).collect().head
     assert(pcv.isNullAt(3))
+    // covisitation: single-item users yield no pairs; NULL users drop
+    val solo = Seq(("u1", "a"), (null.asInstanceOf[String], "b"))
+      .toDF("user", "item")
+    assert(Graph.covisitation(solo).count() == 0)
+    // hardTriplets: single-label corpus has no negatives -> empty
+    val oneLbl = Seq((0L, Seq(1.0f, 0.0f), 1), (1L, Seq(0.0f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    assert(Similarity.hardTriplets(oneLbl, anchorMod = 40L).count() == 0)
   }
 }

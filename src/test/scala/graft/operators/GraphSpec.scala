@@ -183,4 +183,25 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(Graph.degreeHistogram(Seq.empty[(String, String)].toDF("src", "dst"))
       .count() == 0)
   }
+
+  test("covisitation: exact co-counts and Jaccard; hub cap drops pair generation only") {
+    // u1 touches {a,b,c} (twice each — distinct collapses), u2 {a,b}, u3 {c}
+    val pairs = Seq(
+      ("u1", "a"), ("u1", "a"), ("u1", "b"), ("u1", "c"),
+      ("u2", "a"), ("u2", "b"), ("u3", "c")).toDF("user", "item")
+    val out = Graph.covisitation(pairs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(out.keySet == Set(("a", "b"), ("a", "c"), ("b", "c")))
+    val ab = out(("a", "b"))
+    assert(ab.getLong(2) == 2L && ab.getLong(3) == 2L && ab.getLong(4) == 2L)
+    assert(ab.getDouble(5) == 1.0) // 2 / (2 + 2 - 2)
+    assert(out(("a", "c")).getDouble(5) == 1.0 / 3)
+    // cap=2 drops u1 from PAIR GENERATION; degrees stay uncapped, so the
+    // surviving (a,b) pair reads 1 / (2 + 2 - 1)
+    val capped = Graph.covisitation(pairs, maxUserDeg = 2L).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(capped.keySet == Set(("a", "b")))
+    assert(capped(("a", "b")).getLong(2) == 1L)
+    assert(capped(("a", "b")).getDouble(5) == 1.0 / 3)
+  }
 }

@@ -207,6 +207,30 @@ class HygieneOpsSpec extends AnyFunSuite with SparkSpec {
     assert(out(60L).getDouble(2) == 0.0) // the outlier
   }
 
+  test("hardTriplets: hardest positive/negative, tie to lower id, violation margin") {
+    // anchor 0 (label 1): positives ids 1 (sim 1.0) and 2 (sim 0.6) ->
+    // hardest positive is 2; negatives ids 3 (sim 0) and 4/5 (sim 0.8,
+    // tied) -> hardest negative is the LOWER id 4; margin 0.6-0.8 < 0
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f), 1), (1L, Seq(1.0f, 0.0f), 1),
+      (2L, Seq(0.6f, 0.8f), 1), (3L, Seq(0.0f, 1.0f), 2),
+      (4L, Seq(0.8f, 0.6f), 2), (5L, Seq(0.8f, 0.6f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardTriplets(emb, anchorMod = 40L).collect()
+    assert(out.length == 1) // only id 0 is an anchor
+    val r = out.head
+    assert(r.getLong(0) == 0L && r.getLong(1) == 1L)
+    assert(r.getLong(2) == 2L)                  // hardest positive
+    assert(math.abs(r.getDouble(3) - 0.6) < 1e-6)
+    assert(r.getLong(4) == 4L)                  // tie -> lower id
+    assert(math.abs(r.getDouble(5) - 0.8) < 1e-6)
+    assert(r.getDouble(6) < 0.0)                // active violation
+    // an anchor whose label is unique has no positive -> absent
+    val lone = Seq((0L, Seq(1.0f, 0.0f), 9), (1L, Seq(0.0f, 1.0f), 2))
+      .toDF("vec_id", "embedding", "label")
+    assert(Similarity.hardTriplets(lone, anchorMod = 40L).count() == 0)
+  }
+
   test("pcVarianceExplained: one-axis corpus reads 1, symmetric cross reads 1/2") {
     // all variance on axis 1 -> the top PC explains everything
     val oneAxis = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(-1.0f, 0.0f)),
