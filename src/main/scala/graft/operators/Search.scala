@@ -142,6 +142,47 @@ object Search {
    * and the re-rank window see <= 2k rows per query — nothing corpus-sized.
    * The source ranks ride along as audit columns.
    */
+  /**
+   * Exact PHRASE retrieval over a positional index — the capability BM25's
+   * bag-of-words scoring cannot express ("big apple" ≠ {big, apple}):
+   * every document position where the query's words appear CONSECUTIVELY
+   * and in order counts as one hit. The anchor-alignment formulation keeps
+   * it one join + one aggregate at ANY phrase length: a term match at doc
+   * position `p` for query offset `q` votes for anchor `p − q`; an anchor
+   * with all `n_terms` distinct offsets present is a full phrase
+   * occurrence (repeated words in the phrase need every offset matched, so
+   * the distinct-offset count is the correct test). No n−1 adjacency
+   * self-joins, no regex over the text.
+   *
+   * Scale shape: the positional explode is scan-local; the ONE shuffle
+   * joins corpus word positions against the BROADCAST query-term table
+   * (queries are small by construction), so only query-matched positions
+   * ever leave the scan — the same pushdown shape as [[bm25TopKFromTerms]].
+   * Aggregates are (query, doc, anchor)-keyed, bounded by matched
+   * positions.
+   *
+   * @return (query_id, doc_id, n_hits) for documents containing the full
+   *         phrase at least once.
+   */
+  def phraseHits(docs: DataFrame, queries: DataFrame): DataFrame = {
+    val words = docs
+      .select(col("doc_id"),
+        posexplode(split(lower(col("text")), " ")).as(Seq("pos", "w")))
+    val qterms = queries
+      .select(col("query_id"),
+        posexplode(split(lower(col("qtext")), " ")).as(Seq("qpos", "w")))
+    val qn = qterms.groupBy("query_id")
+      .agg(countDistinct(col("qpos")).as("n_terms"))
+    words.join(broadcast(qterms), "w")
+      .groupBy(col("query_id"), col("doc_id"),
+        (col("pos") - col("qpos")).as("anchor"))
+      .agg(countDistinct(col("qpos")).as("k"))
+      .join(broadcast(qn), "query_id")
+      .where(col("k") === col("n_terms"))
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   def rrfFuse(a: DataFrame, b: DataFrame, k: Int = 10, k0: Int = 60): DataFrame = {
     require(k >= 1 && k0 >= 0, "k >= 1, k0 >= 0")
     val fa = a.select(col("query_id"), col("doc_id"), col("rank").as("rank_a"))

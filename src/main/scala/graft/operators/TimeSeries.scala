@@ -522,6 +522,45 @@ object TimeSeries {
   }
 
   /**
+   * Least-squares TREND per metric over the bucket series — the "is this
+   * metric drifting and how fast" number dashboards and capacity planning
+   * read ([[autocorrelation]] finds periodicity; this finds the secular
+   * component): ordinary least squares of the bucket value against the
+   * integer bucket index on the REAL time grid (gaps advance the index, so
+   * a metric that vanished for a day doesn't fake a steeper slope).
+   *
+   * Exactness: the index `t = (bucket_ms − min_bucket)/period` and the
+   * fixed-point values make Σt, Σy, Σty, Σt², n exact integers; slope and
+   * mean are the pinned closing expressions (same 2^53 envelope as the
+   * correlation ops — n·Σty is the binding term).
+   *
+   * @return (metric, n_buckets, mean_value, slope_per_bucket) — slope NULL
+   *         for a single-bucket series (zero index variance).
+   */
+  def trendReport(points: DataFrame, periodMs: Long = 3600000L,
+                  scale: Long = 1000L): DataFrame = {
+    require(scale >= 1L, "scale must be positive")
+    val b = fpBucketSeries(points, periodMs, scale)
+    val t0 = b.groupBy(col("metric").as("m0")).agg(min(col("bucket_ms")).as("b0"))
+    val agg = b.join(t0, col("metric") === col("m0"))
+      .select(col("metric"), col("fp"),
+        expr(s"(bucket_ms - b0) div ${periodMs}L").as("t"))
+      .groupBy("metric")
+      .agg(count(lit(1)).as("n"),
+        sum(col("t")).as("st"), sum(col("fp")).as("sy"),
+        sum(col("t") * col("fp")).as("sty"),
+        sum(col("t") * col("t")).as("stt"))
+    val sd = scale.toDouble
+    val den = col("n").cast("double") * col("stt").cast("double") -
+      col("st").cast("double") * col("st").cast("double")
+    val slope = (col("n").cast("double") * col("sty").cast("double") -
+      col("st").cast("double") * col("sy").cast("double")) / den / lit(sd)
+    agg.select(col("metric"), col("n").as("n_buckets"),
+      (col("sy").cast("double") / col("n").cast("double") / lit(sd)).as("mean_value"),
+      when(den =!= 0.0, slope).as("slope_per_bucket"))
+  }
+
+  /**
    * Lagged CROSS-correlation between every ordered metric pair — the
    * leading-indicator detector ([[autocorrelation]]'s two-series sibling):
    * `xcorr(a, b, k)` is the Pearson correlation of a's bucket value at `t`

@@ -660,6 +660,13 @@ object LlmQueries {
     // hard triplet mining: per sampled anchor the worst-separated positive
     // and most-confused negative, margin < 0 = active violation
     "embed_triplets" -> ((s, dir) => Similarity.hardTriplets(emb(s, dir))),
+    // exact phrase retrieval: positional index + the anchor-alignment
+    // count (one join + one aggregate at any phrase length — the in-order
+    // adjacency semantics bag-of-words BM25 cannot express)
+    "search_phrase" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.operators.Search.phraseHits(d, probeQueries(d))
+    }),
     // 3-hop BFS reachability histogram from the trustrank seed pair:
     // synchronous frontier expansion, min-hop levels — the blast-radius view
     "graph_khop" -> ((s, dir) => {
@@ -3305,6 +3312,24 @@ object LlmQueries {
         |       CAST(co.n_both AS DOUBLE) / CAST(da.deg + db.deg - co.n_both AS DOUBLE) AS affinity
         |FROM co JOIN deg da ON co.item_a = da.item
         |        JOIN deg db ON co.item_b = db.item""".stripMargin,
+    // mirrors Search.phraseHits over the probe 4-word phrases: positional
+    // index, anchor = pos - qpos, full phrase iff all distinct offsets
+    // present at one anchor
+    "search_phrase" ->
+      """WITH dw AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        |w AS (SELECT doc_id, generate_subscripts(ws, 1) - 1 AS pos, UNNEST(ws) AS w FROM dw),
+        |qd AS (SELECT doc_id AS query_id,
+        |              list_transform(string_split(text, ' ')[1:4], x -> lower(x)) AS qs
+        |       FROM documents WHERE doc_id % 97 = 0),
+        |q AS (SELECT query_id, generate_subscripts(qs, 1) - 1 AS qpos, UNNEST(qs) AS w FROM qd),
+        |qn AS (SELECT query_id, CAST(COUNT(DISTINCT qpos) AS BIGINT) AS n_terms FROM q GROUP BY 1),
+        |m AS (SELECT q.query_id, w.doc_id, w.pos - q.qpos AS anchor,
+        |             CAST(COUNT(DISTINCT q.qpos) AS BIGINT) AS k
+        |      FROM w JOIN q ON w.w = q.w GROUP BY 1, 2, 3)
+        |SELECT m.query_id, m.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+        |FROM m JOIN qn ON m.query_id = qn.query_id
+        |WHERE m.k = qn.n_terms
+        |GROUP BY 1, 2""".stripMargin,
     // mirrors Similarity.hardTriplets(anchorMod=40): min-(sim,id) positive,
     // max-(sim,-id) negative via explicit-tie-break rank windows
     "embed_triplets" ->

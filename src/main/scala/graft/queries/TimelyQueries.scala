@@ -118,6 +118,9 @@ object TimelyQueries {
     // errors by one bucket"); bucket-series-sized joins only
     "ts_cross_corr" -> ((s, dir) =>
       TimeSeries.crossCorrelation(points(s, dir))),
+    // OLS trend per metric on the gap-aware integer bucket index: the
+    // secular-drift number (exact integer moments, pinned closing slope)
+    "ts_trend" -> ((s, dir) => TimeSeries.trendReport(points(s, dir))),
     // top-5 series per metric by exact sum: shard-local top-k then a
     // bounded final rank — never a rank window over the full series set
     "ts_topn_series" -> ((s, dir) =>
@@ -348,6 +351,31 @@ object TimelyQueries {
         |SELECT metric_a, metric_b, lag_k AS lag, n AS n_pairs,
         |       CASE WHEN varx * vary > 0.0 THEN cov / sqrt(varx * vary) END AS xcorr
         |FROM v""".stripMargin,
+    // mirrors trendReport(1h, scale 1000): same fp bucket series, gap-aware
+    // integer index, exact OLS moments, pinned slope/mean arithmetic
+    "ts_trend" ->
+      """WITH b AS (
+        |  SELECT event_type AS metric,
+        |         epoch_ms(ts) // 3600000 * 3600000 AS bucket_ms,
+        |         CAST(floor((CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value)) * 1000 + 0.5) AS BIGINT) AS fp
+        |  FROM events GROUP BY 1, 2),
+        |t0 AS (SELECT metric, MIN(bucket_ms) AS b0 FROM b GROUP BY 1),
+        |a AS (SELECT b.metric, COUNT(*) AS n,
+        |             CAST(SUM((b.bucket_ms - t0.b0) // 3600000) AS BIGINT) AS st,
+        |             CAST(SUM(fp) AS BIGINT) AS sy,
+        |             CAST(SUM((b.bucket_ms - t0.b0) // 3600000 * fp) AS BIGINT) AS sty,
+        |             CAST(SUM((b.bucket_ms - t0.b0) // 3600000 * ((b.bucket_ms - t0.b0) // 3600000)) AS BIGINT) AS stt
+        |      FROM b JOIN t0 ON b.metric = t0.metric GROUP BY 1)
+        |SELECT metric, n AS n_buckets,
+        |       CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) / 1000.0 AS mean_value,
+        |       CASE WHEN (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+        |                   - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)) != 0.0
+        |            THEN (CAST(n AS DOUBLE) * CAST(sty AS DOUBLE)
+        |                   - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE))
+        |                 / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+        |                     - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)) / 1000.0
+        |       END AS slope_per_bucket
+        |FROM a""".stripMargin,
     // mirrors topSeries(sum, k=5): the two-level shard prune keeps a
     // superset of the global top-k, so the single-window rank is identical
     "ts_topn_series" ->

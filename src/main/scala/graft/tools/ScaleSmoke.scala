@@ -625,6 +625,17 @@ object ScaleSmoke {
         emb.withColumn("label", (col("vec_id") % 7).cast("int")),
         anchorMod = math.max(1L, n * embReps / 20)).count()
     }
+    t("phraseHits (positional explode; ONE broadcast-term join + anchor agg)") {
+      val q = docs.where(col("doc_id") % (n * reps / 20) === 0)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(split(col("text"), " "), 1, 4), " ").as("qtext"))
+      graft.operators.Search.phraseHits(docs, q).count()
+    }
+    t("trendReport (bucket aggregate + per-metric OLS moments)") {
+      val pts = ev.select(col("event_type").as("metric"),
+        col("ts_ms").as("ts"), col("value"))
+      graft.operators.TimeSeries.trendReport(pts).count()
+    }
     spark.stop()
   }
 }

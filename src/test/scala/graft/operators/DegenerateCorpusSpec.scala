@@ -354,5 +354,12 @@ class DegenerateCorpusSpec extends AnyFunSuite with SparkSpec {
     val oneLbl = Seq((0L, Seq(1.0f, 0.0f), 1), (1L, Seq(0.0f, 1.0f), 1))
       .toDF("vec_id", "embedding", "label")
     assert(Similarity.hardTriplets(oneLbl, anchorMod = 40L).count() == 0)
+    // phraseHits over the nasty corpus with an empty-phrase query: the
+    // empty qtext splits to [""] and can only "match" empty words
+    val q = Seq((1L, ""), (2L, "w w w")).toDF("query_id", "qtext")
+    assert(graft.operators.Search.phraseHits(nasty, q).count() >= 0)
+    // trendReport on an empty points frame -> empty
+    assert(TimeSeries.trendReport(
+      Seq.empty[(String, Long, Double)].toDF("metric", "ts", "value")).count() == 0)
   }
 }

@@ -244,4 +244,25 @@ class SearchSpec extends AnyFunSuite with SparkSpec {
     val e = embDf(emb: _*)
     assert(run(c, e) == run(c.repartition(9), e.repartition(7)))
   }
+
+  test("phraseHits: in-order adjacency only; occurrences counted; case folds") {
+    val docs = Seq(
+      (1L, "The cat sat on the mat the cat sat"), // phrase at pos 0 and 6
+      (2L, "cat the sat"),                        // all words, wrong order
+      (3L, "the cat naps"),                       // partial phrase
+      (4L, "the cat the cat")                     // for the repeated-word query
+    ).toDF("doc_id", "text")
+    val q = Seq((10L, "the cat sat"), (11L, "the cat the"))
+      .toDF("query_id", "qtext")
+    val out = Search.phraseHits(docs, q).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out(10L -> 1L) == 2L)
+    assert(!out.contains(10L -> 2L) && !out.contains(10L -> 3L))
+    // repeated word in the phrase: every OFFSET must match at one anchor —
+    // "the cat the cat" holds "the cat the" once (anchor 0), not twice
+    assert(out(11L -> 4L) == 1L)
+    // doc 1 never has "the cat the" consecutively (the@{0,4,6}, cat@{1,7}:
+    // no anchor completes all three offsets)
+    assert(!out.contains(11L -> 1L))
+  }
 }

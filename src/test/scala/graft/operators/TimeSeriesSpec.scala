@@ -213,4 +213,21 @@ class TimeSeriesSpec extends AnyFunSuite with SparkSpec {
     val solo = points((0 until 4).map(i => ("x", 3600000L * i, i.toDouble, host)): _*)
     assert(TimeSeries.crossCorrelation(solo).count() == 0)
   }
+
+  test("trendReport: unit ramp slope 1; gaps advance the index; single bucket NULL") {
+    val ramp = points((0 until 4).map(i =>
+      ("r", 3600000L * i, (i + 1).toDouble, host)): _*)
+    val out = TimeSeries.trendReport(ramp).collect().map(r => r.getString(0) -> r).toMap
+    assert(out("r").getLong(1) == 4L)
+    assert(math.abs(out("r").getDouble(2) - 2.5) < 1e-9)   // mean
+    assert(math.abs(out("r").getDouble(3) - 1.0) < 1e-9)   // slope per bucket
+    // a missing middle bucket: values 1 at h0 and 3 at h2 -> slope 1, not 2
+    val gap = points(("g", 0L, 1.0, host), ("g", 7200000L, 3.0, host))
+    val g = TimeSeries.trendReport(gap).collect().head
+    assert(math.abs(g.getDouble(3) - 1.0) < 1e-9)
+    // single bucket: zero index variance -> NULL slope, defined mean
+    val one = points(("o", 0L, 5.0, host))
+    val o = TimeSeries.trendReport(one).collect().head
+    assert(o.isNullAt(3) && math.abs(o.getDouble(2) - 5.0) < 1e-9)
+  }
 }
