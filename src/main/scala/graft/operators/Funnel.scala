@@ -508,6 +508,43 @@ object Funnel {
   }
 
   /**
+   * Cohort LTV curves — [[retention]]'s revenue sibling: users cohorted by
+   * their FIRST conversion day, each later conversion's value attributed to
+   * (cohort_day, day_offset), with the running cumulative revenue per
+   * cohort — the payback-period view ("day-30 LTV of the March-3 cohort")
+   * that growth spend is actually planned against.
+   *
+   * Exactness: day buckets use the same negative-safe floor division as
+   * [[retention]]; revenue sums are exact DECIMAL(18,6) (the source-measure
+   * rule), including the cumulative — decimal addition is order-free, so
+   * the running sum needs no sorted fold. The cum window runs over the
+   * COMPACT (cohort × offset) frame, ordered by the unique offset.
+   *
+   * @return (cohort_day, day_offset, n_users, revenue, cum_revenue)
+   */
+  def cohortLtv(events: DataFrame, userCol: String = "user_id",
+                tsMsCol: String = "ts_ms", valueCol: String = "value",
+                convType: String = "purchase",
+                typeCol: String = "event_type"): DataFrame = {
+    val day = expr(
+      s"$tsMsCol div 86400000 - (CASE WHEN $tsMsCol % 86400000 < 0 THEN 1 ELSE 0 END)")
+    val conv = events.where(col(typeCol) === convType)
+      .select(col(userCol).as("u"), day.as("day"),
+        col(valueCol).cast("decimal(18,6)").as("v"))
+    val cohort = conv.groupBy("u").agg(min(col("day")).as("cohort_day"))
+    val cells = conv.join(cohort, "u")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("u")).as("n_users"), sum(col("v")).as("rev"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cohort_day").orderBy("day_offset")
+    cells
+      .withColumn("cum", sum(col("rev")).over(w))
+      .select(col("cohort_day"), col("day_offset"), col("n_users"),
+        col("rev").cast("double").as("revenue"),
+        col("cum").cast("double").as("cum_revenue"))
+  }
+
+  /**
    * Hour-of-day ENTROPY per event type — the temporal-concentration audit
    * [[seasonality]]'s raw heatmap rolls up to one number: organic human
    * traffic spreads over waking hours (entropy near ln 24 ≈ 3.18 nats),

@@ -561,6 +561,57 @@ object TimeSeries {
   }
 
   /**
+   * Single CHANGEPOINT per metric — the split of the bucket series that
+   * maximizes the |mean after − mean before| level shift: "when did this
+   * metric step, and by how much" — the breakpoint [[graft.operators
+   * .Anomaly.cusumDrift]] accumulates toward, returned as one row per
+   * metric with the break time and both side means (binary segmentation's
+   * first step; re-run on the halves for more breaks).
+   *
+   * Exactness: prefix sums over the fixed-point bucket series are exact
+   * integers; each candidate split's means/shift are pinned double
+   * expressions, and the argmax is ONE lexicographic struct aggregate —
+   * (|shift|, −k) max — so ties go to the earliest split identically in
+   * both engines (the oracle ranks with the same keys).
+   *
+   * Scale shape: the window and the argmax run over the BUCKET series
+   * (periodMs-bounded per metric), never the raw points.
+   *
+   * @return (metric, n_buckets, n_before, break_ms, mean_before,
+   *         mean_after, shift) — `break_ms` is the first bucket AFTER the
+   *         split; single-bucket series drop (no split exists).
+   */
+  def changepoint(points: DataFrame, periodMs: Long = 3600000L,
+                  scale: Long = 1000L): DataFrame = {
+    require(scale >= 1L, "scale must be positive")
+    val b = fpBucketSeries(points, periodMs, scale)
+    val w = Window.partitionBy("metric").orderBy("bucket_ms")
+    val rows = b
+      .withColumn("k", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("fp")).over(w))
+      .withColumn("nxt", lead(col("bucket_ms"), 1).over(w))
+    val tot = b.groupBy(col("metric").as("m0"))
+      .agg(count(lit(1)).as("n"), sum(col("fp")).as("s"))
+    val sd = scale.toDouble
+    val meanB = col("cum").cast("double") / col("k").cast("double") / lit(sd)
+    val meanA = (col("s") - col("cum")).cast("double") /
+      (col("n") - col("k")).cast("double") / lit(sd)
+    val shift = meanA - meanB
+    rows.join(tot, col("metric") === col("m0"))
+      .where(col("k") < col("n")) // a split needs both sides non-empty
+      .select(col("metric"), col("n"), col("k"),
+        struct(abs(shift).as("a"), (-col("k")).as("nk"),
+          col("nxt").as("break_ms"), meanB.as("mb"), meanA.as("ma"),
+          shift.as("sh")).as("cand"))
+      .groupBy("metric")
+      .agg(max(col("n")).as("n_buckets"), max(col("cand")).as("best"))
+      .select(col("metric"), col("n_buckets"),
+        (-col("best.nk")).as("n_before"), col("best.break_ms"),
+        col("best.mb").as("mean_before"), col("best.ma").as("mean_after"),
+        col("best.sh").as("shift"))
+  }
+
+  /**
    * Lagged CROSS-correlation between every ordered metric pair — the
    * leading-indicator detector ([[autocorrelation]]'s two-series sibling):
    * `xcorr(a, b, k)` is the Pearson correlation of a's bucket value at `t`

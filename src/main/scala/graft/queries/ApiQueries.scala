@@ -194,6 +194,13 @@ object ApiQueries {
     // compact per-count-value rollup, exact integers until the one division
     "events_pareto" -> ((s, dir) =>
       Funnel.paretoReport(Points.table(s, dir, "events"))),
+    // cohort LTV curves: first-conversion-day cohorts x day offsets with
+    // exact-decimal revenue and the running cumulative — retention's
+    // revenue sibling (the payback-period view)
+    "events_cohort_ltv" -> ((s, dir) => {
+      val ev = Points.table(s, dir, "events").withColumn("ts_ms", expr("ts div 1000000"))
+      Funnel.cohortLtv(ev)
+    }),
     // RFM segmentation base per purchasing user, recency anchored to the
     // data's own last conversion day (deterministic at any SF)
     "events_rfm" -> ((s, dir) => {
@@ -833,6 +840,23 @@ object ApiQueries {
         |SELECT pct_users, n_top_users, n_events_top,
         |       CAST(n_events_top AS DOUBLE) / CAST(n_events AS DOUBLE) AS share
         |FROM sel""".stripMargin,
+    // mirrors Funnel.cohortLtv(convType=purchase): floor-division days,
+    // exact-decimal revenue cells and running cumulative per cohort
+    "events_cohort_ltv" ->
+      """WITH conv AS (
+        |  SELECT user_id AS u, epoch_ms(ts) // 86400000 AS day,
+        |         CAST(value AS DECIMAL(18,6)) AS v
+        |  FROM events WHERE event_type = 'purchase'),
+        |ch AS (SELECT u, MIN(day) AS cohort_day FROM conv GROUP BY 1),
+        |cells AS (
+        |  SELECT ch.cohort_day, conv.day - ch.cohort_day AS day_offset,
+        |         CAST(COUNT(DISTINCT conv.u) AS BIGINT) AS n_users,
+        |         SUM(conv.v) AS rev
+        |  FROM conv JOIN ch ON conv.u = ch.u GROUP BY 1, 2)
+        |SELECT cohort_day, day_offset, n_users,
+        |       CAST(rev AS DOUBLE) AS revenue,
+        |       CAST(SUM(rev) OVER (PARTITION BY cohort_day ORDER BY day_offset) AS DOUBLE) AS cum_revenue
+        |FROM cells""".stripMargin,
     // mirrors Funnel.rfm(convType=purchase)
     "events_rfm" ->
       """WITH conv AS (

@@ -121,6 +121,9 @@ object TimelyQueries {
     // OLS trend per metric on the gap-aware integer bucket index: the
     // secular-drift number (exact integer moments, pinned closing slope)
     "ts_trend" -> ((s, dir) => TimeSeries.trendReport(points(s, dir))),
+    // max-|level-shift| changepoint per metric: binary segmentation's
+    // first split over the bucket series, argmax as one struct aggregate
+    "ts_changepoint" -> ((s, dir) => TimeSeries.changepoint(points(s, dir))),
     // top-5 series per metric by exact sum: shard-local top-k then a
     // bounded final rank — never a rank window over the full series set
     "ts_topn_series" -> ((s, dir) =>
@@ -376,6 +379,33 @@ object TimelyQueries {
         |                     - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)) / 1000.0
         |       END AS slope_per_bucket
         |FROM a""".stripMargin,
+    // mirrors changepoint(1h, scale 1000): prefix sums over the fp bucket
+    // series, every split's pinned means/shift, argmax by (|shift| DESC,
+    // k ASC) — the struct aggregate's exact tie order
+    "ts_changepoint" ->
+      """WITH b AS (
+        |  SELECT event_type AS metric,
+        |         epoch_ms(ts) // 3600000 * 3600000 AS bucket_ms,
+        |         CAST(floor((CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value)) * 1000 + 0.5) AS BIGINT) AS fp
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT metric, bucket_ms, fp,
+        |             CAST(ROW_NUMBER() OVER w AS BIGINT) AS k,
+        |             CAST(SUM(fp) OVER w AS BIGINT) AS cum,
+        |             LEAD(bucket_ms, 1) OVER w AS nxt
+        |      FROM b WINDOW w AS (PARTITION BY metric ORDER BY bucket_ms)),
+        |t AS (SELECT metric, COUNT(*) AS n, CAST(SUM(fp) AS BIGINT) AS s FROM b GROUP BY 1),
+        |c AS (SELECT r.metric, t.n, r.k, r.nxt,
+        |             CAST(r.cum AS DOUBLE) / CAST(r.k AS DOUBLE) / 1000.0 AS mb,
+        |             CAST(t.s - r.cum AS DOUBLE) / CAST(t.n - r.k AS DOUBLE) / 1000.0 AS ma
+        |      FROM r JOIN t ON r.metric = t.metric
+        |      WHERE r.k < t.n),
+        |ranked AS (SELECT *, ma - mb AS sh,
+        |                  ROW_NUMBER() OVER (PARTITION BY metric
+        |                    ORDER BY abs(ma - mb) DESC, k ASC) AS rk
+        |           FROM c)
+        |SELECT metric, n AS n_buckets, k AS n_before, nxt AS break_ms,
+        |       mb AS mean_before, ma AS mean_after, sh AS shift
+        |FROM ranked WHERE rk = 1""".stripMargin,
     // mirrors topSeries(sum, k=5): the two-level shard prune keeps a
     // superset of the global top-k, so the single-window rank is identical
     "ts_topn_series" ->

@@ -636,6 +636,15 @@ object ScaleSmoke {
         col("ts_ms").as("ts"), col("value"))
       graft.operators.TimeSeries.trendReport(pts).count()
     }
+    t("changepoint (bucket-series window + struct argmax)") {
+      val pts = ev.select(col("event_type").as("metric"),
+        col("ts_ms").as("ts"), col("value"))
+      graft.operators.TimeSeries.changepoint(pts).count()
+    }
+    t("cohortLtv (first-conversion cohorts; compact cohort x offset window)") {
+      graft.operators.Funnel.cohortLtv(
+        ev.withColumn("value", col("value"))).count()
+    }
     spark.stop()
   }
 }

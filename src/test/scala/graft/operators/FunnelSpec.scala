@@ -143,6 +143,23 @@ class FunnelSpec extends AnyFunSuite with SparkSpec {
     assert(out(100L) == ((5L, 20L, 1.0)))
   }
 
+  test("cohortLtv: first-purchase cohorts, per-offset revenue, running cumulative") {
+    val d = 86400000L
+    val ev = Seq(
+      (1L, 0L, "purchase", 10.0),          // u1 cohort day 0
+      (1L, d, "purchase", 5.0),            // day 1: two purchases -> one cell
+      (1L, d + 1, "purchase", 5.0),
+      (2L, d, "purchase", 20.0),           // u2 cohort day 1
+      (2L, d, "view", 999.0)               // non-conversions never count
+    ).toDF("user_id", "ts_ms", "event_type", "value")
+    val out = Funnel.cohortLtv(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out == Map(
+      (0L, 0L) -> ((1L, 10.0, 10.0)),
+      (0L, 1L) -> ((1L, 10.0, 20.0)),
+      (1L, 0L) -> ((1L, 20.0, 20.0))))
+  }
+
   test("hourEntropy: one-hour burst reads 0, even split reads ln 2") {
     val h = 3600000L
     val burst = (1L to 5L).map(i => (1L, 2 * h + i)).toDF("user_id", "ts_ms")

@@ -230,4 +230,19 @@ class TimeSeriesSpec extends AnyFunSuite with SparkSpec {
     val o = TimeSeries.trendReport(one).collect().head
     assert(o.isNullAt(3) && math.abs(o.getDouble(2) - 5.0) < 1e-9)
   }
+
+  test("changepoint: finds the planted step; constant series tie to the earliest split") {
+    val h = 3600000L
+    val step = points((0 until 5).map(i =>
+      ("s", h * i, if (i < 3) 1.0 else 5.0, host)): _*)
+    val r = TimeSeries.changepoint(step).collect().head
+    assert(r.getLong(1) == 5L && r.getLong(2) == 3L) // n_buckets, n_before
+    assert(r.getLong(3) == 3 * h)                    // first bucket after
+    assert(r.getDouble(4) == 1.0 && r.getDouble(5) == 5.0 && r.getDouble(6) == 4.0)
+    val const = points((0 until 3).map(i => ("c", h * i, 2.0, host)): _*)
+    val c = TimeSeries.changepoint(const).collect().head
+    assert(c.getLong(2) == 1L && c.getDouble(6) == 0.0) // tie -> earliest k
+    // single bucket: no split exists
+    assert(TimeSeries.changepoint(points(("o", 0L, 1.0, host))).count() == 0)
+  }
 }
