@@ -1,0 +1,194 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Mergeable cardinality / frequency SKETCHES, built deterministically so a
+ * SQL oracle can replay them bit-for-bit — the approximate-state family a
+ * 100 TB pipeline runs where exact distinct counts and exact per-key
+ * frequency tables stop fitting anywhere: "how many distinct users per
+ * surface" (KMV, HLL) and "how often does THIS key occur" (count-min),
+ * each with an exact audit column so the sketch's error is measured, not
+ * guessed.
+ *
+ * Reference behavior: Timely exposes only exact aggregations
+ * (`server/src/main/java/timely/server/store/cache/` keeps raw points);
+ * these sketches are the beyond-the-reference scale path for the same
+ * "how big is this key" questions, per the training-data-pipeline brief.
+ *
+ * Determinism design shared by all three:
+ *  - the randomness is md5 (engine-portable, already the repo-wide idiom);
+ *    hex-digit arithmetic turns prefixes into integers (the
+ *    [[TimeSeries.seriesShard]] / bloom `hex5` polynomial on the DuckDB
+ *    side, `conv()` on the Spark side) — no engine RNG anywhere;
+ *  - every accumulation is exact-integer or a SORTED double fold
+ *    (the [[TimeSeries.foldAggregator]] contract); closing estimates are
+ *    ONE pinned IEEE expression shared verbatim with the oracle.
+ *
+ * Scale design: all three sketches are MERGEABLE by construction — KMV
+ * merges by keeping the k smallest of a union, HLL by register-wise max,
+ * CMS by counter-wise sum — which is exactly what Spark's partial/final
+ * aggregation does for min-k windows, `max`, and `count`. No operator here
+ * ever sorts or windows a corpus-sized frame: KMV pre-prunes per
+ * (key, 64-shard) before the per-key pick, HLL and CMS aggregate straight
+ * to bounded frames (keys x 256 registers / depth x width counters).
+ */
+object Sketches {
+
+  /** 2^60 as an exact double — the normalization constant for a 15-hex-digit
+    * (60-bit) md5 prefix read as a uniform fraction of [0,1). */
+  private val TwoPow60: Double = 1152921504606846976.0d
+
+  /** 60-bit integer value of the first 15 hex digits of md5(prefix:elem) —
+    * uniform on [0, 2^60), engine-portable, collision-safe far past any
+    * per-key distinct count a sketch would meet (k-min collisions are part
+    * of the modeled sketch error in any case). */
+  private def h60(prefix: String, elem: org.apache.spark.sql.Column) =
+    conv(substring(md5(concat(lit(prefix + ":"), elem.cast("string"))), 1, 15),
+      16, 10).cast("long")
+
+  /**
+   * KMV (k-minimum-values, Bar-Yossef et al. 2002) distinct-count estimate
+   * per key: keep the k smallest distinct 60-bit element hashes; if fewer
+   * than k exist the count is EXACT (n_held), else the k-th minimum m̂
+   * estimates the density and `est = (k-1) · 2^60 / m̂`.
+   *
+   * Scale: the min-k state is built in two bounded levels — rank inside
+   * (key, h mod 64) shards first (each shard sort sees ~distinct/64 rows),
+   * then rank the ≤ 64·k survivors per key — the sharded top-k shape from
+   * [[Search]]; no per-key corpus sort exists. `exact_distinct` is the
+   * AUDIT column (a plain count-distinct pass the sketch itself never
+   * needs; at true 100 TB scale you'd drop it and keep only the estimate).
+   *
+   * @return (key, n_held, kth_h, est_distinct, exact_distinct)
+   */
+  def kmvDistinct(df: DataFrame, keyCol: String, elemCol: String,
+      k: Int = 256): DataFrame = {
+    require(k >= 2, "k >= 2: the estimator divides by the k-th minimum")
+    // NULL elements carry no identity: excluded everywhere (and from the
+    // audit count — countDistinct skips NULLs natively), which also keeps
+    // the rank windows off engine-specific NULL ordering.
+    val nn = df.where(col(elemCol).isNotNull)
+    val hashed = nn.select(col(keyCol), h60("kmv", col(elemCol)).as("h")).distinct()
+    val shardW = Window.partitionBy(col(keyCol), pmod(col("h"), lit(64L)))
+      .orderBy(col("h"))
+    val keyW = Window.partitionBy(col(keyCol)).orderBy(col("h"))
+    val kept = hashed
+      .withColumn("sr", row_number().over(shardW)).where(col("sr") <= k)
+      .withColumn("rk", row_number().over(keyW).cast("long")).where(col("rk") <= k)
+    val exact = nn.groupBy(col(keyCol))
+      .agg(countDistinct(col(elemCol)).as("exact_distinct"))
+    kept.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_held"), max(col("h")).as("kth_h"))
+      .select(col(keyCol), col("n_held"), col("kth_h"),
+        when(col("n_held") < k, col("n_held").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(TwoPow60) /
+            col("kth_h").cast("double"))
+          .as("est_distinct"))
+      .join(exact, keyCol)
+  }
+
+  /** HLL registers per key: bucket = first-byte value of md5 (m = 256),
+    * rho = 61 − bitlength(60-bit remainder) (rank of the first set bit;
+    * an all-zero remainder reads bitlength('0') = 1 → rho 60 — the pinned
+    * convention both engines share via conv/bin string length). Registers
+    * are `max(rho)` — the mergeable HLL state. */
+  def hllRegisters(df: DataFrame, keyCol: String, elemCol: String): DataFrame = {
+    val h = md5(concat(lit("hll:"), col(elemCol).cast("string")))
+    df.where(col(elemCol).isNotNull).select(col(keyCol),
+        conv(substring(h, 1, 2), 16, 10).cast("long").as("bucket"),
+        (lit(61L) - length(conv(substring(h, 3, 15), 16, 2)).cast("long")).as("rho"))
+      .groupBy(col(keyCol), col("bucket"))
+      .agg(max(col("rho")).as("m_reg"))
+  }
+
+  /**
+   * HyperLogLog (Flajolet et al. 2007) distinct estimate per key over the
+   * [[hllRegisters]] state, m = 256 one-byte buckets: the RAW estimator
+   * `α_m · m² / Σ 2^−M_j` with absent buckets contributing 2^0 = 1 (added
+   * as one exact term, not 256 float adds). No small/large-range
+   * correction — the raw estimator is the pinned contract and the exact
+   * audit column shows its bias directly (document-scale keys sit well
+   * inside the raw regime; a production deployment would add the linear-
+   * counting branch below 2.5·m).
+   *
+   * Determinism: each 2^−M term is an exact power of two; their per-key sum
+   * is a SORTED fold (≤ 256 values), and α_m, m², and the closing division
+   * are one pinned IEEE expression shared with the oracle.
+   *
+   * Scale: the corpus collapses to ≤ keys × 256 register rows in one
+   * map-side-combined aggregate; everything after is tiny. Register-wise
+   * max makes the state mergeable across corpora/days for free.
+   *
+   * @return (key, n_buckets, est_distinct, exact_distinct)
+   */
+  def hllDistinct(df: DataFrame, keyCol: String, elemCol: String): DataFrame = {
+    val regs = hllRegisters(df, keyCol, elemCol)
+      .withColumn("term", pow(lit(2.0), -col("m_reg").cast("double")))
+    val exact = df.where(col(elemCol).isNotNull).groupBy(col(keyCol))
+      .agg(countDistinct(col(elemCol)).as("exact_distinct"))
+    val alphaM2 = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) * lit(65536.0)
+    regs.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_buckets"),
+        expr("aggregate(sort_array(collect_list(term)), 0D, (acc, v) -> acc + v)")
+          .as("sum_present"))
+      .select(col(keyCol), col("n_buckets"),
+        (alphaM2 / (col("sum_present") +
+          (lit(256L) - col("n_buckets")).cast("double"))).as("est_distinct"))
+      .join(exact, keyCol)
+  }
+
+  /** Count-min counter table: `depth` salted hash rows x `width` buckets,
+    * exact integer counts — the mergeable CMS state (counter-wise sum).
+    * Bucket = first-5-hex-digit value of md5(salt:elem) mod width (the
+    * bloom `hex5` arithmetic, so the oracle replays it digit-by-digit). */
+  def cmsCounters(df: DataFrame, elemCol: String, depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && depth <= 8 && width >= 2 && width <= 1048576,
+      "depth in [1,8], width in [2,2^20] (5 hex digits address 2^20 buckets)")
+    df.where(col(elemCol).isNotNull)
+      .select(col(elemCol), explode(sequence(lit(0), lit(depth - 1))).as("salt"))
+      .select(col("salt"),
+        pmod(conv(substring(md5(concat(col("salt").cast("string"), lit(":"),
+          col(elemCol).cast("string"))), 1, 5), 16, 10).cast("long"),
+          lit(width.toLong)).as("bucket"))
+      .groupBy(col("salt"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /**
+   * Count-min (Cormode & Muthukrishnan 2005) frequency estimates for the
+   * exact top-`nCandidates` elements: build the depth×width counter table,
+   * then read each candidate's `min` across its depth cells. CMS
+   * guarantees `cms_n >= exact_n` (only over-count from collisions) — the
+   * spec pins that invariant; the exact column is the audit.
+   *
+   * Scale: the counter build is ONE aggregate over a depth-fold of the
+   * corpus (map-side combined into ≤ depth·width cells); candidates come
+   * from a distributed TakeOrdered top-k (per-partition heads, never a
+   * global sort), and the probe joins k·depth cells against the BROADCAST
+   * counter table.
+   *
+   * @return (elem, exact_n, cms_n) for the top candidates,
+   *         ties broken by element id ascending.
+   */
+  def cmsTopK(df: DataFrame, elemCol: String, depth: Int = 4,
+      width: Int = 1024, nCandidates: Int = 20): DataFrame = {
+    val counters = cmsCounters(df, elemCol, depth, width)
+    val cand = df.where(col(elemCol).isNotNull).groupBy(col(elemCol))
+      .agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col(elemCol).asc)
+      .limit(nCandidates)
+    cand
+      .select(col(elemCol), col("exact_n"),
+        explode(sequence(lit(0), lit(depth - 1))).as("salt"))
+      .select(col(elemCol), col("exact_n"), col("salt"),
+        pmod(conv(substring(md5(concat(col("salt").cast("string"), lit(":"),
+          col(elemCol).cast("string"))), 1, 5), 16, 10).cast("long"),
+          lit(width.toLong)).as("bucket"))
+      .join(broadcast(counters), Seq("salt", "bucket"))
+      .groupBy(col(elemCol), col("exact_n"))
+      .agg(min(col("c")).as("cms_n"))
+  }
+}

@@ -332,8 +332,34 @@ object ApiQueries {
         .toDF()
         .select(col("metric"), col("ts"), col("value"),
           col("tags").getItem("user").as("tag_user"))
-    })
+    }),
+    // KMV distinct sketch per event type over the (unique) event ids: k=64
+    // minimum 60-bit md5 hashes -> density estimate, exact audit column.
+    // Element cardinality (~200/2k/20k per type across SFs) keeps the
+    // estimator branch live at every SF the driver runs.
+    "sketch_kmv" -> ((s, dir) =>
+      graft.operators.Sketches.kmvDistinct(
+        Points.table(s, dir, "events"), "event_type", "event_id", k = 64)),
+    // HLL-256 raw estimator per event type (register build + sorted-fold
+    // harmonic sum); raw regime holds at sf0.01+ (distinct > 2.5m);
+    // below it the pinned raw bias shows up in the exact audit column.
+    "sketch_hll" -> ((s, dir) =>
+      graft.operators.Sketches.hllDistinct(
+        Points.table(s, dir, "events"), "event_type", "event_id")),
+    // Count-min 4x1024 frequency estimates for the exact top-20 users:
+    // cms_n >= exact_n by construction (collision over-count only).
+    "sketch_cms" -> ((s, dir) =>
+      graft.operators.Sketches.cmsTopK(
+        Points.table(s, dir, "events"), "user_id", depth = 4, width = 1024,
+        nCandidates = 20))
   )
+
+  /** DuckDB BIGINT value of the first `n` hex digits of md5 expression `m`
+    * starting at digit `from` — the portable `conv()` (strpos polynomial). */
+  private def hexPoly(m: String, from: Int, n: Int): String =
+    (0 until n).map { i =>
+      s"(strpos('0123456789abcdef', substr($m, ${from + i}, 1)) - 1) * ${1L << (4 * (n - 1 - i))}"
+    }.mkString("(", "\n               + ", ")")
 
   val oracles: Map[String, String] = Map(
     "api_query_sum" ->
@@ -946,6 +972,74 @@ object ApiQueries {
         |SELECT event_type, window_start,
         |       CAST(COUNT(*) AS BIGINT) AS n_events,
         |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
-        |FROM w GROUP BY 1, 2""".stripMargin
+        |FROM w GROUP BY 1, 2""".stripMargin,
+    // mirrors Sketches.kmvDistinct(k=64): distinct 60-bit hash fractions,
+    // direct rank (the Spark side's 64-shard prune is rank-invariant),
+    // pinned (63 * 2^60) / kth estimator
+    "sketch_kmv" ->
+      s"""WITH h AS (
+         |  SELECT DISTINCT event_type,
+         |         ${hexPoly("md5('kmv:' || CAST(event_id AS VARCHAR))", 1, 15)} AS h
+         |  FROM events),
+         |r AS (SELECT event_type, h,
+         |             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rk
+         |      FROM h),
+         |k AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_held,
+         |             MAX(h) AS kth_h
+         |      FROM r WHERE rk <= 64 GROUP BY 1),
+         |x AS (SELECT event_type, CAST(COUNT(DISTINCT event_id) AS BIGINT) AS exact_distinct
+         |      FROM events GROUP BY 1)
+         |SELECT event_type, n_held, kth_h,
+         |       CASE WHEN n_held < 64 THEN CAST(n_held AS DOUBLE)
+         |            ELSE CAST(63 AS DOUBLE) * 1152921504606846976.0 / CAST(kth_h AS DOUBLE)
+         |       END AS est_distinct,
+         |       exact_distinct
+         |FROM k JOIN x USING (event_type)""".stripMargin,
+    // mirrors Sketches.hllDistinct: byte-0 bucket, rho = 61 - bitlength of
+    // the 60-bit remainder (bin-string length; bin(0)='0' -> rho 60 in both
+    // engines), register max, sorted-fold 2^-M sum, pinned raw estimator
+    "sketch_hll" ->
+      s"""WITH e AS (
+         |  SELECT event_type, md5('hll:' || CAST(event_id AS VARCHAR)) AS h
+         |  FROM events),
+         |b AS (SELECT event_type,
+         |             ${hexPoly("h", 1, 2)} AS bucket,
+         |             61 - length(bin(${hexPoly("h", 3, 15)})) AS rho
+         |      FROM e),
+         |regs AS (SELECT event_type, bucket, MAX(rho) AS m_reg
+         |         FROM b GROUP BY 1, 2),
+         |s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         |             list_reduce(
+         |               list_prepend(0.0::DOUBLE,
+         |                 list_sort(list(POWER(2.0, -CAST(m_reg AS DOUBLE))))),
+         |               (acc, v) -> acc + v) AS sum_present
+         |      FROM regs GROUP BY 1),
+         |x AS (SELECT event_type, CAST(COUNT(DISTINCT event_id) AS BIGINT) AS exact_distinct
+         |      FROM events GROUP BY 1)
+         |SELECT event_type, n_buckets,
+         |       0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 /
+         |         (sum_present + CAST(256 - n_buckets AS DOUBLE)) AS est_distinct,
+         |       exact_distinct
+         |FROM s JOIN x USING (event_type)""".stripMargin,
+    // mirrors Sketches.cmsTopK(depth=4, width=1024): hex5 bucket arithmetic,
+    // exact top-20 candidates (count desc, id asc), min across depth cells
+    "sketch_cms" ->
+      s"""WITH s AS (SELECT UNNEST([0, 1, 2, 3]) AS salt),
+         |c AS (
+         |  SELECT salt,
+         |         ${hexPoly("md5(CAST(salt AS VARCHAR) || ':' || CAST(user_id AS VARCHAR))", 1, 5)} % 1024 AS bucket,
+         |         COUNT(*) AS c
+         |  FROM events, s GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n
+         |  FROM events GROUP BY 1
+         |  ORDER BY exact_n DESC, user_id ASC LIMIT 20),
+         |probe AS (
+         |  SELECT cand.user_id, cand.exact_n, s.salt,
+         |         ${hexPoly("md5(CAST(s.salt AS VARCHAR) || ':' || CAST(cand.user_id AS VARCHAR))", 1, 5)} % 1024 AS bucket
+         |  FROM cand, s)
+         |SELECT probe.user_id, probe.exact_n, CAST(MIN(c.c) AS BIGINT) AS cms_n
+         |FROM probe JOIN c ON probe.salt = c.salt AND probe.bucket = c.bucket
+         |GROUP BY 1, 2""".stripMargin
   )
 }

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/**
+ * The sketch family's contracts: exact-below-k KMV, HLL register
+ * mergeability (the property that makes the state shardable across a
+ * 100 TB corpus), CMS's one-sided error, and parallelism invariance of
+ * every estimate (the determinism the DuckDB gates pin end-to-end).
+ */
+class SketchesSpec extends AnyFunSuite with SparkSpec {
+
+  import spark.implicits._
+
+  private def keyed(n: Int) =
+    (1 to n).map(i => ("k", i.toLong)).toDF("key", "elem")
+
+  test("KMV below k is exact; estimator branch lands near truth") {
+    val small = Sketches.kmvDistinct(keyed(40), "key", "elem", k = 64).collect()(0)
+    assert(small.getAs[Long]("n_held") == 40L)
+    assert(small.getAs[Double]("est_distinct") == 40.0)
+    assert(small.getAs[Long]("exact_distinct") == 40L)
+
+    val big = Sketches.kmvDistinct(keyed(5000), "key", "elem", k = 64).collect()(0)
+    assert(big.getAs[Long]("n_held") == 64L)
+    val est = big.getAs[Double]("est_distinct")
+    // k=64 -> ~12.5% relative error; 3 sigma bounds
+    assert(est > 3000 && est < 8000, s"KMV estimate $est implausible for 5000")
+  }
+
+  test("KMV is parallelism-invariant (1 vs 13 partitions)") {
+    val d = keyed(3000)
+    val a = Sketches.kmvDistinct(d.repartition(1), "key", "elem", k = 32).collect()(0)
+    val b = Sketches.kmvDistinct(d.repartition(13), "key", "elem", k = 32).collect()(0)
+    assert(a.getAs[Double]("est_distinct") == b.getAs[Double]("est_distinct"))
+    assert(a.getAs[Long]("kth_h") == b.getAs[Long]("kth_h"))
+  }
+
+  test("HLL registers merge by max: union state == max of shard states") {
+    val d1 = keyed(900)
+    val d2 = (600 to 1500).map(i => ("k", i.toLong)).toDF("key", "elem")
+    val merged = Sketches.hllRegisters(d1.union(d2), "key", "elem")
+    val shardMax = Sketches.hllRegisters(d1, "key", "elem")
+      .union(Sketches.hllRegisters(d2, "key", "elem"))
+      .groupBy("key", "bucket").agg(max("m_reg").as("m_reg"))
+    assert(merged.except(shardMax).count() == 0 &&
+      shardMax.except(merged).count() == 0)
+  }
+
+  test("HLL raw estimate lands near truth in the raw regime") {
+    val r = Sketches.hllDistinct(keyed(5000), "key", "elem").collect()(0)
+    assert(r.getAs[Long]("n_buckets") <= 256L)
+    val est = r.getAs[Double]("est_distinct")
+    // m=256 -> ~6.5% relative error; generous 4-sigma bounds
+    assert(est > 3500 && est < 6500, s"HLL estimate $est implausible for 5000")
+    assert(r.getAs[Long]("exact_distinct") == 5000L)
+  }
+
+  test("CMS never under-counts, and is exact without collisions") {
+    val skewed = (1 to 500).flatMap(i =>
+      Seq.fill(if (i <= 3) 50 else 1)(("k", i.toLong))).toDF("key", "elem")
+    val r = Sketches.cmsTopK(skewed, "elem", depth = 4, width = 1024,
+      nCandidates = 10).collect()
+    assert(r.length == 10)
+    r.foreach(row => assert(row.getAs[Long]("cms_n") >= row.getAs[Long]("exact_n")))
+    // heads are unambiguous: exact 50s rank first
+    assert(r.count(_.getAs[Long]("exact_n") == 50L) == 3)
+
+    // 3 elements in a wide table: no collisions possible to matter
+    val tiny = Seq(("k", 1L), ("k", 1L), ("k", 2L), ("k", 3L)).toDF("key", "elem")
+    Sketches.cmsTopK(tiny, "elem", depth = 4, width = 1048576, nCandidates = 3)
+      .collect().foreach(row =>
+        assert(row.getAs[Long]("cms_n") == row.getAs[Long]("exact_n")))
+  }
+
+  test("CMS counters merge by sum across corpus shards") {
+    val d1 = keyed(300)
+    val d2 = keyed(200)
+    val merged = Sketches.cmsCounters(d1.union(d2), "elem", 4, 256)
+    val summed = Sketches.cmsCounters(d1, "elem", 4, 256)
+      .union(Sketches.cmsCounters(d2, "elem", 4, 256))
+      .groupBy("salt", "bucket").agg(sum("c").as("c"))
+    assert(merged.except(summed).count() == 0 &&
+      summed.except(merged).count() == 0)
+  }
+
+  test("sketches drop NULL elements and survive empty frames") {
+    val withNull = Seq(("k", Some(1L)), ("k", None), ("k", Some(2L)))
+      .toDF("key", "elem")
+    val kmv = Sketches.kmvDistinct(withNull, "key", "elem", k = 8).collect()(0)
+    assert(kmv.getAs[Long]("n_held") == 2L && kmv.getAs[Long]("exact_distinct") == 2L)
+    val hll = Sketches.hllDistinct(withNull, "key", "elem").collect()(0)
+    assert(hll.getAs[Long]("exact_distinct") == 2L)
+    assert(Sketches.cmsTopK(withNull, "elem", 2, 64, 5).count() == 2)
+
+    val empty = Seq.empty[(String, Long)].toDF("key", "elem")
+    assert(Sketches.kmvDistinct(empty, "key", "elem", k = 8).count() == 0)
+    assert(Sketches.hllDistinct(empty, "key", "elem").count() == 0)
+    assert(Sketches.cmsTopK(empty, "elem", 2, 64, 5).count() == 0)
+  }
+}
