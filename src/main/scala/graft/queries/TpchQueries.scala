@@ -217,7 +217,18 @@ object TpchQueries {
         .groupBy("r_name")
         .agg(count(lit(1)).as("customers"),
           sum(col("c_acctbal").cast("decimal(18,4)")).cast("double").as("total_acctbal"))
-    })
+    }),
+    // Blocked fuzzy record linkage over customer names: 16-char-prefix +
+    // length blocks, levenshtein <= 1 verify — the entity-resolution
+    // candidate step (block -> verify, never corpus x corpus).
+    "link_fuzzy_pairs" -> ((s, dir) =>
+      graft.operators.Linkage.fuzzyPairs(table(s, dir, "customer"),
+        "c_custkey", "c_name", blockLen = 16, maxDist = 1, maxBlock = 10000L)),
+    // Entity ids over the fuzzy pairs: Dedup.clusters min-label components,
+    // singletons keep their own id.
+    "link_entities" -> ((s, dir) =>
+      graft.operators.Linkage.entities(table(s, dir, "customer"),
+        "c_custkey", "c_name", blockLen = 16, maxDist = 1, maxBlock = 10000L))
   )
 
   val oracles: Map[String, String] = Map(
@@ -346,6 +357,39 @@ object TpchQueries {
         |       COUNT(DISTINCT l_partkey) AS n_parts
         |FROM lineitem
         |JOIN part ON l_partkey = p_partkey
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+    // mirrors Linkage.fuzzyPairs(blockLen=16, maxDist=1): prefix+length
+    // blocks, DuckDB's levenshtein (identical unit-cost DP to Spark's)
+    "link_fuzzy_pairs" ->
+      """WITH k AS (
+        |  SELECT c_custkey AS id, c_name AS name,
+        |         substr(c_name, 1, 16) AS bk, length(c_name) AS bl
+        |  FROM customer
+        |  WHERE c_custkey IS NOT NULL AND c_name IS NOT NULL)
+        |SELECT x.id AS id_a, y.id AS id_b, x.name AS name_a, y.name AS name_b,
+        |       CAST(levenshtein(x.name, y.name) AS BIGINT) AS dist
+        |FROM k x JOIN k y ON x.bk = y.bk AND x.bl = y.bl AND x.id < y.id
+        |WHERE levenshtein(x.name, y.name) <= 1""".stripMargin,
+    // mirrors Linkage.entities: the same pair frame, then the repo-standard
+    // recursive reachability closure -> min-id component labels; singletons
+    // (no pair membership) keep their own id
+    "link_entities" ->
+      """WITH RECURSIVE k AS (
+        |  SELECT c_custkey AS id, c_name AS name,
+        |         substr(c_name, 1, 16) AS bk, length(c_name) AS bl
+        |  FROM customer
+        |  WHERE c_custkey IS NOT NULL AND c_name IS NOT NULL),
+        |p AS (
+        |  SELECT x.id AS a, y.id AS b
+        |  FROM k x JOIN k y ON x.bk = y.bk AND x.bl = y.bl AND x.id < y.id
+        |  WHERE levenshtein(x.name, y.name) <= 1),
+        |edges AS (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p),
+        |reach(src, dst) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |comp AS (SELECT src AS id, MIN(dst) AS cluster_id FROM reach GROUP BY 1)
+        |SELECT k.id, k.name, COALESCE(comp.cluster_id, k.id) AS entity_id
+        |FROM k LEFT JOIN comp ON k.id = comp.id""".stripMargin
   )
 }
