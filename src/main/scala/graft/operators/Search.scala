@@ -413,4 +413,60 @@ object Search {
         (coalesce(col("dcg").cast("double"), lit(0.0)) / expr(idcgCase).cast("double"))
           .as("ndcg"))
   }
+
+  /**
+   * PROXIMITY retrieval — the slop generalization of [[phraseHits]]: a doc
+   * matches when every pair of distinct query terms co-occurs within
+   * `window` token positions (pairwise min-gap, the classic NEAR/n
+   * operator), ranked by how tightly the terms cluster (max pairwise gap
+   * ascending, doc id tie-break). Order-free where the phrase operator is
+   * order-exact: "spark near shuffle" finds both "shuffle ... spark" and
+   * "spark ... shuffle".
+   *
+   * Semantics pinned for determinism: per (query, doc, term-pair) the gap
+   * is `min |p_i − p_j|` over all occurrence pairs; a doc qualifies iff
+   * ALL C(n,2) distinct-term pairs are present with gap <= window.
+   * Single-term queries have no pair to witness proximity and return
+   * nothing (use BM25 or [[phraseHits]] for those).
+   *
+   * Scale shape: corpus positions join the BROADCAST query-term table
+   * first, so only query-matched positions leave the scan (the
+   * [[phraseHits]] pushdown); the pair self-join runs on THAT bounded
+   * frame keyed by (query, doc), and the rank window sees only qualifying
+   * docs. No corpus-sized self-join or window exists.
+   *
+   * @return (query_id, rank, doc_id, max_gap) — top `k` docs per query.
+   */
+  def proximityHits(docs: DataFrame, queries: DataFrame, window: Int = 6,
+      k: Int = 10): DataFrame = {
+    require(window >= 1, "window >= 1")
+    require(k >= 1, "k >= 1")
+    val words = docs
+      .select(col("doc_id"),
+        posexplode(split(lower(col("text")), " ")).as(Seq("pos", "w")))
+    val qt = queries
+      .select(col("query_id"),
+        explode(array_distinct(split(lower(col("qtext")), " "))).as("w"))
+    val qn = qt.groupBy("query_id")
+      .agg(count(lit(1)).as("n_terms"))
+      .select(col("query_id"), expr("n_terms * (n_terms - 1) div 2").as("n_pairs_req"))
+    val m = words.join(broadcast(qt), "w")
+      .select(col("query_id"), col("doc_id"), col("pos"), col("w"))
+    val gaps = m.as("x").join(m.as("y"),
+        col("x.query_id") === col("y.query_id") &&
+          col("x.doc_id") === col("y.doc_id") && col("x.w") < col("y.w"))
+      .groupBy(col("x.query_id").as("query_id"), col("x.doc_id").as("doc_id"),
+        col("x.w").as("wa"), col("y.w").as("wb"))
+      .agg(min(abs(col("x.pos") - col("y.pos"))).as("gap"))
+    val perDoc = gaps.where(col("gap") <= window)
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_pairs"), max(col("gap")).cast("long").as("max_gap"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("max_gap").asc, col("doc_id").asc)
+    perDoc.join(broadcast(qn), "query_id")
+      .where(col("n_pairs") === col("n_pairs_req"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("max_gap"))
+  }
 }

@@ -1160,4 +1160,53 @@ object TextAnalysis {
       .select(col("lang"), col("lang_guess"), col("n"), col("n_lang"),
         (col("n").cast("double") / col("n_lang").cast("double")).as("rate"))
   }
+
+  /**
+   * Zipf-law FIT over the corpus word-frequency head: OLS slope of
+   * ln(freq) against ln(rank) for the top `topN` words — the one-number
+   * "is this natural language" fingerprint (clean prose sits near −1;
+   * machine-generated or template-heavy corpora flatten toward 0, and
+   * boilerplate floods steepen the head). Pairs with [[vocab]]'s raw list
+   * and the quality screens: a source whose slope drifts between crawls
+   * changed its generator, not its topic.
+   *
+   * Determinism: ranks and counts are exact; each ln / product term is an
+   * IEEE double quantized to DECIMAL(28,10) (the [[graft.operators.Funnel
+   * .hourEntropy]] ln idiom, scale 10 to keep the Σ(xy) unscaled integer
+   * well under 2^53 at topN=200), summed exactly, with the slope/intercept
+   * as pinned closing expressions shared with the oracle.
+   *
+   * Scale shape: ONE map-side-combined word-count aggregate over the
+   * corpus (vocabulary-sized result), a distributed TakeOrdered for the
+   * head, then a `topN`-row window for rank assignment — never a
+   * vocabulary-wide sort.
+   *
+   * @return one row: (n_words, slope, intercept).
+   */
+  def zipfSlope(docs: DataFrame, topN: Int = 200): DataFrame = {
+    require(topN >= 2, "topN >= 2: a one-point fit has no slope")
+    val counts = docs
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("n"))
+    val top = counts.orderBy(col("n").desc, col("w").asc).limit(topN)
+    val ranked = top.withColumn("rk",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("n").desc, col("w").asc)).cast("long"))
+    val x = log(col("rk").cast("double"))
+    val y = log(col("n").cast("double"))
+    val sums = ranked
+      .select(x.cast("decimal(28,10)").as("qx"), y.cast("decimal(28,10)").as("qy"),
+        (x * y).cast("decimal(28,10)").as("qxy"),
+        (x * x).cast("decimal(28,10)").as("qxx"))
+      .agg(count(lit(1)).as("n"), sum(col("qx")).as("sx"), sum(col("qy")).as("sy"),
+        sum(col("qxy")).as("sxy"), sum(col("qxx")).as("sxx"))
+    val nd = col("n").cast("double")
+    val dx = col("sx").cast("double")
+    val dy = col("sy").cast("double")
+    val slope = (nd * col("sxy").cast("double") - dx * dy) /
+      (nd * col("sxx").cast("double") - dx * dx)
+    sums.select(col("n").as("n_words"), slope.as("slope"),
+      ((dy - slope * dx) / nd).as("intercept"))
+  }
 }

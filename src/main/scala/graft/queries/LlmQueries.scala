@@ -866,7 +866,21 @@ object LlmQueries {
     // order): exact integer counts, minCount floor before the joins,
     // k-bounded TakeOrdered finish
     "text_pmi_bigrams" -> ((s, dir) =>
-      TextAnalysis.pmiBigrams(docs(s, dir), minCount = 5L, topK = 100))
+      TextAnalysis.pmiBigrams(docs(s, dir), minCount = 5L, topK = 100)),
+    // Zipf-law fit over the top-200 word-frequency head: quantized-ln OLS,
+    // the one-number natural-language fingerprint per corpus snapshot
+    "text_zipf" -> ((s, dir) => TextAnalysis.zipfSlope(docs(s, dir), topN = 200)),
+    // proximity (NEAR/6) retrieval: probe terms 1+4 of every 97th doc,
+    // pairwise min-gap <= 6 over the query-filtered positional index —
+    // the order-free slop sibling of search_phrase
+    "search_proximity" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val ws = split(col("text"), " ")
+      val q = d.where(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", element_at(ws, 1), element_at(ws, 4)).as("qtext"))
+      graft.operators.Search.proximityHits(d, q, window = 6, k = 10)
+    })
   )
 
   /** The planted hyperlink structure shared by the Graph-family gates:
@@ -3762,6 +3776,54 @@ object LlmQueries {
         |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, CAST(score AS DOUBLE) AS score
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
         |      FROM sc)
-        |WHERE rank <= 3""".stripMargin
+        |WHERE rank <= 3""".stripMargin,
+    // mirrors TextAnalysis.zipfSlope(topN=200): exact head ranks, each ln /
+    // product term quantized at DECIMAL(28,10), pinned OLS close
+    "text_zipf" ->
+      """WITH wr AS (SELECT UNNEST(string_split(lower(text), ' ')) AS w FROM documents),
+        |wc AS (SELECT w, COUNT(*) AS n FROM wr WHERE w <> '' GROUP BY 1),
+        |top AS (SELECT w, n FROM wc ORDER BY n DESC, w ASC LIMIT 200),
+        |r AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, w ASC) AS BIGINT) AS rk, n
+        |      FROM top),
+        |q AS (SELECT CAST(ln(CAST(rk AS DOUBLE)) AS DECIMAL(28,10)) AS qx,
+        |             CAST(ln(CAST(n AS DOUBLE)) AS DECIMAL(28,10)) AS qy,
+        |             CAST(ln(CAST(rk AS DOUBLE)) * ln(CAST(n AS DOUBLE)) AS DECIMAL(28,10)) AS qxy,
+        |             CAST(ln(CAST(rk AS DOUBLE)) * ln(CAST(rk AS DOUBLE)) AS DECIMAL(28,10)) AS qxx
+        |      FROM r),
+        |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(qx) AS sx, SUM(qy) AS sy,
+        |             SUM(qxy) AS sxy, SUM(qxx) AS sxx FROM q),
+        |f AS (SELECT n, CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS dx,
+        |             CAST(sy AS DOUBLE) AS dy, CAST(sxy AS DOUBLE) AS dxy,
+        |             CAST(sxx AS DOUBLE) AS dxx FROM s),
+        |g AS (SELECT n, (nd * dxy - dx * dy) / (nd * dxx - dx * dx) AS slope,
+        |             dx, dy, nd FROM f)
+        |SELECT n AS n_words, slope, (dy - slope * dx) / nd AS intercept FROM g""".stripMargin,
+    // mirrors Search.proximityHits(window=6, k=10) over the 1+4-term probe
+    // queries: query-filtered positional index, pairwise min-gap, all-pairs
+    // qualification, (max_gap, doc_id) rank
+    "search_proximity" ->
+      """WITH dw AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        |w AS (SELECT doc_id, generate_subscripts(ws, 1) - 1 AS pos, UNNEST(ws) AS w FROM dw),
+        |qd AS (SELECT doc_id AS query_id,
+        |              concat_ws(' ', string_split(text, ' ')[1], string_split(text, ' ')[4]) AS qtext
+        |       FROM documents WHERE doc_id % 97 = 0),
+        |qt AS (SELECT query_id, UNNEST(list_distinct(string_split(lower(qtext), ' '))) AS w
+        |       FROM qd),
+        |qn AS (SELECT query_id, COUNT(*) AS n_terms FROM qt GROUP BY 1),
+        |m AS (SELECT qt.query_id, w.doc_id, w.pos, qt.w FROM w JOIN qt ON w.w = qt.w),
+        |g AS (SELECT x.query_id, x.doc_id, x.w AS wa, y.w AS wb,
+        |             MIN(abs(x.pos - y.pos)) AS gap
+        |      FROM m x JOIN m y
+        |        ON x.query_id = y.query_id AND x.doc_id = y.doc_id AND x.w < y.w
+        |      GROUP BY 1, 2, 3, 4),
+        |pd AS (SELECT query_id, doc_id, COUNT(*) AS n_pairs,
+        |              CAST(MAX(gap) AS BIGINT) AS max_gap
+        |       FROM g WHERE gap <= 6 GROUP BY 1, 2),
+        |r AS (SELECT pd.query_id, pd.doc_id, pd.max_gap,
+        |             CAST(ROW_NUMBER() OVER (PARTITION BY pd.query_id
+        |                    ORDER BY pd.max_gap ASC, pd.doc_id ASC) AS BIGINT) AS rank
+        |      FROM pd JOIN qn ON pd.query_id = qn.query_id
+        |      WHERE pd.n_pairs = qn.n_terms * (qn.n_terms - 1) // 2)
+        |SELECT query_id, rank, doc_id, max_gap FROM r WHERE rank <= 10""".stripMargin
   )
 }
