@@ -867,6 +867,16 @@ object LlmQueries {
     // k-bounded TakeOrdered finish
     "text_pmi_bigrams" -> ((s, dir) =>
       TextAnalysis.pmiBigrams(docs(s, dir), minCount = 5L, topK = 100)),
+    // one-pass column profiler over documents: every stat for every column
+    // folds in ONE aggregate over one scan — the schema-drift audit
+    "profile_documents" -> ((s, dir) =>
+      graft.operators.Profiling.columnProfile(docs(s, dir),
+        Seq("doc_id", "text", "lang", "source", "n_chars"))),
+    // the same profiler over the events fact columns (ts excluded: its
+    // epoch representation differs by engine, not a profiler concern)
+    "profile_events" -> ((s, dir) =>
+      graft.operators.Profiling.columnProfile(Points.table(s, dir, "events"),
+        Seq("event_id", "user_id", "event_type", "value", "props"))),
     // Zipf-law fit over the top-200 word-frequency head: quantized-ln OLS,
     // the one-number natural-language fingerprint per corpus snapshot
     "text_zipf" -> ((s, dir) => TextAnalysis.zipfSlope(docs(s, dir), topN = 200)),
@@ -1549,6 +1559,27 @@ object LlmQueries {
        |${steps.mkString(",\n")}
        |SELECT query_id, mmr_rank, doc_id, rank AS bm25_rank FROM a$k""".stripMargin
   }
+
+  /** DuckDB replay of [[graft.operators.Profiling.columnProfile]]: one
+    * aggregate stanza per (column, num|str kind), UNION ALL'd. */
+  private def profileSql(table: String, cols: Seq[(String, String)]): String =
+    cols.map { case (c, kind) =>
+      val isNum = kind == "num"
+      val minNum = if (isNum) s"CAST(MIN($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+      val maxNum = if (isNum) s"CAST(MAX($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+      val minStr = if (isNum) "CAST(NULL AS VARCHAR)" else s"MIN($c)"
+      val maxStr = if (isNum) "CAST(NULL AS VARCHAR)" else s"MAX($c)"
+      val avgLen =
+        if (isNum) "CAST(NULL AS DOUBLE)"
+        else s"CAST(SUM(length($c)) AS DOUBLE) / CAST(COUNT($c) AS DOUBLE)"
+      s"""SELECT '$c' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  $minNum AS min_num, $maxNum AS max_num,
+         |  $minStr AS min_str, $maxStr AS max_str,
+         |  $avgLen AS avg_len
+         |FROM $table""".stripMargin
+    }.mkString("\n", "\nUNION ALL\n", "")
 
   val oracles: Map[String, String] = Map(
     "text_tokens" ->
@@ -3777,6 +3808,15 @@ object LlmQueries {
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
         |      FROM sc)
         |WHERE rank <= 3""".stripMargin,
+    // mirrors Profiling.columnProfile: per-column aggregate stanzas (the
+    // Spark side folds them into one scan; UNION ALL is the oracle's
+    // scan-per-column equivalent of the same arithmetic)
+    "profile_documents" -> profileSql("documents",
+      Seq("doc_id" -> "num", "text" -> "str", "lang" -> "str",
+        "source" -> "str", "n_chars" -> "num")),
+    "profile_events" -> profileSql("events",
+      Seq("event_id" -> "num", "user_id" -> "num", "event_type" -> "str",
+        "value" -> "num", "props" -> "str")),
     // mirrors TextAnalysis.zipfSlope(topN=200): exact head ranks, each ln /
     // product term quantized at DECIMAL(28,10), pinned OLS close
     "text_zipf" ->
