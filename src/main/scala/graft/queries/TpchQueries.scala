@@ -218,6 +218,53 @@ object TpchQueries {
         .agg(count(lit(1)).as("customers"),
           sum(col("c_acctbal").cast("decimal(18,4)")).cast("double").as("total_acctbal"))
     }),
+    // TPC-H Q7 flavor: bilateral shipping volume between nation pairs by
+    // ship year. Dims (supplier/customer/nation) broadcast; the one big
+    // shuffle is lineitem x orders on the order key.
+    "q7_nation_volume" -> ((s, dir) => {
+      val n1 = broadcast(table(s, dir, "nation")
+        .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation")))
+      val n2 = broadcast(table(s, dir, "nation")
+        .select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation")))
+      table(s, dir, "lineitem")
+        .join(table(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(table(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(table(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(n1, col("s_nationkey") === col("sk"))
+        .join(n2, col("c_nationkey") === col("ck"))
+        .where(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(sum((col("l_extendedprice").cast("decimal(18,4)") *
+          (lit(1) - col("l_discount").cast("decimal(18,4)"))).cast("decimal(18,4)"))
+          .cast("double").as("revenue"))
+    }),
+    // TPC-H Q13: customer distribution by order count, INCLUDING the
+    // zero-order customers a plain join would drop (left outer + count of
+    // the nullable side).
+    "q13_custdist" -> ((s, dir) => {
+      val perCust = table(s, dir, "customer")
+        .join(table(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+      perCust.groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+    }),
+    // TPC-H Q15 flavor: top-5 suppliers by lineitem revenue in one ship
+    // quarter, deterministic (revenue DESC, suppkey) order pinned by rank.
+    "q15_top_supplier" -> ((s, dir) => {
+      val rev = table(s, dir, "lineitem")
+        .where(expr("l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND " +
+          "l_shipdate < TIMESTAMP '1996-04-01 00:00:00'"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum((col("l_extendedprice").cast("decimal(18,4)") *
+          (lit(1) - col("l_discount").cast("decimal(18,4)"))).cast("decimal(18,4)"))
+          .as("rev"))
+      rev.join(broadcast(table(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .orderBy(col("rev").desc, col("l_suppkey").asc)
+        .limit(5)
+        .select(col("l_suppkey"), col("s_name"),
+          col("rev").cast("double").as("total_revenue"))
+    }),
     // Blocked fuzzy record linkage over customer names: 16-char-prefix +
     // length blocks, levenshtein <= 1 verify — the entity-resolution
     // candidate step (block -> verify, never corpus x corpus).
@@ -358,6 +405,45 @@ object TpchQueries {
         |FROM lineitem
         |JOIN part ON l_partkey = p_partkey
         |GROUP BY 1""".stripMargin,
+    // mirrors q7_nation_volume: nation-pair bilateral revenue by ship year,
+    // exact-decimal revenue sums
+    "q7_nation_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |            (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE n1.n_name <> n2.n_name
+        |GROUP BY 1, 2, 3""".stripMargin,
+    // mirrors q13_custdist: zero-order customers kept by the left join,
+    // COUNT of the nullable order key
+    "q13_custdist" ->
+      """WITH pc AS (
+        |  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY 1)
+        |SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        |FROM pc GROUP BY 1""".stripMargin,
+    // mirrors q15_top_supplier: 1996Q1 revenue per supplier, deterministic
+    // (revenue DESC, suppkey) top 5
+    "q15_top_supplier" ->
+      """WITH r AS (
+        |  SELECT l_suppkey,
+        |         SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |             (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) AS rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY 1)
+        |SELECT l_suppkey, s_name, CAST(rev AS DOUBLE) AS total_revenue
+        |FROM r JOIN supplier ON l_suppkey = s_suppkey
+        |ORDER BY rev DESC, l_suppkey ASC
+        |LIMIT 5""".stripMargin,
     // mirrors Linkage.fuzzyPairs(blockLen=16, maxDist=1): prefix+length
     // blocks, DuckDB's levenshtein (identical unit-cost DP to Spark's)
     "link_fuzzy_pairs" ->
