@@ -846,4 +846,52 @@ object Similarity {
         max(when(col("rank") === 2, col("sim"))).as("top2_sim"))
       .select(col("query_id"), col("top1_id"), col("top1_sim"), col("top2_sim"),
         (col("top1_sim") - col("top2_sim")).as("margin"))
+
+  /**
+   * Dimension-TRUNCATION recall audit (the Matryoshka question): how much
+   * of full-dimension cosine top-k survives when vectors are cut to their
+   * first `d` dimensions? The number that decides whether a pipeline can
+   * store/serve truncated embeddings (4–8× cheaper ANN at 100 TB) without
+   * losing retrieval quality — and, for MRL-trained encoders, the audit
+   * that their prefix-nesting actually holds on YOUR corpus.
+   *
+   * For each `d` in `dims`: truncated-cosine top-k (same [[rankTopK]]
+   * k-bounded aggregate and tie rules as every other scorer) is matched
+   * against the full-dimension top-k per probe query; recall@k is the
+   * exact matched fraction. Queries are the `probeMod` sample (the
+   * [[selfKnnDensity]] convention).
+   *
+   * Determinism: set intersection and counts are exact integers; recall is
+   * ONE closing division. Cosines are the same sequential-fold doubles as
+   * [[bruteForceKnn]] (a truncated slice folds the same prefix both
+   * engines). Scale: one scored corpus×probes pass per audited dim — an
+   * audit-shaped cost (probes are sampled), each pass in the k-bounded
+   * map-side top-k shape, no corpus window anywhere.
+   *
+   * @return one row per audited dim: (dim, n_queries, n_match_total,
+   *         recall_at_k); full-dim recall is 1 by construction and not
+   *         emitted.
+   */
+  def truncRecall(corpus: DataFrame, dims: Seq[Int] = Seq(8, 16, 32),
+      k: Int = 10, probeMod: Long = 20L): DataFrame = {
+    require(dims.nonEmpty && dims.forall(_ >= 1), "dims must be positive")
+    require(k >= 1, "k >= 1")
+    val queries = corpus.where(col("vec_id") % probeMod === 0)
+    val full = bruteForceKnn(corpus, queries, k)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    val perDim = dims.map { d0 =>
+      def cut(df: DataFrame) = df.select(col("vec_id"),
+        slice(col("embedding"), 1, d0).as("embedding"))
+      bruteForceKnn(cut(corpus), cut(queries), k)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(full, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_match"))
+        .agg(count(lit(1)).as("n_queries"), sum(col("n_match")).as("n_match_total"))
+        .select(lit(d0.toLong).as("dim"), col("n_queries"), col("n_match_total"),
+          (col("n_match_total").cast("double") /
+            (col("n_queries") * k).cast("double")).as("recall_at_k"))
+    }
+    perDim.reduce(_ unionByName _)
+  }
 }

@@ -867,6 +867,12 @@ object LlmQueries {
     // k-bounded TakeOrdered finish
     "text_pmi_bigrams" -> ((s, dir) =>
       TextAnalysis.pmiBigrams(docs(s, dir), minCount = 5L, topK = 100)),
+    // dimension-truncation (Matryoshka) recall audit: truncated-cosine
+    // top-k vs full-dim top-k per probe query, exact matched fractions —
+    // the "can we serve 8/16/32-dim vectors" decision number
+    "embed_trunc_recall" -> ((s, dir) =>
+      Similarity.truncRecall(emb(s, dir), dims = Seq(8, 16, 32), k = 10,
+        probeMod = 20L)),
     // one-pass column profiler over documents: every stat for every column
     // folds in ONE aggregate over one scan — the schema-drift audit
     "profile_documents" -> ((s, dir) =>
@@ -3808,6 +3814,43 @@ object LlmQueries {
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
         |      FROM sc)
         |WHERE rank <= 3""".stripMargin,
+    // mirrors Similarity.truncRecall(dims=8/16/32, k=10, probeMod=20):
+    // sliced-prefix cosines, window rank (rank-invariant vs the k-bounded
+    // aggregate), left-join match counts, one closing division
+    "embed_trunc_recall" -> {
+      def sliceCos(d: Int) = {
+        def v(side: String) = s"CAST($side.embedding[1:$d] AS DOUBLE[])"
+        s"""list_dot_product(${v("q")}, ${v("d")})
+           | / (sqrt(list_dot_product(${v("q")}, ${v("q")}))
+           |  * sqrt(list_dot_product(${v("d")}, ${v("d")})))""".stripMargin
+      }
+      def dimBlock(d: Int) =
+        s"""t$d AS (
+           |  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+           |         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+           |           ORDER BY ${sliceCos(d)} DESC, d.vec_id) AS rk
+           |  FROM embeddings q JOIN embeddings d
+           |    ON q.vec_id % 20 = 0 AND d.vec_id != q.vec_id),
+           |m$d AS (
+           |  SELECT t.query_id,
+           |         SUM(CASE WHEN fk.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS n_match
+           |  FROM (SELECT query_id, neighbor_id FROM t$d WHERE rk <= 10) t
+           |  LEFT JOIN fk ON t.query_id = fk.query_id AND t.neighbor_id = fk.neighbor_id
+           |  GROUP BY 1),
+           |a$d AS (SELECT CAST($d AS BIGINT) AS dim, CAST(COUNT(*) AS BIGINT) AS n_queries,
+           |               CAST(SUM(n_match) AS BIGINT) AS n_match_total FROM m$d)""".stripMargin
+      s"""WITH f AS (
+         |  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+         |         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |           ORDER BY $CosineSql DESC, d.vec_id) AS rk
+         |  FROM embeddings q JOIN embeddings d
+         |    ON q.vec_id % 20 = 0 AND d.vec_id != q.vec_id),
+         |fk AS (SELECT query_id, neighbor_id FROM f WHERE rk <= 10),
+         |${Seq(8, 16, 32).map(dimBlock).mkString(",\n")}
+         |SELECT dim, n_queries, n_match_total,
+         |       CAST(n_match_total AS DOUBLE) / CAST(n_queries * 10 AS DOUBLE) AS recall_at_k
+         |FROM (SELECT * FROM a8 UNION ALL SELECT * FROM a16 UNION ALL SELECT * FROM a32)""".stripMargin
+    },
     // mirrors Profiling.columnProfile: per-column aggregate stanzas (the
     // Spark side folds them into one scan; UNION ALL is the oracle's
     // scan-per-column equivalent of the same arithmetic)
