@@ -140,6 +140,59 @@ object Sketches {
       .join(exact, keyCol)
   }
 
+  /**
+   * STREAMING HLL — [[hllDistinct]] for an unbounded stream: per key, the
+   * 256 one-byte registers carried in `flatMapGroupsWithState`, one
+   * updated (key, n_buckets, est_distinct) row per key per micro-batch,
+   * estimates INCLUDING the batch (so a one-batch stream reproduces the
+   * batch operator bit-for-bit — the [[Anomaly.zscoreStreamFlags]]
+   * equivalence contract, pinned by spec).
+   *
+   * The per-element arithmetic replays the batch op exactly: md5 of
+   * "hll:<elem>", byte-0 bucket, rho = 61 − bitlength of the 60-bit
+   * remainder, register max; the estimate sums the present registers'
+   * 2^−M terms in ASCENDING order (the sorted fold) before the one
+   * absent-bucket addition and the pinned α·m² close.
+   *
+   * Scale: state is 256 bytes per key — the smallest useful distinct-count
+   * state there is; register-wise max makes restarts/backfills safe to
+   * merge. Works on a batch frame too (state starts empty — the spec's
+   * harness).
+   */
+  def hllStream(df: DataFrame, keyCol: String, elemCol: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds = df.where(col(elemCol).isNotNull)
+      .select(col(keyCol).cast("string"), col(elemCol).cast("string"))
+      .as[(String, String)]
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, String)],
+         state: GroupState[Array[Byte]]) =>
+          val regs = state.getOption.getOrElse(new Array[Byte](256))
+          rows.foreach { case (_, elem) =>
+            val hex = java.security.MessageDigest.getInstance("MD5")
+              .digest(("hll:" + elem).getBytes("UTF-8"))
+              .map("%02x".format(_)).mkString
+            val bucket = Integer.parseInt(hex.substring(0, 2), 16)
+            val y = java.lang.Long.parseLong(hex.substring(2, 17), 16)
+            val bits = if (y == 0L) 1 else 64 - java.lang.Long.numberOfLeadingZeros(y)
+            val rho = (61 - bits).toByte
+            if (rho > regs(bucket)) regs(bucket) = rho
+          }
+          state.update(regs)
+          val present = regs.filter(_ > 0)
+          val nBuckets = present.length.toLong
+          val sumPresent = present.map(m => math.pow(2.0, -m.toDouble))
+            .sorted.foldLeft(0.0)(_ + _)
+          val alphaM2 = 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0
+          val est = alphaM2 / (sumPresent + (256L - nBuckets).toDouble)
+          Iterator.single((key, nBuckets, est))
+      }
+      .toDF(keyCol, "n_buckets", "est_distinct")
+  }
+
   /** Count-min counter table: `depth` salted hash rows x `width` buckets,
     * exact integer counts — the mergeable CMS state (counter-wise sum).
     * Bucket = first-5-hex-digit value of md5(salt:elem) mod width (the

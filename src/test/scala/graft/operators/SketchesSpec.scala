@@ -87,6 +87,17 @@ class SketchesSpec extends AnyFunSuite with SparkSpec {
       summed.except(merged).count() == 0)
   }
 
+  test("hllStream one-batch run reproduces the batch estimator bit-for-bit") {
+    val d = keyed(1200).union(
+      (1 to 300).map(i => ("k2", i.toLong)).toDF("key", "elem"))
+    val batch = Sketches.hllDistinct(d, "key", "elem")
+      .select("key", "n_buckets", "est_distinct").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val stream = Sketches.hllStream(d, "key", "elem").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(stream == batch)
+  }
+
   test("sketches drop NULL elements and survive empty frames") {
     val withNull = Seq(("k", Some(1L)), ("k", None), ("k", Some(2L)))
       .toDF("key", "elem")
