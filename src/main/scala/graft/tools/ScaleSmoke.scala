@@ -645,6 +645,45 @@ object ScaleSmoke {
       graft.operators.Funnel.cohortLtv(
         ev.withColumn("value", col("value"))).count()
     }
+    // ---- session-7 operators ------------------------------------------
+    t("kmvDistinct (64-shard min-k prune; distinct events per type)") {
+      graft.operators.Sketches.kmvDistinct(ev, "event_type", "event_id", k = 64).count()
+    }
+    t("hllDistinct (256-register build + sorted-fold close)") {
+      graft.operators.Sketches.hllDistinct(ev, "event_type", "event_id").count()
+    }
+    t("cmsTopK (4x1024 counters; TakeOrdered candidates; broadcast probe)") {
+      graft.operators.Sketches.cmsTopK(ev, "user_id", depth = 4, width = 1024,
+        nCandidates = 20).count()
+    }
+    // replica-user name corpus: reps x the user space, 9-digit zero-padded —
+    // the linkage blocks stay prefix-bounded exactly like customer names
+    t("fuzzyPairs (16-char-prefix blocks, levenshtein <= 1, maxBlock cap)") {
+      val names = ev.select(col("user_id").as("id")).distinct()
+        .select(col("id"), concat(lit("User#"),
+          lpad(col("id").cast("string"), 9, "0")).as("name"))
+      graft.operators.Linkage.fuzzyPairs(names, "id", "name",
+        blockLen = 12, maxDist = 1, maxBlock = 10000L).count()
+    }
+    t("zipfSlope (one vocab aggregate + TakeOrdered head + 200-row window)") {
+      graft.operators.TextAnalysis.zipfSlope(docs, topN = 200).count()
+    }
+    t("proximityHits (query-filtered positions; pair join on matched rows only)") {
+      val ws = split(col("text"), " ")
+      val q = docs.where(col("doc_id") % (n * reps / 20) === 0)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", element_at(ws, 1), element_at(ws, 4)).as("qtext"))
+      graft.operators.Search.proximityHits(docs, q, window = 6, k = 10).count()
+    }
+    t("columnProfile (ALL per-column stats in one corpus scan)") {
+      graft.operators.Profiling.columnProfile(
+        docs.withColumn("lang", (col("doc_id") % 4).cast("string")),
+        Seq("doc_id", "text", "lang")).count()
+    }
+    t("truncRecall (8/16/32-dim prefixes vs full-dim top-k, sampled probes)") {
+      graft.operators.Similarity.truncRecall(emb, dims = Seq(8, 16, 32), k = 10,
+        probeMod = math.max(1L, n * embReps / 20)).count()
+    }
     spark.stop()
   }
 }
