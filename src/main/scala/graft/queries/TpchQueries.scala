@@ -265,6 +265,113 @@ object TpchQueries {
         .select(col("l_suppkey"), col("s_name"),
           col("rev").cast("double").as("total_revenue"))
     }),
+    // TPC-H Q8 flavor: market share of one supplier nation (NATION_7)
+    // inside one region's (EUROPE) customer market for one part type
+    // (PROMO), by order year. Numerator and denominator are separate
+    // exact-DECIMAL sums; the share divides the two doubles in the same
+    // expression order as the oracle so the result is bit-exact. All six
+    // dimension joins broadcast (nation/region/part/customer/supplier are
+    // O(SF) small); the one corpus-sized shuffle is lineitem x orders on
+    // the order key — the same single-exchange shape at any SF.
+    "q8_mkt_share" -> ((s, dir) => {
+      val nCust = broadcast(table(s, dir, "nation")
+        .select(col("n_nationkey").as("ck"), col("n_regionkey").as("crk")))
+      val region = broadcast(table(s, dir, "region").where(col("r_name") === "EUROPE"))
+      val nSupp = broadcast(table(s, dir, "nation")
+        .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation")))
+      val vol = (col("l_extendedprice").cast("decimal(18,4)") *
+        (lit(1) - col("l_discount").cast("decimal(18,4)"))).cast("decimal(18,4)")
+      table(s, dir, "lineitem")
+        .join(broadcast(table(s, dir, "part").where(col("p_type") === "PROMO")),
+          col("l_partkey") === col("p_partkey"))
+        .join(table(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(table(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(nCust, col("c_nationkey") === col("ck"))
+        .join(region, col("crk") === col("r_regionkey"))
+        .join(broadcast(table(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(nSupp, col("s_nationkey") === col("sk"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_7", vol)
+            .otherwise(lit(0).cast("decimal(18,4)"))).cast("double").as("nation_vol"),
+          sum(vol).cast("double").as("total_vol"))
+        .withColumn("mkt_share", col("nation_vol") / col("total_vol"))
+    }),
+    // TPC-H Q19 flavor: OR-of-ANDs (brand, size, quantity) revenue — the
+    // disjunctive-pushdown case. The disjunction's common envelope (brand
+    // IN the 3-element set, size <= 15, quantity <= 30) is applied to EACH
+    // side before the join so both scans prune (PushedFilters carries the
+    // envelope; lineitem rows outside qty [1,30] never enter the join);
+    // the exact OR-of-ANDs remains as the post-join residual. part stays a
+    // broadcast at any SF.
+    "q19_disjunct" -> ((s, dir) => {
+      val part = broadcast(table(s, dir, "part")
+        .where(col("p_brand").isin("Brand#13", "Brand#23", "Brand#19") &&
+          col("p_size").between(1, 15)))
+      table(s, dir, "lineitem").where(col("l_quantity").between(1, 30))
+        .join(part, col("l_partkey") === col("p_partkey"))
+        .where(
+          (col("p_brand") === "Brand#13" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#19" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30)))
+        .agg(
+          sum((col("l_extendedprice").cast("decimal(18,4)") *
+            (lit(1) - col("l_discount").cast("decimal(18,4)"))).cast("decimal(18,4)"))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+    // TPC-H Q21 flavor: suppliers who were the SOLE late shipper in a
+    // multi-supplier order ("late" = shipped > 90 days after the order
+    // date; the testdata lacks commit/receipt dates). Three keyed
+    // aggregates — (order, supplier) lateness, per-order supplier/late
+    // counts, per-supplier numwait — all shuffle on bounded keys; no
+    // self-join of lineitem against itself (the classic Q21 EXISTS/NOT
+    // EXISTS pair collapses into the per-order counts).
+    "q21_waiting_supplier" -> ((s, dir) => {
+      val ev = table(s, dir, "lineitem")
+        .join(table(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderkey").as("ok"), col("l_suppkey").as("sk"),
+          when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"), 1L)
+            .otherwise(0L).as("late"))
+      val perSupp = ev.groupBy("ok", "sk").agg(max(col("late")).as("late"))
+      val perOrder = perSupp.groupBy("ok").agg(
+        count(lit(1)).as("n_supp"), sum(col("late")).as("n_late"))
+      perSupp.where(col("late") === 1L)
+        .join(perOrder, "ok")
+        .where(col("n_supp") >= 2 && col("n_late") === 1L)
+        .groupBy(col("sk"))
+        .agg(count(lit(1)).as("numwait"))
+        .join(broadcast(table(s, dir, "supplier")), col("sk") === col("s_suppkey"))
+        .orderBy(col("numwait").desc, col("sk"))
+        .limit(20)
+        .select(col("sk").as("l_suppkey"), col("s_name"), col("numwait"))
+    }),
+    // TPC-H Q22 flavor: LAPSED customers — above-average positive balance
+    // and no orders since 2000-01-01 — rolled up by market segment (this
+    // schema has no phone country codes, and every customer has at least
+    // one lifetime order, so the recency cutoff is what makes "idle"
+    // non-trivial). The global average is a 1-row broadcast scalar; the
+    // no-recent-orders test is a LEFT ANTI join shuffling on the customer
+    // key — never a NOT IN materialization — with the date filter pushed
+    // to the orders scan so the anti side is already pruned.
+    "q22_idle_balance" -> ((s, dir) => {
+      val cust = table(s, dir, "customer")
+      val avgBal = cust.where(col("c_acctbal") > 0.0)
+        .agg((sum(col("c_acctbal").cast("decimal(18,4)")).cast("double") /
+          count(lit(1))).as("avg_bal"))
+      cust.crossJoin(broadcast(avgBal))
+        .where(col("c_acctbal") > col("avg_bal"))
+        .join(table(s, dir, "orders")
+          .where(expr("o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'"))
+          .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("numcust"),
+          sum(col("c_acctbal").cast("decimal(18,4)")).cast("double").as("totacctbal"))
+    }),
     // Blocked fuzzy record linkage over customer names: 16-char-prefix +
     // length blocks, levenshtein <= 1 verify — the entity-resolution
     // candidate step (block -> verify, never corpus x corpus).
@@ -444,6 +551,70 @@ object TpchQueries {
         |FROM r JOIN supplier ON l_suppkey = s_suppkey
         |ORDER BY rev DESC, l_suppkey ASC
         |LIMIT 5""".stripMargin,
+    // mirrors q8_mkt_share: numerator/denominator as separate exact-DECIMAL
+    // sums, the share dividing the two doubles in the same order
+    "q8_mkt_share" ->
+      """WITH base AS (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |         CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |              (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS vol,
+        |         n1.n_name AS supp_nation
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  JOIN region ON n2.n_regionkey = r_regionkey AND r_name = 'EUROPE'
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey)
+        |SELECT o_year,
+        |       CAST(SUM(CASE WHEN supp_nation = 'NATION_7' THEN vol
+        |                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS nation_vol,
+        |       CAST(SUM(vol) AS DOUBLE) AS total_vol,
+        |       CAST(SUM(CASE WHEN supp_nation = 'NATION_7' THEN vol
+        |                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) /
+        |       CAST(SUM(vol) AS DOUBLE) AS mkt_share
+        |FROM base GROUP BY 1""".stripMargin,
+    // mirrors q19_disjunct: the OR-of-ANDs evaluated verbatim (the Spark
+    // side's envelope prefilter is a strict superset, so results agree)
+    "q19_disjunct" ->
+      """SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |            (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |       CAST(COUNT(*) AS BIGINT) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    // mirrors q21_waiting_supplier: sole-late-supplier in multi-supplier
+    // orders via per-order counts (no lineitem self-join)
+    "q21_waiting_supplier" ->
+      """WITH ev AS (
+        |  SELECT o_orderkey AS ok, l_suppkey AS sk,
+        |         CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY THEN 1 ELSE 0 END AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |ps AS (SELECT ok, sk, MAX(late) AS late FROM ev GROUP BY 1, 2),
+        |po AS (SELECT ok, CAST(COUNT(*) AS BIGINT) AS n_supp, SUM(late) AS n_late FROM ps GROUP BY 1),
+        |w AS (
+        |  SELECT ps.sk, CAST(COUNT(*) AS BIGINT) AS numwait
+        |  FROM ps JOIN po USING (ok)
+        |  WHERE ps.late = 1 AND po.n_supp >= 2 AND po.n_late = 1
+        |  GROUP BY 1)
+        |SELECT w.sk AS l_suppkey, s_name, numwait
+        |FROM w JOIN supplier ON w.sk = s_suppkey
+        |ORDER BY numwait DESC, w.sk LIMIT 20""".stripMargin,
+    // mirrors q22_idle_balance: 1-row scalar average, NOT EXISTS == the
+    // anti join, exact-decimal segment totals
+    "q22_idle_balance" ->
+      """WITH ab AS (
+        |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_bal
+        |  FROM customer WHERE c_acctbal > 0.0)
+        |SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS numcust,
+        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+        |FROM customer, ab
+        |WHERE c_acctbal > ab.avg_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |GROUP BY 1""".stripMargin,
     // mirrors Linkage.fuzzyPairs(blockLen=16, maxDist=1): prefix+length
     // blocks, DuckDB's levenshtein (identical unit-cost DP to Spark's)
     "link_fuzzy_pairs" ->
