@@ -372,6 +372,104 @@ object TpchQueries {
         .agg(count(lit(1)).as("numcust"),
           sum(col("c_acctbal").cast("decimal(18,4)")).cast("double").as("totacctbal"))
     }),
+    // TPC-H Q2 flavor: cheapest supplier per mid-size part (the testdata has
+    // no partsupp, so unit cost is observed from lineitem:
+    // l_extendedprice / l_quantity, one IEEE division mirrored in the
+    // oracle). Min-per-group WITHOUT a corpus window: per-(part, supplier)
+    // min cost (one keyed shuffle), per-part min of those (tiny second agg,
+    // broadcast back), equality join on the exact double, min-suppkey
+    // tie-break. part/supplier dims broadcast at any SF.
+    "q2_min_cost_supplier" -> ((s, dir) => {
+      val part = broadcast(table(s, dir, "part")
+        .where(col("p_size").between(10, 15))
+        .select("p_partkey", "p_brand"))
+      val perSupp = table(s, dir, "lineitem")
+        .join(part, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_partkey"), col("p_brand"), col("l_suppkey"))
+        .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
+      val perPart = perSupp.groupBy("p_partkey")
+        .agg(min(col("unit_cost")).as("best_cost"))
+      perSupp.join(broadcast(perPart), Seq("p_partkey"))
+        .where(col("unit_cost") === col("best_cost"))
+        .groupBy(col("p_partkey"), col("p_brand"), col("best_cost"))
+        .agg(min(col("l_suppkey")).as("best_suppkey"))
+        .join(broadcast(table(s, dir, "supplier")),
+          col("best_suppkey") === col("s_suppkey"))
+        .select(col("p_partkey"), col("p_brand"), col("best_suppkey"),
+          col("s_name"), col("best_cost"))
+        .orderBy("p_partkey").limit(25)
+    }),
+    // TPC-H Q11 flavor: "important stock" — parts whose observed trade value
+    // through NATION_3 suppliers exceeds 2x the MEAN per-part value (classic
+    // Q11's fixed fraction scales as 1/SF and empties at bench scale; the
+    // mean-multiple form keeps a stable ~8-10% selectivity at every SF). The
+    // threshold is a 1-row broadcast scalar (classic scalar subquery) built
+    // from the exact-DECIMAL grand total and an exact distinct-part count —
+    // never a sum of unsorted doubles; the 2.0*total/n arithmetic shares its
+    // order with the oracle. One corpus-sized keyed shuffle on l_partkey.
+    "q11_important_stock" -> ((s, dir) => {
+      val supp = broadcast(table(s, dir, "supplier")
+        .join(broadcast(table(s, dir, "nation")).where(col("n_name") === "NATION_3"),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey"))
+      val vol = (col("l_extendedprice").cast("decimal(18,4)") *
+        (lit(1) - col("l_discount").cast("decimal(18,4)"))).cast("decimal(18,4)")
+      val base = table(s, dir, "lineitem")
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+      val perPart = base.groupBy(col("l_partkey"))
+        .agg(sum(vol).cast("double").as("part_value"))
+      val total = base.agg(sum(vol).cast("double").as("total_value"),
+        countDistinct(col("l_partkey")).as("n_parts"))
+      perPart.crossJoin(broadcast(total))
+        .where(col("part_value") > lit(2.0) * col("total_value") / col("n_parts"))
+        .select(col("l_partkey"), col("part_value"))
+        .orderBy(col("part_value").desc, col("l_partkey")).limit(25)
+    }),
+    // TPC-H Q16 flavor: distinct-supplier counts per (brand, type, size)
+    // excluding "at-risk" suppliers (acctbal < 1000 — the comment-pattern
+    // exclusion of classic Q16, re-keyed to the testdata's columns). The
+    // exclusion is a broadcast LEFT ANTI join; supplier-part relations come
+    // from lineitem (no partsupp), count-distinct shuffles once on the
+    // grouping key.
+    "q16_supplier_cnt" -> ((s, dir) => {
+      val excluded = broadcast(table(s, dir, "supplier")
+        .where(col("s_acctbal") < 1000.0).select(col("s_suppkey").as("xk")))
+      val part = broadcast(table(s, dir, "part")
+        .where(col("p_brand") =!= "Brand#45" && col("p_size").isin(1, 4, 7, 10, 15, 20, 25, 30))
+        .select("p_partkey", "p_brand", "p_type", "p_size"))
+      table(s, dir, "lineitem")
+        .join(part, col("l_partkey") === col("p_partkey"))
+        .join(excluded, col("l_suppkey") === col("xk"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size").cast("long").as("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+        .limit(20)
+    }),
+    // TPC-H Q20 flavor: suppliers holding an outsized share of a part's
+    // flow — for widget parts in 1998, (part, supplier) pairs whose shipped
+    // quantity exceeds 30% of the part's total, then the DISTINCT suppliers
+    // via semi-join. Two keyed aggregates (composite key, then part key) and
+    // a broadcast join back; the share compare mirrors the oracle's multiply
+    // order. No correlated-subquery rescan — the per-part totals frame IS
+    // the subquery, computed once.
+    "q20_excess_suppliers" -> ((s, dir) => {
+      val part = broadcast(table(s, dir, "part")
+        .where(col("p_name").endsWith("widget")).select("p_partkey"))
+      val li = table(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
+        .join(part, col("l_partkey") === col("p_partkey"))
+      val perPair = li.groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("supp_qty"))
+      val perPart = li.groupBy(col("l_partkey"))
+        .agg(sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("part_qty"))
+      perPair.join(broadcast(perPart), Seq("l_partkey"))
+        .where(col("supp_qty") > col("part_qty") * 0.3)
+        .select(col("l_suppkey")).distinct()
+        .join(broadcast(table(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .select(col("l_suppkey"), col("s_name"), col("s_acctbal"))
+        .orderBy("l_suppkey")
+    }),
     // Blocked fuzzy record linkage over customer names: 16-char-prefix +
     // length blocks, levenshtein <= 1 verify — the entity-resolution
     // candidate step (block -> verify, never corpus x corpus).
@@ -615,6 +713,74 @@ object TpchQueries {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |                  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
         |GROUP BY 1""".stripMargin,
+    // mirrors q2_min_cost_supplier: same division order, min-per-group via
+    // a grouped min joined back on the exact double
+    "q2_min_cost_supplier" ->
+      """WITH ps AS (
+        |  SELECT p_partkey, p_brand, l_suppkey,
+        |         MIN(l_extendedprice / l_quantity) AS unit_cost
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_size BETWEEN 10 AND 15
+        |  GROUP BY 1, 2, 3),
+        |pp AS (SELECT p_partkey, MIN(unit_cost) AS best_cost FROM ps GROUP BY 1),
+        |w AS (
+        |  SELECT ps.p_partkey, ps.p_brand, pp.best_cost,
+        |         MIN(ps.l_suppkey) AS best_suppkey
+        |  FROM ps JOIN pp ON ps.p_partkey = pp.p_partkey
+        |           AND ps.unit_cost = pp.best_cost
+        |  GROUP BY 1, 2, 3)
+        |SELECT w.p_partkey, w.p_brand, w.best_suppkey, s_name, w.best_cost
+        |FROM w JOIN supplier ON w.best_suppkey = s_suppkey
+        |ORDER BY w.p_partkey LIMIT 25""".stripMargin,
+    // mirrors q11_important_stock: 1-row scalar (exact-decimal total +
+    // distinct part count), mirrored 2.0*total/n threshold arithmetic
+    "q11_important_stock" ->
+      """WITH base AS (
+        |  SELECT l_partkey,
+        |         CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |              (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS vol
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_3'),
+        |pp AS (SELECT l_partkey, CAST(SUM(vol) AS DOUBLE) AS part_value FROM base GROUP BY 1),
+        |t AS (SELECT CAST(SUM(vol) AS DOUBLE) AS total_value,
+        |             COUNT(DISTINCT l_partkey) AS n_parts FROM base)
+        |SELECT l_partkey, part_value
+        |FROM pp, t
+        |WHERE part_value > 2.0 * total_value / n_parts
+        |ORDER BY part_value DESC, l_partkey LIMIT 25""".stripMargin,
+    // mirrors q16_supplier_cnt: NOT IN as anti-join semantics (acctbal
+    // exclusion), distinct-supplier count from lineitem relations
+    "q16_supplier_cnt" ->
+      """SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+        |       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#45'
+        |  AND p_size IN (1, 4, 7, 10, 15, 20, 25, 30)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000.0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        |LIMIT 20""".stripMargin,
+    // mirrors q20_excess_suppliers: per-part totals as an uncorrelated CTE,
+    // share compare with the same multiply order
+    "q20_excess_suppliers" ->
+      """WITH li AS (
+        |  SELECT l_partkey, l_suppkey, l_quantity
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE '%widget'
+        |    AND l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |    AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'),
+        |pair AS (SELECT l_partkey, l_suppkey,
+        |                CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS supp_qty
+        |         FROM li GROUP BY 1, 2),
+        |pt AS (SELECT l_partkey,
+        |              CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS part_qty
+        |       FROM li GROUP BY 1)
+        |SELECT DISTINCT pair.l_suppkey, s_name, s_acctbal
+        |FROM pair JOIN pt ON pair.l_partkey = pt.l_partkey
+        |JOIN supplier ON pair.l_suppkey = s_suppkey
+        |WHERE supp_qty > part_qty * 0.3
+        |ORDER BY pair.l_suppkey""".stripMargin,
     // mirrors Linkage.fuzzyPairs(blockLen=16, maxDist=1): prefix+length
     // blocks, DuckDB's levenshtein (identical unit-cost DP to Spark's)
     "link_fuzzy_pairs" ->
