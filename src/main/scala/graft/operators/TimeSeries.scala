@@ -669,4 +669,73 @@ object TimeSeries {
       col("n").as("n_pairs"),
       when(varx * vary > 0.0, cov / sqrt(varx * vary)).as("xcorr"))
   }
+
+  /**
+   * Gorilla compression-cost report — the storage-planning analog of the
+   * reference's in-memory cache, which holds recent points Gorilla-compressed
+   * (timely-server's cache; Pelkonen et al., "Gorilla: A Fast, Scalable,
+   * In-Memory Time Series Database", VLDB 2015 §4.1). Per metric, the model
+   * bit-cost of its series under Gorilla encoding vs raw (64-bit ts + 64-bit
+   * value), for capacity planning: which metrics are cheap to cache hot,
+   * which have irregular timestamps / jittery values that compress poorly.
+   *
+   * Bit model (paper classes, two documented simplifications):
+   *  - first point of a series: 64 + 64;
+   *  - timestamps: second point stores its delta in 14 bits; from the third,
+   *    delta-of-delta classes 0 -> 1 bit, [-63,64] -> 9, [-255,256] -> 12,
+   *    [-2047,2048] -> 16, else 36;
+   *  - values are XORed as DECIMAL(18,4)-scaled integers (the engine's exact
+   *    value codec, not raw IEEE bits — keeps both engines bit-identical);
+   *    XOR == 0 -> 1 bit, else control(2) + leading-zeros(5) + length(6) +
+   *    significant bits of the XOR (the paper's previous-window reuse is
+   *    omitted, so this is a mild upper bound).
+   *
+   * Scale: one window per (metric, series) — the partition key every series
+   * op here uses, never a corpus-wide window — then a partial-aggregated
+   * group-by on metric. Integer bit sums are exact; the single IEEE division
+   * (ratio) happens once per output row in mirrored order.
+   *
+   * @return (metric, n_series, n_points, raw_bits, ts_bits, val_bits,
+   *         gorilla_bits, compression_ratio) one row per metric
+   */
+  def gorillaCost(points: DataFrame): DataFrame = {
+    val keyed =
+      if (points.columns.contains("series"))
+        points.select(col("metric"), col("series"), col("ts"), col("value"))
+      else points.select(col("metric"), seriesKey(col("tags")).as("series"),
+        col("ts"), col("value"))
+    val w = Window.partitionBy("metric", "series").orderBy(col("ts"), col("value"))
+    val sv = (col("value").cast("decimal(18,4)") * 10000).cast("long")
+    val lagged = keyed
+      .withColumn("sv", sv)
+      .withColumn("pts", lag(col("ts"), 1).over(w))
+      .withColumn("ppts", lag(col("ts"), 2).over(w))
+      .withColumn("psv", lag(col("sv"), 1).over(w))
+    val dod = (col("ts") - col("pts")) - (col("pts") - col("ppts"))
+    val tsBits = when(col("pts").isNull, 64L)
+      .when(col("ppts").isNull, 14L)
+      .when(dod === 0L, 1L)
+      .when(dod.between(-63L, 64L), 9L)
+      .when(dod.between(-255L, 256L), 12L)
+      .when(dod.between(-2047L, 2048L), 16L)
+      .otherwise(36L)
+    val x = col("sv").bitwiseXOR(col("psv"))
+    val sigBits = when(x < 0L, 64L).otherwise(length(bin(x)).cast("long"))
+    val valBits = when(col("psv").isNull, 64L)
+      .when(x === 0L, 1L)
+      .otherwise(lit(13L) + sigBits)
+    lagged
+      .select(col("metric"), col("series"), tsBits.as("tb"), valBits.as("vb"))
+      .groupBy("metric")
+      .agg(countDistinct(col("series")).as("n_series"),
+        count(lit(1)).as("n_points"),
+        sum(col("tb")).as("ts_bits"),
+        sum(col("vb")).as("val_bits"))
+      .select(col("metric"), col("n_series"), col("n_points"),
+        (col("n_points") * 128L).as("raw_bits"),
+        col("ts_bits"), col("val_bits"),
+        (col("ts_bits") + col("val_bits")).as("gorilla_bits"))
+      .withColumn("compression_ratio",
+        col("raw_bits").cast("double") / col("gorilla_bits").cast("double"))
+  }
 }

@@ -108,6 +108,10 @@ object TimelyQueries {
     // coverage — the "can this series be trusted by alerts" report
     "ts_gap_report" -> ((s, dir) =>
       TimeSeries.gapReport(points(s, dir), Hour)),
+    // Gorilla cache-cost model per metric (paper bit classes over the exact
+    // decimal value codec): which metrics are cheap to hold hot
+    "ts_gorilla_cost" -> ((s, dir) =>
+      TimeSeries.gorillaCost(points(s, dir))),
     // lag-{1,2,24} sample ACF over the per-metric hourly cross-series
     // average: the periodicity evidence behind the seasonal-naive baseline
     // (fixed-point integer sums, one pinned closing ratio)
@@ -419,6 +423,46 @@ object TimelyQueries {
         |SELECT metric, CAST(rank AS BIGINT) AS rank, series, value
         |FROM r WHERE rank <= 5""".stripMargin,
     // mirrors gapReport(1h): per-series lag gaps + distinct-bucket coverage
+    // mirrors TimeSeries.gorillaCost: same bit classes, same decimal-scaled
+    // XOR codec, LAG/LAG-2 window with the (ts, value) tie-break
+    "ts_gorilla_cost" ->
+      """WITH p AS (
+        |  SELECT event_type AS metric,
+        |         'user=' || CAST(user_id AS VARCHAR) AS series,
+        |         epoch_ms(ts) AS ts, value,
+        |         CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS sv
+        |  FROM events),
+        |l AS (
+        |  SELECT metric, series, ts, sv,
+        |         LAG(ts) OVER w AS pts, LAG(ts, 2) OVER w AS ppts,
+        |         LAG(sv) OVER w AS psv
+        |  FROM p WINDOW w AS (PARTITION BY metric, series ORDER BY ts, value)),
+        |b AS (
+        |  SELECT metric, series,
+        |         CASE WHEN pts IS NULL THEN 64
+        |              WHEN ppts IS NULL THEN 14
+        |              WHEN (ts - pts) - (pts - ppts) = 0 THEN 1
+        |              WHEN (ts - pts) - (pts - ppts) BETWEEN -63 AND 64 THEN 9
+        |              WHEN (ts - pts) - (pts - ppts) BETWEEN -255 AND 256 THEN 12
+        |              WHEN (ts - pts) - (pts - ppts) BETWEEN -2047 AND 2048 THEN 16
+        |              ELSE 36 END AS tb,
+        |         CASE WHEN psv IS NULL THEN 64
+        |              WHEN xor(sv, psv) = 0 THEN 1
+        |              ELSE 13 + CASE WHEN xor(sv, psv) < 0 THEN 64
+        |                             ELSE LENGTH(bin(xor(sv, psv))) END
+        |         END AS vb
+        |  FROM l),
+        |a AS (
+        |  SELECT metric, CAST(COUNT(DISTINCT series) AS BIGINT) AS n_series,
+        |         CAST(COUNT(*) AS BIGINT) AS n_points,
+        |         CAST(SUM(tb) AS BIGINT) AS ts_bits,
+        |         CAST(SUM(vb) AS BIGINT) AS val_bits
+        |  FROM b GROUP BY 1)
+        |SELECT metric, n_series, n_points, n_points * 128 AS raw_bits,
+        |       ts_bits, val_bits, ts_bits + val_bits AS gorilla_bits,
+        |       CAST(n_points * 128 AS DOUBLE) / CAST(ts_bits + val_bits AS DOUBLE)
+        |         AS compression_ratio
+        |FROM a""".stripMargin,
     "ts_gap_report" ->
       """WITH p AS (
         |  SELECT event_type AS metric,

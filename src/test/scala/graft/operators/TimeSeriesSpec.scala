@@ -245,4 +245,35 @@ class TimeSeriesSpec extends AnyFunSuite with SparkSpec {
     // single bucket: no split exists
     assert(TimeSeries.changepoint(points(("o", 0L, 1.0, host))).count() == 0)
   }
+
+  test("gorilla cost model: hand-computed bit classes per point") {
+    // one series: first point 64+64; repeat value XOR=0 -> 1 bit;
+    // regular cadence dod=0 -> 1 bit; jitter 100ms -> 12-bit class;
+    // value 1.0 -> 1.5: sv 10000 xor 15000 = 7560 (13 significant bits)
+    // -> 13 + 13 = 26 bits
+    val df = points(
+      ("m", 1000L, 1.0, host), ("m", 2000L, 1.0, host),
+      ("m", 3000L, 1.0, host), ("m", 4100L, 1.5, host))
+    val r = TimeSeries.gorillaCost(df).collect().head
+    assert(r.getLong(1) == 1L && r.getLong(2) == 4L)      // n_series, n_points
+    assert(r.getLong(3) == 512L)                          // raw = 4 * 128
+    assert(r.getLong(4) == 64L + 14L + 1L + 12L)          // ts_bits = 91
+    assert(r.getLong(5) == 64L + 1L + 1L + 26L)           // val_bits = 92
+    assert(r.getLong(6) == 183L)
+    assert(math.abs(r.getDouble(7) - 512.0 / 183.0) < 1e-12)
+  }
+
+  test("gorilla cost model: wild timestamps take the 36-bit escape, series stay independent") {
+    // series a: third point's dod = (100000 - 1000) - 1000 = 98000 -> 36 bits
+    val a = Seq(("m", 1000L, 2.0, Map("host" -> "a")),
+      ("m", 2000L, 2.0, Map("host" -> "a")),
+      ("m", 102000L, 2.0, Map("host" -> "a")))
+    // series b interleaved: 2 points only -> 64 + 14 ts bits
+    val b = Seq(("m", 1500L, 3.0, Map("host" -> "b")),
+      ("m", 2500L, 3.0, Map("host" -> "b")))
+    val r = TimeSeries.gorillaCost(points((a ++ b): _*)).collect().head
+    assert(r.getLong(1) == 2L && r.getLong(2) == 5L)
+    assert(r.getLong(4) == (64L + 14L + 36L) + (64L + 14L)) // ts_bits
+    assert(r.getLong(5) == (64L + 1L + 1L) + (64L + 1L))    // val_bits
+  }
 }
