@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -243,5 +243,64 @@ object Sketches {
       .join(broadcast(counters), Seq("salt", "bucket"))
       .groupBy(col(elemCol), col("exact_n"))
       .agg(min(col("c")).as("cms_n"))
+  }
+
+  /**
+   * Mergeable quantile sketch (q-digest-lite, Shrivastava et al. 2004
+   * family): per key, counts over power-of-2 buckets of the DECIMAL(18,4)-
+   * scaled value — at most 64 longs of state per key, merged by plain
+   * addition, so partial aggregation, cross-partition merge, and cross-day
+   * sketch unions are all the SAME operation (the property the exact
+   * nearest-rank path in [[graft.operators.Summarization]] lacks: its sorted
+   * ranks don't merge). The p-quantile estimate is the upper bound
+   * `2^b - 1` (scaled back) of the first bucket whose cumulative count
+   * reaches `ceil(p·n)` — a one-sided estimate with value error < 2x
+   * (one bucket) by construction, for non-negative inputs.
+   *
+   * Scale: one corpus-sized keyed group-by builds the bucket counts
+   * (map-side combined to ≤ 64 rows per key per partition); the cumulative
+   * scan then runs over ≤ 64 rows per key — the window is bucket-bounded,
+   * never corpus-sized. The audit columns (`rank_le_p*`: exact count at or
+   * below each estimate, proving rank(est) ≥ target) cost one more scan of
+   * the corpus against the broadcast per-key estimates; at true 100 TB
+   * you'd drop them and keep the sketch, like KMV's `exact_distinct`.
+   *
+   * @return (key, n_points, n_buckets, p50_est, p95_est, p99_est,
+   *         rank_le_p50, rank_le_p95, rank_le_p99)
+   */
+  def qdigestQuantiles(df: DataFrame, keyCol: String,
+      valueCol: String): DataFrame = {
+    val sv = (col(valueCol).cast("decimal(18,4)") * 10000).cast("long")
+    val scaled = df.select(col(keyCol).as("key"), sv.as("sv"))
+    val bucket = when(col("sv") <= 0L, 0L)
+      .otherwise(length(bin(col("sv"))).cast("long"))
+    val counts = scaled.groupBy(col("key"), bucket.as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy("key").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("key")
+    val cum = counts
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+    def bq(p: Double): Column =
+      min(when(col("cum") >= ceil(lit(p) * col("n")), col("bucket")))
+    val perKey = cum.groupBy("key")
+      .agg(max(col("n")).as("n_points"),
+        count(lit(1)).as("n_buckets"),
+        bq(0.50).as("b50"), bq(0.95).as("b95"), bq(0.99).as("b99"))
+    def ub(b: String): Column =
+      expr(s"shiftleft(cast(1 as bigint), cast($b as int))") - 1L
+    val est = perKey.select(col("key"), col("n_points"), col("n_buckets"),
+      ub("b50").as("ub50"), ub("b95").as("ub95"), ub("b99").as("ub99"))
+    scaled.join(broadcast(est), Seq("key"))
+      .groupBy(col("key"))
+      .agg(max(col("n_points")).as("n_points"),
+        max(col("n_buckets")).as("n_buckets"),
+        (max(col("ub50")).cast("double") / 10000.0).as("p50_est"),
+        (max(col("ub95")).cast("double") / 10000.0).as("p95_est"),
+        (max(col("ub99")).cast("double") / 10000.0).as("p99_est"),
+        count(when(col("sv") <= col("ub50"), 1)).as("rank_le_p50"),
+        count(when(col("sv") <= col("ub95"), 1)).as("rank_le_p95"),
+        count(when(col("sv") <= col("ub99"), 1)).as("rank_le_p99"))
   }
 }

@@ -351,7 +351,13 @@ object ApiQueries {
     "sketch_cms" -> ((s, dir) =>
       graft.operators.Sketches.cmsTopK(
         Points.table(s, dir, "events"), "user_id", depth = 4, width = 1024,
-        nCandidates = 20))
+        nCandidates = 20)),
+    // q-digest-lite mergeable quantile sketch per event type: <= 64 longs of
+    // power-of-2 bucket state, upper-bound p50/p95/p99 estimates, exact
+    // rank-coverage audit columns.
+    "sketch_qdigest" -> ((s, dir) =>
+      graft.operators.Sketches.qdigestQuantiles(
+        Points.table(s, dir, "events"), "event_type", "value"))
   )
 
   /** DuckDB BIGINT value of the first `n` hex digits of md5 expression `m`
@@ -1040,6 +1046,47 @@ object ApiQueries {
          |  FROM cand, s)
          |SELECT probe.user_id, probe.exact_n, CAST(MIN(c.c) AS BIGINT) AS cms_n
          |FROM probe JOIN c ON probe.salt = c.salt AND probe.bucket = c.bucket
-         |GROUP BY 1, 2""".stripMargin
+         |GROUP BY 1, 2""".stripMargin,
+    // mirrors Sketches.qdigestQuantiles: power-of-2 buckets of the
+    // DECIMAL(18,4)-scaled value, cumulative-count bucket pick, upper-bound
+    // estimates, exact rank audits
+    "sketch_qdigest" ->
+      """WITH p AS (
+        |  SELECT event_type AS key,
+        |         CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS sv
+        |  FROM events),
+        |b AS (
+        |  SELECT key,
+        |         CASE WHEN sv <= 0 THEN 0
+        |              ELSE CAST(LENGTH(bin(sv)) AS BIGINT) END AS bucket,
+        |         COUNT(*) AS cnt
+        |  FROM p GROUP BY 1, 2),
+        |c AS (
+        |  SELECT key, bucket, cnt,
+        |         SUM(cnt) OVER (PARTITION BY key ORDER BY bucket) AS cum,
+        |         SUM(cnt) OVER (PARTITION BY key) AS n
+        |  FROM b),
+        |e AS (
+        |  SELECT key, CAST(MAX(n) AS BIGINT) AS n_points,
+        |         CAST(COUNT(*) AS BIGINT) AS n_buckets,
+        |         MIN(CASE WHEN cum >= CEIL(0.50 * n) THEN bucket END) AS b50,
+        |         MIN(CASE WHEN cum >= CEIL(0.95 * n) THEN bucket END) AS b95,
+        |         MIN(CASE WHEN cum >= CEIL(0.99 * n) THEN bucket END) AS b99
+        |  FROM c GROUP BY 1),
+        |u AS (
+        |  SELECT key, n_points, n_buckets,
+        |         (CAST(1 AS BIGINT) << CAST(b50 AS INTEGER)) - 1 AS ub50,
+        |         (CAST(1 AS BIGINT) << CAST(b95 AS INTEGER)) - 1 AS ub95,
+        |         (CAST(1 AS BIGINT) << CAST(b99 AS INTEGER)) - 1 AS ub99
+        |  FROM e)
+        |SELECT p.key, MAX(n_points) AS n_points, MAX(n_buckets) AS n_buckets,
+        |       CAST(MAX(ub50) AS DOUBLE) / 10000.0 AS p50_est,
+        |       CAST(MAX(ub95) AS DOUBLE) / 10000.0 AS p95_est,
+        |       CAST(MAX(ub99) AS DOUBLE) / 10000.0 AS p99_est,
+        |       COUNT(*) FILTER (sv <= ub50) AS rank_le_p50,
+        |       COUNT(*) FILTER (sv <= ub95) AS rank_le_p95,
+        |       COUNT(*) FILTER (sv <= ub99) AS rank_le_p99
+        |FROM p JOIN u USING (key)
+        |GROUP BY 1""".stripMargin
   )
 }

@@ -112,4 +112,34 @@ class SketchesSpec extends AnyFunSuite with SparkSpec {
     assert(Sketches.hllDistinct(empty, "key", "elem").count() == 0)
     assert(Sketches.cmsTopK(empty, "elem", 2, 64, 5).count() == 0)
   }
+
+  test("qdigest: hand-computed buckets over 1..100, one-sided <2x rank guarantee") {
+    // sv = 10000*i -> power-of-2 buckets 14..20; cum at b19 = 52 >= 50
+    val df = (1 to 100).map(i => ("k", i.toDouble)).toDF("key", "value")
+    val r = Sketches.qdigestQuantiles(df, "key", "value").collect()(0)
+    assert(r.getAs[Long]("n_points") == 100L)
+    assert(r.getAs[Long]("n_buckets") == 7L)
+    assert(r.getAs[Double]("p50_est") == 52.4287)  // (2^19 - 1) / 10000
+    assert(r.getAs[Double]("p95_est") == 104.8575) // (2^20 - 1) / 10000
+    assert(r.getAs[Long]("rank_le_p50") == 52L)
+    assert(r.getAs[Long]("rank_le_p99") == 100L)
+    // the q-digest contract: est covers the target rank, within one bucket
+    // (value error < 2x the true quantile)
+    assert(r.getAs[Long]("rank_le_p50") >= 50L)
+    assert(r.getAs[Double]("p50_est") >= 50.0 && r.getAs[Double]("p50_est") < 100.0)
+    assert(r.getAs[Double]("p95_est") >= 95.0 && r.getAs[Double]("p95_est") < 190.0)
+  }
+
+  test("qdigest: zero/constant values collapse to one bucket; keys independent") {
+    val df = (Seq.fill(5)(("z", 0.0)) ++ Seq.fill(3)(("c", 7.0)))
+      .toDF("key", "value")
+    val out = Sketches.qdigestQuantiles(df, "key", "value")
+      .collect().map(r => r.getAs[String]("key") -> r).toMap
+    assert(out("z").getAs[Long]("n_buckets") == 1L)
+    assert(out("z").getAs[Double]("p99_est") == 0.0)   // bucket 0 -> ub 0
+    assert(out("c").getAs[Long]("n_buckets") == 1L)
+    // 7.0 -> sv 70000, 17 bits -> ub (2^17 - 1) / 10000 = 13.1071
+    assert(out("c").getAs[Double]("p50_est") == 13.1071)
+    assert(out("c").getAs[Long]("rank_le_p50") == 3L)
+  }
 }
