@@ -727,6 +727,63 @@ object TextAnalysis {
   }
 
   /**
+   * Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995; the smoothing
+   * family behind the KenLM perplexity filters of CCNet/CC-pipeline
+   * curation) — one modeling step past [[lmScoreBigram]]'s raw-count
+   * familiarity: every adjacent pair gets the full smoothed probability
+   *
+   *   P(w2|w1) = max(c(w1 w2) - D, 0) / c(w1 •)
+   *            + (D · N1+(w1 •) / c(w1 •)) · (N1+(• w2) / n_bigrams)
+   *
+   * with absolute discount D = 0.75 and the continuation distribution over
+   * DISTINCT contexts — the property that separates KN from add-k: a word
+   * seen often in ONE collocation ("Francisco") gets a low continuation
+   * score, template gibberish scores near the uniform floor, plain prose
+   * scores high. Every unseen-in-corpus pair is impossible here (counts come
+   * from the corpus itself), so the backoff branch always interpolates, never
+   * zeroes. Per-doc aggregation is the MEAN smoothed probability via the
+   * sorted fold ([[TimeSeries.foldAggregator]]'s discipline) — probabilities
+   * are per-row doubles in pinned expression order and the per-doc sum is
+   * order-independent, so no logs and no partition-order drift.
+   *
+   * Scale: bigram counts, head stats (c1, distinct followers) and tail stats
+   * (distinct predecessors) are all distinct-pairs/vocab-sized aggregates of
+   * ONE corpus explode (cached); the probe joins the corpus pair stream
+   * against the stats frame on the (w1, w2) key — distinct-pairs-sized, a
+   * shuffle join AQE skew-splits on hot heads, never a broadcast of anything
+   * corpus-sized. The per-doc collect_list is bounded by doc length.
+   *
+   * @return (doc_id, n_pairs, kn_sum, kn_mean)
+   */
+  def lmScoreKN(docs: DataFrame): DataFrame = {
+    val n = size(col("ws"))
+    val pairs = docs
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .where(n >= 2)
+      .select(col("doc_id"),
+        explode(arrays_zip(slice(col("ws"), lit(1), n - 1), slice(col("ws"), lit(2), n - 1))).as("z"))
+      .select(col("doc_id"), col("z.0").as("w1"), col("z.1").as("w2"))
+    val bg = Frames.cached(pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12")))
+    val head = bg.groupBy("w1")
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n_follow"))
+    val tail = bg.groupBy("w2").agg(count(lit(1)).as("n_prec"))
+    val totals = bg.agg(count(lit(1)).as("n_bigrams"))
+    val stats = bg.join(head, "w1").join(tail, "w2")
+      .crossJoin(broadcast(totals))
+    // pinned expression order, mirrored verbatim in the oracle
+    val p = greatest(col("c12") - lit(0.75), lit(0.0)) / col("c1") +
+      (lit(0.75) * col("n_follow") / col("c1")) * (col("n_prec") / col("n_bigrams"))
+    pairs.join(stats, Seq("w1", "w2"))
+      .select(col("doc_id"), p.as("kp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("aggregate(sort_array(collect_list(kp)), 0D, (acc, v) -> acc + v)")
+          .as("kn_sum"))
+      .withColumn("kn_mean", col("kn_sum") / col("n_pairs"))
+  }
+
+  /**
    * Distributed BPE-merge training (Sennrich et al. 2016, "Neural machine
    * translation of rare words with subword units") — learn the first `iters`
    * merge rules of a byte-pair-encoding tokenizer from the corpus itself:

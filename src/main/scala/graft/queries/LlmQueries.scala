@@ -529,6 +529,9 @@ object LlmQueries {
     // bigram-LM scoring: corpus top-256 bigram vocab; per doc the explained
     // pair mass + the aggregate conditional Σc(w1w2)/Σc(w1) over vocab pairs
     "text_lm_score_bigram" -> ((s, dir) => TextAnalysis.lmScoreBigram(docs(s, dir))),
+    // interpolated Kneser-Ney bigram scoring (D=0.75, distinct-context
+    // continuation) — the KenLM-perplexity-filter family, exact corpus counts
+    "text_lm_kn" -> ((s, dir) => TextAnalysis.lmScoreKN(docs(s, dir))),
     // BPE tokenizer training: the corpus' first 3 merge rules (frequency-
     // weighted pair counts at distinct-word scale, deterministic ties)
     "text_bpe_train" -> ((s, dir) => TextAnalysis.bpeTrain(docs(s, dir), iters = 3)),
@@ -3172,6 +3175,31 @@ object LlmQueries {
     // mirrors TextAnalysis.lmScoreBigram(vocabSize=256): adjacent pairs via
     // 1-indexed range(1, len) (i, i+1) windows, vocab joined to its head
     // word's unigram count before probing
+    // mirrors TextAnalysis.lmScoreKN: same KN formula in the same expression
+    // order, sorted-fold per-doc sum
+    "text_lm_kn" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |            WHERE len(string_split(text, ' ')) >= 2),
+        |pr AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+        |       FROM ws, LATERAL (SELECT UNNEST(range(1, len(ws))) AS i) t),
+        |bg AS (SELECT w1, w2, COUNT(*) AS c12 FROM pr GROUP BY 1, 2),
+        |h AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1, COUNT(*) AS n_follow
+        |      FROM bg GROUP BY 1),
+        |tl AS (SELECT w2, COUNT(*) AS n_prec FROM bg GROUP BY 1),
+        |tt AS (SELECT COUNT(*) AS n_bigrams FROM bg),
+        |st AS (SELECT bg.w1, bg.w2,
+        |              GREATEST(bg.c12 - 0.75, 0.0) / h.c1 +
+        |              (0.75 * h.n_follow / h.c1) * (tl.n_prec / tt.n_bigrams) AS kp
+        |       FROM bg JOIN h ON bg.w1 = h.w1
+        |               JOIN tl ON bg.w2 = tl.w2
+        |               CROSS JOIN tt)
+        |SELECT pr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |       list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_sort(list(kp))),
+        |                   (acc, v) -> acc + v) AS kn_sum,
+        |       list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_sort(list(kp))),
+        |                   (acc, v) -> acc + v) / COUNT(*) AS kn_mean
+        |FROM pr JOIN st ON pr.w1 = st.w1 AND pr.w2 = st.w2
+        |GROUP BY 1""".stripMargin,
     "text_lm_score_bigram" ->
       """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |p AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g

@@ -1096,4 +1096,24 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     val df = rows.toDF("doc_id", "text", "source")
     assert(run(df) == run(df.repartition(17)))
   }
+
+  test("Kneser-Ney: hand-computed smoothed probabilities, discount mass conserved") {
+    // corpus pairs: (a,b) x3, (b,a) x1, (b,c) x1 -> n_bigrams = 3
+    // P(b|a) = (3-.75)/3 + (.75*1/3)*(1/3) = 0.75 + 1/12
+    // P(a|b) = (1-.75)/2 + (.75*2/2)*(1/3) = 0.125 + 0.25 = 0.375
+    // P(c|b) = same head stats as (b,a) -> 0.375
+    val d = docs(1L -> "a b a b", 2L -> "a b c")
+    val out = TextAnalysis.lmScoreKN(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getAs[Double]("kn_mean"))).toMap
+    val pba = 2.25 / 3 + (0.75 * 1 / 3) * (1.0 / 3)
+    assert(out(1L)._1 == 3L)
+    assert(math.abs(out(1L)._2 - (pba + 0.375 + pba) / 3) < 1e-12)
+    assert(out(2L)._1 == 2L)
+    assert(math.abs(out(2L)._2 - (pba + 0.375) / 2) < 1e-12)
+    // KN invariant: P(.|b) over its observed continuations = discounted mass
+    // 0.25 plus the backoff weight 0.75 times their continuation share 2/3
+    assert(math.abs((0.375 + 0.375) - (0.25 + 0.75 * 2.0 / 3)) < 1e-12)
+    // single-word and empty docs have no pairs and drop out
+    assert(TextAnalysis.lmScoreKN(docs(1L -> "solo", 2L -> "")).count() == 0)
+  }
 }
