@@ -114,6 +114,79 @@ object Search {
   }
 
   /**
+   * Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty 2001) —
+   * the language-modeling scorer beside [[bm25TopK]]'s probabilistic one;
+   * the two disagree exactly where LM smoothing matters (short docs, rare
+   * terms), which is why IR suites ship both:
+   *
+   *   score(q, d) = Σ_{t ∈ q} ln( (tf(t,d) + μ·cf(t)/|C|) / (dl + μ) )
+   *
+   * Unlike BM25, a query term ABSENT from the doc still contributes its
+   * smoothing mass ln(μ·P(t|C)/(dl+μ)) — so scoring runs over candidate ×
+   * query-term pairs with tf defaulted to 0, not just matched pairs.
+   * Candidates are docs matching ≥ 1 query term (a term matching nothing
+   * corpus-wide has cf = 0 and would send every candidate to ln(0); such
+   * terms are dropped, mirroring the oracle).
+   *
+   * Scale: identical pushdown shape to [[bm25TopKFromTerms]] — query terms
+   * broadcast BELOW the corpus tf aggregate, cf(t) comes from the matched
+   * rows themselves (every occurrence of a query term is in `docTerms`, so
+   * Σtf IS the collection frequency), |C| and the candidate set are
+   * matched-bounded, and the candidate × term expansion is
+   * (Σ_t df(t)) × |q| rows — query-batch-bounded, never corpus². Ranking is
+   * the same two-level sharded top-k. Per-term contributions quantize to
+   * DECIMAL(28,9) (absorbing the 1-ulp libm ln divergence) and sum exactly.
+   *
+   * @return (query_id, rank, doc_id, score, n_hit): top `k` per query;
+   *         `n_hit` = query terms actually present in the doc
+   */
+  def dirichletTopK(docs: DataFrame, queries: DataFrame, k: Int = 10,
+                    mu: Double = 1000.0): DataFrame = {
+    require(k >= 1, "k >= 1")
+    val words = split(col("text"), " ")
+    val stats = docs.agg(sum(size(words).cast("long")).as("c_tokens"))
+    val qTerms = queries
+      .select(col("query_id"), explode(split(col("qtext"), " ")).as("term"))
+      .distinct()
+    val docTerms = docs
+      .select(col("doc_id"), size(words).cast("long").as("dl"), explode(words).as("term"))
+      .join(broadcast(qTerms.select("term").distinct()), "term")
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    // cf(t): matched rows hold every corpus occurrence of each query term
+    val cfTab = docTerms.groupBy("term").agg(sum(col("tf")).as("cf"))
+    val matched = docTerms.join(broadcast(qTerms), "term")
+    val candidates = matched.select("query_id", "doc_id", "dl").distinct()
+    val pairs = candidates
+      .join(broadcast(qTerms), Seq("query_id"))
+      .join(broadcast(cfTab), Seq("term")) // drops cf-less terms by inner join
+      .join(matched.select(col("query_id"), col("doc_id"), col("term"), col("tf")),
+        Seq("query_id", "doc_id", "term"), "left")
+      .crossJoin(broadcast(stats))
+    val contrib = log(
+      (coalesce(col("tf"), lit(0L)) + lit(mu) * col("cf") / col("c_tokens")) /
+        (col("dl") + lit(mu)))
+    val scored = pairs
+      .select(col("query_id"), col("doc_id"),
+        contrib.cast(DecimalType(28, 9)).as("c"),
+        when(col("tf").isNotNull, 1L).otherwise(0L).as("hit"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("c")).as("score"), sum(col("hit")).as("n_hit"))
+    val shard = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10).cast("long"),
+      lit(TopKShards))
+    val local = Window.partitionBy(col("query_id"), col("shard"))
+      .orderBy(col("score").desc, col("doc_id"))
+    val global = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id"))
+    scored
+      .withColumn("shard", shard)
+      .withColumn("lrank", row_number().over(local))
+      .where(col("lrank") <= k)
+      .withColumn("rank", row_number().over(global).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("score").cast("double").as("score"), col("n_hit"))
+  }
+
+  /**
    * Hard-negative mining for retrieval training: the top `k` BM25 docs per
    * query EXCLUDING the known positives — the negatives a dual-encoder or
    * reranker trains against (highly-ranked lexical matches that are NOT

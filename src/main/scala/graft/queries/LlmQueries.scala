@@ -194,6 +194,12 @@ object LlmQueries {
     // contributions in DECIMAL(28,9) so the score sum is exact cross-engine
     "search_bm25" -> ((s, dir) =>
       bm25Hits15(s, dir).where(col("rank") <= 10)),
+    // Dirichlet query-likelihood top-10 (mu=1000) over the same probes: the
+    // LM scorer beside BM25 — absent query terms contribute smoothing mass
+    "search_dirichlet_ql" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.operators.Search.dirichletTopK(d, probeQueries(d), k = 10)
+    }),
     // hybrid retrieval: BM25 top-10 fused with embedding-kNN top-10 by
     // reciprocal-rank fusion (doc and vec ids align in the synthetic corpus)
     "search_hybrid_rrf" -> ((s, dir) => {
@@ -2152,6 +2158,39 @@ object LlmQueries {
         |      FROM m JOIN dfq USING (term) CROSS JOIN st),
         |sc AS (SELECT query_id, doc_id, SUM(c) AS score, COUNT(*) AS n_terms FROM c GROUP BY 1, 2)
         |SELECT query_id, rank, doc_id, CAST(score AS DOUBLE) AS score, n_terms FROM (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+        |  FROM sc)
+        |WHERE rank <= 10""".stripMargin,
+    // mirrors Search.dirichletTopK(mu=1000): candidate x query-term pairs
+    // with tf defaulted to 0, same smoothing expression order, DECIMAL(28,9)
+    // per-term quantization, exact decimal score sum
+    "search_dirichlet_ql" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |q AS (SELECT doc_id AS query_id, array_to_string((string_split(text, ' '))[1:4], ' ') AS qtext
+        |      FROM documents WHERE doc_id % 97 = 0),
+        |qt AS (SELECT DISTINCT query_id, term
+        |       FROM (SELECT query_id, unnest(string_split(qtext, ' ')) AS term FROM q)),
+        |dt AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM w),
+        |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM dt
+        |       WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1, 2, 3),
+        |cf AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cf FROM tf GROUP BY 1),
+        |st AS (SELECT SUM(len(ws)) AS c_tokens FROM w),
+        |m AS (SELECT qt.query_id, tf.doc_id, tf.dl, tf.term, tf.tf FROM tf JOIN qt USING (term)),
+        |cand AS (SELECT DISTINCT query_id, doc_id, dl FROM m),
+        |pairs AS (
+        |  SELECT cand.query_id, cand.doc_id, cand.dl, qt.term, cf.cf, m2.tf
+        |  FROM cand JOIN qt USING (query_id)
+        |       JOIN cf ON qt.term = cf.term
+        |       LEFT JOIN m m2 ON m2.query_id = cand.query_id
+        |            AND m2.doc_id = cand.doc_id AND m2.term = qt.term),
+        |c AS (SELECT query_id, doc_id,
+        |        CAST(ln((COALESCE(tf, 0) + 1000.0 * cf / c_tokens) / (dl + 1000.0))
+        |             AS DECIMAL(28,9)) AS c,
+        |        CASE WHEN tf IS NOT NULL THEN 1 ELSE 0 END AS hit
+        |      FROM pairs CROSS JOIN st),
+        |sc AS (SELECT query_id, doc_id, SUM(c) AS score,
+        |              CAST(SUM(hit) AS BIGINT) AS n_hit FROM c GROUP BY 1, 2)
+        |SELECT query_id, rank, doc_id, CAST(score AS DOUBLE) AS score, n_hit FROM (
         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT) AS rank
         |  FROM sc)
         |WHERE rank <= 10""".stripMargin,

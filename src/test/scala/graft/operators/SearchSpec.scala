@@ -265,4 +265,22 @@ class SearchSpec extends AnyFunSuite with SparkSpec {
     // no anchor completes all three offsets)
     assert(!out.contains(11L -> 1L))
   }
+
+  test("Dirichlet QL: covering both terms beats repeating one; absent terms smooth, non-matches drop") {
+    // cf(apple)=4, cf(banana)=1, |C|=10, mu=1000:
+    //   doc1 = ln(401/1002) + ln(101/1002)   (both terms)
+    //   doc2 = ln(402/1002) + ln(100/1002)   (apple twice, banana smoothed)
+    //   doc3 = ln(401/1004) + ln(100/1004)   (longer doc, one hit)
+    // 401*101 > 402*100 -> doc1 first; doc4 matches nothing -> absent
+    val d = docs(1L -> "apple banana", 2L -> "apple apple",
+      3L -> "apple cherry date egg", 4L -> "zebra yak")
+    val out = Search.dirichletTopK(d, queries(1L -> "apple banana"), k = 10)
+      .orderBy("rank").collect()
+    assert(out.map(_.getLong(2)).toSeq == Seq(1L, 2L, 3L))
+    assert(out.map(_.getAs[Long]("n_hit")).toSeq == Seq(2L, 1L, 1L))
+    val want1 = math.log(401.0 / 1002) + math.log(101.0 / 1002)
+    assert(math.abs(out.head.getAs[Double]("score") - want1) < 1e-8)
+    // a query whose terms miss the corpus entirely produces no rows
+    assert(Search.dirichletTopK(d, queries(2L -> "qqq www"), k = 5).count() == 0)
+  }
 }
