@@ -921,4 +921,56 @@ object Curation {
         (lit(1.0) - col("n_tokens_near").cast("double") / col("n_tokens").cast("double"))
           .as("near_savings"))
   }
+
+  /**
+   * LM-familiarity bucket report (the CCNet head/middle/tail move, Wenzek
+   * et al. 2020 §4.3, re-keyed to a scale-invariant cutoff): score every doc
+   * with the corpus' own Kneser-Ney bigram LM
+   * ([[TextAnalysis.lmScoreKN]]), bucket against the global mean score —
+   * `head` > `headFactor`x mean, `tail` < `tailFactor`x mean, `middle`
+   * between — and report per (source, bucket) doc/word mass and the
+   * within-source share. CCNet cuts at fixed perplexity percentiles, which
+   * (like TPC-H Q11's fixed fraction) drift with corpus size; the
+   * mean-relative form keeps bucket meaning stable from sf0.001 to 100 TB.
+   * Docs with < 2 words have no bigram score and report as `unscored`
+   * (explicit, not silently dropped — the [[temperatureSample]] NULL
+   * convention).
+   *
+   * Determinism: kn_mean is bit-exact cross-engine (the `text_lm_kn` gate);
+   * the global mean is a ratio of an exact DECIMAL(18,12) sum over an exact
+   * count — never an unsorted double sum — and the two cutoff compares
+   * multiply in mirrored order. Scale: the scoring passes are
+   * [[TextAnalysis.lmScoreKN]]'s; on top sit one 1-row broadcast scalar,
+   * a doc-keyed left join, and a (source x 4)-sized group-by.
+   *
+   * @return (source, bucket, n_docs, n_words, doc_share) — doc_share the
+   *         bucket's fraction of its source's docs
+   */
+  def lmBuckets(docs: DataFrame, headFactor: Double = 1.25,
+                tailFactor: Double = 0.75): DataFrame = {
+    require(headFactor > tailFactor && tailFactor > 0,
+      "need headFactor > tailFactor > 0")
+    val scored = TextAnalysis.lmScoreKN(docs).select("doc_id", "kn_mean")
+    val m = scored.agg(
+      sum(col("kn_mean").cast("decimal(18,12)")).cast("double").as("kn_total"),
+      count(lit(1)).as("n_scored"))
+    val bucket = when(col("kn_mean").isNull, "unscored")
+      .when(col("kn_mean") > lit(headFactor) * col("kn_total") / col("n_scored"), "head")
+      .when(col("kn_mean") < lit(tailFactor) * col("kn_total") / col("n_scored"), "tail")
+      .otherwise("middle")
+    val bucketed = docs
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_words"))
+      .join(scored, Seq("doc_id"), "left")
+      .crossJoin(broadcast(m))
+      .select(col("source"), bucket.as("bucket"), col("n_words"))
+    val perSource = bucketed.groupBy("source")
+      .agg(count(lit(1)).as("source_docs"))
+    bucketed.groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_words"))
+      .join(perSource, Seq("source"))
+      .select(col("source"), col("bucket"), col("n_docs"), col("n_words"),
+        (col("n_docs").cast("double") / col("source_docs").cast("double"))
+          .as("doc_share"))
+  }
 }

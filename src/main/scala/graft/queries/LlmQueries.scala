@@ -538,6 +538,10 @@ object LlmQueries {
     // interpolated Kneser-Ney bigram scoring (D=0.75, distinct-context
     // continuation) — the KenLM-perplexity-filter family, exact corpus counts
     "text_lm_kn" -> ((s, dir) => TextAnalysis.lmScoreKN(docs(s, dir))),
+    // CCNet-style head/middle/tail familiarity buckets per source (KN score
+    // vs mean-relative cutoffs), with the <2-word docs reported as unscored
+    "curate_lm_buckets" -> ((s, dir) =>
+      graft.operators.Curation.lmBuckets(docs(s, dir))),
     // BPE tokenizer training: the corpus' first 3 merge rules (frequency-
     // weighted pair counts at distinct-word scale, deterministic ties)
     "text_bpe_train" -> ((s, dir) => TextAnalysis.bpeTrain(docs(s, dir), iters = 3)),
@@ -3214,6 +3218,49 @@ object LlmQueries {
     // mirrors TextAnalysis.lmScoreBigram(vocabSize=256): adjacent pairs via
     // 1-indexed range(1, len) (i, i+1) windows, vocab joined to its head
     // word's unigram count before probing
+    // mirrors Curation.lmBuckets: the text_lm_kn CTE chain, then the exact
+    // DECIMAL(18,12)-sum global mean, mirrored 1.25x/0.75x cutoffs, and the
+    // per-source bucket report (unscored = docs under two words)
+    "curate_lm_buckets" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |            WHERE len(string_split(text, ' ')) >= 2),
+        |pr AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+        |       FROM ws, LATERAL (SELECT UNNEST(range(1, len(ws))) AS i) t),
+        |bg AS (SELECT w1, w2, COUNT(*) AS c12 FROM pr GROUP BY 1, 2),
+        |h AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1, COUNT(*) AS n_follow
+        |      FROM bg GROUP BY 1),
+        |tl AS (SELECT w2, COUNT(*) AS n_prec FROM bg GROUP BY 1),
+        |tt AS (SELECT COUNT(*) AS n_bigrams FROM bg),
+        |st AS (SELECT bg.w1, bg.w2,
+        |              GREATEST(bg.c12 - 0.75, 0.0) / h.c1 +
+        |              (0.75 * h.n_follow / h.c1) * (tl.n_prec / tt.n_bigrams) AS kp
+        |       FROM bg JOIN h ON bg.w1 = h.w1
+        |               JOIN tl ON bg.w2 = tl.w2
+        |               CROSS JOIN tt),
+        |sc AS (SELECT pr.doc_id,
+        |              list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_sort(list(kp))),
+        |                          (acc, v) -> acc + v) / COUNT(*) AS kn_mean
+        |       FROM pr JOIN st ON pr.w1 = st.w1 AND pr.w2 = st.w2
+        |       GROUP BY 1),
+        |m AS (SELECT CAST(SUM(CAST(kn_mean AS DECIMAL(18,12))) AS DOUBLE) AS kn_total,
+        |             COUNT(*) AS n_scored FROM sc),
+        |d AS (SELECT doc_id, source,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+        |      FROM documents),
+        |bk AS (SELECT d.source,
+        |              CASE WHEN sc.kn_mean IS NULL THEN 'unscored'
+        |                   WHEN sc.kn_mean > 1.25 * m.kn_total / m.n_scored THEN 'head'
+        |                   WHEN sc.kn_mean < 0.75 * m.kn_total / m.n_scored THEN 'tail'
+        |                   ELSE 'middle' END AS bucket,
+        |              d.n_words
+        |       FROM d LEFT JOIN sc USING (doc_id) CROSS JOIN m),
+        |ps AS (SELECT source, COUNT(*) AS source_docs FROM bk GROUP BY 1),
+        |g AS (SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |             CAST(SUM(n_words) AS BIGINT) AS n_words
+        |      FROM bk GROUP BY 1, 2)
+        |SELECT g.source, g.bucket, g.n_docs, g.n_words,
+        |       CAST(g.n_docs AS DOUBLE) / CAST(ps.source_docs AS DOUBLE) AS doc_share
+        |FROM g JOIN ps USING (source)""".stripMargin,
     // mirrors TextAnalysis.lmScoreKN: same KN formula in the same expression
     // order, sorted-fold per-doc sum
     "text_lm_kn" ->

@@ -1116,4 +1116,26 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     // single-word and empty docs have no pairs and drop out
     assert(TextAnalysis.lmScoreKN(docs(1L -> "solo", 2L -> "")).count() == 0)
   }
+
+  test("lmBuckets: buckets exhaust each source, shares sum to 1, short docs report unscored") {
+    val d = (Seq(
+      (1L, "a b a b a b a b", "web"),   // head: dominated by the top bigram
+      (2L, "a b c d e f g h", "web"),   // mixed
+      (3L, "x", "web"),                 // < 2 words -> unscored
+      (4L, "a b a b c d", "books"),
+      (5L, "q r s t u v", "books")))
+      .toDF("doc_id", "text", "source")
+    val out = Curation.lmBuckets(d).collect()
+    val bySource = out.groupBy(_.getString(0))
+    // every doc lands in exactly one bucket
+    assert(bySource("web").map(_.getLong(2)).sum == 3L)
+    assert(bySource("books").map(_.getLong(2)).sum == 2L)
+    // within-source doc shares sum to 1
+    bySource.values.foreach { rows =>
+      assert(math.abs(rows.map(_.getDouble(4)).sum - 1.0) < 1e-12)
+    }
+    val webBuckets = bySource("web")
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(webBuckets("unscored") == 1L) // the 1-word doc, explicit
+  }
 }
