@@ -592,4 +592,56 @@ object Graph {
         (col("common_neighbors").cast("double") /
           (col("deg_a") + col("deg_b") - col("common_neighbors")).cast("double")).as("jaccard"))
   }
+
+  /**
+   * Community detection by SYNCHRONOUS label propagation (Raghavan et al.
+   * 2007) over the undirected simple graph — the mesoscale complement to
+   * [[components]]: components find what is CONNECTED, LPA finds what is
+   * DENSELY connected, splitting one giant component into link
+   * neighborhoods (topic clusters, mirror farms, CDN constellations) a
+   * curation pipeline weights as units.
+   *
+   * Determinism contract: the classic algorithm breaks frequency ties
+   * randomly and updates asynchronously; here every round is a synchronous
+   * map over the round-(r−1) labels and ties break (count DESC, label ASC)
+   * — a total order, so any engine at any parallelism replays the rounds
+   * bit-for-bit. A fixed `rounds` (not convergence) bounds the plan; on
+   * bipartite-ish structure synchronous LPA can 2-cycle, which a fixed
+   * even/odd horizon simply snapshots — the audit gate pins one horizon.
+   *
+   * Scale: per round one dst-keyed join of the (pre-aggregated, lineage-cut)
+   * bi-directed edge list against the |V|-sized label frame and one
+   * (node, label) count — the [[pageRank]] shuffle shape. The per-node
+   * argmax window partitions on the node key and sees at most
+   * distinct-neighbor-label rows (≤ degree); no corpus-sized window, no
+   * driver round-trips.
+   *
+   * @return (domain, community, community_size) for every non-isolated node.
+   */
+  def labelPropagation(edges: DataFrame, rounds: Int = 4): DataFrame = {
+    require(rounds >= 1 && rounds <= 20, "rounds must be in [1, 20]")
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .distinct()
+    val bi = und.select(col("a").as("u"), col("b").as("v"))
+      .union(und.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint(false)
+    var labels = bi.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("lab"))
+      .localCheckpoint(false)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("u").orderBy(col("cnt").desc, col("lab").asc)
+    for (_ <- 1 to rounds) {
+      labels = bi.join(labels.select(col("node").as("v"), col("lab")), "v")
+        .groupBy("u", "lab").agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("u").as("node"), col("lab"))
+        .localCheckpoint(false)
+    }
+    val sizes = labels.groupBy("lab").agg(count(lit(1)).as("community_size"))
+    labels.join(sizes, "lab")
+      .select(col("node").as("domain"), col("lab").as("community"), col("community_size"))
+  }
 }

@@ -542,4 +542,91 @@ object Search {
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("doc_id"), col("max_gap"))
   }
+
+  /**
+   * BOOLEAN retrieval — conjunctive MUST terms with a NOT exclusion, the
+   * classic inverted-index set algebra BM25's soft scoring can't express
+   * ("all of these words, none of those"). A doc qualifies iff it contains
+   * EVERY distinct word of `qtext` and NO word of `nottext`. Exact integer
+   * semantics; the result is a set, so no rank column exists.
+   *
+   * Scale shape (the [[phraseHits]] pushdown): the corpus word table joins
+   * the BROADCAST query-term tables first, so only query-matched
+   * (doc, term) rows survive the scan; the all-terms test is a count
+   * equality on that bounded frame, and the NOT screen is a left-anti join
+   * on (query, doc) keys — no corpus-sized shuffle, no window.
+   *
+   * @param queries (query_id, qtext, nottext) — a SMALL batch (broadcast);
+   *                `nottext` may be empty/NULL (no exclusion).
+   * @return (query_id, doc_id, n_terms) — qualifying docs with the distinct
+   *         must-term count that qualified them.
+   */
+  def booleanHits(docs: DataFrame, queries: DataFrame): DataFrame = {
+    val dw = docs
+      .select(col("doc_id"), explode(array_distinct(split(lower(col("text")), " "))).as("w"))
+    val mt = queries.select(col("query_id"),
+      explode(array_distinct(split(lower(col("qtext")), " "))).as("w"))
+    val nt = queries
+      .where(col("nottext").isNotNull && length(col("nottext")) > 0)
+      .select(col("query_id"),
+        explode(array_distinct(split(lower(col("nottext")), " "))).as("w"))
+    val qn = mt.groupBy("query_id").agg(count(lit(1)).as("n_terms"))
+    val matched = dw.join(broadcast(mt), "w")
+      .groupBy("query_id", "doc_id").agg(count(lit(1)).as("n_hit"))
+    val excluded = dw.join(broadcast(nt), "w")
+      .select("query_id", "doc_id").distinct()
+    matched.join(broadcast(qn), "query_id")
+      .where(col("n_hit") === col("n_terms"))
+      .join(excluded, Seq("query_id", "doc_id"), "left_anti")
+      .select(col("query_id"), col("doc_id"), col("n_terms"))
+  }
+
+  /**
+   * Best-snippet extraction — the highlighting primitive a retrieval UI (or
+   * a context-window-bounded RAG assembler) runs over its hits: for each
+   * doc containing ALL query terms, the `window`-token span covering the
+   * most DISTINCT query terms, earliest such span on ties. Candidate spans
+   * anchor at matched-term positions only (an optimal cover always starts
+   * at one), so the search is exact without scanning every offset.
+   *
+   * Scale shape: corpus positions join the BROADCAST query terms first
+   * (only matched positions leave the scan — the [[proximityHits]] frame);
+   * the anchor×member self-join runs on that bounded per-(query, doc)
+   * frame, and the per-doc argmax window partitions by (query, doc) whose
+   * row count is the doc's matched-position count — never corpus-sized.
+   *
+   * @return (query_id, doc_id, snip_start, n_covered) — one row per
+   *         qualifying (query, doc): the 0-based token offset of the best
+   *         window and the distinct query terms it covers.
+   */
+  def bestSnippets(docs: DataFrame, queries: DataFrame, window: Int = 12): DataFrame = {
+    require(window >= 1, "window >= 1")
+    val words = docs.select(col("doc_id"),
+      posexplode(split(lower(col("text")), " ")).as(Seq("pos", "w")))
+    val qt = queries.select(col("query_id"),
+      explode(array_distinct(split(lower(col("qtext")), " "))).as("w"))
+    val qn = qt.groupBy("query_id").agg(count(lit(1)).as("n_terms"))
+    val m = words.join(broadcast(qt), "w")
+      .select(col("query_id"), col("doc_id"), col("pos"), col("w"))
+    // all-terms qualification (the boolean MUST semantics)
+    val qualified = m.select("query_id", "doc_id", "w").distinct()
+      .groupBy("query_id", "doc_id").agg(count(lit(1)).as("n_distinct"))
+      .join(broadcast(qn), "query_id")
+      .where(col("n_distinct") === col("n_terms"))
+      .select("query_id", "doc_id")
+    val mq = m.join(qualified, Seq("query_id", "doc_id"))
+    val cover = mq.as("a").join(mq.as("m"),
+        col("a.query_id") === col("m.query_id") &&
+          col("a.doc_id") === col("m.doc_id") &&
+          col("m.pos") >= col("a.pos") && col("m.pos") < col("a.pos") + window)
+      .groupBy(col("a.query_id").as("query_id"), col("a.doc_id").as("doc_id"),
+        col("a.pos").as("snip_start"))
+      .agg(countDistinct(col("m.w")).as("n_covered"))
+    val w = Window.partitionBy("query_id", "doc_id")
+      .orderBy(col("n_covered").desc, col("snip_start").asc)
+    cover.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("query_id"), col("doc_id"),
+        col("snip_start").cast("long").as("snip_start"), col("n_covered"))
+  }
 }

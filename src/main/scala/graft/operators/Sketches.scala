@@ -357,4 +357,46 @@ object Sketches {
         count(when(col("sv") <= col("ub95"), 1)).as("rank_le_p95"),
         count(when(col("sv") <= col("ub99"), 1)).as("rank_le_p99"))
   }
+
+  /**
+   * AMS "tug-of-war" F2 sketch (Alon–Matias–Szegedy 1996): estimates the
+   * second frequency moment Σ_x f(x)² — the SELF-JOIN SIZE of a key column,
+   * the number that prices any key-equijoin or skew-cap decision at 100 TB
+   * (F2 IS the row count of T ⋈_key T). State is `r` LONG counters; every
+   * element occurrence adds s_j(x) = ±1 (md5 first-hex-digit parity,
+   * engine-portable — no RNG) to counter j, so the state merges by plain
+   * addition: Spark's partial/final aggregation IS the sketch merge.
+   * E[c_j²] = F2; the estimate is the LOWER MEDIAN of the r squared
+   * counters — pinned as ascending (c², j) order, element (r+1)/2 — and the
+   * exact F2 rides along as the audit column.
+   *
+   * Scale: one scan exploded ×r straight into a partial aggregate (map-side
+   * combine absorbs the blowup; the shuffle carries r×partitions rows), an
+   * r-row final state, and one hash-groupBy audit pass. The only window
+   * orders the r-row counter frame.
+   *
+   * @return one row: (r, est_f2, exact_f2, n_rows)
+   */
+  def amsF2(df: DataFrame, elemCol: String, r: Int = 16): DataFrame = {
+    require(r >= 2 && r <= 256, "r in [2, 256]")
+    val nn = df.where(col(elemCol).isNotNull)
+    val signed = nn
+      .select(explode(sequence(lit(0), lit(r - 1))).as("j"),
+        col(elemCol).cast("string").as("e"))
+      .select(col("j"),
+        when(conv(substring(md5(concat(lit("ams"), col("j").cast("string"),
+          lit(":"), col("e"))), 1, 1), 16, 10).cast("int") < 8, 1L)
+          .otherwise(-1L).as("s"))
+    val est = signed.groupBy("j").agg(sum(col("s")).as("c"))
+      .select(col("j"), (col("c") * col("c")).as("e2"))
+    // r rows: the global window is bounded by construction
+    val w = Window.orderBy(col("e2").asc, col("j").asc)
+    val med = est.withColumn("rn", row_number().over(w))
+      .where(col("rn") === (r + 1) / 2).select(col("e2").as("est_f2"))
+    val exact = nn.groupBy(col(elemCol)).agg(count(lit(1)).as("f"))
+      .agg(sum(col("f") * col("f")).cast("long").as("exact_f2"),
+        sum(col("f")).cast("long").as("n_rows"))
+    med.crossJoin(exact)
+      .select(lit(r.toLong).as("r"), col("est_f2"), col("exact_f2"), col("n_rows"))
+  }
 }

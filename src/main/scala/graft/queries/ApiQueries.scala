@@ -357,7 +357,12 @@ object ApiQueries {
     // rank-coverage audit columns.
     "sketch_qdigest" -> ((s, dir) =>
       graft.operators.Sketches.qdigestQuantiles(
-        Points.table(s, dir, "events"), "event_type", "value"))
+        Points.table(s, dir, "events"), "event_type", "value")),
+    // AMS tug-of-war F2 (self-join size of user_id): 16 ±1-counters, lower-
+    // median-of-squares estimate, exact F2 audit — the join-size pricer
+    "sketch_ams_f2" -> ((s, dir) =>
+      graft.operators.Sketches.amsF2(
+        Points.table(s, dir, "events"), "user_id", r = 16))
   )
 
   /** DuckDB BIGINT value of the first `n` hex digits of md5 expression `m`
@@ -1087,6 +1092,26 @@ object ApiQueries {
         |       COUNT(*) FILTER (sv <= ub95) AS rank_le_p95,
         |       COUNT(*) FILTER (sv <= ub99) AS rank_le_p99
         |FROM p JOIN u USING (key)
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+    // mirrors Sketches.amsF2(r=16) over user_id: md5 first-hex-digit parity
+    // signs, 16 exact counters, lower median (rank 8) of squares, exact audit
+    "sketch_ams_f2" ->
+      """WITH x AS (SELECT CAST(user_id AS VARCHAR) AS e FROM events
+        |           WHERE user_id IS NOT NULL),
+        |sgn AS (
+        |  SELECT j.j,
+        |         CASE WHEN strpos('0123456789abcdef',
+        |                substr(md5('ams' || CAST(j.j AS VARCHAR) || ':' || x.e), 1, 1))
+        |                - 1 < 8
+        |              THEN 1 ELSE -1 END AS s
+        |  FROM x, (SELECT UNNEST(range(16)) AS j) j),
+        |c AS (SELECT j, CAST(SUM(s) AS BIGINT) AS c FROM sgn GROUP BY 1),
+        |m AS (SELECT c * c AS est_f2,
+        |             ROW_NUMBER() OVER (ORDER BY c * c ASC, j ASC) AS rn FROM c),
+        |ex AS (SELECT CAST(SUM(f * f) AS BIGINT) AS exact_f2,
+        |              CAST(SUM(f) AS BIGINT) AS n_rows
+        |       FROM (SELECT COUNT(*) AS f FROM x GROUP BY e))
+        |SELECT CAST(16 AS BIGINT) AS r, m.est_f2, ex.exact_f2, ex.n_rows
+        |FROM m, ex WHERE m.rn = 8""".stripMargin
   )
 }

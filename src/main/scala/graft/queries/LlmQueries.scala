@@ -687,6 +687,11 @@ object LlmQueries {
         .select(concat(lit("site"), col("id").cast("string")).as("domain"))
       graft.operators.Graph.khopReach(plantedEdges(docs(s, dir), full = true), seeds)
     }),
+    // synchronous label-propagation communities (4 rounds, count-desc /
+    // label-asc ties): the mesoscale split of the one giant planted
+    // component into link neighborhoods — bit-exact vs the unrolled replay
+    "graph_lpa" -> ((s, dir) =>
+      graft.operators.Graph.labelPropagation(plantedEdges(docs(s, dir), full = true), rounds = 4)),
     // degree assortativity: Pearson over endpoint degrees, both
     // orientations — exact DECIMAL moment sums, one pinned double formula;
     // the one-number structural fingerprint per crawl snapshot
@@ -909,6 +914,25 @@ object LlmQueries {
         .select(col("doc_id").as("query_id"),
           concat_ws(" ", element_at(ws, 1), element_at(ws, 4)).as("qtext"))
       graft.operators.Search.proximityHits(d, q, window = 6, k = 10)
+    }),
+    // boolean (all-MUST + NOT) retrieval: the probe's four words as the
+    // conjunction, its own 6th word as the exclusion — so each probe doc
+    // excludes ITSELF, the planted tell that the NOT screen actually fires
+    "search_boolean" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val ws = split(col("text"), " ")
+      val q = d.where(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(ws, 1, 4), " ").as("qtext"),
+          element_at(ws, 6).as("nottext"))
+      graft.operators.Search.booleanHits(d, q)
+    }),
+    // best-snippet extraction over the probe queries: per qualifying
+    // (all-terms) doc the 12-token window covering the most distinct query
+    // terms, earliest on ties — the highlighting/RAG-span primitive
+    "search_snippets" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.operators.Search.bestSnippets(d, probeQueries(d), window = 12)
     })
   )
 
@@ -1298,6 +1322,31 @@ object LlmQueries {
        |SELECT bi.u AS node, CAST(COUNT(*) AS BIGINT) AS core_deg
        |FROM bi JOIN s$rounds p1 ON bi.u = p1.node JOIN s$rounds p2 ON bi.v = p2.node
        |GROUP BY bi.u""".stripMargin
+  }
+
+  /** Unrolled DuckDB replay of [[graft.operators.Graph.labelPropagation]]:
+    * one (neighbor-label count, argmax) CTE pair per synchronous round over
+    * the bi-directed planted simple graph, (count DESC, label ASC) ties. */
+  private def lpaOracleSql(rounds: Int): String = {
+    val chain = (1 to rounds).map { r =>
+      s"""c$r AS (SELECT bi.u, l.lab, COUNT(*) AS cnt
+         |      FROM bi JOIN l${r - 1} l ON bi.v = l.node GROUP BY 1, 2),
+         |l$r AS MATERIALIZED (
+         |  SELECT u AS node, lab FROM (
+         |    SELECT u, lab, ROW_NUMBER() OVER (PARTITION BY u
+         |           ORDER BY cnt DESC, lab ASC) AS rn FROM c$r) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+       |$PlantedEdgesSql),
+       |und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+       |        FROM e WHERE src != dst AND src IS NOT NULL AND dst IS NOT NULL),
+       |bi AS MATERIALIZED (SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und),
+       |l0 AS (SELECT DISTINCT u AS node, u AS lab FROM bi),
+       |$chain,
+       |sz AS (SELECT lab, CAST(COUNT(*) AS BIGINT) AS community_size
+       |       FROM l$rounds GROUP BY 1)
+       |SELECT l$rounds.node AS domain, l$rounds.lab AS community, sz.community_size
+       |FROM l$rounds JOIN sz ON l$rounds.lab = sz.lab""".stripMargin
   }
 
   /** DuckDB replay of [[graft.operators.Graph.assortativity]]: exact
@@ -3557,6 +3606,7 @@ object LlmQueries {
       Some("SELECT 'site0' AS domain UNION ALL SELECT 'site1' AS domain")),
     "graph_hits" -> hitsOracleSql(),
     "graph_kcore" -> kcoreOracleSql(k = 3, rounds = 6),
+    "graph_lpa" -> lpaOracleSql(rounds = 4),
     // mirrors Graph.linkPredict: wedge-join candidates on the shared
     // neighbor, existing edges anti-joined out, exact-integer Jaccard
     "graph_link_predict" ->
@@ -4021,6 +4071,56 @@ object LlmQueries {
         |                    ORDER BY pd.max_gap ASC, pd.doc_id ASC) AS BIGINT) AS rank
         |      FROM pd JOIN qn ON pd.query_id = qn.query_id
         |      WHERE pd.n_pairs = qn.n_terms * (qn.n_terms - 1) // 2)
-        |SELECT query_id, rank, doc_id, max_gap FROM r WHERE rank <= 10""".stripMargin
+        |SELECT query_id, rank, doc_id, max_gap FROM r WHERE rank <= 10""".stripMargin,
+    // mirrors Search.booleanHits over the 4-word MUST / 6th-word NOT probes:
+    // distinct doc-term set, all-terms count equality, NOT anti-join
+    "search_boolean" ->
+      """WITH qd AS (SELECT doc_id AS query_id,
+        |              list_transform(string_split(text, ' ')[1:4], x -> lower(x)) AS qs,
+        |              lower(string_split(text, ' ')[6]) AS nw
+        |       FROM documents WHERE doc_id % 97 = 0),
+        |dw AS (SELECT doc_id, UNNEST(list_distinct(string_split(lower(text), ' '))) AS w
+        |       FROM documents),
+        |mt AS (SELECT query_id, UNNEST(list_distinct(qs)) AS w FROM qd),
+        |nt AS (SELECT query_id, nw AS w FROM qd WHERE nw IS NOT NULL AND length(nw) > 0),
+        |qn AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_terms FROM mt GROUP BY 1),
+        |mm AS (SELECT mt.query_id, dw.doc_id, COUNT(*) AS n_hit
+        |       FROM dw JOIN mt ON dw.w = mt.w GROUP BY 1, 2),
+        |ex AS (SELECT DISTINCT nt.query_id, dw.doc_id FROM dw JOIN nt ON dw.w = nt.w)
+        |SELECT mm.query_id, mm.doc_id, qn.n_terms
+        |FROM mm JOIN qn ON mm.query_id = qn.query_id
+        |WHERE mm.n_hit = qn.n_terms
+        |  AND NOT EXISTS (SELECT 1 FROM ex
+        |                  WHERE ex.query_id = mm.query_id AND ex.doc_id = mm.doc_id)""".stripMargin,
+    // mirrors Search.bestSnippets(window=12) over the probe queries:
+    // query-filtered positional index, all-terms qualification, matched-
+    // position anchors, (coverage DESC, start ASC) argmax per (query, doc)
+    "search_snippets" ->
+      """WITH dw AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        |w AS (SELECT doc_id, generate_subscripts(ws, 1) - 1 AS pos, UNNEST(ws) AS w FROM dw),
+        |qd AS (SELECT doc_id AS query_id,
+        |              list_transform(string_split(text, ' ')[1:4], x -> lower(x)) AS qs
+        |       FROM documents WHERE doc_id % 97 = 0),
+        |qt AS (SELECT query_id, UNNEST(list_distinct(qs)) AS w FROM qd),
+        |qn AS (SELECT query_id, COUNT(*) AS n_terms FROM qt GROUP BY 1),
+        |m AS (SELECT qt.query_id, w.doc_id, w.pos, qt.w FROM w JOIN qt ON w.w = qt.w),
+        |qual AS (SELECT d.query_id, d.doc_id
+        |         FROM (SELECT DISTINCT query_id, doc_id, w FROM m) d
+        |         JOIN qn ON d.query_id = qn.query_id
+        |         GROUP BY d.query_id, d.doc_id, qn.n_terms
+        |         HAVING COUNT(*) = qn.n_terms),
+        |mq AS (SELECT m.* FROM m JOIN qual
+        |       ON m.query_id = qual.query_id AND m.doc_id = qual.doc_id),
+        |cov AS (SELECT a.query_id, a.doc_id, a.pos AS snip_start,
+        |               CAST(COUNT(DISTINCT mm.w) AS BIGINT) AS n_covered
+        |        FROM mq a JOIN mq mm
+        |          ON a.query_id = mm.query_id AND a.doc_id = mm.doc_id
+        |         AND mm.pos >= a.pos AND mm.pos < a.pos + 12
+        |        GROUP BY 1, 2, 3),
+        |r AS (SELECT query_id, doc_id, CAST(snip_start AS BIGINT) AS snip_start, n_covered,
+        |             ROW_NUMBER() OVER (PARTITION BY query_id, doc_id
+        |                    ORDER BY n_covered DESC, snip_start ASC) AS rn
+        |      FROM cov)
+        |SELECT query_id, doc_id, snip_start, n_covered FROM r WHERE rn = 1""".stripMargin
   )
 }

@@ -204,4 +204,25 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(capped(("a", "b")).getLong(2) == 1L)
     assert(capped(("a", "b")).getDouble(5) == 1.0 / 3)
   }
+
+  test("LPA: triangle converges to the min label; star 2-cycles on the even horizon") {
+    def labs(out: Array[org.apache.spark.sql.Row]): Map[String, (String, Long)] =
+      out.map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
+    // triangle: r1 ties resolve to min, r2/r3 flood 'a' everywhere
+    val tri = Seq(("a", "b"), ("b", "c"), ("a", "c")).toDF("src", "dst")
+    val t = labs(Graph.labelPropagation(tri, rounds = 4).collect())
+    assert(t == Map("a" -> ("a", 3L), "b" -> ("a", 3L), "c" -> ("a", 3L)))
+    // star h-(l1,l2,l3): synchronous labels 2-cycle (h<->l1); the even
+    // horizon snapshots h=h, leaves=l1 — pinned so the oracle replay and
+    // any parallelism agree on the same snapshot
+    val star = Seq(("h", "l1"), ("h", "l2"), ("h", "l3")).toDF("src", "dst")
+    val s = labs(Graph.labelPropagation(star, rounds = 4).collect())
+    assert(s("h") == ("h", 1L))
+    assert(Seq("l1", "l2", "l3").forall(l => s(l) == ("l1", 3L)))
+    // parallelism determinism: same answer at 1 shuffle partition
+    val one = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    try assert(labs(Graph.labelPropagation(star, rounds = 4).collect()) == s)
+    finally spark.conf.set("spark.sql.shuffle.partitions", one)
+  }
 }

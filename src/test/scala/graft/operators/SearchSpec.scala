@@ -283,4 +283,34 @@ class SearchSpec extends AnyFunSuite with SparkSpec {
     // a query whose terms miss the corpus entirely produces no rows
     assert(Search.dirichletTopK(d, queries(2L -> "qqq www"), k = 5).count() == 0)
   }
+
+  test("boolean retrieval: all MUST terms required, NOT term excludes, empty NOT is no-op") {
+    val d = docs(
+      1L -> "apple banana cherry",   // all must, no not -> hit
+      2L -> "apple banana poison",   // all must, has not -> excluded
+      3L -> "apple cherry date",     // missing banana -> no hit
+      4L -> "banana apple apple")    // duplicates don't double-count -> hit
+    val q = Seq((1L, "apple banana", "poison"), (2L, "cherry", ""))
+      .toDF("query_id", "qtext", "nottext")
+    val out = Search.booleanHits(d, q).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out.keySet == Set(1L -> 1L, 1L -> 4L, 2L -> 1L, 2L -> 3L))
+    assert(out(1L -> 1L) == 2L && out(2L -> 1L) == 1L)
+  }
+
+  test("best snippet: window maximizing distinct-term coverage wins, earliest on ties") {
+    // terms a,b: doc 1 has a@0 b@9 a@10 b@12. The w=4 window from 0 sees
+    // only 'a'; the window anchored at b@9 sees b@9,a@10,b@12 -> earliest
+    // full-coverage start = 9 (anchors are matched positions of EITHER term)
+    val d = docs(
+      1L -> "a x x x x x x x x b a x b",
+      2L -> "a x b x x x x x x x x x x", // best = start 0, covers both
+      3L -> "a x x x x x x x x x x x x") // missing b -> not qualified
+    val q = queries(1L -> "a b")
+    val out = Search.bestSnippets(d, q, window = 4).collect()
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L) == (9L, 2L), "earliest full-coverage anchor wins")
+    assert(out(2L) == (0L, 2L), "earliest window on coverage ties")
+  }
 }
