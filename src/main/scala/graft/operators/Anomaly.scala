@@ -345,4 +345,52 @@ object Anomaly {
       .select(col(keyCol), col("n_gaps"), col("min_gap_us"),
         col("med_gap_us"), col("p95_gap_us"), col("max_gap_us"))
   }
+
+  /**
+   * Goh–Barabási BURSTINESS per entity: B = (σ−μ)/(σ+μ) over the
+   * inter-event gap sequence, with CV = σ/μ riding along — the one-number
+   * temporal signature [[interarrival]]'s quantiles band-aid around:
+   * B → −1 is a metronome (cron, heartbeat), B ≈ 0 is Poisson (organic),
+   * B → 1 is bursty (humans, incident storms). A curation pipeline screens
+   * event streams for machine traffic on exactly this axis.
+   *
+   * Determinism: gaps are exact integer µs; both moment sums run as SORTED
+   * double folds (the [[TimeSeries]] foldAggregator contract — per-entity
+   * gap lists are session-bounded, so the sort is per-key-tiny), and the
+   * closing (μ, σ², σ, B, CV) is one pinned IEEE expression chain mirrored
+   * verbatim in the oracle. `GREATEST(·, 0)` absorbs the tiny negative
+   * variance float cancellation can leave; zero-mean (all-simultaneous)
+   * entities score NULL, not NaN.
+   *
+   * Scale: one per-key lag window (entity-bounded), one groupBy holding a
+   * per-key sorted gap array (bounded by the per-entity event count — the
+   * same state bound as [[interarrival]]'s rank window), no corpus frame.
+   *
+   * @return (user_id, n_gaps, mean_gap_us, sd_gap_us, burstiness, cv)
+   */
+  def burstiness(events: DataFrame, keyCol: String = "user_id",
+                 tsUsCol: String = "ts_us", idCol: String = "event_id",
+                 minEvents: Long = 5L): DataFrame = {
+    require(minEvents >= 3, "minEvents >= 3: variance needs >= 2 gaps")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCol).orderBy(col(tsUsCol), col(idCol))
+    val gaps = events
+      .select(col(keyCol), col(tsUsCol), col(idCol))
+      .withColumn("gap", col(tsUsCol) - lag(col(tsUsCol), 1).over(w))
+      .where(col("gap").isNotNull)
+    val folded = gaps.groupBy(keyCol)
+      .agg(count(lit(1)).as("n_gaps"),
+        sort_array(collect_list(col("gap").cast("double"))).as("gs"))
+      .where(col("n_gaps") >= minEvents - 1)
+      .withColumn("s1", aggregate(col("gs"), lit(0.0), (acc, v) => acc + v))
+      .withColumn("s2", aggregate(col("gs"), lit(0.0), (acc, v) => acc + v * v))
+    val nd = col("n_gaps").cast("double")
+    val mu = col("s1") / nd
+    val varr = greatest(col("s2") / nd - mu * mu, lit(0.0))
+    val sd = sqrt(varr)
+    folded.select(col(keyCol), col("n_gaps"),
+      mu.as("mean_gap_us"), sd.as("sd_gap_us"),
+      when(sd + mu === 0.0, lit(null)).otherwise((sd - mu) / (sd + mu)).as("burstiness"),
+      when(mu === 0.0, lit(null)).otherwise(sd / mu).as("cv"))
+  }
 }

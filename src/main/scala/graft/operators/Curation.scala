@@ -973,4 +973,32 @@ object Curation {
         (col("n_docs").cast("double") / col("source_docs").cast("double"))
           .as("doc_share"))
   }
+
+  /**
+   * Per-source PII exposure report — the compliance rollup over
+   * [[TextAnalysis.redactPii]]'s per-doc audit counts: total emails / IPv4s
+   * / phone-like hits, how many docs carry ANY of them, and the rate. The
+   * number a pipeline tracks per crawl source to decide which sources need
+   * the redaction pass (and to prove, post-redaction, that it ran).
+   *
+   * Scale: the redaction counters are row-wise codegen regex passes; the
+   * rollup is one hash groupBy on `source` (partial/final, map-side
+   * combine). Exact LONG sums; the rate is one pinned double division.
+   *
+   * @return (source, n_docs, n_emails, n_ips, n_phones, n_docs_with_pii,
+   *         pii_doc_rate)
+   */
+  def piiReport(docs: DataFrame, textCol: String = "text"): DataFrame =
+    TextAnalysis.redactPii(docs, textCol)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_emails")).as("n_emails"),
+        sum(col("n_ips")).as("n_ips"),
+        sum(col("n_phones")).as("n_phones"),
+        sum(when(col("n_emails") + col("n_ips") + col("n_phones") > 0L, 1L)
+          .otherwise(0L)).as("n_docs_with_pii"))
+      .select(col("source"), col("n_docs"), col("n_emails"), col("n_ips"),
+        col("n_phones"), col("n_docs_with_pii"),
+        (col("n_docs_with_pii").cast("double") / col("n_docs").cast("double"))
+          .as("pii_doc_rate"))
 }

@@ -1266,4 +1266,43 @@ object TextAnalysis {
     sums.select(col("n").as("n_words"), slope.as("slope"),
       ((dy - slope * dx) / nd).as("intercept"))
   }
+
+  /**
+   * OCR-artifact screen — the scanned-document siblings of
+   * [[mojibakeStats]]'s encoding tells: hyphenated line-break word splits
+   * ("exam-\nple", the single most common OCR reflow artifact),
+   * digit-for-letter confusions (tokens like "t3xt" with a digit sandwiched
+   * between letters — the 0/O, 1/l, 3/e class), and single-character token
+   * spray (broken kerning exploding words into letters). A corpus with book
+   * scans or PDFs routes high scorers to a repair pass instead of training
+   * on fractured words.
+   *
+   * All three signals are row-wise over one scan: a native [[RegexCount]]
+   * for the break pattern, split + lambda filters for the token classes
+   * (per-doc arrays never leave the row). The regexes are RE2-portable (no
+   * lookarounds), so the oracle runs them verbatim. `suspect` fires on
+   * >= 1 break, >= `minMixed` confusions, or a single-char ratio above
+   * `maxSingleRatio` — each threshold auditable from its own column.
+   *
+   * @return (doc_id, n_hyphen_breaks, n_mixed_alnum, n_single_char,
+   *         n_tokens, single_char_ratio, suspect)
+   */
+  def ocrArtifacts(docs: DataFrame, textCol: String = "text",
+                   minMixed: Long = 2L, maxSingleRatio: Double = 0.2): DataFrame = {
+    val lt = lower(col(textCol))
+    val toks = split(lt, " ")
+    val breaks = graft.functions.TextFunctions
+      .regexCount(lt, "[a-z]-\\n[a-z]").cast("long")
+    val mixed = size(filter(toks, w => w.rlike("^[a-z]+[0-9]+[a-z]+$"))).cast("long")
+    val single = size(filter(toks, w => w.rlike("^[a-z]$"))).cast("long")
+    val nTokens = size(toks).cast("long")
+    docs.select(col("doc_id"),
+        breaks.as("n_hyphen_breaks"), mixed.as("n_mixed_alnum"),
+        single.as("n_single_char"), nTokens.as("n_tokens"))
+      .withColumn("single_char_ratio",
+        col("n_single_char").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("suspect",
+        when(col("n_hyphen_breaks") >= 1L || col("n_mixed_alnum") >= minMixed ||
+          col("single_char_ratio") > maxSingleRatio, 1L).otherwise(0L))
+  }
 }

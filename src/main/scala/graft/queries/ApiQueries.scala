@@ -143,6 +143,12 @@ object ApiQueries {
     "events_interarrival" -> ((s, dir) =>
       Anomaly.interarrival(Points.table(s, dir, "events")
         .withColumn("ts_us", expr("ts div 1000")))),
+    // Goh–Barabási burstiness + CV per user over the same gap sequence:
+    // sorted-fold moment sums, pinned (mu, sigma, B) closing expressions —
+    // the metronome-vs-organic-vs-bursty axis of the bot screens
+    "events_burstiness" -> ((s, dir) =>
+      Anomaly.burstiness(Points.table(s, dir, "events")
+        .withColumn("ts_us", expr("ts div 1000")))),
     // first-order Markov transitions between event types: per-user lag
     // window, then counts + probabilities over the tiny (type x type) frame
     "events_path_transitions" -> ((s, dir) => {
@@ -749,6 +755,32 @@ object ApiQueries {
         |       p95.p95_gap_us, a.max_gap_us
         |FROM a JOIN med ON a.user_id = med.user_id
         |       JOIN p95 ON a.user_id = p95.user_id""".stripMargin,
+    // mirrors Anomaly.burstiness(minEvents=5): per-user gap lag window,
+    // sorted double folds for both moments, pinned closing expressions
+    "events_burstiness" ->
+      """WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS tu FROM events),
+        |g AS (SELECT user_id,
+        |             tu - LAG(tu) OVER (PARTITION BY user_id ORDER BY tu, event_id) AS gap
+        |      FROM o),
+        |f AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+        |             list_sort(list(CAST(gap AS DOUBLE))) AS gs
+        |      FROM g WHERE gap IS NOT NULL GROUP BY 1 HAVING COUNT(*) >= 4),
+        |s AS (SELECT user_id, n_gaps,
+        |             list_reduce(list_prepend(CAST(0.0 AS DOUBLE), gs),
+        |                         (acc, v) -> acc + v) AS s1,
+        |             list_reduce(list_prepend(CAST(0.0 AS DOUBLE), gs),
+        |                         (acc, v) -> acc + v * v) AS s2
+        |      FROM f),
+        |m AS (SELECT user_id, n_gaps,
+        |             s1 / CAST(n_gaps AS DOUBLE) AS mu,
+        |             sqrt(GREATEST(s2 / CAST(n_gaps AS DOUBLE)
+        |                  - (s1 / CAST(n_gaps AS DOUBLE)) * (s1 / CAST(n_gaps AS DOUBLE)),
+        |                  0.0)) AS sd
+        |      FROM s)
+        |SELECT user_id, n_gaps, mu AS mean_gap_us, sd AS sd_gap_us,
+        |       CASE WHEN sd + mu = 0 THEN NULL ELSE (sd - mu) / (sd + mu) END AS burstiness,
+        |       CASE WHEN mu = 0 THEN NULL ELSE sd / mu END AS cv
+        |FROM m""".stripMargin,
     "events_path_transitions" ->
       """WITH o AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type FROM events),
         |s AS (SELECT event_type AS to_type,

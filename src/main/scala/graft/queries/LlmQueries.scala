@@ -853,6 +853,33 @@ object LlmQueries {
           .otherwise(col("text")).as("text"))
       TextAnalysis.mojibakeStats(planted)
     }),
+    // OCR-artifact screen over planted scan damage: every 23rd doc a
+    // hyphenated line-break split, every 29th three digit-confused tokens,
+    // every 31st a single-char token spray — each tell fires its own column
+    "text_ocr_artifacts" -> ((s, dir) => {
+      val planted = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 23 === 0,
+          concat(col("text"), lit("\nhyphen-\nated continuation")))
+          .when(col("doc_id") % 29 === 0, concat(col("text"), lit(" w0rd t3xt c0de")))
+          .when(col("doc_id") % 31 === 0,
+            concat(col("text"), lit(" a b c d e f g h i j k l m n o p q r s t u v w x y z")))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.ocrArtifacts(planted)
+    }),
+    // per-source PII exposure rollup over the redaction audit counters:
+    // every 4th doc plants an email, every 6th an IPv4, every 10th a phone
+    "curate_pii_report" -> ((s, dir) => {
+      val planted = docs(s, dir).select(col("doc_id"), col("source"),
+        concat(col("text"),
+          when(col("doc_id") % 4 === 0, concat(lit(" contact user"),
+            col("doc_id").cast("string"), lit("@example.com"))).otherwise(lit("")),
+          when(col("doc_id") % 6 === 0, concat(lit(" from 10.0."),
+            (col("doc_id") % 256).cast("string"), lit(".7"))).otherwise(lit("")),
+          when(col("doc_id") % 10 === 0, concat(lit(" tel +1 555 01"),
+            (col("doc_id") % 90 + 10).cast("string"))).otherwise(lit("")))
+          .as("text"))
+      graft.operators.Curation.piiReport(planted)
+    }),
     // sentence segmentation stats over planted terminal punctuation (a
     // period after every 5-word run): the prose-structure quality signal
     "text_sentences" -> ((s, dir) => {
@@ -1925,6 +1952,71 @@ object LlmQueries {
         |       len(regexp_extract_all(t2, '\+[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,8}')) AS n_phones,
         |       regexp_replace(t2, '\+[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,8}', '<PHONE>', 'g') AS redacted
         |FROM r2""".stripMargin,
+    // mirrors TextAnalysis.ocrArtifacts(minMixed=2, maxSingleRatio=0.2)
+    // over the planted scan damage: same RE2 patterns verbatim
+    "text_ocr_artifacts" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 23 = 0
+        |                THEN text || chr(10) || 'hyphen-' || chr(10) || 'ated continuation'
+        |              WHEN doc_id % 29 = 0 THEN text || ' w0rd t3xt c0de'
+        |              WHEN doc_id % 31 = 0
+        |                THEN text || ' a b c d e f g h i j k l m n o p q r s t u v w x y z'
+        |              ELSE text END AS text
+        |  FROM documents),
+        |t AS (SELECT doc_id, lower(text) AS lt, string_split(lower(text), ' ') AS ws FROM d),
+        |c AS (SELECT doc_id,
+        |             CAST(len(regexp_extract_all(lt, '[a-z]-\n[a-z]')) AS BIGINT) AS n_hyphen_breaks,
+        |             CAST(len(list_filter(ws,
+        |                    w -> regexp_matches(w, '^[a-z]+[0-9]+[a-z]+$'))) AS BIGINT) AS n_mixed_alnum,
+        |             CAST(len(list_filter(ws,
+        |                    w -> regexp_matches(w, '^[a-z]$'))) AS BIGINT) AS n_single_char,
+        |             CAST(len(ws) AS BIGINT) AS n_tokens
+        |      FROM t)
+        |SELECT doc_id, n_hyphen_breaks, n_mixed_alnum, n_single_char, n_tokens,
+        |       CAST(n_single_char AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS single_char_ratio,
+        |       CAST(CASE WHEN n_hyphen_breaks >= 1 OR n_mixed_alnum >= 2
+        |              OR CAST(n_single_char AS DOUBLE) / CAST(n_tokens AS DOUBLE) > 0.2
+        |            THEN 1 ELSE 0 END AS BIGINT) AS suspect
+        |FROM c""".stripMargin,
+    // mirrors Curation.piiReport over the modular PII plant: the redaction
+    // chain's counting order (emails on t0, ips on t1, phones on t2)
+    "curate_pii_report" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |         text
+        |         || CASE WHEN doc_id % 4 = 0
+        |              THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+        |              ELSE '' END
+        |         || CASE WHEN doc_id % 6 = 0
+        |              THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+        |              ELSE '' END
+        |         || CASE WHEN doc_id % 10 = 0
+        |              THEN ' tel +1 555 01' || CAST(doc_id % 90 + 10 AS VARCHAR)
+        |              ELSE '' END AS text
+        |  FROM documents),
+        |r AS (SELECT doc_id, source, text AS t0,
+        |             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |                            '<EMAIL>', 'g') AS t1
+        |      FROM d),
+        |r2 AS (SELECT doc_id, source, t0, t1,
+        |              regexp_replace(t1, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS t2
+        |       FROM r),
+        |c AS (SELECT source,
+        |             CAST(len(regexp_extract_all(t0,
+        |                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS e,
+        |             CAST(len(regexp_extract_all(t1,
+        |                    '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS i,
+        |             CAST(len(regexp_extract_all(t2,
+        |                    '\+[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,8}')) AS BIGINT) AS p
+        |      FROM r2)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(e) AS BIGINT) AS n_emails, CAST(SUM(i) AS BIGINT) AS n_ips,
+        |       CAST(SUM(p) AS BIGINT) AS n_phones,
+        |       CAST(SUM(CASE WHEN e + i + p > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_pii,
+        |       CAST(SUM(CASE WHEN e + i + p > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / CAST(COUNT(*) AS DOUBLE) AS pii_doc_rate
+        |FROM c GROUP BY 1""".stripMargin,
     "text_normalize" ->
       """WITH d AS (
         |  SELECT doc_id,

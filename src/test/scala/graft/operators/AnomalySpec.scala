@@ -185,4 +185,34 @@ class AnomalySpec extends AnyFunSuite with SparkSpec {
     val t3 = Anomaly.interarrival(ties).collect().head
     assert(t3.getLong(2) == 0L && t3.getLong(5) == 2L)
   }
+
+  test("burstiness: metronome scores -1-ish 0, Poisson-ish positive; small users drop") {
+    // user 1: perfectly periodic gaps 10,10,10,10 -> sd 0, B = -1, cv = 0
+    val metro = Seq(0L, 10L, 20L, 30L, 40L).zipWithIndex.map {
+      case (t, i) => (1L, t, i.toLong)
+    }
+    // user 2: gaps 1,1,1,97 -> high variance, B > 0
+    val bursty = Seq(0L, 1L, 2L, 3L, 100L).zipWithIndex.map {
+      case (t, i) => (2L, t, i.toLong)
+    }
+    // user 3: only 3 events (2 gaps) -> below minEvents=5, dropped
+    val small = Seq((3L, 0L, 90L), (3L, 5L, 91L), (3L, 9L, 92L))
+    val ev = (metro ++ bursty ++ small).toDF("user_id", "ts_us", "event_id")
+    val out = Anomaly.burstiness(ev).collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(1L, 2L))
+    val m = out(1L)
+    assert(m.getLong(1) == 4L)
+    assert(m.getAs[Double]("mean_gap_us") == 10.0)
+    assert(m.getAs[Double]("sd_gap_us") == 0.0)
+    assert(m.getAs[Double]("burstiness") == -1.0)
+    assert(m.getAs[Double]("cv") == 0.0)
+    val b = out(2L)
+    assert(b.getAs[Double]("mean_gap_us") == 25.0)
+    assert(b.getAs[Double]("burstiness") > 0.0)
+    // all-simultaneous events: mu = 0 -> NULL, never NaN
+    val zeros = (0 until 6).map(i => (4L, 0L, i.toLong))
+      .toDF("user_id", "ts_us", "event_id")
+    val z = Anomaly.burstiness(zeros).collect().head
+    assert(z.isNullAt(z.fieldIndex("burstiness")) && z.isNullAt(z.fieldIndex("cv")))
+  }
 }

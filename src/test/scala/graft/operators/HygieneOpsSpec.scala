@@ -360,4 +360,45 @@ class HygieneOpsSpec extends AnyFunSuite with SparkSpec {
     assert(out(1L).getDouble(4) == 0.125)
     assert(out(2L).getDouble(5) > 0.0)
   }
+
+  test("ocrArtifacts: each tell fires its own column; clean prose stays clean") {
+    val docs = Seq(
+      (1L, "a clean sentence with ordinary words here"),
+      (2L, "broken exam-\nple and hyphen-\nated scans"),   // 2 breaks
+      (3L, "tokens like t3xt and w0rd and c0de confuse"),  // 3 mixed
+      (4L, "a b c d e f g h i j"),                          // all single-char
+      (5L, "version v2 has 3 numbers 2025 alone"))          // digits-only/edge
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.ocrArtifacts(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("suspect") == 0L)
+    assert(out(2L).getAs[Long]("n_hyphen_breaks") == 2L)
+    assert(out(2L).getAs[Long]("suspect") == 1L)
+    assert(out(3L).getAs[Long]("n_mixed_alnum") == 3L)
+    assert(out(3L).getAs[Long]("suspect") == 1L)
+    assert(out(4L).getAs[Double]("single_char_ratio") == 1.0)
+    assert(out(4L).getAs[Long]("suspect") == 1L)
+    // "v2" (no trailing letters) and bare numbers are NOT letter-digit-letter
+    assert(out(5L).getAs[Long]("n_mixed_alnum") == 0L)
+    assert(out(5L).getAs[Long]("suspect") == 0L)
+  }
+
+  test("piiReport: per-source sums and any-pii doc counts; clean source zeroes") {
+    val docs = Seq(
+      (1L, "mail me at a@b.com and c@d.org", "web"),   // 2 emails
+      (2L, "host 10.0.0.7 dialed +1 555 0101", "web"), // 1 ip + 1 phone
+      (3L, "nothing sensitive here", "web"),
+      (4L, "plain prose", "books"))
+      .toDF("doc_id", "text", "source")
+    val out = Curation.piiReport(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val w = out("web")
+    assert(w.getAs[Long]("n_docs") == 3L)
+    assert(w.getAs[Long]("n_emails") == 2L && w.getAs[Long]("n_ips") == 1L &&
+      w.getAs[Long]("n_phones") == 1L)
+    assert(w.getAs[Long]("n_docs_with_pii") == 2L)
+    assert(w.getAs[Double]("pii_doc_rate") == 2.0 / 3.0)
+    val b = out("books")
+    assert(b.getAs[Long]("n_docs_with_pii") == 0L && b.getAs[Double]("pii_doc_rate") == 0.0)
+  }
 }
