@@ -1001,4 +1001,79 @@ object Curation {
         col("n_phones"), col("n_docs_with_pii"),
         (col("n_docs_with_pii").cast("double") / col("n_docs").cast("double"))
           .as("pii_doc_rate"))
+
+  /**
+   * The COMPOSED end-to-end curation keep table — the four screens this
+   * library ships, chained the way a production pipeline chains them, each
+   * stage conditioned on the previous stage's survivors:
+   *
+   *   1. quality screen  (`quality >= minQuality`)
+   *   2. exact dedup     (keep the min-doc_id copy per content hash,
+   *                       computed AMONG quality survivors — a dropped
+   *                       doc must not shadow a kept duplicate)
+   *   3. per-source cap  ([[topKPerKey]] two-level sharded rank ≤
+   *                       `capPerSource` among dedup survivors)
+   *   4. token budget    (global greedy best-quality-first within
+   *                       `budgetWords`, the [[tokenBudget]] ordered-bucket
+   *                       scheme with one global key)
+   *
+   * One row per INPUT doc with a flag per stage plus the final verdict and
+   * the budget walk's cumulative word count — the auditable "why did my doc
+   * drop" table, and the gate that pins stage COMPOSITION (each screen is
+   * separately oracle-gated; this pins that chaining them changes nothing).
+   *
+   * Scale: stages 1-2 are a row-wise score + one hash groupBy; stage 3 is
+   * the sharded top-k (no corpus-sized single-key window); stage 4 reuses
+   * the bucket-prefix running-sum shape (the one global window runs only
+   * inside surviving 1/[[BudgetBuckets]] quality slices).
+   *
+   * @return (doc_id, source, n_words, quality, q_keep, dedup_keep,
+   *         cap_keep, final_keep, cum_words — NULL unless finally kept)
+   */
+  def pipelineKeep(docs: DataFrame, minQuality: Double = 0.3,
+                   capPerSource: Int = 15, budgetWords: Long = 8000L): DataFrame = {
+    require(capPerSource >= 1 && budgetWords >= 1L, "positive cap and budget")
+    val base = docs.select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+      .join(scored(docs).select("doc_id", "n_words", "quality"), "doc_id")
+      .withColumn("q_keep",
+        when(col("quality") >= minQuality, 1L).otherwise(0L))
+    val keepIds = base.where(col("q_keep") === 1L)
+      .groupBy("h").agg(min(col("doc_id")).as("keep_id"))
+    val dd = base.join(keepIds, Seq("h"), "left")
+      .withColumn("dedup_keep",
+        when(col("q_keep") === 1L && col("doc_id") === col("keep_id"), 1L)
+          .otherwise(0L))
+    val capped = topKPerKey(
+      dd.where(col("dedup_keep") === 1L).select("doc_id", "source", "quality"),
+      "source", capPerSource)
+    val cc = dd
+      .join(capped.select(col("doc_id"), lit(1L).as("ck")), Seq("doc_id"), "left")
+      .withColumn("cap_keep", coalesce(col("ck"), lit(0L)))
+    // global token budget over cap survivors: the tokenBudget bucket scheme
+    // with a single key (quality slices bound the sequential window)
+    val sb = cc.where(col("cap_keep") === 1L)
+      .select(col("doc_id"), col("quality"), col("n_words"))
+      .withColumn("qbucket",
+        when(col("quality").isNull, lit(-1L))
+          .otherwise(least(lit(BudgetBuckets - 1L), floor(col("quality") * BudgetBuckets))))
+    val partials = sb.groupBy("qbucket").agg(sum("n_words").as("bucket_words"))
+    val bw = Window.orderBy(col("qbucket").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefixes = partials
+      .withColumn("prefix_words", coalesce(sum(col("bucket_words")).over(bw), lit(0L)))
+      .where(col("prefix_words") < budgetWords)
+      .select("qbucket", "prefix_words")
+    val within = Window.partitionBy("qbucket")
+      .orderBy(col("quality").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val kept = sb.join(prefixes, Seq("qbucket"))
+      .withColumn("cum_words", col("prefix_words") + sum(col("n_words")).over(within))
+      .where(col("cum_words") <= budgetWords)
+      .select(col("doc_id"), col("cum_words"))
+    cc.join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("n_words"), col("quality"),
+        col("q_keep"), col("dedup_keep"), col("cap_keep"),
+        when(col("cum_words").isNotNull, 1L).otherwise(0L).as("final_keep"),
+        col("cum_words"))
+  }
 }

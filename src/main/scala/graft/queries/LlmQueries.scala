@@ -853,6 +853,20 @@ object LlmQueries {
           .otherwise(col("text")).as("text"))
       TextAnalysis.mojibakeStats(planted)
     }),
+    // the COMPOSED pipeline keep table: quality screen -> exact dedup (over
+    // the every-10th-doc duplicate plant) -> per-source cap -> global token
+    // budget, one auditable flag per stage — pins stage COMPOSITION, not
+    // just each separately-gated screen
+    "curate_pipeline_keep" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val nb = d.select((col("doc_id") + 1).as("doc_id"), col("text").as("ntext"))
+      val planted = d.join(nb, Seq("doc_id"), "left").select(col("doc_id"),
+        when(col("doc_id") % 10 === 0 && col("ntext").isNotNull, col("ntext"))
+          .otherwise(col("text")).as("text"),
+        col("source"))
+      graft.operators.Curation.pipelineKeep(planted,
+        minQuality = 0.3, capPerSource = 15, budgetWords = 8000L)
+    }),
     // OCR-artifact screen over planted scan damage: every 23rd doc a
     // hyphenated line-break split, every 29th three digit-confused tokens,
     // every 31st a single-char token spray — each tell fires its own column
@@ -1952,6 +1966,48 @@ object LlmQueries {
         |       len(regexp_extract_all(t2, '\+[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,8}')) AS n_phones,
         |       regexp_replace(t2, '\+[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,8}', '<PHONE>', 'g') AS redacted
         |FROM r2""".stripMargin,
+    // mirrors Curation.pipelineKeep(0.3, 15, 8000) over the duplicate
+    // plant: quality CTE, q-survivor min-id dedup, per-source rank <= 15,
+    // single-window global budget (= the bucket scheme by reassociation)
+    "curate_pipeline_keep" ->
+      s"""WITH d0 AS (
+         |  SELECT d.doc_id,
+         |         CASE WHEN d.doc_id % 10 = 0 AND nb.ntext IS NOT NULL
+         |              THEN nb.ntext ELSE d.text END AS text,
+         |         d.source
+         |  FROM documents d LEFT JOIN
+         |       (SELECT doc_id + 1 AS doc_id, text AS ntext FROM documents) nb
+         |    ON d.doc_id = nb.doc_id),
+         |b AS (
+         |  SELECT doc_id, source, md5(text) AS h,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         |         LEAST(1.0, len(string_split(text, ' ')) / 100.0)
+         |               * (1.0 - len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) * 1.0 / length(text))
+         |               * LEAST(1.0, 4.0 * ${hitsSql("en")} / len(string_split(lower(text), ' ')) + 0.5)
+         |           AS quality
+         |  FROM d0),
+         |q AS (SELECT b.*, CASE WHEN quality >= 0.3 THEN 1 ELSE 0 END AS q_keep FROM b),
+         |k AS (SELECT h, MIN(doc_id) AS keep_id FROM q WHERE q_keep = 1 GROUP BY 1),
+         |dd AS (SELECT q.*, CASE WHEN q.q_keep = 1 AND q.doc_id = k.keep_id
+         |                        THEN 1 ELSE 0 END AS dedup_keep
+         |       FROM q LEFT JOIN k ON q.h = k.h),
+         |cp AS (SELECT doc_id FROM (
+         |         SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY source
+         |                ORDER BY quality DESC, doc_id) AS rank
+         |         FROM dd WHERE dedup_keep = 1) WHERE rank <= 15),
+         |cc AS (SELECT dd.*, CASE WHEN cp.doc_id IS NOT NULL THEN 1 ELSE 0 END AS cap_keep
+         |       FROM dd LEFT JOIN cp ON dd.doc_id = cp.doc_id),
+         |bu AS (SELECT doc_id, cum_words FROM (
+         |         SELECT doc_id, CAST(SUM(n_words) OVER (ORDER BY quality DESC, doc_id
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_words
+         |         FROM cc WHERE cap_keep = 1) WHERE cum_words <= 8000)
+         |SELECT cc.doc_id, cc.source, cc.n_words, cc.quality,
+         |       CAST(cc.q_keep AS BIGINT) AS q_keep,
+         |       CAST(cc.dedup_keep AS BIGINT) AS dedup_keep,
+         |       CAST(cc.cap_keep AS BIGINT) AS cap_keep,
+         |       CAST(CASE WHEN bu.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS final_keep,
+         |       bu.cum_words
+         |FROM cc LEFT JOIN bu ON cc.doc_id = bu.doc_id""".stripMargin,
     // mirrors TextAnalysis.ocrArtifacts(minMixed=2, maxSingleRatio=0.2)
     // over the planted scan damage: same RE2 patterns verbatim
     "text_ocr_artifacts" ->

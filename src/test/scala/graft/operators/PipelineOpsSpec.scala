@@ -1138,4 +1138,42 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
       .map(r => r.getString(1) -> r.getLong(2)).toMap
     assert(webBuckets("unscored") == 1L) // the 1-word doc, explicit
   }
+
+  test("pipelineKeep: each stage gates the next; flags monotone; budget is a quality prefix") {
+    // all-stopword 100-word texts score quality exactly 1.0; permuting the
+    // word order changes the content hash without touching the score
+    def sw(lead: String) = (lead +: Seq.fill(99)("the")).mkString(" ")
+    val d = Seq(
+      (1L, sw("of"), "A"),   // kept everywhere
+      (2L, sw("of"), "A"),   // exact duplicate of 1 -> dedup drop
+      (3L, Seq.fill(10)("the").mkString(" "), "A"), // quality 0.1 -> q drop
+      (4L, sw("to"), "B"),
+      (5L, sw("in"), "B"),
+      (6L, sw("is"), "B"))   // rank 3 in B -> cap=2 drop
+      .toDF("doc_id", "text", "source")
+    val out = Curation.pipelineKeep(d, minQuality = 0.3, capPerSource = 2,
+        budgetWords = 250L).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def flags(id: Long) = {
+      val r = out(id)
+      (r.getAs[Long]("q_keep"), r.getAs[Long]("dedup_keep"),
+        r.getAs[Long]("cap_keep"), r.getAs[Long]("final_keep"))
+    }
+    assert(flags(1L) == (1L, 1L, 1L, 1L))
+    assert(flags(2L) == (1L, 0L, 0L, 0L), "higher-id exact copy drops at dedup")
+    assert(flags(3L) == (0L, 0L, 0L, 0L), "low quality drops at the screen")
+    assert(flags(4L) == (1L, 1L, 1L, 1L))
+    assert(flags(5L) == (1L, 1L, 1L, 0L), "cap survivor past the budget")
+    assert(flags(6L) == (1L, 1L, 0L, 0L), "rank 3 of cap 2 drops")
+    // budget walk: docs 1 and 4 fill 100 + 100 <= 250; doc 5 would hit 300
+    assert(out(1L).getAs[Long]("cum_words") == 100L)
+    assert(out(4L).getAs[Long]("cum_words") == 200L)
+    assert(out(5L).isNullAt(out(5L).fieldIndex("cum_words")))
+    // flags are monotone per doc: final <= cap <= dedup <= q
+    out.values.foreach { r =>
+      assert(r.getAs[Long]("final_keep") <= r.getAs[Long]("cap_keep"))
+      assert(r.getAs[Long]("cap_keep") <= r.getAs[Long]("dedup_keep"))
+      assert(r.getAs[Long]("dedup_keep") <= r.getAs[Long]("q_keep"))
+    }
+  }
 }
