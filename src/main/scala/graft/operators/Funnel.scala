@@ -633,4 +633,97 @@ object Funnel {
         (col("n_events_top").cast("double") / col("n_events").cast("double"))
           .as("share"))
   }
+
+  /**
+   * STATIONARY DISTRIBUTION of the event-type Markov chain — where
+   * [[pathTransitions]]' one-step matrix settles after many steps: the
+   * long-run share of traffic each state absorbs, the "which screen do
+   * users actually live on" number one power iteration short of the raw
+   * transition counts. States with no outgoing transition get a SELF-LOOP
+   * (the absorbing-state convention), so the chain is defined everywhere.
+   *
+   * Integer fixed point end to end (the [[graft.operators.Graph.pageRank]]
+   * contract): mass starts uniform at `scale div n_states`; each iteration
+   * moves `π(x)·n(x,y) div out(x)` along every observed edge — per-edge
+   * floor, exact DECIMAL product (counts at 100 TB overflow a LONG
+   * multiply), LONG state. Floors leak ≤ out-degree units per state per
+   * round; no engine float appears until the closing `pi` division.
+   *
+   * Scale: the one corpus-sized shuffle is [[pathTransitions]]' per-user
+   * lag window; every iteration then runs on the (types × types)-bounded
+   * edge frame. The one driver action counts STATES (type cardinality —
+   * the [[graft.operators.SimilarityIvf]] nLists-style bounded collect).
+   *
+   * @return (event_type, pi_fp, pi) — fixed-point and double mass per
+   *         state after `iters` synchronous steps.
+   */
+  def markovStationary(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String, iters: Int = 6,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1 && iters <= 30, "iters in [1, 30]")
+    val order = org.apache.spark.sql.expressions.Window
+      .partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    val counts = events.select(col(userCol), col(tsCol), col(idCol), col(typeCol))
+      .withColumn("from_type", lag(col(typeCol), 1).over(order))
+      .where(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val states = counts.select(col("from_type").as("s"))
+      .union(counts.select(col("to_type"))).distinct()
+      .localCheckpoint(false)
+    val dangling = states
+      .join(counts.select(col("from_type").as("s")).distinct(), Seq("s"), "left_anti")
+      .select(col("s").as("from_type"), col("s").as("to_type"), lit(1L).as("n"))
+    val edges = counts.union(dangling).localCheckpoint(false)
+    val outs = edges.groupBy("from_type").agg(sum("n").as("out_n"))
+      .localCheckpoint(false)
+    val nStates = states.count() // type cardinality — bounded by contract
+    var pi = states.select(col("s"), lit(scale / nStates).as("pi"))
+      .localCheckpoint(false)
+    for (_ <- 1 to iters) {
+      pi = edges
+        .join(pi.withColumnRenamed("s", "from_type"), "from_type")
+        .join(outs, "from_type")
+        .select(col("to_type").as("s"),
+          expr("CAST((CAST(pi AS DECIMAL(38,0)) * n) div out_n AS BIGINT)").as("part"))
+        .groupBy("s").agg(sum("part").as("pi"))
+        .localCheckpoint(false)
+    }
+    states.join(pi, Seq("s"), "left")
+      .select(col("s").as("event_type"),
+        coalesce(col("pi"), lit(0L)).as("pi_fp"),
+        (coalesce(col("pi"), lit(0L)).cast("double") / lit(scale.toDouble)).as("pi"))
+  }
+
+  /**
+   * Frequent 3-step paths — the trigram extension of [[pathTransitions]]:
+   * the top `k` (A → B → C) sequences users actually walk, counted over
+   * per-user time order. Bigrams say which edges exist; trigrams say which
+   * FLOWS exist (search → view → purchase vs search → view → search is the
+   * difference a funnel designer acts on).
+   *
+   * Scale: two per-user lag columns ride the same window shuffle as the
+   * bigram operator; counting aggregates to the (types³)-bounded frame with
+   * map-side combine, and the rank window orders THAT frame, never events.
+   * Total order (n DESC, then the three types) makes the cut exact.
+   *
+   * @return (rank, t1, t2, t3, n) — top `k` trigrams.
+   */
+  def pathTrigrams(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String, k: Int = 50): DataFrame = {
+    require(k >= 1, "k >= 1")
+    val order = org.apache.spark.sql.expressions.Window
+      .partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    val tri = events.select(col(userCol), col(tsCol), col(idCol), col(typeCol))
+      .withColumn("t2", lag(col(typeCol), 1).over(order))
+      .withColumn("t1", lag(col(typeCol), 2).over(order))
+      .where(col("t1").isNotNull)
+      .groupBy(col("t1"), col("t2"), col(typeCol).as("t3"))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))
+    tri.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("rank"), col("t1"), col("t2"), col("t3"), col("n"))
+  }
 }

@@ -1305,4 +1305,43 @@ object TextAnalysis {
         when(col("n_hyphen_breaks") >= 1L || col("n_mixed_alnum") >= minMixed ||
           col("single_char_ratio") > maxSingleRatio, 1L).otherwise(0L))
   }
+
+  /**
+   * Character-BIGRAM entropy per document — the sequence-structure sibling
+   * of [[charDiversity]]'s unigram histogram: template loops ("ababab…"),
+   * key-mash and repeated-separator blobs collapse onto a handful of
+   * bigrams (entropy → ln 2-ish) where natural prose spreads over hundreds
+   * (≈ 3–4 nats). Catches low-order repetition the unigram histogram is
+   * blind to (an "abab…" doc has PERFECT unigram balance).
+   *
+   * Determinism: bigram shares are exact integer ratios; each `p·ln p`
+   * term is quantized to DECIMAL(28,12) (the [[graft.operators.Funnel]]
+   * hourEntropy idiom) so the per-doc sum is order- and engine-exact.
+   *
+   * Scale: one explode into a (doc, bigram) hash aggregate — map-side
+   * combine absorbs the ~length(text) blowup, the same shuffle shape as
+   * [[vocabulary]]'s token counts; per-doc frames stay bounded by the
+   * distinct-bigram count (≤ alphabet²). Docs shorter than 2 chars (no
+   * bigram) are absent from the output.
+   *
+   * @return (doc_id, n_bigrams, n_distinct, entropy_nats, gibberish)
+   */
+  def bigramEntropy(docs: DataFrame, textCol: String = "text",
+                    flagBelow: Double = 2.0): DataFrame = {
+    val lt = lower(col(textCol))
+    val grams = docs.where(length(lt) >= 2)
+      .select(col("doc_id"),
+        explode(expr(s"transform(sequence(1, length(lower($textCol)) - 1)," +
+          s" i -> substring(lower($textCol), i, 2))")).as("g"))
+    val counts = grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy("doc_id").agg(
+      sum(col("c")).as("n_bigrams"), count(lit(1)).as("n_distinct"))
+    val p = col("c").cast("double") / col("n_bigrams").cast("double")
+    counts.join(totals, "doc_id")
+      .groupBy(col("doc_id"), col("n_bigrams"), col("n_distinct"))
+      .agg((-sum((p * log(p)).cast("decimal(28,12)"))).cast("double")
+        .as("entropy_nats"))
+      .withColumn("gibberish",
+        when(col("entropy_nats") < flagBelow, 1L).otherwise(0L))
+  }
 }

@@ -165,6 +165,19 @@ object ApiQueries {
           when(col("user_id") % 10 === 0, lit("ping")).otherwise(col("event_type")))
       Funnel.userPathGini(ev, "user_id", "ts_ms", "event_id", "event_type")
     }),
+    // stationary distribution of the event-type Markov chain: 6 integer
+    // fixed-point power steps over the transition counts, self-loops for
+    // absorbing states — bit-exact vs the unrolled replay
+    "events_markov_stationary" -> ((s, dir) => {
+      val ev = Points.table(s, dir, "events").withColumn("ts_ms", expr("ts div 1000000"))
+      Funnel.markovStationary(ev, "user_id", "ts_ms", "event_id", "event_type")
+    }),
+    // top-50 3-step user paths: two lag columns on the bigram window, count
+    // over the types^3-bounded frame, total-order rank
+    "events_path_trigrams" -> ((s, dir) => {
+      val ev = Points.table(s, dir, "events").withColumn("ts_ms", expr("ts div 1000000"))
+      Funnel.pathTrigrams(ev, "user_id", "ts_ms", "event_id", "event_type")
+    }),
     // weekly churn off the same cohort machinery: (user, week) distinct +
     // one (user, week+1) self-join; last week flagged unjudgeable
     "events_churn" -> ((s, dir) => {
@@ -792,6 +805,46 @@ object ApiQueries {
         |SELECT c.from_type, c.to_type, c.n, t.n_from,
         |       CAST(c.n AS DOUBLE) / t.n_from AS p
         |FROM c JOIN t USING (from_type)""".stripMargin,
+    // mirrors Funnel.markovStationary(iters=6, scale=1e12): dangling self-
+    // loops, per-edge floored mass moves, unrolled power-iteration CTEs
+    "events_markov_stationary" -> {
+      val rounds = (1 to 6).map { r =>
+        s"""p$r AS MATERIALIZED (
+           |  SELECT e.t AS s, CAST(SUM(CAST(p.pi AS HUGEINT) * e.n // o.o) AS BIGINT) AS pi
+           |  FROM p${r - 1} p JOIN e ON p.s = e.f JOIN o ON e.f = o.f GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ev AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type FROM events),
+         |st0 AS (SELECT event_type AS to_type,
+         |             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS from_type
+         |      FROM ev),
+         |c AS (SELECT from_type AS f, to_type AS t, CAST(COUNT(*) AS BIGINT) AS n
+         |      FROM st0 WHERE from_type IS NOT NULL GROUP BY 1, 2),
+         |sts AS MATERIALIZED (SELECT f AS s FROM c UNION SELECT t FROM c),
+         |dang AS (SELECT s AS f, s AS t, CAST(1 AS BIGINT) AS n FROM sts
+         |         WHERE s NOT IN (SELECT f FROM c)),
+         |e AS MATERIALIZED (SELECT * FROM c UNION ALL SELECT * FROM dang),
+         |o AS MATERIALIZED (SELECT f, CAST(SUM(n) AS BIGINT) AS o FROM e GROUP BY 1),
+         |ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM sts),
+         |p0 AS (SELECT s, 1000000000000 // (SELECT n FROM ns) AS pi FROM sts),
+         |$rounds
+         |SELECT sts.s AS event_type, CAST(COALESCE(p6.pi, 0) AS BIGINT) AS pi_fp,
+         |       CAST(COALESCE(p6.pi, 0) AS DOUBLE) / 1000000000000.0 AS pi
+         |FROM sts LEFT JOIN p6 ON sts.s = p6.s""".stripMargin
+    },
+    // mirrors Funnel.pathTrigrams(k=50): two lags on the per-user window,
+    // trigram counts, (n DESC, t1, t2, t3) total-order rank
+    "events_path_trigrams" ->
+      """WITH o AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type FROM events),
+        |s AS (SELECT event_type AS t3,
+        |             LAG(event_type, 1) OVER w AS t2,
+        |             LAG(event_type, 2) OVER w AS t1
+        |      FROM o WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+        |c AS (SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM s WHERE t1 IS NOT NULL GROUP BY 1, 2, 3),
+        |r AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, t1, t2, t3) AS BIGINT) AS rank,
+        |             t1, t2, t3, n
+        |      FROM c)
+        |SELECT rank, t1, t2, t3, n FROM r WHERE rank <= 50""".stripMargin,
     "events_user_gini" ->
       """WITH o AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
         |             CASE WHEN user_id % 10 = 0 THEN 'ping' ELSE event_type END AS event_type

@@ -692,6 +692,10 @@ object LlmQueries {
     // component into link neighborhoods — bit-exact vs the unrolled replay
     "graph_lpa" -> ((s, dir) =>
       graft.operators.Graph.labelPropagation(plantedEdges(docs(s, dir), full = true), rounds = 4)),
+    // bounded harmonic centrality (3 hops, lcm-60 exact integer scores):
+    // the distance-aware importance the random-walk family doesn't measure
+    "graph_harmonic" -> ((s, dir) =>
+      graft.operators.Graph.harmonicCentrality(plantedEdges(docs(s, dir), full = true))),
     // degree assortativity: Pearson over endpoint degrees, both
     // orientations — exact DECIMAL moment sums, one pinned double formula;
     // the one-number structural fingerprint per crawl snapshot
@@ -866,6 +870,15 @@ object LlmQueries {
         col("source"))
       graft.operators.Curation.pipelineKeep(planted,
         minQuality = 0.3, capPerSource = 15, budgetWords = 8000L)
+    }),
+    // char-bigram entropy over a planted template loop (every 37th doc
+    // becomes "abab…"): sequence-structure gibberish the unigram histogram
+    // can't see — quantized-ln exact sums, the hourEntropy idiom
+    "text_bigram_entropy" -> ((s, dir) => {
+      val planted = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 37 === 0, lit("ab" * 100))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.bigramEntropy(planted)
     }),
     // OCR-artifact screen over planted scan damage: every 23rd doc a
     // hyphenated line-break split, every 29th three digit-confused tokens,
@@ -1966,6 +1979,29 @@ object LlmQueries {
         |       len(regexp_extract_all(t2, '\+[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,8}')) AS n_phones,
         |       regexp_replace(t2, '\+[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,8}', '<PHONE>', 'g') AS redacted
         |FROM r2""".stripMargin,
+    // mirrors TextAnalysis.bigramEntropy(flagBelow=2.0) over the template
+    // plant: same bigram extraction, quantized-ln exact entropy sums
+    "text_bigram_entropy" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 37 = 0 THEN repeat('ab', 100) ELSE text END AS text
+        |  FROM documents),
+        |lt AS (SELECT doc_id, lower(text) AS lt FROM d WHERE length(text) >= 2),
+        |g AS (SELECT doc_id,
+        |             UNNEST(list_transform(range(1, length(lt)), i -> substr(lt, i, 2))) AS g
+        |      FROM lt),
+        |c AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c FROM g GROUP BY 1, 2),
+        |t AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+        |             CAST(COUNT(*) AS BIGINT) AS n_distinct
+        |      FROM c GROUP BY 1),
+        |en AS (SELECT c.doc_id,
+        |             CAST(-SUM(CAST((CAST(c.c AS DOUBLE) / CAST(t.n_bigrams AS DOUBLE))
+        |                  * ln(CAST(c.c AS DOUBLE) / CAST(t.n_bigrams AS DOUBLE))
+        |                  AS DECIMAL(28,12))) AS DOUBLE) AS entropy_nats
+        |      FROM c JOIN t ON c.doc_id = t.doc_id GROUP BY 1)
+        |SELECT t.doc_id, t.n_bigrams, t.n_distinct, en.entropy_nats,
+        |       CAST(CASE WHEN en.entropy_nats < 2.0 THEN 1 ELSE 0 END AS BIGINT) AS gibberish
+        |FROM t JOIN en ON t.doc_id = en.doc_id""".stripMargin,
     // mirrors Curation.pipelineKeep(0.3, 15, 8000) over the duplicate
     // plant: quality CTE, q-survivor min-id dedup, per-source rank <= 15,
     // single-window global budget (= the bucket scheme by reassociation)
@@ -3755,6 +3791,31 @@ object LlmQueries {
     "graph_hits" -> hitsOracleSql(),
     "graph_kcore" -> kcoreOracleSql(k = 3, rounds = 6),
     "graph_lpa" -> lpaOracleSql(rounds = 4),
+    // mirrors Graph.harmonicCentrality(maxHops=3): per-round frontier
+    // expansion with NOT-EXISTS min-hop guards, 60//hop exact scores
+    "graph_harmonic" ->
+      s"""WITH e AS MATERIALIZED (
+         |$PlantedEdgesSql),
+         |und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+         |        FROM e WHERE src != dst AND src IS NOT NULL AND dst IS NOT NULL),
+         |bi AS MATERIALIZED (SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und),
+         |h1 AS MATERIALIZED (SELECT DISTINCT u AS src, v AS dst FROM bi),
+         |h2 AS MATERIALIZED (
+         |  SELECT DISTINCT r.src, bi.v AS dst FROM h1 r JOIN bi ON r.dst = bi.u
+         |  WHERE r.src != bi.v
+         |    AND NOT EXISTS (SELECT 1 FROM h1 p WHERE p.src = r.src AND p.dst = bi.v)),
+         |h3 AS MATERIALIZED (
+         |  SELECT DISTINCT r.src, bi.v AS dst FROM h2 r JOIN bi ON r.dst = bi.u
+         |  WHERE r.src != bi.v
+         |    AND NOT EXISTS (SELECT 1 FROM h1 p WHERE p.src = r.src AND p.dst = bi.v)
+         |    AND NOT EXISTS (SELECT 1 FROM h2 p WHERE p.src = r.src AND p.dst = bi.v)),
+         |a AS (SELECT src, 1 AS hop FROM h1
+         |      UNION ALL SELECT src, 2 FROM h2
+         |      UNION ALL SELECT src, 3 FROM h3)
+         |SELECT src AS domain, CAST(COUNT(*) AS BIGINT) AS n_reached,
+         |       CAST(SUM(60 // hop) AS BIGINT) AS harmonic_fp60,
+         |       CAST(CAST(SUM(60 // hop) AS BIGINT) AS DOUBLE) / 60.0 AS harmonic
+         |FROM a GROUP BY 1""".stripMargin,
     // mirrors Graph.linkPredict: wedge-join candidates on the shared
     // neighbor, existing edges anti-joined out, exact-integer Jaccard
     "graph_link_predict" ->

@@ -184,4 +184,31 @@ class FunnelSpec extends AnyFunSuite with SparkSpec {
     assert(out(25L) == ((1L, 2L, 0.25)))
     assert(out(50L) == ((2L, 4L, 0.5)))
   }
+
+  test("markovStationary: a 2-cycle stays uniform; an absorbing state takes all mass") {
+    def run(rows: Seq[(Long, Long, Long, String)]) =
+      Funnel.markovStationary(rows.toDF("user_id", "ts_ms", "event_id", "event_type"),
+        "user_id", "ts_ms", "event_id", "event_type")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // A -> B -> A: doubly stochastic, uniform is stationary
+    val cyc = run(Seq((1L, 1L, 1L, "A"), (1L, 2L, 2L, "B"), (1L, 3L, 3L, "A")))
+    assert(cyc == Map("A" -> 500000000000L, "B" -> 500000000000L))
+    // A -> B, B absorbing (self-loop): all mass drains to B
+    val abs = run(Seq((1L, 1L, 1L, "A"), (1L, 2L, 2L, "B")))
+    assert(abs == Map("A" -> 0L, "B" -> 1000000000000L))
+  }
+
+  test("pathTrigrams: counts in time order, total-order rank, k cut") {
+    val ev = Seq(
+      (1L, 1L, 1L, "A"), (1L, 2L, 2L, "B"), (1L, 3L, 3L, "C"),
+      (1L, 4L, 4L, "B"), (1L, 5L, 5L, "C"),
+      (2L, 1L, 6L, "A"), (2L, 2L, 7L, "B"), (2L, 3L, 8L, "C"))
+      .toDF("user_id", "ts_ms", "event_id", "event_type")
+    val out = Funnel.pathTrigrams(ev, "user_id", "ts_ms", "event_id", "event_type", k = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2),
+        r.getString(3)), r.getLong(4))).toMap
+    assert(out(1L) == ((("A", "B", "C"), 2L)), "shared path counted across users")
+    assert(out(2L) == ((("B", "C", "B"), 1L)), "t1 tie-break after count")
+    assert(out.size == 2, "k cut applied")
+  }
 }

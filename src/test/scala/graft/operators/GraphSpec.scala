@@ -225,4 +225,17 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     try assert(labs(Graph.labelPropagation(star, rounds = 4).collect()) == s)
     finally spark.conf.set("spark.sql.shuffle.partitions", one)
   }
+
+  test("harmonicCentrality: hand-computed lcm-60 scores on a path graph") {
+    // a-b-c-d-e: from a (3 hops) reach b@1 c@2 d@3 -> 60+30+20 = 110;
+    // from c reach b,d@1 a,e@2 -> 2*60 + 2*30 = 180
+    val path = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")).toDF("src", "dst")
+    val out = Graph.harmonicCentrality(path, maxHops = 3).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out("a") == ((3L, 110L, 110.0 / 60.0)))
+    assert(out("c") == ((4L, 180L, 3.0)))
+    assert(out("e") == out("a"), "path symmetry")
+    // hop bound: e is 4 hops from a -> absent from each other's reach
+    assert(out("a")._1 == 3L && !out.contains("zz"))
+  }
 }

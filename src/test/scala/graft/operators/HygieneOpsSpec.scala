@@ -401,4 +401,25 @@ class HygieneOpsSpec extends AnyFunSuite with SparkSpec {
     val b = out("books")
     assert(b.getAs[Long]("n_docs_with_pii") == 0L && b.getAs[Double]("pii_doc_rate") == 0.0)
   }
+
+  test("bigramEntropy: constant text scores 0, templates flag, prose doesn't; short docs absent") {
+    val d = Seq(
+      (1L, "aaaa"),                                       // one bigram -> 0
+      (2L, "abab"),                                       // 2 bigrams, low
+      (3L, "the quick brown fox jumps over the lazy dog"),
+      (4L, "x"))                                          // no bigram
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramEntropy(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(!out.contains(4L))
+    assert(out(1L).getAs[Long]("n_distinct") == 1L)
+    assert(out(1L).getAs[Double]("entropy_nats") == 0.0)
+    assert(out(1L).getAs[Long]("gibberish") == 1L)
+    // "abab": ab x2, ba x1 -> -(2/3 ln 2/3 + 1/3 ln 1/3) ~ 0.6365 < 2
+    assert(out(2L).getAs[Long]("n_bigrams") == 3L)
+    assert(out(2L).getAs[Double]("entropy_nats") < 1.0)
+    assert(out(2L).getAs[Long]("gibberish") == 1L)
+    assert(out(3L).getAs[Double]("entropy_nats") > 2.0)
+    assert(out(3L).getAs[Long]("gibberish") == 0L)
+  }
 }
