@@ -393,4 +393,50 @@ object Anomaly {
       when(sd + mu === 0.0, lit(null)).otherwise((sd - mu) / (sd + mu)).as("burstiness"),
       when(mu === 0.0, lit(null)).otherwise(sd / mu).as("cv"))
   }
+
+  /**
+   * SEASONAL-BASELINE volume anomalies — hourly event counts per type
+   * against that type's (day-of-week, hour-of-day) cell mean across the
+   * observed weeks: the "is Tuesday 3pm unusually hot FOR a Tuesday 3pm"
+   * screen, where [[zscoreOutliers]]' global stats would flag every rush
+   * hour. The composition of [[graft.operators.Funnel.seasonality]]'s
+   * heatmap with an anomaly rule, as one operator.
+   *
+   * ALL-INTEGER determinism: a bucket count `c` spikes when
+   * `c · n_cell > spikeX · cell_total` and drops when
+   * `dropX · c · n_cell < cell_total` — the mean comparisons
+   * cross-multiplied so no division (and no float) exists anywhere.
+   * Products are DECIMAL(38,0): counts at 100 TB overflow a LONG multiply.
+   * The baseline is presence-only (zero-event hours leave no bucket row);
+   * cells observed once (n_cell = 1) are their own baseline and never flag.
+   *
+   * Scale: one (type × bucket) hash aggregate off the scan, one
+   * (type × 168)-bounded cell rollup broadcast back — map-side combine
+   * does the heavy lifting; no windows. Epoch-day dow convention (day 0 =
+   * Thursday), nonnegative timestamps assumed, as in the heatmap.
+   *
+   * @return (event_type, bucket_ms, n, dow, hour, n_cell, cell_total,
+   *         spike, vol_drop)
+   */
+  def seasonalAnomaly(events: DataFrame, typeCol: String = "event_type",
+                      tsMsCol: String = "ts_ms",
+                      spikeX: Long = 3L, dropX: Long = 3L): DataFrame = {
+    require(spikeX >= 1L && dropX >= 1L, "positive anomaly factors")
+    val buckets = events
+      .groupBy(col(typeCol).as("event_type"),
+        expr(s"$tsMsCol div 3600000 * 3600000").as("bucket_ms"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("dow", expr("(bucket_ms div 86400000) % 7"))
+      .withColumn("hour", expr("(bucket_ms div 3600000) % 24"))
+    val cells = buckets.groupBy("event_type", "dow", "hour")
+      .agg(count(lit(1)).as("n_cell"), sum(col("n")).as("cell_total"))
+    val cn = col("n").cast("decimal(38,0)") * col("n_cell")
+    buckets.join(broadcast(cells), Seq("event_type", "dow", "hour"))
+      .select(col("event_type"), col("bucket_ms"), col("n"), col("dow"),
+        col("hour"), col("n_cell"), col("cell_total"),
+        when(cn > col("cell_total").cast("decimal(38,0)") * spikeX, 1L)
+          .otherwise(0L).as("spike"),
+        when(cn * dropX < col("cell_total").cast("decimal(38,0)"), 1L)
+          .otherwise(0L).as("vol_drop"))
+  }
 }

@@ -629,4 +629,46 @@ object Search {
       .select(col("query_id"), col("doc_id"),
         col("snip_start").cast("long").as("snip_start"), col("n_covered"))
   }
+
+  /**
+   * SPELL SUGGESTION — "did you mean": for each query term, the corpus
+   * vocabulary words within `maxDist` edits, ranked by corpus frequency
+   * (the signal that makes "teh" → "the", not "ten"). The recovery path a
+   * search facade runs when BM25 returns nothing.
+   *
+   * Candidate generation is BLOCKED, not all-pairs (the
+   * [[graft.operators.Linkage]] contract): an edit-distance-1 neighbor
+   * shares the first character OR the misspelling is in position 1 — this
+   * operator blocks on (first char, ±maxDist length band), accepting the
+   * classic first-char-typo miss for a candidate set bounded by one
+   * letter-block of the vocabulary. The vocabulary itself is the
+   * distinct-words frame (bounded far below the corpus); the per-query
+   * rank window sees only one block's candidates.
+   *
+   * Determinism: exact integer distances and counts; rank order
+   * (dist ASC, count DESC, word ASC) is total.
+   *
+   * @param queries (query_id, qterm) — a SMALL batch (broadcast).
+   * @return (query_id, qterm, rank, suggestion, dist, n) — top `k`
+   *         correction candidates per query term.
+   */
+  def spellSuggest(docs: DataFrame, queries: DataFrame, maxDist: Int = 1,
+                   k: Int = 3): DataFrame = {
+    require(maxDist >= 1 && k >= 1, "positive maxDist and k")
+    val vocab = docs
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("n"))
+    val q = queries.select(col("query_id"), lower(col("qterm")).as("qterm"))
+    val cand = vocab.join(broadcast(q),
+        substring(col("w"), 1, 1) === substring(col("qterm"), 1, 1) &&
+          abs(length(col("w")) - length(col("qterm"))) <= maxDist)
+      .where(levenshtein(col("qterm"), col("w")) <= maxDist)
+    val rankW = Window.partitionBy("query_id")
+      .orderBy(levenshtein(col("qterm"), col("w")).asc, col("n").desc, col("w").asc)
+    cand.withColumn("rank", row_number().over(rankW).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("qterm"), col("rank"), col("w").as("suggestion"),
+        levenshtein(col("qterm"), col("w")).cast("long").as("dist"), col("n"))
+  }
 }

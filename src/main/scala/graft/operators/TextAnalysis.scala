@@ -1344,4 +1344,31 @@ object TextAnalysis {
       .withColumn("gibberish",
         when(col("entropy_nats") < flagBelow, 1L).otherwise(0L))
   }
+
+  /**
+   * LICENSE / COPYRIGHT screen — the legal sibling of [[blocklistFilter]]:
+   * count license-boilerplate markers (dated copyright lines,
+   * "all rights reserved", license-grant phrases) so a corpus build can
+   * route marked docs to a rights review instead of silently training on
+   * them. Three separately-counted marker classes plus the one flag, per
+   * the [[gopherFilter]] auditable-columns convention.
+   *
+   * Pure row-wise [[graft.functions.RegexCount]] passes over one lowercased
+   * scan — codegen'd, RE2-portable patterns (no lookarounds), zero shuffle.
+   *
+   * @return (doc_id, n_copyright, n_rights, n_license_terms, license_flag)
+   */
+  def licenseScreen(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val lt = lower(col(textCol))
+    def rc(pat: String) =
+      graft.functions.TextFunctions.regexCount(lt, pat).cast("long")
+    docs.select(col("doc_id"),
+        rc("copyright [0-9]{4}|\\(c\\) [0-9]{4}").as("n_copyright"),
+        rc("all rights reserved").as("n_rights"),
+        rc("licensed under|creative commons|gnu general public license")
+          .as("n_license_terms"))
+      .withColumn("license_flag",
+        when(col("n_copyright") + col("n_rights") + col("n_license_terms") > 0L, 1L)
+          .otherwise(0L))
+  }
 }

@@ -165,6 +165,11 @@ object ApiQueries {
           when(col("user_id") % 10 === 0, lit("ping")).otherwise(col("event_type")))
       Funnel.userPathGini(ev, "user_id", "ts_ms", "event_id", "event_type")
     }),
+    // seasonal-baseline volume anomalies: hourly counts vs the (dow, hour)
+    // cell mean, cross-multiplied integer comparisons — no division anywhere
+    "events_seasonal_anomaly" -> ((s, dir) =>
+      Anomaly.seasonalAnomaly(Points.table(s, dir, "events")
+        .withColumn("ts_ms", expr("ts div 1000000")))),
     // stationary distribution of the event-type Markov chain: 6 integer
     // fixed-point power steps over the transition counts, self-loops for
     // absorbing states — bit-exact vs the unrolled replay
@@ -805,6 +810,27 @@ object ApiQueries {
         |SELECT c.from_type, c.to_type, c.n, t.n_from,
         |       CAST(c.n AS DOUBLE) / t.n_from AS p
         |FROM c JOIN t USING (from_type)""".stripMargin,
+    // mirrors Anomaly.seasonalAnomaly(spikeX=3, dropX=3): presence-only
+    // hourly buckets, (dow, hour) cell rollup, cross-multiplied flags
+    "events_seasonal_anomaly" ->
+      """WITH b AS (
+        |  SELECT event_type, epoch_ms(ts) // 3600000 * 3600000 AS bucket_ms,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |b2 AS (SELECT *, (bucket_ms // 86400000) % 7 AS dow,
+        |              (bucket_ms // 3600000) % 24 AS hour FROM b),
+        |c AS (SELECT event_type, dow, hour, CAST(COUNT(*) AS BIGINT) AS n_cell,
+        |             CAST(SUM(n) AS BIGINT) AS cell_total
+        |      FROM b2 GROUP BY 1, 2, 3)
+        |SELECT b2.event_type, b2.bucket_ms, b2.n, b2.dow, b2.hour,
+        |       c.n_cell, c.cell_total,
+        |       CAST(CASE WHEN CAST(b2.n AS HUGEINT) * c.n_cell
+        |                      > CAST(c.cell_total AS HUGEINT) * 3
+        |                 THEN 1 ELSE 0 END AS BIGINT) AS spike,
+        |       CAST(CASE WHEN CAST(b2.n AS HUGEINT) * c.n_cell * 3
+        |                      < CAST(c.cell_total AS HUGEINT)
+        |                 THEN 1 ELSE 0 END AS BIGINT) AS vol_drop
+        |FROM b2 JOIN c USING (event_type, dow, hour)""".stripMargin,
     // mirrors Funnel.markovStationary(iters=6, scale=1e12): dangling self-
     // loops, per-edge floored mass moves, unrolled power-iteration CTEs
     "events_markov_stationary" -> {

@@ -969,6 +969,29 @@ object LlmQueries {
           concat_ws(" ", element_at(ws, 1), element_at(ws, 4)).as("qtext"))
       graft.operators.Search.proximityHits(d, q, window = 6, k = 10)
     }),
+    // "did you mean" spell suggestion: word 2 of every 97th doc with its
+    // last char typo'd to 'z', corrected from the corpus vocabulary via
+    // (first-char, length-band) blocked edit-distance-1 candidates ranked
+    // by corpus frequency
+    "search_spell_suggest" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val w2 = "element_at(split(text, ' '), 2)"
+      val q = d.where(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("query_id"),
+          expr(s"concat(substring($w2, 1, length($w2) - 1), 'z')").as("qterm"))
+      graft.operators.Search.spellSuggest(d, q)
+    }),
+    // license/copyright screen over planted boilerplate: every 13th doc a
+    // dated copyright + rights line, every 21st a license grant
+    "text_license_screen" -> ((s, dir) => {
+      val planted = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 13 === 0, concat(col("text"),
+          lit(" copyright 2021 example corp. all rights reserved.")))
+          .when(col("doc_id") % 21 === 0, concat(col("text"),
+            lit(" licensed under the apache license, version 2.0")))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.licenseScreen(planted)
+    }),
     // boolean (all-MUST + NOT) retrieval: the probe's four words as the
     // conjunction, its own 6th word as the exclusion — so each probe doc
     // excludes ITSELF, the planted tell that the NOT screen actually fires
@@ -4281,6 +4304,47 @@ object LlmQueries {
         |      FROM pd JOIN qn ON pd.query_id = qn.query_id
         |      WHERE pd.n_pairs = qn.n_terms * (qn.n_terms - 1) // 2)
         |SELECT query_id, rank, doc_id, max_gap FROM r WHERE rank <= 10""".stripMargin,
+    // mirrors Search.spellSuggest(maxDist=1, k=3) over the typo'd word-2
+    // probes: same blocking, levenshtein, (dist, n DESC, w) rank
+    "search_spell_suggest" ->
+      """WITH v AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        |             SELECT UNNEST(string_split(lower(text), ' ')) AS w FROM documents)
+        |           WHERE w != '' GROUP BY 1),
+        |q AS (SELECT doc_id AS query_id,
+        |             lower(substr(string_split(text, ' ')[2], 1,
+        |                          length(string_split(text, ' ')[2]) - 1) || 'z') AS qterm
+        |      FROM documents WHERE doc_id % 97 = 0),
+        |c AS (SELECT q.query_id, q.qterm, v.w, v.n,
+        |             CAST(levenshtein(q.qterm, v.w) AS BIGINT) AS dist
+        |      FROM v JOIN q ON substr(v.w, 1, 1) = substr(q.qterm, 1, 1)
+        |                   AND abs(length(v.w) - length(q.qterm)) <= 1
+        |      WHERE levenshtein(q.qterm, v.w) <= 1),
+        |r AS (SELECT query_id, qterm, w AS suggestion, dist, n,
+        |             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |                    ORDER BY dist ASC, n DESC, w ASC) AS BIGINT) AS rank
+        |      FROM c)
+        |SELECT query_id, qterm, rank, suggestion, dist, n FROM r WHERE rank <= 3""".stripMargin,
+    // mirrors TextAnalysis.licenseScreen over the planted boilerplate:
+    // same RE2 marker patterns verbatim, chained CASE plant
+    "text_license_screen" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 13 = 0
+        |                THEN text || ' copyright 2021 example corp. all rights reserved.'
+        |              WHEN doc_id % 21 = 0
+        |                THEN text || ' licensed under the apache license, version 2.0'
+        |              ELSE text END AS text
+        |  FROM documents),
+        |c AS (SELECT doc_id, lower(text) AS lt FROM d)
+        |SELECT doc_id,
+        |       CAST(len(regexp_extract_all(lt, 'copyright [0-9]{4}|\(c\) [0-9]{4}')) AS BIGINT) AS n_copyright,
+        |       CAST(len(regexp_extract_all(lt, 'all rights reserved')) AS BIGINT) AS n_rights,
+        |       CAST(len(regexp_extract_all(lt, 'licensed under|creative commons|gnu general public license')) AS BIGINT) AS n_license_terms,
+        |       CAST(CASE WHEN len(regexp_extract_all(lt, 'copyright [0-9]{4}|\(c\) [0-9]{4}'))
+        |                      + len(regexp_extract_all(lt, 'all rights reserved'))
+        |                      + len(regexp_extract_all(lt, 'licensed under|creative commons|gnu general public license')) > 0
+        |                 THEN 1 ELSE 0 END AS BIGINT) AS license_flag
+        |FROM c""".stripMargin,
     // mirrors Search.booleanHits over the 4-word MUST / 6th-word NOT probes:
     // distinct doc-term set, all-terms count equality, NOT anti-join
     "search_boolean" ->

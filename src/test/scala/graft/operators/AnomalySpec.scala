@@ -215,4 +215,26 @@ class AnomalySpec extends AnyFunSuite with SparkSpec {
     val z = Anomaly.burstiness(zeros).collect().head
     assert(z.isNullAt(z.fieldIndex("burstiness")) && z.isNullAt(z.fieldIndex("cv")))
   }
+
+  test("seasonalAnomaly: spike/drop fire on cross-multiplied integer rules only") {
+    val week = 604800000L
+    // type A, same (dow 0, hour 0) cell over 4 weeks: counts 1,1,1,10
+    // cell_total 13, n_cell 4: week-3 spike (10*4 > 3*13), the 1s drop
+    // (1*4*3 < 13). Type B uniform: never flags.
+    val a = (0 until 3).map(k => ("a", k * week)) ++
+      (0 until 10).map(i => ("a", 3 * week + i * 1000L))
+    val b = (0 until 4).map(k => ("b", k * week))
+    val ev = (a ++ b).toDF("event_type", "ts_ms")
+    val out = Anomaly.seasonalAnomaly(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    val spike = out(("a", 3 * week))
+    assert(spike.getAs[Long]("n") == 10L && spike.getAs[Long]("spike") == 1L)
+    assert(spike.getAs[Long]("vol_drop") == 0L)
+    val low = out(("a", 0L))
+    assert(low.getAs[Long]("spike") == 0L && low.getAs[Long]("vol_drop") == 1L)
+    assert(out(("b", 0L)).getAs[Long]("spike") == 0L)
+    assert(out(("b", 0L)).getAs[Long]("vol_drop") == 0L)
+    assert(out(("a", 0L)).getAs[Long]("n_cell") == 4L)
+    assert(out(("a", 0L)).getAs[Long]("cell_total") == 13L)
+  }
 }

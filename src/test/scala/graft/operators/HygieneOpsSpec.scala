@@ -422,4 +422,23 @@ class HygieneOpsSpec extends AnyFunSuite with SparkSpec {
     assert(out(3L).getAs[Double]("entropy_nats") > 2.0)
     assert(out(3L).getAs[Long]("gibberish") == 0L)
   }
+
+  test("licenseScreen: each marker class counts separately; clean prose passes") {
+    val d = Seq(
+      (1L, "Copyright 2020 Foo Corp. All rights reserved."),
+      (2L, "(c) 1999 bar industries"),
+      (3L, "this work is licensed under the MIT license"),
+      (4L, "plain prose about copyrights in general"), // no dated line
+      (5L, "creative commons attribution applies"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.licenseScreen(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_copyright") == 1L)
+    assert(out(1L).getAs[Long]("n_rights") == 1L)
+    assert(out(1L).getAs[Long]("license_flag") == 1L)
+    assert(out(2L).getAs[Long]("n_copyright") == 1L)
+    assert(out(3L).getAs[Long]("n_license_terms") == 1L)
+    assert(out(4L).getAs[Long]("license_flag") == 0L, "undated mention passes")
+    assert(out(5L).getAs[Long]("n_license_terms") == 1L)
+  }
 }

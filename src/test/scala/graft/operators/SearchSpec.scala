@@ -313,4 +313,22 @@ class SearchSpec extends AnyFunSuite with SparkSpec {
     assert(out(1L) == (9L, 2L), "earliest full-coverage anchor wins")
     assert(out(2L) == (0L, 2L), "earliest window on coverage ties")
   }
+
+  test("spellSuggest: frequency breaks distance ties; first-char block bounds candidates") {
+    val d = docs(
+      1L -> "the the the ten toe",
+      2L -> "the the tho")
+    val q = Seq((1L, "thz"), (2L, "xhz")).toDF("query_id", "qterm")
+    val out = Search.spellSuggest(d, q, maxDist = 1, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> (r.getString(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    // thz -> the (dist 1, n 5) then tho (dist 1, n 1); frequency breaks tie.
+    // NOTE plain Levenshtein: a transposition ("teh") costs 2, not 1.
+    assert(out((1L, 1L)) == (("the", 1L, 5L)))
+    assert(out((1L, 2L)) == (("tho", 1L, 1L)))
+    // ten/toe are dist 2 from thz so they never appear
+    assert(!out.values.exists(v => v._1 == "ten" || v._1 == "toe"))
+    // first-char block: xhz has no x-words -> no suggestions at all
+    assert(!out.keys.exists(_._1 == 2L))
+  }
 }
