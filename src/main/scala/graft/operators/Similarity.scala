@@ -289,6 +289,51 @@ object Similarity {
   }
 
   /**
+   * Diagonal-covariance MAHALANOBIS OOD score — the PARAMETRIC outlier
+   * complement to the kNN-density scorer ([[knnDensity]] asks "are my
+   * neighbors far"; this asks "am I far from the per-dimension corpus
+   * distribution"): score = Σ_d (x_d − μ_d)² / σ²_d over [[dimStats]]'
+   * exact-grid moments, which is the χ²-shaped distance under an
+   * axis-aligned Gaussian fit. Catches exploding norms AND dead (zeroed)
+   * inputs — a zero vector sits μ²/σ² from every non-centered dimension —
+   * without generating a single pair.
+   *
+   * Determinism: μ/σ² come from the dimStats exact integer moments (shared
+   * expressions); each per-(vector, dim) term is one pinned double
+   * expression, and the per-vector sum folds in ASCENDING dim order (the
+   * sorted-fold contract — the fold is over the fixed dim axis, so it is
+   * also input-order-free). Zero-variance dims contribute 0.
+   *
+   * Scale: one posexplode joined against the BROADCAST dim-stats frame
+   * (≤ dims rows), one per-vector aggregate whose state is the dim-bounded
+   * term array. No pairs, no windows, no driver round-trips.
+   *
+   * @return (vec_id, n_dims, m2, m2_per_dim, ood_flag) — flag fires when
+   *         the per-dimension average exceeds `flagAt` (χ²/dof heuristic:
+   *         E[m2/dims] = 1 for in-distribution data).
+   */
+  def mahalanobisDiag(emb: DataFrame, flagAt: Double = 4.0): DataFrame = {
+    val stats = dimStats(emb).select(col("dim"), col("mean"), col("variance"))
+    val comps = emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "v")))
+      .select(col("vec_id"), (col("d") + 1).cast("long").as("dim"),
+        col("v").cast("double").as("x"))
+    val term = when(col("variance") > 0.0,
+        (col("x") - col("mean")) * (col("x") - col("mean")) / col("variance"))
+      .otherwise(lit(0.0))
+    comps.join(broadcast(stats), "dim")
+      .select(col("vec_id"), struct(col("dim"), term.as("t")).as("dt"))
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_dims"),
+        aggregate(array_sort(collect_list(col("dt"))), lit(0.0),
+          (acc, s) => acc + s.getField("t")).as("m2"))
+      .select(col("vec_id"), col("n_dims"), col("m2"),
+        (col("m2") / col("n_dims").cast("double")).as("m2_per_dim"))
+      .withColumn("ood_flag",
+        when(col("m2_per_dim") > flagAt, 1L).otherwise(0L))
+  }
+
+  /**
    * Corpus-level ISOTROPY audit — the one-row report on whether the
    * embedding space has collapsed toward a common direction (Ethayarajh's
    * anisotropy finding: contextual encoders often emit vectors with mean

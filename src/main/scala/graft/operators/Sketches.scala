@@ -399,4 +399,53 @@ object Sketches {
     med.crossJoin(exact)
       .select(lit(r.toLong).as("r"), col("est_f2"), col("exact_f2"), col("n_rows"))
   }
+
+  /**
+   * STREAMING count-min — [[cmsCounters]] carried as
+   * `flatMapGroupsWithState` state, completing the streaming-sketch family
+   * ([[hllStream]], [[qdigestStream]]): each SALT LANE is its own state
+   * group (`width` longs — 8 KB at the default 1024), updated by the exact
+   * batch hash (`md5("salt:elem")` first-5-hex bucket) and emitting the
+   * tracked probes' per-lane counts after every micro-batch. The CMS
+   * estimate is the MIN across the `depth` lanes — one tiny groupBy on
+   * this output (the spec pins one-batch == [[cmsTopK]] equivalence).
+   *
+   * The update IS the merge (counter-wise addition), so restarts,
+   * backfills, and unions of saved lane states are the same operation.
+   * Works on a batch frame too (state starts empty — the spec's harness).
+   *
+   * @param probes the fixed elements to report each batch (a monitoring
+   *               watchlist — CMS answers point queries, not top-k).
+   * @return streaming (salt, probe, cms_n) — min over salt per probe is
+   *         the frequency estimate.
+   */
+  def cmsStream(df: DataFrame, elemCol: String, probes: Seq[String],
+      depth: Int = 4, width: Int = 1024): DataFrame = {
+    require(depth >= 1 && depth <= 8 && width >= 2 && width <= 1048576,
+      "depth in [1,8], width in [2,2^20]")
+    require(probes.nonEmpty, "empty probe watchlist")
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = df.sparkSession
+    import spark.implicits._
+    def bucketOf(salt: Int, elem: String): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest((salt.toString + ":" + elem).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (Integer.parseInt(hex.substring(0, 5), 16) % width + width) % width
+    }
+    val probeList = probes.toList
+    val ds = df.where(col(elemCol).isNotNull)
+      .select(explode(sequence(lit(0), lit(depth - 1))).as("salt"),
+        col(elemCol).cast("string").as("e"))
+      .as[(Int, String)]
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (salt: Int, rows: Iterator[(Int, String)], state: GroupState[Array[Long]]) =>
+          val c = state.getOption.getOrElse(new Array[Long](width))
+          rows.foreach { case (_, e) => c(bucketOf(salt, e)) += 1L }
+          state.update(c)
+          probeList.iterator.map(p => (salt, p, c(bucketOf(salt, p))))
+      }
+      .toDF("salt", "probe", "cms_n")
+  }
 }

@@ -729,6 +729,19 @@ object LlmQueries {
     // component (the SHARED memoized frame), sign-split floor division
     "embed_pc_project" -> ((s, dir) =>
       Similarity.pcProjectionFrom(emb(s, dir), topPcFrame(s, dir))),
+    // parametric OOD: diagonal-Mahalanobis distance from the per-dim corpus
+    // Gaussian (exact-grid moments), same corruption plant as the norm
+    // screen — catches the zeroed vectors the norm screen must infer
+    "embed_mahalanobis" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val planted = e.select(col("vec_id"),
+        when(col("vec_id") % 97 === 0,
+          transform(col("embedding"), _ => lit(0.0f)))
+          .when(col("vec_id") % 50 === 0,
+            transform(col("embedding"), v => (v * lit(3.0f)).cast("float")))
+          .otherwise(col("embedding")).as("embedding"))
+      Similarity.mahalanobisDiag(planted)
+    }),
     // row-level embedding health: norm outliers vs the corpus mean squared
     // grid norm, over planted corruption (every 50th vector scaled 3x =
     // exploding norm, every 97th zeroed = dead input)
@@ -3929,6 +3942,43 @@ object LlmQueries {
          |  FROM proj)
          |SELECT vec_id, proj_fp, CAST(proj_fp AS DOUBLE) / 1000000 AS proj
          |FROM pf""".stripMargin,
+    // mirrors Similarity.mahalanobisDiag(flagAt=4.0) over the corruption
+    // plant: dimStats exact-grid moments, per-(vec, dim) pinned term,
+    // ascending-dim sorted fold
+    "embed_mahalanobis" ->
+      """WITH p AS (
+        |  SELECT vec_id,
+        |    CASE WHEN vec_id % 97 = 0 THEN list_transform(embedding, v -> CAST(0.0 AS FLOAT))
+        |         WHEN vec_id % 50 = 0 THEN list_transform(embedding, v -> CAST(v * CAST(3.0 AS FLOAT) AS FLOAT))
+        |         ELSE embedding END AS embedding
+        |  FROM embeddings),
+        |e AS (SELECT vec_id, UNNEST(embedding) AS v,
+        |             generate_subscripts(embedding, 1) AS d FROM p),
+        |s AS (SELECT d, COUNT(*) AS n_vecs,
+        |         CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1048576 + 0.5) AS BIGINT)) AS BIGINT) AS fp_sum,
+        |         CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1048576 + 0.5) AS BIGINT) *
+        |                  CAST(FLOOR(CAST(v AS DOUBLE) * 1048576 + 0.5) AS BIGINT)) AS BIGINT) AS fp_sumsq
+        |      FROM e GROUP BY 1),
+        |m AS (SELECT d, fp_sum / (n_vecs * 1048576) AS mean,
+        |             fp_sumsq / (n_vecs * 1048576 * 1048576) -
+        |               (fp_sum / (n_vecs * 1048576)) * (fp_sum / (n_vecs * 1048576)) AS variance
+        |      FROM s),
+        |t AS (SELECT e.vec_id, e.d,
+        |             CASE WHEN m.variance > 0.0
+        |                  THEN (CAST(e.v AS DOUBLE) - m.mean) * (CAST(e.v AS DOUBLE) - m.mean)
+        |                       / m.variance
+        |                  ELSE 0.0 END AS t
+        |      FROM e JOIN m ON e.d = m.d),
+        |g AS (SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_dims,
+        |             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |               list_transform(list_sort(list(struct_pack(d := d, t := t))),
+        |                              q -> q.t)),
+        |               (acc, v) -> acc + v) AS m2
+        |      FROM t GROUP BY 1)
+        |SELECT vec_id, n_dims, m2, m2 / CAST(n_dims AS DOUBLE) AS m2_per_dim,
+        |       CAST(CASE WHEN m2 / CAST(n_dims AS DOUBLE) > 4.0 THEN 1 ELSE 0 END AS BIGINT)
+        |         AS ood_flag
+        |FROM g""".stripMargin,
     "embed_norm_outliers" ->
       """WITH p AS (
         |  SELECT vec_id,

@@ -441,4 +441,30 @@ class HygieneOpsSpec extends AnyFunSuite with SparkSpec {
     assert(out(4L).getAs[Long]("license_flag") == 0L, "undated mention passes")
     assert(out(5L).getAs[Long]("n_license_terms") == 1L)
   }
+
+  test("mahalanobisDiag: hand-computed chi2 terms; zero-variance dims contribute 0") {
+    // dim1 values 0,2,1,1: mean 1, var 0.5; dim2 values 0,0,1,-1: mean 0,
+    // var 0.5 -> every vector scores exactly 2.0 (grid-exact values)
+    val emb = Seq(
+      (1L, Seq(0.0f, 0.0f)), (2L, Seq(2.0f, 0.0f)),
+      (3L, Seq(1.0f, 1.0f)), (4L, Seq(1.0f, -1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.mahalanobisDiag(emb).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    out.values.foreach { r =>
+      assert(r.getAs[Long]("n_dims") == 2L)
+      assert(r.getAs[Double]("m2") == 2.0)
+      assert(r.getAs[Long]("ood_flag") == 0L)
+    }
+    // constant dim (var 0) contributes 0; the outlier dim still flags the
+    // far vector (3 of 4 at 0.25, one at 4.0: mean 1.1875, var ~ 2.37)
+    val e2 = Seq(
+      (1L, Seq(1.0f, 0.25f)), (2L, Seq(1.0f, 0.25f)),
+      (3L, Seq(1.0f, 0.25f)), (4L, Seq(1.0f, 16.0f)))
+      .toDF("vec_id", "embedding")
+    val o2 = Similarity.mahalanobisDiag(e2, flagAt = 1.0).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(o2(4L).getAs[Long]("ood_flag") == 1L)
+    assert(o2(1L).getAs[Double]("m2") < o2(4L).getAs[Double]("m2"))
+  }
 }

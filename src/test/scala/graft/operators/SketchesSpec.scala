@@ -178,4 +178,24 @@ class SketchesSpec extends AnyFunSuite with SparkSpec {
     val again = Sketches.amsF2(df.repartition(7), "e", r = 16).collect().head
     assert(again.getAs[Long]("est_f2") == r2.getAs[Long]("est_f2"))
   }
+
+  test("cmsStream one-batch run: min over salt lanes equals the batch CMS estimate") {
+    import spark.implicits._
+    val elems = (Seq.fill(9)("hot") ++ Seq.fill(4)("warm") ++ Seq("cold")).toDF("e")
+    val probes = Seq("hot", "warm", "cold", "absent")
+    val stream = Sketches.cmsStream(elems, "e", probes).collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    // 4 lanes x 4 probes reported
+    assert(stream.size == 16)
+    val minOverLanes = probes.map(p =>
+      p -> (0 until 4).map(s => stream((s, p))).min).toMap
+    val batch = Sketches.cmsTopK(elems, "e", nCandidates = 10).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(minOverLanes("hot") == batch("hot"))
+    assert(minOverLanes("warm") == batch("warm"))
+    assert(minOverLanes("cold") == batch("cold"))
+    // CMS never under-counts; an absent probe can only over-count
+    assert(minOverLanes("absent") >= 0L)
+    assert(minOverLanes("hot") >= 9L)
+  }
 }
