@@ -439,4 +439,43 @@ object Anomaly {
         when(cn * dropX < col("cell_total").cast("decimal(38,0)"), 1L)
           .otherwise(0L).as("vol_drop"))
   }
+
+  /**
+   * POISSON DISPERSION index (variance-to-mean ratio of per-bucket arrival
+   * counts) per event type — the arrival-process fingerprint in one
+   * number: D ≈ 1 is Poisson (organic, independent arrivals), D ≫ 1 is
+   * clustered/bursty (incidents, batch jobs, thundering herds), D < 1 is
+   * machine-regular. The per-TYPE complement to [[burstiness]]'s per-user
+   * gap view, and the statistical test behind [[seasonalAnomaly]]'s
+   * eyeball ("is this type's volume even Poisson enough to threshold").
+   *
+   * Determinism: bucket counts are exact integers; moment sums run in
+   * DECIMAL(38,0) (counts at 100 TB overflow a LONG square), and the
+   * closing (μ, σ², D) is one pinned IEEE chain with a `GREATEST(·, 0)`
+   * absorbing float cancellation on near-constant series. The baseline is
+   * presence-only (zero-count buckets leave no row) — D is conditional on
+   * active hours, which is the operational reading.
+   *
+   * @return (event_type, n_buckets, mean_per_bucket, var_per_bucket,
+   *         dispersion)
+   */
+  def dispersionIndex(events: DataFrame, typeCol: String = "event_type",
+                      tsMsCol: String = "ts_ms",
+                      periodMs: Long = 3600000L): DataFrame = {
+    require(periodMs >= 1L, "periodMs >= 1")
+    val sums = events
+      .groupBy(col(typeCol).as("event_type"),
+        expr(s"$tsMsCol div $periodMs").as("b"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("n")).as("s1"),
+        sum(col("n").cast("decimal(38,0)") * col("n")).as("s2"))
+    val nd = col("n_buckets").cast("double")
+    val mu = col("s1").cast("double") / nd
+    val varr = greatest(col("s2").cast("double") / nd - mu * mu, lit(0.0))
+    sums.select(col("event_type"), col("n_buckets"),
+      mu.as("mean_per_bucket"), varr.as("var_per_bucket"),
+      (varr / mu).as("dispersion"))
+  }
 }

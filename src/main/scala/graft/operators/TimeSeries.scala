@@ -738,4 +738,38 @@ object TimeSeries {
       .withColumn("compression_ratio",
         col("raw_bits").cast("double") / col("gorilla_bits").cast("double"))
   }
+
+  /**
+   * Gap-FILLED downsample — the OpenTSDB fill-policy surface
+   * ([[downsample]] only emits buckets that have points; a dashboard or a
+   * joined cross-metric calculation needs the EMPTY buckets too): per
+   * (metric, series), the complete `periodMs` grid from the series' first
+   * to last observed bucket, carrying all three classic fill policies at
+   * once — `value` (NULL where missing, OpenTSDB "none"), `value_zero`
+   * ("zero"), `value_locf` (last observation carried forward) — plus a
+   * `filled` audit flag per emitted row.
+   *
+   * Scale: the grid generation explodes a per-series `sequence(first,
+   * last, period)` — bounded by the series' time span over the period, the
+   * same bound as the bucket frame itself (a year of hourly buckets is
+   * 8.8k rows per series regardless of corpus size); the LOCF window
+   * partitions per series. Determinism: the underlying downsample is the
+   * exact-DECIMAL average; grid buckets are unique per series, so the
+   * window order is total without a tie-break.
+   */
+  def downsampleFill(points: DataFrame, periodMs: Long): DataFrame = {
+    require(periodMs >= 1L, "periodMs >= 1")
+    val ds = downsample(points, periodMs, "avg", exact = true)
+    val bounds = ds.groupBy("metric", "series")
+      .agg(min("bucket_ms").as("b0"), max("bucket_ms").as("b1"))
+    val grid = bounds.select(col("metric"), col("series"),
+      explode(sequence(col("b0"), col("b1"), lit(periodMs))).as("bucket_ms"))
+    val w = Window.partitionBy("metric", "series").orderBy("bucket_ms")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(ds, Seq("metric", "series", "bucket_ms"), "left")
+      .select(col("metric"), col("series"), col("bucket_ms"), col("value"),
+        coalesce(col("value"), lit(0.0)).as("value_zero"),
+        last(col("value"), ignoreNulls = true).over(w).as("value_locf"),
+        when(col("value").isNull, 1L).otherwise(0L).as("filled"))
+  }
 }

@@ -165,6 +165,12 @@ object ApiQueries {
           when(col("user_id") % 10 === 0, lit("ping")).otherwise(col("event_type")))
       Funnel.userPathGini(ev, "user_id", "ts_ms", "event_id", "event_type")
     }),
+    // Poisson dispersion index per event type: variance-to-mean of hourly
+    // arrival counts (exact DECIMAL moments, pinned close) — the arrival-
+    // process fingerprint behind the seasonal/burstiness screens
+    "events_dispersion" -> ((s, dir) =>
+      Anomaly.dispersionIndex(Points.table(s, dir, "events")
+        .withColumn("ts_ms", expr("ts div 1000000")))),
     // seasonal-baseline volume anomalies: hourly counts vs the (dow, hour)
     // cell mean, cross-multiplied integer comparisons — no division anywhere
     "events_seasonal_anomaly" -> ((s, dir) =>
@@ -810,6 +816,26 @@ object ApiQueries {
         |SELECT c.from_type, c.to_type, c.n, t.n_from,
         |       CAST(c.n AS DOUBLE) / t.n_from AS p
         |FROM c JOIN t USING (from_type)""".stripMargin,
+    // mirrors Anomaly.dispersionIndex(periodMs=1h): exact DECIMAL moment
+    // sums over hourly counts, GREATEST-guarded pinned variance
+    "events_dispersion" ->
+      """WITH b AS (
+        |  SELECT event_type, epoch_ms(ts) // 3600000 AS b,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+        |             CAST(SUM(n) AS BIGINT) AS s1,
+        |             CAST(SUM(CAST(n AS HUGEINT) * n) AS HUGEINT) AS s2
+        |      FROM b GROUP BY 1),
+        |m AS (SELECT event_type, n_buckets,
+        |             CAST(s1 AS DOUBLE) / CAST(n_buckets AS DOUBLE) AS mu,
+        |             GREATEST(CAST(s2 AS DOUBLE) / CAST(n_buckets AS DOUBLE)
+        |               - (CAST(s1 AS DOUBLE) / CAST(n_buckets AS DOUBLE))
+        |                 * (CAST(s1 AS DOUBLE) / CAST(n_buckets AS DOUBLE)), 0.0) AS varr
+        |      FROM s)
+        |SELECT event_type, n_buckets, mu AS mean_per_bucket,
+        |       varr AS var_per_bucket, varr / mu AS dispersion
+        |FROM m""".stripMargin,
     // mirrors Anomaly.seasonalAnomaly(spikeX=3, dropX=3): presence-only
     // hourly buckets, (dow, hour) cell rollup, cross-multiplied flags
     "events_seasonal_anomaly" ->

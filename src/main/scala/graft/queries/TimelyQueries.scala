@@ -64,6 +64,13 @@ object TimelyQueries {
     "ts_downsample_max" -> ((s, dir) => ds(s, dir, "max")),
     "ts_downsample_count" -> ((s, dir) => ds(s, dir, "count")),
     "ts_downsample_dev" -> ((s, dir) => ds(s, dir, "dev")),
+    // gap-filled hourly grid per series: all three OpenTSDB fill policies
+    // (none/zero/LOCF) carried side by side, with the filled audit flag.
+    // One sparse metric (purchase) — per-user purchase series are mostly
+    // gaps, the case fill policies exist for (and a bench-bounded output)
+    "ts_downsample_fill" -> ((s, dir) =>
+      TimeSeries.downsampleFill(
+        points(s, dir).where(col("metric") === "purchase"), Hour)),
     "ts_cross_series_sum" -> ((s, dir) => {
       // downsample 1h-avg per series, then cross-series sum per metric+bucket
       // (reference AggregationIterator: all surviving series collapse into one)
@@ -210,6 +217,32 @@ object TimelyQueries {
     "ts_downsample_dev" ->
       // RMS quirk (Dev.java:5-19): sqrt(sum(x^2)/(n-1)), n==1 -> sqrt(sum(x^2))
       dsSql("CASE WHEN COUNT(*) = 1 THEN SQRT(CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)) AS DECIMAL(18,4))) AS DOUBLE)) ELSE SQRT(CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)) AS DECIMAL(18,4))) AS DOUBLE)/(COUNT(*)-1)) END"),
+    // mirrors TimeSeries.downsampleFill(Hour): exact-decimal hourly avg,
+    // per-series full grid, NULL/zero/LOCF fills + the audit flag
+    "ts_downsample_fill" -> {
+      val avg = "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value)"
+      s"""WITH d AS (
+         |  SELECT event_type AS metric,
+         |         'user=' || CAST(user_id AS VARCHAR) AS series,
+         |         epoch_ms(ts) // 3600000 * 3600000 AS bucket_ms,
+         |         $avg AS value
+         |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2, 3),
+         |b AS (SELECT metric, series, MIN(bucket_ms) AS b0, MAX(bucket_ms) AS b1
+         |      FROM d GROUP BY 1, 2),
+         |g AS (SELECT metric, series,
+         |             UNNEST(range(b0, b1 + 3600000, 3600000)) AS bucket_ms
+         |      FROM b),
+         |j AS (SELECT g.metric, g.series, g.bucket_ms, d.value
+         |      FROM g LEFT JOIN d ON g.metric = d.metric AND g.series = d.series
+         |                        AND g.bucket_ms = d.bucket_ms)
+         |SELECT metric, series, bucket_ms, value,
+         |       COALESCE(value, 0.0) AS value_zero,
+         |       LAST_VALUE(value IGNORE NULLS) OVER (
+         |         PARTITION BY metric, series ORDER BY bucket_ms
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf,
+         |       CAST(CASE WHEN value IS NULL THEN 1 ELSE 0 END AS BIGINT) AS filled
+         |FROM j""".stripMargin
+    },
     "ts_cross_series_sum" ->
       // two-level deterministic fold (TimeSeries.crossSeries): fold within an
       // md5-derived series shard, then fold the sorted partial sums

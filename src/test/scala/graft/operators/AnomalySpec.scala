@@ -237,4 +237,24 @@ class AnomalySpec extends AnyFunSuite with SparkSpec {
     assert(out(("a", 0L)).getAs[Long]("n_cell") == 4L)
     assert(out(("a", 0L)).getAs[Long]("cell_total") == 13L)
   }
+
+  test("dispersionIndex: constant counts score 0; clustered counts exceed 1") {
+    val h = 3600000L
+    // type 'reg': 2 events in each of 3 hours -> mu 2, var 0, D 0
+    val reg = (0 until 3).flatMap(k => Seq(("reg", k * h), ("reg", k * h + 1)))
+    // type 'burst': counts 1, 1, 10 -> mu 4, var = (1+1+100)/3 - 16 = 18, D 4.5
+    val burst = Seq(("burst", 0L), ("burst", h)) ++
+      (0 until 10).map(i => ("burst", 2 * h + i.toLong))
+    val out = Anomaly.dispersionIndex((reg ++ burst).toDF("event_type", "ts_ms"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val r = out("reg")
+    assert(r.getAs[Long]("n_buckets") == 3L)
+    assert(r.getAs[Double]("mean_per_bucket") == 2.0)
+    assert(r.getAs[Double]("var_per_bucket") == 0.0)
+    assert(r.getAs[Double]("dispersion") == 0.0)
+    val b = out("burst")
+    assert(b.getAs[Double]("mean_per_bucket") == 4.0)
+    assert(b.getAs[Double]("var_per_bucket") == 18.0)
+    assert(b.getAs[Double]("dispersion") == 4.5)
+  }
 }

@@ -276,4 +276,25 @@ class TimeSeriesSpec extends AnyFunSuite with SparkSpec {
     assert(r.getLong(4) == (64L + 14L + 36L) + (64L + 14L)) // ts_bits
     assert(r.getLong(5) == (64L + 1L + 1L) + (64L + 1L))    // val_bits
   }
+
+  test("downsampleFill: full grid per series; zero and LOCF policies; filled flag") {
+    // series h1 has points in hours 0, 2 (hour 1 missing); series h2 only hour 5
+    val df = points(
+      ("m", 0L, 2.0, host), ("m", 1000L, 4.0, host),        // hour 0 avg 3.0
+      ("m", 2 * 3600000L, 7.0, host),                       // hour 2
+      ("m", 5 * 3600000L, 9.0, Map("host" -> "h2")))
+    val out = TimeSeries.downsampleFill(df, 3600000L).collect()
+      .map(r => (r.getString(1), r.getLong(2)) -> r).toMap
+    val h1 = "host=h1"
+    assert(out.keys.count(_._1 == h1) == 3, "grid spans first..last bucket")
+    assert(out((h1, 0L)).getDouble(3) == 3.0)
+    val gap = out((h1, 3600000L))
+    assert(gap.isNullAt(3), "none policy: missing bucket is NULL")
+    assert(gap.getDouble(4) == 0.0, "zero policy")
+    assert(gap.getDouble(5) == 3.0, "LOCF carries hour 0 forward")
+    assert(gap.getAs[Long]("filled") == 1L)
+    assert(out((h1, 2 * 3600000L)).getAs[Long]("filled") == 0L)
+    // single-bucket series: grid is just itself
+    assert(out.keys.count(_._1 == "host=h2") == 1)
+  }
 }
