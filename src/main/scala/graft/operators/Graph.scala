@@ -696,4 +696,51 @@ object Graph {
       .select(col("domain"), col("n_reached"), col("harmonic_fp60"),
         (col("harmonic_fp60").cast("double") / 60.0).as("harmonic"))
   }
+
+  /**
+   * MODULARITY (Newman–Girvan Q) of the [[labelPropagation]] partition —
+   * the number that says whether the communities LPA found are REAL:
+   * Q = Σ_c [ L_c/m − (d_c/2m)² ] over communities, where L_c counts
+   * within-community edges, d_c sums member degrees, m = |E| of the simple
+   * graph. Q near 0 = no better than random (don't weight by these
+   * communities); Q ≳ 0.3 = genuine mesoscale structure. Pairs with the
+   * `graph_lpa` gate the way `embed_pc_var` pairs with `embed_top_pc`.
+   *
+   * Determinism: L_c, d_c, m are exact integers; each community's term is
+   * one pinned double expression and the total folds in sorted community
+   * order (community count bounds the fold). Scale: one endpoint-labeled
+   * join over the simple edge list plus degree/label aggregates — the LPA
+   * shuffle shape, nothing new.
+   *
+   * @return one row: (n_communities, n_edges, modularity)
+   */
+  def modularity(edges: DataFrame, rounds: Int = 4): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .distinct()
+      .localCheckpoint(false)
+    val labels = labelPropagation(edges, rounds)
+      .select(col("domain").as("node"), col("community"))
+    val m = und.agg(count(lit(1)).as("m"))
+    val within = und
+      .join(labels.select(col("node").as("a"), col("community").as("ca")), "a")
+      .join(labels.select(col("node").as("b"), col("community").as("cb")), "b")
+      .where(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community")).agg(count(lit(1)).as("l_c"))
+    val bi = und.select(col("a").as("u")).union(und.select(col("b")))
+    val deg = bi.groupBy("u").agg(count(lit(1)).as("deg"))
+    val degC = deg.join(labels.withColumnRenamed("node", "u"), "u")
+      .groupBy("community").agg(sum("deg").as("d_c"))
+    val md = col("m").cast("double")
+    val term = coalesce(col("l_c"), lit(0L)).cast("double") / md -
+      (col("d_c").cast("double") / (lit(2.0) * md)) *
+        (col("d_c").cast("double") / (lit(2.0) * md))
+    degC.join(within, Seq("community"), "left")
+      .crossJoin(broadcast(m))
+      .select(col("community"), term.as("term"), col("m"))
+      .agg(count(lit(1)).as("n_communities"), max(col("m")).as("n_edges"),
+        aggregate(sort_array(collect_list(struct(col("community"), col("term")))),
+          lit(0.0), (acc, s) => acc + s.getField("term")).as("modularity"))
+  }
 }

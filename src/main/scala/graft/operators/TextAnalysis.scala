@@ -1358,6 +1358,40 @@ object TextAnalysis {
    *
    * @return (doc_id, n_copyright, n_rights, n_license_terms, license_flag)
    */
+  /**
+   * Per-document LANGUAGE MIXTURE — the code-switching detector the
+   * winner-takes-all [[languageId]] hides: all four lexicons' hit counts
+   * and word-fractions side by side, the primary guess, and a `mixed` flag
+   * when `minPresent` or more languages each clear the `mixedAt` fraction.
+   * Multilingual documents poison monolingual training mixes and LM
+   * familiarity scores; this is the screen that routes them.
+   *
+   * One native [[graft.functions.LexiconHitsAll]] pass materializes every
+   * lexicon's count from a single scan (the [[languageId]] idiom) —
+   * row-wise, codegen'd, zero shuffle. Fractions are single pinned
+   * divisions over the whitespace word count.
+   *
+   * @return (doc_id, h_de, h_en, h_es, h_fr, n_words, primary_lang,
+   *         n_langs_present, mixed)
+   */
+  def langMix(docs: DataFrame, mixedAt: Double = 0.15,
+              minPresent: Int = 2): DataFrame = {
+    require(mixedAt > 0.0 && mixedAt <= 1.0, "mixedAt in (0, 1]")
+    val nW = size(split(col("text"), " ")).cast("double")
+    def h(lang: String) = lexiconHitsFrom(col("_lx"), lang)
+    val langs = Seq("de", "en", "es", "fr")
+    val nAbove = langs.map(l =>
+      when(h(l).cast("double") / nW >= mixedAt, 1L).otherwise(0L)).reduce(_ + _)
+    docs.withColumn("_lx", lexiconHitsArray)
+      .select(col("doc_id"),
+        h("de").cast("long").as("h_de"), h("en").cast("long").as("h_en"),
+        h("es").cast("long").as("h_es"), h("fr").cast("long").as("h_fr"),
+        size(split(col("text"), " ")).cast("long").as("n_words"),
+        langGuessCol(h("de"), h("en"), h("es"), h("fr")).as("primary_lang"),
+        nAbove.as("n_langs_present"),
+        when(nAbove >= minPresent, 1L).otherwise(0L).as("mixed"))
+  }
+
   def licenseScreen(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val lt = lower(col(textCol))
     def rc(pat: String) =

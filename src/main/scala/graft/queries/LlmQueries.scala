@@ -696,6 +696,10 @@ object LlmQueries {
     // the distance-aware importance the random-walk family doesn't measure
     "graph_harmonic" -> ((s, dir) =>
       graft.operators.Graph.harmonicCentrality(plantedEdges(docs(s, dir), full = true))),
+    // Newman-Girvan modularity of the LPA partition: are the communities
+    // real structure or random chance — the quality number for graph_lpa
+    "graph_modularity" -> ((s, dir) =>
+      graft.operators.Graph.modularity(plantedEdges(docs(s, dir), full = true), rounds = 4)),
     // degree assortativity: Pearson over endpoint degrees, both
     // orientations — exact DECIMAL moment sums, one pinned double formula;
     // the one-number structural fingerprint per crawl snapshot
@@ -883,6 +887,16 @@ object LlmQueries {
         col("source"))
       graft.operators.Curation.pipelineKeep(planted,
         minQuality = 0.3, capPerSource = 15, budgetWords = 8000L)
+    }),
+    // per-doc language mixture over a planted code-switching corpus (every
+    // 11th doc gets a Spanish stopword run): four lexicon counts, primary
+    // guess, and the mixed flag the winner-takes-all langid hides
+    "text_lang_mix" -> ((s, dir) => {
+      val planted = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 11 === 0, concat(col("text"),
+          lit(" el la los las y de que no se una por con para")))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.langMix(planted)
     }),
     // char-bigram entropy over a planted template loop (every 37th doc
     // becomes "abab…"): sequence-structure gibberish the unigram histogram
@@ -1414,10 +1428,10 @@ object LlmQueries {
        |GROUP BY bi.u""".stripMargin
   }
 
-  /** Unrolled DuckDB replay of [[graft.operators.Graph.labelPropagation]]:
-    * one (neighbor-label count, argmax) CTE pair per synchronous round over
-    * the bi-directed planted simple graph, (count DESC, label ASC) ties. */
-  private def lpaOracleSql(rounds: Int): String = {
+  /** Shared WITH-body for the LPA replays: planted simple graph, bi-directed
+    * edge list, `rounds` (neighbor-label count, argmax) CTE pairs ending in
+    * `l<rounds>` — consumed by graph_lpa and graph_modularity. */
+  private def lpaChainSql(rounds: Int): String = {
     val chain = (1 to rounds).map { r =>
       s"""c$r AS (SELECT bi.u, l.lab, COUNT(*) AS cnt
          |      FROM bi JOIN l${r - 1} l ON bi.v = l.node GROUP BY 1, 2),
@@ -1426,18 +1440,51 @@ object LlmQueries {
          |    SELECT u, lab, ROW_NUMBER() OVER (PARTITION BY u
          |           ORDER BY cnt DESC, lab ASC) AS rn FROM c$r) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS MATERIALIZED (
+    s"""e AS MATERIALIZED (
        |$PlantedEdgesSql),
-       |und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
-       |        FROM e WHERE src != dst AND src IS NOT NULL AND dst IS NOT NULL),
+       |und AS MATERIALIZED (
+       |  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+       |  FROM e WHERE src != dst AND src IS NOT NULL AND dst IS NOT NULL),
        |bi AS MATERIALIZED (SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und),
        |l0 AS (SELECT DISTINCT u AS node, u AS lab FROM bi),
-       |$chain,
+       |$chain""".stripMargin
+  }
+
+  /** Unrolled DuckDB replay of [[graft.operators.Graph.labelPropagation]]:
+    * one (neighbor-label count, argmax) CTE pair per synchronous round over
+    * the bi-directed planted simple graph, (count DESC, label ASC) ties. */
+  private def lpaOracleSql(rounds: Int): String =
+    s"""WITH ${lpaChainSql(rounds)},
        |sz AS (SELECT lab, CAST(COUNT(*) AS BIGINT) AS community_size
        |       FROM l$rounds GROUP BY 1)
        |SELECT l$rounds.node AS domain, l$rounds.lab AS community, sz.community_size
        |FROM l$rounds JOIN sz ON l$rounds.lab = sz.lab""".stripMargin
-  }
+
+  /** DuckDB replay of [[graft.operators.Graph.modularity]] over the same
+    * LPA chain: exact L_c / d_c / m integers, pinned per-community term,
+    * sorted-fold total. */
+  private def modularityOracleSql(rounds: Int): String =
+    s"""WITH ${lpaChainSql(rounds)},
+       |wc AS (SELECT la.lab AS community, CAST(COUNT(*) AS BIGINT) AS l_c
+       |       FROM und JOIN l$rounds la ON und.a = la.node
+       |                JOIN l$rounds lb ON und.b = lb.node
+       |       WHERE la.lab = lb.lab GROUP BY 1),
+       |dg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM bi GROUP BY 1),
+       |dc AS (SELECT la.lab AS community, CAST(SUM(dg.deg) AS BIGINT) AS d_c
+       |       FROM dg JOIN l$rounds la ON dg.u = la.node GROUP BY 1),
+       |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM und),
+       |t AS (SELECT dc.community,
+       |        CAST(COALESCE(wc.l_c, 0) AS DOUBLE) / CAST(mm.m AS DOUBLE)
+       |        - (CAST(dc.d_c AS DOUBLE) / (2.0 * CAST(mm.m AS DOUBLE)))
+       |          * (CAST(dc.d_c AS DOUBLE) / (2.0 * CAST(mm.m AS DOUBLE))) AS term
+       |      FROM dc LEFT JOIN wc ON dc.community = wc.community, mm)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+       |       (SELECT m FROM mm) AS n_edges,
+       |       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |         list_transform(list_sort(list(struct_pack(c := community, t := term))),
+       |                        q -> q.t)),
+       |         (acc, v) -> acc + v) AS modularity
+       |FROM t""".stripMargin
 
   /** DuckDB replay of [[graft.operators.Graph.assortativity]]: exact
     * DECIMAL(38,0) moment sums over both edge orientations, then the same
@@ -2015,6 +2062,41 @@ object LlmQueries {
         |       len(regexp_extract_all(t2, '\+[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,8}')) AS n_phones,
         |       regexp_replace(t2, '\+[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,8}', '<PHONE>', 'g') AS redacted
         |FROM r2""".stripMargin,
+    // mirrors TextAnalysis.langMix(mixedAt=0.15, minPresent=2) over the
+    // code-switching plant: the four lexicon counters, langGuess CASE,
+    // pinned fraction thresholds
+    "text_lang_mix" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % 11 = 0
+         |              THEN text || ' el la los las y de que no se una por con para'
+         |              ELSE text END AS text
+         |  FROM documents),
+         |h AS (SELECT doc_id,
+         |             CAST(${hitsSql("de")} AS BIGINT) AS h_de,
+         |             CAST(${hitsSql("en")} AS BIGINT) AS h_en,
+         |             CAST(${hitsSql("es")} AS BIGINT) AS h_es,
+         |             CAST(${hitsSql("fr")} AS BIGINT) AS h_fr,
+         |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+         |      FROM d),
+         |f AS (SELECT *,
+         |        (CASE WHEN CAST(h_de AS DOUBLE) / CAST(n_words AS DOUBLE) >= 0.15
+         |              THEN 1 ELSE 0 END
+         |       + CASE WHEN CAST(h_en AS DOUBLE) / CAST(n_words AS DOUBLE) >= 0.15
+         |              THEN 1 ELSE 0 END
+         |       + CASE WHEN CAST(h_es AS DOUBLE) / CAST(n_words AS DOUBLE) >= 0.15
+         |              THEN 1 ELSE 0 END
+         |       + CASE WHEN CAST(h_fr AS DOUBLE) / CAST(n_words AS DOUBLE) >= 0.15
+         |              THEN 1 ELSE 0 END) AS np
+         |      FROM h)
+         |SELECT doc_id, h_de, h_en, h_es, h_fr, n_words,
+         |       CASE WHEN h_de >= GREATEST(h_en, h_es, h_fr) THEN 'de'
+         |            WHEN h_en >= GREATEST(h_es, h_fr) THEN 'en'
+         |            WHEN h_es >= h_fr THEN 'es'
+         |            ELSE 'fr' END AS primary_lang,
+         |       CAST(np AS BIGINT) AS n_langs_present,
+         |       CAST(CASE WHEN np >= 2 THEN 1 ELSE 0 END AS BIGINT) AS mixed
+         |FROM f""".stripMargin,
     // mirrors TextAnalysis.bigramEntropy(flagBelow=2.0) over the template
     // plant: same bigram extraction, quantized-ln exact entropy sums
     "text_bigram_entropy" ->
@@ -3827,6 +3909,7 @@ object LlmQueries {
     "graph_hits" -> hitsOracleSql(),
     "graph_kcore" -> kcoreOracleSql(k = 3, rounds = 6),
     "graph_lpa" -> lpaOracleSql(rounds = 4),
+    "graph_modularity" -> modularityOracleSql(rounds = 4),
     // mirrors Graph.harmonicCentrality(maxHops=3): per-round frontier
     // expansion with NOT-EXISTS min-hop guards, 60//hop exact scores
     "graph_harmonic" ->

@@ -238,4 +238,21 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     // hop bound: e is 4 hops from a -> absent from each other's reach
     assert(out("a")._1 == 3L && !out.contains("zz"))
   }
+
+  test("modularity: two bridged triangles score the hand-computed Q") {
+    // LPA(4) splits {a,b,c} / {d,e,f}; m=7, L_c=3 each, d_c=7 each:
+    // Q = 2 * (3/7 - (7/14)^2)
+    val g = Seq(("a", "b"), ("b", "c"), ("a", "c"),
+      ("d", "e"), ("e", "f"), ("d", "f"), ("c", "d")).toDF("src", "dst")
+    val r = Graph.modularity(g, rounds = 4).collect().head
+    assert(r.getAs[Long]("n_communities") == 2L)
+    assert(r.getAs[Long]("n_edges") == 7L)
+    val t = 3.0 / 7.0 - (7.0 / 14.0) * (7.0 / 14.0)
+    assert(r.getAs[Double]("modularity") == 0.0 + t + t)
+    // one clique = one community: Q = 1/1 - 1 = 0 exactly
+    val k3 = Seq(("x", "y"), ("y", "z"), ("x", "z")).toDF("src", "dst")
+    val r2 = Graph.modularity(k3, rounds = 4).collect().head
+    assert(r2.getAs[Long]("n_communities") == 1L)
+    assert(r2.getAs[Double]("modularity") == 0.0)
+  }
 }

@@ -467,4 +467,25 @@ class HygieneOpsSpec extends AnyFunSuite with SparkSpec {
     assert(o2(4L).getAs[Long]("ood_flag") == 1L)
     assert(o2(1L).getAs[Double]("m2") < o2(4L).getAs[Double]("m2"))
   }
+
+  test("langMix: code-switching flags when two lexicons clear the fraction; ties to lang order") {
+    val d = Seq(
+      (1L, "the and of to the and of to"),      // pure en
+      (2L, "the and of to el los y un"),        // half en half es -> mixed
+      (3L, "der und das ist xyz"),              // de
+      (4L, "xyz abc"))                          // nothing -> de by tie order
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.langMix(d).collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[String]("primary_lang") == "en")
+    assert(out(1L).getAs[Long]("h_en") == 8L)
+    assert(out(1L).getAs[Long]("n_langs_present") == 1L)
+    assert(out(1L).getAs[Long]("mixed") == 0L)
+    assert(out(2L).getAs[Long]("h_en") == 4L && out(2L).getAs[Long]("h_es") == 4L)
+    assert(out(2L).getAs[Long]("mixed") == 1L)
+    assert(out(2L).getAs[String]("primary_lang") == "en", "count tie -> lexicon order")
+    assert(out(3L).getAs[String]("primary_lang") == "de")
+    assert(out(3L).getAs[Long]("mixed") == 0L)
+    assert(out(4L).getAs[String]("primary_lang") == "de")
+    assert(out(4L).getAs[Long]("n_langs_present") == 0L)
+  }
 }
