@@ -726,4 +726,44 @@ object Funnel {
       .where(col("rank") <= k)
       .select(col("rank"), col("t1"), col("t2"), col("t3"), col("n"))
   }
+
+  /**
+   * SAMPLE-RATIO-MISMATCH check — the assignment-integrity test that must
+   * pass BEFORE [[abReport]]'s effect readout means anything: a chi-square
+   * of the observed user split against the DESIGNED treat share. A biased
+   * logger, a bot filter hitting one arm, or a broken hash bucketing shows
+   * up here as chi² past the 95% cut (3.841, df=1) long before anyone
+   * notices the metric moved.
+   *
+   * Determinism: user counts are exact integers; expectations and the two
+   * chi² cells are one pinned double chain (`expectedTreatBp` basis points
+   * keep the design share exact). Scale: one distinct-user aggregate, then
+   * a 2-row rollup.
+   *
+   * @return one row: (n_users, n_treat, n_control, expected_treat, chi2,
+   *         srm_flag)
+   */
+  def srmCheck(events: DataFrame, variantCol: String = "variant",
+               userCol: String = "user_id", treatLabel: String = "treat",
+               expectedTreatBp: Long = 5000L): DataFrame = {
+    require(expectedTreatBp > 0L && expectedTreatBp < 10000L,
+      "expectedTreatBp in (0, 10000)")
+    val users = events.select(col(variantCol).as("variant"), col(userCol).as("u"))
+      .distinct()
+    val counts = users.agg(
+      count(lit(1)).as("n_users"),
+      sum(when(col("variant") === treatLabel, 1L).otherwise(0L)).as("n_treat"))
+      .select(col("n_users"), col("n_treat"),
+        (col("n_users") - col("n_treat")).as("n_control"))
+    val nD = col("n_users").cast("double")
+    val eT = nD * lit(expectedTreatBp.toDouble / 10000.0)
+    val eC = nD - eT
+    val chi2 = (col("n_treat").cast("double") - eT) *
+      (col("n_treat").cast("double") - eT) / eT +
+      (col("n_control").cast("double") - eC) *
+        (col("n_control").cast("double") - eC) / eC
+    counts.select(col("n_users"), col("n_treat"), col("n_control"),
+      eT.as("expected_treat"), chi2.as("chi2"),
+      when(chi2 > 3.841, 1L).otherwise(0L).as("srm_flag"))
+  }
 }

@@ -1346,6 +1346,60 @@ object TextAnalysis {
   }
 
   /**
+   * Per-source vocabulary DRIFT — the Jensen–Shannon divergence of each
+   * source's word distribution from the corpus distribution, both
+   * restricted to the corpus' top-`topN` vocabulary head: the one-number
+   * "does this source speak the same language as the mix" monitor a
+   * pipeline tracks per crawl snapshot (a drifting source shifts the LM
+   * familiarity and quality calibrations downstream). JSD is symmetric and
+   * bounded by ln 2, so one threshold works for every source.
+   *
+   * Determinism: head membership is a total-order top-N (count DESC,
+   * word ASC); each p·ln(p/m) term is quantized DECIMAL(28,12) (the
+   * hourEntropy idiom) so per-source sums are order- and engine-exact;
+   * absent words contribute exactly 0 to the source side.
+   *
+   * Scale: one corpus word count (map-side combined) cut to `topN` by
+   * TakeOrdered; per-source counts join the BROADCAST head (the only
+   * corpus-sized pass); the scoring frame is sources × topN.
+   *
+   * @return (source, head_words, source_head_tokens, jsd_nats, drifted)
+   */
+  def vocabDrift(docs: DataFrame, topN: Int = 200,
+                 flagAt: Double = 0.1): DataFrame = {
+    require(topN >= 2, "topN >= 2")
+    val words = docs
+      .select(col("source"), explode(split(lower(col("text")), " ")).as("w"))
+      .where(col("w") =!= "")
+    val head = words.groupBy("w").agg(count(lit(1)).as("cq"))
+      .orderBy(col("cq").desc, col("w").asc).limit(topN)
+    val corpTotal = head.agg(sum("cq").as("tq"))
+    val sCounts = words.join(broadcast(head.select("w")), "w")
+      .groupBy("source", "w").agg(count(lit(1)).as("cp"))
+    val sTotals = sCounts.groupBy("source").agg(sum("cp").as("tp"))
+    val grid = sTotals.select(col("source"), col("tp"))
+      .crossJoin(broadcast(head)).crossJoin(broadcast(corpTotal))
+      .join(sCounts, Seq("source", "w"), "left")
+      .withColumn("cp", coalesce(col("cp"), lit(0L)))
+    val p = col("cp").cast("double") / col("tp").cast("double")
+    val q = col("cq").cast("double") / col("tq").cast("double")
+    val m = (p + q) / 2.0
+    val termP = when(col("cp") === 0L, lit(0.0)).otherwise(p * log(p / m))
+    val termQ = q * log(q / m)
+    // per-row add of the two quantized terms BEFORE the sum: adding two
+    // maxed-out DECIMAL(38,12) sums would cap at precision 38 and silently
+    // drop the scale to 11 (Spark decimal addition rules), losing the last
+    // digit the oracle keeps
+    grid.groupBy(col("source"), col("tp").as("source_head_tokens"))
+      .agg(count(lit(1)).as("head_words"),
+        (sum(termP.cast("decimal(28,12)") + termQ.cast("decimal(28,12)"))
+          .cast("double") / 2.0).as("jsd_nats"))
+      .select(col("source"), col("head_words"), col("source_head_tokens"),
+        col("jsd_nats"),
+        when(col("jsd_nats") > flagAt, 1L).otherwise(0L).as("drifted"))
+  }
+
+  /**
    * LICENSE / COPYRIGHT screen — the legal sibling of [[blocklistFilter]]:
    * count license-boilerplate markers (dated copyright lines,
    * "all rights reserved", license-grant phrases) so a corpus build can

@@ -244,6 +244,14 @@ object ApiQueries {
         .withColumn("variant", when(col("user_id") % 2 === 0, "control").otherwise("treat"))
       Funnel.abReport(ev, "variant")
     }),
+    // sample-ratio-mismatch integrity check over a deliberately skewed
+    // split (user_id % 3 treat vs a designed 50/50): chi2 past 3.841 flags
+    "events_srm" -> ((s, dir) => {
+      val ev = Points.table(s, dir, "events")
+        .withColumn("variant",
+          when(col("user_id") % 3 === 0, "treat").otherwise("control"))
+      Funnel.srmCheck(ev)
+    }),
     // CUSUM drift over daily per-type volumes: exact integer prefix sums,
     // one pinned double deviation expression — the slow-ramp detector
     "events_cusum" -> ((s, dir) => {
@@ -857,6 +865,29 @@ object ApiQueries {
         |                      < CAST(c.cell_total AS HUGEINT)
         |                 THEN 1 ELSE 0 END AS BIGINT) AS vol_drop
         |FROM b2 JOIN c USING (event_type, dow, hour)""".stripMargin,
+    // mirrors Funnel.srmCheck(expectedTreatBp=5000) over the skewed plant:
+    // distinct-user split, pinned two-cell chi-square
+    "events_srm" ->
+      """WITH u AS (
+        |  SELECT DISTINCT CASE WHEN user_id % 3 = 0 THEN 'treat'
+        |                       ELSE 'control' END AS variant, user_id
+        |  FROM events),
+        |c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+        |             CAST(SUM(CASE WHEN variant = 'treat' THEN 1 ELSE 0 END) AS BIGINT)
+        |               AS n_treat
+        |      FROM u),
+        |f AS (SELECT n_users, n_treat, n_users - n_treat AS n_control,
+        |             CAST(n_users AS DOUBLE) * 0.5 AS et
+        |      FROM c),
+        |x AS (SELECT *,
+        |        (CAST(n_treat AS DOUBLE) - et) * (CAST(n_treat AS DOUBLE) - et) / et
+        |      + (CAST(n_control AS DOUBLE) - (CAST(n_users AS DOUBLE) - et))
+        |        * (CAST(n_control AS DOUBLE) - (CAST(n_users AS DOUBLE) - et))
+        |        / (CAST(n_users AS DOUBLE) - et) AS chi2
+        |      FROM f)
+        |SELECT n_users, n_treat, n_control, et AS expected_treat, chi2,
+        |       CAST(CASE WHEN chi2 > 3.841 THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
+        |FROM x""".stripMargin,
     // mirrors Funnel.markovStationary(iters=6, scale=1e12): dangling self-
     // loops, per-edge floored mass moves, unrolled power-iteration CTEs
     "events_markov_stationary" -> {

@@ -888,6 +888,15 @@ object LlmQueries {
       graft.operators.Curation.pipelineKeep(planted,
         minQuality = 0.3, capPerSource = 15, budgetWords = 8000L)
     }),
+    // per-source vocabulary drift (Jensen-Shannon vs the corpus head) over
+    // a planted stopword-flooded source — the mix-health monitor
+    "text_vocab_drift" -> ((s, dir) => {
+      val planted = docs(s, dir).select(col("doc_id"), col("source"),
+        when(col("source") === "src3", concat(col("text"),
+          lit(" the the the the the the the the the the")))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.vocabDrift(planted)
+    }),
     // per-doc language mixture over a planted code-switching corpus (every
     // 11th doc gets a Spanish stopword run): four lexicon counts, primary
     // guess, and the mixed flag the winner-takes-all langid hides
@@ -2062,6 +2071,49 @@ object LlmQueries {
         |       len(regexp_extract_all(t2, '\+[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,8}')) AS n_phones,
         |       regexp_replace(t2, '\+[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,8}', '<PHONE>', 'g') AS redacted
         |FROM r2""".stripMargin,
+    // mirrors TextAnalysis.vocabDrift(topN=200, flagAt=0.1) over the
+    // flooded-source plant: total-order head, DECIMAL(28,12) p*ln(p/m)
+    // terms, exact per-source sums, one closing /2
+    "text_vocab_drift" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |         CASE WHEN source = 'src3'
+        |              THEN text || ' the the the the the the the the the the'
+        |              ELSE text END AS text
+        |  FROM documents),
+        |w AS (SELECT source, w FROM (
+        |        SELECT source, UNNEST(string_split(lower(text), ' ')) AS w FROM d)
+        |      WHERE w != ''),
+        |hd AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cq FROM w GROUP BY 1
+        |       ORDER BY cq DESC, w ASC LIMIT 200),
+        |tq AS (SELECT CAST(SUM(cq) AS BIGINT) AS tq FROM hd),
+        |sc AS (SELECT w.source, w.w, CAST(COUNT(*) AS BIGINT) AS cp
+        |       FROM w JOIN hd ON w.w = hd.w GROUP BY 1, 2),
+        |st AS (SELECT source, CAST(SUM(cp) AS BIGINT) AS tp FROM sc GROUP BY 1),
+        |g AS (SELECT st.source, st.tp, hd.w, hd.cq, tq.tq,
+        |             COALESCE(sc.cp, 0) AS cp
+        |      FROM st CROSS JOIN hd CROSS JOIN tq
+        |      LEFT JOIN sc ON sc.source = st.source AND sc.w = hd.w),
+        |t AS (SELECT source, tp,
+        |        CASE WHEN cp = 0 THEN CAST(0.0 AS DECIMAL(28,12))
+        |             ELSE CAST((CAST(cp AS DOUBLE) / CAST(tp AS DOUBLE))
+        |                  * ln((CAST(cp AS DOUBLE) / CAST(tp AS DOUBLE))
+        |                       / ((CAST(cp AS DOUBLE) / CAST(tp AS DOUBLE)
+        |                           + CAST(cq AS DOUBLE) / CAST(tq AS DOUBLE)) / 2.0))
+        |                  AS DECIMAL(28,12)) END AS term_p,
+        |        CAST((CAST(cq AS DOUBLE) / CAST(tq AS DOUBLE))
+        |             * ln((CAST(cq AS DOUBLE) / CAST(tq AS DOUBLE))
+        |                  / ((CAST(cp AS DOUBLE) / CAST(tp AS DOUBLE)
+        |                      + CAST(cq AS DOUBLE) / CAST(tq AS DOUBLE)) / 2.0))
+        |             AS DECIMAL(28,12)) AS term_q
+        |      FROM g),
+        |r AS (SELECT source, tp AS source_head_tokens,
+        |             CAST(COUNT(*) AS BIGINT) AS head_words,
+        |             CAST(SUM(term_p + term_q) AS DOUBLE) / 2.0 AS jsd_nats
+        |      FROM t GROUP BY 1, 2)
+        |SELECT source, head_words, source_head_tokens, jsd_nats,
+        |       CAST(CASE WHEN jsd_nats > 0.1 THEN 1 ELSE 0 END AS BIGINT) AS drifted
+        |FROM r""".stripMargin,
     // mirrors TextAnalysis.langMix(mixedAt=0.15, minPresent=2) over the
     // code-switching plant: the four lexicon counters, langGuess CASE,
     // pinned fraction thresholds

@@ -211,4 +211,22 @@ class FunnelSpec extends AnyFunSuite with SparkSpec {
     assert(out(2L) == ((("B", "C", "B"), 1L)), "t1 tie-break after count")
     assert(out.size == 2, "k cut applied")
   }
+
+  test("srmCheck: chi2 against the designed split; duplicate events count users once") {
+    def ev(treatIds: Set[Long]) = (1L to 10L).flatMap(u => Seq(u, u))
+      .map(u => (if (treatIds.contains(u)) "treat" else "control", u))
+      .toDF("variant", "user_id")
+    // 2 of 10 treat vs designed 50%: chi2 = 9/5 + 9/5 = 3.6 -> no flag
+    val near = Funnel.srmCheck(ev(Set(1L, 2L))).collect().head
+    assert(near.getAs[Long]("n_users") == 10L && near.getAs[Long]("n_treat") == 2L)
+    assert(near.getAs[Double]("chi2") == 3.6)
+    assert(near.getAs[Long]("srm_flag") == 0L)
+    // 1 of 10: chi2 = 16/5 + 16/5 = 6.4 -> flag
+    val bad = Funnel.srmCheck(ev(Set(1L))).collect().head
+    assert(bad.getAs[Double]("chi2") == 6.4)
+    assert(bad.getAs[Long]("srm_flag") == 1L)
+    // perfect split: chi2 = 0
+    val good = Funnel.srmCheck(ev((1L to 5L).toSet)).collect().head
+    assert(good.getAs[Double]("chi2") == 0.0 && good.getAs[Long]("srm_flag") == 0L)
+  }
 }

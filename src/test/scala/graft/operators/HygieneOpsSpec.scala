@@ -488,4 +488,22 @@ class HygieneOpsSpec extends AnyFunSuite with SparkSpec {
     assert(out(4L).getAs[String]("primary_lang") == "de")
     assert(out(4L).getAs[Long]("n_langs_present") == 0L)
   }
+
+  test("vocabDrift: corpus-identical source scores 0; skewed sources score symmetric > 0") {
+    val d = Seq(
+      (1L, "x x x y", "A"),   // x-heavy
+      (2L, "x y y y", "B"),   // y-heavy (mirror of A)
+      (3L, "x x y y", "C"))   // exactly the corpus mix (x:6/12, y:6/12)
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.vocabDrift(d, topN = 2, flagAt = 0.05).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("C").getAs[Double]("jsd_nats") == 0.0)
+    assert(out("C").getAs[Long]("drifted") == 0L)
+    val a = out("A").getAs[Double]("jsd_nats")
+    val b = out("B").getAs[Double]("jsd_nats")
+    assert(a == b, "mirrored skews are symmetric under JSD")
+    assert(a > 0.0 && a < math.log(2.0), "JSD bounded by ln 2")
+    assert(out("A").getAs[Long]("head_words") == 2L)
+    assert(out("A").getAs[Long]("source_head_tokens") == 4L)
+  }
 }
