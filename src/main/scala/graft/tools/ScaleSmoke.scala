@@ -684,6 +684,75 @@ object ScaleSmoke {
       graft.operators.Similarity.truncRecall(emb, dims = Seq(8, 16, 32), k = 10,
         probeMod = math.max(1L, n * embReps / 20)).count()
     }
+    // ---- session-8 operators ------------------------------------------
+    val sdocs = docs.withColumn("source",
+      concat(lit("src"), (col("doc_id") % 20).cast("string")))
+    t("booleanHits (broadcast MUST/NOT pushdown; matched rows only)") {
+      val ws = split(col("text"), " ")
+      val q = docs.where(col("doc_id") % (n * reps / 20) === 0)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(ws, 1, 4), " ").as("qtext"),
+          element_at(ws, 6).as("nottext"))
+      graft.operators.Search.booleanHits(docs, q).count()
+    }
+    t("bestSnippets (matched-position anchors; per-(q,doc) windows)") {
+      val q = docs.where(col("doc_id") % (n * reps / 20) === 0)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(split(col("text"), " "), 1, 4), " ").as("qtext"))
+      graft.operators.Search.bestSnippets(docs, q, window = 12).count()
+    }
+    t("spellSuggest (first-char/length blocked vocab candidates)") {
+      val w2 = "element_at(split(text, ' '), 2)"
+      val q = docs.where(col("doc_id") % (n * reps / 20) === 0)
+        .select(col("doc_id").as("query_id"),
+          expr(s"concat(substring($w2, 1, length($w2) - 1), 'z')").as("qterm"))
+      graft.operators.Search.spellSuggest(docs, q).count()
+    }
+    t("pipelineKeep (quality -> dedup -> cap -> budget, composed)") {
+      graft.operators.Curation.pipelineKeep(sdocs, minQuality = 0.3,
+        capPerSource = 2000, budgetWords = 10000000L).count()
+    }
+    t("bigramEntropy (char-pair explode -> map-side combined agg)") {
+      graft.operators.TextAnalysis.bigramEntropy(docs).count()
+    }
+    t("vocabDrift (200-word head broadcast; sources x head scoring frame)") {
+      graft.operators.TextAnalysis.vocabDrift(sdocs).count()
+    }
+    t("ocr+license+langMix (row-wise screens over one scan each)") {
+      graft.operators.TextAnalysis.ocrArtifacts(docs).count()
+      graft.operators.TextAnalysis.licenseScreen(docs).count()
+      graft.operators.TextAnalysis.langMix(docs).count()
+    }
+    t("mahalanobisDiag (posexplode x dims + broadcast dim stats)") {
+      graft.operators.Similarity.mahalanobisDiag(emb).count()
+    }
+    t("amsF2 (x16 sign explode into one partial agg)") {
+      graft.operators.Sketches.amsF2(ev, "user_id", r = 16).count()
+    }
+    t("burstiness (per-user sorted gap folds)") {
+      graft.operators.Anomaly.burstiness(
+        ev.withColumn("ts_us", col("ts_ms") * 1000L)).count()
+    }
+    t("seasonalAnomaly+dispersion (bucket aggregates, broadcast cells)") {
+      graft.operators.Anomaly.seasonalAnomaly(ev).count()
+      graft.operators.Anomaly.dispersionIndex(ev).count()
+    }
+    t("markovStationary (6 integer power steps over the type-pair frame)") {
+      graft.operators.Funnel.markovStationary(ev, "user_id", "ts_ms",
+        "event_id", "event_type").count()
+    }
+    t("pathTrigrams (two lags on the bigram window; types^3 agg)") {
+      graft.operators.Funnel.pathTrigrams(ev, "user_id", "ts_ms",
+        "event_id", "event_type").count()
+    }
+    t("srmCheck + downsampleFill (distinct agg; per-series grid explode)") {
+      graft.operators.Funnel.srmCheck(ev.withColumn("variant",
+        when(col("user_id") % 3 === 0, "treat").otherwise("control"))).count()
+      val pts = ev.select(col("event_type").as("metric"), col("ts_ms").as("ts"),
+        col("value"), map(lit("user"), col("user_id").cast("string")).as("tags"))
+      graft.operators.TimeSeries.downsampleFill(
+        pts.where(col("metric") === "purchase"), 3600000L).count()
+    }
     spark.stop()
   }
 }
