@@ -1322,7 +1322,11 @@ object TextAnalysis {
    * combine absorbs the ~length(text) blowup, the same shuffle shape as
    * [[vocabulary]]'s token counts; per-doc frames stay bounded by the
    * distinct-bigram count (≤ alphabet²). Docs shorter than 2 chars (no
-   * bigram) are absent from the output.
+   * bigram) are absent from the output. The explode carries integer
+   * POSITIONS and slices after (codegen substring per exploded row) — a
+   * `transform(…, i -> substring(…))` lambda would materialize a per-row
+   * string array through the interpreted HOF path, ~6× slower at bench
+   * scale.
    *
    * @return (doc_id, n_bigrams, n_distinct, entropy_nats, gibberish)
    */
@@ -1330,9 +1334,9 @@ object TextAnalysis {
                     flagBelow: Double = 2.0): DataFrame = {
     val lt = lower(col(textCol))
     val grams = docs.where(length(lt) >= 2)
-      .select(col("doc_id"),
-        explode(expr(s"transform(sequence(1, length(lower($textCol)) - 1)," +
-          s" i -> substring(lower($textCol), i, 2))")).as("g"))
+      .select(col("doc_id"), lt.as("lt"),
+        explode(sequence(lit(1), length(lt) - 1)).as("i"))
+      .select(col("doc_id"), expr("substring(lt, i, 2)").as("g"))
     val counts = grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
     val totals = counts.groupBy("doc_id").agg(
       sum(col("c")).as("n_bigrams"), count(lit(1)).as("n_distinct"))
