@@ -671,4 +671,21 @@ object Search {
       .select(col("query_id"), col("qterm"), col("rank"), col("w").as("suggestion"),
         levenshtein(col("qterm"), col("w")).cast("long").as("dist"), col("n"))
   }
+
+  /**
+   * Snippet TEXT extraction — [[bestSnippets]] completed into the string a
+   * UI actually renders (or a RAG assembler actually packs): the best
+   * window's `window` tokens sliced from the ORIGINAL (case-preserving)
+   * text. One extra join against the docs' (id, text) projection; the
+   * offset arithmetic stays in [[bestSnippets]].
+   *
+   * @return (query_id, doc_id, snip_start, n_covered, snippet)
+   */
+  def snippetText(docs: DataFrame, queries: DataFrame,
+                  window: Int = 12): DataFrame =
+    bestSnippets(docs, queries, window)
+      .join(docs.select(col("doc_id"), col("text")), "doc_id")
+      .select(col("query_id"), col("doc_id"), col("snip_start"), col("n_covered"),
+        array_join(slice(split(col("text"), " "),
+          (col("snip_start") + 1).cast("int"), lit(window)), " ").as("snippet"))
 }

@@ -419,6 +419,69 @@ object Sketches {
    * @return streaming (salt, probe, cms_n) — min over salt per probe is
    *         the frequency estimate.
    */
+  /**
+   * KMV SET-INTERSECTION estimates between every pair of keys — the theta-
+   * sketch set operation the distinct-count family builds toward: "how
+   * many users do surfaces A and B share" for every pair, WITHOUT a
+   * corpus-sized pairwise distinct join. Per key keep the k smallest
+   * distinct element hashes; for a pair, θ = min of the two sketches'
+   * thresholds (a not-full sketch's threshold is 2⁶⁰ — it saw everything),
+   * and `est = |S_A ∩ S_B ∩ {h < θ}| · 2⁶⁰ / θ` — the standard theta
+   * estimator, fully deterministic given the md5 hashes. `exact_overlap`
+   * is the audit column (the very pairwise distinct join the sketch
+   * replaces; at true 100 TB you drop it).
+   *
+   * Scale: the sketch build is the [[kmvDistinct]] two-level rank; the
+   * pair join runs SKETCH×SKETCH (≤ keys·k rows a side, hash-keyed), and
+   * the pair frame is keys² — the operator's contract is a bounded key
+   * space (surfaces, event types), like the [[graft.operators.Funnel]]
+   * transition matrix.
+   *
+   * @return (key_a, key_b, n_common, theta, est_overlap, exact_overlap)
+   *         for every unordered key pair.
+   */
+  def kmvIntersect(df: DataFrame, keyCol: String, elemCol: String,
+                   k: Int = 256): DataFrame = {
+    require(k >= 2, "k >= 2")
+    val full = 1152921504606846976L // 2^60
+    val nn = df.where(col(elemCol).isNotNull)
+    val hashed = nn.select(col(keyCol).as("key"), h60("kmv", col(elemCol)).as("h"))
+      .distinct()
+    val shardW = Window.partitionBy(col("key"), pmod(col("h"), lit(64L)))
+      .orderBy(col("h"))
+    val keyW = Window.partitionBy("key").orderBy(col("h"))
+    val kept = hashed
+      .withColumn("sr", row_number().over(shardW)).where(col("sr") <= k)
+      .withColumn("rk", row_number().over(keyW)).where(col("rk") <= k)
+      .select("key", "h")
+    val thetas = kept.groupBy("key")
+      .agg(count(lit(1)).as("n_held"), max(col("h")).as("kth"))
+      .select(col("key"),
+        when(col("n_held") < k, lit(full)).otherwise(col("kth")).as("theta"))
+    val pairs = thetas.as("ta").join(thetas.as("tb"), col("ta.key") < col("tb.key"))
+      .select(col("ta.key").as("key_a"), col("tb.key").as("key_b"),
+        least(col("ta.theta"), col("tb.theta")).as("theta"))
+    val common = kept.as("a").join(kept.as("b"),
+        col("a.h") === col("b.h") && col("a.key") < col("b.key"))
+      .select(col("a.key").as("key_a"), col("b.key").as("key_b"), col("a.h").as("h"))
+      .join(pairs, Seq("key_a", "key_b"))
+      .where(col("h") < col("theta"))
+      .groupBy("key_a", "key_b").agg(count(lit(1)).as("n_common"))
+    val elems = nn.select(col(keyCol).as("key"), col(elemCol).as("e")).distinct()
+    val exact = elems.as("a").join(elems.as("b"),
+        col("a.e") === col("b.e") && col("a.key") < col("b.key"))
+      .groupBy(col("a.key").as("key_a"), col("b.key").as("key_b"))
+      .agg(count(lit(1)).as("exact_overlap"))
+    pairs
+      .join(common, Seq("key_a", "key_b"), "left")
+      .join(exact, Seq("key_a", "key_b"), "left")
+      .select(col("key_a"), col("key_b"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"), col("theta"),
+        (coalesce(col("n_common"), lit(0L)).cast("double") * lit(TwoPow60) /
+          col("theta").cast("double")).as("est_overlap"),
+        coalesce(col("exact_overlap"), lit(0L)).as("exact_overlap"))
+  }
+
   def cmsStream(df: DataFrame, elemCol: String, probes: Seq[String],
       depth: Int = 4, width: Int = 1024): DataFrame = {
     require(depth >= 1 && depth <= 8 && width >= 2 && width <= 1048576,

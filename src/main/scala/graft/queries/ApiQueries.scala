@@ -400,7 +400,12 @@ object ApiQueries {
     // median-of-squares estimate, exact F2 audit — the join-size pricer
     "sketch_ams_f2" -> ((s, dir) =>
       graft.operators.Sketches.amsF2(
-        Points.table(s, dir, "events"), "user_id", r = 16))
+        Points.table(s, dir, "events"), "user_id", r = 16)),
+    // theta-sketch set intersection: audience overlap between every pair
+    // of event types from 64-min KMV sketches, exact pairwise audit
+    "sketch_kmv_intersect" -> ((s, dir) =>
+      graft.operators.Sketches.kmvIntersect(
+        Points.table(s, dir, "events"), "event_type", "user_id", k = 64))
   )
 
   /** DuckDB BIGINT value of the first `n` hex digits of md5 expression `m`
@@ -1261,6 +1266,38 @@ object ApiQueries {
         |       COUNT(*) FILTER (sv <= ub99) AS rank_le_p99
         |FROM p JOIN u USING (key)
         |GROUP BY 1""".stripMargin,
+    // mirrors Sketches.kmvIntersect(k=64) over (event_type, user_id):
+    // rank-64 sketches, theta = LEAST of pair thresholds (2^60 when not
+    // full), h < theta common count, pinned estimator, exact pair audit
+    "sketch_kmv_intersect" ->
+      s"""WITH h AS (
+         |  SELECT DISTINCT event_type AS key,
+         |         ${hexPoly("md5('kmv:' || CAST(user_id AS VARCHAR))", 1, 15)} AS h
+         |  FROM events),
+         |r AS (SELECT key, h, ROW_NUMBER() OVER (PARTITION BY key ORDER BY h) AS rk
+         |      FROM h),
+         |kept AS (SELECT key, h FROM r WHERE rk <= 64),
+         |t AS (SELECT key, CASE WHEN COUNT(*) < 64 THEN 1152921504606846976
+         |                       ELSE MAX(h) END AS theta
+         |      FROM kept GROUP BY 1),
+         |p AS (SELECT ta.key AS key_a, tb.key AS key_b,
+         |             LEAST(ta.theta, tb.theta) AS theta
+         |      FROM t ta JOIN t tb ON ta.key < tb.key),
+         |cm AS (SELECT a.key AS key_a, b.key AS key_b,
+         |              CAST(COUNT(*) AS BIGINT) AS n_common
+         |       FROM kept a JOIN kept b ON a.h = b.h AND a.key < b.key
+         |       JOIN p ON p.key_a = a.key AND p.key_b = b.key
+         |       WHERE a.h < p.theta GROUP BY 1, 2),
+         |el AS (SELECT DISTINCT event_type AS key, user_id AS e FROM events),
+         |ex AS (SELECT a.key AS key_a, b.key AS key_b,
+         |              CAST(COUNT(*) AS BIGINT) AS exact_overlap
+         |       FROM el a JOIN el b ON a.e = b.e AND a.key < b.key GROUP BY 1, 2)
+         |SELECT p.key_a, p.key_b, COALESCE(cm.n_common, 0) AS n_common, p.theta,
+         |       CAST(COALESCE(cm.n_common, 0) AS DOUBLE) * 1152921504606846976.0
+         |         / CAST(p.theta AS DOUBLE) AS est_overlap,
+         |       COALESCE(ex.exact_overlap, 0) AS exact_overlap
+         |FROM p LEFT JOIN cm ON p.key_a = cm.key_a AND p.key_b = cm.key_b
+         |       LEFT JOIN ex ON p.key_a = ex.key_a AND p.key_b = ex.key_b""".stripMargin,
     // mirrors Sketches.amsF2(r=16) over user_id: md5 first-hex-digit parity
     // signs, 16 exact counters, lower median (rank 8) of squares, exact audit
     "sketch_ams_f2" ->

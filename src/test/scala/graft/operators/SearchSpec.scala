@@ -331,4 +331,17 @@ class SearchSpec extends AnyFunSuite with SparkSpec {
     // first-char block: xhz has no x-words -> no suggestions at all
     assert(!out.keys.exists(_._1 == 2L))
   }
+
+  test("snippetText: renders the best window from the original case-preserving text") {
+    val d = docs(
+      1L -> "A x x x x x x x x B A x B",
+      2L -> "a x b x x x x x x x x x x")
+    val q = queries(1L -> "a b")
+    val out = Search.snippetText(d, q, window = 4).collect()
+      .map(r => r.getLong(1) -> r.getString(4)).toMap
+    // doc 1 best start 9 (tokens B A x B), doc 2 start 0 (a x b x) —
+    // original casing preserved, slice clipped at doc end
+    assert(out(1L) == "B A x B")
+    assert(out(2L) == "a x b x")
+  }
 }

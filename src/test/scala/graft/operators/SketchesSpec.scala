@@ -198,4 +198,22 @@ class SketchesSpec extends AnyFunSuite with SparkSpec {
     assert(minOverLanes("absent") >= 0L)
     assert(minOverLanes("hot") >= 9L)
   }
+
+  test("kmvIntersect: not-full sketches are exact; disjoint pairs read zero") {
+    import spark.implicits._
+    // A = {1..30}, B = {21..50} (overlap 10), C = {100..109} (disjoint):
+    // all below k=64, so theta = 2^60 and the estimate IS the exact overlap
+    val df = ((1L to 30L).map(e => ("A", e)) ++ (21L to 50L).map(e => ("B", e)) ++
+      (100L to 109L).map(e => ("C", e))).toDF("key", "e")
+    val out = Sketches.kmvIntersect(df, "key", "e", k = 64).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(out.keySet == Set(("A", "B"), ("A", "C"), ("B", "C")))
+    val ab = out(("A", "B"))
+    assert(ab.getAs[Long]("n_common") == 10L)
+    assert(ab.getAs[Long]("exact_overlap") == 10L)
+    assert(ab.getAs[Double]("est_overlap") == 10.0, "not-full sketch is exact")
+    assert(out(("A", "C")).getAs[Long]("n_common") == 0L)
+    assert(out(("A", "C")).getAs[Double]("est_overlap") == 0.0)
+    assert(out(("B", "C")).getAs[Long]("exact_overlap") == 0L)
+  }
 }
