@@ -344,6 +344,19 @@ object LlmQueries {
         graft.operators.SimilarityIvf.ivfKnn(e, q, k = 5),
         Similarity.bruteForceKnn(e, q, k = 5))
     }),
+    // the nProbe tuning curve: recall@5 vs brute force at nProbe 1/2/4 —
+    // the one-frame answer to "how many lists must serving probe"
+    "embed_recall_sweep" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.where(col("vec_id") < 5)
+      val bf = Similarity.bruteForceKnn(e, q, k = 5)
+      Seq(1, 2, 4).map { np =>
+        Similarity.recallReport(
+          graft.operators.SimilarityIvf.ivfKnn(e, q, k = 5, nProbe = np), bf)
+          .withColumn("nprobe", lit(np.toLong))
+      }.reduce(_ union _)
+        .select(col("nprobe"), col("query_id"), col("k_eff"), col("hits"), col("recall"))
+    }),
     // Product-quantization codes: the compressed 100 TB ANN store format —
     // seeded per-subspace codebooks (m=4 x ksub=16), encode is a pure
     // projection (argmin over inlined codeword distances, no shuffle)
@@ -1219,7 +1232,13 @@ object LlmQueries {
   /** The embed_ivf_knn oracle as a reusable CTE block (ends with `ivf_top`,
     * the ranked k=5 result) so the recall audit can reference the same IVF
     * result the gate pins. */
-  private val IvfCoreCtes =
+  /** The IVF replay CTEs with a parameterized probe count — `rn <= nProbe`
+    * in the `probes` CTE is the only knob; the recall sweep unions three
+    * instantiations. */
+  private def ivfCoreCtes(nProbe: Int): String =
+    IvfCoreCtesTemplate.replace("rn <= 4", s"rn <= $nProbe")
+
+  private val IvfCoreCtesTemplate =
     """cents AS (
       |  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS list_id,
       |         embedding AS centroid,
@@ -1255,6 +1274,31 @@ object LlmQueries {
       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
       |    FROM ivf_scored)
       |  WHERE rank <= 5)""".stripMargin
+
+  private val IvfCoreCtes = IvfCoreCtesTemplate
+
+  /** The brute-force-vs-ivf recall close shared by embed_recall_report and
+    * the nProbe sweep: assumes `ivf_top` is in scope, emits one row per
+    * probe query with its extra leading columns via `prefix`. */
+  private def recallCloseSql(prefix: String): String =
+    s""",
+       |bf_scored AS (
+       |  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+       |         $CosineSql AS sim
+       |  FROM embeddings q JOIN embeddings d ON q.vec_id < 5 AND d.vec_id != q.vec_id),
+       |bf_top AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |    FROM bf_scored)
+       |  WHERE rank <= 5),
+       |base AS (SELECT query_id, COUNT(*) AS k_eff FROM bf_top GROUP BY 1),
+       |h AS (SELECT g.query_id, COUNT(*) AS hits
+       |      FROM bf_top g JOIN ivf_top a
+       |        ON a.query_id = g.query_id AND a.neighbor_id = g.neighbor_id
+       |      GROUP BY 1)
+       |SELECT ${prefix}b.query_id, b.k_eff, COALESCE(h.hits, 0) AS hits,
+       |       CAST(COALESCE(h.hits, 0) AS DOUBLE) / CAST(b.k_eff AS DOUBLE) AS recall
+       |FROM base b LEFT JOIN h ON b.query_id = h.query_id""".stripMargin
 
   private val IvfTopCte = "WITH " + IvfCoreCtes
 
@@ -2880,25 +2924,13 @@ object LlmQueries {
     // mirrors Similarity.recallReport(ivfKnn, bruteForceKnn): the IVF top-k
     // above vs the exact top-k of embed_knn, per-query hits and one IEEE
     // hits/k_eff division
-    "embed_recall_report" ->
-      (IvfTopCte + s""",
-        |bf_scored AS (
-        |  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
-        |         $CosineSql AS sim
-        |  FROM embeddings q JOIN embeddings d ON q.vec_id < 5 AND d.vec_id != q.vec_id),
-        |bf_top AS (
-        |  SELECT query_id, neighbor_id FROM (
-        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
-        |    FROM bf_scored)
-        |  WHERE rank <= 5),
-        |base AS (SELECT query_id, COUNT(*) AS k_eff FROM bf_top GROUP BY 1),
-        |h AS (SELECT g.query_id, COUNT(*) AS hits
-        |      FROM bf_top g JOIN ivf_top a
-        |        ON a.query_id = g.query_id AND a.neighbor_id = g.neighbor_id
-        |      GROUP BY 1)
-        |SELECT b.query_id, b.k_eff, COALESCE(h.hits, 0) AS hits,
-        |       CAST(COALESCE(h.hits, 0) AS DOUBLE) / CAST(b.k_eff AS DOUBLE) AS recall
-        |FROM base b LEFT JOIN h ON b.query_id = h.query_id""".stripMargin),
+    "embed_recall_report" -> (IvfTopCte + recallCloseSql("")),
+    // the nProbe tuning curve: the same recall audit at nProbe 1/2/4 —
+    // the "how many lists must we probe" serving decision in one frame
+    "embed_recall_sweep" -> Seq(1, 2, 4).map { np =>
+      "SELECT * FROM (WITH " + ivfCoreCtes(np) +
+        recallCloseSql(s"CAST($np AS BIGINT) AS nprobe, ") + ")"
+    }.mkString("\nUNION ALL\n"),
     // same cents/assigned/probes construction as embed_ivf_knn, with the
     // embed_knn_int8 quantization CTE scoring inside the probed lists
     "embed_ivf_knn_int8" ->

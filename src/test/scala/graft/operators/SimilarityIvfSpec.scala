@@ -81,4 +81,23 @@ class SimilarityIvfSpec extends AnyFunSuite with SparkSpec {
     assert(par >= plain, s"k-means-par recall $par below plain-seeded $plain")
     assert(par >= 0.8, s"k-means-par recall $par below 0.8")
   }
+
+  test("recall is monotone in nProbe: more probed lists never lose ground truth") {
+    val rnd = new scala.util.Random(11)
+    val data = (1L to 120L).map(i =>
+      (i, Seq.fill(8)(rnd.nextFloat() - 0.5f))).toDF("vec_id", "embedding")
+    val queries = data.where(col("vec_id") <= 4)
+    val truth = Similarity.bruteForceKnn(data, queries, k = 5)
+    def recallsAt(np: Int): Map[Long, Double] =
+      Similarity.recallReport(
+        SimilarityIvf.ivfKnn(data, queries, k = 5, nLists = 8, nProbe = np), truth)
+        .collect().map(r => r.getLong(0) -> r.getAs[Double]("recall")).toMap
+    val r1 = recallsAt(1); val r2 = recallsAt(2); val r8 = recallsAt(8)
+    r1.keys.foreach { q =>
+      assert(r2(q) >= r1(q), s"query $q: nProbe 2 below 1")
+      assert(r8(q) >= r2(q), s"query $q: nProbe 8 below 2")
+    }
+    // probing every list IS brute force: recall exactly 1 everywhere
+    assert(r8.values.forall(_ == 1.0))
+  }
 }
