@@ -635,6 +635,53 @@ object Curation {
       .select(col("doc_id"), col("shard"), col("pos"))
   }
 
+  /**
+   * SOURCE-INTERLEAVED training order — the curriculum-mixing complement
+   * to [[shuffleOrder]]: rank each source's docs by a salted hash (a
+   * per-source deterministic permutation), then land rank r of source s
+   * at global slot (r−1)·S + idx(s). Consecutive training rows cycle
+   * through all S sources, so a data loader streaming this order never
+   * feeds a long single-source run (the gradient-staleness failure a
+   * plain global shuffle only avoids in expectation).
+   *
+   * Scale: the per-source dense rank is two-level (the [[shuffleOrder]] /
+   * [[tokenBudget]] shape): row_number inside (source, 256-hash-shard)
+   * partitions plus the exact shard-prefix offset from per-(source, shard)
+   * counts — no per-source single-partition sort. With 256 shards keyed by
+   * the okey's first two hex digits, (shard, okey) order IS okey order, so
+   * the two-level rank equals the single-window rank the oracle computes.
+   *
+   * @return (doc_id, source, src_rank, interleave_pos) — positions are a
+   *         permutation of 0..N−1 when sources are equal-sized, and
+   *         collision-free slots on the r·S + idx grid in general.
+   */
+  def interleaveOrder(docs: DataFrame, salt: String = "interleave"): DataFrame = {
+    require(!salt.contains("'"), "salt must not contain quotes")
+    val keyed = docs.select(col("doc_id"), col("source"),
+      md5(concat(lit(s"$salt:"), col("doc_id").cast("string"))).as("okey"))
+      .withColumn("shard", expr(
+        """((instr('0123456789abcdef', substr(okey, 1, 1)) - 1) * 16 +
+          | instr('0123456789abcdef', substr(okey, 2, 1)) - 1)""".stripMargin).cast("long"))
+    val counts = keyed.groupBy("source", "shard").agg(count(lit(1)).as("cnt"))
+    val wPre = Window.partitionBy("source").orderBy("shard")
+      .rowsBetween(Window.unboundedPreceding, -1) // <= 256 rows per source
+    val offsets = counts
+      .withColumn("off", coalesce(sum(col("cnt")).over(wPre), lit(0L)))
+      .select("source", "shard", "off")
+    val within = Window.partitionBy("source", "shard").orderBy(col("okey"), col("doc_id"))
+    val srcIdx = docs.select("source").distinct()
+      .withColumn("src_idx",
+        (row_number().over(Window.orderBy("source")) - 1).cast("long"))
+    val nSrc = srcIdx.agg(count(lit(1)).as("n_sources"))
+    keyed.join(offsets, Seq("source", "shard"))
+      .withColumn("src_rank", (col("off") + row_number().over(within)).cast("long"))
+      .join(broadcast(srcIdx), "source")
+      .crossJoin(broadcast(nSrc))
+      .select(col("doc_id"), col("source"), col("src_rank"),
+        ((col("src_rank") - 1L) * col("n_sources") + col("src_idx"))
+          .as("interleave_pos"))
+  }
+
   def packSequences(docs: DataFrame, ctxLen: Long = 2048L, nShards: Int = 8): DataFrame = {
     require(ctxLen >= 1L && nShards >= 1, "ctxLen and nShards must be positive")
     val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))

@@ -743,4 +743,41 @@ object Graph {
         aggregate(sort_array(collect_list(struct(col("community"), col("term")))),
           lit(0.0), (acc, s) => acc + s.getField("term")).as("modularity"))
   }
+
+  /**
+   * Freeman DEGREE CENTRALIZATION of the undirected simple graph — the
+   * one-number star-vs-mesh shape test: Σ(d_max − d_i) normalized by the
+   * star graph's maximum (n−1)(n−2). 1 = a perfect hub-and-spokes (one
+   * domain everything links through — a CDN or a link farm), 0 = every
+   * node equal (ring/clique). Complements [[assortativity]] (who links to
+   * whom) with how CONCENTRATED the linking is.
+   *
+   * Exact integers end to end (Σ(d_max − d) = n·d_max − Σd, DECIMAL(38,0)
+   * for the product); one closing division, NULL when n < 3 (the
+   * normalizer vanishes). One degree aggregate + a 1-row fold.
+   *
+   * @return one row: (n_nodes, n_edges, max_degree, sum_diff,
+   *         centralization)
+   */
+  def degreeCentralization(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .distinct()
+      .localCheckpoint(false)
+    val deg = und.select(col("a").as("u")).union(und.select(col("b")))
+      .groupBy("u").agg(count(lit(1)).as("deg"))
+    val m = und.agg(count(lit(1)).as("n_edges"))
+    val sumDiff = (col("n_nodes").cast("decimal(38,0)") * col("max_degree") -
+      col("deg_sum")).cast("long")
+    deg.agg(count(lit(1)).as("n_nodes"), max(col("deg")).as("max_degree"),
+        sum(col("deg")).as("deg_sum"))
+      .crossJoin(broadcast(m))
+      .select(col("n_nodes"), col("n_edges"), col("max_degree"),
+        sumDiff.as("sum_diff"),
+        when(col("n_nodes") >= 3L,
+          sumDiff.cast("double") /
+            ((col("n_nodes") - 1L) * (col("n_nodes") - 2L)).cast("double"))
+          .as("centralization"))
+  }
 }

@@ -1417,6 +1417,31 @@ object TextAnalysis {
    * @return (doc_id, n_copyright, n_rights, n_license_terms, license_flag)
    */
   /**
+   * CASING profile — the shouting/headline screen the punctuation-based
+   * quality bands miss: counts of ALL-CAPS words (≥ 2 letters) and
+   * Capitalized words per doc, the all-caps ratio, and a `shouting` flag
+   * past `maxCapsRatio`. Marketing spam, OCR'd headers and terms-of-service
+   * walls are caps-heavy at normal punctuation levels. Row-wise token
+   * filters over one scan (the [[ocrArtifacts]] idiom), RE2-portable.
+   *
+   * @return (doc_id, n_words, n_allcaps, n_capitalized, allcaps_ratio,
+   *         shouting)
+   */
+  def casingProfile(docs: DataFrame, textCol: String = "text",
+                    maxCapsRatio: Double = 0.3): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val allcaps = size(filter(toks, w => w.rlike("^[A-Z]{2,}$"))).cast("long")
+    val capitalized = size(filter(toks, w => w.rlike("^[A-Z][a-z]+$"))).cast("long")
+    docs.select(col("doc_id"),
+        size(toks).cast("long").as("n_words"),
+        allcaps.as("n_allcaps"), capitalized.as("n_capitalized"))
+      .withColumn("allcaps_ratio",
+        col("n_allcaps").cast("double") / col("n_words").cast("double"))
+      .withColumn("shouting",
+        when(col("allcaps_ratio") > maxCapsRatio, 1L).otherwise(0L))
+  }
+
+  /**
    * Per-document LANGUAGE MIXTURE — the code-switching detector the
    * winner-takes-all [[languageId]] hides: all four lexicons' hit counts
    * and word-fractions side by side, the primary guess, and a `mixed` flag

@@ -713,6 +713,10 @@ object LlmQueries {
     // real structure or random chance — the quality number for graph_lpa
     "graph_modularity" -> ((s, dir) =>
       graft.operators.Graph.modularity(plantedEdges(docs(s, dir), full = true), rounds = 4)),
+    // Freeman degree centralization: the one-number star-vs-mesh shape test
+    // (1 = hub-and-spokes link farm, 0 = every domain equal)
+    "graph_centralization" -> ((s, dir) =>
+      graft.operators.Graph.degreeCentralization(plantedEdges(docs(s, dir), full = true))),
     // degree assortativity: Pearson over endpoint degrees, both
     // orientations — exact DECIMAL moment sums, one pinned double formula;
     // the one-number structural fingerprint per crawl snapshot
@@ -900,6 +904,18 @@ object LlmQueries {
         col("source"))
       graft.operators.Curation.pipelineKeep(planted,
         minQuality = 0.3, capPerSource = 15, budgetWords = 8000L)
+    }),
+    // source-interleaved training order: per-source salted permutation
+    // landed on the r*S + idx slot grid — consecutive rows cycle sources
+    "curate_interleave" -> ((s, dir) =>
+      graft.operators.Curation.interleaveOrder(docs(s, dir))),
+    // casing profile over planted shouting (every 19th doc upper-cased):
+    // the headline/spam screen punctuation bands miss
+    "text_casing" -> ((s, dir) => {
+      val planted = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 19 === 0, upper(col("text")))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.casingProfile(planted)
     }),
     // per-source vocabulary drift (Jensen-Shannon vs the corpus head) over
     // a planted stopword-flooded source — the mix-health monitor
@@ -2121,6 +2137,43 @@ object LlmQueries {
         |       len(regexp_extract_all(t2, '\+[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,8}')) AS n_phones,
         |       regexp_replace(t2, '\+[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,8}', '<PHONE>', 'g') AS redacted
         |FROM r2""".stripMargin,
+    // mirrors Curation.interleaveOrder: single-window per-source rank (=
+    // the two-level sharded rank by okey-prefix order), r*S + idx slots
+    "curate_interleave" ->
+      """WITH k AS (SELECT doc_id, source,
+        |                  md5('interleave:' || CAST(doc_id AS VARCHAR)) AS okey
+        |           FROM documents),
+        |r AS (SELECT doc_id, source,
+        |             CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |                    ORDER BY okey, doc_id) AS BIGINT) AS src_rank
+        |      FROM k),
+        |si AS (SELECT source,
+        |              CAST(ROW_NUMBER() OVER (ORDER BY source) - 1 AS BIGINT) AS src_idx
+        |       FROM (SELECT DISTINCT source FROM documents)),
+        |ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM si)
+        |SELECT r.doc_id, r.source, r.src_rank,
+        |       (r.src_rank - 1) * ns.n + si.src_idx AS interleave_pos
+        |FROM r JOIN si ON r.source = si.source, ns""".stripMargin,
+    // mirrors TextAnalysis.casingProfile(maxCapsRatio=0.3) over the
+    // planted shouting corpus: same RE2 token classes
+    "text_casing" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 19 = 0 THEN upper(text) ELSE text END AS text
+        |  FROM documents),
+        |t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM d),
+        |c AS (SELECT doc_id,
+        |             CAST(len(ws) AS BIGINT) AS n_words,
+        |             CAST(len(list_filter(ws,
+        |                    w -> regexp_matches(w, '^[A-Z]{2,}$'))) AS BIGINT) AS n_allcaps,
+        |             CAST(len(list_filter(ws,
+        |                    w -> regexp_matches(w, '^[A-Z][a-z]+$'))) AS BIGINT) AS n_capitalized
+        |      FROM t)
+        |SELECT doc_id, n_words, n_allcaps, n_capitalized,
+        |       CAST(n_allcaps AS DOUBLE) / CAST(n_words AS DOUBLE) AS allcaps_ratio,
+        |       CAST(CASE WHEN CAST(n_allcaps AS DOUBLE) / CAST(n_words AS DOUBLE) > 0.3
+        |                 THEN 1 ELSE 0 END AS BIGINT) AS shouting
+        |FROM c""".stripMargin,
     // mirrors TextAnalysis.vocabDrift(topN=200, flagAt=0.1) over the
     // flooded-source plant: total-order head, DECIMAL(28,12) p*ln(p/m)
     // terms, exact per-source sums, one closing /2
@@ -4000,6 +4053,28 @@ object LlmQueries {
     "graph_kcore" -> kcoreOracleSql(k = 3, rounds = 6),
     "graph_lpa" -> lpaOracleSql(rounds = 4),
     "graph_modularity" -> modularityOracleSql(rounds = 4),
+    // mirrors Graph.degreeCentralization: exact n*dmax - sum(deg), one
+    // closing division, NULL normalizer below 3 nodes
+    "graph_centralization" ->
+      s"""WITH e AS MATERIALIZED (
+         |$PlantedEdgesSql),
+         |und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+         |        FROM e WHERE src != dst AND src IS NOT NULL AND dst IS NOT NULL),
+         |dg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+         |         SELECT a AS u FROM und UNION ALL SELECT b FROM und) GROUP BY 1),
+         |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         |             CAST(MAX(deg) AS BIGINT) AS max_degree,
+         |             CAST(SUM(deg) AS BIGINT) AS deg_sum
+         |      FROM dg),
+         |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM und)
+         |SELECT s.n_nodes, m.n_edges, s.max_degree,
+         |       CAST(CAST(s.n_nodes AS HUGEINT) * s.max_degree - s.deg_sum AS BIGINT)
+         |         AS sum_diff,
+         |       CASE WHEN s.n_nodes >= 3 THEN
+         |         CAST(CAST(CAST(s.n_nodes AS HUGEINT) * s.max_degree - s.deg_sum AS BIGINT) AS DOUBLE)
+         |           / CAST((s.n_nodes - 1) * (s.n_nodes - 2) AS DOUBLE)
+         |       END AS centralization
+         |FROM s, m""".stripMargin,
     // mirrors Graph.harmonicCentrality(maxHops=3): per-round frontier
     // expansion with NOT-EXISTS min-hop guards, 60//hop exact scores
     "graph_harmonic" ->

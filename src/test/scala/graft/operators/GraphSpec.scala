@@ -255,4 +255,18 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(r2.getAs[Long]("n_communities") == 1L)
     assert(r2.getAs[Double]("modularity") == 0.0)
   }
+
+  test("degreeCentralization: star = 1, clique = 0, tiny graph = NULL") {
+    val star = Seq(("h", "l1"), ("h", "l2"), ("h", "l3")).toDF("src", "dst")
+    val s = Graph.degreeCentralization(star).collect().head
+    assert(s.getAs[Long]("n_nodes") == 4L && s.getAs[Long]("n_edges") == 3L)
+    assert(s.getAs[Long]("max_degree") == 3L && s.getAs[Long]("sum_diff") == 6L)
+    assert(s.getAs[Double]("centralization") == 1.0)
+    val tri = Seq(("a", "b"), ("b", "c"), ("a", "c")).toDF("src", "dst")
+    val t = Graph.degreeCentralization(tri).collect().head
+    assert(t.getAs[Double]("centralization") == 0.0)
+    val pair = Seq(("a", "b")).toDF("src", "dst")
+    val p = Graph.degreeCentralization(pair).collect().head
+    assert(p.isNullAt(p.fieldIndex("centralization")), "n < 3 has no normalizer")
+  }
 }

@@ -506,4 +506,23 @@ class HygieneOpsSpec extends AnyFunSuite with SparkSpec {
     assert(out("A").getAs[Long]("head_words") == 2L)
     assert(out("A").getAs[Long]("source_head_tokens") == 4L)
   }
+
+  test("casingProfile: shouting flags on all-caps ratio; Capitalized words counted apart") {
+    val d = Seq(
+      (1L, "BUY NOW LIMITED OFFER today"),   // 4/5 all-caps -> shouting
+      (2L, "The Quick Brown fox jumps"),     // Title Case, no all-caps
+      (3L, "plain lower case words here"),
+      (4L, "an ACRONYM like NASA is fine in prose actually ok"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.casingProfile(d).collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_allcaps") == 4L)
+    assert(out(1L).getAs[Long]("shouting") == 1L)
+    assert(out(2L).getAs[Long]("n_allcaps") == 0L)
+    assert(out(2L).getAs[Long]("n_capitalized") == 3L)
+    assert(out(2L).getAs[Long]("shouting") == 0L)
+    assert(out(3L).getAs[Double]("allcaps_ratio") == 0.0)
+    // 2 acronyms of 10 words = 0.2 <= 0.3 -> keeps
+    assert(out(4L).getAs[Long]("n_allcaps") == 2L)
+    assert(out(4L).getAs[Long]("shouting") == 0L)
+  }
 }

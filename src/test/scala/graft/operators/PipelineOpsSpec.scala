@@ -1176,4 +1176,27 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
       assert(r.getAs[Long]("dedup_keep") <= r.getAs[Long]("q_keep"))
     }
   }
+
+  test("interleaveOrder: dense per-source ranks on the r*S + idx slot grid; deterministic") {
+    val d = (1L to 5L).map(i => (i, s"t$i", if (i <= 3) "A" else "B"))
+      .toDF("doc_id", "text", "source")
+    val out = Curation.interleaveOrder(d).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // per-source ranks are dense 1..n
+    assert(out.values.filter(_._1 == "A").map(_._2).toSet == Set(1L, 2L, 3L))
+    assert(out.values.filter(_._1 == "B").map(_._2).toSet == Set(1L, 2L))
+    // every position sits on its slot: (rank-1)*2 + idx(source)
+    out.values.foreach { case (src, rank, pos) =>
+      val idx = if (src == "A") 0L else 1L
+      assert(pos == (rank - 1) * 2 + idx)
+    }
+    // positions are collision-free and the first two slots hold one of each
+    assert(out.values.map(_._3).toSet.size == 5)
+    assert(out.values.filter(_._3 < 2).map(_._1).toSet == Set("A", "B"))
+    // parallelism determinism
+    val again = Curation.interleaveOrder(d.repartition(7)).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(again == out)
+  }
 }
