@@ -681,6 +681,38 @@ object Search {
    *
    * @return (query_id, doc_id, snip_start, n_covered, snippet)
    */
+  /**
+   * SPEARMAN rank agreement between two rankers over their COMMON
+   * candidates per query — the diagnostic behind every hybrid-fusion
+   * decision ([[rrfFuse]] helps most when the rankers DISAGREE; ρ ≈ 1
+   * means the second system adds nothing): d = rank_a − rank_b over the
+   * intersection, ρ = 1 − 6Σd² / (n(n²−1)). Ranks are the rankers'
+   * ORIGINAL positions (rank displacement over the shared set — the
+   * operational reading; both inputs are row_number ranks, so ties cannot
+   * occur). Exact integer ranks and sums; one pinned close; queries with
+   * fewer than 2 common candidates score NULL.
+   *
+   * Scale: one (query, doc)-keyed join of two k-bounded hit lists — frames
+   * are queries×k rows a side, never corpus-sized.
+   *
+   * @param a,b (query_id, doc_id, rank) hit lists.
+   * @return (query_id, n_common, sum_d2, spearman_rho)
+   */
+  def rankCorrelation(a: DataFrame, b: DataFrame): DataFrame = {
+    val j = a.select(col("query_id"), col("doc_id"), col("rank").as("ra"))
+      .join(b.select(col("query_id"), col("doc_id"), col("rank").as("rb")),
+        Seq("query_id", "doc_id"))
+    val d2 = (col("ra") - col("rb")) * (col("ra") - col("rb"))
+    j.groupBy("query_id")
+      .agg(count(lit(1)).as("n_common"), sum(d2).as("sum_d2"))
+      .select(col("query_id"), col("n_common"), col("sum_d2"),
+        when(col("n_common") >= 2L,
+          lit(1.0) - lit(6.0) * col("sum_d2").cast("double") /
+            (col("n_common") * (col("n_common") * col("n_common") - 1L))
+              .cast("double"))
+          .as("spearman_rho"))
+  }
+
   def snippetText(docs: DataFrame, queries: DataFrame,
                   window: Int = 12): DataFrame =
     bestSnippets(docs, queries, window)

@@ -1417,6 +1417,51 @@ object TextAnalysis {
    * @return (doc_id, n_copyright, n_rights, n_license_terms, license_flag)
    */
   /**
+   * VOCABULARY COVERAGE sizing — "how many distinct words cover p% of all
+   * token occurrences": THE number a tokenizer-vocab budget is cut from
+   * (the rank where coverage crosses 99% is where subword fallback starts
+   * paying for itself). Exact integers end to end via the count-value
+   * rollup (the [[graft.operators.Funnel]] Lorenz idiom): words with the
+   * SAME frequency are interchangeable, so the curve is fully determined
+   * by the (count, n_words) frame and the boundary group contributes
+   * `ceil((target − cum_mass)/count)` words — the one window runs over
+   * distinct frequency VALUES, never the vocabulary.
+   *
+   * @return one row per pct: (pct, target_mass, vocab_needed,
+   *         boundary_count, total_vocab, total_tokens)
+   */
+  def vocabCoverage(docs: DataFrame,
+                    pcts: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100), "pcts in [1,100]")
+    val counts = docs
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("n"))
+    val g = counts.groupBy("n").agg(count(lit(1)).as("nw"))
+      .select(col("n"), col("nw"), (col("n") * col("nw")).as("mass"))
+    val wDesc = org.apache.spark.sql.expressions.Window.orderBy(col("n").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    // ^ distinct-frequency-bounded: the window sees count VALUES, not words
+    val cum = g
+      .withColumn("cum_words", coalesce(sum(col("nw")).over(wDesc), lit(0L)))
+      .withColumn("cum_mass", coalesce(sum(col("mass")).over(wDesc), lit(0L)))
+    val tot = g.agg(sum(col("mass")).as("t_mass"), sum(col("nw")).as("t_vocab"))
+    val ps = pcts.map(p => lit(p.toLong)).toArray
+    val pFrame = counts.sparkSession.range(1)
+      .select(explode(array(ps: _*)).as("pct"))
+    val target = expr("(pct * t_mass + 99) div 100")
+    cum.crossJoin(broadcast(tot)).crossJoin(broadcast(pFrame))
+      .withColumn("target_mass", target)
+      .where(col("cum_mass") < col("target_mass") &&
+        col("cum_mass") + col("mass") >= col("target_mass"))
+      .select(col("pct"), col("target_mass"),
+        (col("cum_words") +
+          expr("(target_mass - cum_mass + n - 1) div n")).as("vocab_needed"),
+        col("n").as("boundary_count"), col("t_vocab").as("total_vocab"),
+        col("t_mass").as("total_tokens"))
+  }
+
+  /**
    * CASING profile — the shouting/headline screen the punctuation-based
    * quality bands miss: counts of ALL-CAPS words (≥ 2 letters) and
    * Capitalized words per doc, the all-caps ratio, and a `shouting` flag

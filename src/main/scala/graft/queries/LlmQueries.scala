@@ -1076,6 +1076,20 @@ object LlmQueries {
       val d = docs(s, dir)
       graft.operators.Search.bestSnippets(d, probeQueries(d), window = 12)
     }),
+    // Spearman rank agreement between the lexical and semantic rankers over
+    // their shared top-15 candidates: rho near 1 says hybrid fusion adds
+    // nothing, rho near 0 says the systems see different relevance
+    "search_rank_corr" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val sem = Similarity.bruteForceKnn(e, e.where(col("vec_id") % 97 === 0), k = 15)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+      graft.operators.Search.rankCorrelation(
+        bm25Hits15(s, dir).select(col("query_id"), col("doc_id"), col("rank")), sem)
+    }),
+    // vocabulary-coverage sizing: distinct words needed to cover 50/90/99%
+    // of token mass — the tokenizer-vocab budget curve, exact integers
+    "text_vocab_coverage" -> ((s, dir) =>
+      TextAnalysis.vocabCoverage(docs(s, dir))),
     // the rendered snippet STRING: best-window offsets joined back to the
     // case-preserving text and sliced — what a results page actually shows
     "search_highlight" -> ((s, dir) => {
@@ -2624,6 +2638,72 @@ object LlmQueries {
         |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank
         |  FROM f)
         |WHERE rank <= 10""".stripMargin,
+    // mirrors Search.rankCorrelation over the k=15 lexical/semantic hit
+    // lists (the hybrid oracle's lex/sem CTEs at rank <= 15): exact d^2
+    // sums over the intersection, pinned Spearman close, n < 2 -> NULL
+    "search_rank_corr" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |q AS (SELECT doc_id AS query_id, array_to_string((string_split(text, ' '))[1:4], ' ') AS qtext
+        |      FROM documents WHERE doc_id % 97 = 0),
+        |qt AS (SELECT DISTINCT query_id, term
+        |       FROM (SELECT query_id, unnest(string_split(qtext, ' ')) AS term FROM q)),
+        |dt AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM w),
+        |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM dt GROUP BY 1, 2, 3),
+        |m AS (SELECT qt.query_id, tf.doc_id, tf.dl, tf.term, tf.tf FROM tf JOIN qt USING (term)),
+        |dfq AS (SELECT term, COUNT(*) AS df FROM (SELECT DISTINCT term, doc_id FROM m) GROUP BY 1),
+        |st AS (SELECT COUNT(*) AS n_docs, SUM(len(ws)) AS sum_dl FROM w),
+        |cc AS (SELECT m.query_id, m.doc_id,
+        |        CAST((ln(1 + ((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)))
+        |              * ((m.tf * (1.2 + 1)) / (m.tf + (1.2 * ((1.0 - 0.75) + ((0.75 * m.dl)
+        |                / (CAST(st.sum_dl AS DOUBLE) / st.n_docs))))))) AS DECIMAL(28,9)) AS c
+        |      FROM m JOIN dfq USING (term) CROSS JOIN st),
+        |sc AS (SELECT query_id, doc_id, SUM(c) AS score FROM cc GROUP BY 1, 2),
+        |lex AS (SELECT query_id, doc_id, rank FROM (
+        |          SELECT query_id, doc_id,
+        |                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+        |          FROM sc) WHERE rank <= 15),
+        |kc AS (SELECT qv.vec_id AS query_id, d.vec_id AS doc_id,
+        |         ${CosineSql.replace("q.embedding", "qv.embedding")} AS sim
+        |       FROM embeddings qv JOIN embeddings d ON qv.vec_id % 97 = 0 AND d.vec_id != qv.vec_id),
+        |sem AS (SELECT query_id, doc_id, rank FROM (
+        |          SELECT query_id, doc_id,
+        |                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, doc_id) AS BIGINT) AS rank
+        |          FROM kc) WHERE rank <= 15),
+        |j AS (SELECT l.query_id, (l.rank - s.rank) * (l.rank - s.rank) AS d2
+        |      FROM lex l JOIN sem s ON l.query_id = s.query_id AND l.doc_id = s.doc_id),
+        |g AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_common,
+        |             CAST(SUM(d2) AS BIGINT) AS sum_d2
+        |      FROM j GROUP BY 1)
+        |SELECT query_id, n_common, sum_d2,
+        |       CASE WHEN n_common >= 2 THEN
+        |         1.0 - 6.0 * CAST(sum_d2 AS DOUBLE)
+        |           / CAST(n_common * (n_common * n_common - 1) AS DOUBLE)
+        |       END AS spearman_rho
+        |FROM g""".stripMargin,
+    // mirrors TextAnalysis.vocabCoverage(50/90/99): count-value rollup,
+    // exclusive desc cum sums, integer boundary interpolation
+    "text_vocab_coverage" ->
+      """WITH v AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        |             SELECT UNNEST(string_split(lower(text), ' ')) AS w FROM documents)
+        |           WHERE w != '' GROUP BY 1),
+        |g AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS nw,
+        |             CAST(n * COUNT(*) AS BIGINT) AS mass
+        |      FROM v GROUP BY 1),
+        |c AS (SELECT n, nw, mass,
+        |             CAST(COALESCE(SUM(nw) OVER wd, 0) AS BIGINT) AS cum_words,
+        |             CAST(COALESCE(SUM(mass) OVER wd, 0) AS BIGINT) AS cum_mass
+        |      FROM g WINDOW wd AS (ORDER BY n DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |t AS (SELECT CAST(SUM(mass) AS BIGINT) AS t_mass,
+        |             CAST(SUM(nw) AS BIGINT) AS t_vocab FROM g),
+        |p AS (SELECT CAST(UNNEST([50, 90, 99]) AS BIGINT) AS pct)
+        |SELECT p.pct, CAST((p.pct * t.t_mass + 99) // 100 AS BIGINT) AS target_mass,
+        |       CAST(c.cum_words
+        |            + ((p.pct * t.t_mass + 99) // 100 - c.cum_mass + c.n - 1) // c.n
+        |          AS BIGINT) AS vocab_needed,
+        |       c.n AS boundary_count, t.t_vocab AS total_vocab, t.t_mass AS total_tokens
+        |FROM c, t, p
+        |WHERE c.cum_mass < (p.pct * t.t_mass + 99) // 100
+        |  AND c.cum_mass + c.mass >= (p.pct * t.t_mass + 99) // 100""".stripMargin,
     "search_hard_negatives" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |q AS (SELECT doc_id AS query_id, array_to_string((string_split(text, ' '))[1:4], ' ') AS qtext

@@ -525,4 +525,19 @@ class HygieneOpsSpec extends AnyFunSuite with SparkSpec {
     assert(out(4L).getAs[Long]("n_allcaps") == 2L)
     assert(out(4L).getAs[Long]("shouting") == 0L)
   }
+
+  test("vocabCoverage: hand-computed boundary interpolation over a = 4, b = 2, c = d = 1") {
+    val d = Seq((1L, "a a a a b b c d")).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabCoverage(d).collect().map(r => r.getLong(0) -> r).toMap
+    // T = 8 tokens, 4 distinct. p50: target 4 -> 'a' alone covers it.
+    assert(out(50L).getAs[Long]("target_mass") == 4L)
+    assert(out(50L).getAs[Long]("vocab_needed") == 1L)
+    // p90: target 8 -> a(4) + b(2) + both count-1 words = 4 of 4
+    assert(out(90L).getAs[Long]("target_mass") == 8L)
+    assert(out(90L).getAs[Long]("vocab_needed") == 4L)
+    assert(out(90L).getAs[Long]("boundary_count") == 1L)
+    assert(out(99L).getAs[Long]("vocab_needed") == 4L)
+    assert(out(50L).getAs[Long]("total_vocab") == 4L)
+    assert(out(50L).getAs[Long]("total_tokens") == 8L)
+  }
 }

@@ -344,4 +344,17 @@ class SearchSpec extends AnyFunSuite with SparkSpec {
     assert(out(1L) == "B A x B")
     assert(out(2L) == "a x b x")
   }
+
+  test("rankCorrelation: identical order = 1, reversed = -1, singleton = NULL") {
+    def hits(rows: (Long, Long, Long)*) = rows.toDF("query_id", "doc_id", "rank")
+    val a = hits((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L), (2L, 20L, 1L))
+    val same = Search.rankCorrelation(a, a).collect().map(r => r.getLong(0) -> r).toMap
+    assert(same(1L).getAs[Double]("spearman_rho") == 1.0)
+    assert(same(2L).isNullAt(3), "one common candidate has no correlation")
+    val rev = hits((1L, 10L, 3L), (1L, 11L, 2L), (1L, 12L, 1L))
+    val r = Search.rankCorrelation(a, rev).collect().map(x => x.getLong(0) -> x).toMap
+    // sum d^2 = 4 + 0 + 4 = 8; rho = 1 - 48/24 = -1
+    assert(r(1L).getAs[Long]("sum_d2") == 8L)
+    assert(r(1L).getAs[Double]("spearman_rho") == -1.0)
+  }
 }
