@@ -459,6 +459,50 @@ object Anomaly {
    * @return (event_type, n_buckets, mean_per_bucket, var_per_bucket,
    *         dispersion)
    */
+  /**
+   * SLO BURN RATE, multiwindow (the Google SRE workbook alert shape): per
+   * hour, the error share of all events over the short (1 bucket) and long
+   * (rolling `longHours`) windows, each divided by the error BUDGET
+   * (1 − SLO, in basis points); the alert fires only when BOTH windows
+   * burn past `alertAt` — the fast window for responsiveness, the slow one
+   * so a single bad minute can't page. This is the serving-side complement
+   * to [[seasonalAnomaly]] (volume anomalies) — correctness anomalies.
+   *
+   * Determinism: counts are exact integers; the long window is a
+   * RANGE frame over `bucket_ms` (true wall-clock hours — a missing hour
+   * contributes nothing rather than stretching the window); burns are
+   * pinned double chains. The one unpartitioned window orders the
+   * hour-bucket frame (period-bounded, the autocorrelation contract).
+   *
+   * @return (bucket_ms, n_total, n_errors, burn_short, n_total_long,
+   *         n_errors_long, burn_long, alert)
+   */
+  def sloBurnRate(events: DataFrame, errorType: String = "error",
+                  typeCol: String = "event_type", tsMsCol: String = "ts_ms",
+                  budgetBp: Long = 1000L, longHours: Int = 6,
+                  alertAt: Double = 2.0): DataFrame = {
+    require(budgetBp >= 1L && budgetBp <= 10000L, "budgetBp in [1, 10000]")
+    require(longHours >= 2, "longHours >= 2")
+    val hourly = events
+      .groupBy(expr(s"$tsMsCol div 3600000 * 3600000").as("bucket_ms"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col(typeCol) === errorType, 1L).otherwise(0L)).as("n_errors"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("bucket_ms")
+      .rangeBetween(-(longHours - 1) * 3600000L, 0L)
+    val budget = budgetBp.toDouble / 10000.0
+    val burnS = col("n_errors").cast("double") / col("n_total").cast("double") /
+      lit(budget)
+    val burnL = col("n_errors_long").cast("double") /
+      col("n_total_long").cast("double") / lit(budget)
+    hourly
+      .withColumn("n_total_long", sum(col("n_total")).over(w))
+      .withColumn("n_errors_long", sum(col("n_errors")).over(w))
+      .select(col("bucket_ms"), col("n_total"), col("n_errors"),
+        burnS.as("burn_short"), col("n_total_long"), col("n_errors_long"),
+        burnL.as("burn_long"),
+        when(burnS > alertAt && burnL > alertAt, 1L).otherwise(0L).as("alert"))
+  }
+
   def dispersionIndex(events: DataFrame, typeCol: String = "event_type",
                       tsMsCol: String = "ts_ms",
                       periodMs: Long = 3600000L): DataFrame = {

@@ -743,6 +743,40 @@ object Funnel {
    * @return one row: (n_users, n_treat, n_control, expected_treat, chi2,
    *         srm_flag)
    */
+  /**
+   * Hourly CLICK-THROUGH RATE with a Wilson lower bound — the product
+   * metric read the raw ratio gets wrong at low volume: a 1-view/1-click
+   * hour is NOT a 100%-CTR hour, and the Wilson interval
+   * (p + z²/2n − z·√(p(1−p)/n + z²/4n²)) / (1 + z²/n) prices that in
+   * (z = 1.96, the 95% bound — the number a ranking/alerting rule should
+   * threshold instead of p). The binomial denominator is views; clicks
+   * above views (possible in event logs) clamp p to 1.
+   *
+   * Determinism: exact integer counts; p, the bound, and the clamp are one
+   * pinned IEEE chain (sqrt included) mirrored in the oracle. Hours with
+   * zero views are absent (no denominator). One hour-bucket aggregate.
+   *
+   * @return (bucket_ms, n_views, n_clicks, ctr, wilson_low)
+   */
+  def ctrWilson(events: DataFrame, viewType: String = "view",
+                clickType: String = "click", typeCol: String = "event_type",
+                tsMsCol: String = "ts_ms", z: Double = 1.96): DataFrame = {
+    val hourly = events
+      .where(col(typeCol).isin(viewType, clickType))
+      .groupBy(expr(s"$tsMsCol div 3600000 * 3600000").as("bucket_ms"))
+      .agg(sum(when(col(typeCol) === viewType, 1L).otherwise(0L)).as("n_views"),
+        sum(when(col(typeCol) === clickType, 1L).otherwise(0L)).as("n_clicks"))
+      .where(col("n_views") > 0L)
+    val n = col("n_views").cast("double")
+    val p = least(lit(1.0), col("n_clicks").cast("double") / n)
+    val z2 = z * z
+    val low = (p + lit(z2) / (n * 2.0) -
+      lit(z) * sqrt(p * (lit(1.0) - p) / n + lit(z2) / (n * n * 4.0))) /
+      (lit(1.0) + lit(z2) / n)
+    hourly.select(col("bucket_ms"), col("n_views"), col("n_clicks"),
+      p.as("ctr"), low.as("wilson_low"))
+  }
+
   def srmCheck(events: DataFrame, variantCol: String = "variant",
                userCol: String = "user_id", treatLabel: String = "treat",
                expectedTreatBp: Long = 5000L): DataFrame = {

@@ -165,6 +165,16 @@ object ApiQueries {
           when(col("user_id") % 10 === 0, lit("ping")).otherwise(col("event_type")))
       Funnel.userPathGini(ev, "user_id", "ts_ms", "event_id", "event_type")
     }),
+    // multiwindow SLO burn rate: hourly error share over 1h and rolling-6h
+    // RANGE windows vs a 10% budget; alert fires only when BOTH burn past 2x
+    "events_slo_burn" -> ((s, dir) =>
+      Anomaly.sloBurnRate(Points.table(s, dir, "events")
+        .withColumn("ts_ms", expr("ts div 1000000")))),
+    // hourly CTR with the Wilson 95% lower bound — the low-volume-honest
+    // ratio a ranking or alerting rule should threshold instead of p
+    "events_ctr_wilson" -> ((s, dir) =>
+      Funnel.ctrWilson(Points.table(s, dir, "events")
+        .withColumn("ts_ms", expr("ts div 1000000")))),
     // Poisson dispersion index per event type: variance-to-mean of hourly
     // arrival counts (exact DECIMAL moments, pinned close) — the arrival-
     // process fingerprint behind the seasonal/burstiness screens
@@ -829,6 +839,44 @@ object ApiQueries {
         |SELECT c.from_type, c.to_type, c.n, t.n_from,
         |       CAST(c.n AS DOUBLE) / t.n_from AS p
         |FROM c JOIN t USING (from_type)""".stripMargin,
+    // mirrors Anomaly.sloBurnRate(budgetBp=1000, longHours=6, alertAt=2):
+    // hourly counts, RANGE frame over bucket_ms, pinned burn chains
+    "events_slo_burn" ->
+      """WITH h AS (
+        |  SELECT epoch_ms(ts) // 3600000 * 3600000 AS bucket_ms,
+        |         CAST(COUNT(*) AS BIGINT) AS n_total,
+        |         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_errors
+        |  FROM events GROUP BY 1),
+        |r AS (SELECT *,
+        |        CAST(SUM(n_total) OVER w AS BIGINT) AS n_total_long,
+        |        CAST(SUM(n_errors) OVER w AS BIGINT) AS n_errors_long
+        |      FROM h WINDOW w AS (ORDER BY bucket_ms
+        |        RANGE BETWEEN 18000000 PRECEDING AND CURRENT ROW))
+        |SELECT bucket_ms, n_total, n_errors,
+        |       CAST(n_errors AS DOUBLE) / CAST(n_total AS DOUBLE) / 0.1 AS burn_short,
+        |       n_total_long, n_errors_long,
+        |       CAST(n_errors_long AS DOUBLE) / CAST(n_total_long AS DOUBLE) / 0.1 AS burn_long,
+        |       CAST(CASE WHEN CAST(n_errors AS DOUBLE) / CAST(n_total AS DOUBLE) / 0.1 > 2.0
+        |                  AND CAST(n_errors_long AS DOUBLE) / CAST(n_total_long AS DOUBLE) / 0.1 > 2.0
+        |                 THEN 1 ELSE 0 END AS BIGINT) AS alert
+        |FROM r""".stripMargin,
+    // mirrors Funnel.ctrWilson(z=1.96): hourly view/click counts, clamped
+    // p, one pinned Wilson lower-bound chain
+    "events_ctr_wilson" ->
+      """WITH h AS (
+        |  SELECT epoch_ms(ts) // 3600000 * 3600000 AS bucket_ms,
+        |         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_views,
+        |         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_clicks
+        |  FROM events WHERE event_type IN ('view', 'click') GROUP BY 1),
+        |f AS (SELECT *, CAST(n_views AS DOUBLE) AS n,
+        |             LEAST(1.0, CAST(n_clicks AS DOUBLE) / CAST(n_views AS DOUBLE)) AS p
+        |      FROM h WHERE n_views > 0)
+        |SELECT bucket_ms, n_views, n_clicks, p AS ctr,
+        |       (p + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / (n * 2.0)
+        |          - 1.96 * sqrt(p * (1.0 - p) / n + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / (n * n * 4.0)))
+        |         / (1.0 + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / n) AS wilson_low
+        |FROM f""".stripMargin,
     // mirrors Anomaly.dispersionIndex(periodMs=1h): exact DECIMAL moment
     // sums over hourly counts, GREATEST-guarded pinned variance
     "events_dispersion" ->

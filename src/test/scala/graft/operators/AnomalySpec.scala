@@ -257,4 +257,27 @@ class AnomalySpec extends AnyFunSuite with SparkSpec {
     assert(b.getAs[Double]("var_per_bucket") == 18.0)
     assert(b.getAs[Double]("dispersion") == 4.5)
   }
+
+  test("sloBurnRate: both windows must burn; RANGE frame skips gap hours") {
+    val h = 3600000L
+    def hour(b: Long, total: Int, errors: Int) =
+      (0 until total).map(i =>
+        (if (i < errors) "error" else "view", b * h + i.toLong))
+    // h0: 1/10 (burn 1), h1: 3/10 (burn 3, long 2.0 NOT > 2), h2: 5/10
+    // (burn 5, long 3 -> alert); h10 after a gap: clean hour, its own window
+    val ev = (hour(0, 10, 1) ++ hour(1, 10, 3) ++ hour(2, 10, 5) ++
+      hour(10, 10, 0)).toDF("event_type", "ts_ms")
+    val out = Anomaly.sloBurnRate(ev).collect().map(r => r.getLong(0) / h -> r).toMap
+    assert(out(0L).getAs[Double]("burn_short") == 1.0)
+    assert(out(0L).getAs[Long]("alert") == 0L)
+    assert(out(1L).getAs[Double]("burn_short") == 3.0 / 10.0 / 0.1) // IEEE 2.9999999999999996
+    assert(out(1L).getAs[Double]("burn_long") == 2.0)               // 0.2/0.1 IS exactly 2.0
+    assert(out(1L).getAs[Long]("alert") == 0L, "long window exactly at 2.0 does not fire")
+    assert(out(2L).getAs[Double]("burn_short") == 5.0)
+    assert(out(2L).getAs[Double]("burn_long") == 9.0 / 30.0 / 0.1)
+    assert(out(2L).getAs[Long]("alert") == 1L)
+    // the gap hour: the 6h RANGE window reaches back to h5..h10 = itself only
+    assert(out(10L).getAs[Long]("n_total_long") == 10L)
+    assert(out(10L).getAs[Double]("burn_long") == 0.0)
+  }
 }

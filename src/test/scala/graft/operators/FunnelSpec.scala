@@ -229,4 +229,21 @@ class FunnelSpec extends AnyFunSuite with SparkSpec {
     val good = Funnel.srmCheck(ev((1L to 5L).toSet)).collect().head
     assert(good.getAs[Double]("chi2") == 0.0 && good.getAs[Long]("srm_flag") == 0L)
   }
+
+  test("ctrWilson: bound sits below p, clamps click>view hours, drops zero-view hours") {
+    val h = 3600000L
+    val ev = (Seq.fill(4)(("view", 0L)) ++ Seq(("click", 1L)) ++      // h0: 4v 1c
+      Seq(("view", h)) ++ Seq.fill(2)(("click", h + 1)) ++            // h1: 1v 2c
+      Seq(("click", 2 * h)))                                          // h2: 0v -> absent
+      .toDF("event_type", "ts_ms")
+    val out = Funnel.ctrWilson(ev).collect().map(r => r.getLong(0) / h -> r).toMap
+    assert(out.keySet == Set(0L, 1L))
+    val r0 = out(0L)
+    assert(r0.getAs[Long]("n_views") == 4L && r0.getAs[Long]("n_clicks") == 1L)
+    assert(r0.getAs[Double]("ctr") == 0.25)
+    assert(r0.getAs[Double]("wilson_low") > 0.0 && r0.getAs[Double]("wilson_low") < 0.25)
+    val r1 = out(1L)
+    assert(r1.getAs[Double]("ctr") == 1.0, "clicks past views clamp to 1")
+    assert(r1.getAs[Double]("wilson_low") < 1.0, "one-view certainty is not certainty")
+  }
 }
