@@ -759,6 +759,30 @@ object Graph {
    * @return one row: (n_nodes, n_edges, max_degree, sum_diff,
    *         centralization)
    */
+  /**
+   * PageRank CONVERGENCE audit — the L1 distance between the ranks after
+   * `iters − 1` and `iters` power steps: the number that says whether the
+   * fixed iteration budget the [[pageRank]] contract runs on has actually
+   * settled (delta ≈ teleport-floor noise) or the graph needs more rounds.
+   * Both runs are bit-deterministic, so the delta is itself exact.
+   *
+   * @return one row: (n_nodes, l1_delta_fp, max_delta_fp, l1_delta)
+   */
+  def pageRankDelta(edges: DataFrame, iters: Int = 5, dampBp: Int = 8500,
+                    scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1, "iters >= 1")
+    val prev = pageRank(edges, iters - 1, dampBp, scale)
+      .select(col("domain"), col("rank_fp").as("prev_fp"))
+    pageRank(edges, iters, dampBp, scale)
+      .select(col("domain"), col("rank_fp"))
+      .join(prev, "domain")
+      .select(abs(col("rank_fp") - col("prev_fp")).as("dfp"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("dfp")).as("l1_delta_fp"),
+        max(col("dfp")).as("max_delta_fp"))
+      .withColumn("l1_delta",
+        col("l1_delta_fp").cast("double") / lit(scale.toDouble))
+  }
+
   def degreeCentralization(edges: DataFrame): DataFrame = {
     val und = edges
       .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))

@@ -136,6 +136,39 @@ object Similarity {
     * `q_l1`/`q_max` are the saturation audit (max-abs quantization pins
     * `q_max` to 127 for any nonzero vector — a different value flags a
     * degenerate embedding). */
+  /**
+   * Int8 RECONSTRUCTION-ERROR audit — the "can we serve quantized" number
+   * that pairs with the recall audits: per vector, the mean squared error
+   * of dequantized (q·scale) against the original floats, the max absolute
+   * per-dimension error, and a flag past `flagAt` MSE. Max-abs int8 bounds
+   * each |error| by scale/2, so the flag catches only degenerate inputs
+   * (non-finite elements quantize to the scale-0 form — their "error" IS
+   * the vector), which is exactly what a serving gate wants to route away.
+   *
+   * Determinism: errors fold in array-index order via zip_with + aggregate
+   * (fixed order, input-order-free); all arithmetic is one pinned chain.
+   * Row-wise over one scan — no shuffle, no corpus frame.
+   *
+   * @return (vec_id, n_dims, scale, mse, max_abs_err, lossy_flag)
+   */
+  def quantizeError(emb: DataFrame, flagAt: Double = 1e-4): DataFrame = {
+    val s = emb.select(col("vec_id"), col("embedding"),
+      graft.functions.VectorFunctions.quantizeInt8Vec(col("embedding")).as("qs"))
+    val errs = zip_with(col("embedding"), col("qs.q"),
+      (x, q) => x.cast("double") - q.cast("double") * col("qs.scale"))
+    s.select(col("vec_id"),
+        size(col("embedding")).cast("long").as("n_dims"),
+        col("qs.scale").as("scale"),
+        errs.as("errs"))
+      .select(col("vec_id"), col("n_dims"), col("scale"),
+        (aggregate(col("errs"), lit(0.0), (acc, e) => acc + e * e) /
+          col("n_dims").cast("double")).as("mse"),
+        aggregate(col("errs"), lit(0.0),
+          (acc, e) => greatest(acc, abs(e))).as("max_abs_err"))
+      .withColumn("lossy_flag",
+        when(col("mse") > flagAt, 1L).otherwise(0L))
+  }
+
   def quantizeInt8(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"),
         graft.functions.VectorFunctions.quantInt8(col("embedding")).as("s"))

@@ -631,6 +631,11 @@ object LlmQueries {
     "graph_pagerank" -> ((s, dir) =>
       graft.operators.Graph.pageRank(
         plantedEdges(docs(s, dir), full = true), iters = 5)),
+    // PageRank convergence audit: exact L1 delta between iterations 4 and
+    // 5 — has the fixed power budget actually settled
+    "graph_pagerank_delta" -> ((s, dir) =>
+      graft.operators.Graph.pageRankDelta(
+        plantedEdges(docs(s, dir), full = true), iters = 5)),
     // TrustRank: the same graph with teleport restricted to a two-domain
     // whitelist — trust propagates outward from the vetted core, the
     // curation-native authority variant (Gyöngyi et al.)
@@ -750,6 +755,10 @@ object LlmQueries {
     // component (the SHARED memoized frame), sign-split floor division
     "embed_pc_project" -> ((s, dir) =>
       Similarity.pcProjectionFrom(emb(s, dir), topPcFrame(s, dir))),
+    // int8 reconstruction-error audit: per-vector dequantization MSE and
+    // max abs error — the serving-precision twin of the recall audits
+    "embed_quantize_error" -> ((s, dir) =>
+      Similarity.quantizeError(emb(s, dir))),
     // parametric OOD: diagonal-Mahalanobis distance from the per-dim corpus
     // Gaussian (exact-grid moments), same corruption plant as the norm
     // screen — catches the zeroed vectors the norm screen must infer
@@ -3977,6 +3986,18 @@ object LlmQueries {
         |       1.0 - ((q * q) * q) * q AS p_detect
         |FROM q""".stripMargin,
     "graph_pagerank" -> pageRankOracleSql(),
+    // mirrors Graph.pageRankDelta(iters=5): one unrolled chain, r4 vs r5
+    // joined, exact integer L1/max deltas
+    "graph_pagerank_delta" ->
+      s"""WITH ${pageRankCtes(PlantedEdgesSql, 5, 8500, 1000000000000L, None)},
+         |d AS (SELECT a.domain,
+         |             ABS(CAST(a.rank_fp AS BIGINT) - CAST(b.rank_fp AS BIGINT)) AS dfp
+         |      FROM r5 a JOIN r4 b ON a.domain = b.domain)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         |       CAST(SUM(dfp) AS BIGINT) AS l1_delta_fp,
+         |       CAST(MAX(dfp) AS BIGINT) AS max_delta_fp,
+         |       CAST(CAST(SUM(dfp) AS BIGINT) AS DOUBLE) / 1000000000000.0 AS l1_delta
+         |FROM d""".stripMargin,
     // mirrors Graph.triangles over the planted link graph: undirected
     // distinct edges, (degree, node) orientation, wedge join closed by one
     // oriented-edge probe; lcc in the same pinned expression order
@@ -4270,6 +4291,40 @@ object LlmQueries {
          |  FROM proj)
          |SELECT vec_id, proj_fp, CAST(proj_fp AS DOUBLE) / 1000000 AS proj
          |FROM pf""".stripMargin,
+    // mirrors Similarity.quantizeError(flagAt=1e-4): the int8 quantizer's
+    // exact math (float max-abs, floor(x/mx*127+0.5), scale mx/127),
+    // index-order error folds
+    "embed_quantize_error" ->
+      """WITH q AS (
+        |  SELECT vec_id, embedding,
+        |         CAST(list_aggregate(list_transform(embedding, v -> abs(v)), 'max')
+        |              AS DOUBLE) AS mxr
+        |  FROM embeddings),
+        |q2 AS (SELECT vec_id, embedding,
+        |              CASE WHEN isfinite(mxr) THEN mxr ELSE 0.0 END AS mxd
+        |       FROM q),
+        |q3 AS (SELECT vec_id, embedding, mxd / 127.0 AS scale,
+        |              list_transform(embedding, v ->
+        |                CASE WHEN mxd > 0.0
+        |                     THEN FLOOR(CAST(v AS DOUBLE) / mxd * 127.0 + 0.5)
+        |                     ELSE 0.0 END) AS qv
+        |       FROM q2),
+        |e AS (SELECT vec_id, CAST(len(embedding) AS BIGINT) AS n_dims, scale,
+        |             list_transform(list_zip(embedding, qv),
+        |               s -> CAST(s[1] AS DOUBLE) - s[2] * scale) AS errs
+        |      FROM q3)
+        |SELECT vec_id, n_dims, scale,
+        |       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |         list_transform(errs, x -> x * x)), (acc, v) -> acc + v)
+        |         / CAST(n_dims AS DOUBLE) AS mse,
+        |       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |         list_transform(errs, x -> abs(x))), (acc, v) -> GREATEST(acc, v))
+        |         AS max_abs_err,
+        |       CAST(CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |              list_transform(errs, x -> x * x)), (acc, v) -> acc + v)
+        |              / CAST(n_dims AS DOUBLE) > 0.0001
+        |            THEN 1 ELSE 0 END AS BIGINT) AS lossy_flag
+        |FROM e""".stripMargin,
     // mirrors Similarity.mahalanobisDiag(flagAt=4.0) over the corruption
     // plant: dimStats exact-grid moments, per-(vec, dim) pinned term,
     // ascending-dim sorted fold

@@ -269,4 +269,15 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     val p = Graph.degreeCentralization(pair).collect().head
     assert(p.isNullAt(p.fieldIndex("centralization")), "n < 3 has no normalizer")
   }
+
+  test("pageRankDelta: hand-computed L1 distance between iterations 0 and 1") {
+    // A -> B at scale 10000: r0 = (5000, 5000), r1 = (2875, 7125)
+    // (the one-iteration fixture above) -> |dfp| = 2125 each
+    val edges = Seq(("A", "B")).toDF("src", "dst")
+    val r = Graph.pageRankDelta(edges, iters = 1, scale = 10000L).collect().head
+    assert(r.getAs[Long]("n_nodes") == 2L)
+    assert(r.getAs[Long]("l1_delta_fp") == 4250L)
+    assert(r.getAs[Long]("max_delta_fp") == 2125L)
+    assert(r.getAs[Double]("l1_delta") == 4250.0 / 10000.0)
+  }
 }

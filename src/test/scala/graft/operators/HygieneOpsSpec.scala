@@ -540,4 +540,22 @@ class HygieneOpsSpec extends AnyFunSuite with SparkSpec {
     assert(out(50L).getAs[Long]("total_vocab") == 4L)
     assert(out(50L).getAs[Long]("total_tokens") == 8L)
   }
+
+  test("quantizeError: hand-computed int8 reconstruction error; zero vector is lossless") {
+    val emb = Seq(
+      (1L, Seq(1.0f, -0.5f)),
+      (2L, Seq(0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.quantizeError(emb).collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getAs[Double]("scale") == 1.0 / 127.0)
+    // q = (127, -63): dequant errors (0, -0.5 - (-63/127))
+    val e2 = -0.5 - (-63.0 * (1.0 / 127.0))
+    assert(r1.getAs[Double]("mse") == (0.0 + e2 * e2) / 2.0)
+    assert(r1.getAs[Double]("max_abs_err") == math.abs(e2))
+    assert(r1.getAs[Long]("lossy_flag") == 0L, "max-abs int8 stays under 1e-4 MSE here")
+    val r2 = out(2L)
+    assert(r2.getAs[Double]("scale") == 0.0)
+    assert(r2.getAs[Double]("mse") == 0.0 && r2.getAs[Double]("max_abs_err") == 0.0)
+  }
 }
