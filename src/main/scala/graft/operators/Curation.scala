@@ -636,6 +636,31 @@ object Curation {
   }
 
   /**
+   * SPLIT BALANCE report — the QA read after [[splitAssign]]: per split,
+   * doc and token counts with their corpus shares, so "did my 80/10/10
+   * actually come out 80/10/10" (hash splits are binomial, not exact — a
+   * small corpus can land meaningfully off-design, and a token-heavy
+   * outlier doc skews token shares even when doc shares hold). One
+   * row-wise assignment pass + a 3-row rollup; exact LONG sums, pinned
+   * share divisions.
+   *
+   * @return one row per split: (split, n_docs, n_tokens, doc_share,
+   *         token_share)
+   */
+  def splitReport(docs: DataFrame, train256: Int = 205,
+                  val256: Int = 26): DataFrame = {
+    val sums = splitAssign(docs, train256, val256)
+      .select(col("split"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    val tot = sums.agg(sum("n_docs").as("t_docs"), sum("n_tokens").as("t_tokens"))
+    sums.crossJoin(broadcast(tot))
+      .select(col("split"), col("n_docs"), col("n_tokens"),
+        (col("n_docs").cast("double") / col("t_docs").cast("double")).as("doc_share"),
+        (col("n_tokens").cast("double") / col("t_tokens").cast("double")).as("token_share"))
+  }
+
+  /**
    * SOURCE-INTERLEAVED training order — the curriculum-mixing complement
    * to [[shuffleOrder]]: rank each source's docs by a salted hash (a
    * per-source deterministic permutation), then land rank r of source s

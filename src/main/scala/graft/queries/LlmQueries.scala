@@ -918,6 +918,10 @@ object LlmQueries {
     // landed on the r*S + idx slot grid — consecutive rows cycle sources
     "curate_interleave" -> ((s, dir) =>
       graft.operators.Curation.interleaveOrder(docs(s, dir))),
+    // split-balance QA: per-split doc/token counts and shares — did the
+    // hash split actually come out 80/10/10
+    "curate_split_report" -> ((s, dir) =>
+      graft.operators.Curation.splitReport(docs(s, dir))),
     // casing profile over planted shouting (every 19th doc upper-cased):
     // the headline/spam screen punctuation bands miss
     "text_casing" -> ((s, dir) => {
@@ -2160,6 +2164,24 @@ object LlmQueries {
         |       len(regexp_extract_all(t2, '\+[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,8}')) AS n_phones,
         |       regexp_replace(t2, '\+[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,8}', '<PHONE>', 'g') AS redacted
         |FROM r2""".stripMargin,
+    // mirrors Curation.splitReport(205, 26): the split hash cut plus a
+    // 3-row rollup with pinned share divisions
+    "curate_split_report" ->
+      """WITH a AS (
+        |  SELECT CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+        |              WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e7' THEN 'val'
+        |              ELSE 'test' END AS split,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |s AS (SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |             CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        |      FROM a GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS t_docs,
+        |             CAST(SUM(n_tokens) AS BIGINT) AS t_tokens FROM s)
+        |SELECT s.split, s.n_docs, s.n_tokens,
+        |       CAST(s.n_docs AS DOUBLE) / CAST(t.t_docs AS DOUBLE) AS doc_share,
+        |       CAST(s.n_tokens AS DOUBLE) / CAST(t.t_tokens AS DOUBLE) AS token_share
+        |FROM s, t""".stripMargin,
     // mirrors Curation.interleaveOrder: single-window per-source rank (=
     // the two-level sharded rank by okey-prefix order), r*S + idx slots
     "curate_interleave" ->

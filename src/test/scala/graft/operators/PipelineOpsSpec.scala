@@ -1199,4 +1199,21 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
       .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
     assert(again == out)
   }
+
+  test("splitReport: counts reconcile with splitAssign; doc shares sum to 1") {
+    val d = (1L to 200L).map(i => (i, Seq.fill(5)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val rep = Curation.splitReport(d).collect().map(r => r.getString(0) -> r).toMap
+    assert(rep.keySet.subsetOf(Set("train", "val", "test")))
+    assert(rep.values.map(_.getAs[Long]("n_docs")).sum == 200L)
+    assert(rep.values.map(_.getAs[Long]("n_tokens")).sum == 1000L)
+    assert(math.abs(rep.values.map(_.getAs[Double]("doc_share")).sum - 1.0) < 1e-12)
+    // uniform 5-token docs: token share == doc share exactly
+    rep.values.foreach(r =>
+      assert(r.getAs[Double]("token_share") == r.getAs[Double]("doc_share")))
+    // reconciles against the assignment itself
+    val byAssign = Curation.splitAssign(d).groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rep.foreach { case (k, r) => assert(r.getAs[Long]("n_docs") == byAssign(k)) }
+  }
 }
