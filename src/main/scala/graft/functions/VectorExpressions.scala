@@ -142,21 +142,6 @@ case class FloatDotWeights(child: Expression, weights: Seq[Double])
 }
 
 /**
- * SimHash signature from a collected array of md5 hex strings (one per
- * distinct word), packed into one LONG: logical bit i (i = 0 is the most
- * significant, stored at long bit 63-i) is the sign of the +1/-1 balance over
- * words, where a word votes +1 iff bit (i%4) of hex digit (i/4) of its hash
- * is set — the exact arithmetic of the SQL oracle of
- * [[graft.operators.Dedup.simhashSignatures]], all integer ops (no rounding
- * concerns), one pass over the hashes instead of a 64-way interpreted fold.
- * The LONG packing (vs a '0'/'1' string) makes downstream Hamming distance a
- * single codegen'd `bit_count(x ^ y)` and band extraction a shift+mask —
- * the per-candidate-pair hot path of [[graft.operators.Dedup.simhashPairs]].
- * 64 bits (the width of Manku et al.'s web-scale near-dup fingerprints, and
- * of the reference's own hash granularity) gives the banded blocking a true
- * Hamming recall guarantee while keeping false band-collisions rare.
- */
-/**
  * Per-vector squared L2 norm on the 2^-20 fixed-point grid, as one codegen'd
  * LONG pass: each element snaps to `floor(v·2^20 + 0.5)` (the
  * [[graft.operators.Similarity.centroids]] grid) and the squares accumulate
@@ -211,6 +196,21 @@ object FloatNormFp {
   }
 }
 
+/**
+ * SimHash signature from a collected array of md5 hex strings (one per
+ * distinct word), packed into one LONG: logical bit i (i = 0 is the most
+ * significant, stored at long bit 63-i) is the sign of the +1/-1 balance over
+ * words, where a word votes +1 iff bit (i%4) of hex digit (i/4) of its hash
+ * is set — the exact arithmetic of the SQL oracle of
+ * [[graft.operators.Dedup.simhashSignatures]], all integer ops (no rounding
+ * concerns), one pass over the hashes instead of a 64-way interpreted fold.
+ * The LONG packing (vs a '0'/'1' string) makes downstream Hamming distance a
+ * single codegen'd `bit_count(x ^ y)` and band extraction a shift+mask —
+ * the per-candidate-pair hot path of [[graft.operators.Dedup.simhashPairs]].
+ * 64 bits (the width of Manku et al.'s web-scale near-dup fingerprints, and
+ * of the reference's own hash granularity) gives the banded blocking a true
+ * Hamming recall guarantee while keeping false band-collisions rare.
+ */
 case class SimHashBits(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 

@@ -161,29 +161,6 @@ object Anomaly {
   }
 
   /**
-   * Crawler/bot screen over a behavioral event stream — the traffic-quality
-   * filter a training pipeline runs before trusting interaction logs (bot
-   * sessions poison engagement-derived labels and inflate per-user stats):
-   * per entity, exact inter-arrival statistics in integer MICROSECONDS, and
-   * a thresholded flag. An entity is a bot when it has at least `minEvents`
-   * events AND fires either tell: a minimum gap at-or-under `minGapUs`
-   * (burst automation) or a mean gap at-or-under `meanGapUs` (sustained
-   * machine cadence).
-   *
-   * Determinism: everything is LONG arithmetic on the caller-supplied
-   * epoch-MICROSECONDS column (`tsUsCol`) — min/max/
-   * count are order-independent, the mean gap is `span div (n−1)` (the
-   * consecutive gaps telescope to the span, so no gap sum is even needed),
-   * and ties in the min-gap window order by `idCol`. Floor division stays on
-   * nonnegative operands, so Spark `div` == DuckDB `//`. The flag is a
-   * nested CASE so the division is never evaluated for single-event
-   * entities (ANSI-safe in both engines).
-   *
-   * Scale: ONE hash shuffle on the entity key shared by the lag window and
-   * the aggregate — the [[Sessionize]] shape; no global window, no second
-   * corpus pass.
-   */
-  /**
    * Streaming form of [[botFlag]] — the LIVE traffic screen: per-entity
    * running (count, first/last timestamp, min gap) state via
    * `flatMapGroupsWithState`, one updated audit row per entity per
@@ -235,6 +212,29 @@ object Anomaly {
       .toDF(keyCol, "n_events", "span_us", "min_gap_us", "mean_gap_us", "is_bot")
   }
 
+  /**
+   * Crawler/bot screen over a behavioral event stream — the traffic-quality
+   * filter a training pipeline runs before trusting interaction logs (bot
+   * sessions poison engagement-derived labels and inflate per-user stats):
+   * per entity, exact inter-arrival statistics in integer MICROSECONDS, and
+   * a thresholded flag. An entity is a bot when it has at least `minEvents`
+   * events AND fires either tell: a minimum gap at-or-under `minGapUs`
+   * (burst automation) or a mean gap at-or-under `meanGapUs` (sustained
+   * machine cadence).
+   *
+   * Determinism: everything is LONG arithmetic on the caller-supplied
+   * epoch-MICROSECONDS column (`tsUsCol`) — min/max/
+   * count are order-independent, the mean gap is `span div (n−1)` (the
+   * consecutive gaps telescope to the span, so no gap sum is even needed),
+   * and ties in the min-gap window order by `idCol`. Floor division stays on
+   * nonnegative operands, so Spark `div` == DuckDB `//`. The flag is a
+   * nested CASE so the division is never evaluated for single-event
+   * entities (ANSI-safe in both engines).
+   *
+   * Scale: ONE hash shuffle on the entity key shared by the lag window and
+   * the aggregate — the [[Sessionize]] shape; no global window, no second
+   * corpus pass.
+   */
   def botFlag(events: DataFrame, keyCol: String = "user_id", tsUsCol: String = "ts_us",
       idCol: String = "event_id", minEvents: Long = 20L,
       minGapUs: Long = 600000000L, meanGapUs: Long = 40000000000L): DataFrame = {
@@ -441,25 +441,6 @@ object Anomaly {
   }
 
   /**
-   * POISSON DISPERSION index (variance-to-mean ratio of per-bucket arrival
-   * counts) per event type — the arrival-process fingerprint in one
-   * number: D ≈ 1 is Poisson (organic, independent arrivals), D ≫ 1 is
-   * clustered/bursty (incidents, batch jobs, thundering herds), D < 1 is
-   * machine-regular. The per-TYPE complement to [[burstiness]]'s per-user
-   * gap view, and the statistical test behind [[seasonalAnomaly]]'s
-   * eyeball ("is this type's volume even Poisson enough to threshold").
-   *
-   * Determinism: bucket counts are exact integers; moment sums run in
-   * DECIMAL(38,0) (counts at 100 TB overflow a LONG square), and the
-   * closing (μ, σ², D) is one pinned IEEE chain with a `GREATEST(·, 0)`
-   * absorbing float cancellation on near-constant series. The baseline is
-   * presence-only (zero-count buckets leave no row) — D is conditional on
-   * active hours, which is the operational reading.
-   *
-   * @return (event_type, n_buckets, mean_per_bucket, var_per_bucket,
-   *         dispersion)
-   */
-  /**
    * SLO BURN RATE, multiwindow (the Google SRE workbook alert shape): per
    * hour, the error share of all events over the short (1 bucket) and long
    * (rolling `longHours`) windows, each divided by the error BUDGET
@@ -503,6 +484,25 @@ object Anomaly {
         when(burnS > alertAt && burnL > alertAt, 1L).otherwise(0L).as("alert"))
   }
 
+  /**
+   * POISSON DISPERSION index (variance-to-mean ratio of per-bucket arrival
+   * counts) per event type — the arrival-process fingerprint in one
+   * number: D ≈ 1 is Poisson (organic, independent arrivals), D ≫ 1 is
+   * clustered/bursty (incidents, batch jobs, thundering herds), D < 1 is
+   * machine-regular. The per-TYPE complement to [[burstiness]]'s per-user
+   * gap view, and the statistical test behind [[seasonalAnomaly]]'s
+   * eyeball ("is this type's volume even Poisson enough to threshold").
+   *
+   * Determinism: bucket counts are exact integers; moment sums run in
+   * DECIMAL(38,0) (counts at 100 TB overflow a LONG square), and the
+   * closing (μ, σ², D) is one pinned IEEE chain with a `GREATEST(·, 0)`
+   * absorbing float cancellation on near-constant series. The baseline is
+   * presence-only (zero-count buckets leave no row) — D is conditional on
+   * active hours, which is the operational reading.
+   *
+   * @return (event_type, n_buckets, mean_per_bucket, var_per_bucket,
+   *         dispersion)
+   */
   def dispersionIndex(events: DataFrame, typeCol: String = "event_type",
                       tsMsCol: String = "ts_ms",
                       periodMs: Long = 3600000L): DataFrame = {

@@ -778,20 +778,6 @@ object Curation {
   }
 
   /**
-   * Cross-source duplication overlap — the dump-overlap report a crawl
-   * pipeline publishes before mixing sources (successive CommonCrawl dumps
-   * overlap 30-60%; double-counting them silently re-weights the mix):
-   * for every unordered source pair, how many DISTINCT content hashes both
-   * sources contain. Upgrade of [[dupReport]] (per-source dup rate) to the
-   * pairwise view that drives dedup-order and mixing decisions.
-   *
-   * Scale shape: distinct (hash, source) — one corpus aggregate — then a
-   * hash-keyed self-join whose fan-out per hash is bounded by the SOURCE
-   * count (not the duplicate count: distinct collapses a 1M-copy dup to
-   * ≤ n_sources rows), then a tiny (source × source) aggregate. NULL text
-   * hashes as '' (the [[dupReport]] convention).
-   */
-  /**
    * Cross-source NEAR-dup matrix — [[sourceOverlap]]'s exact-hash view
    * upgraded to candidate pairs from any near-dup scorer
    * ([[Dedup.containment]], [[Dedup.ngramJaccard]], [[Dedup.minhashLsh]]):
@@ -865,6 +851,20 @@ object Curation {
           .as("dup_rate"))
   }
 
+  /**
+   * Cross-source duplication overlap — the dump-overlap report a crawl
+   * pipeline publishes before mixing sources (successive CommonCrawl dumps
+   * overlap 30-60%; double-counting them silently re-weights the mix):
+   * for every unordered source pair, how many DISTINCT content hashes both
+   * sources contain. Upgrade of [[dupReport]] (per-source dup rate) to the
+   * pairwise view that drives dedup-order and mixing decisions.
+   *
+   * Scale shape: distinct (hash, source) — one corpus aggregate — then a
+   * hash-keyed self-join whose fan-out per hash is bounded by the SOURCE
+   * count (not the duplicate count: distinct collapses a 1M-copy dup to
+   * ≤ n_sources rows), then a tiny (source × source) aggregate. NULL text
+   * hashes as '' (the [[dupReport]] convention).
+   */
   def sourceOverlap(docs: DataFrame): DataFrame = {
     val h = docs
       .select(md5(coalesce(col("text"), lit(""))).as("h"), col("source"))
@@ -905,29 +905,6 @@ object Curation {
   }
 
   /**
-   * Dedup SAVINGS report — the cost-benefit view that decides how much
-   * dedup effort a source deserves: per source, the corpus size in docs and
-   * whitespace tokens, and what survives under (a) global exact dedup
-   * (byte-identical text, min-doc_id representative) and (b) near-dup
-   * keep-list dedup ([[graft.operators.Dedup.clusters]] over n-gram Jaccard
-   * pairs, min-id representative) — measured INDEPENDENTLY, so the two
-   * columns answer "what does each technique buy on this source" rather
-   * than composing. Token counts use the corpus-standard whitespace split
-   * (the `text_quality` n_words definition); a duplicate shared across
-   * sources is kept in the min doc's source and counted saved in the
-   * others — the global-dedup accounting, documented rather than hidden.
-   *
-   * Scale: one exact-hash groupBy (map-side combined), the jaccard/cluster
-   * machinery (shingle-blocked, capped via `maxDocFreq`), and two
-   * source-keyed aggregates; survivors join back on doc_id. No window, no
-   * driver state.
-   *
-   * @return per source: (source, n_docs, n_tokens, n_docs_exact,
-   *         n_tokens_exact, n_docs_near, n_tokens_near, exact_savings,
-   *         near_savings) — savings are token fractions removed, one
-   *         exact-integer division each.
-   */
-  /**
    * Packing-efficiency report over [[packSequences]]'s layout — the
    * throughput audit a training run does before committing a context
    * length: per shard, how many packs the token stream fills, the fill
@@ -958,6 +935,29 @@ object Curation {
         col("n_split_docs"),
         (col("n_split_docs").cast("double") / col("n_docs").cast("double")).as("split_frac"))
 
+  /**
+   * Dedup SAVINGS report — the cost-benefit view that decides how much
+   * dedup effort a source deserves: per source, the corpus size in docs and
+   * whitespace tokens, and what survives under (a) global exact dedup
+   * (byte-identical text, min-doc_id representative) and (b) near-dup
+   * keep-list dedup ([[graft.operators.Dedup.clusters]] over n-gram Jaccard
+   * pairs, min-id representative) — measured INDEPENDENTLY, so the two
+   * columns answer "what does each technique buy on this source" rather
+   * than composing. Token counts use the corpus-standard whitespace split
+   * (the `text_quality` n_words definition); a duplicate shared across
+   * sources is kept in the min doc's source and counted saved in the
+   * others — the global-dedup accounting, documented rather than hidden.
+   *
+   * Scale: one exact-hash groupBy (map-side combined), the jaccard/cluster
+   * machinery (shingle-blocked, capped via `maxDocFreq`), and two
+   * source-keyed aggregates; survivors join back on doc_id. No window, no
+   * driver state.
+   *
+   * @return per source: (source, n_docs, n_tokens, n_docs_exact,
+   *         n_tokens_exact, n_docs_near, n_tokens_near, exact_savings,
+   *         near_savings) — savings are token fractions removed, one
+   *         exact-integer division each.
+   */
   def dedupSavings(docs: DataFrame, threshold: Double = 0.7,
                    maxDocFreq: Long = Long.MaxValue): DataFrame = {
     val base = docs.select(col("doc_id"), col("source"),

@@ -108,17 +108,6 @@ object Dedup {
     shingles(docs, distinct = false).groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
-  /**
-   * MinHash LSH near-dup candidates: band the signature (`bandSize` hashes per
-   * band), self-join per band key, estimate Jaccard as the fraction of equal
-   * signature components. Only co-bucketed pairs are ever compared.
-   *
-   * Scale: the full signature rides along through the band explode, so the
-   * estimate is computed inside the banded self-join itself — no re-join
-   * against the per-doc signature table (which would be corpus-sized and must
-   * never be broadcast). The only shuffles are the band-key join and the
-   * final pair distinct, both on well-distributed keys.
-   */
   /** The banded signature frame both [[minhashLsh]] and the auto-cap
     * pre-aggregate read: (doc_id, mh0..mhN, b, key). Built on the cached
     * signature frame, so the two consumers share one signature computation. */
@@ -136,6 +125,17 @@ object Dedup {
       .select(col("doc_id") +: sigCols :+ col("bk.b").as("b") :+ col("bk.key").as("key"): _*)
   }
 
+  /**
+   * MinHash LSH near-dup candidates: band the signature (`bandSize` hashes per
+   * band), self-join per band key, estimate Jaccard as the fraction of equal
+   * signature components. Only co-bucketed pairs are ever compared.
+   *
+   * Scale: the full signature rides along through the band explode, so the
+   * estimate is computed inside the banded self-join itself — no re-join
+   * against the per-doc signature table (which would be corpus-sized and must
+   * never be broadcast). The only shuffles are the band-key join and the
+   * final pair distinct, both on well-distributed keys.
+   */
   def minhashLsh(docs: DataFrame, numHashes: Int = 8, bandSize: Int = 2,
                  maxBucket: Long = Long.MaxValue): DataFrame = {
     require(maxBucket >= 1L, "maxBucket must be positive")

@@ -52,16 +52,6 @@ object Funnel {
   }
 
   /**
-   * Cohort retention: users grouped by their first-activity day, counted on
-   * each later day they return — the (cohort_day, day_offset, n_users) grid
-   * a retention curve plots. Days are epoch-day buckets of the ms timestamp
-   * (integer division, engine-portable). Offset 0 is the cohort's own size.
-   *
-   * Scale: one per-user min (cohort assignment), one distinct over
-   * (user, day) activity, one count aggregate — three user/day-keyed
-   * shuffles, nothing quadratic, no window.
-   */
-  /**
    * Position-based (U-shaped) multi-touch attribution: every conversion
    * credits the touchpoints that preceded it inside `lookbackMs` — 40% to
    * the first touch, 40% to the last, 20% split across the middles (the
@@ -228,6 +218,16 @@ object Funnel {
           .otherwise(0L).as("is_low_diversity"))
   }
 
+  /**
+   * Cohort retention: users grouped by their first-activity day, counted on
+   * each later day they return — the (cohort_day, day_offset, n_users) grid
+   * a retention curve plots. Days are epoch-day buckets of the ms timestamp
+   * (integer division, engine-portable). Offset 0 is the cohort's own size.
+   *
+   * Scale: one per-user min (cohort assignment), one distinct over
+   * (user, day) activity, one count aggregate — three user/day-keyed
+   * shuffles, nothing quadratic, no window.
+   */
   def retention(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
     // exact integer FLOOR division, matching the oracle's `//`: Spark's `div`
     // truncates toward zero, which disagrees with floor on negative
@@ -241,23 +241,6 @@ object Funnel {
       .agg(count(lit(1)).as("n_users"))
   }
 
-  /**
-   * User-activity histogram on LOG2 buckets — the whale-vs-long-tail
-   * distribution view ("how concentrated is our event volume?") without the
-   * global sort a Lorenz/Gini computation needs: per power-of-two band of
-   * per-user event count (bucket b covers [2^b, 2^(b+1))), the number of
-   * users, their total events, and both shares. Concentration reads off
-   * directly — a healthy product shows event mass spread over mid buckets;
-   * a bot-skewed one puts most mass in the top band.
-   *
-   * Determinism/scale: bucket = floor(log2 n) computed as binary-digit
-   * count − 1 (pure integer — no float log at power-of-two boundaries);
-   * one user-keyed count (map-side combined), one ≤64-row bucket aggregate,
-   * one 1-row broadcast total. No window anywhere — the reason this view
-   * scales where a ranked Lorenz curve needs shard tricks.
-   *
-   * @return (bucket, min_events, n_users, n_events, user_share, event_share)
-   */
   /**
    * Weekly CHURN — the retention grid's actionable inverse: per epoch week,
    * how many active users return the NEXT week vs churn. One (user, week)
@@ -492,6 +475,23 @@ object Funnel {
         (col("dau").cast("double") / col("mau").cast("double")).as("stickiness"))
   }
 
+  /**
+   * User-activity histogram on LOG2 buckets — the whale-vs-long-tail
+   * distribution view ("how concentrated is our event volume?") without the
+   * global sort a Lorenz/Gini computation needs: per power-of-two band of
+   * per-user event count (bucket b covers [2^b, 2^(b+1))), the number of
+   * users, their total events, and both shares. Concentration reads off
+   * directly — a healthy product shows event mass spread over mid buckets;
+   * a bot-skewed one puts most mass in the top band.
+   *
+   * Determinism/scale: bucket = floor(log2 n) computed as binary-digit
+   * count − 1 (pure integer — no float log at power-of-two boundaries);
+   * one user-keyed count (map-side combined), one ≤64-row bucket aggregate,
+   * one 1-row broadcast total. No window anywhere — the reason this view
+   * scales where a ranked Lorenz curve needs shard tricks.
+   *
+   * @return (bucket, min_events, n_users, n_events, user_share, event_share)
+   */
   def activityHistogram(events: DataFrame, userCol: String = "user_id"): DataFrame = {
     val perUser = events.groupBy(col(userCol)).agg(count(lit(1)).as("n"))
     val buckets = perUser
@@ -678,21 +678,33 @@ object Funnel {
     val outs = edges.groupBy("from_type").agg(sum("n").as("out_n"))
       .localCheckpoint(false)
     val nStates = states.count() // type cardinality — bounded by contract
-    var pi = states.select(col("s"), lit(scale / nStates).as("pi"))
-      .localCheckpoint(false)
-    for (_ <- 1 to iters) {
-      pi = edges
-        .join(pi.withColumnRenamed("s", "from_type"), "from_type")
-        .join(outs, "from_type")
-        .select(col("to_type").as("s"),
-          expr("CAST((CAST(pi AS DECIMAL(38,0)) * n) div out_n AS BIGINT)").as("part"))
-        .groupBy("s").agg(sum("part").as("pi"))
+    if (nStates == 0L) { // no observed transition: empty chain, empty frame
+      val s = events.sparkSession
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("event_type",
+            events.schema(typeCol).dataType),
+          org.apache.spark.sql.types.StructField("pi_fp",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("pi",
+            org.apache.spark.sql.types.DoubleType))))
+    } else {
+      var pi = states.select(col("s"), lit(scale / nStates).as("pi"))
         .localCheckpoint(false)
+      for (_ <- 1 to iters) {
+        pi = edges
+          .join(pi.withColumnRenamed("s", "from_type"), "from_type")
+          .join(outs, "from_type")
+          .select(col("to_type").as("s"),
+            expr("CAST((CAST(pi AS DECIMAL(38,0)) * n) div out_n AS BIGINT)").as("part"))
+          .groupBy("s").agg(sum("part").as("pi"))
+          .localCheckpoint(false)
+      }
+      states.join(pi, Seq("s"), "left")
+        .select(col("s").as("event_type"),
+          coalesce(col("pi"), lit(0L)).as("pi_fp"),
+          (coalesce(col("pi"), lit(0L)).cast("double") / lit(scale.toDouble)).as("pi"))
     }
-    states.join(pi, Seq("s"), "left")
-      .select(col("s").as("event_type"),
-        coalesce(col("pi"), lit(0L)).as("pi_fp"),
-        (coalesce(col("pi"), lit(0L)).cast("double") / lit(scale.toDouble)).as("pi"))
   }
 
   /**
@@ -728,22 +740,6 @@ object Funnel {
   }
 
   /**
-   * SAMPLE-RATIO-MISMATCH check — the assignment-integrity test that must
-   * pass BEFORE [[abReport]]'s effect readout means anything: a chi-square
-   * of the observed user split against the DESIGNED treat share. A biased
-   * logger, a bot filter hitting one arm, or a broken hash bucketing shows
-   * up here as chi² past the 95% cut (3.841, df=1) long before anyone
-   * notices the metric moved.
-   *
-   * Determinism: user counts are exact integers; expectations and the two
-   * chi² cells are one pinned double chain (`expectedTreatBp` basis points
-   * keep the design share exact). Scale: one distinct-user aggregate, then
-   * a 2-row rollup.
-   *
-   * @return one row: (n_users, n_treat, n_control, expected_treat, chi2,
-   *         srm_flag)
-   */
-  /**
    * Hourly CLICK-THROUGH RATE with a Wilson lower bound — the product
    * metric read the raw ratio gets wrong at low volume: a 1-view/1-click
    * hour is NOT a 100%-CTR hour, and the Wilson interval
@@ -777,6 +773,22 @@ object Funnel {
       p.as("ctr"), low.as("wilson_low"))
   }
 
+  /**
+   * SAMPLE-RATIO-MISMATCH check — the assignment-integrity test that must
+   * pass BEFORE [[abReport]]'s effect readout means anything: a chi-square
+   * of the observed user split against the DESIGNED treat share. A biased
+   * logger, a bot filter hitting one arm, or a broken hash bucketing shows
+   * up here as chi² past the 95% cut (3.841, df=1) long before anyone
+   * notices the metric moved.
+   *
+   * Determinism: user counts are exact integers; expectations and the two
+   * chi² cells are one pinned double chain (`expectedTreatBp` basis points
+   * keep the design share exact). Scale: one distinct-user aggregate, then
+   * a 2-row rollup.
+   *
+   * @return one row: (n_users, n_treat, n_control, expected_treat, chi2,
+   *         srm_flag)
+   */
   def srmCheck(events: DataFrame, variantCol: String = "variant",
                userCol: String = "user_id", treatLabel: String = "treat",
                expectedTreatBp: Long = 5000L): DataFrame = {

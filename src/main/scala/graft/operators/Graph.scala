@@ -84,32 +84,6 @@ object Graph {
       .select(col("doc_id").as("domain"), col("cluster_id").as("component_id"))
 
   /**
-   * HITS hubs & authorities (Kleinberg 1999) in integer fixed point — the
-   * third classical centrality, complementing [[pageRank]]: a node is a good
-   * AUTHORITY when good hubs link to it, a good HUB when it links to good
-   * authorities. In a crawl-curation pipeline authorities rank content
-   * domains while hubs rank link-directory/aggregator domains — the pair
-   * separates "worth training on" from "worth crawling from", which a single
-   * PageRank conflates.
-   *
-   * Determinism contract (same as the PageRank core): every step is exact —
-   * LONG sums of fixed-point scores weighted by edge multiplicity, then an
-   * L1 renormalization `x · scale div Σx` floored in DECIMAL(38,0) — so any
-   * engine flooring nonnegative integer division identically (Spark `div`,
-   * DuckDB `//`) reproduces the scores bit-for-bit at any parallelism.
-   * (Classical HITS normalizes in L2; L1 has the same fixed point up to
-   * scaling of the principal eigenvector and stays in integer arithmetic.)
-   *
-   * Scale design: two dst/src-keyed shuffles of the pre-aggregated edge
-   * list per iteration plus two 1-row broadcast scalar totals; no windows,
-   * no driver collect; lineage cut each iteration. Overflow-safe by
-   * construction: scores ≤ scale after each renormalize, so the raw sums
-   * are ≤ scale·max-degree ≪ LONG and the renormalize multiply runs in
-   * DECIMAL(38,0).
-   *
-   * @return (domain, auth_fp LONG, hub_fp LONG, auth DOUBLE, hub DOUBLE)
-   */
-  /**
    * Per-node triangle counts and local clustering coefficient over the
    * UNDIRECTED simple graph induced by `edges` (direction dropped, self
    * loops and multi-edges collapsed) — the link-farm tell PageRank misses:
@@ -270,6 +244,32 @@ object Graph {
              |END""".stripMargin).as("assortativity"))
   }
 
+  /**
+   * HITS hubs & authorities (Kleinberg 1999) in integer fixed point — the
+   * third classical centrality, complementing [[pageRank]]: a node is a good
+   * AUTHORITY when good hubs link to it, a good HUB when it links to good
+   * authorities. In a crawl-curation pipeline authorities rank content
+   * domains while hubs rank link-directory/aggregator domains — the pair
+   * separates "worth training on" from "worth crawling from", which a single
+   * PageRank conflates.
+   *
+   * Determinism contract (same as the PageRank core): every step is exact —
+   * LONG sums of fixed-point scores weighted by edge multiplicity, then an
+   * L1 renormalization `x · scale div Σx` floored in DECIMAL(38,0) — so any
+   * engine flooring nonnegative integer division identically (Spark `div`,
+   * DuckDB `//`) reproduces the scores bit-for-bit at any parallelism.
+   * (Classical HITS normalizes in L2; L1 has the same fixed point up to
+   * scaling of the principal eigenvector and stays in integer arithmetic.)
+   *
+   * Scale design: two dst/src-keyed shuffles of the pre-aggregated edge
+   * list per iteration plus two 1-row broadcast scalar totals; no windows,
+   * no driver collect; lineage cut each iteration. Overflow-safe by
+   * construction: scores ≤ scale after each renormalize, so the raw sums
+   * are ≤ scale·max-degree ≪ LONG and the renormalize multiply runs in
+   * DECIMAL(38,0).
+   *
+   * @return (domain, auth_fp LONG, hub_fp LONG, auth DOUBLE, hub DOUBLE)
+   */
   def hits(edges: DataFrame, iters: Int = 5,
       scale: Long = 1000000000000L): DataFrame = {
     require(iters >= 0 && iters <= 50, "iters must be in [0, 50]")
@@ -394,31 +394,6 @@ object Graph {
       (col("rank_fp").cast("double") / scale).as("rank"))
   }
 
-  /**
-   * Link prediction by common neighborhood over the UNDIRECTED simple graph
-   * induced by `edges`: every NON-adjacent node pair sharing at least one
-   * neighbor, scored by common-neighbor count and neighbor-set Jaccard —
-   * the classical structural-similarity candidates (Liben-Nowell & Kleinberg
-   * 2003 family). On a crawl graph these surface mirror candidates and
-   * related-site suggestions; on a citation/link graph, missing-edge
-   * recommendations. Jaccard over Adamic-Adar deliberately: both rank the
-   * same wedge candidates, but Jaccard is a ratio of exact integers
-   * (bit-exact in any engine) where Adamic-Adar sums 1/log(deg) floats.
-   *
-   * Scale design: candidates come from the wedge join on the shared-
-   * neighbor key (the [[triangles]] meeting pattern) — a pair is generated
-   * only through a common neighbor, never by pairing the node set. A center
-   * of degree k spawns C(k,2) wedges, so `maxDeg` drops hub CENTERS from
-   * wedge generation (a "follow everyone" aggregator node pairs everything
-   * it touches — the same quadratic-blowup guard as the dedup
-   * `maxDocFreq`/`maxBucket` caps; the hub still participates as an
-   * ENDPOINT through its other neighbors). All joins shuffle on node keys;
-   * the only aggregate map-side combines on the (a, b) pair key.
-   *
-   * @return (a, b, common_neighbors, deg_a, deg_b, jaccard) for candidate
-   *         pairs with a < b, jaccard = common / (deg_a + deg_b − common)
-   *         as one exact-integer division; existing edges excluded.
-   */
   /**
    * k-hop BFS reachability histogram from a seed set — the crawl-frontier /
    * influence-radius view the fixed-point family (PageRank's stationary
@@ -569,6 +544,31 @@ object Graph {
           .as("affinity"))
   }
 
+  /**
+   * Link prediction by common neighborhood over the UNDIRECTED simple graph
+   * induced by `edges`: every NON-adjacent node pair sharing at least one
+   * neighbor, scored by common-neighbor count and neighbor-set Jaccard —
+   * the classical structural-similarity candidates (Liben-Nowell & Kleinberg
+   * 2003 family). On a crawl graph these surface mirror candidates and
+   * related-site suggestions; on a citation/link graph, missing-edge
+   * recommendations. Jaccard over Adamic-Adar deliberately: both rank the
+   * same wedge candidates, but Jaccard is a ratio of exact integers
+   * (bit-exact in any engine) where Adamic-Adar sums 1/log(deg) floats.
+   *
+   * Scale design: candidates come from the wedge join on the shared-
+   * neighbor key (the [[triangles]] meeting pattern) — a pair is generated
+   * only through a common neighbor, never by pairing the node set. A center
+   * of degree k spawns C(k,2) wedges, so `maxDeg` drops hub CENTERS from
+   * wedge generation (a "follow everyone" aggregator node pairs everything
+   * it touches — the same quadratic-blowup guard as the dedup
+   * `maxDocFreq`/`maxBucket` caps; the hub still participates as an
+   * ENDPOINT through its other neighbors). All joins shuffle on node keys;
+   * the only aggregate map-side combines on the (a, b) pair key.
+   *
+   * @return (a, b, common_neighbors, deg_a, deg_b, jaccard) for candidate
+   *         pairs with a < b, jaccard = common / (deg_a + deg_b − common)
+   *         as one exact-integer division; existing edges excluded.
+   */
   def linkPredict(edges: DataFrame, maxDeg: Long = Long.MaxValue): DataFrame = {
     val und = edges
       .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
@@ -745,6 +745,41 @@ object Graph {
   }
 
   /**
+   * PageRank CONVERGENCE audit — the L1 distance between the ranks after
+   * `iters − 1` and `iters` power steps: the number that says whether the
+   * fixed iteration budget the [[pageRank]] contract runs on has actually
+   * settled (delta ≈ teleport-floor noise) or the graph needs more rounds.
+   * Both runs are bit-deterministic, so the delta is itself exact.
+   *
+   * @return one row: (n_nodes, l1_delta_fp, max_delta_fp, l1_delta)
+   */
+  def pageRankDelta(edges: DataFrame, iters: Int = 5, dampBp: Int = 8500,
+                    scale: Long = 1000000000000L): DataFrame =
+    pageRankDeltaFrom(pageRank(edges, iters, dampBp, scale),
+      edges, iters, dampBp, scale)
+
+  /** [[pageRankDelta]] from an ALREADY-CONVERGED `iters`-step [[pageRank]]
+    * frame — the shared-frame entry point: when both the ranks and the
+    * convergence audit are served, the `iters` run happens once and the
+    * audit only adds the `iters − 1` run (halving the two-full-runs cost
+    * the naive composition pays). */
+  def pageRankDeltaFrom(current: DataFrame, edges: DataFrame,
+                        iters: Int = 5, dampBp: Int = 8500,
+                        scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1, "iters >= 1")
+    val prev = pageRank(edges, iters - 1, dampBp, scale)
+      .select(col("domain"), col("rank_fp").as("prev_fp"))
+    current
+      .select(col("domain"), col("rank_fp"))
+      .join(prev, "domain")
+      .select(abs(col("rank_fp") - col("prev_fp")).as("dfp"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("dfp")).as("l1_delta_fp"),
+        max(col("dfp")).as("max_delta_fp"))
+      .withColumn("l1_delta",
+        col("l1_delta_fp").cast("double") / lit(scale.toDouble))
+  }
+
+  /**
    * Freeman DEGREE CENTRALIZATION of the undirected simple graph — the
    * one-number star-vs-mesh shape test: Σ(d_max − d_i) normalized by the
    * star graph's maximum (n−1)(n−2). 1 = a perfect hub-and-spokes (one
@@ -759,30 +794,6 @@ object Graph {
    * @return one row: (n_nodes, n_edges, max_degree, sum_diff,
    *         centralization)
    */
-  /**
-   * PageRank CONVERGENCE audit — the L1 distance between the ranks after
-   * `iters − 1` and `iters` power steps: the number that says whether the
-   * fixed iteration budget the [[pageRank]] contract runs on has actually
-   * settled (delta ≈ teleport-floor noise) or the graph needs more rounds.
-   * Both runs are bit-deterministic, so the delta is itself exact.
-   *
-   * @return one row: (n_nodes, l1_delta_fp, max_delta_fp, l1_delta)
-   */
-  def pageRankDelta(edges: DataFrame, iters: Int = 5, dampBp: Int = 8500,
-                    scale: Long = 1000000000000L): DataFrame = {
-    require(iters >= 1, "iters >= 1")
-    val prev = pageRank(edges, iters - 1, dampBp, scale)
-      .select(col("domain"), col("rank_fp").as("prev_fp"))
-    pageRank(edges, iters, dampBp, scale)
-      .select(col("domain"), col("rank_fp"))
-      .join(prev, "domain")
-      .select(abs(col("rank_fp") - col("prev_fp")).as("dfp"))
-      .agg(count(lit(1)).as("n_nodes"), sum(col("dfp")).as("l1_delta_fp"),
-        max(col("dfp")).as("max_delta_fp"))
-      .withColumn("l1_delta",
-        col("l1_delta_fp").cast("double") / lit(scale.toDouble))
-  }
-
   def degreeCentralization(edges: DataFrame): DataFrame = {
     val und = edges
       .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))

@@ -187,35 +187,6 @@ object Search {
   }
 
   /**
-   * Hard-negative mining for retrieval training: the top `k` BM25 docs per
-   * query EXCLUDING the known positives — the negatives a dual-encoder or
-   * reranker trains against (highly-ranked lexical matches that are NOT
-   * relevant). Fetches `k + fetchExtra` candidates first so excluding up to
-   * `fetchExtra` positives per query still leaves a dense top-k, then
-   * re-ranks the survivors (score desc, doc_id — fully tie-broken, on the
-   * exported double in both engines).
-   *
-   * Scale: the candidate fetch is [[bm25TopK]] (corpus never shuffles on the
-   * term key); the positives anti-join and the re-rank window run on the
-   * k+fetchExtra-bounded candidate rows per query, never anything
-   * corpus-sized.
-   *
-   * @param positives (query_id, doc_id) known-relevant pairs to exclude
-   */
-  /**
-   * Reciprocal-rank fusion (Cormack et al. 2009) of two ranked candidate
-   * lists — the standard hybrid-retrieval combiner (lexical BM25 + embedding
-   * kNN): `score(d) = Σ_systems 1/(k0 + rank_s(d))`; a doc missing from one
-   * system contributes nothing from it. Both inputs are `(query_id, doc_id,
-   * rank)` frames. Deterministic: ranks are exact integers, the two IEEE
-   * contributions combine in one fixed expression order, ties break to the
-   * lower doc_id — bit-identical in any engine.
-   *
-   * Scale: both inputs are top-k-bounded per query, so the full-outer join
-   * and the re-rank window see <= 2k rows per query — nothing corpus-sized.
-   * The source ranks ride along as audit columns.
-   */
-  /**
    * Exact PHRASE retrieval over a positional index — the capability BM25's
    * bag-of-words scoring cannot express ("big apple" ≠ {big, apple}):
    * every document position where the query's words appear CONSECUTIVELY
@@ -256,6 +227,19 @@ object Search {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /**
+   * Reciprocal-rank fusion (Cormack et al. 2009) of two ranked candidate
+   * lists — the standard hybrid-retrieval combiner (lexical BM25 + embedding
+   * kNN): `score(d) = Σ_systems 1/(k0 + rank_s(d))`; a doc missing from one
+   * system contributes nothing from it. Both inputs are `(query_id, doc_id,
+   * rank)` frames. Deterministic: ranks are exact integers, the two IEEE
+   * contributions combine in one fixed expression order, ties break to the
+   * lower doc_id — bit-identical in any engine.
+   *
+   * Scale: both inputs are top-k-bounded per query, so the full-outer join
+   * and the re-rank window see <= 2k rows per query — nothing corpus-sized.
+   * The source ranks ride along as audit columns.
+   */
   def rrfFuse(a: DataFrame, b: DataFrame, k: Int = 10, k0: Int = 60): DataFrame = {
     require(k >= 1 && k0 >= 0, "k >= 1, k0 >= 0")
     val fa = a.select(col("query_id"), col("doc_id"), col("rank").as("rank_a"))
@@ -271,6 +255,22 @@ object Search {
         col("rank_a"), col("rank_b"))
   }
 
+  /**
+   * Hard-negative mining for retrieval training: the top `k` BM25 docs per
+   * query EXCLUDING the known positives — the negatives a dual-encoder or
+   * reranker trains against (highly-ranked lexical matches that are NOT
+   * relevant). Fetches `k + fetchExtra` candidates first so excluding up to
+   * `fetchExtra` positives per query still leaves a dense top-k, then
+   * re-ranks the survivors (score desc, doc_id — fully tie-broken, on the
+   * exported double in both engines).
+   *
+   * Scale: the candidate fetch is [[bm25TopK]] (corpus never shuffles on the
+   * term key); the positives anti-join and the re-rank window run on the
+   * k+fetchExtra-bounded candidate rows per query, never anything
+   * corpus-sized.
+   *
+   * @param positives (query_id, doc_id) known-relevant pairs to exclude
+   */
   def bm25HardNegatives(docs: DataFrame, queries: DataFrame, positives: DataFrame,
                         k: Int = 10, fetchExtra: Int = 5,
                         k1: Double = 1.2, b: Double = 0.75): DataFrame = {
@@ -673,24 +673,18 @@ object Search {
   }
 
   /**
-   * Snippet TEXT extraction — [[bestSnippets]] completed into the string a
-   * UI actually renders (or a RAG assembler actually packs): the best
-   * window's `window` tokens sliced from the ORIGINAL (case-preserving)
-   * text. One extra join against the docs' (id, text) projection; the
-   * offset arithmetic stays in [[bestSnippets]].
-   *
-   * @return (query_id, doc_id, snip_start, n_covered, snippet)
-   */
-  /**
    * SPEARMAN rank agreement between two rankers over their COMMON
    * candidates per query — the diagnostic behind every hybrid-fusion
    * decision ([[rrfFuse]] helps most when the rankers DISAGREE; ρ ≈ 1
-   * means the second system adds nothing): d = rank_a − rank_b over the
-   * intersection, ρ = 1 − 6Σd² / (n(n²−1)). Ranks are the rankers'
-   * ORIGINAL positions (rank displacement over the shared set — the
-   * operational reading; both inputs are row_number ranks, so ties cannot
-   * occur). Exact integer ranks and sums; one pinned close; queries with
-   * fewer than 2 common candidates score NULL.
+   * means the second system adds nothing): both sides are RE-RANKED within
+   * the intersection (row_number over the common set, ordered by each
+   * ranker's original position) so the closed form ρ = 1 − 6Σd² / (n(n²−1))
+   * sees the complete 1..n permutations it requires — applying it to the
+   * original top-k positions can leave [-1,1] (e.g. two common docs at
+   * ranks (1,15)/(15,1) would give ρ = −391). Inputs are row_number ranks,
+   * so ties cannot occur; doc_id breaks the (impossible) tie
+   * deterministically anyway. Exact integer ranks and sums; one pinned
+   * close; queries with fewer than 2 common candidates score NULL.
    *
    * Scale: one (query, doc)-keyed join of two k-bounded hit lists — frames
    * are queries×k rows a side, never corpus-sized.
@@ -702,8 +696,12 @@ object Search {
     val j = a.select(col("query_id"), col("doc_id"), col("rank").as("ra"))
       .join(b.select(col("query_id"), col("doc_id"), col("rank").as("rb")),
         Seq("query_id", "doc_id"))
-    val d2 = (col("ra") - col("rb")) * (col("ra") - col("rb"))
-    j.groupBy("query_id")
+    val wa = Window.partitionBy("query_id").orderBy(col("ra").asc, col("doc_id").asc)
+    val wb = Window.partitionBy("query_id").orderBy(col("rb").asc, col("doc_id").asc)
+    val rr = j.withColumn("ca", row_number().over(wa).cast("long"))
+      .withColumn("cb", row_number().over(wb).cast("long"))
+    val d2 = (col("ca") - col("cb")) * (col("ca") - col("cb"))
+    rr.groupBy("query_id")
       .agg(count(lit(1)).as("n_common"), sum(d2).as("sum_d2"))
       .select(col("query_id"), col("n_common"), col("sum_d2"),
         when(col("n_common") >= 2L,
@@ -713,9 +711,26 @@ object Search {
           .as("spearman_rho"))
   }
 
+  /**
+   * Snippet TEXT extraction — [[bestSnippets]] completed into the string a
+   * UI actually renders (or a RAG assembler actually packs): the best
+   * window's `window` tokens sliced from the ORIGINAL (case-preserving)
+   * text. One extra join against the docs' (id, text) projection; the
+   * offset arithmetic stays in [[bestSnippets]].
+   *
+   * @return (query_id, doc_id, snip_start, n_covered, snippet)
+   */
   def snippetText(docs: DataFrame, queries: DataFrame,
                   window: Int = 12): DataFrame =
-    bestSnippets(docs, queries, window)
+    snippetTextFrom(bestSnippets(docs, queries, window), docs, window)
+
+  /** [[snippetText]] from an ALREADY-SCORED [[bestSnippets]] frame — the
+    * shared-frame entry point (the BM25-trio memoization pattern): when the
+    * offsets and the rendered strings are both served, the snippet chain
+    * runs once and this join-and-slice is all the second pass pays. */
+  def snippetTextFrom(best: DataFrame, docs: DataFrame,
+                      window: Int = 12): DataFrame =
+    best
       .join(docs.select(col("doc_id"), col("text")), "doc_id")
       .select(col("query_id"), col("doc_id"), col("snip_start"), col("n_covered"),
         array_join(slice(split(col("text"), " "),

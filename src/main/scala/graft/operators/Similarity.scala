@@ -72,11 +72,6 @@ object Similarity {
     rankTopK(scored, "sim", k)
   }
 
-  /**
-   * Random-hyperplane signature: bit j = sign of <v, w_j> where w_j[d] = +-1
-   * from the parity of hex digit (d % 32) of md5("j:d"). Deterministic and
-   * reproducible in any engine with md5.
-   */
   /** +-1 weight for hyperplane j, dimension d: parity of hex digit (d % 32)
     * of md5("j:d"). Evaluated ONCE at plan time (same md5 the oracle computes
     * per-row) and inlined as array literals — per-row cost is just the dot. */
@@ -87,6 +82,11 @@ object Similarity {
     if (digit % 2 == 1) 1.0 else -1.0
   }
 
+  /**
+   * Random-hyperplane signature: bit j = sign of <v, w_j> where w_j[d] = +-1
+   * from the parity of hex digit (d % 32) of md5("j:d"). Deterministic and
+   * reproducible in any engine with md5.
+   */
   def hyperplaneSignature(emb: String, bits: Int, dim: Int = 64): Column = {
     val bitCols = (0 until bits).map { j =>
       val w = (0 until dim).map(hyperplaneWeight(j, _))
@@ -175,6 +175,18 @@ object Similarity {
       .select(col("vec_id"), col("s.scale").as("scale"), col("s.q_sum").as("q_sum"),
         col("s.q_l1").as("q_l1"), col("s.q_max").as("q_max"), col("s.q_sq").as("q_sq"))
 
+  /** Append int8 quantization columns `{pre}scale`/`{pre}q` (all input
+    * columns retained) and drop zero/non-finite (scale-0) vectors — the ONE
+    * definition of the int8 store representation shared by every int8
+    * scorer ([[bruteForceKnnInt8]], [[SimilarityIvf.searchInt8]]), so the
+    * exclusion rule cannot drift between them. */
+  private[operators] def withInt8(df: DataFrame, pre: String): DataFrame =
+    df.withColumn("_qs", graft.functions.VectorFunctions.quantizeInt8Vec(col("embedding")))
+      .withColumn(s"${pre}scale", col("_qs.scale"))
+      .withColumn(s"${pre}q", col("_qs.q"))
+      .drop("_qs")
+      .where(col(s"${pre}scale") > 0.0)
+
   /**
    * Int8 dot-product top-k — [[bruteForceKnn]]'s scoring loop on QUANTIZED
    * vectors: both sides compress to `(scale, q ARRAY<TINYINT>)`
@@ -189,18 +201,6 @@ object Similarity {
    * Zero vectors (scale 0) are excluded from both sides — they have no
    * direction to score.
    */
-  /** Append int8 quantization columns `{pre}scale`/`{pre}q` (all input
-    * columns retained) and drop zero/non-finite (scale-0) vectors — the ONE
-    * definition of the int8 store representation shared by every int8
-    * scorer ([[bruteForceKnnInt8]], [[SimilarityIvf.searchInt8]]), so the
-    * exclusion rule cannot drift between them. */
-  private[operators] def withInt8(df: DataFrame, pre: String): DataFrame =
-    df.withColumn("_qs", graft.functions.VectorFunctions.quantizeInt8Vec(col("embedding")))
-      .withColumn(s"${pre}scale", col("_qs.scale"))
-      .withColumn(s"${pre}q", col("_qs.q"))
-      .drop("_qs")
-      .where(col(s"${pre}scale") > 0.0)
-
   def bruteForceKnnInt8(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     def quant(df: DataFrame, idAs: String, pre: String) =
       withInt8(df.select(col("vec_id").as(idAs), col("embedding")), pre).drop("embedding")
@@ -725,18 +725,6 @@ object Similarity {
         (-col("nscore")).cast("long").as("hamming"), col("rank"))
   }
 
-  /**
-   * Two-stage prefix-dimension kNN (Matryoshka-style adaptive retrieval,
-   * Kusupati et al. 2022): stage 1 ranks the corpus by cosine over only the
-   * FIRST `prefixDim` dimensions (a cheap scan — at 100 TB the prefix can
-   * live in fast storage while full vectors stay cold), keeping
-   * `k × overfetch` candidates per query via the k-bounded map-side
-   * aggregate; stage 2 re-scores ONLY those candidates with full-dimension
-   * exact cosine and re-ranks to `k`. Candidate-bounded by construction:
-   * full vectors are fetched for `k × overfetch` rows per query, never the
-   * corpus. Both stages share the sequential-fold dot, so the whole
-   * pipeline is bit-deterministic and SQL-replayable.
-   */
   /** ±1 sign for random-projection axis j, dimension d (0-based): parity of
     * hex digit (d % 32) of md5("rp:j:d") — the [[hyperplaneWeight]] rule
     * under its own salt (reusing the LSH bits would correlate the sketch
@@ -814,6 +802,18 @@ object Similarity {
     rankTopK(rescored, "sim", k)
   }
 
+  /**
+   * Two-stage prefix-dimension kNN (Matryoshka-style adaptive retrieval,
+   * Kusupati et al. 2022): stage 1 ranks the corpus by cosine over only the
+   * FIRST `prefixDim` dimensions (a cheap scan — at 100 TB the prefix can
+   * live in fast storage while full vectors stay cold), keeping
+   * `k × overfetch` candidates per query via the k-bounded map-side
+   * aggregate; stage 2 re-scores ONLY those candidates with full-dimension
+   * exact cosine and re-ranks to `k`. Candidate-bounded by construction:
+   * full vectors are fetched for `k × overfetch` rows per query, never the
+   * corpus. Both stages share the sequential-fold dot, so the whole
+   * pipeline is bit-deterministic and SQL-replayable.
+   */
   def prefixKnn(corpus: DataFrame, queries: DataFrame, k: Int,
                 prefixDim: Int = 16, overfetch: Int = 4): DataFrame = {
     require(prefixDim >= 1 && overfetch >= 1, "prefixDim, overfetch >= 1")
@@ -866,23 +866,6 @@ object Similarity {
   }
 
   /**
-   * Nearest-neighbor MARGIN audit — retrieval-confidence per query: the gap
-   * between the best and second-best cosine. A small margin means the
-   * ranking is noise-level (ANN recall losses and quantization error flip
-   * the winner); routing decisions — "auto-accept the match above margin m"
-   * — and ANN parameter budgets (nProbe, PQ bits) are set against exactly
-   * this distribution. A top1 near 1.0 with a LARGE margin is the
-   * duplicate-pair signature ([[graft.operators.Dedup.embedCosine]]'s
-   * clientele); margins near 0 mark ambiguous neighborhoods.
-   *
-   * Scale: [[bruteForceKnn]] at k=2 (broadcast queries, map-side top-k
-   * aggregate — swap in the IVF path for corpus-sized query sets), then a
-   * per-query pivot of the ≤2 rows. Margin is one pinned double
-   * subtraction; NULL when the corpus has a single candidate.
-   *
-   * @return (query_id, top1_id, top1_sim, top2_sim, margin)
-   */
-  /**
    * Cosine THRESHOLD sweep over the LSH-candidate pairs — the embedding
    * twin of [[graft.operators.Dedup.thresholdSweep]]: per probe threshold,
    * how many bucketed candidate pairs clear it. Where the semantic-dedup
@@ -915,6 +898,23 @@ object Similarity {
       .agg(coalesce(sum(col("h.n_at")), lit(0L)).as("n_pairs"))
   }
 
+  /**
+   * Nearest-neighbor MARGIN audit — retrieval-confidence per query: the gap
+   * between the best and second-best cosine. A small margin means the
+   * ranking is noise-level (ANN recall losses and quantization error flip
+   * the winner); routing decisions — "auto-accept the match above margin m"
+   * — and ANN parameter budgets (nProbe, PQ bits) are set against exactly
+   * this distribution. A top1 near 1.0 with a LARGE margin is the
+   * duplicate-pair signature ([[graft.operators.Dedup.embedCosine]]'s
+   * clientele); margins near 0 mark ambiguous neighborhoods.
+   *
+   * Scale: [[bruteForceKnn]] at k=2 (broadcast queries, map-side top-k
+   * aggregate — swap in the IVF path for corpus-sized query sets), then a
+   * per-query pivot of the ≤2 rows. Margin is one pinned double
+   * subtraction; NULL when the corpus has a single candidate.
+   *
+   * @return (query_id, top1_id, top1_sim, top2_sim, margin)
+   */
   def knnMargin(corpus: DataFrame, queries: DataFrame): DataFrame =
     bruteForceKnn(corpus, queries, k = 2)
       .groupBy("query_id")

@@ -218,11 +218,6 @@ object SimilarityIvf {
         expr("max_by(list_id, struct(csim, -list_id))").as("list_id"))
   }
 
-  /**
-   * Top-k search probing `nProbe` lists per query. Returns
-   * (query_id, neighbor_id, sim, rank) like [[Similarity.bruteForceKnn]] —
-   * approximate: recall depends on nProbe/nLists.
-   */
   /** The `nProbe` nearest lists per query by float cosine against the
     * broadcast centroid table (tiny: |queries| × nLists before the cut);
     * emits `payload` columns + `list_id`. The ONE probe-selection
@@ -271,6 +266,11 @@ object SimilarityIvf {
         (col("n_majority").cast("double") / col("n_vecs")).as("purity"))
   }
 
+  /**
+   * Top-k search probing `nProbe` lists per query. Returns
+   * (query_id, neighbor_id, sim, rank) like [[Similarity.bruteForceKnn]] —
+   * approximate: recall depends on nProbe/nLists.
+   */
   def search(indexed: DataFrame, cents: DataFrame, queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("qe"), norm("embedding").as("qnorm"))

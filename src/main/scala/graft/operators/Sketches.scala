@@ -387,38 +387,23 @@ object Sketches {
         when(conv(substring(md5(concat(lit("ams"), col("j").cast("string"),
           lit(":"), col("e"))), 1, 1), 16, 10).cast("int") < 8, 1L)
           .otherwise(-1L).as("s"))
+    // DECIMAL(38,0) squares: the counter c is bounded by row count, so at
+    // 100 TB c*c (and certainly sum(f*f)) overflow LONG — same convention as
+    // dispersionIndex / seasonalAnomaly (cast BEFORE the multiply/sum).
     val est = signed.groupBy("j").agg(sum(col("s")).as("c"))
-      .select(col("j"), (col("c") * col("c")).as("e2"))
+      .select(col("j"),
+        (col("c").cast("decimal(38,0)") * col("c")).as("e2"))
     // r rows: the global window is bounded by construction
     val w = Window.orderBy(col("e2").asc, col("j").asc)
     val med = est.withColumn("rn", row_number().over(w))
       .where(col("rn") === (r + 1) / 2).select(col("e2").as("est_f2"))
     val exact = nn.groupBy(col(elemCol)).agg(count(lit(1)).as("f"))
-      .agg(sum(col("f") * col("f")).cast("long").as("exact_f2"),
+      .agg(sum(col("f").cast("decimal(38,0)") * col("f")).as("exact_f2"),
         sum(col("f")).cast("long").as("n_rows"))
     med.crossJoin(exact)
       .select(lit(r.toLong).as("r"), col("est_f2"), col("exact_f2"), col("n_rows"))
   }
 
-  /**
-   * STREAMING count-min — [[cmsCounters]] carried as
-   * `flatMapGroupsWithState` state, completing the streaming-sketch family
-   * ([[hllStream]], [[qdigestStream]]): each SALT LANE is its own state
-   * group (`width` longs — 8 KB at the default 1024), updated by the exact
-   * batch hash (`md5("salt:elem")` first-5-hex bucket) and emitting the
-   * tracked probes' per-lane counts after every micro-batch. The CMS
-   * estimate is the MIN across the `depth` lanes — one tiny groupBy on
-   * this output (the spec pins one-batch == [[cmsTopK]] equivalence).
-   *
-   * The update IS the merge (counter-wise addition), so restarts,
-   * backfills, and unions of saved lane states are the same operation.
-   * Works on a batch frame too (state starts empty — the spec's harness).
-   *
-   * @param probes the fixed elements to report each batch (a monitoring
-   *               watchlist — CMS answers point queries, not top-k).
-   * @return streaming (salt, probe, cms_n) — min over salt per probe is
-   *         the frequency estimate.
-   */
   /**
    * KMV SET-INTERSECTION estimates between every pair of keys — the theta-
    * sketch set operation the distinct-count family builds toward: "how
@@ -482,6 +467,25 @@ object Sketches {
         coalesce(col("exact_overlap"), lit(0L)).as("exact_overlap"))
   }
 
+  /**
+   * STREAMING count-min — [[cmsCounters]] carried as
+   * `flatMapGroupsWithState` state, completing the streaming-sketch family
+   * ([[hllStream]], [[qdigestStream]]): each SALT LANE is its own state
+   * group (`width` longs — 8 KB at the default 1024), updated by the exact
+   * batch hash (`md5("salt:elem")` first-5-hex bucket) and emitting the
+   * tracked probes' per-lane counts after every micro-batch. The CMS
+   * estimate is the MIN across the `depth` lanes — one tiny groupBy on
+   * this output (the spec pins one-batch == [[cmsTopK]] equivalence).
+   *
+   * The update IS the merge (counter-wise addition), so restarts,
+   * backfills, and unions of saved lane states are the same operation.
+   * Works on a batch frame too (state starts empty — the spec's harness).
+   *
+   * @param probes the fixed elements to report each batch (a monitoring
+   *               watchlist — CMS answers point queries, not top-k).
+   * @return streaming (salt, probe, cms_n) — min over salt per probe is
+   *         the frequency estimate.
+   */
   def cmsStream(df: DataFrame, elemCol: String, probes: Seq[String],
       depth: Int = 4, width: Int = 1024): DataFrame = {
     require(depth >= 1 && depth <= 8 && width >= 2 && width <= 1048576,

@@ -203,22 +203,6 @@ object TextAnalysis {
       safeDiv(length(col("text")).cast("double"), nWordsD).as("avg_word_len"),
       qualityCol.as("quality"))
 
-  /**
-   * Gopher-style heuristic keep/drop rules (Rae et al. 2021 §A1.1 family),
-   * single-pass and row-wise: word count in `[minWords, maxWords]`, TRUE
-   * mean word length (separator spaces excluded — `length/n_words` would
-   * inflate the metric by ~+1 and shift the documented [3, 10] band) in
-   * `[minAvgLen, maxAvgLen]`, punctuation ratio at most `maxPunct`
-   * (Unicode-aware: `[^\p{L}\p{N} ]`, so accented letters in de/es/fr text
-   * don't count as punctuation the way [[qualityScore]]'s en-centric ASCII
-   * class does), and at least `minStopHits` hits in the doc's BEST stopword
-   * lexicon (the "has real function words" rule, made multilingual by
-   * taking the max across lexicons instead of hard-coding English). Each
-   * rule lands as its own 0/1 flag plus the conjunction, so a curation job
-   * can audit WHY a doc dropped — the flags are LONGs, not booleans, purely
-   * for cross-engine hash stability. Zero shuffle; composes into the same
-   * scan as the other scorers.
-   */
   /** The four Gopher metrics and their rule conditions as row-wise Columns
     * (words-in-range, word-length band, punctuation cap, stopword minimum) —
     * the SINGLE definition behind [[gopherFilter]] (audit flags) and
@@ -258,6 +242,22 @@ object TextAnalysis {
     coalesce(r.okWords && r.okLen && r.okPunct && r.okStop, lit(false))
   }
 
+  /**
+   * Gopher-style heuristic keep/drop rules (Rae et al. 2021 §A1.1 family),
+   * single-pass and row-wise: word count in `[minWords, maxWords]`, TRUE
+   * mean word length (separator spaces excluded — `length/n_words` would
+   * inflate the metric by ~+1 and shift the documented [3, 10] band) in
+   * `[minAvgLen, maxAvgLen]`, punctuation ratio at most `maxPunct`
+   * (Unicode-aware: `[^\p{L}\p{N} ]`, so accented letters in de/es/fr text
+   * don't count as punctuation the way [[qualityScore]]'s en-centric ASCII
+   * class does), and at least `minStopHits` hits in the doc's BEST stopword
+   * lexicon (the "has real function words" rule, made multilingual by
+   * taking the max across lexicons instead of hard-coding English). Each
+   * rule lands as its own 0/1 flag plus the conjunction, so a curation job
+   * can audit WHY a doc dropped — the flags are LONGs, not booleans, purely
+   * for cross-engine hash stability. Zero shuffle; composes into the same
+   * scan as the other scorers.
+   */
   def gopherFilter(docs: DataFrame,
                    minWords: Long = 50L, maxWords: Long = 100000L,
                    minAvgLen: Double = 3.0, maxAvgLen: Double = 10.0,
@@ -1404,19 +1404,6 @@ object TextAnalysis {
   }
 
   /**
-   * LICENSE / COPYRIGHT screen — the legal sibling of [[blocklistFilter]]:
-   * count license-boilerplate markers (dated copyright lines,
-   * "all rights reserved", license-grant phrases) so a corpus build can
-   * route marked docs to a rights review instead of silently training on
-   * them. Three separately-counted marker classes plus the one flag, per
-   * the [[gopherFilter]] auditable-columns convention.
-   *
-   * Pure row-wise [[graft.functions.RegexCount]] passes over one lowercased
-   * scan — codegen'd, RE2-portable patterns (no lookarounds), zero shuffle.
-   *
-   * @return (doc_id, n_copyright, n_rights, n_license_terms, license_flag)
-   */
-  /**
    * VOCABULARY COVERAGE sizing — "how many distinct words cover p% of all
    * token occurrences": THE number a tokenizer-vocab budget is cut from
    * (the rank where coverage crosses 99% is where subword fallback starts
@@ -1520,6 +1507,19 @@ object TextAnalysis {
         when(nAbove >= minPresent, 1L).otherwise(0L).as("mixed"))
   }
 
+  /**
+   * LICENSE / COPYRIGHT screen — the legal sibling of [[blocklistFilter]]:
+   * count license-boilerplate markers (dated copyright lines,
+   * "all rights reserved", license-grant phrases) so a corpus build can
+   * route marked docs to a rights review instead of silently training on
+   * them. Three separately-counted marker classes plus the one flag, per
+   * the [[gopherFilter]] auditable-columns convention.
+   *
+   * Pure row-wise [[graft.functions.RegexCount]] passes over one lowercased
+   * scan — codegen'd, RE2-portable patterns (no lookarounds), zero shuffle.
+   *
+   * @return (doc_id, n_copyright, n_rights, n_license_terms, license_flag)
+   */
   def licenseScreen(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val lt = lower(col(textCol))
     def rc(pat: String) =

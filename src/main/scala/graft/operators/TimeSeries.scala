@@ -251,13 +251,6 @@ object TimeSeries {
   }
 
   /**
-   * FIR filter / moving average: per series, dot-product of the last F values
-   * with a weight vector; the first F-1 points of each series are consumed,
-   * not emitted (reference TimeSeriesGroupingIterator.java:29-46,138-148; a
-   * 5-point moving average uses weights [.2,.2,.2,.2,.2], RateIterator
-   * subclasses with [-1, 1]).
-   */
-  /**
    * Exponential taps for a truncated EWMA as a [[firFilter]]: the last
    * `span` values weighted (1−α)^age, normalized to sum 1 — the "adjusted"
    * finite-window EWMA every monitoring stack smooths with, expressed as a
@@ -276,6 +269,13 @@ object TimeSeries {
     raw.map(_ / tot)
   }
 
+  /**
+   * FIR filter / moving average: per series, dot-product of the last F values
+   * with a weight vector; the first F-1 points of each series are consumed,
+   * not emitted (reference TimeSeriesGroupingIterator.java:29-46,138-148; a
+   * 5-point moving average uses weights [.2,.2,.2,.2,.2], RateIterator
+   * subclasses with [-1, 1]).
+   */
   def firFilter(points: DataFrame, weights: Seq[Double]): DataFrame = {
     val f = weights.length
     val w = seriesWindow
@@ -324,30 +324,6 @@ object TimeSeries {
           greatest(lit(1), ceil(lit(p) * size(col("vs"))).cast("int"))).as("value"))
   }
 
-  /**
-   * Seasonal-naive forecast error — the baseline every fancier forecaster
-   * must beat, turned into a per-series data-quality metric: each point is
-   * "predicted" by the point exactly `periodMs` earlier in the same series
-   * (the seasonal-naive model), and the series reports its matched-pair
-   * count, MAE, and MAPE. High seasonal error marks series that are NOT
-   * periodic at this period (alerting thresholds derived from daily
-   * seasonality will misfire on them); near-zero error marks strong
-   * periodicity worth exploiting in downsampling/retention choices.
-   *
-   * Exactness: absolute errors accumulate in DECIMAL(18,6) (the
-   * [[exactAggregator]] convention — low-scale source values), each
-   * division is a single double op. Only points with an exact-lag partner
-   * count; series with no partner rows are absent.
-   *
-   * Scale: ONE equi self-join on (metric, series, ts − period) — the lag
-   * lookup needs no window sort at all — then a series-keyed aggregate.
-   * Both sides shuffle on the same fine-grained key.
-   *
-   * @return (metric, series, n_pairs, mae, wmape) — wmape (weighted MAPE:
-   *         Σ|err| / Σ|actual|, the per-row-division-free industry form;
-   *         exact-decimal numerator AND denominator, one double division)
-   *         is NULL when the actuals sum to zero.
-   */
   /**
    * Top-N series per metric by an aggregate — the dashboard staple ("top 5
    * hosts by cpu") that naively writes as a rank window over EVERY series
@@ -421,6 +397,30 @@ object TimeSeries {
         col("n_buckets").cast("double") / col("expected_buckets").cast("double"))
   }
 
+  /**
+   * Seasonal-naive forecast error — the baseline every fancier forecaster
+   * must beat, turned into a per-series data-quality metric: each point is
+   * "predicted" by the point exactly `periodMs` earlier in the same series
+   * (the seasonal-naive model), and the series reports its matched-pair
+   * count, MAE, and MAPE. High seasonal error marks series that are NOT
+   * periodic at this period (alerting thresholds derived from daily
+   * seasonality will misfire on them); near-zero error marks strong
+   * periodicity worth exploiting in downsampling/retention choices.
+   *
+   * Exactness: absolute errors accumulate in DECIMAL(18,6) (the
+   * [[exactAggregator]] convention — low-scale source values), each
+   * division is a single double op. Only points with an exact-lag partner
+   * count; series with no partner rows are absent.
+   *
+   * Scale: ONE equi self-join on (metric, series, ts − period) — the lag
+   * lookup needs no window sort at all — then a series-keyed aggregate.
+   * Both sides shuffle on the same fine-grained key.
+   *
+   * @return (metric, series, n_pairs, mae, wmape) — wmape (weighted MAPE:
+   *         Σ|err| / Σ|actual|, the per-row-division-free industry form;
+   *         exact-decimal numerator AND denominator, one double division)
+   *         is NULL when the actuals sum to zero.
+   */
   def seasonalError(points: DataFrame, periodMs: Long): DataFrame = {
     require(periodMs > 0, "periodMs must be positive")
     // accepts raw points (tags map -> series key) or an already-keyed frame
@@ -445,6 +445,19 @@ object TimeSeries {
         when(col("abs_actual_sum") > 0, col("abs_err_sum") / col("abs_actual_sum"))
           .as("wmape"))
   }
+
+  /** The fixed-point bucket series [[autocorrelation]] and
+    * [[crossCorrelation]] share: per-metric `periodMs` cross-series average
+    * (exact-DECIMAL first level), snapped to `scale` steps per unit so every
+    * downstream sum is an exact integer. */
+  private def fpBucketSeries(points: DataFrame, periodMs: Long,
+                             scale: Long): DataFrame =
+    points
+      .groupBy(col("metric"), (col("ts") - col("ts") % periodMs).as("bucket_ms"))
+      .agg((sum(col("value").cast("decimal(18,6)")).cast("double") /
+        count(col("value"))).as("value"))
+      .select(col("metric"), col("bucket_ms"),
+        floor(col("value") * scale + lit(0.5)).cast("long").as("fp"))
 
   /**
    * Sample AUTOCORRELATION of each metric's bucketed series at the given
@@ -473,19 +486,6 @@ object TimeSeries {
    * @return (metric, lag, n_buckets, n_pairs, acf) — `acf` NULL for a
    *         constant series (zero variance) or when no pair exists.
    */
-  /** The fixed-point bucket series [[autocorrelation]] and
-    * [[crossCorrelation]] share: per-metric `periodMs` cross-series average
-    * (exact-DECIMAL first level), snapped to `scale` steps per unit so every
-    * downstream sum is an exact integer. */
-  private def fpBucketSeries(points: DataFrame, periodMs: Long,
-                             scale: Long): DataFrame =
-    points
-      .groupBy(col("metric"), (col("ts") - col("ts") % periodMs).as("bucket_ms"))
-      .agg((sum(col("value").cast("decimal(18,6)")).cast("double") /
-        count(col("value"))).as("value"))
-      .select(col("metric"), col("bucket_ms"),
-        floor(col("value") * scale + lit(0.5)).cast("long").as("fp"))
-
   def autocorrelation(points: DataFrame, periodMs: Long = 3600000L,
                       lags: Seq[Int] = Seq(1, 2, 24),
                       scale: Long = 1000L): DataFrame = {

@@ -1359,9 +1359,9 @@ object ApiQueries {
         |              THEN 1 ELSE -1 END AS s
         |  FROM x, (SELECT UNNEST(range(16)) AS j) j),
         |c AS (SELECT j, CAST(SUM(s) AS BIGINT) AS c FROM sgn GROUP BY 1),
-        |m AS (SELECT c * c AS est_f2,
+        |m AS (SELECT CAST(c * c AS DECIMAL(38,0)) AS est_f2,
         |             ROW_NUMBER() OVER (ORDER BY c * c ASC, j ASC) AS rn FROM c),
-        |ex AS (SELECT CAST(SUM(f * f) AS BIGINT) AS exact_f2,
+        |ex AS (SELECT SUM(CAST(f * f AS DECIMAL(38,0))) AS exact_f2,
         |              CAST(SUM(f) AS BIGINT) AS n_rows
         |       FROM (SELECT COUNT(*) AS f FROM x GROUP BY e))
         |SELECT CAST(16 AS BIGINT) AS r, m.est_f2, ex.exact_f2, ex.n_rows

@@ -59,6 +59,36 @@ object LlmQueries {
     hits
   }
 
+  /** The scored best-window frame shared by `search_snippets` and
+    * `search_highlight` (the BM25-family memoization pattern): the whole
+    * snippet chain — qualification join, window-cover count, per-(query,doc)
+    * rank — runs once; highlight then only joins the text back and slices.
+    * K-bounded rows (one per qualified (query, doc)): executor-safe to
+    * persist at any corpus size. */
+  private val snippetsMemo = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def bestSnippetsFrame(s: SparkSession, dir: String): DataFrame = {
+    val best = snippetsMemo.computeIfAbsent(s"${System.identityHashCode(s)}:$dir", _ => {
+      val d = docs(s, dir)
+      graft.operators.Search.bestSnippets(d, probeQueries(d), window = 12)
+    })
+    if (best.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      best.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    best
+  }
+
+  /** The converged 5-step PageRank frame shared by `graph_pagerank` and
+    * `graph_pagerank_delta`: the delta audit reuses these ranks and only
+    * pays the 4-step comparison run (domains-bounded rows persisted). */
+  private val pagerankMemo = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def pageRankFrame(s: SparkSession, dir: String): DataFrame = {
+    val pr = pagerankMemo.computeIfAbsent(s"${System.identityHashCode(s)}:$dir", _ =>
+      graft.operators.Graph.pageRank(
+        plantedEdges(docs(s, dir), full = true), iters = 5))
+    if (pr.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      pr.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pr
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tokens" -> ((s, dir) => TextAnalysis.tokenCounts(docs(s, dir))),
     // token counting under the BPE-ish (GPT-2-style) pre-tokenizer — the
@@ -628,13 +658,12 @@ object LlmQueries {
     // site{d%7} -> site{(d+3)%7}, every 11th doc links the dangling 'sink')
     // — integer fixed point end to end, so the 5-iteration power method is
     // bit-exact against the unrolled SQL replay
-    "graph_pagerank" -> ((s, dir) =>
-      graft.operators.Graph.pageRank(
-        plantedEdges(docs(s, dir), full = true), iters = 5)),
+    "graph_pagerank" -> ((s, dir) => pageRankFrame(s, dir)),
     // PageRank convergence audit: exact L1 delta between iterations 4 and
-    // 5 — has the fixed power budget actually settled
+    // 5 — has the fixed power budget actually settled; reuses the
+    // memoized converged frame, paying only the 4-step comparison run
     "graph_pagerank_delta" -> ((s, dir) =>
-      graft.operators.Graph.pageRankDelta(
+      graft.operators.Graph.pageRankDeltaFrom(pageRankFrame(s, dir),
         plantedEdges(docs(s, dir), full = true), iters = 5)),
     // TrustRank: the same graph with teleport restricted to a two-domain
     // whitelist — trust propagates outward from the vetted core, the
@@ -1085,10 +1114,7 @@ object LlmQueries {
     // best-snippet extraction over the probe queries: per qualifying
     // (all-terms) doc the 12-token window covering the most distinct query
     // terms, earliest on ties — the highlighting/RAG-span primitive
-    "search_snippets" -> ((s, dir) => {
-      val d = docs(s, dir)
-      graft.operators.Search.bestSnippets(d, probeQueries(d), window = 12)
-    }),
+    "search_snippets" -> ((s, dir) => bestSnippetsFrame(s, dir)),
     // Spearman rank agreement between the lexical and semantic rankers over
     // their shared top-15 candidates: rho near 1 says hybrid fusion adds
     // nothing, rho near 0 says the systems see different relevance
@@ -1105,10 +1131,9 @@ object LlmQueries {
       TextAnalysis.vocabCoverage(docs(s, dir))),
     // the rendered snippet STRING: best-window offsets joined back to the
     // case-preserving text and sliced — what a results page actually shows
-    "search_highlight" -> ((s, dir) => {
-      val d = docs(s, dir)
-      graft.operators.Search.snippetText(d, probeQueries(d), window = 12)
-    })
+    "search_highlight" -> ((s, dir) =>
+      graft.operators.Search.snippetTextFrom(
+        bestSnippetsFrame(s, dir), docs(s, dir), window = 12))
   )
 
   /** The planted hyperlink structure shared by the Graph-family gates:
@@ -2700,11 +2725,15 @@ object LlmQueries {
         |          SELECT query_id, doc_id,
         |                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, doc_id) AS BIGINT) AS rank
         |          FROM kc) WHERE rank <= 15),
-        |j AS (SELECT l.query_id, (l.rank - s.rank) * (l.rank - s.rank) AS d2
+        |j AS (SELECT l.query_id, l.doc_id, l.rank AS ra, s.rank AS rb
         |      FROM lex l JOIN sem s ON l.query_id = s.query_id AND l.doc_id = s.doc_id),
+        |rr AS (SELECT query_id,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ra, doc_id) AS BIGINT) AS ca,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rb, doc_id) AS BIGINT) AS cb
+        |       FROM j),
         |g AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_common,
-        |             CAST(SUM(d2) AS BIGINT) AS sum_d2
-        |      FROM j GROUP BY 1)
+        |             CAST(SUM((ca - cb) * (ca - cb)) AS BIGINT) AS sum_d2
+        |      FROM rr GROUP BY 1)
         |SELECT query_id, n_common, sum_d2,
         |       CASE WHEN n_common >= 2 THEN
         |         1.0 - 6.0 * CAST(sum_d2 AS DOUBLE)

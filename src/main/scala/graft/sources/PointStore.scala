@@ -56,16 +56,6 @@ object PointStore {
   def writeMeta(points: DataFrame, metaDir: String): Unit =
     metaProjection(points).write.mode(SaveMode.Overwrite).parquet(metaDir)
 
-  /**
-   * Retention / age-off — the reference's MetricAgeOffIterator + tablet-drop
-   * compaction (server/src/main/java/timely/server/store/MetricAgeOffIterator.java:26-110,
-   * compaction/MetricCompactionStrategy.java): per-metric-prefix TTLs with a
-   * required "default", longest prefix wins. Two forms: [[ageOff]] rewrites
-   * the exactly-retained set (row-accurate), [[ageOffDropPartitions]] deletes
-   * fully-expired day directories in place (metadata/file-level, no data
-   * movement — the daily maintenance form; pair with [[clampStart]] for the
-   * boundary day).
-   */
   /** Retention horizon for a metric as a codegen'd when-chain (longest prefix
     * wins, 'default' fallback) — no UDF, so the resulting `ts >= horizon`
     * predicate stays inside whole-stage codegen and, for a constant-per-metric
@@ -80,6 +70,16 @@ object PointStore {
     }
   }
 
+  /**
+   * Retention / age-off — the reference's MetricAgeOffIterator + tablet-drop
+   * compaction (server/src/main/java/timely/server/store/MetricAgeOffIterator.java:26-110,
+   * compaction/MetricCompactionStrategy.java): per-metric-prefix TTLs with a
+   * required "default", longest prefix wins. Two forms: [[ageOff]] rewrites
+   * the exactly-retained set (row-accurate), [[ageOffDropPartitions]] deletes
+   * fully-expired day directories in place (metadata/file-level, no data
+   * movement — the daily maintenance form; pair with [[clampStart]] for the
+   * boundary day).
+   */
   def ageOff(
       spark: SparkSession,
       dataDir: String,

@@ -196,6 +196,10 @@ class FunnelSpec extends AnyFunSuite with SparkSpec {
     // A -> B, B absorbing (self-loop): all mass drains to B
     val abs = run(Seq((1L, 1L, 1L, "A"), (1L, 2L, 2L, "B")))
     assert(abs == Map("A" -> 0L, "B" -> 1000000000000L))
+    // no observed transition (single events per user): empty frame, no
+    // division-by-zero on the empty state set
+    val empty = run(Seq((1L, 1L, 1L, "A"), (2L, 1L, 2L, "B")))
+    assert(empty.isEmpty)
   }
 
   test("pathTrigrams: counts in time order, total-order rank, k cut") {

@@ -356,5 +356,12 @@ class SearchSpec extends AnyFunSuite with SparkSpec {
     // sum d^2 = 4 + 0 + 4 = 8; rho = 1 - 48/24 = -1
     assert(r(1L).getAs[Long]("sum_d2") == 8L)
     assert(r(1L).getAs[Double]("spearman_rho") == -1.0)
+    // sparse intersection at extreme ORIGINAL positions: re-ranking within
+    // the common set keeps rho in [-1,1] (raw positions would give -391)
+    val xa = hits((3L, 30L, 1L), (3L, 31L, 15L))
+    val xb = hits((3L, 30L, 15L), (3L, 31L, 1L))
+    val x = Search.rankCorrelation(xa, xb).collect().head
+    assert(x.getAs[Long]("n_common") == 2L && x.getAs[Long]("sum_d2") == 2L)
+    assert(x.getAs[Double]("spearman_rho") == -1.0)
   }
 }

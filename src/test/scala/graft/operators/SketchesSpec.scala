@@ -165,18 +165,20 @@ class SketchesSpec extends AnyFunSuite with SparkSpec {
     // one distinct element, frequency 7: every counter is ±7, every square
     // 49 -> the median IS the exact F2
     val one = Seq.fill(7)("k").toDF("e")
+    def dec(row: org.apache.spark.sql.Row, c: String): Long =
+      row.getAs[java.math.BigDecimal](c).longValueExact()
     val r1 = Sketches.amsF2(one, "e", r = 16).collect().head
     assert(r1.getAs[Long]("r") == 16L)
-    assert(r1.getAs[Long]("est_f2") == 49L)
-    assert(r1.getAs[Long]("exact_f2") == 49L && r1.getAs[Long]("n_rows") == 7L)
+    assert(dec(r1, "est_f2") == 49L)
+    assert(dec(r1, "exact_f2") == 49L && r1.getAs[Long]("n_rows") == 7L)
     // mixed stream: audit = sum f^2 = 9 + 4 + 1; estimate is key-set
     // dependent but nonnegative and parallelism-independent
     val df = (Seq.fill(3)("a") ++ Seq.fill(2)("b") ++ Seq("c")).toDF("e")
     val r2 = Sketches.amsF2(df, "e", r = 16).collect().head
-    assert(r2.getAs[Long]("exact_f2") == 14L && r2.getAs[Long]("n_rows") == 6L)
-    assert(r2.getAs[Long]("est_f2") >= 0L)
+    assert(dec(r2, "exact_f2") == 14L && r2.getAs[Long]("n_rows") == 6L)
+    assert(dec(r2, "est_f2") >= 0L)
     val again = Sketches.amsF2(df.repartition(7), "e", r = 16).collect().head
-    assert(again.getAs[Long]("est_f2") == r2.getAs[Long]("est_f2"))
+    assert(dec(again, "est_f2") == dec(r2, "est_f2"))
   }
 
   test("cmsStream one-batch run: min over salt lanes equals the batch CMS estimate") {
