@@ -63,6 +63,16 @@ object Bench {
     val passTotals = passes.map(_.map(_._2).sum).mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,""" +
       s""""pass_totals":$passTotals,"queries":$qs$errField,"sf":"$sfDir"}""")
+    // LAST line: a compact self-contained summary (total + slowest 20) that
+    // survives a bounded stdout tail — the full per-query line above grew
+    // past 2000 chars at ~280 gates and a tail capture would otherwise lose
+    // the "metric"/"value" head (BENCH_r08 arrived with parsed:null).
+    val slowest = results.sortBy(-_._2).take(20)
+    val qsTop = slowest.map { case (k, v, _) => jstr(k) + ":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$runs,""" +
+      s""""n_queries":${results.size},"n_errors":${errs.size},""" +
+      s""""pass_totals":$passTotals,"queries":$qsTop,"sf":"$sfDir"}""")
     spark.stop()
     if (errs.nonEmpty) {
       System.err.println(s"bench: ${errs.size} quer${if (errs.size == 1) "y" else "ies"} failed")
