@@ -17,17 +17,24 @@ import java.util.concurrent.ConcurrentHashMap
  * when anonymous access is disabled (SecurityProperties.allowAnonymousHttpAccess /
  * allowAnonymousWsAccess, exercised by WebSocketClientIT.testClientAnonymousAccess).
  *
- * The reference authenticates X509 DNs against Accumulo-side auth services;
- * this engine has no PKI in scope, so the credential store is a plain
- * username -> (password, authorizations) map supplied by the embedder — the
- * session/cookie/authorization wiring downstream of the credential check is
- * the part the facades share with the reference.
+ * Identity comes from either of the reference's two credential paths:
+ *  - username/password login -> session cookie (TimelyLoginRequestHandler);
+ *  - a TLS client certificate's subject DN (two-way SSL), mapped to the
+ *    subject's authorizations by `dnUsers` — the analog of the reference's
+ *    FileUserDetailsService (X509 subject -> user details,
+ *    FileUserDetailsServiceIT.java; the X509LoginRequestHandler resolves the
+ *    verified peer DN the same way). DNs are compared in RFC 2253 canonical
+ *    form so `CN=x, OU=y` and `cn=x,ou=y` are the same subject.
  */
 class AuthSessions(
     users: Map[String, AuthSessions.User],
     val allowAnonymous: Boolean = false,
     sessionMaxAgeMs: Long = 8L * 3600 * 1000,
-    nowMs: () => Long = () => System.currentTimeMillis()) {
+    nowMs: () => Long = () => System.currentTimeMillis(),
+    dnUsers: Map[String, Seq[String]] = Map.empty) {
+
+  private val dnAuths: Map[String, Seq[String]] =
+    dnUsers.map { case (dn, a) => AuthSessions.canonicalDn(dn) -> a }
 
   private case class Session(auths: Seq[String], expiresAt: Long)
   private val sessions = new ConcurrentHashMap[String, Session]()
@@ -58,6 +65,18 @@ class AuthSessions(
     live.orElse(if (allowAnonymous) Some(Seq.empty) else None)
   }
 
+  /**
+   * Resolve a TLS-verified peer DN (two-way SSL) plus the request's cookie
+   * to authorizations. The certificate identity WINS over any cookie — it
+   * was verified cryptographically in the handshake (the reference's X509
+   * path likewise bypasses the login flow); an unmapped-but-verified DN
+   * falls through to the cookie/anonymous rules.
+   */
+  def resolveCert(peerDn: Option[String], sessionId: Option[String]): Option[Seq[String]] =
+    peerDn.map(AuthSessions.canonicalDn).flatMap(dnAuths.get)
+      .map(Some(_))
+      .getOrElse(resolve(sessionId))
+
   /** Explicit logout (session invalidation). */
   def invalidate(sessionId: String): Unit = sessions.remove(sessionId)
 }
@@ -68,6 +87,13 @@ object AuthSessions {
 
   /** The reference's session cookie name (Constants.java:10). */
   val CookieName = "TSESSIONID"
+
+  /** RFC 2253 canonical form of an X.500 DN — insensitive to attribute
+    * spacing/case, so config strings and certificate subjects compare by
+    * identity, not formatting. */
+  def canonicalDn(dn: String): String =
+    new javax.security.auth.x500.X500Principal(dn)
+      .getName(javax.security.auth.x500.X500Principal.CANONICAL)
 
   /** Extract the session id from a `Cookie` header value (first TSESSIONID,
     * like HttpRequestDecoder.getSessionId). */

@@ -26,14 +26,17 @@ class GraftServer(
     metaDir: String,
     sessions: Option[AuthSessions] = None,
     internal: Option[graft.streaming.InternalMetrics] = None,
-    metaRefreshMs: Long = 0L) {
+    metaRefreshMs: Long = 0L,
+    tls: Option[Tls.Config] = None) {
 
   /** Ports the server is listening on after [[start]]. */
   case class Ports(http: Int, ws: Int, tcp: Int, udp: Int)
 
   val http = new HttpApi(spark, dataDir, metaDir,
-    internal = internal, metaRefreshMs = metaRefreshMs, sessions = sessions)
-  val ws = new WebSocketApi(spark, dataDir, metaDir, sessions = sessions)
+    internal = internal, metaRefreshMs = metaRefreshMs, sessions = sessions,
+    tls = tls)
+  val ws = new WebSocketApi(spark, dataDir, metaDir, sessions = sessions,
+    tls = tls)
 
   /** The socket listeners' storage sink — the same append as the facades. */
   private def ingest(batch: Seq[MetricPoint]): Unit = if (batch.nonEmpty) {

@@ -7,7 +7,7 @@ import java.util.concurrent.Executors
 
 import scala.util.control.NonFatal
 
-import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import com.sun.net.httpserver.{HttpExchange, HttpServer, HttpsConfigurator, HttpsExchange, HttpsParameters, HttpsServer}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -55,6 +55,20 @@ import graft.sources.{MetaSnapshot, PointStore}
  * 401 per the store's `allowAnonymous` policy
  * (SecurityProperties.allowAnonymousHttpAccess). Without a store, the
  * constructor `auths` apply process-wide (embedded mode).
+ *
+ * TLS: with a [[Tls.Config]] the facade serves HTTPS (the reference fronts
+ * its HTTP pipeline with an SslHandler — Server.java:490); `needClientAuth`
+ * additionally REQUIRES a client certificate (two-way SSL, TwoWaySSLIT) and
+ * the verified subject DN becomes the caller's identity via
+ * [[AuthSessions.resolveCert]] — no login round trip, like the reference's
+ * X509 login path. Over TLS the facade also emits
+ * `Strict-Transport-Security` (HTTPStrictTransportSecurityIT) and marks the
+ * session cookie `Secure`.
+ *
+ * Transport parity (Server.java:494-527): responses gzip when the client
+ * advertises `Accept-Encoding: gzip` (HttpContentCompressor analog), and
+ * cross-origin requests get CORS headers with an OPTIONS preflight handler
+ * (the Netty CorsHandler analog; origins reflected, credentials allowed).
  */
 class HttpApi(
     spark: SparkSession,
@@ -65,7 +79,8 @@ class HttpApi(
     nowMs: () => Long = () => System.currentTimeMillis(),
     metaRefreshMs: Long = 0L,
     sessions: Option[AuthSessions] = None,
-    cacheBoundaryMs: Option[Long] = None) {
+    cacheBoundaryMs: Option[Long] = None,
+    tls: Option[Tls.Config] = None) {
 
   private var server: HttpServer = _
   private var pool: java.util.concurrent.ExecutorService = _
@@ -73,7 +88,20 @@ class HttpApi(
   /** Bind and start; `port` 0 picks an ephemeral port. Returns the bound port. */
   def start(port: Int = 0): Int = synchronized {
     require(server == null, "already started")
-    server = HttpServer.create(new InetSocketAddress(port), 0)
+    server = tls match {
+      case None => HttpServer.create(new InetSocketAddress(port), 0)
+      case Some(cfg) =>
+        val hs = HttpsServer.create(new InetSocketAddress(port), 0)
+        val ctx = cfg.sslContext()
+        hs.setHttpsConfigurator(new HttpsConfigurator(ctx) {
+          override def configure(p: HttpsParameters): Unit = {
+            val sp = ctx.getDefaultSSLParameters
+            if (cfg.needClientAuth) sp.setNeedClientAuth(true)
+            p.setSSLParameters(sp)
+          }
+        })
+        hs
+    }
     pool = Executors.newFixedThreadPool(4)
     server.setExecutor(pool)
     server.createContext("/", (ex: HttpExchange) => route(ex))
@@ -175,18 +203,49 @@ class HttpApi(
 
   // ---- routing ----------------------------------------------------------
 
-  /** Resolve the caller's authorizations: cookie -> session -> auths, with
-    * the embedded-mode constructor `auths` when no session store is
-    * configured. None = refuse with 401. */
+  /** The TLS-verified client-certificate subject (two-way SSL), if any. */
+  private def peerDn(ex: HttpExchange): Option[String] = ex match {
+    case hx: HttpsExchange =>
+      try Option(hx.getSSLSession.getPeerPrincipal).map(_.getName)
+      catch { case _: javax.net.ssl.SSLPeerUnverifiedException => None }
+    case _ => None
+  }
+
+  /** Resolve the caller's authorizations: client-cert DN first (two-way
+    * TLS), then cookie -> session, with the embedded-mode constructor
+    * `auths` when no session store is configured. None = refuse with 401. */
   private def requestAuths(ex: HttpExchange): Option[Seq[String]] = sessions match {
     case None => Some(auths)
-    case Some(store) => store.resolve(
+    case Some(store) => store.resolveCert(peerDn(ex),
       AuthSessions.sessionFromCookie(Option(ex.getRequestHeaders.getFirst("Cookie"))))
+  }
+
+  /** Transport headers on EVERY response: HSTS over TLS
+    * (HTTPStrictTransportSecurityIT pins the header on each exchange) and
+    * CORS reflection when the request is cross-origin. */
+  private def transportHeaders(ex: HttpExchange): Unit = {
+    if (tls.isDefined)
+      ex.getResponseHeaders.set("Strict-Transport-Security", "max-age=604800")
+    Option(ex.getRequestHeaders.getFirst("Origin")).foreach { origin =>
+      val h = ex.getResponseHeaders
+      h.set("Access-Control-Allow-Origin", origin)
+      h.set("Access-Control-Allow-Credentials", "true")
+      h.set("Vary", "Origin")
+    }
   }
 
   private def route(ex: HttpExchange): Unit = {
     try {
+      transportHeaders(ex)
       (ex.getRequestMethod, ex.getRequestURI.getPath) match {
+        case ("OPTIONS", _) =>
+          // CORS preflight (the Netty CorsHandler short-circuits these the
+          // same way — Server.java:518): allowed methods/headers, no body
+          val h = ex.getResponseHeaders
+          h.set("Access-Control-Allow-Methods", "GET, POST, OPTIONS")
+          h.set("Access-Control-Allow-Headers", "Content-Type, Authorization")
+          h.set("Access-Control-Max-Age", "86400")
+          respond(ex, 204, "")
         case (_, "/version") =>
           respond(ex, 200, TimelyApi.Version + "\n", "text/plain")
         case ("POST", "/login") if sessions.isDefined =>
@@ -197,10 +256,11 @@ class HttpApi(
           } yield (u, p)
           cred.flatMap { case (u, p) => sessions.get.login(u, p) } match {
             case Some(sid) =>
-              // the reference's session cookie (TimelyLoginRequestHandler.java:52-58;
-              // no Secure flag — this facade is plain HTTP)
+              // the reference's session cookie (TimelyLoginRequestHandler.java:52-58);
+              // Secure over TLS, like the reference's cookie on its SSL port
+              val secure = if (tls.isDefined) "; Secure" else ""
               ex.getResponseHeaders.add("Set-Cookie",
-                s"${AuthSessions.CookieName}=$sid; Path=/; HttpOnly")
+                s"${AuthSessions.CookieName}=$sid; Path=/; HttpOnly$secure")
               respond(ex, 200, "{}")
             case None => respond(ex, 401, "login failure\n", "text/plain")
           }
@@ -279,8 +339,13 @@ class HttpApi(
           // through to a truncated chunked body
           val frames = QueryPlanner.plan(pts, req, callerAuths)
           ex.getResponseHeaders.set("Content-Type", "application/json")
+          val gz = wantsGzip(ex)
+          if (gz) ex.getResponseHeaders.set("Content-Encoding", "gzip")
           ex.sendResponseHeaders(200, 0) // chunked
-          val w = new OutputStreamWriter(ex.getResponseBody, UTF_8)
+          val sink =
+            if (gz) new java.util.zip.GZIPOutputStream(ex.getResponseBody)
+            else ex.getResponseBody
+          val w = new OutputStreamWriter(sink, UTF_8)
           val n = QueryJson.writeResponses(frames, w)
           w.flush(); w.close()
           internal.foreach(_.addQueryResponse(n, System.currentTimeMillis() - t0))
@@ -309,11 +374,26 @@ class HttpApi(
       }
   }
 
+  /** Does the request advertise gzip support (HttpContentCompressor analog)? */
+  private def wantsGzip(ex: HttpExchange): Boolean =
+    Option(ex.getRequestHeaders.getFirst("Accept-Encoding")).exists(
+      _.toLowerCase.split(",").exists(_.trim.takeWhile(_ != ';') == "gzip"))
+
   private def respond(ex: HttpExchange, status: Int, content: String,
       contentType: String = "application/json"): Unit = {
-    val bytes = content.getBytes(UTF_8)
+    val raw = content.getBytes(UTF_8)
+    val gz = raw.nonEmpty && wantsGzip(ex)
+    val bytes =
+      if (!gz) raw
+      else {
+        val bos = new java.io.ByteArrayOutputStream()
+        val g = new java.util.zip.GZIPOutputStream(bos)
+        g.write(raw); g.close()
+        bos.toByteArray
+      }
     try {
       ex.getResponseHeaders.set("Content-Type", contentType)
+      if (gz) ex.getResponseHeaders.set("Content-Encoding", "gzip")
       ex.sendResponseHeaders(status, if (bytes.isEmpty) -1 else bytes.length)
       if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
     } catch {

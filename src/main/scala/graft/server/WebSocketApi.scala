@@ -50,6 +50,12 @@ import graft.streaming.{MetricResponseJson, Subscriptions}
  * session + anonymous disallowed refuses the upgrade with 401, the WS analog
  * of SecurityProperties.allowAnonymousWsAccess
  * (WebSocketClientIT.testClientAnonymousAccess).
+ *
+ * TLS: with a [[Tls.Config]] the gateway serves WSS (the reference's WS
+ * endpoint rides the same SslHandler as HTTP — Server.java:579); two-way
+ * mode requires a client certificate in the handshake and the verified
+ * subject DN resolves to the session's authorizations before any cookie is
+ * consulted ([[AuthSessions.resolveCert]]).
  */
 class WebSocketApi(
     spark: SparkSession,
@@ -60,7 +66,8 @@ class WebSocketApi(
     subscriptionBatchSize: Int = 100,
     flushIntervalMs: Long = 500L,
     ageOffTtlMs: Option[Long] = None,
-    nowMs: () => Long = () => System.currentTimeMillis()) {
+    nowMs: () => Long = () => System.currentTimeMillis(),
+    tls: Option[Tls.Config] = None) {
 
   private var server: ServerSocket = _
   @volatile private var running = false
@@ -73,8 +80,17 @@ class WebSocketApi(
   def start(port: Int = 0): Int = synchronized {
     require(server == null, "already started")
     new java.io.File(dataDir).mkdirs() // the streaming tail needs the dir to exist
-    server = new ServerSocket()
-    server.bind(new InetSocketAddress(port))
+    server = tls match {
+      case None =>
+        val s = new ServerSocket()
+        s.bind(new InetSocketAddress(port))
+        s
+      case Some(cfg) =>
+        val s = cfg.sslContext().getServerSocketFactory
+          .createServerSocket(port).asInstanceOf[javax.net.ssl.SSLServerSocket]
+        if (cfg.needClientAuth) s.setNeedClientAuth(true)
+        s
+    }
     running = true
     acceptor = new Thread(() => {
       while (running) {
@@ -170,10 +186,18 @@ class WebSocketApi(
           }
           return
         }
+        // two-way TLS: the handshake-verified client-cert subject, if any
+        // (the read above forced the SSL handshake, so the session is live)
+        val peerDn: Option[String] = socket match {
+          case s: javax.net.ssl.SSLSocket =>
+            try Option(s.getSession.getPeerPrincipal).map(_.getName)
+            catch { case _: javax.net.ssl.SSLPeerUnverifiedException => None }
+          case _ => None
+        }
         val auths: Seq[String] = sessions match {
           case None => defaultAuths
           case Some(a) =>
-            a.resolve(AuthSessions.sessionFromCookie(headers.get("cookie"))) match {
+            a.resolveCert(peerDn, AuthSessions.sessionFromCookie(headers.get("cookie"))) match {
               case Some(resolved) => resolved
               case None =>
                 writeLock.synchronized {

@@ -146,6 +146,58 @@ class HttpApiSpec extends AnyFunSuite with SparkSpec with BeforeAndAfterAll {
     assert(get("/api/suggest?type=metrics&q=orphan&max=10").body() == "[]")
   }
 
+  test("gzip response compression when the client advertises it (HttpContentCompressor parity)") {
+    // fixed-length route
+    val r = client.send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:$port/api/aggregators"))
+      .header("Accept-Encoding", "gzip").GET().build(),
+      HttpResponse.BodyHandlers.ofByteArray())
+    assert(r.statusCode() == 200)
+    assert(r.headers().firstValue("Content-Encoding").orElse("") == "gzip")
+    val un = new String(new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(r.body())).readAllBytes(), UTF_8)
+    assert(un == """["avg","dev","max","min","sum","count","none"]""")
+    // chunked streaming query route
+    val q = client.send(HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/api/query"))
+      .header("Accept-Encoding", "gzip")
+      .POST(HttpRequest.BodyPublishers.ofString(
+        s"""{"start":$T,"end":${T + 6000},
+           |"queries":[{"aggregator":"none","metric":"sys.cpu.idle"}]}""".stripMargin, UTF_8))
+      .build(), HttpResponse.BodyHandlers.ofByteArray())
+    assert(q.statusCode() == 200)
+    assert(q.headers().firstValue("Content-Encoding").orElse("") == "gzip")
+    val qb = new String(new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(q.body())).readAllBytes(), UTF_8)
+    assert(qb.contains(""""metric":"sys.cpu.idle""""), qb)
+    // no Accept-Encoding -> identity (and clients that don't ask never see gzip)
+    val plain = get("/api/aggregators")
+    assert(plain.headers().firstValue("Content-Encoding").isEmpty)
+  }
+
+  test("CORS: preflight answered, origins reflected with credentials (CorsHandler parity)") {
+    val pre = client.send(HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/api/query"))
+      .header("Origin", "https://grafana.example")
+      .header("Access-Control-Request-Method", "POST")
+      .method("OPTIONS", HttpRequest.BodyPublishers.noBody()).build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(pre.statusCode() == 204, s"${pre.statusCode()} ${pre.body()}")
+    assert(pre.headers().firstValue("Access-Control-Allow-Origin").orElse("")
+      == "https://grafana.example")
+    assert(pre.headers().firstValue("Access-Control-Allow-Methods").orElse("").contains("POST"))
+    assert(pre.headers().firstValue("Access-Control-Allow-Credentials").orElse("") == "true")
+    // actual cross-origin request: origin reflected on the response too
+    val r = client.send(HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/version"))
+      .header("Origin", "https://grafana.example").GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(r.statusCode() == 200)
+    assert(r.headers().firstValue("Access-Control-Allow-Origin").orElse("")
+      == "https://grafana.example")
+    // same-origin requests stay untouched
+    assert(get("/version").headers().firstValue("Access-Control-Allow-Origin").isEmpty)
+    // plain HTTP: no HSTS (it is a TLS-only header)
+    assert(get("/version").headers().firstValue("Strict-Transport-Security").isEmpty)
+  }
+
   test("meta-cache mode: suggest serves the snapshot and puts stay visible") {
     // a second server on the same storage with the snapshot ON; a put must
     // show up in the very next suggest (markDirty = the reference's
