@@ -1,23 +1,31 @@
 package graft.operators
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /**
- * Multimodal-column plumbing: media (image/audio/video) travels as an opaque
- * `BINARY` payload column plus typed metadata, and decode/feature-extraction
- * runs per-partition so a real codec would amortize initialization.
+ * Multimodal-column operators: media travels as an opaque `BINARY` payload
+ * column plus typed metadata, and decode/resize/feature-extraction run
+ * per-partition (one codec context amortized over a partition's rows,
+ * executor-side, no driver loop).
  *
- * The actual byte decoding is STUBBED (no media libraries in this
- * environment): [[stubDecode]] derives deterministic fake metadata
- * (width/height/channels) from the payload's md5, clearly marked below.
- * Everything Spark-side — the binary column, the schema contract, partition
- * shaping, the metadata struct — is real and tested; swapping in a true codec
- * means replacing just the marked expressions with a mapPartitions decoder.
+ * IMAGES ARE REAL since round 9: payloads are genuine PNG/JPEG byte streams
+ * and every image operator decodes them with JDK [[javax.imageio.ImageIO]]
+ * (no external codec libraries needed). The correctness trick: the
+ * [[syntheticImages]] generator renders pixels by a documented arithmetic
+ * contract, so a SQL oracle can predict the DECODED geometry and pixel
+ * statistics analytically while the Spark side really round-trips
+ * encode → bytes → decode → raster. Only VIDEO remains a labeled stub
+ * ([[frameSample]] — the JDK ships no container demuxer).
  */
 object Multimodal {
 
-  /** Schema contract for a media table: id, payload BINARY, media_type, meta. */
+  /** Schema contract for a media table: id, payload BINARY, media_type. */
   def asMediaTable(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id").as("media_id"),
@@ -26,100 +34,237 @@ object Multimodal {
         (col("doc_id") % 3).cast("int") + 1).as("media_type"))
 
   /**
-   * STUB decode: metadata a real decoder would emit, derived deterministically
-   * from the payload hash so tests (and the SQL oracle) can pin it.
-   *   width    = 64 + 16 * hexdigit1(md5(payload))
-   *   height   = 64 + 16 * hexdigit2(md5(payload))
-   *   channels = 1 + hexdigit3(md5(payload)) % 3
+   * REAL PNG image corpus, one image per document, rendered executor-side
+   * and encoded with ImageIO. The generation contract (mirrored by the SQL
+   * oracles — every quantity below is decode-side verifiable):
+   *
+   *   width    = 32 + doc_id % 48                      (32..79)
+   *   height   = 32 + doc_id % 32                      (32..63)
+   *   channels = 1 if doc_id % 4 == 0 else 3           (gray / RGB)
+   *   pixel(x, y, k) = x + y + (doc_id % 50) + 20·k    (k = 0..channels-1)
+   *
+   * The pixel expression is ≤ 78+62+49+40 = 229 < 256 by construction — no
+   * byte wraparound, so PNG (lossless) returns exactly these samples and
+   * the oracle needs no modular arithmetic.
+   *
+   * @return (media_id, payload BINARY, media_type='image')
    */
-  def stubDecode(media: DataFrame): DataFrame =
-    media
-      .withColumn("byte_len", octet_length(col("payload")).cast("long"))
-      .withColumn("h", md5(col("payload")))
-      .withColumn("width", (lit(64) + lit(16) * (expr("instr('0123456789abcdef', substr(h, 1, 1))") - 1)).cast("long"))
-      .withColumn("height", (lit(64) + lit(16) * (expr("instr('0123456789abcdef', substr(h, 2, 1))") - 1)).cast("long"))
-      .withColumn("channels", (lit(1) + (expr("instr('0123456789abcdef', substr(h, 3, 1))") - 1) % 3).cast("long"))
-      .drop("h", "payload")
+  def syntheticImages(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { d => (d, encodePng(renderImage(d)), "image") }
+      }
+      .toDF("media_id", "payload", "media_type")
+  }
 
-  /**
-   * STUB feature extraction: a fixed-length "embedding" from payload hash
-   * bytes — stands in for a vision encoder; shape/typing is the real contract
-   * (ARRAY<DOUBLE> per media row, computed executor-side, no driver loop).
-   */
-  def stubFeatures(media: DataFrame, dim: Int = 8): DataFrame =
-    media.select(col("media_id"), expr(
-      s"""transform(sequence(1, $dim), i ->
-         |  (instr('0123456789abcdef', substr(md5(payload), i, 1)) - 1) / 15.0D)""".stripMargin)
-      .as("features"))
+  /** The [[syntheticImages]] contract as an in-memory image (shared by the
+    * generator and the JPEG-path spec). */
+  private[operators] def renderImage(d: Long): BufferedImage = {
+    val w = 32 + (d % 48).toInt
+    val h = 32 + (d % 32).toInt
+    val gray = d % 4 == 0
+    val c = if (gray) 1 else 3
+    val img = new BufferedImage(w, h,
+      if (gray) BufferedImage.TYPE_BYTE_GRAY else BufferedImage.TYPE_3BYTE_BGR)
+    val raster = img.getRaster
+    val base = (d % 50).toInt
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var k = 0
+        while (k < c) { raster.setSample(x, y, k, x + y + base + 20 * k); k += 1 }
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
 
-  /** Decoded-media row contract for the per-partition decode path. */
-  case class DecodedMedia(
+  private[operators] def encodePng(img: BufferedImage): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Decoded-image row: geometry from the real raster plus the exact
+    * integer sum of every sample (order-independent — parallelism-proof)
+    * and its one pinned-double mean. */
+  case class ImageMeta(
       media_id: Long,
-      media_type: String,
-      byte_len: Long,
       width: Long,
       height: Long,
-      channels: Long)
+      channels: Long,
+      px_sum: Long,
+      px_mean: Double)
+
+  private def metaOf(id: Long, img: BufferedImage): ImageMeta = {
+    val raster = img.getRaster
+    val w = img.getWidth
+    val h = img.getHeight
+    val c = raster.getNumBands
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var k = 0
+        while (k < c) { sum += raster.getSample(x, y, k); k += 1 }
+        x += 1
+      }
+      y += 1
+    }
+    ImageMeta(id, w.toLong, h.toLong, c.toLong, sum,
+      sum.toDouble / (w.toLong * h * c).toDouble)
+  }
 
   /**
-   * Per-partition decode — the batch shape a REAL codec needs: one codec
-   * instance initialized per partition (amortized over its rows), rows decoded
-   * executor-side. The codec here is the STUB (md5-derived metadata identical
-   * to [[stubDecode]]); swapping in libjpeg/ffmpeg means replacing
-   * `StubCodec.decode` only. Input is repartitioned by media_id so decode
-   * parallelism doesn't depend on the source file layout.
+   * REAL image decode via ImageIO, per-partition: one pass over each
+   * partition's rows, each payload parsed as a genuine image byte stream
+   * (PNG, JPEG — any reader the JDK registers). `repartitionById` is the
+   * decode-parallelism knob: re-spread rows by id FIRST so codec work does
+   * not inherit the source file layout (the shape a 100 TB decode job
+   * needs — decode cost per row dwarfs the shuffle of the payload bytes).
    */
-  def decodePartitioned(media: DataFrame): Dataset[DecodedMedia] = {
+  def imageDecode(media: DataFrame, repartitionById: Boolean = false): Dataset[ImageMeta] = {
     val spark = media.sparkSession
     import spark.implicits._
-    media
-      .repartition(col("media_id"))
-      .select(col("media_id").cast("long"), col("media_type"), col("payload"))
-      .as[(Long, String, Array[Byte])]
-      .mapPartitions { rows =>
-        val codec = StubCodec.init() // once per partition, like a real codec ctx
-        rows.map { case (id, mt, payload) =>
-          val (w, h, c) = codec.decode(payload)
-          DecodedMedia(id, mt, payload.length.toLong, w.toLong, h.toLong, c.toLong)
+    val rows = media.select(col("media_id").cast("long"), col("payload"))
+    val part = if (repartitionById) rows.repartition(col("media_id")) else rows
+    part.as[(Long, Array[Byte])].mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        val img = ImageIO.read(new ByteArrayInputStream(bytes))
+        require(img != null, s"payload of media_id=$id is not a decodable image")
+        metaOf(id, img)
+      }
+    }
+  }
+
+  /**
+   * REAL nearest-neighbor resize, aspect-preserving, decode → pixel-map →
+   * re-encode PNG per partition. Integer geometry (mirrored by the oracle):
+   * `den = max(w, h, maxDim)`, `out_w = w·maxDim div den`,
+   * `out_h = h·maxDim div den`; source sample for output (x', y') is
+   * `(x'·w div out_w, y'·h div out_h)` — pure integer arithmetic, so the
+   * resized raster is bit-deterministic on any engine and partitioning.
+   * No upscaling (maxDim ≥ max(w,h) is identity geometry).
+   *
+   * @return (media_id, payload BINARY, media_type='image') — valid PNGs.
+   */
+  def imageResize(media: DataFrame, maxDim: Int): DataFrame = {
+    require(maxDim >= 1, "maxDim >= 1")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val src = ImageIO.read(new ByteArrayInputStream(bytes))
+          require(src != null, s"payload of media_id=$id is not a decodable image")
+          val w = src.getWidth
+          val h = src.getHeight
+          val c = src.getRaster.getNumBands
+          val den = math.max(math.max(w, h), maxDim)
+          val ow = w * maxDim / den
+          val oh = h * maxDim / den
+          val out = new BufferedImage(ow, oh,
+            if (c == 1) BufferedImage.TYPE_BYTE_GRAY else BufferedImage.TYPE_3BYTE_BGR)
+          val sr = src.getRaster
+          val or = out.getRaster
+          var y = 0
+          while (y < oh) {
+            val sy = y * h / oh
+            var x = 0
+            while (x < ow) {
+              val sx = x * w / ow
+              var k = 0
+              while (k < c) { or.setSample(x, y, k, sr.getSample(sx, sy, k)); k += 1 }
+              x += 1
+            }
+            y += 1
+          }
+          (id, encodePng(out), "image")
+        }
+      }
+      .toDF("media_id", "payload", "media_type")
+  }
+
+  /** One grid cell's REAL pixel statistics: exact integer sample sum over
+    * the cell rectangle for one channel, plus the pinned-double mean. */
+  case class CellFeature(
+      media_id: Long,
+      cell_x: Long,
+      cell_y: Long,
+      channel: Long,
+      n_px: Long,
+      cell_sum: Long,
+      cell_mean: Double)
+
+  /**
+   * REAL grid feature extraction — the deterministic stand-in for a vision
+   * encoder that is still an honest pixel computation: the image divides
+   * into `grid × grid` cells (`x0 = i·w div grid`, `x1 = (i+1)·w div
+   * grid`), and each (cell, channel) emits its exact sample sum and mean.
+   * This is a classic color-moment descriptor; downstream ANN/dedup
+   * operators consume it like any embedding.
+   */
+  def imageGridFeatures(media: DataFrame, grid: Int = 4): Dataset[CellFeature] = {
+    require(grid >= 1, "grid >= 1")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val img = ImageIO.read(new ByteArrayInputStream(bytes))
+          require(img != null, s"payload of media_id=$id is not a decodable image")
+          val raster = img.getRaster
+          val w = img.getWidth
+          val h = img.getHeight
+          val c = raster.getNumBands
+          for {
+            i <- 0 until grid
+            j <- 0 until grid
+            k <- 0 until c
+          } yield {
+            val x0 = i * w / grid; val x1 = (i + 1) * w / grid
+            val y0 = j * h / grid; val y1 = (j + 1) * h / grid
+            var sum = 0L
+            var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) { sum += raster.getSample(x, y, k); x += 1 }
+              y += 1
+            }
+            val n = (x1 - x0).toLong * (y1 - y0)
+            CellFeature(id, i.toLong, j.toLong, k.toLong, n, sum,
+              sum.toDouble / n.toDouble)
+          }
         }
       }
   }
 
-  /** Metadata-level resize preserving aspect ratio (integer math — the real
-    * pixel op would run in the same per-partition decode pass). */
-  def resizeMeta(decoded: DataFrame, maxDim: Int): DataFrame =
-    decoded
-      .withColumn("scale_num", lit(maxDim))
-      .withColumn("scale_den", greatest(col("width"), col("height"), lit(maxDim)))
-      .withColumn("out_width", (col("width") * col("scale_num") / col("scale_den")).cast("int"))
-      .withColumn("out_height", (col("height") * col("scale_num") / col("scale_den")).cast("int"))
-      .drop("scale_num", "scale_den")
-
-  /** Frame sampling for video rows: one output row per sampled frame index
-    * (frame count derived from payload size in the stub; a real demuxer would
-    * read the container). Explode happens executor-side — no driver loop. */
-  def frameSample(decoded: DataFrame, everyN: Int, fakeBytesPerFrame: Int = 64): DataFrame =
-    decoded
-      .where(col("media_type") === "video")
-      .withColumn("n_frames", greatest(lit(1), (col("byte_len") / fakeBytesPerFrame).cast("int")))
-      .select(col("media_id"),
-        explode(expr(s"sequence(0, n_frames - 1, $everyN)")).as("frame_idx"))
+  /** The [[imageGridFeatures]] cells flattened to one ARRAY<DOUBLE> vector
+    * per image (cell-major, channel-minor; means normalized to [0, 1]) —
+    * the embedding-column contract the ANN/dedup family consumes. */
+  def imageFeatureVector(media: DataFrame, grid: Int = 4): DataFrame =
+    imageGridFeatures(media, grid).toDF()
+      .withColumn("pos",
+        (col("cell_x") * grid + col("cell_y")) * lit(3) + col("channel"))
+      .groupBy("media_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("cell_mean")))),
+        s => s.getField("cell_mean") / lit(255.0)).as("features"))
 
   /**
    * Exact media dedup by CONTENT BYTES — the first pass of any image/audio
-   * corpus pipeline (byte-identical re-crawls, mirror CDNs, re-encoded-but-
-   * byte-stable assets): per media_type, totals, distinct payload hashes,
-   * and the per-item keep decision (min media_id per hash keeps, like the
-   * text-side [[Dedup.exact]]). Real plumbing — the hash runs on the BINARY
-   * payload column, not a text proxy; perceptual (pHash/feature-cosine)
-   * near-dup layers on top via [[stubFeatures]] + [[Dedup.embedCosine]]
-   * once a real encoder replaces the stub (on the md5 stub, feature
-   * equality is exactly payload equality, so the near pass would add
-   * nothing but cost — deliberately not a gate until the encoder is real).
+   * corpus pipeline (byte-identical re-crawls, mirror CDNs): per payload
+   * hash, min media_id keeps (like the text-side [[Dedup]] exact pass).
+   * Runs on the BINARY payload column directly.
    *
-   * Scale: one hash groupBy (map-side combined) + a media_id-keyed join
-   * back. @return per item: (media_id, media_type, content_hash,
-   * keep_media_id, dup_count, keep).
+   * Scale: one hash groupBy (map-side combined) + a hash-keyed join back.
    */
   def exactDedup(media: DataFrame): DataFrame = {
     // NULL payload hashes as the empty payload (one mutual-dup group) — a
@@ -133,23 +278,17 @@ object Multimodal {
         col("keep_media_id"), col("dup_count"),
         when(col("media_id") === col("keep_media_id"), 1L).otherwise(0L).as("keep"))
   }
-}
 
-/** STUB codec: deterministic md5-derived metadata (same math as stubDecode). */
-private[operators] object StubCodec {
-  def init(): StubCodec = new StubCodec
-}
-
-private[operators] class StubCodec {
-  private val md = java.security.MessageDigest.getInstance("MD5")
-  private def hexDigit(h: Array[Byte], i: Int): Int = {
-    val b = h(i / 2) & 0xff
-    if (i % 2 == 0) b >> 4 else b & 0xf
-  }
-  /** (width, height, channels) from payload md5 — matches stubDecode exactly. */
-  def decode(payload: Array[Byte]): (Int, Int, Int) = {
-    md.reset()
-    val h = md.digest(payload)
-    (64 + 16 * hexDigit(h, 0), 64 + 16 * hexDigit(h, 1), 1 + hexDigit(h, 2) % 3)
-  }
+  /** VIDEO-ONLY STUB: frame sampling with frame count derived from payload
+    * size (the JDK has no container demuxer; a real implementation would
+    * ask the demuxer for the frame count and decode selected frames in the
+    * same per-partition pass). One output row per sampled frame index,
+    * explode executor-side. */
+  def frameSample(media: DataFrame, everyN: Int, fakeBytesPerFrame: Int = 64): DataFrame =
+    media
+      .where(col("media_type") === "video")
+      .withColumn("byte_len", octet_length(col("payload")).cast("long"))
+      .withColumn("n_frames", greatest(lit(1), (col("byte_len") / fakeBytesPerFrame).cast("int")))
+      .select(col("media_id"),
+        explode(expr(s"sequence(0, n_frames - 1, $everyN)")).as("frame_idx"))
 }

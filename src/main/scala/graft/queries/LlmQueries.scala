@@ -447,7 +447,10 @@ object LlmQueries {
     // lower-id member -> drop; keep=1 rows are the dedup survivors
     "dedup_semantic" -> ((s, dir) =>
       Dedup.semanticDedup(emb(s, dir), minCosine = 0.3, nLists = 16)),
-    "multimodal_decode" -> ((s, dir) => Multimodal.stubDecode(Multimodal.asMediaTable(docs(s, dir)))),
+    // REAL ImageIO decode of real PNG payloads: geometry + exact sample sum
+    // from the raster; the oracle predicts both from the generator contract
+    "multimodal_decode" -> ((s, dir) =>
+      Multimodal.imageDecode(Multimodal.syntheticImages(docs(s, dir))).toDF()),
     // exact content-byte dedup over the media table with planted re-crawl
     // dups (every 5th item re-ingested under a new id) — keep = min id
     "multimodal_dedup" -> ((s, dir) => {
@@ -456,24 +459,26 @@ object LlmQueries {
         m.where(col("media_id") % 5 === 0).withColumn("media_id", col("media_id") + 100000))
       Multimodal.exactDedup(planted)
     }),
-    // aspect-preserving metadata resize over the decoded table (the real
-    // pixel op rides the same per-partition decode pass)
+    // REAL resize: decode -> nearest-neighbor pixel map -> re-encode PNG,
+    // then decode the RESIZED payloads — dims and pixel sums must match the
+    // integer-geometry prediction (proves the output is a valid image)
     "multimodal_resize" -> ((s, dir) =>
-      Multimodal.resizeMeta(Multimodal.stubDecode(Multimodal.asMediaTable(docs(s, dir))), maxDim = 128)),
+      Multimodal.imageDecode(
+        Multimodal.imageResize(Multimodal.syntheticImages(docs(s, dir)), maxDim = 16)).toDF()),
     // frame sampling for the video rows: every 5th frame index, frame count
-    // stub-derived from payload size
+    // stub-derived from payload size (video stays the one labeled stub —
+    // the JDK ships no demuxer)
     "multimodal_framesample" -> ((s, dir) =>
-      Multimodal.frameSample(Multimodal.stubDecode(Multimodal.asMediaTable(docs(s, dir))), everyN = 5)),
-    // same metadata through the per-partition (real-codec-shaped) decode path
+      Multimodal.frameSample(Multimodal.asMediaTable(docs(s, dir)), everyN = 5)),
+    // the same real decode through the repartition-by-id path (decode
+    // parallelism decoupled from source file layout)
     "multimodal_decode_partitioned" -> ((s, dir) =>
-      Multimodal.decodePartitioned(Multimodal.asMediaTable(docs(s, dir))).toDF()),
-    // stub feature extraction: the embedding SHAPE contract (array<double>
-    // per media row, executor-side) with md5-derived deterministic values;
-    // the gate explodes to rows because the compare sorts scalar columns
+      Multimodal.imageDecode(Multimodal.syntheticImages(docs(s, dir)),
+        repartitionById = true).toDF()),
+    // REAL grid features (color-moment descriptor): per (cell, channel) the
+    // exact sample sum/mean over the decoded raster
     "multimodal_features" -> ((s, dir) =>
-      Multimodal.stubFeatures(Multimodal.asMediaTable(docs(s, dir)))
-        .select(col("media_id"), posexplode(col("features")).as(Seq("dim", "feature")))
-        .select(col("media_id"), (col("dim") + 1).cast("long").as("dim"), col("feature"))),
+      Multimodal.imageGridFeatures(Multimodal.syntheticImages(docs(s, dir)), grid = 4).toDF()),
     // C4-style passage dedup: 10-word passages appearing in >= 2 docs are
     // boilerplate — dropped from every doc, docs reassembled in order
     "dedup_passages" -> ((s, dir) =>
@@ -1912,6 +1917,27 @@ object LlmQueries {
          |  $avgLen AS avg_len
          |FROM $table""".stripMargin
     }.mkString("\n", "\nUNION ALL\n", "")
+
+  /** The REAL-image decode oracle, shared by `multimodal_decode` and
+    * `multimodal_decode_partitioned` (same output, different physical
+    * path): geometry from the [[graft.operators.Multimodal.syntheticImages]]
+    * contract; px_sum = Σ_{x<w, y<h, k<c} (x + y + doc_id%50 + 20k) in
+    * closed form (each arithmetic series summed exactly; the pixel
+    * expression never wraps a byte by construction). */
+  private val ImageDecodeOracleSql: String =
+    """WITH img AS (SELECT doc_id AS media_id,
+      |                    32 + doc_id % 48 AS w, 32 + doc_id % 32 AS h,
+      |                    CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 3 END AS c,
+      |                    doc_id % 50 AS b
+      |             FROM documents),
+      |s AS (SELECT media_id, w, h, c,
+      |             c * h * ((w * (w - 1)) // 2) + c * w * ((h * (h - 1)) // 2)
+      |               + c * w * h * b + w * h * 20 * ((c * (c - 1)) // 2) AS px_sum
+      |      FROM img)
+      |SELECT media_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+      |       CAST(c AS BIGINT) AS channels, CAST(px_sum AS BIGINT) AS px_sum,
+      |       CAST(px_sum AS DOUBLE) / CAST(w * h * c AS DOUBLE) AS px_mean
+      |FROM s""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "text_tokens" ->
@@ -3517,18 +3543,38 @@ object LlmQueries {
          |reps AS (SELECT src AS vec_id, MIN(dst) AS keep0 FROM reach GROUP BY 1)
          |SELECT e.vec_id, COALESCE(r.keep0, e.vec_id) AS keep_id
          |FROM embeddings e LEFT JOIN reps r ON e.vec_id = r.vec_id""".stripMargin,
-    "multimodal_decode_partitioned" ->
-      """SELECT doc_id AS media_id,
-        |       ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
-        |       octet_length(encode(text)) AS byte_len,
-        |       64 + 16 * (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) AS width,
-        |       64 + 16 * (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1) AS height,
-        |       1 + (strpos('0123456789abcdef', substr(md5(text), 3, 1)) - 1) % 3 AS channels
-        |FROM documents""".stripMargin,
+    // mirrors the REAL ImageIO decode via the syntheticImages contract:
+    // width/height/channels by construction, px_sum in closed form
+    // (sum over x<w, y<h, k<c of x + y + doc_id%50 + 20k — no wraparound
+    // by design, so PNG returns exactly these samples)
+    "multimodal_decode_partitioned" -> ImageDecodeOracleSql,
+    // mirrors imageGridFeatures(grid=4): per (cell, channel) the rectangle
+    // sample sum in closed form (arithmetic series over the cell bounds)
     "multimodal_features" ->
-      """SELECT doc_id AS media_id, CAST(i AS BIGINT) AS dim,
-        |       (strpos('0123456789abcdef', substr(md5(text), CAST(i AS INT), 1)) - 1) / 15.0 AS feature
-        |FROM documents, UNNEST(range(1, 9)) AS t(i)""".stripMargin,
+      """WITH img AS (SELECT doc_id AS media_id,
+        |                    32 + doc_id % 48 AS w, 32 + doc_id % 32 AS h,
+        |                    CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 3 END AS c,
+        |                    doc_id % 50 AS b
+        |             FROM documents),
+        |cells AS (SELECT media_id, w, h, c, b, gi.i, gj.j, gk.k,
+        |                 (gi.i * w) // 4 AS x0, ((gi.i + 1) * w) // 4 AS x1,
+        |                 (gj.j * h) // 4 AS y0, ((gj.j + 1) * h) // 4 AS y1
+        |          FROM img
+        |          CROSS JOIN generate_series(0, 3) gi(i)
+        |          CROSS JOIN generate_series(0, 3) gj(j)
+        |          CROSS JOIN generate_series(0, 2) gk(k)
+        |          WHERE gk.k < c),
+        |s AS (SELECT media_id, i, j, k,
+        |             (x1 - x0) * (y1 - y0) AS n_px,
+        |             (y1 - y0) * (((x0 + x1 - 1) * (x1 - x0)) // 2)
+        |               + (x1 - x0) * (((y0 + y1 - 1) * (y1 - y0)) // 2)
+        |               + (x1 - x0) * (y1 - y0) * (b + 20 * k) AS cell_sum
+        |      FROM cells)
+        |SELECT media_id, CAST(i AS BIGINT) AS cell_x, CAST(j AS BIGINT) AS cell_y,
+        |       CAST(k AS BIGINT) AS channel, CAST(n_px AS BIGINT) AS n_px,
+        |       CAST(cell_sum AS BIGINT) AS cell_sum,
+        |       CAST(cell_sum AS DOUBLE) / CAST(n_px AS DOUBLE) AS cell_mean
+        |FROM s""".stripMargin,
     // mirrors Multimodal.exactDedup over the planted media table: md5 of
     // the BINARY payload (= md5 of the utf8 text bytes in the synthetic
     // corpus), min-id keeps
@@ -3549,29 +3595,34 @@ object LlmQueries {
         |SELECT m.media_id, m.media_type, m.content_hash, g.keep_media_id, g.dup_count,
         |       CAST(CASE WHEN m.media_id = g.keep_media_id THEN 1 ELSE 0 END AS BIGINT) AS keep
         |FROM m JOIN g USING (content_hash)""".stripMargin,
-    "multimodal_decode" ->
-      """SELECT doc_id AS media_id,
-        |       ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
-        |       octet_length(encode(text)) AS byte_len,
-        |       64 + 16 * (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) AS width,
-        |       64 + 16 * (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1) AS height,
-        |       1 + (strpos('0123456789abcdef', substr(md5(text), 3, 1)) - 1) % 3 AS channels
-        |FROM documents""".stripMargin,
-    // decode CTE + integer-math resize; FLOOR matches Spark's toward-zero
-    // int cast (dimensions are non-negative)
+    "multimodal_decode" -> ImageDecodeOracleSql,
+    // mirrors the REAL resize gate (decode of the nearest-neighbor-resized
+    // re-encoded PNGs): integer geometry out_w = w*16 // max(w,h,16), source
+    // sample (x*w // out_w, y*h // out_h), summed over the output raster
     "multimodal_resize" ->
-      """WITH d AS (
-        |  SELECT doc_id AS media_id,
-        |         ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
-        |         octet_length(encode(text)) AS byte_len,
-        |         64 + 16 * (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) AS width,
-        |         64 + 16 * (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1) AS height,
-        |         1 + (strpos('0123456789abcdef', substr(md5(text), 3, 1)) - 1) % 3 AS channels
-        |  FROM documents)
-        |SELECT media_id, media_type, byte_len, width, height, channels,
-        |       CAST(FLOOR(width * 128.0 / GREATEST(width, height, 128)) AS INT) AS out_width,
-        |       CAST(FLOOR(height * 128.0 / GREATEST(width, height, 128)) AS INT) AS out_height
-        |FROM d""".stripMargin,
+      """WITH img AS (SELECT doc_id AS media_id,
+        |                    32 + doc_id % 48 AS w, 32 + doc_id % 32 AS h,
+        |                    CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 3 END AS c,
+        |                    doc_id % 50 AS b
+        |             FROM documents),
+        |o AS (SELECT media_id, w, h, c, b,
+        |             (w * 16) // GREATEST(w, h, 16) AS ow,
+        |             (h * 16) // GREATEST(w, h, 16) AS oh
+        |      FROM img),
+        |px AS (SELECT media_id, ow, oh, c,
+        |              ((gx.x * w) // ow) + ((gy.y * h) // oh) + b + 20 * gk.k AS v
+        |       FROM o
+        |       CROSS JOIN generate_series(0, 15) gx(x)
+        |       CROSS JOIN generate_series(0, 15) gy(y)
+        |       CROSS JOIN generate_series(0, 2) gk(k)
+        |       WHERE gx.x < ow AND gy.y < oh AND gk.k < c),
+        |s AS (SELECT media_id, MAX(ow) AS ow, MAX(oh) AS oh, MAX(c) AS c,
+        |             SUM(v) AS px_sum
+        |      FROM px GROUP BY 1)
+        |SELECT media_id, CAST(ow AS BIGINT) AS width, CAST(oh AS BIGINT) AS height,
+        |       CAST(c AS BIGINT) AS channels, CAST(px_sum AS BIGINT) AS px_sum,
+        |       CAST(px_sum AS DOUBLE) / CAST(ow * oh * c AS DOUBLE) AS px_mean
+        |FROM s""".stripMargin,
     // video rows only; frame count = max(1, floor(byte_len/64)); every 5th
     "multimodal_framesample" ->
       """WITH d AS (

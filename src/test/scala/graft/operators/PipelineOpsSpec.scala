@@ -722,45 +722,90 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(capped.values.forall(_ == 1L))  // the dup cell is over cap -> all keep
   }
 
-  test("per-partition decode equals the expression decode; resize and frame-sample behave") {
-    val media = Multimodal.asMediaTable(docs(1L -> base, 2L -> (base * 3), 3L -> (base * 5)))
-    val viaExpr = Multimodal.stubDecode(media)
-      .select("media_id", "byte_len", "width", "height", "channels")
-      .collect().map(_.toSeq).toSet
-    val viaPartitions = Multimodal.decodePartitioned(media).toDF()
-      .select("media_id", "byte_len", "width", "height", "channels")
-      .collect().map(_.toSeq).toSet
-    assert(viaExpr == viaPartitions) // stub codec == stub expression, any path
-    val resized = Multimodal.resizeMeta(Multimodal.decodePartitioned(media).toDF(), maxDim = 128)
-    resized.select("out_width", "out_height").collect().foreach { r =>
-      assert(r.getInt(0) <= 128 && r.getInt(1) <= 128)
+  /** The syntheticImages contract replicated in test math: expected
+    * (w, h, c, px_sum) for one doc id. */
+  private def expectedImage(d: Long): (Long, Long, Long, Long) = {
+    val w = 32 + d % 48; val h = 32 + d % 32
+    val c = if (d % 4 == 0) 1L else 3L
+    val b = d % 50
+    val sum = c * h * (w * (w - 1) / 2) + c * w * (h * (h - 1) / 2) +
+      c * w * h * b + w * h * 20 * (c * (c - 1) / 2)
+    (w, h, c, sum)
+  }
+
+  test("REAL ImageIO decode: PNG round trip matches the generator contract, color and gray") {
+    // 1 -> 33x33 RGB, 4 -> 36x36 GRAY (d % 4 == 0)
+    val media = Multimodal.syntheticImages(docs(1L -> base, 4L -> base))
+    // payloads are genuine PNGs (magic bytes)
+    media.select("payload").collect().foreach { r =>
+      val b = r.getAs[Array[Byte]](0)
+      assert((b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G')
     }
+    val out = Multimodal.imageDecode(media).collect().map(m => m.media_id -> m).toMap
+    for (d <- Seq(1L, 4L)) {
+      val (w, h, c, sum) = expectedImage(d)
+      val m = out(d)
+      assert((m.width, m.height, m.channels, m.px_sum) == ((w, h, c, sum)), s"doc $d")
+      assert(m.px_mean == sum.toDouble / (w * h * c).toDouble)
+    }
+    // the repartition-by-id path decodes identically
+    val viaPart = Multimodal.imageDecode(media, repartitionById = true)
+      .collect().map(m => m.media_id -> m).toMap
+    assert(viaPart == out)
+  }
+
+  test("REAL resize: nearest-neighbor re-encode decodes to the integer-geometry prediction") {
+    val media = Multimodal.syntheticImages(docs(1L -> base))
+    val out = Multimodal.imageDecode(Multimodal.imageResize(media, maxDim = 16))
+      .collect().head
+    // d=1: 33x33 -> den 33, out 16x16; sample (x*33/16, y*33/16)
+    assert(out.width == 16 && out.height == 16 && out.channels == 3)
+    var expected = 0L
+    for (x <- 0 until 16; y <- 0 until 16; k <- 0 until 3)
+      expected += (x * 33 / 16) + (y * 33 / 16) + 1 + 20 * k
+    assert(out.px_sum == expected)
+    // maxDim above source dims: identity geometry
+    val same = Multimodal.imageDecode(Multimodal.imageResize(media, maxDim = 128))
+      .collect().head
+    assert(same.width == 33 && same.height == 33)
+  }
+
+  test("REAL grid features: cell sums are the raster's exact rectangle sums; vector contract") {
+    val media = Multimodal.syntheticImages(docs(4L -> base)) // gray 36x36, b=4
+    val cells = Multimodal.imageGridFeatures(media, grid = 4).collect()
+    assert(cells.length == 16) // 4x4 cells x 1 channel
+    // cell (0,0): x,y in [0,9): sum = 9*Σx + 9*Σy + 81*b = 9*36 + 9*36 + 324
+    val c00 = cells.find(c => c.cell_x == 0 && c.cell_y == 0).get
+    assert(c00.n_px == 81 && c00.cell_sum == 9 * 36 + 9 * 36 + 81 * 4)
+    assert(c00.cell_mean == c00.cell_sum.toDouble / 81.0)
+    // total over cells == whole-image sum (partition of the raster)
+    assert(cells.map(_.cell_sum).sum == expectedImage(4L)._4)
+    // the flattened ARRAY<DOUBLE> embedding contract: [0,1], deterministic
+    val vec = Multimodal.imageFeatureVector(media, grid = 4).collect().head.getSeq[Double](1)
+    assert(vec.length == 16 && vec.forall(v => v >= 0.0 && v <= 1.0))
+  }
+
+  test("JPEG path: a lossy codec still decodes through the same operator (dims intact)") {
+    import spark.implicits._
+    val jpegBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(Multimodal.renderImage(1L), "jpg", bos)
+      bos.toByteArray
+    }
+    val media = Seq((1L, jpegBytes, "image")).toDF("media_id", "payload", "media_type")
+    val m = Multimodal.imageDecode(media).collect().head
+    assert(m.width == 33 && m.height == 33 && m.channels == 3)
+    assert(m.px_sum > 0L) // pixel VALUES are lossy — only geometry is pinned
+  }
+
+  test("video frame-sample stub: every-Nth frame indices from payload size") {
     // doc 2 -> media_type video (doc_id % 3 == 2 -> index 3); frames = bytes/64
-    val frames = Multimodal.frameSample(Multimodal.decodePartitioned(media).toDF(), everyN = 2)
+    val media = Multimodal.asMediaTable(docs(1L -> base, 2L -> (base * 3), 3L -> (base * 5)))
+    val frames = Multimodal.frameSample(media, everyN = 2)
     val byId = frames.groupBy("media_id").count().collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(byId.keySet == Set(2L))
     assert(byId(2L) == (math.max(1, (base.length * 3) / 64) + 1) / 2)
-  }
-
-  test("multimodal stub decode is deterministic with plausible metadata") {
-    val m = Multimodal.stubDecode(Multimodal.asMediaTable(docs(1L -> base).withColumn("doc_id", col("doc_id"))))
-      .head()
-    assert(m.getAs[Long]("byte_len") == base.getBytes("UTF-8").length)
-    val w = m.getAs[Long]("width")
-    assert(w >= 64 && w <= 64 + 15 * 16)
-    val c = m.getAs[Long]("channels")
-    assert(c >= 1 && c <= 3)
-  }
-
-  test("multimodal stub features: fixed dim, [0,1] range, deterministic") {
-    val media = Multimodal.asMediaTable(docs(1L -> base, 2L -> "other payload"))
-    val f = Multimodal.stubFeatures(media).collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
-    assert(f(1L).length == 8 && f(2L).length == 8)
-    assert(f.values.flatten.forall(v => v >= 0.0 && v <= 1.0))
-    assert(f(1L) != f(2L)) // payload-dependent
-    val again = Multimodal.stubFeatures(media).collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
-    assert(again == f)
   }
 
   test("centroids: per-label fixed-point means are exact on dyadic fixtures") {
