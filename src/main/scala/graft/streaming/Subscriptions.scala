@@ -88,7 +88,17 @@ class Subscriptions(
         val s = Subscriptions.sinks.get(k)
         if (s != null) {
           var pastEnd = false
-          batch.sort("ts").collect().foreach { r =>
+          // BOUNDED replay: the sorted micro-batch streams to the driver one
+          // range-partition at a time (toLocalIterator) instead of one
+          // collect — a subscription replaying a huge backlog holds at most
+          // one partition in driver memory, the micro-batch analog of
+          // MetricScanner fetching its scan in bounded ranges
+          // (MetricScanner.java:45-130). Global ts order is preserved: sort
+          // range-partitions by ts and the iterator walks partitions in
+          // order, each internally sorted.
+          val it = batch.sort("ts").toLocalIterator()
+          while (it.hasNext) {
+            val r = it.next()
             if (s.endTimeMs == 0L || r.getAs[Long]("ts") <= s.endTimeMs) s.deliver(r)
             else pastEnd = true
           }

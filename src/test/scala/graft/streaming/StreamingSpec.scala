@@ -259,6 +259,29 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(subs.activeQueries.isEmpty, "subscription tore itself down")
   }
 
+  test("big-backlog replay: paginated delivery keeps global ts order across partitions") {
+    // 20k-point backlog in one micro-batch: the foreachBatch path must
+    // stream it through the driver one range-partition at a time
+    // (toLocalIterator — the MetricScanner scan-batching analog) and still
+    // deliver in global ts order; a slow consumer is simulated by the
+    // callback doing per-row work on the driver thread
+    val received = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val subs = new Subscriptions(row => { received.add(row.getAs[Long]("ts")); () })
+    val input = MemoryStream[MetricPoint]
+    subs.addMetric("big", input.toDS().toDF(), metric = "m", delayMs = 50L)
+    val n = 20000
+    // shuffled insertion order: global order must come from the sort, not
+    // the arrival order
+    val idx = scala.util.Random.shuffle((0 until n).toVector)
+    input.addData(idx.map(i => MetricPoint("m", T + i, i.toDouble, Map("host" -> "a"), None)))
+    spark.streams.active.find(_.name == "big/m").foreach(_.processAllAvailable())
+    val got = received.toArray(Array.empty[java.lang.Long]).map(_.toLong).toSeq
+    assert(got.size == n, s"all $n backlog rows delivered, got ${got.size}")
+    assert(got == got.sorted, "delivery preserves global ts order across range partitions")
+    assert(got.head == T && got.last == T + n - 1)
+    subs.close("big")
+  }
+
   test("external-channel subscription delivers envelopes + sentinel end-to-end") {
     val dir = Files.createTempDirectory("graft-sub-ext").toString
     val subs = new Subscriptions(_ => ())
