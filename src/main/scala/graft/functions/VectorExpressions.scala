@@ -270,6 +270,13 @@ object SimHashBits {
     }
     sig
   }
+
+  /** [[signature]] over plain Scala strings — the entry point for per-row
+    * Scala callers (the streaming near-dup screen computes signatures
+    * inside its state function, where no Catalyst expression runs). */
+  def signatureOf(hashes: Iterable[String]): Long =
+    signature(new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      hashes.iterator.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray[Any]))
 }
 
 /**

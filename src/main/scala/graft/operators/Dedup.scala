@@ -750,6 +750,163 @@ object Dedup {
   }
 
   /**
+   * SimHash near-dup SCREEN — the per-document flag view of
+   * [[simhashPairs]], in the BOUNDED-REPRESENTATIVE formulation a streaming
+   * pipeline can carry as state: each (band-pair, key) bucket keeps only its
+   * `maxPerBucket` LOWEST doc ids as representatives, and a document flags
+   * iff some lower-id representative in one of its 28 buckets is within
+   * `maxHamming`. The flagged doc reports its best match by
+   * (hamming, match_id) — fully tie-broken.
+   *
+   * The cap is the recall/state trade stated explicitly: an over-full
+   * bucket screens only against its R earliest members (bounded memory at
+   * any corpus size), exactly the behavior the STREAMING twin
+   * [[simhashStreamScreen]] must reproduce — the spec pins
+   * one-batch-stream == this operator.
+   *
+   * Scale: signatures once per doc; the reps frame is ≤ 28·R rows per
+   * bucket key (window partitioned by the well-distributed (bp, key));
+   * candidate volume ≤ 28·R per document — linear in the corpus by
+   * construction, no quadratic bucket risk at all (tighter than
+   * [[simhashPairs]]' optional cap).
+   *
+   * @return one row per doc: (doc_id, near_dup, match_id, hamming) —
+   *         match_id/hamming NULL when near_dup = 0.
+   */
+  def simhashScreen(docs: DataFrame, maxHamming: Int = 6,
+                    maxPerBucket: Int = 8): DataFrame = {
+    val bits = graft.functions.SimHashBits.Bits
+    require(maxHamming <= SimHashBands - 2,
+      s"band-pair blocking guarantees recall only at Hamming <= ${SimHashBands - 2}")
+    require(maxPerBucket >= 1, "maxPerBucket >= 1")
+    val width = bits / SimHashBands
+    val sh = cached(simhashSignatures(docs))
+    def band(b: Int): Column =
+      shiftright(col("simhash"), (SimHashBands - 1 - b) * width).bitwiseAND(lit((1L << width) - 1))
+    val bandPairs = for { i <- 0 until SimHashBands; j <- (i + 1) until SimHashBands } yield (i, j)
+    val keyed = sh.select(col("doc_id"), col("simhash"),
+      explode(array(bandPairs.zipWithIndex.map { case ((i, j), p) =>
+        struct(lit(p).as("bp"), (shiftleft(band(i), width) + band(j)).as("key"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk.bp").as("bp"), col("bk.key").as("key"))
+    val repW = org.apache.spark.sql.expressions.Window
+      .partitionBy("bp", "key").orderBy("doc_id")
+    val reps = keyed
+      .withColumn("rn", row_number().over(repW)).where(col("rn") <= maxPerBucket)
+      .select(col("bp"), col("key"), col("doc_id").as("rep_id"), col("simhash").as("rep_sig"))
+    val hits = keyed.join(reps, Seq("bp", "key"))
+      .where(col("rep_id") < col("doc_id"))
+      .select(col("doc_id"), col("rep_id"),
+        bit_count(col("simhash").bitwiseXOR(col("rep_sig"))).cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .groupBy("doc_id")
+      .agg(min(struct(col("hamming"), col("rep_id"))).as("m"))
+      .select(col("doc_id"), col("m.hamming").as("hamming"), col("m.rep_id").as("match_id"))
+    sh.select("doc_id").join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("hamming").isNotNull, 1L).otherwise(0L).as("near_dup"),
+        col("match_id"), col("hamming"))
+  }
+
+  /**
+   * STREAMING near-dup screen — [[simhashScreen]] for an unbounded stream,
+   * completing the streaming-screen family ([[bloomFlag]] covers EXACT
+   * dups; this covers NEAR dups): per (band-pair, key) bucket, the
+   * representative list (≤ `maxPerBucket` (doc_id, signature) pairs —
+   * ≤ 16·R bytes of state per live bucket) carried in
+   * `flatMapGroupsWithState`; each arriving document emits one verdict row
+   * per bucket it hashes into, flagged iff a lower-id representative sits
+   * within `maxHamming`. The per-DOC flag is the OR over its 28 bucket
+   * verdicts — one tiny groupBy on this output (the [[Sketches.cmsStream]]
+   * per-lane pattern; the spec pins one-batch-stream == the batch screen).
+   *
+   * Signatures are computed PER ROW in plain Scala (identical arithmetic to
+   * [[simhashSignatures]]: split-on-space with empties, distinct lowercase
+   * words, md5 hex, [[graft.functions.SimHashBits]] packing) — no
+   * aggregation before the stateful operator, so the stream needs no
+   * watermark and state stays bounded by construction. Batch rows process
+   * in doc_id order, making the kept representatives the bucket's lowest
+   * ids — the batch operator's exact rep set.
+   *
+   * @return streaming (doc_id, bp_key, near_dup, match_id, hamming) — one
+   *         row per (doc, bucket).
+   */
+  def simhashStreamScreen(docs: DataFrame, maxHamming: Int = 6,
+                          maxPerBucket: Int = 8): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    require(maxHamming <= SimHashBands - 2,
+      s"band-pair blocking guarantees recall only at Hamming <= ${SimHashBands - 2}")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val width = graft.functions.SimHashBits.Bits / SimHashBands
+    val mask = (1L << width) - 1
+    val nBands = SimHashBands
+    val banded = docs
+      .select(col("doc_id").cast("long"), col("text").cast("string"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val sig = Dedup.simhashOfText(text)
+        var p = 0
+        val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Long)](nBands * (nBands - 1) / 2)
+        var i = 0
+        while (i < nBands) {
+          var j = i + 1
+          while (j < nBands) {
+            val bi = (sig >>> ((nBands - 1 - i) * width)) & mask
+            val bj = (sig >>> ((nBands - 1 - j) * width)) & mask
+            out += (((p.toLong << 16) | (bi << width) | bj, id, sig))
+            p += 1; j += 1
+          }
+          i += 1
+        }
+        out
+      }
+    banded.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (bpKey: Long, rows: Iterator[(Long, Long, Long)],
+         state: org.apache.spark.sql.streaming.GroupState[List[(Long, Long)]]) =>
+          var reps = state.getOption.getOrElse(Nil) // ascending doc_id, ≤ R
+          val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Option[Long], Option[Long])]()
+          rows.toVector.sortBy(_._2).foreach { case (_, id, sig) =>
+            var best: Option[(Long, Long)] = None // (hamming, rep_id)
+            reps.foreach { case (repId, repSig) =>
+              if (repId < id) {
+                val h = java.lang.Long.bitCount(repSig ^ sig).toLong
+                val better = best.isEmpty ||
+                  h < best.get._1 || (h == best.get._1 && repId < best.get._2)
+                if (h <= maxHamming && better) best = Some((h, repId))
+              }
+            }
+            out += ((id, bpKey, if (best.isDefined) 1L else 0L,
+              best.map(_._2), best.map(_._1)))
+            if (reps.size < maxPerBucket) reps = reps :+ ((id, sig))
+          }
+          state.update(reps)
+          out.iterator
+      }
+      .toDF("doc_id", "bp_key", "near_dup", "match_id", "hamming")
+  }
+
+  /** The [[simhashSignatures]] arithmetic for ONE document in plain Scala —
+    * split on single spaces KEEPING empties (Spark `split` semantics),
+    * distinct lowercase words, lowercase md5 hex, packed signature. */
+  private[operators] def simhashOfText(text: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hashes = text.toLowerCase.split(" ", -1).toSeq.distinct.map { w =>
+      val d = md.digest(w.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val sb = new java.lang.StringBuilder(32)
+      var i = 0
+      while (i < d.length) {
+        sb.append(java.lang.Character.forDigit((d(i) >> 4) & 0xf, 16))
+        sb.append(java.lang.Character.forDigit(d(i) & 0xf, 16))
+        i += 1
+      }
+      sb.toString
+    }
+    graft.functions.SimHashBits.signatureOf(hashes)
+  }
+
+  /**
    * Passage-level exact dedup — the C4/RefinedWeb boilerplate-removal step:
    * documents are cut into consecutive `wordsPerChunk`-word passages, every
    * passage whose corpus-wide DOCUMENT frequency reaches `maxDocFreq` is

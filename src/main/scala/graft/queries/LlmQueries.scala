@@ -317,6 +317,11 @@ object LlmQueries {
     // is correctness-pinned by the oracle, like dedup_ngram_jaccard_capped
     "dedup_simhash_capped" -> ((s, dir) =>
       Dedup.simhashPairs(docs(s, dir), maxHamming = 6, maxBucket = 3L)),
+    // the bounded-representative per-doc near-dup SCREEN (each band-pair
+    // bucket keeps its 4 lowest ids as representatives) — the batch twin of
+    // the streaming simhash screen, cap behavior oracle-pinned
+    "dedup_simhash_screen" -> ((s, dir) =>
+      Dedup.simhashScreen(docs(s, dir), maxHamming = 6, maxPerBucket = 4)),
     "embed_knn" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.bruteForceKnn(e, e.where(col("vec_id") < 5), k = 5)
@@ -3115,6 +3120,48 @@ object LlmQueries {
         |  FROM cand x JOIN cand y
         |    ON x.i = y.i AND x.j = y.j AND x.key = y.key AND x.doc_id < y.doc_id)
         |WHERE hamming <= 6""".stripMargin,
+    // mirrors simhashScreen(maxHamming=6, maxPerBucket=4): band-pair
+    // buckets keep the 4 lowest doc_ids as representatives; a doc flags iff
+    // a lower-id representative in one of its buckets is within Hamming 6,
+    // best match by (hamming, rep_id)
+    "dedup_simhash_screen" ->
+      """WITH words AS (
+        |  SELECT DISTINCT doc_id, md5(w) AS h
+        |  FROM (SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS w FROM documents)),
+        |bits AS (
+        |  SELECT doc_id, i,
+        |         SUM(CASE WHEN ((strpos('0123456789abcdef', substr(h, 1 + i // 4, 1)) - 1) // POWER(2, i % 4)::INT) % 2 = 1
+        |                  THEN 1 ELSE -1 END) AS bal
+        |  FROM words, UNNEST(range(64)) AS t(i)
+        |  GROUP BY 1, 2),
+        |sh AS (
+        |  SELECT doc_id, string_agg(CASE WHEN bal > 0 THEN '1' ELSE '0' END, '' ORDER BY i) AS simhash
+        |  FROM bits GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, simhash, i, j,
+        |         substr(simhash, CAST(i * 8 + 1 AS INT), 8)
+        |           || substr(simhash, CAST(j * 8 + 1 AS INT), 8) AS key
+        |  FROM sh, UNNEST(range(8)) AS t1(i), UNNEST(range(8)) AS t2(j)
+        |  WHERE i < j),
+        |reps AS (
+        |  SELECT i, j, key, doc_id AS rep_id, simhash AS rep_sig,
+        |         ROW_NUMBER() OVER (PARTITION BY i, j, key ORDER BY doc_id) AS rn
+        |  FROM bands),
+        |hits AS (
+        |  SELECT b.doc_id, r.rep_id,
+        |         (SELECT COUNT(*) FROM UNNEST(range(1, 65)) AS u(jj)
+        |          WHERE substr(b.simhash, jj, 1) != substr(r.rep_sig, jj, 1)) AS hamming
+        |  FROM bands b JOIN reps r
+        |    ON b.i = r.i AND b.j = r.j AND b.key = r.key
+        |   AND r.rn <= 4 AND r.rep_id < b.doc_id),
+        |f AS (SELECT doc_id, MIN(hamming) AS hamming FROM hits WHERE hamming <= 6 GROUP BY 1),
+        |fm AS (SELECT h.doc_id, f.hamming, MIN(h.rep_id) AS match_id
+        |       FROM hits h JOIN f ON h.doc_id = f.doc_id AND h.hamming = f.hamming
+        |       GROUP BY 1, 2)
+        |SELECT s.doc_id,
+        |       CAST(CASE WHEN fm.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS near_dup,
+        |       fm.match_id, CAST(fm.hamming AS BIGINT) AS hamming
+        |FROM sh s LEFT JOIN fm ON s.doc_id = fm.doc_id""".stripMargin,
     "embed_knn" ->
       s"""WITH c AS (
          |  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,

@@ -412,6 +412,40 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(viaCapped == brute)
   }
 
+  test("simhash screen: per-doc flags match a rep-bounded reference model; cap binds") {
+    val ws = (0 until 100).map(i => s"w$i")
+    // 0 = base; 1..8 near-dup variants (one word changed); 50 = unrelated
+    val d = ((0L, ws.mkString(" ")) +:
+      (1L to 8L).map(i => (i, ws.updated(5 * i.toInt, s"changed$i").mkString(" "))) :+
+      (50L, (0 until 100).map(i => s"zzz$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Dedup.simhashScreen(d, maxHamming = 6, maxPerBucket = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    // reference model: reps = 4 lowest ids per (band-pair, key) bucket
+    val sigs = Dedup.simhashSignatures(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def bandPair(sig: Long, i: Int, j: Int): Long =
+      (((sig >>> ((8 - 1 - i) * 8)) & 0xffL) << 8) | ((sig >>> ((8 - 1 - j) * 8)) & 0xffL)
+    val pairs = for { i <- 0 until 8; j <- (i + 1) until 8 } yield (i, j)
+    val expected = sigs.map { case (id, sig) =>
+      val matches = for {
+        ((i, j), p) <- pairs.zipWithIndex
+        bucket = sigs.toSeq.filter { case (oid, os) => bandPair(os, i, j) == bandPair(sig, i, j) }
+          .map(_._1).sorted.take(4)
+        rep <- bucket if rep < id
+        h = java.lang.Long.bitCount(sigs(rep) ^ sig).toLong if h <= 6
+      } yield (h, rep)
+      id -> (if (matches.isEmpty) (0L, None, None)
+             else { val m = matches.min; (1L, Some(m._2), Some(m._1)) })
+    }
+    assert(out == expected)
+    // sanity on the fixture itself: the base flags nothing (lowest id),
+    // variants flag against it, the unrelated doc does not flag
+    assert(out(0L)._1 == 0L && out(50L)._1 == 0L)
+    assert((1L to 8L).forall(i => out(i)._1 == 1L))
+  }
+
   test("language ID picks the lexicon with most hits") {
     val d = Seq(
       (1L, "the cat and the dog of a house"),        // en stopwords

@@ -383,4 +383,44 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(hits == rows.filter(_._2).keySet)
     bits.unpersist()
   }
+
+  test("streaming simhash screen: one-batch stream rollup == batch near-dup screen") {
+    import graft.operators.Dedup
+    val ws = (0 until 100).map(i => s"w$i")
+    val corpus = ((0L, ws.mkString(" ")) +:
+      (1L to 6L).map(i => (i, ws.updated(5 * i.toInt, s"changed$i").mkString(" "))) :+
+      (50L, (0 until 100).map(i => s"zzz$i").mkString(" ")))
+    val input = MemoryStream[(Long, String)]
+    val screened = Dedup.simhashStreamScreen(
+      input.toDS().toDF("doc_id", "text"), maxHamming = 6, maxPerBucket = 4)
+    val q = screened.writeStream.format("memory").queryName("simhash_stream")
+      .outputMode("append").start()
+    input.addData(corpus: _*)
+    q.processAllAvailable()
+    // per-doc rollup over the 28 bucket verdicts: flag = OR, best match =
+    // min (hamming, match_id) — the cmsStream per-lane pattern
+    val rolled = spark.table("simhash_stream")
+      .groupBy("doc_id")
+      .agg(org.apache.spark.sql.functions.max("near_dup").as("near_dup"),
+        org.apache.spark.sql.functions.min(
+          org.apache.spark.sql.functions.when(col("near_dup") === 1L,
+            org.apache.spark.sql.functions.struct(col("hamming"), col("match_id")))).as("m"))
+      .select(col("doc_id"), col("near_dup"), col("m.match_id"), col("m.hamming"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    val batch = Dedup.simhashScreen(corpus.toDF("doc_id", "text"),
+        maxHamming = 6, maxPerBucket = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    assert(rolled == batch, "one-batch stream must reproduce the batch screen exactly")
+    // cross-batch state: a later batch's near-dup of doc 0 still flags
+    input.addData((100L, ws.updated(3, "later").mkString(" ")))
+    q.processAllAvailable()
+    val later = spark.table("simhash_stream").where(col("doc_id") === 100L)
+      .agg(org.apache.spark.sql.functions.max("near_dup")).collect().head.getLong(0)
+    q.stop()
+    assert(later == 1L, "representatives persist across micro-batches")
+  }
 }
