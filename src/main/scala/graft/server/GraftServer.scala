@@ -27,14 +27,15 @@ class GraftServer(
     sessions: Option[AuthSessions] = None,
     internal: Option[graft.streaming.InternalMetrics] = None,
     metaRefreshMs: Long = 0L,
-    tls: Option[Tls.Config] = None) {
+    tls: Option[Tls.Config] = None,
+    staticRoot: Option[String] = None) {
 
   /** Ports the server is listening on after [[start]]. */
   case class Ports(http: Int, ws: Int, tcp: Int, udp: Int)
 
   val http = new HttpApi(spark, dataDir, metaDir,
     internal = internal, metaRefreshMs = metaRefreshMs, sessions = sessions,
-    tls = tls)
+    tls = tls, staticRoot = staticRoot)
   val ws = new WebSocketApi(spark, dataDir, metaDir, sessions = sessions,
     tls = tls)
 

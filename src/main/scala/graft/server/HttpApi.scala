@@ -80,7 +80,8 @@ class HttpApi(
     metaRefreshMs: Long = 0L,
     sessions: Option[AuthSessions] = None,
     cacheBoundaryMs: Option[Long] = None,
-    tls: Option[Tls.Config] = None) {
+    tls: Option[Tls.Config] = None,
+    staticRoot: Option[String] = None) {
 
   private var server: HttpServer = _
   private var pool: java.util.concurrent.ExecutorService = _
@@ -264,6 +265,13 @@ class HttpApi(
               respond(ex, 200, "{}")
             case None => respond(ex, 401, "login failure\n", "text/plain")
           }
+        case (m, p) if staticRoot.isDefined && !p.startsWith("/api") &&
+            p != "/login" && p != "/version" =>
+          // static files sit OUTSIDE the authenticated API surface, like the
+          // reference's HttpStaticFileServerHandler (it receives whatever the
+          // typed-request decoder did not convert, with no auth check —
+          // Server.java:516, HttpStaticFileServerHandler.java:124-160)
+          serveStatic(ex, m, p)
         case _ => requestAuths(ex) match {
           case None => respond(ex, 401, "unauthorized\n", "text/plain")
           case Some(callerAuths) => routeAuthed(ex, callerAuths)
@@ -374,14 +382,113 @@ class HttpApi(
       }
   }
 
+  // ---- static files ------------------------------------------------------
+
+  /** `.*[<>&"].*` — the reference's insecure-URI reject list
+    * (HttpStaticFileServerHandler.java:230). */
+  private val InsecureUri = java.util.regex.Pattern.compile(""".*[<>&"].*""")
+  /** Listing entries the reference will render (java:258). */
+  private val AllowedFileName = java.util.regex.Pattern.compile("""[A-Za-z0-9][-_A-Za-z0-9\.]*""")
+  private val HttpCacheSeconds = 60L // HttpStaticFileServerHandler.java:120
+
+  private def httpDate(epochMs: Long): String =
+    java.time.format.DateTimeFormatter.RFC_1123_DATE_TIME.format(
+      java.time.Instant.ofEpochMilli(epochMs).atZone(java.time.ZoneId.of("GMT")))
+
+  /** Decode + reject traversal/insecure URIs, mapping `/webapp/...` under
+    * `staticRoot` (the reference resolves under `user.dir` —
+    * HttpStaticFileServerHandler.java:232-256). Returns null to mean 403. */
+  private def sanitizeStaticUri(uri: String): java.io.File = {
+    val decoded = URLDecoder.decode(uri, UTF_8)
+    if (decoded.isEmpty || decoded.charAt(0) != '/' ||
+        decoded.contains("/.") || decoded.contains("./") ||
+        decoded.last == '.' || InsecureUri.matcher(decoded).matches()) null
+    else new java.io.File(staticRoot.get, decoded)
+  }
+
+  /** GET-only file serving rooted at `staticRoot/webapp`, mirroring the
+    * reference handler end to end: `/favicon.ico` aliases into `/webapp`,
+    * anything outside `/webapp` is 403 (StaticFileServerIT.testGetBadPath),
+    * traversal/insecure URIs 403, missing/hidden files 404, a directory URI
+    * without a trailing slash redirects to one, with the slash renders a
+    * listing of allowed names, and files carry the browser-cache header set
+    * (Date / Expires / Cache-Control max-age / Last-Modified) with an
+    * If-Modified-Since second-granularity 304 short-circuit
+    * (HttpStaticFileServerHandler.java:124-228,355-374). */
+  private def serveStatic(ex: HttpExchange, method: String, rawPath: String): Unit = {
+    if (method != "GET") { respond(ex, 405, "method not allowed\n", "text/plain"); return }
+    val uri = if (rawPath.startsWith("/favicon.ico")) rawPath.replaceFirst("/", "/webapp/")
+              else rawPath
+    if (!uri.startsWith("/webapp")) { respond(ex, 403, "forbidden\n", "text/plain"); return }
+    val file = sanitizeStaticUri(uri)
+    if (file == null) { respond(ex, 403, "forbidden\n", "text/plain"); return }
+    if (file.isHidden || !file.exists()) { respond(ex, 404, "not found\n", "text/plain"); return }
+    if (file.isDirectory) {
+      if (uri.endsWith("/")) {
+        val names = Option(file.list()).getOrElse(Array.empty[String]).sorted
+          .filter(AllowedFileName.matcher(_).matches())
+        val body = names.map(n => s"""<li><a href="$n">$n</a></li>""")
+          .mkString(s"<html><body><h3>Listing of: $uri</h3><ul><li><a href=\"../\">..</a></li>",
+            "", "</ul></body></html>")
+        respond(ex, 200, body, "text/html; charset=UTF-8")
+      } else {
+        ex.getResponseHeaders.set("Location", uri + "/")
+        respond(ex, 302, "")
+      }
+      return
+    }
+    if (!file.isFile) { respond(ex, 403, "forbidden\n", "text/plain"); return }
+    val lastModS = file.lastModified() / 1000
+    val ifModifiedSince = Option(ex.getRequestHeaders.getFirst("If-Modified-Since"))
+      .flatMap(s => scala.util.Try(java.time.ZonedDateTime.parse(
+        s, java.time.format.DateTimeFormatter.RFC_1123_DATE_TIME).toEpochSecond).toOption)
+    if (ifModifiedSince.contains(lastModS)) {
+      ex.getResponseHeaders.set("Date", httpDate(nowMs()))
+      respond(ex, 304, "")
+      return
+    }
+    val now = nowMs()
+    val h = ex.getResponseHeaders
+    h.set("Date", httpDate(now))
+    h.set("Expires", httpDate(now + HttpCacheSeconds * 1000))
+    h.set("Cache-Control", s"private, max-age=$HttpCacheSeconds")
+    h.set("Last-Modified", httpDate(file.lastModified()))
+    respondBytes(ex, 200, java.nio.file.Files.readAllBytes(file.toPath), contentTypeOf(file.getName))
+  }
+
+  /** Extension map the reference gets from `MimetypesFileTypeMap`
+    * (HttpStaticFileServerHandler.java:376-379); octet-stream fallback. */
+  private def contentTypeOf(name: String): String = {
+    val ext = name.lastIndexOf('.') match {
+      case -1 => ""
+      case i  => name.substring(i + 1).toLowerCase
+    }
+    ext match {
+      case "html" | "htm" => "text/html"
+      case "css"          => "text/css"
+      case "js"           => "text/javascript"
+      case "json"         => "application/json"
+      case "txt"          => "text/plain"
+      case "png"          => "image/png"
+      case "jpg" | "jpeg" => "image/jpeg"
+      case "gif"          => "image/gif"
+      case "svg"          => "image/svg+xml"
+      case "ico"          => "image/x-icon"
+      case _              => "application/octet-stream"
+    }
+  }
+
   /** Does the request advertise gzip support (HttpContentCompressor analog)? */
   private def wantsGzip(ex: HttpExchange): Boolean =
     Option(ex.getRequestHeaders.getFirst("Accept-Encoding")).exists(
       _.toLowerCase.split(",").exists(_.trim.takeWhile(_ != ';') == "gzip"))
 
   private def respond(ex: HttpExchange, status: Int, content: String,
-      contentType: String = "application/json"): Unit = {
-    val raw = content.getBytes(UTF_8)
+      contentType: String = "application/json"): Unit =
+    respondBytes(ex, status, content.getBytes(UTF_8), contentType)
+
+  private def respondBytes(ex: HttpExchange, status: Int, raw: Array[Byte],
+      contentType: String): Unit = {
     val gz = raw.nonEmpty && wantsGzip(ex)
     val bytes =
       if (!gz) raw
