@@ -522,4 +522,48 @@ object Anomaly {
       mu.as("mean_per_bucket"), varr.as("var_per_bucket"),
       (varr / mu).as("dispersion"))
   }
+
+  /**
+   * SEASONAL-NAIVE baseline forecast error per group — the accuracy floor
+   * every real forecaster (e.g. [[TimeSeries.holtForecast]]) must beat
+   * before it earns a pager: predict each hourly bucket's volume with the
+   * SAME HOUR YESTERDAY (ŷ_t = y_{t−24h}, the M-competition "snaive"
+   * baseline) and report the achieved error. An anomaly stack also reads
+   * this directly: groups whose snaive error is tiny are strongly daily-
+   * periodic (alert on deviation), groups where it is huge are not
+   * (seasonal rules would misfire).
+   *
+   * Exactness: bucket volumes are integer counts, the lag join is a key
+   * join on (group, bucket − 24h) — no window recursion — so errors are
+   * exact integers; MAE divides an exact LONG |err| sum once, and WAPE
+   * (Σ|err| / Σ actual, the scale-free variant) divides two exact LONGs —
+   * one pinned double division each, bit-exact anywhere. One map-side-
+   * combined (group, bucket) count is the only corpus-sized work.
+   *
+   * @return (group, n_scored, mae, wape, max_abs_err) over buckets whose
+   *         lag bucket exists.
+   */
+  def seasonalNaiveError(events: DataFrame, typeCol: String = "event_type",
+      tsMsCol: String = "ts_ms", bucketMs: Long = 3600000L,
+      seasonBuckets: Int = 24): DataFrame = {
+    require(seasonBuckets >= 1, "seasonBuckets >= 1")
+    val bucket = expr(
+      s"$tsMsCol div $bucketMs - (CASE WHEN $tsMsCol % $bucketMs < 0 THEN 1 ELSE 0 END)")
+    val hourly = events.select(col(typeCol).as("grp"), bucket.as("b"))
+      .groupBy("grp", "b").agg(count(lit(1)).as("n"))
+    val lagged = hourly.select(col("grp"), (col("b") + seasonBuckets).as("b"),
+      col("n").as("n_forecast"))
+    hourly.join(lagged, Seq("grp", "b"))
+      .select(col("grp"), abs(col("n") - col("n_forecast")).as("abs_err"), col("n"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_scored"),
+        sum(col("abs_err")).as("sum_abs_err"),
+        sum(col("n")).as("sum_actual"),
+        max(col("abs_err")).as("max_abs_err"))
+      .select(col("grp").as("event_type"), col("n_scored"),
+        (col("sum_abs_err").cast("double") / col("n_scored").cast("double")).as("mae"),
+        when(col("sum_actual") > 0,
+          col("sum_abs_err").cast("double") / col("sum_actual").cast("double")).as("wape"),
+        col("max_abs_err"))
+  }
 }

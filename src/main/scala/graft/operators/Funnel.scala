@@ -812,4 +812,41 @@ object Funnel {
       eT.as("expected_treat"), chi2.as("chi2"),
       when(chi2 > 3.841, 1L).otherwise(0L).as("srm_flag"))
   }
+
+  /**
+   * ROLLING-WINDOW exact distinct actors per (group, day) — the WAU-style
+   * "uniques over the trailing N days" view beside [[dailyTrend]]'s
+   * same-day counts; the retention/engagement denominator every growth
+   * dashboard reads. COUNT DISTINCT over a sliding window has no window-
+   * function form in any engine; the scalable shape is contribution
+   * EXPLODE: each distinct (group, day, id) row contributes to the N
+   * observation days it stays visible in (`sequence(day, day+N−1)`), then
+   * ONE (group, obs_day) distinct-count aggregate — map-side factor N, no
+   * self-join, no range join, no per-day rescan. Output days are
+   * restricted to days the group actually has events (a window anchored
+   * on an empty day is dashboard noise).
+   *
+   * All arithmetic is integer (day floor-division, exact distinct counts)
+   * — engine- and parallelism-exact by construction.
+   *
+   * @return (group, day, day_uniques, rolling_uniques) with
+   *         rolling_uniques = |distinct ids in [day−N+1, day]|.
+   */
+  def rollingUniques(events: DataFrame, keyCol: String, tsMsCol: String,
+      idCol: String, windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, "windowDays >= 1")
+    val day = expr(
+      s"$tsMsCol div 86400000 - (CASE WHEN $tsMsCol % 86400000 < 0 THEN 1 ELSE 0 END)")
+    val kd = events.select(col(keyCol), day.as("day"), col(idCol).as("id")).distinct()
+    val dayU = kd.groupBy(col(keyCol), col("day"))
+      .agg(count_distinct(col("id")).as("day_uniques"))
+    val rolled = kd
+      .select(col(keyCol),
+        explode(sequence(col("day"), col("day") + lit(windowDays - 1L))).as("day"),
+        col("id"))
+      .groupBy(col(keyCol), col("day"))
+      .agg(count_distinct(col("id")).as("rolling_uniques"))
+    rolled.join(dayU, Seq(keyCol, "day"))
+      .select(col(keyCol), col("day"), col("day_uniques"), col("rolling_uniques"))
+  }
 }

@@ -815,4 +815,52 @@ object Graph {
             ((col("n_nodes") - 1L) * (col("n_nodes") - 2L)).cast("double"))
           .as("centralization"))
   }
+
+  /**
+   * Adamic–Adar and resource-allocation link-prediction scores over the
+   * same wedge candidates as [[linkPredict]] — the weighted-common-neighbor
+   * family (Adamic & Adar 2003; Zhou, Lü & Zhang 2009): a shared neighbor
+   * counts MORE when it is selective, AA = Σ_z 1/ln(deg_z) and
+   * RA = Σ_z 1/deg_z over the common neighbors z. Jaccard (in
+   * [[linkPredict]]) normalizes by the pair's own degrees; AA/RA instead
+   * discount hub intermediaries, so the two rankings disagree exactly on
+   * hub-mediated pairs — retrieval suites ship both for that reason.
+   *
+   * Scale design: identical to [[linkPredict]] — candidates only through
+   * the wedge join on the shared-neighbor key, hub CENTERS above `maxDeg`
+   * dropped from wedge generation (C(k,2) blowup guard), existing edges
+   * anti-joined out. All joins shuffle on node keys.
+   *
+   * Determinism: a wedge center has ≥ 2 neighbors, so deg_z ≥ 2 and
+   * 1/ln(deg_z) is finite. Per-pair sums of these doubles are SORTED FOLDS
+   * over the pair's collected center degrees ([[TimeSeries.foldAggregator]]
+   * contract — the list is bounded by min(deg_a, deg_b), a degree, not the
+   * corpus), folding 1/ln(deg) and 1/deg in the same pass; an engine
+   * replays both bit-for-bit from the same degree multiset.
+   *
+   * @return (a, b, common_neighbors, adamic_adar, resource_alloc) for
+   *         non-adjacent pairs with a < b sharing ≥ 1 common neighbor.
+   */
+  def adamicAdar(edges: DataFrame, maxDeg: Long = Long.MaxValue): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .distinct()
+    val bi = und.select(col("a").as("v"), col("b").as("n"))
+      .union(und.select(col("b").as("v"), col("a").as("n")))
+    val deg = bi.groupBy("v").agg(count(lit(1)).as("deg"))
+    val centers0 = bi.join(deg, "v")
+    val centers =
+      if (maxDeg == Long.MaxValue) centers0
+      else centers0.where(col("deg") <= maxDeg)
+    val cand = centers.as("e1")
+      .join(centers.as("e2"), col("e1.v") === col("e2.v") && col("e1.n") < col("e2.n"))
+      .groupBy(col("e1.n").as("a"), col("e2.n").as("b"))
+      .agg(count(lit(1)).as("common_neighbors"),
+        sort_array(collect_list(col("e1.deg"))).as("degs"))
+      .join(und, Seq("a", "b"), "left_anti")
+    cand.select(col("a"), col("b"), col("common_neighbors"),
+      expr("aggregate(degs, 0D, (acc, d) -> acc + 1.0 / ln(CAST(d AS DOUBLE)))").as("adamic_adar"),
+      expr("aggregate(degs, 0D, (acc, d) -> acc + 1.0 / CAST(d AS DOUBLE))").as("resource_alloc"))
+  }
 }

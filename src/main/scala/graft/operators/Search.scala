@@ -735,4 +735,79 @@ object Search {
       .select(col("query_id"), col("doc_id"), col("snip_start"), col("n_covered"),
         array_join(slice(split(col("text"), " "),
           (col("snip_start") + 1).cast("int"), lit(window)), " ").as("snippet"))
+
+  /**
+   * Classic tf-idf COSINE retrieval (SMART lnc.ltn: doc weight 1+ln(tf),
+   * query weight ln(N/df), doc-length normalization by the doc's FULL
+   * lnc norm) — the vector-space scorer beside [[bm25TopK]]'s probabilistic
+   * one and [[dirichletTopK]]'s LM one; the three disagree on long docs
+   * (tf-idf's cosine norm punishes length harder than BM25's b-mixed
+   * pivot), which is why ranking suites carry all of them.
+   *
+   *   score(q, d) = Σ_{t ∈ q∩d} (1+ln tf)·ln(N/df)  /  ‖d‖_lnc
+   *
+   * Scale design follows [[bm25TopKFromTerms]]: broadcast query terms below
+   * the corpus tf aggregate, df from the matched rows, two-level md5-shard
+   * top-k. The one EXTRA cost tf-idf carries is the full-vector doc norm
+   * (over ALL the doc's terms, not just matched ones) — computed only for
+   * MATCHED docs via a semi-join-first second scan, so the norm aggregate
+   * is Σ_t df(t) docs, not corpus-sized.
+   *
+   * Determinism: ln carries the cross-engine 1-ulp risk, so per-term
+   * contributions AND per-term norm squares quantize to DECIMAL(28,9)
+   * before their exact decimal sums (the [[bm25TopK]] scheme); the final
+   * score is one pinned double expression over the two decimal sums.
+   *
+   * @return (query_id, rank, doc_id, score, n_terms): top `k` per query.
+   */
+  def tfidfTopK(docs: DataFrame, queries: DataFrame, k: Int = 10): DataFrame = {
+    require(k >= 1, "k >= 1")
+    val words = split(col("text"), " ")
+    val qTerms = queries
+      .select(col("query_id"), explode(split(col("qtext"), " ")).as("term"))
+      .distinct()
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val docTerms = docs
+      .select(col("doc_id"), explode(words).as("term"))
+      .join(broadcast(qTerms.select("term").distinct()), "term")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val matched = docTerms.join(broadcast(qTerms), "term")
+    val dfTab = matched.select("term", "doc_id").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    // full lnc norm, matched docs only: Σ over ALL the doc's terms of
+    // (1+ln tf)^2, each square quantized to the shared decimal grid
+    val norms = docs
+      .join(matched.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), explode(words).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .select(col("doc_id"),
+        ((lit(1.0d) + log(col("tf").cast("double"))) *
+          (lit(1.0d) + log(col("tf").cast("double"))))
+          .cast(DecimalType(28, 9)).as("w2"))
+      .groupBy("doc_id").agg(sum(col("w2")).as("norm2"))
+    val idf = log(col("n_docs").cast("double") / col("df"))
+    val contrib = matched
+      .join(broadcast(dfTab), "term")
+      .crossJoin(broadcast(nDocs))
+      .select(col("query_id"), col("doc_id"),
+        ((lit(1.0d) + log(col("tf").cast("double"))) * idf)
+          .cast(DecimalType(28, 9)).as("c"))
+    val scored = contrib.groupBy("query_id", "doc_id")
+      .agg(sum("c").as("num"), count(lit(1)).as("n_terms"))
+      .join(norms, "doc_id")
+      .select(col("query_id"), col("doc_id"), col("n_terms"),
+        (col("num").cast("double") / sqrt(col("norm2").cast("double"))).as("score"))
+    val shard = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+      .cast("long"), lit(TopKShards))
+    val local = Window.partitionBy(col("query_id"), col("shard"))
+      .orderBy(col("score").desc, col("doc_id"))
+    val global = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id"))
+    scored
+      .withColumn("shard", shard)
+      .withColumn("lrank", row_number().over(local))
+      .where(col("lrank") <= k)
+      .withColumn("rank", row_number().over(global).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score"), col("n_terms"))
+  }
 }

@@ -972,4 +972,92 @@ object Similarity {
     }
     perDim.reduce(_ unionByName _)
   }
+
+  /**
+   * Pairwise-cosine HISTOGRAM over a deterministic blocked sample — the
+   * one-page answer to "how similar is this corpus to itself?" that sits
+   * between [[isotropy]] (a single mean) and a full pair frame (quadratic):
+   * a hubby right tail predicts near-dup trouble before any dedup runs, a
+   * mass near 0 says the encoder spreads the space. Pairs come from md5
+   * BLOCKS like every dedup candidate generator: vectors land in `nBlocks`
+   * md5 buckets, each bucket keeps its `capPerBlock` lowest (md5, id) rows,
+   * and only in-block pairs are scored — sample size is capped at
+   * nBlocks·C(cap,2) REGARDLESS of corpus size (the same contract as the
+   * minhash `maxBucket` cap), while the md5 assignment keeps the sample
+   * uniform and engine-replayable. Cosines bucket into `bins` equal slices
+   * of [−1, 1]; the exact bin-edge value belongs to the upper bin
+   * (floor semantics), and both engines compute the identical double so
+   * the binning agrees bit-for-bit.
+   *
+   * @return (bin, lo, hi, n_pairs) for non-empty bins; bin = ⌊(cos+1)/2·bins⌋
+   *         clamped into [0, bins−1].
+   */
+  def pairCosineHistogram(emb: DataFrame, nBlocks: Int = 64,
+      capPerBlock: Int = 32, bins: Int = 20): DataFrame = {
+    require(nBlocks >= 1 && capPerBlock >= 2 && bins >= 1, "bad histogram shape")
+    val block = pmod(conv(substring(md5(col("vec_id").cast("string")), 1, 2), 16, 10)
+      .cast("long"), lit(nBlocks.toLong))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("block"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    val sampled = emb
+      .select(col("vec_id"), col("embedding"), block.as("block"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= capPerBlock)
+    val a = sampled.select(col("block"), col("vec_id").as("ia"),
+      col("embedding").as("ea"), norm("embedding").as("na"))
+    val b = sampled.select(col("block"), col("vec_id").as("ib"),
+      col("embedding").as("eb"), norm("embedding").as("nb"))
+    val cosine = dot("ea", "eb") / (col("na") * col("nb"))
+    a.join(b, Seq("block")).where(col("ia") < col("ib"))
+      .select(cosine.as("cos"))
+      .select(least(greatest(floor((col("cos") + 1.0d) / 2.0d * bins), lit(0L))
+        .cast("long"), lit(bins - 1L)).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n_pairs"))
+      .select(col("bin"),
+        (lit(-1.0d) + col("bin").cast("double") * (2.0d / bins)).as("lo"),
+        (lit(-1.0d) + (col("bin") + 1L).cast("double") * (2.0d / bins)).as("hi"),
+        col("n_pairs"))
+  }
+
+  /**
+   * Split-half centroid DRIFT per group — the snapshot-to-snapshot encoder
+   * / distribution stability audit: split each `groupCol`'s vectors into
+   * even/odd `vec_id` halves, compute both halves' fixed-point centroids,
+   * and report the halves' cosine. A healthy, stationary group shows
+   * cosine ≈ 1 (the two halves estimate the same mean); an encoder-version
+   * mix or a drifting source drops it. The same arithmetic contract as
+   * [[centroidSimilarity]]: 2^-20 grid sums in DECIMAL(38,0), products in
+   * decimal, ONE pinned double expression per output row — bit-exact at
+   * any parallelism and in any engine. Corpus-sized work is one map-side-
+   * collapsed (group, split, dim) aggregate; the cosine join is
+   * groups × dim rows.
+   *
+   * @return (group, n_even, n_odd, cosine) per group with both halves
+   *         non-empty and non-zero.
+   */
+  def centroidDrift(emb: DataFrame, groupCol: String = "label"): DataFrame = {
+    val grid = math.pow(2, CentroidScaleBits).toLong
+    val dec = "DECIMAL(38,0)"
+    val fp = emb
+      .select(col(groupCol).as("grp"), (col("vec_id") % 2).as("split"),
+        col("vec_id"), posexplode(col("embedding")).as(Seq("d", "v")))
+      .groupBy(col("grp"), col("split"), col("d"))
+      .agg(sum(floor(col("v").cast("double") * grid + 0.5)).as("fp"),
+        count_distinct(col("vec_id")).as("n"))
+    val even = fp.where(col("split") === 0)
+      .select(col("grp"), col("d"), col("fp").as("fe"), col("n").as("n_even"))
+    val odd = fp.where(col("split") === 1)
+      .select(col("grp"), col("d"), col("fp").as("fo"), col("n").as("n_odd"))
+    even.join(odd, Seq("grp", "d"))
+      .groupBy("grp")
+      .agg(max(col("n_even")).as("n_even"), max(col("n_odd")).as("n_odd"),
+        sum(col("fe").cast(dec) * col("fo").cast(dec)).as("num"),
+        sum(col("fe").cast(dec) * col("fe").cast(dec)).as("ne"),
+        sum(col("fo").cast(dec) * col("fo").cast(dec)).as("no"))
+      .where(col("ne") =!= 0 && col("no") =!= 0)
+      .select(col("grp").cast("long").as("label"), col("n_even"), col("n_odd"),
+        expr("""CAST(num AS DOUBLE) /
+               |(sqrt(CAST(ne AS DOUBLE)) * sqrt(CAST(no AS DOUBLE)))""".stripMargin)
+          .as("cosine"))
+  }
 }

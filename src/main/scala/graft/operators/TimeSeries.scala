@@ -772,4 +772,61 @@ object TimeSeries {
         last(col("value"), ignoreNulls = true).over(w).as("value_locf"),
         when(col("value").isNull, 1L).otherwise(0L).as("filled"))
   }
+
+  /**
+   * Holt LINEAR (double-exponential) smoothing per metric over the hourly
+   * volume series — the trend-aware forecaster the [[firFilter]]-based EWMA
+   * (level-only) can't be: a steadily growing metric drives EWMA
+   * permanently behind while Holt's trend term tracks it (Holt 1957; the
+   * capacity-planning staple).
+   *
+   *   l_t = α·y_t + (1−α)·(l_{t−1} + b_{t−1})
+   *   b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1},    ŷ_{t+h} = l_t + h·b_t
+   *
+   * initialized l₁ = y₁, b₁ = y₂ − y₁ and folded over y₃..y_n.
+   *
+   * Determinism: the recursion is inherently ordered, so each metric's
+   * bucket-count series (exact integers) is collected SORTED by bucket —
+   * bounded by the time range / `bucketMs`, the [[foldAggregator]] size
+   * contract, NOT by volume — and folded sequentially with a 2-element
+   * [level, trend] array state; α/β and their complements are plan-time
+   * literals chosen exactly representable, every expression mirrored
+   * node-for-node by the oracle, so any engine replays the fold
+   * bit-for-bit. Corpus-sized work is ONE map-side-combined
+   * (metric, bucket) count; the fold runs on ≤ buckets-per-metric values.
+   *
+   * @return (metric, n_buckets, level, trend, forecast_1h, forecast_24h) —
+   *         metrics with ≥ 2 buckets only.
+   */
+  def holtForecast(points: DataFrame, bucketMs: Long = 3600000L,
+      alpha: Double = 0.5, beta: Double = 0.25): DataFrame = {
+    require(alpha > 0 && alpha <= 1 && beta >= 0 && beta <= 1, "bad smoothing params")
+    val a = alpha; val ca = 1.0 - alpha; val b = beta; val cb = 1.0 - beta
+    val counts = points
+      .groupBy(col("metric"), bucket(col("ts"), bucketMs))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .groupBy("metric")
+      .agg(expr("transform(array_sort(collect_list(struct(bucket_ms, n))), x -> x.n)").as("ns"))
+      .where(size(col("ns")) >= 2)
+      // state = [level, trend]; l' appears twice in the lambda and is
+      // recomputed identically both times (same expression -> same double)
+      .withColumn("st", expr(
+        s"""aggregate(
+           |  slice(ns, 3, greatest(size(ns) - 2, 0)),
+           |  array(CAST(element_at(ns, 1) AS DOUBLE),
+           |        CAST(element_at(ns, 2) AS DOUBLE) - CAST(element_at(ns, 1) AS DOUBLE)),
+           |  (acc, y) -> array(
+           |    CAST($a AS DOUBLE) * CAST(y AS DOUBLE)
+           |      + CAST($ca AS DOUBLE) * (element_at(acc, 1) + element_at(acc, 2)),
+           |    CAST($b AS DOUBLE) * ((CAST($a AS DOUBLE) * CAST(y AS DOUBLE)
+           |      + CAST($ca AS DOUBLE) * (element_at(acc, 1) + element_at(acc, 2)))
+           |        - element_at(acc, 1))
+           |      + CAST($cb AS DOUBLE) * element_at(acc, 2)))""".stripMargin))
+      .select(col("metric"), size(col("ns")).cast("long").as("n_buckets"),
+        element_at(col("st"), 1).as("level"),
+        element_at(col("st"), 2).as("trend"),
+        (element_at(col("st"), 1) + element_at(col("st"), 2)).as("forecast_1h"),
+        (element_at(col("st"), 1) + lit(24.0d) * element_at(col("st"), 2)).as("forecast_24h"))
+  }
 }

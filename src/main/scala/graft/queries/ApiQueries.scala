@@ -120,6 +120,20 @@ object ApiQueries {
       val ev = Points.table(s, dir, "events").withColumn("ts_ms", expr("ts div 1000000"))
       Funnel.dailyTrend(ev, "event_type", "ts_ms")
     }),
+    // trailing-7-day exact distinct actors per (type, day): contribution
+    // explode (factor 7) + ONE distinct-count aggregate — the WAU view;
+    // no window function can express a sliding COUNT DISTINCT
+    "events_rolling_uniques" -> ((s, dir) => {
+      val ev = Points.table(s, dir, "events").withColumn("ts_ms", expr("ts div 1000000"))
+      Funnel.rollingUniques(ev, "event_type", "ts_ms", "user_id", windowDays = 7)
+    }),
+    // seasonal-naive (same hour yesterday) baseline error per type: the
+    // accuracy floor a real forecaster must beat; exact integer errors,
+    // one pinned double division each for MAE and WAPE
+    "events_forecast_error" -> ((s, dir) => {
+      val ev = Points.table(s, dir, "events").withColumn("ts_ms", expr("ts div 1000000"))
+      Anomaly.seasonalNaiveError(ev, "event_type", "ts_ms")
+    }),
     // per-(type, day) top-3 contributors by event count: map-side-combined
     // counts + the k-bounded topk aggregate — no corpus-sized rank window
     "events_heavy_hitters" -> ((s, dir) => {
@@ -734,6 +748,32 @@ object ApiQueries {
         |            THEN CAST(n - LAG(n) OVER (PARTITION BY event_type ORDER BY day) AS DOUBLE)
         |                 / LAG(n) OVER (PARTITION BY event_type ORDER BY day) END AS pct_change
         |FROM c""".stripMargin,
+    // mirrors Funnel.rollingUniques(windowDays=7): contribution explode via
+    // generate_series, distinct counts, output restricted to days-with-events
+    "events_rolling_uniques" ->
+      """WITH kd AS (SELECT DISTINCT event_type, epoch_ms(ts) // 86400000 AS day, user_id FROM events),
+        |du AS (SELECT event_type, day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS day_uniques
+        |       FROM kd GROUP BY 1, 2),
+        |ex0 AS (SELECT event_type, day, user_id, unnest(generate_series(0, 6)) AS o FROM kd),
+        |ru AS (SELECT event_type, day + o AS day,
+        |              CAST(COUNT(DISTINCT user_id) AS BIGINT) AS rolling_uniques
+        |       FROM ex0 GROUP BY 1, 2)
+        |SELECT du.event_type, du.day, du.day_uniques, ru.rolling_uniques
+        |FROM du JOIN ru ON du.event_type = ru.event_type AND du.day = ru.day""".stripMargin,
+    // mirrors Anomaly.seasonalNaiveError(24h season over 1h buckets): exact
+    // integer errors from the (grp, bucket-24) key join, pinned divisions
+    "events_forecast_error" ->
+      """WITH h AS (SELECT event_type AS grp, epoch_ms(ts) // 3600000 AS b,
+        |                  CAST(COUNT(*) AS BIGINT) AS n
+        |           FROM events GROUP BY 1, 2),
+        |j AS (SELECT cur.grp, ABS(cur.n - prev.n) AS abs_err, cur.n
+        |      FROM h cur JOIN h prev ON cur.grp = prev.grp AND cur.b = prev.b + 24)
+        |SELECT grp AS event_type, CAST(COUNT(*) AS BIGINT) AS n_scored,
+        |       CAST(SUM(abs_err) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mae,
+        |       CASE WHEN SUM(n) > 0
+        |            THEN CAST(SUM(abs_err) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) END AS wape,
+        |       CAST(MAX(abs_err) AS BIGINT) AS max_abs_err
+        |FROM j GROUP BY 1""".stripMargin,
     "events_heavy_hitters" ->
       """WITH e AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day, user_id FROM events),
         |c AS (SELECT event_type, day, user_id, CAST(COUNT(*) AS BIGINT) AS n

@@ -230,6 +230,13 @@ object LlmQueries {
       val d = docs(s, dir)
       graft.operators.Search.dirichletTopK(d, probeQueries(d), k = 10)
     }),
+    // classic tf-idf cosine (SMART lnc.ltn) top-10 over the same probes:
+    // the vector-space scorer beside BM25/Dirichlet; full-vector doc norms
+    // computed for MATCHED docs only (semi-join-first second scan)
+    "search_tfidf" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.operators.Search.tfidfTopK(d, probeQueries(d), k = 10)
+    }),
     // hybrid retrieval: BM25 top-10 fused with embedding-kNN top-10 by
     // reciprocal-rank fusion (doc and vec ids align in the synthetic corpus)
     "search_hybrid_rrf" -> ((s, dir) => {
@@ -327,6 +334,13 @@ object LlmQueries {
       Similarity.bruteForceKnn(e, e.where(col("vec_id") < 5), k = 5)
     }),
     "embed_lsh_pairs" -> ((s, dir) => Similarity.lshBucketedPairs(emb(s, dir), bits = 8, minCosine = 0.3)),
+    // blocked-sample pairwise-cosine HISTOGRAM: md5 blocks + a per-block
+    // cap bound the pair count regardless of corpus size — the corpus
+    // self-similarity profile read before any dedup threshold is chosen
+    "embed_pair_hist" -> ((s, dir) => Similarity.pairCosineHistogram(emb(s, dir))),
+    // split-half centroid drift per label (even/odd vec_id halves' fixed-
+    // point centroids' cosine): the encoder/distribution stability audit
+    "embed_drift" -> ((s, dir) => Similarity.centroidDrift(emb(s, dir))),
     // one-row isotropy/anisotropy report: mean pairwise cosine WITHOUT a
     // pair frame (norm-of-sum identity over fixed-point normalized vectors)
     "embed_isotropy" -> ((s, dir) => Similarity.isotropy(emb(s, dir))),
@@ -710,6 +724,11 @@ object LlmQueries {
     // by exact-integer neighbor-set Jaccard — mirror-candidate surfacing
     "graph_link_predict" -> ((s, dir) =>
       graft.operators.Graph.linkPredict(plantedEdges(docs(s, dir), full = true))),
+    // hub-discounting common-neighbor scores (Adamic-Adar + resource
+    // allocation) over the same wedge candidates: per-pair 1/ln(deg) and
+    // 1/deg sums as sorted folds over the collected center degrees
+    "graph_adamic_adar" -> ((s, dir) =>
+      graft.operators.Graph.adamicAdar(plantedEdges(docs(s, dir), full = true))),
     // per-node mutual-linking rates over the DIRECTED planted graph — the
     // paid-link-ring tell the undirected family erases
     "graph_reciprocity" -> ((s, dir) =>
@@ -2842,6 +2861,38 @@ object LlmQueries {
         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT) AS rank
         |  FROM sc)
         |WHERE rank <= 10""".stripMargin,
+    // mirrors Search.tfidfTopK (SMART lnc.ltn): per-term contributions and
+    // norm squares quantized to DECIMAL(28,9) before their exact sums, full
+    // lnc doc norm over matched docs only, one pinned double score division
+    "search_tfidf" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |q AS (SELECT doc_id AS query_id, array_to_string((string_split(text, ' '))[1:4], ' ') AS qtext
+        |      FROM documents WHERE doc_id % 97 = 0),
+        |qt AS (SELECT DISTINCT query_id, term
+        |       FROM (SELECT query_id, unnest(string_split(qtext, ' ')) AS term FROM q)),
+        |dt AS (SELECT doc_id, unnest(ws) AS term FROM w),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM dt GROUP BY 1, 2),
+        |m AS (SELECT qt.query_id, tf.doc_id, tf.term, tf.tf FROM tf JOIN qt USING (term)),
+        |dfq AS (SELECT term, COUNT(*) AS df FROM (SELECT DISTINCT term, doc_id FROM m) GROUP BY 1),
+        |st AS (SELECT COUNT(*) AS n_docs FROM w),
+        |md AS (SELECT DISTINCT doc_id FROM m),
+        |nrm AS (SELECT tf.doc_id,
+        |               SUM(CAST(((CAST(1.0 AS DOUBLE) + ln(CAST(tf.tf AS DOUBLE)))
+        |                         * (CAST(1.0 AS DOUBLE) + ln(CAST(tf.tf AS DOUBLE)))) AS DECIMAL(28,9))) AS norm2
+        |        FROM tf JOIN md USING (doc_id) GROUP BY 1),
+        |c AS (SELECT m.query_id, m.doc_id,
+        |             CAST(((CAST(1.0 AS DOUBLE) + ln(CAST(m.tf AS DOUBLE)))
+        |                   * ln(CAST(st.n_docs AS DOUBLE) / dfq.df)) AS DECIMAL(28,9)) AS c
+        |      FROM m JOIN dfq USING (term) CROSS JOIN st),
+        |sc AS (SELECT query_id, doc_id, SUM(c) AS num, CAST(COUNT(*) AS BIGINT) AS n_terms
+        |       FROM c GROUP BY 1, 2),
+        |s2 AS (SELECT sc.query_id, sc.doc_id, sc.n_terms,
+        |              CAST(sc.num AS DOUBLE) / sqrt(CAST(n.norm2 AS DOUBLE)) AS score
+        |       FROM sc JOIN nrm n USING (doc_id))
+        |SELECT query_id, rank, doc_id, score, n_terms FROM (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+        |  FROM s2)
+        |WHERE rank <= 10""".stripMargin,
     // mirrors Search.dirichletTopK(mu=1000): candidate x query-term pairs
     // with tf defaulted to 0, same smoothing expression order, DECIMAL(28,9)
     // per-term quantization, exact decimal score sum
@@ -3162,6 +3213,49 @@ object LlmQueries {
         |       CAST(CASE WHEN fm.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS near_dup,
         |       fm.match_id, CAST(fm.hamming AS BIGINT) AS hamming
         |FROM sh s LEFT JOIN fm ON s.doc_id = fm.doc_id""".stripMargin,
+    // mirrors Similarity.pairCosineHistogram: md5 two-hex-digit blocks,
+    // per-block 32-row cap ordered by (md5, id), in-block pairs, cosine via
+    // per-side precomputed norms, floor-binned into 20 slices of [-1, 1]
+    "embed_pair_hist" ->
+      """WITH s0 AS (
+        |  SELECT vec_id, embedding, md5(CAST(vec_id AS VARCHAR)) AS h,
+        |         ((strpos('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)) - 1) * 16
+        |          + strpos('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 2, 1)) - 1) % 64 AS block
+        |  FROM embeddings),
+        |s AS (SELECT * FROM (
+        |        SELECT s0.*, ROW_NUMBER() OVER (PARTITION BY block ORDER BY h, vec_id) AS rn FROM s0)
+        |      WHERE rn <= 32),
+        |p AS (SELECT
+        |        list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(d.embedding AS DOUBLE[]))
+        |        / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+        |         * sqrt(list_dot_product(CAST(d.embedding AS DOUBLE[]), CAST(d.embedding AS DOUBLE[])))) AS cos
+        |      FROM s q JOIN s d ON q.block = d.block AND q.vec_id < d.vec_id),
+        |binned AS (SELECT LEAST(GREATEST(CAST(FLOOR((cos + CAST(1.0 AS DOUBLE)) / CAST(2.0 AS DOUBLE) * 20) AS BIGINT), 0), 19) AS bin
+        |           FROM p)
+        |SELECT bin,
+        |       CAST(-1.0 AS DOUBLE) + CAST(bin AS DOUBLE) * CAST(0.1 AS DOUBLE) AS lo,
+        |       CAST(-1.0 AS DOUBLE) + CAST(bin + 1 AS DOUBLE) * CAST(0.1 AS DOUBLE) AS hi,
+        |       CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |FROM binned GROUP BY 1""".stripMargin,
+    // mirrors Similarity.centroidDrift: even/odd vec_id halves, 2^-20-grid
+    // fixed-point sums, HUGEINT products, one pinned double cosine per label
+    "embed_drift" ->
+      """WITH e AS (SELECT label, vec_id % 2 AS split, vec_id,
+        |                  UNNEST(embedding) AS v, generate_subscripts(embedding, 1) AS d
+        |           FROM embeddings),
+        |f AS (SELECT label, split, d,
+        |             CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1048576 + 0.5) AS BIGINT)) AS HUGEINT) AS fp,
+        |             CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n
+        |      FROM e GROUP BY 1, 2, 3),
+        |j AS (SELECT ev.label, ev.d, ev.fp AS fe, od.fp AS fo, ev.n AS n_even, od.n AS n_odd
+        |      FROM f ev JOIN f od ON ev.label = od.label AND ev.d = od.d
+        |                         AND ev.split = 0 AND od.split = 1),
+        |g AS (SELECT label, MAX(n_even) AS n_even, MAX(n_odd) AS n_odd,
+        |             SUM(fe * fo) AS num, SUM(fe * fe) AS ne, SUM(fo * fo) AS no
+        |      FROM j GROUP BY 1)
+        |SELECT CAST(label AS BIGINT) AS label, n_even, n_odd,
+        |       CAST(num AS DOUBLE) / (sqrt(CAST(ne AS DOUBLE)) * sqrt(CAST(no AS DOUBLE))) AS cosine
+        |FROM g WHERE ne != 0 AND no != 0""".stripMargin,
     "embed_knn" ->
       s"""WITH c AS (
          |  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
@@ -4373,6 +4467,34 @@ object LlmQueries {
         |       CAST(nc.common_neighbors AS DOUBLE) /
         |         CAST(da.deg + db.deg - nc.common_neighbors AS DOUBLE) AS jaccard
         |FROM nc JOIN deg da ON nc.a = da.v JOIN deg db ON nc.b = db.v""".stripMargin,
+    // mirrors Graph.adamicAdar: same wedge/anti-join candidates as
+    // link_predict, per-pair sorted-fold 1/ln(deg) and 1/deg sums over the
+    // collected center degrees (deg >= 2 by wedge construction, ln finite)
+    "graph_adamic_adar" ->
+      """WITH raw AS (
+        |  SELECT 'site' || CAST(doc_id % 7 AS VARCHAR) AS src, 'cdn' || CAST(doc_id % 3 AS VARCHAR) AS dst FROM documents
+        |  UNION ALL SELECT 'cdn' || CAST(doc_id % 3 AS VARCHAR), 'site' || CAST(doc_id % 5 AS VARCHAR) FROM documents
+        |  UNION ALL SELECT 'site' || CAST(doc_id % 7 AS VARCHAR), 'site' || CAST((doc_id + 3) % 7 AS VARCHAR) FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL SELECT 'site' || CAST(doc_id % 7 AS VARCHAR), 'sink' FROM documents WHERE doc_id % 11 = 0),
+        |und AS (
+        |  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        |  FROM raw WHERE src != dst AND src IS NOT NULL AND dst IS NOT NULL),
+        |bi AS (SELECT a AS v, b AS n FROM und UNION ALL SELECT b, a FROM und),
+        |deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM bi GROUP BY 1),
+        |cand AS (
+        |  SELECT e1.n AS a, e2.n AS b, CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+        |         list_sort(list(dv.deg)) AS degs
+        |  FROM bi e1 JOIN bi e2 ON e1.v = e2.v AND e1.n < e2.n
+        |  JOIN deg dv ON e1.v = dv.v
+        |  GROUP BY 1, 2),
+        |nc AS (SELECT c.* FROM cand c LEFT JOIN und u ON c.a = u.a AND c.b = u.b
+        |       WHERE u.a IS NULL)
+        |SELECT a, b, common_neighbors,
+        |       list_reduce(list_prepend(CAST(0.0 AS DOUBLE), degs),
+        |         (acc, d) -> acc + 1.0 / ln(CAST(d AS DOUBLE))) AS adamic_adar,
+        |       list_reduce(list_prepend(CAST(0.0 AS DOUBLE), degs),
+        |         (acc, d) -> acc + 1.0 / CAST(d AS DOUBLE)) AS resource_alloc
+        |FROM nc""".stripMargin,
     "graph_assortativity" -> AssortativityOracleSql,
     "graph_components" ->
       """WITH RECURSIVE e0 AS MATERIALIZED (

@@ -96,6 +96,13 @@ object TimelyQueries {
       TimeSeries.firFilter(points(s, dir), Seq.fill(5)(0.2))
         .select(col("metric"), col("series"), col("ts"), col("filtered"))
     }),
+    // Holt linear (level+trend) smoothing of the hourly volume series per
+    // metric: the inherently-ordered recursion runs as a SORTED FOLD with a
+    // [level, trend] array state over the bounded bucket list; alpha=0.5 /
+    // beta=0.25 chosen exactly representable and mirrored by the oracle's
+    // list_reduce replay
+    "ts_holt" -> ((s, dir) =>
+      TimeSeries.holtForecast(points(s, dir), bucketMs = Hour)),
     // nearest-rank p95 downsample: the tail-latency aggregator beyond the
     // reference's §2.3 set — rank-PICKED (an observed sample, min/max
     // determinism class), never interpolated; per-bucket sorted pick over
@@ -291,6 +298,26 @@ object TimelyQueries {
         |       CASE WHEN raw > 100 THEN 0 ELSE raw END AS rate
         |FROM r""".stripMargin,
     "ts_ewma" -> ewmaOracleSql(0.5, 8),
+    // mirrors TimeSeries.holtForecast(alpha=0.5, beta=0.25): ordered list
+    // aggregation + list_reduce over [level, trend] list states; l' is
+    // recomputed inside the trend update with the identical expression
+    "ts_holt" ->
+      """WITH h AS (SELECT event_type AS metric, epoch_ms(ts) // 3600000 AS b,
+        |                  CAST(COUNT(*) AS BIGINT) AS n
+        |           FROM events GROUP BY 1, 2),
+        |s AS (SELECT metric, list(n ORDER BY b) AS ns FROM h GROUP BY 1),
+        |f AS (SELECT metric, CAST(len(ns) AS BIGINT) AS n_buckets,
+        |             list_reduce(
+        |               list_prepend([CAST(ns[1] AS DOUBLE), CAST(ns[2] AS DOUBLE) - CAST(ns[1] AS DOUBLE)],
+        |                            list_transform(ns[3:], y -> [CAST(y AS DOUBLE), CAST(0.0 AS DOUBLE)])),
+        |               (acc, p) -> [CAST(0.5 AS DOUBLE) * p[1] + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2]),
+        |                            CAST(0.25 AS DOUBLE) * ((CAST(0.5 AS DOUBLE) * p[1] + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2])) - acc[1])
+        |                              + CAST(0.75 AS DOUBLE) * acc[2]]) AS st
+        |      FROM s WHERE len(ns) >= 2)
+        |SELECT metric, n_buckets, st[1] AS level, st[2] AS trend,
+        |       st[1] + st[2] AS forecast_1h,
+        |       st[1] + CAST(24.0 AS DOUBLE) * st[2] AS forecast_24h
+        |FROM f""".stripMargin,
     // mirrors seasonalError(24h) over the hourly exact-sum downsample: the
     // sum values are <= 6dp decimals exactly representable as doubles, so
     // the decimal re-cast in both engines is exact (no rounding ambiguity)
