@@ -524,6 +524,47 @@ object Anomaly {
   }
 
   /**
+   * Bollinger-style VOLUME BANDS per group — the rolling-window twin of
+   * [[zscoreOutliers]]' global moments: each hourly bucket's count is
+   * compared against the mean ± `nSigma`·σ of the PREVIOUS `window` full
+   * buckets (trailing, excluding self — the band must not absorb the
+   * anomaly it is testing). The on-call view for "is this hour's volume
+   * abnormal for the recent regime" where the global z-score would smear
+   * regime changes across the whole history.
+   *
+   * Exactness: bucket counts are integers; the trailing window sums count
+   * and count² in LONG (exact, order-free), and mean/σ/band-flag are
+   * pinned double expressions per row — bit-exact anywhere, no fold
+   * needed. The windows partition per group over the (group, bucket)
+   * AGGREGATED frame (buckets are time-range-bounded, never corpus-sized).
+   *
+   * @return (group, bucket, n, mean_n, sd_n, band_flag) for buckets with a
+   *         full trailing window.
+   */
+  def volumeBands(events: DataFrame, typeCol: String = "event_type",
+      tsMsCol: String = "ts_ms", bucketMs: Long = 3600000L,
+      window: Int = 24, nSigma: Double = 2.0): DataFrame = {
+    require(window >= 2, "window >= 2")
+    val bucket = expr(
+      s"$tsMsCol div $bucketMs - (CASE WHEN $tsMsCol % $bucketMs < 0 THEN 1 ELSE 0 END)")
+    val hourly = events.select(col(typeCol).as("grp"), bucket.as("b"))
+      .groupBy("grp", "b").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("grp").orderBy("b").rowsBetween(-window, -1)
+    val nd = lit(window.toDouble)
+    val mean = col("s").cast("double") / nd
+    val varr = greatest(col("ss").cast("double") / nd - mean * mean, lit(0.0d))
+    hourly
+      .withColumn("c", count(lit(1)).over(w))
+      .withColumn("s", sum(col("n")).over(w))
+      .withColumn("ss", sum(col("n") * col("n")).over(w))
+      .where(col("c") === window)
+      .select(col("grp").as("event_type"), col("b").as("bucket"), col("n"),
+        mean.as("mean_n"), sqrt(varr).as("sd_n"),
+        when(abs(col("n").cast("double") - mean) > lit(nSigma) * sqrt(varr), 1L)
+          .otherwise(0L).as("band_flag"))
+  }
+
+  /**
    * SEASONAL-NAIVE baseline forecast error per group — the accuracy floor
    * every real forecaster (e.g. [[TimeSeries.holtForecast]]) must beat
    * before it earns a pager: predict each hourly bucket's volume with the

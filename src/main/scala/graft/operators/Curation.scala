@@ -347,6 +347,40 @@ object Curation {
       groupCol, cap)
   }
 
+  /**
+   * TWO-DIMENSIONAL quota sample: at most `cap` docs per (lang, source)
+   * CELL, drawn by salted md5 order — the mix-design screen one dimension
+   * can't express: a per-language quota still lets one crawler-heavy
+   * domain fill a language's entire allocation, and a per-source cap still
+   * lets one language dominate a multilingual domain; the cell quota
+   * bounds both at once. Selection is a deterministic UNIFORM draw (salted
+   * md5, not quality — [[capPerGroup]] is the quality-ranked variant), so
+   * the sample is unbiased within each cell and engine-replayable.
+   *
+   * Scale: the same two-level shard scheme as [[topKPerKey]] — a hot cell
+   * (one domain × one language can be millions of docs) never funnels into
+   * a single window partition; the cell-only window ranks ≤ cap×64
+   * survivors.
+   *
+   * @return (lang, source, cell_rank, doc_id) — kept rows only.
+   */
+  def quotaSample2d(docs: DataFrame, cap: Int): DataFrame = {
+    require(cap >= 1, "cap must be positive")
+    val h = md5(concat(lit("quota2d:"), col("doc_id").cast("string")))
+    val shard = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10).cast("long"),
+      lit(TopKShards.toLong))
+    val local = Window.partitionBy(col("lang"), col("source"), col("shard"))
+      .orderBy(col("h"), col("doc_id"))
+    val global = Window.partitionBy(col("lang"), col("source"))
+      .orderBy(col("h"), col("doc_id"))
+    docs.select(col("doc_id"), col("lang"), col("source"), h.as("h"), shard.as("shard"))
+      .withColumn("lrank", row_number().over(local))
+      .where(col("lrank") <= cap)
+      .withColumn("cell_rank", row_number().over(global).cast("long"))
+      .where(col("cell_rank") <= cap)
+      .select(col("lang"), col("source"), col("cell_rank"), col("doc_id"))
+  }
+
   /** Per-language quality distribution summary: count, min, max, and exact
     * NEAREST-RANK percentiles (rank `ceil(p * n)` in (quality, doc_id)
     * order) — the distribution check a mix design runs before cutting

@@ -1187,6 +1187,44 @@ object Dedup {
         bloomHit(col("ps"), col("bits")).as("dup_hit"))
   }
 
+  /**
+   * Bloom FALSE-POSITIVE-RATE audit: probe a KNOWN-NON-MEMBER batch against
+   * the [[bloomBits]] filter and report the observed hit rate beside the
+   * classic analytic rate `(1 − e^{−kn/m})^k` — the sizing check that tells
+   * an operator whether `hexDigits`/`k` still fit the corpus BEFORE false
+   * positives start silently discarding fresh training data (the screen
+   * drops what it flags). Observed ≫ expected means the filter is past its
+   * design load — move up a `hexDigits` or shard ([[bloomScreenSharded]]).
+   *
+   * Determinism: counts are exact integers (the Bloom decision bijects with
+   * the md5 position set); observed_fpr is one pinned double division. The
+   * analytic rate is the ONE libm-shaped expression (`exp`/`pow` can differ
+   * by 1 ulp across engines), so it quantizes to DECIMAL(18,9) exactly like
+   * the BM25 family's per-term ln contributions.
+   *
+   * @param probes rows (doc_id, text) that must NOT be members — the caller
+   *               plants them (e.g. salted copies); members would inflate
+   *               the "false"-positive count with true positives.
+   * @return one row (n_hashes, m_bits, n_probes, n_flagged, observed_fpr,
+   *         expected_fpr).
+   */
+  def bloomFprAudit(existing: DataFrame, probes: DataFrame,
+      hexDigits: Int = 5, k: Int = 4): DataFrame = {
+    val mBits = math.pow(16.0, hexDigits).toLong
+    val nExist = existing.select(md5(col("text")).as("h")).distinct()
+      .agg(count(lit(1)).as("n_hashes"))
+    val flagged = bloomFlag(probes, bloomBits(existing, hexDigits, k), hexDigits, k)
+    flagged
+      .agg(count(lit(1)).as("n_probes"),
+        sum(when(col("dup_hit"), 1L).otherwise(0L)).as("n_flagged"))
+      .crossJoin(broadcast(nExist))
+      .select(col("n_hashes"), lit(mBits).as("m_bits"), col("n_probes"), col("n_flagged"),
+        (col("n_flagged").cast("double") / col("n_probes").cast("double")).as("observed_fpr"),
+        pow(lit(1.0d) - exp(lit(-k.toDouble) * col("n_hashes").cast("double") / lit(mBits.toDouble)),
+          lit(k.toDouble))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 9)).cast("double").as("expected_fpr"))
+  }
+
   /** Shard key of content hash `h`: the first `shardHexDigits` hex digits of
     * md5("shard:" || h) — salted so shard routing is independent of the
     * position bits (unsalted, shard and position would share md5(i:h) prefix

@@ -829,4 +829,53 @@ object TimeSeries {
         (element_at(col("st"), 1) + element_at(col("st"), 2)).as("forecast_1h"),
         (element_at(col("st"), 1) + lit(24.0d) * element_at(col("st"), 2)).as("forecast_24h"))
   }
+
+  /**
+   * THEIL–SEN robust trend per metric over the hourly volume series: the
+   * median of all pairwise slopes (y_j − y_i)/(b_j − b_i), i < j — the
+   * estimator that shrugs off the outlier buckets an OLS slope (and
+   * [[holtForecast]]'s trend term) chase; breakdown point ~29%
+   * (Theil 1950; Sen 1968). The operational "is this metric actually
+   * growing" number.
+   *
+   * Scale contract: the pair join is quadratic in BUCKETS (time range /
+   * `bucketMs`), NEVER in events — corpus-sized work is the one map-side
+   * (metric, bucket) count; a year of hourly buckets is ~38M pair rows per
+   * metric, each a subtraction. The join shuffles on the metric key.
+   *
+   * Determinism: each slope is one pinned double division of exact LONGs;
+   * the median is a nearest-rank PICK (an actual slope value, never an
+   * average), so equal-slope ordering cannot change the value. The
+   * intercept is the same pick over per-bucket residuals y_i − slope·b_i.
+   *
+   * @return (metric, n_buckets, n_pairs, slope, intercept) per metric with
+   *         ≥ 2 buckets; slope in counts per bucket, b in bucket units.
+   */
+  def theilSen(points: DataFrame, bucketMs: Long = 3600000L): DataFrame = {
+    val counts = points
+      .groupBy(col("metric"), (col("ts") - (col("ts") % lit(bucketMs))).as("bms"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("metric"), (col("bms") / lit(bucketMs)).cast("long").as("b"), col("n"))
+    val pairs = counts.as("x")
+      .join(counts.as("y"), col("x.metric") === col("y.metric") && col("x.b") < col("y.b"))
+      .select(col("x.metric").as("metric"),
+        ((col("y.n") - col("x.n")).cast("double") /
+          (col("y.b") - col("x.b")).cast("double")).as("slope"))
+    val wS = Window.partitionBy("metric").orderBy("slope")
+    val slopes = pairs
+      .withColumn("rk", row_number().over(wS))
+      .withColumn("np", count(lit(1)).over(Window.partitionBy("metric")))
+      .where(col("rk") === expr("(np + 1) div 2")) // integer lower-median rank
+      .select(col("metric"), col("np").as("n_pairs"), col("slope"))
+    val resid = counts.join(slopes, "metric")
+      .select(col("metric"), col("n_pairs"), col("slope"),
+        (col("n").cast("double") - col("slope") * col("b").cast("double")).as("r"))
+    val wR = Window.partitionBy("metric").orderBy("r")
+    resid
+      .withColumn("rk", row_number().over(wR))
+      .withColumn("nb", count(lit(1)).over(Window.partitionBy("metric")))
+      .where(col("rk") === expr("(nb + 1) div 2"))
+      .select(col("metric"), col("nb").cast("long").as("n_buckets"),
+        col("n_pairs").cast("long").as("n_pairs"), col("slope"), col("r").as("intercept"))
+  }
 }

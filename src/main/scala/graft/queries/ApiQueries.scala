@@ -127,6 +127,13 @@ object ApiQueries {
       val ev = Points.table(s, dir, "events").withColumn("ts_ms", expr("ts div 1000000"))
       Funnel.rollingUniques(ev, "event_type", "ts_ms", "user_id", windowDays = 7)
     }),
+    // Bollinger-style volume bands: each hour vs the trailing 24 FULL
+    // buckets' mean +- 2 sigma (self excluded) — rolling-regime anomaly
+    // view; integer window sums, pinned double expressions per row
+    "events_volume_bands" -> ((s, dir) => {
+      val ev = Points.table(s, dir, "events").withColumn("ts_ms", expr("ts div 1000000"))
+      Anomaly.volumeBands(ev, "event_type", "ts_ms")
+    }),
     // seasonal-naive (same hour yesterday) baseline error per type: the
     // accuracy floor a real forecaster must beat; exact integer errors,
     // one pinned double division each for MAE and WAPE
@@ -760,6 +767,30 @@ object ApiQueries {
         |       FROM ex0 GROUP BY 1, 2)
         |SELECT du.event_type, du.day, du.day_uniques, ru.rolling_uniques
         |FROM du JOIN ru ON du.event_type = ru.event_type AND du.day = ru.day""".stripMargin,
+    // mirrors Anomaly.volumeBands(window=24, nSigma=2): trailing rows-based
+    // window of integer sums, identical mean/variance/flag expressions
+    "events_volume_bands" ->
+      """WITH h AS (SELECT event_type, epoch_ms(ts) // 3600000 AS b,
+        |                  CAST(COUNT(*) AS BIGINT) AS n
+        |           FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, b, n,
+        |             COUNT(*) OVER tw AS c,
+        |             CAST(SUM(n) OVER tw AS BIGINT) AS s,
+        |             CAST(SUM(n * n) OVER tw AS BIGINT) AS ss
+        |      FROM h
+        |      WINDOW tw AS (PARTITION BY event_type ORDER BY b
+        |                    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, b AS bucket, n,
+        |       CAST(s AS DOUBLE) / CAST(24.0 AS DOUBLE) AS mean_n,
+        |       sqrt(GREATEST(CAST(ss AS DOUBLE) / CAST(24.0 AS DOUBLE)
+        |              - (CAST(s AS DOUBLE) / CAST(24.0 AS DOUBLE)) * (CAST(s AS DOUBLE) / CAST(24.0 AS DOUBLE)),
+        |            CAST(0.0 AS DOUBLE))) AS sd_n,
+        |       CAST(CASE WHEN ABS(CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / CAST(24.0 AS DOUBLE))
+        |                      > CAST(2.0 AS DOUBLE) * sqrt(GREATEST(CAST(ss AS DOUBLE) / CAST(24.0 AS DOUBLE)
+        |                          - (CAST(s AS DOUBLE) / CAST(24.0 AS DOUBLE)) * (CAST(s AS DOUBLE) / CAST(24.0 AS DOUBLE)),
+        |                        CAST(0.0 AS DOUBLE)))
+        |                 THEN 1 ELSE 0 END AS BIGINT) AS band_flag
+        |FROM w WHERE c = 24""".stripMargin,
     // mirrors Anomaly.seasonalNaiveError(24h season over 1h buckets): exact
     // integer errors from the (grp, bucket-24) key join, pinned divisions
     "events_forecast_error" ->

@@ -587,6 +587,13 @@ object LlmQueries {
     // per-source document cap (anti-template-farm): top-10 by quality
     "curate_source_cap" -> ((s, dir) =>
       graft.operators.Curation.capPerGroup(docs(s, dir), "source", 10)),
+    // 2D quota sample: at most 5 docs per (lang, source) CELL by salted-md5
+    // uniform draw — bounds a crawler-heavy domain AND a dominant language
+    // at once, where either 1D quota alone fails
+    "curate_quota_2d" -> ((s, dir) => {
+      val d = Points.table(s, dir, "documents").select("doc_id", "lang", "source")
+      graft.operators.Curation.quotaSample2d(d, cap = 5)
+    }),
     // training-mix accounting: per (lang, source) doc/token counts + shares
     "curate_mix_report" -> ((s, dir) => graft.operators.Curation.mixReport(docs(s, dir))),
     // epoch-repeat schedule compiling a weighted mix + token budget into
@@ -668,6 +675,15 @@ object LlmQueries {
     "dedup_bloom_screen" -> ((s, dir) => {
       val d = docs(s, dir)
       Dedup.bloomScreen(bloomIncoming(d), d.where(col("doc_id") % 10 =!= 0))
+    }),
+    // Bloom FPR audit: a planted known-non-member probe batch (every text
+    // salted with a suffix) measures the observed false-positive rate
+    // beside the analytic (1-e^{-kn/m})^k — the filter-sizing check
+    "dedup_bloom_fpr" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val probes = d.select(col("doc_id"),
+        concat(col("text"), lit(" fprprobe")).as("text"))
+      Dedup.bloomFprAudit(d, probes)
     }),
     // capacity path: 16 hash-space shards, each its own bitset, probed via a
     // shard-key join instead of one broadcast filter (same fixture, so the
@@ -3985,6 +4001,18 @@ object LlmQueries {
         |       fp_sumsq / (n_vecs * 1048576 * 1048576) -
         |         (fp_sum / (n_vecs * 1048576)) * (fp_sum / (n_vecs * 1048576)) AS variance
         |FROM s""".stripMargin,
+    // mirrors Curation.quotaSample2d(cap=5): the shard prune keeps a
+    // superset of every cell's global top-5, so the plain per-cell rank
+    // over (salted md5, doc_id) replays the kept set exactly
+    "curate_quota_2d" ->
+      """WITH s0 AS (SELECT doc_id, lang, source,
+        |                   md5('quota2d:' || CAST(doc_id AS VARCHAR)) AS h
+        |            FROM documents)
+        |SELECT lang, source, cell_rank, doc_id FROM (
+        |  SELECT lang, source, doc_id,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY h, doc_id) AS BIGINT) AS cell_rank
+        |  FROM s0)
+        |WHERE cell_rank <= 5""".stripMargin,
     "curate_source_cap" ->
       s"""WITH j AS (
          |  SELECT source, doc_id,
@@ -4181,6 +4209,33 @@ object LlmQueries {
          |FROM inpos p LEFT JOIN expos e ON p.pos = e.pos
          |GROUP BY p.doc_id, p.h
          |HAVING COUNT(e.pos) = 4""".stripMargin,
+    // mirrors Dedup.bloomFprAudit: same position-set replay as the screen
+    // oracle over a salted non-member probe batch; the analytic rate's one
+    // libm expression (exp/pow) quantizes to DECIMAL(18,9) like BM25's ln
+    "dedup_bloom_fpr" ->
+      s"""WITH ex AS (SELECT DISTINCT md5(text) AS h FROM documents),
+         |nh AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hashes FROM ex),
+         |expos AS (
+         |  SELECT DISTINCT ${hex5Sql("m")} AS pos
+         |  FROM (SELECT md5(CAST(i AS VARCHAR) || ':' || h) AS m
+         |        FROM ex, UNNEST(range(4)) AS t(i))),
+         |pr AS (SELECT doc_id, md5(text || ' fprprobe') AS h FROM documents),
+         |prpos AS (
+         |  SELECT doc_id, h, ${hex5Sql("m")} AS pos
+         |  FROM (SELECT doc_id, h, md5(CAST(i AS VARCHAR) || ':' || h) AS m
+         |        FROM pr, UNNEST(range(4)) AS t(i))),
+         |hits AS (SELECT p.doc_id
+         |         FROM prpos p LEFT JOIN expos e ON p.pos = e.pos
+         |         GROUP BY p.doc_id, p.h
+         |         HAVING COUNT(e.pos) = 4),
+         |agg AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM pr) AS n_probes,
+         |               (SELECT CAST(COUNT(*) AS BIGINT) FROM hits) AS n_flagged)
+         |SELECT nh.n_hashes, CAST(1048576 AS BIGINT) AS m_bits, agg.n_probes, agg.n_flagged,
+         |       CAST(agg.n_flagged AS DOUBLE) / CAST(agg.n_probes AS DOUBLE) AS observed_fpr,
+         |       CAST(CAST(power(CAST(1.0 AS DOUBLE)
+         |                       - exp(CAST(-4.0 AS DOUBLE) * CAST(nh.n_hashes AS DOUBLE) / CAST(1048576.0 AS DOUBLE)),
+         |                     CAST(4.0 AS DOUBLE)) AS DECIMAL(18,9)) AS DOUBLE) AS expected_fpr
+         |FROM nh, agg""".stripMargin,
     "dedup_bloom_screen_sharded" ->
       s"""WITH inraw AS (
          |  SELECT a.doc_id,

@@ -103,6 +103,11 @@ object TimelyQueries {
     // list_reduce replay
     "ts_holt" -> ((s, dir) =>
       TimeSeries.holtForecast(points(s, dir), bucketMs = Hour)),
+    // Theil-Sen robust trend per metric: nearest-rank median of all pairwise
+    // slopes (quadratic in BUCKETS, never in events), rank-PICKED values so
+    // equal-slope ordering cannot change the result
+    "ts_theil_sen" -> ((s, dir) =>
+      TimeSeries.theilSen(points(s, dir), bucketMs = Hour)),
     // nearest-rank p95 downsample: the tail-latency aggregator beyond the
     // reference's §2.3 set — rank-PICKED (an observed sample, min/max
     // determinism class), never interpolated; per-bucket sorted pick over
@@ -318,6 +323,30 @@ object TimelyQueries {
         |       st[1] + st[2] AS forecast_1h,
         |       st[1] + CAST(24.0 AS DOUBLE) * st[2] AS forecast_24h
         |FROM f""".stripMargin,
+    // mirrors TimeSeries.theilSen: pairwise slopes over hourly counts, lower
+    // nearest-rank median pick for slope, same pick over residuals for the
+    // intercept — picks are actual values, so ties cannot drift
+    "ts_theil_sen" ->
+      """WITH h AS (SELECT event_type AS metric, epoch_ms(ts) // 3600000 AS b,
+        |                  CAST(COUNT(*) AS BIGINT) AS n
+        |           FROM events GROUP BY 1, 2),
+        |p AS (SELECT x.metric, CAST(y.n - x.n AS DOUBLE) / CAST(y.b - x.b AS DOUBLE) AS slope
+        |      FROM h x JOIN h y ON x.metric = y.metric AND x.b < y.b),
+        |sl AS (SELECT metric, n_pairs, slope FROM (
+        |         SELECT metric, slope,
+        |                ROW_NUMBER() OVER (PARTITION BY metric ORDER BY slope) AS rk,
+        |                CAST(COUNT(*) OVER (PARTITION BY metric) AS BIGINT) AS n_pairs
+        |         FROM p)
+        |       WHERE rk = (n_pairs + 1) // 2),
+        |r AS (SELECT h.metric, sl.n_pairs, sl.slope,
+        |             CAST(h.n AS DOUBLE) - sl.slope * CAST(h.b AS DOUBLE) AS r
+        |      FROM h JOIN sl USING (metric))
+        |SELECT metric, n_buckets, n_pairs, slope, r AS intercept FROM (
+        |  SELECT metric, n_pairs, slope, r,
+        |         ROW_NUMBER() OVER (PARTITION BY metric ORDER BY r) AS rk,
+        |         CAST(COUNT(*) OVER (PARTITION BY metric) AS BIGINT) AS n_buckets
+        |  FROM r)
+        |WHERE rk = (n_buckets + 1) // 2""".stripMargin,
     // mirrors seasonalError(24h) over the hourly exact-sum downsample: the
     // sum values are <= 6dp decimals exactly representable as doubles, so
     // the decimal re-cast in both engines is exact (no rounding ambiguity)

@@ -143,4 +143,64 @@ class ForecastLinkOpsSpec extends AnyFunSuite with SparkSpec {
     val out = TimeSeries.holtForecast(pts).collect().head
     assert(out.getLong(1) == 2L && out.getDouble(2) == 2.0 && out.getDouble(3) == 3.0)
   }
+
+  test("theilSen recovers a clean linear trend and shrugs off an outlier bucket") {
+    val hour = 3600000L
+    // metric m: counts 1, 2, 3, ..., 8 (slope exactly 1), with bucket 5
+    // replaced by a 100-count outlier
+    val pts = (0 until 8).flatMap { h =>
+      val n = if (h == 5) 100 else h + 1
+      Seq.fill(n)(("m", "s", h * hour, 1.0))
+    }.toDF("metric", "series", "ts", "value")
+    val out = TimeSeries.theilSen(pts).collect().head
+    assert(out.getLong(1) == 8L && out.getLong(2) == 28L) // C(8,2) pairs
+    assert(out.getDouble(3) == 1.0)   // median slope survives the outlier
+  }
+
+  test("volumeBands flags a spike against the trailing-24 stats, full windows only") {
+    val hour = 3600000L
+    // 24 buckets at 10, then one spike of 30: first 24 rows have no full
+    // trailing window; the spike bucket sees mean 10, sd 0 -> flagged
+    val rows = (0 until 24).flatMap(h => Seq.fill(10)(("A", h * hour, 1L))) ++
+      Seq.fill(30)(("A", 24 * hour, 1L))
+    val out = Anomaly.volumeBands(rows.toDF("event_type", "ts_ms", "user_id"),
+      "event_type", "ts_ms").collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(1) == 24L && r.getLong(2) == 30L)
+    assert(r.getDouble(3) == 10.0 && r.getDouble(4) == 0.0 && r.getLong(5) == 1L)
+  }
+
+  test("bloomFprAudit: members all hit, salted non-members hit at ~expected rate") {
+    val d = (1L to 200L).map(i => (i, s"document number $i with unique content")).toDF("doc_id", "text")
+    // members as probes: every one flags (no false negatives)
+    val members = Dedup.bloomFprAudit(d, d).collect().head
+    assert(members.getLong(0) == 200L && members.getLong(2) == 200L)
+    assert(members.getLong(3) == 200L && members.getDouble(4) == 1.0)
+    // planted non-members: observed near the analytic rate (tiny for n=200, m=2^20)
+    val probes = d.select(col("doc_id"), concat(col("text"), lit(" salt")).as("text"))
+    val fpr = Dedup.bloomFprAudit(d, probes).collect().head
+    assert(fpr.getLong(1) == 1048576L)
+    assert(fpr.getDouble(4) <= 0.01) // expected ~3e-13 at this load
+    val k = 4.0; val expect = math.pow(1.0 - math.exp(-k * 200.0 / 1048576.0), k)
+    assert(math.abs(fpr.getDouble(5) - expect) < 1e-9)
+  }
+
+  test("quotaSample2d keeps exactly cap docs per (lang, source) cell in salted-md5 order") {
+    val d = (1L to 60L).map(i => (i, if (i % 2 == 0) "en" else "de", s"src${i % 3}"))
+      .toDF("doc_id", "lang", "source")
+    val out = Curation.quotaSample2d(d, cap = 3)
+    val sizes = out.groupBy("lang", "source").count().collect().map(_.getLong(2)).toSet
+    assert(sizes == Set(3L)) // every 10-doc cell capped to 3
+    // the kept set per cell is the md5-least 3: recompute expected for one cell
+    def h(i: Long) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s"quota2d:$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val cell = (1L to 60L).filter(i => i % 2 == 0 && i % 3 == 0) // en, src0
+    val expected = cell.sortBy(i => (h(i), i)).take(3).toSet
+    val kept = out.where(col("lang") === "en" && col("source") === "src0")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == expected)
+  }
 }
