@@ -375,4 +375,56 @@ object SimilarityIvf {
         (col("n_vecs").cast("double") * nLists / col("n_total").cast("double"))
           .as("load_factor"))
   }
+
+  /**
+   * Centroid-based SILHOUETTE per list — the clustering-quality audit
+   * [[cellPurity]] can't give on unlabeled data: for each vector,
+   * d₁ = 1 − cos(v, assigned centroid), d₂ = 1 − cos(v, runner-up), and
+   * s = (d₂ − d₁)/max(d₁, d₂) ∈ [0, 1] (the centroid simplification of
+   * Rousseeuw 1987 — the full formula needs pairwise member distances; the
+   * centroid form is what ANN index monitoring actually computes). A list
+   * whose mean s ≈ 0 sits on a cell boundary — its members' true neighbors
+   * live in the runner-up list, predicting recall loss at small nProbe.
+   *
+   * Scale: one broadcast-centroid fan-out (nLists rows per vector), a
+   * per-vector rank window over ≤ nLists rows, then a per-list aggregate.
+   * Determinism: cosines are the [[assign]] expression; per-row s is one
+   * pinned double chain quantized to DECIMAL(18,9) so the per-list MEAN is
+   * an exact decimal sum (order-free); min/max are picks of identical
+   * doubles. Zero-norm vectors (cos undefined) are excluded like
+   * [[Similarity.bruteForceKnnInt8]] excludes them.
+   *
+   * @return (list_id, n_vecs, mean_silhouette, min_silhouette,
+   *         max_silhouette) per non-empty assigned list.
+   */
+  def centroidSilhouette(emb: DataFrame, nLists: Int = 16): DataFrame = {
+    // a zero-norm SEED has no direction to measure against (and its cosine
+    // division is undefined) — drop it like the zero-norm corpus vectors
+    val cents = centroids(emb, nLists).where(col("cnorm") > 0.0d)
+    val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("list_id"))
+    val top2 = emb
+      .select(col("vec_id"), col("embedding"), norm("embedding").as("vnorm"))
+      .where(col("vnorm") > 0.0d)
+      .crossJoin(broadcast(cents))
+      .withColumn("csim", dot("embedding", "centroid") / (col("vnorm") * col("cnorm")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 2)
+      .groupBy("vec_id")
+      .agg(max(when(col("rn") === 1, col("list_id"))).as("list_id"),
+        max(when(col("rn") === 1, col("csim"))).as("sim1"),
+        max(when(col("rn") === 2, col("csim"))).as("sim2"))
+    val d1 = lit(1.0d) - col("sim1")
+    val d2 = lit(1.0d) - col("sim2")
+    val s = when(greatest(d1, d2) === 0.0d, lit(0.0d))
+      .otherwise((d2 - d1) / greatest(d1, d2))
+    top2
+      .select(col("list_id"), s.as("s"),
+        s.cast(DecimalType(18, 9)).as("sq"))
+      .groupBy("list_id")
+      .agg(count(lit(1)).as("n_vecs"), sum(col("sq")).as("ssum"),
+        min(col("s")).as("min_silhouette"), max(col("s")).as("max_silhouette"))
+      .select(col("list_id"), col("n_vecs"),
+        (col("ssum").cast("double") / col("n_vecs").cast("double")).as("mean_silhouette"),
+        col("min_silhouette"), col("max_silhouette"))
+  }
 }

@@ -584,6 +584,11 @@ object LlmQueries {
     // index-health audit that predicts probe latency skew
     "embed_ivf_balance" -> ((s, dir) =>
       graft.operators.SimilarityIvf.listBalance(emb(s, dir), nLists = 16)),
+    // centroid-based silhouette per list: boundary cells (mean s near 0)
+    // predict recall loss at small nProbe — the unlabeled-data clustering
+    // audit beside cellPurity's labeled one
+    "embed_silhouette" -> ((s, dir) =>
+      graft.operators.SimilarityIvf.centroidSilhouette(emb(s, dir), nLists = 16)),
     // per-source document cap (anti-template-farm): top-10 by quality
     "curate_source_cap" -> ((s, dir) =>
       graft.operators.Curation.capPerGroup(docs(s, dir), "source", 10)),
@@ -4729,6 +4734,42 @@ object LlmQueries {
          |SELECT list_id, n_vecs, n_lists_used,
          |       CAST(n_vecs AS DOUBLE) * 16 / CAST(n_total AS DOUBLE) AS load_factor
          |FROM sizes, tot""".stripMargin,
+    // mirrors SimilarityIvf.centroidSilhouette(nLists=16): same seeded
+    // centroid CTE as the IVF family, top-2 centroid rank per vector,
+    // per-row s quantized DECIMAL(18,9) so the list mean is an exact sum
+    "embed_silhouette" ->
+      """WITH cents AS (
+        |  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS list_id,
+        |         embedding AS centroid,
+        |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS cnorm
+        |  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
+        |corpus AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS vnorm
+        |  FROM embeddings),
+        |ranked AS (
+        |  SELECT c.vec_id, t.list_id,
+        |         list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(t.centroid AS DOUBLE[]))
+        |           / (c.vnorm * t.cnorm) AS csim,
+        |         ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+        |           list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(t.centroid AS DOUBLE[]))
+        |             / (c.vnorm * t.cnorm) DESC, t.list_id) AS rn
+        |  FROM corpus c CROSS JOIN cents t WHERE c.vnorm > 0),
+        |top2 AS (SELECT vec_id,
+        |                MAX(CASE WHEN rn = 1 THEN list_id END) AS list_id,
+        |                MAX(CASE WHEN rn = 1 THEN csim END) AS sim1,
+        |                MAX(CASE WHEN rn = 2 THEN csim END) AS sim2
+        |         FROM ranked WHERE rn <= 2 GROUP BY 1),
+        |sil AS (SELECT list_id,
+        |               CASE WHEN GREATEST(CAST(1.0 AS DOUBLE) - sim1, CAST(1.0 AS DOUBLE) - sim2) = CAST(0.0 AS DOUBLE)
+        |                    THEN CAST(0.0 AS DOUBLE)
+        |                    ELSE ((CAST(1.0 AS DOUBLE) - sim2) - (CAST(1.0 AS DOUBLE) - sim1))
+        |                         / GREATEST(CAST(1.0 AS DOUBLE) - sim1, CAST(1.0 AS DOUBLE) - sim2) END AS s
+        |        FROM top2)
+        |SELECT list_id, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |       CAST(SUM(CAST(s AS DECIMAL(18,9))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_silhouette,
+        |       MIN(s) AS min_silhouette, MAX(s) AS max_silhouette
+        |FROM sil GROUP BY 1""".stripMargin,
     "embed_label_purity" ->
       s"""$IvfTopCte,
          |lc AS (SELECT a.list_id, e.label, CAST(COUNT(*) AS BIGINT) AS n

@@ -186,6 +186,32 @@ class ForecastLinkOpsSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(fpr.getDouble(5) - expect) < 1e-9)
   }
 
+  test("centroidSilhouette: orthogonal singleton clusters score exactly 1") {
+    // 4 orthogonal unit vectors, nLists = 4: every vector IS its centroid
+    // (d1 = 0) and the runner-up is orthogonal (d2 = 1) -> s = 1 exactly
+    val e = (0 until 4).map { d =>
+      (d.toLong, Array.tabulate(4)(i => if (i == d) 1.0f else 0.0f))
+    }.toDF("vec_id", "embedding")
+    val out = SimilarityIvf.centroidSilhouette(e, nLists = 4).collect()
+    assert(out.length == 4)
+    out.foreach { r =>
+      assert(r.getLong(1) == 1L && r.getDouble(2) == 1.0)
+      assert(r.getDouble(3) == 1.0 && r.getDouble(4) == 1.0)
+    }
+  }
+
+  test("centroidSilhouette: zero vectors and zero seeds excluded; tied-centroid boundary scores 0") {
+    // ids 1, 2 identical unit vectors + a zero vector: both real vectors tie
+    // between the two identical centroids (d1 = d2 = 0 -> guard -> s = 0);
+    // the zero vector is excluded from corpus AND seeding
+    val e = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = SimilarityIvf.centroidSilhouette(e, nLists = 3).collect()
+    assert(out.map(_.getLong(1)).sum == 2L) // zero vector dropped
+    out.foreach(r => assert(r.getDouble(2) == 0.0))
+  }
+
   test("quotaSample2d keeps exactly cap docs per (lang, source) cell in salted-md5 order") {
     val d = (1L to 60L).map(i => (i, if (i % 2 == 0) "en" else "de", s"src${i % 3}"))
       .toDF("doc_id", "lang", "source")
