@@ -594,4 +594,89 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(joins.forall(_.collect { case a: Aggregate => a }.nonEmpty),
       "q18 quantity aggregate does not sit below the joins (join input unpruned)")
   }
+
+  // ---- round-9 operators --------------------------------------------------
+
+  private def noCartesian(df: org.apache.spark.sql.DataFrame, what: String,
+      allowedNlJoins: Int = 0): Unit = {
+    val plan = df.queryExecution.executedPlan
+    val unwrapped = plan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val cart = unwrapped.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }
+    val nl = unwrapped.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }
+    assert(cart.isEmpty, s"$what plans a CartesianProductExec")
+    assert(nl.size <= allowedNlJoins,
+      s"$what plans ${nl.size} nested-loop joins (allowed $allowedNlJoins 1-row scalar attaches)")
+  }
+
+  test("tfidf: term filter below the tf aggregate; only the 1-row n_docs scalar nested-loops") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val docs = (0L until 50L).map(i => (i, s"alpha beta w$i gamma")).toDF("doc_id", "text")
+    val q = Seq((1L, "alpha zebra")).toDF("query_id", "qtext")
+    val df = Search.tfidfTopK(docs, q, k = 5)
+    noCartesian(df, "tfidfTopK", allowedNlJoins = 1) // the broadcast n_docs scalar
+    val tfAggs = df.queryExecution.optimizedPlan.collect {
+      case a: Aggregate if a.groupingExpressions
+        .collect { case r: AttributeReference => r.name }.toSet == Set("doc_id", "term") => a
+    }
+    assert(tfAggs.nonEmpty, "expected (doc_id, term) tf aggregates")
+    // the CONTRIBUTION-side tf aggregate must keep the broadcast term filter
+    // below it; the norm-side aggregate (full doc vectors by design) instead
+    // keeps the matched-docs semi join below it — either way every tf
+    // aggregate has a join under it, never the raw exploded corpus
+    for (a <- tfAggs)
+      assert(a.child.collectFirst { case j: Join => j }.isDefined,
+        "a tf aggregate shuffles the whole exploded corpus")
+  }
+
+  test("pairCosineHistogram: block-keyed equi join, block-partitioned cap window") {
+    val e = (1L to 64L).map(i => (i, Array.fill(4)(i.toFloat))).toDF("vec_id", "embedding")
+    val df = Similarity.pairCosineHistogram(e, nBlocks = 8, capPerBlock = 4)
+    noCartesian(df, "pairCosineHistogram")
+    val ws = windows(df)
+    assert(ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty),
+      "pair-cap window must be block-partitioned")
+  }
+
+  test("adamicAdar and theilSen: key-equi joins only, partitioned windows only") {
+    val g = (1L to 40L).map(i => (s"s${i % 7}", s"c${i % 4}")).toDF("src", "dst")
+    noCartesian(Graph.adamicAdar(g), "adamicAdar")
+    val p = pts
+    val ts = TimeSeries.theilSen(p, bucketMs = 4000L)
+    noCartesian(ts, "theilSen")
+    assert(windows(ts).forall(_.partitionSpec.nonEmpty),
+      "theilSen rank windows must be metric-partitioned")
+  }
+
+  test("rollingUniques and holtForecast plan aggregates only — no window, no cartesian") {
+    val ev = (0L until 64L).map(i => (s"t${i % 3}", i * 3600000L, i % 9))
+      .toDF("event_type", "ts_ms", "user_id")
+    val ru = Funnel.rollingUniques(ev, "event_type", "ts_ms", "user_id")
+    noCartesian(ru, "rollingUniques")
+    assert(windows(ru).isEmpty, "rollingUniques must not plan a window")
+    val holt = TimeSeries.holtForecast(pts, bucketMs = 4000L)
+    noCartesian(holt, "holtForecast")
+    assert(windows(holt).isEmpty, "holtForecast must not plan a window")
+  }
+
+  test("volumeBands: the trailing window is group-partitioned over the aggregated frame") {
+    val ev = (0L until 128L).map(i => (s"t${i % 2}", (i / 2) * 3600000L, i))
+      .toDF("event_type", "ts_ms", "user_id")
+    val df = Anomaly.volumeBands(ev, "event_type", "ts_ms", window = 4)
+    val ws = windows(df)
+    assert(ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty),
+      "volumeBands window must partition by group")
+  }
+
+  test("centroidDrift: one corpus aggregate feeds a groups-by-dim equi join") {
+    val e = (1L to 32L).map(i => (i, Array.fill(4)(i.toFloat), (i % 3).toInt))
+      .toDF("vec_id", "embedding", "label")
+    noCartesian(Similarity.centroidDrift(e), "centroidDrift")
+  }
 }
