@@ -831,6 +831,68 @@ object TimeSeries {
   }
 
   /**
+   * STREAMING twin of [[holtForecast]]: per metric, a
+   * `flatMapGroupsWithState` fold whose state is (closed-bucket count, y₁,
+   * level, trend, open bucket, open count) — six numbers, BOUNDED per
+   * metric regardless of volume — updating Holt state each time an hourly
+   * bucket CLOSES (an event arrives for a later bucket). The open bucket
+   * stays pending: its count may still grow, so the emitted state always
+   * covers exactly the closed prefix — feed a sentinel event in a later
+   * bucket to flush the last real bucket, and the emitted row equals
+   * [[holtForecast]] over the closed buckets bit-for-bit (the Scala fold
+   * reuses the identical expression tree: l′ = α·y + (1−α)·(l+b),
+   * b′ = β·(l′−l) + (1−β)·b with α=0.5, β=0.25). Within a batch, buckets
+   * fold in ascending order; events for a bucket BELOW the open one are
+   * late beyond the model's memory and are dropped (the documented tailing
+   * assumption, as in the z-score/CMS twins).
+   *
+   * @return per batch and metric with ≥ 2 closed buckets:
+   *         (metric, n_buckets, level, trend, forecast_1h).
+   */
+  def holtStream(events: DataFrame, bucketMs: Long = 3600000L): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val a = 0.5d; val ca = 0.5d; val b = 0.25d; val cb = 0.75d
+    val ds = events
+      .select(col("metric").cast("string"), (col("ts") - (col("ts") % lit(bucketMs))).as("b"))
+      .as[(String, Long)]
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (metric: String, rows: Iterator[(String, Long)],
+         state: GroupState[(Long, Double, Double, Double, Long, Long)]) =>
+          var (nClosed, y1, level, trend, openB, openCnt) =
+            state.getOption.getOrElse((0L, 0.0, 0.0, 0.0, Long.MinValue, 0L))
+          def close(y: Double): Unit = {
+            if (nClosed == 0L) y1 = y
+            else if (nClosed == 1L) { level = y1; trend = y - y1 }
+            else {
+              val lNew = a * y + ca * (level + trend)
+              trend = b * (lNew - level) + cb * trend
+              level = lNew
+            }
+            nClosed += 1
+          }
+          // fold this batch's buckets in ascending event-time order
+          val counts = scala.collection.mutable.TreeMap.empty[Long, Long]
+          rows.foreach { case (_, bk) =>
+            if (bk >= openB) counts(bk) = counts.getOrElse(bk, 0L) + 1L
+          } // bk < openB: late beyond memory, dropped
+          counts.foreach { case (bk, c) =>
+            if (bk == openB) openCnt += c
+            else { // a later bucket: close the open one first
+              if (openB != Long.MinValue) close(openCnt.toDouble)
+              openB = bk; openCnt = c
+            }
+          }
+          state.update((nClosed, y1, level, trend, openB, openCnt))
+          if (nClosed < 2L) Iterator.empty
+          else Iterator.single((metric, nClosed, level, trend, level + trend))
+      }
+      .toDF("metric", "n_buckets", "level", "trend", "forecast_1h")
+  }
+
+  /**
    * THEIL–SEN robust trend per metric over the hourly volume series: the
    * median of all pairwise slopes (y_j − y_i)/(b_j − b_i), i < j — the
    * estimator that shrugs off the outlier buckets an OLS slope (and

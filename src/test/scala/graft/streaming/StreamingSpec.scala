@@ -423,4 +423,41 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     q.stop()
     assert(later == 1L, "representatives persist across micro-batches")
   }
+
+  test("holt stream: closed-prefix state == batch holtForecast, open bucket pending") {
+    import graft.operators.TimeSeries
+    val hour = 3600000L
+    // hourly counts 1, 2, 4 (buckets 0-2); a sentinel in bucket 3 closes
+    // bucket 2 so the closed prefix is exactly the batch fixture
+    val real = (Seq.fill(1)(0L) ++ Seq.fill(2)(hour) ++ Seq.fill(4)(2 * hour))
+      .map(ts => ("m", ts))
+    val input = MemoryStream[(String, Long)]
+    val out = TimeSeries.holtStream(input.toDS().toDF("metric", "ts"))
+    val q = out.writeStream.format("memory").queryName("holt_stream")
+      .outputMode("append").start()
+    input.addData(real :+ ("m", 3 * hour): _*)
+    q.processAllAvailable()
+    val last = spark.table("holt_stream").orderBy(col("n_buckets").desc)
+      .collect().head
+    val batch = TimeSeries.holtForecast(
+      real.map { case (m, ts) => (m, "s", ts, 1.0) }.toDF("metric", "series", "ts", "value"))
+      .collect().head
+    assert(last.getLong(1) == batch.getLong(1))                 // n_buckets
+    assert(last.getDouble(2) == batch.getDouble(2))             // level, bit-exact
+    assert(last.getDouble(3) == batch.getDouble(3))             // trend
+    assert(last.getDouble(4) == batch.getDouble(4))             // forecast_1h
+
+    // cross-batch: more events in bucket 3 GROW the open bucket, then a
+    // bucket-4 sentinel closes it — state carried between micro-batches
+    input.addData(Seq.fill(7)(("m", 3 * hour)) :+ ("m", 4 * hour): _*)
+    q.processAllAvailable()
+    val later = spark.table("holt_stream").orderBy(col("n_buckets").desc).collect().head
+    q.stop()
+    val batch2 = TimeSeries.holtForecast(
+      (real ++ Seq.fill(8)(("m", 3 * hour)))
+        .map { case (m, ts) => (m, "s", ts, 1.0) }.toDF("metric", "series", "ts", "value"))
+      .collect().head
+    assert(later.getLong(1) == 4L && later.getDouble(2) == batch2.getDouble(2)
+      && later.getDouble(3) == batch2.getDouble(3))
+  }
 }
