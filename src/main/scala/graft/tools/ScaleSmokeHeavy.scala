@@ -28,10 +28,16 @@ object ScaleSmokeHeavy {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def t[A](name: String)(f: => A): A = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"SCALE1K $name ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
-    }
+    // SPARK_GRAFT_SMOKE_ONLY=substr: run only ops whose label contains it
+    // (isolating one row on an idle host — shared-JVM cache pressure from
+    // earlier ops measurably inflates later rows at this tier)
+    val only = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")
+    def t[A](name: String)(f: => A): Any =
+      if (only.exists(s => !name.contains(s))) ()
+      else {
+        val t0 = System.nanoTime(); val r = f
+        println(f"SCALE1K $name ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+      }
     val base = graft.operators.Points.table(spark, sfDir, "documents")
     val n = base.count()
     val docs = base
@@ -45,12 +51,17 @@ object ScaleSmokeHeavy {
     // 1-2. minhash auto-cap at the 1000-sibling clique corpus: the derived
     // cap must land BELOW the duplication factor so candidate generation
     // stays linear (the whole point of the data-derived cap)
-    val autoCap = t("minhashAutoCap (quantile pre-aggregate)") {
+    val autoCap: Long = t("minhashAutoCap (quantile pre-aggregate)") {
       graft.operators.Dedup.minhashAutoCap(docs)
+    } match {
+      case c: Long => c
+      case _ => 0L // filtered out by SPARK_GRAFT_SMOKE_ONLY
     }
-    println(s"SCALE1K minhash auto-derived cap = $autoCap (duplication factor $reps)")
-    t(s"minhashLsh auto-capped (maxBucket=$autoCap)") {
-      graft.operators.Dedup.minhashLsh(docs, maxBucket = autoCap).count()
+    if (autoCap > 0L) {
+      println(s"SCALE1K minhash auto-derived cap = $autoCap (duplication factor $reps)")
+      t(s"minhashLsh auto-capped (maxBucket=$autoCap)") {
+        graft.operators.Dedup.minhashLsh(docs, maxBucket = autoCap).count()
+      }
     }
 
     // 3. exact-substring dedup: worst-case island merging (every window of
