@@ -565,6 +565,73 @@ object Anomaly {
   }
 
   /**
+   * STREAMING twin of [[volumeBands]]: per group, a
+   * `flatMapGroupsWithState` whose state is the OPEN bucket (id + count)
+   * plus a ring of the last `window` CLOSED bucket counts — `window`+2
+   * numbers per group, bounded at any volume. When an event arrives for a
+   * later bucket, the open bucket closes: if the ring already holds
+   * `window` counts, the closing bucket is scored against their mean ±
+   * `nSigma`·σ (the IDENTICAL integer-sums-then-pinned-doubles arithmetic
+   * as the batch op) and a row emits; the ring then shifts. Late events
+   * below the open bucket drop (the tailing assumption of the other
+   * twins). One caveat vs batch: the batch op's trailing window is
+   * ROWS-based over observed buckets, and so is the ring — gaps skip in
+   * both, so a sentinel-flushed one-batch stream reproduces the batch
+   * frame exactly (spec-pinned).
+   *
+   * @return per closing bucket with a full ring:
+   *         (group, bucket, n, mean_n, sd_n, band_flag).
+   */
+  def volumeBandsStream(events: DataFrame, typeCol: String = "event_type",
+      tsMsCol: String = "ts_ms", bucketMs: Long = 3600000L,
+      window: Int = 24, nSigma: Double = 2.0): DataFrame = {
+    require(window >= 2, "window >= 2")
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ds = events
+      .select(col(typeCol).cast("string"),
+        expr(s"$tsMsCol div $bucketMs - (CASE WHEN $tsMsCol % $bucketMs < 0 THEN 1 ELSE 0 END)"))
+      .as[(String, Long)]
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (grp: String, rows: Iterator[(String, Long)],
+         state: GroupState[(Long, Long, Seq[Long])]) =>
+          var (openB, openCnt, ring) =
+            state.getOption.getOrElse((Long.MinValue, 0L, Seq.empty[Long]))
+          val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Double, Double, Long)]
+          def close(bucket: Long, y: Long): Unit = {
+            if (ring.size == window) {
+              val s = ring.sum
+              val ss = ring.map(v => v * v).sum
+              val nd = window.toDouble
+              val mean = s.toDouble / nd
+              val varr = math.max(ss.toDouble / nd - mean * mean, 0.0)
+              val sd = math.sqrt(varr)
+              val flag = if (math.abs(y.toDouble - mean) > nSigma * sd) 1L else 0L
+              out += ((grp, bucket, y, mean, sd, flag))
+              ring = ring.drop(1)
+            }
+            ring = ring :+ y
+          }
+          val counts = scala.collection.mutable.TreeMap.empty[Long, Long]
+          rows.foreach { case (_, bk) =>
+            if (bk >= openB) counts(bk) = counts.getOrElse(bk, 0L) + 1L
+          }
+          counts.foreach { case (bk, c) =>
+            if (bk == openB) openCnt += c
+            else {
+              if (openB != Long.MinValue) close(openB, openCnt)
+              openB = bk; openCnt = c
+            }
+          }
+          state.update((openB, openCnt, ring))
+          out.iterator
+      }
+      .toDF(typeCol, "bucket", "n", "mean_n", "sd_n", "band_flag")
+  }
+
+  /**
    * SEASONAL-NAIVE baseline forecast error per group — the accuracy floor
    * every real forecaster (e.g. [[TimeSeries.holtForecast]]) must beat
    * before it earns a pager: predict each hourly bucket's volume with the

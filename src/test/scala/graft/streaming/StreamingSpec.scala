@@ -460,4 +460,36 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(later.getLong(1) == 4L && later.getDouble(2) == batch2.getDouble(2)
       && later.getDouble(3) == batch2.getDouble(3))
   }
+
+  test("volume-bands stream: sentinel-flushed one-batch stream == batch bands exactly") {
+    import graft.operators.Anomaly
+    val hour = 3600000L
+    // 8 buckets at 10 events, then a 30-event spike, then 2 normal buckets
+    // (window = 4 keeps the fixture small); a final sentinel closes the tail
+    val counts = Seq.fill(8)(10) ++ Seq(30) ++ Seq(11, 9)
+    val real = counts.zipWithIndex.flatMap { case (c, h) =>
+      Seq.fill(c)(("A", h * hour, 1L))
+    }
+    val input = MemoryStream[(String, Long, Long)]
+    val out = Anomaly.volumeBandsStream(
+      input.toDS().toDF("event_type", "ts_ms", "user_id"), window = 4)
+    val q = out.writeStream.format("memory").queryName("bands_stream")
+      .outputMode("append").start()
+    input.addData(real :+ (("A", 100 * hour, 1L)): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("bands_stream")
+      .where(col("bucket") < 100) // the sentinel bucket itself never scores
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getLong(5)))
+    val batch = Anomaly.volumeBands(
+      real.toDF("event_type", "ts_ms", "user_id"), window = 4)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getLong(5)))
+    assert(streamed.toSeq == batch.toSeq,
+      "one-batch stream must reproduce the batch band frame bit-for-bit")
+    // the spike bucket flags, its normal neighbors don't
+    val byBucket = streamed.map(t => t._1 -> t._5).toMap
+    assert(byBucket(8L) == 1L && byBucket(7L) == 0L && byBucket(9L) == 0L)
+  }
 }
