@@ -814,6 +814,34 @@ object Funnel {
   }
 
   /**
+   * Weekday × hour traffic PROFILE per group — the capacity-planning /
+   * bot-forensics heatmap beside [[dailyTrend]] (time series) and
+   * hour-entropy (one number): counts and within-group shares for each of
+   * the 168 weekly cells. Office-hours products show a 5×8 block, crons a
+   * single hot column, global consumer traffic a smooth diurnal band.
+   *
+   * All integer arithmetic (epoch-day floor division; dow 0 = Monday via
+   * the +3 offset from the 1970-01-01 Thursday epoch; one pinned double
+   * division for the share) — exact in any engine.
+   *
+   * @return (group, dow, hour, n, share) for non-empty cells.
+   */
+  def weekdayProfile(events: DataFrame, keyCol: String, tsMsCol: String): DataFrame = {
+    val day = expr(
+      s"$tsMsCol div 86400000 - (CASE WHEN $tsMsCol % 86400000 < 0 THEN 1 ELSE 0 END)")
+    val hour = expr(
+      s"($tsMsCol div 3600000 - (CASE WHEN $tsMsCol % 3600000 < 0 THEN 1 ELSE 0 END)) % 24")
+    val cells = events
+      .select(col(keyCol), pmod(day + 3, lit(7)).as("dow"), hour.as("hour"))
+      .groupBy(col(keyCol), col("dow"), col("hour"))
+      .agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy(col(keyCol)).agg(sum("n").as("n_total"))
+    cells.join(totals, Seq(keyCol))
+      .select(col(keyCol), col("dow"), col("hour"), col("n"),
+        (col("n").cast("double") / col("n_total").cast("double")).as("share"))
+  }
+
+  /**
    * ROLLING-WINDOW exact distinct actors per (group, day) — the WAU-style
    * "uniques over the trailing N days" view beside [[dailyTrend]]'s
    * same-day counts; the retention/engagement denominator every growth

@@ -127,6 +127,12 @@ object ApiQueries {
       val ev = Points.table(s, dir, "events").withColumn("ts_ms", expr("ts div 1000000"))
       Funnel.rollingUniques(ev, "event_type", "ts_ms", "user_id", windowDays = 7)
     }),
+    // weekday x hour traffic heatmap per type: the capacity-planning /
+    // cron-forensics grid — integer cells + one pinned share division
+    "events_weekday_profile" -> ((s, dir) => {
+      val ev = Points.table(s, dir, "events").withColumn("ts_ms", expr("ts div 1000000"))
+      Funnel.weekdayProfile(ev, "event_type", "ts_ms")
+    }),
     // Bollinger-style volume bands: each hour vs the trailing 24 FULL
     // buckets' mean +- 2 sigma (self excluded) — rolling-regime anomaly
     // view; integer window sums, pinned double expressions per row
@@ -767,6 +773,18 @@ object ApiQueries {
         |       FROM ex0 GROUP BY 1, 2)
         |SELECT du.event_type, du.day, du.day_uniques, ru.rolling_uniques
         |FROM du JOIN ru ON du.event_type = ru.event_type AND du.day = ru.day""".stripMargin,
+    // mirrors Funnel.weekdayProfile: integer epoch-day/hour floor division,
+    // dow 0 = Monday via the +3 Thursday-epoch offset
+    "events_weekday_profile" ->
+      """WITH c AS (SELECT event_type,
+        |                  (epoch_ms(ts) // 86400000 + 3) % 7 AS dow,
+        |                  (epoch_ms(ts) // 3600000) % 24 AS hour,
+        |                  CAST(COUNT(*) AS BIGINT) AS n
+        |           FROM events GROUP BY 1, 2, 3),
+        |t AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_total FROM c GROUP BY 1)
+        |SELECT c.event_type, c.dow, c.hour, c.n,
+        |       CAST(c.n AS DOUBLE) / CAST(t.n_total AS DOUBLE) AS share
+        |FROM c JOIN t USING (event_type)""".stripMargin,
     // mirrors Anomaly.volumeBands(window=24, nSigma=2): trailing rows-based
     // window of integer sums, identical mean/variance/flag expressions
     "events_volume_bands" ->
