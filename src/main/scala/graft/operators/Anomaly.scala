@@ -565,6 +565,37 @@ object Anomaly {
   }
 
   /**
+   * Anomaly-flag RUN LENGTHS per group — the alert-fatigue metric over
+   * [[volumeBands]]' verdicts: consecutive flagged buckets collapse into
+   * runs (gaps-and-islands: `bucket − ROW_NUMBER()-within-flagged` is
+   * constant inside a run of CONSECUTIVE buckets), so "how long do
+   * anomalies persist" and "how many distinct incidents" read off one
+   * frame. A single 12-bucket incident should page once, not 12 times;
+   * this is the report that tells the operator which.
+   *
+   * Exactness: the whole computation is integer (bucket ids, row numbers,
+   * counts) — exact anywhere. The windows partition per group over the
+   * bucket-bounded bands frame.
+   *
+   * @return (group, run_start, run_len) for every maximal run of
+   *         consecutive flagged buckets.
+   */
+  def flagRuns(events: DataFrame, typeCol: String = "event_type",
+      tsMsCol: String = "ts_ms", bucketMs: Long = 3600000L,
+      window: Int = 24, nSigma: Double = 2.0): DataFrame = {
+    val flagged = volumeBands(events, typeCol, tsMsCol, bucketMs, window, nSigma)
+      .where(col("band_flag") === 1L)
+      .select(col(typeCol).as("grp"), col("bucket"))
+    val w = Window.partitionBy("grp").orderBy("bucket")
+    flagged
+      .withColumn("island", col("bucket") - row_number().over(w))
+      .groupBy(col("grp").as(typeCol), col("island"))
+      .agg(min("bucket").as("run_start"), count(lit(1)).as("run_len"))
+      .drop("island")
+      .select(col(typeCol), col("run_start"), col("run_len"))
+  }
+
+  /**
    * STREAMING twin of [[volumeBands]]: per group, a
    * `flatMapGroupsWithState` whose state is the OPEN bucket (id + count)
    * plus a ring of the last `window` CLOSED bucket counts — `window`+2

@@ -814,6 +814,37 @@ object Funnel {
   }
 
   /**
+   * AUDIENCE OVERLAP between event types: per type pair, the distinct-actor
+   * intersection and Jaccard — the co-engagement matrix behind funnel
+   * design ("do viewers purchase?") and cannibalization checks, the
+   * type-level analog of [[graft.operators.Graph.covisitation]]'s
+   * item-level affinity. Exact integers end to end (distinct counts, one
+   * pinned double division).
+   *
+   * Scale: the self-join meets on the ACTOR key, so a user contributes at
+   * most C(types, 2) pair rows — types is a small enum, never
+   * corpus-sized; the pair aggregate map-side combines on the (a, b) key.
+   *
+   * @return (type_a, type_b, n_a, n_b, n_both, jaccard) for a < b pairs
+   *         with at least one shared actor.
+   */
+  def typeOverlap(events: DataFrame, keyCol: String = "event_type",
+      idCol: String = "user_id"): DataFrame = {
+    val ku = events.select(col(keyCol).as("k"), col(idCol).as("id")).distinct()
+    val sizes = ku.groupBy("k").agg(count(lit(1)).as("n"))
+    val both = ku.as("x").join(ku.as("y"),
+        col("x.id") === col("y.id") && col("x.k") < col("y.k"))
+      .groupBy(col("x.k").as("type_a"), col("y.k").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    both
+      .join(sizes.select(col("k").as("type_a"), col("n").as("n_a")), "type_a")
+      .join(sizes.select(col("k").as("type_b"), col("n").as("n_b")), "type_b")
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"), col("n_both"),
+        (col("n_both").cast("double") /
+          (col("n_a") + col("n_b") - col("n_both")).cast("double")).as("jaccard"))
+  }
+
+  /**
    * Weekday × hour traffic PROFILE per group — the capacity-planning /
    * bot-forensics heatmap beside [[dailyTrend]] (time series) and
    * hour-entropy (one number): counts and within-group shares for each of

@@ -127,6 +127,18 @@ object ApiQueries {
       val ev = Points.table(s, dir, "events").withColumn("ts_ms", expr("ts div 1000000"))
       Funnel.rollingUniques(ev, "event_type", "ts_ms", "user_id", windowDays = 7)
     }),
+    // audience overlap between event types: distinct-actor intersection +
+    // Jaccard per type pair — actor-keyed join, <= C(types,2) rows per user
+    "events_type_overlap" -> ((s, dir) => {
+      val ev = Points.table(s, dir, "events")
+      Funnel.typeOverlap(ev)
+    }),
+    // anomaly-flag run lengths over the volume bands (gaps-and-islands):
+    // the alert-fatigue report — one incident per run, however long
+    "events_flag_runs" -> ((s, dir) => {
+      val ev = Points.table(s, dir, "events").withColumn("ts_ms", expr("ts div 1000000"))
+      Anomaly.flagRuns(ev, "event_type", "ts_ms")
+    }),
     // weekday x hour traffic heatmap per type: the capacity-planning /
     // cron-forensics grid — integer cells + one pinned share division
     "events_weekday_profile" -> ((s, dir) => {
@@ -773,6 +785,41 @@ object ApiQueries {
         |       FROM ex0 GROUP BY 1, 2)
         |SELECT du.event_type, du.day, du.day_uniques, ru.rolling_uniques
         |FROM du JOIN ru ON du.event_type = ru.event_type AND du.day = ru.day""".stripMargin,
+    // mirrors Funnel.typeOverlap: distinct (type, actor), actor-keyed pair
+    // join with a < b, exact counts + one pinned Jaccard division
+    "events_type_overlap" ->
+      """WITH ku AS (SELECT DISTINCT event_type AS k, user_id AS id FROM events),
+        |s AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n FROM ku GROUP BY 1),
+        |b AS (SELECT x.k AS type_a, y.k AS type_b, CAST(COUNT(*) AS BIGINT) AS n_both
+        |      FROM ku x JOIN ku y ON x.id = y.id AND x.k < y.k GROUP BY 1, 2)
+        |SELECT b.type_a, b.type_b, sa.n AS n_a, sb.n AS n_b, b.n_both,
+        |       CAST(b.n_both AS DOUBLE) / CAST(sa.n + sb.n - b.n_both AS DOUBLE) AS jaccard
+        |FROM b JOIN s sa ON b.type_a = sa.k JOIN s sb ON b.type_b = sb.k""".stripMargin,
+    // mirrors Anomaly.flagRuns: the volume-bands replay filtered to flags,
+    // then the gaps-and-islands constant (bucket - row_number) per run
+    "events_flag_runs" ->
+      """WITH h AS (SELECT event_type, epoch_ms(ts) // 3600000 AS b,
+        |                  CAST(COUNT(*) AS BIGINT) AS n
+        |           FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, b, n,
+        |             COUNT(*) OVER tw AS c,
+        |             CAST(SUM(n) OVER tw AS BIGINT) AS s,
+        |             CAST(SUM(n * n) OVER tw AS BIGINT) AS ss
+        |      FROM h
+        |      WINDOW tw AS (PARTITION BY event_type ORDER BY b
+        |                    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+        |f AS (SELECT event_type, b AS bucket FROM w
+        |      WHERE c = 24
+        |        AND ABS(CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / CAST(24.0 AS DOUBLE))
+        |            > CAST(2.0 AS DOUBLE) * sqrt(GREATEST(CAST(ss AS DOUBLE) / CAST(24.0 AS DOUBLE)
+        |                - (CAST(s AS DOUBLE) / CAST(24.0 AS DOUBLE)) * (CAST(s AS DOUBLE) / CAST(24.0 AS DOUBLE)),
+        |              CAST(0.0 AS DOUBLE)))),
+        |r AS (SELECT event_type, bucket,
+        |             bucket - ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY bucket) AS island
+        |      FROM f)
+        |SELECT event_type, CAST(MIN(bucket) AS BIGINT) AS run_start,
+        |       CAST(COUNT(*) AS BIGINT) AS run_len
+        |FROM r GROUP BY event_type, island""".stripMargin,
     // mirrors Funnel.weekdayProfile: integer epoch-day/hour floor division,
     // dow 0 = Monday via the +3 Thursday-epoch offset
     "events_weekday_profile" ->
