@@ -515,4 +515,66 @@ object Sketches {
       }
       .toDF("salt", "probe", "cms_n")
   }
+
+  /**
+   * ROLLING distinct actors per (group, day) via MERGEABLE HLL registers —
+   * the 100 TB scale path for [[graft.operators.Funnel.rollingUniques]]:
+   * the exact op shuffles every distinct (group, day, id) row seven times,
+   * which at billions of actors is the dominant cost; here each (group,
+   * day) collapses to ≤ 256 one-byte registers FIRST (map-side combined),
+   * and the trailing window is a register-wise MAX over ≤ 7×256 rows per
+   * output cell — the window merge costs the same at any actor
+   * cardinality. Same register/rho convention as [[hllDistinct]] (m = 256)
+   * PLUS the standard small-range correction that operator deliberately
+   * omits: when the raw estimate ≤ 2.5·m and empty registers remain, the
+   * LINEAR-COUNTING estimate m·ln(m/zeros) applies (Flajolet et al. §4) —
+   * rolling windows routinely sit below 2.5·m where the raw estimator is
+   * uselessly biased. The branch predicate compares identically-pinned
+   * doubles so both engines pick the same branch, and the estimate (its
+   * one libm `ln`) quantizes to DECIMAL(18,6) like the BM25 family's ln
+   * terms. The EXACT rolling count rides beside as the standing audit.
+   *
+   * @return (group, day, n_buckets, est_rolling, exact_rolling) for days
+   *         the group has events.
+   */
+  def rollingHllUniques(events: DataFrame, keyCol: String, tsMsCol: String,
+      idCol: String, windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, "windowDays >= 1")
+    val day = expr(
+      s"$tsMsCol div 86400000 - (CASE WHEN $tsMsCol % 86400000 < 0 THEN 1 ELSE 0 END)")
+    val h = md5(concat(lit("hll:"), col(idCol).cast("string")))
+    val dayRegs = events.where(col(idCol).isNotNull)
+      .select(col(keyCol), day.as("day"),
+        conv(substring(h, 1, 2), 16, 10).cast("long").as("bucket"),
+        (lit(61L) - length(conv(substring(h, 3, 15), 16, 2)).cast("long")).as("rho"))
+      .groupBy(col(keyCol), col("day"), col("bucket"))
+      .agg(max(col("rho")).as("m_reg"))
+    val rolled = dayRegs
+      .select(col(keyCol),
+        explode(sequence(col("day"), col("day") + lit(windowDays - 1L))).as("day"),
+        col("bucket"), col("m_reg"))
+      .groupBy(col(keyCol), col("day"), col("bucket"))
+      .agg(max("m_reg").as("m_reg"))
+      .withColumn("term", pow(lit(2.0), -col("m_reg").cast("double")))
+    val alphaM2 = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) * lit(65536.0)
+    val raw = alphaM2 / (col("sum_present") +
+      (lit(256L) - col("n_buckets")).cast("double"))
+    val zeros = (lit(256L) - col("n_buckets")).cast("double")
+    val corrected = when(raw <= lit(640.0d) && col("n_buckets") < 256L,
+        lit(256.0d) * log(lit(256.0d) / zeros))
+      .otherwise(raw)
+    val est = rolled.groupBy(col(keyCol), col("day"))
+      .agg(count(lit(1)).as("n_buckets"),
+        expr("aggregate(sort_array(collect_list(term)), 0D, (acc, v) -> acc + v)")
+          .as("sum_present"))
+      .select(col(keyCol), col("day"), col("n_buckets"),
+        corrected.cast(org.apache.spark.sql.types.DecimalType(18, 6))
+          .cast("double").as("est_rolling"))
+    val exact = graft.operators.Funnel.rollingUniques(
+      events, keyCol, tsMsCol, idCol, windowDays)
+    est.join(exact.select(col(keyCol), col("day"), col("rolling_uniques")),
+        Seq(keyCol, "day"))
+      .select(col(keyCol), col("day"), col("n_buckets"), col("est_rolling"),
+        col("rolling_uniques").as("exact_rolling"))
+  }
 }

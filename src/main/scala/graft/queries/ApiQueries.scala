@@ -127,6 +127,13 @@ object ApiQueries {
       val ev = Points.table(s, dir, "events").withColumn("ts_ms", expr("ts div 1000000"))
       Funnel.rollingUniques(ev, "event_type", "ts_ms", "user_id", windowDays = 7)
     }),
+    // the 100 TB scale path for rolling uniques: per-(type, day) HLL
+    // registers merged register-wise-MAX across the trailing window —
+    // window cost independent of actor cardinality; exact count beside it
+    "events_rolling_hll" -> ((s, dir) => {
+      val ev = Points.table(s, dir, "events").withColumn("ts_ms", expr("ts div 1000000"))
+      graft.operators.Sketches.rollingHllUniques(ev, "event_type", "ts_ms", "user_id")
+    }),
     // audience overlap between event types: distinct-actor intersection +
     // Jaccard per type pair — actor-keyed join, <= C(types,2) rows per user
     "events_type_overlap" -> ((s, dir) => {
@@ -785,6 +792,50 @@ object ApiQueries {
         |       FROM ex0 GROUP BY 1, 2)
         |SELECT du.event_type, du.day, du.day_uniques, ru.rolling_uniques
         |FROM du JOIN ru ON du.event_type = ru.event_type AND du.day = ru.day""".stripMargin,
+    // mirrors Sketches.rollingHllUniques: per-(type, day) registers,
+    // generate_series contribution explode, register-wise MAX merge, the
+    // sketch_hll estimator expressions, exact rolling count joined beside
+    "events_rolling_hll" ->
+      s"""WITH e AS (
+         |  SELECT event_type, epoch_ms(ts) // 86400000 AS day, user_id,
+         |         md5('hll:' || CAST(user_id AS VARCHAR)) AS h
+         |  FROM events),
+         |b AS (SELECT event_type, day,
+         |             ${hexPoly("h", 1, 2)} AS bucket,
+         |             61 - length(bin(${hexPoly("h", 3, 15)})) AS rho
+         |      FROM e),
+         |dayregs AS (SELECT event_type, day, bucket, MAX(rho) AS m_reg
+         |            FROM b GROUP BY 1, 2, 3),
+         |ex0 AS (SELECT event_type, day, bucket, m_reg, unnest(generate_series(0, 6)) AS o
+         |        FROM dayregs),
+         |rolled AS (SELECT event_type, day + o AS day, bucket, MAX(m_reg) AS m_reg
+         |           FROM ex0 GROUP BY 1, 2, 3),
+         |s AS (SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         |             list_reduce(
+         |               list_prepend(0.0::DOUBLE,
+         |                 list_sort(list(POWER(2.0, -CAST(m_reg AS DOUBLE))))),
+         |               (acc, v) -> acc + v) AS sum_present
+         |      FROM rolled GROUP BY 1, 2),
+         |kd AS (SELECT DISTINCT event_type, day, user_id
+         |       FROM (SELECT event_type, epoch_ms(ts) // 86400000 AS day, user_id FROM events)),
+         |du AS (SELECT event_type, day FROM kd GROUP BY 1, 2),
+         |exr AS (SELECT event_type, day + o AS day,
+         |               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_rolling
+         |        FROM (SELECT event_type, day, user_id, unnest(generate_series(0, 6)) AS o FROM kd)
+         |        GROUP BY 1, 2),
+         |est AS (SELECT event_type, day, n_buckets,
+         |               0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 /
+         |                 (sum_present + CAST(256 - n_buckets AS DOUBLE)) AS raw
+         |        FROM s)
+         |SELECT est.event_type, est.day, est.n_buckets,
+         |       CAST(CAST(CASE WHEN est.raw <= CAST(640.0 AS DOUBLE) AND est.n_buckets < 256
+         |                      THEN CAST(256.0 AS DOUBLE)
+         |                           * ln(CAST(256.0 AS DOUBLE) / CAST(256 - est.n_buckets AS DOUBLE))
+         |                      ELSE est.raw END AS DECIMAL(18,6)) AS DOUBLE) AS est_rolling,
+         |       exr.exact_rolling
+         |FROM est
+         |JOIN du ON est.event_type = du.event_type AND est.day = du.day
+         |JOIN exr ON est.event_type = exr.event_type AND est.day = exr.day""".stripMargin,
     // mirrors Funnel.typeOverlap: distinct (type, actor), actor-keyed pair
     // join with a < b, exact counts + one pinned Jaccard division
     "events_type_overlap" ->
