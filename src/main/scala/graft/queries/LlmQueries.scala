@@ -35,6 +35,30 @@ object LlmQueries {
    */
   private val bm25Memo = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
+  /** The bm25 top-10 oracle, shared verbatim by `search_bm25` and (as a
+    * subquery) the `search_coverage` audit so the two cannot drift. */
+  private val Bm25Top10OracleSql =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |q AS (SELECT doc_id AS query_id, array_to_string((string_split(text, ' '))[1:4], ' ') AS qtext
+      |      FROM documents WHERE doc_id % 97 = 0),
+      |qt AS (SELECT DISTINCT query_id, term
+      |       FROM (SELECT query_id, unnest(string_split(qtext, ' ')) AS term FROM q)),
+      |dt AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM w),
+      |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM dt GROUP BY 1, 2, 3),
+      |m AS (SELECT qt.query_id, tf.doc_id, tf.dl, tf.term, tf.tf FROM tf JOIN qt USING (term)),
+      |dfq AS (SELECT term, COUNT(*) AS df FROM (SELECT DISTINCT term, doc_id FROM m) GROUP BY 1),
+      |st AS (SELECT COUNT(*) AS n_docs, SUM(len(ws)) AS sum_dl FROM w),
+      |c AS (SELECT m.query_id, m.doc_id,
+      |        CAST((ln(1 + ((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)))
+      |              * ((m.tf * (1.2 + 1)) / (m.tf + (1.2 * ((1.0 - 0.75) + ((0.75 * m.dl)
+      |                / (CAST(st.sum_dl AS DOUBLE) / st.n_docs))))))) AS DECIMAL(28,9)) AS c
+      |      FROM m JOIN dfq USING (term) CROSS JOIN st),
+      |sc AS (SELECT query_id, doc_id, SUM(c) AS score, COUNT(*) AS n_terms FROM c GROUP BY 1, 2)
+      |SELECT query_id, rank, doc_id, CAST(score AS DOUBLE) AS score, n_terms FROM (
+      |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+      |  FROM sc)
+      |WHERE rank <= 10""".stripMargin
+
   /** The top-PC component frame shared by `embed_top_pc` and
     * `embed_pc_project` (the BM25-family memoization pattern): both gates
     * need the identical 8-round power iteration, so it runs once per
@@ -224,6 +248,21 @@ object LlmQueries {
     // contributions in DECIMAL(28,9) so the score sum is exact cross-engine
     "search_bm25" -> ((s, dir) =>
       bm25Hits15(s, dir).where(col("rank") <= 10)),
+    // retrieval-coverage audit over the SHARED top-10: distinct reachable
+    // docs / corpus, and whether each probe's own source doc ranks first
+    "search_coverage" -> ((s, dir) => {
+      val hits = bm25Hits15(s, dir).where(col("rank") <= 10)
+      val nDocs = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+      hits.agg(
+          count_distinct(col("doc_id")).as("n_reachable"),
+          sum(when(col("rank") === 1 && col("doc_id") === col("query_id"), 1L)
+            .otherwise(0L)).as("n_self_top1"),
+          count_distinct(col("query_id")).as("n_queries"))
+        .crossJoin(broadcast(nDocs))
+        .select(col("n_reachable"), col("n_docs"),
+          (col("n_reachable").cast("double") / col("n_docs").cast("double")).as("coverage"),
+          col("n_self_top1"), col("n_queries"))
+    }),
     // Dirichlet query-likelihood top-10 (mu=1000) over the same probes: the
     // LM scorer beside BM25 — absent query terms contribute smoothing mass
     "search_dirichlet_ql" -> ((s, dir) => {
@@ -2861,27 +2900,20 @@ object LlmQueries {
         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT) AS rank
         |  FROM n)
         |WHERE rank <= 10""".stripMargin,
-    "search_bm25" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |q AS (SELECT doc_id AS query_id, array_to_string((string_split(text, ' '))[1:4], ' ') AS qtext
-        |      FROM documents WHERE doc_id % 97 = 0),
-        |qt AS (SELECT DISTINCT query_id, term
-        |       FROM (SELECT query_id, unnest(string_split(qtext, ' ')) AS term FROM q)),
-        |dt AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM w),
-        |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM dt GROUP BY 1, 2, 3),
-        |m AS (SELECT qt.query_id, tf.doc_id, tf.dl, tf.term, tf.tf FROM tf JOIN qt USING (term)),
-        |dfq AS (SELECT term, COUNT(*) AS df FROM (SELECT DISTINCT term, doc_id FROM m) GROUP BY 1),
-        |st AS (SELECT COUNT(*) AS n_docs, SUM(len(ws)) AS sum_dl FROM w),
-        |c AS (SELECT m.query_id, m.doc_id,
-        |        CAST((ln(1 + ((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)))
-        |              * ((m.tf * (1.2 + 1)) / (m.tf + (1.2 * ((1.0 - 0.75) + ((0.75 * m.dl)
-        |                / (CAST(st.sum_dl AS DOUBLE) / st.n_docs))))))) AS DECIMAL(28,9)) AS c
-        |      FROM m JOIN dfq USING (term) CROSS JOIN st),
-        |sc AS (SELECT query_id, doc_id, SUM(c) AS score, COUNT(*) AS n_terms FROM c GROUP BY 1, 2)
-        |SELECT query_id, rank, doc_id, CAST(score AS DOUBLE) AS score, n_terms FROM (
-        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT) AS rank
-        |  FROM sc)
-        |WHERE rank <= 10""".stripMargin,
+    "search_bm25" -> Bm25Top10OracleSql,
+    // retrieval-coverage audit over the SAME bm25 top-10: how much of the
+    // corpus is reachable from the probe set, and does each probe's own
+    // source doc come back rank-1 (the self-retrieval sanity bit)
+    "search_coverage" ->
+      s"""WITH hits AS (SELECT * FROM ($Bm25Top10OracleSql)),
+         |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+         |SELECT CAST(COUNT(DISTINCT hits.doc_id) AS BIGINT) AS n_reachable,
+         |       st.n_docs,
+         |       CAST(COUNT(DISTINCT hits.doc_id) AS DOUBLE) / CAST(st.n_docs AS DOUBLE) AS coverage,
+         |       CAST(SUM(CASE WHEN hits.rank = 1 AND hits.doc_id = hits.query_id THEN 1 ELSE 0 END) AS BIGINT) AS n_self_top1,
+         |       CAST(COUNT(DISTINCT hits.query_id) AS BIGINT) AS n_queries
+         |FROM hits CROSS JOIN st
+         |GROUP BY st.n_docs""".stripMargin,
     // mirrors Search.tfidfTopK (SMART lnc.ltn): per-term contributions and
     // norm squares quantized to DECIMAL(28,9) before their exact sums, full
     // lnc doc norm over matched docs only, one pinned double score division
