@@ -432,7 +432,7 @@ object Anomaly {
       .agg(count(lit(1)).as("n_cell"), sum(col("n")).as("cell_total"))
     val cn = col("n").cast("decimal(38,0)") * col("n_cell")
     buckets.join(broadcast(cells), Seq("event_type", "dow", "hour"))
-      .select(col("event_type"), col("bucket_ms"), col("n"), col("dow"),
+      .select(col("event_type").as(typeCol), col("bucket_ms"), col("n"), col("dow"),
         col("hour"), col("n_cell"), col("cell_total"),
         when(cn > col("cell_total").cast("decimal(38,0)") * spikeX, 1L)
           .otherwise(0L).as("spike"),
@@ -558,7 +558,7 @@ object Anomaly {
       .withColumn("s", sum(col("n")).over(w))
       .withColumn("ss", sum(col("n") * col("n")).over(w))
       .where(col("c") === window)
-      .select(col("grp").as("event_type"), col("b").as("bucket"), col("n"),
+      .select(col("grp").as(typeCol), col("b").as("bucket"), col("n"),
         mean.as("mean_n"), sqrt(varr).as("sd_n"),
         when(abs(col("n").cast("double") - mean) > lit(nSigma) * sqrt(varr), 1L)
           .otherwise(0L).as("band_flag"))
@@ -699,7 +699,7 @@ object Anomaly {
         sum(col("abs_err")).as("sum_abs_err"),
         sum(col("n")).as("sum_actual"),
         max(col("abs_err")).as("max_abs_err"))
-      .select(col("grp").as("event_type"), col("n_scored"),
+      .select(col("grp").as(typeCol), col("n_scored"),
         (col("sum_abs_err").cast("double") / col("n_scored").cast("double")).as("mae"),
         when(col("sum_actual") > 0,
           col("sum_abs_err").cast("double") / col("sum_actual").cast("double")).as("wape"),

@@ -861,9 +861,10 @@ object Funnel {
     val day = expr(
       s"$tsMsCol div 86400000 - (CASE WHEN $tsMsCol % 86400000 < 0 THEN 1 ELSE 0 END)")
     val hour = expr(
-      s"($tsMsCol div 3600000 - (CASE WHEN $tsMsCol % 3600000 < 0 THEN 1 ELSE 0 END)) % 24")
+      s"$tsMsCol div 3600000 - (CASE WHEN $tsMsCol % 3600000 < 0 THEN 1 ELSE 0 END)")
     val cells = events
-      .select(col(keyCol), pmod(day + 3, lit(7)).as("dow"), hour.as("hour"))
+      .select(col(keyCol), pmod(day + 3, lit(7)).as("dow"),
+        pmod(hour, lit(24)).as("hour"))
       .groupBy(col(keyCol), col("dow"), col("hour"))
       .agg(count(lit(1)).as("n"))
     val totals = cells.groupBy(col(keyCol)).agg(sum("n").as("n_total"))

@@ -418,6 +418,11 @@ object SimilarityIvf {
     val s = when(greatest(d1, d2) === 0.0d, lit(0.0d))
       .otherwise((d2 - d1) / greatest(d1, d2))
     top2
+      // a silhouette needs a runner-up: if fewer than two centroids survive
+      // the zero-norm filter, sim2 is NULL everywhere — emit NO rows (an
+      // explicit "not measurable" signal) instead of a misleading mean of
+      // NULL-skipped sums over a non-NULL count
+      .where(col("sim2").isNotNull)
       .select(col("list_id"), s.as("s"),
         s.cast(DecimalType(18, 9)).as("sq"))
       .groupBy("list_id")

@@ -375,7 +375,11 @@ object Sketches {
    * r-row final state, and one hash-groupBy audit pass. The only window
    * orders the r-row counter frame.
    *
-   * @return one row: (r, est_f2, exact_f2, n_rows)
+   * @return one row: (r, est_f2, exact_f2, n_rows). The two F2 columns are
+   *         emitted as DOUBLE (internal math stays DECIMAL(38,0) so the
+   *         squares can't overflow LONG): an estimate tolerates the 53-bit
+   *         mantissa, and a raw decimal output column false-mismatches the
+   *         driver's hash compare (pandas Decimal vs DuckDB float64).
    */
   def amsF2(df: DataFrame, elemCol: String, r: Int = 16): DataFrame = {
     require(r >= 2 && r <= 256, "r in [2, 256]")
@@ -401,7 +405,8 @@ object Sketches {
       .agg(sum(col("f").cast("decimal(38,0)") * col("f")).as("exact_f2"),
         sum(col("f")).cast("long").as("n_rows"))
     med.crossJoin(exact)
-      .select(lit(r.toLong).as("r"), col("est_f2"), col("exact_f2"), col("n_rows"))
+      .select(lit(r.toLong).as("r"), col("est_f2").cast("double").as("est_f2"),
+        col("exact_f2").cast("double").as("exact_f2"), col("n_rows"))
   }
 
   /**

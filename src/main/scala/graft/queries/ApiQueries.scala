@@ -875,8 +875,8 @@ object ApiQueries {
     // dow 0 = Monday via the +3 Thursday-epoch offset
     "events_weekday_profile" ->
       """WITH c AS (SELECT event_type,
-        |                  (epoch_ms(ts) // 86400000 + 3) % 7 AS dow,
-        |                  (epoch_ms(ts) // 3600000) % 24 AS hour,
+        |                  ((epoch_ms(ts) // 86400000 + 3) % 7 + 7) % 7 AS dow,
+        |                  ((epoch_ms(ts) // 3600000) % 24 + 24) % 24 AS hour,
         |                  CAST(COUNT(*) AS BIGINT) AS n
         |           FROM events GROUP BY 1, 2, 3),
         |t AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_total FROM c GROUP BY 1)
@@ -1551,7 +1551,8 @@ object ApiQueries {
         |ex AS (SELECT SUM(CAST(f * f AS DECIMAL(38,0))) AS exact_f2,
         |              CAST(SUM(f) AS BIGINT) AS n_rows
         |       FROM (SELECT COUNT(*) AS f FROM x GROUP BY e))
-        |SELECT CAST(16 AS BIGINT) AS r, m.est_f2, ex.exact_f2, ex.n_rows
+        |SELECT CAST(16 AS BIGINT) AS r, CAST(m.est_f2 AS DOUBLE) AS est_f2,
+        |       CAST(ex.exact_f2 AS DOUBLE) AS exact_f2, ex.n_rows
         |FROM m, ex WHERE m.rn = 8""".stripMargin
   )
 }

@@ -271,7 +271,11 @@ class HttpApi(
           // reference's HttpStaticFileServerHandler (it receives whatever the
           // typed-request decoder did not convert, with no auth check —
           // Server.java:516, HttpStaticFileServerHandler.java:124-160)
-          serveStatic(ex, m, p)
+          // hand the handler the RAW (still-encoded) path: java.net.URI has
+          // already percent-decoded getPath once, and sanitizeStaticUri does
+          // the one URLDecoder.decode the reference does — decoding twice
+          // would 404 filenames containing literal '%' or '+'
+          serveStatic(ex, m, ex.getRequestURI.getRawPath)
         case _ => requestAuths(ex) match {
           case None => respond(ex, 401, "unauthorized\n", "text/plain")
           case Some(callerAuths) => routeAuthed(ex, callerAuths)

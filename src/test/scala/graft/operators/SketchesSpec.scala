@@ -165,8 +165,12 @@ class SketchesSpec extends AnyFunSuite with SparkSpec {
     // one distinct element, frequency 7: every counter is ±7, every square
     // 49 -> the median IS the exact F2
     val one = Seq.fill(7)("k").toDF("e")
-    def dec(row: org.apache.spark.sql.Row, c: String): Long =
-      row.getAs[java.math.BigDecimal](c).longValueExact()
+    // F2 columns emit as DOUBLE (decimal internally; see amsF2 scaladoc)
+    def dec(row: org.apache.spark.sql.Row, c: String): Long = {
+      val d = row.getAs[Double](c)
+      assert(d == math.rint(d), s"$c not integral: $d")
+      d.toLong
+    }
     val r1 = Sketches.amsF2(one, "e", r = 16).collect().head
     assert(r1.getAs[Long]("r") == 16L)
     assert(dec(r1, "est_f2") == 49L)
