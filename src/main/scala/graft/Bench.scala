@@ -28,7 +28,12 @@ object Bench {
     // JVM/codegen warm-up so the first measured query doesn't absorb JIT cost
     spark.range(1 << 20).selectExpr("sum(id)", "count(distinct id % 1000)").collect()
     SparkEntry.entry(spark).count()
+    // SPARK_GRAFT_BENCH_ONLY=comma,separated,names — local dev filter only
+    // (the driver never sets it and times the full registry)
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(kv => only.forall(_.contains(kv._1)))
     // a failed query must be visible as a failure, not a fast timing:
     // record per-query errors and exit nonzero if any query broke
     val passes: Seq[Seq[(String, Double, Option[String])]] = (1 to runs).map { _ =>

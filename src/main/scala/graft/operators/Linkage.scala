@@ -78,9 +78,17 @@ object Linkage {
    * @return (id, name, entity_id) for every input row.
    */
   def entities(df: DataFrame, idCol: String, nameCol: String,
-      blockLen: Int = 8, maxDist: Int = 1, maxBlock: Long = 10000L): DataFrame = {
-    val pairs = fuzzyPairs(df, idCol, nameCol, blockLen, maxDist, maxBlock)
-      .select(col("id_a").as("a"), col("id_b").as("b"))
+      blockLen: Int = 8, maxDist: Int = 1, maxBlock: Long = 10000L): DataFrame =
+    entitiesFromPairs(df,
+      fuzzyPairs(df, idCol, nameCol, blockLen, maxDist, maxBlock),
+      idCol, nameCol)
+
+  /** [[entities]] over a pre-built [[fuzzyPairs]] frame — the shared-fetch
+    * entry point: one block-verify join serves both the pair report and the
+    * entity assignment (the pairs frame is verify-bounded, safe to persist). */
+  def entitiesFromPairs(df: DataFrame, fuzzyPairsDf: DataFrame,
+      idCol: String, nameCol: String): DataFrame = {
+    val pairs = fuzzyPairsDf.select(col("id_a").as("a"), col("id_b").as("b"))
     val labels = Dedup.clusters(pairs)
       .select(col("doc_id").as("id"), col("cluster_id"))
     df.where(col(idCol).isNotNull && col(nameCol).isNotNull)

@@ -49,6 +49,36 @@ object Search {
 
   private val TopKShards = 32L
 
+  /**
+   * The MATCHED-POSTINGS frame `(doc_id, dl, term, tf)` for a term set —
+   * the corpus scan + token explode + broadcast term filter + tf aggregate
+   * that every lexical scorer opens with, factored out so ONE build
+   * (memoized/persisted by the caller) serves BM25, Dirichlet-QL, tf-idf
+   * and the PRF re-rank. The broadcast term-set filter sits BELOW the tf
+   * aggregate, so the one corpus-sized shuffle carries only term-matched
+   * occurrences, never the whole exploded corpus; tf per retained
+   * (doc, term) is independent of WHICH term set selected it, so scorers
+   * composing on this frame are bit-identical to their self-contained
+   * forms. dl rides the group-by key (functionally dependent on doc_id) so
+   * document length needs no second join.
+   */
+  def matchedPostings(docs: DataFrame, termsIn: DataFrame): DataFrame = {
+    val words = split(col("text"), " ")
+    docs
+      .select(col("doc_id"), size(words).cast("long").as("dl"), explode(words).as("term"))
+      .join(broadcast(termsIn.select("term").distinct()), "term")
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+  }
+
+  /** One-row corpus stats `(n_docs, sum_dl)` shared by the scorers (BM25's
+    * avgdl pivot, Dirichlet's collection size, tf-idf's N). */
+  def corpusStats(docs: DataFrame): DataFrame = {
+    val words = split(col("text"), " ")
+    docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(words).cast("long")).as("sum_dl"))
+  }
+
   def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int = 10,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val qTerms = queries
@@ -61,24 +91,20 @@ object Search {
     * point query-expansion composes on (the expanded term set replaces the
     * qtext split; scoring, df, and ranking are identical). */
   def bm25TopKFromTerms(docs: DataFrame, qTermsIn: DataFrame, k: Int = 10,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25TopKFromPostings(matchedPostings(docs, qTermsIn), corpusStats(docs),
+      qTermsIn, k, k1, b)
+
+  /** [[bm25TopK]] over a pre-built [[matchedPostings]] frame + one-row
+    * [[corpusStats]] — the shared-fetch entry point: the caller pays the
+    * corpus scan once for the whole retrieval family. `postings` must cover
+    * every term of `qTermsIn`. */
+  def bm25TopKFromPostings(postings: DataFrame, stats: DataFrame,
+               qTermsIn: DataFrame, k: Int = 10,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k >= 1, "k >= 1")
-    val words = split(col("text"), " ")
-    val stats = docs.agg(
-      count(lit(1)).as("n_docs"),
-      sum(size(words).cast("long")).as("sum_dl"))
     val qTerms = qTermsIn.select(col("query_id"), col("term")).distinct()
-    // the broadcast term-set filter sits BELOW the tf aggregate, so the one
-    // corpus-sized shuffle carries only query-matched term occurrences, not
-    // the whole exploded corpus; tf per retained (doc, term) is unchanged
-    // because every occurrence of a retained term survives the filter.
-    // (doc_id, term, tf, dl): dl rides the group-by key (functionally
-    // dependent on doc_id) so document length needs no second join
-    val docTerms = docs
-      .select(col("doc_id"), size(words).cast("long").as("dl"), explode(words).as("term"))
-      .join(broadcast(qTerms.select("term").distinct()), "term")
-      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
-    val matched = docTerms.join(broadcast(qTerms), "term")
+    val matched = postings.join(broadcast(qTerms), "term")
     // df(t) = distinct docs containing t — matched already holds every such
     // doc for every query term, so this aggregate is matched-sized, not
     // corpus-sized (and its result is tiny: one row per query term)
@@ -122,68 +148,100 @@ object Search {
    *   score(q, d) = Σ_{t ∈ q} ln( (tf(t,d) + μ·cf(t)/|C|) / (dl + μ) )
    *
    * Unlike BM25, a query term ABSENT from the doc still contributes its
-   * smoothing mass ln(μ·P(t|C)/(dl+μ)) — so scoring runs over candidate ×
-   * query-term pairs with tf defaulted to 0, not just matched pairs.
-   * Candidates are docs matching ≥ 1 query term (a term matching nothing
-   * corpus-wide has cf = 0 and would send every candidate to ln(0); such
-   * terms are dropped, mirroring the oracle).
+   * smoothing mass ln(μ·P(t|C)/(dl+μ)). Rather than materialize candidate ×
+   * query-term pairs with tf defaulted to 0, the score uses the paper's own
+   * rank-equivalent DECOMPOSITION (Zhai & Lafferty 2001, the standard
+   * production form):
+   *
+   *   score(q, d) = Σ_{t∈q} ln(μ·cf(t)/|C|)        — per-QUERY constant
+   *               − |q|·ln(dl + μ)                  — per-CANDIDATE term
+   *               + Σ_{t∈q∩d} ln(1 + tf·|C|/(μ·cf)) — per-MATCHED-row term
+   *
+   * so the plan never expands beyond the matched rows: no candidates×terms
+   * frame, no 3-key left join back onto matched — ONE matched-bounded
+   * aggregate, a broadcast of per-query constants, done. Candidates are
+   * docs matching ≥ 1 query term; terms matching nothing corpus-wide
+   * (cf = 0, ln(0)) are dropped from |q| and the constant, mirroring the
+   * oracle.
    *
    * Scale: identical pushdown shape to [[bm25TopKFromTerms]] — query terms
    * broadcast BELOW the corpus tf aggregate, cf(t) comes from the matched
-   * rows themselves (every occurrence of a query term is in `docTerms`, so
-   * Σtf IS the collection frequency), |C| and the candidate set are
-   * matched-bounded, and the candidate × term expansion is
-   * (Σ_t df(t)) × |q| rows — query-batch-bounded, never corpus². Ranking is
-   * the same two-level sharded top-k. Per-term contributions quantize to
-   * DECIMAL(28,9) (absorbing the 1-ulp libm ln divergence) and sum exactly.
+   * rows themselves (every occurrence of a query term is in the postings,
+   * so Σtf IS the collection frequency), and every aggregate is
+   * matched-bounded. Ranking is the same two-level sharded top-k.
+   *
+   * Determinism: each of the three ln() factors (the only libm ops)
+   * quantizes to DECIMAL(18,9) and scales to an exact LONG at 1e-9 —
+   * integer arithmetic from there on (sums, the |q|·dlterm product, the
+   * final combination), so scores are exact fixed-point and the rank order
+   * is integer-total. |score| < 50 per term keeps the scaled sum far below
+   * 2⁶³ at any |q|. The exported double is one pinned division.
    *
    * @return (query_id, rank, doc_id, score, n_hit): top `k` per query;
    *         `n_hit` = query terms actually present in the doc
    */
   def dirichletTopK(docs: DataFrame, queries: DataFrame, k: Int = 10,
                     mu: Double = 1000.0): DataFrame = {
-    require(k >= 1, "k >= 1")
-    val words = split(col("text"), " ")
-    val stats = docs.agg(sum(size(words).cast("long")).as("c_tokens"))
     val qTerms = queries
       .select(col("query_id"), explode(split(col("qtext"), " ")).as("term"))
       .distinct()
-    val docTerms = docs
-      .select(col("doc_id"), size(words).cast("long").as("dl"), explode(words).as("term"))
-      .join(broadcast(qTerms.select("term").distinct()), "term")
-      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    dirichletTopKFromPostings(matchedPostings(docs, qTerms), corpusStats(docs),
+      qTerms, k, mu)
+  }
+
+  /** [[dirichletTopK]] over a pre-built [[matchedPostings]] frame + one-row
+    * [[corpusStats]] (the shared-fetch entry point). `postings` must cover
+    * every term of `qTermsIn`. */
+  def dirichletTopKFromPostings(postings: DataFrame, statsIn: DataFrame,
+                    qTermsIn: DataFrame, k: Int = 10,
+                    mu: Double = 1000.0): DataFrame = {
+    require(k >= 1, "k >= 1")
+    val stats = statsIn.select(col("sum_dl").as("c_tokens"))
+    val qTerms = qTermsIn.select(col("query_id"), col("term")).distinct()
     // cf(t): matched rows hold every corpus occurrence of each query term
-    val cfTab = docTerms.groupBy("term").agg(sum(col("tf")).as("cf"))
-    val matched = docTerms.join(broadcast(qTerms), "term")
-    val candidates = matched.select("query_id", "doc_id", "dl").distinct()
-    val pairs = candidates
-      .join(broadcast(qTerms), Seq("query_id"))
+    val cfTab = postings.groupBy("term").agg(sum(col("tf")).as("cf"))
+    // ln → DECIMAL(18,9) → exact 1e-9 fixed-point LONG (the one libm step
+    // per factor; everything after is integer)
+    def ln9(c: Column): Column =
+      (c.cast(DecimalType(18, 9)) * lit(1000000000L)).cast("long")
+    // per-query constant: Σ_t ln(μ·cf/|C|) over cf-bearing terms, + |q|
+    val qconst = qTerms
       .join(broadcast(cfTab), Seq("term")) // drops cf-less terms by inner join
-      .join(matched.select(col("query_id"), col("doc_id"), col("term"), col("tf")),
-        Seq("query_id", "doc_id", "term"), "left")
       .crossJoin(broadcast(stats))
-    val contrib = log(
-      (coalesce(col("tf"), lit(0L)) + lit(mu) * col("cf") / col("c_tokens")) /
-        (col("dl") + lit(mu)))
-    val scored = pairs
+      .select(col("query_id"),
+        ln9(log(lit(mu) * col("cf") / col("c_tokens"))).as("t9"))
+      .groupBy("query_id")
+      .agg(sum(col("t9")).as("qc9"), count(lit(1)).as("nq"))
+    // per-(query, doc): Σ matched-term adjustments ln(1 + tf·|C|/(μ·cf))
+    val matched = postings.join(broadcast(qTerms), "term")
+    val adj = matched
+      .join(broadcast(cfTab), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .groupBy("query_id", "doc_id", "dl")
+      .agg(sum(ln9(log(lit(1.0) +
+          col("tf").cast("double") * col("c_tokens") / (lit(mu) * col("cf")))))
+        .as("adj9"),
+        count(lit(1)).as("n_hit"))
+    val scored = adj
+      .join(broadcast(qconst), Seq("query_id"))
       .select(col("query_id"), col("doc_id"),
-        contrib.cast(DecimalType(28, 9)).as("c"),
-        when(col("tf").isNotNull, 1L).otherwise(0L).as("hit"))
-      .groupBy("query_id", "doc_id")
-      .agg(sum(col("c")).as("score"), sum(col("hit")).as("n_hit"))
+        (col("qc9") - col("nq") * ln9(log(col("dl") + lit(mu))) + col("adj9"))
+          .as("score9"),
+        col("n_hit"))
     val shard = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10).cast("long"),
       lit(TopKShards))
     val local = Window.partitionBy(col("query_id"), col("shard"))
-      .orderBy(col("score").desc, col("doc_id"))
-    val global = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id"))
+      .orderBy(col("score9").desc, col("doc_id"))
+    val global = Window.partitionBy(col("query_id")).orderBy(col("score9").desc, col("doc_id"))
     scored
       .withColumn("shard", shard)
       .withColumn("lrank", row_number().over(local))
       .where(col("lrank") <= k)
       .withColumn("rank", row_number().over(global).cast("long"))
       .where(col("rank") <= k)
+      // exact fixed-point rank; EXPORT as one pinned double division
       .select(col("query_id"), col("rank"), col("doc_id"),
-        col("score").cast("double").as("score"), col("n_hit"))
+        (col("score9").cast("double") / lit(1.0e9)).as("score"), col("n_hit"))
   }
 
   /**
@@ -319,6 +377,19 @@ object Search {
    */
   def prfExpandFrom(docs: DataFrame, queries: DataFrame, feedbackHits: DataFrame,
       r: Int = 3, m: Int = 2, k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    prfExpandFromPostings(docs, None, queries, feedbackHits, r, m, k, k1, b)
+
+  /** [[prfExpandFrom]] with an optional pre-built probe-term
+    * `(postings, stats)` pair: when present, the expanded re-rank reuses it
+    * and fetches postings ONLY for the newly picked terms (an incremental
+    * term-filtered scan, ≤ m·|queries| terms) instead of re-scanning for the
+    * whole expanded set — tf per (doc, term) is term-independent, so the
+    * union IS the expanded-set postings frame, bit-identical. */
+  def prfExpandFromPostings(docs: DataFrame,
+      shared: Option[(DataFrame, DataFrame)],
+      queries: DataFrame, feedbackHits: DataFrame,
+      r: Int = 3, m: Int = 2, k: Int = 10,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(r >= 1 && m >= 1, "r >= 1, m >= 1")
     val qTerms = queries
@@ -337,7 +408,17 @@ object Search {
         Window.partitionBy(col("query_id")).orderBy(col("tfsum").desc, col("term"))))
       .where(col("rn") <= m)
       .select(col("query_id"), col("term"))
-    bm25TopKFromTerms(docs, qTerms.unionByName(picked), k, k1, b)
+    val expandedTerms = qTerms.unionByName(picked)
+    shared match {
+      case Some((postings, stats)) =>
+        val newTerms = picked.select("term").distinct()
+          .join(qTerms.select("term").distinct(), Seq("term"), "left_anti")
+        bm25TopKFromPostings(
+          postings.unionByName(matchedPostings(docs, newTerms)), stats,
+          expandedTerms, k, k1, b)
+      case None =>
+        bm25TopKFromTerms(docs, expandedTerms, k, k1, b)
+    }
   }
 
   /** Self-contained PRF: fetch the feedback prefix with a first BM25 pass. */
@@ -761,17 +842,25 @@ object Search {
    * @return (query_id, rank, doc_id, score, n_terms): top `k` per query.
    */
   def tfidfTopK(docs: DataFrame, queries: DataFrame, k: Int = 10): DataFrame = {
-    require(k >= 1, "k >= 1")
-    val words = split(col("text"), " ")
     val qTerms = queries
       .select(col("query_id"), explode(split(col("qtext"), " ")).as("term"))
       .distinct()
-    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    val docTerms = docs
-      .select(col("doc_id"), explode(words).as("term"))
-      .join(broadcast(qTerms.select("term").distinct()), "term")
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val matched = docTerms.join(broadcast(qTerms), "term")
+    tfidfTopKFromPostings(docs, matchedPostings(docs, qTerms), corpusStats(docs),
+      qTerms, k)
+  }
+
+  /** [[tfidfTopK]] over a pre-built [[matchedPostings]] frame + one-row
+    * [[corpusStats]] (the shared-fetch entry point). `docs` is still needed
+    * for the full-vector lnc norm scan (matched docs only); `postings` must
+    * cover every term of `qTermsIn`. */
+  def tfidfTopKFromPostings(docs: DataFrame, postings: DataFrame,
+      statsIn: DataFrame, qTermsIn: DataFrame, k: Int = 10): DataFrame = {
+    require(k >= 1, "k >= 1")
+    val words = split(col("text"), " ")
+    val qTerms = qTermsIn.select(col("query_id"), col("term")).distinct()
+    val nDocs = statsIn.select(col("n_docs"))
+    val matched = postings.select("doc_id", "term", "tf")
+      .join(broadcast(qTerms), "term")
     val dfTab = matched.select("term", "doc_id").distinct()
       .groupBy("term").agg(count(lit(1)).as("df"))
     // full lnc norm, matched docs only: Σ over ALL the doc's terms of

