@@ -52,6 +52,66 @@ object Funnel {
   }
 
   /**
+   * STREAMING twin of [[funnel]]: per user, a `flatMapGroupsWithState`
+   * whose state is the n step timestamps — n LONGs per entered user,
+   * BOUNDED at any volume — replaying the batch rule event by event in
+   * ascending event time: t₁ = first step-1 arrival; tᵢ = first step-i
+   * arrival with t_{i−1} set, ts > t_{i−1} and ts ≤ t_{i−1}+horizon.
+   * Ascending replay makes "first qualifying" IDENTICAL to the batch op's
+   * min-aggregates (every event that could lower an earlier step precedes
+   * the events it qualifies), so a one-batch stream reproduces the batch
+   * frame exactly (spec-pinned); the strict `>` means equal-timestamp ties
+   * cannot change any step either way. Cross-batch, events are assumed to
+   * arrive in event-time order per user (the tailing assumption of the
+   * other twins) — a user's snapshot re-emits each batch their funnel
+   * advances.
+   *
+   * @return (user STRING, ts_steps ARRAY — element i NULL until step i+1
+   *         is reached, steps_reached) per user with t₁ set, one snapshot
+   *         per micro-batch that touched the user.
+   */
+  def funnelStream(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String], horizonMs: Long): DataFrame = {
+    require(steps.size >= 2, "a funnel needs at least two steps")
+    require(steps.distinct.size == steps.size, "funnel steps must be distinct")
+    require(horizonMs > 0, "horizonMs must be positive")
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val n = steps.size
+    val stepIdx = steps.zipWithIndex.toMap
+    val unset = Long.MinValue
+    val ds = events
+      .select(col(userCol).cast("string"), col(tsCol).cast("long"),
+        col(typeCol).cast("string"))
+      .as[(String, Long, String)]
+      .filter((r: (String, Long, String)) => stepIdx.contains(r._3))
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: String, rows: Iterator[(String, Long, String)],
+         state: GroupState[Array[Long]]) =>
+          val t = state.getOption.getOrElse(Array.fill(n)(unset))
+          rows.toSeq.sortBy(_._2).foreach { case (_, ts, tp) =>
+            val i = stepIdx(tp)
+            if (i == 0) {
+              if (t(0) == unset) t(0) = ts
+            } else if (t(i) == unset && t(i - 1) != unset &&
+                ts > t(i - 1) && ts <= t(i - 1) + horizonMs) {
+              t(i) = ts
+            }
+          }
+          state.update(t)
+          if (t(0) == unset) Iterator.empty
+          else {
+            val reached = 1L + (1 until n).count(j => t(j) != unset)
+            Iterator.single((user,
+              t.toSeq.map(v => if (v == unset) None else Some(v)), reached))
+          }
+      }
+      .toDF(userCol, "ts_steps", "steps_reached")
+  }
+
+  /**
    * Position-based (U-shaped) multi-touch attribution: every conversion
    * credits the touchpoints that preceded it inside `lookbackMs` — 40% to
    * the first touch, 40% to the last, 20% split across the middles (the

@@ -473,6 +473,94 @@ object Sketches {
   }
 
   /**
+   * KMV theta-sketch SET ALGEBRA per key pair — the UNION and both
+   * DIFFERENCES beside [[kmvIntersect]]'s overlap, i.e. the full audience
+   * Venn from the same k-min sketches: below the pair threshold
+   * θ = min(θ_A, θ_B), the retained hashes are a uniform θ/2⁶⁰ sample of
+   * EACH set, so with nₐ = |{h∈A : h<θ}|, n_b likewise and n_c the common
+   * count, the standard theta estimators are
+   *
+   *   |A ∪ B| ≈ (nₐ + n_b − n_c)·2⁶⁰/θ      |A \ B| ≈ (nₐ − n_c)·2⁶⁰/θ
+   *
+   * ("how many users do A and B cover together", "how many does A bring
+   * that B lacks" — the incremental-reach questions). Exact audit columns
+   * ride along (at true 100 TB you drop them).
+   *
+   * Scale: identical to [[kmvIntersect]] — sketches are ≤ k rows per key
+   * (two-level rank prune, no global funnel), the pair join runs
+   * SKETCH×SKETCH, exact audits are one distinct + one hash-join pass.
+   * Everything up to the two export divisions is integer-exact.
+   *
+   * @return (key_a, key_b, theta, n_a, n_b, n_common, est_union,
+   *         est_diff_a, est_diff_b, exact_union, exact_diff_a,
+   *         exact_diff_b) for every key pair (key_a < key_b).
+   */
+  def kmvSetOps(df: DataFrame, keyCol: String, elemCol: String,
+                k: Int = 256): DataFrame = {
+    require(k >= 2, "k >= 2")
+    val full = 1152921504606846976L // 2^60
+    val nn = df.where(col(elemCol).isNotNull)
+    val hashed = nn.select(col(keyCol).as("key"), h60("kmv", col(elemCol)).as("h"))
+      .distinct()
+    val shardW = Window.partitionBy(col("key"), pmod(col("h"), lit(64L)))
+      .orderBy(col("h"))
+    val keyW = Window.partitionBy("key").orderBy(col("h"))
+    val kept = hashed
+      .withColumn("sr", row_number().over(shardW)).where(col("sr") <= k)
+      .withColumn("rk", row_number().over(keyW)).where(col("rk") <= k)
+      .select("key", "h")
+    val thetas = kept.groupBy("key")
+      .agg(count(lit(1)).as("n_held"), max(col("h")).as("kth"))
+      .select(col("key"),
+        when(col("n_held") < k, lit(full)).otherwise(col("kth")).as("theta"))
+    val pairs = thetas.as("ta").join(thetas.as("tb"), col("ta.key") < col("tb.key"))
+      .select(col("ta.key").as("key_a"), col("tb.key").as("key_b"),
+        least(col("ta.theta"), col("tb.theta")).as("theta"))
+    // per-pair below-theta sample sizes for EACH side (sketch-bounded joins)
+    val nA = pairs.join(kept.as("ka"), col("ka.key") === col("key_a"))
+      .where(col("ka.h") < col("theta"))
+      .groupBy("key_a", "key_b").agg(count(lit(1)).as("n_a"))
+    val nB = pairs.join(kept.as("kb"), col("kb.key") === col("key_b"))
+      .where(col("kb.h") < col("theta"))
+      .groupBy("key_a", "key_b").agg(count(lit(1)).as("n_b"))
+    val common = kept.as("a").join(kept.as("b"),
+        col("a.h") === col("b.h") && col("a.key") < col("b.key"))
+      .select(col("a.key").as("key_a"), col("b.key").as("key_b"), col("a.h").as("h"))
+      .join(pairs, Seq("key_a", "key_b"))
+      .where(col("h") < col("theta"))
+      .groupBy("key_a", "key_b").agg(count(lit(1)).as("n_common"))
+    // exact audits from per-key distinct counts + the exact overlap
+    val elems = nn.select(col(keyCol).as("key"), col(elemCol).as("e")).distinct()
+    val sizes = elems.groupBy("key").agg(count(lit(1)).as("nd"))
+    val exactOv = elems.as("a").join(elems.as("b"),
+        col("a.e") === col("b.e") && col("a.key") < col("b.key"))
+      .groupBy(col("a.key").as("key_a"), col("b.key").as("key_b"))
+      .agg(count(lit(1)).as("exact_overlap"))
+    val est = (c: Column) => c.cast("double") * lit(TwoPow60) / col("theta").cast("double")
+    pairs
+      .join(nA, Seq("key_a", "key_b"), "left")
+      .join(nB, Seq("key_a", "key_b"), "left")
+      .join(common, Seq("key_a", "key_b"), "left")
+      .join(sizes.select(col("key").as("key_a"), col("nd").as("nd_a")), Seq("key_a"))
+      .join(sizes.select(col("key").as("key_b"), col("nd").as("nd_b")), Seq("key_b"))
+      .join(exactOv, Seq("key_a", "key_b"), "left")
+      .select(col("key_a"), col("key_b"), col("theta"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        est(coalesce(col("n_a"), lit(0L)) + coalesce(col("n_b"), lit(0L))
+          - coalesce(col("n_common"), lit(0L))).as("est_union"),
+        est(coalesce(col("n_a"), lit(0L)) - coalesce(col("n_common"), lit(0L)))
+          .as("est_diff_a"),
+        est(coalesce(col("n_b"), lit(0L)) - coalesce(col("n_common"), lit(0L)))
+          .as("est_diff_b"),
+        (col("nd_a") + col("nd_b") - coalesce(col("exact_overlap"), lit(0L)))
+          .as("exact_union"),
+        (col("nd_a") - coalesce(col("exact_overlap"), lit(0L))).as("exact_diff_a"),
+        (col("nd_b") - coalesce(col("exact_overlap"), lit(0L))).as("exact_diff_b"))
+  }
+
+  /**
    * STREAMING count-min — [[cmsCounters]] carried as
    * `flatMapGroupsWithState` state, completing the streaming-sketch family
    * ([[hllStream]], [[qdigestStream]]): each SALT LANE is its own state

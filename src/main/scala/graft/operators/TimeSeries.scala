@@ -831,6 +831,82 @@ object TimeSeries {
   }
 
   /**
+   * Holt-Winters ADDITIVE (triple-exponential) smoothing per metric — the
+   * seasonal forecaster [[holtForecast]] can't be: hourly traffic with a
+   * daily cycle drives Holt's trend term into oscillation, while the
+   * seasonal state absorbs the cycle and the trend tracks the true drift
+   * (Winters 1960; the capacity-planning forecaster for anything diurnal).
+   *
+   *   l_t = α·(y_t − s_{t−m}) + (1−α)·(l_{t−1} + b_{t−1})
+   *   b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+   *   s_t = γ·(y_t − l_t) + (1−γ)·s_{t−m},   ŷ_{t+h} = l_t + h·b_t + s_{t+h−m}
+   *
+   * initialized from the first season: l_m = mean(y_1..y_m), b_m = 0
+   * (β learns the trend from the data), s_i = y_i − l_m, folded over
+   * y_{m+1}..y_n.
+   *
+   * Determinism: the [[holtForecast]] scheme extended to an (m+2)-element
+   * [level, trend, s_1..s_m] DOUBLE array state — the seasonal buffer
+   * ROTATES each step (slot m steps behind is always element 3, the freshly
+   * updated slot appends at the end), so the fold needs no position index
+   * and both engines replay it element for element. The init mean is one
+   * pinned division over an exact integer season sum; α/β/γ are
+   * exactly-representable plan-time literals; l_t is recomputed inline
+   * (identical expression → identical double) wherever it appears.
+   * Corpus-sized work is ONE map-side-combined (metric, bucket) count; the
+   * fold runs on ≤ buckets-per-metric values (the [[foldAggregator]] size
+   * contract).
+   *
+   * @return (metric, n_buckets, level, trend, seasonal_next, forecast_1h,
+   *         forecast_24h) — metrics with ≥ period+1 buckets only;
+   *         seasonal_next is the slot ŷ_{t+1} adds, forecast_24h uses the
+   *         freshest slot (h = m).
+   */
+  def holtWintersForecast(points: DataFrame, bucketMs: Long = 3600000L,
+      alpha: Double = 0.5, beta: Double = 0.25, gamma: Double = 0.25,
+      period: Int = 24): DataFrame = {
+    require(alpha > 0 && alpha <= 1 && beta >= 0 && beta <= 1 &&
+      gamma >= 0 && gamma <= 1, "bad smoothing params")
+    require(period >= 2 && period <= 8192, "period in [2, 8192]")
+    val a = alpha; val ca = 1.0 - alpha; val b = beta; val cb = 1.0 - beta
+    val g = gamma; val cg = 1.0 - gamma; val m = period
+    // l_t recomputed inline wherever referenced (same expression -> same double)
+    val lt = s"""(CAST($a AS DOUBLE) * (CAST(y AS DOUBLE) - element_at(acc, 3))
+                |      + CAST($ca AS DOUBLE) * (element_at(acc, 1) + element_at(acc, 2)))""".stripMargin
+    val counts = points
+      .groupBy(col("metric"), bucket(col("ts"), bucketMs))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .groupBy("metric")
+      .agg(expr("transform(array_sort(collect_list(struct(bucket_ms, n))), x -> x.n)").as("ns"))
+      .where(size(col("ns")) >= m + 1)
+      .withColumn("l0", expr(
+        s"CAST(aggregate(slice(ns, 1, $m), 0L, (acc, x) -> acc + x) AS DOUBLE)" +
+          s" / CAST($m AS DOUBLE)"))
+      .withColumn("st", expr(
+        s"""aggregate(
+           |  slice(ns, ${m + 1}, greatest(size(ns) - $m, 0)),
+           |  concat(array(l0, CAST(0.0 AS DOUBLE)),
+           |         transform(slice(ns, 1, $m), x -> CAST(x AS DOUBLE) - l0)),
+           |  (acc, y) -> concat(
+           |    array(
+           |      $lt,
+           |      CAST($b AS DOUBLE) * ($lt - element_at(acc, 1))
+           |        + CAST($cb AS DOUBLE) * element_at(acc, 2)),
+           |    slice(acc, 4, ${m - 1}),
+           |    array(CAST($g AS DOUBLE) * (CAST(y AS DOUBLE) - $lt)
+           |        + CAST($cg AS DOUBLE) * element_at(acc, 3))))""".stripMargin))
+      .select(col("metric"), size(col("ns")).cast("long").as("n_buckets"),
+        element_at(col("st"), 1).as("level"),
+        element_at(col("st"), 2).as("trend"),
+        element_at(col("st"), 3).as("seasonal_next"),
+        (element_at(col("st"), 1) + element_at(col("st"), 2)
+          + element_at(col("st"), 3)).as("forecast_1h"),
+        (element_at(col("st"), 1) + lit(m.toDouble) * element_at(col("st"), 2)
+          + element_at(col("st"), m + 2)).as("forecast_24h"))
+  }
+
+  /**
    * STREAMING twin of [[holtForecast]]: per metric, a
    * `flatMapGroupsWithState` fold whose state is (closed-bucket count, y₁,
    * level, trend, open bucket, open count) — six numbers, BOUNDED per

@@ -461,6 +461,11 @@ object ApiQueries {
     // of event types from 64-min KMV sketches, exact pairwise audit
     "sketch_kmv_intersect" -> ((s, dir) =>
       graft.operators.Sketches.kmvIntersect(
+        Points.table(s, dir, "events"), "event_type", "user_id", k = 64)),
+    // theta-sketch set ALGEBRA: union + both differences per event-type
+    // pair from the same 64-min sketches, exact Venn audit columns
+    "sketch_kmv_setops" -> ((s, dir) =>
+      graft.operators.Sketches.kmvSetOps(
         Points.table(s, dir, "events"), "event_type", "user_id", k = 64))
   )
 
@@ -1532,6 +1537,57 @@ object ApiQueries {
          |         / CAST(p.theta AS DOUBLE) AS est_overlap,
          |       COALESCE(ex.exact_overlap, 0) AS exact_overlap
          |FROM p LEFT JOIN cm ON p.key_a = cm.key_a AND p.key_b = cm.key_b
+         |       LEFT JOIN ex ON p.key_a = ex.key_a AND p.key_b = ex.key_b""".stripMargin,
+    // mirrors Sketches.kmvSetOps(k=64): same sketches/theta as the intersect
+    // gate, below-theta per-side sample counts, union/difference estimators,
+    // exact Venn audit from per-key distinct sizes + the exact overlap
+    "sketch_kmv_setops" ->
+      s"""WITH h AS (
+         |  SELECT DISTINCT event_type AS key,
+         |         ${hexPoly("md5('kmv:' || CAST(user_id AS VARCHAR))", 1, 15)} AS h
+         |  FROM events),
+         |r AS (SELECT key, h, ROW_NUMBER() OVER (PARTITION BY key ORDER BY h) AS rk
+         |      FROM h),
+         |kept AS (SELECT key, h FROM r WHERE rk <= 64),
+         |t AS (SELECT key, CASE WHEN COUNT(*) < 64 THEN 1152921504606846976
+         |                       ELSE MAX(h) END AS theta
+         |      FROM kept GROUP BY 1),
+         |p AS (SELECT ta.key AS key_a, tb.key AS key_b,
+         |             LEAST(ta.theta, tb.theta) AS theta
+         |      FROM t ta JOIN t tb ON ta.key < tb.key),
+         |na AS (SELECT p.key_a, p.key_b, CAST(COUNT(*) AS BIGINT) AS n_a
+         |       FROM p JOIN kept ka ON ka.key = p.key_a
+         |       WHERE ka.h < p.theta GROUP BY 1, 2),
+         |nb AS (SELECT p.key_a, p.key_b, CAST(COUNT(*) AS BIGINT) AS n_b
+         |       FROM p JOIN kept kb ON kb.key = p.key_b
+         |       WHERE kb.h < p.theta GROUP BY 1, 2),
+         |cm AS (SELECT a.key AS key_a, b.key AS key_b,
+         |              CAST(COUNT(*) AS BIGINT) AS n_common
+         |       FROM kept a JOIN kept b ON a.h = b.h AND a.key < b.key
+         |       JOIN p ON p.key_a = a.key AND p.key_b = b.key
+         |       WHERE a.h < p.theta GROUP BY 1, 2),
+         |el AS (SELECT DISTINCT event_type AS key, user_id AS e FROM events),
+         |sz AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS nd FROM el GROUP BY 1),
+         |ex AS (SELECT a.key AS key_a, b.key AS key_b,
+         |              CAST(COUNT(*) AS BIGINT) AS exact_overlap
+         |       FROM el a JOIN el b ON a.e = b.e AND a.key < b.key GROUP BY 1, 2)
+         |SELECT p.key_a, p.key_b, p.theta,
+         |       COALESCE(na.n_a, 0) AS n_a, COALESCE(nb.n_b, 0) AS n_b,
+         |       COALESCE(cm.n_common, 0) AS n_common,
+         |       CAST(COALESCE(na.n_a, 0) + COALESCE(nb.n_b, 0) - COALESCE(cm.n_common, 0) AS DOUBLE)
+         |         * 1152921504606846976.0 / CAST(p.theta AS DOUBLE) AS est_union,
+         |       CAST(COALESCE(na.n_a, 0) - COALESCE(cm.n_common, 0) AS DOUBLE)
+         |         * 1152921504606846976.0 / CAST(p.theta AS DOUBLE) AS est_diff_a,
+         |       CAST(COALESCE(nb.n_b, 0) - COALESCE(cm.n_common, 0) AS DOUBLE)
+         |         * 1152921504606846976.0 / CAST(p.theta AS DOUBLE) AS est_diff_b,
+         |       sa.nd + sb.nd - COALESCE(ex.exact_overlap, 0) AS exact_union,
+         |       sa.nd - COALESCE(ex.exact_overlap, 0) AS exact_diff_a,
+         |       sb.nd - COALESCE(ex.exact_overlap, 0) AS exact_diff_b
+         |FROM p LEFT JOIN na ON p.key_a = na.key_a AND p.key_b = na.key_b
+         |       LEFT JOIN nb ON p.key_a = nb.key_a AND p.key_b = nb.key_b
+         |       LEFT JOIN cm ON p.key_a = cm.key_a AND p.key_b = cm.key_b
+         |       JOIN sz sa ON sa.key = p.key_a
+         |       JOIN sz sb ON sb.key = p.key_b
          |       LEFT JOIN ex ON p.key_a = ex.key_a AND p.key_b = ex.key_b""".stripMargin,
     // mirrors Sketches.amsF2(r=16) over user_id: md5 first-hex-digit parity
     // signs, 16 exact counters, lower median (rank 8) of squares, exact audit

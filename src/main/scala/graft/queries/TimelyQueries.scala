@@ -103,6 +103,13 @@ object TimelyQueries {
     // list_reduce replay
     "ts_holt" -> ((s, dir) =>
       TimeSeries.holtForecast(points(s, dir), bucketMs = Hour)),
+    // Holt-Winters ADDITIVE seasonal (period 24h on hourly buckets): the
+    // rotating [level, trend, s_1..s_24] array-state sorted fold — slot
+    // t-24 is always element 3, the fresh slot appends; alpha=0.5 /
+    // beta=0.25 / gamma=0.25 exactly representable, init mean is one
+    // pinned division over the exact first-season sum
+    "ts_holt_winters" -> ((s, dir) =>
+      TimeSeries.holtWintersForecast(points(s, dir), bucketMs = Hour)),
     // Theil-Sen robust trend per metric: nearest-rank median of all pairwise
     // slopes (quadratic in BUCKETS, never in events), rank-PICKED values so
     // equal-slope ordering cannot change the result
@@ -322,6 +329,36 @@ object TimelyQueries {
         |SELECT metric, n_buckets, st[1] AS level, st[2] AS trend,
         |       st[1] + st[2] AS forecast_1h,
         |       st[1] + CAST(24.0 AS DOUBLE) * st[2] AS forecast_24h
+        |FROM f""".stripMargin,
+    // mirrors TimeSeries.holtWintersForecast(0.5, 0.25, 0.25, period=24):
+    // the same rotating-buffer list_reduce — state [l, b, s1..s24], slot
+    // t-24 at [3], fresh slot appended; l_t recomputed inline identically
+    "ts_holt_winters" ->
+      """WITH h AS (SELECT event_type AS metric, epoch_ms(ts) // 3600000 AS b,
+        |                  CAST(COUNT(*) AS BIGINT) AS n
+        |           FROM events GROUP BY 1, 2),
+        |s AS (SELECT metric, list(n ORDER BY b) AS ns FROM h GROUP BY 1),
+        |i AS (SELECT metric, ns, CAST(len(ns) AS BIGINT) AS n_buckets,
+        |             CAST(list_sum(ns[1:24]) AS DOUBLE) / CAST(24 AS DOUBLE) AS l0
+        |      FROM s WHERE len(ns) >= 25),
+        |f AS (SELECT metric, n_buckets,
+        |             list_reduce(
+        |               list_prepend(
+        |                 list_concat([l0, CAST(0.0 AS DOUBLE)],
+        |                   list_transform(ns[1:24], x -> CAST(x AS DOUBLE) - l0)),
+        |                 list_transform(ns[25:], y -> [CAST(y AS DOUBLE)])),
+        |               (acc, p) -> list_concat(list_concat(
+        |                 [CAST(0.5 AS DOUBLE) * (p[1] - acc[3]) + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2]),
+        |                  CAST(0.25 AS DOUBLE) * ((CAST(0.5 AS DOUBLE) * (p[1] - acc[3]) + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2])) - acc[1])
+        |                    + CAST(0.75 AS DOUBLE) * acc[2]],
+        |                 acc[4:]),
+        |                 [CAST(0.25 AS DOUBLE) * (p[1] - (CAST(0.5 AS DOUBLE) * (p[1] - acc[3]) + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2])))
+        |                    + CAST(0.75 AS DOUBLE) * acc[3]])) AS st
+        |      FROM i)
+        |SELECT metric, n_buckets, st[1] AS level, st[2] AS trend,
+        |       st[3] AS seasonal_next,
+        |       st[1] + st[2] + st[3] AS forecast_1h,
+        |       st[1] + CAST(24.0 AS DOUBLE) * st[2] + st[26] AS forecast_24h
         |FROM f""".stripMargin,
     // mirrors TimeSeries.theilSen: pairwise slopes over hourly counts, lower
     // nearest-rank median pick for slope, same pick over residuals for the

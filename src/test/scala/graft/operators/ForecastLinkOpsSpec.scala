@@ -144,6 +144,44 @@ class ForecastLinkOpsSpec extends AnyFunSuite with SparkSpec {
     assert(out.getLong(1) == 2L && out.getDouble(2) == 2.0 && out.getDouble(3) == 3.0)
   }
 
+  test("holtWinters: a perfectly periodic series is absorbed by the seasonal state") {
+    val hour = 3600000L
+    // period 4, pattern (1,2,3,4) x 3 seasons: l0 = 2.5, s = (-1.5,-.5,.5,1.5);
+    // every fold step sees y - s_{t-4} = 2.5 -> level pinned at 2.5, trend 0,
+    // seasonal slots unchanged, 1-step forecast = the true next value (1)
+    val counts = Seq(1, 2, 3, 4, 1, 2, 3, 4, 1, 2, 3, 4)
+    val pts = counts.zipWithIndex.flatMap { case (c, h) =>
+      Seq.fill(c)(("m", "s", h * hour, 1.0))
+    }.toDF("metric", "series", "ts", "value")
+    val out = TimeSeries.holtWintersForecast(pts, period = 4).collect().head
+    assert(out.getAs[Long]("n_buckets") == 12L)
+    assert(out.getAs[Double]("level") == 2.5 && out.getAs[Double]("trend") == 0.0)
+    assert(out.getAs[Double]("seasonal_next") == -1.5)
+    assert(out.getAs[Double]("forecast_1h") == 1.0)
+    // h = period uses the freshest slot: 2.5 + 4*0 + 1.5 = 4
+    assert(out.getAs[Double]("forecast_24h") == 4.0)
+  }
+
+  test("holtWinters: below period+1 buckets excluded; one step replays by hand") {
+    val hour = 3600000L
+    // period 2, counts 1, 3, 5: l0 = 2, b0 = 0, s = (-1, 1); fold y = 5:
+    // l' = .5*(5 - (-1)) + .5*(2 + 0) = 4; b' = .25*(4-2) + .75*0 = 0.5;
+    // s' = .25*(5-4) + .75*(-1) = -0.5 -> state [4, .5, s2=1, s'=-0.5]
+    val counts = Seq(1, 3, 5)
+    val pts = counts.zipWithIndex.flatMap { case (c, h) =>
+      Seq.fill(c)(("m", "s", h * hour, 1.0))
+    }.toDF("metric", "series", "ts", "value")
+    val out = TimeSeries.holtWintersForecast(pts, period = 2).collect().head
+    assert(out.getAs[Double]("level") == 4.0 && out.getAs[Double]("trend") == 0.5)
+    assert(out.getAs[Double]("seasonal_next") == 1.0)  // slot for t+1 (rotated)
+    assert(out.getAs[Double]("forecast_1h") == 5.5)
+    // too-short series produce no row
+    val short = Seq(1, 2).zipWithIndex.flatMap { case (c, h) =>
+      Seq.fill(c)(("m", "s", h * hour, 1.0))
+    }.toDF("metric", "series", "ts", "value")
+    assert(TimeSeries.holtWintersForecast(short, period = 2).count() == 0L)
+  }
+
   test("theilSen recovers a clean linear trend and shrugs off an outlier bucket") {
     val hour = 3600000L
     // metric m: counts 1, 2, 3, ..., 8 (slope exactly 1), with bucket 5

@@ -679,4 +679,37 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       .toDF("vec_id", "embedding", "label")
     noCartesian(Similarity.centroidDrift(e), "centroidDrift")
   }
+
+  // ---- round-10 operators -------------------------------------------------
+
+  test("holtWinters plans aggregates only — no window, no cartesian") {
+    val hw = TimeSeries.holtWintersForecast(pts, bucketMs = 4000L, period = 3)
+    noCartesian(hw, "holtWintersForecast")
+    assert(windows(hw).isEmpty, "holtWintersForecast must not plan a window")
+  }
+
+  test("kmvSetOps: key-partitioned sketch windows; pair joins are key-equi (the key_a < key_b theta pairing is the one sketch-bounded nl join)") {
+    val d = (1L to 200L).map(i => (s"k${i % 3}", i)).toDF("key", "elem")
+    val df = Sketches.kmvSetOps(d, "key", "elem", k = 16)
+    // the theta-pair build (ta.key < tb.key over the keys-sized theta table)
+    // is a legitimate nested-loop on a KEYS-sized frame, never corpus-sized;
+    // the plan tree re-derives it once each under n_a / n_b / common and the
+    // final assembly — 4 instances of the same keys-bounded pairing
+    noCartesian(df, "kmvSetOps", allowedNlJoins = 4)
+    assert(windows(df).forall(_.partitionSpec.nonEmpty),
+      "kmv sketch-prune windows must be key-partitioned")
+  }
+
+  test("dirichlet decomposed: no candidates-x-terms left join — every aggregate is matched-bounded") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val docs = (0L until 50L).map(i => (i, s"alpha beta w$i gamma")).toDF("doc_id", "text")
+    val q = Seq((1L, "alpha zebra")).toDF("query_id", "qtext")
+    val df = Search.dirichletTopK(docs, q, k = 5)
+    noCartesian(df, "dirichletTopK", allowedNlJoins = 2) // 1-row c_tokens scalar x2
+    val outer = df.queryExecution.optimizedPlan.collect {
+      case j: Join if j.joinType.sql == "LEFT OUTER" => j
+    }
+    assert(outer.isEmpty,
+      "decomposed Dirichlet must not left-join candidates x terms back onto matched")
+  }
 }

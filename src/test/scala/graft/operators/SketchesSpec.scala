@@ -87,6 +87,42 @@ class SketchesSpec extends AnyFunSuite with SparkSpec {
       summed.except(merged).count() == 0)
   }
 
+  test("kmvSetOps: not-full sketches give exact union/differences; disjoint and identical sets") {
+    // disjoint: A = 1..40, B = 101..130 — below k, theta = 2^60, estimates exact
+    val d = ((1 to 40).map(i => ("a", i.toLong)) ++
+      (101 to 130).map(i => ("b", i.toLong))).toDF("key", "elem")
+    val r = Sketches.kmvSetOps(d, "key", "elem", k = 64).collect()(0)
+    assert(r.getAs[String]("key_a") == "a" && r.getAs[String]("key_b") == "b")
+    assert(r.getAs[Long]("n_common") == 0L)
+    assert(r.getAs[Double]("est_union") == 70.0 && r.getAs[Long]("exact_union") == 70L)
+    assert(r.getAs[Double]("est_diff_a") == 40.0 && r.getAs[Long]("exact_diff_a") == 40L)
+    assert(r.getAs[Double]("est_diff_b") == 30.0 && r.getAs[Long]("exact_diff_b") == 30L)
+
+    // identical sets: union = either, both differences empty
+    val same = ((1 to 25).map(i => ("x", i.toLong)) ++
+      (1 to 25).map(i => ("y", i.toLong))).toDF("key", "elem")
+    val s = Sketches.kmvSetOps(same, "key", "elem", k = 64).collect()(0)
+    assert(s.getAs[Double]("est_union") == 25.0 && s.getAs[Long]("exact_union") == 25L)
+    assert(s.getAs[Double]("est_diff_a") == 0.0 && s.getAs[Long]("exact_diff_a") == 0L)
+    assert(s.getAs[Double]("est_diff_b") == 0.0 && s.getAs[Long]("exact_diff_b") == 0L)
+  }
+
+  test("kmvSetOps estimates are parallelism-invariant and consistent with kmvIntersect") {
+    val d = ((1 to 3000).map(i => ("a", i.toLong)) ++
+      (2001 to 5000).map(i => ("b", i.toLong))).toDF("key", "elem")
+    val r1 = Sketches.kmvSetOps(d.repartition(1), "key", "elem", k = 32).collect()(0)
+    val r13 = Sketches.kmvSetOps(d.repartition(13), "key", "elem", k = 32).collect()(0)
+    assert(r1.getAs[Double]("est_union") == r13.getAs[Double]("est_union"))
+    assert(r1.getAs[Double]("est_diff_a") == r13.getAs[Double]("est_diff_a"))
+    // inclusion-exclusion ties the family together on the same sketches:
+    // est_union = est(n_a) + est(n_b) - est_overlap (all share theta)
+    val ov = Sketches.kmvIntersect(d, "key", "elem", k = 32).collect()(0)
+    assert(r1.getAs[Long]("theta") == ov.getAs[Long]("theta"))
+    assert(r1.getAs[Long]("n_common") == ov.getAs[Long]("n_common"))
+    assert(r1.getAs[Long]("exact_union") == 5000L &&
+      r1.getAs[Long]("exact_diff_a") == 2000L)
+  }
+
   test("hllStream one-batch run reproduces the batch estimator bit-for-bit") {
     val d = keyed(1200).union(
       (1 to 300).map(i => ("k2", i.toLong)).toDF("key", "elem"))

@@ -3,6 +3,7 @@ package graft.streaming
 import java.nio.file.Files
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -491,5 +492,57 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     // the spike bucket flags, its normal neighbors don't
     val byBucket = streamed.map(t => t._1 -> t._5).toMap
     assert(byBucket(8L) == 1L && byBucket(7L) == 0L && byBucket(9L) == 0L)
+  }
+
+  test("funnel stream: one-batch snapshot == batch funnel; cross-batch advance") {
+    import graft.operators.Funnel
+    val h = 7200000L // 2h horizon
+    val steps = Seq("view", "cart", "buy")
+    // u1 completes in order; u2's cart shares t1's timestamp (strict > blocks
+    // it) and its buy has no qualifying cart; u4's cart falls past the
+    // horizon; u3 never does step 1 -> absent
+    val real = Seq(
+      (1L, 1000L, "view"), (1L, 2000L, "cart"), (1L, 3000L, "buy"),
+      (2L, 5000L, "view"), (2L, 5000L, "cart"), (2L, 6000L, "buy"),
+      (3L, 1000L, "cart"), (3L, 2000L, "buy"),
+      (4L, 10000L, "view"), (4L, 10000L + h + 1L, "cart"))
+    val input = MemoryStream[(Long, Long, String)]
+    val out = Funnel.funnelStream(
+      input.toDS().toDF("user_id", "ts", "event_type"),
+      "user_id", "ts", "event_type", steps, h)
+    val q = out.writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("append").start()
+    input.addData(real: _*)
+    q.processAllAvailable()
+    def snap(): Map[String, (Seq[Option[Long]], Long)] = {
+      val w = Window.partitionBy("user_id").orderBy(col("steps_reached").desc)
+      spark.table("funnel_stream")
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .collect()
+        .map(r => r.getString(0) ->
+          (r.getSeq[Any](1).map(Option(_).map(_.asInstanceOf[Long])).toSeq,
+            r.getLong(2))).toMap
+    }
+    val streamed = snap()
+    val batch = Funnel.funnel(real.toDF("user_id", "ts", "event_type"),
+        "user_id", "ts", "event_type", steps, h)
+      .collect()
+      .map(r => r.getLong(0).toString ->
+        (Seq(1, 2, 3).map(i => if (r.isNullAt(i)) None else Some(r.getLong(i))),
+          r.getAs[Long]("steps_reached"))).toMap
+    assert(streamed == batch,
+      "one-batch stream snapshot must equal the batch funnel exactly")
+    assert(streamed("1")._2 == 3L && streamed("2")._2 == 1L &&
+      streamed("4")._2 == 1L && !streamed.contains("3"))
+
+    // cross-batch: u2's qualifying cart then buy arrive later — state
+    // carried, funnel advances to 3; u4 stays stalled
+    input.addData((2L, 6000L, "cart"), (2L, 7000L, "buy"))
+    q.processAllAvailable()
+    q.stop()
+    val later = snap()
+    assert(later("2")._1 == Seq(Some(5000L), Some(6000L), Some(7000L)) &&
+      later("2")._2 == 3L)
+    assert(later("4")._2 == 1L)
   }
 }
