@@ -112,6 +112,50 @@ object Funnel {
   }
 
   /**
+   * Step-conversion REPORT over [[funnel]] — the number the dashboard
+   * actually shows: per step, how many users reached it, the conversion
+   * from the previous step, and the Wilson lower bound on that conversion
+   * (the [[ctrWilson]] correction — a 2-of-3 step is not a trustworthy 67%;
+   * threshold the bound, not the ratio). One global aggregate over the
+   * funnel frame (users-bounded), then n literal rows — no second scan.
+   *
+   * Determinism: exact integer threshold counts; the conversion and the
+   * Wilson chain are the identical pinned IEEE expressions as
+   * [[ctrWilson]]'s, guarded NULL when the previous step has no users
+   * (ANSI division) and for step 1 (no previous step).
+   *
+   * @return (step, step_type, n_reached, conv_from_prev, wilson_low) —
+   *         one row per funnel step, step 1 with NULL conversion columns.
+   */
+  def funnelRates(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String], horizonMs: Long,
+      z: Double = 1.96): DataFrame = {
+    val f = funnel(events, userCol, tsCol, typeCol, steps, horizonMs)
+    val nSteps = steps.size
+    val aggs = (1 to nSteps).map(i =>
+      sum(when(col("steps_reached") >= i, 1L).otherwise(0L)).as(s"n$i"))
+    val one = f.agg(aggs.head, aggs.tail: _*)
+    val z2 = z * z
+    val rows = (1 to nSteps).map { i =>
+      val convCols: (Column, Column) =
+        if (i == 1) (lit(null).cast("double"), lit(null).cast("double"))
+        else {
+          val n = col(s"n${i - 1}").cast("double")
+          val p = col(s"n$i").cast("double") / n
+          val low = (p + lit(z2) / (n * 2.0) -
+            lit(z) * sqrt(p * (lit(1.0) - p) / n + lit(z2) / (n * n * 4.0))) /
+            (lit(1.0) + lit(z2) / n)
+          (when(col(s"n${i - 1}") > 0L, p),
+            when(col(s"n${i - 1}") > 0L, low))
+        }
+      one.select(lit(i.toLong).as("step"), lit(steps(i - 1)).as("step_type"),
+        col(s"n$i").as("n_reached"),
+        convCols._1.as("conv_from_prev"), convCols._2.as("wilson_low"))
+    }
+    rows.reduce(_.unionByName(_))
+  }
+
+  /**
    * Position-based (U-shaped) multi-touch attribution: every conversion
    * credits the touchpoints that preceded it inside `lookbackMs` — 40% to
    * the first touch, 40% to the last, 20% split across the middles (the

@@ -1240,6 +1240,52 @@ object TextAnalysis {
    *
    * @return one row: (n_words, slope, intercept).
    */
+  /**
+   * Heaps'-law VOCABULARY GROWTH per source — the scaling companion to
+   * [[zipfSlope]]'s frequency fit: V(N) ≈ K·N^β, with β estimated from a
+   * two-point fit between a deterministic ~half sample and the full source
+   * (β = ln(V/V_half) / ln(N/N_half)). The number that sizes tokenizer
+   * vocabularies and dedup caps as a corpus grows 100×: natural text sits
+   * near β ≈ 0.5; β → 0 means a closed vocabulary (templates, logs),
+   * β → 1 means unbounded novelty (ids, hashes — the BPE-breaker this
+   * screen exists to catch before training a tokenizer on it).
+   *
+   * Determinism: the half sample is an md5(doc_id) first-hex-digit pick
+   * (engine-portable, no RNG); token and distinct counts are exact; the
+   * two ratio divisions are pinned doubles, each ln quantized to
+   * DECIMAL(18,9) (the BM25 idiom), and β is one pinned closing division.
+   * β is NULL when the sample saw nothing or the token counts coincide
+   * (ln 0 denominator).
+   *
+   * Scale: one exploded scan feeding two (source[, term]) aggregates —
+   * count-distinct shuffles on (source, term), vocabulary-bounded output;
+   * no window, no join beyond the sources-sized merge.
+   *
+   * @return (source, n_tokens, vocab, n_tokens_half, vocab_half, beta)
+   */
+  def heapsLaw(docs: DataFrame, textCol: String = "text",
+      sourceCol: String = "source", idCol: String = "doc_id"): DataFrame = {
+    val toks = docs
+      .where(col(textCol).isNotNull)
+      .select(col(sourceCol).as("source"),
+        (conv(substring(md5(concat(lit("heaps:"), col(idCol).cast("string"))),
+          1, 1), 16, 10).cast("int") < 8).as("half"),
+        explode(split(col(textCol), " ")).as("term"))
+    val full = toks.groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"), count_distinct(col("term")).as("vocab"))
+    val halfS = toks.where(col("half"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens_half"), count_distinct(col("term")).as("vocab_half"))
+    def ln9(c: Column): Column = log(c).cast(org.apache.spark.sql.types.DecimalType(18, 9))
+    val lnV = ln9(col("vocab").cast("double") / col("vocab_half").cast("double"))
+    val lnN = ln9(col("n_tokens").cast("double") / col("n_tokens_half").cast("double"))
+    full.join(halfS, Seq("source"))
+      .select(col("source"), col("n_tokens"), col("vocab"),
+        col("n_tokens_half"), col("vocab_half"),
+        when(col("n_tokens_half") > 0L && col("n_tokens") =!= col("n_tokens_half"),
+          lnV.cast("double") / lnN.cast("double")).as("beta"))
+  }
+
   def zipfSlope(docs: DataFrame, topN: Int = 200): DataFrame = {
     require(topN >= 2, "topN >= 2: a one-point fit has no slope")
     val counts = docs

@@ -77,6 +77,13 @@ object ApiQueries {
       Funnel.funnel(ev, "user_id", "ts_ms", "event_type",
         Seq("signup", "view", "purchase"), horizonMs = 86400000L)
     }),
+    // step-conversion report over the SAME funnel: per step the reach
+    // count, conversion from the previous step, and its Wilson lower bound
+    "events_funnel_rates" -> ((s, dir) => {
+      val ev = Points.table(s, dir, "events").withColumn("ts_ms", expr("ts div 1000000"))
+      Funnel.funnelRates(ev, "user_id", "ts_ms", "event_type",
+        Seq("signup", "view", "purchase"), horizonMs = 86400000L)
+    }),
     // Position-based multi-touch attribution: each purchase credits its
     // prior-7-day click/view touches 4000/2000/4000 basis points
     // (first/middles/last), integer remainder to the earliest middles —
@@ -476,6 +483,20 @@ object ApiQueries {
       s"(strpos('0123456789abcdef', substr($m, ${from + i}, 1)) - 1) * ${1L << (4 * (n - 1 - i))}"
     }.mkString("(", "\n               + ", ")")
 
+  /** The strict-order funnel oracle, shared verbatim by `events_funnel`
+    * and (as a subquery) `events_funnel_rates` so the two cannot drift. */
+  private val FunnelOracleSql =
+    """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+      |s1 AS (SELECT user_id, MIN(ts_ms) AS t1 FROM e WHERE event_type = 'signup' GROUP BY 1),
+      |s2 AS (SELECT s1.user_id, MIN(e.ts_ms) AS t2 FROM s1 JOIN e ON e.user_id = s1.user_id
+      |       AND e.event_type = 'view' AND e.ts_ms > s1.t1 AND e.ts_ms <= s1.t1 + 86400000 GROUP BY 1),
+      |s3 AS (SELECT s2.user_id, MIN(e.ts_ms) AS t3 FROM s2 JOIN e ON e.user_id = s2.user_id
+      |       AND e.event_type = 'purchase' AND e.ts_ms > s2.t2 AND e.ts_ms <= s2.t2 + 86400000 GROUP BY 1)
+      |SELECT s1.user_id, t1, t2, t3,
+      |       CAST(1 + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END
+      |              + CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS steps_reached
+      |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "api_query_sum" ->
       """WITH d AS (
@@ -644,17 +665,32 @@ object ApiQueries {
         |  SELECT view_event_id, view_ts, view_value FROM views v
         |  WHERE v.user_id = p.user_id AND v.view_ts <= p.ts
         |  ORDER BY v.view_ts DESC, v.view_event_id DESC LIMIT 1) v ON true""".stripMargin,
-    "events_funnel" ->
-      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
-        |s1 AS (SELECT user_id, MIN(ts_ms) AS t1 FROM e WHERE event_type = 'signup' GROUP BY 1),
-        |s2 AS (SELECT s1.user_id, MIN(e.ts_ms) AS t2 FROM s1 JOIN e ON e.user_id = s1.user_id
-        |       AND e.event_type = 'view' AND e.ts_ms > s1.t1 AND e.ts_ms <= s1.t1 + 86400000 GROUP BY 1),
-        |s3 AS (SELECT s2.user_id, MIN(e.ts_ms) AS t3 FROM s2 JOIN e ON e.user_id = s2.user_id
-        |       AND e.event_type = 'purchase' AND e.ts_ms > s2.t2 AND e.ts_ms <= s2.t2 + 86400000 GROUP BY 1)
-        |SELECT s1.user_id, t1, t2, t3,
-        |       CAST(1 + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END
-        |              + CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS steps_reached
-        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""".stripMargin,
+    "events_funnel" -> FunnelOracleSql,
+    // rates over the SAME funnel SQL (shared literal so the two gates
+    // cannot drift): threshold counts, conversion, ctr_wilson's exact
+    // Wilson chain with n = previous-step reach
+    "events_funnel_rates" ->
+      s"""WITH f AS (SELECT * FROM ($FunnelOracleSql)),
+         |c AS (SELECT CAST(SUM(CASE WHEN steps_reached >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |             CAST(SUM(CASE WHEN steps_reached >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         |             CAST(SUM(CASE WHEN steps_reached >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3
+         |      FROM f),
+         |r AS (
+         |  SELECT CAST(1 AS BIGINT) AS step, 'signup' AS step_type, n1 AS n_reached,
+         |         CAST(NULL AS DOUBLE) AS p, CAST(NULL AS DOUBLE) AS np FROM c
+         |  UNION ALL
+         |  SELECT CAST(2 AS BIGINT), 'view', n2,
+         |         CASE WHEN n1 > 0 THEN CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE) END,
+         |         CASE WHEN n1 > 0 THEN CAST(n1 AS DOUBLE) END FROM c
+         |  UNION ALL
+         |  SELECT CAST(3 AS BIGINT), 'purchase', n3,
+         |         CASE WHEN n2 > 0 THEN CAST(n3 AS DOUBLE) / CAST(n2 AS DOUBLE) END,
+         |         CASE WHEN n2 > 0 THEN CAST(n2 AS DOUBLE) END FROM c)
+         |SELECT step, step_type, n_reached, p AS conv_from_prev,
+         |       (p + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / (np * 2.0)
+         |          - 1.96 * sqrt(p * (1.0 - p) / np + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / (np * np * 4.0)))
+         |         / (1.0 + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / np) AS wilson_low
+         |FROM r""".stripMargin,
     "events_attribution_multi" ->
       """WITH e AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
         |conv AS (SELECT event_id AS conv_event_id, user_id, ts_ms AS conv_ts

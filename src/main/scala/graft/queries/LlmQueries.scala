@@ -1184,6 +1184,10 @@ object LlmQueries {
     // Zipf-law fit over the top-200 word-frequency head: quantized-ln OLS,
     // the one-number natural-language fingerprint per corpus snapshot
     "text_zipf" -> ((s, dir) => TextAnalysis.zipfSlope(docs(s, dir), topN = 200)),
+    // Heaps'-law vocabulary growth per source: two-point beta fit between
+    // a deterministic md5 half-sample and the full source — the tokenizer-
+    // vocabulary / dedup-cap sizing exponent (beta -> 1 = id-like novelty)
+    "text_heaps" -> ((s, dir) => TextAnalysis.heapsLaw(docs(s, dir))),
     // proximity (NEAR/6) retrieval: probe terms 1+4 of every 97th doc,
     // pairwise min-gap <= 6 over the query-filtered positional index —
     // the order-free slop sibling of search_phrase
@@ -5122,6 +5126,25 @@ object LlmQueries {
     "profile_events" -> profileSql("events",
       Seq("event_id" -> "num", "user_id" -> "num", "event_type" -> "str",
         "value" -> "num", "props" -> "str")),
+    // mirrors TextAnalysis.heapsLaw: md5 half-sample, exact token/distinct
+    // counts, pinned ratio divisions with each ln quantized DECIMAL(18,9)
+    "text_heaps" ->
+      """WITH t AS (SELECT source,
+        |        (strpos('0123456789abcdef',
+        |           substr(md5('heaps:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1 < 8) AS half,
+        |        unnest(string_split(text, ' ')) AS term
+        |      FROM documents WHERE text IS NOT NULL),
+        |f AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |             CAST(COUNT(DISTINCT term) AS BIGINT) AS vocab FROM t GROUP BY 1),
+        |h AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens_half,
+        |             CAST(COUNT(DISTINCT term) AS BIGINT) AS vocab_half
+        |      FROM t WHERE half GROUP BY 1)
+        |SELECT f.source, n_tokens, vocab, n_tokens_half, vocab_half,
+        |       CASE WHEN n_tokens_half > 0 AND n_tokens != n_tokens_half THEN
+        |         CAST(CAST(ln(CAST(vocab AS DOUBLE) / CAST(vocab_half AS DOUBLE)) AS DECIMAL(18,9)) AS DOUBLE)
+        |           / CAST(CAST(ln(CAST(n_tokens AS DOUBLE) / CAST(n_tokens_half AS DOUBLE)) AS DECIMAL(18,9)) AS DOUBLE)
+        |       END AS beta
+        |FROM f JOIN h USING (source)""".stripMargin,
     // mirrors TextAnalysis.zipfSlope(topN=200): exact head ranks, each ln /
     // product term quantized at DECIMAL(28,10), pinned OLS close
     "text_zipf" ->

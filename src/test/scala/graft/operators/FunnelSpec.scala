@@ -250,4 +250,29 @@ class FunnelSpec extends AnyFunSuite with SparkSpec {
     assert(r1.getAs[Double]("ctr") == 1.0, "clicks past views clamp to 1")
     assert(r1.getAs[Double]("wilson_low") < 1.0, "one-view certainty is not certainty")
   }
+
+  test("funnelRates: threshold counts, step-1 NULL conversion, ctrWilson's exact bound") {
+    // 4 users enter, 2 reach b, 1 reaches c
+    val out = Funnel.funnelRates(ev(
+        (1L, 0L, "a"), (1L, 10L, "b"), (1L, 20L, "c"),
+        (2L, 0L, "a"), (2L, 10L, "b"),
+        (3L, 0L, "a"),
+        (4L, 0L, "a"),
+        (5L, 0L, "b")), // never step 1 -> not in any count
+      "user_id", "ts", "event_type", Seq("a", "b", "c"), horizonMs = 100L)
+      .collect().map(r => r.getAs[Long]("step") -> r).toMap
+    assert(out(1L).getAs[Long]("n_reached") == 4L && out(1L).isNullAt(3) && out(1L).isNullAt(4))
+    assert(out(2L).getAs[Long]("n_reached") == 2L && out(2L).getAs[Double]("conv_from_prev") == 0.5)
+    assert(out(3L).getAs[Long]("n_reached") == 1L && out(3L).getAs[Double]("conv_from_prev") == 0.5)
+    // the bound is the exact ctrWilson chain: recompute for p=0.5, n=4
+    def wilson(p: Double, n: Double): Double = {
+      val z = 1.96; val z2 = z * z
+      (p + z2 / (n * 2.0) - z * math.sqrt(p * (1.0 - p) / n + z2 / (n * n * 4.0))) /
+        (1.0 + z2 / n)
+    }
+    assert(out(2L).getAs[Double]("wilson_low") == wilson(0.5, 4.0))
+    assert(out(3L).getAs[Double]("wilson_low") == wilson(0.5, 2.0))
+    assert(out(2L).getAs[Double]("wilson_low") > out(3L).getAs[Double]("wilson_low"),
+      "same ratio at lower volume must bound lower")
+  }
 }

@@ -41,6 +41,39 @@ class ZipfProximitySpec extends AnyFunSuite with SparkSpec {
     assert(e.getAs[Long]("n_words") == 0L)
   }
 
+  test("heapsLaw: exact counts per md5-derived half, pinned beta; degenerate cases NULL") {
+    // recompute the operator's own half pick so the fixture is hash-honest
+    def half(id: Long): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"heaps:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      Integer.parseInt(hex.substring(0, 1), 16) < 8
+    }
+    val docs = Seq(
+      (1L, "a b c d", "s"), (2L, "a b e f", "s"),
+      (3L, "a g", "s"), (4L, "h h h h", "s")).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.heapsLaw(docs).collect().head
+    val all = Seq(1L -> "a b c d", 2L -> "a b e f", 3L -> "a g", 4L -> "h h h h")
+    val hTok = all.filter(d => half(d._1)).flatMap(_._2.split(" "))
+    val aTok = all.flatMap(_._2.split(" "))
+    assert(out.getAs[Long]("n_tokens") == aTok.size.toLong)
+    assert(out.getAs[Long]("vocab") == aTok.distinct.size.toLong)
+    assert(out.getAs[Long]("n_tokens_half") == hTok.size.toLong)
+    assert(out.getAs[Long]("vocab_half") == hTok.distinct.size.toLong)
+    if (hTok.nonEmpty && hTok.size != aTok.size) {
+      val q = (x: Double) => new java.math.BigDecimal(math.log(x))
+        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+      val want = q(aTok.distinct.size.toDouble / hTok.distinct.size) /
+        q(aTok.size.toDouble / hTok.size)
+      assert(out.getAs[Double]("beta") == want)
+    }
+    // a source whose half sample equals the whole (or is empty) gives NULL beta:
+    // every doc on one side of the pick
+    val ids = (1L to 50L).filter(half)
+    val oneSided = ids.map(i => (i, "x y", "t")).toDF("doc_id", "text", "source")
+    val r = TextAnalysis.heapsLaw(oneSided).collect().head
+    assert(r.isNullAt(5), "half == full must yield NULL beta")
+  }
+
   test("proximityHits: pairwise window semantics, order-free") {
     val docs = Seq(
       (1L, "alpha x x beta"),        // gap 3 <= 3: hit
