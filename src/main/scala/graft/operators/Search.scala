@@ -266,16 +266,38 @@ object Search {
    * @return (query_id, doc_id, n_hits) for documents containing the full
    *         phrase at least once.
    */
-  def phraseHits(docs: DataFrame, queries: DataFrame): DataFrame = {
-    val words = docs
+  /**
+   * The MATCHED-POSITIONS frame `(doc_id, pos, w)` for a term set — the
+   * positional sibling of [[matchedPostings]]: one lowercased positional
+   * explode + broadcast term filter that [[phraseHits]], [[proximityHits]],
+   * [[booleanHits]] and [[bestSnippets]] all open with, factored out so one
+   * build (memoized/persisted by the caller) serves the whole positional
+   * family. Filtering by a SUPERSET of a consumer's terms is sound: every
+   * consumer re-joins against its own query-term frame, and a position row
+   * is independent of which term set selected it.
+   */
+  def matchedPositions(docs: DataFrame, termsIn: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"),
         posexplode(split(lower(col("text")), " ")).as(Seq("pos", "w")))
+      .join(broadcast(termsIn.select(col("w")).distinct()), "w")
+      .select(col("doc_id"), col("pos"), col("w"))
+
+  def phraseHits(docs: DataFrame, queries: DataFrame): DataFrame =
+    phraseHitsFromPositions(
+      matchedPositions(docs,
+        queries.select(explode(split(lower(col("qtext")), " ")).as("w"))),
+      queries)
+
+  /** [[phraseHits]] over a pre-built [[matchedPositions]] frame (which must
+    * cover every query term). */
+  def phraseHitsFromPositions(positions: DataFrame, queries: DataFrame): DataFrame = {
     val qterms = queries
       .select(col("query_id"),
         posexplode(split(lower(col("qtext")), " ")).as(Seq("qpos", "w")))
     val qn = qterms.groupBy("query_id")
       .agg(countDistinct(col("qpos")).as("n_terms"))
-    words.join(broadcast(qterms), "w")
+    positions.join(broadcast(qterms), "w")
       .groupBy(col("query_id"), col("doc_id"),
         (col("pos") - col("qpos")).as("anchor"))
       .agg(countDistinct(col("qpos")).as("k"))
@@ -592,19 +614,25 @@ object Search {
    * @return (query_id, rank, doc_id, max_gap) — top `k` docs per query.
    */
   def proximityHits(docs: DataFrame, queries: DataFrame, window: Int = 6,
-      k: Int = 10): DataFrame = {
+      k: Int = 10): DataFrame =
+    proximityHitsFromPositions(
+      matchedPositions(docs,
+        queries.select(explode(split(lower(col("qtext")), " ")).as("w"))),
+      queries, window, k)
+
+  /** [[proximityHits]] over a pre-built [[matchedPositions]] frame (which
+    * must cover every query term). */
+  def proximityHitsFromPositions(positions: DataFrame, queries: DataFrame,
+      window: Int = 6, k: Int = 10): DataFrame = {
     require(window >= 1, "window >= 1")
     require(k >= 1, "k >= 1")
-    val words = docs
-      .select(col("doc_id"),
-        posexplode(split(lower(col("text")), " ")).as(Seq("pos", "w")))
     val qt = queries
       .select(col("query_id"),
         explode(array_distinct(split(lower(col("qtext")), " "))).as("w"))
     val qn = qt.groupBy("query_id")
       .agg(count(lit(1)).as("n_terms"))
       .select(col("query_id"), expr("n_terms * (n_terms - 1) div 2").as("n_pairs_req"))
-    val m = words.join(broadcast(qt), "w")
+    val m = positions.join(broadcast(qt), "w")
       .select(col("query_id"), col("doc_id"), col("pos"), col("w"))
     val gaps = m.as("x").join(m.as("y"),
         col("x.query_id") === col("y.query_id") &&
@@ -642,9 +670,20 @@ object Search {
    * @return (query_id, doc_id, n_terms) — qualifying docs with the distinct
    *         must-term count that qualified them.
    */
-  def booleanHits(docs: DataFrame, queries: DataFrame): DataFrame = {
-    val dw = docs
-      .select(col("doc_id"), explode(array_distinct(split(lower(col("text")), " "))).as("w"))
+  def booleanHits(docs: DataFrame, queries: DataFrame): DataFrame =
+    booleanHitsFromPositions(
+      matchedPositions(docs,
+        queries.select(explode(split(lower(col("qtext")), " ")).as("w"))
+          .unionByName(queries.where(col("nottext").isNotNull)
+            .select(explode(split(lower(col("nottext")), " ")).as("w")))),
+      queries)
+
+  /** [[booleanHits]] over a pre-built [[matchedPositions]] frame — which
+    * must cover every MUST **and NOT** term; the distinct (doc, word) frame
+    * the MUST/NOT joins run on is position-independent, so the shared
+    * positional fetch serves here too. */
+  def booleanHitsFromPositions(positions: DataFrame, queries: DataFrame): DataFrame = {
+    val dw = positions.select(col("doc_id"), col("w")).distinct()
     val mt = queries.select(col("query_id"),
       explode(array_distinct(split(lower(col("qtext")), " "))).as("w"))
     val nt = queries
@@ -680,14 +719,21 @@ object Search {
    *         qualifying (query, doc): the 0-based token offset of the best
    *         window and the distinct query terms it covers.
    */
-  def bestSnippets(docs: DataFrame, queries: DataFrame, window: Int = 12): DataFrame = {
+  def bestSnippets(docs: DataFrame, queries: DataFrame, window: Int = 12): DataFrame =
+    bestSnippetsFromPositions(
+      matchedPositions(docs,
+        queries.select(explode(split(lower(col("qtext")), " ")).as("w"))),
+      queries, window)
+
+  /** [[bestSnippets]] over a pre-built [[matchedPositions]] frame (which
+    * must cover every query term). */
+  def bestSnippetsFromPositions(positions: DataFrame, queries: DataFrame,
+      window: Int = 12): DataFrame = {
     require(window >= 1, "window >= 1")
-    val words = docs.select(col("doc_id"),
-      posexplode(split(lower(col("text")), " ")).as(Seq("pos", "w")))
     val qt = queries.select(col("query_id"),
       explode(array_distinct(split(lower(col("qtext")), " "))).as("w"))
     val qn = qt.groupBy("query_id").agg(count(lit(1)).as("n_terms"))
-    val m = words.join(broadcast(qt), "w")
+    val m = positions.join(broadcast(qt), "w")
       .select(col("query_id"), col("doc_id"), col("pos"), col("w"))
     // all-terms qualification (the boolean MUST semantics)
     val qualified = m.select("query_id", "doc_id", "w").distinct()

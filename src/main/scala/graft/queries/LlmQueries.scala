@@ -58,6 +58,23 @@ object LlmQueries {
       val d = docs(s, dir)
       graft.operators.Search.matchedPostings(d, probeTerms(d))
     }))
+
+  /** The shared matched-POSITIONS frame for the positional family
+    * (phrase / proximity / boolean / snippets+highlight): one lowercased
+    * positional explode per (session, dir) over the probe terms PLUS the
+    * boolean gate's NOT terms (a superset is sound — every consumer re-joins
+    * its own term frame). */
+  private val positionsMemo = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def probePositions(s: SparkSession, dir: String): DataFrame =
+    repersist(positionsMemo.computeIfAbsent(s"${System.identityHashCode(s)}:$dir", _ => {
+      val d = docs(s, dir)
+      val terms = probeQueries(d)
+        .select(explode(split(lower(col("qtext")), " ")).as("w"))
+        .unionByName(d.where(col("doc_id") % 97 === 0)
+          .select(lower(element_at(split(col("text"), " "), 6)).as("w"))
+          .where(col("w").isNotNull))
+      graft.operators.Search.matchedPositions(d, terms)
+    }))
   private def corpusStatsFrame(s: SparkSession, dir: String): DataFrame =
     repersist(statsMemo.computeIfAbsent(s"${System.identityHashCode(s)}:$dir", _ =>
       graft.operators.Search.corpusStats(docs(s, dir))))
@@ -119,7 +136,8 @@ object LlmQueries {
   private def bestSnippetsFrame(s: SparkSession, dir: String): DataFrame = {
     val best = snippetsMemo.computeIfAbsent(s"${System.identityHashCode(s)}:$dir", _ => {
       val d = docs(s, dir)
-      graft.operators.Search.bestSnippets(d, probeQueries(d), window = 12)
+      graft.operators.Search.bestSnippetsFromPositions(
+        probePositions(s, dir), probeQueries(d), window = 12)
     })
     if (best.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
       best.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -842,7 +860,8 @@ object LlmQueries {
     // adjacency semantics bag-of-words BM25 cannot express)
     "search_phrase" -> ((s, dir) => {
       val d = docs(s, dir)
-      graft.operators.Search.phraseHits(d, probeQueries(d))
+      graft.operators.Search.phraseHitsFromPositions(
+        probePositions(s, dir), probeQueries(d))
     }),
     // 3-hop BFS reachability histogram from the trustrank seed pair:
     // synchronous frontier expansion, min-hop levels — the blast-radius view
@@ -1197,7 +1216,10 @@ object LlmQueries {
       val q = d.where(col("doc_id") % 97 === 0)
         .select(col("doc_id").as("query_id"),
           concat_ws(" ", element_at(ws, 1), element_at(ws, 4)).as("qtext"))
-      graft.operators.Search.proximityHits(d, q, window = 6, k = 10)
+      // terms are words 1 and 4 — inside the probe 4-word prefix, so the
+      // SHARED positional fetch covers them
+      graft.operators.Search.proximityHitsFromPositions(
+        probePositions(s, dir), q, window = 6, k = 10)
     }),
     // "did you mean" spell suggestion: word 2 of every 97th doc with its
     // last char typo'd to 'z', corrected from the corpus vocabulary via
@@ -1232,7 +1254,7 @@ object LlmQueries {
         .select(col("doc_id").as("query_id"),
           array_join(slice(ws, 1, 4), " ").as("qtext"),
           element_at(ws, 6).as("nottext"))
-      graft.operators.Search.booleanHits(d, q)
+      graft.operators.Search.booleanHitsFromPositions(probePositions(s, dir), q)
     }),
     // best-snippet extraction over the probe queries: per qualifying
     // (all-terms) doc the 12-token window covering the most distinct query
