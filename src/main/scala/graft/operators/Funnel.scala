@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /**
  * Strict-order funnel analysis over an event stream — the conversion query
@@ -476,6 +477,73 @@ object Funnel {
    * @return one row: (n_a, conv_a, rate_a, n_b, conv_b, rate_b,
    *         lift_abs, lift_rel, z_stat) where a/b = ascending variant order
    */
+  /**
+   * CUPED variance-reduced A/B readout (Deng et al. 2013) — the adjustment
+   * every mature experimentation platform applies before reading
+   * [[abReport]]'s z: a user's PRE-period activity explains much of their
+   * post-period variance, so ŷ = y − θ·(x − x̄) with θ = cov(x,y)/var(x)
+   * shrinks the noise without biasing the mean (θ is computed pooled, so
+   * both variants shift identically in expectation under the null).
+   *
+   * Here x = the user's event count in the first half of the observed day
+   * range, y = the count in the second half; the split day is the integer
+   * midpoint of the data's own [min, max] day span (deterministic at any
+   * SF). Every user seen in either period enters with missing-period
+   * counts as 0 — the standard all-enrolled frame.
+   *
+   * Determinism: per-user counts are exact integers; the moment sums
+   * (Σx, Σy, Σxy, Σx²) accumulate in DECIMAL(38,0) (products overflow LONG
+   * at 100 TB — the [[Sketches.amsF2]] convention); θ and the adjusted
+   * means are a pinned IEEE chain over the exact sums, mirrored by the
+   * oracle. θ is NULL (and the adjusted mean falls back to the raw mean)
+   * when var(x) = 0.
+   *
+   * Scale: one (variant, user) aggregate (map-side combined), one
+   * all-users moment row + per-variant sums (broadcast scalars), no
+   * window, no join beyond the 1-row attaches.
+   *
+   * @return one row per variant: (variant, n_users, mean_pre, mean_post,
+   *         theta, mean_adjusted)
+   */
+  def cupedReport(events: DataFrame, variantCol: String,
+      userCol: String = "user_id", tsMsCol: String = "ts_ms"): DataFrame = {
+    val day = expr(
+      s"$tsMsCol div 86400000 - (CASE WHEN $tsMsCol % 86400000 < 0 THEN 1 ELSE 0 END)")
+    val days = events.agg(min(day).as("d0"), max(day).as("d1"))
+      .select(expr("(d0 + d1) div 2").as("mid"))
+    val perUser = events.where(col(variantCol).isNotNull)
+      .crossJoin(broadcast(days))
+      .groupBy(col(variantCol).as("variant"), col(userCol))
+      .agg(sum(when(day < col("mid"), 1L).otherwise(0L)).as("x"),
+        sum(when(day >= col("mid"), 1L).otherwise(0L)).as("y"))
+    // pooled moments in exact DECIMAL(38,0): theta shared by both variants
+    val xd = col("x").cast(DecimalType(38, 0))
+    val moments = broadcast(perUser.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(xd * col("y")).as("sxy"), sum(xd * col("x")).as("sxx")))
+    val perVariant = perUser.groupBy("variant")
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("x")).as("vx"), sum(col("y")).as("vy"))
+    val nD = col("n").cast("double")
+    // theta = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²), exact integer num/den
+    val num = col("n").cast(DecimalType(38, 0)) * col("sxy") -
+      col("sx").cast(DecimalType(38, 0)) * col("sy")
+    val den = col("n").cast(DecimalType(38, 0)) * col("sxx") -
+      col("sx").cast(DecimalType(38, 0)) * col("sx")
+    val theta = when(den =!= lit(0).cast(DecimalType(38, 0)),
+      num.cast("double") / den.cast("double"))
+    val meanPre = col("vx").cast("double") / col("n_users").cast("double")
+    val meanPost = col("vy").cast("double") / col("n_users").cast("double")
+    val meanXAll = col("sx").cast("double") / nD
+    perVariant.crossJoin(moments)
+      .select(col("variant"), col("n_users"),
+        meanPre.as("mean_pre"), meanPost.as("mean_post"),
+        theta.as("theta"),
+        (meanPost - coalesce(theta, lit(0.0)) * (meanPre - meanXAll))
+          .as("mean_adjusted"))
+  }
+
   def abReport(events: DataFrame, variantCol: String, userCol: String = "user_id",
                typeCol: String = "event_type", convType: String = "purchase"): DataFrame = {
     val perUser = events.where(col(variantCol).isNotNull)

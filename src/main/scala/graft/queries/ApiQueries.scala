@@ -70,6 +70,33 @@ object ApiQueries {
           col("ts_ms").as("view_ts"), col("value").as("view_value"))
       AsOf.asofJoin(purchases, views, Seq("user_id"), "ts", "view_ts", "view_event_id")
     }),
+    // MULTI-TABLE point-in-time join: each purchase picks up its user's
+    // latest prior view AND latest prior click in one composed pass — the
+    // PIT feature-assembly shape (k feature tables = k chained as-of joins,
+    // each one user-keyed shuffle, no range-join amplification)
+    "events_asof_multi" -> ((s, dir) => {
+      val ev = Points.table(s, dir, "events").withColumn("ts_ms", expr("ts div 1000000"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_ms").as("ts"), col("value"))
+      val views = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_event_id"),
+          col("ts_ms").as("view_ts"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_event_id"),
+          col("ts_ms").as("click_ts"))
+      val withView = AsOf.asofJoin(purchases, views, Seq("user_id"),
+        "ts", "view_ts", "view_event_id")
+      AsOf.asofJoin(withView, clicks, Seq("user_id"),
+        "ts", "click_ts", "click_event_id")
+    }),
+    // CUPED variance-reduced A/B readout on the parity split: pre-period
+    // event count as the covariate, pooled theta, adjusted post means
+    "events_cuped" -> ((s, dir) => {
+      val ev = Points.table(s, dir, "events")
+        .withColumn("ts_ms", expr("ts div 1000000"))
+        .withColumn("variant", when(col("user_id") % 2 === 0, "control").otherwise("treat"))
+      Funnel.cupedReport(ev, "variant")
+    }),
     // Strict-order conversion funnel: first signup, first view within 24h
     // after it, first purchase within 24h after that — per user
     "events_funnel" -> ((s, dir) => {
@@ -665,6 +692,64 @@ object ApiQueries {
         |  SELECT view_event_id, view_ts, view_value FROM views v
         |  WHERE v.user_id = p.user_id AND v.view_ts <= p.ts
         |  ORDER BY v.view_ts DESC, v.view_event_id DESC LIMIT 1) v ON true""".stripMargin,
+    // chained PIT joins: DuckDB replays each as-of with a LATERAL top-1
+    // (largest ts, then largest tie-break id — the window's last-wins order)
+    "events_asof_multi" ->
+      """WITH purchases AS (SELECT event_id, user_id, epoch_ms(ts) AS ts, value
+        |                   FROM events WHERE event_type = 'purchase'),
+        |views AS (SELECT user_id, event_id AS view_event_id, epoch_ms(ts) AS view_ts
+        |          FROM events WHERE event_type = 'view'),
+        |clicks AS (SELECT user_id, event_id AS click_event_id, epoch_ms(ts) AS click_ts
+        |           FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.ts, p.value,
+        |       v.view_event_id, v.view_ts, c.click_event_id, c.click_ts
+        |FROM purchases p
+        |LEFT JOIN LATERAL (
+        |  SELECT view_event_id, view_ts FROM views v
+        |  WHERE v.user_id = p.user_id AND v.view_ts <= p.ts
+        |  ORDER BY v.view_ts DESC, v.view_event_id DESC LIMIT 1) v ON true
+        |LEFT JOIN LATERAL (
+        |  SELECT click_event_id, click_ts FROM clicks c
+        |  WHERE c.user_id = p.user_id AND c.click_ts <= p.ts
+        |  ORDER BY c.click_ts DESC, c.click_event_id DESC LIMIT 1) c ON true""".stripMargin,
+    // mirrors Funnel.cupedReport: integer per-user pre/post counts at the
+    // data-derived midpoint day, DECIMAL(38,0) moment sums, pinned theta
+    // and adjusted-mean chains
+    "events_cuped" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) // 86400000 AS day,
+        |                  CASE WHEN user_id % 2 = 0 THEN 'control' ELSE 'treat' END AS variant
+        |           FROM events),
+        |md AS (SELECT (MIN(day) + MAX(day)) // 2 AS mid FROM e),
+        |u AS (SELECT variant, user_id,
+        |             CAST(SUM(CASE WHEN day < md.mid THEN 1 ELSE 0 END) AS BIGINT) AS x,
+        |             CAST(SUM(CASE WHEN day >= md.mid THEN 1 ELSE 0 END) AS BIGINT) AS y
+        |      FROM e CROSS JOIN md GROUP BY 1, 2),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |             CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS sxy,
+        |             CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx
+        |      FROM u),
+        |v AS (SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |             CAST(SUM(x) AS BIGINT) AS vx, CAST(SUM(y) AS BIGINT) AS vy
+        |      FROM u GROUP BY 1),
+        |t AS (SELECT m.*,
+        |        CASE WHEN CAST(m.n AS DECIMAL(38,0)) * m.sxx
+        |                  - CAST(m.sx AS DECIMAL(38,0)) * m.sx != 0 THEN
+        |          CAST(CAST(m.n AS DECIMAL(38,0)) * m.sxy
+        |               - CAST(m.sx AS DECIMAL(38,0)) * m.sy AS DOUBLE)
+        |            / CAST(CAST(m.n AS DECIMAL(38,0)) * m.sxx
+        |               - CAST(m.sx AS DECIMAL(38,0)) * m.sx AS DOUBLE)
+        |        END AS theta
+        |      FROM m)
+        |SELECT v.variant, v.n_users,
+        |       CAST(v.vx AS DOUBLE) / CAST(v.n_users AS DOUBLE) AS mean_pre,
+        |       CAST(v.vy AS DOUBLE) / CAST(v.n_users AS DOUBLE) AS mean_post,
+        |       t.theta,
+        |       (CAST(v.vy AS DOUBLE) / CAST(v.n_users AS DOUBLE))
+        |         - COALESCE(t.theta, CAST(0.0 AS DOUBLE))
+        |           * ((CAST(v.vx AS DOUBLE) / CAST(v.n_users AS DOUBLE))
+        |              - (CAST(t.sx AS DOUBLE) / CAST(t.n AS DOUBLE))) AS mean_adjusted
+        |FROM v CROSS JOIN t""".stripMargin,
     "events_funnel" -> FunnelOracleSql,
     // rates over the SAME funnel SQL (shared literal so the two gates
     // cannot drift): threshold counts, conversion, ctr_wilson's exact

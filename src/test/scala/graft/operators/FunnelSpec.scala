@@ -251,6 +251,40 @@ class FunnelSpec extends AnyFunSuite with SparkSpec {
     assert(r1.getAs[Double]("wilson_low") < 1.0, "one-view certainty is not certainty")
   }
 
+  test("cupedReport: hand-computed pooled theta, adjusted means; zero-variance covariate -> raw means") {
+    val day = 86400000L
+    // days 0..3 -> mid = 1; (x, y) per user: u0=(2,4) u2=(1,2) control,
+    // u1=(3,6) u3=(2,5) treat. Pooled: n=4 sx=8 sy=17 sxy=38 sxx=18 ->
+    // theta = (4*38-8*17)/(4*18-64) = 16/8 = 2; mean_x_all = 2.
+    def mk(u: Long, d: Long, k: Int) = Seq.fill(k)((u, d * day + u))
+    val rows = mk(0L, 0L, 2) ++ mk(0L, 2L, 4) ++ mk(2L, 0L, 1) ++ mk(2L, 2L, 2) ++
+      mk(1L, 0L, 3) ++ mk(1L, 2L, 6) ++ mk(3L, 0L, 2) ++ mk(3L, 2L, 5)
+    val ev = rows.toDF("user_id", "ts_ms")
+      .withColumn("variant", when(col("user_id") % 2 === 0, "control").otherwise("treat"))
+    val out = Funnel.cupedReport(ev, "variant")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("control").getAs[Double]("theta") == 2.0)
+    assert(out("control").getAs[Double]("mean_pre") == 1.5 &&
+      out("control").getAs[Double]("mean_post") == 3.0 &&
+      out("control").getAs[Double]("mean_adjusted") == 4.0)
+    assert(out("treat").getAs[Double]("mean_pre") == 2.5 &&
+      out("treat").getAs[Double]("mean_post") == 5.5 &&
+      out("treat").getAs[Double]("mean_adjusted") == 4.5)
+    // adjusted means keep the pooled post mean: the correction is zero-sum
+    // here because both variants have 2 users
+    assert(out("control").getAs[Double]("mean_adjusted") +
+      out("treat").getAs[Double]("mean_adjusted") == 3.0 + 5.5)
+
+    // identical pre-period counts -> var(x) = 0 -> theta NULL, raw means kept
+    val flat = (mk(0L, 0L, 2) ++ mk(0L, 2L, 4) ++ mk(1L, 0L, 2) ++ mk(1L, 2L, 6))
+      .toDF("user_id", "ts_ms")
+      .withColumn("variant", when(col("user_id") % 2 === 0, "control").otherwise("treat"))
+    val f = Funnel.cupedReport(flat, "variant")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(f("control").isNullAt(4) &&
+      f("control").getAs[Double]("mean_adjusted") == f("control").getAs[Double]("mean_post"))
+  }
+
   test("funnelRates: threshold counts, step-1 NULL conversion, ctrWilson's exact bound") {
     // 4 users enter, 2 reach b, 1 reaches c
     val out = Funnel.funnelRates(ev(
