@@ -13,10 +13,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    TimelyQueries.queries ++ TpchQueries.queries ++ LlmQueries.queries ++ ApiQueries.queries
+    TimelyQueries.queries ++ TpchQueries.queries ++ LlmQueries.queries ++
+      ApiQueries.queries ++ AuditQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    TimelyQueries.oracles ++ TpchQueries.oracles ++ LlmQueries.oracles ++ ApiQueries.oracles
+    TimelyQueries.oracles ++ TpchQueries.oracles ++ LlmQueries.oracles ++
+      ApiQueries.oracles ++ AuditQueries.oracles
 }

@@ -64,4 +64,107 @@ object Profiling {
     }
     wide.select(explode(array(structs: _*)).as("p")).select(col("p.*"))
   }
+
+  /** Benford's-law first-digit expectations log10(1 + 1/d), d = 1..9 —
+    * shared verbatim (via [[benfordExpectedLits]]) with the DuckDB oracle
+    * so both engines parse the identical double literals. */
+  val benfordExpected: Seq[(Int, Double)] =
+    (1 to 9).map(d => d -> math.log10(1.0 + 1.0 / d))
+
+  /** The literals as shortest-round-trip strings (Double.toString) — both
+    * Spark and DuckDB parse these back to the exact same doubles. */
+  def benfordExpectedLits: Seq[(Int, String)] =
+    benfordExpected.map { case (d, p) => d -> p.toString }
+
+  /** Benford's-law first-significant-digit audit — the numeric-forensics
+    * screen for synthetic or tampered value columns (fabricated metrics
+    * rarely follow the log-uniform digit law that organic growth data
+    * does). Emits, per observed digit: the count, observed frequency,
+    * Benford expectation, and the chi-square contribution; the audit
+    * verdict is the chi2 sum, kept per-digit here so the report shows
+    * WHICH digits deviate.
+    *
+    * Scale shape: one scan → 9-group hash aggregate → 1-row total joined
+    * back by broadcast. Nothing data-sized past the first fold.
+    *
+    * Determinism: the digit comes from floor(value·10⁶) printed as an
+    * integer string (exact in both engines; the IEEE multiply is identical
+    * even when inexact), counts are exact, and the only doubles are the
+    * final pinned expressions — shared literal expectations, one division,
+    * one (d·d)/e chain. */
+  def benford(df: DataFrame, valueCol: String): DataFrame = {
+    val n6 = floor(col(valueCol) * lit(1000000.0)).cast("long")
+    val digit = substring(n6.cast("string"), 1, 1).cast("long")
+    val counts = df
+      .where(col(valueCol) > lit(0.0))
+      .select(n6.as("n6"), digit.as("digit"))
+      .where(col("n6") >= lit(1L))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("n_obs"))
+    val total = counts.agg(sum(col("n_obs")).as("n_total"))
+    val pExp = benfordExpected.tail.foldLeft(
+      when(col("digit") === lit(benfordExpected.head._1.toLong), lit(benfordExpected.head._2))) {
+      case (acc, (d, p)) => acc.when(col("digit") === lit(d.toLong), lit(p))
+    }
+    counts.crossJoin(broadcast(total))
+      .withColumn("p_exp", pExp)
+      .withColumn("p_obs", col("n_obs").cast("double") / col("n_total").cast("double"))
+      .withColumn("e", col("n_total").cast("double") * col("p_exp"))
+      .withColumn("d", col("n_obs").cast("double") - col("e"))
+      .select(col("digit"), col("n_obs"), col("n_total"), col("p_obs"), col("p_exp"),
+        ((col("d") * col("d")) / col("e")).as("chi2_term"))
+  }
+
+  /** Robust per-group means: plain, winsorized (values clamped to the
+    * nearest-rank p05/p95), and 5%-trimmed (boundary ranks dropped) — the
+    * outlier-resistant aggregate report for a value column whose tails are
+    * suspect. Winsorizing keeps n constant under clamping; trimming drops
+    * exactly `lo` rows per side with lo = ⌊n·5/100⌋ in exact integers.
+    *
+    * Scale shape: ONE window sort per group (rank + per-group count ride
+    * the same partition sort — the [[Anomaly]] MAD trade, documented there:
+    * rank-picked statistics cost a sort where moment statistics fold), then
+    * a single group-keyed aggregate; bounds come from the same ranked rows,
+    * so no second scan and no join back.
+    *
+    * Determinism: rank ties break by the caller's `tieCol`; boundary-value
+    * selection is tie-proof anyway (equal values at the cut give the same
+    * clamp/trim sums either way); all three sums are exact DECIMAL(18,6)
+    * folds with one pinned double division each. */
+  def robustMeans(df: DataFrame, groupCol: String, valueCol: String,
+                  tieCol: String, trimPct: Int = 5): DataFrame = {
+    require(trimPct >= 1 && trimPct <= 25, "trimPct in [1,25]")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(valueCol), col(tieCol))
+    val wAll = Window.partitionBy(col(groupCol))
+    val dec = col(valueCol).cast("decimal(18,6)")
+    val ranked = df
+      .select(col(groupCol), col(valueCol), col(tieCol))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("lo", expr(s"(n * $trimPct) div 100"))
+    val bounds = ranked
+      .groupBy(col(groupCol))
+      .agg(
+        max(when(col("rn") === col("lo") + lit(1L), col(valueCol))).as("p_lo"),
+        max(when(col("rn") === col("n") - col("lo"), col(valueCol))).as("p_hi"))
+    ranked.join(bounds, groupCol)
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n"),
+        max(col("lo")).as("n_trimmed_per_side"),
+        max(col("p_lo")).as("p_lo"),
+        max(col("p_hi")).as("p_hi"),
+        sum(dec).as("sum_all"),
+        sum(least(greatest(col(valueCol), col("p_lo")), col("p_hi")).cast("decimal(18,6)"))
+          .as("sum_winsor"),
+        sum(when(col("rn") > col("lo") && col("rn") <= col("n") - col("lo"), dec))
+          .as("sum_trim"),
+        sum(when(col("rn") > col("lo") && col("rn") <= col("n") - col("lo"), lit(1L))
+          .otherwise(lit(0L))).as("n_trim"))
+      .select(col(groupCol), col("n"), col("n_trimmed_per_side"), col("p_lo"), col("p_hi"),
+        (col("sum_all").cast("double") / col("n").cast("double")).as("mean"),
+        (col("sum_winsor").cast("double") / col("n").cast("double")).as("winsor_mean"),
+        (col("sum_trim").cast("double") / col("n_trim").cast("double")).as("trimmed_mean"))
+  }
 }

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** Privacy-audit semantics on hand fixtures: k-anonymity group/report
+  * arithmetic, l-diversity flags, and the seeded-Laplace DP mechanism's
+  * determinism and shape. */
+class PrivacySpec extends AnyFunSuite with SparkSpec {
+
+  import spark.implicits._
+
+  // lang, source, len_bucket — group (en,web,0) has 3 rows, (en,web,1) one,
+  // (fr,web,0) two
+  private def fixture = Seq(
+    ("en", "web", 0L), ("en", "web", 0L), ("en", "web", 0L),
+    ("en", "web", 1L),
+    ("fr", "web", 0L), ("fr", "web", 0L)
+  ).toDF("lang", "source", "len_bucket")
+
+  test("kAnonymityGroups sizes and at_risk flags at k=3") {
+    val g = Privacy.kAnonymityGroups(fixture, Seq("lang", "source", "len_bucket"), k = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(g(("en", "web", 0L)) == (3L, 0L))
+    assert(g(("en", "web", 1L)) == (1L, 1L))
+    assert(g(("fr", "web", 0L)) == (2L, 1L))
+  }
+
+  test("kAnonymityReport aggregates the group frame exactly") {
+    val r = Privacy.kAnonymityReport(fixture, Seq("lang", "source", "len_bucket"), k = 3)
+      .collect().head
+    assert(r.getAs[Long]("n_groups") == 3L)
+    assert(r.getAs[Long]("n_rows") == 6L)
+    assert(r.getAs[Long]("groups_below_k") == 2L)
+    assert(r.getAs[Long]("rows_below_k") == 3L)
+    assert(r.getAs[Long]("min_group") == 1L && r.getAs[Long]("max_group") == 3L)
+    assert(r.getAs[Double]("pct_rows_at_risk") == 0.5)
+  }
+
+  test("lDiversity counts sensitive support per coarser group") {
+    val df = Seq(
+      ("en", 0L, "web"), ("en", 0L, "web"), ("en", 0L, "wiki"),
+      ("fr", 0L, "web")
+    ).toDF("lang", "len_bucket", "source")
+    val g = Privacy.lDiversity(df, Seq("lang", "len_bucket"), "source", l = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(g(("en", 0L)) == (3L, 2L, 0L))   // two sources: diverse at l=2
+    assert(g(("fr", 0L)) == (1L, 1L, 1L))   // one source: below l
+  }
+
+  test("dpCounts: deterministic noise, noisy_n = n + noise, zero-mean-ish shape") {
+    val ev = Seq.tabulate(20)(i => (i.toLong, if (i % 2 == 0) "a" else "b"))
+      .toDF("event_id", "event_type")
+    val run1 = Privacy.dpCounts(ev, "event_type", epsilon = 0.5).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val run2 = Privacy.dpCounts(ev, "event_type", epsilon = 0.5).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(run1 == run2, "seeded noise must be identical across runs")
+    run1.foreach { case (_, (n, noise, noisy)) =>
+      assert(noisy == n.toDouble + noise)
+      assert(noise != 0.0, "u is never exactly 1/2 by construction")
+    }
+    // a different salt is a different draw
+    val salted = Privacy.dpCounts(ev, "event_type", epsilon = 0.5, salt = "dp2").collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(salted("a") != run1("a")._2)
+  }
+
+  test("dpCounts noise scales with 1/epsilon exactly at the quantized grid") {
+    val ev = Seq((1L, "a")).toDF("event_id", "event_type")
+    val eps05 = Privacy.dpCounts(ev, "event_type", epsilon = 0.5).collect().head.getDouble(2)
+    val eps2 = Privacy.dpCounts(ev, "event_type", epsilon = 2.0).collect().head.getDouble(2)
+    // same uniform, scales 2.0 vs 0.5: ratio 4 up to the DECIMAL(28,12) grid
+    assert(math.abs(eps05 / eps2 - 4.0) < 1e-9)
+  }
+}
