@@ -52,4 +52,91 @@ object Cdc {
     val keys = sliceCols :+ "status"
     statusFrame.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
   }
+
+  /** SCD type-2 history build: compress a keyed event stream into validity
+    * intervals of an attribute — one row per (key, attribute run) with
+    * [valid_from, valid_to) bounds, a per-key version number, and the
+    * open-ended current row. The warehouse dimension-table shape, built
+    * directly from the raw event log.
+    *
+    * Scale shape: one key-partitioned window sort finds change points
+    * (lag), a second window over the much smaller change-point frame
+    * closes the intervals (lead) — both shuffles are key-partitioned, no
+    * joins. Ties on the timestamp break by `tieCol` in BOTH windows, so
+    * the history is a total function of the data.
+    *
+    * `tsExpr` should already be in the output unit (e.g. epoch ms). */
+  def scd2(df: DataFrame, keyCol: String, attrCol: String,
+           tsExpr: org.apache.spark.sql.Column, tieCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(keyCol), col(attrCol), tsExpr.as("ts_u"), col(tieCol).as("tie_u"))
+    val w1 = Window.partitionBy(col(keyCol)).orderBy(col("ts_u"), col("tie_u"))
+    val changes = base
+      .withColumn("prev_attr", lag(col(attrCol), 1).over(w1))
+      .where(col("prev_attr").isNull || !(col(attrCol) <=> col("prev_attr")))
+    val w2 = Window.partitionBy(col(keyCol)).orderBy(col("ts_u"), col("tie_u"))
+    changes
+      .withColumn("valid_from", col("ts_u"))
+      .withColumn("valid_to", lead(col("ts_u"), 1).over(w2))
+      .withColumn("version", row_number().over(w2).cast("long"))
+      .withColumn("is_current",
+        when(col("valid_to").isNull, lit(1L)).otherwise(lit(0L)))
+      .select(col(keyCol), col(attrCol), col("valid_from"), col("valid_to"),
+        col("version"), col("is_current"))
+  }
+
+  /** Snapshot diff that KEEPS the old/new values of one compare column —
+    * the input to [[aggDeltaAudit]] (a plain [[snapshotDiff]] drops them). */
+  def snapshotDelta(oldDf: DataFrame, newDf: DataFrame, pkCols: Seq[String],
+                    valueCol: String, carryCols: Seq[String] = Seq.empty): DataFrame = {
+    require(pkCols.nonEmpty, "pk columns required")
+    val all = (pkCols ++ Seq(valueCol) ++ carryCols).distinct
+    val o = oldDf.select(all.map(c => col(c).as(s"o_$c")): _*)
+    val n = newDf.select(all.map(c => col(c).as(s"n_$c")): _*)
+    val joinCond = pkCols.map(c => o(s"o_$c") <=> n(s"n_$c")).reduce(_ && _)
+    val status = when(col(s"o_${pkCols.head}").isNull, lit("added"))
+      .when(col(s"n_${pkCols.head}").isNull, lit("removed"))
+      .when(!(col(s"o_$valueCol") <=> col(s"n_$valueCol")), lit("changed"))
+      .otherwise(lit("unchanged"))
+    val outCols =
+      (pkCols ++ carryCols).map(c => coalesce(col(s"o_$c"), col(s"n_$c")).as(c)) ++
+        Seq(col(s"o_$valueCol").as("old_value"), col(s"n_$valueCol").as("new_value"),
+          status.as("status"))
+    o.join(n, joinCond, "full_outer").select(outCols: _*)
+  }
+
+  /** Incremental-aggregate maintenance audit: from a [[snapshotDelta]]
+    * frame, the per-slice (count, sum) DELTAS that upgrade a materialized
+    * v1 aggregate to v2 — at 100 TB you apply the delta (diff-sized work)
+    * instead of re-aggregating the corpus. The audit emits base, delta,
+    * base+delta, the independent v2 recompute, and exact-integer match
+    * flags pinning the delta-apply algebra.
+    *
+    * Scale shape: everything folds from the ONE diff join — slices
+    * aggregate the joined frame directly (n_v1 = rows with an old side,
+    * sum_v2 = sum of new-side values), so no extra scan of either
+    * snapshot. Sums are exact (integer/decimal valueCol contract). */
+  def aggDeltaAudit(delta: DataFrame, sliceCols: Seq[String]): DataFrame = {
+    val isOld = col("old_value").isNotNull
+    val isNew = col("new_value").isNotNull
+    delta.groupBy(sliceCols.map(col): _*)
+      .agg(
+        sum(when(isOld, lit(1L)).otherwise(lit(0L))).as("n_v1"),
+        sum(when(isNew, lit(1L)).otherwise(lit(0L))).as("n_v2"),
+        sum(when(col("status") === "added", lit(1L)).otherwise(lit(0L))).as("n_added"),
+        sum(when(col("status") === "removed", lit(1L)).otherwise(lit(0L))).as("n_removed"),
+        sum(when(col("status") === "changed", lit(1L)).otherwise(lit(0L))).as("n_changed"),
+        coalesce(sum(when(isOld, col("old_value"))), lit(0L)).as("sum_v1"),
+        coalesce(sum(when(isNew, col("new_value"))), lit(0L)).as("sum_v2"),
+        (coalesce(sum(when(col("status") === "added", col("new_value"))), lit(0L)) -
+          coalesce(sum(when(col("status") === "removed", col("old_value"))), lit(0L)) +
+          coalesce(sum(when(col("status") === "changed",
+            col("new_value") - col("old_value"))), lit(0L))).as("delta_sum"))
+      .withColumn("incr_n", col("n_v1") + col("n_added") - col("n_removed"))
+      .withColumn("incr_sum", col("sum_v1") + col("delta_sum"))
+      .withColumn("n_matches",
+        when(col("incr_n") === col("n_v2"), lit(1L)).otherwise(lit(0L)))
+      .withColumn("sum_matches",
+        when(col("incr_sum") === col("sum_v2"), lit(1L)).otherwise(lit(0L)))
+  }
 }

@@ -1182,4 +1182,47 @@ object Curation {
         when(col("cum_words").isNotNull, 1L).otherwise(0L).as("final_keep"),
         col("cum_words"))
   }
+
+  /** Neyman-optimal stratified sample allocation: budget n_h proportional
+    * to N_h * S_h (stratum size times stratum std-dev of `valueCol`) — the
+    * allocation that minimizes the estimator variance of a stratified
+    * mean. The identity N_h * S_h = sqrt(N_h * sum(x^2) - sum(x)^2) lets
+    * the weight come from ONE exact integer (the population-variance
+    * numerator, accumulated in DECIMAL(38,0) so corpus-scale squares
+    * cannot overflow): sqrt of an exact integer is correctly rounded in
+    * IEEE-754, hence bit-identical across engines, and the allocation
+    * itself is pure integer arithmetic over floor(sqrt * 10^6) basis
+    * weights — floors of identical doubles, then integer div and a
+    * largest-remainder top-up ranked by (remainder, stratum) over the
+    * stratum frame (bounded by |strata|).
+    *
+    * Scale shape: one hash aggregate per stratum, then window ranks over
+    * the |strata|-row frame. Nothing data-sized past the first fold. */
+  def neymanAllocation(df: DataFrame, strataCol: String, valueCol: String,
+                       budget: Long): DataFrame = {
+    require(budget >= 1, "budget >= 1")
+    val x = col(valueCol).cast("decimal(38,0)")
+    val per = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("stratum_n"),
+        sum(x).as("sum_x"),
+        sum(x * x).as("sum_x2"))
+      .withColumn("var_num",
+        (col("stratum_n").cast("decimal(38,0)") * col("sum_x2") -
+          col("sum_x") * col("sum_x")).cast("decimal(38,0)"))
+      // N_h * S_h = sqrt(var_num); weight in exact micro-units
+      .withColumn("w_u", floor(sqrt(col("var_num").cast("double")) * lit(1000000.0)).cast("long"))
+    val wAll = Window.partitionBy()
+    val ranked = per
+      .withColumn("w_total", sum(col("w_u")).over(wAll))
+      .withColumn("alloc_floor", expr(s"(w_u * $budget) div w_total"))
+      .withColumn("rem", col("w_u") * lit(budget) - col("alloc_floor") * col("w_total"))
+      .withColumn("alloc_sum", sum(col("alloc_floor")).over(wAll))
+      .withColumn("rrank",
+        row_number().over(Window.orderBy(col("rem").desc, col(strataCol))).cast("long"))
+    ranked
+      .withColumn("alloc",
+        col("alloc_floor") +
+          when(col("rrank") <= lit(budget) - col("alloc_sum"), lit(1L)).otherwise(lit(0L)))
+      .select(col(strataCol), col("stratum_n"), col("w_u"), col("alloc_floor"), col("alloc"))
+  }
 }

@@ -100,4 +100,87 @@ object Privacy {
         (col("n").cast("double") + noise.cast("double")).as("noisy_n"))
       .withColumn("epsilon", lit(epsilon))
   }
+
+  /** t-closeness per QI group: even an l-diverse group leaks if its
+    * sensitive-value DISTRIBUTION diverges from the corpus-wide one (the
+    * classic "all the rare disease cases are in this one zip code" shape).
+    * Distance is total variation — the categorical EMD with unit ground
+    * distance: tvd = 1/2 * sum_s |n_gs/n_g - n_s/n|.
+    *
+    * Exactness: the sum runs over the common denominator, so every term is
+    * the exact integer |n_gs*n - n_s*n_g|; sensitive values ABSENT from the
+    * group contribute n_s*n_g each, folded in closed form as
+    * n*n_g - sum_present(n_s*n_g) (total sensitive mass is n). The flag
+    * compares integers (10000*sum_abs vs 2*t_bp*n_g*n) — no double ever
+    * decides; tvd itself is one pinned double division for the report.
+    * Magnitudes: terms are <= n*n_g — keep n*max_group < 2^63/10000 (holds
+    * to ~10^9-row tables; above that, lift the term sums to DECIMAL(38,0)).
+    *
+    * Scale shape: one (QI+sensitive) hash aggregate, an unordered
+    * whole-partition window for n_g (no sort — frame is the full QI
+    * partition), a broadcast join against the sensitive-domain marginals
+    * (bounded by |domain|), and a final QI-keyed aggregate. */
+  def tCloseness(df: DataFrame, qiCols: Seq[String], sensitiveCol: String,
+                 tBp: Int = 2000): DataFrame = {
+    require(tBp > 0 && tBp < 10000, "t in basis points, (0, 10000)")
+    import org.apache.spark.sql.expressions.Window
+    val gs = df.groupBy((qiCols :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).as("n_gs"))
+    val marginals = df.groupBy(col(sensitiveCol)).agg(count(lit(1)).as("n_s"))
+    val total = df.agg(count(lit(1)).as("n"))
+    val wg = Window.partitionBy(qiCols.map(col): _*)
+    gs.withColumn("n_g", sum(col("n_gs")).over(wg))
+      .join(broadcast(marginals), sensitiveCol)
+      .crossJoin(broadcast(total))
+      .groupBy((qiCols.map(col) :+ col("n_g") :+ col("n")): _*)
+      .agg(
+        sum(abs(col("n_gs") * col("n") - col("n_s") * col("n_g"))).as("abs_present"),
+        sum(col("n_s") * col("n_g")).as("mass_present"))
+      .select(
+        (qiCols.map(col) :+
+          col("n_g").as("group_n") :+
+          (col("abs_present") + (col("n") * col("n_g") - col("mass_present")))
+            .as("sum_abs") :+ col("n")): _*)
+      .select(
+        (qiCols.map(col) :+ col("group_n") :+
+          (col("sum_abs").cast("double") /
+            (lit(2.0) * col("group_n").cast("double") * col("n").cast("double")))
+            .as("tvd") :+
+          when(col("sum_abs") * lit(10000L) >
+            lit(2L * tBp) * col("group_n") * col("n"), lit(1L)).otherwise(lit(0L))
+            .as("above_t")): _*)
+  }
+
+  /** User-level DP histogram with contribution clipping: each user counts
+    * at most `cap` times per group (min(n_gu, cap) — a hash aggregate, NOT
+    * a per-row window sort), so one user's presence changes any count by at
+    * most `cap` and the Laplace scale is cap/epsilon. The raw count rides
+    * beside the clipped one so the release audit can see how much mass the
+    * clip removed. Noise construction is [[dpCounts]]'s seeded draw.
+    *
+    * Scale shape: two hash aggregates — (group, user) then group — both
+    * map-side-combining; no windows, no joins. */
+  def dpClippedCounts(df: DataFrame, groupCol: String, userCol: String,
+                      cap: Int, epsilon: Double, salt: String = "dpu"): DataFrame = {
+    require(cap >= 1, "cap >= 1")
+    require(epsilon > 0, "epsilon > 0")
+    val m = conv(substring(md5(concat(lit(salt + ":"), col(groupCol).cast("string"))), 1, 8),
+      16, 10).cast("long")
+    val u = (m.cast("double") + lit(0.5)) / lit(4294967296.0)
+    val centered = u - lit(0.5)
+    val lnQ = log(lit(1.0) - lit(2.0) * abs(centered)).cast(DecimalType(28, 12))
+    val noise = ((lit(-cap.toDouble / epsilon) * signum(centered)) * lnQ.cast("double"))
+      .cast(DecimalType(28, 12))
+    df.groupBy(col(groupCol), col(userCol))
+      .agg(count(lit(1)).as("n_gu"))
+      .groupBy(col(groupCol))
+      .agg(
+        sum(col("n_gu")).as("n_raw"),
+        sum(least(col("n_gu"), lit(cap.toLong))).as("n_clipped"))
+      .select(col(groupCol), col("n_raw"), col("n_clipped"),
+        noise.cast("double").as("noise"),
+        (col("n_clipped").cast("double") + noise.cast("double")).as("noisy_n"))
+      .withColumn("epsilon", lit(epsilon))
+      .withColumn("sensitivity", lit(cap.toLong))
+  }
 }

@@ -167,4 +167,51 @@ object Profiling {
         (col("sum_winsor").cast("double") / col("n").cast("double")).as("winsor_mean"),
         (col("sum_trim").cast("double") / col("n_trim").cast("double")).as("trimmed_mean"))
   }
+
+  /** Join-key skew profile: the pre-flight audit for any key you are about
+    * to shuffle 100 TB on. One row: row/key totals, the max and nearest-
+    * rank p50/p99 per-key row counts, the heaviest key's share, and the
+    * hash-shard balance (max shard rows over 32 md5 shards vs the even
+    * split) — max_shard/avg near 1.0 means the shuffle balances; a heavy
+    * head key shows up as both top1_share and shard skew and says "salt
+    * this join".
+    *
+    * Scale shape: per-key counts are one hash aggregate; the percentile
+    * picks come from the COUNT-OF-COUNTS frame (bounded by distinct count
+    * values, typically a few hundred) with a cumulative window over that
+    * tiny frame — never a global rank over the key frame itself. The shard
+    * fold is a 32-row aggregate. All counts exact; the three ratios are
+    * pinned double divisions.
+    *
+    * Determinism: nearest-rank = smallest count c with cum_keys(<= c) >=
+    * ceil(p * n_keys), computed in exact integers. */
+  def joinSkewProfile(df: DataFrame, keyCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyCounts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+    // md5-shard totals: the house engine-portable hash (NOT Spark's
+    // internal hash, so the oracle can replicate shard assignment)
+    val shard = pmod(conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
+      .cast("long"), lit(32L))
+    val shardStats = df.select(shard.as("shard"))
+      .groupBy(col("shard")).agg(count(lit(1)).as("sn"))
+      .agg(max(col("sn")).as("max_shard"), min(col("sn")).as("min_shard"))
+    val totals = keyCounts.agg(
+      sum(col("cnt")).as("n_rows"),
+      count(lit(1)).as("n_keys"),
+      max(col("cnt")).as("max_key_rows"))
+    // count-of-counts cumulative: bounded frame, explicit total order
+    val coc = keyCounts.groupBy(col("cnt")).agg(count(lit(1)).as("m"))
+    val wc = Window.orderBy(col("cnt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = coc.withColumn("cum", sum(col("m")).over(wc))
+    def rankPick(pNum: Long, pDen: Long): org.apache.spark.sql.Column =
+      min(when(col("cum") * lit(pDen) >= col("n_keys") * lit(pNum), col("cnt")))
+    val picks = cum.crossJoin(broadcast(totals.select(col("n_keys"))))
+      .agg(rankPick(1, 2).as("p50_key_rows"), rankPick(99, 100).as("p99_key_rows"))
+    totals.crossJoin(broadcast(picks)).crossJoin(broadcast(shardStats))
+      .withColumn("top1_share",
+        col("max_key_rows").cast("double") / col("n_rows").cast("double"))
+      .withColumn("shard_skew",
+        (col("max_shard") * lit(32L)).cast("double") / col("n_rows").cast("double"))
+  }
 }

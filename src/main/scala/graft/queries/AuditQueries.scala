@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Cdc, Points, Privacy, Profiling}
+import graft.operators.{Cdc, Curation, Layout, Points, Privacy, Profiling}
 
 /**
  * Release-surface audit queries (round 10): privacy (k-anonymity,
@@ -114,7 +114,48 @@ object AuditQueries {
       Cdc.diffReport(
         Cdc.snapshotDiff(cdcV1(s, dir), cdcV2(s, dir),
           pkCols = Seq("doc_id"), cmpCols = Seq("n_chars"), carryCols = Seq("source")),
-        sliceCols = Seq("source")))
+        sliceCols = Seq("source"))),
+    // t-closeness over the coarser QI key: groups whose source DISTRIBUTION
+    // diverges from the corpus-wide one (exact-integer total variation)
+    "priv_tcloseness" -> ((s, dir) =>
+      Privacy.tCloseness(qiDocs(s, dir), Seq("lang", "len_bucket"), "source", tBp = 2000)),
+    // user-level DP histogram: each user's contribution to a type capped at
+    // 4 (hash-agg clip, no window), Laplace scale = cap/epsilon
+    "priv_dp_user_hist" -> ((s, dir) =>
+      Privacy.dpClippedCounts(events(s, dir), "event_type", "user_id",
+        cap = 4, epsilon = 0.5)),
+    // SCD type-2 history of each user's event_type runs: validity
+    // intervals with version numbers and the open current row
+    "cdc_scd2" -> ((s, dir) =>
+      Cdc.scd2(events(s, dir), "user_id", "event_type",
+        expr("ts div 1000000"), "event_id")),
+    // incremental-aggregate maintenance audit: per-source base+delta vs
+    // the independent v2 recompute, with exact match flags
+    "cdc_incr_agg" -> ((s, dir) =>
+      Cdc.aggDeltaAudit(
+        Cdc.snapshotDelta(cdcV1(s, dir), cdcV2(s, dir),
+          pkCols = Seq("doc_id"), valueCol = "n_chars", carryCols = Seq("source")),
+        sliceCols = Seq("source"))),
+    // z-order locality profile: per pseudo-file row count + both-dim
+    // min/max envelopes over the (user-bucket x day-bucket) Morton key
+    "layout_zorder" -> ((s, dir) =>
+      Layout.zorderProfile(events(s, dir),
+        expr("user_id % 256"), expr("((ts div 1000000) div 86400000) % 256"),
+        bits = 8, bucketSize = 64L)),
+    // skip-ratio audit: files touched by a user-cohort slab predicate under
+    // z-order vs time-major layout — the data-skipping justification
+    "layout_prune_audit" -> ((s, dir) =>
+      Layout.pruneAudit(events(s, dir),
+        expr("user_id % 256"), expr("((ts div 1000000) div 86400000) % 256"),
+        bits = 8, bucketSize = 64L, xLo = 32L, xHi = 47L)),
+    // join-key skew pre-flight on events.user_id: per-key extremes,
+    // nearest-rank p50/p99, and md5-shard balance
+    "events_join_skew" -> ((s, dir) =>
+      Profiling.joinSkewProfile(events(s, dir), "user_id")),
+    // Neyman-optimal stratified allocation of a 100-doc sample budget
+    // across sources, weighted by exact-integer variance numerators
+    "curate_neyman_alloc" -> ((s, dir) =>
+      Curation.neymanAllocation(docs(s, dir), "source", "n_chars", budget = 100L))
   )
 
   val oracles: Map[String, String] = Map(
@@ -222,6 +263,162 @@ object AuditQueries {
     "cdc_snapshot_diff" ->
       s"""$CdcDiffSql
          |SELECT source, status, CAST(COUNT(*) AS BIGINT) AS n
-         |FROM j GROUP BY 1, 2""".stripMargin
+         |FROM j GROUP BY 1, 2""".stripMargin,
+    // exact-integer total variation on the common denominator: present
+    // terms |n_gs*n - n_s*n_g|, absent mass in closed form n*n_g - sum(n_s*n_g)
+    "priv_tcloseness" ->
+      s"""WITH qi AS ($QiDocsSql),
+         |gs AS (SELECT lang, len_bucket, source, CAST(COUNT(*) AS BIGINT) AS n_gs
+         |       FROM qi GROUP BY 1, 2, 3),
+         |g AS (SELECT *, CAST(SUM(n_gs) OVER (PARTITION BY lang, len_bucket) AS BIGINT) AS n_g
+         |      FROM gs),
+         |m AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s FROM qi GROUP BY 1),
+         |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM qi),
+         |j AS (SELECT g.lang, g.len_bucket, g.n_gs, g.n_g, m.n_s, t.n
+         |      FROM g JOIN m USING (source), t),
+         |a AS (SELECT lang, len_bucket, n_g, n,
+         |             CAST(SUM(ABS(n_gs * n - n_s * n_g)) AS BIGINT) AS abs_present,
+         |             CAST(SUM(n_s * n_g) AS BIGINT) AS mass_present
+         |      FROM j GROUP BY 1, 2, 3, 4)
+         |SELECT lang, len_bucket, n_g AS group_n,
+         |       CAST(abs_present + (n * n_g - mass_present) AS DOUBLE)
+         |         / (2.0 * CAST(n_g AS DOUBLE) * CAST(n AS DOUBLE)) AS tvd,
+         |       CAST(CASE WHEN (abs_present + (n * n_g - mass_present)) * 10000
+         |                      > 4000 * n_g * n THEN 1 ELSE 0 END AS BIGINT) AS above_t
+         |FROM a""".stripMargin,
+    "priv_dp_user_hist" ->
+      s"""WITH g AS (SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS n_gu
+         |           FROM events GROUP BY 1, 2),
+         |c AS (SELECT event_type, CAST(SUM(n_gu) AS BIGINT) AS n_raw,
+         |             CAST(SUM(LEAST(n_gu, 4)) AS BIGINT) AS n_clipped
+         |      FROM g GROUP BY 1),
+         |h AS (SELECT *, substr(md5('dpu:' || event_type), 1, 8) AS hx FROM c),
+         |u AS (SELECT event_type, n_raw, n_clipped,
+         |             (CAST(${md5Poly("hx")} AS DOUBLE) + 0.5) / 4294967296.0 AS u
+         |      FROM h),
+         |z AS (SELECT event_type, n_raw, n_clipped,
+         |             CAST(((-4.0 / 0.5) * (CASE WHEN u - 0.5 > 0 THEN CAST(1 AS DOUBLE)
+         |                                        WHEN u - 0.5 < 0 THEN CAST(-1 AS DOUBLE)
+         |                                        ELSE CAST(0 AS DOUBLE) END))
+         |                  * CAST(CAST(ln(1.0 - 2.0 * abs(u - 0.5)) AS DECIMAL(28,12)) AS DOUBLE)
+         |                  AS DECIMAL(28,12)) AS noise_d
+         |      FROM u)
+         |SELECT event_type, n_raw, n_clipped,
+         |       CAST(noise_d AS DOUBLE) AS noise,
+         |       CAST(n_clipped AS DOUBLE) + CAST(noise_d AS DOUBLE) AS noisy_n,
+         |       CAST(0.5 AS DOUBLE) AS epsilon,
+         |       CAST(4 AS BIGINT) AS sensitivity
+         |FROM z""".stripMargin,
+    "cdc_scd2" ->
+      """WITH b AS (SELECT user_id, event_type, epoch_ms(ts) AS ms, event_id FROM events),
+        |c AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev
+        |      FROM b),
+        |ch AS (SELECT user_id, event_type, ms, event_id FROM c
+        |       WHERE prev IS NULL OR event_type IS DISTINCT FROM prev)
+        |SELECT user_id, event_type, ms AS valid_from,
+        |       lead(ms) OVER w AS valid_to,
+        |       CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+        |       CAST(CASE WHEN lead(ms) OVER w IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+        |FROM ch
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)""".stripMargin,
+    "cdc_incr_agg" ->
+      """WITH v1 AS (SELECT doc_id, source, n_chars FROM documents WHERE doc_id % 7 != 0),
+        |v2 AS (SELECT doc_id, source,
+        |              CASE WHEN doc_id % 3 = 0 THEN n_chars + 1 ELSE n_chars END AS n_chars
+        |       FROM documents WHERE doc_id % 5 != 0),
+        |j AS (SELECT COALESCE(v1.source, v2.source) AS source,
+        |             v1.n_chars AS o, v2.n_chars AS nn,
+        |             CASE WHEN v1.doc_id IS NULL THEN 'added'
+        |                  WHEN v2.doc_id IS NULL THEN 'removed'
+        |                  WHEN v1.n_chars IS DISTINCT FROM v2.n_chars THEN 'changed'
+        |                  ELSE 'unchanged' END AS status
+        |      FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id),
+        |a AS (SELECT source,
+        |        CAST(SUM(CASE WHEN o  IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_v1,
+        |        CAST(SUM(CASE WHEN nn IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_v2,
+        |        CAST(SUM(CASE WHEN status = 'added'   THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+        |        CAST(SUM(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |        CAST(SUM(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        |        CAST(COALESCE(SUM(o), 0) AS BIGINT) AS sum_v1,
+        |        CAST(COALESCE(SUM(nn), 0) AS BIGINT) AS sum_v2,
+        |        CAST(COALESCE(SUM(CASE WHEN status = 'added' THEN nn END), 0)
+        |           - COALESCE(SUM(CASE WHEN status = 'removed' THEN o END), 0)
+        |           + COALESCE(SUM(CASE WHEN status = 'changed' THEN nn - o END), 0) AS BIGINT)
+        |          AS delta_sum
+        |      FROM j GROUP BY 1)
+        |SELECT *, n_v1 + n_added - n_removed AS incr_n, sum_v1 + delta_sum AS incr_sum,
+        |       CAST(CASE WHEN n_v1 + n_added - n_removed = n_v2 THEN 1 ELSE 0 END AS BIGINT)
+        |         AS n_matches,
+        |       CAST(CASE WHEN sum_v1 + delta_sum = sum_v2 THEN 1 ELSE 0 END AS BIGINT)
+        |         AS sum_matches
+        |FROM a""".stripMargin,
+    "layout_zorder" ->
+      s"""WITH e AS (SELECT user_id % 256 AS x, (epoch_ms(ts) // 86400000) % 256 AS y
+         |           FROM events),
+         |z AS (SELECT x, y, (${Layout.mortonSql("x", "y", 8)}) AS z FROM e)
+         |SELECT CAST(z // 64 AS BIGINT) AS zbucket, CAST(COUNT(*) AS BIGINT) AS n,
+         |       MIN(x) AS x_min, MAX(x) AS x_max, MIN(y) AS y_min, MAX(y) AS y_max
+         |FROM z GROUP BY 1""".stripMargin,
+    "layout_prune_audit" ->
+      s"""WITH e AS (SELECT user_id % 256 AS x, (epoch_ms(ts) // 86400000) % 256 AS y
+         |           FROM events),
+         |f AS (SELECT x, y,
+         |             CAST((${Layout.mortonSql("x", "y", 8)}) // 64 AS BIGINT) AS zfile,
+         |             CAST(((y << 8) | x) // 64 AS BIGINT) AS lfile,
+         |             CASE WHEN x >= 32 AND x <= 47 THEN 1 ELSE 0 END AS hit
+         |      FROM e),
+         |zs AS (SELECT CAST(COUNT(*) AS BIGINT) AS z_total, CAST(SUM(t) AS BIGINT) AS z_touched
+         |       FROM (SELECT zfile, MAX(hit) AS t FROM f GROUP BY 1)),
+         |ls AS (SELECT CAST(COUNT(*) AS BIGINT) AS lin_total, CAST(SUM(t) AS BIGINT) AS lin_touched
+         |       FROM (SELECT lfile, MAX(hit) AS t FROM f GROUP BY 1))
+         |SELECT z_total, z_touched, lin_total, lin_touched,
+         |       CAST(32 AS BIGINT) AS x_lo, CAST(47 AS BIGINT) AS x_hi,
+         |       CAST(z_total - z_touched AS DOUBLE) / CAST(z_total AS DOUBLE) AS z_skip_ratio,
+         |       CAST(lin_total - lin_touched AS DOUBLE) / CAST(lin_total AS DOUBLE)
+         |         AS lin_skip_ratio
+         |FROM zs, ls""".stripMargin,
+    "events_join_skew" -> {
+      val shardPoly = md5Poly("substr(md5(CAST(user_id AS VARCHAR)), 1, 8)")
+      s"""WITH kc AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows, CAST(COUNT(*) AS BIGINT) AS n_keys,
+         |               CAST(MAX(cnt) AS BIGINT) AS max_key_rows FROM kc),
+         |coc AS (SELECT cnt, CAST(COUNT(*) AS BIGINT) AS m FROM kc GROUP BY 1),
+         |cum AS (SELECT cnt, CAST(SUM(m) OVER (ORDER BY cnt
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |        FROM coc),
+         |picks AS (SELECT
+         |    MIN(CASE WHEN cum * 2 >= (SELECT n_keys FROM tot) * 1 THEN cnt END) AS p50_key_rows,
+         |    MIN(CASE WHEN cum * 100 >= (SELECT n_keys FROM tot) * 99 THEN cnt END) AS p99_key_rows
+         |  FROM cum),
+         |sh AS (SELECT $shardPoly % 32 AS shard, CAST(COUNT(*) AS BIGINT) AS sn
+         |       FROM events GROUP BY 1),
+         |ss AS (SELECT CAST(MAX(sn) AS BIGINT) AS max_shard, CAST(MIN(sn) AS BIGINT) AS min_shard
+         |       FROM sh)
+         |SELECT tot.n_rows, tot.n_keys, tot.max_key_rows,
+         |       picks.p50_key_rows, picks.p99_key_rows, ss.max_shard, ss.min_shard,
+         |       CAST(tot.max_key_rows AS DOUBLE) / CAST(tot.n_rows AS DOUBLE) AS top1_share,
+         |       CAST(ss.max_shard * 32 AS DOUBLE) / CAST(tot.n_rows AS DOUBLE) AS shard_skew
+         |FROM tot, picks, ss""".stripMargin
+    },
+    "curate_neyman_alloc" ->
+      """WITH per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS stratum_n,
+        |                    SUM(CAST(n_chars AS HUGEINT)) AS sx,
+        |                    SUM(CAST(n_chars AS HUGEINT) * CAST(n_chars AS HUGEINT)) AS sx2
+        |             FROM documents GROUP BY 1),
+        |v AS (SELECT source, stratum_n,
+        |             CAST(FLOOR(SQRT(CAST(CAST(stratum_n AS HUGEINT) * sx2 - sx * sx AS DOUBLE))
+        |                        * 1000000.0) AS BIGINT) AS w_u
+        |      FROM per),
+        |w AS (SELECT *, CAST(SUM(w_u) OVER () AS BIGINT) AS w_total FROM v),
+        |a AS (SELECT *, (w_u * 100) // w_total AS alloc_floor,
+        |             w_u * 100 - ((w_u * 100) // w_total) * w_total AS rem
+        |      FROM w),
+        |r AS (SELECT *, CAST(SUM(alloc_floor) OVER () AS BIGINT) AS alloc_sum,
+        |             CAST(ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS BIGINT) AS rrank
+        |      FROM a)
+        |SELECT source, stratum_n, w_u, CAST(alloc_floor AS BIGINT) AS alloc_floor,
+        |       CAST(alloc_floor + CASE WHEN rrank <= 100 - alloc_sum THEN 1 ELSE 0 END AS BIGINT)
+        |         AS alloc
+        |FROM r""".stripMargin
   )
 }

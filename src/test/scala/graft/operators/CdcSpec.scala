@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** Snapshot-diff (CDC) semantics on hand fixtures: status classification,
+  * SCD2 interval construction, and the delta-apply algebra. */
+class CdcSpec extends AnyFunSuite with SparkSpec {
+
+  import spark.implicits._
+
+  private def v1 = Seq(
+    (1L, "web", 10L), (2L, "web", 20L), (3L, "wiki", 30L)
+  ).toDF("doc_id", "source", "n_chars")
+  // 1 unchanged, 2 changed, 3 removed, 4 added
+  private def v2 = Seq(
+    (1L, "web", 10L), (2L, "web", 25L), (4L, "wiki", 40L)
+  ).toDF("doc_id", "source", "n_chars")
+
+  test("snapshotDiff classifies all four statuses") {
+    val d = Cdc.snapshotDiff(v1, v2, Seq("doc_id"), Seq("n_chars"), Seq("source"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(d(1L) == ("web", "unchanged"))
+    assert(d(2L) == ("web", "changed"))
+    assert(d(3L) == ("wiki", "removed"))
+    assert(d(4L) == ("wiki", "added"))
+  }
+
+  test("scd2 builds versioned validity intervals with one open current row") {
+    // user 1: a@10, a@20 (no change), b@30, a@50; user 2: x@5
+    val ev = Seq(
+      (1L, "a", 10L, 100L), (1L, "a", 20L, 101L), (1L, "b", 30L, 102L),
+      (1L, "a", 50L, 103L), (2L, "x", 5L, 104L)
+    ).toDF("user_id", "attr", "ms", "event_id")
+    val h = Cdc.scd2(ev, "user_id", "attr", col("ms"), "event_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("version")) ->
+        (r.getString(1), r.getAs[Long]("valid_from"),
+          Option(r.getAs[Any]("valid_to")).map(_.asInstanceOf[Long]),
+          r.getAs[Long]("is_current"))).toMap
+    assert(h((1L, 1L)) == ("a", 10L, Some(30L), 0L))
+    assert(h((1L, 2L)) == ("b", 30L, Some(50L), 0L))
+    assert(h((1L, 3L)) == ("a", 50L, None, 1L))
+    assert(h((2L, 1L)) == ("x", 5L, None, 1L))
+    assert(h.size == 4, "the no-change event must not open a new interval")
+  }
+
+  test("scd2 breaks timestamp ties by the tie column") {
+    val ev = Seq((1L, "b", 10L, 2L), (1L, "a", 10L, 1L)).toDF("user_id", "attr", "ms", "event_id")
+    val h = Cdc.scd2(ev, "user_id", "attr", col("ms"), "event_id")
+      .orderBy("version").collect().map(_.getString(1)).toSeq
+    assert(h == Seq("a", "b"), "event_id 1 ('a') must sort first at equal ms")
+  }
+
+  test("aggDeltaAudit: base + delta equals the v2 recompute, per slice") {
+    val delta = Cdc.snapshotDelta(v1, v2, Seq("doc_id"), "n_chars", Seq("source"))
+    val a = Cdc.aggDeltaAudit(delta, Seq("source"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val web = a("web")
+    assert(web.getAs[Long]("n_v1") == 2L && web.getAs[Long]("n_v2") == 2L)
+    assert(web.getAs[Long]("n_changed") == 1L)
+    assert(web.getAs[Long]("sum_v1") == 30L && web.getAs[Long]("sum_v2") == 35L)
+    assert(web.getAs[Long]("delta_sum") == 5L)
+    val wiki = a("wiki")
+    assert(wiki.getAs[Long]("n_added") == 1L && wiki.getAs[Long]("n_removed") == 1L)
+    assert(wiki.getAs[Long]("delta_sum") == 10L) // +40 added, -30 removed
+    a.values.foreach { r =>
+      assert(r.getAs[Long]("n_matches") == 1L && r.getAs[Long]("sum_matches") == 1L)
+      assert(r.getAs[Long]("incr_n") == r.getAs[Long]("n_v2"))
+      assert(r.getAs[Long]("incr_sum") == r.getAs[Long]("sum_v2"))
+    }
+  }
+}

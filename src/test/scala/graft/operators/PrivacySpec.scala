@@ -74,4 +74,40 @@ class PrivacySpec extends AnyFunSuite with SparkSpec {
     // same uniform, scales 2.0 vs 0.5: ratio 4 up to the DECIMAL(28,12) grid
     assert(math.abs(eps05 / eps2 - 4.0) < 1e-9)
   }
+
+  test("tCloseness: exact TVD including absent sensitive values") {
+    // g1 is all-'a', g2 all-'b'; global is 50/50 -> tvd = 0.5 in both,
+    // and the absent value's mass must be counted (closed form)
+    val df = Seq(
+      ("g1", "a"), ("g1", "a"), ("g1", "a"),
+      ("g2", "b"), ("g2", "b"), ("g2", "b")
+    ).toDF("qi", "source")
+    val t = Privacy.tCloseness(df, Seq("qi"), "source", tBp = 2000)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("group_n"), r.getAs[Double]("tvd"), r.getAs[Long]("above_t"))).toMap
+    assert(t("g1") == (3L, 0.5, 1L))
+    assert(t("g2") == (3L, 0.5, 1L))
+    // a group that mirrors the global distribution has tvd 0
+    val even = Seq(("g1", "a"), ("g1", "b"), ("g2", "a"), ("g2", "b")).toDF("qi", "source")
+    Privacy.tCloseness(even, Seq("qi"), "source").collect().foreach { r =>
+      assert(r.getAs[Double]("tvd") == 0.0 && r.getAs[Long]("above_t") == 0L)
+    }
+  }
+
+  test("dpClippedCounts clips per-user contributions at the cap") {
+    // user 1 contributes 6 rows, user 2 three, user 3 one -> clipped 4+3+1
+    val ev = (Seq.fill(6)(1L) ++ Seq.fill(3)(2L) ++ Seq(3L)).zipWithIndex
+      .map { case (u, i) => (i.toLong, u, "a") }
+      .toDF("event_id", "user_id", "event_type")
+    val r = Privacy.dpClippedCounts(ev, "event_type", "user_id", cap = 4, epsilon = 0.5)
+      .collect().head
+    assert(r.getAs[Long]("n_raw") == 10L)
+    assert(r.getAs[Long]("n_clipped") == 8L)
+    assert(r.getAs[Long]("sensitivity") == 4L)
+    assert(r.getAs[Double]("noisy_n") == 8.0 + r.getAs[Double]("noise"))
+    // rerun is bit-identical (seeded draw)
+    val r2 = Privacy.dpClippedCounts(ev, "event_type", "user_id", cap = 4, epsilon = 0.5)
+      .collect().head
+    assert(r.getAs[Double]("noise") == r2.getAs[Double]("noise"))
+  }
 }

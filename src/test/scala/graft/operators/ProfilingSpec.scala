@@ -58,4 +58,39 @@ class ProfilingSpec extends AnyFunSuite with SparkSpec {
       Profiling.columnProfile(d, Seq("nope"))
     }
   }
+
+  test("joinSkewProfile: exact extremes, nearest-rank picks, shard balance") {
+    // key counts: k1 x 8, k2 x 4, k3..k6 x 1 -> 6 keys, 16 rows
+    val rows = (Seq.fill(8)(1L) ++ Seq.fill(4)(2L) ++ Seq(3L, 4L, 5L, 6L))
+      .zipWithIndex.map { case (k, i) => (i.toLong, k) }
+    val df = rows.toDF("event_id", "user_id")
+    val r = Profiling.joinSkewProfile(df, "user_id").collect().head
+    assert(r.getAs[Long]("n_rows") == 16L && r.getAs[Long]("n_keys") == 6L)
+    assert(r.getAs[Long]("max_key_rows") == 8L)
+    // sorted counts (1,1,1,1,4,8): p50 = ceil(0.5*6)=3rd = 1; p99 = 6th = 8
+    assert(r.getAs[Long]("p50_key_rows") == 1L)
+    assert(r.getAs[Long]("p99_key_rows") == 8L)
+    assert(r.getAs[Double]("top1_share") == 0.5)
+    // shard stats exist and bound each other
+    assert(r.getAs[Long]("max_shard") >= r.getAs[Long]("min_shard"))
+    assert(r.getAs[Double]("shard_skew") >= 1.0)
+  }
+
+  test("neymanAllocation: zero-variance strata get zero, allocation sums to budget") {
+    // stratum a: constant values (S=0) -> no allocation; b and c split by N*S
+    val df = (Seq.fill(10)(("a", 100L)) ++
+      Seq.tabulate(10)(i => ("b", (i * 10).toLong)) ++
+      Seq.tabulate(20)(i => ("c", (i * 10).toLong)))
+      .toDF("source", "n_chars")
+    val r = Curation.neymanAllocation(df, "source", "n_chars", budget = 10L)
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r("a").getAs[Long]("w_u") == 0L && r("a").getAs[Long]("alloc") == 0L)
+    assert(r("b").getAs[Long]("alloc") + r("c").getAs[Long]("alloc") == 10L)
+    // c has both more rows and a larger spread: it must get more
+    assert(r("c").getAs[Long]("alloc") > r("b").getAs[Long]("alloc"))
+    // rerun bit-identical
+    val r2 = Curation.neymanAllocation(df, "source", "n_chars", budget = 10L)
+      .collect().map(x => x.getString(0) -> x.getAs[Long]("alloc")).toMap
+    assert(r.keySet.forall(k => r(k).getAs[Long]("alloc") == r2(k)))
+  }
 }
