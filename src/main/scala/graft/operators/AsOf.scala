@@ -107,4 +107,33 @@ object AsOf {
       .select(left.columns.map(c => col(s"l.$c")) ++
         rPay.map(c => col(s"r.$c")): _*)
   }
+
+  /** Banded interval-overlap join: pairs of (left, right) intervals that
+    * strictly overlap (l_start < r_end AND r_start < l_end), found by
+    * banding both sides on `bandMs` time cells — each interval explodes to
+    * the cells it spans, the join runs per cell, and every pair is emitted
+    * exactly once FROM THE CELL CONTAINING ITS OVERLAP START (the
+    * lowest-agreeing-band idiom: no post-join dedup shuffle).
+    *
+    * Columns: left needs `l_start`/`l_end`, right `r_start`/`r_end`
+    * (half-open [start, end) ms); every other column rides through.
+    * `overlap_ms` = least(ends) - greatest(starts).
+    *
+    * Scale shape: the explode factor is interval_span/bandMs (pick bandMs
+    * near the typical interval length, so ~1-2 cells each); the join
+    * shuffles on the cell key — never a range-join row amplification, and
+    * skew is bounded by how many intervals share one cell. */
+  def intervalOverlap(left: DataFrame, right: DataFrame, bandMs: Long): DataFrame = {
+    require(bandMs >= 1, "bandMs >= 1")
+    val l = left.withColumn("band",
+      explode(sequence(expr(s"l_start div $bandMs"), expr(s"(l_end - 1) div $bandMs"))))
+    val r = right.withColumn("band",
+      explode(sequence(expr(s"r_start div $bandMs"), expr(s"(r_end - 1) div $bandMs"))))
+    l.join(r, Seq("band"))
+      .where(col("l_start") < col("r_end") && col("r_start") < col("l_end"))
+      .where(col("band") === expr(s"greatest(l_start, r_start) div $bandMs"))
+      .withColumn("overlap_ms",
+        least(col("l_end"), col("r_end")) - greatest(col("l_start"), col("r_start")))
+      .drop("band")
+  }
 }

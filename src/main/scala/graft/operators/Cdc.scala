@@ -85,6 +85,48 @@ object Cdc {
         col("version"), col("is_current"))
   }
 
+  /** Streaming twin of [[scd2]]: per-key open-interval state (attribute,
+    * valid_from, version) carried in `flatMapGroupsWithState`; each
+    * micro-batch folds its rows in (ts, tie) order and emits every interval
+    * it CLOSES (append mode can never retract, so the open current row
+    * stays in state — the batch equivalence the spec pins is
+    * scd2(batch).where(is_current = 0) == one-batch-stream output).
+    *
+    * Contract: per-key event time must be non-decreasing ACROSS batches
+    * (in-batch disorder is sorted out locally) — the CDC-ingest shape,
+    * where upstream delivers each key's changes in commit order. State is
+    * one (string, long, long) per key; a key that stops changing costs
+    * nothing more. */
+  def scd2Stream(df: DataFrame, keyCol: String, attrCol: String,
+                 tsCol: String, tieCol: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds = df.select(col(keyCol).cast("long"), col(attrCol).cast("string"),
+      col(tsCol).cast("long"), col(tieCol).cast("long"))
+      .as[(Long, String, Long, Long)]
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, String, Long, Long)],
+         state: GroupState[(String, Long, Long)]) =>
+          val batch = rows.toVector.sortBy(r => (r._3, r._4))
+          var open = state.getOption
+          val closed = Vector.newBuilder[(Long, String, Long, Long, Long, Long)]
+          batch.foreach { case (_, attr, ts, _) =>
+            open match {
+              case Some((a, from, v)) if a != attr =>
+                closed += ((key, a, from, ts, v, 0L))
+                open = Some((attr, ts, v + 1))
+              case Some(_) => // same attribute: the run continues
+              case None => open = Some((attr, ts, 1L))
+            }
+          }
+          open.foreach(state.update)
+          closed.result().iterator
+      }
+      .toDF(keyCol, attrCol, "valid_from", "valid_to", "version", "is_current")
+  }
+
   /** Snapshot diff that KEEPS the old/new values of one compare column —
     * the input to [[aggDeltaAudit]] (a plain [[snapshotDiff]] drops them). */
   def snapshotDelta(oldDf: DataFrame, newDf: DataFrame, pkCols: Seq[String],

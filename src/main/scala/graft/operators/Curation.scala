@@ -1225,4 +1225,25 @@ object Curation {
           when(col("rrank") <= lit(budget) - col("alloc_sum"), lit(1L)).otherwise(lit(0L)))
       .select(col(strataCol), col("stratum_n"), col("w_u"), col("alloc_floor"), col("alloc"))
   }
+
+  /** Execute a [[neymanAllocation]]: per stratum, keep exactly alloc_h
+    * rows, chosen by the salted-md5 deterministic order (the house
+    * sampling contract — same rows at any parallelism, on any engine).
+    * One broadcast join of the |strata|-row allocation frame and one
+    * stratum-partitioned window rank; ties on the hash break by id.
+    *
+    * At 100 TB the rank window sorts each stratum once — if strata are
+    * huge and alloc tiny, screen first with the hash-threshold form
+    * ([[hashSample]]) at ~2x the target rate, then rank the survivors. */
+  def neymanSample(df: DataFrame, strataCol: String, valueCol: String,
+                   idCol: String, budget: Long, salt: String = "neyman"): DataFrame = {
+    val alloc = neymanAllocation(df, strataCol, valueCol, budget)
+      .select(col(strataCol), col("alloc"))
+    val h = md5(concat(lit(salt + ":"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col(strataCol)).orderBy(h, col(idCol))
+    df.join(broadcast(alloc), strataCol)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= col("alloc"))
+      .select(col(idCol), col(strataCol), col("rn"))
+  }
 }

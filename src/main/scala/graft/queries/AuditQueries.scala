@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Cdc, Curation, Layout, Points, Privacy, Profiling}
+import graft.operators.{AsOf, Cdc, Curation, Layout, Points, Privacy, Profiling, Sessionize}
 
 /**
  * Release-surface audit queries (round 10): privacy (k-anonymity,
@@ -155,7 +155,27 @@ object AuditQueries {
     // Neyman-optimal stratified allocation of a 100-doc sample budget
     // across sources, weighted by exact-integer variance numerators
     "curate_neyman_alloc" -> ((s, dir) =>
-      Curation.neymanAllocation(docs(s, dir), "source", "n_chars", budget = 100L))
+      Curation.neymanAllocation(docs(s, dir), "source", "n_chars", budget = 100L)),
+    // the allocation EXECUTED: exactly alloc_h docs per source, picked by
+    // the salted-md5 deterministic order
+    "curate_neyman_sample" -> ((s, dir) =>
+      Curation.neymanSample(docs(s, dir), "source", "n_chars", "doc_id", budget = 100L)),
+    // banded interval-overlap join: 6h-gap user sessions vs the daily
+    // 06:00-08:00 maintenance window, rolled up per day
+    "events_overlap_join" -> ((s, dir) => {
+      val ev = events(s, dir).withColumn("ts_ms", expr("ts div 1000000"))
+      val sess = Sessionize.sessions(ev, "user_id", "ts_ms", "event_id", gapMs = 21600000L)
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(min(col("ts_ms")).as("l_start"), (max(col("ts_ms")) + lit(1L)).as("l_end"))
+      val windows = ev.select(expr("ts_ms div 86400000").as("day")).distinct()
+        .withColumn("r_start", col("day") * lit(86400000L) + lit(21600000L))
+        .withColumn("r_end", col("day") * lit(86400000L) + lit(28800000L))
+      AsOf.intervalOverlap(sess, windows, bandMs = 86400000L)
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(col("overlap_ms")).as("sum_overlap_ms"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -419,6 +439,56 @@ object AuditQueries {
         |SELECT source, stratum_n, w_u, CAST(alloc_floor AS BIGINT) AS alloc_floor,
         |       CAST(alloc_floor + CASE WHEN rrank <= 100 - alloc_sum THEN 1 ELSE 0 END AS BIGINT)
         |         AS alloc
-        |FROM r""".stripMargin
+        |FROM r""".stripMargin,
+    "curate_neyman_sample" ->
+      """WITH per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS stratum_n,
+        |                    SUM(CAST(n_chars AS HUGEINT)) AS sx,
+        |                    SUM(CAST(n_chars AS HUGEINT) * CAST(n_chars AS HUGEINT)) AS sx2
+        |             FROM documents GROUP BY 1),
+        |v AS (SELECT source,
+        |             CAST(FLOOR(SQRT(CAST(CAST(stratum_n AS HUGEINT) * sx2 - sx * sx AS DOUBLE))
+        |                        * 1000000.0) AS BIGINT) AS w_u
+        |      FROM per),
+        |w AS (SELECT *, CAST(SUM(w_u) OVER () AS BIGINT) AS w_total FROM v),
+        |a AS (SELECT *, (w_u * 100) // w_total AS alloc_floor,
+        |             w_u * 100 - ((w_u * 100) // w_total) * w_total AS rem
+        |      FROM w),
+        |r AS (SELECT *, CAST(SUM(alloc_floor) OVER () AS BIGINT) AS alloc_sum,
+        |             CAST(ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS BIGINT) AS rrank
+        |      FROM a),
+        |al AS (SELECT source,
+        |         CAST(alloc_floor + CASE WHEN rrank <= 100 - alloc_sum THEN 1 ELSE 0 END
+        |              AS BIGINT) AS alloc
+        |       FROM r),
+        |ranked AS (SELECT d.doc_id, d.source, al.alloc,
+        |             CAST(ROW_NUMBER() OVER (PARTITION BY d.source
+        |               ORDER BY md5('neyman:' || CAST(d.doc_id AS VARCHAR)), d.doc_id)
+        |               AS BIGINT) AS rn
+        |           FROM documents d JOIN al USING (source))
+        |SELECT doc_id, source, rn FROM ranked WHERE rn <= alloc""".stripMargin,
+    // the oracle needs no banding: the lowest-agreeing-band emission makes
+    // the Spark side's per-pair output identical to a plain overlap join
+    "events_overlap_join" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events),
+        |m AS (
+        |  SELECT *, CASE WHEN lag(ts_ms) OVER w IS NULL OR ts_ms - lag(ts_ms) OVER w > 21600000
+        |                 THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+        |sess AS (
+        |  SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |  FROM m),
+        |b AS (SELECT user_id, session_seq, MIN(ts_ms) AS l_start, MAX(ts_ms) + 1 AS l_end
+        |      FROM sess GROUP BY 1, 2),
+        |d AS (SELECT DISTINCT ts_ms // 86400000 AS day FROM e),
+        |win AS (SELECT day, day * 86400000 + 21600000 AS r_start,
+        |               day * 86400000 + 28800000 AS r_end FROM d),
+        |p AS (SELECT win.day, b.user_id,
+        |             LEAST(b.l_end, win.r_end) - GREATEST(b.l_start, win.r_start) AS overlap_ms
+        |      FROM b JOIN win ON b.l_start < win.r_end AND win.r_start < b.l_end)
+        |SELECT day, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        |       CAST(SUM(overlap_ms) AS BIGINT) AS sum_overlap_ms
+        |FROM p GROUP BY 1""".stripMargin
   )
 }

@@ -196,4 +196,29 @@ class AsOfSpec extends AnyFunSuite with SparkSpec {
     } yield (c, k)).toSet
     assert(out == brute && brute.nonEmpty)
   }
+
+  test("intervalOverlap: strict overlap semantics, each pair exactly once") {
+    import spark.implicits._
+    // left interval [0, 100) spans two 50ms bands; right [40, 60) overlaps it,
+    // [100, 120) only touches the boundary (half-open: NOT an overlap)
+    val left = Seq((1L, 0L, 100L), (2L, 200L, 210L)).toDF("lid", "l_start", "l_end")
+    val right = Seq((10L, 40L, 60L), (11L, 100L, 120L), (12L, 205L, 206L))
+      .toDF("rid", "r_start", "r_end")
+    val out = AsOf.intervalOverlap(left, right, bandMs = 50L)
+      .select("lid", "rid", "overlap_ms").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map((1L, 10L) -> 20L, (2L, 12L) -> 1L),
+      "boundary touch is not an overlap; the spanning pair emits exactly once")
+  }
+
+  test("intervalOverlap emits a multi-band pair once, from the overlap-start band") {
+    import spark.implicits._
+    // both intervals span bands 0..3 -> the pair agrees in four bands but
+    // must appear exactly once
+    val left = Seq((1L, 0L, 40L)).toDF("lid", "l_start", "l_end")
+    val right = Seq((9L, 5L, 35L)).toDF("rid", "r_start", "r_end")
+    val out = AsOf.intervalOverlap(left, right, bandMs = 10L).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("overlap_ms") == 30L)
+  }
 }

@@ -54,6 +54,30 @@ class CdcSpec extends AnyFunSuite with SparkSpec {
     assert(h == Seq("a", "b"), "event_id 1 ('a') must sort first at equal ms")
   }
 
+  test("scd2Stream one-batch run equals the batch operator's closed intervals") {
+    val ev = Seq(
+      (1L, "a", 10L, 100L), (1L, "a", 20L, 101L), (1L, "b", 30L, 102L),
+      (1L, "a", 50L, 103L), (2L, "x", 5L, 104L), (2L, "y", 7L, 105L)
+    ).toDF("user_id", "attr", "ms", "event_id")
+    val batchClosed = Cdc.scd2(ev, "user_id", "attr", col("ms"), "event_id")
+      .where(col("is_current") === 0L)
+      .select("user_id", "attr", "valid_from", "valid_to", "version", "is_current")
+      .collect().map(_.toSeq).toSet
+    val streamed = Cdc.scd2Stream(ev, "user_id", "attr", "ms", "event_id")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batchClosed)
+    assert(streamed.size == 3, "a@10-30 and b@30-50 for user 1, x@5-7 for user 2")
+  }
+
+  test("scd2Stream sorts in-batch disorder before folding") {
+    val ev = Seq((1L, "b", 30L, 2L), (1L, "a", 10L, 1L), (1L, "c", 40L, 3L))
+      .toDF("user_id", "attr", "ms", "event_id")
+    val rows = Cdc.scd2Stream(ev, "user_id", "attr", "ms", "event_id")
+      .orderBy("version").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(rows == Seq(("a", 10L, 30L), ("b", 30L, 40L)))
+  }
+
   test("aggDeltaAudit: base + delta equals the v2 recompute, per slice") {
     val delta = Cdc.snapshotDelta(v1, v2, Seq("doc_id"), "n_chars", Seq("source"))
     val a = Cdc.aggDeltaAudit(delta, Seq("source"))

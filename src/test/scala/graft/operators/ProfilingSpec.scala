@@ -93,4 +93,19 @@ class ProfilingSpec extends AnyFunSuite with SparkSpec {
       .collect().map(x => x.getString(0) -> x.getAs[Long]("alloc")).toMap
     assert(r.keySet.forall(k => r(k).getAs[Long]("alloc") == r2(k)))
   }
+
+  test("neymanSample keeps exactly alloc_h rows per stratum, deterministically") {
+    val df = (Seq.tabulate(30)(i => ("b", i.toLong * 10, i.toLong)) ++
+      Seq.tabulate(60)(i => ("c", i.toLong * 10, 100L + i)))
+      .toDF("source", "n_chars", "doc_id")
+    val alloc = Curation.neymanAllocation(df, "source", "n_chars", budget = 9L)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("alloc")).toMap
+    val sample = Curation.neymanSample(df, "source", "n_chars", "doc_id", budget = 9L)
+    val bySource = sample.collect().groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(bySource.map { case (k, v) => k -> v.toLong } == alloc.filter(_._2 > 0))
+    assert(sample.count() == 9L)
+    val again = Curation.neymanSample(df, "source", "n_chars", "doc_id", budget = 9L)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(again == sample.collect().map(_.getLong(0)).sorted.toSeq)
+  }
 }
