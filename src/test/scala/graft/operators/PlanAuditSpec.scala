@@ -712,4 +712,62 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(outer.isEmpty,
       "decomposed Dirichlet must not left-join candidates x terms back onto matched")
   }
+
+  test("scd2: ONE exchange and one sort serve both key-partitioned windows") {
+    val ev = (0L until 64L).map(i => (i % 8, s"a${i % 3}", i * 100L, i))
+      .toDF("user_id", "attr", "ms", "event_id")
+    val df = Cdc.scd2(ev, "user_id", "attr", col("ms"), "event_id")
+    val ws = windows(df)
+    assert(ws.size == 2 && ws.forall(_.partitionSpec.nonEmpty),
+      "scd2 must run two key-partitioned windows")
+    val plan = df.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"expected exactly one shuffle in scd2:\n$plan")
+    assert("\\bSort\\b".r.findAllIn(plan).size <= 2,
+      "the second window must reuse the first window's sort order")
+  }
+
+  test("tCloseness: QI shuffles only; the corpus never broadcasts; no cartesian pair join") {
+    val df2 = (0L until 64L).map(i => (s"l${i % 4}", i % 3, s"s${i % 5}"))
+      .toDF("lang", "len_bucket", "source")
+    val t = Privacy.tCloseness(df2, Seq("lang", "len_bucket"), "source")
+    val plan = t.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "no cartesian in tCloseness")
+    assert(!plan.contains("SortMergeJoin"),
+      "both joins attach BOUNDED frames (marginals, 1-row total) and must broadcast")
+    val ws = windows(t)
+    assert(ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty),
+      "the n_g window must be QI-partitioned")
+  }
+
+  test("intervalOverlap joins on the band equi key — never nested-loops the interval frames") {
+    val left = (0L until 32L).map(i => (i, i * 100L, i * 100L + 150L))
+      .toDF("lid", "l_start", "l_end")
+    val right = (0L until 32L).map(i => (i, i * 90L, i * 90L + 120L))
+      .toDF("rid", "r_start", "r_end")
+    val plan = AsOf.intervalOverlap(left, right, bandMs = 100L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"interval pairing must be the band equi join:\n$plan")
+  }
+
+  test("joinSkewProfile: its unpartitioned windows sit over the bounded count-of-counts frame") {
+    val ev = (0L until 64L).map(i => (i, i % 7)).toDF("event_id", "user_id")
+    val df = Profiling.joinSkewProfile(ev, "user_id")
+    for (w <- df.queryExecution.optimizedPlan.collect { case w: LWindow => w })
+      assert(w.child.collectFirst { case a: Aggregate => a }.isDefined,
+        s"window with non-aggregated (corpus-sized) input:\n$w")
+    assert(df.count() == 1)
+  }
+
+  test("layout profile and prune audit plan aggregates only — no window, no sort-merge join") {
+    val ev = (0L until 64L).map(i => (i % 16, (i / 4) % 16)).toDF("u", "d")
+    val prof = Layout.zorderProfile(ev, col("u"), col("d"), bits = 4, bucketSize = 16L)
+    assert(windows(prof).isEmpty)
+    val audit = Layout.pruneAudit(ev, col("u"), col("d"), bits = 4,
+      bucketSize = 16L, xLo = 0L, xHi = 3L)
+    assert(windows(audit).isEmpty)
+    assert(!audit.queryExecution.executedPlan.toString.contains("SortMergeJoin"),
+      "the two 1-row stat frames combine by broadcast")
+  }
 }
