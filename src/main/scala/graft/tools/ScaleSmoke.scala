@@ -28,9 +28,18 @@ object ScaleSmoke {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // dev filter: SPARK_GRAFT_SMOKE_ONLY=sub1,sub2 runs only blocks whose
+    // name contains a substring (skipped blocks yield null/0 — include a
+    // cap-derivation block's name whenever a dependent block matches)
+    val only = sys.env.get("SPARK_GRAFT_SMOKE_ONLY").map(_.split(",").toSeq)
     def t[A](name: String)(f: => A): A = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"SCALE $name ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+      if (only.exists(subs => !subs.exists(name.contains))) {
+        println(s"SCALE $name SKIPPED (filter)")
+        null.asInstanceOf[A]
+      } else {
+        val t0 = System.nanoTime(); val r = f
+        println(f"SCALE $name ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+      }
     }
     val base = graft.operators.Points.table(spark, sfDir, "documents")
     val n = base.count()
@@ -752,6 +761,56 @@ object ScaleSmoke {
         col("value"), map(lit("user"), col("user_id").cast("string")).as("tags"))
       graft.operators.TimeSeries.downsampleFill(
         pts.where(col("metric") === "purchase"), 3600000L).count()
+    }
+    // round-10 release-surface / CDC / layout operators: every one is
+    // hash-aggregate- or single-key-window-shaped and must scale linearly
+    t("scd2 (one key shuffle, both windows on one sort)") {
+      graft.operators.Cdc.scd2(ev, "user_id", "event_type",
+        col("ts_ms"), "event_id").count()
+    }
+    t("tCloseness (QI agg + bounded marginal broadcast)") {
+      val qi = sdocs.select(col("source"),
+        (length(col("text")) % 7L).as("len_bucket"),
+        concat(lit("s"), (col("doc_id") % 5).cast("string")).as("sens"))
+      graft.operators.Privacy.tCloseness(qi, Seq("source", "len_bucket"), "sens").count()
+    }
+    t("dpClippedCounts (two hash aggregates, no window)") {
+      graft.operators.Privacy.dpClippedCounts(ev, "event_type", "user_id",
+        cap = 4, epsilon = 0.5).count()
+    }
+    t("joinSkewProfile (count-of-counts percentiles + 32 md5 shards)") {
+      graft.operators.Profiling.joinSkewProfile(ev, "user_id").count()
+    }
+    t("snapshotDelta+aggDeltaAudit (one pk full outer join)") {
+      val v1 = sdocs.where(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), col("source"), length(col("text")).cast("long").as("n_chars"))
+      val v2 = sdocs.where(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id"), col("source"),
+          (length(col("text")).cast("long") + col("doc_id") % 3).as("n_chars"))
+      graft.operators.Cdc.aggDeltaAudit(
+        graft.operators.Cdc.snapshotDelta(v1, v2, Seq("doc_id"), "n_chars", Seq("source")),
+        Seq("source")).count()
+    }
+    t("zorderProfile + pruneAudit (pure bit-chain aggregates)") {
+      val x = expr("user_id % 256"); val y = expr("(ts_ms div 86400000) % 256")
+      graft.operators.Layout.zorderProfile(ev, x, y, bits = 8, bucketSize = 64L).count()
+      graft.operators.Layout.pruneAudit(ev, x, y, bits = 8, bucketSize = 64L,
+        xLo = 32L, xHi = 47L).count()
+    }
+    t("intervalOverlap (6h sessions x daily windows, band-deduped)") {
+      val sess = graft.operators.Sessionize.sessions(ev, "user_id", "ts_ms", "event_id",
+        gapMs = 21600000L)
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(min(col("ts_ms")).as("l_start"), (max(col("ts_ms")) + lit(1L)).as("l_end"))
+      val win = ev.select(expr("ts_ms div 86400000").as("day")).distinct()
+        .withColumn("r_start", col("day") * lit(86400000L) + lit(21600000L))
+        .withColumn("r_end", col("day") * lit(86400000L) + lit(28800000L))
+      graft.operators.AsOf.intervalOverlap(sess, win, bandMs = 86400000L).count()
+    }
+    t("neymanSample (|strata|-row broadcast + stratum rank)") {
+      graft.operators.Curation.neymanSample(
+        sdocs.withColumn("n_chars", length(col("text")).cast("long")),
+        "source", "n_chars", "doc_id", budget = 1000L).count()
     }
     spark.stop()
   }
