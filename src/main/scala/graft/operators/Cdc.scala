@@ -85,6 +85,40 @@ object Cdc {
         col("version"), col("is_current"))
   }
 
+  /** Apply a change set to a snapshot — the other half of the CDC loop
+    * ([[snapshotDiff]] builds the delta; this merges one in). Changes carry
+    * an `op` column (`upsert` | `delete`); the LAST change per key wins,
+    * ordered by (`orderCol`, op) with delete sorting after upsert at equal
+    * order (a same-version delete beats its own upsert — the tombstone
+    * contract). Unchanged snapshot keys pass through.
+    *
+    * Scale shape: the change set folds to one row per key FIRST (a
+    * key-partitioned max_by-style struct aggregate — no window over the
+    * snapshot), then ONE pk-keyed full outer join against the snapshot; at
+    * 100 TB the join is snapshot-sized but the aggregate is delta-sized.
+    *
+    * Column contract: `snapshot` and `changes` share `pkCols` ++
+    * `valCols`; changes add (`op`, orderCol). */
+  def applyChanges(snapshot: DataFrame, changes: DataFrame, pkCols: Seq[String],
+                   valCols: Seq[String], orderCol: String): DataFrame = {
+    require(pkCols.nonEmpty && valCols.nonEmpty, "pk and value columns required")
+    // one struct per key: maximal (order, delete-after-upsert, values)
+    val opRank = when(col("op") === "delete", lit(1L)).otherwise(lit(0L))
+    val packed = struct((col(orderCol) +: opRank.as("_opr") +: col("op").as("_op") +:
+      valCols.map(col)): _*)
+    val last = changes.groupBy(pkCols.map(col): _*)
+      .agg(max(packed).as("_last"))
+      .select((pkCols.map(col) :+ col("_last._op").as("_op")) ++
+        valCols.map(c => col(s"_last.$c").as(s"_new_$c")): _*)
+    val s = snapshot.select((pkCols ++ valCols).map(col): _*)
+    val joined = s.join(last, pkCols, "full_outer")
+    // delete drops the key; an upsert (matched or new) takes the new values
+    joined
+      .where(col("_op").isNull || col("_op") =!= "delete")
+      .select((pkCols.map(col) ++ valCols.map(c =>
+        when(col("_op").isNotNull, col(s"_new_$c")).otherwise(col(c)).as(c))): _*)
+  }
+
   /** Streaming twin of [[scd2]]: per-key open-interval state (attribute,
     * valid_from, version) carried in `flatMapGroupsWithState`; each
     * micro-batch folds its rows in (ts, tie) order and emits every interval

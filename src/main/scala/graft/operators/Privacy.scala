@@ -151,6 +151,27 @@ object Privacy {
             .as("above_t")): _*)
   }
 
+  /** k-anonymity generalization sweep — the remediation step after
+    * [[kAnonymityReport]] flags a release: coarsen the numeric quasi-
+    * identifier through a ladder of bucket widths and report the residual
+    * risk at each level, so the release picks the FINEST generalization
+    * that clears k. One [[kAnonymityReport]] aggregate per level over the
+    * same scan-pruned projection (levels are few; each is one bounded
+    * shuffle).
+    *
+    * `baseCols` are the kept-as-is QI columns; `numCol` is generalized to
+    * `numCol div width` per level. */
+  def kAnonymitySweep(df: DataFrame, baseCols: Seq[String], numCol: String,
+                      widths: Seq[Long], k: Int): DataFrame = {
+    require(widths.nonEmpty && widths.forall(_ >= 1), "widths >= 1")
+    widths.map { w =>
+      kAnonymityReport(
+        df.select((baseCols.map(col) :+ expr(s"$numCol div $w").as("_gen")): _*),
+        baseCols :+ "_gen", k)
+        .withColumn("bucket_width", lit(w))
+    }.reduce(_ unionByName _)
+  }
+
   /** User-level DP histogram with contribution clipping: each user counts
     * at most `cap` times per group (min(n_gu, cap) — a hash aggregate, NOT
     * a per-row window sort), so one user's presence changes any count by at

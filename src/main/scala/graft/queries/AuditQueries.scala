@@ -160,6 +160,28 @@ object AuditQueries {
     // the salted-md5 deterministic order
     "curate_neyman_sample" -> ((s, dir) =>
       Curation.neymanSample(docs(s, dir), "source", "n_chars", "doc_id", budget = 100L)),
+    // apply a change set (deletes + versioned upserts, last-wins) to the
+    // v1 snapshot: delta-sized pre-fold, ONE pk full outer join
+    "cdc_apply" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val changes =
+        d.where(col("doc_id") % 5 === 0)
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            lit("delete").as("op"), lit(1L).as("version"))
+          .unionByName(
+            d.where(col("doc_id") % 7 === 0)
+              .select(col("doc_id"), col("source"),
+                (col("n_chars") + lit(100L)).as("n_chars"),
+                lit("upsert").as("op"), lit(2L).as("version")))
+      Cdc.applyChanges(cdcV1(s, dir), changes,
+        pkCols = Seq("doc_id"), valCols = Seq("source", "n_chars"), orderCol = "version")
+    }),
+    // k-anonymity remediation sweep: residual risk per generalization
+    // width of the length quasi-identifier
+    "priv_kanon_sweep" -> ((s, dir) =>
+      Privacy.kAnonymitySweep(
+        docs(s, dir).select(col("lang"), col("source"), col("n_chars")),
+        Seq("lang", "source"), "n_chars", widths = Seq(250L, 500L, 1000L, 2000L), k = 5)),
     // banded interval-overlap join: 6h-gap user sessions vs the daily
     // 06:00-08:00 maintenance window, rolled up per day
     "events_overlap_join" -> ((s, dir) => {
@@ -466,6 +488,41 @@ object AuditQueries {
         |               AS BIGINT) AS rn
         |           FROM documents d JOIN al USING (source))
         |SELECT doc_id, source, rn FROM ranked WHERE rn <= alloc""".stripMargin,
+    "cdc_apply" ->
+      """WITH v1 AS (SELECT doc_id, source, n_chars FROM documents WHERE doc_id % 7 != 0),
+        |ch AS (SELECT doc_id, source, n_chars, 'delete' AS op, 1 AS version
+        |       FROM documents WHERE doc_id % 5 = 0
+        |       UNION ALL
+        |       SELECT doc_id, source, n_chars + 100, 'upsert', 2
+        |       FROM documents WHERE doc_id % 7 = 0),
+        |last AS (SELECT doc_id, op, source AS new_source, n_chars AS new_n_chars
+        |         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |                 ORDER BY version DESC,
+        |                          CASE WHEN op = 'delete' THEN 1 ELSE 0 END DESC) AS rn
+        |               FROM ch)
+        |         WHERE rn = 1),
+        |j AS (SELECT COALESCE(v1.doc_id, last.doc_id) AS doc_id,
+        |             v1.source, v1.n_chars, last.op, last.new_source, last.new_n_chars
+        |      FROM v1 FULL OUTER JOIN last ON v1.doc_id = last.doc_id)
+        |SELECT doc_id,
+        |       CASE WHEN op IS NOT NULL THEN new_source ELSE source END AS source,
+        |       CASE WHEN op IS NOT NULL THEN new_n_chars ELSE n_chars END AS n_chars
+        |FROM j WHERE op IS NULL OR op != 'delete'""".stripMargin,
+    "priv_kanon_sweep" -> Seq(250L, 500L, 1000L, 2000L).map { w =>
+      s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+         |       CAST(SUM(gn) AS BIGINT) AS n_rows,
+         |       CAST(SUM(ar) AS BIGINT) AS groups_below_k,
+         |       CAST(SUM(ar * gn) AS BIGINT) AS rows_below_k,
+         |       CAST(MIN(gn) AS BIGINT) AS min_group,
+         |       CAST(MAX(gn) AS BIGINT) AS max_group,
+         |       CAST(5 AS BIGINT) AS k,
+         |       CAST(SUM(ar * gn) AS DOUBLE) / CAST(SUM(gn) AS DOUBLE) AS pct_rows_at_risk,
+         |       CAST($w AS BIGINT) AS bucket_width
+         |FROM (SELECT CAST(COUNT(*) AS BIGINT) AS gn,
+         |             CASE WHEN COUNT(*) < 5 THEN 1 ELSE 0 END AS ar
+         |      FROM (SELECT lang, source, n_chars // $w AS g FROM documents)
+         |      GROUP BY lang, source, g)""".stripMargin
+    }.mkString("", "\nUNION ALL\n", ""),
     // the oracle needs no banding: the lowest-agreeing-band emission makes
     // the Spark side's per-pair output identical to a plain overlap join
     "events_overlap_join" ->

@@ -54,6 +54,36 @@ class CdcSpec extends AnyFunSuite with SparkSpec {
     assert(h == Seq("a", "b"), "event_id 1 ('a') must sort first at equal ms")
   }
 
+  test("applyChanges: delete drops, upsert inserts/updates, last change wins") {
+    val snap = Seq((1L, "web", 10L), (2L, "web", 20L), (3L, "wiki", 30L))
+      .toDF("doc_id", "source", "n_chars")
+    val changes = Seq(
+      (2L, "web", 0L, "delete", 1L),      // drop key 2
+      (3L, "wiki", 35L, "upsert", 1L),    // update key 3
+      (4L, "news", 40L, "upsert", 1L),    // insert key 4
+      (5L, "news", 50L, "upsert", 1L),    // insert then...
+      (5L, "news", 0L, "delete", 2L),     // ...delete at a later version
+      (6L, "x", 60L, "upsert", 1L),
+      (6L, "x", 61L, "upsert", 2L)        // later version wins
+    ).toDF("doc_id", "source", "n_chars", "op", "version")
+    val out = Cdc.applyChanges(snap, changes, Seq("doc_id"),
+      Seq("source", "n_chars"), "version")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out == Map(
+      1L -> ("web", 10L), 3L -> ("wiki", 35L),
+      4L -> ("news", 40L), 6L -> ("x", 61L)))
+  }
+
+  test("applyChanges: a same-version delete beats its own upsert (tombstone)") {
+    val snap = Seq((1L, "a", 1L)).toDF("doc_id", "source", "n_chars")
+    val changes = Seq(
+      (1L, "a", 2L, "upsert", 5L), (1L, "a", 0L, "delete", 5L)
+    ).toDF("doc_id", "source", "n_chars", "op", "version")
+    val out = Cdc.applyChanges(snap, changes, Seq("doc_id"),
+      Seq("source", "n_chars"), "version")
+    assert(out.count() == 0L)
+  }
+
   test("scd2Stream one-batch run equals the batch operator's closed intervals") {
     val ev = Seq(
       (1L, "a", 10L, 100L), (1L, "a", 20L, 101L), (1L, "b", 30L, 102L),

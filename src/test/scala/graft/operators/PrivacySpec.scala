@@ -94,6 +94,19 @@ class PrivacySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("kAnonymitySweep: coarser buckets never increase below-k risk here") {
+    val df = Seq.tabulate(40)(i => ("en", "web", i.toLong * 10))
+      .toDF("lang", "source", "n_chars")
+    val sweep = Privacy.kAnonymitySweep(df, Seq("lang", "source"), "n_chars",
+      widths = Seq(10L, 100L, 1000L), k = 5)
+      .collect().map(r => r.getAs[Long]("bucket_width") ->
+        (r.getAs[Long]("n_groups"), r.getAs[Long]("rows_below_k"))).toMap
+    assert(sweep(10L) == (40L, 40L), "width 10: every row its own group, all at risk")
+    assert(sweep(100L)._1 == 4L, "width 100: 4 groups of 10")
+    assert(sweep(100L)._2 == 0L && sweep(1000L)._2 == 0L)
+    assert(sweep(1000L)._1 == 1L)
+  }
+
   test("dpClippedCounts clips per-user contributions at the cap") {
     // user 1 contributes 6 rows, user 2 three, user 3 one -> clipped 4+3+1
     val ev = (Seq.fill(6)(1L) ++ Seq.fill(3)(2L) ++ Seq(3L)).zipWithIndex
