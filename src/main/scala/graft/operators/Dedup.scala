@@ -165,6 +165,46 @@ object Dedup {
   }
 
   /**
+   * Incremental MinHash LSH: near-dup candidate pairs that TOUCH the new
+   * snapshot — the screen a [[Cdc.snapshotDiff]]'s `added` docs pass before
+   * entering the corpus, without re-pairing the base against itself. Emits
+   * exactly `minhashLsh(base ∪ new)` restricted to pairs with >= 1 new side
+   * (spec-pinned), canonically ordered (a < b).
+   *
+   * Scale shape: signatures are doc-local, so the base's banded signature
+   * frame is exactly the artifact a production pipeline PERSISTS (bucketed
+   * by band key); each increment then shuffles only the delta's bands plus
+   * the bucket-count cap scan. Here both sides derive from their doc
+   * frames; the join is new-bands x all-bands on the band key, so the
+   * pair work is delta-bounded (capped buckets bound the per-band fan-out).
+   */
+  def minhashLshIncremental(baseDocs: DataFrame, newDocs: DataFrame,
+                            numHashes: Int = 8, bandSize: Int = 2,
+                            maxBucket: Long = Long.MaxValue): DataFrame = {
+    require(maxBucket >= 1L, "maxBucket must be positive")
+    val newBands0 = minhashAllBands(newDocs, numHashes, bandSize)
+    val allBands0 = minhashAllBands(baseDocs, numHashes, bandSize)
+      .unionByName(newBands0)
+    val (newBands, allBands) =
+      if (maxBucket == Long.MaxValue) (newBands0, allBands0)
+      else {
+        val ok = allBands0.groupBy("b", "key").agg(count(lit(1)).as("bn"))
+          .where(col("bn") <= maxBucket).select("b", "key")
+        (newBands0.join(ok, Seq("b", "key")), allBands0.join(ok, Seq("b", "key")))
+      }
+    val eq = (0 until numHashes)
+      .map(k => when(col(s"x.mh$k") === col(s"y.mh$k"), 1).otherwise(0))
+      .reduce(_ + _)
+    newBands.as("x").join(allBands.as("y"),
+        col("x.b") === col("y.b") && col("x.key") === col("y.key") &&
+          col("x.doc_id") =!= col("y.doc_id"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("b"),
+        (eq.cast("double") / numHashes).as("est_jaccard"))
+      .distinct()
+  }
+
+  /**
    * Derive a skew cap from the OBSERVED bucket-size distribution instead of a
    * hand-tuned constant — the sizing rule the hand-tuned caps followed
    * ("below the duplication factor": ScaleSmoke's 100x row showed cap=50

@@ -369,6 +369,14 @@ object LlmQueries {
       graft.operators.Curation.nearDupSourceMatrix(d, Dedup.containment(d, threshold = 0.5))
     }),
     "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(docs(s, dir))),
+    // incremental screen: only the snapshot diff's ADDED docs pair against
+    // the (base + added) band index — delta-bounded near-dup work
+    "dedup_incremental" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      Dedup.minhashLshIncremental(
+        d.where(col("doc_id") % 7 =!= 0),
+        d.where(col("doc_id") % 7 === 0 && col("doc_id") % 5 =!= 0))
+    }),
     // the 100 TB configuration: hot (band, key) buckets capped out of
     // candidate generation — same skew-guard contract as the ngram/simhash
     // caps, pinned by its own oracle
@@ -3179,6 +3187,24 @@ object LlmQueries {
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
          |  FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id)
+         |SELECT cand.a, cand.b,
+         |       ((x.mh0 = y.mh0)::INT + (x.mh1 = y.mh1)::INT + (x.mh2 = y.mh2)::INT
+         |            + (x.mh3 = y.mh3)::INT + (x.mh4 = y.mh4)::INT + (x.mh5 = y.mh5)::INT
+         |            + (x.mh6 = y.mh6)::INT + (x.mh7 = y.mh7)::INT) / 8.0 AS est_jaccard
+         |FROM cand JOIN mh x ON cand.a = x.doc_id JOIN mh y ON cand.b = y.doc_id""".stripMargin,
+    // mirrors minhashLshIncremental: signatures are doc-local, so the
+    // oracle filters the full signature frame to the v1+added corpus and
+    // pairs only new-side bands against it
+    "dedup_incremental" ->
+      s"""WITH mh0 AS ($MinhashSql),
+         |mh AS (SELECT * FROM mh0 WHERE NOT (doc_id % 7 = 0 AND doc_id % 5 = 0)),
+         |bands AS (
+         |  SELECT doc_id, b, key FROM mh, LATERAL (VALUES
+         |    (0, mh0 || mh1), (1, mh2 || mh3), (2, mh4 || mh5), (3, mh6 || mh7)) AS v(b, key)),
+         |newb AS (SELECT * FROM bands WHERE doc_id % 7 = 0),
+         |cand AS (
+         |  SELECT DISTINCT LEAST(a.doc_id, b.doc_id) AS a, GREATEST(a.doc_id, b.doc_id) AS b
+         |  FROM newb a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id != b.doc_id)
          |SELECT cand.a, cand.b,
          |       ((x.mh0 = y.mh0)::INT + (x.mh1 = y.mh1)::INT + (x.mh2 = y.mh2)::INT
          |            + (x.mh3 = y.mh3)::INT + (x.mh4 = y.mh4)::INT + (x.mh5 = y.mh5)::INT

@@ -1295,4 +1295,30 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     rep.foreach { case (k, r) => assert(r.getAs[Long]("n_docs") == byAssign(k)) }
   }
+
+  test("minhashLshIncremental == full LSH restricted to pairs touching a new doc") {
+    // three near-dup families so base-base, base-new and new-new pairs all exist
+    val fam = (v: String, i: Long) => base.replace("dog", v) + s" tail$i"
+    val baseDocs = docs(
+      1L -> fam("dog", 1), 2L -> fam("dog", 2),
+      10L -> fam("cat", 1), 20L -> ("unrelated words about engines " * 3))
+    val newDocs = docs(3L -> fam("dog", 3), 11L -> fam("cat", 2))
+    val newIds = Set(3L, 11L)
+    val full = Dedup.minhashLsh(baseDocs.unionByName(newDocs))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val expected = full.filter(p => newIds(p._1) || newIds(p._2))
+    val incr = Dedup.minhashLshIncremental(baseDocs, newDocs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(incr == expected)
+    assert(expected.nonEmpty && expected.size < full.size,
+      "fixture sanity: base-base pairs exist and are excluded")
+  }
+
+  test("minhashLshIncremental honors the bucket cap over the combined corpus") {
+    val clique = (1L to 6L).map(i => i -> (base + " shared")).toSeq
+    val baseDocs = docs(clique.take(4): _*)
+    val newDocs = docs(clique.drop(4): _*)
+    val capped = Dedup.minhashLshIncremental(baseDocs, newDocs, maxBucket = 3L)
+    assert(capped.count() == 0L, "the 6-clique bucket exceeds the cap on the COMBINED corpus")
+  }
 }
