@@ -214,4 +214,33 @@ object Profiling {
       .withColumn("shard_skew",
         (col("max_shard") * lit(32L)).cast("double") / col("n_rows").cast("double"))
   }
+
+  /** Referential-integrity audit: child-key rows with no parent — the
+    * orphan count every warehouse load gate checks. ONE left anti join per
+    * relationship (null child keys are orphans by contract — they reference
+    * nothing). Emits one row: child rows, orphan rows, distinct orphan
+    * keys. */
+  def referentialAudit(child: DataFrame, parent: DataFrame, childKey: String,
+                       parentKey: String, relationship: String): DataFrame = {
+    val orphans = child.select(col(childKey).as("_k"))
+      .join(parent.select(col(parentKey).as("_k")).distinct(), Seq("_k"), "left_anti")
+    val totals = child.agg(count(lit(1)).as("n_child"))
+    val o = orphans.agg(count(lit(1)).as("n_orphan_rows"),
+      countDistinct(col("_k")).as("n_orphan_keys"))
+    totals.crossJoin(broadcast(o))
+      .select(lit(relationship).as("relationship"), col("n_child"),
+        col("n_orphan_rows"), col("n_orphan_keys"))
+  }
+
+  /** Data-contract check: rows violating a boolean constraint, as one
+    * (check, n_rows, n_violations) row — compose several with unionByName
+    * for the load-gate report. The predicate must be NULL-safe (a NULL
+    * verdict counts as a violation: contracts are obligations, not
+    * three-valued logic). */
+  def contractCheck(df: DataFrame, checkName: String,
+                    holds: org.apache.spark.sql.Column): DataFrame =
+    df.agg(count(lit(1)).as("n_rows"),
+        sum(when(coalesce(holds, lit(false)), lit(0L)).otherwise(lit(1L)))
+          .as("n_violations"))
+      .select(lit(checkName).as("check"), col("n_rows"), col("n_violations"))
 }

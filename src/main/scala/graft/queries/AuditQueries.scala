@@ -176,6 +176,33 @@ object AuditQueries {
       Cdc.applyChanges(cdcV1(s, dir), changes,
         pkCols = Seq("doc_id"), valCols = Seq("source", "n_chars"), orderCol = "version")
     }),
+    // referential-integrity load gate over the TPC-H graph: orphan child
+    // keys per relationship, one left anti join each
+    "audit_referential" -> ((s, dir) => {
+      val t = (n: String) => Points.table(s, dir, n)
+      Profiling.referentialAudit(t("orders"), t("customer"),
+          "o_custkey", "c_custkey", "orders->customer")
+        .unionByName(Profiling.referentialAudit(t("lineitem"), t("orders"),
+          "l_orderkey", "o_orderkey", "lineitem->orders"))
+        .unionByName(Profiling.referentialAudit(t("lineitem"), t("part"),
+          "l_partkey", "p_partkey", "lineitem->part"))
+    }),
+    // column data-contract report: NULL-safe constraint checks with
+    // violation counts, one aggregate per check
+    "audit_contract" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val ev = events(s, dir)
+      Profiling.contractCheck(d, "documents.n_chars = length(text)",
+          col("n_chars") === length(col("text")))
+        .unionByName(Profiling.contractCheck(d, "documents.lang in domain",
+          col("lang").isin("en", "de", "fr", "es", "it", "pt", "nl", "ja", "zh", "ru")))
+        .unionByName(Profiling.contractCheck(d, "documents.text non-empty",
+          length(col("text")) > 0))
+        .unionByName(Profiling.contractCheck(ev, "events.value is finite",
+          !isnan(col("value")) && col("value").isNotNull))
+        .unionByName(Profiling.contractCheck(ev, "events.user_id positive",
+          col("user_id") > 0))
+    }),
     // k-anonymity remediation sweep: residual risk per generalization
     // width of the length quasi-identifier
     "priv_kanon_sweep" -> ((s, dir) =>
@@ -508,6 +535,46 @@ object AuditQueries {
         |       CASE WHEN op IS NOT NULL THEN new_source ELSE source END AS source,
         |       CASE WHEN op IS NOT NULL THEN new_n_chars ELSE n_chars END AS n_chars
         |FROM j WHERE op IS NULL OR op != 'delete'""".stripMargin,
+    "audit_referential" ->
+      """SELECT 'orders->customer' AS relationship,
+        |       CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_child,
+        |       CAST(COUNT(*) AS BIGINT) AS n_orphan_rows,
+        |       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_orphan_keys
+        |FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+        |UNION ALL
+        |SELECT 'lineitem->orders',
+        |       CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+        |       CAST(COUNT(*) AS BIGINT), CAST(COUNT(DISTINCT l_orderkey) AS BIGINT)
+        |FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        |UNION ALL
+        |SELECT 'lineitem->part',
+        |       CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+        |       CAST(COUNT(*) AS BIGINT), CAST(COUNT(DISTINCT l_partkey) AS BIGINT)
+        |FROM lineitem WHERE l_partkey NOT IN (SELECT p_partkey FROM part)""".stripMargin,
+    "audit_contract" ->
+      """SELECT 'documents.n_chars = length(text)' AS check,
+        |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(SUM(CASE WHEN COALESCE(n_chars = length(text), FALSE) THEN 0 ELSE 1 END)
+        |            AS BIGINT) AS n_violations
+        |FROM documents
+        |UNION ALL
+        |SELECT 'documents.lang in domain', CAST(COUNT(*) AS BIGINT),
+        |       CAST(SUM(CASE WHEN COALESCE(lang IN ('en','de','fr','es','it','pt','nl','ja','zh','ru'), FALSE)
+        |                     THEN 0 ELSE 1 END) AS BIGINT)
+        |FROM documents
+        |UNION ALL
+        |SELECT 'documents.text non-empty', CAST(COUNT(*) AS BIGINT),
+        |       CAST(SUM(CASE WHEN COALESCE(length(text) > 0, FALSE) THEN 0 ELSE 1 END) AS BIGINT)
+        |FROM documents
+        |UNION ALL
+        |SELECT 'events.value is finite', CAST(COUNT(*) AS BIGINT),
+        |       CAST(SUM(CASE WHEN COALESCE(NOT isnan(value) AND value IS NOT NULL, FALSE)
+        |                     THEN 0 ELSE 1 END) AS BIGINT)
+        |FROM events
+        |UNION ALL
+        |SELECT 'events.user_id positive', CAST(COUNT(*) AS BIGINT),
+        |       CAST(SUM(CASE WHEN COALESCE(user_id > 0, FALSE) THEN 0 ELSE 1 END) AS BIGINT)
+        |FROM events""".stripMargin,
     "priv_kanon_sweep" -> Seq(250L, 500L, 1000L, 2000L).map { w =>
       s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
          |       CAST(SUM(gn) AS BIGINT) AS n_rows,

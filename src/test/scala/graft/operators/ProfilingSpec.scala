@@ -108,4 +108,22 @@ class ProfilingSpec extends AnyFunSuite with SparkSpec {
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(again == sample.collect().map(_.getLong(0)).sorted.toSeq)
   }
+
+  test("referentialAudit counts orphan rows and distinct orphan keys; null keys are orphans") {
+    val parent = Seq(1L, 2L).toDF("pk")
+    val child = Seq(Some(1L), Some(1L), Some(9L), Some(9L), Some(8L), None)
+      .toDF("fk")
+    val r = Profiling.referentialAudit(child, parent, "fk", "pk", "c->p")
+      .collect().head
+    assert(r.getString(0) == "c->p")
+    assert(r.getAs[Long]("n_child") == 6L)
+    assert(r.getAs[Long]("n_orphan_rows") == 4L, "9, 9, 8 and the NULL key")
+    assert(r.getAs[Long]("n_orphan_keys") == 2L, "countDistinct skips the NULL key")
+  }
+
+  test("contractCheck: a NULL verdict is a violation") {
+    val df = Seq(Some(1L), Some(-1L), None).toDF("v")
+    val r = Profiling.contractCheck(df, "v positive", col("v") > 0).collect().head
+    assert(r.getAs[Long]("n_rows") == 3L && r.getAs[Long]("n_violations") == 2L)
+  }
 }
