@@ -258,6 +258,48 @@ object PipelineQuickstart {
     println("cosine threshold sweep over LSH candidates (the minCosine evidence):")
     graft.operators.Similarity.cosineSweep(emb).orderBy("threshold").show(14)
 
+    // 8. the release surface: what leaves the pipeline passes the contract
+    //    gate, the privacy audits, and — between corpus versions — the
+    //    CDC loop (diff -> incremental near-dup screen -> delta-aggregates)
+    println("data contract (NULL-safe constraint report):")
+    graft.operators.Profiling.contractCheck(raw, "n_chars = length(text)",
+        col("n_chars") === length(col("text")))
+      .unionByName(graft.operators.Profiling.contractCheck(ev,
+        "user_id positive", col("user_id") > 0)).show(truncate = false)
+    val qi = raw.select(col("lang"), col("source"), expr("n_chars div 250").as("len_bucket"))
+    println("k-anonymity (k=5) under (lang, source, len-bucket):")
+    graft.operators.Privacy.kAnonymityReport(qi, Seq("lang", "source", "len_bucket"), 5).show()
+    println("generalization sweep — pick the finest width that clears k:")
+    graft.operators.Privacy.kAnonymitySweep(
+      raw.select(col("lang"), col("source"), col("n_chars")),
+      Seq("lang", "source"), "n_chars", Seq(250L, 1000L, 4000L), 5)
+      .select("bucket_width", "groups_below_k", "rows_below_k", "pct_rows_at_risk")
+      .orderBy("bucket_width").show()
+    println("DP release counts per source (seeded Laplace, eps=0.5):")
+    graft.operators.Privacy.dpCounts(raw, "source", epsilon = 0.5)
+      .orderBy("source").show(3)
+    // corpus v1 -> v2: the synthetic snapshot pair from the audit gates
+    val v1 = raw.where(col("doc_id") % 7 =!= 0).select("doc_id", "source", "n_chars")
+    val v2 = raw.where(col("doc_id") % 5 =!= 0).select(col("doc_id"), col("source"),
+      when(col("doc_id") % 3 === 0, col("n_chars") + 1L).otherwise(col("n_chars")).as("n_chars"))
+    println("snapshot diff v1 -> v2 (per-source churn):")
+    graft.operators.Cdc.diffReport(
+      graft.operators.Cdc.snapshotDiff(v1, v2, Seq("doc_id"), Seq("n_chars"), Seq("source")),
+      Seq("source")).groupBy("status").agg(sum("n").as("n")).orderBy("status").show()
+    println("incremental near-dup screen: only the ADDED docs pair against the index:")
+    val newDocs = raw.where(col("doc_id") % 7 === 0 && col("doc_id") % 5 =!= 0)
+      .select("doc_id", "text")
+    println(s"  ${graft.operators.Dedup.minhashLshIncremental(
+      raw.where(col("doc_id") % 7 =!= 0).select("doc_id", "text"), newDocs).count()} " +
+      "candidate pairs touch a new doc")
+    println("incremental aggregate maintenance (delta-sized upgrade, exact match flags):")
+    graft.operators.Cdc.aggDeltaAudit(
+      graft.operators.Cdc.snapshotDelta(v1, v2, Seq("doc_id"), "n_chars", Seq("source")),
+      Seq("source"))
+      .agg(sum("n_added").as("added"), sum("n_removed").as("removed"),
+        sum("n_changed").as("changed"), min("n_matches").as("all_n_match"),
+        min("sum_matches").as("all_sum_match")).show()
+
     spark.stop()
   }
 }
