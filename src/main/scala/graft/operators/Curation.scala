@@ -1214,15 +1214,22 @@ object Curation {
     val wAll = Window.partitionBy()
     val ranked = per
       .withColumn("w_total", sum(col("w_u")).over(wAll))
-      .withColumn("alloc_floor", expr(s"(w_u * $budget) div w_total"))
-      .withColumn("rem", col("w_u") * lit(budget) - col("alloc_floor") * col("w_total"))
+      // an all-zero-variance corpus has no Neyman signal: allocate nothing
+      // rather than divide by zero (callers fall back to size-proportional)
+      .withColumn("alloc_floor",
+        when(col("w_total") === 0L, lit(0L))
+          .otherwise(expr(s"(w_u * $budget) div w_total")))
+      .withColumn("rem",
+        when(col("w_total") === 0L, lit(0L))
+          .otherwise(col("w_u") * lit(budget) - col("alloc_floor") * col("w_total")))
       .withColumn("alloc_sum", sum(col("alloc_floor")).over(wAll))
       .withColumn("rrank",
         row_number().over(Window.orderBy(col("rem").desc, col(strataCol))).cast("long"))
     ranked
       .withColumn("alloc",
-        col("alloc_floor") +
-          when(col("rrank") <= lit(budget) - col("alloc_sum"), lit(1L)).otherwise(lit(0L)))
+        when(col("w_total") === 0L, lit(0L)).otherwise(
+          col("alloc_floor") +
+            when(col("rrank") <= lit(budget) - col("alloc_sum"), lit(1L)).otherwise(lit(0L))))
       .select(col(strataCol), col("stratum_n"), col("w_u"), col("alloc_floor"), col("alloc"))
   }
 

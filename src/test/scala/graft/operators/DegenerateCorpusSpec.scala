@@ -362,4 +362,22 @@ class DegenerateCorpusSpec extends AnyFunSuite with SparkSpec {
     assert(TimeSeries.trendReport(
       Seq.empty[(String, Long, Double)].toDF("metric", "ts", "value")).count() == 0)
   }
+
+  test("neymanAllocation on an all-constant corpus allocates nothing (no zero division)") {
+    import spark.implicits._
+    val df = (Seq.fill(10)(("a", 5L)) ++ Seq.fill(10)(("b", 7L)))
+      .toDF("source", "n_chars")
+    val r = Curation.neymanAllocation(df, "source", "n_chars", budget = 10L)
+      .collect().map(x => (x.getAs[Long]("w_u"), x.getAs[Long]("alloc_floor"), x.getAs[Long]("alloc")))
+    assert(r.forall(_ == (0L, 0L, 0L)),
+      "zero Neyman signal: allocate nothing rather than divide by zero or top-up arbitrarily")
+  }
+
+  test("tCloseness: a single-group corpus matches the global distribution exactly") {
+    import spark.implicits._
+    val df = Seq(("g", "a"), ("g", "a"), ("g", "b")).toDF("qi", "source")
+    val r = Privacy.tCloseness(df, Seq("qi"), "source").collect()
+    assert(r.length == 1 && r.head.getAs[Double]("tvd") == 0.0
+      && r.head.getAs[Long]("above_t") == 0L)
+  }
 }
