@@ -21,7 +21,9 @@ object Explain {
         "events_asof_attrib", "events_sessions", "dedup_embed_cross", "curate_stratified",
         "dedup_passages", "curate_pack", "text_vocab", "embed_quantize",
         "embed_centroid", "curate_source_cap", "text_lm_score",
-        "dedup_bloom_screen", "text_chunks", "text_gopher", "curate_quality_summary")
+        "dedup_bloom_screen", "text_chunks", "text_gopher", "curate_quality_summary",
+        "cdc_scd2", "priv_tcloseness", "layout_prune_audit", "events_join_skew",
+        "dedup_incremental")
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

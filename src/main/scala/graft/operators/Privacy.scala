@@ -151,6 +151,52 @@ object Privacy {
             .as("above_t")): _*)
   }
 
+  /** User-level DP SUM release: each row's value clips to [0, valueCap],
+    * each user's per-group total clips to sumCap, so one user moves any
+    * group sum by at most sumCap — the Laplace scale is sumCap/epsilon.
+    * The raw (unclipped) sum rides beside the release so the audit sees
+    * the clipped-away mass.
+    *
+    * Scale shape: two hash aggregates ((group, user) then group), no
+    * windows. Determinism: clipping and summation run in DECIMAL(18,6)
+    * (the first-level-sum house rule); the noise is [[dpCounts]]'s seeded
+    * quantized draw scaled by sumCap/epsilon. */
+  def dpClippedSum(df: DataFrame, groupCol: String, userCol: String,
+                   valueCol: String, valueCap: Double, sumCap: Double,
+                   epsilon: Double, salt: String = "dps"): DataFrame = {
+    require(valueCap > 0 && sumCap > 0, "caps > 0")
+    require(epsilon > 0, "epsilon > 0")
+    val m = conv(substring(md5(concat(lit(salt + ":"), col(groupCol).cast("string"))), 1, 8),
+      16, 10).cast("long")
+    val u = (m.cast("double") + lit(0.5)) / lit(4294967296.0)
+    val centered = u - lit(0.5)
+    val lnQ = log(lit(1.0) - lit(2.0) * abs(centered)).cast(DecimalType(28, 12))
+    val noise = ((lit(-sumCap / epsilon) * signum(centered)) * lnQ.cast("double"))
+      .cast(DecimalType(28, 12))
+    val vq = least(greatest(col(valueCol), lit(0.0)), lit(valueCap))
+      .cast(DecimalType(18, 6))
+    val rawQ = col(valueCol).cast(DecimalType(18, 6))
+    // decimal -> double goes through the EXACT unscaled integer and one
+    // pinned division: a direct CAST(DECIMAL AS DOUBLE) is off by an ulp
+    // between engines at report magnitudes (DuckDB effectively multiplies
+    // by 1e-6 where the JVM divides by 1e6)
+    def dec6ToDouble(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      (c * lit(1000000L)).cast("long").cast("double") / lit(1000000.0)
+    df.groupBy(col(groupCol), col(userCol))
+      .agg(sum(vq).as("s_u"), sum(rawQ).as("raw_u"))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_users"),
+        dec6ToDouble(sum(col("raw_u"))).as("raw_sum"),
+        dec6ToDouble(sum(least(col("s_u"), lit(sumCap).cast(DecimalType(18, 6)))))
+          .as("clipped_sum"))
+      .select(col(groupCol), col("n_users"), col("raw_sum"), col("clipped_sum"),
+        noise.cast("double").as("noise"),
+        (col("clipped_sum") + noise.cast("double")).as("noisy_sum"))
+      .withColumn("epsilon", lit(epsilon))
+      .withColumn("sensitivity", lit(sumCap))
+  }
+
   /** k-anonymity generalization sweep — the remediation step after
     * [[kAnonymityReport]] flags a release: coarsen the numeric quasi-
     * identifier through a ladder of bucket widths and report the residual

@@ -176,6 +176,11 @@ object AuditQueries {
       Cdc.applyChanges(cdcV1(s, dir), changes,
         pkCols = Seq("doc_id"), valCols = Seq("source", "n_chars"), orderCol = "version")
     }),
+    // user-level DP SUM release: per-row clip to [0, 10], per-user total
+    // clip to 40, Laplace scale 40/0.5
+    "priv_dp_sum" -> ((s, dir) =>
+      Privacy.dpClippedSum(events(s, dir), "event_type", "user_id", "value",
+        valueCap = 10.0, sumCap = 40.0, epsilon = 0.5)),
     // referential-integrity load gate over the TPC-H graph: orphan child
     // keys per relationship, one left anti join each
     "audit_referential" -> ((s, dir) => {
@@ -535,6 +540,34 @@ object AuditQueries {
         |       CASE WHEN op IS NOT NULL THEN new_source ELSE source END AS source,
         |       CASE WHEN op IS NOT NULL THEN new_n_chars ELSE n_chars END AS n_chars
         |FROM j WHERE op IS NULL OR op != 'delete'""".stripMargin,
+    "priv_dp_sum" ->
+      s"""WITH g AS (SELECT event_type, user_id,
+         |             SUM(CAST(LEAST(GREATEST(value, 0.0), 10.0) AS DECIMAL(18,6))) AS s_u,
+         |             SUM(CAST(value AS DECIMAL(18,6))) AS raw_u
+         |           FROM events GROUP BY 1, 2),
+         |c AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users,
+         |             CAST(CAST(SUM(raw_u) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0
+         |               AS raw_sum,
+         |             CAST(CAST(SUM(LEAST(s_u, CAST(40.0 AS DECIMAL(18,6)))) * 1000000 AS BIGINT)
+         |                  AS DOUBLE) / 1000000.0 AS clipped_sum
+         |      FROM g GROUP BY 1),
+         |h AS (SELECT *, substr(md5('dps:' || event_type), 1, 8) AS hx FROM c),
+         |u AS (SELECT event_type, n_users, raw_sum, clipped_sum,
+         |             (CAST(${md5Poly("hx")} AS DOUBLE) + 0.5) / 4294967296.0 AS u
+         |      FROM h),
+         |z AS (SELECT event_type, n_users, raw_sum, clipped_sum,
+         |             CAST(((-80.0) * (CASE WHEN u - 0.5 > 0 THEN CAST(1 AS DOUBLE)
+         |                                   WHEN u - 0.5 < 0 THEN CAST(-1 AS DOUBLE)
+         |                                   ELSE CAST(0 AS DOUBLE) END))
+         |                  * CAST(CAST(ln(1.0 - 2.0 * abs(u - 0.5)) AS DECIMAL(28,12)) AS DOUBLE)
+         |                  AS DECIMAL(28,12)) AS noise_d
+         |      FROM u)
+         |SELECT event_type, n_users, raw_sum, clipped_sum,
+         |       CAST(noise_d AS DOUBLE) AS noise,
+         |       clipped_sum + CAST(noise_d AS DOUBLE) AS noisy_sum,
+         |       CAST(0.5 AS DOUBLE) AS epsilon,
+         |       CAST(40.0 AS DOUBLE) AS sensitivity
+         |FROM z""".stripMargin,
     "audit_referential" ->
       """SELECT 'orders->customer' AS relationship,
         |       CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_child,

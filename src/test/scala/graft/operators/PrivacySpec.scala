@@ -123,4 +123,20 @@ class PrivacySpec extends AnyFunSuite with SparkSpec {
       .collect().head
     assert(r.getAs[Double]("noise") == r2.getAs[Double]("noise"))
   }
+
+  test("dpClippedSum: row clip then user-sum clip bound one user's influence") {
+    // user 1: values 8, 8, 8 -> row-clipped 8 each, sum 24, user-clipped 20
+    // user 2: one value 50 -> row-clipped 10, under the sum cap
+    // user 3: one value -5 -> row-clipped 0
+    val ev = Seq((1L, 8.0), (1L, 8.0), (1L, 8.0), (2L, 50.0), (3L, -5.0))
+      .zipWithIndex.map { case ((u, v), i) => (i.toLong, u, "a", v) }
+      .toDF("event_id", "user_id", "event_type", "value")
+    val r = Privacy.dpClippedSum(ev, "event_type", "user_id", "value",
+      valueCap = 10.0, sumCap = 20.0, epsilon = 0.5).collect().head
+    assert(r.getAs[Long]("n_users") == 3L)
+    assert(r.getAs[Double]("raw_sum") == 69.0)
+    assert(r.getAs[Double]("clipped_sum") == 30.0, "20 (capped) + 10 + 0")
+    assert(r.getAs[Double]("sensitivity") == 20.0)
+    assert(r.getAs[Double]("noisy_sum") == 30.0 + r.getAs[Double]("noise"))
+  }
 }
