@@ -176,12 +176,9 @@ object Privacy {
     val vq = least(greatest(col(valueCol), lit(0.0)), lit(valueCap))
       .cast(DecimalType(18, 6))
     val rawQ = col(valueCol).cast(DecimalType(18, 6))
-    // decimal -> double goes through the EXACT unscaled integer and one
-    // pinned division: a direct CAST(DECIMAL AS DOUBLE) is off by an ulp
-    // between engines at report magnitudes (DuckDB effectively multiplies
-    // by 1e-6 where the JVM divides by 1e6)
-    def dec6ToDouble(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      (c * lit(1000000L)).cast("long").cast("double") / lit(1000000.0)
+    // decimal -> double via the exact unscaled integer + one pinned
+    // division (see Profiling.dec6ToDouble for the engine-parity finding)
+    import Profiling.dec6ToDouble
     df.groupBy(col(groupCol), col(userCol))
       .agg(sum(vq).as("s_u"), sum(rawQ).as("raw_u"))
       .groupBy(col(groupCol))

@@ -92,6 +92,16 @@ object Profiling {
     * even when inexact), counts are exact, and the only doubles are the
     * final pinned expressions — shared literal expectations, one division,
     * one (d·d)/e chain. */
+  /** Scale-6 decimal -> double via the EXACT unscaled integer and one
+    * pinned division — a direct decimal->double cast lands one ulp off
+    * between engines at report magnitudes (the [[Privacy.dpClippedSum]]
+    * finding: DuckDB effectively multiplies by 1e-6 where the JVM's
+    * BigDecimal.doubleValue divides by 1e6). Callers keep the scaled sum
+    * below 2^53. */
+  private[operators] def dec6ToDouble(c: org.apache.spark.sql.Column)
+    : org.apache.spark.sql.Column =
+    (c * lit(1000000L)).cast("long").cast("double") / lit(1000000.0)
+
   def benford(df: DataFrame, valueCol: String): DataFrame = {
     val n6 = floor(col(valueCol) * lit(1000000.0)).cast("long")
     val digit = substring(n6.cast("string"), 1, 1).cast("long")
@@ -163,9 +173,9 @@ object Profiling {
         sum(when(col("rn") > col("lo") && col("rn") <= col("n") - col("lo"), lit(1L))
           .otherwise(lit(0L))).as("n_trim"))
       .select(col(groupCol), col("n"), col("n_trimmed_per_side"), col("p_lo"), col("p_hi"),
-        (col("sum_all").cast("double") / col("n").cast("double")).as("mean"),
-        (col("sum_winsor").cast("double") / col("n").cast("double")).as("winsor_mean"),
-        (col("sum_trim").cast("double") / col("n_trim").cast("double")).as("trimmed_mean"))
+        (dec6ToDouble(col("sum_all")) / col("n").cast("double")).as("mean"),
+        (dec6ToDouble(col("sum_winsor")) / col("n").cast("double")).as("winsor_mean"),
+        (dec6ToDouble(col("sum_trim")) / col("n_trim").cast("double")).as("trimmed_mean"))
   }
 
   /** Join-key skew profile: the pre-flight audit for any key you are about

@@ -100,7 +100,8 @@ object AuditQueries {
         .withColumn("day", expr("(ts div 1000000) div 86400000"))
       ev.rollup(col("event_type"), col("day"))
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"),
+          ((sum(col("value").cast("decimal(18,6)")) * lit(1000000L))
+            .cast("long").cast("double") / lit(1000000.0)).as("sum_value"),
           grouping(col("event_type")).cast("long").as("g_type"),
           grouping(col("day")).cast("long").as("g_day"))
     }),
@@ -317,17 +318,21 @@ object AuditQueries {
         |  CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(MAX(lo) AS BIGINT) AS n_trimmed_per_side,
         |  MAX(p_lo) AS p_lo, MAX(p_hi) AS p_hi,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean,
-        |  CAST(SUM(CAST(LEAST(GREATEST(value, p_lo), p_hi) AS DECIMAL(18,6))) AS DOUBLE)
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0
+        |    / CAST(COUNT(*) AS DOUBLE) AS mean,
+        |  CAST(CAST(SUM(CAST(LEAST(GREATEST(value, p_lo), p_hi) AS DECIMAL(18,6))) * 1000000
+        |       AS BIGINT) AS DOUBLE) / 1000000.0
         |    / CAST(COUNT(*) AS DOUBLE) AS winsor_mean,
-        |  CAST(SUM(CASE WHEN rn > lo AND rn <= n - lo THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE)
+        |  CAST(CAST(SUM(CASE WHEN rn > lo AND rn <= n - lo THEN CAST(value AS DECIMAL(18,6)) END)
+        |       * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0
         |    / CAST(SUM(CASE WHEN rn > lo AND rn <= n - lo THEN 1 ELSE 0 END) AS DOUBLE) AS trimmed_mean
         |FROM a GROUP BY 1""".stripMargin,
     "events_rollup" ->
       """WITH e AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day, value FROM events)
         |SELECT event_type, CAST(day AS BIGINT) AS day,
         |       CAST(COUNT(*) AS BIGINT) AS n,
-        |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        |       CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS DOUBLE)
+        |         / 1000000.0 AS sum_value,
         |       CAST(GROUPING(event_type) AS BIGINT) AS g_type,
         |       CAST(GROUPING(day) AS BIGINT) AS g_day
         |FROM e GROUP BY ROLLUP(event_type, day)""".stripMargin,
