@@ -97,4 +97,40 @@ object Linkage {
       .select(col("id"), col("name"),
         coalesce(col("cluster_id"), col("id")).as("entity_id"))
   }
+
+  /** Blocking-quality audit — the record-linkage pre-flight: how much of
+    * the quadratic pair space does the (prefix, length) blocking scheme
+    * actually examine, and what fraction of examined candidates verify?
+    * One row: record/block counts, candidate pairs (sum of in-cap block
+    * n*(n-1)/2 in exact integers), the full N*(N-1)/2 pair space, the
+    * reduction ratio, over-cap blocks dropped, verified matches, and
+    * precision — the two dials (reduction vs recall risk) every blocking
+    * tune trades between.
+    *
+    * Scale shape: block stats are one hash aggregate; the verify count
+    * reuses the [[fuzzyPairs]] join (candidate-bounded); everything
+    * combines as broadcast 1-row frames. */
+  def blockingQuality(df: DataFrame, idCol: String, nameCol: String,
+      blockLen: Int = 8, maxDist: Int = 1, maxBlock: Long = 10000L): DataFrame = {
+    val keyed = df
+      .where(col(idCol).isNotNull && col(nameCol).isNotNull)
+      .select(substring(col(nameCol), 1, blockLen).as("bk"),
+        length(col(nameCol)).as("bl"))
+    val blocks = keyed.groupBy("bk", "bl").agg(count(lit(1)).as("bn"))
+    val stats = blocks.agg(
+      sum(col("bn")).as("n_records"),
+      count(lit(1)).as("n_blocks"),
+      sum(when(col("bn") > maxBlock, lit(1L)).otherwise(lit(0L))).as("blocks_over_cap"),
+      sum(when(col("bn") <= maxBlock, col("bn") * (col("bn") - lit(1L)) / lit(2))
+        .otherwise(lit(0L))).cast("long").as("n_candidates"))
+    val verified = fuzzyPairs(df, idCol, nameCol, blockLen, maxDist, maxBlock)
+      .agg(count(lit(1)).as("n_matches"))
+    stats.crossJoin(broadcast(verified))
+      .withColumn("n_total_pairs",
+        (col("n_records") * (col("n_records") - lit(1L)) / lit(2)).cast("long"))
+      .withColumn("reduction_ratio",
+        lit(1.0) - col("n_candidates").cast("double") / col("n_total_pairs").cast("double"))
+      .withColumn("precision",
+        col("n_matches").cast("double") / col("n_candidates").cast("double"))
+  }
 }

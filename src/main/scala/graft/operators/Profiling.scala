@@ -65,6 +65,16 @@ object Profiling {
     wide.select(explode(array(structs: _*)).as("p")).select(col("p.*"))
   }
 
+  /** Scale-6 decimal -> double via the EXACT unscaled integer and one
+    * pinned division — a direct decimal->double cast lands one ulp off
+    * between engines at report magnitudes (the [[Privacy.dpClippedSum]]
+    * finding: DuckDB effectively multiplies by 1e-6 where the JVM's
+    * BigDecimal.doubleValue divides by 1e6). Callers keep the scaled sum
+    * below 2^53. */
+  private[operators] def dec6ToDouble(c: org.apache.spark.sql.Column)
+    : org.apache.spark.sql.Column =
+    (c * lit(1000000L)).cast("long").cast("double") / lit(1000000.0)
+
   /** Benford's-law first-digit expectations log10(1 + 1/d), d = 1..9 —
     * shared verbatim (via [[benfordExpectedLits]]) with the DuckDB oracle
     * so both engines parse the identical double literals. */
@@ -92,16 +102,6 @@ object Profiling {
     * even when inexact), counts are exact, and the only doubles are the
     * final pinned expressions — shared literal expectations, one division,
     * one (d·d)/e chain. */
-  /** Scale-6 decimal -> double via the EXACT unscaled integer and one
-    * pinned division — a direct decimal->double cast lands one ulp off
-    * between engines at report magnitudes (the [[Privacy.dpClippedSum]]
-    * finding: DuckDB effectively multiplies by 1e-6 where the JVM's
-    * BigDecimal.doubleValue divides by 1e6). Callers keep the scaled sum
-    * below 2^53. */
-  private[operators] def dec6ToDouble(c: org.apache.spark.sql.Column)
-    : org.apache.spark.sql.Column =
-    (c * lit(1000000L)).cast("long").cast("double") / lit(1000000.0)
-
   def benford(df: DataFrame, valueCol: String): DataFrame = {
     val n6 = floor(col(valueCol) * lit(1000000.0)).cast("long")
     val digit = substring(n6.cast("string"), 1, 1).cast("long")
@@ -253,4 +253,20 @@ object Profiling {
         sum(when(coalesce(holds, lit(false)), lit(0L)).otherwise(lit(1L)))
           .as("n_violations"))
       .select(lit(checkName).as("check"), col("n_rows"), col("n_violations"))
+
+  /** Hour-level completeness audit: per (type, day), how many of the 24
+    * hour slots carry data — the "did ingestion gap?" readout a store
+    * maintenance pass reads before trusting daily aggregates. Boundary
+    * days of the corpus are naturally partial; interpretation is the
+    * caller's (the frame reports, it does not judge). One hash aggregate
+    * (exact distinct over a 24-value domain). */
+  def completeness(df: DataFrame, typeCol: String, tsMsCol: String): DataFrame =
+    df.select(col(typeCol), expr(s"$tsMsCol div 3600000").as("hour"))
+      .withColumn("day", expr("hour div 24"))
+      .groupBy(col(typeCol), col("day"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("hour")).as("hours_present"))
+      .withColumn("hours_missing", lit(24L) - col("hours_present"))
+      .withColumn("is_complete",
+        when(col("hours_present") === 24L, lit(1L)).otherwise(lit(0L)))
 }

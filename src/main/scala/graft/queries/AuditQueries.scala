@@ -177,6 +177,17 @@ object AuditQueries {
       Cdc.applyChanges(cdcV1(s, dir), changes,
         pkCols = Seq("doc_id"), valCols = Seq("source", "n_chars"), orderCol = "version")
     }),
+    // hour-level ingestion-completeness audit per (type, day): which days
+    // can daily aggregates trust?
+    "events_completeness" -> ((s, dir) =>
+      Profiling.completeness(
+        events(s, dir).withColumn("ts_ms", expr("ts div 1000000")),
+        "event_type", "ts_ms")),
+    // record-linkage blocking-quality pre-flight: candidate-space
+    // reduction vs verified precision under the (prefix, length) scheme
+    "link_block_quality" -> ((s, dir) =>
+      graft.operators.Linkage.blockingQuality(Points.table(s, dir, "customer"),
+        "c_custkey", "c_name", blockLen = 16, maxDist = 1, maxBlock = 10000L)),
     // user-level DP SUM release: per-row clip to [0, 10], per-user total
     // clip to 40, Laplace scale 40/0.5
     "priv_dp_sum" -> ((s, dir) =>
@@ -545,6 +556,41 @@ object AuditQueries {
         |       CASE WHEN op IS NOT NULL THEN new_source ELSE source END AS source,
         |       CASE WHEN op IS NOT NULL THEN new_n_chars ELSE n_chars END AS n_chars
         |FROM j WHERE op IS NULL OR op != 'delete'""".stripMargin,
+    "events_completeness" ->
+      """WITH h AS (SELECT event_type, epoch_ms(ts) // 3600000 AS hour FROM events),
+        |d AS (SELECT event_type, hour // 24 AS day, hour FROM h)
+        |SELECT event_type, CAST(day AS BIGINT) AS day,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       CAST(COUNT(DISTINCT hour) AS BIGINT) AS hours_present,
+        |       CAST(24 - COUNT(DISTINCT hour) AS BIGINT) AS hours_missing,
+        |       CAST(CASE WHEN COUNT(DISTINCT hour) = 24 THEN 1 ELSE 0 END AS BIGINT)
+        |         AS is_complete
+        |FROM d GROUP BY 1, 2""".stripMargin,
+    "link_block_quality" ->
+      """WITH keyed AS (SELECT c_custkey AS id, c_name AS name,
+        |                      substr(c_name, 1, 16) AS bk, length(c_name) AS bl
+        |               FROM customer WHERE c_custkey IS NOT NULL AND c_name IS NOT NULL),
+        |blocks AS (SELECT bk, bl, CAST(COUNT(*) AS BIGINT) AS bn FROM keyed GROUP BY 1, 2),
+        |st AS (SELECT CAST(SUM(bn) AS BIGINT) AS n_records,
+        |              CAST(COUNT(*) AS BIGINT) AS n_blocks,
+        |              CAST(SUM(CASE WHEN bn > 10000 THEN 1 ELSE 0 END) AS BIGINT)
+        |                AS blocks_over_cap,
+        |              CAST(SUM(CASE WHEN bn <= 10000 THEN bn * (bn - 1) // 2 ELSE 0 END)
+        |                   AS BIGINT) AS n_candidates
+        |       FROM blocks),
+        |ok AS (SELECT bk, bl FROM blocks WHERE bn <= 10000),
+        |cands AS (SELECT x.name AS na, y.name AS nb
+        |          FROM (SELECT k.* FROM keyed k JOIN ok USING (bk, bl)) x
+        |          JOIN (SELECT k.* FROM keyed k JOIN ok USING (bk, bl)) y
+        |            ON x.bk = y.bk AND x.bl = y.bl AND x.id < y.id),
+        |v AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_matches
+        |      FROM cands WHERE levenshtein(na, nb) <= 1)
+        |SELECT st.n_records, st.n_blocks, st.blocks_over_cap, st.n_candidates, v.n_matches,
+        |       CAST(st.n_records * (st.n_records - 1) // 2 AS BIGINT) AS n_total_pairs,
+        |       1.0 - CAST(st.n_candidates AS DOUBLE)
+        |           / CAST(st.n_records * (st.n_records - 1) // 2 AS DOUBLE) AS reduction_ratio,
+        |       CAST(v.n_matches AS DOUBLE) / CAST(st.n_candidates AS DOUBLE) AS precision
+        |FROM st, v""".stripMargin,
     "priv_dp_sum" ->
       s"""WITH g AS (SELECT event_type, user_id,
          |             SUM(CAST(LEAST(GREATEST(value, 0.0), 10.0) AS DECIMAL(18,6))) AS s_u,

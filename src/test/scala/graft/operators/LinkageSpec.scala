@@ -54,4 +54,21 @@ class LinkageSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("CartesianProduct"),
       s"fuzzyPairs must join on the block key:\n$plan")
   }
+
+  test("blockingQuality: exact candidate/total accounting and precision") {
+    import spark.implicits._
+    // block 'aa' has 3 names (3 pairs, 2 verify at dist<=1); 'bb' has 1
+    val df = Seq((1L, "aaX"), (2L, "aaY"), (3L, "aaZZ"), (4L, "bbQ"))
+      .toDF("id", "name")
+    val r = Linkage.blockingQuality(df, "id", "name", blockLen = 2, maxDist = 1,
+      maxBlock = 100L).collect().head
+    assert(r.getAs[Long]("n_records") == 4L)
+    // blocks are (prefix, LENGTH): (aa,3)x2, (aa,4)x1, (bb,3)x1 -> 3 blocks
+    assert(r.getAs[Long]("n_blocks") == 3L)
+    assert(r.getAs[Long]("n_candidates") == 1L, "only the (aa,3) block pairs")
+    assert(r.getAs[Long]("n_total_pairs") == 6L)
+    assert(r.getAs[Long]("n_matches") == 1L, "aaX~aaY at dist 1")
+    assert(r.getAs[Double]("precision") == 1.0)
+    assert(r.getAs[Double]("reduction_ratio") == 1.0 - 1.0 / 6.0)
+  }
 }

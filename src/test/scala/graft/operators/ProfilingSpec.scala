@@ -126,4 +126,17 @@ class ProfilingSpec extends AnyFunSuite with SparkSpec {
     val r = Profiling.contractCheck(df, "v positive", col("v") > 0).collect().head
     assert(r.getAs[Long]("n_rows") == 3L && r.getAs[Long]("n_violations") == 2L)
   }
+
+  test("completeness: planted hour gaps are counted per (type, day)") {
+    // day 0: hours 0..23 all present; day 1: only hours 24, 25
+    val rows = (0L until 24L).map(h => ("a", h * 3600000L)) ++
+      Seq(("a", 24L * 3600000L), ("a", 25L * 3600000L + 1L))
+    val df = rows.toDF("event_type", "ts_ms")
+    val r = Profiling.completeness(df, "event_type", "ts_ms")
+      .collect().map(x => x.getAs[Long]("day") ->
+        (x.getAs[Long]("hours_present"), x.getAs[Long]("hours_missing"),
+          x.getAs[Long]("is_complete"))).toMap
+    assert(r(0L) == (24L, 0L, 1L))
+    assert(r(1L) == (2L, 22L, 0L))
+  }
 }
