@@ -111,7 +111,17 @@ object Linkage {
     * reuses the [[fuzzyPairs]] join (candidate-bounded); everything
     * combines as broadcast 1-row frames. */
   def blockingQuality(df: DataFrame, idCol: String, nameCol: String,
-      blockLen: Int = 8, maxDist: Int = 1, maxBlock: Long = 10000L): DataFrame = {
+      blockLen: Int = 8, maxDist: Int = 1, maxBlock: Long = 10000L): DataFrame =
+    blockingQualityFromPairs(df,
+      fuzzyPairs(df, idCol, nameCol, blockLen, maxDist, maxBlock),
+      idCol, nameCol, blockLen, maxBlock)
+
+  /** [[blockingQuality]] over a pre-verified [[fuzzyPairs]] frame (which
+    * callers memoize/persist — the shared-fetch pattern: the verify join
+    * is the expensive half and the entity/audit consumers share one). */
+  def blockingQualityFromPairs(df: DataFrame, fuzzyPairsDf: DataFrame,
+      idCol: String, nameCol: String, blockLen: Int,
+      maxBlock: Long): DataFrame = {
     val keyed = df
       .where(col(idCol).isNotNull && col(nameCol).isNotNull)
       .select(substring(col(nameCol), 1, blockLen).as("bk"),
@@ -123,8 +133,7 @@ object Linkage {
       sum(when(col("bn") > maxBlock, lit(1L)).otherwise(lit(0L))).as("blocks_over_cap"),
       sum(when(col("bn") <= maxBlock, col("bn") * (col("bn") - lit(1L)) / lit(2))
         .otherwise(lit(0L))).cast("long").as("n_candidates"))
-    val verified = fuzzyPairs(df, idCol, nameCol, blockLen, maxDist, maxBlock)
-      .agg(count(lit(1)).as("n_matches"))
+    val verified = fuzzyPairsDf.agg(count(lit(1)).as("n_matches"))
     stats.crossJoin(broadcast(verified))
       .withColumn("n_total_pairs",
         (col("n_records") * (col("n_records") - lit(1L)) / lit(2)).cast("long"))

@@ -184,10 +184,12 @@ object AuditQueries {
         events(s, dir).withColumn("ts_ms", expr("ts div 1000000")),
         "event_type", "ts_ms")),
     // record-linkage blocking-quality pre-flight: candidate-space
-    // reduction vs verified precision under the (prefix, length) scheme
+    // reduction vs verified precision under the (prefix, length) scheme —
+    // the verify count reuses the link family's memoized pair frame
     "link_block_quality" -> ((s, dir) =>
-      graft.operators.Linkage.blockingQuality(Points.table(s, dir, "customer"),
-        "c_custkey", "c_name", blockLen = 16, maxDist = 1, maxBlock = 10000L)),
+      graft.operators.Linkage.blockingQualityFromPairs(
+        Points.table(s, dir, "customer"), TpchQueries.fuzzyPairsFrame(s, dir),
+        "c_custkey", "c_name", blockLen = 16, maxBlock = 10000L)),
     // user-level DP SUM release: per-row clip to [0, 10], per-user total
     // clip to 40, Laplace scale 40/0.5
     "priv_dp_sum" -> ((s, dir) =>

@@ -21,7 +21,7 @@ object TpchQueries {
     * only pays the components pass. Verify-bounded rows — executor-safe to
     * persist at any corpus size. */
   private val fuzzyPairsMemo = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-  private def fuzzyPairsFrame(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def fuzzyPairsFrame(s: SparkSession, dir: String): DataFrame = {
     val pairs = fuzzyPairsMemo.computeIfAbsent(s"${System.identityHashCode(s)}:$dir", _ =>
       graft.operators.Linkage.fuzzyPairs(table(s, dir, "customer"),
         "c_custkey", "c_name", blockLen = 16, maxDist = 1, maxBlock = 10000L))
