@@ -29,6 +29,31 @@ object PointStore {
   def read(spark: SparkSession, dataDir: String): DataFrame =
     spark.read.parquet(dataDir)
 
+  /** Partition census — the maintenance-pass visibility report: per
+    * (metric, dt), hour-partition and row counts, the hour span, and a
+    * small-files tell (files per hour partition; compaction wants ~1). One
+    * aggregate over the partition-pruned scan (`input_file_name` counts
+    * files without a filesystem walk); the result is partition-cardinality
+    * sized. Feed it to [[ageOffDropPartitions]] planning, bucket sizing,
+    * and the "which days are bloated" question every retention review
+    * starts with. */
+  def census(spark: SparkSession, dataDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    read(spark, dataDir)
+      .select(col("metric"), col("dt"), col("hr"), input_file_name().as("f"))
+      .groupBy(col("metric"), col("dt"))
+      .agg(
+        countDistinct(col("hr")).as("n_hr_partitions"),
+        count(lit(1)).as("n_rows"),
+        min(col("hr").cast("long")).as("hr_min"),
+        max(col("hr").cast("long")).as("hr_max"),
+        countDistinct(col("f")).as("n_files"))
+      .withColumn("hr_gaps",
+        col("hr_max") - col("hr_min") + lit(1L) - col("n_hr_partitions"))
+      .withColumn("files_per_partition",
+        col("n_files").cast("double") / col("n_hr_partitions").cast("double"))
+  }
+
   /**
    * Bucketed variant for co-located joins: bucketBy(seriesKey-ish column) so
    * repeated joins/aggregations on the same key skip their shuffle entirely —

@@ -137,7 +137,22 @@ object Maintenance {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try println(run(spark, dataDir, metaDir, ttl, nowMs, dryRun).render)
-    finally spark.stop()
+    try {
+      println(run(spark, dataDir, metaDir, ttl, nowMs, dryRun).render)
+      // partition census: the visibility report a retention review reads
+      // (hour gaps, bloated days, small-files pressure)
+      println("census (metric, dt, hr_partitions, rows, hr_span, gaps, files/partition):")
+      graft.sources.PointStore.census(spark, dataDir)
+        .orderBy(org.apache.spark.sql.functions.col("metric"),
+          org.apache.spark.sql.functions.col("dt"))
+        .collect()
+        .foreach { r =>
+          println(s"  ${r.getAs[String]("metric")} ${r.getAs[Any]("dt")}: " +
+            s"hrs=${r.getAs[Long]("n_hr_partitions")} rows=${r.getAs[Long]("n_rows")} " +
+            s"span=${r.getAs[Long]("hr_min")}-${r.getAs[Long]("hr_max")} " +
+            s"gaps=${r.getAs[Long]("hr_gaps")} " +
+            f"filesPerPart=${r.getAs[Double]("files_per_partition")}%.1f")
+        }
+    } finally spark.stop()
   }
 }

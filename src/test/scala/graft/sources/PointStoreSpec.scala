@@ -121,4 +121,27 @@ class PointStoreSpec extends AnyFunSuite with SparkSpec {
     assert(PointStore.clampStart(0L, 1000000L, 10000L) == 990000L)
     assert(PointStore.clampStart(995000L, 1000000L, 10000L) == 995000L)
   }
+
+  test("census: per (metric, dt) hour partitions, rows, gaps, files") {
+    val dir = Files.createTempDirectory("graft-census").toString + "/data"
+    // metric m: hours 0, 1 and 3 on one day (gap at hour 2), 2 rows in hr 0
+    val pts = Seq(
+      MetricPoint("m", T, 1.0, Map("host" -> "a"), None),
+      MetricPoint("m", T + 1000L, 2.0, Map("host" -> "b"), None),
+      MetricPoint("m", T + 3600000L, 3.0, Map("host" -> "a"), None),
+      MetricPoint("m", T + 3 * 3600000L, 4.0, Map("host" -> "a"), None),
+      MetricPoint("other", T + Day, 5.0, Map("host" -> "a"), None))
+    PointStore.write(pts.toDF(), dir)
+    val c = PointStore.census(spark, dir)
+      .collect().map(r => (r.getAs[String]("metric"), r.getAs[Any]("dt").toString) -> r).toMap
+    assert(c.size == 2)
+    val m = c.collectFirst { case ((met, _), r) if met == "m" => r }.get
+    assert(m.getAs[Long]("n_hr_partitions") == 3L)
+    assert(m.getAs[Long]("n_rows") == 4L)
+    assert(m.getAs[Long]("hr_min") == 0L && m.getAs[Long]("hr_max") == 3L)
+    assert(m.getAs[Long]("hr_gaps") == 1L, "hour 2 is missing")
+    assert(m.getAs[Long]("n_files") >= 3L)
+    val o = c.collectFirst { case ((met, _), r) if met == "other" => r }.get
+    assert(o.getAs[Long]("n_rows") == 1L && o.getAs[Long]("hr_gaps") == 0L)
+  }
 }
