@@ -269,4 +269,51 @@ object Profiling {
       .withColumn("hours_missing", lit(24L) - col("hours_present"))
       .withColumn("is_complete",
         when(col("hours_present") === 24L, lit(1L)).otherwise(lit(0L)))
+
+  /** Streaming twin of [[completeness]]: per type, the OPEN day's 24-hour
+    * coverage bitmask + event count carried in `flatMapGroupsWithState`;
+    * a row for a later day closes the open day and emits its report
+    * (append mode never retracts, so the open day stays in state — the
+    * spec-pinned equivalence is batch-minus-last-open-day). State is one
+    * (long, int, long) per type. In-batch disorder sorts locally;
+    * ACROSS batches each type's days must be non-decreasing (the
+    * watermark-ordered ingestion contract, as in [[Cdc.scd2Stream]]) —
+    * a day regression throws rather than silently merging history. */
+  def completenessStream(df: DataFrame, typeCol: String, tsMsCol: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds = df.select(col(typeCol).cast("string"), col(tsMsCol).cast("long"))
+      .as[(String, Long)]
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long)],
+         state: GroupState[(Long, Int, Long)]) =>
+          val batch = rows.map(_._2).toVector.sorted
+          var open = state.getOption
+          val closed = Vector.newBuilder[(String, Long, Long, Long, Long, Long)]
+          def report(day: Long, mask: Int, n: Long) = {
+            val present = Integer.bitCount(mask).toLong
+            (key, day, n, present, 24L - present, if (present == 24L) 1L else 0L)
+          }
+          batch.foreach { ts =>
+            val hour = Math.floorDiv(ts, 3600000L)
+            val day = Math.floorDiv(hour, 24L)
+            val bit = 1 << Math.floorMod(hour, 24L).toInt
+            open match {
+              case Some((d, mask, n)) if day == d => open = Some((d, mask | bit, n + 1))
+              case Some((d, mask, n)) if day > d =>
+                closed += report(d, mask, n)
+                open = Some((day, bit, 1L))
+              case Some((d, _, _)) =>
+                throw new IllegalStateException(
+                  s"day regression for $key: $day after $d (cross-batch order contract)")
+              case None => open = Some((day, bit, 1L))
+            }
+          }
+          open.foreach(state.update)
+          closed.result().iterator
+      }
+      .toDF(typeCol, "day", "n_events", "hours_present", "hours_missing", "is_complete")
+  }
 }

@@ -139,4 +139,22 @@ class ProfilingSpec extends AnyFunSuite with SparkSpec {
     assert(r(0L) == (24L, 0L, 1L))
     assert(r(1L) == (2L, 22L, 0L))
   }
+
+  test("completenessStream one-batch run equals batch completeness minus open days") {
+    // type a: full day 0 then two hours of day 1 (open); type b: one hour day 0 (open)
+    val rows = (0L until 24L).map(h => ("a", h * 3600000L)) ++
+      Seq(("a", 24L * 3600000L), ("a", 25L * 3600000L), ("b", 5L * 3600000L))
+    val df = rows.toDF("event_type", "ts_ms")
+    val streamed = Profiling.completenessStream(df, "event_type", "ts_ms")
+      .collect().map(_.toSeq).toSet
+    // batch, minus each type's LAST (still-open) day
+    val batch = Profiling.completeness(df, "event_type", "ts_ms")
+    val lastDay = batch.groupBy("event_type").agg(max("day").as("day"))
+    val expected = batch.join(lastDay, Seq("event_type", "day"), "left_anti")
+      .select("event_type", "day", "n_events", "hours_present", "hours_missing", "is_complete")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == expected)
+    assert(streamed.size == 1, "only type a's day 0 closed")
+    assert(streamed.head(5) == 1L, "day 0 is complete")
+  }
 }
