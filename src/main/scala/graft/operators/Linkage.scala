@@ -131,12 +131,13 @@ object Linkage {
       sum(col("bn")).as("n_records"),
       count(lit(1)).as("n_blocks"),
       sum(when(col("bn") > maxBlock, lit(1L)).otherwise(lit(0L))).as("blocks_over_cap"),
-      sum(when(col("bn") <= maxBlock, col("bn") * (col("bn") - lit(1L)) / lit(2))
+      sum(when(col("bn") <= maxBlock, expr("bn * (bn - 1) div 2"))
         .otherwise(lit(0L))).cast("long").as("n_candidates"))
     val verified = fuzzyPairsDf.agg(count(lit(1)).as("n_matches"))
     stats.crossJoin(broadcast(verified))
       .withColumn("n_total_pairs",
-        (col("n_records") * (col("n_records") - lit(1L)) / lit(2)).cast("long"))
+        // integer div: the double route loses exactness at corpus-scale counts
+        expr("n_records * (n_records - 1) div 2"))
       .withColumn("reduction_ratio",
         lit(1.0) - col("n_candidates").cast("double") / col("n_total_pairs").cast("double"))
       .withColumn("precision",
