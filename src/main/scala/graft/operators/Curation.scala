@@ -1200,7 +1200,10 @@ object Curation {
     * the |strata|-row frame. Nothing data-sized past the first fold. */
   def neymanAllocation(df: DataFrame, strataCol: String, valueCol: String,
                        budget: Long): DataFrame = {
-    require(budget >= 1, "budget >= 1")
+    // w_u tops out near sqrt(DECIMAL(38) var numerator) * 1e6 ~ 2.5e15, so
+    // w_u * budget stays inside a long only for budgets up to ~3.6e3 at the
+    // extreme; 1e6 is safe for any real corpus (w_u there is <= ~9e12)
+    require(budget >= 1 && budget <= 1000000L, "budget in [1, 1e6] (w_u * budget must fit a long)")
     val x = col(valueCol).cast("decimal(38,0)")
     val per = df.groupBy(col(strataCol))
       .agg(count(lit(1)).as("stratum_n"),
