@@ -770,4 +770,16 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(!audit.queryExecution.executedPlan.toString.contains("SortMergeJoin"),
       "the two 1-row stat frames combine by broadcast")
   }
+
+  test("completeness and blockingQuality plan aggregates only — no window, no corpus broadcast join") {
+    val ev = (0L until 64L).map(i => (s"t${i % 3}", i * 3600000L)).toDF("event_type", "ts_ms")
+    val comp = Profiling.completeness(ev, "event_type", "ts_ms")
+    assert(windows(comp).isEmpty)
+    val cust = (0L until 64L).map(i => (i, f"Customer#$i%09d")).toDF("c_custkey", "c_name")
+    val pairs = Linkage.fuzzyPairs(cust, "c_custkey", "c_name", blockLen = 10)
+    val bq = Linkage.blockingQualityFromPairs(cust, pairs, "c_custkey", "c_name", 10, 10000L)
+    assert(windows(bq).isEmpty)
+    assert(!bq.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+    assert(bq.count() == 1)
+  }
 }
