@@ -316,4 +316,45 @@ object Profiling {
       }
       .toDF(typeCol, "day", "n_events", "hours_present", "hours_missing", "is_complete")
   }
+
+  /** Second-digit Benford expectations P(d) = sum_{d1=1..9} log10(1 +
+    * 1/(10*d1 + d)), d = 0..9 — the harder-to-fake law (fabricators who
+    * know the first-digit law rarely match the second). Shared with the
+    * oracle as Double.toString literals, like [[benfordExpectedLits]]. */
+  val benford2Expected: Seq[(Int, Double)] =
+    (0 to 9).map(d => d -> (1 to 9).map(d1 => math.log10(1.0 + 1.0 / (10 * d1 + d))).sum)
+
+  def benford2ExpectedLits: Seq[(Int, String)] =
+    benford2Expected.map { case (d, p) => d -> p.toString }
+
+  /** Second-significant-digit audit — same scale shape as [[benford]]
+    * (one scan, 10-group aggregate, broadcast total); rows with fewer than
+    * two significant digits (n6 < 10) are excluded. */
+  def benford2(df: DataFrame, valueCol: String): DataFrame = {
+    val n6 = floor(col(valueCol) * lit(1000000.0)).cast("long")
+    // digit extraction must be GUARDED, not merely filtered: ANSI mode
+    // makes CAST('' AS BIGINT) throw, and expression evaluation order vs
+    // the n6 >= 10 filter is the optimizer's choice, not ours
+    val digit = when(col("n6") >= lit(10L),
+      substring(col("n6").cast("string"), 2, 1).cast("long"))
+    val counts = df
+      .where(col(valueCol) > lit(0.0))
+      .select(n6.as("n6"))
+      .where(col("n6") >= lit(10L))
+      .withColumn("digit", digit)
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("n_obs"))
+    val total = counts.agg(sum(col("n_obs")).as("n_total"))
+    val pExp = benford2Expected.tail.foldLeft(
+      when(col("digit") === lit(benford2Expected.head._1.toLong), lit(benford2Expected.head._2))) {
+      case (acc, (d, p)) => acc.when(col("digit") === lit(d.toLong), lit(p))
+    }
+    counts.crossJoin(broadcast(total))
+      .withColumn("p_exp", pExp)
+      .withColumn("p_obs", col("n_obs").cast("double") / col("n_total").cast("double"))
+      .withColumn("e", col("n_total").cast("double") * col("p_exp"))
+      .withColumn("d", col("n_obs").cast("double") - col("e"))
+      .select(col("digit"), col("n_obs"), col("n_total"), col("p_obs"), col("p_exp"),
+        ((col("d") * col("d")) / col("e")).as("chi2_term"))
+  }
 }

@@ -105,6 +105,22 @@ object AuditQueries {
           grouping(col("event_type")).cast("long").as("g_type"),
           grouping(col("day")).cast("long").as("g_day"))
     }),
+    // CUBE(type, dow) traffic cube: all four grouping levels in one
+    // Expand pass — the other Catalyst grouping-sets shape beside ROLLUP
+    "events_cube" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .withColumn("dow", expr("pmod((ts div 1000000) div 86400000 + 4, 7)"))
+      ev.cube(col("event_type"), col("dow"))
+        .agg(count(lit(1)).as("n"),
+          ((sum(col("value").cast("decimal(18,6)")) * lit(1000000L))
+            .cast("long").cast("double") / lit(1000000.0)).as("sum_value"),
+          grouping(col("event_type")).cast("long").as("g_type"),
+          grouping(col("dow")).cast("long").as("g_dow"))
+    }),
+    // Benford SECOND-digit forensics: the harder-to-fake digit law
+    // P(d2) = sum over d1 of log10(1 + 1/(10*d1 + d2))
+    "events_benford2" -> ((s, dir) =>
+      Profiling.benford2(events(s, dir), "value")),
     // per-key snapshot diff between the two synthetic corpus versions:
     // one pk-keyed full outer join, every key classified
     "cdc_row_status" -> ((s, dir) =>
@@ -401,6 +417,37 @@ object AuditQueries {
          |       CAST(0.5 AS DOUBLE) AS epsilon,
          |       CAST(4 AS BIGINT) AS sensitivity
          |FROM z""".stripMargin,
+    "events_cube" ->
+      """WITH e AS (SELECT event_type,
+        |             ((epoch_ms(ts) // 86400000 + 4) % 7 + 7) % 7 AS dow, value
+        |           FROM events)
+        |SELECT event_type, CAST(dow AS BIGINT) AS dow,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS DOUBLE)
+        |         / 1000000.0 AS sum_value,
+        |       CAST(GROUPING(event_type) AS BIGINT) AS g_type,
+        |       CAST(GROUPING(dow) AS BIGINT) AS g_dow
+        |FROM e GROUP BY CUBE(event_type, dow)""".stripMargin,
+    "events_benford2" -> {
+      val cases = Profiling.benford2ExpectedLits
+        .map { case (d, s) => s"WHEN $d THEN CAST('$s' AS DOUBLE)" }.mkString(" ")
+      s"""WITH f AS (SELECT CAST(FLOOR(value * 1000000.0) AS BIGINT) AS n6
+         |           FROM events WHERE value > 0.0),
+         |d AS (SELECT CAST(substr(CAST(n6 AS VARCHAR), 2, 1) AS BIGINT) AS digit
+         |      FROM f WHERE n6 >= 10),
+         |c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM d GROUP BY 1),
+         |t AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n_total FROM c),
+         |j AS (SELECT c.digit, c.n_obs, t.n_total,
+         |             CASE c.digit $cases END AS p_exp
+         |      FROM c, t),
+         |e AS (SELECT *, CAST(n_total AS DOUBLE) * p_exp AS e,
+         |             CAST(n_obs AS DOUBLE) - (CAST(n_total AS DOUBLE) * p_exp) AS dd
+         |      FROM j)
+         |SELECT digit, n_obs, n_total,
+         |       CAST(n_obs AS DOUBLE) / CAST(n_total AS DOUBLE) AS p_obs,
+         |       p_exp, (dd * dd) / e AS chi2_term
+         |FROM e""".stripMargin
+    },
     "cdc_scd2" ->
       """WITH b AS (SELECT user_id, event_type, epoch_ms(ts) AS ms, event_id FROM events),
         |c AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev

@@ -157,4 +157,13 @@ class ProfilingSpec extends AnyFunSuite with SparkSpec {
     assert(streamed.size == 1, "only type a's day 0 closed")
     assert(streamed.head(5) == 1L, "day 0 is complete")
   }
+
+  test("benford2: second digit picked, sub-two-digit rows excluded, expectations sum to 1") {
+    // values scale to n6 = 1234567 (d2=2), 9 (excluded: one digit), 105000000 (d2=0)
+    val df = Seq(1.234567, 0.000009, 105.0).map(Tuple1(_)).toDF("value")
+    val r = Profiling.benford2(df, "value")
+      .collect().map(x => x.getAs[Long]("digit") -> x.getAs[Long]("n_obs")).toMap
+    assert(r == Map(2L -> 1L, 0L -> 1L))
+    assert(math.abs(Profiling.benford2Expected.map(_._2).sum - 1.0) < 1e-12)
+  }
 }
