@@ -125,9 +125,14 @@ object AsOf {
     * skew is bounded by how many intervals share one cell. */
   def intervalOverlap(left: DataFrame, right: DataFrame, bandMs: Long): DataFrame = {
     require(bandMs >= 1, "bandMs >= 1")
-    val l = left.withColumn("band",
+    // degenerate/inverted intervals (end <= start) contribute zero pairs by
+    // the half-open [start, end) contract — filter them BEFORE the explode:
+    // sequence(a, b) silently steps -1 when b < a, so an inverted bound
+    // would otherwise fabricate descending band cells (wasted fan-out, or a
+    // sequence-length error for badly inverted bounds)
+    val l = left.where(col("l_start") < col("l_end")).withColumn("band",
       explode(sequence(expr(s"l_start div $bandMs"), expr(s"(l_end - 1) div $bandMs"))))
-    val r = right.withColumn("band",
+    val r = right.where(col("r_start") < col("r_end")).withColumn("band",
       explode(sequence(expr(s"r_start div $bandMs"), expr(s"(r_end - 1) div $bandMs"))))
     l.join(r, Seq("band"))
       .where(col("l_start") < col("r_end") && col("r_start") < col("l_end"))

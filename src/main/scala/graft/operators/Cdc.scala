@@ -87,10 +87,17 @@ object Cdc {
 
   /** Apply a change set to a snapshot — the other half of the CDC loop
     * ([[snapshotDiff]] builds the delta; this merges one in). Changes carry
-    * an `op` column (`upsert` | `delete`); the LAST change per key wins,
-    * ordered by (`orderCol`, op) with delete sorting after upsert at equal
-    * order (a same-version delete beats its own upsert — the tombstone
-    * contract). Unchanged snapshot keys pass through.
+    * an `op` column (`upsert` | `delete`); the winning change per key is the
+    * MAXIMUM under the total order (`orderCol`, op-rank with delete > upsert,
+    * op string, `valCols` left-to-right). The intended contract is "last
+    * change wins": give each change a unique `orderCol` per (key, op) —
+    * commit LSN, change sequence number — and the value columns never
+    * decide. At EQUAL (`orderCol`, op) the struct comparison falls through
+    * to the value columns, i.e. "max value wins": deterministic, but almost
+    * never what a CDC consumer means, so `orderCol` is REQUIRED non-null
+    * (enforced per row — a null would silently sort below everything).
+    * A same-order delete beats its own upsert (the tombstone contract).
+    * Unchanged snapshot keys pass through.
     *
     * Scale shape: the change set folds to one row per key FIRST (a
     * key-partitioned max_by-style struct aggregate — no window over the
@@ -102,9 +109,14 @@ object Cdc {
   def applyChanges(snapshot: DataFrame, changes: DataFrame, pkCols: Seq[String],
                    valCols: Seq[String], orderCol: String): DataFrame = {
     require(pkCols.nonEmpty && valCols.nonEmpty, "pk and value columns required")
-    // one struct per key: maximal (order, delete-after-upsert, values)
+    // one struct per key: maximal (order, delete-after-upsert, values).
+    // raise_error stays inside codegen — no extra validation pass at scale
+    val orderChecked = when(col(orderCol).isNull, raise_error(concat(
+      lit(s"applyChanges: null $orderCol for key "),
+      concat_ws(",", pkCols.map(c => col(c).cast("string")): _*),
+      lit(" — the change order must be total")))).otherwise(col(orderCol))
     val opRank = when(col("op") === "delete", lit(1L)).otherwise(lit(0L))
-    val packed = struct((col(orderCol) +: opRank.as("_opr") +: col("op").as("_op") +:
+    val packed = struct((orderChecked.as(orderCol) +: opRank.as("_opr") +: col("op").as("_op") +:
       valCols.map(col)): _*)
     val last = changes.groupBy(pkCols.map(col): _*)
       .agg(max(packed).as("_last"))
@@ -128,9 +140,12 @@ object Cdc {
     *
     * Contract: per-key event time must be non-decreasing ACROSS batches
     * (in-batch disorder is sorted out locally) — the CDC-ingest shape,
-    * where upstream delivers each key's changes in commit order. State is
-    * one (string, long, long) per key; a key that stops changing costs
-    * nothing more. */
+    * where upstream delivers each key's changes in commit order. The
+    * contract is ENFORCED, not just documented: a batch whose first event
+    * time precedes the open interval's valid_from throws (like
+    * [[Profiling.completenessStream]]'s day-regression guard) instead of
+    * silently emitting an inverted interval. State is one (string, long,
+    * long) per key; a key that stops changing costs nothing more. */
   def scd2Stream(df: DataFrame, keyCol: String, attrCol: String,
                  tsCol: String, tieCol: String): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -148,6 +163,13 @@ object Cdc {
           val closed = Vector.newBuilder[(Long, String, Long, Long, Long, Long)]
           batch.foreach { case (_, attr, ts, _) =>
             open match {
+              case Some((a, from, _)) if ts < from =>
+                // cross-batch time regression: failing loudly beats silently
+                // writing an inverted interval (valid_to < valid_from) into
+                // a dimension consumers trust for as-of joins
+                throw new IllegalStateException(
+                  s"event-time regression for key $key: ts=$ts before open " +
+                    s"valid_from=$from (attr=$a) — cross-batch order contract")
               case Some((a, from, v)) if a != attr =>
                 closed += ((key, a, from, ts, v, 0L))
                 open = Some((attr, ts, v + 1))

@@ -1200,10 +1200,7 @@ object Curation {
     * the |strata|-row frame. Nothing data-sized past the first fold. */
   def neymanAllocation(df: DataFrame, strataCol: String, valueCol: String,
                        budget: Long): DataFrame = {
-    // w_u tops out near sqrt(DECIMAL(38) var numerator) * 1e6 ~ 2.5e15, so
-    // w_u * budget stays inside a long only for budgets up to ~3.6e3 at the
-    // extreme; 1e6 is safe for any real corpus (w_u there is <= ~9e12)
-    require(budget >= 1 && budget <= 1000000L, "budget in [1, 1e6] (w_u * budget must fit a long)")
+    require(budget >= 1 && budget <= 1000000L, "budget in [1, 1e6]")
     val x = col(valueCol).cast("decimal(38,0)")
     val per = df.groupBy(col(strataCol))
       .agg(count(lit(1)).as("stratum_n"),
@@ -1215,16 +1212,22 @@ object Curation {
       // N_h * S_h = sqrt(var_num); weight in exact micro-units
       .withColumn("w_u", floor(sqrt(col("var_num").cast("double")) * lit(1000000.0)).cast("long"))
     val wAll = Window.partitionBy()
+    // the allocation arithmetic runs in DECIMAL(38,0): w_u can reach ~3e15
+    // at extreme variance numerators, so w_u * budget and alloc_floor *
+    // w_total would silently wrap a long in non-ANSI mode — decimals cannot
+    // (they null-overflow loudly at 38 digits, far beyond w_u * 1e6 ~ 1e21).
+    // `div` (IntegralDivide) on decimals still returns an exact LONG.
     val ranked = per
       .withColumn("w_total", sum(col("w_u")).over(wAll))
       // an all-zero-variance corpus has no Neyman signal: allocate nothing
       // rather than divide by zero (callers fall back to size-proportional)
       .withColumn("alloc_floor",
         when(col("w_total") === 0L, lit(0L))
-          .otherwise(expr(s"(w_u * $budget) div w_total")))
+          .otherwise(expr(s"(cast(w_u as decimal(38,0)) * $budget) div w_total")))
       .withColumn("rem",
-        when(col("w_total") === 0L, lit(0L))
-          .otherwise(col("w_u") * lit(budget) - col("alloc_floor") * col("w_total")))
+        when(col("w_total") === 0L, lit(0L).cast("decimal(38,0)"))
+          .otherwise(col("w_u").cast("decimal(38,0)") * lit(budget) -
+            col("alloc_floor").cast("decimal(38,0)") * col("w_total")))
       .withColumn("alloc_sum", sum(col("alloc_floor")).over(wAll))
       .withColumn("rrank",
         row_number().over(Window.orderBy(col("rem").desc, col(strataCol))).cast("long"))

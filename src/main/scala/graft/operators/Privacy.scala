@@ -76,15 +76,30 @@ object Privacy {
     * inverse-CDF draw — u from 32 md5 bits of `salt:group`, then
     * x = -(1/eps) * sign(u - 1/2) * ln(1 - 2|u - 1/2|).
     *
-    * Seeding trades the usual fresh-randomness guarantee for release
-    * reproducibility: the noise is a fixed function of (salt, group), so
-    * REUSING a salt across releases of the same group spends no additional
-    * budget (same draw), while a new salt is a new draw. u is never exactly
-    * 1/2 ((m+0.5)/2^32 is a non-dyadic odd multiple), so sign is ±1 and the
-    * ln argument is strictly positive. */
+    * SECURITY CONTRACT (applies to every dp* operator here): the noise is a
+    * deterministic public function of (salt, group), so the DP guarantee
+    * holds ONLY while the salt stays secret — anyone who learns it can
+    * recompute the draw and subtract it. The salt is therefore a REQUIRED
+    * caller argument (no default: a hard-coded salt is no salt), and it must
+    * be high-entropy and treated like key material. Reusing a salt across
+    * releases whose underlying data may differ is ALSO a leak even with the
+    * salt secret: identical noise cancels in the difference, so
+    * noisy_n(v2) - noisy_n(v1) reveals the exact count delta — use a fresh
+    * salt per release epoch (each is a fresh draw and spends its own
+    * epsilon). What seeding buys in exchange: regenerating the SAME release
+    * (same salt, same data) is bit-identical — auditable and oracle-checkable.
+    *
+    * This frame is the AUDIT view: exact `n` rides beside the noise so the
+    * release review can see the clipped/true mass. The artifact that leaves
+    * the pipeline must be the [[releaseView]] projection, which carries only
+    * the noisy values.
+    *
+    * u is never exactly 1/2 ((m+0.5)/2^32 is a non-dyadic odd multiple), so
+    * sign is ±1 and the ln argument is strictly positive. */
   def dpCounts(df: DataFrame, groupCol: String, epsilon: Double,
-               salt: String = "dp"): DataFrame = {
+               salt: String): DataFrame = {
     require(epsilon > 0, "epsilon > 0")
+    require(salt.nonEmpty, "salt is key material: non-empty, caller-supplied")
     val m = conv(substring(md5(concat(lit(salt + ":"), col(groupCol).cast("string"))), 1, 8),
       16, 10).cast("long")
     val u = (m.cast("double") + lit(0.5)) / lit(4294967296.0)
@@ -163,9 +178,10 @@ object Privacy {
     * quantized draw scaled by sumCap/epsilon. */
   def dpClippedSum(df: DataFrame, groupCol: String, userCol: String,
                    valueCol: String, valueCap: Double, sumCap: Double,
-                   epsilon: Double, salt: String = "dps"): DataFrame = {
+                   epsilon: Double, salt: String): DataFrame = {
     require(valueCap > 0 && sumCap > 0, "caps > 0")
     require(epsilon > 0, "epsilon > 0")
+    require(salt.nonEmpty, "salt is key material: non-empty, caller-supplied")
     val m = conv(substring(md5(concat(lit(salt + ":"), col(groupCol).cast("string"))), 1, 8),
       16, 10).cast("long")
     val u = (m.cast("double") + lit(0.5)) / lit(4294967296.0)
@@ -225,9 +241,10 @@ object Privacy {
     * Scale shape: two hash aggregates — (group, user) then group — both
     * map-side-combining; no windows, no joins. */
   def dpClippedCounts(df: DataFrame, groupCol: String, userCol: String,
-                      cap: Int, epsilon: Double, salt: String = "dpu"): DataFrame = {
+                      cap: Int, epsilon: Double, salt: String): DataFrame = {
     require(cap >= 1, "cap >= 1")
     require(epsilon > 0, "epsilon > 0")
+    require(salt.nonEmpty, "salt is key material: non-empty, caller-supplied")
     val m = conv(substring(md5(concat(lit(salt + ":"), col(groupCol).cast("string"))), 1, 8),
       16, 10).cast("long")
     val u = (m.cast("double") + lit(0.5)) / lit(4294967296.0)
@@ -246,5 +263,23 @@ object Privacy {
         (col("n_clipped").cast("double") + noise.cast("double")).as("noisy_n"))
       .withColumn("epsilon", lit(epsilon))
       .withColumn("sensitivity", lit(cap.toLong))
+  }
+
+  /** The exact column names a DP frame may NOT release: true/raw/clipped
+    * aggregates and the noise draw itself (noisy - noise = exact). */
+  private val AuditOnlyColumns =
+    Set("n", "n_raw", "n_clipped", "raw_sum", "clipped_sum", "n_users", "noise")
+
+  /** Release projection of a [[dpCounts]] / [[dpClippedCounts]] /
+    * [[dpClippedSum]] audit frame: drops every exact-value and noise column
+    * so the artifact that leaves the pipeline carries ONLY the noisy
+    * aggregates plus the privacy parameters. The audit frame with the exact
+    * columns stays inside the trust boundary; this is the other half of the
+    * salt contract documented on [[dpCounts]]. */
+  def releaseView(dpFrame: DataFrame): DataFrame = {
+    val keep = dpFrame.columns.filterNot(AuditOnlyColumns.contains)
+    require(keep.exists(_.startsWith("noisy_")),
+      "not a DP audit frame: no noisy_* column to release")
+    dpFrame.select(keep.map(col): _*)
   }
 }

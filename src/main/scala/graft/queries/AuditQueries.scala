@@ -83,7 +83,13 @@ object AuditQueries {
     // seeded-Laplace DP counts per event type (eps = 0.5, sensitivity 1):
     // the reproducible noisy-release shape — exact n rides beside the noise
     "priv_dp_counts" -> ((s, dir) =>
-      Privacy.dpCounts(events(s, dir), "event_type", epsilon = 0.5)),
+      Privacy.dpCounts(events(s, dir), "event_type", epsilon = 0.5, salt = "dp")),
+    // the artifact that actually leaves the pipeline: the releaseView
+    // projection of the same DP frame — noisy values + privacy params only,
+    // no exact counts and no recoverable noise column
+    "priv_dp_release" -> ((s, dir) =>
+      Privacy.releaseView(
+        Privacy.dpCounts(events(s, dir), "event_type", epsilon = 0.5, salt = "dp"))),
     // Benford first-digit forensics on the value column: per digit the
     // observed count/frequency, the log-law expectation, and the
     // chi-square contribution
@@ -140,7 +146,7 @@ object AuditQueries {
     // 4 (hash-agg clip, no window), Laplace scale = cap/epsilon
     "priv_dp_user_hist" -> ((s, dir) =>
       Privacy.dpClippedCounts(events(s, dir), "event_type", "user_id",
-        cap = 4, epsilon = 0.5)),
+        cap = 4, epsilon = 0.5, salt = "dpu")),
     // SCD type-2 history of each user's event_type runs: validity
     // intervals with version numbers and the open current row
     "cdc_scd2" -> ((s, dir) =>
@@ -210,7 +216,7 @@ object AuditQueries {
     // clip to 40, Laplace scale 40/0.5
     "priv_dp_sum" -> ((s, dir) =>
       Privacy.dpClippedSum(events(s, dir), "event_type", "user_id", "value",
-        valueCap = 10.0, sumCap = 40.0, epsilon = 0.5)),
+        valueCap = 10.0, sumCap = 40.0, epsilon = 0.5, salt = "dps")),
     // referential-integrity load gate over the TPC-H graph: orphan child
     // keys per relationship, one left anti join each
     "audit_referential" -> ((s, dir) => {
@@ -306,6 +312,23 @@ object AuditQueries {
          |      FROM u)
          |SELECT event_type, n,
          |       CAST(noise_d AS DOUBLE) AS noise,
+         |       CAST(n AS DOUBLE) + CAST(noise_d AS DOUBLE) AS noisy_n,
+         |       CAST(0.5 AS DOUBLE) AS epsilon
+         |FROM z""".stripMargin,
+    "priv_dp_release" ->
+      s"""WITH g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1),
+         |h AS (SELECT event_type, n, substr(md5('dp:' || event_type), 1, 8) AS hx FROM g),
+         |u AS (SELECT event_type, n,
+         |             (CAST(${md5Poly("hx")} AS DOUBLE) + 0.5) / 4294967296.0 AS u
+         |      FROM h),
+         |z AS (SELECT event_type, n,
+         |             CAST(((-1.0 / 0.5) * (CASE WHEN u - 0.5 > 0 THEN CAST(1 AS DOUBLE)
+         |                                        WHEN u - 0.5 < 0 THEN CAST(-1 AS DOUBLE)
+         |                                        ELSE CAST(0 AS DOUBLE) END))
+         |                  * CAST(CAST(ln(1.0 - 2.0 * abs(u - 0.5)) AS DECIMAL(28,12)) AS DOUBLE)
+         |                  AS DECIMAL(28,12)) AS noise_d
+         |      FROM u)
+         |SELECT event_type,
          |       CAST(n AS DOUBLE) + CAST(noise_d AS DOUBLE) AS noisy_n,
          |       CAST(0.5 AS DOUBLE) AS epsilon
          |FROM z""".stripMargin,
@@ -668,22 +691,31 @@ object AuditQueries {
          |       CAST(0.5 AS DOUBLE) AS epsilon,
          |       CAST(40.0 AS DOUBLE) AS sensitivity
          |FROM z""".stripMargin,
+    // NOT EXISTS, not NOT IN: the Spark side is a left ANTI join, which
+    // counts a NULL child key as an orphan (it matches no parent). NOT IN
+    // evaluates NULL NOT IN (...) to NULL and silently DROPS the row — and
+    // one NULL parent key would make NOT IN return zero orphans overall.
+    // TPC-H keys are non-null so both forms agree here, but the oracle must
+    // encode the documented null-is-orphan contract, not rely on the data.
     "audit_referential" ->
       """SELECT 'orders->customer' AS relationship,
         |       CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_child,
         |       CAST(COUNT(*) AS BIGINT) AS n_orphan_rows,
         |       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_orphan_keys
-        |FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+        |FROM orders o
+        |WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
         |UNION ALL
         |SELECT 'lineitem->orders',
         |       CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
         |       CAST(COUNT(*) AS BIGINT), CAST(COUNT(DISTINCT l_orderkey) AS BIGINT)
-        |FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        |FROM lineitem l
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
         |UNION ALL
         |SELECT 'lineitem->part',
         |       CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
         |       CAST(COUNT(*) AS BIGINT), CAST(COUNT(DISTINCT l_partkey) AS BIGINT)
-        |FROM lineitem WHERE l_partkey NOT IN (SELECT p_partkey FROM part)""".stripMargin,
+        |FROM lineitem l
+        |WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)""".stripMargin,
     "audit_contract" ->
       """SELECT 'documents.n_chars = length(text)' AS check,
         |       CAST(COUNT(*) AS BIGINT) AS n_rows,

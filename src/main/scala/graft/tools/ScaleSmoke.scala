@@ -775,7 +775,7 @@ object ScaleSmoke {
       graft.operators.Privacy.tCloseness(qi, Seq("source", "len_bucket"), "sens").count()
     }
     t("dpClippedCounts (two hash aggregates, no window)") {
-      graft.operators.Privacy.dpClippedCounts(ev, "event_type", "user_id",
+      graft.operators.Privacy.dpClippedCounts(ev, "event_type", "user_id", salt = "smoke",
         cap = 4, epsilon = 0.5).count()
     }
     t("joinSkewProfile (count-of-counts percentiles + 32 md5 shards)") {

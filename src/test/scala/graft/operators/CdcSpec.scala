@@ -108,6 +108,54 @@ class CdcSpec extends AnyFunSuite with SparkSpec {
     assert(rows == Seq(("a", 10L, 30L), ("b", 30L, 40L)))
   }
 
+  test("applyChanges: equal (order, op) ties resolve to max value (pinned)") {
+    // the documented fall-through: at equal orderCol and equal op the struct
+    // max compares the value columns left-to-right — "max value wins". The
+    // contract asks callers for a unique orderCol; this pins what happens
+    // when they don't.
+    val snap = Seq((1L, "a", 1L)).toDF("doc_id", "source", "n_chars")
+    val changes = Seq(
+      (1L, "b", 7L, "upsert", 5L), (1L, "b", 9L, "upsert", 5L)
+    ).toDF("doc_id", "source", "n_chars", "op", "version")
+    val out = Cdc.applyChanges(snap, changes, Seq("doc_id"),
+      Seq("source", "n_chars"), "version").collect()
+    assert(out.length == 1 && out.head.getLong(2) == 9L)
+  }
+
+  test("applyChanges: a NULL orderCol fails loudly, not silently-sorts-last") {
+    val snap = Seq((1L, "a", 1L)).toDF("doc_id", "source", "n_chars")
+    val changes = Seq(
+      (1L, "b", 7L, "upsert", Some(5L)), (1L, "c", 8L, "upsert", None)
+    ).toDF("doc_id", "source", "n_chars", "op", "version")
+    val e = intercept[Exception] {
+      Cdc.applyChanges(snap, changes, Seq("doc_id"),
+        Seq("source", "n_chars"), "version").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("null version")))
+  }
+
+  test("scd2Stream throws on a cross-batch event-time regression") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String, Long, Long)]
+    val q = Cdc.scd2Stream(
+        input.toDS().toDF("user_id", "attr", "ms", "event_id"),
+        "user_id", "attr", "ms", "event_id")
+      .writeStream.outputMode("append").format("noop").start()
+    input.addData((1L, "a", 100L, 1L))
+    q.processAllAvailable()
+    // batch 2 delivers ts=50 < the open interval's valid_from=100: the
+    // contract violation must fail the query, not emit an inverted interval
+    input.addData((1L, "b", 50L, 2L))
+    val e = intercept[Exception] { q.processAllAvailable() }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("event-time regression")))
+    q.stop()
+  }
+
   test("aggDeltaAudit: base + delta equals the v2 recompute, per slice") {
     val delta = Cdc.snapshotDelta(v1, v2, Seq("doc_id"), "n_chars", Seq("source"))
     val a = Cdc.aggDeltaAudit(delta, Seq("source"))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.{col, lit}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkSpec
@@ -52,9 +53,9 @@ class PrivacySpec extends AnyFunSuite with SparkSpec {
   test("dpCounts: deterministic noise, noisy_n = n + noise, zero-mean-ish shape") {
     val ev = Seq.tabulate(20)(i => (i.toLong, if (i % 2 == 0) "a" else "b"))
       .toDF("event_id", "event_type")
-    val run1 = Privacy.dpCounts(ev, "event_type", epsilon = 0.5).collect()
+    val run1 = Privacy.dpCounts(ev, "event_type", epsilon = 0.5, salt = "dp").collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
-    val run2 = Privacy.dpCounts(ev, "event_type", epsilon = 0.5).collect()
+    val run2 = Privacy.dpCounts(ev, "event_type", epsilon = 0.5, salt = "dp").collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
     assert(run1 == run2, "seeded noise must be identical across runs")
     run1.foreach { case (_, (n, noise, noisy)) =>
@@ -69,8 +70,8 @@ class PrivacySpec extends AnyFunSuite with SparkSpec {
 
   test("dpCounts noise scales with 1/epsilon exactly at the quantized grid") {
     val ev = Seq((1L, "a")).toDF("event_id", "event_type")
-    val eps05 = Privacy.dpCounts(ev, "event_type", epsilon = 0.5).collect().head.getDouble(2)
-    val eps2 = Privacy.dpCounts(ev, "event_type", epsilon = 2.0).collect().head.getDouble(2)
+    val eps05 = Privacy.dpCounts(ev, "event_type", epsilon = 0.5, salt = "dp").collect().head.getDouble(2)
+    val eps2 = Privacy.dpCounts(ev, "event_type", epsilon = 2.0, salt = "dp").collect().head.getDouble(2)
     // same uniform, scales 2.0 vs 0.5: ratio 4 up to the DECIMAL(28,12) grid
     assert(math.abs(eps05 / eps2 - 4.0) < 1e-9)
   }
@@ -112,14 +113,14 @@ class PrivacySpec extends AnyFunSuite with SparkSpec {
     val ev = (Seq.fill(6)(1L) ++ Seq.fill(3)(2L) ++ Seq(3L)).zipWithIndex
       .map { case (u, i) => (i.toLong, u, "a") }
       .toDF("event_id", "user_id", "event_type")
-    val r = Privacy.dpClippedCounts(ev, "event_type", "user_id", cap = 4, epsilon = 0.5)
+    val r = Privacy.dpClippedCounts(ev, "event_type", "user_id", cap = 4, epsilon = 0.5, salt = "dpu")
       .collect().head
     assert(r.getAs[Long]("n_raw") == 10L)
     assert(r.getAs[Long]("n_clipped") == 8L)
     assert(r.getAs[Long]("sensitivity") == 4L)
     assert(r.getAs[Double]("noisy_n") == 8.0 + r.getAs[Double]("noise"))
     // rerun is bit-identical (seeded draw)
-    val r2 = Privacy.dpClippedCounts(ev, "event_type", "user_id", cap = 4, epsilon = 0.5)
+    val r2 = Privacy.dpClippedCounts(ev, "event_type", "user_id", cap = 4, epsilon = 0.5, salt = "dpu")
       .collect().head
     assert(r.getAs[Double]("noise") == r2.getAs[Double]("noise"))
   }
@@ -132,11 +133,33 @@ class PrivacySpec extends AnyFunSuite with SparkSpec {
       .zipWithIndex.map { case ((u, v), i) => (i.toLong, u, "a", v) }
       .toDF("event_id", "user_id", "event_type", "value")
     val r = Privacy.dpClippedSum(ev, "event_type", "user_id", "value",
-      valueCap = 10.0, sumCap = 20.0, epsilon = 0.5).collect().head
+      valueCap = 10.0, sumCap = 20.0, epsilon = 0.5, salt = "dps").collect().head
     assert(r.getAs[Long]("n_users") == 3L)
     assert(r.getAs[Double]("raw_sum") == 69.0)
     assert(r.getAs[Double]("clipped_sum") == 30.0, "20 (capped) + 10 + 0")
     assert(r.getAs[Double]("sensitivity") == 20.0)
     assert(r.getAs[Double]("noisy_sum") == 30.0 + r.getAs[Double]("noise"))
+  }
+
+  test("releaseView strips every exact-value and noise column") {
+    val ev = Seq.tabulate(20)(i => (i.toLong, if (i % 2 == 0) "a" else "b"))
+      .toDF("event_id", "event_type")
+    val counts = Privacy.releaseView(Privacy.dpCounts(ev, "event_type", 0.5, salt = "s1"))
+    assert(counts.columns.toSeq == Seq("event_type", "noisy_n", "epsilon"))
+    val hist = Privacy.releaseView(Privacy.dpClippedCounts(
+      ev.withColumn("user_id", col("event_id") % 3), "event_type", "user_id",
+      cap = 4, epsilon = 0.5, salt = "s1"))
+    assert(hist.columns.toSeq == Seq("event_type", "noisy_n", "epsilon", "sensitivity"))
+    val sums = Privacy.releaseView(Privacy.dpClippedSum(
+      ev.withColumn("user_id", col("event_id") % 3).withColumn("value", lit(1.0)),
+      "event_type", "user_id", "value", 10.0, 20.0, 0.5, salt = "s1"))
+    assert(sums.columns.toSeq == Seq("event_type", "noisy_sum", "epsilon", "sensitivity"))
+    // and a frame with no noisy_* column is refused
+    intercept[IllegalArgumentException] { Privacy.releaseView(ev) }
+  }
+
+  test("dp operators refuse an empty salt (the salt is key material)") {
+    val ev = Seq((1L, "a")).toDF("event_id", "event_type")
+    intercept[IllegalArgumentException] { Privacy.dpCounts(ev, "event_type", 0.5, salt = "") }
   }
 }
