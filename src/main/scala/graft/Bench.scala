@@ -38,7 +38,21 @@ object Bench {
     // record per-query errors and exit nonzero if any query broke
     val passes: Seq[Seq[(String, Double, Option[String])]] = (1 to runs).map { _ =>
       spark.catalog.clearCache() // every pass pays the same cache-cold work
-      names.map { case (name, fn) =>
+      // force the memoized shared family frames FIRST, each timed as its own
+      // `shared_build_*` entry: clearCache evicts them, so without this the
+      // family's one-off build cost lands on whichever consumer gate runs
+      // first alphabetically and reads as a per-gate regression (the
+      // round-10 search_bm25/search_highlight driver-median finding)
+      val builds = SparkEntry.sharedBuilds
+        .filter { case (n, _) => only.forall(_.contains(n)) }
+        .map { case (name, fn) =>
+          val t0 = System.nanoTime()
+          val err =
+            try { fn(spark, sfDir); None }
+            catch { case e: Throwable => Some(e.toString.takeWhile(_ != '\n').take(200)) }
+          (name, (System.nanoTime() - t0) / 1e9, err)
+        }
+      builds ++ names.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val err =
           try { fn(spark, sfDir).count(); None }
@@ -50,7 +64,8 @@ object Bench {
       val s = xs.sorted
       if (s.length % 2 == 1) s(s.length / 2) else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
     }
-    val results = names.map { case (name, _) =>
+    // builds + queries: every timed entry reports its cross-pass median
+    val results = passes.head.map(_._1).map { name =>
       val samples = passes.map(_.find(_._1 == name).get)
       (name, median(samples.map(_._2)), samples.flatMap(_._3).headOption)
     }

@@ -21,4 +21,11 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     TimelyQueries.oracles ++ TpchQueries.oracles ++ LlmQueries.oracles ++
       ApiQueries.oracles ++ AuditQueries.oracles
+
+  /** Shared-frame builders Bench forces (and times) at the start of each
+    * cache-cold pass, in dependency order — NOT gates (no oracle): pure
+    * bench attribution so a family's memoized build cost is its own line
+    * item instead of landing on its first consumer. */
+  def sharedBuilds: Seq[(String, (SparkSession, String) => Unit)] =
+    LlmQueries.sharedBuilds ++ TpchQueries.sharedBuilds
 }

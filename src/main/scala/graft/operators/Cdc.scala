@@ -183,6 +183,60 @@ object Cdc {
       .toDF(keyCol, attrCol, "valid_from", "valid_to", "version", "is_current")
   }
 
+  /** Incrementally extend an SCD2 history ([[scd2]] output schema) with a
+    * new batch of events — the maintained-dimension operation: at 100 TB
+    * the history is a store directory and each maintenance pass folds in
+    * one delta instead of re-windowing the full event log.
+    *
+    * Mechanics: closed intervals (`is_current = 0`) pass through UNTOUCHED
+    * (they are immutable history); each key's open row re-enters the fold
+    * as a pseudo-event at its own `valid_from` (tie = Long.MinValue so it
+    * sorts first among equal timestamps), unioned with the new events, and
+    * the [[scd2]] window re-runs over that delta-plus-open frame only.
+    * Versions are then shifted by the key's already-closed count so the
+    * numbering continues seamlessly.
+    *
+    * Contract (same as [[scd2Stream]], ENFORCED): per key, new event times
+    * must not precede the open interval's `valid_from` — a violating row
+    * fails the job via `raise_error` rather than silently rewriting closed
+    * history. Ties use `tieCol` (must cast to long); batch boundaries must
+    * respect event-time order for N-batch == one-batch equivalence.
+    *
+    * Scale shape: one key-keyed left join of the delta against the OPEN
+    * rows (key-cardinality sized, not history-sized), one key-partitioned
+    * window over delta-plus-open rows, and a union with the untouched
+    * closed history — the closed side is never shuffled, so a pass costs
+    * O(delta + open), not O(history). */
+  def scd2Apply(history: DataFrame, events: DataFrame, keyCol: String,
+                attrCol: String, tsExpr: org.apache.spark.sql.Column,
+                tieCol: String): DataFrame = {
+    val closed = history.where(col("is_current") === 0L)
+      .select(col(keyCol), col(attrCol), col("valid_from"), col("valid_to"),
+        col("version"), col("is_current"))
+    val open = history.where(col("is_current") === 1L)
+      .select(col(keyCol), col(attrCol).as("_open_attr"),
+        col("valid_from").as("_open_from"), (col("version") - lit(1L)).as("_voff"))
+    val fresh = events.select(col(keyCol), col(attrCol),
+      tsExpr.as("ts_u"), col(tieCol).cast("long").as("tie_u"))
+    // regression guard + seed: delta joins the (small) open frame once
+    val guarded = fresh.join(open, Seq(keyCol), "left")
+      .withColumn("ts_u", when(col("_open_from").isNotNull && col("ts_u") < col("_open_from"),
+        raise_error(concat(lit("scd2Apply: event-time regression for key "),
+          col(keyCol).cast("string"), lit(": ts="), col("ts_u").cast("string"),
+          lit(" before open valid_from="), col("_open_from").cast("string"))))
+        .otherwise(col("ts_u")))
+      .select(col(keyCol), col(attrCol), col("ts_u"), col("tie_u"))
+    val seed = open.select(col(keyCol), col("_open_attr").as(attrCol),
+      col("_open_from").as("ts_u"), lit(Long.MinValue).as("tie_u"))
+    val refolded = scd2(guarded.unionByName(seed), keyCol, attrCol,
+      col("ts_u"), "tie_u")
+    refolded.join(open.select(col(keyCol), col("_voff")), Seq(keyCol), "left")
+      .withColumn("version", col("version") + coalesce(col("_voff"), lit(0L)))
+      .select(col(keyCol), col(attrCol), col("valid_from"), col("valid_to"),
+        col("version"), col("is_current"))
+      .unionByName(closed)
+  }
+
   /** Snapshot diff that KEEPS the old/new values of one compare column —
     * the input to [[aggDeltaAudit]] (a plain [[snapshotDiff]] drops them). */
   def snapshotDelta(oldDf: DataFrame, newDf: DataFrame, pkCols: Seq[String],

@@ -96,4 +96,37 @@ object Layout {
       .withColumn("lin_skip_ratio",
         (col("lin_total") - col("lin_touched")).cast("double") / col("lin_total").cast("double"))
   }
+
+  /** REAL per-file statistics envelopes for a written store: one row per
+    * physical parquet file with its row count and min/max of both query
+    * dimensions — exactly the file-skipping metadata a Delta/Iceberg-style
+    * reader consults (and the envelope the parquet footer's row-group stats
+    * roll up to). `input_file_name` attributes rows without a filesystem
+    * walk; one hash aggregate on the file name. */
+  def fileEnvelopes(df: DataFrame, xCol: Column, yCol: Column): DataFrame =
+    df.select(input_file_name().as("file"), xCol.as("x"), yCol.as("y"))
+      .groupBy(col("file"))
+      .agg(count(lit(1)).as("n"),
+        min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+        min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+
+  /** Measured skip report over [[fileEnvelopes]] for an x-range predicate:
+    * a file must be read iff its [x_min, x_max] envelope intersects
+    * [xLo, xHi]. One row: total/touched file counts, total/touched rows,
+    * and the skip ratio (the one pinned double division). Run it on a
+    * [[graft.sources.PointStore.writeZOrdered]] store vs a plain time-sorted
+    * write of the same points to see the layout's real effect — on actual
+    * files, not the synthetic grid of [[pruneAudit]]. */
+  def filePruneReport(envelopes: DataFrame, xLo: Long, xHi: Long): DataFrame = {
+    val touched = col("x_max") >= lit(xLo) && col("x_min") <= lit(xHi)
+    envelopes.agg(
+        count(lit(1)).as("files_total"),
+        sum(when(touched, lit(1L)).otherwise(lit(0L))).as("files_touched"),
+        sum(col("n")).as("rows_total"),
+        sum(when(touched, col("n")).otherwise(lit(0L))).as("rows_in_touched_files"))
+      .withColumn("x_lo", lit(xLo)).withColumn("x_hi", lit(xHi))
+      .withColumn("file_skip_ratio",
+        (col("files_total") - col("files_touched")).cast("double") /
+          col("files_total").cast("double"))
+  }
 }

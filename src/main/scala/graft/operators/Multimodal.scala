@@ -89,6 +89,70 @@ object Multimodal {
     bos.toByteArray
   }
 
+  private[operators] def encodeJpeg(img: BufferedImage): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** Codec sniff from the payload magic bytes — the dispatch evidence a
+    * mixed-codec corpus gate needs (PNG `\x89PNG`, JPEG `\xFF\xD8`). */
+  private[operators] def codecOf(bytes: Array[Byte]): String =
+    if (bytes.length >= 2 && (bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xD8) "jpeg"
+    else if (bytes.length >= 4 && (bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P' &&
+      bytes(2) == 'N' && bytes(3) == 'G') "png"
+    else "other"
+
+  /**
+   * MIXED-codec image corpus: the [[syntheticImages]] contract, but every
+   * `jpegMod`-th image encodes as JPEG instead of PNG — so decode paths
+   * exercise BOTH JDK readers. JPEG is lossy (pixel values shift), but its
+   * GEOMETRY survives exactly: width/height/channels still follow the
+   * doc_id arithmetic, which is what the mixed gate oracles on
+   * ([[imageGeometry]]); pixel statistics stay PNG-gate territory.
+   */
+  def syntheticImagesMixed(docs: DataFrame, jpegMod: Int = 5): DataFrame = {
+    require(jpegMod >= 2, "jpegMod >= 2")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { d =>
+          val img = renderImage(d)
+          val bytes = if (d % jpegMod == 0) encodeJpeg(img) else encodePng(img)
+          (d, bytes, "image")
+        }
+      }
+      .toDF("media_id", "payload", "media_type")
+  }
+
+  /** Decode-side geometry + codec row — every field exact under BOTH
+    * codecs (JPEG loses pixel values, never dimensions or band count). */
+  case class ImageGeom(
+      media_id: Long,
+      codec: String,
+      width: Long,
+      height: Long,
+      channels: Long)
+
+  /** REAL decode restricted to the codec-stable facts: sniffs the container
+    * from the magic bytes, decodes with whichever reader ImageIO registers
+    * for it, and emits geometry — the mixed-codec twin of [[imageDecode]]
+    * (same per-partition shape). */
+  def imageGeometry(media: DataFrame): Dataset[ImageGeom] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])].mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val img = ImageIO.read(new ByteArrayInputStream(bytes))
+          require(img != null, s"payload of media_id=$id is not a decodable image")
+          ImageGeom(id, codecOf(bytes), img.getWidth.toLong, img.getHeight.toLong,
+            img.getRaster.getNumBands.toLong)
+        }
+      }
+  }
+
   /** Decoded-image row: geometry from the real raster plus the exact
     * integer sum of every sample (order-independent — parallelism-proof)
     * and its one pinned-double mean. */

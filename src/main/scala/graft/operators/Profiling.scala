@@ -65,6 +65,52 @@ object Profiling {
     wide.select(explode(array(structs: _*)).as("p")).select(col("p.*"))
   }
 
+  /** The 100 TB-scale variant of [[columnProfile]]: identical layout, but
+    * distinct counts come from `approx_count_distinct` (HyperLogLog++, one
+    * mergeable sketch per column) instead of exact `countDistinct` — so the
+    * single-scan aggregate plans WITHOUT the Expand node that multiplies
+    * every scanned row k-fold before the shuffle. The profiler is the one
+    * job that must touch the whole corpus; at k profiled columns the exact
+    * form shuffles k x corpus rows, the approx form shuffles one fixed-size
+    * sketch set per partition. Keep [[columnProfile]] as the audit tier
+    * (exact answers, bounded inputs); run this one on the raw drop.
+    *
+    * `n_distinct` is approximate (rsd ~ relativeSD, default 1.5%); every
+    * other statistic is the exact same expression as the exact profiler. */
+  def columnProfileApprox(df: DataFrame, cols: Seq[String],
+                          relativeSD: Double = 0.015): DataFrame = {
+    require(cols.nonEmpty, "profile at least one column")
+    cols.foreach(c => require(df.columns.contains(c), s"no such column: $c"))
+    val nullStr = lit(null).cast("string")
+    val nullDbl = lit(null).cast("double")
+    val aggs = cols.flatMap { c =>
+      val dt = df.schema(c).dataType
+      val isNum = dt.isInstanceOf[NumericType]
+      val isStr = dt == StringType
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__n_null"),
+        approx_count_distinct(col(c), relativeSD).as(s"${c}__n_distinct"),
+        (if (isNum) min(col(c)).cast("double") else min(nullDbl)).as(s"${c}__min_num"),
+        (if (isNum) max(col(c)).cast("double") else max(nullDbl)).as(s"${c}__max_num"),
+        (if (isStr) min(col(c)) else min(nullStr)).as(s"${c}__min_str"),
+        (if (isStr) max(col(c)) else max(nullStr)).as(s"${c}__max_str"),
+        (if (isStr)
+          sum(length(col(c))).cast("double") / count(col(c)).cast("double")
+        else max(nullDbl)).as(s"${c}__avg_len"))
+    }
+    val allAggs = count(lit(1)).as("n_rows") +: aggs
+    val wide = df.agg(allAggs.head, allAggs.tail: _*)
+    val structs = cols.map { c =>
+      struct(lit(c).as("column"), col("n_rows"),
+        coalesce(col(s"${c}__n_null"), lit(0L)).as("n_null"),
+        col(s"${c}__n_distinct").as("n_distinct"),
+        col(s"${c}__min_num").as("min_num"), col(s"${c}__max_num").as("max_num"),
+        col(s"${c}__min_str").as("min_str"), col(s"${c}__max_str").as("max_str"),
+        col(s"${c}__avg_len").as("avg_len"))
+    }
+    wide.select(explode(array(structs: _*)).as("p")).select(col("p.*"))
+  }
+
   /** Scale-6 decimal -> double via the EXACT unscaled integer and one
     * pinned division — a direct decimal->double cast lands one ulp off
     * between engines at report magnitudes (the [[Privacy.dpClippedSum]]

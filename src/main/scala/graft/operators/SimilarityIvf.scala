@@ -218,6 +218,38 @@ object SimilarityIvf {
         expr("max_by(list_id, struct(csim, -list_id))").as("list_id"))
   }
 
+  /** Streaming twin of [[assign]]: the incremental-index maintenance shape —
+    * new embeddings arrive per micro-batch and each is assigned to its
+    * nearest centroid from the PERSISTED centroid frame (the index built by
+    * [[centroids]]/[[kmeansCentroids]] stays fixed between retrains, so the
+    * increment never re-clusters). The centroid frame collects once at plan
+    * build (bounded by nLists, the same driver-side bound the batch builders
+    * use) and inlines as literals: every row's argmax is a pure codegen'd
+    * projection — no shuffle, no state, no aggregate — so the operator is
+    * legal in append-mode streaming and embarrassingly parallel at 100 TB.
+    *
+    * Equivalence contract (spec-pinned): same csim arithmetic as [[assign]]
+    * (one [[Similarity.dot]] per centroid / vnorm*cnorm) and the same
+    * tie-break (max csim, then lowest list_id) via one `array_max` over
+    * (csim, -list_id) structs — bit-identical to the batch `max_by`. */
+  def assignStream(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    val cl = cents.select(col("list_id").cast("int"), col("centroid"), col("cnorm"))
+      .collect().sortBy(_.getInt(0))
+    require(cl.nonEmpty, "empty centroid frame")
+    val entries = cl.map { r =>
+      val lid = r.getInt(0)
+      val cvec = typedLit(r.getSeq[Float](1))
+      val csim = graft.functions.VectorFunctions.floatDot(col("embedding"), cvec) /
+        (col("vnorm") * lit(r.getDouble(2)))
+      struct(csim.as("csim"), lit(-lid).as("nlid"))
+    }
+    vecs
+      .select(col("vec_id"), col("embedding"), norm("embedding").as("vnorm"))
+      .withColumn("_best", array_max(array(entries.toIndexedSeq: _*)))
+      .select(col("vec_id"), col("embedding"), col("vnorm"),
+        (-col("_best.nlid")).cast("int").as("list_id"))
+  }
+
   /** The `nProbe` nearest lists per query by float cosine against the
     * broadcast centroid table (tiny: |queries| × nLists before the cut);
     * emits `payload` columns + `list_id`. The ONE probe-selection

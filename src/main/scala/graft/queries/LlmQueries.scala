@@ -157,6 +157,31 @@ object LlmQueries {
     pr
   }
 
+  /** Named builders for the memoized shared family frames, in dependency
+    * order (postings/stats before the BM25 fetch, positions before the
+    * snippet chain). Bench forces these FIRST in each cache-cold pass and
+    * times each as its own line item, so a family's one-off build cost is
+    * attributed to `shared_build_*` instead of to whichever consumer gate
+    * happens to run first alphabetically (the round-10 finding: the
+    * `search_bm25`/`search_highlight` driver medians carried the whole
+    * postings/positions build). Each builder is idempotent — once built and
+    * persisted, re-forcing is a no-op count over the cached frame. */
+  val sharedBuilds: Seq[(String, (SparkSession, String) => Unit)] = Seq(
+    "shared_build_postings" ->
+      ((s: SparkSession, dir: String) => { probePostings(s, dir).count(); () }),
+    "shared_build_corpus_stats" ->
+      ((s: SparkSession, dir: String) => { corpusStatsFrame(s, dir).count(); () }),
+    "shared_build_positions" ->
+      ((s: SparkSession, dir: String) => { probePositions(s, dir).count(); () }),
+    "shared_build_bm25_hits" ->
+      ((s: SparkSession, dir: String) => { bm25Hits15(s, dir).count(); () }),
+    "shared_build_snippets" ->
+      ((s: SparkSession, dir: String) => { bestSnippetsFrame(s, dir).count(); () }),
+    "shared_build_top_pc" ->
+      ((s: SparkSession, dir: String) => { topPcFrame(s, dir).count(); () }),
+    "shared_build_pagerank" ->
+      ((s: SparkSession, dir: String) => { pageRankFrame(s, dir).count(); () }))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tokens" -> ((s, dir) => TextAnalysis.tokenCounts(docs(s, dir))),
     // token counting under the BPE-ish (GPT-2-style) pre-tokenizer — the
@@ -563,6 +588,11 @@ object LlmQueries {
     // from the raster; the oracle predicts both from the generator contract
     "multimodal_decode" -> ((s, dir) =>
       Multimodal.imageDecode(Multimodal.syntheticImages(docs(s, dir))).toDF()),
+    // MIXED-codec decode: every 5th payload is JPEG, the rest PNG — both
+    // JDK readers exercised in one pass; the oracle checks the codec sniff
+    // plus the geometry facts that survive lossy encoding exactly
+    "multimodal_decode_mixed" -> ((s, dir) =>
+      Multimodal.imageGeometry(Multimodal.syntheticImagesMixed(docs(s, dir))).toDF()),
     // exact content-byte dedup over the media table with planted re-crawl
     // dups (every 5th item re-ingested under a new id) — keep = min id
     "multimodal_dedup" -> ((s, dir) => {
@@ -3876,6 +3906,17 @@ object LlmQueries {
         |       CAST(CASE WHEN m.media_id = g.keep_media_id THEN 1 ELSE 0 END AS BIGINT) AS keep
         |FROM m JOIN g USING (content_hash)""".stripMargin,
     "multimodal_decode" -> ImageDecodeOracleSql,
+    // mixed-codec geometry: the Spark side REALLY decodes (PNG and JPEG
+    // readers both exercised, codec sniffed from magic bytes); the oracle
+    // predicts codec + geometry from the generation contract — geometry is
+    // exact under lossy JPEG, pixel statistics deliberately are not emitted
+    "multimodal_decode_mixed" ->
+      """SELECT doc_id AS media_id,
+        |       CASE WHEN doc_id % 5 = 0 THEN 'jpeg' ELSE 'png' END AS codec,
+        |       CAST(32 + doc_id % 48 AS BIGINT) AS width,
+        |       CAST(32 + doc_id % 32 AS BIGINT) AS height,
+        |       CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 3 END AS BIGINT) AS channels
+        |FROM documents""".stripMargin,
     // mirrors the REAL resize gate (decode of the nearest-neighbor-resized
     // re-encoded PNGs): integer geometry out_w = w*16 // max(w,h,16), source
     // sample (x*w // out_w, y*h // out_h), summed over the output raster

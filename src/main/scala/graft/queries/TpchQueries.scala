@@ -30,6 +30,12 @@ object TpchQueries {
     pairs
   }
 
+  /** Bench attribution entry for the memoized pair frame (see
+    * [[LlmQueries.sharedBuilds]] for the mechanism and rationale). */
+  val sharedBuilds: Seq[(String, (SparkSession, String) => Unit)] = Seq(
+    "shared_build_fuzzy_pairs" ->
+      ((s: SparkSession, dir: String) => { fuzzyPairsFrame(s, dir).count(); () }))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1-style pricing summary: single scan, partial+final hash agg.
     "q1_pricing" -> ((s, dir) => {

@@ -24,6 +24,42 @@ object PointStore {
     PutLineIngest.withPartitionColumns(points)
       .write.mode(mode).partitionBy("metric", "dt", "hr").parquet(dataDir)
 
+  /**
+   * Z-ORDERED batch write: same `(metric, dt, hr)` directory layout, but the
+   * files INSIDE each directory are clustered on the Morton interleave of
+   * two residual query dimensions (e.g. a tag-derived cohort x the value
+   * band) — so parquet row-group / file min-max statistics stay tight on
+   * BOTH dims and a reader can skip most files for either predicate, not
+   * just the partition-pruned ones. This is the write-side half of
+   * [[graft.operators.Layout]]: the directory tree prunes metric/time
+   * (the reference's hour-rounded row key, MetricAdapter.java:47-53), the
+   * z-sort prunes within the hour.
+   *
+   * Mechanics: one `repartitionByRange` over (metric, dt, hr, z) gives
+   * every output file a contiguous, disjoint z-range (range partitioning is
+   * a global sort boundary — `numFiles` is the TOTAL file budget across
+   * dirs, each dir receiving the ranges that intersect it), then
+   * `sortWithinPartitions` lays rows z-ordered inside each file so row
+   * groups inherit the same tight envelopes. Both x and y must already be
+   * small non-negative ints (bucket upstream; 0 <= x,y < 2^bits).
+   *
+   * Scale shape: exactly one extra shuffle (the range exchange) over the
+   * plain [[write]]; the sort is per-partition, spillable, and the z column
+   * is dropped before write (it is derivable, not stored).
+   */
+  def writeZOrdered(points: DataFrame, dataDir: String,
+                    xCol: org.apache.spark.sql.Column, yCol: org.apache.spark.sql.Column,
+                    bits: Int = 8, numFiles: Int = 32,
+                    mode: SaveMode = SaveMode.Append): Unit = {
+    require(numFiles >= 1, "numFiles >= 1")
+    PutLineIngest.withPartitionColumns(points)
+      .withColumn("_z", graft.operators.Layout.mortonKey(xCol, yCol, bits))
+      .repartitionByRange(numFiles, col("metric"), col("dt"), col("hr"), col("_z"))
+      .sortWithinPartitions(col("metric"), col("dt"), col("hr"), col("_z"))
+      .drop("_z")
+      .write.mode(mode).partitionBy("metric", "dt", "hr").parquet(dataDir)
+  }
+
   /** Read the store back as the canonical schema (partition cols retained for
     * pruning; `ts` stays the epoch-ms source of truth). */
   def read(spark: SparkSession, dataDir: String): DataFrame =

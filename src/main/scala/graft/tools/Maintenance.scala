@@ -92,6 +92,68 @@ object Maintenance {
     Report(dryRun, dropped, before, after)
   }
 
+  /** What one SCD2-dimension maintenance pass did (or would do). */
+  case class Scd2Report(
+      dryRun: Boolean,
+      bootstrap: Boolean,
+      rowsBefore: Long,
+      rowsAfter: Long,
+      openBefore: Long,
+      openAfter: Long) {
+    def render: String =
+      s"scd2${if (dryRun) " (DRY RUN)" else ""}: " +
+        s"${if (bootstrap) "bootstrapped" else "applied delta"}; " +
+        s"history $rowsBefore -> $rowsAfter rows, open $openBefore -> $openAfter"
+  }
+
+  /**
+   * Maintained SCD2 dimension on the store: the history directory holds the
+   * [[graft.operators.Cdc.scd2]] frame, and each pass folds ONE event delta
+   * in via [[graft.operators.Cdc.scd2Apply]] — closed intervals are never
+   * recomputed, so a pass costs O(delta + open keys) regardless of history
+   * size (the 100 TB dimension-table maintenance shape). First pass on a
+   * missing directory bootstraps with the batch [[graft.operators.Cdc.scd2]].
+   * The rewrite stages into `<dimDir>.tmp` and swaps via rename, like the
+   * meta catalog in [[run]] — readers never observe a half-written
+   * dimension. Dry-run reports the would-be delta, touching nothing.
+   */
+  def scd2Maintain(
+      spark: SparkSession,
+      dimDir: String,
+      events: org.apache.spark.sql.DataFrame,
+      keyCol: String,
+      attrCol: String,
+      tsExpr: org.apache.spark.sql.Column,
+      tieCol: String,
+      dryRun: Boolean = false): Scd2Report = {
+    import graft.operators.Cdc
+    val fs = new Path(dimDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val exists = fs.exists(new Path(dimDir))
+    val before = if (exists) spark.read.parquet(dimDir) else null
+    val rowsBefore = if (exists) before.count() else 0L
+    val openBefore =
+      if (exists) before.where(org.apache.spark.sql.functions.col("is_current") === 1L).count()
+      else 0L
+    val next =
+      if (exists) Cdc.scd2Apply(before, events, keyCol, attrCol, tsExpr, tieCol)
+      else Cdc.scd2(events, keyCol, attrCol, tsExpr, tieCol)
+    if (dryRun) {
+      val rowsAfter = next.count()
+      val openAfter = next.where(org.apache.spark.sql.functions.col("is_current") === 1L).count()
+      Scd2Report(dryRun = true, bootstrap = !exists, rowsBefore, rowsAfter, openBefore, openAfter)
+    } else {
+      val tmp = new Path(dimDir + ".tmp")
+      next.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      val written = spark.read.parquet(tmp.toString)
+      val rowsAfter = written.count()
+      val openAfter = written.where(org.apache.spark.sql.functions.col("is_current") === 1L).count()
+      val target = new Path(dimDir)
+      fs.delete(target, true)
+      fs.rename(tmp, target)
+      Scd2Report(dryRun = false, bootstrap = !exists, rowsBefore, rowsAfter, openBefore, openAfter)
+    }
+  }
+
   private def partitionMetrics(spark: SparkSession, dataDir: String): Seq[String] = {
     val root = new Path(dataDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)

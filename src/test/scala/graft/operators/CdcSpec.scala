@@ -156,6 +156,50 @@ class CdcSpec extends AnyFunSuite with SparkSpec {
     q.stop()
   }
 
+  test("scd2Apply: N incremental applies == one batch rebuild, hash-equal") {
+    // 3 users x 40 events with frequent attr flips, split into 4 time-ordered
+    // batches (the maintained-dimension ingest shape)
+    val all = (0 until 120).map { i =>
+      val u = (i % 3).toLong
+      val t = (i / 3).toLong * 10L
+      val attr = s"v${(i / 7) % 4}"
+      (u, attr, t, i.toLong)
+    }
+    val batches = all.grouped(30).map(_.toDF("user_id", "attr", "ms", "event_id")).toSeq
+    val full = all.toDF("user_id", "attr", "ms", "event_id")
+    val batchRebuild = Cdc.scd2(full, "user_id", "attr", col("ms"), "event_id")
+      .collect().map(_.toSeq).toSet
+    var history = Cdc.scd2(batches.head, "user_id", "attr", col("ms"), "event_id")
+    batches.tail.foreach { b =>
+      history = Cdc.scd2Apply(history, b, "user_id", "attr", col("ms"), "event_id")
+    }
+    assert(history.collect().map(_.toSeq).toSet == batchRebuild)
+  }
+
+  test("scd2Apply folds in brand-new keys alongside existing ones") {
+    val h0 = Cdc.scd2(Seq((1L, "a", 10L, 1L)).toDF("user_id", "attr", "ms", "event_id"),
+      "user_id", "attr", col("ms"), "event_id")
+    val h1 = Cdc.scd2Apply(h0,
+      Seq((1L, "b", 20L, 2L), (9L, "x", 15L, 3L)).toDF("user_id", "attr", "ms", "event_id"),
+      "user_id", "attr", col("ms"), "event_id")
+    val rows = h1.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getAs[Long]("version"), r.getAs[Long]("is_current"))).toSet
+    assert(rows == Set((1L, "a", 1L, 0L), (1L, "b", 2L, 1L), (9L, "x", 1L, 1L)))
+  }
+
+  test("scd2Apply throws on a delta that precedes the open interval") {
+    val h0 = Cdc.scd2(Seq((1L, "a", 100L, 1L)).toDF("user_id", "attr", "ms", "event_id"),
+      "user_id", "attr", col("ms"), "event_id")
+    val e = intercept[Exception] {
+      Cdc.scd2Apply(h0,
+        Seq((1L, "b", 50L, 2L)).toDF("user_id", "attr", "ms", "event_id"),
+        "user_id", "attr", col("ms"), "event_id").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("event-time regression")))
+  }
+
   test("aggDeltaAudit: base + delta equals the v2 recompute, per slice") {
     val delta = Cdc.snapshotDelta(v1, v2, Seq("doc_id"), "n_chars", Seq("source"))
     val a = Cdc.aggDeltaAudit(delta, Seq("source"))

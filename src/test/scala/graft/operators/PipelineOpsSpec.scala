@@ -832,6 +832,36 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(m.px_sum > 0L) // pixel VALUES are lossy — only geometry is pinned
   }
 
+  test("mixed-codec corpus: codec sniff + geometry exact under both readers") {
+    // 5 -> JPEG (d % 5 == 0), 1/4 -> PNG; 20 -> JPEG AND gray (d % 4 == 0)
+    val media = Multimodal.syntheticImagesMixed(
+      docs(1L -> base, 4L -> base, 5L -> base, 20L -> base))
+    val geoms = Multimodal.imageGeometry(media).collect().map(g => g.media_id -> g).toMap
+    for (d <- Seq(1L, 4L, 5L, 20L)) {
+      val (w, h, c, _) = expectedImage(d)
+      val g = geoms(d)
+      assert(g.codec == (if (d % 5 == 0) "jpeg" else "png"), s"doc $d")
+      assert((g.width, g.height, g.channels) == ((w, h, c)), s"doc $d geometry")
+    }
+    // JPEG decode is deterministic within one JDK: re-decoding the same
+    // payload reproduces identical pixel statistics (the fixture pin that
+    // makes a lossy codec still regression-checkable)
+    val jpegOnly = media.where(org.apache.spark.sql.functions.col("media_id") % 5 === 0)
+    val s1 = Multimodal.imageDecode(jpegOnly).collect().map(m => m.media_id -> m.px_sum).toMap
+    val s2 = Multimodal.imageDecode(jpegOnly).collect().map(m => m.media_id -> m.px_sum).toMap
+    assert(s1 == s2 && s1.values.forall(_ > 0L))
+    // lossy but close: JPEG pixel mean within 5% of the analytic PNG mean
+    val pngMeans = Seq(5L, 20L).map { d =>
+      val (w, h, c, sum) = expectedImage(d)
+      d -> sum.toDouble / (w * h * c).toDouble
+    }.toMap
+    Multimodal.imageDecode(jpegOnly).collect().foreach { m =>
+      val exact = pngMeans(m.media_id)
+      assert(math.abs(m.px_mean - exact) / exact < 0.05,
+        s"doc ${m.media_id}: jpeg mean ${m.px_mean} vs exact $exact")
+    }
+  }
+
   test("video frame-sample stub: every-Nth frame indices from payload size") {
     // doc 2 -> media_type video (doc_id % 3 == 2 -> index 3); frames = bytes/64
     val media = Multimodal.asMediaTable(docs(1L -> base, 2L -> (base * 3), 3L -> (base * 5)))

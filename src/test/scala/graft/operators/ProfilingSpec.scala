@@ -59,6 +59,43 @@ class ProfilingSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("columnProfileApprox matches the exact profiler on everything but n_distinct") {
+    // 5000 rows x 3 columns, distinct cardinalities 5000 / 100 / 50
+    val big = (0 until 5000).map(i => (i.toLong, s"s${i % 100}", (i % 50).toDouble))
+      .toDF("id", "s", "v")
+    val exact = Profiling.columnProfile(big, Seq("id", "s", "v"))
+      .collect().map(r => r.getAs[String]("column") -> r).toMap
+    val approx = Profiling.columnProfileApprox(big, Seq("id", "s", "v"))
+      .collect().map(r => r.getAs[String]("column") -> r).toMap
+    Seq("id", "s", "v").foreach { c =>
+      val e = exact(c); val a = approx(c)
+      assert(a.getAs[Long]("n_rows") == e.getAs[Long]("n_rows"))
+      assert(a.getAs[Long]("n_null") == e.getAs[Long]("n_null"))
+      Seq("min_num", "max_num", "avg_len").foreach { f =>
+        assert(a.isNullAt(a.fieldIndex(f)) == e.isNullAt(e.fieldIndex(f)))
+        if (!a.isNullAt(a.fieldIndex(f)))
+          assert(a.getAs[Double](f) == e.getAs[Double](f), s"$c.$f")
+      }
+      // HLL++ at rsd=0.015: allow 5% (loose bound; seeds are deterministic)
+      val eD = e.getAs[Long]("n_distinct").toDouble
+      val aD = a.getAs[Long]("n_distinct").toDouble
+      assert(math.abs(aD - eD) / eD <= 0.05, s"$c distinct: exact=$eD approx=$aD")
+    }
+  }
+
+  test("columnProfileApprox plans WITHOUT the Expand row multiplier") {
+    val exactPlan = Profiling.columnProfile(d, Seq("id", "s", "v"))
+      .queryExecution.executedPlan.toString
+    val approxPlan = Profiling.columnProfileApprox(d, Seq("id", "s", "v"))
+      .queryExecution.executedPlan.toString
+    // the exact multi-countDistinct plans via Expand (k-way row blowup
+    // before the shuffle — the documented audit-tier cost); the HLL form
+    // must not
+    assert(exactPlan.contains("Expand"), s"exact profiler plan changed:\n$exactPlan")
+    assert(!approxPlan.contains("Expand"),
+      s"approx profiler must fold sketches without Expand:\n$approxPlan")
+  }
+
   test("joinSkewProfile: exact extremes, nearest-rank picks, shard balance") {
     // key counts: k1 x 8, k2 x 4, k3..k6 x 1 -> 6 keys, 16 rows
     val rows = (Seq.fill(8)(1L) ++ Seq.fill(4)(2L) ++ Seq(3L, 4L, 5L, 6L))

@@ -100,4 +100,44 @@ class SimilarityIvfSpec extends AnyFunSuite with SparkSpec {
     // probing every list IS brute force: recall exactly 1 everywhere
     assert(r8.values.forall(_ == 1.0))
   }
+
+  test("assignStream == batch assign, bit-exact (vec_id -> list_id and vnorm)") {
+    val cents = SimilarityIvf.centroids(clustered, 8)
+    val batch = SimilarityIvf.assign(clustered, cents)
+      .select("vec_id", "list_id", "vnorm")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    val stream = SimilarityIvf.assignStream(clustered, cents)
+      .select("vec_id", "list_id", "vnorm")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    assert(stream == batch)
+    assert(batch.values.map(_._1).toSet.size > 1, "fixture should span several lists")
+  }
+
+  test("assignStream per micro-batch equals the batch assignment restricted to new ids") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val cents = SimilarityIvf.centroids(clustered, 8) // the persisted index
+    val rows = clustered.as[(Long, Array[Float])].collect()
+    val input = MemoryStream[(Long, Array[Float])]
+    val seen = scala.collection.mutable.ArrayBuffer[(Long, Int)]()
+    val q = SimilarityIvf.assignStream(
+        input.toDS().toDF("vec_id", "embedding"), cents)
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val f = b.select("vec_id", "list_id").collect()
+          .map(r => (r.getLong(0), r.getInt(1)))
+        seen.synchronized { seen ++= f }
+        ()
+      }.start()
+    input.addData(rows.take(40).toSeq: _*)
+    q.processAllAvailable()
+    input.addData(rows.drop(40).toSeq: _*) // the "new embeddings" increment
+    q.processAllAvailable()
+    q.stop()
+    val batch = SimilarityIvf.assign(clustered, cents)
+      .select("vec_id", "list_id").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(seen.size == rows.length)
+    assert(seen.toMap == batch)
+  }
 }

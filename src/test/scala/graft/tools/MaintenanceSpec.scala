@@ -69,4 +69,33 @@ class MaintenanceSpec extends AnyFunSuite with SparkSpec {
     assert(r2.droppedPartitions.isEmpty)
     assert(r2.metaRowsBefore == 1 && r2.metaRowsAfter == 1)
   }
+
+  test("scd2Maintain: bootstrap, incremental applies == batch rebuild, dry-run inert") {
+    import org.apache.spark.sql.functions.col
+    val dim = Files.createTempDirectory("graft-scd2dim").toString + "/dim"
+    val all = (0 until 90).map { i =>
+      val u = (i % 3).toLong
+      (u, s"v${(i / 5) % 3}", (i / 3).toLong * 10L, i.toLong)
+    }
+    val batches = all.grouped(30).map(_.toDF("user_id", "attr", "ms", "event_id")).toSeq
+    // pass 1 bootstraps from an empty dir
+    val r1 = Maintenance.scd2Maintain(spark, dim, batches.head,
+      "user_id", "attr", col("ms"), "event_id")
+    assert(r1.bootstrap && r1.rowsBefore == 0L && r1.rowsAfter > 0L)
+    // dry run on the second delta reports without touching the store
+    val before = spark.read.parquet(dim).collect().map(_.toSeq).toSet
+    val dry = Maintenance.scd2Maintain(spark, dim, batches(1),
+      "user_id", "attr", col("ms"), "event_id", dryRun = true)
+    assert(dry.dryRun && !dry.bootstrap && dry.rowsAfter > dry.rowsBefore)
+    assert(spark.read.parquet(dim).collect().map(_.toSeq).toSet == before, "dry run wrote")
+    // real incremental passes converge to the batch rebuild, hash-equal
+    batches.tail.foreach { b =>
+      Maintenance.scd2Maintain(spark, dim, b, "user_id", "attr", col("ms"), "event_id")
+    }
+    val rebuilt = graft.operators.Cdc.scd2(
+        all.toDF("user_id", "attr", "ms", "event_id"),
+        "user_id", "attr", col("ms"), "event_id")
+      .collect().map(_.toSeq).toSet
+    assert(spark.read.parquet(dim).collect().map(_.toSeq).toSet == rebuilt)
+  }
 }
