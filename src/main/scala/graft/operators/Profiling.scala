@@ -363,6 +363,36 @@ object Profiling {
       .toDF(typeCol, "day", "n_events", "hours_present", "hours_missing", "is_complete")
   }
 
+  /** Streaming arm of the join-skew pre-flight ([[joinSkewProfile]] is the
+    * batch report): per-key RUNNING counts in `flatMapGroupsWithState`, one
+    * LONG per key, emitting a row the moment a key CROSSES `threshold` —
+    * the "salt this join" alarm raised while the data is still arriving,
+    * instead of after a 100 TB shuffle has already skewed. Append-safe by
+    * construction (a key crosses once; state never retracts); keys that
+    * stay light cost one long of state and emit nothing.
+    *
+    * Spec-pinned equivalence: one-batch-stream == the batch per-key counts
+    * restricted to keys with count >= threshold (n_at_cross = the running
+    * count at the crossing batch, >= threshold and <= the key's total). */
+  def heavyKeysStream(df: DataFrame, keyCol: String, threshold: Long): DataFrame = {
+    require(threshold >= 1, "threshold >= 1")
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds = df.select(col(keyCol).cast("long")).as[Long]
+    ds.groupByKey(identity)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[Long], state: GroupState[Long]) =>
+          val prev = state.getOption.getOrElse(0L)
+          val now = prev + rows.size
+          state.update(now)
+          if (prev < threshold && now >= threshold)
+            Iterator.single((key, now, threshold))
+          else Iterator.empty
+      }
+      .toDF(keyCol, "n_at_cross", "threshold")
+  }
+
   /** Second-digit Benford expectations P(d) = sum_{d1=1..9} log10(1 +
     * 1/(10*d1 + d)), d = 0..9 — the harder-to-fake law (fabricators who
     * know the first-digit law rarely match the second). Shared with the

@@ -152,6 +152,21 @@ object AuditQueries {
     "cdc_scd2" -> ((s, dir) =>
       Cdc.scd2(events(s, dir), "user_id", "event_type",
         expr("ts div 1000000"), "event_id")),
+    // the INCREMENTAL path under the driver's own oracle: history built
+    // from the first half of the time range, the second half folded in via
+    // scd2Apply — the oracle is the IDENTICAL batch SCD2 SQL, so the driver
+    // hash-checks incremental == batch (the maintained-dimension contract).
+    // The midpoint cut is derived from exact min/max (one 1-row collect)
+    "cdc_scd2_incr" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("user_id"), col("event_type"),
+        expr("ts div 1000000").as("ms"), col("event_id"))
+      val mm = ev.agg(min(col("ms")), max(col("ms"))).head
+      val cut = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+      val history = Cdc.scd2(ev.where(col("ms") < cut),
+        "user_id", "event_type", col("ms"), "event_id")
+      Cdc.scd2Apply(history, ev.where(col("ms") >= cut),
+        "user_id", "event_type", col("ms"), "event_id")
+    }),
     // incremental-aggregate maintenance audit: per-source base+delta vs
     // the independent v2 recompute, with exact match flags
     "cdc_incr_agg" -> ((s, dir) =>
@@ -472,6 +487,20 @@ object AuditQueries {
          |FROM e""".stripMargin
     },
     "cdc_scd2" ->
+      """WITH b AS (SELECT user_id, event_type, epoch_ms(ts) AS ms, event_id FROM events),
+        |c AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev
+        |      FROM b),
+        |ch AS (SELECT user_id, event_type, ms, event_id FROM c
+        |       WHERE prev IS NULL OR event_type IS DISTINCT FROM prev)
+        |SELECT user_id, event_type, ms AS valid_from,
+        |       lead(ms) OVER w AS valid_to,
+        |       CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+        |       CAST(CASE WHEN lead(ms) OVER w IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+        |FROM ch
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)""".stripMargin,
+    // the batch SCD2 SQL VERBATIM: the incremental gate's whole point is
+    // that the delta-applied history hashes equal to the batch rebuild
+    "cdc_scd2_incr" ->
       """WITH b AS (SELECT user_id, event_type, epoch_ms(ts) AS ms, event_id FROM events),
         |c AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev
         |      FROM b),

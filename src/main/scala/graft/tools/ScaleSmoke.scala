@@ -689,6 +689,11 @@ object ScaleSmoke {
         docs.withColumn("lang", (col("doc_id") % 4).cast("string")),
         Seq("doc_id", "text", "lang")).count()
     }
+    t("columnProfileApprox (HLL sketches, NO Expand row multiplier)") {
+      graft.operators.Profiling.columnProfileApprox(
+        docs.withColumn("lang", (col("doc_id") % 4).cast("string")),
+        Seq("doc_id", "text", "lang")).count()
+    }
     t("truncRecall (8/16/32-dim prefixes vs full-dim top-k, sampled probes)") {
       graft.operators.Similarity.truncRecall(emb, dims = Seq(8, 16, 32), k = 10,
         probeMod = math.max(1L, n * embReps / 20)).count()

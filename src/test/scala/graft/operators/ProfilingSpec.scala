@@ -195,6 +195,39 @@ class ProfilingSpec extends AnyFunSuite with SparkSpec {
     assert(streamed.head(5) == 1L, "day 0 is complete")
   }
 
+  test("heavyKeysStream: one-batch run == batch keys at/over the threshold") {
+    // key 1: 5 rows, key 2: 3 rows, key 3: 1 row; threshold 3
+    val df = (Seq.fill(5)(1L) ++ Seq.fill(3)(2L) ++ Seq(3L)).toDF("user_id")
+    val got = Profiling.heavyKeysStream(df, "user_id", threshold = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.keySet == Set(1L, 2L))
+    // n_at_cross is the running count when the batch folded (whole batch here)
+    assert(got(1L) == 5L && got(2L) == 3L)
+  }
+
+  test("heavyKeysStream crosses exactly once across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Long]
+    val seen = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val q = Profiling.heavyKeysStream(input.toDS().toDF("user_id"), "user_id", 4L)
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val f = b.collect().map(r => (r.getLong(0), r.getLong(1)))
+        seen.synchronized { seen ++= f }
+        ()
+      }.start()
+    input.addData(1L, 1L, 1L)        // below threshold: silent
+    q.processAllAvailable()
+    assert(seen.isEmpty)
+    input.addData(1L, 1L, 2L)        // key 1 crosses at 5
+    q.processAllAvailable()
+    input.addData(1L, 1L)            // already heavy: no re-emit
+    q.processAllAvailable()
+    q.stop()
+    assert(seen.toSeq == Seq((1L, 5L)))
+  }
+
   test("benford2: second digit picked, sub-two-digit rows excluded, expectations sum to 1") {
     // values scale to n6 = 1234567 (d2=2), 9 (excluded: one digit), 105000000 (d2=0)
     val df = Seq(1.234567, 0.000009, 105.0).map(Tuple1(_)).toDF("value")
