@@ -154,6 +154,67 @@ object Maintenance {
     }
   }
 
+  /** What one z-order compaction pass did (or would do). */
+  case class CompactReport(
+      dryRun: Boolean,
+      rows: Long,
+      filesBefore: Long,
+      filesAfter: Long,
+      skipBefore: Double,
+      skipAfter: Double) {
+    def render: String =
+      f"compact${if (dryRun) " (DRY RUN)" else ""}: $rows rows, " +
+        f"files $filesBefore -> $filesAfter, x-slab skip ratio " +
+        f"$skipBefore%.2f -> $skipAfter%.2f"
+  }
+
+  /**
+   * Z-order COMPACTION of an existing store: rewrite a (typically
+   * append-accumulated, small-files) store directory through
+   * [[PointStore.writeZOrdered]], so both the file-count pressure the
+   * census reports and the residual-dimension skip ratio improve in one
+   * pass — the ops move after [[PointStore.census]] flags a bloated day.
+   * The rewrite stages into `<dataDir>.tmp` + rename-swap (same pattern as
+   * the meta catalog in [[run]]). The report carries MEASURED before/after
+   * per-file envelope skip ratios for the given x-slab
+   * ([[graft.operators.Layout.filePruneReport]] on the real files), so the
+   * operator sees what the rewrite bought, not folklore.
+   */
+  def compactZOrder(
+      spark: SparkSession,
+      dataDir: String,
+      xCol: org.apache.spark.sql.Column,
+      yCol: org.apache.spark.sql.Column,
+      bits: Int,
+      numFiles: Int,
+      auditXLo: Long,
+      auditXHi: Long,
+      dryRun: Boolean = false): CompactReport = {
+    import graft.operators.Layout
+    def skipOf(df: org.apache.spark.sql.DataFrame): Double =
+      Layout.filePruneReport(Layout.fileEnvelopes(df, xCol, yCol), auditXLo, auditXHi)
+        .collect().head.getAs[Double]("file_skip_ratio")
+    def nFiles(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(org.apache.spark.sql.functions.input_file_name()).distinct().count()
+    val before = PointStore.read(spark, dataDir)
+    val rows = before.count()
+    val filesBefore = nFiles(before)
+    val skipBefore = skipOf(before)
+    if (dryRun) return CompactReport(dryRun = true, rows, filesBefore, filesBefore,
+      skipBefore, skipBefore)
+    val fs = new Path(dataDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = dataDir + ".tmp"
+    // drop the derived partition cols before rewrite: writeZOrdered re-adds
+    // them from ts, and a duplicate dt/hr column would break partitionBy
+    PointStore.writeZOrdered(before.drop("dt", "hr"), tmp, xCol, yCol, bits, numFiles,
+      mode = SaveMode.Overwrite)
+    val target = new Path(dataDir)
+    fs.delete(target, true)
+    fs.rename(new Path(tmp), target)
+    val after = PointStore.read(spark, dataDir)
+    CompactReport(dryRun = false, rows, filesBefore, nFiles(after), skipBefore, skipOf(after))
+  }
+
   private def partitionMetrics(spark: SparkSession, dataDir: String): Seq[String] = {
     val root = new Path(dataDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)

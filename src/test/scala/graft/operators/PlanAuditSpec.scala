@@ -782,4 +782,51 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(!bq.queryExecution.executedPlan.toString.contains("CartesianProduct"))
     assert(bq.count() == 1)
   }
+
+  test("assignStream is a pure projection — no exchange, no aggregate, no join") {
+    val emb = (0L until 32L)
+      .map(i => (i, Array.tabulate(8)(d => ((i + d) % 5).toFloat)))
+      .toDF("vec_id", "embedding")
+    val cents = SimilarityIvf.centroids(emb, 4)
+    val plan = SimilarityIvf.assignStream(emb, cents)
+      .queryExecution.executedPlan.toString
+    // the streaming increment must stay embarrassingly parallel: centroids
+    // inline as literals, every row maps locally — any Exchange/Aggregate
+    // here would also make the operator illegal in append-mode streaming
+    Seq("Exchange", "Aggregate", "Join", "Window").foreach { op =>
+      assert(!plan.contains(op), s"assignStream plan must not contain $op:\n$plan")
+    }
+  }
+
+  test("scd2Apply: the closed history passes through with NO exchange above its scan") {
+    val ev = (0 until 60).map { i =>
+      ((i % 3).toLong, s"v${(i / 5) % 3}", (i / 3).toLong * 10L, i.toLong)
+    }.toDF("user_id", "attr", "ms", "event_id")
+    val history = Cdc.scd2(ev.where(col("ms") < 100L),
+      "user_id", "attr", col("ms"), "event_id")
+      .localCheckpoint() // materialize so the apply plan starts from a scan
+    val applied = Cdc.scd2Apply(history, ev.where(col("ms") >= 100L),
+      "user_id", "attr", col("ms"), "event_id")
+    val plan = applied.queryExecution.executedPlan
+    val unwrapped = plan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    // find the union branch that filters is_current = 0 (the closed side)
+    // and assert no Exchange sits between it and the union — a pass must
+    // cost O(delta + open), never reshuffle immutable history
+    val txt = unwrapped.toString
+    val unionIdx = txt.indexOf("Union")
+    assert(unionIdx >= 0, s"expected a Union in the apply plan:\n$txt")
+    val branches = txt.substring(unionIdx).linesIterator.toSeq
+    val closedLine = branches.indexWhere(_.contains("is_current#"))
+    assert(branches.take(math.max(closedLine, 0)).nonEmpty || closedLine >= 0,
+      s"expected the closed-side filter under the Union:\n$txt")
+    // the closed branch is the LAST union child (unionByName order): from
+    // its filter line to the end there must be no Exchange
+    val lastFilter = branches.lastIndexWhere(l => l.contains("Filter") && l.contains("is_current"))
+    assert(lastFilter >= 0, s"closed-side filter not found:\n$txt")
+    assert(!branches.drop(lastFilter).exists(_.contains("Exchange")),
+      s"closed history must not reshuffle:\n$txt")
+  }
 }

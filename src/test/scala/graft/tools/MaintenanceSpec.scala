@@ -70,6 +70,35 @@ class MaintenanceSpec extends AnyFunSuite with SparkSpec {
     assert(r2.metaRowsBefore == 1 && r2.metaRowsAfter == 1)
   }
 
+  test("compactZOrder: small-files store rewrites to fewer, skippable files; dry-run inert") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-compact").toString + "/data"
+    val T = 1704067200000L
+    // 32 tiny appends in TIME order (the realistic small-files accumulation
+    // shape — each append is a 2-second slice spanning every x): 64x64 grid,
+    // value = x dim, seconds-into-hour = y dim, ONE (metric, dt, hr) dir
+    val rows = for (y <- 0 until 64; x <- 0 until 64)
+      yield MetricPoint("sys.cpu.user", T + y * 1000L, x.toDouble, Map("h" -> "a"), None)
+    rows.grouped(128).foreach(g => PointStore.write(g.toSeq.toDF().coalesce(1), dir))
+    val xDim = col("value").cast("long")
+    val yDim = ((col("ts") - org.apache.spark.sql.functions.lit(T)) /
+      org.apache.spark.sql.functions.lit(1000L)).cast("long")
+    val dry = Maintenance.compactZOrder(spark, dir, xDim, yDim,
+      bits = 6, numFiles = 8, auditXLo = 16L, auditXHi = 23L, dryRun = true)
+    assert(dry.dryRun && dry.rows == 4096L && dry.filesBefore >= 32L)
+    assert(dry.skipBefore == dry.skipAfter, "dry run measures, never rewrites")
+    val r = Maintenance.compactZOrder(spark, dir, xDim, yDim,
+      bits = 6, numFiles = 8, auditXLo = 16L, auditXHi = 23L)
+    assert(r.rows == 4096L)
+    assert(r.filesAfter < r.filesBefore, s"compaction must shrink file count: $r")
+    assert(r.skipAfter >= 0.5 && r.skipAfter > r.skipBefore,
+      s"z-order rewrite must make the x-slab skippable: $r")
+    // content survives byte-identically (logical rows, new layout)
+    assert(PointStore.read(spark, dir).count() == 4096L)
+    assert(PointStore.read(spark, dir)
+      .where(col("value") === 7.0 && col("ts") === T + 9000L).count() == 1L)
+  }
+
   test("scd2Maintain: bootstrap, incremental applies == batch rebuild, dry-run inert") {
     import org.apache.spark.sql.functions.col
     val dim = Files.createTempDirectory("graft-scd2dim").toString + "/dim"
