@@ -215,6 +215,70 @@ object Maintenance {
     CompactReport(dryRun = false, rows, filesBefore, nFiles(after), skipBefore, skipOf(after))
   }
 
+  /** What one IVF-index maintenance pass did (or would do). */
+  case class IvfReport(
+      dryRun: Boolean,
+      bootstrap: Boolean,
+      vectorsBefore: Long,
+      vectorsAfter: Long,
+      nLists: Long) {
+    def render: String =
+      s"ivf${if (dryRun) " (DRY RUN)" else ""}: " +
+        s"${if (bootstrap) "trained + assigned" else "assigned increment"}; " +
+        s"index $vectorsBefore -> $vectorsAfter vectors over $nLists lists"
+  }
+
+  /**
+   * Maintained IVF ANN index on the store: `indexDir/centroids` holds the
+   * trained centroid frame (fixed between retrains), `indexDir/assignments`
+   * the (vec_id, embedding, vnorm, list_id) rows. Bootstrap trains seeded
+   * centroids ([[graft.operators.SimilarityIvf.centroids]]) and batch-
+   * assigns the corpus; every later pass folds ONE increment of NEW vectors
+   * in via the stateless [[graft.operators.SimilarityIvf.assignStream]]
+   * (bit-equal to the batch assign by its spec) and APPENDS — existing
+   * assignments are immutable under fixed centroids, so a pass costs
+   * O(increment), never O(index). Search composes unchanged:
+   * [[graft.operators.SimilarityIvf.search]](assignments, centroids, ...).
+   *
+   * Contract: increment vec_ids must be new (the index is keyed storage,
+   * not an upsert target); retraining centroids is a new bootstrap into a
+   * fresh dir, never an in-place mutation.
+   */
+  def ivfMaintain(
+      spark: SparkSession,
+      indexDir: String,
+      vecs: org.apache.spark.sql.DataFrame,
+      nLists: Int,
+      dryRun: Boolean = false): IvfReport = {
+    import graft.operators.SimilarityIvf
+    val centsPath = new Path(indexDir, "centroids")
+    val assignPath = new Path(indexDir, "assignments")
+    val fs = centsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val exists = fs.exists(centsPath)
+    if (!exists) {
+      val cents = SimilarityIvf.centroids(vecs, nLists)
+      val assigned = SimilarityIvf.assign(vecs, cents)
+      val n = if (dryRun) assigned.count() else {
+        cents.write.mode(SaveMode.Overwrite).parquet(centsPath.toString)
+        assigned.write.mode(SaveMode.Overwrite).parquet(assignPath.toString)
+        spark.read.parquet(assignPath.toString).count()
+      }
+      IvfReport(dryRun, bootstrap = true, 0L, n, nLists.toLong)
+    } else {
+      val cents = spark.read.parquet(centsPath.toString)
+      val before = spark.read.parquet(assignPath.toString).count()
+      val increment = SimilarityIvf.assignStream(vecs, cents)
+      if (dryRun)
+        IvfReport(dryRun = true, bootstrap = false, before,
+          before + increment.count(), cents.count())
+      else {
+        increment.write.mode(SaveMode.Append).parquet(assignPath.toString)
+        IvfReport(dryRun = false, bootstrap = false, before,
+          spark.read.parquet(assignPath.toString).count(), cents.count())
+      }
+    }
+  }
+
   private def partitionMetrics(spark: SparkSession, dataDir: String): Seq[String] = {
     val root = new Path(dataDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -817,6 +817,30 @@ object ScaleSmoke {
         sdocs.withColumn("n_chars", length(col("text")).cast("long")),
         "source", "n_chars", "doc_id", budget = 1000L).count()
     }
+    // round-11 maintained-index / maintained-dimension operators:
+    // O(delta + open) SCD2 apply and the pure-projection IVF increment
+    t("scd2Apply (half-history + delta; closed side never reshuffles)") {
+      val base = ev.select(col("user_id"), col("event_type"),
+        col("ts_ms").as("ms"), col("event_id"))
+      val mm = base.agg(min(col("ms")), max(col("ms"))).head
+      val cut = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+      val history = graft.operators.Cdc.scd2(base.where(col("ms") < cut),
+        "user_id", "event_type", col("ms"), "event_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      history.count() // the stored dimension: built once, not per pass
+      val t0 = System.nanoTime()
+      graft.operators.Cdc.scd2Apply(history, base.where(col("ms") >= cut),
+        "user_id", "event_type", col("ms"), "event_id").count()
+      println(f"SCALE   scd2Apply delta-only portion ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      history.unpersist()
+    }
+    t("assignStream (literal centroids, zero-shuffle projection)") {
+      val cents = graft.operators.SimilarityIvf.centroids(emb, 16)
+      graft.operators.SimilarityIvf.assignStream(emb, cents).count()
+    }
+    t("heavyKeysStream on batch (per-key state fold, crossing emission)") {
+      graft.operators.Profiling.heavyKeysStream(ev, "user_id", threshold = 50L).count()
+    }
     spark.stop()
   }
 }

@@ -84,19 +84,57 @@ class MaintenanceSpec extends AnyFunSuite with SparkSpec {
     val yDim = ((col("ts") - org.apache.spark.sql.functions.lit(T)) /
       org.apache.spark.sql.functions.lit(1000L)).cast("long")
     val dry = Maintenance.compactZOrder(spark, dir, xDim, yDim,
-      bits = 6, numFiles = 8, auditXLo = 16L, auditXHi = 23L, dryRun = true)
+      bits = 6, numFiles = 16, auditXLo = 16L, auditXHi = 23L, dryRun = true)
     assert(dry.dryRun && dry.rows == 4096L && dry.filesBefore >= 32L)
     assert(dry.skipBefore == dry.skipAfter, "dry run measures, never rewrites")
     val r = Maintenance.compactZOrder(spark, dir, xDim, yDim,
-      bits = 6, numFiles = 8, auditXLo = 16L, auditXHi = 23L)
+      bits = 6, numFiles = 16, auditXLo = 16L, auditXHi = 23L)
     assert(r.rows == 4096L)
     assert(r.filesAfter < r.filesBefore, s"compaction must shrink file count: $r")
+    // 16 z-range files over the 64x64 grid: the x-slab needs only the
+    // x5=0/x4=1 quadrant-files; range-sampled boundaries cost at most one
+    // extra touched file, so >= 0.5 is safe at 16 files (it is NOT at 8)
     assert(r.skipAfter >= 0.5 && r.skipAfter > r.skipBefore,
       s"z-order rewrite must make the x-slab skippable: $r")
     // content survives byte-identically (logical rows, new layout)
     assert(PointStore.read(spark, dir).count() == 4096L)
     assert(PointStore.read(spark, dir)
       .where(col("value") === 7.0 && col("ts") === T + 9000L).count() == 1L)
+  }
+
+  test("ivfMaintain: bootstrap + increments == one batch assign under fixed centroids") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-ivfdim").toString + "/index"
+    val all = (0L until 120L).map { i =>
+      (i, Array.tabulate(8)(d => (((i * 31 + d * 7) % 100) / 10).toFloat))
+    }.toDF("vec_id", "embedding")
+    val r1 = Maintenance.ivfMaintain(spark, dir, all.where(col("vec_id") < 60L), nLists = 6)
+    assert(r1.bootstrap && r1.vectorsAfter == 60L && r1.nLists == 6L)
+    // dry-run increment reports without writing
+    val dry = Maintenance.ivfMaintain(spark, dir,
+      all.where(col("vec_id") >= 60L && col("vec_id") < 90L), nLists = 6, dryRun = true)
+    assert(dry.dryRun && !dry.bootstrap && dry.vectorsAfter == 90L)
+    assert(spark.read.parquet(s"$dir/assignments").count() == 60L, "dry run wrote")
+    // two real increments
+    Maintenance.ivfMaintain(spark, dir,
+      all.where(col("vec_id") >= 60L && col("vec_id") < 90L), nLists = 6)
+    val r3 = Maintenance.ivfMaintain(spark, dir, all.where(col("vec_id") >= 90L), nLists = 6)
+    assert(r3.vectorsBefore == 90L && r3.vectorsAfter == 120L)
+    // the maintained index equals one batch assign under the SAME persisted
+    // centroids — bit-exact on (vec_id, list_id, vnorm)
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val batch = graft.operators.SimilarityIvf.assign(all, cents)
+      .select("vec_id", "list_id", "vnorm")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    val stored = spark.read.parquet(s"$dir/assignments")
+      .select("vec_id", "list_id", "vnorm")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    assert(stored == batch)
+    // and search composes on the maintained index unchanged
+    val q = all.where(col("vec_id") % 40L === 0L)
+    val hits = graft.operators.SimilarityIvf.search(
+      spark.read.parquet(s"$dir/assignments"), cents, q, k = 3, nProbe = 6)
+    assert(hits.count() > 0L)
   }
 
   test("scd2Maintain: bootstrap, incremental applies == batch rebuild, dry-run inert") {
