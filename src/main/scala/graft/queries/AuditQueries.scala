@@ -190,6 +190,19 @@ object AuditQueries {
     // nearest-rank p50/p99, and md5-shard balance
     "events_join_skew" -> ((s, dir) =>
       Profiling.joinSkewProfile(events(s, dir), "user_id")),
+    // the batch side of the heavy-key twin pair (heavyKeysStream raises the
+    // same set as crossings while the data streams in): keys at/over the
+    // integer mean rows-per-key — a data-relative threshold, exact at any
+    // SF (total div n_keys in both engines)
+    "events_heavy_keys" -> ((s, dir) => {
+      val counts = events(s, dir).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"))
+      val thr = counts.agg(sum(col("n")).as("tot"), count(lit(1)).as("k"))
+        .select(expr("tot div k").as("thr"))
+      counts.crossJoin(broadcast(thr))
+        .where(col("n") >= col("thr"))
+        .select(col("user_id"), col("n"), col("thr"))
+    }),
     // Neyman-optimal stratified allocation of a 100-doc sample budget
     // across sources, weighted by exact-integer variance numerators
     "curate_neyman_alloc" -> ((s, dir) =>
@@ -568,6 +581,10 @@ object AuditQueries {
          |       CAST(lin_total - lin_touched AS DOUBLE) / CAST(lin_total AS DOUBLE)
          |         AS lin_skip_ratio
          |FROM zs, ls""".stripMargin,
+    "events_heavy_keys" ->
+      """WITH c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS thr FROM c)
+        |SELECT user_id, n, CAST(thr AS BIGINT) AS thr FROM c, t WHERE n >= thr""".stripMargin,
     "events_join_skew" -> {
       val shardPoly = md5Poly("substr(md5(CAST(user_id AS VARCHAR)), 1, 8)")
       s"""WITH kc AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1),

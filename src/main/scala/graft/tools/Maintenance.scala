@@ -25,6 +25,20 @@ import graft.sources.PointStore
  */
 object Maintenance {
 
+  /** Crash-safe directory swap: `old -> .bak`, `tmp -> target`, delete
+    * `.bak` — at every instant either the old or the new directory exists
+    * under a recoverable name (a plain delete-then-rename has a window
+    * where a crash loses BOTH). A leftover `.bak` after a crash is the old
+    * data; a leftover `.tmp` is an incomplete rewrite — both safe to
+    * resolve by hand, neither is data loss. */
+  private def swapDir(fs: org.apache.hadoop.fs.FileSystem, tmp: Path, target: Path): Unit = {
+    val bak = new Path(target.toString + ".bak")
+    if (fs.exists(bak)) fs.delete(bak, true)
+    if (fs.exists(target)) require(fs.rename(target, bak), s"rename $target -> $bak failed")
+    require(fs.rename(tmp, target), s"rename $tmp -> $target failed")
+    fs.delete(bak, true)
+  }
+
   /** What one maintenance pass did (or, dry run, would do). */
   case class Report(
       dryRun: Boolean,
@@ -84,9 +98,7 @@ object Maintenance {
         val tmp = new Path(metaDir + ".tmp")
         aged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
         val n = spark.read.parquet(tmp.toString).count()
-        val target = new Path(metaDir)
-        fs.delete(target, true)
-        fs.rename(tmp, target)
+        swapDir(fs, tmp, new Path(metaDir))
         n
       }
     Report(dryRun, dropped, before, after)
@@ -147,9 +159,7 @@ object Maintenance {
       val written = spark.read.parquet(tmp.toString)
       val rowsAfter = written.count()
       val openAfter = written.where(org.apache.spark.sql.functions.col("is_current") === 1L).count()
-      val target = new Path(dimDir)
-      fs.delete(target, true)
-      fs.rename(tmp, target)
+      swapDir(fs, tmp, new Path(dimDir))
       Scd2Report(dryRun = false, bootstrap = !exists, rowsBefore, rowsAfter, openBefore, openAfter)
     }
   }
@@ -208,9 +218,7 @@ object Maintenance {
     // them from ts, and a duplicate dt/hr column would break partitionBy
     PointStore.writeZOrdered(before.drop("dt", "hr"), tmp, xCol, yCol, bits, numFiles,
       mode = SaveMode.Overwrite)
-    val target = new Path(dataDir)
-    fs.delete(target, true)
-    fs.rename(new Path(tmp), target)
+    swapDir(fs, new Path(tmp), new Path(dataDir))
     val after = PointStore.read(spark, dataDir)
     CompactReport(dryRun = false, rows, filesBefore, nFiles(after), skipBefore, skipOf(after))
   }
@@ -277,6 +285,19 @@ object Maintenance {
           spark.read.parquet(assignPath.toString).count(), cents.count())
       }
     }
+  }
+
+  /** Periodic integrity audit for an [[ivfMaintain]] index: the increment
+    * contract says vec_ids are NEW each pass — this one-aggregate check
+    * (count vs distinct count, plus list-id range) catches a violated
+    * contract after the fact without putting an O(index) anti-join into
+    * every increment's hot path. Run it on the maintenance cadence, not per
+    * append. */
+  def ivfAudit(spark: SparkSession, indexDir: String): (Long, Long, Boolean) = {
+    import org.apache.spark.sql.functions._
+    val a = spark.read.parquet(new Path(indexDir, "assignments").toString)
+    val r = a.agg(count(lit(1)).as("n"), countDistinct(col("vec_id")).as("d")).head
+    (r.getLong(0), r.getLong(1), r.getLong(0) == r.getLong(1))
   }
 
   private def partitionMetrics(spark: SparkSession, dataDir: String): Seq[String] = {
