@@ -363,6 +363,44 @@ class DegenerateCorpusSpec extends AnyFunSuite with SparkSpec {
       Seq.empty[(String, Long, Double)].toDF("metric", "ts", "value")).count() == 0)
   }
 
+  test("round-11 operators survive degenerate inputs") {
+    // scd2Apply with an EMPTY delta: the history passes through unchanged
+    val ev = Seq((1L, "a", 10L, 1L), (1L, "b", 30L, 2L), (2L, "x", 5L, 3L))
+      .toDF("user_id", "attr", "ms", "event_id")
+    val h = Cdc.scd2(ev, "user_id", "attr", col("ms"), "event_id")
+    val emptyDelta = Seq.empty[(Long, String, Long, Long)]
+      .toDF("user_id", "attr", "ms", "event_id")
+    val applied = Cdc.scd2Apply(h, emptyDelta, "user_id", "attr", col("ms"), "event_id")
+    assert(applied.collect().map(_.toSeq).toSet == h.collect().map(_.toSeq).toSet)
+    // scd2Apply onto an EMPTY history frame (schema only): acts as scd2
+    val noHist = h.limit(0)
+    val boot = Cdc.scd2Apply(noHist, ev, "user_id", "attr", col("ms"), "event_id")
+    assert(boot.collect().map(_.toSeq).toSet == h.collect().map(_.toSeq).toSet)
+    // assignStream: empty input frame -> empty output; empty centroids refuse
+    val emb = Seq((1L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    val cents = SimilarityIvf.centroids(emb, 1)
+    val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(SimilarityIvf.assignStream(noVecs, cents).count() == 0)
+    intercept[IllegalArgumentException] {
+      SimilarityIvf.assignStream(emb, cents.limit(0))
+    }
+    // heavyKeysStream: threshold above every count -> silent, not wrong
+    val ks = Seq(1L, 1L, 2L).toDF("user_id")
+    assert(Profiling.heavyKeysStream(ks, "user_id", threshold = 10L).count() == 0)
+    // columnProfileApprox on an empty frame mirrors the exact profiler
+    val empty = Seq.empty[(Long, String)].toDF("id", "s")
+    val p = Profiling.columnProfileApprox(empty, Seq("id", "s"))
+      .collect().map(r => r.getAs[String]("column") -> r).toMap
+    assert(p.size == 2 && p("id").getAs[Long]("n_rows") == 0L &&
+      p("id").getAs[Long]("n_distinct") == 0L)
+    // imageGeometry refuses a non-image payload loudly (same contract as decode)
+    val junk = Seq((1L, "not an image".getBytes("UTF-8"))).toDF("media_id", "payload")
+    val e = intercept[Exception] { Multimodal.imageGeometry(junk).collect() }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("not a decodable image")))
+  }
+
   test("neymanAllocation on an all-constant corpus allocates nothing (no zero division)") {
     import spark.implicits._
     val df = (Seq.fill(10)(("a", 5L)) ++ Seq.fill(10)(("b", 7L)))
