@@ -236,6 +236,12 @@ object SimilarityIvf {
     val cl = cents.select(col("list_id").cast("int"), col("centroid"), col("cnorm"))
       .collect().sortBy(_.getInt(0))
     require(cl.nonEmpty, "empty centroid frame")
+    // the literal inlining is the right trade only while the centroid count
+    // stays plan-sized; far above any sane nLists the generated code would
+    // blow up quietly — refuse loudly instead (retrain coarser, or shard
+    // the assignment over centroid subsets)
+    require(cl.length <= 1024,
+      s"assignStream inlines centroids as literals: ${cl.length} lists exceeds the 1024 bound")
     val entries = cl.map { r =>
       val lid = r.getInt(0)
       val cvec = typedLit(r.getSeq[Float](1))
