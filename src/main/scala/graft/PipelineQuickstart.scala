@@ -280,7 +280,7 @@ object PipelineQuickstart {
       epsilon = 0.5, salt = "quickstart-release-1")
     dpAudit.orderBy("source").show(3)
     println("...and the artifact that actually leaves the pipeline (releaseView):")
-    graft.operators.Privacy.releaseView(dpAudit).orderBy("source").show(3)
+    graft.operators.Privacy.releaseView(dpAudit, Seq("source")).orderBy("source").show(3)
     // corpus v1 -> v2: the synthetic snapshot pair from the audit gates
     val v1 = raw.where(col("doc_id") % 7 =!= 0).select("doc_id", "source", "n_chars")
     val v2 = raw.where(col("doc_id") % 5 =!= 0).select(col("doc_id"), col("source"),

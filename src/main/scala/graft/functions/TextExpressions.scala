@@ -653,6 +653,111 @@ object WinnowGramMd5 {
   }
 }
 
+/**
+ * Best-window coverage over a SORTED matched-position array — the O(m)
+ * replacement for the snippet extractor's position-band self-join: given a
+ * (query, doc)'s matched positions `[(pos, w), ...]` sorted by pos, find the
+ * `window`-token span anchored at a matched position covering the most
+ * DISTINCT terms, earliest span on ties. Semantically identical to the
+ * quadratic form it replaces (anchor×member band join + countDistinct +
+ * (n_covered DESC, snip_start ASC) argmax window) — every anchor is
+ * evaluated, coverage is exact distinct-term count, strictly-greater update
+ * keeps the earliest best — so `search_snippets` / `search_highlight` stay
+ * hash-exact against the quadratic SQL oracle.
+ *
+ * One two-pointer sweep with a term-count map: add positions entering the
+ * window, drop positions behind the anchor — O(m) per pair instead of the
+ * self-join's O(m·window) rows (O(m²) on dense matches), which made the
+ * shared snippets build the bench's single most expensive entry. Duplicate
+ * positions (can't arise from matchedPositions, whose (doc, pos) rows are
+ * unique) are still handled exactly: eviction is by position, not by index.
+ *
+ * @param child `ARRAY<STRUCT<pos: INT, w: STRING>>` sorted ascending by pos
+ * @return `STRUCT<snip_start: BIGINT, n_covered: BIGINT>`; null for an
+ *         empty/null array (no matched positions — callers never produce
+ *         such a group).
+ */
+case class BestWindowCover(child: Expression, window: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(window >= 1, "window >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.ArrayType(s: org.apache.spark.sql.types.StructType, _)
+        if s.length == 2 && s(0).dataType == IntegerType && s(1).dataType == StringType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"BestWindowCover requires ARRAY<STRUCT<INT, STRING>>, got $other")
+  }
+
+  override def dataType: DataType = BestWindowCover.schema
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any): Any =
+    BestWindowCover.cover(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], window)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = "graft.functions.BestWindowCover$.MODULE$"
+    nullSafeCodeGen(ctx, ev, a => s"""
+       |${ev.value} = $helper.cover($a, $window);
+       |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BestWindowCover =
+    copy(child = newChild)
+}
+
+object BestWindowCover {
+  import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+  val schema: StructType = StructType(Seq(
+    StructField("snip_start", LongType, nullable = false),
+    StructField("n_covered", LongType, nullable = false)))
+
+  /** Two-pointer best-window sweep (see class doc). `arr` must be sorted
+    * ascending by position; terms are counted with a small hash map whose
+    * key set is bounded by the query's distinct terms. */
+  def cover(arr: org.apache.spark.sql.catalyst.util.ArrayData, window: Int):
+      org.apache.spark.sql.catalyst.expressions.GenericInternalRow = {
+    val n = arr.numElements()
+    if (n == 0) return null
+    val pos = new Array[Int](n)
+    val words = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      val r = arr.getStruct(i, 2)
+      pos(i) = r.getInt(0)
+      words(i) = r.getUTF8String(1)
+      i += 1
+    }
+    val counts = new java.util.HashMap[UTF8String, Array[Int]]()
+    var distinct = 0
+    var bestStart = 0
+    var bestCov = 0
+    var lo = 0 // first index still inside the current anchor's window
+    var hi = 0 // first index not yet added (exclusive frontier)
+    var a = 0  // anchor index
+    while (a < n) {
+      while (pos(lo) < pos(a)) { // evict positions behind the anchor
+        val slot = counts.get(words(lo))
+        slot(0) -= 1
+        if (slot(0) == 0) distinct -= 1
+        lo += 1
+      }
+      while (hi < n && pos(hi) < pos(a) + window) { // admit the window tail
+        val slot = counts.computeIfAbsent(words(hi), _ => new Array[Int](1))
+        if (slot(0) == 0) distinct += 1
+        slot(0) += 1
+        hi += 1
+      }
+      if (distinct > bestCov) { bestCov = distinct; bestStart = pos(a) }
+      a += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestStart.toLong, bestCov.toLong))
+  }
+}
+
 object TextFunctions {
   /** Column API: # whitespace words of lower(text) present in `lexicon`. */
   def lexiconHits(text: Column, lexicon: Seq[String]): Column =
@@ -692,4 +797,9 @@ object TextFunctions {
   /** Column API: sorted distinct winnowing fingerprints (see [[WinnowGramMd5]]). */
   def winnowGramMd5(text: Column, gramLen: Int, window: Int): Column =
     GraftSqlBridge.column(WinnowGramMd5(GraftSqlBridge.expression(text), gramLen, window))
+
+  /** Column API: best-window coverage struct over a sorted matched-position
+    * array (see [[BestWindowCover]]). */
+  def bestWindowCover(sortedPosWords: Column, window: Int): Column =
+    GraftSqlBridge.column(BestWindowCover(GraftSqlBridge.expression(sortedPosWords), window))
 }

@@ -196,11 +196,16 @@ object Cdc {
     * Versions are then shifted by the key's already-closed count so the
     * numbering continues seamlessly.
     *
-    * Contract (same as [[scd2Stream]], ENFORCED): per key, new event times
-    * must not precede the open interval's `valid_from` — a violating row
-    * fails the job via `raise_error` rather than silently rewriting closed
-    * history. Ties use `tieCol` (must cast to long); batch boundaries must
-    * respect event-time order for N-batch == one-batch equivalence.
+    * Contract (ENFORCED): per key, new event times must make STRICT
+    * progress past the open interval's `valid_from` — a violating row
+    * (ts <= open valid_from) fails the job via `raise_error` rather than
+    * silently rewriting closed history. Equal-ts boundary events are
+    * rejected, not just regressions: the open row re-enters the fold with
+    * tie = Long.MinValue (its real tie is gone once the history is
+    * materialized), so an equal-ts delta event would order AFTER the seed
+    * here while a one-batch rebuild orders it by the real tie values —
+    * outside the N-batch == one-batch equivalence this operator pins.
+    * Ties within a batch use `tieCol` (must cast to long).
     *
     * Scale shape: one key-keyed left join of the delta against the OPEN
     * rows (key-cardinality sized, not history-sized), one key-partitioned
@@ -220,10 +225,11 @@ object Cdc {
       tsExpr.as("ts_u"), col(tieCol).cast("long").as("tie_u"))
     // regression guard + seed: delta joins the (small) open frame once
     val guarded = fresh.join(open, Seq(keyCol), "left")
-      .withColumn("ts_u", when(col("_open_from").isNotNull && col("ts_u") < col("_open_from"),
+      .withColumn("ts_u", when(col("_open_from").isNotNull && col("ts_u") <= col("_open_from"),
         raise_error(concat(lit("scd2Apply: event-time regression for key "),
           col(keyCol).cast("string"), lit(": ts="), col("ts_u").cast("string"),
-          lit(" before open valid_from="), col("_open_from").cast("string"))))
+          lit(" not past open valid_from="), col("_open_from").cast("string"),
+          lit(" (strict progress contract)"))))
         .otherwise(col("ts_u")))
       .select(col(keyCol), col(attrCol), col("ts_u"), col("tie_u"))
     val seed = open.select(col(keyCol), col("_open_attr").as(attrCol),

@@ -265,21 +265,45 @@ object Privacy {
       .withColumn("sensitivity", lit(cap.toLong))
   }
 
-  /** The exact column names a DP frame may NOT release: true/raw/clipped
-    * aggregates and the noise draw itself (noisy - noise = exact). */
+  /** The exact-value/noise columns the dp* audit frames carry that a
+    * release must DROP: true/raw/clipped aggregates and the noise draw
+    * itself (noisy - noise = exact). */
   private val AuditOnlyColumns =
     Set("n", "n_raw", "n_clipped", "raw_sum", "clipped_sum", "n_users", "noise")
 
+  /** The privacy parameters a release carries alongside the noisy values. */
+  private val ParamColumns = Set("epsilon", "sensitivity")
+
   /** Release projection of a [[dpCounts]] / [[dpClippedCounts]] /
-    * [[dpClippedSum]] audit frame: drops every exact-value and noise column
-    * so the artifact that leaves the pipeline carries ONLY the noisy
-    * aggregates plus the privacy parameters. The audit frame with the exact
+    * [[dpClippedSum]] audit frame: keeps ONLY the caller-declared group
+    * column(s), the `noisy_*` aggregates, and the privacy parameters
+    * (epsilon, sensitivity) — an ALLOWLIST, not a denylist. The known
+    * exact-value/noise columns of the dp* frames are recognized and
+    * dropped; any OTHER column (a caller-added count, a renamed aggregate)
+    * fails loudly instead of silently flowing into the release artifact,
+    * and a group column whose name collides with an audit-only column is
+    * rejected rather than silently dropped. The audit frame with the exact
     * columns stays inside the trust boundary; this is the other half of the
     * salt contract documented on [[dpCounts]]. */
-  def releaseView(dpFrame: DataFrame): DataFrame = {
-    val keep = dpFrame.columns.filterNot(AuditOnlyColumns.contains)
+  def releaseView(dpFrame: DataFrame, groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "declare the group column(s) to release")
+    val collisions = groupCols.filter(c => AuditOnlyColumns(c) || ParamColumns(c))
+    require(collisions.isEmpty,
+      s"group column(s) ${collisions.mkString(", ")} collide with audit-only/" +
+        "param names — rename the group column before releasing")
+    val present = dpFrame.columns.toSet
+    val missing = groupCols.filterNot(present)
+    require(missing.isEmpty, s"group column(s) not in frame: ${missing.mkString(", ")}")
+    val groupSet = groupCols.toSet
+    val unrecognized = dpFrame.columns.filterNot(c =>
+      groupSet(c) || AuditOnlyColumns(c) || ParamColumns(c) || c.startsWith("noisy_"))
+    require(unrecognized.isEmpty,
+      s"unrecognized column(s) in DP audit frame: ${unrecognized.mkString(", ")} — " +
+        "refusing to release values the dp* operators did not produce")
+    val keep = dpFrame.columns.filter(c =>
+      groupSet(c) || ParamColumns(c) || c.startsWith("noisy_"))
     require(keep.exists(_.startsWith("noisy_")),
       "not a DP audit frame: no noisy_* column to release")
-    dpFrame.select(keep.map(col): _*)
+    dpFrame.select(keep.map(col).toIndexedSeq: _*)
   }
 }

@@ -373,21 +373,27 @@ object Profiling {
     *
     * Spec-pinned equivalence: one-batch-stream == the batch per-key counts
     * restricted to keys with count >= threshold (n_at_cross = the running
-    * count at the crossing batch, >= threshold and <= the key's total). */
+    * count at the crossing batch, >= threshold and <= the key's total).
+    *
+    * Keys are stated by their STRING rendering (the emitted key column is
+    * string), so the operator accepts any key type — matching its batch
+    * twin [[joinSkewProfile]], which groups raw columns — and a NULL key
+    * gets its own state slot (Option-keyed) instead of tripping a numeric
+    * encoder with an opaque NPE. */
   def heavyKeysStream(df: DataFrame, keyCol: String, threshold: Long): DataFrame = {
     require(threshold >= 1, "threshold >= 1")
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = df.sparkSession
     import spark.implicits._
-    val ds = df.select(col(keyCol).cast("long")).as[Long]
-    ds.groupByKey(identity)
+    val ds = df.select(col(keyCol).cast("string")).as[String]
+    ds.groupByKey(Option(_))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (key: Long, rows: Iterator[Long], state: GroupState[Long]) =>
+        (key: Option[String], rows: Iterator[String], state: GroupState[Long]) =>
           val prev = state.getOption.getOrElse(0L)
           val now = prev + rows.size
           state.update(now)
           if (prev < threshold && now >= threshold)
-            Iterator.single((key, now, threshold))
+            Iterator.single((key.orNull, now, threshold))
           else Iterator.empty
       }
       .toDF(keyCol, "n_at_cross", "threshold")

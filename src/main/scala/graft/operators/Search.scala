@@ -735,26 +735,27 @@ object Search {
     val qn = qt.groupBy("query_id").agg(count(lit(1)).as("n_terms"))
     val m = positions.join(broadcast(qt), "w")
       .select(col("query_id"), col("doc_id"), col("pos"), col("w"))
-    // all-terms qualification (the boolean MUST semantics)
-    val qualified = m.select("query_id", "doc_id", "w").distinct()
-      .groupBy("query_id", "doc_id").agg(count(lit(1)).as("n_distinct"))
+    // ONE shuffle, O(m log m) per (query, doc): pack the matched positions
+    // into a sorted array, derive the all-terms qualification (the boolean
+    // MUST semantics) from the packed array itself — distinct matched terms
+    // == the query's term count — and run the native two-pointer coverage
+    // sweep ([[graft.functions.BestWindowCover]]). Semantically identical
+    // to the anchor×member band self-join + countDistinct + argmax window
+    // it replaces (every matched-position anchor evaluated, exact
+    // distinct-term coverage, earliest best span on ties), without the
+    // O(m²) pair rows that made the snippets build the bench's most
+    // expensive stage, and without the separate distinct + count + join
+    // qualification pass (a second corpus-keyed shuffle). The array is
+    // bounded by the doc's matched-position count — never corpus-sized —
+    // so collect_list here is executor-safe at any scale.
+    m.groupBy("query_id", "doc_id")
+      .agg(sort_array(collect_list(struct(col("pos"), col("w")))).as("pw"))
       .join(broadcast(qn), "query_id")
-      .where(col("n_distinct") === col("n_terms"))
-      .select("query_id", "doc_id")
-    val mq = m.join(qualified, Seq("query_id", "doc_id"))
-    val cover = mq.as("a").join(mq.as("m"),
-        col("a.query_id") === col("m.query_id") &&
-          col("a.doc_id") === col("m.doc_id") &&
-          col("m.pos") >= col("a.pos") && col("m.pos") < col("a.pos") + window)
-      .groupBy(col("a.query_id").as("query_id"), col("a.doc_id").as("doc_id"),
-        col("a.pos").as("snip_start"))
-      .agg(countDistinct(col("m.w")).as("n_covered"))
-    val w = Window.partitionBy("query_id", "doc_id")
-      .orderBy(col("n_covered").desc, col("snip_start").asc)
-    cover.withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
+      .where(size(array_distinct(expr("transform(pw, x -> x.w)"))).cast("long")
+        === col("n_terms"))
+      .withColumn("bw", graft.functions.TextFunctions.bestWindowCover(col("pw"), window))
       .select(col("query_id"), col("doc_id"),
-        col("snip_start").cast("long").as("snip_start"), col("n_covered"))
+        col("bw.snip_start").as("snip_start"), col("bw.n_covered").as("n_covered"))
   }
 
   /**

@@ -89,7 +89,8 @@ object AuditQueries {
     // no exact counts and no recoverable noise column
     "priv_dp_release" -> ((s, dir) =>
       Privacy.releaseView(
-        Privacy.dpCounts(events(s, dir), "event_type", epsilon = 0.5, salt = "dp"))),
+        Privacy.dpCounts(events(s, dir), "event_type", epsilon = 0.5, salt = "dp"),
+        Seq("event_type"))),
     // Benford first-digit forensics on the value column: per digit the
     // observed count/frequency, the log-law expectation, and the
     // chi-square contribution

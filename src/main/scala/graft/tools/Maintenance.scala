@@ -25,13 +25,29 @@ import graft.sources.PointStore
  */
 object Maintenance {
 
+  /** Crash recovery for a [[swapDir]]-maintained directory: the one
+    * mid-swap crash window leaves `target` missing with the old data parked
+    * at `target.bak` — restore it before anything reads or stages, so the
+    * next pass sees the pre-crash state instead of bootstrapping from
+    * scratch (or, worse, letting a later swap garbage-collect the `.bak`
+    * that still holds the only copy). Called at the entry of every
+    * maintained-pass function AND defensively inside [[swapDir]]; a no-op
+    * when `target` exists. */
+  private def recoverDir(fs: org.apache.hadoop.fs.FileSystem, target: Path): Unit = {
+    val bak = new Path(target.toString + ".bak")
+    if (!fs.exists(target) && fs.exists(bak))
+      require(fs.rename(bak, target), s"crash recovery: rename $bak -> $target failed")
+  }
+
   /** Crash-safe directory swap: `old -> .bak`, `tmp -> target`, delete
     * `.bak` — at every instant either the old or the new directory exists
     * under a recoverable name (a plain delete-then-rename has a window
     * where a crash loses BOTH). A leftover `.bak` after a crash is the old
-    * data; a leftover `.tmp` is an incomplete rewrite — both safe to
-    * resolve by hand, neither is data loss. */
+    * data (auto-restored by [[recoverDir]] on the next pass); a leftover
+    * `.tmp` is an incomplete rewrite — safe to resolve by hand, never data
+    * loss. */
   private def swapDir(fs: org.apache.hadoop.fs.FileSystem, tmp: Path, target: Path): Unit = {
+    recoverDir(fs, target) // never delete a .bak that is the only copy
     val bak = new Path(target.toString + ".bak")
     if (fs.exists(bak)) fs.delete(bak, true)
     if (fs.exists(target)) require(fs.rename(target, bak), s"rename $target -> $bak failed")
@@ -70,6 +86,7 @@ object Maintenance {
       dryRun: Boolean = false): Report = {
     val dropped = PointStore.ageOffDropPartitions(spark, dataDir, ttlMsByPrefix, nowMs, dryRun)
     val fs = new Path(metaDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverDir(fs, new Path(metaDir)) // mid-swap crash: .bak is the catalog
     if (!fs.exists(new Path(metaDir)))
       return Report(dryRun, dropped, 0L, 0L)
     val metaBefore = spark.read.parquet(metaDir)
@@ -140,6 +157,9 @@ object Maintenance {
       dryRun: Boolean = false): Scd2Report = {
     import graft.operators.Cdc
     val fs = new Path(dimDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a mid-swap crash must read as "history exists" (restored), never as a
+    // fresh bootstrap that would let the next swap delete the only copy
+    recoverDir(fs, new Path(dimDir))
     val exists = fs.exists(new Path(dimDir))
     val before = if (exists) spark.read.parquet(dimDir) else null
     val rowsBefore = if (exists) before.count() else 0L
@@ -206,6 +226,8 @@ object Maintenance {
         .collect().head.getAs[Double]("file_skip_ratio")
     def nFiles(df: org.apache.spark.sql.DataFrame): Long =
       df.select(org.apache.spark.sql.functions.input_file_name()).distinct().count()
+    val fsPre = new Path(dataDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverDir(fsPre, new Path(dataDir)) // mid-swap crash: .bak is the store
     val before = PointStore.read(spark, dataDir)
     val rows = before.count()
     val filesBefore = nFiles(before)
@@ -262,6 +284,8 @@ object Maintenance {
     val centsPath = new Path(indexDir, "centroids")
     val assignPath = new Path(indexDir, "assignments")
     val fs = centsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverDir(fs, centsPath)
+    recoverDir(fs, assignPath)
     val exists = fs.exists(centsPath)
     if (!exists) {
       val cents = SimilarityIvf.centroids(vecs, nLists)
@@ -287,17 +311,107 @@ object Maintenance {
     }
   }
 
-  /** Periodic integrity audit for an [[ivfMaintain]] index: the increment
-    * contract says vec_ids are NEW each pass — this one-aggregate check
-    * (count vs distinct count, plus list-id range) catches a violated
-    * contract after the fact without putting an O(index) anti-join into
-    * every increment's hot path. Run it on the maintenance cadence, not per
+  /** What one IVF retrain pass did (or would do). */
+  case class IvfRetrainReport(
+      dryRun: Boolean,
+      vectors: Long,
+      listsBefore: Long,
+      listsAfter: Long) {
+    def render: String =
+      s"ivf retrain${if (dryRun) " (DRY RUN)" else ""}: " +
+        s"$vectors vectors rebucketed, $listsBefore -> $listsAfter lists"
+  }
+
+  /**
+   * RETRAIN an [[ivfMaintain]] index: [[ivfMaintain]] holds centroids fixed
+   * forever (the append-pass contract), so after enough drift or growth the
+   * list geometry goes stale — this pass trains centroids-v2 from the
+   * CURRENT vector set (the persisted assignments are the vector store:
+   * vec_id + embedding), backfills EVERY assignment against the new
+   * centroids with the batch [[graft.operators.SimilarityIvf.assign]], and
+   * atomically swaps both directories (`.tmp` stage + [[swapDir]], crash
+   * windows auto-restored by [[recoverDir]] on the next pass). Readers
+   * never observe v1 centroids with v2 assignments or vice versa beyond
+   * the instant between the two swaps — and that instant is itself safe,
+   * because [[graft.operators.SimilarityIvf.search]] joins assignments to
+   * centroids on list_id (a transiently mixed pair degrades recall, never
+   * correctness).
+   *
+   * Equivalence (spec-pinned): retrain + backfill over the maintained
+   * index == a fresh bootstrap over the same vectors, bit-exact — the
+   * trainers and the assigner are deterministic in row-set, not row-order.
+   * Cost: O(index) by design — this is the deliberate periodic rebuild,
+   * not the per-pass increment path.
+   */
+  def ivfRetrain(
+      spark: SparkSession,
+      indexDir: String,
+      nLists: Int,
+      kmeansIters: Int = 0,
+      dryRun: Boolean = false): IvfRetrainReport = {
+    import graft.operators.SimilarityIvf
+    val centsPath = new Path(indexDir, "centroids")
+    val assignPath = new Path(indexDir, "assignments")
+    val fs = centsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverDir(fs, centsPath)
+    recoverDir(fs, assignPath)
+    val listsBefore = spark.read.parquet(centsPath.toString).count()
+    val vecs = spark.read.parquet(assignPath.toString).select("vec_id", "embedding")
+    val cents2 =
+      if (kmeansIters > 0) SimilarityIvf.kmeansCentroids(vecs, nLists, kmeansIters)
+      else SimilarityIvf.centroids(vecs, nLists)
+    if (dryRun)
+      return IvfRetrainReport(dryRun = true, vecs.count(), listsBefore, cents2.count())
+    val centsTmp = new Path(centsPath.toString + ".tmp")
+    cents2.write.mode(SaveMode.Overwrite).parquet(centsTmp.toString)
+    // backfill reads the STAGED centroids (not the still-live v1 dir) so the
+    // assignment rewrite and the centroid swap agree on v2 geometry
+    val assigned2 = SimilarityIvf.assign(vecs, spark.read.parquet(centsTmp.toString))
+    val assignTmp = new Path(assignPath.toString + ".tmp")
+    assigned2.write.mode(SaveMode.Overwrite).parquet(assignTmp.toString)
+    val nVec = spark.read.parquet(assignTmp.toString).count()
+    val nLists2 = spark.read.parquet(centsTmp.toString).count()
+    swapDir(fs, centsTmp, centsPath)
+    swapDir(fs, assignTmp, assignPath)
+    IvfRetrainReport(dryRun = false, nVec, listsBefore, nLists2)
+  }
+
+  /** [[ivfAudit]] verdict: row/distinct-vec_id counts (the increment
+    * contract says vec_ids are NEW each pass, so n == distinctVecIds), plus
+    * the list-id envelope of the assignments validated against the centroid
+    * frame — null or out-of-range list_ids in a corrupted append show up as
+    * `listIdsValid = false`. */
+  case class IvfAuditReport(
+      n: Long, distinctVecIds: Long, nullListIds: Long,
+      minListId: Long, maxListId: Long,
+      vecIdsUnique: Boolean, listIdsValid: Boolean) {
+    def ok: Boolean = vecIdsUnique && listIdsValid
+  }
+
+  /** Periodic integrity audit for an [[ivfMaintain]] index: one aggregate
+    * over the assignments (count, distinct vec_id, null/min/max list_id)
+    * plus one tiny aggregate over the centroid frame — catches a violated
+    * new-vec_ids contract or list-id corruption in an appended increment
+    * after the fact, without putting an O(index) anti-join into every
+    * increment's hot path. Run it on the maintenance cadence, not per
     * append. */
-  def ivfAudit(spark: SparkSession, indexDir: String): (Long, Long, Boolean) = {
+  def ivfAudit(spark: SparkSession, indexDir: String): IvfAuditReport = {
     import org.apache.spark.sql.functions._
     val a = spark.read.parquet(new Path(indexDir, "assignments").toString)
-    val r = a.agg(count(lit(1)).as("n"), countDistinct(col("vec_id")).as("d")).head
-    (r.getLong(0), r.getLong(1), r.getLong(0) == r.getLong(1))
+    val r = a.agg(count(lit(1)).as("n"), countDistinct(col("vec_id")).as("d"),
+      sum(when(col("list_id").isNull, 1L).otherwise(0L)).as("nulls"),
+      min(col("list_id")).cast("long").as("lo"),
+      max(col("list_id")).cast("long").as("hi")).head
+    val c = spark.read.parquet(new Path(indexDir, "centroids").toString)
+      .agg(min(col("list_id")).cast("long").as("clo"),
+        max(col("list_id")).cast("long").as("chi")).head
+    val nulls = r.getLong(2)
+    val (lo, hi) = (if (r.isNullAt(3)) 0L else r.getLong(3),
+      if (r.isNullAt(4)) -1L else r.getLong(4))
+    IvfAuditReport(r.getLong(0), r.getLong(1), nulls, lo, hi,
+      vecIdsUnique = r.getLong(0) == r.getLong(1),
+      listIdsValid = nulls == 0L &&
+        (r.getLong(0) == 0L || (lo >= c.getLong(0) && hi <= c.getLong(1))))
   }
 
   private def partitionMetrics(spark: SparkSession, dataDir: String): Seq[String] = {

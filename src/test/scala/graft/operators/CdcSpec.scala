@@ -187,6 +187,23 @@ class CdcSpec extends AnyFunSuite with SparkSpec {
     assert(rows == Set((1L, "a", 1L, 0L), (1L, "b", 2L, 1L), (9L, "x", 1L, 1L)))
   }
 
+  test("scd2Apply rejects an equal-ts boundary event (strict progress)") {
+    // the open row's real tie is gone once materialized (seed re-enters at
+    // Long.MinValue), so equal-ts delta events are outside the N-batch ==
+    // one-batch equivalence — the guard refuses them instead of silently
+    // diverging from a one-batch rebuild
+    val h0 = Cdc.scd2(Seq((1L, "a", 100L, 1L)).toDF("user_id", "attr", "ms", "event_id"),
+      "user_id", "attr", col("ms"), "event_id")
+    val e = intercept[Exception] {
+      Cdc.scd2Apply(h0,
+        Seq((1L, "b", 100L, 2L)).toDF("user_id", "attr", "ms", "event_id"),
+        "user_id", "attr", col("ms"), "event_id").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("strict progress")))
+  }
+
   test("scd2Apply throws on a delta that precedes the open interval") {
     val h0 = Cdc.scd2(Seq((1L, "a", 100L, 1L)).toDF("user_id", "attr", "ms", "event_id"),
       "user_id", "attr", col("ms"), "event_id")

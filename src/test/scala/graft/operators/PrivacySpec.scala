@@ -144,18 +144,31 @@ class PrivacySpec extends AnyFunSuite with SparkSpec {
   test("releaseView strips every exact-value and noise column") {
     val ev = Seq.tabulate(20)(i => (i.toLong, if (i % 2 == 0) "a" else "b"))
       .toDF("event_id", "event_type")
-    val counts = Privacy.releaseView(Privacy.dpCounts(ev, "event_type", 0.5, salt = "s1"))
+    val counts = Privacy.releaseView(
+      Privacy.dpCounts(ev, "event_type", 0.5, salt = "s1"), Seq("event_type"))
     assert(counts.columns.toSeq == Seq("event_type", "noisy_n", "epsilon"))
     val hist = Privacy.releaseView(Privacy.dpClippedCounts(
       ev.withColumn("user_id", col("event_id") % 3), "event_type", "user_id",
-      cap = 4, epsilon = 0.5, salt = "s1"))
+      cap = 4, epsilon = 0.5, salt = "s1"), Seq("event_type"))
     assert(hist.columns.toSeq == Seq("event_type", "noisy_n", "epsilon", "sensitivity"))
     val sums = Privacy.releaseView(Privacy.dpClippedSum(
       ev.withColumn("user_id", col("event_id") % 3).withColumn("value", lit(1.0)),
-      "event_type", "user_id", "value", 10.0, 20.0, 0.5, salt = "s1"))
+      "event_type", "user_id", "value", 10.0, 20.0, 0.5, salt = "s1"), Seq("event_type"))
     assert(sums.columns.toSeq == Seq("event_type", "noisy_sum", "epsilon", "sensitivity"))
     // and a frame with no noisy_* column is refused
-    intercept[IllegalArgumentException] { Privacy.releaseView(ev) }
+    intercept[IllegalArgumentException] { Privacy.releaseView(ev, Seq("event_type")) }
+    // ALLOWLIST: a caller-added exact column is refused, not passed through
+    intercept[IllegalArgumentException] {
+      Privacy.releaseView(
+        Privacy.dpCounts(ev, "event_type", 0.5, salt = "s1")
+          .withColumn("exact_copy", col("n")), Seq("event_type"))
+    }
+    // a group column named like an audit-only column is rejected, not dropped
+    intercept[IllegalArgumentException] {
+      Privacy.releaseView(
+        Privacy.dpCounts(ev.withColumnRenamed("event_type", "noise"), "noise",
+          0.5, salt = "s1"), Seq("noise"))
+    }
   }
 
   test("dp operators refuse an empty salt (the salt is key material)") {

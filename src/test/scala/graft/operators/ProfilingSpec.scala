@@ -199,21 +199,31 @@ class ProfilingSpec extends AnyFunSuite with SparkSpec {
     // key 1: 5 rows, key 2: 3 rows, key 3: 1 row; threshold 3
     val df = (Seq.fill(5)(1L) ++ Seq.fill(3)(2L) ++ Seq(3L)).toDF("user_id")
     val got = Profiling.heavyKeysStream(df, "user_id", threshold = 3L)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    assert(got.keySet == Set(1L, 2L))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got.keySet == Set("1", "2"))
     // n_at_cross is the running count when the batch folded (whole batch here)
-    assert(got(1L) == 5L && got(2L) == 3L)
+    assert(got("1") == 5L && got("2") == 3L)
+  }
+
+  test("heavyKeysStream: string and NULL keys get their own state slots") {
+    // the batch twin joinSkewProfile groups raw columns of any type — the
+    // stream twin must not be numeric-only, and a null key must count, not NPE
+    val df = (Seq.fill(3)(Option("alpha")) ++ Seq.fill(2)(Option.empty[String]) ++
+      Seq(Option("beta"))).toDF("user_id")
+    val got = Profiling.heavyKeysStream(df, "user_id", threshold = 2L)
+      .collect().map(r => (if (r.isNullAt(0)) "<null>" else r.getString(0), r.getLong(1))).toMap
+    assert(got == Map("alpha" -> 3L, "<null>" -> 2L))
   }
 
   test("heavyKeysStream crosses exactly once across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[Long]
-    val seen = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val seen = scala.collection.mutable.ArrayBuffer[(String, Long)]()
     val q = Profiling.heavyKeysStream(input.toDS().toDF("user_id"), "user_id", 4L)
       .writeStream.outputMode("append")
       .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-        val f = b.collect().map(r => (r.getLong(0), r.getLong(1)))
+        val f = b.collect().map(r => (r.getString(0), r.getLong(1)))
         seen.synchronized { seen ++= f }
         ()
       }.start()
@@ -225,7 +235,7 @@ class ProfilingSpec extends AnyFunSuite with SparkSpec {
     input.addData(1L, 1L)            // already heavy: no re-emit
     q.processAllAvailable()
     q.stop()
-    assert(seen.toSeq == Seq((1L, 5L)))
+    assert(seen.toSeq == Seq(("1", 5L)))
   }
 
   test("benford2: second digit picked, sub-two-digit rows excluded, expectations sum to 1") {

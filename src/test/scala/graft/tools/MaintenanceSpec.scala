@@ -165,4 +165,97 @@ class MaintenanceSpec extends AnyFunSuite with SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(spark.read.parquet(dim).collect().map(_.toSeq).toSet == rebuilt)
   }
+
+  test("crash rehearsal: missing target with surviving .bak auto-restores") {
+    import org.apache.spark.sql.functions.col
+    val dim = Files.createTempDirectory("graft-crash").toString + "/dim"
+    val b1 = (0 until 30).map(i => ((i % 3).toLong, s"v${i / 10}", (i / 3).toLong * 10L, i.toLong))
+      .toDF("user_id", "attr", "ms", "event_id")
+    val b2 = (30 until 60).map(i => ((i % 3).toLong, s"v${i / 10}", (i / 3).toLong * 10L, i.toLong))
+      .toDF("user_id", "attr", "ms", "event_id")
+    Maintenance.scd2Maintain(spark, dim, b1, "user_id", "attr", col("ms"), "event_id")
+    val preCrash = spark.read.parquet(dim).collect().map(_.toSeq).toSet
+    // simulate the one mid-swap crash window: old -> .bak done, tmp -> target not
+    val fs = new org.apache.hadoop.fs.Path(dim)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dim),
+      new org.apache.hadoop.fs.Path(dim + ".bak")))
+    // next pass restores the .bak and applies the delta on it — NOT a fresh
+    // bootstrap (which would have deleted the only copy of the history)
+    val r = Maintenance.scd2Maintain(spark, dim, b2, "user_id", "attr", col("ms"), "event_id")
+    assert(!r.bootstrap, "crash recovery must read as existing history")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dim + ".bak")))
+    val rebuilt = graft.operators.Cdc.scd2(b1.unionByName(b2),
+      "user_id", "attr", col("ms"), "event_id").collect().map(_.toSeq).toSet
+    assert(spark.read.parquet(dim).collect().map(_.toSeq).toSet == rebuilt)
+    assert(rebuilt != preCrash)
+  }
+
+  test("ivfRetrain: retrain + backfill == fresh bootstrap, bit-exact; audit stays green") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-ivfretrain").toString + "/index"
+    val all = (0L until 150L).map { i =>
+      (i, Array.tabulate(8)(d => (((i * 17 + d * 11) % 100) / 10).toFloat))
+    }.toDF("vec_id", "embedding")
+    // maintained index: bootstrap at 4 lists + one increment
+    Maintenance.ivfMaintain(spark, dir, all.where(col("vec_id") < 100L), nLists = 4)
+    Maintenance.ivfMaintain(spark, dir, all.where(col("vec_id") >= 100L), nLists = 4)
+    val pre = Maintenance.ivfAudit(spark, dir)
+    assert(pre.ok && pre.n == 150L)
+    // dry-run retrain touches nothing
+    val dry = Maintenance.ivfRetrain(spark, dir, nLists = 8, dryRun = true)
+    assert(dry.dryRun && dry.listsBefore == 4L && dry.listsAfter == 8L)
+    assert(spark.read.parquet(s"$dir/centroids").count() == 4L, "dry run wrote")
+    // real retrain to 8 lists, then compare against a fresh bootstrap dir
+    val r = Maintenance.ivfRetrain(spark, dir, nLists = 8)
+    assert(!r.dryRun && r.vectors == 150L && r.listsAfter == 8L)
+    val freshDir = Files.createTempDirectory("graft-ivffresh").toString + "/index"
+    Maintenance.ivfMaintain(spark, freshDir, all, nLists = 8)
+    def snap(d: String) = (
+      spark.read.parquet(s"$d/centroids").collect()
+        .map(x => (x.getInt(0), x.getSeq[Float](1), x.getDouble(2))).toSet,
+      spark.read.parquet(s"$d/assignments").select("vec_id", "list_id", "vnorm").collect()
+        .map(x => (x.getLong(0), x.getInt(1), x.getDouble(2))).toSet)
+    assert(snap(dir) == snap(freshDir), "retrain+backfill must equal a fresh index")
+    val post = Maintenance.ivfAudit(spark, dir)
+    assert(post.ok && post.maxListId <= 8L && post.nullListIds == 0L)
+    // and recall on the retrained dir: searchable end-to-end
+    val q = all.where(col("vec_id") % 50L === 0L)
+    assert(graft.operators.SimilarityIvf.search(
+      spark.read.parquet(s"$dir/assignments"), spark.read.parquet(s"$dir/centroids"),
+      q, k = 3, nProbe = 8).count() > 0L)
+  }
+
+  test("ivfAudit flags duplicate vec_ids and out-of-range list_ids") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = Files.createTempDirectory("graft-ivfaudit").toString + "/index"
+    val all = (0L until 40L).map { i =>
+      (i, Array.tabulate(4)(d => ((i + d) % 7).toFloat))
+    }.toDF("vec_id", "embedding")
+    Maintenance.ivfMaintain(spark, dir, all, nLists = 4)
+    assert(Maintenance.ivfAudit(spark, dir).ok)
+    // violate the new-vec_ids contract: re-append an already-indexed slice
+    val cents = spark.read.parquet(s"$dir/centroids")
+    graft.operators.SimilarityIvf.assign(all.where(col("vec_id") < 5L), cents)
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(s"$dir/assignments")
+    val dup = Maintenance.ivfAudit(spark, dir)
+    assert(!dup.vecIdsUnique && !dup.ok)
+    // corrupt a list_id out of the centroid range: envelope check trips
+    val dir2 = Files.createTempDirectory("graft-ivfaudit2").toString + "/index"
+    Maintenance.ivfMaintain(spark, dir2, all, nLists = 4)
+    spark.read.parquet(s"$dir2/assignments")
+      .withColumn("list_id", lit(99))
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(s"$dir2/assignments.broken")
+    // (stage the corruption as an extra file inside the assignments dir)
+    val fs = new org.apache.hadoop.fs.Path(dir2)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir2/assignments.broken"))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .foreach { f =>
+        fs.rename(f.getPath, new org.apache.hadoop.fs.Path(
+          s"$dir2/assignments/corrupt-${f.getPath.getName}"))
+      }
+    val bad = Maintenance.ivfAudit(spark, dir2)
+    assert(!bad.listIdsValid && bad.maxListId == 99L && !bad.ok)
+  }
 }
