@@ -290,17 +290,28 @@ object Search {
       queries)
 
   /** [[phraseHits]] over a pre-built [[matchedPositions]] frame (which must
-    * cover every query term). */
+    * cover every query term).
+    *
+    * The all-positions-matched test per (query, doc, anchor) is a BITSET
+    * fold — `bit_count(bit_or(1L << qpos)) == n_terms` — not a
+    * countDistinct: one single-phase, map-side-combining hash aggregate
+    * over the matched fan-out instead of countDistinct's two-phase
+    * (partial-distinct + final) plan. Exact for phrases up to 64 tokens —
+    * far past any real phrase query — and guarded loudly beyond (the
+    * qpos > 63 overflow would silently alias distinct positions). */
   def phraseHitsFromPositions(positions: DataFrame, queries: DataFrame): DataFrame = {
     val qterms = queries
       .select(col("query_id"),
         posexplode(split(lower(col("qtext")), " ")).as(Seq("qpos", "w")))
+      .withColumn("qpos", when(col("qpos") > 63,
+        raise_error(lit("phraseHits: phrase longer than 64 tokens"))
+          .cast("int")).otherwise(col("qpos")))
     val qn = qterms.groupBy("query_id")
       .agg(countDistinct(col("qpos")).as("n_terms"))
     positions.join(broadcast(qterms), "w")
       .groupBy(col("query_id"), col("doc_id"),
         (col("pos") - col("qpos")).as("anchor"))
-      .agg(countDistinct(col("qpos")).as("k"))
+      .agg(bit_count(bit_or(expr("shiftleft(1L, qpos)"))).cast("long").as("k"))
       .join(broadcast(qn), "query_id")
       .where(col("k") === col("n_terms"))
       .groupBy("query_id", "doc_id")

@@ -715,6 +715,27 @@ object ScaleSmoke {
           array_join(slice(split(col("text"), " "), 1, 4), " ").as("qtext"))
       graft.operators.Search.bestSnippets(docs, q, window = 12).count()
     }
+    t("bestSnippets doc-length sweep (per-doc m scaling; m^2-term check)") {
+      // every matched term repeats L times per doc — the dense-match shape
+      // where the old anchor x member band self-join went quadratic in the
+      // per-doc matched-position count m; the two-pointer rewrite must grow
+      // ~linearly in L here
+      val probe = base.limit(2000).cache()
+      probe.count()
+      for (l <- Seq(1, 5, 20)) {
+        val long = probe.select(col("doc_id"),
+          array_join(array_repeat(col("text"), l), " ").as("text")).cache()
+        long.count()
+        val q = long.where(col("doc_id") % 100 === 0)
+          .select(col("doc_id").as("query_id"),
+            array_join(slice(split(col("text"), " "), 1, 4), " ").as("qtext"))
+        val t0 = System.nanoTime()
+        graft.operators.Search.bestSnippets(long, q, window = 12).count()
+        println(f"SCALE   doclen x$l: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        long.unpersist()
+      }
+      probe.unpersist()
+    }
     t("spellSuggest (first-char/length blocked vocab candidates)") {
       val w2 = "element_at(split(text, ' '), 2)"
       val q = docs.where(col("doc_id") % (n * reps / 20) === 0)
