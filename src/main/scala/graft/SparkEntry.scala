@@ -27,5 +27,5 @@ object SparkEntry {
     * bench attribution so a family's memoized build cost is its own line
     * item instead of landing on its first consumer. */
   def sharedBuilds: Seq[(String, (SparkSession, String) => Unit)] =
-    LlmQueries.sharedBuilds ++ TpchQueries.sharedBuilds
+    LlmQueries.sharedBuilds ++ TpchQueries.sharedBuilds ++ AuditQueries.sharedBuilds
 }

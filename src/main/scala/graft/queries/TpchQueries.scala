@@ -36,18 +36,30 @@ object TpchQueries {
     "shared_build_fuzzy_pairs" ->
       ((s: SparkSession, dir: String) => { fuzzyPairsFrame(s, dir).count(); () }))
 
+  /** Scale-4 decimal sum -> double via the EXACT unscaled integer and one
+    * pinned division — the [[graft.operators.Profiling]] dec6ToDouble
+    * engine-parity rule at the TPC-H money scale, applied PROACTIVELY to
+    * the revenue family (the round-11 audit pinned SUM(l_extendedprice) as
+    * the first site to trip the 2^53 direct-cast boundary beyond ~sf2):
+    * the scaled sum is an exact int64 in both engines up to ~9.2e14 money
+    * units (~sf300), and the one long->double conversion + division are
+    * the identical IEEE ops on identical inputs. Oracles mirror as
+    * `CAST(CAST(SUM(..)*10000 AS BIGINT) AS DOUBLE)/10000.0`. */
+  private def dec4ToDouble(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (c * lit(10000L)).cast("long").cast("double") / lit(10000.0)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1-style pricing summary: single scan, partial+final hash agg.
     "q1_pricing" -> ((s, dir) => {
       table(s, dir, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double").as("sum_base_price"),
-          sum((col("l_extendedprice").cast("decimal(18,4)") *
-            (lit(1) - col("l_discount").cast("decimal(18,4)"))).cast("decimal(18,4)")).cast("double").as("sum_disc_price"),
-          (sum(col("l_quantity").cast("decimal(18,4)")).cast("double") / count(lit(1))).as("avg_qty"),
-          (sum(col("l_discount").cast("decimal(18,4)")).cast("double") / count(lit(1))).as("avg_disc"),
+          dec4ToDouble(sum(col("l_quantity").cast("decimal(18,4)"))).as("sum_qty"),
+          dec4ToDouble(sum(col("l_extendedprice").cast("decimal(18,4)"))).as("sum_base_price"),
+          dec4ToDouble(sum((col("l_extendedprice").cast("decimal(18,4)") *
+            (lit(1) - col("l_discount").cast("decimal(18,4)"))).cast("decimal(18,4)"))).as("sum_disc_price"),
+          (dec4ToDouble(sum(col("l_quantity").cast("decimal(18,4)"))) / count(lit(1))).as("avg_qty"),
+          (dec4ToDouble(sum(col("l_discount").cast("decimal(18,4)"))) / count(lit(1))).as("avg_disc"),
           count(lit(1)).as("count_order"))
     }),
     // Join path: customer ⋈ orders ⋈ lineitem, revenue per market segment.
@@ -62,8 +74,8 @@ object TpchQueries {
         .join(customer, col("o_custkey") === col("c_custkey"))
         .groupBy("c_mktsegment")
         .agg(
-          sum((col("l_extendedprice").cast("decimal(18,4)") *
-            (lit(1) - col("l_discount").cast("decimal(18,4)"))).cast("decimal(18,4)")).cast("double").as("revenue"),
+          dec4ToDouble(sum((col("l_extendedprice").cast("decimal(18,4)") *
+            (lit(1) - col("l_discount").cast("decimal(18,4)"))).cast("decimal(18,4)"))).as("revenue"),
           countDistinct("o_orderkey").as("order_cnt"))
     }),
     // Top-k: highest-revenue orders (deterministic tie-break on key).
@@ -95,9 +107,9 @@ object TpchQueries {
         .join(nation, col("s_nationkey") === col("n_nationkey"))
         .groupBy("n_name")
         .agg(
-          sum((col("l_extendedprice").cast("decimal(18,4)") *
-            (lit(1) - col("l_discount").cast("decimal(18,4)"))).cast("decimal(18,4)"))
-            .cast("double").as("revenue"),
+          dec4ToDouble(sum((col("l_extendedprice").cast("decimal(18,4)") *
+            (lit(1) - col("l_discount").cast("decimal(18,4)"))).cast("decimal(18,4)")))
+            .as("revenue"),
           count(lit(1)).as("n_lines"))
     }),
     // TPC-H Q12-style priority case aggregation: one fact-fact shuffle join
@@ -124,10 +136,10 @@ object TpchQueries {
         .join(table(s, dir, "part"), col("l_partkey") === col("p_partkey"))
         .groupBy("p_brand")
         .agg(
-          sum((col("l_extendedprice").cast("decimal(18,4)") *
-            (lit(1) - col("l_discount").cast("decimal(18,4)"))).cast("decimal(18,4)"))
-            .cast("double").as("revenue"),
-          sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"),
+          dec4ToDouble(sum((col("l_extendedprice").cast("decimal(18,4)") *
+            (lit(1) - col("l_discount").cast("decimal(18,4)"))).cast("decimal(18,4)")))
+            .as("revenue"),
+          dec4ToDouble(sum(col("l_quantity").cast("decimal(18,4)"))).as("sum_qty"),
           countDistinct("l_partkey").as("n_parts"))
     }),
     // TPC-H Q10-flavor: top-10 customers by RETURNED revenue — the
@@ -140,9 +152,9 @@ object TpchQueries {
         .join(table(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
         .join(customer, col("o_custkey") === col("c_custkey"))
         .groupBy("c_custkey", "c_mktsegment")
-        .agg(sum((col("l_extendedprice").cast("decimal(18,4)") *
-          (lit(1) - col("l_discount").cast("decimal(18,4)"))).cast("decimal(18,4)"))
-          .cast("double").as("returned_revenue"))
+        .agg(dec4ToDouble(sum((col("l_extendedprice").cast("decimal(18,4)") *
+          (lit(1) - col("l_discount").cast("decimal(18,4)"))).cast("decimal(18,4)")))
+          .as("returned_revenue"))
         .orderBy(col("returned_revenue").desc, col("c_custkey"))
         .limit(10)
     }),
@@ -189,9 +201,9 @@ object TpchQueries {
           "l_shipdate < TIMESTAMP '1998-01-01 00:00:00'") &&
           col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
           col("l_quantity") < 24)
-        .agg(sum((col("l_extendedprice").cast("decimal(18,4)") *
-          col("l_discount").cast("decimal(18,4)")).cast("decimal(18,4)"))
-          .cast("double").as("revenue"),
+        .agg(dec4ToDouble(sum((col("l_extendedprice").cast("decimal(18,4)") *
+          col("l_discount").cast("decimal(18,4)")).cast("decimal(18,4)")))
+          .as("revenue"),
           count(lit(1)).as("n_lines"))
     }),
     // TPC-H Q14-flavor promo share: one month of shipments joined to part,
@@ -256,9 +268,9 @@ object TpchQueries {
         .where(col("supp_nation") =!= col("cust_nation"))
         .groupBy(col("supp_nation"), col("cust_nation"),
           year(col("l_shipdate")).cast("long").as("l_year"))
-        .agg(sum((col("l_extendedprice").cast("decimal(18,4)") *
-          (lit(1) - col("l_discount").cast("decimal(18,4)"))).cast("decimal(18,4)"))
-          .cast("double").as("revenue"))
+        .agg(dec4ToDouble(sum((col("l_extendedprice").cast("decimal(18,4)") *
+          (lit(1) - col("l_discount").cast("decimal(18,4)"))).cast("decimal(18,4)")))
+          .as("revenue"))
     }),
     // TPC-H Q13: customer distribution by order count, INCLUDING the
     // zero-order customers a plain join would drop (left outer + count of
@@ -313,9 +325,9 @@ object TpchQueries {
         .join(nSupp, col("s_nationkey") === col("sk"))
         .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
         .agg(
-          sum(when(col("supp_nation") === "NATION_7", vol)
-            .otherwise(lit(0).cast("decimal(18,4)"))).cast("double").as("nation_vol"),
-          sum(vol).cast("double").as("total_vol"))
+          dec4ToDouble(sum(when(col("supp_nation") === "NATION_7", vol)
+            .otherwise(lit(0).cast("decimal(18,4)")))).as("nation_vol"),
+          dec4ToDouble(sum(vol)).as("total_vol"))
         .withColumn("mkt_share", col("nation_vol") / col("total_vol"))
     }),
     // TPC-H Q19 flavor: OR-of-ANDs (brand, size, quantity) revenue — the
@@ -505,17 +517,17 @@ object TpchQueries {
   val oracles: Map[String, String] = Map(
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
-        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-        |       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
-        |       CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+        |       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) * 10000 AS BIGINT) AS DOUBLE) / 10000.0 AS sum_qty,
+        |       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) * 10000 AS BIGINT) AS DOUBLE) / 10000.0 AS sum_base_price,
+        |       CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) * 10000 AS BIGINT) AS DOUBLE) / 10000.0 AS sum_disc_price,
+        |       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) * 10000 AS BIGINT) AS DOUBLE) / 10000.0 / COUNT(*) AS avg_qty,
+        |       CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) * 10000 AS BIGINT) AS DOUBLE) / 10000.0 / COUNT(*) AS avg_disc,
         |       COUNT(*) AS count_order
         |FROM lineitem
         |GROUP BY 1, 2""".stripMargin,
     "q3_segment_revenue" ->
       """SELECT c_mktsegment,
-        |       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |       CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) * 10000 AS BIGINT) AS DOUBLE) / 10000.0 AS revenue,
         |       COUNT(DISTINCT o_orderkey) AS order_cnt
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -536,7 +548,7 @@ object TpchQueries {
         |GROUP BY 1""".stripMargin,
     "q5_region_volume" ->
       """SELECT n_name,
-        |       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |       CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) * 10000 AS BIGINT) AS DOUBLE) / 10000.0 AS revenue,
         |       COUNT(*) AS n_lines
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -571,7 +583,7 @@ object TpchQueries {
         |GROUP BY 1""".stripMargin,
     "q10_returned_topk" ->
       """SELECT c_custkey, c_mktsegment,
-        |       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) AS DOUBLE) AS returned_revenue
+        |       CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) * 10000 AS BIGINT) AS DOUBLE) / 10000.0 AS returned_revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -589,7 +601,7 @@ object TpchQueries {
         |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
         |GROUP BY 1""".stripMargin,
     "q6_forecast_revenue" ->
-      """SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4)) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      """SELECT CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4)) AS DECIMAL(18,4))) * 10000 AS BIGINT) AS DOUBLE) / 10000.0 AS revenue,
         |       COUNT(*) AS n_lines
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -623,8 +635,8 @@ object TpchQueries {
         |LIMIT 20""".stripMargin,
     "q9_brand_profit" ->
       """SELECT p_brand,
-        |       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
-        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |       CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) * 10000 AS BIGINT) AS DOUBLE) / 10000.0 AS revenue,
+        |       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) * 10000 AS BIGINT) AS DOUBLE) / 10000.0 AS sum_qty,
         |       COUNT(DISTINCT l_partkey) AS n_parts
         |FROM lineitem
         |JOIN part ON l_partkey = p_partkey
@@ -634,8 +646,8 @@ object TpchQueries {
     "q7_nation_volume" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |       CAST(year(l_shipdate) AS BIGINT) AS l_year,
-        |       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
-        |            (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |       CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |            (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) * 10000 AS BIGINT) AS DOUBLE) / 10000.0 AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN supplier ON l_suppkey = s_suppkey
@@ -685,12 +697,12 @@ object TpchQueries {
         |  JOIN supplier ON l_suppkey = s_suppkey
         |  JOIN nation n1 ON s_nationkey = n1.n_nationkey)
         |SELECT o_year,
-        |       CAST(SUM(CASE WHEN supp_nation = 'NATION_7' THEN vol
-        |                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS nation_vol,
-        |       CAST(SUM(vol) AS DOUBLE) AS total_vol,
-        |       CAST(SUM(CASE WHEN supp_nation = 'NATION_7' THEN vol
-        |                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) /
-        |       CAST(SUM(vol) AS DOUBLE) AS mkt_share
+        |       CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_7' THEN vol
+        |                     ELSE CAST(0 AS DECIMAL(18,4)) END) * 10000 AS BIGINT) AS DOUBLE) / 10000.0 AS nation_vol,
+        |       CAST(CAST(SUM(vol) * 10000 AS BIGINT) AS DOUBLE) / 10000.0 AS total_vol,
+        |       CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_7' THEN vol
+        |                     ELSE CAST(0 AS DECIMAL(18,4)) END) * 10000 AS BIGINT) AS DOUBLE) / 10000.0 /
+        |       (CAST(CAST(SUM(vol) * 10000 AS BIGINT) AS DOUBLE) / 10000.0) AS mkt_share
         |FROM base GROUP BY 1""".stripMargin,
     // mirrors q19_disjunct: the OR-of-ANDs evaluated verbatim (the Spark
     // side's envelope prefilter is a strict superset, so results agree)
