@@ -306,4 +306,75 @@ object Privacy {
       "not a DP audit frame: no noisy_* column to release")
     dpFrame.select(keep.map(col).toIndexedSeq: _*)
   }
+
+  /**
+   * LEDGERED DP release — the cumulative-budget accounting the per-release
+   * salt contract needs: each epoch's [[releaseView]] projection is
+   * materialized to `releaseDir/epoch=<epoch>` and ONE ledger row
+   * `(epoch, salt_hash, epsilon, n_rows, release_hash)` is appended to
+   * `ledgerDir`, so spent epsilon is summable across epochs (sequential
+   * composition: total privacy loss is the SUM of per-release epsilons) and
+   * every artifact that ever left the pipeline is accounted for by hash.
+   *
+   * DOUBLE-SPEND REFUSAL: an epoch releases ONCE. Re-invoking with an
+   * epoch already in the ledger throws instead of overwriting — a repeated
+   * "same" release under a new salt would be a fresh draw (spending more
+   * budget than the ledger shows), and under the SAME salt it is already
+   * on disk. The ledger row stores md5(salt) — enough to audit that two
+   * epochs did NOT reuse a salt (the differencing leak documented on
+   * [[dpCounts]]) without persisting the key material itself.
+   *
+   * Determinism: the release content is the seeded dp* frame (bit-stable
+   * by construction); `release_hash` is sha256 over the sorted JSON rows of
+   * the written artifact; no wall-clock enters the ledger, so regenerating
+   * a whole release history is bit-identical — and oracle-checkable.
+   */
+  def releaseWithLedger(dpFrame: DataFrame, groupCols: Seq[String], epoch: String,
+      salt: String, releaseDir: String, ledgerDir: String): DataFrame = {
+    require(epoch.nonEmpty, "epoch key required")
+    require(salt.nonEmpty, "salt is key material: non-empty, caller-supplied")
+    val spark = dpFrame.sparkSession
+    val ledgerPath = new org.apache.hadoop.fs.Path(ledgerDir)
+    val fs = ledgerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(ledgerPath)) {
+      val prior = spark.read.parquet(ledgerDir).where(col("epoch") === epoch)
+      require(prior.isEmpty,
+        s"epoch '$epoch' already released — refusing to double-spend the budget " +
+          "(re-read the existing artifact instead)")
+    }
+    val out = s"$releaseDir/epoch=$epoch"
+    releaseView(dpFrame, groupCols)
+      .write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists).parquet(out)
+    val written = spark.read.parquet(out)
+    val eps = written.agg(max(col("epsilon"))).head.getDouble(0)
+    val n = written.count()
+    val relHash = written
+      .select(to_json(struct(written.columns.map(col).toIndexedSeq: _*)).as("j"))
+      .agg(sha2(concat_ws("\n", sort_array(collect_list(col("j")))), 256).as("h"))
+      .head.getString(0)
+    import spark.implicits._
+    Seq((epoch, md5str(salt), eps, n, relHash))
+      .toDF("epoch", "salt_hash", "epsilon", "n_rows", "release_hash")
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(ledgerDir)
+    written
+  }
+
+  /** Spent-budget audit over a [[releaseWithLedger]] ledger directory: one
+    * row per epoch (epoch ASC) with the running epsilon total — sequential
+    * composition's cumulative privacy loss. The [[releaseView]] of budget
+    * accounting: exact epsilon sums, salt-reuse visible via duplicate
+    * salt_hash values. */
+  def ledgerReport(ledger: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("epoch")).rowsBetween(Long.MinValue, 0)
+    ledger
+      .select(col("epoch"), col("salt_hash"), col("epsilon"), col("n_rows"))
+      .withColumn("spent_cum", sum(col("epsilon")).over(w))
+  }
+
+  private def md5str(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    d.map(b => f"$b%02x").mkString
+  }
 }

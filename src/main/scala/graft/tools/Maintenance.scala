@@ -55,18 +55,44 @@ object Maintenance {
     fs.delete(bak, true)
   }
 
+  /** Census-driven z-order compaction policy for [[run]] — the analog of
+    * the reference's scheduled compaction strategies
+    * (MetricCompactionStrategy.java:20-60): the store self-schedules a
+    * [[compactZOrder]] rewrite when EITHER measured signal degrades past
+    * its threshold — the [[PointStore.census]] average files-per-hour
+    * exceeds `maxFilesPerPartition` (small-files pressure from
+    * append-accumulated micro-batches), or the REAL file-envelope skip
+    * ratio for the policy's x-slab ([[graft.operators.Layout.filePruneReport]]
+    * on the written files) falls below `minSkipRatio` (locality drift —
+    * new files straddle the residual dimension). Both signals are
+    * measurements of the actual files, not folklore. Set
+    * `maxFilesPerPartition` ABOVE the per-partition file count the rewrite
+    * itself produces (~`numFiles` / populated hour dirs), or a
+    * freshly-compacted store re-triggers every pass. */
+  case class CompactionPolicy(
+      xCol: org.apache.spark.sql.Column,
+      yCol: org.apache.spark.sql.Column,
+      bits: Int,
+      numFiles: Int,
+      auditXLo: Long,
+      auditXHi: Long,
+      maxFilesPerPartition: Double = 4.0,
+      minSkipRatio: Double = 0.5)
+
   /** What one maintenance pass did (or, dry run, would do). */
   case class Report(
       dryRun: Boolean,
       droppedPartitions: Seq[String],
       metaRowsBefore: Long,
-      metaRowsAfter: Long) {
+      metaRowsAfter: Long,
+      compaction: Option[CompactReport] = None) {
     def render: String = {
       val verb = if (dryRun) "would drop" else "dropped"
       (s"maintenance${if (dryRun) " (DRY RUN)" else ""}: " +
         s"$verb ${droppedPartitions.size} partition dir(s); " +
         s"meta $metaRowsBefore -> $metaRowsAfter rows") +
-        droppedPartitions.map(p => s"\n  $verb $p").mkString
+        droppedPartitions.map(p => s"\n  $verb $p").mkString +
+        compaction.map(c => s"\n  ${c.render}").getOrElse("")
     }
   }
 
@@ -83,12 +109,14 @@ object Maintenance {
       metaDir: String,
       ttlMsByPrefix: Map[String, Long],
       nowMs: Long = System.currentTimeMillis(),
-      dryRun: Boolean = false): Report = {
+      dryRun: Boolean = false,
+      compaction: Option[CompactionPolicy] = None): Report = {
     val dropped = PointStore.ageOffDropPartitions(spark, dataDir, ttlMsByPrefix, nowMs, dryRun)
     val fs = new Path(metaDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverDir(fs, new Path(metaDir)) // mid-swap crash: .bak is the catalog
     if (!fs.exists(new Path(metaDir)))
-      return Report(dryRun, dropped, 0L, 0L)
+      return Report(dryRun, dropped, 0L, 0L,
+        compaction.flatMap(maybeCompact(spark, dataDir, _, dryRun)))
     val metaBefore = spark.read.parquet(metaDir)
     val before = metaBefore.count()
     // the surviving-data metric set. In dry-run the data dirs are untouched,
@@ -118,7 +146,36 @@ object Maintenance {
         swapDir(fs, tmp, new Path(metaDir))
         n
       }
-    Report(dryRun, dropped, before, after)
+    Report(dryRun, dropped, before, after,
+      compaction.flatMap(maybeCompact(spark, dataDir, _, dryRun)))
+  }
+
+  /** The census-driven trigger behind [[run]]'s `compaction` policy: measure
+    * both signals on the CURRENT store files, and only when one degrades
+    * past its threshold run (or, dry-run, size up) a [[compactZOrder]] pass.
+    * Returns None when the store is healthy — a no-op pass measures two
+    * cheap aggregates and rewrites nothing. */
+  private def maybeCompact(
+      spark: SparkSession,
+      dataDir: String,
+      policy: CompactionPolicy,
+      dryRun: Boolean): Option[CompactReport] = {
+    import graft.operators.Layout
+    import org.apache.spark.sql.functions.{avg => favg}
+    val store =
+      try PointStore.read(spark, dataDir)
+      catch { case _: org.apache.spark.sql.AnalysisException => return None }
+    val filesPerHr = PointStore.census(spark, dataDir)
+      .agg(favg(org.apache.spark.sql.functions.col("files_per_partition"))).head
+    val avgFiles = if (filesPerHr.isNullAt(0)) 0.0 else filesPerHr.getDouble(0)
+    val skip = Layout.filePruneReport(
+        Layout.fileEnvelopes(store, policy.xCol, policy.yCol),
+        policy.auditXLo, policy.auditXHi)
+      .collect().head.getAs[Double]("file_skip_ratio")
+    val triggered = avgFiles > policy.maxFilesPerPartition || skip < policy.minSkipRatio
+    if (!triggered) None
+    else Some(compactZOrder(spark, dataDir, policy.xCol, policy.yCol, policy.bits,
+      policy.numFiles, policy.auditXLo, policy.auditXHi, dryRun))
   }
 
   /** What one SCD2-dimension maintenance pass did (or would do). */

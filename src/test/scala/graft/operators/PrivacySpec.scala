@@ -175,4 +175,39 @@ class PrivacySpec extends AnyFunSuite with SparkSpec {
     val ev = Seq((1L, "a")).toDF("event_id", "event_type")
     intercept[IllegalArgumentException] { Privacy.dpCounts(ev, "event_type", 0.5, salt = "") }
   }
+
+  test("releaseWithLedger: epochs append to the ledger; re-releasing an epoch refuses") {
+    val base = java.nio.file.Files.createTempDirectory("graft-ledger").toString
+    val (releases, ledger) = (s"$base/releases", s"$base/ledger")
+    val ev = Seq.tabulate(20)(i => (i.toLong, if (i % 2 == 0) "a" else "b"))
+      .toDF("event_id", "event_type")
+    val r1 = Privacy.releaseWithLedger(
+      Privacy.dpCounts(ev, "event_type", 0.5, salt = "k-e1"),
+      Seq("event_type"), epoch = "e1", salt = "k-e1", releases, ledger)
+    assert(r1.columns.toSeq == Seq("event_type", "noisy_n", "epsilon"))
+    Privacy.releaseWithLedger(
+      Privacy.dpCounts(ev, "event_type", 0.25, salt = "k-e2"),
+      Seq("event_type"), epoch = "e2", salt = "k-e2", releases, ledger)
+    val report = Privacy.ledgerReport(spark.read.parquet(ledger))
+      .orderBy("epoch").collect()
+    assert(report.map(_.getAs[String]("epoch")).toSeq == Seq("e1", "e2"))
+    assert(report.map(_.getAs[Double]("spent_cum")).toSeq == Seq(0.5, 0.75))
+    assert(report.map(_.getAs[Long]("n_rows")).toSeq == Seq(2L, 2L))
+    // fresh salts per epoch -> distinct salt hashes (the differencing audit)
+    assert(report.map(_.getAs[String]("salt_hash")).distinct.length == 2)
+    // double-spend: the SAME epoch key refuses, even with a new salt
+    val e = intercept[IllegalArgumentException] {
+      Privacy.releaseWithLedger(
+        Privacy.dpCounts(ev, "event_type", 0.5, salt = "k-e1b"),
+        Seq("event_type"), epoch = "e1", salt = "k-e1b", releases, ledger)
+    }
+    assert(e.getMessage.contains("double-spend"))
+    // the refusal left the ledger untouched
+    assert(spark.read.parquet(ledger).count() == 2L)
+    // regenerating a release from the same inputs is bit-identical: the
+    // ledger's release_hash pins the artifact
+    val hashes = spark.read.parquet(ledger).orderBy("epoch")
+      .collect().map(_.getAs[String]("release_hash"))
+    assert(hashes.forall(_.length == 64) && hashes.distinct.length == 2)
+  }
 }

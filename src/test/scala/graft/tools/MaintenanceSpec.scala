@@ -102,6 +102,48 @@ class MaintenanceSpec extends AnyFunSuite with SparkSpec {
       .where(col("value") === 7.0 && col("ts") === T + 9000L).count() == 1L)
   }
 
+  test("census-driven compaction policy: drifted store self-schedules, healthy store no-ops") {
+    import org.apache.spark.sql.functions.col
+    val base = Files.createTempDirectory("graft-policy").toString
+    val dir = s"$base/data"
+    val T = 1704067200000L
+    val rows = for (y <- 0 until 64; x <- 0 until 64)
+      yield MetricPoint("sys.cpu.user", T + y * 1000L, x.toDouble, Map("h" -> "a"), None)
+    // 32 time-slice appends: small-files pressure + zero x-locality
+    rows.grouped(128).foreach(g => PointStore.write(g.toSeq.toDF().coalesce(1), dir))
+    PointStore.writeMeta(rows.toDF(), s"$base/meta")
+    val xDim = col("value").cast("long")
+    val yDim = ((col("ts") - org.apache.spark.sql.functions.lit(T)) /
+      org.apache.spark.sql.functions.lit(1000L)).cast("long")
+    // maxFilesPerPartition must sit ABOVE the rewrite's own numFiles target
+    // (one hour partition here), else a freshly-compacted store re-triggers
+    val policy = Maintenance.CompactionPolicy(xDim, yDim, bits = 6, numFiles = 16,
+      auditXLo = 16L, auditXHi = 23L, maxFilesPerPartition = 20.0)
+    val ttl = Map("default" -> (365L * 86400000L))
+    val preContent = PointStore.read(spark, dir)
+      .select("metric", "ts", "value").collect().map(_.toSeq).toSet
+    // DRY RUN: the drifted store schedules a compaction and reports its
+    // would-be effect without touching a file
+    val dry = Maintenance.run(spark, dir, s"$base/meta", ttl, T, dryRun = true,
+      compaction = Some(policy))
+    assert(dry.compaction.isDefined, "drifted store must schedule compaction")
+    assert(dry.compaction.get.dryRun && dry.compaction.get.filesBefore >= 32L)
+    assert(PointStore.read(spark, dir)
+      .select(org.apache.spark.sql.functions.input_file_name()).distinct().count() >= 32L,
+      "dry run rewrote files")
+    // APPLY: the pass executes the rewrite; logical content byte-identical
+    val applied = Maintenance.run(spark, dir, s"$base/meta", ttl, T,
+      compaction = Some(policy))
+    val c = applied.compaction.getOrElse(fail("apply must compact the drifted store"))
+    assert(!c.dryRun && c.filesAfter < c.filesBefore && c.skipAfter >= 0.5)
+    assert(PointStore.read(spark, dir)
+      .select("metric", "ts", "value").collect().map(_.toSeq).toSet == preContent)
+    // HEALTHY: a second policy pass measures and does nothing
+    val again = Maintenance.run(spark, dir, s"$base/meta", ttl, T,
+      compaction = Some(policy))
+    assert(again.compaction.isEmpty, s"healthy store must not recompact: $again")
+  }
+
   test("ivfMaintain: bootstrap + increments == one batch assign under fixed centroids") {
     import org.apache.spark.sql.functions.col
     val dir = Files.createTempDirectory("graft-ivfdim").toString + "/index"
