@@ -681,6 +681,38 @@ object Curation {
    * @return one row per split: (split, n_docs, n_tokens, doc_share,
    *         token_share)
    */
+  /**
+   * Cross-split near-duplicate LEAKAGE audit — the eval-integrity check a
+   * pure hash split ([[splitAssign]]) cannot give and [[groupSplit]] exists
+   * to prevent: a near-duplicate pair straddling train and val/test leaks
+   * training content into evaluation (the classic inflated-benchmark
+   * failure). Joins a candidate near-dup pair frame (e.g.
+   * [[Dedup.minhashLsh]]'s `(a, b, est_jaccard)`) to the split assignment
+   * of BOTH endpoints and aggregates per unordered split pair — the report
+   * a pipeline reads before trusting its held-out numbers.
+   *
+   * Scale shape: two doc_id-keyed equi-joins of the pair frame (LSH-banded,
+   * never corpus-quadratic) against the split frame, then a <= C(splits+1,2)
+   * -group aggregate. Deterministic: counts are exact; est_jaccard values
+   * are k/8 multiples, so max is exact in both engines.
+   *
+   * @param pairs  (a, b, est_jaccard) candidate near-dup pairs
+   * @param splits (doc_id, split) assignment covering both endpoints
+   * @return per (split_lo, split_hi): n_pairs, max_jaccard, is_leak
+   *         (1 when the pair straddles two splits)
+   */
+  def splitLeakage(pairs: DataFrame, splits: DataFrame,
+                   threshold: Double = 0.5): DataFrame =
+    pairs.where(col("est_jaccard") >= threshold)
+      .join(splits.select(col("doc_id").as("a"), col("split").as("sa")), "a")
+      .join(splits.select(col("doc_id").as("b"), col("split").as("sb")), "b")
+      .groupBy(least(col("sa"), col("sb")).as("split_lo"),
+        greatest(col("sa"), col("sb")).as("split_hi"))
+      .agg(count(lit(1)).as("n_pairs"),
+        max(col("est_jaccard")).as("max_jaccard"))
+      .withColumn("is_leak",
+        when(col("split_lo") =!= col("split_hi"), 1L).otherwise(0L))
+
   def splitReport(docs: DataFrame, train256: Int = 205,
                   val256: Int = 26): DataFrame = {
     val sums = splitAssign(docs, train256, val256)

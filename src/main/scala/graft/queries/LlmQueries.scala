@@ -660,6 +660,15 @@ object LlmQueries {
     // deterministic hash train/val/test split (205/26/25 of 256)
     "curate_split" -> ((s, dir) =>
       graft.operators.Curation.splitAssign(docs(s, dir)).select("doc_id", "split")),
+    // cross-split near-dup leakage audit: the minhash-LSH candidate pairs
+    // joined to both endpoints' hash-split assignment — pairs straddling
+    // train and val/test are eval contamination the hash split cannot see
+    "curate_split_leakage" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.operators.Curation.splitLeakage(
+        graft.operators.Dedup.minhashLsh(d),
+        graft.operators.Curation.splitAssign(d).select("doc_id", "split"))
+    }),
     // group-aware (leakage-safe) split: URL-host provenance groups over the
     // planted-URL corpus (every 5th doc unplanted -> source-shard fallback);
     // whole groups land in one split by construction
@@ -4049,6 +4058,34 @@ object LlmQueries {
         |FROM documents""".stripMargin,
     // mirrors Curation.groupSplit over the planted-URL corpus: host group
     // key with source-shard fallback, gsplit-salted 256-bucket hex cut
+    // mirrors Curation.splitLeakage over the minhash-LSH pairs + hash split:
+    // identical band construction, est_jaccard >= 0.5, per unordered split
+    // pair the count/max — exact (est_jaccard is a k/8 multiple)
+    "curate_split_leakage" ->
+      s"""WITH mh AS ($MinhashSql),
+         |bands AS (
+         |  SELECT doc_id, b, key FROM mh, LATERAL (VALUES
+         |    (0, mh0 || mh1), (1, mh2 || mh3), (2, mh4 || mh5), (3, mh6 || mh7)) AS v(b, key)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         |  FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id),
+         |pr AS (SELECT cand.a, cand.b,
+         |       ((x.mh0 = y.mh0)::INT + (x.mh1 = y.mh1)::INT + (x.mh2 = y.mh2)::INT
+         |            + (x.mh3 = y.mh3)::INT + (x.mh4 = y.mh4)::INT + (x.mh5 = y.mh5)::INT
+         |            + (x.mh6 = y.mh6)::INT + (x.mh7 = y.mh7)::INT) / 8.0 AS est_jaccard
+         |       FROM cand JOIN mh x ON cand.a = x.doc_id JOIN mh y ON cand.b = y.doc_id),
+         |sp AS (SELECT doc_id,
+         |       CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+         |            WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e7' THEN 'val'
+         |            ELSE 'test' END AS split
+         |       FROM documents)
+         |SELECT LEAST(sa.split, sb.split) AS split_lo, GREATEST(sa.split, sb.split) AS split_hi,
+         |       CAST(COUNT(*) AS BIGINT) AS n_pairs, MAX(est_jaccard) AS max_jaccard,
+         |       CAST(CASE WHEN LEAST(sa.split, sb.split) != GREATEST(sa.split, sb.split)
+         |                 THEN 1 ELSE 0 END AS BIGINT) AS is_leak
+         |FROM pr JOIN sp sa ON pr.a = sa.doc_id JOIN sp sb ON pr.b = sb.doc_id
+         |WHERE est_jaccard >= 0.5
+         |GROUP BY 1, 2""".stripMargin,
     "curate_group_split" ->
       """WITH p AS (SELECT doc_id, source,
         |        CASE WHEN doc_id % 5 != 0
