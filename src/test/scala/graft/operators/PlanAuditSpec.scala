@@ -829,4 +829,40 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(!branches.drop(lastFilter).exists(_.contains("Exchange")),
       s"closed history must not reshuffle:\n$txt")
   }
+
+  test("bestSnippets: no window, no self-join — one aggregate + broadcast joins only") {
+    val docs = (0L until 40L)
+      .map(i => (i, s"alpha beta gamma delta word$i alpha beta " * (1 + (i % 3)).toInt))
+      .toDF("doc_id", "text")
+    val q = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("query_id", "qtext")
+    val df = Search.bestSnippets(docs, q, window = 6)
+    val plan = df.queryExecution.executedPlan
+    val unwrapped = plan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val txt = unwrapped.toString
+    // the round-12 restructure: the quadratic anchor x member band self-join
+    // and its per-(query,doc) argmax window are GONE — coverage is one
+    // sorted-array aggregate + the native two-pointer expression
+    assert(windows(df).isEmpty, s"no window expected in the snippet plan:\n$txt")
+    assert(!txt.contains("SortMergeJoin") && !txt.contains("CartesianProduct"),
+      s"only broadcast joins expected:\n$txt")
+    assert(txt.contains("BestWindowCover") || txt.contains("bestwindowcover"),
+      s"the native coverage expression must be in the plan:\n$txt")
+  }
+
+  test("splitLeakage: key-equi joins over the banded pair frame, no cartesian") {
+    val docs = (0L until 48L)
+      .map(i => (i, s"shared shingle text body common run ${i % 6} tail"))
+      .toDF("doc_id", "text")
+    val df = Curation.splitLeakage(
+      Dedup.minhashLsh(docs), Curation.splitAssign(docs).select("doc_id", "split"))
+    val txt = (df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }).toString
+    assert(!txt.contains("CartesianProduct") && !txt.contains("BroadcastNestedLoop"),
+      s"leakage audit must join on keys only:\n$txt")
+  }
 }
