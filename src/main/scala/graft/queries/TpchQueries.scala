@@ -82,8 +82,8 @@ object TpchQueries {
     "q_topk_orders" -> ((s, dir) => {
       table(s, dir, "lineitem")
         .groupBy("l_orderkey")
-        .agg(sum((col("l_extendedprice").cast("decimal(18,4)") *
-          (lit(1) - col("l_discount").cast("decimal(18,4)"))).cast("decimal(18,4)")).cast("double").as("revenue"))
+        .agg(dec4ToDouble(sum((col("l_extendedprice").cast("decimal(18,4)") *
+          (lit(1) - col("l_discount").cast("decimal(18,4)"))).cast("decimal(18,4)"))).as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
     }),
@@ -173,7 +173,7 @@ object TpchQueries {
           col("l_partkey") === col("p_partkey"))
         .groupBy("p_brand")
         .agg(count(lit(1)).as("n_small_lines"),
-          sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double").as("small_revenue"))
+          dec4ToDouble(sum(col("l_extendedprice").cast("decimal(18,4)"))).as("small_revenue"))
     }),
     // TPC-H Q4-flavor late-order priority check: orders with ANY line shipped
     // more than 60 days after the order date — the LEFT SEMI join pattern
@@ -218,9 +218,9 @@ object TpchQueries {
           "l_shipdate < TIMESTAMP '1996-10-01 00:00:00'"))
         .join(table(s, dir, "part"), col("l_partkey") === col("p_partkey"))
         .agg(
-          sum(when(col("p_type") === "PROMO", rev)
-            .otherwise(lit(0).cast("decimal(18,4)"))).cast("double").as("promo_revenue"),
-          sum(rev).cast("double").as("total_revenue"))
+          dec4ToDouble(sum(when(col("p_type") === "PROMO", rev)
+            .otherwise(lit(0).cast("decimal(18,4)")))).as("promo_revenue"),
+          dec4ToDouble(sum(rev)).as("total_revenue"))
         .select(col("promo_revenue"), col("total_revenue"),
           (col("promo_revenue") / col("total_revenue") * lit(100.0)).as("promo_pct"))
     }),
@@ -296,7 +296,7 @@ object TpchQueries {
         .orderBy(col("rev").desc, col("l_suppkey").asc)
         .limit(5)
         .select(col("l_suppkey"), col("s_name"),
-          col("rev").cast("double").as("total_revenue"))
+          dec4ToDouble(col("rev")).as("total_revenue"))
     }),
     // TPC-H Q8 flavor: market share of one supplier nation (NATION_7)
     // inside one region's (EUROPE) customer market for one part type
@@ -351,9 +351,9 @@ object TpchQueries {
           (col("p_brand") === "Brand#19" && col("p_size").between(1, 15) &&
             col("l_quantity").between(20, 30)))
         .agg(
-          sum((col("l_extendedprice").cast("decimal(18,4)") *
-            (lit(1) - col("l_discount").cast("decimal(18,4)"))).cast("decimal(18,4)"))
-            .cast("double").as("revenue"),
+          dec4ToDouble(sum((col("l_extendedprice").cast("decimal(18,4)") *
+            (lit(1) - col("l_discount").cast("decimal(18,4)"))).cast("decimal(18,4)")))
+            .as("revenue"),
           count(lit(1)).as("n_lines"))
     }),
     // TPC-H Q21 flavor: suppliers who were the SOLE late shipper in a
@@ -535,7 +535,7 @@ object TpchQueries {
         |GROUP BY 1""".stripMargin,
     "q_topk_orders" ->
       """SELECT l_orderkey,
-        |       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |       CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) * 10000 AS BIGINT) AS DOUBLE) / 10000.0 AS revenue
         |FROM lineitem
         |GROUP BY 1
         |ORDER BY revenue DESC, l_orderkey
@@ -575,7 +575,7 @@ object TpchQueries {
         |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty
         |  FROM lineitem GROUP BY 1)
         |SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_small_lines,
-        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS small_revenue
+        |       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) * 10000 AS BIGINT) AS DOUBLE) / 10000.0 AS small_revenue
         |FROM lineitem
         |JOIN pa ON l_partkey = pa.pk
         |JOIN part ON l_partkey = p_partkey
@@ -610,10 +610,10 @@ object TpchQueries {
         |  AND l_quantity < 24""".stripMargin,
     "q14_promo_share" ->
       """WITH a AS (
-        |  SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |  SELECT CAST(CAST(SUM(CASE WHEN p_type = 'PROMO'
         |                       THEN CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))
-        |                       ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo_revenue,
-        |         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+        |                       ELSE CAST(0 AS DECIMAL(18,4)) END) * 10000 AS BIGINT) AS DOUBLE) / 10000.0 AS promo_revenue,
+        |         CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) * 10000 AS BIGINT) AS DOUBLE) / 10000.0 AS total_revenue
         |  FROM lineitem
         |  JOIN part ON l_partkey = p_partkey
         |  WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
@@ -676,7 +676,7 @@ object TpchQueries {
         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
         |  GROUP BY 1)
-        |SELECT l_suppkey, s_name, CAST(rev AS DOUBLE) AS total_revenue
+        |SELECT l_suppkey, s_name, CAST(CAST(rev * 10000 AS BIGINT) AS DOUBLE) / 10000.0 AS total_revenue
         |FROM r JOIN supplier ON l_suppkey = s_suppkey
         |ORDER BY rev DESC, l_suppkey ASC
         |LIMIT 5""".stripMargin,
@@ -707,8 +707,8 @@ object TpchQueries {
     // mirrors q19_disjunct: the OR-of-ANDs evaluated verbatim (the Spark
     // side's envelope prefilter is a strict superset, so results agree)
     "q19_disjunct" ->
-      """SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
-        |            (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      """SELECT CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |            (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) * 10000 AS BIGINT) AS DOUBLE) / 10000.0 AS revenue,
         |       CAST(COUNT(*) AS BIGINT) AS n_lines
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
