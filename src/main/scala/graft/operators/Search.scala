@@ -746,24 +746,30 @@ object Search {
     val qn = qt.groupBy("query_id").agg(count(lit(1)).as("n_terms"))
     val m = positions.join(broadcast(qt), "w")
       .select(col("query_id"), col("doc_id"), col("pos"), col("w"))
-    // ONE shuffle, O(m log m) per (query, doc): pack the matched positions
-    // into a sorted array, derive the all-terms qualification (the boolean
-    // MUST semantics) from the packed array itself — distinct matched terms
-    // == the query's term count — and run the native two-pointer coverage
-    // sweep ([[graft.functions.BestWindowCover]]). Semantically identical
-    // to the anchor×member band self-join + countDistinct + argmax window
-    // it replaces (every matched-position anchor evaluated, exact
+    // all-terms qualification FIRST (the boolean MUST semantics), on the
+    // distinct-words frame — m collapsed to <= n_terms rows per (query,
+    // doc), far smaller than the position rows. Pruning before the pack
+    // matters on common-term corpora: a query containing a stopword
+    // matches positions in nearly every doc, and packing those
+    // never-qualifying docs' positions into arrays (only to filter the
+    // arrays afterwards) dominated the 5M-doc smoke tier
+    val qualified = m.select("query_id", "doc_id", "w").distinct()
+      .groupBy("query_id", "doc_id").agg(count(lit(1)).as("n_distinct"))
+      .join(broadcast(qn), "query_id")
+      .where(col("n_distinct") === col("n_terms"))
+      .select("query_id", "doc_id")
+    // O(m log m) per qualified (query, doc): pack the matched positions
+    // into ONE sorted array and run the native two-pointer coverage sweep
+    // ([[graft.functions.BestWindowCover]]) — semantically identical to the
+    // anchor×member band self-join + countDistinct + argmax window it
+    // replaces (every matched-position anchor evaluated, exact
     // distinct-term coverage, earliest best span on ties), without the
     // O(m²) pair rows that made the snippets build the bench's most
-    // expensive stage, and without the separate distinct + count + join
-    // qualification pass (a second corpus-keyed shuffle). The array is
-    // bounded by the doc's matched-position count — never corpus-sized —
-    // so collect_list here is executor-safe at any scale.
-    m.groupBy("query_id", "doc_id")
+    // expensive stage. The array is bounded by the doc's matched-position
+    // count — never corpus-sized — so collect_list is executor-safe.
+    m.join(qualified, Seq("query_id", "doc_id"))
+      .groupBy("query_id", "doc_id")
       .agg(sort_array(collect_list(struct(col("pos"), col("w")))).as("pw"))
-      .join(broadcast(qn), "query_id")
-      .where(size(array_distinct(expr("transform(pw, x -> x.w)"))).cast("long")
-        === col("n_terms"))
       .withColumn("bw", graft.functions.TextFunctions.bestWindowCover(col("pw"), window))
       .select(col("query_id"), col("doc_id"),
         col("bw.snip_start").as("snip_start"), col("bw.n_covered").as("n_covered"))

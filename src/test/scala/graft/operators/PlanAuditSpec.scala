@@ -848,8 +848,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(windows(df).isEmpty, s"no window expected in the snippet plan:\n$txt")
     assert(!txt.contains("SortMergeJoin") && !txt.contains("CartesianProduct"),
       s"only broadcast joins expected:\n$txt")
-    assert(txt.contains("BestWindowCover") || txt.contains("bestwindowcover"),
-      s"the native coverage expression must be in the plan:\n$txt")
+    // the native expression lives in the optimized plan (the executed-plan
+    // string elides aggregate result expressions)
+    val opt = df.queryExecution.optimizedPlan.toString.toLowerCase
+    assert(opt.contains("bestwindowcover"),
+      s"the native coverage expression must be in the plan:\n$opt")
   }
 
   test("splitLeakage: key-equi joins over the banded pair frame, no cartesian") {
