@@ -166,6 +166,22 @@ object LlmQueries {
     * `search_bm25`/`search_highlight` driver medians carried the whole
     * postings/positions build). Each builder is idempotent — once built and
     * persisted, re-forcing is a no-op count over the cached frame. */
+  /** The postingsMaintain-WRITTEN index directory backing
+    * `search_bm25_store` (the maintained-artifact pattern of the scd2/IVF
+    * store gates): bootstrap on 2/3 of the corpus, one incremental append
+    * pass on the rest — postings are doc-local, so maintained == fresh
+    * batch bit-exact, and the gate's pruned-read BM25 hash-checks against
+    * the SAME full-corpus oracle as `search_bm25`. */
+  private val postingsStoreMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def postingsStoreDir(s: SparkSession, dir: String): String =
+    postingsStoreMemo.computeIfAbsent(s"${System.identityHashCode(s)}:$dir", _ => {
+      val d = docs(s, dir)
+      val idx = java.nio.file.Files.createTempDirectory("graft-poststore").toString + "/index"
+      graft.tools.Maintenance.postingsMaintain(s, idx, d.where(col("doc_id") % 3 =!= 0))
+      graft.tools.Maintenance.postingsMaintain(s, idx, d.where(col("doc_id") % 3 === 0))
+      idx
+    })
+
   val sharedBuilds: Seq[(String, (SparkSession, String) => Unit)] = Seq(
     "shared_build_postings" ->
       ((s: SparkSession, dir: String) => { probePostings(s, dir).count(); () }),
@@ -180,7 +196,9 @@ object LlmQueries {
     "shared_build_top_pc" ->
       ((s: SparkSession, dir: String) => { topPcFrame(s, dir).count(); () }),
     "shared_build_pagerank" ->
-      ((s: SparkSession, dir: String) => { pageRankFrame(s, dir).count(); () }))
+      ((s: SparkSession, dir: String) => { pageRankFrame(s, dir).count(); () }),
+    "shared_build_postings_store" ->
+      ((s: SparkSession, dir: String) => { postingsStoreDir(s, dir); () }))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tokens" -> ((s, dir) => TextAnalysis.tokenCounts(docs(s, dir))),
@@ -317,6 +335,12 @@ object LlmQueries {
     // contributions in DECIMAL(28,9) so the score sum is exact cross-engine
     "search_bm25" -> ((s, dir) =>
       bm25Hits15(s, dir).where(col("rank") <= 10)),
+    // BM25 over the MAINTAINED postings store: bucket-pruned read of the
+    // bootstrap+increment index, same scorer, same full-corpus oracle —
+    // the driver hash-checks the production index path end to end
+    "search_bm25_store" -> ((s, dir) =>
+      graft.tools.Maintenance.bm25Maintained(s, postingsStoreDir(s, dir),
+        probeQueries(docs(s, dir)), k = 10)),
     // retrieval-coverage audit over the SHARED top-10: distinct reachable
     // docs / corpus, and whether each probe's own source doc ranks first
     "search_coverage" -> ((s, dir) => {
@@ -3004,6 +3028,9 @@ object LlmQueries {
         |  FROM n)
         |WHERE rank <= 10""".stripMargin,
     "search_bm25" -> Bm25Top10OracleSql,
+    // identical oracle: the maintained index must reproduce the batch
+    // full-corpus ranking bit-exactly
+    "search_bm25_store" -> Bm25Top10OracleSql,
     // retrieval-coverage audit over the SAME bm25 top-10: how much of the
     // corpus is reachable from the probe set, and does each probe's own
     // source doc come back rank-1 (the self-retrieval sanity bit)

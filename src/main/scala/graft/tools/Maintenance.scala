@@ -433,6 +433,124 @@ object Maintenance {
     IvfRetrainReport(dryRun = false, nVec, listsBefore, nLists2)
   }
 
+  /** What one postings-index maintenance pass did (or would do). */
+  case class PostingsReport(
+      dryRun: Boolean,
+      bootstrap: Boolean,
+      docsBefore: Long,
+      docsAfter: Long,
+      postingsRows: Long) {
+    def render: String =
+      s"postings${if (dryRun) " (DRY RUN)" else ""}: " +
+        s"${if (bootstrap) "bootstrapped" else "appended increment"}; " +
+        s"docs $docsBefore -> $docsAfter, $postingsRows postings rows"
+  }
+
+  /** Term-hash bucket for the maintained postings layout: 2 md5 hex chars
+    * -> 64 buckets — the partition column query-time reads prune on. */
+  private def termBucket(term: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    pmod(conv(substring(md5(term), 1, 2), 16, 10).cast("long"), lit(64L))
+  }
+
+  /**
+   * Maintained BM25 POSTINGS index on the store — the lexical sibling of
+   * [[ivfMaintain]] / [[scd2Maintain]]: `indexDir/postings` holds the full
+   * inverted index `(term, doc_id, dl, tf)` PARTITIONED BY a 64-way term
+   * hash bucket (`tb`), `indexDir/stats` the one-row `(n_docs, sum_dl)`
+   * corpus stats. Bootstrap explodes the corpus once; every later pass
+   * APPENDS the new docs' postings (postings are doc-local, so existing
+   * rows are immutable — a pass costs O(increment), never O(index)) and
+   * merges the stats by exact integer addition (staged + swapped, crash
+   * windows auto-restored). At 100 TB this is how the retrieval family
+   * avoids re-exploding the corpus per query batch: [[bm25Maintained]]
+   * reads ONLY the query terms' buckets (partition pruning on `tb`), and
+   * [[graft.operators.Search.bm25TopKFromPostings]] scores on that bounded
+   * fetch.
+   *
+   * Contract: increment doc_ids must be NEW (keyed storage, not an upsert
+   * target) — [[postingsAudit]] catches violations after the fact
+   * (distinct doc_ids vs the stats row's accumulated n_docs).
+   */
+  def postingsMaintain(
+      spark: SparkSession,
+      indexDir: String,
+      docs: org.apache.spark.sql.DataFrame,
+      dryRun: Boolean = false): PostingsReport = {
+    import org.apache.spark.sql.functions._
+    val postingsPath = new Path(indexDir, "postings")
+    val statsPath = new Path(indexDir, "stats")
+    val fs = postingsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverDir(fs, postingsPath)
+    recoverDir(fs, statsPath)
+    val words = split(col("text"), " ")
+    val post = docs
+      .select(col("doc_id"), size(words).cast("long").as("dl"), explode(words).as("term"))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+      .withColumn("tb", termBucket(col("term")))
+    val delta = docs.agg(count(lit(1)).as("n_docs"),
+      sum(size(words).cast("long")).as("sum_dl")).head
+    val (dN, dSum) = (delta.getLong(0), if (delta.isNullAt(1)) 0L else delta.getLong(1))
+    val exists = fs.exists(statsPath)
+    val before = if (exists) spark.read.parquet(statsPath.toString).head.getLong(0) else 0L
+    if (dryRun)
+      return PostingsReport(dryRun = true, bootstrap = !exists, before, before + dN, post.count())
+    if (!exists) {
+      post.write.mode(SaveMode.Overwrite).partitionBy("tb").parquet(postingsPath.toString)
+      import spark.implicits._
+      Seq((dN, dSum)).toDF("n_docs", "sum_dl")
+        .write.mode(SaveMode.Overwrite).parquet(statsPath.toString)
+      PostingsReport(dryRun = false, bootstrap = true, 0L, dN,
+        spark.read.parquet(postingsPath.toString).count())
+    } else {
+      val prior = spark.read.parquet(statsPath.toString).head
+      post.write.mode(SaveMode.Append).partitionBy("tb").parquet(postingsPath.toString)
+      import spark.implicits._
+      val statsTmp = new Path(statsPath.toString + ".tmp")
+      Seq((prior.getLong(0) + dN, prior.getLong(1) + dSum)).toDF("n_docs", "sum_dl")
+        .write.mode(SaveMode.Overwrite).parquet(statsTmp.toString)
+      swapDir(fs, statsTmp, statsPath)
+      PostingsReport(dryRun = false, bootstrap = false, prior.getLong(0),
+        prior.getLong(0) + dN, spark.read.parquet(postingsPath.toString).count())
+    }
+  }
+
+  /** [[postingsMaintain]] integrity audit: the stats row's accumulated
+    * n_docs must equal the postings' distinct doc_id count — a re-appended
+    * (duplicate) document inflates stats past the distinct set, a lost
+    * append leaves stats ahead of the rows. One aggregate per side. */
+  def postingsAudit(spark: SparkSession, indexDir: String): (Long, Long, Boolean) = {
+    import org.apache.spark.sql.functions._
+    val d = spark.read.parquet(new Path(indexDir, "postings").toString)
+      .agg(countDistinct(col("doc_id"))).head.getLong(0)
+    val n = spark.read.parquet(new Path(indexDir, "stats").toString).head.getLong(0)
+    (d, n, d == n)
+  }
+
+  /** BM25 top-k over a [[postingsMaintain]] index: the query terms' hash
+    * buckets are computed driver-side (bounded by the query batch) and the
+    * postings read filters on the `tb` PARTITION column — at 100 TB the
+    * scan touches only the matching bucket directories (partition pruning),
+    * never the full index. Scoring is the shared
+    * [[graft.operators.Search.bm25TopKFromPostings]] — bit-identical to a
+    * fresh batch [[graft.operators.Search.bm25TopK]] over the same corpus
+    * (spec-pinned). */
+  def bm25Maintained(spark: SparkSession, indexDir: String,
+      queries: org.apache.spark.sql.DataFrame, k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val qTerms = queries
+      .select(col("query_id"), explode(split(col("qtext"), " ")).as("term"))
+      .distinct()
+    val buckets = qTerms.select(termBucket(col("term")).as("tb")).distinct()
+      .collect().map(_.getLong(0))
+    val postings = spark.read.parquet(new Path(indexDir, "postings").toString)
+      .where(col("tb").isin(buckets.toIndexedSeq: _*))
+      .select("term", "doc_id", "dl", "tf")
+    val stats = spark.read.parquet(new Path(indexDir, "stats").toString)
+    graft.operators.Search.bm25TopKFromPostings(postings, stats, qTerms, k, k1, b)
+  }
+
   /** [[ivfAudit]] verdict: row/distinct-vec_id counts (the increment
     * contract says vec_ids are NEW each pass, so n == distinctVecIds), plus
     * the list-id envelope of the assignments validated against the centroid

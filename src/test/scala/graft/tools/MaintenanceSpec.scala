@@ -268,6 +268,51 @@ class MaintenanceSpec extends AnyFunSuite with SparkSpec {
       q, k = 3, nProbe = 8).count() > 0L)
   }
 
+  test("postingsMaintain: bootstrap + increments == fresh index; pruned search == batch BM25") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-postings").toString + "/index"
+    val all = (0L until 90L).map { i =>
+      (i, s"alpha doc$i beta shared corpus words run${i % 9} gamma " * (1 + (i % 3)).toInt)
+    }.toDF("doc_id", "text")
+    // bootstrap on 60 docs, dry-run inert, then two increments
+    val r1 = Maintenance.postingsMaintain(spark, dir, all.where(col("doc_id") < 60L))
+    assert(r1.bootstrap && r1.docsAfter == 60L)
+    val dry = Maintenance.postingsMaintain(spark, dir,
+      all.where(col("doc_id") >= 60L && col("doc_id") < 75L), dryRun = true)
+    assert(dry.dryRun && !dry.bootstrap && dry.docsAfter == 75L)
+    assert(spark.read.parquet(s"$dir/stats").head.getLong(0) == 60L, "dry run wrote")
+    Maintenance.postingsMaintain(spark, dir,
+      all.where(col("doc_id") >= 60L && col("doc_id") < 75L))
+    val r3 = Maintenance.postingsMaintain(spark, dir, all.where(col("doc_id") >= 75L))
+    assert(r3.docsBefore == 75L && r3.docsAfter == 90L)
+    val aud = Maintenance.postingsAudit(spark, dir)
+    assert(aud._3, s"audit must be green after disjoint increments: $aud")
+    // maintained index == fresh bootstrap over the same corpus, as sets
+    val freshDir = Files.createTempDirectory("graft-postfresh").toString + "/index"
+    Maintenance.postingsMaintain(spark, freshDir, all)
+    def snap(d: String) = (
+      spark.read.parquet(s"$d/postings").select("term", "doc_id", "dl", "tf", "tb")
+        .collect().map(_.toSeq).toSet,
+      spark.read.parquet(s"$d/stats").collect().map(_.toSeq).toSet)
+    assert(snap(dir) == snap(freshDir))
+    // pruned search == the batch scorer, bit-exact (rank, score, n_terms)
+    val q = Seq((1L, "alpha shared"), (2L, "gamma run4")).toDF("query_id", "qtext")
+    val got = Maintenance.bm25Maintained(spark, dir, q, k = 5)
+      .collect().map(_.toSeq).toSet
+    val batch = graft.operators.Search.bm25TopK(all, q, k = 5)
+      .collect().map(_.toSeq).toSet
+    assert(got == batch, "maintained-index BM25 must equal the batch scorer")
+    // the read PRUNES on the tb partition column (the 100 TB point)
+    val plan = Maintenance.bm25Maintained(spark, dir, q, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("tb"),
+      s"expected tb partition pruning in the postings scan:\n$plan")
+    // audit catches a re-appended (duplicate) document batch
+    Maintenance.postingsMaintain(spark, dir, all.where(col("doc_id") < 5L))
+    val bad = Maintenance.postingsAudit(spark, dir)
+    assert(!bad._3 && bad._2 == 95L && bad._1 == 90L)
+  }
+
   test("ivfAudit flags duplicate vec_ids and out-of-range list_ids") {
     import org.apache.spark.sql.functions.{col, lit}
     val dir = Files.createTempDirectory("graft-ivfaudit").toString + "/index"
