@@ -433,7 +433,10 @@ object Maintenance {
     IvfRetrainReport(dryRun = false, nVec, listsBefore, nLists2)
   }
 
-  /** What one postings-index maintenance pass did (or would do). */
+  /** What one postings-index maintenance pass did (or would do).
+    * `postingsRows` counts THIS PASS's rows (the bootstrap total or the
+    * appended delta) — never a full-index count, which would put an
+    * O(index) term into every O(increment) pass just for reporting. */
   case class PostingsReport(
       dryRun: Boolean,
       bootstrap: Boolean,
@@ -443,7 +446,7 @@ object Maintenance {
     def render: String =
       s"postings${if (dryRun) " (DRY RUN)" else ""}: " +
         s"${if (bootstrap) "bootstrapped" else "appended increment"}; " +
-        s"docs $docsBefore -> $docsAfter, $postingsRows postings rows"
+        s"docs $docsBefore -> $docsAfter, $postingsRows postings rows this pass"
   }
 
   /** Term-hash bucket for the maintained postings layout: 2 md5 hex chars
@@ -500,18 +503,22 @@ object Maintenance {
       import spark.implicits._
       Seq((dN, dSum)).toDF("n_docs", "sum_dl")
         .write.mode(SaveMode.Overwrite).parquet(statsPath.toString)
-      PostingsReport(dryRun = false, bootstrap = true, 0L, dN,
-        spark.read.parquet(postingsPath.toString).count())
+      PostingsReport(dryRun = false, bootstrap = true, 0L, dN, post.count())
     } else {
       val prior = spark.read.parquet(statsPath.toString).head
-      post.write.mode(SaveMode.Append).partitionBy("tb").parquet(postingsPath.toString)
+      // one file per bucket per pass: an increment is small relative to the
+      // index, and letting every shuffle partition write into every bucket
+      // dir (up to partitions x 64 files) is exactly the small-files
+      // pressure the census flags elsewhere
+      post.repartition(col("tb"))
+        .write.mode(SaveMode.Append).partitionBy("tb").parquet(postingsPath.toString)
       import spark.implicits._
       val statsTmp = new Path(statsPath.toString + ".tmp")
       Seq((prior.getLong(0) + dN, prior.getLong(1) + dSum)).toDF("n_docs", "sum_dl")
         .write.mode(SaveMode.Overwrite).parquet(statsTmp.toString)
       swapDir(fs, statsTmp, statsPath)
       PostingsReport(dryRun = false, bootstrap = false, prior.getLong(0),
-        prior.getLong(0) + dN, spark.read.parquet(postingsPath.toString).count())
+        prior.getLong(0) + dN, post.count())
     }
   }
 

@@ -715,6 +715,19 @@ object ScaleSmoke {
           array_join(slice(split(col("text"), " "), 1, 4), " ").as("qtext"))
       graft.operators.Search.bestSnippets(docs, q, window = 12).count()
     }
+    t("postingsMaintain (95% bootstrap vs 5% increment; O(increment) claim)") {
+      val idx = java.nio.file.Files.createTempDirectory("graft-postsmoke").toString + "/index"
+      val t0 = System.nanoTime()
+      graft.tools.Maintenance.postingsMaintain(spark, idx,
+        docs.where(col("doc_id") % 20 =!= 0))
+      val boot = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val r = graft.tools.Maintenance.postingsMaintain(spark, idx,
+        docs.where(col("doc_id") % 20 === 0))
+      val incr = (System.nanoTime() - t1) / 1e9
+      println(f"SCALE   postings bootstrap $boot%.2f s (95%%), increment $incr%.2f s (5%%), " +
+        s"docs ${r.docsAfter}, rows ${r.postingsRows}")
+    }
     t("bestSnippets doc-length sweep (per-doc m scaling; m^2-term check)") {
       // every matched term repeats L times per doc — the dense-match shape
       // where the old anchor x member band self-join went quadratic in the
