@@ -328,6 +328,23 @@ object Privacy {
    * by construction); `release_hash` is sha256 over the sorted JSON rows of
    * the written artifact; no wall-clock enters the ledger, so regenerating
    * a whole release history is bit-identical — and oracle-checkable.
+   *
+   * CRASH ATOMICITY (single-writer): the artifact is staged into
+   * `releaseDir/epoch=<e>.tmp`, the ledger row is appended, and only then
+   * is the stage swapped into `releaseDir/epoch=<e>`
+   * ([[graft.sources.AtomicDir.swap]]). The two crash windows are both
+   * recoverable and never leave spent budget off the books:
+   *  - crash BEFORE the ledger append: an unledgered `.tmp` stage, no
+   *    release — a retry restages (Overwrite) and nothing was spent;
+   *  - crash AFTER the append but before the swap: a LEDGERED stage — the
+   *    budget is on the books, and the next call for that epoch completes
+   *    the swap instead of refusing (the release content is deterministic,
+   *    so finishing the publication spends nothing new).
+   * A ledger row whose artifact AND stage are both missing is a genuine
+   * integrity failure and throws. Concurrent callers are NOT supported:
+   * the epoch check is check-then-act by design (the ledger is an
+   * append-only parquet directory, not a lock service) — serialize
+   * releases through one writer.
    */
   def releaseWithLedger(dpFrame: DataFrame, groupCols: Seq[String], epoch: String,
       salt: String, releaseDir: String, ledgerDir: String): DataFrame = {
@@ -336,40 +353,69 @@ object Privacy {
     val spark = dpFrame.sparkSession
     val ledgerPath = new org.apache.hadoop.fs.Path(ledgerDir)
     val fs = ledgerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(ledgerPath)) {
-      val prior = spark.read.parquet(ledgerDir).where(col("epoch") === epoch)
-      require(prior.isEmpty,
-        s"epoch '$epoch' already released — refusing to double-spend the budget " +
-          "(re-read the existing artifact instead)")
-    }
-    val out = s"$releaseDir/epoch=$epoch"
-    releaseView(dpFrame, groupCols)
-      .write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists).parquet(out)
-    val written = spark.read.parquet(out)
-    val eps = written.agg(max(col("epsilon"))).head.getDouble(0)
+    val out = new org.apache.hadoop.fs.Path(s"$releaseDir/epoch=$epoch")
+    val tmp = new org.apache.hadoop.fs.Path(out.toString + ".tmp")
+    val ledgerExists = fs.exists(ledgerPath)
+    val priorSeq: Long =
+      if (!ledgerExists) -1L
+      else {
+        val ledger = spark.read.parquet(ledgerDir)
+        val prior = ledger.where(col("epoch") === epoch)
+        if (!prior.isEmpty) {
+          // already on the books. Published artifact -> double-spend refusal;
+          // ledgered stage (the post-append crash window) -> finish the swap.
+          if (fs.exists(out))
+            throw new IllegalArgumentException(
+              s"epoch '$epoch' already released — refusing to double-spend the budget " +
+                "(re-read the existing artifact instead)")
+          require(fs.exists(tmp),
+            s"ledger has epoch '$epoch' but neither the release nor its stage exists — " +
+              "the accounting and the artifacts have diverged; reconcile by hand")
+          graft.sources.AtomicDir.swap(fs, tmp, out)
+          return spark.read.parquet(out.toString)
+        }
+        val m = ledger.agg(max(col("seq"))).head
+        if (m.isNullAt(0)) -1L else m.getLong(0)
+      }
+    // validate + compute the accounting BEFORE anything durable is written:
+    // an empty dp frame (or a frame with no epsilon) must fail here, with
+    // zero artifacts on disk, not between the release write and the append
+    val view = releaseView(dpFrame, groupCols)
+    val acct = view.agg(max(col("epsilon")).as("eps"), count(lit(1)).as("n")).head
+    require(acct.getLong(1) > 0L, "refusing to release an empty DP frame")
+    val eps = acct.getDouble(0)
+    // stage (Overwrite: a pre-append crash leaves an orphan stage a retry
+    // simply replaces), then append the ledger row, then publish
+    view.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp.toString)
+    val written = spark.read.parquet(tmp.toString)
     val n = written.count()
     val relHash = written
       .select(to_json(struct(written.columns.map(col).toIndexedSeq: _*)).as("j"))
       .agg(sha2(concat_ws("\n", sort_array(collect_list(col("j")))), 256).as("h"))
       .head.getString(0)
     import spark.implicits._
-    Seq((epoch, md5str(salt), eps, n, relHash))
-      .toDF("epoch", "salt_hash", "epsilon", "n_rows", "release_hash")
+    Seq((epoch, md5str(salt), eps, n, relHash, priorSeq + 1L))
+      .toDF("epoch", "salt_hash", "epsilon", "n_rows", "release_hash", "seq")
       .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(ledgerDir)
-    written
+    graft.sources.AtomicDir.swap(fs, tmp, out)
+    spark.read.parquet(out.toString)
   }
 
   /** Spent-budget audit over a [[releaseWithLedger]] ledger directory: one
-    * row per epoch (epoch ASC) with the running epsilon total — sequential
+    * row per release in RELEASE ORDER (the monotonic `seq` the writer
+    * stamps, NOT lexicographic epoch order — epoch keys like 'e10' sort
+    * before 'e2' as strings) with the running epsilon total — sequential
     * composition's cumulative privacy loss. The [[releaseView]] of budget
     * accounting: exact epsilon sums, salt-reuse visible via duplicate
-    * salt_hash values. */
+    * salt_hash values. The unpartitioned window is bounded by the number
+    * of releases ever made (one row each), never by data size. */
   def ledgerReport(ledger: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("epoch")).rowsBetween(Long.MinValue, 0)
+      .orderBy(col("seq")).rowsBetween(Long.MinValue, 0)
     ledger
-      .select(col("epoch"), col("salt_hash"), col("epsilon"), col("n_rows"))
+      .select(col("epoch"), col("salt_hash"), col("epsilon"), col("n_rows"), col("seq"))
       .withColumn("spent_cum", sum(col("epsilon")).over(w))
+      .select("epoch", "salt_hash", "epsilon", "n_rows", "spent_cum")
   }
 
   private def md5str(s: String): String = {

@@ -41,7 +41,7 @@ object AuditQueries {
     * their own line item. */
   private val scd2DimMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def scd2DimDir(s: SparkSession, dir: String): String =
-    scd2DimMemo.computeIfAbsent(s"${System.identityHashCode(s)}:$dir", _ => {
+    scd2DimMemo.computeIfAbsent(s"${SessionKeys.key(s)}:$dir", _ => {
       val ev = events(s, dir).select(col("user_id"), col("event_type"),
         expr("ts div 1000000").as("ms"), col("event_id"))
       val mm = ev.agg(min(col("ms")), max(col("ms"))).head
@@ -63,7 +63,7 @@ object AuditQueries {
     * ledger column from the events table. */
   private val dpLedgerMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def dpLedgerDir(s: SparkSession, dir: String): String =
-    dpLedgerMemo.computeIfAbsent(s"${System.identityHashCode(s)}:$dir", _ => {
+    dpLedgerMemo.computeIfAbsent(s"${SessionKeys.key(s)}:$dir", _ => {
       val base = java.nio.file.Files.createTempDirectory("graft-dpledger").toString
       val releases = s"$base/releases"
       val ledger = s"$base/ledger"

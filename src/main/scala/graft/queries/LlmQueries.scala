@@ -54,7 +54,7 @@ object LlmQueries {
     df
   }
   private def probePostings(s: SparkSession, dir: String): DataFrame =
-    repersist(postingsMemo.computeIfAbsent(s"${System.identityHashCode(s)}:$dir", _ => {
+    repersist(postingsMemo.computeIfAbsent(s"${SessionKeys.key(s)}:$dir", _ => {
       val d = docs(s, dir)
       graft.operators.Search.matchedPostings(d, probeTerms(d))
     }))
@@ -66,7 +66,7 @@ object LlmQueries {
     * its own term frame). */
   private val positionsMemo = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private def probePositions(s: SparkSession, dir: String): DataFrame =
-    repersist(positionsMemo.computeIfAbsent(s"${System.identityHashCode(s)}:$dir", _ => {
+    repersist(positionsMemo.computeIfAbsent(s"${SessionKeys.key(s)}:$dir", _ => {
       val d = docs(s, dir)
       val terms = probeQueries(d)
         .select(explode(split(lower(col("qtext")), " ")).as("w"))
@@ -76,7 +76,7 @@ object LlmQueries {
       graft.operators.Search.matchedPositions(d, terms)
     }))
   private def corpusStatsFrame(s: SparkSession, dir: String): DataFrame =
-    repersist(statsMemo.computeIfAbsent(s"${System.identityHashCode(s)}:$dir", _ =>
+    repersist(statsMemo.computeIfAbsent(s"${SessionKeys.key(s)}:$dir", _ =>
       graft.operators.Search.corpusStats(docs(s, dir))))
 
   /** The bm25 top-10 oracle, shared verbatim by `search_bm25` and (as a
@@ -109,14 +109,14 @@ object LlmQueries {
     * (session, dir) and the 64-row result persists across the pair. */
   private val topPcMemo = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private def topPcFrame(s: SparkSession, dir: String): DataFrame = {
-    val pc = topPcMemo.computeIfAbsent(s"${System.identityHashCode(s)}:$dir", _ =>
+    val pc = topPcMemo.computeIfAbsent(s"${SessionKeys.key(s)}:$dir", _ =>
       graft.operators.Similarity.topPrincipalComponent(emb(s, dir)))
     if (pc.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
       pc.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pc
   }
   private def bm25Hits15(s: SparkSession, dir: String): DataFrame = {
-    val hits = bm25Memo.computeIfAbsent(s"${System.identityHashCode(s)}:$dir", _ => {
+    val hits = bm25Memo.computeIfAbsent(s"${SessionKeys.key(s)}:$dir", _ => {
       val d = docs(s, dir)
       graft.operators.Search.bm25TopKFromPostings(
         probePostings(s, dir), corpusStatsFrame(s, dir), probeTerms(d), k = 15)
@@ -134,7 +134,7 @@ object LlmQueries {
     * persist at any corpus size. */
   private val snippetsMemo = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private def bestSnippetsFrame(s: SparkSession, dir: String): DataFrame = {
-    val best = snippetsMemo.computeIfAbsent(s"${System.identityHashCode(s)}:$dir", _ => {
+    val best = snippetsMemo.computeIfAbsent(s"${SessionKeys.key(s)}:$dir", _ => {
       val d = docs(s, dir)
       graft.operators.Search.bestSnippetsFromPositions(
         probePositions(s, dir), probeQueries(d), window = 12)
@@ -149,7 +149,7 @@ object LlmQueries {
     * pays the 4-step comparison run (domains-bounded rows persisted). */
   private val pagerankMemo = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private def pageRankFrame(s: SparkSession, dir: String): DataFrame = {
-    val pr = pagerankMemo.computeIfAbsent(s"${System.identityHashCode(s)}:$dir", _ =>
+    val pr = pagerankMemo.computeIfAbsent(s"${SessionKeys.key(s)}:$dir", _ =>
       graft.operators.Graph.pageRank(
         plantedEdges(docs(s, dir), full = true), iters = 5))
     if (pr.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
@@ -174,7 +174,7 @@ object LlmQueries {
     * the SAME full-corpus oracle as `search_bm25`. */
   private val postingsStoreMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def postingsStoreDir(s: SparkSession, dir: String): String =
-    postingsStoreMemo.computeIfAbsent(s"${System.identityHashCode(s)}:$dir", _ => {
+    postingsStoreMemo.computeIfAbsent(s"${SessionKeys.key(s)}:$dir", _ => {
       val d = docs(s, dir)
       val idx = java.nio.file.Files.createTempDirectory("graft-poststore").toString + "/index"
       graft.tools.Maintenance.postingsMaintain(s, idx, d.where(col("doc_id") % 3 =!= 0))

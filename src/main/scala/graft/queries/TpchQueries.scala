@@ -22,7 +22,7 @@ object TpchQueries {
     * persist at any corpus size. */
   private val fuzzyPairsMemo = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private[queries] def fuzzyPairsFrame(s: SparkSession, dir: String): DataFrame = {
-    val pairs = fuzzyPairsMemo.computeIfAbsent(s"${System.identityHashCode(s)}:$dir", _ =>
+    val pairs = fuzzyPairsMemo.computeIfAbsent(s"${SessionKeys.key(s)}:$dir", _ =>
       graft.operators.Linkage.fuzzyPairs(table(s, dir, "customer"),
         "c_custkey", "c_name", blockLen = 16, maxDist = 1, maxBlock = 10000L))
     if (pairs.storageLevel == org.apache.spark.storage.StorageLevel.NONE)

@@ -210,4 +210,68 @@ class PrivacySpec extends AnyFunSuite with SparkSpec {
       .collect().map(_.getAs[String]("release_hash"))
     assert(hashes.forall(_.length == 64) && hashes.distinct.length == 2)
   }
+
+  test("releaseWithLedger crash rehearsal: a ledgered stage is completed, never re-spent") {
+    val base = java.nio.file.Files.createTempDirectory("graft-ledgercrash").toString
+    val (releases, ledger) = (s"$base/releases", s"$base/ledger")
+    val ev = Seq.tabulate(20)(i => (i.toLong, if (i % 2 == 0) "a" else "b"))
+      .toDF("event_id", "event_type")
+    val dp = Privacy.dpCounts(ev, "event_type", 0.5, salt = "k-e1")
+    val r1 = Privacy.releaseWithLedger(dp, Seq("event_type"), "e1", "k-e1", releases, ledger)
+    val content = r1.collect().map(_.toSeq).toSet
+    // simulate the post-append crash window: the ledger row exists but the
+    // artifact is still parked at the stage path
+    val fs = new org.apache.hadoop.fs.Path(releases)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$releases/epoch=e1"),
+      new org.apache.hadoop.fs.Path(s"$releases/epoch=e1.tmp")))
+    // the retry COMPLETES the publication: same content, no second ledger row
+    val r2 = Privacy.releaseWithLedger(dp, Seq("event_type"), "e1", "k-e1", releases, ledger)
+    assert(r2.collect().map(_.toSeq).toSet == content)
+    assert(spark.read.parquet(ledger).count() == 1L)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$releases/epoch=e1")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$releases/epoch=e1.tmp")))
+    // ... and once published, the same epoch is a double-spend refusal again
+    intercept[IllegalArgumentException] {
+      Privacy.releaseWithLedger(dp, Seq("event_type"), "e1", "k-e1b", releases, ledger)
+    }
+    // a ledger row with NEITHER artifact nor stage is a loud integrity error
+    fs.rename(new org.apache.hadoop.fs.Path(s"$releases/epoch=e1"),
+      new org.apache.hadoop.fs.Path(s"$releases/epoch=e1.quarantine"))
+    val e = intercept[IllegalArgumentException] {
+      Privacy.releaseWithLedger(dp, Seq("event_type"), "e1", "k-e1", releases, ledger)
+    }
+    assert(e.getMessage.contains("diverged"))
+  }
+
+  test("releaseWithLedger refuses an empty DP frame before writing anything") {
+    val base = java.nio.file.Files.createTempDirectory("graft-ledgerempty").toString
+    val (releases, ledger) = (s"$base/releases", s"$base/ledger")
+    val ev = Seq((1L, "a")).toDF("event_id", "event_type")
+    val empty = Privacy.dpCounts(ev, "event_type", 0.5, salt = "k-e1").where(col("n") < 0L)
+    intercept[IllegalArgumentException] {
+      Privacy.releaseWithLedger(empty, Seq("event_type"), "e1", "k-e1", releases, ledger)
+    }
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(ledger)), "refusal must not append")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$releases/epoch=e1")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$releases/epoch=e1.tmp")))
+  }
+
+  test("ledgerReport orders spent_cum by release seq, not lexicographic epoch") {
+    val base = java.nio.file.Files.createTempDirectory("graft-ledgerseq").toString
+    val (releases, ledger) = (s"$base/releases", s"$base/ledger")
+    val ev = Seq.tabulate(20)(i => (i.toLong, if (i % 2 == 0) "a" else "b"))
+      .toDF("event_id", "event_type")
+    // release order e2 -> e10: lexicographically 'e10' < 'e2', so an
+    // epoch-ordered running sum would report e10's cum as 0.25 (wrong)
+    Privacy.releaseWithLedger(Privacy.dpCounts(ev, "event_type", 0.5, salt = "k-e2"),
+      Seq("event_type"), "e2", "k-e2", releases, ledger)
+    Privacy.releaseWithLedger(Privacy.dpCounts(ev, "event_type", 0.25, salt = "k-e10"),
+      Seq("event_type"), "e10", "k-e10", releases, ledger)
+    val rep = Privacy.ledgerReport(spark.read.parquet(ledger)).collect()
+      .map(r => r.getAs[String]("epoch") -> r.getAs[Double]("spent_cum")).toMap
+    assert(rep == Map("e2" -> 0.5, "e10" -> 0.75))
+  }
 }
