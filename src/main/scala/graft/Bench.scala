@@ -87,8 +87,16 @@ object Bench {
     val errField = if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
     val total = results.map(_._2).sum
     val passTotals = passes.map(_.map(_._2).sum).mkString("[", ",", "]")
+    // self-describing 0.0 convention: durable STORE artifacts (scd2 dim, dp
+    // ledger, postings/lsh index dirs) are built once per session and
+    // survive clearCache, so their shared_build_* entries read ~0 after
+    // pass 1 BY DESIGN — the median then reports steady-state read cost,
+    // with pass 1 carrying the one-time build (visible in pass_totals)
+    val notes = jstr("shared_build_{scd2_dim,dp_ledger,postings_store,postings_aged," +
+      "lsh_store} build durable store directories memoized per session: ~0s after " +
+      "pass 1 by design; pass 1 (in pass_totals) carries the build cost")
     println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,""" +
-      s""""pass_totals":$passTotals,"queries":$qs$errField,"sf":"$sfDir"}""")
+      s""""pass_totals":$passTotals,"notes":$notes,"queries":$qs$errField,"sf":"$sfDir"}""")
     // LAST line: a compact self-contained summary (total + slowest 20) that
     // survives a bounded stdout tail — the full per-query line above grew
     // past 2000 chars at ~280 gates and a tail capture would otherwise lose

@@ -108,6 +108,14 @@ object Dedup {
     shingles(docs, distinct = false).groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
+  /** The banded signature frame as a PUBLIC (package) artifact shape:
+    * (doc_id, mh0..mhN, b, key) — what [[graft.tools.Maintenance.lshMaintain]]
+    * persists per document so increments never re-sign the corpus.
+    * Signatures are doc-local (like BM25 postings), which is exactly what
+    * makes the maintained store's append-only contract sound. */
+  private[graft] def bandedSignatures(docs: DataFrame, numHashes: Int, bandSize: Int): DataFrame =
+    minhashAllBands(docs, numHashes, bandSize)
+
   /** The banded signature frame both [[minhashLsh]] and the auto-cap
     * pre-aggregate read: (doc_id, mh0..mhN, b, key). Built on the cached
     * signature frame, so the two consumers share one signature computation. */

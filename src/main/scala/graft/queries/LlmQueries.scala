@@ -80,9 +80,12 @@ object LlmQueries {
       graft.operators.Search.corpusStats(docs(s, dir))))
 
   /** The bm25 top-10 oracle, shared verbatim by `search_bm25` and (as a
-    * subquery) the `search_coverage` audit so the two cannot drift. */
-  private val Bm25Top10OracleSql =
-    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    * subquery) the `search_coverage` audit so the two cannot drift.
+    * `docWhere` filters the SCORED corpus (the probe-query batch always
+    * derives from the full table) — the `search_bm25_ageoff` gate scores
+    * the post-retention survivors against the same construction. */
+  private def bm25Top10OracleSqlOver(docWhere: String): String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents $docWhere),
       |q AS (SELECT doc_id AS query_id, array_to_string((string_split(text, ' '))[1:4], ' ') AS qtext
       |      FROM documents WHERE doc_id % 97 = 0),
       |qt AS (SELECT DISTINCT query_id, term
@@ -102,6 +105,8 @@ object LlmQueries {
       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT) AS rank
       |  FROM sc)
       |WHERE rank <= 10""".stripMargin
+
+  private val Bm25Top10OracleSql = bm25Top10OracleSqlOver("")
 
   /** The top-PC component frame shared by `embed_top_pc` and
     * `embed_pc_project` (the BM25-family memoization pattern): both gates
@@ -177,10 +182,59 @@ object LlmQueries {
     postingsStoreMemo.computeIfAbsent(s"${SessionKeys.key(s)}:$dir", _ => {
       val d = docs(s, dir)
       val idx = java.nio.file.Files.createTempDirectory("graft-poststore").toString + "/index"
-      graft.tools.Maintenance.postingsMaintain(s, idx, d.where(col("doc_id") % 3 =!= 0))
-      graft.tools.Maintenance.postingsMaintain(s, idx, d.where(col("doc_id") % 3 === 0))
+      graft.tools.Maintenance.postingsMaintain(s, idx, d.where(col("doc_id") % 3 =!= 0),
+        passId = "boot")
+      graft.tools.Maintenance.postingsMaintain(s, idx, d.where(col("doc_id") % 3 === 0),
+        passId = "inc1")
+      // lifecycle exercised in the gated path: the census-driven compaction
+      // rewrites the increment-accumulated buckets (threshold 1 forces it
+      // here), and the gate hash-checks the COMPACTED store end to end
+      graft.tools.Maintenance.postingsCompact(s, idx, maxFilesPerBucket = 1)
       idx
     })
+
+  /** The postingsAgeOff-AGED index backing `search_bm25_ageoff` — the
+    * retention sibling of `search_bm25_store` (reference analog: the
+    * MetricAgeOffIterator/MetaAgeOffIterator pair ages data AND catalog;
+    * an index over an age-managed corpus must age with it): bootstrap on
+    * the full corpus, then one retention pass dropping every 11th doc.
+    * The gate's pruned-read BM25 over the aged index hash-checks against
+    * the oracle computed over the SURVIVING corpus — stats (df/dl/n_docs)
+    * must match a fresh index over the survivors exactly, or scores drift. */
+  private val agedStoreMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def agedPostingsDir(s: SparkSession, dir: String): String =
+    agedStoreMemo.computeIfAbsent(s"${SessionKeys.key(s)}:$dir", _ => {
+      val d = docs(s, dir)
+      val idx = java.nio.file.Files.createTempDirectory("graft-postaged").toString + "/index"
+      graft.tools.Maintenance.postingsMaintain(s, idx, d, passId = "boot")
+      graft.tools.Maintenance.postingsAgeOff(s, idx,
+        d.where(col("doc_id") % 11 === 0).select("doc_id"))
+      idx
+    })
+
+  /** The lshMaintain-written SIGNATURE store backing `dedup_lsh_store` (the
+    * fifth maintained artifact): bootstrap signs 2/3 of the corpus, the
+    * increment screen pairs the remaining third against the PERSISTED
+    * bucket-pruned signatures (never re-signing the base), and the store
+    * then folds the increment in. The gate's output is the bootstrap
+    * screen ∪ the increment screen, which equals the batch
+    * `dedup_minhash_lsh` over the full corpus — same oracle, so the
+    * production index path is hash-checked end to end. */
+  private val lshStoreMemo = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def lshStoreCandidates(s: SparkSession, dir: String): DataFrame =
+    repersist(lshStoreMemo.computeIfAbsent(s"${SessionKeys.key(s)}:$dir", _ => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val base = d.where(col("doc_id") % 3 =!= 0)
+      val inc = d.where(col("doc_id") % 3 === 0)
+      val idx = java.nio.file.Files.createTempDirectory("graft-lshstore").toString + "/index"
+      graft.tools.Maintenance.lshMaintain(s, idx, base, passId = "boot")
+      val cand = Dedup.minhashLsh(base)
+        .unionByName(graft.tools.Maintenance.lshCandidates(s, idx, inc))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cand.count() // materialize BEFORE the append mutates the store dir
+      graft.tools.Maintenance.lshMaintain(s, idx, inc, passId = "inc1")
+      cand
+    }))
 
   val sharedBuilds: Seq[(String, (SparkSession, String) => Unit)] = Seq(
     "shared_build_postings" ->
@@ -198,7 +252,11 @@ object LlmQueries {
     "shared_build_pagerank" ->
       ((s: SparkSession, dir: String) => { pageRankFrame(s, dir).count(); () }),
     "shared_build_postings_store" ->
-      ((s: SparkSession, dir: String) => { postingsStoreDir(s, dir); () }))
+      ((s: SparkSession, dir: String) => { postingsStoreDir(s, dir); () }),
+    "shared_build_postings_aged" ->
+      ((s: SparkSession, dir: String) => { agedPostingsDir(s, dir); () }),
+    "shared_build_lsh_store" ->
+      ((s: SparkSession, dir: String) => { lshStoreCandidates(s, dir).count(); () }))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tokens" -> ((s, dir) => TextAnalysis.tokenCounts(docs(s, dir))),
@@ -341,6 +399,14 @@ object LlmQueries {
     "search_bm25_store" -> ((s, dir) =>
       graft.tools.Maintenance.bm25Maintained(s, postingsStoreDir(s, dir),
         probeQueries(docs(s, dir)), k = 10)),
+    // BM25 over the AGED postings store: bootstrap + one postingsAgeOff
+    // retention pass (drop every 11th doc), then the bucket-pruned read —
+    // the oracle recomputes BM25 over only the surviving corpus, so the
+    // gate proves the age-off restored df/dl/n_docs stats EXACTLY (any
+    // drift in the decremented stats shifts every score)
+    "search_bm25_ageoff" -> ((s, dir) =>
+      graft.tools.Maintenance.bm25Maintained(s, agedPostingsDir(s, dir),
+        probeQueries(docs(s, dir)), k = 10)),
     // retrieval-coverage audit over the SHARED top-10: distinct reachable
     // docs / corpus, and whether each probe's own source doc ranks first
     "search_coverage" -> ((s, dir) => {
@@ -418,6 +484,11 @@ object LlmQueries {
       graft.operators.Curation.nearDupSourceMatrix(d, Dedup.containment(d, threshold = 0.5))
     }),
     "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(docs(s, dir))),
+    // the MAINTAINED signature store's screen: bootstrap pairs (batch LSH on
+    // the base 2/3) ∪ the increment screen against the persisted
+    // bucket-pruned signatures — together exactly the batch LSH over the
+    // full corpus, checked against the same oracle construction
+    "dedup_lsh_store" -> ((s, dir) => lshStoreCandidates(s, dir)),
     // incremental screen: only the snapshot diff's ADDED docs pair against
     // the (base + added) band index — delta-bounded near-dup work
     "dedup_incremental" -> ((s, dir) => {
@@ -1471,6 +1542,23 @@ object LlmQueries {
     val mins = (0 until 8).map(k => s"MIN(md5('$k:' || s)) AS mh$k").mkString(", ")
     s"SELECT doc_id, $mins FROM ($Shingles) GROUP BY doc_id"
   }
+
+  /** Batch MinHash-LSH candidate oracle over the full corpus — shared by
+    * `dedup_minhash_lsh` and `dedup_lsh_store` (the maintained signature
+    * store's bootstrap ∪ increment screens must union to exactly this). */
+  private val MinhashLshOracleSql =
+    s"""WITH mh AS ($MinhashSql),
+       |bands AS (
+       |  SELECT doc_id, b, key FROM mh, LATERAL (VALUES
+       |    (0, mh0 || mh1), (1, mh2 || mh3), (2, mh4 || mh5), (3, mh6 || mh7)) AS v(b, key)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+       |  FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id)
+       |SELECT cand.a, cand.b,
+       |       ((x.mh0 = y.mh0)::INT + (x.mh1 = y.mh1)::INT + (x.mh2 = y.mh2)::INT
+       |            + (x.mh3 = y.mh3)::INT + (x.mh4 = y.mh4)::INT + (x.mh5 = y.mh5)::INT
+       |            + (x.mh6 = y.mh6)::INT + (x.mh7 = y.mh7)::INT) / 8.0 AS est_jaccard
+       |FROM cand JOIN mh x ON cand.a = x.doc_id JOIN mh y ON cand.b = y.doc_id""".stripMargin
 
   /** Hyperplane-LSH signature CTE over `embeddings` — shared by every
     * LSH-bucketed oracle so all gates pin identical bucket semantics. */
@@ -3031,6 +3119,10 @@ object LlmQueries {
     // identical oracle: the maintained index must reproduce the batch
     // full-corpus ranking bit-exactly
     "search_bm25_store" -> Bm25Top10OracleSql,
+    // the aged store scores ONLY the surviving corpus: same construction,
+    // w/st/df computed over documents minus the dropped 11ths (probe
+    // queries still derive from the full table)
+    "search_bm25_ageoff" -> bm25Top10OracleSqlOver("WHERE doc_id % 11 != 0"),
     // retrieval-coverage audit over the SAME bm25 top-10: how much of the
     // corpus is reachable from the probe set, and does each probe's own
     // source doc come back rank-1 (the self-retrieval sanity bit)
@@ -3245,19 +3337,11 @@ object LlmQueries {
          |FROM p JOIN szin sa ON p.incoming_id = sa.doc_id
          |       JOIN szex sb ON p.existing_id = sb.doc_id
          |WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5""".stripMargin,
-    "dedup_minhash_lsh" ->
-      s"""WITH mh AS ($MinhashSql),
-         |bands AS (
-         |  SELECT doc_id, b, key FROM mh, LATERAL (VALUES
-         |    (0, mh0 || mh1), (1, mh2 || mh3), (2, mh4 || mh5), (3, mh6 || mh7)) AS v(b, key)),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-         |  FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id)
-         |SELECT cand.a, cand.b,
-         |       ((x.mh0 = y.mh0)::INT + (x.mh1 = y.mh1)::INT + (x.mh2 = y.mh2)::INT
-         |            + (x.mh3 = y.mh3)::INT + (x.mh4 = y.mh4)::INT + (x.mh5 = y.mh5)::INT
-         |            + (x.mh6 = y.mh6)::INT + (x.mh7 = y.mh7)::INT) / 8.0 AS est_jaccard
-         |FROM cand JOIN mh x ON cand.a = x.doc_id JOIN mh y ON cand.b = y.doc_id""".stripMargin,
+    "dedup_minhash_lsh" -> MinhashLshOracleSql,
+    // the maintained-signature-store screen (bootstrap pairs ∪ increment
+    // pairs over disjoint 2/3 + 1/3 splits) covers exactly the full-corpus
+    // batch LSH candidate set — SAME oracle as dedup_minhash_lsh
+    "dedup_lsh_store" -> MinhashLshOracleSql,
     // mirrors minhashLshIncremental: signatures are doc-local, so the
     // oracle filters the full signature frame to the v1+added corpus and
     // pairs only new-side bands against it

@@ -25,35 +25,15 @@ import graft.sources.PointStore
  */
 object Maintenance {
 
-  /** Crash recovery for a [[swapDir]]-maintained directory: the one
-    * mid-swap crash window leaves `target` missing with the old data parked
-    * at `target.bak` — restore it before anything reads or stages, so the
-    * next pass sees the pre-crash state instead of bootstrapping from
-    * scratch (or, worse, letting a later swap garbage-collect the `.bak`
-    * that still holds the only copy). Called at the entry of every
+  /** See [[graft.sources.AtomicDir.recover]] — called at the entry of every
     * maintained-pass function AND defensively inside [[swapDir]]; a no-op
     * when `target` exists. */
-  private def recoverDir(fs: org.apache.hadoop.fs.FileSystem, target: Path): Unit = {
-    val bak = new Path(target.toString + ".bak")
-    if (!fs.exists(target) && fs.exists(bak))
-      require(fs.rename(bak, target), s"crash recovery: rename $bak -> $target failed")
-  }
+  private def recoverDir(fs: org.apache.hadoop.fs.FileSystem, target: Path): Unit =
+    graft.sources.AtomicDir.recover(fs, target)
 
-  /** Crash-safe directory swap: `old -> .bak`, `tmp -> target`, delete
-    * `.bak` — at every instant either the old or the new directory exists
-    * under a recoverable name (a plain delete-then-rename has a window
-    * where a crash loses BOTH). A leftover `.bak` after a crash is the old
-    * data (auto-restored by [[recoverDir]] on the next pass); a leftover
-    * `.tmp` is an incomplete rewrite — safe to resolve by hand, never data
-    * loss. */
-  private def swapDir(fs: org.apache.hadoop.fs.FileSystem, tmp: Path, target: Path): Unit = {
-    recoverDir(fs, target) // never delete a .bak that is the only copy
-    val bak = new Path(target.toString + ".bak")
-    if (fs.exists(bak)) fs.delete(bak, true)
-    if (fs.exists(target)) require(fs.rename(target, bak), s"rename $target -> $bak failed")
-    require(fs.rename(tmp, target), s"rename $tmp -> $target failed")
-    fs.delete(bak, true)
-  }
+  /** See [[graft.sources.AtomicDir.swap]]. */
+  private def swapDir(fs: org.apache.hadoop.fs.FileSystem, tmp: Path, target: Path): Unit =
+    graft.sources.AtomicDir.swap(fs, tmp, target)
 
   /** Census-driven z-order compaction policy for [[run]] — the analog of
     * the reference's scheduled compaction strategies
@@ -331,6 +311,31 @@ object Maintenance {
    * not an upsert target); retraining centroids is a new bootstrap into a
    * fresh dir, never an in-place mutation.
    */
+  /** Crash repair for [[ivfRetrain]]'s two-directory swap: the retrain
+    * writes a `retrain.pending` marker before its first swap and removes it
+    * after the second, so a crash between the swaps — which durably
+    * persists v2 centroids with v1 assignments (unreachable vectors when
+    * nLists shrank, out-of-range list_ids when it grew) — is DETECTED at
+    * the next pass/audit entry and repaired by re-assigning every stored
+    * vector against whatever centroids are live (deterministic, so repair
+    * converges to exactly the retrain's intended end state). */
+  private def ivfRepair(spark: SparkSession, indexDir: String): Unit = {
+    import graft.operators.SimilarityIvf
+    val marker = new Path(indexDir, "retrain.pending")
+    val centsPath = new Path(indexDir, "centroids")
+    val assignPath = new Path(indexDir, "assignments")
+    val fs = centsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverDir(fs, centsPath)
+    recoverDir(fs, assignPath)
+    if (!fs.exists(marker)) return
+    val cents = spark.read.parquet(centsPath.toString)
+    val vecs = spark.read.parquet(assignPath.toString).select("vec_id", "embedding")
+    val tmp = new Path(assignPath.toString + ".tmp")
+    SimilarityIvf.assign(vecs, cents).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    swapDir(fs, tmp, assignPath)
+    fs.delete(marker, false)
+  }
+
   def ivfMaintain(
       spark: SparkSession,
       indexDir: String,
@@ -343,6 +348,7 @@ object Maintenance {
     val fs = centsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverDir(fs, centsPath)
     recoverDir(fs, assignPath)
+    if (!dryRun && fs.exists(centsPath)) ivfRepair(spark, indexDir)
     val exists = fs.exists(centsPath)
     if (!exists) {
       val cents = SimilarityIvf.centroids(vecs, nLists)
@@ -384,36 +390,45 @@ object Maintenance {
    * forever (the append-pass contract), so after enough drift or growth the
    * list geometry goes stale — this pass trains centroids-v2 from the
    * CURRENT vector set (the persisted assignments are the vector store:
-   * vec_id + embedding), backfills EVERY assignment against the new
-   * centroids with the batch [[graft.operators.SimilarityIvf.assign]], and
-   * atomically swaps both directories (`.tmp` stage + [[swapDir]], crash
-   * windows auto-restored by [[recoverDir]] on the next pass). Readers
-   * never observe v1 centroids with v2 assignments or vice versa beyond
-   * the instant between the two swaps — and that instant is itself safe,
-   * because [[graft.operators.SimilarityIvf.search]] joins assignments to
-   * centroids on list_id (a transiently mixed pair degrades recall, never
-   * correctness).
+   * vec_id + embedding) UNION the optional `increment` (new, not-yet-
+   * assigned vectors absorbed in the same pass — a retrain after a growth
+   * burst shouldn't need an append pass against the stale geometry first),
+   * backfills EVERY assignment against the new centroids with the batch
+   * [[graft.operators.SimilarityIvf.assign]], and atomically swaps both
+   * directories (`.tmp` stage + [[swapDir]], crash windows auto-restored).
+   *
+   * The two swaps are bracketed by a `retrain.pending` marker: a crash
+   * between them persists v2 centroids with v1 assignments, and the next
+   * pass or [[ivfAudit]] detects the marker and REPAIRS by re-assigning
+   * the stored vectors against the live centroids ([[ivfRepair]]) — the
+   * mixed state is a bounded window, never a silent steady state.
    *
    * Equivalence (spec-pinned): retrain + backfill over the maintained
-   * index == a fresh bootstrap over the same vectors, bit-exact — the
-   * trainers and the assigner are deterministic in row-set, not row-order.
-   * Cost: O(index) by design — this is the deliberate periodic rebuild,
-   * not the per-pass increment path.
+   * index (∪ increment) == a fresh bootstrap over the same vectors,
+   * bit-exact — the trainers and the assigner are deterministic in
+   * row-set, not row-order. Cost: O(index) by design — this is the
+   * deliberate periodic rebuild, not the per-pass increment path.
    */
   def ivfRetrain(
       spark: SparkSession,
       indexDir: String,
       nLists: Int,
       kmeansIters: Int = 0,
+      increment: Option[org.apache.spark.sql.DataFrame] = None,
       dryRun: Boolean = false): IvfRetrainReport = {
     import graft.operators.SimilarityIvf
     val centsPath = new Path(indexDir, "centroids")
     val assignPath = new Path(indexDir, "assignments")
+    val marker = new Path(indexDir, "retrain.pending")
     val fs = centsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    recoverDir(fs, centsPath)
-    recoverDir(fs, assignPath)
+    if (!dryRun) ivfRepair(spark, indexDir) // also recovers both dirs
+    else { recoverDir(fs, centsPath); recoverDir(fs, assignPath) }
     val listsBefore = spark.read.parquet(centsPath.toString).count()
-    val vecs = spark.read.parquet(assignPath.toString).select("vec_id", "embedding")
+    val stored = spark.read.parquet(assignPath.toString).select("vec_id", "embedding")
+    val vecs = increment match {
+      case Some(inc) => stored.unionByName(inc.select("vec_id", "embedding"))
+      case None => stored
+    }
     val cents2 =
       if (kmeansIters > 0) SimilarityIvf.kmeansCentroids(vecs, nLists, kmeansIters)
       else SimilarityIvf.centroids(vecs, nLists)
@@ -428,24 +443,30 @@ object Maintenance {
     assigned2.write.mode(SaveMode.Overwrite).parquet(assignTmp.toString)
     val nVec = spark.read.parquet(assignTmp.toString).count()
     val nLists2 = spark.read.parquet(centsTmp.toString).count()
+    fs.create(marker, true).close() // bracket the two swaps (see ivfRepair)
     swapDir(fs, centsTmp, centsPath)
     swapDir(fs, assignTmp, assignPath)
+    fs.delete(marker, false)
     IvfRetrainReport(dryRun = false, nVec, listsBefore, nLists2)
   }
 
   /** What one postings-index maintenance pass did (or would do).
     * `postingsRows` counts THIS PASS's rows (the bootstrap total or the
     * appended delta) — never a full-index count, which would put an
-    * O(index) term into every O(increment) pass just for reporting. */
+    * O(index) term into every O(increment) pass just for reporting.
+    * `skipped = true` means the pass id was already committed (a retry of
+    * a completed pass) and nothing was re-appended. */
   case class PostingsReport(
       dryRun: Boolean,
       bootstrap: Boolean,
       docsBefore: Long,
       docsAfter: Long,
-      postingsRows: Long) {
+      postingsRows: Long,
+      skipped: Boolean = false) {
     def render: String =
       s"postings${if (dryRun) " (DRY RUN)" else ""}: " +
-        s"${if (bootstrap) "bootstrapped" else "appended increment"}; " +
+        s"${if (skipped) "pass already committed — skipped"
+           else if (bootstrap) "bootstrapped" else "appended increment"}; " +
         s"docs $docsBefore -> $docsAfter, $postingsRows postings rows this pass"
   }
 
@@ -454,6 +475,85 @@ object Maintenance {
   private def termBucket(term: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
     pmod(conv(substring(md5(term), 1, 2), 16, 10).cast("long"), lit(64L))
+  }
+
+  // ---- staged-append commit protocol (shared by the postings and LSH
+  // ---- signature stores) -------------------------------------------------
+  //
+  // An append-only partitioned store has ONE unsafe pattern: SaveMode.Append
+  // into the live directory, then swap the stats row. A crash (or a blind
+  // retry) between the two re-appends the identical increment — duplicate
+  // rows that silently inflate every downstream score. The protocol below
+  // makes each increment pass atomic-with-retry instead:
+  //
+  //   1. STAGE   the increment into `<data>.pending/<passId>` (Overwrite —
+  //              a pre-commit crash leaves an orphan a retry replaces);
+  //   2. COMMIT  by swapping the stats row, which records `last_pass`
+  //              (the single atomic commit point);
+  //   3. PUBLISH by renaming each staged `part=<v>/f.parquet` into the live
+  //              `<data>/part=<v>/` dir under a pass-prefixed name (renames
+  //              are idempotent: an existing target means that file already
+  //              published).
+  //
+  // [[reconcilePending]] runs at the entry of every pass AND every reader:
+  // a pending dir whose id equals the committed `last_pass` is finished
+  // (publish), any other pending dir is a pre-commit orphan (delete). A
+  // retry of a fully-committed pass id is detected from `last_pass` and
+  // skipped — duplicate appends are impossible, not just detectable.
+  // Single-writer per index directory, like every maintained artifact here.
+
+  /** Sanitized pass id: caller-supplied ids give retries idempotence; the
+    * derived fallback (unique per call) keeps the protocol's crash safety
+    * but cannot dedupe a blind re-invocation. */
+  private def effectivePassId(passId: String): String = {
+    require(passId.forall(c => c.isLetterOrDigit || c == '.' || c == '_' || c == '-'),
+      s"pass id must be a safe directory name: '$passId'")
+    if (passId.nonEmpty) passId else s"p${System.nanoTime()}"
+  }
+
+  /** Publish one committed pending stage: move its partition files into the
+    * live store dir under pass-prefixed names, then drop the stage. Each
+    * file moves at most once (existing target = already published), so a
+    * crash mid-publish is resumed by the next [[reconcilePending]]. */
+  private def publishPending(fs: org.apache.hadoop.fs.FileSystem,
+      dataDir: Path, pending: Path): Unit = {
+    val passId = pending.getName
+    if (!fs.exists(dataDir)) fs.mkdirs(dataDir)
+    fs.listStatus(pending).filter(_.isDirectory).foreach { part =>
+      val dst = new Path(dataDir, part.getPath.getName)
+      if (!fs.exists(dst)) fs.mkdirs(dst)
+      fs.listStatus(part.getPath).filter(_.getPath.getName.endsWith(".parquet")).foreach { f =>
+        val target = new Path(dst, s"$passId-${f.getPath.getName}")
+        if (fs.exists(target)) fs.delete(f.getPath, false)
+        else require(fs.rename(f.getPath, target), s"publish: rename ${f.getPath} failed")
+      }
+    }
+    fs.delete(pending, true)
+  }
+
+  /** Crash recovery for the staged-append protocol: finish the publish of
+    * a COMMITTED stage (its id == the store's recorded `last_pass`), drop
+    * any UNCOMMITTED orphan stages. No-op when nothing is pending. */
+  private def reconcilePending(fs: org.apache.hadoop.fs.FileSystem,
+      indexDir: String, dataName: String, lastPass: Option[String]): Unit = {
+    val pendRoot = new Path(indexDir, s"$dataName.pending")
+    if (!fs.exists(pendRoot)) return
+    fs.listStatus(pendRoot).foreach { p =>
+      if (lastPass.contains(p.getPath.getName))
+        publishPending(fs, new Path(indexDir, dataName), p.getPath)
+      else fs.delete(p.getPath, true)
+    }
+    if (fs.exists(pendRoot) && fs.listStatus(pendRoot).isEmpty) fs.delete(pendRoot, true)
+  }
+
+  /** The committed `last_pass` marker from a stats/meta row, tolerant of
+    * stores written before the column existed. */
+  private def lastPassOf(spark: SparkSession, statsPath: Path): Option[String] = {
+    val fs = statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(statsPath)) return None
+    val df = spark.read.parquet(statsPath.toString)
+    if (!df.columns.contains("last_pass")) None
+    else Option(df.select("last_pass").head.getString(0))
   }
 
   /**
@@ -473,12 +573,20 @@ object Maintenance {
    *
    * Contract: increment doc_ids must be NEW (keyed storage, not an upsert
    * target) — [[postingsAudit]] catches violations after the fact
-   * (distinct doc_ids vs the stats row's accumulated n_docs).
+   * (distinct doc_ids vs the stats row's accumulated n_docs, plus a
+   * duplicate-row check on (term, doc_id)).
+   *
+   * CRASH/RETRY SAFETY: increments go through the staged-append protocol
+   * (stage -> stats-swap commit with `last_pass` -> publish, see
+   * [[reconcilePending]]); a retried pass with the same caller-supplied
+   * `passId` is detected as committed and skipped, so a crash at ANY point
+   * followed by a blind retry can never duplicate an increment's rows.
    */
   def postingsMaintain(
       spark: SparkSession,
       indexDir: String,
       docs: org.apache.spark.sql.DataFrame,
+      passId: String = "",
       dryRun: Boolean = false): PostingsReport = {
     import org.apache.spark.sql.functions._
     val postingsPath = new Path(indexDir, "postings")
@@ -486,6 +594,14 @@ object Maintenance {
     val fs = postingsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverDir(fs, postingsPath)
     recoverDir(fs, statsPath)
+    if (!dryRun) reconcilePending(fs, indexDir, "postings", lastPassOf(spark, statsPath))
+    val id = effectivePassId(passId)
+    val exists = fs.exists(statsPath)
+    // retry of a committed pass: last_pass says this increment is already in
+    if (exists && passId.nonEmpty && lastPassOf(spark, statsPath).contains(passId)) {
+      val n = spark.read.parquet(statsPath.toString).head.getLong(0)
+      return PostingsReport(dryRun, bootstrap = false, n, n, 0L, skipped = true)
+    }
     val words = split(col("text"), " ")
     val post = docs
       .select(col("doc_id"), size(words).cast("long").as("dl"), explode(words).as("term"))
@@ -494,44 +610,222 @@ object Maintenance {
     val delta = docs.agg(count(lit(1)).as("n_docs"),
       sum(size(words).cast("long")).as("sum_dl")).head
     val (dN, dSum) = (delta.getLong(0), if (delta.isNullAt(1)) 0L else delta.getLong(1))
-    val exists = fs.exists(statsPath)
     val before = if (exists) spark.read.parquet(statsPath.toString).head.getLong(0) else 0L
     if (dryRun)
       return PostingsReport(dryRun = true, bootstrap = !exists, before, before + dN, post.count())
+    import spark.implicits._
     if (!exists) {
       post.write.mode(SaveMode.Overwrite).partitionBy("tb").parquet(postingsPath.toString)
-      import spark.implicits._
-      Seq((dN, dSum)).toDF("n_docs", "sum_dl")
+      Seq((dN, dSum, id)).toDF("n_docs", "sum_dl", "last_pass")
         .write.mode(SaveMode.Overwrite).parquet(statsPath.toString)
       PostingsReport(dryRun = false, bootstrap = true, 0L, dN, post.count())
     } else {
       val prior = spark.read.parquet(statsPath.toString).head
-      // one file per bucket per pass: an increment is small relative to the
-      // index, and letting every shuffle partition write into every bucket
-      // dir (up to partitions x 64 files) is exactly the small-files
-      // pressure the census flags elsewhere
+      // STAGE — one file per bucket per pass (repartition on tb): an
+      // increment is small relative to the index, and letting every shuffle
+      // partition write into every bucket dir (up to partitions x 64 files)
+      // is exactly the small-files pressure the census flags elsewhere
+      val pending = new Path(indexDir, s"postings.pending/$id")
       post.repartition(col("tb"))
-        .write.mode(SaveMode.Append).partitionBy("tb").parquet(postingsPath.toString)
-      import spark.implicits._
+        .write.mode(SaveMode.Overwrite).partitionBy("tb").parquet(pending.toString)
+      val staged = post.count()
+      // COMMIT — the stats swap is the single atomic commit point
       val statsTmp = new Path(statsPath.toString + ".tmp")
-      Seq((prior.getLong(0) + dN, prior.getLong(1) + dSum)).toDF("n_docs", "sum_dl")
+      Seq((prior.getLong(0) + dN, prior.getLong(1) + dSum, id))
+        .toDF("n_docs", "sum_dl", "last_pass")
         .write.mode(SaveMode.Overwrite).parquet(statsTmp.toString)
       swapDir(fs, statsTmp, statsPath)
+      // PUBLISH — idempotent file moves; a crash here is finished by the
+      // next pass/reader's reconcilePending
+      publishPending(fs, postingsPath, pending)
+      val pendRoot = new Path(indexDir, "postings.pending")
+      if (fs.exists(pendRoot) && fs.listStatus(pendRoot).isEmpty) fs.delete(pendRoot, true)
       PostingsReport(dryRun = false, bootstrap = false, prior.getLong(0),
-        prior.getLong(0) + dN, post.count())
+        prior.getLong(0) + dN, staged)
     }
   }
 
-  /** [[postingsMaintain]] integrity audit: the stats row's accumulated
-    * n_docs must equal the postings' distinct doc_id count — a re-appended
-    * (duplicate) document inflates stats past the distinct set, a lost
-    * append leaves stats ahead of the rows. One aggregate per side. */
-  def postingsAudit(spark: SparkSession, indexDir: String): (Long, Long, Boolean) = {
+  /** [[postingsAudit]] verdict: `docsMatch` (stats n_docs == distinct
+    * doc_ids — a lost or extra DOCUMENT), `rowsUnique` (row count ==
+    * distinct (term, doc_id) — a duplicated APPEND, which n_docs alone
+    * cannot see when the same batch re-appends), `sumDlMatch` (stats sum_dl
+    * == the exact per-doc dl sum). */
+  case class PostingsAuditReport(
+      rows: Long, distinctTermDoc: Long, distinctDocs: Long,
+      statsDocs: Long, statsSumDl: Long, actualSumDl: Long) {
+    def docsMatch: Boolean = distinctDocs == statsDocs
+    def rowsUnique: Boolean = rows == distinctTermDoc
+    def sumDlMatch: Boolean = statsSumDl == actualSumDl
+    def ok: Boolean = docsMatch && rowsUnique && sumDlMatch
+  }
+
+  /** [[postingsMaintain]] integrity audit: three exact invariants of an
+    * append-only postings store — accumulated stats vs distinct doc_ids,
+    * row count vs distinct (term, doc_id) (duplicate appends re-add the
+    * SAME keys, so this catches what the doc count cannot), and the exact
+    * sum_dl recomputed from per-doc dl. Two aggregates over the postings
+    * plus the one-row stats read; run on the maintenance cadence. */
+  def postingsAudit(spark: SparkSession, indexDir: String): PostingsAuditReport = {
     import org.apache.spark.sql.functions._
-    val d = spark.read.parquet(new Path(indexDir, "postings").toString)
-      .agg(countDistinct(col("doc_id"))).head.getLong(0)
-    val n = spark.read.parquet(new Path(indexDir, "stats").toString).head.getLong(0)
-    (d, n, d == n)
+    val statsPath = new Path(indexDir, "stats")
+    val fs = statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    reconcilePending(fs, indexDir, "postings", lastPassOf(spark, statsPath))
+    val p = spark.read.parquet(new Path(indexDir, "postings").toString)
+    val r = p.agg(count(lit(1)).as("rows"),
+      countDistinct(col("term"), col("doc_id")).as("td"),
+      countDistinct(col("doc_id")).as("d")).head
+    val dl = p.select("doc_id", "dl").distinct()
+      .agg(sum(col("dl"))).head
+    val s = spark.read.parquet(statsPath.toString).head
+    PostingsAuditReport(r.getLong(0), r.getLong(1), r.getLong(2),
+      s.getLong(0), s.getLong(1), if (dl.isNullAt(0)) 0L else dl.getLong(0))
+  }
+
+  /** What one postings compaction pass did (or would do). */
+  case class PostingsCompactReport(
+      dryRun: Boolean,
+      triggered: Boolean,
+      rows: Long,
+      filesBefore: Long,
+      filesAfter: Long,
+      maxFilesPerBucketBefore: Long) {
+    def render: String =
+      s"postings compact${if (dryRun) " (DRY RUN)" else ""}: " +
+        (if (!triggered) s"healthy (max $maxFilesPerBucketBefore files/bucket) — no-op"
+         else s"$rows rows, files $filesBefore -> $filesAfter " +
+           s"(max $maxFilesPerBucketBefore files/bucket before)")
+  }
+
+  /** Census-driven COMPACTION for a [[postingsMaintain]] index — the
+    * postings sibling of the points store's [[CompactionPolicy]] (reference
+    * analog: the scheduled self-compaction in
+    * MetricCompactionStrategy.java:20-60). Every increment pass publishes
+    * one file per touched bucket, so files-per-bucket grows linearly with
+    * passes forever; when the MEASURED maximum exceeds `maxFilesPerBucket`,
+    * the index is rewritten bucket-partitioned (one shuffle on `tb`, one
+    * file per bucket) through the atomic-swap path. Readers keep pruning on
+    * `tb` throughout — they see the old or the new directory, never a
+    * partial one. The trigger is an FS listing (<= 64 dirs), not a Spark
+    * job: a healthy-store pass costs a directory walk. */
+  def postingsCompact(
+      spark: SparkSession,
+      indexDir: String,
+      maxFilesPerBucket: Int = 4,
+      dryRun: Boolean = false): PostingsCompactReport = {
+    import org.apache.spark.sql.functions._
+    val postingsPath = new Path(indexDir, "postings")
+    val statsPath = new Path(indexDir, "stats")
+    val fs = postingsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverDir(fs, postingsPath)
+    if (!dryRun) reconcilePending(fs, indexDir, "postings", lastPassOf(spark, statsPath))
+    def bucketFiles(): Seq[Long] =
+      fs.listStatus(postingsPath).toSeq.filter(s => s.isDirectory && s.getPath.getName.startsWith("tb="))
+        .map(d => fs.listStatus(d.getPath).count(_.getPath.getName.endsWith(".parquet")).toLong)
+    val before = bucketFiles()
+    val (filesBefore, maxBefore) = (before.sum, if (before.isEmpty) 0L else before.max)
+    val triggered = maxBefore > maxFilesPerBucket
+    if (!triggered || dryRun) {
+      val rows = if (triggered) spark.read.parquet(postingsPath.toString).count() else 0L
+      return PostingsCompactReport(dryRun, triggered, rows, filesBefore, filesBefore, maxBefore)
+    }
+    val tmp = new Path(postingsPath.toString + ".tmp")
+    val all = spark.read.parquet(postingsPath.toString)
+    all.repartition(col("tb"))
+      .write.mode(SaveMode.Overwrite).partitionBy("tb").parquet(tmp.toString)
+    val rows = spark.read.parquet(tmp.toString).count()
+    swapDir(fs, tmp, postingsPath)
+    PostingsCompactReport(dryRun = false, triggered = true, rows,
+      filesBefore, bucketFiles().sum, maxBefore)
+  }
+
+  /** What one postings age-off pass did (or would do). */
+  case class PostingsAgeOffReport(
+      dryRun: Boolean,
+      docsBefore: Long,
+      docsAfter: Long,
+      rowsDropped: Long,
+      bucketsRewritten: Long) {
+    def render: String =
+      s"postings age-off${if (dryRun) " (DRY RUN)" else ""}: " +
+        s"docs $docsBefore -> $docsAfter, $rowsDropped postings rows dropped " +
+        s"across $bucketsRewritten bucket(s)"
+  }
+
+  /** RETENTION for a [[postingsMaintain]] index — the postings sibling of
+    * `points_ageoff`/`meta_ageoff` (reference analog:
+    * MetricAgeOffIterator.java:26-110 ages the data, MetaAgeOffIterator the
+    * catalog; an index over an age-managed corpus must age with it or its
+    * df/dl statistics drift from reality). Drops the given doc_ids'
+    * postings and restores the stats row to EXACTLY the surviving corpus:
+    *
+    *  - only buckets that actually hold a dropped doc's postings are
+    *    rewritten (anti-join per affected bucket, <= 64 per-bucket atomic
+    *    swaps) — untouched buckets keep their files byte-identical;
+    *  - stats are RECOMPUTED from the surviving postings (one distinct
+    *    (doc_id, dl) aggregate), not decremented from the drop set — so a
+    *    crashed, partially-swapped pass converges to the exact truth on
+    *    retry instead of compounding an estimate.
+    *
+    * Equivalence contract (spec-pinned): after age-off, the index equals a
+    * fresh bootstrap over the surviving corpus, postings AND stats. */
+  def postingsAgeOff(
+      spark: SparkSession,
+      indexDir: String,
+      dropDocs: org.apache.spark.sql.DataFrame,
+      dryRun: Boolean = false): PostingsAgeOffReport = {
+    import org.apache.spark.sql.functions._
+    val postingsPath = new Path(indexDir, "postings")
+    val statsPath = new Path(indexDir, "stats")
+    val fs = postingsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverDir(fs, postingsPath)
+    recoverDir(fs, statsPath)
+    if (!dryRun) reconcilePending(fs, indexDir, "postings", lastPassOf(spark, statsPath))
+    val postings = spark.read.parquet(postingsPath.toString)
+    val drop = dropDocs.select("doc_id").distinct()
+    val docsBefore = spark.read.parquet(statsPath.toString).head.getLong(0)
+    // the doomed rows' buckets: an FS-bounded collect (<= 64 values)
+    val doomed = postings.join(drop, Seq("doc_id"), "left_semi")
+    // ONE pass over the doomed rows: row/doc counts + the affected-bucket
+    // set (<= 64 values by construction, driver-safe at any drop size);
+    // tb comes back from partition-dir inference as INT — read numerically
+    val d = doomed.agg(count(lit(1)).as("rows"),
+      countDistinct(col("doc_id")).as("docs"),
+      collect_set(col("tb")).as("tbs")).head
+    val (rowsDropped, docsDropped) = (d.getLong(0), d.getLong(1))
+    val affected = d.getSeq[Any](2).map(_.asInstanceOf[Number].longValue).sorted
+    if (dryRun || affected.isEmpty)
+      return PostingsAgeOffReport(dryRun, docsBefore, docsBefore - docsDropped,
+        rowsDropped, affected.length.toLong)
+    // stage the survivors of ONLY the affected buckets, then swap each
+    // bucket dir atomically; a bucket whose every row is doomed stages
+    // nothing and is deleted outright
+    val stage = new Path(indexDir, "postings.ageoff.tmp")
+    if (fs.exists(stage)) fs.delete(stage, true)
+    postings.where(col("tb").isin(affected.toIndexedSeq: _*))
+      .join(drop, Seq("doc_id"), "left_anti")
+      .repartition(col("tb"))
+      .write.mode(SaveMode.Overwrite).partitionBy("tb").parquet(stage.toString)
+    affected.foreach { b =>
+      val src = new Path(stage, s"tb=$b")
+      val dst = new Path(postingsPath, s"tb=$b")
+      if (fs.exists(src)) swapDir(fs, src, dst)
+      else if (fs.exists(dst)) fs.delete(dst, true)
+    }
+    fs.delete(stage, true)
+    // stats: exact recompute from the survivors (retry-convergent)
+    val surv = spark.read.parquet(postingsPath.toString)
+    val sd = surv.select("doc_id", "dl").distinct()
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")).head
+    val (nAfter, sumAfter) =
+      (sd.getLong(0), if (sd.isNullAt(1)) 0L else sd.getLong(1))
+    import spark.implicits._
+    val statsTmp = new Path(statsPath.toString + ".tmp")
+    Seq((nAfter, sumAfter, s"ageoff-${System.nanoTime()}"))
+      .toDF("n_docs", "sum_dl", "last_pass")
+      .write.mode(SaveMode.Overwrite).parquet(statsTmp.toString)
+    swapDir(fs, statsTmp, statsPath)
+    PostingsAgeOffReport(dryRun = false, docsBefore, nAfter, rowsDropped,
+      affected.length.toLong)
   }
 
   /** BM25 top-k over a [[postingsMaintain]] index: the query terms' hash
@@ -546,6 +840,11 @@ object Maintenance {
       queries: org.apache.spark.sql.DataFrame, k: Int = 10,
       k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
+    // reader-side recovery: finish a committed-but-unpublished increment
+    // before scoring, so the scan never misses rows the stats already count
+    val statsP = new Path(indexDir, "stats")
+    reconcilePending(statsP.getFileSystem(spark.sparkContext.hadoopConfiguration),
+      indexDir, "postings", lastPassOf(spark, statsP))
     val qTerms = queries
       .select(col("query_id"), explode(split(col("qtext"), " ")).as("term"))
       .distinct()
@@ -556,6 +855,178 @@ object Maintenance {
       .select("term", "doc_id", "dl", "tf")
     val stats = spark.read.parquet(new Path(indexDir, "stats").toString)
     graft.operators.Search.bm25TopKFromPostings(postings, stats, qTerms, k, k1, b)
+  }
+
+  /** What one LSH signature-store maintenance pass did (or would do). */
+  case class LshReport(
+      dryRun: Boolean,
+      bootstrap: Boolean,
+      docsBefore: Long,
+      docsAfter: Long,
+      bandRows: Long,
+      skipped: Boolean = false) {
+    def render: String =
+      s"lsh${if (dryRun) " (DRY RUN)" else ""}: " +
+        s"${if (skipped) "pass already committed — skipped"
+           else if (bootstrap) "bootstrapped signatures" else "appended increment"}; " +
+        s"docs $docsBefore -> $docsAfter, $bandRows band rows this pass"
+  }
+
+  /**
+   * Maintained MinHash-LSH SIGNATURE store — the dedup sibling of
+   * [[postingsMaintain]] and the fifth maintained artifact:
+   * `indexDir/signatures` holds the banded signature frame
+   * `(doc_id, mh0..mhN, b, key)` PARTITIONED BY a 64-way hash bucket of the
+   * band key (`kb`), `indexDir/meta` the one-row
+   * `(n_docs, num_hashes, band_size, last_pass)` store descriptor.
+   * Signatures are doc-local (like postings), so existing rows are
+   * immutable: bootstrap signs the corpus once, every later pass signs ONLY
+   * the new docs and appends — O(increment · bands), never a corpus
+   * re-sign. Increments ride the same staged-append commit protocol as the
+   * postings store ([[reconcilePending]]): a crash or blind retry can never
+   * duplicate a pass.
+   *
+   * This is the artifact [[graft.operators.Dedup.minhashLshIncremental]]'s
+   * doc describes a production pipeline persisting: at 100 TB the near-dup
+   * screen for a daily delta is [[lshCandidates]] (delta bands x the
+   * store's matching `kb` buckets — partition-pruned, delta-bounded pair
+   * work) followed by one [[lshMaintain]] append, with the corpus never
+   * re-signed and never re-paired against itself.
+   */
+  def lshMaintain(
+      spark: SparkSession,
+      indexDir: String,
+      docs: org.apache.spark.sql.DataFrame,
+      numHashes: Int = 8,
+      bandSize: Int = 2,
+      passId: String = "",
+      dryRun: Boolean = false): LshReport = {
+    import org.apache.spark.sql.functions._
+    val sigPath = new Path(indexDir, "signatures")
+    val metaPath = new Path(indexDir, "meta")
+    val fs = sigPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverDir(fs, sigPath)
+    recoverDir(fs, metaPath)
+    if (!dryRun) reconcilePending(fs, indexDir, "signatures", lastPassOf(spark, metaPath))
+    val id = effectivePassId(passId)
+    val exists = fs.exists(metaPath)
+    if (exists) {
+      val m = spark.read.parquet(metaPath.toString).head
+      require(m.getAs[Int]("num_hashes") == numHashes && m.getAs[Int]("band_size") == bandSize,
+        s"store was built with numHashes=${m.getAs[Int]("num_hashes")}/" +
+          s"bandSize=${m.getAs[Int]("band_size")} — signatures are not comparable " +
+          "across parameters; rebuild into a fresh directory to change them")
+      if (passId.nonEmpty && lastPassOf(spark, metaPath).contains(passId)) {
+        val n = m.getAs[Long]("n_docs")
+        return LshReport(dryRun, bootstrap = false, n, n, 0L, skipped = true)
+      }
+    }
+    val bands = graft.operators.Dedup.bandedSignatures(docs, numHashes, bandSize)
+      .withColumn("kb", termBucket(col("key")))
+    val dN = docs.agg(count(lit(1))).head.getLong(0)
+    val before = if (exists) spark.read.parquet(metaPath.toString).head.getAs[Long]("n_docs") else 0L
+    if (dryRun)
+      return LshReport(dryRun = true, bootstrap = !exists, before, before + dN, bands.count())
+    import spark.implicits._
+    def writeMeta(n: Long, tmpTo: Option[Path]): Unit = {
+      val df = Seq((n, numHashes, bandSize, id))
+        .toDF("n_docs", "num_hashes", "band_size", "last_pass")
+      tmpTo match {
+        case Some(tmp) =>
+          df.write.mode(SaveMode.Overwrite).parquet(tmp.toString); swapDir(fs, tmp, metaPath)
+        case None => df.write.mode(SaveMode.Overwrite).parquet(metaPath.toString)
+      }
+    }
+    if (!exists) {
+      bands.write.mode(SaveMode.Overwrite).partitionBy("kb").parquet(sigPath.toString)
+      writeMeta(dN, None)
+      LshReport(dryRun = false, bootstrap = true, 0L, dN,
+        spark.read.parquet(sigPath.toString).count())
+    } else {
+      // STAGE (one file per touched bucket) -> COMMIT (meta swap) -> PUBLISH
+      val pending = new Path(indexDir, s"signatures.pending/$id")
+      bands.repartition(col("kb"))
+        .write.mode(SaveMode.Overwrite).partitionBy("kb").parquet(pending.toString)
+      val staged = bands.count()
+      writeMeta(before + dN, Some(new Path(metaPath.toString + ".tmp")))
+      publishPending(fs, sigPath, pending)
+      val pendRoot = new Path(indexDir, "signatures.pending")
+      if (fs.exists(pendRoot) && fs.listStatus(pendRoot).isEmpty) fs.delete(pendRoot, true)
+      LshReport(dryRun = false, bootstrap = false, before, before + dN, staged)
+    }
+  }
+
+  /**
+   * Near-dup candidate screen for an increment against a [[lshMaintain]]
+   * store: signs ONLY `newDocs`, reads ONLY the store buckets (`kb`
+   * partition pruning) the increment's band keys hash into, and emits
+   * exactly [[graft.operators.Dedup.minhashLshIncremental]](storeCorpus,
+   * newDocs) — candidate pairs with >= 1 new side, canonical (a < b), with
+   * the all-components est_jaccard — WITHOUT re-signing the stored corpus
+   * (spec-pinned equivalence). Run BEFORE [[lshMaintain]] folds the
+   * increment in, so new-vs-new pairs come from the unioned new bands, not
+   * double-counted store rows. The increment side is small by contract, so
+   * Spark broadcast-joins it against the pruned store scan — the store is
+   * scanned (matching buckets only), never shuffled.
+   */
+  def lshCandidates(
+      spark: SparkSession,
+      indexDir: String,
+      newDocs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val metaPath = new Path(indexDir, "meta")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    reconcilePending(fs, indexDir, "signatures", lastPassOf(spark, metaPath))
+    val m = spark.read.parquet(metaPath.toString).head
+    val (numHashes, bandSize) = (m.getAs[Int]("num_hashes"), m.getAs[Int]("band_size"))
+    val newBands = graft.operators.Dedup.bandedSignatures(newDocs, numHashes, bandSize)
+    val sigCols = newBands.columns // doc_id, mh0.., b, key
+    // the increment's bucket set is <= 64 values by construction — a
+    // driver-side collect that stays bounded at any increment size
+    val kbs = newBands.select(termBucket(col("key")).as("kb")).distinct()
+      .collect().map(_.getLong(0))
+    val store = spark.read.parquet(new Path(indexDir, "signatures").toString)
+      .where(col("kb").isin(kbs.toIndexedSeq: _*))
+      .select(sigCols.map(col).toIndexedSeq: _*)
+    val allBands = store.unionByName(newBands)
+    val eq = (0 until numHashes)
+      .map(k => when(col(s"x.mh$k") === col(s"y.mh$k"), 1).otherwise(0))
+      .reduce(_ + _)
+    newBands.as("x").join(allBands.as("y"),
+        col("x.b") === col("y.b") && col("x.key") === col("y.key") &&
+          col("x.doc_id") =!= col("y.doc_id"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("b"),
+        (eq.cast("double") / numHashes).as("est_jaccard"))
+      .distinct()
+  }
+
+  /** [[lshMaintain]] integrity audit: distinct doc_ids vs the meta row's
+    * accumulated n_docs (lost/duplicated DOCUMENTS), row count vs
+    * n_docs x bands (a duplicated append re-adds the same (doc_id, b)
+    * keys), and distinct (doc_id, b) vs rows. Two aggregates. */
+  case class LshAuditReport(
+      rows: Long, distinctDocBand: Long, distinctDocs: Long,
+      metaDocs: Long, bands: Long) {
+    def docsMatch: Boolean = distinctDocs == metaDocs
+    def rowsUnique: Boolean = rows == distinctDocBand
+    def complete: Boolean = rows == metaDocs * bands
+    def ok: Boolean = docsMatch && rowsUnique && complete
+  }
+
+  def lshAudit(spark: SparkSession, indexDir: String): LshAuditReport = {
+    import org.apache.spark.sql.functions._
+    val metaPath = new Path(indexDir, "meta")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    reconcilePending(fs, indexDir, "signatures", lastPassOf(spark, metaPath))
+    val m = spark.read.parquet(metaPath.toString).head
+    val r = spark.read.parquet(new Path(indexDir, "signatures").toString)
+      .agg(count(lit(1)).as("rows"),
+        countDistinct(col("doc_id"), col("b")).as("db"),
+        countDistinct(col("doc_id")).as("d")).head
+    LshAuditReport(r.getLong(0), r.getLong(1), r.getLong(2),
+      m.getAs[Long]("n_docs"),
+      (m.getAs[Int]("num_hashes") / m.getAs[Int]("band_size")).toLong)
   }
 
   /** [[ivfAudit]] verdict: row/distinct-vec_id counts (the increment
@@ -579,6 +1050,7 @@ object Maintenance {
     * append. */
   def ivfAudit(spark: SparkSession, indexDir: String): IvfAuditReport = {
     import org.apache.spark.sql.functions._
+    ivfRepair(spark, indexDir) // a crashed retrain is repaired before auditing
     val a = spark.read.parquet(new Path(indexDir, "assignments").toString)
     val r = a.agg(count(lit(1)).as("n"), countDistinct(col("vec_id")).as("d"),
       sum(when(col("list_id").isNull, 1L).otherwise(0L)).as("nulls"),

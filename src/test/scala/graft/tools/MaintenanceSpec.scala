@@ -286,14 +286,16 @@ class MaintenanceSpec extends AnyFunSuite with SparkSpec {
     val r3 = Maintenance.postingsMaintain(spark, dir, all.where(col("doc_id") >= 75L))
     assert(r3.docsBefore == 75L && r3.docsAfter == 90L)
     val aud = Maintenance.postingsAudit(spark, dir)
-    assert(aud._3, s"audit must be green after disjoint increments: $aud")
+    assert(aud.ok, s"audit must be green after disjoint increments: $aud")
     // maintained index == fresh bootstrap over the same corpus, as sets
     val freshDir = Files.createTempDirectory("graft-postfresh").toString + "/index"
     Maintenance.postingsMaintain(spark, freshDir, all)
     def snap(d: String) = (
       spark.read.parquet(s"$d/postings").select("term", "doc_id", "dl", "tf", "tb")
         .collect().map(_.toSeq).toSet,
-      spark.read.parquet(s"$d/stats").collect().map(_.toSeq).toSet)
+      // last_pass is a per-pass marker, legitimately different per store
+      spark.read.parquet(s"$d/stats").select("n_docs", "sum_dl")
+        .collect().map(_.toSeq).toSet)
     assert(snap(dir) == snap(freshDir))
     // pruned search == the batch scorer, bit-exact (rank, score, n_terms)
     val q = Seq((1L, "alpha shared"), (2L, "gamma run4")).toDF("query_id", "qtext")
@@ -307,10 +309,241 @@ class MaintenanceSpec extends AnyFunSuite with SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("tb"),
       s"expected tb partition pruning in the postings scan:\n$plan")
-    // audit catches a re-appended (duplicate) document batch
+    // audit catches a re-appended (duplicate) document batch — BOTH flags:
+    // n_docs runs ahead of distinct doc_ids, and the duplicated (term,
+    // doc_id) keys break row uniqueness
     Maintenance.postingsMaintain(spark, dir, all.where(col("doc_id") < 5L))
     val bad = Maintenance.postingsAudit(spark, dir)
-    assert(!bad._3 && bad._2 == 95L && bad._1 == 90L)
+    assert(!bad.ok && bad.statsDocs == 95L && bad.distinctDocs == 90L && !bad.rowsUnique)
+  }
+
+  test("postings pass protocol: retries cannot duplicate; crash windows reconcile") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-postcrash").toString + "/index"
+    val all = (0L until 60L).map { i =>
+      (i, s"alpha doc$i beta shared corpus words run${i % 6} gamma")
+    }.toDF("doc_id", "text")
+    Maintenance.postingsMaintain(spark, dir, all.where(col("doc_id") < 40L), passId = "boot")
+    val inc = all.where(col("doc_id") >= 40L)
+    val r = Maintenance.postingsMaintain(spark, dir, inc, passId = "day1")
+    assert(!r.bootstrap && r.docsAfter == 60L)
+    // a blind RETRY of the committed pass is skipped, not re-appended
+    val retry = Maintenance.postingsMaintain(spark, dir, inc, passId = "day1")
+    assert(retry.skipped && retry.docsAfter == 60L)
+    assert(Maintenance.postingsAudit(spark, dir).ok)
+    // crash window A: a staged-but-uncommitted pending dir (pre-commit
+    // orphan) is dropped by the next pass's reconcile
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val orphan = new org.apache.hadoop.fs.Path(s"$dir/postings.pending/ghost")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(orphan, "tb=0"))
+    Maintenance.postingsMaintain(spark, dir, all.limit(0), passId = "day2")
+    assert(!fs.exists(orphan), "uncommitted orphan stage must be dropped")
+    assert(Maintenance.postingsAudit(spark, dir).ok)
+    // crash window B: committed but unpublished — move a published pass's
+    // bucket files back into a pending dir named by the committed last_pass,
+    // then verify a READER (bm25Maintained) reconciles and still scores the
+    // full index
+    val statsLast = spark.read.parquet(s"$dir/stats").select("last_pass").head.getString(0)
+    val pend = new org.apache.hadoop.fs.Path(s"$dir/postings.pending/$statsLast")
+    val tb0 = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/postings"))
+      .filter(_.getPath.getName.startsWith("tb=")).head.getPath
+    fs.mkdirs(new org.apache.hadoop.fs.Path(pend, tb0.getName))
+    val movedFile = fs.listStatus(tb0).filter(_.getPath.getName.endsWith(".parquet")).head.getPath
+    // strip any pass prefix so the republished name differs — the reconcile
+    // must still land it (fresh name => plain move)
+    fs.rename(movedFile, new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(pend, tb0.getName), "part-replay.parquet"))
+    import spark.implicits._
+    val q = Seq((1L, "alpha shared")).toDF("query_id", "qtext")
+    val got = Maintenance.bm25Maintained(spark, dir, q, k = 5)
+    got.count()
+    assert(!fs.exists(pend), "reader must publish the committed pending stage")
+    assert(Maintenance.postingsAudit(spark, dir).ok)
+  }
+
+  test("postingsCompact: accumulated increment files trigger a bucket-preserving rewrite") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-postcompact").toString + "/index"
+    val all = (0L until 120L).map { i =>
+      (i, s"alpha doc$i beta shared corpus words run${i % 6} gamma")
+    }.toDF("doc_id", "text")
+    Maintenance.postingsMaintain(spark, dir, all.where(col("doc_id") < 40L))
+    // 8 increment passes: each publishes one file per touched bucket
+    (0 until 8).foreach { k =>
+      Maintenance.postingsMaintain(spark, dir,
+        all.where(col("doc_id") >= 40L + k * 10L && col("doc_id") < 50L + k * 10L))
+    }
+    val preSearch = {
+      import spark.implicits._
+      val q = Seq((1L, "alpha shared"), (2L, "gamma run4")).toDF("query_id", "qtext")
+      Maintenance.bm25Maintained(spark, dir, q, k = 5).collect().map(_.toSeq).toSet
+    }
+    // healthy threshold high: measured max is below it -> no-op
+    val healthy = Maintenance.postingsCompact(spark, dir, maxFilesPerBucket = 100)
+    assert(!healthy.triggered && healthy.filesAfter == healthy.filesBefore)
+    // dry run at a real threshold: triggered, but rewrites nothing
+    val dry = Maintenance.postingsCompact(spark, dir, maxFilesPerBucket = 4, dryRun = true)
+    assert(dry.dryRun && dry.triggered && dry.maxFilesPerBucketBefore > 4L)
+    val applied = Maintenance.postingsCompact(spark, dir, maxFilesPerBucket = 4)
+    assert(applied.triggered && applied.filesAfter < applied.filesBefore,
+      s"compaction must shrink the file count: $applied")
+    // content identical, audit green, search identical, pruning preserved
+    assert(Maintenance.postingsAudit(spark, dir).ok)
+    import spark.implicits._
+    val q = Seq((1L, "alpha shared"), (2L, "gamma run4")).toDF("query_id", "qtext")
+    val post = Maintenance.bm25Maintained(spark, dir, q, k = 5)
+    assert(post.collect().map(_.toSeq).toSet == preSearch)
+    val plan = post.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("tb"))
+    // a freshly-compacted store is healthy: the same policy no-ops
+    val again = Maintenance.postingsCompact(spark, dir, maxFilesPerBucket = 4)
+    assert(!again.triggered)
+  }
+
+  test("postingsAgeOff: index == fresh bootstrap over the surviving corpus, bit-exact") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-postage").toString + "/index"
+    val all = (0L until 90L).map { i =>
+      (i, s"alpha doc$i beta shared corpus words run${i % 9} gamma " * (1 + (i % 3)).toInt)
+    }.toDF("doc_id", "text")
+    Maintenance.postingsMaintain(spark, dir, all.where(col("doc_id") < 60L))
+    Maintenance.postingsMaintain(spark, dir, all.where(col("doc_id") >= 60L))
+    val dropDocs = all.where(col("doc_id") % 4 === 0L).select("doc_id")
+    // dry run measures, touches nothing
+    val dry = Maintenance.postingsAgeOff(spark, dir, dropDocs, dryRun = true)
+    assert(dry.dryRun && dry.docsBefore == 90L && dry.docsAfter == 67L && dry.rowsDropped > 0L)
+    assert(spark.read.parquet(s"$dir/stats").head.getLong(0) == 90L, "dry run wrote")
+    val r = Maintenance.postingsAgeOff(spark, dir, dropDocs)
+    assert(!r.dryRun && r.docsBefore == 90L && r.docsAfter == 67L)
+    assert(Maintenance.postingsAudit(spark, dir).ok)
+    // the aged index equals a fresh bootstrap over the survivors — postings
+    // set AND stats row (modulo the pass marker)
+    val freshDir = Files.createTempDirectory("graft-postagefresh").toString + "/index"
+    Maintenance.postingsMaintain(spark, freshDir, all.where(col("doc_id") % 4 =!= 0L))
+    def snap(d: String) = (
+      spark.read.parquet(s"$d/postings").select("term", "doc_id", "dl", "tf", "tb")
+        .collect().map(_.toSeq).toSet,
+      spark.read.parquet(s"$d/stats").select("n_docs", "sum_dl")
+        .collect().map(_.toSeq).toSet)
+    assert(snap(dir) == snap(freshDir))
+    // and the maintained read path scores identically to batch BM25 over
+    // the surviving corpus
+    import spark.implicits._
+    val q = Seq((1L, "alpha shared"), (2L, "gamma run4")).toDF("query_id", "qtext")
+    val got = Maintenance.bm25Maintained(spark, dir, q, k = 5).collect().map(_.toSeq).toSet
+    val batch = graft.operators.Search.bm25TopK(
+      all.where(col("doc_id") % 4 =!= 0L), q, k = 5).collect().map(_.toSeq).toSet
+    assert(got == batch)
+    // age-off is idempotent: a retry drops nothing further
+    val r2 = Maintenance.postingsAgeOff(spark, dir, dropDocs)
+    assert(r2.rowsDropped == 0L && r2.docsAfter == 67L)
+  }
+
+  test("lshMaintain + lshCandidates: store passes reproduce the batch LSH screen exactly") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-lshstore").toString + "/index"
+    // near-dup-rich corpus: every 4th doc is a shingle-identical twin of its
+    // predecessor, so banded collisions actually occur
+    val all = (0L until 80L).map { i =>
+      val base = if (i % 4 == 3) i - 1 else i
+      (i, s"alpha beta gamma delta shard${base % 10} token${base % 7} omega rho sigma tau")
+    }.toDF("doc_id", "text")
+    val baseDocs = all.where(col("doc_id") % 3 =!= 0)
+    val newDocs = all.where(col("doc_id") % 3 === 0)
+    // bootstrap signs the base corpus
+    val r1 = Maintenance.lshMaintain(spark, dir, baseDocs, passId = "boot")
+    assert(r1.bootstrap && r1.docsAfter == baseDocs.count())
+    // dry-run increment reports without writing
+    val dry = Maintenance.lshMaintain(spark, dir, newDocs, passId = "inc1", dryRun = true)
+    assert(dry.dryRun && !dry.bootstrap && dry.docsAfter == 80L)
+    assert(spark.read.parquet(s"$dir/meta").head.getAs[Long]("n_docs") == baseDocs.count())
+    // the store-backed increment screen == minhashLshIncremental(base, new),
+    // which itself is spec-pinned to minhashLsh(all) restricted to new-side
+    // pairs — signatures come from the PERSISTED store, not a base re-sign
+    val cand = Maintenance.lshCandidates(spark, dir, newDocs)
+    val expected = graft.operators.Dedup.minhashLshIncremental(baseDocs, newDocs)
+    assert(cand.collect().map(_.toSeq).toSet == expected.collect().map(_.toSeq).toSet)
+    // ... and the read PRUNES on the kb partition column (the 100 TB point)
+    val onedoc = all.where(col("doc_id") === 0L)
+    val plan = Maintenance.lshCandidates(spark, dir, onedoc)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("kb"),
+      s"expected kb partition pruning in the signatures scan:\n$plan")
+    // fold the increment in; bootstrap(base)+increment == one bootstrap(all)
+    val r2 = Maintenance.lshMaintain(spark, dir, newDocs, passId = "inc1")
+    assert(!r2.bootstrap && r2.docsAfter == 80L)
+    assert(Maintenance.lshAudit(spark, dir).ok)
+    val freshDir = Files.createTempDirectory("graft-lshfresh").toString + "/index"
+    Maintenance.lshMaintain(spark, freshDir, all)
+    def snap(d: String) = spark.read.parquet(s"$d/signatures")
+      .select("doc_id", "mh0", "mh7", "b", "key").collect().map(_.toSeq).toSet
+    assert(snap(dir) == snap(freshDir))
+    // a blind retry of the committed pass is skipped, not re-appended
+    val retry = Maintenance.lshMaintain(spark, dir, newDocs, passId = "inc1")
+    assert(retry.skipped)
+    assert(Maintenance.lshAudit(spark, dir).ok)
+    // parameter mismatch is refused: signatures are not comparable
+    intercept[IllegalArgumentException] {
+      Maintenance.lshMaintain(spark, dir, newDocs, numHashes = 4, bandSize = 2, passId = "bad")
+    }
+    // union of the bootstrap screen and the increment screen == the batch
+    // screen over the full corpus (the dedup_lsh_store gate's contract)
+    val unioned = graft.operators.Dedup.minhashLsh(baseDocs).unionByName(cand)
+      .collect().map(_.toSeq).toSet
+    val batch = graft.operators.Dedup.minhashLsh(all).collect().map(_.toSeq).toSet
+    assert(unioned == batch)
+  }
+
+  test("ivfRetrain absorbs an increment: retrain(store ∪ inc) == fresh bootstrap over the union") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-ivfinc").toString + "/index"
+    val all = (0L until 160L).map { i =>
+      (i, Array.tabulate(8)(d => (((i * 13 + d * 5) % 100) / 10).toFloat))
+    }.toDF("vec_id", "embedding")
+    val stored = all.where(col("vec_id") < 120L)
+    val inc = all.where(col("vec_id") >= 120L)
+    Maintenance.ivfMaintain(spark, dir, stored, nLists = 4)
+    // retrain to 8 lists, absorbing the not-yet-assigned increment
+    val r = Maintenance.ivfRetrain(spark, dir, nLists = 8, increment = Some(inc))
+    assert(r.vectors == 160L && r.listsAfter == 8L)
+    val freshDir = Files.createTempDirectory("graft-ivfincfresh").toString + "/index"
+    Maintenance.ivfMaintain(spark, freshDir, all, nLists = 8)
+    def snap(d: String) = (
+      spark.read.parquet(s"$d/centroids").collect()
+        .map(x => (x.getInt(0), x.getSeq[Float](1), x.getDouble(2))).toSet,
+      spark.read.parquet(s"$d/assignments").select("vec_id", "list_id", "vnorm").collect()
+        .map(x => (x.getLong(0), x.getInt(1), x.getDouble(2))).toSet)
+    assert(snap(dir) == snap(freshDir))
+    assert(Maintenance.ivfAudit(spark, dir).ok)
+  }
+
+  test("a crashed ivfRetrain (marker left, mixed dirs) is auto-repaired at the next entry") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-ivfcrash").toString + "/index"
+    val all = (0L until 100L).map { i =>
+      (i, Array.tabulate(8)(d => (((i * 19 + d * 3) % 100) / 10).toFloat))
+    }.toDF("vec_id", "embedding")
+    Maintenance.ivfMaintain(spark, dir, all, nLists = 8)
+    // simulate the between-swaps crash: centroids already v2 (4 lists —
+    // SHRUNK, so v1 assignments hold out-of-range list_ids), assignments
+    // still v1, marker on disk
+    val cents2 = graft.operators.SimilarityIvf.centroids(all, 4)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    cents2.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$dir/centroids.v2")
+    graft.sources.AtomicDir.swap(fs, new org.apache.hadoop.fs.Path(s"$dir/centroids.v2"),
+      new org.apache.hadoop.fs.Path(s"$dir/centroids"))
+    fs.create(new org.apache.hadoop.fs.Path(s"$dir/retrain.pending"), true).close()
+    // the audit entry detects the marker and repairs: assignments re-derive
+    // from the LIVE centroids, bit-equal to a clean retrain's backfill
+    val aud = Maintenance.ivfAudit(spark, dir)
+    assert(aud.ok && aud.maxListId <= 4L, s"repair must rebucket to the live geometry: $aud")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/retrain.pending")))
+    val expected = graft.operators.SimilarityIvf.assign(all, spark.read.parquet(s"$dir/centroids"))
+      .select("vec_id", "list_id", "vnorm").collect().map(_.toSeq).toSet
+    assert(spark.read.parquet(s"$dir/assignments").select("vec_id", "list_id", "vnorm")
+      .collect().map(_.toSeq).toSet == expected)
   }
 
   test("ivfAudit flags duplicate vec_ids and out-of-range list_ids") {
