@@ -84,9 +84,31 @@ object AuditQueries {
     * the persisted-frame builds this one survives clearCache — the entry
     * is near-zero after pass 1, which is itself the honest attribution:
     * the directory is a durable store artifact, not an evictable cache.) */
+  /** A SECOND scd2Maintain-written dimension, bootstrapped whole and then
+    * passed through [[graft.tools.Maintenance.scd2Prune]] at the event-span
+    * midpoint — the history-retention pass `cdc_scd2_prune` hash-checks
+    * (closed intervals ending before the cutoff trimmed, open state kept).
+    * Separate from [[scd2DimDir]] so the retention pass never mutates the
+    * directory `cdc_scd2_incr` reads. */
+  private val scd2PruneMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def scd2PrunedDir(s: SparkSession, dir: String): String =
+    scd2PruneMemo.computeIfAbsent(s"${SessionKeys.key(s)}:$dir", _ => {
+      val ev = events(s, dir).select(col("user_id"), col("event_type"),
+        expr("ts div 1000000").as("ms"), col("event_id"))
+      val mm = ev.agg(min(col("ms")), max(col("ms"))).head
+      val cut = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+      val dim = java.nio.file.Files.createTempDirectory("graft-scd2prune").toString + "/dim"
+      graft.tools.Maintenance.scd2Maintain(s, dim, ev,
+        "user_id", "event_type", col("ms"), "event_id")
+      graft.tools.Maintenance.scd2Prune(s, dim, cut)
+      dim
+    })
+
   val sharedBuilds: Seq[(String, (SparkSession, String) => Unit)] = Seq(
     "shared_build_scd2_dim" ->
       ((s: SparkSession, dir: String) => { scd2DimDir(s, dir); () }),
+    "shared_build_scd2_pruned" ->
+      ((s: SparkSession, dir: String) => { scd2PrunedDir(s, dir); () }),
     "shared_build_dp_ledger" ->
       ((s: SparkSession, dir: String) => { dpLedgerDir(s, dir); () }))
 
@@ -228,6 +250,14 @@ object AuditQueries {
     // once per (session, sfDir) — see [[scd2DimDir]]/[[sharedBuilds]]
     "cdc_scd2_incr" -> ((s, dir) =>
       s.read.parquet(scd2DimDir(s, dir))
+        .select(col("user_id"), col("event_type"), col("valid_from"),
+          col("valid_to"), col("version"), col("is_current"))),
+    // dimension-history RETENTION: the scd2Prune-trimmed store — closed
+    // intervals ending before the event-span midpoint dropped, open state
+    // kept; the oracle recomputes the full SCD2 view and applies the same
+    // cutoff, so the pass's keep predicate is pinned end to end
+    "cdc_scd2_prune" -> ((s, dir) =>
+      s.read.parquet(scd2PrunedDir(s, dir))
         .select(col("user_id"), col("event_type"), col("valid_from"),
           col("valid_to"), col("version"), col("is_current"))),
     // incremental-aggregate maintenance audit: per-source base+delta vs
@@ -599,6 +629,25 @@ object AuditQueries {
         |       CAST(CASE WHEN lead(ms) OVER w IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
         |FROM ch
         |WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)""".stripMargin,
+    // mirrors cdc_scd2_prune: the same SCD2 construction, then the
+    // retention keep-predicate — open intervals always survive, closed
+    // intervals survive iff they end at/after the event-span midpoint
+    "cdc_scd2_prune" ->
+      """WITH b AS (SELECT user_id, event_type, epoch_ms(ts) AS ms, event_id FROM events),
+        |c AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev
+        |      FROM b),
+        |ch AS (SELECT user_id, event_type, ms, event_id FROM c
+        |       WHERE prev IS NULL OR event_type IS DISTINCT FROM prev),
+        |s AS (SELECT user_id, event_type, ms AS valid_from,
+        |             lead(ms) OVER w AS valid_to,
+        |             CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+        |             CAST(CASE WHEN lead(ms) OVER w IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+        |      FROM ch
+        |      WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+        |mm AS (SELECT MIN(ms) AS lo, MAX(ms) AS hi FROM b)
+        |SELECT user_id, event_type, valid_from, valid_to, version, is_current
+        |FROM s, mm
+        |WHERE is_current = 1 OR valid_to >= lo + (hi - lo) // 2""".stripMargin,
     "cdc_incr_agg" ->
       """WITH v1 AS (SELECT doc_id, source, n_chars FROM documents WHERE doc_id % 7 != 0),
         |v2 AS (SELECT doc_id, source,

@@ -1014,6 +1014,79 @@ object Maintenance {
     def ok: Boolean = docsMatch && rowsUnique && complete
   }
 
+  /** What one LSH-signature age-off pass did (or would do). */
+  case class LshAgeOffReport(
+      dryRun: Boolean,
+      docsBefore: Long,
+      docsAfter: Long,
+      rowsDropped: Long,
+      bucketsRewritten: Long) {
+    def render: String =
+      s"lsh age-off${if (dryRun) " (DRY RUN)" else ""}: " +
+        s"docs $docsBefore -> $docsAfter, $rowsDropped signature rows dropped " +
+        s"across $bucketsRewritten bucket(s)"
+  }
+
+  /** RETENTION for an [[lshMaintain]] signature store — the signature
+    * sibling of [[postingsAgeOff]]: drops aged doc_ids' band rows by
+    * rewriting ONLY the affected `kb` buckets (per-bucket atomic swaps)
+    * and restores the meta row's n_docs by exact recompute from the
+    * survivors, so a crashed pass converges on retry. Without this, an
+    * age-managed corpus's dead documents keep surfacing as near-dup
+    * candidates forever. Equivalence (spec-pinned): aged store ==
+    * fresh bootstrap over the surviving corpus. */
+  def lshAgeOff(
+      spark: SparkSession,
+      indexDir: String,
+      dropDocs: org.apache.spark.sql.DataFrame,
+      dryRun: Boolean = false): LshAgeOffReport = {
+    import org.apache.spark.sql.functions._
+    val sigPath = new Path(indexDir, "signatures")
+    val metaPath = new Path(indexDir, "meta")
+    val fs = sigPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverDir(fs, sigPath)
+    recoverDir(fs, metaPath)
+    if (!dryRun) reconcilePending(fs, indexDir, "signatures", lastPassOf(spark, metaPath))
+    val sigs = spark.read.parquet(sigPath.toString)
+    val drop = dropDocs.select("doc_id").distinct()
+    val meta = spark.read.parquet(metaPath.toString).head
+    val docsBefore = meta.getAs[Long]("n_docs")
+    val doomed = sigs.join(drop, Seq("doc_id"), "left_semi")
+    val d = doomed.agg(count(lit(1)).as("rows"),
+      countDistinct(col("doc_id")).as("docs"),
+      collect_set(col("kb")).as("kbs")).head
+    val (rowsDropped, docsDropped) = (d.getLong(0), d.getLong(1))
+    val affected = d.getSeq[Any](2).map(_.asInstanceOf[Number].longValue).sorted
+    if (dryRun || affected.isEmpty)
+      return LshAgeOffReport(dryRun, docsBefore, docsBefore - docsDropped,
+        rowsDropped, affected.length.toLong)
+    val stage = new Path(indexDir, "signatures.ageoff.tmp")
+    if (fs.exists(stage)) fs.delete(stage, true)
+    sigs.where(col("kb").isin(affected.toIndexedSeq: _*))
+      .join(drop, Seq("doc_id"), "left_anti")
+      .repartition(col("kb"))
+      .write.mode(SaveMode.Overwrite).partitionBy("kb").parquet(stage.toString)
+    affected.foreach { b =>
+      val src = new Path(stage, s"kb=$b")
+      val dst = new Path(sigPath, s"kb=$b")
+      if (fs.exists(src)) swapDir(fs, src, dst)
+      else if (fs.exists(dst)) fs.delete(dst, true)
+    }
+    fs.delete(stage, true)
+    // meta: exact recompute from the survivors (retry-convergent)
+    val nAfter = spark.read.parquet(sigPath.toString)
+      .agg(countDistinct(col("doc_id"))).head.getLong(0)
+    import spark.implicits._
+    val metaTmp = new Path(metaPath.toString + ".tmp")
+    Seq((nAfter, meta.getAs[Int]("num_hashes"), meta.getAs[Int]("band_size"),
+        s"ageoff-${System.nanoTime()}"))
+      .toDF("n_docs", "num_hashes", "band_size", "last_pass")
+      .write.mode(SaveMode.Overwrite).parquet(metaTmp.toString)
+    swapDir(fs, metaTmp, metaPath)
+    LshAgeOffReport(dryRun = false, docsBefore, nAfter, rowsDropped,
+      affected.length.toLong)
+  }
+
   def lshAudit(spark: SparkSession, indexDir: String): LshAuditReport = {
     import org.apache.spark.sql.functions._
     val metaPath = new Path(indexDir, "meta")
@@ -1027,6 +1100,92 @@ object Maintenance {
     LshAuditReport(r.getLong(0), r.getLong(1), r.getLong(2),
       m.getAs[Long]("n_docs"),
       (m.getAs[Int]("num_hashes") / m.getAs[Int]("band_size")).toLong)
+  }
+
+  /** What one IVF age-off pass did (or would do). */
+  case class IvfAgeOffReport(
+      dryRun: Boolean,
+      vectorsBefore: Long,
+      vectorsAfter: Long) {
+    def render: String =
+      s"ivf age-off${if (dryRun) " (DRY RUN)" else ""}: " +
+        s"index $vectorsBefore -> $vectorsAfter vectors (centroids unchanged)"
+  }
+
+  /** RETENTION for an [[ivfMaintain]] index: drop aged vec_ids from the
+    * assignments (anti-join + atomic swap; centroids are geometry, not
+    * data — they stay). Removal under fixed centroids is exact by
+    * construction: surviving rows are untouched, so the aged index ==
+    * a batch assign of the survivors under the same centroids
+    * (spec-pinned). O(index) rewrite like [[ivfRetrain]] — retention is a
+    * periodic pass, not the increment path. A retrain after heavy age-off
+    * re-fits the geometry to the survivors. */
+  def ivfAgeOff(
+      spark: SparkSession,
+      indexDir: String,
+      dropVecs: org.apache.spark.sql.DataFrame,
+      dryRun: Boolean = false): IvfAgeOffReport = {
+    import org.apache.spark.sql.functions._
+    val assignPath = new Path(indexDir, "assignments")
+    val fs = assignPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!dryRun) ivfRepair(spark, indexDir) else recoverDir(fs, assignPath)
+    val a = spark.read.parquet(assignPath.toString)
+    val drop = dropVecs.select("vec_id").distinct()
+    val before = a.count()
+    val survivors = a.join(drop, Seq("vec_id"), "left_anti")
+    if (dryRun)
+      return IvfAgeOffReport(dryRun = true, before, survivors.count())
+    val tmp = new Path(assignPath.toString + ".tmp")
+    survivors.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val after = spark.read.parquet(tmp.toString).count()
+    swapDir(fs, tmp, assignPath)
+    IvfAgeOffReport(dryRun = false, before, after)
+  }
+
+  /** What one SCD2 history-retention pass did (or would do). */
+  case class Scd2PruneReport(
+      dryRun: Boolean,
+      rowsBefore: Long,
+      rowsAfter: Long,
+      openKept: Long) {
+    def render: String =
+      s"scd2 prune${if (dryRun) " (DRY RUN)" else ""}: " +
+        s"history $rowsBefore -> $rowsAfter rows ($openKept open intervals kept)"
+  }
+
+  /** RETENTION for an [[scd2Maintain]] dimension: drop CLOSED intervals
+    * that ended before `cutoffMs` — the dimension-history TTL trim (GDPR /
+    * storage-budget shape). Open intervals (is_current = 1) are always
+    * kept regardless of age: they are the live state, not history. The
+    * rewrite stages + swaps atomically like every pass here. Pruning
+    * commutes with [[graft.operators.Cdc.scd2Apply]] increments for any
+    * cutoff at-or-before the delta's earliest event time (apply only
+    * touches open intervals and appends newer ones), so prune-then-apply
+    * == apply-then-prune — the property that makes the pass safe to
+    * schedule independently of ingestion (spec-pinned). */
+  def scd2Prune(
+      spark: SparkSession,
+      dimDir: String,
+      cutoffMs: Long,
+      dryRun: Boolean = false): Scd2PruneReport = {
+    import org.apache.spark.sql.functions._
+    val fs = new Path(dimDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverDir(fs, new Path(dimDir))
+    val dim = spark.read.parquet(dimDir)
+    val before = dim.count()
+    val kept = dim.where(col("is_current") === 1L || col("valid_to") >= cutoffMs)
+    if (dryRun) {
+      val k = kept.agg(count(lit(1)).as("n"),
+        sum(when(col("is_current") === 1L, 1L).otherwise(0L)).as("open")).head
+      return Scd2PruneReport(dryRun = true, before, k.getLong(0), k.getLong(1))
+    }
+    val tmp = new Path(dimDir + ".tmp")
+    kept.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val w = spark.read.parquet(tmp.toString)
+    val k = w.agg(count(lit(1)).as("n"),
+      sum(when(col("is_current") === 1L, 1L).otherwise(0L)).as("open")).head
+    swapDir(fs, tmp, new Path(dimDir))
+    Scd2PruneReport(dryRun = false, before, k.getLong(0), k.getLong(1))
   }
 
   /** [[ivfAudit]] verdict: row/distinct-vec_id counts (the increment

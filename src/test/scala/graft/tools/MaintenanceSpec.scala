@@ -546,6 +546,91 @@ class MaintenanceSpec extends AnyFunSuite with SparkSpec {
       .collect().map(_.toSeq).toSet == expected)
   }
 
+  test("lshAgeOff: aged store == fresh bootstrap over the surviving corpus") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-lshage").toString + "/index"
+    val all = (0L until 80L).map { i =>
+      val base = if (i % 4 == 3) i - 1 else i
+      (i, s"alpha beta gamma delta shard${base % 10} token${base % 7} omega rho sigma tau")
+    }.toDF("doc_id", "text")
+    Maintenance.lshMaintain(spark, dir, all.where(col("doc_id") < 50L), passId = "boot")
+    Maintenance.lshMaintain(spark, dir, all.where(col("doc_id") >= 50L), passId = "inc")
+    val drop = all.where(col("doc_id") % 5 === 0L).select("doc_id")
+    val dry = Maintenance.lshAgeOff(spark, dir, drop, dryRun = true)
+    assert(dry.dryRun && dry.docsBefore == 80L && dry.docsAfter == 64L)
+    assert(spark.read.parquet(s"$dir/meta").head.getAs[Long]("n_docs") == 80L, "dry run wrote")
+    val r = Maintenance.lshAgeOff(spark, dir, drop)
+    assert(!r.dryRun && r.docsAfter == 64L && r.rowsDropped == 16L * 4L)
+    assert(Maintenance.lshAudit(spark, dir).ok)
+    val freshDir = Files.createTempDirectory("graft-lshagefresh").toString + "/index"
+    Maintenance.lshMaintain(spark, freshDir, all.where(col("doc_id") % 5 =!= 0L))
+    def snap(d: String) = spark.read.parquet(s"$d/signatures")
+      .select("doc_id", "mh0", "mh7", "b", "key").collect().map(_.toSeq).toSet
+    assert(snap(dir) == snap(freshDir))
+    // dead docs no longer surface as candidates: the screen over a delta
+    // equals the incremental screen against the surviving base
+    val delta = all.where(col("doc_id") % 5 === 0L)
+      .select(col("doc_id") + 1000L as "doc_id", col("text"))
+    val got = Maintenance.lshCandidates(spark, dir, delta).collect().map(_.toSeq).toSet
+    val want = graft.operators.Dedup.minhashLshIncremental(
+      all.where(col("doc_id") % 5 =!= 0L), delta).collect().map(_.toSeq).toSet
+    assert(got == want)
+    // retry drops nothing (idempotent)
+    assert(Maintenance.lshAgeOff(spark, dir, drop).rowsDropped == 0L)
+  }
+
+  test("ivfAgeOff: aged assignments == batch assign of survivors under the same centroids") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-ivfage").toString + "/index"
+    val all = (0L until 120L).map { i =>
+      (i, Array.tabulate(8)(d => (((i * 23 + d * 7) % 100) / 10).toFloat))
+    }.toDF("vec_id", "embedding")
+    Maintenance.ivfMaintain(spark, dir, all, nLists = 6)
+    val drop = all.where(col("vec_id") % 3 === 0L).select("vec_id")
+    val dry = Maintenance.ivfAgeOff(spark, dir, drop, dryRun = true)
+    assert(dry.dryRun && dry.vectorsBefore == 120L && dry.vectorsAfter == 80L)
+    assert(spark.read.parquet(s"$dir/assignments").count() == 120L, "dry run wrote")
+    val r = Maintenance.ivfAgeOff(spark, dir, drop)
+    assert(!r.dryRun && r.vectorsAfter == 80L)
+    assert(Maintenance.ivfAudit(spark, dir).ok)
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val expected = graft.operators.SimilarityIvf.assign(
+        all.where(col("vec_id") % 3 =!= 0L), cents)
+      .select("vec_id", "list_id", "vnorm").collect().map(_.toSeq).toSet
+    assert(spark.read.parquet(s"$dir/assignments").select("vec_id", "list_id", "vnorm")
+      .collect().map(_.toSeq).toSet == expected)
+    // retry is a no-op
+    assert(Maintenance.ivfAgeOff(spark, dir, drop).vectorsAfter == 80L)
+  }
+
+  test("scd2Prune: closed-history trim keeps open intervals and commutes with apply") {
+    import org.apache.spark.sql.functions.col
+    val mk = (lo: Int, hi: Int) => (lo until hi).map { i =>
+      ((i % 3).toLong, s"v${(i / 5) % 3}", (i / 3).toLong * 10L, i.toLong)
+    }.toDF("user_id", "attr", "ms", "event_id")
+    val cutoff = 120L
+    // prune-then-apply
+    val dimA = Files.createTempDirectory("graft-scd2pr").toString + "/dim"
+    Maintenance.scd2Maintain(spark, dimA, mk(0, 60), "user_id", "attr", col("ms"), "event_id")
+    val dry = Maintenance.scd2Prune(spark, dimA, cutoff, dryRun = true)
+    assert(dry.dryRun && dry.rowsAfter < dry.rowsBefore && dry.openKept == 3L)
+    assert(spark.read.parquet(dimA).count() == dry.rowsBefore, "dry run wrote")
+    val r = Maintenance.scd2Prune(spark, dimA, cutoff)
+    assert(!r.dryRun && r.rowsAfter < r.rowsBefore && r.openKept == 3L)
+    // every surviving closed interval ends at/after the cutoff
+    assert(spark.read.parquet(dimA)
+      .where(col("is_current") === 0L && col("valid_to") < cutoff).count() == 0L)
+    Maintenance.scd2Maintain(spark, dimA, mk(60, 90), "user_id", "attr", col("ms"), "event_id")
+    // apply-then-prune
+    val dimB = Files.createTempDirectory("graft-scd2pr2").toString + "/dim"
+    Maintenance.scd2Maintain(spark, dimB, mk(0, 60), "user_id", "attr", col("ms"), "event_id")
+    Maintenance.scd2Maintain(spark, dimB, mk(60, 90), "user_id", "attr", col("ms"), "event_id")
+    Maintenance.scd2Prune(spark, dimB, cutoff)
+    assert(spark.read.parquet(dimA).collect().map(_.toSeq).toSet ==
+      spark.read.parquet(dimB).collect().map(_.toSeq).toSet,
+      "prune must commute with apply for cutoffs before the delta")
+  }
+
   test("ivfAudit flags duplicate vec_ids and out-of-range list_ids") {
     import org.apache.spark.sql.functions.{col, lit}
     val dir = Files.createTempDirectory("graft-ivfaudit").toString + "/index"
