@@ -462,12 +462,14 @@ object Maintenance {
       docsBefore: Long,
       docsAfter: Long,
       postingsRows: Long,
-      skipped: Boolean = false) {
+      skipped: Boolean = false,
+      compaction: Option[PostingsCompactReport] = None) {
     def render: String =
       s"postings${if (dryRun) " (DRY RUN)" else ""}: " +
         s"${if (skipped) "pass already committed — skipped"
            else if (bootstrap) "bootstrapped" else "appended increment"}; " +
-        s"docs $docsBefore -> $docsAfter, $postingsRows postings rows this pass"
+        s"docs $docsBefore -> $docsAfter, $postingsRows postings rows this pass" +
+        compaction.map(c => s"\n  ${c.render}").getOrElse("")
   }
 
   /** Term-hash bucket for the maintained postings layout: 2 md5 hex chars
@@ -581,13 +583,22 @@ object Maintenance {
    * [[reconcilePending]]); a retried pass with the same caller-supplied
    * `passId` is detected as committed and skipped, so a crash at ANY point
    * followed by a blind retry can never duplicate an increment's rows.
+   *
+   * SELF-SCHEDULING COMPACTION: with `autoCompactFilesPerBucket` set, every
+   * non-skipped increment pass ends with the [[postingsCompact]] census
+   * check (an FS listing) and rewrites only when the measured max
+   * files-per-bucket exceeds the threshold — the store maintains its own
+   * file health on the ingest cadence, the `Maintenance.run` points-store
+   * policy shape applied to the index (reference analog: scheduled
+   * self-compaction, MetricCompactionStrategy.java:20-60).
    */
   def postingsMaintain(
       spark: SparkSession,
       indexDir: String,
       docs: org.apache.spark.sql.DataFrame,
       passId: String = "",
-      dryRun: Boolean = false): PostingsReport = {
+      dryRun: Boolean = false,
+      autoCompactFilesPerBucket: Option[Int] = None): PostingsReport = {
     import org.apache.spark.sql.functions._
     val postingsPath = new Path(indexDir, "postings")
     val statsPath = new Path(indexDir, "stats")
@@ -640,8 +651,12 @@ object Maintenance {
       publishPending(fs, postingsPath, pending)
       val pendRoot = new Path(indexDir, "postings.pending")
       if (fs.exists(pendRoot) && fs.listStatus(pendRoot).isEmpty) fs.delete(pendRoot, true)
+      // census check (FS listing only when healthy); rewrite when degraded
+      val compacted = autoCompactFilesPerBucket
+        .map(n => postingsCompact(spark, indexDir, maxFilesPerBucket = n))
+        .filter(_.triggered)
       PostingsReport(dryRun = false, bootstrap = false, prior.getLong(0),
-        prior.getLong(0) + dN, staged)
+        prior.getLong(0) + dN, staged, compaction = compacted)
     }
   }
 

@@ -401,6 +401,39 @@ class MaintenanceSpec extends AnyFunSuite with SparkSpec {
     assert(!again.triggered)
   }
 
+  test("postingsMaintain auto-compaction: the store self-schedules its rewrite") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-postauto").toString + "/index"
+    val all = (0L until 100L).map { i =>
+      (i, s"alpha doc$i beta shared corpus words run${i % 6} gamma")
+    }.toDF("doc_id", "text")
+    Maintenance.postingsMaintain(spark, dir, all.where(col("doc_id") < 40L), passId = "boot")
+    // healthy passes: censused, not rewritten
+    val r1 = Maintenance.postingsMaintain(spark, dir,
+      all.where(col("doc_id") >= 40L && col("doc_id") < 50L), passId = "i1",
+      autoCompactFilesPerBucket = Some(6))
+    assert(r1.compaction.isEmpty, s"healthy store must not rewrite: $r1")
+    // keep appending without the policy until the census degrades...
+    (1 until 5).foreach { k =>
+      Maintenance.postingsMaintain(spark, dir,
+        all.where(col("doc_id") >= 40L + k * 10L && col("doc_id") < 50L + k * 10L),
+        passId = s"i${k + 1}")
+    }
+    // ...then a policy-carrying pass self-schedules the rewrite
+    val ingest = all.where(col("doc_id") >= 90L)
+    val r2 = Maintenance.postingsMaintain(spark, dir, ingest, passId = "i6",
+      autoCompactFilesPerBucket = Some(2))
+    val c = r2.compaction.getOrElse(fail(s"degraded store must self-compact: $r2"))
+    assert(c.triggered && c.filesAfter < c.filesBefore)
+    assert(Maintenance.postingsAudit(spark, dir).ok)
+    // content == fresh bootstrap (compaction is layout-only)
+    val freshDir = Files.createTempDirectory("graft-postautofresh").toString + "/index"
+    Maintenance.postingsMaintain(spark, freshDir, all)
+    def snap(d: String) = spark.read.parquet(s"$d/postings")
+      .select("term", "doc_id", "dl", "tf", "tb").collect().map(_.toSeq).toSet
+    assert(snap(dir) == snap(freshDir))
+  }
+
   test("postingsAgeOff: index == fresh bootstrap over the surviving corpus, bit-exact") {
     import org.apache.spark.sql.functions.col
     val dir = Files.createTempDirectory("graft-postage").toString + "/index"
