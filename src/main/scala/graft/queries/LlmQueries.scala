@@ -209,6 +209,11 @@ object LlmQueries {
       graft.tools.Maintenance.postingsMaintain(s, idx, d, passId = "boot")
       graft.tools.Maintenance.postingsAgeOff(s, idx,
         d.where(col("doc_id") % 11 === 0).select("doc_id"))
+      // compact the multi-file bootstrap layout (content-invariant, the
+      // production post-retention shape; warm read parity with the main
+      // store probe-measured — the two gates' steady-state reads are within
+      // noise, the bench delta is per-pass first-gate overhead)
+      graft.tools.Maintenance.postingsCompact(s, idx, maxFilesPerBucket = 1)
       idx
     })
 

@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.tools.Maintenance
+
+/**
+ * Streaming maintenance of the retrieval/dedup index artifacts — the
+ * Structured Streaming twin of the batch [[graft.tools.Maintenance]] passes
+ * (the reference ingests continuously and its iterators/compactions maintain
+ * the index as data arrives; here `foreachBatch` plays that role over the
+ * maintained parquet stores).
+ *
+ * EXACTLY-ONCE is the staged-append protocol composed with Structured
+ * Streaming's batch replay: `foreachBatch` re-executes a micro-batch with
+ * the SAME `batchId` after any failure/restart, and the maintenance passes
+ * take `passId = "batch-<id>"` — a replayed batch whose commit already
+ * landed is detected from the store's `last_pass` and SKIPPED, a batch that
+ * crashed mid-pass is reconciled (orphan stage dropped, committed stage
+ * published) and then re-applied or skipped as appropriate. No dedup state
+ * in the stream, no idempotent-sink caveats: the store's own commit marker
+ * IS the idempotence. Batches are serialized by the engine (one foreachBatch
+ * at a time), which satisfies the stores' single-writer contract.
+ *
+ * Streams must be append-only doc frames with NEW ids per batch (the same
+ * keyed-storage contract as the batch passes; the audits catch violations).
+ */
+object IndexIngest {
+
+  /** Maintain a [[Maintenance.postingsMaintain]] BM25 postings index from a
+    * streaming `(doc_id, text)` frame: batch 0 bootstraps, every later
+    * micro-batch appends through the staged-append commit. With
+    * `autoCompactFilesPerBucket` set the store self-compacts on the ingest
+    * cadence (an FS-listing census per batch, a rewrite only on measured
+    * degradation) — unbounded small-file growth never builds up. */
+  def startPostingsSink(
+      docs: DataFrame,
+      indexDir: String,
+      checkpointDir: String,
+      autoCompactFilesPerBucket: Option[Int] = None): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Maintenance.postingsMaintain(batch.sparkSession, indexDir, batch,
+          passId = s"batch-$batchId",
+          autoCompactFilesPerBucket = autoCompactFilesPerBucket)
+        ()
+      }
+      .start()
+
+  /** Maintain a [[Maintenance.lshMaintain]] MinHash-LSH signature store from
+    * a streaming `(doc_id, text)` frame — the near-dup screen's index kept
+    * current as documents arrive, so a batch [[Maintenance.lshCandidates]]
+    * screen over any delta never re-signs the corpus. */
+  def startLshSink(
+      docs: DataFrame,
+      indexDir: String,
+      checkpointDir: String,
+      numHashes: Int = 8,
+      bandSize: Int = 2): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Maintenance.lshMaintain(batch.sparkSession, indexDir, batch,
+          numHashes = numHashes, bandSize = bandSize, passId = s"batch-$batchId")
+        ()
+      }
+      .start()
+}
