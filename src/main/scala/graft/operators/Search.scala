@@ -418,12 +418,22 @@ object Search {
     * and fetches postings ONLY for the newly picked terms (an incremental
     * term-filtered scan, ≤ m·|queries| terms) instead of re-scanning for the
     * whole expanded set — tf per (doc, term) is term-independent, so the
-    * union IS the expanded-set postings frame, bit-identical. */
+    * union IS the expanded-set postings frame, bit-identical.
+    *
+    * `newTermFetch` overrides HOW the incremental fetch happens: the
+    * default re-scans the corpus term-filtered ([[matchedPostings]]); a
+    * maintained postings index supplies a bucket-pruned store read instead
+    * ([[graft.tools.Maintenance.prfMaintained]]) — at 100 TB the expansion
+    * round then touches only the new terms' hash buckets, never the corpus.
+    * The fetch must return EXACTLY the new terms' rows (term-filtered, like
+    * matchedPostings) so the union with the probe-term frame stays
+    * duplicate-free. */
   def prfExpandFromPostings(docs: DataFrame,
       shared: Option[(DataFrame, DataFrame)],
       queries: DataFrame, feedbackHits: DataFrame,
       r: Int = 3, m: Int = 2, k: Int = 10,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75,
+      newTermFetch: Option[DataFrame => DataFrame] = None): DataFrame = {
     require(r >= 1 && m >= 1, "r >= 1, m >= 1")
     val qTerms = queries
       .select(col("query_id"), explode(split(col("qtext"), " ")).as("term"))
@@ -446,9 +456,10 @@ object Search {
       case Some((postings, stats)) =>
         val newTerms = picked.select("term").distinct()
           .join(qTerms.select("term").distinct(), Seq("term"), "left_anti")
+        val extra = newTermFetch.map(_(newTerms))
+          .getOrElse(matchedPostings(docs, newTerms))
         bm25TopKFromPostings(
-          postings.unionByName(matchedPostings(docs, newTerms)), stats,
-          expandedTerms, k, k1, b)
+          postings.unionByName(extra), stats, expandedTerms, k, k1, b)
       case None =>
         bm25TopKFromTerms(docs, expandedTerms, k, k1, b)
     }

@@ -412,6 +412,20 @@ object LlmQueries {
     "search_bm25_ageoff" -> ((s, dir) =>
       graft.tools.Maintenance.bm25Maintained(s, agedPostingsDir(s, dir),
         probeQueries(docs(s, dir)), k = 10)),
+    // Dirichlet-QL over the MAINTAINED store: the LM scorer from the same
+    // bucket-pruned term fetch, same full-corpus oracle as search_dirichlet_ql
+    "search_dirichlet_store" -> ((s, dir) =>
+      graft.tools.Maintenance.dirichletMaintained(s, postingsStoreDir(s, dir),
+        probeQueries(docs(s, dir)), k = 10)),
+    // PRF over the MAINTAINED store: feedback prefix AND the expansion
+    // round's new-term fetch are both bucket-pruned store reads — the
+    // second corpus pass of classic PRF disappears at 100 TB; same oracle
+    // as search_prf
+    "search_prf_store" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.tools.Maintenance.prfMaintained(s, postingsStoreDir(s, dir), d,
+        probeQueries(d), r = 3, m = 2, k = 10)
+    }),
     // retrieval-coverage audit over the SHARED top-10: distinct reachable
     // docs / corpus, and whether each probe's own source doc ranks first
     "search_coverage" -> ((s, dir) => {
@@ -1564,6 +1578,44 @@ object LlmQueries {
        |            + (x.mh3 = y.mh3)::INT + (x.mh4 = y.mh4)::INT + (x.mh5 = y.mh5)::INT
        |            + (x.mh6 = y.mh6)::INT + (x.mh7 = y.mh7)::INT) / 8.0 AS est_jaccard
        |FROM cand JOIN mh x ON cand.a = x.doc_id JOIN mh y ON cand.b = y.doc_id""".stripMargin
+
+  /** Dirichlet-QL top-10 oracle — shared by `search_dirichlet_ql` and
+    * `search_dirichlet_store` (the maintained-index read must score
+    * bit-identically to the batch decomposed form). */
+  private val DirichletQlOracleSql =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |q AS (SELECT doc_id AS query_id, array_to_string((string_split(text, ' '))[1:4], ' ') AS qtext
+        |      FROM documents WHERE doc_id % 97 = 0),
+        |qt AS (SELECT DISTINCT query_id, term
+        |       FROM (SELECT query_id, unnest(string_split(qtext, ' ')) AS term FROM q)),
+        |dt AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM w),
+        |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM dt
+        |       WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1, 2, 3),
+        |cf AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cf FROM tf GROUP BY 1),
+        |st AS (SELECT CAST(SUM(len(ws)) AS BIGINT) AS c_tokens FROM w),
+        |qc AS (SELECT qt.query_id,
+        |         CAST(SUM(CAST(CAST(CAST(ln((CAST(1000.0 AS DOUBLE) * cf.cf) / st.c_tokens)
+        |              AS DECIMAL(18,9)) AS DECIMAL(28,9)) * 1000000000 AS BIGINT)) AS BIGINT) AS qc9,
+        |         CAST(COUNT(*) AS BIGINT) AS nq
+        |       FROM qt JOIN cf ON qt.term = cf.term CROSS JOIN st GROUP BY 1),
+        |m AS (SELECT qt.query_id, tf.doc_id, tf.dl, tf.term, tf.tf FROM tf JOIN qt USING (term)),
+        |adj AS (SELECT m.query_id, m.doc_id, m.dl,
+        |          CAST(SUM(CAST(CAST(CAST(ln(CAST(1.0 AS DOUBLE) +
+        |               (CAST(m.tf AS DOUBLE) * st.c_tokens) / (CAST(1000.0 AS DOUBLE) * cf.cf))
+        |               AS DECIMAL(18,9)) AS DECIMAL(28,9)) * 1000000000 AS BIGINT)) AS BIGINT) AS adj9,
+        |          CAST(COUNT(*) AS BIGINT) AS n_hit
+        |        FROM m JOIN cf ON m.term = cf.term CROSS JOIN st GROUP BY 1, 2, 3),
+        |sc AS (SELECT adj.query_id, adj.doc_id,
+        |         qc.qc9 - qc.nq * CAST(CAST(CAST(ln(adj.dl + CAST(1000.0 AS DOUBLE))
+        |              AS DECIMAL(18,9)) AS DECIMAL(28,9)) * 1000000000 AS BIGINT) + adj.adj9 AS score9,
+        |         adj.n_hit
+        |       FROM adj JOIN qc USING (query_id))
+        |SELECT query_id, rank, doc_id,
+        |       CAST(score9 AS DOUBLE) / CAST(1000000000 AS DOUBLE) AS score, n_hit FROM (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score9 DESC, doc_id) AS BIGINT) AS rank
+        |  FROM sc)
+        |WHERE rank <= 10""".stripMargin
+
 
   /** Hyperplane-LSH signature CTE over `embeddings` — shared by every
     * LSH-bucketed oracle so all gates pin identical bucket semantics. */
@@ -3177,39 +3229,9 @@ object LlmQueries {
     // constant + |q|·ln(dl+mu) + matched adjustments, each ln quantized
     // DECIMAL(18,9) and scaled to an exact 1e-9 fixed-point BIGINT — integer
     // arithmetic from there, one pinned double division at export
-    "search_dirichlet_ql" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |q AS (SELECT doc_id AS query_id, array_to_string((string_split(text, ' '))[1:4], ' ') AS qtext
-        |      FROM documents WHERE doc_id % 97 = 0),
-        |qt AS (SELECT DISTINCT query_id, term
-        |       FROM (SELECT query_id, unnest(string_split(qtext, ' ')) AS term FROM q)),
-        |dt AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM w),
-        |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM dt
-        |       WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1, 2, 3),
-        |cf AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cf FROM tf GROUP BY 1),
-        |st AS (SELECT CAST(SUM(len(ws)) AS BIGINT) AS c_tokens FROM w),
-        |qc AS (SELECT qt.query_id,
-        |         CAST(SUM(CAST(CAST(CAST(ln((CAST(1000.0 AS DOUBLE) * cf.cf) / st.c_tokens)
-        |              AS DECIMAL(18,9)) AS DECIMAL(28,9)) * 1000000000 AS BIGINT)) AS BIGINT) AS qc9,
-        |         CAST(COUNT(*) AS BIGINT) AS nq
-        |       FROM qt JOIN cf ON qt.term = cf.term CROSS JOIN st GROUP BY 1),
-        |m AS (SELECT qt.query_id, tf.doc_id, tf.dl, tf.term, tf.tf FROM tf JOIN qt USING (term)),
-        |adj AS (SELECT m.query_id, m.doc_id, m.dl,
-        |          CAST(SUM(CAST(CAST(CAST(ln(CAST(1.0 AS DOUBLE) +
-        |               (CAST(m.tf AS DOUBLE) * st.c_tokens) / (CAST(1000.0 AS DOUBLE) * cf.cf))
-        |               AS DECIMAL(18,9)) AS DECIMAL(28,9)) * 1000000000 AS BIGINT)) AS BIGINT) AS adj9,
-        |          CAST(COUNT(*) AS BIGINT) AS n_hit
-        |        FROM m JOIN cf ON m.term = cf.term CROSS JOIN st GROUP BY 1, 2, 3),
-        |sc AS (SELECT adj.query_id, adj.doc_id,
-        |         qc.qc9 - qc.nq * CAST(CAST(CAST(ln(adj.dl + CAST(1000.0 AS DOUBLE))
-        |              AS DECIMAL(18,9)) AS DECIMAL(28,9)) * 1000000000 AS BIGINT) + adj.adj9 AS score9,
-        |         adj.n_hit
-        |       FROM adj JOIN qc USING (query_id))
-        |SELECT query_id, rank, doc_id,
-        |       CAST(score9 AS DOUBLE) / CAST(1000000000 AS DOUBLE) AS score, n_hit FROM (
-        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score9 DESC, doc_id) AS BIGINT) AS rank
-        |  FROM sc)
-        |WHERE rank <= 10""".stripMargin,
+    "search_dirichlet_ql" -> DirichletQlOracleSql,
+    "search_dirichlet_store" -> DirichletQlOracleSql,
+    "search_prf_store" -> searchPrfOracleSql(),
     "dedup_keep_list" ->
       s"""WITH RECURSIVE sh AS ($Shingles),
          |p AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS inter

@@ -851,25 +851,91 @@ object Maintenance {
     * [[graft.operators.Search.bm25TopKFromPostings]] — bit-identical to a
     * fresh batch [[graft.operators.Search.bm25TopK]] over the same corpus
     * (spec-pinned). */
+  /** Bucket-pruned, term-filtered postings fetch from a [[postingsMaintain]]
+    * index — the maintained-store equivalent of
+    * [[graft.operators.Search.matchedPostings]]: the given terms' hash
+    * buckets are computed driver-side (<= 64 values at any term count) and
+    * the scan filters on the `tb` PARTITION column, then an exact term
+    * semi-join drops the buckets' unrelated terms. At 100 TB a query
+    * batch's fetch touches only its matching bucket directories, never the
+    * corpus and never the full index. Reader-side recovery included: a
+    * committed-but-unpublished increment is published before the scan, so
+    * the read never misses rows the stats already count. */
+  def postingsFor(spark: SparkSession, indexDir: String,
+      terms: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val statsP = new Path(indexDir, "stats")
+    reconcilePending(statsP.getFileSystem(spark.sparkContext.hadoopConfiguration),
+      indexDir, "postings", lastPassOf(spark, statsP))
+    val t = terms.select("term").distinct()
+    val buckets = t.select(termBucket(col("term")).as("tb")).distinct()
+      .collect().map(_.getLong(0))
+    spark.read.parquet(new Path(indexDir, "postings").toString)
+      .where(col("tb").isin(buckets.toIndexedSeq: _*))
+      .join(broadcast(t), Seq("term"), "left_semi")
+      .select("term", "doc_id", "dl", "tf")
+  }
+
+  private def postingsStats(spark: SparkSession, indexDir: String): org.apache.spark.sql.DataFrame =
+    spark.read.parquet(new Path(indexDir, "stats").toString)
+
   def bm25Maintained(spark: SparkSession, indexDir: String,
       queries: org.apache.spark.sql.DataFrame, k: Int = 10,
       k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    // reader-side recovery: finish a committed-but-unpublished increment
-    // before scoring, so the scan never misses rows the stats already count
-    val statsP = new Path(indexDir, "stats")
-    reconcilePending(statsP.getFileSystem(spark.sparkContext.hadoopConfiguration),
-      indexDir, "postings", lastPassOf(spark, statsP))
     val qTerms = queries
       .select(col("query_id"), explode(split(col("qtext"), " ")).as("term"))
       .distinct()
-    val buckets = qTerms.select(termBucket(col("term")).as("tb")).distinct()
-      .collect().map(_.getLong(0))
-    val postings = spark.read.parquet(new Path(indexDir, "postings").toString)
-      .where(col("tb").isin(buckets.toIndexedSeq: _*))
-      .select("term", "doc_id", "dl", "tf")
-    val stats = spark.read.parquet(new Path(indexDir, "stats").toString)
-    graft.operators.Search.bm25TopKFromPostings(postings, stats, qTerms, k, k1, b)
+    graft.operators.Search.bm25TopKFromPostings(
+      postingsFor(spark, indexDir, qTerms), postingsStats(spark, indexDir),
+      qTerms, k, k1, b)
+  }
+
+  /** Dirichlet query-likelihood top-k over a [[postingsMaintain]] index —
+    * the LM scorer served from the same bucket-pruned fetch as
+    * [[bm25Maintained]] (cf(t) needs every corpus occurrence of each query
+    * term, which is exactly what the term-filtered bucket read returns).
+    * Bit-identical to the batch
+    * [[graft.operators.Search.dirichletTopKFromPostings]] over a fresh
+    * matchedPostings frame (spec-pinned). */
+  def dirichletMaintained(spark: SparkSession, indexDir: String,
+      queries: org.apache.spark.sql.DataFrame, k: Int = 10,
+      mu: Double = 1000.0): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val qTerms = queries
+      .select(col("query_id"), explode(split(col("qtext"), " ")).as("term"))
+      .distinct()
+    graft.operators.Search.dirichletTopKFromPostings(
+      postingsFor(spark, indexDir, qTerms), postingsStats(spark, indexDir),
+      qTerms, k, mu)
+  }
+
+  /** Pseudo-relevance-feedback retrieval over a [[postingsMaintain]] index:
+    * the feedback prefix is a maintained-read BM25 top-r, and the expansion
+    * round's incremental fetch reads ONLY the newly picked terms' hash
+    * buckets ([[postingsFor]] as the
+    * [[graft.operators.Search.prfExpandFromPostings]] `newTermFetch`) —
+    * the classic PRF cost profile (a second corpus pass) becomes two
+    * bucket-pruned store reads. `docs` is still required for the
+    * feedback-doc term explode (a doc's FULL term list spans all buckets,
+    * so the r x |queries| feedback docs read cheaper from the corpus
+    * column than from a full-index scan). Bit-identical to the batch
+    * [[graft.operators.Search.prfExpand]] (spec-pinned). */
+  def prfMaintained(spark: SparkSession, indexDir: String,
+      docs: org.apache.spark.sql.DataFrame,
+      queries: org.apache.spark.sql.DataFrame,
+      r: Int = 3, m: Int = 2, k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val qTerms = queries
+      .select(col("query_id"), explode(split(col("qtext"), " ")).as("term"))
+      .distinct()
+    val shared = postingsFor(spark, indexDir, qTerms)
+    val stats = postingsStats(spark, indexDir)
+    val fb = graft.operators.Search.bm25TopKFromPostings(shared, stats, qTerms, r, k1, b)
+    graft.operators.Search.prfExpandFromPostings(docs, Some((shared, stats)),
+      queries, fb, r, m, k, k1, b,
+      newTermFetch = Some(nt => postingsFor(spark, indexDir, nt)))
   }
 
   /** What one LSH signature-store maintenance pass did (or would do). */

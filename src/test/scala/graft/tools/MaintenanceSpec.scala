@@ -317,6 +317,39 @@ class MaintenanceSpec extends AnyFunSuite with SparkSpec {
     assert(!bad.ok && bad.statsDocs == 95L && bad.distinctDocs == 90L && !bad.rowsUnique)
   }
 
+  test("dirichletMaintained / prfMaintained == the batch scorers, bit-exact") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Search
+    val dir = Files.createTempDirectory("graft-postlm").toString + "/index"
+    val all = (0L until 90L).map { i =>
+      (i, s"alpha doc$i beta shared corpus words run${i % 9} gamma " * (1 + (i % 3)).toInt)
+    }.toDF("doc_id", "text")
+    Maintenance.postingsMaintain(spark, dir, all.where(col("doc_id") < 60L))
+    Maintenance.postingsMaintain(spark, dir, all.where(col("doc_id") >= 60L))
+    val q = Seq((1L, "alpha shared"), (2L, "gamma run4")).toDF("query_id", "qtext")
+    val qt = q.select(col("query_id"),
+      org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(col("qtext"), " ")).as("term")).distinct()
+    // Dirichlet-QL from the maintained store == from a fresh matched fetch
+    val dGot = Maintenance.dirichletMaintained(spark, dir, q, k = 5)
+      .collect().map(_.toSeq).toSet
+    val dWant = Search.dirichletTopKFromPostings(
+        Search.matchedPostings(all, qt), Search.corpusStats(all), qt, k = 5)
+      .collect().map(_.toSeq).toSet
+    assert(dGot == dWant)
+    // PRF from the maintained store (feedback prefix + bucket-pruned
+    // expansion fetch) == the self-contained batch prfExpand
+    val pGot = Maintenance.prfMaintained(spark, dir, all, q, r = 2, m = 1, k = 5)
+      .collect().map(_.toSeq).toSet
+    val pWant = Search.prfExpand(all, q, r = 2, m = 1, k = 5)
+      .collect().map(_.toSeq).toSet
+    assert(pGot == pWant)
+    // the expansion fetch PRUNES on tb like every maintained read
+    val plan = Maintenance.prfMaintained(spark, dir, all, q, r = 2, m = 1, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("tb"))
+  }
+
   test("postings pass protocol: retries cannot duplicate; crash windows reconcile") {
     import org.apache.spark.sql.functions.col
     val dir = Files.createTempDirectory("graft-postcrash").toString + "/index"
