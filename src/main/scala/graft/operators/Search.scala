@@ -924,31 +924,53 @@ object Search {
       qTerms, k)
   }
 
+  /** The lnc doc-norm SQUARE on the shared decimal grid: (1+ln tf)^2 as
+    * DECIMAL(28,9), per (doc, term) — summed per doc it is the norm² both
+    * the query-time scan and the maintained-store sidecar persist, so the
+    * two routes are bit-identical by construction. */
+  def lncNormSquareTerm(tf: Column): Column =
+    ((lit(1.0d) + log(tf.cast("double"))) *
+      (lit(1.0d) + log(tf.cast("double"))))
+      .cast(DecimalType(28, 9))
+
   /** [[tfidfTopK]] over a pre-built [[matchedPostings]] frame + one-row
     * [[corpusStats]] (the shared-fetch entry point). `docs` is still needed
     * for the full-vector lnc norm scan (matched docs only); `postings` must
     * cover every term of `qTermsIn`. */
   def tfidfTopKFromPostings(docs: DataFrame, postings: DataFrame,
       statsIn: DataFrame, qTermsIn: DataFrame, k: Int = 10): DataFrame = {
-    require(k >= 1, "k >= 1")
     val words = split(col("text"), " ")
+    val qTerms = qTermsIn.select(col("query_id"), col("term")).distinct()
+    val matchedDocs = postings.select("doc_id", "term")
+      .join(broadcast(qTerms.select("term").distinct()), "term")
+      .select("doc_id").distinct()
+    // full lnc norm, matched docs only: Σ over ALL the doc's terms of
+    // (1+ln tf)^2, each square quantized to the shared decimal grid
+    val norms = docs
+      .join(matchedDocs, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), explode(words).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .select(col("doc_id"), lncNormSquareTerm(col("tf")).as("w2"))
+      .groupBy("doc_id").agg(sum(col("w2")).as("norm2"))
+    tfidfTopKWithNorms(postings, norms, statsIn, qTermsIn, k)
+  }
+
+  /** [[tfidfTopKFromPostings]] with the doc norms² supplied — the
+    * maintained-index entry point ([[graft.tools.Maintenance]] persists a
+    * per-doc `(doc_id, norm2)` sidecar computed on the same decimal grid
+    * at index time, so no corpus scan remains in the read path). `normsIn`
+    * must cover at least every matched doc; extra docs are dropped by the
+    * inner join. */
+  def tfidfTopKWithNorms(postings: DataFrame, normsIn: DataFrame,
+      statsIn: DataFrame, qTermsIn: DataFrame, k: Int = 10): DataFrame = {
+    require(k >= 1, "k >= 1")
     val qTerms = qTermsIn.select(col("query_id"), col("term")).distinct()
     val nDocs = statsIn.select(col("n_docs"))
     val matched = postings.select("doc_id", "term", "tf")
       .join(broadcast(qTerms), "term")
     val dfTab = matched.select("term", "doc_id").distinct()
       .groupBy("term").agg(count(lit(1)).as("df"))
-    // full lnc norm, matched docs only: Σ over ALL the doc's terms of
-    // (1+ln tf)^2, each square quantized to the shared decimal grid
-    val norms = docs
-      .join(matched.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), explode(words).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .select(col("doc_id"),
-        ((lit(1.0d) + log(col("tf").cast("double"))) *
-          (lit(1.0d) + log(col("tf").cast("double"))))
-          .cast(DecimalType(28, 9)).as("w2"))
-      .groupBy("doc_id").agg(sum(col("w2")).as("norm2"))
+    val norms = normsIn.select(col("doc_id"), col("norm2"))
     val idf = log(col("n_docs").cast("double") / col("df"))
     val contrib = matched
       .join(broadcast(dfTab), "term")

@@ -417,6 +417,13 @@ object LlmQueries {
     "search_dirichlet_store" -> ((s, dir) =>
       graft.tools.Maintenance.dirichletMaintained(s, postingsStoreDir(s, dir),
         probeQueries(docs(s, dir)), k = 10)),
+    // tf-idf over the MAINTAINED store: doc norms come from the index's
+    // per-doc norm² sidecar (persisted on the same decimal grid at index
+    // time), so NO corpus scan remains in the read path — the lexical
+    // family's last query-time scan is gone; same oracle as search_tfidf
+    "search_tfidf_store" -> ((s, dir) =>
+      graft.tools.Maintenance.tfidfMaintained(s, postingsStoreDir(s, dir),
+        probeQueries(docs(s, dir)), k = 10)),
     // PRF over the MAINTAINED store: feedback prefix AND the expansion
     // round's new-term fetch are both bucket-pruned store reads — the
     // second corpus pass of classic PRF disappears at 100 TB; same oracle
@@ -1578,6 +1585,41 @@ object LlmQueries {
        |            + (x.mh3 = y.mh3)::INT + (x.mh4 = y.mh4)::INT + (x.mh5 = y.mh5)::INT
        |            + (x.mh6 = y.mh6)::INT + (x.mh7 = y.mh7)::INT) / 8.0 AS est_jaccard
        |FROM cand JOIN mh x ON cand.a = x.doc_id JOIN mh y ON cand.b = y.doc_id""".stripMargin
+
+  /** tf-idf (SMART lnc.ltn) top-10 oracle — shared by `search_tfidf` and
+    * `search_tfidf_store`: the maintained read's norms come from the index
+    * sidecar instead of a corpus scan, but norm² is an exact decimal sum of
+    * the identical per-(doc,term) squares, so both routes must hash-match
+    * this one oracle. */
+  private val TfidfLncLtnOracleSql =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |q AS (SELECT doc_id AS query_id, array_to_string((string_split(text, ' '))[1:4], ' ') AS qtext
+      |      FROM documents WHERE doc_id % 97 = 0),
+      |qt AS (SELECT DISTINCT query_id, term
+      |       FROM (SELECT query_id, unnest(string_split(qtext, ' ')) AS term FROM q)),
+      |dt AS (SELECT doc_id, unnest(ws) AS term FROM w),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM dt GROUP BY 1, 2),
+      |m AS (SELECT qt.query_id, tf.doc_id, tf.term, tf.tf FROM tf JOIN qt USING (term)),
+      |dfq AS (SELECT term, COUNT(*) AS df FROM (SELECT DISTINCT term, doc_id FROM m) GROUP BY 1),
+      |st AS (SELECT COUNT(*) AS n_docs FROM w),
+      |md AS (SELECT DISTINCT doc_id FROM m),
+      |nrm AS (SELECT tf.doc_id,
+      |               SUM(CAST(((CAST(1.0 AS DOUBLE) + ln(CAST(tf.tf AS DOUBLE)))
+      |                         * (CAST(1.0 AS DOUBLE) + ln(CAST(tf.tf AS DOUBLE)))) AS DECIMAL(28,9))) AS norm2
+      |        FROM tf JOIN md USING (doc_id) GROUP BY 1),
+      |c AS (SELECT m.query_id, m.doc_id,
+      |             CAST(((CAST(1.0 AS DOUBLE) + ln(CAST(m.tf AS DOUBLE)))
+      |                   * ln(CAST(st.n_docs AS DOUBLE) / dfq.df)) AS DECIMAL(28,9)) AS c
+      |      FROM m JOIN dfq USING (term) CROSS JOIN st),
+      |sc AS (SELECT query_id, doc_id, SUM(c) AS num, CAST(COUNT(*) AS BIGINT) AS n_terms
+      |       FROM c GROUP BY 1, 2),
+      |s2 AS (SELECT sc.query_id, sc.doc_id, sc.n_terms,
+      |              CAST(sc.num AS DOUBLE) / sqrt(CAST(n.norm2 AS DOUBLE)) AS score
+      |       FROM sc JOIN nrm n USING (doc_id))
+      |SELECT query_id, rank, doc_id, score, n_terms FROM (
+      |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+      |  FROM s2)
+      |WHERE rank <= 10""".stripMargin
 
   /** Dirichlet-QL top-10 oracle — shared by `search_dirichlet_ql` and
     * `search_dirichlet_store` (the maintained-index read must score
@@ -3196,35 +3238,8 @@ object LlmQueries {
     // mirrors Search.tfidfTopK (SMART lnc.ltn): per-term contributions and
     // norm squares quantized to DECIMAL(28,9) before their exact sums, full
     // lnc doc norm over matched docs only, one pinned double score division
-    "search_tfidf" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |q AS (SELECT doc_id AS query_id, array_to_string((string_split(text, ' '))[1:4], ' ') AS qtext
-        |      FROM documents WHERE doc_id % 97 = 0),
-        |qt AS (SELECT DISTINCT query_id, term
-        |       FROM (SELECT query_id, unnest(string_split(qtext, ' ')) AS term FROM q)),
-        |dt AS (SELECT doc_id, unnest(ws) AS term FROM w),
-        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM dt GROUP BY 1, 2),
-        |m AS (SELECT qt.query_id, tf.doc_id, tf.term, tf.tf FROM tf JOIN qt USING (term)),
-        |dfq AS (SELECT term, COUNT(*) AS df FROM (SELECT DISTINCT term, doc_id FROM m) GROUP BY 1),
-        |st AS (SELECT COUNT(*) AS n_docs FROM w),
-        |md AS (SELECT DISTINCT doc_id FROM m),
-        |nrm AS (SELECT tf.doc_id,
-        |               SUM(CAST(((CAST(1.0 AS DOUBLE) + ln(CAST(tf.tf AS DOUBLE)))
-        |                         * (CAST(1.0 AS DOUBLE) + ln(CAST(tf.tf AS DOUBLE)))) AS DECIMAL(28,9))) AS norm2
-        |        FROM tf JOIN md USING (doc_id) GROUP BY 1),
-        |c AS (SELECT m.query_id, m.doc_id,
-        |             CAST(((CAST(1.0 AS DOUBLE) + ln(CAST(m.tf AS DOUBLE)))
-        |                   * ln(CAST(st.n_docs AS DOUBLE) / dfq.df)) AS DECIMAL(28,9)) AS c
-        |      FROM m JOIN dfq USING (term) CROSS JOIN st),
-        |sc AS (SELECT query_id, doc_id, SUM(c) AS num, CAST(COUNT(*) AS BIGINT) AS n_terms
-        |       FROM c GROUP BY 1, 2),
-        |s2 AS (SELECT sc.query_id, sc.doc_id, sc.n_terms,
-        |              CAST(sc.num AS DOUBLE) / sqrt(CAST(n.norm2 AS DOUBLE)) AS score
-        |       FROM sc JOIN nrm n USING (doc_id))
-        |SELECT query_id, rank, doc_id, score, n_terms FROM (
-        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT) AS rank
-        |  FROM s2)
-        |WHERE rank <= 10""".stripMargin,
+    "search_tfidf" -> TfidfLncLtnOracleSql,
+    "search_tfidf_store" -> TfidfLncLtnOracleSql,
     // mirrors Search.dirichletTopK(mu=1000) in its DECOMPOSED form: per-query
     // constant + |q|·ln(dl+mu) + matched adjustments, each ln quantized
     // DECIMAL(18,9) and scaled to an exact 1e-9 fixed-point BIGINT — integer

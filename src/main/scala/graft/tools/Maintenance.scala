@@ -479,6 +479,26 @@ object Maintenance {
     pmod(conv(substring(md5(term), 1, 2), 16, 10).cast("long"), lit(64L))
   }
 
+  /** Doc-hash bucket for the norms sidecar: 16 buckets — enough that each
+    * increment pass writes bounded files, not so many that a corpus of
+    * tiny per-doc rows fragments. */
+  private def docBucket(docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    pmod(conv(substring(md5(docId.cast("string")), 1, 1), 16, 10).cast("long"), lit(16L))
+  }
+
+  /** The per-doc tf-idf lnc norm² sidecar rows for one pass's postings
+    * frame — doc-local (each doc lives wholly in one pass), on the same
+    * decimal grid as the batch scorer's query-time scan, so the maintained
+    * read is bit-identical ([[graft.operators.Search.lncNormSquareTerm]]). */
+  private def normRows(post: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    post.select(col("doc_id"),
+        graft.operators.Search.lncNormSquareTerm(col("tf")).as("w2"))
+      .groupBy("doc_id").agg(sum(col("w2")).as("norm2"))
+      .withColumn("nb", docBucket(col("doc_id")))
+  }
+
   // ---- staged-append commit protocol (shared by the postings and LSH
   // ---- signature stores) -------------------------------------------------
   //
@@ -601,13 +621,22 @@ object Maintenance {
       autoCompactFilesPerBucket: Option[Int] = None): PostingsReport = {
     import org.apache.spark.sql.functions._
     val postingsPath = new Path(indexDir, "postings")
+    val normsPath = new Path(indexDir, "norms")
     val statsPath = new Path(indexDir, "stats")
     val fs = postingsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverDir(fs, postingsPath)
+    recoverDir(fs, normsPath)
     recoverDir(fs, statsPath)
-    if (!dryRun) reconcilePending(fs, indexDir, "postings", lastPassOf(spark, statsPath))
+    if (!dryRun) {
+      val lp = lastPassOf(spark, statsPath)
+      reconcilePending(fs, indexDir, "postings", lp)
+      reconcilePending(fs, indexDir, "norms", lp)
+    }
     val id = effectivePassId(passId)
     val exists = fs.exists(statsPath)
+    require(!exists || fs.exists(normsPath),
+      s"$indexDir predates the doc-norm sidecar — rebuild the index (a partial " +
+        "norms dir would silently drop docs from tf-idf scoring)")
     // retry of a committed pass: last_pass says this increment is already in
     if (exists && passId.nonEmpty && lastPassOf(spark, statsPath).contains(passId)) {
       val n = spark.read.parquet(statsPath.toString).head.getLong(0)
@@ -627,19 +656,29 @@ object Maintenance {
     import spark.implicits._
     if (!exists) {
       post.write.mode(SaveMode.Overwrite).partitionBy("tb").parquet(postingsPath.toString)
+      normRows(spark.read.schema(post.schema).parquet(postingsPath.toString))
+        .write.mode(SaveMode.Overwrite).partitionBy("nb").parquet(normsPath.toString)
       Seq((dN, dSum, id)).toDF("n_docs", "sum_dl", "last_pass")
         .write.mode(SaveMode.Overwrite).parquet(statsPath.toString)
       PostingsReport(dryRun = false, bootstrap = true, 0L, dN, post.count())
     } else {
       val prior = spark.read.parquet(statsPath.toString).head
-      // STAGE — one file per bucket per pass (repartition on tb): an
+      // STAGE — one file per bucket per pass (repartition on tb/nb): an
       // increment is small relative to the index, and letting every shuffle
       // partition write into every bucket dir (up to partitions x 64 files)
-      // is exactly the small-files pressure the census flags elsewhere
+      // is exactly the small-files pressure the census flags elsewhere.
+      // Postings AND the doc-norm sidecar stage under the SAME pass id and
+      // commit at the SAME stats swap — one commit point for the pass.
       val pending = new Path(indexDir, s"postings.pending/$id")
       post.repartition(col("tb"))
         .write.mode(SaveMode.Overwrite).partitionBy("tb").parquet(pending.toString)
       val staged = post.count()
+      val normsPending = new Path(indexDir, s"norms.pending/$id")
+      // explicit schema: an empty pass stages zero files, which parquet
+      // cannot infer from — the norm frame is then legitimately empty
+      normRows(spark.read.schema(post.schema).parquet(pending.toString))
+        .repartition(col("nb"))
+        .write.mode(SaveMode.Overwrite).partitionBy("nb").parquet(normsPending.toString)
       // COMMIT — the stats swap is the single atomic commit point
       val statsTmp = new Path(statsPath.toString + ".tmp")
       Seq((prior.getLong(0) + dN, prior.getLong(1) + dSum, id))
@@ -649,8 +688,11 @@ object Maintenance {
       // PUBLISH — idempotent file moves; a crash here is finished by the
       // next pass/reader's reconcilePending
       publishPending(fs, postingsPath, pending)
-      val pendRoot = new Path(indexDir, "postings.pending")
-      if (fs.exists(pendRoot) && fs.listStatus(pendRoot).isEmpty) fs.delete(pendRoot, true)
+      publishPending(fs, normsPath, normsPending)
+      Seq("postings.pending", "norms.pending").foreach { p =>
+        val root = new Path(indexDir, p)
+        if (fs.exists(root) && fs.listStatus(root).isEmpty) fs.delete(root, true)
+      }
       // census check (FS listing only when healthy); rewrite when degraded
       val compacted = autoCompactFilesPerBucket
         .map(n => postingsCompact(spark, indexDir, maxFilesPerBucket = n))
@@ -667,11 +709,14 @@ object Maintenance {
     * == the exact per-doc dl sum). */
   case class PostingsAuditReport(
       rows: Long, distinctTermDoc: Long, distinctDocs: Long,
-      statsDocs: Long, statsSumDl: Long, actualSumDl: Long) {
+      statsDocs: Long, statsSumDl: Long, actualSumDl: Long,
+      normRowsCount: Long, normDistinctDocs: Long) {
     def docsMatch: Boolean = distinctDocs == statsDocs
     def rowsUnique: Boolean = rows == distinctTermDoc
     def sumDlMatch: Boolean = statsSumDl == actualSumDl
-    def ok: Boolean = docsMatch && rowsUnique && sumDlMatch
+    def normsMatch: Boolean =
+      normRowsCount == statsDocs && normDistinctDocs == statsDocs
+    def ok: Boolean = docsMatch && rowsUnique && sumDlMatch && normsMatch
   }
 
   /** [[postingsMaintain]] integrity audit: three exact invariants of an
@@ -684,7 +729,9 @@ object Maintenance {
     import org.apache.spark.sql.functions._
     val statsPath = new Path(indexDir, "stats")
     val fs = statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    reconcilePending(fs, indexDir, "postings", lastPassOf(spark, statsPath))
+    val lp = lastPassOf(spark, statsPath)
+    reconcilePending(fs, indexDir, "postings", lp)
+    reconcilePending(fs, indexDir, "norms", lp)
     val p = spark.read.parquet(new Path(indexDir, "postings").toString)
     val r = p.agg(count(lit(1)).as("rows"),
       countDistinct(col("term"), col("doc_id")).as("td"),
@@ -692,8 +739,12 @@ object Maintenance {
     val dl = p.select("doc_id", "dl").distinct()
       .agg(sum(col("dl"))).head
     val s = spark.read.parquet(statsPath.toString).head
+    // the norm sidecar must mirror the doc set exactly: one row per doc
+    val nr = spark.read.parquet(new Path(indexDir, "norms").toString)
+      .agg(count(lit(1)).as("rows"), countDistinct(col("doc_id")).as("d")).head
     PostingsAuditReport(r.getLong(0), r.getLong(1), r.getLong(2),
-      s.getLong(0), s.getLong(1), if (dl.isNullAt(0)) 0L else dl.getLong(0))
+      s.getLong(0), s.getLong(1), if (dl.isNullAt(0)) 0L else dl.getLong(0),
+      normRowsCount = nr.getLong(0), normDistinctDocs = nr.getLong(1))
   }
 
   /** What one postings compaction pass did (or would do). */
@@ -729,28 +780,45 @@ object Maintenance {
       dryRun: Boolean = false): PostingsCompactReport = {
     import org.apache.spark.sql.functions._
     val postingsPath = new Path(indexDir, "postings")
+    val normsPath = new Path(indexDir, "norms")
     val statsPath = new Path(indexDir, "stats")
     val fs = postingsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverDir(fs, postingsPath)
-    if (!dryRun) reconcilePending(fs, indexDir, "postings", lastPassOf(spark, statsPath))
-    def bucketFiles(): Seq[Long] =
-      fs.listStatus(postingsPath).toSeq.filter(s => s.isDirectory && s.getPath.getName.startsWith("tb="))
-        .map(d => fs.listStatus(d.getPath).count(_.getPath.getName.endsWith(".parquet")).toLong)
-    val before = bucketFiles()
-    val (filesBefore, maxBefore) = (before.sum, if (before.isEmpty) 0L else before.max)
-    val triggered = maxBefore > maxFilesPerBucket
-    if (!triggered || dryRun) {
-      val rows = if (triggered) spark.read.parquet(postingsPath.toString).count() else 0L
-      return PostingsCompactReport(dryRun, triggered, rows, filesBefore, filesBefore, maxBefore)
+    recoverDir(fs, normsPath)
+    if (!dryRun) {
+      val lp = lastPassOf(spark, statsPath)
+      reconcilePending(fs, indexDir, "postings", lp)
+      reconcilePending(fs, indexDir, "norms", lp)
     }
-    val tmp = new Path(postingsPath.toString + ".tmp")
-    val all = spark.read.parquet(postingsPath.toString)
-    all.repartition(col("tb"))
-      .write.mode(SaveMode.Overwrite).partitionBy("tb").parquet(tmp.toString)
-    val rows = spark.read.parquet(tmp.toString).count()
-    swapDir(fs, tmp, postingsPath)
+    def bucketFiles(path: Path, prefix: String): Seq[Long] =
+      if (!fs.exists(path)) Seq.empty
+      else fs.listStatus(path).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+        .map(d => fs.listStatus(d.getPath).count(_.getPath.getName.endsWith(".parquet")).toLong)
+    def rewrite(path: Path, part: String): Unit = {
+      val tmp = new Path(path.toString + ".tmp")
+      spark.read.parquet(path.toString).repartition(col(part))
+        .write.mode(SaveMode.Overwrite).partitionBy(part).parquet(tmp.toString)
+      swapDir(fs, tmp, path)
+    }
+    // both the postings buckets and the norms sidecar accumulate one file
+    // per pass; census each, rewrite each only when ITS max degrades
+    val pb = bucketFiles(postingsPath, "tb=")
+    val nb = bucketFiles(normsPath, "nb=")
+    val filesBefore = pb.sum + nb.sum
+    val maxBefore = (pb ++ nb ++ Seq(0L)).max
+    val pTrig = pb.nonEmpty && pb.max > maxFilesPerBucket
+    val nTrig = nb.nonEmpty && nb.max > maxFilesPerBucket
+    if ((!pTrig && !nTrig) || dryRun) {
+      val rows = if (pTrig || nTrig) spark.read.parquet(postingsPath.toString).count() else 0L
+      return PostingsCompactReport(dryRun, pTrig || nTrig, rows, filesBefore, filesBefore, maxBefore)
+    }
+    if (pTrig) rewrite(postingsPath, "tb")
+    if (nTrig) rewrite(normsPath, "nb")
+    val rows = spark.read.parquet(postingsPath.toString).count()
     PostingsCompactReport(dryRun = false, triggered = true, rows,
-      filesBefore, bucketFiles().sum, maxBefore)
+      filesBefore, bucketFiles(postingsPath, "tb=").sum + bucketFiles(normsPath, "nb=").sum,
+      maxBefore)
   }
 
   /** What one postings age-off pass did (or would do). */
@@ -790,11 +858,17 @@ object Maintenance {
       dryRun: Boolean = false): PostingsAgeOffReport = {
     import org.apache.spark.sql.functions._
     val postingsPath = new Path(indexDir, "postings")
+    val normsPath = new Path(indexDir, "norms")
     val statsPath = new Path(indexDir, "stats")
     val fs = postingsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverDir(fs, postingsPath)
+    recoverDir(fs, normsPath)
     recoverDir(fs, statsPath)
-    if (!dryRun) reconcilePending(fs, indexDir, "postings", lastPassOf(spark, statsPath))
+    if (!dryRun) {
+      val lp = lastPassOf(spark, statsPath)
+      reconcilePending(fs, indexDir, "postings", lp)
+      reconcilePending(fs, indexDir, "norms", lp)
+    }
     val postings = spark.read.parquet(postingsPath.toString)
     val drop = dropDocs.select("doc_id").distinct()
     val docsBefore = spark.read.parquet(statsPath.toString).head.getLong(0)
@@ -827,6 +901,24 @@ object Maintenance {
       else if (fs.exists(dst)) fs.delete(dst, true)
     }
     fs.delete(stage, true)
+    // the norm sidecar ages with the doc set: same per-affected-bucket
+    // anti-join rewrite over the <= 16 nb buckets the drop set hashes into
+    val nAffected = drop.select(docBucket(col("doc_id")).as("nb")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val nStage = new Path(indexDir, "norms.ageoff.tmp")
+    if (fs.exists(nStage)) fs.delete(nStage, true)
+    spark.read.parquet(normsPath.toString)
+      .where(col("nb").isin(nAffected.toIndexedSeq: _*))
+      .join(drop, Seq("doc_id"), "left_anti")
+      .repartition(col("nb"))
+      .write.mode(SaveMode.Overwrite).partitionBy("nb").parquet(nStage.toString)
+    nAffected.foreach { b =>
+      val src = new Path(nStage, s"nb=$b")
+      val dst = new Path(normsPath, s"nb=$b")
+      if (fs.exists(src)) swapDir(fs, src, dst)
+      else if (fs.exists(dst)) fs.delete(dst, true)
+    }
+    fs.delete(nStage, true)
     // stats: exact recompute from the survivors (retry-convergent)
     val surv = spark.read.parquet(postingsPath.toString)
     val sd = surv.select("doc_id", "dl").distinct()
@@ -865,8 +957,10 @@ object Maintenance {
       terms: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     val statsP = new Path(indexDir, "stats")
-    reconcilePending(statsP.getFileSystem(spark.sparkContext.hadoopConfiguration),
-      indexDir, "postings", lastPassOf(spark, statsP))
+    val fsr = statsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lp = lastPassOf(spark, statsP)
+    reconcilePending(fsr, indexDir, "postings", lp)
+    reconcilePending(fsr, indexDir, "norms", lp)
     val t = terms.select("term").distinct()
     val buckets = t.select(termBucket(col("term")).as("tb")).distinct()
       .collect().map(_.getLong(0))
@@ -908,6 +1002,26 @@ object Maintenance {
     graft.operators.Search.dirichletTopKFromPostings(
       postingsFor(spark, indexDir, qTerms), postingsStats(spark, indexDir),
       qTerms, k, mu)
+  }
+
+  /** tf-idf (SMART lnc.ltn) top-k over a [[postingsMaintain]] index — the
+    * vector-space scorer with NO corpus scan left in the read path: the
+    * matched fetch is the bucket-pruned [[postingsFor]], and the full-vector
+    * lnc doc norms come from the index's `norms` sidecar (per-doc norm²
+    * persisted on the same decimal grid at index time — doc-local, so the
+    * sidecar is maintained by the same append passes). Bit-identical to the
+    * batch [[graft.operators.Search.tfidfTopKFromPostings]] (spec-pinned). */
+  def tfidfMaintained(spark: SparkSession, indexDir: String,
+      queries: org.apache.spark.sql.DataFrame, k: Int = 10): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val qTerms = queries
+      .select(col("query_id"), explode(split(col("qtext"), " ")).as("term"))
+      .distinct()
+    val norms = spark.read.parquet(new Path(indexDir, "norms").toString)
+      .select("doc_id", "norm2")
+    graft.operators.Search.tfidfTopKWithNorms(
+      postingsFor(spark, indexDir, qTerms), norms, postingsStats(spark, indexDir),
+      qTerms, k)
   }
 
   /** Pseudo-relevance-feedback retrieval over a [[postingsMaintain]] index:

@@ -344,6 +344,14 @@ class MaintenanceSpec extends AnyFunSuite with SparkSpec {
     val pWant = Search.prfExpand(all, q, r = 2, m = 1, k = 5)
       .collect().map(_.toSeq).toSet
     assert(pGot == pWant)
+    // tf-idf from the maintained store (norms sidecar, no corpus scan) ==
+    // the batch scorer that computes norms from the docs at query time
+    val tGot = Maintenance.tfidfMaintained(spark, dir, q, k = 5)
+      .collect().map(_.toSeq).toSet
+    val tWant = Search.tfidfTopKFromPostings(
+        all, Search.matchedPostings(all, qt), Search.corpusStats(all), qt, k = 5)
+      .collect().map(_.toSeq).toSet
+    assert(tGot == tWant)
     // the expansion fetch PRUNES on tb like every maintained read
     val plan = Maintenance.prfMaintained(spark, dir, all, q, r = 2, m = 1, k = 5)
       .queryExecution.executedPlan.toString
