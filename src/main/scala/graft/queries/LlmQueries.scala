@@ -182,8 +182,11 @@ object LlmQueries {
     postingsStoreMemo.computeIfAbsent(s"${SessionKeys.key(s)}:$dir", _ => {
       val d = docs(s, dir)
       val idx = java.nio.file.Files.createTempDirectory("graft-poststore").toString + "/index"
+      // positions=true: the ONE store serves the scored lexical family AND
+      // the positional family (phrase/proximity/boolean) — the positional
+      // sidecar is bootstrap-time opt-in, increments follow the store shape
       graft.tools.Maintenance.postingsMaintain(s, idx, d.where(col("doc_id") % 3 =!= 0),
-        passId = "boot")
+        passId = "boot", positions = true)
       graft.tools.Maintenance.postingsMaintain(s, idx, d.where(col("doc_id") % 3 === 0),
         passId = "inc1")
       // lifecycle exercised in the gated path: the census-driven compaction
@@ -424,6 +427,34 @@ object LlmQueries {
     "search_tfidf_store" -> ((s, dir) =>
       graft.tools.Maintenance.tfidfMaintained(s, postingsStoreDir(s, dir),
         probeQueries(docs(s, dir)), k = 10)),
+    // exact phrase over the MAINTAINED store's positional sidecar: the
+    // per-(doc, word) position arrays explode back to the anchor-alignment
+    // frame after pb-bucket pruning — the phrase family's corpus posexplode
+    // disappears from the read path; same oracle as search_phrase
+    "search_phrase_store" -> ((s, dir) =>
+      graft.tools.Maintenance.phraseMaintained(s, postingsStoreDir(s, dir),
+        probeQueries(docs(s, dir)))),
+    // NEAR/6 proximity over the positional sidecar; same oracle as
+    // search_proximity (1+4-word probe terms)
+    "search_proximity_store" -> ((s, dir) => {
+      val ws = split(col("text"), " ")
+      val q = docs(s, dir).where(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", element_at(ws, 1), element_at(ws, 4)).as("qtext"))
+      graft.tools.Maintenance.proximityMaintained(s, postingsStoreDir(s, dir),
+        q, proxWindow = 6, k = 10)
+    }),
+    // boolean MUST/NOT over the positional sidecar (the distinct doc-word
+    // frame is position-independent, so the same fetch serves); same
+    // oracle as search_boolean
+    "search_boolean_store" -> ((s, dir) => {
+      val ws = split(col("text"), " ")
+      val q = docs(s, dir).where(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(ws, 1, 4), " ").as("qtext"),
+          element_at(ws, 6).as("nottext"))
+      graft.tools.Maintenance.booleanMaintained(s, postingsStoreDir(s, dir), q)
+    }),
     // PRF over the MAINTAINED store: feedback prefix AND the expansion
     // round's new-term fetch are both bucket-pruned store reads — the
     // second corpus pass of classic PRF disappears at 100 TB; same oracle
@@ -1620,6 +1651,74 @@ object LlmQueries {
       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT) AS rank
       |  FROM s2)
       |WHERE rank <= 10""".stripMargin
+
+  /** Exact-phrase (anchor-alignment) oracle — shared by `search_phrase`
+    * and `search_phrase_store`: the maintained read explodes the persisted
+    * per-(doc, word) position arrays back to the identical positional
+    * frame, so both routes must hash-match one oracle. */
+  private val PhraseAnchorOracleSql =
+    """WITH dw AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+      |w AS (SELECT doc_id, generate_subscripts(ws, 1) - 1 AS pos, UNNEST(ws) AS w FROM dw),
+      |qd AS (SELECT doc_id AS query_id,
+      |              list_transform(string_split(text, ' ')[1:4], x -> lower(x)) AS qs
+      |       FROM documents WHERE doc_id % 97 = 0),
+      |q AS (SELECT query_id, generate_subscripts(qs, 1) - 1 AS qpos, UNNEST(qs) AS w FROM qd),
+      |qn AS (SELECT query_id, CAST(COUNT(DISTINCT qpos) AS BIGINT) AS n_terms FROM q GROUP BY 1),
+      |m AS (SELECT q.query_id, w.doc_id, w.pos - q.qpos AS anchor,
+      |             CAST(COUNT(DISTINCT q.qpos) AS BIGINT) AS k
+      |      FROM w JOIN q ON w.w = q.w GROUP BY 1, 2, 3)
+      |SELECT m.query_id, m.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+      |FROM m JOIN qn ON m.query_id = qn.query_id
+      |WHERE m.k = qn.n_terms
+      |GROUP BY 1, 2""".stripMargin
+
+  /** NEAR/6 proximity oracle — shared by `search_proximity` and
+    * `search_proximity_store`. */
+  private val ProximityNearOracleSql =
+    """WITH dw AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+      |w AS (SELECT doc_id, generate_subscripts(ws, 1) - 1 AS pos, UNNEST(ws) AS w FROM dw),
+      |qd AS (SELECT doc_id AS query_id,
+      |              concat_ws(' ', string_split(text, ' ')[1], string_split(text, ' ')[4]) AS qtext
+      |       FROM documents WHERE doc_id % 97 = 0),
+      |qt AS (SELECT query_id, UNNEST(list_distinct(string_split(lower(qtext), ' '))) AS w
+      |       FROM qd),
+      |qn AS (SELECT query_id, COUNT(*) AS n_terms FROM qt GROUP BY 1),
+      |m AS (SELECT qt.query_id, w.doc_id, w.pos, qt.w FROM w JOIN qt ON w.w = qt.w),
+      |g AS (SELECT x.query_id, x.doc_id, x.w AS wa, y.w AS wb,
+      |             MIN(abs(x.pos - y.pos)) AS gap
+      |      FROM m x JOIN m y
+      |        ON x.query_id = y.query_id AND x.doc_id = y.doc_id AND x.w < y.w
+      |      GROUP BY 1, 2, 3, 4),
+      |pd AS (SELECT query_id, doc_id, COUNT(*) AS n_pairs,
+      |              CAST(MAX(gap) AS BIGINT) AS max_gap
+      |       FROM g WHERE gap <= 6 GROUP BY 1, 2),
+      |r AS (SELECT pd.query_id, pd.doc_id, pd.max_gap,
+      |             CAST(ROW_NUMBER() OVER (PARTITION BY pd.query_id
+      |                    ORDER BY pd.max_gap ASC, pd.doc_id ASC) AS BIGINT) AS rank
+      |      FROM pd JOIN qn ON pd.query_id = qn.query_id
+      |      WHERE pd.n_pairs = qn.n_terms * (qn.n_terms - 1) // 2)
+      |SELECT query_id, rank, doc_id, max_gap FROM r WHERE rank <= 10""".stripMargin
+
+  /** Boolean MUST/NOT oracle — shared by `search_boolean` and
+    * `search_boolean_store`. */
+  private val BooleanMustNotOracleSql =
+    """WITH qd AS (SELECT doc_id AS query_id,
+      |              list_transform(string_split(text, ' ')[1:4], x -> lower(x)) AS qs,
+      |              lower(string_split(text, ' ')[6]) AS nw
+      |       FROM documents WHERE doc_id % 97 = 0),
+      |dw AS (SELECT doc_id, UNNEST(list_distinct(string_split(lower(text), ' '))) AS w
+      |       FROM documents),
+      |mt AS (SELECT query_id, UNNEST(list_distinct(qs)) AS w FROM qd),
+      |nt AS (SELECT query_id, nw AS w FROM qd WHERE nw IS NOT NULL AND length(nw) > 0),
+      |qn AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_terms FROM mt GROUP BY 1),
+      |mm AS (SELECT mt.query_id, dw.doc_id, COUNT(*) AS n_hit
+      |       FROM dw JOIN mt ON dw.w = mt.w GROUP BY 1, 2),
+      |ex AS (SELECT DISTINCT nt.query_id, dw.doc_id FROM dw JOIN nt ON dw.w = nt.w)
+      |SELECT mm.query_id, mm.doc_id, qn.n_terms
+      |FROM mm JOIN qn ON mm.query_id = qn.query_id
+      |WHERE mm.n_hit = qn.n_terms
+      |  AND NOT EXISTS (SELECT 1 FROM ex
+      |                  WHERE ex.query_id = mm.query_id AND ex.doc_id = mm.doc_id)""".stripMargin
 
   /** Dirichlet-QL top-10 oracle — shared by `search_dirichlet_ql` and
     * `search_dirichlet_store` (the maintained-index read must score
@@ -4727,21 +4826,8 @@ object LlmQueries {
     // mirrors Search.phraseHits over the probe 4-word phrases: positional
     // index, anchor = pos - qpos, full phrase iff all distinct offsets
     // present at one anchor
-    "search_phrase" ->
-      """WITH dw AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
-        |w AS (SELECT doc_id, generate_subscripts(ws, 1) - 1 AS pos, UNNEST(ws) AS w FROM dw),
-        |qd AS (SELECT doc_id AS query_id,
-        |              list_transform(string_split(text, ' ')[1:4], x -> lower(x)) AS qs
-        |       FROM documents WHERE doc_id % 97 = 0),
-        |q AS (SELECT query_id, generate_subscripts(qs, 1) - 1 AS qpos, UNNEST(qs) AS w FROM qd),
-        |qn AS (SELECT query_id, CAST(COUNT(DISTINCT qpos) AS BIGINT) AS n_terms FROM q GROUP BY 1),
-        |m AS (SELECT q.query_id, w.doc_id, w.pos - q.qpos AS anchor,
-        |             CAST(COUNT(DISTINCT q.qpos) AS BIGINT) AS k
-        |      FROM w JOIN q ON w.w = q.w GROUP BY 1, 2, 3)
-        |SELECT m.query_id, m.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
-        |FROM m JOIN qn ON m.query_id = qn.query_id
-        |WHERE m.k = qn.n_terms
-        |GROUP BY 1, 2""".stripMargin,
+    "search_phrase" -> PhraseAnchorOracleSql,
+    "search_phrase_store" -> PhraseAnchorOracleSql,
     // mirrors Similarity.hardTriplets(anchorMod=40): min-(sim,id) positive,
     // max-(sim,-id) negative via explicit-tie-break rank windows
     "embed_triplets" ->
@@ -5448,30 +5534,8 @@ object LlmQueries {
     // mirrors Search.proximityHits(window=6, k=10) over the 1+4-term probe
     // queries: query-filtered positional index, pairwise min-gap, all-pairs
     // qualification, (max_gap, doc_id) rank
-    "search_proximity" ->
-      """WITH dw AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
-        |w AS (SELECT doc_id, generate_subscripts(ws, 1) - 1 AS pos, UNNEST(ws) AS w FROM dw),
-        |qd AS (SELECT doc_id AS query_id,
-        |              concat_ws(' ', string_split(text, ' ')[1], string_split(text, ' ')[4]) AS qtext
-        |       FROM documents WHERE doc_id % 97 = 0),
-        |qt AS (SELECT query_id, UNNEST(list_distinct(string_split(lower(qtext), ' '))) AS w
-        |       FROM qd),
-        |qn AS (SELECT query_id, COUNT(*) AS n_terms FROM qt GROUP BY 1),
-        |m AS (SELECT qt.query_id, w.doc_id, w.pos, qt.w FROM w JOIN qt ON w.w = qt.w),
-        |g AS (SELECT x.query_id, x.doc_id, x.w AS wa, y.w AS wb,
-        |             MIN(abs(x.pos - y.pos)) AS gap
-        |      FROM m x JOIN m y
-        |        ON x.query_id = y.query_id AND x.doc_id = y.doc_id AND x.w < y.w
-        |      GROUP BY 1, 2, 3, 4),
-        |pd AS (SELECT query_id, doc_id, COUNT(*) AS n_pairs,
-        |              CAST(MAX(gap) AS BIGINT) AS max_gap
-        |       FROM g WHERE gap <= 6 GROUP BY 1, 2),
-        |r AS (SELECT pd.query_id, pd.doc_id, pd.max_gap,
-        |             CAST(ROW_NUMBER() OVER (PARTITION BY pd.query_id
-        |                    ORDER BY pd.max_gap ASC, pd.doc_id ASC) AS BIGINT) AS rank
-        |      FROM pd JOIN qn ON pd.query_id = qn.query_id
-        |      WHERE pd.n_pairs = qn.n_terms * (qn.n_terms - 1) // 2)
-        |SELECT query_id, rank, doc_id, max_gap FROM r WHERE rank <= 10""".stripMargin,
+    "search_proximity" -> ProximityNearOracleSql,
+    "search_proximity_store" -> ProximityNearOracleSql,
     // mirrors Search.spellSuggest(maxDist=1, k=3) over the typo'd word-2
     // probes: same blocking, levenshtein, (dist, n DESC, w) rank
     "search_spell_suggest" ->
@@ -5515,24 +5579,8 @@ object LlmQueries {
         |FROM c""".stripMargin,
     // mirrors Search.booleanHits over the 4-word MUST / 6th-word NOT probes:
     // distinct doc-term set, all-terms count equality, NOT anti-join
-    "search_boolean" ->
-      """WITH qd AS (SELECT doc_id AS query_id,
-        |              list_transform(string_split(text, ' ')[1:4], x -> lower(x)) AS qs,
-        |              lower(string_split(text, ' ')[6]) AS nw
-        |       FROM documents WHERE doc_id % 97 = 0),
-        |dw AS (SELECT doc_id, UNNEST(list_distinct(string_split(lower(text), ' '))) AS w
-        |       FROM documents),
-        |mt AS (SELECT query_id, UNNEST(list_distinct(qs)) AS w FROM qd),
-        |nt AS (SELECT query_id, nw AS w FROM qd WHERE nw IS NOT NULL AND length(nw) > 0),
-        |qn AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_terms FROM mt GROUP BY 1),
-        |mm AS (SELECT mt.query_id, dw.doc_id, COUNT(*) AS n_hit
-        |       FROM dw JOIN mt ON dw.w = mt.w GROUP BY 1, 2),
-        |ex AS (SELECT DISTINCT nt.query_id, dw.doc_id FROM dw JOIN nt ON dw.w = nt.w)
-        |SELECT mm.query_id, mm.doc_id, qn.n_terms
-        |FROM mm JOIN qn ON mm.query_id = qn.query_id
-        |WHERE mm.n_hit = qn.n_terms
-        |  AND NOT EXISTS (SELECT 1 FROM ex
-        |                  WHERE ex.query_id = mm.query_id AND ex.doc_id = mm.doc_id)""".stripMargin,
+    "search_boolean" -> BooleanMustNotOracleSql,
+    "search_boolean_store" -> BooleanMustNotOracleSql,
     // mirrors Search.bestSnippets(window=12) over the probe queries:
     // query-filtered positional index, all-terms qualification, matched-
     // position anchors, (coverage DESC, start ASC) argmax per (query, doc)

@@ -499,6 +499,25 @@ object Maintenance {
       .withColumn("nb", docBucket(col("doc_id")))
   }
 
+  /** Positional-sidecar rows for one pass's docs: one row per (doc,
+    * LOWERCASED word) holding the sorted in-doc position array — the
+    * persisted form of [[graft.operators.Search.matchedPositions]]'s
+    * positional explode (the phrase/proximity/boolean/snippet family's
+    * shared fetch), term-bucketed on the same 64-way md5 layout as the
+    * postings so a query's read prunes on the `pb` partition column.
+    * Doc-local, so the ordinary append passes maintain it. Positions are
+    * OPT-IN at bootstrap ([[postingsMaintain]]'s `positions` flag): the
+    * sidecar roughly doubles index weight, the classic positional-index
+    * trade a 100 TB deployment makes per-collection, not globally. */
+  private def positionRows(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    docs.select(col("doc_id"),
+        posexplode(split(lower(col("text")), " ")).as(Seq("pos", "w")))
+      .groupBy("doc_id", "w")
+      .agg(sort_array(collect_list(col("pos"))).as("poss"))
+      .withColumn("pb", termBucket(col("w")))
+  }
+
   // ---- staged-append commit protocol (shared by the postings and LSH
   // ---- signature stores) -------------------------------------------------
   //
@@ -618,25 +637,36 @@ object Maintenance {
       docs: org.apache.spark.sql.DataFrame,
       passId: String = "",
       dryRun: Boolean = false,
-      autoCompactFilesPerBucket: Option[Int] = None): PostingsReport = {
+      autoCompactFilesPerBucket: Option[Int] = None,
+      positions: Boolean = false): PostingsReport = {
     import org.apache.spark.sql.functions._
     val postingsPath = new Path(indexDir, "postings")
     val normsPath = new Path(indexDir, "norms")
+    val positionsPath = new Path(indexDir, "positions")
     val statsPath = new Path(indexDir, "stats")
     val fs = postingsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverDir(fs, postingsPath)
     recoverDir(fs, normsPath)
+    recoverDir(fs, positionsPath)
     recoverDir(fs, statsPath)
     if (!dryRun) {
       val lp = lastPassOf(spark, statsPath)
       reconcilePending(fs, indexDir, "postings", lp)
       reconcilePending(fs, indexDir, "norms", lp)
+      reconcilePending(fs, indexDir, "positions", lp)
     }
     val id = effectivePassId(passId)
     val exists = fs.exists(statsPath)
     require(!exists || fs.exists(normsPath),
       s"$indexDir predates the doc-norm sidecar — rebuild the index (a partial " +
         "norms dir would silently drop docs from tf-idf scoring)")
+    // increments FOLLOW the store's bootstrap-time shape: a positions flag
+    // on an increment cannot retrofit a sidecar (earlier docs' positions
+    // would be missing — silent partial phrase results)
+    val hasPositions = if (exists) fs.exists(positionsPath) else positions
+    require(!(exists && positions && !hasPositions),
+      s"$indexDir was bootstrapped WITHOUT positions — rebuild with " +
+        "positions=true (an increment cannot retrofit earlier docs' positions)")
     // retry of a committed pass: last_pass says this increment is already in
     if (exists && passId.nonEmpty && lastPassOf(spark, statsPath).contains(passId)) {
       val n = spark.read.parquet(statsPath.toString).head.getLong(0)
@@ -658,6 +688,9 @@ object Maintenance {
       post.write.mode(SaveMode.Overwrite).partitionBy("tb").parquet(postingsPath.toString)
       normRows(spark.read.schema(post.schema).parquet(postingsPath.toString))
         .write.mode(SaveMode.Overwrite).partitionBy("nb").parquet(normsPath.toString)
+      if (hasPositions)
+        positionRows(docs)
+          .write.mode(SaveMode.Overwrite).partitionBy("pb").parquet(positionsPath.toString)
       Seq((dN, dSum, id)).toDF("n_docs", "sum_dl", "last_pass")
         .write.mode(SaveMode.Overwrite).parquet(statsPath.toString)
       PostingsReport(dryRun = false, bootstrap = true, 0L, dN, post.count())
@@ -679,6 +712,10 @@ object Maintenance {
       normRows(spark.read.schema(post.schema).parquet(pending.toString))
         .repartition(col("nb"))
         .write.mode(SaveMode.Overwrite).partitionBy("nb").parquet(normsPending.toString)
+      val positionsPending = new Path(indexDir, s"positions.pending/$id")
+      if (hasPositions)
+        positionRows(docs).repartition(col("pb"))
+          .write.mode(SaveMode.Overwrite).partitionBy("pb").parquet(positionsPending.toString)
       // COMMIT — the stats swap is the single atomic commit point
       val statsTmp = new Path(statsPath.toString + ".tmp")
       Seq((prior.getLong(0) + dN, prior.getLong(1) + dSum, id))
@@ -689,7 +726,8 @@ object Maintenance {
       // next pass/reader's reconcilePending
       publishPending(fs, postingsPath, pending)
       publishPending(fs, normsPath, normsPending)
-      Seq("postings.pending", "norms.pending").foreach { p =>
+      if (hasPositions) publishPending(fs, positionsPath, positionsPending)
+      Seq("postings.pending", "norms.pending", "positions.pending").foreach { p =>
         val root = new Path(indexDir, p)
         if (fs.exists(root) && fs.listStatus(root).isEmpty) fs.delete(root, true)
       }
@@ -710,13 +748,21 @@ object Maintenance {
   case class PostingsAuditReport(
       rows: Long, distinctTermDoc: Long, distinctDocs: Long,
       statsDocs: Long, statsSumDl: Long, actualSumDl: Long,
-      normRowsCount: Long, normDistinctDocs: Long) {
+      normRowsCount: Long, normDistinctDocs: Long,
+      posRows: Long = -1L, posDistinctWordDoc: Long = -1L,
+      posDistinctDocs: Long = -1L) {
     def docsMatch: Boolean = distinctDocs == statsDocs
     def rowsUnique: Boolean = rows == distinctTermDoc
     def sumDlMatch: Boolean = statsSumDl == actualSumDl
     def normsMatch: Boolean =
       normRowsCount == statsDocs && normDistinctDocs == statsDocs
-    def ok: Boolean = docsMatch && rowsUnique && sumDlMatch && normsMatch
+    /** Positional sidecar (when bootstrapped with one): row-unique per
+      * (doc, word) — a duplicated append would double position arrays —
+      * and covering exactly the stats doc set. -1 = store has no sidecar. */
+    def positionsMatch: Boolean = posRows < 0 ||
+      (posRows == posDistinctWordDoc && posDistinctDocs == statsDocs)
+    def ok: Boolean =
+      docsMatch && rowsUnique && sumDlMatch && normsMatch && positionsMatch
   }
 
   /** [[postingsMaintain]] integrity audit: three exact invariants of an
@@ -732,6 +778,7 @@ object Maintenance {
     val lp = lastPassOf(spark, statsPath)
     reconcilePending(fs, indexDir, "postings", lp)
     reconcilePending(fs, indexDir, "norms", lp)
+    reconcilePending(fs, indexDir, "positions", lp)
     val p = spark.read.parquet(new Path(indexDir, "postings").toString)
     val r = p.agg(count(lit(1)).as("rows"),
       countDistinct(col("term"), col("doc_id")).as("td"),
@@ -742,9 +789,19 @@ object Maintenance {
     // the norm sidecar must mirror the doc set exactly: one row per doc
     val nr = spark.read.parquet(new Path(indexDir, "norms").toString)
       .agg(count(lit(1)).as("rows"), countDistinct(col("doc_id")).as("d")).head
+    val positionsPath = new Path(indexDir, "positions")
+    val pr = if (fs.exists(positionsPath))
+      Some(spark.read.parquet(positionsPath.toString)
+        .agg(count(lit(1)).as("rows"),
+          countDistinct(col("doc_id"), col("w")).as("wd"),
+          countDistinct(col("doc_id")).as("d")).head)
+    else None
     PostingsAuditReport(r.getLong(0), r.getLong(1), r.getLong(2),
       s.getLong(0), s.getLong(1), if (dl.isNullAt(0)) 0L else dl.getLong(0),
-      normRowsCount = nr.getLong(0), normDistinctDocs = nr.getLong(1))
+      normRowsCount = nr.getLong(0), normDistinctDocs = nr.getLong(1),
+      posRows = pr.map(_.getLong(0)).getOrElse(-1L),
+      posDistinctWordDoc = pr.map(_.getLong(1)).getOrElse(-1L),
+      posDistinctDocs = pr.map(_.getLong(2)).getOrElse(-1L))
   }
 
   /** What one postings compaction pass did (or would do). */
@@ -781,14 +838,17 @@ object Maintenance {
     import org.apache.spark.sql.functions._
     val postingsPath = new Path(indexDir, "postings")
     val normsPath = new Path(indexDir, "norms")
+    val positionsPath = new Path(indexDir, "positions")
     val statsPath = new Path(indexDir, "stats")
     val fs = postingsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverDir(fs, postingsPath)
     recoverDir(fs, normsPath)
+    recoverDir(fs, positionsPath)
     if (!dryRun) {
       val lp = lastPassOf(spark, statsPath)
       reconcilePending(fs, indexDir, "postings", lp)
       reconcilePending(fs, indexDir, "norms", lp)
+      reconcilePending(fs, indexDir, "positions", lp)
     }
     def bucketFiles(path: Path, prefix: String): Seq[Long] =
       if (!fs.exists(path)) Seq.empty
@@ -801,23 +861,29 @@ object Maintenance {
         .write.mode(SaveMode.Overwrite).partitionBy(part).parquet(tmp.toString)
       swapDir(fs, tmp, path)
     }
-    // both the postings buckets and the norms sidecar accumulate one file
-    // per pass; census each, rewrite each only when ITS max degrades
+    // the postings buckets and both sidecars accumulate one file per pass;
+    // census each, rewrite each only when ITS max degrades
     val pb = bucketFiles(postingsPath, "tb=")
     val nb = bucketFiles(normsPath, "nb=")
-    val filesBefore = pb.sum + nb.sum
-    val maxBefore = (pb ++ nb ++ Seq(0L)).max
+    val xb = bucketFiles(positionsPath, "pb=")
+    val filesBefore = pb.sum + nb.sum + xb.sum
+    val maxBefore = (pb ++ nb ++ xb ++ Seq(0L)).max
     val pTrig = pb.nonEmpty && pb.max > maxFilesPerBucket
     val nTrig = nb.nonEmpty && nb.max > maxFilesPerBucket
-    if ((!pTrig && !nTrig) || dryRun) {
-      val rows = if (pTrig || nTrig) spark.read.parquet(postingsPath.toString).count() else 0L
-      return PostingsCompactReport(dryRun, pTrig || nTrig, rows, filesBefore, filesBefore, maxBefore)
+    val xTrig = xb.nonEmpty && xb.max > maxFilesPerBucket
+    if ((!pTrig && !nTrig && !xTrig) || dryRun) {
+      val trig = pTrig || nTrig || xTrig
+      val rows = if (trig) spark.read.parquet(postingsPath.toString).count() else 0L
+      return PostingsCompactReport(dryRun, trig, rows, filesBefore, filesBefore, maxBefore)
     }
     if (pTrig) rewrite(postingsPath, "tb")
     if (nTrig) rewrite(normsPath, "nb")
+    if (xTrig) rewrite(positionsPath, "pb")
     val rows = spark.read.parquet(postingsPath.toString).count()
     PostingsCompactReport(dryRun = false, triggered = true, rows,
-      filesBefore, bucketFiles(postingsPath, "tb=").sum + bucketFiles(normsPath, "nb=").sum,
+      filesBefore,
+      bucketFiles(postingsPath, "tb=").sum + bucketFiles(normsPath, "nb=").sum +
+        bucketFiles(positionsPath, "pb=").sum,
       maxBefore)
   }
 
@@ -859,15 +925,18 @@ object Maintenance {
     import org.apache.spark.sql.functions._
     val postingsPath = new Path(indexDir, "postings")
     val normsPath = new Path(indexDir, "norms")
+    val positionsPath = new Path(indexDir, "positions")
     val statsPath = new Path(indexDir, "stats")
     val fs = postingsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverDir(fs, postingsPath)
     recoverDir(fs, normsPath)
+    recoverDir(fs, positionsPath)
     recoverDir(fs, statsPath)
     if (!dryRun) {
       val lp = lastPassOf(spark, statsPath)
       reconcilePending(fs, indexDir, "postings", lp)
       reconcilePending(fs, indexDir, "norms", lp)
+      reconcilePending(fs, indexDir, "positions", lp)
     }
     val postings = spark.read.parquet(postingsPath.toString)
     val drop = dropDocs.select("doc_id").distinct()
@@ -919,6 +988,30 @@ object Maintenance {
       else if (fs.exists(dst)) fs.delete(dst, true)
     }
     fs.delete(nStage, true)
+    // the positional sidecar (when present) ages like the postings: its
+    // affected term buckets come from the doomed rows themselves (<= 64),
+    // then the same per-bucket anti-join rewrite + atomic swaps
+    if (fs.exists(positionsPath)) {
+      val positions = spark.read.parquet(positionsPath.toString)
+      val xAffected = positions.join(drop, Seq("doc_id"), "left_semi")
+        .agg(collect_set(col("pb"))).head.getSeq[Any](0)
+        .map(_.asInstanceOf[Number].longValue).sorted
+      if (xAffected.nonEmpty) {
+        val xStage = new Path(indexDir, "positions.ageoff.tmp")
+        if (fs.exists(xStage)) fs.delete(xStage, true)
+        positions.where(col("pb").isin(xAffected.toIndexedSeq: _*))
+          .join(drop, Seq("doc_id"), "left_anti")
+          .repartition(col("pb"))
+          .write.mode(SaveMode.Overwrite).partitionBy("pb").parquet(xStage.toString)
+        xAffected.foreach { b =>
+          val src = new Path(xStage, s"pb=$b")
+          val dst = new Path(positionsPath, s"pb=$b")
+          if (fs.exists(src)) swapDir(fs, src, dst)
+          else if (fs.exists(dst)) fs.delete(dst, true)
+        }
+        fs.delete(xStage, true)
+      }
+    }
     // stats: exact recompute from the survivors (retry-convergent)
     val surv = spark.read.parquet(postingsPath.toString)
     val sd = surv.select("doc_id", "dl").distinct()
@@ -972,6 +1065,73 @@ object Maintenance {
 
   private def postingsStats(spark: SparkSession, indexDir: String): org.apache.spark.sql.DataFrame =
     spark.read.parquet(new Path(indexDir, "stats").toString)
+
+  /** Bucket-pruned positional fetch from a positions-bootstrapped
+    * [[postingsMaintain]] index — the maintained-store equivalent of
+    * [[graft.operators.Search.matchedPositions]]: the given (lowercased)
+    * words' hash buckets are computed driver-side, the scan filters on the
+    * `pb` PARTITION column, the buckets' unrelated words drop on an exact
+    * semi-join, and the stored per-(doc, word) position arrays explode back
+    * to the `(doc_id, pos, w)` frame every positional scorer consumes. At
+    * 100 TB a query batch touches only its words' bucket directories —
+    * the corpus text is never re-exploded. */
+  def positionsFor(spark: SparkSession, indexDir: String,
+      words: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val statsP = new Path(indexDir, "stats")
+    val fsr = statsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lp = lastPassOf(spark, statsP)
+    reconcilePending(fsr, indexDir, "postings", lp)
+    reconcilePending(fsr, indexDir, "norms", lp)
+    reconcilePending(fsr, indexDir, "positions", lp)
+    val positionsPath = new Path(indexDir, "positions")
+    require(fsr.exists(positionsPath),
+      s"$indexDir has no positional sidecar — bootstrap with positions=true")
+    val t = words.select("w").distinct()
+    val buckets = t.select(termBucket(col("w")).as("pb")).distinct()
+      .collect().map(_.getLong(0))
+    spark.read.parquet(positionsPath.toString)
+      .where(col("pb").isin(buckets.toIndexedSeq: _*))
+      .join(broadcast(t), Seq("w"), "left_semi")
+      .select(col("doc_id"), explode(col("poss")).as("pos"), col("w"))
+  }
+
+  /** Exact-phrase retrieval over a positions-bootstrapped index: the
+    * anchor-alignment count ([[graft.operators.Search.phraseHitsFromPositions]])
+    * over the bucket-pruned [[positionsFor]] fetch — bit-identical to the
+    * batch [[graft.operators.Search.phraseHits]] corpus scan (spec-pinned). */
+  def phraseMaintained(spark: SparkSession, indexDir: String,
+      queries: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ws = queries.select(explode(split(lower(col("qtext")), " ")).as("w"))
+    graft.operators.Search.phraseHitsFromPositions(
+      positionsFor(spark, indexDir, ws), queries)
+  }
+
+  /** NEAR/window proximity retrieval over a positions-bootstrapped index
+    * ([[graft.operators.Search.proximityHitsFromPositions]] on the pruned
+    * fetch) — bit-identical to the batch scan (spec-pinned). */
+  def proximityMaintained(spark: SparkSession, indexDir: String,
+      queries: org.apache.spark.sql.DataFrame,
+      proxWindow: Int = 6, k: Int = 10): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ws = queries.select(explode(split(lower(col("qtext")), " ")).as("w"))
+    graft.operators.Search.proximityHitsFromPositions(
+      positionsFor(spark, indexDir, ws), queries, proxWindow, k)
+  }
+
+  /** Boolean (all-MUST + NOT) retrieval over a positions-bootstrapped index
+    * ([[graft.operators.Search.booleanHitsFromPositions]] on a fetch
+    * covering must AND not terms) — bit-identical to the batch scan. */
+  def booleanMaintained(spark: SparkSession, indexDir: String,
+      queries: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ws = queries.select(explode(split(lower(col("qtext")), " ")).as("w"))
+      .unionByName(queries.where(col("nottext").isNotNull)
+        .select(explode(split(lower(col("nottext")), " ")).as("w")))
+    graft.operators.Search.booleanHitsFromPositions(
+      positionsFor(spark, indexDir, ws), queries)
+  }
 
   def bm25Maintained(spark: SparkSession, indexDir: String,
       queries: org.apache.spark.sql.DataFrame, k: Int = 10,

@@ -358,6 +358,73 @@ class MaintenanceSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("tb"))
   }
 
+  test("positional sidecar: phrase/proximity/boolean maintained == batch; lifecycle ages/compacts it") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Search
+    // mixed case exercises the sidecar's lowercased tokenization
+    val all = (0L until 90L).map { i =>
+      (i, s"Alpha doc$i beta Shared corpus words run${i % 9} gamma " * (1 + (i % 3)).toInt)
+    }.toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft-positions").toString + "/index"
+    Maintenance.postingsMaintain(spark, dir, all.where(col("doc_id") < 60L),
+      passId = "boot", positions = true)
+    Maintenance.postingsMaintain(spark, dir, all.where(col("doc_id") >= 60L),
+      passId = "inc1")
+    assert(Maintenance.postingsAudit(spark, dir).ok)
+    val q = Seq((1L, "alpha doc5"), (2L, "shared corpus"), (3L, "gamma run4"))
+      .toDF("query_id", "qtext")
+    val got = Maintenance.phraseMaintained(spark, dir, q).collect().map(_.toSeq).toSet
+    val want = Search.phraseHits(all, q).collect().map(_.toSeq).toSet
+    assert(got == want, "maintained phrase must equal the batch corpus scan")
+    val pGot = Maintenance.proximityMaintained(spark, dir, q, proxWindow = 6, k = 5)
+      .collect().map(_.toSeq).toSet
+    val pWant = Search.proximityHits(all, q, window = 6, k = 5)
+      .collect().map(_.toSeq).toSet
+    assert(pGot == pWant)
+    val bq = Seq((1L, "alpha beta gamma", "doc7"), (2L, "shared corpus", null))
+      .toDF("query_id", "qtext", "nottext")
+    val bGot = Maintenance.booleanMaintained(spark, dir, bq).collect().map(_.toSeq).toSet
+    val bWant = Search.booleanHits(all, bq).collect().map(_.toSeq).toSet
+    assert(bGot == bWant)
+    // the positional read PRUNES on the pb partition column
+    val plan = Maintenance.phraseMaintained(spark, dir, q)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("pb"),
+      s"expected pb partition pruning in the positions scan:\n$plan")
+    // a store bootstrapped WITHOUT positions refuses both the retrofit
+    // increment and the positional read, loudly
+    val bare = Files.createTempDirectory("graft-posbare").toString + "/index"
+    Maintenance.postingsMaintain(spark, bare, all.where(col("doc_id") < 60L))
+    intercept[IllegalArgumentException] {
+      Maintenance.postingsMaintain(spark, bare, all.where(col("doc_id") >= 60L),
+        positions = true)
+    }
+    intercept[IllegalArgumentException] {
+      Maintenance.phraseMaintained(spark, bare, q).collect()
+    }
+    // age-off drops the docs from the sidecar too: aged store == fresh
+    // positions bootstrap over the survivors, as sets
+    val dropIds = all.where(col("doc_id") % 11 === 0).select("doc_id")
+    Maintenance.postingsAgeOff(spark, dir, dropIds)
+    assert(Maintenance.postingsAudit(spark, dir).ok)
+    val freshDir = Files.createTempDirectory("graft-posfresh").toString + "/index"
+    Maintenance.postingsMaintain(spark, freshDir,
+      all.where(col("doc_id") % 11 =!= 0), positions = true)
+    def posSnap(d: String) = spark.read.parquet(s"$d/positions")
+      .select("doc_id", "w", "poss", "pb").collect().map(_.toSeq).toSet
+    assert(posSnap(dir) == posSnap(freshDir))
+    // aged reads still equal the batch scan over the surviving corpus
+    val surv = all.where(col("doc_id") % 11 =!= 0)
+    assert(Maintenance.phraseMaintained(spark, dir, q).collect().map(_.toSeq).toSet ==
+      Search.phraseHits(surv, q).collect().map(_.toSeq).toSet)
+    // compaction censuses the sidecar: accumulated per-pass files rewrite
+    // to one per bucket, content-invariant
+    val preFiles = posSnap(dir)
+    val rep = Maintenance.postingsCompact(spark, dir, maxFilesPerBucket = 1)
+    assert(rep.triggered && posSnap(dir) == preFiles)
+    assert(Maintenance.postingsAudit(spark, dir).ok)
+  }
+
   test("postings pass protocol: retries cannot duplicate; crash windows reconcile") {
     import org.apache.spark.sql.functions.col
     val dir = Files.createTempDirectory("graft-postcrash").toString + "/index"
