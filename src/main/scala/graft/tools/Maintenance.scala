@@ -1133,6 +1133,22 @@ object Maintenance {
       positionsFor(spark, indexDir, ws), queries)
   }
 
+  /** Best-snippet windows over a positions-bootstrapped index
+    * ([[graft.operators.Search.bestSnippetsFromPositions]] on the pruned
+    * fetch) — the qualification + two-pointer cover sweep with no corpus
+    * posexplode. Snippet TEXT extraction
+    * ([[graft.operators.Search.snippetTextFrom]]) still reads the doc
+    * column — the hit set is index-bounded, so that read is a semi-joined
+    * row fetch, not a scan. Bit-identical to the batch path. */
+  def snippetsMaintained(spark: SparkSession, indexDir: String,
+      queries: org.apache.spark.sql.DataFrame,
+      snipWindow: Int = 12): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ws = queries.select(explode(split(lower(col("qtext")), " ")).as("w"))
+    graft.operators.Search.bestSnippetsFromPositions(
+      positionsFor(spark, indexDir, ws), queries, snipWindow)
+  }
+
   def bm25Maintained(spark: SparkSession, indexDir: String,
       queries: org.apache.spark.sql.DataFrame, k: Int = 10,
       k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {

@@ -386,6 +386,10 @@ class MaintenanceSpec extends AnyFunSuite with SparkSpec {
     val bGot = Maintenance.booleanMaintained(spark, dir, bq).collect().map(_.toSeq).toSet
     val bWant = Search.booleanHits(all, bq).collect().map(_.toSeq).toSet
     assert(bGot == bWant)
+    val sGot = Maintenance.snippetsMaintained(spark, dir, q, snipWindow = 8)
+      .collect().map(_.toSeq).toSet
+    val sWant = Search.bestSnippets(all, q, window = 8).collect().map(_.toSeq).toSet
+    assert(sGot == sWant)
     // the positional read PRUNES on the pb partition column
     val plan = Maintenance.phraseMaintained(spark, dir, q)
       .queryExecution.executedPlan.toString
