@@ -38,13 +38,17 @@ object IndexIngest {
       docs: DataFrame,
       indexDir: String,
       checkpointDir: String,
-      autoCompactFilesPerBucket: Option[Int] = None): StreamingQuery =
+      autoCompactFilesPerBucket: Option[Int] = None,
+      positions: Boolean = false): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // `positions` matters on the bootstrapping batch only — later
+        // micro-batches follow the store's bootstrap-time shape
         Maintenance.postingsMaintain(batch.sparkSession, indexDir, batch,
           passId = s"batch-$batchId",
-          autoCompactFilesPerBucket = autoCompactFilesPerBucket)
+          autoCompactFilesPerBucket = autoCompactFilesPerBucket,
+          positions = positions)
         ()
       }
       .start()

@@ -30,7 +30,7 @@ class IndexIngestSpec extends AnyFunSuite with SparkSpec {
     val input = MemoryStream[(Long, String)]
     val q = IndexIngest.startPostingsSink(
       input.toDS().toDF("doc_id", "text"), idx, s"$base/ckpt",
-      autoCompactFilesPerBucket = Some(3))
+      autoCompactFilesPerBucket = Some(3), positions = true)
     input.addData((0L until 30L).map(doc): _*)
     q.processAllAvailable()
     (1 to 5).foreach { k =>
@@ -51,11 +51,19 @@ class IndexIngestSpec extends AnyFunSuite with SparkSpec {
     // == a fresh batch bootstrap over the same docs
     val freshDir = Files.createTempDirectory("graft-ingestfresh").toString + "/index"
     val all = (0L until 180L).map(doc).toDF("doc_id", "text")
-    Maintenance.postingsMaintain(spark, freshDir, all)
+    Maintenance.postingsMaintain(spark, freshDir, all, positions = true)
     val qdf = Seq((1L, "alpha shared"), (2L, "gamma run4")).toDF("query_id", "qtext")
     assert(
       Maintenance.bm25Maintained(spark, idx, qdf, k = 5).collect().map(_.toSeq).toSet ==
       Maintenance.bm25Maintained(spark, freshDir, qdf, k = 5).collect().map(_.toSeq).toSet)
+    // the streamed positional sidecar serves phrase queries identically to
+    // the batch-bootstrapped one (micro-batch appends maintained it)
+    val pq = Seq((1L, "shared corpus words")).toDF("query_id", "qtext")
+    val streamedPhrase = Maintenance.phraseMaintained(spark, idx, pq)
+      .collect().map(_.toSeq).toSet
+    assert(streamedPhrase ==
+      Maintenance.phraseMaintained(spark, freshDir, pq).collect().map(_.toSeq).toSet)
+    assert(streamedPhrase.nonEmpty, "phrase probe must actually hit")
   }
 
   test("a replayed micro-batch is skipped, not re-appended (exactly-once via last_pass)") {
