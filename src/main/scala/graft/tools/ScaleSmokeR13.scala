@@ -82,6 +82,28 @@ object ScaleSmokeR13 {
       println(s"SCALER13 grown-store read prunes on tb: ${plan.contains("PartitionFilters")}")
     }
 
+    // positional sidecar: bootstrap overhead, the FLAT phrase-read claim
+    // (pb pruning), and maintained read vs the batch corpus posexplode at
+    // the grown tier (the read the sidecar exists to delete)
+    if (only.isEmpty || only.exists("positions".contains(_))) {
+      val (pxS, pxB) = (s"$tmp/possmall/index", s"$tmp/posbig/index")
+      val (_, pbs) = timed(Maintenance.postingsMaintain(spark, pxS, small,
+        passId = "boot", positions = true))
+      val (_, pbb) = timed(Maintenance.postingsMaintain(spark, pxB, big,
+        passId = "boot", positions = true))
+      println(f"SCALER13 positions bootstrap ${reps}x $pbs%.2f s, ${grow}x $pbb%.2f s (incl. sidecar)")
+      Maintenance.phraseMaintained(spark, pxS, q).count()
+      val (_, prS) = timed(Maintenance.phraseMaintained(spark, pxS, q).count())
+      Maintenance.phraseMaintained(spark, pxB, q).count()
+      val (_, prB) = timed(Maintenance.phraseMaintained(spark, pxB, q).count())
+      val (_, prBatch) = timed(graft.operators.Search.phraseHits(big, q).count())
+      println(f"SCALER13 phraseMaintained read ${reps}x $prS%.2f s vs ${grow}x $prB%.2f s " +
+        f"(${grow.toDouble / reps}%.0fx index -> ${prB / prS}%.2fx read); " +
+        f"batch corpus posexplode at ${grow}x: $prBatch%.2f s")
+      val (_, snB) = timed(Maintenance.snippetsMaintained(spark, pxB, q).count())
+      println(f"SCALER13 snippetsMaintained ${grow}x $snB%.2f s")
+    }
+
     // increment-accumulation -> compaction: 6 passes of ~2% each on the
     // small index, then the census-driven rewrite
     val inc = base.limit((n / 50).toInt max 200)
