@@ -461,6 +461,14 @@ object LlmQueries {
     "search_snippets_store" -> ((s, dir) =>
       graft.tools.Maintenance.snippetsMaintained(s, postingsStoreDir(s, dir),
         probeQueries(docs(s, dir)), snipWindow = 12)),
+    // the rendered snippet string with the WINDOW SCORING index-served:
+    // best offsets from the positional sidecar, then one index-bounded
+    // text fetch for the slice; same oracle as search_highlight
+    "search_highlight_store" -> ((s, dir) =>
+      graft.operators.Search.snippetTextFrom(
+        graft.tools.Maintenance.snippetsMaintained(s, postingsStoreDir(s, dir),
+          probeQueries(docs(s, dir)), snipWindow = 12),
+        docs(s, dir), window = 12)),
     // PRF over the MAINTAINED store: feedback prefix AND the expansion
     // round's new-term fetch are both bucket-pruned store reads — the
     // second corpus pass of classic PRF disappears at 100 TB; same oracle
@@ -1734,6 +1742,43 @@ object LlmQueries {
       |                    ORDER BY n_covered DESC, snip_start ASC) AS rn
       |      FROM cov)
       |SELECT query_id, doc_id, snip_start, n_covered FROM r WHERE rn = 1""".stripMargin
+
+  /** Rendered-snippet oracle (best window + 12-token slice of the raw
+    * text) — shared by `search_highlight` and `search_highlight_store`:
+    * the store route scores windows from the positional sidecar, then the
+    * text join is an index-bounded row fetch, not a scan. */
+  private val HighlightTextOracleSql =
+    """WITH dw AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+      |w AS (SELECT doc_id, generate_subscripts(ws, 1) - 1 AS pos, UNNEST(ws) AS w FROM dw),
+      |qd AS (SELECT doc_id AS query_id,
+      |              list_transform(string_split(text, ' ')[1:4], x -> lower(x)) AS qs
+      |       FROM documents WHERE doc_id % 97 = 0),
+      |qt AS (SELECT query_id, UNNEST(list_distinct(qs)) AS w FROM qd),
+      |qn AS (SELECT query_id, COUNT(*) AS n_terms FROM qt GROUP BY 1),
+      |m AS (SELECT qt.query_id, w.doc_id, w.pos, qt.w FROM w JOIN qt ON w.w = qt.w),
+      |qual AS (SELECT d.query_id, d.doc_id
+      |         FROM (SELECT DISTINCT query_id, doc_id, w FROM m) d
+      |         JOIN qn ON d.query_id = qn.query_id
+      |         GROUP BY d.query_id, d.doc_id, qn.n_terms
+      |         HAVING COUNT(*) = qn.n_terms),
+      |mq AS (SELECT m.* FROM m JOIN qual
+      |       ON m.query_id = qual.query_id AND m.doc_id = qual.doc_id),
+      |cov AS (SELECT a.query_id, a.doc_id, a.pos AS snip_start,
+      |               CAST(COUNT(DISTINCT mm.w) AS BIGINT) AS n_covered
+      |        FROM mq a JOIN mq mm
+      |          ON a.query_id = mm.query_id AND a.doc_id = mm.doc_id
+      |         AND mm.pos >= a.pos AND mm.pos < a.pos + 12
+      |        GROUP BY 1, 2, 3),
+      |r AS (SELECT query_id, doc_id, CAST(snip_start AS BIGINT) AS snip_start, n_covered,
+      |             ROW_NUMBER() OVER (PARTITION BY query_id, doc_id
+      |                    ORDER BY n_covered DESC, snip_start ASC) AS rn
+      |      FROM cov),
+      |best AS (SELECT query_id, doc_id, snip_start, n_covered FROM r WHERE rn = 1)
+      |SELECT best.query_id, best.doc_id, best.snip_start, best.n_covered,
+      |       array_to_string(string_split(d.text, ' ')
+      |         [CAST(best.snip_start + 1 AS INTEGER):CAST(best.snip_start + 12 AS INTEGER)],
+      |         ' ') AS snippet
+      |FROM best JOIN documents d ON best.doc_id = d.doc_id""".stripMargin
 
   /** Boolean MUST/NOT oracle — shared by `search_boolean` and
     * `search_boolean_store`. */
@@ -5624,37 +5669,7 @@ object LlmQueries {
     "search_snippets_store" -> SnippetsBestWindowOracleSql,
     // mirrors Search.snippetText(window=12): the search_snippets chain plus
     // a join back to the raw text and a 12-token inclusive slice
-    "search_highlight" ->
-      """WITH dw AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
-        |w AS (SELECT doc_id, generate_subscripts(ws, 1) - 1 AS pos, UNNEST(ws) AS w FROM dw),
-        |qd AS (SELECT doc_id AS query_id,
-        |              list_transform(string_split(text, ' ')[1:4], x -> lower(x)) AS qs
-        |       FROM documents WHERE doc_id % 97 = 0),
-        |qt AS (SELECT query_id, UNNEST(list_distinct(qs)) AS w FROM qd),
-        |qn AS (SELECT query_id, COUNT(*) AS n_terms FROM qt GROUP BY 1),
-        |m AS (SELECT qt.query_id, w.doc_id, w.pos, qt.w FROM w JOIN qt ON w.w = qt.w),
-        |qual AS (SELECT d.query_id, d.doc_id
-        |         FROM (SELECT DISTINCT query_id, doc_id, w FROM m) d
-        |         JOIN qn ON d.query_id = qn.query_id
-        |         GROUP BY d.query_id, d.doc_id, qn.n_terms
-        |         HAVING COUNT(*) = qn.n_terms),
-        |mq AS (SELECT m.* FROM m JOIN qual
-        |       ON m.query_id = qual.query_id AND m.doc_id = qual.doc_id),
-        |cov AS (SELECT a.query_id, a.doc_id, a.pos AS snip_start,
-        |               CAST(COUNT(DISTINCT mm.w) AS BIGINT) AS n_covered
-        |        FROM mq a JOIN mq mm
-        |          ON a.query_id = mm.query_id AND a.doc_id = mm.doc_id
-        |         AND mm.pos >= a.pos AND mm.pos < a.pos + 12
-        |        GROUP BY 1, 2, 3),
-        |r AS (SELECT query_id, doc_id, CAST(snip_start AS BIGINT) AS snip_start, n_covered,
-        |             ROW_NUMBER() OVER (PARTITION BY query_id, doc_id
-        |                    ORDER BY n_covered DESC, snip_start ASC) AS rn
-        |      FROM cov),
-        |best AS (SELECT query_id, doc_id, snip_start, n_covered FROM r WHERE rn = 1)
-        |SELECT best.query_id, best.doc_id, best.snip_start, best.n_covered,
-        |       array_to_string(string_split(d.text, ' ')
-        |         [CAST(best.snip_start + 1 AS INTEGER):CAST(best.snip_start + 12 AS INTEGER)],
-        |         ' ') AS snippet
-        |FROM best JOIN documents d ON best.doc_id = d.doc_id""".stripMargin
+    "search_highlight" -> HighlightTextOracleSql,
+    "search_highlight_store" -> HighlightTextOracleSql
   )
 }
