@@ -262,6 +262,19 @@ object SimilarityIvf {
     * definition shared by [[search]] and [[searchInt8]] — tie-breaks
     * (csim desc, list_id) cannot drift between the two paths. Requires
     * `query_id`/`qe`/`qnorm` on the input. */
+  /** The DISTINCT list ids a query batch probes (bounded by nLists, so the
+    * collect is driver-safe at any query count) — what a maintained-store
+    * read passes as a filter on its list_id-PARTITIONED assignments scan,
+    * turning the probe into a partition-pruned fetch. Filtering on a
+    * superset of each query's own probes is sound: [[search]] re-derives
+    * per-query probe membership from the same deterministic selection. */
+  def probedListIds(queries: DataFrame, cents: DataFrame, nProbe: Int): Array[Int] = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qe"), norm("embedding").as("qnorm"))
+    probeLists(q, cents, nProbe, Seq("query_id"))
+      .select("list_id").distinct().collect().map(_.getInt(0)).sorted
+  }
+
   private[operators] def probeLists(q: DataFrame, cents: DataFrame, nProbe: Int,
       payload: Seq[String]): DataFrame = {
     val probeW = Window.partitionBy("query_id").orderBy(col("csim").desc, col("list_id"))

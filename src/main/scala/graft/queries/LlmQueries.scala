@@ -220,6 +220,28 @@ object LlmQueries {
       idx
     })
 
+  /** The ivfMaintain-WRITTEN index backing `embed_ivf_store`: bootstrap
+    * trains on 2/3 of the vectors, one staged-append increment folds the
+    * rest in under the stale geometry, then `ivfRetrain` rebuilds
+    * centroids-v2 from the full set — whose seeded trainer is
+    * deterministic in the vector SET, so the retrained store's geometry
+    * (and therefore the maintained probe read) is bit-equal to the batch
+    * `ivfKnn` one-shot over the whole corpus: same oracle, whole lifecycle
+    * (append protocol + retrain + list_id-partitioned layout) hash-checked
+    * end to end. */
+  private val ivfStoreMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ivfStoreDir(s: SparkSession, dir: String): String =
+    ivfStoreMemo.computeIfAbsent(s"${SessionKeys.key(s)}:$dir", _ => {
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val idx = java.nio.file.Files.createTempDirectory("graft-ivfstore").toString + "/index"
+      graft.tools.Maintenance.ivfMaintain(s, idx, e.where(col("vec_id") % 3 =!= 0),
+        nLists = 16, passId = "boot")
+      graft.tools.Maintenance.ivfMaintain(s, idx, e.where(col("vec_id") % 3 === 0),
+        nLists = 16, passId = "inc1")
+      graft.tools.Maintenance.ivfRetrain(s, idx, nLists = 16)
+      idx
+    })
+
   /** The lshMaintain-written SIGNATURE store backing `dedup_lsh_store` (the
     * fifth maintained artifact): bootstrap signs 2/3 of the corpus, the
     * increment screen pairs the remaining third against the PERSISTED
@@ -660,6 +682,15 @@ object LlmQueries {
     "embed_ivf_knn" -> ((s, dir) => {
       val e = emb(s, dir)
       graft.operators.SimilarityIvf.ivfKnn(e, e.where(col("vec_id") < 5), k = 5)
+    }),
+    // IVF over the MAINTAINED index: list_id-partition-pruned probe read
+    // of the bootstrap+increment+retrain store — retrain geometry equals
+    // the batch build's, so the same oracle as embed_ivf_knn hash-checks
+    // the whole maintained lifecycle
+    "embed_ivf_store" -> ((s, dir) => {
+      val e = emb(s, dir)
+      graft.tools.Maintenance.ivfKnnMaintained(s, ivfStoreDir(s, dir),
+        e.where(col("vec_id") < 5), k = 5, nProbe = 4)
     }),
     // IVF with int8-quantized inverted lists: float assignment/probing,
     // integer in-list scoring — the compressed 100 TB ANN store shape
@@ -3791,6 +3822,8 @@ object LlmQueries {
     // mirrors SimilarityIvf.ivfKnn(nLists=16, nProbe=4, k=5) step for step:
     // same md5 seed order, same sequential-fold dot products, same tie-breaks
     "embed_ivf_knn" ->
+      (IvfTopCte + "\nSELECT query_id, neighbor_id, sim, rank FROM ivf_top"),
+    "embed_ivf_store" ->
       (IvfTopCte + "\nSELECT query_id, neighbor_id, sim, rank FROM ivf_top"),
     // mirrors Similarity.recallReport(ivfKnn, bruteForceKnn): the IVF top-k
     // above vs the exact top-k of embed_knn, per-query hits and one IEEE

@@ -71,4 +71,26 @@ object IndexIngest {
         ()
       }
       .start()
+
+  /** Maintain a [[Maintenance.ivfMaintain]] ANN index from a streaming
+    * `(vec_id, embedding)` frame: batch 0 trains + assigns, every later
+    * micro-batch assigns its new vectors against the persisted centroids
+    * through the staged-append commit — a replayed batch is skipped from
+    * the store's `last_pass`, so assignment rows are exactly-once under
+    * Structured Streaming's failure semantics. Centroid retrains stay a
+    * batch-side [[Maintenance.ivfRetrain]] on the maintenance cadence
+    * (single-writer per index dir: pause the sink around a retrain). */
+  def startIvfSink(
+      vecs: DataFrame,
+      indexDir: String,
+      checkpointDir: String,
+      nLists: Int = 16): StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Maintenance.ivfMaintain(batch.sparkSession, indexDir, batch,
+          nLists = nLists, passId = s"batch-$batchId")
+        ()
+      }
+      .start()
 }

@@ -288,10 +288,12 @@ object Maintenance {
       bootstrap: Boolean,
       vectorsBefore: Long,
       vectorsAfter: Long,
-      nLists: Long) {
+      nLists: Long,
+      skipped: Boolean = false) {
     def render: String =
       s"ivf${if (dryRun) " (DRY RUN)" else ""}: " +
-        s"${if (bootstrap) "trained + assigned" else "assigned increment"}; " +
+        s"${if (skipped) "pass already committed — skipped"
+           else if (bootstrap) "trained + assigned" else "assigned increment"}; " +
         s"index $vectorsBefore -> $vectorsAfter vectors over $nLists lists"
   }
 
@@ -331,7 +333,8 @@ object Maintenance {
     val cents = spark.read.parquet(centsPath.toString)
     val vecs = spark.read.parquet(assignPath.toString).select("vec_id", "embedding")
     val tmp = new Path(assignPath.toString + ".tmp")
-    SimilarityIvf.assign(vecs, cents).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    SimilarityIvf.assign(vecs, cents).write.mode(SaveMode.Overwrite)
+      .partitionBy("list_id").parquet(tmp.toString)
     swapDir(fs, tmp, assignPath)
     fs.delete(marker, false)
   }
@@ -341,37 +344,111 @@ object Maintenance {
       indexDir: String,
       vecs: org.apache.spark.sql.DataFrame,
       nLists: Int,
+      passId: String = "",
       dryRun: Boolean = false): IvfReport = {
+    import org.apache.spark.sql.functions._
     import graft.operators.SimilarityIvf
     val centsPath = new Path(indexDir, "centroids")
     val assignPath = new Path(indexDir, "assignments")
+    val metaPath = new Path(indexDir, "meta")
     val fs = centsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverDir(fs, centsPath)
     recoverDir(fs, assignPath)
-    if (!dryRun && fs.exists(centsPath)) ivfRepair(spark, indexDir)
+    recoverDir(fs, metaPath)
+    if (!dryRun && fs.exists(centsPath)) {
+      // publish/drop pendings BEFORE repair: a crashed retrain's repair
+      // re-assigns every LIVE row against the live centroids, so any
+      // committed-but-unpublished increment must land first or its rows
+      // would rejoin under stale geometry afterwards
+      reconcilePending(fs, indexDir, "assignments", lastPassOf(spark, metaPath))
+      ivfRepair(spark, indexDir)
+    }
+    val id = effectivePassId(passId)
     val exists = fs.exists(centsPath)
+    import spark.implicits._
     if (!exists) {
+      // an empty bootstrap (e.g. a streaming sink's empty batch 0) must
+      // NOT create a centroid-less store — leave bootstrapping to the
+      // first non-empty pass
+      if (vecs.isEmpty)
+        return IvfReport(dryRun, bootstrap = true, 0L, 0L, 0L, skipped = true)
       val cents = SimilarityIvf.centroids(vecs, nLists)
+      // partitioned on list_id: increments publish per-list files through
+      // the staged-append protocol, and probe reads prune on the lists
       val assigned = SimilarityIvf.assign(vecs, cents)
       val n = if (dryRun) assigned.count() else {
         cents.write.mode(SaveMode.Overwrite).parquet(centsPath.toString)
-        assigned.write.mode(SaveMode.Overwrite).parquet(assignPath.toString)
-        spark.read.parquet(assignPath.toString).count()
+        assigned.write.mode(SaveMode.Overwrite).partitionBy("list_id")
+          .parquet(assignPath.toString)
+        val nw = spark.read.parquet(assignPath.toString).count()
+        Seq((nw, nLists.toLong, id)).toDF("n_vecs", "n_lists", "last_pass")
+          .write.mode(SaveMode.Overwrite).parquet(metaPath.toString)
+        nw
       }
       IvfReport(dryRun, bootstrap = true, 0L, n, nLists.toLong)
     } else {
+      require(dryRun || fs.exists(metaPath),
+        s"$indexDir predates the assignment commit marker — rebuild the index")
+      // retry of a committed pass: nothing re-appended
+      if (!dryRun && passId.nonEmpty && lastPassOf(spark, metaPath).contains(passId)) {
+        val m = spark.read.parquet(metaPath.toString).head
+        return IvfReport(dryRun = false, bootstrap = false, m.getLong(0), m.getLong(0),
+          m.getLong(1), skipped = true)
+      }
       val cents = spark.read.parquet(centsPath.toString)
-      val before = spark.read.parquet(assignPath.toString).count()
       val increment = SimilarityIvf.assignStream(vecs, cents)
-      if (dryRun)
+      if (dryRun) {
+        val before = spark.read.parquet(assignPath.toString).count()
         IvfReport(dryRun = true, bootstrap = false, before,
           before + increment.count(), cents.count())
-      else {
-        increment.write.mode(SaveMode.Append).parquet(assignPath.toString)
-        IvfReport(dryRun = false, bootstrap = false, before,
-          spark.read.parquet(assignPath.toString).count(), cents.count())
+      } else {
+        val prior = spark.read.parquet(metaPath.toString).head
+        // STAGE -> COMMIT (meta swap records last_pass) -> PUBLISH: the
+        // postings-store protocol — a crash or blind retry can never
+        // duplicate an increment's assignment rows
+        val pending = new Path(indexDir, s"assignments.pending/$id")
+        increment.repartition(col("list_id"))
+          .write.mode(SaveMode.Overwrite).partitionBy("list_id").parquet(pending.toString)
+        val staged = spark.read.schema(increment.schema).parquet(pending.toString).count()
+        val metaTmp = new Path(metaPath.toString + ".tmp")
+        Seq((prior.getLong(0) + staged, prior.getLong(1), id))
+          .toDF("n_vecs", "n_lists", "last_pass")
+          .write.mode(SaveMode.Overwrite).parquet(metaTmp.toString)
+        swapDir(fs, metaTmp, metaPath)
+        publishPending(fs, assignPath, pending)
+        val root = new Path(indexDir, "assignments.pending")
+        if (fs.exists(root) && fs.listStatus(root).isEmpty) fs.delete(root, true)
+        IvfReport(dryRun = false, bootstrap = false, prior.getLong(0),
+          prior.getLong(0) + staged, cents.count())
       }
     }
+  }
+
+  /** IVF top-k over an [[ivfMaintain]] index — the maintained ANN read:
+    * the query batch's probed list ids are computed driver-side against
+    * the tiny centroid frame (bounded by nLists) and the assignments scan
+    * filters on the `list_id` PARTITION column, so at 100 TB a probe
+    * touches only its lists' directories — the index body is never
+    * scanned. Reader-side recovery included (pending publish + crashed-
+    * retrain repair), then scoring is the shared
+    * [[graft.operators.SimilarityIvf.search]] — bit-identical to a fresh
+    * batch [[graft.operators.SimilarityIvf.ivfKnn]] over the same vectors
+    * when the store geometry equals the batch build's (spec-pinned via
+    * bootstrap+increment+retrain == fresh bootstrap). */
+  def ivfKnnMaintained(spark: SparkSession, indexDir: String,
+      queries: org.apache.spark.sql.DataFrame,
+      k: Int = 10, nProbe: Int = 4): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.SimilarityIvf
+    val metaPath = new Path(indexDir, "meta")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    reconcilePending(fs, indexDir, "assignments", lastPassOf(spark, metaPath))
+    ivfRepair(spark, indexDir)
+    val cents = spark.read.parquet(new Path(indexDir, "centroids").toString)
+    val lids = SimilarityIvf.probedListIds(queries, cents, nProbe)
+    val indexed = spark.read.parquet(new Path(indexDir, "assignments").toString)
+      .where(col("list_id").isin(lids.toIndexedSeq: _*))
+    SimilarityIvf.search(indexed, cents, queries, k, nProbe)
   }
 
   /** What one IVF retrain pass did (or would do). */
@@ -421,8 +498,11 @@ object Maintenance {
     val assignPath = new Path(indexDir, "assignments")
     val marker = new Path(indexDir, "retrain.pending")
     val fs = centsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!dryRun) ivfRepair(spark, indexDir) // also recovers both dirs
-    else { recoverDir(fs, centsPath); recoverDir(fs, assignPath) }
+    if (!dryRun) {
+      reconcilePending(fs, indexDir, "assignments",
+        lastPassOf(spark, new Path(indexDir, "meta")))
+      ivfRepair(spark, indexDir) // also recovers both dirs
+    } else { recoverDir(fs, centsPath); recoverDir(fs, assignPath) }
     val listsBefore = spark.read.parquet(centsPath.toString).count()
     val stored = spark.read.parquet(assignPath.toString).select("vec_id", "embedding")
     val vecs = increment match {
@@ -440,13 +520,24 @@ object Maintenance {
     // assignment rewrite and the centroid swap agree on v2 geometry
     val assigned2 = SimilarityIvf.assign(vecs, spark.read.parquet(centsTmp.toString))
     val assignTmp = new Path(assignPath.toString + ".tmp")
-    assigned2.write.mode(SaveMode.Overwrite).parquet(assignTmp.toString)
+    assigned2.write.mode(SaveMode.Overwrite).partitionBy("list_id").parquet(assignTmp.toString)
     val nVec = spark.read.parquet(assignTmp.toString).count()
     val nLists2 = spark.read.parquet(centsTmp.toString).count()
     fs.create(marker, true).close() // bracket the two swaps (see ivfRepair)
     swapDir(fs, centsTmp, centsPath)
     swapDir(fs, assignTmp, assignPath)
     fs.delete(marker, false)
+    // refresh the commit descriptor (vector/list counts; last_pass kept so
+    // an already-committed increment's retry detection survives a retrain)
+    val metaPath = new Path(indexDir, "meta")
+    if (fs.exists(metaPath)) {
+      import spark.implicits._
+      val lp = lastPassOf(spark, metaPath).getOrElse("")
+      val metaTmp = new Path(metaPath.toString + ".tmp")
+      Seq((nVec, nLists2, lp)).toDF("n_vecs", "n_lists", "last_pass")
+        .write.mode(SaveMode.Overwrite).parquet(metaTmp.toString)
+      swapDir(fs, metaTmp, metaPath)
+    }
     IvfRetrainReport(dryRun = false, nVec, listsBefore, nLists2)
   }
 
@@ -1499,7 +1590,11 @@ object Maintenance {
     import org.apache.spark.sql.functions._
     val assignPath = new Path(indexDir, "assignments")
     val fs = assignPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!dryRun) ivfRepair(spark, indexDir) else recoverDir(fs, assignPath)
+    if (!dryRun) {
+      reconcilePending(fs, indexDir, "assignments",
+        lastPassOf(spark, new Path(indexDir, "meta")))
+      ivfRepair(spark, indexDir)
+    } else recoverDir(fs, assignPath)
     val a = spark.read.parquet(assignPath.toString)
     val drop = dropVecs.select("vec_id").distinct()
     val before = a.count()
@@ -1507,9 +1602,21 @@ object Maintenance {
     if (dryRun)
       return IvfAgeOffReport(dryRun = true, before, survivors.count())
     val tmp = new Path(assignPath.toString + ".tmp")
-    survivors.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    survivors.write.mode(SaveMode.Overwrite).partitionBy("list_id").parquet(tmp.toString)
     val after = spark.read.parquet(tmp.toString).count()
     swapDir(fs, tmp, assignPath)
+    // keep the commit descriptor's vector count current for reporting;
+    // the pass starts with a reconcile, so no pending stage can be orphaned
+    val metaPath = new Path(indexDir, "meta")
+    if (fs.exists(metaPath)) {
+      import spark.implicits._
+      val prior = spark.read.parquet(metaPath.toString).head
+      val metaTmp = new Path(metaPath.toString + ".tmp")
+      Seq((after, prior.getLong(1), s"ageoff-${System.nanoTime()}"))
+        .toDF("n_vecs", "n_lists", "last_pass")
+        .write.mode(SaveMode.Overwrite).parquet(metaTmp.toString)
+      swapDir(fs, metaTmp, metaPath)
+    }
     IvfAgeOffReport(dryRun = false, before, after)
   }
 
@@ -1580,6 +1687,9 @@ object Maintenance {
     * append. */
   def ivfAudit(spark: SparkSession, indexDir: String): IvfAuditReport = {
     import org.apache.spark.sql.functions._
+    val fsA = new Path(indexDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    reconcilePending(fsA, indexDir, "assignments",
+      lastPassOf(spark, new Path(indexDir, "meta")))
     ivfRepair(spark, indexDir) // a crashed retrain is repaired before auditing
     val a = spark.read.parquet(new Path(indexDir, "assignments").toString)
     val r = a.agg(count(lit(1)).as("n"), countDistinct(col("vec_id")).as("d"),

@@ -104,4 +104,41 @@ class IndexIngestSpec extends AnyFunSuite with SparkSpec {
       (0L until 80L).map(nd).toDF("doc_id", "text"), delta).collect().map(_.toSeq).toSet
     assert(got == want)
   }
+
+  test("streamed IVF store: micro-batch assignments == one batch assign; probe reads prune") {
+    import graft.operators.SimilarityIvf
+    val base = Files.createTempDirectory("graft-ingestivf").toString
+    val idx = s"$base/index"
+    def vec(i: Long): (Long, Array[Float]) =
+      (i, Array.tabulate(4)(d => ((i * 3 + d * 5) % 11).toFloat))
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = IndexIngest.startIvfSink(
+      input.toDS().toDF("vec_id", "embedding"), idx, s"$base/ckpt", nLists = 4)
+    input.addData((0L until 30L).map(vec): _*)
+    q.processAllAvailable()
+    (1 to 3).foreach { k =>
+      input.addData((k * 30L until (k + 1) * 30L).map(vec): _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    assert(Maintenance.ivfAudit(spark, idx).ok)
+    assert(spark.read.parquet(s"$idx/meta").head.getLong(0) == 120L)
+    // the streamed store's assignments == one batch assign of all vectors
+    // under the SAME (batch-0-trained) centroids
+    val cents = spark.read.parquet(s"$idx/centroids")
+    val all = (0L until 120L).map(vec).toDF("vec_id", "embedding")
+    val streamed = spark.read.parquet(s"$idx/assignments")
+      .select("vec_id", "list_id").collect().map(_.toSeq).toSet
+    val batch = SimilarityIvf.assign(all, cents)
+      .select("vec_id", "list_id").collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    // maintained probe over the streamed store == search over the full set
+    val probes = all.where(org.apache.spark.sql.functions.col("vec_id") < 3L)
+    val got = Maintenance.ivfKnnMaintained(spark, idx, probes, k = 5, nProbe = 2)
+      .collect().map(_.toSeq).toSet
+    val want = SimilarityIvf.search(
+        SimilarityIvf.assign(all, cents), cents, probes, k = 5, nProbe = 2)
+      .collect().map(_.toSeq).toSet
+    assert(got == want && got.nonEmpty)
+  }
 }

@@ -784,28 +784,95 @@ class MaintenanceSpec extends AnyFunSuite with SparkSpec {
     }.toDF("vec_id", "embedding")
     Maintenance.ivfMaintain(spark, dir, all, nLists = 4)
     assert(Maintenance.ivfAudit(spark, dir).ok)
-    // violate the new-vec_ids contract: re-append an already-indexed slice
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // violate the new-vec_ids contract: plant an already-indexed slice's
+    // files into the matching list_id= partition dirs (the layout a buggy
+    // writer bypassing the pass protocol would leave)
     val cents = spark.read.parquet(s"$dir/centroids")
     graft.operators.SimilarityIvf.assign(all.where(col("vec_id") < 5L), cents)
-      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(s"$dir/assignments")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("list_id").parquet(s"$dir/assignments.broken")
+    fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/assignments.broken"))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("list_id="))
+      .foreach { d =>
+        fs.listStatus(d.getPath).filter(_.getPath.getName.endsWith(".parquet")).foreach { f =>
+          fs.rename(f.getPath, new org.apache.hadoop.fs.Path(
+            s"$dir/assignments/${d.getPath.getName}/dup-${f.getPath.getName}"))
+        }
+      }
     val dup = Maintenance.ivfAudit(spark, dir)
     assert(!dup.vecIdsUnique && !dup.ok)
     // corrupt a list_id out of the centroid range: envelope check trips
     val dir2 = Files.createTempDirectory("graft-ivfaudit2").toString + "/index"
     Maintenance.ivfMaintain(spark, dir2, all, nLists = 4)
-    spark.read.parquet(s"$dir2/assignments")
-      .withColumn("list_id", lit(99))
-      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(s"$dir2/assignments.broken")
-    // (stage the corruption as an extra file inside the assignments dir)
-    val fs = new org.apache.hadoop.fs.Path(dir2)
+    spark.read.parquet(s"$dir2/assignments").drop("list_id")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$dir2/assignments.broken")
+    // (stage the corruption under an out-of-range list_id= partition dir)
+    val fs2 = new org.apache.hadoop.fs.Path(dir2)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir2/assignments.broken"))
+    fs2.mkdirs(new org.apache.hadoop.fs.Path(s"$dir2/assignments/list_id=99"))
+    fs2.listStatus(new org.apache.hadoop.fs.Path(s"$dir2/assignments.broken"))
       .filter(_.getPath.getName.endsWith(".parquet"))
       .foreach { f =>
-        fs.rename(f.getPath, new org.apache.hadoop.fs.Path(
-          s"$dir2/assignments/corrupt-${f.getPath.getName}"))
+        fs2.rename(f.getPath, new org.apache.hadoop.fs.Path(
+          s"$dir2/assignments/list_id=99/corrupt-${f.getPath.getName}"))
       }
     val bad = Maintenance.ivfAudit(spark, dir2)
     assert(!bad.listIdsValid && bad.maxListId == 99L && !bad.ok)
+  }
+
+  test("ivf pass protocol: retries skip; maintained probe prunes lists; lifecycle == fresh") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.SimilarityIvf
+    val dir = Files.createTempDirectory("graft-ivfproto").toString + "/index"
+    val all = (0L until 60L).map { i =>
+      (i, Array.tabulate(4)(d => ((i * 3 + d * 5) % 11).toFloat))
+    }.toDF("vec_id", "embedding")
+    Maintenance.ivfMaintain(spark, dir, all.where(col("vec_id") < 40L),
+      nLists = 4, passId = "boot")
+    val inc = all.where(col("vec_id") >= 40L)
+    val r = Maintenance.ivfMaintain(spark, dir, inc, nLists = 4, passId = "day1")
+    assert(!r.bootstrap && r.vectorsAfter == 60L)
+    // a blind RETRY of the committed pass is skipped, not re-appended
+    val retry = Maintenance.ivfMaintain(spark, dir, inc, nLists = 4, passId = "day1")
+    assert(retry.skipped && retry.vectorsAfter == 60L)
+    assert(Maintenance.ivfAudit(spark, dir).ok)
+    // crash window: committed but unpublished — move a published list file
+    // back into a pending stage named by the committed last_pass; the
+    // READER must publish it and still score the full index
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lastPass = spark.read.parquet(s"$dir/meta").select("last_pass").head.getString(0)
+    val lid = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/assignments"))
+      .filter(_.getPath.getName.startsWith("list_id=")).head.getPath
+    val pend = new org.apache.hadoop.fs.Path(s"$dir/assignments.pending/$lastPass/${lid.getName}")
+    fs.mkdirs(pend)
+    val moved = fs.listStatus(lid).filter(_.getPath.getName.endsWith(".parquet")).head.getPath
+    fs.rename(moved, new org.apache.hadoop.fs.Path(pend, "part-replay.parquet"))
+    val q = all.where(col("vec_id") < 3L)
+    val got = Maintenance.ivfKnnMaintained(spark, dir, q, k = 5, nProbe = 2)
+      .collect().map(_.toSeq).toSet
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/assignments.pending")),
+      "reader must publish the committed pending stage")
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val want = SimilarityIvf.search(
+        spark.read.parquet(s"$dir/assignments"), cents, q, k = 5, nProbe = 2)
+      .collect().map(_.toSeq).toSet
+    assert(got == want && got.nonEmpty)
+    // the maintained probe PRUNES on the list_id partition column
+    val plan = Maintenance.ivfKnnMaintained(spark, dir, q, k = 5, nProbe = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("list_id"),
+      s"expected list_id partition pruning in the assignments scan:\n$plan")
+    // bootstrap + increment + retrain == a fresh bootstrap over the union,
+    // and the maintained read then equals the one-shot batch ivfKnn
+    Maintenance.ivfRetrain(spark, dir, nLists = 4)
+    assert(Maintenance.ivfAudit(spark, dir).ok)
+    val mGot = Maintenance.ivfKnnMaintained(spark, dir, q, k = 5, nProbe = 2)
+      .collect().map(_.toSeq).toSet
+    val bWant = SimilarityIvf.ivfKnn(all, q, k = 5, nLists = 4, nProbe = 2)
+      .collect().map(_.toSeq).toSet
+    assert(mGot == bWant)
   }
 }
