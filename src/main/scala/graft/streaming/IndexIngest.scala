@@ -93,4 +93,32 @@ object IndexIngest {
         ()
       }
       .start()
+
+  /** Maintain a [[Maintenance.scd2Maintain]] dimension from a CDC event
+    * stream: batch 0 bootstraps the history, every later micro-batch is an
+    * O(delta) [[graft.operators.Cdc.scd2Apply]] fold committed by the
+    * atomic dim swap, with the batch id as the pass marker — a REPLAYED
+    * batch skips cleanly, and the single mid-crash window (dim swapped,
+    * marker not yet) fails loudly on the strict-progress guard instead of
+    * silently double-applying. Events must arrive in nondecreasing
+    * event-time order per key across batches (the scd2Apply progress
+    * contract; an upstream watermark sort gives this). An empty batch is
+    * applied as an empty delta (a no-op fold). */
+  def startScd2Sink(
+      events: DataFrame,
+      dimDir: String,
+      checkpointDir: String,
+      keyCol: String,
+      attrCol: String,
+      tsCol: String,
+      tieCol: String): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Maintenance.scd2Maintain(batch.sparkSession, dimDir, batch,
+          keyCol, attrCol, org.apache.spark.sql.functions.col(tsCol), tieCol,
+          passId = s"batch-$batchId")
+        ()
+      }
+      .start()
 }

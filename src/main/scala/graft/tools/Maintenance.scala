@@ -165,10 +165,12 @@ object Maintenance {
       rowsBefore: Long,
       rowsAfter: Long,
       openBefore: Long,
-      openAfter: Long) {
+      openAfter: Long,
+      skipped: Boolean = false) {
     def render: String =
       s"scd2${if (dryRun) " (DRY RUN)" else ""}: " +
-        s"${if (bootstrap) "bootstrapped" else "applied delta"}; " +
+        s"${if (skipped) "pass already committed — skipped"
+           else if (bootstrap) "bootstrapped" else "applied delta"}; " +
         s"history $rowsBefore -> $rowsAfter rows, open $openBefore -> $openAfter"
   }
 
@@ -191,13 +193,28 @@ object Maintenance {
       attrCol: String,
       tsExpr: org.apache.spark.sql.Column,
       tieCol: String,
-      dryRun: Boolean = false): Scd2Report = {
+      dryRun: Boolean = false,
+      passId: String = ""): Scd2Report = {
     import graft.operators.Cdc
     val fs = new Path(dimDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     // a mid-swap crash must read as "history exists" (restored), never as a
     // fresh bootstrap that would let the next swap delete the only copy
     recoverDir(fs, new Path(dimDir))
+    val metaPath = new Path(dimDir + ".meta")
+    recoverDir(fs, metaPath)
     val exists = fs.exists(new Path(dimDir))
+    // RETRY detection (the streaming-sink replay shape): the pass marker
+    // swaps AFTER the dim swap, so a committed pass's blind retry skips
+    // cleanly here; the one crash window between the two swaps leaves a
+    // stale marker and the retry then fails LOUDLY on scd2Apply's strict-
+    // progress guard (never silently double-applies) — resolve by
+    // re-writing the marker, the dim itself is already correct.
+    if (exists && passId.nonEmpty && lastPassOf(spark, metaPath).contains(passId)) {
+      val cur = spark.read.parquet(dimDir)
+      val rows = cur.count()
+      val open = cur.where(org.apache.spark.sql.functions.col("is_current") === 1L).count()
+      return Scd2Report(dryRun, bootstrap = false, rows, rows, open, open, skipped = true)
+    }
     val before = if (exists) spark.read.parquet(dimDir) else null
     val rowsBefore = if (exists) before.count() else 0L
     val openBefore =
@@ -217,6 +234,13 @@ object Maintenance {
       val rowsAfter = written.count()
       val openAfter = written.where(org.apache.spark.sql.functions.col("is_current") === 1L).count()
       swapDir(fs, tmp, new Path(dimDir))
+      if (passId.nonEmpty) {
+        import spark.implicits._
+        val metaTmp = new Path(metaPath.toString + ".tmp")
+        Seq(Tuple1(passId)).toDF("last_pass")
+          .write.mode(SaveMode.Overwrite).parquet(metaTmp.toString)
+        swapDir(fs, metaTmp, metaPath)
+      }
       Scd2Report(dryRun = false, bootstrap = !exists, rowsBefore, rowsAfter, openBefore, openAfter)
     }
   }

@@ -137,6 +137,38 @@ object ScaleSmokeR13 {
       println(s"SCALER13 postingsAudit after age-off ok=${Maintenance.postingsAudit(spark, idxS).ok}")
     }
 
+    // IVF maintained store: list_id-pruned probe read growth + the
+    // staged-increment cost vs bootstrap
+    if (only.isEmpty || only.exists("ivf".contains(_))) {
+      val eb = graft.operators.Points.table(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      def ecorpus(r: Int) = eb
+        .crossJoin(spark.range(r.toLong).select(col("id").as("r")))
+        .select((col("vec_id") * r + col("r")).as("vec_id"), col("embedding"))
+        .repartition(32)
+      val (eS, eB) = (ecorpus(reps).cache(), ecorpus(grow).cache())
+      println(s"SCALER13 ivf tiers: ${eS.count()} vs ${eB.count()} vectors")
+      val (ivS, ivB) = (s"$tmp/ivfsmall/index", s"$tmp/ivfbig/index")
+      val (_, ibS) = timed(Maintenance.ivfMaintain(spark, ivS, eS, nLists = 64, passId = "boot"))
+      val (_, ibB) = timed(Maintenance.ivfMaintain(spark, ivB, eB, nLists = 64, passId = "boot"))
+      println(f"SCALER13 ivf bootstrap ${reps}x $ibS%.2f s, ${grow}x $ibB%.2f s")
+      val inc = eb.limit(2000)
+        .select((col("vec_id") + lit(900000000L)).as("vec_id"), col("embedding"))
+      val (_, iiB) = timed(Maintenance.ivfMaintain(spark, ivB, inc, nLists = 64, passId = "inc1"))
+      println(f"SCALER13 ivf staged increment (2k vecs) into ${grow}x: $iiB%.2f s")
+      val pq = eb.where(col("vec_id") % 97 === 0).limit(200)
+      Maintenance.ivfKnnMaintained(spark, ivS, pq, k = 10, nProbe = 4).count()
+      val (_, irS) = timed(Maintenance.ivfKnnMaintained(spark, ivS, pq, k = 10, nProbe = 4).count())
+      Maintenance.ivfKnnMaintained(spark, ivB, pq, k = 10, nProbe = 4).count()
+      val (_, irB) = timed(Maintenance.ivfKnnMaintained(spark, ivB, pq, k = 10, nProbe = 4).count())
+      println(f"SCALER13 ivfKnnMaintained read ${reps}x $irS%.2f s vs ${grow}x $irB%.2f s " +
+        f"(${grow.toDouble / reps}%.0fx index -> ${irB / irS}%.2fx read)")
+      val plan = Maintenance.ivfKnnMaintained(spark, ivB, pq, k = 10, nProbe = 4)
+        .queryExecution.executedPlan.toString
+      println(s"SCALER13 grown ivf probe prunes on list_id: ${plan.contains("PartitionFilters")}")
+      println(s"SCALER13 ivfAudit ok=${Maintenance.ivfAudit(spark, ivB).ok}")
+    }
+
     // LSH signature store: 95% bootstrap vs 5% increment + delta screen
     if (only.isEmpty || only.exists("lsh".contains(_))) {
       val lshIdx = s"$tmp/lsh/index"

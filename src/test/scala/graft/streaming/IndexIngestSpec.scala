@@ -141,4 +141,36 @@ class IndexIngestSpec extends AnyFunSuite with SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(got == want && got.nonEmpty)
   }
+
+  test("streamed SCD2 dimension: micro-batch folds == one batch scd2; replays skip") {
+    import org.apache.spark.sql.functions.col
+    val base = Files.createTempDirectory("graft-ingestscd2").toString
+    val dim = s"$base/dim"
+    // 30 users x 3 attr changes, event time strictly increasing per key
+    def ev(i: Long): (Long, String, Long, Long) = {
+      val (user, step) = (i % 30, i / 30)
+      (user, s"attr-${(user + step) % 5}", 1000L + step * 100L + user, i)
+    }
+    val all = (0L until 90L).map(ev).toDF("user_id", "attr", "ms", "event_id")
+    val input = MemoryStream[(Long, String, Long, Long)]
+    val q = IndexIngest.startScd2Sink(
+      input.toDS().toDF("user_id", "attr", "ms", "event_id"),
+      dim, s"$base/ckpt", "user_id", "attr", "ms", "event_id")
+    (0 to 2).foreach { b =>
+      input.addData((b * 30L until (b + 1) * 30L).map(ev): _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    // streamed history == one batch scd2 over the full event set
+    val batch = graft.operators.Cdc.scd2(all, "user_id", "attr", col("ms"), "event_id")
+      .collect().map(_.toSeq).toSet
+    assert(spark.read.parquet(dim).collect().map(_.toSeq).toSet == batch)
+    // a blind REPLAY of the committed last batch skips cleanly (the
+    // foreachBatch restart shape), leaving the history untouched
+    val replay = Maintenance.scd2Maintain(spark, dim,
+      (60L until 90L).map(ev).toDF("user_id", "attr", "ms", "event_id"),
+      "user_id", "attr", col("ms"), "event_id", passId = "batch-2")
+    assert(replay.skipped)
+    assert(spark.read.parquet(dim).collect().map(_.toSeq).toSet == batch)
+  }
 }
