@@ -242,6 +242,42 @@ object LlmQueries {
       idx
     })
 
+  /** The lshAgeOff-AGED signature store backing `dedup_lsh_ageoff` — the
+    * near-dup screen's retention sibling: full-corpus bootstrap, one
+    * retention pass dropping every 11th doc's signatures, then a delta
+    * screen (every 7th doc re-keyed as new) against the survivors. A
+    * signature left behind after age-off resurfaces as a phantom
+    * candidate pair; a lost survivor silently weakens the screen — the
+    * oracle recomputes the screen over exactly (survivors ∪ delta). */
+  private val agedLshMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def agedLshDir(s: SparkSession, dir: String): String =
+    agedLshMemo.computeIfAbsent(s"${SessionKeys.key(s)}:$dir", _ => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val idx = java.nio.file.Files.createTempDirectory("graft-lshaged").toString + "/index"
+      graft.tools.Maintenance.lshMaintain(s, idx, d, passId = "boot")
+      graft.tools.Maintenance.lshAgeOff(s, idx,
+        d.where(col("doc_id") % 11 === 0).select("doc_id"))
+      idx
+    })
+
+  /** The ivfAgeOff-AGED index backing `embed_ivf_ageoff` — the ANN
+    * retention sibling of `search_bm25_ageoff`: full-corpus bootstrap,
+    * then one retention pass dropping every 11th vector (the probe
+    * queries excluded so the gate's query batch survives). The pruned
+    * probe over the aged store must equal scoring the SURVIVORS under the
+    * ORIGINAL geometry — any aged row left behind (or survivor lost)
+    * shifts a top-k list. */
+  private val agedIvfMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def agedIvfDir(s: SparkSession, dir: String): String =
+    agedIvfMemo.computeIfAbsent(s"${SessionKeys.key(s)}:$dir", _ => {
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val idx = java.nio.file.Files.createTempDirectory("graft-ivfaged").toString + "/index"
+      graft.tools.Maintenance.ivfMaintain(s, idx, e, nLists = 16, passId = "boot")
+      graft.tools.Maintenance.ivfAgeOff(s, idx,
+        e.where(col("vec_id") % 11 === 0 && col("vec_id") >= 5).select("vec_id"))
+      idx
+    })
+
   /** The lshMaintain-written SIGNATURE store backing `dedup_lsh_store` (the
     * fifth maintained artifact): bootstrap signs 2/3 of the corpus, the
     * increment screen pairs the remaining third against the PERSISTED
@@ -582,6 +618,15 @@ object LlmQueries {
     // bucket-pruned signatures — together exactly the batch LSH over the
     // full corpus, checked against the same oracle construction
     "dedup_lsh_store" -> ((s, dir) => lshStoreCandidates(s, dir)),
+    // LSH RETENTION: delta screen (every 7th doc re-keyed new) against the
+    // lshAgeOff-aged store — candidates must cover exactly (survivors ∪
+    // delta): no phantom pairs from aged signatures, no lost survivors
+    "dedup_lsh_ageoff" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val delta = d.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      graft.tools.Maintenance.lshCandidates(s, agedLshDir(s, dir), delta)
+    }),
     // incremental screen: only the snapshot diff's ADDED docs pair against
     // the (base + added) band index — delta-bounded near-dup work
     "dedup_incremental" -> ((s, dir) => {
@@ -690,6 +735,15 @@ object LlmQueries {
     "embed_ivf_store" -> ((s, dir) => {
       val e = emb(s, dir)
       graft.tools.Maintenance.ivfKnnMaintained(s, ivfStoreDir(s, dir),
+        e.where(col("vec_id") < 5), k = 5, nProbe = 4)
+    }),
+    // IVF RETENTION: bootstrap on the full corpus, one ivfAgeOff pass
+    // dropping every 11th vector (probes kept), then the pruned probe —
+    // centroid geometry is bootstrap-time (age-off never retrains), so the
+    // oracle trains on ALL vectors and scores only survivors
+    "embed_ivf_ageoff" -> ((s, dir) => {
+      val e = emb(s, dir)
+      graft.tools.Maintenance.ivfKnnMaintained(s, agedIvfDir(s, dir),
         e.where(col("vec_id") < 5), k = 5, nProbe = 4)
     }),
     // IVF with int8-quantized inverted lists: float assignment/probing,
@@ -1958,6 +2012,15 @@ object LlmQueries {
       |  WHERE rank <= 5)""".stripMargin
 
   private val IvfCoreCtes = IvfCoreCtesTemplate
+
+  /** `embed_ivf_ageoff` oracle: centroids stay trained on the FULL corpus
+    * (the store's bootstrap-time geometry — age-off never retrains), but
+    * the scored lists hold only the survivors. The drop set excludes the
+    * probe queries (vec_id < 5) so the probe CTE can share the filtered
+    * corpus scan. */
+  private val IvfAgedTopCte = "WITH " + IvfCoreCtesTemplate.replace(
+    "FROM embeddings),",
+    "FROM embeddings WHERE NOT (vec_id % 11 = 0 AND vec_id >= 5)),")
 
   /** The brute-force-vs-ivf recall close shared by embed_recall_report and
     * the nProbe sweep: assumes `ivf_top` is in scope, emits one row per
@@ -3598,6 +3661,30 @@ object LlmQueries {
     // mirrors minhashLshIncremental: signatures are doc-local, so the
     // oracle filters the full signature frame to the v1+added corpus and
     // pairs only new-side bands against it
+    // mirrors lshCandidates over the AGED store: signatures of the
+    // surviving corpus (doc_id % 11 != 0) union the re-keyed delta
+    // (same text => same signatures, ids shifted), delta-anchored band
+    // join, similarity from the union signature table
+    "dedup_lsh_ageoff" ->
+      s"""WITH mh0 AS ($MinhashSql),
+         |mhd AS (SELECT doc_id + 1000000 AS doc_id, mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7
+         |        FROM mh0 WHERE doc_id % 7 = 0),
+         |mh AS (SELECT doc_id, mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7
+         |       FROM mh0 WHERE doc_id % 11 != 0
+         |       UNION ALL
+         |       SELECT doc_id, mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7 FROM mhd),
+         |bands AS (
+         |  SELECT doc_id, b, key FROM mh, LATERAL (VALUES
+         |    (0, mh0 || mh1), (1, mh2 || mh3), (2, mh4 || mh5), (3, mh6 || mh7)) AS v(b, key)),
+         |newb AS (SELECT * FROM bands WHERE doc_id >= 1000000),
+         |cand AS (
+         |  SELECT DISTINCT LEAST(a.doc_id, b.doc_id) AS a, GREATEST(a.doc_id, b.doc_id) AS b
+         |  FROM newb a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id != b.doc_id)
+         |SELECT cand.a, cand.b,
+         |       ((x.mh0 = y.mh0)::INT + (x.mh1 = y.mh1)::INT + (x.mh2 = y.mh2)::INT
+         |            + (x.mh3 = y.mh3)::INT + (x.mh4 = y.mh4)::INT + (x.mh5 = y.mh5)::INT
+         |            + (x.mh6 = y.mh6)::INT + (x.mh7 = y.mh7)::INT) / 8.0 AS est_jaccard
+         |FROM cand JOIN mh x ON cand.a = x.doc_id JOIN mh y ON cand.b = y.doc_id""".stripMargin,
     "dedup_incremental" ->
       s"""WITH mh0 AS ($MinhashSql),
          |mh AS (SELECT * FROM mh0 WHERE NOT (doc_id % 7 = 0 AND doc_id % 5 = 0)),
@@ -3825,6 +3912,8 @@ object LlmQueries {
       (IvfTopCte + "\nSELECT query_id, neighbor_id, sim, rank FROM ivf_top"),
     "embed_ivf_store" ->
       (IvfTopCte + "\nSELECT query_id, neighbor_id, sim, rank FROM ivf_top"),
+    "embed_ivf_ageoff" ->
+      (IvfAgedTopCte + "\nSELECT query_id, neighbor_id, sim, rank FROM ivf_top"),
     // mirrors Similarity.recallReport(ivfKnn, bruteForceKnn): the IVF top-k
     // above vs the exact top-k of embed_knn, per-query hits and one IEEE
     // hits/k_eff division
