@@ -239,6 +239,9 @@ object LlmQueries {
       graft.tools.Maintenance.ivfMaintain(s, idx, e.where(col("vec_id") % 3 === 0),
         nLists = 16, passId = "inc1")
       graft.tools.Maintenance.ivfRetrain(s, idx, nLists = 16)
+      // lifecycle exercised in the gated path: the census-driven rewrite
+      // (threshold 1 forces it) — the gate hash-checks the COMPACTED store
+      graft.tools.Maintenance.ivfCompact(s, idx, maxFilesPerList = 1)
       idx
     })
 

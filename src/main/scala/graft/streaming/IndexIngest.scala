@@ -62,12 +62,14 @@ object IndexIngest {
       indexDir: String,
       checkpointDir: String,
       numHashes: Int = 8,
-      bandSize: Int = 2): StreamingQuery =
+      bandSize: Int = 2,
+      autoCompactFilesPerBucket: Option[Int] = None): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         Maintenance.lshMaintain(batch.sparkSession, indexDir, batch,
-          numHashes = numHashes, bandSize = bandSize, passId = s"batch-$batchId")
+          numHashes = numHashes, bandSize = bandSize, passId = s"batch-$batchId",
+          autoCompactFilesPerBucket = autoCompactFilesPerBucket)
         ()
       }
       .start()
@@ -84,12 +86,14 @@ object IndexIngest {
       vecs: DataFrame,
       indexDir: String,
       checkpointDir: String,
-      nLists: Int = 16): StreamingQuery =
+      nLists: Int = 16,
+      autoCompactFilesPerList: Option[Int] = None): StreamingQuery =
     vecs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         Maintenance.ivfMaintain(batch.sparkSession, indexDir, batch,
-          nLists = nLists, passId = s"batch-$batchId")
+          nLists = nLists, passId = s"batch-$batchId",
+          autoCompactFilesPerList = autoCompactFilesPerList)
         ()
       }
       .start()

@@ -313,12 +313,14 @@ object Maintenance {
       vectorsBefore: Long,
       vectorsAfter: Long,
       nLists: Long,
-      skipped: Boolean = false) {
+      skipped: Boolean = false,
+      compaction: Option[StoreCompactReport] = None) {
     def render: String =
       s"ivf${if (dryRun) " (DRY RUN)" else ""}: " +
         s"${if (skipped) "pass already committed — skipped"
            else if (bootstrap) "trained + assigned" else "assigned increment"}; " +
-        s"index $vectorsBefore -> $vectorsAfter vectors over $nLists lists"
+        s"index $vectorsBefore -> $vectorsAfter vectors over $nLists lists" +
+        compaction.map(c => s"\n  ${c.render}").getOrElse("")
   }
 
   /**
@@ -369,7 +371,8 @@ object Maintenance {
       vecs: org.apache.spark.sql.DataFrame,
       nLists: Int,
       passId: String = "",
-      dryRun: Boolean = false): IvfReport = {
+      dryRun: Boolean = false,
+      autoCompactFilesPerList: Option[Int] = None): IvfReport = {
     import org.apache.spark.sql.functions._
     import graft.operators.SimilarityIvf
     val centsPath = new Path(indexDir, "centroids")
@@ -442,8 +445,13 @@ object Maintenance {
         publishPending(fs, assignPath, pending)
         val root = new Path(indexDir, "assignments.pending")
         if (fs.exists(root) && fs.listStatus(root).isEmpty) fs.delete(root, true)
+        // self-scheduling file health on the ingest cadence (an FS census;
+        // a rewrite only on measured degradation — the postings pattern)
+        val compacted = autoCompactFilesPerList
+          .map(n => ivfCompact(spark, indexDir, maxFilesPerList = n))
+          .filter(_.triggered)
         IvfReport(dryRun = false, bootstrap = false, prior.getLong(0),
-          prior.getLong(0) + staged, cents.count())
+          prior.getLong(0) + staged, cents.count(), compaction = compacted)
       }
     }
   }
@@ -1002,6 +1010,75 @@ object Maintenance {
       maxBefore)
   }
 
+  /** What one bucket-store compaction pass did (or would do) — the
+    * signatures/assignments sibling of [[PostingsCompactReport]]. */
+  case class StoreCompactReport(
+      dryRun: Boolean,
+      triggered: Boolean,
+      filesBefore: Long,
+      filesAfter: Long,
+      maxBefore: Long) {
+    def render: String =
+      s"store compact${if (dryRun) " (DRY RUN)" else ""}: " +
+        (if (!triggered) s"healthy (max $maxBefore files/bucket) — no-op"
+         else s"files $filesBefore -> $filesAfter (max $maxBefore files/bucket before)")
+  }
+
+  /** Files-per-partition census of one bucket-partitioned store dir. */
+  private def bucketCensus(fs: org.apache.hadoop.fs.FileSystem,
+      path: Path, prefix: String): Seq[Long] =
+    if (!fs.exists(path)) Seq.empty
+    else fs.listStatus(path).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+      .map(d => fs.listStatus(d.getPath).count(_.getPath.getName.endsWith(".parquet")).toLong)
+
+  /** Census-triggered rewrite of one bucket-partitioned store dir through
+    * the atomic-swap path — shared by [[lshCompact]] and [[ivfCompact]]
+    * (each staged-append increment adds one file per touched bucket, so a
+    * daily cadence accumulates files without bound exactly like the
+    * postings store; [[postingsCompact]] keeps its own multi-sidecar
+    * variant). */
+  private def compactBucketDir(spark: SparkSession, path: Path, partCol: String,
+      maxFiles: Int, dryRun: Boolean): StoreCompactReport = {
+    import org.apache.spark.sql.functions._
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverDir(fs, path)
+    val before = bucketCensus(fs, path, partCol + "=")
+    val (fb, mb) = (before.sum, if (before.isEmpty) 0L else before.max)
+    val triggered = before.nonEmpty && before.max > maxFiles
+    if (!triggered || dryRun)
+      return StoreCompactReport(dryRun, triggered, fb, fb, mb)
+    val tmp = new Path(path.toString + ".tmp")
+    spark.read.parquet(path.toString).repartition(col(partCol))
+      .write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(tmp.toString)
+    swapDir(fs, tmp, path)
+    StoreCompactReport(dryRun = false, triggered = true, fb,
+      bucketCensus(fs, path, partCol + "=").sum, mb)
+  }
+
+  /** Census-driven compaction of an [[lshMaintain]] signature store. */
+  def lshCompact(spark: SparkSession, indexDir: String,
+      maxFilesPerBucket: Int = 8, dryRun: Boolean = false): StoreCompactReport = {
+    val fs = new Path(indexDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!dryRun) reconcilePending(fs, indexDir, "signatures",
+      lastPassOf(spark, new Path(indexDir, "meta")))
+    compactBucketDir(spark, new Path(indexDir, "signatures"), "kb",
+      maxFilesPerBucket, dryRun)
+  }
+
+  /** Census-driven compaction of an [[ivfMaintain]] assignment store. */
+  def ivfCompact(spark: SparkSession, indexDir: String,
+      maxFilesPerList: Int = 8, dryRun: Boolean = false): StoreCompactReport = {
+    val fs = new Path(indexDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!dryRun) {
+      reconcilePending(fs, indexDir, "assignments",
+        lastPassOf(spark, new Path(indexDir, "meta")))
+      ivfRepair(spark, indexDir)
+    }
+    compactBucketDir(spark, new Path(indexDir, "assignments"), "list_id",
+      maxFilesPerList, dryRun)
+  }
+
   /** What one postings age-off pass did (or would do). */
   case class PostingsAgeOffReport(
       dryRun: Boolean,
@@ -1350,12 +1427,14 @@ object Maintenance {
       docsBefore: Long,
       docsAfter: Long,
       bandRows: Long,
-      skipped: Boolean = false) {
+      skipped: Boolean = false,
+      compaction: Option[StoreCompactReport] = None) {
     def render: String =
       s"lsh${if (dryRun) " (DRY RUN)" else ""}: " +
         s"${if (skipped) "pass already committed — skipped"
            else if (bootstrap) "bootstrapped signatures" else "appended increment"}; " +
-        s"docs $docsBefore -> $docsAfter, $bandRows band rows this pass"
+        s"docs $docsBefore -> $docsAfter, $bandRows band rows this pass" +
+        compaction.map(c => s"\n  ${c.render}").getOrElse("")
   }
 
   /**
@@ -1386,7 +1465,8 @@ object Maintenance {
       numHashes: Int = 8,
       bandSize: Int = 2,
       passId: String = "",
-      dryRun: Boolean = false): LshReport = {
+      dryRun: Boolean = false,
+      autoCompactFilesPerBucket: Option[Int] = None): LshReport = {
     import org.apache.spark.sql.functions._
     val sigPath = new Path(indexDir, "signatures")
     val metaPath = new Path(indexDir, "meta")
@@ -1438,7 +1518,12 @@ object Maintenance {
       publishPending(fs, sigPath, pending)
       val pendRoot = new Path(indexDir, "signatures.pending")
       if (fs.exists(pendRoot) && fs.listStatus(pendRoot).isEmpty) fs.delete(pendRoot, true)
-      LshReport(dryRun = false, bootstrap = false, before, before + dN, staged)
+      // self-scheduling file health on the ingest cadence (postings pattern)
+      val compacted = autoCompactFilesPerBucket
+        .map(n => lshCompact(spark, indexDir, maxFilesPerBucket = n))
+        .filter(_.triggered)
+      LshReport(dryRun = false, bootstrap = false, before, before + dN, staged,
+        compaction = compacted)
     }
   }
 

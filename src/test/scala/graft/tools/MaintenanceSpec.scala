@@ -822,6 +822,53 @@ class MaintenanceSpec extends AnyFunSuite with SparkSpec {
     assert(!bad.listIdsValid && bad.maxListId == 99L && !bad.ok)
   }
 
+  test("lshCompact / ivfCompact: accumulated increment files rewrite, content-invariant") {
+    import org.apache.spark.sql.functions.col
+    // LSH: bootstrap + 5 increments (one file per touched kb bucket each)
+    val lshDir = Files.createTempDirectory("graft-lshcompact").toString + "/index"
+    val docs = (0L until 120L).map { i =>
+      (i, s"alpha doc$i beta shared corpus words run${i % 6} gamma")
+    }.toDF("doc_id", "text")
+    Maintenance.lshMaintain(spark, lshDir, docs.where(col("doc_id") < 20L), passId = "boot")
+    (1 to 5).foreach { k =>
+      Maintenance.lshMaintain(spark, lshDir,
+        docs.where(col("doc_id") >= k * 20L && col("doc_id") < (k + 1) * 20L),
+        passId = s"inc$k")
+    }
+    def lshSnap() = spark.read.parquet(s"$lshDir/signatures")
+      .collect().map(_.toSeq).toSet
+    val lshBefore = lshSnap()
+    val lshDry = Maintenance.lshCompact(spark, lshDir, maxFilesPerBucket = 1, dryRun = true)
+    assert(lshDry.dryRun && lshDry.triggered && lshSnap() == lshBefore)
+    val lshRep = Maintenance.lshCompact(spark, lshDir, maxFilesPerBucket = 1)
+    assert(lshRep.triggered && lshRep.filesAfter < lshRep.filesBefore)
+    assert(lshSnap() == lshBefore && Maintenance.lshAudit(spark, lshDir).ok)
+    // healthy store: second pass is a census-only no-op
+    assert(!Maintenance.lshCompact(spark, lshDir, maxFilesPerBucket = 1).triggered)
+    // IVF: auto-compaction self-schedules from the maintain pass itself
+    val ivfDir = Files.createTempDirectory("graft-ivfcompact").toString + "/index"
+    val vecs = (0L until 120L).map { i =>
+      (i, Array.tabulate(4)(d => ((i * 3 + d * 5) % 11).toFloat))
+    }.toDF("vec_id", "embedding")
+    Maintenance.ivfMaintain(spark, ivfDir, vecs.where(col("vec_id") < 20L),
+      nLists = 4, passId = "boot")
+    var compactions = 0
+    (1 to 5).foreach { k =>
+      val r = Maintenance.ivfMaintain(spark, ivfDir,
+        vecs.where(col("vec_id") >= k * 20L && col("vec_id") < (k + 1) * 20L),
+        nLists = 4, passId = s"inc$k", autoCompactFilesPerList = Some(2))
+      if (r.compaction.isDefined) compactions += 1
+    }
+    assert(compactions >= 1, "the degraded store must self-schedule a rewrite")
+    assert(Maintenance.ivfAudit(spark, ivfDir).ok)
+    // the compacted store still equals one batch assign under its centroids
+    val cents = spark.read.parquet(s"$ivfDir/centroids")
+    assert(spark.read.parquet(s"$ivfDir/assignments")
+      .select("vec_id", "list_id").collect().map(_.toSeq).toSet ==
+      graft.operators.SimilarityIvf.assign(vecs, cents)
+        .select("vec_id", "list_id").collect().map(_.toSeq).toSet)
+  }
+
   test("ivf pass protocol: retries skip; maintained probe prunes lists; lifecycle == fresh") {
     import org.apache.spark.sql.functions.col
     import graft.operators.SimilarityIvf
