@@ -93,8 +93,9 @@ object Bench {
     // pass 1 BY DESIGN — the median then reports steady-state read cost,
     // with pass 1 carrying the one-time build (visible in pass_totals)
     val notes = jstr("shared_build_{scd2_dim,dp_ledger,postings_store,postings_aged," +
-      "lsh_store} build durable store directories memoized per session: ~0s after " +
-      "pass 1 by design; pass 1 (in pass_totals) carries the build cost")
+      "lsh_store} and the ivf/lsh-aged store memos build durable directories once " +
+      "per session: ~0s after pass 1 by design; pass 1 (in pass_totals) carries " +
+      "the build cost")
     println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,""" +
       s""""pass_totals":$passTotals,"notes":$notes,"queries":$qs$errField,"sf":"$sfDir"}""")
     // LAST line: a compact self-contained summary (total + slowest 20) that
