@@ -809,12 +809,21 @@ object Search {
    *         correction candidates per query term.
    */
   def spellSuggest(docs: DataFrame, queries: DataFrame, maxDist: Int = 1,
-                   k: Int = 3): DataFrame = {
+                   k: Int = 3): DataFrame =
+    spellSuggestFromVocab(
+      docs.select(explode(split(lower(col("text")), " ")).as("w"))
+        .where(col("w") =!= "")
+        .groupBy("w").agg(count(lit(1)).as("n")),
+      queries, maxDist, k)
+
+  /** [[spellSuggest]] over a pre-built `(w, n)` vocabulary frame — the
+    * maintained-store entry point ([[graft.tools.Maintenance]] keeps an
+    * additive word-count table; summed per word it equals the query-time
+    * corpus explode, so the two routes are bit-identical). The vocabulary
+    * must cover at least the queries' first-letter blocks. */
+  def spellSuggestFromVocab(vocab: DataFrame, queries: DataFrame,
+      maxDist: Int = 1, k: Int = 3): DataFrame = {
     require(maxDist >= 1 && k >= 1, "positive maxDist and k")
-    val vocab = docs
-      .select(explode(split(lower(col("text")), " ")).as("w"))
-      .where(col("w") =!= "")
-      .groupBy("w").agg(count(lit(1)).as("n"))
     val q = queries.select(col("query_id"), lower(col("qterm")).as("qterm"))
     val cand = vocab.join(broadcast(q),
         substring(col("w"), 1, 1) === substring(col("qterm"), 1, 1) &&

@@ -245,6 +245,39 @@ object LlmQueries {
       idx
     })
 
+  /** The vocabMaintain-written word-count store backing
+    * `search_spell_store` (full corpus via bootstrap 2/3 + increment 1/3 —
+    * additive counts, so deltas sum to exactly the fresh-corpus vocab)
+    * and `search_spell_ageoff` (the same store after a vocabRetire pass
+    * appends every 11th doc's counts NEGATED, then merge-compaction
+    * reclaims zeroed words — the retention-as-negative-delta shape of the
+    * additive-aggregate artifact). */
+  private val vocabStoreMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def vocabStoreDir(s: SparkSession, dir: String): String =
+    vocabStoreMemo.computeIfAbsent(s"${SessionKeys.key(s)}:$dir", _ => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val idx = java.nio.file.Files.createTempDirectory("graft-vocabstore").toString + "/index"
+      graft.tools.Maintenance.vocabMaintain(s, idx, d.where(col("doc_id") % 3 =!= 0),
+        passId = "boot")
+      graft.tools.Maintenance.vocabMaintain(s, idx, d.where(col("doc_id") % 3 === 0),
+        passId = "inc1")
+      idx
+    })
+
+  private val agedVocabMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def agedVocabDir(s: SparkSession, dir: String): String =
+    agedVocabMemo.computeIfAbsent(s"${SessionKeys.key(s)}:$dir", _ => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val idx = java.nio.file.Files.createTempDirectory("graft-vocabaged").toString + "/index"
+      graft.tools.Maintenance.vocabMaintain(s, idx, d, passId = "boot")
+      graft.tools.Maintenance.vocabRetire(s, idx,
+        d.where(col("doc_id") % 11 === 0), passId = "ret1")
+      // merge-compaction reclaims the zeroed words; the gate reads the
+      // MERGED store (threshold 1 forces the rewrite)
+      graft.tools.Maintenance.vocabCompact(s, idx, maxFilesPerBucket = 1)
+      idx
+    })
+
   /** The lshAgeOff-AGED signature store backing `dedup_lsh_ageoff` — the
     * near-dup screen's retention sibling: full-corpus bootstrap, one
     * retention pass dropping every 11th doc's signatures, then a delta
@@ -1534,6 +1567,27 @@ object LlmQueries {
           expr(s"concat(substring($w2, 1, length($w2) - 1), 'z')").as("qterm"))
       graft.operators.Search.spellSuggest(d, q)
     }),
+    // spell suggest over the MAINTAINED vocabulary: vb-bucket-pruned read
+    // of the additive count store — same full-corpus oracle
+    "search_spell_store" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val w2 = "element_at(split(text, ' '), 2)"
+      val q = d.where(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("query_id"),
+          expr(s"concat(substring($w2, 1, length($w2) - 1), 'z')").as("qterm"))
+      graft.tools.Maintenance.spellMaintained(s, vocabStoreDir(s, dir), q)
+    }),
+    // VOCAB RETENTION: retirement = the dropped docs' counts appended
+    // NEGATED through the same pass protocol, merge-compaction reclaims —
+    // the oracle recomputes the vocab over only the surviving corpus
+    "search_spell_ageoff" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val w2 = "element_at(split(text, ' '), 2)"
+      val q = d.where(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("query_id"),
+          expr(s"concat(substring($w2, 1, length($w2) - 1), 'z')").as("qterm"))
+      graft.tools.Maintenance.spellMaintained(s, agedVocabDir(s, dir), q)
+    }),
     // license/copyright screen over planted boilerplate: every 13th doc a
     // dated copyright + rights line, every 21st a license grant
     "text_license_screen" -> ((s, dir) => {
@@ -1867,6 +1921,30 @@ object LlmQueries {
       |         [CAST(best.snip_start + 1 AS INTEGER):CAST(best.snip_start + 12 AS INTEGER)],
       |         ' ') AS snippet
       |FROM best JOIN documents d ON best.doc_id = d.doc_id""".stripMargin
+
+  /** Spell-suggest oracle (maxDist=1, k=3) parameterized by a corpus
+    * filter — `search_spell_suggest`/`search_spell_store` use the full
+    * corpus, `search_spell_ageoff` the post-retirement survivors. The
+    * probe queries always come from the unfiltered table. */
+  private def spellOracleSql(corpusWhere: String): String =
+    s"""WITH v AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM (
+       |             SELECT UNNEST(string_split(lower(text), ' ')) AS w
+       |             FROM documents $corpusWhere)
+       |           WHERE w != '' GROUP BY 1),
+       |q AS (SELECT doc_id AS query_id,
+       |             lower(substr(string_split(text, ' ')[2], 1,
+       |                          length(string_split(text, ' ')[2]) - 1) || 'z') AS qterm
+       |      FROM documents WHERE doc_id % 97 = 0),
+       |c AS (SELECT q.query_id, q.qterm, v.w, v.n,
+       |             CAST(levenshtein(q.qterm, v.w) AS BIGINT) AS dist
+       |      FROM v JOIN q ON substr(v.w, 1, 1) = substr(q.qterm, 1, 1)
+       |                   AND abs(length(v.w) - length(q.qterm)) <= 1
+       |      WHERE levenshtein(q.qterm, v.w) <= 1),
+       |r AS (SELECT query_id, qterm, w AS suggestion, dist, n,
+       |             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |                    ORDER BY dist ASC, n DESC, w ASC) AS BIGINT) AS rank
+       |      FROM c)
+       |SELECT query_id, qterm, rank, suggestion, dist, n FROM r WHERE rank <= 3""".stripMargin
 
   /** Boolean MUST/NOT oracle — shared by `search_boolean` and
     * `search_boolean_store`. */
@@ -5744,24 +5822,13 @@ object LlmQueries {
     "search_proximity_store" -> ProximityNearOracleSql,
     // mirrors Search.spellSuggest(maxDist=1, k=3) over the typo'd word-2
     // probes: same blocking, levenshtein, (dist, n DESC, w) rank
-    "search_spell_suggest" ->
-      """WITH v AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM (
-        |             SELECT UNNEST(string_split(lower(text), ' ')) AS w FROM documents)
-        |           WHERE w != '' GROUP BY 1),
-        |q AS (SELECT doc_id AS query_id,
-        |             lower(substr(string_split(text, ' ')[2], 1,
-        |                          length(string_split(text, ' ')[2]) - 1) || 'z') AS qterm
-        |      FROM documents WHERE doc_id % 97 = 0),
-        |c AS (SELECT q.query_id, q.qterm, v.w, v.n,
-        |             CAST(levenshtein(q.qterm, v.w) AS BIGINT) AS dist
-        |      FROM v JOIN q ON substr(v.w, 1, 1) = substr(q.qterm, 1, 1)
-        |                   AND abs(length(v.w) - length(q.qterm)) <= 1
-        |      WHERE levenshtein(q.qterm, v.w) <= 1),
-        |r AS (SELECT query_id, qterm, w AS suggestion, dist, n,
-        |             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-        |                    ORDER BY dist ASC, n DESC, w ASC) AS BIGINT) AS rank
-        |      FROM c)
-        |SELECT query_id, qterm, rank, suggestion, dist, n FROM r WHERE rank <= 3""".stripMargin,
+    "search_spell_suggest" -> spellOracleSql(""),
+    // the maintained vocabulary is additive, so bootstrap + increment
+    // deltas sum to exactly the full-corpus counts — same oracle
+    "search_spell_store" -> spellOracleSql(""),
+    // after vocabRetire(every 11th doc), the summed deltas equal the
+    // surviving corpus's counts — the oracle recomputes over survivors
+    "search_spell_ageoff" -> spellOracleSql("WHERE doc_id % 11 != 0"),
     // mirrors TextAnalysis.licenseScreen over the planted boilerplate:
     // same RE2 marker patterns verbatim, chained CASE plant
     "text_license_screen" ->

@@ -1079,6 +1079,214 @@ object Maintenance {
       maxFilesPerList, dryRun)
   }
 
+  // ---- maintained vocabulary (additive word counts) ----------------------
+
+  /** First-letter hash bucket for the vocab layout: spell candidates block
+    * on the first character, so bucketing on a hash OF that character
+    * makes the suggest read a partition-pruned fetch (and stays path-safe
+    * for arbitrary unicode words, unlike partitioning on the raw char). */
+  private def charBucket(w: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    pmod(conv(substring(md5(substring(w, 1, 1)), 1, 2), 16, 10).cast("long"), lit(64L))
+  }
+
+  private def vocabRows(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    docs.select(explode(split(lower(col("text")), " ")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .withColumn("vb", charBucket(col("w")))
+  }
+
+  /** What one vocabulary pass did (or would do). `deltaTokens` is signed:
+    * positive for an ingest pass, negative for a retirement. */
+  case class VocabReport(
+      dryRun: Boolean,
+      bootstrap: Boolean,
+      tokensBefore: Long,
+      tokensAfter: Long,
+      deltaTokens: Long,
+      skipped: Boolean = false,
+      compaction: Option[StoreCompactReport] = None) {
+    def render: String =
+      s"vocab${if (dryRun) " (DRY RUN)" else ""}: " +
+        s"${if (skipped) "pass already committed — skipped"
+           else if (bootstrap) "bootstrapped" else s"applied delta ($deltaTokens tokens)"}; " +
+        s"tokens $tokensBefore -> $tokensAfter" +
+        compaction.map(c => s"\n  ${c.render}").getOrElse("")
+  }
+
+  /**
+   * Maintained VOCABULARY on the store — the first ADDITIVE-AGGREGATE
+   * artifact (the others are keyed row stores): `indexDir/vocab` holds
+   * `(w, n, vb)` COUNT DELTAS partitioned on the first-letter hash bucket,
+   * and a read sums per word — so an ingest pass appends positive deltas,
+   * a retirement pass ([[vocabRetire]]) appends NEGATIVE deltas for the
+   * dropped docs' words through the exact same staged-append commit, and
+   * [[vocabCompact]] MERGES deltas (groupBy-sum rewrite, dropping words
+   * whose total reached zero) instead of merely re-filing them. Counts are
+   * exact integers, so sum-of-deltas == a fresh corpus count at every
+   * point in the lifecycle (spec-pinned). The stats row's accumulated
+   * token total is the commit point recording `last_pass`.
+   */
+  def vocabMaintain(
+      spark: SparkSession,
+      indexDir: String,
+      docs: org.apache.spark.sql.DataFrame,
+      passId: String = "",
+      dryRun: Boolean = false,
+      autoCompactFilesPerBucket: Option[Int] = None): VocabReport =
+    vocabPass(spark, indexDir, docs, passId, dryRun, autoCompactFilesPerBucket, deltaSign = 1L)
+
+  /** RETENTION for a [[vocabMaintain]] store: appends the dropped docs'
+    * word counts NEGATED, through the same staged-append commit — the
+    * additive-aggregate shape makes retirement just another delta, and a
+    * later [[vocabCompact]] physically reclaims zeroed words. The dropped
+    * frame must be exactly the docs previously ingested (over-retirement
+    * drives totals negative; [[vocabAudit]] flags it). */
+  def vocabRetire(
+      spark: SparkSession,
+      indexDir: String,
+      droppedDocs: org.apache.spark.sql.DataFrame,
+      passId: String = "",
+      dryRun: Boolean = false): VocabReport =
+    vocabPass(spark, indexDir, droppedDocs, passId, dryRun, None, deltaSign = -1L)
+
+  private def vocabPass(
+      spark: SparkSession,
+      indexDir: String,
+      docs: org.apache.spark.sql.DataFrame,
+      passId: String,
+      dryRun: Boolean,
+      autoCompactFilesPerBucket: Option[Int],
+      deltaSign: Long): VocabReport = {
+    import org.apache.spark.sql.functions._
+    val vocabPath = new Path(indexDir, "vocab")
+    val statsPath = new Path(indexDir, "stats")
+    val fs = vocabPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverDir(fs, vocabPath)
+    recoverDir(fs, statsPath)
+    if (!dryRun) reconcilePending(fs, indexDir, "vocab", lastPassOf(spark, statsPath))
+    val id = effectivePassId(passId)
+    val exists = fs.exists(statsPath)
+    require(exists || deltaSign > 0, "cannot retire from a store that does not exist")
+    if (exists && passId.nonEmpty && lastPassOf(spark, statsPath).contains(passId)) {
+      val n = spark.read.parquet(statsPath.toString).head.getLong(0)
+      return VocabReport(dryRun, bootstrap = false, n, n, 0L, skipped = true)
+    }
+    val rows = vocabRows(docs)
+      .withColumn("n", (col("n") * deltaSign).as("n"))
+    val dTok = {
+      val r = rows.agg(sum(col("n"))).head
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    val before = if (exists) spark.read.parquet(statsPath.toString).head.getLong(0) else 0L
+    if (dryRun)
+      return VocabReport(dryRun = true, bootstrap = !exists, before, before + dTok, dTok)
+    import spark.implicits._
+    if (!exists) {
+      rows.write.mode(SaveMode.Overwrite).partitionBy("vb").parquet(vocabPath.toString)
+      Seq((dTok, id)).toDF("n_tokens", "last_pass")
+        .write.mode(SaveMode.Overwrite).parquet(statsPath.toString)
+      VocabReport(dryRun = false, bootstrap = true, 0L, dTok, dTok)
+    } else {
+      val pending = new Path(indexDir, s"vocab.pending/$id")
+      rows.repartition(col("vb"))
+        .write.mode(SaveMode.Overwrite).partitionBy("vb").parquet(pending.toString)
+      val statsTmp = new Path(statsPath.toString + ".tmp")
+      Seq((before + dTok, id)).toDF("n_tokens", "last_pass")
+        .write.mode(SaveMode.Overwrite).parquet(statsTmp.toString)
+      swapDir(fs, statsTmp, statsPath)
+      publishPending(fs, vocabPath, pending)
+      val root = new Path(indexDir, "vocab.pending")
+      if (fs.exists(root) && fs.listStatus(root).isEmpty) fs.delete(root, true)
+      val compacted = autoCompactFilesPerBucket
+        .map(n => vocabCompact(spark, indexDir, maxFilesPerBucket = n))
+        .filter(_.triggered)
+      VocabReport(dryRun = false, bootstrap = false, before, before + dTok, dTok,
+        compaction = compacted)
+    }
+  }
+
+  /** MERGE-compaction for a [[vocabMaintain]] store: when the files-per-
+    * bucket census degrades, rewrite each bucket as the per-word SUM of
+    * its deltas, physically dropping words whose total reached zero (the
+    * retirement reclaim) — read-equivalent by the additive contract, and
+    * the row count shrinks from deltas to distinct live words. */
+  def vocabCompact(spark: SparkSession, indexDir: String,
+      maxFilesPerBucket: Int = 8, dryRun: Boolean = false): StoreCompactReport = {
+    import org.apache.spark.sql.functions._
+    val vocabPath = new Path(indexDir, "vocab")
+    val fs = vocabPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverDir(fs, vocabPath)
+    if (!dryRun) reconcilePending(fs, indexDir, "vocab",
+      lastPassOf(spark, new Path(indexDir, "stats")))
+    val before = bucketCensus(fs, vocabPath, "vb=")
+    val (fb, mb) = (before.sum, if (before.isEmpty) 0L else before.max)
+    val triggered = before.nonEmpty && before.max > maxFilesPerBucket
+    if (!triggered || dryRun)
+      return StoreCompactReport(dryRun, triggered, fb, fb, mb)
+    val tmp = new Path(vocabPath.toString + ".tmp")
+    spark.read.parquet(vocabPath.toString)
+      .groupBy("w", "vb").agg(sum(col("n")).as("n"))
+      .where(col("n") =!= 0L)
+      .select("w", "n", "vb")
+      .repartition(col("vb"))
+      .write.mode(SaveMode.Overwrite).partitionBy("vb").parquet(tmp.toString)
+    swapDir(fs, tmp, vocabPath)
+    StoreCompactReport(dryRun = false, triggered = true, fb,
+      bucketCensus(fs, vocabPath, "vb=").sum, mb)
+  }
+
+  /** [[vocabMaintain]] integrity audit: the summed deltas must equal the
+    * stats row's accumulated token total exactly (additive bookkeeping),
+    * and no word's total may be negative (over-retirement). */
+  case class VocabAuditReport(sumTokens: Long, statsTokens: Long, negativeWords: Long) {
+    def sumMatch: Boolean = sumTokens == statsTokens
+    def nonNegative: Boolean = negativeWords == 0L
+    def ok: Boolean = sumMatch && nonNegative
+  }
+
+  def vocabAudit(spark: SparkSession, indexDir: String): VocabAuditReport = {
+    import org.apache.spark.sql.functions._
+    val statsPath = new Path(indexDir, "stats")
+    val fs = statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    reconcilePending(fs, indexDir, "vocab", lastPassOf(spark, statsPath))
+    val totals = spark.read.parquet(new Path(indexDir, "vocab").toString)
+      .groupBy("w").agg(sum(col("n")).as("t"))
+    val r = totals.agg(sum(col("t")).as("s"),
+      sum(when(col("t") < 0L, 1L).otherwise(0L)).as("neg")).head
+    VocabAuditReport(
+      if (r.isNullAt(0)) 0L else r.getLong(0),
+      spark.read.parquet(statsPath.toString).head.getLong(0),
+      if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  /** Spell suggestion over a [[vocabMaintain]] store: the query terms'
+    * first-letter buckets are computed driver-side and the vocab scan
+    * prunes on the `vb` PARTITION column (candidates block on the first
+    * character, so the bucket superset is sound), deltas sum per word
+    * (zero/negative totals drop — retired words never resurface), and
+    * scoring is the shared
+    * [[graft.operators.Search.spellSuggestFromVocab]] — bit-identical to
+    * the batch corpus-explode route (spec-pinned). */
+  def spellMaintained(spark: SparkSession, indexDir: String,
+      queries: org.apache.spark.sql.DataFrame,
+      maxDist: Int = 1, k: Int = 3): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val statsPath = new Path(indexDir, "stats")
+    val fs = statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    reconcilePending(fs, indexDir, "vocab", lastPassOf(spark, statsPath))
+    val q = queries.select(lower(col("qterm")).as("qterm"))
+    val buckets = q.select(charBucket(col("qterm")).as("vb")).distinct()
+      .collect().map(_.getLong(0))
+    val vocab = spark.read.parquet(new Path(indexDir, "vocab").toString)
+      .where(col("vb").isin(buckets.toIndexedSeq: _*))
+      .groupBy("w").agg(sum(col("n")).as("n"))
+      .where(col("n") > 0L)
+    graft.operators.Search.spellSuggestFromVocab(vocab, queries, maxDist, k)
+  }
+
   /** What one postings age-off pass did (or would do). */
   case class PostingsAgeOffReport(
       dryRun: Boolean,

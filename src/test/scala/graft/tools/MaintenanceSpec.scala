@@ -822,6 +822,63 @@ class MaintenanceSpec extends AnyFunSuite with SparkSpec {
     assert(!bad.listIdsValid && bad.maxListId == 99L && !bad.ok)
   }
 
+  test("vocab store: additive deltas == fresh counts; retire goes negative; compact merges") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Search
+    val dir = Files.createTempDirectory("graft-vocab").toString + "/index"
+    val all = (0L until 90L).map { i =>
+      (i, s"Alpha doc$i beta Shared words run${i % 9} gamma " * (1 + (i % 3)).toInt)
+    }.toDF("doc_id", "text")
+    // bootstrap + 2 increments
+    Maintenance.vocabMaintain(spark, dir, all.where(col("doc_id") < 40L), passId = "boot")
+    Maintenance.vocabMaintain(spark, dir,
+      all.where(col("doc_id") >= 40L && col("doc_id") < 70L), passId = "inc1")
+    val r = Maintenance.vocabMaintain(spark, dir, all.where(col("doc_id") >= 70L),
+      passId = "inc2")
+    assert(!r.bootstrap && r.deltaTokens > 0L)
+    // blind retry of a committed pass skips
+    assert(Maintenance.vocabMaintain(spark, dir, all.where(col("doc_id") >= 70L),
+      passId = "inc2").skipped)
+    assert(Maintenance.vocabAudit(spark, dir).ok)
+    // maintained suggest == the batch corpus-explode route, bit-exact
+    val w2 = org.apache.spark.sql.functions.expr("element_at(split(text, ' '), 2)")
+    val q = all.where(col("doc_id") % 11 === 0)
+      .select(col("doc_id").as("query_id"),
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.expr(
+            "substring(element_at(split(text, ' '), 2), 1, length(element_at(split(text, ' '), 2)) - 1)"),
+          org.apache.spark.sql.functions.lit("z")).as("qterm"))
+    val got = Maintenance.spellMaintained(spark, dir, q).collect().map(_.toSeq).toSet
+    val want = Search.spellSuggest(all, q).collect().map(_.toSeq).toSet
+    assert(got == want && got.nonEmpty)
+    // the suggest read PRUNES on the vb partition column
+    val plan = Maintenance.spellMaintained(spark, dir, q)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("vb"),
+      s"expected vb partition pruning in the vocab scan:\n$plan")
+    // RETIRE every 9th doc (negative deltas through the same protocol):
+    // suggest then equals the batch route over the SURVIVING corpus
+    Maintenance.vocabRetire(spark, dir,
+      all.where(col("doc_id") % 9 === 0), passId = "ret1")
+    assert(Maintenance.vocabAudit(spark, dir).ok)
+    val surv = all.where(col("doc_id") % 9 =!= 0)
+    val agedGot = Maintenance.spellMaintained(spark, dir, q).collect().map(_.toSeq).toSet
+    assert(agedGot == Search.spellSuggest(surv, q).collect().map(_.toSeq).toSet)
+    // merge-compaction: per-word delta rows collapse, zero totals reclaim,
+    // reads unchanged
+    val rep = Maintenance.vocabCompact(spark, dir, maxFilesPerBucket = 1)
+    assert(rep.triggered)
+    val merged = spark.read.parquet(s"$dir/vocab")
+    assert(merged.groupBy("w").count()
+      .where(col("count") > 1L).count() == 0L, "compact must merge per-word deltas")
+    assert(merged.where(col("n") <= 0L).count() == 0L, "zeroed words must reclaim")
+    assert(Maintenance.spellMaintained(spark, dir, q).collect().map(_.toSeq).toSet == agedGot)
+    assert(Maintenance.vocabAudit(spark, dir).ok)
+    // over-retirement is flagged, loudly visible in the audit
+    Maintenance.vocabRetire(spark, dir, all.where(col("doc_id") % 9 === 0), passId = "ret2")
+    assert(!Maintenance.vocabAudit(spark, dir).nonNegative)
+  }
+
   test("lshCompact / ivfCompact: accumulated increment files rewrite, content-invariant") {
     import org.apache.spark.sql.functions.col
     // LSH: bootstrap + 5 increments (one file per touched kb bucket each)
