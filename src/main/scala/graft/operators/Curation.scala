@@ -11,24 +11,25 @@ import org.apache.spark.sql.functions._
  * training mix is actually cut).
  *
  * Scale notes: the hash sample is a pure filter (no shuffle, prunes at the
- * scan). Ranking and budgeting would naively be a single window partitioned
- * by the language key — with a handful of distinct languages that funnels the
- * whole corpus through a handful of tasks, so both are TWO-LEVEL instead
- * (same idea as [[TimeSeries.crossSeries]]'s md5-sharded fold):
- *  - top-k shards each language by an md5 prefix of doc_id, takes a local
- *    top-k per shard, and re-ranks only the ≤ k×shards survivors;
+ * scan). Ranking and budgeting would naively funnel the whole corpus through
+ * a handful of language-keyed window tasks, so:
+ *  - top-k relies on the rank-limit pushdown (WindowGroupLimitExec Partial):
+ *    every MAP partition is pruned to its own top-k per key before the
+ *    exchange, so the key-only window ranks ≤ k×n_partitions survivors —
+ *    the bound a manual md5-shard pre-window used to enforce, minus one
+ *    Exchange+Sort+Window (plan-pinned in PlanAuditSpec);
  *  - the token budget buckets each language by quality range, computes tiny
  *    per-bucket word partials, drops every bucket whose preceding buckets
  *    already exhaust the budget, and runs the sequential running sum only
  *    within surviving (language, bucket) partitions.
- * Every window that touches the corpus is therefore partitioned by a
- * well-distributed composite key; the only language-only windows operate on
- * bounded inputs (shard survivors / bucket partials).
+ * Every corpus-sized window input is therefore map-side-bounded; the only
+ * key-only windows operate on bounded inputs (rank-limit survivors / bucket
+ * partials).
  */
 object Curation {
 
-  /** Shards per language for the two-level top-k — every corpus-sized window
-    * partition is ~1/TopKShards of a language. */
+  /** Shards for the packing/shuffle-order streams (not top-k, which uses
+    * the rank-limit pushdown). */
   val TopKShards = 32
 
   /** Quality-range buckets per language for the budget cut. Quality is in
@@ -57,9 +58,9 @@ object Curation {
    * key is quantized to DECIMAL(28,12) before ranking (the BM25 idiom for
    * transcendental parity), and ties break by doc_id.
    *
-   * Scale shape: a pure row-wise key computation over the scan, then the
-   * same two-level md5-sharded top-k as [[topKByLanguage]] — no global
-   * sort, no corpus-wide window partition.
+   * Scale shape: a pure row-wise key computation over the scan, then one
+   * rank window whose partial rank-limit prunes each map partition to k
+   * rows before the exchange — no global sort of the corpus.
    *
    * @param weightCol positive integer weight column (floored at 1)
    */
@@ -72,14 +73,15 @@ object Curation {
     val w = greatest(col(weightCol), lit(1L))
     val key = (log(u) / w.cast("double"))
       .cast(org.apache.spark.sql.types.DecimalType(28, 12))
-    val shard = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10).cast("long"),
-      lit(TopKShards.toLong))
-    val local = Window.partitionBy(col("shard")).orderBy(col("skey").desc, col("doc_id"))
+    // single rank window: the rank-limit pushdown (WindowGroupLimitExec
+    // Partial) prunes each MAP partition to its own top-k before the
+    // single-partition exchange, so the global window only ever sees
+    // k × n_partitions rows — the bound the old md5-shard level enforced
+    // by hand, with one fewer Exchange+Sort+Window (plan-pinned in
+    // PlanAuditSpec; identical output by top-k invariance)
     val global = Window.orderBy(col("skey").desc, col("doc_id"))
     docs
-      .select(col("doc_id"), w.cast("long").as("weight"), key.as("skey"), shard.as("shard"))
-      .withColumn("lrank", row_number().over(local))
-      .where(col("lrank") <= k)
+      .select(col("doc_id"), w.cast("long").as("weight"), key.as("skey"))
       .withColumn("rank", row_number().over(global).cast("long"))
       .where(col("rank") <= k)
       .select(col("rank"), col("doc_id"), col("weight"),
@@ -137,31 +139,23 @@ object Curation {
         TextAnalysis.lexiconHitsFrom(col("_lexhits"), "es"),
         TextAnalysis.lexiconHitsFrom(col("_lexhits"), "fr")).as("lang_guess"))
 
-  /** Two-level sharded top-k over a pre-scored frame `(doc_id, keyCol,
-    * quality)`: a local top-k inside each (key, md5-shard) partition first —
-    * any doc in its key's GLOBAL top-k is necessarily in its own shard's
-    * top-k, so re-ranking the ≤ k×[[TopKShards]] survivors per key is exact.
-    * The corpus-sized sort distributes over shards; the key-only window only
-    * ever sees the bounded survivor set. Shared by [[topKByLanguage]] (few
-    * hot keys) and [[capPerGroup]] (many keys, some hot) — the scheme covers
-    * both skew shapes. */
+  /** Top-k per key over a pre-scored frame `(doc_id, keyCol, quality)`:
+    * one rank window whose rank-limit pushdown (WindowGroupLimitExec
+    * Partial) prunes every map partition to its own top-k per key before
+    * the exchange — a hot key's reduce partition receives ≤ k×n_partitions
+    * rows, never the corpus. Shared by [[topKByLanguage]] (few hot keys)
+    * and [[capPerGroup]] (many keys, some hot) — the bound covers both
+    * skew shapes. */
   private def topKPerKey(scoredDocs: DataFrame, keyCol: String, k: Int): DataFrame = {
-    val shard = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10).cast("long"),
-      lit(TopKShards.toLong))
-    val local = Window.partitionBy(col(keyCol), col("shard"))
-      .orderBy(col("quality").desc, col("doc_id"))
     val global = Window.partitionBy(keyCol).orderBy(col("quality").desc, col("doc_id"))
     scoredDocs
-      .withColumn("shard", shard)
-      .withColumn("lrank", row_number().over(local))
-      .where(col("lrank") <= k)
       .withColumn("rank", row_number().over(global).cast("long"))
       .where(col("rank") <= k)
       .select(col(keyCol), col("rank"), col("doc_id"), col("quality"))
   }
 
   /** Top-k docs per language by quality (ties broken by doc_id — fully
-    * deterministic ranking); see [[topKPerKey]] for the two-level scheme. */
+    * deterministic ranking); see [[topKPerKey]] for the skew bound. */
   def topKByLanguage(docs: DataFrame, k: Int): DataFrame =
     topKPerKey(scored(docs).select("doc_id", "lang_guess", "quality"), "lang_guess", k)
 
@@ -339,7 +333,7 @@ object Curation {
     * quality first (ties broken by doc_id). Unlike [[topKByLanguage]]'s
     * 4-value language key, a source/domain key is high-cardinality at scale —
     * but single hot domains still funnel millions of docs through one window
-    * partition, so the same [[topKPerKey]] two-level scheme applies. */
+    * partition, so the same [[topKPerKey]] map-side rank bound applies. */
   def capPerGroup(docs: DataFrame, groupCol: String, cap: Int): DataFrame = {
     require(cap >= 1, "cap must be positive")
     topKPerKey(
@@ -357,25 +351,19 @@ object Curation {
    * md5, not quality — [[capPerGroup]] is the quality-ranked variant), so
    * the sample is unbiased within each cell and engine-replayable.
    *
-   * Scale: the same two-level shard scheme as [[topKPerKey]] — a hot cell
+   * Scale: the same map-side rank bound as [[topKPerKey]] — a hot cell
    * (one domain × one language can be millions of docs) never funnels into
-   * a single window partition; the cell-only window ranks ≤ cap×64
-   * survivors.
+   * a single window partition; each map partition forwards ≤ cap rows per
+   * cell.
    *
    * @return (lang, source, cell_rank, doc_id) — kept rows only.
    */
   def quotaSample2d(docs: DataFrame, cap: Int): DataFrame = {
     require(cap >= 1, "cap must be positive")
     val h = md5(concat(lit("quota2d:"), col("doc_id").cast("string")))
-    val shard = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10).cast("long"),
-      lit(TopKShards.toLong))
-    val local = Window.partitionBy(col("lang"), col("source"), col("shard"))
-      .orderBy(col("h"), col("doc_id"))
     val global = Window.partitionBy(col("lang"), col("source"))
       .orderBy(col("h"), col("doc_id"))
-    docs.select(col("doc_id"), col("lang"), col("source"), h.as("h"), shard.as("shard"))
-      .withColumn("lrank", row_number().over(local))
-      .where(col("lrank") <= cap)
+    docs.select(col("doc_id"), col("lang"), col("source"), h.as("h"))
       .withColumn("cell_rank", row_number().over(global).cast("long"))
       .where(col("cell_rank") <= cap)
       .select(col("lang"), col("source"), col("cell_rank"), col("doc_id"))

@@ -27,9 +27,9 @@ import org.apache.spark.sql.types.DecimalType
  *    query term is matched, so the distinct-doc count per term IS the
  *    corpus df) — no second corpus pass;
  *  - corpus stats (N, Σdl) are a one-row aggregate, broadcast;
- *  - ranking is the two-level md5-sharded top-k ([[Curation]] scheme): a
- *    per-(query, shard) row_number prunes to 32·k rows per query BEFORE the
- *    per-query global window, so a common term cannot funnel the corpus
+ *  - ranking is one per-query rank window whose rank-limit pushdown
+ *    (WindowGroupLimitExec Partial) prunes every map partition to its own
+ *    top-k BEFORE the exchange, so a common term cannot funnel the corpus
  *    into one partition.
  *
  * Cross-engine determinism: `ln` is the one non-IEEE-pinned step (DuckDB's
@@ -46,8 +46,6 @@ import org.apache.spark.sql.types.DecimalType
  *         by BM25; queries whose terms miss the corpus entirely are absent.
  */
 object Search {
-
-  private val TopKShards = 32L
 
   /**
    * The MATCHED-POSTINGS frame `(doc_id, dl, term, tf)` for a term set —
@@ -121,16 +119,15 @@ object Search {
         (idf * tfNorm).cast(DecimalType(28, 9)).as("c"))
     val scored = contrib.groupBy("query_id", "doc_id")
       .agg(sum("c").as("score"), count(lit(1)).as("n_terms"))
-    // two-level deterministic top-k: shard-local prune, then global rank
-    val shard = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10).cast("long"),
-      lit(TopKShards))
-    val local = Window.partitionBy(col("query_id"), col("shard"))
-      .orderBy(col("score").desc, col("doc_id"))
+    // deterministic top-k: one global rank window. A hot query key cannot
+    // funnel the corpus into its reduce partition because the rank-limit
+    // pushdown (WindowGroupLimitExec, Partial mode) prunes every MAP
+    // partition to its own top-k per query BEFORE the exchange — the same
+    // bound the old two-level md5-shard scheme enforced by hand, with one
+    // fewer Exchange+Sort+Window and no per-row md5 (plan-pinned in
+    // PlanAuditSpec; identical output by top-k invariance).
     val global = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id"))
     scored
-      .withColumn("shard", shard)
-      .withColumn("lrank", row_number().over(local))
-      .where(col("lrank") <= k)
       .withColumn("rank", row_number().over(global).cast("long"))
       .where(col("rank") <= k)
       // rank/sum on the exact decimal; EXPORT as double (both engines
@@ -168,7 +165,7 @@ object Search {
    * broadcast BELOW the corpus tf aggregate, cf(t) comes from the matched
    * rows themselves (every occurrence of a query term is in the postings,
    * so Σtf IS the collection frequency), and every aggregate is
-   * matched-bounded. Ranking is the same two-level sharded top-k.
+   * matched-bounded. Ranking is the same map-side-pruned rank window.
    *
    * Determinism: each of the three ln() factors (the only libm ops)
    * quantizes to DECIMAL(18,9) and scales to an exact LONG at 1e-9 —
@@ -228,15 +225,11 @@ object Search {
         (col("qc9") - col("nq") * ln9(log(col("dl") + lit(mu))) + col("adj9"))
           .as("score9"),
         col("n_hit"))
-    val shard = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10).cast("long"),
-      lit(TopKShards))
-    val local = Window.partitionBy(col("query_id"), col("shard"))
-      .orderBy(col("score9").desc, col("doc_id"))
+    // single rank window; the WindowGroupLimit partial pushdown bounds every
+    // map partition to its top-k per query before the exchange (see
+    // [[bm25TopKFromPostings]])
     val global = Window.partitionBy(col("query_id")).orderBy(col("score9").desc, col("doc_id"))
     scored
-      .withColumn("shard", shard)
-      .withColumn("lrank", row_number().over(local))
-      .where(col("lrank") <= k)
       .withColumn("rank", row_number().over(global).cast("long"))
       .where(col("rank") <= k)
       // exact fixed-point rank; EXPORT as one pinned double division
@@ -912,8 +905,8 @@ object Search {
    *   score(q, d) = Σ_{t ∈ q∩d} (1+ln tf)·ln(N/df)  /  ‖d‖_lnc
    *
    * Scale design follows [[bm25TopKFromTerms]]: broadcast query terms below
-   * the corpus tf aggregate, df from the matched rows, two-level md5-shard
-   * top-k. The one EXTRA cost tf-idf carries is the full-vector doc norm
+   * the corpus tf aggregate, df from the matched rows, map-side-pruned
+   * rank window. The one EXTRA cost tf-idf carries is the full-vector doc norm
    * (over ALL the doc's terms, not just matched ones) — computed only for
    * MATCHED docs via a semi-join-first second scan, so the norm aggregate
    * is Σ_t df(t) docs, not corpus-sized.
@@ -992,15 +985,11 @@ object Search {
       .join(norms, "doc_id")
       .select(col("query_id"), col("doc_id"), col("n_terms"),
         (col("num").cast("double") / sqrt(col("norm2").cast("double"))).as("score"))
-    val shard = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
-      .cast("long"), lit(TopKShards))
-    val local = Window.partitionBy(col("query_id"), col("shard"))
-      .orderBy(col("score").desc, col("doc_id"))
+    // single rank window; the WindowGroupLimit partial pushdown bounds every
+    // map partition to its top-k per query before the exchange (see
+    // [[bm25TopKFromPostings]])
     val global = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id"))
     scored
-      .withColumn("shard", shard)
-      .withColumn("lrank", row_number().over(local))
-      .where(col("lrank") <= k)
       .withColumn("rank", row_number().over(global).cast("long"))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("doc_id"), col("score"), col("n_terms"))

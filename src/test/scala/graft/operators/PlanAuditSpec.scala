@@ -54,17 +54,27 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     ++ Seq((96L, ""), (97L, "")))
     .toDF("doc_id", "text")
 
-  test("curation topK: corpus window is sharded; lang-only window sees bounded survivors") {
+  /** Partial-mode WindowGroupLimitExec nodes — the map-side rank-limit
+    * pushdown that prunes every map partition to its own top-k per key
+    * BEFORE the exchange (the bound the old manual md5-shard pre-window
+    * enforced, with one fewer Exchange+Sort+Window). */
+  private def partialGroupLimits(df: org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.execution.window.{WindowGroupLimitExec, Partial}
+    val plan = df.queryExecution.executedPlan
+    val unwrapped = plan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    unwrapped.collect { case w: WindowGroupLimitExec if w.mode == Partial => w }
+  }
+
+  test("curation topK: map partitions are rank-limit pruned before the lang window") {
     val df = Curation.topKByLanguage(curationDocs, 3)
-    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
-    assert(wins.exists(_.partitionSpec.size >= 2),
-      "expected a (lang_guess, shard)-partitioned window over the corpus")
-    // any window partitioned solely by lang_guess must sit above the local
-    // top-k filter (i.e. bounded input), never directly over the corpus
-    for (w <- langOnlyWindows(df))
-      assert(w.child.collectFirst { case f: Filter => f }.isDefined,
-        s"lang_guess-only window with unbounded (corpus-sized) input:\n$w")
-    assert(langOnlyWindows(df).nonEmpty, "sanity: the bounded re-rank window exists")
+    assert(partialGroupLimits(df).nonEmpty,
+      "expected a Partial WindowGroupLimitExec below the lang window: " +
+        "without the map-side top-k prune a hot language funnels the corpus " +
+        "into one window partition")
+    assert(langOnlyWindows(df).nonEmpty, "sanity: the rank window exists")
   }
 
   test("curation tokenBudget: running sum is per (lang, qbucket); lang-only window is the bucket-partial prefix") {
@@ -191,20 +201,18 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(aggs.length >= 2, s"expected partial+final hash aggregation:\n$plan")
   }
 
-  test("capPerGroup: corpus window is (source, shard)-sharded; source-only window sees survivors") {
+  test("capPerGroup: map partitions are rank-limit pruned before the source window") {
     val d = (0L until 64L).map(i => (i, s"src${i % 4}", s"doc $i words here"))
       .toDF("doc_id", "source", "text")
     val df = Curation.capPerGroup(d, "source", 3)
-    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
-    assert(wins.exists(_.partitionSpec.size >= 2),
-      "expected a (source, shard)-partitioned window over the corpus")
+    assert(partialGroupLimits(df).nonEmpty,
+      "expected a Partial WindowGroupLimitExec below the source window: " +
+        "without the map-side top-k prune a hot source funnels the corpus " +
+        "into one window partition")
     val srcOnly = df.queryExecution.optimizedPlan.collect {
       case w: LWindow if w.partitionSpec.collect { case a: AttributeReference => a.name } == Seq("source") => w
     }
-    assert(srcOnly.nonEmpty, "sanity: the bounded re-rank window exists")
-    for (w <- srcOnly)
-      assert(w.child.collectFirst { case f: Filter => f }.isDefined,
-        s"source-only window with unbounded (corpus-sized) input:\n$w")
+    assert(srcOnly.nonEmpty, "sanity: the rank window exists")
   }
 
   test("lmScore: vocab + total broadcast; the corpus side never broadcasts") {

@@ -72,7 +72,7 @@ class SearchSpec extends AnyFunSuite with SparkSpec {
     assert(out.map(_.getLong(2)).toSeq == Seq(9L, 1L, 2L))
   }
 
-  test("two-level sharded top-k equals the single-window reference ranking") {
+  test("map-side rank-limit top-k equals the unlimited reference ranking") {
     val rnd = new scala.util.Random(41)
     val vocabAll = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta")
     val d = docs((0L until 200L).map(i =>
@@ -113,6 +113,16 @@ class SearchSpec extends AnyFunSuite with SparkSpec {
     }
     assert(termShuffles.isEmpty,
       s"corpus shuffled on the raw term key:\n${termShuffles.mkString("\n")}")
+    // the rank window's map-side prune must be in place: a Partial
+    // WindowGroupLimitExec bounds every map partition to its own top-k per
+    // query BEFORE the exchange (the skew guard that replaced the manual
+    // md5-shard pre-window)
+    val partialLimits = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+        if w.mode == org.apache.spark.sql.execution.window.Partial => w
+    }
+    assert(partialLimits.nonEmpty,
+      s"no Partial WindowGroupLimitExec below the rank window:\n$plan")
   }
 
   private def hitsDf(rows: (Long, Long, Long)*): DataFrame =
