@@ -108,6 +108,19 @@ object LlmQueries {
 
   private val Bm25Top10OracleSql = bm25Top10OracleSqlOver("")
 
+  /** The synthetic-image fixture shared by the four PNG-path multimodal
+    * gates (`multimodal_decode`, `multimodal_resize`,
+    * `multimodal_decode_partitioned`, `multimodal_features`) — the
+    * BM25-family memoization pattern: the render + PNG-encode pass over the
+    * corpus runs once per (session, dir) and persists, so each gate pays
+    * only its OWN decode work, not a fresh fixture build. Payloads are
+    * ≤ 80×64 PNGs (~KB/row): executor-safe to persist at any corpus size a
+    * fixture would be built at. */
+  private val imagesMemo = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def syntheticImagesFrame(s: SparkSession, dir: String): DataFrame =
+    repersist(imagesMemo.computeIfAbsent(s"${SessionKeys.key(s)}:$dir", _ =>
+      graft.operators.Multimodal.syntheticImages(docs(s, dir))))
+
   /** The top-PC component frame shared by `embed_top_pc` and
     * `embed_pc_project` (the BM25-family memoization pattern): both gates
     * need the identical 8-round power iteration, so it runs once per
@@ -347,6 +360,8 @@ object LlmQueries {
       ((s: SparkSession, dir: String) => { probePositions(s, dir).count(); () }),
     "shared_build_bm25_hits" ->
       ((s: SparkSession, dir: String) => { bm25Hits15(s, dir).count(); () }),
+    "shared_build_images" ->
+      ((s: SparkSession, dir: String) => { syntheticImagesFrame(s, dir).count(); () }),
     "shared_build_snippets" ->
       ((s: SparkSession, dir: String) => { bestSnippetsFrame(s, dir).count(); () }),
     "shared_build_top_pc" ->
@@ -874,7 +889,7 @@ object LlmQueries {
     // REAL ImageIO decode of real PNG payloads: geometry + exact sample sum
     // from the raster; the oracle predicts both from the generator contract
     "multimodal_decode" -> ((s, dir) =>
-      Multimodal.imageDecode(Multimodal.syntheticImages(docs(s, dir))).toDF()),
+      Multimodal.imageDecode(syntheticImagesFrame(s, dir)).toDF()),
     // MIXED-codec decode: every 5th payload is JPEG, the rest PNG — both
     // JDK readers exercised in one pass; the oracle checks the codec sniff
     // plus the geometry facts that survive lossy encoding exactly
@@ -893,7 +908,7 @@ object LlmQueries {
     // integer-geometry prediction (proves the output is a valid image)
     "multimodal_resize" -> ((s, dir) =>
       Multimodal.imageDecode(
-        Multimodal.imageResize(Multimodal.syntheticImages(docs(s, dir)), maxDim = 16)).toDF()),
+        Multimodal.imageResize(syntheticImagesFrame(s, dir), maxDim = 16)).toDF()),
     // frame sampling for the video rows: every 5th frame index, frame count
     // stub-derived from payload size (video stays the one labeled stub —
     // the JDK ships no demuxer)
@@ -902,12 +917,12 @@ object LlmQueries {
     // the same real decode through the repartition-by-id path (decode
     // parallelism decoupled from source file layout)
     "multimodal_decode_partitioned" -> ((s, dir) =>
-      Multimodal.imageDecode(Multimodal.syntheticImages(docs(s, dir)),
+      Multimodal.imageDecode(syntheticImagesFrame(s, dir),
         repartitionById = true).toDF()),
     // REAL grid features (color-moment descriptor): per (cell, channel) the
     // exact sample sum/mean over the decoded raster
     "multimodal_features" -> ((s, dir) =>
-      Multimodal.imageGridFeatures(Multimodal.syntheticImages(docs(s, dir)), grid = 4).toDF()),
+      Multimodal.imageGridFeatures(syntheticImagesFrame(s, dir), grid = 4).toDF()),
     // C4-style passage dedup: 10-word passages appearing in >= 2 docs are
     // boilerplate — dropped from every doc, docs reassembled in order
     "dedup_passages" -> ((s, dir) =>
