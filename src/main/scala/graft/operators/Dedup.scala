@@ -559,8 +559,16 @@ object Dedup {
    * @return one row per doc: (doc_id, cluster_id, quality, keep_doc_id)
    */
   def keepBest(docs: DataFrame, threshold: Double = 0.7,
-               maxDocFreq: Long = Long.MaxValue): DataFrame = {
-    val comps = clusters(ngramJaccard(docs, threshold, maxDocFreq).select("a", "b"))
+               maxDocFreq: Long = Long.MaxValue): DataFrame =
+    keepBestFrom(docs,
+      clusters(ngramJaccard(docs, threshold, maxDocFreq).select("a", "b")))
+
+  /** [[keepBest]] over a PRE-BUILT components frame (the shared-fetch entry
+    * point, like `bm25TopKFromPostings`): one `clusters(ngramJaccard(...))`
+    * build serves every cluster-consuming gate. `comps` must be the
+    * components of exactly the ngramJaccard pairs [[keepBest]] would
+    * compute. */
+  def keepBestFrom(docs: DataFrame, comps: DataFrame): DataFrame = {
     val member = docs
       .select(col("doc_id"), graft.operators.TextAnalysis.qualityCol.as("quality"))
       .join(comps, Seq("doc_id"), "left")
@@ -1632,8 +1640,13 @@ object Dedup {
    *         exact-integer division.
    */
   def clusterSizes(docs: DataFrame, threshold: Double = 0.7,
-                   maxDocFreq: Long = Long.MaxValue): DataFrame = {
-    val comps = clusters(ngramJaccard(docs, threshold, maxDocFreq).select("a", "b"))
+                   maxDocFreq: Long = Long.MaxValue): DataFrame =
+    clusterSizesFrom(docs,
+      clusters(ngramJaccard(docs, threshold, maxDocFreq).select("a", "b")))
+
+  /** [[clusterSizes]] over a PRE-BUILT components frame (the shared-fetch
+    * entry point — see [[keepBestFrom]]). */
+  def clusterSizesFrom(docs: DataFrame, comps: DataFrame): DataFrame = {
     val perCluster = comps.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
     val clustered = perCluster.groupBy("cluster_size")
       .agg(count(lit(1)).as("n_clusters"))

@@ -121,6 +121,19 @@ object LlmQueries {
     repersist(imagesMemo.computeIfAbsent(s"${SessionKeys.key(s)}:$dir", _ =>
       graft.operators.Multimodal.syntheticImages(docs(s, dir))))
 
+  /** The near-dup COMPONENTS frame `clusters(ngramJaccard(corpus, 0.7))`
+    * shared by the four cluster-consuming gates (`dedup_clusters`,
+    * `dedup_keep_list`, `dedup_keep_best`, `dedup_cluster_sizes`): one
+    * jaccard scoring + union-find per (session, dir) instead of four, and
+    * the cold shingle-cache build is attributed to its own
+    * `shared_build_dup_clusters` line instead of whichever consumer runs
+    * first alphabetically. Components are duplicate-bounded rows (≪ corpus):
+    * executor-safe to persist. */
+  private val dupClustersMemo = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def dupClustersFrame(s: SparkSession, dir: String): DataFrame =
+    repersist(dupClustersMemo.computeIfAbsent(s"${SessionKeys.key(s)}:$dir", _ =>
+      Dedup.clusters(Dedup.ngramJaccard(docs(s, dir), threshold = 0.7).select("a", "b"))))
+
   /** The top-PC component frame shared by `embed_top_pc` and
     * `embed_pc_project` (the BM25-family memoization pattern): both gates
     * need the identical 8-round power iteration, so it runs once per
@@ -362,6 +375,8 @@ object LlmQueries {
       ((s: SparkSession, dir: String) => { bm25Hits15(s, dir).count(); () }),
     "shared_build_images" ->
       ((s: SparkSession, dir: String) => { syntheticImagesFrame(s, dir).count(); () }),
+    "shared_build_dup_clusters" ->
+      ((s: SparkSession, dir: String) => { dupClustersFrame(s, dir).count(); () }),
     "shared_build_snippets" ->
       ((s: SparkSession, dir: String) => { bestSnippetsFrame(s, dir).count(); () }),
     "shared_build_top_pc" ->
@@ -696,23 +711,24 @@ object LlmQueries {
     "dedup_minhash_audit" -> ((s, dir) => Dedup.minhashAudit(docs(s, dir), threshold = 0.8)),
     // near-dup CLUSTERING: connected components over the jaccard pairs, each
     // component keyed by its min doc_id (the kept representative)
-    "dedup_clusters" -> ((s, dir) =>
-      Dedup.clusters(Dedup.ngramJaccard(docs(s, dir), threshold = 0.7).select("a", "b"))),
+    "dedup_clusters" -> ((s, dir) => dupClustersFrame(s, dir)),
     // the end product of near-dup dedup: the KEPT corpus — every doc minus
     // non-representative members of jaccard components
     "dedup_keep_list" -> ((s, dir) => {
       val d = docs(s, dir)
-      val comps = Dedup.clusters(Dedup.ngramJaccard(d, threshold = 0.7).select("a", "b"))
+      val comps = dupClustersFrame(s, dir)
       d.join(comps.where(col("doc_id") =!= col("cluster_id")), Seq("doc_id"), "left_anti")
         .select("doc_id")
     }),
     // representative selection by quality: same components as the keep-list,
     // but the survivor is the best-quality member (prod rule), not min-id
-    "dedup_keep_best" -> ((s, dir) => Dedup.keepBest(docs(s, dir), threshold = 0.7)),
+    "dedup_keep_best" -> ((s, dir) =>
+      Dedup.keepBestFrom(docs(s, dir), dupClustersFrame(s, dir))),
     // cluster-size distribution audit: corpus mass per component size
     // (singletons included — fractions partition 1); the post-mortem that
     // tells template blobs from healthy pair-dominated duplication
-    "dedup_cluster_sizes" -> ((s, dir) => Dedup.clusterSizes(docs(s, dir), threshold = 0.7)),
+    "dedup_cluster_sizes" -> ((s, dir) =>
+      Dedup.clusterSizesFrom(docs(s, dir), dupClustersFrame(s, dir))),
     // shingle-df log2 profile with exact per-band PAIR MASS: the evidence
     // view behind the maxDocFreq cap (and the auto-cap quantile heuristic)
     "dedup_df_profile" -> ((s, dir) => Dedup.dfProfile(docs(s, dir))),
