@@ -134,6 +134,72 @@ object LlmQueries {
     repersist(dupClustersMemo.computeIfAbsent(s"${SessionKeys.key(s)}:$dir", _ =>
       Dedup.clusters(Dedup.ngramJaccard(docs(s, dir), threshold = 0.7).select("a", "b"))))
 
+  /** The MAINTAINED-STORE fetch family — the store-side mirror of the
+    * batch memos above (`probePostings`/`probePositions`/`bm25Hits15`):
+    * every lexical `*_store` gate reads the SAME postingsMaintain-written
+    * index for the SAME probe-term set, so the bucket-pruned fetch, the
+    * one-row stats, the norm sidecar, the positional fetch, the store-read
+    * BM25 top-10 and the store-read best-snippet frame each build once per
+    * (session, dir) and persist; the gates compose their own scoring on
+    * top (bit-identical — tf per (doc, term) and position rows are
+    * independent of which consumer reads them, and a top-10's rank ≤ 3
+    * prefix IS the top-3). Build costs are attributed to the
+    * `shared_build_store_*` bench line items. All frames are term-filtered
+    * aggregates / k-bounded rows: executor-safe to persist at any index
+    * size. */
+  private val storePostingsMemo = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def storePostingsFrame(s: SparkSession, dir: String): DataFrame =
+    repersist(storePostingsMemo.computeIfAbsent(s"${SessionKeys.key(s)}:$dir", _ =>
+      graft.tools.Maintenance.postingsFor(s, postingsStoreDir(s, dir),
+        probeTerms(docs(s, dir)))))
+  private val storeStatsMemo = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def storeStatsFrame(s: SparkSession, dir: String): DataFrame =
+    repersist(storeStatsMemo.computeIfAbsent(s"${SessionKeys.key(s)}:$dir", _ =>
+      graft.tools.Maintenance.postingsStats(s, postingsStoreDir(s, dir))))
+  private val storeNormsMemo = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def storeNormsFrame(s: SparkSession, dir: String): DataFrame =
+    repersist(storeNormsMemo.computeIfAbsent(s"${SessionKeys.key(s)}:$dir", _ =>
+      s.read.parquet(postingsStoreDir(s, dir) + "/norms").select("doc_id", "norm2")))
+  /** Positional store fetch over the SAME superset word list as the batch
+    * `probePositions` (probe words ∪ the boolean gate's NOT terms) — a
+    * superset is sound: every positional consumer re-joins its own query
+    * terms. */
+  private val storePositionsMemo = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def storePositionsFrame(s: SparkSession, dir: String): DataFrame =
+    repersist(storePositionsMemo.computeIfAbsent(s"${SessionKeys.key(s)}:$dir", _ => {
+      val d = docs(s, dir)
+      val terms = probeQueries(d)
+        .select(explode(split(lower(col("qtext")), " ")).as("w"))
+        .unionByName(d.where(col("doc_id") % 97 === 0)
+          .select(lower(element_at(split(col("text"), " "), 6)).as("w"))
+          .where(col("w").isNotNull))
+      graft.tools.Maintenance.positionsFor(s, postingsStoreDir(s, dir), terms)
+    }))
+  /** Store-read BM25 top-10 shared by `search_bm25_store` (whole frame) and
+    * `search_prf_store` (the rank ≤ 3 feedback prefix). */
+  private val bm25StoreHitsMemo = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def bm25StoreHits(s: SparkSession, dir: String): DataFrame =
+    repersist(bm25StoreHitsMemo.computeIfAbsent(s"${SessionKeys.key(s)}:$dir", _ =>
+      graft.operators.Search.bm25TopKFromPostings(
+        storePostingsFrame(s, dir), storeStatsFrame(s, dir),
+        probeTerms(docs(s, dir)), k = 10)))
+  /** Store-read best-snippet frame shared by `search_snippets_store` and
+    * `search_highlight_store` (the batch twins' snippetsMemo pattern). */
+  private val storeSnippetsMemo = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def storeSnippetsFrame(s: SparkSession, dir: String): DataFrame =
+    repersist(storeSnippetsMemo.computeIfAbsent(s"${SessionKeys.key(s)}:$dir", _ =>
+      graft.operators.Search.bestSnippetsFromPositions(
+        storePositionsFrame(s, dir), probeQueries(docs(s, dir)), window = 12)))
+
+  /** The containment-pairs frame `Dedup.containment(corpus, 0.5)` shared by
+    * `dedup_containment` and `curate_near_dup_matrix` (the source-overlap
+    * rollup scores exactly these pairs): one pair scoring per
+    * (session, dir). Pair-bounded rows: executor-safe to persist. */
+  private val containmentMemo = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def containmentFrame(s: SparkSession, dir: String): DataFrame =
+    repersist(containmentMemo.computeIfAbsent(s"${SessionKeys.key(s)}:$dir", _ =>
+      Dedup.containment(docs(s, dir), threshold = 0.5)))
+
   /** The top-PC component frame shared by `embed_top_pc` and
     * `embed_pc_project` (the BM25-family memoization pattern): both gates
     * need the identical 8-round power iteration, so it runs once per
@@ -377,6 +443,8 @@ object LlmQueries {
       ((s: SparkSession, dir: String) => { syntheticImagesFrame(s, dir).count(); () }),
     "shared_build_dup_clusters" ->
       ((s: SparkSession, dir: String) => { dupClustersFrame(s, dir).count(); () }),
+    "shared_build_containment" ->
+      ((s: SparkSession, dir: String) => { containmentFrame(s, dir).count(); () }),
     "shared_build_snippets" ->
       ((s: SparkSession, dir: String) => { bestSnippetsFrame(s, dir).count(); () }),
     "shared_build_top_pc" ->
@@ -388,7 +456,18 @@ object LlmQueries {
     "shared_build_postings_aged" ->
       ((s: SparkSession, dir: String) => { agedPostingsDir(s, dir); () }),
     "shared_build_lsh_store" ->
-      ((s: SparkSession, dir: String) => { lshStoreCandidates(s, dir).count(); () }))
+      ((s: SparkSession, dir: String) => { lshStoreCandidates(s, dir).count(); () }),
+    "shared_build_store_fetch" ->
+      ((s: SparkSession, dir: String) => {
+        storePostingsFrame(s, dir).count(); storeStatsFrame(s, dir).count()
+        storeNormsFrame(s, dir).count(); ()
+      }),
+    "shared_build_store_positions" ->
+      ((s: SparkSession, dir: String) => { storePositionsFrame(s, dir).count(); () }),
+    "shared_build_bm25_store_hits" ->
+      ((s: SparkSession, dir: String) => { bm25StoreHits(s, dir).count(); () }),
+    "shared_build_store_snippets" ->
+      ((s: SparkSession, dir: String) => { storeSnippetsFrame(s, dir).count(); () }))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tokens" -> ((s, dir) => TextAnalysis.tokenCounts(docs(s, dir))),
@@ -528,9 +607,7 @@ object LlmQueries {
     // BM25 over the MAINTAINED postings store: bucket-pruned read of the
     // bootstrap+increment index, same scorer, same full-corpus oracle —
     // the driver hash-checks the production index path end to end
-    "search_bm25_store" -> ((s, dir) =>
-      graft.tools.Maintenance.bm25Maintained(s, postingsStoreDir(s, dir),
-        probeQueries(docs(s, dir)), k = 10)),
+    "search_bm25_store" -> ((s, dir) => bm25StoreHits(s, dir)),
     // BM25 over the AGED postings store: bootstrap + one postingsAgeOff
     // retention pass (drop every 11th doc), then the bucket-pruned read —
     // the oracle recomputes BM25 over only the surviving corpus, so the
@@ -542,22 +619,24 @@ object LlmQueries {
     // Dirichlet-QL over the MAINTAINED store: the LM scorer from the same
     // bucket-pruned term fetch, same full-corpus oracle as search_dirichlet_ql
     "search_dirichlet_store" -> ((s, dir) =>
-      graft.tools.Maintenance.dirichletMaintained(s, postingsStoreDir(s, dir),
-        probeQueries(docs(s, dir)), k = 10)),
+      graft.operators.Search.dirichletTopKFromPostings(
+        storePostingsFrame(s, dir), storeStatsFrame(s, dir),
+        probeTerms(docs(s, dir)), k = 10)),
     // tf-idf over the MAINTAINED store: doc norms come from the index's
     // per-doc norm² sidecar (persisted on the same decimal grid at index
     // time), so NO corpus scan remains in the read path — the lexical
     // family's last query-time scan is gone; same oracle as search_tfidf
     "search_tfidf_store" -> ((s, dir) =>
-      graft.tools.Maintenance.tfidfMaintained(s, postingsStoreDir(s, dir),
-        probeQueries(docs(s, dir)), k = 10)),
+      graft.operators.Search.tfidfTopKWithNorms(
+        storePostingsFrame(s, dir), storeNormsFrame(s, dir),
+        storeStatsFrame(s, dir), probeTerms(docs(s, dir)), k = 10)),
     // exact phrase over the MAINTAINED store's positional sidecar: the
     // per-(doc, word) position arrays explode back to the anchor-alignment
     // frame after pb-bucket pruning — the phrase family's corpus posexplode
     // disappears from the read path; same oracle as search_phrase
     "search_phrase_store" -> ((s, dir) =>
-      graft.tools.Maintenance.phraseMaintained(s, postingsStoreDir(s, dir),
-        probeQueries(docs(s, dir)))),
+      graft.operators.Search.phraseHitsFromPositions(
+        storePositionsFrame(s, dir), probeQueries(docs(s, dir)))),
     // NEAR/6 proximity over the positional sidecar; same oracle as
     // search_proximity (1+4-word probe terms)
     "search_proximity_store" -> ((s, dir) => {
@@ -565,8 +644,8 @@ object LlmQueries {
       val q = docs(s, dir).where(col("doc_id") % 97 === 0)
         .select(col("doc_id").as("query_id"),
           concat_ws(" ", element_at(ws, 1), element_at(ws, 4)).as("qtext"))
-      graft.tools.Maintenance.proximityMaintained(s, postingsStoreDir(s, dir),
-        q, proxWindow = 6, k = 10)
+      graft.operators.Search.proximityHitsFromPositions(
+        storePositionsFrame(s, dir), q, window = 6, k = 10)
     }),
     // boolean MUST/NOT over the positional sidecar (the distinct doc-word
     // frame is position-independent, so the same fetch serves); same
@@ -577,30 +656,33 @@ object LlmQueries {
         .select(col("doc_id").as("query_id"),
           array_join(slice(ws, 1, 4), " ").as("qtext"),
           element_at(ws, 6).as("nottext"))
-      graft.tools.Maintenance.booleanMaintained(s, postingsStoreDir(s, dir), q)
+      graft.operators.Search.booleanHitsFromPositions(storePositionsFrame(s, dir), q)
     }),
     // best-snippet windows over the positional sidecar: qualification +
     // native two-pointer cover on the pruned fetch; same oracle as
     // search_snippets
-    "search_snippets_store" -> ((s, dir) =>
-      graft.tools.Maintenance.snippetsMaintained(s, postingsStoreDir(s, dir),
-        probeQueries(docs(s, dir)), snipWindow = 12)),
+    "search_snippets_store" -> ((s, dir) => storeSnippetsFrame(s, dir)),
     // the rendered snippet string with the WINDOW SCORING index-served:
     // best offsets from the positional sidecar, then one index-bounded
     // text fetch for the slice; same oracle as search_highlight
     "search_highlight_store" -> ((s, dir) =>
       graft.operators.Search.snippetTextFrom(
-        graft.tools.Maintenance.snippetsMaintained(s, postingsStoreDir(s, dir),
-          probeQueries(docs(s, dir)), snipWindow = 12),
-        docs(s, dir), window = 12)),
+        storeSnippetsFrame(s, dir), docs(s, dir), window = 12)),
     // PRF over the MAINTAINED store: feedback prefix AND the expansion
     // round's new-term fetch are both bucket-pruned store reads — the
     // second corpus pass of classic PRF disappears at 100 TB; same oracle
     // as search_prf
     "search_prf_store" -> ((s, dir) => {
       val d = docs(s, dir)
-      graft.tools.Maintenance.prfMaintained(s, postingsStoreDir(s, dir), d,
-        probeQueries(d), r = 3, m = 2, k = 10)
+      // feedback = the shared store-read top-10's rank <= 3 prefix (== a
+      // direct top-3 fetch); the expansion round's new-term fetch stays a
+      // bucket-pruned store read
+      graft.operators.Search.prfExpandFromPostings(d,
+        Some((storePostingsFrame(s, dir), storeStatsFrame(s, dir))),
+        probeQueries(d), bm25StoreHits(s, dir).where(col("rank") <= 3),
+        r = 3, m = 2, k = 10,
+        newTermFetch = Some(nt =>
+          graft.tools.Maintenance.postingsFor(s, postingsStoreDir(s, dir), nt)))
     }),
     // retrieval-coverage audit over the SHARED top-10: distinct reachable
     // docs / corpus, and whether each probe's own source doc ranks first
@@ -665,7 +747,7 @@ object LlmQueries {
     }),
     // asymmetric containment: doc-in-doc partial copies Jaccard misses
     // (|A∩B| / min set size) — same shingle blocking, shared shingle cache
-    "dedup_containment" -> ((s, dir) => Dedup.containment(docs(s, dir), threshold = 0.5)),
+    "dedup_containment" -> ((s, dir) => containmentFrame(s, dir)),
     // quality-score calibration: decile buckets crossed with length and
     // exact-dup rate — the "is the score ranking signal or noise" audit
     // every threshold cut should read first
@@ -674,10 +756,8 @@ object LlmQueries {
     // which sources rewrap each other's content: the containment pairs
     // rolled up to an unordered source x source matrix (sourceOverlap's
     // exact-hash view can't see rewrapped near-copies)
-    "curate_near_dup_matrix" -> ((s, dir) => {
-      val d = docs(s, dir)
-      graft.operators.Curation.nearDupSourceMatrix(d, Dedup.containment(d, threshold = 0.5))
-    }),
+    "curate_near_dup_matrix" -> ((s, dir) =>
+      graft.operators.Curation.nearDupSourceMatrix(docs(s, dir), containmentFrame(s, dir))),
     "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(docs(s, dir))),
     // the MAINTAINED signature store's screen: bootstrap pairs (batch LSH on
     // the base 2/3) ∪ the increment screen against the persisted

@@ -1463,7 +1463,11 @@ object Maintenance {
       .select("term", "doc_id", "dl", "tf")
   }
 
-  private def postingsStats(spark: SparkSession, indexDir: String): org.apache.spark.sql.DataFrame =
+  /** The one-row `(n_docs, sum_dl, ...)` stats frame of a
+    * [[postingsMaintain]] index — public so a caller serving several
+    * scorers from one index can share a single read (the
+    * [[postingsFor]]-composition pattern). */
+  def postingsStats(spark: SparkSession, indexDir: String): org.apache.spark.sql.DataFrame =
     spark.read.parquet(new Path(indexDir, "stats").toString)
 
   /** Bucket-pruned positional fetch from a positions-bootstrapped
