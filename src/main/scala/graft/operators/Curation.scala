@@ -1159,8 +1159,17 @@ object Curation {
   def pipelineKeep(docs: DataFrame, minQuality: Double = 0.3,
                    capPerSource: Int = 15, budgetWords: Long = 8000L): DataFrame = {
     require(capPerSource >= 1 && budgetWords >= 1L, "positive cap and budget")
-    val base = docs.select(col("doc_id"), col("source"), md5(col("text")).as("h"))
-      .join(scored(docs).select("doc_id", "n_words", "quality"), "doc_id")
+    // hash + word count + quality are all row-wise functions of (doc_id,
+    // source, text): ONE projection over the scan, not a docs ⋈ scored(docs)
+    // self-join (which cost a second scan plus a doc_id exchange pair —
+    // guide §2.4). Expressions identical to [[scored]]'s quality column.
+    val base = docs
+      .withColumn("_lexhits", graft.operators.TextAnalysis.lexiconHitsArray)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("h"),
+        size(split(col("text"), " ")).cast("long").as("n_words"),
+        graft.operators.TextAnalysis.qualityColFrom(
+          graft.operators.TextAnalysis.lexiconHitsFrom(col("_lexhits"), "en"))
+          .as("quality"))
       .withColumn("q_keep",
         when(col("quality") >= minQuality, 1L).otherwise(0L))
     val keepIds = base.where(col("q_keep") === 1L)

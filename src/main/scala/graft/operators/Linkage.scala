@@ -55,12 +55,15 @@ object Linkage {
         substring(col(nameCol), 1, blockLen).as("bk"),
         length(col(nameCol)).as("bl"))
     // skew cap: drop blocks larger than maxBlock entirely (the dedup-family
-    // contract — an over-cap block is a degenerate hub, not a near-dup set)
-    val sized = keyed.join(
+    // contract — an over-cap block is a degenerate hub, not a near-dup set).
+    // Cached (the minhashLsh `mh` idiom): the self-join below reads this
+    // subtree once per side, and without the cut the scan + block-count
+    // aggregate + semi-join would execute twice.
+    val sized = Frames.cached(keyed.join(
       keyed.groupBy("bk", "bl").agg(count(lit(1)).as("bn"))
         .where(col("bn") <= maxBlock)
         .select(col("bk"), col("bl")),
-      Seq("bk", "bl"), "left_semi")
+      Seq("bk", "bl"), "left_semi"))
     sized.as("x").join(sized.as("y"),
         col("x.bk") === col("y.bk") && col("x.bl") === col("y.bl") &&
           col("x.id") < col("y.id"))
