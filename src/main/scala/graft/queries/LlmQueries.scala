@@ -443,6 +443,14 @@ object LlmQueries {
       ((s: SparkSession, dir: String) => { syntheticImagesFrame(s, dir).count(); () }),
     "shared_build_dup_clusters" ->
       ((s: SparkSession, dir: String) => { dupClustersFrame(s, dir).count(); () }),
+    // forces the cached scored-pair frame (shingles + jaccard scoring) that
+    // dedup_ngram_jaccard / dedup_threshold_sweep / the jaccard family ride:
+    // the union-find memo above only pays it once per session, so without
+    // this line the per-pass cold build lands on whichever jaccard consumer
+    // runs first alphabetically
+    "shared_build_jaccard_pairs" ->
+      ((s: SparkSession, dir: String) =>
+        { Dedup.ngramJaccard(docs(s, dir), threshold = 0.8).count(); () }),
     "shared_build_containment" ->
       ((s: SparkSession, dir: String) => { containmentFrame(s, dir).count(); () }),
     "shared_build_snippets" ->
