@@ -137,16 +137,20 @@ object Anomaly {
       valueCol: String = "value", idCol: String = "event_id",
       threshold: Double = 3.0): DataFrame = {
     require(threshold > 0, "threshold must be positive")
-    val n = events.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+    // cached narrow projection: the two median passes plus the deviation
+    // join each re-scanned the raw table (7 scans in the gate's physical
+    // plan); one 3-column cache serves all of them
+    val e = Frames.cached(events.select(col(keyCol), col(valueCol), col(idCol)))
+    val n = e.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
       .where(col("n") >= 2)
     val medRank = expr("(n + 1) div 2")
-    val med = events
+    val med = e
       .withColumn("rn", row_number().over(
         Window.partitionBy(col(keyCol)).orderBy(col(valueCol))))
       .join(n, Seq(keyCol))
       .where(col("rn") === medRank)
       .select(col(keyCol), col(valueCol).as("med"))
-    val withMed = events.join(broadcast(med), Seq(keyCol))
+    val withMed = e.join(broadcast(med), Seq(keyCol))
       .withColumn("ad", abs(col(valueCol) - col("med")))
     val mad = withMed
       .withColumn("rd", row_number().over(
@@ -329,10 +333,14 @@ object Anomaly {
       .withColumn("gap", col(tsUsCol) - lag(col(tsUsCol), 1).over(w))
       .where(col("gap").isNotNull)
     val wg = Window.partitionBy(keyCol).orderBy(col("gap"), col(idCol))
-    val ranked = gaps
+    // cached narrow projection: the median pick, the p95 pick and the
+    // min/max rollup all read the ranked frame — uncut, each re-ran the
+    // lag + rank window passes over the corpus
+    val ranked = Frames.cached(gaps
       .withColumn("rk", row_number().over(wg).cast("long"))
       .withColumn("n", count(lit(1)).over(Window.partitionBy(keyCol)))
       .where(col("n") >= minEvents - 1)
+      .select(col(keyCol), col("gap"), col("rk"), col("n")))
     // nearest-rank: median at ceil(n/2) = (n+1) div 2; p95 at ceil(19n/20)
     val med = ranked.where(col("rk") === expr("(n + 1) div 2"))
       .select(col(keyCol), col("gap").as("med_gap_us"))

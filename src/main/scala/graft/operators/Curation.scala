@@ -736,11 +736,13 @@ object Curation {
    */
   def interleaveOrder(docs: DataFrame, salt: String = "interleave"): DataFrame = {
     require(!salt.contains("'"), "salt must not contain quotes")
-    val keyed = docs.select(col("doc_id"), col("source"),
+    // cached: the shard-count aggregate, the rank join and the source index
+    // all read the keyed frame — uncut, each re-scanned the corpus
+    val keyed = Frames.cached(docs.select(col("doc_id"), col("source"),
       md5(concat(lit(s"$salt:"), col("doc_id").cast("string"))).as("okey"))
       .withColumn("shard", expr(
         """((instr('0123456789abcdef', substr(okey, 1, 1)) - 1) * 16 +
-          | instr('0123456789abcdef', substr(okey, 2, 1)) - 1)""".stripMargin).cast("long"))
+          | instr('0123456789abcdef', substr(okey, 2, 1)) - 1)""".stripMargin).cast("long")))
     val counts = keyed.groupBy("source", "shard").agg(count(lit(1)).as("cnt"))
     val wPre = Window.partitionBy("source").orderBy("shard")
       .rowsBetween(Window.unboundedPreceding, -1) // <= 256 rows per source
@@ -748,7 +750,8 @@ object Curation {
       .withColumn("off", coalesce(sum(col("cnt")).over(wPre), lit(0L)))
       .select("source", "shard", "off")
     val within = Window.partitionBy("source", "shard").orderBy(col("okey"), col("doc_id"))
-    val srcIdx = docs.select("source").distinct()
+    // same rows as docs.select("source").distinct(), read from the cache
+    val srcIdx = keyed.select("source").distinct()
       .withColumn("src_idx",
         (row_number().over(Window.orderBy("source")) - 1).cast("long"))
     val nSrc = srcIdx.agg(count(lit(1)).as("n_sources"))
@@ -920,9 +923,10 @@ object Curation {
    * hashes as '' (the [[dupReport]] convention).
    */
   def sourceOverlap(docs: DataFrame): DataFrame = {
-    val h = docs
+    // cached: both self-join sides read the distinct hash frame
+    val h = Frames.cached(docs
       .select(md5(coalesce(col("text"), lit(""))).as("h"), col("source"))
-      .distinct()
+      .distinct())
     h.as("a").join(h.as("b"),
         col("a.h") === col("b.h") && col("a.source") < col("b.source"))
       .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
@@ -1073,10 +1077,23 @@ object Curation {
    *         bucket's fraction of its source's docs
    */
   def lmBuckets(docs: DataFrame, headFactor: Double = 1.25,
-                tailFactor: Double = 0.75): DataFrame = {
+                tailFactor: Double = 0.75): DataFrame =
+    // cached: the mean scalar and the bucketing join both read the scored
+    // frame — without the cut the full KN scoring pipeline (two corpus
+    // explodes each) re-executed per consumer
+    lmBucketsFrom(docs, Frames.cached(TextAnalysis.lmScoreKN(docs)),
+      headFactor, tailFactor)
+
+  /** [[lmBuckets]] over a pre-built [[TextAnalysis.lmScoreKN]] frame — the
+    * shared-fetch entry point (the Linkage.entitiesFromPairs pattern): one
+    * KN scoring pass serves both the per-doc score gate and this report.
+    * Callers pass a persisted frame; doc-count-sized, safe at any corpus. */
+  def lmBucketsFrom(docs: DataFrame, knScores: DataFrame,
+                    headFactor: Double = 1.25,
+                    tailFactor: Double = 0.75): DataFrame = {
     require(headFactor > tailFactor && tailFactor > 0,
       "need headFactor > tailFactor > 0")
-    val scored = TextAnalysis.lmScoreKN(docs).select("doc_id", "kn_mean")
+    val scored = knScores.select("doc_id", "kn_mean")
     val m = scored.agg(
       sum(col("kn_mean").cast("decimal(18,12)")).cast("double").as("kn_total"),
       count(lit(1)).as("n_scored"))
@@ -1090,11 +1107,12 @@ object Curation {
       .join(scored, Seq("doc_id"), "left")
       .crossJoin(broadcast(m))
       .select(col("source"), bucket.as("bucket"), col("n_words"))
-    val perSource = bucketed.groupBy("source")
-      .agg(count(lit(1)).as("source_docs"))
+    // per-source doc totals via a window over the (source x bucket) frame:
+    // a separate groupBy("source") + join re-executed the corpus-sized
+    // bucketing subtree; the bucket counts already sum to the source total
     bucketed.groupBy("source", "bucket")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_words"))
-      .join(perSource, Seq("source"))
+      .withColumn("source_docs", sum(col("n_docs")).over(Window.partitionBy("source")))
       .select(col("source"), col("bucket"), col("n_docs"), col("n_words"),
         (col("n_docs").cast("double") / col("source_docs").cast("double"))
           .as("doc_share"))
@@ -1163,7 +1181,12 @@ object Curation {
     // source, text): ONE projection over the scan, not a docs ⋈ scored(docs)
     // self-join (which cost a second scan plus a doc_id exchange pair —
     // guide §2.4). Expressions identical to [[scored]]'s quality column.
-    val base = docs
+    // base / dd / cc are cached (narrow doc-count rows, text column already
+    // dropped): each is read by BOTH its successor stage and the stage-flag
+    // join below, and without the cuts the scan + quality scoring subtree
+    // re-executed once per downstream reference (20 scans of the corpus in
+    // the gate's physical plan; 1 after)
+    val base = Frames.cached(docs
       .withColumn("_lexhits", graft.operators.TextAnalysis.lexiconHitsArray)
       .select(col("doc_id"), col("source"), md5(col("text")).as("h"),
         size(split(col("text"), " ")).cast("long").as("n_words"),
@@ -1171,19 +1194,19 @@ object Curation {
           graft.operators.TextAnalysis.lexiconHitsFrom(col("_lexhits"), "en"))
           .as("quality"))
       .withColumn("q_keep",
-        when(col("quality") >= minQuality, 1L).otherwise(0L))
+        when(col("quality") >= minQuality, 1L).otherwise(0L)))
     val keepIds = base.where(col("q_keep") === 1L)
       .groupBy("h").agg(min(col("doc_id")).as("keep_id"))
-    val dd = base.join(keepIds, Seq("h"), "left")
+    val dd = Frames.cached(base.join(keepIds, Seq("h"), "left")
       .withColumn("dedup_keep",
         when(col("q_keep") === 1L && col("doc_id") === col("keep_id"), 1L)
-          .otherwise(0L))
+          .otherwise(0L)))
     val capped = topKPerKey(
       dd.where(col("dedup_keep") === 1L).select("doc_id", "source", "quality"),
       "source", capPerSource)
-    val cc = dd
+    val cc = Frames.cached(dd
       .join(capped.select(col("doc_id"), lit(1L).as("ck")), Seq("doc_id"), "left")
-      .withColumn("cap_keep", coalesce(col("ck"), lit(0L)))
+      .withColumn("cap_keep", coalesce(col("ck"), lit(0L))))
     // global token budget over cap survivors: the tokenBudget bucket scheme
     // with a single key (quality slices bound the sequential window)
     val sb = cc.where(col("cap_keep") === 1L)

@@ -280,11 +280,15 @@ object Dedup {
    */
   def minhashAudit(docs: DataFrame, numHashes: Int = 8, bandSize: Int = 2,
                    threshold: Double = 0.8, maxBucket: Long = Long.MaxValue): DataFrame = {
-    val cand = minhashLsh(docs, numHashes, bandSize, maxBucket)
+    // cand (near-dup-rate-bounded) and shC (candidate-doc shingles) are
+    // cached: cand is read three times (both union sides + the final join)
+    // and shC three (both intersection sides + sizes) — uncut, each
+    // reference re-ran the banded self-join / the semi-join respectively
+    val cand = cached(minhashLsh(docs, numHashes, bandSize, maxBucket))
     val allSh = cached(shingles(docs))
     val candDocs = cand.select(col("a").as("doc_id"))
       .union(cand.select(col("b").as("doc_id"))).distinct()
-    val shC = allSh.join(candDocs, Seq("doc_id"), "left_semi")
+    val shC = cached(allSh.join(candDocs, Seq("doc_id"), "left_semi"))
     val inter = shC.as("x").join(shC.as("y"),
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))

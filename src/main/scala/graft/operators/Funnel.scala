@@ -135,7 +135,9 @@ object Funnel {
     val nSteps = steps.size
     val aggs = (1 to nSteps).map(i =>
       sum(when(col("steps_reached") >= i, 1L).otherwise(0L)).as(s"n$i"))
-    val one = f.agg(aggs.head, aggs.tail: _*)
+    // the 1-row reach aggregate is read once per step row below — cut it so
+    // the full per-user funnel doesn't re-execute nSteps times
+    val one = f.agg(aggs.head, aggs.tail: _*).localCheckpoint(false)
     val z2 = z * z
     val rows = (1 to nSteps).map { i =>
       val convCols: (Column, Column) =
@@ -362,7 +364,10 @@ object Funnel {
     val week = expr(
       s"($tsMsCol div 86400000 - (CASE WHEN $tsMsCol % 86400000 < 0 THEN 1 ELSE 0 END)) div 7" +
         s" - (CASE WHEN ($tsMsCol div 86400000 - (CASE WHEN $tsMsCol % 86400000 < 0 THEN 1 ELSE 0 END)) % 7 < 0 THEN 1 ELSE 0 END)")
-    val activity = events.select(col(userCol).as("user"), week.as("week")).distinct()
+    // cached: the shifted self-join side, the max-week scalar and the main
+    // branch all read the distinct (user, week) frame
+    val activity = Frames.cached(
+      events.select(col(userCol).as("user"), week.as("week")).distinct())
     val next = activity.select(col("user"), (col("week") - 1).as("week"), lit(1).as("ret"))
       .groupBy("user", "week").agg(max("ret").as("ret"))
     val maxWeek = broadcast(activity.agg(max("week").as("max_week")))
@@ -393,9 +398,10 @@ object Funnel {
       s"$tsMsCol div 86400000 - (CASE WHEN $tsMsCol % 86400000 < 0 THEN 1 ELSE 0 END)")
     val hour = expr(
       s"($tsMsCol div 3600000 - (CASE WHEN $tsMsCol % 3600000 < 0 THEN 1 ELSE 0 END)) % 24")
-    val cells = events
+    // cached (≤168 rows): the share scalar re-ran the corpus aggregate
+    val cells = Frames.cached(events
       .select(pmod(day, lit(7L)).as("dow"), pmod(hour, lit(24L)).as("hour"))
-      .groupBy("dow", "hour").agg(count(lit(1)).as("n_events"))
+      .groupBy("dow", "hour").agg(count(lit(1)).as("n_events")))
     cells.crossJoin(broadcast(cells.agg(sum("n_events").as("total"))))
       .select(col("dow"), col("hour"), col("n_events"),
         (col("n_events").cast("double") / col("total").cast("double")).as("share"))
@@ -511,11 +517,13 @@ object Funnel {
       s"$tsMsCol div 86400000 - (CASE WHEN $tsMsCol % 86400000 < 0 THEN 1 ELSE 0 END)")
     val days = events.agg(min(day).as("d0"), max(day).as("d1"))
       .select(expr("(d0 + d1) div 2").as("mid"))
-    val perUser = events.where(col(variantCol).isNotNull)
+    // cached (user-count narrow rows): the pooled moments and the per-
+    // variant rollup both read it — uncut, each re-ran the events scan
+    val perUser = Frames.cached(events.where(col(variantCol).isNotNull)
       .crossJoin(broadcast(days))
       .groupBy(col(variantCol).as("variant"), col(userCol))
       .agg(sum(when(day < col("mid"), 1L).otherwise(0L)).as("x"),
-        sum(when(day >= col("mid"), 1L).otherwise(0L)).as("y"))
+        sum(when(day >= col("mid"), 1L).otherwise(0L)).as("y")))
     // pooled moments in exact DECIMAL(38,0): theta shared by both variants
     val xd = col("x").cast(DecimalType(38, 0))
     val moments = broadcast(perUser.agg(
@@ -549,8 +557,10 @@ object Funnel {
     val perUser = events.where(col(variantCol).isNotNull)
       .groupBy(col(variantCol).as("variant"), col(userCol))
       .agg(max(when(col(typeCol) === convType, 1L).otherwise(0L)).as("converted"))
-    val perVariant = perUser.groupBy("variant")
-      .agg(count(lit(1)).as("n_users"), sum("converted").as("n_conv"))
+    // cached (variant-count rows): the two limit branches below each
+    // re-executed the full per-user conversion aggregate
+    val perVariant = Frames.cached(perUser.groupBy("variant")
+      .agg(count(lit(1)).as("n_users"), sum("converted").as("n_conv")))
     val a = perVariant.orderBy("variant").limit(1)
       .select(col("n_users").as("n_a"), col("n_conv").as("conv_a"))
     val b = perVariant.orderBy(col("variant").desc).limit(1)
@@ -666,9 +676,10 @@ object Funnel {
    */
   def activityHistogram(events: DataFrame, userCol: String = "user_id"): DataFrame = {
     val perUser = events.groupBy(col(userCol)).agg(count(lit(1)).as("n"))
-    val buckets = perUser
+    // cached (≤64 rows): the share scalar re-ran the per-user aggregate
+    val buckets = Frames.cached(perUser
       .groupBy((length(bin(col("n"))) - 1).cast("long").as("bucket"))
-      .agg(count(lit(1)).as("n_users"), sum("n").as("n_events"))
+      .agg(count(lit(1)).as("n_users"), sum("n").as("n_events")))
     val totals = broadcast(buckets.agg(
       sum("n_users").as("t_users"), sum("n_events").as("t_events")))
     buckets.crossJoin(totals)
@@ -740,12 +751,14 @@ object Funnel {
       .groupBy(col(typeCol).as("event_type"),
         expr(s"($tsMsCol div 3600000) % 24").as("hour"))
       .agg(count(lit(1)).as("c"))
-    val t = c.groupBy("event_type").agg(
-      sum(col("c")).as("n_events"),
-      count(lit(1)).as("n_hours"),
-      max(col("c")).as("max_c"))
+    // per-type totals via a window over the (types x 24)-bounded cell frame
+    // (the bigramEntropy rewrite, same arithmetic): the aggregate-and-join-
+    // back form re-ran the corpus aggregate for the totals branch
+    val wT = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
     val p = col("c").cast("double") / col("n_events").cast("double")
-    c.join(t, "event_type")
+    c.withColumn("n_events", sum(col("c")).over(wT))
+      .withColumn("n_hours", count(lit(1)).over(wT))
+      .withColumn("max_c", max(col("c")).over(wT))
       .groupBy(col("event_type"), col("n_events"), col("n_hours"), col("max_c"))
       .agg((-sum((p * log(p)).cast("decimal(28,12)"))).cast("double")
         .as("entropy_nats"))
@@ -778,8 +791,10 @@ object Funnel {
                    pcts: Seq[Int] = Seq(1, 5, 10, 25, 50, 100)): DataFrame = {
     require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100), "pcts in [1,100]")
     val counts = events.groupBy(col(userCol).as("user")).agg(count(lit(1)).as("c"))
-    val g = counts.groupBy("c").agg(count(lit(1)).as("nu"))
-      .select(col("c"), col("nu"), (col("c") * col("nu")).as("ev"))
+    // cached (distinct-count-values rows): the cumulative window and the
+    // totals scalar both read it — uncut, each re-ran the per-user aggregate
+    val g = Frames.cached(counts.groupBy("c").agg(count(lit(1)).as("nu"))
+      .select(col("c"), col("nu"), (col("c") * col("nu")).as("ev")))
     // distinct count values are unique -> the desc order needs no tie-break
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("c").desc)
@@ -835,11 +850,15 @@ object Funnel {
     require(iters >= 1 && iters <= 30, "iters in [1, 30]")
     val order = org.apache.spark.sql.expressions.Window
       .partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    // the one events-sized pass (per-user lag window + transition count) is
+    // cut here: states reads it twice (union sides), dangling and edges once
+    // more each — without the cut the window pass re-executes ~4x per run
     val counts = events.select(col(userCol), col(tsCol), col(idCol), col(typeCol))
       .withColumn("from_type", lag(col(typeCol), 1).over(order))
       .where(col("from_type").isNotNull)
       .groupBy(col("from_type"), col(typeCol).as("to_type"))
       .agg(count(lit(1)).as("n"))
+      .localCheckpoint(false)
     val states = counts.select(col("from_type").as("s"))
       .union(counts.select(col("to_type"))).distinct()
       .localCheckpoint(false)
@@ -1002,7 +1021,10 @@ object Funnel {
    */
   def typeOverlap(events: DataFrame, keyCol: String = "event_type",
       idCol: String = "user_id"): DataFrame = {
-    val ku = events.select(col(keyCol).as("k"), col(idCol).as("id")).distinct()
+    // cached: the size aggregate and both overlap-join sides read the
+    // distinct (key, id) frame — uncut, each re-ran the corpus distinct
+    val ku = Frames.cached(
+      events.select(col(keyCol).as("k"), col(idCol).as("id")).distinct())
     val sizes = ku.groupBy("k").agg(count(lit(1)).as("n"))
     val both = ku.as("x").join(ku.as("y"),
         col("x.id") === col("y.id") && col("x.k") < col("y.k"))
@@ -1039,8 +1061,12 @@ object Funnel {
         pmod(hour, lit(24)).as("hour"))
       .groupBy(col(keyCol), col("dow"), col("hour"))
       .agg(count(lit(1)).as("n"))
-    val totals = cells.groupBy(col(keyCol)).agg(sum("n").as("n_total"))
-    cells.join(totals, Seq(keyCol))
+    // group totals via a window over the (groups x 168)-bounded cell frame
+    // (the langConfusion rewrite): the aggregate-and-join-back form re-ran
+    // the corpus aggregate for the totals branch
+    cells
+      .withColumn("n_total", sum(col("n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(keyCol)))
       .select(col(keyCol), col("dow"), col("hour"), col("n"),
         (col("n").cast("double") / col("n_total").cast("double")).as("share"))
   }

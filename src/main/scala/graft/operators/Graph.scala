@@ -104,20 +104,25 @@ object Graph {
    * (NULL when degree < 2 — no pair of neighbors to close).
    */
   def triangles(edges: DataFrame): DataFrame = {
-    val und = edges
+    // und / deg / oriented are cached (edge- and node-bounded frames, the
+    // Frames.cached idiom): the wedge join reads `oriented` THREE times and
+    // deg twice, and without the cuts every reference re-executed the whole
+    // dedup + degree-join prelude from the raw edge input (188 corpus scans
+    // in the driver gate's physical plan; 1 after)
+    val und = Frames.cached(edges
       .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
       .where(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
-      .distinct()
-    val deg = und.select(col("a").as("v")).union(und.select(col("b").as("v")))
-      .groupBy("v").agg(count(lit(1)).as("deg"))
+      .distinct())
+    val deg = Frames.cached(und.select(col("a").as("v")).union(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg")))
     val withDeg = und
       .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
       .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
     val aFirst = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
-    val oriented = withDeg.select(
+    val oriented = Frames.cached(withDeg.select(
       when(aFirst, col("a")).otherwise(col("b")).as("lo"),
       when(aFirst, col("b")).otherwise(col("a")).as("hi"),
-      when(aFirst, col("db")).otherwise(col("da")).as("dhi"))
+      when(aFirst, col("db")).otherwise(col("da")).as("dhi")))
     // wedges at lo between order-ranked out-neighbors; closing edge v->w
     // must exist in the SAME orientation (ord(v) < ord(w) by construction)
     val vBeforeW = col("e1.dhi") < col("e2.dhi") ||
@@ -212,15 +217,18 @@ object Graph {
    * map-side partial, 1-row result; no windows, no collect.
    */
   def assortativity(edges: DataFrame): DataFrame = {
-    val und = edges
+    // cached like triangles' prelude: und feeds deg, the degree join and
+    // the edge-count scalar; joined feeds both union sides of the pair
+    // frame — uncut, the gate's plan re-derived the edge list 52 times
+    val und = Frames.cached(edges
       .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
       .where(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
-      .distinct()
-    val deg = und.select(col("a").as("v")).union(und.select(col("b").as("v")))
-      .groupBy("v").agg(count(lit(1)).as("deg"))
-    val joined = und
+      .distinct())
+    val deg = Frames.cached(und.select(col("a").as("v")).union(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg")))
+    val joined = Frames.cached(und
       .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
-      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b"))
     val pairs = joined.select(col("da").as("x"), col("db").as("y"))
       .union(joined.select(col("db").as("x"), col("da").as("y")))
     val dec = "DECIMAL(38,0)"
@@ -450,9 +458,10 @@ object Graph {
    * @return (node, out_deg, in_deg, n_recip, recip_rate)
    */
   def reciprocity(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("src"), col("dst"))
+    // cached: four readers (both reverse-join sides, out/in degree counts)
+    val e = Frames.cached(edges.select(col("src"), col("dst"))
       .where(col("src") =!= col("dst") && col("src").isNotNull && col("dst").isNotNull)
-      .distinct()
+      .distinct())
     val recip = e.as("f")
       .join(e.select(col("dst").as("src"), col("src").as("dst")).as("r"), Seq("src", "dst"))
       .groupBy(col("src").as("node")).agg(count(lit(1)).as("n_recip"))
@@ -484,9 +493,10 @@ object Graph {
    * @return (direction 'in'|'out', bucket, min_degree = 2^bucket, n_nodes)
    */
   def degreeHistogram(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("src"), col("dst"))
+    // cached: the out- and in-direction histograms each scan it
+    val e = Frames.cached(edges.select(col("src"), col("dst"))
       .where(col("src") =!= col("dst") && col("src").isNotNull && col("dst").isNotNull)
-      .distinct()
+      .distinct())
     def hist(keyCol: String, direction: String) =
       e.groupBy(col(keyCol).as("node")).agg(count(lit(1)).as("deg"))
         .groupBy((length(bin(col("deg"))) - 1).cast("long").as("bucket"))
@@ -520,16 +530,18 @@ object Graph {
                    itemCol: String = "item",
                    maxUserDeg: Long = Long.MaxValue): DataFrame = {
     require(maxUserDeg >= 2, "maxUserDeg >= 2: below that no pair exists")
-    val e = pairs.select(col(userCol).as("u"), col(itemCol).as("item"))
+    // cached: deg, the cap scan and both pair-join sides read the distinct
+    // frame; capped itself is read twice by the self-join
+    val e = Frames.cached(pairs.select(col(userCol).as("u"), col(itemCol).as("item"))
       .where(col("u").isNotNull && col("item").isNotNull)
-      .distinct()
-    val deg = e.groupBy("item").agg(count(lit(1)).as("deg"))
+      .distinct())
+    val deg = Frames.cached(e.groupBy("item").agg(count(lit(1)).as("deg")))
     val capped =
       if (maxUserDeg == Long.MaxValue) e
       else {
         val ok = e.groupBy("u").agg(count(lit(1)).as("ud"))
           .where(col("ud") <= maxUserDeg).select("u")
-        e.join(ok, "u")
+        Frames.cached(e.join(ok, "u"))
       }
     val co = capped.as("a").join(capped.as("b"),
         col("a.u") === col("b.u") && col("a.item") < col("b.item"))
@@ -570,16 +582,19 @@ object Graph {
    *         as one exact-integer division; existing edges excluded.
    */
   def linkPredict(edges: DataFrame, maxDeg: Long = Long.MaxValue): DataFrame = {
-    val und = edges
+    // cached prelude (triangles' idiom): und is read by bi (twice), the
+    // existing-edge anti-join and, via bi, the degree count; centers feeds
+    // both wedge-join sides; deg three readers
+    val und = Frames.cached(edges
       .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
       .where(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
-      .distinct()
+      .distinct())
     val bi = und.select(col("a").as("v"), col("b").as("n"))
       .union(und.select(col("b").as("v"), col("a").as("n")))
-    val deg = bi.groupBy("v").agg(count(lit(1)).as("deg"))
-    val centers =
+    val deg = Frames.cached(bi.groupBy("v").agg(count(lit(1)).as("deg")))
+    val centers = Frames.cached(
       if (maxDeg == Long.MaxValue) bi
-      else bi.join(deg.where(col("deg") <= maxDeg).select("v"), "v")
+      else bi.join(deg.where(col("deg") <= maxDeg).select("v"), "v"))
     val cand = centers.as("e1")
       .join(centers.as("e2"), col("e1.v") === col("e2.v") && col("e1.n") < col("e2.n"))
       .groupBy(col("e1.n").as("a"), col("e2.n").as("b"))
@@ -842,17 +857,20 @@ object Graph {
    *         non-adjacent pairs with a < b sharing ≥ 1 common neighbor.
    */
   def adamicAdar(edges: DataFrame, maxDeg: Long = Long.MaxValue): DataFrame = {
-    val und = edges
+    // cached prelude (the linkPredict idiom): centers feeds both wedge-join
+    // sides, und the anti-join — uncut this plan re-derived the edge list
+    // 36 times in the driver gate
+    val und = Frames.cached(edges
       .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
       .where(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
-      .distinct()
+      .distinct())
     val bi = und.select(col("a").as("v"), col("b").as("n"))
       .union(und.select(col("b").as("v"), col("a").as("n")))
     val deg = bi.groupBy("v").agg(count(lit(1)).as("deg"))
     val centers0 = bi.join(deg, "v")
-    val centers =
+    val centers = Frames.cached(
       if (maxDeg == Long.MaxValue) centers0
-      else centers0.where(col("deg") <= maxDeg)
+      else centers0.where(col("deg") <= maxDeg))
     val cand = centers.as("e1")
       .join(centers.as("e2"), col("e1.v") === col("e2.v") && col("e1.n") < col("e2.n"))
       .groupBy(col("e1.n").as("a"), col("e2.n").as("b"))

@@ -64,13 +64,16 @@ object Linkage {
         .where(col("bn") <= maxBlock)
         .select(col("bk"), col("bl")),
       Seq("bk", "bl"), "left_semi"))
+    // project the edit distance ONCE, then filter on the column: the
+    // filter-then-reproject form evaluated levenshtein a second time for
+    // every surviving pair (no cross-operator subexpression elimination)
     sized.as("x").join(sized.as("y"),
         col("x.bk") === col("y.bk") && col("x.bl") === col("y.bl") &&
           col("x.id") < col("y.id"))
-      .where(levenshtein(col("x.name"), col("y.name")) <= maxDist)
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
         col("x.name").as("name_a"), col("y.name").as("name_b"),
         levenshtein(col("x.name"), col("y.name")).cast("long").as("dist"))
+      .where(col("dist") <= maxDist)
   }
 
   /**

@@ -333,8 +333,11 @@ object Multimodal {
   def exactDedup(media: DataFrame): DataFrame = {
     // NULL payload hashes as the empty payload (one mutual-dup group) — a
     // NULL hash would silently drop the row at the join (NULL != NULL)
-    val hashed = media.select(col("media_id"), col("media_type"),
-      md5(coalesce(col("payload"), lit(Array.emptyByteArray))).as("content_hash"))
+    // cached (payload already projected away — narrow rows): the group
+    // aggregate and the audit join both read it, and uncut each re-hashed
+    // every payload byte from the source
+    val hashed = Frames.cached(media.select(col("media_id"), col("media_type"),
+      md5(coalesce(col("payload"), lit(Array.emptyByteArray))).as("content_hash")))
     val groups = hashed.groupBy("content_hash")
       .agg(min("media_id").as("keep_media_id"), count(lit(1)).as("dup_count"))
     hashed.join(groups, "content_hash")

@@ -223,9 +223,12 @@ object Privacy {
   def kAnonymitySweep(df: DataFrame, baseCols: Seq[String], numCol: String,
                       widths: Seq[Long], k: Int): DataFrame = {
     require(widths.nonEmpty && widths.forall(_ >= 1), "widths >= 1")
+    // cached: every width's report re-scanned the (narrow, caller-projected)
+    // quasi-identifier frame — one materialization serves the whole sweep
+    val base = Frames.cached(df)
     widths.map { w =>
       kAnonymityReport(
-        df.select((baseCols.map(col) :+ expr(s"$numCol div $w").as("_gen")): _*),
+        base.select((baseCols.map(col) :+ expr(s"$numCol div $w").as("_gen")): _*),
         baseCols :+ "_gen", k)
         .withColumn("bucket_width", lit(w))
     }.reduce(_ unionByName _)

@@ -278,12 +278,18 @@ object Profiling {
     * keys. */
   def referentialAudit(child: DataFrame, parent: DataFrame, childKey: String,
                        parentKey: String, relationship: String): DataFrame = {
-    val orphans = child.select(col(childKey).as("_k"))
-      .join(parent.select(col(parentKey).as("_k")).distinct(), Seq("_k"), "left_anti")
-    val totals = child.agg(count(lit(1)).as("n_child"))
-    val o = orphans.agg(count(lit(1)).as("n_orphan_rows"),
-      countDistinct(col("_k")).as("n_orphan_keys"))
-    totals.crossJoin(broadcast(o))
+    // one child pass: mark matches with a LEFT join against the distinct
+    // parent keys and fold total + orphan counts in one aggregate — the
+    // anti-join + separate total scanned the child (the fact table) twice.
+    // Exact equivalence: anti-join rows == left-join rows with no match
+    // (NULL child keys match nothing either way), and countDistinct skips
+    // the NULL the when() emits for matched rows.
+    val marked = child.select(col(childKey).as("_k"))
+      .join(parent.select(col(parentKey).as("_k"), lit(1).as("_m")).distinct(),
+        Seq("_k"), "left")
+    marked.agg(count(lit(1)).as("n_child"),
+        sum(when(col("_m").isNull, 1L).otherwise(0L)).as("n_orphan_rows"),
+        countDistinct(when(col("_m").isNull, col("_k"))).as("n_orphan_keys"))
       .select(lit(relationship).as("relationship"), col("n_child"),
         col("n_orphan_rows"), col("n_orphan_keys"))
   }

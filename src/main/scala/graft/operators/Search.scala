@@ -589,7 +589,10 @@ object Search {
     val idcgCase = (1 until k)
       .map(r => s"WHEN n_rel = $r THEN CAST(${dcgCum(r)} AS DECIMAL(14,10))")
       .mkString(s"CASE WHEN n_rel >= $k THEN CAST(${dcgCum(k)} AS DECIMAL(14,10)) ", " ", " END")
-    val rel = qrels.select(col("query_id"), col("doc_id"))
+    // cached: the ideal-DCG counts and the hit join both read the judgment
+    // frame, whose construction (typically a corpus prefix-match) would
+    // otherwise execute twice
+    val rel = Frames.cached(qrels.select(col("query_id"), col("doc_id")))
     val relCounts = rel.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
     val relHits = hits.where(col("rank") <= k).join(rel, Seq("query_id", "doc_id"))
     val perQ = relHits.groupBy("query_id").agg(

@@ -110,7 +110,10 @@ object Sessionize {
       .groupBy(col(key), col("session_seq"))
       .agg(min(col(tsCol)).as("start_ms"), max(col(tsCol)).as("end_ms"))
     // exact integer FLOOR division (matches the oracle's `//` on negative ts)
-    val segs = iv.selectExpr(
+    // cached (session-segment-bounded narrow rows): the +1/−1 delta sides
+    // and the per-day rollup all read it — uncut, each re-ran the whole
+    // sessionization window + interval aggregate over the corpus
+    val segs = Frames.cached(iv.selectExpr(
         "start_ms", "end_ms",
         "start_ms div 86400000 - (CASE WHEN start_ms % 86400000 < 0 THEN 1 ELSE 0 END) AS day_a",
         "end_ms div 86400000 - (CASE WHEN end_ms % 86400000 < 0 THEN 1 ELSE 0 END) AS day_b")
@@ -118,7 +121,7 @@ object Sessionize {
         explode(sequence(col("day_a"), col("day_b"))).as("day"))
       .select(col("day"),
         greatest(col("start_ms"), col("day") * 86400000L).as("seg_start"),
-        least(col("end_ms"), (col("day") + 1) * 86400000L - 1).as("seg_end"))
+        least(col("end_ms"), (col("day") + 1) * 86400000L - 1).as("seg_end")))
     val plus = segs.select(col("day"), col("seg_start").as("ts"), lit(1L).as("delta"))
     val minus = segs
       .where(col("seg_end") + 1 <= (col("day") + 1) * 86400000L - 1)

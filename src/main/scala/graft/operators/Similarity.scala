@@ -264,10 +264,12 @@ object Similarity {
   def centroidSimilarity(emb: DataFrame, groupCol: String = "label"): DataFrame = {
     val grid = math.pow(2, CentroidScaleBits).toLong
     val dec = "DECIMAL(38,0)"
-    val fp = emb
+    // cached ((groups x dims)-bounded): the norm aggregate and both pair-
+    // join sides read it — uncut, each re-ran the corpus posexplode
+    val fp = Frames.cached(emb
       .select(col(groupCol), posexplode(col("embedding")).as(Seq("d", "v")))
       .groupBy(col(groupCol), col("d"))
-      .agg(sum(floor(col("v").cast("double") * grid + 0.5)).as("fp"))
+      .agg(sum(floor(col("v").cast("double") * grid + 0.5)).as("fp")))
     // cast BEFORE multiplying: fp ≤ n·2^20, so a LONG×LONG product overflows
     // past n ≈ 3000 vectors — the products must form in DECIMAL(38,0)
     val norms = fp.groupBy(groupCol)
@@ -855,7 +857,9 @@ object Similarity {
    */
   def recallReport(ann: DataFrame, exact: DataFrame): DataFrame = {
     val a = ann.select(col("query_id"), col("neighbor_id"))
-    val g = exact.select(col("query_id"), col("neighbor_id"))
+    // cached (k-bounded rows): the k_eff base and the hit join both read the
+    // ground truth — uncut, the exact-kNN pass executed twice per report
+    val g = Frames.cached(exact.select(col("query_id"), col("neighbor_id")))
     val base = g.groupBy("query_id").agg(count(lit(1)).as("k_eff"))
     val hits = g.join(a, Seq("query_id", "neighbor_id"))
       .groupBy("query_id").agg(count(lit(1)).as("hits"))
@@ -955,8 +959,11 @@ object Similarity {
     require(dims.nonEmpty && dims.forall(_ >= 1), "dims must be positive")
     require(k >= 1, "k >= 1")
     val queries = corpus.where(col("vec_id") % probeMod === 0)
-    val full = bruteForceKnn(corpus, queries, k)
-      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    // cached (k-bounded rows): every truncation dim joins against the
+    // full-dim ground truth — uncut, each dim re-ran the full brute-force
+    // scoring pass
+    val full = Frames.cached(bruteForceKnn(corpus, queries, k)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit")))
     val perDim = dims.map { d0 =>
       def cut(df: DataFrame) = df.select(col("vec_id"),
         slice(col("embedding"), 1, d0).as("embedding"))

@@ -440,24 +440,29 @@ object Sketches {
     val shardW = Window.partitionBy(col("key"), pmod(col("h"), lit(64L)))
       .orderBy(col("h"))
     val keyW = Window.partitionBy("key").orderBy(col("h"))
-    val kept = hashed
+    // kept (≤ keys·k rows) is cached: the theta aggregate and both common-
+    // join sides re-executed the two-level rank prune (and its corpus scan)
+    // per reference; elems likewise feeds both exact-audit join sides
+    val kept = Frames.cached(hashed
       .withColumn("sr", row_number().over(shardW)).where(col("sr") <= k)
       .withColumn("rk", row_number().over(keyW)).where(col("rk") <= k)
-      .select("key", "h")
+      .select("key", "h"))
     val thetas = kept.groupBy("key")
       .agg(count(lit(1)).as("n_held"), max(col("h")).as("kth"))
       .select(col("key"),
         when(col("n_held") < k, lit(full)).otherwise(col("kth")).as("theta"))
-    val pairs = thetas.as("ta").join(thetas.as("tb"), col("ta.key") < col("tb.key"))
-      .select(col("ta.key").as("key_a"), col("tb.key").as("key_b"),
-        least(col("ta.theta"), col("tb.theta")).as("theta"))
+    val pairs = Frames.cached(
+      thetas.as("ta").join(thetas.as("tb"), col("ta.key") < col("tb.key"))
+        .select(col("ta.key").as("key_a"), col("tb.key").as("key_b"),
+          least(col("ta.theta"), col("tb.theta")).as("theta")))
     val common = kept.as("a").join(kept.as("b"),
         col("a.h") === col("b.h") && col("a.key") < col("b.key"))
       .select(col("a.key").as("key_a"), col("b.key").as("key_b"), col("a.h").as("h"))
       .join(pairs, Seq("key_a", "key_b"))
       .where(col("h") < col("theta"))
       .groupBy("key_a", "key_b").agg(count(lit(1)).as("n_common"))
-    val elems = nn.select(col(keyCol).as("key"), col(elemCol).as("e")).distinct()
+    val elems = Frames.cached(
+      nn.select(col(keyCol).as("key"), col(elemCol).as("e")).distinct())
     val exact = elems.as("a").join(elems.as("b"),
         col("a.e") === col("b.e") && col("a.key") < col("b.key"))
       .groupBy(col("a.key").as("key_a"), col("b.key").as("key_b"))
@@ -505,17 +510,21 @@ object Sketches {
     val shardW = Window.partitionBy(col("key"), pmod(col("h"), lit(64L)))
       .orderBy(col("h"))
     val keyW = Window.partitionBy("key").orderBy(col("h"))
-    val kept = hashed
+    // kept is read FOUR times (thetas, n_a, n_b, both common sides) and
+    // pairs five — cached like kmvIntersect's, so the rank prune and the
+    // theta pair join execute once each instead of per consumer
+    val kept = Frames.cached(hashed
       .withColumn("sr", row_number().over(shardW)).where(col("sr") <= k)
       .withColumn("rk", row_number().over(keyW)).where(col("rk") <= k)
-      .select("key", "h")
+      .select("key", "h"))
     val thetas = kept.groupBy("key")
       .agg(count(lit(1)).as("n_held"), max(col("h")).as("kth"))
       .select(col("key"),
         when(col("n_held") < k, lit(full)).otherwise(col("kth")).as("theta"))
-    val pairs = thetas.as("ta").join(thetas.as("tb"), col("ta.key") < col("tb.key"))
-      .select(col("ta.key").as("key_a"), col("tb.key").as("key_b"),
-        least(col("ta.theta"), col("tb.theta")).as("theta"))
+    val pairs = Frames.cached(
+      thetas.as("ta").join(thetas.as("tb"), col("ta.key") < col("tb.key"))
+        .select(col("ta.key").as("key_a"), col("tb.key").as("key_b"),
+          least(col("ta.theta"), col("tb.theta")).as("theta")))
     // per-pair below-theta sample sizes for EACH side (sketch-bounded joins)
     val nA = pairs.join(kept.as("ka"), col("ka.key") === col("key_a"))
       .where(col("ka.h") < col("theta"))
@@ -530,7 +539,8 @@ object Sketches {
       .where(col("h") < col("theta"))
       .groupBy("key_a", "key_b").agg(count(lit(1)).as("n_common"))
     // exact audits from per-key distinct counts + the exact overlap
-    val elems = nn.select(col(keyCol).as("key"), col(elemCol).as("e")).distinct()
+    val elems = Frames.cached(
+      nn.select(col(keyCol).as("key"), col(elemCol).as("e")).distinct())
     val sizes = elems.groupBy("key").agg(count(lit(1)).as("nd"))
     val exactOv = elems.as("a").join(elems.as("b"),
         col("a.e") === col("b.e") && col("a.key") < col("b.key"))

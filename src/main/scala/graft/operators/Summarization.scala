@@ -36,7 +36,9 @@ object Summarization {
       col("metric"),
       (col("ts") - (col("ts") % lit(windowMs))).as("window_ms"),
       col("value"))
-    val stats = keyed
+    // cached ((metric, window)-bounded): the rank pass and the final join
+    // both read it — uncut, the second reader re-ran the corpus aggregate
+    val stats = Frames.cached(keyed
       .groupBy(col("metric"), col("window_ms"))
       .agg(
         count(col("value")).as("cnt"),
@@ -46,7 +48,7 @@ object Summarization {
         // TimeSeries.exactAggregator) — plain double sums can flip a
         // round(.,4) boundary between runs/engines
         sum(col("value").cast("decimal(18,6)")).cast("double").as("vsum"),
-        (sum(col("value").cast("decimal(18,6)")).cast("double") / count(col("value"))).as("vavg"))
+        (sum(col("value").cast("decimal(18,6)")).cast("double") / count(col("value"))).as("vavg")))
 
     // distributed nearest-rank: external sort per group, then pick the rows at
     // the 4 target ranks (ties order arbitrarily but the value AT a rank

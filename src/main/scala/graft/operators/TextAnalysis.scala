@@ -1107,7 +1107,9 @@ object TextAnalysis {
         slice(col("ws"), lit(1), size(col("ws")) - 1),
         slice(col("ws"), lit(2), size(col("ws")) - 1))).as("z"))
       .select(col("z.0").as("w1"), col("z.1").as("w2"))
-    val bc = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    // cached (the lmScoreBigram bcnt idiom): the corpus-total scalar and
+    // the scoring join both read the distinct-pairs frame
+    val bc = Frames.cached(pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12")))
     val uni = docs.select(explode(wordsLower(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
     val total = bc.agg(sum(col("c12")).cast("long").as("n_pairs"))
@@ -1212,8 +1214,12 @@ object TextAnalysis {
     val cells = languageId(docs)
       .join(docs.select(col("doc_id"), col("lang")), "doc_id")
       .groupBy("lang", "lang_guess").agg(count(lit(1)).as("n"))
-    val totals = cells.groupBy("lang").agg(sum("n").as("n_lang"))
-    cells.join(totals, "lang")
+    // per-label totals via a window over the langs²-bounded cell frame —
+    // the aggregate-and-join-back form re-executed the corpus scoring scan
+    // for the totals branch (the bigramEntropy rewrite, same arithmetic)
+    cells
+      .withColumn("n_lang", sum(col("n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("lang")))
       .select(col("lang"), col("lang_guess"), col("n"), col("n_lang"),
         (col("n").cast("double") / col("n_lang").cast("double")).as("rate"))
   }
@@ -1372,7 +1378,11 @@ object TextAnalysis {
    * POSITIONS and slices after (codegen substring per exploded row) — a
    * `transform(…, i -> substring(…))` lambda would materialize a per-row
    * string array through the interpreted HOF path, ~6× slower at bench
-   * scale.
+   * scale. Per-doc totals come from a doc-partitioned WINDOW over the
+   * bigram-count frame, not a separate aggregate joined back: the
+   * aggregate branch re-executed the whole explode subtree (two corpus
+   * passes in the physical plan), where the window reads the one counts
+   * frame in place (one corpus pass, one fewer Exchange).
    *
    * @return (doc_id, n_bigrams, n_distinct, entropy_nats, gibberish)
    */
@@ -1384,10 +1394,12 @@ object TextAnalysis {
         explode(sequence(lit(1), length(lt) - 1)).as("i"))
       .select(col("doc_id"), expr("substring(lt, i, 2)").as("g"))
     val counts = grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-    val totals = counts.groupBy("doc_id").agg(
-      sum(col("c")).as("n_bigrams"), count(lit(1)).as("n_distinct"))
+    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val withTotals = counts
+      .withColumn("n_bigrams", sum(col("c")).over(wDoc))
+      .withColumn("n_distinct", count(lit(1)).over(wDoc))
     val p = col("c").cast("double") / col("n_bigrams").cast("double")
-    counts.join(totals, "doc_id")
+    withTotals
       .groupBy(col("doc_id"), col("n_bigrams"), col("n_distinct"))
       .agg((-sum((p * log(p)).cast("decimal(28,12)"))).cast("double")
         .as("entropy_nats"))
@@ -1421,11 +1433,15 @@ object TextAnalysis {
     val words = docs
       .select(col("source"), explode(split(lower(col("text")), " ")).as("w"))
       .where(col("w") =!= "")
-    val head = words.groupBy("w").agg(count(lit(1)).as("cq"))
-      .orderBy(col("cq").desc, col("w").asc).limit(topN)
+    // head (topN rows) and sCounts (sources x topN) are cached: head is
+    // read three times (its own broadcast, the semi-join and the corpus
+    // total) and sCounts twice (per-source totals + the grid join) — uncut,
+    // each reference re-ran the corpus word-count aggregate
+    val head = Frames.cached(words.groupBy("w").agg(count(lit(1)).as("cq"))
+      .orderBy(col("cq").desc, col("w").asc).limit(topN))
     val corpTotal = head.agg(sum("cq").as("tq"))
-    val sCounts = words.join(broadcast(head.select("w")), "w")
-      .groupBy("source", "w").agg(count(lit(1)).as("cp"))
+    val sCounts = Frames.cached(words.join(broadcast(head.select("w")), "w")
+      .groupBy("source", "w").agg(count(lit(1)).as("cp")))
     val sTotals = sCounts.groupBy("source").agg(sum("cp").as("tp"))
     val grid = sTotals.select(col("source"), col("tp"))
       .crossJoin(broadcast(head)).crossJoin(broadcast(corpTotal))

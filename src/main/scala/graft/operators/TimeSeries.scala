@@ -990,10 +990,13 @@ object TimeSeries {
    *         ≥ 2 buckets; slope in counts per bucket, b in bucket units.
    */
   def theilSen(points: DataFrame, bucketMs: Long = 3600000L): DataFrame = {
-    val counts = points
+    // cached (the minhashLsh `mh` idiom): three consumers read this frame —
+    // both sides of the pair self-join and the residual branch — and without
+    // the cut the events-sized count aggregate executes three times per run
+    val counts = Frames.cached(points
       .groupBy(col("metric"), (col("ts") - (col("ts") % lit(bucketMs))).as("bms"))
       .agg(count(lit(1)).as("n"))
-      .select(col("metric"), (col("bms") / lit(bucketMs)).cast("long").as("b"), col("n"))
+      .select(col("metric"), (col("bms") / lit(bucketMs)).cast("long").as("b"), col("n")))
     val pairs = counts.as("x")
       .join(counts.as("y"), col("x.metric") === col("y.metric") && col("x.b") < col("y.b"))
       .select(col("x.metric").as("metric"),

@@ -22,6 +22,16 @@ object LlmQueries {
       .select(col("doc_id").as("query_id"),
         array_join(slice(split(col("text"), " "), 1, 4), " ").as("qtext"))
 
+  /** [[probeQueries]] memoized per (session, dir) and persisted (the
+    * repersist guard): a dozen retrieval gates — and several operators,
+    * twice each internally — re-derived the probe batch with its own
+    * corpus scan; the persisted ~(corpus/97)-row frame turns each of those
+    * into an in-memory read. */
+  private val probeQMemo = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def probeQueriesFrame(s: SparkSession, dir: String): DataFrame =
+    repersist(probeQMemo.computeIfAbsent(s"${SessionKeys.key(s)}:$dir", _ =>
+      probeQueries(docs(s, dir))))
+
   /**
    * One candidate fetch for the whole BM25 family: `search_bm25`,
    * `search_hybrid_rrf` and `search_hard_negatives` all rank the same probe
@@ -44,8 +54,8 @@ object LlmQueries {
     * executor-safe to persist at any corpus size. */
   private val postingsMemo = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private val statsMemo = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-  private def probeTerms(d: DataFrame): DataFrame =
-    probeQueries(d)
+  private def probeTerms(s: SparkSession, dir: String): DataFrame =
+    probeQueriesFrame(s, dir)
       .select(col("query_id"), explode(split(col("qtext"), " ")).as("term"))
       .distinct()
   private def repersist(df: DataFrame): DataFrame = {
@@ -56,7 +66,7 @@ object LlmQueries {
   private def probePostings(s: SparkSession, dir: String): DataFrame =
     repersist(postingsMemo.computeIfAbsent(s"${SessionKeys.key(s)}:$dir", _ => {
       val d = docs(s, dir)
-      graft.operators.Search.matchedPostings(d, probeTerms(d))
+      graft.operators.Search.matchedPostings(d, probeTerms(s, dir))
     }))
 
   /** The shared matched-POSITIONS frame for the positional family
@@ -68,7 +78,7 @@ object LlmQueries {
   private def probePositions(s: SparkSession, dir: String): DataFrame =
     repersist(positionsMemo.computeIfAbsent(s"${SessionKeys.key(s)}:$dir", _ => {
       val d = docs(s, dir)
-      val terms = probeQueries(d)
+      val terms = probeQueriesFrame(s, dir)
         .select(explode(split(lower(col("qtext")), " ")).as("w"))
         .unionByName(d.where(col("doc_id") % 97 === 0)
           .select(lower(element_at(split(col("text"), " "), 6)).as("w"))
@@ -134,6 +144,31 @@ object LlmQueries {
     repersist(dupClustersMemo.computeIfAbsent(s"${SessionKeys.key(s)}:$dir", _ =>
       Dedup.clusters(Dedup.ngramJaccard(docs(s, dir), threshold = 0.7).select("a", "b"))))
 
+  /** The planted full link-graph edge frame `plantedEdges(corpus, full)`
+    * shared by the SIXTEEN Graph-family gates: every gate re-derived the
+    * edge list from the corpus (2–4 union'd projections of the doc scan),
+    * and the non-iterative operators reference their edge input up to ~13
+    * times — 52 corpus scans in `graph_assortativity`'s physical plan
+    * alone. One persisted build per (session, dir) turns every reference
+    * into an in-memory read. Edge rows are ≈ 2.4 x docs short strings:
+    * executor-safe to persist wherever the corpus itself is processed. */
+  private val edgesMemo = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def plantedEdgesFrame(s: SparkSession, dir: String): DataFrame =
+    repersist(edgesMemo.computeIfAbsent(s"${SessionKeys.key(s)}:$dir", _ =>
+      plantedEdges(docs(s, dir), full = true)))
+
+  /** The per-doc Kneser-Ney score frame `TextAnalysis.lmScoreKN(corpus)`
+    * shared by `text_lm_kn` (the score gate) and `curate_lm_buckets` (the
+    * CCNet bucket report) — the BM25-family memoization pattern: the KN
+    * scoring pipeline (two corpus explodes: bigram counts + probe) runs once
+    * per (session, dir) instead of once per consumer, with the build
+    * attributed to `shared_build_kn_scores`. Doc-count-sized narrow rows:
+    * executor-safe to persist at any corpus size. */
+  private val knScoresMemo = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def knScoresFrame(s: SparkSession, dir: String): DataFrame =
+    repersist(knScoresMemo.computeIfAbsent(s"${SessionKeys.key(s)}:$dir", _ =>
+      TextAnalysis.lmScoreKN(docs(s, dir))))
+
   /** The MAINTAINED-STORE fetch family — the store-side mirror of the
     * batch memos above (`probePostings`/`probePositions`/`bm25Hits15`):
     * every lexical `*_store` gate reads the SAME postingsMaintain-written
@@ -151,7 +186,7 @@ object LlmQueries {
   private def storePostingsFrame(s: SparkSession, dir: String): DataFrame =
     repersist(storePostingsMemo.computeIfAbsent(s"${SessionKeys.key(s)}:$dir", _ =>
       graft.tools.Maintenance.postingsFor(s, postingsStoreDir(s, dir),
-        probeTerms(docs(s, dir)))))
+        probeTerms(s, dir))))
   private val storeStatsMemo = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private def storeStatsFrame(s: SparkSession, dir: String): DataFrame =
     repersist(storeStatsMemo.computeIfAbsent(s"${SessionKeys.key(s)}:$dir", _ =>
@@ -168,7 +203,7 @@ object LlmQueries {
   private def storePositionsFrame(s: SparkSession, dir: String): DataFrame =
     repersist(storePositionsMemo.computeIfAbsent(s"${SessionKeys.key(s)}:$dir", _ => {
       val d = docs(s, dir)
-      val terms = probeQueries(d)
+      val terms = probeQueriesFrame(s, dir)
         .select(explode(split(lower(col("qtext")), " ")).as("w"))
         .unionByName(d.where(col("doc_id") % 97 === 0)
           .select(lower(element_at(split(col("text"), " "), 6)).as("w"))
@@ -182,14 +217,14 @@ object LlmQueries {
     repersist(bm25StoreHitsMemo.computeIfAbsent(s"${SessionKeys.key(s)}:$dir", _ =>
       graft.operators.Search.bm25TopKFromPostings(
         storePostingsFrame(s, dir), storeStatsFrame(s, dir),
-        probeTerms(docs(s, dir)), k = 10)))
+        probeTerms(s, dir), k = 10)))
   /** Store-read best-snippet frame shared by `search_snippets_store` and
     * `search_highlight_store` (the batch twins' snippetsMemo pattern). */
   private val storeSnippetsMemo = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private def storeSnippetsFrame(s: SparkSession, dir: String): DataFrame =
     repersist(storeSnippetsMemo.computeIfAbsent(s"${SessionKeys.key(s)}:$dir", _ =>
       graft.operators.Search.bestSnippetsFromPositions(
-        storePositionsFrame(s, dir), probeQueries(docs(s, dir)), window = 12)))
+        storePositionsFrame(s, dir), probeQueriesFrame(s, dir), window = 12)))
 
   /** The containment-pairs frame `Dedup.containment(corpus, 0.5)` shared by
     * `dedup_containment` and `curate_near_dup_matrix` (the source-overlap
@@ -216,7 +251,7 @@ object LlmQueries {
     val hits = bm25Memo.computeIfAbsent(s"${SessionKeys.key(s)}:$dir", _ => {
       val d = docs(s, dir)
       graft.operators.Search.bm25TopKFromPostings(
-        probePostings(s, dir), corpusStatsFrame(s, dir), probeTerms(d), k = 15)
+        probePostings(s, dir), corpusStatsFrame(s, dir), probeTerms(s, dir), k = 15)
     })
     // re-persist when evicted (clearCache between bench passes): each pass
     // pays the cache-cold build exactly once, the family reuses it
@@ -234,7 +269,7 @@ object LlmQueries {
     val best = snippetsMemo.computeIfAbsent(s"${SessionKeys.key(s)}:$dir", _ => {
       val d = docs(s, dir)
       graft.operators.Search.bestSnippetsFromPositions(
-        probePositions(s, dir), probeQueries(d), window = 12)
+        probePositions(s, dir), probeQueriesFrame(s, dir), window = 12)
     })
     if (best.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
       best.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -248,7 +283,7 @@ object LlmQueries {
   private def pageRankFrame(s: SparkSession, dir: String): DataFrame = {
     val pr = pagerankMemo.computeIfAbsent(s"${SessionKeys.key(s)}:$dir", _ =>
       graft.operators.Graph.pageRank(
-        plantedEdges(docs(s, dir), full = true), iters = 5))
+        plantedEdgesFrame(s, dir), iters = 5))
     if (pr.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
       pr.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pr
@@ -443,6 +478,8 @@ object LlmQueries {
       ((s: SparkSession, dir: String) => { syntheticImagesFrame(s, dir).count(); () }),
     "shared_build_dup_clusters" ->
       ((s: SparkSession, dir: String) => { dupClustersFrame(s, dir).count(); () }),
+    "shared_build_kn_scores" ->
+      ((s: SparkSession, dir: String) => { knScoresFrame(s, dir).count(); () }),
     // forces the cached scored-pair frame (shingles + jaccard scoring) that
     // dedup_ngram_jaccard / dedup_threshold_sweep / the jaccard family ride:
     // the union-find memo above only pays it once per session, so without
@@ -457,6 +494,8 @@ object LlmQueries {
       ((s: SparkSession, dir: String) => { bestSnippetsFrame(s, dir).count(); () }),
     "shared_build_top_pc" ->
       ((s: SparkSession, dir: String) => { topPcFrame(s, dir).count(); () }),
+    "shared_build_edges" ->
+      ((s: SparkSession, dir: String) => { plantedEdgesFrame(s, dir).count(); () }),
     "shared_build_pagerank" ->
       ((s: SparkSession, dir: String) => { pageRankFrame(s, dir).count(); () }),
     "shared_build_postings_store" ->
@@ -623,13 +662,13 @@ object LlmQueries {
     // drift in the decremented stats shifts every score)
     "search_bm25_ageoff" -> ((s, dir) =>
       graft.tools.Maintenance.bm25Maintained(s, agedPostingsDir(s, dir),
-        probeQueries(docs(s, dir)), k = 10)),
+        probeQueriesFrame(s, dir), k = 10)),
     // Dirichlet-QL over the MAINTAINED store: the LM scorer from the same
     // bucket-pruned term fetch, same full-corpus oracle as search_dirichlet_ql
     "search_dirichlet_store" -> ((s, dir) =>
       graft.operators.Search.dirichletTopKFromPostings(
         storePostingsFrame(s, dir), storeStatsFrame(s, dir),
-        probeTerms(docs(s, dir)), k = 10)),
+        probeTerms(s, dir), k = 10)),
     // tf-idf over the MAINTAINED store: doc norms come from the index's
     // per-doc norm² sidecar (persisted on the same decimal grid at index
     // time), so NO corpus scan remains in the read path — the lexical
@@ -637,14 +676,14 @@ object LlmQueries {
     "search_tfidf_store" -> ((s, dir) =>
       graft.operators.Search.tfidfTopKWithNorms(
         storePostingsFrame(s, dir), storeNormsFrame(s, dir),
-        storeStatsFrame(s, dir), probeTerms(docs(s, dir)), k = 10)),
+        storeStatsFrame(s, dir), probeTerms(s, dir), k = 10)),
     // exact phrase over the MAINTAINED store's positional sidecar: the
     // per-(doc, word) position arrays explode back to the anchor-alignment
     // frame after pb-bucket pruning — the phrase family's corpus posexplode
     // disappears from the read path; same oracle as search_phrase
     "search_phrase_store" -> ((s, dir) =>
       graft.operators.Search.phraseHitsFromPositions(
-        storePositionsFrame(s, dir), probeQueries(docs(s, dir)))),
+        storePositionsFrame(s, dir), probeQueriesFrame(s, dir))),
     // NEAR/6 proximity over the positional sidecar; same oracle as
     // search_proximity (1+4-word probe terms)
     "search_proximity_store" -> ((s, dir) => {
@@ -687,7 +726,7 @@ object LlmQueries {
       // bucket-pruned store read
       graft.operators.Search.prfExpandFromPostings(d,
         Some((storePostingsFrame(s, dir), storeStatsFrame(s, dir))),
-        probeQueries(d), bm25StoreHits(s, dir).where(col("rank") <= 3),
+        probeQueriesFrame(s, dir), bm25StoreHits(s, dir).where(col("rank") <= 3),
         r = 3, m = 2, k = 10,
         newTermFetch = Some(nt =>
           graft.tools.Maintenance.postingsFor(s, postingsStoreDir(s, dir), nt)))
@@ -712,7 +751,7 @@ object LlmQueries {
     "search_dirichlet_ql" -> ((s, dir) => {
       val d = docs(s, dir)
       graft.operators.Search.dirichletTopKFromPostings(
-        probePostings(s, dir), corpusStatsFrame(s, dir), probeTerms(d), k = 10)
+        probePostings(s, dir), corpusStatsFrame(s, dir), probeTerms(s, dir), k = 10)
     }),
     // classic tf-idf cosine (SMART lnc.ltn) top-10 over the same probes:
     // the vector-space scorer beside BM25/Dirichlet; full-vector doc norms
@@ -720,7 +759,7 @@ object LlmQueries {
     "search_tfidf" -> ((s, dir) => {
       val d = docs(s, dir)
       graft.operators.Search.tfidfTopKFromPostings(
-        d, probePostings(s, dir), corpusStatsFrame(s, dir), probeTerms(d), k = 10)
+        d, probePostings(s, dir), corpusStatsFrame(s, dir), probeTerms(s, dir), k = 10)
     }),
     // hybrid retrieval: BM25 top-10 fused with embedding-kNN top-10 by
     // reciprocal-rank fusion (doc and vec ids align in the synthetic corpus)
@@ -735,7 +774,7 @@ object LlmQueries {
     // hard-negative mining: the query's own source doc is the known positive;
     // negatives = top-10 of the remaining BM25 candidates (fetch 15, re-rank)
     "search_hard_negatives" -> ((s, dir) => {
-      val pos = probeQueries(docs(s, dir))
+      val pos = probeQueriesFrame(s, dir)
         .select(col("query_id"), col("query_id").as("doc_id"))
       graft.operators.Search.bm25HardNegativesFrom(bm25Hits15(s, dir), pos, k = 10)
     }),
@@ -922,10 +961,17 @@ object LlmQueries {
     "embed_recall_sweep" -> ((s, dir) => {
       val e = emb(s, dir)
       val q = e.where(col("vec_id") < 5)
-      val bf = Similarity.bruteForceKnn(e, q, k = 5)
+      // one index build + one ground-truth pass for the whole sweep: the
+      // per-nProbe ivfKnn convenience re-trained centroids and re-assigned
+      // the corpus three times, and bf re-scored per sweep point (18 corpus
+      // scans in the gate's plan) — search() over the shared build is the
+      // same scoring path ivfKnn delegates to, bit-identical per nProbe
+      val bf = repersist(Similarity.bruteForceKnn(e, q, k = 5))
+      val ivf = graft.operators.SimilarityIvf
+      val cents = ivf.centroids(e, nLists = 16).cache()
+      val indexed = repersist(ivf.assign(e, cents))
       Seq(1, 2, 4).map { np =>
-        Similarity.recallReport(
-          graft.operators.SimilarityIvf.ivfKnn(e, q, k = 5, nProbe = np), bf)
+        Similarity.recallReport(ivf.search(indexed, cents, q, k = 5, nProbe = np), bf)
           .withColumn("nprobe", lit(np.toLong))
       }.reduce(_ union _)
         .select(col("nprobe"), col("query_id"), col("k_eff"), col("hits"), col("recall"))
@@ -1153,12 +1199,14 @@ object LlmQueries {
     // pair mass + the aggregate conditional Σc(w1w2)/Σc(w1) over vocab pairs
     "text_lm_score_bigram" -> ((s, dir) => TextAnalysis.lmScoreBigram(docs(s, dir))),
     // interpolated Kneser-Ney bigram scoring (D=0.75, distinct-context
-    // continuation) — the KenLM-perplexity-filter family, exact corpus counts
-    "text_lm_kn" -> ((s, dir) => TextAnalysis.lmScoreKN(docs(s, dir))),
+    // continuation) — the KenLM-perplexity-filter family, exact corpus
+    // counts — served from the SHARED memoized score frame
+    "text_lm_kn" -> ((s, dir) => knScoresFrame(s, dir)),
     // CCNet-style head/middle/tail familiarity buckets per source (KN score
     // vs mean-relative cutoffs), with the <2-word docs reported as unscored
+    // — riding the same shared KN score frame as text_lm_kn
     "curate_lm_buckets" -> ((s, dir) =>
-      graft.operators.Curation.lmBuckets(docs(s, dir))),
+      graft.operators.Curation.lmBucketsFrom(docs(s, dir), knScoresFrame(s, dir))),
     // BPE tokenizer training: the corpus' first 3 merge rules (frequency-
     // weighted pair counts at distinct-word scale, deterministic ties)
     "text_bpe_train" -> ((s, dir) => TextAnalysis.bpeTrain(docs(s, dir), iters = 3)),
@@ -1247,7 +1295,7 @@ object LlmQueries {
     // memoized converged frame, paying only the 4-step comparison run
     "graph_pagerank_delta" -> ((s, dir) =>
       graft.operators.Graph.pageRankDeltaFrom(pageRankFrame(s, dir),
-        plantedEdges(docs(s, dir), full = true), iters = 5)),
+        plantedEdgesFrame(s, dir), iters = 5)),
     // TrustRank: the same graph with teleport restricted to a two-domain
     // whitelist — trust propagates outward from the vetted core, the
     // curation-native authority variant (Gyöngyi et al.)
@@ -1255,7 +1303,7 @@ object LlmQueries {
       val spark = s
       import spark.implicits._
       graft.operators.Graph.trustRank(
-        plantedEdges(docs(s, dir), full = true),
+        plantedEdgesFrame(s, dir),
         Seq("site0", "site1").toDF("domain"), iters = 5)
     }),
     // HITS hubs & authorities over the same planted link graph: authorities
@@ -1263,7 +1311,7 @@ object LlmQueries {
     // pair separates "worth training on" from "worth crawling from". L1
     // integer fixed point, bit-exact vs the unrolled SQL replay
     "graph_hits" -> ((s, dir) =>
-      graft.operators.Graph.hits(plantedEdges(docs(s, dir), full = true), iters = 5)),
+      graft.operators.Graph.hits(plantedEdgesFrame(s, dir), iters = 5)),
     // weakly-connected components over a DISCONNECTED planted graph: the
     // even docs' site/cdn web plus a separate isle ring from odd docs — the
     // dedup min-label machinery reused on the link graph, with sizes
@@ -1271,31 +1319,31 @@ object LlmQueries {
     // degree-ordered orientation (O(E^1.5) wedges regardless of skew) —
     // the link-farm tell PageRank misses
     "graph_triangles" -> ((s, dir) =>
-      graft.operators.Graph.triangles(plantedEdges(docs(s, dir), full = true))),
+      graft.operators.Graph.triangles(plantedEdgesFrame(s, dir))),
     // k-core backbone of the planted link graph: 6 synchronous peel rounds
     // at k=3 — pure integer set computation, bit-exact vs the unrolled
     // per-round SQL replay; the dense-backbone tell that complements
     // PageRank (endorsement volume) and triangles (local closure)
     "graph_kcore" -> ((s, dir) =>
-      graft.operators.Graph.kcore(plantedEdges(docs(s, dir), full = true), k = 3, rounds = 6)),
+      graft.operators.Graph.kcore(plantedEdgesFrame(s, dir), k = 3, rounds = 6)),
     // common-neighborhood link prediction: non-adjacent pairs meeting ONLY
     // through a shared neighbor (wedge join, hub centers cappable), scored
     // by exact-integer neighbor-set Jaccard — mirror-candidate surfacing
     "graph_link_predict" -> ((s, dir) =>
-      graft.operators.Graph.linkPredict(plantedEdges(docs(s, dir), full = true))),
+      graft.operators.Graph.linkPredict(plantedEdgesFrame(s, dir))),
     // hub-discounting common-neighbor scores (Adamic-Adar + resource
     // allocation) over the same wedge candidates: per-pair 1/ln(deg) and
     // 1/deg sums as sorted folds over the collected center degrees
     "graph_adamic_adar" -> ((s, dir) =>
-      graft.operators.Graph.adamicAdar(plantedEdges(docs(s, dir), full = true))),
+      graft.operators.Graph.adamicAdar(plantedEdgesFrame(s, dir))),
     // per-node mutual-linking rates over the DIRECTED planted graph — the
     // paid-link-ring tell the undirected family erases
     "graph_reciprocity" -> ((s, dir) =>
-      graft.operators.Graph.reciprocity(plantedEdges(docs(s, dir), full = true))),
+      graft.operators.Graph.reciprocity(plantedEdgesFrame(s, dir))),
     // log2 in/out-degree histogram of the simple graph: the shape audit
     // (hub tail, link-farm spike) that sizes the family's degree caps
     "graph_degree_hist" -> ((s, dir) =>
-      graft.operators.Graph.degreeHistogram(plantedEdges(docs(s, dir), full = true))),
+      graft.operators.Graph.degreeHistogram(plantedEdgesFrame(s, dir))),
     // bipartite (user, item-k) co-visitation projection: the related-items
     // graph + exact-integer Jaccard affinity. Uncapped here — the item
     // space bounds the output; the hub-user skew cap is the 100 TB contract
@@ -1314,37 +1362,37 @@ object LlmQueries {
     "search_phrase" -> ((s, dir) => {
       val d = docs(s, dir)
       graft.operators.Search.phraseHitsFromPositions(
-        probePositions(s, dir), probeQueries(d))
+        probePositions(s, dir), probeQueriesFrame(s, dir))
     }),
     // 3-hop BFS reachability histogram from the trustrank seed pair:
     // synchronous frontier expansion, min-hop levels — the blast-radius view
     "graph_khop" -> ((s, dir) => {
       val seeds = docs(s, dir).sparkSession.range(2)
         .select(concat(lit("site"), col("id").cast("string")).as("domain"))
-      graft.operators.Graph.khopReach(plantedEdges(docs(s, dir), full = true), seeds)
+      graft.operators.Graph.khopReach(plantedEdgesFrame(s, dir), seeds)
     }),
     // synchronous label-propagation communities (4 rounds, count-desc /
     // label-asc ties): the mesoscale split of the one giant planted
     // component into link neighborhoods — bit-exact vs the unrolled replay
     "graph_lpa" -> ((s, dir) =>
-      graft.operators.Graph.labelPropagation(plantedEdges(docs(s, dir), full = true), rounds = 4)),
+      graft.operators.Graph.labelPropagation(plantedEdgesFrame(s, dir), rounds = 4)),
     // bounded harmonic centrality (3 hops, lcm-60 exact integer scores):
     // the distance-aware importance the random-walk family doesn't measure
     "graph_harmonic" -> ((s, dir) =>
-      graft.operators.Graph.harmonicCentrality(plantedEdges(docs(s, dir), full = true))),
+      graft.operators.Graph.harmonicCentrality(plantedEdgesFrame(s, dir))),
     // Newman-Girvan modularity of the LPA partition: are the communities
     // real structure or random chance — the quality number for graph_lpa
     "graph_modularity" -> ((s, dir) =>
-      graft.operators.Graph.modularity(plantedEdges(docs(s, dir), full = true), rounds = 4)),
+      graft.operators.Graph.modularity(plantedEdgesFrame(s, dir), rounds = 4)),
     // Freeman degree centralization: the one-number star-vs-mesh shape test
     // (1 = hub-and-spokes link farm, 0 = every domain equal)
     "graph_centralization" -> ((s, dir) =>
-      graft.operators.Graph.degreeCentralization(plantedEdges(docs(s, dir), full = true))),
+      graft.operators.Graph.degreeCentralization(plantedEdgesFrame(s, dir))),
     // degree assortativity: Pearson over endpoint degrees, both
     // orientations — exact DECIMAL moment sums, one pinned double formula;
     // the one-number structural fingerprint per crawl snapshot
     "graph_assortativity" -> ((s, dir) =>
-      graft.operators.Graph.assortativity(plantedEdges(docs(s, dir), full = true))),
+      graft.operators.Graph.assortativity(plantedEdgesFrame(s, dir))),
     "graph_components" -> ((s, dir) => {
       val d = docs(s, dir)
       val web = d.where(col("doc_id") % 2 === 0).select(
@@ -1429,10 +1477,13 @@ object LlmQueries {
       // gopher/contamination bits
       val d = docs(s, dir)
       val nb = d.select((col("doc_id") + 1).as("doc_id"), col("text").as("ntext"))
-      val planted = d.join(nb, Seq("doc_id"), "left").select(col("doc_id"),
+      // persisted: the planted frame is a docs self-join and keepReasons'
+      // five screens each re-executed it (18 corpus scans in the gate's
+      // physical plan; 2 after) — evicted by clearCache like every memo
+      val planted = repersist(d.join(nb, Seq("doc_id"), "left").select(col("doc_id"),
         when(col("doc_id") % 20 === 0 && col("ntext").isNotNull,
           concat(upper(regexp_replace(col("ntext"), " ", "  ")), lit(" !!!")))
-          .otherwise(col("text")).as("text"))
+          .otherwise(col("text")).as("text")))
       graft.operators.Curation.keepReasons(planted,
         planted.where(col("doc_id") % 10 === 0))
     }),
@@ -1449,7 +1500,7 @@ object LlmQueries {
       val d = docs(s, dir)
       val prefix = array_join(slice(split(col("text"), " "), 1, 4), " ")
       val qrels = d.select(col("doc_id"), prefix.as("p"))
-        .join(broadcast(probeQueries(d)), col("p") === col("qtext"))
+        .join(broadcast(probeQueriesFrame(s, dir)), col("p") === col("qtext"))
         .select(col("query_id"), col("doc_id"))
       graft.operators.Search.evalReport(
         bm25Hits15(s, dir).where(col("rank") <= 10), qrels, k = 10)
@@ -1469,7 +1520,7 @@ object LlmQueries {
       val d = docs(s, dir)
       graft.operators.Search.prfExpandFromPostings(
         d, Some((probePostings(s, dir), corpusStatsFrame(s, dir))),
-        probeQueries(d), bm25Hits15(s, dir).where(col("rank") <= 3),
+        probeQueriesFrame(s, dir), bm25Hits15(s, dir).where(col("rank") <= 3),
         r = 3, m = 2, k = 10)
     }),
     // MMR-diversified top-5 over the shared BM25 candidate fetch: greedy
@@ -1527,6 +1578,8 @@ object LlmQueries {
     "curate_pipeline_keep" -> ((s, dir) => {
       val d = docs(s, dir)
       val nb = d.select((col("doc_id") + 1).as("doc_id"), col("text").as("ntext"))
+      // no gate-side persist needed: pipelineKeep's cached base projection
+      // is the plant's single reader, so the self-join executes once
       val planted = d.join(nb, Seq("doc_id"), "left").select(col("doc_id"),
         when(col("doc_id") % 10 === 0 && col("ntext").isNotNull, col("ntext"))
           .otherwise(col("text")).as("text"),

@@ -48,6 +48,14 @@ object TpchQueries {
   private def dec4ToDouble(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     (c * lit(10000L)).cast("long").cast("double") / lit(10000.0)
 
+  /** Idempotent MEMORY_AND_DISK cache for bounded intermediates read by two
+    * downstream branches (the operators-package Frames.cached idiom): q2 /
+    * q20 / q21 each aggregate the fact join once into a dimension-bounded
+    * frame and then consume it twice — uncut, the second consumer re-ran
+    * the full lineitem scan + join. */
+  private def cached(df: DataFrame): DataFrame =
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.cache() else df
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1-style pricing summary: single scan, partial+final hash agg.
     "q1_pricing" -> ((s, dir) => {
@@ -369,7 +377,7 @@ object TpchQueries {
         .select(col("o_orderkey").as("ok"), col("l_suppkey").as("sk"),
           when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"), 1L)
             .otherwise(0L).as("late"))
-      val perSupp = ev.groupBy("ok", "sk").agg(max(col("late")).as("late"))
+      val perSupp = cached(ev.groupBy("ok", "sk").agg(max(col("late")).as("late")))
       val perOrder = perSupp.groupBy("ok").agg(
         count(lit(1)).as("n_supp"), sum(col("late")).as("n_late"))
       perSupp.where(col("late") === 1L)
@@ -416,10 +424,10 @@ object TpchQueries {
       val part = broadcast(table(s, dir, "part")
         .where(col("p_size").between(10, 15))
         .select("p_partkey", "p_brand"))
-      val perSupp = table(s, dir, "lineitem")
+      val perSupp = cached(table(s, dir, "lineitem")
         .join(part, col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_partkey"), col("p_brand"), col("l_suppkey"))
-        .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
+        .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost")))
       val perPart = perSupp.groupBy("p_partkey")
         .agg(min(col("unit_cost")).as("best_cost"))
       perSupp.join(broadcast(perPart), Seq("p_partkey"))
@@ -449,10 +457,16 @@ object TpchQueries {
         (lit(1) - col("l_discount").cast("decimal(18,4)"))).cast("decimal(18,4)")
       val base = table(s, dir, "lineitem")
         .join(supp, col("l_suppkey") === col("s_suppkey"))
-      val perPart = base.groupBy(col("l_partkey"))
-        .agg(sum(vol).cast("double").as("part_value"))
-      val total = base.agg(sum(vol).cast("double").as("total_value"),
-        countDistinct(col("l_partkey")).as("n_parts"))
+      // one fact pass: the grand total is the exact DECIMAL sum of the
+      // per-part partials and n_parts the non-null group count — both
+      // bit-identical to the direct aggregation over the join (associative
+      // decimal sums; countDistinct == count of grouped non-null keys), so
+      // the scalar no longer re-runs the lineitem scan + join
+      val perPart0 = cached(base.groupBy(col("l_partkey")).agg(sum(vol).as("pv_dec")))
+      val perPart = perPart0.select(col("l_partkey"),
+        col("pv_dec").cast("double").as("part_value"))
+      val total = perPart0.agg(sum(col("pv_dec")).cast("double").as("total_value"),
+        count(col("l_partkey")).as("n_parts"))
       perPart.crossJoin(broadcast(total))
         .where(col("part_value") > lit(2.0) * col("total_value") / col("n_parts"))
         .select(col("l_partkey"), col("part_value"))
@@ -492,10 +506,17 @@ object TpchQueries {
         .where(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
         .join(part, col("l_partkey") === col("p_partkey"))
-      val perPair = li.groupBy(col("l_partkey"), col("l_suppkey"))
-        .agg(sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("supp_qty"))
-      val perPart = li.groupBy(col("l_partkey"))
-        .agg(sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("part_qty"))
+      // one fact pass: the per-part total is the exact DECIMAL sum of the
+      // per-(part, supplier) partials (associative integer-scaled decimals,
+      // so the cast-to-double values are bit-identical to a direct
+      // aggregation) — deriving it from the cached pair frame removes the
+      // second lineitem scan + join
+      val perPair0 = cached(li.groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity").cast("decimal(18,4)")).as("sq_dec")))
+      val perPair = perPair0.select(col("l_partkey"), col("l_suppkey"),
+        col("sq_dec").cast("double").as("supp_qty"))
+      val perPart = perPair0.groupBy(col("l_partkey"))
+        .agg(sum(col("sq_dec")).cast("double").as("part_qty"))
       perPair.join(broadcast(perPart), Seq("l_partkey"))
         .where(col("supp_qty") > col("part_qty") * 0.3)
         .select(col("l_suppkey")).distinct()

@@ -1762,7 +1762,14 @@ object Maintenance {
     reconcilePending(fs, indexDir, "signatures", lastPassOf(spark, metaPath))
     val m = spark.read.parquet(metaPath.toString).head
     val (numHashes, bandSize) = (m.getAs[Int]("num_hashes"), m.getAs[Int]("band_size"))
-    val newBands = graft.operators.Dedup.bandedSignatures(newDocs, numHashes, bandSize)
+    // persisted (increment x bands rows — small by the increment contract):
+    // the bucket-set collect, the union side and the probe side all read it,
+    // and uncut each re-ran the increment's shingle + signature explode
+    val newBands0 = graft.operators.Dedup.bandedSignatures(newDocs, numHashes, bandSize)
+    val newBands =
+      if (newBands0.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        newBands0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else newBands0
     val sigCols = newBands.columns // doc_id, mh0.., b, key
     // the increment's bucket set is <= 64 values by construction — a
     // driver-side collect that stays bounded at any increment size
