@@ -1101,7 +1101,11 @@ object Curation {
       .when(col("kn_mean") > lit(headFactor) * col("kn_total") / col("n_scored"), "head")
       .when(col("kn_mean") < lit(tailFactor) * col("kn_total") / col("n_scored"), "tail")
       .otherwise("middle")
+    // NULL-key contract: the pre-window form derived per-source totals with
+    // an INNER join on source, dropping NULL-source docs from the report;
+    // filter so the window form keeps that semantics
     val bucketed = docs
+      .where(col("source").isNotNull)
       .select(col("doc_id"), col("source"),
         size(split(col("text"), " ")).cast("long").as("n_words"))
       .join(scored, Seq("doc_id"), "left")

@@ -747,7 +747,13 @@ object Funnel {
    */
   def hourEntropy(events: DataFrame, typeCol: String = "event_type",
                   tsMsCol: String = "ts_ms"): DataFrame = {
+    // NULL-key contract: the pre-window form derived totals with an INNER
+    // join on event_type, which drops a NULL type group (NULL != NULL);
+    // a partition window would retain it as its own partition. Filter
+    // first so the window form keeps the original (and oracle-SQL join
+    // form) semantics for corpora with NULL keys.
     val c = events
+      .where(col(typeCol).isNotNull)
       .groupBy(col(typeCol).as("event_type"),
         expr(s"($tsMsCol div 3600000) % 24").as("hour"))
       .agg(count(lit(1)).as("c"))
@@ -1056,7 +1062,10 @@ object Funnel {
       s"$tsMsCol div 86400000 - (CASE WHEN $tsMsCol % 86400000 < 0 THEN 1 ELSE 0 END)")
     val hour = expr(
       s"$tsMsCol div 3600000 - (CASE WHEN $tsMsCol % 3600000 < 0 THEN 1 ELSE 0 END)")
+    // NULL-key contract: match the join-form totals (INNER join on the
+    // group key drops a NULL-key group; a partition window would keep it)
     val cells = events
+      .where(col(keyCol).isNotNull)
       .select(col(keyCol), pmod(day + 3, lit(7)).as("dow"),
         pmod(hour, lit(24)).as("hour"))
       .groupBy(col(keyCol), col("dow"), col("hour"))

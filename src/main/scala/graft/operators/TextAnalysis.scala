@@ -1211,8 +1211,12 @@ object TextAnalysis {
    * @return (lang, lang_guess, n, n_lang, rate)
    */
   def langConfusion(docs: DataFrame): DataFrame = {
+    // NULL-key contract: a NULL label never joined to its per-label total
+    // in the pre-window form (INNER join on lang); filter so the window
+    // form keeps that semantics for corpora with NULL labels
     val cells = languageId(docs)
       .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .where(col("lang").isNotNull)
       .groupBy("lang", "lang_guess").agg(count(lit(1)).as("n"))
     // per-label totals via a window over the langs²-bounded cell frame —
     // the aggregate-and-join-back form re-executed the corpus scoring scan
