@@ -11,6 +11,56 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Split the test suites across several forked JVMs, each with its OWN
+// SparkSession singleton (no shared-session conf races: DedupPlanSpec /
+// GraphSpec / VizEnforcementSpec mutate session confs mid-suite). One
+// sequential JVM ran the 722-test suite in ~25-30 min wall on this host —
+// past the driver's test window (round 13 VERIFY ended without a summary).
+// Groups are packed greedy-LPT by measured suite seconds (round-14
+// baseline); unknown suites get a small default weight. Override the JVM
+// count with SPARK_GRAFT_TEST_JVMS=1 to restore the single-JVM run.
+val testJvmCount = sys.env.getOrElse("SPARK_GRAFT_TEST_JVMS", "6").toInt
+val measuredSuiteSeconds: Map[String, Int] = Map(
+  "graft.tools.MaintenanceSpec" -> 376,
+  "graft.streaming.IndexIngestSpec" -> 86,
+  "graft.operators.GraphSpec" -> 66,
+  "graft.operators.PipelineOpsSpec" -> 60,
+  "graft.operators.SearchSpec" -> 49,
+  "graft.operators.DegenerateCorpusSpec" -> 45,
+  "graft.operators.PrivacySpec" -> 33,
+  "graft.server.GraftServerSpec" -> 27,
+  "graft.operators.SketchesSpec" -> 27,
+  "graft.operators.HygieneOpsSpec" -> 26,
+  "graft.operators.CorpusAuditSpec" -> 24,
+  "graft.operators.ForecastLinkOpsSpec" -> 21,
+  "graft.operators.PlanAuditSpec" -> 21,
+  "graft.operators.SimilarityIvfSpec" -> 21,
+  "graft.server.HttpApiSpec" -> 20)
+Test / testGrouping := {
+  val tests = (Test / definedTests).value
+  val forkOpts = ForkOptions()
+    .withRunJVMOptions((Test / javaOptions).value.toVector)
+  if (testJvmCount <= 1)
+    Seq(Tests.Group("all", tests, Tests.SubProcess(forkOpts)))
+  else {
+    val bins = Array.fill(testJvmCount)(
+      (scala.collection.mutable.Buffer.empty[TestDefinition], Array(0L)))
+    tests.sortBy(t => -measuredSuiteSeconds.getOrElse(t.name, 10)).foreach { t =>
+      val (buf, load) = bins.minBy(_._2(0))
+      buf += t
+      load(0) += measuredSuiteSeconds.getOrElse(t.name, 10).toLong
+    }
+    bins.zipWithIndex.toSeq.collect { case ((buf, _), i) if buf.nonEmpty =>
+      Tests.Group(s"jvm$i", buf.toSeq, Tests.SubProcess(forkOpts))
+    }
+  }
+}
+// sbt's default restrictions cap forked test groups at 1; lift it to the
+// group count (limitAll stays at the processor default)
+Global / concurrentRestrictions := Seq(
+  Tags.limitAll(math.max(4, java.lang.Runtime.getRuntime.availableProcessors())),
+  Tags.limit(Tags.ForkedTestGroup, math.max(1, testJvmCount)),
+  Tags.exclusiveGroup(Tags.Clean))
 // Pass the forked program's stdout through verbatim — the driver parses
 // graft.Bench's one-line JSON from stdout, and sbt's default LoggedOutput
 // would prefix every line with "[info] " (json.loads then fails).

@@ -301,6 +301,16 @@ object Graph {
       .select(col("domain"), expr(s"${scale}L div n").as("hub_fp"))
     var auths = nodes.select(col("domain"), lit(0L).as("auth_fp"))
     for (i <- 1 to iters) {
+      // Lineage cut on the RAW half-step frame, BEFORE the renorm (round-14
+      // reorder): renorm reads its raw twice (the tot broadcast scalar + the
+      // fixed-point projection), so with the cut AFTER the renorm the
+      // |V|⋈|E| join+aggregate of every half-step executed TWICE — once
+      // inside the broadcast job and again in the consuming pass. Cutting
+      // the raw frame keeps the same two jobs per half-step (checkpoint +
+      // tot broadcast) but runs the join once; the renorm itself is a lazy
+      // narrow projection over the materialized raw, bit-identical floors.
+      // (The r13 every-2nd-cadence experiment — fewer jobs, uncut chains —
+      // stays rejected: 2x slower at the 20x tier.)
       // auth(v) = Σ_{u→v} hub(u)·w, renormalized to Σ=scale
       val authRaw = nodes.join(
         hubs.as("h").join(w.as("e"), col("h.domain") === col("e.src"))
@@ -308,6 +318,7 @@ object Graph {
           .agg(sum(col("h.hub_fp") * col("e.w")).as("auth_fp")),
         Seq("domain"), "left")
         .select(col("domain"), coalesce(col("auth_fp"), lit(0L)).as("auth_fp"))
+        .localCheckpoint(false)
       auths = renorm(authRaw, "auth_fp")
       // hub(u) = Σ_{u→v} auth(v)·w over the FRESH authorities
       val hubRaw = nodes.join(
@@ -316,16 +327,8 @@ object Graph {
           .agg(sum(col("a.auth_fp") * col("e.w")).as("hub_fp")),
         Seq("domain"), "left")
         .select(col("domain"), coalesce(col("hub_fp"), lit(0L)).as("hub_fp"))
+        .localCheckpoint(false)
       hubs = renorm(hubRaw, "hub_fp")
-      // each iteration references the previous frames ~4x (renorm reads its
-      // raw twice per half-step), so the plan tree grows ~4^iters without
-      // cuts. Cut BOTH frames EVERY iteration: an every-2nd cadence was
-      // tried (to halve materialization jobs, the PageRank trade) and
-      // measured 2x SLOWER at the 20x tier — the uncut chains re-execute
-      // their |V|-join SHUFFLE STAGES inside every renorm's broadcast job,
-      // and the extra stage scheduling dwarfs the saved jobs here because
-      // hits runs two renorm scalars per iteration where PageRank runs one
-      if (i < iters) { auths = auths.localCheckpoint(false); hubs = hubs.localCheckpoint(false) }
     }
     auths.join(hubs, Seq("domain"))
       .select(col("domain"), col("auth_fp"), col("hub_fp"),

@@ -64,9 +64,15 @@ object Linkage {
         .where(col("bn") <= maxBlock)
         .select(col("bk"), col("bl")),
       Seq("bk", "bl"), "left_semi"))
-    // project the edit distance ONCE, then filter on the column: the
-    // filter-then-reproject form evaluated levenshtein a second time for
-    // every surviving pair (no cross-operator subexpression elimination)
+    // NOTE on evaluation count (plan-audited, plans/r13/link_fuzzy_pairs
+    // _after.txt): Catalyst pushes the `dist <= maxDist` filter back into
+    // the join condition, so levenshtein runs once per CANDIDATE pair there
+    // and once per SURVIVOR in this projection — the same cost as the
+    // filter-then-reproject form (no cross-operator subexpression
+    // elimination either way). The select-then-where shape is kept for
+    // readability, not as an optimization; forcing a single evaluation
+    // would need a materialization barrier on the candidate-sized frame,
+    // which costs more than the survivor-only re-evaluation it saves.
     sized.as("x").join(sized.as("y"),
         col("x.bk") === col("y.bk") && col("x.bl") === col("y.bl") &&
           col("x.id") < col("y.id"))

@@ -223,9 +223,13 @@ object Privacy {
   def kAnonymitySweep(df: DataFrame, baseCols: Seq[String], numCol: String,
                       widths: Seq[Long], k: Int): DataFrame = {
     require(widths.nonEmpty && widths.forall(_ >= 1), "widths >= 1")
-    // cached: every width's report re-scanned the (narrow, caller-projected)
-    // quasi-identifier frame — one materialization serves the whole sweep
-    val base = Frames.cached(df)
+    // cached: every width's report re-scanned the quasi-identifier frame —
+    // one materialization serves the whole sweep. Cache OUR OWN narrow
+    // projection (QI columns + numCol), never the caller's frame: caching
+    // the argument df is a session-global side effect that leaves the
+    // caller's plan pinned MEMORY_AND_DISK after the sweep returns, and it
+    // can be arbitrarily wide
+    val base = Frames.cached(df.select((baseCols :+ numCol).distinct.map(col): _*))
     widths.map { w =>
       kAnonymityReport(
         base.select((baseCols.map(col) :+ expr(s"$numCol div $w").as("_gen")): _*),

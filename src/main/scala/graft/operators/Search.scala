@@ -438,19 +438,27 @@ object Search {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .join(broadcast(fb), "doc_id")
       .groupBy(col("query_id"), col("term")).agg(count(lit(1)).as("tfsum"))
-    val picked = fbTerms
+    // cached (the dup-subtree idiom, bounded by m·|queries| rows): picked
+    // feeds BOTH the expanded term set and the new-term fetch, and each
+    // downstream reference — bm25TopKFromPostings reads its postings and
+    // term frames twice (df table + contribution) — re-executed the whole
+    // feedback explode (a corpus scan) without the cut
+    val picked = Frames.cached(fbTerms
       .join(qTerms, Seq("query_id", "term"), "left_anti")
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("tfsum").desc, col("term"))))
       .where(col("rn") <= m)
-      .select(col("query_id"), col("term"))
+      .select(col("query_id"), col("term")))
     val expandedTerms = qTerms.unionByName(picked)
     shared match {
       case Some((postings, stats)) =>
         val newTerms = picked.select("term").distinct()
           .join(qTerms.select("term").distinct(), Seq("term"), "left_anti")
-        val extra = newTermFetch.map(_(newTerms))
-          .getOrElse(matchedPostings(docs, newTerms))
+        // cached: the expansion round's incremental postings fetch (≤ the
+        // new terms' postings rows) — the scorer's two postings references
+        // re-ran the term-filtered corpus scan (or store read) per reference
+        val extra = Frames.cached(newTermFetch.map(_(newTerms))
+          .getOrElse(matchedPostings(docs, newTerms)))
         bm25TopKFromPostings(
           postings.unionByName(extra), stats, expandedTerms, k, k1, b)
       case None =>

@@ -359,7 +359,11 @@ object Maintenance {
     val cents = spark.read.parquet(centsPath.toString)
     val vecs = spark.read.parquet(assignPath.toString).select("vec_id", "embedding")
     val tmp = new Path(assignPath.toString + ".tmp")
-    SimilarityIvf.assign(vecs, cents).write.mode(SaveMode.Overwrite)
+    // 16 = the default probe-family list count; only sizes the within-list
+    // salt width, never the layout (partitionBy stays list_id)
+    bucketLayout(SimilarityIvf.assign(vecs, cents), "list_id",
+      org.apache.spark.sql.functions.col("vec_id"), 16)
+      .write.mode(SaveMode.Overwrite)
       .partitionBy("list_id").parquet(tmp.toString)
     swapDir(fs, tmp, assignPath)
     fs.delete(marker, false)
@@ -405,7 +409,8 @@ object Maintenance {
       val assigned = SimilarityIvf.assign(vecs, cents)
       val n = if (dryRun) assigned.count() else {
         cents.write.mode(SaveMode.Overwrite).parquet(centsPath.toString)
-        assigned.write.mode(SaveMode.Overwrite).partitionBy("list_id")
+        bucketLayout(assigned, "list_id", col("vec_id"), nLists)
+          .write.mode(SaveMode.Overwrite).partitionBy("list_id")
           .parquet(assignPath.toString)
         val nw = spark.read.parquet(assignPath.toString).count()
         Seq((nw, nLists.toLong, id)).toDF("n_vecs", "n_lists", "last_pass")
@@ -552,7 +557,9 @@ object Maintenance {
     // assignment rewrite and the centroid swap agree on v2 geometry
     val assigned2 = SimilarityIvf.assign(vecs, spark.read.parquet(centsTmp.toString))
     val assignTmp = new Path(assignPath.toString + ".tmp")
-    assigned2.write.mode(SaveMode.Overwrite).partitionBy("list_id").parquet(assignTmp.toString)
+    bucketLayout(assigned2, "list_id",
+      org.apache.spark.sql.functions.col("vec_id"), nLists)
+      .write.mode(SaveMode.Overwrite).partitionBy("list_id").parquet(assignTmp.toString)
     val nVec = spark.read.parquet(assignTmp.toString).count()
     val nLists2 = spark.read.parquet(centsTmp.toString).count()
     fs.create(marker, true).close() // bracket the two swaps (see ivfRepair)
@@ -600,6 +607,27 @@ object Maintenance {
   private def termBucket(term: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
     pmod(conv(substring(md5(term), 1, 2), 16, 10).cast("long"), lit(64L))
+  }
+
+  /** Bootstrap/full-rewrite write layout (round 14, guide §6 small files):
+    * an unrepartitioned `partitionBy(bucket)` write lets EVERY shuffle/map
+    * task write into every bucket dir — tasks × buckets tiny files that
+    * every later store read (all the *_store / *_ageoff gates) pays to
+    * open; the increment paths already stage one-file-per-bucket.
+    * Repartition on the bucket column, adding a deterministic within-bucket
+    * salt when shuffle parallelism exceeds the bucket count so a huge
+    * bootstrap is never serialized into `buckets` write tasks: files per
+    * bucket ≈ max(1, shufflePartitions / buckets) — derived from session
+    * parallelism, no local-mode constant. The salt is hash-derived from a
+    * row key, never rand(): retried tasks must reproduce the same
+    * row-to-partition assignment (SPARK-38388). */
+  private def bucketLayout(df: org.apache.spark.sql.DataFrame, bucketCol: String,
+      saltKey: org.apache.spark.sql.Column, buckets: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val width = math.max(1L,
+      df.sparkSession.sessionState.conf.numShufflePartitions.toLong / buckets)
+    if (width == 1L) df.repartition(col(bucketCol))
+    else df.repartition(col(bucketCol), pmod(xxhash64(saltKey), lit(width)))
   }
 
   /** Doc-hash bucket for the norms sidecar: 16 buckets — enough that each
@@ -808,11 +836,15 @@ object Maintenance {
       return PostingsReport(dryRun = true, bootstrap = !exists, before, before + dN, post.count())
     import spark.implicits._
     if (!exists) {
-      post.write.mode(SaveMode.Overwrite).partitionBy("tb").parquet(postingsPath.toString)
-      normRows(spark.read.schema(post.schema).parquet(postingsPath.toString))
+      // bucketLayout: bounded files per bucket (see the helper doc) — the
+      // unrepartitioned bootstrap wrote tasks × 64 tiny files per store
+      bucketLayout(post, "tb", col("doc_id"), 64)
+        .write.mode(SaveMode.Overwrite).partitionBy("tb").parquet(postingsPath.toString)
+      bucketLayout(normRows(spark.read.schema(post.schema).parquet(postingsPath.toString)),
+          "nb", col("doc_id"), 16)
         .write.mode(SaveMode.Overwrite).partitionBy("nb").parquet(normsPath.toString)
       if (hasPositions)
-        positionRows(docs)
+        bucketLayout(positionRows(docs), "pb", col("doc_id"), 64)
           .write.mode(SaveMode.Overwrite).partitionBy("pb").parquet(positionsPath.toString)
       Seq((dN, dSum, id)).toDF("n_docs", "sum_dl", "last_pass")
         .write.mode(SaveMode.Overwrite).parquet(statsPath.toString)
@@ -1185,7 +1217,8 @@ object Maintenance {
       return VocabReport(dryRun = true, bootstrap = !exists, before, before + dTok, dTok)
     import spark.implicits._
     if (!exists) {
-      rows.write.mode(SaveMode.Overwrite).partitionBy("vb").parquet(vocabPath.toString)
+      bucketLayout(rows, "vb", col("w"), 64)
+        .write.mode(SaveMode.Overwrite).partitionBy("vb").parquet(vocabPath.toString)
       Seq((dTok, id)).toDF("n_tokens", "last_pass")
         .write.mode(SaveMode.Overwrite).parquet(statsPath.toString)
       VocabReport(dryRun = false, bootstrap = true, 0L, dTok, dTok)
@@ -1716,7 +1749,8 @@ object Maintenance {
       }
     }
     if (!exists) {
-      bands.write.mode(SaveMode.Overwrite).partitionBy("kb").parquet(sigPath.toString)
+      bucketLayout(bands, "kb", col("doc_id"), 64)
+        .write.mode(SaveMode.Overwrite).partitionBy("kb").parquet(sigPath.toString)
       writeMeta(dN, None)
       LshReport(dryRun = false, bootstrap = true, 0L, dN,
         spark.read.parquet(sigPath.toString).count())
